@@ -1,0 +1,139 @@
+"""Vectorized LEB128 varint + zigzag codecs.
+
+Semantics match the reference encoder (reference: src/writer/encoder/varint.rs:10-58):
+unsigned base-128 varint, 7 bits per byte little-endian-first, high bit =
+continuation; signed values are zigzag-transformed ``(x << 1) ^ (x >> 63)`` first.
+
+All kernels are numpy-vectorized over whole arrays (no per-value Python loop);
+they are the building blocks for the RLE codecs and the decimal stream.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_U1 = np.uint64(1)
+_U7 = np.uint64(7)
+_U0x7F = np.uint64(0x7F)
+
+
+def zigzag_encode(x: np.ndarray) -> np.ndarray:
+    """int64 array -> uint64 zigzag representation ((x<<1) ^ (x>>63))."""
+    x = np.asarray(x, dtype=np.int64)
+    return (x.astype(np.uint64) << _U1) ^ (x >> np.int64(63)).astype(np.uint64)
+
+
+def zigzag_decode(u: np.ndarray) -> np.ndarray:
+    """uint64 zigzag array -> int64."""
+    u = np.asarray(u, dtype=np.uint64)
+    return (u >> _U1).astype(np.int64) ^ -((u & _U1).astype(np.int64))
+
+
+def varint_byte_lengths(v: np.ndarray) -> np.ndarray:
+    """Per-value encoded byte length of unsigned varints (1..10)."""
+    v = np.asarray(v, dtype=np.uint64)
+    nb = np.ones(len(v), dtype=np.int64)
+    for k in range(1, 10):
+        nb += (v >= (_U1 << np.uint64(7 * k))).astype(np.int64)
+    return nb
+
+
+def varint_encode_unsigned(v: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Encode a uint64 array as concatenated varints.
+
+    Returns (bytes, per-value byte lengths). The lengths let callers slice
+    individual varints out of the concatenation (used by the RLE group
+    assemblers).
+    """
+    v = np.asarray(v, dtype=np.uint64)
+    n = len(v)
+    if n == 0:
+        return b"", np.zeros(0, dtype=np.int64)
+    nb = varint_byte_lengths(v)
+    total = int(nb.sum())
+    out = np.empty(total, dtype=np.uint8)
+    pos = np.zeros(n, dtype=np.int64)
+    np.cumsum(nb[:-1], out=pos[1:])
+    for k in range(10):
+        mask = nb > k
+        if not mask.any():
+            break
+        idx = pos[mask] + k
+        vals = (v[mask] >> np.uint64(7 * k)) & _U0x7F
+        cont = np.where(nb[mask] > (k + 1), np.uint8(0x80), np.uint8(0))
+        out[idx] = vals.astype(np.uint8) | cont
+    return out.tobytes(), nb
+
+
+def varint_encode_signed(x: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Zigzag + varint encode an int64 array."""
+    return varint_encode_unsigned(zigzag_encode(x))
+
+
+def varint_decode_all(buf: np.ndarray | bytes) -> np.ndarray:
+    """Decode a buffer consisting solely of back-to-back unsigned varints.
+
+    Fully vectorized: terminator bytes (high bit clear) delimit values; each
+    byte's 7-bit payload is OR-shifted into its value slot.
+    """
+    b = np.frombuffer(buf, dtype=np.uint8) if isinstance(buf, (bytes, bytearray, memoryview)) else np.asarray(buf, dtype=np.uint8)
+    if len(b) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    term = b < 0x80
+    gid = np.zeros(len(b), dtype=np.int64)
+    np.cumsum(term[:-1].astype(np.int64), out=gid[1:])
+    n = int(term.sum())
+    starts = np.flatnonzero(np.concatenate(([True], term[:-1])))
+    off = np.arange(len(b), dtype=np.int64) - starts[gid]
+    vals = np.zeros(n, dtype=np.uint64)
+    payload = (b & np.uint8(0x7F)).astype(np.uint64)
+    max_off = int(off.max())
+    for k in range(max_off + 1):
+        m = off == k
+        if not m.any():
+            continue
+        vals[gid[m]] |= payload[m] << np.uint64(7 * k)
+    return vals
+
+
+def varint_decode_signed_all(buf) -> np.ndarray:
+    return zigzag_decode(varint_decode_all(buf))
+
+
+def varint_encode_bigint(values: list[int]) -> bytes:
+    """Arbitrary-precision signed varints (Python ints; for decimal128 paths).
+
+    Zigzag is applied at 128-bit width like the reference i128 impl
+    (reference: src/writer/encoder/varint.rs:89-108).
+    """
+    out = bytearray()
+    for x in values:
+        z = (x << 1) ^ (x >> 127)
+        z &= (1 << 128) - 1
+        while True:
+            if z < 0x80:
+                out.append(z)
+                break
+            out.append(0x80 | (z & 0x7F))
+            z >>= 7
+    return bytes(out)
+
+
+def varint_decode_bigint(buf: bytes, count: int) -> list[int]:
+    """Decode `count` 128-bit zigzag varints into Python ints."""
+    vals = []
+    z = 0
+    shift = 0
+    for byte in buf:
+        z |= (byte & 0x7F) << shift
+        if byte < 0x80:
+            sign = z & 1
+            mag = z >> 1
+            vals.append(~mag if sign else mag)  # zigzag inverse: (z>>1) ^ -(z&1)
+            z = 0
+            shift = 0
+            if len(vals) == count:
+                break
+        else:
+            shift += 7
+    return vals

@@ -1,0 +1,118 @@
+"""Property tests: fast vectorized encoders == reference-port automatons,
+and encode→decode round-trips (FIXTURES.md F4 adversarial shapes)."""
+
+import numpy as np
+import pytest
+
+from orc_format_ray.codecs import byte_rle, boolean_rle, int_rle_v1, varint
+
+rng = np.random.default_rng(42)
+
+
+def _int_cases():
+    cases = [
+        np.zeros(0, np.int64),
+        np.array([5], np.int64),
+        np.full(1000, 42, np.int64),
+        np.arange(1000, dtype=np.int64),                      # delta +1
+        np.arange(1000, 0, -1, dtype=np.int64),               # delta -1
+        np.array([1, 2] * 300, np.int64),                     # alternating
+        rng.integers(-(2**62), 2**62, 5000).astype(np.int64),  # high-card random
+        rng.integers(0, 16, 5000).astype(np.int64),           # tight range
+        np.repeat(rng.integers(0, 100, 200), rng.integers(1, 20, 200)).astype(np.int64),  # mixed runs
+        np.array([np.iinfo(np.int64).min, np.iinfo(np.int64).max] * 10, np.int64),
+    ]
+    # boundary lengths around group limits (reference int_rle_v1.rs:51)
+    for L in (127, 128, 129, 130, 131, 132, 133, 256, 259, 260, 261):
+        cases.append(np.full(L, 7, np.int64))
+        cases.append(np.arange(L, dtype=np.int64) * 3)
+        cases.append(rng.integers(-1000, 1000, L).astype(np.int64))
+    # run exactly at the 128-literal flush boundary (chunk-straddle cases)
+    for pad in (125, 126, 127, 128, 129):
+        cases.append(np.concatenate([rng.integers(0, 10**9, pad), np.full(10, 3)]).astype(np.int64))
+        cases.append(np.concatenate([rng.integers(0, 10**9, pad), np.arange(50) * 5]).astype(np.int64))
+    # deltas exactly at the i8 fit boundary
+    cases.append(np.arange(20, dtype=np.int64) * 127)
+    cases.append(np.arange(20, dtype=np.int64) * 128)
+    cases.append(np.arange(20, dtype=np.int64) * -128)
+    cases.append(np.arange(20, dtype=np.int64) * -129)
+    # interleaved runs/literals stress
+    cases.append(np.concatenate([np.full(3, i) if i % 2 else rng.integers(0, 10**6, 4) for i in range(200)]).astype(np.int64))
+    return cases
+
+
+@pytest.mark.parametrize("arr", _int_cases())
+def test_int_rle_v1_fast_equals_slow_and_roundtrips(arr):
+    for signed in (True, False):
+        a = arr if signed else arr.astype(np.uint64)
+        fast = int_rle_v1.encode(a, signed=signed)
+        slow = int_rle_v1.encode_slow(list(a), signed=signed)
+        assert fast == slow, f"signed={signed} len={len(a)}"
+        dec = int_rle_v1.decode(fast, signed=signed)
+        np.testing.assert_array_equal(dec.astype(a.dtype), a)
+
+
+def test_int_rle_v1_randomized_sweep():
+    for trial in range(30):
+        n = int(rng.integers(0, 400))
+        # mixture: small alphabet => frequent short runs and delta segments
+        a = rng.integers(-5, 5, n).astype(np.int64).cumsum() if trial % 2 else rng.integers(0, 6, n).astype(np.int64)
+        fast = int_rle_v1.encode(a, signed=True)
+        assert fast == int_rle_v1.encode_slow(list(a), signed=True), f"trial={trial} n={n}"
+        np.testing.assert_array_equal(int_rle_v1.decode(fast, signed=True), a)
+
+
+def _byte_cases():
+    cases = [
+        np.zeros(0, np.uint8),
+        rng.integers(0, 256, 1000).astype(np.uint8),
+        rng.integers(0, 3, 1000).astype(np.uint8),
+        np.full(1000, 255, np.uint8),
+        np.array([1, 1, 2, 2, 3, 3] * 100, np.uint8),
+    ]
+    for L in (127, 128, 129, 130, 131, 258, 259, 260, 261):
+        cases.append(np.full(L, 9, np.uint8))
+        cases.append((np.arange(L) % 251).astype(np.uint8))
+    for pad in (125, 126, 127, 128, 129):
+        cases.append(np.concatenate([rng.integers(0, 250, pad), np.full(10, 3)]).astype(np.uint8))
+    return cases
+
+
+@pytest.mark.parametrize("arr", _byte_cases())
+def test_byte_rle_fast_equals_slow_and_roundtrips(arr):
+    fast = byte_rle.encode(arr)
+    assert fast == byte_rle.encode_slow(list(arr))
+    np.testing.assert_array_equal(byte_rle.decode(fast), arr)
+
+
+def test_byte_rle_randomized_sweep():
+    for trial in range(40):
+        n = int(rng.integers(0, 500))
+        a = rng.integers(0, 4, n).astype(np.uint8)
+        fast = byte_rle.encode(a)
+        assert fast == byte_rle.encode_slow(list(a)), f"trial={trial} n={n}"
+        np.testing.assert_array_equal(byte_rle.decode(fast), a)
+
+
+def test_boolean_rle_roundtrip():
+    for n in (0, 1, 7, 8, 9, 63, 64, 65, 1000):
+        a = rng.integers(0, 2, n).astype(bool)
+        np.testing.assert_array_equal(boolean_rle.decode(boolean_rle.encode(a), n), a)
+    # heavily null-ish patterns (PRESENT streams)
+    a = np.ones(10000, bool); a[::97] = False
+    np.testing.assert_array_equal(boolean_rle.decode(boolean_rle.encode(a), len(a)), a)
+
+
+def test_varint_roundtrip_random():
+    v = rng.integers(0, 2**63, 10000, dtype=np.uint64) * rng.integers(1, 3, 10000).astype(np.uint64)
+    b, nb = varint.varint_encode_unsigned(v)
+    np.testing.assert_array_equal(varint.varint_decode_all(b), v)
+    s = rng.integers(-(2**62), 2**62, 10000).astype(np.int64)
+    b2, _ = varint.varint_encode_signed(s)
+    np.testing.assert_array_equal(varint.varint_decode_signed_all(b2), s)
+
+
+def test_varint_bigint_roundtrip():
+    vals = [0, 1, -1, 2**100, -(2**100), (2**127) - 1, -(2**127)]
+    b = varint.varint_encode_bigint(vals)
+    assert varint.varint_decode_bigint(b, len(vals)) == vals
