@@ -1,0 +1,193 @@
+"""Per-partition codec auto-selection by sampled size estimation.
+
+North-rule component. Generalizes the reference's only adaptive decision —
+the per-block compressed-vs-original fallback
+(reference: src/writer/compression.rs:146-158) — into a menu selector: sample
+the stream, actually encode the sample with every applicable codec,
+extrapolate bytes/value, pick the argmin. The chosen codec name is recorded
+in the stripe header and the partition lineage record.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from . import dictionary, frame_of_reference, fsst, int_rle_v1, rle_v2
+from .varint import varint_encode_unsigned
+from . import bitpack as bitpack_mod
+
+SAMPLE_VALUES = 4096
+SAMPLE_STRINGS = 1024
+
+# ---------------------------------------------------------------- int codecs
+
+
+def _bitpack_encode(v: np.ndarray) -> bytes:
+    """Plain fixed-width bit-packing of zigzag values (menu entry 'bitpack')."""
+    x = np.asarray(v, dtype=np.int64)
+    zz = (x.astype(np.uint64) << np.uint64(1)) ^ (x >> np.int64(63)).astype(np.uint64)
+    w = bitpack_mod.bit_width(int(zz.max())) if len(zz) else 1
+    head, _ = varint_encode_unsigned(np.array([len(zz)], dtype=np.uint64))
+    return head + bytes([w]) + bitpack_mod.pack(zz, w)
+
+
+def _bitpack_decode(b: bytes) -> np.ndarray:
+    buf = np.frombuffer(b, dtype=np.uint8)
+    n = 0
+    p = 0
+    shift = 0
+    while True:
+        byte = int(buf[p])
+        p += 1
+        n |= (byte & 0x7F) << shift
+        if byte < 0x80:
+            break
+        shift += 7
+    w = int(buf[p])
+    p += 1
+    zz = bitpack_mod.unpack(buf[p:], w, n)
+    return (zz >> np.uint64(1)).astype(np.int64) ^ -((zz & np.uint64(1)).astype(np.int64))
+
+
+INT_CODECS = {
+    "rle_v1": (lambda v: int_rle_v1.encode(v, signed=True), lambda b: int_rle_v1.decode(b, signed=True)),
+    "rle_v2": (lambda v: rle_v2.encode(v, signed=True), lambda b: rle_v2.decode(b, signed=True)),
+    "for": (frame_of_reference.encode, frame_of_reference.decode),
+    "bitpack": (_bitpack_encode, _bitpack_decode),
+    "dict_int": (dictionary.encode_ints, dictionary.decode_ints),
+}
+
+
+def _sample_ints(v: np.ndarray, k: int = SAMPLE_VALUES) -> np.ndarray:
+    n = len(v)
+    if n <= k:
+        return v
+    # head + tail + strided middle: catches sortedness, runs and outliers
+    h = k // 4
+    stride = max(1, (n - 2 * h) // (k - 2 * h))
+    return np.concatenate([v[:h], v[h : n - h : stride][: k - 2 * h], v[n - h :]])
+
+
+def select_int_codec(v: np.ndarray, menu: list[str] | None = None) -> str:
+    """Pick the int codec minimizing estimated encoded bytes on a sample."""
+    menu = menu or list(INT_CODECS)
+    if len(v) == 0:
+        return "rle_v2"
+    s = _sample_ints(np.asarray(v, dtype=np.int64))
+    best_name, best_size = None, None
+    for name in menu:
+        enc, _ = INT_CODECS[name]
+        try:
+            size = len(enc(s))
+        except Exception:
+            continue
+        if best_size is None or size < best_size:
+            best_name, best_size = name, size
+    return best_name or "rle_v2"
+
+
+def encode_ints(v: np.ndarray, codec: str) -> bytes:
+    return INT_CODECS[codec][0](np.asarray(v, dtype=np.int64))
+
+
+def decode_ints(b: bytes, codec: str) -> np.ndarray:
+    return INT_CODECS[codec][1](b)
+
+
+# ------------------------------------------------------------- string codecs
+# String codecs work on (concat uint8 buffer, int64 offsets) blocks.
+
+
+def _direct_encode(concat: np.ndarray, offs: np.ndarray) -> bytes:
+    lens = np.diff(offs).astype(np.uint64)
+    ls = rle_v2.encode(lens, signed=False)
+    head, _ = varint_encode_unsigned(np.array([len(offs) - 1, len(ls)], dtype=np.uint64))
+    return head + ls + concat.tobytes()
+
+
+def _direct_decode(b: bytes) -> tuple[np.ndarray, np.ndarray]:
+    buf = np.frombuffer(b, dtype=np.uint8)
+    vals = []
+    p = 0
+    for _ in range(2):
+        z = 0
+        shift = 0
+        while True:
+            byte = int(buf[p])
+            p += 1
+            z |= (byte & 0x7F) << shift
+            if byte < 0x80:
+                break
+            shift += 7
+        vals.append(z)
+    n, ls_len = vals
+    lens = rle_v2.decode(buf[p : p + ls_len].tobytes(), signed=False)[:n].astype(np.int64)
+    p += ls_len
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    return buf[p:].copy(), offs
+
+
+def _dict_encode(concat: np.ndarray, offs: np.ndarray) -> bytes:
+    arr = pa.Array.from_buffers(
+        pa.large_binary(), len(offs) - 1, [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(concat.tobytes())]
+    ).cast(pa.string())
+    return dictionary.encode_strings(arr)
+
+
+def _dict_decode(b: bytes) -> tuple[np.ndarray, np.ndarray]:
+    arr = dictionary.decode_strings(b)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    arr = arr.cast(pa.large_binary())
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[arr.offset : arr.offset + len(arr) + 1]
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[offs[0] : offs[-1]].copy()
+    offs = (offs - offs[0]).copy()
+    return data, offs
+
+
+STRING_CODECS = {
+    "direct": (_direct_encode, _direct_decode),
+    "dict": (_dict_encode, _dict_decode),
+    "fsst": (lambda c, o: fsst.encode(c, o), fsst.decode),
+}
+
+
+def _sample_strings(concat: np.ndarray, offs: np.ndarray, k: int = SAMPLE_STRINGS):
+    n = len(offs) - 1
+    if n <= k:
+        return concat, offs
+    stride = max(1, n // k)
+    idx = np.arange(0, n, stride)[:k]
+    lens = (offs[idx + 1] - offs[idx]).astype(np.int64)
+    new_offs = np.zeros(len(idx) + 1, dtype=np.int64)
+    np.cumsum(lens, out=new_offs[1:])
+    gather = np.repeat(offs[idx], lens) + (np.arange(int(lens.sum())) - np.repeat(new_offs[:-1], lens))
+    return concat[gather], new_offs
+
+
+def select_string_codec(concat: np.ndarray, offs: np.ndarray, menu: list[str] | None = None) -> str:
+    menu = menu or list(STRING_CODECS)
+    n = len(offs) - 1
+    if n == 0:
+        return "direct"
+    sc, so = _sample_strings(concat, offs)
+    best_name, best_size = None, None
+    for name in menu:
+        enc, _ = STRING_CODECS[name]
+        try:
+            size = len(enc(sc, so))
+        except Exception:
+            continue
+        if best_size is None or size < best_size:
+            best_name, best_size = name, size
+    return best_name or "direct"
+
+
+def encode_strings(concat: np.ndarray, offs: np.ndarray, codec: str) -> bytes:
+    return STRING_CODECS[codec][0](concat, offs)
+
+
+def decode_strings(b: bytes, codec: str) -> tuple[np.ndarray, np.ndarray]:
+    return STRING_CODECS[codec][1](b)

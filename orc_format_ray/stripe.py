@@ -1,0 +1,462 @@
+"""Stripe container: encode a pyarrow Table into one self-describing blob.
+
+The stripe is this engine's unit of horizontal partitioning, mirroring the
+reference's stripe/stream model (reference: src/writer/stripe.rs:23-111) in a
+Ray-native shape: one stripe per output partition, produced inside a
+`map_batches` task, written to its own file, described by a lineage row.
+
+Layout:  b"ORY1" | varint(header_len) | header JSON | stream bytes
+
+Per column the stream kinds follow the reference's writers
+(reference: src/writer/data/*.rs): PRESENT (BooleanRLE over validity),
+DATA, LENGTH, SECONDARY, TAGS — but DATA codecs are auto-selected from the
+north-rule menu (rle_v1 / rle_v2 / for / bitpack / dict / fsst / direct) by
+`codecs.selector`, and every stream is block-compressed with the reference's
+3-byte-header framing (compression.py). Decoding restores columns
+bit-identical to the input (round-trip contract).
+
+Type transforms preserved from the reference:
+* timestamp -> rebased seconds (epoch 2015-01-01, reference
+  src/writer/data/timestamp.rs:62-63) + nanos with trailing-zero packing
+  (timestamp.rs:107-126);
+* decimal128 -> unbounded zigzag varints + constant scale SECONDARY
+  (reference src/writer/data/decimal.rs:14-127);
+* list/map -> LENGTH stream over present rows (list.rs:104-110);
+* struct nulls -> children carry only present rows' values (struct_.rs:57-103);
+* dense union -> ByteRLE tag stream + per-variant children (union.rs:59-129).
+"""
+
+from __future__ import annotations
+
+import json
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from . import stats as stats_mod
+from .codecs import boolean_rle, byte_rle, int_rle_v1, rle_v2, selector
+from .codecs.varint import varint_encode_bigint, varint_decode_bigint
+from .compression import BlockCompressor
+
+MAGIC = b"ORY1"
+TS_EPOCH_SECONDS = 1420070400  # 2015-01-01T00:00:00Z, reference timestamp.rs:62-63
+MIN_COMPRESS_BYTES = 64
+
+_TS_UNIT_NS = {"s": 1_000_000_000, "ms": 1_000_000, "us": 1_000, "ns": 1}
+
+
+# ------------------------------------------------------------------ type spec
+
+
+def type_to_spec(t: pa.DataType):
+    if pa.types.is_list(t):
+        return {"t": "list", "item": type_to_spec(t.value_type)}
+    if pa.types.is_large_list(t):
+        return {"t": "large_list", "item": type_to_spec(t.value_type)}
+    if pa.types.is_struct(t):
+        return {"t": "struct", "fields": [[f.name, type_to_spec(f.type)] for f in t]}
+    if pa.types.is_map(t):
+        return {"t": "map", "key": type_to_spec(t.key_type), "item": type_to_spec(t.item_type)}
+    if pa.types.is_union(t):
+        return {"t": "dense_union", "fields": [[f.name, type_to_spec(f.type)] for f in t], "type_codes": list(t.type_codes)}
+    if pa.types.is_decimal(t):
+        return {"t": "decimal128", "precision": t.precision, "scale": t.scale}
+    if pa.types.is_timestamp(t):
+        return {"t": "timestamp", "unit": t.unit, "tz": t.tz}
+    return {"t": str(t)}
+
+
+def spec_to_type(s) -> pa.DataType:
+    k = s["t"]
+    if k == "list":
+        return pa.list_(spec_to_type(s["item"]))
+    if k == "large_list":
+        return pa.large_list(spec_to_type(s["item"]))
+    if k == "struct":
+        return pa.struct([pa.field(n, spec_to_type(ts)) for n, ts in s["fields"]])
+    if k == "map":
+        return pa.map_(spec_to_type(s["key"]), spec_to_type(s["item"]))
+    if k == "dense_union":
+        return pa.union([pa.field(n, spec_to_type(ts)) for n, ts in s["fields"]], mode="dense", type_codes=s["type_codes"])
+    if k == "decimal128":
+        return pa.decimal128(s["precision"], s["scale"])
+    if k == "timestamp":
+        return pa.timestamp(s["unit"], s["tz"])
+    return pa.type_for_alias(k)
+
+
+# -------------------------------------------------------------- column encode
+
+
+def _validity(arr: pa.Array) -> np.ndarray:
+    return arr.is_valid().to_numpy(zero_copy_only=False)
+
+
+def _string_block(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Non-null string/binary array -> (concat uint8, int64 offsets)."""
+    big = arr.cast(pa.large_binary())
+    offs = np.frombuffer(big.buffers()[1], dtype=np.int64)[big.offset : big.offset + len(big) + 1]
+    buf = big.buffers()[2]
+    data = np.frombuffer(buf, dtype=np.uint8)[offs[0] : offs[-1]] if buf is not None and len(big) else np.zeros(0, np.uint8)
+    return data, (offs - offs[0]).astype(np.int64)
+
+
+def encode_column(arr: pa.Array, name: str) -> dict:
+    """Encode one column (recursively) -> node dict with raw stream bytes."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    node: dict = {
+        "name": name,
+        "type": type_to_spec(t),
+        "num_values": len(arr),
+        "num_present": len(arr) - arr.null_count,
+        "encoding": {},
+        "streams": {},
+        "children": [],
+        "stats": stats_mod.compute(arr).to_dict(),
+    }
+    if arr.null_count:
+        node["streams"]["PRESENT"] = boolean_rle.encode(_validity(arr))
+    valid = arr.drop_null() if arr.null_count else arr
+
+    if pa.types.is_integer(t) or pa.types.is_date32(t):
+        if pa.types.is_date32(t):
+            valid = valid.view(pa.int32())
+        v = valid.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        codec = selector.select_int_codec(v)
+        node["encoding"]["DATA"] = codec
+        node["streams"]["DATA"] = selector.encode_ints(v, codec)
+    elif pa.types.is_boolean(t):
+        node["streams"]["DATA"] = boolean_rle.encode(valid.to_numpy(zero_copy_only=False))
+        node["encoding"]["DATA"] = "boolean_rle"
+    elif pa.types.is_floating(t):
+        # raw little-endian IEEE like the reference float writer (float.rs:95-100)
+        node["streams"]["DATA"] = valid.to_numpy(zero_copy_only=False).tobytes()
+        node["encoding"]["DATA"] = "raw"
+    elif pa.types.is_timestamp(t):
+        per_ns = _TS_UNIT_NS[t.unit]
+        raw = valid.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.int64) * per_ns
+        secs = np.floor_divide(raw, 1_000_000_000)
+        nanos = (raw - secs * 1_000_000_000).astype(np.uint64)
+        node["streams"]["DATA"] = rle_v2.encode(secs - TS_EPOCH_SECONDS, signed=True)
+        node["encoding"]["DATA"] = "rle_v2"
+        # trailing-decimal-zero packing (reference timestamp.rs:107-126)
+        packed = np.empty(len(nanos), dtype=np.uint64)
+        nz = nanos.copy()
+        tz = np.zeros(len(nanos), dtype=np.uint64)
+        for _ in range(8):
+            m = (nz % 10 == 0) & (nz > 0) & (tz < 8)
+            if not m.any():
+                break
+            nz[m] //= 10
+            tz[m] += 1
+        use = tz > 1
+        packed[use] = (nz[use] << np.uint64(3)) | (tz[use] - np.uint64(1))
+        packed[~use] = nanos[~use] << np.uint64(3)
+        node["streams"]["SECONDARY"] = rle_v2.encode(packed, signed=False)
+        node["encoding"]["SECONDARY"] = "rle_v2"
+    elif pa.types.is_decimal(t):
+        ints = [int(v.as_py().scaleb(t.scale)) for v in valid]
+        node["streams"]["DATA"] = varint_encode_bigint(ints)
+        node["encoding"]["DATA"] = "varint128"
+        node["streams"]["SECONDARY"] = rle_v2.encode(np.full(len(ints), t.scale, dtype=np.int64), signed=True)
+        node["encoding"]["SECONDARY"] = "rle_v2"
+    elif pa.types.is_string(t) or pa.types.is_large_string(t):
+        concat, offs = _string_block(valid)
+        codec = selector.select_string_codec(concat, offs)
+        node["encoding"]["DATA"] = codec
+        node["streams"]["DATA"] = selector.encode_strings(concat, offs, codec)
+    elif pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        concat, offs = _string_block(valid)
+        node["streams"]["DATA"] = concat.tobytes()
+        node["streams"]["LENGTH"] = rle_v2.encode(np.diff(offs).astype(np.uint64), signed=False)
+        node["encoding"]["DATA"] = "raw"
+        node["encoding"]["LENGTH"] = "rle_v2"
+    elif pa.types.is_list(t) or pa.types.is_large_list(t):
+        lens = pc.list_value_length(arr)
+        lens = lens.drop_null() if lens.null_count else lens
+        node["streams"]["LENGTH"] = rle_v2.encode(lens.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.uint64), signed=False)
+        node["encoding"]["LENGTH"] = "rle_v2"
+        node["children"].append(encode_column(valid.combine_chunks().flatten() if isinstance(valid, pa.ChunkedArray) else valid.flatten(), "item"))
+    elif pa.types.is_struct(t):
+        for i, f in enumerate(t):
+            child = valid.field(i) if hasattr(valid, "field") else pc.struct_field(valid, i)
+            node["children"].append(encode_column(child, f.name))
+    elif pa.types.is_map(t):
+        moffs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[arr.offset : arr.offset + len(arr) + 1]
+        lens_all = np.diff(moffs).astype(np.int64)
+        vmask = _validity(arr) if arr.null_count else np.ones(len(arr), bool)
+        node["streams"]["LENGTH"] = rle_v2.encode(lens_all[vmask].astype(np.uint64), signed=False)
+        node["encoding"]["LENGTH"] = "rle_v2"
+        node["children"].append(encode_column(valid.keys, "key"))
+        node["children"].append(encode_column(valid.items, "value"))
+    elif pa.types.is_union(t):
+        # dense union: ByteRLE over child-index tags (reference union.rs:117-126)
+        type_codes = np.frombuffer(arr.buffers()[1], dtype=np.int8)[arr.offset : arr.offset + len(arr)]
+        code_to_child = {c: i for i, c in enumerate(t.type_codes)}
+        tags = np.array([code_to_child[c] for c in type_codes], dtype=np.uint8)
+        node["streams"]["TAGS"] = byte_rle.encode(tags)
+        node["encoding"]["TAGS"] = "byte_rle"
+        for i, f in enumerate(t):
+            node["children"].append(encode_column(arr.field(i), f.name))
+    else:
+        raise NotImplementedError(f"column type {t} not supported")
+    return node
+
+
+# -------------------------------------------------------------- column decode
+
+
+def _scatter_primitive(vals: np.ndarray, valid: np.ndarray | None, n: int, ptype: pa.DataType) -> pa.Array:
+    if valid is None:
+        return pa.array(vals, type=ptype)
+    out = np.zeros(n, dtype=vals.dtype if len(vals) else np.int64)
+    out[np.flatnonzero(valid)] = vals
+    return pa.array(out, type=ptype, mask=~valid)
+
+
+def decode_column(node: dict, streams: dict) -> pa.Array:
+    t = spec_to_type(node["type"])
+    n = node["num_values"]
+    my = streams[id(node)]
+    valid = boolean_rle.decode(my["PRESENT"], n) if "PRESENT" in my else None
+    n_present = node["num_present"]
+
+    if pa.types.is_integer(t) or pa.types.is_date32(t):
+        v = selector.decode_ints(my["DATA"], node["encoding"]["DATA"])[:n_present]
+        base = _scatter_primitive(v, valid, n, pa.int64())
+        if pa.types.is_date32(t):
+            return base.cast(pa.int32()).view(t)
+        return base.cast(t)
+    if pa.types.is_boolean(t):
+        v = boolean_rle.decode(my["DATA"], n_present)
+        return _scatter_primitive(v, valid, n, pa.bool_())
+    if pa.types.is_floating(t):
+        dtype = np.float32 if pa.types.is_float32(t) else np.float64
+        v = np.frombuffer(my["DATA"], dtype=dtype)[:n_present]
+        return _scatter_primitive(v, valid, n, t)
+    if pa.types.is_timestamp(t):
+        secs = rle_v2.decode(my["DATA"], signed=True)[:n_present] + TS_EPOCH_SECONDS
+        packed = rle_v2.decode(my["SECONDARY"], signed=False)[:n_present]
+        tzc = (packed & np.uint64(7)).astype(np.int64)
+        base = (packed >> np.uint64(3)).astype(np.int64)
+        # tz code c>0 means c+1 decimal zeros were stripped (reference timestamp.rs:107-126)
+        nanos = np.where(tzc > 0, base * np.power(10, tzc + 1), base)
+        raw_ns = secs * 1_000_000_000 + nanos
+        per_ns = _TS_UNIT_NS[t.unit]
+        v = raw_ns // per_ns
+        return _scatter_primitive(v.astype(np.int64), valid, n, pa.int64()).cast(t)
+    if pa.types.is_decimal(t):
+        ints = varint_decode_bigint(my["DATA"], n_present)
+        from decimal import Decimal
+
+        vals = [Decimal(x).scaleb(-t.scale) for x in ints]
+        if valid is None:
+            return pa.array(vals, type=t)
+        out = []
+        it = iter(vals)
+        for ok in valid:
+            out.append(next(it) if ok else None)
+        return pa.array(out, type=t)
+    if pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+            lens = rle_v2.decode(my["LENGTH"], signed=False)[:n_present].astype(np.int64)
+            offs = np.zeros(n_present + 1, dtype=np.int64)
+            np.cumsum(lens, out=offs[1:])
+            concat = np.frombuffer(my["DATA"], dtype=np.uint8)
+        else:
+            concat, offs = selector.decode_strings(my["DATA"], node["encoding"]["DATA"])
+        return _assemble_varlen(concat, offs, valid, n, t)
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        lens = rle_v2.decode(my["LENGTH"], signed=False)[:n_present].astype(np.int64)
+        child = decode_column(node["children"][0], streams)
+        return _assemble_list(lens, child, valid, n, t)
+    if pa.types.is_struct(t):
+        children = [decode_column(c, streams) for c in node["children"]]
+        if valid is None:
+            return pa.StructArray.from_arrays(children, names=[f.name for f in t])
+        full_children = []
+        vidx = np.flatnonzero(valid)
+        for ch in children:
+            idx = np.full(n, -1, dtype=np.int64)
+            idx[vidx] = np.arange(len(ch))
+            full_children.append(pc.take(ch, pa.array(np.where(idx >= 0, idx, 0), type=pa.int64())))
+        vb = np.packbits(valid.astype(np.uint8), bitorder="little")
+        return pa.StructArray.from_buffers(t, n, [pa.py_buffer(vb.tobytes())], children=[c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in full_children])
+    if pa.types.is_map(t):
+        lens = rle_v2.decode(my["LENGTH"], signed=False)[:n_present].astype(np.int64)
+        keys = decode_column(node["children"][0], streams)
+        items = decode_column(node["children"][1], streams)
+        return _assemble_map(lens, keys, items, valid, n, t)
+    if pa.types.is_union(t):
+        tags = byte_rle.decode(my["TAGS"])[:n]
+        children = [decode_column(c, streams) for c in node["children"]]
+        type_codes = np.array(t.type_codes, dtype=np.int8)[tags]
+        value_offsets = np.zeros(n, dtype=np.int32)
+        for ci in range(len(children)):
+            m = tags == ci
+            value_offsets[m] = np.arange(int(m.sum()), dtype=np.int32)
+        return pa.UnionArray.from_dense(
+            pa.array(type_codes, type=pa.int8()),
+            pa.array(value_offsets, type=pa.int32()),
+            [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in children],
+            [f.name for f in t],
+            list(t.type_codes),
+        )
+    raise NotImplementedError(f"decode for {t}")
+
+
+def _assemble_varlen(concat: np.ndarray, offs: np.ndarray, valid: np.ndarray | None, n: int, t: pa.DataType) -> pa.Array:
+    lens = np.diff(offs)
+    if valid is not None:
+        full = np.zeros(n, dtype=np.int64)
+        full[np.flatnonzero(valid)] = lens
+        lens = full
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    bufs = [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(concat.tobytes())]
+    if valid is not None:
+        vb = np.packbits(valid.astype(np.uint8), bitorder="little")
+        bufs[0] = pa.py_buffer(vb.tobytes())
+    base = pa.Array.from_buffers(pa.large_binary(), n, bufs)
+    return base.cast(t)
+
+
+def _assemble_list(lens: np.ndarray, child: pa.Array, valid: np.ndarray | None, n: int, t: pa.DataType) -> pa.Array:
+    if valid is not None:
+        full = np.zeros(n, dtype=np.int64)
+        full[np.flatnonzero(valid)] = lens
+        lens = full
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    child = child.combine_chunks() if isinstance(child, pa.ChunkedArray) else child
+    big = pa.large_list(child.type)
+    bufs = [None, pa.py_buffer(offsets.tobytes())]
+    if valid is not None:
+        bufs[0] = pa.py_buffer(np.packbits(valid.astype(np.uint8), bitorder="little").tobytes())
+    out = pa.Array.from_buffers(big, n, bufs, children=[child])
+    return out.cast(t)
+
+
+def _assemble_map(lens, keys, items, valid, n, t) -> pa.Array:
+    if valid is not None:
+        full = np.zeros(n, dtype=np.int64)
+        full[np.flatnonzero(valid)] = lens
+        lens = full
+    offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(lens, out=offsets[1:])
+    keys = keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) else keys
+    items = items.combine_chunks() if isinstance(items, pa.ChunkedArray) else items
+    if valid is not None:
+        # MapArray.from_arrays marks a row null via a null offset entry
+        offs_py = [int(offsets[0])] + [None if not valid[i] else int(offsets[i + 1]) for i in range(n)]
+        return pa.MapArray.from_arrays(pa.array(offs_py, type=pa.int32()), keys, items).cast(t)
+    return pa.MapArray.from_arrays(pa.array(offsets, type=pa.int32()), keys, items).cast(t)
+
+
+# ------------------------------------------------------------ stripe assembly
+
+
+def _collect_nodes(node: dict, out: list) -> None:
+    out.append(node)
+    for c in node["children"]:
+        _collect_nodes(c, out)
+
+
+def encode_table(tbl: pa.Table, compression: str = "zstd", level: int = 3) -> tuple[bytes, dict]:
+    """Encode a Table into a stripe blob. Returns (bytes, meta summary)."""
+    comp = BlockCompressor(compression, level)
+    roots = [encode_column(tbl.column(i).combine_chunks(), tbl.schema.names[i]) for i in range(tbl.num_columns)]
+
+    all_nodes: list[dict] = []
+    for r in roots:
+        _collect_nodes(r, all_nodes)
+
+    payload: list[bytes] = []
+    offset = 0
+    crc = 0
+    raw_total = 0
+    for nd in all_nodes:
+        meta_streams = {}
+        for kind, raw in nd["streams"].items():
+            crc = zlib.crc32(raw, crc)
+            raw_total += len(raw)
+            if comp._codec is not None and len(raw) >= MIN_COMPRESS_BYTES:
+                blob = comp.compress(raw)
+                ckind = compression
+            else:
+                blob = raw
+                ckind = "none"
+            meta_streams[kind] = {"off": offset, "len": len(blob), "raw_len": len(raw), "comp": ckind}
+            payload.append(blob)
+            offset += len(blob)
+        nd["streams_meta"] = meta_streams
+        del nd["streams"]
+
+    header = {
+        "version": 1,
+        "num_rows": tbl.num_rows,
+        "compression": {"kind": compression, "level": level},
+        "columns": roots,
+        "checksum_crc32": crc,
+        "raw_stream_bytes": raw_total,
+    }
+    hjson = json.dumps(header).encode()
+    hlen = bytearray()
+    z = len(hjson)
+    while True:
+        if z < 0x80:
+            hlen.append(z)
+            break
+        hlen.append(0x80 | (z & 0x7F))
+        z >>= 7
+    blob = b"".join([MAGIC, bytes(hlen), hjson] + payload)
+    meta = {
+        "num_rows": tbl.num_rows,
+        "encoded_bytes": len(blob),
+        "raw_stream_bytes": raw_total,
+        "checksum_crc32": crc,
+        "codecs": {nd["name"]: nd["encoding"] for nd in all_nodes if nd["encoding"]},
+    }
+    return blob, meta
+
+
+def decode_stripe(blob: bytes) -> pa.Table:
+    assert blob[:4] == MAGIC, "bad stripe magic"
+    p = 4
+    z = 0
+    shift = 0
+    while True:
+        byte = blob[p]
+        p += 1
+        z |= (byte & 0x7F) << shift
+        if byte < 0x80:
+            break
+        shift += 7
+    header = json.loads(blob[p : p + z].decode())
+    p += z
+    comp_cfg = header["compression"]
+
+    streams: dict[int, dict[str, bytes]] = {}
+
+    def load(node: dict):
+        my = {}
+        for kind, m in node["streams_meta"].items():
+            raw = blob[p + m["off"] : p + m["off"] + m["len"]]
+            if m["comp"] != "none":
+                raw = BlockCompressor(m["comp"], comp_cfg.get("level", 3)).decompress(raw)
+            my[kind] = raw
+        streams[id(node)] = my
+        for c in node["children"]:
+            load(c)
+
+    arrays = []
+    names = []
+    for root in header["columns"]:
+        load(root)
+        arrays.append(decode_column(root, streams))
+        names.append(root["name"])
+    return pa.table(arrays, names=names)

@@ -1,0 +1,139 @@
+"""Stripe container round-trip tests: encode_table -> decode_stripe equality,
+covering the reference demo writer's 13-type schema (FIXTURES.md F3) and the
+north-rule tokens table shape (F1)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from orc_format_ray import stripe
+
+rng = np.random.default_rng(42)
+
+
+def _roundtrip(tbl: pa.Table):
+    blob, meta = stripe.encode_table(tbl)
+    out = stripe.decode_stripe(blob)
+    assert out.schema == tbl.schema, f"\n{out.schema}\nvs\n{tbl.schema}"
+    assert out.equals(tbl), "data mismatch"
+    return blob, meta
+
+
+def test_tokens_table_roundtrip():
+    n = 2000
+    lens = np.clip(rng.zipf(1.5, n), 1, 500)
+    tokens = [rng.integers(0, 50257, k).astype(np.int32) for k in lens]
+    tbl = pa.table(
+        {
+            "doc_id": [f"web/{i//100:04d}/doc-{i:08d}" for i in range(n)],
+            "tokens": pa.array([t.tolist() for t in tokens], type=pa.list_(pa.int32())),
+            "n_tok": pa.array(lens.astype(np.int32), type=pa.int32()),
+            "source": pa.array([["web", "books", "code"][i % 3] for i in range(n)]),
+        }
+    )
+    blob, meta = _roundtrip(tbl)
+    raw = sum(len(t) * 4 for t in tokens)
+    assert meta["encoded_bytes"] < raw * 1.1  # tokens dominate; should compress
+    assert meta["codecs"]["source"]["DATA"] == "dict"
+
+
+def test_tokens_edge_rows():
+    tbl = pa.table(
+        {
+            "doc_id": ["a", "b", "c", "d"],
+            "tokens": pa.array([[], [7], None, list(range(1000))], type=pa.list_(pa.int32())),
+            "n_tok": pa.array([0, 1, None, 1000], type=pa.int32()),
+            "source": ["w", None, "w", "x"],
+        }
+    )
+    _roundtrip(tbl)
+
+
+def test_all_types_roundtrip():
+    # mirror of the reference demo schema (reference src/bin/test_writer.rs:9-23)
+    n = 500
+    x = rng.integers(-(2**40), 2**40, n)
+    y = [int(v) if i % 7 else None for i, v in enumerate(rng.integers(0, 100, n))]
+    z = [f"hello {i//3}" for i in range(n)]
+    a = rng.random(n)
+    b = rng.random(n).astype(np.float32)
+    c = rng.integers(0, 20000, n).astype(np.int32)
+    d = rng.integers(0, 2, n).astype(bool)
+    e = [None if i % 13 == 0 else f"{rng.integers(0, 10**13) / 100:.2f}" for i in range(n)]
+    f = [[int(j) for j in rng.integers(0, 1000, 3)] for _ in range(n)]
+    g = [[(f"k{j}", bool(j % 2)) for j in range(2)] for _ in range(n)]
+    h = [1420070400_000_000_000 + int(i) * 1_000_000_000 + 10 ** (i % 9) for i in range(n)]
+    i_col = [b"abc"] * n
+
+    import decimal
+
+    tbl = pa.table(
+        {
+            "x": pa.array(x, type=pa.int64()),
+            "y": pa.array(y, type=pa.int64()),
+            "z": pa.array(z),
+            "a": pa.array(a, type=pa.float64()),
+            "b": pa.array(b, type=pa.float32()),
+            "c": pa.array(c, type=pa.date32()),
+            "d": pa.array(d),
+            "e": pa.array([None if v is None else decimal.Decimal(v) for v in e], type=pa.decimal128(15, 2)),
+            "f": pa.array(f, type=pa.list_(pa.int64())),
+            "g": pa.array(g, type=pa.map_(pa.string(), pa.bool_())),
+            "h": pa.array(h, type=pa.timestamp("ns")),
+            "i": pa.array(i_col, type=pa.binary()),
+        }
+    )
+    _roundtrip(tbl)
+
+
+def test_struct_roundtrip():
+    n = 300
+    tbl = pa.table(
+        {
+            "s": pa.array(
+                [None if i % 11 == 0 else {"u": int(i), "v": f"s{i%5}"} for i in range(n)],
+                type=pa.struct([pa.field("u", pa.int64()), pa.field("v", pa.string())]),
+            )
+        }
+    )
+    _roundtrip(tbl)
+
+
+def test_union_roundtrip():
+    ints = pa.array([10, 20, 30], type=pa.int64())
+    floats = pa.array([1.5, 2.5], type=pa.float32())
+    types = pa.array([0, 1, 0, 1, 0], type=pa.int8())
+    offsets = pa.array([0, 0, 1, 1, 2], type=pa.int32())
+    arr = pa.UnionArray.from_dense(types, offsets, [ints, floats], ["i", "f"], [0, 1])
+    tbl = pa.table({"u": arr})
+    _roundtrip(tbl)
+
+
+def test_nulls_heavy():
+    n = 1000
+    vals = [None if rng.random() < 0.5 else int(v) for v in rng.integers(0, 100, n)]
+    svals = [None if rng.random() < 0.5 else f"v{v}" for v in rng.integers(0, 10, n)]
+    tbl = pa.table({"i": pa.array(vals, type=pa.int32()), "s": pa.array(svals)})
+    _roundtrip(tbl)
+
+
+def test_all_null_and_empty():
+    tbl = pa.table({"i": pa.array([None, None, None], type=pa.int64()), "s": pa.array([None, None, None], type=pa.string())})
+    _roundtrip(tbl)
+    empty = pa.table({"i": pa.array([], type=pa.int64()), "s": pa.array([], type=pa.string())})
+    _roundtrip(empty)
+
+
+def test_nested_list_of_list():
+    tbl = pa.table({"ll": pa.array([[[1, 2], [3]], [], None, [[], [4, 5, 6]]], type=pa.list_(pa.list_(pa.int32())))})
+    _roundtrip(tbl)
+
+
+def test_compression_framing_effective():
+    n = 20000
+    tbl = pa.table({"t": pa.array([list(rng.integers(0, 100, 50))] * 1, type=pa.list_(pa.int32()))})
+    data = pa.table({"v": pa.array(np.repeat(rng.integers(0, 5, n // 10), 10).astype(np.int64))})
+    blob, meta = stripe.encode_table(data)
+    assert len(blob) < n  # runny data compresses far below 8 B/row
+    out = stripe.decode_stripe(blob)
+    assert out.equals(data)
