@@ -79,6 +79,8 @@ def encode(values: np.ndarray, signed: bool = True) -> bytes:
     ap = pieces.append
     q = 0  # literal start
     n_elig = len(elig_idx)
+    elig_list = elig_idx.tolist()  # python ints: fast monotonic cursor scan
+    ei = 0  # monotonic cursor into elig_list (amortized O(n_elig) total)
     tob = bytes  # local alias
 
     while q < n:
@@ -88,9 +90,12 @@ def encode(values: np.ndarray, signed: bool = True) -> bytes:
         # (i-q)%128 == 0 -> the buffer flushes right before processing v[i]
         # (reference int_rle_v1.rs:50-52 flush-at-top semantics)
         i = -1
-        ei = int(np.searchsorted(elig_idx, q + 2, side="left"))
+        qq = q + 2
         while ei < n_elig:
-            cand = int(elig_idx[ei])
+            cand = elig_list[ei]
+            if cand < qq:
+                ei += 1
+                continue
             r = (cand - q) % MAX_LITERAL
             if r == 0 or r == 1:
                 ei += 1
@@ -107,8 +112,8 @@ def encode(values: np.ndarray, signed: bool = True) -> bytes:
             _emit_literals(ap, vbuf, voff, q, i - 2)
         # the run: starts at i-2, delta = d[i-2], extends to its segment end
         start = i - 2
-        si = int(np.searchsorted(seg_ends, start, side="left"))
-        run_total = int(seg_ends[si]) + 2 - start  # values in the stretch
+        seg_i = int(np.searchsorted(seg_ends, start, side="left"))
+        run_total = int(seg_ends[seg_i]) + 2 - start  # values in the stretch
         delta_byte = int(d[start] & np.uint64(0xFF))
         while run_total >= 3:
             L = min(run_total, MAX_RUN)

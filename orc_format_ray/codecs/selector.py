@@ -69,8 +69,22 @@ def _sample_ints(v: np.ndarray, k: int = SAMPLE_VALUES) -> np.ndarray:
     return np.concatenate([v[:h], v[h : n - h : stride][: k - 2 * h], v[n - h :]])
 
 
+_est_codec = None
+
+
+def _post_compression_size(b: bytes) -> int:
+    """Estimated on-disk size: streams are zstd-framed downstream, so rank
+    codecs by compressed size (matches the actual minimization target)."""
+    global _est_codec
+    if _est_codec is None:
+        _est_codec = pa.Codec("zstd", compression_level=3)
+    if len(b) < 64:
+        return len(b)
+    return min(len(b), len(_est_codec.compress(b)))
+
+
 def select_int_codec(v: np.ndarray, menu: list[str] | None = None) -> str:
-    """Pick the int codec minimizing estimated encoded bytes on a sample."""
+    """Pick the int codec minimizing estimated post-compression bytes on a sample."""
     menu = menu or list(INT_CODECS)
     if len(v) == 0:
         return "rle_v2"
@@ -79,7 +93,7 @@ def select_int_codec(v: np.ndarray, menu: list[str] | None = None) -> str:
     for name in menu:
         enc, _ = INT_CODECS[name]
         try:
-            size = len(enc(s))
+            size = _post_compression_size(enc(s))
         except Exception:
             continue
         if best_size is None or size < best_size:
@@ -177,7 +191,7 @@ def select_string_codec(concat: np.ndarray, offs: np.ndarray, menu: list[str] | 
     for name in menu:
         enc, _ = STRING_CODECS[name]
         try:
-            size = len(enc(sc, so))
+            size = _post_compression_size(enc(sc, so))
         except Exception:
             continue
         if best_size is None or size < best_size:

@@ -34,7 +34,10 @@ def varint_byte_lengths(v: np.ndarray) -> np.ndarray:
     v = np.asarray(v, dtype=np.uint64)
     nb = np.ones(len(v), dtype=np.int64)
     for k in range(1, 10):
-        nb += (v >= (_U1 << np.uint64(7 * k))).astype(np.int64)
+        m = v >= (_U1 << np.uint64(7 * k))
+        if not m.any():
+            break
+        nb += m.astype(np.int64)
     return nb
 
 

