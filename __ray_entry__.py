@@ -1,44 +1,435 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data-native columnar encode engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself before importing this module; nothing
+here (or in orc_format_ray) calls ray.init/ray.shutdown.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry``   — flagship pipeline at sf0.001: tokenize documents -> byte-budget
+              partitions -> stripe-encode with codec auto-selection ->
+              decode -> return the decoded tokens Dataset.
+``queries`` — one entry per operator family (SURVEY.md §2 + training-data
+              ops); each takes sf_dir and returns a Dataset/DataFrame/Table.
+``oracle_sql`` — DuckDB-equivalent SQL for every SQL-expressible query
+              (same column names; float divisions reproduce bitwise, float
+              sums are rounded on both sides).
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
+from orc_format_ray._rayutil import remote_args as _ra
+
+SCRATCH = "/tmp/orc_format_ray_scratch"
+
+
+def _scratch(sf_dir: str, tag: str) -> str:
+    h = hashlib.sha1(f"{sf_dir}:{tag}".encode()).hexdigest()[:12]
+    path = os.path.join(SCRATCH, h)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def _table(ds) -> pa.Table:
+    return pa.concat_tables(list(ds.iter_batches(batch_size=1 << 22, batch_format="pyarrow")))
+
+
+# --------------------------------------------------------------------- entry
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    sf_dir = "/root/testdata/sf0.001"
+    from orc_format_ray.pipelines import encode as enc
+    from orc_format_ray.pipelines import tokens as tok
+
+    import pyarrow.parquet as pq
+
+    scratch = _scratch(sf_dir, "flagship")
+    tokens_pq = os.path.join(scratch, "tokens")
+    os.makedirs(tokens_pq, exist_ok=True)
+    tok_path = os.path.join(tokens_pq, "tokens-0000.parquet")
+    if not os.path.exists(tok_path):
+        tbl = _table(tok.tokenize_documents(sf_dir))
+        pq.write_table(tbl.sort_by("doc_id"), tok_path, row_group_size=2048)
+    out_dir = os.path.join(scratch, "stripes")
+    enc.encode_dataset([tok_path], out_dir, budget_bytes=8 * 1024 * 1024)
+    return enc.decode_dataset(out_dir)
+
+
+# ------------------------------------------------------------------- queries
+
+
+def _q_long_stats_lineitem(sf_dir: str):
+    import ray.data
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_linenumber"])
+    return ds.groupby("l_returnflag").aggregate(
+        Count(alias_name="cnt"),
+        Min("l_linenumber", alias_name="min_ln"),
+        Max("l_linenumber", alias_name="max_ln"),
+        Sum("l_linenumber", alias_name="sum_ln"),
+    )
+
+
+def _q_double_stats_lineitem(sf_dir: str):
+    import ray.data
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_linestatus", "l_extendedprice"])
+    out = ds.groupby("l_linestatus").aggregate(
+        Min("l_extendedprice", alias_name="min_price"),
+        Max("l_extendedprice", alias_name="max_price"),
+        Sum("l_extendedprice", alias_name="sum_price"),
+    )
+    df = out.to_pandas()
+    df["sum_price"] = df["sum_price"].round(2)  # absorb summation-order noise
+    return df
+
+
+def _q_string_stats_documents(sf_dir: str):
+    import ray.data
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+
+    def lengths(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.append_column("text_len", pc.utf8_length(batch["text"]).cast(pa.int64()))
+
+    ds = ds.map_batches(lengths, batch_format="pyarrow", zero_copy_batch=True, **_ra())
+    return ds.groupby("source").aggregate(
+        Count(alias_name="cnt"),
+        Min("text", alias_name="min_text"),
+        Max("text", alias_name="max_text"),
+        Sum("text_len", alias_name="sum_lengths"),
+    )
+
+
+def _q_boolean_stats_documents(sf_dir: str):
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"])
+
+    def flag(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.append_column("is_long", pc.greater(batch["n_chars"], 500).cast(pa.int64()))
+
+    ds = ds.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True, **_ra())
+    out = ds.groupby("lang").aggregate(Count(alias_name="cnt"), Sum("is_long", alias_name="num_true"))
+    df = out.to_pandas()
+    df["num_false"] = df["cnt"] - df["num_true"]
+    return df
+
+
+def _q_timestamp_stats_events(sf_dir: str):
+    import ray.data
+    from ray.data.aggregate import Count, Max, Min
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+
+    def to_ms(batch: pa.Table) -> pa.Table:
+        ms = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        import pyarrow.compute as pc
+
+        return batch.append_column("ts_ms", pc.divide(ms, pa.scalar(1000, pa.int64())))
+
+    ds = ds.map_batches(to_ms, batch_format="pyarrow", zero_copy_batch=True, **_ra())
+    return ds.groupby("event_type").aggregate(
+        Count(alias_name="cnt"),
+        Min("ts_ms", alias_name="min_ms"),
+        Max("ts_ms", alias_name="max_ms"),
+    )
+
+
+def _q_generic_counts_orders(sf_dir: str):
+    import ray.data
+    from ray.data.aggregate import Count
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderpriority"])
+    return ds.groupby("o_orderpriority").aggregate(Count(alias_name="num_values"))
+
+
+def _q_stats_merge_lineitem(sf_dir: str):
+    """SURVEY §2.4 partial+merge: per-batch ColumnStats -> driver fold."""
+    import ray.data
+
+    from orc_format_ray import stats as st
+
+    cols = ["l_linenumber", "l_orderkey"]
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import json
+
+        rows = [{"col": c, "stats": json.dumps(st.compute(batch[c].combine_chunks()).to_dict())} for c in cols]
+        return pa.Table.from_pylist(rows)
+
+    import json
+
+    parts = _table(ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **_ra()))
+    by_col: dict[str, list] = {}
+    for row in parts.to_pylist():
+        by_col.setdefault(row["col"], []).append(st.ColumnStats.from_dict(json.loads(row["stats"])))
+    out = []
+    for c in cols:
+        m = st.merge_all(by_col[c])
+        out.append({"col": c, "num_values": m.num_values, "min_v": m.min, "max_v": m.max, "sum_v": m.sum})
+    return pa.Table.from_pylist(out)
+
+
+def _q_exact_dedup_documents(sf_dir: str):
+    import ray.data
+
+    from orc_format_ray.ops import dedup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = dedup.exact_dedup_groups(ds)
+    df = out.to_pandas()[["doc_id", "n_dups"]]
+    return df
+
+
+def _q_token_count_by_source(sf_dir: str):
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from orc_format_ray.ops import text as tx
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    ds = ds.map_batches(tx.token_count, batch_format="pyarrow", zero_copy_batch=True, **_ra())
+    return ds.groupby("source").aggregate(Count(alias_name="n_docs"), Sum("n_tok", alias_name="sum_tok"))
+
+
+def _q_quality_per_doc(sf_dir: str):
+    import ray.data
+
+    from orc_format_ray.ops import text as tx
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(tx.quality_score, batch_format="pyarrow", zero_copy_batch=True, **_ra())
+    return out.select_columns(["doc_id", "punct_ratio", "mean_word_len", "tok_count"])
+
+
+def _ann_query_vector() -> np.ndarray:
+    # fixed deterministic query: alternating +1/-1 over 64 dims
+    q = np.ones(64, dtype=np.float64)
+    q[1::2] = -1.0
+    return q.reshape(1, 64)
+
+
+def _q_ann_topk_embeddings(sf_dir: str):
+    import ray.data
+
+    from orc_format_ray.ops import similarity as sim
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    top = sim.brute_force_topk(ds, _ann_query_vector(), k=10)
+    df = top.to_pandas()
+    df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+    return df[["rank", "vec_id"]]
+
+
+def _q_minhash_candidates(sf_dir: str):
+    import ray.data
+
+    from orc_format_ray.ops import dedup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = dedup.minhash_candidates(ds)
+    df = out.to_pandas()
+    df["doc_ids"] = df["doc_ids"].map(lambda x: ",".join(str(i) for i in x))
+    return df.sort_values(["band_id", "band_hash"]).reset_index(drop=True)
+
+
+def _q_simhash_pairs(sf_dir: str):
+    import ray.data
+
+    from orc_format_ray.ops import dedup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    df = dedup.simhash_candidates(ds).to_pandas()
+    df = df[df["hamming"] <= 8].drop_duplicates(subset=["doc_a", "doc_b"]).sort_values(["doc_a", "doc_b"])
+    return df.reset_index(drop=True)
+
+
+def _q_embedding_near_dups(sf_dir: str):
+    import ray.data
+
+    from orc_format_ray.ops import dedup
+
+    import pandas as pd
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    df = dedup.embedding_near_dups(ds, threshold=0.9).to_pandas()
+    if "vec_a" not in df.columns:  # no bucket produced any pair
+        return pd.DataFrame({"vec_a": pd.Series(dtype="int64"), "vec_b": pd.Series(dtype="int64"), "cosine": pd.Series(dtype="float64")})
+    return df.drop_duplicates(subset=["vec_a", "vec_b"]).sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+def _q_langid_documents(sf_dir: str):
+    import ray.data
+
+    from orc_format_ray.ops import text as tx
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(tx.LangId, batch_format="pyarrow", zero_copy_batch=True, concurrency=2, **_ra())
+    return out.select_columns(["doc_id", "lang_pred"])
+
+
+def _q_fingerprint_documents(sf_dir: str):
+    import ray.data
+
+    from orc_format_ray.ops import text as tx
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(tx.fingerprint, batch_format="pyarrow", zero_copy_batch=True, **_ra())
+    return out.select_columns(["doc_id", "fingerprint"])
+
+
+def _q_encode_roundtrip_by_source(sf_dir: str):
+    """Flagship correctness query: tokenize -> encode -> decode -> aggregate.
+
+    The decoded (not the input!) tokens table is aggregated, so the SQL match
+    certifies the full encode/decode round trip at the row/count level.
+    """
+    import pyarrow.parquet as pq
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from orc_format_ray.pipelines import encode as enc
+    from orc_format_ray.pipelines import tokens as tok
+
+    scratch = _scratch(sf_dir, "roundtrip")
+    tok_path = os.path.join(scratch, "tokens.parquet")
+    if not os.path.exists(tok_path):
+        tbl = _table(tok.tokenize_documents(sf_dir)).sort_by("doc_id")
+        pq.write_table(tbl, tok_path, row_group_size=2048)
+    out_dir = os.path.join(scratch, "stripes")
+    enc.encode_dataset([tok_path], out_dir, budget_bytes=8 * 1024 * 1024)
+    decoded = enc.decode_dataset(out_dir)
+    return decoded.groupby("source").aggregate(Count(alias_name="n_docs"), Sum("n_tok", alias_name="sum_n_tok"))
+
+
+def _q_ivf_ann_topk(sf_dir: str):
+    import ray.data
+
+    from orc_format_ray.ops import similarity as sim
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    index = sim.IVFIndex.train(ds, nlist=8)
+    out = sim.ivf_topk(ds, index, _ann_query_vector(), k=10, nprobe=3)
+    df = out.to_pandas()
+    df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+    return df[["rank", "vec_id", "score"]]
+
+
+def _q_codec_selection(sf_dir: str):
+    """Lineage visibility: codec chosen per column on the flagship corpus."""
+    import json
+
+    from orc_format_ray import manifest as mf
+
+    _q_encode_roundtrip_by_source(sf_dir)  # ensure stripes + manifests exist
+    scratch = _scratch(sf_dir, "roundtrip")
+    recs = mf.load_completed(os.path.join(scratch, "stripes"))
+    rows = []
+    for pid in sorted(recs):
+        rows.append({"pid": pid, "codecs": json.dumps(recs[pid]["codecs"], sort_keys=True), "encoded_bytes": recs[pid]["encoded_bytes"]})
+    return pa.Table.from_pylist(rows)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "long_stats_lineitem": _q_long_stats_lineitem,
+        "double_stats_lineitem": _q_double_stats_lineitem,
+        "string_stats_documents": _q_string_stats_documents,
+        "boolean_stats_documents": _q_boolean_stats_documents,
+        "timestamp_stats_events": _q_timestamp_stats_events,
+        "generic_counts_orders": _q_generic_counts_orders,
+        "stats_merge_lineitem": _q_stats_merge_lineitem,
+        "exact_dedup_documents": _q_exact_dedup_documents,
+        "token_count_by_source": _q_token_count_by_source,
+        "quality_per_doc": _q_quality_per_doc,
+        "ann_topk_embeddings": _q_ann_topk_embeddings,
+        "encode_roundtrip_by_source": _q_encode_roundtrip_by_source,
+        # non-SQL-expressible (rows-only checks)
+        "minhash_candidates": _q_minhash_candidates,
+        "simhash_pairs": _q_simhash_pairs,
+        "embedding_near_dups": _q_embedding_near_dups,
+        "langid_documents": _q_langid_documents,
+        "fingerprint_documents": _q_fingerprint_documents,
+        "ivf_ann_topk": _q_ivf_ann_topk,
+        "codec_selection": _q_codec_selection,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_TOKCOUNT_SQL = "CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END"
+
+_ANN_VEC_SQL = "[" + ", ".join(("1.0" if i % 2 == 0 else "-1.0") for i in range(64)) + "]"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "long_stats_lineitem": (
+            "SELECT l_returnflag, count(*) AS cnt, min(l_linenumber) AS min_ln, "
+            "max(l_linenumber) AS max_ln, CAST(sum(l_linenumber) AS BIGINT) AS sum_ln "
+            "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "double_stats_lineitem": (
+            "SELECT l_linestatus, min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price, "
+            "round(sum(l_extendedprice), 2) AS sum_price FROM lineitem GROUP BY l_linestatus"
+        ),
+        "string_stats_documents": (
+            "SELECT source, count(*) AS cnt, min(text) AS min_text, max(text) AS max_text, "
+            "CAST(sum(length(text)) AS BIGINT) AS sum_lengths FROM documents GROUP BY source"
+        ),
+        "boolean_stats_documents": (
+            "SELECT lang, count(*) AS cnt, CAST(sum(CASE WHEN n_chars > 500 THEN 1 ELSE 0 END) AS BIGINT) AS num_true, "
+            "CAST(sum(CASE WHEN n_chars > 500 THEN 0 ELSE 1 END) AS BIGINT) AS num_false FROM documents GROUP BY lang"
+        ),
+        "timestamp_stats_events": (
+            "SELECT event_type, count(*) AS cnt, min(epoch_ms(ts)) AS min_ms, max(epoch_ms(ts)) AS max_ms "
+            "FROM events GROUP BY event_type"
+        ),
+        "generic_counts_orders": (
+            "SELECT o_orderpriority, count(*) AS num_values FROM orders GROUP BY o_orderpriority"
+        ),
+        "stats_merge_lineitem": (
+            "SELECT 'l_linenumber' AS col, count(*) AS num_values, CAST(min(l_linenumber) AS BIGINT) AS min_v, "
+            "CAST(max(l_linenumber) AS BIGINT) AS max_v, CAST(sum(l_linenumber) AS BIGINT) AS sum_v FROM lineitem "
+            "UNION ALL "
+            "SELECT 'l_orderkey' AS col, count(*) AS num_values, CAST(min(l_orderkey) AS BIGINT) AS min_v, "
+            "CAST(max(l_orderkey) AS BIGINT) AS max_v, CAST(sum(l_orderkey) AS BIGINT) AS sum_v FROM lineitem"
+        ),
+        "exact_dedup_documents": (
+            "SELECT min(doc_id) AS doc_id, count(*) AS n_dups FROM documents GROUP BY text"
+        ),
+        "token_count_by_source": (
+            f"SELECT source, count(*) AS n_docs, CAST(sum({_TOKCOUNT_SQL}) AS BIGINT) AS sum_tok "
+            "FROM documents GROUP BY source"
+        ),
+        "quality_per_doc": (
+            "SELECT doc_id, "
+            "round(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS punct_ratio, "
+            f"round(length(text) / CAST(greatest({_TOKCOUNT_SQL}, 1) AS DOUBLE), 6) AS mean_word_len, "
+            f"CAST({_TOKCOUNT_SQL} AS BIGINT) AS tok_count "
+            "FROM documents"
+        ),
+        "ann_topk_embeddings": (
+            "SELECT CAST(row_number() OVER (ORDER BY list_cosine_similarity(embedding, "
+            f"{_ANN_VEC_SQL}) DESC, vec_id) AS BIGINT) AS rank, vec_id FROM embeddings "
+            "ORDER BY rank LIMIT 10"
+        ),
+        "encode_roundtrip_by_source": (
+            f"SELECT source, count(*) AS n_docs, CAST(sum({_TOKCOUNT_SQL}) AS BIGINT) AS sum_n_tok "
+            "FROM documents GROUP BY source"
+        ),
+    }

@@ -1,0 +1,142 @@
+"""Benchmark harness: headline encode pipeline over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {...per-stage sec...}, "sf": ..., "num_cpus": N,
+   "tokens_per_sec": ..., "compression_ratio": ...}
+
+--scaling: runs the headline encode twice in fresh processes at
+RAY_GRAFT_CPUS=8 and =32 on the same input and reports both throughputs +
+scaling efficiency (the sandbox evidence for the two-cluster-size criterion;
+see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_ROWS = int(os.environ.get("BENCH_ROWS", "60000"))
+CORPUS_DIR = os.environ.get("BENCH_CORPUS_DIR", f"/tmp/orc_bench_corpus_{BENCH_ROWS}")
+
+
+def _headline() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from orc_format_ray.pipelines import encode as enc
+    from orc_format_ray.pipelines import tokens as tok
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    timings: dict[str, float] = {}
+
+    # corpus: deterministic synthetic tokens table (cached across runs so the
+    # two scaling levels see identical input); plus the sf documents table
+    t0 = time.perf_counter()
+    paths = tok.write_synthetic_corpus(CORPUS_DIR, n_rows=BENCH_ROWS, n_shards=16, seed=2)
+    timings["corpus_gen"] = time.perf_counter() - t0
+
+    # warm page cache (untimed essentials: one metadata+column sweep)
+    total_tokens = 0
+    for p in paths:
+        total_tokens += int(pa.compute.sum(pq.read_table(p, columns=["n_tok"])["n_tok"]).as_py())
+
+    out_dir = f"/tmp/orc_bench_out_{NUM_CPUS}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    t0 = time.perf_counter()
+    summary = enc.encode_dataset(paths, out_dir, budget_bytes=32 * 1024 * 1024, resume=False)
+    timings["encode"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    n_dec = enc.decode_dataset(out_dir).count()
+    timings["decode"] = time.perf_counter() - t0
+    assert n_dec == summary["num_rows"], (n_dec, summary)
+
+    # tokenize stage timing over the sf documents table (text -> tokens shape)
+    t0 = time.perf_counter()
+    tok.tokenize_documents(SF_DIR).count()
+    timings["tokenize_documents"] = time.perf_counter() - t0
+
+    ray.shutdown()
+    return {
+        "timings": timings,
+        "total_tokens": total_tokens,
+        "num_rows": summary["num_rows"],
+        "encoded_bytes": summary["encoded_bytes"],
+        "raw_token_bytes": total_tokens * 4,
+    }
+
+
+def main() -> None:
+    r = _headline()
+    t = r["timings"]
+    headline = t["encode"]
+    out = {
+        "metric": "tokens_table_encode_sf_headline",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": {
+            "encode": round(t["encode"], 3),
+            "decode": round(t["decode"], 3),
+            "tokenize_documents": round(t["tokenize_documents"], 3),
+        },
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "rows": r["num_rows"],
+        "total_tokens": r["total_tokens"],
+        "tokens_per_sec": round(r["total_tokens"] / headline),
+        "compression_ratio": round(r["encoded_bytes"] / max(1, r["raw_token_bytes"]), 4),
+    }
+    print(json.dumps(out))
+
+
+def scaling() -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env, capture_output=True, text=True, check=True
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    tput_lo = r_lo["tokens_per_sec"]
+    tput_hi = r_hi["tokens_per_sec"]
+    eff = (tput_hi / tput_lo) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "sec_8": r_lo["value"],
+                "sec_32": r_hi["value"],
+                "tokens_per_sec_8": tput_lo,
+                "tokens_per_sec_32": tput_hi,
+                "scaling_efficiency": round(eff, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

@@ -19,3 +19,19 @@ def remote_args() -> dict:
     """
     py_path = _REPO_PARENT + os.pathsep + os.environ.get("PYTHONPATH", "")
     return {"runtime_env": {"env_vars": {"PYTHONPATH": py_path}}}
+
+
+def pool_size(frac: float = 0.75, minimum: int = 1) -> int:
+    """Actor-pool concurrency that leaves CPU slots for the read/write stages.
+
+    A pool reserving every CPU starves the upstream read tasks and the
+    pipeline deadlocks (each actor holds 1 CPU; the read task waits forever).
+    Cap pools at ``frac`` of the cluster CPUs.
+    """
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return max(minimum, int(cpus * frac))

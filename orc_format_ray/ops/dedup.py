@@ -1,0 +1,312 @@
+"""Deduplication operators over Ray Data: exact, MinHash-LSH, SimHash,
+n-gram Jaccard verification, and embedding-cosine near-dup.
+
+Scale design (100 TB): every variant is a two-phase shape —
+vectorized per-batch signature computation in `map_batches` (stateless or
+actor pool), then ONE small shuffle over signatures only (hashes/bands, never
+raw text), with candidate verification again per-batch. Pre-aggregation
+inside batches keeps the groupby input near |unique keys|, not |rows|.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .._rayutil import pool_size, remote_args
+from .text import _utf8_block, add_content_hash
+
+MERSENNE = np.uint64((1 << 61) - 1)
+
+
+# ------------------------------------------------------------------ exact
+
+
+def exact_dedup_groups(ds, column: str = "text"):
+    """(min doc_id, dup count) per distinct content — the dedup 'survivor' set.
+
+    Per-batch partial aggregation first (one row per distinct hash per batch),
+    then a tiny groupby over partials; raw text never shuffles.
+    """
+    from ray.data.aggregate import Count, Min, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = add_content_hash(batch, column)
+        t = pa.table({"content_hash": b["content_hash"], "doc_id": b["doc_id"]})
+        g = t.group_by("content_hash").aggregate([("doc_id", "min"), ("doc_id", "count")])
+        return g.rename_columns(["content_hash", "doc_id_min", "cnt"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    out = partials.groupby("content_hash").aggregate(
+        Min("doc_id_min", alias_name="doc_id"), Sum("cnt", alias_name="n_dups")
+    )
+    return out
+
+
+def exact_dedup(ds, column: str = "text"):
+    """Drop duplicate rows, keeping the min-doc_id survivor per content hash."""
+    import pandas as pd
+
+    def add_h(batch: pa.Table) -> pa.Table:
+        return add_content_hash(batch, column)
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values("doc_id").head(1)
+
+    return (
+        ds.map_batches(add_h, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby("content_hash")
+        .map_groups(keep_first, batch_format="pandas", **remote_args())
+    )
+
+
+# ------------------------------------------------------------ minhash / LSH
+
+
+def _word_shingle_hashes(arr: pa.Array, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc arrays of k-word-shingle hashes. Returns (hashes, doc_offsets)."""
+    words = pc.split_pattern_regex(pc.utf8_trim_whitespace(pc.utf8_lower(arr)), r"\s+")
+    counts = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = words.flatten()
+    concat, offs = _utf8_block(flat)
+    # hash each word (vectorized polynomial over max word length)
+    n_words = len(offs) - 1
+    lens = np.diff(offs)
+    h = np.full(n_words, np.uint64(14695981039346656037), dtype=np.uint64)
+    max_len = int(lens.max()) if n_words else 0
+    starts = offs[:-1]
+    for i in range(max_len):
+        m = lens > i
+        h[m] = (h[m] ^ concat[starts[m] + i].astype(np.uint64)) * np.uint64(1099511628211)
+    # rolling k-word shingles within each doc
+    doc_offs = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=doc_offs[1:])
+    sh_counts = np.maximum(counts - k + 1, np.where(counts > 0, 1, 0))
+    n_sh = int(sh_counts.sum())
+    sh_offs = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(sh_counts, out=sh_offs[1:])
+    if n_sh == 0:
+        return np.zeros(0, np.uint64), sh_offs
+    # shingle hash = combination of k consecutive word hashes
+    base = np.repeat(doc_offs[:-1], sh_counts) + (np.arange(n_sh) - np.repeat(sh_offs[:-1], sh_counts))
+    sh = np.zeros(n_sh, dtype=np.uint64)
+    for j in range(k):
+        idx = np.minimum(base + j, np.repeat(doc_offs[1:], sh_counts) - 1)
+        sh = sh * np.uint64(1000003) + h[idx]
+    return sh, sh_offs
+
+
+class MinHasher:
+    """Actor-pool stage: text -> (num_perm) minhash signature + LSH band rows.
+
+    Permutation parameters are built once per actor; per batch everything is
+    numpy. Emits one row per (doc, band): (band_id, band_hash, doc_id) —
+    the only data that shuffles.
+    """
+
+    def __init__(self, num_perm: int = 64, bands: int = 16, shingle_k: int = 3, seed: int = 7):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, (1 << 61) - 1, num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, (1 << 61) - 1, num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+        self.shingle_k = shingle_k
+
+    def signatures(self, text: pa.Array) -> tuple[np.ndarray, int]:
+        sh, sh_offs = _word_shingle_hashes(text, self.shingle_k)
+        n_docs = len(sh_offs) - 1
+        sig = np.full((n_docs, self.num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+        if len(sh):
+            doc_of = np.repeat(np.arange(n_docs), np.diff(sh_offs))
+            for p in range(self.num_perm):
+                hp = (self.a[p] * sh + self.b[p]) % MERSENNE
+                np.minimum.at(sig[:, p], doc_of, hp)
+        return sig, n_docs
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sig, n_docs = self.signatures(batch["text"].combine_chunks())
+        # band hashes: fold rows_per_band lanes per band
+        band_rows = []
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        bh = np.zeros((n_docs, self.bands), dtype=np.uint64)
+        for b in range(self.bands):
+            lane = sig[:, b * self.rows_per_band : (b + 1) * self.rows_per_band]
+            acc = np.zeros(n_docs, dtype=np.uint64)
+            for j in range(self.rows_per_band):
+                acc = acc * np.uint64(1000003) + lane[:, j]
+            bh[:, b] = acc
+        n = n_docs * self.bands
+        return pa.table(
+            {
+                "band_id": pa.array(np.tile(np.arange(self.bands, dtype=np.int32), n_docs), type=pa.int32()),
+                "band_hash": pa.array(bh.reshape(-1).view(np.int64), type=pa.int64()),
+                "doc_id": pa.array(np.repeat(doc_ids, self.bands)),
+            }
+        )
+
+
+def minhash_candidates(ds, num_perm: int = 64, bands: int = 16, shingle_k: int = 3):
+    """Candidate duplicate groups: docs sharing any LSH band bucket.
+
+    Returns (band_id, band_hash, doc_ids list) for buckets with >=2 docs.
+    """
+    import pandas as pd
+
+    band_rows = ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "shingle_k": shingle_k},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=pool_size(),
+        **remote_args(),
+    )
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"band_id": pd.Series(dtype="int32"), "band_hash": pd.Series(dtype="int64"), "doc_ids": pd.Series(dtype=object)})
+        return pd.DataFrame(
+            {
+                "band_id": [g["band_id"].iloc[0]],
+                "band_hash": [g["band_hash"].iloc[0]],
+                "doc_ids": [sorted(g["doc_id"].tolist())],
+            }
+        )
+
+    return band_rows.groupby(["band_id", "band_hash"]).map_groups(bucket, batch_format="pandas", **remote_args())
+
+
+def jaccard_ngrams(a: str, b: str, k: int = 3) -> float:
+    """n-gram (word k-shingle) Jaccard similarity — candidate verification."""
+    aw = a.lower().split()
+    bw = b.lower().split()
+    sa = {tuple(aw[i : i + k]) for i in range(max(1, len(aw) - k + 1))}
+    sb = {tuple(bw[i : i + k]) for i in range(max(1, len(bw) - k + 1))}
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / max(1, len(sa | sb))
+
+
+# ------------------------------------------------------------------ simhash
+
+
+class SimHasher:
+    """64-bit SimHash per doc from word hashes (vectorized bit voting)."""
+
+    def __init__(self):
+        pass
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch["text"].combine_chunks()
+        words = pc.split_pattern_regex(pc.utf8_trim_whitespace(pc.utf8_lower(text)), r"\s+")
+        counts = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = words.flatten()
+        concat, offs = _utf8_block(flat)
+        n_words = len(offs) - 1
+        lens = np.diff(offs)
+        h = np.full(n_words, np.uint64(14695981039346656037), dtype=np.uint64)
+        starts = offs[:-1]
+        for i in range(int(lens.max()) if n_words else 0):
+            m = lens > i
+            h[m] = (h[m] ^ concat[starts[m] + i].astype(np.uint64)) * np.uint64(1099511628211)
+        n_docs = len(counts)
+        doc_of = np.repeat(np.arange(n_docs), counts)
+        votes = np.zeros((n_docs, 64), dtype=np.int64)
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+        np.add.at(votes, doc_of, bits * 2 - 1)
+        sim = (votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)[None, :]
+        sim = sim.sum(axis=1, dtype=np.uint64)
+        return batch.append_column("simhash", pa.array(sim.view(np.int64), type=pa.int64()))
+
+
+def simhash_candidates(ds, blocks: int = 4):
+    """Near-dup candidates: docs sharing any 16-bit simhash block (Hamming<=3
+    within 64 bits guarantees one equal block by pigeonhole for blocks=4)."""
+    import pandas as pd
+
+    hashed = ds.map_batches(SimHasher, batch_format="pyarrow", zero_copy_batch=True, concurrency=pool_size(), **remote_args())
+
+    def explode(batch: pa.Table) -> pa.Table:
+        sim = batch["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False)
+        n = len(sim)
+        rows = {
+            "block_id": np.tile(np.arange(blocks, dtype=np.int32), n),
+            "block_val": ((sim[:, None] >> (np.arange(blocks, dtype=np.uint64) * np.uint64(64 // blocks))) & np.uint64((1 << (64 // blocks)) - 1)).reshape(-1).view(np.int64),
+            "doc_id": np.repeat(doc, blocks),
+            "simhash": np.repeat(sim.view(np.int64), blocks),
+        }
+        return pa.table({k: pa.array(v) for k, v in rows.items()})
+
+    exploded = hashed.map_batches(explode, batch_format="pyarrow", **remote_args())
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64"), "hamming": pd.Series(dtype="int64")})
+        docs = g["doc_id"].tolist()
+        sims = g["simhash"].to_numpy().view(np.uint64)
+        out_a, out_b, ham = [], [], []
+        for i in range(len(docs)):
+            for j in range(i + 1, len(docs)):
+                d = int(bin(int(sims[i]) ^ int(sims[j])).count("1"))
+                out_a.append(min(docs[i], docs[j]))
+                out_b.append(max(docs[i], docs[j]))
+                ham.append(d)
+        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "hamming": ham})
+
+    return exploded.groupby(["block_id", "block_val"]).map_groups(bucket, batch_format="pandas", **remote_args())
+
+
+# ------------------------------------------------------- embedding near-dup
+
+
+def embedding_near_dups(ds, threshold: float = 0.95, lsh_planes: int = 12, seed: int = 5):
+    """Near-duplicate vectors by cosine >= threshold.
+
+    Scale path: random-hyperplane LSH bucket key per vector (one groupby over
+    (bucket) keys), exact cosine verification inside each bucket. Vectors only
+    shuffle once, already reduced to (bucket, vec_id, unit vector).
+    """
+    import pandas as pd
+
+    def stage(batch: pa.Table) -> pa.Table:
+        emb = np.stack([np.asarray(x, dtype=np.float32) for x in batch["embedding"].to_pylist()])
+        dim = emb.shape[1]
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((dim, lsh_planes)).astype(np.float32)
+        norms = np.linalg.norm(emb, axis=1, keepdims=True)
+        unit = emb / np.maximum(norms, 1e-12)
+        bits = (unit @ planes) > 0
+        key = np.zeros(len(emb), dtype=np.int64)
+        for p in range(lsh_planes):
+            key = key * 2 + bits[:, p]
+        return pa.table(
+            {
+                "bucket": pa.array(key),
+                "vec_id": batch["vec_id"],
+                "unit": pa.array([u.tobytes() for u in unit], type=pa.binary()),
+                "dim": pa.array(np.full(len(emb), dim, dtype=np.int32)),
+            }
+        )
+
+    bucketed = ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"vec_a": pd.Series(dtype="int64"), "vec_b": pd.Series(dtype="int64"), "cosine": pd.Series(dtype="float64")})
+        dim = int(g["dim"].iloc[0])
+        mat = np.stack([np.frombuffer(b, dtype=np.float32)[:dim] for b in g["unit"]])
+        sims = mat @ mat.T
+        ids = g["vec_id"].to_numpy()
+        ii, jj = np.triu_indices(len(ids), k=1)
+        mask = sims[ii, jj] >= threshold
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(ids[ii[mask]], ids[jj[mask]]),
+                "vec_b": np.maximum(ids[ii[mask]], ids[jj[mask]]),
+                "cosine": np.round(sims[ii, jj][mask].astype(np.float64), 6),
+            }
+        )
+
+    return bucketed.groupby("bucket").map_groups(verify, batch_format="pandas", **remote_args())

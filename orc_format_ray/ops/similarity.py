@@ -1,0 +1,161 @@
+"""Similarity search over an embedding column (list<float>).
+
+* `brute_force_topk` — exact cosine top-k: the query matrix is broadcast once
+  (`ray.put`), each batch does one numpy matmul and emits only its local
+  top-k rows; the driver folds the tiny partials. No shuffle.
+* `IVFIndex` / `ivf_topk` — the scale path: coarse centroids trained on a
+  sample (driver-side k-means, a few Lloyd iterations), every batch assigns
+  its vectors to nearest centroids, search probes only the closest nprobe
+  buckets. Trades recall for a |probe|/|nlist| fraction of the work.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .._rayutil import pool_size, remote_args
+
+
+def _embedding_matrix(batch: pa.Table, col: str = "embedding", dtype=np.float64) -> np.ndarray:
+    arr = batch[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(dtype)
+    offs = np.asarray(arr.offsets.to_numpy(zero_copy_only=False), dtype=np.int64)
+    dim = int(offs[1] - offs[0]) if len(offs) > 1 else 0
+    return flat.reshape(len(arr), dim)
+
+
+def _unit(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+class BruteForceScorer:
+    """Actor-pool stage: per batch, cosine vs the broadcast query matrix."""
+
+    def __init__(self, queries_ref, k: int):
+        import ray
+
+        q = ray.get(queries_ref) if not isinstance(queries_ref, np.ndarray) else queries_ref
+        self.q = _unit(np.asarray(q, dtype=np.float64))  # (nq, dim), fetched once per actor
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = _unit(_embedding_matrix(batch))
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        sims = emb @ self.q.T  # (n, nq)
+        k = min(self.k, len(ids))
+        out_q, out_id, out_s = [], [], []
+        for qi in range(self.q.shape[0]):
+            s = sims[:, qi]
+            top = np.argpartition(-s, k - 1)[:k] if k < len(s) else np.arange(len(s))
+            out_q.append(np.full(len(top), qi, dtype=np.int32))
+            out_id.append(ids[top])
+            out_s.append(s[top].astype(np.float64))
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), type=pa.int32()),
+                "vec_id": pa.array(np.concatenate(out_id)),
+                "score": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+
+def brute_force_topk(ds, queries: np.ndarray, k: int = 10):
+    """Exact cosine top-k per query. Returns a small pyarrow Table."""
+    import ray
+
+    qref = ray.put(np.asarray(queries, dtype=np.float32))
+    partials = ds.map_batches(
+        BruteForceScorer,
+        fn_constructor_kwargs={"queries_ref": qref, "k": k},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=pool_size(),
+        **remote_args(),
+    )
+    tbl = pa.concat_tables(list(partials.iter_batches(batch_size=1 << 20, batch_format="pyarrow")))
+    # driver-side final fold over tiny partials
+    import pandas as pd
+
+    df = tbl.to_pandas()
+    df = df.sort_values(["query_id", "score", "vec_id"], ascending=[True, False, True])
+    out = df.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
+    out["score"] = np.round(out["score"], 6)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+class IVFIndex:
+    """Coarse IVF centroids trained driver-side on a sample."""
+
+    def __init__(self, centroids: np.ndarray):
+        self.centroids = _unit(centroids.astype(np.float32))
+
+    @staticmethod
+    def train(ds, nlist: int = 16, sample_rows: int = 4096, iters: int = 5, seed: int = 3) -> "IVFIndex":
+        sample = ds.random_sample(1.0, seed=seed).limit(sample_rows)
+        tbl = pa.concat_tables(list(sample.iter_batches(batch_size=1 << 20, batch_format="pyarrow")))
+        x = _unit(_embedding_matrix(tbl))
+        rng = np.random.default_rng(seed)
+        cent = x[rng.choice(len(x), min(nlist, len(x)), replace=False)]
+        for _ in range(iters):
+            assign = np.argmax(x @ cent.T, axis=1)
+            for c in range(len(cent)):
+                m = assign == c
+                if m.any():
+                    v = x[m].mean(axis=0)
+                    cent[c] = v / max(np.linalg.norm(v), 1e-12)
+        return IVFIndex(cent)
+
+
+def ivf_topk(ds, index: IVFIndex, queries: np.ndarray, k: int = 10, nprobe: int = 4):
+    """ANN top-k probing only the nprobe closest centroid buckets per query."""
+    import ray
+
+    q = _unit(np.asarray(queries, dtype=np.float32))
+    probe = np.argsort(-(q @ index.centroids.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    cent_ref = ray.put(index.centroids)
+    q_ref = ray.put(q)
+    probe_ref = ray.put(probe)
+
+    class Scorer:
+        def __init__(self):
+            self.cent = ray.get(cent_ref)
+            self.q = ray.get(q_ref)
+            self.probe = ray.get(probe_ref)
+            self.k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            emb = _unit(_embedding_matrix(batch))
+            ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+            assign = np.argmax(emb @ self.cent.T, axis=1)
+            out_q, out_id, out_s = [], [], []
+            for qi in range(self.q.shape[0]):
+                m = np.isin(assign, self.probe[qi])
+                if not m.any():
+                    continue
+                s = emb[m] @ self.q[qi]
+                kk = min(self.k, len(s))
+                top = np.argpartition(-s, kk - 1)[:kk] if kk < len(s) else np.arange(len(s))
+                out_q.append(np.full(len(top), qi, dtype=np.int32))
+                out_id.append(ids[m][top])
+                out_s.append(s[top].astype(np.float64))
+            if not out_q:
+                return pa.table({"query_id": pa.array([], pa.int32()), "vec_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())})
+            return pa.table(
+                {
+                    "query_id": pa.array(np.concatenate(out_q), type=pa.int32()),
+                    "vec_id": pa.array(np.concatenate(out_id)),
+                    "score": pa.array(np.concatenate(out_s)),
+                }
+            )
+
+    partials = ds.map_batches(Scorer, batch_format="pyarrow", zero_copy_batch=True, concurrency=pool_size(), **remote_args())
+    tbl = pa.concat_tables(list(partials.iter_batches(batch_size=1 << 20, batch_format="pyarrow")))
+    import pandas as pd
+
+    df = tbl.to_pandas().sort_values(["query_id", "score", "vec_id"], ascending=[True, False, True])
+    out = df.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
+    out["score"] = np.round(out["score"], 6)
+    return pa.Table.from_pandas(out, preserve_index=False)

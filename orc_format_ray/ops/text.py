@@ -1,0 +1,132 @@
+"""Text analysis stages: token counting, fingerprinting, language ID,
+quality scoring. All vectorized over Arrow batches (no per-row Python in the
+hot path); stages that need compiled state (stopword tables) are callable
+classes for `map_batches` actor pools."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+FNV_PRIME = np.uint64(1099511628211)
+FNV_BASIS = np.uint64(14695981039346656037)
+
+
+def _utf8_block(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    big = arr.cast(pa.large_binary())
+    offs = np.frombuffer(big.buffers()[1], dtype=np.int64)[big.offset : big.offset + len(big) + 1]
+    buf = big.buffers()[2]
+    data = np.frombuffer(buf, dtype=np.uint8)[offs[0] : offs[-1]] if buf is not None and len(big) else np.zeros(0, np.uint8)
+    return data, (offs - offs[0]).astype(np.int64)
+
+
+def content_hash(arr: pa.Array) -> np.ndarray:
+    """Deterministic 64-bit polynomial hash per string, fully vectorized.
+
+    h(s) = sum_i s[i] * P^(len-1-i)  (mod 2^64), P = FNV prime. Position
+    weights come from a precomputed powers table + np.add.reduceat — no
+    Python loop over rows or bytes.
+    """
+    concat, offs = _utf8_block(arr)
+    n = len(offs) - 1
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    lens = np.diff(offs)
+    max_len = int(lens.max()) if n else 0
+    powers = np.ones(max_len + 1, dtype=np.uint64)
+    for i in range(1, max_len + 1):
+        powers[i] = powers[i - 1] * FNV_PRIME
+    ends_at = np.repeat(offs[1:], lens)
+    pos = np.arange(len(concat), dtype=np.int64)
+    weighted = concat.astype(np.uint64) * powers[ends_at - pos - 1]
+    # reduceat needs non-empty segments; guard empties then zero them
+    starts = offs[:-1].copy()
+    empty = lens == 0
+    starts_safe = np.minimum(starts, max(len(concat) - 1, 0))
+    if len(concat):
+        sums = np.add.reduceat(weighted, starts_safe)
+        sums[empty] = 0
+    else:
+        sums = np.zeros(n, dtype=np.uint64)
+    # mix in the length to distinguish prefixes
+    return sums * FNV_PRIME + lens.astype(np.uint64) + FNV_BASIS
+
+
+def add_content_hash(batch: pa.Table, column: str = "text", out: str = "content_hash") -> pa.Table:
+    h = content_hash(batch[column].combine_chunks())
+    return batch.append_column(out, pa.array(h.view(np.int64), type=pa.int64()))
+
+
+def token_count(batch: pa.Table, column: str = "text", out: str = "n_tok") -> pa.Table:
+    """Whitespace token count; matches len(string_split_regex(trim(text),'\\s+'))."""
+    text = batch[column]
+    trimmed = pc.utf8_trim_whitespace(text)
+    words = pc.split_pattern_regex(trimmed, r"\s+")
+    counts = pc.list_value_length(words)
+    # empty-after-trim text counts 0, not 1
+    is_empty = pc.equal(trimmed, "")
+    counts = pc.if_else(is_empty, pa.scalar(0, pa.int32()), counts)
+    return batch.append_column(out, counts.cast(pa.int64()))
+
+
+def fingerprint(batch: pa.Table, column: str = "text", out: str = "fingerprint") -> pa.Table:
+    """Document fingerprint = content rolling hash (for shard-level dedup joins)."""
+    return add_content_hash(batch, column, out)
+
+
+_STOPWORDS = {
+    "en": {"the", "and", "of", "a", "to", "in", "is", "that", "it", "for"},
+    "de": {"der", "die", "das", "und", "ist", "von", "mit", "für", "auf", "ein"},
+    "fr": {"le", "la", "les", "et", "de", "un", "une", "est", "pour", "dans"},
+    "es": {"el", "la", "los", "y", "de", "un", "una", "es", "para", "en"},
+    "zh": {"的", "是", "了", "在", "和", "有", "我", "不", "这", "他"},
+}
+
+
+class LangId:
+    """Heuristic language ID: stopword-hit voting per language.
+
+    Actor-pool stage: the per-language stopword hash sets build once per actor
+    (``__init__``), scoring is a vectorized membership test per batch.
+    """
+
+    def __init__(self):
+        self.tables = {lang: pa.array(sorted(ws)) for lang, ws in _STOPWORDS.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        words = pc.split_pattern_regex(pc.utf8_trim_whitespace(pc.utf8_lower(text)), r"\s+")
+        flat = words.flatten()  # ListArray.flatten -> word values (NOT chunk merge)
+        counts = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_of = np.repeat(np.arange(len(counts)), counts)
+        best_lang = np.zeros(len(counts), dtype=object)
+        best_hits = np.full(len(counts), -1, dtype=np.int64)
+        for lang, table in self.tables.items():
+            hit = pc.is_in(flat, value_set=table).to_numpy(zero_copy_only=False)
+            hits = np.bincount(doc_of[hit], minlength=len(counts))
+            better = hits > best_hits
+            best_hits[better] = hits[better]
+            best_lang[better] = lang
+        out = pa.array([str(x) if x else "unk" for x in best_lang], type=pa.string())
+        return batch.append_column("lang_pred", out)
+
+
+def quality_score(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Quality features: char length, punct ratio, mean word length, token count."""
+    text = batch[column]
+    n_chars = pc.utf8_length(text).cast(pa.float64())
+    punct = pc.count_substring_regex(text, r"[.!?,;:]").cast(pa.float64())
+    safe = pc.max_element_wise(n_chars, pa.scalar(1.0))
+    punct_ratio = pc.round(pc.divide(punct, safe), ndigits=6)
+    b = token_count(batch, column, "_q_ntok")
+    ntok = b["_q_ntok"].cast(pa.float64())
+    mean_word_len = pc.round(pc.divide(n_chars, pc.max_element_wise(ntok, pa.scalar(1.0))), ndigits=6)
+    return (
+        batch.append_column("n_chars_f", n_chars)
+        .append_column("punct_ratio", punct_ratio)
+        .append_column("mean_word_len", mean_word_len)
+        .append_column("tok_count", ntok.cast(pa.int64()))
+    )
