@@ -61,8 +61,12 @@ def _headline() -> dict:
     out_dir = f"/tmp/orc_bench_out_{NUM_CPUS}"
     shutil.rmtree(out_dir, ignore_errors=True)
 
+    # budget: enough partitions to keep every core busy (>=3 waves at 32 cpus),
+    # capped at the production 64 MiB stripe budget
+    budget = int(os.environ.get("BENCH_BUDGET", min(64 * 1024 * 1024, max(2 * 1024 * 1024, total_tokens * 4 // 96))))
+
     t0 = time.perf_counter()
-    summary = enc.encode_dataset(paths, out_dir, budget_bytes=32 * 1024 * 1024, resume=False)
+    summary = enc.encode_dataset(paths, out_dir, budget_bytes=budget, resume=False)
     timings["encode"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()

@@ -39,9 +39,9 @@ MAX_RUN = 130
 
 
 def _to_u64(values: np.ndarray, signed: bool) -> np.ndarray:
-    a = np.asarray(values)
+    a = np.ascontiguousarray(values)
     if signed:
-        return a.astype(np.int64, copy=False).astype(np.uint64)
+        return a.astype(np.int64, copy=False).view(np.uint64)
     return a.astype(np.uint64, copy=False)
 
 
@@ -70,18 +70,27 @@ def encode(values: np.ndarray, signed: bool = True) -> bytes:
     # elig[i] (value index i >= 2): d[i-1] == d[i-2] and fits(d[i-1])
     elig_idx = np.flatnonzero((d[1:] == d[:-1]) & fits[1:]) + 2
 
-    # constant-delta segment end: for delta index k, seg_end_d[k] = last delta
-    # index of the maximal constant-delta stretch containing k
-    change = np.flatnonzero(d[1:] != d[:-1])  # k where d[k+1] != d[k]
-    seg_ends = np.concatenate((change, [n - 2]))  # segment-final delta indices
+    # constant-delta segment end: seg_end_of[k] = last delta index of the
+    # maximal constant-delta stretch containing delta index k (O(1) lookup)
+    change_flags = np.empty(n - 1, dtype=bool)
+    change_flags[0] = False
+    np.not_equal(d[1:], d[:-1], out=change_flags[1:])  # True = segment starts here
+    seg_id = np.cumsum(change_flags, dtype=np.int32)
+    seg_bounds = np.flatnonzero(np.concatenate((change_flags[1:], [True])))  # final index per segment
 
-    pieces: list = []
-    ap = pieces.append
+    # scan loop: records (kind, start, count) per group; all byte assembly is
+    # vectorized afterwards (one gather/scatter for every payload)
+    g_kind: list[int] = []  # 0 = literal, 1 = run
+    g_start: list[int] = []
+    g_count: list[int] = []
+    ka = g_kind.append
+    sa = g_start.append
+    ca = g_count.append
+
     q = 0  # literal start
     n_elig = len(elig_idx)
     elig_list = elig_idx.tolist()  # python ints: fast monotonic cursor scan
-    ei = 0  # monotonic cursor into elig_list (amortized O(n_elig) total)
-    tob = bytes  # local alias
+    ei = 0  # monotonic cursor (amortized O(n_elig) total)
 
     while q < n:
         # find next eligible run-triple end i with i >= q+2 whose first two
@@ -103,37 +112,71 @@ def encode(values: np.ndarray, signed: bool = True) -> bytes:
             i = cand
             break
         if i < 0:
-            # no more runs: emit literal chunks of up to 128 to the end
-            _emit_literals(ap, vbuf, voff, q, n)
+            while q < n:  # literal chunks of up to 128 to the end
+                k = MAX_LITERAL if n - q > MAX_LITERAL else n - q
+                ka(0)
+                sa(q)
+                ca(k)
+                q += k
             break
 
         # literals [q, i-2) — full 128-chunks, then the remainder as one group
-        if i - 2 > q:
-            _emit_literals(ap, vbuf, voff, q, i - 2)
-        # the run: starts at i-2, delta = d[i-2], extends to its segment end
         start = i - 2
-        seg_i = int(np.searchsorted(seg_ends, start, side="left"))
-        run_total = int(seg_ends[seg_i]) + 2 - start  # values in the stretch
-        delta_byte = int(d[start] & np.uint64(0xFF))
+        while q < start:
+            k = MAX_LITERAL if start - q > MAX_LITERAL else start - q
+            ka(0)
+            sa(q)
+            ca(k)
+            q += k
+        # the run: starts at i-2, delta = d[i-2], extends to its segment end
+        run_total = int(seg_bounds[seg_id[start]]) + 2 - start  # values in the stretch
         while run_total >= 3:
-            L = min(run_total, MAX_RUN)
-            ap(tob([L - 3, delta_byte]))
-            ap(vbuf[voff[start] : voff[start + 1]].tobytes())
+            L = MAX_RUN if run_total > MAX_RUN else run_total
+            ka(1)
+            sa(start)
+            ca(L)
             start += L
             run_total -= L
         q = start  # 0..2 leftover values re-enter literal mode at q
 
-    return b"".join(pieces)
-
-
-def _emit_literals(ap, vbuf, voff, a: int, b: int) -> None:
-    """Emit values [a, b) as literal groups of at most 128."""
-    p = a
-    while p < b:
-        k = min(MAX_LITERAL, b - p)
-        ap(bytes([(-k) & 0xFF]))
-        ap(vbuf[voff[p] : voff[p + k]].tobytes())
-        p += k
+    # ---- vectorized assembly ----
+    # Key fact: group payloads appear in source (varint-buffer) order, so the
+    # payload stream is simply vbuf minus the run tails (a run stores only its
+    # base varint), and the output is that stream with headers interleaved.
+    kind = np.array(g_kind, dtype=np.int8)
+    gs = np.array(g_start, dtype=np.int64)
+    gc = np.array(g_count, dtype=np.int64)
+    is_lit = kind == 0
+    pay_a = voff[gs]
+    pay_b = np.where(is_lit, voff[gs + gc], voff[gs + 1])
+    pay_len = pay_b - pay_a
+    head_len = np.where(is_lit, 1, 2)
+    sizes = head_len + pay_len
+    dst = np.zeros(len(sizes) + 1, dtype=np.int64)
+    np.cumsum(sizes, out=dst[1:])
+    out = np.empty(int(dst[-1]), dtype=np.uint8)
+    lit_dst = dst[:-1][is_lit]
+    run_dst = dst[:-1][~is_lit]
+    # payload bytes = vbuf with run tails deleted (boolean mask, O(bytes))
+    rs = gs[~is_lit]
+    rl = gc[~is_lit]
+    if len(rs):
+        marks = np.zeros(len(vbuf) + 1, dtype=np.int32)
+        np.add.at(marks, voff[rs + 1], 1)
+        np.add.at(marks, voff[rs + rl], -1)
+        deleted = np.cumsum(marks[:-1]) > 0
+        kept = vbuf[~deleted]
+    else:
+        kept = vbuf
+    hdr_mask = np.zeros(len(out), dtype=bool)
+    hdr_mask[lit_dst] = True
+    hdr_mask[run_dst] = True
+    hdr_mask[run_dst + 1] = True
+    out[~hdr_mask] = kept
+    out[lit_dst] = ((-gc[is_lit]) & 0xFF).astype(np.uint8)
+    out[run_dst] = (gc[~is_lit] - 3).astype(np.uint8)
+    out[run_dst + 1] = (d[rs] & np.uint64(0xFF)).astype(np.uint8)
+    return out.tobytes()
 
 
 def encode_slow(values, signed: bool = True) -> bytes:

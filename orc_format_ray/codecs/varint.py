@@ -19,8 +19,9 @@ _U0x7F = np.uint64(0x7F)
 
 def zigzag_encode(x: np.ndarray) -> np.ndarray:
     """int64 array -> uint64 zigzag representation ((x<<1) ^ (x>>63))."""
-    x = np.asarray(x, dtype=np.int64)
-    return (x.astype(np.uint64) << _U1) ^ (x >> np.int64(63)).astype(np.uint64)
+    x = np.ascontiguousarray(x, dtype=np.int64)
+    # views reinterpret bits for free; only the shift allocates
+    return (x.view(np.uint64) << _U1) ^ (x >> np.int64(63)).view(np.uint64)
 
 
 def zigzag_decode(u: np.ndarray) -> np.ndarray:
