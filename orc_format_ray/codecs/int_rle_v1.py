@@ -45,36 +45,62 @@ def _to_u64(values: np.ndarray, signed: bool) -> np.ndarray:
     return a.astype(np.uint64, copy=False)
 
 
+_I32_KINDS = (np.int8, np.int16, np.int32, np.uint8, np.uint16)
+
+
 def encode(values: np.ndarray, signed: bool = True) -> bytes:
-    """Encode an int array; byte-identical to the reference automaton."""
-    v = _to_u64(values, signed)
-    n = len(v)
+    """Encode an int array; byte-identical to the reference automaton.
+
+    Narrow inputs (int8/16/32) take a 32-bit-wide fast path with identical
+    output: varints of int32 values are the same bytes at either width, and
+    delta equality is tracked as (32-bit wrapped delta, wrap direction) pairs
+    which uniquely determine the 64-bit delta.
+    """
+    a = np.ascontiguousarray(values)
+    n = len(a)
     if n == 0:
         return b""
-    # Pre-encode every value's varint once; groups slice into this buffer.
-    if signed:
-        vbytes, nb = varint_encode_signed(v.view(np.int64))
+
+    if signed and a.dtype in _I32_KINDS:
+        x = a.astype(np.int32, copy=False)
+        from .varint import varint_encode_unsigned32, zigzag_encode32
+
+        vbytes, nb = varint_encode_unsigned32(zigzag_encode32(x))
+        if n == 1:
+            return bytes([0xFF]) + vbytes
+        xa, xb = x[1:], x[:-1]
+        d32 = xa - xb  # wrapping int32
+        ovf = ((xa ^ xb) & (xa ^ d32)) < 0  # true 64-bit delta wrapped past int32
+        wrap = np.where(ovf, np.where(d32 < 0, np.int8(1), np.int8(-1)), np.int8(0))
+        fits = (d32 >= -128) & (d32 < 128) & ~ovf
+        eq = (d32[1:] == d32[:-1]) & (wrap[1:] == wrap[:-1])
+        d_low = d32.view(np.uint32)  # for the run delta byte (& 0xFF safe)
     else:
-        vbytes, nb = varint_encode_unsigned(v)
+        v = _to_u64(a, signed)
+        if signed:
+            vbytes, nb = varint_encode_signed(v.view(np.int64))
+        else:
+            vbytes, nb = varint_encode_unsigned(v)
+        if n == 1:
+            return bytes([0xFF]) + vbytes
+        d = v[1:] - v[:-1]  # uint64 wrapping subtract
+        d_i64 = d.view(np.int64)
+        fits = (d_i64 >= -128) & (d_i64 < 128)
+        eq = d[1:] == d[:-1]
+        d_low = d
+
     voff = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(nb, out=voff[1:])
     vbuf = np.frombuffer(vbytes, dtype=np.uint8)
 
-    if n == 1:
-        return bytes([0xFF]) + vbytes
-
-    # deltas (wrapping 64-bit), i8-fit flags, run-triple eligibility
-    d = v[1:] - v[:-1]  # uint64 wrapping subtract
-    d_i64 = d.view(np.int64)
-    fits = (d_i64 >= -128) & (d_i64 < 128)
     # elig[i] (value index i >= 2): d[i-1] == d[i-2] and fits(d[i-1])
-    elig_idx = np.flatnonzero((d[1:] == d[:-1]) & fits[1:]) + 2
+    elig_idx = np.flatnonzero(eq & fits[1:]) + 2
 
     # constant-delta segment end: seg_end_of[k] = last delta index of the
     # maximal constant-delta stretch containing delta index k (O(1) lookup)
     change_flags = np.empty(n - 1, dtype=bool)
     change_flags[0] = False
-    np.not_equal(d[1:], d[:-1], out=change_flags[1:])  # True = segment starts here
+    np.logical_not(eq, out=change_flags[1:])  # True = segment starts here
     seg_id = np.cumsum(change_flags, dtype=np.int32)
     seg_bounds = np.flatnonzero(np.concatenate((change_flags[1:], [True])))  # final index per segment
 
@@ -175,7 +201,7 @@ def encode(values: np.ndarray, signed: bool = True) -> bytes:
     out[~hdr_mask] = kept
     out[lit_dst] = ((-gc[is_lit]) & 0xFF).astype(np.uint8)
     out[run_dst] = (gc[~is_lit] - 3).astype(np.uint8)
-    out[run_dst + 1] = (d[rs] & np.uint64(0xFF)).astype(np.uint8)
+    out[run_dst + 1] = d_low[rs].astype(np.uint8)  # unsigned astype = low byte
     return out.tobytes()
 
 
@@ -253,74 +279,82 @@ def encode_slow(values, signed: bool = True) -> bytes:
 
 
 def decode(buf: bytes, signed: bool = True) -> np.ndarray:
-    """Decode an IntRLEv1 stream. Vectorized varint decode; O(#groups) loop."""
+    """Decode an IntRLEv1 stream. O(#groups) header scan, vectorized assembly."""
     b = np.frombuffer(buf, dtype=np.uint8)
     nbytes = len(b)
     if nbytes == 0:
         return np.zeros(0, dtype=np.int64 if signed else np.uint64)
-    term = np.flatnonzero(b < 0x80)  # varint terminator positions
+    term = np.flatnonzero(b < 0x80)  # candidate varint terminators (incl. headers)
 
-    # Parse group headers; collect literal varint regions + run specs.
-    lit_regions: list[tuple[int, int]] = []  # (byte_start, byte_end)
-    parts: list[tuple[str, int, int]] = []  # ('lit', n, -) | ('run', len, spec_idx)
-    run_specs: list[tuple[int, int]] = []  # (delta_i8, base_byte_start)
+    # header scan: group kinds/counts/deltas + varint byte regions (in order).
+    # the terminator cursor ti is monotonic; it only skips the few header
+    # bytes that alias as terminators, so the scan is O(#groups) amortized.
+    g_lit: list[bool] = []
+    g_cnt: list[int] = []
+    g_delta: list[int] = []
+    reg_a: list[int] = []
+    reg_b: list[int] = []
     p = 0
+    ti = 0
     while p < nbytes:
         h = int(b[p])
-        if h < 0x80:  # run: h+3 values
+        if h < 0x80:  # run of h+3 values; payload = delta byte + base varint
             delta = int(b[p + 1])
-            if delta >= 128:
-                delta -= 256
             vstart = p + 2
-            ti = int(np.searchsorted(term, vstart, side="left"))
+            while term[ti] < vstart:
+                ti += 1
             vend = int(term[ti]) + 1
-            parts.append(("run", h + 3, len(run_specs)))
-            run_specs.append((delta, vstart))
-            lit_regions.append((vstart, vend))  # base value decoded with the rest
+            ti += 1
+            g_lit.append(False)
+            g_cnt.append(h + 3)
+            g_delta.append(delta - 256 if delta >= 128 else delta)
+            reg_a.append(vstart)
+            reg_b.append(vend)
             p = vend
         else:  # literal group of 256-h varints
             k = 256 - h
             vstart = p + 1
-            ti = int(np.searchsorted(term, vstart, side="left"))
-            vend = int(term[ti + k - 1]) + 1
-            parts.append(("lit", k, -1))
-            lit_regions.append((vstart, vend))
+            while term[ti] < vstart:
+                ti += 1
+            ti += k - 1
+            vend = int(term[ti]) + 1
+            ti += 1
+            g_lit.append(True)
+            g_cnt.append(k)
+            g_delta.append(0)
+            reg_a.append(vstart)
+            reg_b.append(vend)
             p = vend
 
-    # Vectorized decode of all varints (literals + run bases) in one pass
-    concat = np.concatenate([b[a:e] for a, e in lit_regions]) if lit_regions else b[:0]
-    allvals = varint_decode_all(concat)
+    # one vectorized varint decode over all regions (ordered ranges -> mask)
+    ra = np.array(reg_a, dtype=np.int64)
+    rb = np.array(reg_b, dtype=np.int64)
+    marks = np.zeros(nbytes + 1, dtype=np.int32)
+    marks[ra] += 1  # regions are disjoint and non-adjacent (headers between)
+    marks[rb] -= 1
+    inside = np.cumsum(marks[:-1], dtype=np.int32) > 0
+    allvals = varint_decode_all(b[inside])
+    vals = zigzag_decode(allvals).view(np.uint64) if signed else allvals
 
-    out_parts: list[np.ndarray] = []
-    vi = 0  # cursor into allvals
-    for kind, cnt, spec in parts:
-        if kind == "lit":
-            out_parts.append(allvals[vi : vi + cnt])
-            vi += cnt
-        else:
-            base = allvals[vi]
-            vi += 1
-            delta, _ = run_specs[spec]
-            if signed:
-                base = int(zigzag_decode(np.array([base], dtype=np.uint64))[0])
-            else:
-                base = int(base)
-            seq = (np.uint64(base & ((1 << 64) - 1)) + np.arange(cnt, dtype=np.uint64) * np.uint64(delta & ((1 << 64) - 1)))
-            out_parts.append(seq)
+    is_lit = np.array(g_lit)
+    cnt = np.array(g_cnt, dtype=np.int64)
+    nvals_per_group = np.where(is_lit, cnt, 1)
+    # split decoded varints into literal values and run bases
+    val_is_lit = np.repeat(is_lit, nvals_per_group)
+    lit_vals = vals[val_is_lit]
+    base_vals = vals[~val_is_lit]
 
-    res = np.concatenate(out_parts) if out_parts else np.zeros(0, dtype=np.uint64)
-    if signed:
-        # literals are zigzag; runs were already materialized as raw u64.
-        # Re-do: decode literals via zigzag, runs are raw. Handle by building
-        # a mask of which outputs came from literal groups.
-        out = np.empty(len(res), dtype=np.int64)
-        pos = 0
-        vi = 0
-        for kind, cnt, spec in parts:
-            if kind == "lit":
-                out[pos : pos + cnt] = zigzag_decode(res[pos : pos + cnt])
-            else:
-                out[pos : pos + cnt] = res[pos : pos + cnt].view(np.int64)
-            pos += cnt
-        return out
-    return res
+    total = int(cnt.sum())
+    out = np.empty(total, dtype=np.uint64)
+    out_is_lit = np.repeat(is_lit, cnt)
+    out[out_is_lit] = lit_vals
+    run_cnt = cnt[~is_lit]
+    if len(run_cnt):
+        deltas = np.array(g_delta, dtype=np.int64)[~is_lit].view(np.uint64)
+        total_run = int(run_cnt.sum())
+        excl = np.zeros(len(run_cnt), dtype=np.int64)
+        np.cumsum(run_cnt[:-1], out=excl[1:])
+        rep = np.repeat(np.arange(len(run_cnt)), run_cnt)
+        ramp = (np.arange(total_run, dtype=np.int64) - excl[rep]).view(np.uint64)
+        out[~out_is_lit] = np.repeat(base_vals, run_cnt) + ramp * deltas[rep]
+    return out.view(np.int64) if signed else out

@@ -88,7 +88,7 @@ def select_int_codec(v: np.ndarray, menu: list[str] | None = None) -> str:
     menu = menu or list(INT_CODECS)
     if len(v) == 0:
         return "rle_v2"
-    s = _sample_ints(np.asarray(v, dtype=np.int64))
+    s = _sample_ints(np.asarray(v))  # keep native width for the fast paths
     best_name, best_size = None, None
     for name in menu:
         enc, _ = INT_CODECS[name]
@@ -102,7 +102,9 @@ def select_int_codec(v: np.ndarray, menu: list[str] | None = None) -> str:
 
 
 def encode_ints(v: np.ndarray, codec: str) -> bytes:
-    return INT_CODECS[codec][0](np.asarray(v, dtype=np.int64))
+    # native width passes through: each codec coerces only if it needs to,
+    # and rle_v1 has a 32-bit-wide fast path for int32 token streams
+    return INT_CODECS[codec][0](np.asarray(v))
 
 
 def decode_ints(b: bytes, codec: str) -> np.ndarray:

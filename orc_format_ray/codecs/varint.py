@@ -74,6 +74,42 @@ def varint_encode_signed(x: np.ndarray) -> tuple[bytes, np.ndarray]:
     return varint_encode_unsigned(zigzag_encode(x))
 
 
+def varint_encode_unsigned32(v: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """uint32 fast path: byte-identical to the 64-bit encoder for values < 2^32
+    but half the memory traffic (the hot path for int32 token streams)."""
+    v = np.ascontiguousarray(v, dtype=np.uint32)
+    n = len(v)
+    if n == 0:
+        return b"", np.zeros(0, dtype=np.int64)
+    nb = np.ones(n, dtype=np.int32)
+    one = np.uint32(1)
+    for k in range(1, 5):
+        m = v >= (one << np.uint32(7 * k))
+        if not m.any():
+            break
+        nb += m.astype(np.int32)
+    total = int(nb.sum())
+    out = np.empty(total, dtype=np.uint8)
+    pos = np.zeros(n, dtype=np.int64)
+    np.cumsum(nb[:-1], out=pos[1:])
+    for k in range(5):
+        mask = nb > k
+        if not mask.any():
+            break
+        idx = pos[mask] + k
+        vals = (v[mask] >> np.uint32(7 * k)) & np.uint32(0x7F)
+        cont = np.where(nb[mask] > (k + 1), np.uint8(0x80), np.uint8(0))
+        out[idx] = vals.astype(np.uint8) | cont
+    return out.tobytes(), nb.astype(np.int64)
+
+
+def zigzag_encode32(x: np.ndarray) -> np.ndarray:
+    """int32 -> uint32 zigzag; numerically equal to the 64-bit zigzag of the
+    same values (2x for x>=0, -2x-1 for x<0), so varints match bit-for-bit."""
+    x = np.ascontiguousarray(x, dtype=np.int32)
+    return (x.view(np.uint32) << np.uint32(1)) ^ (x >> np.int32(31)).view(np.uint32)
+
+
 def varint_decode_all(buf: np.ndarray | bytes) -> np.ndarray:
     """Decode a buffer consisting solely of back-to-back unsigned varints.
 

@@ -116,3 +116,31 @@ def test_varint_bigint_roundtrip():
     vals = [0, 1, -1, 2**100, -(2**100), (2**127) - 1, -(2**127)]
     b = varint.varint_encode_bigint(vals)
     assert varint.varint_decode_bigint(b, len(vals)) == vals
+
+
+def test_int32_fast_path_bit_identical():
+    """int32 inputs must produce exactly the bytes of the 64-bit automaton,
+    including wrap-around deltas that alias small values in 32-bit space."""
+    cases = [
+        np.array([2**31 - 1, -(2**31), 2**31 - 1, -(2**31)], np.int32),  # d64=±(2^32-1), d32 aliases ∓1
+        np.array([-(2**31), 2**31 - 1, -(2**31) + 127], np.int32),
+        np.array([0, 2**31 - 1, -(2**31), -1, 1], np.int32),
+        np.arange(-300, 300, dtype=np.int32),
+        np.full(500, -(2**31), np.int32),
+        (rng.zipf(1.3, 20000) % 50257).astype(np.int32),
+        rng.integers(-(2**31), 2**31, 5000).astype(np.int32),
+        np.array([], np.int32),
+        np.array([7], np.int32),
+        # wrap at boundary: delta exactly -2^31 / +2^31-ish
+        np.array([2**30, -(2**30) - 1, 2**30, -(2**30)], np.int32),
+    ]
+    for a32 in cases:
+        fast = int_rle_v1.encode(a32, signed=True)
+        ref = int_rle_v1.encode(a32.astype(np.int64), signed=True)
+        assert fast == ref, f"case len={len(a32)}"
+        np.testing.assert_array_equal(int_rle_v1.decode(fast, signed=True), a32.astype(np.int64))
+    # randomized sweep over small alphabets (heavy runs) at int32 width
+    for trial in range(20):
+        n = int(rng.integers(0, 600))
+        a = rng.integers(-6, 6, n).astype(np.int32).cumsum(dtype=np.int32)
+        assert int_rle_v1.encode(a) == int_rle_v1.encode(a.astype(np.int64)), trial
