@@ -46,10 +46,11 @@ class EncodePartition:
     columns skip re-sampling on subsequent partitions handled by this actor.
     """
 
-    def __init__(self, out_dir: str, compression: str = "zstd", level: int = 3):
+    def __init__(self, out_dir: str, compression: str = "zstd", level: int = 3, row_index_stride: int | None = 10_000):
         self.out_dir = out_dir
         self.compression = compression
         self.level = level
+        self.row_index_stride = row_index_stride
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = batch.to_pylist()
@@ -59,7 +60,7 @@ class EncodePartition:
             t0 = time.perf_counter()
             tbl = read_partition(spec)
             t_read = time.perf_counter() - t0
-            blob, meta = encode_table(tbl, self.compression, self.level)
+            blob, meta = encode_table(tbl, self.compression, self.level, row_index_stride=self.row_index_stride)
             t_enc = time.perf_counter() - t0 - t_read
             sp = mf.stripe_path(self.out_dir, spec.pid)
             mf.write_blob_atomic(sp, blob)

@@ -44,6 +44,22 @@ MAGIC = b"ORY1"
 TS_EPOCH_SECONDS = 1420070400  # 2015-01-01T00:00:00Z, reference timestamp.rs:62-63
 MIN_COMPRESS_BYTES = 64
 
+
+from dataclasses import dataclass
+
+
+@dataclass
+class EncoderConfig:
+    """Mirror of the reference Config builder (reference src/writer.rs:22-52):
+    compression kind + level + block size, row-index stride for seekability,
+    and the stripe byte budget used by the partition planner."""
+
+    compression: str = "zstd"
+    level: int = 3  # reference zstd.rs:18
+    block_size: int = 262144  # reference snappy.rs:14
+    row_index_stride: int | None = 10_000  # reference writer.rs:33
+    stripe_size: int = 64 * 1024 * 1024  # reference writer.rs:34
+
 _TS_UNIT_NS = {"s": 1_000_000_000, "ms": 1_000_000, "us": 1_000, "ns": 1}
 
 
@@ -103,8 +119,12 @@ def _string_block(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     return data, (offs - offs[0]).astype(np.int64)
 
 
-def encode_column(arr: pa.Array, name: str) -> dict:
-    """Encode one column (recursively) -> node dict with raw stream bytes."""
+def encode_column(arr: pa.Array, name: str, force: dict | None = None) -> dict:
+    """Encode one column (recursively) -> node dict with raw stream bytes.
+
+    ``force`` optionally pins codec choices ({"DATA": name}) so row-group
+    chunks of one column share the selection made on the first chunk.
+    """
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     t = arr.type
@@ -128,7 +148,7 @@ def encode_column(arr: pa.Array, name: str) -> dict:
         # keep the native width: int32 token streams take the 32-bit-wide
         # encoder fast path (half the memory traffic, identical bytes)
         v = valid.to_numpy(zero_copy_only=False)
-        codec = selector.select_int_codec(v)
+        codec = (force or {}).get("DATA") or selector.select_int_codec(v)
         node["encoding"]["DATA"] = codec
         node["streams"]["DATA"] = selector.encode_ints(v, codec)
     elif pa.types.is_boolean(t):
@@ -168,7 +188,7 @@ def encode_column(arr: pa.Array, name: str) -> dict:
         node["encoding"]["SECONDARY"] = "rle_v2"
     elif pa.types.is_string(t) or pa.types.is_large_string(t):
         concat, offs = _string_block(valid)
-        codec = selector.select_string_codec(concat, offs)
+        codec = (force or {}).get("DATA") or selector.select_string_codec(concat, offs)
         node["encoding"]["DATA"] = codec
         node["streams"]["DATA"] = selector.encode_strings(concat, offs, codec)
     elif pa.types.is_binary(t) or pa.types.is_large_binary(t):
@@ -182,19 +202,19 @@ def encode_column(arr: pa.Array, name: str) -> dict:
         lens = lens.drop_null() if lens.null_count else lens
         node["streams"]["LENGTH"] = rle_v2.encode(lens.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.uint64), signed=False)
         node["encoding"]["LENGTH"] = "rle_v2"
-        node["children"].append(encode_column(valid.combine_chunks().flatten() if isinstance(valid, pa.ChunkedArray) else valid.flatten(), "item"))
+        node["children"].append(encode_column(valid.combine_chunks().flatten() if isinstance(valid, pa.ChunkedArray) else valid.flatten(), "item", _child_force(force, 0)))
     elif pa.types.is_struct(t):
         for i, f in enumerate(t):
             child = valid.field(i) if hasattr(valid, "field") else pc.struct_field(valid, i)
-            node["children"].append(encode_column(child, f.name))
+            node["children"].append(encode_column(child, f.name, _child_force(force, i)))
     elif pa.types.is_map(t):
         moffs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[arr.offset : arr.offset + len(arr) + 1]
         lens_all = np.diff(moffs).astype(np.int64)
         vmask = _validity(arr) if arr.null_count else np.ones(len(arr), bool)
         node["streams"]["LENGTH"] = rle_v2.encode(lens_all[vmask].astype(np.uint64), signed=False)
         node["encoding"]["LENGTH"] = "rle_v2"
-        node["children"].append(encode_column(valid.keys, "key"))
-        node["children"].append(encode_column(valid.items, "value"))
+        node["children"].append(encode_column(valid.keys, "key", _child_force(force, 0)))
+        node["children"].append(encode_column(valid.items, "value", _child_force(force, 1)))
     elif pa.types.is_union(t):
         # dense union: ByteRLE over child-index tags (reference union.rs:117-126)
         type_codes = np.frombuffer(arr.buffers()[1], dtype=np.int8)[arr.offset : arr.offset + len(arr)]
@@ -203,7 +223,7 @@ def encode_column(arr: pa.Array, name: str) -> dict:
         node["streams"]["TAGS"] = byte_rle.encode(tags)
         node["encoding"]["TAGS"] = "byte_rle"
         for i, f in enumerate(t):
-            node["children"].append(encode_column(arr.field(i), f.name))
+            node["children"].append(encode_column(arr.field(i), f.name, _child_force(force, i)))
     else:
         raise NotImplementedError(f"column type {t} not supported")
     return node
@@ -362,16 +382,75 @@ def _assemble_map(lens, keys, items, valid, n, t) -> pa.Array:
 # ------------------------------------------------------------ stripe assembly
 
 
+def _child_force(force: dict | None, i: int):
+    if not force:
+        return None
+    ch = force.get("children")
+    return ch[i] if ch and i < len(ch) else None
+
+
+def _extract_force(node: dict) -> dict:
+    """Codec choices of an encoded node, reusable to pin sibling chunks."""
+    return {"DATA": node["encoding"].get("DATA"), "children": [_extract_force(c) for c in node["children"]]}
+
+
 def _collect_nodes(node: dict, out: list) -> None:
+    if "chunks" in node:
+        for c in node["chunks"]:
+            _collect_nodes(c, out)
+        return
     out.append(node)
     for c in node["children"]:
         _collect_nodes(c, out)
 
 
-def encode_table(tbl: pa.Table, compression: str = "zstd", level: int = 3) -> tuple[bytes, dict]:
-    """Encode a Table into a stripe blob. Returns (bytes, meta summary)."""
+def encode_table(
+    tbl: pa.Table,
+    compression: str = "zstd",
+    level: int = 3,
+    row_index_stride: int | None = None,
+    config: EncoderConfig | None = None,
+) -> tuple[bytes, dict]:
+    """Encode a Table into a stripe blob. Returns (bytes, meta summary).
+
+    With ``row_index_stride`` (or a config that sets one), each column is
+    encoded as independent row-group chunks of stride rows — the row-index /
+    position-tracking parity feature (reference src/writer/data/common.rs:24-48):
+    ``decode_stripe(columns=..., row_range=...)`` then touches only the chunks
+    covering the range. Chunks share the codec selected on the first chunk.
+    """
+    if config is not None:
+        compression = config.compression
+        level = config.level
+        row_index_stride = config.row_index_stride
     comp = BlockCompressor(compression, level)
-    roots = [encode_column(tbl.column(i).combine_chunks(), tbl.schema.names[i]) for i in range(tbl.num_columns)]
+
+    n_rows = tbl.num_rows
+    roots: list[dict] = []
+    for i in range(tbl.num_columns):
+        col = tbl.column(i).combine_chunks()
+        name = tbl.schema.names[i]
+        if row_index_stride and n_rows > row_index_stride:
+            chunks = []
+            force = None
+            for lo in range(0, n_rows, row_index_stride):
+                sub = encode_column(col.slice(lo, min(row_index_stride, n_rows - lo)), name, force)
+                if force is None:
+                    force = _extract_force(sub)
+                chunks.append(sub)
+            root = {
+                "name": name,
+                "type": chunks[0]["type"],
+                "chunks": chunks,
+                "stride": row_index_stride,
+                "num_values": n_rows,
+                "encoding": chunks[0]["encoding"],
+                "children": [],
+                "stats": stats_mod.merge_all([stats_mod.ColumnStats.from_dict(c["stats"]) for c in chunks]).to_dict(),
+            }
+            roots.append(root)
+        else:
+            roots.append(encode_column(col, name))
 
     all_nodes: list[dict] = []
     for r in roots:
@@ -426,7 +505,7 @@ def encode_table(tbl: pa.Table, compression: str = "zstd", level: int = 3) -> tu
     return blob, meta
 
 
-def decode_stripe(blob: bytes) -> pa.Table:
+def read_header(blob: bytes) -> tuple[dict, int]:
     assert blob[:4] == MAGIC, "bad stripe magic"
     p = 4
     z = 0
@@ -439,12 +518,23 @@ def decode_stripe(blob: bytes) -> pa.Table:
             break
         shift += 7
     header = json.loads(blob[p : p + z].decode())
-    p += z
+    return header, p + z
+
+
+def decode_stripe(
+    blob: bytes,
+    columns: list[str] | None = None,
+    row_range: tuple[int, int] | None = None,
+) -> pa.Table:
+    """Decode a stripe; optionally project columns and/or a [lo, hi) row range.
+
+    With a row-indexed stripe, a row range touches only the covering chunks
+    (seekability); otherwise the column decodes fully and is sliced.
+    """
+    header, p = read_header(blob)
     comp_cfg = header["compression"]
 
-    streams: dict[int, dict[str, bytes]] = {}
-
-    def load(node: dict):
+    def load(node: dict, streams: dict):
         my = {}
         for kind, m in node["streams_meta"].items():
             raw = blob[p + m["off"] : p + m["off"] + m["len"]]
@@ -453,12 +543,40 @@ def decode_stripe(blob: bytes) -> pa.Table:
             my[kind] = raw
         streams[id(node)] = my
         for c in node["children"]:
-            load(c)
+            load(c, streams)
+
+    def decode_root(root: dict) -> pa.Array:
+        streams: dict[int, dict[str, bytes]] = {}
+        if "chunks" in root:
+            stride = root["stride"]
+            chunks = root["chunks"]
+            if row_range is not None:
+                lo, hi = row_range
+                c_lo = max(0, lo // stride)
+                c_hi = min(len(chunks), (max(hi, lo + 1) + stride - 1) // stride)
+            else:
+                c_lo, c_hi = 0, len(chunks)
+            parts = []
+            for c in chunks[c_lo:c_hi]:
+                load(c, streams)
+                parts.append(decode_column(c, streams))
+            arr = pa.concat_arrays([x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x for x in parts])
+            if row_range is not None:
+                lo, hi = row_range
+                arr = arr.slice(lo - c_lo * stride, hi - lo)
+            return arr
+        load(root, streams)
+        arr = decode_column(root, streams)
+        if row_range is not None:
+            lo, hi = row_range
+            arr = arr.slice(lo, hi - lo)
+        return arr
 
     arrays = []
     names = []
     for root in header["columns"]:
-        load(root)
-        arrays.append(decode_column(root, streams))
+        if columns is not None and root["name"] not in columns:
+            continue
+        arrays.append(decode_root(root))
         names.append(root["name"])
     return pa.table(arrays, names=names)
