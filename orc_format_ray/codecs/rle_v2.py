@@ -76,12 +76,38 @@ def _unzigzag_int(z: int) -> int:
     return (z >> 1) ^ -(z & 1)
 
 
+RUN_MIN = 16  # constant stretches at least this long get their own chunks
+
+
 def encode(values: np.ndarray, signed: bool = True) -> bytes:
+    """Encode with run-aware segmentation: long constant stretches become
+    dedicated DELTA(width 0) / SHORT_REPEAT chunks instead of being diced by
+    fixed 512 boundaries (which would force DIRECT mode on mixed chunks)."""
     v = np.asarray(values)
     v = v.astype(np.int64, copy=False) if signed else v.astype(np.uint64, copy=False).view(np.int64)
+    n = len(v)
     out: list[bytes] = []
-    for s in range(0, len(v), CHUNK):
-        _encode_chunk(out, v[s : s + CHUNK], signed)
+    if n == 0:
+        return b""
+    if n > RUN_MIN:
+        change = np.flatnonzero(v[1:] != v[:-1])
+        starts = np.concatenate(([0], change + 1))
+        lens = np.diff(np.concatenate((starts, [n])))
+        bigidx = np.flatnonzero(lens >= RUN_MIN)
+        prev = 0
+        for i in bigidx:
+            a = int(starts[i])
+            b = a + int(lens[i])
+            for s in range(prev, a, CHUNK):
+                _encode_chunk(out, v[s : min(s + CHUNK, a)], signed)
+            for s in range(a, b, CHUNK):
+                _encode_chunk(out, v[s : min(s + CHUNK, b)], signed)
+            prev = b
+        for s in range(prev, n, CHUNK):
+            _encode_chunk(out, v[s : min(s + CHUNK, n)], signed)
+    else:
+        for s in range(0, n, CHUNK):
+            _encode_chunk(out, v[s : s + CHUNK], signed)
     return b"".join(out)
 
 
