@@ -59,6 +59,17 @@ INT_CODECS = {
 }
 
 
+def register_int_codec(name: str, encode_fn, decode_fn) -> None:
+    """Extension surface (parity with the reference's pluggable
+    CompressionTrait, reference src/writer/compression/common.rs:6-14):
+    registered codecs join the auto-selection menu and stripe decode."""
+    INT_CODECS[name] = (encode_fn, decode_fn)
+
+
+def register_string_codec(name: str, encode_fn, decode_fn) -> None:
+    STRING_CODECS[name] = (encode_fn, decode_fn)
+
+
 def _sample_ints(v: np.ndarray, k: int = SAMPLE_VALUES) -> np.ndarray:
     n = len(v)
     if n <= k:

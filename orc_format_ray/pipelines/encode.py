@@ -212,4 +212,13 @@ def encode_blocks(ds, out_dir: str, compression: str = "zstd", level: int = 3, t
                 [{"path": sp, "num_rows": meta["num_rows"], "encoded_bytes": meta["encoded_bytes"]}]
             )
 
-    return ds.map_batches(_EncodeBlock, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    from .._rayutil import pool_size, remote_args
+
+    return ds.map_batches(
+        _EncodeBlock,
+        batch_format="pyarrow",
+        batch_size=None,
+        zero_copy_batch=True,
+        concurrency=pool_size(),
+        **remote_args(),
+    )

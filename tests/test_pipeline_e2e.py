@@ -123,3 +123,43 @@ def test_stats_merge_matches_global(corpus):
     merged = st.merge_all(partials)
     direct = st.compute(whole[col].combine_chunks())
     assert merged.to_dict() == direct.to_dict()
+
+
+def test_encode_blocks_streaming_variant(ray_session, corpus, tmp_path):
+    """Mid-pipeline Dataset -> stripes without a storage plan (one per block)."""
+    import ray.data
+
+    d, paths = corpus
+    out_dir = str(tmp_path / "blocks")
+    ds = ray.data.read_parquet(paths)
+    res = enc.encode_blocks(ds, out_dir).take_all()
+    assert sum(r["num_rows"] for r in res) == 3000
+    decoded = pa.concat_tables(
+        list(enc.decode_dataset(out_dir).iter_batches(batch_size=10**7, batch_format="pyarrow"))
+    ).sort_by("doc_id")
+    original = pa.concat_tables([pq.read_table(p) for p in paths]).sort_by("doc_id")
+    assert decoded.equals(original)
+
+
+def test_custom_codec_registration():
+    """Extension surface: a user codec joins selection + decode."""
+    import numpy as np
+
+    from orc_format_ray.codecs import selector
+
+    def enc_neg(v):
+        return (-np.asarray(v, dtype=np.int64)).tobytes()
+
+    def dec_neg(b):
+        return -np.frombuffer(b, dtype=np.int64)
+
+    selector.register_int_codec("negate_raw", enc_neg, dec_neg)
+    try:
+        v = np.array([5, -3, 7], dtype=np.int64)
+        out = selector.encode_ints(v, "negate_raw")
+        np.testing.assert_array_equal(selector.decode_ints(out, "negate_raw"), v)
+        assert "negate_raw" in selector.INT_CODECS
+        # and it participates in selection without breaking it
+        assert selector.select_int_codec(np.arange(100)) in selector.INT_CODECS
+    finally:
+        del selector.INT_CODECS["negate_raw"]
