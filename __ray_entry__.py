@@ -318,6 +318,21 @@ def _q_encode_roundtrip_by_source(sf_dir: str):
     return decoded.groupby("source").aggregate(Count(alias_name="n_docs"), Sum("n_tok", alias_name="sum_n_tok"))
 
 
+def _q_file_stats_ntok(sf_dir: str):
+    """File-level merged statistics (stripe -> file fold + .ory assembly)
+    cross-checked against SQL aggregates over the same documents."""
+    from orc_format_ray import file as fmod
+
+    _q_encode_roundtrip_by_source(sf_dir)  # ensure stripes exist
+    scratch = _scratch(sf_dir, "roundtrip")
+    ory = os.path.join(scratch, "all.ory")
+    fmod.assemble_dir(os.path.join(scratch, "stripes"), ory)
+    st = fmod.FileReader(ory).statistics()["n_tok"]
+    return pa.Table.from_pylist(
+        [{"num_values": st["num_values"], "min_v": st["min"], "max_v": st["max"], "sum_v": st["sum"]}]
+    )
+
+
 def _q_ivf_ann_topk(sf_dir: str):
     import ray.data
 
@@ -360,6 +375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_per_doc": _q_quality_per_doc,
         "ann_topk_embeddings": _q_ann_topk_embeddings,
         "encode_roundtrip_by_source": _q_encode_roundtrip_by_source,
+        "file_stats_ntok": _q_file_stats_ntok,
         # non-SQL-expressible (rows-only checks)
         "minhash_candidates": _q_minhash_candidates,
         "simhash_pairs": _q_simhash_pairs,
@@ -431,5 +447,10 @@ def oracle_sql() -> dict[str, str]:
         "encode_roundtrip_by_source": (
             f"SELECT source, count(*) AS n_docs, CAST(sum({_TOKCOUNT_SQL}) AS BIGINT) AS sum_n_tok "
             "FROM documents GROUP BY source"
+        ),
+        "file_stats_ntok": (
+            f"SELECT count(*) AS num_values, CAST(min({_TOKCOUNT_SQL}) AS BIGINT) AS min_v, "
+            f"CAST(max({_TOKCOUNT_SQL}) AS BIGINT) AS max_v, CAST(sum({_TOKCOUNT_SQL}) AS BIGINT) AS sum_v "
+            "FROM documents"
         ),
     }
