@@ -40,7 +40,8 @@ from .codecs import boolean_rle, byte_rle, int_rle_v1, rle_v2, selector
 from .codecs.varint import varint_encode_bigint, varint_decode_bigint
 from .compression import BlockCompressor
 
-MAGIC = b"ORY1"
+MAGIC = b"ORY1"  # uncompressed-header stripes (still readable)
+MAGIC2 = b"ORY2"  # zstd-compressed header JSON
 TS_EPOCH_SECONDS = 1420070400  # 2015-01-01T00:00:00Z, reference timestamp.rs:62-63
 MIN_COMPRESS_BYTES = 64
 
@@ -194,14 +195,18 @@ def encode_column(arr: pa.Array, name: str, force: dict | None = None) -> dict:
     elif pa.types.is_binary(t) or pa.types.is_large_binary(t):
         concat, offs = _string_block(valid)
         node["streams"]["DATA"] = concat.tobytes()
-        node["streams"]["LENGTH"] = rle_v2.encode(np.diff(offs).astype(np.uint64), signed=False)
+        lv = np.diff(offs)
+        lcodec = (force or {}).get("LENGTH") or selector.select_int_codec(lv)
+        node["streams"]["LENGTH"] = selector.encode_ints(lv, lcodec)
         node["encoding"]["DATA"] = "raw"
-        node["encoding"]["LENGTH"] = "rle_v2"
+        node["encoding"]["LENGTH"] = lcodec
     elif pa.types.is_list(t) or pa.types.is_large_list(t):
         lens = pc.list_value_length(arr)
         lens = lens.drop_null() if lens.null_count else lens
-        node["streams"]["LENGTH"] = rle_v2.encode(lens.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.uint64), signed=False)
-        node["encoding"]["LENGTH"] = "rle_v2"
+        lv = lens.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        lcodec = (force or {}).get("LENGTH") or selector.select_int_codec(lv)
+        node["streams"]["LENGTH"] = selector.encode_ints(lv, lcodec)
+        node["encoding"]["LENGTH"] = lcodec
         node["children"].append(encode_column(valid.combine_chunks().flatten() if isinstance(valid, pa.ChunkedArray) else valid.flatten(), "item", _child_force(force, 0)))
     elif pa.types.is_struct(t):
         for i, f in enumerate(t):
@@ -211,8 +216,10 @@ def encode_column(arr: pa.Array, name: str, force: dict | None = None) -> dict:
         moffs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[arr.offset : arr.offset + len(arr) + 1]
         lens_all = np.diff(moffs).astype(np.int64)
         vmask = _validity(arr) if arr.null_count else np.ones(len(arr), bool)
-        node["streams"]["LENGTH"] = rle_v2.encode(lens_all[vmask].astype(np.uint64), signed=False)
-        node["encoding"]["LENGTH"] = "rle_v2"
+        lv = lens_all[vmask]
+        lcodec = (force or {}).get("LENGTH") or selector.select_int_codec(lv)
+        node["streams"]["LENGTH"] = selector.encode_ints(lv, lcodec)
+        node["encoding"]["LENGTH"] = lcodec
         node["children"].append(encode_column(valid.keys, "key", _child_force(force, 0)))
         node["children"].append(encode_column(valid.items, "value", _child_force(force, 1)))
     elif pa.types.is_union(t):
@@ -285,7 +292,7 @@ def decode_column(node: dict, streams: dict) -> pa.Array:
         return pa.array(out, type=t)
     if pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t) or pa.types.is_large_binary(t):
         if pa.types.is_binary(t) or pa.types.is_large_binary(t):
-            lens = rle_v2.decode(my["LENGTH"], signed=False)[:n_present].astype(np.int64)
+            lens = selector.decode_ints(my["LENGTH"], node["encoding"]["LENGTH"])[:n_present].astype(np.int64)
             offs = np.zeros(n_present + 1, dtype=np.int64)
             np.cumsum(lens, out=offs[1:])
             concat = np.frombuffer(my["DATA"], dtype=np.uint8)
@@ -293,7 +300,7 @@ def decode_column(node: dict, streams: dict) -> pa.Array:
             concat, offs = selector.decode_strings(my["DATA"], node["encoding"]["DATA"])
         return _assemble_varlen(concat, offs, valid, n, t)
     if pa.types.is_list(t) or pa.types.is_large_list(t):
-        lens = rle_v2.decode(my["LENGTH"], signed=False)[:n_present].astype(np.int64)
+        lens = selector.decode_ints(my["LENGTH"], node["encoding"]["LENGTH"])[:n_present].astype(np.int64)
         child = decode_column(node["children"][0], streams)
         return _assemble_list(lens, child, valid, n, t)
     if pa.types.is_struct(t):
@@ -309,7 +316,7 @@ def decode_column(node: dict, streams: dict) -> pa.Array:
         vb = np.packbits(valid.astype(np.uint8), bitorder="little")
         return pa.StructArray.from_buffers(t, n, [pa.py_buffer(vb.tobytes())], children=[c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in full_children])
     if pa.types.is_map(t):
-        lens = rle_v2.decode(my["LENGTH"], signed=False)[:n_present].astype(np.int64)
+        lens = selector.decode_ints(my["LENGTH"], node["encoding"]["LENGTH"])[:n_present].astype(np.int64)
         keys = decode_column(node["children"][0], streams)
         items = decode_column(node["children"][1], streams)
         return _assemble_map(lens, keys, items, valid, n, t)
@@ -391,7 +398,11 @@ def _child_force(force: dict | None, i: int):
 
 def _extract_force(node: dict) -> dict:
     """Codec choices of an encoded node, reusable to pin sibling chunks."""
-    return {"DATA": node["encoding"].get("DATA"), "children": [_extract_force(c) for c in node["children"]]}
+    return {
+        "DATA": node["encoding"].get("DATA"),
+        "LENGTH": node["encoding"].get("LENGTH"),
+        "children": [_extract_force(c) for c in node["children"]],
+    }
 
 
 def _collect_nodes(node: dict, out: list) -> None:
@@ -486,15 +497,20 @@ def encode_table(
         "raw_stream_bytes": raw_total,
     }
     hjson = json.dumps(header).encode()
-    hlen = bytearray()
-    z = len(hjson)
-    while True:
-        if z < 0x80:
-            hlen.append(z)
-            break
-        hlen.append(0x80 | (z & 0x7F))
-        z >>= 7
-    blob = b"".join([MAGIC, bytes(hlen), hjson] + payload)
+
+    def _vint(z: int) -> bytes:
+        out = bytearray()
+        while True:
+            if z < 0x80:
+                out.append(z)
+                return bytes(out)
+            out.append(0x80 | (z & 0x7F))
+            z >>= 7
+
+    # headers are highly repetitive JSON; compressing them keeps the metadata
+    # overhead of many small stripes negligible vs the reference's protobuf
+    hcomp = pa.Codec("zstd", compression_level=3).compress(hjson).to_pybytes()
+    blob = b"".join([MAGIC2, _vint(len(hcomp)), _vint(len(hjson)), hcomp] + payload)
     meta = {
         "num_rows": tbl.num_rows,
         "encoded_bytes": len(blob),
@@ -506,19 +522,29 @@ def encode_table(
 
 
 def read_header(blob: bytes) -> tuple[dict, int]:
-    assert blob[:4] == MAGIC, "bad stripe magic"
+    magic = blob[:4]
+    if magic not in (MAGIC, MAGIC2):
+        raise ValueError("bad stripe magic")
     p = 4
-    z = 0
-    shift = 0
-    while True:
-        byte = blob[p]
-        p += 1
-        z |= (byte & 0x7F) << shift
-        if byte < 0x80:
-            break
-        shift += 7
-    header = json.loads(blob[p : p + z].decode())
-    return header, p + z
+
+    def _rv(p: int) -> tuple[int, int]:
+        z = 0
+        shift = 0
+        while True:
+            byte = blob[p]
+            p += 1
+            z |= (byte & 0x7F) << shift
+            if byte < 0x80:
+                return z, p
+            shift += 7
+
+    if magic == MAGIC2:
+        clen, p = _rv(p)
+        rlen, p = _rv(p)
+        hjson = pa.Codec("zstd").decompress(blob[p : p + clen], decompressed_size=rlen).to_pybytes()
+        return json.loads(hjson.decode()), p + clen
+    z, p = _rv(p)
+    return json.loads(blob[p : p + z].decode()), p + z
 
 
 def decode_stripe(
