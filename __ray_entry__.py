@@ -333,6 +333,29 @@ def _q_file_stats_ntok(sf_dir: str):
     )
 
 
+def _q_seek_row_range(sf_dir: str):
+    """Row-index seekability: read rows [100, 200) of the doc_id-sorted
+    tokens corpus via the .ory stripe directory + ranged chunk decode —
+    no full-table scan. Oracle = ORDER BY + LIMIT/OFFSET over documents."""
+    from orc_format_ray import file as fmod
+
+    _q_file_stats_ntok(sf_dir)  # ensures the assembled .ory exists
+    scratch = _scratch(sf_dir, "roundtrip")
+    r = fmod.FileReader(os.path.join(scratch, "all.ory"))
+    lo, hi = 100, 200
+    # locate covering stripes from the footer directory
+    out = []
+    row0 = 0
+    for i, s in enumerate(r.stripes):
+        a, b = row0, row0 + s["num_rows"]
+        if b > lo and a < hi:
+            part = r.read_stripe(i, columns=["doc_id", "n_tok"], row_range=(max(lo - a, 0), min(hi, b) - a))
+            out.append(part)
+        row0 = b
+    tbl = pa.concat_tables(out)
+    return tbl
+
+
 def _q_ivf_ann_topk(sf_dir: str):
     import ray.data
 
@@ -376,6 +399,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_embeddings": _q_ann_topk_embeddings,
         "encode_roundtrip_by_source": _q_encode_roundtrip_by_source,
         "file_stats_ntok": _q_file_stats_ntok,
+        "seek_row_range": _q_seek_row_range,
         # non-SQL-expressible (rows-only checks)
         "minhash_candidates": _q_minhash_candidates,
         "simhash_pairs": _q_simhash_pairs,
@@ -452,5 +476,10 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT count(*) AS num_values, CAST(min({_TOKCOUNT_SQL}) AS BIGINT) AS min_v, "
             f"CAST(max({_TOKCOUNT_SQL}) AS BIGINT) AS max_v, CAST(sum({_TOKCOUNT_SQL}) AS BIGINT) AS sum_v "
             "FROM documents"
+        ),
+        "seek_row_range": (
+            "SELECT source || '/' || CAST(doc_id AS VARCHAR) AS doc_id, "
+            f"CAST({_TOKCOUNT_SQL} AS INTEGER) AS n_tok FROM documents "
+            "ORDER BY doc_id LIMIT 100 OFFSET 100"
         ),
     }

@@ -136,10 +136,14 @@ def scaling() -> None:
     hi = int(os.environ.get("SCALE_HI", "8"))
     reps = int(os.environ.get("SCALE_REPS", "3"))
     # the sandbox is a shared/virtualized box with heavy run-to-run variance
-    # (identical runs measured 9s..16s); best-of-N per level isolates the
-    # engine's scaling from neighbor noise
-    r_lo = min((run(lo) for _ in range(reps)), key=lambda r: r["value"])
-    r_hi = min((run(hi) for _ in range(reps)), key=lambda r: r["value"])
+    # (identical runs measured 9s..16s); the MEDIAN per level is robust to a
+    # single lucky/unlucky run on either leg (best-of-N is not)
+    def median_run(ncpu: int) -> dict:
+        rs = sorted((run(ncpu) for _ in range(reps)), key=lambda r: r["value"])
+        return rs[len(rs) // 2]
+
+    r_lo = median_run(lo)
+    r_hi = median_run(hi)
     tput_lo = r_lo["tokens_per_sec"]
     tput_hi = r_hi["tokens_per_sec"]
     eff = (tput_hi / tput_lo) / (hi / lo)

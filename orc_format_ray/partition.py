@@ -82,21 +82,35 @@ def plan_partitions(
             cur = PartitionSpec(pid=len(specs))
             acc = 0
 
+    # prefetch exact per-row-group weights in parallel (pyarrow releases the
+    # GIL; the planner itself stays serial + deterministic)
+    weight_cache: dict[tuple[str, int], np.ndarray] = {}
+    if exact_ntok:
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _load(path: str):
+            pf = pq.ParquetFile(path)
+            if ntok_column not in pf.metadata.schema.to_arrow_schema().names:
+                return
+            for rg in range(pf.metadata.num_row_groups):
+                col = pf.read_row_group(rg, columns=[ntok_column]).column(0)
+                weight_cache[(path, rg)] = col.to_numpy(zero_copy_only=False).astype(np.int64) * 4
+
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            list(ex.map(_load, sorted(paths)))
+
     for path in sorted(paths):
         pf = pq.ParquetFile(path)
         md = pf.metadata
-        has_ntok = ntok_column in md.schema.to_arrow_schema().names
         for rg in range(md.num_row_groups):
             rgmd = md.row_group(rg)
             nrows = rgmd.num_rows
             if nrows == 0:
                 continue
-            if exact_ntok and has_ntok:
-                ntok = pf.read_row_group(rg, columns=[ntok_column]).column(0).to_numpy(zero_copy_only=False).astype(np.int64)
-                weights = ntok * 4
+            weights = weight_cache.get((path, rg))
+            if weights is not None:
                 total = int(weights.sum())
             else:
-                weights = None
                 total = rgmd.total_byte_size
 
             if total <= budget_bytes - acc:

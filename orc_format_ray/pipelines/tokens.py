@@ -152,6 +152,8 @@ def write_synthetic_corpus(out_dir: str, n_rows: int, n_shards: int = 8, seed: i
         path = os.path.join(out_dir, f"tokens-{sh:04d}.parquet")
         if not os.path.exists(path):
             tbl = synthetic_batch(rows, seed, sh)
-            pq.write_table(tbl, path, row_group_size=4096)
+            # ~512 rows/group ~= 3.5 MB of tokens: partitions align to whole
+            # row groups, so encode tasks read without row-group amplification
+            pq.write_table(tbl, path, row_group_size=512)
         paths.append(path)
     return paths
