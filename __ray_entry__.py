@@ -356,6 +356,23 @@ def _q_seek_row_range(sf_dir: str):
     return tbl
 
 
+def _q_clean_summary_by_source(sf_dir: str):
+    """Composed cleaning pipeline (quality filter -> exact dedup) summary."""
+    from orc_format_ray.pipelines import clean
+
+    return clean.clean_summary_by_source(sf_dir)
+
+
+def _q_minhash_dedup_pairs(sf_dir: str):
+    import ray.data
+
+    from orc_format_ray.ops import dedup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    tbl = dedup.minhash_dedup(ds, threshold=0.4)
+    return tbl.to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True) if tbl.num_rows else tbl.to_pandas()
+
+
 def _q_ivf_ann_topk(sf_dir: str):
     import ray.data
 
@@ -400,6 +417,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "encode_roundtrip_by_source": _q_encode_roundtrip_by_source,
         "file_stats_ntok": _q_file_stats_ntok,
         "seek_row_range": _q_seek_row_range,
+        "clean_summary_by_source": _q_clean_summary_by_source,
+        "minhash_dedup_pairs": _q_minhash_dedup_pairs,
         # non-SQL-expressible (rows-only checks)
         "minhash_candidates": _q_minhash_candidates,
         "simhash_pairs": _q_simhash_pairs,
@@ -481,5 +500,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source || '/' || CAST(doc_id AS VARCHAR) AS doc_id, "
             f"CAST({_TOKCOUNT_SQL} AS INTEGER) AS n_tok FROM documents "
             "ORDER BY doc_id LIMIT 100 OFFSET 100"
+        ),
+        "clean_summary_by_source": (
+            "WITH q AS ("
+            f"  SELECT *, CAST({_TOKCOUNT_SQL} AS BIGINT) AS tokc, "
+            "         round(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))"
+            "               / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS pr"
+            "  FROM documents"
+            "), f AS (SELECT * FROM q WHERE pr < 0.2 AND tokc >= 5), "
+            "d AS (SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM f) "
+            "SELECT source, count(*) AS n_docs, CAST(sum(tokc) AS BIGINT) AS sum_tok "
+            "FROM d WHERE rn = 1 GROUP BY source"
         ),
     }

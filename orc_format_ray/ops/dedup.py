@@ -177,6 +177,57 @@ def minhash_candidates(ds, num_perm: int = 64, bands: int = 16, shingle_k: int =
     return band_rows.groupby(["band_id", "band_hash"]).map_groups(bucket, batch_format="pandas", **remote_args())
 
 
+def minhash_dedup(ds, threshold: float = 0.5, num_perm: int = 64, bands: int = 16, shingle_k: int = 3):
+    """Full near-dup pipeline: shingle -> minhash -> LSH bands -> candidate
+    buckets -> exact n-gram Jaccard verification -> confirmed pairs.
+
+    Scale shape: the LSH stage shuffles only (band, hash, doc_id) rows; the
+    verification stage fetches ONLY the candidate docs' texts via a
+    broadcast-candidate-set semi-join (candidates are sparse relative to the
+    corpus, so the fetched set is small; at 10^12 scale swap the driver-side
+    collect for a bucketed hash-join keyed on doc_id).
+    Returns a pyarrow Table (doc_a, doc_b, jaccard).
+    """
+    import pyarrow as pa_
+    import ray
+
+    cands = minhash_candidates(ds, num_perm, bands, shingle_k).to_pandas()
+    pairs: set[tuple] = set()
+    for ids in cands["doc_ids"]:
+        ids = list(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pairs.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
+    if not pairs:
+        return pa_.table({"doc_a": pa_.array([], pa_.int64()), "doc_b": pa_.array([], pa_.int64()), "jaccard": pa_.array([], pa_.float64())})
+
+    cand_docs = sorted({d for p in pairs for d in p})
+    ref = ray.put(set(cand_docs))
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        want = ray.get(ref)
+        mask = pc.is_in(batch["doc_id"], value_set=pa.array(sorted(want), type=batch["doc_id"].type))
+        return batch.filter(mask).select(["doc_id", "text"])
+
+    got = pa.concat_tables(
+        list(
+            ds.map_batches(fetch, batch_format="pyarrow", zero_copy_batch=True, **remote_args()).iter_batches(
+                batch_size=1 << 20, batch_format="pyarrow"
+            )
+        )
+    )
+    texts = dict(zip(got["doc_id"].to_pylist(), got["text"].to_pylist()))
+    rows = []
+    for a, b in sorted(pairs):
+        if a in texts and b in texts:
+            jac = jaccard_ngrams(texts[a], texts[b], shingle_k)
+            if jac >= threshold:
+                rows.append({"doc_a": a, "doc_b": b, "jaccard": round(jac, 6)})
+    if not rows:
+        return pa_.table({"doc_a": pa_.array([], pa_.int64()), "doc_b": pa_.array([], pa_.int64()), "jaccard": pa_.array([], pa_.float64())})
+    return pa_.Table.from_pylist(rows)
+
+
 def jaccard_ngrams(a: str, b: str, k: int = 3) -> float:
     """n-gram (word k-shingle) Jaccard similarity — candidate verification."""
     aw = a.lower().split()

@@ -1,0 +1,71 @@
+"""Composed training-data cleaning pipeline: quality filter -> exact dedup ->
+tokenize -> stripe-encode.
+
+The end-to-end shape a 100 TB corpus run takes: every stage is a streaming
+Ray Data transform; the only shuffle is the dedup groupby over content
+hashes (raw text pre-aggregated per batch first); encode output is resumable
+per partition via the lineage manifest.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .._rayutil import remote_args
+from ..ops import dedup, text as tx
+
+MAX_PUNCT_RATIO = 0.2
+MIN_TOKENS = 5
+
+
+def quality_filter(batch: pa.Table) -> pa.Table:
+    """Keep docs with punct_ratio < MAX_PUNCT_RATIO and >= MIN_TOKENS tokens."""
+    scored = tx.quality_score(batch)
+    keep = pc.and_(
+        pc.less(scored["punct_ratio"], MAX_PUNCT_RATIO),
+        pc.greater_equal(scored["tok_count"], MIN_TOKENS),
+    )
+    return batch.filter(keep)
+
+
+def clean_documents(sf_dir: str):
+    """documents -> quality-filtered, exact-deduped survivor rows (Dataset)."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"])
+    filtered = ds.map_batches(quality_filter, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    return dedup.exact_dedup(filtered, column="text")
+
+
+def clean_summary_by_source(sf_dir: str) -> pa.Table:
+    """Survivor counts + token sums per source (the SQL-checkable view)."""
+    from ray.data.aggregate import Count, Sum
+
+    survivors = clean_documents(sf_dir)
+    counted = survivors.map_batches(tx.token_count, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    out = counted.groupby("source").aggregate(Count(alias_name="n_docs"), Sum("n_tok", alias_name="sum_tok"))
+    return out
+
+
+def clean_and_encode(sf_dir: str, out_dir: str, budget_bytes: int = 8 * 1024 * 1024) -> dict:
+    """Full pipeline: clean -> tokenize -> encode to stripes with lineage."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from . import encode as enc
+    from . import tokens as tok
+
+    survivors = clean_documents(sf_dir)
+    tokens_tbl = pa.concat_tables(
+        list(
+            survivors.map_batches(tok.tokenize_batch, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+            .iter_batches(batch_size=1 << 22, batch_format="pyarrow")
+        )
+    ).sort_by("doc_id")
+    os.makedirs(out_dir, exist_ok=True)
+    tok_path = os.path.join(out_dir, "tokens_clean.parquet")
+    pq.write_table(tokens_tbl, tok_path, row_group_size=2048)
+    return enc.encode_dataset([tok_path], os.path.join(out_dir, "stripes"), budget_bytes=budget_bytes)

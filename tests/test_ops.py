@@ -172,3 +172,27 @@ def test_frame_sampling_stub():
     out = multimodal.SampleFrames(every_n=2, frame_bytes=256)(tbl)
     assert out.num_rows >= 4
     assert set(out.schema.names) == {"media_id", "frame_index", "frame"}
+
+
+def test_minhash_dedup_verified_pairs(ray_session):
+    import ray.data
+
+    base = "the quick brown fox jumps over the lazy dog again and again in the yard today"
+    near = base.replace("lazy", "sleepy")
+    far = "completely different content about ray data pipelines and arrow record batches"
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "text": [base, near, far]})
+    out = dedup.minhash_dedup(ray.data.from_pandas(df), threshold=0.4).to_pandas()
+    got = set(out[["doc_a", "doc_b"]].apply(tuple, axis=1)) if len(out) else set()
+    assert (1, 2) in got
+    assert all(3 not in p for p in got)
+    jac = out[(out.doc_a == 1) & (out.doc_b == 2)]["jaccard"].iloc[0]
+    assert 0.4 <= jac <= 1.0
+
+
+def test_clean_pipeline_summary(ray_session):
+    from orc_format_ray.pipelines import clean
+
+    out = clean.clean_summary_by_source("/root/testdata/sf0.001")
+    df = out.to_pandas()
+    assert df["n_docs"].sum() > 0
+    assert (df["sum_tok"] >= df["n_docs"] * 5).all()  # min-token filter held
