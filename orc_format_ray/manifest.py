@@ -43,8 +43,15 @@ def write_blob_atomic(path: str, blob: bytes) -> None:
     os.replace(tmp, path)
 
 
-def load_completed(out_dir: str) -> dict[int, dict]:
-    """pid -> lineage record, for partitions whose stripe file checks out."""
+def load_completed(out_dir: str, verify_crc: bool = False) -> dict[int, dict]:
+    """pid -> lineage record, for partitions whose stripe file checks out.
+
+    The cheap check is size equality; ``verify_crc=True`` additionally
+    re-hashes the stripe bytes against the recorded blob checksum, so silent
+    on-disk corruption forces a re-encode of exactly that partition.
+    """
+    import zlib
+
     mdir = manifest_dir(out_dir)
     done: dict[int, dict] = {}
     if not os.path.isdir(mdir):
@@ -58,8 +65,13 @@ def load_completed(out_dir: str) -> dict[int, dict]:
         except (json.JSONDecodeError, OSError):
             continue
         sp = stripe_path(out_dir, rec["pid"])
-        if os.path.exists(sp) and os.path.getsize(sp) == rec["encoded_bytes"]:
-            done[rec["pid"]] = rec
+        if not (os.path.exists(sp) and os.path.getsize(sp) == rec["encoded_bytes"]):
+            continue
+        if verify_crc and "blob_crc32" in rec:
+            with open(sp, "rb") as f:
+                if zlib.crc32(f.read()) != rec["blob_crc32"]:
+                    continue
+        done[rec["pid"]] = rec
     return done
 
 

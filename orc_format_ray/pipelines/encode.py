@@ -64,8 +64,11 @@ class EncodePartition:
             t_enc = time.perf_counter() - t0 - t_read
             sp = mf.stripe_path(self.out_dir, spec.pid)
             mf.write_blob_atomic(sp, blob)
+            import zlib
+
             record = {
                 "pid": spec.pid,
+                "blob_crc32": zlib.crc32(blob),
                 "input_fragments": [[s.path, s.row_group, s.row_lo, s.row_hi] for s in spec.slices],
                 "codecs": meta["codecs"],
                 "num_rows": meta["num_rows"],
@@ -106,6 +109,7 @@ def encode_dataset(
     concurrency: int | None = None,
     exact_ntok: bool = True,
     use_actors: bool = False,
+    verify_crc: bool = False,
 ) -> dict:
     """Encode a tokens-table parquet corpus into stripes. Returns a summary."""
     import ray.data
@@ -114,7 +118,7 @@ def encode_dataset(
         input_paths = sorted(glob.glob(os.path.join(input_paths, "*.parquet")) or [input_paths])
     os.makedirs(out_dir, exist_ok=True)
     specs = plan_partitions(input_paths, budget_bytes, exact_ntok=exact_ntok)
-    done = mf.load_completed(out_dir) if resume else {}
+    done = mf.load_completed(out_dir, verify_crc=verify_crc) if resume else {}
     todo = [s for s in specs if s.pid not in done]
 
     results: list[dict] = [

@@ -163,3 +163,23 @@ def test_custom_codec_registration():
         assert selector.select_int_codec(np.arange(100)) in selector.INT_CODECS
     finally:
         del selector.INT_CODECS["negate_raw"]
+
+
+def test_resume_detects_corruption(ray_session, corpus, tmp_path):
+    """A silently corrupted stripe is re-encoded when verify_crc is on."""
+    d, paths = corpus
+    out_dir = str(tmp_path / "stripes")
+    s1 = enc.encode_dataset(paths, out_dir, budget_bytes=512 * 1024)
+    victim = mf.stripe_path(out_dir, 1)
+    blob = bytearray(open(victim, "rb").read())
+    blob[len(blob) // 2] ^= 0xFF  # same size, different bytes
+    open(victim, "wb").write(bytes(blob))
+    # size-only resume misses it
+    s2 = enc.encode_dataset(paths, out_dir, budget_bytes=512 * 1024)
+    assert s2["encoded"] == 0
+    # crc-verifying resume repairs exactly that partition
+    s3 = enc.encode_dataset(paths, out_dir, budget_bytes=512 * 1024, verify_crc=True)
+    assert s3["encoded"] == 1 and s3["skipped"] == s1["partitions"] - 1
+    fresh = str(tmp_path / "fresh")
+    enc.encode_dataset(paths, fresh, budget_bytes=512 * 1024)
+    assert open(victim, "rb").read() == open(mf.stripe_path(fresh, 1), "rb").read()
