@@ -356,6 +356,16 @@ def _q_seek_row_range(sf_dir: str):
     return tbl
 
 
+def _q_window_agg_events(sf_dir: str):
+    """Tumbling 1-hour windows over the events log (streaming-shaped op)."""
+    import ray.data
+
+    from orc_format_ray.ops import windows
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+    return windows.tumbling_window_agg(ds, window_sec=3600)
+
+
 def _q_clean_summary_by_source(sf_dir: str):
     """Composed cleaning pipeline (quality filter -> exact dedup) summary."""
     from orc_format_ray.pipelines import clean
@@ -418,6 +428,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "file_stats_ntok": _q_file_stats_ntok,
         "seek_row_range": _q_seek_row_range,
         "clean_summary_by_source": _q_clean_summary_by_source,
+        "window_agg_events": _q_window_agg_events,
         "minhash_dedup_pairs": _q_minhash_dedup_pairs,
         # non-SQL-expressible (rows-only checks)
         "minhash_candidates": _q_minhash_candidates,
@@ -511,5 +522,10 @@ def oracle_sql() -> dict[str, str]:
             "d AS (SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM f) "
             "SELECT source, count(*) AS n_docs, CAST(sum(tokc) AS BIGINT) AS sum_tok "
             "FROM d WHERE rn = 1 GROUP BY source"
+        ),
+        "window_agg_events": (
+            "SELECT event_type, (epoch_ms(ts) // 3600000) * 3600000 AS window_start_ms, "
+            "round(sum(value), 2) AS sum_value, count(*) AS cnt "
+            "FROM events GROUP BY event_type, window_start_ms"
         ),
     }

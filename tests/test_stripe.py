@@ -180,3 +180,12 @@ def test_row_index_with_nulls_and_config():
     assert stripe.decode_stripe(blob).equals(tbl)
     part = stripe.decode_stripe(blob, row_range=(499, 1501))
     assert part.equals(tbl.slice(499, 1002))
+
+
+def test_snappy_compression_roundtrip():
+    n = 5000
+    tbl = pa.table({"v": pa.array(np.repeat(rng.integers(0, 9, n // 10), 10).astype(np.int64)), "s": pa.array([f"s{i%7}" for i in range(n)])})
+    blob, meta = stripe.encode_table(tbl, compression="snappy")
+    assert stripe.decode_stripe(blob).equals(tbl)
+    blob_none, _ = stripe.encode_table(tbl, compression="none")
+    assert stripe.decode_stripe(blob_none).equals(tbl)
