@@ -114,21 +114,38 @@ class SymbolTable:
 
 
 def _match_tables(st: SymbolTable, concat: np.ndarray, ends_at: np.ndarray):
-    """best (match_len, sym_id) at every byte position, vectorized per length."""
+    """best (match_len, sym_id) at every byte position, vectorized per length.
+
+    One pass builds the 8-byte rolling key; shorter window keys are derived
+    by right-shifting (top L bytes of key8), avoiding per-length passes.
+    """
     n = len(concat)
     mlen = np.zeros(n, dtype=np.int64)
     mid = np.full(n, -1, dtype=np.int64)
+    if n == 0:
+        return mlen, mid
+    cu = concat.astype(np.uint64)
+    # key8[p] = bytes p..p+7 big-endian packed (positions 0..n-8)
+    n8 = max(n - MAX_SYM_LEN + 1, 0)
+    key8 = np.zeros(n8, dtype=np.uint64)
+    for i in range(MAX_SYM_LEN):
+        key8 |= cu[i : n8 + i] << np.uint64(8 * (MAX_SYM_LEN - 1 - i))
+    pos_all = np.arange(n, dtype=np.int64)
     for L in sorted(st.by_len):  # ascending; longer lengths overwrite
         keys_sorted, ids_sorted = st.by_len[L]
-        wk = _rolling_keys(concat, L)
-        if len(wk) == 0:
+        n_w = n - L + 1
+        if n_w <= 0:
             continue
+        wk = np.empty(n_w, dtype=np.uint64)
+        wk[:n8] = key8 >> np.uint64(8 * (MAX_SYM_LEN - L))
+        # tail windows (fewer than 8 bytes ahead): direct packing
+        for p in range(max(n8, 0), n_w):
+            wk[p] = int.from_bytes(concat[p : p + L].tobytes(), "big")
         pos = np.searchsorted(keys_sorted, wk)
         pos[pos >= len(keys_sorted)] = len(keys_sorted) - 1
         hit = keys_sorted[pos] == wk
         # window must not cross its string's end
-        valid = (np.arange(len(wk)) + L) <= ends_at[: len(wk)]
-        hit &= valid
+        hit &= (pos_all[:n_w] + L) <= ends_at[:n_w]
         idx = np.flatnonzero(hit)
         mlen[idx] = L
         mid[idx] = ids_sorted[pos[idx]]
