@@ -163,14 +163,19 @@ def minhash_candidates(ds, num_perm: int = 64, bands: int = 16, shingle_k: int =
         **remote_args(),
     )
 
+    MAX_BUCKET = 256  # hot-bucket guard: a bucket of k docs implies k^2/2
+    # candidate pairs; near-identical floods are exact-dedup's job, so huge
+    # buckets are truncated (sorted -> deterministic) rather than exploded
+
     def bucket(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
             return pd.DataFrame({"band_id": pd.Series(dtype="int32"), "band_hash": pd.Series(dtype="int64"), "doc_ids": pd.Series(dtype=object)})
+        ids = sorted(g["doc_id"].tolist())[:MAX_BUCKET]
         return pd.DataFrame(
             {
                 "band_id": [g["band_id"].iloc[0]],
                 "band_hash": [g["band_hash"].iloc[0]],
-                "doc_ids": [sorted(g["doc_id"].tolist())],
+                "doc_ids": [ids],
             }
         )
 
@@ -343,9 +348,13 @@ def embedding_near_dups(ds, threshold: float = 0.95, lsh_planes: int = 12, seed:
 
     bucketed = ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
 
+    MAX_BUCKET = 4096  # quadratic-verify guard for pathological hot buckets
+
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
             return pd.DataFrame({"vec_a": pd.Series(dtype="int64"), "vec_b": pd.Series(dtype="int64"), "cosine": pd.Series(dtype="float64")})
+        if len(g) > MAX_BUCKET:
+            g = g.sort_values("vec_id").head(MAX_BUCKET)
         dim = int(g["dim"].iloc[0])
         mat = np.stack([np.frombuffer(b, dtype=np.float32)[:dim] for b in g["unit"]])
         sims = mat @ mat.T
