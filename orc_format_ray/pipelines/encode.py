@@ -176,22 +176,27 @@ def encode_dataset(
     return summary
 
 
-def _decode_stripe_batch(batch: pa.Table) -> pa.Table:
-    tables = [decode_stripe(b.as_py()) for b in batch["bytes"]]
+def _decode_stripe_batch(batch: pa.Table, columns=None) -> pa.Table:
+    tables = [decode_stripe(b.as_py(), columns=columns) for b in batch["bytes"]]
     return pa.concat_tables(tables) if len(tables) > 1 else tables[0]
 
 
-def decode_dataset(out_dir: str):
-    """Stripe files -> Ray Dataset of decoded rows (streaming)."""
+def decode_dataset(out_dir: str, columns: list[str] | None = None):
+    """Stripe files -> Ray Dataset of decoded rows (streaming).
+
+    ``columns`` pushes projection into the stripe reader: unselected columns'
+    streams are never decompressed or decoded.
+    """
+    import functools
+
     import ray.data
 
     from .._rayutil import remote_args
 
     paths = sorted(glob.glob(os.path.join(out_dir, "*.stripe")))
     ds = ray.data.read_binary_files(paths)
-    return ds.map_batches(
-        _decode_stripe_batch, batch_format="pyarrow", batch_size=1, zero_copy_batch=True, **remote_args()
-    )
+    fn = functools.partial(_decode_stripe_batch, columns=columns) if columns else _decode_stripe_batch
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=1, zero_copy_batch=True, **remote_args())
 
 
 def encode_blocks(ds, out_dir: str, compression: str = "zstd", level: int = 3, tag: str = "blocks"):

@@ -183,3 +183,14 @@ def test_resume_detects_corruption(ray_session, corpus, tmp_path):
     fresh = str(tmp_path / "fresh")
     enc.encode_dataset(paths, fresh, budget_bytes=512 * 1024)
     assert open(victim, "rb").read() == open(mf.stripe_path(fresh, 1), "rb").read()
+
+
+def test_decode_dataset_projection(ray_session, corpus, tmp_path):
+    d, paths = corpus
+    out_dir = str(tmp_path / "proj")
+    enc.encode_dataset(paths, out_dir, budget_bytes=1024 * 1024)
+    ds = enc.decode_dataset(out_dir, columns=["doc_id", "n_tok"])
+    tbl = pa.concat_tables(list(ds.iter_batches(batch_size=10**7, batch_format="pyarrow")))
+    assert set(tbl.schema.names) == {"doc_id", "n_tok"}
+    original = pa.concat_tables([pq.read_table(p, columns=["doc_id", "n_tok"]) for p in paths])
+    assert tbl.sort_by("doc_id").equals(original.sort_by("doc_id"))
