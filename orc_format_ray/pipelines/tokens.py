@@ -136,24 +136,48 @@ def synthetic_batch(n_rows: int, seed: int, shard: int) -> pa.Table:
     )
 
 
-def write_synthetic_corpus(out_dir: str, n_rows: int, n_shards: int = 8, seed: int = 0) -> list[str]:
-    """Write a deterministic corpus as parquet shards; returns file paths."""
+def _write_shard(out_dir: str, rows: int, seed: int, sh: int) -> str:
     import os
 
     import pyarrow.parquet as pq
 
+    path = os.path.join(out_dir, f"tokens-{sh:04d}.parquet")
+    if not os.path.exists(path):
+        tbl = synthetic_batch(rows, seed, sh)
+        # ~512 rows/group ~= 3.5 MB of tokens: partitions align to whole
+        # row groups, so encode tasks read without row-group amplification
+        tmp = path + f".tmp.{os.getpid()}"
+        pq.write_table(tbl, tmp, row_group_size=512)
+        os.replace(tmp, path)
+    return path
+
+
+def write_synthetic_corpus(out_dir: str, n_rows: int, n_shards: int = 8, seed: int = 0) -> list[str]:
+    """Write a deterministic corpus as parquet shards (seeded per shard, so
+    output is identical regardless of parallelism); returns file paths."""
+    import os
+
     os.makedirs(out_dir, exist_ok=True)
-    paths = []
+    plan = []
     per = (n_rows + n_shards - 1) // n_shards
     for sh in range(n_shards):
         rows = min(per, n_rows - sh * per)
         if rows <= 0:
             break
-        path = os.path.join(out_dir, f"tokens-{sh:04d}.parquet")
-        if not os.path.exists(path):
-            tbl = synthetic_batch(rows, seed, sh)
-            # ~512 rows/group ~= 3.5 MB of tokens: partitions align to whole
-            # row groups, so encode tasks read without row-group amplification
-            pq.write_table(tbl, path, row_group_size=512)
-        paths.append(path)
-    return paths
+        plan.append((rows, sh))
+    missing = [(r, sh) for r, sh in plan if not os.path.exists(os.path.join(out_dir, f"tokens-{sh:04d}.parquet"))]
+    if len(missing) > 1:
+        try:
+            import ray
+
+            from .._rayutil import remote_args
+
+            if ray.is_initialized():
+                fn = ray.remote(_write_shard).options(**remote_args())
+                ray.get([fn.remote(out_dir, r, seed, sh) for r, sh in missing])
+                missing = []
+        except Exception:
+            pass  # fall through to serial generation
+    for r, sh in missing:
+        _write_shard(out_dir, r, seed, sh)
+    return [os.path.join(out_dir, f"tokens-{sh:04d}.parquet") for _, sh in plan]
