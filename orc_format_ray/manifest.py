@@ -52,11 +52,10 @@ def load_completed(out_dir: str, verify_crc: bool = False) -> dict[int, dict]:
     """
     import zlib
 
+    candidates: dict[int, dict] = _load_consolidated(out_dir)
     mdir = manifest_dir(out_dir)
-    done: dict[int, dict] = {}
-    if not os.path.isdir(mdir):
-        return done
-    for name in os.listdir(mdir):
+    names = os.listdir(mdir) if os.path.isdir(mdir) else []
+    for name in names:
         if not (name.startswith("part-") and name.endswith(".json")):
             continue
         try:
@@ -64,15 +63,62 @@ def load_completed(out_dir: str, verify_crc: bool = False) -> dict[int, dict]:
                 rec = json.load(f)
         except (json.JSONDecodeError, OSError):
             continue
-        sp = stripe_path(out_dir, rec["pid"])
+        candidates[rec["pid"]] = rec  # per-part records win over consolidated
+
+    done: dict[int, dict] = {}
+    for pid, rec in candidates.items():
+        sp = stripe_path(out_dir, pid)
         if not (os.path.exists(sp) and os.path.getsize(sp) == rec["encoded_bytes"]):
             continue
         if verify_crc and "blob_crc32" in rec:
             with open(sp, "rb") as f:
                 if zlib.crc32(f.read()) != rec["blob_crc32"]:
                     continue
-        done[rec["pid"]] = rec
+        done[pid] = rec
     return done
+
+
+def consolidate(out_dir: str, keep_parts: bool = False) -> str:
+    """Merge per-partition records into one manifest.parquet.
+
+    At 10^12-sequence scale a 64 MiB budget means ~10^6 partitions; one JSON
+    file each is fine during the run (atomic, contention-free) but poor to
+    keep. Consolidation compacts them into a single parquet keyed by pid;
+    `load_completed` reads the compact file first, so resume stays exact.
+    """
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    records = load_completed(out_dir)
+    path = os.path.join(out_dir, "manifest.parquet")
+    rows = [{"pid": pid, "record": _json.dumps(rec, sort_keys=True)} for pid, rec in sorted(records.items())]
+    tmp = path + f".tmp.{os.getpid()}"
+    pq.write_table(pa.Table.from_pylist(rows or [{"pid": -1, "record": "{}"}]), tmp)
+    os.replace(tmp, path)
+    if not keep_parts:
+        mdir = manifest_dir(out_dir)
+        for name in os.listdir(mdir):
+            if name.startswith("part-") and name.endswith(".json"):
+                os.remove(os.path.join(mdir, name))
+    return path
+
+
+def _load_consolidated(out_dir: str) -> dict[int, dict]:
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(out_dir, "manifest.parquet")
+    if not os.path.exists(path):
+        return {}
+    out: dict[int, dict] = {}
+    t = pq.read_table(path)
+    for pid, rec in zip(t["pid"].to_pylist(), t["record"].to_pylist()):
+        if pid >= 0:
+            out[pid] = _json.loads(rec)
+    return out
 
 
 def write_summary(out_dir: str, summary: dict) -> None:

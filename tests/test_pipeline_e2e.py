@@ -194,3 +194,24 @@ def test_decode_dataset_projection(ray_session, corpus, tmp_path):
     assert set(tbl.schema.names) == {"doc_id", "n_tok"}
     original = pa.concat_tables([pq.read_table(p, columns=["doc_id", "n_tok"]) for p in paths])
     assert tbl.sort_by("doc_id").equals(original.sort_by("doc_id"))
+
+
+def test_manifest_consolidation(ray_session, corpus, tmp_path):
+    """Compacting 1 JSON/partition into manifest.parquet preserves exact resume."""
+    d, paths = corpus
+    out_dir = str(tmp_path / "cons")
+    s1 = enc.encode_dataset(paths, out_dir, budget_bytes=512 * 1024)
+    n = s1["partitions"]
+    mf.consolidate(out_dir)
+    assert glob.glob(os.path.join(out_dir, "manifest", "part-*.json")) == []
+    done = mf.load_completed(out_dir)
+    assert len(done) == n
+    # resume after consolidation: everything skipped, nothing re-encoded
+    s2 = enc.encode_dataset(paths, out_dir, budget_bytes=512 * 1024)
+    assert s2["skipped"] == n and s2["encoded"] == 0
+    # delete one stripe -> exactly one re-encode, new record re-consolidates
+    os.remove(mf.stripe_path(out_dir, 0))
+    s3 = enc.encode_dataset(paths, out_dir, budget_bytes=512 * 1024)
+    assert s3["encoded"] == 1
+    mf.consolidate(out_dir)
+    assert len(mf.load_completed(out_dir)) == n
