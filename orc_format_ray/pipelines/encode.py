@@ -214,8 +214,9 @@ def encode_blocks(ds, out_dir: str, compression: str = "zstd", level: int = 3, t
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             blob, meta = encode_table(batch, self.compression, self.level)
-            pid = abs(hash((tag, meta["checksum_crc32"], meta["num_rows"]))) % 10**9
-            sp = os.path.join(out_dir, f"block-{pid:09d}.stripe")
+            # content-derived name: deterministic across processes (no salted
+            # hash()); identical blocks re-written idempotently
+            sp = os.path.join(out_dir, f"block-{meta['checksum_crc32']:08x}-{meta['num_rows']}.stripe")
             mf.write_blob_atomic(sp, blob)
             return pa.Table.from_pylist(
                 [{"path": sp, "num_rows": meta["num_rows"], "encoded_bytes": meta["encoded_bytes"]}]

@@ -98,10 +98,12 @@ def compute(arr: pa.Array | pa.ChunkedArray) -> ColumnStats:
         elif pa.types.is_date64(t):
             valid = valid.view(pa.int64())
         if len(valid):
+            # native-type kernels (no cast): uint64 extremes stay exact, and
+            # sums outside int64 range become None (reference overflow rule)
             mm = pc.min_max(valid)
-            s.min = mm["min"].cast(pa.int64()).as_py()
-            s.max = mm["max"].cast(pa.int64()).as_py()
-            s.sum, s.sum_overflowed = _check_i64(int(pc.sum(valid.cast(pa.int64())).as_py()))
+            s.min = int(mm["min"].as_py())
+            s.max = int(mm["max"].as_py())
+            s.sum, s.sum_overflowed = _check_i64(int(pc.sum(valid).as_py()))
     elif pa.types.is_floating(t):
         s.kind = "double"
         if len(valid):

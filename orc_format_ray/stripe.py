@@ -256,6 +256,11 @@ def decode_column(node: dict, streams: dict) -> pa.Array:
 
     if pa.types.is_integer(t) or pa.types.is_date32(t):
         v = selector.decode_ints(my["DATA"], node["encoding"]["DATA"])[:n_present]
+        if pa.types.is_uint64(t):
+            # values > 2^63-1 round-trip as wrapped int64; reinterpret bits
+            out = np.zeros(n, dtype=np.int64)
+            out[np.flatnonzero(valid) if valid is not None else slice(None)] = np.asarray(v, dtype=np.int64)
+            return pa.array(out.view(np.uint64), type=t, mask=(~valid) if valid is not None else None)
         base = _scatter_primitive(v, valid, n, pa.int64())
         if pa.types.is_date32(t):
             return base.cast(pa.int32()).view(t)

@@ -189,3 +189,14 @@ def test_snappy_compression_roundtrip():
     assert stripe.decode_stripe(blob).equals(tbl)
     blob_none, _ = stripe.encode_table(tbl, compression="none")
     assert stripe.decode_stripe(blob_none).equals(tbl)
+
+
+def test_uint64_extremes_roundtrip():
+    tbl = pa.table({"u": pa.array([0, 2**63, 2**64 - 1, 5, None], type=pa.uint64())})
+    blob, _ = stripe.encode_table(tbl)
+    assert stripe.decode_stripe(blob).equals(tbl)
+    from orc_format_ray import stats as st
+
+    s = st.compute(tbl["u"].combine_chunks())
+    assert s.max == 2**64 - 1 and s.min == 0
+    assert s.sum is None  # exceeds int64 -> overflow semantics
