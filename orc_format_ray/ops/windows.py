@@ -19,7 +19,14 @@ from .._rayutil import remote_args
 
 
 def assign_tumbling_window(batch: pa.Table, ts_col: str = "ts", window_sec: int = 3600, out: str = "window_start_ms") -> pa.Table:
-    """Add the window start (epoch millis) for each event, vectorized."""
+    """Add the window start (epoch millis) for each event, vectorized.
+
+    Division semantics: pc.divide truncates toward zero — deliberately, to
+    match the DuckDB oracle, whose `epoch_ms` and `//` BOTH truncate toward
+    zero (measured: epoch_ms('1969-12-31 23:59:59.9985') == -1, -3601//3600
+    == -1). Pre-epoch events therefore land in the same window on both sides
+    (pinned by test_window_agg_pre_epoch_matches_duckdb).
+    """
     ms = batch[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
     ms = pc.divide(ms, pa.scalar(1000, pa.int64()))
     w = pa.scalar(window_sec * 1000, pa.int64())

@@ -119,6 +119,12 @@ def encode_dataset(
     os.makedirs(out_dir, exist_ok=True)
     specs = plan_partitions(input_paths, budget_bytes, exact_ntok=exact_ntok)
     done = mf.load_completed(out_dir, verify_crc=verify_crc) if resume else {}
+    # a manifest record only counts as done if it was produced from the SAME
+    # partition plan: a changed budget_bytes or changed input files re-plans,
+    # and stale pid-matching stripes would otherwise mix two incompatible
+    # plans (duplicated/missing rows)
+    spec_frags = {s.pid: [[sl.path, sl.row_group, sl.row_lo, sl.row_hi] for sl in s.slices] for s in specs}
+    done = {pid: rec for pid, rec in done.items() if rec.get("input_fragments") == spec_frags.get(pid)}
     todo = [s for s in specs if s.pid not in done]
 
     results: list[dict] = [
@@ -213,10 +219,15 @@ def encode_blocks(ds, out_dir: str, compression: str = "zstd", level: int = 3, t
             self.level = level
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            import hashlib
+
             blob, meta = encode_table(batch, self.compression, self.level)
             # content-derived name: deterministic across processes (no salted
-            # hash()); identical blocks re-written idempotently
-            sp = os.path.join(out_dir, f"block-{meta['checksum_crc32']:08x}-{meta['num_rows']}.stripe")
+            # hash()); identical blocks re-written idempotently. 128-bit
+            # digest: a 32-bit CRC key birthday-collides (and silently
+            # overwrites) around ~77k same-size blocks
+            digest = hashlib.sha256(blob).hexdigest()[:32]
+            sp = os.path.join(out_dir, f"block-{digest}-{meta['num_rows']}.stripe")
             mf.write_blob_atomic(sp, blob)
             return pa.Table.from_pylist(
                 [{"path": sp, "num_rows": meta["num_rows"], "encoded_bytes": meta["encoded_bytes"]}]

@@ -71,9 +71,11 @@ def _column_streams(arr: pa.Array) -> list[bytes]:
         streams.append(int_rle_v1.encode(np.diff(offs).astype(np.uint64), signed=False))
     elif pa.types.is_timestamp(t):
         per_ns = _TS_UNIT_NS[t.unit]
-        raw = valid.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.int64) * per_ns
-        secs = np.floor_divide(raw, 1_000_000_000)
-        nanos = (raw - secs * 1_000_000_000).astype(np.uint64)
+        # native-unit divmod (ns-first multiply wraps int64 far from epoch)
+        units_per_sec = 1_000_000_000 // per_ns
+        raw_units = valid.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.int64)
+        secs = np.floor_divide(raw_units, units_per_sec)
+        nanos = ((raw_units - secs * units_per_sec) * per_ns).astype(np.uint64)
         streams.append(int_rle_v1.encode(secs - TS_EPOCH_SECONDS, signed=True))
         packed = np.empty(len(nanos), dtype=np.uint64)
         nz = nanos.copy()

@@ -129,16 +129,18 @@ def compute(arr: pa.Array | pa.ChunkedArray) -> ColumnStats:
     elif pa.types.is_timestamp(t):
         s.kind = "timestamp"
         if len(valid):
-            # epoch millis = sec*1000 + nanos/1e6, truncating like the reference
+            # epoch millis = sec*1000 + nanos/1e6 with FLOORED seconds and
+            # positive nanos (reference timestamp.rs:131) == floor(total ms);
+            # pc.divide truncates toward zero, which lands pre-epoch values
+            # 1 ms high, so use numpy floor_divide
             unit_per_ms = {"s": None, "ms": 1, "us": 1000, "ns": 1_000_000}[t.unit]
-            raw = valid.view(pa.int64())
+            raw = valid.view(pa.int64()).to_numpy(zero_copy_only=False)
             if t.unit == "s":
-                ms = pc.multiply(raw, pa.scalar(1000, pa.int64()))
+                ms = raw.astype(object) * 1000  # object avoids int64 wrap at extremes
             else:
-                ms = pc.divide(raw, pa.scalar(unit_per_ms, pa.int64()))
-            mm = pc.min_max(ms)
-            s.min = mm["min"].as_py()
-            s.max = mm["max"].as_py()
+                ms = np.floor_divide(raw, unit_per_ms)
+            s.min = int(ms.min())
+            s.max = int(ms.max())
     elif pa.types.is_decimal(t):
         s.kind = "decimal"
         if len(valid):

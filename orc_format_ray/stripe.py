@@ -161,9 +161,12 @@ def encode_column(arr: pa.Array, name: str, force: dict | None = None) -> dict:
         node["encoding"]["DATA"] = "raw"
     elif pa.types.is_timestamp(t):
         per_ns = _TS_UNIT_NS[t.unit]
-        raw = valid.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.int64) * per_ns
-        secs = np.floor_divide(raw, 1_000_000_000)
-        nanos = (raw - secs * 1_000_000_000).astype(np.uint64)
+        # divmod in the column's NATIVE unit: multiplying to ns first wraps
+        # int64 for values beyond ~±292 years of epoch (easy with unit 's')
+        units_per_sec = 1_000_000_000 // per_ns
+        raw_units = valid.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.int64)
+        secs = np.floor_divide(raw_units, units_per_sec)
+        nanos = ((raw_units - secs * units_per_sec) * per_ns).astype(np.uint64)
         node["streams"]["DATA"] = rle_v2.encode(secs - TS_EPOCH_SECONDS, signed=True)
         node["encoding"]["DATA"] = "rle_v2"
         # trailing-decimal-zero packing (reference timestamp.rs:107-126)
@@ -279,9 +282,12 @@ def decode_column(node: dict, streams: dict) -> pa.Array:
         base = (packed >> np.uint64(3)).astype(np.int64)
         # tz code c>0 means c+1 decimal zeros were stripped (reference timestamp.rs:107-126)
         nanos = np.where(tzc > 0, base * np.power(10, tzc + 1), base)
-        raw_ns = secs * 1_000_000_000 + nanos
+        # reconstruct in the native unit (secs*1e9 would wrap int64 for
+        # far-from-epoch values); nanos//per_ns == the original sub-second
+        # remainder exactly, so v == the encoded value with no overflow
         per_ns = _TS_UNIT_NS[t.unit]
-        v = raw_ns // per_ns
+        units_per_sec = 1_000_000_000 // per_ns
+        v = secs * units_per_sec + nanos // per_ns
         return _scatter_primitive(v.astype(np.int64), valid, n, pa.int64()).cast(t)
     if pa.types.is_decimal(t):
         ints = varint_decode_bigint(my["DATA"], n_present)
@@ -376,6 +382,10 @@ def _assemble_list(lens: np.ndarray, child: pa.Array, valid: np.ndarray | None, 
 
 
 def _assemble_map(lens, keys, items, valid, n, t) -> pa.Array:
+    # Built via from_buffers (packed validity bitmap + scattered offsets),
+    # mirroring _assemble_list: MapArray.from_arrays' null-offset convention
+    # anchors nulls at offsets[i] (shifting them onto the wrong rows) and
+    # rejects a null final row, so it cannot express this layout.
     if valid is not None:
         full = np.zeros(n, dtype=np.int64)
         full[np.flatnonzero(valid)] = lens
@@ -384,11 +394,14 @@ def _assemble_map(lens, keys, items, valid, n, t) -> pa.Array:
     np.cumsum(lens, out=offsets[1:])
     keys = keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) else keys
     items = items.combine_chunks() if isinstance(items, pa.ChunkedArray) else items
+    entries = pa.StructArray.from_arrays(
+        [keys.cast(t.key_field.type), items.cast(t.item_field.type)],
+        fields=[t.key_field, t.item_field],
+    )
+    bufs = [None, pa.py_buffer(offsets.tobytes())]
     if valid is not None:
-        # MapArray.from_arrays marks a row null via a null offset entry
-        offs_py = [int(offsets[0])] + [None if not valid[i] else int(offsets[i + 1]) for i in range(n)]
-        return pa.MapArray.from_arrays(pa.array(offs_py, type=pa.int32()), keys, items).cast(t)
-    return pa.MapArray.from_arrays(pa.array(offsets, type=pa.int32()), keys, items).cast(t)
+        bufs[0] = pa.py_buffer(np.packbits(valid.astype(np.uint8), bitorder="little").tobytes())
+    return pa.Array.from_buffers(t, n, bufs, children=[entries])
 
 
 # ------------------------------------------------------------ stripe assembly

@@ -19,7 +19,7 @@ def tables(draw):
     def maybe_null(vals):
         return [None if _rng.random() < null_p else v for v in vals]
 
-    kinds = draw(st.lists(st.sampled_from(["i32", "i64", "f64", "str", "bool", "list_i32", "ts"]), min_size=1, max_size=4))
+    kinds = draw(st.lists(st.sampled_from(["i32", "i64", "f64", "str", "bool", "list_i32", "ts", "map"]), min_size=1, max_size=4))
     for i, k in enumerate(kinds):
         name = f"c{i}_{k}"
         if k == "i32":
@@ -40,6 +40,11 @@ def tables(draw):
         elif k == "ts":
             cols[name] = pa.array(
                 maybe_null([int(x) for x in _rng.integers(0, 2**48, n)]), type=pa.timestamp("us")
+            )
+        elif k == "map":
+            cols[name] = pa.array(
+                maybe_null([[(f"k{j}", int(v)) for j, v in enumerate(_rng.integers(0, 99, int(x)))] for x in _rng.integers(0, 4, n)]),
+                type=pa.map_(pa.string(), pa.int64()),
             )
     return pa.table(cols)
 

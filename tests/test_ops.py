@@ -196,3 +196,32 @@ def test_clean_pipeline_summary(ray_session):
     df = out.to_pandas()
     assert df["n_docs"].sum() > 0
     assert (df["sum_tok"] >= df["n_docs"] * 5).all()  # min-token filter held
+
+
+def test_window_agg_pre_epoch_matches_duckdb(ray_session):
+    """ADVICE r1 follow-up: DuckDB epoch_ms and // both truncate toward zero
+    (NOT floor), and so does pc.divide — pre-epoch events must agree."""
+    import duckdb
+    import ray.data
+
+    from orc_format_ray.ops import windows
+
+    ts = pa.array(
+        [-3_600_000_001_000, -3_599_999_999_000, -1_000, -1, 0, 1, 3_600_000_000_000],
+        type=pa.timestamp("us"),
+    )
+    tbl = pa.table({"event_type": ["a"] * len(ts), "ts": ts, "value": [1.0] * len(ts)})
+    ds = ray.data.from_arrow(tbl)
+    got = windows.tumbling_window_agg(ds, window_sec=3600)
+    got = got.sort_values(["event_type", "window_start_ms"]).reset_index(drop=True)
+    exp = (
+        duckdb.sql(
+            "SELECT event_type, (epoch_ms(ts) // 3600000) * 3600000 AS window_start_ms, "
+            "round(sum(value), 2) AS sum_value, count(*) AS cnt FROM tbl "
+            "GROUP BY event_type, window_start_ms ORDER BY event_type, window_start_ms"
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    assert got["window_start_ms"].tolist() == exp["window_start_ms"].tolist()
+    assert got["cnt"].astype(int).tolist() == exp["cnt"].astype(int).tolist()

@@ -215,3 +215,26 @@ def test_manifest_consolidation(ray_session, corpus, tmp_path):
     assert s3["encoded"] == 1
     mf.consolidate(out_dir)
     assert len(mf.load_completed(out_dir)) == n
+
+
+def test_resume_rejects_stale_plan(ray_session, corpus, tmp_path):
+    """ADVICE r1: a rerun with a different budget re-plans partitions; stale
+    pid-matching stripes from the old plan must NOT be skipped (they would mix
+    two incompatible plans). Every partition of the new plan re-encodes."""
+    d, paths = corpus
+    out_dir = str(tmp_path / "stripes")
+    enc.encode_dataset(paths, out_dir, budget_bytes=256 * 1024)
+    s2 = enc.encode_dataset(paths, out_dir, budget_bytes=128 * 1024)
+    # a stale record may only be reused when its input slices coincide with
+    # the new plan (then the stripe is bit-identical anyway); everything else
+    # re-encodes, and row coverage under the NEW plan is exact
+    assert s2["encoded"] + s2["skipped"] == s2["partitions"]
+    assert s2["num_rows"] == 3000
+    specs_new = partition.plan_partitions(paths, budget_bytes=128 * 1024)
+    frag_new = {s.pid: [[sl.path, sl.row_group, sl.row_lo, sl.row_hi] for sl in s.slices] for s in specs_new}
+    recs = mf.load_completed(out_dir)
+    rows_covered = 0
+    for pid in range(s2["partitions"]):
+        assert recs[pid]["input_fragments"] == frag_new[pid], f"pid {pid} carries stale-plan fragments"
+        rows_covered += recs[pid]["num_rows"]
+    assert rows_covered == 3000

@@ -200,3 +200,42 @@ def test_uint64_extremes_roundtrip():
     s = st.compute(tbl["u"].combine_chunks())
     assert s.max == 2**64 - 1 and s.min == 0
     assert s.sum is None  # exceeds int64 -> overflow semantics
+
+
+def test_map_with_nulls_roundtrip():
+    """ADVICE r1 (high): nulls must land on the right map rows, incl. a null
+    final row (MapArray.from_arrays' null-offset convention cannot express
+    either)."""
+    mt = pa.map_(pa.string(), pa.int64())
+    for rows in (
+        [None, [("a", 1)], [("b", 2), ("c", 3)], [("d", 4)]],
+        [[("a", 1)], None, [("b", 2), ("c", 3)], [("d", 4)]],
+        [[("a", 1)], [("b", 2)], None],
+        [None, None, None],
+        [[], None, [("x", 9)], None],
+    ):
+        tbl = pa.table({"m": pa.array(rows, type=mt)})
+        blob, _ = stripe.encode_table(tbl)
+        out = stripe.decode_stripe(blob)
+        out["m"].combine_chunks().validate(full=True)
+        assert out.equals(tbl), rows
+
+
+def test_timestamp_far_from_epoch_roundtrip():
+    """ADVICE r1 (medium): unit-s/ms values beyond ±292 years of epoch must
+    not wrap through an intermediate ns multiply."""
+    for unit in ("s", "ms", "us", "ns"):
+        vals = [0, 1, -1, 2**40, -(2**40), 2**60 if unit in ("s", "ms") else 2**62, None]
+        tbl = pa.table({"t": pa.array(vals, type=pa.timestamp(unit))})
+        blob, _ = stripe.encode_table(tbl)
+        assert stripe.decode_stripe(blob).equals(tbl), unit
+
+
+def test_timestamp_stats_floor_pre_epoch():
+    """Reference timestamp.rs:131: epoch-ms = floored seconds * 1000 + positive
+    nanos -> floor(total ms), so -1.5 ms is -2, not -1."""
+    from orc_format_ray import stats as st
+
+    arr = pa.array([-1500, 1500, -1], type=pa.timestamp("us"))
+    s = st.compute(arr)
+    assert s.min == -2 and s.max == 1
