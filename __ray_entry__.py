@@ -43,21 +43,22 @@ def _table(ds) -> pa.Table:
 
 
 def entry() -> Any:
+    """Flagship, streaming end-to-end: documents -> vectorized tokenize ->
+    byte-budget stripe encode -> streaming decode Dataset. No driver-side
+    materialization: tokens flow block-by-block into `encode_blocks` (which
+    slices oversized blocks at the stripe byte budget) and only tiny lineage
+    rows are collected."""
+    import shutil
+
     sf_dir = "/root/testdata/sf0.001"
     from orc_format_ray.pipelines import encode as enc
     from orc_format_ray.pipelines import tokens as tok
 
-    import pyarrow.parquet as pq
-
     scratch = _scratch(sf_dir, "flagship")
-    tokens_pq = os.path.join(scratch, "tokens")
-    os.makedirs(tokens_pq, exist_ok=True)
-    tok_path = os.path.join(tokens_pq, "tokens-0000.parquet")
-    if not os.path.exists(tok_path):
-        tbl = _table(tok.tokenize_documents(sf_dir))
-        pq.write_table(tbl.sort_by("doc_id"), tok_path, row_group_size=2048)
     out_dir = os.path.join(scratch, "stripes")
-    enc.encode_dataset([tok_path], out_dir, budget_bytes=8 * 1024 * 1024)
+    shutil.rmtree(out_dir, ignore_errors=True)  # content-named blocks: drop stale runs
+    tokens_ds = tok.tokenize_documents(sf_dir)
+    enc.encode_blocks(tokens_ds, out_dir, stripe_bytes=8 * 1024 * 1024).take_all()  # 1 row/stripe
     return enc.decode_dataset(out_dir)
 
 
@@ -356,6 +357,74 @@ def _q_seek_row_range(sf_dir: str):
     return tbl
 
 
+def _q_orc_file_roundtrip(sf_dir: str):
+    """Real ORC interop: tokenize -> write genuine ORC (protobuf footers per
+    reference src/writer.rs:92-308) -> read back with pyarrow.orc ->
+    aggregate. The oracle match certifies externally-readable output."""
+    import shutil
+
+    from ray.data.aggregate import Count, Sum
+
+    from orc_format_ray import orcfile
+    from orc_format_ray.pipelines import tokens as tok
+
+    scratch = _scratch(sf_dir, "orc")
+    out_dir = os.path.join(scratch, "orc_tokens")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    tokens_ds = tok.tokenize_documents(sf_dir)
+    orcfile.write_orc_dataset(tokens_ds, out_dir).take_all()  # tiny lineage
+    back = orcfile.read_orc_dataset(out_dir)
+
+    def fix(batch: pa.Table) -> pa.Table:
+        return pa.table({"source": batch["source"], "n_tok": batch["n_tok"].cast(pa.int64())})
+
+    back = back.map_batches(fix, batch_format="pyarrow", zero_copy_batch=True, **_ra())
+    return back.groupby("source").aggregate(Count(alias_name="n_docs"), Sum("n_tok", alias_name="sum_n_tok"))
+
+
+def _q_orc_lineitem_roundtrip(sf_dir: str):
+    """Typed ORC round-trip (int32/int64/double/string/timestamp columns):
+    lineitem -> ORC -> pyarrow.orc -> aggregate vs DuckDB over the parquet."""
+    import shutil
+
+    import ray.data
+    from ray.data.aggregate import Count, Max, Sum
+
+    from orc_format_ray import orcfile
+
+    cols = ["l_returnflag", "l_linenumber", "l_extendedprice", "l_shipdate"]
+    scratch = _scratch(sf_dir, "orc")
+    out_dir = os.path.join(scratch, "orc_lineitem")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=cols)
+    orcfile.write_orc_dataset(ds, out_dir).take_all()
+    back = orcfile.read_orc_dataset(out_dir)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ship_ms = pc.divide(batch["l_shipdate"].cast(pa.timestamp("us")).cast(pa.int64()), pa.scalar(1000, pa.int64()))
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linenumber": batch["l_linenumber"].cast(pa.int64()),
+                "l_extendedprice": batch["l_extendedprice"],
+                "ship_ms": ship_ms,
+            }
+        )
+
+    back = back.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True, **_ra())
+    out = back.groupby("l_returnflag").aggregate(
+        Count(alias_name="cnt"),
+        Sum("l_linenumber", alias_name="sum_ln"),
+        Sum("l_extendedprice", alias_name="sum_price"),
+        Max("ship_ms", alias_name="max_ship_ms"),
+    )
+    df = out.to_pandas()
+    df["sum_price"] = df["sum_price"].round(2)
+    return df
+
+
 def _q_window_agg_events(sf_dir: str):
     """Tumbling 1-hour windows over the events log (streaming-shaped op)."""
     import ray.data
@@ -429,6 +498,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seek_row_range": _q_seek_row_range,
         "clean_summary_by_source": _q_clean_summary_by_source,
         "window_agg_events": _q_window_agg_events,
+        "orc_file_roundtrip": _q_orc_file_roundtrip,
+        "orc_lineitem_roundtrip": _q_orc_lineitem_roundtrip,
         "minhash_dedup_pairs": _q_minhash_dedup_pairs,
         # non-SQL-expressible (rows-only checks)
         "minhash_candidates": _q_minhash_candidates,
@@ -527,5 +598,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, (epoch_ms(ts) // 3600000) * 3600000 AS window_start_ms, "
             "round(sum(value), 2) AS sum_value, count(*) AS cnt "
             "FROM events GROUP BY event_type, window_start_ms"
+        ),
+        "orc_file_roundtrip": (
+            f"SELECT source, count(*) AS n_docs, CAST(sum({_TOKCOUNT_SQL}) AS BIGINT) AS sum_n_tok "
+            "FROM documents GROUP BY source"
+        ),
+        "orc_lineitem_roundtrip": (
+            "SELECT l_returnflag, count(*) AS cnt, CAST(sum(l_linenumber) AS BIGINT) AS sum_ln, "
+            "round(sum(l_extendedprice), 2) AS sum_price, max(epoch_ms(l_shipdate)) AS max_ship_ms "
+            "FROM lineitem GROUP BY l_returnflag"
         ),
     }

@@ -44,20 +44,46 @@ def exact_dedup_groups(ds, column: str = "text"):
     return out
 
 
+class _KeepSurvivors:
+    """Actor-pool semi-join filter: broadcast survivor doc_id set (fetched once
+    per actor from the object store), per-batch vectorized membership test."""
+
+    def __init__(self, survivors_ref):
+        import ray
+
+        ids = ray.get(survivors_ref)
+        self.ids = np.sort(np.asarray(ids))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(self.ids, doc)
+        pos_c = np.minimum(pos, len(self.ids) - 1) if len(self.ids) else pos
+        keep = (self.ids[pos_c] == doc) if len(self.ids) else np.zeros(len(doc), bool)
+        return batch.filter(pa.array(keep))
+
+
 def exact_dedup(ds, column: str = "text"):
-    """Drop duplicate rows, keeping the min-doc_id survivor per content hash."""
-    import pandas as pd
+    """Drop duplicate rows, keeping the min-doc_id survivor per content hash.
 
-    def add_h(batch: pa.Table) -> pa.Table:
-        return add_content_hash(batch, column)
+    Scale shape: raw text NEVER shuffles. Phase 1 (`exact_dedup_groups`)
+    shuffles only per-batch-preaggregated (hash, min doc_id, count) rows;
+    the resulting survivor doc_id set — 8 bytes per DISTINCT document — is
+    broadcast once (`ray.put`) and applied as a vectorized semi-join filter
+    per batch. (Beyond ~10^10 distinct docs the id set outgrows a broadcast;
+    then shard it by doc_id range and give each actor its shard.)
+    """
+    import ray
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values("doc_id").head(1)
-
-    return (
-        ds.map_batches(add_h, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby("content_hash")
-        .map_groups(keep_first, batch_format="pandas", **remote_args())
+    groups = exact_dedup_groups(ds, column)
+    surv = pa.concat_tables(list(groups.iter_batches(batch_size=1 << 20, batch_format="pyarrow")))
+    ref = ray.put(surv["doc_id"].to_numpy(zero_copy_only=False))
+    return ds.map_batches(
+        _KeepSurvivors,
+        fn_constructor_kwargs={"survivors_ref": ref},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=pool_size(),
+        **remote_args(),
     )
 
 
@@ -182,55 +208,123 @@ def minhash_candidates(ds, num_perm: int = 64, bands: int = 16, shingle_k: int =
     return band_rows.groupby(["band_id", "band_hash"]).map_groups(bucket, batch_format="pandas", **remote_args())
 
 
+_PAIR_SCHEMA = {"doc_id": "int64", "doc_a": "int64", "doc_b": "int64", "slot": "int64", "text": "object"}
+
+
+def _empty_pair_frame():
+    import pandas as pd
+
+    return pd.DataFrame({k: pd.Series(dtype=v) for k, v in _PAIR_SCHEMA.items()})
+
+
 def minhash_dedup(ds, threshold: float = 0.5, num_perm: int = 64, bands: int = 16, shingle_k: int = 3):
     """Full near-dup pipeline: shingle -> minhash -> LSH bands -> candidate
     buckets -> exact n-gram Jaccard verification -> confirmed pairs.
 
-    Scale shape: the LSH stage shuffles only (band, hash, doc_id) rows; the
-    verification stage fetches ONLY the candidate docs' texts via a
-    broadcast-candidate-set semi-join (candidates are sparse relative to the
-    corpus, so the fetched set is small; at 10^12 scale swap the driver-side
-    collect for a bucketed hash-join keyed on doc_id).
+    Scale shape — FULLY distributed verification (no driver text dict, no
+    driver pair loop):
+    1. the LSH stage shuffles only (band, hash, doc_id) rows;
+    2. candidate buckets expand to pair-half rows inside `map_batches`
+       (bounded by the MAX_BUCKET hot-bucket guard);
+    3. candidate docs' texts are fetched by a broadcast-id-set semi-join
+       (ids only cross the driver — 8 bytes per candidate doc);
+    4. a groupby over doc_id attaches each text to its pair-halves, then a
+       groupby over (doc_a, doc_b) verifies exact n-gram Jaccard per pair.
+    Both verification shuffles are candidate-sized, not corpus-sized.
     Returns a pyarrow Table (doc_a, doc_b, jaccard).
     """
+    import pandas as pd
     import pyarrow as pa_
     import ray
 
-    cands = minhash_candidates(ds, num_perm, bands, shingle_k).to_pandas()
-    pairs: set[tuple] = set()
-    for ids in cands["doc_ids"]:
-        ids = list(ids)
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                pairs.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
-    if not pairs:
-        return pa_.table({"doc_a": pa_.array([], pa_.int64()), "doc_b": pa_.array([], pa_.int64()), "jaccard": pa_.array([], pa_.float64())})
+    cands = minhash_candidates(ds, num_perm, bands, shingle_k)
 
-    cand_docs = sorted({d for p in pairs for d in p})
-    ref = ray.put(set(cand_docs))
+    def to_pair_halves(batch: pa.Table) -> pa.Table:
+        a_out, b_out = [], []
+        for ids in batch["doc_ids"].to_pylist():
+            n = len(ids)
+            for i in range(n):
+                for j in range(i + 1, n):
+                    a_out.append(min(ids[i], ids[j]))
+                    b_out.append(max(ids[i], ids[j]))
+        a = np.asarray(a_out + b_out, dtype=np.int64)  # doc_id column: a-halves then b-halves
+        pa_arr = np.asarray(a_out * 2, dtype=np.int64)
+        pb_arr = np.asarray(b_out * 2, dtype=np.int64)
+        slot = np.concatenate([np.zeros(len(a_out), np.int64), np.ones(len(b_out), np.int64)])
+        return pa.table(
+            {
+                "doc_id": pa.array(a),
+                "doc_a": pa.array(pa_arr),
+                "doc_b": pa.array(pb_arr),
+                "slot": pa.array(slot),
+                "text": pa.array([None] * len(a), type=pa.string()),
+            }
+        )
+
+    # materialize: pair-half rows are candidate-sized (bounded by the
+    # MAX_BUCKET guard), and pinning them releases the MinHasher actor pool's
+    # CPUs before the verification shuffles run — on a small cluster the
+    # union(actor-pool branch, task branch) -> groupby DAG otherwise
+    # deadlocks with the pool holding every slot the shuffle needs
+    pair_halves = cands.map_batches(to_pair_halves, batch_format="pyarrow", **remote_args()).materialize()
+
+    # candidate id set (ids only — not texts) for the broadcast semi-join
+    id_batches = [
+        np.unique(np.concatenate([np.asarray(ids, dtype=np.int64) for ids in b["doc_ids"].to_pylist()] or [np.zeros(0, np.int64)]))
+        for b in cands.iter_batches(batch_size=1 << 16, batch_format="pyarrow")
+    ]
+    cand_ids = np.unique(np.concatenate(id_batches)) if id_batches else np.zeros(0, np.int64)
+    if len(cand_ids) == 0:
+        return pa_.table({"doc_a": pa_.array([], pa_.int64()), "doc_b": pa_.array([], pa_.int64()), "jaccard": pa_.array([], pa_.float64())})
+    ref = ray.put(cand_ids)
 
     def fetch(batch: pa.Table) -> pa.Table:
         want = ray.get(ref)
-        mask = pc.is_in(batch["doc_id"], value_set=pa.array(sorted(want), type=batch["doc_id"].type))
-        return batch.filter(mask).select(["doc_id", "text"])
-
-    got = pa.concat_tables(
-        list(
-            ds.map_batches(fetch, batch_format="pyarrow", zero_copy_batch=True, **remote_args()).iter_batches(
-                batch_size=1 << 20, batch_format="pyarrow"
-            )
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(want, doc), len(want) - 1)
+        got = batch.filter(pa.array(want[pos] == doc))
+        n = got.num_rows
+        return pa.table(
+            {
+                "doc_id": got["doc_id"].cast(pa.int64()),
+                "doc_a": pa.array(np.full(n, -1, np.int64)),
+                "doc_b": pa.array(np.full(n, -1, np.int64)),
+                "slot": pa.array(np.full(n, -1, np.int64)),
+                "text": got["text"].cast(pa.string()),
+            }
         )
-    )
-    texts = dict(zip(got["doc_id"].to_pylist(), got["text"].to_pylist()))
-    rows = []
-    for a, b in sorted(pairs):
-        if a in texts and b in texts:
-            jac = jaccard_ngrams(texts[a], texts[b], shingle_k)
-            if jac >= threshold:
-                rows.append({"doc_a": a, "doc_b": b, "jaccard": round(jac, 6)})
-    if not rows:
+
+    # candidate texts are sparse relative to the corpus: materializing them
+    # bounds the union input and frees the read stage before the shuffles
+    texts_ds = ds.map_batches(fetch, batch_format="pyarrow", zero_copy_batch=True, **remote_args()).materialize()
+
+    def attach_text(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.loc[g["slot"] == -1, "text"]
+        halves = g[g["slot"] >= 0]
+        if t.empty or halves.empty:
+            return _empty_pair_frame()
+        # multi-band duplicate pairs collapse here, before the pair shuffle
+        halves = halves.drop_duplicates(subset=["doc_a", "doc_b", "slot"]).copy()
+        halves["text"] = t.iloc[0]
+        return halves
+
+    joined = pair_halves.union(texts_ds).groupby("doc_id").map_groups(attach_text, batch_format="pandas", **remote_args())
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        t0 = g.loc[g["slot"] == 0, "text"]
+        t1 = g.loc[g["slot"] == 1, "text"]
+        if t0.empty or t1.empty:
+            return pd.DataFrame({"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64"), "jaccard": pd.Series(dtype="float64")})
+        jac = jaccard_ngrams(t0.iloc[0], t1.iloc[0], shingle_k)
+        if jac < threshold:
+            return pd.DataFrame({"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64"), "jaccard": pd.Series(dtype="float64")})
+        return pd.DataFrame({"doc_a": [int(g["doc_a"].iloc[0])], "doc_b": [int(g["doc_b"].iloc[0])], "jaccard": [round(jac, 6)]})
+
+    out = joined.groupby(["doc_a", "doc_b"]).map_groups(verify, batch_format="pandas", **remote_args())
+    tbl = pa.concat_tables(list(out.iter_batches(batch_size=1 << 20, batch_format="pyarrow")))
+    if tbl.num_rows == 0:
         return pa_.table({"doc_a": pa_.array([], pa_.int64()), "doc_b": pa_.array([], pa_.int64()), "jaccard": pa_.array([], pa_.float64())})
-    return pa_.Table.from_pylist(rows)
+    return tbl.cast(pa.schema({"doc_a": pa.int64(), "doc_b": pa.int64(), "jaccard": pa.float64()}))
 
 
 def jaccard_ngrams(a: str, b: str, k: int = 3) -> float:
@@ -317,25 +411,28 @@ def simhash_candidates(ds, blocks: int = 4):
 # ------------------------------------------------------- embedding near-dup
 
 
-def embedding_near_dups(ds, threshold: float = 0.95, lsh_planes: int = 12, seed: int = 5):
-    """Near-duplicate vectors by cosine >= threshold.
+class _HyperplaneBucketer:
+    """Actor-pool stage: LSH planes are generated ONCE per actor (seeded, so
+    every actor derives the identical planes); ingestion is the zero-copy
+    Arrow list-buffer reshape, not a per-row to_pylist."""
 
-    Scale path: random-hyperplane LSH bucket key per vector (one groupby over
-    (bucket) keys), exact cosine verification inside each bucket. Vectors only
-    shuffle once, already reduced to (bucket, vec_id, unit vector).
-    """
-    import pandas as pd
+    def __init__(self, lsh_planes: int, seed: int):
+        self.lsh_planes = lsh_planes
+        self.seed = seed
+        self.planes: np.ndarray | None = None  # lazily sized on first batch (dim unknown until data)
 
-    def stage(batch: pa.Table) -> pa.Table:
-        emb = np.stack([np.asarray(x, dtype=np.float32) for x in batch["embedding"].to_pylist()])
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .similarity import _embedding_matrix, _unit
+
+        emb = _embedding_matrix(batch, dtype=np.float32)
         dim = emb.shape[1]
-        rng = np.random.default_rng(seed)
-        planes = rng.standard_normal((dim, lsh_planes)).astype(np.float32)
-        norms = np.linalg.norm(emb, axis=1, keepdims=True)
-        unit = emb / np.maximum(norms, 1e-12)
-        bits = (unit @ planes) > 0
+        if self.planes is None or self.planes.shape[0] != dim:
+            rng = np.random.default_rng(self.seed)
+            self.planes = rng.standard_normal((dim, self.lsh_planes)).astype(np.float32)
+        unit = _unit(emb).astype(np.float32)
+        bits = (unit @ self.planes) > 0
         key = np.zeros(len(emb), dtype=np.int64)
-        for p in range(lsh_planes):
+        for p in range(self.lsh_planes):
             key = key * 2 + bits[:, p]
         return pa.table(
             {
@@ -346,7 +443,24 @@ def embedding_near_dups(ds, threshold: float = 0.95, lsh_planes: int = 12, seed:
             }
         )
 
-    bucketed = ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+
+def embedding_near_dups(ds, threshold: float = 0.95, lsh_planes: int = 12, seed: int = 5):
+    """Near-duplicate vectors by cosine >= threshold.
+
+    Scale path: random-hyperplane LSH bucket key per vector (one groupby over
+    (bucket) keys), exact cosine verification inside each bucket. Vectors only
+    shuffle once, already reduced to (bucket, vec_id, unit vector).
+    """
+    import pandas as pd
+
+    bucketed = ds.map_batches(
+        _HyperplaneBucketer,
+        fn_constructor_kwargs={"lsh_planes": lsh_planes, "seed": seed},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=pool_size(),
+        **remote_args(),
+    )
 
     MAX_BUCKET = 4096  # quadratic-verify guard for pathological hot buckets
 

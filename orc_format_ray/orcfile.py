@@ -1,0 +1,575 @@
+"""Real Apache ORC file output — interop with external readers.
+
+The ORY stripe container (stripe.py) is this engine's native, Ray-friendly
+format; this module emits genuine ORC so that a reference user's downstream
+tooling (pyarrow.orc, Hive, DuckDB-via-arrow, the ORC C++/Java readers) can
+consume the output directly. Assembly order and message layout follow the
+reference writer exactly:
+
+* file layout: ``"ORC"`` header -> stripes -> Metadata -> Footer ->
+  PostScript -> 1-byte postscript length (reference src/writer.rs:92-114);
+* stripe layout: data streams -> StripeFooter, with (index, data, footer)
+  lengths recorded per stripe (reference src/writer/stripe.rs:81-111);
+* protobuf messages per the public Apache ORC schema vendored by the
+  reference (reference protos/orc_proto.proto:108-277);
+* stream payloads reuse the gold-vector-pinned codecs (IntRLEv1, ByteRLE,
+  BooleanRLE, varint128) that are bit-identical to the reference encoders,
+  so the bytes inside the streams are the reference's bytes;
+* compression framing: ORC's 3-byte little-endian block headers
+  ``length*2 + is_original`` (reference src/writer/compression.rs:95-158) —
+  note this is the spec framing WITHOUT the pyarrow-size-hint varint that
+  the native ORY container adds.
+
+The protobuf emitter below is hand-rolled from the public proto2 wire spec
+(varint / zigzag / length-delimited); ~60 lines beats a protobuf dependency.
+"""
+
+from __future__ import annotations
+
+import zlib as _zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from . import stats as stats_mod
+from .codecs import boolean_rle, byte_rle, int_rle_v1
+from .codecs.varint import varint_encode_bigint
+from .stripe import TS_EPOCH_SECONDS, _string_block, _TS_UNIT_NS, _validity
+
+# ------------------------------------------------------------ proto2 emitter
+
+
+def _uvarint(z: int) -> bytes:
+    out = bytearray()
+    while True:
+        if z < 0x80:
+            out.append(z)
+            return bytes(out)
+        out.append(0x80 | (z & 0x7F))
+        z >>= 7
+
+
+def _zigzag(v: int) -> int:
+    return (v << 1) ^ (v >> 63) if v >= 0 else ((-v) << 1) - 1
+
+
+class Msg:
+    """Append-only proto2 message builder (wire format only)."""
+
+    def __init__(self):
+        self.b = bytearray()
+
+    def _tag(self, field: int, wire: int) -> None:
+        self.b += _uvarint((field << 3) | wire)
+
+    def varint(self, field: int, v: int) -> "Msg":
+        self._tag(field, 0)
+        self.b += _uvarint(int(v))
+        return self
+
+    def svarint(self, field: int, v: int) -> "Msg":
+        return self.varint(field, _zigzag(int(v)))
+
+    def double(self, field: int, v: float) -> "Msg":
+        import struct
+
+        self._tag(field, 1)
+        self.b += struct.pack("<d", float(v))
+        return self
+
+    def bytes_(self, field: int, data: bytes) -> "Msg":
+        self._tag(field, 2)
+        self.b += _uvarint(len(data))
+        self.b += data
+        return self
+
+    def string(self, field: int, s: str) -> "Msg":
+        return self.bytes_(field, s.encode())
+
+    def msg(self, field: int, m: "Msg") -> "Msg":
+        return self.bytes_(field, bytes(m.b))
+
+    def packed(self, field: int, vals) -> "Msg":
+        payload = b"".join(_uvarint(int(v)) for v in vals)
+        return self.bytes_(field, payload)
+
+    def tobytes(self) -> bytes:
+        return bytes(self.b)
+
+
+# ------------------------------------------------------- spec block framing
+
+_KIND_IDS = {"none": 0, "zlib": 1, "snappy": 2, "zstd": 5}  # proto CompressionKind
+_ORC_BLOCK = 262144  # reference snappy.rs:14
+
+
+def _orc_compress_block(kind: str, level: int, block: bytes) -> bytes:
+    if kind == "zlib":
+        c = _zlib.compressobj(level, _zlib.DEFLATED, -15)  # raw deflate per spec
+        return c.compress(block) + c.flush()
+    if kind == "zstd":
+        return pa.Codec("zstd", compression_level=level).compress(block).to_pybytes()
+    if kind == "snappy":
+        return pa.Codec("snappy").compress(block).to_pybytes()
+    raise ValueError(kind)
+
+
+def _orc_frame(data: bytes, kind: str, level: int) -> bytes:
+    """ORC spec stream framing (reference compression.rs:95-158): 3-byte LE
+    header length*2+is_original per <=256 KiB block; no size-hint varint."""
+    if kind == "none":
+        return data
+    out: list[bytes] = []
+    for s in range(0, len(data), _ORC_BLOCK):
+        block = data[s : s + _ORC_BLOCK]
+        comp = _orc_compress_block(kind, level, block)
+        if len(comp) >= len(block):
+            out.append(int(len(block) * 2 + 1).to_bytes(3, "little"))
+            out.append(block)
+        else:
+            out.append(int(len(comp) * 2).to_bytes(3, "little"))
+            out.append(comp)
+    return b"".join(out)
+
+
+# ------------------------------------------------------------- type mapping
+
+_KIND = {
+    "BOOLEAN": 0, "BYTE": 1, "SHORT": 2, "INT": 3, "LONG": 4, "FLOAT": 5,
+    "DOUBLE": 6, "STRING": 7, "BINARY": 8, "TIMESTAMP": 9, "LIST": 10,
+    "MAP": 11, "STRUCT": 12, "UNION": 13, "DECIMAL": 14, "DATE": 15,
+}
+
+_STREAM = {"PRESENT": 0, "DATA": 1, "LENGTH": 2, "SECONDARY": 5}
+
+
+def _orc_kind(t: pa.DataType) -> str:
+    if pa.types.is_boolean(t):
+        return "BOOLEAN"
+    if pa.types.is_int8(t):
+        return "BYTE"
+    if pa.types.is_int16(t) or pa.types.is_uint8(t):
+        return "SHORT"
+    if pa.types.is_int32(t) or pa.types.is_uint16(t):
+        return "INT"
+    if pa.types.is_int64(t) or pa.types.is_uint32(t):
+        return "LONG"
+    if pa.types.is_float32(t):
+        return "FLOAT"
+    if pa.types.is_float64(t):
+        return "DOUBLE"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "STRING"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "BINARY"
+    if pa.types.is_timestamp(t):
+        return "TIMESTAMP"
+    if pa.types.is_date32(t):
+        return "DATE"
+    if pa.types.is_decimal(t):
+        return "DECIMAL"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return "LIST"
+    if pa.types.is_map(t):
+        return "MAP"
+    if pa.types.is_struct(t):
+        return "STRUCT"
+    raise NotImplementedError(f"type {t} has no ORC mapping (uint64/union stay in the native ORY container)")
+
+
+def _flat_types(schema_or_type, names=None) -> list[Msg]:
+    """Pre-order Type list with subtypes ids (reference writer.rs:153-254)."""
+    types: list[Msg] = []
+
+    def add(t: pa.DataType) -> int:
+        my_id = len(types)
+        m = Msg()
+        types.append(m)
+        kind = _orc_kind(t)
+        m.varint(1, _KIND[kind])
+        if kind == "DECIMAL":
+            m.varint(5, t.precision).varint(6, t.scale)
+        if kind == "LIST":
+            sub = [None]
+            pos = len(types)
+            m.packed(2, [pos])
+            add(t.value_type)
+        elif kind == "MAP":
+            k_id = len(types)
+            add(t.key_type)
+            v_id = len(types)
+            # key subtree may itself be nested; recompute value id after it
+            m.packed(2, [k_id, len(types)])
+            add(t.item_type)
+        elif kind == "STRUCT":
+            subs = []
+            fnames = []
+            pending = list(t)
+            # ids depend on subtree sizes; add children sequentially
+            for f in pending:
+                subs.append(len(types))
+                fnames.append(f.name)
+                add(f.type)
+            m.packed(2, subs)
+            for fn in fnames:
+                m.string(3, fn)
+        return my_id
+
+    if isinstance(schema_or_type, pa.Schema):
+        root = Msg()
+        types.append(root)
+        root.varint(1, _KIND["STRUCT"])
+        subs = []
+        for f in schema_or_type:
+            subs.append(len(types))
+            add(f.type)
+        root.packed(2, subs)
+        for f in schema_or_type:
+            root.string(3, f.name)
+    else:
+        add(schema_or_type)
+    return types
+
+
+def _num_columns(schema: pa.Schema) -> int:
+    return len(_flat_types(schema))
+
+
+# --------------------------------------------------------- stream encoding
+
+
+def _column_streams(arr: pa.Array, col_id: int, out: list[tuple[int, int, bytes]], enc_out: list[int], stats_out: list[stats_mod.ColumnStats]) -> int:
+    """Encode one column subtree into ORC streams.
+
+    Appends (stream_kind, column_id, payload) rows in reference stream order
+    (PRESENT, DATA, LENGTH/SECONDARY, then children), records the
+    ColumnEncoding kind (always DIRECT=0 here) and per-column statistics.
+    Returns the next free column id.
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    stats_out.append(stats_mod.compute(arr))
+    enc_out.append(0)  # DIRECT
+    if arr.null_count:
+        out.append((_STREAM["PRESENT"], col_id, boolean_rle.encode(_validity(arr))))
+    valid = arr.drop_null() if arr.null_count else arr
+    next_id = col_id + 1
+    kind = _orc_kind(t)
+
+    if kind == "BOOLEAN":
+        out.append((_STREAM["DATA"], col_id, boolean_rle.encode(valid.to_numpy(zero_copy_only=False))))
+    elif kind == "BYTE":
+        v = valid.to_numpy(zero_copy_only=False).astype(np.int8).view(np.uint8)
+        out.append((_STREAM["DATA"], col_id, byte_rle.encode(v)))
+    elif kind in ("SHORT", "INT", "LONG"):
+        v = valid.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        out.append((_STREAM["DATA"], col_id, int_rle_v1.encode(v, signed=True)))
+    elif kind == "DATE":
+        v = valid.view(pa.int32()).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        out.append((_STREAM["DATA"], col_id, int_rle_v1.encode(v, signed=True)))
+    elif kind in ("FLOAT", "DOUBLE"):
+        out.append((_STREAM["DATA"], col_id, valid.to_numpy(zero_copy_only=False).tobytes()))
+    elif kind == "STRING":
+        concat, offs = _string_block(valid)
+        out.append((_STREAM["DATA"], col_id, concat.tobytes()))
+        out.append((_STREAM["LENGTH"], col_id, int_rle_v1.encode(np.diff(offs).astype(np.uint64), signed=False)))
+    elif kind == "BINARY":
+        concat, offs = _string_block(valid)
+        out.append((_STREAM["DATA"], col_id, concat.tobytes()))
+        out.append((_STREAM["LENGTH"], col_id, int_rle_v1.encode(np.diff(offs).astype(np.uint64), signed=False)))
+    elif kind == "TIMESTAMP":
+        per_ns = _TS_UNIT_NS[t.unit]
+        units_per_sec = 1_000_000_000 // per_ns
+        raw_units = valid.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.int64)
+        secs = np.floor_divide(raw_units, units_per_sec)
+        nanos = ((raw_units - secs * units_per_sec) * per_ns).astype(np.uint64)
+        # ORC reader convention (C++/Java): on read, secs<0 && nanos>999999
+        # triggers secs-=1; emit the inverse (trunc-toward-zero seconds) so
+        # external readers reconstruct the value. (The well-known ORC gap:
+        # timestamps in (-1s, 0) of epoch are unrepresentable — same in the
+        # Java writer. The native ORY container has exact round-trip.)
+        secs = secs + ((secs < 0) & (nanos > 999_999))
+        out.append((_STREAM["DATA"], col_id, int_rle_v1.encode(secs - TS_EPOCH_SECONDS, signed=True)))
+        packed = np.empty(len(nanos), dtype=np.uint64)
+        nz = nanos.copy()
+        tz = np.zeros(len(nanos), dtype=np.uint64)
+        for _ in range(8):
+            m = (nz % 10 == 0) & (nz > 0) & (tz < 8)
+            if not m.any():
+                break
+            nz[m] //= 10
+            tz[m] += 1
+        use = tz > 1
+        packed[use] = (nz[use] << np.uint64(3)) | (tz[use] - np.uint64(1))
+        packed[~use] = nanos[~use] << np.uint64(3)
+        out.append((_STREAM["SECONDARY"], col_id, int_rle_v1.encode(packed, signed=False)))
+    elif kind == "DECIMAL":
+        ints = [int(v.as_py().scaleb(t.scale)) for v in valid]
+        out.append((_STREAM["DATA"], col_id, varint_encode_bigint(ints)))
+        out.append((_STREAM["SECONDARY"], col_id, int_rle_v1.encode(np.full(len(ints), t.scale, dtype=np.int64), signed=True)))
+    elif kind == "LIST":
+        lens = pc.list_value_length(arr)
+        lens = lens.drop_null() if lens.null_count else lens
+        out.append((_STREAM["LENGTH"], col_id, int_rle_v1.encode(lens.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.uint64), signed=False)))
+        child = valid.combine_chunks().flatten() if isinstance(valid, pa.ChunkedArray) else valid.flatten()
+        next_id = _column_streams(child, next_id, out, enc_out, stats_out)
+    elif kind == "MAP":
+        moffs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[arr.offset : arr.offset + len(arr) + 1]
+        lens_all = np.diff(moffs).astype(np.int64)
+        vmask = _validity(arr) if arr.null_count else np.ones(len(arr), bool)
+        out.append((_STREAM["LENGTH"], col_id, int_rle_v1.encode(lens_all[vmask].astype(np.uint64), signed=False)))
+        next_id = _column_streams(valid.keys, next_id, out, enc_out, stats_out)
+        next_id = _column_streams(valid.items, next_id, out, enc_out, stats_out)
+    elif kind == "STRUCT":
+        for i, f in enumerate(t):
+            child = valid.field(i) if hasattr(valid, "field") else pc.struct_field(valid, i)
+            next_id = _column_streams(child, next_id, out, enc_out, stats_out)
+    else:  # pragma: no cover
+        raise NotImplementedError(kind)
+    return next_id
+
+
+# ------------------------------------------------------------- statistics
+
+
+def _stats_proto(s: stats_mod.ColumnStats, scale: int | None = None) -> Msg:
+    m = Msg()
+    m.varint(1, s.num_present)  # numberOfValues counts non-nulls
+    if s.kind == "long" and s.min is not None:
+        sub = Msg().svarint(1, s.min).svarint(2, s.max)
+        if s.sum is not None:
+            sub.svarint(3, s.sum)
+        m.msg(2, sub)
+    elif s.kind == "double" and s.min is not None:
+        m.msg(3, Msg().double(1, s.min).double(2, s.max).double(3, s.sum))
+    elif s.kind == "string":
+        sub = Msg()
+        if s.min is not None:
+            sub.string(1, s.min).string(2, s.max)
+        sub.svarint(3, s.sum_lengths or 0)
+        m.msg(4, sub)
+    elif s.kind == "boolean":
+        m.msg(5, Msg().packed(1, [s.num_true or 0]))
+    elif s.kind == "binary":
+        m.msg(8, Msg().svarint(1, s.sum_lengths or 0))
+    elif s.kind == "timestamp" and s.min is not None:
+        m.msg(9, Msg().svarint(1, s.min).svarint(2, s.max).svarint(3, s.min).svarint(4, s.max))
+    elif s.kind == "decimal" and s.min is not None and scale is not None:
+        from decimal import Decimal
+
+        def fmt(x: str) -> str:
+            return str(Decimal(int(x)).scaleb(-scale))
+
+        sub = Msg().string(1, fmt(s.min)).string(2, fmt(s.max))
+        if s.sum is not None:
+            sub.string(3, fmt(s.sum))
+        m.msg(6, sub)
+    m.varint(10, 1 if s.has_null else 0)
+    return m
+
+
+def _column_scales(schema: pa.Schema) -> list[int | None]:
+    scales: list[int | None] = [None]
+
+    def walk(t: pa.DataType):
+        scales.append(t.scale if pa.types.is_decimal(t) else None)
+        if pa.types.is_list(t) or pa.types.is_large_list(t):
+            walk(t.value_type)
+        elif pa.types.is_map(t):
+            walk(t.key_type)
+            walk(t.item_type)
+        elif pa.types.is_struct(t):
+            for f in t:
+                walk(f.type)
+
+    for f in schema:
+        walk(f.type)
+    scales.pop(0)
+    return [None] + scales  # root struct prepended
+
+
+# ------------------------------------------------------------- file writer
+
+
+def write_orc(
+    tbl: pa.Table,
+    path: str,
+    compression: str = "zstd",
+    level: int = 3,
+    stripe_rows: int | None = None,
+) -> dict:
+    """Write a genuine ORC file (readable by pyarrow.orc / ORC C++/Java).
+
+    Returns {"num_rows", "file_bytes", "stripes"}. ``stripe_rows`` cuts the
+    table into multiple stripes (reference auto-flush analog; callers that
+    stream should pass pre-sized tables instead).
+    """
+    if compression not in _KIND_IDS:
+        raise ValueError(f"unsupported ORC compression {compression!r}")
+    buf = bytearray()
+    buf += b"ORC"  # reference writer.rs:116-119
+
+    n = tbl.num_rows
+    stripe_rows = stripe_rows or max(n, 1)
+    stripe_infos = []  # (offset, index_len, data_len, footer_len, rows, stats)
+    has_ts = any("TIMESTAMP" in str(_orc_kind_safe(f.type)) for f in tbl.schema)
+
+    for lo in range(0, n, stripe_rows):  # 0-row table -> 0 stripes (reference stripe.rs:83)
+        sub = tbl.slice(lo, min(stripe_rows, n - lo))
+        rows = sub.num_rows
+        if rows == 0:
+            break
+        streams: list[tuple[int, int, bytes]] = []
+        encodings: list[int] = [0]
+        col_stats: list[stats_mod.ColumnStats] = []
+        root = stats_mod.ColumnStats(kind="generic", num_values=rows, num_present=rows)
+        col_stats.append(root)
+        cid = 1
+        for i in range(sub.num_columns):
+            cid = _column_streams(sub.column(i).combine_chunks(), cid, streams, encodings, col_stats)
+        offset = len(buf)
+        index_len = 0  # no ROW_INDEX streams; footer sets rowIndexStride=0
+        data_start = len(buf)
+        stream_meta = []
+        for kind_id, col_id, payload in streams:
+            framed = _orc_frame(payload, compression, level)
+            stream_meta.append((kind_id, col_id, len(framed)))
+            buf += framed
+        data_len = len(buf) - data_start
+        sf = Msg()
+        for kind_id, col_id, length in stream_meta:
+            sf.msg(1, Msg().varint(1, kind_id).varint(2, col_id).varint(3, length))
+        for e in encodings:
+            sf.msg(2, Msg().varint(1, e))
+        if has_ts:
+            sf.string(3, "UTC")
+        footer_bytes = _orc_frame(sf.tobytes(), compression, level)
+        buf += footer_bytes
+        stripe_infos.append((offset, index_len, data_len, len(footer_bytes), rows, col_stats))
+
+    content_length = len(buf) - 3
+
+    # Metadata: per-stripe column statistics (reference writer.rs:132-151)
+    scales = _column_scales(tbl.schema)
+    meta = Msg()
+    for *_rest, rows, col_stats in stripe_infos:
+        ss = Msg()
+        for i, cs in enumerate(col_stats):
+            ss.msg(1, _stats_proto(cs, scales[i] if i < len(scales) else None))
+        meta.msg(1, ss)
+    meta_bytes = _orc_frame(meta.tobytes(), compression, level)
+    buf += meta_bytes
+
+    # Footer (reference writer.rs:256-293)
+    footer = Msg()
+    footer.varint(1, 3).varint(2, content_length)
+    for offset, ilen, dlen, flen, rows, _cs in stripe_infos:
+        footer.msg(3, Msg().varint(1, offset).varint(2, ilen).varint(3, dlen).varint(4, flen).varint(5, rows))
+    for tmsg in _flat_types(tbl.schema):
+        footer.msg(4, tmsg)
+    footer.varint(6, n)
+    merged = [stats_mod.merge_all([si[5][i] for si in stripe_infos]) for i in range(len(stripe_infos[0][5]))] if stripe_infos else []
+    for i, cs in enumerate(merged):
+        footer.msg(7, _stats_proto(cs, scales[i] if i < len(scales) else None))
+    footer.varint(8, 0)  # rowIndexStride=0: no row index written
+    footer_out = _orc_frame(footer.tobytes(), compression, level)
+    buf += footer_out
+
+    ps = Msg()
+    ps.varint(1, len(footer_out)).varint(2, _KIND_IDS[compression])
+    ps.varint(3, _ORC_BLOCK).packed(4, [0, 12]).varint(5, len(meta_bytes)).varint(6, 6)
+    ps.string(8000, "ORC")
+    ps_bytes = ps.tobytes()
+    if len(ps_bytes) > 255:
+        raise ValueError("postscript too long")
+    buf += ps_bytes
+    buf += bytes([len(ps_bytes)])
+
+    from . import manifest as mf
+
+    mf.write_blob_atomic(path, bytes(buf))
+    return {"num_rows": n, "file_bytes": len(buf), "stripes": len(stripe_infos)}
+
+
+def _orc_kind_safe(t: pa.DataType) -> str:
+    try:
+        base = _orc_kind(t)
+    except NotImplementedError:
+        return "?"
+    if base in ("LIST", "MAP", "STRUCT"):
+        inner = []
+        if base == "LIST":
+            inner = [t.value_type]
+        elif base == "MAP":
+            inner = [t.key_type, t.item_type]
+        else:
+            inner = [f.type for f in t]
+        return base + "<" + ",".join(_orc_kind_safe(x) for x in inner) + ">"
+    return base
+
+
+# ------------------------------------------------------------- Ray sink
+
+
+def write_orc_dataset(ds, out_dir: str, compression: str = "zstd", level: int = 3, stripe_rows: int = 250_000):
+    """Ray Data sink: one real ORC file per Dataset block (actor pool).
+
+    Content-hashed names make re-writes idempotent; returns the lineage
+    Dataset (path, num_rows, file_bytes)."""
+    import os
+
+    from ._rayutil import pool_size, remote_args
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    class _WriteOrc:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import hashlib
+
+            import pyarrow as pa_
+
+            digest = hashlib.sha256()
+            for c in batch.columns:
+                for b in c.chunks if isinstance(c, pa_.ChunkedArray) else [c]:
+                    for bufo in b.buffers():
+                        if bufo is not None:
+                            digest.update(bufo)
+            name = f"part-{digest.hexdigest()[:32]}-{batch.num_rows}.orc"
+            path = os.path.join(out_dir, name)
+            info = write_orc(batch, path, compression, level, stripe_rows=stripe_rows)
+            return pa.Table.from_pylist([{"path": path, "num_rows": info["num_rows"], "file_bytes": info["file_bytes"]}])
+
+    return ds.map_batches(
+        _WriteOrc,
+        batch_format="pyarrow",
+        batch_size=None,
+        zero_copy_batch=True,
+        concurrency=pool_size(),
+        **remote_args(),
+    )
+
+
+def read_orc_dataset(path_or_dir: str, columns: list[str] | None = None):
+    """ORC files -> streaming Ray Dataset (projection pushed to the reader)."""
+    import glob
+    import os
+
+    import ray.data
+
+    from ._rayutil import remote_args
+
+    if os.path.isdir(path_or_dir):
+        paths = sorted(glob.glob(os.path.join(path_or_dir, "*.orc")))
+    else:
+        paths = [path_or_dir]
+    ds = ray.data.read_binary_files(paths)
+
+    def dec(batch: pa.Table) -> pa.Table:
+        import pyarrow.orc as po
+
+        tables = [po.ORCFile(pa.BufferReader(b.as_py())).read(columns=columns) for b in batch["bytes"]]
+        return pa.concat_tables(tables) if len(tables) > 1 else tables[0]
+
+    return ds.map_batches(dec, batch_format="pyarrow", batch_size=1, zero_copy_batch=True, **remote_args())

@@ -50,22 +50,28 @@ def clean_summary_by_source(sf_dir: str) -> pa.Table:
 
 
 def clean_and_encode(sf_dir: str, out_dir: str, budget_bytes: int = 8 * 1024 * 1024) -> dict:
-    """Full pipeline: clean -> tokenize -> encode to stripes with lineage."""
-    import os
+    """Full pipeline: clean -> tokenize -> encode to stripes, streaming
+    end-to-end.
 
-    import pyarrow.parquet as pq
+    Nothing materializes on the driver: survivors stream through the
+    vectorized tokenizer straight into `encode_blocks`, whose byte-budget
+    flush slices oversized blocks; only the tiny lineage rows (one per
+    stripe) are collected. No global sort — stripe contents are
+    self-describing and the downstream consumers (decode, aggregates) are
+    order-insensitive.
+    """
+    import os
 
     from . import encode as enc
     from . import tokens as tok
 
     survivors = clean_documents(sf_dir)
-    tokens_tbl = pa.concat_tables(
-        list(
-            survivors.map_batches(tok.tokenize_batch, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-            .iter_batches(batch_size=1 << 22, batch_format="pyarrow")
-        )
-    ).sort_by("doc_id")
-    os.makedirs(out_dir, exist_ok=True)
-    tok_path = os.path.join(out_dir, "tokens_clean.parquet")
-    pq.write_table(tokens_tbl, tok_path, row_group_size=2048)
-    return enc.encode_dataset([tok_path], os.path.join(out_dir, "stripes"), budget_bytes=budget_bytes)
+    tokens_ds = survivors.map_batches(tok.tokenize_batch, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    stripes_dir = os.path.join(out_dir, "stripes")
+    lineage = enc.encode_blocks(tokens_ds, stripes_dir, stripe_bytes=budget_bytes).take_all()  # 1 row/stripe
+    return {
+        "stripes": len(lineage),
+        "num_rows": int(sum(r["num_rows"] for r in lineage)),
+        "encoded_bytes": int(sum(r["encoded_bytes"] for r in lineage)),
+        "out_dir": stripes_dir,
+    }

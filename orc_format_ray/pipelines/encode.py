@@ -205,10 +205,15 @@ def decode_dataset(out_dir: str, columns: list[str] | None = None):
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=1, zero_copy_batch=True, **remote_args())
 
 
-def encode_blocks(ds, out_dir: str, compression: str = "zstd", level: int = 3, tag: str = "blocks"):
-    """Streaming variant: one stripe per Dataset block (for mid-pipeline data
-    without a stable storage layout; pids are block-order-dependent, so this
-    path trades exact resume for generality)."""
+def encode_blocks(ds, out_dir: str, compression: str = "zstd", level: int = 3, tag: str = "blocks", stripe_bytes: int = 64 * 1024 * 1024):
+    """Streaming variant: stripes cut from Dataset blocks by byte budget (for
+    mid-pipeline data without a stable storage layout; pids are
+    block-order-dependent, so this path trades exact resume for generality).
+
+    ``stripe_bytes`` is the auto-flush budget mirroring the reference's
+    estimated_size-triggered stripe flush (reference src/writer.rs:84-90): a
+    Dataset block bigger than the budget is sliced into several stripes
+    instead of becoming one oversized blob."""
     import ray.data  # noqa: F401
 
     os.makedirs(out_dir, exist_ok=True)
@@ -217,11 +222,12 @@ def encode_blocks(ds, out_dir: str, compression: str = "zstd", level: int = 3, t
         def __init__(self):
             self.compression = compression
             self.level = level
+            self.stripe_bytes = stripe_bytes
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
+        def _emit(self, tbl: pa.Table) -> dict:
             import hashlib
 
-            blob, meta = encode_table(batch, self.compression, self.level)
+            blob, meta = encode_table(tbl, self.compression, self.level)
             # content-derived name: deterministic across processes (no salted
             # hash()); identical blocks re-written idempotently. 128-bit
             # digest: a 32-bit CRC key birthday-collides (and silently
@@ -229,9 +235,19 @@ def encode_blocks(ds, out_dir: str, compression: str = "zstd", level: int = 3, t
             digest = hashlib.sha256(blob).hexdigest()[:32]
             sp = os.path.join(out_dir, f"block-{digest}-{meta['num_rows']}.stripe")
             mf.write_blob_atomic(sp, blob)
-            return pa.Table.from_pylist(
-                [{"path": sp, "num_rows": meta["num_rows"], "encoded_bytes": meta["encoded_bytes"]}]
-            )
+            return {"path": sp, "num_rows": meta["num_rows"], "encoded_bytes": meta["encoded_bytes"]}
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            per_row = max(1, batch.nbytes // max(n, 1))
+            rows_per_stripe = max(1, int(self.stripe_bytes // per_row))
+            out = []
+            for lo in range(0, max(n, 1), rows_per_stripe):
+                piece = batch.slice(lo, min(rows_per_stripe, n - lo)) if n else batch
+                out.append(self._emit(piece))
+                if n == 0:
+                    break
+            return pa.Table.from_pylist(out)
 
     from .._rayutil import pool_size, remote_args
 

@@ -1,0 +1,163 @@
+"""Real-ORC interop: files written by orcfile.write_orc must be readable by
+pyarrow.orc (the bundled Apache ORC C++ reader) with exact values — the
+external-interop gate the native ORY container can't provide."""
+
+import glob
+import os
+from decimal import Decimal
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.orc as po
+import pytest
+
+from orc_format_ray import orcfile
+
+rng = np.random.default_rng(11)
+
+
+def _roundtrip(tbl: pa.Table, tmp_path, **kw) -> pa.Table:
+    path = str(tmp_path / "t.orc")
+    orcfile.write_orc(tbl, path, **kw)
+    return po.read_table(path)
+
+
+def _assert_equiv(back: pa.Table, tbl: pa.Table):
+    assert back.num_rows == tbl.num_rows
+    for name in tbl.schema.names:
+        got, exp = back[name].combine_chunks(), tbl[name].combine_chunks()
+        if got.type != exp.type:
+            got = got.cast(exp.type)
+        assert got.equals(exp), name
+
+
+@pytest.mark.parametrize("comp", ["none", "zlib", "zstd", "snappy"])
+def test_orc_compressions(tmp_path, comp):
+    n = 20000
+    tbl = pa.table(
+        {
+            "v": pa.array(np.repeat(rng.integers(0, 50, n // 10), 10).astype(np.int64)),
+            "s": pa.array([None if i % 17 == 0 else f"s{i % 97}" for i in range(n)]),
+        }
+    )
+    _assert_equiv(_roundtrip(tbl, tmp_path, compression=comp), tbl)
+
+
+def test_orc_all_types(tmp_path):
+    tbl = pa.table(
+        {
+            "i8": pa.array([1, -2, None, 4], type=pa.int8()),
+            "i16": pa.array([100, -200, None, 400], type=pa.int16()),
+            "i32": pa.array([1 << 20, None, -5, 0], type=pa.int32()),
+            "i64": pa.array([1 << 50, None, -(1 << 50), 7], type=pa.int64()),
+            "f32": pa.array([1.5, None, -2.25, 0.0], type=pa.float32()),
+            "f64": pa.array([1e300, None, -1e-300, 0.5], type=pa.float64()),
+            "s": pa.array(["a", None, "", "日本語"]),
+            "bin": pa.array([b"\x00\x01", None, b"", b"xyz"], type=pa.binary()),
+            "b": pa.array([True, None, False, True]),
+            "dt": pa.array([0, 1000, None, -1000], type=pa.date32()),
+            "dec": pa.array([Decimal("1.23"), None, Decimal("-99.99"), Decimal("0.01")], type=pa.decimal128(10, 2)),
+            "lst": pa.array([[1, 2, 3], None, [], [7]], type=pa.list_(pa.int32())),
+            "mp": pa.array([[("a", 1)], None, [("b", 2), ("c", 3)], []], type=pa.map_(pa.string(), pa.int64())),
+            "st": pa.array(
+                [{"x": 1, "y": "u"}, None, {"x": 3, "y": None}, {"x": None, "y": "w"}],
+                type=pa.struct([("x", pa.int64()), ("y", pa.string())]),
+            ),
+        }
+    )
+    _assert_equiv(_roundtrip(tbl, tmp_path), tbl)
+
+
+@pytest.mark.parametrize("unit", ["s", "ms", "us", "ns"])
+def test_orc_timestamps(tmp_path, unit):
+    # incl. negatives outside the well-known ORC (-1s, 0) gap
+    vals = [0, 12, None, -2_000_000, 2**31, -(2**31)]
+    scale = {"s": 1, "ms": 1_000, "us": 1_000_000, "ns": 1_000_000_000}[unit]
+    vals = [None if v is None else v * max(1, scale // 1_000_000) for v in vals]
+    tbl = pa.table({"ts": pa.array(vals, type=pa.timestamp(unit))})
+    back = _roundtrip(tbl, tmp_path)
+    assert back["ts"].cast(pa.timestamp(unit)).combine_chunks().equals(tbl["ts"].combine_chunks())
+
+
+def test_orc_multi_stripe_and_metadata(tmp_path):
+    n = 100_000
+    tbl = pa.table(
+        {
+            "v": pa.array(np.arange(n, dtype=np.int64)),
+            "s": pa.array([f"k{i % 1000}" for i in range(n)]),
+        }
+    )
+    path = str(tmp_path / "ms.orc")
+    info = orcfile.write_orc(tbl, path, compression="zstd", stripe_rows=30_000)
+    assert info["stripes"] == 4
+    f = po.ORCFile(path)
+    assert f.nstripes == 4 and f.nrows == n
+    assert str(f.compression).upper() == "ZSTD"
+    assert po.read_table(path).equals(tbl)
+    # per-stripe reads work (external readers can split)
+    assert f.read_stripe(1).num_rows == 30_000
+
+
+def test_orc_tokens_table(tmp_path):
+    """The flagship tokens shape (string, list<int32>, int32, string)."""
+    from orc_format_ray.pipelines import tokens as tok
+
+    tbl = tok.synthetic_batch(500, seed=2, shard=0)
+    back = _roundtrip(tbl, tmp_path, compression="zstd")
+    _assert_equiv(back, tbl)
+
+
+def test_orc_statistics_footer(tmp_path):
+    tbl = pa.table({"v": pa.array([5, 1, None, 9], type=pa.int64()), "s": pa.array(["b", "a", "c", None])})
+    path = str(tmp_path / "st.orc")
+    orcfile.write_orc(tbl, path)
+    # pyarrow does not expose footer stats; DuckDB-less check: re-parse works
+    # and stripe-level reads agree. Value-level stats parity is pinned by the
+    # oracle queries (orc_file_roundtrip / orc_lineitem_roundtrip).
+    f = po.ORCFile(path)
+    assert f.nrows == 4
+    got = f.read()
+    assert got["v"].to_pylist() == [5, 1, None, 9]
+
+
+def test_orc_empty_table(tmp_path):
+    tbl = pa.table({"v": pa.array([], type=pa.int64())})
+    path = str(tmp_path / "e.orc")
+    info = orcfile.write_orc(tbl, path)
+    assert info["stripes"] == 0
+    back = po.read_table(path)
+    assert back.num_rows == 0 and back.schema.names == ["v"]
+
+
+def test_orc_unsupported_types_raise():
+    with pytest.raises(NotImplementedError):
+        orcfile.write_orc(pa.table({"u": pa.array([1], type=pa.uint64())}), "/tmp/nope.orc")
+
+
+def test_orc_dataset_sink_and_source(ray_session, tmp_path):
+    import ray.data
+
+    from orc_format_ray.pipelines import tokens as tok
+
+    tbl = tok.synthetic_batch(1200, seed=5, shard=1)
+    ds = ray.data.from_arrow(tbl)
+    out_dir = str(tmp_path / "orcdir")
+    lineage = orcfile.write_orc_dataset(ds, out_dir).take_all()
+    assert sum(r["num_rows"] for r in lineage) == 1200
+    assert all(os.path.exists(r["path"]) for r in lineage)
+    back = pa.concat_tables(
+        list(orcfile.read_orc_dataset(out_dir).iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    )
+
+    def key(t):
+        return t.sort_by("doc_id")
+
+    b = key(back)
+    e = key(tbl)
+    assert b["doc_id"].combine_chunks().equals(e["doc_id"].combine_chunks())
+    assert b["n_tok"].cast(pa.int32()).combine_chunks().equals(e["n_tok"].combine_chunks())
+    # projection pushdown returns only requested columns
+    proj = pa.concat_tables(
+        list(orcfile.read_orc_dataset(out_dir, columns=["source"]).iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    )
+    assert proj.schema.names == ["source"]
