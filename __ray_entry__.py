@@ -286,13 +286,26 @@ def _q_langid_documents(sf_dir: str):
 
 
 def _q_fingerprint_documents(sf_dir: str):
+    """Fingerprint correctness via the injectivity oracle: per source, the
+    count of DISTINCT fingerprints must equal DuckDB's count(DISTINCT text) —
+    any hash collision or nondeterminism breaks the match."""
     import ray.data
+    from ray.data.aggregate import Count, Sum
 
     from orc_format_ray.ops import text as tx
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = ds.map_batches(tx.fingerprint, batch_format="pyarrow", zero_copy_batch=True, **_ra())
-    return out.select_columns(["doc_id", "fingerprint"])
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"])
+    fp = ds.map_batches(tx.fingerprint, batch_format="pyarrow", zero_copy_batch=True, **_ra())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"source": batch["source"], "fingerprint": batch["fingerprint"]})
+        g = t.group_by(["source", "fingerprint"]).aggregate([("fingerprint", "count")])
+        return g.rename_columns(["source", "fingerprint", "cnt"])
+
+    pairs = fp.map_batches(partial, batch_format="pyarrow", **_ra())
+    per_fp = pairs.groupby(["source", "fingerprint"]).aggregate(Sum("cnt", alias_name="n_docs"))
+    out = per_fp.groupby("source").aggregate(Count(alias_name="n_distinct"), Sum("n_docs", alias_name="n_docs"))
+    return out.to_pandas()[["source", "n_distinct", "n_docs"]]
 
 
 def _q_encode_roundtrip_by_source(sf_dir: str):
@@ -453,13 +466,18 @@ def _q_minhash_dedup_pairs(sf_dir: str):
 
 
 def _q_ivf_ann_topk(sf_dir: str):
+    """IVF as a real index: bucket-partitioned build (one-time shuffle), then
+    queries read ONLY the nprobe probed bucket files."""
     import ray.data
 
     from orc_format_ray.ops import similarity as sim
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    index = sim.IVFIndex.train(ds, nlist=8)
-    out = sim.ivf_topk(ds, index, _ann_query_vector(), k=10, nprobe=3)
+    index_dir = os.path.join(_scratch(sf_dir, "ivf"), "index")
+    if not os.path.exists(os.path.join(index_dir, "centroids.npy")):
+        index = sim.IVFIndex.train(ds, nlist=8)
+        sim.build_ivf_index(ds, index, index_dir)
+    out, _bytes_read = sim.ivf_topk_indexed(index_dir, _ann_query_vector(), k=10, nprobe=3)
     df = out.to_pandas()
     df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
     return df[["rank", "vec_id", "score"]]
@@ -513,6 +531,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 _TOKCOUNT_SQL = "CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END"
+
+
+def _langid_sql() -> str:
+    """Stopword-vote language ID in pure SQL: per-language occurrence counts
+    via list_filter, winner = FIRST language (en,de,fr,es,zh order) reaching
+    the max — the exact tie rule of ops.text.LangId."""
+    from orc_format_ray.ops.text import _STOPWORDS
+
+    langs = list(_STOPWORDS)  # dict order == LangId vote order
+
+    def cnt(lang: str) -> str:
+        words = ", ".join(f"'{w}'" for w in sorted(_STOPWORDS[lang]))
+        return (
+            f"len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), w -> w IN ({words}))) AS c_{lang}"
+        )
+
+    cases = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(f"c_{lang} >= c_{other}" for other in langs[i + 1 :])
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    case = "CASE " + " ".join(cases) + f" ELSE '{langs[-1]}' END"
+    return (
+        "WITH c AS (SELECT doc_id, " + ", ".join(cnt(l) for l in langs) + " FROM documents) "
+        f"SELECT doc_id, {case} AS lang_pred FROM c"
+    )
+
+
+_LANGID_SQL = _langid_sql()
 
 _ANN_VEC_SQL = "[" + ", ".join(("1.0" if i % 2 == 0 else "-1.0") for i in range(64)) + "]"
 
@@ -608,4 +654,10 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(l_extendedprice), 2) AS sum_price, max(epoch_ms(l_shipdate)) AS max_ship_ms "
             "FROM lineitem GROUP BY l_returnflag"
         ),
+        "fingerprint_documents": (
+            # injectivity oracle: distinct fingerprints == distinct texts
+            "SELECT source, count(DISTINCT text) AS n_distinct, count(*) AS n_docs "
+            "FROM documents GROUP BY source"
+        ),
+        "langid_documents": _LANGID_SQL,
     }

@@ -284,27 +284,28 @@ def decode(buf: bytes, signed: bool = True) -> np.ndarray:
     nbytes = len(b)
     if nbytes == 0:
         return np.zeros(0, dtype=np.int64 if signed else np.uint64)
-    term = np.flatnonzero(b < 0x80)  # candidate varint terminators (incl. headers)
+    data = bytes(buf) if not isinstance(buf, bytes) else buf  # O(1) int indexing
+    term_mask = b < 0x80
+    term_pos = np.flatnonzero(term_mask)
+    # prefix terminator counts: tcount[i] = #terminators at positions <= i.
+    # Gives O(1) varint-region resolution per group header (the first
+    # terminator >= vstart is term_pos[tcount[vstart-1]]), so the header scan
+    # does constant Python work per group with no inner cursor loop.
+    tcount = np.cumsum(term_mask, dtype=np.int64)
 
-    # header scan: group kinds/counts/deltas + varint byte regions (in order).
-    # the terminator cursor ti is monotonic; it only skips the few header
-    # bytes that alias as terminators, so the scan is O(#groups) amortized.
+    # header scan: group kinds/counts/deltas + varint byte regions (in order)
     g_lit: list[bool] = []
     g_cnt: list[int] = []
     g_delta: list[int] = []
     reg_a: list[int] = []
     reg_b: list[int] = []
     p = 0
-    ti = 0
     while p < nbytes:
-        h = int(b[p])
+        h = data[p]
         if h < 0x80:  # run of h+3 values; payload = delta byte + base varint
-            delta = int(b[p + 1])
+            delta = data[p + 1]
             vstart = p + 2
-            while term[ti] < vstart:
-                ti += 1
-            vend = int(term[ti]) + 1
-            ti += 1
+            vend = int(term_pos[tcount[vstart - 1]]) + 1
             g_lit.append(False)
             g_cnt.append(h + 3)
             g_delta.append(delta - 256 if delta >= 128 else delta)
@@ -314,11 +315,7 @@ def decode(buf: bytes, signed: bool = True) -> np.ndarray:
         else:  # literal group of 256-h varints
             k = 256 - h
             vstart = p + 1
-            while term[ti] < vstart:
-                ti += 1
-            ti += k - 1
-            vend = int(term[ti]) + 1
-            ti += 1
+            vend = int(term_pos[tcount[vstart - 1] + k - 1]) + 1
             g_lit.append(True)
             g_cnt.append(k)
             g_delta.append(0)

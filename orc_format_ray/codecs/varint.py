@@ -113,26 +113,28 @@ def zigzag_encode32(x: np.ndarray) -> np.ndarray:
 def varint_decode_all(buf: np.ndarray | bytes) -> np.ndarray:
     """Decode a buffer consisting solely of back-to-back unsigned varints.
 
-    Fully vectorized: terminator bytes (high bit clear) delimit values; each
-    byte's 7-bit payload is OR-shifted into its value slot.
+    Fully vectorized forward scheme: value starts are the bytes after each
+    terminator; iteration k ORs byte k of every still-open varint into its
+    value slot. The active set shrinks with k (most varints are 1-3 bytes),
+    so traffic concentrates on the first iterations — this is the decode hot
+    path for token streams and is memory-bandwidth sensitive.
     """
     b = np.frombuffer(buf, dtype=np.uint8) if isinstance(buf, (bytes, bytearray, memoryview)) else np.asarray(buf, dtype=np.uint8)
-    if len(b) == 0:
+    nb = len(b)
+    if nb == 0:
         return np.zeros(0, dtype=np.uint64)
-    term = b < 0x80
-    gid = np.zeros(len(b), dtype=np.int64)
-    np.cumsum(term[:-1].astype(np.int64), out=gid[1:])
-    n = int(term.sum())
-    starts = np.flatnonzero(np.concatenate(([True], term[:-1])))
-    off = np.arange(len(b), dtype=np.int64) - starts[gid]
-    vals = np.zeros(n, dtype=np.uint64)
-    payload = (b & np.uint8(0x7F)).astype(np.uint64)
-    max_off = int(off.max())
-    for k in range(max_off + 1):
-        m = off == k
-        if not m.any():
-            continue
-        vals[gid[m]] |= payload[m] << np.uint64(7 * k)
+    cont = b >= 0x80
+    starts = np.flatnonzero(np.concatenate(([True], ~cont[:-1])))  # first byte of each varint (follows a terminator)
+    vals = (b[starts] & np.uint8(0x7F)).astype(np.uint64)
+    idx = starts + 1
+    live = np.flatnonzero(cont[starts])  # varints longer than 1 byte
+    k = 1
+    while len(live):
+        pos = idx[live]
+        vals[live] |= (b[pos] & np.uint8(0x7F)).astype(np.uint64) << np.uint64(7 * k)
+        live = live[cont[pos]]
+        idx[live] += 1
+        k += 1
     return vals
 
 

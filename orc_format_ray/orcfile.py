@@ -34,7 +34,6 @@ import pyarrow.compute as pc
 
 from . import stats as stats_mod
 from .codecs import boolean_rle, byte_rle, int_rle_v1
-from .codecs.varint import varint_encode_bigint
 from .stripe import TS_EPOCH_SECONDS, _string_block, _TS_UNIT_NS, _validity
 
 # ------------------------------------------------------------ proto2 emitter
@@ -306,9 +305,10 @@ def _column_streams(arr: pa.Array, col_id: int, out: list[tuple[int, int, bytes]
         packed[~use] = nanos[~use] << np.uint64(3)
         out.append((_STREAM["SECONDARY"], col_id, int_rle_v1.encode(packed, signed=False)))
     elif kind == "DECIMAL":
-        ints = [int(v.as_py().scaleb(t.scale)) for v in valid]
-        out.append((_STREAM["DATA"], col_id, varint_encode_bigint(ints)))
-        out.append((_STREAM["SECONDARY"], col_id, int_rle_v1.encode(np.full(len(ints), t.scale, dtype=np.int64), signed=True)))
+        from .stripe import encode_decimal_stream
+
+        out.append((_STREAM["DATA"], col_id, encode_decimal_stream(valid)))
+        out.append((_STREAM["SECONDARY"], col_id, int_rle_v1.encode(np.full(len(valid), t.scale, dtype=np.int64), signed=True)))
     elif kind == "LIST":
         lens = pc.list_value_length(arr)
         lens = lens.drop_null() if lens.null_count else lens
@@ -316,12 +316,12 @@ def _column_streams(arr: pa.Array, col_id: int, out: list[tuple[int, int, bytes]
         child = valid.combine_chunks().flatten() if isinstance(valid, pa.ChunkedArray) else valid.flatten()
         next_id = _column_streams(child, next_id, out, enc_out, stats_out)
     elif kind == "MAP":
-        moffs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[arr.offset : arr.offset + len(arr) + 1]
-        lens_all = np.diff(moffs).astype(np.int64)
-        vmask = _validity(arr) if arr.null_count else np.ones(len(arr), bool)
-        out.append((_STREAM["LENGTH"], col_id, int_rle_v1.encode(lens_all[vmask].astype(np.uint64), signed=False)))
-        next_id = _column_streams(valid.keys, next_id, out, enc_out, stats_out)
-        next_id = _column_streams(valid.items, next_id, out, enc_out, stats_out)
+        from .stripe import map_entries
+
+        lv, keys, items = map_entries(arr)
+        out.append((_STREAM["LENGTH"], col_id, int_rle_v1.encode(lv.astype(np.uint64), signed=False)))
+        next_id = _column_streams(keys, next_id, out, enc_out, stats_out)
+        next_id = _column_streams(items, next_id, out, enc_out, stats_out)
     elif kind == "STRUCT":
         for i, f in enumerate(t):
             child = valid.field(i) if hasattr(valid, "field") else pc.struct_field(valid, i)

@@ -144,10 +144,17 @@ def compute(arr: pa.Array | pa.ChunkedArray) -> ColumnStats:
     elif pa.types.is_decimal(t):
         s.kind = "decimal"
         if len(valid):
-            ints = [int(v.as_py().scaleb(t.scale)) for v in valid]
-            s.min = str(min(ints))
-            s.max = str(max(ints))
-            s.sum = str(sum(ints))
+            from .stripe import decimal_unscaled
+
+            fast, slow = decimal_unscaled(valid.combine_chunks() if isinstance(valid, pa.ChunkedArray) else valid)
+            if fast is not None:
+                s.min = str(int(fast.min()))
+                s.max = str(int(fast.max()))
+                s.sum = str(int(fast.astype(object).sum()))  # exact (no int64 wrap)
+            else:
+                s.min = str(min(slow))
+                s.max = str(max(slow))
+                s.sum = str(sum(slow))
     else:
         s.kind = "generic"
     return s

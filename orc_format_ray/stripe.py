@@ -120,6 +120,75 @@ def _string_block(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     return data, (offs - offs[0]).astype(np.int64)
 
 
+def decimal_unscaled(valid: pa.Array) -> tuple[np.ndarray | None, list[int] | None]:
+    """Unscaled ints of a non-null decimal128 array, via the two-uint64-limb
+    buffer (no per-row as_py()/Decimal). Returns (int64 array, None) when all
+    values fit int64 — the overwhelmingly common precision<=18 case — else
+    (None, Python bigints)."""
+    raw = np.frombuffer(valid.buffers()[1], dtype=np.uint64)
+    raw = raw[valid.offset * 2 : (valid.offset + len(valid)) * 2]
+    lo = np.ascontiguousarray(raw[0::2])
+    hi = np.ascontiguousarray(raw[1::2]).view(np.int64)
+    lo64 = lo.view(np.int64)
+    if np.array_equal(hi, lo64 >> 63):
+        return lo64, None
+    return None, [int(h) * (1 << 64) + int(l) for h, l in zip(hi, lo)]
+
+
+def _decimal_from_int64(vals: np.ndarray, valid: np.ndarray | None, n: int, t: pa.DataType) -> pa.Array:
+    """int64 unscaled values -> decimal128 array via limb buffers (vectorized)."""
+    full = np.zeros(n, dtype=np.int64)
+    full[np.flatnonzero(valid) if valid is not None else slice(None)] = vals
+    data = np.empty((n, 2), dtype=np.uint64)
+    data[:, 0] = full.view(np.uint64)
+    data[:, 1] = (full >> 63).view(np.uint64)
+    bufs = [None, pa.py_buffer(data.tobytes())]
+    if valid is not None:
+        bufs[0] = pa.py_buffer(np.packbits(valid.astype(np.uint8), bitorder="little").tobytes())
+    return pa.Array.from_buffers(t, n, bufs)
+
+
+def map_entries(arr: pa.Array) -> tuple[np.ndarray, pa.Array, pa.Array]:
+    """(valid-row lengths, keys, items) of a map array, slice-safe.
+
+    MapArray.keys/.items return the FULL underlying child and ignore both the
+    array's slice offset and null rows — encoding them directly corrupts any
+    sliced map column (e.g. row-index chunks). Rebuilding the entries as a
+    list<struct> over the same offsets buffer lets drop_null()/flatten() do
+    the bookkeeping correctly.
+    """
+    t = arr.type
+    moffs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[arr.offset : arr.offset + len(arr) + 1]
+    lens_all = np.diff(moffs).astype(np.int64)
+    vmask = _validity(arr) if arr.null_count else np.ones(len(arr), bool)
+    entry_type = pa.struct([t.key_field, t.item_field])
+    full_entries = pa.StructArray.from_arrays([arr.keys, arr.items], fields=[t.key_field, t.item_field])
+    lst = pa.Array.from_buffers(
+        pa.list_(pa.field("entries", entry_type, nullable=False)),
+        len(arr),
+        [arr.buffers()[0], arr.buffers()[1]],
+        offset=arr.offset,
+        children=[full_entries],
+    )
+    valid = lst.drop_null() if arr.null_count else lst
+    flat = valid.flatten()
+    return lens_all[vmask], flat.field(0), flat.field(1)
+
+
+def encode_decimal_stream(valid: pa.Array) -> bytes:
+    """DATA stream of a non-null decimal column: 128-bit zigzag varints.
+
+    64-bit zigzag+varint is numerically identical to the 128-bit encoding for
+    values that fit int64, so the fast path is byte-identical to the bigint
+    path (pinned by test_decimal_fast_path_bit_identical)."""
+    from .codecs.varint import varint_encode_signed
+
+    fast, slow = decimal_unscaled(valid)
+    if fast is not None:
+        return varint_encode_signed(fast)[0]
+    return varint_encode_bigint(slow)
+
+
 def encode_column(arr: pa.Array, name: str, force: dict | None = None) -> dict:
     """Encode one column (recursively) -> node dict with raw stream bytes.
 
@@ -185,10 +254,9 @@ def encode_column(arr: pa.Array, name: str, force: dict | None = None) -> dict:
         node["streams"]["SECONDARY"] = rle_v2.encode(packed, signed=False)
         node["encoding"]["SECONDARY"] = "rle_v2"
     elif pa.types.is_decimal(t):
-        ints = [int(v.as_py().scaleb(t.scale)) for v in valid]
-        node["streams"]["DATA"] = varint_encode_bigint(ints)
+        node["streams"]["DATA"] = encode_decimal_stream(valid)
         node["encoding"]["DATA"] = "varint128"
-        node["streams"]["SECONDARY"] = rle_v2.encode(np.full(len(ints), t.scale, dtype=np.int64), signed=True)
+        node["streams"]["SECONDARY"] = rle_v2.encode(np.full(len(valid), t.scale, dtype=np.int64), signed=True)
         node["encoding"]["SECONDARY"] = "rle_v2"
     elif pa.types.is_string(t) or pa.types.is_large_string(t):
         concat, offs = _string_block(valid)
@@ -216,15 +284,12 @@ def encode_column(arr: pa.Array, name: str, force: dict | None = None) -> dict:
             child = valid.field(i) if hasattr(valid, "field") else pc.struct_field(valid, i)
             node["children"].append(encode_column(child, f.name, _child_force(force, i)))
     elif pa.types.is_map(t):
-        moffs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[arr.offset : arr.offset + len(arr) + 1]
-        lens_all = np.diff(moffs).astype(np.int64)
-        vmask = _validity(arr) if arr.null_count else np.ones(len(arr), bool)
-        lv = lens_all[vmask]
+        lv, keys, items = map_entries(arr)
         lcodec = (force or {}).get("LENGTH") or selector.select_int_codec(lv)
         node["streams"]["LENGTH"] = selector.encode_ints(lv, lcodec)
         node["encoding"]["LENGTH"] = lcodec
-        node["children"].append(encode_column(valid.keys, "key", _child_force(force, 0)))
-        node["children"].append(encode_column(valid.items, "value", _child_force(force, 1)))
+        node["children"].append(encode_column(keys, "key", _child_force(force, 0)))
+        node["children"].append(encode_column(items, "value", _child_force(force, 1)))
     elif pa.types.is_union(t):
         # dense union: ByteRLE over child-index tags (reference union.rs:117-126)
         type_codes = np.frombuffer(arr.buffers()[1], dtype=np.int8)[arr.offset : arr.offset + len(arr)]
@@ -290,6 +355,18 @@ def decode_column(node: dict, streams: dict) -> pa.Array:
         v = secs * units_per_sec + nanos // per_ns
         return _scatter_primitive(v.astype(np.int64), valid, n, pa.int64()).cast(t)
     if pa.types.is_decimal(t):
+        buf = np.frombuffer(my["DATA"], dtype=np.uint8)
+        # fast path: every varint <=9 bytes means every zigzag fits uint64
+        term = buf < 0x80
+        if len(buf) == 0 or n_present == 0:
+            return _decimal_from_int64(np.zeros(0, np.int64), valid, n, t)
+        starts = np.flatnonzero(np.concatenate(([True], term[:-1])))
+        vlens = np.diff(np.concatenate((starts, [len(buf)])))
+        if vlens.max() <= 9:
+            from .codecs.varint import varint_decode_all, zigzag_decode
+
+            vals = zigzag_decode(varint_decode_all(buf))[:n_present]
+            return _decimal_from_int64(vals, valid, n, t)
         ints = varint_decode_bigint(my["DATA"], n_present)
         from decimal import Decimal
 

@@ -225,3 +225,36 @@ def test_window_agg_pre_epoch_matches_duckdb(ray_session):
     )
     assert got["window_start_ms"].tolist() == exp["window_start_ms"].tolist()
     assert got["cnt"].astype(int).tolist() == exp["cnt"].astype(int).tolist()
+
+
+def test_ivf_index_reads_only_probed_buckets(ray_session, tmp_path):
+    """VERDICT r1 #5: the built IVF index must read bytes proportional to
+    nprobe/nlist, not corpus size, and match the scan-based ivf_topk."""
+    import os
+
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    index = similarity.IVFIndex.train(ds, nlist=8)
+    index_dir = str(tmp_path / "ivf")
+    info = similarity.build_ivf_index(ds, index, index_dir)
+    assert info["rows"] == ds.count()
+    q = np.ones((1, 64))
+
+    out1, bytes_1 = similarity.ivf_topk_indexed(index_dir, q, k=10, nprobe=1)
+    out_all, bytes_all = similarity.ivf_topk_indexed(index_dir, q, k=10, nprobe=8)
+    total = sum(
+        os.path.getsize(os.path.join(index_dir, f)) for f in os.listdir(index_dir) if f.startswith("bucket-")
+    )
+    assert bytes_1 < bytes_all <= total
+    assert bytes_1 <= total * 0.6, (bytes_1, total)  # 1 of 8 buckets, skew allowed
+
+    # indexed result == scan-based ivf_topk at the same nprobe (same centroids)
+    scan = similarity.ivf_topk(ds, index, q, k=10, nprobe=4).to_pandas()
+    idx4, _ = similarity.ivf_topk_indexed(index_dir, q, k=10, nprobe=4)
+    assert idx4.to_pandas()["vec_id"].tolist() == scan["vec_id"].tolist()
+
+    # recall vs brute force at nprobe=8 (all buckets) must be exact
+    exact = similarity.brute_force_topk(ds, q, k=10).to_pandas()["vec_id"].tolist()
+    all8, _ = similarity.ivf_topk_indexed(index_dir, q, k=10, nprobe=8)
+    assert all8.to_pandas()["vec_id"].tolist() == exact

@@ -239,3 +239,43 @@ def test_timestamp_stats_floor_pre_epoch():
     arr = pa.array([-1500, 1500, -1], type=pa.timestamp("us"))
     s = st.compute(arr)
     assert s.min == -2 and s.max == 1
+
+
+def test_decimal_fast_path_bit_identical():
+    """VERDICT r1 #7: the vectorized int64-limb decimal encoder must produce
+    the exact bytes of the bigint reference path."""
+    from decimal import Decimal
+
+    from orc_format_ray.codecs.varint import varint_encode_bigint
+    from orc_format_ray.stripe import encode_decimal_stream
+
+    vals = [Decimal("0.00"), Decimal("1.23"), Decimal("-1.23"), Decimal("92233720368547758.07"),
+            Decimal("-92233720368547758.08"), Decimal("55.55")]
+    arr = pa.array(vals, type=pa.decimal128(20, 2))
+    ints = [int(v.scaleb(2)) for v in vals]
+    assert encode_decimal_stream(arr) == varint_encode_bigint(ints)
+
+
+def test_decimal_beyond_int64_roundtrip():
+    from decimal import Decimal
+
+    # unscaled > 2^63 but < 28 digits (beyond that, Decimal's default context
+    # precision rounds during conversions — the retired as_py().scaleb() path
+    # silently hit this; the limb path is exact for all 38 digits)
+    big = Decimal("12345678901234567890123.45")
+    vals = [big, None, -big, Decimal("0.01")]
+    tbl = pa.table({"d": pa.array(vals, type=pa.decimal128(38, 2))})
+    for stride in (None, 2):
+        blob, _ = stripe.encode_table(tbl, row_index_stride=stride)
+        assert stripe.decode_stripe(blob).equals(tbl), stride
+
+
+def test_decimal_nulls_vectorized_decode():
+    from decimal import Decimal
+
+    vals = [None if i % 3 == 0 else Decimal(i).scaleb(-2) for i in range(5000)]
+    tbl = pa.table({"d": pa.array(vals, type=pa.decimal128(18, 2))})
+    blob, _ = stripe.encode_table(tbl)
+    out = stripe.decode_stripe(blob)
+    out["d"].combine_chunks().validate(full=True)
+    assert out.equals(tbl)
