@@ -393,6 +393,164 @@ def _column_scales(schema: pa.Schema) -> list[int | None]:
 # ------------------------------------------------------------- file writer
 
 
+class OrcWriter:
+    """Push-style incremental ORC writer — the reference Writer API shape
+    (reference src/writer.rs:62-114): callers push record batches and a
+    stripe auto-flushes to disk whenever the buffered estimated size exceeds
+    ``stripe_size`` (writer.rs:84-90); ``close()`` writes Metadata, Footer,
+    PostScript and the trailing length byte (writer.rs:92-114).
+
+    Stripes stream to the file as they flush — the writer holds only the
+    current stripe's buffered batches, so an arbitrarily large file needs
+    bounded memory. Use as a context manager or call close().
+    """
+
+    def __init__(self, path: str, schema: pa.Schema, compression: str = "zstd", level: int = 3, stripe_size: int = 64 * 1024 * 1024):
+        import os
+
+        if compression not in _KIND_IDS:
+            raise ValueError(f"unsupported ORC compression {compression!r}")
+        _flat_types(schema)  # validates every column type is ORC-mappable
+        self.path = path
+        self.schema = schema
+        self.compression = compression
+        self.level = level
+        self.stripe_size = stripe_size
+        self._has_ts = any("TIMESTAMP" in _orc_kind_safe(f.type) for f in schema)
+        self._parts: list[pa.Table] = []
+        self._buffered = 0
+        self._num_rows = 0
+        self._stripe_infos: list[tuple] = []  # (offset, ilen, dlen, flen, rows, stats)
+        self._tmp = path + f".tmp.{os.getpid()}"
+        self._f = open(self._tmp, "wb")
+        self._f.write(b"ORC")  # reference writer.rs:116-119
+        self._pos = 3
+        self._closed = False
+
+    def __enter__(self) -> "OrcWriter":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        if exc_type is None:
+            self.close()
+        else:
+            self.abort()
+
+    def write_batch(self, tbl: pa.Table) -> None:
+        if self._closed:
+            raise ValueError("writer is closed")
+        if tbl.schema.names != self.schema.names:
+            raise ValueError(f"schema mismatch: {tbl.schema.names} vs {self.schema.names}")
+        if tbl.num_rows == 0:
+            return
+        self._parts.append(tbl)
+        self._buffered += tbl.nbytes
+        self._num_rows += tbl.num_rows
+        if self._buffered > self.stripe_size:
+            self._flush_stripe()
+
+    def _write(self, data: bytes) -> None:
+        self._f.write(data)
+        self._pos += len(data)
+
+    def _flush_stripe(self) -> None:
+        if not self._parts:
+            return
+        sub = pa.concat_tables(self._parts)
+        self._parts = []
+        self._buffered = 0
+        rows = sub.num_rows
+        streams: list[tuple[int, int, bytes]] = []
+        encodings: list[int] = [0]
+        col_stats: list[stats_mod.ColumnStats] = [stats_mod.ColumnStats(kind="generic", num_values=rows, num_present=rows)]
+        cid = 1
+        for i in range(sub.num_columns):
+            cid = _column_streams(sub.column(i).combine_chunks(), cid, streams, encodings, col_stats)
+        offset = self._pos
+        data_start = self._pos
+        stream_meta = []
+        for kind_id, col_id, payload in streams:
+            framed = _orc_frame(payload, self.compression, self.level)
+            stream_meta.append((kind_id, col_id, len(framed)))
+            self._write(framed)
+        data_len = self._pos - data_start
+        sf = Msg()
+        for kind_id, col_id, length in stream_meta:
+            sf.msg(1, Msg().varint(1, kind_id).varint(2, col_id).varint(3, length))
+        for e in encodings:
+            sf.msg(2, Msg().varint(1, e))
+        if self._has_ts:
+            sf.string(3, "UTC")
+        footer_bytes = _orc_frame(sf.tobytes(), self.compression, self.level)
+        self._write(footer_bytes)
+        # index_len = 0: no ROW_INDEX streams; footer sets rowIndexStride=0
+        self._stripe_infos.append((offset, 0, data_len, len(footer_bytes), rows, col_stats))
+
+    def abort(self) -> None:
+        import os
+
+        if not self._closed:
+            self._closed = True
+            self._f.close()
+            if os.path.exists(self._tmp):
+                os.remove(self._tmp)
+
+    def close(self) -> dict:
+        import os
+
+        if self._closed:
+            raise ValueError("writer already closed")
+        self._flush_stripe()
+        content_length = self._pos - 3
+        compression, level = self.compression, self.level
+        stripe_infos = self._stripe_infos
+
+        # Metadata: per-stripe column statistics (reference writer.rs:132-151)
+        scales = _column_scales(self.schema)
+        meta = Msg()
+        for *_rest, _rows, col_stats in stripe_infos:
+            ss = Msg()
+            for i, cs in enumerate(col_stats):
+                ss.msg(1, _stats_proto(cs, scales[i] if i < len(scales) else None))
+            meta.msg(1, ss)
+        meta_bytes = _orc_frame(meta.tobytes(), compression, level)
+        self._write(meta_bytes)
+
+        # Footer (reference writer.rs:256-293)
+        footer = Msg()
+        footer.varint(1, 3).varint(2, content_length)
+        for offset, ilen, dlen, flen, rows, _cs in stripe_infos:
+            footer.msg(3, Msg().varint(1, offset).varint(2, ilen).varint(3, dlen).varint(4, flen).varint(5, rows))
+        for tmsg in _flat_types(self.schema):
+            footer.msg(4, tmsg)
+        footer.varint(6, self._num_rows)
+        merged = (
+            [stats_mod.merge_all([si[5][i] for si in stripe_infos]) for i in range(len(stripe_infos[0][5]))]
+            if stripe_infos
+            else []
+        )
+        for i, cs in enumerate(merged):
+            footer.msg(7, _stats_proto(cs, scales[i] if i < len(scales) else None))
+        footer.varint(8, 0)  # rowIndexStride=0: no row index written
+        footer_out = _orc_frame(footer.tobytes(), compression, level)
+        self._write(footer_out)
+
+        ps = Msg()
+        ps.varint(1, len(footer_out)).varint(2, _KIND_IDS[compression])
+        ps.varint(3, _ORC_BLOCK).packed(4, [0, 12]).varint(5, len(meta_bytes)).varint(6, 6)
+        ps.string(8000, "ORC")
+        ps_bytes = ps.tobytes()
+        if len(ps_bytes) > 255:
+            raise ValueError("postscript too long")
+        self._write(ps_bytes)
+        self._write(bytes([len(ps_bytes)]))
+
+        self._f.close()
+        self._closed = True
+        os.replace(self._tmp, self.path)
+        return {"num_rows": self._num_rows, "file_bytes": self._pos, "stripes": len(stripe_infos)}
+
+
 def write_orc(
     tbl: pa.Table,
     path: str,
@@ -400,97 +558,21 @@ def write_orc(
     level: int = 3,
     stripe_rows: int | None = None,
 ) -> dict:
-    """Write a genuine ORC file (readable by pyarrow.orc / ORC C++/Java).
-
-    Returns {"num_rows", "file_bytes", "stripes"}. ``stripe_rows`` cuts the
-    table into multiple stripes (reference auto-flush analog; callers that
-    stream should pass pre-sized tables instead).
-    """
-    if compression not in _KIND_IDS:
-        raise ValueError(f"unsupported ORC compression {compression!r}")
-    buf = bytearray()
-    buf += b"ORC"  # reference writer.rs:116-119
-
+    """Write a Table as a genuine ORC file (readable by pyarrow.orc / ORC
+    C++/Java). ``stripe_rows`` forces a stripe cut every that many rows;
+    incremental producers should use OrcWriter directly (push + auto-flush).
+    Returns {"num_rows", "file_bytes", "stripes"}."""
     n = tbl.num_rows
     stripe_rows = stripe_rows or max(n, 1)
-    stripe_infos = []  # (offset, index_len, data_len, footer_len, rows, stats)
-    has_ts = any("TIMESTAMP" in str(_orc_kind_safe(f.type)) for f in tbl.schema)
-
-    for lo in range(0, n, stripe_rows):  # 0-row table -> 0 stripes (reference stripe.rs:83)
-        sub = tbl.slice(lo, min(stripe_rows, n - lo))
-        rows = sub.num_rows
-        if rows == 0:
-            break
-        streams: list[tuple[int, int, bytes]] = []
-        encodings: list[int] = [0]
-        col_stats: list[stats_mod.ColumnStats] = []
-        root = stats_mod.ColumnStats(kind="generic", num_values=rows, num_present=rows)
-        col_stats.append(root)
-        cid = 1
-        for i in range(sub.num_columns):
-            cid = _column_streams(sub.column(i).combine_chunks(), cid, streams, encodings, col_stats)
-        offset = len(buf)
-        index_len = 0  # no ROW_INDEX streams; footer sets rowIndexStride=0
-        data_start = len(buf)
-        stream_meta = []
-        for kind_id, col_id, payload in streams:
-            framed = _orc_frame(payload, compression, level)
-            stream_meta.append((kind_id, col_id, len(framed)))
-            buf += framed
-        data_len = len(buf) - data_start
-        sf = Msg()
-        for kind_id, col_id, length in stream_meta:
-            sf.msg(1, Msg().varint(1, kind_id).varint(2, col_id).varint(3, length))
-        for e in encodings:
-            sf.msg(2, Msg().varint(1, e))
-        if has_ts:
-            sf.string(3, "UTC")
-        footer_bytes = _orc_frame(sf.tobytes(), compression, level)
-        buf += footer_bytes
-        stripe_infos.append((offset, index_len, data_len, len(footer_bytes), rows, col_stats))
-
-    content_length = len(buf) - 3
-
-    # Metadata: per-stripe column statistics (reference writer.rs:132-151)
-    scales = _column_scales(tbl.schema)
-    meta = Msg()
-    for *_rest, rows, col_stats in stripe_infos:
-        ss = Msg()
-        for i, cs in enumerate(col_stats):
-            ss.msg(1, _stats_proto(cs, scales[i] if i < len(scales) else None))
-        meta.msg(1, ss)
-    meta_bytes = _orc_frame(meta.tobytes(), compression, level)
-    buf += meta_bytes
-
-    # Footer (reference writer.rs:256-293)
-    footer = Msg()
-    footer.varint(1, 3).varint(2, content_length)
-    for offset, ilen, dlen, flen, rows, _cs in stripe_infos:
-        footer.msg(3, Msg().varint(1, offset).varint(2, ilen).varint(3, dlen).varint(4, flen).varint(5, rows))
-    for tmsg in _flat_types(tbl.schema):
-        footer.msg(4, tmsg)
-    footer.varint(6, n)
-    merged = [stats_mod.merge_all([si[5][i] for si in stripe_infos]) for i in range(len(stripe_infos[0][5]))] if stripe_infos else []
-    for i, cs in enumerate(merged):
-        footer.msg(7, _stats_proto(cs, scales[i] if i < len(scales) else None))
-    footer.varint(8, 0)  # rowIndexStride=0: no row index written
-    footer_out = _orc_frame(footer.tobytes(), compression, level)
-    buf += footer_out
-
-    ps = Msg()
-    ps.varint(1, len(footer_out)).varint(2, _KIND_IDS[compression])
-    ps.varint(3, _ORC_BLOCK).packed(4, [0, 12]).varint(5, len(meta_bytes)).varint(6, 6)
-    ps.string(8000, "ORC")
-    ps_bytes = ps.tobytes()
-    if len(ps_bytes) > 255:
-        raise ValueError("postscript too long")
-    buf += ps_bytes
-    buf += bytes([len(ps_bytes)])
-
-    from . import manifest as mf
-
-    mf.write_blob_atomic(path, bytes(buf))
-    return {"num_rows": n, "file_bytes": len(buf), "stripes": len(stripe_infos)}
+    w = OrcWriter(path, tbl.schema, compression, level)
+    try:
+        for lo in range(0, n, stripe_rows):  # 0-row table -> 0 stripes (reference stripe.rs:83)
+            w.write_batch(tbl.slice(lo, min(stripe_rows, n - lo)))
+            w._flush_stripe()
+        return w.close()
+    except BaseException:
+        w.abort()
+        raise
 
 
 def _orc_kind_safe(t: pa.DataType) -> str:

@@ -205,6 +205,57 @@ def decode_dataset(out_dir: str, columns: list[str] | None = None):
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=1, zero_copy_batch=True, **remote_args())
 
 
+class StripeWriter:
+    """Push-style incremental writer for the native stripe container — the
+    reference's Writer shape (reference src/writer.rs:62-114): push record
+    batches, stripes auto-flush at the byte budget, close() flushes the tail
+    and returns the lineage records. One writer per shard/actor; each flushed
+    stripe is written atomically with a manifest record, so a crashed
+    incremental producer loses at most its buffered (unflushed) batches."""
+
+    def __init__(self, out_dir: str, compression: str = "zstd", level: int = 3, stripe_bytes: int = 64 * 1024 * 1024, tag: str = "push"):
+        os.makedirs(out_dir, exist_ok=True)
+        self.out_dir = out_dir
+        self.compression = compression
+        self.level = level
+        self.stripe_bytes = stripe_bytes
+        self.tag = tag
+        self._parts: list[pa.Table] = []
+        self._buffered = 0
+        self._seq = 0
+        self.records: list[dict] = []
+
+    def write_batch(self, tbl: pa.Table) -> None:
+        if tbl.num_rows == 0:
+            return
+        self._parts.append(tbl)
+        self._buffered += tbl.nbytes
+        if self._buffered > self.stripe_bytes:
+            self._flush()
+
+    def _flush(self) -> None:
+        if not self._parts:
+            return
+        sub = pa.concat_tables(self._parts)
+        self._parts = []
+        self._buffered = 0
+        blob, meta = encode_table(sub, self.compression, self.level)
+        sp = os.path.join(self.out_dir, f"{self.tag}-{self._seq:05d}.stripe")
+        mf.write_blob_atomic(sp, blob)
+        rec = {"path": sp, "seq": self._seq, "num_rows": meta["num_rows"], "encoded_bytes": meta["encoded_bytes"], "checksum_crc32": meta["checksum_crc32"]}
+        self.records.append(rec)
+        self._seq += 1
+
+    def close(self) -> dict:
+        self._flush()
+        return {
+            "stripes": len(self.records),
+            "num_rows": int(sum(r["num_rows"] for r in self.records)),
+            "encoded_bytes": int(sum(r["encoded_bytes"] for r in self.records)),
+            "records": self.records,
+        }
+
+
 def encode_blocks(ds, out_dir: str, compression: str = "zstd", level: int = 3, tag: str = "blocks", stripe_bytes: int = 64 * 1024 * 1024):
     """Streaming variant: stripes cut from Dataset blocks by byte budget (for
     mid-pipeline data without a stable storage layout; pids are

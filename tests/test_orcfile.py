@@ -161,3 +161,47 @@ def test_orc_dataset_sink_and_source(ray_session, tmp_path):
         list(orcfile.read_orc_dataset(out_dir, columns=["source"]).iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
     )
     assert proj.schema.names == ["source"]
+
+
+def test_orc_push_writer_auto_flush(tmp_path):
+    """Reference Writer API parity (writer.rs:84-90): pushed batches
+    auto-flush stripes at the byte budget; the file is valid ORC."""
+    from orc_format_ray.pipelines import tokens as tok
+
+    tbl = tok.synthetic_batch(2000, seed=7, shard=2)
+    path = str(tmp_path / "push.orc")
+    with orcfile.OrcWriter(path, tbl.schema, compression="zstd", stripe_size=2_000_000) as w:
+        for lo in range(0, tbl.num_rows, 100):
+            w.write_batch(tbl.slice(lo, 100))
+    f = po.ORCFile(path)
+    assert f.nstripes > 1  # the budget forced multiple flushes
+    assert f.nrows == 2000
+    back = po.read_table(path)
+    assert back["doc_id"].combine_chunks().equals(tbl["doc_id"].combine_chunks())
+    assert back["tokens"].cast(tbl["tokens"].combine_chunks().type).combine_chunks().equals(tbl["tokens"].combine_chunks())
+
+
+def test_orc_push_writer_abort(tmp_path):
+    import glob
+
+    path = str(tmp_path / "a.orc")
+    w = orcfile.OrcWriter(path, pa.schema({"v": pa.int64()}))
+    w.write_batch(pa.table({"v": pa.array([1, 2, 3])}))
+    w.abort()
+    assert not os.path.exists(path)
+    assert not glob.glob(str(tmp_path / "*.tmp.*"))
+
+
+def test_stripe_push_writer(tmp_path):
+    from orc_format_ray.pipelines import encode as enc
+    from orc_format_ray.pipelines import tokens as tok
+    from orc_format_ray.stripe import decode_stripe
+
+    tbl = tok.synthetic_batch(1000, seed=3, shard=0)
+    w = enc.StripeWriter(str(tmp_path / "s"), stripe_bytes=1_500_000)
+    for lo in range(0, tbl.num_rows, 50):
+        w.write_batch(tbl.slice(lo, 50))
+    info = w.close()
+    assert info["stripes"] > 1 and info["num_rows"] == 1000
+    back = pa.concat_tables([decode_stripe(open(r["path"], "rb").read()) for r in info["records"]])
+    assert back.equals(tbl)  # seq order preserves push order exactly
