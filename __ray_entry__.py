@@ -438,6 +438,101 @@ def _q_orc_lineitem_roundtrip(sf_dir: str):
     return df
 
 
+def _q_broadcast_join_orders_customer(sf_dir: str):
+    """Dimension-table broadcast join: orders (big, streaming) probe against
+    customer (small, ray.put once) — no shuffle of the fact side."""
+    import pyarrow.parquet as pq
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from orc_format_ray.ops import join as j
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    customer = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    joined = j.broadcast_join(orders, customer, key="o_custkey", small_key="c_custkey", how="inner")
+    out = joined.groupby("c_mktsegment").aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="sum_price"))
+    df = out.to_pandas()
+    df["sum_price"] = df["sum_price"].round(2)
+    return df
+
+
+def _q_hash_join_lineitem_orders(sf_dir: str):
+    """Large-large hash join: both sides bucket by key hash (one shuffle
+    each), per-bucket local joins."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from orc_format_ray.ops import join as j
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"])
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["o_orderkey", "l_quantity"])
+
+    li = li.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True, **_ra())
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"])
+    joined = j.hash_join(li, orders, key="o_orderkey", num_buckets=16)
+    out = joined.groupby("o_orderpriority").aggregate(Count(alias_name="cnt"), Sum("l_quantity", alias_name="sum_qty"))
+    df = out.to_pandas()
+    df["sum_qty"] = df["sum_qty"].round(2)
+    return df
+
+
+def _q_sliding_window_events(sf_dir: str):
+    import ray.data
+
+    from orc_format_ray.ops import windows
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+    return windows.sliding_window_agg(ds, window_sec=7200, slide_sec=3600)
+
+
+def _q_session_window_events(sf_dir: str):
+    import ray.data
+
+    from orc_format_ray.ops import windows
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+    return windows.session_window_agg(ds, gap_sec=1800).to_pandas()
+
+
+def _q_topk_users_by_value(sf_dir: str):
+    """Distributed top-k: per-batch partial sums -> small groupby -> final
+    k-fold over |users| rows."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("user_id").aggregate([("value", "sum"), ("value", "count")])
+        return g.rename_columns(["user_id", "sum_value", "cnt"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **_ra())
+    tot = parts.groupby("user_id").aggregate(Sum("sum_value", alias_name="sum_value"), Sum("cnt", alias_name="n_events"))
+    df = tot.to_pandas()
+    df["sum_value"] = df["sum_value"].round(2)
+    df = df.sort_values(["sum_value", "user_id"], ascending=[False, True]).head(10).reset_index(drop=True)
+    df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+    return df[["rank", "user_id", "sum_value", "n_events"]]
+
+
+def _q_events_sorted_head(sf_dir: str):
+    """Global sort (range-partitioned all-to-all) + limit."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
+    head = ds.sort(["ts", "event_id"]).limit(100)
+
+    def to_ms(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ms = pc.divide(batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()), pa.scalar(1000, pa.int64()))
+        return pa.table({"event_id": batch["event_id"], "ts_ms": ms})
+
+    return head.map_batches(to_ms, batch_format="pyarrow", **_ra())
+
+
 def _q_window_agg_events(sf_dir: str):
     """Tumbling 1-hour windows over the events log (streaming-shaped op)."""
     import ray.data
@@ -518,6 +613,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_agg_events": _q_window_agg_events,
         "orc_file_roundtrip": _q_orc_file_roundtrip,
         "orc_lineitem_roundtrip": _q_orc_lineitem_roundtrip,
+        "broadcast_join_orders_customer": _q_broadcast_join_orders_customer,
+        "hash_join_lineitem_orders": _q_hash_join_lineitem_orders,
+        "sliding_window_events": _q_sliding_window_events,
+        "session_window_events": _q_session_window_events,
+        "topk_users_by_value": _q_topk_users_by_value,
+        "events_sorted_head": _q_events_sorted_head,
         "minhash_dedup_pairs": _q_minhash_dedup_pairs,
         # non-SQL-expressible (rows-only checks)
         "minhash_candidates": _q_minhash_candidates,
@@ -660,4 +761,36 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents GROUP BY source"
         ),
         "langid_documents": _LANGID_SQL,
+        "broadcast_join_orders_customer": (
+            "SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price "
+            "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment"
+        ),
+        "hash_join_lineitem_orders": (
+            "SELECT o_orderpriority, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority"
+        ),
+        "sliding_window_events": (
+            "SELECT event_type, (epoch_ms(ts) // 3600000) * 3600000 - k * 3600000 AS window_start_ms, "
+            "round(sum(value), 2) AS sum_value, count(*) AS cnt "
+            "FROM events CROSS JOIN range(2) t(k) "
+            "WHERE (epoch_ms(ts) // 3600000) * 3600000 - k * 3600000 <= epoch_ms(ts) "
+            "AND epoch_ms(ts) < (epoch_ms(ts) // 3600000) * 3600000 - k * 3600000 + 7200000 "
+            "GROUP BY event_type, window_start_ms"
+        ),
+        "session_window_events": (
+            "WITH e AS (SELECT event_type, epoch_ms(ts) AS t, value FROM events), "
+            "m AS (SELECT *, CASE WHEN t - lag(t) OVER (PARTITION BY event_type ORDER BY t) > 1800000 "
+            "OR lag(t) OVER (PARTITION BY event_type ORDER BY t) IS NULL THEN 1 ELSE 0 END AS brk FROM e), "
+            "s AS (SELECT *, sum(brk) OVER (PARTITION BY event_type ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid FROM m) "
+            "SELECT event_type, min(t) AS session_start_ms, max(t) AS session_end_ms, "
+            "count(*) AS n_events, round(sum(value), 2) AS sum_value FROM s GROUP BY event_type, sid"
+        ),
+        "topk_users_by_value": (
+            "SELECT CAST(row_number() OVER (ORDER BY round(sum(value), 2) DESC, user_id) AS BIGINT) AS rank, "
+            "user_id, round(sum(value), 2) AS sum_value, count(*) AS n_events "
+            "FROM events GROUP BY user_id ORDER BY rank LIMIT 10"
+        ),
+        "events_sorted_head": (
+            "SELECT event_id, epoch_ms(ts) AS ts_ms FROM events ORDER BY ts, event_id LIMIT 100"
+        ),
     }

@@ -1,0 +1,164 @@
+"""Join operators over Ray Data.
+
+The reference has no joins (it is an encoder); a complete data-processing
+engine needs them, and at 100 TB the join strategy IS the scale story:
+
+* `broadcast_join` — the dimension-table pattern: the small side is collected
+  once, `ray.put` into the object store, and every batch of the big side
+  probes it with vectorized Arrow/numpy kernels. NO shuffle of the big side;
+  the small side ships once per node (plasma dedups per-node), not per batch.
+  This is the right plan whenever one side fits in memory (TPC-H dimensions,
+  vocab tables, survivor sets).
+* `hash_join` — both sides large: pre-partition both by key hash into B
+  buckets (one shuffle each), then join bucket-by-bucket inside
+  `map_groups`. Use only when neither side fits; prefer pre-bucketing the
+  stored layout so repeated joins reuse the partitioning.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .._rayutil import pool_size, remote_args
+
+
+class _BroadcastProbe:
+    """Actor-pool stage: fetch the broadcast build table once per actor,
+    build an int64->row-index map, probe each batch vectorized."""
+
+    def __init__(self, build_ref, key: str, build_key: str, how: str):
+        import ray
+
+        build: pa.Table = ray.get(build_ref)
+        self.build = build
+        self.key = key
+        self.build_key = build_key
+        self.how = how
+        bk = build[build_key].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(bk, kind="stable")
+        self.sorted_keys = bk[order]
+        self.row_of = order  # position in sorted_keys -> build row index
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        probe = batch[self.key].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(self.sorted_keys, probe)
+        pos_c = np.minimum(pos, max(len(self.sorted_keys) - 1, 0))
+        hit = (self.sorted_keys[pos_c] == probe) if len(self.sorted_keys) else np.zeros(len(probe), bool)
+        build_rows = self.row_of[pos_c]
+        if self.how == "inner":
+            batch = batch.filter(pa.array(hit))
+            build_rows = build_rows[hit]
+            take = pa.array(build_rows, type=pa.int64())
+            picked = self.build.take(take)
+        elif self.how == "left":
+            idx = np.where(hit, build_rows, 0).astype(np.int64)
+            picked = self.build.take(pa.array(idx, type=pa.int64()))
+            # null out non-matching rows column-by-column
+            mask = pa.array(~hit)
+            picked = pa.table(
+                {c: pc.if_else(mask, pa.scalar(None, picked[c].type), picked[c]) for c in picked.schema.names}
+            )
+        else:
+            raise ValueError(f"how={self.how!r}")
+        out = batch
+        for c in picked.schema.names:
+            if c == self.build_key:
+                continue  # key already present on the probe side
+            name = c if c not in out.schema.names else f"{c}_r"
+            out = out.append_column(name, picked[c])
+        return out
+
+
+def broadcast_join(big_ds, small: pa.Table, key: str, small_key: str | None = None, how: str = "inner"):
+    """Join a (large, streaming) Dataset against a small in-memory table.
+
+    The small side must have UNIQUE keys (dimension-table contract; checked).
+    Returns a Dataset; the big side never shuffles.
+    """
+    import ray
+
+    small_key = small_key or key
+    nk = len(pc.unique(small[small_key]))
+    if nk != small.num_rows:
+        raise ValueError(f"small side has duplicate keys ({small.num_rows - nk} dups) — broadcast_join requires unique build keys")
+    ref = ray.put(small.combine_chunks())
+    return big_ds.map_batches(
+        _BroadcastProbe,
+        fn_constructor_kwargs={"build_ref": ref, "key": key, "build_key": small_key, "how": how},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=pool_size(),
+        **remote_args(),
+    )
+
+
+def _ipc_bytes(tbl: pa.Table) -> bytes:
+    import io
+
+    sink = io.BytesIO()
+    with pa.ipc.new_stream(sink, tbl.schema) as w:
+        w.write_table(tbl)
+    return sink.getvalue()
+
+
+def _ipc_table(blob: bytes) -> pa.Table:
+    return pa.ipc.open_stream(pa.BufferReader(blob)).read_all()
+
+
+def _bucket_of(keys: np.ndarray, num_buckets: int) -> np.ndarray:
+    return ((keys.astype(np.int64).view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)).astype(np.int64) % num_buckets
+
+
+def hash_join(left_ds, right_ds, key: str, num_buckets: int = 64):
+    """Large-large inner join: each batch splits into per-key-hash-bucket
+    Arrow-IPC payload rows (a common (_bucket, _side, blob) schema, so the
+    two sides union cleanly regardless of their columns); ONE shuffle
+    groups buckets, and each bucket joins locally. Both sides' buckets must
+    fit a worker — size num_buckets accordingly (or pre-bucket the stored
+    layout so repeated joins skip the shuffle). Right-side column
+    collisions get an `_r` suffix; the key joins once.
+    """
+    import pandas as pd
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            k = batch[key].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+            b = _bucket_of(k, num_buckets)
+            order = np.argsort(b, kind="stable")
+            bs = b[order]
+            cuts = np.flatnonzero(np.diff(bs)) + 1
+            starts = np.concatenate(([0], cuts))
+            ends = np.concatenate((cuts, [len(bs)]))
+            rows = {"_bucket": [], "_side": [], "blob": []}
+            sorted_batch = batch.take(pa.array(order, type=pa.int64()))
+            for s, e in zip(starts, ends):
+                if e == s:
+                    continue
+                rows["_bucket"].append(int(bs[s]))
+                rows["_side"].append(side)
+                rows["blob"].append(_ipc_bytes(sorted_batch.slice(s, e - s)))
+            return pa.table(
+                {
+                    "_bucket": pa.array(rows["_bucket"], type=pa.int64()),
+                    "_side": pa.array(rows["_side"], type=pa.int8()),
+                    "blob": pa.array(rows["blob"], type=pa.large_binary()),
+                }
+            )
+
+        return fn
+
+    lt = left_ds.map_batches(tag(0), batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    rt = right_ds.map_batches(tag(1), batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = [_ipc_table(b) for b in g.loc[g["_side"] == 0, "blob"]]
+        rg = [_ipc_table(b) for b in g.loc[g["_side"] == 1, "blob"]]
+        if not lg or not rg:
+            return pd.DataFrame()
+        ldf = pa.concat_tables(lg).to_pandas()
+        rdf = pa.concat_tables(rg).to_pandas()
+        return ldf.merge(rdf, on=key, how="inner", suffixes=("", "_r"))
+
+    return lt.union(rt).groupby("_bucket").map_groups(join_bucket, batch_format="pandas", **remote_args())

@@ -53,3 +53,94 @@ def tumbling_window_agg(ds, key: str = "event_type", ts_col: str = "ts", window_
     df = out.to_pandas()
     df["sum_value"] = np.round(df["sum_value"], 2)  # absorb fp summation order
     return df
+
+
+def sliding_window_agg(ds, key: str = "event_type", ts_col: str = "ts", window_sec: int = 7200, slide_sec: int = 3600, value_col: str = "value"):
+    """count + rounded sum per (key, sliding window [w, w+window) at slide
+    boundaries). Each event explodes into <= window/slide window rows INSIDE
+    the batch (vectorized), partials pre-aggregate per batch, then one small
+    groupby — shuffle input is near |keys x windows|, not |events| x k."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    k_max = (window_sec + slide_sec - 1) // slide_sec
+    p_ms = slide_sec * 1000
+    w_ms = window_sec * 1000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = batch[ts_col].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # trunc-toward-zero divisions to match DuckDB epoch_ms and //
+        ms = np.sign(us) * (np.abs(us) // 1000)
+        keys = batch[key].combine_chunks()
+        base = np.sign(ms) * (np.abs(ms) // p_ms) * p_ms
+        outs = []
+        for k in range(k_max):
+            w = base - k * p_ms
+            m = (w <= ms) & (ms < w + w_ms)
+            if not m.any():
+                continue
+            t = pa.table(
+                {
+                    key: keys.filter(pa.array(m)),
+                    "window_start_ms": pa.array(w[m]),
+                    value_col: batch[value_col].combine_chunks().filter(pa.array(m)),
+                }
+            )
+            g = t.group_by([key, "window_start_ms"]).aggregate([(value_col, "sum"), (value_col, "count")])
+            outs.append(g.rename_columns([key, "window_start_ms", "sum_value", "cnt"]))
+        if not outs:
+            return pa.table({key: pa.array([], pa.string()), "window_start_ms": pa.array([], pa.int64()), "sum_value": pa.array([], pa.float64()), "cnt": pa.array([], pa.int64())})
+        return pa.concat_tables(outs)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    out = partials.groupby([key, "window_start_ms"]).aggregate(
+        Sum("sum_value", alias_name="sum_value"), Sum("cnt", alias_name="cnt")
+    )
+    import numpy as np  # noqa: F811
+
+    df = out.to_pandas()
+    df["sum_value"] = np.round(df["sum_value"], 2)
+    return df
+
+
+def session_window_agg(ds, key: str = "event_type", ts_col: str = "ts", gap_sec: int = 1800, value_col: str = "value"):
+    """Session windows per key: events sorted by time; a gap > gap_sec starts
+    a new session. Returns (key, session_start_ms, session_end_ms, n_events,
+    sum_value).
+
+    Partitioning assumption: one key's events fit a worker (sessionization is
+    inherently per-key-sequential). For web-scale keys, pre-split by
+    (key, day) first — sessions never span the split if gap < split size.
+    """
+    import numpy as np
+    import pandas as pd
+
+    gap_ms = gap_sec * 1000
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        t = np.sort(g["_ms"].to_numpy())
+        order = np.argsort(g["_ms"].to_numpy(), kind="stable")
+        vals = g[value_col].to_numpy()[order]
+        brk = np.concatenate(([True], np.diff(t) > gap_ms))
+        sid = np.cumsum(brk) - 1
+        n_sessions = int(sid[-1]) + 1 if len(sid) else 0
+        starts = t[brk]
+        ends = np.concatenate((t[np.flatnonzero(brk)[1:] - 1], [t[-1]])) if n_sessions else np.zeros(0, np.int64)
+        cnt = np.bincount(sid, minlength=n_sessions)
+        sv = np.bincount(sid, weights=vals, minlength=n_sessions)
+        return pd.DataFrame(
+            {
+                key: g[key].iloc[0],
+                "session_start_ms": starts,
+                "session_end_ms": ends,
+                "n_events": cnt.astype(np.int64),
+                "sum_value": np.round(sv, 2),
+            }
+        )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ms = pc.divide(batch[ts_col].cast(pa.timestamp("us")).cast(pa.int64()), pa.scalar(1000, pa.int64()))
+        return pa.table({key: batch[key], "_ms": ms, value_col: batch[value_col]})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    return prepped.groupby(key).map_groups(sessions, batch_format="pandas", **remote_args())

@@ -258,3 +258,57 @@ def test_ivf_index_reads_only_probed_buckets(ray_session, tmp_path):
     exact = similarity.brute_force_topk(ds, q, k=10).to_pandas()["vec_id"].tolist()
     all8, _ = similarity.ivf_topk_indexed(index_dir, q, k=10, nprobe=8)
     assert all8.to_pandas()["vec_id"].tolist() == exact
+
+
+def test_broadcast_join_left_and_dup_guard(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops import join as j
+
+    big = ray.data.from_arrow(pa.table({"k": [1, 2, 3, 4], "x": ["a", "b", "c", "d"]}))
+    small = pa.table({"k": [1, 3], "name": ["one", "three"]})
+    inner = pa.concat_tables(list(j.broadcast_join(big, small, key="k").iter_batches(batch_size=100, batch_format="pyarrow")))
+    assert inner.sort_by("k")["name"].to_pylist() == ["one", "three"]
+    left = pa.concat_tables(list(j.broadcast_join(big, small, key="k", how="left").iter_batches(batch_size=100, batch_format="pyarrow")))
+    assert left.num_rows == 4
+    assert dict(zip(left.sort_by("k")["k"].to_pylist(), left.sort_by("k")["name"].to_pylist())) == {1: "one", 2: None, 3: "three", 4: None}
+    with pytest.raises(ValueError):
+        j.broadcast_join(big, pa.table({"k": [1, 1], "v": [0, 1]}), key="k")
+
+
+def test_hash_join_matches_pandas(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops import join as j
+
+    rng2 = np.random.default_rng(8)
+    lk = rng2.integers(0, 50, 500)
+    rk = np.arange(50)
+    left = pa.table({"k": pa.array(lk, type=pa.int64()), "lv": pa.array(rng2.integers(0, 9, 500))})
+    right = pa.table({"k": pa.array(rk, type=pa.int64()), "rv": pa.array(rk * 10)})
+    out = j.hash_join(ray.data.from_arrow(left), ray.data.from_arrow(right), key="k", num_buckets=8).to_pandas()
+    exp = left.to_pandas().merge(right.to_pandas(), on="k", how="inner")
+    assert len(out) == len(exp) == 500
+    assert sorted(out["rv"].tolist()) == sorted(exp["rv"].tolist())
+
+
+def test_session_windows_basic(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops import windows
+
+    # two keys; gaps of 10 min within sessions, >30 min between sessions
+    base = 1_700_000_000_000_000  # us
+    rows = []
+    for i, off_min in enumerate([0, 10, 20, 120, 130]):  # a:3-event session then 2-event session
+        rows.append({"event_type": "a", "ts": base + off_min * 60_000_000, "value": 1.0})
+    rows.append({"event_type": "b", "ts": base, "value": 5.0})
+    tbl = pa.table({
+        "event_type": pa.array([r["event_type"] for r in rows]),
+        "ts": pa.array([r["ts"] for r in rows], type=pa.timestamp("us")),
+        "value": pa.array([r["value"] for r in rows]),
+    })
+    out = windows.session_window_agg(ray.data.from_arrow(tbl), gap_sec=1800).to_pandas()
+    out = out.sort_values(["event_type", "session_start_ms"]).reset_index(drop=True)
+    assert out["n_events"].tolist() == [3, 2, 1]
+    assert out["session_end_ms"].tolist()[0] - out["session_start_ms"].tolist()[0] == 20 * 60_000
