@@ -533,6 +533,50 @@ def _q_events_sorted_head(sf_dir: str):
     return head.map_batches(to_ms, batch_format="pyarrow", **_ra())
 
 
+def _q_asof_join_events(sf_dir: str):
+    """As-of join (operator Ray Data lacks): each 'view' event picks up the
+    most recent prior 'purchase' aggregate of the same user. Inner semantics
+    (unmatched views dropped) to keep the oracle compare null-free."""
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from orc_format_ray.ops import join as j
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type", "value"])
+
+    def prep(kind):
+        def fn(batch: pa.Table) -> pa.Table:
+            b = batch.filter(pc.equal(batch["event_type"], kind))
+            ms = pc.divide(b["ts"].cast(pa.timestamp("us")).cast(pa.int64()), pa.scalar(1000, pa.int64()))
+            if kind == "view":
+                return pa.table({"event_id": b["event_id"], "user_id": b["user_id"], "ts_ms": ms})
+            return pa.table({"user_id": b["user_id"], "ts_ms": ms, "value": b["value"]})
+
+        return fn
+
+    left = ds.map_batches(prep("view"), batch_format="pyarrow", zero_copy_batch=True, **_ra())
+    right_raw = ds.map_batches(prep("purchase"), batch_format="pyarrow", zero_copy_batch=True, **_ra())
+    right = right_raw.groupby(["user_id", "ts_ms"]).aggregate(Sum("value", alias_name="ref_value"))
+    joined = j.asof_join(left, right, on="ts_ms", by="user_id", right_value_cols=["ts_ms", "ref_value"])
+    df = joined.to_pandas()
+    df = df[df["ref_value"].notna()].copy()
+    df["ref_ts_ms"] = df["ts_ms_r"].astype("int64")
+    df["ref_value"] = df["ref_value"].astype(float).round(2)
+    return df[["event_id", "ref_ts_ms", "ref_value"]].sort_values("event_id").reset_index(drop=True)
+
+
+def _q_quantile_quantity_lineitem(sf_dir: str):
+    """Exact distributed quantile_cont via the value-count distribution."""
+    import ray.data
+
+    from orc_format_ray.ops import agg
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_quantity"])
+    q25, q50, q90, q99 = agg.quantiles_by_counts(ds, "l_quantity", [0.25, 0.5, 0.9, 0.99])
+    return pa.Table.from_pylist([{"q25": round(q25, 6), "q50": round(q50, 6), "q90": round(q90, 6), "q99": round(q99, 6)}])
+
+
 def _q_window_agg_events(sf_dir: str):
     """Tumbling 1-hour windows over the events log (streaming-shaped op)."""
     import ray.data
@@ -619,6 +663,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_window_events": _q_session_window_events,
         "topk_users_by_value": _q_topk_users_by_value,
         "events_sorted_head": _q_events_sorted_head,
+        "asof_join_events": _q_asof_join_events,
+        "quantile_quantity_lineitem": _q_quantile_quantity_lineitem,
         "minhash_dedup_pairs": _q_minhash_dedup_pairs,
         # non-SQL-expressible (rows-only checks)
         "minhash_candidates": _q_minhash_candidates,
@@ -792,5 +838,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_sorted_head": (
             "SELECT event_id, epoch_ms(ts) AS ts_ms FROM events ORDER BY ts, event_id LIMIT 100"
+        ),
+        "asof_join_events": (
+            "WITH l AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM events WHERE event_type = 'view'), "
+            "r AS (SELECT user_id, epoch_ms(ts) AS ts_ms, round(sum(value), 2) AS ref_value "
+            "      FROM events WHERE event_type = 'purchase' GROUP BY user_id, epoch_ms(ts)) "
+            "SELECT l.event_id, r.ts_ms AS ref_ts_ms, r.ref_value "
+            "FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts_ms >= r.ts_ms "
+            "ORDER BY l.event_id"
+        ),
+        "quantile_quantity_lineitem": (
+            "SELECT round(quantile_cont(l_quantity, 0.25), 6) AS q25, round(quantile_cont(l_quantity, 0.5), 6) AS q50, "
+            "round(quantile_cont(l_quantity, 0.9), 6) AS q90, round(quantile_cont(l_quantity, 0.99), 6) AS q99 FROM lineitem"
         ),
     }

@@ -111,6 +111,83 @@ def _bucket_of(keys: np.ndarray, num_buckets: int) -> np.ndarray:
     return ((keys.astype(np.int64).view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)).astype(np.int64) % num_buckets
 
 
+def _split_ipc_rows(batch: pa.Table, bucket: np.ndarray, side: int) -> pa.Table:
+    """Split a batch into per-bucket Arrow-IPC payload rows with the common
+    (_bucket, _side, blob) schema — the shuffle unit for bucketed joins."""
+    order = np.argsort(bucket, kind="stable")
+    bs = bucket[order]
+    cuts = np.flatnonzero(np.diff(bs)) + 1
+    starts = np.concatenate(([0], cuts))
+    ends = np.concatenate((cuts, [len(bs)]))
+    sorted_batch = batch.take(pa.array(order, type=pa.int64()))
+    bko, sd, blobs = [], [], []
+    for s, e in zip(starts, ends):
+        if e == s:
+            continue
+        bko.append(int(bs[s]))
+        sd.append(side)
+        blobs.append(_ipc_bytes(sorted_batch.slice(s, e - s)))
+    return pa.table(
+        {
+            "_bucket": pa.array(bko, type=pa.int64()),
+            "_side": pa.array(sd, type=pa.int8()),
+            "blob": pa.array(blobs, type=pa.large_binary()),
+        }
+    )
+
+
+def asof_join(left_ds, right_ds, on: str, by: str, suffix: str = "_r", right_value_cols: list[str] | None = None):
+    """Backward as-of join: for each left row, attach the right row with the
+    LARGEST ``on`` value <= the left row's, within the same ``by`` group
+    (DuckDB `ASOF LEFT JOIN ... ON l.by = r.by AND l.on >= r.on` semantics).
+    Left rows with no prior right row keep nulls.
+
+    Ray Data has no as-of join; this composes one from the bucketed-IPC
+    shuffle (group by the ``by`` key) + per-group sort + searchsorted. The
+    right side should be unique on (by, on) — with duplicates the last row
+    in sort order wins, matching no particular engine. Partitioning
+    assumption: one ``by`` group (both sides) fits a worker; pre-bucket by
+    (by, time-range) when a key outgrows that.
+    """
+    import pandas as pd
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            k = batch[by].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+            return _split_ipc_rows(batch, k, side)
+
+        return fn
+
+    lt = left_ds.map_batches(tag(0), batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    rt = right_ds.map_batches(tag(1), batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+
+    def join_group(g: pd.DataFrame) -> pd.DataFrame:
+        lg = [_ipc_table(b) for b in g.loc[g["_side"] == 0, "blob"]]
+        if not lg:
+            return pd.DataFrame()
+        ldf = pa.concat_tables(lg).to_pandas()
+        rg = [_ipc_table(b) for b in g.loc[g["_side"] == 1, "blob"]]
+        if rg:
+            rdf = pa.concat_tables(rg).to_pandas().sort_values(on, kind="stable").reset_index(drop=True)
+            r_on = rdf[on].to_numpy()
+            idx = np.searchsorted(r_on, ldf[on].to_numpy(), side="right") - 1
+            matched = idx >= 0
+            r_cols = [c for c in rdf.columns if c != by]
+            for c in r_cols:
+                name = c if c not in ldf.columns else f"{c}{suffix}"
+                vals = rdf[c].to_numpy()[np.maximum(idx, 0)]
+                out = pd.Series(vals).where(pd.Series(matched)).to_numpy()
+                ldf[name] = out
+        elif right_value_cols:
+            # keep a stable output schema when a group has no right rows
+            for c in right_value_cols:
+                name = c if c not in ldf.columns else f"{c}{suffix}"
+                ldf[name] = pd.Series([pd.NA] * len(ldf), dtype="object")
+        return ldf
+
+    return lt.union(rt).groupby("_bucket").map_groups(join_group, batch_format="pandas", **remote_args())
+
+
 def hash_join(left_ds, right_ds, key: str, num_buckets: int = 64):
     """Large-large inner join: each batch splits into per-key-hash-bucket
     Arrow-IPC payload rows (a common (_bucket, _side, blob) schema, so the

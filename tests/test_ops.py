@@ -312,3 +312,30 @@ def test_session_windows_basic(ray_session):
     out = out.sort_values(["event_type", "session_start_ms"]).reset_index(drop=True)
     assert out["n_events"].tolist() == [3, 2, 1]
     assert out["session_end_ms"].tolist()[0] - out["session_start_ms"].tolist()[0] == 20 * 60_000
+
+
+def test_asof_join_semantics(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops import join as j
+
+    left = pa.table({"k": pa.array([1, 1, 1, 2, 3], type=pa.int64()), "t": pa.array([5, 10, 3, 7, 1], type=pa.int64())})
+    right = pa.table({"k": pa.array([1, 1, 2], type=pa.int64()), "t": pa.array([4, 9, 7], type=pa.int64()), "v": pa.array([40, 90, 70], type=pa.int64())})
+    out = j.asof_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right), on="t", by="k", right_value_cols=["t", "v"]
+    ).to_pandas()
+    got = {(int(r.k), int(r.t)): (None if pd.isna(r.v) else int(r.v)) for r in out.itertuples()}
+    # k=1,t=5 -> right t=4 (v=40); t=10 -> t=9 (90); t=3 -> none; k=2,t=7 -> equal ts matches (70); k=3 -> no right rows
+    assert got == {(1, 5): 40, (1, 10): 90, (1, 3): None, (2, 7): 70, (3, 1): None}
+
+
+def test_quantile_cont_from_counts_matches_numpy():
+    from orc_format_ray.ops.agg import quantile_cont_from_counts
+
+    rng2 = np.random.default_rng(4)
+    vals = rng2.integers(0, 30, 10_000).astype(np.float64)
+    uv, cnt = np.unique(vals, return_counts=True)
+    for q in (0.0, 0.25, 0.5, 0.9, 0.99, 1.0):
+        got = quantile_cont_from_counts(uv, cnt, [q])[0]
+        exp = float(np.quantile(vals, q, method="linear"))
+        assert abs(got - exp) < 1e-9, (q, got, exp)
