@@ -566,6 +566,29 @@ def _q_asof_join_events(sf_dir: str):
     return df[["event_id", "ref_ts_ms", "ref_value"]].sort_values("event_id").reset_index(drop=True)
 
 
+def _q_range_join_price_bands(sf_dir: str):
+    """Broadcast range join: classify lineitem rows into non-overlapping
+    price bands (bands broadcast once; one searchsorted per batch)."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from orc_format_ray.ops import join as j
+
+    bands = pa.table(
+        {
+            "band": ["low", "mid", "high", "lux"],
+            "lo": [0.0, 20_000.0, 50_000.0, 80_000.0],
+            "hi": [20_000.0, 50_000.0, 80_000.0, 1e12],
+        }
+    )
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"])
+    joined = j.range_join_broadcast(ds, bands, value_col="l_extendedprice")
+    out = joined.groupby("band").aggregate(Count(alias_name="cnt"), Sum("l_extendedprice", alias_name="sum_price"))
+    df = out.to_pandas()
+    df["sum_price"] = df["sum_price"].round(2)
+    return df
+
+
 def _q_quantile_quantity_lineitem(sf_dir: str):
     """Exact distributed quantile_cont via the value-count distribution."""
     import ray.data
@@ -665,6 +688,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sorted_head": _q_events_sorted_head,
         "asof_join_events": _q_asof_join_events,
         "quantile_quantity_lineitem": _q_quantile_quantity_lineitem,
+        "range_join_price_bands": _q_range_join_price_bands,
         "minhash_dedup_pairs": _q_minhash_dedup_pairs,
         # non-SQL-expressible (rows-only checks)
         "minhash_candidates": _q_minhash_candidates,
@@ -850,5 +874,11 @@ def oracle_sql() -> dict[str, str]:
         "quantile_quantity_lineitem": (
             "SELECT round(quantile_cont(l_quantity, 0.25), 6) AS q25, round(quantile_cont(l_quantity, 0.5), 6) AS q50, "
             "round(quantile_cont(l_quantity, 0.9), 6) AS q90, round(quantile_cont(l_quantity, 0.99), 6) AS q99 FROM lineitem"
+        ),
+        "range_join_price_bands": (
+            "WITH bands(band, lo, hi) AS (VALUES ('low', 0.0, 20000.0), ('mid', 20000.0, 50000.0), "
+            "('high', 50000.0, 80000.0), ('lux', 80000.0, 1e12)) "
+            "SELECT band, count(*) AS cnt, round(sum(l_extendedprice), 2) AS sum_price "
+            "FROM lineitem JOIN bands ON l_extendedprice >= lo AND l_extendedprice < hi GROUP BY band"
         ),
     }

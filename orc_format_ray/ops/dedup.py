@@ -44,22 +44,20 @@ def exact_dedup_groups(ds, column: str = "text"):
     return out
 
 
-class _KeepSurvivors:
-    """Actor-pool semi-join filter: broadcast survivor doc_id set (fetched once
-    per actor from the object store), per-batch vectorized membership test."""
+def _keep_survivors(batch: pa.Table, survivors_ref) -> pa.Table:
+    """Stateless semi-join filter task: the PRE-SORTED survivor id array is a
+    zero-copy plasma read per task (ray.get of a numpy array is a view), so a
+    task pool beats an actor pool here — and stateless stages compose safely
+    with downstream actor/task stages on small clusters (no CPU reservation
+    deadlocks; see CLAUDE.md)."""
+    import ray
 
-    def __init__(self, survivors_ref):
-        import ray
-
-        ids = ray.get(survivors_ref)
-        self.ids = np.sort(np.asarray(ids))
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        doc = batch["doc_id"].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(self.ids, doc)
-        pos_c = np.minimum(pos, len(self.ids) - 1) if len(self.ids) else pos
-        keep = (self.ids[pos_c] == doc) if len(self.ids) else np.zeros(len(doc), bool)
-        return batch.filter(pa.array(keep))
+    ids = ray.get(survivors_ref)  # sorted on the driver; zero-copy view
+    doc = batch["doc_id"].to_numpy(zero_copy_only=False)
+    pos = np.searchsorted(ids, doc)
+    pos_c = np.minimum(pos, len(ids) - 1) if len(ids) else pos
+    keep = (ids[pos_c] == doc) if len(ids) else np.zeros(len(doc), bool)
+    return batch.filter(pa.array(keep))
 
 
 def exact_dedup(ds, column: str = "text"):
@@ -72,17 +70,17 @@ def exact_dedup(ds, column: str = "text"):
     per batch. (Beyond ~10^10 distinct docs the id set outgrows a broadcast;
     then shard it by doc_id range and give each actor its shard.)
     """
+    import functools
+
     import ray
 
     groups = exact_dedup_groups(ds, column)
     surv = pa.concat_tables(list(groups.iter_batches(batch_size=1 << 20, batch_format="pyarrow")))
-    ref = ray.put(surv["doc_id"].to_numpy(zero_copy_only=False))
+    ref = ray.put(np.sort(surv["doc_id"].to_numpy(zero_copy_only=False)))
     return ds.map_batches(
-        _KeepSurvivors,
-        fn_constructor_kwargs={"survivors_ref": ref},
+        functools.partial(_keep_survivors, survivors_ref=ref),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=pool_size(),
         **remote_args(),
     )
 

@@ -94,6 +94,72 @@ def broadcast_join(big_ds, small: pa.Table, key: str, small_key: str | None = No
     )
 
 
+class _RangeProbe:
+    """Actor-pool stage for broadcast range join: band edges fetched once per
+    actor; each batch classifies via one searchsorted against the sorted
+    lower edges."""
+
+    def __init__(self, bands_ref, value_col: str, lo_col: str, hi_col: str, how: str):
+        import ray
+
+        bands: pa.Table = ray.get(bands_ref)
+        lo = bands[lo_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.argsort(lo, kind="stable")
+        self.lo = lo[order]
+        self.hi = bands[hi_col].to_numpy(zero_copy_only=False).astype(np.float64)[order]
+        self.bands = bands.take(pa.array(order, type=pa.int64()))
+        self.value_col = value_col
+        self.lo_col = lo_col
+        self.hi_col = hi_col
+        self.how = how
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        v = batch[self.value_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+        idx = np.searchsorted(self.lo, v, side="right") - 1
+        idx_c = np.maximum(idx, 0)
+        hit = (idx >= 0) & (v < self.hi[idx_c])
+        if self.how == "inner":
+            batch = batch.filter(pa.array(hit))
+            idx_c = idx_c[hit]
+            picked = self.bands.take(pa.array(idx_c, type=pa.int64()))
+        else:
+            import pyarrow.compute as pc_
+
+            picked = self.bands.take(pa.array(idx_c, type=pa.int64()))
+            mask = pa.array(~hit)
+            picked = pa.table({c: pc_.if_else(mask, pa.scalar(None, picked[c].type), picked[c]) for c in picked.schema.names})
+        out = batch
+        for c in picked.schema.names:
+            name = c if c not in out.schema.names else f"{c}_r"
+            out = out.append_column(name, picked[c])
+        return out
+
+
+def range_join_broadcast(big_ds, bands: pa.Table, value_col: str, lo_col: str = "lo", hi_col: str = "hi", how: str = "inner"):
+    """Range (interval) join of a streaming Dataset against a small table of
+    NON-OVERLAPPING [lo, hi) bands: each row matches the band containing its
+    value. Bands broadcast once; the probe is one vectorized searchsorted per
+    batch — the big side never shuffles. Overlapping bands are rejected
+    (multi-match semantics would need a different plan: explode per band).
+    """
+    import ray
+
+    lo = bands[lo_col].to_numpy(zero_copy_only=False).astype(np.float64)
+    hi = bands[hi_col].to_numpy(zero_copy_only=False).astype(np.float64)
+    order = np.argsort(lo, kind="stable")
+    if np.any(hi[order][:-1] > lo[order][1:]):
+        raise ValueError("range_join_broadcast requires non-overlapping bands")
+    ref = ray.put(bands.combine_chunks())
+    return big_ds.map_batches(
+        _RangeProbe,
+        fn_constructor_kwargs={"bands_ref": ref, "value_col": value_col, "lo_col": lo_col, "hi_col": hi_col, "how": how},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=pool_size(),
+        **remote_args(),
+    )
+
+
 def _ipc_bytes(tbl: pa.Table) -> bytes:
     import io
 

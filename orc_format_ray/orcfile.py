@@ -602,33 +602,33 @@ def write_orc_dataset(ds, out_dir: str, compression: str = "zstd", level: int = 
     Dataset (path, num_rows, file_bytes)."""
     import os
 
-    from ._rayutil import pool_size, remote_args
+    from ._rayutil import remote_args
 
     os.makedirs(out_dir, exist_ok=True)
 
-    class _WriteOrc:
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            import hashlib
+    def _write_orc_block(batch: pa.Table) -> pa.Table:
+        import hashlib
 
-            import pyarrow as pa_
+        import pyarrow as pa_
 
-            digest = hashlib.sha256()
-            for c in batch.columns:
-                for b in c.chunks if isinstance(c, pa_.ChunkedArray) else [c]:
-                    for bufo in b.buffers():
-                        if bufo is not None:
-                            digest.update(bufo)
-            name = f"part-{digest.hexdigest()[:32]}-{batch.num_rows}.orc"
-            path = os.path.join(out_dir, name)
-            info = write_orc(batch, path, compression, level, stripe_rows=stripe_rows)
-            return pa.Table.from_pylist([{"path": path, "num_rows": info["num_rows"], "file_bytes": info["file_bytes"]}])
+        digest = hashlib.sha256()
+        for c in batch.columns:
+            for b in c.chunks if isinstance(c, pa_.ChunkedArray) else [c]:
+                for bufo in b.buffers():
+                    if bufo is not None:
+                        digest.update(bufo)
+        name = f"part-{digest.hexdigest()[:32]}-{batch.num_rows}.orc"
+        path = os.path.join(out_dir, name)
+        info = write_orc(batch, path, compression, level, stripe_rows=stripe_rows)
+        return pa.Table.from_pylist([{"path": path, "num_rows": info["num_rows"], "file_bytes": info["file_bytes"]}])
 
+    # stateless task pool: no per-actor state, and fixed actor pools compose
+    # badly (CPU-reservation deadlock) when a pipeline chains two of them
     return ds.map_batches(
-        _WriteOrc,
+        _write_orc_block,
         batch_format="pyarrow",
         batch_size=None,
         zero_copy_batch=True,
-        concurrency=pool_size(),
         **remote_args(),
     )
 

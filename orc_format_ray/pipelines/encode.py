@@ -205,6 +205,65 @@ def decode_dataset(out_dir: str, columns: list[str] | None = None):
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=1, zero_copy_batch=True, **remote_args())
 
 
+def compact_stripes(out_dir: str, target_bytes: int = 64 * 1024 * 1024, compression: str = "zstd", level: int = 3) -> dict:
+    """Maintenance operator: merge many small stripes into target-sized ones.
+
+    The composed streaming pipelines (encode_blocks on filtered survivors)
+    can leave undersized stripes; at 100 TB that means too many files and
+    per-stripe metadata. Bins are planned driver-side from file SIZES only
+    (tiny metadata), each bin decodes+re-encodes in one task, new compacted
+    stripes land first and the originals are deleted only after every bin
+    succeeded — a crash mid-compaction leaves duplicates (re-runnable), never
+    data loss.
+    """
+    import ray.data
+
+    from .._rayutil import remote_args
+
+    paths = sorted(glob.glob(os.path.join(out_dir, "*.stripe")))
+    sizes = {p: os.path.getsize(p) for p in paths}
+    bins: list[list[str]] = []
+    cur: list[str] = []
+    acc = 0
+    for p in paths:
+        if cur and acc + sizes[p] > target_bytes:
+            bins.append(cur)
+            cur, acc = [], 0
+        cur.append(p)
+        acc += sizes[p]
+    if cur:
+        bins.append(cur)
+    multi = [b for b in bins if len(b) > 1]
+    if not multi:
+        return {"compacted": 0, "bins": 0, "num_rows": 0}
+
+    def work(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        out = []
+        for srcs in batch["paths"].to_pylist():
+            tables = [decode_stripe(open(p, "rb").read()) for p in srcs]
+            merged = pa.concat_tables(tables)
+            blob, meta = encode_table(merged, compression, level)
+            digest = hashlib.sha256(blob).hexdigest()[:32]
+            sp = os.path.join(out_dir, f"compact-{digest}-{meta['num_rows']}.stripe")
+            mf.write_blob_atomic(sp, blob)
+            out.append({"path": sp, "sources": list(srcs), "num_rows": meta["num_rows"], "encoded_bytes": meta["encoded_bytes"]})
+        return pa.Table.from_pylist(out)
+
+    ds = ray.data.from_items([{"paths": b} for b in multi])
+    lineage = ds.map_batches(work, batch_format="pyarrow", batch_size=1, **remote_args()).take_all()
+    for rec in lineage:  # all bins succeeded: retire the originals
+        for p in rec["sources"]:
+            if os.path.exists(p):
+                os.remove(p)
+    return {
+        "compacted": int(sum(len(r["sources"]) for r in lineage)),
+        "bins": len(lineage),
+        "num_rows": int(sum(r["num_rows"] for r in lineage)),
+    }
+
+
 class StripeWriter:
     """Push-style incremental writer for the native stripe container — the
     reference's Writer shape (reference src/writer.rs:62-114): push record
@@ -265,48 +324,47 @@ def encode_blocks(ds, out_dir: str, compression: str = "zstd", level: int = 3, t
     estimated_size-triggered stripe flush (reference src/writer.rs:84-90): a
     Dataset block bigger than the budget is sliced into several stripes
     instead of becoming one oversized blob."""
+    import functools
+
     import ray.data  # noqa: F401
 
     os.makedirs(out_dir, exist_ok=True)
 
-    class _EncodeBlock:
-        def __init__(self):
-            self.compression = compression
-            self.level = level
-            self.stripe_bytes = stripe_bytes
+    def _emit(tbl: pa.Table) -> dict:
+        import hashlib
 
-        def _emit(self, tbl: pa.Table) -> dict:
-            import hashlib
+        blob, meta = encode_table(tbl, compression, level)
+        # content-derived name: deterministic across processes (no salted
+        # hash()); identical blocks re-written idempotently. 128-bit
+        # digest: a 32-bit CRC key birthday-collides (and silently
+        # overwrites) around ~77k same-size blocks
+        digest = hashlib.sha256(blob).hexdigest()[:32]
+        sp = os.path.join(out_dir, f"block-{digest}-{meta['num_rows']}.stripe")
+        mf.write_blob_atomic(sp, blob)
+        return {"path": sp, "num_rows": meta["num_rows"], "encoded_bytes": meta["encoded_bytes"]}
 
-            blob, meta = encode_table(tbl, self.compression, self.level)
-            # content-derived name: deterministic across processes (no salted
-            # hash()); identical blocks re-written idempotently. 128-bit
-            # digest: a 32-bit CRC key birthday-collides (and silently
-            # overwrites) around ~77k same-size blocks
-            digest = hashlib.sha256(blob).hexdigest()[:32]
-            sp = os.path.join(out_dir, f"block-{digest}-{meta['num_rows']}.stripe")
-            mf.write_blob_atomic(sp, blob)
-            return {"path": sp, "num_rows": meta["num_rows"], "encoded_bytes": meta["encoded_bytes"]}
+    def _encode_block(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        per_row = max(1, batch.nbytes // max(n, 1))
+        rows_per_stripe = max(1, int(stripe_bytes // per_row))
+        out = []
+        for lo in range(0, max(n, 1), rows_per_stripe):
+            piece = batch.slice(lo, min(rows_per_stripe, n - lo)) if n else batch
+            out.append(_emit(piece))
+            if n == 0:
+                break
+        return pa.Table.from_pylist(out)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            n = batch.num_rows
-            per_row = max(1, batch.nbytes // max(n, 1))
-            rows_per_stripe = max(1, int(self.stripe_bytes // per_row))
-            out = []
-            for lo in range(0, max(n, 1), rows_per_stripe):
-                piece = batch.slice(lo, min(rows_per_stripe, n - lo)) if n else batch
-                out.append(self._emit(piece))
-                if n == 0:
-                    break
-            return pa.Table.from_pylist(out)
+    from .._rayutil import remote_args
 
-    from .._rayutil import pool_size, remote_args
-
+    # stateless TASK pool (no per-actor state to keep; measured faster than
+    # the actor operator on this workload, and it composes safely: two fixed
+    # actor pools in one pipeline can reserve more CPUs than a small cluster
+    # has and deadlock the executor)
     return ds.map_batches(
-        _EncodeBlock,
+        _encode_block,
         batch_format="pyarrow",
         batch_size=None,
         zero_copy_batch=True,
-        concurrency=pool_size(),
         **remote_args(),
     )

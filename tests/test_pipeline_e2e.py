@@ -238,3 +238,44 @@ def test_resume_rejects_stale_plan(ray_session, corpus, tmp_path):
         assert recs[pid]["input_fragments"] == frag_new[pid], f"pid {pid} carries stale-plan fragments"
         rows_covered += recs[pid]["num_rows"]
     assert rows_covered == 3000
+
+
+def test_compact_stripes_preserves_data(ray_session, corpus, tmp_path):
+    """Many small stripes -> few target-sized ones; decoded corpus unchanged."""
+    import ray.data
+
+    d, paths = corpus
+    out_dir = str(tmp_path / "blocks")
+    ds = ray.data.read_parquet(paths)
+    enc.encode_blocks(ds, out_dir, stripe_bytes=96 * 1024).take_all()  # deliberately small stripes
+    n_before = len(glob.glob(os.path.join(out_dir, "*.stripe")))
+    before = pa.concat_tables(
+        list(enc.decode_dataset(out_dir).iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    ).sort_by("doc_id")
+    summary = enc.compact_stripes(out_dir, target_bytes=1 << 20)
+    n_after = len(glob.glob(os.path.join(out_dir, "*.stripe")))
+    assert summary["bins"] >= 1 and n_after < n_before
+    after = pa.concat_tables(
+        list(enc.decode_dataset(out_dir).iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    ).sort_by("doc_id")
+    assert after.equals(before)
+    # idempotent: a second pass finds nothing worth merging at the same target
+    again = enc.compact_stripes(out_dir, target_bytes=1 << 20)
+    assert again["bins"] <= summary["bins"]
+
+
+def test_range_join_broadcast_semantics(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops import join as j
+
+    bands = pa.table({"band": ["a", "b"], "lo": [0.0, 10.0], "hi": [10.0, 20.0]})
+    big = ray.data.from_arrow(pa.table({"v": pa.array([-1.0, 0.0, 9.99, 10.0, 19.99, 20.0])}))
+    inner = pa.concat_tables(list(j.range_join_broadcast(big, bands, value_col="v").iter_batches(batch_size=100, batch_format="pyarrow")))
+    assert inner.sort_by("v")["band"].to_pylist() == ["a", "a", "b", "b"]  # -1 and 20 fall outside
+    left = pa.concat_tables(list(j.range_join_broadcast(big, bands, value_col="v", how="left").iter_batches(batch_size=100, batch_format="pyarrow")))
+    assert left.num_rows == 6 and left.sort_by("v")["band"].to_pylist() == [None, "a", "a", "b", "b", None]
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        j.range_join_broadcast(big, pa.table({"band": ["x", "y"], "lo": [0.0, 5.0], "hi": [6.0, 9.0]}), value_col="v")
