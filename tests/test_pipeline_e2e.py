@@ -279,3 +279,55 @@ def test_range_join_broadcast_semantics(ray_session):
 
     with _pt.raises(ValueError):
         j.range_join_broadcast(big, pa.table({"band": ["x", "y"], "lo": [0.0, 5.0], "hi": [6.0, 9.0]}), value_col="v")
+
+
+def test_clean_and_encode_stress_driver_rss_bounded(ray_session, tmp_path):
+    """VERDICT r1 #1 done-criterion: a 4x corpus run of the composed cleaning
+    pipeline completes with driver RSS bounded (nothing materializes on the
+    driver; only lineage rows come back)."""
+    import resource
+
+    import duckdb
+
+    # 4x documents corpus in /tmp (doc_ids disambiguated per copy)
+    src = f"{SF}/documents.parquet"
+    d4 = tmp_path / "docs4x"
+    d4.mkdir()
+    con = duckdb.connect()
+    # clean_documents reads {dir}/documents.parquet; 4 disambiguated copies
+    con.execute(
+        f"COPY (SELECT doc_id + copy_i * 1000000 AS doc_id, text, lang, source, n_chars "
+        f"FROM read_parquet('{src}'), range(4) t(copy_i)) TO '{d4}/documents.parquet'"
+    )
+    from orc_format_ray.pipelines import clean
+
+    rss_before = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss  # KiB on linux
+    out = clean.clean_and_encode(str(d4), str(tmp_path / "out"), budget_bytes=1 << 20)
+    rss_after = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    assert out["num_rows"] > 0
+    delta_mb = (rss_after - rss_before) / 1024
+    assert delta_mb < 500, f"driver RSS grew {delta_mb:.0f} MB during the composed pipeline"
+    # exactly the lineage came back: stripes on disk hold the data
+    assert out["stripes"] == len(glob.glob(os.path.join(str(tmp_path / "out"), "stripes", "*.stripe")))
+
+
+def test_no_driver_materialization_tripwires():
+    """Source-level guards for the round-1 scale-killers: the composed clean
+    pipeline must not concat/sort the corpus on the driver, and minhash
+    verification must not build a driver-side text dict."""
+    import inspect
+
+    from orc_format_ray.ops import dedup
+    from orc_format_ray.pipelines import clean
+
+    src_clean = inspect.getsource(clean.clean_and_encode)
+    assert "concat_tables" not in src_clean and "sort_by" not in src_clean and "to_pandas" not in src_clean
+
+    src_mh = inspect.getsource(dedup.minhash_dedup)
+    assert "texts[" not in src_mh  # no driver-side {doc_id: text} dict
+    assert "to_pandas" not in src_mh.replace("batch_format", "")  # verification stays in Datasets
+
+    import __ray_entry__ as em
+
+    src_entry = inspect.getsource(em.entry)
+    assert "concat_tables" not in src_entry and "sort_by" not in src_entry
