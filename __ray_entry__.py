@@ -600,6 +600,42 @@ def _q_quantile_quantity_lineitem(sf_dir: str):
     return pa.Table.from_pylist([{"q25": round(q25, 6), "q50": round(q50, 6), "q90": round(q90, 6), "q99": round(q99, 6)}])
 
 
+def _q_orc_native_read_cpp(sf_dir: str):
+    """Reverse interop: the events table is written by the EXTERNAL Apache
+    ORC C++ writer (pyarrow.orc, RLEv2 + dictionary encodings) and read back
+    with this repo's own proto parser + codec kernels — the oracle match
+    certifies spec conformance of our decoders against Apache-written data."""
+    import pyarrow.orc as po
+    import pyarrow.parquet as pq
+    import ray.data
+    from ray.data.aggregate import Count, Max, Min
+
+    from orc_format_ray.orcread import read_orc_native
+
+    scratch = _scratch(sf_dir, "orc")
+    path = os.path.join(scratch, "events_cpp.orc")
+    if not os.path.exists(path):
+        po.write_table(pq.read_table(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "user_id"]), path, compression="zstd", stripe_size=256 * 1024)
+    tbl = read_orc_native(path)
+    ds = ray.data.from_arrow(tbl)
+
+    def to_ms(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ms = pc.divide(batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()), pa.scalar(1000, pa.int64()))
+        return pa.table({"event_type": batch["event_type"], "ts_ms": ms, "user_id": batch["user_id"]})
+
+    ds = ds.map_batches(to_ms, batch_format="pyarrow", **_ra())
+    from ray.data.aggregate import Sum
+
+    return ds.groupby("event_type").aggregate(
+        Count(alias_name="cnt"),
+        Min("ts_ms", alias_name="min_ms"),
+        Max("ts_ms", alias_name="max_ms"),
+        Sum("user_id", alias_name="sum_uid"),
+    )
+
+
 def _q_window_agg_events(sf_dir: str):
     """Tumbling 1-hour windows over the events log (streaming-shaped op)."""
     import ray.data
@@ -689,6 +725,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join_events": _q_asof_join_events,
         "quantile_quantity_lineitem": _q_quantile_quantity_lineitem,
         "range_join_price_bands": _q_range_join_price_bands,
+        "orc_native_read_cpp": _q_orc_native_read_cpp,
         "minhash_dedup_pairs": _q_minhash_dedup_pairs,
         # non-SQL-expressible (rows-only checks)
         "minhash_candidates": _q_minhash_candidates,
@@ -880,5 +917,9 @@ def oracle_sql() -> dict[str, str]:
             "('high', 50000.0, 80000.0), ('lux', 80000.0, 1e12)) "
             "SELECT band, count(*) AS cnt, round(sum(l_extendedprice), 2) AS sum_price "
             "FROM lineitem JOIN bands ON l_extendedprice >= lo AND l_extendedprice < hi GROUP BY band"
+        ),
+        "orc_native_read_cpp": (
+            "SELECT event_type, count(*) AS cnt, min(epoch_ms(ts)) AS min_ms, max(epoch_ms(ts)) AS max_ms, "
+            "CAST(sum(user_id) AS BIGINT) AS sum_uid FROM events GROUP BY event_type"
         ),
     }
