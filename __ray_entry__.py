@@ -681,6 +681,28 @@ def _q_ivf_ann_topk(sf_dir: str):
     return df[["rank", "vec_id", "score"]]
 
 
+def _q_multimodal_features(sf_dir: str):
+    """Multimodal plumbing end-to-end (decode kernels honestly STUBBED — no
+    image libs in this environment): binary payloads -> actor-pool decode ->
+    resize -> per-image features -> deterministic summary. Rows-only check
+    (the fake decode has no SQL equivalent)."""
+    import ray.data
+
+    from orc_format_ray.ops import multimodal as mm
+
+    tbl = mm.synthetic_media_table(64, seed=11)
+    ds = ray.data.from_arrow(tbl)
+    out = (
+        ds.map_batches(mm.DecodeImage, batch_format="pyarrow", batch_size=mm.RECOMMENDED_BATCH_SIZE, concurrency=2, **_ra())
+        .map_batches(mm.ResizeImage, batch_format="pyarrow", batch_size=mm.RECOMMENDED_BATCH_SIZE, concurrency=2, **_ra())
+        .map_batches(mm.ImageFeatures, batch_format="pyarrow", batch_size=mm.RECOMMENDED_BATCH_SIZE, concurrency=2, **_ra())
+    )
+    feats = pa.concat_tables(list(out.iter_batches(batch_size=1 << 16, batch_format="pyarrow")))
+    df = feats.to_pandas().sort_values("media_id").reset_index(drop=True)
+    df["mean_r"] = df["features"].map(lambda f: round(float(f[0]), 3))
+    return df[["media_id", "mean_r"]]
+
+
 def _q_codec_selection(sf_dir: str):
     """Lineage visibility: codec chosen per column on the flagship corpus."""
     import json
@@ -734,6 +756,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_documents": _q_langid_documents,
         "fingerprint_documents": _q_fingerprint_documents,
         "ivf_ann_topk": _q_ivf_ann_topk,
+        "multimodal_features": _q_multimodal_features,
         "codec_selection": _q_codec_selection,
     }
 

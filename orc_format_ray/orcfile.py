@@ -633,8 +633,11 @@ def write_orc_dataset(ds, out_dir: str, compression: str = "zstd", level: int = 
     )
 
 
-def read_orc_dataset(path_or_dir: str, columns: list[str] | None = None):
-    """ORC files -> streaming Ray Dataset (projection pushed to the reader)."""
+def read_orc_dataset(path_or_dir: str, columns: list[str] | None = None, native: bool = False):
+    """ORC files -> streaming Ray Dataset (projection pushed to the reader).
+
+    ``native=True`` decodes with this repo's own parser + codec kernels
+    (orcread.py) instead of the bundled ORC C++ reader."""
     import glob
     import os
 
@@ -654,4 +657,10 @@ def read_orc_dataset(path_or_dir: str, columns: list[str] | None = None):
         tables = [po.ORCFile(pa.BufferReader(b.as_py())).read(columns=columns) for b in batch["bytes"]]
         return pa.concat_tables(tables) if len(tables) > 1 else tables[0]
 
-    return ds.map_batches(dec, batch_format="pyarrow", batch_size=1, zero_copy_batch=True, **remote_args())
+    def dec_native(batch: pa.Table) -> pa.Table:
+        from .orcread import read_orc_native
+
+        tables = [read_orc_native(b.as_py(), columns=columns) for b in batch["bytes"]]
+        return pa.concat_tables(tables) if len(tables) > 1 else tables[0]
+
+    return ds.map_batches(dec_native if native else dec, batch_format="pyarrow", batch_size=1, zero_copy_batch=True, **remote_args())
