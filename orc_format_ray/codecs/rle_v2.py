@@ -221,7 +221,10 @@ def _patched_plan(c: np.ndarray, cu: np.ndarray, signed: bool):
     bw = max(1, (mag.bit_length() + 1 + 7) // 8)  # +1 sign bit
     if bw > 8:
         return None
-    size = 4 + bw + bitpack.packed_size(n, w) + bitpack.packed_size(len(patch_idx), pgw + pw)
+    # spec (and the ORC Java/C++ writers): patch entries pack at the CLOSEST
+    # FIXED width of pgw+pw, not the raw sum
+    ew = _round_width(pgw + pw)
+    size = 4 + bw + bitpack.packed_size(n, w) + bitpack.packed_size(len(patch_idx), ew)
     return size, mn, reduced, w, patch_idx, gaps, patch_vals, pgw, pw, bw
 
 
@@ -290,7 +293,7 @@ def _emit_patched(out: list, c: np.ndarray, cu: np.ndarray, plan) -> None:
     low = reduced & ((_U64(1) << _U64(w)) - _U64(1)) if w < 64 else reduced
     out.append(bitpack.pack(low, w))
     entries = (gaps.astype(np.uint64) << _U64(pw)) | patch_vals
-    out.append(bitpack.pack(entries, pgw + pw))
+    out.append(bitpack.pack(entries, _round_width(pgw + pw)))  # spec: closest fixed width
 
 
 def decode(buf: bytes, signed: bool = True) -> np.ndarray:
@@ -359,11 +362,14 @@ def decode(buf: bytes, signed: bool = True) -> np.ndarray:
             nbytes = bitpack.packed_size(n, w)
             low = bitpack.unpack(b[p : p + nbytes], w, n)
             p += nbytes
-            ebytes = bitpack.packed_size(pll, pgw + pw)
-            entries = bitpack.unpack(b[p : p + ebytes], pgw + pw, pll)
+            ew = _round_width(pgw + pw)  # spec: entries pack at closest fixed width
+            ebytes = bitpack.packed_size(pll, ew)
+            entries = bitpack.unpack(b[p : p + ebytes], ew, pll)
             p += ebytes
             gaps = (entries >> _U64(pw)).astype(np.int64)
             pvals = entries & ((_U64(1) << _U64(pw)) - _U64(1))
+            # a gap of 255 with patch value 0 is a spec'd continuation entry
+            # (real gap > 2^pgw-1); cumsum handles it, OR-ing 0 is harmless
             idx = np.cumsum(gaps)
             low[idx] |= pvals << _U64(w)
             parts.append((low + _U64(mn & _MASK)).view(np.int64))

@@ -98,3 +98,29 @@ def test_native_projection_and_tokens(tmp_path):
     proj = read_orc_native(path, columns=["source", "n_tok"])
     assert set(proj.schema.names) == {"source", "n_tok"}  # file order, like pyarrow
     assert proj["n_tok"].combine_chunks().cast(pa.int32()).equals(tbl["n_tok"].combine_chunks())
+
+
+def test_native_rlev2_all_submodes_from_cpp(tmp_path):
+    """Spec conformance for every RLEv2 sub-encoding: shapes chosen to push
+    the ORC C++ writer into SHORT_REPEAT / DELTA(fixed+var) / PATCHED_BASE /
+    DIRECT, decoded by our kernels. Caught a real dialect bug: patch entries
+    pack at getClosestFixedBits(pgw+pw), not raw pgw+pw."""
+    rng2 = np.random.default_rng(5)
+    N = 50000
+    cases = {
+        "short_repeat": np.repeat(rng2.integers(0, 100, 20000), rng2.integers(3, 10, 20000))[:N],
+        "delta_monotonic": np.cumsum(rng2.integers(1, 5, N)),
+        "delta_fixed": np.arange(N) * 10,
+        "patched_base": np.where(rng2.random(N) < 0.02, rng2.integers(1 << 40, 1 << 50, N), rng2.integers(0, 512, N)),
+        "patched_sparse": np.where(rng2.random(N) < 0.0005, rng2.integers(1 << 30, 1 << 40, N), rng2.integers(0, 64, N)),
+        "direct_random": rng2.integers(-(2**45), 2**45, N),
+        "negatives": -np.cumsum(rng2.integers(1, 100, N)),
+        "extremes": np.concatenate([np.array([2**63 - 1, -(2**63), 0, -1, 1]), rng2.integers(-(2**62), 2**62, N - 5)]),
+    }
+    tbl = pa.table({k: pa.array(v, type=pa.int64()) for k, v in cases.items()})
+    path = str(tmp_path / "rlev2.orc")
+    po.write_table(tbl, path, compression="zstd")
+    got = read_orc_native(path)
+    exp = po.read_table(path)
+    for c in cases:
+        assert got[c].combine_chunks().equals(exp[c].combine_chunks()), c
