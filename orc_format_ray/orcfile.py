@@ -649,18 +649,20 @@ def read_orc_dataset(path_or_dir: str, columns: list[str] | None = None, native:
         paths = sorted(glob.glob(os.path.join(path_or_dir, "*.orc")))
     else:
         paths = [path_or_dir]
-    ds = ray.data.read_binary_files(paths)
+    # read fused into the decode task (one block per file): the blob never
+    # transits the object store between a read op and the decode op
+    ds = ray.data.from_items([{"path": p} for p in paths])
 
     def dec(batch: pa.Table) -> pa.Table:
         import pyarrow.orc as po
 
-        tables = [po.ORCFile(pa.BufferReader(b.as_py())).read(columns=columns) for b in batch["bytes"]]
+        tables = [po.ORCFile(p.as_py()).read(columns=columns) for p in batch["path"]]
         return pa.concat_tables(tables) if len(tables) > 1 else tables[0]
 
     def dec_native(batch: pa.Table) -> pa.Table:
         from .orcread import read_orc_native
 
-        tables = [read_orc_native(b.as_py(), columns=columns) for b in batch["bytes"]]
+        tables = [read_orc_native(open(p.as_py(), "rb").read(), columns=columns) for p in batch["path"]]
         return pa.concat_tables(tables) if len(tables) > 1 else tables[0]
 
-    return ds.map_batches(dec_native if native else dec, batch_format="pyarrow", batch_size=1, zero_copy_batch=True, **remote_args())
+    return ds.map_batches(dec_native if native else dec, batch_format="pyarrow", batch_size=1, **remote_args())
