@@ -43,6 +43,19 @@ class _BroadcastProbe:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         probe = batch[self.key].combine_chunks().to_numpy(zero_copy_only=False)
+        if len(self.sorted_keys) == 0:
+            # empty build side: inner -> no rows, left -> all-null build cols
+            if self.how == "inner":
+                batch = batch.slice(0, 0)
+            elif self.how != "left":
+                raise ValueError(f"how={self.how!r}")
+            out = batch
+            for f in self.build.schema:
+                if f.name == self.build_key:
+                    continue
+                name = f.name if f.name not in out.schema.names else f"{f.name}_r"
+                out = out.append_column(name, pa.nulls(out.num_rows, f.type))
+            return out
         pos = np.searchsorted(self.sorted_keys, probe)
         pos_c = np.minimum(pos, max(len(self.sorted_keys) - 1, 0))
         hit = (self.sorted_keys[pos_c] == probe) if len(self.sorted_keys) else np.zeros(len(probe), bool)

@@ -166,8 +166,12 @@ def _orc_kind(t: pa.DataType) -> str:
         return "TIMESTAMP"
     if pa.types.is_date32(t):
         return "DATE"
+    if pa.types.is_decimal128(t):
+        return "DECIMAL"  # precision <= 38 by decimal128 construction
     if pa.types.is_decimal(t):
-        return "DECIMAL"
+        # decimal256: limb reader would misparse and precision > 38 aborts
+        # the Apache C++ reader ("Check failed: precision <= kMaxPrecision")
+        raise NotImplementedError(f"type {t}: only decimal128 maps to ORC DECIMAL")
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         return "LIST"
     if pa.types.is_map(t):

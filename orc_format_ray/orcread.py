@@ -287,7 +287,6 @@ def _decode_column(col_id: int, types: list[_Type], streams: dict, encodings: li
     if t.kind == "STRUCT":
         children = []
         names = t.field_names
-        cur = col_id  # children ids from subtypes
         for sub in t.subtypes:
             ch, _ = _decode_column(sub, types, streams, encodings, n_present)
             children.append(ch)
@@ -344,7 +343,12 @@ def read_orc_native(path_or_bytes, columns: list[str] | None = None) -> pa.Table
         streams: dict[int, dict[int, bytes]] = {}
         pos = si["offset"]
         for kind, col, ln in stream_list:
-            if kind != _ROW_INDEX and not (8 <= kind):  # skip index/bloom kinds
+            # whitelist only the kinds _decode_column consumes:
+            # 0 PRESENT, 1 DATA, 2 LENGTH, 3 DICTIONARY_DATA, 5 SECONDARY.
+            # (4 DICTIONARY_COUNT / 6 ROW_INDEX / 7 BLOOM_FILTER / 8+ are
+            # skipped — deframing them would be wasted work, and a kind-7
+            # stream must never alias into the dict keyed by kind.)
+            if kind in (0, 1, 2, 3, 5):
                 raw = blob[pos : pos + ln]
                 streams.setdefault(col, {})[kind] = _deframe(raw, comp)
             pos += ln

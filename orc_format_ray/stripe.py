@@ -78,8 +78,11 @@ def type_to_spec(t: pa.DataType):
         return {"t": "map", "key": type_to_spec(t.key_type), "item": type_to_spec(t.item_type)}
     if pa.types.is_union(t):
         return {"t": "dense_union", "fields": [[f.name, type_to_spec(f.type)] for f in t], "type_codes": list(t.type_codes)}
-    if pa.types.is_decimal(t):
+    if pa.types.is_decimal128(t):
         return {"t": "decimal128", "precision": t.precision, "scale": t.scale}
+    if pa.types.is_decimal(t):
+        # decimal256 would silently misparse through the 2-uint64-limb reader
+        raise NotImplementedError(f"{t}: only decimal128 is supported")
     if pa.types.is_timestamp(t):
         return {"t": "timestamp", "unit": t.unit, "tz": t.tz}
     return {"t": str(t)}
@@ -125,6 +128,9 @@ def decimal_unscaled(valid: pa.Array) -> tuple[np.ndarray | None, list[int] | No
     buffer (no per-row as_py()/Decimal). Returns (int64 array, None) when all
     values fit int64 — the overwhelmingly common precision<=18 case — else
     (None, Python bigints)."""
+    if not pa.types.is_decimal128(valid.type):
+        # decimal256 has a 4-limb layout; reading it as 2 limbs misparses
+        raise NotImplementedError(f"{valid.type}: only decimal128 is supported")
     raw = np.frombuffer(valid.buffers()[1], dtype=np.uint64)
     raw = raw[valid.offset * 2 : (valid.offset + len(valid)) * 2]
     lo = np.ascontiguousarray(raw[0::2])

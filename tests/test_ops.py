@@ -276,6 +276,21 @@ def test_broadcast_join_left_and_dup_guard(ray_session):
         j.broadcast_join(big, pa.table({"k": [1, 1], "v": [0, 1]}), key="k")
 
 
+def test_broadcast_join_empty_build(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops import join as j
+
+    big = ray.data.from_arrow(pa.table({"k": [1, 2, 3], "x": ["a", "b", "c"]}))
+    empty = pa.table({"k": pa.array([], type=pa.int64()), "name": pa.array([], type=pa.string())})
+    inner = j.broadcast_join(big, empty, key="k")
+    assert inner.count() == 0
+    assert "name" in inner.schema().names
+    left = pa.concat_tables(list(j.broadcast_join(big, empty, key="k", how="left").iter_batches(batch_size=100, batch_format="pyarrow")))
+    assert left.num_rows == 3
+    assert left["name"].null_count == 3
+
+
 def test_hash_join_matches_pandas(ray_session):
     import ray.data
 

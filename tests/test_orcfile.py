@@ -134,6 +134,21 @@ def test_orc_unsupported_types_raise():
         orcfile.write_orc(pa.table({"u": pa.array([1], type=pa.uint64())}), "/tmp/nope.orc")
 
 
+def test_orc_decimal256_rejected_at_construction():
+    # decimal256 would misparse through the 2-limb reader and its
+    # precision > 38 aborts the Apache C++ reader — reject up front
+    tbl = pa.table({"d": pa.array([Decimal("1.5")], type=pa.decimal256(50, 2))})
+    with pytest.raises(NotImplementedError):
+        orcfile.write_orc(tbl, "/tmp/nope256.orc")
+
+    from orc_format_ray import stripe as stripe_mod
+
+    with pytest.raises(NotImplementedError):
+        stripe_mod.type_to_spec(pa.decimal256(50, 2))
+    with pytest.raises(NotImplementedError):
+        stripe_mod.decimal_unscaled(pa.array([Decimal("1.5")], type=pa.decimal256(50, 2)))
+
+
 def test_orc_dataset_sink_and_source(ray_session, tmp_path):
     import ray.data
 

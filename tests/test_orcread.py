@@ -100,6 +100,15 @@ def test_native_projection_and_tokens(tmp_path):
     assert proj["n_tok"].combine_chunks().cast(pa.int32()).equals(tbl["n_tok"].combine_chunks())
 
 
+def test_native_reads_cpp_file_with_bloom_filters(tmp_path):
+    """Files carrying BLOOM_FILTER (kind 7/8) streams must read correctly —
+    the stream whitelist (orcread kinds 0,1,2,3,5) must neither deframe nor
+    alias them into the consumed-stream dict."""
+    path = str(tmp_path / "bloom.orc")
+    po.write_table(_NULLS_TBL, path, compression="zstd", bloom_filter_columns=[0, 1])
+    _cmp(path)
+
+
 def test_native_rlev2_all_submodes_from_cpp(tmp_path):
     """Spec conformance for every RLEv2 sub-encoding: shapes chosen to push
     the ORC C++ writer into SHORT_REPEAT / DELTA(fixed+var) / PATCHED_BASE /
