@@ -241,47 +241,83 @@ def _num_columns(schema: pa.Schema) -> int:
 
 # --------------------------------------------------------- stream encoding
 
+# trailing zero-valued position slots a seeking reader consumes per stream,
+# after the compression position(s): RLE streams record the offset into the
+# current run (reference int_rle_v1.rs:13-24), BooleanRLE additionally the
+# bit offset (boolean_rle.rs:13-26), raw byte streams record nothing.
+_EX_RAW, _EX_RLE, _EX_BOOL = 0, 1, 2
 
-def _column_streams(arr: pa.Array, col_id: int, out: list[tuple[int, int, bytes]], enc_out: list[int], stats_out: list[stats_mod.ColumnStats]) -> int:
-    """Encode one column subtree into ORC streams.
 
-    Appends (stream_kind, column_id, payload) rows in reference stream order
-    (PRESENT, DATA, LENGTH/SECONDARY, then children), records the
-    ColumnEncoding kind (always DIRECT=0 here) and per-column statistics.
+def _rg_pairs(bounds: np.ndarray) -> list[tuple[int, int]]:
+    return [(int(bounds[k]), int(bounds[k + 1])) for k in range(len(bounds) - 1)]
+
+
+def _column_streams(
+    arr: pa.Array,
+    col_id: int,
+    out: list[tuple[int, int, list[bytes], int]],
+    enc_out: list[int],
+    stats_out: list[stats_mod.ColumnStats],
+    bounds: np.ndarray,
+    index_stats: dict[int, list[stats_mod.ColumnStats]],
+) -> int:
+    """Encode one column subtree into ORC streams, chunked at row-group
+    boundaries.
+
+    ``bounds`` are row-group boundaries in THIS column's value space
+    (including its nulls); each stream is encoded independently per row group
+    (codec state and compression blocks restart at every boundary), so every
+    row-index position is (chunk byte offset, 0, 0...) — the chunked-seek
+    design this engine measured at ~0% size cost (SURVEY §2.6b), applied to
+    real ORC output per reference src/writer/stripe.rs:80-92.
+
+    Appends (stream_kind, column_id, [payload per row group], pos_extras)
+    rows in reference position-record order (PRESENT, DATA, LENGTH/SECONDARY,
+    then children — e.g. reference src/writer/data/string.rs:43-49), records
+    the ColumnEncoding kind (always DIRECT=0 here), per-row-group statistics
+    into ``index_stats[col_id]`` and stripe statistics (merged from the row
+    groups, like reference finish_row_group src/writer/data/long.rs:84-94).
     Returns the next free column id.
     """
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     t = arr.type
-    stats_out.append(stats_mod.compute(arr))
+    rg_stats = [stats_mod.compute(arr.slice(lo, hi - lo)) for lo, hi in _rg_pairs(bounds)]
+    index_stats[col_id] = rg_stats
+    stats_out.append(stats_mod.merge_all(rg_stats) if len(rg_stats) != 1 else rg_stats[0])
     enc_out.append(0)  # DIRECT
     if arr.null_count:
-        out.append((_STREAM["PRESENT"], col_id, boolean_rle.encode(_validity(arr))))
+        vmask = _validity(arr)
+        out.append((_STREAM["PRESENT"], col_id, [boolean_rle.encode(vmask[lo:hi]) for lo, hi in _rg_pairs(bounds)], _EX_BOOL))
+        csum = np.concatenate(([0], np.cumsum(vmask)))
+        pb = csum[bounds]  # bounds in present-value space
+    else:
+        pb = bounds
+    pp = _rg_pairs(pb)
     valid = arr.drop_null() if arr.null_count else arr
     next_id = col_id + 1
     kind = _orc_kind(t)
 
     if kind == "BOOLEAN":
-        out.append((_STREAM["DATA"], col_id, boolean_rle.encode(valid.to_numpy(zero_copy_only=False))))
+        v = valid.to_numpy(zero_copy_only=False)
+        out.append((_STREAM["DATA"], col_id, [boolean_rle.encode(v[lo:hi]) for lo, hi in pp], _EX_BOOL))
     elif kind == "BYTE":
         v = valid.to_numpy(zero_copy_only=False).astype(np.int8).view(np.uint8)
-        out.append((_STREAM["DATA"], col_id, byte_rle.encode(v)))
+        out.append((_STREAM["DATA"], col_id, [byte_rle.encode(v[lo:hi]) for lo, hi in pp], _EX_RLE))
     elif kind in ("SHORT", "INT", "LONG"):
         v = valid.cast(pa.int64()).to_numpy(zero_copy_only=False)
-        out.append((_STREAM["DATA"], col_id, int_rle_v1.encode(v, signed=True)))
+        out.append((_STREAM["DATA"], col_id, [int_rle_v1.encode(v[lo:hi], signed=True) for lo, hi in pp], _EX_RLE))
     elif kind == "DATE":
         v = valid.view(pa.int32()).cast(pa.int64()).to_numpy(zero_copy_only=False)
-        out.append((_STREAM["DATA"], col_id, int_rle_v1.encode(v, signed=True)))
+        out.append((_STREAM["DATA"], col_id, [int_rle_v1.encode(v[lo:hi], signed=True) for lo, hi in pp], _EX_RLE))
     elif kind in ("FLOAT", "DOUBLE"):
-        out.append((_STREAM["DATA"], col_id, valid.to_numpy(zero_copy_only=False).tobytes()))
-    elif kind == "STRING":
+        raw = valid.to_numpy(zero_copy_only=False)
+        out.append((_STREAM["DATA"], col_id, [raw[lo:hi].tobytes() for lo, hi in pp], _EX_RAW))
+    elif kind in ("STRING", "BINARY"):
         concat, offs = _string_block(valid)
-        out.append((_STREAM["DATA"], col_id, concat.tobytes()))
-        out.append((_STREAM["LENGTH"], col_id, int_rle_v1.encode(np.diff(offs).astype(np.uint64), signed=False)))
-    elif kind == "BINARY":
-        concat, offs = _string_block(valid)
-        out.append((_STREAM["DATA"], col_id, concat.tobytes()))
-        out.append((_STREAM["LENGTH"], col_id, int_rle_v1.encode(np.diff(offs).astype(np.uint64), signed=False)))
+        lens = np.diff(offs).astype(np.uint64)
+        out.append((_STREAM["DATA"], col_id, [concat[offs[lo] : offs[hi]].tobytes() for lo, hi in pp], _EX_RAW))
+        out.append((_STREAM["LENGTH"], col_id, [int_rle_v1.encode(lens[lo:hi], signed=False) for lo, hi in pp], _EX_RLE))
     elif kind == "TIMESTAMP":
         per_ns = _TS_UNIT_NS[t.unit]
         units_per_sec = 1_000_000_000 // per_ns
@@ -294,7 +330,8 @@ def _column_streams(arr: pa.Array, col_id: int, out: list[tuple[int, int, bytes]
         # timestamps in (-1s, 0) of epoch are unrepresentable — same in the
         # Java writer. The native ORY container has exact round-trip.)
         secs = secs + ((secs < 0) & (nanos > 999_999))
-        out.append((_STREAM["DATA"], col_id, int_rle_v1.encode(secs - TS_EPOCH_SECONDS, signed=True)))
+        rebased = secs - TS_EPOCH_SECONDS
+        out.append((_STREAM["DATA"], col_id, [int_rle_v1.encode(rebased[lo:hi], signed=True) for lo, hi in pp], _EX_RLE))
         packed = np.empty(len(nanos), dtype=np.uint64)
         nz = nanos.copy()
         tz = np.zeros(len(nanos), dtype=np.uint64)
@@ -307,29 +344,32 @@ def _column_streams(arr: pa.Array, col_id: int, out: list[tuple[int, int, bytes]
         use = tz > 1
         packed[use] = (nz[use] << np.uint64(3)) | (tz[use] - np.uint64(1))
         packed[~use] = nanos[~use] << np.uint64(3)
-        out.append((_STREAM["SECONDARY"], col_id, int_rle_v1.encode(packed, signed=False)))
+        out.append((_STREAM["SECONDARY"], col_id, [int_rle_v1.encode(packed[lo:hi], signed=False) for lo, hi in pp], _EX_RLE))
     elif kind == "DECIMAL":
         from .stripe import encode_decimal_stream
 
-        out.append((_STREAM["DATA"], col_id, encode_decimal_stream(valid)))
-        out.append((_STREAM["SECONDARY"], col_id, int_rle_v1.encode(np.full(len(valid), t.scale, dtype=np.int64), signed=True)))
+        out.append((_STREAM["DATA"], col_id, [encode_decimal_stream(valid.slice(lo, hi - lo)) for lo, hi in pp], _EX_RAW))
+        out.append((_STREAM["SECONDARY"], col_id, [int_rle_v1.encode(np.full(hi - lo, t.scale, dtype=np.int64), signed=True) for lo, hi in pp], _EX_RLE))
     elif kind == "LIST":
-        lens = pc.list_value_length(arr)
-        lens = lens.drop_null() if lens.null_count else lens
-        out.append((_STREAM["LENGTH"], col_id, int_rle_v1.encode(lens.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.uint64), signed=False)))
+        lens_arr = pc.list_value_length(arr)
+        lens_arr = lens_arr.drop_null() if lens_arr.null_count else lens_arr
+        lens = lens_arr.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.uint64)
+        out.append((_STREAM["LENGTH"], col_id, [int_rle_v1.encode(lens[lo:hi], signed=False) for lo, hi in pp], _EX_RLE))
         child = valid.combine_chunks().flatten() if isinstance(valid, pa.ChunkedArray) else valid.flatten()
-        next_id = _column_streams(child, next_id, out, enc_out, stats_out)
+        child_bounds = np.concatenate(([0], np.cumsum(lens.astype(np.int64))))[pb]
+        next_id = _column_streams(child, next_id, out, enc_out, stats_out, child_bounds, index_stats)
     elif kind == "MAP":
         from .stripe import map_entries
 
         lv, keys, items = map_entries(arr)
-        out.append((_STREAM["LENGTH"], col_id, int_rle_v1.encode(lv.astype(np.uint64), signed=False)))
-        next_id = _column_streams(keys, next_id, out, enc_out, stats_out)
-        next_id = _column_streams(items, next_id, out, enc_out, stats_out)
+        out.append((_STREAM["LENGTH"], col_id, [int_rle_v1.encode(lv[lo:hi].astype(np.uint64), signed=False) for lo, hi in pp], _EX_RLE))
+        child_bounds = np.concatenate(([0], np.cumsum(lv.astype(np.int64))))[pb]
+        next_id = _column_streams(keys, next_id, out, enc_out, stats_out, child_bounds, index_stats)
+        next_id = _column_streams(items, next_id, out, enc_out, stats_out, child_bounds, index_stats)
     elif kind == "STRUCT":
         for i, f in enumerate(t):
             child = valid.field(i) if hasattr(valid, "field") else pc.struct_field(valid, i)
-            next_id = _column_streams(child, next_id, out, enc_out, stats_out)
+            next_id = _column_streams(child, next_id, out, enc_out, stats_out, pb, index_stats)
     else:  # pragma: no cover
         raise NotImplementedError(kind)
     return next_id
@@ -409,7 +449,15 @@ class OrcWriter:
     bounded memory. Use as a context manager or call close().
     """
 
-    def __init__(self, path: str, schema: pa.Schema, compression: str = "zstd", level: int = 3, stripe_size: int = 64 * 1024 * 1024):
+    def __init__(
+        self,
+        path: str,
+        schema: pa.Schema,
+        compression: str = "zstd",
+        level: int = 3,
+        stripe_size: int = 64 * 1024 * 1024,
+        row_index_stride: int = 10_000,
+    ):
         import os
 
         if compression not in _KIND_IDS:
@@ -420,6 +468,10 @@ class OrcWriter:
         self.compression = compression
         self.level = level
         self.stripe_size = stripe_size
+        # reference default stride 10,000 (src/writer.rs:33); 0 disables the
+        # ROW_INDEX streams (and row-group chunking) entirely
+        self.row_index_stride = int(row_index_stride)
+        self._scales = _column_scales(schema)
         self._has_ts = any("TIMESTAMP" in _orc_kind_safe(f.type) for f in schema)
         self._parts: list[pa.Table] = []
         self._buffered = 0
@@ -464,22 +516,66 @@ class OrcWriter:
         self._parts = []
         self._buffered = 0
         rows = sub.num_rows
-        streams: list[tuple[int, int, bytes]] = []
+        stride = self.row_index_stride
+        if stride > 0:
+            bounds = np.append(np.arange(0, rows, stride, dtype=np.int64), rows)
+        else:
+            bounds = np.array([0, rows], dtype=np.int64)
+        n_groups = len(bounds) - 1
+
+        streams: list[tuple[int, int, list[bytes], int]] = []
         encodings: list[int] = [0]
+        index_stats: dict[int, list[stats_mod.ColumnStats]] = {
+            0: [stats_mod.ColumnStats(kind="generic", num_values=int(hi - lo), num_present=int(hi - lo)) for lo, hi in _rg_pairs(bounds)]
+        }
         col_stats: list[stats_mod.ColumnStats] = [stats_mod.ColumnStats(kind="generic", num_values=rows, num_present=rows)]
         cid = 1
         for i in range(sub.num_columns):
-            cid = _column_streams(sub.column(i).combine_chunks(), cid, streams, encodings, col_stats)
+            cid = _column_streams(sub.column(i).combine_chunks(), cid, streams, encodings, col_stats, bounds, index_stats)
+
+        # frame each row-group chunk independently: compression blocks align
+        # with row-group boundaries, so every position is (chunk start, 0, ...)
+        framed: list[tuple[int, int, bytes, np.ndarray, int]] = []
+        for kind_id, col_id, chunks, extras in streams:
+            fchunks = [_orc_frame(c, self.compression, self.level) for c in chunks]
+            cums = np.concatenate(([0], np.cumsum([len(fc) for fc in fchunks], dtype=np.int64)))
+            framed.append((kind_id, col_id, b"".join(fchunks), cums, extras))
+
         offset = self._pos
+        index_meta: list[tuple[int, int, int]] = []
+        if stride > 0:
+            # ROW_INDEX streams, one per column in id order, written into the
+            # stripe's index region before the data streams (reference
+            # src/writer/stripe.rs:86-92, src/writer/data/common.rs:24-48)
+            compressed = self.compression != "none"
+            by_col: dict[int, list] = {}
+            for s in framed:
+                by_col.setdefault(s[1], []).append(s)
+            for col_id in range(len(encodings)):
+                ri = Msg()
+                for k in range(n_groups):
+                    positions: list[int] = []
+                    for _kind, _c, _fb, cums, extras in by_col.get(col_id, []):
+                        positions.append(int(cums[k]))
+                        if compressed:
+                            positions.append(0)  # offset in block
+                        positions.extend([0] * extras)  # RLE run / bit offset
+                    entry = Msg().packed(1, positions)
+                    entry.msg(2, _stats_proto(index_stats[col_id][k], self._scales[col_id] if col_id < len(self._scales) else None))
+                    ri.msg(1, entry)
+                fri = _orc_frame(ri.tobytes(), self.compression, self.level)
+                index_meta.append((6, col_id, len(fri)))  # kind 6 = ROW_INDEX
+                self._write(fri)
+        index_len = self._pos - offset
+
         data_start = self._pos
         stream_meta = []
-        for kind_id, col_id, payload in streams:
-            framed = _orc_frame(payload, self.compression, self.level)
-            stream_meta.append((kind_id, col_id, len(framed)))
-            self._write(framed)
+        for kind_id, col_id, fb, _cums, _extras in framed:
+            stream_meta.append((kind_id, col_id, len(fb)))
+            self._write(fb)
         data_len = self._pos - data_start
         sf = Msg()
-        for kind_id, col_id, length in stream_meta:
+        for kind_id, col_id, length in index_meta + stream_meta:
             sf.msg(1, Msg().varint(1, kind_id).varint(2, col_id).varint(3, length))
         for e in encodings:
             sf.msg(2, Msg().varint(1, e))
@@ -487,8 +583,7 @@ class OrcWriter:
             sf.string(3, "UTC")
         footer_bytes = _orc_frame(sf.tobytes(), self.compression, self.level)
         self._write(footer_bytes)
-        # index_len = 0: no ROW_INDEX streams; footer sets rowIndexStride=0
-        self._stripe_infos.append((offset, 0, data_len, len(footer_bytes), rows, col_stats))
+        self._stripe_infos.append((offset, index_len, data_len, len(footer_bytes), rows, col_stats))
 
     def abort(self) -> None:
         import os
@@ -510,7 +605,7 @@ class OrcWriter:
         stripe_infos = self._stripe_infos
 
         # Metadata: per-stripe column statistics (reference writer.rs:132-151)
-        scales = _column_scales(self.schema)
+        scales = self._scales
         meta = Msg()
         for *_rest, _rows, col_stats in stripe_infos:
             ss = Msg()
@@ -535,7 +630,7 @@ class OrcWriter:
         )
         for i, cs in enumerate(merged):
             footer.msg(7, _stats_proto(cs, scales[i] if i < len(scales) else None))
-        footer.varint(8, 0)  # rowIndexStride=0: no row index written
+        footer.varint(8, self.row_index_stride)
         footer_out = _orc_frame(footer.tobytes(), compression, level)
         self._write(footer_out)
 
@@ -561,6 +656,7 @@ def write_orc(
     compression: str = "zstd",
     level: int = 3,
     stripe_rows: int | None = None,
+    row_index_stride: int = 10_000,
 ) -> dict:
     """Write a Table as a genuine ORC file (readable by pyarrow.orc / ORC
     C++/Java). ``stripe_rows`` forces a stripe cut every that many rows;
@@ -568,7 +664,7 @@ def write_orc(
     Returns {"num_rows", "file_bytes", "stripes"}."""
     n = tbl.num_rows
     stripe_rows = stripe_rows or max(n, 1)
-    w = OrcWriter(path, tbl.schema, compression, level)
+    w = OrcWriter(path, tbl.schema, compression, level, row_index_stride=row_index_stride)
     try:
         for lo in range(0, n, stripe_rows):  # 0-row table -> 0 stripes (reference stripe.rs:83)
             w.write_batch(tbl.slice(lo, min(stripe_rows, n - lo)))

@@ -173,7 +173,14 @@ def _parse_tail(blob: bytes):
                 tf.get(6, [0])[0],
             )
         )
-    return {"compression": comp, "stripes": stripes, "types": types, "num_rows": f.get(6, [0])[0], "meta_len": meta_len}
+    return {
+        "compression": comp,
+        "stripes": stripes,
+        "types": types,
+        "num_rows": f.get(6, [0])[0],
+        "meta_len": meta_len,
+        "row_index_stride": f.get(8, [0])[0],
+    }
 
 
 # ------------------------------------------------------------- stream decode
@@ -311,8 +318,35 @@ def _decode_column(col_id: int, types: list[_Type], streams: dict, encodings: li
     raise NotImplementedError(f"ORC type {t.kind}")
 
 
-def read_orc_native(path_or_bytes, columns: list[str] | None = None) -> pa.Table:
-    """Read a real ORC file with this repo's own parser + codec kernels."""
+def _parse_stripe_footer(blob: bytes, si: dict, comp: str):
+    """-> (stream_list [(kind, col, len)], encodings [(kind, dict_size)],
+    raw_spans [(abs_offset, len)] aligned with stream_list)."""
+    sf_raw = blob[si["offset"] + si["index_length"] + si["data_length"] : si["offset"] + si["index_length"] + si["data_length"] + si["footer_length"]]
+    sf = _fields(_deframe(sf_raw, comp))
+    stream_list = []
+    for s in sf.get(1, []):
+        f = _fields(s)
+        stream_list.append((f.get(1, [0])[0], f.get(2, [0])[0], f.get(3, [0])[0]))
+    encodings = []
+    for e in sf.get(2, []):
+        f = _fields(e)
+        encodings.append((f.get(1, [0])[0], f.get(2, [0])[0]))
+    raw_spans = []
+    pos = si["offset"]
+    for _kind, _col, ln in stream_list:
+        raw_spans.append((pos, ln))
+        pos += ln
+    return stream_list, encodings, raw_spans
+
+
+def read_orc_native(path_or_bytes, columns: list[str] | None = None, row_groups: list[int] | None = None) -> pa.Table:
+    """Read a real ORC file with this repo's own parser + codec kernels.
+
+    ``row_groups`` selects file-global row groups (``rowIndexStride`` rows
+    each, per the footer) and decodes ONLY those: stripes without a selected
+    group are skipped entirely, and within a stripe each stream is sliced at
+    the ROW_INDEX positions before deframing — a selected group never
+    decompresses or decodes the rest of the stripe."""
     blob = path_or_bytes if isinstance(path_or_bytes, (bytes, bytearray)) else open(path_or_bytes, "rb").read()
     tail = _parse_tail(blob)
     comp = tail["compression"]
@@ -327,22 +361,14 @@ def read_orc_native(path_or_bytes, columns: list[str] | None = None) -> pa.Table
     if columns is not None:
         wanted = [i for i, nm in enumerate(root.field_names) if nm in columns]
 
+    if row_groups is not None:
+        return _read_row_groups(blob, tail, wanted, spans, row_groups)
+
     per_stripe_arrays: list[list[pa.Array]] = []
     for si in tail["stripes"]:
-        sf_raw = blob[si["offset"] + si["index_length"] + si["data_length"] : si["offset"] + si["index_length"] + si["data_length"] + si["footer_length"]]
-        sf = _fields(_deframe(sf_raw, comp))
-        stream_list = []
-        for s in sf.get(1, []):
-            f = _fields(s)
-            stream_list.append((f.get(1, [0])[0], f.get(2, [0])[0], f.get(3, [0])[0]))  # kind, col, len
-        encodings = []
-        for e in sf.get(2, []):
-            f = _fields(e)
-            encodings.append((f.get(1, [0])[0], f.get(2, [0])[0]))
-        # stream payload offsets accumulate over the stripe in list order
+        stream_list, encodings, raw_spans = _parse_stripe_footer(blob, si, comp)
         streams: dict[int, dict[int, bytes]] = {}
-        pos = si["offset"]
-        for kind, col, ln in stream_list:
+        for (kind, col, ln), (pos, _ln) in zip(stream_list, raw_spans):
             # whitelist only the kinds _decode_column consumes:
             # 0 PRESENT, 1 DATA, 2 LENGTH, 3 DICTIONARY_DATA, 5 SECONDARY.
             # (4 DICTIONARY_COUNT / 6 ROW_INDEX / 7 BLOOM_FILTER / 8+ are
@@ -351,7 +377,6 @@ def read_orc_native(path_or_bytes, columns: list[str] | None = None) -> pa.Table
             if kind in (0, 1, 2, 3, 5):
                 raw = blob[pos : pos + ln]
                 streams.setdefault(col, {})[kind] = _deframe(raw, comp)
-            pos += ln
         arrays = []
         for i in wanted:
             arr, _ = _decode_column(spans[i], types, streams, encodings, si["num_rows"])
@@ -368,6 +393,140 @@ def read_orc_native(path_or_bytes, columns: list[str] | None = None) -> pa.Table
         return pa.table(empties, names=names)
     cols = [
         pa.concat_arrays([psa[j].combine_chunks() if isinstance(psa[j], pa.ChunkedArray) else psa[j] for psa in per_stripe_arrays])
+        for j in range(len(wanted))
+    ]
+    return pa.table(cols, names=names)
+
+
+# -------------------------------------------------------- row-group seeking
+
+
+def _position_extras(t_kind: str, stream_kind: int, enc_kind: int) -> int:
+    """Value-state position slots a stream's row-index entry carries AFTER
+    the compression position(s) (reference: rle_offset int_rle_v1.rs:13-24,
+    +bit offset boolean_rle.rs:13-26, none for raw streams)."""
+    if stream_kind == _PRESENT:
+        return 2  # ByteRLE run offset + bit offset
+    if stream_kind == _DATA:
+        if t_kind == "BOOLEAN":
+            return 2
+        if t_kind in ("BYTE", "SHORT", "INT", "LONG", "DATE", "TIMESTAMP", "UNION"):
+            return 1  # RLE run offset
+        if t_kind in ("STRING", "VARCHAR", "CHAR") and enc_kind in (1, 3):
+            return 1  # dictionary index stream is RLE
+        return 0  # raw bytes: float/double/string-direct/binary/decimal varints
+    if stream_kind in (_LENGTH, _SECONDARY):
+        return 1
+    raise ValueError(f"stream kind {stream_kind} carries no positions")
+
+
+def _entry_offsets(positions: list[int], kinds: list[int], t_kind: str, enc_kind: int, compressed: bool) -> dict[int, tuple[int, int]]:
+    """One row-index entry's positions -> {stream_kind: (framed_start,
+    in_block_offset)} for the position-consuming streams ``kinds`` (ascending
+    stream-kind order = the writers' record order for every column type)."""
+    out: dict[int, tuple[int, int]] = {}
+    p = 0
+    for sk in kinds:
+        start = positions[p]
+        p += 1
+        off = 0
+        if compressed:
+            off = positions[p]
+            p += 1
+        ex = _position_extras(t_kind, sk, enc_kind)
+        if any(positions[p : p + ex]):
+            # a run/bit offset > 0 means the RLE run started before this
+            # group; decoding mid-run needs the prior run header. Files from
+            # this repo's writer always restart codecs at group boundaries.
+            raise NotImplementedError("row-group starts mid-RLE-run (foreign writer); read without row_groups")
+        p += ex
+        out[sk] = (start, off)
+    return out
+
+
+def _read_row_groups(blob: bytes, tail: dict, wanted: list[int], spans: list[int], row_groups: list[int]) -> pa.Table:
+    comp = tail["compression"]
+    compressed = comp != "none"
+    types = tail["types"]
+    root = types[0]
+    stride = int(tail["row_index_stride"])
+    if stride <= 0:
+        raise ValueError("file has no row index (rowIndexStride=0)")
+
+    # map file-global row-group index -> (stripe idx, group-in-stripe)
+    locs: list[tuple[int, int]] = []
+    for sidx, si in enumerate(tail["stripes"]):
+        for k in range((si["num_rows"] + stride - 1) // stride):
+            locs.append((sidx, k))
+    per_stripe: dict[int, list[int]] = {}
+    for rg in row_groups:
+        if not (0 <= rg < len(locs)):
+            raise IndexError(f"row group {rg} out of range (file has {len(locs)})")
+        sidx, k = locs[rg]
+        per_stripe.setdefault(sidx, []).append(k)
+
+    want_ids: set[int] = set()
+    for i in wanted:
+        want_ids.update(range(spans[i], spans[i + 1]))
+
+    pieces: list[list[pa.Array]] = []
+    for sidx in sorted(per_stripe):
+        si = tail["stripes"][sidx]
+        stream_list, encodings, raw_spans = _parse_stripe_footer(blob, si, comp)
+        # parse ROW_INDEX entries for the columns we will decode
+        rowindex: dict[int, list[list[int]]] = {}
+        for (kind, col, ln), (pos, _l) in zip(stream_list, raw_spans):
+            if kind == _ROW_INDEX and col in want_ids:
+                ri = _fields(_deframe(blob[pos : pos + ln], comp))
+                rowindex[col] = [_packed_uvs(_fields(e).get(1, [])) for e in ri.get(1, [])]
+        # position-consuming stream kinds per column, ascending kind order
+        consuming: dict[int, list[int]] = {}
+        for kind, col, _ln in stream_list:
+            if col in want_ids and kind in (0, 1, 2, 5):
+                if kind == _LENGTH and encodings[col][0] in (1, 3):
+                    continue  # dictionary-entry lengths are stripe-global
+                consuming.setdefault(col, []).append(kind)
+        for c in consuming:
+            consuming[c].sort()
+
+        for k in sorted(per_stripe[sidx]):
+            n_rg = min(stride, si["num_rows"] - k * stride)
+            streams: dict[int, dict[int, bytes]] = {}
+            for (kind, col, ln), (pos, _l) in zip(stream_list, raw_spans):
+                if col not in want_ids or kind not in (0, 1, 2, 3, 5):
+                    continue
+                enc_kind = encodings[col][0]
+                if kind == _DICT_DATA or (kind == _LENGTH and enc_kind in (1, 3)):
+                    # dictionary blob/lengths are whole-stripe state
+                    streams.setdefault(col, {})[kind] = _deframe(blob[pos : pos + ln], comp)
+                    continue
+                entries = rowindex[col]
+                t_kind = types[col].kind
+                offs = _entry_offsets(entries[k], consuming[col], t_kind, enc_kind, compressed)
+                start, inoff = offs[kind]
+                end = ln
+                if k + 1 < len(entries):
+                    nxt = _entry_offsets(entries[k + 1], consuming[col], t_kind, enc_kind, compressed)
+                    ns, noff = nxt[kind]
+                    if noff == 0:
+                        end = ns
+                data = _deframe(blob[pos + start : pos + end], comp)
+                streams.setdefault(col, {})[kind] = data[inoff:] if inoff else data
+            arrays = []
+            for i in wanted:
+                arr, _ = _decode_column(spans[i], types, streams, encodings, n_rg)
+                arrays.append(arr)
+            pieces.append(arrays)
+
+    names = [root.field_names[i] for i in wanted]
+    if not pieces:
+        empties = []
+        for i in wanted:
+            arr, _ = _decode_column(spans[i], types, {}, [(0, 0)] * len(types), 0)
+            empties.append(arr)
+        return pa.table(empties, names=names)
+    cols = [
+        pa.concat_arrays([p[j].combine_chunks() if isinstance(p[j], pa.ChunkedArray) else p[j] for p in pieces])
         for j in range(len(wanted))
     ]
     return pa.table(cols, names=names)

@@ -149,6 +149,18 @@ def test_orc_decimal256_rejected_at_construction():
         stripe_mod.decimal_unscaled(pa.array([Decimal("1.5")], type=pa.decimal256(50, 2)))
 
 
+def test_orc_row_index_overhead_small(tmp_path):
+    """ROW_INDEX streams + per-group chunking must cost ~nothing on the
+    tokens table (the chunked-seek design measured ~0% in SURVEY §2.6b)."""
+    from orc_format_ray.pipelines import tokens as tok
+
+    tbl = tok.synthetic_batch(12000, seed=3, shard=0)
+    a = orcfile.write_orc(tbl, str(tmp_path / "i.orc"), compression="zstd")
+    b = orcfile.write_orc(tbl, str(tmp_path / "n.orc"), compression="zstd", row_index_stride=0)
+    assert a["file_bytes"] < b["file_bytes"] * 1.02
+    assert po.ORCFile(str(tmp_path / "i.orc")).row_index_stride == 10000
+
+
 def test_orc_dataset_sink_and_source(ray_session, tmp_path):
     import ray.data
 

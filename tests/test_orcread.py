@@ -100,6 +100,69 @@ def test_native_projection_and_tokens(tmp_path):
     assert proj["n_tok"].combine_chunks().cast(pa.int32()).equals(tbl["n_tok"].combine_chunks())
 
 
+def test_row_group_seek_exact_and_sliced(tmp_path):
+    """Every row group of a multi-stripe row-indexed file decodes exactly,
+    via ROW_INDEX positions, without deframing the rest of the stripe."""
+    from orc_format_ray import orcread
+
+    tbl = pa.table(
+        {
+            "v": pa.array([None if i % 11 == 0 else i for i in range(53000)], type=pa.int64()),
+            "s": pa.array([None if i % 7 == 0 else f"k{i % 37}x{i % 101}" for i in range(53000)]),
+            "lst": pa.array([None if i % 17 == 0 else list(range(i % 4)) for i in range(53000)], type=pa.list_(pa.int32())),
+        }
+    )
+    path = str(tmp_path / "rg.orc")
+    orcfile.write_orc(tbl, path, compression="zstd", stripe_rows=25000)  # stripes 25k/25k/3k
+    # global groups: (start,rows) per stride-10k group across stripes
+    groups = [(0, 10000), (10000, 10000), (20000, 5000), (25000, 10000), (35000, 10000), (45000, 5000), (50000, 3000)]
+    for rg, (lo, n) in enumerate(groups):
+        got = read_orc_native(path, row_groups=[rg])
+        exp = tbl.slice(lo, n)
+        assert got.num_rows == n
+        for c in tbl.schema.names:
+            g = got[c].combine_chunks()
+            e = exp[c].combine_chunks()
+            if g.type != e.type:
+                g = g.cast(e.type)
+            assert g.equals(e), (rg, c)
+    # cross-stripe selection + projection
+    got = read_orc_native(path, columns=["v"], row_groups=[2, 3])
+    assert got.schema.names == ["v"]
+    assert got["v"].combine_chunks().equals(tbl.slice(20000, 15000)["v"].combine_chunks())
+
+    # decompression accounting: one group must deframe a small slice only
+    calls = {"full": 0, "one": 0}
+    orig = orcread._decompress_block
+
+    def counting(kind, block):
+        calls[key] += len(block)
+        return orig(kind, block)
+
+    orcread._decompress_block = counting
+    try:
+        key = "full"
+        read_orc_native(path)
+        key = "one"
+        read_orc_native(path, row_groups=[4])
+    finally:
+        orcread._decompress_block = orig
+    assert calls["one"] < calls["full"] / 4, calls
+
+
+def test_row_group_seek_requires_index(tmp_path):
+    tbl = pa.table({"v": pa.array(range(100), type=pa.int64())})
+    noidx = str(tmp_path / "noidx.orc")
+    orcfile.write_orc(tbl, noidx, row_index_stride=0)
+    assert read_orc_native(noidx)["v"].to_pylist() == list(range(100))  # plain read unaffected
+    with pytest.raises(ValueError):
+        read_orc_native(noidx, row_groups=[0])
+    withidx = str(tmp_path / "idx.orc")
+    orcfile.write_orc(tbl, withidx)
+    with pytest.raises(IndexError):
+        read_orc_native(withidx, row_groups=[5])
+
+
 def test_native_reads_cpp_file_with_bloom_filters(tmp_path):
     """Files carrying BLOOM_FILTER (kind 7/8) streams must read correctly —
     the stream whitelist (orcread kinds 0,1,2,3,5) must neither deframe nor
