@@ -138,6 +138,7 @@ _KIND = {
     "BOOLEAN": 0, "BYTE": 1, "SHORT": 2, "INT": 3, "LONG": 4, "FLOAT": 5,
     "DOUBLE": 6, "STRING": 7, "BINARY": 8, "TIMESTAMP": 9, "LIST": 10,
     "MAP": 11, "STRUCT": 12, "UNION": 13, "DECIMAL": 14, "DATE": 15,
+    "VARCHAR": 16, "CHAR": 17,
 }
 
 _STREAM = {"PRESENT": 0, "DATA": 1, "LENGTH": 2, "SECONDARY": 5}
@@ -153,6 +154,10 @@ def _orc_kind(t: pa.DataType) -> str:
     if pa.types.is_int32(t) or pa.types.is_uint16(t):
         return "INT"
     if pa.types.is_int64(t) or pa.types.is_uint32(t):
+        return "LONG"
+    if pa.types.is_uint64(t):
+        # ORC has no unsigned types; values must fit int64 (the encode cast
+        # raises on overflow rather than silently wrapping)
         return "LONG"
     if pa.types.is_float32(t):
         return "FLOAT"
@@ -172,39 +177,64 @@ def _orc_kind(t: pa.DataType) -> str:
         # decimal256: limb reader would misparse and precision > 38 aborts
         # the Apache C++ reader ("Check failed: precision <= kMaxPrecision")
         raise NotImplementedError(f"type {t}: only decimal128 maps to ORC DECIMAL")
+    if pa.types.is_fixed_size_binary(t):
+        return "CHAR"  # fixed width n -> CHAR(n); reference data.rs:63-64 maps Char to StringData
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         return "LIST"
     if pa.types.is_map(t):
         return "MAP"
     if pa.types.is_struct(t):
         return "STRUCT"
-    raise NotImplementedError(f"type {t} has no ORC mapping (uint64/union stay in the native ORY container)")
+    if pa.types.is_union(t):
+        if t.mode != "dense":
+            raise NotImplementedError("sparse union: combine to dense before writing ORC")
+        if len(list(t)) > 256:
+            raise NotImplementedError("unions are limited to 256 variants (reference union.rs:66-68)")
+        return "UNION"
+    raise NotImplementedError(f"type {t} has no ORC mapping")
+
+
+def _field_kind(t: pa.DataType, field: pa.Field | None) -> tuple[str, int | None]:
+    """(ORC kind, maximumLength) honoring CHAR/VARCHAR field-metadata
+    overrides on string columns: metadata ``orc:char``/``orc:varchar`` -> the
+    declared length (reference maps Char/VarChar to StringData identically,
+    src/writer/data.rs:63-64 — only the Type message differs)."""
+    if field is not None and field.metadata:
+        m = field.metadata
+        for key, kind in ((b"orc:char", "CHAR"), (b"orc:varchar", "VARCHAR")):
+            if key in m:
+                if not (pa.types.is_string(t) or pa.types.is_large_string(t)):
+                    raise NotImplementedError(f"{key.decode()} metadata requires a string column, got {t}")
+                return kind, int(m[key])
+    if pa.types.is_fixed_size_binary(t):
+        return "CHAR", t.byte_width
+    return _orc_kind(t), None
 
 
 def _flat_types(schema_or_type, names=None) -> list[Msg]:
     """Pre-order Type list with subtypes ids (reference writer.rs:153-254)."""
     types: list[Msg] = []
 
-    def add(t: pa.DataType) -> int:
+    def add(t: pa.DataType, field: pa.Field | None = None) -> int:
         my_id = len(types)
         m = Msg()
         types.append(m)
-        kind = _orc_kind(t)
+        kind, maxlen = _field_kind(t, field)
         m.varint(1, _KIND[kind])
         if kind == "DECIMAL":
             m.varint(5, t.precision).varint(6, t.scale)
+        if kind in ("CHAR", "VARCHAR"):
+            m.varint(4, maxlen)
         if kind == "LIST":
-            sub = [None]
             pos = len(types)
             m.packed(2, [pos])
-            add(t.value_type)
+            add(t.value_type, t.value_field)
         elif kind == "MAP":
             k_id = len(types)
-            add(t.key_type)
-            v_id = len(types)
+            add(t.key_type, t.key_field)
             # key subtree may itself be nested; recompute value id after it
             m.packed(2, [k_id, len(types)])
-            add(t.item_type)
+            add(t.item_type, t.item_field)
         elif kind == "STRUCT":
             subs = []
             fnames = []
@@ -213,10 +243,16 @@ def _flat_types(schema_or_type, names=None) -> list[Msg]:
             for f in pending:
                 subs.append(len(types))
                 fnames.append(f.name)
-                add(f.type)
+                add(f.type, f)
             m.packed(2, subs)
             for fn in fnames:
                 m.string(3, fn)
+        elif kind == "UNION":
+            subs = []
+            for f in t:
+                subs.append(len(types))
+                add(f.type, f)
+            m.packed(2, subs)
         return my_id
 
     if isinstance(schema_or_type, pa.Schema):
@@ -226,7 +262,7 @@ def _flat_types(schema_or_type, names=None) -> list[Msg]:
         subs = []
         for f in schema_or_type:
             subs.append(len(types))
-            add(f.type)
+            add(f.type, f)
         root.packed(2, subs)
         for f in schema_or_type:
             root.string(3, f.name)
@@ -260,6 +296,7 @@ def _column_streams(
     stats_out: list[stats_mod.ColumnStats],
     bounds: np.ndarray,
     index_stats: dict[int, list[stats_mod.ColumnStats]],
+    field: pa.Field | None = None,
 ) -> int:
     """Encode one column subtree into ORC streams, chunked at row-group
     boundaries.
@@ -296,7 +333,7 @@ def _column_streams(
     pp = _rg_pairs(pb)
     valid = arr.drop_null() if arr.null_count else arr
     next_id = col_id + 1
-    kind = _orc_kind(t)
+    kind, _maxlen = _field_kind(t, field)
 
     if kind == "BOOLEAN":
         v = valid.to_numpy(zero_copy_only=False)
@@ -313,7 +350,11 @@ def _column_streams(
     elif kind in ("FLOAT", "DOUBLE"):
         raw = valid.to_numpy(zero_copy_only=False)
         out.append((_STREAM["DATA"], col_id, [raw[lo:hi].tobytes() for lo, hi in pp], _EX_RAW))
-    elif kind in ("STRING", "BINARY"):
+    elif kind in ("STRING", "BINARY", "CHAR", "VARCHAR"):
+        # CHAR/VARCHAR use StringData streams (reference data.rs:63-64);
+        # fixed_size_binary needs a cast to get offsets
+        if pa.types.is_fixed_size_binary(t):
+            valid = valid.cast(pa.binary())
         concat, offs = _string_block(valid)
         lens = np.diff(offs).astype(np.uint64)
         out.append((_STREAM["DATA"], col_id, [concat[offs[lo] : offs[hi]].tobytes() for lo, hi in pp], _EX_RAW))
@@ -369,7 +410,24 @@ def _column_streams(
     elif kind == "STRUCT":
         for i, f in enumerate(t):
             child = valid.field(i) if hasattr(valid, "field") else pc.struct_field(valid, i)
-            next_id = _column_streams(child, next_id, out, enc_out, stats_out, pb, index_stats)
+            next_id = _column_streams(child, next_id, out, enc_out, stats_out, pb, index_stats, field=f)
+    elif kind == "UNION":
+        # dense union: DATA = child-index tags via ByteRLE (reference
+        # union.rs:117-126); each child carries its values in order of
+        # appearance. Arrow unions have no top-level validity, so there is
+        # never a PRESENT stream here.
+        type_ids = np.frombuffer(arr.buffers()[1], dtype=np.int8)[arr.offset : arr.offset + len(arr)]
+        offsets = np.frombuffer(arr.buffers()[2], dtype=np.int32)[arr.offset : arr.offset + len(arr)]
+        code_to_idx = np.zeros(256, dtype=np.uint8)
+        for ci, code in enumerate(t.type_codes):
+            code_to_idx[code] = ci
+        tags = code_to_idx[type_ids]  # Arrow type codes are non-negative by spec
+        out.append((_STREAM["DATA"], col_id, [byte_rle.encode(tags[lo:hi]) for lo, hi in pp], _EX_RLE))
+        for ci, f in enumerate(t):
+            sel = tags == ci
+            childvals = arr.field(ci).take(pa.array(offsets[sel], type=pa.int32()))
+            child_bounds = np.concatenate(([0], np.cumsum(sel.astype(np.int64))))[pb]
+            next_id = _column_streams(childvals, next_id, out, enc_out, stats_out, child_bounds, index_stats, field=f)
     else:  # pragma: no cover
         raise NotImplementedError(kind)
     return next_id
@@ -424,7 +482,7 @@ def _column_scales(schema: pa.Schema) -> list[int | None]:
         elif pa.types.is_map(t):
             walk(t.key_type)
             walk(t.item_type)
-        elif pa.types.is_struct(t):
+        elif pa.types.is_struct(t) or pa.types.is_union(t):
             for f in t:
                 walk(f.type)
 
@@ -531,7 +589,9 @@ class OrcWriter:
         col_stats: list[stats_mod.ColumnStats] = [stats_mod.ColumnStats(kind="generic", num_values=rows, num_present=rows)]
         cid = 1
         for i in range(sub.num_columns):
-            cid = _column_streams(sub.column(i).combine_chunks(), cid, streams, encodings, col_stats, bounds, index_stats)
+            cid = _column_streams(
+                sub.column(i).combine_chunks(), cid, streams, encodings, col_stats, bounds, index_stats, field=self.schema.field(i)
+            )
 
         # frame each row-group chunk independently: compression blocks align
         # with row-group boundaries, so every position is (chunk start, 0, ...)
@@ -680,7 +740,7 @@ def _orc_kind_safe(t: pa.DataType) -> str:
         base = _orc_kind(t)
     except NotImplementedError:
         return "?"
-    if base in ("LIST", "MAP", "STRUCT"):
+    if base in ("LIST", "MAP", "STRUCT", "UNION"):
         inner = []
         if base == "LIST":
             inner = [t.value_type]

@@ -11,10 +11,12 @@ gold-pinned codec kernels. Two jobs:
    with our RLEv2/dictionary kernels is the strongest available evidence the
    kernels implement the public spec, not just our own dialect.
 
-Supported: CompressionKind none/zlib/snappy/zstd/lz4; encodings DIRECT,
+Supported: CompressionKind none/zlib/snappy/zstd; encodings DIRECT,
 DIRECT_V2, DICTIONARY_V2; types boolean/byte/short/int/long/float/double/
-string/binary/date/timestamp/decimal/list/map/struct. UNION and CHAR/VARCHAR
-are not emitted by our writer and raise NotImplementedError.
+string/char/varchar/binary/date/timestamp/decimal/list/map/struct/union
+(dense, null-free at the union level — Arrow has no top-level union
+validity). ``row_groups=[...]`` decodes selected rowIndexStride groups via
+the ROW_INDEX positions without touching the rest of the stripe.
 """
 
 from __future__ import annotations
@@ -315,6 +317,24 @@ def _decode_column(col_id: int, types: list[_Type], streams: dict, encodings: li
             children=[c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in full_children],
         )
         return arr, (t.subtypes[-1] if t.subtypes else col_id) + 1
+    if t.kind == "UNION":
+        # DATA = ByteRLE child-index tags; each child holds its values in
+        # order of appearance (reference union.rs:59-129)
+        if valid is not None and n_present != n:
+            # Arrow dense unions carry no top-level validity bitmap
+            raise NotImplementedError("ORC UNION with nulls has no Arrow representation")
+        tags = byte_rle.decode(my[_DATA])[:n_present].astype(np.int8)
+        children = []
+        offsets = np.zeros(n, dtype=np.int32)
+        nxt2 = col_id + 1
+        for ci, sub in enumerate(t.subtypes):
+            sel = tags == ci
+            cnt = int(sel.sum())
+            ch, nxt2 = _decode_column(sub, types, streams, encodings, cnt)
+            children.append(ch.combine_chunks() if isinstance(ch, pa.ChunkedArray) else ch)
+            offsets[sel] = np.arange(cnt, dtype=np.int32)
+        arr = pa.UnionArray.from_dense(pa.array(tags, type=pa.int8()), pa.array(offsets, type=pa.int32()), children)
+        return arr, nxt2
     raise NotImplementedError(f"ORC type {t.kind}")
 
 
