@@ -33,7 +33,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from . import stats as stats_mod
-from .codecs import boolean_rle, byte_rle, int_rle_v1
+from .codecs import boolean_rle, byte_rle, int_rle_v1, rle_v2
 from .stripe import TS_EPOCH_SECONDS, _string_block, _TS_UNIT_NS, _validity
 
 # ------------------------------------------------------------ proto2 emitter
@@ -141,7 +141,7 @@ _KIND = {
     "VARCHAR": 16, "CHAR": 17,
 }
 
-_STREAM = {"PRESENT": 0, "DATA": 1, "LENGTH": 2, "SECONDARY": 5}
+_STREAM = {"PRESENT": 0, "DATA": 1, "LENGTH": 2, "DICTIONARY_DATA": 3, "SECONDARY": 5}
 
 
 def _orc_kind(t: pa.DataType) -> str:
@@ -281,11 +281,43 @@ def _num_columns(schema: pa.Schema) -> int:
 # after the compression position(s): RLE streams record the offset into the
 # current run (reference int_rle_v1.rs:13-24), BooleanRLE additionally the
 # bit offset (boolean_rle.rs:13-26), raw byte streams record nothing.
-_EX_RAW, _EX_RLE, _EX_BOOL = 0, 1, 2
+# _EX_NONE marks stripe-global streams (dictionary blob/lengths) that carry
+# no row-index positions at all.
+_EX_RAW, _EX_RLE, _EX_BOOL, _EX_NONE = 0, 1, 2, -1
 
 
 def _rg_pairs(bounds: np.ndarray) -> list[tuple[int, int]]:
     return [(int(bounds[k]), int(bounds[k + 1])) for k in range(len(bounds) - 1)]
+
+
+def _try_dictionary(valid: pa.Array, pp: list[tuple[int, int]], dict_ratio: float, direct_chunks: list[list[bytes]], comp: str, level: int):
+    """DICTIONARY_V2 candidate for a string column: sorted dictionary +
+    RLEv2 index stream (row-group-chunked). Returns (index_chunks,
+    dict_concat, dict_lengths_enc, dict_size) when the distinct fraction is
+    under ``dict_ratio`` AND the POST-compression bytes beat DIRECT (zstd
+    flattens repeated strings, so pre-compression sizes routinely pick the
+    wrong side), else None — the per-column generalization of the
+    reference's compressed-vs-original fallback (compression.rs:146-158)."""
+    denc = valid.dictionary_encode()
+    dvals = denc.dictionary
+    u = len(dvals)
+    if u == 0 or u > dict_ratio * len(valid):
+        return None
+    order = pc.sort_indices(dvals)
+    inv = np.empty(u, dtype=np.int64)
+    inv[order.to_numpy(zero_copy_only=False)] = np.arange(u)
+    idx = inv[denc.indices.to_numpy(zero_copy_only=False)].astype(np.uint64)
+    dconcat, doffs = _string_block(dvals.take(order))
+    dlens = np.diff(doffs).astype(np.uint64)
+    idx_chunks = [rle_v2.encode(idx[lo:hi], signed=False) for lo, hi in pp]
+    dlen_enc = rle_v2.encode(dlens, signed=False)
+
+    def framed_size(chunk_lists: list[list[bytes]]) -> int:
+        return sum(len(_orc_frame(c, comp, level)) for chunks in chunk_lists for c in chunks)
+
+    if framed_size([idx_chunks, [dconcat.tobytes(), dlen_enc]]) >= framed_size(direct_chunks):
+        return None
+    return idx_chunks, dconcat.tobytes(), dlen_enc, u
 
 
 def _column_streams(
@@ -297,6 +329,8 @@ def _column_streams(
     bounds: np.ndarray,
     index_stats: dict[int, list[stats_mod.ColumnStats]],
     field: pa.Field | None = None,
+    dict_ratio: float = 0.5,
+    comp: tuple[str, int] = ("none", 3),
 ) -> int:
     """Encode one column subtree into ORC streams, chunked at row-group
     boundaries.
@@ -322,7 +356,8 @@ def _column_streams(
     rg_stats = [stats_mod.compute(arr.slice(lo, hi - lo)) for lo, hi in _rg_pairs(bounds)]
     index_stats[col_id] = rg_stats
     stats_out.append(stats_mod.merge_all(rg_stats) if len(rg_stats) != 1 else rg_stats[0])
-    enc_out.append(0)  # DIRECT
+    enc_idx = len(enc_out)
+    enc_out.append((0, 0))  # DIRECT; overwritten if dictionary wins below
     if arr.null_count:
         vmask = _validity(arr)
         out.append((_STREAM["PRESENT"], col_id, [boolean_rle.encode(vmask[lo:hi]) for lo, hi in _rg_pairs(bounds)], _EX_BOOL))
@@ -357,8 +392,20 @@ def _column_streams(
             valid = valid.cast(pa.binary())
         concat, offs = _string_block(valid)
         lens = np.diff(offs).astype(np.uint64)
-        out.append((_STREAM["DATA"], col_id, [concat[offs[lo] : offs[hi]].tobytes() for lo, hi in pp], _EX_RAW))
-        out.append((_STREAM["LENGTH"], col_id, [int_rle_v1.encode(lens[lo:hi], signed=False) for lo, hi in pp], _EX_RLE))
+        direct_data = [concat[offs[lo] : offs[hi]].tobytes() for lo, hi in pp]
+        direct_lens = [int_rle_v1.encode(lens[lo:hi], signed=False) for lo, hi in pp]
+        dict_streams = None
+        if kind != "BINARY" and 0.0 < dict_ratio and len(valid):
+            dict_streams = _try_dictionary(valid, pp, dict_ratio, [direct_data, direct_lens], comp[0], comp[1])
+        if dict_streams is not None:
+            idx_chunks, dconcat, dlen_enc, dict_size = dict_streams
+            enc_out[enc_idx] = (3, dict_size)  # DICTIONARY_V2 (indices RLEv2)
+            out.append((_STREAM["DATA"], col_id, idx_chunks, _EX_RLE))
+            out.append((_STREAM["DICTIONARY_DATA"], col_id, [dconcat], _EX_NONE))
+            out.append((_STREAM["LENGTH"], col_id, [dlen_enc], _EX_NONE))
+        else:
+            out.append((_STREAM["DATA"], col_id, direct_data, _EX_RAW))
+            out.append((_STREAM["LENGTH"], col_id, direct_lens, _EX_RLE))
     elif kind == "TIMESTAMP":
         per_ns = _TS_UNIT_NS[t.unit]
         units_per_sec = 1_000_000_000 // per_ns
@@ -398,19 +445,19 @@ def _column_streams(
         out.append((_STREAM["LENGTH"], col_id, [int_rle_v1.encode(lens[lo:hi], signed=False) for lo, hi in pp], _EX_RLE))
         child = valid.combine_chunks().flatten() if isinstance(valid, pa.ChunkedArray) else valid.flatten()
         child_bounds = np.concatenate(([0], np.cumsum(lens.astype(np.int64))))[pb]
-        next_id = _column_streams(child, next_id, out, enc_out, stats_out, child_bounds, index_stats)
+        next_id = _column_streams(child, next_id, out, enc_out, stats_out, child_bounds, index_stats, dict_ratio=dict_ratio, comp=comp)
     elif kind == "MAP":
         from .stripe import map_entries
 
         lv, keys, items = map_entries(arr)
         out.append((_STREAM["LENGTH"], col_id, [int_rle_v1.encode(lv[lo:hi].astype(np.uint64), signed=False) for lo, hi in pp], _EX_RLE))
         child_bounds = np.concatenate(([0], np.cumsum(lv.astype(np.int64))))[pb]
-        next_id = _column_streams(keys, next_id, out, enc_out, stats_out, child_bounds, index_stats)
-        next_id = _column_streams(items, next_id, out, enc_out, stats_out, child_bounds, index_stats)
+        next_id = _column_streams(keys, next_id, out, enc_out, stats_out, child_bounds, index_stats, dict_ratio=dict_ratio, comp=comp)
+        next_id = _column_streams(items, next_id, out, enc_out, stats_out, child_bounds, index_stats, dict_ratio=dict_ratio, comp=comp)
     elif kind == "STRUCT":
         for i, f in enumerate(t):
             child = valid.field(i) if hasattr(valid, "field") else pc.struct_field(valid, i)
-            next_id = _column_streams(child, next_id, out, enc_out, stats_out, pb, index_stats, field=f)
+            next_id = _column_streams(child, next_id, out, enc_out, stats_out, pb, index_stats, field=f, dict_ratio=dict_ratio, comp=comp)
     elif kind == "UNION":
         # dense union: DATA = child-index tags via ByteRLE (reference
         # union.rs:117-126); each child carries its values in order of
@@ -427,7 +474,7 @@ def _column_streams(
             sel = tags == ci
             childvals = arr.field(ci).take(pa.array(offsets[sel], type=pa.int32()))
             child_bounds = np.concatenate(([0], np.cumsum(sel.astype(np.int64))))[pb]
-            next_id = _column_streams(childvals, next_id, out, enc_out, stats_out, child_bounds, index_stats, field=f)
+            next_id = _column_streams(childvals, next_id, out, enc_out, stats_out, child_bounds, index_stats, field=f, dict_ratio=dict_ratio, comp=comp)
     else:  # pragma: no cover
         raise NotImplementedError(kind)
     return next_id
@@ -515,6 +562,7 @@ class OrcWriter:
         level: int = 3,
         stripe_size: int = 64 * 1024 * 1024,
         row_index_stride: int = 10_000,
+        dictionary_ratio: float = 0.5,
     ):
         import os
 
@@ -529,6 +577,9 @@ class OrcWriter:
         # reference default stride 10,000 (src/writer.rs:33); 0 disables the
         # ROW_INDEX streams (and row-group chunking) entirely
         self.row_index_stride = int(row_index_stride)
+        # string columns whose distinct fraction is below this try
+        # DICTIONARY_V2 and keep it when the bytes beat DIRECT; 0 disables
+        self.dictionary_ratio = float(dictionary_ratio)
         self._scales = _column_scales(schema)
         self._has_ts = any("TIMESTAMP" in _orc_kind_safe(f.type) for f in schema)
         self._parts: list[pa.Table] = []
@@ -582,7 +633,7 @@ class OrcWriter:
         n_groups = len(bounds) - 1
 
         streams: list[tuple[int, int, list[bytes], int]] = []
-        encodings: list[int] = [0]
+        encodings: list[tuple[int, int]] = [(0, 0)]
         index_stats: dict[int, list[stats_mod.ColumnStats]] = {
             0: [stats_mod.ColumnStats(kind="generic", num_values=int(hi - lo), num_present=int(hi - lo)) for lo, hi in _rg_pairs(bounds)]
         }
@@ -590,7 +641,16 @@ class OrcWriter:
         cid = 1
         for i in range(sub.num_columns):
             cid = _column_streams(
-                sub.column(i).combine_chunks(), cid, streams, encodings, col_stats, bounds, index_stats, field=self.schema.field(i)
+                sub.column(i).combine_chunks(),
+                cid,
+                streams,
+                encodings,
+                col_stats,
+                bounds,
+                index_stats,
+                field=self.schema.field(i),
+                dict_ratio=self.dictionary_ratio,
+                comp=(self.compression, self.level),
             )
 
         # frame each row-group chunk independently: compression blocks align
@@ -616,6 +676,8 @@ class OrcWriter:
                 for k in range(n_groups):
                     positions: list[int] = []
                     for _kind, _c, _fb, cums, extras in by_col.get(col_id, []):
+                        if extras < 0:
+                            continue  # stripe-global stream (dictionary blob/lengths)
                         positions.append(int(cums[k]))
                         if compressed:
                             positions.append(0)  # offset in block
@@ -637,8 +699,11 @@ class OrcWriter:
         sf = Msg()
         for kind_id, col_id, length in index_meta + stream_meta:
             sf.msg(1, Msg().varint(1, kind_id).varint(2, col_id).varint(3, length))
-        for e in encodings:
-            sf.msg(2, Msg().varint(1, e))
+        for ekind, dsz in encodings:
+            em = Msg().varint(1, ekind)
+            if dsz:
+                em.varint(2, dsz)  # dictionarySize
+            sf.msg(2, em)
         if self._has_ts:
             sf.string(3, "UTC")
         footer_bytes = _orc_frame(sf.tobytes(), self.compression, self.level)
@@ -717,6 +782,7 @@ def write_orc(
     level: int = 3,
     stripe_rows: int | None = None,
     row_index_stride: int = 10_000,
+    dictionary_ratio: float = 0.5,
 ) -> dict:
     """Write a Table as a genuine ORC file (readable by pyarrow.orc / ORC
     C++/Java). ``stripe_rows`` forces a stripe cut every that many rows;
@@ -724,7 +790,7 @@ def write_orc(
     Returns {"num_rows", "file_bytes", "stripes"}."""
     n = tbl.num_rows
     stripe_rows = stripe_rows or max(n, 1)
-    w = OrcWriter(path, tbl.schema, compression, level, row_index_stride=row_index_stride)
+    w = OrcWriter(path, tbl.schema, compression, level, row_index_stride=row_index_stride, dictionary_ratio=dictionary_ratio)
     try:
         for lo in range(0, n, stripe_rows):  # 0-row table -> 0 stripes (reference stripe.rs:83)
             w.write_batch(tbl.slice(lo, min(stripe_rows, n - lo)))

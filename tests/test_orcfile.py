@@ -262,6 +262,45 @@ def test_orc_row_index_overhead_small(tmp_path):
     assert po.ORCFile(str(tmp_path / "i.orc")).row_index_stride == 10000
 
 
+def test_orc_dictionary_v2_selection(tmp_path):
+    """DICTIONARY_V2 for low-cardinality strings: chosen only when the
+    POST-compression bytes beat DIRECT; read back by pyarrow (ORC C++ decodes
+    our RLEv2 index/length streams — encoder conformance) and by the native
+    reader, including a row-group seek on a dictionary column."""
+    from orc_format_ray.orcread import read_orc_native
+
+    n = 40000
+    rng2 = np.random.default_rng(5)
+    longvals = [f"category-{'x' * 40}-{i % 24}" for i in rng2.permutation(n)]
+    tbl = pa.table(
+        {
+            "cat": pa.array(longvals),
+            "s_null": pa.array([None if i % 7 == 0 else f"k{i % 997}z{i % 13}" for i in range(n)]),
+            "hi_card": pa.array([f"unique-value-{i}" for i in range(n)]),
+            "v": pa.array(range(n), type=pa.int64()),
+        }
+    )
+    for comp in ("zstd", "none"):
+        auto = orcfile.write_orc(tbl, str(tmp_path / f"d_{comp}.orc"), compression=comp, stripe_rows=15000)
+        direct = orcfile.write_orc(tbl, str(tmp_path / f"n_{comp}.orc"), compression=comp, stripe_rows=15000, dictionary_ratio=0.0)
+        assert auto["file_bytes"] <= direct["file_bytes"], comp
+        back = po.read_table(str(tmp_path / f"d_{comp}.orc"))
+        nat = read_orc_native(str(tmp_path / f"d_{comp}.orc"))
+        for c in tbl.schema.names:
+            e = tbl[c].combine_chunks()
+            for g in (back[c].combine_chunks(), nat[c].combine_chunks()):
+                if g.type != e.type:
+                    g = g.cast(e.type)
+                assert g.equals(e), (comp, c)
+    # with no compression the dictionary saves big
+    assert orcfile.write_orc(tbl, str(tmp_path / "dn.orc"), compression="none")["file_bytes"] < direct["file_bytes"] / 2
+
+    rg = read_orc_native(str(tmp_path / "d_zstd.orc"), row_groups=[1])
+    assert rg.num_rows == 5000
+    assert rg["cat"].to_pylist() == tbl["cat"].to_pylist()[10000:15000]
+    assert rg["s_null"].to_pylist() == tbl["s_null"].to_pylist()[10000:15000]
+
+
 def test_orc_dataset_sink_and_source(ray_session, tmp_path):
     import ray.data
 
