@@ -671,7 +671,7 @@ def _q_ivf_ann_topk(sf_dir: str):
     from orc_format_ray.ops import similarity as sim
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    index_dir = os.path.join(_scratch(sf_dir, "ivf"), "index")
+    index_dir = os.path.join(_scratch(sf_dir, "ivf"), "index-v2")  # v2: sharded bucket files
     if not os.path.exists(os.path.join(index_dir, "centroids.npy")):
         index = sim.IVFIndex.train(ds, nlist=8)
         sim.build_ivf_index(ds, index, index_dir)
@@ -679,6 +679,25 @@ def _q_ivf_ann_topk(sf_dir: str):
     df = out.to_pandas()
     df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
     return df[["rank", "vec_id", "score"]]
+
+
+def _q_ivf_ann_exhaustive(sf_dir: str):
+    """IVF index probed at nprobe=nlist: must EQUAL brute force exactly, so
+    the same SQL oracle as ann_topk_embeddings hash-checks the whole
+    build-index -> probe-buckets -> distributed-fold path."""
+    import ray.data
+
+    from orc_format_ray.ops import similarity as sim
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    index_dir = os.path.join(_scratch(sf_dir, "ivf"), "index-v2")  # v2: sharded bucket files
+    if not os.path.exists(os.path.join(index_dir, "centroids.npy")):
+        index = sim.IVFIndex.train(ds, nlist=8)
+        sim.build_ivf_index(ds, index, index_dir)
+    out, _bytes_read = sim.ivf_topk_indexed(index_dir, _ann_query_vector(), k=10, nprobe=8)
+    df = out.to_pandas()
+    df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+    return df[["rank", "vec_id"]]
 
 
 def _q_multimodal_features(sf_dir: str):
@@ -756,6 +775,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_documents": _q_langid_documents,
         "fingerprint_documents": _q_fingerprint_documents,
         "ivf_ann_topk": _q_ivf_ann_topk,
+        "ivf_ann_exhaustive": _q_ivf_ann_exhaustive,
         "multimodal_features": _q_multimodal_features,
         "codec_selection": _q_codec_selection,
     }
@@ -842,6 +862,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "ann_topk_embeddings": (
+            "SELECT CAST(row_number() OVER (ORDER BY list_cosine_similarity(embedding, "
+            f"{_ANN_VEC_SQL}) DESC, vec_id) AS BIGINT) AS rank, vec_id FROM embeddings "
+            "ORDER BY rank LIMIT 10"
+        ),
+        # nprobe=nlist IVF == brute force: same oracle as ann_topk_embeddings
+        "ivf_ann_exhaustive": (
             "SELECT CAST(row_number() OVER (ORDER BY list_cosine_similarity(embedding, "
             f"{_ANN_VEC_SQL}) DESC, vec_id) AS BIGINT) AS rank, vec_id FROM embeddings "
             "ORDER BY rank LIMIT 10"

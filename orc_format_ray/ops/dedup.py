@@ -60,27 +60,126 @@ def _keep_survivors(batch: pa.Table, survivors_ref) -> pa.Table:
     return batch.filter(pa.array(keep))
 
 
-def exact_dedup(ds, column: str = "text"):
+class _ShardedSurvivorFilter:
+    """Actor-pool semi-join filter against a RANGE-SHARDED survivor-id set.
+
+    The manifest is (path, lo, hi) per disjoint-range shard file; each batch
+    routes its doc_ids to shards via one searchsorted over the shard lower
+    bounds, loads only the shards it touches (small LRU of decoded arrays),
+    and binary-searches membership. Per-actor memory is O(LRU x shard), not
+    O(|survivors|) — the >10^10-distinct-docs regime where a broadcast array
+    and a driver-side id collect both stop fitting.
+    """
+
+    LRU = 4
+
+    def __init__(self, manifest: list[dict]):
+        man = sorted(manifest, key=lambda r: r["lo"])
+        self.paths = [r["path"] for r in man]
+        self.los = np.array([r["lo"] for r in man], dtype=np.int64)
+        self.his = np.array([r["hi"] for r in man], dtype=np.int64)
+        from collections import OrderedDict
+
+        self.cache: "OrderedDict[int, np.ndarray]" = OrderedDict()
+
+    def _shard(self, si: int) -> np.ndarray:
+        import pyarrow.parquet as pq
+
+        arr = self.cache.get(si)
+        if arr is None:
+            arr = pq.read_table(self.paths[si], columns=["doc_id"])["doc_id"].to_numpy(zero_copy_only=False)
+            self.cache[si] = arr
+            while len(self.cache) > self.LRU:
+                self.cache.popitem(last=False)
+        else:
+            self.cache.move_to_end(si)
+        return arr
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keep = np.zeros(len(doc), dtype=bool)
+        if len(doc) and len(self.los):
+            dmin, dmax = doc.min(), doc.max()
+            # check every shard whose [lo, hi] intersects the batch's id
+            # range (robust even if shard ranges overlap)
+            last = int(np.searchsorted(self.los, dmax, side="right"))
+            for si in range(last):
+                if self.his[si] < dmin:
+                    continue
+                sel = np.flatnonzero((doc >= self.los[si]) & (doc <= self.his[si]) & ~keep)
+                if len(sel) == 0:
+                    continue
+                ids = self._shard(si)
+                pos = np.minimum(np.searchsorted(ids, doc[sel]), len(ids) - 1)
+                keep[sel] = ids[pos] == doc[sel]
+        return batch.filter(pa.array(keep))
+
+
+def exact_dedup(ds, column: str = "text", max_broadcast_ids: int = 1 << 26, shard_dir: str | None = None):
     """Drop duplicate rows, keeping the min-doc_id survivor per content hash.
 
     Scale shape: raw text NEVER shuffles. Phase 1 (`exact_dedup_groups`)
-    shuffles only per-batch-preaggregated (hash, min doc_id, count) rows;
-    the resulting survivor doc_id set — 8 bytes per DISTINCT document — is
-    broadcast once (`ray.put`) and applied as a vectorized semi-join filter
-    per batch. (Beyond ~10^10 distinct docs the id set outgrows a broadcast;
-    then shard it by doc_id range and give each actor its shard.)
+    shuffles only per-batch-preaggregated (hash, min doc_id, count) rows.
+    Up to ``max_broadcast_ids`` distinct docs, the survivor doc_id set —
+    8 bytes per DISTINCT document — is broadcast once (`ray.put`) and
+    applied as a vectorized semi-join filter per batch. Past that, the id
+    set never touches the driver: an ids-only distributed sort range-
+    partitions it into disjoint shard files (8 B/doc through the shuffle),
+    and `_ShardedSurvivorFilter` actors stream batches against only the
+    shards each batch overlaps.
     """
     import functools
 
     import ray
 
-    groups = exact_dedup_groups(ds, column)
-    surv = pa.concat_tables(list(groups.iter_batches(batch_size=1 << 20, batch_format="pyarrow")))
-    ref = ray.put(np.sort(surv["doc_id"].to_numpy(zero_copy_only=False)))
+    groups = exact_dedup_groups(ds, column).materialize()  # (hash, id, cnt) rows only
+    n_survivors = groups.count()
+
+    if n_survivors <= max_broadcast_ids:
+        surv = pa.concat_tables(list(groups.iter_batches(batch_size=1 << 20, batch_format="pyarrow")))
+        ref = ray.put(np.sort(surv["doc_id"].to_numpy(zero_copy_only=False)))
+        return ds.map_batches(
+            functools.partial(_keep_survivors, survivors_ref=ref),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            **remote_args(),
+        )
+
+    # sharded path: ids-only sort -> disjoint-range shard files; the driver
+    # holds one (path, lo, hi) row per shard, never the ids themselves
+    import os
+    import tempfile
+
+    shard_dir = shard_dir or tempfile.mkdtemp(prefix="dedup_survivors_")
+    os.makedirs(shard_dir, exist_ok=True)
+
+    def write_shard(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        import pyarrow.parquet as pq
+
+        ids = np.sort(batch["doc_id"].to_numpy(zero_copy_only=False))
+        if len(ids) == 0:
+            return pa.table({"path": pa.array([], pa.string()), "lo": pa.array([], pa.int64()), "hi": pa.array([], pa.int64())})
+        digest = hashlib.sha256(ids.tobytes()).hexdigest()[:16]
+        path = os.path.join(shard_dir, f"survivors-{digest}.parquet")
+        tmp = path + f".tmp.{os.getpid()}"
+        pq.write_table(pa.table({"doc_id": pa.array(ids)}), tmp)
+        os.replace(tmp, path)
+        return pa.table({"path": [path], "lo": [int(ids[0])], "hi": [int(ids[-1])]})
+
+    manifest = (
+        groups.select_columns(["doc_id"])
+        .sort("doc_id")  # range partitions -> disjoint shard ranges
+        .map_batches(write_shard, batch_format="pyarrow", batch_size=1 << 20, **remote_args())
+        .take_all()
+    )
     return ds.map_batches(
-        functools.partial(_keep_survivors, survivors_ref=ref),
+        _ShardedSurvivorFilter,
+        fn_constructor_kwargs={"manifest": manifest},
         batch_format="pyarrow",
         zero_copy_batch=True,
+        concurrency=pool_size(),
         **remote_args(),
     )
 
@@ -238,17 +337,32 @@ def minhash_dedup(ds, threshold: float = 0.5, num_perm: int = 64, bands: int = 1
     cands = minhash_candidates(ds, num_perm, bands, shingle_k)
 
     def to_pair_halves(batch: pa.Table) -> pa.Table:
-        a_out, b_out = [], []
-        for ids in batch["doc_ids"].to_pylist():
-            n = len(ids)
-            for i in range(n):
-                for j in range(i + 1, n):
-                    a_out.append(min(ids[i], ids[j]))
-                    b_out.append(max(ids[i], ids[j]))
-        a = np.asarray(a_out + b_out, dtype=np.int64)  # doc_id column: a-halves then b-halves
-        pa_arr = np.asarray(a_out * 2, dtype=np.int64)
-        pb_arr = np.asarray(b_out * 2, dtype=np.int64)
-        slot = np.concatenate([np.zeros(len(a_out), np.int64), np.ones(len(b_out), np.int64)])
+        # vectorized bucket -> pair expansion: one np.triu_indices gather per
+        # distinct bucket SIZE (<= MAX_BUCKET sizes total), no Python pair loop
+        col = batch["doc_ids"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lens = pc.list_value_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        a_parts, b_parts = [], []
+        for n in np.unique(lens):
+            if n < 2:
+                continue
+            sel = np.flatnonzero(lens == n)
+            mat = flat[offs[sel, None] + np.arange(n)]  # (buckets_of_size_n, n)
+            iu0, iu1 = np.triu_indices(int(n), 1)
+            x = mat[:, iu0].ravel()
+            y = mat[:, iu1].ravel()
+            a_parts.append(np.minimum(x, y))
+            b_parts.append(np.maximum(x, y))
+        a_half = np.concatenate(a_parts) if a_parts else np.zeros(0, np.int64)
+        b_half = np.concatenate(b_parts) if b_parts else np.zeros(0, np.int64)
+        a = np.concatenate([a_half, b_half])  # doc_id column: a-halves then b-halves
+        pa_arr = np.concatenate([a_half, a_half])
+        pb_arr = np.concatenate([b_half, b_half])
+        slot = np.concatenate([np.zeros(len(a_half), np.int64), np.ones(len(b_half), np.int64)])
         return pa.table(
             {
                 "doc_id": pa.array(a),

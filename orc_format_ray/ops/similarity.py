@@ -2,11 +2,15 @@
 
 * `brute_force_topk` — exact cosine top-k: the query matrix is broadcast once
   (`ray.put`), each batch does one numpy matmul and emits only its local
-  top-k rows; the driver folds the tiny partials. No shuffle.
+  top-k rows; a distributed groupby(query_id) k-merge folds the partials
+  (the driver only collects the k x nq final rows). No corpus shuffle.
 * `IVFIndex` / `ivf_topk` — the scale path: coarse centroids trained on a
   sample (driver-side k-means, a few Lloyd iterations), every batch assigns
   its vectors to nearest centroids, search probes only the closest nprobe
   buckets. Trades recall for a |probe|/|nlist| fraction of the work.
+* `build_ivf_index` / `ivf_topk_indexed` — the index materialized: shard
+  files per (bucket, input block), no shuffle, per-task memory bounded by
+  block size even under centroid skew; queries read only probed buckets.
 """
 
 from __future__ import annotations
@@ -62,6 +66,29 @@ class BruteForceScorer:
         )
 
 
+def _fold_topk(partials_ds, k: int) -> pa.Table:
+    """Distributed final fold of per-block top-k partials: a groupby on
+    query_id k-merges each query's candidates in a worker (the partial set
+    is k x nq x n_blocks rows — at 10^6 blocks a driver-side concat+sort
+    would be a 10^7-row pandas job; each group here is only k x n_blocks).
+    The driver collects just the k x nq final rows.
+    """
+    import pandas as pd
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+
+    # partials are candidate-sized; materialize before the groupby so the
+    # actor-pool producer and the shuffle never contend for the same CPU
+    # slots (CLAUDE.md: actor-pool -> groupby DAGs deadlock on small clusters)
+    folded = partials_ds.materialize().groupby("query_id").map_groups(merge, batch_format="pandas", **remote_args())
+    parts = list(folded.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    tbl = pa.concat_tables(parts) if parts else pa.table({"query_id": pa.array([], pa.int32()), "vec_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())})
+    df = tbl.to_pandas().sort_values(["query_id", "score", "vec_id"], ascending=[True, False, True]).reset_index(drop=True)
+    df["score"] = np.round(df["score"], 6)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def brute_force_topk(ds, queries: np.ndarray, k: int = 10):
     """Exact cosine top-k per query. Returns a small pyarrow Table."""
     import ray
@@ -75,15 +102,7 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10):
         concurrency=pool_size(),
         **remote_args(),
     )
-    tbl = pa.concat_tables(list(partials.iter_batches(batch_size=1 << 20, batch_format="pyarrow")))
-    # driver-side final fold over tiny partials
-    import pandas as pd
-
-    df = tbl.to_pandas()
-    df = df.sort_values(["query_id", "score", "vec_id"], ascending=[True, False, True])
-    out = df.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
-    out["score"] = np.round(out["score"], 6)
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return _fold_topk(partials, k)
 
 
 class IVFIndex:
@@ -112,16 +131,15 @@ class IVFIndex:
 def build_ivf_index(ds, index: IVFIndex, out_dir: str):
     """Materialize the IVF index: corpus bucket-partitioned by centroid.
 
-    One shuffle of the embedding corpus at BUILD time (groupby centroid ->
-    one parquet file per bucket + centroids.npy), amortized over every
-    subsequent query: `ivf_topk_indexed` then reads ONLY the nprobe probed
-    bucket files — bytes read scale with nprobe/nlist, not corpus size.
-    This is the piece that makes IVF an index instead of a full-scan
-    re-assignment per query.
+    NO shuffle: each input block assigns its vectors to centroids and writes
+    one SHARD file per (bucket, block) — ``bucket-{b:05d}-{hash}.parquet`` —
+    so a hot centroid never materializes as a single task's DataFrame (the
+    per-task footprint is bounded by the input block size, whatever the
+    skew). Queries via `ivf_topk_indexed` read ONLY the probed buckets'
+    shard files — bytes read scale with nprobe/nlist, not corpus size.
     """
     import os
 
-    import pandas as pd
     import ray
 
     from .. import manifest as mf
@@ -129,32 +147,38 @@ def build_ivf_index(ds, index: IVFIndex, out_dir: str):
     os.makedirs(out_dir, exist_ok=True)
     cent_ref = ray.put(index.centroids)
 
-    class Assign:
+    class AssignWrite:
         def __init__(self):
             self.cent = ray.get(cent_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            import hashlib
+
+            import pyarrow.parquet as pq
+
             emb = _unit(_embedding_matrix(batch, dtype=np.float32))
             assign = np.argmax(emb @ self.cent.T, axis=1).astype(np.int32)
-            return batch.append_column("bucket", pa.array(assign))
+            rows_b, rows_n, rows_p = [], [], []
+            for b in np.unique(assign):
+                sub = batch.filter(pa.array(assign == b)).sort_by("vec_id")
+                # content-hashed shard name: re-runs overwrite identically
+                digest = hashlib.sha256(sub["vec_id"].combine_chunks().to_numpy(zero_copy_only=False).tobytes()).hexdigest()[:16]
+                path = os.path.join(out_dir, f"bucket-{int(b):05d}-{digest}.parquet")
+                tmp = path + f".tmp.{os.getpid()}"
+                pq.write_table(sub, tmp)
+                os.replace(tmp, path)
+                rows_b.append(int(b))
+                rows_n.append(sub.num_rows)
+                rows_p.append(path)
+            return pa.table({"bucket": pa.array(rows_b, pa.int32()), "rows": pa.array(rows_n, pa.int64()), "path": pa.array(rows_p)})
 
-    assigned = ds.map_batches(Assign, batch_format="pyarrow", zero_copy_batch=True, concurrency=pool_size(), **remote_args())
-
-    def write_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        import pyarrow.parquet as pq
-
-        b = int(g["bucket"].iloc[0])
-        path = os.path.join(out_dir, f"bucket-{b:05d}.parquet")
-        tbl = pa.Table.from_pandas(g.drop(columns=["bucket"]).sort_values("vec_id"), preserve_index=False)
-        tmp = path + f".tmp.{os.getpid()}"
-        pq.write_table(tbl, tmp)
-        os.replace(tmp, path)
-        return pd.DataFrame({"bucket": [b], "rows": [len(g)]})
-
-    lineage = assigned.groupby("bucket").map_groups(write_bucket, batch_format="pandas", **remote_args()).take_all()
+    lineage = ds.map_batches(AssignWrite, batch_format="pyarrow", zero_copy_batch=True, concurrency=pool_size(), **remote_args()).take_all()
     np.save(os.path.join(out_dir, "centroids.npy"), index.centroids)
-    mf.write_blob_atomic(os.path.join(out_dir, "_buckets.json"), __import__("json").dumps(sorted([(r["bucket"], r["rows"]) for r in lineage])).encode())
-    return {"buckets": len(lineage), "rows": int(sum(r["rows"] for r in lineage))}
+    per_bucket: dict[int, int] = {}
+    for r in lineage:
+        per_bucket[r["bucket"]] = per_bucket.get(r["bucket"], 0) + r["rows"]
+    mf.write_blob_atomic(os.path.join(out_dir, "_buckets.json"), __import__("json").dumps(sorted(per_bucket.items())).encode())
+    return {"buckets": len(per_bucket), "rows": int(sum(per_bucket.values())), "shards": len(lineage)}
 
 
 def ivf_topk_indexed(index_dir: str, queries: np.ndarray, k: int = 10, nprobe: int = 4):
@@ -162,17 +186,19 @@ def ivf_topk_indexed(index_dir: str, queries: np.ndarray, k: int = 10, nprobe: i
 
     Returns (result Table, bytes_read) so callers/tests can assert the
     nprobe/nlist read-scaling property."""
+    import glob
     import os
 
-    import pandas as pd
     import ray.data
 
     cent = _unit(np.load(os.path.join(index_dir, "centroids.npy")).astype(np.float32))
     q = _unit(np.asarray(queries, dtype=np.float32))
     probe = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]  # (nq, nprobe)
     want = sorted(set(int(b) for b in probe.reshape(-1)))
-    paths = [os.path.join(index_dir, f"bucket-{b:05d}.parquet") for b in want]
-    paths = [p for p in paths if os.path.exists(p)]  # empty buckets have no file
+    paths: list[str] = []
+    for b in want:  # sharded bucket-{b}-{hash}.parquet files (empty buckets have
+        # none); the [.-] class also accepts pre-shard single-file indexes
+        paths.extend(sorted(glob.glob(os.path.join(index_dir, f"bucket-{b:05d}[.-]*parquet"))))
     if not paths:
         return pa.table({"query_id": pa.array([], pa.int32()), "vec_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}), 0
     bytes_read = sum(os.path.getsize(p) for p in paths)
@@ -206,11 +232,7 @@ def ivf_topk_indexed(index_dir: str, queries: np.ndarray, k: int = 10, nprobe: i
 
     ds = ray.data.read_parquet(paths, columns=["vec_id", "embedding"])
     partials = ds.map_batches(Scorer, batch_format="pyarrow", zero_copy_batch=True, concurrency=pool_size(), **remote_args())
-    tbl = pa.concat_tables(list(partials.iter_batches(batch_size=1 << 20, batch_format="pyarrow")))
-    df = tbl.to_pandas().sort_values(["query_id", "score", "vec_id"], ascending=[True, False, True])
-    out = df.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
-    out["score"] = np.round(out["score"], 6)
-    return pa.Table.from_pandas(out, preserve_index=False), bytes_read
+    return _fold_topk(partials, k), bytes_read
 
 
 def ivf_topk(ds, index: IVFIndex, queries: np.ndarray, k: int = 10, nprobe: int = 4):
@@ -256,10 +278,4 @@ def ivf_topk(ds, index: IVFIndex, queries: np.ndarray, k: int = 10, nprobe: int 
             )
 
     partials = ds.map_batches(Scorer, batch_format="pyarrow", zero_copy_batch=True, concurrency=pool_size(), **remote_args())
-    tbl = pa.concat_tables(list(partials.iter_batches(batch_size=1 << 20, batch_format="pyarrow")))
-    import pandas as pd
-
-    df = tbl.to_pandas().sort_values(["query_id", "score", "vec_id"], ascending=[True, False, True])
-    out = df.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
-    out["score"] = np.round(out["score"], 6)
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return _fold_topk(partials, k)

@@ -64,6 +64,26 @@ def test_exact_dedup_survivors(ray_session):
     assert sorted(out["doc_id"].tolist()) == [1, 3, 4]
 
 
+def test_exact_dedup_sharded_matches_broadcast(ray_session):
+    """VERDICT r2 #7: the range-sharded survivor path (forced via a tiny
+    max_broadcast_ids) must keep exactly the same rows as the broadcast
+    path, without the id set ever crossing the driver."""
+    import ray.data
+
+    from orc_format_ray.ops import dedup
+
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text", "source"])
+    base = dedup.exact_dedup(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    sharded = (
+        dedup.exact_dedup(ds, max_broadcast_ids=10)  # forces the sharded path
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert base["doc_id"].tolist() == sharded["doc_id"].tolist()
+    assert len(base) > 0
+
+
 def test_minhash_finds_near_duplicates(ray_session):
     import ray.data
 
@@ -258,6 +278,43 @@ def test_ivf_index_reads_only_probed_buckets(ray_session, tmp_path):
     exact = similarity.brute_force_topk(ds, q, k=10).to_pandas()["vec_id"].tolist()
     all8, _ = similarity.ivf_topk_indexed(index_dir, q, k=10, nprobe=8)
     assert all8.to_pandas()["vec_id"].tolist() == exact
+
+
+def test_ivf_hot_centroid_writes_bounded_shards(ray_session, tmp_path):
+    """VERDICT r2 #4: a centroid holding ~80% of the corpus must be written
+    as multiple (bucket, block) shard files — per-task memory is bounded by
+    the input block size, never by bucket size — and queries over the hot
+    bucket still return exact results."""
+    import glob
+    import os
+
+    import ray.data
+
+    rng2 = np.random.default_rng(9)
+    dim = 16
+    n = 4000
+    hot = rng2.normal(0, 0.01, (int(n * 0.8), dim)) + np.ones(dim)  # one tight cluster
+    rest = rng2.normal(0, 1.0, (n - len(hot), dim)) - 2 * np.ones(dim)
+    emb = np.vstack([hot, rest])
+    tbl = pa.table({"vec_id": pa.array(np.arange(n), type=pa.int64()), "embedding": pa.array(list(emb))})
+    ds = ray.data.from_arrow(tbl).repartition(8)  # several input blocks
+    index = similarity.IVFIndex.train(ds, nlist=4)
+    index_dir = str(tmp_path / "hot")
+    info = similarity.build_ivf_index(ds, index, index_dir)
+    assert info["rows"] == n
+    shard_files = glob.glob(os.path.join(index_dir, "bucket-*.parquet"))
+    assert info["shards"] == len(shard_files)
+    # the hot bucket spans multiple shard files (one per contributing block)
+    per_bucket: dict[str, int] = {}
+    for f in shard_files:
+        b = os.path.basename(f).split("-")[1]
+        per_bucket[b] = per_bucket.get(b, 0) + 1
+    assert max(per_bucket.values()) > 1, per_bucket
+
+    q = np.ones((1, dim))[None][0]
+    exact = similarity.brute_force_topk(ds, q, k=5).to_pandas()["vec_id"].tolist()
+    got, _ = similarity.ivf_topk_indexed(index_dir, q, k=5, nprobe=4)
+    assert got.to_pandas()["vec_id"].tolist() == exact
 
 
 def test_broadcast_join_left_and_dup_guard(ray_session):
