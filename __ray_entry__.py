@@ -275,6 +275,27 @@ def _q_embedding_near_dups(sf_dir: str):
     return df.drop_duplicates(subset=["vec_a", "vec_b"]).sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
 
 
+def _q_embedding_near_dups_planted(sf_dir: str):
+    """Embedding near-dup with a DETERMINISTIC answer: plant exact copies of
+    vec_ids 0..4 (as 100000+i). Identical vectors share every LSH bucket, so
+    the approximate op must find exactly those 5 pairs (the corpus's true
+    max off-diagonal cosine is ~0.51) — which makes it SQL-oracle-checkable."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from orc_format_ray.ops import dedup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"], filters=[("vec_id", "<", 5)])
+    copies = head.set_column(0, "vec_id", pa.array([v + 100000 for v in head["vec_id"].to_pylist()], pa.int64()))
+    aug = ds.union(ray.data.from_arrow(copies))
+    df = dedup.embedding_near_dups(aug, threshold=0.999).to_pandas()
+    if "vec_a" not in df.columns:
+        return pd.DataFrame({"vec_a": pd.Series(dtype="int64"), "vec_b": pd.Series(dtype="int64")})
+    return df[["vec_a", "vec_b"]].drop_duplicates().sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
 def _q_langid_documents(sf_dir: str):
     import ray.data
 
@@ -772,6 +793,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_candidates": _q_minhash_candidates,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_near_dups": _q_embedding_near_dups,
+        "embedding_near_dups_planted": _q_embedding_near_dups_planted,
         "langid_documents": _q_langid_documents,
         "fingerprint_documents": _q_fingerprint_documents,
         "ivf_ann_topk": _q_ivf_ann_topk,
@@ -865,6 +887,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(row_number() OVER (ORDER BY list_cosine_similarity(embedding, "
             f"{_ANN_VEC_SQL}) DESC, vec_id) AS BIGINT) AS rank, vec_id FROM embeddings "
             "ORDER BY rank LIMIT 10"
+        ),
+        # planted exact copies make the LSH near-dup answer deterministic
+        "embedding_near_dups_planted": (
+            "WITH aug AS (SELECT vec_id, embedding FROM embeddings "
+            "UNION ALL SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 5) "
+            "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM aug a JOIN aug b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.999 ORDER BY vec_a, vec_b"
         ),
         # nprobe=nlist IVF == brute force: same oracle as ann_topk_embeddings
         "ivf_ann_exhaustive": (
