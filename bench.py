@@ -73,7 +73,10 @@ def _headline() -> dict:
     shutil.rmtree(warm_dir, ignore_errors=True)
 
     # median-of-N reps: this shared box has ±2x run-to-run variance
-    # (BASELINE.md); a single-shot headline is hostage to external load
+    # (BASELINE.md); a single-shot headline is hostage to external load.
+    # Encode reps run first (fresh output dir each), decode reps after over
+    # the final encode's output — stage isolation, so decode numbers aren't
+    # polluted by the worker/heap state of an encode that just finished.
     reps = int(os.environ.get("BENCH_REPS", "3"))
     enc_times, dec_times = [], []
     summary = None
@@ -82,7 +85,7 @@ def _headline() -> dict:
         t0 = time.perf_counter()
         summary = enc.encode_dataset(paths, out_dir, budget_bytes=budget, resume=False)
         enc_times.append(time.perf_counter() - t0)
-
+    for _ in range(reps):
         t0 = time.perf_counter()
         n_dec = enc.decode_dataset(out_dir).count()
         dec_times.append(time.perf_counter() - t0)
