@@ -859,23 +859,54 @@ def write_orc_dataset(ds, out_dir: str, compression: str = "zstd", level: int = 
     )
 
 
-def read_orc_dataset(path_or_dir: str, columns: list[str] | None = None, native: bool = False):
+def read_orc_dataset(path_or_dir: str, columns: list[str] | None = None, native: bool = False, split_row_groups: bool = False):
     """ORC files -> streaming Ray Dataset (projection pushed to the reader).
 
     ``native=True`` decodes with this repo's own parser + codec kernels
-    (orcread.py) instead of the bundled ORC C++ reader."""
+    (orcread.py) instead of the bundled ORC C++ reader; reads are ranged
+    (pread), so a task never loads a whole file. ``split_row_groups=True``
+    (native only) makes the unit of parallelism a ROW GROUP instead of a
+    file: the driver reads only each file's tail to count groups, and every
+    task seeks its group via the ROW_INDEX — how a 100-TB scan of few huge
+    ORC files still fans out across the cluster."""
     import glob
     import os
 
     import ray.data
 
     from ._rayutil import remote_args
+    from .orcread import _parse_tail, _Source, read_orc_native
 
     if os.path.isdir(path_or_dir):
         paths = sorted(glob.glob(os.path.join(path_or_dir, "*.orc")))
     else:
         paths = [path_or_dir]
-    # read fused into the decode task (one block per file): the blob never
+
+    if split_row_groups:
+        if not native:
+            raise ValueError("split_row_groups requires native=True (pyarrow.orc has no row-group API)")
+        items = []
+        for p in paths:  # tail-only read per file (a few KB)
+            with _Source(p) as src:
+                tail = _parse_tail(src)
+            stride = int(tail["row_index_stride"])
+            if stride <= 0:
+                items.append({"path": p, "rg": -1})  # no index: whole file
+                continue
+            n_groups = sum((si["num_rows"] + stride - 1) // stride for si in tail["stripes"])
+            items.extend({"path": p, "rg": k} for k in range(n_groups))
+        ds = ray.data.from_items(items)
+
+        def dec_rg(batch: pa.Table) -> pa.Table:
+            tables = [
+                read_orc_native(p.as_py(), columns=columns, row_groups=None if r.as_py() < 0 else [r.as_py()])
+                for p, r in zip(batch["path"], batch["rg"])
+            ]
+            return pa.concat_tables(tables) if len(tables) > 1 else tables[0]
+
+        return ds.map_batches(dec_rg, batch_format="pyarrow", batch_size=1, **remote_args())
+
+    # read fused into the decode task (one block per file): the payload never
     # transits the object store between a read op and the decode op
     ds = ray.data.from_items([{"path": p} for p in paths])
 
@@ -886,9 +917,7 @@ def read_orc_dataset(path_or_dir: str, columns: list[str] | None = None, native:
         return pa.concat_tables(tables) if len(tables) > 1 else tables[0]
 
     def dec_native(batch: pa.Table) -> pa.Table:
-        from .orcread import read_orc_native
-
-        tables = [read_orc_native(open(p.as_py(), "rb").read(), columns=columns) for p in batch["path"]]
+        tables = [read_orc_native(p.as_py(), columns=columns) for p in batch["path"]]
         return pa.concat_tables(tables) if len(tables) > 1 else tables[0]
 
     return ds.map_batches(dec_native if native else dec, batch_format="pyarrow", batch_size=1, **remote_args())

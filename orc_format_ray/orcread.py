@@ -134,6 +134,48 @@ def _deframe(data: bytes, kind: str) -> bytes:
 # ------------------------------------------------------------------ metadata
 
 
+class _Source:
+    """Ranged-read abstraction over bytes or a file path.
+
+    File paths use os.pread — a reader task touching one row group of a
+    multi-GB ORC file reads only the tail + that group's stream slices,
+    never the whole file (the 100-TB read-amplification difference)."""
+
+    def __init__(self, path_or_bytes):
+        if isinstance(path_or_bytes, (bytes, bytearray)):
+            self._b: bytes | None = bytes(path_or_bytes)
+            self._fd = -1
+            self.size = len(self._b)
+        else:
+            import os
+
+            self._b = None
+            self._fd = os.open(path_or_bytes, os.O_RDONLY)
+            self.size = os.fstat(self._fd).st_size
+
+    def read(self, off: int, ln: int) -> bytes:
+        if ln <= 0:
+            return b""
+        if self._b is not None:
+            return self._b[off : off + ln]
+        import os
+
+        return os.pread(self._fd, ln, off)
+
+    def close(self) -> None:
+        if self._fd >= 0:
+            import os
+
+            os.close(self._fd)
+            self._fd = -1
+
+    def __enter__(self) -> "_Source":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
 class _Type:
     def __init__(self, kind: str, subtypes: list[int], field_names: list[str], precision: int, scale: int):
         self.kind = kind
@@ -143,13 +185,21 @@ class _Type:
         self.scale = scale
 
 
-def _parse_tail(blob: bytes):
-    ps_len = blob[-1]
-    ps = _fields(blob[-1 - ps_len : -1])
+def _parse_tail(src: _Source):
+    # one ranged read of the last 64 KiB covers PostScript+Footer for
+    # ordinary schemas; re-read exactly if the footer is larger
+    tail_len = min(src.size, 64 * 1024)
+    tail = src.read(src.size - tail_len, tail_len)
+    ps_len = tail[-1]
+    ps = _fields(tail[-1 - ps_len : -1])
     footer_len = ps[1][0]
     comp = _COMP_NAMES[ps.get(2, [0])[0]]
     meta_len = ps.get(5, [0])[0]
-    footer_buf = _deframe(blob[-1 - ps_len - footer_len : -1 - ps_len], comp)
+    if 1 + ps_len + footer_len <= tail_len:
+        footer_raw = tail[tail_len - 1 - ps_len - footer_len : tail_len - 1 - ps_len]
+    else:
+        footer_raw = src.read(src.size - 1 - ps_len - footer_len, footer_len)
+    footer_buf = _deframe(footer_raw, comp)
     f = _fields(footer_buf)
     stripes = []
     for s in f.get(3, []):
@@ -338,10 +388,10 @@ def _decode_column(col_id: int, types: list[_Type], streams: dict, encodings: li
     raise NotImplementedError(f"ORC type {t.kind}")
 
 
-def _parse_stripe_footer(blob: bytes, si: dict, comp: str):
+def _parse_stripe_footer(src: _Source, si: dict, comp: str):
     """-> (stream_list [(kind, col, len)], encodings [(kind, dict_size)],
     raw_spans [(abs_offset, len)] aligned with stream_list)."""
-    sf_raw = blob[si["offset"] + si["index_length"] + si["data_length"] : si["offset"] + si["index_length"] + si["data_length"] + si["footer_length"]]
+    sf_raw = src.read(si["offset"] + si["index_length"] + si["data_length"], si["footer_length"])
     sf = _fields(_deframe(sf_raw, comp))
     stream_list = []
     for s in sf.get(1, []):
@@ -367,8 +417,12 @@ def read_orc_native(path_or_bytes, columns: list[str] | None = None, row_groups:
     group are skipped entirely, and within a stripe each stream is sliced at
     the ROW_INDEX positions before deframing — a selected group never
     decompresses or decodes the rest of the stripe."""
-    blob = path_or_bytes if isinstance(path_or_bytes, (bytes, bytearray)) else open(path_or_bytes, "rb").read()
-    tail = _parse_tail(blob)
+    with _Source(path_or_bytes) as src:
+        return _read_orc_src(src, columns, row_groups)
+
+
+def _read_orc_src(src: _Source, columns: list[str] | None, row_groups: list[int] | None) -> pa.Table:
+    tail = _parse_tail(src)
     comp = tail["compression"]
     types = tail["types"]
     if not types or types[0].kind != "STRUCT":
@@ -382,11 +436,11 @@ def read_orc_native(path_or_bytes, columns: list[str] | None = None, row_groups:
         wanted = [i for i, nm in enumerate(root.field_names) if nm in columns]
 
     if row_groups is not None:
-        return _read_row_groups(blob, tail, wanted, spans, row_groups)
+        return _read_row_groups(src, tail, wanted, spans, row_groups)
 
     per_stripe_arrays: list[list[pa.Array]] = []
     for si in tail["stripes"]:
-        stream_list, encodings, raw_spans = _parse_stripe_footer(blob, si, comp)
+        stream_list, encodings, raw_spans = _parse_stripe_footer(src, si, comp)
         streams: dict[int, dict[int, bytes]] = {}
         for (kind, col, ln), (pos, _ln) in zip(stream_list, raw_spans):
             # whitelist only the kinds _decode_column consumes:
@@ -395,8 +449,7 @@ def read_orc_native(path_or_bytes, columns: list[str] | None = None, row_groups:
             # skipped — deframing them would be wasted work, and a kind-7
             # stream must never alias into the dict keyed by kind.)
             if kind in (0, 1, 2, 3, 5):
-                raw = blob[pos : pos + ln]
-                streams.setdefault(col, {})[kind] = _deframe(raw, comp)
+                streams.setdefault(col, {})[kind] = _deframe(src.read(pos, ln), comp)
         arrays = []
         for i in wanted:
             arr, _ = _decode_column(spans[i], types, streams, encodings, si["num_rows"])
@@ -464,7 +517,7 @@ def _entry_offsets(positions: list[int], kinds: list[int], t_kind: str, enc_kind
     return out
 
 
-def _read_row_groups(blob: bytes, tail: dict, wanted: list[int], spans: list[int], row_groups: list[int]) -> pa.Table:
+def _read_row_groups(src: _Source, tail: dict, wanted: list[int], spans: list[int], row_groups: list[int]) -> pa.Table:
     comp = tail["compression"]
     compressed = comp != "none"
     types = tail["types"]
@@ -492,12 +545,12 @@ def _read_row_groups(blob: bytes, tail: dict, wanted: list[int], spans: list[int
     pieces: list[list[pa.Array]] = []
     for sidx in sorted(per_stripe):
         si = tail["stripes"][sidx]
-        stream_list, encodings, raw_spans = _parse_stripe_footer(blob, si, comp)
+        stream_list, encodings, raw_spans = _parse_stripe_footer(src, si, comp)
         # parse ROW_INDEX entries for the columns we will decode
         rowindex: dict[int, list[list[int]]] = {}
         for (kind, col, ln), (pos, _l) in zip(stream_list, raw_spans):
             if kind == _ROW_INDEX and col in want_ids:
-                ri = _fields(_deframe(blob[pos : pos + ln], comp))
+                ri = _fields(_deframe(src.read(pos, ln), comp))
                 rowindex[col] = [_packed_uvs(_fields(e).get(1, [])) for e in ri.get(1, [])]
         # position-consuming stream kinds per column, ascending kind order
         consuming: dict[int, list[int]] = {}
@@ -518,7 +571,7 @@ def _read_row_groups(blob: bytes, tail: dict, wanted: list[int], spans: list[int
                 enc_kind = encodings[col][0]
                 if kind == _DICT_DATA or (kind == _LENGTH and enc_kind in (1, 3)):
                     # dictionary blob/lengths are whole-stripe state
-                    streams.setdefault(col, {})[kind] = _deframe(blob[pos : pos + ln], comp)
+                    streams.setdefault(col, {})[kind] = _deframe(src.read(pos, ln), comp)
                     continue
                 entries = rowindex[col]
                 t_kind = types[col].kind
@@ -530,7 +583,7 @@ def _read_row_groups(blob: bytes, tail: dict, wanted: list[int], spans: list[int
                     ns, noff = nxt[kind]
                     if noff == 0:
                         end = ns
-                data = _deframe(blob[pos + start : pos + end], comp)
+                data = _deframe(src.read(pos + start, end - start), comp)
                 streams.setdefault(col, {})[kind] = data[inoff:] if inoff else data
             arrays = []
             for i in wanted:

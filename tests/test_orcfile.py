@@ -330,6 +330,27 @@ def test_orc_dataset_sink_and_source(ray_session, tmp_path):
     assert proj.schema.names == ["source"]
 
 
+def test_orc_source_split_row_groups(ray_session, tmp_path):
+    """Native Ray ORC source with row-group parallelism: one task per
+    rowIndexStride group (ranged pread of the group's slices only), same
+    rows as a whole-file read."""
+    from orc_format_ray.pipelines import tokens as tok
+
+    tbl = tok.synthetic_batch(1500, seed=8, shard=2)
+    path = str(tmp_path / "big.orc")
+    orcfile.write_orc(tbl, path, compression="zstd", stripe_rows=600, row_index_stride=200)
+    ds = orcfile.read_orc_dataset(str(tmp_path), native=True, split_row_groups=True, columns=["doc_id", "n_tok"])
+    got = pa.concat_tables(list(ds.iter_batches(batch_size=1 << 20, batch_format="pyarrow")))
+    assert got.num_rows == 1500
+    assert sorted(got["doc_id"].to_pylist()) == sorted(tbl["doc_id"].to_pylist())
+    assert ds.count() == 1500
+    # files without a row index fall back to whole-file tasks
+    path2 = str(tmp_path / "noidx.orc")
+    orcfile.write_orc(tbl, path2, compression="zstd", row_index_stride=0)
+    ds2 = orcfile.read_orc_dataset(path2, native=True, split_row_groups=True)
+    assert ds2.count() == 1500
+
+
 def test_orc_push_writer_auto_flush(tmp_path):
     """Reference Writer API parity (writer.rs:84-90): pushed batches
     auto-flush stripes at the byte budget; the file is valid ORC."""
