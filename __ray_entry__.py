@@ -621,6 +621,36 @@ def _q_quantile_quantity_lineitem(sf_dir: str):
     return pa.Table.from_pylist([{"q25": round(q25, 6), "q50": round(q50, 6), "q90": round(q90, 6), "q99": round(q99, 6)}])
 
 
+def _q_orc_pushdown_filter(sf_dir: str):
+    """Predicate pushdown via our own ORC ROW_INDEX statistics: lineitem ->
+    real ORC (row index on), read back with read_orc_filtered, which prunes
+    row groups whose per-group [min,max] cannot satisfy l_quantity >= 45,
+    then aggregates the survivors. The oracle is plain SQL with the same
+    WHERE — matching values certify both the pruning's soundness and the
+    index stats themselves."""
+    import pyarrow.parquet as pq
+    import ray.data
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from orc_format_ray import orcfile
+    from orc_format_ray.orcread import read_orc_filtered
+
+    scratch = _scratch(sf_dir, "orc")
+    path = os.path.join(scratch, "lineitem_pushdown.orc")
+    if not os.path.exists(path):
+        tbl = pq.read_table(f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_quantity", "l_linenumber"])
+        orcfile.write_orc(tbl, path, compression="zstd", row_index_stride=1000)
+    got, _stats = read_orc_filtered(path, ("l_quantity", ">=", 45.0))
+    ds = ray.data.from_arrow(got)
+    out = ds.groupby("l_returnflag").aggregate(
+        Count(alias_name="cnt"),
+        Min("l_linenumber", alias_name="min_ln"),
+        Max("l_linenumber", alias_name="max_ln"),
+        Sum("l_linenumber", alias_name="sum_ln"),
+    )
+    return out
+
+
 def _q_orc_native_read_cpp(sf_dir: str):
     """Reverse interop: the events table is written by the EXTERNAL Apache
     ORC C++ writer (pyarrow.orc, RLEv2 + dictionary encodings) and read back
@@ -788,6 +818,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_quantity_lineitem": _q_quantile_quantity_lineitem,
         "range_join_price_bands": _q_range_join_price_bands,
         "orc_native_read_cpp": _q_orc_native_read_cpp,
+        "orc_pushdown_filter": _q_orc_pushdown_filter,
         "minhash_dedup_pairs": _q_minhash_dedup_pairs,
         # non-SQL-expressible (rows-only checks)
         "minhash_candidates": _q_minhash_candidates,
@@ -999,5 +1030,10 @@ def oracle_sql() -> dict[str, str]:
         "orc_native_read_cpp": (
             "SELECT event_type, count(*) AS cnt, min(epoch_ms(ts)) AS min_ms, max(epoch_ms(ts)) AS max_ms, "
             "CAST(sum(user_id) AS BIGINT) AS sum_uid FROM events GROUP BY event_type"
+        ),
+        "orc_pushdown_filter": (
+            "SELECT l_returnflag, count(*) AS cnt, min(l_linenumber) AS min_ln, "
+            "max(l_linenumber) AS max_ln, CAST(sum(l_linenumber) AS BIGINT) AS sum_ln "
+            "FROM lineitem WHERE l_quantity >= 45.0 GROUP BY l_returnflag"
         ),
     }

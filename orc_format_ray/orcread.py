@@ -266,47 +266,47 @@ def _decode_column(col_id: int, types: list[_Type], streams: dict, encodings: li
         return _scatter_primitive(np.asarray(vals), valid, n, ptype)
 
     if t.kind == "BOOLEAN":
-        v = boolean_rle.decode(my[_DATA], n_present)
+        v = boolean_rle.decode(my.get(_DATA, b""), n_present)
         return scatter(v, pa.bool_()), nxt
     if t.kind == "BYTE":
-        v = byte_rle.decode(my[_DATA])[:n_present].view(np.int8)
+        v = byte_rle.decode(my.get(_DATA, b""))[:n_present].view(np.int8)
         return scatter(v, pa.int8()), nxt
     if t.kind in ("SHORT", "INT", "LONG"):
-        v = _read_ints(my[_DATA], enc_kind, n_present)
+        v = _read_ints(my.get(_DATA, b""), enc_kind, n_present)
         ptype = {"SHORT": pa.int16(), "INT": pa.int32(), "LONG": pa.int64()}[t.kind]
         return _scatter_primitive(np.asarray(v, dtype=np.int64), valid, n, pa.int64()).cast(ptype), nxt
     if t.kind == "DATE":
-        v = _read_ints(my[_DATA], enc_kind, n_present)
+        v = _read_ints(my.get(_DATA, b""), enc_kind, n_present)
         base = _scatter_primitive(np.asarray(v, dtype=np.int64), valid, n, pa.int64())
         return base.cast(pa.int32()).view(pa.date32()), nxt
     if t.kind == "FLOAT":
-        v = np.frombuffer(my[_DATA], dtype=np.float32)[:n_present]
+        v = np.frombuffer(my.get(_DATA, b""), dtype=np.float32)[:n_present]
         return scatter(v, pa.float32()), nxt
     if t.kind == "DOUBLE":
-        v = np.frombuffer(my[_DATA], dtype=np.float64)[:n_present]
+        v = np.frombuffer(my.get(_DATA, b""), dtype=np.float64)[:n_present]
         return scatter(v, pa.float64()), nxt
     if t.kind in ("STRING", "BINARY", "VARCHAR", "CHAR"):
         out_t = pa.binary() if t.kind == "BINARY" else pa.string()
         if enc_kind in (1, 3):  # DICTIONARY(_V2)
-            idx = _read_uints(my[_DATA], 2 if enc_kind == 3 else 0, n_present).astype(np.int64)
-            dlens = _read_uints(my[_LENGTH], 2 if enc_kind == 3 else 0, dict_size).astype(np.int64)
+            idx = _read_uints(my.get(_DATA, b""), 2 if enc_kind == 3 else 0, n_present).astype(np.int64)
+            dlens = _read_uints(my.get(_LENGTH, b""), 2 if enc_kind == 3 else 0, dict_size).astype(np.int64)
             doffs = np.zeros(dict_size + 1, dtype=np.int64)
             np.cumsum(dlens, out=doffs[1:])
-            dconcat = np.frombuffer(my[_DICT_DATA], dtype=np.uint8)
+            dconcat = np.frombuffer(my.get(_DICT_DATA, b""), dtype=np.uint8)
             # gather per-row bytes from the dictionary
             lens = dlens[idx]
             offs = np.zeros(n_present + 1, dtype=np.int64)
             np.cumsum(lens, out=offs[1:])
             gather = np.repeat(doffs[idx], lens) + (np.arange(int(lens.sum())) - np.repeat(offs[:-1], lens))
             return _assemble_varlen(dconcat[gather], offs, valid, n, out_t), nxt
-        lens = _read_uints(my[_LENGTH], enc_kind, n_present).astype(np.int64)
+        lens = _read_uints(my.get(_LENGTH, b""), enc_kind, n_present).astype(np.int64)
         offs = np.zeros(n_present + 1, dtype=np.int64)
         np.cumsum(lens, out=offs[1:])
-        concat = np.frombuffer(my[_DATA], dtype=np.uint8)[: offs[-1]]
+        concat = np.frombuffer(my.get(_DATA, b""), dtype=np.uint8)[: offs[-1]]
         return _assemble_varlen(concat, offs, valid, n, out_t), nxt
     if t.kind == "TIMESTAMP":
-        secs = np.asarray(_read_ints(my[_DATA], enc_kind, n_present), dtype=np.int64) + TS_EPOCH_SECONDS
-        packed = np.asarray(_read_uints(my[_SECONDARY], enc_kind, n_present), dtype=np.uint64)
+        secs = np.asarray(_read_ints(my.get(_DATA, b""), enc_kind, n_present), dtype=np.int64) + TS_EPOCH_SECONDS
+        packed = np.asarray(_read_uints(my.get(_SECONDARY, b""), enc_kind, n_present), dtype=np.uint64)
         tzc = (packed & np.uint64(7)).astype(np.int64)
         base = (packed >> np.uint64(3)).astype(np.int64)
         nanos = np.where(tzc > 0, base * np.power(10, tzc + 1), base)
@@ -315,7 +315,7 @@ def _decode_column(col_id: int, types: list[_Type], streams: dict, encodings: li
         v = secs * 1_000_000 + np.sign(nanos) * (np.abs(nanos) // 1000)
         return _scatter_primitive(v, valid, n, pa.int64()).cast(pa.timestamp("us")), nxt
     if t.kind == "DECIMAL":
-        buf = np.frombuffer(my[_DATA], dtype=np.uint8)
+        buf = np.frombuffer(my.get(_DATA, b""), dtype=np.uint8)
         dt = pa.decimal128(t.precision or 38, t.scale)
         if n_present == 0 or len(buf) == 0:
             return _decimal_from_int64(np.zeros(0, np.int64), valid, n, dt), nxt
@@ -327,18 +327,18 @@ def _decode_column(col_id: int, types: list[_Type], streams: dict, encodings: li
 
             vals = zigzag_decode(varint_decode_all(buf))[:n_present]
             return _decimal_from_int64(vals, valid, n, dt), nxt
-        ints = varint_decode_bigint(my[_DATA], n_present)
+        ints = varint_decode_bigint(my.get(_DATA, b""), n_present)
         from decimal import Decimal
 
         py = iter([Decimal(x).scaleb(-t.scale) for x in ints])
         vals = [next(py) if (valid is None or valid[i]) else None for i in range(n)]
         return pa.array(vals, type=dt), nxt
     if t.kind == "LIST":
-        lens = _read_uints(my[_LENGTH], enc_kind, n_present).astype(np.int64)
+        lens = _read_uints(my.get(_LENGTH, b""), enc_kind, n_present).astype(np.int64)
         child, nxt2 = _decode_column(t.subtypes[0], types, streams, encodings, int(lens.sum()))
         return _assemble_list(lens, child, valid, n, pa.list_(child.type)), nxt2
     if t.kind == "MAP":
-        lens = _read_uints(my[_LENGTH], enc_kind, n_present).astype(np.int64)
+        lens = _read_uints(my.get(_LENGTH, b""), enc_kind, n_present).astype(np.int64)
         total = int(lens.sum())
         keys, mid = _decode_column(t.subtypes[0], types, streams, encodings, total)
         items, nxt2 = _decode_column(t.subtypes[1], types, streams, encodings, total)
@@ -373,7 +373,7 @@ def _decode_column(col_id: int, types: list[_Type], streams: dict, encodings: li
         if valid is not None and n_present != n:
             # Arrow dense unions carry no top-level validity bitmap
             raise NotImplementedError("ORC UNION with nulls has no Arrow representation")
-        tags = byte_rle.decode(my[_DATA])[:n_present].astype(np.int8)
+        tags = byte_rle.decode(my.get(_DATA, b""))[:n_present].astype(np.int8)
         children = []
         offsets = np.zeros(n, dtype=np.int32)
         nxt2 = col_id + 1
@@ -603,3 +603,127 @@ def _read_row_groups(src: _Source, tail: dict, wanted: list[int], spans: list[in
         for j in range(len(wanted))
     ]
     return pa.table(cols, names=names)
+
+
+# -------------------------------------------------------- predicate pushdown
+
+
+def _unzigzag(v: int) -> int:
+    return (v >> 1) ^ -(v & 1)
+
+
+def _entry_minmax(stats_bytes: bytes, t_kind: str):
+    """(min, max) from a RowIndexEntry's ColumnStatistics, or None when the
+    group has no non-null values (comparison predicates can never match)."""
+    import struct
+
+    f = _fields(stats_bytes)
+    if t_kind in ("SHORT", "INT", "LONG", "DATE"):
+        sub = f.get(2)  # intStatistics: sint64 min=1 max=2
+        if sub:
+            g = _fields(sub[0])
+            if 1 in g and 2 in g:
+                return _unzigzag(g[1][0]), _unzigzag(g[2][0])
+        return None
+    if t_kind in ("FLOAT", "DOUBLE"):
+        sub = f.get(3)  # doubleStatistics: double min=1 max=2
+        if sub:
+            g = _fields(sub[0])
+            if 1 in g and 2 in g:
+                return struct.unpack("<d", g[1][0])[0], struct.unpack("<d", g[2][0])[0]
+        return None
+    if t_kind in ("STRING", "VARCHAR", "CHAR"):
+        sub = f.get(4)  # stringStatistics: min=1 max=2
+        if sub:
+            g = _fields(sub[0])
+            if 1 in g and 2 in g:
+                return g[1][0].decode(), g[2][0].decode()
+        return None
+    return "unprunable"  # kinds without ordered index stats: never prune
+
+
+def _range_may_match(op: str, value, mm) -> bool:
+    if mm == "unprunable":
+        return True
+    if mm is None:
+        return False  # all-null group: comparisons are never true
+    lo, hi = mm
+    if op == "==":
+        return lo <= value <= hi
+    if op == "<":
+        return lo < value
+    if op == "<=":
+        return lo <= value
+    if op == ">":
+        return hi > value
+    if op == ">=":
+        return hi >= value
+    raise ValueError(f"op {op!r}")
+
+
+def read_orc_filtered(path_or_bytes, predicate: tuple, columns: list[str] | None = None):
+    """Predicate-pushdown read via the ROW_INDEX statistics.
+
+    ``predicate`` is (column, op, literal) with op in ==/</<=/>/>= . Row
+    groups whose per-group [min, max] cannot satisfy the predicate are never
+    read (their stream slices aren't even fetched); survivors are decoded
+    and exact-filtered. Returns (table, {"groups_total", "groups_read"}) so
+    callers can assert the pruning. Files without a row index fall back to a
+    full scan + filter.
+    """
+    import pyarrow.compute as pc
+
+    col, op, value = predicate
+    with _Source(path_or_bytes) as src:
+        tail = _parse_tail(src)
+        comp = tail["compression"]
+        types = tail["types"]
+        root = types[0]
+        if col not in root.field_names:
+            raise KeyError(f"column {col!r} not in {root.field_names}")
+        spans = list(root.subtypes) + [len(types)]
+        ci = root.field_names.index(col)
+        col_id = spans[ci]
+        t_kind = types[col_id].kind
+
+        stride = int(tail["row_index_stride"])
+        read_cols = columns if columns is None or col in columns else [*columns, col]
+        if stride <= 0:
+            tbl = _read_orc_src(src, read_cols, None)
+            total = scanned = max(1, len(tail["stripes"]))
+        else:
+            selected: list[int] = []
+            gbase = 0
+            for si in tail["stripes"]:
+                groups = (si["num_rows"] + stride - 1) // stride
+                stream_list, _enc, raw_spans = _parse_stripe_footer(src, si, comp)
+                entries_stats: list[bytes] = []
+                for (kind, c, ln), (pos, _l) in zip(stream_list, raw_spans):
+                    if kind == _ROW_INDEX and c == col_id:
+                        ri = _fields(_deframe(src.read(pos, ln), comp))
+                        entries_stats = [(_fields(e).get(2) or [b""])[0] for e in ri.get(1, [])]
+                        break
+                for k in range(groups):
+                    mm = _entry_minmax(entries_stats[k], t_kind) if k < len(entries_stats) else "unprunable"
+                    if _range_may_match(op, value, mm):
+                        selected.append(gbase + k)
+                gbase += groups
+            total = gbase
+            scanned = len(selected)
+            wanted = list(range(len(root.field_names)))
+            if read_cols is not None:
+                wanted = [i for i, nm in enumerate(root.field_names) if nm in read_cols]
+            if selected:
+                tbl = _read_row_groups(src, tail, wanted, spans, selected)
+            else:
+                empties = []
+                for i in wanted:
+                    arr, _ = _decode_column(spans[i], types, {}, [(0, 0)] * len(types), 0)
+                    empties.append(arr)
+                tbl = pa.table(empties, names=[root.field_names[i] for i in wanted])
+
+    opfn = {"==": pc.equal, "<": pc.less, "<=": pc.less_equal, ">": pc.greater, ">=": pc.greater_equal}[op]
+    tbl = tbl.filter(opfn(tbl[col], pa.scalar(value)))
+    if columns is not None and col not in columns:
+        tbl = tbl.select(columns)
+    return tbl, {"groups_total": total, "groups_read": scanned}

@@ -163,6 +163,44 @@ def test_row_group_seek_requires_index(tmp_path):
         read_orc_native(withidx, row_groups=[5])
 
 
+def test_predicate_pushdown_prunes_row_groups(tmp_path):
+    """read_orc_filtered consults ROW_INDEX statistics and never reads row
+    groups whose [min,max] cannot match; all-null groups are pruned too."""
+    from orc_format_ray.orcread import read_orc_filtered
+
+    n = 50000
+    tbl = pa.table(
+        {
+            "v": pa.array(range(n), type=pa.int64()),
+            "s": pa.array([f"k{i // 1000:03d}" for i in range(n)]),
+            "f": pa.array([i / 3 for i in range(n)], type=pa.float64()),
+            "nul": pa.array([None if i < 25000 else i for i in range(n)], type=pa.int64()),
+        }
+    )
+    path = str(tmp_path / "pred.orc")
+    orcfile.write_orc(tbl, path, compression="zstd", stripe_rows=20000)  # groups: 2+2+1
+
+    t, st = read_orc_filtered(path, ("v", ">=", 45000))
+    assert t["v"].to_pylist() == list(range(45000, 50000))
+    assert st == {"groups_total": 5, "groups_read": 1}
+    t, st = read_orc_filtered(path, ("v", "==", 12345), columns=["s"])
+    assert t.schema.names == ["s"] and t["s"].to_pylist() == ["k012"] and st["groups_read"] == 1
+    t, st = read_orc_filtered(path, ("s", "==", "k033"))
+    assert t.num_rows == 1000 and st["groups_read"] == 1
+    t, st = read_orc_filtered(path, ("f", "<", 10.0))
+    assert t.num_rows == 30 and st["groups_read"] == 1
+    t, st = read_orc_filtered(path, ("nul", "<", 100))
+    assert t.num_rows == 0 and st["groups_read"] == 0  # all-null + min>=25000 groups pruned
+    t, st = read_orc_filtered(path, ("v", ">", 10**9))
+    assert t.num_rows == 0 and st["groups_read"] == 0
+
+    # stride=0 file: falls back to scan+filter, same answer
+    noidx = str(tmp_path / "pred0.orc")
+    orcfile.write_orc(tbl, noidx, compression="zstd", row_index_stride=0)
+    t, _ = read_orc_filtered(noidx, ("v", ">=", 45000))
+    assert t["v"].to_pylist() == list(range(45000, 50000))
+
+
 def test_native_reads_cpp_file_with_bloom_filters(tmp_path):
     """Files carrying BLOOM_FILTER (kind 7/8) streams must read correctly —
     the stream whitelist (orcread kinds 0,1,2,3,5) must neither deframe nor
