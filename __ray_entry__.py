@@ -752,10 +752,10 @@ def _q_ivf_ann_exhaustive(sf_dir: str):
 
 
 def _q_multimodal_features(sf_dir: str):
-    """Multimodal plumbing end-to-end (decode kernels honestly STUBBED — no
-    image libs in this environment): binary payloads -> actor-pool decode ->
-    resize -> per-image features -> deterministic summary. Rows-only check
-    (the fake decode has no SQL equivalent)."""
+    """Multimodal pipeline end-to-end with REAL decoding: genuine BMP/PPM
+    payloads -> library-free actor-pool decode (struct+numpy parsers) ->
+    nearest-neighbor resize -> per-image features. Rows-only check (SQL
+    cannot decode image bytes)."""
     import ray.data
 
     from orc_format_ray.ops import multimodal as mm
@@ -771,6 +771,27 @@ def _q_multimodal_features(sf_dir: str):
     df = feats.to_pandas().sort_values("media_id").reset_index(drop=True)
     df["mean_r"] = df["features"].map(lambda f: round(float(f[0]), 3))
     return df[["media_id", "mean_r"]]
+
+
+def _q_audio_features(sf_dir: str):
+    """Audio pipeline end-to-end with REAL decoding: genuine PCM16 WAV
+    payloads -> library-free RIFF parser -> per-clip DSP features (duration,
+    RMS, peak, zero-crossing rate). Rows-only (SQL cannot decode WAV)."""
+    import ray.data
+
+    from orc_format_ray.ops import multimodal as mm
+
+    tbl = mm.synthetic_audio_table(32, seed=12)
+    ds = ray.data.from_arrow(tbl)
+    out = (
+        ds.map_batches(mm.DecodeAudio, batch_format="pyarrow", batch_size=mm.RECOMMENDED_BATCH_SIZE, concurrency=2, **_ra())
+        .map_batches(mm.AudioFeatures, batch_format="pyarrow", batch_size=mm.RECOMMENDED_BATCH_SIZE, concurrency=2, **_ra())
+    )
+    feats = pa.concat_tables(list(out.iter_batches(batch_size=1 << 16, batch_format="pyarrow")))
+    df = feats.to_pandas().sort_values("media_id").reset_index(drop=True)
+    df["duration_s"] = df["features"].map(lambda f: round(float(f[0]), 4))
+    df["rms"] = df["features"].map(lambda f: round(float(f[1]), 4))
+    return df[["media_id", "duration_s", "rms"]]
 
 
 def _q_codec_selection(sf_dir: str):
@@ -830,6 +851,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_ann_topk": _q_ivf_ann_topk,
         "ivf_ann_exhaustive": _q_ivf_ann_exhaustive,
         "multimodal_features": _q_multimodal_features,
+        "audio_features": _q_audio_features,
         "codec_selection": _q_codec_selection,
     }
 

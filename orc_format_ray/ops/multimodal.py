@@ -1,11 +1,12 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by actor-pool `map_batches` stages.
 
-The decode kernels themselves are STUBBED (this container has no image/audio
-libraries): each stage tries the real library in ``__init__`` and otherwise
-uses a clearly-marked deterministic fake (or raises NotImplementedError when
-``strict=True``). The Ray-side contract — schema, batch sizing for large
-binary payloads, actor signature, output layout — is real and tested.
+Decode is REAL for the library-free formats — BMP (24-bit uncompressed),
+PPM (P6) and WAV (PCM16) are parsed with struct+numpy from their public
+specs; compressed formats (JPEG/PNG/...) use PIL when importable, else a
+clearly-marked deterministic fake (or NotImplementedError when
+``strict=True``). Video frame extraction remains a STUB (no video library
+in this container); its chunking plumbing is the tested contract.
 
 Scale notes: binary payloads make rows wide; stages default to small
 ``batch_size`` so batch x concurrency fits the worker heap, and outputs keep
@@ -14,8 +15,109 @@ payload columns binary (never pandas object dtype round-trips).
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 import pyarrow as pa
+
+# ------------------------------------------------- library-free media codecs
+
+
+def encode_bmp(px: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> 24-bit uncompressed BMP (BGR, bottom-up,
+    4-byte row padding — the classic BITMAPINFOHEADER layout)."""
+    h, w, _ = px.shape
+    row = w * 3
+    stride = (row + 3) & ~3
+    data_size = stride * h
+    off = 14 + 40
+    hdr = struct.pack("<2sIHHI", b"BM", off + data_size, 0, 0, off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, data_size, 2835, 2835, 0, 0)
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, :row] = px[::-1, :, ::-1].reshape(h, row)
+    return hdr + dib + rows.tobytes()
+
+
+def decode_bmp(b: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP -> (h, w, 3) uint8 RGB."""
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", b, 10)[0]
+    w, h = struct.unpack_from("<ii", b, 18)
+    bpp = struct.unpack_from("<H", b, 28)[0]
+    comp = struct.unpack_from("<I", b, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(f"BMP bpp={bpp} compression={comp}: only 24-bit uncompressed")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    arr = np.frombuffer(b, np.uint8, stride * h, off).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        arr = arr[::-1]
+    return arr[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def encode_ppm(px: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> binary PPM (P6, maxval 255)."""
+    h, w, _ = px.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
+
+
+def decode_ppm(b: bytes) -> np.ndarray:
+    """P6 PPM -> (h, w, 3) uint8 RGB (whitespace/comment-tolerant header)."""
+    if b[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    toks: list[int] = []
+    p = 2
+    while len(toks) < 3:
+        while p < len(b) and b[p : p + 1].isspace():
+            p += 1
+        if b[p : p + 1] == b"#":  # comment to end of line
+            while p < len(b) and b[p] != 0x0A:
+                p += 1
+            continue
+        start = p
+        while p < len(b) and not b[p : p + 1].isspace():
+            p += 1
+        toks.append(int(b[start:p]))
+    p += 1  # single whitespace after maxval
+    w, h, maxval = toks
+    if maxval != 255:
+        raise NotImplementedError("PPM maxval != 255")
+    return np.frombuffer(b, np.uint8, h * w * 3, p).reshape(h, w, 3).copy()
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """int16 samples, (n,) or (n, channels) -> RIFF/WAVE PCM16."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    ch = samples.shape[1]
+    data = np.ascontiguousarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM16 -> ((n, channels) int16 samples, sample_rate)."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    p = 12
+    rate = ch = None
+    data = None
+    while p + 8 <= len(b):
+        cid = b[p : p + 4]
+        ln = struct.unpack_from("<I", b, p + 4)[0]
+        if cid == b"fmt ":
+            audio_fmt, ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", b, p + 8)
+            if audio_fmt != 1 or bits != 16:
+                raise NotImplementedError(f"WAV format={audio_fmt} bits={bits}: only PCM16")
+        elif cid == b"data":
+            data = b[p + 8 : p + 8 + ln]
+        p += 8 + ln + (ln & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return np.frombuffer(data, dtype="<i2").reshape(-1, ch), int(rate)
 
 IMAGE_SCHEMA = pa.schema(
     [
@@ -33,8 +135,10 @@ RECOMMENDED_BATCH_SIZE = 64  # large binary rows: keep batches small
 class DecodeImage:
     """binary payload -> (height, width, 3) uint8 pixels (flattened column).
 
-    Real path uses PIL when importable; fake path derives deterministic
-    pixels from the payload hash. STUB: the fake is NOT a real decoder.
+    Dispatch on magic bytes: BMP and PPM decode natively (real parsers
+    above, no library); other formats use PIL when importable; otherwise a
+    deterministic fake seeded by the payload hash (STUB — not a decoder;
+    ``strict=True`` raises instead of faking).
     """
 
     def __init__(self, strict: bool = False):
@@ -45,27 +149,32 @@ class DecodeImage:
             self._pil = Image
         except ImportError:
             self._pil = None
-            if strict:
-                raise NotImplementedError("image decoding requires PIL, not available in this environment")
+
+    def _decode_one(self, data: bytes, h: int, w: int) -> np.ndarray:
+        if data[:2] == b"BM":
+            return decode_bmp(data).reshape(-1)
+        if data[:2] == b"P6":
+            return decode_ppm(data).reshape(-1)
+        if self._pil is not None:
+            import io
+
+            with self._pil.open(io.BytesIO(data)) as im:
+                return np.asarray(im.convert("RGB"), dtype=np.uint8).reshape(-1)
+        if self.strict:
+            raise NotImplementedError("payload is not BMP/PPM and PIL is unavailable")
+        # deterministic fake: seeded by payload bytes (STUB, not a decoder)
+        import zlib
+
+        rng = np.random.default_rng(zlib.crc32(data))
+        return rng.integers(0, 256, h * w * 3, dtype=np.uint8)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         heights = batch["height"].to_numpy(zero_copy_only=False).astype(np.int64)
         widths = batch["width"].to_numpy(zero_copy_only=False).astype(np.int64)
-        pixels = []
-        if self._pil is not None:
-            import io
-
-            for blob in batch["payload"]:
-                with self._pil.open(io.BytesIO(blob.as_py())) as im:
-                    pixels.append(np.asarray(im.convert("RGB"), dtype=np.uint8).reshape(-1))
-        else:
-            # deterministic fake: seeded by payload bytes (STUB, not a decoder)
-            import zlib
-
-            for blob, h, w in zip(batch["payload"], heights, widths):
-                seed = zlib.crc32(blob.as_py())
-                rng = np.random.default_rng(seed)
-                pixels.append(rng.integers(0, 256, int(h) * int(w) * 3, dtype=np.uint8))
+        pixels = [
+            self._decode_one(blob.as_py(), int(h), int(w))
+            for blob, h, w in zip(batch["payload"], heights, widths)
+        ]
         return pa.table(
             {
                 "media_id": batch["media_id"],
@@ -149,15 +258,108 @@ class SampleFrames:
         )
 
 
+class DecodeAudio:
+    """binary WAV payload -> samples + rate (real PCM16 parser, no library)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs, rates, chans, ns = [], [], [], []
+        for blob in batch["payload"]:
+            samples, rate = decode_wav(blob.as_py())
+            blobs.append(samples.tobytes())
+            rates.append(rate)
+            chans.append(samples.shape[1])
+            ns.append(samples.shape[0])
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "samples": pa.array(blobs, type=pa.binary()),
+                "rate": pa.array(rates, type=pa.int32()),
+                "channels": pa.array(chans, type=pa.int32()),
+                "n_samples": pa.array(ns, type=pa.int64()),
+            }
+        )
+
+
+class AudioFeatures:
+    """Per-clip DSP features from PCM16 buffers: duration, RMS, peak,
+    zero-crossing rate (all vectorized numpy)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = []
+        rates = batch["rate"].to_numpy(zero_copy_only=False)
+        chans = batch["channels"].to_numpy(zero_copy_only=False)
+        for blob, rate, ch in zip(batch["samples"], rates, chans):
+            x = np.frombuffer(blob.as_py(), dtype="<i2").reshape(-1, int(ch)).astype(np.float64) / 32768.0
+            mono = x.mean(axis=1)
+            zc = float(np.mean(np.abs(np.diff(np.signbit(mono).astype(np.int8))))) if len(mono) > 1 else 0.0
+            feats.append(
+                [
+                    len(mono) / float(rate),  # duration_s
+                    float(np.sqrt(np.mean(mono**2))) if len(mono) else 0.0,  # rms
+                    float(np.abs(mono).max()) if len(mono) else 0.0,  # peak
+                    zc,  # zero-crossing rate
+                ]
+            )
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "features": pa.array([[round(v, 6) for v in f] for f in feats], type=pa.list_(pa.float64())),
+            }
+        )
+
+
+def _synthetic_pixels(rng: np.random.Generator, h: int, w: int) -> np.ndarray:
+    """Deterministic gradient + noise test image."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    px = np.empty((h, w, 3), np.uint8)
+    px[:, :, 0] = (xx * 255 // max(w - 1, 1)).astype(np.uint8)
+    px[:, :, 1] = (yy * 255 // max(h - 1, 1)).astype(np.uint8)
+    px[:, :, 2] = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    return px
+
+
 def synthetic_media_table(n: int = 32, seed: int = 11) -> pa.Table:
-    """Deterministic fake media rows matching IMAGE_SCHEMA (for tests)."""
+    """Deterministic REAL media rows matching IMAGE_SCHEMA: alternating
+    genuine BMP / PPM payloads (library-free formats the decoder parses for
+    real)."""
     rng = np.random.default_rng(seed)
+    ids, payloads, mtypes, ws, hs = [], [], [], [], []
+    for i in range(n):
+        h = int(rng.integers(8, 64))
+        w = int(rng.integers(8, 64))
+        px = _synthetic_pixels(rng, h, w)
+        if i % 2 == 0:
+            payloads.append(encode_bmp(px))
+            mtypes.append("image/bmp")
+        else:
+            payloads.append(encode_ppm(px))
+            mtypes.append("image/x-portable-pixmap")
+        ids.append(i)
+        ws.append(w)
+        hs.append(h)
     return pa.table(
         {
-            "media_id": pa.array(np.arange(n, dtype=np.int64)),
-            "payload": pa.array([rng.integers(0, 256, int(rng.integers(512, 4096)), dtype=np.uint8).tobytes() for _ in range(n)], type=pa.binary()),
-            "media_type": pa.array(["image/fake"] * n),
-            "width": pa.array(rng.integers(8, 64, n).astype(np.int32)),
-            "height": pa.array(rng.integers(8, 64, n).astype(np.int32)),
+            "media_id": pa.array(ids, type=pa.int64()),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "media_type": pa.array(mtypes),
+            "width": pa.array(np.asarray(ws, dtype=np.int32)),
+            "height": pa.array(np.asarray(hs, dtype=np.int32)),
         }
+    )
+
+
+def synthetic_audio_table(n: int = 16, seed: int = 12) -> pa.Table:
+    """Deterministic REAL WAV clips (PCM16 sine + noise, mono/stereo mix)."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        rate = 8000 if i % 2 == 0 else 16000
+        dur = int(rng.integers(rate // 4, rate))  # 0.25-1.0 s
+        t = np.arange(dur) / rate
+        freq = float(rng.integers(100, 2000))
+        mono = (np.sin(2 * np.pi * freq * t) * 12000 + rng.normal(0, 500, dur)).astype(np.int16)
+        samples = mono if i % 3 else np.stack([mono, (mono // 2).astype(np.int16)], axis=1)
+        rows.append({"media_id": i, "payload": encode_wav(samples, rate), "media_type": "audio/wav"})
+    return pa.Table.from_pylist(rows).cast(
+        pa.schema([("media_id", pa.int64()), ("payload", pa.binary()), ("media_type", pa.string())])
     )

@@ -181,10 +181,75 @@ def test_multimodal_pipeline_plumbing(ray_session):
 
 
 def test_multimodal_strict_raises():
-    with pytest.raises(NotImplementedError):
-        multimodal.DecodeImage(strict=True)
+    # strict=True: real formats (BMP/PPM) decode fine; anything else raises
+    # at decode time instead of silently faking (no PIL in this container)
+    dec = multimodal.DecodeImage(strict=True)
+    px = multimodal._synthetic_pixels(np.random.default_rng(0), 4, 4)
+    ok = pa.table(
+        {"media_id": pa.array([0], pa.int64()), "payload": pa.array([multimodal.encode_bmp(px)], pa.binary()),
+         "width": pa.array([4], pa.int32()), "height": pa.array([4], pa.int32())}
+    )
+    assert dec(ok).num_rows == 1
+    bad = ok.set_column(1, "payload", pa.array([b"\xff\xd8\xff fake-jpeg"], pa.binary()))
+    if multimodal.DecodeImage()._pil is None:
+        with pytest.raises(NotImplementedError):
+            dec(bad)
     with pytest.raises(NotImplementedError):
         multimodal.SampleFrames(strict=True)
+
+
+def test_media_codecs_roundtrip():
+    """BMP/PPM/WAV are REAL library-free codecs: exact round-trip."""
+    rng = np.random.default_rng(3)
+    for h, w in [(1, 1), (5, 7), (32, 17)]:  # odd widths exercise BMP row padding
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(multimodal.decode_bmp(multimodal.encode_bmp(px)), px)
+        assert np.array_equal(multimodal.decode_ppm(multimodal.encode_ppm(px)), px)
+    # PPM with a header comment
+    ppm = b"P6\n# a comment\n3 2\n255\n" + bytes(range(18))
+    assert multimodal.decode_ppm(ppm).shape == (2, 3, 3)
+    mono = rng.integers(-30000, 30000, 1000).astype(np.int16)
+    got, rate = multimodal.decode_wav(multimodal.encode_wav(mono, 8000))
+    assert rate == 8000 and np.array_equal(got[:, 0], mono)
+    stereo = rng.integers(-30000, 30000, (500, 2)).astype(np.int16)
+    got2, rate2 = multimodal.decode_wav(multimodal.encode_wav(stereo, 44100))
+    assert rate2 == 44100 and np.array_equal(got2, stereo)
+
+
+def test_image_decode_exact_roundtrip(ray_session):
+    """Decoded pixels equal the generated pixels exactly (not a fake)."""
+    import ray.data
+
+    rng = np.random.default_rng(7)
+    px = multimodal._synthetic_pixels(rng, 10, 6)
+    tbl = pa.table(
+        {"media_id": pa.array([0, 1], pa.int64()),
+         "payload": pa.array([multimodal.encode_bmp(px), multimodal.encode_ppm(px)], pa.binary()),
+         "width": pa.array([6, 6], pa.int32()), "height": pa.array([10, 10], pa.int32())}
+    )
+    out = pa.concat_tables(list(
+        ray.data.from_arrow(tbl)
+        .map_batches(multimodal.DecodeImage, fn_constructor_kwargs={"strict": True}, batch_format="pyarrow", concurrency=2)
+        .iter_batches(batch_size=100, batch_format="pyarrow")
+    ))
+    for blob in out["pixels"]:
+        assert np.array_equal(np.frombuffer(blob.as_py(), np.uint8).reshape(10, 6, 3), px)
+
+
+def test_audio_pipeline_features(ray_session):
+    import ray.data
+
+    tbl = multimodal.synthetic_audio_table(8)
+    out = pa.concat_tables(list(
+        ray.data.from_arrow(tbl)
+        .map_batches(multimodal.DecodeAudio, batch_format="pyarrow", batch_size=multimodal.RECOMMENDED_BATCH_SIZE, concurrency=2)
+        .map_batches(multimodal.AudioFeatures, batch_format="pyarrow", concurrency=2)
+        .iter_batches(batch_size=100, batch_format="pyarrow")
+    ))
+    assert out.num_rows == 8
+    for f in out["features"].to_pylist():
+        dur, rms, peak, zcr = f
+        assert 0.2 <= dur <= 1.1 and 0 < rms < peak <= 1.0 and 0 <= zcr <= 1.0
 
 
 def test_frame_sampling_stub():
