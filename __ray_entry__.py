@@ -621,6 +621,37 @@ def _q_quantile_quantity_lineitem(sf_dir: str):
     return pa.Table.from_pylist([{"q25": round(q25, 6), "q50": round(q50, 6), "q90": round(q90, 6), "q99": round(q99, 6)}])
 
 
+def _q_semi_anti_join_customers(sf_dir: str):
+    """Broadcast semi + anti join: customers WITH orders vs WITHOUT, counted
+    per market segment. The distinct o_custkey set broadcasts once; the
+    customer side never shuffles; duplicate build keys are legal for
+    existence checks."""
+    import pyarrow.parquet as pq
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from orc_format_ray.ops import join as j
+
+    import pyarrow.compute as _pc
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    orders = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    # restrict to high-value orders so both join sides are non-empty
+    hi = orders.filter(_pc.greater_equal(orders["o_totalprice"], 150_000.0))
+    semi = j.broadcast_join(cust, hi, key="c_custkey", small_key="o_custkey", how="semi")
+    anti = j.broadcast_join(cust, hi, key="c_custkey", small_key="o_custkey", how="anti")
+    a = semi.groupby("c_mktsegment").aggregate(Count(alias_name="with_orders")).to_pandas()
+    totals = cust.groupby("c_mktsegment").aggregate(Count(alias_name="total")).to_pandas()
+    out = totals.merge(a, on="c_mktsegment", how="left").fillna(0)
+    out["with_orders"] = out["with_orders"].astype("int64")
+    out["without_orders"] = (out["total"] - out["with_orders"]).astype("int64")
+    # semi and anti partition the input: the anti side's row count must equal
+    # the derived complement exactly (an empty anti Dataset has no schema to
+    # group by, so the complement is computed rather than grouped)
+    assert anti.count() == int(out["without_orders"].sum())
+    return out[["c_mktsegment", "with_orders", "without_orders"]].sort_values("c_mktsegment").reset_index(drop=True)
+
+
 def _q_orc_pushdown_filter(sf_dir: str):
     """Predicate pushdown via our own ORC ROW_INDEX statistics: lineitem ->
     real ORC (row index on), read back with read_orc_filtered, which prunes
@@ -831,6 +862,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orc_lineitem_roundtrip": _q_orc_lineitem_roundtrip,
         "broadcast_join_orders_customer": _q_broadcast_join_orders_customer,
         "hash_join_lineitem_orders": _q_hash_join_lineitem_orders,
+        "semi_anti_join_customers": _q_semi_anti_join_customers,
         "sliding_window_events": _q_sliding_window_events,
         "session_window_events": _q_session_window_events,
         "topk_users_by_value": _q_topk_users_by_value,
@@ -1006,6 +1038,12 @@ def oracle_sql() -> dict[str, str]:
         "hash_join_lineitem_orders": (
             "SELECT o_orderpriority, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority"
+        ),
+        "semi_anti_join_customers": (
+            "SELECT c_mktsegment, "
+            "CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice >= 150000.0) THEN 1 ELSE 0 END) AS BIGINT) AS with_orders, "
+            "CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice >= 150000.0) THEN 1 ELSE 0 END) AS BIGINT) AS without_orders "
+            "FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"
         ),
         "sliding_window_events": (
             "SELECT event_type, (epoch_ms(ts) // 3600000) * 3600000 - k * 3600000 AS window_start_ms, "

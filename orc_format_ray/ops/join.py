@@ -44,11 +44,14 @@ class _BroadcastProbe:
     def __call__(self, batch: pa.Table) -> pa.Table:
         probe = batch[self.key].combine_chunks().to_numpy(zero_copy_only=False)
         if len(self.sorted_keys) == 0:
-            # empty build side: inner -> no rows, left -> all-null build cols
-            if self.how == "inner":
+            # empty build side: inner/semi -> no rows, anti -> everything,
+            # left -> all-null build cols
+            if self.how in ("inner", "semi"):
                 batch = batch.slice(0, 0)
-            elif self.how != "left":
+            elif self.how not in ("left", "anti"):
                 raise ValueError(f"how={self.how!r}")
+            if self.how in ("semi", "anti"):
+                return batch
             out = batch
             for f in self.build.schema:
                 if f.name == self.build_key:
@@ -59,6 +62,10 @@ class _BroadcastProbe:
         pos = np.searchsorted(self.sorted_keys, probe)
         pos_c = np.minimum(pos, max(len(self.sorted_keys) - 1, 0))
         hit = (self.sorted_keys[pos_c] == probe) if len(self.sorted_keys) else np.zeros(len(probe), bool)
+        if self.how == "semi":
+            return batch.filter(pa.array(hit))
+        if self.how == "anti":
+            return batch.filter(pa.array(~hit))
         build_rows = self.row_of[pos_c]
         if self.how == "inner":
             batch = batch.filter(pa.array(hit))
@@ -87,15 +94,22 @@ class _BroadcastProbe:
 def broadcast_join(big_ds, small: pa.Table, key: str, small_key: str | None = None, how: str = "inner"):
     """Join a (large, streaming) Dataset against a small in-memory table.
 
-    The small side must have UNIQUE keys (dimension-table contract; checked).
-    Returns a Dataset; the big side never shuffles.
+    ``how``: inner / left (append build columns), semi / anti (pure
+    existence filter — no build columns appended, duplicate build keys
+    allowed). For inner/left the small side must have UNIQUE keys
+    (dimension-table contract; checked). Returns a Dataset; the big side
+    never shuffles.
     """
     import ray
 
     small_key = small_key or key
-    nk = len(pc.unique(small[small_key]))
-    if nk != small.num_rows:
-        raise ValueError(f"small side has duplicate keys ({small.num_rows - nk} dups) — broadcast_join requires unique build keys")
+    if how in ("semi", "anti"):
+        # existence check only: dedupe keys, drop payload columns
+        small = pa.table({small_key: pc.unique(small[small_key])})
+    else:
+        nk = len(pc.unique(small[small_key]))
+        if nk != small.num_rows:
+            raise ValueError(f"small side has duplicate keys ({small.num_rows - nk} dups) — broadcast_join requires unique build keys")
     ref = ray.put(small.combine_chunks())
     return big_ds.map_batches(
         _BroadcastProbe,

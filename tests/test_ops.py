@@ -413,6 +413,23 @@ def test_broadcast_join_empty_build(ray_session):
     assert left["name"].null_count == 3
 
 
+def test_broadcast_semi_anti_join(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops import join as j
+
+    big = ray.data.from_arrow(pa.table({"k": [1, 2, 3, 4, 5], "x": list("abcde")}))
+    small = pa.table({"k": [1, 3, 3, 1], "junk": [0, 1, 2, 3]})  # dup keys legal for existence
+    semi = j.broadcast_join(big, small, key="k", how="semi").to_pandas()
+    anti = j.broadcast_join(big, small, key="k", how="anti").to_pandas()
+    assert sorted(semi["k"]) == [1, 3] and list(semi.columns) == ["k", "x"]
+    assert sorted(anti["k"]) == [2, 4, 5]
+    # empty build: semi -> nothing, anti -> everything
+    empty = pa.table({"k": pa.array([], pa.int64())})
+    assert j.broadcast_join(big, empty, key="k", how="semi").count() == 0
+    assert j.broadcast_join(big, empty, key="k", how="anti").count() == 5
+
+
 def test_hash_join_matches_pandas(ray_session):
     import ray.data
 
