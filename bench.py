@@ -61,9 +61,13 @@ def _headline() -> dict:
     out_dir = f"/tmp/orc_bench_out_{NUM_CPUS}"
     shutil.rmtree(out_dir, ignore_errors=True)
 
-    # budget: enough partitions to keep every core busy (>=3 waves at 32 cpus),
-    # capped at the production 64 MiB stripe budget
-    budget = int(os.environ.get("BENCH_BUDGET", min(64 * 1024 * 1024, max(2 * 1024 * 1024, total_tokens * 4 // 96))))
+    # budget: enough partitions for >=3 waves at 32 cpus on small corpora,
+    # CAPPED at 4 MiB so partition COUNT (not size) grows with the input —
+    # measured: 4M-token partitions encode ~2x slower wall at 4x scale than
+    # 4x as many 1M-token partitions (worse wave packing + p99 stragglers;
+    # see BASELINE.md round 3). Production stripe sizing is the caller's
+    # budget_bytes; compact_stripes handles file-count hygiene.
+    budget = int(os.environ.get("BENCH_BUDGET", min(4 * 1024 * 1024, max(2 * 1024 * 1024, total_tokens * 4 // 96))))
 
     # untimed warmup: spins up workers + runtime envs + imports so the timed
     # section measures compute, not process startup
