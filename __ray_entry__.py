@@ -745,6 +745,42 @@ def _q_minhash_dedup_pairs(sf_dir: str):
     return tbl.to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True) if tbl.num_rows else tbl.to_pandas()
 
 
+def _q_minhash_dedup_planted(sf_dir: str):
+    """MinHash dedup with a DETERMINISTIC answer: copy the 5 lowest-doc_id
+    documents whose text is unique in the corpus (ids +1,000,000). Identical
+    texts share every LSH band, so the full shingle->minhash->LSH->verify
+    pipeline must confirm exactly those 5 pairs at jaccard 1.0 among pairs
+    touching a planted id — SQL reproduces the construction by joining on
+    text equality."""
+    import pandas as pd
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from orc_format_ray.ops import dedup
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    # texts occurring exactly once, 5 lowest doc_ids (mirrors the SQL CTE)
+    counts = docs.group_by("text").aggregate([("doc_id", "count"), ("doc_id", "min")])
+    uniq = counts.filter(_pc.equal(counts["doc_id_count"], 1))
+    chosen = uniq.sort_by("doc_id_min").slice(0, 5)
+    copies = pa.table(
+        {
+            "doc_id": pa.array([v + 1_000_000 for v in chosen["doc_id_min"].to_pylist()], pa.int64()),
+            "text": chosen["text"],
+        }
+    )
+    aug = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).union(
+        ray.data.from_arrow(copies)
+    )
+    tbl = dedup.minhash_dedup(aug, threshold=0.99)
+    df = tbl.to_pandas()
+    if len(df) == 0:
+        return pd.DataFrame({"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64")})
+    df = df[(df["doc_b"] >= 1_000_000) & (df["doc_a"] < 1_000_000)]
+    return df[["doc_a", "doc_b"]].drop_duplicates().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
 def _q_ivf_ann_topk(sf_dir: str):
     """IVF as a real index: bucket-partitioned build (one-time shuffle), then
     queries read ONLY the nprobe probed bucket files."""
@@ -881,6 +917,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_documents": _q_langid_documents,
         "fingerprint_documents": _q_fingerprint_documents,
         "ivf_ann_topk": _q_ivf_ann_topk,
+        "minhash_dedup_planted": _q_minhash_dedup_planted,
         "ivf_ann_exhaustive": _q_ivf_ann_exhaustive,
         "multimodal_features": _q_multimodal_features,
         "audio_features": _q_audio_features,
@@ -972,6 +1009,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(row_number() OVER (ORDER BY list_cosine_similarity(embedding, "
             f"{_ANN_VEC_SQL}) DESC, vec_id) AS BIGINT) AS rank, vec_id FROM embeddings "
             "ORDER BY rank LIMIT 10"
+        ),
+        # planted exact-copy docs make the full MinHash pipeline deterministic
+        "minhash_dedup_planted": (
+            "WITH uniq AS (SELECT text FROM documents GROUP BY text HAVING count(*) = 1), "
+            "chosen AS (SELECT d.doc_id, d.text FROM documents d JOIN uniq u ON d.text = u.text "
+            "ORDER BY d.doc_id LIMIT 5) "
+            "SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b FROM chosen ORDER BY doc_a"
         ),
         # planted exact copies make the LSH near-dup answer deterministic
         "embedding_near_dups_planted": (
