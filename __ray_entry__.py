@@ -261,6 +261,38 @@ def _q_simhash_pairs(sf_dir: str):
     return df.reset_index(drop=True)
 
 
+def _q_simhash_planted(sf_dir: str):
+    """SimHash with a DETERMINISTIC answer: identical texts hash to identical
+    64-bit signatures (hamming 0), so copies of the 5 lowest unique-text docs
+    must appear as candidate pairs — the same planted construction SQL can
+    reproduce by text equality."""
+    import pandas as pd
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from orc_format_ray.ops import dedup
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    counts = docs.group_by("text").aggregate([("doc_id", "count"), ("doc_id", "min")])
+    uniq = counts.filter(_pc.equal(counts["doc_id_count"], 1))
+    chosen = uniq.sort_by("doc_id_min").slice(0, 5)
+    copies = pa.table(
+        {
+            "doc_id": pa.array([v + 1_000_000 for v in chosen["doc_id_min"].to_pylist()], pa.int64()),
+            "text": chosen["text"],
+        }
+    )
+    aug = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).union(
+        ray.data.from_arrow(copies)
+    )
+    df = dedup.simhash_candidates(aug).to_pandas()
+    if len(df) == 0:
+        return pd.DataFrame({"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64")})
+    df = df[(df["hamming"] == 0) & (df["doc_b"] >= 1_000_000) & (df["doc_a"] < 1_000_000)]
+    return df[["doc_a", "doc_b"]].drop_duplicates().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
 def _q_embedding_near_dups(sf_dir: str):
     import ray.data
 
@@ -912,6 +944,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # non-SQL-expressible (rows-only checks)
         "minhash_candidates": _q_minhash_candidates,
         "simhash_pairs": _q_simhash_pairs,
+        "simhash_planted": _q_simhash_planted,
         "embedding_near_dups": _q_embedding_near_dups,
         "embedding_near_dups_planted": _q_embedding_near_dups_planted,
         "langid_documents": _q_langid_documents,
@@ -1009,6 +1042,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(row_number() OVER (ORDER BY list_cosine_similarity(embedding, "
             f"{_ANN_VEC_SQL}) DESC, vec_id) AS BIGINT) AS rank, vec_id FROM embeddings "
             "ORDER BY rank LIMIT 10"
+        ),
+        # identical texts -> identical simhash: planted copies are exact pairs
+        "simhash_planted": (
+            "WITH uniq AS (SELECT text FROM documents GROUP BY text HAVING count(*) = 1), "
+            "chosen AS (SELECT d.doc_id, d.text FROM documents d JOIN uniq u ON d.text = u.text "
+            "ORDER BY d.doc_id LIMIT 5) "
+            "SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b FROM chosen ORDER BY doc_a"
         ),
         # planted exact-copy docs make the full MinHash pipeline deterministic
         "minhash_dedup_planted": (

@@ -821,7 +821,15 @@ def _orc_kind_safe(t: pa.DataType) -> str:
 # ------------------------------------------------------------- Ray sink
 
 
-def write_orc_dataset(ds, out_dir: str, compression: str = "zstd", level: int = 3, stripe_rows: int = 250_000):
+def write_orc_dataset(
+    ds,
+    out_dir: str,
+    compression: str = "zstd",
+    level: int = 3,
+    stripe_rows: int = 250_000,
+    row_index_stride: int = 10_000,
+    dictionary_ratio: float = 0.5,
+):
     """Ray Data sink: one real ORC file per Dataset block (actor pool).
 
     Content-hashed names make re-writes idempotent; returns the lineage
@@ -845,7 +853,10 @@ def write_orc_dataset(ds, out_dir: str, compression: str = "zstd", level: int = 
                         digest.update(bufo)
         name = f"part-{digest.hexdigest()[:32]}-{batch.num_rows}.orc"
         path = os.path.join(out_dir, name)
-        info = write_orc(batch, path, compression, level, stripe_rows=stripe_rows)
+        info = write_orc(
+            batch, path, compression, level, stripe_rows=stripe_rows,
+            row_index_stride=row_index_stride, dictionary_ratio=dictionary_ratio,
+        )
         return pa.Table.from_pylist([{"path": path, "num_rows": info["num_rows"], "file_bytes": info["file_bytes"]}])
 
     # stateless task pool: no per-actor state, and fixed actor pools compose
