@@ -421,7 +421,7 @@ def read_orc_native(path_or_bytes, columns: list[str] | None = None, row_groups:
         return _read_orc_src(src, columns, row_groups)
 
 
-def _read_orc_src(src: _Source, columns: list[str] | None, row_groups: list[int] | None) -> pa.Table:
+def _read_orc_src(src: _Source, columns: list[str] | None, row_groups: list[int] | None, stripe_idxs: list[int] | None = None) -> pa.Table:
     tail = _parse_tail(src)
     comp = tail["compression"]
     types = tail["types"]
@@ -438,8 +438,9 @@ def _read_orc_src(src: _Source, columns: list[str] | None, row_groups: list[int]
     if row_groups is not None:
         return _read_row_groups(src, tail, wanted, spans, row_groups)
 
+    stripes = tail["stripes"] if stripe_idxs is None else [tail["stripes"][i] for i in stripe_idxs]
     per_stripe_arrays: list[list[pa.Array]] = []
-    for si in tail["stripes"]:
+    for si in stripes:
         stream_list, encodings, raw_spans = _parse_stripe_footer(src, si, comp)
         streams: dict[int, dict[int, bytes]] = {}
         for (kind, col, ln), (pos, _ln) in zip(stream_list, raw_spans):
@@ -693,8 +694,9 @@ def read_orc_filtered(path_or_bytes, predicate: tuple, columns: list[str] | None
             total = scanned = max(1, len(tail["stripes"]))
         else:
             selected: list[int] = []
+            sel_stripes: set[int] = set()
             gbase = 0
-            for si in tail["stripes"]:
+            for sidx, si in enumerate(tail["stripes"]):
                 groups = (si["num_rows"] + stride - 1) // stride
                 stream_list, _enc, raw_spans = _parse_stripe_footer(src, si, comp)
                 entries_stats: list[bytes] = []
@@ -707,6 +709,7 @@ def read_orc_filtered(path_or_bytes, predicate: tuple, columns: list[str] | None
                     mm = _entry_minmax(entries_stats[k], t_kind) if k < len(entries_stats) else "unprunable"
                     if _range_may_match(op, value, mm):
                         selected.append(gbase + k)
+                        sel_stripes.add(sidx)
                 gbase += groups
             total = gbase
             scanned = len(selected)
@@ -714,7 +717,13 @@ def read_orc_filtered(path_or_bytes, predicate: tuple, columns: list[str] | None
             if read_cols is not None:
                 wanted = [i for i, nm in enumerate(root.field_names) if nm in read_cols]
             if selected:
-                tbl = _read_row_groups(src, tail, wanted, spans, selected)
+                try:
+                    tbl = _read_row_groups(src, tail, wanted, spans, selected)
+                except NotImplementedError:
+                    # foreign writer: groups start mid-RLE-run, so seek at
+                    # group granularity is impossible — still prune at STRIPE
+                    # granularity (the exact post-filter keeps correctness)
+                    tbl = _read_orc_src(src, read_cols, None, stripe_idxs=sorted(sel_stripes))
             else:
                 empties = []
                 for i in wanted:

@@ -201,6 +201,46 @@ def test_predicate_pushdown_prunes_row_groups(tmp_path):
     assert t["v"].to_pylist() == list(range(45000, 50000))
 
 
+def test_predicate_pushdown_foreign_file_stripe_fallback(tmp_path):
+    """Pushdown on an Apache-C++-written file: its row groups start mid-RLE-
+    run (group seek impossible), so pruning falls back to STRIPE granularity
+    — still correct, still skipping most of the decompression."""
+    from orc_format_ray import orcread
+    from orc_format_ray.orcread import read_orc_filtered
+
+    n = 120000
+    rng2 = np.random.default_rng(4)
+    tbl = pa.table(
+        {
+            "v": pa.array(range(n), type=pa.int64()),
+            "s": pa.array(["".join(chr(97 + c) for c in rng2.integers(0, 26, 40)) for _ in range(n)]),
+        }
+    )
+    path = str(tmp_path / "cpp_pred.orc")
+    po.write_table(tbl, path, compression="zstd", stripe_size=512 * 1024)
+    assert po.ORCFile(path).nstripes >= 3
+
+    calls = {"x": 0}
+    orig = orcread._decompress_block
+
+    def counting(kind, block):
+        calls["x"] += len(block)
+        return orig(kind, block)
+
+    orcread._decompress_block = counting
+    try:
+        t, st = read_orc_filtered(path, ("v", ">=", n - 5000))
+        pruned = calls["x"]
+        calls["x"] = 0
+        orcread.read_orc_native(path)
+        full = calls["x"]
+    finally:
+        orcread._decompress_block = orig
+    assert t["v"].to_pylist() == list(range(n - 5000, n))
+    assert st["groups_read"] < st["groups_total"]
+    assert pruned < full / 3, (pruned, full)
+
+
 def test_native_reads_cpp_file_with_bloom_filters(tmp_path):
     """Files carrying BLOOM_FILTER (kind 7/8) streams must read correctly —
     the stream whitelist (orcread kinds 0,1,2,3,5) must neither deframe nor
