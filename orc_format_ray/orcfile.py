@@ -870,7 +870,13 @@ def write_orc_dataset(
     )
 
 
-def read_orc_dataset(path_or_dir: str, columns: list[str] | None = None, native: bool = False, split_row_groups: bool = False):
+def read_orc_dataset(
+    path_or_dir: str,
+    columns: list[str] | None = None,
+    native: bool = False,
+    split_row_groups: bool = False,
+    predicate: tuple | None = None,
+):
     """ORC files -> streaming Ray Dataset (projection pushed to the reader).
 
     ``native=True`` decodes with this repo's own parser + codec kernels
@@ -879,19 +885,32 @@ def read_orc_dataset(path_or_dir: str, columns: list[str] | None = None, native:
     (native only) makes the unit of parallelism a ROW GROUP instead of a
     file: the driver reads only each file's tail to count groups, and every
     task seeks its group via the ROW_INDEX — how a 100-TB scan of few huge
-    ORC files still fans out across the cluster."""
+    ORC files still fans out across the cluster. ``predicate=(col, op, lit)``
+    (native only) pushes a filter into every reader task via the ROW_INDEX
+    statistics (read_orc_filtered): pruned row groups are never fetched."""
     import glob
     import os
 
     import ray.data
 
     from ._rayutil import remote_args
-    from .orcread import _parse_tail, _Source, read_orc_native
+    from .orcread import _parse_tail, _Source, read_orc_filtered, read_orc_native
 
     if os.path.isdir(path_or_dir):
         paths = sorted(glob.glob(os.path.join(path_or_dir, "*.orc")))
     else:
         paths = [path_or_dir]
+
+    if predicate is not None:
+        if not native:
+            raise ValueError("predicate pushdown requires native=True")
+        ds = ray.data.from_items([{"path": p} for p in paths])
+
+        def dec_pred(batch: pa.Table) -> pa.Table:
+            tables = [read_orc_filtered(p.as_py(), predicate, columns=columns)[0] for p in batch["path"]]
+            return pa.concat_tables(tables) if len(tables) > 1 else tables[0]
+
+        return ds.map_batches(dec_pred, batch_format="pyarrow", batch_size=1, **remote_args())
 
     if split_row_groups:
         if not native:

@@ -351,6 +351,18 @@ def test_orc_source_split_row_groups(ray_session, tmp_path):
     assert ds2.count() == 1500
 
 
+def test_orc_source_predicate_pushdown(ray_session, tmp_path):
+    """Ray ORC source with predicate pushdown: each reader task prunes row
+    groups via the index stats before decoding."""
+    tbl = pa.table({"v": pa.array(range(30000), type=pa.int64()), "s": pa.array([f"s{i % 9}" for i in range(30000)])})
+    orcfile.write_orc(tbl, str(tmp_path / "a.orc"), compression="zstd", stripe_rows=10000)
+    ds = orcfile.read_orc_dataset(str(tmp_path), native=True, predicate=("v", ">=", 25000), columns=["v"])
+    got = pa.concat_tables(list(ds.iter_batches(batch_size=1 << 20, batch_format="pyarrow")))
+    assert sorted(got["v"].to_pylist()) == list(range(25000, 30000))
+    with pytest.raises(ValueError):
+        orcfile.read_orc_dataset(str(tmp_path), predicate=("v", ">", 1))
+
+
 def test_orc_push_writer_auto_flush(tmp_path):
     """Reference Writer API parity (writer.rs:84-90): pushed batches
     auto-flush stripes at the byte budget; the file is valid ORC."""
