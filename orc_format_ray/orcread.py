@@ -11,7 +11,8 @@ gold-pinned codec kernels. Two jobs:
    with our RLEv2/dictionary kernels is the strongest available evidence the
    kernels implement the public spec, not just our own dialect.
 
-Supported: CompressionKind none/zlib/snappy/zstd; encodings DIRECT,
+Supported: CompressionKind none/zlib/snappy/zstd/lz4 (lz4 via a pure-Python
+block decoder — the format stores no decompressed size); encodings DIRECT,
 DIRECT_V2, DICTIONARY_V2; types boolean/byte/short/int/long/float/double/
 string/char/varchar/binary/date/timestamp/decimal/list/map/struct/union
 (dense, null-free at the union level — Arrow has no top-level union
@@ -93,6 +94,53 @@ _KIND_NAMES = [
 _COMP_NAMES = {0: "none", 1: "zlib", 2: "snappy", 3: "lzo", 4: "lz4", 5: "zstd"}
 
 
+def _lz4_block_decompress(block: bytes) -> bytes:
+    """Pure-Python LZ4 *block* format decoder (public spec: token nibbles,
+    15-extension length bytes, 2-byte little-endian match offsets, matches
+    >= 4). Needed because ORC lz4 chunks carry no decompressed size and
+    pyarrow's lz4_raw zero-pads when given an oversized output bound.
+    Overlapping matches replicate via pattern tiling, so short-period runs
+    stay O(length) instead of byte-at-a-time."""
+    out = bytearray()
+    p = 0
+    n = len(block)
+    while p < n:
+        token = block[p]
+        p += 1
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                b = block[p]
+                p += 1
+                lit += b
+                if b != 255:
+                    break
+        out += block[p : p + lit]
+        p += lit
+        if p >= n:
+            break  # final sequence is literals-only
+        off = block[p] | (block[p + 1] << 8)
+        p += 2
+        if off == 0:
+            raise ValueError("corrupt lz4 block: zero match offset")
+        ml = token & 15
+        if ml == 15:
+            while True:
+                b = block[p]
+                p += 1
+                ml += b
+                if b != 255:
+                    break
+        ml += 4
+        start = len(out) - off
+        if off >= ml:
+            out += out[start : start + ml]
+        else:  # overlapping match: tile the period
+            pattern = out[start:]
+            out += (pattern * (ml // off + 1))[:ml]
+    return bytes(out)
+
+
 def _decompress_block(kind: str, block: bytes) -> bytes:
     if kind == "zlib":
         return _zlib.decompressobj(-15).decompress(block)
@@ -107,8 +155,10 @@ def _decompress_block(kind: str, block: bytes) -> bytes:
         # raw snappy embeds the uncompressed length as a leading varint
         usize, _ = _uv(block, 0)
         return pa_.Codec("snappy").decompress(block, decompressed_size=usize).to_pybytes()
-    # lzo/lz4: block formats whose exact uncompressed size is unrecoverable
-    # from the block alone (pyarrow's lz4_raw zero-pads on oversize)
+    if kind == "lz4":
+        return _lz4_block_decompress(block)
+    # lzo: no library in this environment and the block format's uncompressed
+    # size is unrecoverable; genuinely unsupported
     raise NotImplementedError(f"compression {kind}")
 
 

@@ -41,7 +41,7 @@ _NULLS_TBL = pa.table(
 )
 
 
-@pytest.mark.parametrize("comp", ["uncompressed", "zlib", "snappy", "zstd"])
+@pytest.mark.parametrize("comp", ["uncompressed", "zlib", "snappy", "zstd", "lz4"])
 def test_native_reads_orc_cpp_files(tmp_path, comp):
     """The conformance anchor: Apache C++ writes RLEv2 + dictionary encodings;
     our kernels must decode them (multi-stripe via tiny stripe_size)."""
@@ -98,6 +98,25 @@ def test_native_projection_and_tokens(tmp_path):
     proj = read_orc_native(path, columns=["source", "n_tok"])
     assert set(proj.schema.names) == {"source", "n_tok"}  # file order, like pyarrow
     assert proj["n_tok"].combine_chunks().cast(pa.int32()).equals(tbl["n_tok"].combine_chunks())
+
+
+def test_lz4_block_decoder_matches_pyarrow_compressor():
+    """The pure-Python LZ4 block decoder round-trips pyarrow's lz4_raw
+    compressor output, incl. overlapping matches (short-period runs)."""
+    from orc_format_ray.orcread import _lz4_block_decompress
+
+    cases = [
+        b"",
+        b"x",
+        b"hello world " * 500,
+        bytes(range(256)) * 20,
+        b"a" * 10000,  # period-1 overlap
+        b"ab" * 5000,  # period-2 overlap
+        np.random.default_rng(1).integers(0, 256, 4096, dtype=np.uint8).tobytes(),  # incompressible
+    ]
+    for raw in cases:
+        comp = pa.Codec("lz4_raw").compress(raw).to_pybytes()
+        assert _lz4_block_decompress(comp) == raw, len(raw)
 
 
 def test_row_group_seek_exact_and_sliced(tmp_path):
