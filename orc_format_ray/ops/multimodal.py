@@ -2,11 +2,10 @@
 with typed metadata, processed by actor-pool `map_batches` stages.
 
 Decode is REAL for the library-free formats — BMP (24-bit uncompressed),
-PPM (P6) and WAV (PCM16) are parsed with struct+numpy from their public
-specs; compressed formats (JPEG/PNG/...) use PIL when importable, else a
-clearly-marked deterministic fake (or NotImplementedError when
-``strict=True``). Video frame extraction remains a STUB (no video library
-in this container); its chunking plumbing is the tested contract.
+PPM (P6), WAV (PCM16) and Y4M (YUV4MPEG2 raw video) are parsed with
+struct+numpy from their public specs; compressed formats (JPEG/PNG/mp4/...)
+use PIL when importable, else a clearly-marked deterministic fake (or
+NotImplementedError when ``strict=True``).
 
 Scale notes: binary payloads make rows wide; stages default to small
 ``batch_size`` so batch x concurrency fits the worker heap, and outputs keep
@@ -85,6 +84,56 @@ def decode_ppm(b: bytes) -> np.ndarray:
     if maxval != 255:
         raise NotImplementedError("PPM maxval != 255")
     return np.frombuffer(b, np.uint8, h * w * 3, p).reshape(h, w, 3).copy()
+
+
+def encode_y4m(frames: np.ndarray, fps: int = 30) -> bytes:
+    """(n_frames, h, w) uint8 grayscale -> YUV4MPEG2 (C420, neutral chroma).
+
+    Y4M is a pure-text-header raw video format (public spec): one stream
+    header line, then per frame a ``FRAME\\n`` marker + planar YUV420 bytes.
+    """
+    n, h, w = frames.shape
+    if h % 2 or w % 2:
+        raise ValueError("Y4M C420 needs even dimensions")
+    hdr = f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 C420\n".encode()
+    chroma = np.full((h // 2) * (w // 2), 128, np.uint8).tobytes()
+    parts = [hdr]
+    for f in frames:
+        parts.append(b"FRAME\n")
+        parts.append(f.tobytes())
+        parts.append(chroma)  # U plane
+        parts.append(chroma)  # V plane
+    return b"".join(parts)
+
+
+def decode_y4m(b: bytes) -> tuple[np.ndarray, int]:
+    """YUV4MPEG2 (C420) -> ((n_frames, h, w) uint8 luma planes, fps)."""
+    if not b.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    eol = b.index(b"\n")
+    w = h = fps = None
+    for tok in b[9:eol].split():
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"F":
+            fps = int(tok[1:].split(b":")[0])
+        elif tok[:1] == b"C" and tok not in (b"C420", b"C420jpeg", b"C420mpeg2", b"C420paldv"):
+            raise NotImplementedError(f"Y4M chroma {tok!r}: only C420 variants")
+    if w is None or h is None:
+        raise ValueError("Y4M header missing W/H")
+    frame_bytes = h * w + 2 * (h // 2) * (w // 2)
+    p = eol + 1
+    frames = []
+    while p < len(b):
+        fe = b.index(b"\n", p)  # FRAME line (may carry parameters)
+        if b[p : p + 5] != b"FRAME":
+            raise ValueError("corrupt Y4M: missing FRAME marker")
+        p = fe + 1
+        frames.append(np.frombuffer(b, np.uint8, h * w, p).reshape(h, w))
+        p += frame_bytes
+    return (np.stack(frames) if frames else np.zeros((0, h, w), np.uint8)), (fps or 30)
 
 
 def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
@@ -228,32 +277,50 @@ class ImageFeatures:
 
 
 class SampleFrames:
-    """Video frame sampling STUB: emits every Nth 'frame' (payload chunk).
+    """Video frame sampling: every Nth frame as a row.
 
-    Real frame extraction requires a video library; the chunking plumbing
-    (one row per sampled frame, frame_index column) is the tested contract.
+    Y4M (YUV4MPEG2) payloads are REALLY decoded (library-free raw format,
+    parser above) — the emitted ``frame`` is the luma plane bytes with
+    width/height columns. Other containers (mp4/webm/...) need a video
+    library this environment lacks: ``strict=True`` raises for them,
+    otherwise a clearly-marked chunking STUB emits fixed-size payload slices.
     """
 
     def __init__(self, every_n: int = 10, frame_bytes: int = 1024, strict: bool = False):
-        if strict:
-            raise NotImplementedError("video decoding library not available in this environment")
         self.every_n = every_n
         self.frame_bytes = frame_bytes
+        self.strict = strict
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, frames, idxs = [], [], []
+        ids, frames, idxs, ws, hs = [], [], [], [], []
         for mid, blob in zip(batch["media_id"], batch["payload"]):
             data = blob.as_py()
+            if data.startswith(b"YUV4MPEG2"):
+                planes, _fps = decode_y4m(data)
+                for fi in range(0, len(planes), self.every_n):
+                    ids.append(mid.as_py())
+                    idxs.append(fi)
+                    frames.append(planes[fi].tobytes())
+                    hs.append(planes.shape[1])
+                    ws.append(planes.shape[2])
+                continue
+            if self.strict:
+                raise NotImplementedError("payload is not Y4M and no video library is available")
+            # STUB: fixed-size payload chunks stand in for frames
             n_frames = max(1, len(data) // self.frame_bytes)
             for fi in range(0, n_frames, self.every_n):
                 ids.append(mid.as_py())
                 idxs.append(fi)
                 frames.append(data[fi * self.frame_bytes : (fi + 1) * self.frame_bytes])
+                ws.append(0)
+                hs.append(0)
         return pa.table(
             {
                 "media_id": pa.array(ids, type=pa.int64()),
                 "frame_index": pa.array(idxs, type=pa.int32()),
                 "frame": pa.array(frames, type=pa.binary()),
+                "width": pa.array(ws, type=pa.int32()),
+                "height": pa.array(hs, type=pa.int32()),
             }
         )
 
@@ -345,6 +412,22 @@ def synthetic_media_table(n: int = 32, seed: int = 11) -> pa.Table:
             "width": pa.array(np.asarray(ws, dtype=np.int32)),
             "height": pa.array(np.asarray(hs, dtype=np.int32)),
         }
+    )
+
+
+def synthetic_video_table(n: int = 8, seed: int = 13) -> pa.Table:
+    """Deterministic REAL Y4M clips (moving-gradient grayscale frames)."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        h = int(rng.integers(4, 17)) * 2
+        w = int(rng.integers(4, 17)) * 2
+        nf = int(rng.integers(5, 40))
+        yy, xx = np.mgrid[0:h, 0:w]
+        frames = ((xx[None] * 7 + yy[None] * 3 + np.arange(nf)[:, None, None] * 11) % 256).astype(np.uint8)
+        rows.append({"media_id": i, "payload": encode_y4m(frames, fps=24), "media_type": "video/x-yuv4mpeg"})
+    return pa.Table.from_pylist(rows).cast(
+        pa.schema([("media_id", pa.int64()), ("payload", pa.binary()), ("media_type", pa.string())])
     )
 
 

@@ -194,8 +194,10 @@ def test_multimodal_strict_raises():
     if multimodal.DecodeImage()._pil is None:
         with pytest.raises(NotImplementedError):
             dec(bad)
+    # strict frame sampler: Y4M decodes for real; other containers raise
+    sf = multimodal.SampleFrames(strict=True)
     with pytest.raises(NotImplementedError):
-        multimodal.SampleFrames(strict=True)
+        sf(pa.table({"media_id": pa.array([0], pa.int64()), "payload": pa.array([b"\x00mp4-ish junk"], pa.binary())}))
 
 
 def test_media_codecs_roundtrip():
@@ -253,10 +255,32 @@ def test_audio_pipeline_features(ray_session):
 
 
 def test_frame_sampling_stub():
+    # non-Y4M payloads fall to the chunking stub (non-strict)
     tbl = multimodal.synthetic_media_table(4)
     out = multimodal.SampleFrames(every_n=2, frame_bytes=256)(tbl)
     assert out.num_rows >= 4
-    assert set(out.schema.names) == {"media_id", "frame_index", "frame"}
+    assert set(out.schema.names) == {"media_id", "frame_index", "frame", "width", "height"}
+
+
+def test_y4m_roundtrip_and_real_frame_sampling():
+    """Y4M is a REAL library-free video codec: exact luma round-trip, and
+    SampleFrames extracts genuine frames with width/height."""
+    rng2 = np.random.default_rng(5)
+    frames = rng2.integers(0, 256, (12, 10, 16), dtype=np.uint8)
+    blob = multimodal.encode_y4m(frames, fps=25)
+    got, fps = multimodal.decode_y4m(blob)
+    assert fps == 25 and np.array_equal(got, frames)
+
+    tbl = multimodal.synthetic_video_table(4)
+    out = multimodal.SampleFrames(every_n=3, strict=True)(tbl)  # strict ok: payloads are real Y4M
+    assert out.num_rows > 4
+    # every emitted frame reconstructs exactly from its source clip
+    by_id = {r["media_id"]: r for r in tbl.to_pylist()}
+    for row in out.to_pylist():
+        planes, _ = multimodal.decode_y4m(by_id[row["media_id"]]["payload"])
+        exp = planes[row["frame_index"]]
+        assert row["height"] == exp.shape[0] and row["width"] == exp.shape[1]
+        assert np.array_equal(np.frombuffer(row["frame"], np.uint8).reshape(exp.shape), exp)
 
 
 def test_minhash_dedup_verified_pairs(ray_session):
