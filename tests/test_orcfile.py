@@ -363,6 +363,53 @@ def test_orc_source_predicate_pushdown(ray_session, tmp_path):
         orcfile.read_orc_dataset(str(tmp_path), predicate=("v", ">", 1))
 
 
+def test_orc_fuzz_roundtrip_both_readers(tmp_path):
+    """Deterministic-random tables (mixed types, nulls, random stripe cuts)
+    must round-trip through real ORC via pyarrow AND the native reader, and
+    every row group must seek-decode exactly."""
+    rng2 = np.random.default_rng(17)
+    for trial in range(6):
+        n = int(rng2.integers(50, 4000))
+        cols = {}
+        if rng2.random() < 0.9:
+            cols["i"] = pa.array([None if rng2.random() < 0.1 else int(v) for v in rng2.integers(-(2**40), 2**40, n)], type=pa.int64())
+        if rng2.random() < 0.9:
+            cols["s"] = pa.array([None if rng2.random() < 0.15 else "v" * int(rng2.integers(0, 9)) + str(int(v)) for v in rng2.integers(0, 50, n)])
+        if rng2.random() < 0.6:
+            cols["f"] = pa.array([None if rng2.random() < 0.1 else float(v) for v in rng2.normal(0, 1e6, n)], type=pa.float64())
+        if rng2.random() < 0.6:
+            cols["lst"] = pa.array([None if rng2.random() < 0.2 else list(range(int(rng2.integers(0, 5)))) for _ in range(n)], type=pa.list_(pa.int32()))
+        if rng2.random() < 0.5:
+            cols["b"] = pa.array([None if rng2.random() < 0.1 else bool(v) for v in rng2.integers(0, 2, n)])
+        if not cols:
+            cols["i"] = pa.array(range(n), type=pa.int64())
+        tbl = pa.table(cols)
+        stripe_rows = int(rng2.integers(max(10, n // 5), n + 1))
+        stride = int(rng2.choice([200, 1000, 10000]))
+        path = str(tmp_path / f"fz{trial}.orc")
+        orcfile.write_orc(tbl, path, compression=str(rng2.choice(["zstd", "none", "zlib"])), stripe_rows=stripe_rows, row_index_stride=stride)
+
+        from orc_format_ray.orcread import _parse_tail, _Source, read_orc_native
+
+        for got in (po.read_table(path), read_orc_native(path)):
+            for c in tbl.schema.names:
+                g, e_ = got[c].combine_chunks(), tbl[c].combine_chunks()
+                if g.type != e_.type:
+                    g = g.cast(e_.type)
+                assert g.equals(e_), (trial, c)
+        # seek every row group and splice the full table back together
+        with _Source(path) as src:
+            tail = _parse_tail(src)
+        n_groups = sum((si["num_rows"] + stride - 1) // stride for si in tail["stripes"])
+        parts = [read_orc_native(path, row_groups=[k]) for k in range(n_groups)]
+        spliced = pa.concat_tables(parts)
+        for c in tbl.schema.names:
+            g, e_ = spliced[c].combine_chunks(), tbl[c].combine_chunks()
+            if g.type != e_.type:
+                g = g.cast(e_.type)
+            assert g.equals(e_), (trial, c, "rg-splice")
+
+
 def test_orc_push_writer_auto_flush(tmp_path):
     """Reference Writer API parity (writer.rs:84-90): pushed batches
     auto-flush stripes at the byte budget; the file is valid ORC."""
