@@ -65,13 +65,20 @@ class _ShardedSurvivorFilter:
 
     The manifest is (path, lo, hi) per disjoint-range shard file; each batch
     routes its doc_ids to shards via one searchsorted over the shard lower
-    bounds, loads only the shards it touches (small LRU of decoded arrays),
-    and binary-searches membership. Per-actor memory is O(LRU x shard), not
+    bounds, loads only the shards it touches (LRU of decoded arrays), and
+    binary-searches membership. Per-actor memory is O(LRU x shard), not
     O(|survivors|) — the >10^10-distinct-docs regime where a broadcast array
     and a driver-side id collect both stop fitting.
+
+    Access pattern note: inputs whose doc_ids are clustered by range (the
+    common case — ids assigned by ingest order) touch ~1 shard per batch.
+    Fully shuffled ids touch many shards per batch; the LRU (default 8, ~32MB
+    shards -> ~256MB/actor) plus the OS page cache absorb the re-reads, and
+    re-fetching a shard is a local parquet read, never a network shuffle of
+    the text.
     """
 
-    LRU = 4
+    LRU = 8
 
     def __init__(self, manifest: list[dict]):
         man = sorted(manifest, key=lambda r: r["lo"])
@@ -171,7 +178,8 @@ def exact_dedup(ds, column: str = "text", max_broadcast_ids: int = 1 << 26, shar
     manifest = (
         groups.select_columns(["doc_id"])
         .sort("doc_id")  # range partitions -> disjoint shard ranges
-        .map_batches(write_shard, batch_format="pyarrow", batch_size=1 << 20, **remote_args())
+        # ~4M ids (32 MB) per shard file: an actor's LRU of 8 holds ~256 MB
+        .map_batches(write_shard, batch_format="pyarrow", batch_size=1 << 22, **remote_args())
         .take_all()
     )
     return ds.map_batches(
