@@ -261,17 +261,14 @@ def _q_simhash_pairs(sf_dir: str):
     return df.reset_index(drop=True)
 
 
-def _q_simhash_planted(sf_dir: str):
-    """SimHash with a DETERMINISTIC answer: identical texts hash to identical
-    64-bit signatures (hamming 0), so copies of the 5 lowest unique-text docs
-    must appear as candidate pairs — the same planted construction SQL can
-    reproduce by text equality."""
-    import pandas as pd
+def _planted_doc_copies(sf_dir: str):
+    """Corpus UNION exact copies of the 5 lowest-doc_id unique-text docs
+    (copy ids +1,000,000) — the shared planted-duplicate construction the
+    simhash/minhash oracles mirror in SQL by text equality. Returns the
+    augmented streaming Dataset."""
     import pyarrow.compute as _pc
     import pyarrow.parquet as pq
     import ray.data
-
-    from orc_format_ray.ops import dedup
 
     docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     counts = docs.group_by("text").aggregate([("doc_id", "count"), ("doc_id", "min")])
@@ -283,10 +280,30 @@ def _q_simhash_planted(sf_dir: str):
             "text": chosen["text"],
         }
     )
-    aug = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).union(
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).union(
         ray.data.from_arrow(copies)
     )
-    df = dedup.simhash_candidates(aug).to_pandas()
+
+
+# SQL twin of _planted_doc_copies' pair expectation, shared by both oracles
+_PLANTED_PAIRS_SQL = (
+    "WITH uniq AS (SELECT text FROM documents GROUP BY text HAVING count(*) = 1), "
+    "chosen AS (SELECT d.doc_id, d.text FROM documents d JOIN uniq u ON d.text = u.text "
+    "ORDER BY d.doc_id LIMIT 5) "
+    "SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b FROM chosen ORDER BY doc_a"
+)
+
+
+def _q_simhash_planted(sf_dir: str):
+    """SimHash with a DETERMINISTIC answer: identical texts hash to identical
+    64-bit signatures (hamming 0), so copies of the 5 lowest unique-text docs
+    must appear as candidate pairs — the same planted construction SQL can
+    reproduce by text equality."""
+    import pandas as pd
+
+    from orc_format_ray.ops import dedup
+
+    df = dedup.simhash_candidates(_planted_doc_copies(sf_dir)).to_pandas()
     if len(df) == 0:
         return pd.DataFrame({"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64")})
     df = df[(df["hamming"] == 0) & (df["doc_b"] >= 1_000_000) & (df["doc_a"] < 1_000_000)]
@@ -785,27 +802,10 @@ def _q_minhash_dedup_planted(sf_dir: str):
     touching a planted id — SQL reproduces the construction by joining on
     text equality."""
     import pandas as pd
-    import pyarrow.compute as _pc
-    import pyarrow.parquet as pq
-    import ray.data
 
     from orc_format_ray.ops import dedup
 
-    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    # texts occurring exactly once, 5 lowest doc_ids (mirrors the SQL CTE)
-    counts = docs.group_by("text").aggregate([("doc_id", "count"), ("doc_id", "min")])
-    uniq = counts.filter(_pc.equal(counts["doc_id_count"], 1))
-    chosen = uniq.sort_by("doc_id_min").slice(0, 5)
-    copies = pa.table(
-        {
-            "doc_id": pa.array([v + 1_000_000 for v in chosen["doc_id_min"].to_pylist()], pa.int64()),
-            "text": chosen["text"],
-        }
-    )
-    aug = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).union(
-        ray.data.from_arrow(copies)
-    )
-    tbl = dedup.minhash_dedup(aug, threshold=0.99)
+    tbl = dedup.minhash_dedup(_planted_doc_copies(sf_dir), threshold=0.99)
     df = tbl.to_pandas()
     if len(df) == 0:
         return pd.DataFrame({"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64")})
@@ -1076,19 +1076,9 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY rank LIMIT 10"
         ),
         # identical texts -> identical simhash: planted copies are exact pairs
-        "simhash_planted": (
-            "WITH uniq AS (SELECT text FROM documents GROUP BY text HAVING count(*) = 1), "
-            "chosen AS (SELECT d.doc_id, d.text FROM documents d JOIN uniq u ON d.text = u.text "
-            "ORDER BY d.doc_id LIMIT 5) "
-            "SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b FROM chosen ORDER BY doc_a"
-        ),
+        "simhash_planted": _PLANTED_PAIRS_SQL,
         # planted exact-copy docs make the full MinHash pipeline deterministic
-        "minhash_dedup_planted": (
-            "WITH uniq AS (SELECT text FROM documents GROUP BY text HAVING count(*) = 1), "
-            "chosen AS (SELECT d.doc_id, d.text FROM documents d JOIN uniq u ON d.text = u.text "
-            "ORDER BY d.doc_id LIMIT 5) "
-            "SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b FROM chosen ORDER BY doc_a"
-        ),
+        "minhash_dedup_planted": _PLANTED_PAIRS_SQL,
         # planted exact copies make the LSH near-dup answer deterministic
         "embedding_near_dups_planted": (
             "WITH aug AS (SELECT vec_id, embedding FROM embeddings "

@@ -153,7 +153,10 @@ def exact_dedup(ds, column: str = "text", max_broadcast_ids: int = 1 << 26, shar
         )
 
     # sharded path: ids-only sort -> disjoint-range shard files; the driver
-    # holds one (path, lo, hi) row per shard, never the ids themselves
+    # holds one (path, lo, hi) row per shard, never the ids themselves.
+    # NOTE: on a multi-node cluster shard_dir MUST point at shared storage
+    # (write tasks and filter actors run on different nodes); the tempdir
+    # default only works single-node.
     import os
     import tempfile
 

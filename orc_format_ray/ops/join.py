@@ -60,8 +60,8 @@ class _BroadcastProbe:
                 out = out.append_column(name, pa.nulls(out.num_rows, f.type))
             return out
         pos = np.searchsorted(self.sorted_keys, probe)
-        pos_c = np.minimum(pos, max(len(self.sorted_keys) - 1, 0))
-        hit = (self.sorted_keys[pos_c] == probe) if len(self.sorted_keys) else np.zeros(len(probe), bool)
+        pos_c = np.minimum(pos, len(self.sorted_keys) - 1)  # build non-empty: early-returned above
+        hit = self.sorted_keys[pos_c] == probe
         if self.how == "semi":
             return batch.filter(pa.array(hit))
         if self.how == "anti":

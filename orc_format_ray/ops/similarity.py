@@ -138,6 +138,7 @@ def build_ivf_index(ds, index: IVFIndex, out_dir: str):
     skew). Queries via `ivf_topk_indexed` read ONLY the probed buckets'
     shard files — bytes read scale with nprobe/nlist, not corpus size.
     """
+    import glob as _glob
     import os
 
     import ray
@@ -145,6 +146,10 @@ def build_ivf_index(ds, index: IVFIndex, out_dir: str):
     from .. import manifest as mf
 
     os.makedirs(out_dir, exist_ok=True)
+    # a rebuild over changed data/blocking would otherwise leave stale
+    # content-hashed shards that queries glob alongside the new ones
+    for stale in _glob.glob(os.path.join(out_dir, "bucket-*.parquet")):
+        os.remove(stale)
     cent_ref = ray.put(index.centroids)
 
     class AssignWrite:
@@ -175,9 +180,18 @@ def build_ivf_index(ds, index: IVFIndex, out_dir: str):
     lineage = ds.map_batches(AssignWrite, batch_format="pyarrow", zero_copy_batch=True, concurrency=pool_size(), **remote_args()).take_all()
     np.save(os.path.join(out_dir, "centroids.npy"), index.centroids)
     per_bucket: dict[int, int] = {}
+    shard_paths: dict[int, list[str]] = {}
     for r in lineage:
         per_bucket[r["bucket"]] = per_bucket.get(r["bucket"], 0) + r["rows"]
-    mf.write_blob_atomic(os.path.join(out_dir, "_buckets.json"), __import__("json").dumps(sorted(per_bucket.items())).encode())
+        shard_paths.setdefault(int(r["bucket"]), []).append(os.path.basename(r["path"]))
+    # the manifest is the source of truth for which shards belong to this
+    # build (queries read it; the glob is only a legacy fallback)
+    mf.write_blob_atomic(
+        os.path.join(out_dir, "_buckets.json"),
+        __import__("json").dumps(
+            {"rows": sorted(per_bucket.items()), "shards": {str(b): sorted(ps) for b, ps in shard_paths.items()}}
+        ).encode(),
+    )
     return {"buckets": len(per_bucket), "rows": int(sum(per_bucket.values())), "shards": len(lineage)}
 
 
@@ -195,10 +209,22 @@ def ivf_topk_indexed(index_dir: str, queries: np.ndarray, k: int = 10, nprobe: i
     q = _unit(np.asarray(queries, dtype=np.float32))
     probe = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]  # (nq, nprobe)
     want = sorted(set(int(b) for b in probe.reshape(-1)))
+    shard_map = None
+    bj = os.path.join(index_dir, "_buckets.json")
+    if os.path.exists(bj):
+        import json as _json
+
+        man = _json.loads(open(bj).read())
+        if isinstance(man, dict) and "shards" in man:
+            shard_map = man["shards"]
     paths: list[str] = []
-    for b in want:  # sharded bucket-{b}-{hash}.parquet files (empty buckets have
-        # none); the [.-] class also accepts pre-shard single-file indexes
-        paths.extend(sorted(glob.glob(os.path.join(index_dir, f"bucket-{b:05d}[.-]*parquet"))))
+    for b in want:
+        if shard_map is not None:  # manifest names this build's shards exactly
+            paths.extend(os.path.join(index_dir, nm) for nm in shard_map.get(str(b), []))
+        else:  # legacy index without a shard manifest: glob (the [.-] class
+            # also accepts pre-shard single-file indexes)
+            paths.extend(sorted(glob.glob(os.path.join(index_dir, f"bucket-{b:05d}[.-]*parquet"))))
+    paths = [p for p in paths if os.path.exists(p)]
     if not paths:
         return pa.table({"query_id": pa.array([], pa.int32()), "vec_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}), 0
     bytes_read = sum(os.path.getsize(p) for p in paths)

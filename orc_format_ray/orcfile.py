@@ -290,14 +290,27 @@ def _rg_pairs(bounds: np.ndarray) -> list[tuple[int, int]]:
     return [(int(bounds[k]), int(bounds[k + 1])) for k in range(len(bounds) - 1)]
 
 
-def _try_dictionary(valid: pa.Array, pp: list[tuple[int, int]], dict_ratio: float, direct_chunks: list[list[bytes]], comp: str, level: int):
+def _try_dictionary(
+    valid: pa.Array,
+    pp: list[tuple[int, int]],
+    dict_ratio: float,
+    direct_chunks: list[list[bytes]],
+    comp: str,
+    level: int,
+    frame_cache: dict | None = None,
+):
     """DICTIONARY_V2 candidate for a string column: sorted dictionary +
     RLEv2 index stream (row-group-chunked). Returns (index_chunks,
     dict_concat, dict_lengths_enc, dict_size) when the distinct fraction is
     under ``dict_ratio`` AND the POST-compression bytes beat DIRECT (zstd
     flattens repeated strings, so pre-compression sizes routinely pick the
     wrong side), else None — the per-column generalization of the
-    reference's compressed-vs-original fallback (compression.rs:146-158)."""
+    reference's compressed-vs-original fallback (compression.rs:146-158).
+
+    Sizing compresses both candidates in full; the WINNER's framed bytes go
+    into ``frame_cache`` (keyed by chunk identity, chunk pinned in the value)
+    so the stripe flush reuses them instead of compressing the column twice.
+    """
     denc = valid.dictionary_encode()
     dvals = denc.dictionary
     u = len(dvals)
@@ -311,13 +324,24 @@ def _try_dictionary(valid: pa.Array, pp: list[tuple[int, int]], dict_ratio: floa
     dlens = np.diff(doffs).astype(np.uint64)
     idx_chunks = [rle_v2.encode(idx[lo:hi], signed=False) for lo, hi in pp]
     dlen_enc = rle_v2.encode(dlens, signed=False)
+    dict_chunks = [idx_chunks, [dconcat.tobytes(), dlen_enc]]
 
-    def framed_size(chunk_lists: list[list[bytes]]) -> int:
-        return sum(len(_orc_frame(c, comp, level)) for chunks in chunk_lists for c in chunks)
+    def framed(chunk_lists: list[list[bytes]]) -> list[list[bytes]]:
+        return [[_orc_frame(c, comp, level) for c in chunks] for chunks in chunk_lists]
 
-    if framed_size([idx_chunks, [dconcat.tobytes(), dlen_enc]]) >= framed_size(direct_chunks):
+    def remember(chunk_lists, framed_lists) -> None:
+        if frame_cache is not None:
+            for chunks, fl in zip(chunk_lists, framed_lists):
+                for c, fc in zip(chunks, fl):
+                    frame_cache[id(c)] = (c, fc)
+
+    dict_framed, direct_framed = framed(dict_chunks), framed(direct_chunks)
+    size = lambda fls: sum(len(fc) for fl in fls for fc in fl)  # noqa: E731
+    if size(dict_framed) >= size(direct_framed):
+        remember(direct_chunks, direct_framed)
         return None
-    return idx_chunks, dconcat.tobytes(), dlen_enc, u
+    remember(dict_chunks, dict_framed)
+    return idx_chunks, dict_chunks[1][0], dlen_enc, u
 
 
 def _column_streams(
@@ -331,6 +355,7 @@ def _column_streams(
     field: pa.Field | None = None,
     dict_ratio: float = 0.5,
     comp: tuple[str, int] = ("none", 3),
+    frame_cache: dict | None = None,
 ) -> int:
     """Encode one column subtree into ORC streams, chunked at row-group
     boundaries.
@@ -353,7 +378,15 @@ def _column_streams(
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     t = arr.type
-    rg_stats = [stats_mod.compute(arr.slice(lo, hi - lo)) for lo, hi in _rg_pairs(bounds)]
+    stat_arr = arr
+    if pa.types.is_fixed_size_binary(t):
+        # CHAR columns get stringStatistics (min/max) like the spec expects;
+        # fall back to the raw array (generic counts) for non-UTF-8 payloads
+        try:
+            stat_arr = arr.cast(pa.binary()).cast(pa.string())
+        except pa.ArrowInvalid:
+            pass
+    rg_stats = [stats_mod.compute(stat_arr.slice(lo, hi - lo)) for lo, hi in _rg_pairs(bounds)]
     index_stats[col_id] = rg_stats
     stats_out.append(stats_mod.merge_all(rg_stats) if len(rg_stats) != 1 else rg_stats[0])
     enc_idx = len(enc_out)
@@ -396,7 +429,7 @@ def _column_streams(
         direct_lens = [int_rle_v1.encode(lens[lo:hi], signed=False) for lo, hi in pp]
         dict_streams = None
         if kind != "BINARY" and 0.0 < dict_ratio and len(valid):
-            dict_streams = _try_dictionary(valid, pp, dict_ratio, [direct_data, direct_lens], comp[0], comp[1])
+            dict_streams = _try_dictionary(valid, pp, dict_ratio, [direct_data, direct_lens], comp[0], comp[1], frame_cache)
         if dict_streams is not None:
             idx_chunks, dconcat, dlen_enc, dict_size = dict_streams
             enc_out[enc_idx] = (3, dict_size)  # DICTIONARY_V2 (indices RLEv2)
@@ -445,19 +478,19 @@ def _column_streams(
         out.append((_STREAM["LENGTH"], col_id, [int_rle_v1.encode(lens[lo:hi], signed=False) for lo, hi in pp], _EX_RLE))
         child = valid.combine_chunks().flatten() if isinstance(valid, pa.ChunkedArray) else valid.flatten()
         child_bounds = np.concatenate(([0], np.cumsum(lens.astype(np.int64))))[pb]
-        next_id = _column_streams(child, next_id, out, enc_out, stats_out, child_bounds, index_stats, dict_ratio=dict_ratio, comp=comp)
+        next_id = _column_streams(child, next_id, out, enc_out, stats_out, child_bounds, index_stats, dict_ratio=dict_ratio, comp=comp, frame_cache=frame_cache)
     elif kind == "MAP":
         from .stripe import map_entries
 
         lv, keys, items = map_entries(arr)
         out.append((_STREAM["LENGTH"], col_id, [int_rle_v1.encode(lv[lo:hi].astype(np.uint64), signed=False) for lo, hi in pp], _EX_RLE))
         child_bounds = np.concatenate(([0], np.cumsum(lv.astype(np.int64))))[pb]
-        next_id = _column_streams(keys, next_id, out, enc_out, stats_out, child_bounds, index_stats, dict_ratio=dict_ratio, comp=comp)
-        next_id = _column_streams(items, next_id, out, enc_out, stats_out, child_bounds, index_stats, dict_ratio=dict_ratio, comp=comp)
+        next_id = _column_streams(keys, next_id, out, enc_out, stats_out, child_bounds, index_stats, dict_ratio=dict_ratio, comp=comp, frame_cache=frame_cache)
+        next_id = _column_streams(items, next_id, out, enc_out, stats_out, child_bounds, index_stats, dict_ratio=dict_ratio, comp=comp, frame_cache=frame_cache)
     elif kind == "STRUCT":
         for i, f in enumerate(t):
             child = valid.field(i) if hasattr(valid, "field") else pc.struct_field(valid, i)
-            next_id = _column_streams(child, next_id, out, enc_out, stats_out, pb, index_stats, field=f, dict_ratio=dict_ratio, comp=comp)
+            next_id = _column_streams(child, next_id, out, enc_out, stats_out, pb, index_stats, field=f, dict_ratio=dict_ratio, comp=comp, frame_cache=frame_cache)
     elif kind == "UNION":
         # dense union: DATA = child-index tags via ByteRLE (reference
         # union.rs:117-126); each child carries its values in order of
@@ -474,7 +507,7 @@ def _column_streams(
             sel = tags == ci
             childvals = arr.field(ci).take(pa.array(offsets[sel], type=pa.int32()))
             child_bounds = np.concatenate(([0], np.cumsum(sel.astype(np.int64))))[pb]
-            next_id = _column_streams(childvals, next_id, out, enc_out, stats_out, child_bounds, index_stats, field=f, dict_ratio=dict_ratio, comp=comp)
+            next_id = _column_streams(childvals, next_id, out, enc_out, stats_out, child_bounds, index_stats, field=f, dict_ratio=dict_ratio, comp=comp, frame_cache=frame_cache)
     else:  # pragma: no cover
         raise NotImplementedError(kind)
     return next_id
@@ -638,6 +671,7 @@ class OrcWriter:
             0: [stats_mod.ColumnStats(kind="generic", num_values=int(hi - lo), num_present=int(hi - lo)) for lo, hi in _rg_pairs(bounds)]
         }
         col_stats: list[stats_mod.ColumnStats] = [stats_mod.ColumnStats(kind="generic", num_values=rows, num_present=rows)]
+        frame_cache: dict[int, tuple[bytes, bytes]] = {}  # id(chunk) -> (chunk, framed)
         cid = 1
         for i in range(sub.num_columns):
             cid = _column_streams(
@@ -651,13 +685,21 @@ class OrcWriter:
                 field=self.schema.field(i),
                 dict_ratio=self.dictionary_ratio,
                 comp=(self.compression, self.level),
+                frame_cache=frame_cache,
             )
 
         # frame each row-group chunk independently: compression blocks align
-        # with row-group boundaries, so every position is (chunk start, 0, ...)
+        # with row-group boundaries, so every position is (chunk start, 0, ...).
+        # Chunks the dictionary selector already framed (it compresses both
+        # candidates to pick a winner) come from frame_cache instead of being
+        # compressed a second time.
         framed: list[tuple[int, int, bytes, np.ndarray, int]] = []
         for kind_id, col_id, chunks, extras in streams:
-            fchunks = [_orc_frame(c, self.compression, self.level) for c in chunks]
+            fchunks = [
+                hit[1] if (hit := frame_cache.get(id(c))) is not None and hit[0] is c
+                else _orc_frame(c, self.compression, self.level)
+                for c in chunks
+            ]
             cums = np.concatenate(([0], np.cumsum([len(fc) for fc in fchunks], dtype=np.int64)))
             framed.append((kind_id, col_id, b"".join(fchunks), cums, extras))
 
@@ -915,14 +957,18 @@ def read_orc_dataset(
     if split_row_groups:
         if not native:
             raise ValueError("split_row_groups requires native=True (pyarrow.orc has no row-group API)")
+        from .orcread import seekable_row_groups
+
         items = []
-        for p in paths:  # tail-only read per file (a few KB)
+        for p in paths:  # tail + first-stripe-index read per file (a few KB)
             with _Source(p) as src:
                 tail = _parse_tail(src)
-            stride = int(tail["row_index_stride"])
-            if stride <= 0:
-                items.append({"path": p, "rg": -1})  # no index: whole file
-                continue
+                stride = int(tail["row_index_stride"])
+                if stride <= 0 or not seekable_row_groups(src, tail):
+                    # no index, or a foreign writer whose groups start
+                    # mid-RLE-run: fall back to one task for the whole file
+                    items.append({"path": p, "rg": -1})
+                    continue
             n_groups = sum((si["num_rows"] + stride - 1) // stride for si in tail["stripes"])
             items.extend({"path": p, "rg": k} for k in range(n_groups))
         ds = ray.data.from_items(items)

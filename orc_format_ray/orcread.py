@@ -568,7 +568,19 @@ def _entry_offsets(positions: list[int], kinds: list[int], t_kind: str, enc_kind
     return out
 
 
-def _read_row_groups(src: _Source, tail: dict, wanted: list[int], spans: list[int], row_groups: list[int]) -> pa.Table:
+def _read_row_groups(
+    src: _Source,
+    tail: dict,
+    wanted: list[int],
+    spans: list[int],
+    row_groups: list[int],
+    footers: dict[int, tuple] | None = None,
+    ri_raw: dict[tuple[int, int], dict] | None = None,
+) -> pa.Table:
+    """``footers`` ({stripe idx: parsed stripe footer}) and ``ri_raw``
+    ({(stripe idx, col id): parsed ROW_INDEX fields}) let a caller that
+    already parsed stripe metadata (read_orc_filtered's selection loop) hand
+    it over instead of re-reading and re-deframing it here."""
     comp = tail["compression"]
     compressed = comp != "none"
     types = tail["types"]
@@ -596,12 +608,17 @@ def _read_row_groups(src: _Source, tail: dict, wanted: list[int], spans: list[in
     pieces: list[list[pa.Array]] = []
     for sidx in sorted(per_stripe):
         si = tail["stripes"][sidx]
-        stream_list, encodings, raw_spans = _parse_stripe_footer(src, si, comp)
+        if footers is not None and sidx in footers:
+            stream_list, encodings, raw_spans = footers[sidx]
+        else:
+            stream_list, encodings, raw_spans = _parse_stripe_footer(src, si, comp)
         # parse ROW_INDEX entries for the columns we will decode
         rowindex: dict[int, list[list[int]]] = {}
         for (kind, col, ln), (pos, _l) in zip(stream_list, raw_spans):
             if kind == _ROW_INDEX and col in want_ids:
-                ri = _fields(_deframe(src.read(pos, ln), comp))
+                ri = None if ri_raw is None else ri_raw.get((sidx, col))
+                if ri is None:
+                    ri = _fields(_deframe(src.read(pos, ln), comp))
                 rowindex[col] = [_packed_uvs(_fields(e).get(1, [])) for e in ri.get(1, [])]
         # position-consuming stream kinds per column, ascending kind order
         consuming: dict[int, list[int]] = {}
@@ -656,6 +673,39 @@ def _read_row_groups(src: _Source, tail: dict, wanted: list[int], spans: list[in
     return pa.table(cols, names=names)
 
 
+def seekable_row_groups(src: _Source, tail: dict) -> bool:
+    """True when the file's row groups can be seek-decoded: every row-index
+    position's RLE-run/bit-offset slots are zero (chunk-aligned groups, as
+    this repo's writer emits). Foreign writers record mid-run positions the
+    chunk reader cannot honor. Checks the first stripe's index only — a
+    writer either chunk-aligns all groups or none."""
+    comp = tail["compression"]
+    compressed = comp != "none"
+    types = tail["types"]
+    if not tail["stripes"] or tail["row_index_stride"] <= 0:
+        return False
+    si = tail["stripes"][0]
+    stream_list, encodings, raw_spans = _parse_stripe_footer(src, si, comp)
+    consuming: dict[int, list[int]] = {}
+    for kind, col, _ln in stream_list:
+        if kind in (0, 1, 2, 5):
+            if kind == _LENGTH and encodings[col][0] in (1, 3):
+                continue
+            consuming.setdefault(col, []).append(kind)
+    for c in consuming:
+        consuming[c].sort()
+    for (kind, col, ln), (pos, _l) in zip(stream_list, raw_spans):
+        if kind != _ROW_INDEX or col not in consuming:
+            continue
+        ri = _fields(_deframe(src.read(pos, ln), comp))
+        for e in ri.get(1, []):
+            try:
+                _entry_offsets(_packed_uvs(_fields(e).get(1, [])), consuming[col], types[col].kind, encodings[col][0], compressed)
+            except NotImplementedError:
+                return False
+    return True
+
+
 # -------------------------------------------------------- predicate pushdown
 
 
@@ -664,37 +714,44 @@ def _unzigzag(v: int) -> int:
 
 
 def _entry_minmax(stats_bytes: bytes, t_kind: str):
-    """(min, max) from a RowIndexEntry's ColumnStatistics, or None when the
-    group has no non-null values (comparison predicates can never match)."""
+    """(min, max) from a RowIndexEntry's ColumnStatistics; None only when the
+    group PROVABLY has no non-null values (numberOfValues == 0 — comparison
+    predicates can never match); "unprunable" when the writer simply emitted
+    no ordered stats for this kind (pruning on absence would drop real
+    rows)."""
     import struct
 
     f = _fields(stats_bytes)
+    num_present = f.get(1, [None])[0]  # numberOfValues counts non-nulls
     if t_kind in ("SHORT", "INT", "LONG", "DATE"):
         sub = f.get(2)  # intStatistics: sint64 min=1 max=2
         if sub:
             g = _fields(sub[0])
             if 1 in g and 2 in g:
                 return _unzigzag(g[1][0]), _unzigzag(g[2][0])
-        return None
-    if t_kind in ("FLOAT", "DOUBLE"):
+    elif t_kind in ("FLOAT", "DOUBLE"):
         sub = f.get(3)  # doubleStatistics: double min=1 max=2
         if sub:
             g = _fields(sub[0])
             if 1 in g and 2 in g:
                 return struct.unpack("<d", g[1][0])[0], struct.unpack("<d", g[2][0])[0]
-        return None
-    if t_kind in ("STRING", "VARCHAR", "CHAR"):
+    elif t_kind in ("STRING", "VARCHAR", "CHAR"):
         sub = f.get(4)  # stringStatistics: min=1 max=2
         if sub:
             g = _fields(sub[0])
             if 1 in g and 2 in g:
                 return g[1][0].decode(), g[2][0].decode()
-        return None
-    return "unprunable"  # kinds without ordered index stats: never prune
+    else:
+        return "unprunable"  # kinds without ordered index stats: never prune
+    if num_present == 0:
+        return None  # provably all-null group
+    # non-null values exist but no min/max emitted (e.g. a writer that keeps
+    # only counts for this column) — must not prune
+    return "unprunable"
 
 
 def _range_may_match(op: str, value, mm) -> bool:
-    if mm == "unprunable":
+    if mm == "unprunable" or value is None:
         return True
     if mm is None:
         return False  # all-null group: comparisons are never true
@@ -736,6 +793,16 @@ def read_orc_filtered(path_or_bytes, predicate: tuple, columns: list[str] | None
         ci = root.field_names.index(col)
         col_id = spans[ci]
         t_kind = types[col_id].kind
+        # stringStatistics min/max decode to str; a bytes literal (BINARY or
+        # CHAR columns, which we stat as strings) compares against them via
+        # UTF-8 decode — byte order == codepoint order under UTF-8, so the
+        # pruning bound is exact. Undecodable bytes -> None -> never prune.
+        stat_value = value
+        if t_kind in ("STRING", "VARCHAR", "CHAR") and isinstance(value, bytes):
+            try:
+                stat_value = value.decode()
+            except UnicodeDecodeError:
+                stat_value = None
 
         stride = int(tail["row_index_stride"])
         read_cols = columns if columns is None or col in columns else [*columns, col]
@@ -745,19 +812,23 @@ def read_orc_filtered(path_or_bytes, predicate: tuple, columns: list[str] | None
         else:
             selected: list[int] = []
             sel_stripes: set[int] = set()
+            footers: dict[int, tuple] = {}
+            ri_raw: dict[tuple[int, int], dict] = {}
             gbase = 0
             for sidx, si in enumerate(tail["stripes"]):
                 groups = (si["num_rows"] + stride - 1) // stride
                 stream_list, _enc, raw_spans = _parse_stripe_footer(src, si, comp)
+                footers[sidx] = (stream_list, _enc, raw_spans)
                 entries_stats: list[bytes] = []
                 for (kind, c, ln), (pos, _l) in zip(stream_list, raw_spans):
                     if kind == _ROW_INDEX and c == col_id:
                         ri = _fields(_deframe(src.read(pos, ln), comp))
+                        ri_raw[(sidx, col_id)] = ri
                         entries_stats = [(_fields(e).get(2) or [b""])[0] for e in ri.get(1, [])]
                         break
                 for k in range(groups):
                     mm = _entry_minmax(entries_stats[k], t_kind) if k < len(entries_stats) else "unprunable"
-                    if _range_may_match(op, value, mm):
+                    if _range_may_match(op, stat_value, mm):
                         selected.append(gbase + k)
                         sel_stripes.add(sidx)
                 gbase += groups
@@ -768,7 +839,7 @@ def read_orc_filtered(path_or_bytes, predicate: tuple, columns: list[str] | None
                 wanted = [i for i, nm in enumerate(root.field_names) if nm in read_cols]
             if selected:
                 try:
-                    tbl = _read_row_groups(src, tail, wanted, spans, selected)
+                    tbl = _read_row_groups(src, tail, wanted, spans, selected, footers=footers, ri_raw=ri_raw)
                 except NotImplementedError:
                     # foreign writer: groups start mid-RLE-run, so seek at
                     # group granularity is impossible — still prune at STRIPE
