@@ -813,6 +813,36 @@ def _q_minhash_dedup_planted(sf_dir: str):
     return df[["doc_a", "doc_b"]].drop_duplicates().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+def _q_ngram_jaccard_pairs(sf_dir: str):
+    """Exact n-gram Jaccard similarity join (prefix filtering, no false
+    negatives): all pairs with word-3-shingle Jaccard >= 0.8."""
+    import ray.data
+
+    from orc_format_ray.ops import dedup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    tbl = dedup.ngram_jaccard_dedup(ds, threshold=0.8)
+    return tbl.to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True) if tbl.num_rows else tbl.to_pandas()
+
+
+def _q_ngram_jaccard_planted(sf_dir: str):
+    """Exact Jaccard join with a DETERMINISTIC answer: at threshold 1.0 the
+    prefix is the single min-hash shingle, identical texts share it, and the
+    exact verifier confirms jaccard 1.0 — so the planted copies of the 5
+    lowest unique-text docs MUST all surface (prefix filtering has no false
+    negatives). SQL mirrors the construction by text equality."""
+    import pandas as pd
+
+    from orc_format_ray.ops import dedup
+
+    tbl = dedup.ngram_jaccard_dedup(_planted_doc_copies(sf_dir), threshold=1.0)
+    df = tbl.to_pandas()
+    if len(df) == 0:
+        return pd.DataFrame({"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64")})
+    df = df[(df["doc_b"] >= 1_000_000) & (df["doc_a"] < 1_000_000)]
+    return df[["doc_a", "doc_b"]].drop_duplicates().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
 def _q_ivf_ann_topk(sf_dir: str):
     """IVF as a real index: bucket-partitioned build (one-time shuffle), then
     queries read ONLY the nprobe probed bucket files."""
@@ -972,6 +1002,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orc_native_read_cpp": _q_orc_native_read_cpp,
         "orc_pushdown_filter": _q_orc_pushdown_filter,
         "minhash_dedup_pairs": _q_minhash_dedup_pairs,
+        "ngram_jaccard_planted": _q_ngram_jaccard_planted,
         # non-SQL-expressible (rows-only checks)
         "minhash_candidates": _q_minhash_candidates,
         "simhash_pairs": _q_simhash_pairs,
@@ -982,6 +1013,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_documents": _q_fingerprint_documents,
         "ivf_ann_topk": _q_ivf_ann_topk,
         "minhash_dedup_planted": _q_minhash_dedup_planted,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "ivf_ann_exhaustive": _q_ivf_ann_exhaustive,
         "multimodal_features": _q_multimodal_features,
         "audio_features": _q_audio_features,
@@ -1079,6 +1111,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_planted": _PLANTED_PAIRS_SQL,
         # planted exact-copy docs make the full MinHash pipeline deterministic
         "minhash_dedup_planted": _PLANTED_PAIRS_SQL,
+        # prefix filtering is EXACT: planted copies must surface at t=1.0
+        "ngram_jaccard_planted": _PLANTED_PAIRS_SQL,
         # planted exact copies make the LSH near-dup answer deterministic
         "embedding_near_dups_planted": (
             "WITH aug AS (SELECT vec_id, embedding FROM embeddings "

@@ -1,5 +1,6 @@
 """Deduplication operators over Ray Data: exact, MinHash-LSH, SimHash,
-n-gram Jaccard verification, and embedding-cosine near-dup.
+exact n-gram Jaccard similarity join (prefix filtering), and
+embedding-cosine near-dup.
 
 Scale design (100 TB): every variant is a two-phase shape —
 vectorized per-batch signature computation in `map_batches` (stateless or
@@ -297,9 +298,18 @@ def minhash_candidates(ds, num_perm: int = 64, bands: int = 16, shingle_k: int =
         **remote_args(),
     )
 
-    MAX_BUCKET = 256  # hot-bucket guard: a bucket of k docs implies k^2/2
-    # candidate pairs; near-identical floods are exact-dedup's job, so huge
-    # buckets are truncated (sorted -> deterministic) rather than exploded
+    return _bucketize(band_rows)
+
+
+MAX_BUCKET = 256  # hot-bucket guard: a bucket of k docs implies k^2/2
+# candidate pairs; near-identical floods are exact-dedup's job, so huge
+# buckets are truncated (sorted -> deterministic) rather than exploded
+
+
+def _bucketize(band_rows):
+    """(band_id, band_hash, doc_id) rows -> candidate buckets with >=2 docs,
+    each truncated to MAX_BUCKET sorted ids. One groupby over hash rows only."""
+    import pandas as pd
 
     def bucket(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
@@ -330,22 +340,34 @@ def minhash_dedup(ds, threshold: float = 0.5, num_perm: int = 64, bands: int = 1
     buckets -> exact n-gram Jaccard verification -> confirmed pairs.
 
     Scale shape — FULLY distributed verification (no driver text dict, no
-    driver pair loop):
-    1. the LSH stage shuffles only (band, hash, doc_id) rows;
-    2. candidate buckets expand to pair-half rows inside `map_batches`
+    driver pair loop): see `_verify_candidate_pairs`. The LSH stage shuffles
+    only (band, hash, doc_id) rows. Returns a pyarrow Table
+    (doc_a, doc_b, jaccard).
+    """
+    cands = minhash_candidates(ds, num_perm, bands, shingle_k)
+    return _verify_candidate_pairs(ds, cands, threshold, shingle_k)
+
+
+def _verify_candidate_pairs(ds, cands, threshold: float, shingle_k: int):
+    """Shared tail of the near-dup pipelines: candidate buckets
+    (band_id, band_hash, doc_ids) -> exact n-gram Jaccard -> confirmed pairs.
+
+    1. candidate buckets expand to pair-half rows inside `map_batches`
        (bounded by the MAX_BUCKET hot-bucket guard);
-    3. candidate docs' texts are fetched by a broadcast-id-set semi-join
+    2. candidate docs' texts are fetched by a broadcast-id-set semi-join
        (ids only cross the driver — 8 bytes per candidate doc);
-    4. a groupby over doc_id attaches each text to its pair-halves, then a
+    3. a groupby over doc_id attaches each text to its pair-halves, then a
        groupby over (doc_a, doc_b) verifies exact n-gram Jaccard per pair.
     Both verification shuffles are candidate-sized, not corpus-sized.
-    Returns a pyarrow Table (doc_a, doc_b, jaccard).
     """
     import pandas as pd
     import pyarrow as pa_
     import ray
 
-    cands = minhash_candidates(ds, num_perm, bands, shingle_k)
+    # cands is consumed twice (pair expansion + id collection); it is
+    # candidate-sized (bounded by MAX_BUCKET), so pinning it avoids
+    # recomputing the signature+groupby DAG for the second pass
+    cands = cands.materialize()
 
     def to_pair_halves(batch: pa.Table) -> pa.Table:
         # vectorized bucket -> pair expansion: one np.triu_indices gather per
@@ -459,6 +481,78 @@ def jaccard_ngrams(a: str, b: str, k: int = 3) -> float:
     if not sa and not sb:
         return 1.0
     return len(sa & sb) / max(1, len(sa | sb))
+
+
+# -------------------------------------------------- n-gram Jaccard (exact)
+
+
+def ngram_jaccard_candidates(ds, threshold: float = 0.8, shingle_k: int = 3):
+    """EXACT Jaccard candidate generation via prefix filtering (SSJoin).
+
+    Per doc: hash its k-word shingles, dedupe, sort by hash (a global total
+    order), and emit only the first `m - ceil(t*m) + 1` shingle hashes as
+    (0, shingle_hash, doc_id) rows. Any pair with set-Jaccard >= t must share
+    at least one prefix element under a common order, so — unlike MinHash/
+    SimHash — there are NO false negatives (up to the MAX_BUCKET hot-bucket
+    truncation, which only fires on shingles shared by >256 docs).
+
+    Scale shape: only (hash, doc_id) prefix rows shuffle — ~(1-t)·|shingles|
+    of the corpus, e.g. 20% at t=0.8 and a single row per doc at t=1.0
+    (min-shingle exact dedup). Returns candidate buckets in the shared
+    (band_id, band_hash, doc_ids) schema.
+    """
+    t = float(threshold)
+    if not (0.0 < t <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+
+    def prefix_rows(batch: pa.Table) -> pa.Table:
+        sh, sh_offs = _word_shingle_hashes(batch["text"].combine_chunks(), shingle_k)
+        counts = np.diff(sh_offs)
+        n_docs = len(counts)
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(sh) == 0:
+            return pa.table(
+                {
+                    "band_id": pa.array([], type=pa.int32()),
+                    "band_hash": pa.array([], type=pa.int64()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                }
+            )
+        doc_of = np.repeat(np.arange(n_docs), counts)
+        order = np.lexsort((sh, doc_of))
+        d, s = doc_of[order], sh[order]
+        keep = np.ones(len(s), dtype=bool)
+        keep[1:] = (d[1:] != d[:-1]) | (s[1:] != s[:-1])
+        d, s = d[keep], s[keep]  # per-doc sorted distinct shingles
+        m = np.bincount(d, minlength=n_docs)
+        p = np.where(m > 0, m - np.ceil(t * m).astype(np.int64) + 1, 0)
+        starts = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(m, out=starts[1:])
+        rank = np.arange(len(d)) - starts[d]
+        sel = rank < p[d]
+        return pa.table(
+            {
+                "band_id": pa.array(np.zeros(int(sel.sum()), np.int32), type=pa.int32()),
+                "band_hash": pa.array(s[sel].view(np.int64), type=pa.int64()),
+                "doc_id": pa.array(doc_ids[d[sel]]),
+            }
+        )
+
+    band_rows = ds.map_batches(prefix_rows, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    return _bucketize(band_rows)
+
+
+def ngram_jaccard_dedup(ds, threshold: float = 0.8, shingle_k: int = 3):
+    """Exact n-gram Jaccard dedup: prefix-filter candidates + exact verify.
+
+    Returns every pair (doc_a, doc_b, jaccard) with word-k-shingle Jaccard
+    >= threshold — exact up to MAX_BUCKET truncation of pathological buckets
+    (a shingle shared by >256 docs). Same distributed verification tail as
+    `minhash_dedup`; the difference is the guarantee: the candidate set here
+    is provably complete, so the output IS the exact similarity join.
+    """
+    cands = ngram_jaccard_candidates(ds, threshold, shingle_k)
+    return _verify_candidate_pairs(ds, cands, threshold, shingle_k)
 
 
 # ------------------------------------------------------------------ simhash

@@ -100,6 +100,61 @@ def test_minhash_finds_near_duplicates(ray_session):
     assert dedup.jaccard_ngrams(base, far) < 0.1
 
 
+def test_ngram_jaccard_exact_join_matches_brute_force(ray_session):
+    """Prefix filtering must return EXACTLY the pairs with Jaccard >= t
+    (no false negatives, exact verify kills false positives)."""
+    import itertools
+
+    import ray.data
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog near the river bank today",
+        "a completely different sentence about ray data streaming execution engines",
+        "the quick brown fox jumps over the lazy dog near the river bank tonight",
+        "colorless green ideas sleep furiously while the compiler optimizes loops",
+        "the quick brown fox jumps over the lazy cat near the river bank today",
+        "totally unrelated text snippet with unique vocabulary items galore here",
+    ]
+    texts += [texts[0], texts[3]]  # exact duplicates
+    ids = list(range(len(texts)))
+    ds = ray.data.from_pandas(pd.DataFrame({"doc_id": ids, "text": texts}))
+    for t in (1.0, 0.6, 0.3):
+        got = sorted(
+            (int(a), int(b), round(j, 6))
+            for a, b, j in dedup.ngram_jaccard_dedup(ds, threshold=t).to_pandas().itertuples(index=False, name=None)
+        )
+        exp = sorted(
+            (a, b, round(dedup.jaccard_ngrams(texts[a], texts[b]), 6))
+            for a, b in itertools.combinations(ids, 2)
+            if dedup.jaccard_ngrams(texts[a], texts[b]) >= t
+        )
+        assert got == exp, (t, got, exp)
+
+
+def test_ngram_jaccard_candidates_monotone_in_threshold(ray_session):
+    """Higher threshold -> shorter prefixes -> candidate pair set shrinks
+    (monotone containment); at t=1.0 only identical texts share buckets."""
+    import ray.data
+
+    words = [f"w{i}" for i in range(60)]
+    texts = [" ".join(words[i : i + 40]) for i in range(10)]  # heavy overlap
+    texts += [texts[0]]  # one exact duplicate (doc_id 10)
+    ds = ray.data.from_pandas(pd.DataFrame({"doc_id": list(range(len(texts))), "text": texts}))
+
+    def cand_pairs(t):
+        import itertools
+
+        out = set()
+        for ids in dedup.ngram_jaccard_candidates(ds, threshold=t).to_pandas()["doc_ids"]:
+            out |= set(itertools.combinations(sorted(ids), 2))
+        return out
+
+    p10, p08, p05 = cand_pairs(1.0), cand_pairs(0.8), cand_pairs(0.5)
+    assert (0, 10) in p10  # exact dup always shares its min shingle
+    assert p10 <= p08 <= p05  # shorter prefixes can only drop candidates
+    assert len(p05) > len(p10)  # ...and here strictly do
+
+
 def test_simhash_near_duplicates(ray_session):
     import ray.data
 
