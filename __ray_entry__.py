@@ -843,6 +843,41 @@ def _q_ngram_jaccard_planted(sf_dir: str):
     return df[["doc_a", "doc_b"]].drop_duplicates().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+def _q_near_dup_clusters_planted(sf_dir: str):
+    """Composed near-dedup pipeline with a DETERMINISTIC answer: plant TWO
+    copies (+1M, +2M) of each of the 5 lowest unique-text docs, run the exact
+    n-gram Jaccard join at t=1.0, keep pairs touching a planted id, and
+    cluster with distributed connected components. Each triple {a, a+1M,
+    a+2M} carries all three pairwise edges, so clustering must merge them
+    into one component rooted at the original doc — 15 (doc_id, root) rows
+    SQL reproduces from the construction."""
+    import pandas as pd
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from orc_format_ray.ops import dedup
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    counts = docs.group_by("text").aggregate([("doc_id", "count"), ("doc_id", "min")])
+    uniq = counts.filter(_pc.equal(counts["doc_id_count"], 1))
+    chosen = uniq.sort_by("doc_id_min").slice(0, 5)
+    base_ids = chosen["doc_id_min"].to_pylist()
+    copies = pa.table(
+        {
+            "doc_id": pa.array([v + off for off in (1_000_000, 2_000_000) for v in base_ids], pa.int64()),
+            "text": pa.concat_arrays([chosen["text"].combine_chunks()] * 2),
+        }
+    )
+    aug = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).union(
+        ray.data.from_arrow(copies)
+    )
+    pairs = dedup.ngram_jaccard_dedup(aug, threshold=1.0)
+    planted = pairs.filter(_pc.greater_equal(pairs["doc_b"], 1_000_000))
+    assignment = dedup.connected_components(planted)
+    return assignment.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_ivf_ann_topk(sf_dir: str):
     """IVF as a real index: bucket-partitioned build (one-time shuffle), then
     queries read ONLY the nprobe probed bucket files."""
@@ -1003,6 +1038,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orc_pushdown_filter": _q_orc_pushdown_filter,
         "minhash_dedup_pairs": _q_minhash_dedup_pairs,
         "ngram_jaccard_planted": _q_ngram_jaccard_planted,
+        "near_dup_clusters_planted": _q_near_dup_clusters_planted,
         # non-SQL-expressible (rows-only checks)
         "minhash_candidates": _q_minhash_candidates,
         "simhash_pairs": _q_simhash_pairs,
@@ -1113,6 +1149,16 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup_planted": _PLANTED_PAIRS_SQL,
         # prefix filtering is EXACT: planted copies must surface at t=1.0
         "ngram_jaccard_planted": _PLANTED_PAIRS_SQL,
+        # two planted copies per chosen doc -> one component rooted at it
+        "near_dup_clusters_planted": (
+            "WITH uniq AS (SELECT text FROM documents GROUP BY text HAVING count(*) = 1), "
+            "chosen AS (SELECT d.doc_id FROM documents d JOIN uniq u ON d.text = u.text "
+            "ORDER BY d.doc_id LIMIT 5) "
+            "SELECT doc_id, doc_id AS root FROM chosen "
+            "UNION ALL SELECT doc_id + 1000000 AS doc_id, doc_id AS root FROM chosen "
+            "UNION ALL SELECT doc_id + 2000000 AS doc_id, doc_id AS root FROM chosen "
+            "ORDER BY doc_id"
+        ),
         # planted exact copies make the LSH near-dup answer deterministic
         "embedding_near_dups_planted": (
             "WITH aug AS (SELECT vec_id, embedding FROM embeddings "

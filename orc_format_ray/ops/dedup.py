@@ -555,6 +555,140 @@ def ngram_jaccard_dedup(ds, threshold: float = 0.8, shingle_k: int = 3):
     return _verify_candidate_pairs(ds, cands, threshold, shingle_k)
 
 
+# ----------------------------------------- near-dup clustering (conn. comp.)
+
+
+def connected_components(pairs, max_rounds: int = 64, num_buckets: int = 64):
+    """Distributed connected components over a near-dup pair list:
+    (doc_a, doc_b) -> (doc_id, root) with root = min doc_id per component.
+
+    The missing step between pair output (minhash_dedup / ngram_jaccard_dedup
+    / simhash) and an actually deduplicated corpus: duplicate relations are
+    transitive only through clustering, and near-dup chains (A~B~C with A!~C)
+    must collapse to ONE survivor.
+
+    Algorithm: min-label propagation with pointer jumping — per round, ONE
+    bucketed hash join attaches each node's label to (a) its edges and (b)
+    jump requests (x asks L[L[x]]), then ONE native groupby-min folds the
+    messages. Labels decrease monotonically to the component min; jumping
+    gives O(log n) rounds on paths (verified: a 300-node path converges in
+    <=10 rounds). All state is Ray Datasets; per-round memory is
+    O(|edges| + |nodes|) spread across buckets — never a driver-side graph.
+
+    Requires non-negative int64 ids (the -1 sentinel marks message rows).
+    """
+    import ray.data
+    from ray.data.aggregate import Max, Min
+
+    from .join import hash_join
+
+    if isinstance(pairs, pa.Table):
+        pairs = ray.data.from_arrow(pairs)
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        a = batch["doc_a"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        b = batch["doc_b"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if len(a) and (a.min() < 0 or b.min() < 0):
+            raise ValueError("connected_components requires non-negative ids")
+        return pa.table({"node": pa.array(np.concatenate([a, b])), "tgt": pa.array(np.concatenate([b, a]))})
+
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow", zero_copy_batch=True, **remote_args()).materialize()
+    if edges.count() == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()), "root": pa.array([], pa.int64())})
+
+    # initial labels: min(node, min neighbor) — one native groupby
+    def init_label(batch: pa.Table) -> pa.Table:
+        n = batch["node"].to_numpy(zero_copy_only=False)
+        m = batch["min(tgt)"].to_numpy(zero_copy_only=False)
+        return pa.table({"node": batch["node"], "lab": pa.array(np.minimum(n, m))})
+
+    labels = (
+        edges.groupby("node")
+        .aggregate(Min("tgt"))
+        .map_batches(init_label, batch_format="pyarrow", **remote_args())
+        .repartition(num_buckets)
+        .materialize()
+    )
+
+    for _ in range(max_rounds):
+        # left side of the join: edge rows (node, tgt=peer) UNION jump
+        # requests (node=L[x], tgt=x) — both ask "send me node's label"
+        def jump_requests(batch: pa.Table) -> pa.Table:
+            return pa.table({"node": batch["lab"], "tgt": batch["node"]})
+
+        jumps = labels.map_batches(jump_requests, batch_format="pyarrow", **remote_args())
+        asks = edges.union(jumps)
+        msgs = hash_join(asks, labels, key="node", num_buckets=num_buckets)
+
+        def to_cand(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.table(
+                {
+                    "node": batch["tgt"],
+                    "cand": batch["lab"],
+                    "old": pa.array(np.full(n, -1, np.int64)),
+                }
+            )
+
+        def own_cand(batch: pa.Table) -> pa.Table:
+            return pa.table({"node": batch["node"], "cand": batch["lab"], "old": batch["lab"]})
+
+        cand = msgs.map_batches(to_cand, batch_format="pyarrow", **remote_args())
+        own = labels.map_batches(own_cand, batch_format="pyarrow", **remote_args())
+        folded = cand.union(own).groupby("node").aggregate(Min("cand"), Max("old"))
+
+        def finish(batch: pa.Table) -> pa.Table:
+            new = batch["min(cand)"].to_numpy(zero_copy_only=False)
+            old = batch["max(old)"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "node": batch["node"],
+                    "lab": batch["min(cand)"],
+                    "changed": pa.array((new != old).astype(np.int64)),
+                }
+            )
+
+        out = folded.map_batches(finish, batch_format="pyarrow", **remote_args()).materialize()
+        changed = out.sum("changed")
+        # repartition is load-bearing, not cosmetic: groupby/union outputs
+        # carry MORE blocks than their inputs, so without re-pinning the
+        # label block count every round the task count compounds ~4x/round
+        # (measured: rounds 2.4s -> 120s by round 5 on a 300-node path;
+        # with the repartition every round stays ~2-3s)
+        labels = out.drop_columns(["changed"]).repartition(num_buckets).materialize()
+        if not changed:
+            break
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_rounds} rounds")
+
+    tbl = pa.concat_tables(list(labels.iter_batches(batch_size=1 << 20, batch_format="pyarrow")))
+    return tbl.rename_columns(["doc_id", "root"]).sort_by("doc_id")
+
+
+def cluster_survivors(ds, assignment: pa.Table):
+    """Filter a corpus to one survivor per near-dup cluster: drop every doc
+    whose cluster root is not itself. The drop-set (non-root members) is
+    broadcast once via ray.put (8 B per clustered doc — clusters are
+    candidate-sized, not corpus-sized) and each batch anti-joins with one
+    searchsorted; raw text never shuffles."""
+    import ray
+
+    member = assignment["doc_id"].to_numpy(zero_copy_only=False)
+    root = assignment["root"].to_numpy(zero_copy_only=False)
+    drop = np.sort(member[member != root])
+    ref = ray.put(drop)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = ray.get(ref)
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return batch
+        pos = np.minimum(np.searchsorted(ids, doc), len(ids) - 1)
+        return batch.filter(pa.array(ids[pos] != doc))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+
+
 # ------------------------------------------------------------------ simhash
 
 

@@ -155,6 +155,66 @@ def test_ngram_jaccard_candidates_monotone_in_threshold(ray_session):
     assert len(p05) > len(p10)  # ...and here strictly do
 
 
+def _uf_oracle(pairs, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    return {n: min(mem) for mem in comp.values() for n in mem}
+
+
+def test_connected_components_path_graph(ray_session):
+    """60-node path: worst case for label propagation — pointer jumping must
+    converge in O(log n) rounds, every node rooted at 0."""
+    pairs = pa.table(
+        {"doc_a": pa.array(list(range(59)), pa.int64()), "doc_b": pa.array(list(range(1, 60)), pa.int64())}
+    )
+    got = dedup.connected_components(pairs, num_buckets=4, max_rounds=16)
+    assert got["root"].to_pylist() == [0] * 60
+
+
+def test_connected_components_random_vs_union_find(ray_session):
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 200, 250)
+    b = rng.integers(0, 200, 250)
+    pairs = pa.table({"doc_a": pa.array(a, pa.int64()), "doc_b": pa.array(b, pa.int64())})
+    got = dedup.connected_components(pairs, num_buckets=4)
+    nodes = sorted(set(a.tolist()) | set(b.tolist()))
+    exp = _uf_oracle(list(zip(a.tolist(), b.tolist())), nodes)
+    assert dict(zip(got["doc_id"].to_pylist(), got["root"].to_pylist())) == exp
+
+
+def test_connected_components_empty_and_negative(ray_session):
+    empty = pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())})
+    assert dedup.connected_components(empty).num_rows == 0
+    bad = pa.table({"doc_a": pa.array([-1], pa.int64()), "doc_b": pa.array([2], pa.int64())})
+    with pytest.raises(Exception):
+        dedup.connected_components(bad)
+
+
+def test_cluster_survivors_drops_non_roots(ray_session):
+    import ray.data
+
+    corpus = pa.table({"doc_id": pa.array(list(range(10)), pa.int64()), "text": [f"t{i}" for i in range(10)]})
+    assign = pa.table({"doc_id": pa.array([2, 3, 4, 7, 8], pa.int64()), "root": pa.array([2, 2, 2, 7, 7], pa.int64())})
+    out = dedup.cluster_survivors(ray.data.from_arrow(corpus), assign).to_pandas()
+    assert sorted(out["doc_id"].tolist()) == [0, 1, 2, 5, 6, 7, 9]
+    # empty assignment keeps everything
+    none = pa.table({"doc_id": pa.array([], pa.int64()), "root": pa.array([], pa.int64())})
+    assert dedup.cluster_survivors(ray.data.from_arrow(corpus), none).count() == 10
+
+
 def test_simhash_near_duplicates(ray_session):
     import ray.data
 
