@@ -11,8 +11,10 @@ gold-pinned codec kernels. Two jobs:
    with our RLEv2/dictionary kernels is the strongest available evidence the
    kernels implement the public spec, not just our own dialect.
 
-Supported: CompressionKind none/zlib/snappy/zstd/lz4 (lz4 via a pure-Python
-block decoder — the format stores no decompressed size); encodings DIRECT,
+Supported: CompressionKind none/zlib/snappy/zstd/lz4/lzo (lz4 and lzo via
+pure-Python block/stream decoders — neither format stores a decompressed
+size and neither library exists in this environment; the lzo decoder is
+pinned by hand-computed spec vectors per instruction class); encodings DIRECT,
 DIRECT_V2, DICTIONARY_V2; types boolean/byte/short/int/long/float/double/
 string/char/varchar/binary/date/timestamp/decimal/list/map/struct/union
 (dense, null-free at the union level — Arrow has no top-level union
@@ -141,6 +143,111 @@ def _lz4_block_decompress(block: bytes) -> bytes:
     return bytes(out)
 
 
+def _lzo1x_decompress(block: bytes) -> bytes:
+    """Pure-Python LZO1X stream decoder (public format: LZO's documented
+    bitstream, also specified in the Linux kernel's lzo.rst). Instruction
+    classes: first-byte literal runs (18..255), state-dependent opcodes
+    0..15 (long literal run / 2-byte near match / 3-byte far match),
+    M2 2kB matches (64..255), M3 16kB matches (32..63), M4 48kB matches
+    (16..31) with the distance-16384 end-of-stream marker. The S bits
+    (low 2 of the last distance byte / opcode) carry 0..3 trailing
+    literals into the next instruction's interpretation."""
+    out = bytearray()
+    p = 0
+    n = len(block)
+    state = 0
+
+    def run_ext(t: int, bits: int) -> tuple[int, int]:
+        # length extension: L==0 -> (2^bits - 1) + 255 per zero byte + nonzero
+        nonlocal p
+        if t:
+            return t, p
+        ext = (1 << bits) - 1
+        while block[p] == 0:
+            ext += 255
+            p += 1
+        ext += block[p]
+        p += 1
+        return ext, p
+
+    def copy_match(dist: int, length: int) -> None:
+        start = len(out) - dist
+        if start < 0:
+            raise ValueError("corrupt lzo stream: match before start")
+        if dist >= length:
+            out.extend(out[start : start + length])
+        else:  # overlapping match: tile the period
+            pattern = out[start:]
+            out.extend((pattern * (length // dist + 1))[:length])
+
+    def copy_lit(lit: int) -> None:
+        # slices silently truncate — a short read means a corrupt stream
+        nonlocal p
+        if p + lit > n:
+            raise ValueError("corrupt lzo stream: truncated literal run")
+        out.extend(block[p : p + lit])
+        p += lit
+
+    if p >= n:
+        return bytes(out)
+    fb = block[p]
+    if fb >= 18:
+        p += 1
+        lit = fb - 17
+        copy_lit(lit)
+        state = 4 if lit >= 4 else lit
+    elif fb == 17:
+        raise ValueError("lzo bitstream-version byte unsupported")
+
+    while p < n:
+        t = block[p]
+        p += 1
+        if t >= 64:  # M2: 3..8 bytes within 2kB
+            length = (t >> 5) + 1
+            dist = ((t >> 2) & 7) + (block[p] << 3) + 1
+            p += 1
+            s = t & 3
+        elif t >= 32:  # M3: within 16kB
+            length, _ = run_ext(t & 31, 5)
+            length += 2
+            le16 = block[p] | (block[p + 1] << 8)
+            s = le16 & 3
+            dist = (le16 >> 2) + 1
+            p += 2
+        elif t >= 16:  # M4: 16..48kB
+            length, _ = run_ext(t & 7, 3)
+            length += 2
+            le16 = block[p] | (block[p + 1] << 8)
+            s = le16 & 3
+            dist = ((t & 8) << 11) + (le16 >> 2)
+            p += 2
+            if dist == 0:
+                break  # end-of-stream marker (distance 16384 exactly)
+            dist += 16384
+        else:  # 0..15: depends on literals copied by the LAST instruction
+            if state == 0:  # long literal run: 3 + L (extended)
+                lit, _ = run_ext(t, 4)
+                copy_lit(lit + 3)
+                state = 4
+                continue
+            if state == 4:  # 3-byte match at 2049..3072
+                dist = (t >> 2) + (block[p] << 2) + 2049
+                length = 3
+            else:  # state 1..3: 2-byte match at 1..1024
+                dist = (t >> 2) + (block[p] << 2) + 1
+                length = 2
+            p += 1
+            s = t & 3
+            copy_match(dist, length)
+            copy_lit(s)
+            state = s
+            continue
+        copy_match(dist, length)
+        copy_lit(s)
+        state = s
+    return bytes(out)
+
+
 def _decompress_block(kind: str, block: bytes) -> bytes:
     if kind == "zlib":
         return _zlib.decompressobj(-15).decompress(block)
@@ -157,8 +264,8 @@ def _decompress_block(kind: str, block: bytes) -> bytes:
         return pa_.Codec("snappy").decompress(block, decompressed_size=usize).to_pybytes()
     if kind == "lz4":
         return _lz4_block_decompress(block)
-    # lzo: no library in this environment and the block format's uncompressed
-    # size is unrecoverable; genuinely unsupported
+    if kind == "lzo":
+        return _lzo1x_decompress(block)
     raise NotImplementedError(f"compression {kind}")
 
 
