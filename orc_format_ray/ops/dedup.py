@@ -466,7 +466,11 @@ def _verify_candidate_pairs(ds, cands, threshold: float, shingle_k: int):
         return pd.DataFrame({"doc_a": [int(g["doc_a"].iloc[0])], "doc_b": [int(g["doc_b"].iloc[0])], "jaccard": [round(jac, 6)]})
 
     out = joined.groupby(["doc_a", "doc_b"]).map_groups(verify, batch_format="pandas", **remote_args())
-    tbl = pa.concat_tables(list(out.iter_batches(batch_size=1 << 20, batch_format="pyarrow")))
+    batches = list(out.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    # every candidate pair can fail verification: zero batches, not one empty
+    if not batches:
+        return pa_.table({"doc_a": pa_.array([], pa_.int64()), "doc_b": pa_.array([], pa_.int64()), "jaccard": pa_.array([], pa_.float64())})
+    tbl = pa.concat_tables(batches)
     if tbl.num_rows == 0:
         return pa_.table({"doc_a": pa_.array([], pa_.int64()), "doc_b": pa_.array([], pa_.int64()), "jaccard": pa_.array([], pa_.float64())})
     return tbl.cast(pa.schema({"doc_a": pa.int64(), "doc_b": pa.int64(), "jaccard": pa.float64()}))
@@ -687,6 +691,27 @@ def cluster_survivors(ds, assignment: pa.Table):
         return batch.filter(pa.array(ids[pos] != doc))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+
+
+def near_dedup(ds, method: str = "minhash", threshold: float = 0.5, shingle_k: int = 3, **kw):
+    """One-call near-duplicate removal: corpus -> corpus with one survivor
+    (the min doc_id) per near-dup cluster.
+
+    Composition: pair generation (`minhash_dedup` for approximate recall at
+    lower thresholds, `ngram_jaccard_dedup` for the exact similarity join)
+    -> `connected_components` (duplicate relations chain, so transitive
+    closure is required before filtering) -> `cluster_survivors` broadcast
+    anti-join. The input Dataset is consumed twice (pair generation + final
+    filter) — both passes stream; only pair/cluster tables materialize.
+    """
+    if method == "minhash":
+        pairs = minhash_dedup(ds, threshold=threshold, shingle_k=shingle_k, **kw)
+    elif method == "jaccard":
+        pairs = ngram_jaccard_dedup(ds, threshold=threshold, shingle_k=shingle_k, **kw)
+    else:
+        raise ValueError(f"unknown near-dedup method {method!r} (minhash|jaccard)")
+    assignment = connected_components(pairs.select(["doc_a", "doc_b"]))
+    return cluster_survivors(ds, assignment)
 
 
 # ------------------------------------------------------------------ simhash

@@ -203,6 +203,35 @@ def test_connected_components_empty_and_negative(ray_session):
         dedup.connected_components(bad)
 
 
+def test_near_dedup_collapses_chains(ray_session):
+    """A~B~C chain where A!~C still collapses to ONE survivor (doc A):
+    transitive closure through clustering, exact-Jaccard pair generation."""
+    import ray.data
+
+    words = [f"tok{i}" for i in range(24)]
+    a = " ".join(words)
+    b = " ".join(words[:12] + ["CHANGED"] + words[13:])  # near A
+    c = " ".join(words[:12] + ["CHANGED"] + words[13:20] + ["ALSO"] + words[21:])  # near B, farther from A
+    far = "entirely different content with no shared shingles whatsoever at all"
+    jab = dedup.jaccard_ngrams(a, b)
+    jbc = dedup.jaccard_ngrams(b, c)
+    jac = dedup.jaccard_ngrams(a, c)
+    t = (max(jac, 0.0) + min(jab, jbc)) / 2  # A~B, B~C pass; A~C fails
+    assert jac < t < min(jab, jbc)
+    df = pd.DataFrame({"doc_id": [10, 11, 12, 13], "text": [a, b, c, far]})
+    out = dedup.near_dedup(ray.data.from_pandas(df), method="jaccard", threshold=t).to_pandas()
+    assert sorted(out["doc_id"].tolist()) == [10, 13]  # one survivor per cluster
+    with pytest.raises(ValueError):
+        dedup.near_dedup(ray.data.from_pandas(df), method="nope")
+    # candidates exist but every pair fails verification (shared shingles,
+    # low Jaccard): zero verified batches must yield the full corpus back
+    uniq = pd.DataFrame(
+        {"doc_id": range(5), "text": [f"utterly unique text number {i} with words {i * 7} {i * 13}" for i in range(5)]}
+    )
+    out = dedup.near_dedup(ray.data.from_pandas(uniq), method="jaccard", threshold=0.9).to_pandas()
+    assert sorted(out["doc_id"].tolist()) == list(range(5))
+
+
 def test_cluster_survivors_drops_non_roots(ray_session):
     import ray.data
 
