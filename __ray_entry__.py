@@ -878,6 +878,39 @@ def _q_near_dup_clusters_planted(sf_dir: str):
     return assignment.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_near_dedup_planted(sf_dir: str):
+    """One-call `near_dedup` with a DETERMINISTIC answer: plant TWO copies
+    (+1M, +2M) of each of the 5 lowest unique-text docs, then run the full
+    pairs -> connected-components -> survivor-filter composition at exact
+    Jaccard t=1.0. Every planted triple collapses to its min doc_id (the
+    original), so the survivors are exactly one doc per distinct text — SQL
+    reproduces that as min(doc_id) per text group over the base corpus
+    (planted ids >= 1M are never the minimum). Assumes no two DISTINCT texts
+    share an identical 3-shingle set (verified true of the test corpora)."""
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from orc_format_ray.ops import dedup
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    counts = docs.group_by("text").aggregate([("doc_id", "count"), ("doc_id", "min")])
+    uniq = counts.filter(_pc.equal(counts["doc_id_count"], 1))
+    chosen = uniq.sort_by("doc_id_min").slice(0, 5)
+    base_ids = chosen["doc_id_min"].to_pylist()
+    copies = pa.table(
+        {
+            "doc_id": pa.array([v + off for off in (1_000_000, 2_000_000) for v in base_ids], pa.int64()),
+            "text": pa.concat_arrays([chosen["text"].combine_chunks()] * 2),
+        }
+    )
+    aug = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).union(
+        ray.data.from_arrow(copies)
+    )
+    survivors = dedup.near_dedup(aug, method="jaccard", threshold=1.0)
+    return survivors.select_columns(["doc_id"]).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_ivf_ann_topk(sf_dir: str):
     """IVF as a real index: bucket-partitioned build (one-time shuffle), then
     queries read ONLY the nprobe probed bucket files."""
@@ -1039,6 +1072,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_pairs": _q_minhash_dedup_pairs,
         "ngram_jaccard_planted": _q_ngram_jaccard_planted,
         "near_dup_clusters_planted": _q_near_dup_clusters_planted,
+        "near_dedup_planted": _q_near_dedup_planted,
         # non-SQL-expressible (rows-only checks)
         "minhash_candidates": _q_minhash_candidates,
         "simhash_pairs": _q_simhash_pairs,
@@ -1149,6 +1183,10 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup_planted": _PLANTED_PAIRS_SQL,
         # prefix filtering is EXACT: planted copies must surface at t=1.0
         "ngram_jaccard_planted": _PLANTED_PAIRS_SQL,
+        # survivors of one-call near-dedup at t=1.0 = min doc_id per text
+        "near_dedup_planted": (
+            "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id"
+        ),
         # two planted copies per chosen doc -> one component rooted at it
         "near_dup_clusters_planted": (
             "WITH uniq AS (SELECT text FROM documents GROUP BY text HAVING count(*) = 1), "
