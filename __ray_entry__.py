@@ -209,6 +209,21 @@ def _q_token_count_by_source(sf_dir: str):
     return ds.groupby("source").aggregate(Count(alias_name="n_docs"), Sum("n_tok", alias_name="sum_tok"))
 
 
+def _q_pack_sequences(sf_dir: str):
+    """GPT-style sequence packing: tokenized docs -> fixed-capacity (2048)
+    training blocks via a distributed prefix sum (metadata-only shuffle).
+    SQL reproduces the assignment with a window cumsum over doc_id order."""
+    import ray.data
+
+    from orc_format_ray.ops import pack
+    from orc_format_ray.ops import text as tx
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = ds.map_batches(tx.token_count, batch_format="pyarrow", zero_copy_batch=True, **_ra())
+    out = pack.pack_sequences(ds.select_columns(["doc_id", "n_tok"]), capacity=2048)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_quality_per_doc(sf_dir: str):
     import ray.data
 
@@ -1048,6 +1063,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stats_merge_lineitem": _q_stats_merge_lineitem,
         "exact_dedup_documents": _q_exact_dedup_documents,
         "token_count_by_source": _q_token_count_by_source,
+        "pack_sequences": _q_pack_sequences,
         "quality_per_doc": _q_quality_per_doc,
         "ann_topk_embeddings": _q_ann_topk_embeddings,
         "encode_roundtrip_by_source": _q_encode_roundtrip_by_source,
@@ -1164,6 +1180,17 @@ def oracle_sql() -> dict[str, str]:
         "token_count_by_source": (
             f"SELECT source, count(*) AS n_docs, CAST(sum({_TOKCOUNT_SQL}) AS BIGINT) AS sum_tok "
             "FROM documents GROUP BY source"
+        ),
+        # window cumsum reproduces the distributed prefix-sum pack assignment
+        "pack_sequences": (
+            f"WITH t AS (SELECT doc_id, CAST({_TOKCOUNT_SQL} AS BIGINT) AS n_tok FROM documents), "
+            "c AS (SELECT doc_id, n_tok, COALESCE(SUM(n_tok) OVER (ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok FROM t) "
+            "SELECT doc_id, n_tok, start_tok, "
+            "CAST(floor(start_tok / 2048) AS BIGINT) AS first_pack, "
+            "greatest(CAST(floor(start_tok / 2048) AS BIGINT), "
+            "CAST(floor((start_tok + greatest(n_tok, 1) - 1) / 2048) AS BIGINT)) AS last_pack "
+            "FROM c ORDER BY doc_id"
         ),
         "quality_per_doc": (
             "SELECT doc_id, "

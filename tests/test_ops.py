@@ -683,3 +683,52 @@ def test_quantile_cont_from_counts_matches_numpy():
         got = quantile_cont_from_counts(uv, cnt, [q])[0]
         exp = float(np.quantile(vals, q, method="linear"))
         assert abs(got - exp) < 1e-9, (q, got, exp)
+
+
+# ------------------------------------------------------------------ packing
+
+
+def test_pack_sequences_matches_cumsum(ray_session):
+    """Distributed prefix-sum packing == plain sorted cumsum, with gapped
+    shuffled keys, zero-token docs, and docs spanning bucket boundaries."""
+    import ray.data
+
+    from orc_format_ray.ops import pack
+
+    rng = np.random.default_rng(3)
+    n = 4000
+    keys = rng.permutation(np.arange(0, n * 3, 3))  # gaps + shuffled arrival
+    ntok = rng.integers(0, 900, n)
+    ntok[:20] = 0  # empty docs pin to first_pack
+    df = pd.DataFrame({"doc_id": keys, "n_tok": ntok})
+    ds = ray.data.from_pandas([df.iloc[i : i + 500] for i in range(0, n, 500)])
+    out = (
+        pack.pack_sequences(ds, capacity=2048, bucket_width=1000)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    ref = df.sort_values("doc_id").reset_index(drop=True)
+    start = np.concatenate(([0], np.cumsum(ref["n_tok"].to_numpy())[:-1]))
+    first = start // 2048
+    last = np.maximum(first, (start + np.maximum(ref["n_tok"].to_numpy(), 1) - 1) // 2048)
+    assert out["doc_id"].tolist() == ref["doc_id"].tolist()
+    assert out["start_tok"].tolist() == start.tolist()
+    assert out["first_pack"].tolist() == first.tolist()
+    assert out["last_pack"].tolist() == last.tolist()
+
+
+def test_pack_sequences_guards(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops import pack
+
+    ds = ray.data.from_pandas(pd.DataFrame({"doc_id": [1, 2], "n_tok": [5, 5]}))
+    with pytest.raises(ValueError):
+        pack.pack_sequences(ds, capacity=0)
+    with pytest.raises(ValueError):
+        pack.pack_sequences(ds, capacity=16, bucket_width=0)
+    neg = ray.data.from_pandas(pd.DataFrame({"doc_id": [-1, 2], "n_tok": [5, 5]}))
+    with pytest.raises(Exception):  # surfaces as a Ray task error
+        pack.pack_sequences(neg, capacity=16).to_pandas()
