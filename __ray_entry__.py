@@ -209,6 +209,62 @@ def _q_token_count_by_source(sf_dir: str):
     return ds.groupby("source").aggregate(Count(alias_name="n_docs"), Sum("n_tok", alias_name="sum_tok"))
 
 
+def _q_vocab_topk(sf_dir: str):
+    """Vocabulary build: distributed word-frequency top-100 (per-batch
+    partial counts -> one |vocab| groupby -> per-block top-k -> tiny driver
+    fold). SQL reproduces it with unnest + count."""
+    import ray.data
+
+    from orc_format_ray.ops import text as tx
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return tx.vocab_topk(ds, k=100).to_pandas()
+
+
+def _q_decontaminate_planted(sf_dir: str):
+    """Benchmark decontamination with a DETERMINISTIC answer: the "benchmark
+    set" is the middle 5-gram (words 3..7) of each of the 5 lowest-doc_id
+    docs; any doc containing one as a substring is dropped (at minimum the 5
+    source docs themselves). SQL rebuilds the same phrases and filter."""
+    import pyarrow.parquet as pq
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from orc_format_ray.ops import text as tx
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).sort_by("doc_id").slice(0, 5)
+    phrases = [" ".join(t.split()[2:7]) for t in docs["text"].to_pylist()]
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"])
+    clean = tx.decontaminate(ds, phrases)
+    out = clean.groupby("source").aggregate(Count(alias_name="n_clean")).to_pandas()
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def _q_hash_split_documents(sf_dir: str):
+    """Deterministic ~10% hash split (Knuth multiplicative, SQL-reproducible
+    — no RNG/partitioning dependence); returns the kept rows."""
+    import ray.data
+
+    from orc_format_ray.ops import sample
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    out = sample.hash_split(ds, rate_pct=10).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_stratified_sample_documents(sf_dir: str):
+    """Exactly 3 docs per source, drawn by ascending (knuth_hash(doc_id),
+    doc_id) — deterministic stratified sampling; SQL mirrors via QUALIFY
+    row_number over the same hash expression."""
+    import ray.data
+
+    from orc_format_ray.ops import sample
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    out = sample.stratified_sample(ds, k=3).to_pandas()
+    return out[["source", "doc_id"]].sort_values(["source", "doc_id"]).reset_index(drop=True)
+
+
 def _q_pack_sequences(sf_dir: str):
     """GPT-style sequence packing: tokenized docs -> fixed-capacity (2048)
     training blocks via a distributed prefix sum (metadata-only shuffle).
@@ -1064,6 +1120,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_documents": _q_exact_dedup_documents,
         "token_count_by_source": _q_token_count_by_source,
         "pack_sequences": _q_pack_sequences,
+        "vocab_topk": _q_vocab_topk,
+        "decontaminate_planted": _q_decontaminate_planted,
+        "hash_split_documents": _q_hash_split_documents,
+        "stratified_sample_documents": _q_stratified_sample_documents,
         "quality_per_doc": _q_quality_per_doc,
         "ann_topk_embeddings": _q_ann_topk_embeddings,
         "encode_roundtrip_by_source": _q_encode_roundtrip_by_source,
@@ -1180,6 +1240,32 @@ def oracle_sql() -> dict[str, str]:
         "token_count_by_source": (
             f"SELECT source, count(*) AS n_docs, CAST(sum({_TOKCOUNT_SQL}) AS BIGINT) AS sum_tok "
             "FROM documents GROUP BY source"
+        ),
+        "vocab_topk": (
+            "SELECT CAST(row_number() OVER (ORDER BY count(*) DESC, word) AS BIGINT) AS rank, "
+            "word, CAST(count(*) AS BIGINT) AS cnt "
+            "FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word "
+            "FROM documents WHERE trim(text) <> '') "
+            "GROUP BY word ORDER BY cnt DESC, word LIMIT 100"
+        ),
+        # the benchmark 5-grams come FROM the corpus, so SQL rebuilds them
+        "decontaminate_planted": (
+            "WITH chosen AS (SELECT text FROM documents ORDER BY doc_id LIMIT 5), "
+            "ph AS (SELECT array_to_string((string_split_regex(trim(text), '\\s+'))[3:7], ' ') AS phrase FROM chosen) "
+            "SELECT d.source, count(*) AS n_clean FROM documents d "
+            "WHERE NOT EXISTS (SELECT 1 FROM ph WHERE contains(d.text, ph.phrase)) "
+            "GROUP BY d.source ORDER BY d.source"
+        ),
+        # knuth multiplicative hash is plain integer SQL
+        "hash_split_documents": (
+            "SELECT doc_id, source FROM documents "
+            "WHERE ((doc_id * 2654435761) % 4294967296) % 100 < 10 ORDER BY doc_id"
+        ),
+        "stratified_sample_documents": (
+            "SELECT source, doc_id FROM documents "
+            "QUALIFY row_number() OVER (PARTITION BY source "
+            "ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) <= 3 "
+            "ORDER BY source, doc_id"
         ),
         # window cumsum reproduces the distributed prefix-sum pack assignment
         "pack_sequences": (

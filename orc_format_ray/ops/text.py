@@ -130,3 +130,109 @@ def quality_score(batch: pa.Table, column: str = "text") -> pa.Table:
         .append_column("mean_word_len", mean_word_len)
         .append_column("tok_count", ntok.cast(pa.int64()))
     )
+
+
+# ------------------------------------------------------- vocabulary build
+
+
+def word_count_partial(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Per-batch (word, cnt) partial counts — the combiner half of a
+    vocabulary build. Vectorized: split -> flatten -> value_counts; empty
+    split artifacts from blank texts are dropped."""
+    text = batch[column]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    words = pc.split_pattern_regex(pc.utf8_trim_whitespace(text), r"\s+")
+    vc = words.flatten().value_counts()
+    vals, cnts = vc.field("values"), vc.field("counts")
+    keep = pc.greater(pc.utf8_length(vals), 0)
+    return pa.table({"word": vals.filter(keep), "cnt": cnts.filter(keep).cast(pa.int64())})
+
+
+def vocab_topk(ds, k: int = 100, column: str = "text") -> pa.Table:
+    """Top-k corpus vocabulary by frequency (ties broken by word asc).
+
+    Plan: per-batch partial counts (only distinct-word partials shuffle,
+    never raw text) -> one groupby over |vocab| rows -> per-block partial
+    top-k (k rows leave each block) -> tiny driver fold of k x n_blocks
+    rows. Returns a pyarrow Table (rank, word, cnt)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from .._rayutil import remote_args
+
+    parts = ds.map_batches(
+        lambda b: word_count_partial(b, column), batch_format="pyarrow", zero_copy_batch=True, **remote_args()
+    )
+    tot = parts.groupby("word").aggregate(Sum("cnt", alias_name="cnt"))
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(batch, sort_keys=[("cnt", "descending"), ("word", "ascending")])
+        return batch.take(idx[:k])
+
+    tops = tot.map_batches(block_topk, batch_format="pyarrow", **remote_args())
+    parts_tbls = list(tops.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    if not parts_tbls:
+        return pa.table({"rank": pa.array([], pa.int64()), "word": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())})
+    df: pd.DataFrame = pa.concat_tables(parts_tbls).to_pandas()
+    df = df.sort_values(["cnt", "word"], ascending=[False, True]).head(k).reset_index(drop=True)
+    df.insert(0, "rank", np.arange(1, len(df) + 1, dtype=np.int64))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+# ------------------------------------------------------- decontamination
+
+
+class Decontaminate:
+    """Benchmark decontamination: drop documents containing any
+    contamination phrase as a substring.
+
+    Actor-pool stage: phrases ship once (``ray.put`` ref in
+    ``fn_constructor_kwargs``) and each actor compiles ONE re2 alternation in
+    ``__init__``, so matching is a single vectorized
+    ``match_substring_regex`` pass per batch regardless of phrase count.
+    For benchmark sets beyond re2's pattern size (~millions of n-grams),
+    shard the phrase list across sequential passes, or switch to word-shingle
+    hash probing (rolling hash per n-gram + ``np.isin`` against a broadcast
+    hash array) at the cost of word-boundary rather than substring semantics.
+    """
+
+    def __init__(self, phrases_ref=None, phrases=None, column: str = "text", invert: bool = False):
+        import re as _re
+
+        if phrases_ref is not None:
+            import ray
+
+            phrases = ray.get(phrases_ref)
+        # longest-first so overlapping alternatives can't shadow each other
+        self.pattern = "|".join(_re.escape(p) for p in sorted(set(phrases), key=lambda s: (-len(s), s)))
+        self.column = column
+        self.invert = invert
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.pattern:  # empty benchmark set: nothing is contaminated
+            return batch if not self.invert else batch.slice(0, 0)
+        text = batch[self.column]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        hit = pc.match_substring_regex(text, self.pattern)
+        return batch.filter(hit if self.invert else pc.invert(hit))
+
+
+def decontaminate(ds, phrases: list[str], column: str = "text", invert: bool = False):
+    """Filter out docs containing any of ``phrases`` (``invert=True`` keeps
+    ONLY contaminated docs, for audits). See ``Decontaminate`` for the scale
+    contract."""
+    import ray
+
+    from .._rayutil import pool_size, remote_args
+
+    ref = ray.put(list(phrases))
+    return ds.map_batches(
+        Decontaminate,
+        fn_constructor_kwargs={"phrases_ref": ref, "column": column, "invert": invert},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=pool_size(),
+        **remote_args(),
+    )

@@ -732,3 +732,75 @@ def test_pack_sequences_guards(ray_session):
     neg = ray.data.from_pandas(pd.DataFrame({"doc_id": [-1, 2], "n_tok": [5, 5]}))
     with pytest.raises(Exception):  # surfaces as a Ray task error
         pack.pack_sequences(neg, capacity=16).to_pandas()
+
+
+# ------------------------------------------------- vocab / decontaminate / sample
+
+
+def test_vocab_topk_counts_and_ties(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops import text as tx
+
+    df = pd.DataFrame({"text": ["b a a", "c b  ", "", "a c b"]})
+    out = tx.vocab_topk(ray.data.from_pandas(df), k=2).to_pandas()
+    # a:3 b:3 c:2 -> tie at 3 broken by word asc
+    assert out["word"].tolist() == ["a", "b"]
+    assert out["cnt"].tolist() == [3, 3]
+    assert out["rank"].tolist() == [1, 2]
+    empty = tx.vocab_topk(ray.data.from_pandas(pd.DataFrame({"text": ["", "  "]})), k=3).to_pandas()
+    assert len(empty) == 0
+
+
+def test_decontaminate_substring_semantics(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops import text as tx
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "the quick brown fox jumps",
+                "clean document here",
+                "prefix the quick brown fox suffix",  # substring hit mid-doc
+                "regex meta chars a+b (c) [d]",
+            ],
+        }
+    )
+    ds = ray.data.from_pandas(df)
+    clean = tx.decontaminate(ds, ["quick brown fox", "a+b (c)"]).to_pandas()
+    assert sorted(clean["doc_id"].tolist()) == [1]  # metachars escaped, not wildcards
+    audit = tx.decontaminate(ray.data.from_pandas(df), ["quick brown fox"], invert=True).to_pandas()
+    assert sorted(audit["doc_id"].tolist()) == [0, 2]
+    allkept = tx.decontaminate(ray.data.from_pandas(df), []).to_pandas()
+    assert len(allkept) == 4
+
+
+def test_hash_split_and_stratified_sample(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops import sample
+
+    n = 1000
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64), "source": [f"s{i % 4}" for i in range(n)]})
+    kept = sample.hash_split(ray.data.from_pandas(df), rate_pct=10).to_pandas()
+    h = sample.knuth_hash(df["doc_id"].to_numpy())
+    expect = df[(h % np.uint64(100)) < np.uint64(10)]
+    assert sorted(kept["doc_id"].tolist()) == expect["doc_id"].tolist()
+    assert 0 < len(kept) < n
+    # disjoint complementary split
+    rest = sample.hash_split(ray.data.from_pandas(df), rate_pct=100).to_pandas()
+    assert len(rest) == n
+    with pytest.raises(ValueError):
+        sample.hash_split(ray.data.from_pandas(df), rate_pct=101)
+
+    strat = sample.stratified_sample(ray.data.from_pandas(df), k=5).to_pandas()
+    assert len(strat) == 20  # 4 sources x 5
+    for src, g in strat.groupby("source"):
+        sub = df[df["source"] == src]
+        hh = sample.knuth_hash(sub["doc_id"].to_numpy())
+        order = np.lexsort((sub["doc_id"].to_numpy(), hh))
+        assert sorted(g["doc_id"].tolist()) == sorted(sub["doc_id"].to_numpy()[order[:5]].tolist())
+    with pytest.raises(ValueError):
+        sample.stratified_sample(ray.data.from_pandas(df), k=0)
