@@ -265,6 +265,35 @@ def _q_stratified_sample_documents(sf_dir: str):
     return out[["source", "doc_id"]].sort_values(["source", "doc_id"]).reset_index(drop=True)
 
 
+def _q_chunk_passages(sf_dir: str):
+    """Passage chunking (flat_map shape: docs -> 40-word windows), fully
+    vectorized via one ListArray re-offset + binary_join per batch. SQL
+    reproduces it with unnest(range) + list slicing."""
+    import ray.data
+
+    from orc_format_ray.ops import chunk
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = chunk.chunk_passages(ds, window=40)
+    return out.to_pandas().sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+
+
+def _q_mixture_sample_documents(sf_dir: str):
+    """Training-data composition mixing: each source sampled at its own
+    deterministic rate ((source_number * 7) mod 101 percent) with the Knuth
+    hash, so SQL reproduces the exact per-row selection."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from orc_format_ray.ops import sample
+
+    srcs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["source"])["source"].to_pylist()
+    rates = {s: int(s[3:]) * 7 % 101 for s in set(srcs)}
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    out = sample.mixture_sample(ds, rates).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_pack_sequences(sf_dir: str):
     """GPT-style sequence packing: tokenized docs -> fixed-capacity (2048)
     training blocks via a distributed prefix sum (metadata-only shuffle).
@@ -1123,6 +1152,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_topk": _q_vocab_topk,
         "decontaminate_planted": _q_decontaminate_planted,
         "hash_split_documents": _q_hash_split_documents,
+        "chunk_passages": _q_chunk_passages,
+        "mixture_sample_documents": _q_mixture_sample_documents,
         "stratified_sample_documents": _q_stratified_sample_documents,
         "quality_per_doc": _q_quality_per_doc,
         "ann_topk_embeddings": _q_ann_topk_embeddings,
@@ -1255,6 +1286,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.source, count(*) AS n_clean FROM documents d "
             "WHERE NOT EXISTS (SELECT 1 FROM ph WHERE contains(d.text, ph.phrase)) "
             "GROUP BY d.source ORDER BY d.source"
+        ),
+        # list-slice windows reproduce the vectorized chunker
+        "chunk_passages": (
+            "WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words "
+            "FROM documents WHERE trim(text) <> ''), "
+            "i AS (SELECT doc_id, words, unnest(range(0, CAST(ceil(len(words)/40.0) AS BIGINT))) AS chunk_id FROM w), "
+            "c AS (SELECT doc_id, chunk_id, array_to_string(words[(chunk_id*40+1):((chunk_id+1)*40)], ' ') AS passage FROM i) "
+            "SELECT doc_id, chunk_id, CAST(len(string_split_regex(passage, '\\s+')) AS BIGINT) AS n_words, passage "
+            "FROM c ORDER BY doc_id, chunk_id"
+        ),
+        # per-source rate = (source number * 7) mod 101, same knuth hash
+        "mixture_sample_documents": (
+            "SELECT doc_id, source FROM documents "
+            "WHERE ((doc_id * 2654435761) % 4294967296) % 100 "
+            "< (CAST(regexp_extract(source, '[0-9]+') AS BIGINT) * 7) % 101 "
+            "ORDER BY doc_id"
         ),
         # knuth multiplicative hash is plain integer SQL
         "hash_split_documents": (

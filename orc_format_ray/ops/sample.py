@@ -59,3 +59,30 @@ def stratified_sample(ds, k: int, stratum: str = "source", key: str = "doc_id", 
         return group.iloc[order[:k]]
 
     return ds.groupby(stratum).map_groups(pick, batch_format="pandas", **remote_args())
+
+
+def mixture_sample(ds, rates: dict[str, int], stratum: str = "source", key: str = "doc_id", buckets: int = 100, salt: int = 0):
+    """Composition-weighted mixture: keep each stratum at its own rate
+    (``rates[stratum]`` of ``buckets``; strata absent from ``rates`` drop
+    entirely) — the training-data mixing step (e.g. books at 100%, web at
+    35%). Same Knuth hash as ``hash_split``, so a given row's fate is stable
+    as rates change AND nested splits stay consistent across strata. The
+    (tiny) rate dict ships inside the task closure; the filter itself is a
+    stateless vectorized pass — no shuffle at any scale."""
+    import pandas as pd
+
+    bad = {s: r for s, r in rates.items() if not 0 <= r <= buckets}
+    if bad:
+        raise ValueError(f"rates must be in [0, {buckets}]: {bad}")
+
+    def keep(batch: pa.Table) -> pa.Table:
+        pct = (
+            pd.Series(batch[stratum].to_numpy(zero_copy_only=False))
+            .map(rates)
+            .fillna(0)
+            .to_numpy(np.uint64)
+        )
+        h = knuth_hash(batch[key].to_numpy(zero_copy_only=False), salt)
+        return batch.filter(pa.array((h % np.uint64(buckets)) < pct))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True, **remote_args())

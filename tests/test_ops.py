@@ -804,3 +804,55 @@ def test_hash_split_and_stratified_sample(ray_session):
         assert sorted(g["doc_id"].tolist()) == sorted(sub["doc_id"].to_numpy()[order[:5]].tolist())
     with pytest.raises(ValueError):
         sample.stratified_sample(ray.data.from_pandas(df), k=0)
+
+
+def test_chunk_passages_tiling(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops import chunk
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                " ".join(f"w{i}" for i in range(10)),  # 3+3+3+1 at window=3
+                "a b c",  # exact multiple -> 1 chunk
+                "solo",  # shorter than window
+                "   ",  # empty after trim -> no chunks
+            ],
+        }
+    )
+    out = (
+        chunk.chunk_passages(ray.data.from_pandas(df), window=3)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [0, 0, 0, 0, 1, 2]
+    assert out["chunk_id"].tolist() == [0, 1, 2, 3, 0, 0]
+    assert out["n_words"].tolist() == [3, 3, 3, 1, 3, 1]
+    assert out["passage"].tolist() == ["w0 w1 w2", "w3 w4 w5", "w6 w7 w8", "w9", "a b c", "solo"]
+    # reassembling chunks reproduces every non-empty doc
+    joined = out.groupby("doc_id")["passage"].apply(" ".join)
+    assert joined[0] == df["text"][0] and joined[1] == "a b c"
+    with pytest.raises(ValueError):
+        chunk.chunk_passages(ray.data.from_pandas(df), window=0)
+
+
+def test_mixture_sample_rates(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops import sample
+
+    n = 600
+    df = pd.DataFrame(
+        {"doc_id": np.arange(n, dtype=np.int64), "source": (["keep"] * 200 + ["half"] * 200 + ["unlisted"] * 200)}
+    )
+    out = sample.mixture_sample(ray.data.from_pandas(df), {"keep": 100, "half": 50}).to_pandas()
+    assert (out[out["source"] == "keep"]).shape[0] == 200  # rate 100 keeps all
+    assert "unlisted" not in set(out["source"])  # absent stratum drops
+    h = sample.knuth_hash(df["doc_id"].to_numpy())
+    expect_half = df[(df["source"] == "half") & ((h % np.uint64(100)) < np.uint64(50))]
+    assert sorted(out[out["source"] == "half"]["doc_id"]) == expect_half["doc_id"].tolist()
+    with pytest.raises(ValueError):
+        sample.mixture_sample(ray.data.from_pandas(df), {"keep": 101})
