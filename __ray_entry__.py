@@ -305,7 +305,8 @@ def _q_pack_sequences(sf_dir: str):
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     ds = ds.map_batches(tx.token_count, batch_format="pyarrow", zero_copy_batch=True, **_ra())
-    out = pack.pack_sequences(ds.select_columns(["doc_id", "n_tok"]), capacity=2048)
+    # meta derives from a text tokenize here -> pin it rather than re-derive
+    out = pack.pack_sequences(ds.select_columns(["doc_id", "n_tok"]), capacity=2048, materialize_meta=True)
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 

@@ -56,13 +56,28 @@ def pack_assignment(keys: np.ndarray, n_tok: np.ndarray, base: int, capacity: in
     )
 
 
-def pack_sequences(ds, capacity: int, key: str = "doc_id", ntok: str = "n_tok", bucket_width: int = 4096):
+def pack_sequences(
+    ds,
+    capacity: int,
+    key: str = "doc_id",
+    ntok: str = "n_tok",
+    bucket_width: int = 4096,
+    materialize_meta: bool = False,
+):
     """Pack documents into ``capacity``-token training blocks.
 
     Returns a Dataset of ``(doc_id, n_tok, start_tok, first_pack,
     last_pack)`` — one row per input doc, keys globally ordered by the
     integer ``key`` column. See the module docstring for the two-stage
     distributed prefix-sum plan and its shuffle contract.
+
+    The metadata stream is consumed twice (bucket totals, then the
+    assignment groupby). By default both passes re-execute the upstream
+    plan — the right call when ``ds`` is a cheap columnar read of
+    ``(key, n_tok)`` (the north-rule tokens table: two tiny columns).
+    Set ``materialize_meta=True`` to pin the metadata in the object store
+    instead when the upstream derivation is expensive (e.g. tokenizing
+    raw text) — that costs ~24 B x n_docs of (spillable) object store.
     """
     import ray
     from ray.data.aggregate import Sum
@@ -86,10 +101,9 @@ def pack_sequences(ds, capacity: int, key: str = "doc_id", ntok: str = "n_tok", 
         )
 
     meta = ds.map_batches(to_meta, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-    # stage 1: small per-bucket totals -> driver exclusive cumsum -> broadcast.
-    # materialize meta: it feeds BOTH the totals groupby and stage 2 (without
-    # this the lazy plan re-reads + re-tokenizes the input twice).
-    meta = meta.materialize()
+    if materialize_meta:
+        meta = meta.materialize()
+    # stage 1: small per-bucket totals -> driver exclusive cumsum -> broadcast
     totals = (
         meta.groupby("bucket")
         .aggregate(Sum("n_tok", alias_name="tok_sum"))
@@ -104,11 +118,12 @@ def pack_sequences(ds, capacity: int, key: str = "doc_id", ntok: str = "n_tok", 
     offsets_ref = ray.put(offsets)
 
     def assign(group: pd.DataFrame) -> pd.DataFrame:
+        keys = group["doc_id"].to_numpy()
+        if len(np.unique(keys)) != len(keys):
+            raise ValueError(f"duplicate {key!r} keys break the prefix-sum order (bucket {group['bucket'].iloc[0]})")
         offs = ray.get(offsets_ref)
         base = offs[int(group["bucket"].iloc[0])]
-        return pack_assignment(
-            group["doc_id"].to_numpy(), group["n_tok"].to_numpy(), base, capacity
-        )
+        return pack_assignment(keys, group["n_tok"].to_numpy(), base, capacity)
 
     # stage 2: per-bucket local prefix sums under the broadcast global offset
     return meta.groupby("bucket").map_groups(assign, batch_format="pandas", **remote_args())

@@ -732,6 +732,18 @@ def test_pack_sequences_guards(ray_session):
     neg = ray.data.from_pandas(pd.DataFrame({"doc_id": [-1, 2], "n_tok": [5, 5]}))
     with pytest.raises(Exception):  # surfaces as a Ray task error
         pack.pack_sequences(neg, capacity=16).to_pandas()
+    dup = ray.data.from_pandas(pd.DataFrame({"doc_id": [3, 3], "n_tok": [5, 5]}))
+    with pytest.raises(Exception):  # duplicate keys break the prefix-sum order
+        pack.pack_sequences(dup, capacity=16).to_pandas()
+    # materialize_meta=True yields the identical assignment
+    df = pd.DataFrame({"doc_id": [0, 1, 2], "n_tok": [10, 20, 30]})
+    a = pack.pack_sequences(ray.data.from_pandas(df), capacity=16).to_pandas().sort_values("doc_id")
+    b = (
+        pack.pack_sequences(ray.data.from_pandas(df), capacity=16, materialize_meta=True)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert a.values.tolist() == b.values.tolist()
 
 
 # ------------------------------------------------- vocab / decontaminate / sample
