@@ -265,6 +265,18 @@ def _q_stratified_sample_documents(sf_dir: str):
     return out[["source", "doc_id"]].sort_values(["source", "doc_id"]).reset_index(drop=True)
 
 
+def _q_word_repetition(sf_dir: str):
+    """Per-doc duplicate-word ratio (Gopher-style repetition signal),
+    exact via Arrow dictionary codes; SQL mirrors with list_distinct."""
+    import ray.data
+
+    from orc_format_ray.ops import text as tx
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(tx.word_repetition, batch_format="pyarrow", zero_copy_batch=True, **_ra())
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_chunk_passages(sf_dir: str):
     """Passage chunking (flat_map shape: docs -> 40-word windows), fully
     vectorized via one ListArray re-offset + binary_join per batch. SQL
@@ -1154,6 +1166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_planted": _q_decontaminate_planted,
         "hash_split_documents": _q_hash_split_documents,
         "chunk_passages": _q_chunk_passages,
+        "word_repetition_documents": _q_word_repetition,
         "mixture_sample_documents": _q_mixture_sample_documents,
         "stratified_sample_documents": _q_stratified_sample_documents,
         "quality_per_doc": _q_quality_per_doc,
@@ -1287,6 +1300,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.source, count(*) AS n_clean FROM documents d "
             "WHERE NOT EXISTS (SELECT 1 FROM ph WHERE contains(d.text, ph.phrase)) "
             "GROUP BY d.source ORDER BY d.source"
+        ),
+        # exact distinct-word counts; same 1.0 - d/n float op order
+        "word_repetition_documents": (
+            "WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words "
+            "FROM documents WHERE trim(text) <> '') "
+            "SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words, "
+            "CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct, "
+            "round(1.0 - (CAST(len(list_distinct(words)) AS DOUBLE) / CAST(len(words) AS DOUBLE)), 6) AS dup_ratio "
+            "FROM w ORDER BY doc_id"
         ),
         # list-slice windows reproduce the vectorized chunker
         "chunk_passages": (

@@ -236,3 +236,41 @@ def decontaminate(ds, phrases: list[str], column: str = "text", invert: bool = F
         concurrency=pool_size(),
         **remote_args(),
     )
+
+
+# ------------------------------------------------------- repetition signal
+
+
+def word_repetition(batch: pa.Table, column: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Per-doc duplicate-word ratio (a Gopher-style repetition quality
+    signal): ``1 - distinct_words / total_words``. Exact — distinct counts
+    come from Arrow dictionary codes (no hash collisions) — and vectorized:
+    one lexsort + bincount over the flat word buffer per batch. Docs that
+    are empty after trim are dropped (no words to measure)."""
+    text = batch[column]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    trimmed = pc.utf8_trim_whitespace(text)
+    nonempty = pc.not_equal(trimmed, "")
+    ids = batch[id_col].combine_chunks() if isinstance(batch[id_col], pa.ChunkedArray) else batch[id_col]
+    ids = ids.filter(nonempty)
+    words = pc.split_pattern_regex(trimmed.filter(nonempty), r"\s+")
+    counts = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+    n_docs = len(counts)
+    flat = words.flatten()
+    codes = pc.dictionary_encode(flat).indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_of = np.repeat(np.arange(n_docs), counts)
+    order = np.lexsort((codes, doc_of))
+    c, d = codes[order], doc_of[order]
+    newgrp = np.ones(len(c), dtype=bool)
+    newgrp[1:] = (c[1:] != c[:-1]) | (d[1:] != d[:-1])
+    distinct = np.bincount(d[newgrp], minlength=n_docs).astype(np.int64)
+    ratio = 1.0 - distinct.astype(np.float64) / counts.astype(np.float64)
+    return pa.table(
+        {
+            "doc_id": ids,
+            "n_words": pa.array(counts, pa.int64()),
+            "n_distinct": pa.array(distinct, pa.int64()),
+            "dup_ratio": pc.round(pa.array(ratio, pa.float64()), ndigits=6),
+        }
+    )

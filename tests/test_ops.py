@@ -868,3 +868,18 @@ def test_mixture_sample_rates(ray_session):
     assert sorted(out[out["source"] == "half"]["doc_id"]) == expect_half["doc_id"].tolist()
     with pytest.raises(ValueError):
         sample.mixture_sample(ray.data.from_pandas(df), {"keep": 101})
+
+
+def test_word_repetition_exact_counts(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops import text as tx
+
+    batch = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": [1, 2, 3, 4], "text": ["a a a a", "a b c d", "x y x y", "  "]})
+    ).take_batch(4, batch_format="pyarrow")
+    out = tx.word_repetition(batch).to_pandas()
+    assert out["doc_id"].tolist() == [1, 2, 3]  # empty doc dropped
+    assert out["n_words"].tolist() == [4, 4, 4]
+    assert out["n_distinct"].tolist() == [1, 4, 2]
+    assert out["dup_ratio"].tolist() == [0.75, 0.0, 0.5]
