@@ -265,6 +265,24 @@ def _q_stratified_sample_documents(sf_dir: str):
     return out[["source", "doc_id"]].sort_values(["source", "doc_id"]).reset_index(drop=True)
 
 
+def _q_prepare_training_data(sf_dir: str):
+    """The FULL composed preparation chain: decontaminate (corpus-derived
+    benchmark 5-grams) -> quality filter -> exact dedup -> per-source
+    mixture -> tokenize-count -> sequence packing. Every stage is
+    deterministic, so one SQL pipeline reproduces the final per-doc pack
+    assignment end to end."""
+    import pyarrow.parquet as pq
+
+    from orc_format_ray.pipelines import clean
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).sort_by("doc_id").slice(0, 5)
+    phrases = [" ".join(t.split()[2:7]) for t in docs["text"].to_pylist()]
+    srcs = set(pq.read_table(f"{sf_dir}/documents.parquet", columns=["source"])["source"].to_pylist())
+    rates = {s: int(s[3:]) * 7 % 101 for s in srcs}
+    out = clean.prepare_training_data(sf_dir, capacity=2048, mixture_rates=rates, benchmark_phrases=phrases)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_word_repetition(sf_dir: str):
     """Per-doc duplicate-word ratio (Gopher-style repetition signal),
     exact via Arrow dictionary codes; SQL mirrors with list_distinct."""
@@ -1167,6 +1185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_split_documents": _q_hash_split_documents,
         "chunk_passages": _q_chunk_passages,
         "word_repetition_documents": _q_word_repetition,
+        "prepare_training_data": _q_prepare_training_data,
         "mixture_sample_documents": _q_mixture_sample_documents,
         "stratified_sample_documents": _q_stratified_sample_documents,
         "quality_per_doc": _q_quality_per_doc,
@@ -1300,6 +1319,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.source, count(*) AS n_clean FROM documents d "
             "WHERE NOT EXISTS (SELECT 1 FROM ph WHERE contains(d.text, ph.phrase)) "
             "GROUP BY d.source ORDER BY d.source"
+        ),
+        # the whole preparation chain is deterministic -> one SQL pipeline
+        "prepare_training_data": (
+            "WITH chosen AS (SELECT text FROM documents ORDER BY doc_id LIMIT 5), "
+            "ph AS (SELECT array_to_string((string_split_regex(trim(text), '\\s+'))[3:7], ' ') AS phrase FROM chosen), "
+            "dc AS (SELECT * FROM documents d WHERE NOT EXISTS (SELECT 1 FROM ph WHERE contains(d.text, ph.phrase))), "
+            f"q AS (SELECT *, CAST({_TOKCOUNT_SQL} AS BIGINT) AS tokc, "
+            "round(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS pr FROM dc), "
+            "f AS (SELECT * FROM q WHERE pr < 0.2 AND tokc >= 5), "
+            "d1 AS (SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM f), "
+            "surv AS (SELECT * FROM d1 WHERE rn = 1), "
+            "mix AS (SELECT * FROM surv WHERE ((doc_id * 2654435761) % 4294967296) % 100 "
+            "< (CAST(regexp_extract(source, '[0-9]+') AS BIGINT) * 7) % 101), "
+            "t AS (SELECT doc_id, tokc AS n_tok FROM mix), "
+            "c AS (SELECT doc_id, n_tok, COALESCE(SUM(n_tok) OVER (ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok FROM t) "
+            "SELECT doc_id, n_tok, start_tok, "
+            "CAST(floor(start_tok / 2048) AS BIGINT) AS first_pack, "
+            "greatest(CAST(floor(start_tok / 2048) AS BIGINT), "
+            "CAST(floor((start_tok + greatest(n_tok, 1) - 1) / 2048) AS BIGINT)) AS last_pack "
+            "FROM c ORDER BY doc_id"
         ),
         # exact distinct-word counts; same 1.0 - d/n float op order
         "word_repetition_documents": (

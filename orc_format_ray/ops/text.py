@@ -219,15 +219,25 @@ class Decontaminate:
         return batch.filter(hit if self.invert else pc.invert(hit))
 
 
-def decontaminate(ds, phrases: list[str], column: str = "text", invert: bool = False):
+def decontaminate(ds, phrases: list[str], column: str = "text", invert: bool = False, use_actors: bool = True):
     """Filter out docs containing any of ``phrases`` (``invert=True`` keeps
     ONLY contaminated docs, for audits). See ``Decontaminate`` for the scale
-    contract."""
+    contract. ``use_actors=False`` runs the same filter as a stateless task
+    pool (pattern rebuilt per batch — fine for small phrase sets, and the
+    right choice inside compositions that feed a downstream groupby, per the
+    actor-pool/groupby deadlock rule in CLAUDE.md)."""
     import ray
 
     from .._rayutil import pool_size, remote_args
 
     ref = ray.put(list(phrases))
+    if not use_actors:
+        return ds.map_batches(
+            lambda b: Decontaminate(phrases_ref=ref, column=column, invert=invert)(b),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            **remote_args(),
+        )
     return ds.map_batches(
         Decontaminate,
         fn_constructor_kwargs={"phrases_ref": ref, "column": column, "invert": invert},

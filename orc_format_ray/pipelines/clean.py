@@ -75,3 +75,33 @@ def clean_and_encode(sf_dir: str, out_dir: str, budget_bytes: int = 8 * 1024 * 1
         "encoded_bytes": int(sum(r["encoded_bytes"] for r in lineage)),
         "out_dir": stripes_dir,
     }
+
+
+def prepare_training_data(sf_dir: str, capacity: int = 2048, mixture_rates: dict | None = None,
+                          benchmark_phrases: list[str] | None = None):
+    """The full training-data preparation chain, every stage streaming:
+
+    decontaminate (benchmark phrase filter) -> quality filter -> exact dedup
+    -> composition-weighted mixture sample -> token count -> sequence packing.
+
+    Shuffle inventory at 100 TB: ONE content-hash groupby (dedup, text
+    pre-aggregated per batch), ONE (key, n_tok) metadata groupby (packing);
+    every other stage is a stateless vectorized filter. Returns the per-doc
+    pack assignment Dataset (doc_id, n_tok, start_tok, first_pack,
+    last_pack) — the manifest a downstream loader reads blocks from.
+    """
+    import ray.data
+
+    from ..ops import pack, sample
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"])
+    if benchmark_phrases:
+        # stateless task pool: this feeds the dedup groupby downstream
+        ds = tx.decontaminate(ds, benchmark_phrases, use_actors=False)
+    filtered = ds.map_batches(quality_filter, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    survivors = dedup.exact_dedup(filtered, column="text")
+    if mixture_rates:
+        survivors = sample.mixture_sample(survivors, mixture_rates)
+    counted = survivors.map_batches(tx.token_count, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    # meta derives from the whole upstream chain -> pin it (it is survivor-sized)
+    return pack.pack_sequences(counted.select_columns(["doc_id", "n_tok"]), capacity, materialize_meta=True)
