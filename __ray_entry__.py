@@ -235,7 +235,8 @@ def _q_decontaminate_planted(sf_dir: str):
     docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).sort_by("doc_id").slice(0, 5)
     phrases = [" ".join(t.split()[2:7]) for t in docs["text"].to_pylist()]
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"])
-    clean = tx.decontaminate(ds, phrases)
+    # stateless path: actor-pool -> groupby deadlocks on tiny clusters (CLAUDE.md)
+    clean = tx.decontaminate(ds, phrases, use_actors=False)
     out = clean.groupby("source").aggregate(Count(alias_name="n_clean")).to_pandas()
     return out.sort_values("source").reset_index(drop=True)
 

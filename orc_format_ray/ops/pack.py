@@ -92,6 +92,8 @@ def pack_sequences(
         if len(keys) and keys.min() < 0:
             raise ValueError(f"pack_sequences needs non-negative integer {key!r} keys")
         toks = batch[ntok].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(toks) and toks.min() < 0:
+            raise ValueError(f"negative {ntok!r} values corrupt the prefix sum")
         return pa.table(
             {
                 "bucket": pa.array(keys // bucket_width, pa.int64()),

@@ -54,7 +54,7 @@ def stratified_sample(ds, k: int, stratum: str = "source", key: str = "doc_id", 
         raise ValueError(f"k must be positive, got {k}")
 
     def pick(group: pd.DataFrame) -> pd.DataFrame:
-        h = knuth_hash(group[key].to_numpy())
+        h = knuth_hash(group[key].to_numpy(), salt)
         order = np.lexsort((group[key].to_numpy(), h))
         return group.iloc[order[:k]]
 
@@ -69,8 +69,6 @@ def mixture_sample(ds, rates: dict[str, int], stratum: str = "source", key: str 
     as rates change AND nested splits stay consistent across strata. The
     (tiny) rate dict ships inside the task closure; the filter itself is a
     stateless vectorized pass — no shuffle at any scale."""
-    import pandas as pd
-
     bad = {s: r for s, r in rates.items() if not 0 <= r <= buckets}
     if bad:
         raise ValueError(f"rates must be in [0, {buckets}]: {bad}")

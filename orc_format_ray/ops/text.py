@@ -204,8 +204,10 @@ class Decontaminate:
             import ray
 
             phrases = ray.get(phrases_ref)
+        # drop empty phrases: '' is a substring of everything, and 'foo|'
+        # as an alternation arm would silently match every document
         # longest-first so overlapping alternatives can't shadow each other
-        self.pattern = "|".join(_re.escape(p) for p in sorted(set(phrases), key=lambda s: (-len(s), s)))
+        self.pattern = "|".join(_re.escape(p) for p in sorted({p for p in phrases if p}, key=lambda s: (-len(s), s)))
         self.column = column
         self.invert = invert
 
@@ -230,14 +232,12 @@ def decontaminate(ds, phrases: list[str], column: str = "text", invert: bool = F
 
     from .._rayutil import pool_size, remote_args
 
-    ref = ray.put(list(phrases))
     if not use_actors:
-        return ds.map_batches(
-            lambda b: Decontaminate(phrases_ref=ref, column=column, invert=invert)(b),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-            **remote_args(),
-        )
+        # build ONCE on the driver (state is just the pattern string, cheap
+        # to pickle into each task) instead of re-sorting/escaping per batch
+        fn = Decontaminate(phrases=list(phrases), column=column, invert=invert)
+        return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    ref = ray.put(list(phrases))
     return ds.map_batches(
         Decontaminate,
         fn_constructor_kwargs={"phrases_ref": ref, "column": column, "invert": invert},

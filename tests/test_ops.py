@@ -883,3 +883,25 @@ def test_word_repetition_exact_counts(ray_session):
     assert out["n_words"].tolist() == [4, 4, 4]
     assert out["n_distinct"].tolist() == [1, 4, 2]
     assert out["dup_ratio"].tolist() == [0.75, 0.0, 0.5]
+
+
+def test_review_fixes_decontaminate_salt_negative_ntok(ray_session):
+    """Review fixes: blank phrase among real ones must not nuke the corpus;
+    stratified_sample must honor salt; negative n_tok must raise in pack."""
+    import ray.data
+
+    from orc_format_ray.ops import pack, sample
+    from orc_format_ray.ops import text as tx
+
+    df = pd.DataFrame({"doc_id": [0, 1], "text": ["has foo inside", "clean"]})
+    out = tx.decontaminate(ray.data.from_pandas(df), ["foo", ""]).to_pandas()
+    assert out["doc_id"].tolist() == [1]  # '' ignored, 'foo' still filters
+
+    big = pd.DataFrame({"doc_id": np.arange(200, dtype=np.int64), "source": ["s"] * 200})
+    a = sample.stratified_sample(ray.data.from_pandas(big), k=5, salt=0).to_pandas()
+    b = sample.stratified_sample(ray.data.from_pandas(big), k=5, salt=7).to_pandas()
+    assert sorted(a["doc_id"]) != sorted(b["doc_id"])  # salt changes the draw
+
+    bad = ray.data.from_pandas(pd.DataFrame({"doc_id": [0, 1], "n_tok": [5, -3]}))
+    with pytest.raises(Exception):
+        pack.pack_sequences(bad, capacity=8).to_pandas()
