@@ -35,8 +35,9 @@ def content_hash(arr: pa.Array) -> np.ndarray:
     lens = np.diff(offs)
     max_len = int(lens.max()) if n else 0
     powers = np.ones(max_len + 1, dtype=np.uint64)
-    for i in range(1, max_len + 1):
-        powers[i] = powers[i - 1] * FNV_PRIME
+    with np.errstate(over="ignore"):  # mod-2^64 wraparound IS the hash spec
+        for i in range(1, max_len + 1):
+            powers[i] = powers[i - 1] * FNV_PRIME
     ends_at = np.repeat(offs[1:], lens)
     pos = np.arange(len(concat), dtype=np.int64)
     weighted = concat.astype(np.uint64) * powers[ends_at - pos - 1]
