@@ -284,6 +284,19 @@ def _q_prepare_training_data(sf_dir: str):
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_duplicate_spans(sf_dir: str):
+    """Cross-document duplicate-span detection (word-level substring dedup):
+    per doc, how many of its 8-gram occurrences appear in another doc too.
+    Only 24 B/gram hash metadata shuffles; SQL rebuilds the grams as strings."""
+    import ray.data
+
+    from orc_format_ray.ops import spans
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = spans.duplicate_spans(ds, k=8).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_word_repetition(sf_dir: str):
     """Per-doc duplicate-word ratio (Gopher-style repetition signal),
     exact via Arrow dictionary codes; SQL mirrors with list_distinct."""
@@ -1187,6 +1200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_passages": _q_chunk_passages,
         "word_repetition_documents": _q_word_repetition,
         "prepare_training_data": _q_prepare_training_data,
+        "duplicate_spans_documents": _q_duplicate_spans,
         "mixture_sample_documents": _q_mixture_sample_documents,
         "stratified_sample_documents": _q_stratified_sample_documents,
         "quality_per_doc": _q_quality_per_doc,
@@ -1341,6 +1355,17 @@ def oracle_sql() -> dict[str, str]:
             "greatest(CAST(floor(start_tok / 2048) AS BIGINT), "
             "CAST(floor((start_tok + greatest(n_tok, 1) - 1) / 2048) AS BIGINT)) AS last_pack "
             "FROM c ORDER BY doc_id"
+        ),
+        # gram-string groupby reproduces the gram-hash shuffle (injectivity
+        # of the 64-bit gram hash over observed grams is pinned by a test)
+        "duplicate_spans_documents": (
+            "WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words "
+            "FROM documents WHERE trim(text) <> ''), "
+            "i AS (SELECT doc_id, words, unnest(range(0, len(words) - 8 + 1)) AS pos FROM w WHERE len(words) >= 8), "
+            "g AS (SELECT doc_id, array_to_string(words[(pos+1):(pos+8)], ' ') AS gram FROM i), "
+            "d AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) > 1) "
+            "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_grams "
+            "FROM g JOIN d USING (gram) GROUP BY doc_id ORDER BY doc_id"
         ),
         # exact distinct-word counts; same 1.0 - d/n float op order
         "word_repetition_documents": (

@@ -905,3 +905,44 @@ def test_review_fixes_decontaminate_salt_negative_ntok(ray_session):
     bad = ray.data.from_pandas(pd.DataFrame({"doc_id": [0, 1], "n_tok": [5, -3]}))
     with pytest.raises(Exception):
         pack.pack_sequences(bad, capacity=8).to_pandas()
+
+
+def test_duplicate_spans_semantics_and_hash_injectivity(ray_session):
+    import pyarrow.compute as pc
+    import ray.data
+
+    from orc_format_ray.ops import spans
+
+    # shared 3-gram across docs counts every occurrence; within-doc-only
+    # repeats do NOT count (distinct-doc rule)
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "x a b c y",  # 1 dup occurrence ("a b c")
+                "a b c z a b c",  # 2 dup occurrences
+                "self self q self self q self self q",  # repeats, but only within itself
+                "nothing shared here at all",
+            ],
+        }
+    )
+    out = spans.duplicate_spans(ray.data.from_pandas(df), k=3).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == [0, 1]
+    assert out["n_dup_grams"].tolist() == [1, 2]
+    with pytest.raises(ValueError):
+        spans.duplicate_spans(ray.data.from_pandas(df), k=0)
+
+    # the SQL-parity assumption: gram hash is injective over observed grams
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    words = pc.split_pattern_regex(pc.utf8_trim_whitespace(tbl["text"].combine_chunks()), r"\s+")
+    g, doc_idx = spans.gram_hashes(words, 8)
+    counts = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+    texts = tbl["text"].to_pylist()
+    gram_strings = set()
+    for t in texts:
+        ws = t.split()
+        for i in range(len(ws) - 7):
+            gram_strings.add(" ".join(ws[i : i + 8]))
+    assert len(set(g.tolist())) == len(gram_strings)
