@@ -287,7 +287,7 @@ def _q_prepare_training_data(sf_dir: str):
 def _q_duplicate_spans(sf_dir: str):
     """Cross-document duplicate-span detection (word-level substring dedup):
     per doc, how many of its 8-gram occurrences appear in another doc too.
-    Only 24 B/gram hash metadata shuffles; SQL rebuilds the grams as strings."""
+    Only ~32 B/gram hash metadata shuffles; SQL rebuilds the grams as strings."""
     import ray.data
 
     from orc_format_ray.ops import spans

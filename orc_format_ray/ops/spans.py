@@ -5,7 +5,8 @@ A span is a ``k``-word gram; a doc's ``n_dup_grams`` counts its gram
 occurrences whose gram also appears in at least one OTHER document. Docs
 with high counts are boilerplate/template suspects to drop or trim.
 
-Scale plan — only 24 B/gram metadata ever shuffles, never text:
+Scale plan — only ~32 B/gram metadata (4 int64 columns per unique
+(gram, doc) row) ever shuffles, never text:
 
 1. per batch (vectorized): hash each word (``content_hash``), roll a
    k-word polynomial gram hash over the flat word buffer (k vector passes,
@@ -30,7 +31,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .._rayutil import remote_args
-from .text import FNV_PRIME, content_hash
+from .text import FNV_PRIME, content_hash, split_nonempty_docs
 
 
 def gram_hashes(words: pa.ListArray, k: int) -> tuple[np.ndarray, np.ndarray]:
@@ -62,16 +63,12 @@ def duplicate_spans(ds, k: int = 8, column: str = "text", id_col: str = "doc_id"
 
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
+    if num_buckets <= 0:
+        raise ValueError(f"num_buckets must be positive, got {num_buckets}")
 
     def partial(batch: pa.Table) -> pa.Table:
-        text = batch[column]
-        if isinstance(text, pa.ChunkedArray):
-            text = text.combine_chunks()
-        trimmed = pc.utf8_trim_whitespace(text)
-        nonempty = pc.not_equal(trimmed, "")
-        ids_arr = batch[id_col].combine_chunks() if isinstance(batch[id_col], pa.ChunkedArray) else batch[id_col]
-        ids = ids_arr.filter(nonempty).to_numpy(zero_copy_only=False).astype(np.int64)
-        words = pc.split_pattern_regex(trimmed.filter(nonempty), r"\s+")
+        ids_arr, words = split_nonempty_docs(batch, column, id_col)
+        ids = ids_arr.to_numpy(zero_copy_only=False).astype(np.int64)
         g, doc_idx = gram_hashes(words, k)
         if len(g) == 0:
             return pa.table(

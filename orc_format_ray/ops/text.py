@@ -226,9 +226,9 @@ def decontaminate(ds, phrases: list[str], column: str = "text", invert: bool = F
     """Filter out docs containing any of ``phrases`` (``invert=True`` keeps
     ONLY contaminated docs, for audits). See ``Decontaminate`` for the scale
     contract. ``use_actors=False`` runs the same filter as a stateless task
-    pool (pattern rebuilt per batch — fine for small phrase sets, and the
-    right choice inside compositions that feed a downstream groupby, per the
-    actor-pool/groupby deadlock rule in CLAUDE.md)."""
+    pool — the pattern compiles ONCE on the driver and pickles into each
+    task — the right choice inside compositions that feed a downstream
+    groupby, per the actor-pool/groupby deadlock rule in CLAUDE.md."""
     import ray
 
     from .._rayutil import pool_size, remote_args
@@ -252,20 +252,27 @@ def decontaminate(ds, phrases: list[str], column: str = "text", invert: bool = F
 # ------------------------------------------------------- repetition signal
 
 
-def word_repetition(batch: pa.Table, column: str = "text", id_col: str = "doc_id") -> pa.Table:
-    """Per-doc duplicate-word ratio (a Gopher-style repetition quality
-    signal): ``1 - distinct_words / total_words``. Exact — distinct counts
-    come from Arrow dictionary codes (no hash collisions) — and vectorized:
-    one lexsort + bincount over the flat word buffer per batch. Docs that
-    are empty after trim are dropped (no words to measure)."""
+def split_nonempty_docs(batch: pa.Table, column: str = "text", id_col: str = "doc_id") -> tuple[pa.Array, pa.Array]:
+    """Shared word-split preamble: drop docs empty after trim, return
+    (filtered ids, per-doc word lists). The trim + ASCII ``\\s+`` split here
+    is THE tokenization every word-level SQL oracle mirrors
+    (string_split_regex(trim(text), '\\s+')) — change both together."""
     text = batch[column]
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
     trimmed = pc.utf8_trim_whitespace(text)
     nonempty = pc.not_equal(trimmed, "")
     ids = batch[id_col].combine_chunks() if isinstance(batch[id_col], pa.ChunkedArray) else batch[id_col]
-    ids = ids.filter(nonempty)
-    words = pc.split_pattern_regex(trimmed.filter(nonempty), r"\s+")
+    return ids.filter(nonempty), pc.split_pattern_regex(trimmed.filter(nonempty), r"\s+")
+
+
+def word_repetition(batch: pa.Table, column: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Per-doc duplicate-word ratio (a Gopher-style repetition quality
+    signal): ``1 - distinct_words / total_words``. Exact — distinct counts
+    come from Arrow dictionary codes (no hash collisions) — and vectorized:
+    one lexsort + bincount over the flat word buffer per batch. Docs that
+    are empty after trim are dropped (no words to measure)."""
+    ids, words = split_nonempty_docs(batch, column, id_col)
     counts = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
     n_docs = len(counts)
     flat = words.flatten()

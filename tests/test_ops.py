@@ -937,12 +937,9 @@ def test_duplicate_spans_semantics_and_hash_injectivity(ray_session):
 
     tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
     words = pc.split_pattern_regex(pc.utf8_trim_whitespace(tbl["text"].combine_chunks()), r"\s+")
-    g, doc_idx = spans.gram_hashes(words, 8)
-    counts = pc.list_value_length(words).to_numpy(zero_copy_only=False)
-    texts = tbl["text"].to_pylist()
+    g, _doc_idx = spans.gram_hashes(words, 8)
     gram_strings = set()
-    for t in texts:
-        ws = t.split()
+    for ws in words.to_pylist():  # the SAME tokenization the op uses
         for i in range(len(ws) - 7):
             gram_strings.add(" ".join(ws[i : i + 8]))
     assert len(set(g.tolist())) == len(gram_strings)
