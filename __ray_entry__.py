@@ -284,6 +284,30 @@ def _q_prepare_training_data(sf_dir: str):
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_packed_shards_summary(sf_dir: str):
+    """Materialize the packed training stream (tokenize -> one payload
+    shuffle -> resumable shard parts) and summarize per shard. SQL
+    reproduces n_docs/n_tokens from the window-cumsum token ranges."""
+    import pyarrow.compute as _pc
+
+    from orc_format_ray.ops import pack
+    from orc_format_ray.pipelines import tokens as tok
+
+    ds = tok.tokenize_documents(sf_dir)
+
+    def int_ids(batch: pa.Table) -> pa.Table:
+        # tokenize_batch writes doc_id = "source/<int id>" (one slash)
+        parts = _pc.split_pattern(batch["doc_id"], "/")
+        ids = _pc.list_element(parts, 1).cast(pa.int64())
+        return batch.set_column(batch.schema.get_field_index("doc_id"), "doc_id", ids)
+
+    ds = ds.map_batches(int_ids, batch_format="pyarrow", zero_copy_batch=True, **_ra())
+    out_dir = os.path.join(_scratch(sf_dir, "packed-shards"), "v1")
+    man = pack.write_packed_shards(ds, capacity=2048, out_dir=out_dir, packs_per_shard=4)
+    g = man.groupby("shard", as_index=False).agg(n_docs=("n_docs", "sum"), n_tokens=("n_tokens", "sum"))
+    return g.sort_values("shard").reset_index(drop=True)
+
+
 def _q_duplicate_spans(sf_dir: str):
     """Cross-document duplicate-span detection (word-level substring dedup):
     per doc, how many of its 8-gram occurrences appear in another doc too.
@@ -1201,6 +1225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_repetition_documents": _q_word_repetition,
         "prepare_training_data": _q_prepare_training_data,
         "duplicate_spans_documents": _q_duplicate_spans,
+        "packed_shards_summary": _q_packed_shards_summary,
         "mixture_sample_documents": _q_mixture_sample_documents,
         "stratified_sample_documents": _q_stratified_sample_documents,
         "quality_per_doc": _q_quality_per_doc,
@@ -1355,6 +1380,19 @@ def oracle_sql() -> dict[str, str]:
             "greatest(CAST(floor(start_tok / 2048) AS BIGINT), "
             "CAST(floor((start_tok + greatest(n_tok, 1) - 1) / 2048) AS BIGINT)) AS last_pack "
             "FROM c ORDER BY doc_id"
+        ),
+        # shard ranges are pure arithmetic on the window cumsum (8192 = 2048x4)
+        "packed_shards_summary": (
+            f"WITH t AS (SELECT doc_id, CAST({_TOKCOUNT_SQL} AS BIGINT) AS n_tok FROM documents), "
+            "c AS (SELECT doc_id, n_tok, COALESCE(SUM(n_tok) OVER (ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok FROM t), "
+            "s AS (SELECT doc_id, n_tok, start_tok, "
+            "unnest(range(CAST(floor(start_tok / 8192) AS BIGINT), "
+            "CAST(floor((start_tok + n_tok - 1) / 8192) AS BIGINT) + 1)) AS shard "
+            "FROM c WHERE n_tok > 0) "
+            "SELECT shard, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(least(start_tok + n_tok, (shard + 1) * 8192) - greatest(start_tok, shard * 8192)) AS BIGINT) AS n_tokens "
+            "FROM s GROUP BY shard ORDER BY shard"
         ),
         # gram-string groupby reproduces the gram-hash shuffle (injectivity
         # of the 64-bit gram hash over observed grams is pinned by a test)

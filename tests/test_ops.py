@@ -943,3 +943,47 @@ def test_duplicate_spans_semantics_and_hash_injectivity(ray_session):
         for i in range(len(ws) - 7):
             gram_strings.add(" ".join(ws[i : i + 8]))
     assert len(set(g.tolist())) == len(gram_strings)
+
+
+def test_write_packed_shards_roundtrip_and_resume(ray_session, tmp_path):
+    """Shard parts reassemble into the exact global doc_id-ordered token
+    stream; packs are capacity-sized (last short); a re-run rewrites
+    nothing and returns the identical manifest."""
+    import os
+
+    import ray.data
+
+    from orc_format_ray.ops import pack
+
+    rng = np.random.default_rng(4)
+    nd = 600
+    keys = rng.permutation(np.arange(0, nd * 3, 3))
+    lens = rng.integers(0, 120, nd)
+    lens[:5] = 0
+    toks = [rng.integers(0, 50257, l).astype(np.int32) for l in lens]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(keys, pa.int64()),
+            "tokens": pa.array([t.tolist() for t in toks], pa.list_(pa.int32())),
+            "n_tok": pa.array(lens.astype(np.int64), pa.int64()),
+        }
+    )
+    order = np.argsort(keys)
+    truth = np.concatenate([toks[i] for i in order if len(toks[i])])
+
+    out_dir = str(tmp_path / "shards")
+    ds = ray.data.from_arrow(tbl).repartition(5)
+    man = pack.write_packed_shards(ds, capacity=256, out_dir=out_dir, packs_per_shard=4, bucket_width=400)
+    assert man["n_tokens"].sum() == len(truth)
+    packs = [p for s in sorted(man["shard"].unique()) for p in pack.read_packed_shard(out_dir, int(s), 256)]
+    assert np.array_equal(np.concatenate(packs), truth)
+    assert all(len(p) == 256 for p in packs[:-1]) and 0 < len(packs[-1]) <= 256
+
+    mtimes = {p: os.path.getmtime(p) for p in man["path"]}
+    man2 = pack.write_packed_shards(
+        ray.data.from_arrow(tbl).repartition(5), capacity=256, out_dir=out_dir, packs_per_shard=4, bucket_width=400
+    )
+    assert man.equals(man2)
+    assert all(os.path.getmtime(p) == mtimes[p] for p in man2["path"])
+    with pytest.raises(ValueError):
+        pack.write_packed_shards(ds, capacity=0, out_dir=out_dir)
