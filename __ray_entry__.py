@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import shutil
 from collections.abc import Callable
 from typing import Any
 
@@ -303,7 +304,8 @@ def _q_packed_shards_summary(sf_dir: str):
 
     ds = ds.map_batches(int_ids, batch_format="pyarrow", zero_copy_batch=True, **_ra())
     out_dir = os.path.join(_scratch(sf_dir, "packed-shards"), "v1")
-    man = pack.write_packed_shards(ds, capacity=2048, out_dir=out_dir, packs_per_shard=4)
+    shutil.rmtree(out_dir, ignore_errors=True)  # oracle run: never trust stale parts
+    man = pack.write_packed_shards(ds, capacity=2048, out_dir=out_dir, packs_per_shard=4, materialize_input=True)
     g = man.groupby("shard", as_index=False).agg(n_docs=("n_docs", "sum"), n_tokens=("n_tokens", "sum"))
     return g.sort_values("shard").reset_index(drop=True)
 

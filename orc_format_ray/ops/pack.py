@@ -56,6 +56,49 @@ def pack_assignment(keys: np.ndarray, n_tok: np.ndarray, base: int, capacity: in
     )
 
 
+def _bucket_offsets(ds, key: str, ntok: str, bucket_width: int, materialize_meta: bool):
+    """Stage 1 of the distributed prefix sum, shared by ``pack_sequences``
+    and ``write_packed_shards``: validated (bucket, doc_id, n_tok) metadata
+    plus the broadcast exclusive per-bucket token offsets. Returns
+    ``(meta_ds, offsets_ref)``."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    if bucket_width <= 0:
+        raise ValueError(f"bucket_width must be positive, got {bucket_width}")
+
+    def to_meta(batch: pa.Table) -> pa.Table:
+        keys = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(keys) and keys.min() < 0:
+            raise ValueError(f"non-negative integer {key!r} keys required")
+        toks = batch[ntok].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(toks) and toks.min() < 0:
+            raise ValueError(f"negative {ntok!r} values corrupt the prefix sum")
+        return pa.table(
+            {
+                "bucket": pa.array(keys // bucket_width, pa.int64()),
+                "doc_id": pa.array(keys, pa.int64()),
+                "n_tok": pa.array(toks, pa.int64()),
+            }
+        )
+
+    meta = ds.map_batches(to_meta, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    if materialize_meta:
+        meta = meta.materialize()
+    totals = (
+        meta.groupby("bucket")
+        .aggregate(Sum("n_tok", alias_name="tok_sum"))
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    offsets = {
+        int(b): int(o)
+        for b, o in zip(totals["bucket"], np.concatenate(([0], np.cumsum(totals["tok_sum"].to_numpy())[:-1])))
+    }
+    return meta, ray.put(offsets)
+
+
 def pack_sequences(
     ds,
     capacity: int,
@@ -80,44 +123,10 @@ def pack_sequences(
     raw text) — that costs ~24 B x n_docs of (spillable) object store.
     """
     import ray
-    from ray.data.aggregate import Sum
 
     if capacity <= 0:
         raise ValueError(f"capacity must be positive, got {capacity}")
-    if bucket_width <= 0:
-        raise ValueError(f"bucket_width must be positive, got {bucket_width}")
-
-    def to_meta(batch: pa.Table) -> pa.Table:
-        keys = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
-        if len(keys) and keys.min() < 0:
-            raise ValueError(f"pack_sequences needs non-negative integer {key!r} keys")
-        toks = batch[ntok].to_numpy(zero_copy_only=False).astype(np.int64)
-        if len(toks) and toks.min() < 0:
-            raise ValueError(f"negative {ntok!r} values corrupt the prefix sum")
-        return pa.table(
-            {
-                "bucket": pa.array(keys // bucket_width, pa.int64()),
-                "doc_id": pa.array(keys, pa.int64()),
-                "n_tok": pa.array(toks, pa.int64()),
-            }
-        )
-
-    meta = ds.map_batches(to_meta, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-    if materialize_meta:
-        meta = meta.materialize()
-    # stage 1: small per-bucket totals -> driver exclusive cumsum -> broadcast
-    totals = (
-        meta.groupby("bucket")
-        .aggregate(Sum("n_tok", alias_name="tok_sum"))
-        .to_pandas()
-        .sort_values("bucket")
-        .reset_index(drop=True)
-    )
-    offsets = {
-        int(b): int(o)
-        for b, o in zip(totals["bucket"], np.concatenate(([0], np.cumsum(totals["tok_sum"].to_numpy())[:-1])))
-    }
-    offsets_ref = ray.put(offsets)
+    meta, offsets_ref = _bucket_offsets(ds, key, ntok, bucket_width, materialize_meta)
 
     def assign(group: pd.DataFrame) -> pd.DataFrame:
         keys = group["doc_id"].to_numpy()
@@ -143,6 +152,7 @@ def write_packed_shards(
     ntok: str = "n_tok",
     tokens_col: str = "tokens",
     bucket_width: int = 4096,
+    materialize_input: bool = False,
 ):
     """Materialize the packed training stream as resumable shard parts.
 
@@ -161,42 +171,24 @@ def write_packed_shards(
     (tmp + rename) and skipped when present, so a re-run resumes.
 
     Returns the part manifest as a pandas DataFrame:
-    (shard, part, path, start_tok, n_tokens, n_docs).
+    (shard, part, path, start_tok, n_tokens, n_docs). The input is consumed
+    twice (metadata pass, then the payload pass); by default both re-execute
+    the upstream plan — right for a columnar read. Set
+    ``materialize_input=True`` to pin the full payload in the (spillable)
+    object store instead when the upstream derivation (e.g. tokenization)
+    costs more than one corpus pass of storage.
     """
     import os
 
     import ray
-    from ray.data.aggregate import Sum
 
     if capacity <= 0 or packs_per_shard <= 0:
         raise ValueError("capacity and packs_per_shard must be positive")
     os.makedirs(out_dir, exist_ok=True)
     shard_tokens = capacity * packs_per_shard
-
-    def to_meta(batch: pa.Table) -> pa.Table:
-        keys = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
-        if len(keys) and keys.min() < 0:
-            raise ValueError(f"negative {key!r} keys")
-        return pa.table(
-            {
-                "bucket": pa.array(keys // bucket_width, pa.int64()),
-                "n_tok": pa.array(batch[ntok].to_numpy(zero_copy_only=False).astype(np.int64), pa.int64()),
-            }
-        )
-
-    meta = ds.map_batches(to_meta, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-    totals = (
-        meta.groupby("bucket")
-        .aggregate(Sum("n_tok", alias_name="tok_sum"))
-        .to_pandas()
-        .sort_values("bucket")
-        .reset_index(drop=True)
-    )
-    offsets = {
-        int(b): int(o)
-        for b, o in zip(totals["bucket"], np.concatenate(([0], np.cumsum(totals["tok_sum"].to_numpy())[:-1])))
-    }
-    offsets_ref = ray.put(offsets)
+    if materialize_input:
+        ds = ds.materialize()
+    _meta, offsets_ref = _bucket_offsets(ds, key, ntok, bucket_width, False)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         keys = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -206,6 +198,8 @@ def write_packed_shards(
         import pyarrow.parquet as pq
 
         keys = group[key].to_numpy().astype(np.int64)
+        if len(np.unique(keys)) != len(keys):
+            raise ValueError(f"duplicate {key!r} keys break the stream order (bucket {group['bucket'].iloc[0]})")
         order = np.argsort(keys, kind="stable")
         n = group[ntok].to_numpy().astype(np.int64)[order]
         toks = group[tokens_col].to_numpy()[order]
@@ -219,7 +213,10 @@ def write_packed_shards(
                  [("shard", "int64"), ("part", "int64"), ("path", "object"),
                   ("start_tok", "int64"), ("n_tokens", "int64"), ("n_docs", "int64")]}
             )
-        flat = np.concatenate([np.asarray(t, dtype=np.int32) for t in toks if len(t)])
+        nonempty = [np.asarray(t, dtype=np.int32) for t in toks if len(t)]
+        flat = np.concatenate(nonempty) if nonempty else np.zeros(0, np.int32)
+        if len(flat) != total:
+            raise ValueError(f"{ntok!r} column disagrees with {tokens_col!r} lengths ({total} vs {len(flat)})")
         rows = []
         for s in range(base // shard_tokens, (base + total - 1) // shard_tokens + 1):
             lo = max(base, s * shard_tokens)
@@ -227,7 +224,7 @@ def write_packed_shards(
             n_docs = int(np.sum((np.maximum(starts, lo) < np.minimum(starts + n, hi)) & (n > 0)))
             sdir = os.path.join(out_dir, f"shard={s}")
             os.makedirs(sdir, exist_ok=True)
-            path = os.path.join(sdir, f"part-{bucket:06d}.parquet")
+            path = os.path.join(sdir, f"part-{bucket:018d}.parquet")  # wide enough for any int64 bucket
             if not os.path.exists(path):  # resume: skip completed parts
                 part_tbl = pa.table(
                     {
@@ -247,18 +244,28 @@ def write_packed_shards(
     return manifest.to_pandas().sort_values(["shard", "part"]).reset_index(drop=True)
 
 
-def read_packed_shard(out_dir: str, shard: int, capacity: int) -> list[np.ndarray]:
-    """Reassemble one shard's packs: concatenate its parts in part order,
-    slice into capacity-token arrays (last pack may be short)."""
+def read_packed_shard(out_dir: str, shard: int, capacity: int, packs_per_shard: int = 64) -> list[np.ndarray]:
+    """Reassemble one shard's packs: concatenate its parts in NUMERIC bucket
+    order and slice into capacity-token arrays (last pack may be short).
+    Each part's recorded start_tok is checked against the running stream
+    position, so a shard directory with a missing/partial part (interrupted
+    run) raises instead of returning silently shifted packs."""
     import glob
     import os
 
     import pyarrow.parquet as pq
 
-    parts = sorted(glob.glob(os.path.join(out_dir, f"shard={shard}", "part-*.parquet")))
+    paths = glob.glob(os.path.join(out_dir, f"shard={shard}", "part-*.parquet"))
+    paths.sort(key=lambda p: int(os.path.basename(p)[len("part-") : -len(".parquet")]))
+    expected = shard * capacity * packs_per_shard
     streams = []
-    for p in parts:
+    for p in paths:
         t = pq.read_table(p)
-        streams.append(np.concatenate([np.asarray(x, np.int32) for x in t["tokens"].to_pylist()]))
+        start = int(t["start_tok"][0].as_py())
+        if start != expected:
+            raise ValueError(f"shard {shard} is not contiguous at {p}: starts at {start}, expected {expected} — missing part?")
+        chunk = t["tokens"].combine_chunks().flatten().to_numpy(zero_copy_only=False).astype(np.int32, copy=False)
+        expected += len(chunk)
+        streams.append(chunk)
     flat = np.concatenate(streams) if streams else np.zeros(0, np.int32)
     return [flat[i : i + capacity] for i in range(0, len(flat), capacity)]

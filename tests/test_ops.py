@@ -975,7 +975,7 @@ def test_write_packed_shards_roundtrip_and_resume(ray_session, tmp_path):
     ds = ray.data.from_arrow(tbl).repartition(5)
     man = pack.write_packed_shards(ds, capacity=256, out_dir=out_dir, packs_per_shard=4, bucket_width=400)
     assert man["n_tokens"].sum() == len(truth)
-    packs = [p for s in sorted(man["shard"].unique()) for p in pack.read_packed_shard(out_dir, int(s), 256)]
+    packs = [p for s in sorted(man["shard"].unique()) for p in pack.read_packed_shard(out_dir, int(s), 256, packs_per_shard=4)]
     assert np.array_equal(np.concatenate(packs), truth)
     assert all(len(p) == 256 for p in packs[:-1]) and 0 < len(packs[-1]) <= 256
 
@@ -987,3 +987,12 @@ def test_write_packed_shards_roundtrip_and_resume(ray_session, tmp_path):
     assert all(os.path.getmtime(p) == mtimes[p] for p in man2["path"])
     with pytest.raises(ValueError):
         pack.write_packed_shards(ds, capacity=0, out_dir=out_dir)
+
+    # a missing part must raise (contiguity check), not silently shift packs
+    multi = man[man["shard"] == man.groupby("shard").size().idxmax()]
+    if len(multi) > 1:
+        victim = multi["path"].iloc[0]  # first part: the survivors start past the shard origin
+        os.rename(victim, victim + ".hidden")
+        with pytest.raises(ValueError):
+            pack.read_packed_shard(out_dir, int(multi["shard"].iloc[0]), 256, packs_per_shard=4)
+        os.rename(victim + ".hidden", victim)
