@@ -92,9 +92,9 @@ def _bucket_offsets(ds, key: str, ntok: str, bucket_width: int, materialize_meta
         .sort_values("bucket")
         .reset_index(drop=True)
     )
+    excl = np.concatenate(([0], np.cumsum(totals["tok_sum"].to_numpy())[:-1]))
     offsets = {
-        int(b): int(o)
-        for b, o in zip(totals["bucket"], np.concatenate(([0], np.cumsum(totals["tok_sum"].to_numpy())[:-1])))
+        int(b): (int(o), int(t)) for b, o, t in zip(totals["bucket"], excl, totals["tok_sum"])
     }
     return meta, ray.put(offsets)
 
@@ -133,7 +133,7 @@ def pack_sequences(
         if len(np.unique(keys)) != len(keys):
             raise ValueError(f"duplicate {key!r} keys break the prefix-sum order (bucket {group['bucket'].iloc[0]})")
         offs = ray.get(offsets_ref)
-        base = offs[int(group["bucket"].iloc[0])]
+        base, _total = offs[int(group["bucket"].iloc[0])]
         return pack_assignment(keys, group["n_tok"].to_numpy(), base, capacity)
 
     # stage 2: per-bucket local prefix sums under the broadcast global offset
@@ -153,6 +153,7 @@ def write_packed_shards(
     tokens_col: str = "tokens",
     bucket_width: int = 4096,
     materialize_input: bool = False,
+    meta_source=None,
 ):
     """Materialize the packed training stream as resumable shard parts.
 
@@ -176,7 +177,12 @@ def write_packed_shards(
     the upstream plan — right for a columnar read. Set
     ``materialize_input=True`` to pin the full payload in the (spillable)
     object store instead when the upstream derivation (e.g. tokenization)
-    costs more than one corpus pass of storage.
+    costs more than one corpus pass of storage. Best of all, pass
+    ``meta_source``: a cheap Dataset with just ``(key, ntok)`` (e.g. a
+    two-column parquet read) — the metadata pass then never touches token
+    payloads at all. It must contain exactly the same (key, n_tok) rows as
+    ``ds``; per-bucket token totals are cross-checked at write time and any
+    disagreement raises before a byte hits disk.
     """
     import os
 
@@ -188,7 +194,7 @@ def write_packed_shards(
     shard_tokens = capacity * packs_per_shard
     if materialize_input:
         ds = ds.materialize()
-    _meta, offsets_ref = _bucket_offsets(ds, key, ntok, bucket_width, False)
+    _meta, offsets_ref = _bucket_offsets(meta_source if meta_source is not None else ds, key, ntok, bucket_width, False)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         keys = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -204,9 +210,13 @@ def write_packed_shards(
         n = group[ntok].to_numpy().astype(np.int64)[order]
         toks = group[tokens_col].to_numpy()[order]
         bucket = int(group["bucket"].iloc[0])
-        base = ray.get(offsets_ref)[bucket]
+        base, meta_total = ray.get(offsets_ref)[bucket]
         starts = base + np.concatenate(([0], np.cumsum(n)[:-1]))
         total = int(n.sum())
+        if total != meta_total:
+            raise ValueError(
+                f"meta_source disagrees with the payload for bucket {bucket}: {meta_total} vs {total} tokens"
+            )
         if total == 0:
             return pd.DataFrame(
                 {c: pd.Series(dtype=d) for c, d in

@@ -996,3 +996,31 @@ def test_write_packed_shards_roundtrip_and_resume(ray_session, tmp_path):
         with pytest.raises(ValueError):
             pack.read_packed_shard(out_dir, int(multi["shard"].iloc[0]), 256, packs_per_shard=4)
         os.rename(victim + ".hidden", victim)
+
+
+def test_write_packed_shards_meta_source_drift_raises(ray_session, tmp_path):
+    """A meta_source whose per-bucket token totals disagree with the payload
+    must raise before any part is written with a wrong offset."""
+    import ray.data
+
+    from orc_format_ray.ops import pack
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "tokens": pa.array([[1, 2], [3], [4, 5, 6]], pa.list_(pa.int32())),
+            "n_tok": pa.array([2, 1, 3], pa.int64()),
+        }
+    )
+    good_meta = ray.data.from_arrow(tbl.select(["doc_id", "n_tok"]))
+    man = pack.write_packed_shards(
+        ray.data.from_arrow(tbl), capacity=4, out_dir=str(tmp_path / "ok"), packs_per_shard=2, meta_source=good_meta
+    )
+    assert man["n_tokens"].sum() == 6
+    bad_meta = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()), "n_tok": pa.array([2, 1, 4], pa.int64())})
+    )
+    with pytest.raises(Exception):
+        pack.write_packed_shards(
+            ray.data.from_arrow(tbl), capacity=4, out_dir=str(tmp_path / "bad"), packs_per_shard=2, meta_source=bad_meta
+        )
