@@ -310,6 +310,19 @@ def _q_packed_shards_summary(sf_dir: str):
     return g.sort_values("shard").reset_index(drop=True)
 
 
+def _q_word_familiarity(sf_dir: str):
+    """Corpus-familiarity quality score (perplexity proxy): per doc, the sum
+    of corpus frequencies of its word occurrences. Two metadata-only passes:
+    vocabulary counts, then a bucketed hash join back onto doc words."""
+    import ray.data
+
+    from orc_format_ray.ops import text as tx
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = tx.word_familiarity(ds).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_duplicate_spans(sf_dir: str):
     """Cross-document duplicate-span detection (word-level substring dedup):
     per doc, how many of its 8-gram occurrences appear in another doc too.
@@ -1228,6 +1241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prepare_training_data": _q_prepare_training_data,
         "duplicate_spans_documents": _q_duplicate_spans,
         "packed_shards_summary": _q_packed_shards_summary,
+        "word_familiarity_documents": _q_word_familiarity,
         "mixture_sample_documents": _q_mixture_sample_documents,
         "stratified_sample_documents": _q_stratified_sample_documents,
         "quality_per_doc": _q_quality_per_doc,
@@ -1382,6 +1396,16 @@ def oracle_sql() -> dict[str, str]:
             "greatest(CAST(floor(start_tok / 2048) AS BIGINT), "
             "CAST(floor((start_tok + greatest(n_tok, 1) - 1) / 2048) AS BIGINT)) AS last_pack "
             "FROM c ORDER BY doc_id"
+        ),
+        # integer familiarity sums are order-independent -> exact parity
+        "word_familiarity_documents": (
+            "WITH w AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word "
+            "FROM documents WHERE trim(text) <> ''), "
+            "v AS (SELECT word, count(*) AS freq FROM w GROUP BY word) "
+            "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, "
+            "CAST(sum(v.freq) AS BIGINT) AS familiarity, "
+            "round(CAST(sum(v.freq) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_freq "
+            "FROM w JOIN v USING (word) GROUP BY doc_id ORDER BY doc_id"
         ),
         # shard ranges are pure arithmetic on the window cumsum (8192 = 2048x4)
         "packed_shards_summary": (

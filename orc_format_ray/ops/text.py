@@ -292,3 +292,83 @@ def word_repetition(batch: pa.Table, column: str = "text", id_col: str = "doc_id
             "dup_ratio": pc.round(pa.array(ratio, pa.float64()), ndigits=6),
         }
     )
+
+
+# ------------------------------------------------------- familiarity score
+
+
+def word_familiarity(ds, column: str = "text", id_col: str = "doc_id", num_buckets: int = 64):
+    """Per-doc corpus-familiarity score — the perplexity-proxy quality
+    filter: ``familiarity = sum over word occurrences of corpus_count(word)``
+    (rare-word-heavy docs score low). Returns a Dataset of
+    (doc_id, n_words, familiarity, mean_freq).
+
+    Two passes over the corpus, all metadata-only shuffles:
+    1. global word counts (``word_count_partial`` -> one |vocab| groupby);
+    2. a bucketed hash join of per-doc word partials against those counts —
+       both sides key on ``content_hash(word)`` (injectivity over observed
+       words is the same assumption ``duplicate_spans`` pins by test), rows
+       union with a side tag, ONE groupby(bucket) merges each bucket
+       vectorized, then a tiny groupby(doc_id) folds per-bucket partials.
+    Raw text never shuffles; join rows are 4 int64s per unique (word, doc).
+    """
+    import pandas as pd
+    from ray.data.aggregate import Count, Sum
+
+    from .._rayutil import remote_args
+
+    if num_buckets <= 0:
+        raise ValueError(f"num_buckets must be positive, got {num_buckets}")
+
+    def doc_word_rows(batch: pa.Table) -> pa.Table:
+        ids, words = split_nonempty_docs(batch, column, id_col)
+        ids_np = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = words.flatten()
+        h = content_hash(flat).view(np.int64)
+        doc_of = np.repeat(np.arange(len(counts)), counts)
+        pairs = np.stack([h, ids_np[doc_of]], axis=1)
+        uniq, cnt = np.unique(pairs, axis=0, return_counts=True)
+        return pa.table(
+            {
+                "bucket": pa.array(uniq[:, 0].view(np.uint64) % np.uint64(num_buckets), pa.int64()),
+                "word_h": pa.array(uniq[:, 0], pa.int64()),
+                "doc_id": pa.array(uniq[:, 1], pa.int64()),
+                "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def vocab_rows(batch: pa.Table) -> pa.Table:
+        t = word_count_partial(batch, column)
+        h = content_hash(t["word"].combine_chunks()).view(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(h.view(np.uint64) % np.uint64(num_buckets), pa.int64()),
+                "word_h": pa.array(h, pa.int64()),
+                "doc_id": pa.array(np.full(len(h), -1, np.int64), pa.int64()),  # -1 = vocab side
+                "cnt": t["cnt"],
+            }
+        )
+
+    doc_side = ds.map_batches(doc_word_rows, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    vocab_side = ds.map_batches(vocab_rows, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        vocab = g[g["doc_id"] < 0].groupby("word_h")["cnt"].sum()
+        docs = g[g["doc_id"] >= 0].groupby(["word_h", "doc_id"], as_index=False)["cnt"].sum()
+        freq = docs["word_h"].map(vocab).to_numpy(np.int64)  # every doc word exists in vocab
+        docs["fam"] = docs["cnt"].to_numpy(np.int64) * freq
+        out = docs.groupby("doc_id", as_index=False).agg(n_words=("cnt", "sum"), familiarity=("fam", "sum"))
+        return out
+
+    merged = doc_side.union(vocab_side).groupby("bucket").map_groups(merge_bucket, batch_format="pandas", **remote_args())
+    tot = merged.groupby("doc_id").aggregate(
+        Sum("n_words", alias_name="n_words"), Sum("familiarity", alias_name="familiarity")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n_words"].to_numpy(zero_copy_only=False).astype(np.float64)
+        f = batch["familiarity"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return batch.append_column("mean_freq", pc.round(pa.array(f / n, pa.float64()), ndigits=6))
+
+    return tot.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True, **remote_args())

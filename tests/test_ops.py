@@ -1024,3 +1024,19 @@ def test_write_packed_shards_meta_source_drift_raises(ray_session, tmp_path):
         pack.write_packed_shards(
             ray.data.from_arrow(tbl), capacity=4, out_dir=str(tmp_path / "bad"), packs_per_shard=2, meta_source=bad_meta
         )
+
+
+def test_word_familiarity_matches_counter(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops import text as tx
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "text": ["a a b", "a c", "  "]})
+    out = tx.word_familiarity(ray.data.from_pandas(df)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # corpus freq: a=3, b=1, c=1
+    assert out["doc_id"].tolist() == [1, 2]  # empty doc dropped
+    assert out["n_words"].tolist() == [3, 2]
+    assert out["familiarity"].tolist() == [7, 4]
+    assert out["mean_freq"].tolist() == [round(7 / 3, 6), 2.0]
+    with pytest.raises(ValueError):
+        tx.word_familiarity(ray.data.from_pandas(df), num_buckets=0)
