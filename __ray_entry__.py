@@ -310,6 +310,18 @@ def _q_packed_shards_summary(sf_dir: str):
     return g.sort_values("shard").reset_index(drop=True)
 
 
+def _q_vocab_topk_by_source(sf_dir: str):
+    """Per-source top-5 words (corpus composition report): multi-key groupby
+    with per-block per-group top-k partials. SQL mirrors via row_number
+    over (PARTITION BY source ORDER BY cnt DESC, word)."""
+    import ray.data
+
+    from orc_format_ray.ops import text as tx
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    return tx.vocab_topk_by_group(ds, k=5).to_pandas()
+
+
 def _q_word_familiarity(sf_dir: str):
     """Corpus-familiarity quality score (perplexity proxy): per doc, the sum
     of corpus frequencies of its word occurrences. Two metadata-only passes:
@@ -1242,6 +1254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicate_spans_documents": _q_duplicate_spans,
         "packed_shards_summary": _q_packed_shards_summary,
         "word_familiarity_documents": _q_word_familiarity,
+        "vocab_topk_by_source": _q_vocab_topk_by_source,
         "mixture_sample_documents": _q_mixture_sample_documents,
         "stratified_sample_documents": _q_stratified_sample_documents,
         "quality_per_doc": _q_quality_per_doc,
@@ -1396,6 +1409,15 @@ def oracle_sql() -> dict[str, str]:
             "greatest(CAST(floor(start_tok / 2048) AS BIGINT), "
             "CAST(floor((start_tok + greatest(n_tok, 1) - 1) / 2048) AS BIGINT)) AS last_pack "
             "FROM c ORDER BY doc_id"
+        ),
+        # per-group top-k: row_number over the same (cnt desc, word) order
+        "vocab_topk_by_source": (
+            "WITH w AS (SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS word "
+            "FROM documents WHERE trim(text) <> ''), "
+            "c AS (SELECT source, word, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY source, word) "
+            "SELECT source, CAST(rk AS BIGINT) AS rank, word, cnt FROM "
+            "(SELECT *, row_number() OVER (PARTITION BY source ORDER BY cnt DESC, word) AS rk FROM c) "
+            "WHERE rk <= 5 ORDER BY source, rank"
         ),
         # integer familiarity sums are order-independent -> exact parity
         "word_familiarity_documents": (

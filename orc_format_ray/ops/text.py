@@ -372,3 +372,59 @@ def word_familiarity(ds, column: str = "text", id_col: str = "doc_id", num_bucke
         return batch.append_column("mean_freq", pc.round(pa.array(f / n, pa.float64()), ndigits=6))
 
     return tot.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+
+
+# ------------------------------------------------- grouped vocabulary top-k
+
+
+def vocab_topk_by_group(ds, k: int = 5, group: str = "source", column: str = "text") -> pa.Table:
+    """Top-k words per group (ties by word asc) — the per-stratum variant of
+    ``vocab_topk`` for corpus composition reports.
+
+    Plan: per-batch (group, word, cnt) Arrow partials -> one multi-key
+    groupby over |groups x vocab| rows -> per-block per-group top-k (at most
+    k x |groups| rows leave each block) -> tiny driver fold. Returns a
+    pyarrow Table (group col, rank, word, cnt) ordered by (group, rank)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from .._rayutil import remote_args
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = batch[column]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        words = pc.split_pattern_regex(pc.utf8_trim_whitespace(text), r"\s+")
+        counts = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+        grp = batch[group].combine_chunks() if isinstance(batch[group], pa.ChunkedArray) else batch[group]
+        flat = words.flatten()
+        t = pa.table(
+            {
+                group: grp.take(pa.array(np.repeat(np.arange(len(counts)), counts), pa.int64())),
+                "word": flat,
+            }
+        ).filter(pc.greater(pc.utf8_length(flat), 0))
+        agg = t.group_by([group, "word"]).aggregate([("word", "count")])
+        return pa.table({group: agg[group], "word": agg["word"], "cnt": agg["word_count"].cast(pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    tot = parts.groupby([group, "word"]).aggregate(Sum("cnt", alias_name="cnt"))
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(["cnt", "word"], ascending=[False, True]).groupby(group, sort=False).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    tops = tot.map_batches(block_topk, batch_format="pyarrow", **remote_args())
+    blocks = list(tops.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    if not blocks:
+        return pa.table({group: pa.array([], pa.string()), "rank": pa.array([], pa.int64()),
+                         "word": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())})
+    df: pd.DataFrame = pa.concat_tables(blocks).to_pandas()
+    df = df.sort_values(["cnt", "word"], ascending=[False, True]).groupby(group, sort=False).head(k)
+    df["rank"] = df.groupby(group)["cnt"].rank(method="first", ascending=False).astype(np.int64)
+    df = df.sort_values([group, "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(df[[group, "rank", "word", "cnt"]], preserve_index=False)

@@ -1040,3 +1040,17 @@ def test_word_familiarity_matches_counter(ray_session):
     assert out["mean_freq"].tolist() == [round(7 / 3, 6), 2.0]
     with pytest.raises(ValueError):
         tx.word_familiarity(ray.data.from_pandas(df), num_buckets=0)
+
+
+def test_vocab_topk_by_group_ties_and_ranks(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops import text as tx
+
+    df = pd.DataFrame({"source": ["s1", "s1", "s2"], "text": ["b a a", "b c", "z z y"]})
+    out = tx.vocab_topk_by_group(ray.data.from_pandas(df), k=2).to_pandas()
+    assert out[out["source"] == "s1"]["word"].tolist() == ["a", "b"]  # tie at 2 -> word asc
+    assert out[out["source"] == "s2"]["word"].tolist() == ["z", "y"]
+    assert out["rank"].tolist() == [1, 2, 1, 2]
+    with pytest.raises(ValueError):
+        tx.vocab_topk_by_group(ray.data.from_pandas(df), k=0)
