@@ -303,17 +303,18 @@ def word_familiarity(ds, column: str = "text", id_col: str = "doc_id", num_bucke
     (rare-word-heavy docs score low). Returns a Dataset of
     (doc_id, n_words, familiarity, mean_freq).
 
-    Two passes over the corpus, all metadata-only shuffles:
-    1. global word counts (``word_count_partial`` -> one |vocab| groupby);
-    2. a bucketed hash join of per-doc word partials against those counts —
-       both sides key on ``content_hash(word)`` (injectivity over observed
-       words is the same assumption ``duplicate_spans`` pins by test), rows
-       union with a side tag, ONE groupby(bucket) merges each bucket
-       vectorized, then a tiny groupby(doc_id) folds per-bucket partials.
-    Raw text never shuffles; join rows are 4 int64s per unique (word, doc).
+    ONE pass over the corpus, metadata-only shuffle: per-batch unique
+    (word_hash, doc_id, cnt) partials bucket on ``content_hash(word)``
+    (injectivity over observed words is the same assumption
+    ``duplicate_spans`` pins by test), so ALL of a word's rows co-locate in
+    its bucket — the bucket fold derives the word's global corpus frequency
+    as the plain sum of its per-doc counts, no separate vocabulary pass or
+    join needed. A tiny groupby(doc_id) then folds per-bucket partials.
+    Raw text never shuffles; shuffle rows are 4 int64s per unique
+    (word, doc) pair. ``doc_id`` must be integer (any sign).
     """
     import pandas as pd
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     from .._rayutil import remote_args
 
@@ -338,30 +339,17 @@ def word_familiarity(ds, column: str = "text", id_col: str = "doc_id", num_bucke
             }
         )
 
-    def vocab_rows(batch: pa.Table) -> pa.Table:
-        t = word_count_partial(batch, column)
-        h = content_hash(t["word"].combine_chunks()).view(np.int64)
-        return pa.table(
-            {
-                "bucket": pa.array(h.view(np.uint64) % np.uint64(num_buckets), pa.int64()),
-                "word_h": pa.array(h, pa.int64()),
-                "doc_id": pa.array(np.full(len(h), -1, np.int64), pa.int64()),  # -1 = vocab side
-                "cnt": t["cnt"],
-            }
-        )
-
     doc_side = ds.map_batches(doc_word_rows, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-    vocab_side = ds.map_batches(vocab_rows, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
 
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        vocab = g[g["doc_id"] < 0].groupby("word_h")["cnt"].sum()
-        docs = g[g["doc_id"] >= 0].groupby(["word_h", "doc_id"], as_index=False)["cnt"].sum()
-        freq = docs["word_h"].map(vocab).to_numpy(np.int64)  # every doc word exists in vocab
+        docs = g.groupby(["word_h", "doc_id"], as_index=False)["cnt"].sum()
+        # all rows of a word are in this bucket -> its corpus frequency is
+        # just the sum of its per-doc counts
+        freq = docs.groupby("word_h")["cnt"].transform("sum").to_numpy(np.int64)
         docs["fam"] = docs["cnt"].to_numpy(np.int64) * freq
-        out = docs.groupby("doc_id", as_index=False).agg(n_words=("cnt", "sum"), familiarity=("fam", "sum"))
-        return out
+        return docs.groupby("doc_id", as_index=False).agg(n_words=("cnt", "sum"), familiarity=("fam", "sum"))
 
-    merged = doc_side.union(vocab_side).groupby("bucket").map_groups(merge_bucket, batch_format="pandas", **remote_args())
+    merged = doc_side.groupby("bucket").map_groups(merge_bucket, batch_format="pandas", **remote_args())
     tot = merged.groupby("doc_id").aggregate(
         Sum("n_words", alias_name="n_words"), Sum("familiarity", alias_name="familiarity")
     )
@@ -394,19 +382,15 @@ def vocab_topk_by_group(ds, k: int = 5, group: str = "source", column: str = "te
         raise ValueError(f"k must be positive, got {k}")
 
     def partial(batch: pa.Table) -> pa.Table:
-        text = batch[column]
-        if isinstance(text, pa.ChunkedArray):
-            text = text.combine_chunks()
-        words = pc.split_pattern_regex(pc.utf8_trim_whitespace(text), r"\s+")
+        # the shared tokenizer keeps this null-safe and oracle-aligned
+        grp, words = split_nonempty_docs(batch, column, id_col=group)
         counts = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
-        grp = batch[group].combine_chunks() if isinstance(batch[group], pa.ChunkedArray) else batch[group]
-        flat = words.flatten()
         t = pa.table(
             {
                 group: grp.take(pa.array(np.repeat(np.arange(len(counts)), counts), pa.int64())),
-                "word": flat,
+                "word": words.flatten(),
             }
-        ).filter(pc.greater(pc.utf8_length(flat), 0))
+        )
         agg = t.group_by([group, "word"]).aggregate([("word", "count")])
         return pa.table({group: agg[group], "word": agg["word"], "cnt": agg["word_count"].cast(pa.int64())})
 
@@ -414,9 +398,11 @@ def vocab_topk_by_group(ds, k: int = 5, group: str = "source", column: str = "te
     tot = parts.groupby([group, "word"]).aggregate(Sum("cnt", alias_name="cnt"))
 
     def block_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # empty shuffle block: keep the schema intact
+            return batch
         df = batch.to_pandas()
         df = df.sort_values(["cnt", "word"], ascending=[False, True]).groupby(group, sort=False).head(k)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.Table.from_pandas(df, schema=batch.schema, preserve_index=False)
 
     tops = tot.map_batches(block_topk, batch_format="pyarrow", **remote_args())
     blocks = list(tops.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))

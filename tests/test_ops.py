@@ -1054,3 +1054,20 @@ def test_vocab_topk_by_group_ties_and_ranks(ray_session):
     assert out["rank"].tolist() == [1, 2, 1, 2]
     with pytest.raises(ValueError):
         tx.vocab_topk_by_group(ray.data.from_pandas(df), k=0)
+
+
+def test_review_fixes_familiarity_single_pass_and_null_text(ray_session):
+    """Review fixes: negative doc ids are legal in word_familiarity (no
+    sentinel), and vocab_topk_by_group survives NULL text values."""
+    import ray.data
+
+    from orc_format_ray.ops import text as tx
+
+    df = pd.DataFrame({"doc_id": [-5, 2], "text": ["a a b", "a c"]})
+    out = tx.word_familiarity(ray.data.from_pandas(df)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == [-5, 2]
+    assert out["familiarity"].tolist() == [7, 4]
+
+    tbl = pa.table({"source": pa.array(["s1", "s1", "s1"]), "text": pa.array(["b a a", None, "b c"])})
+    out = tx.vocab_topk_by_group(ray.data.from_arrow(tbl), k=2).to_pandas()
+    assert out["word"].tolist() == ["a", "b"] and out["cnt"].tolist() == [2, 2]
