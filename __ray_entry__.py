@@ -434,6 +434,55 @@ def _q_ann_topk_embeddings(sf_dir: str):
     return df[["rank", "vec_id"]]
 
 
+def _q_pq_ann_exhaustive(sf_dir: str):
+    """PQ compress (8 B/vec vs 256 B) -> ADC scan -> exact re-rank with the
+    depth covering the whole corpus: must EQUAL brute force exactly, so the
+    ANN SQL oracle hash-checks the full train -> encode -> ADC -> re-rank
+    path (same trick as ivf_ann_exhaustive)."""
+    import ray.data
+
+    from orc_format_ray.ops import similarity as sim
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    cb = sim.PQCodebook.train(ds, m=8, nbits=6)
+    codes = sim.pq_encode(ds, cb).materialize()
+    rerank = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    top = sim.pq_topk(codes, cb, _ann_query_vector(), k=10, exact_rerank_ds=rerank, rerank_depth=1_000_000)
+    df = top.to_pandas()
+    df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+    return df[["rank", "vec_id"]]
+
+
+def _q_pq_ann_planted(sf_dir: str):
+    """PQ search with a DETERMINISTIC answer: exact copies (+100000) of the
+    5 lowest vec_ids quantize to IDENTICAL codes, so after exact re-rank
+    each original's top non-self hit is its planted twin at cosine 1.0.
+    SQL reproduces the construction."""
+    import pandas as pd
+    import ray.data
+
+    from orc_format_ray.ops import similarity as sim
+
+    base = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    head = pa.concat_tables(list(base.iter_batches(batch_size=1 << 20, batch_format="pyarrow")))
+    head = head.sort_by("vec_id").slice(0, 5)
+    copies = pa.table({"vec_id": pa.array([v + 100_000 for v in head["vec_id"].to_pylist()], pa.int64()),
+                       "embedding": head["embedding"]})
+    aug = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]).union(
+        ray.data.from_arrow(copies)
+    )
+    aug = aug.materialize()  # consumed for train, encode, and re-rank
+    cb = sim.PQCodebook.train(aug, m=8, nbits=6)
+    codes = sim.pq_encode(aug, cb).materialize()
+    q = np.array(head["embedding"].to_pylist(), dtype=np.float64)
+    top = sim.pq_topk(codes, cb, q, k=10, exact_rerank_ds=aug, rerank_depth=64).to_pandas()
+    rows = []
+    for qi, orig in enumerate(head["vec_id"].to_pylist()):
+        cand = top[(top["query_id"] == qi) & (top["vec_id"] >= 100_000)]
+        rows.append({"vec_a": int(orig), "vec_b": int(cand.iloc[0]["vec_id"])})
+    return pd.DataFrame(rows).sort_values("vec_a").reset_index(drop=True)
+
+
 def _q_minhash_candidates(sf_dir: str):
     import ray.data
 
@@ -1255,6 +1304,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "packed_shards_summary": _q_packed_shards_summary,
         "word_familiarity_documents": _q_word_familiarity,
         "vocab_topk_by_source": _q_vocab_topk_by_source,
+        "pq_ann_exhaustive": _q_pq_ann_exhaustive,
+        "pq_ann_planted": _q_pq_ann_planted,
         "mixture_sample_documents": _q_mixture_sample_documents,
         "stratified_sample_documents": _q_stratified_sample_documents,
         "quality_per_doc": _q_quality_per_doc,
@@ -1538,6 +1589,17 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 5) "
             "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM aug a JOIN aug b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.999 ORDER BY vec_a, vec_b"
+        ),
+        # full-depth exact re-rank == brute force: same oracle as ANN
+        "pq_ann_exhaustive": (
+            "SELECT CAST(row_number() OVER (ORDER BY list_cosine_similarity(embedding, "
+            f"{_ANN_VEC_SQL}) DESC, vec_id) AS BIGINT) AS rank, vec_id FROM embeddings "
+            "ORDER BY rank LIMIT 10"
+        ),
+        # identical vectors -> identical PQ codes -> twin is the top non-self
+        "pq_ann_planted": (
+            "SELECT vec_id AS vec_a, vec_id + 100000 AS vec_b FROM embeddings "
+            "WHERE vec_id < 5 ORDER BY vec_a"
         ),
         # nprobe=nlist IVF == brute force: same oracle as ann_topk_embeddings
         "ivf_ann_exhaustive": (

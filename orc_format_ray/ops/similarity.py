@@ -305,3 +305,179 @@ def ivf_topk(ds, index: IVFIndex, queries: np.ndarray, k: int = 10, nprobe: int 
 
     partials = ds.map_batches(Scorer, batch_format="pyarrow", zero_copy_batch=True, concurrency=pool_size(), **remote_args())
     return _fold_topk(partials, k)
+
+
+# --------------------------------------------------- product quantization
+
+
+class PQCodebook:
+    """Product-quantization codebooks: ``m`` subspaces x ``2^nbits``
+    centroids each, trained per subspace by k-means on a driver-side sample
+    (the same sampling contract as ``IVFIndex.train``).
+
+    PQ is vector COMPRESSION — ``m`` bytes per vector instead of
+    ``4 * dim`` — which makes it this engine's codec family applied to
+    embeddings. Search is asymmetric (ADC): queries stay exact float,
+    database vectors are scored by summing per-subspace lookup tables, and
+    the standard production pattern re-ranks the ADC top candidates with
+    exact vectors (see ``pq_topk(..., exact_rerank_ds=...)``).
+    """
+
+    def __init__(self, centroids: np.ndarray):
+        c = np.asarray(centroids, dtype=np.float32)
+        if c.ndim != 3:
+            raise ValueError(f"centroids must be (m, K, dsub), got {c.shape}")
+        self.centroids = c
+        self.m, self.k, self.dsub = c.shape
+
+    @staticmethod
+    def train(ds, m: int = 8, nbits: int = 6, sample_rows: int = 4096, iters: int = 8, seed: int = 5) -> "PQCodebook":
+        sample = ds.random_sample(1.0, seed=seed).limit(sample_rows)
+        tbl = pa.concat_tables(list(sample.iter_batches(batch_size=1 << 20, batch_format="pyarrow")))
+        if "vec_id" in tbl.schema.names:  # Ray block order varies run-to-run; pin it
+            tbl = tbl.sort_by("vec_id")
+        x = _unit(_embedding_matrix(tbl)).astype(np.float32)
+        dim = x.shape[1]
+        if dim % m:
+            raise ValueError(f"dim {dim} not divisible by m={m}")
+        dsub, kk = dim // m, 1 << nbits
+        rng = np.random.default_rng(seed)
+        cents = np.empty((m, min(kk, len(x)), dsub), dtype=np.float32)
+        for s in range(m):
+            xs = x[:, s * dsub : (s + 1) * dsub]
+            c = xs[rng.choice(len(xs), min(kk, len(xs)), replace=False)].copy()
+            for _ in range(iters):
+                d = ((xs[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+                assign = np.argmin(d, axis=1)
+                for j in range(len(c)):
+                    mask = assign == j
+                    if mask.any():
+                        c[j] = xs[mask].mean(axis=0)
+            cents[s] = c
+        return PQCodebook(cents)
+
+    def encode(self, x: np.ndarray) -> np.ndarray:
+        """(n, dim) float -> (n, m) uint8 codes (nearest centroid per subspace)."""
+        x = _unit(np.asarray(x, dtype=np.float32))
+        codes = np.empty((len(x), self.m), dtype=np.uint8)
+        for s in range(self.m):
+            xs = x[:, s * self.dsub : (s + 1) * self.dsub]
+            d = ((xs[:, None, :] - self.centroids[s][None, :, :]) ** 2).sum(axis=2)
+            codes[:, s] = np.argmin(d, axis=1).astype(np.uint8)
+        return codes
+
+    def decode(self, codes: np.ndarray) -> np.ndarray:
+        """(n, m) codes -> (n, dim) reconstructed float32 vectors."""
+        return np.concatenate([self.centroids[s][codes[:, s]] for s in range(self.m)], axis=1)
+
+
+def pq_encode(ds, codebook: PQCodebook):
+    """Compress an embedding Dataset to (vec_id, code: binary(m)) —
+    ``m`` bytes/vector, a ``4*dim/m``x size reduction before zstd."""
+    import ray
+
+    cb_ref = ray.put(codebook)
+
+    class Encoder:
+        def __init__(self):
+            self.cb = ray.get(cb_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            codes = self.cb.encode(_embedding_matrix(batch))
+            return pa.table(
+                {
+                    "vec_id": batch["vec_id"],
+                    "code": pa.array(list(codes.tobytes()[i * self.cb.m : (i + 1) * self.cb.m] for i in range(len(codes))), pa.binary()),
+                }
+            )
+
+    from .._rayutil import pool_size
+
+    return ds.map_batches(
+        Encoder, batch_format="pyarrow", zero_copy_batch=True, concurrency=pool_size(), **remote_args()
+    )
+
+
+def pq_topk(codes_ds, codebook: PQCodebook, queries: np.ndarray, k: int = 10, exact_rerank_ds=None, rerank_depth: int = 32):
+    """ADC top-k over PQ codes: each actor builds the (nq, m, K) lookup
+    tables once in ``__init__``; scoring a batch is one np.take + sum per
+    subspace. With ``exact_rerank_ds`` (the original embeddings), the ADC
+    top ``rerank_depth`` candidates per query are re-scored with exact
+    cosine — the standard PQ + re-rank pattern. Returns the same
+    (query_id, vec_id, score) table as ``brute_force_topk``."""
+    import ray
+
+    q = _unit(np.asarray(queries, dtype=np.float32))
+    cb_ref = ray.put(codebook)
+    q_ref = ray.put(q)
+    depth = max(k, rerank_depth) if exact_rerank_ds is not None else k
+
+    class ADCScorer:
+        def __init__(self):
+            cb = ray.get(cb_ref)
+            qq = ray.get(q_ref)
+            self.m, self.dsub = cb.m, cb.dsub
+            # tables[s]: (nq, K) = q_sub @ centroids[s].T
+            self.tables = [qq[:, s * cb.dsub : (s + 1) * cb.dsub] @ cb.centroids[s].T for s in range(cb.m)]
+            self.nq = len(qq)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            raw = np.frombuffer(b"".join(batch["code"].to_pylist()), dtype=np.uint8).reshape(-1, self.m)
+            ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            scores = np.zeros((self.nq, len(raw)), dtype=np.float32)
+            for s in range(self.m):
+                scores += self.tables[s][:, raw[:, s]]
+            kk = min(depth, len(raw))
+            top = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+            rows_q = np.repeat(np.arange(self.nq, dtype=np.int32), kk)
+            cand = top.ravel()
+            return pa.table(
+                {
+                    "query_id": pa.array(rows_q, pa.int32()),
+                    "vec_id": pa.array(ids[cand], pa.int64()),
+                    "score": pa.array(scores[rows_q, cand].astype(np.float64), pa.float64()),
+                }
+            )
+
+    from .._rayutil import pool_size
+
+    partials = codes_ds.map_batches(
+        ADCScorer, batch_format="pyarrow", zero_copy_batch=True, concurrency=pool_size(), **remote_args()
+    )
+    adc = _fold_topk(partials, depth)
+    if exact_rerank_ds is None:
+        import pandas as pd
+
+        df = adc.to_pandas().groupby("query_id", as_index=False).head(k).reset_index(drop=True)
+        return pa.Table.from_pandas(df, preserve_index=False)
+    # exact re-rank: fetch ONLY the candidate vectors (broadcast id set),
+    # score with float64 cosine, keep top-k per query
+    import pandas as pd
+    import pyarrow.compute as pc_
+
+    cand_ids = set(adc["vec_id"].to_pylist())
+    ids_ref = ray.put(np.array(sorted(cand_ids), dtype=np.int64))
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(ids_ref)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.isin(ids, wanted)
+        return batch.filter(pa.array(keep))
+
+    vec_tbl = pa.concat_tables(
+        list(
+            exact_rerank_ds.map_batches(fetch, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+            .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+        )
+    )
+    vecs = _unit(_embedding_matrix(vec_tbl))
+    vid = vec_tbl["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    pos = {int(v): i for i, v in enumerate(vid)}
+    df = adc.to_pandas()
+    exact = np.einsum(
+        "ij,ij->i", _unit(np.asarray(queries, dtype=np.float64))[df["query_id"].to_numpy()], vecs[[pos[int(v)] for v in df["vec_id"]]]
+    )
+    df["score"] = np.round(exact, 6)
+    df = df.sort_values(["query_id", "score", "vec_id"], ascending=[True, False, True])
+    df = df.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)

@@ -1071,3 +1071,52 @@ def test_review_fixes_familiarity_single_pass_and_null_text(ray_session):
     tbl = pa.table({"source": pa.array(["s1", "s1", "s1"]), "text": pa.array(["b a a", None, "b c"])})
     out = tx.vocab_topk_by_group(ray.data.from_arrow(tbl), k=2).to_pandas()
     assert out["word"].tolist() == ["a", "b"] and out["cnt"].tolist() == [2, 2]
+
+
+# ------------------------------------------------------ product quantization
+
+
+def test_pq_compression_recall_and_rerank(ray_session):
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    cb = similarity.PQCodebook.train(ds, m=8, nbits=6)
+    assert cb.centroids.shape == (8, 64, 8)
+
+    codes = similarity.pq_encode(ds, cb).materialize()
+    ctbl = pa.concat_tables(list(codes.iter_batches(batch_size=1 << 20, batch_format="pyarrow")))
+    assert ctbl.num_rows == 500
+    assert all(len(c) == 8 for c in ctbl["code"].to_pylist())  # 8 B/vec vs 256 B raw
+
+    import pyarrow.parquet as pq
+
+    raw = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    x = np.array(raw["embedding"].to_pylist(), dtype=np.float64)
+    q = x[:5]
+    bf = similarity.brute_force_topk(
+        ray.data.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"]), q, k=10
+    ).to_pandas()
+    adc = similarity.pq_topk(codes, cb, q, k=10).to_pandas()
+    rr = similarity.pq_topk(
+        codes, cb, q, k=10,
+        exact_rerank_ds=ray.data.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"]),
+        rerank_depth=32,
+    ).to_pandas()
+    adc_recall = rr_recall = 0.0
+    for qi in range(5):
+        b = set(bf[bf["query_id"] == qi]["vec_id"])
+        adc_recall += len(set(adc[adc["query_id"] == qi]["vec_id"]) & b) / 50
+        rr_recall += len(set(rr[rr["query_id"] == qi]["vec_id"]) & b) / 50
+        top = rr[rr["query_id"] == qi].iloc[0]
+        assert int(top["vec_id"]) == int(raw["vec_id"][qi].as_py()) and top["score"] == 1.0  # self top-1 exact
+    assert adc_recall >= 0.3 and rr_recall >= adc_recall  # re-rank never hurts
+
+    # determinism: retraining with the same seed gives identical codes
+    cb2 = similarity.PQCodebook.train(ds, m=8, nbits=6)
+    np.testing.assert_array_equal(cb.centroids, cb2.centroids)
+    # decode reconstructs unit-normalized vectors approximately
+    rec = cb.decode(cb.encode(x[:20]))
+    unit = x[:20] / np.linalg.norm(x[:20], axis=1, keepdims=True)
+    assert np.mean(np.einsum("ij,ij->i", rec / np.linalg.norm(rec, axis=1, keepdims=True), unit)) > 0.8
+    with pytest.raises(ValueError):
+        similarity.PQCodebook.train(ds, m=7)  # 64 % 7 != 0
