@@ -463,9 +463,11 @@ def _q_pq_ann_planted(sf_dir: str):
 
     from orc_format_ray.ops import similarity as sim
 
-    base = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    head = pa.concat_tables(list(base.iter_batches(batch_size=1 << 20, batch_format="pyarrow")))
-    head = head.sort_by("vec_id").slice(0, 5)
+    import pyarrow.parquet as pq
+
+    head = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"], filters=[("vec_id", "<", 5)]
+    ).sort_by("vec_id")
     copies = pa.table({"vec_id": pa.array([v + 100_000 for v in head["vec_id"].to_pylist()], pa.int64()),
                        "embedding": head["embedding"]})
     aug = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]).union(

@@ -327,11 +327,20 @@ class PQCodebook:
         c = np.asarray(centroids, dtype=np.float32)
         if c.ndim != 3:
             raise ValueError(f"centroids must be (m, K, dsub), got {c.shape}")
+        if c.shape[1] > 256:
+            raise ValueError(f"K={c.shape[1]} centroids do not fit uint8 codes (nbits <= 8)")
         self.centroids = c
         self.m, self.k, self.dsub = c.shape
 
     @staticmethod
     def train(ds, m: int = 8, nbits: int = 6, sample_rows: int = 4096, iters: int = 8, seed: int = 5) -> "PQCodebook":
+        """Codes are uint8 (nbits <= 8). Training is deterministic whenever
+        the corpus fits in ``sample_rows`` (rows are pinned by vec_id sort);
+        above that, ``limit`` keeps whichever blocks arrive first — pass a
+        deterministically pre-sampled ``ds`` if bit-stable retraining at
+        scale matters."""
+        if not 1 <= nbits <= 8:
+            raise ValueError(f"nbits must be in [1, 8] for uint8 codes, got {nbits}")
         sample = ds.random_sample(1.0, seed=seed).limit(sample_rows)
         tbl = pa.concat_tables(list(sample.iter_batches(batch_size=1 << 20, batch_format="pyarrow")))
         if "vec_id" in tbl.schema.names:  # Ray block order varies run-to-run; pin it
@@ -384,14 +393,14 @@ def pq_encode(ds, codebook: PQCodebook):
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             codes = self.cb.encode(_embedding_matrix(batch))
+            buf = codes.tobytes()  # one serialization for the whole batch
+            m = self.cb.m
             return pa.table(
                 {
                     "vec_id": batch["vec_id"],
-                    "code": pa.array(list(codes.tobytes()[i * self.cb.m : (i + 1) * self.cb.m] for i in range(len(codes))), pa.binary()),
+                    "code": pa.array([buf[i * m : (i + 1) * m] for i in range(len(codes))], pa.binary()),
                 }
             )
-
-    from .._rayutil import pool_size
 
     return ds.map_batches(
         Encoder, batch_format="pyarrow", zero_copy_batch=True, concurrency=pool_size(), **remote_args()
@@ -439,22 +448,14 @@ def pq_topk(codes_ds, codebook: PQCodebook, queries: np.ndarray, k: int = 10, ex
                 }
             )
 
-    from .._rayutil import pool_size
-
     partials = codes_ds.map_batches(
         ADCScorer, batch_format="pyarrow", zero_copy_batch=True, concurrency=pool_size(), **remote_args()
     )
     adc = _fold_topk(partials, depth)
     if exact_rerank_ds is None:
-        import pandas as pd
-
-        df = adc.to_pandas().groupby("query_id", as_index=False).head(k).reset_index(drop=True)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return adc  # depth == k here, already k sorted rows per query
     # exact re-rank: fetch ONLY the candidate vectors (broadcast id set),
     # score with float64 cosine, keep top-k per query
-    import pandas as pd
-    import pyarrow.compute as pc_
-
     cand_ids = set(adc["vec_id"].to_pylist())
     ids_ref = ray.put(np.array(sorted(cand_ids), dtype=np.int64))
 
@@ -473,11 +474,19 @@ def pq_topk(codes_ds, codebook: PQCodebook, queries: np.ndarray, k: int = 10, ex
     vecs = _unit(_embedding_matrix(vec_tbl))
     vid = vec_tbl["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     pos = {int(v): i for i, v in enumerate(vid)}
+    missing = cand_ids - pos.keys()
+    if missing:
+        raise ValueError(
+            f"exact_rerank_ds is missing {len(missing)} ADC candidate vec_ids (e.g. {sorted(missing)[:3]}): "
+            "it must cover every encoded vector"
+        )
     df = adc.to_pandas()
     exact = np.einsum(
         "ij,ij->i", _unit(np.asarray(queries, dtype=np.float64))[df["query_id"].to_numpy()], vecs[[pos[int(v)] for v in df["vec_id"]]]
     )
-    df["score"] = np.round(exact, 6)
-    df = df.sort_values(["query_id", "score", "vec_id"], ascending=[True, False, True])
+    # sort on FULL precision (the _fold_topk rule), round only for output
+    df["_exact"] = exact
+    df = df.sort_values(["query_id", "_exact", "vec_id"], ascending=[True, False, True])
     df = df.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
+    df["score"] = np.round(df.pop("_exact"), 6)
     return pa.Table.from_pandas(df, preserve_index=False)
