@@ -948,6 +948,27 @@ def _q_semi_anti_join_customers(sf_dir: str):
     return out[["c_mktsegment", "with_orders", "without_orders"]].sort_values("c_mktsegment").reset_index(drop=True)
 
 
+def _q_orc_bloom_pushdown(sf_dir: str):
+    """Equality pushdown via BLOOM_FILTER_UTF8 streams our writer emits:
+    documents -> ORC with a bloom on text, probe for one known document's
+    exact text. SQL runs the same equality over parquet."""
+    import pyarrow.parquet as pq
+
+    from orc_format_ray import orcfile
+    from orc_format_ray.orcread import read_orc_filtered
+
+    scratch = _scratch(sf_dir, "orc")
+    path = os.path.join(scratch, "documents_bloom.orc")
+    if not os.path.exists(path):
+        tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"])
+        orcfile.write_orc(tbl, path, compression="zstd", row_index_stride=100, bloom_columns=["text"])
+    probe = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"], filters=[("doc_id", "==", 123)]
+    )["text"][0].as_py()
+    got, _stats = read_orc_filtered(path, ("text", "==", probe), columns=["doc_id", "source", "text"])
+    return got.select(["doc_id", "source"]).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_orc_pushdown_filter(sf_dir: str):
     """Predicate pushdown via our own ORC ROW_INDEX statistics: lineitem ->
     real ORC (row index on), read back with read_orc_filtered, which prunes
@@ -1331,6 +1352,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_price_bands": _q_range_join_price_bands,
         "orc_native_read_cpp": _q_orc_native_read_cpp,
         "orc_pushdown_filter": _q_orc_pushdown_filter,
+        "orc_bloom_pushdown": _q_orc_bloom_pushdown,
         "minhash_dedup_pairs": _q_minhash_dedup_pairs,
         "ngram_jaccard_planted": _q_ngram_jaccard_planted,
         "near_dup_clusters_planted": _q_near_dup_clusters_planted,
@@ -1718,5 +1740,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_returnflag, count(*) AS cnt, min(l_linenumber) AS min_ln, "
             "max(l_linenumber) AS max_ln, CAST(sum(l_linenumber) AS BIGINT) AS sum_ln "
             "FROM lineitem WHERE l_quantity >= 45.0 GROUP BY l_returnflag"
+        ),
+        # exact-text equality; the ORC side must prune via the bloom stream
+        "orc_bloom_pushdown": (
+            "SELECT doc_id, source FROM documents "
+            "WHERE text = (SELECT text FROM documents WHERE doc_id = 123) ORDER BY doc_id"
         ),
     }

@@ -1,0 +1,173 @@
+"""ORC bloom filters (BLOOM_FILTER_UTF8, stream kind 8) per the public ORC
+spec and the published Java ``org.apache.orc.util.BloomFilter`` algorithm:
+
+* value hash = first 64 bits of Murmur3 x64_128 with ORC's seed 104729;
+* k probe positions via 32-bit double hashing — ``h1 + i * h2`` with Java
+  int wraparound, bit-flipped when negative, mod numBits;
+* sizing: ``m = -n ln(p) / ln(2)^2`` rounded up to a multiple of 64 bits,
+  ``k = max(1, round(m / n * ln 2))``;
+* serialization: ``BloomFilterIndex { repeated BloomFilter { uint32
+  numHashFunctions = 1; bytes utf8bitset = 3; } }`` — the bitset longs as
+  little-endian bytes.
+
+Cross-implementation bit parity follows the published algorithm, but no
+Java/C++ ORC build exists in this sandbox to pin it; our reader is the
+consuming implementation (the same honesty caveat as the lzo decoder).
+The murmur kernel is therefore implemented twice (block-wise and
+straight-line transliterations) and cross-checked by fuzz in tests.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+ORC_SEED = 104729  # org.apache.orc.util.Murmur3.DEFAULT_SEED
+_MASK64 = (1 << 64) - 1
+_C1 = 0x87C37B91114253D5
+_C2 = 0x4CF5AD432745937F
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _MASK64
+
+
+def _fmix(h: int) -> int:
+    h ^= h >> 33
+    h = (h * 0xFF51AFD7ED558CCD) & _MASK64
+    h ^= h >> 33
+    h = (h * 0xC4CEB9FE1A85EC53) & _MASK64
+    h ^= h >> 33
+    return h
+
+
+def murmur3_x64_128(data: bytes, seed: int = ORC_SEED) -> tuple[int, int]:
+    """Reference transliteration of Murmur3 x64_128 (public domain spec)."""
+    h1 = h2 = seed & _MASK64
+    n = len(data)
+    nblocks = n // 16
+    for b in range(nblocks):
+        k1 = int.from_bytes(data[b * 16 : b * 16 + 8], "little")
+        k2 = int.from_bytes(data[b * 16 + 8 : b * 16 + 16], "little")
+        k1 = (k1 * _C1) & _MASK64
+        k1 = _rotl(k1, 31)
+        k1 = (k1 * _C2) & _MASK64
+        h1 ^= k1
+        h1 = _rotl(h1, 27)
+        h1 = (h1 + h2) & _MASK64
+        h1 = (h1 * 5 + 0x52DCE729) & _MASK64
+        k2 = (k2 * _C2) & _MASK64
+        k2 = _rotl(k2, 33)
+        k2 = (k2 * _C1) & _MASK64
+        h2 ^= k2
+        h2 = _rotl(h2, 31)
+        h2 = (h2 + h1) & _MASK64
+        h2 = (h2 * 5 + 0x38495AB5) & _MASK64
+    # tail
+    tail = data[nblocks * 16 :]
+    k1 = k2 = 0
+    t = len(tail)
+    if t > 8:
+        k2 = int.from_bytes(tail[8:].ljust(8, b"\0"), "little")
+        k2 = (k2 * _C2) & _MASK64
+        k2 = _rotl(k2, 33)
+        k2 = (k2 * _C1) & _MASK64
+        h2 ^= k2
+    if t > 0:
+        k1 = int.from_bytes(tail[:8][: min(t, 8)].ljust(8, b"\0"), "little")
+        k1 = (k1 * _C1) & _MASK64
+        k1 = _rotl(k1, 31)
+        k1 = (k1 * _C2) & _MASK64
+        h1 ^= k1
+    h1 ^= n
+    h2 ^= n
+    h1 = (h1 + h2) & _MASK64
+    h2 = (h2 + h1) & _MASK64
+    h1 = _fmix(h1)
+    h2 = _fmix(h2)
+    h1 = (h1 + h2) & _MASK64
+    h2 = (h2 + h1) & _MASK64
+    return h1, h2
+
+
+def murmur3_hash64_alt(data: bytes, seed: int = ORC_SEED) -> int:
+    """Independent straight-line restatement of the h1 half (processes the
+    same 16-byte rounds with explicit temporaries) — exists purely to
+    cross-check ``murmur3_x64_128`` by fuzz, since no third-party
+    implementation is available in-sandbox."""
+    h = [seed & _MASK64, seed & _MASK64]
+    i, n = 0, len(data)
+    while n - i >= 16:
+        a = int.from_bytes(data[i : i + 8], "little")
+        b = int.from_bytes(data[i + 8 : i + 16], "little")
+        a = _rotl((a * _C1) & _MASK64, 31) * _C2 & _MASK64
+        h[0] = ((_rotl(h[0] ^ a, 27) + h[1]) * 5 + 0x52DCE729) & _MASK64
+        b = _rotl((b * _C2) & _MASK64, 33) * _C1 & _MASK64
+        h[1] = ((_rotl(h[1] ^ b, 31) + h[0]) * 5 + 0x38495AB5) & _MASK64
+        i += 16
+    rem = data[i:]
+    if len(rem) > 8:
+        b = int.from_bytes(rem[8:].ljust(8, b"\0"), "little")
+        h[1] ^= _rotl((b * _C2) & _MASK64, 33) * _C1 & _MASK64
+    if rem:
+        a = int.from_bytes(rem[:8].ljust(8, b"\0"), "little")
+        h[0] ^= _rotl((a * _C1) & _MASK64, 31) * _C2 & _MASK64
+    h[0] ^= n
+    h[1] ^= n
+    h[0] = (h[0] + h[1]) & _MASK64
+    h[1] = (h[1] + h[0]) & _MASK64
+    h[0] = _fmix(h[0])
+    h[1] = _fmix(h[1])
+    return (h[0] + h[1]) & _MASK64
+
+
+def _sizing(expected_entries: int, fpp: float) -> tuple[int, int]:
+    n = max(1, int(expected_entries))
+    m = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
+    num_bits = ((m + 63) // 64) * 64
+    k = max(1, int(round(num_bits / n * math.log(2))))
+    return num_bits, k
+
+
+def _positions(hash64: int, k: int, num_bits: int) -> list[int]:
+    """Java BloomFilter.addHash: 32-bit double hashing with int wraparound."""
+    h1 = hash64 & 0xFFFFFFFF
+    h2 = (hash64 >> 32) & 0xFFFFFFFF
+    if h1 >= 1 << 31:
+        h1 -= 1 << 32
+    if h2 >= 1 << 31:
+        h2 -= 1 << 32
+    out = []
+    for i in range(1, k + 1):
+        c = (h1 + i * h2) & 0xFFFFFFFF
+        if c >= 1 << 31:
+            c -= 1 << 32
+        if c < 0:
+            c = ~c
+        out.append(c % num_bits)
+    return out
+
+
+def bloom_build(values, expected_entries: int, fpp: float = 0.05) -> tuple[int, bytes]:
+    """Build one filter over an iterable of ``bytes`` values. Returns
+    (numHashFunctions, utf8bitset bytes: little-endian uint64 words)."""
+    num_bits, k = _sizing(expected_entries, fpp)
+    bits = np.zeros(num_bits // 64, dtype=np.uint64)
+    for v in values:
+        h1, _ = murmur3_x64_128(v)
+        for pos in _positions(h1, k, num_bits):
+            bits[pos >> 6] |= np.uint64(1) << np.uint64(pos & 63)
+    return k, bits.tobytes()
+
+
+def bloom_might_contain(k: int, bitset: bytes, value: bytes) -> bool:
+    bits = np.frombuffer(bitset, dtype=np.uint64)
+    num_bits = len(bits) * 64
+    if num_bits == 0:
+        return False
+    h1, _ = murmur3_x64_128(value)
+    for pos in _positions(h1, k, num_bits):
+        if not (int(bits[pos >> 6]) >> (pos & 63)) & 1:
+            return False
+    return True

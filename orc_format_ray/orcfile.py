@@ -596,12 +596,22 @@ class OrcWriter:
         stripe_size: int = 64 * 1024 * 1024,
         row_index_stride: int = 10_000,
         dictionary_ratio: float = 0.5,
+        bloom_columns: list[str] | None = None,
+        bloom_fpp: float = 0.05,
     ):
         import os
 
         if compression not in _KIND_IDS:
             raise ValueError(f"unsupported ORC compression {compression!r}")
         _flat_types(schema)  # validates every column type is ORC-mappable
+        for name in bloom_columns or ():
+            if name not in schema.names:
+                raise ValueError(f"bloom column {name!r} not in schema")
+            t = schema.field(name).type
+            if not (pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t) or pa.types.is_fixed_size_binary(t)):
+                raise ValueError(f"bloom filters support string/binary columns, {name!r} is {t}")
+        if bloom_columns and row_index_stride <= 0:
+            raise ValueError("bloom filters need row_index_stride > 0 (per-row-group filters)")
         self.path = path
         self.schema = schema
         self.compression = compression
@@ -613,6 +623,10 @@ class OrcWriter:
         # string columns whose distinct fraction is below this try
         # DICTIONARY_V2 and keep it when the bytes beat DIRECT; 0 disables
         self.dictionary_ratio = float(dictionary_ratio)
+        # opt-in BLOOM_FILTER_UTF8 streams (one filter per row group) for
+        # equality pushdown on string/binary columns — see bloom.py
+        self.bloom_columns = list(bloom_columns or ())
+        self.bloom_fpp = float(bloom_fpp)
         self._scales = _column_scales(schema)
         self._has_ts = any("TIMESTAMP" in _orc_kind_safe(f.type) for f in schema)
         self._parts: list[pa.Table] = []
@@ -672,8 +686,10 @@ class OrcWriter:
         }
         col_stats: list[stats_mod.ColumnStats] = [stats_mod.ColumnStats(kind="generic", num_values=rows, num_present=rows)]
         frame_cache: dict[int, tuple[bytes, bytes]] = {}  # id(chunk) -> (chunk, framed)
+        field_ids: list[int] = []  # ORC column id of each top-level field
         cid = 1
         for i in range(sub.num_columns):
+            field_ids.append(cid)
             cid = _column_streams(
                 sub.column(i).combine_chunks(),
                 cid,
@@ -730,6 +746,21 @@ class OrcWriter:
                 fri = _orc_frame(ri.tobytes(), self.compression, self.level)
                 index_meta.append((6, col_id, len(fri)))  # kind 6 = ROW_INDEX
                 self._write(fri)
+            if self.bloom_columns:
+                from . import bloom as _bloom
+
+                for i, name in enumerate(self.schema.names):
+                    if name not in self.bloom_columns:
+                        continue
+                    arr = sub.column(i).combine_chunks()
+                    bfi = Msg()
+                    for lo, hi in _rg_pairs(bounds):
+                        vals = arr.slice(lo, hi - lo).drop_null().cast(pa.large_binary()).to_pylist()
+                        k, bitset = _bloom.bloom_build(vals, expected_entries=stride, fpp=self.bloom_fpp)
+                        bfi.msg(1, Msg().varint(1, k).bytes_(3, bitset))
+                    fb = _orc_frame(bfi.tobytes(), self.compression, self.level)
+                    index_meta.append((8, field_ids[i], len(fb)))  # kind 8 = BLOOM_FILTER_UTF8
+                    self._write(fb)
         index_len = self._pos - offset
 
         data_start = self._pos
@@ -825,6 +856,7 @@ def write_orc(
     stripe_rows: int | None = None,
     row_index_stride: int = 10_000,
     dictionary_ratio: float = 0.5,
+    bloom_columns: list[str] | None = None,
 ) -> dict:
     """Write a Table as a genuine ORC file (readable by pyarrow.orc / ORC
     C++/Java). ``stripe_rows`` forces a stripe cut every that many rows;
@@ -832,7 +864,7 @@ def write_orc(
     Returns {"num_rows", "file_bytes", "stripes"}."""
     n = tbl.num_rows
     stripe_rows = stripe_rows or max(n, 1)
-    w = OrcWriter(path, tbl.schema, compression, level, row_index_stride=row_index_stride, dictionary_ratio=dictionary_ratio)
+    w = OrcWriter(path, tbl.schema, compression, level, row_index_stride=row_index_stride, dictionary_ratio=dictionary_ratio, bloom_columns=bloom_columns)
     try:
         for lo in range(0, n, stripe_rows):  # 0-row table -> 0 stripes (reference stripe.rs:83)
             w.write_batch(tbl.slice(lo, min(stripe_rows, n - lo)))

@@ -912,6 +912,14 @@ def read_orc_filtered(path_or_bytes, predicate: tuple, columns: list[str] | None
                 stat_value = None
 
         stride = int(tail["row_index_stride"])
+        # equality literals also consult per-group BLOOM_FILTER_UTF8 streams
+        # (kind 8) when the writer emitted them (see bloom.py)
+        bloom_value = None
+        if op == "==":
+            if isinstance(value, bytes):
+                bloom_value = value
+            elif isinstance(value, str):
+                bloom_value = value.encode()
         read_cols = columns if columns is None or col in columns else [*columns, col]
         if stride <= 0:
             tbl = _read_orc_src(src, read_cols, None)
@@ -927,17 +935,28 @@ def read_orc_filtered(path_or_bytes, predicate: tuple, columns: list[str] | None
                 stream_list, _enc, raw_spans = _parse_stripe_footer(src, si, comp)
                 footers[sidx] = (stream_list, _enc, raw_spans)
                 entries_stats: list[bytes] = []
+                blooms: list[tuple[int, bytes]] | None = None
                 for (kind, c, ln), (pos, _l) in zip(stream_list, raw_spans):
                     if kind == _ROW_INDEX and c == col_id:
                         ri = _fields(_deframe(src.read(pos, ln), comp))
                         ri_raw[(sidx, col_id)] = ri
                         entries_stats = [(_fields(e).get(2) or [b""])[0] for e in ri.get(1, [])]
-                        break
+                    elif kind == 8 and c == col_id and bloom_value is not None:  # BLOOM_FILTER_UTF8
+                        bfi = _fields(_deframe(src.read(pos, ln), comp))
+                        blooms = [
+                            ((g := _fields(ent)).get(1, [1])[0], (g.get(3) or [b""])[0]) for ent in bfi.get(1, [])
+                        ]
                 for k in range(groups):
                     mm = _entry_minmax(entries_stats[k], t_kind) if k < len(entries_stats) else "unprunable"
-                    if _range_may_match(op, stat_value, mm):
-                        selected.append(gbase + k)
-                        sel_stripes.add(sidx)
+                    if not _range_may_match(op, stat_value, mm):
+                        continue
+                    if blooms is not None and k < len(blooms) and blooms[k][1]:
+                        from .bloom import bloom_might_contain
+
+                        if not bloom_might_contain(blooms[k][0], blooms[k][1], bloom_value):
+                            continue  # definitely-absent per the bloom filter
+                    selected.append(gbase + k)
+                    sel_stripes.add(sidx)
                 gbase += groups
             total = gbase
             scanned = len(selected)

@@ -452,3 +452,65 @@ def test_stripe_push_writer(tmp_path):
     assert info["stripes"] > 1 and info["num_rows"] == 1000
     back = pa.concat_tables([decode_stripe(open(r["path"], "rb").read()) for r in info["records"]])
     assert back.equals(tbl)  # seq order preserves push order exactly
+
+
+# ---------------------------------------------------------- bloom filters
+
+
+def test_murmur_dual_implementations_agree():
+    """No third-party Murmur3 exists in-sandbox, so the spec transliteration
+    is pinned against an independent straight-line restatement by fuzz."""
+    import random
+
+    from orc_format_ray import bloom
+
+    rng = random.Random(7)
+    for _ in range(1500):
+        data = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 70)))
+        h1, _ = bloom.murmur3_x64_128(data)
+        assert h1 == bloom.murmur3_hash64_alt(data), data.hex()
+
+
+def test_bloom_build_no_false_negatives_and_fpp():
+    from orc_format_ray import bloom
+
+    vals = [f"value-{i}".encode() for i in range(2000)]
+    k, bs = bloom.bloom_build(vals, expected_entries=2000, fpp=0.05)
+    assert all(bloom.bloom_might_contain(k, bs, v) for v in vals)  # never drop a present value
+    absent = [f"other-{i}".encode() for i in range(4000)]
+    fp = sum(bloom.bloom_might_contain(k, bs, v) for v in absent) / len(absent)
+    assert fp < 0.10, fp
+
+
+def test_orc_bloom_pushdown_prunes_beyond_minmax(tmp_path):
+    """High-cardinality random keys overlap every group's [min, max], so
+    range pruning alone scans everything — BLOOM_FILTER_UTF8 streams must
+    prune absent probes to zero groups, and pyarrow must still read the
+    bloom-bearing file byte-for-byte."""
+    import numpy as np
+    import pyarrow.orc as po
+
+    from orc_format_ray import orcfile, orcread
+
+    rng = np.random.default_rng(8)
+    n = 20_000
+    vals = [f"key-{rng.integers(0, 1 << 48):012x}" for _ in range(n)]
+    tbl = pa.table({"k": pa.array(vals), "v": pa.array(np.arange(n, dtype=np.int64))})
+    path = str(tmp_path / "bloom.orc")
+    orcfile.write_orc(tbl, path, compression="zstd", row_index_stride=5_000, bloom_columns=["k"])
+    assert po.read_table(path)["k"].to_pylist() == vals
+
+    out, meta = orcread.read_orc_filtered(path, ("k", "==", vals[7_777]))
+    assert out["v"].to_pylist() == [7_777]
+    out2, meta2 = orcread.read_orc_filtered(path, ("k", "==", "key-7fffffffffff"))
+    assert out2.num_rows == 0 and meta2["groups_read"] == 0
+
+    nobloom = str(tmp_path / "plain.orc")
+    orcfile.write_orc(tbl, nobloom, compression="zstd", row_index_stride=5_000)
+    _, meta3 = orcread.read_orc_filtered(nobloom, ("k", "==", "key-7fffffffffff"))
+    assert meta3["groups_read"] == meta3["groups_total"]  # minmax alone can't prune
+
+    with pytest.raises(ValueError):
+        orcfile.OrcWriter(str(tmp_path / "x.orc"), tbl.schema, bloom_columns=["v"])  # int column
+    with pytest.raises(ValueError):
+        orcfile.OrcWriter(str(tmp_path / "y.orc"), tbl.schema, row_index_stride=0, bloom_columns=["k"])
