@@ -755,6 +755,51 @@ def _q_orc_lineitem_roundtrip(sf_dir: str):
     return df
 
 
+def _q_orc_compact_roundtrip(sf_dir: str):
+    """Compaction by raw stripe copy (orcmerge.py): orders -> many small ORC
+    files (the Ray sink writes one per block) -> compact_orc_dataset merges
+    them WITHOUT decoding (stripes are self-contained byte ranges) -> native
+    read of the compacted parts -> aggregate. The oracle match certifies a
+    merged file carries exactly the input rows."""
+    import shutil
+
+    import ray.data
+    from ray.data.aggregate import Count, Max, Sum
+
+    from orc_format_ray import orcfile
+    from orc_format_ray.orcmerge import compact_orc_dataset
+
+    cols = ["o_orderpriority", "o_totalprice", "o_custkey"]
+    scratch = _scratch(sf_dir, "orc")
+    small_dir = os.path.join(scratch, "compact_in")
+    out_dir = os.path.join(scratch, "compact_out")
+    shutil.rmtree(small_dir, ignore_errors=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=cols).repartition(8)
+    orcfile.write_orc_dataset(ds, small_dir).take_all()  # tiny lineage
+    compact_orc_dataset(small_dir, out_dir, target_bytes=1 << 30).take_all()
+    back = orcfile.read_orc_dataset(out_dir, native=True)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": batch["o_orderpriority"],
+                "o_totalprice": batch["o_totalprice"],
+                "o_custkey": batch["o_custkey"].cast(pa.int64()),
+            }
+        )
+
+    back = back.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True, **_ra())
+    out = back.groupby("o_orderpriority").aggregate(
+        Count(alias_name="cnt"),
+        Sum("o_totalprice", alias_name="sum_price"),
+        Max("o_custkey", alias_name="max_cust"),
+    )
+    df = out.to_pandas()
+    df["sum_price"] = df["sum_price"].round(2)
+    return df
+
+
 def _q_broadcast_join_orders_customer(sf_dir: str):
     """Dimension-table broadcast join: orders (big, streaming) probe against
     customer (small, ray.put once) — no shuffle of the fact side."""
@@ -1340,6 +1385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_agg_events": _q_window_agg_events,
         "orc_file_roundtrip": _q_orc_file_roundtrip,
         "orc_lineitem_roundtrip": _q_orc_lineitem_roundtrip,
+        "orc_compact_roundtrip": _q_orc_compact_roundtrip,
         "broadcast_join_orders_customer": _q_broadcast_join_orders_customer,
         "hash_join_lineitem_orders": _q_hash_join_lineitem_orders,
         "semi_anti_join_customers": _q_semi_anti_join_customers,
@@ -1669,6 +1715,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_returnflag, count(*) AS cnt, CAST(sum(l_linenumber) AS BIGINT) AS sum_ln, "
             "round(sum(l_extendedprice), 2) AS sum_price, max(epoch_ms(l_shipdate)) AS max_ship_ms "
             "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "orc_compact_roundtrip": (
+            "SELECT o_orderpriority, count(*) AS cnt, round(sum(o_totalprice), 2) AS sum_price, "
+            "CAST(max(o_custkey) AS BIGINT) AS max_cust "
+            "FROM orders GROUP BY o_orderpriority"
         ),
         "fingerprint_documents": (
             # injectivity oracle: distinct fingerprints == distinct texts

@@ -1,0 +1,409 @@
+"""ORC file compaction by raw stripe copy — no decode, no re-encode.
+
+Distributed writes produce one ORC file per Dataset block
+(``orcfile.write_orc_dataset``); at 100 TB that is millions of smallish
+files, and small files are the classic read-amplification killer for any
+columnar store. ORC stripes are fully self-contained (each stripe carries
+its own streams, dictionary, ROW_INDEX/bloom index region, StripeFooter and
+writer timezone — reference src/writer/stripe.rs:81-111), so same-schema
+files can be concatenated by copying stripe byte ranges verbatim and
+rebuilding only the file tail (Metadata, Footer, PostScript). This is the
+same trick as Java ORC's ``OrcFile.mergeFiles``; per-stripe statistics are
+copied at the protobuf-wire level and file-level statistics are re-merged
+through :mod:`orc_format_ray.stats` (stripe->file fold, reference
+src/writer.rs:121-130).
+
+Scale shape: a merge task streams input stripes in 8 MiB chunks (bounded
+memory regardless of stripe size) and parses only file *tails* (a few KiB
+per input). ``compact_orc_dataset`` plans groups driver-side from file
+SIZES only, then fans the merges out as stateless Ray tasks; output files
+are written atomically, so a re-run skips finished parts (resume).
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from decimal import Decimal
+
+from . import stats as stats_mod
+from .orcfile import _KIND_IDS, _orc_frame, Msg
+from .orcread import _COMP_NAMES, _deframe, _fields, _Source
+
+_COPY_CHUNK = 8 * 1024 * 1024
+
+# ORC type kind -> stats.ColumnStats kind (orc_proto ColumnStatistics arms)
+_STATS_KIND = {
+    "BOOLEAN": "boolean",
+    "BYTE": "long",
+    "SHORT": "long",
+    "INT": "long",
+    "LONG": "long",
+    "DATE": "long",
+    "FLOAT": "double",
+    "DOUBLE": "double",
+    "STRING": "string",
+    "VARCHAR": "string",
+    "CHAR": "string",
+    "BINARY": "binary",
+    "TIMESTAMP": "timestamp",
+    "TIMESTAMP_INSTANT": "timestamp",
+    "DECIMAL": "decimal",
+}
+
+
+def _unzigzag(z: int) -> int:
+    return (z >> 1) ^ -(z & 1)
+
+
+def _tail_raw(src: _Source) -> dict:
+    """Parse PostScript + raw Footer fields + raw Metadata submessages.
+
+    Unlike ``orcread._parse_tail`` this keeps the *wire bytes* of the type
+    list, the file statistics and each per-stripe StripeStatistics message,
+    so a merge can copy them without understanding every field."""
+    tail_len = min(src.size, 64 * 1024)
+    tail = src.read(src.size - tail_len, tail_len)
+    ps_len = tail[-1]
+    ps = _fields(tail[-1 - ps_len : -1])
+    footer_len = ps[1][0]
+    comp_id = ps.get(2, [0])[0]
+    comp = _COMP_NAMES[comp_id]
+    block = ps.get(3, [0])[0]
+    meta_len = ps.get(5, [0])[0]
+    if 1 + ps_len + footer_len <= tail_len:
+        footer_raw = tail[tail_len - 1 - ps_len - footer_len : tail_len - 1 - ps_len]
+    else:
+        footer_raw = src.read(src.size - 1 - ps_len - footer_len, footer_len)
+    f = _fields(_deframe(footer_raw, comp))
+    meta_raw = src.read(src.size - 1 - ps_len - footer_len - meta_len, meta_len)
+    stripe_stats = _fields(_deframe(meta_raw, comp)).get(1, []) if meta_len else []
+    stripes = []
+    for s in f.get(3, []):
+        sf = _fields(s)
+        stripes.append(
+            (
+                sf[1][0],  # offset
+                sf.get(2, [0])[0],  # index length
+                sf[3][0],  # data length
+                sf[4][0],  # footer length
+                sf[5][0],  # rows
+            )
+        )
+    return {
+        "compression": comp,
+        "block_size": block,
+        "stripes": stripes,
+        "types_raw": f.get(4, []),
+        "num_rows": f.get(6, [0])[0],
+        "file_stats_raw": f.get(7, []),
+        "stripe_stats_raw": stripe_stats,
+        "row_index_stride": f.get(8, [0])[0],
+    }
+
+
+# ----------------------------------------------------------- stats wire parse
+
+
+def _stats_parse(buf: bytes, orc_kind: str, scale: int | None) -> stats_mod.ColumnStats | None:
+    """Inverse of ``orcfile._stats_proto`` for the fields this engine emits
+    (which are the standard orc_proto arms, so foreign writers parse too).
+
+    Returns None when the stats can't be merged faithfully — a typed arm is
+    absent although values exist, so min/max are unknown for this slice and
+    any merged min/max would be a lie. Callers must then omit file-level
+    statistics entirely (omission is always valid ORC)."""
+    f = _fields(buf)
+    num_present = f.get(1, [0])[0]
+    has_null = bool(f.get(10, [0])[0])
+    kind = _STATS_KIND.get(orc_kind, "generic")
+    s = stats_mod.ColumnStats(kind=kind, num_present=num_present)
+    # hasNull is a bool on the wire; one phantom null row makes the
+    # num_values != num_present property round-trip through merge()
+    s.num_values = num_present + (1 if has_null else 0)
+    if kind == "generic":
+        return s
+    if kind == "long":
+        sub = f.get(2, []) or f.get(7, [])  # intStatistics | dateStatistics
+        if not sub:
+            return None if num_present else s
+        g = _fields(sub[0])
+        if 1 in g:
+            s.min = _unzigzag(g[1][0])
+            s.max = _unzigzag(g[2][0])
+        elif num_present:
+            return None
+        if 3 in g:
+            s.sum = _unzigzag(g[3][0])
+        elif num_present and f.get(2):  # dateStatistics has no sum arm
+            s.sum_overflowed = True
+    elif kind == "double":
+        sub = f.get(3, [])
+        if not sub:
+            return None if num_present else s
+        g = _fields(sub[0])
+        if 1 in g:
+            s.min = struct.unpack("<d", g[1][0])[0]
+            s.max = struct.unpack("<d", g[2][0])[0]
+            s.sum = struct.unpack("<d", g[3][0])[0] if 3 in g else None
+        elif num_present:
+            return None
+    elif kind == "string":
+        sub = f.get(4, [])
+        if not sub:
+            return None if num_present else s
+        g = _fields(sub[0])
+        if 1 in g:
+            s.min = g[1][0].decode()
+            s.max = g[2][0].decode()
+        elif num_present:
+            return None
+        s.sum_lengths = _unzigzag(g[3][0]) if 3 in g else 0
+    elif kind == "boolean":
+        sub = f.get(5, [])
+        if not sub:
+            return None if num_present else s
+        g = _fields(sub[0])
+        trues = g.get(1, [0])
+        nt = trues[0]
+        if isinstance(nt, bytes):  # packed repeated
+            from .orcread import _packed_uvs
+
+            nt = (_packed_uvs(trues) or [0])[0]
+        s.num_true = int(nt)
+        s.num_false = num_present - s.num_true
+    elif kind == "binary":
+        sub = f.get(8, [])
+        g = _fields(sub[0]) if sub else {}
+        s.sum_lengths = _unzigzag(g[1][0]) if 1 in g else 0  # BinaryStatistics.sum = 1
+    elif kind == "timestamp":
+        sub = f.get(9, [])
+        if not sub:
+            return None if num_present else s
+        g = _fields(sub[0])
+        lo = g.get(3, g.get(1))  # prefer minimumUtc over minimum
+        hi = g.get(4, g.get(2))
+        if lo is not None and hi is not None:
+            s.min = _unzigzag(lo[0])
+            s.max = _unzigzag(hi[0])
+        elif num_present:
+            return None
+    elif kind == "decimal":
+        sub = f.get(6, [])
+        if not sub:
+            return None if num_present else s
+        g = _fields(sub[0])
+        if 1 not in g:
+            return None if num_present else s
+        if scale is None:
+            return None
+
+        def unscale(raw: bytes):
+            d = Decimal(raw.decode()).scaleb(scale)
+            if d != d.to_integral_value():
+                raise ValueError(f"decimal stat {raw!r} not at scale {scale}")
+            return str(int(d))
+
+        s.min = unscale(g[1][0])
+        s.max = unscale(g[2][0])
+        if 3 in g:
+            s.sum = unscale(g[3][0])
+    return s
+
+
+def _merge_file_stats(tails: list[dict]) -> list[bytes] | None:
+    """Merge the per-file footer statistics of every input at the wire
+    level. Returns the merged ColumnStatistics messages (bytes, column-id
+    order), or None when any column of any input is unmergeable — repeated
+    footer stats are positional, so it is all-or-nothing."""
+    from .orcfile import _stats_proto
+
+    live = [t for t in tails if t["num_rows"] > 0]
+    if not live:
+        return []
+    n_cols = len(live[0]["types_raw"])
+    kinds: list[str] = []
+    scales: list[int | None] = []
+    from .orcread import _KIND_NAMES
+
+    for traw in live[0]["types_raw"]:
+        tf = _fields(traw)
+        kinds.append(_KIND_NAMES[tf.get(1, [0])[0]])
+        scales.append(tf.get(6, [None])[0] if tf.get(1, [0])[0] == 14 else None)  # 14 = DECIMAL
+    per_col: list[list[stats_mod.ColumnStats]] = [[] for _ in range(n_cols)]
+    for t in live:
+        raw = t["file_stats_raw"]
+        if len(raw) != n_cols:
+            return None  # a file without (or with misaligned) stats
+        for i in range(n_cols):
+            parsed = _stats_parse(raw[i], kinds[i], scales[i])
+            if parsed is None:
+                return None
+            per_col[i].append(parsed)
+    out = []
+    for i in range(n_cols):
+        merged = stats_mod.merge_all(per_col[i])
+        out.append(_stats_proto(merged, scales[i]).tobytes())
+    return out
+
+
+# ------------------------------------------------------------------ the merge
+
+
+def merge_orc_files(paths: list[str], out_path: str, level: int = 3) -> dict:
+    """Concatenate same-schema ORC files into one by raw stripe copy.
+
+    Every input must share the type list, compression kind, compression
+    block size and rowIndexStride (stripes are copied verbatim, so those
+    four are baked into the copied bytes). The output is written atomically
+    (tmp + rename). Returns {"num_rows", "file_bytes", "stripes",
+    "has_file_stats"}."""
+    if not paths:
+        raise ValueError("merge_orc_files needs at least one input")
+    tails = []
+    for p in paths:
+        with _Source(p) as src:
+            tails.append(_tail_raw(src))
+    t0 = tails[0]
+    if t0["compression"] not in _KIND_IDS:
+        raise NotImplementedError(f"cannot re-frame tail with read-only codec {t0['compression']!r}")
+    ref_types = t0["types_raw"]
+    for p, t in zip(paths[1:], tails[1:]):
+        if t["types_raw"] != ref_types:
+            raise ValueError(f"schema mismatch: {p!r} differs from {paths[0]!r}")
+        if t["compression"] != t0["compression"] or t["block_size"] != t0["block_size"]:
+            raise ValueError(f"compression mismatch: {p!r} ({t['compression']}/{t['block_size']})")
+        if t["row_index_stride"] != t0["row_index_stride"]:
+            raise ValueError(f"rowIndexStride mismatch: {p!r}")
+    comp = t0["compression"]
+
+    tmp = out_path + ".tmp"
+    stripe_infos: list[tuple[int, int, int, int, int]] = []
+    # per-stripe Metadata is all-or-nothing: one input without (or with
+    # misaligned) StripeStatistics and the merged file carries none
+    stats_ok = all(len(t["stripe_stats_raw"]) == len(t["stripes"]) for t in tails)
+    stripe_stats: list[bytes] = []
+    num_rows = 0
+    with open(tmp, "wb") as f:
+        f.write(b"ORC")
+        pos = 3
+        for p, t in zip(paths, tails):
+            if not t["stripes"]:
+                continue
+            if stats_ok:
+                stripe_stats.extend(t["stripe_stats_raw"])
+            with _Source(p) as src:
+                for off, ilen, dlen, flen, rows in t["stripes"]:
+                    total = ilen + dlen + flen
+                    stripe_infos.append((pos, ilen, dlen, flen, rows))
+                    copied = 0
+                    while copied < total:
+                        chunk = src.read(off + copied, min(_COPY_CHUNK, total - copied))
+                        if not chunk:
+                            raise IOError(f"{p!r}: short read copying stripe at {off}")
+                        f.write(chunk)
+                        copied += len(chunk)
+                    pos += total
+                    num_rows += rows
+        content_length = pos - 3
+
+        meta = Msg()
+        if stats_ok:
+            for ss in stripe_stats:
+                meta.bytes_(1, ss)
+        meta_bytes = _orc_frame(meta.tobytes(), comp, level)
+        f.write(meta_bytes)
+        pos += len(meta_bytes)
+
+        footer = Msg()
+        footer.varint(1, 3).varint(2, content_length)
+        for off, ilen, dlen, flen, rows in stripe_infos:
+            footer.msg(3, Msg().varint(1, off).varint(2, ilen).varint(3, dlen).varint(4, flen).varint(5, rows))
+        for traw in ref_types:
+            footer.bytes_(4, traw)
+        footer.varint(6, num_rows)
+        merged_stats = _merge_file_stats(tails)
+        if merged_stats is not None:
+            for sb in merged_stats:
+                footer.bytes_(7, sb)
+        footer.varint(8, t0["row_index_stride"])
+        footer_out = _orc_frame(footer.tobytes(), comp, level)
+        f.write(footer_out)
+        pos += len(footer_out)
+
+        ps = Msg()
+        ps.varint(1, len(footer_out)).varint(2, _KIND_IDS[comp])
+        ps.varint(3, t0["block_size"]).packed(4, [0, 12]).varint(5, len(meta_bytes)).varint(6, 6)
+        ps.string(8000, "ORC")
+        ps_bytes = ps.tobytes()
+        if len(ps_bytes) > 255:
+            raise ValueError("postscript too long")
+        f.write(ps_bytes)
+        f.write(bytes([len(ps_bytes)]))
+        pos += len(ps_bytes) + 1
+    os.replace(tmp, out_path)
+    return {
+        "num_rows": num_rows,
+        "file_bytes": pos,
+        "stripes": len(stripe_infos),
+        "has_file_stats": bool(merged_stats),
+    }
+
+
+# --------------------------------------------------------------- Ray fan-out
+
+
+def plan_compaction(paths: list[str], target_bytes: int) -> list[list[str]]:
+    """Group files into merge bins of ~target_bytes from SIZES only (first-fit
+    over the sorted listing — deterministic, so re-runs build the same plan)."""
+    groups: list[list[str]] = []
+    cur: list[str] = []
+    cur_bytes = 0
+    for p in sorted(paths):
+        sz = os.path.getsize(p)
+        if cur and cur_bytes + sz > target_bytes:
+            groups.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append(p)
+        cur_bytes += sz
+    if cur:
+        groups.append(cur)
+    return groups
+
+
+def compact_orc_dataset(in_dir: str, out_dir: str, target_bytes: int = 512 * 1024 * 1024, level: int = 3):
+    """Compact a directory of small same-schema ORC files into ~target_bytes
+    parts by parallel raw stripe copy. Returns the lineage Dataset (path,
+    num_rows, file_bytes, n_inputs, skipped).
+
+    Parts are named by group index over the deterministic plan and written
+    atomically, so a rerun after a failure re-plans identically and skips
+    parts that already exist (resume)."""
+    import glob
+
+    import pyarrow as pa
+    import ray.data
+
+    from ._rayutil import remote_args
+
+    paths = sorted(glob.glob(os.path.join(in_dir, "*.orc")))
+    if not paths:
+        raise ValueError(f"no .orc files under {in_dir!r}")
+    os.makedirs(out_dir, exist_ok=True)
+    groups = plan_compaction(paths, target_bytes)
+    items = [{"group": i, "paths": g} for i, g in enumerate(groups)]
+
+    def _merge_group(batch: pa.Table) -> pa.Table:
+        rows = []
+        for gid, ps in zip(batch["group"], batch["paths"]):
+            out_path = os.path.join(out_dir, f"part-{gid.as_py():05d}.orc")
+            inputs = [p for p in ps.as_py()]
+            if os.path.exists(out_path):  # atomic rename => existing is complete
+                rows.append({"path": out_path, "num_rows": -1, "file_bytes": os.path.getsize(out_path), "n_inputs": len(inputs), "skipped": True})
+                continue
+            info = merge_orc_files(inputs, out_path, level=level)
+            rows.append({"path": out_path, "num_rows": info["num_rows"], "file_bytes": info["file_bytes"], "n_inputs": len(inputs), "skipped": False})
+        return pa.Table.from_pylist(rows)
+
+    ds = ray.data.from_items(items)
+    return ds.map_batches(_merge_group, batch_format="pyarrow", batch_size=1, **remote_args())

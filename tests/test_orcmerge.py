@@ -1,0 +1,264 @@
+"""Stripe-copy ORC compaction (orcmerge.py).
+
+Stripes are self-contained, so merging same-schema files is a byte copy
+plus a rebuilt tail; these tests pin that the merged file is
+indistinguishable from a single-shot write for every consumer we have:
+pyarrow.orc, the native reader, row-group seek, predicate pushdown, and
+the footer statistics (re-merged at the wire level)."""
+
+import datetime
+import decimal
+import struct
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.orc as po
+import pytest
+
+from orc_format_ray import stats as stats_mod
+from orc_format_ray.orcfile import _stats_proto, write_orc
+from orc_format_ray.orcmerge import (
+    _stats_parse,
+    _tail_raw,
+    merge_orc_files,
+    plan_compaction,
+)
+from orc_format_ray.orcread import _fields, _Source, read_orc_filtered, read_orc_native
+
+
+def _part(n, seed):
+    r = np.random.default_rng(seed)
+    return pa.table(
+        {
+            "i": pa.array(r.integers(-1000, 1000, n), pa.int64()),
+            "s": pa.array([None if x % 7 == 0 else f"doc-{x % 50}" for x in range(n)], pa.string()),
+            "d": pa.array(r.normal(size=n)),
+            "b": pa.array(r.integers(0, 2, n) == 1),
+            "bin": pa.array([bytes([x % 256, (x * 7) % 256]) for x in range(n)], pa.binary()),
+            "dec": pa.array(
+                [decimal.Decimal(int(v)).scaleb(-2) for v in r.integers(-(10**6), 10**6, n)],
+                pa.decimal128(12, 2),
+            ),
+            "ts": pa.array(
+                [datetime.datetime(2023, 1, 1) + datetime.timedelta(seconds=int(v)) for v in r.integers(0, 10**7, n)],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def merged(tmp_path_factory):
+    d = tmp_path_factory.mktemp("orcmerge")
+    parts = [_part(2500, s) for s in (1, 2, 3)]
+    paths = []
+    for i, t in enumerate(parts):
+        p = str(d / f"in_{i}.orc")
+        write_orc(t, p, stripe_rows=1000)
+        paths.append(p)
+    out = str(d / "merged.orc")
+    info = merge_orc_files(paths, out)
+    return {"paths": paths, "out": out, "info": info, "expect": pa.concat_tables(parts).combine_chunks(), "dir": d}
+
+
+def test_merge_roundtrip_both_readers(merged):
+    expect = merged["expect"]
+    assert merged["info"]["num_rows"] == expect.num_rows
+    assert merged["info"]["stripes"] == 9  # 1000,1000,500 per input
+    got = po.ORCFile(merged["out"]).read()
+    assert got.cast(expect.schema).equals(expect)
+    nat = read_orc_native(merged["out"])
+    assert nat.cast(expect.schema).equals(expect)
+
+
+def test_merge_file_stats_match_single_write(merged, tmp_path):
+    """Merged footer stats byte-equal a single-shot write of the concat
+    table — except the double sum, where addition order drifts the ulp."""
+    single = str(tmp_path / "single.orc")
+    write_orc(merged["expect"], single, stripe_rows=1000)
+    with _Source(merged["out"]) as s:
+        tm = _tail_raw(s)
+    with _Source(single) as s:
+        ts = _tail_raw(s)
+    assert merged["info"]["has_file_stats"]
+    assert len(tm["file_stats_raw"]) == len(ts["file_stats_raw"]) > 0
+    for i, (a, b) in enumerate(zip(tm["file_stats_raw"], ts["file_stats_raw"])):
+        if a == b:
+            continue
+        fa, fb = _fields(a), _fields(b)
+        assert fa.keys() == fb.keys() and 3 in fa, f"col {i}: non-double stats differ"
+        ga, gb = _fields(fa[3][0]), _fields(fb[3][0])
+        assert ga[1] == gb[1] and ga[2] == gb[2], f"col {i}: double min/max differ"
+        sa = struct.unpack("<d", ga[3][0])[0]
+        sb = struct.unpack("<d", gb[3][0])[0]
+        assert abs(sa - sb) <= 1e-9 * max(1.0, abs(sb)), f"col {i}: double sums diverge"
+    # per-stripe Metadata: the inputs' StripeStatistics, verbatim, in order
+    # (the single-shot write cuts different stripe boundaries, so compare
+    # against the inputs rather than against it)
+    inputs_ss = []
+    for p in merged["paths"]:
+        with _Source(p) as s:
+            inputs_ss.extend(_tail_raw(s)["stripe_stats_raw"])
+    assert tm["stripe_stats_raw"] == inputs_ss
+    assert len(tm["stripe_stats_raw"]) == merged["info"]["stripes"]
+
+
+def test_merge_row_group_seek_and_pushdown(merged):
+    expect = merged["expect"]
+    spans = []
+    off = 0
+    for _ in range(3):
+        for n in (1000, 1000, 500):
+            spans.append((off, n))
+            off += n
+    for g in (0, 2, 5, 8):
+        t = read_orc_native(merged["out"], row_groups=[g])
+        lo, n = spans[g]
+        want = expect.slice(lo, n).combine_chunks()
+        assert t.cast(want.schema).equals(want)
+    tbl, info = read_orc_filtered(merged["out"], ("i", "==", 999))
+    want_n = pc.sum(pc.equal(expect["i"], 999).cast(pa.int64())).as_py() or 0
+    got_n = (pc.sum(pc.equal(tbl["i"], 999).cast(pa.int64())).as_py() or 0) if tbl.num_rows else 0
+    assert got_n == want_n
+    assert info["groups_read"] < info["groups_total"]  # index pruning survived the copy
+
+
+def test_merge_mismatches_raise(merged, tmp_path):
+    other_schema = str(tmp_path / "other.orc")
+    write_orc(pa.table({"x": pa.array([1, 2], pa.int64())}), other_schema)
+    with pytest.raises(ValueError, match="schema"):
+        merge_orc_files([merged["paths"][0], other_schema], str(tmp_path / "o1.orc"))
+    other_comp = str(tmp_path / "comp.orc")
+    write_orc(_part(100, 9), other_comp, compression="snappy")
+    with pytest.raises(ValueError, match="compression"):
+        merge_orc_files([merged["paths"][0], other_comp], str(tmp_path / "o2.orc"))
+    other_stride = str(tmp_path / "stride.orc")
+    write_orc(_part(100, 9), other_stride, row_index_stride=5000)
+    with pytest.raises(ValueError, match="rowIndexStride"):
+        merge_orc_files([merged["paths"][0], other_stride], str(tmp_path / "o3.orc"))
+    with pytest.raises(ValueError, match="at least one"):
+        merge_orc_files([], str(tmp_path / "o4.orc"))
+
+
+def test_merge_with_empty_input(merged, tmp_path):
+    empty = str(tmp_path / "empty.orc")
+    write_orc(_part(0, 0), empty)
+    out = str(tmp_path / "with_empty.orc")
+    info = merge_orc_files([merged["paths"][0], empty, merged["paths"][1]], out)
+    assert info["num_rows"] == 5000 and info["stripes"] == 6
+    expect = pa.concat_tables([_part(2500, 1), _part(2500, 2)]).combine_chunks()
+    assert po.ORCFile(out).read().cast(expect.schema).equals(expect)
+
+
+def test_merge_preserves_dictionary_and_bloom(tmp_path):
+    """DICTIONARY_V2 and BLOOM_FILTER_UTF8 streams live inside the stripe
+    byte range, so the copy keeps them working."""
+    paths = []
+    for i in range(2):
+        r = np.random.default_rng(100 + i)
+        t = pa.table(
+            {
+                "k": pa.array([f"key-{v}" for v in r.integers(0, 2000, 4000)], pa.string()),
+                "cat": pa.array([f"c{v}" for v in r.integers(0, 5, 4000)], pa.string()),
+            }
+        )
+        p = str(tmp_path / f"db_{i}.orc")
+        write_orc(t, p, stripe_rows=1000, bloom_columns=["k"], dictionary_ratio=0.5)
+        paths.append(p)
+    out = str(tmp_path / "db_merged.orc")
+    info = merge_orc_files(paths, out)
+    assert info["stripes"] == 8
+    got = po.ORCFile(out).read()
+    assert got.num_rows == 8000
+    # equality probe for an absent key: blooms must prune every group even
+    # though min/max ("key-0".."key-999x") ranges cover the probe
+    tbl, pinfo = read_orc_filtered(out, ("k", "==", "key-nonexistent-xyz"))
+    assert tbl.num_rows == 0
+    assert pinfo["groups_read"] == 0
+
+
+@pytest.mark.parametrize(
+    "kind,orc_kind,cs",
+    [
+        ("long", "LONG", dict(min=-5, max=99, sum=1234)),
+        ("long", "LONG", dict(min=-5, max=99, sum=None, sum_overflowed=True)),
+        ("double", "DOUBLE", dict(min=-1.5, max=2.25, sum=10.75)),
+        ("string", "STRING", dict(min="aa", max="zz", sum_lengths=400)),
+        ("boolean", "BOOLEAN", dict(num_true=7, num_false=13)),
+        ("binary", "BINARY", dict(sum_lengths=321)),
+        ("timestamp", "TIMESTAMP", dict(min=-1000, max=123456789)),
+        ("decimal", "DECIMAL", dict(min="-12345", max="67890", sum="55545")),
+    ],
+)
+def test_stats_parse_roundtrip(kind, orc_kind, cs):
+    s = stats_mod.ColumnStats(kind=kind, num_values=21, num_present=20, **cs)
+    scale = 2 if kind == "decimal" else None
+    buf = _stats_proto(s, scale).tobytes()
+    back = _stats_parse(buf, orc_kind, scale)
+    assert back is not None
+    assert back.num_present == 20 and back.has_null
+    assert back.min == s.min and back.max == s.max
+    if kind == "long":
+        if cs.get("sum_overflowed"):
+            assert back.sum is None and back.sum_overflowed
+        else:
+            assert back.sum == s.sum
+    elif kind == "double":
+        assert back.sum == s.sum
+    elif kind in ("string", "binary"):
+        assert back.sum_lengths == s.sum_lengths
+    elif kind == "boolean":
+        assert back.num_true == 7 and back.num_false == 13
+    elif kind == "decimal":
+        assert back.sum == s.sum
+
+
+def test_stats_parse_absent_arm_is_unmergeable():
+    # values exist but the typed arm is missing: merging would invent min/max
+    from orc_format_ray.orcfile import Msg
+
+    buf = Msg().varint(1, 10).varint(10, 0).tobytes()
+    assert _stats_parse(buf, "LONG", None) is None
+    # no values at all: mergeable as an empty partial
+    empty = Msg().varint(1, 0).varint(10, 0).tobytes()
+    got = _stats_parse(empty, "LONG", None)
+    assert got is not None and got.num_present == 0
+
+
+def test_plan_compaction_deterministic(tmp_path):
+    for i in range(5):
+        (tmp_path / f"f{i}.orc").write_bytes(b"x" * (100 * (i + 1)))
+    paths = [str(tmp_path / f"f{i}.orc") for i in range(5)]
+    g1 = plan_compaction(paths, 350)
+    g2 = plan_compaction(list(reversed(paths)), 350)
+    assert g1 == g2  # listing order doesn't matter
+    assert [p for g in g1 for p in g] == sorted(paths)
+    assert all(sum(1 for _ in g) >= 1 for g in g1)
+    # an oversized file still lands in its own group
+    big = plan_compaction(paths, 1)
+    assert [len(g) for g in big] == [1] * 5
+
+
+def test_compact_orc_dataset(ray_session, tmp_path):
+    import ray
+
+    from orc_format_ray.orcfile import read_orc_dataset, write_orc_dataset
+    from orc_format_ray.orcmerge import compact_orc_dataset
+
+    t = _part(6000, 42).set_column(0, "i", pa.array(np.random.default_rng(0).permutation(6000), pa.int64()))
+    src = str(tmp_path / "many")
+    ds = ray.data.from_arrow(t).repartition(6)
+    write_orc_dataset(ds, src, stripe_rows=500).materialize()
+    lineage = compact_orc_dataset(src, str(tmp_path / "compacted"), target_bytes=80 * 1024).materialize()
+    rows = lineage.take_all()
+    assert all(not r["skipped"] for r in rows)
+    assert 1 < len(rows) < 6  # actually packed multiple inputs per part
+    assert sum(r["num_rows"] for r in rows) == 6000
+    back = read_orc_dataset(str(tmp_path / "compacted"), native=True).materialize()
+    got = pa.concat_tables(ray.get(back.to_arrow_refs())).sort_by("i")  # "i" unique
+    want = t.sort_by("i")
+    assert got.cast(want.schema).select(["i", "s", "d"]).equals(want.select(["i", "s", "d"]))
+    # resume: a second run over the same plan skips every finished part
+    again = compact_orc_dataset(src, str(tmp_path / "compacted"), target_bytes=80 * 1024).materialize()
+    assert all(r["skipped"] for r in again.take_all())
