@@ -903,6 +903,7 @@ def write_orc_dataset(
     stripe_rows: int = 250_000,
     row_index_stride: int = 10_000,
     dictionary_ratio: float = 0.5,
+    bloom_columns: list[str] | None = None,
 ):
     """Ray Data sink: one real ORC file per Dataset block (actor pool).
 
@@ -930,6 +931,7 @@ def write_orc_dataset(
         info = write_orc(
             batch, path, compression, level, stripe_rows=stripe_rows,
             row_index_stride=row_index_stride, dictionary_ratio=dictionary_ratio,
+            bloom_columns=bloom_columns,
         )
         return pa.Table.from_pylist([{"path": path, "num_rows": info["num_rows"], "file_bytes": info["file_bytes"]}])
 

@@ -262,3 +262,24 @@ def test_compact_orc_dataset(ray_session, tmp_path):
     # resume: a second run over the same plan skips every finished part
     again = compact_orc_dataset(src, str(tmp_path / "compacted"), target_bytes=80 * 1024).materialize()
     assert all(r["skipped"] for r in again.take_all())
+
+
+def test_sink_bloom_columns_survive_compaction(ray_session, tmp_path):
+    """write_orc_dataset(bloom_columns=...) -> compact -> equality pushdown
+    still prunes on the compacted parts (bloom streams ride the stripe copy)."""
+    import glob
+
+    import ray
+
+    from orc_format_ray.orcfile import write_orc_dataset
+    from orc_format_ray.orcmerge import compact_orc_dataset
+
+    r = np.random.default_rng(7)
+    t = pa.table({"k": pa.array([f"key-{v}" for v in r.integers(0, 5000, 8000)], pa.string())})
+    src = str(tmp_path / "bloom_many")
+    write_orc_dataset(ray.data.from_arrow(t).repartition(4), src, stripe_rows=1000, bloom_columns=["k"]).materialize()
+    compact_orc_dataset(src, str(tmp_path / "bloom_compacted"), target_bytes=1 << 30).materialize()
+    (part,) = glob.glob(str(tmp_path / "bloom_compacted" / "*.orc"))
+    tbl, info = read_orc_filtered(part, ("k", "==", "key-definitely-absent"))
+    assert tbl.num_rows == 0
+    assert info["groups_read"] == 0  # every group bloom-pruned
