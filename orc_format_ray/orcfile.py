@@ -114,14 +114,17 @@ def _orc_compress_block(kind: str, level: int, block: bytes) -> bytes:
     raise ValueError(kind)
 
 
-def _orc_frame(data: bytes, kind: str, level: int) -> bytes:
+def _orc_frame(data: bytes, kind: str, level: int, block_size: int = _ORC_BLOCK) -> bytes:
     """ORC spec stream framing (reference compression.rs:95-158): 3-byte LE
-    header length*2+is_original per <=256 KiB block; no size-hint varint."""
+    header length*2+is_original per <=block_size block (readers allocate
+    decompression buffers of the PostScript's compressionBlockSize, so a
+    chunk must never decode larger than the declared size); no size-hint
+    varint."""
     if kind == "none":
         return data
     out: list[bytes] = []
-    for s in range(0, len(data), _ORC_BLOCK):
-        block = data[s : s + _ORC_BLOCK]
+    for s in range(0, len(data), block_size):
+        block = data[s : s + block_size]
         comp = _orc_compress_block(kind, level, block)
         if len(comp) >= len(block):
             out.append(int(len(block) * 2 + 1).to_bytes(3, "little"))

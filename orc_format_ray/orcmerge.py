@@ -27,8 +27,8 @@ import struct
 from decimal import Decimal
 
 from . import stats as stats_mod
-from .orcfile import _KIND_IDS, _orc_frame, Msg
-from .orcread import _COMP_NAMES, _deframe, _fields, _Source
+from .orcfile import _KIND_IDS, _orc_frame, _ORC_BLOCK, Msg
+from .orcread import _COMP_NAMES, _deframe, _fields, _Source, _unzigzag
 
 _COPY_CHUNK = 8 * 1024 * 1024
 
@@ -50,10 +50,6 @@ _STATS_KIND = {
     "TIMESTAMP_INSTANT": "timestamp",
     "DECIMAL": "decimal",
 }
-
-
-def _unzigzag(z: int) -> int:
-    return (z >> 1) ^ -(z & 1)
 
 
 def _tail_raw(src: _Source) -> dict:
@@ -99,6 +95,11 @@ def _tail_raw(src: _Source) -> dict:
         "file_stats_raw": f.get(7, []),
         "stripe_stats_raw": stripe_stats,
         "row_index_stride": f.get(8, [0])[0],
+        # readers key stats-trust workarounds on writerVersion (e.g. string
+        # min/max are ignored below HIVE-8732), so a merge must carry the
+        # weakest input claim forward, never upgrade it
+        "file_version_raw": ps.get(4, []),
+        "writer_version": ps.get(6, [0])[0],
     }
 
 
@@ -142,11 +143,13 @@ def _stats_parse(buf: bytes, orc_kind: str, scale: int | None) -> stats_mod.Colu
         if not sub:
             return None if num_present else s
         g = _fields(sub[0])
-        if 1 in g:
+        if 1 in g and (3 in g or not num_present):
             s.min = struct.unpack("<d", g[1][0])[0]
             s.max = struct.unpack("<d", g[2][0])[0]
             s.sum = struct.unpack("<d", g[3][0])[0] if 3 in g else None
         elif num_present:
+            # no sum arm: ColumnStats has no double-overflow marker, so a
+            # partial merged sum would be a lie — refuse
             return None
     elif kind == "string":
         sub = f.get(4, [])
@@ -158,7 +161,12 @@ def _stats_parse(buf: bytes, orc_kind: str, scale: int | None) -> stats_mod.Colu
             s.max = g[2][0].decode()
         elif num_present:
             return None
-        s.sum_lengths = _unzigzag(g[3][0]) if 3 in g else 0
+        if 3 in g:
+            s.sum_lengths = _unzigzag(g[3][0])
+        elif num_present:
+            return None  # merged sum(lengths) would understate
+        else:
+            s.sum_lengths = 0
     elif kind == "boolean":
         sub = f.get(5, [])
         if not sub:
@@ -175,7 +183,12 @@ def _stats_parse(buf: bytes, orc_kind: str, scale: int | None) -> stats_mod.Colu
     elif kind == "binary":
         sub = f.get(8, [])
         g = _fields(sub[0]) if sub else {}
-        s.sum_lengths = _unzigzag(g[1][0]) if 1 in g else 0  # BinaryStatistics.sum = 1
+        if 1 in g:  # BinaryStatistics.sum = 1
+            s.sum_lengths = _unzigzag(g[1][0])
+        elif num_present:
+            return None  # merged sum(lengths) would understate
+        else:
+            s.sum_lengths = 0
     elif kind == "timestamp":
         sub = f.get(9, [])
         if not sub:
@@ -254,10 +267,11 @@ def merge_orc_files(paths: list[str], out_path: str, level: int = 3) -> dict:
     """Concatenate same-schema ORC files into one by raw stripe copy.
 
     Every input must share the type list, compression kind, compression
-    block size and rowIndexStride (stripes are copied verbatim, so those
-    four are baked into the copied bytes). The output is written atomically
-    (tmp + rename). Returns {"num_rows", "file_bytes", "stripes",
-    "has_file_stats"}."""
+    block size, rowIndexStride and file version (stripes are copied
+    verbatim, so all five are baked into the copied bytes); the PostScript
+    carries the weakest input writerVersion forward. The output is written
+    atomically (tmp + rename; tmp removed on error). Returns {"num_rows",
+    "file_bytes", "stripes", "has_file_stats"}."""
     if not paths:
         raise ValueError("merge_orc_files needs at least one input")
     tails = []
@@ -275,7 +289,14 @@ def merge_orc_files(paths: list[str], out_path: str, level: int = 3) -> dict:
             raise ValueError(f"compression mismatch: {p!r} ({t['compression']}/{t['block_size']})")
         if t["row_index_stride"] != t0["row_index_stride"]:
             raise ValueError(f"rowIndexStride mismatch: {p!r}")
+        if t["file_version_raw"] != t0["file_version_raw"]:
+            raise ValueError(f"file version mismatch: {p!r}")
     comp = t0["compression"]
+    # tail frames must decode within the declared compressionBlockSize —
+    # readers allocate buffers of exactly that size
+    tail_block = min(_ORC_BLOCK, t0["block_size"]) if t0["block_size"] else _ORC_BLOCK
+    # never claim a newer writer than the weakest input (stats-trust gates)
+    writer_version = min(t["writer_version"] for t in tails)
 
     tmp = out_path + ".tmp"
     stripe_infos: list[tuple[int, int, int, int, int]] = []
@@ -283,6 +304,23 @@ def merge_orc_files(paths: list[str], out_path: str, level: int = 3) -> dict:
     # misaligned) StripeStatistics and the merged file carries none
     stats_ok = all(len(t["stripe_stats_raw"]) == len(t["stripes"]) for t in tails)
     stripe_stats: list[bytes] = []
+    try:
+        merged_stats = _write_merged(tmp, paths, tails, t0, ref_types, comp, level, tail_block, writer_version, stripe_infos, stripe_stats, stats_ok)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+        raise
+    num_rows = sum(si[4] for si in stripe_infos)
+    os.replace(tmp, out_path)
+    return {
+        "num_rows": num_rows,
+        "file_bytes": os.path.getsize(out_path),
+        "stripes": len(stripe_infos),
+        "has_file_stats": bool(merged_stats),
+    }
+
+
+def _write_merged(tmp, paths, tails, t0, ref_types, comp, level, tail_block, writer_version, stripe_infos, stripe_stats, stats_ok):
     num_rows = 0
     with open(tmp, "wb") as f:
         f.write(b"ORC")
@@ -311,7 +349,7 @@ def merge_orc_files(paths: list[str], out_path: str, level: int = 3) -> dict:
         if stats_ok:
             for ss in stripe_stats:
                 meta.bytes_(1, ss)
-        meta_bytes = _orc_frame(meta.tobytes(), comp, level)
+        meta_bytes = _orc_frame(meta.tobytes(), comp, level, block_size=tail_block)
         f.write(meta_bytes)
         pos += len(meta_bytes)
 
@@ -327,27 +365,26 @@ def merge_orc_files(paths: list[str], out_path: str, level: int = 3) -> dict:
             for sb in merged_stats:
                 footer.bytes_(7, sb)
         footer.varint(8, t0["row_index_stride"])
-        footer_out = _orc_frame(footer.tobytes(), comp, level)
+        footer_out = _orc_frame(footer.tobytes(), comp, level, block_size=tail_block)
         f.write(footer_out)
         pos += len(footer_out)
 
         ps = Msg()
         ps.varint(1, len(footer_out)).varint(2, _KIND_IDS[comp])
-        ps.varint(3, t0["block_size"]).packed(4, [0, 12]).varint(5, len(meta_bytes)).varint(6, 6)
+        ps.varint(3, t0["block_size"])
+        for v in t0["file_version_raw"]:  # carry the inputs' version verbatim
+            if isinstance(v, bytes):
+                ps.bytes_(4, v)
+            else:
+                ps.varint(4, v)
+        ps.varint(5, len(meta_bytes)).varint(6, writer_version)
         ps.string(8000, "ORC")
         ps_bytes = ps.tobytes()
         if len(ps_bytes) > 255:
             raise ValueError("postscript too long")
         f.write(ps_bytes)
         f.write(bytes([len(ps_bytes)]))
-        pos += len(ps_bytes) + 1
-    os.replace(tmp, out_path)
-    return {
-        "num_rows": num_rows,
-        "file_bytes": pos,
-        "stripes": len(stripe_infos),
-        "has_file_stats": bool(merged_stats),
-    }
+    return merged_stats
 
 
 # --------------------------------------------------------------- Ray fan-out
@@ -378,7 +415,10 @@ def compact_orc_dataset(in_dir: str, out_dir: str, target_bytes: int = 512 * 102
 
     Parts are named by group index over the deterministic plan and written
     atomically, so a rerun after a failure re-plans identically and skips
-    parts that already exist (resume)."""
+    parts that already exist (resume). A skipped part is validated against
+    the current plan — its row count must equal its group's input row count
+    (tail reads only), so a changed input set fails loudly instead of
+    silently keeping stale parts."""
     import glob
 
     import pyarrow as pa
@@ -386,6 +426,8 @@ def compact_orc_dataset(in_dir: str, out_dir: str, target_bytes: int = 512 * 102
 
     from ._rayutil import remote_args
 
+    if os.path.abspath(in_dir) == os.path.abspath(out_dir):
+        raise ValueError("out_dir must differ from in_dir (a rerun would consume its own parts)")
     paths = sorted(glob.glob(os.path.join(in_dir, "*.orc")))
     if not paths:
         raise ValueError(f"no .orc files under {in_dir!r}")
@@ -393,13 +435,25 @@ def compact_orc_dataset(in_dir: str, out_dir: str, target_bytes: int = 512 * 102
     groups = plan_compaction(paths, target_bytes)
     items = [{"group": i, "paths": g} for i, g in enumerate(groups)]
 
+    def _tail_rows(path: str) -> int:
+        with _Source(path) as src:
+            return int(_tail_raw(src)["num_rows"])
+
     def _merge_group(batch: pa.Table) -> pa.Table:
         rows = []
         for gid, ps in zip(batch["group"], batch["paths"]):
             out_path = os.path.join(out_dir, f"part-{gid.as_py():05d}.orc")
             inputs = [p for p in ps.as_py()]
             if os.path.exists(out_path):  # atomic rename => existing is complete
-                rows.append({"path": out_path, "num_rows": -1, "file_bytes": os.path.getsize(out_path), "n_inputs": len(inputs), "skipped": True})
+                part_rows = _tail_rows(out_path)
+                want_rows = sum(_tail_rows(p) for p in inputs)
+                if part_rows != want_rows:
+                    raise ValueError(
+                        f"{out_path!r} holds {part_rows} rows but the current plan's "
+                        f"inputs hold {want_rows} — the input set changed since it was "
+                        "written; clear out_dir (or point at a fresh one) and rerun"
+                    )
+                rows.append({"path": out_path, "num_rows": part_rows, "file_bytes": os.path.getsize(out_path), "n_inputs": len(inputs), "skipped": True})
                 continue
             info = merge_orc_files(inputs, out_path, level=level)
             rows.append({"path": out_path, "num_rows": info["num_rows"], "file_bytes": info["file_bytes"], "n_inputs": len(inputs), "skipped": False})

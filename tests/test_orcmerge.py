@@ -178,6 +178,101 @@ def test_merge_preserves_dictionary_and_bloom(tmp_path):
     assert pinfo["groups_read"] == 0
 
 
+def test_merge_foreign_pyarrow_files(tmp_path):
+    """Inputs written by the Apache ORC C++ writer (pyarrow.orc): zstd with
+    64 KiB compression blocks (not our 256 KiB). The merged tail must be
+    framed within the inputs' declared block size, the writerVersion must
+    carry forward, and the C++-emitted statistics must survive the wire
+    parse + merge."""
+
+    def mk(n, seed):
+        r = np.random.default_rng(seed)
+        return pa.table(
+            {
+                "a": pa.array(r.integers(0, 10**6, n), pa.int64()),
+                "t": pa.array([None if i % 9 == 0 else f"text-{i % 100}" for i in range(n)], pa.string()),
+                "v": pa.array(r.normal(size=n)),
+            }
+        )
+
+    parts = [mk(5000, s) for s in (1, 2)]
+    paths = []
+    for i, t in enumerate(parts):
+        p = str(tmp_path / f"f_{i}.orc")
+        po.write_table(t, p, compression="zstd", compression_block_size=65536, stripe_size=64 * 1024)
+        paths.append(p)
+    out = str(tmp_path / "f_merged.orc")
+    info = merge_orc_files(paths, out)
+    expect = pa.concat_tables(parts)
+    assert po.ORCFile(out).read().equals(expect)
+    assert read_orc_native(out).cast(expect.schema).equals(expect)
+    assert info["has_file_stats"]
+    with _Source(out) as s:
+        tm = _tail_raw(s)
+    with _Source(paths[0]) as s:
+        ti = _tail_raw(s)
+    assert tm["block_size"] == ti["block_size"] == 65536
+    assert tm["writer_version"] == ti["writer_version"]
+    assert tm["file_version_raw"] == ti["file_version_raw"]
+
+
+def test_orc_frame_respects_block_size():
+    """Framed chunks must never decode larger than the declared
+    compressionBlockSize (readers allocate buffers of exactly that size)."""
+    from orc_format_ray.orcfile import _orc_frame
+
+    data = bytes(range(256)) * 1024  # 256 KiB, incompressible-ish pattern
+    framed = _orc_frame(data, "zstd", 3, block_size=65536)
+    pos = 0
+    n_chunks = 0
+    while pos < len(framed):
+        hdr = int.from_bytes(framed[pos : pos + 3], "little")
+        ln, original = hdr >> 1, hdr & 1
+        assert ln <= 65536  # compressed-or-original payload within a block
+        if original:
+            assert ln <= 65536
+        pos += 3 + ln
+        n_chunks += 1
+    assert n_chunks == 4  # 256 KiB / 64 KiB
+
+
+def test_merge_removes_tmp_on_error(merged, tmp_path, monkeypatch):
+    import orc_format_ray.orcmerge as om
+
+    def boom(tails):
+        raise RuntimeError("injected")
+
+    monkeypatch.setattr(om, "_merge_file_stats", boom)
+    out = str(tmp_path / "fail.orc")
+    with pytest.raises(RuntimeError, match="injected"):
+        merge_orc_files(merged["paths"], out)
+    import os
+
+    assert not os.path.exists(out) and not os.path.exists(out + ".tmp")
+
+
+def test_stats_parse_refuses_partial_sums():
+    """A typed arm with min/max but no sum must be unmergeable for kinds
+    where ColumnStats can't mark the sum unknown (double/string/binary) —
+    a partially-merged sum would be an invented statistic."""
+    from orc_format_ray.orcfile import Msg
+
+    no_sum_double = Msg().varint(1, 5).msg(3, Msg().double(1, 0.0).double(2, 9.0)).varint(10, 0).tobytes()
+    assert _stats_parse(no_sum_double, "DOUBLE", None) is None
+    no_sum_string = Msg().varint(1, 5).msg(4, Msg().string(1, "a").string(2, "z")).varint(10, 0).tobytes()
+    assert _stats_parse(no_sum_string, "STRING", None) is None
+    no_arm_binary = Msg().varint(1, 5).varint(10, 0).tobytes()
+    assert _stats_parse(no_arm_binary, "BINARY", None) is None
+    # with zero values all three are mergeable empty partials
+    for orc_kind in ("DOUBLE", "STRING", "BINARY"):
+        got = _stats_parse(Msg().varint(1, 0).varint(10, 0).tobytes(), orc_kind, None)
+        assert got is not None and got.num_present == 0
+    # long CAN mark it: sum_overflowed survives (sticky through merge)
+    no_sum_long = Msg().varint(1, 5).msg(2, Msg().svarint(1, -1).svarint(2, 4)).varint(10, 0).tobytes()
+    got = _stats_parse(no_sum_long, "LONG", None)
+    assert got is not None and got.sum is None and got.sum_overflowed
+
+
 @pytest.mark.parametrize(
     "kind,orc_kind,cs",
     [
@@ -261,7 +356,17 @@ def test_compact_orc_dataset(ray_session, tmp_path):
     assert got.cast(want.schema).select(["i", "s", "d"]).equals(want.select(["i", "s", "d"]))
     # resume: a second run over the same plan skips every finished part
     again = compact_orc_dataset(src, str(tmp_path / "compacted"), target_bytes=80 * 1024).materialize()
-    assert all(r["skipped"] for r in again.take_all())
+    skipped = again.take_all()
+    assert all(r["skipped"] for r in skipped)
+    assert sum(r["num_rows"] for r in skipped) == 6000  # real counts, not sentinels
+    # guard: compacting a directory into itself would consume its own parts
+    with pytest.raises(ValueError, match="out_dir"):
+        compact_orc_dataset(src, src)
+    # guard: a changed input set invalidates existing parts loudly
+    # sorts first, so every group's membership shifts and part-00000 mismatches
+    write_orc(_part(50, 77), str(tmp_path / "many" / "aaa-extra.orc"))
+    with pytest.raises(Exception, match="input set changed"):
+        compact_orc_dataset(src, str(tmp_path / "compacted"), target_bytes=80 * 1024).materialize()
 
 
 def test_sink_bloom_columns_survive_compaction(ray_session, tmp_path):
