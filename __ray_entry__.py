@@ -800,6 +800,52 @@ def _q_orc_compact_roundtrip(sf_dir: str):
     return df
 
 
+def _q_orc_schema_evolution(sf_dir: str):
+    """Reader-side schema evolution: three writer generations of lineitem
+    (narrow int32 key without l_returnflag; current; reordered columns) read
+    back as ONE unified Dataset via read_orc_dataset(target_schema="unify")
+    — missing columns null-fill, int32 widens to int64 (evolve.py). The
+    generation split keys on l_orderkey % 3 so SQL reproduces it exactly."""
+    import shutil
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from orc_format_ray.orcfile import read_orc_dataset, write_orc
+
+    scratch = _scratch(sf_dir, "orc")
+    d = os.path.join(scratch, "evolution")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    li = pq.read_table(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity", "l_returnflag"])
+    # k - (k // 3) * 3: integer divide truncates; keys are non-negative
+    mod = pc.subtract(li["l_orderkey"], pc.multiply(pc.divide(li["l_orderkey"], 3), 3))
+    g1 = li.filter(pc.equal(mod, 0)).drop_columns(["l_returnflag"])
+    g1 = g1.set_column(0, "l_orderkey", g1["l_orderkey"].cast(pa.int32()))
+    g2 = li.filter(pc.equal(mod, 1))
+    g3 = li.filter(pc.equal(mod, 2)).select(["l_returnflag", "l_quantity", "l_orderkey"])
+    write_orc(g1, os.path.join(d, "gen1.orc"))
+    write_orc(g2, os.path.join(d, "gen2.orc"))
+    write_orc(g3, os.path.join(d, "gen3.orc"))
+    ds = read_orc_dataset(d, native=True, target_schema="unify")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        flag = pc.coalesce(batch["l_returnflag"], pa.scalar("MISSING", pa.string()))
+        return pa.table({"flag": flag, "l_quantity": batch["l_quantity"], "l_orderkey": batch["l_orderkey"]})
+
+    out = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True, **_ra()).groupby("flag").aggregate(
+        Count(alias_name="cnt"),
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_orderkey", alias_name="sum_key"),
+    )
+    df = out.to_pandas()
+    df["sum_qty"] = df["sum_qty"].round(2)
+    df["sum_key"] = df["sum_key"].astype("int64")
+    return df
+
+
 def _q_broadcast_join_orders_customer(sf_dir: str):
     """Dimension-table broadcast join: orders (big, streaming) probe against
     customer (small, ray.put once) — no shuffle of the fact side."""
@@ -1386,6 +1432,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orc_file_roundtrip": _q_orc_file_roundtrip,
         "orc_lineitem_roundtrip": _q_orc_lineitem_roundtrip,
         "orc_compact_roundtrip": _q_orc_compact_roundtrip,
+        "orc_schema_evolution": _q_orc_schema_evolution,
         "broadcast_join_orders_customer": _q_broadcast_join_orders_customer,
         "hash_join_lineitem_orders": _q_hash_join_lineitem_orders,
         "semi_anti_join_customers": _q_semi_anti_join_customers,
@@ -1720,6 +1767,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderpriority, count(*) AS cnt, round(sum(o_totalprice), 2) AS sum_price, "
             "CAST(max(o_custkey) AS BIGINT) AS max_cust "
             "FROM orders GROUP BY o_orderpriority"
+        ),
+        "orc_schema_evolution": (
+            # gen1 (l_orderkey % 3 = 0) was written before l_returnflag existed
+            "SELECT CASE WHEN l_orderkey % 3 = 0 THEN 'MISSING' ELSE l_returnflag END AS flag, "
+            "count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty, "
+            "CAST(sum(l_orderkey) AS BIGINT) AS sum_key "
+            "FROM lineitem GROUP BY flag"
         ),
         "fingerprint_documents": (
             # injectivity oracle: distinct fingerprints == distinct texts

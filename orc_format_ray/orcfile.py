@@ -955,6 +955,7 @@ def read_orc_dataset(
     native: bool = False,
     split_row_groups: bool = False,
     predicate: tuple | None = None,
+    target_schema=None,
 ):
     """ORC files -> streaming Ray Dataset (projection pushed to the reader).
 
@@ -966,13 +967,22 @@ def read_orc_dataset(
     task seeks its group via the ROW_INDEX — how a 100-TB scan of few huge
     ORC files still fans out across the cluster. ``predicate=(col, op, lit)``
     (native only) pushes a filter into every reader task via the ROW_INDEX
-    statistics (read_orc_filtered): pruned row groups are never fetched."""
+    statistics (read_orc_filtered): pruned row groups are never fetched.
+
+    ``target_schema`` (a pa.Schema, or the string ``"unify"``) enables
+    reader-side SCHEMA EVOLUTION for directories whose files drifted across
+    writer versions: every task resolves its file against the reader schema
+    by column NAME (missing -> nulls, extra -> dropped, numeric/string/
+    timestamp promotions per evolve.py), so the Dataset streams one
+    well-typed schema. ``"unify"`` computes the widest compatible schema
+    from the file TAILS only (a few KiB per file, driver-side)."""
     import glob
     import os
 
     import ray.data
 
     from ._rayutil import remote_args
+    from .evolve import evolve_table, unified_orc_schema
     from .orcread import _parse_tail, _Source, read_orc_filtered, read_orc_native
 
     if os.path.isdir(path_or_dir):
@@ -980,13 +990,23 @@ def read_orc_dataset(
     else:
         paths = [path_or_dir]
 
+    if isinstance(target_schema, str):
+        if target_schema != "unify":
+            raise ValueError(f"target_schema must be a pa.Schema or 'unify', got {target_schema!r}")
+        target_schema = unified_orc_schema(paths)
+    if target_schema is not None and columns is not None:
+        target_schema = pa.schema([target_schema.field(c) for c in columns])
+
+    def _evolve(t: pa.Table) -> pa.Table:
+        return evolve_table(t, target_schema) if target_schema is not None else t
+
     if predicate is not None:
         if not native:
             raise ValueError("predicate pushdown requires native=True")
         ds = ray.data.from_items([{"path": p} for p in paths])
 
         def dec_pred(batch: pa.Table) -> pa.Table:
-            tables = [read_orc_filtered(p.as_py(), predicate, columns=columns)[0] for p in batch["path"]]
+            tables = [_evolve(read_orc_filtered(p.as_py(), predicate, columns=columns)[0]) for p in batch["path"]]
             return pa.concat_tables(tables) if len(tables) > 1 else tables[0]
 
         return ds.map_batches(dec_pred, batch_format="pyarrow", batch_size=1, **remote_args())
@@ -1012,7 +1032,7 @@ def read_orc_dataset(
 
         def dec_rg(batch: pa.Table) -> pa.Table:
             tables = [
-                read_orc_native(p.as_py(), columns=columns, row_groups=None if r.as_py() < 0 else [r.as_py()])
+                _evolve(read_orc_native(p.as_py(), columns=columns, row_groups=None if r.as_py() < 0 else [r.as_py()]))
                 for p, r in zip(batch["path"], batch["rg"])
             ]
             return pa.concat_tables(tables) if len(tables) > 1 else tables[0]
@@ -1026,11 +1046,19 @@ def read_orc_dataset(
     def dec(batch: pa.Table) -> pa.Table:
         import pyarrow.orc as po
 
-        tables = [po.ORCFile(p.as_py()).read(columns=columns) for p in batch["path"]]
+        tables = []
+        for p in batch["path"]:
+            fl = po.ORCFile(p.as_py())
+            cols = columns
+            if cols is not None and target_schema is not None:
+                # pyarrow's reader raises on absent names; evolution fills them
+                present = set(fl.schema.names)
+                cols = [c for c in cols if c in present]
+            tables.append(_evolve(fl.read(columns=cols)))
         return pa.concat_tables(tables) if len(tables) > 1 else tables[0]
 
     def dec_native(batch: pa.Table) -> pa.Table:
-        tables = [read_orc_native(p.as_py(), columns=columns) for p in batch["path"]]
+        tables = [_evolve(read_orc_native(p.as_py(), columns=columns)) for p in batch["path"]]
         return pa.concat_tables(tables) if len(tables) > 1 else tables[0]
 
     return ds.map_batches(dec_native if native else dec, batch_format="pyarrow", batch_size=1, **remote_args())
