@@ -122,6 +122,37 @@ def murmur3_hash64_alt(data: bytes, seed: int = ORC_SEED) -> int:
     return (h[0] + h[1]) & _MASK64
 
 
+def wang_long_hash(v: int) -> int:
+    """Java ORC ``BloomFilter.getLongHash`` — Thomas Wang's published 64-bit
+    integer mix; integer columns (tinyint..bigint, date) hash their long
+    value through this instead of Murmur3."""
+    k = v & _MASK64
+    k = ((~k) + (k << 21)) & _MASK64
+    k ^= k >> 24
+    k = (k + (k << 3) + (k << 8)) & _MASK64
+    k ^= k >> 14
+    k = (k + (k << 2) + (k << 4)) & _MASK64
+    k ^= k >> 28
+    k = (k + (k << 31)) & _MASK64
+    return k
+
+
+def wang_long_hashes(vals: np.ndarray) -> np.ndarray:
+    """Vectorized restatement of ``wang_long_hash`` over an int64 array
+    (uint64 wraparound arithmetic) — the encode path, cross-checked against
+    the scalar transliteration by fuzz."""
+    with np.errstate(over="ignore"):
+        k = vals.astype(np.int64).view(np.uint64).copy()
+        k = (~k) + (k << np.uint64(21))
+        k ^= k >> np.uint64(24)
+        k = k + (k << np.uint64(3)) + (k << np.uint64(8))
+        k ^= k >> np.uint64(14)
+        k = k + (k << np.uint64(2)) + (k << np.uint64(4))
+        k ^= k >> np.uint64(28)
+        k = k + (k << np.uint64(31))
+    return k
+
+
 def _sizing(expected_entries: int, fpp: float) -> tuple[int, int]:
     n = max(1, int(expected_entries))
     m = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
@@ -161,13 +192,37 @@ def bloom_build(values, expected_entries: int, fpp: float = 0.05) -> tuple[int, 
     return k, bits.tobytes()
 
 
-def bloom_might_contain(k: int, bitset: bytes, value: bytes) -> bool:
+def bloom_build_longs(vals: np.ndarray, expected_entries: int, fpp: float = 0.05) -> tuple[int, bytes]:
+    """Vectorized filter build over int64 values (no Python loop over rows:
+    hashes, probe positions and bit stores are all numpy)."""
+    num_bits, k = _sizing(expected_entries, fpp)
+    bits = np.zeros(num_bits // 64, dtype=np.uint64)
+    if len(vals):
+        h = wang_long_hashes(np.asarray(vals, dtype=np.int64))
+        h1 = (h & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        h1[h1 >= 1 << 31] -= 1 << 32
+        h2 = (h >> np.uint64(32)).astype(np.int64)
+        h2[h2 >= 1 << 31] -= 1 << 32
+        for i in range(1, k + 1):
+            c = (h1 + i * h2) & 0xFFFFFFFF  # |h1 + k*h2| << 2^63: exact in int64
+            c = np.where(c >= 1 << 31, c - (1 << 32), c)  # Java int wraparound
+            c = np.where(c < 0, ~c, c)
+            pos = c % num_bits
+            np.bitwise_or.at(bits, pos >> 6, np.uint64(1) << (pos & 63).astype(np.uint64))
+    return k, bits.tobytes()
+
+
+def bloom_might_contain_hash(k: int, bitset: bytes, hash64: int) -> bool:
     bits = np.frombuffer(bitset, dtype=np.uint64)
     num_bits = len(bits) * 64
     if num_bits == 0:
         return False
-    h1, _ = murmur3_x64_128(value)
-    for pos in _positions(h1, k, num_bits):
+    for pos in _positions(hash64, k, num_bits):
         if not (int(bits[pos >> 6]) >> (pos & 63)) & 1:
             return False
     return True
+
+
+def bloom_might_contain(k: int, bitset: bytes, value: bytes) -> bool:
+    h1, _ = murmur3_x64_128(value)
+    return bloom_might_contain_hash(k, bitset, h1)

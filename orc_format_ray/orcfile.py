@@ -611,8 +611,13 @@ class OrcWriter:
             if name not in schema.names:
                 raise ValueError(f"bloom column {name!r} not in schema")
             t = schema.field(name).type
-            if not (pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t) or pa.types.is_fixed_size_binary(t)):
-                raise ValueError(f"bloom filters support string/binary columns, {name!r} is {t}")
+            is_str = pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t) or pa.types.is_fixed_size_binary(t)
+            # ints hash via wang_long_hash (Java BloomFilter.addLong); uint64
+            # is unwritable anyway and float/decimal/timestamp hashing rules
+            # are not implemented — reject rather than write useless filters
+            is_int = (pa.types.is_integer(t) and t != pa.uint64()) or pa.types.is_date32(t)
+            if not (is_str or is_int):
+                raise ValueError(f"bloom filters support string/binary/integer/date columns, {name!r} is {t}")
         if bloom_columns and row_index_stride <= 0:
             raise ValueError("bloom filters need row_index_stride > 0 (per-row-group filters)")
         self.path = path
@@ -756,10 +761,18 @@ class OrcWriter:
                     if name not in self.bloom_columns:
                         continue
                     arr = sub.column(i).combine_chunks()
+                    as_long = pa.types.is_integer(arr.type) or pa.types.is_date32(arr.type)
                     bfi = Msg()
                     for lo, hi in _rg_pairs(bounds):
-                        vals = arr.slice(lo, hi - lo).drop_null().cast(pa.large_binary()).to_pylist()
-                        k, bitset = _bloom.bloom_build(vals, expected_entries=stride, fpp=self.bloom_fpp)
+                        sl = arr.slice(lo, hi - lo).drop_null()
+                        if as_long:
+                            if pa.types.is_date32(sl.type):
+                                sl = sl.cast(pa.int32())
+                            vals_np = sl.cast(pa.int64()).to_numpy(zero_copy_only=False)
+                            k, bitset = _bloom.bloom_build_longs(vals_np, expected_entries=stride, fpp=self.bloom_fpp)
+                        else:
+                            vals = sl.cast(pa.large_binary()).to_pylist()
+                            k, bitset = _bloom.bloom_build(vals, expected_entries=stride, fpp=self.bloom_fpp)
                         bfi.msg(1, Msg().varint(1, k).bytes_(3, bitset))
                     fb = _orc_frame(bfi.tobytes(), self.compression, self.level)
                     index_meta.append((8, field_ids[i], len(fb)))  # kind 8 = BLOOM_FILTER_UTF8

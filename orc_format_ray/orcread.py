@@ -913,13 +913,19 @@ def read_orc_filtered(path_or_bytes, predicate: tuple, columns: list[str] | None
 
         stride = int(tail["row_index_stride"])
         # equality literals also consult per-group BLOOM_FILTER_UTF8 streams
-        # (kind 8) when the writer emitted them (see bloom.py)
-        bloom_value = None
+        # (kind 8) when the writer emitted them (see bloom.py): strings hash
+        # via Murmur3, integer kinds via the Java addLong wang hash — the
+        # probe hash is computed ONCE here, then tested per group
+        bloom_hash = None
         if op == "==":
-            if isinstance(value, bytes):
-                bloom_value = value
-            elif isinstance(value, str):
-                bloom_value = value.encode()
+            if isinstance(value, (str, bytes)) and t_kind in ("STRING", "VARCHAR", "CHAR", "BINARY"):
+                from .bloom import murmur3_x64_128
+
+                bloom_hash = murmur3_x64_128(value.encode() if isinstance(value, str) else value)[0]
+            elif isinstance(value, int) and not isinstance(value, bool) and t_kind in ("BYTE", "SHORT", "INT", "LONG", "DATE"):
+                from .bloom import wang_long_hash
+
+                bloom_hash = wang_long_hash(value)
         read_cols = columns if columns is None or col in columns else [*columns, col]
         if stride <= 0:
             tbl = _read_orc_src(src, read_cols, None)
@@ -941,7 +947,7 @@ def read_orc_filtered(path_or_bytes, predicate: tuple, columns: list[str] | None
                         ri = _fields(_deframe(src.read(pos, ln), comp))
                         ri_raw[(sidx, col_id)] = ri
                         entries_stats = [(_fields(e).get(2) or [b""])[0] for e in ri.get(1, [])]
-                    elif kind == 8 and c == col_id and bloom_value is not None:  # BLOOM_FILTER_UTF8
+                    elif kind == 8 and c == col_id and bloom_hash is not None:  # BLOOM_FILTER_UTF8
                         bfi = _fields(_deframe(src.read(pos, ln), comp))
                         blooms = [
                             ((g := _fields(ent)).get(1, [1])[0], (g.get(3) or [b""])[0]) for ent in bfi.get(1, [])
@@ -951,9 +957,9 @@ def read_orc_filtered(path_or_bytes, predicate: tuple, columns: list[str] | None
                     if not _range_may_match(op, stat_value, mm):
                         continue
                     if blooms is not None and k < len(blooms) and blooms[k][1]:
-                        from .bloom import bloom_might_contain
+                        from .bloom import bloom_might_contain_hash
 
-                        if not bloom_might_contain(blooms[k][0], blooms[k][1], bloom_value):
+                        if not bloom_might_contain_hash(blooms[k][0], blooms[k][1], bloom_hash):
                             continue  # definitely-absent per the bloom filter
                     selected.append(gbase + k)
                     sel_stripes.add(sidx)

@@ -510,7 +510,65 @@ def test_orc_bloom_pushdown_prunes_beyond_minmax(tmp_path):
     _, meta3 = orcread.read_orc_filtered(nobloom, ("k", "==", "key-7fffffffffff"))
     assert meta3["groups_read"] == meta3["groups_total"]  # minmax alone can't prune
 
+    dbl = pa.schema([("f", pa.float64())])
     with pytest.raises(ValueError):
-        orcfile.OrcWriter(str(tmp_path / "x.orc"), tbl.schema, bloom_columns=["v"])  # int column
+        orcfile.OrcWriter(str(tmp_path / "x.orc"), dbl, bloom_columns=["f"])  # no double hashing rule
     with pytest.raises(ValueError):
         orcfile.OrcWriter(str(tmp_path / "y.orc"), tbl.schema, row_index_stride=0, bloom_columns=["k"])
+
+
+def test_wang_long_hash_scalar_matches_vectorized():
+    """Two restatements of Java BloomFilter.getLongHash (Thomas Wang's
+    64-bit mix): scalar masked-int Python vs numpy uint64 wraparound."""
+    import numpy as np
+
+    from orc_format_ray import bloom
+
+    rng = np.random.default_rng(11)
+    vals = np.concatenate(
+        [rng.integers(-(2**62), 2**62, 3000), np.array([0, -1, 1, 2**63 - 1, -(2**63), 42])]
+    ).astype(np.int64)
+    vec = bloom.wang_long_hashes(vals)
+    for v, h in zip(vals.tolist(), vec):
+        assert bloom.wang_long_hash(v) == int(h), v
+
+
+def test_orc_int_bloom_pushdown(tmp_path):
+    """Integer bloom columns: random high-cardinality int64 keys defeat
+    min/max pruning, the wang-hash blooms prune absent equality probes to
+    zero groups; date32 columns accept blooms; pyarrow reads both files."""
+    import numpy as np
+    import pyarrow.orc as po
+
+    from orc_format_ray import bloom, orcfile, orcread
+
+    r = np.random.default_rng(5)
+    ids = r.choice(10**9, 8000, replace=False).astype(np.int64)
+    tbl = pa.table({"id": pa.array(ids), "v": pa.array(np.arange(8000, dtype=np.float64))})
+    path = str(tmp_path / "intbloom.orc")
+    orcfile.write_orc(tbl, path, stripe_rows=1000, bloom_columns=["id"])
+    assert po.ORCFile(path).read().equals(tbl)
+
+    probe = int(ids[4321])
+    out, meta = orcread.read_orc_filtered(path, ("id", "==", probe))
+    assert out["id"].to_pylist() == [probe]
+    assert meta["groups_read"] == 1  # bloom pruned the 7 min/max-overlapping groups
+    out2, meta2 = orcread.read_orc_filtered(path, ("id", "==", 10**9 + 12345))
+    assert out2.num_rows == 0 and meta2["groups_read"] == 0
+    # no false negatives across many present probes
+    for probe in ids[::500]:
+        got, _ = orcread.read_orc_filtered(path, ("id", "==", int(probe)), columns=["id"])
+        assert got.num_rows == 1
+
+    # vectorized build == per-value probes (filter consistency)
+    k, bs = bloom.bloom_build_longs(ids[:100], expected_entries=100, fpp=0.05)
+    assert all(bloom.bloom_might_contain_hash(k, bs, bloom.wang_long_hash(int(v))) for v in ids[:100])
+
+    import datetime
+
+    d = pa.table(
+        {"d": pa.array([datetime.date(2020, 1, 1) + datetime.timedelta(days=int(x)) for x in r.integers(0, 5000, 2000)], pa.date32())}
+    )
+    dpath = str(tmp_path / "datebloom.orc")
+    orcfile.write_orc(d, dpath, stripe_rows=500, bloom_columns=["d"])
+    assert po.ORCFile(dpath).read().equals(d)
