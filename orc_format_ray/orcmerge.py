@@ -408,10 +408,25 @@ def plan_compaction(paths: list[str], target_bytes: int) -> list[list[str]]:
     return groups
 
 
-def compact_orc_dataset(in_dir: str, out_dir: str, target_bytes: int = 512 * 1024 * 1024, level: int = 3):
-    """Compact a directory of small same-schema ORC files into ~target_bytes
-    parts by parallel raw stripe copy. Returns the lineage Dataset (path,
-    num_rows, file_bytes, n_inputs, skipped).
+def compact_orc_dataset(
+    in_dir: str,
+    out_dir: str,
+    target_bytes: int = 512 * 1024 * 1024,
+    level: int = 3,
+    on_schema_drift: str = "error",
+):
+    """Compact a directory of small ORC files into ~target_bytes parts.
+    Returns the lineage Dataset (path, num_rows, file_bytes, n_inputs,
+    skipped, reencoded).
+
+    Same-schema directories compact by parallel raw stripe copy (no decode).
+    When the files drifted across writer generations (schema / compression /
+    stride differ), the copy is impossible; ``on_schema_drift`` picks the
+    fallback: ``"error"`` (default) raises with the offending file, while
+    ``"reencode"`` resolves EVERY file against the unified schema
+    (evolve.py) and re-encodes each output part — slower, but the compacted
+    directory always comes out single-schema. The drift check is driver-side
+    from file TAILS only.
 
     Parts are named by group index over the deterministic plan and written
     atomically, so a rerun after a failure re-plans identically and skips
@@ -426,11 +441,34 @@ def compact_orc_dataset(in_dir: str, out_dir: str, target_bytes: int = 512 * 102
 
     from ._rayutil import remote_args
 
+    if on_schema_drift not in ("error", "reencode"):
+        raise ValueError(f"on_schema_drift must be 'error' or 'reencode', got {on_schema_drift!r}")
     if os.path.abspath(in_dir) == os.path.abspath(out_dir):
         raise ValueError("out_dir must differ from in_dir (a rerun would consume its own parts)")
     paths = sorted(glob.glob(os.path.join(in_dir, "*.orc")))
     if not paths:
         raise ValueError(f"no .orc files under {in_dir!r}")
+
+    # drift detection from tails only: the raw-copy invariants are the copied
+    # bytes' type list + compression + block size + stride + file version
+    sigs = []
+    for p in paths:
+        with _Source(p) as src:
+            t = _tail_raw(src)
+        sigs.append((tuple(t["types_raw"]), t["compression"], t["block_size"], t["row_index_stride"], tuple(t["file_version_raw"])))
+    drifted = len(set(sigs)) > 1
+    target_schema = None
+    if drifted:
+        if on_schema_drift == "error":
+            first_other = next(p for p, s in zip(paths, sigs) if s != sigs[0])
+            raise ValueError(
+                f"schema/layout drift across {in_dir!r} ({paths[0]!r} vs {first_other!r}); "
+                "pass on_schema_drift='reencode' to unify via schema evolution"
+            )
+        from .evolve import unified_orc_schema
+
+        target_schema = unified_orc_schema(paths)
+
     os.makedirs(out_dir, exist_ok=True)
     groups = plan_compaction(paths, target_bytes)
     items = [{"group": i, "paths": g} for i, g in enumerate(groups)]
@@ -453,10 +491,18 @@ def compact_orc_dataset(in_dir: str, out_dir: str, target_bytes: int = 512 * 102
                         f"inputs hold {want_rows} — the input set changed since it was "
                         "written; clear out_dir (or point at a fresh one) and rerun"
                     )
-                rows.append({"path": out_path, "num_rows": part_rows, "file_bytes": os.path.getsize(out_path), "n_inputs": len(inputs), "skipped": True})
+                rows.append({"path": out_path, "num_rows": part_rows, "file_bytes": os.path.getsize(out_path), "n_inputs": len(inputs), "skipped": True, "reencoded": False})
                 continue
-            info = merge_orc_files(inputs, out_path, level=level)
-            rows.append({"path": out_path, "num_rows": info["num_rows"], "file_bytes": info["file_bytes"], "n_inputs": len(inputs), "skipped": False})
+            if target_schema is None:
+                info = merge_orc_files(inputs, out_path, level=level)
+            else:  # drift: decode + evolve + re-encode (write_orc is atomic)
+                from .evolve import evolve_table
+                from .orcfile import write_orc
+                from .orcread import read_orc_native
+
+                tbl = pa.concat_tables([evolve_table(read_orc_native(p), target_schema) for p in inputs])
+                info = write_orc(tbl, out_path, level=level, stripe_rows=250_000)
+            rows.append({"path": out_path, "num_rows": info["num_rows"], "file_bytes": info["file_bytes"], "n_inputs": len(inputs), "skipped": False, "reencoded": target_schema is not None})
         return pa.Table.from_pylist(rows)
 
     ds = ray.data.from_items(items)

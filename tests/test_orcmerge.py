@@ -369,6 +369,36 @@ def test_compact_orc_dataset(ray_session, tmp_path):
         compact_orc_dataset(src, str(tmp_path / "compacted"), target_bytes=80 * 1024).materialize()
 
 
+def test_compact_orc_dataset_schema_drift(ray_session, tmp_path):
+    """A drifted directory (narrow int key, missing column, reorder) refuses
+    raw copy by default and compacts via evolve + re-encode on request,
+    producing a single-schema output with exactly the input rows."""
+    import glob
+
+    from orc_format_ray.orcmerge import compact_orc_dataset
+
+    d = tmp_path / "drifted"
+    d.mkdir()
+    g1 = pa.table({"id": pa.array([1, 2], pa.int32()), "name": pa.array(["a", "b"])})
+    g2 = pa.table({"name": pa.array(["c"]), "id": pa.array([3], pa.int64()), "score": pa.array([1.5])})
+    write_orc(g1, str(d / "gen1.orc"))
+    write_orc(g2, str(d / "gen2.orc"))
+    with pytest.raises(ValueError, match="drift"):
+        compact_orc_dataset(str(d), str(tmp_path / "out_err"))
+    lineage = compact_orc_dataset(str(d), str(tmp_path / "out_re"), on_schema_drift="reencode").materialize()
+    rows = lineage.take_all()
+    assert all(r["reencoded"] for r in rows) and sum(r["num_rows"] for r in rows) == 3
+    (part,) = glob.glob(str(tmp_path / "out_re" / "*.orc"))
+    got = po.ORCFile(part).read().sort_by("id")
+    assert got.column_names == ["id", "name", "score"]
+    assert got["id"].type == pa.int64()
+    assert got["id"].to_pylist() == [1, 2, 3]
+    assert got["score"].to_pylist() == [None, None, 1.5]
+    # resume applies to re-encoded parts too
+    again = compact_orc_dataset(str(d), str(tmp_path / "out_re"), on_schema_drift="reencode").materialize()
+    assert all(r["skipped"] for r in again.take_all())
+
+
 def test_sink_bloom_columns_survive_compaction(ray_session, tmp_path):
     """write_orc_dataset(bloom_columns=...) -> compact -> equality pushdown
     still prunes on the compacted parts (bloom streams ride the stripe copy)."""
