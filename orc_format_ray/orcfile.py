@@ -612,10 +612,11 @@ class OrcWriter:
                 raise ValueError(f"bloom column {name!r} not in schema")
             t = schema.field(name).type
             is_str = pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t) or pa.types.is_fixed_size_binary(t)
-            # ints hash via wang_long_hash (Java BloomFilter.addLong); uint64
-            # is unwritable anyway and float/decimal/timestamp hashing rules
-            # are not implemented — reject rather than write useless filters
-            is_int = (pa.types.is_integer(t) and t != pa.uint64()) or pa.types.is_date32(t)
+            # ints (incl. uint64, whose values must fit int64 to encode at
+            # all) hash via wang_long_hash (Java BloomFilter.addLong);
+            # float/decimal/timestamp hashing rules are not implemented —
+            # reject rather than write useless filters
+            is_int = pa.types.is_integer(t) or pa.types.is_date32(t)
             if not (is_str or is_int):
                 raise ValueError(f"bloom filters support string/binary/integer/date columns, {name!r} is {t}")
         if bloom_columns and row_index_stride <= 0:
@@ -1006,7 +1007,17 @@ def read_orc_dataset(
     if isinstance(target_schema, str):
         if target_schema != "unify":
             raise ValueError(f"target_schema must be a pa.Schema or 'unify', got {target_schema!r}")
-        target_schema = unified_orc_schema(paths)
+        if native:
+            target_schema = unified_orc_schema(paths)
+        else:
+            # unify against the types pyarrow's reader MATERIALIZES (e.g. it
+            # reads ORC timestamps as ns where the native reader keeps us) —
+            # a schema from the other reader's types would refuse promotion
+            import pyarrow.orc as po
+
+            from .evolve import unify_schemas
+
+            target_schema = unify_schemas([po.ORCFile(p).schema for p in paths])
     if target_schema is not None and columns is not None:
         target_schema = pa.schema([target_schema.field(c) for c in columns])
 
@@ -1019,7 +1030,16 @@ def read_orc_dataset(
         ds = ray.data.from_items([{"path": p} for p in paths])
 
         def dec_pred(batch: pa.Table) -> pa.Table:
-            tables = [_evolve(read_orc_filtered(p.as_py(), predicate, columns=columns)[0]) for p in batch["path"]]
+            from .evolve import orc_file_schema
+
+            tables = []
+            for p in batch["path"]:
+                if target_schema is not None and predicate[0] not in orc_file_schema(p.as_py()).names:
+                    # evolution semantics: a column this file predates is all
+                    # null, and null never satisfies a predicate — 0 rows
+                    tables.append(evolve_table(pa.table({}), target_schema))
+                    continue
+                tables.append(_evolve(read_orc_filtered(p.as_py(), predicate, columns=columns)[0]))
             return pa.concat_tables(tables) if len(tables) > 1 else tables[0]
 
         return ds.map_batches(dec_pred, batch_format="pyarrow", batch_size=1, **remote_args())
@@ -1067,6 +1087,10 @@ def read_orc_dataset(
                 # pyarrow's reader raises on absent names; evolution fills them
                 present = set(fl.schema.names)
                 cols = [c for c in cols if c in present]
+                if not cols:  # no projected column exists in this file: keep
+                    # its row count so evolution can null-fill
+                    tables.append(_evolve(pa.table({"__rows": pa.nulls(fl.nrows)}).select([])))
+                    continue
             tables.append(_evolve(fl.read(columns=cols)))
         return pa.concat_tables(tables) if len(tables) > 1 else tables[0]
 

@@ -15,9 +15,11 @@ src/writer.rs:121-130).
 
 Scale shape: a merge task streams input stripes in 8 MiB chunks (bounded
 memory regardless of stripe size) and parses only file *tails* (a few KiB
-per input). ``compact_orc_dataset`` plans groups driver-side from file
-SIZES only, then fans the merges out as stateless Ray tasks; output files
-are written atomically, so a re-run skips finished parts (resume).
+per input). ``compact_orc_dataset`` bins files by SIZE, checks layout
+drift with one tail read per file (the lone O(files) driver I/O step —
+lift it into a Ray map if the file listing outgrows the driver), then fans
+the merges out as stateless Ray tasks; output files are written
+atomically, so a re-run skips finished parts (resume).
 """
 
 from __future__ import annotations
@@ -449,25 +451,28 @@ def compact_orc_dataset(
     if not paths:
         raise ValueError(f"no .orc files under {in_dir!r}")
 
-    # drift detection from tails only: the raw-copy invariants are the copied
-    # bytes' type list + compression + block size + stride + file version
-    sigs = []
+    # drift detection: the raw-copy invariants are the copied bytes' type
+    # list + compression + block size + stride + file version. This is ONE
+    # 64 KiB tail read per file on the driver (the only step beyond the
+    # sizes-only bin planning); the Arrow schema is then derived per DISTINCT
+    # signature, not per file, so unification cost is O(generations)
+    rep_of_sig: dict[tuple, str] = {}
     for p in paths:
         with _Source(p) as src:
             t = _tail_raw(src)
-        sigs.append((tuple(t["types_raw"]), t["compression"], t["block_size"], t["row_index_stride"], tuple(t["file_version_raw"])))
-    drifted = len(set(sigs)) > 1
+        sig = (tuple(t["types_raw"]), t["compression"], t["block_size"], t["row_index_stride"], tuple(t["file_version_raw"]))
+        rep_of_sig.setdefault(sig, p)
     target_schema = None
-    if drifted:
+    if len(rep_of_sig) > 1:
+        reps = list(rep_of_sig.values())
         if on_schema_drift == "error":
-            first_other = next(p for p, s in zip(paths, sigs) if s != sigs[0])
             raise ValueError(
-                f"schema/layout drift across {in_dir!r} ({paths[0]!r} vs {first_other!r}); "
+                f"schema/layout drift across {in_dir!r} ({reps[0]!r} vs {reps[1]!r}); "
                 "pass on_schema_drift='reencode' to unify via schema evolution"
             )
-        from .evolve import unified_orc_schema
+        from .evolve import orc_file_schema, unify_schemas
 
-        target_schema = unified_orc_schema(paths)
+        target_schema = unify_schemas([orc_file_schema(p) for p in reps])
 
     os.makedirs(out_dir, exist_ok=True)
     groups = plan_compaction(paths, target_bytes)
@@ -495,13 +500,22 @@ def compact_orc_dataset(
                 continue
             if target_schema is None:
                 info = merge_orc_files(inputs, out_path, level=level)
-            else:  # drift: decode + evolve + re-encode (write_orc is atomic)
+            else:
+                # drift: decode + evolve + re-encode, STREAMED one input at a
+                # time through the push writer (auto-flushing stripes) — the
+                # group never materializes as one Arrow table
                 from .evolve import evolve_table
-                from .orcfile import write_orc
+                from .orcfile import OrcWriter
                 from .orcread import read_orc_native
 
-                tbl = pa.concat_tables([evolve_table(read_orc_native(p), target_schema) for p in inputs])
-                info = write_orc(tbl, out_path, level=level, stripe_rows=250_000)
+                w = OrcWriter(out_path, target_schema, level=level)
+                try:
+                    for p in inputs:
+                        w.write_batch(evolve_table(read_orc_native(p), target_schema))
+                    info = w.close()
+                except BaseException:
+                    w.abort()
+                    raise
             rows.append({"path": out_path, "num_rows": info["num_rows"], "file_bytes": info["file_bytes"], "n_inputs": len(inputs), "skipped": False, "reencoded": target_schema is not None})
         return pa.Table.from_pylist(rows)
 

@@ -591,6 +591,17 @@ def _read_orc_src(src: _Source, columns: list[str] | None, row_groups: list[int]
     wanted = list(range(len(root.field_names)))
     if columns is not None:
         wanted = [i for i, nm in enumerate(root.field_names) if nm in columns]
+        if not wanted:
+            # none of the projected columns exist in THIS file (schema
+            # evolution): the row count must survive so evolve_table can
+            # null-fill — a 0-column Table carries num_rows
+            if row_groups is not None:
+                n = sum(_group_rows(tail, g) for g in row_groups)
+            elif stripe_idxs is not None:
+                n = sum(tail["stripes"][i]["num_rows"] for i in stripe_idxs)
+            else:
+                n = tail["num_rows"]
+            return pa.table({"__rows": pa.nulls(n)}).select([])
 
     if row_groups is not None:
         return _read_row_groups(src, tail, wanted, spans, row_groups)
@@ -627,6 +638,23 @@ def _read_orc_src(src: _Source, columns: list[str] | None, row_groups: list[int]
         for j in range(len(wanted))
     ]
     return pa.table(cols, names=names)
+
+
+def _group_rows(tail: dict, group: int) -> int:
+    """Row count of file-global row group ``group`` (last group of a stripe
+    may be short)."""
+    stride = int(tail["row_index_stride"])
+    if stride <= 0:
+        raise ValueError("file has no row index")
+    base = 0
+    for si in tail["stripes"]:
+        n = si["num_rows"]
+        groups = (n + stride - 1) // stride
+        if group < base + groups:
+            k = group - base
+            return min(stride, n - k * stride)
+        base += groups
+    raise IndexError(f"row group {group} out of range")
 
 
 # -------------------------------------------------------- row-group seeking
@@ -922,10 +950,10 @@ def read_orc_filtered(path_or_bytes, predicate: tuple, columns: list[str] | None
                 from .bloom import murmur3_x64_128
 
                 bloom_hash = murmur3_x64_128(value.encode() if isinstance(value, str) else value)[0]
-            elif isinstance(value, int) and not isinstance(value, bool) and t_kind in ("BYTE", "SHORT", "INT", "LONG", "DATE"):
+            elif isinstance(value, (int, np.integer)) and not isinstance(value, bool) and t_kind in ("BYTE", "SHORT", "INT", "LONG", "DATE"):
                 from .bloom import wang_long_hash
 
-                bloom_hash = wang_long_hash(value)
+                bloom_hash = wang_long_hash(int(value))
         read_cols = columns if columns is None or col in columns else [*columns, col]
         if stride <= 0:
             tbl = _read_orc_src(src, read_cols, None)

@@ -128,6 +128,59 @@ def test_read_orc_dataset_unify_with_projection(ray_session, tmp_path, native):
     assert tbl["score"].to_pylist() == [None, None, 0.5, 1.5, None]
 
 
+@pytest.mark.parametrize("native", [True, False])
+def test_projection_of_entirely_missing_columns_keeps_rows(ray_session, tmp_path, native):
+    """Projecting ONLY columns a file predates must still contribute that
+    file's rows as nulls (a 0-column read carries num_rows)."""
+    import ray
+
+    from orc_format_ray.orcfile import read_orc_dataset
+
+    d = _drifted_dir(tmp_path)  # gen1 (2 rows) + gen3 (1 row) lack "score"
+    ds = read_orc_dataset(d, columns=["score"], native=native, target_schema="unify")
+    tbl = pa.concat_tables(ray.get(ds.to_arrow_refs()))
+    assert tbl.num_rows == 5
+    assert tbl["score"].null_count == 3
+    assert sorted(v for v in tbl["score"].to_pylist() if v is not None) == [0.5, 1.5]
+
+
+def test_unify_pyarrow_path_with_timestamps(ray_session, tmp_path):
+    """pyarrow's ORC reader materializes timestamps as ns where the native
+    reader keeps us; 'unify' must build the target from the types the
+    chosen reader actually produces."""
+    import datetime
+
+    import ray
+
+    from orc_format_ray.orcfile import read_orc_dataset
+
+    d = tmp_path / "ts"
+    d.mkdir()
+    t = pa.table({"ts": pa.array([datetime.datetime(2024, 1, 1), datetime.datetime(2024, 6, 1)], pa.timestamp("us"))})
+    write_orc(t, str(d / "a.orc"))
+    write_orc(t, str(d / "b.orc"))
+    for native, unit in ((True, "us"), (False, "ns")):
+        ds = read_orc_dataset(str(d), native=native, target_schema="unify")
+        tbl = pa.concat_tables(ray.get(ds.to_arrow_refs()))
+        assert tbl.num_rows == 4
+        assert tbl["ts"].type == pa.timestamp(unit)
+
+
+def test_predicate_with_evolution_missing_column(ray_session, tmp_path):
+    """Evolution semantics for a predicate on a column a file predates:
+    all-null never matches, so the file contributes zero rows instead of a
+    KeyError."""
+    import ray
+
+    from orc_format_ray.orcfile import read_orc_dataset
+
+    d = _drifted_dir(tmp_path)
+    ds = read_orc_dataset(d, predicate=("score", "==", 1.5), native=True, target_schema="unify")
+    tbl = pa.concat_tables(ray.get(ds.to_arrow_refs()))
+    assert tbl.num_rows == 1
+    assert tbl["id"].to_pylist() == [4]
+
+
 def test_read_orc_dataset_explicit_schema(ray_session, tmp_path):
     import ray
 

@@ -549,9 +549,9 @@ def test_orc_int_bloom_pushdown(tmp_path):
     orcfile.write_orc(tbl, path, stripe_rows=1000, bloom_columns=["id"])
     assert po.ORCFile(path).read().equals(tbl)
 
-    probe = int(ids[4321])
+    probe = ids[4321]  # np.int64 on purpose: numpy literals must probe too
     out, meta = orcread.read_orc_filtered(path, ("id", "==", probe))
-    assert out["id"].to_pylist() == [probe]
+    assert out["id"].to_pylist() == [int(probe)]
     assert meta["groups_read"] == 1  # bloom pruned the 7 min/max-overlapping groups
     out2, meta2 = orcread.read_orc_filtered(path, ("id", "==", 10**9 + 12345))
     assert out2.num_rows == 0 and meta2["groups_read"] == 0
@@ -572,3 +572,11 @@ def test_orc_int_bloom_pushdown(tmp_path):
     dpath = str(tmp_path / "datebloom.orc")
     orcfile.write_orc(d, dpath, stripe_rows=500, bloom_columns=["d"])
     assert po.ORCFile(dpath).read().equals(d)
+
+    # uint64 is writable (int64-range values), so blooms are too; even keys
+    # + an odd in-range probe, so only the bloom (not min/max) can prune
+    u = pa.table({"u": pa.array(r.choice(5 * 10**8, 2000, replace=False).astype(np.uint64) * 2, pa.uint64())})
+    upath = str(tmp_path / "uintbloom.orc")
+    orcfile.write_orc(u, upath, stripe_rows=500, bloom_columns=["u"])
+    out3, meta3 = orcread.read_orc_filtered(upath, ("u", "==", 500_000_001))
+    assert out3.num_rows == 0 and meta3["groups_read"] == 0
