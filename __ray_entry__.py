@@ -1090,6 +1090,36 @@ def _q_orc_pushdown_filter(sf_dir: str):
     return out
 
 
+def _q_orc_pushdown_conjunction(sf_dir: str):
+    """Conjunctive (AND) predicate pushdown: a range scan over a sorted key
+    plus a bloom-backed equality — a row group survives only if EVERY
+    predicate may match its [min,max] (and the bloom for ==). The oracle is
+    plain SQL with the same WHERE."""
+    import pyarrow.parquet as pq
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from orc_format_ray import orcfile
+    from orc_format_ray.orcread import read_orc_filtered
+
+    scratch = _scratch(sf_dir, "orc")
+    path = os.path.join(scratch, "lineitem_conj.orc")
+    if not os.path.exists(path):
+        tbl = pq.read_table(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity", "l_returnflag"])
+        orcfile.write_orc(tbl.sort_by("l_orderkey"), path, row_index_stride=1000, bloom_columns=["l_returnflag"])
+    got, _stats = read_orc_filtered(
+        path, [("l_orderkey", ">=", 300), ("l_orderkey", "<", 900), ("l_returnflag", "==", "A")]
+    )
+    ds = ray.data.from_arrow(got)
+    out = ds.groupby("l_returnflag").aggregate(
+        Count(alias_name="cnt"),
+        Sum("l_quantity", alias_name="sum_qty"),
+    )
+    df = out.to_pandas()
+    df["sum_qty"] = df["sum_qty"].round(2)
+    return df
+
+
 def _q_orc_native_read_cpp(sf_dir: str):
     """Reverse interop: the events table is written by the EXTERNAL Apache
     ORC C++ writer (pyarrow.orc, RLEv2 + dictionary encodings) and read back
@@ -1445,6 +1475,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_price_bands": _q_range_join_price_bands,
         "orc_native_read_cpp": _q_orc_native_read_cpp,
         "orc_pushdown_filter": _q_orc_pushdown_filter,
+        "orc_pushdown_conjunction": _q_orc_pushdown_conjunction,
         "orc_bloom_pushdown": _q_orc_bloom_pushdown,
         "minhash_dedup_pairs": _q_minhash_dedup_pairs,
         "ngram_jaccard_planted": _q_ngram_jaccard_planted,
@@ -1845,6 +1876,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_returnflag, count(*) AS cnt, min(l_linenumber) AS min_ln, "
             "max(l_linenumber) AS max_ln, CAST(sum(l_linenumber) AS BIGINT) AS sum_ln "
             "FROM lineitem WHERE l_quantity >= 45.0 GROUP BY l_returnflag"
+        ),
+        "orc_pushdown_conjunction": (
+            "SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty "
+            "FROM lineitem WHERE l_orderkey >= 300 AND l_orderkey < 900 AND l_returnflag = 'A' "
+            "GROUP BY l_returnflag"
         ),
         # exact-text equality; the ORC side must prune via the bloom stream
         "orc_bloom_pushdown": (

@@ -980,8 +980,9 @@ def read_orc_dataset(
     file: the driver reads only each file's tail to count groups, and every
     task seeks its group via the ROW_INDEX — how a 100-TB scan of few huge
     ORC files still fans out across the cluster. ``predicate=(col, op, lit)``
-    (native only) pushes a filter into every reader task via the ROW_INDEX
-    statistics (read_orc_filtered): pruned row groups are never fetched.
+    — or a list of such triples, combined with AND — (native only) pushes a
+    filter into every reader task via the ROW_INDEX statistics
+    (read_orc_filtered): pruned row groups are never fetched.
 
     ``target_schema`` (a pa.Schema, or the string ``"unify"``) enables
     reader-side SCHEMA EVOLUTION for directories whose files drifted across
@@ -1029,12 +1030,14 @@ def read_orc_dataset(
             raise ValueError("predicate pushdown requires native=True")
         ds = ray.data.from_items([{"path": p} for p in paths])
 
+        pred_cols = [predicate[0]] if isinstance(predicate, tuple) else [p[0] for p in predicate]
+
         def dec_pred(batch: pa.Table) -> pa.Table:
             from .evolve import orc_file_schema
 
             tables = []
             for p in batch["path"]:
-                if target_schema is not None and predicate[0] not in orc_file_schema(p.as_py()).names:
+                if target_schema is not None and not set(pred_cols) <= set(orc_file_schema(p.as_py()).names):
                     # evolution semantics: a column this file predates is all
                     # null, and null never satisfies a predicate — 0 rows
                     tables.append(evolve_table(pa.table({}), target_schema))

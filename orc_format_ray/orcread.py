@@ -904,57 +904,67 @@ def _range_may_match(op: str, value, mm) -> bool:
     raise ValueError(f"op {op!r}")
 
 
-def read_orc_filtered(path_or_bytes, predicate: tuple, columns: list[str] | None = None):
+def read_orc_filtered(path_or_bytes, predicate, columns: list[str] | None = None):
     """Predicate-pushdown read via the ROW_INDEX statistics.
 
-    ``predicate`` is (column, op, literal) with op in ==/</<=/>/>= . Row
-    groups whose per-group [min, max] cannot satisfy the predicate are never
-    read (their stream slices aren't even fetched); survivors are decoded
-    and exact-filtered. Returns (table, {"groups_total", "groups_read"}) so
-    callers can assert the pruning. Files without a row index fall back to a
-    full scan + filter.
-    """
+    ``predicate`` is (column, op, literal) with op in ==/</<=/>/>= , or a
+    LIST of such triples combined conjunctively (AND) — e.g. a range scan
+    ``[("ts", ">=", lo), ("ts", "<", hi), ("kind", "==", k)]``. A row group
+    is read only when EVERY predicate may match its per-group [min, max]
+    (and, for ``==`` on bloom-bearing columns, its bloom filter); survivors
+    are decoded and exact-filtered. Returns (table, {"groups_total",
+    "groups_read"}) so callers can assert the pruning. Files without a row
+    index fall back to a full scan + filter."""
     import pyarrow.compute as pc
 
-    col, op, value = predicate
+    preds = [predicate] if isinstance(predicate, tuple) else list(predicate)
+    if not preds:
+        raise ValueError("need at least one predicate")
     with _Source(path_or_bytes) as src:
         tail = _parse_tail(src)
         comp = tail["compression"]
         types = tail["types"]
         root = types[0]
-        if col not in root.field_names:
-            raise KeyError(f"column {col!r} not in {root.field_names}")
         spans = list(root.subtypes) + [len(types)]
-        ci = root.field_names.index(col)
-        col_id = spans[ci]
-        t_kind = types[col_id].kind
-        # stringStatistics min/max decode to str; a bytes literal (BINARY or
-        # CHAR columns, which we stat as strings) compares against them via
-        # UTF-8 decode — byte order == codepoint order under UTF-8, so the
-        # pruning bound is exact. Undecodable bytes -> None -> never prune.
-        stat_value = value
-        if t_kind in ("STRING", "VARCHAR", "CHAR") and isinstance(value, bytes):
-            try:
-                stat_value = value.decode()
-            except UnicodeDecodeError:
-                stat_value = None
+        infos = []  # per predicate: (col, op, value, col_id, t_kind, stat_value, bloom_hash)
+        for col, op, value in preds:
+            if col not in root.field_names:
+                raise KeyError(f"column {col!r} not in {root.field_names}")
+            col_id = spans[root.field_names.index(col)]
+            t_kind = types[col_id].kind
+            # stringStatistics min/max decode to str; a bytes literal (BINARY
+            # or CHAR columns, which we stat as strings) compares against them
+            # via UTF-8 decode — byte order == codepoint order under UTF-8, so
+            # the pruning bound is exact. Undecodable bytes -> never prune.
+            stat_value = value
+            if t_kind in ("STRING", "VARCHAR", "CHAR") and isinstance(value, bytes):
+                try:
+                    stat_value = value.decode()
+                except UnicodeDecodeError:
+                    stat_value = None
+            # equality literals also consult per-group BLOOM_FILTER_UTF8
+            # streams (kind 8) when the writer emitted them (see bloom.py):
+            # strings hash via Murmur3, integer kinds via the Java addLong
+            # wang hash — the probe hash is computed ONCE, tested per group
+            bloom_hash = None
+            if op == "==":
+                if isinstance(value, (str, bytes)) and t_kind in ("STRING", "VARCHAR", "CHAR", "BINARY"):
+                    from .bloom import murmur3_x64_128
+
+                    bloom_hash = murmur3_x64_128(value.encode() if isinstance(value, str) else value)[0]
+                elif isinstance(value, (int, np.integer)) and not isinstance(value, bool) and t_kind in ("BYTE", "SHORT", "INT", "LONG", "DATE"):
+                    from .bloom import wang_long_hash
+
+                    bloom_hash = wang_long_hash(int(value))
+            infos.append((col, op, value, col_id, t_kind, stat_value, bloom_hash))
+
+        pred_col_ids = {i[3] for i in infos}
+        want_bloom_ids = {i[3] for i in infos if i[6] is not None}
+        read_cols = columns
+        if columns is not None:
+            read_cols = list(columns) + [i[0] for i in infos if i[0] not in columns]
 
         stride = int(tail["row_index_stride"])
-        # equality literals also consult per-group BLOOM_FILTER_UTF8 streams
-        # (kind 8) when the writer emitted them (see bloom.py): strings hash
-        # via Murmur3, integer kinds via the Java addLong wang hash — the
-        # probe hash is computed ONCE here, then tested per group
-        bloom_hash = None
-        if op == "==":
-            if isinstance(value, (str, bytes)) and t_kind in ("STRING", "VARCHAR", "CHAR", "BINARY"):
-                from .bloom import murmur3_x64_128
-
-                bloom_hash = murmur3_x64_128(value.encode() if isinstance(value, str) else value)[0]
-            elif isinstance(value, (int, np.integer)) and not isinstance(value, bool) and t_kind in ("BYTE", "SHORT", "INT", "LONG", "DATE"):
-                from .bloom import wang_long_hash
-
-                bloom_hash = wang_long_hash(int(value))
-        read_cols = columns if columns is None or col in columns else [*columns, col]
         if stride <= 0:
             tbl = _read_orc_src(src, read_cols, None)
             total = scanned = max(1, len(tail["stripes"]))
@@ -968,29 +978,34 @@ def read_orc_filtered(path_or_bytes, predicate: tuple, columns: list[str] | None
                 groups = (si["num_rows"] + stride - 1) // stride
                 stream_list, _enc, raw_spans = _parse_stripe_footer(src, si, comp)
                 footers[sidx] = (stream_list, _enc, raw_spans)
-                entries_stats: list[bytes] = []
-                blooms: list[tuple[int, bytes]] | None = None
+                entries_stats: dict[int, list[bytes]] = {}
+                blooms: dict[int, list[tuple[int, bytes]]] = {}
                 for (kind, c, ln), (pos, _l) in zip(stream_list, raw_spans):
-                    if kind == _ROW_INDEX and c == col_id:
+                    if kind == _ROW_INDEX and c in pred_col_ids:
                         ri = _fields(_deframe(src.read(pos, ln), comp))
-                        ri_raw[(sidx, col_id)] = ri
-                        entries_stats = [(_fields(e).get(2) or [b""])[0] for e in ri.get(1, [])]
-                    elif kind == 8 and c == col_id and bloom_hash is not None:  # BLOOM_FILTER_UTF8
+                        ri_raw[(sidx, c)] = ri
+                        entries_stats[c] = [(_fields(e).get(2) or [b""])[0] for e in ri.get(1, [])]
+                    elif kind == 8 and c in want_bloom_ids:  # BLOOM_FILTER_UTF8
                         bfi = _fields(_deframe(src.read(pos, ln), comp))
-                        blooms = [
-                            ((g := _fields(ent)).get(1, [1])[0], (g.get(3) or [b""])[0]) for ent in bfi.get(1, [])
-                        ]
+                        blooms[c] = [((g := _fields(ent)).get(1, [1])[0], (g.get(3) or [b""])[0]) for ent in bfi.get(1, [])]
                 for k in range(groups):
-                    mm = _entry_minmax(entries_stats[k], t_kind) if k < len(entries_stats) else "unprunable"
-                    if not _range_may_match(op, stat_value, mm):
-                        continue
-                    if blooms is not None and k < len(blooms) and blooms[k][1]:
-                        from .bloom import bloom_might_contain_hash
+                    keep = True
+                    for _col, op, _value, col_id, t_kind, stat_value, bloom_hash in infos:
+                        es = entries_stats.get(col_id, [])
+                        mm = _entry_minmax(es[k], t_kind) if k < len(es) else "unprunable"
+                        if not _range_may_match(op, stat_value, mm):
+                            keep = False
+                            break
+                        bl = blooms.get(col_id)
+                        if bloom_hash is not None and bl is not None and k < len(bl) and bl[k][1]:
+                            from .bloom import bloom_might_contain_hash
 
-                        if not bloom_might_contain_hash(blooms[k][0], blooms[k][1], bloom_hash):
-                            continue  # definitely-absent per the bloom filter
-                    selected.append(gbase + k)
-                    sel_stripes.add(sidx)
+                            if not bloom_might_contain_hash(bl[k][0], bl[k][1], bloom_hash):
+                                keep = False  # definitely-absent per the bloom
+                                break
+                    if keep:
+                        selected.append(gbase + k)
+                        sel_stripes.add(sidx)
                 gbase += groups
             total = gbase
             scanned = len(selected)
@@ -1012,8 +1027,12 @@ def read_orc_filtered(path_or_bytes, predicate: tuple, columns: list[str] | None
                     empties.append(arr)
                 tbl = pa.table(empties, names=[root.field_names[i] for i in wanted])
 
-    opfn = {"==": pc.equal, "<": pc.less, "<=": pc.less_equal, ">": pc.greater, ">=": pc.greater_equal}[op]
-    tbl = tbl.filter(opfn(tbl[col], pa.scalar(value)))
-    if columns is not None and col not in columns:
+    ops = {"==": pc.equal, "<": pc.less, "<=": pc.less_equal, ">": pc.greater, ">=": pc.greater_equal}
+    mask = None
+    for col, op, value, *_rest in infos:
+        m = ops[op](tbl[col], pa.scalar(value))
+        mask = m if mask is None else pc.and_kleene(mask, m)
+    tbl = tbl.filter(mask)
+    if columns is not None and list(tbl.column_names) != list(columns):
         tbl = tbl.select(columns)
     return tbl, {"groups_total": total, "groups_read": scanned}

@@ -332,6 +332,43 @@ def test_predicate_pushdown_prunes_row_groups(tmp_path):
     assert t["v"].to_pylist() == list(range(45000, 50000))
 
 
+def test_predicate_pushdown_conjunction(tmp_path):
+    """A list of predicates ANDs: a group survives only when every predicate
+    may match — range pruning intersects, and an == consults blooms."""
+    from orc_format_ray.orcread import read_orc_filtered
+
+    n = 50000
+    tbl = pa.table(
+        {
+            "v": pa.array(range(n), type=pa.int64()),
+            "s": pa.array([f"k{i // 1000:03d}" for i in range(n)]),
+        }
+    )
+    path = str(tmp_path / "conj.orc")
+    orcfile.write_orc(tbl, path, stripe_rows=20000, bloom_columns=["s"])  # 5 groups
+
+    # range AND range: [12000, 13000) lives in one group
+    t, st = read_orc_filtered(path, [("v", ">=", 12000), ("v", "<", 13000)])
+    assert t["v"].to_pylist() == list(range(12000, 13000))
+    assert st == {"groups_total": 5, "groups_read": 1}
+    # contradictory ranges prune everything
+    t, st = read_orc_filtered(path, [("v", ">=", 30000), ("v", "<", 1000)])
+    assert t.num_rows == 0 and st["groups_read"] == 0
+    # range AND bloom equality: key absent from the range's group
+    t, st = read_orc_filtered(path, [("v", ">=", 0), ("s", "==", "zzz")])
+    assert t.num_rows == 0 and st["groups_read"] == 0  # bloom prunes
+    # mixed: exact answer + projection appends then drops pred columns
+    t, st = read_orc_filtered(path, [("v", ">=", 12000), ("v", "<", 13000), ("s", "==", "k012")])
+    assert t.num_rows == 1000 and st["groups_read"] == 1
+    t, _ = read_orc_filtered(path, [("v", ">=", 12000), ("s", "==", "k012")], columns=["s"])
+    assert t.column_names == ["s"] and t.num_rows == 1000
+    # single-tuple form still works (back-compat)
+    t, _ = read_orc_filtered(path, ("v", "==", 7))
+    assert t["v"].to_pylist() == [7]
+    with pytest.raises(ValueError, match="at least one"):
+        read_orc_filtered(path, [])
+
+
 def test_predicate_pushdown_foreign_file_stripe_fallback(tmp_path):
     """Pushdown on an Apache-C++-written file: its row groups start mid-RLE-
     run (group seek impossible), so pruning falls back to STRIPE granularity
