@@ -1120,6 +1120,44 @@ def _q_orc_pushdown_conjunction(sf_dir: str):
     return df
 
 
+def _q_orc_pushdown_in_list(sf_dir: str):
+    """IN-list pushdown: a bloom-backed membership probe over doc ids —
+    the id-lookup access pattern of decontamination / sample fetches. The
+    oracle is the same IN in SQL."""
+    import pyarrow.parquet as pq
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from orc_format_ray import orcfile
+    from orc_format_ray.orcread import read_orc_filtered
+
+    scratch = _scratch(sf_dir, "orc")
+    path = os.path.join(scratch, "orders_in.orc")
+    if not os.path.exists(path):
+        tbl = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice", "o_orderpriority"])
+        orcfile.write_orc(tbl, path, row_index_stride=1000, bloom_columns=["o_orderkey"])
+    keys = [7, 77, 777, 1077, 1177]  # exist at every sf; sparse across groups
+    got, _stats = read_orc_filtered(path, ("o_orderkey", "in", keys))
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"].cast(pa.int64()),
+                "o_totalprice": batch["o_totalprice"],
+                "o_orderpriority": batch["o_orderpriority"],
+            }
+        )
+
+    ds = ray.data.from_arrow(prep(got))
+    out = ds.groupby("o_orderpriority").aggregate(
+        Count(alias_name="cnt"),
+        Sum("o_totalprice", alias_name="sum_price"),
+    )
+    df = out.to_pandas()
+    df["sum_price"] = df["sum_price"].round(2)
+    return df
+
+
 def _q_orc_native_read_cpp(sf_dir: str):
     """Reverse interop: the events table is written by the EXTERNAL Apache
     ORC C++ writer (pyarrow.orc, RLEv2 + dictionary encodings) and read back
@@ -1476,6 +1514,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orc_native_read_cpp": _q_orc_native_read_cpp,
         "orc_pushdown_filter": _q_orc_pushdown_filter,
         "orc_pushdown_conjunction": _q_orc_pushdown_conjunction,
+        "orc_pushdown_in_list": _q_orc_pushdown_in_list,
         "orc_bloom_pushdown": _q_orc_bloom_pushdown,
         "minhash_dedup_pairs": _q_minhash_dedup_pairs,
         "ngram_jaccard_planted": _q_ngram_jaccard_planted,
@@ -1881,6 +1920,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty "
             "FROM lineitem WHERE l_orderkey >= 300 AND l_orderkey < 900 AND l_returnflag = 'A' "
             "GROUP BY l_returnflag"
+        ),
+        "orc_pushdown_in_list": (
+            "SELECT o_orderpriority, count(*) AS cnt, round(sum(o_totalprice), 2) AS sum_price "
+            "FROM orders WHERE o_orderkey IN (7, 77, 777, 1077, 1177) GROUP BY o_orderpriority"
         ),
         # exact-text equality; the ORC side must prune via the bloom stream
         "orc_bloom_pushdown": (

@@ -907,14 +907,16 @@ def _range_may_match(op: str, value, mm) -> bool:
 def read_orc_filtered(path_or_bytes, predicate, columns: list[str] | None = None):
     """Predicate-pushdown read via the ROW_INDEX statistics.
 
-    ``predicate`` is (column, op, literal) with op in ==/</<=/>/>= , or a
+    ``predicate`` is (column, op, literal) with op in ==/</<=/>/>=/in , or a
     LIST of such triples combined conjunctively (AND) — e.g. a range scan
-    ``[("ts", ">=", lo), ("ts", "<", hi), ("kind", "==", k)]``. A row group
-    is read only when EVERY predicate may match its per-group [min, max]
-    (and, for ``==`` on bloom-bearing columns, its bloom filter); survivors
-    are decoded and exact-filtered. Returns (table, {"groups_total",
-    "groups_read"}) so callers can assert the pruning. Files without a row
-    index fall back to a full scan + filter."""
+    ``[("ts", ">=", lo), ("ts", "<", hi), ("kind", "==", k)]``. ``"in"``
+    takes a non-empty list/tuple/set literal and prunes a group unless SOME
+    member may match. A row group is read only when EVERY predicate may
+    match its per-group [min, max] (and, for ``==``/``"in"`` on
+    bloom-bearing columns, its bloom filter); survivors are decoded and
+    exact-filtered. Returns (table, {"groups_total", "groups_read"}) so
+    callers can assert the pruning. Files without a row index fall back to
+    a full scan + filter."""
     import pyarrow.compute as pc
 
     preds = [predicate] if isinstance(predicate, tuple) else list(predicate)
@@ -926,37 +928,56 @@ def read_orc_filtered(path_or_bytes, predicate, columns: list[str] | None = None
         types = tail["types"]
         root = types[0]
         spans = list(root.subtypes) + [len(types)]
-        infos = []  # per predicate: (col, op, value, col_id, t_kind, stat_value, bloom_hash)
+
+        def _stat_value(value, t_kind):
+            # stringStatistics min/max decode to str; a bytes literal (BINARY
+            # or CHAR columns, which we stat as strings) compares against them
+            # via UTF-8 decode — byte order == codepoint order under UTF-8, so
+            # the pruning bound is exact. Undecodable bytes -> never prune.
+            if t_kind in ("STRING", "VARCHAR", "CHAR") and isinstance(value, bytes):
+                try:
+                    return value.decode()
+                except UnicodeDecodeError:
+                    return None
+            return value
+
+        def _probe_hash(value, t_kind):
+            # equality literals also consult per-group BLOOM_FILTER_UTF8
+            # streams (kind 8) when the writer emitted them (see bloom.py):
+            # strings hash via Murmur3, integer kinds via the Java addLong
+            # wang hash — probe hashes are computed ONCE, tested per group
+            if isinstance(value, (str, bytes)) and t_kind in ("STRING", "VARCHAR", "CHAR", "BINARY"):
+                from .bloom import murmur3_x64_128
+
+                return murmur3_x64_128(value.encode() if isinstance(value, str) else value)[0]
+            if isinstance(value, (int, np.integer)) and not isinstance(value, bool) and t_kind in ("BYTE", "SHORT", "INT", "LONG", "DATE"):
+                from .bloom import wang_long_hash
+
+                return wang_long_hash(int(value))
+            return None
+
+        # per predicate: (col, op, values, col_id, t_kind, stat_values,
+        # bloom_hashes) — ==/</<=/>/>= carry one value, "in" several; a
+        # group survives an "in" when SOME member may match
+        infos = []
         for col, op, value in preds:
             if col not in root.field_names:
                 raise KeyError(f"column {col!r} not in {root.field_names}")
             col_id = spans[root.field_names.index(col)]
             t_kind = types[col_id].kind
-            # stringStatistics min/max decode to str; a bytes literal (BINARY
-            # or CHAR columns, which we stat as strings) compares against them
-            # via UTF-8 decode — byte order == codepoint order under UTF-8, so
-            # the pruning bound is exact. Undecodable bytes -> never prune.
-            stat_value = value
-            if t_kind in ("STRING", "VARCHAR", "CHAR") and isinstance(value, bytes):
-                try:
-                    stat_value = value.decode()
-                except UnicodeDecodeError:
-                    stat_value = None
-            # equality literals also consult per-group BLOOM_FILTER_UTF8
-            # streams (kind 8) when the writer emitted them (see bloom.py):
-            # strings hash via Murmur3, integer kinds via the Java addLong
-            # wang hash — the probe hash is computed ONCE, tested per group
-            bloom_hash = None
-            if op == "==":
-                if isinstance(value, (str, bytes)) and t_kind in ("STRING", "VARCHAR", "CHAR", "BINARY"):
-                    from .bloom import murmur3_x64_128
-
-                    bloom_hash = murmur3_x64_128(value.encode() if isinstance(value, str) else value)[0]
-                elif isinstance(value, (int, np.integer)) and not isinstance(value, bool) and t_kind in ("BYTE", "SHORT", "INT", "LONG", "DATE"):
-                    from .bloom import wang_long_hash
-
-                    bloom_hash = wang_long_hash(int(value))
-            infos.append((col, op, value, col_id, t_kind, stat_value, bloom_hash))
+            if op == "in":
+                values = list(value)
+                if not values:
+                    raise ValueError(f"empty IN list for column {col!r}")
+                hashes = [_probe_hash(v, t_kind) for v in values]
+                # bloom-prune only when every member is hashable (an
+                # unhashable member could hide anywhere)
+                if any(h is None for h in hashes):
+                    hashes = None
+                infos.append((col, "in", values, col_id, t_kind, [_stat_value(v, t_kind) for v in values], hashes))
+            else:
+                bloom_hash = _probe_hash(value, t_kind) if op == "==" else None
+                infos.append((col, op, [value], col_id, t_kind, [_stat_value(value, t_kind)], [bloom_hash] if bloom_hash is not None else None))
 
         pred_col_ids = {i[3] for i in infos}
         want_bloom_ids = {i[3] for i in infos if i[6] is not None}
@@ -990,19 +1011,26 @@ def read_orc_filtered(path_or_bytes, predicate, columns: list[str] | None = None
                         blooms[c] = [((g := _fields(ent)).get(1, [1])[0], (g.get(3) or [b""])[0]) for ent in bfi.get(1, [])]
                 for k in range(groups):
                     keep = True
-                    for _col, op, _value, col_id, t_kind, stat_value, bloom_hash in infos:
+                    for _col, op, _values, col_id, t_kind, stat_values, bloom_hashes in infos:
                         es = entries_stats.get(col_id, [])
                         mm = _entry_minmax(es[k], t_kind) if k < len(es) else "unprunable"
-                        if not _range_may_match(op, stat_value, mm):
+                        bl = blooms.get(col_id)
+                        bloom_entry = bl[k] if bl is not None and k < len(bl) and bl[k][1] else None
+                        member_op = "==" if op == "in" else op
+                        any_match = False
+                        for j, sv in enumerate(stat_values):
+                            if not _range_may_match(member_op, sv, mm):
+                                continue
+                            if bloom_entry is not None and bloom_hashes is not None:
+                                from .bloom import bloom_might_contain_hash
+
+                                if not bloom_might_contain_hash(bloom_entry[0], bloom_entry[1], bloom_hashes[j]):
+                                    continue  # definitely-absent per the bloom
+                            any_match = True
+                            break
+                        if not any_match:
                             keep = False
                             break
-                        bl = blooms.get(col_id)
-                        if bloom_hash is not None and bl is not None and k < len(bl) and bl[k][1]:
-                            from .bloom import bloom_might_contain_hash
-
-                            if not bloom_might_contain_hash(bl[k][0], bl[k][1], bloom_hash):
-                                keep = False  # definitely-absent per the bloom
-                                break
                     if keep:
                         selected.append(gbase + k)
                         sel_stripes.add(sidx)
@@ -1029,8 +1057,11 @@ def read_orc_filtered(path_or_bytes, predicate, columns: list[str] | None = None
 
     ops = {"==": pc.equal, "<": pc.less, "<=": pc.less_equal, ">": pc.greater, ">=": pc.greater_equal}
     mask = None
-    for col, op, value, *_rest in infos:
-        m = ops[op](tbl[col], pa.scalar(value))
+    for col, op, values, *_rest in infos:
+        if op == "in":
+            m = pc.is_in(tbl[col], value_set=pa.array(values))
+        else:
+            m = ops[op](tbl[col], pa.scalar(values[0]))
         mask = m if mask is None else pc.and_kleene(mask, m)
     tbl = tbl.filter(mask)
     if columns is not None and list(tbl.column_names) != list(columns):

@@ -369,6 +369,36 @@ def test_predicate_pushdown_conjunction(tmp_path):
         read_orc_filtered(path, [])
 
 
+def test_predicate_pushdown_in_list(tmp_path):
+    """IN-list pushdown: a group survives when SOME member may match; bloom
+    probes apply per member; composes inside conjunctions."""
+    from orc_format_ray.orcread import read_orc_filtered
+
+    n = 50000
+    tbl = pa.table(
+        {
+            "v": pa.array(range(n), type=pa.int64()),
+            "s": pa.array([f"k{i // 1000:03d}" for i in range(n)]),
+        }
+    )
+    path = str(tmp_path / "inlist.orc")
+    orcfile.write_orc(tbl, path, stripe_rows=20000, bloom_columns=["s"])  # 5 groups
+
+    t, st = read_orc_filtered(path, ("v", "in", [5, 25000, 25001]))
+    assert t["v"].to_pylist() == [5, 25000, 25001]
+    assert st == {"groups_total": 5, "groups_read": 2}  # groups 0 and 2 only
+    t, st = read_orc_filtered(path, ("s", "in", ["zzz", "yyy"]))
+    assert t.num_rows == 0 and st["groups_read"] == 0  # all members bloom-absent
+    t, st = read_orc_filtered(path, ("s", "in", ["k001", "zzz"]))
+    assert t.num_rows == 1000 and st["groups_read"] == 1
+    t, st = read_orc_filtered(path, [("v", ">=", 20000), ("s", "in", ["k001", "k021"])])
+    assert t.num_rows == 1000 and t["s"][0].as_py() == "k021" and st["groups_read"] == 1
+    t, _ = read_orc_filtered(path, ("v", "in", [7, 9]), columns=["s"])
+    assert t.column_names == ["s"] and t.num_rows == 2
+    with pytest.raises(ValueError, match="empty IN"):
+        read_orc_filtered(path, ("v", "in", []))
+
+
 def test_predicate_pushdown_foreign_file_stripe_fallback(tmp_path):
     """Pushdown on an Apache-C++-written file: its row groups start mid-RLE-
     run (group seek impossible), so pruning falls back to STRIPE granularity
