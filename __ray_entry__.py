@@ -800,6 +800,47 @@ def _q_orc_compact_roundtrip(sf_dir: str):
     return df
 
 
+def _q_orc_partitioned_roundtrip(sf_dir: str):
+    """Hive-partitioned ORC lake: orders written as o_orderpriority=...
+    directories (partition column dropped from data files, typed sidecar),
+    read back with a partition predicate that prunes whole directories
+    driver-side plus a data predicate pushed into the surviving files'
+    ROW_INDEX. Oracle: the same WHERE in SQL."""
+    import shutil
+
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from orc_format_ray.orcfile import read_orc_dataset, write_orc_dataset
+
+    scratch = _scratch(sf_dir, "orc")
+    d = os.path.join(scratch, "orders_hive")
+    shutil.rmtree(d, ignore_errors=True)
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_custkey", "o_totalprice"])
+    write_orc_dataset(ds.repartition(4), d, partition_by=["o_orderpriority"]).take_all()
+    back = read_orc_dataset(
+        d, native=True,
+        predicate=[("o_orderpriority", "in", ["1-URGENT", "2-HIGH"]), ("o_totalprice", ">=", 100000.0)],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": batch["o_orderpriority"],
+                "o_custkey": batch["o_custkey"].cast(pa.int64()),
+                "o_totalprice": batch["o_totalprice"],
+            }
+        )
+
+    out = back.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True, **_ra()).groupby("o_orderpriority").aggregate(
+        Count(alias_name="cnt"),
+        Sum("o_totalprice", alias_name="sum_price"),
+    )
+    df = out.to_pandas()
+    df["sum_price"] = df["sum_price"].round(2)
+    return df
+
+
 def _q_orc_schema_evolution(sf_dir: str):
     """Reader-side schema evolution: three writer generations of lineitem
     (narrow int32 key without l_returnflag; current; reordered columns) read
@@ -1501,6 +1542,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orc_lineitem_roundtrip": _q_orc_lineitem_roundtrip,
         "orc_compact_roundtrip": _q_orc_compact_roundtrip,
         "orc_schema_evolution": _q_orc_schema_evolution,
+        "orc_partitioned_roundtrip": _q_orc_partitioned_roundtrip,
         "broadcast_join_orders_customer": _q_broadcast_join_orders_customer,
         "hash_join_lineitem_orders": _q_hash_join_lineitem_orders,
         "semi_anti_join_customers": _q_semi_anti_join_customers,
@@ -1924,6 +1966,11 @@ def oracle_sql() -> dict[str, str]:
         "orc_pushdown_in_list": (
             "SELECT o_orderpriority, count(*) AS cnt, round(sum(o_totalprice), 2) AS sum_price "
             "FROM orders WHERE o_orderkey IN (7, 77, 777, 1077, 1177) GROUP BY o_orderpriority"
+        ),
+        "orc_partitioned_roundtrip": (
+            "SELECT o_orderpriority, count(*) AS cnt, round(sum(o_totalprice), 2) AS sum_price "
+            "FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') AND o_totalprice >= 100000.0 "
+            "GROUP BY o_orderpriority"
         ),
         # exact-text equality; the ORC side must prune via the bloom stream
         "orc_bloom_pushdown": (

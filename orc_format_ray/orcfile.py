@@ -911,6 +911,37 @@ def _orc_kind_safe(t: pa.DataType) -> str:
 
 # ------------------------------------------------------------- Ray sink
 
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"  # Hive's null-partition sentinel
+PARTITION_SCHEMA_FILE = "_partition_schema.arrow"
+
+
+def _hive_quote(v) -> str:
+    if v is None:
+        return _HIVE_NULL
+    from urllib.parse import quote
+
+    return quote(str(v), safe="")
+
+
+def _hive_unquote(s: str):
+    if s == _HIVE_NULL:
+        return None
+    from urllib.parse import unquote
+
+    return unquote(s)
+
+
+def _content_hash_name(batch: pa.Table) -> str:
+    import hashlib
+
+    digest = hashlib.sha256()
+    for c in batch.columns:
+        for b in c.chunks if isinstance(c, pa.ChunkedArray) else [c]:
+            for bufo in b.buffers():
+                if bufo is not None:
+                    digest.update(bufo)
+    return f"part-{digest.hexdigest()[:32]}-{batch.num_rows}.orc"
+
 
 def write_orc_dataset(
     ds,
@@ -921,8 +952,18 @@ def write_orc_dataset(
     row_index_stride: int = 10_000,
     dictionary_ratio: float = 0.5,
     bloom_columns: list[str] | None = None,
+    partition_by: list[str] | None = None,
 ):
-    """Ray Data sink: one real ORC file per Dataset block (actor pool).
+    """Ray Data sink: one real ORC file per Dataset block (task pool).
+
+    ``partition_by`` writes Hive-style ``col=value`` directories (values
+    URL-quoted, nulls as Hive's default-partition sentinel): each block
+    splits by its distinct partition values and the partition columns are
+    dropped from the data files — ``read_orc_dataset`` re-injects them
+    (typed via a tiny serialized-schema sidecar) and prunes whole
+    directories on partition predicates without opening a file. Partition
+    columns should be low-cardinality (a file per distinct value per
+    block).
 
     Content-hashed names make re-writes idempotent; returns the lineage
     Dataset (path, num_rows, file_bytes)."""
@@ -930,27 +971,45 @@ def write_orc_dataset(
 
     from ._rayutil import remote_args
 
+    partition_by = list(partition_by or ())
+    if set(partition_by) & set(bloom_columns or ()):
+        raise ValueError("partition_by columns are dropped from data files; they cannot carry bloom filters")
     os.makedirs(out_dir, exist_ok=True)
 
-    def _write_orc_block(batch: pa.Table) -> pa.Table:
-        import hashlib
+    def _ensure_sidecar(pschema: pa.Schema) -> None:
+        sc = os.path.join(out_dir, PARTITION_SCHEMA_FILE)
+        if os.path.exists(sc):
+            return
+        tmp = sc + f".tmp{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(pschema.serialize().to_pybytes())
+        os.replace(tmp, sc)  # every writer emits identical bytes
 
-        import pyarrow as pa_
-
-        digest = hashlib.sha256()
-        for c in batch.columns:
-            for b in c.chunks if isinstance(c, pa_.ChunkedArray) else [c]:
-                for bufo in b.buffers():
-                    if bufo is not None:
-                        digest.update(bufo)
-        name = f"part-{digest.hexdigest()[:32]}-{batch.num_rows}.orc"
-        path = os.path.join(out_dir, name)
+    def _write_one(batch: pa.Table, dirpath: str) -> dict:
+        os.makedirs(dirpath, exist_ok=True)
+        path = os.path.join(dirpath, _content_hash_name(batch))
         info = write_orc(
             batch, path, compression, level, stripe_rows=stripe_rows,
             row_index_stride=row_index_stride, dictionary_ratio=dictionary_ratio,
             bloom_columns=bloom_columns,
         )
-        return pa.Table.from_pylist([{"path": path, "num_rows": info["num_rows"], "file_bytes": info["file_bytes"]}])
+        return {"path": path, "num_rows": info["num_rows"], "file_bytes": info["file_bytes"]}
+
+    def _write_orc_block(batch: pa.Table) -> pa.Table:
+        if not partition_by:
+            return pa.Table.from_pylist([_write_one(batch, out_dir)])
+        _ensure_sidecar(pa.schema([batch.schema.field(c) for c in partition_by]))
+        rows = []
+        uniq = batch.select(partition_by).group_by(partition_by).aggregate([])
+        for combo in uniq.to_pylist():
+            mask = None
+            for c in partition_by:
+                m = pc.is_null(batch[c]) if combo[c] is None else pc.equal(batch[c], pa.scalar(combo[c], batch.schema.field(c).type))
+                mask = m if mask is None else pc.and_(mask, m)
+            sub = batch.filter(mask).drop_columns(partition_by)
+            dirpath = os.path.join(out_dir, *[f"{c}={_hive_quote(combo[c])}" for c in partition_by])
+            rows.append(_write_one(sub, dirpath))
+        return pa.Table.from_pylist(rows)
 
     # stateless task pool: no per-actor state, and fixed actor pools compose
     # badly (CPU-reservation deadlock) when a pipeline chains two of them
@@ -961,6 +1020,27 @@ def write_orc_dataset(
         zero_copy_batch=True,
         **remote_args(),
     )
+
+
+def _typed_partition_value(raw: str | None, t: pa.DataType):
+    if raw is None:
+        return None
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return raw
+    if pa.types.is_boolean(t):
+        return raw in ("true", "True", "1")
+    return pa.array([raw], pa.string()).cast(t)[0].as_py()
+
+
+def _partition_pred_ok(val, op, lit) -> bool:
+    """Driver-side predicate on a typed partition value; null never matches."""
+    if op == "in":
+        return val is not None and val in list(lit)
+    if val is None:
+        return False
+    import operator as _op
+
+    return {"==": _op.eq, "<": _op.lt, "<=": _op.le, ">": _op.gt, ">=": _op.ge}[op](val, lit)
 
 
 def read_orc_dataset(
@@ -980,9 +1060,15 @@ def read_orc_dataset(
     file: the driver reads only each file's tail to count groups, and every
     task seeks its group via the ROW_INDEX — how a 100-TB scan of few huge
     ORC files still fans out across the cluster. ``predicate=(col, op, lit)``
-    — or a list of such triples, combined with AND — (native only) pushes a
-    filter into every reader task via the ROW_INDEX statistics
-    (read_orc_filtered): pruned row groups are never fetched.
+    — or a list of such triples, combined with AND; ops ==/</<=/>/>=/in —
+    pushes a filter into every reader task via the ROW_INDEX statistics
+    (read_orc_filtered; native only): pruned row groups are never fetched.
+
+    Hive-partitioned directories (``write_orc_dataset(partition_by=...)``)
+    are transparent: ``col=value`` path segments come back as typed columns
+    (via the sidecar partition schema; all-string without it), and
+    predicates on partition columns prune whole FILES driver-side before
+    any task launches — partition-only predicates work on both read paths.
 
     ``target_schema`` (a pa.Schema, or the string ``"unify"``) enables
     reader-side SCHEMA EVOLUTION for directories whose files drifted across
@@ -992,6 +1078,7 @@ def read_orc_dataset(
     well-typed schema. ``"unify"`` computes the widest compatible schema
     from the file TAILS only (a few KiB per file, driver-side)."""
     import glob
+    import json
     import os
 
     import ray.data
@@ -1000,10 +1087,77 @@ def read_orc_dataset(
     from .evolve import evolve_table, unified_orc_schema
     from .orcread import _parse_tail, _Source, read_orc_filtered, read_orc_native
 
+    part_schema: pa.Schema | None = None
+    pv_raw: dict[str, dict[str, str | None]] = {}  # path -> {col: unquoted raw}
     if os.path.isdir(path_or_dir):
-        paths = sorted(glob.glob(os.path.join(path_or_dir, "*.orc")))
+        paths = sorted(glob.glob(os.path.join(path_or_dir, "**", "*.orc"), recursive=True))
+        any_kv = False
+        for p in paths:
+            rel = os.path.relpath(os.path.dirname(p), path_or_dir)
+            kvs: dict[str, str | None] = {}
+            for seg in rel.split(os.sep):
+                if "=" in seg:
+                    k, v = seg.split("=", 1)
+                    kvs[k] = _hive_unquote(v)
+            pv_raw[p] = kvs
+            any_kv = any_kv or bool(kvs)
+        if any_kv:
+            sc = os.path.join(path_or_dir, PARTITION_SCHEMA_FILE)
+            if os.path.exists(sc):
+                with open(sc, "rb") as f:
+                    part_schema = pa.ipc.read_schema(pa.py_buffer(f.read()))
+            else:  # foreign hive layout without our sidecar: strings
+                names = sorted({k for kvs in pv_raw.values() for k in kvs})
+                part_schema = pa.schema([(n, pa.string()) for n in names])
     else:
         paths = [path_or_dir]
+    part_names = list(part_schema.names) if part_schema is not None else []
+
+    # split the predicate: partition predicates prune FILES driver-side,
+    # the rest pushes into the per-file reader
+    if predicate is not None and part_names:
+        preds = [predicate] if isinstance(predicate, tuple) else list(predicate)
+        ppreds = [t for t in preds if t[0] in part_names]
+        dpreds = [t for t in preds if t[0] not in part_names]
+        if ppreds:
+            def keep(p: str) -> bool:
+                return all(
+                    _partition_pred_ok(
+                        _typed_partition_value(pv_raw[p].get(c), part_schema.field(c).type), op, lit
+                    )
+                    for c, op, lit in ppreds
+                )
+
+            paths = [p for p in paths if keep(p)]
+        predicate = dpreds if dpreds else None
+
+    data_columns = columns
+    if columns is not None and part_names:
+        data_columns = [c for c in columns if c not in part_names]
+    if target_schema is not None and set(part_names) & (
+        set(target_schema.names) if isinstance(target_schema, pa.Schema) else set()
+    ):
+        raise ValueError("target_schema must not include partition columns (they are injected from paths)")
+
+    def _inject(t: pa.Table, pv_json: str) -> pa.Table:
+        if part_schema is None:
+            return t
+        vals = json.loads(pv_json)
+        for f in part_schema:
+            if columns is not None and f.name not in columns:
+                continue
+            v = _typed_partition_value(vals.get(f.name), f.type)
+            arr = pa.nulls(t.num_rows, f.type) if v is None else pa.repeat(pa.scalar(v, f.type), t.num_rows)
+            t = t.append_column(f.name, arr)
+        if columns is not None:
+            t = t.select(columns)  # requested order
+        return t
+
+    def _item(p: str, **extra) -> dict:
+        it = {"path": p, **extra}
+        if part_schema is not None:
+            it["pv"] = json.dumps(pv_raw.get(p, {}))
+        return it
 
     if isinstance(target_schema, str):
         if target_schema != "unify":
@@ -1019,16 +1173,19 @@ def read_orc_dataset(
             from .evolve import unify_schemas
 
             target_schema = unify_schemas([po.ORCFile(p).schema for p in paths])
-    if target_schema is not None and columns is not None:
-        target_schema = pa.schema([target_schema.field(c) for c in columns])
+    if target_schema is not None and data_columns is not None:
+        target_schema = pa.schema([target_schema.field(c) for c in data_columns])
 
     def _evolve(t: pa.Table) -> pa.Table:
         return evolve_table(t, target_schema) if target_schema is not None else t
 
-    if predicate is not None:
+    def _pv(batch: pa.Table, i: int) -> str:
+        return batch["pv"][i].as_py() if part_schema is not None else "{}"
+
+    if predicate:
         if not native:
-            raise ValueError("predicate pushdown requires native=True")
-        ds = ray.data.from_items([{"path": p} for p in paths])
+            raise ValueError("predicate pushdown on data columns requires native=True")
+        ds = ray.data.from_items([_item(p) for p in paths])
 
         pred_cols = [predicate[0]] if isinstance(predicate, tuple) else [p[0] for p in predicate]
 
@@ -1036,13 +1193,13 @@ def read_orc_dataset(
             from .evolve import orc_file_schema
 
             tables = []
-            for p in batch["path"]:
+            for i, p in enumerate(batch["path"]):
                 if target_schema is not None and not set(pred_cols) <= set(orc_file_schema(p.as_py()).names):
                     # evolution semantics: a column this file predates is all
                     # null, and null never satisfies a predicate — 0 rows
-                    tables.append(evolve_table(pa.table({}), target_schema))
+                    tables.append(_inject(evolve_table(pa.table({}), target_schema), _pv(batch, i)))
                     continue
-                tables.append(_evolve(read_orc_filtered(p.as_py(), predicate, columns=columns)[0]))
+                tables.append(_inject(_evolve(read_orc_filtered(p.as_py(), predicate, columns=data_columns)[0]), _pv(batch, i)))
             return pa.concat_tables(tables) if len(tables) > 1 else tables[0]
 
         return ds.map_batches(dec_pred, batch_format="pyarrow", batch_size=1, **remote_args())
@@ -1060,16 +1217,19 @@ def read_orc_dataset(
                 if stride <= 0 or not seekable_row_groups(src, tail):
                     # no index, or a foreign writer whose groups start
                     # mid-RLE-run: fall back to one task for the whole file
-                    items.append({"path": p, "rg": -1})
+                    items.append(_item(p, rg=-1))
                     continue
             n_groups = sum((si["num_rows"] + stride - 1) // stride for si in tail["stripes"])
-            items.extend({"path": p, "rg": k} for k in range(n_groups))
+            items.extend(_item(p, rg=k) for k in range(n_groups))
         ds = ray.data.from_items(items)
 
         def dec_rg(batch: pa.Table) -> pa.Table:
             tables = [
-                _evolve(read_orc_native(p.as_py(), columns=columns, row_groups=None if r.as_py() < 0 else [r.as_py()]))
-                for p, r in zip(batch["path"], batch["rg"])
+                _inject(
+                    _evolve(read_orc_native(p.as_py(), columns=data_columns, row_groups=None if r.as_py() < 0 else [r.as_py()])),
+                    _pv(batch, i),
+                )
+                for i, (p, r) in enumerate(zip(batch["path"], batch["rg"]))
             ]
             return pa.concat_tables(tables) if len(tables) > 1 else tables[0]
 
@@ -1077,28 +1237,32 @@ def read_orc_dataset(
 
     # read fused into the decode task (one block per file): the payload never
     # transits the object store between a read op and the decode op
-    ds = ray.data.from_items([{"path": p} for p in paths])
+    ds = ray.data.from_items([_item(p) for p in paths])
 
     def dec(batch: pa.Table) -> pa.Table:
         import pyarrow.orc as po
 
         tables = []
-        for p in batch["path"]:
+        for i, p in enumerate(batch["path"]):
             fl = po.ORCFile(p.as_py())
-            cols = columns
-            if cols is not None and target_schema is not None:
-                # pyarrow's reader raises on absent names; evolution fills them
-                present = set(fl.schema.names)
-                cols = [c for c in cols if c in present]
-                if not cols:  # no projected column exists in this file: keep
-                    # its row count so evolution can null-fill
-                    tables.append(_evolve(pa.table({"__rows": pa.nulls(fl.nrows)}).select([])))
+            cols = data_columns
+            if cols is not None:
+                if target_schema is not None:
+                    # pyarrow's reader raises on absent names; evolution fills
+                    present = set(fl.schema.names)
+                    cols = [c for c in cols if c in present]
+                if not cols:  # only partition (or evolution-missing) columns
+                    # projected: keep the row count for null-fill/injection
+                    tables.append(_inject(_evolve(pa.table({"__rows": pa.nulls(fl.nrows)}).select([])), _pv(batch, i)))
                     continue
-            tables.append(_evolve(fl.read(columns=cols)))
+            tables.append(_inject(_evolve(fl.read(columns=cols)), _pv(batch, i)))
         return pa.concat_tables(tables) if len(tables) > 1 else tables[0]
 
     def dec_native(batch: pa.Table) -> pa.Table:
-        tables = [_evolve(read_orc_native(p.as_py(), columns=columns)) for p in batch["path"]]
+        tables = [
+            _inject(_evolve(read_orc_native(p.as_py(), columns=data_columns)), _pv(batch, i))
+            for i, p in enumerate(batch["path"])
+        ]
         return pa.concat_tables(tables) if len(tables) > 1 else tables[0]
 
     return ds.map_batches(dec_native if native else dec, batch_format="pyarrow", batch_size=1, **remote_args())

@@ -1,0 +1,171 @@
+"""Hive-partitioned ORC sink + partition-pruned read (orcfile.py).
+
+write_orc_dataset(partition_by=...) writes col=value directories with the
+partition columns dropped from the data files and a serialized-schema
+sidecar; read_orc_dataset re-injects them typed and prunes whole files on
+partition predicates driver-side."""
+
+import glob
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+import ray
+
+from orc_format_ray.orcfile import (
+    _hive_quote,
+    _hive_unquote,
+    read_orc_dataset,
+    write_orc_dataset,
+)
+
+
+def _table(n=6000, seed=3):
+    r = np.random.default_rng(seed)
+    return pa.table(
+        {
+            "id": pa.array(np.arange(n), pa.int64()),
+            "source": pa.array([f"src{v}" for v in r.integers(0, 4, n)]),
+            "lang": pa.array(r.integers(0, 3, n), pa.int32()),
+            "val": pa.array(r.normal(size=n)),
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def part_dir(tmp_path_factory, ray_session):
+    d = str(tmp_path_factory.mktemp("hive") / "data")
+    t = _table()
+    write_orc_dataset(ray.data.from_arrow(t).repartition(3), d, partition_by=["source", "lang"], stripe_rows=500).materialize()
+    return {"dir": d, "t": t}
+
+
+def test_hive_quoting_roundtrip():
+    for v in ("plain", "a/b=c d%e", "", "__HIVE_DEFAULT_PARTITION__x"):
+        assert _hive_unquote(_hive_quote(v)) == v
+    assert _hive_quote(None) == "__HIVE_DEFAULT_PARTITION__"
+    assert _hive_unquote("__HIVE_DEFAULT_PARTITION__") is None
+    assert "/" not in _hive_quote("a/b") and "=" not in _hive_quote("a=b")
+
+
+def test_partitioned_layout_and_sidecar(part_dir):
+    files = glob.glob(os.path.join(part_dir["dir"], "**", "*.orc"), recursive=True)
+    assert files and all("source=" in f and "lang=" in f for f in files)
+    assert os.path.exists(os.path.join(part_dir["dir"], "_partition_schema.arrow"))
+
+
+@pytest.mark.parametrize("native", [True, False])
+def test_partitioned_roundtrip(part_dir, native, ray_session):
+    ds = read_orc_dataset(part_dir["dir"], native=native)
+    got = pa.concat_tables(ray.get(ds.to_arrow_refs())).sort_by("id")
+    want = part_dir["t"].sort_by("id")
+    assert got["lang"].type == pa.int32()  # typed via the sidecar
+    assert got.select(["id", "source", "lang", "val"]).cast(want.schema).equals(want)
+
+
+def test_partition_predicate_prunes_files(part_dir, ray_session):
+    t = part_dir["t"]
+    # == on a partition column: works WITHOUT native (no data pushdown left)
+    ds = read_orc_dataset(part_dir["dir"], predicate=("source", "==", "src2"))
+    got = pa.concat_tables(ray.get(ds.to_arrow_refs()))
+    assert got.num_rows == pc.sum(pc.equal(t["source"], "src2").cast(pa.int64())).as_py()
+    assert set(got["source"].to_pylist()) == {"src2"}
+    # IN + typed comparison on the int partition column
+    ds = read_orc_dataset(part_dir["dir"], predicate=[("lang", ">=", 1), ("source", "in", ["src0", "src3"])])
+    got = pa.concat_tables(ray.get(ds.to_arrow_refs()))
+    m = pc.and_(pc.greater_equal(t["lang"], 1), pc.is_in(t["source"], value_set=pa.array(["src0", "src3"])))
+    assert got.num_rows == t.filter(m).num_rows
+    # nothing matches -> empty Dataset but not an error
+    ds = read_orc_dataset(part_dir["dir"], predicate=("source", "==", "nope"))
+    assert pa.concat_tables(ray.get(ds.to_arrow_refs()) or [pa.table({})]).num_rows == 0
+
+
+def test_mixed_partition_and_data_predicate(part_dir, ray_session):
+    t = part_dir["t"]
+    ds = read_orc_dataset(part_dir["dir"], predicate=[("source", "==", "src1"), ("id", "<", 700)], native=True)
+    got = pa.concat_tables(ray.get(ds.to_arrow_refs()))
+    m = pc.and_(pc.equal(t["source"], "src1"), pc.less(t["id"], 700))
+    assert got.num_rows == t.filter(m).num_rows
+    assert pc.max(got["id"]).as_py() < 700
+
+
+@pytest.mark.parametrize("native", [True, False])
+def test_partition_projection(part_dir, native, ray_session):
+    ds = read_orc_dataset(part_dir["dir"], columns=["source", "id"], native=native)
+    got = pa.concat_tables(ray.get(ds.to_arrow_refs()))
+    assert got.column_names == ["source", "id"] and got.num_rows == 6000
+    ds = read_orc_dataset(part_dir["dir"], columns=["lang"], native=native)  # partition-only
+    got = pa.concat_tables(ray.get(ds.to_arrow_refs()))
+    assert got.column_names == ["lang"] and got.num_rows == 6000 and got["lang"].type == pa.int32()
+
+
+def test_partitioned_split_row_groups(part_dir, ray_session):
+    ds = read_orc_dataset(part_dir["dir"], native=True, split_row_groups=True)
+    got = pa.concat_tables(ray.get(ds.to_arrow_refs())).sort_by("id")
+    want = part_dir["t"].sort_by("id")
+    assert got.select(["id", "source", "lang", "val"]).cast(want.schema).equals(want)
+
+
+def test_null_partition_value(tmp_path, ray_session):
+    t = pa.table({"k": pa.array(["a", None, "b", None]), "v": pa.array([1, 2, 3, 4], pa.int64())})
+    d = str(tmp_path / "nulls")
+    write_orc_dataset(ray.data.from_arrow(t), d, partition_by=["k"]).materialize()
+    assert os.path.isdir(os.path.join(d, "k=__HIVE_DEFAULT_PARTITION__"))
+    ds = read_orc_dataset(d, native=True)
+    got = pa.concat_tables(ray.get(ds.to_arrow_refs())).sort_by("v")
+    assert got["k"].to_pylist() == ["a", None, "b", None]
+    # null partitions never satisfy predicates
+    ds = read_orc_dataset(d, predicate=("k", "==", "a"))
+    got = pa.concat_tables(ray.get(ds.to_arrow_refs()))
+    assert got["v"].to_pylist() == [1]
+
+
+def test_foreign_hive_layout_without_sidecar(tmp_path, ray_session):
+    """key=value dirs written by another engine (no sidecar): partition
+    columns come back as strings."""
+    from orc_format_ray.orcfile import write_orc
+
+    os.makedirs(tmp_path / "year=2024")
+    write_orc(pa.table({"v": pa.array([1, 2], pa.int64())}), str(tmp_path / "year=2024" / "a.orc"))
+    ds = read_orc_dataset(str(tmp_path), native=True)
+    got = pa.concat_tables(ray.get(ds.to_arrow_refs()))
+    assert got["year"].type == pa.string() and got["year"].to_pylist() == ["2024", "2024"]
+
+
+def test_partition_bloom_conflict_raises(ray_session):
+    with pytest.raises(ValueError, match="bloom"):
+        write_orc_dataset(ray.data.from_arrow(_table(10)), "/tmp/x_unused", partition_by=["source"], bloom_columns=["source"])
+
+
+def test_partitioned_with_evolution(tmp_path, ray_session):
+    """Partitioning and schema evolution compose: drifted data files inside
+    partition dirs unify, partition columns inject after."""
+    from orc_format_ray.orcfile import write_orc
+
+    for src, tbl in (
+        ("a", pa.table({"id": pa.array([1, 2], pa.int32())})),
+        ("b", pa.table({"id": pa.array([3], pa.int64()), "score": pa.array([0.5])})),
+    ):
+        os.makedirs(tmp_path / f"source={src}", exist_ok=True)
+        write_orc(tbl, str(tmp_path / f"source={src}" / "part.orc"))
+    ds = read_orc_dataset(str(tmp_path), native=True, target_schema="unify")
+    got = pa.concat_tables(ray.get(ds.to_arrow_refs())).sort_by("id")
+    assert got["id"].type == pa.int64() and got["id"].to_pylist() == [1, 2, 3]
+    assert got["score"].to_pylist() == [None, None, 0.5]
+    assert got["source"].to_pylist() == ["a", "a", "b"]
+    with pytest.raises(ValueError, match="partition columns"):
+        read_orc_dataset(str(tmp_path), native=True, target_schema=pa.schema([("source", pa.string())]))
+
+
+def test_compact_within_partition(part_dir, tmp_path, ray_session):
+    """Compaction composes: each partition directory holds same-schema files
+    and compacts by raw stripe copy."""
+    from orc_format_ray.orcmerge import compact_orc_dataset
+
+    one = glob.glob(os.path.join(part_dir["dir"], "source=src0", "lang=1"))[0]
+    n_in = len(glob.glob(os.path.join(one, "*.orc")))
+    lineage = compact_orc_dataset(one, str(tmp_path / "compacted"), target_bytes=1 << 30).materialize()
+    rows = lineage.take_all()
+    assert len(rows) == 1 and rows[0]["n_inputs"] == n_in
