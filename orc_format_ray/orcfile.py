@@ -920,7 +920,10 @@ def _hive_quote(v) -> str:
         return _HIVE_NULL
     from urllib.parse import quote
 
-    return quote(str(v), safe="")
+    s = str(v)
+    if s == _HIVE_NULL:  # a literal sentinel string must not read back as null
+        return "%5F" + quote(s[1:], safe="")
+    return quote(s, safe="")
 
 
 def _hive_unquote(s: str):
@@ -976,6 +979,14 @@ def write_orc_dataset(
         raise ValueError("partition_by columns are dropped from data files; they cannot carry bloom filters")
     os.makedirs(out_dir, exist_ok=True)
 
+    def _check_partition_types(schema: pa.Schema) -> None:
+        for c in partition_by:
+            t = schema.field(c).type
+            # floats can't partition: NaN != NaN breaks the split mask and
+            # str(float) round-trips are inexact
+            if pa.types.is_floating(t):
+                raise ValueError(f"partition_by column {c!r} is floating-point ({t}); partition keys must be discrete")
+
     def _ensure_sidecar(pschema: pa.Schema) -> None:
         sc = os.path.join(out_dir, PARTITION_SCHEMA_FILE)
         if os.path.exists(sc):
@@ -998,6 +1009,7 @@ def write_orc_dataset(
     def _write_orc_block(batch: pa.Table) -> pa.Table:
         if not partition_by:
             return pa.Table.from_pylist([_write_one(batch, out_dir)])
+        _check_partition_types(batch.schema)
         _ensure_sidecar(pa.schema([batch.schema.field(c) for c in partition_by]))
         rows = []
         uniq = batch.select(partition_by).group_by(partition_by).aggregate([])
@@ -1146,6 +1158,8 @@ def read_orc_dataset(
         for f in part_schema:
             if columns is not None and f.name not in columns:
                 continue
+            if f.name in t.column_names:
+                continue  # foreign layout keeping the column in data files: data wins
             v = _typed_partition_value(vals.get(f.name), f.type)
             arr = pa.nulls(t.num_rows, f.type) if v is None else pa.repeat(pa.scalar(v, f.type), t.num_rows)
             t = t.append_column(f.name, arr)

@@ -1065,5 +1065,7 @@ def read_orc_filtered(path_or_bytes, predicate, columns: list[str] | None = None
         mask = m if mask is None else pc.and_kleene(mask, m)
     tbl = tbl.filter(mask)
     if columns is not None and list(tbl.column_names) != list(columns):
-        tbl = tbl.select(columns)
+        # drop appended predicate columns; a requested column the file lacks
+        # (schema evolution) stays absent for the caller to null-fill
+        tbl = tbl.select([c for c in columns if c in tbl.column_names])
     return tbl, {"groups_total": total, "groups_read": scanned}

@@ -139,6 +139,56 @@ def test_partition_bloom_conflict_raises(ray_session):
         write_orc_dataset(ray.data.from_arrow(_table(10)), "/tmp/x_unused", partition_by=["source"], bloom_columns=["source"])
 
 
+def test_float_partition_column_rejected(tmp_path, ray_session):
+    """NaN != NaN would silently drop rows from the split mask; floats are
+    rejected as partition keys."""
+    t = pa.table({"k": pa.array([1.0, float("nan")]), "v": pa.array([1, 2], pa.int64())})
+    with pytest.raises(Exception, match="floating-point"):
+        write_orc_dataset(ray.data.from_arrow(t), str(tmp_path / "f"), partition_by=["k"]).materialize()
+
+
+def test_sentinel_string_partition_value_roundtrips(tmp_path, ray_session):
+    """A literal '__HIVE_DEFAULT_PARTITION__' string value must not read
+    back as null."""
+    t = pa.table({"k": pa.array(["__HIVE_DEFAULT_PARTITION__", None]), "v": pa.array([1, 2], pa.int64())})
+    d = str(tmp_path / "sent")
+    write_orc_dataset(ray.data.from_arrow(t), d, partition_by=["k"]).materialize()
+    ds = read_orc_dataset(d, native=True)
+    got = pa.concat_tables(ray.get(ds.to_arrow_refs())).sort_by("v")
+    assert got["k"].to_pylist() == ["__HIVE_DEFAULT_PARTITION__", None]
+
+
+def test_foreign_layout_keeping_partition_column_in_data(tmp_path, ray_session):
+    """A foreign engine that keeps the partition column inside the data
+    files must not produce duplicate columns — the data copy wins."""
+    from orc_format_ray.orcfile import write_orc
+
+    os.makedirs(tmp_path / "year=2024")
+    write_orc(pa.table({"year": pa.array(["2024", "2024"]), "v": pa.array([1, 2], pa.int64())}), str(tmp_path / "year=2024" / "a.orc"))
+    ds = read_orc_dataset(str(tmp_path), native=True)
+    got = pa.concat_tables(ray.get(ds.to_arrow_refs()))
+    assert got.column_names.count("year") == 1
+    assert got["year"].to_pylist() == ["2024", "2024"]
+
+
+def test_pushdown_projection_of_missing_column_survives(tmp_path, ray_session):
+    """Evolution + projection + pushdown: a projected column absent from an
+    old file stays absent for evolve_table to null-fill (no KeyError)."""
+    from orc_format_ray.orcfile import write_orc
+
+    old = pa.table({"id": pa.array([1, 2], pa.int64())})
+    new = pa.table({"id": pa.array([3, 4], pa.int64()), "score": pa.array([0.5, 1.5])})
+    d = tmp_path / "evp"
+    d.mkdir()
+    write_orc(old, str(d / "old.orc"))
+    write_orc(new, str(d / "new.orc"))
+    ds = read_orc_dataset(str(d), columns=["id", "score"], predicate=("id", "<", 4), native=True, target_schema="unify")
+    got = pa.concat_tables(ray.get(ds.to_arrow_refs())).sort_by("id")
+    assert got.column_names == ["id", "score"]
+    assert got["id"].to_pylist() == [1, 2, 3]
+    assert got["score"].to_pylist() == [None, None, 0.5]
+
+
 def test_partitioned_with_evolution(tmp_path, ray_session):
     """Partitioning and schema evolution compose: drifted data files inside
     partition dirs unify, partition columns inject after."""
