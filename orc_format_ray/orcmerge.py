@@ -416,6 +416,7 @@ def compact_orc_dataset(
     target_bytes: int = 512 * 1024 * 1024,
     level: int = 3,
     on_schema_drift: str = "error",
+    recursive: bool = False,
 ):
     """Compact a directory of small ORC files into ~target_bytes parts.
     Returns the lineage Dataset (path, num_rows, file_bytes, n_inputs,
@@ -430,6 +431,14 @@ def compact_orc_dataset(
     directory always comes out single-schema. The drift check is driver-side
     from file TAILS only.
 
+    ``recursive=True`` compacts a Hive-partitioned lake in one call: each
+    subdirectory (e.g. ``source=web/lang=en``) compacts independently into
+    the mirrored subdirectory of ``out_dir`` — drift checks, bin plans and
+    the re-encode target schema are all PER SUBDIRECTORY (partitions of a
+    lake written by write_orc_dataset are same-schema by construction, so
+    they take the copy path) — and the partition-schema sidecar is carried
+    over, so ``read_orc_dataset`` sees the compacted lake identically.
+
     Parts are named by group index over the deterministic plan and written
     atomically, so a rerun after a failure re-plans identically and skips
     parts that already exist (resume). A skipped part is validated against
@@ -437,6 +446,7 @@ def compact_orc_dataset(
     (tail reads only), so a changed input set fails loudly instead of
     silently keeping stale parts."""
     import glob
+    import shutil
 
     import pyarrow as pa
     import ray.data
@@ -447,36 +457,49 @@ def compact_orc_dataset(
         raise ValueError(f"on_schema_drift must be 'error' or 'reencode', got {on_schema_drift!r}")
     if os.path.abspath(in_dir) == os.path.abspath(out_dir):
         raise ValueError("out_dir must differ from in_dir (a rerun would consume its own parts)")
-    paths = sorted(glob.glob(os.path.join(in_dir, "*.orc")))
-    if not paths:
+    if recursive:
+        all_paths = sorted(glob.glob(os.path.join(in_dir, "**", "*.orc"), recursive=True))
+    else:
+        all_paths = sorted(glob.glob(os.path.join(in_dir, "*.orc")))
+    if not all_paths:
         raise ValueError(f"no .orc files under {in_dir!r}")
+    by_subdir: dict[str, list[str]] = {}
+    for p in all_paths:
+        rel = os.path.relpath(os.path.dirname(p), in_dir)
+        by_subdir.setdefault("" if rel == "." else rel, []).append(p)
 
     # drift detection: the raw-copy invariants are the copied bytes' type
     # list + compression + block size + stride + file version. This is ONE
     # 64 KiB tail read per file on the driver (the only step beyond the
     # sizes-only bin planning); the Arrow schema is then derived per DISTINCT
     # signature, not per file, so unification cost is O(generations)
-    rep_of_sig: dict[tuple, str] = {}
-    for p in paths:
-        with _Source(p) as src:
-            t = _tail_raw(src)
-        sig = (tuple(t["types_raw"]), t["compression"], t["block_size"], t["row_index_stride"], tuple(t["file_version_raw"]))
-        rep_of_sig.setdefault(sig, p)
-    target_schema = None
-    if len(rep_of_sig) > 1:
-        reps = list(rep_of_sig.values())
-        if on_schema_drift == "error":
-            raise ValueError(
-                f"schema/layout drift across {in_dir!r} ({reps[0]!r} vs {reps[1]!r}); "
-                "pass on_schema_drift='reencode' to unify via schema evolution"
-            )
-        from .evolve import orc_file_schema, unify_schemas
+    targets: dict[str, object] = {}  # subdir -> target schema (None = raw copy)
+    items = []
+    for subdir, paths in sorted(by_subdir.items()):
+        rep_of_sig: dict[tuple, str] = {}
+        for p in paths:
+            with _Source(p) as src:
+                t = _tail_raw(src)
+            sig = (tuple(t["types_raw"]), t["compression"], t["block_size"], t["row_index_stride"], tuple(t["file_version_raw"]))
+            rep_of_sig.setdefault(sig, p)
+        targets[subdir] = None
+        if len(rep_of_sig) > 1:
+            reps = list(rep_of_sig.values())
+            if on_schema_drift == "error":
+                raise ValueError(
+                    f"schema/layout drift across {os.path.join(in_dir, subdir)!r} ({reps[0]!r} vs {reps[1]!r}); "
+                    "pass on_schema_drift='reencode' to unify via schema evolution"
+                )
+            from .evolve import orc_file_schema, unify_schemas
 
-        target_schema = unify_schemas([orc_file_schema(p) for p in reps])
+            targets[subdir] = unify_schemas([orc_file_schema(p) for p in reps])
+        for i, g in enumerate(plan_compaction(paths, target_bytes)):
+            items.append({"subdir": subdir, "group": i, "paths": g})
 
     os.makedirs(out_dir, exist_ok=True)
-    groups = plan_compaction(paths, target_bytes)
-    items = [{"group": i, "paths": g} for i, g in enumerate(groups)]
+    sidecar = os.path.join(in_dir, "_partition_schema.arrow")
+    if recursive and os.path.exists(sidecar):
+        shutil.copyfile(sidecar, os.path.join(out_dir, "_partition_schema.arrow"))
 
     def _tail_rows(path: str) -> int:
         with _Source(path) as src:
@@ -484,8 +507,11 @@ def compact_orc_dataset(
 
     def _merge_group(batch: pa.Table) -> pa.Table:
         rows = []
-        for gid, ps in zip(batch["group"], batch["paths"]):
-            out_path = os.path.join(out_dir, f"part-{gid.as_py():05d}.orc")
+        for sub, gid, ps in zip(batch["subdir"], batch["group"], batch["paths"]):
+            target_schema = targets[sub.as_py()]
+            part_dir = os.path.join(out_dir, sub.as_py()) if sub.as_py() else out_dir
+            os.makedirs(part_dir, exist_ok=True)
+            out_path = os.path.join(part_dir, f"part-{gid.as_py():05d}.orc")
             inputs = [p for p in ps.as_py()]
             if os.path.exists(out_path):  # atomic rename => existing is complete
                 part_rows = _tail_rows(out_path)

@@ -219,3 +219,33 @@ def test_compact_within_partition(part_dir, tmp_path, ray_session):
     lineage = compact_orc_dataset(one, str(tmp_path / "compacted"), target_bytes=1 << 30).materialize()
     rows = lineage.take_all()
     assert len(rows) == 1 and rows[0]["n_inputs"] == n_in
+
+
+def test_compact_whole_lake_recursive(part_dir, tmp_path, ray_session):
+    """recursive=True compacts every partition directory in one call,
+    mirrors the hive layout + sidecar, and the compacted lake reads back
+    identically (typed partitions, same rows)."""
+    from orc_format_ray.orcmerge import compact_orc_dataset
+
+    out = str(tmp_path / "lake")
+    lineage = compact_orc_dataset(part_dir["dir"], out, target_bytes=1 << 30, recursive=True).materialize()
+    rows = lineage.take_all()
+    n_parts = 4 * 3  # one part per (source, lang) partition
+    assert len(rows) == n_parts and sum(r["num_rows"] for r in rows) == 6000
+    assert all(not r["reencoded"] for r in rows)  # same-schema => raw copy
+    assert os.path.exists(os.path.join(out, "_partition_schema.arrow"))
+    before = len(glob.glob(os.path.join(part_dir["dir"], "**", "*.orc"), recursive=True))
+    after = len(glob.glob(os.path.join(out, "**", "*.orc"), recursive=True))
+    assert after == n_parts < before
+    ds = read_orc_dataset(out, native=True)
+    got = pa.concat_tables(ray.get(ds.to_arrow_refs())).sort_by("id")
+    want = part_dir["t"].sort_by("id")
+    assert got["lang"].type == pa.int32()
+    assert got.select(["id", "source", "lang", "val"]).cast(want.schema).equals(want)
+    # partition predicate still prunes the compacted lake
+    ds = read_orc_dataset(out, predicate=("source", "==", "src3"))
+    got = pa.concat_tables(ray.get(ds.to_arrow_refs()))
+    assert set(got["source"].to_pylist()) == {"src3"}
+    # resume over the lake
+    again = compact_orc_dataset(part_dir["dir"], out, target_bytes=1 << 30, recursive=True).materialize()
+    assert all(r["skipped"] for r in again.take_all())
