@@ -841,6 +841,41 @@ def _q_orc_partitioned_roundtrip(sf_dir: str):
     return df
 
 
+def _q_orc_lake_stats(sf_dir: str):
+    """Metadata-only lake inventory: rows per partition computed from file
+    TAILS (a few KiB of pread per file, no stripe data moves). The oracle is
+    a plain count(*) GROUP BY — matching proves the footers' row counts."""
+    import shutil
+
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from orc_format_ray.orcfile import write_orc_dataset
+    from orc_format_ray.orcmerge import lake_stats
+
+    scratch = _scratch(sf_dir, "orc")
+    d = os.path.join(scratch, "orders_lake_stats")
+    shutil.rmtree(d, ignore_errors=True)
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_totalprice"])
+    write_orc_dataset(ds.repartition(4), d, partition_by=["o_orderpriority"]).take_all()
+    stats = lake_stats(d)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": batch["o_orderpriority"],
+                "num_rows": batch["num_rows"].cast(pa.int64()),
+            }
+        )
+
+    out = stats.map_batches(prep, batch_format="pyarrow", **_ra()).groupby("o_orderpriority").aggregate(
+        Sum("num_rows", alias_name="n_rows")
+    )
+    df = out.to_pandas()
+    df["n_rows"] = df["n_rows"].astype("int64")
+    return df
+
+
 def _q_orc_schema_evolution(sf_dir: str):
     """Reader-side schema evolution: three writer generations of lineitem
     (narrow int32 key without l_returnflag; current; reordered columns) read
@@ -1543,6 +1578,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orc_compact_roundtrip": _q_orc_compact_roundtrip,
         "orc_schema_evolution": _q_orc_schema_evolution,
         "orc_partitioned_roundtrip": _q_orc_partitioned_roundtrip,
+        "orc_lake_stats": _q_orc_lake_stats,
         "broadcast_join_orders_customer": _q_broadcast_join_orders_customer,
         "hash_join_lineitem_orders": _q_hash_join_lineitem_orders,
         "semi_anti_join_customers": _q_semi_anti_join_customers,
@@ -1971,6 +2007,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderpriority, count(*) AS cnt, round(sum(o_totalprice), 2) AS sum_price "
             "FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') AND o_totalprice >= 100000.0 "
             "GROUP BY o_orderpriority"
+        ),
+        "orc_lake_stats": (
+            "SELECT o_orderpriority, count(*) AS n_rows FROM orders GROUP BY o_orderpriority"
         ),
         # exact-text equality; the ORC side must prune via the bloom stream
         "orc_bloom_pushdown": (

@@ -389,6 +389,47 @@ def _write_merged(tmp, paths, tails, t0, ref_types, comp, level, tail_block, wri
     return merged_stats
 
 
+def lake_stats(in_dir: str):
+    """Per-partition inventory of an ORC directory from file TAILS only:
+    one row per file with its partition values (raw strings), row count and
+    size — each Ray task preads a few KiB per file, no stripe data moves.
+    Aggregate downstream (e.g. groupby partition columns) for the usual
+    'rows per partition' health check of a 100-TB lake."""
+    import glob
+
+    import pyarrow as pa
+    import ray.data
+
+    from ._rayutil import remote_args
+    from .orcfile import _hive_unquote
+
+    paths = sorted(glob.glob(os.path.join(in_dir, "**", "*.orc"), recursive=True))
+    if not paths:
+        raise ValueError(f"no .orc files under {in_dir!r}")
+    items = []
+    for p in paths:
+        rel = os.path.relpath(os.path.dirname(p), in_dir)
+        kvs = {}
+        for seg in rel.split(os.sep):
+            if "=" in seg:
+                k, v = seg.split("=", 1)
+                kvs[k] = _hive_unquote(v)
+        items.append({"path": p, **{f"part:{k}": v for k, v in kvs.items()}})
+
+    def _stat(batch: pa.Table) -> pa.Table:
+        rows = []
+        for i in range(batch.num_rows):
+            p = batch["path"][i].as_py()
+            with _Source(p) as src:
+                t = _tail_raw(src)
+            row = {c.removeprefix("part:"): batch[c][i].as_py() for c in batch.column_names if c.startswith("part:")}
+            row.update({"path": p, "num_rows": t["num_rows"], "file_bytes": os.path.getsize(p), "stripes": len(t["stripes"])})
+            rows.append(row)
+        return pa.Table.from_pylist(rows)
+
+    return ray.data.from_items(items).map_batches(_stat, batch_format="pyarrow", **remote_args())
+
+
 # --------------------------------------------------------------- Ray fan-out
 
 

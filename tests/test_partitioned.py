@@ -221,6 +221,25 @@ def test_compact_within_partition(part_dir, tmp_path, ray_session):
     assert len(rows) == 1 and rows[0]["n_inputs"] == n_in
 
 
+def test_lake_stats_tail_only(part_dir, ray_session):
+    """Per-file inventory from tails: summed per partition it must equal the
+    original group sizes."""
+    from orc_format_ray.orcmerge import lake_stats
+
+    stats = lake_stats(part_dir["dir"])
+    df = stats.to_pandas()
+    assert {"source", "lang", "path", "num_rows", "file_bytes", "stripes"} <= set(df.columns)
+    got = df.groupby(["source", "lang"])["num_rows"].sum().sort_index()
+    t = part_dir["t"]
+    want = (
+        t.select(["source", "lang"]).to_pandas().assign(lang=lambda d: d["lang"].astype(str))
+        .groupby(["source", "lang"]).size().sort_index()
+    )
+    # lake_stats reports partition values as raw strings (pre-typing)
+    assert dict(got) == dict(want)
+    assert (df["file_bytes"] > 0).all() and (df["stripes"] >= 1).all()
+
+
 def test_compact_whole_lake_recursive(part_dir, tmp_path, ray_session):
     """recursive=True compacts every partition directory in one call,
     mirrors the hive layout + sidecar, and the compacted lake reads back
