@@ -416,13 +416,21 @@ def lake_stats(in_dir: str):
                 kvs[k] = _hive_unquote(v)
         items.append({"path": p, **{f"part:{k}": v for k, v in kvs.items()}})
 
+    _RESERVED = {"path", "num_rows", "file_bytes", "stripes"}
+
     def _stat(batch: pa.Table) -> pa.Table:
         rows = []
         for i in range(batch.num_rows):
             p = batch["path"][i].as_py()
             with _Source(p) as src:
                 t = _tail_raw(src)
-            row = {c.removeprefix("part:"): batch[c][i].as_py() for c in batch.column_names if c.startswith("part:")}
+            row = {}
+            for c in batch.column_names:
+                if c.startswith("part:"):
+                    k = c.removeprefix("part:")
+                    # a foreign partition key colliding with a reserved output
+                    # column keeps its "part:" prefix instead of vanishing
+                    row[k if k not in _RESERVED else c] = batch[c][i].as_py()
             row.update({"path": p, "num_rows": t["num_rows"], "file_bytes": os.path.getsize(p), "stripes": len(t["stripes"])})
             rows.append(row)
         return pa.Table.from_pylist(rows)
@@ -496,8 +504,12 @@ def compact_orc_dataset(
 
     if on_schema_drift not in ("error", "reencode"):
         raise ValueError(f"on_schema_drift must be 'error' or 'reencode', got {on_schema_drift!r}")
-    if os.path.abspath(in_dir) == os.path.abspath(out_dir):
+    abs_in, abs_out = os.path.abspath(in_dir), os.path.abspath(out_dir)
+    if abs_in == abs_out:
         raise ValueError("out_dir must differ from in_dir (a rerun would consume its own parts)")
+    if recursive and os.path.commonpath([abs_in, abs_out]) == abs_in:
+        # the recursive glob would pick up the first run's parts as inputs
+        raise ValueError("out_dir must not be nested inside in_dir with recursive=True (a rerun would consume its own parts)")
     if recursive:
         all_paths = sorted(glob.glob(os.path.join(in_dir, "**", "*.orc"), recursive=True))
     else:
@@ -540,7 +552,10 @@ def compact_orc_dataset(
     os.makedirs(out_dir, exist_ok=True)
     sidecar = os.path.join(in_dir, "_partition_schema.arrow")
     if recursive and os.path.exists(sidecar):
-        shutil.copyfile(sidecar, os.path.join(out_dir, "_partition_schema.arrow"))
+        dst = os.path.join(out_dir, "_partition_schema.arrow")
+        tmp_sc = dst + f".tmp{os.getpid()}"
+        shutil.copyfile(sidecar, tmp_sc)
+        os.replace(tmp_sc, dst)  # never expose a truncated sidecar
 
     def _tail_rows(path: str) -> int:
         with _Source(path) as src:

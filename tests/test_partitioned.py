@@ -240,6 +240,28 @@ def test_lake_stats_tail_only(part_dir, ray_session):
     assert (df["file_bytes"] > 0).all() and (df["stripes"] >= 1).all()
 
 
+def test_recursive_compaction_rejects_nested_out_dir(part_dir, ray_session):
+    """out_dir inside in_dir would make the recursive glob consume the first
+    run's parts on rerun — silent row duplication."""
+    from orc_format_ray.orcmerge import compact_orc_dataset
+
+    with pytest.raises(ValueError, match="nested"):
+        compact_orc_dataset(part_dir["dir"], os.path.join(part_dir["dir"], "compacted"), recursive=True)
+
+
+def test_lake_stats_reserved_name_collision(tmp_path, ray_session):
+    """A foreign partition key named like a reserved output column keeps its
+    'part:' prefix instead of being overwritten."""
+    from orc_format_ray.orcfile import write_orc
+    from orc_format_ray.orcmerge import lake_stats
+
+    os.makedirs(tmp_path / "num_rows=5")
+    write_orc(pa.table({"v": pa.array([1, 2, 3], pa.int64())}), str(tmp_path / "num_rows=5" / "a.orc"))
+    df = lake_stats(str(tmp_path)).to_pandas()
+    assert df["part:num_rows"].tolist() == ["5"]
+    assert df["num_rows"].tolist() == [3]  # the file's actual row count
+
+
 def test_compact_whole_lake_recursive(part_dir, tmp_path, ray_session):
     """recursive=True compacts every partition directory in one call,
     mirrors the hive layout + sidecar, and the compacted lake reads back
