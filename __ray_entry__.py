@@ -415,6 +415,48 @@ def _q_quality_per_doc(sf_dir: str):
     return out.select_columns(["doc_id", "punct_ratio", "mean_word_len", "tok_count"])
 
 
+def _q_redact_pii_documents(sf_dir: str):
+    """PII scrub with EXACT SQL parity: both engines run RE2, so the same
+    email/ipv4/phone patterns applied in the same order produce identical
+    strings. Deterministic PII is planted per doc (corpus text carries
+    none), then redacted; per-source totals + redacted-length sums pin the
+    replacement byte-for-byte."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from orc_format_ray.ops import text as tx
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"])
+
+    def plant_and_redact(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = batch["doc_id"].cast(pa.int64())
+        mod = pc.subtract(ids, pc.multiply(pc.divide(ids, 200), 200))
+        planted = pc.binary_join_element_wise(
+            batch["text"], pa.scalar(" reach user"), ids.cast(pa.string()),
+            pa.scalar("@example.com or 10."), mod.cast(pa.string()), pa.scalar(".0.1"), "",
+        )
+        red = tx.redact_pii(pa.table({"source": batch["source"], "text": planted}))
+        return pa.table(
+            {
+                "source": red["source"],
+                "n_pii": red["n_pii"],
+                "red_len": pc.utf8_length(red["redacted"]).cast(pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(plant_and_redact, batch_format="pyarrow", zero_copy_batch=True, **_ra()).groupby("source").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_pii", alias_name="sum_pii"),
+        Sum("red_len", alias_name="sum_len"),
+    )
+    df = out.to_pandas()
+    df["sum_pii"] = df["sum_pii"].astype("int64")
+    df["sum_len"] = df["sum_len"].astype("int64")
+    return df
+
+
 def _ann_query_vector() -> np.ndarray:
     # fixed deterministic query: alternating +1/-1 over 64 dims
     q = np.ones(64, dtype=np.float64)
@@ -1567,6 +1609,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample_documents": _q_mixture_sample_documents,
         "stratified_sample_documents": _q_stratified_sample_documents,
         "quality_per_doc": _q_quality_per_doc,
+        "redact_pii_documents": _q_redact_pii_documents,
         "ann_topk_embeddings": _q_ann_topk_embeddings,
         "encode_roundtrip_by_source": _q_encode_roundtrip_by_source,
         "file_stats_ntok": _q_file_stats_ntok,
@@ -2010,6 +2053,19 @@ def oracle_sql() -> dict[str, str]:
         ),
         "orc_lake_stats": (
             "SELECT o_orderpriority, count(*) AS n_rows FROM orders GROUP BY o_orderpriority"
+        ),
+        "redact_pii_documents": (
+            # same RE2 patterns as ops/text.PII_PATTERNS, same order
+            "WITH planted AS (SELECT source, text || ' reach user' || CAST(doc_id AS VARCHAR) || "
+            "'@example.com or 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.1' AS t0 FROM documents), "
+            "s1 AS (SELECT source, len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n1, "
+            "regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[PII]', 'g') AS t1 FROM planted), "
+            "s2 AS (SELECT source, n1, len(regexp_extract_all(t1, '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b')) AS n2, "
+            "regexp_replace(t1, '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '[PII]', 'g') AS t2 FROM s1), "
+            "s3 AS (SELECT source, n1, n2, len(regexp_extract_all(t2, '\\+?\\d[\\d()\\- ]{7,}\\d')) AS n3, "
+            "regexp_replace(t2, '\\+?\\d[\\d()\\- ]{7,}\\d', '[PII]', 'g') AS t3 FROM s2) "
+            "SELECT source, count(*) AS n_docs, CAST(sum(n1 + n2 + n3) AS BIGINT) AS sum_pii, "
+            "CAST(sum(length(t3)) AS BIGINT) AS sum_len FROM s3 GROUP BY source"
         ),
         # exact-text equality; the ORC side must prune via the bloom stream
         "orc_bloom_pushdown": (

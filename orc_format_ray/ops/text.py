@@ -414,3 +414,33 @@ def vocab_topk_by_group(ds, k: int = 5, group: str = "source", column: str = "te
     df["rank"] = df.groupby(group)["cnt"].rank(method="first", ascending=False).astype(np.int64)
     df = df.sort_values([group, "rank"]).reset_index(drop=True)
     return pa.Table.from_pandas(df[[group, "rank", "word", "cnt"]], preserve_index=False)
+
+
+# ------------------------------------------------------------- PII redaction
+
+# RE2 syntax, shared verbatim by pyarrow.compute (RE2) and DuckDB (also
+# RE2), so the SQL oracle can apply the IDENTICAL patterns. Order matters:
+# emails redact before phone-ish digit runs so an address's digits don't
+# get half-eaten by the phone pattern.
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b(\d{1,3}\.){3}\d{1,3}\b"),
+    ("phone", r"\+?\d[\d()\- ]{7,}\d"),
+]
+
+
+def redact_pii(batch: pa.Table, column: str = "text", replacement: str = "[PII]", out: str = "redacted") -> pa.Table:
+    """Vectorized PII scrub for training corpora: replace email / IPv4 /
+    phone-shaped spans with ``replacement`` and count the redactions.
+
+    Pure compiled-RE2 Arrow kernels per batch (no Python over rows) — a
+    stateless ``map_batches`` stage. Appends ``out`` (scrubbed text) and
+    ``n_pii`` (total spans redacted per row). The pattern list is the
+    module-level ``PII_PATTERNS`` so tests and oracles share it."""
+    text = batch[column]
+    total = None
+    for _name, pat in PII_PATTERNS:
+        n = pc.count_substring_regex(text, pat)
+        total = n if total is None else pc.add(total, n)
+        text = pc.replace_substring_regex(text, pat, replacement)
+    return batch.append_column(out, text).append_column("n_pii", total.cast(pa.int64()))

@@ -1120,3 +1120,39 @@ def test_pq_compression_recall_and_rerank(ray_session):
     assert np.mean(np.einsum("ij,ij->i", rec / np.linalg.norm(rec, axis=1, keepdims=True), unit)) > 0.8
     with pytest.raises(ValueError):
         similarity.PQCodebook.train(ds, m=7)  # 64 % 7 != 0
+
+
+def test_redact_pii_patterns_and_counts():
+    """Vectorized PII scrub: emails/IPs/phones replaced in PII_PATTERNS
+    order, per-row counts exact, clean text untouched."""
+    import pyarrow as pa
+
+    from orc_format_ray.ops.text import redact_pii
+
+    t = pa.table(
+        {
+            "text": pa.array(
+                [
+                    "mail a.b+c@ex-ample.co.uk or 10.0.0.1",
+                    "call +1 (555) 123-4567 now",
+                    "clean text with numbers 42",
+                    "x@y.io x@y.io 192.168.1.255",
+                    "",
+                    None,
+                ]
+            )
+        }
+    )
+    out = redact_pii(t)
+    assert out["redacted"].to_pylist() == [
+        "mail [PII] or [PII]",
+        "call [PII] now",
+        "clean text with numbers 42",
+        "[PII] [PII] [PII]",
+        "",
+        None,
+    ]
+    assert out["n_pii"].to_pylist() == [2, 1, 0, 3, 0, None]
+    # email redacts before the phone pattern can eat an address's digits
+    t2 = pa.table({"text": pa.array(["id 1234567890@mail.com tail"])})
+    assert redact_pii(t2)["redacted"].to_pylist() == ["id [PII] tail"]
