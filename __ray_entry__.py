@@ -883,6 +883,38 @@ def _q_orc_partitioned_roundtrip(sf_dir: str):
     return df
 
 
+def _q_orc_lake_pipeline(sf_dir: str):
+    """The full ORC-lake story composed end-to-end: tokenize -> Hive-
+    partitioned ORC write (one col=value dir per source, token payloads in
+    list<int32> columns) -> recursive compaction (raw stripe copy within
+    every partition) -> partition-pruned read of TWO sources -> aggregate.
+    The oracle reproduces the same WHERE over the raw documents table, so a
+    match certifies every hop carried the exact rows."""
+    import shutil
+
+    from ray.data.aggregate import Count, Sum
+
+    from orc_format_ray import orcfile
+    from orc_format_ray.orcmerge import compact_orc_dataset
+    from orc_format_ray.pipelines import tokens as tok
+
+    scratch = _scratch(sf_dir, "orc")
+    lake = os.path.join(scratch, "lake_pipeline")
+    compacted = os.path.join(scratch, "lake_pipeline_compacted")
+    shutil.rmtree(lake, ignore_errors=True)
+    shutil.rmtree(compacted, ignore_errors=True)
+    tokens_ds = tok.tokenize_documents(sf_dir)
+    orcfile.write_orc_dataset(tokens_ds.repartition(4), lake, partition_by=["source"]).take_all()
+    compact_orc_dataset(lake, compacted, recursive=True).take_all()
+    back = orcfile.read_orc_dataset(compacted, native=True, predicate=("source", "in", ["src0", "src7"]))
+
+    def fix(batch: pa.Table) -> pa.Table:
+        return pa.table({"source": batch["source"], "n_tok": batch["n_tok"].cast(pa.int64())})
+
+    back = back.map_batches(fix, batch_format="pyarrow", zero_copy_batch=True, **_ra())
+    return back.groupby("source").aggregate(Count(alias_name="n_docs"), Sum("n_tok", alias_name="sum_n_tok"))
+
+
 def _q_orc_lake_stats(sf_dir: str):
     """Metadata-only lake inventory: rows per partition computed from file
     TAILS (a few KiB of pread per file, no stripe data moves). The oracle is
@@ -1622,6 +1654,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orc_schema_evolution": _q_orc_schema_evolution,
         "orc_partitioned_roundtrip": _q_orc_partitioned_roundtrip,
         "orc_lake_stats": _q_orc_lake_stats,
+        "orc_lake_pipeline": _q_orc_lake_pipeline,
         "broadcast_join_orders_customer": _q_broadcast_join_orders_customer,
         "hash_join_lineitem_orders": _q_hash_join_lineitem_orders,
         "semi_anti_join_customers": _q_semi_anti_join_customers,
@@ -1948,6 +1981,10 @@ def oracle_sql() -> dict[str, str]:
         "orc_file_roundtrip": (
             f"SELECT source, count(*) AS n_docs, CAST(sum({_TOKCOUNT_SQL}) AS BIGINT) AS sum_n_tok "
             "FROM documents GROUP BY source"
+        ),
+        "orc_lake_pipeline": (
+            f"SELECT source, count(*) AS n_docs, CAST(sum({_TOKCOUNT_SQL}) AS BIGINT) AS sum_n_tok "
+            "FROM documents WHERE source IN ('src0', 'src7') GROUP BY source"
         ),
         "orc_lineitem_roundtrip": (
             "SELECT l_returnflag, count(*) AS cnt, CAST(sum(l_linenumber) AS BIGINT) AS sum_ln, "
