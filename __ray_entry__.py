@@ -906,7 +906,10 @@ def _q_orc_lake_pipeline(sf_dir: str):
     tokens_ds = tok.tokenize_documents(sf_dir)
     orcfile.write_orc_dataset(tokens_ds.repartition(4), lake, partition_by=["source"]).take_all()
     compact_orc_dataset(lake, compacted, recursive=True).take_all()
-    back = orcfile.read_orc_dataset(compacted, native=True, predicate=("source", "in", ["src0", "src7"]))
+    # project: the heavy list<int32> tokens payload never decodes
+    back = orcfile.read_orc_dataset(
+        compacted, columns=["source", "n_tok"], native=True, predicate=("source", "in", ["src0", "src7"])
+    )
 
     def fix(batch: pa.Table) -> pa.Table:
         return pa.table({"source": batch["source"], "n_tok": batch["n_tok"].cast(pa.int64())})
@@ -2099,8 +2102,8 @@ def oracle_sql() -> dict[str, str]:
             "regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[PII]', 'g') AS t1 FROM planted), "
             "s2 AS (SELECT source, n1, len(regexp_extract_all(t1, '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b')) AS n2, "
             "regexp_replace(t1, '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '[PII]', 'g') AS t2 FROM s1), "
-            "s3 AS (SELECT source, n1, n2, len(regexp_extract_all(t2, '\\+?\\d[\\d()\\- ]{7,}\\d')) AS n3, "
-            "regexp_replace(t2, '\\+?\\d[\\d()\\- ]{7,}\\d', '[PII]', 'g') AS t3 FROM s2) "
+            "s3 AS (SELECT source, n1, n2, len(regexp_extract_all(t2, '(\\+\\d[\\d() \\-]{7,}\\d|\\(?\\d{3}\\)?[ \\-.]\\d{3}[ \\-.]\\d{4})')) AS n3, "
+            "regexp_replace(t2, '(\\+\\d[\\d() \\-]{7,}\\d|\\(?\\d{3}\\)?[ \\-.]\\d{3}[ \\-.]\\d{4})', '[PII]', 'g') AS t3 FROM s2) "
             "SELECT source, count(*) AS n_docs, CAST(sum(n1 + n2 + n3) AS BIGINT) AS sum_pii, "
             "CAST(sum(length(t3)) AS BIGINT) AS sum_len FROM s3 GROUP BY source"
         ),

@@ -421,25 +421,37 @@ def vocab_topk_by_group(ds, k: int = 5, group: str = "source", column: str = "te
 # RE2 syntax, shared verbatim by pyarrow.compute (RE2) and DuckDB (also
 # RE2), so the SQL oracle can apply the IDENTICAL patterns. Order matters:
 # emails redact before phone-ish digit runs so an address's digits don't
-# get half-eaten by the phone pattern.
+# get half-eaten by the phone pattern. The phone pattern requires phone
+# STRUCTURE — a leading "+", or NANP 3-3-4 grouping with separators — so
+# year ranges ("2010 - 2020"), datetimes and plain digit runs survive;
+# the ipv4 pattern cannot distinguish dotted version strings from
+# addresses (both are four dotted octets) — pass a custom ``patterns``
+# list to opt out of any class.
 PII_PATTERNS: list[tuple[str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
     ("ipv4", r"\b(\d{1,3}\.){3}\d{1,3}\b"),
-    ("phone", r"\+?\d[\d()\- ]{7,}\d"),
+    ("phone", r"(\+\d[\d() \-]{7,}\d|\(?\d{3}\)?[ \-.]\d{3}[ \-.]\d{4})"),
 ]
 
 
-def redact_pii(batch: pa.Table, column: str = "text", replacement: str = "[PII]", out: str = "redacted") -> pa.Table:
+def redact_pii(
+    batch: pa.Table,
+    column: str = "text",
+    replacement: str = "[PII]",
+    out: str = "redacted",
+    patterns: list[tuple[str, str]] | None = None,
+) -> pa.Table:
     """Vectorized PII scrub for training corpora: replace email / IPv4 /
     phone-shaped spans with ``replacement`` and count the redactions.
 
     Pure compiled-RE2 Arrow kernels per batch (no Python over rows) — a
     stateless ``map_batches`` stage. Appends ``out`` (scrubbed text) and
-    ``n_pii`` (total spans redacted per row). The pattern list is the
-    module-level ``PII_PATTERNS`` so tests and oracles share it."""
+    ``n_pii`` (total spans redacted per row). ``patterns`` defaults to the
+    module-level ``PII_PATTERNS`` so tests and oracles share it; pass a
+    subset (or additions) to tune the scrub."""
     text = batch[column]
     total = None
-    for _name, pat in PII_PATTERNS:
+    for _name, pat in patterns if patterns is not None else PII_PATTERNS:
         n = pc.count_substring_regex(text, pat)
         total = n if total is None else pc.add(total, n)
         text = pc.replace_substring_regex(text, pat, replacement)

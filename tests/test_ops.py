@@ -1135,6 +1135,7 @@ def test_redact_pii_patterns_and_counts():
                 [
                     "mail a.b+c@ex-ample.co.uk or 10.0.0.1",
                     "call +1 (555) 123-4567 now",
+                    "or 555 123-4567 works too",
                     "clean text with numbers 42",
                     "x@y.io x@y.io 192.168.1.255",
                     "",
@@ -1147,12 +1148,33 @@ def test_redact_pii_patterns_and_counts():
     assert out["redacted"].to_pylist() == [
         "mail [PII] or [PII]",
         "call [PII] now",
+        "or [PII] works too",
         "clean text with numbers 42",
         "[PII] [PII] [PII]",
         "",
         None,
     ]
-    assert out["n_pii"].to_pylist() == [2, 1, 0, 3, 0, None]
+    assert out["n_pii"].to_pylist() == [2, 1, 1, 0, 3, 0, None]
     # email redacts before the phone pattern can eat an address's digits
     t2 = pa.table({"text": pa.array(["id 1234567890@mail.com tail"])})
     assert redact_pii(t2)["redacted"].to_pylist() == ["id [PII] tail"]
+    # phone requires phone STRUCTURE: ordinary numeric text survives
+    t3 = pa.table(
+        {
+            "text": pa.array(
+                [
+                    "revenue grew 2010 - 2020 by 30%",
+                    "timestamp 2026-08-17 12:00",
+                    "order number 123456789 shipped",
+                ]
+            )
+        }
+    )
+    out3 = redact_pii(t3)
+    assert out3["redacted"].to_pylist() == t3["text"].to_pylist()
+    assert out3["n_pii"].to_pylist() == [0, 0, 0]
+    # custom pattern subset: only emails
+    from orc_format_ray.ops.text import PII_PATTERNS
+
+    out4 = redact_pii(t, patterns=[PII_PATTERNS[0]])
+    assert out4["redacted"].to_pylist()[0] == "mail [PII] or 10.0.0.1"
