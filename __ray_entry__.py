@@ -918,6 +918,42 @@ def _q_orc_lake_pipeline(sf_dir: str):
     return back.groupby("source").aggregate(Count(alias_name="n_docs"), Sum("n_tok", alias_name="sum_n_tok"))
 
 
+def _q_orc_file_statistics(sf_dir: str):
+    """The inspect-without-reading API: parse a written ORC file's footer
+    column statistics (read_orc_statistics, the _stats_proto inverse) and
+    compare against SQL aggregates over the source table — certifying the
+    emitted min/max/sum/count stats semantically, not just byte-shape."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from orc_format_ray import orcfile
+    from orc_format_ray.orcmerge import read_orc_statistics
+
+    scratch = _scratch(sf_dir, "orc")
+    path = os.path.join(scratch, "lineitem_stats_api.orc")
+    if not os.path.exists(path):
+        tbl = pq.read_table(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity", "l_returnflag"])
+        orcfile.write_orc(tbl, path, stripe_rows=10_000)
+    st = read_orc_statistics(path)
+    key, qty, flag = st["l_orderkey"], st["l_quantity"], st["l_returnflag"]
+    return pd.DataFrame(
+        [
+            {
+                "n_rows": int(key.num_present),
+                "min_key": int(key.min),
+                "max_key": int(key.max),
+                "sum_key": int(key.sum),
+                "min_qty": float(qty.min),
+                "max_qty": float(qty.max),
+                "sum_qty": round(float(qty.sum), 2),
+                "min_flag": flag.min,
+                "max_flag": flag.max,
+                "sum_flag_len": int(flag.sum_lengths),
+            }
+        ]
+    )
+
+
 def _q_orc_lake_stats(sf_dir: str):
     """Metadata-only lake inventory: rows per partition computed from file
     TAILS (a few KiB of pread per file, no stripe data moves). The oracle is
@@ -1658,6 +1694,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orc_partitioned_roundtrip": _q_orc_partitioned_roundtrip,
         "orc_lake_stats": _q_orc_lake_stats,
         "orc_lake_pipeline": _q_orc_lake_pipeline,
+        "orc_file_statistics": _q_orc_file_statistics,
         "broadcast_join_orders_customer": _q_broadcast_join_orders_customer,
         "hash_join_lineitem_orders": _q_hash_join_lineitem_orders,
         "semi_anti_join_customers": _q_semi_anti_join_customers,
@@ -1988,6 +2025,14 @@ def oracle_sql() -> dict[str, str]:
         "orc_lake_pipeline": (
             f"SELECT source, count(*) AS n_docs, CAST(sum({_TOKCOUNT_SQL}) AS BIGINT) AS sum_n_tok "
             "FROM documents WHERE source IN ('src0', 'src7') GROUP BY source"
+        ),
+        "orc_file_statistics": (
+            "SELECT count(*) AS n_rows, CAST(min(l_orderkey) AS BIGINT) AS min_key, "
+            "CAST(max(l_orderkey) AS BIGINT) AS max_key, CAST(sum(l_orderkey) AS BIGINT) AS sum_key, "
+            "min(l_quantity) AS min_qty, max(l_quantity) AS max_qty, round(sum(l_quantity), 2) AS sum_qty, "
+            "min(l_returnflag) AS min_flag, max(l_returnflag) AS max_flag, "
+            "CAST(sum(length(l_returnflag)) AS BIGINT) AS sum_flag_len "
+            "FROM lineitem"
         ),
         "orc_lineitem_roundtrip": (
             "SELECT l_returnflag, count(*) AS cnt, CAST(sum(l_linenumber) AS BIGINT) AS sum_ln, "

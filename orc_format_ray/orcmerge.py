@@ -389,6 +389,31 @@ def _write_merged(tmp, paths, tails, t0, ref_types, comp, level, tail_block, wri
     return merged_stats
 
 
+def read_orc_statistics(path_or_bytes) -> dict[str, stats_mod.ColumnStats]:
+    """Parse a file's footer column statistics into ColumnStats BY NAME —
+    min/max/sum/counts for every top-level column from the TAIL only (the
+    inspect-without-reading API; works on foreign ORC files too). Columns
+    whose stats are absent or unparseable are omitted."""
+    from .orcread import _parse_tail
+
+    with _Source(path_or_bytes) as src:
+        tail = _parse_tail(src)
+        raw = _tail_raw(src)
+    types = tail["types"]
+    root = types[0]
+    spans = list(root.subtypes) + [len(types)]
+    out: dict[str, stats_mod.ColumnStats] = {}
+    for i, name in enumerate(root.field_names):
+        col_id = spans[i]
+        if col_id >= len(raw["file_stats_raw"]):
+            continue
+        t = types[col_id]
+        parsed = _stats_parse(raw["file_stats_raw"][col_id], t.kind, t.scale if t.kind == "DECIMAL" else None)
+        if parsed is not None:
+            out[name] = parsed
+    return out
+
+
 def lake_stats(in_dir: str):
     """Per-partition inventory of an ORC directory from file TAILS only:
     one row per file with its partition values (raw strings), row count and

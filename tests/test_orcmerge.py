@@ -321,6 +321,26 @@ def test_stats_parse_absent_arm_is_unmergeable():
     assert got is not None and got.num_present == 0
 
 
+def test_read_orc_statistics_api(merged, tmp_path):
+    """Inspect-without-reading: footer stats by column name, for our own
+    files AND foreign (pyarrow C++-written) ones; all-null columns report
+    num_present=0; columns without parseable stats are omitted."""
+    from orc_format_ray.orcmerge import read_orc_statistics
+
+    st = read_orc_statistics(merged["out"])
+    expect = merged["expect"]
+    assert st["i"].min == pc.min(expect["i"]).as_py()
+    assert st["i"].max == pc.max(expect["i"]).as_py()
+    assert st["i"].sum == pc.sum(expect["i"]).as_py()
+    assert st["i"].num_present == expect.num_rows
+    assert st["s"].has_null and st["s"].min == pc.min(expect["s"]).as_py()
+    assert st["b"].num_true == pc.sum(expect["b"].cast(pa.int64())).as_py()
+    fpath = str(tmp_path / "foreign_stats.orc")
+    po.write_table(pa.table({"x": pa.array([3, None, 1], pa.int64())}), fpath, compression="zstd")
+    fst = read_orc_statistics(fpath)
+    assert fst["x"].min == 1 and fst["x"].max == 3 and fst["x"].has_null
+
+
 def test_plan_compaction_deterministic(tmp_path):
     for i in range(5):
         (tmp_path / f"f{i}.orc").write_bytes(b"x" * (100 * (i + 1)))
