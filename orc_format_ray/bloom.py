@@ -153,6 +153,102 @@ def wang_long_hashes(vals: np.ndarray) -> np.ndarray:
     return k
 
 
+def murmur3_h1_many(data: np.ndarray, starts: np.ndarray, lengths: np.ndarray, seed: int = ORC_SEED) -> np.ndarray:
+    """Vectorized Murmur3 x64_128 h1 over variable-length byte slices of a
+    flat uint8 buffer (``[starts[i], starts[i]+lengths[i])`` per value) —
+    the bloom write path for string/binary columns without a Python loop
+    over rows. Bit parity with the scalar ``murmur3_x64_128`` is pinned by
+    fuzz (tests), the same dual-implementation pattern as the wang hash.
+
+    Shape: one vectorized round per 16-byte block DEPTH (masked to the
+    values still having blocks), so the Python-level loop count is
+    ``max(len) // 16``, not the row count."""
+    m = len(starts)
+    starts = np.asarray(starts, np.int64)
+    lengths = np.asarray(lengths, np.int64)
+    h1 = np.full(m, seed, np.uint64)
+    h2 = np.full(m, seed, np.uint64)
+    if m == 0:
+        return h1
+    C1 = np.uint64(_C1)
+    C2 = np.uint64(_C2)
+
+    def rotl(x, r):
+        return (x << np.uint64(r)) | (x >> np.uint64(64 - r))
+
+    nblocks = lengths // 16
+    idx16 = np.arange(16, dtype=np.int64)
+    with np.errstate(over="ignore"):
+        for r in range(int(nblocks.max()) if m else 0):
+            sel = np.nonzero(nblocks > r)[0]
+            gather = np.ascontiguousarray(data[(starts[sel] + 16 * r)[:, None] + idx16])
+            words = gather.view(np.uint64)  # little-endian platform
+            k1 = rotl(words[:, 0] * C1, 31) * C2
+            k2 = rotl(words[:, 1] * C2, 33) * C1
+            a = h1[sel] ^ k1
+            a = (rotl(a, 27) + h2[sel]) * np.uint64(5) + np.uint64(0x52DCE729)
+            b = h2[sel] ^ k2
+            b = (rotl(b, 31) + a) * np.uint64(5) + np.uint64(0x38495AB5)
+            h1[sel] = a
+            h2[sel] = b
+        # tails: gather up to 16 bytes zero-padded past each value's end
+        t = lengths - 16 * nblocks
+        tstart = starts + 16 * nblocks
+        pos = tstart[:, None] + idx16
+        valid = idx16[None, :] < t[:, None]
+        safe = np.minimum(pos, max(len(data) - 1, 0))
+        tail = np.where(valid, data[safe] if len(data) else np.uint8(0), np.uint8(0)).astype(np.uint8)
+        words = np.ascontiguousarray(tail).view(np.uint64)
+        sel2 = t > 8
+        if sel2.any():
+            k2 = rotl(words[sel2, 1] * C2, 33) * C1
+            h2[sel2] ^= k2
+        sel1 = t > 0
+        if sel1.any():
+            k1 = rotl(words[sel1, 0] * C1, 31) * C2
+            h1[sel1] ^= k1
+        h1 ^= lengths.view(np.uint64) if lengths.dtype == np.int64 else lengths.astype(np.uint64)
+        h2 ^= lengths.view(np.uint64) if lengths.dtype == np.int64 else lengths.astype(np.uint64)
+        h1 += h2
+        h2 += h1
+        for h in (h1, h2):
+            h ^= h >> np.uint64(33)
+            h *= np.uint64(0xFF51AFD7ED558CCD)
+            h ^= h >> np.uint64(33)
+            h *= np.uint64(0xC4CEB9FE1A85EC53)
+            h ^= h >> np.uint64(33)
+        h1 += h2
+    return h1
+
+
+def bloom_build_bytes(arr, expected_entries: int, fpp: float = 0.05) -> tuple[int, bytes]:
+    """Vectorized filter build over an Arrow binary-like array (no nulls):
+    murmur h1 per value via ``murmur3_h1_many`` over the array's own
+    buffers (zero-copy), then the same vectorized double-hash bit stores as
+    the long path. Bit-identical to ``bloom_build`` over the same values."""
+    import pyarrow as pa
+
+    arr = arr.cast(pa.large_binary())
+    n = len(arr)
+    num_bits, k = _sizing(expected_entries, fpp)
+    bits = np.zeros(num_bits // 64, dtype=np.uint64)
+    if n:
+        offs = np.frombuffer(arr.buffers()[1], np.int64)[arr.offset : arr.offset + n + 1]
+        data = np.frombuffer(arr.buffers()[2], np.uint8)
+        h = murmur3_h1_many(data, offs[:-1], np.diff(offs))
+        h1 = (h & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        h1[h1 >= 1 << 31] -= 1 << 32
+        h2 = (h >> np.uint64(32)).astype(np.int64)
+        h2[h2 >= 1 << 31] -= 1 << 32
+        for i in range(1, k + 1):
+            c = (h1 + i * h2) & 0xFFFFFFFF
+            c = np.where(c >= 1 << 31, c - (1 << 32), c)
+            c = np.where(c < 0, ~c, c)
+            pos = c % num_bits
+            np.bitwise_or.at(bits, pos >> 6, np.uint64(1) << (pos & 63).astype(np.uint64))
+    return k, bits.tobytes()
+
+
 def _sizing(expected_entries: int, fpp: float) -> tuple[int, int]:
     n = max(1, int(expected_entries))
     m = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))

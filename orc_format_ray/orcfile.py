@@ -772,8 +772,7 @@ class OrcWriter:
                             vals_np = sl.cast(pa.int64()).to_numpy(zero_copy_only=False)
                             k, bitset = _bloom.bloom_build_longs(vals_np, expected_entries=stride, fpp=self.bloom_fpp)
                         else:
-                            vals = sl.cast(pa.large_binary()).to_pylist()
-                            k, bitset = _bloom.bloom_build(vals, expected_entries=stride, fpp=self.bloom_fpp)
+                            k, bitset = _bloom.bloom_build_bytes(sl, expected_entries=stride, fpp=self.bloom_fpp)
                         bfi.msg(1, Msg().varint(1, k).bytes_(3, bitset))
                     fb = _orc_frame(bfi.tobytes(), self.compression, self.level)
                     index_meta.append((8, field_ids[i], len(fb)))  # kind 8 = BLOOM_FILTER_UTF8

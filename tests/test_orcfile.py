@@ -517,6 +517,36 @@ def test_orc_bloom_pushdown_prunes_beyond_minmax(tmp_path):
         orcfile.OrcWriter(str(tmp_path / "y.orc"), tbl.schema, row_index_stride=0, bloom_columns=["k"])
 
 
+def test_murmur_vectorized_matches_scalar():
+    """murmur3_h1_many (the bloom write path) is bit-identical to the
+    scalar transliteration across every 16-byte block boundary, and
+    bloom_build_bytes produces byte-identical bitsets — including on a
+    sliced Arrow array with a nonzero buffer offset."""
+    import numpy as np
+
+    from orc_format_ray import bloom
+
+    rng = np.random.default_rng(9)
+    vals = []
+    for L in (0, 1, 7, 8, 9, 15, 16, 17, 23, 24, 31, 32, 33, 47, 48, 63, 64):
+        for _ in range(20):
+            vals.append(bytes(rng.integers(0, 256, L, dtype=np.uint8)))
+    for _ in range(500):
+        vals.append(bytes(rng.integers(0, 256, rng.integers(0, 80), dtype=np.uint8)))
+    arr = pa.array(vals, pa.large_binary())
+    offs = np.frombuffer(arr.buffers()[1], np.int64)[: len(arr) + 1]
+    data = np.frombuffer(arr.buffers()[2], np.uint8)
+    vec = bloom.murmur3_h1_many(data, offs[:-1], np.diff(offs))
+    for v, h in zip(vals, vec):
+        assert bloom.murmur3_x64_128(v)[0] == int(h), v.hex()
+    assert bloom.bloom_build(vals, len(vals)) == bloom.bloom_build_bytes(arr, len(vals))
+    sl = pa.array([f"key-{i}" for i in range(1000)]).slice(200, 300)
+    assert bloom.bloom_build_bytes(sl, 300) == bloom.bloom_build([v.encode() for v in sl.to_pylist()], 300)
+    # all-empty-string group: build succeeds, probe of "" is present
+    k, bs = bloom.bloom_build_bytes(pa.array(["", ""]), 2)
+    assert bloom.bloom_might_contain(k, bs, b"")
+
+
 def test_wang_long_hash_scalar_matches_vectorized():
     """Two restatements of Java BloomFilter.getLongHash (Thomas Wang's
     64-bit mix): scalar masked-int Python vs numpy uint64 wraparound."""
