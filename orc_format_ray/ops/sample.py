@@ -9,9 +9,12 @@ accept engine-specific parity.
 
 ``hash_split`` is embarrassingly parallel (a stateless vectorized filter —
 the right shape for train/val/test splits at any scale). ``stratified_sample``
-takes exactly ``k`` rows per stratum via one ``groupby(stratum)`` shuffle of
-``(stratum, key)`` metadata; group sizes are per-stratum row counts, so for
-very hot strata pre-filter with ``hash_split`` to bound group memory.
+takes exactly ``k`` rows per stratum with a METADATA-ONLY shuffle: per-batch
+top-k partials (``<= k`` rows per stratum per batch, (stratum, key, hash)
+triples only) feed a tiny per-stratum groupby, and the winners are broadcast
+back as a semi-join filter — full rows never shuffle and no group ever holds
+a whole stratum, so a hot stratum (half the corpus from one source) costs
+the same as a cold one.
 """
 
 from __future__ import annotations
@@ -46,19 +49,84 @@ def hash_split(ds, rate_pct: int, key: str = "doc_id", buckets: int = 100, salt:
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
 
 
+def _topk_per_stratum(strata: np.ndarray, keys: np.ndarray, hashes: np.ndarray, k: int) -> np.ndarray:
+    """Row indices of the ``k`` smallest ``(hash, key)`` pairs per stratum
+    (vectorized: one lexsort + group-boundary ranks, no Python loop)."""
+    order = np.lexsort((keys, hashes, strata))
+    s = strata[order]
+    group_start = np.zeros(len(s), dtype=np.int64)
+    if len(s) > 1:
+        boundaries = np.flatnonzero(s[1:] != s[:-1]) + 1
+        group_start[boundaries] = boundaries
+        np.maximum.accumulate(group_start, out=group_start)
+    rank = np.arange(len(s)) - group_start
+    return order[rank < k]
+
+
 def stratified_sample(ds, k: int, stratum: str = "source", key: str = "doc_id", salt: int = 0):
     """Exactly min(k, |stratum|) rows per stratum, chosen by ascending
     ``(hash(key), key)`` — a deterministic uniform draw within each stratum.
-    Returns a Dataset of the sampled rows (all input columns)."""
+    Returns a Dataset of the sampled rows (all input columns).
+
+    Plan (metadata-only; see module docstring): (1) per-batch combiner emits
+    at most ``k`` (stratum, key, hash) triples per stratum per batch;
+    (2) one groupby over those partials (``<= k x n_blocks`` rows per
+    stratum) picks the global winners; (3) the winner (stratum, key) pairs —
+    ``n_strata x k`` ints, small by the semantics of the op — broadcast once
+    via ``ray.put`` and filter the full rows as a vectorized semi-join.
+    Keys must be unique within a stratum (duplicate keys would make "the k-th
+    smallest" ambiguous and the filter would return every tied row)."""
+    import ray
+
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
 
-    def pick(group: pd.DataFrame) -> pd.DataFrame:
-        h = knuth_hash(group[key].to_numpy(), salt)
-        order = np.lexsort((group[key].to_numpy(), h))
-        return group.iloc[order[:k]]
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # keep the empty-block schema typed
+            return pa.table({stratum: batch[stratum], key: batch[key], "_h": pa.array([], pa.uint64())})
+        keys_np = batch[key].to_numpy(zero_copy_only=False)
+        strata_np = batch[stratum].to_numpy(zero_copy_only=False)
+        h = knuth_hash(keys_np, salt)
+        codes, _ = pd.factorize(strata_np)
+        idx = _topk_per_stratum(codes, keys_np, h, k)
+        return pa.table(
+            {
+                stratum: pa.array(strata_np[idx]),
+                key: pa.array(keys_np[idx]),
+                "_h": pa.array(h[idx], pa.uint64()),
+            }
+        )
 
-    return ds.groupby(stratum).map_groups(pick, batch_format="pandas", **remote_args())
+    def pick(group: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((group[key].to_numpy(), group["_h"].to_numpy()))
+        return group.iloc[order[:k]][[stratum, key]]
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    winners = partials.groupby(stratum).map_groups(pick, batch_format="pandas", **remote_args())
+    win_df = pa.concat_tables(
+        list(winners.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    ).to_pandas()
+    by_stratum = {
+        s: np.sort(g[key].to_numpy())
+        for s, g in win_df.groupby(stratum, sort=False)
+    }
+    ref = ray.put(by_stratum)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        chosen = ray.get(ref)
+        keys_np = batch[key].to_numpy(zero_copy_only=False)
+        strata_np = batch[stratum].to_numpy(zero_copy_only=False)
+        mask = np.zeros(len(keys_np), dtype=bool)
+        for s in pd.unique(strata_np):
+            ids = chosen.get(s)
+            if ids is None or not len(ids):
+                continue
+            sel = np.flatnonzero(strata_np == s)
+            pos = np.minimum(np.searchsorted(ids, keys_np[sel]), len(ids) - 1)
+            mask[sel] = ids[pos] == keys_np[sel]
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
 
 
 def mixture_sample(ds, rates: dict[str, int], stratum: str = "source", key: str = "doc_id", buckets: int = 100, salt: int = 0):

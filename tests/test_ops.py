@@ -818,6 +818,34 @@ def test_hash_split_and_stratified_sample(ray_session):
         sample.stratified_sample(ray.data.from_pandas(df), k=0)
 
 
+def test_stratified_sample_hot_stratum_metadata_only(ray_session):
+    """VERDICT r3 #3: 80% of rows in one stratum must still sample exactly k
+    per stratum with the metadata-only plan (per-batch top-k partials -> tiny
+    groupby -> broadcast semi-join), across many input blocks."""
+    import ray.data
+
+    from orc_format_ray.ops import sample
+
+    n = 5000
+    src = np.where(np.arange(n) % 5 < 4, "hot", np.where(np.arange(n) % 2 == 0, "cold_a", "cold_b"))
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64), "source": src,
+                       "text": [f"payload {i}" for i in range(n)]})
+    ds = ray.data.from_pandas(df).repartition(16)  # force the combiner across blocks
+    out = sample.stratified_sample(ds, k=7).to_pandas()
+    assert set(out.columns) == {"doc_id", "source", "text"}  # full rows survive
+    for s, g in out.groupby("source"):
+        sub = df[df["source"] == s]
+        h = sample.knuth_hash(sub["doc_id"].to_numpy())
+        order = np.lexsort((sub["doc_id"].to_numpy(), h))
+        want = sorted(sub["doc_id"].to_numpy()[order[:7]].tolist())
+        assert sorted(g["doc_id"].tolist()) == want, s
+    assert len(out) == 21
+    # k larger than a small stratum returns the whole stratum
+    tiny = df[df["source"] != "hot"]
+    out2 = sample.stratified_sample(ray.data.from_pandas(tiny), k=10**6).to_pandas()
+    assert len(out2) == len(tiny)
+
+
 def test_chunk_passages_tiling(ray_session):
     import ray.data
 
