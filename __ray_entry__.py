@@ -282,7 +282,11 @@ def _q_prepare_training_data(sf_dir: str):
     srcs = set(pq.read_table(f"{sf_dir}/documents.parquet", columns=["source"])["source"].to_pylist())
     rates = {s: int(s[3:]) * 7 % 101 for s in srcs}
     out = clean.prepare_training_data(sf_dir, capacity=2048, mixture_rates=rates, benchmark_phrases=phrases)
-    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # pin dtypes before the driver hashes: a float-promoted int column (e.g.
+    # from an empty-block pandas concat) is numerically equal but hashes
+    # differently (r3 flake defense; see ops/pack.py guard)
+    return df.astype({c: "int64" for c in df.columns})
 
 
 def _q_packed_shards_summary(sf_dir: str):
@@ -402,7 +406,35 @@ def _q_pack_sequences(sf_dir: str):
     ds = ds.map_batches(tx.token_count, batch_format="pyarrow", zero_copy_batch=True, **_ra())
     # meta derives from a text tokenize here -> pin it rather than re-derive
     out = pack.pack_sequences(ds.select_columns(["doc_id", "n_tok"]), capacity=2048, materialize_meta=True)
-    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # pin dtypes before the driver hashes (r3 flake defense; see ops/pack.py)
+    return df.astype({c: "int64" for c in df.columns})
+
+
+def _q_pack_sequences_by_sort(sf_dir: str):
+    """Sequence packing over STRING doc ids (the real-corpus shape): global
+    order is lexicographic — 'doc-10' sorts before 'doc-2', so this checks
+    true string ordering, not numeric. SQL mirrors with row_number/window
+    cumsum OVER (ORDER BY doc_id) on the same string ids."""
+    import pyarrow.compute as _pc
+    import ray.data
+
+    from orc_format_ray.ops import pack
+    from orc_format_ray.ops import text as tx
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = ds.map_batches(tx.token_count, batch_format="pyarrow", zero_copy_batch=True, **_ra())
+
+    def strid(batch: pa.Table) -> pa.Table:
+        sid = _pc.binary_join_element_wise(
+            pa.scalar("doc-"), _pc.cast(batch["doc_id"], pa.string()), pa.scalar("")
+        )
+        return pa.table({"doc_id": sid, "n_tok": batch["n_tok"]})
+
+    ds = ds.map_batches(strid, batch_format="pyarrow", zero_copy_batch=True, **_ra())
+    out = pack.pack_sequences_by_sort(ds, capacity=2048, num_buckets=8)
+    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return df.astype({c: "int64" for c in df.columns if c != "doc_id"})
 
 
 def _q_quality_per_doc(sf_dir: str):
@@ -1309,6 +1341,40 @@ def _q_orc_pushdown_conjunction(sf_dir: str):
     return df
 
 
+def _q_orc_pushdown_disjunction(sf_dir: str):
+    """DNF (OR of ANDs) predicate pushdown: a row group is read when SOME
+    conjunct may fully match its [min,max]/bloom; the decoded survivors are
+    exact-filtered with the OR of the conjunct masks. The oracle is plain
+    SQL with the same WHERE ... OR ..."""
+    import pyarrow.parquet as pq
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from orc_format_ray import orcfile
+    from orc_format_ray.orcread import read_orc_filtered
+
+    scratch = _scratch(sf_dir, "orc")
+    path = os.path.join(scratch, "lineitem_dnf.orc")
+    if not os.path.exists(path):
+        tbl = pq.read_table(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity", "l_returnflag"])
+        orcfile.write_orc(tbl.sort_by("l_orderkey"), path, row_index_stride=1000, bloom_columns=["l_returnflag"])
+    got, _stats = read_orc_filtered(
+        path,
+        [
+            [("l_orderkey", "<", 300)],
+            [("l_orderkey", ">=", 1200), ("l_returnflag", "==", "R")],
+        ],
+    )
+    ds = ray.data.from_arrow(got)
+    out = ds.groupby("l_returnflag").aggregate(
+        Count(alias_name="cnt"),
+        Sum("l_quantity", alias_name="sum_qty"),
+    )
+    df = out.to_pandas()
+    df["sum_qty"] = df["sum_qty"].round(2)
+    return df
+
+
 def _q_orc_pushdown_in_list(sf_dir: str):
     """IN-list pushdown: a bloom-backed membership probe over doc ids —
     the id-lookup access pattern of decontamination / sample fetches. The
@@ -1665,6 +1731,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_documents": _q_exact_dedup_documents,
         "token_count_by_source": _q_token_count_by_source,
         "pack_sequences": _q_pack_sequences,
+        "pack_sequences_by_sort": _q_pack_sequences_by_sort,
         "vocab_topk": _q_vocab_topk,
         "decontaminate_planted": _q_decontaminate_planted,
         "hash_split_documents": _q_hash_split_documents,
@@ -1709,6 +1776,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orc_pushdown_filter": _q_orc_pushdown_filter,
         "orc_pushdown_conjunction": _q_orc_pushdown_conjunction,
         "orc_pushdown_in_list": _q_orc_pushdown_in_list,
+        "orc_pushdown_disjunction": _q_orc_pushdown_disjunction,
         "orc_bloom_pushdown": _q_orc_bloom_pushdown,
         "minhash_dedup_pairs": _q_minhash_dedup_pairs,
         "ngram_jaccard_planted": _q_ngram_jaccard_planted,
@@ -1932,6 +2000,19 @@ def oracle_sql() -> dict[str, str]:
             "CAST(floor((start_tok + greatest(n_tok, 1) - 1) / 2048) AS BIGINT)) AS last_pack "
             "FROM c ORDER BY doc_id"
         ),
+        # string-key packing: row_number/cumsum over LEXICOGRAPHIC id order
+        "pack_sequences_by_sort": (
+            f"WITH t AS (SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS doc_id, "
+            f"CAST({_TOKCOUNT_SQL} AS BIGINT) AS n_tok FROM documents), "
+            "c AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS \"rank\", "
+            "n_tok, COALESCE(SUM(n_tok) OVER (ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok FROM t) "
+            "SELECT doc_id, \"rank\", n_tok, start_tok, "
+            "CAST(floor(start_tok / 2048) AS BIGINT) AS first_pack, "
+            "greatest(CAST(floor(start_tok / 2048) AS BIGINT), "
+            "CAST(floor((start_tok + greatest(n_tok, 1) - 1) / 2048) AS BIGINT)) AS last_pack "
+            "FROM c ORDER BY doc_id"
+        ),
         "quality_per_doc": (
             "SELECT doc_id, "
             "round(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS punct_ratio, "
@@ -2130,6 +2211,11 @@ def oracle_sql() -> dict[str, str]:
         "orc_pushdown_in_list": (
             "SELECT o_orderpriority, count(*) AS cnt, round(sum(o_totalprice), 2) AS sum_price "
             "FROM orders WHERE o_orderkey IN (7, 77, 777, 1077, 1177) GROUP BY o_orderpriority"
+        ),
+        "orc_pushdown_disjunction": (
+            "SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty "
+            "FROM lineitem WHERE l_orderkey < 300 OR (l_orderkey >= 1200 AND l_returnflag = 'R') "
+            "GROUP BY l_returnflag"
         ),
         "orc_partitioned_roundtrip": (
             "SELECT o_orderpriority, count(*) AS cnt, round(sum(o_totalprice), 2) AS sum_price "

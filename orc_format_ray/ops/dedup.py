@@ -123,6 +123,24 @@ class _ShardedSurvivorFilter:
         return batch.filter(pa.array(keep))
 
 
+def _default_shard_dir() -> str:
+    """Single-node only: a node-local tempdir for survivor shards. Multi-node
+    sessions must pass an explicit shard_dir on SHARED storage (write tasks
+    and filter actors land on different nodes)."""
+    import tempfile
+
+    import ray
+
+    alive_nodes = sum(1 for nd in ray.nodes() if nd.get("Alive"))
+    if alive_nodes > 1:
+        raise ValueError(
+            "exact_dedup's sharded survivor path needs an explicit shard_dir on "
+            f"SHARED storage when the cluster has {alive_nodes} nodes — a node-local "
+            "tempdir would be invisible to filter actors on other nodes"
+        )
+    return tempfile.mkdtemp(prefix="dedup_survivors_")
+
+
 def exact_dedup(ds, column: str = "text", max_broadcast_ids: int = 1 << 26, shard_dir: str | None = None):
     """Drop duplicate rows, keeping the min-doc_id survivor per content hash.
 
@@ -155,13 +173,13 @@ def exact_dedup(ds, column: str = "text", max_broadcast_ids: int = 1 << 26, shar
 
     # sharded path: ids-only sort -> disjoint-range shard files; the driver
     # holds one (path, lo, hi) row per shard, never the ids themselves.
-    # NOTE: on a multi-node cluster shard_dir MUST point at shared storage
-    # (write tasks and filter actors run on different nodes); the tempdir
-    # default only works single-node.
+    # On a multi-node cluster shard_dir MUST point at shared storage (write
+    # tasks and filter actors run on different nodes), so the tempdir
+    # default is guarded to single-node sessions (VERDICT r3 #8).
     import os
-    import tempfile
 
-    shard_dir = shard_dir or tempfile.mkdtemp(prefix="dedup_survivors_")
+    if shard_dir is None:
+        shard_dir = _default_shard_dir()
     os.makedirs(shard_dir, exist_ok=True)
 
     def write_shard(batch: pa.Table) -> pa.Table:

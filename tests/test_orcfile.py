@@ -167,6 +167,41 @@ def test_orc_timestamps(tmp_path, unit):
     assert back["ts"].cast(pa.timestamp(unit)).combine_chunks().equals(tbl["ts"].combine_chunks())
 
 
+def test_orc_timestamp_instant_tz_aware(tmp_path):
+    """VERDICT r3 #4: tz-aware timestamps must NOT silently write as
+    wall-clock TIMESTAMP. They map to TIMESTAMP_INSTANT (kind 18), round-trip
+    exactly through BOTH readers as instants, and survive a non-UTC display
+    zone (arrow stores UTC-based instants regardless of tz)."""
+    from orc_format_ray.orcread import _parse_tail, _Source, read_orc_native
+
+    vals = [0, 12_345_678, None, -2_000_000_000, 2**40, -(2**40)]
+    utc = pa.table({"ts": pa.array(vals, type=pa.timestamp("us", tz="UTC"))})
+    path = str(tmp_path / "inst.orc")
+    orcfile.write_orc(utc, path)
+    assert _parse_tail(_Source(path))["types"][1].kind == "TIMESTAMP_INSTANT"
+    # pyarrow reads INSTANT as tz-aware; instants equal
+    back = po.read_table(path)
+    assert back["ts"].type.tz is not None
+    assert back["ts"].cast(pa.timestamp("us", tz="UTC")).combine_chunks().equals(utc["ts"].combine_chunks())
+    # native reader surfaces tz=UTC
+    nat = read_orc_native(path)
+    assert nat["ts"].type == pa.timestamp("us", tz="UTC")
+    assert nat["ts"].combine_chunks().equals(utc["ts"].combine_chunks())
+
+    # non-UTC zone: the INSTANT is preserved (display zone normalizes to UTC)
+    ny = pa.table({"ts": utc["ts"].cast(pa.timestamp("us", tz="America/New_York"))})
+    path2 = str(tmp_path / "inst_ny.orc")
+    orcfile.write_orc(ny, path2)
+    nat2 = read_orc_native(path2)
+    assert nat2["ts"].cast(pa.timestamp("us", tz="UTC")).combine_chunks().equals(utc["ts"].combine_chunks())
+
+    # tz-naive still maps to wall-clock TIMESTAMP (kind 9)
+    naive = pa.table({"ts": pa.array([0, 1], type=pa.timestamp("us"))})
+    path3 = str(tmp_path / "naive.orc")
+    orcfile.write_orc(naive, path3)
+    assert _parse_tail(_Source(path3))["types"][1].kind == "TIMESTAMP"
+
+
 def test_orc_multi_stripe_and_metadata(tmp_path):
     n = 100_000
     tbl = pa.table(

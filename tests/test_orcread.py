@@ -369,6 +369,47 @@ def test_predicate_pushdown_conjunction(tmp_path):
         read_orc_filtered(path, [])
 
 
+def test_predicate_pushdown_disjunction(tmp_path):
+    """DNF (OR of ANDs, VERDICT r3 #5): a group survives when SOME conjunct
+    may fully match; the exact post-filter ORs the conjunct masks; bloom
+    probes still apply inside each conjunct."""
+    from orc_format_ray.orcread import read_orc_filtered
+
+    n = 50000
+    tbl = pa.table(
+        {
+            "v": pa.array(range(n), type=pa.int64()),
+            "s": pa.array([f"k{i // 1000:03d}" for i in range(n)]),
+        }
+    )
+    path = str(tmp_path / "dnf.orc")
+    orcfile.write_orc(tbl, path, stripe_rows=20000, bloom_columns=["s"])  # 5 groups of 10k
+
+    # two disjoint ranges in different groups: both groups read, union exact
+    t, st = read_orc_filtered(path, [[("v", ">=", 1000), ("v", "<", 2000)],
+                                     [("v", ">=", 41000), ("v", "<", 42000)]])
+    assert sorted(t["v"].to_pylist()) == list(range(1000, 2000)) + list(range(41000, 42000))
+    assert st == {"groups_total": 5, "groups_read": 2}
+    # OR with an always-false conjunct degrades to the true side only
+    t, st = read_orc_filtered(path, [[("v", ">", 10**9)], [("v", "<", 500)]])
+    assert t["v"].to_pylist() == list(range(500)) and st["groups_read"] == 1
+    # bloom prunes one side; range keeps the other
+    t, st = read_orc_filtered(path, [[("s", "==", "zzz")], [("v", "==", 12345)]])
+    assert t["v"].to_pylist() == [12345] and st["groups_read"] == 1
+    # a conjunct of range+equality inside the OR stays exact
+    t, _ = read_orc_filtered(path, [[("v", ">=", 12000), ("s", "==", "k012")],
+                                    [("s", "in", ["k030", "k031"])]], columns=["s"])
+    assert t.column_names == ["s"] and t.num_rows == 3000
+    # degenerate one-conjunct DNF == plain conjunction
+    a, _ = read_orc_filtered(path, [[("v", ">=", 12000), ("v", "<", 13000)]])
+    b, _ = read_orc_filtered(path, [("v", ">=", 12000), ("v", "<", 13000)])
+    assert a.equals(b)
+    with pytest.raises(ValueError, match="mixes"):
+        read_orc_filtered(path, [("v", ">=", 0), [("v", "<", 10)]])
+    with pytest.raises(ValueError, match="empty conjunct"):
+        read_orc_filtered(path, [[("v", ">=", 0)], []])
+
+
 def test_predicate_pushdown_in_list(tmp_path):
     """IN-list pushdown: a group survives when SOME member may match; bloom
     probes apply per member; composes inside conjunctions."""
