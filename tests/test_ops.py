@@ -861,6 +861,42 @@ def test_stratified_sample_hot_stratum_metadata_only(ray_session):
     assert len(out2) == len(tiny)
 
 
+def test_prepare_training_data_quality_gates(ray_session, tmp_path):
+    """VERDICT r3 #9: the repetition gate drops dup-word-heavy docs and the
+    familiarity gate drops rare-vocabulary docs; both off by default."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from orc_format_ray.pipelines import clean
+
+    common = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                common + " one two three",               # normal: passes both
+                "spam spam spam spam spam spam ham egg",  # repetition 6/8 > 0.6
+                "qzx wvu tsr pon mlk jih gfe dcb abz yxw",  # rare words: low familiarity
+                common + " four five six",               # normal: passes both
+            ],
+            "source": ["src1"] * 4,
+        }
+    )
+    sf = str(tmp_path)
+    pq.write_table(pa.Table.from_pandas(docs), f"{sf}/documents.parquet")
+    base = clean.prepare_training_data(sf, capacity=8).to_pandas()
+    assert sorted(base["doc_id"]) == [0, 1, 2, 3]  # gates off: all pass
+    rep = clean.prepare_training_data(sf, capacity=8, max_repetition=0.6).to_pandas()
+    assert sorted(rep["doc_id"]) == [0, 2, 3]
+    fam = clean.prepare_training_data(sf, capacity=8, min_mean_familiarity=1.5).to_pandas()
+    assert 2 not in set(fam["doc_id"])  # rare-word doc gated
+    assert {0, 3} <= set(fam["doc_id"])  # shared-vocab docs pass
+    both = clean.prepare_training_data(sf, capacity=8, max_repetition=0.6, min_mean_familiarity=1.5).to_pandas()
+    assert set(both["doc_id"]) == {0, 3}
+    # packing math still exact after the gates
+    assert both.sort_values("doc_id")["start_tok"].tolist()[0] == 0
+
+
 def test_pack_sequences_by_sort_lexicographic(ray_session):
     """String-key packing (VERDICT r3 #7): global order is LEXICOGRAPHIC
     ('doc-10' < 'doc-2'), dense ranks are global, start_tok is the exact
