@@ -1632,6 +1632,29 @@ def _q_ivf_ann_exhaustive(sf_dir: str):
     return df[["rank", "vec_id"]]
 
 
+def _q_ivf_pq_ann_exhaustive(sf_dir: str):
+    """Composed IVF+PQ index (PQ-coded bucket shards, ~32x fewer bytes per
+    probe) at nprobe=nlist with full-depth exact re-rank: must EQUAL brute
+    force exactly — the same SQL oracle as ann_topk_embeddings certifies the
+    whole build -> probe -> ADC -> re-rank path."""
+    import ray.data
+
+    from orc_format_ray.ops import similarity as sim
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    index_dir = os.path.join(_scratch(sf_dir, "ivf"), "pq-index-v1")
+    if not os.path.exists(os.path.join(index_dir, "pq_centroids.npy")):
+        index = sim.IVFIndex.train(ds, nlist=8)
+        cb = sim.PQCodebook.train(ds, m=8, nbits=6)
+        sim.build_ivf_pq_index(ds, index, cb, index_dir)
+    n = ds.count()
+    out, _bytes = sim.ivf_pq_topk(index_dir, _ann_query_vector(), k=10, nprobe=8,
+                                  exact_rerank_ds=ds, rerank_depth=n)
+    df = out.to_pandas()
+    df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+    return df[["rank", "vec_id"]]
+
+
 def _q_multimodal_features(sf_dir: str):
     """Multimodal pipeline end-to-end with REAL decoding: genuine BMP/PPM
     payloads -> library-free actor-pool decode (struct+numpy parsers) ->
@@ -1782,6 +1805,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_documents": _q_fingerprint_documents,
         "ivf_ann_exhaustive": _q_ivf_ann_exhaustive,
         # --- 51+: oracle-backed, window-redundant (pytest-checked) ---------
+        "ivf_pq_ann_exhaustive": _q_ivf_pq_ann_exhaustive,
         "double_stats_lineitem": _q_double_stats_lineitem,
         "boolean_stats_documents": _q_boolean_stats_documents,
         "timestamp_stats_events": _q_timestamp_stats_events,
@@ -2085,6 +2109,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         # nprobe=nlist IVF == brute force: same oracle as ann_topk_embeddings
         "ivf_ann_exhaustive": (
+            "SELECT CAST(row_number() OVER (ORDER BY list_cosine_similarity(embedding, "
+            f"{_ANN_VEC_SQL}) DESC, vec_id) AS BIGINT) AS rank, vec_id FROM embeddings "
+            "ORDER BY rank LIMIT 10"
+        ),
+        # nprobe=nlist IVF+PQ with full-depth exact re-rank == brute force
+        "ivf_pq_ann_exhaustive": (
             "SELECT CAST(row_number() OVER (ORDER BY list_cosine_similarity(embedding, "
             f"{_ANN_VEC_SQL}) DESC, vec_id) AS BIGINT) AS rank, vec_id FROM embeddings "
             "ORDER BY rank LIMIT 10"

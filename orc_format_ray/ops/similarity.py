@@ -195,18 +195,13 @@ def build_ivf_index(ds, index: IVFIndex, out_dir: str):
     return {"buckets": len(per_bucket), "rows": int(sum(per_bucket.values())), "shards": len(lineage)}
 
 
-def ivf_topk_indexed(index_dir: str, queries: np.ndarray, k: int = 10, nprobe: int = 4):
-    """ANN top-k over a built IVF index: reads ONLY the probed bucket files.
-
-    Returns (result Table, bytes_read) so callers/tests can assert the
-    nprobe/nlist read-scaling property."""
+def _probed_bucket_paths(index_dir: str, q: np.ndarray, nprobe: int) -> tuple[list[str], int]:
+    """Shard files of the nprobe closest buckets per query (manifest-exact,
+    glob fallback for legacy indexes) and their total on-disk bytes."""
     import glob
     import os
 
-    import ray.data
-
     cent = _unit(np.load(os.path.join(index_dir, "centroids.npy")).astype(np.float32))
-    q = _unit(np.asarray(queries, dtype=np.float32))
     probe = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]  # (nq, nprobe)
     want = sorted(set(int(b) for b in probe.reshape(-1)))
     shard_map = None
@@ -225,9 +220,23 @@ def ivf_topk_indexed(index_dir: str, queries: np.ndarray, k: int = 10, nprobe: i
             # also accepts pre-shard single-file indexes)
             paths.extend(sorted(glob.glob(os.path.join(index_dir, f"bucket-{b:05d}[.-]*parquet"))))
     paths = [p for p in paths if os.path.exists(p)]
+    return paths, sum(os.path.getsize(p) for p in paths)
+
+
+_EMPTY_TOPK = {"query_id": pa.array([], pa.int32()), "vec_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
+
+
+def ivf_topk_indexed(index_dir: str, queries: np.ndarray, k: int = 10, nprobe: int = 4):
+    """ANN top-k over a built IVF index: reads ONLY the probed bucket files.
+
+    Returns (result Table, bytes_read) so callers/tests can assert the
+    nprobe/nlist read-scaling property."""
+    import ray.data
+
+    q = _unit(np.asarray(queries, dtype=np.float32))
+    paths, bytes_read = _probed_bucket_paths(index_dir, q, nprobe)
     if not paths:
-        return pa.table({"query_id": pa.array([], pa.int32()), "vec_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}), 0
-    bytes_read = sum(os.path.getsize(p) for p in paths)
+        return pa.table(_EMPTY_TOPK), 0
     import ray
 
     q_ref = ray.put(q)
@@ -490,3 +499,107 @@ def pq_topk(codes_ds, codebook: PQCodebook, queries: np.ndarray, k: int = 10, ex
     df = df.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
     df["score"] = np.round(df.pop("_exact"), 6)
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+# -------------------------------------------------------------- IVF + PQ
+
+
+def build_ivf_pq_index(ds, index: IVFIndex, codebook: PQCodebook, out_dir: str):
+    """Composed IVF+PQ index — the billion-vector production shape: corpus
+    bucket-partitioned by coarse centroid (same no-shuffle sharding as
+    ``build_ivf_index``) but each shard stores PQ CODES (vec_id, code:
+    binary(m)) — ``m`` bytes/vector instead of ``4*dim`` — so the whole
+    index is ~32x smaller on disk and a probe reads ~32x fewer bytes.
+    Queries via ``ivf_pq_topk`` ADC-score only the probed buckets and
+    optionally exact-re-rank from the raw embeddings."""
+    import glob as _glob
+    import os
+
+    import ray
+
+    from .. import manifest as mf
+
+    os.makedirs(out_dir, exist_ok=True)
+    for stale in _glob.glob(os.path.join(out_dir, "bucket-*.parquet")):
+        os.remove(stale)
+    cent_ref = ray.put(index.centroids)
+    cb_ref = ray.put(codebook)
+
+    class AssignEncodeWrite:
+        def __init__(self):
+            self.cent = ray.get(cent_ref)
+            self.cb = ray.get(cb_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import hashlib
+
+            import pyarrow.parquet as pq
+
+            emb = _unit(_embedding_matrix(batch, dtype=np.float32))
+            assign = np.argmax(emb @ self.cent.T, axis=1).astype(np.int32)
+            m = self.cb.m
+            rows_b, rows_n, rows_p = [], [], []
+            for b in np.unique(assign):
+                mask = assign == b
+                sub = batch.filter(pa.array(mask)).sort_by("vec_id")
+                ids = sub["vec_id"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+                order = np.argsort(batch["vec_id"].to_numpy(zero_copy_only=False)[mask], kind="stable")
+                codes = self.cb.encode(emb[mask][order])
+                buf = codes.tobytes()
+                tbl = pa.table(
+                    {
+                        "vec_id": pa.array(ids, pa.int64()),
+                        "code": pa.array([buf[i * m : (i + 1) * m] for i in range(len(codes))], pa.binary()),
+                    }
+                )
+                digest = hashlib.sha256(ids.tobytes()).hexdigest()[:16]
+                path = os.path.join(out_dir, f"bucket-{int(b):05d}-{digest}.parquet")
+                tmp = path + f".tmp.{os.getpid()}"
+                pq.write_table(tbl, tmp)
+                os.replace(tmp, path)
+                rows_b.append(int(b))
+                rows_n.append(tbl.num_rows)
+                rows_p.append(path)
+            return pa.table({"bucket": pa.array(rows_b, pa.int32()), "rows": pa.array(rows_n, pa.int64()), "path": pa.array(rows_p)})
+
+    lineage = ds.map_batches(AssignEncodeWrite, batch_format="pyarrow", zero_copy_batch=True, concurrency=pool_size(), **remote_args()).take_all()
+    np.save(os.path.join(out_dir, "centroids.npy"), index.centroids)
+    np.save(os.path.join(out_dir, "pq_centroids.npy"), codebook.centroids)
+    per_bucket: dict[int, int] = {}
+    shard_paths: dict[int, list[str]] = {}
+    for r in lineage:
+        per_bucket[r["bucket"]] = per_bucket.get(r["bucket"], 0) + r["rows"]
+        shard_paths.setdefault(int(r["bucket"]), []).append(os.path.basename(r["path"]))
+    mf.write_blob_atomic(
+        os.path.join(out_dir, "_buckets.json"),
+        __import__("json").dumps(
+            {
+                "rows": sorted(per_bucket.items()),
+                "shards": {str(b): sorted(ps) for b, ps in shard_paths.items()},
+                "pq_m": codebook.m,
+            }
+        ).encode(),
+    )
+    return {"buckets": len(per_bucket), "rows": int(sum(per_bucket.values())), "shards": len(lineage)}
+
+
+def ivf_pq_topk(index_dir: str, queries: np.ndarray, k: int = 10, nprobe: int = 4,
+                exact_rerank_ds=None, rerank_depth: int = 32):
+    """ANN top-k over an IVF+PQ index: probe the nprobe closest buckets,
+    ADC-score ONLY their code shards (bytes read scale with nprobe/nlist AND
+    are ~32x smaller than raw-embedding shards), optionally exact-re-rank
+    the ADC top ``rerank_depth`` candidates from ``exact_rerank_ds``.
+    Returns (result Table, bytes_read). With nprobe = nlist and full-depth
+    re-rank this equals brute force exactly — the oracle equivalence."""
+    import os
+
+    import ray.data
+
+    q = _unit(np.asarray(queries, dtype=np.float32))
+    paths, bytes_read = _probed_bucket_paths(index_dir, q, nprobe)
+    if not paths:
+        return pa.table(_EMPTY_TOPK), 0
+    codebook = PQCodebook(np.load(os.path.join(index_dir, "pq_centroids.npy")))
+    codes_ds = ray.data.read_parquet(paths, columns=["vec_id", "code"])
+    out = pq_topk(codes_ds, codebook, queries, k=k, exact_rerank_ds=exact_rerank_ds, rerank_depth=rerank_depth)
+    return out, bytes_read

@@ -99,7 +99,7 @@ class Msg:
 
 # ------------------------------------------------------- spec block framing
 
-_KIND_IDS = {"none": 0, "zlib": 1, "snappy": 2, "zstd": 5}  # proto CompressionKind
+_KIND_IDS = {"none": 0, "zlib": 1, "snappy": 2, "lz4": 4, "zstd": 5}  # proto CompressionKind
 _ORC_BLOCK = 262144  # reference snappy.rs:14
 
 
@@ -111,6 +111,11 @@ def _orc_compress_block(kind: str, level: int, block: bytes) -> bytes:
         return pa.Codec("zstd", compression_level=level).compress(block).to_pybytes()
     if kind == "snappy":
         return pa.Codec("snappy").compress(block).to_pybytes()
+    if kind == "lz4":
+        # ORC LZ4 blocks are the raw LZ4 block format (no frame header) —
+        # pyarrow's "lz4_raw" codec; our reader's pure-Python decoder is
+        # pinned against this exact compressor (orcread.py)
+        return pa.Codec("lz4_raw").compress(block).to_pybytes()
     raise ValueError(kind)
 
 
