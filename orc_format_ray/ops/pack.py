@@ -375,6 +375,48 @@ def write_packed_shards(
     return manifest.to_pandas().sort_values(["shard", "part"]).reset_index(drop=True)
 
 
+def read_packed_shards_dataset(out_dir: str, capacity: int, packs_per_shard: int = 64):
+    """The packed stream as a Ray Dataset of (pack_id, shard, n_tokens,
+    tokens) — the training-loader integration point: each task reassembles
+    ONE shard (``read_packed_shard``'s contiguity guards included) and emits
+    its packs, so the loader streams ``capacity``-token rows with
+    backpressure instead of collecting shards driver-side. ``pack_id`` is
+    the global pack index (shard * packs_per_shard + local)."""
+    import glob
+    import os
+    import re
+
+    import ray.data
+
+    shard_ids = sorted(
+        int(m.group(1))
+        for p in glob.glob(os.path.join(out_dir, "shard=*"))
+        if (m := re.fullmatch(r"shard=(\d+)", os.path.basename(p)))
+    )
+    if not shard_ids:
+        raise FileNotFoundError(f"no shard=* directories under {out_dir}")
+
+    def load(batch: pa.Table) -> pa.Table:
+        out_ids, out_shard, out_toks = [], [], []
+        for s in batch["shard"].to_pylist():
+            packs = read_packed_shard(out_dir, s, capacity, packs_per_shard)
+            for i, p in enumerate(packs):
+                out_ids.append(s * packs_per_shard + i)
+                out_shard.append(s)
+                out_toks.append(p)
+        return pa.table(
+            {
+                "pack_id": pa.array(out_ids, pa.int64()),
+                "shard": pa.array(out_shard, pa.int64()),
+                "n_tokens": pa.array([len(t) for t in out_toks], pa.int64()),
+                "tokens": pa.array([t for t in out_toks], pa.list_(pa.int32())),
+            }
+        )
+
+    ds = ray.data.from_items([{"shard": s} for s in shard_ids])
+    return ds.map_batches(load, batch_format="pyarrow", batch_size=1, **remote_args())
+
+
 def read_packed_shard(out_dir: str, shard: int, capacity: int, packs_per_shard: int = 64) -> list[np.ndarray]:
     """Reassemble one shard's packs: concatenate its parts in NUMERIC bucket
     order and slice into capacity-token arrays (last pack may be short).

@@ -1149,6 +1149,42 @@ def test_write_packed_shards_roundtrip_and_resume(ray_session, tmp_path):
         os.rename(victim + ".hidden", victim)
 
 
+def test_read_packed_shards_dataset_streams_packs(ray_session, tmp_path):
+    """The Dataset source over packed shards yields exactly the packs
+    read_packed_shard reassembles, with global pack ids, as a streaming
+    per-shard fan-out (no driver-side collection of payloads)."""
+    import ray.data
+
+    from orc_format_ray.ops import pack
+
+    rng = np.random.default_rng(9)
+    nd = 400
+    lens = rng.integers(1, 90, nd)
+    toks = [rng.integers(0, 50257, l).astype(np.int32) for l in lens]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(nd), pa.int64()),
+            "tokens": pa.array([t.tolist() for t in toks], pa.list_(pa.int32())),
+            "n_tok": pa.array(lens.astype(np.int64), pa.int64()),
+        }
+    )
+    out_dir = str(tmp_path / "shards")
+    pack.write_packed_shards(ray.data.from_arrow(tbl).repartition(4), capacity=128,
+                             out_dir=out_dir, packs_per_shard=4, bucket_width=150)
+    ds = pack.read_packed_shards_dataset(out_dir, capacity=128, packs_per_shard=4)
+    got = ds.to_pandas().sort_values("pack_id").reset_index(drop=True)
+    truth = np.concatenate(toks)
+    flat = np.concatenate([np.asarray(t, np.int32) for t in got["tokens"]])
+    assert np.array_equal(flat, truth)
+    n_shards = got["shard"].nunique()
+    assert got["pack_id"].tolist() == [int(s * 4 + i) for s in sorted(got["shard"].unique())
+                                       for i in range(len(got[got["shard"] == s]))]
+    assert (got["n_tokens"][:-1] == 128).all() and 0 < got["n_tokens"].iloc[-1] <= 128
+    assert n_shards >= 2
+    with pytest.raises(FileNotFoundError):
+        pack.read_packed_shards_dataset(str(tmp_path / "nope"), capacity=128)
+
+
 def test_write_packed_shards_meta_source_drift_raises(ray_session, tmp_path):
     """A meta_source whose per-bucket token totals disagree with the payload
     must raise before any part is written with a wrong offset."""
