@@ -439,6 +439,22 @@ def _q_pack_sequences_by_sort(sf_dir: str):
     return df.astype({c: "int64" for c in df.columns if c != "doc_id"})
 
 
+def _q_bpe_token_count(sf_dir: str):
+    """GPT-2-style pre-tokenizer counts per source (the LLM-token budget
+    proxy): both Arrow and DuckDB run RE2, so regexp_extract_all with the
+    identical pattern is an exact oracle."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from orc_format_ray.ops import text as tx
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    counted = ds.map_batches(tx.bpe_token_count, batch_format="pyarrow", zero_copy_batch=True, **_ra())
+    return counted.groupby("source").aggregate(
+        Count(alias_name="n_docs"), Sum("n_bpe_tok", alias_name="sum_bpe_tok")
+    )
+
+
 def _q_quality_per_doc(sf_dir: str):
     import ray.data
 
@@ -1806,6 +1822,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_ann_exhaustive": _q_ivf_ann_exhaustive,
         # --- 51+: oracle-backed, window-redundant (pytest-checked) ---------
         "ivf_pq_ann_exhaustive": _q_ivf_pq_ann_exhaustive,
+        "bpe_token_count_by_source": _q_bpe_token_count,
         "double_stats_lineitem": _q_double_stats_lineitem,
         "boolean_stats_documents": _q_boolean_stats_documents,
         "timestamp_stats_events": _q_timestamp_stats_events,
@@ -2056,6 +2073,14 @@ def oracle_sql() -> dict[str, str]:
             "greatest(CAST(floor(start_tok / 2048) AS BIGINT), "
             "CAST(floor((start_tok + greatest(n_tok, 1) - 1) / 2048) AS BIGINT)) AS last_pack "
             "FROM c ORDER BY doc_id"
+        ),
+        # both engines run RE2: identical pattern -> identical counts (the
+        # leading contraction apostrophe doubles inside the SQL literal)
+        "bpe_token_count_by_source": (
+            "SELECT source, count(*) AS n_docs, "
+            "CAST(sum(len(regexp_extract_all(text, "
+            "'''(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'))) AS BIGINT) AS sum_bpe_tok "
+            "FROM documents GROUP BY source"
         ),
         "quality_per_doc": (
             "SELECT doc_id, "

@@ -71,6 +71,22 @@ def token_count(batch: pa.Table, column: str = "text", out: str = "n_tok") -> pa
     return batch.append_column(out, counts.cast(pa.int64()))
 
 
+# GPT-2-style pre-tokenizer, RE2-safe (the upstream pattern's negative
+# lookahead `\s+(?!\S)` is dropped — trailing-space runs count as one token
+# instead of splitting; every other class is the published pattern). Both
+# Arrow and DuckDB run RE2, so counts agree exactly across engines.
+BPE_SPLIT_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count(batch: pa.Table, column: str = "text", out: str = "n_bpe_tok") -> pa.Table:
+    """Pre-tokenizer token count — a closer LLM-token proxy than whitespace
+    words (contractions, punctuation runs, and digit runs count separately).
+    One vectorized RE2 pass per batch (``pc.count_substring_regex``); no
+    per-row Python."""
+    counts = pc.count_substring_regex(batch[column], BPE_SPLIT_PATTERN)
+    return batch.append_column(out, counts.cast(pa.int64()))
+
+
 def fingerprint(batch: pa.Table, column: str = "text", out: str = "fingerprint") -> pa.Table:
     """Document fingerprint = content rolling hash (for shard-level dedup joins)."""
     return add_content_hash(batch, column, out)

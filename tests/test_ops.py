@@ -29,6 +29,14 @@ def test_token_count_edge_cases():
     assert out["n_tok"].to_pylist() == [3, 0, 0, 1, 2]
 
 
+def test_bpe_token_count_semantics():
+    batch = pa.table({"text": ["Hello, world! It's 2026.", "", "don't stop", "abc123", "  "]})
+    out = text.bpe_token_count(batch)
+    # Hello |,| world|!| It|'s| 2026|. = 8; don|'t| stop = 3; abc|123 = 2
+    assert out["n_bpe_tok"].to_pylist() == [8, 0, 3, 2, 1]
+    assert out["n_bpe_tok"].type == pa.int64()
+
+
 def test_quality_score_columns():
     batch = pa.table({"text": ["Hello, world! This is fine.", ""]})
     out = text.quality_score(batch)
