@@ -1143,12 +1143,32 @@ def read_orc_dataset(
     _is_dnf = (
         isinstance(predicate, list) and len(predicate) > 0 and all(isinstance(p, list) for p in predicate)
     )
-    if _is_dnf and part_names and {t[0] for conj in predicate for t in conj} & set(part_names):
-        raise ValueError(
-            "DNF predicates cannot reference partition columns "
-            f"({sorted(set(part_names))}); pre-prune files with a conjunctive "
-            "predicate or filter partition columns after the read"
-        )
+    if _is_dnf and part_names:
+        dnf_cols = {t[0] for conj in predicate for t in conj}
+        if dnf_cols and dnf_cols <= set(part_names):
+            # pure-partition DNF: a FILE survives when ANY conjunct fully
+            # matches its partition values — then nothing pushes per-file
+            paths = [
+                p
+                for p in paths
+                if any(
+                    all(
+                        _partition_pred_ok(
+                            _typed_partition_value(pv_raw[p].get(c), part_schema.field(c).type), op, lit
+                        )
+                        for c, op, lit in conj
+                    )
+                    for conj in predicate
+                )
+            ]
+            predicate = None
+        elif dnf_cols & set(part_names):
+            raise ValueError(
+                "DNF predicates mixing partition columns "
+                f"({sorted(dnf_cols & set(part_names))}) with data columns have no "
+                "clean file-level split; pre-prune files with a conjunctive or "
+                "pure-partition-DNF predicate, or filter after the read"
+            )
     if predicate is not None and part_names and not _is_dnf:
         preds = [predicate] if isinstance(predicate, tuple) else list(predicate)
         ppreds = [t for t in preds if t[0] in part_names]

@@ -82,6 +82,30 @@ def test_partition_predicate_prunes_files(part_dir, ray_session):
     assert pa.concat_tables(ray.get(ds.to_arrow_refs()) or [pa.table({})]).num_rows == 0
 
 
+def test_partition_dnf_predicates(part_dir, ray_session):
+    """DNF over partition columns prunes FILES (a file survives when ANY
+    conjunct fully matches); data-only DNF pushes down per file; mixing
+    partition and data columns in a DNF is rejected loudly."""
+    t = part_dir["t"]
+    dnf = [[("source", "==", "src1"), ("lang", ">=", 2)], [("source", "==", "src3")]]
+    ds = read_orc_dataset(part_dir["dir"], predicate=dnf)
+    got = pa.concat_tables(ray.get(ds.to_arrow_refs()))
+    m = pc.or_(
+        pc.and_(pc.equal(t["source"], "src1"), pc.greater_equal(t["lang"], 2)),
+        pc.equal(t["source"], "src3"),
+    )
+    assert got.num_rows == t.filter(m).num_rows
+    assert set(got["source"].to_pylist()) <= {"src1", "src3"}
+    # data-only DNF pushes into the per-file reader (native required)
+    ds = read_orc_dataset(part_dir["dir"], predicate=[[("id", "<", 100)], [("id", ">=", 1900)]], native=True)
+    got = pa.concat_tables(ray.get(ds.to_arrow_refs()))
+    ids = got["id"].to_numpy()
+    want_n = int(pc.sum(pc.or_(pc.less(t["id"], 100), pc.greater_equal(t["id"], 1900)).cast(pa.int64())).as_py())
+    assert got.num_rows == want_n and ((ids < 100) | (ids >= 1900)).all()
+    with pytest.raises(ValueError, match="mixing partition columns"):
+        read_orc_dataset(part_dir["dir"], predicate=[[("source", "==", "src1"), ("id", "<", 700)]], native=True)
+
+
 def test_mixed_partition_and_data_predicate(part_dir, ray_session):
     t = part_dir["t"]
     ds = read_orc_dataset(part_dir["dir"], predicate=[("source", "==", "src1"), ("id", "<", 700)], native=True)
