@@ -439,6 +439,42 @@ def _q_pack_sequences_by_sort(sf_dir: str):
     return df.astype({c: "int64" for c in df.columns if c != "doc_id"})
 
 
+def _q_incremental_dedup_planted(sf_dir: str):
+    """Incremental-ingest dedup: the 'new shard' (odd doc_ids + planted
+    copies of 5 even-doc texts) dedups AGAINST the existing corpus (even
+    doc_ids) — planted copies drop because their text already exists,
+    odd originals survive. SQL mirrors with NOT EXISTS + row_number."""
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from orc_format_ray.ops import dedup
+
+    ref = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"])
+    ref = ref.map_batches(
+        lambda b: b.filter(_pc.equal(_pc.bit_wise_and(b["doc_id"], 1), 0)),
+        batch_format="pyarrow", zero_copy_batch=True, **_ra(),
+    )
+    new = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"])
+    new = new.map_batches(
+        lambda b: b.filter(_pc.equal(_pc.bit_wise_and(b["doc_id"], 1), 1)),
+        batch_format="pyarrow", zero_copy_batch=True, **_ra(),
+    )
+    chosen = (
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"])
+        .filter(_pc.equal(_pc.bit_wise_and(pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])["doc_id"], 1), 0))
+        .sort_by("doc_id")
+        .slice(0, 5)
+    )
+    planted = chosen.set_column(
+        chosen.schema.get_field_index("doc_id"), "doc_id",
+        _pc.add(chosen["doc_id"], pa.scalar(1_000_001, pa.int64())),  # odd ids, unique
+    )
+    new = new.union(ray.data.from_arrow(planted))
+    out = dedup.exact_dedup_against(new, ref).to_pandas()
+    return out[["doc_id", "source"]].sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_bpe_token_count(sf_dir: str):
     """GPT-2-style pre-tokenizer counts per source (the LLM-token budget
     proxy): both Arrow and DuckDB run RE2, so regexp_extract_all with the
@@ -1823,6 +1859,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- 51+: oracle-backed, window-redundant (pytest-checked) ---------
         "ivf_pq_ann_exhaustive": _q_ivf_pq_ann_exhaustive,
         "bpe_token_count_by_source": _q_bpe_token_count,
+        "incremental_dedup_planted": _q_incremental_dedup_planted,
         "double_stats_lineitem": _q_double_stats_lineitem,
         "boolean_stats_documents": _q_boolean_stats_documents,
         "timestamp_stats_events": _q_timestamp_stats_events,
@@ -2073,6 +2110,19 @@ def oracle_sql() -> dict[str, str]:
             "greatest(CAST(floor(start_tok / 2048) AS BIGINT), "
             "CAST(floor((start_tok + greatest(n_tok, 1) - 1) / 2048) AS BIGINT)) AS last_pack "
             "FROM c ORDER BY doc_id"
+        ),
+        # planted copies of even-doc texts drop against the even-doc corpus;
+        # odd originals survive (texts unique), keeping min doc_id per text
+        "incremental_dedup_planted": (
+            "WITH refs AS (SELECT text FROM documents WHERE doc_id % 2 = 0), "
+            "chosen AS (SELECT doc_id + 1000001 AS doc_id, text, source FROM documents "
+            "WHERE doc_id % 2 = 0 ORDER BY doc_id LIMIT 5), "
+            "news AS (SELECT doc_id, text, source FROM documents WHERE doc_id % 2 = 1 "
+            "UNION ALL SELECT * FROM chosen), "
+            "fresh AS (SELECT * FROM news n WHERE NOT EXISTS "
+            "(SELECT 1 FROM refs r WHERE r.text = n.text)), "
+            "d AS (SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM fresh) "
+            "SELECT doc_id, source FROM d WHERE rn = 1 ORDER BY doc_id"
         ),
         # both engines run RE2: identical pattern -> identical counts (the
         # leading contraction apostrophe doubles inside the SQL literal)

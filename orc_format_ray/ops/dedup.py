@@ -123,6 +123,60 @@ class _ShardedSurvivorFilter:
         return batch.filter(pa.array(keep))
 
 
+def exact_dedup_against(new_ds, reference_ds, column: str = "text", max_broadcast_hashes: int = 1 << 26):
+    """Incremental-ingest dedup: drop rows of ``new_ds`` whose content
+    already exists in ``reference_ds`` (the corpus built so far), then
+    exact-dedup the remainder within ``new_ds`` (min-doc_id survivor per
+    content hash) — the daily-shard ingest shape: yesterday's corpus never
+    re-shuffles, only its 8 B/distinct-content hash set moves.
+
+    The reference hash set is built with the same per-batch partial
+    aggregation as ``exact_dedup_groups`` (one row per distinct hash per
+    batch; raw text never shuffles) and broadcast once via ``ray.put``.
+    Beyond ``max_broadcast_hashes`` distinct contents, route the set through
+    range-sharded files instead (same recipe as ``exact_dedup``'s sharded
+    path, keyed on content_hash) — guarded loudly rather than silently
+    collected."""
+    import ray
+    from ray.data.aggregate import Count
+
+    def hash_partial(batch: pa.Table) -> pa.Table:
+        b = add_content_hash(batch, column)
+        return pa.table({"content_hash": b["content_hash"].combine_chunks().unique()})
+
+    ref_hashes = (
+        reference_ds.map_batches(hash_partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby("content_hash")
+        .aggregate(Count(alias_name="_n"))
+    )
+    n_distinct = ref_hashes.count()
+    if n_distinct > max_broadcast_hashes:
+        raise ValueError(
+            f"reference corpus has {n_distinct} distinct contents (> {max_broadcast_hashes}): "
+            "broadcast would not fit — shard the hash set (see exact_dedup's sharded path)"
+        )
+    parts = list(ref_hashes.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    hashes = (
+        pa.concat_tables(parts)["content_hash"].to_numpy(zero_copy_only=False)
+        if parts
+        else np.zeros(0, np.int64)  # empty reference: nothing is "seen"
+    )
+    seen_ref = ray.put(np.sort(hashes))
+
+    def drop_seen(batch: pa.Table) -> pa.Table:
+        seen = ray.get(seen_ref)  # zero-copy plasma view
+        h = add_content_hash(batch, column)["content_hash"].to_numpy(zero_copy_only=False)
+        if len(seen):
+            pos = np.minimum(np.searchsorted(seen, h), len(seen) - 1)
+            keep = seen[pos] != h
+        else:
+            keep = np.ones(len(h), dtype=bool)
+        return batch.filter(pa.array(keep))
+
+    fresh = new_ds.map_batches(drop_seen, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    return exact_dedup(fresh, column=column)
+
+
 def _default_shard_dir() -> str:
     """Single-node only: a node-local tempdir for survivor shards. Multi-node
     sessions must pass an explicit shard_dir on SHARED storage (write tasks
