@@ -195,6 +195,13 @@ def test_orc_timestamp_instant_tz_aware(tmp_path):
     nat2 = read_orc_native(path2)
     assert nat2["ts"].cast(pa.timestamp("us", tz="UTC")).combine_chunks().equals(utc["ts"].combine_chunks())
 
+    # footer statistics carry the instant min/max in millis
+    from orc_format_ray.orcmerge import read_orc_statistics
+
+    st = read_orc_statistics(path)["ts"]
+    assert st.kind == "timestamp" and st.num_present == 5
+    assert st.min == -(2**40) // 1000 and st.max == 2**40 // 1000  # floor millis
+
     # tz-naive still maps to wall-clock TIMESTAMP (kind 9)
     naive = pa.table({"ts": pa.array([0, 1], type=pa.timestamp("us"))})
     path3 = str(tmp_path / "naive.orc")

@@ -73,6 +73,34 @@ def compare(name: str, ours: pd.DataFrame, theirs: pd.DataFrame) -> list[str]:
     return problems
 
 
+def repeat_tail(sf_dir: str, names: list[str], reps: int, loop_i: int) -> int:
+    """After a full registry pass (state accumulated), hammer the given
+    queries ``reps`` more times in the SAME session — a higher sampling rate
+    on the r3 flaky cells than whole-registry loops."""
+    import __ray_entry__ as entrymod
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    n_bad = 0
+    for r in range(reps):
+        for name in names:
+            ours = _normalize(_to_df(qs[name](sf_dir)))
+            theirs = _normalize(con.execute(oracles[name]).df())
+            problems = compare(name, ours, theirs)
+            if problems:
+                n_bad += 1
+                os.makedirs(DUMP_DIR, exist_ok=True)
+                ours.to_csv(f"{DUMP_DIR}/{name}.tail{loop_i}.{r}.ours.csv", index=False)
+                theirs.to_csv(f"{DUMP_DIR}/{name}.tail{loop_i}.{r}.oracle.csv", index=False)
+                print(f"[{loop_i}] tail-rep {r} {name}: MISMATCH {problems}", flush=True)
+            else:
+                print(f"[{loop_i}] tail-rep {r} {name}: ok", flush=True)
+    return n_bad
+
+
 def run_once(sf_dir: str, only: set[str] | None, loop_i: int) -> int:
     import __ray_entry__ as entrymod
 
@@ -117,6 +145,8 @@ def main() -> int:
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--only", default="")
+    ap.add_argument("--tail-repeat", default="", help="comma-separated query names to re-run after each full pass")
+    ap.add_argument("--tail-reps", type=int, default=10)
     args = ap.parse_args()
 
     import ray
@@ -128,6 +158,8 @@ def main() -> int:
     for i in range(1, args.loops + 1):
         t0 = time.time()
         bad = run_once(args.sf, only, i)
+        if args.tail_repeat:
+            bad += repeat_tail(args.sf, args.tail_repeat.split(","), args.tail_reps, i)
         total_bad += bad
         print(json.dumps({"loop": i, "bad": bad, "wall_sec": round(time.time() - t0, 1)}), flush=True)
         if bad:
