@@ -47,7 +47,7 @@ def _round_sum_value(batch: pa.Table) -> pa.Table:
 
 def tumbling_window_agg(ds, key: str = "event_type", ts_col: str = "ts", window_sec: int = 3600, value_col: str = "value"):
     """count + rounded sum(value) per (key, tumbling window)."""
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
         b = assign_tumbling_window(batch, ts_col, window_sec)
