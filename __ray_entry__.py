@@ -439,6 +439,34 @@ def _q_pack_sequences_by_sort(sf_dir: str):
     return df.astype({c: "int64" for c in df.columns if c != "doc_id"})
 
 
+def _q_orc_pushdown_timestamp(sf_dir: str):
+    """Time-range pushdown — the canonical lake access pattern: events
+    sorted by ts into ORC with a row index, a datetime range predicate
+    prunes row groups via the millis timestamp statistics (floor-widened
+    1 ms so truncation can't drop rows). Same WHERE in SQL."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from orc_format_ray import orcfile
+    from orc_format_ray.orcread import read_orc_filtered
+
+    scratch = _scratch(sf_dir, "orc")
+    path = os.path.join(scratch, "events_ts.orc")
+    if not os.path.exists(path):
+        tbl = pq.read_table(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "user_id"])
+        orcfile.write_orc(tbl.sort_by("ts"), path, row_index_stride=1000)
+    lo = dt.datetime(2024, 1, 10)
+    hi = dt.datetime(2024, 1, 12)
+    got, _stats = read_orc_filtered(path, [("ts", ">=", lo), ("ts", "<", hi)])
+    ds = ray.data.from_arrow(got.drop_columns(["ts"]))
+    return ds.groupby("event_type").aggregate(
+        Count(alias_name="cnt"), Sum("user_id", alias_name="sum_uid")
+    )
+
+
 def _q_incremental_dedup_planted(sf_dir: str):
     """Incremental-ingest dedup: the 'new shard' (odd doc_ids + planted
     copies of 5 even-doc texts) dedups AGAINST the existing corpus (even
@@ -1860,6 +1888,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_pq_ann_exhaustive": _q_ivf_pq_ann_exhaustive,
         "bpe_token_count_by_source": _q_bpe_token_count,
         "incremental_dedup_planted": _q_incremental_dedup_planted,
+        "orc_pushdown_timestamp": _q_orc_pushdown_timestamp,
         "double_stats_lineitem": _q_double_stats_lineitem,
         "boolean_stats_documents": _q_boolean_stats_documents,
         "timestamp_stats_events": _q_timestamp_stats_events,
@@ -2341,6 +2370,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty "
             "FROM lineitem WHERE l_orderkey < 300 OR (l_orderkey >= 1200 AND l_returnflag = 'R') "
             "GROUP BY l_returnflag"
+        ),
+        "orc_pushdown_timestamp": (
+            "SELECT event_type, count(*) AS cnt, CAST(sum(user_id) AS BIGINT) AS sum_uid "
+            "FROM events WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-12' "
+            "GROUP BY event_type"
         ),
         "orc_partitioned_roundtrip": (
             "SELECT o_orderpriority, count(*) AS cnt, round(sum(o_totalprice), 2) AS sum_price "

@@ -879,6 +879,18 @@ def _entry_minmax(stats_bytes: bytes, t_kind: str):
             g = _fields(sub[0])
             if 1 in g and 2 in g:
                 return g[1][0].decode(), g[2][0].decode()
+    elif t_kind in ("TIMESTAMP", "TIMESTAMP_INSTANT"):
+        # timestampStatistics: sint64 millis min=1 max=2 (writer-local),
+        # minimumUtc=3 maximumUtc=4 — prefer Utc when emitted. Millis stats
+        # FLOOR the true values, so the group's true range is
+        # [min_ms, max_ms + 1ms): widen the upper bound by one millisecond
+        # and prune conservatively (the exact post-filter corrects).
+        sub = f.get(9)
+        if sub:
+            g = _fields(sub[0])
+            lo_f, hi_f = (3, 4) if (3 in g and 4 in g) else (1, 2)
+            if lo_f in g and hi_f in g:
+                return float(_unzigzag(g[lo_f][0])), float(_unzigzag(g[hi_f][0]) + 1)
     else:
         return "unprunable"  # kinds without ordered index stats: never prune
     if num_present == 0:
@@ -955,6 +967,24 @@ def read_orc_filtered(path_or_bytes, predicate, columns: list[str] | None = None
                     return value.decode()
                 except UnicodeDecodeError:
                     return None
+            if t_kind in ("TIMESTAMP", "TIMESTAMP_INSTANT"):
+                # timestamp stats are FLOAT MILLIS here (see _entry_minmax);
+                # convert the literal exactly via integer microseconds.
+                # Unrecognized literal types never prune (the exact
+                # post-filter still applies — or raises on a bad literal).
+                import datetime as _dt
+
+                if isinstance(value, np.datetime64):
+                    us = int(value.astype("datetime64[us]").astype(np.int64))
+                elif isinstance(value, _dt.datetime):
+                    # tz-aware literals diff against the UTC epoch (the
+                    # subtraction converts zones exactly); naive against naive
+                    epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc if value.tzinfo else None)
+                    td = value - epoch
+                    us = td.days * 86_400_000_000 + td.seconds * 1_000_000 + td.microseconds
+                else:
+                    return None
+                return us / 1000.0
             return value
 
         def _probe_hash(value, t_kind):

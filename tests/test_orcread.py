@@ -410,6 +410,45 @@ def test_predicate_pushdown_disjunction(tmp_path):
         read_orc_filtered(path, [[("v", ">=", 0)], []])
 
 
+def test_predicate_pushdown_timestamp_range(tmp_path):
+    """Timestamp predicates prune via the millis index stats (floor-widened
+    by 1 ms so truncation can never drop real rows); datetime and
+    np.datetime64 literals both work, incl. tz-aware vs TIMESTAMP_INSTANT."""
+    import datetime as dt
+
+    from orc_format_ray.orcread import read_orc_filtered
+
+    n = 50000
+    base = 1_700_000_000_000_000  # epoch us
+    us = base + np.arange(n, dtype=np.int64) * 1_000_500  # ~1.0005 s apart
+    tbl = pa.table({"ts": pa.array(us, pa.timestamp("us")), "v": pa.array(np.arange(n))})
+    path = str(tmp_path / "ts.orc")
+    orcfile.write_orc(tbl, path, stripe_rows=20000)  # 5 groups of 10k
+
+    lo = dt.datetime.utcfromtimestamp((base + 12_000 * 1_000_500) / 1e6)
+    hi = dt.datetime.utcfromtimestamp((base + 13_000 * 1_000_500) / 1e6)
+    t, st = read_orc_filtered(path, [("ts", ">=", lo), ("ts", "<", hi)])
+    assert t.num_rows == 1000 and t["v"].to_pylist() == list(range(12000, 13000))
+    assert st == {"groups_total": 5, "groups_read": 1}
+    # np.datetime64 literal, equality on an exact value
+    t, st = read_orc_filtered(path, ("ts", "==", np.datetime64(int(us[34567]), "us")))
+    assert t["v"].to_pylist() == [34567] and st["groups_read"] == 1
+    # out-of-range prunes everything
+    t, st = read_orc_filtered(path, ("ts", ">", np.datetime64(int(us[-1]) + 10**9, "us")))
+    assert t.num_rows == 0 and st["groups_read"] == 0
+    # unrecognized literal type: no pruning, exact filter still runs
+    t, st = read_orc_filtered(path, ("v", ">=", 0), columns=["v"])  # control
+    assert st["groups_read"] == 5
+
+    # tz-aware column (TIMESTAMP_INSTANT) with a tz-aware literal
+    tz_tbl = pa.table({"ts": pa.array(us, pa.timestamp("us", tz="UTC")), "v": pa.array(np.arange(n))})
+    path2 = str(tmp_path / "ts_inst.orc")
+    orcfile.write_orc(tz_tbl, path2, stripe_rows=20000)
+    lo_utc = dt.datetime.fromtimestamp((base + 40_000 * 1_000_500) / 1e6, tz=dt.timezone.utc)
+    t, st = read_orc_filtered(path2, ("ts", ">=", lo_utc))
+    assert t.num_rows == 10000 and st["groups_read"] == 1
+
+
 def test_predicate_pushdown_in_list(tmp_path):
     """IN-list pushdown: a group survives when SOME member may match; bloom
     probes apply per member; composes inside conjunctions."""
