@@ -891,6 +891,17 @@ def _entry_minmax(stats_bytes: bytes, t_kind: str):
             lo_f, hi_f = (3, 4) if (3 in g and 4 in g) else (1, 2)
             if lo_f in g and hi_f in g:
                 return float(_unzigzag(g[lo_f][0])), float(_unzigzag(g[hi_f][0]) + 1)
+    elif t_kind == "DECIMAL":
+        sub = f.get(6)  # decimalStatistics: display strings min=1 max=2
+        if sub:
+            from decimal import Decimal, InvalidOperation
+
+            g = _fields(sub[0])
+            if 1 in g and 2 in g:
+                try:
+                    return Decimal(g[1][0].decode()), Decimal(g[2][0].decode())
+                except (InvalidOperation, UnicodeDecodeError):
+                    return "unprunable"
     else:
         return "unprunable"  # kinds without ordered index stats: never prune
     if num_present == 0:
@@ -967,6 +978,23 @@ def read_orc_filtered(path_or_bytes, predicate, columns: list[str] | None = None
                     return value.decode()
                 except UnicodeDecodeError:
                     return None
+            if t_kind == "DATE":
+                # date32 stats are epoch DAYS; a datetime.date literal
+                # converts exactly (datetime is a date subclass — check it
+                # first in the timestamp arm below, never here)
+                import datetime as _dt
+
+                if isinstance(value, _dt.date) and not isinstance(value, _dt.datetime):
+                    return (value - _dt.date(1970, 1, 1)).days
+                return value if isinstance(value, (int, np.integer)) else None
+            if t_kind == "DECIMAL":
+                from decimal import Decimal
+
+                if isinstance(value, Decimal):
+                    return value
+                if isinstance(value, (int, np.integer)) and not isinstance(value, bool):
+                    return Decimal(int(value))
+                return None  # float literals don't compare exactly: no prune
             if t_kind in ("TIMESTAMP", "TIMESTAMP_INSTANT"):
                 # timestamp stats are FLOAT MILLIS here (see _entry_minmax);
                 # convert the literal exactly via integer microseconds.
@@ -1101,6 +1129,16 @@ def read_orc_filtered(path_or_bytes, predicate, columns: list[str] | None = None
                 tbl = pa.table(empties, names=[root.field_names[i] for i in wanted])
 
     ops = {"==": pc.equal, "<": pc.less, "<=": pc.less_equal, ">": pc.greater, ">=": pc.greater_equal}
+
+    def _typed_scalar(v, col_type):
+        # prefer the column's own type (int epoch-days vs date32, int vs
+        # decimal, datetime vs timestamp); fall back to inference when the
+        # literal doesn't convert (e.g. bytes vs a CHAR-as-string column)
+        try:
+            return pa.scalar(v, col_type)
+        except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError, OverflowError):
+            return pa.scalar(v)
+
     mask = None
     for conj in conj_infos:
         cmask = None
@@ -1108,7 +1146,7 @@ def read_orc_filtered(path_or_bytes, predicate, columns: list[str] | None = None
             if op == "in":
                 m = pc.is_in(tbl[col], value_set=pa.array(values))
             else:
-                m = ops[op](tbl[col], pa.scalar(values[0]))
+                m = ops[op](tbl[col], _typed_scalar(values[0], tbl[col].type))
             cmask = m if cmask is None else pc.and_kleene(cmask, m)
         mask = cmask if mask is None else pc.or_kleene(mask, cmask)
     tbl = tbl.filter(mask)

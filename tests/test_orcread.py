@@ -449,6 +449,48 @@ def test_predicate_pushdown_timestamp_range(tmp_path):
     assert t.num_rows == 10000 and st["groups_read"] == 1
 
 
+def test_predicate_pushdown_date_and_decimal(tmp_path):
+    """DATE predicates accept datetime.date literals (exact epoch-days
+    conversion); DECIMAL predicates prune via the display-string stats with
+    Decimal/int literals; float decimal literals never prune but still
+    exact-filter."""
+    import datetime as dt
+    from decimal import Decimal
+
+    from orc_format_ray.orcread import read_orc_filtered
+
+    n = 50000
+    days = 19000 + np.arange(n, dtype=np.int32) // 10  # ~5000 distinct days
+    dec = [Decimal(i).scaleb(-2) for i in range(n)]  # 0.00 .. 499.99
+    tbl = pa.table(
+        {
+            "d": pa.array(days, pa.date32()),
+            "x": pa.array(dec, pa.decimal128(12, 2)),
+            "v": pa.array(np.arange(n)),
+        }
+    )
+    path = str(tmp_path / "dd.orc")
+    orcfile.write_orc(tbl, path, stripe_rows=20000)  # 5 groups of 10k
+
+    lo = dt.date(1970, 1, 1) + dt.timedelta(days=19000 + 1200)
+    hi = dt.date(1970, 1, 1) + dt.timedelta(days=19000 + 1300)
+    t, st = read_orc_filtered(path, [("d", ">=", lo), ("d", "<", hi)])
+    assert t.num_rows == 1000 and st == {"groups_total": 5, "groups_read": 1}
+    assert t["v"].to_pylist() == list(range(12000, 13000))
+    # int literal (epoch days) still works on DATE
+    t, st = read_orc_filtered(path, ("d", "==", 19000))
+    assert t.num_rows == 10 and st["groups_read"] == 1
+
+    t, st = read_orc_filtered(path, [("x", ">=", Decimal("123.00")), ("x", "<", Decimal("124.00"))])
+    assert t.num_rows == 100 and st["groups_read"] == 1
+    assert t["v"].to_pylist() == list(range(12300, 12400))
+    t, st = read_orc_filtered(path, ("x", ">", Decimal("999999")))
+    assert t.num_rows == 0 and st["groups_read"] == 0
+    # int literal promotes to Decimal for pruning
+    t, st = read_orc_filtered(path, ("x", "<", 1))
+    assert t.num_rows == 100 and st["groups_read"] == 1
+
+
 def test_predicate_pushdown_in_list(tmp_path):
     """IN-list pushdown: a group survives when SOME member may match; bloom
     probes apply per member; composes inside conjunctions."""
