@@ -1858,7 +1858,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_agg_events": _q_window_agg_events,
         "session_window_events": _q_session_window_events,
         "orc_file_roundtrip": _q_orc_file_roundtrip,
-        "orc_lineitem_roundtrip": _q_orc_lineitem_roundtrip,
+        "orc_pushdown_timestamp": _q_orc_pushdown_timestamp,
         "orc_compact_roundtrip": _q_orc_compact_roundtrip,
         "orc_schema_evolution": _q_orc_schema_evolution,
         "orc_partitioned_roundtrip": _q_orc_partitioned_roundtrip,
@@ -1888,7 +1888,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_pq_ann_exhaustive": _q_ivf_pq_ann_exhaustive,
         "bpe_token_count_by_source": _q_bpe_token_count,
         "incremental_dedup_planted": _q_incremental_dedup_planted,
-        "orc_pushdown_timestamp": _q_orc_pushdown_timestamp,
+        "orc_lineitem_roundtrip": _q_orc_lineitem_roundtrip,
         "double_stats_lineitem": _q_double_stats_lineitem,
         "boolean_stats_documents": _q_boolean_stats_documents,
         "timestamp_stats_events": _q_timestamp_stats_events,
