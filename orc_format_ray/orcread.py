@@ -902,6 +902,14 @@ def _entry_minmax(stats_bytes: bytes, t_kind: str):
                     return Decimal(g[1][0].decode()), Decimal(g[2][0].decode())
                 except (InvalidOperation, UnicodeDecodeError):
                     return "unprunable"
+    elif t_kind == "BOOLEAN":
+        sub = f.get(5)  # bucketStatistics: packed uint64 count[0] = trueCount
+        if sub and num_present is not None:
+            counts = _packed_uvs(_fields(sub[0]).get(1, []))
+            if counts:
+                n_true = counts[0]
+                # as an ordered range with False=0, True=1
+                return (0 if n_true < num_present else 1, 1 if n_true > 0 else 0)
     else:
         return "unprunable"  # kinds without ordered index stats: never prune
     if num_present == 0:
@@ -978,6 +986,9 @@ def read_orc_filtered(path_or_bytes, predicate, columns: list[str] | None = None
                     return value.decode()
                 except UnicodeDecodeError:
                     return None
+            if t_kind == "BOOLEAN":
+                # bucket stats compare as 0/1 (see _entry_minmax)
+                return int(value) if isinstance(value, (bool, np.bool_)) else None
             if t_kind == "DATE":
                 # date32 stats are epoch DAYS; a datetime.date literal
                 # converts exactly (datetime is a date subclass — check it

@@ -449,6 +449,31 @@ def test_predicate_pushdown_timestamp_range(tmp_path):
     assert t.num_rows == 10000 and st["groups_read"] == 1
 
 
+def test_predicate_pushdown_boolean_buckets(tmp_path):
+    """BOOLEAN groups prune via trueCount: an ==True predicate skips
+    all-False groups (and vice versa); all-null groups never match."""
+    from orc_format_ray.orcread import read_orc_filtered
+
+    n = 50000
+    flags = np.zeros(n, dtype=bool)
+    flags[20000:30000] = True  # group 2 all-True; groups 0,1,3,4 all-False
+    col = pa.array(flags).to_pylist()
+    col[40000:] = [None] * 10000  # group 4 all-null
+    tbl = pa.table({"flag": pa.array(col, pa.bool_()), "v": pa.array(np.arange(n))})
+    path = str(tmp_path / "b.orc")
+    orcfile.write_orc(tbl, path, stripe_rows=25000)  # 5 groups? 10k stride -> 2+2+... check totals
+
+    # 25k-row stripes at stride 10k -> 6 groups with boundaries at 25k/35k/45k:
+    # all-False, all-False, all-True, mixed, False+null, all-null
+    t, st = read_orc_filtered(path, ("flag", "==", True))
+    assert t["v"].to_pylist() == list(range(20000, 30000))
+    assert st == {"groups_total": 6, "groups_read": 2}
+    t, st = read_orc_filtered(path, ("flag", "==", False))
+    assert t.num_rows == 30000 and st["groups_read"] == 4, st
+    t, st = read_orc_filtered(path, [("flag", "==", True), ("v", ">=", 40000)])
+    assert t.num_rows == 0 and st["groups_read"] == 0
+
+
 def test_predicate_pushdown_date_and_decimal(tmp_path):
     """DATE predicates accept datetime.date literals (exact epoch-days
     conversion); DECIMAL predicates prune via the display-string stats with
