@@ -316,6 +316,35 @@ def _q_packed_shards_summary(sf_dir: str):
     return g.sort_values("shard").reset_index(drop=True)
 
 
+def _q_packed_shards_read_back(sf_dir: str):
+    """The training-loader read path: write packed shards, stream them back
+    as a Dataset (contiguity-guarded per-shard reassembly), summarize packs
+    and tokens per shard. SQL reproduces both from window-cumsum arithmetic."""
+    import pyarrow.compute as _pc
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from orc_format_ray.ops import pack
+    from orc_format_ray.pipelines import tokens as tok
+
+    ds = tok.tokenize_documents(sf_dir)
+
+    def int_ids(batch: pa.Table) -> pa.Table:
+        parts = _pc.split_pattern(batch["doc_id"], "/")
+        ids = _pc.list_element(parts, 1).cast(pa.int64())
+        return batch.set_column(batch.schema.get_field_index("doc_id"), "doc_id", ids)
+
+    ds = ds.map_batches(int_ids, batch_format="pyarrow", zero_copy_batch=True, **_ra())
+    out_dir = os.path.join(_scratch(sf_dir, "packed-shards"), "readback-v1")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    pack.write_packed_shards(ds, capacity=2048, out_dir=out_dir, packs_per_shard=4, materialize_input=True)
+    packs = pack.read_packed_shards_dataset(out_dir, capacity=2048, packs_per_shard=4)
+    out = packs.groupby("shard").aggregate(
+        Count(alias_name="n_packs"), Sum("n_tokens", alias_name="n_tokens")
+    )
+    return out.to_pandas().sort_values("shard").reset_index(drop=True)
+
+
 def _q_vocab_topk_by_source(sf_dir: str):
     """Per-source top-5 words (corpus composition report): multi-key groupby
     with per-block per-group top-k partials. SQL mirrors via row_number
@@ -1889,6 +1918,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_count_by_source": _q_bpe_token_count,
         "incremental_dedup_planted": _q_incremental_dedup_planted,
         "orc_lineitem_roundtrip": _q_orc_lineitem_roundtrip,
+        "packed_shards_read_back": _q_packed_shards_read_back,
         "double_stats_lineitem": _q_double_stats_lineitem,
         "boolean_stats_documents": _q_boolean_stats_documents,
         "timestamp_stats_events": _q_timestamp_stats_events,
@@ -2055,6 +2085,20 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(v.freq) AS BIGINT) AS familiarity, "
             "round(CAST(sum(v.freq) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_freq "
             "FROM w JOIN v USING (word) GROUP BY doc_id ORDER BY doc_id"
+        ),
+        # read-back summary: per shard, n_tokens = clipped cumsum ranges and
+        # n_packs = ceil(shard_tokens / 2048)
+        "packed_shards_read_back": (
+            f"WITH t AS (SELECT doc_id, CAST({_TOKCOUNT_SQL} AS BIGINT) AS n_tok FROM documents), "
+            "c AS (SELECT doc_id, n_tok, COALESCE(SUM(n_tok) OVER (ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok FROM t), "
+            "s AS (SELECT unnest(range(CAST(floor(start_tok / 8192) AS BIGINT), "
+            "CAST(floor((start_tok + n_tok - 1) / 8192) AS BIGINT) + 1)) AS shard, "
+            "start_tok, n_tok FROM c WHERE n_tok > 0) "
+            "SELECT shard, CAST(ceil(CAST(SUM(least(start_tok + n_tok, (shard + 1) * 8192) "
+            "- greatest(start_tok, shard * 8192)) AS DOUBLE) / 2048) AS BIGINT) AS n_packs, "
+            "CAST(SUM(least(start_tok + n_tok, (shard + 1) * 8192) - greatest(start_tok, shard * 8192)) AS BIGINT) AS n_tokens "
+            "FROM s GROUP BY shard ORDER BY shard"
         ),
         # shard ranges are pure arithmetic on the window cumsum (8192 = 2048x4)
         "packed_shards_summary": (
