@@ -424,6 +424,48 @@ def _q_mixture_sample_documents(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_epoch_shuffle_documents(sf_dir: str):
+    """Seeded deterministic epoch shuffle (Knuth-hash global order, salt=7):
+    the first 100 rows of the shuffled corpus with their epoch positions —
+    SQL reproduces the permutation via row_number over the same hash."""
+    import numpy as np
+    import ray.data
+
+    from orc_format_ray.ops import sample
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    out = sample.deterministic_shuffle(ds, salt=7).limit(100).to_pandas()
+    out.insert(0, "pos", np.arange(1, len(out) + 1, dtype=np.int64))
+    return out
+
+
+def _q_select_by_budget(sf_dir: str):
+    """Budgeted data selection: greedily take the highest-token-count docs
+    while the running total stays <= 10k tokens (metadata-only two-pass
+    prefix sum over sorted pinned blocks); SQL mirrors with a window cumsum."""
+    import ray.data
+
+    from orc_format_ray.ops import sample, text as tx
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    meta = ds.map_batches(tx.quality_score, batch_format="pyarrow", zero_copy_batch=True, **_ra())
+
+    def to_cols(batch):
+        import pyarrow as pa
+
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "score": batch["tok_count"],
+                "n_tok": batch["tok_count"],
+            }
+        )
+
+    meta = meta.map_batches(to_cols, batch_format="pyarrow", zero_copy_batch=True, **_ra())
+    out = sample.select_by_budget(meta, budget=10_000, score="score", key="doc_id", ntok="n_tok")
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_pack_sequences(sf_dir: str):
     """GPT-style sequence packing: tokenized docs -> fixed-capacity (2048)
     training blocks via a distributed prefix sum (metadata-only shuffle).
@@ -1875,8 +1917,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "packed_shards_summary": _q_packed_shards_summary,
         "vocab_topk_by_source": _q_vocab_topk_by_source,
         "pq_ann_exhaustive": _q_pq_ann_exhaustive,
-        "pq_ann_planted": _q_pq_ann_planted,
-        "mixture_sample_documents": _q_mixture_sample_documents,
+        "epoch_shuffle_documents": _q_epoch_shuffle_documents,
+        "select_by_budget": _q_select_by_budget,
         "stratified_sample_documents": _q_stratified_sample_documents,
         "quality_per_doc": _q_quality_per_doc,
         "redact_pii_documents": _q_redact_pii_documents,
@@ -1914,6 +1956,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_documents": _q_fingerprint_documents,
         "ivf_ann_exhaustive": _q_ivf_ann_exhaustive,
         # --- 51+: oracle-backed, window-redundant (pytest-checked) ---------
+        "pq_ann_planted": _q_pq_ann_planted,
+        "mixture_sample_documents": _q_mixture_sample_documents,
         "ivf_pq_ann_exhaustive": _q_ivf_pq_ann_exhaustive,
         "bpe_token_count_by_source": _q_bpe_token_count,
         "incremental_dedup_planted": _q_incremental_dedup_planted,
@@ -2099,6 +2143,18 @@ def oracle_sql() -> dict[str, str]:
             "- greatest(start_tok, shard * 8192)) AS DOUBLE) / 2048) AS BIGINT) AS n_packs, "
             "CAST(SUM(least(start_tok + n_tok, (shard + 1) * 8192) - greatest(start_tok, shard * 8192)) AS BIGINT) AS n_tokens "
             "FROM s GROUP BY shard ORDER BY shard"
+        ),
+        # the epoch permutation is the same Knuth-hash order in plain SQL
+        "epoch_shuffle_documents": (
+            "SELECT CAST(row_number() OVER (ORDER BY ((doc_id + 7) * 2654435761) % 4294967296, doc_id) AS BIGINT) AS pos, "
+            "doc_id, source FROM documents ORDER BY pos LIMIT 100"
+        ),
+        # greedy best-score-first under a token budget == window cumsum filter
+        "select_by_budget": (
+            f"WITH m AS (SELECT doc_id, CAST({_TOKCOUNT_SQL} AS BIGINT) AS n_tok FROM documents), "
+            "c AS (SELECT doc_id, n_tok AS score, n_tok, SUM(n_tok) OVER (ORDER BY n_tok DESC, doc_id "
+            "ROWS UNBOUNDED PRECEDING) AS cum FROM m) "
+            "SELECT doc_id, score, n_tok FROM c WHERE cum <= 10000"
         ),
         # shard ranges are pure arithmetic on the window cumsum (8192 = 2048x4)
         "packed_shards_summary": (

@@ -129,6 +129,147 @@ def stratified_sample(ds, k: int, stratum: str = "source", key: str = "doc_id", 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
 
 
+def deterministic_shuffle(ds, key: str = "doc_id", salt: int = 0):
+    """Seeded, reproducible global shuffle — the per-epoch corpus reorder of
+    a training pipeline. Rows are ordered by ``(knuth_hash(key + salt),
+    key)``: the same salt reproduces the byte-identical permutation on any
+    cluster size / block layout (unlike ``random_shuffle``, whose RNG state
+    is tied to partitioning), and each salt gives an independent epoch
+    order. Cost is ONE range-partitioned sort over a 4-byte derived key —
+    the same exchange ``random_shuffle`` pays, but resumable and auditable
+    (the order is plain SQL: ``ORDER BY ((key+salt)*2654435761) % 2^32,
+    key``). Ties (hash collisions) break by ``key``, so the order is total
+    whenever keys are unique."""
+
+    def add_h(batch: pa.Table) -> pa.Table:
+        h = knuth_hash(batch[key].to_numpy(zero_copy_only=False), salt)
+        return batch.append_column("_epoch_h", pa.array(h.astype(np.int64), pa.int64()))
+
+    out = ds.map_batches(add_h, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    return out.sort(["_epoch_h", key]).drop_columns(["_epoch_h"])
+
+
+def select_by_budget(
+    ds,
+    budget: int,
+    score: str = "score",
+    key: str = "doc_id",
+    ntok: str = "n_tok",
+    key_bits: int = 40,
+    max_score: int | None = None,
+):
+    """Greedy best-score-first data selection under a global token budget:
+    take whole documents in ``(score DESC, key ASC)`` order while the
+    running token total stays ``<= budget`` — the "spend N tokens on the
+    highest-quality data" step of corpus curation. SQL-equivalent:
+    ``SUM(n_tok) OVER (ORDER BY score DESC, key) <= budget``.
+
+    Plan (metadata-only; full rows never shuffle — semi-join the returned
+    keys back if you need the text):
+
+    1. project ``(composite, key, n_tok)`` where ``composite = (max_score -
+       score) << key_bits | key`` (one int64 whose ascending order IS the
+       selection order);
+    2. range-partitioned ``sort`` of the metadata + ``materialize`` to pin
+       the sorted blocks (~24 B/doc of spillable object store);
+    3. pass A: one ``(lo, hi, tok_sum, n)`` row per block — the driver sees
+       ``n_blocks`` rows, checks the ranges are disjoint (duplicate-key /
+       split-block defense), and broadcasts the exclusive per-block token
+       offsets;
+    4. pass B over the SAME pinned blocks: local cumsum + offset, keep rows
+       with ``cum <= budget``.
+
+    ``score`` must be int64 in ``[0, max_score]`` (quantize floats first,
+    e.g. ``floor(q * 10**6)``); ``key`` non-negative ``< 2**key_bits``.
+    ``max_score=None`` costs one extra aggregate pass over ``ds`` — pass
+    the known quantization bound to skip it. Returns a Dataset of
+    ``(key, score, n_tok)`` for the selected docs."""
+    import ray
+    import ray.data
+
+    if budget < 0:
+        raise ValueError(f"budget must be non-negative, got {budget}")
+    if max_score is None:
+        max_score = ds.max(score)
+        if max_score is None:
+            return ray.data.from_arrow(
+                pa.table({key: pa.array([], pa.int64()), score: pa.array([], pa.int64()), ntok: pa.array([], pa.int64())})
+            )
+    max_score = int(max_score)
+    if (max_score + 1) << key_bits >= 1 << 63:
+        raise ValueError(f"(max_score+1) << key_bits overflows int64: {max_score} << {key_bits}")
+
+    def to_meta(batch: pa.Table) -> pa.Table:
+        keys = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        sc = batch[score].to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = batch[ntok].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(keys):
+            if keys.min() < 0 or keys.max() >= 1 << key_bits:
+                raise ValueError(f"{key!r} must be in [0, 2**{key_bits})")
+            if sc.min() < 0 or sc.max() > max_score:
+                raise ValueError(f"{score!r} must be in [0, {max_score}]")
+            if toks.min() < 0:
+                raise ValueError(f"negative {ntok!r} values corrupt the prefix sum")
+        comp = ((np.int64(max_score) - sc) << np.int64(key_bits)) | keys
+        return pa.table(
+            {
+                "composite": pa.array(comp, pa.int64()),
+                key: pa.array(keys, pa.int64()),
+                ntok: pa.array(toks, pa.int64()),
+            }
+        )
+
+    meta = ds.map_batches(to_meta, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    pinned = meta.sort("composite").materialize()
+
+    def block_range(batch: pa.Table) -> pa.Table:
+        comp = batch["composite"].to_numpy(zero_copy_only=False)
+        if not len(comp):
+            return pa.table({c: pa.array([], pa.int64()) for c in ("lo", "hi", "tok_sum", "n")})
+        return pa.table(
+            {
+                "lo": pa.array([int(comp[0])], pa.int64()),
+                "hi": pa.array([int(comp[-1])], pa.int64()),
+                "tok_sum": pa.array([int(batch[ntok].to_numpy(zero_copy_only=False).sum())], pa.int64()),
+                "n": pa.array([batch.num_rows], pa.int64()),
+            }
+        )
+
+    ranges = pinned.map_batches(
+        block_range, batch_size=None, batch_format="pyarrow", zero_copy_batch=True, **remote_args()
+    ).to_pandas()
+    ranges = ranges.sort_values("lo").reset_index(drop=True)
+    lo = ranges["lo"].to_numpy()
+    hi = ranges["hi"].to_numpy()
+    if len(lo) and (np.any(lo > hi) or np.any(hi[:-1] >= lo[1:])):
+        raise ValueError("sorted metadata blocks overlap — duplicate (score, key) pairs break the prefix sum")
+    tok = ranges["tok_sum"].to_numpy().astype(np.int64)
+    bases = {int(l): int(b) for l, b in zip(lo, np.concatenate(([0], np.cumsum(tok)[:-1])))}
+    bases_ref = ray.put(bases)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows:
+            return pa.table({key: pa.array([], pa.int64()), score: pa.array([], pa.int64()), ntok: pa.array([], pa.int64())})
+        comp = batch["composite"].to_numpy(zero_copy_only=False)
+        if np.any(comp[1:] <= comp[:-1]):
+            raise ValueError("block not sorted by composite — pinned block drifted")
+        base = ray.get(bases_ref)[int(comp[0])]
+        toks = batch[ntok].to_numpy(zero_copy_only=False)
+        cum = base + np.cumsum(toks)
+        sel = cum <= budget
+        return pa.table(
+            {
+                key: pa.array(comp[sel] & ((np.int64(1) << np.int64(key_bits)) - 1), pa.int64()),
+                score: pa.array(np.int64(max_score) - (comp[sel] >> np.int64(key_bits)), pa.int64()),
+                ntok: pa.array(toks[sel].astype(np.int64), pa.int64()),
+            }
+        )
+
+    return pinned.map_batches(
+        pick, batch_size=None, batch_format="pyarrow", zero_copy_batch=True, **remote_args()
+    )
+
+
 def mixture_sample(ds, rates: dict[str, int], stratum: str = "source", key: str = "doc_id", buckets: int = 100, salt: int = 0):
     """Composition-weighted mixture: keep each stratum at its own rate
     (``rates[stratum]`` of ``buckets``; strata absent from ``rates`` drop

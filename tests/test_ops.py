@@ -1048,6 +1048,94 @@ def test_mixture_sample_rates(ray_session):
         sample.mixture_sample(ray.data.from_pandas(df), {"keep": 101})
 
 
+def test_deterministic_shuffle_permutation(ray_session):
+    """Epoch shuffle: exact Knuth-hash global order, reproducible across
+    runs, different per salt, and a true permutation (no row gained/lost)."""
+    import ray.data
+
+    from orc_format_ray.ops import sample
+
+    n = 2000
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64), "v": np.arange(n)[::-1]})
+
+    def run(salt):
+        out = sample.deterministic_shuffle(ray.data.from_pandas(df), salt=salt).to_pandas()
+        return out["doc_id"].to_numpy()
+
+    got = run(3)
+    h = sample.knuth_hash(df["doc_id"].to_numpy(), 3)
+    expect = df["doc_id"].to_numpy()[np.lexsort((df["doc_id"].to_numpy(), h))]
+    assert np.array_equal(got, expect)  # exact seeded order
+    assert np.array_equal(got, run(3))  # reproducible
+    assert not np.array_equal(got, run(4))  # new salt = new epoch order
+    assert np.array_equal(np.sort(got), df["doc_id"].to_numpy())  # permutation
+    cols = sample.deterministic_shuffle(ray.data.from_pandas(df), salt=3).schema().names
+    assert "_epoch_h" not in cols  # helper column dropped
+
+
+def test_select_by_budget_matches_greedy(ray_session):
+    """Budgeted selection == numpy greedy (score DESC, key ASC) cumsum
+    filter, under skewed scores and a budget that cuts mid-score-tie."""
+    import ray.data
+
+    from orc_format_ray.ops import sample
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "doc_id": rng.permutation(n).astype(np.int64),
+            "score": rng.integers(0, 5, n, dtype=np.int64),  # heavy ties
+            "n_tok": rng.integers(0, 200, n, dtype=np.int64),
+        }
+    )
+    budget = int(df["n_tok"].sum() // 3)
+    out = sample.select_by_budget(
+        ray.data.from_pandas(df), budget, max_score=4
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    order = np.lexsort((df["doc_id"].to_numpy(), -df["score"].to_numpy()))
+    cum = np.cumsum(df["n_tok"].to_numpy()[order])
+    sel = order[cum <= budget]
+    expect = df.iloc[sel][["doc_id", "score", "n_tok"]].sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, expect)
+    assert 0 < len(out) < n
+    assert out["n_tok"].sum() <= budget
+
+    # budget=0 keeps only zero-token docs at the head of the order
+    z = sample.select_by_budget(ray.data.from_pandas(df), 0, max_score=4).to_pandas()
+    zc = cum.copy()
+    assert len(z) == int((zc == 0).sum())
+    # computed max_score path agrees with the explicit one
+    auto = sample.select_by_budget(
+        ray.data.from_pandas(df), budget
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(auto, expect)
+
+
+def test_select_by_budget_guards(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops import sample
+
+    df = pd.DataFrame({"doc_id": [0, 1], "score": [1, 2], "n_tok": [5, 5]})
+    with pytest.raises(ValueError, match="budget"):
+        sample.select_by_budget(ray.data.from_pandas(df), -1, max_score=2)
+    with pytest.raises(Exception, match="overflows"):
+        sample.select_by_budget(ray.data.from_pandas(df), 10, max_score=1 << 24, key_bits=40)
+    neg = pd.DataFrame({"doc_id": [0], "score": [1], "n_tok": [-1]})
+    with pytest.raises(Exception, match="negative"):
+        sample.select_by_budget(ray.data.from_pandas(neg), 10, max_score=2).to_pandas()
+    dup = pd.DataFrame({"doc_id": [3, 3], "score": [1, 1], "n_tok": [5, 5]})
+    # duplicate (score, key) pairs: caught either across blocks (overlap
+    # check) or within one (strict-sort check), depending on block layout
+    with pytest.raises(Exception, match="overlap|sorted"):
+        sample.select_by_budget(ray.data.from_pandas(dup), 10, max_score=2).to_pandas()
+    big = pd.DataFrame({"doc_id": [1 << 41], "score": [0], "n_tok": [1]})
+    with pytest.raises(Exception, match="doc_id"):
+        sample.select_by_budget(ray.data.from_pandas(big), 10, max_score=2).to_pandas()
+
+
 def test_word_repetition_exact_counts(ray_session):
     import ray.data
 
