@@ -345,10 +345,23 @@ class _Type:
 def _parse_tail(src: _Source):
     # one ranged read of the last 64 KiB covers PostScript+Footer for
     # ordinary schemas; re-read exactly if the footer is larger
+    if src.size < 4:
+        raise ValueError(f"not an ORC file: {src.size} bytes is too short for header+postscript")
     tail_len = min(src.size, 64 * 1024)
     tail = src.read(src.size - tail_len, tail_len)
     ps_len = tail[-1]
+    if ps_len == 0 or ps_len >= tail_len:
+        raise ValueError(f"not an ORC file: implausible postscript length {ps_len}")
     ps = _fields(tail[-1 - ps_len : -1])
+    # postscript magic (field 8000, ORC >= 0.12); files predating it are
+    # accepted via the 3-byte header magic instead — never silently decode
+    # a non-ORC file whose tail happens to parse
+    magic = ps.get(8000, [None])[0]
+    if magic is not None:
+        if magic != b"ORC":
+            raise ValueError(f"not an ORC file: postscript magic {magic!r}")
+    elif src.read(0, 3) != b"ORC":
+        raise ValueError("not an ORC file: header magic missing")
     footer_len = ps[1][0]
     comp = _COMP_NAMES[ps.get(2, [0])[0]]
     meta_len = ps.get(5, [0])[0]

@@ -619,3 +619,55 @@ def test_native_rlev2_all_submodes_from_cpp(tmp_path):
     exp = po.read_table(path)
     for c in cases:
         assert got[c].combine_chunks().equals(exp[c].combine_chunks()), c
+
+
+def test_corrupt_file_rejection(tmp_path):
+    """The native reader fails LOUDLY on non-ORC / corrupt inputs — most
+    importantly it validates the magic (postscript field 8000, falling back
+    to the header bytes) so a non-ORC file whose tail happens to parse is
+    never silently decoded as data."""
+    import pyarrow as pa
+
+    from orc_format_ray.orcfile import write_orc
+    from orc_format_ray.orcread import read_orc_native
+
+    tbl = pa.table({"a": pa.array(np.arange(500), pa.int64())})
+    path = str(tmp_path / "good.orc")
+    write_orc(tbl, path)
+    data = open(path, "rb").read()
+    assert read_orc_native(path).equals(tbl)
+
+    def expect_raise(blob, why):
+        p = str(tmp_path / f"bad_{why}.orc")
+        with open(p, "wb") as f:
+            f.write(blob)
+        with pytest.raises(Exception):
+            read_orc_native(p)
+
+    expect_raise(b"", "empty")
+    expect_raise(b"OR", "too_short")
+    expect_raise(b"PAR1" + b"\x00" * 100 + b"PAR1", "parquet_ish")
+    expect_raise(data[: len(data) // 2], "truncated_half")
+    expect_raise(data[:-1], "truncated_tail")
+    expect_raise(data[:-1] + bytes([0]), "zero_pslen")
+    expect_raise(data[:-1] + bytes([255]), "huge_pslen")
+    # corrupt the magic in the postscript: ps is the last (ps_len+1) bytes
+    ps_len = data[-1]
+    ps = bytearray(data[-1 - ps_len : -1])
+    i = bytes(ps).find(b"ORC")
+    assert i >= 0
+    ps[i : i + 3] = b"XXX"
+    expect_raise(data[: -1 - ps_len] + bytes(ps) + data[-1:], "bad_ps_magic")
+    # header-magic fallback: blank BOTH magics -> rejected even though the
+    # postscript would otherwise parse (pre-0.12 files keep working via the
+    # header check, which this clears too)
+    noms = bytearray(data)
+    noms[0:3] = b"XXX"
+    # drop the 8000 field entirely by rewriting the ps without its tag
+    # (tag 8000 wiretype 2 varint = 0x82 0xf4 0x03): find and excise
+    tag = bytes([0x82, 0xF4, 0x03, 3]) + b"ORC"
+    j = bytes(noms).rfind(tag)
+    assert j >= 0
+    del noms[j : j + len(tag)]
+    noms[-1] = data[-1] - len(tag)
+    expect_raise(bytes(noms), "no_magic_anywhere")
