@@ -128,6 +128,73 @@ class IVFIndex:
         return IVFIndex(cent)
 
 
+def _make_shard_writer(cent_ref, out_dir: str, cb_ref=None):
+    """Shared assign-and-write stage for IVF index builds AND incremental
+    adds: each input block assigns its vectors to the (broadcast) centroids
+    and writes one content-hashed shard file per (bucket, block) — raw rows,
+    or PQ codes when ``cb_ref`` carries a codebook. Returns lineage rows."""
+
+    class AssignWrite:
+        def __init__(self):
+            import ray
+
+            self.cent = ray.get(cent_ref)
+            self.cb = ray.get(cb_ref) if cb_ref is not None else None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import hashlib
+            import os
+
+            import pyarrow.parquet as pq
+
+            emb = _unit(_embedding_matrix(batch, dtype=np.float32))
+            assign = np.argmax(emb @ self.cent.T, axis=1).astype(np.int32)
+            rows_b, rows_n, rows_p = [], [], []
+            for b in np.unique(assign):
+                mask = assign == b
+                sub = batch.filter(pa.array(mask)).sort_by("vec_id")
+                ids = sub["vec_id"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+                if self.cb is None:
+                    tbl = sub
+                else:
+                    m = self.cb.m
+                    order = np.argsort(batch["vec_id"].to_numpy(zero_copy_only=False)[mask], kind="stable")
+                    codes = self.cb.encode(emb[mask][order])
+                    buf = codes.tobytes()
+                    tbl = pa.table(
+                        {
+                            "vec_id": pa.array(ids, pa.int64()),
+                            "code": pa.array([buf[i * m : (i + 1) * m] for i in range(len(codes))], pa.binary()),
+                        }
+                    )
+                # content-hashed shard name: re-runs overwrite identically
+                digest = hashlib.sha256(ids.tobytes()).hexdigest()[:16]
+                path = os.path.join(out_dir, f"bucket-{int(b):05d}-{digest}.parquet")
+                tmp = path + f".tmp.{os.getpid()}"
+                pq.write_table(tbl, tmp)
+                os.replace(tmp, path)
+                rows_b.append(int(b))
+                rows_n.append(tbl.num_rows)
+                rows_p.append(path)
+            return pa.table({"bucket": pa.array(rows_b, pa.int32()), "rows": pa.array(rows_n, pa.int64()), "path": pa.array(rows_p)})
+
+    return AssignWrite
+
+
+def _write_bucket_manifest(out_dir: str, per_bucket: dict, shard_paths: dict, pq_m: int | None):
+    from .. import manifest as mf
+
+    payload = {
+        "rows": sorted((int(b), int(n)) for b, n in per_bucket.items()),
+        "shards": {str(b): sorted(ps) for b, ps in shard_paths.items()},
+    }
+    if pq_m is not None:
+        payload["pq_m"] = pq_m
+    mf.write_blob_atomic(
+        __import__("os").path.join(out_dir, "_buckets.json"), __import__("json").dumps(payload).encode()
+    )
+
+
 def build_ivf_index(ds, index: IVFIndex, out_dir: str):
     """Materialize the IVF index: corpus bucket-partitioned by centroid.
 
@@ -143,8 +210,6 @@ def build_ivf_index(ds, index: IVFIndex, out_dir: str):
 
     import ray
 
-    from .. import manifest as mf
-
     os.makedirs(out_dir, exist_ok=True)
     # a rebuild over changed data/blocking would otherwise leave stale
     # content-hashed shards that queries glob alongside the new ones
@@ -152,32 +217,8 @@ def build_ivf_index(ds, index: IVFIndex, out_dir: str):
         os.remove(stale)
     cent_ref = ray.put(index.centroids)
 
-    class AssignWrite:
-        def __init__(self):
-            self.cent = ray.get(cent_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            import hashlib
-
-            import pyarrow.parquet as pq
-
-            emb = _unit(_embedding_matrix(batch, dtype=np.float32))
-            assign = np.argmax(emb @ self.cent.T, axis=1).astype(np.int32)
-            rows_b, rows_n, rows_p = [], [], []
-            for b in np.unique(assign):
-                sub = batch.filter(pa.array(assign == b)).sort_by("vec_id")
-                # content-hashed shard name: re-runs overwrite identically
-                digest = hashlib.sha256(sub["vec_id"].combine_chunks().to_numpy(zero_copy_only=False).tobytes()).hexdigest()[:16]
-                path = os.path.join(out_dir, f"bucket-{int(b):05d}-{digest}.parquet")
-                tmp = path + f".tmp.{os.getpid()}"
-                pq.write_table(sub, tmp)
-                os.replace(tmp, path)
-                rows_b.append(int(b))
-                rows_n.append(sub.num_rows)
-                rows_p.append(path)
-            return pa.table({"bucket": pa.array(rows_b, pa.int32()), "rows": pa.array(rows_n, pa.int64()), "path": pa.array(rows_p)})
-
-    lineage = ds.map_batches(AssignWrite, batch_format="pyarrow", zero_copy_batch=True, concurrency=pool_size(), **remote_args()).take_all()
+    stage = _make_shard_writer(cent_ref, out_dir)
+    lineage = ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True, concurrency=pool_size(), **remote_args()).take_all()
     np.save(os.path.join(out_dir, "centroids.npy"), index.centroids)
     per_bucket: dict[int, int] = {}
     shard_paths: dict[int, list[str]] = {}
@@ -186,13 +227,56 @@ def build_ivf_index(ds, index: IVFIndex, out_dir: str):
         shard_paths.setdefault(int(r["bucket"]), []).append(os.path.basename(r["path"]))
     # the manifest is the source of truth for which shards belong to this
     # build (queries read it; the glob is only a legacy fallback)
-    mf.write_blob_atomic(
-        os.path.join(out_dir, "_buckets.json"),
-        __import__("json").dumps(
-            {"rows": sorted(per_bucket.items()), "shards": {str(b): sorted(ps) for b, ps in shard_paths.items()}}
-        ).encode(),
-    )
+    _write_bucket_manifest(out_dir, per_bucket, shard_paths, None)
     return {"buckets": len(per_bucket), "rows": int(sum(per_bucket.values())), "shards": len(lineage)}
+
+
+def add_to_ivf_index(ds, index_dir: str):
+    """Incrementally add vectors to an EXISTING IVF or IVF+PQ index — the
+    growing-corpus path: no rebuild, no re-train. New vectors are assigned
+    by the index's STORED coarse centroids (and encoded with its stored PQ
+    codebook when present), written as new content-hashed shard files per
+    (bucket, block), and the ``_buckets.json`` manifest is extended
+    atomically (set-union of shard names; row counts grow only by shards
+    not already listed, so re-running the same add is idempotent).
+
+    The coarse quantizer is FROZEN: recall for the added vectors matches
+    what a fresh build over the union would give as long as the new data's
+    distribution resembles the training sample — re-train + rebuild when it
+    drifts. Duplicate vec_ids against the existing index are the caller's
+    concern (compose ``exact_dedup_against`` upstream)."""
+    import json
+    import os
+
+    import ray
+
+    mfp = os.path.join(index_dir, "_buckets.json")
+    if not os.path.exists(mfp):
+        raise FileNotFoundError(f"no index manifest at {mfp} — build_ivf_index/build_ivf_pq_index first")
+    manifest = json.loads(open(mfp, "rb").read())
+    cent = np.load(os.path.join(index_dir, "centroids.npy"))
+    pq_path = os.path.join(index_dir, "pq_centroids.npy")
+    cb = PQCodebook(np.load(pq_path)) if os.path.exists(pq_path) else None
+    pq_m = manifest.get("pq_m")
+    if (cb is None) != (pq_m is None):
+        raise ValueError(f"index at {index_dir} is inconsistent: pq_m={pq_m} but pq_centroids.npy {'missing' if cb is None else 'present'}")
+
+    stage = _make_shard_writer(ray.put(cent), index_dir, ray.put(cb) if cb is not None else None)
+    lineage = ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True, concurrency=pool_size(), **remote_args()).take_all()
+
+    per_bucket = {int(b): int(n) for b, n in manifest["rows"]}
+    shard_paths = {int(b): set(ps) for b, ps in manifest["shards"].items()}
+    added = 0
+    for r in lineage:
+        b, name = int(r["bucket"]), os.path.basename(r["path"])
+        known = shard_paths.setdefault(b, set())
+        if name in known:  # same content re-added: shard overwritten in place
+            continue
+        known.add(name)
+        per_bucket[b] = per_bucket.get(b, 0) + int(r["rows"])
+        added += int(r["rows"])
+    _write_bucket_manifest(index_dir, per_bucket, shard_paths, pq_m)
+    return {"buckets": len(per_bucket), "rows": int(sum(per_bucket.values())), "added": added}
 
 
 def _probed_bucket_paths(index_dir: str, q: np.ndarray, nprobe: int) -> tuple[list[str], int]:
@@ -517,52 +601,12 @@ def build_ivf_pq_index(ds, index: IVFIndex, codebook: PQCodebook, out_dir: str):
 
     import ray
 
-    from .. import manifest as mf
-
     os.makedirs(out_dir, exist_ok=True)
     for stale in _glob.glob(os.path.join(out_dir, "bucket-*.parquet")):
         os.remove(stale)
-    cent_ref = ray.put(index.centroids)
-    cb_ref = ray.put(codebook)
 
-    class AssignEncodeWrite:
-        def __init__(self):
-            self.cent = ray.get(cent_ref)
-            self.cb = ray.get(cb_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            import hashlib
-
-            import pyarrow.parquet as pq
-
-            emb = _unit(_embedding_matrix(batch, dtype=np.float32))
-            assign = np.argmax(emb @ self.cent.T, axis=1).astype(np.int32)
-            m = self.cb.m
-            rows_b, rows_n, rows_p = [], [], []
-            for b in np.unique(assign):
-                mask = assign == b
-                sub = batch.filter(pa.array(mask)).sort_by("vec_id")
-                ids = sub["vec_id"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
-                order = np.argsort(batch["vec_id"].to_numpy(zero_copy_only=False)[mask], kind="stable")
-                codes = self.cb.encode(emb[mask][order])
-                buf = codes.tobytes()
-                tbl = pa.table(
-                    {
-                        "vec_id": pa.array(ids, pa.int64()),
-                        "code": pa.array([buf[i * m : (i + 1) * m] for i in range(len(codes))], pa.binary()),
-                    }
-                )
-                digest = hashlib.sha256(ids.tobytes()).hexdigest()[:16]
-                path = os.path.join(out_dir, f"bucket-{int(b):05d}-{digest}.parquet")
-                tmp = path + f".tmp.{os.getpid()}"
-                pq.write_table(tbl, tmp)
-                os.replace(tmp, path)
-                rows_b.append(int(b))
-                rows_n.append(tbl.num_rows)
-                rows_p.append(path)
-            return pa.table({"bucket": pa.array(rows_b, pa.int32()), "rows": pa.array(rows_n, pa.int64()), "path": pa.array(rows_p)})
-
-    lineage = ds.map_batches(AssignEncodeWrite, batch_format="pyarrow", zero_copy_batch=True, concurrency=pool_size(), **remote_args()).take_all()
+    stage = _make_shard_writer(ray.put(index.centroids), out_dir, ray.put(codebook))
+    lineage = ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True, concurrency=pool_size(), **remote_args()).take_all()
     np.save(os.path.join(out_dir, "centroids.npy"), index.centroids)
     np.save(os.path.join(out_dir, "pq_centroids.npy"), codebook.centroids)
     per_bucket: dict[int, int] = {}
@@ -570,16 +614,7 @@ def build_ivf_pq_index(ds, index: IVFIndex, codebook: PQCodebook, out_dir: str):
     for r in lineage:
         per_bucket[r["bucket"]] = per_bucket.get(r["bucket"], 0) + r["rows"]
         shard_paths.setdefault(int(r["bucket"]), []).append(os.path.basename(r["path"]))
-    mf.write_blob_atomic(
-        os.path.join(out_dir, "_buckets.json"),
-        __import__("json").dumps(
-            {
-                "rows": sorted(per_bucket.items()),
-                "shards": {str(b): sorted(ps) for b, ps in shard_paths.items()},
-                "pq_m": codebook.m,
-            }
-        ).encode(),
-    )
+    _write_bucket_manifest(out_dir, per_bucket, shard_paths, codebook.m)
     return {"buckets": len(per_bucket), "rows": int(sum(per_bucket.values())), "shards": len(lineage)}
 
 

@@ -652,6 +652,74 @@ def test_ivf_hot_centroid_writes_bounded_shards(ray_session, tmp_path):
     assert got.to_pandas()["vec_id"].tolist() == exact
 
 
+def test_add_to_ivf_index_matches_fresh_build(ray_session, tmp_path):
+    """Incremental adds with a FROZEN coarse quantizer must give the same
+    query results as a fresh build over the union (same centroids => same
+    bucket assignment => identical probed candidate sets), and re-running
+    the same add must be idempotent (row counts unchanged)."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    n = ds.count()
+    half = ds.filter(lambda r: r["vec_id"] < n // 2)
+    rest = ds.filter(lambda r: r["vec_id"] >= n // 2)
+    index = similarity.IVFIndex.train(half, nlist=8)
+
+    inc_dir = str(tmp_path / "inc")
+    similarity.build_ivf_index(half, index, inc_dir)
+    info = similarity.add_to_ivf_index(rest, inc_dir)
+    assert info["rows"] == n and info["added"] == n - n // 2
+
+    full_dir = str(tmp_path / "full")
+    similarity.build_ivf_index(ds, index, full_dir)
+
+    q = np.ones((1, 64))
+    got, _ = similarity.ivf_topk_indexed(inc_dir, q, k=10, nprobe=4)
+    exp, _ = similarity.ivf_topk_indexed(full_dir, q, k=10, nprobe=4)
+    assert got.to_pandas()["vec_id"].tolist() == exp.to_pandas()["vec_id"].tolist()
+
+    # idempotent: the same add (same rows, same blocking) changes nothing
+    again = similarity.add_to_ivf_index(rest, inc_dir)
+    assert again["rows"] == n and again["added"] == 0
+
+
+def test_add_to_ivf_pq_index(ray_session, tmp_path):
+    """Incremental adds to an IVF+PQ index encode with the STORED codebook:
+    the ADC results over build(half)+add(rest) equal a fresh PQ build over
+    the full corpus with the same centroids and codebook."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    n = ds.count()
+    half = ds.filter(lambda r: r["vec_id"] < n // 2)
+    rest = ds.filter(lambda r: r["vec_id"] >= n // 2)
+    index = similarity.IVFIndex.train(half, nlist=8)
+    cb = similarity.PQCodebook.train(half, m=8, nbits=6)
+
+    inc_dir = str(tmp_path / "incpq")
+    similarity.build_ivf_pq_index(half, index, cb, inc_dir)
+    info = similarity.add_to_ivf_index(rest, inc_dir)
+    assert info["rows"] == n
+
+    full_dir = str(tmp_path / "fullpq")
+    similarity.build_ivf_pq_index(ds, index, cb, full_dir)
+
+    q = np.ones((1, 64))
+    got, _ = similarity.ivf_pq_topk(inc_dir, q, k=10, nprobe=8)
+    exp, _ = similarity.ivf_pq_topk(full_dir, q, k=10, nprobe=8)
+    assert got.to_pandas()["vec_id"].tolist() == exp.to_pandas()["vec_id"].tolist()
+
+    # adding to a raw index never silently PQ-encodes (and vice versa):
+    # manifest pq_m and pq_centroids.npy presence must stay consistent
+    import os
+
+    os.remove(os.path.join(inc_dir, "pq_centroids.npy"))
+    with pytest.raises(ValueError):
+        similarity.add_to_ivf_index(rest, inc_dir)
+    with pytest.raises(FileNotFoundError):
+        similarity.add_to_ivf_index(rest, str(tmp_path / "nowhere"))
+
+
 def test_broadcast_join_left_and_dup_guard(ray_session):
     import ray.data
 
