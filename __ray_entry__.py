@@ -1806,6 +1806,33 @@ def _q_ivf_pq_ann_exhaustive(sf_dir: str):
     return df[["rank", "vec_id"]]
 
 
+def _q_ivf_ann_incremental(sf_dir: str):
+    """Growing-corpus ANN: build the IVF index over the first half of the
+    vectors, `add_to_ivf_index` the rest (frozen coarse quantizer, manifest
+    extended atomically), then probe at nprobe=nlist — which must EQUAL
+    brute force over the UNION, so the same SQL oracle as
+    ann_topk_embeddings hash-checks the incremental-add path."""
+    import shutil
+
+    import ray.data
+
+    from orc_format_ray.ops import similarity as sim
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    n = ds.count()
+    index_dir = os.path.join(_scratch(sf_dir, "ivf"), "inc-index-v1")
+    shutil.rmtree(index_dir, ignore_errors=True)  # incremental state: never trust a stale add
+    half = ds.filter(lambda r: r["vec_id"] < n // 2)
+    rest = ds.filter(lambda r: r["vec_id"] >= n // 2)
+    index = sim.IVFIndex.train(half, nlist=8)
+    sim.build_ivf_index(half, index, index_dir)
+    sim.add_to_ivf_index(rest, index_dir)
+    out, _bytes_read = sim.ivf_topk_indexed(index_dir, _ann_query_vector(), k=10, nprobe=8)
+    df = out.to_pandas()
+    df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+    return df[["rank", "vec_id"]]
+
+
 def _q_multimodal_features(sf_dir: str):
     """Multimodal pipeline end-to-end with REAL decoding: genuine BMP/PPM
     payloads -> library-free actor-pool decode (struct+numpy parsers) ->
@@ -1959,6 +1986,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_ann_planted": _q_pq_ann_planted,
         "mixture_sample_documents": _q_mixture_sample_documents,
         "ivf_pq_ann_exhaustive": _q_ivf_pq_ann_exhaustive,
+        "ivf_ann_incremental": _q_ivf_ann_incremental,
         "bpe_token_count_by_source": _q_bpe_token_count,
         "incremental_dedup_planted": _q_incremental_dedup_planted,
         "orc_lineitem_roundtrip": _q_orc_lineitem_roundtrip,
@@ -2319,6 +2347,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         # nprobe=nlist IVF+PQ with full-depth exact re-rank == brute force
         "ivf_pq_ann_exhaustive": (
+            "SELECT CAST(row_number() OVER (ORDER BY list_cosine_similarity(embedding, "
+            f"{_ANN_VEC_SQL}) DESC, vec_id) AS BIGINT) AS rank, vec_id FROM embeddings "
+            "ORDER BY rank LIMIT 10"
+        ),
+        # build(first half) + add_to_ivf_index(rest) probed exhaustively ==
+        # brute force over the union (frozen coarse quantizer, exact probe)
+        "ivf_ann_incremental": (
             "SELECT CAST(row_number() OVER (ORDER BY list_cosine_similarity(embedding, "
             f"{_ANN_VEC_SQL}) DESC, vec_id) AS BIGINT) AS rank, vec_id FROM embeddings "
             "ORDER BY rank LIMIT 10"
