@@ -1822,8 +1822,8 @@ def _q_ivf_ann_incremental(sf_dir: str):
     n = ds.count()
     index_dir = os.path.join(_scratch(sf_dir, "ivf"), "inc-index-v1")
     shutil.rmtree(index_dir, ignore_errors=True)  # incremental state: never trust a stale add
-    half = ds.filter(lambda r: r["vec_id"] < n // 2)
-    rest = ds.filter(lambda r: r["vec_id"] >= n // 2)
+    half = ds.filter(expr=f"vec_id < {n // 2}")
+    rest = ds.filter(expr=f"vec_id >= {n // 2}")
     index = sim.IVFIndex.train(half, nlist=8)
     sim.build_ivf_index(half, index, index_dir)
     sim.add_to_ivf_index(rest, index_dir)
