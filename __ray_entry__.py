@@ -1528,6 +1528,36 @@ def _q_orc_pushdown_disjunction(sf_dir: str):
     return df
 
 
+def _q_zorder_box_scan(sf_dir: str):
+    """Z-order (Morton) clustering certified end-to-end: events ->
+    cluster_by_zorder on (user_id, value) -> ORC lake -> 2-D box-predicate
+    filtered read. Matching the plain-SQL WHERE certifies that clustering is
+    a pure reorder (row set preserved exactly) and that the row-group
+    pruning stays sound on BOTH interleaved columns."""
+    import glob
+    import shutil
+
+    import ray.data
+
+    from orc_format_ray import orcfile
+    from orc_format_ray.ops.zorder import cluster_by_zorder
+    from orc_format_ray.orcread import read_orc_filtered
+
+    scratch = _scratch(sf_dir, "zorder")
+    lake = os.path.join(scratch, "events_z")
+    if os.path.exists(lake):
+        shutil.rmtree(lake)
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"])
+    orcfile.write_orc_dataset(cluster_by_zorder(ds, ["user_id", "value"]), lake, row_index_stride=512).materialize()
+    box = [("user_id", ">=", 40), ("user_id", "<", 90), ("value", ">=", 100.0), ("value", "<", 300.0)]
+    tabs = []
+    for f in sorted(glob.glob(os.path.join(lake, "*.orc"))):
+        t, _stats = read_orc_filtered(f, box)
+        tabs.append(t)
+    out = pa.concat_tables(tabs).sort_by("event_id")
+    return out.select(["event_id", "user_id", "value"])
+
+
 def _q_orc_pushdown_in_list(sf_dir: str):
     """IN-list pushdown: a bloom-backed membership probe over doc ids —
     the id-lookup access pattern of decontamination / sample fetches. The
@@ -1964,7 +1994,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orc_file_statistics": _q_orc_file_statistics,
         "broadcast_join_orders_customer": _q_broadcast_join_orders_customer,
         "hash_join_lineitem_orders": _q_hash_join_lineitem_orders,
-        "topk_users_by_value": _q_topk_users_by_value,
+        "zorder_box_scan": _q_zorder_box_scan,
         "asof_join_events": _q_asof_join_events,
         "range_join_price_bands": _q_range_join_price_bands,
         "orc_native_read_cpp": _q_orc_native_read_cpp,
@@ -1990,6 +2020,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_count_by_source": _q_bpe_token_count,
         "incremental_dedup_planted": _q_incremental_dedup_planted,
         "orc_lineitem_roundtrip": _q_orc_lineitem_roundtrip,
+        "topk_users_by_value": _q_topk_users_by_value,
         "packed_shards_read_back": _q_packed_shards_read_back,
         "double_stats_lineitem": _q_double_stats_lineitem,
         "boolean_stats_documents": _q_boolean_stats_documents,
@@ -2500,6 +2531,11 @@ def oracle_sql() -> dict[str, str]:
         "orc_pushdown_in_list": (
             "SELECT o_orderpriority, count(*) AS cnt, round(sum(o_totalprice), 2) AS sum_price "
             "FROM orders WHERE o_orderkey IN (7, 77, 777, 1077, 1177) GROUP BY o_orderpriority"
+        ),
+        "zorder_box_scan": (
+            "SELECT event_id, user_id, value FROM events "
+            "WHERE user_id >= 40 AND user_id < 90 AND value >= 100.0 AND value < 300.0 "
+            "ORDER BY event_id"
         ),
         "orc_pushdown_disjunction": (
             "SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty "

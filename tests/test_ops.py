@@ -1548,3 +1548,75 @@ def test_redact_pii_patterns_and_counts():
 
     out4 = redact_pii(t, patterns=[PII_PATTERNS[0]])
     assert out4["redacted"].to_pylist()[0] == "mail [PII] or 10.0.0.1"
+
+
+def test_zorder_clusters_prune_both_columns(ray_session, tmp_path):
+    """Z-order clustering must (a) preserve the row set exactly, (b) beat a
+    single-column sort on a 2-D box predicate, and (c) prune on the SECOND
+    column alone, where a single-column sort reads every row group."""
+    import glob
+    import os
+
+    import ray.data
+
+    from orc_format_ray import orcfile, orcread
+    from orc_format_ray.ops import zorder as z
+
+    rng2 = np.random.default_rng(42)
+    n = 60_000
+    tbl = pa.table(
+        {
+            "k": pa.array(np.arange(n), pa.int64()),
+            "a": pa.array(rng2.integers(0, 1000, n), pa.int64()),
+            "b": pa.array(rng2.uniform(0, 1000, n), pa.float64()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(8)
+
+    def lake(src, name):
+        d = str(tmp_path / name)
+        orcfile.write_orc_dataset(src.repartition(1), d, row_index_stride=1024).take_all()
+        return glob.glob(os.path.join(d, "*.orc"))
+
+    files_sorted = lake(ds.sort("a"), "sorted_a")
+    files_z = lake(z.cluster_by_zorder(ds, ["a", "b"]), "zorder")
+
+    box = [("a", ">=", 100), ("a", "<", 200), ("b", ">=", 100.0), ("b", "<", 200.0)]
+
+    def scan(files, pred):
+        tabs, read, total = [], 0, 0
+        for f in files:
+            t, st = orcread.read_orc_filtered(f, pred)
+            tabs.append(t)
+            read += st["groups_read"]
+            total += st["groups_total"]
+        return pa.concat_tables(tabs), read, total
+
+    exp = tbl.filter(
+        pc_and(
+            pc_and(pa.compute.greater_equal(tbl["a"], 100), pa.compute.less(tbl["a"], 200)),
+            pc_and(pa.compute.greater_equal(tbl["b"], 100.0), pa.compute.less(tbl["b"], 200.0)),
+        )
+    )
+    got_s, read_s, _ = scan(files_sorted, box)
+    got_z, read_z, total_z = scan(files_z, box)
+    assert sorted(got_z["k"].to_pylist()) == sorted(exp["k"].to_pylist())
+    assert got_s.num_rows == exp.num_rows
+    assert read_z < read_s, (read_z, read_s)  # 2-D box: z-order beats the 1-col sort
+
+    b_only = [("b", ">=", 100.0), ("b", "<", 200.0)]
+    _, read_sb, total_sb = scan(files_sorted, b_only)
+    _, read_zb, _ = scan(files_z, b_only)
+    assert read_sb == total_sb  # sorted-by-a cannot prune on b at all
+    assert read_zb < total_z * 0.5, (read_zb, total_z)
+
+    # guards: needs >= 2 columns, string columns rejected
+    with pytest.raises(ValueError):
+        z.cluster_by_zorder(ds, ["a"])
+    sds = ray.data.from_arrow(pa.table({"a": [1, 2], "s": ["x", "y"]}))
+    with pytest.raises(Exception):
+        z.cluster_by_zorder(sds, ["a", "s"]).materialize()
+
+
+def pc_and(x, y):
+    return pa.compute.and_(x, y)
