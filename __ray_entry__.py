@@ -661,6 +661,31 @@ def _q_ann_topk_embeddings(sf_dir: str):
     return df[["rank", "vec_id"]]
 
 
+def _q_kmeans_embeddings(sf_dir: str):
+    """Distributed k-means certified in plain SQL: deterministic min-ids
+    init (seeds = embeddings of the 10 smallest vec_ids), TWO full Lloyd
+    rounds (assign -> mean -> assign -> mean), output = per-cluster member
+    count and the rounded per-dimension-summed centroid. The SQL oracle
+    replays both rounds with list_distance / element-wise avg, so matching
+    hashes certify the assignment kernel, the partial-sum fold, AND the
+    empty-cluster-keeps-seed rule end-to-end."""
+    import pandas as pd
+    import ray.data
+
+    from orc_format_ray.ops.cluster import kmeans
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    m = kmeans(ds, 10, iters=2)
+    nz = m.counts > 0
+    return pd.DataFrame(
+        {
+            "cluster": np.arange(10, dtype=np.int64)[nz],
+            "cnt": m.counts[nz].astype(np.int64),
+            "centroid_sum": np.round(m.centroids[nz].sum(axis=1), 6),
+        }
+    )
+
+
 def _q_pq_ann_exhaustive(sf_dir: str):
     """PQ compress (8 B/vec vs 256 B) -> ADC scan -> exact re-rank with the
     depth covering the whole corpus: must EQUAL brute force exactly, so the
@@ -1963,7 +1988,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- driver window (first 50): all oracle-backed -------------------
         "long_stats_lineitem": _q_long_stats_lineitem,
-        "string_stats_documents": _q_string_stats_documents,
         "stats_merge_lineitem": _q_stats_merge_lineitem,
         "exact_dedup_documents": _q_exact_dedup_documents,
         "token_count_by_source": _q_token_count_by_source,
@@ -1974,6 +1998,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "packed_shards_summary": _q_packed_shards_summary,
         "vocab_topk_by_source": _q_vocab_topk_by_source,
         "pq_ann_exhaustive": _q_pq_ann_exhaustive,
+        "kmeans_embeddings": _q_kmeans_embeddings,
         "epoch_shuffle_documents": _q_epoch_shuffle_documents,
         "select_by_budget": _q_select_by_budget,
         "stratified_sample_documents": _q_stratified_sample_documents,
@@ -2020,6 +2045,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_count_by_source": _q_bpe_token_count,
         "incremental_dedup_planted": _q_incremental_dedup_planted,
         "orc_lineitem_roundtrip": _q_orc_lineitem_roundtrip,
+        "string_stats_documents": _q_string_stats_documents,
         "topk_users_by_value": _q_topk_users_by_value,
         "packed_shards_read_back": _q_packed_shards_read_back,
         "double_stats_lineitem": _q_double_stats_lineitem,
@@ -2326,6 +2352,27 @@ def oracle_sql() -> dict[str, str]:
             f"round(length(text) / CAST(greatest({_TOKCOUNT_SQL}, 1) AS DOUBLE), 6) AS mean_word_len, "
             f"CAST({_TOKCOUNT_SQL} AS BIGINT) AS tok_count "
             "FROM documents"
+        ),
+        # two full Lloyd rounds replayed in SQL: seeds = 10 smallest vec_ids,
+        # assignment = row_number over (list_distance, cluster) — the same
+        # lowest-index tie rule as np.argmin; empty clusters keep their seed
+        "kmeans_embeddings": (
+            "WITH s AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS c, "
+            "CAST(embedding AS DOUBLE[]) AS cent FROM embeddings ORDER BY vec_id LIMIT 10), "
+            "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+            "a1 AS (SELECT vec_id, v, c, row_number() OVER (PARTITION BY vec_id "
+            "ORDER BY list_distance(v, cent), c) AS rk FROM e CROSS JOIN s), "
+            "w1 AS (SELECT vec_id, v, c FROM a1 WHERE rk = 1), "
+            "u1 AS (SELECT c, unnest(range(len(v))) AS i, unnest(v) AS x FROM w1), "
+            "m1 AS (SELECT c, i, avg(x) AS mx FROM u1 GROUP BY c, i), "
+            "c1 AS (SELECT c, list(mx ORDER BY i) AS cent FROM m1 GROUP BY c), "
+            "c1f AS (SELECT s.c AS c, COALESCE(c1.cent, s.cent) AS cent FROM s LEFT JOIN c1 ON s.c = c1.c), "
+            "a2 AS (SELECT vec_id, v, c1f.c AS c, row_number() OVER (PARTITION BY vec_id "
+            "ORDER BY list_distance(v, c1f.cent), c1f.c) AS rk FROM e CROSS JOIN c1f), "
+            "w2 AS (SELECT vec_id, v, c FROM a2 WHERE rk = 1) "
+            "SELECT c AS cluster, count(*) AS cnt, "
+            "round(sum(list_aggregate(v, 'sum')) / count(*), 6) AS centroid_sum "
+            "FROM w2 GROUP BY c ORDER BY cluster"
         ),
         "ann_topk_embeddings": (
             "SELECT CAST(row_number() OVER (ORDER BY list_cosine_similarity(embedding, "

@@ -1,0 +1,186 @@
+"""Distributed k-means over an embedding column (list<float>).
+
+The curation workhorse behind semantic dedup, topic balancing, and IVF
+coarse-quantizer training — expressed Ray-Data-first so the corpus never
+moves:
+
+* each Lloyd iteration broadcasts the (k, dim) centroid matrix once
+  (``ray.put``) and runs ONE ``map_batches`` pass; every batch assigns its
+  vectors with a single float64 matmul and emits k tiny partial rows
+  (cluster, count, sum-vector, squared-error sum);
+* the driver folds n_blocks x k partial rows (metadata-only traffic — at
+  10^6 blocks and k=1024 this is still just numbers, never vectors of the
+  corpus) and updates centroids; empty clusters keep their previous
+  centroid so k never silently shrinks;
+* assignment of the final model is one more stateless ``map_batches``
+  (``assign_clusters``) that appends an int32 ``cluster`` column.
+
+Determinism: ``init="min-ids"`` seeds from the k smallest ``id_col`` values
+(reproducible on any block layout and expressible in plain SQL, which is how
+the ``kmeans_embeddings`` oracle certifies two full Lloyd rounds);
+assignment breaks distance ties toward the lowest cluster index, matching
+``row_number() OVER (ORDER BY distance, cluster)``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .._rayutil import remote_args
+from .similarity import _embedding_matrix
+
+
+class KMeansModel:
+    """Result of :func:`kmeans`: final centroids (float64 ``(k, dim)``),
+    the member count of each cluster under the LAST assignment, and the
+    per-iteration inertia (sum of squared distances to the assigned
+    centroid — non-increasing across iterations by Lloyd's guarantee)."""
+
+    def __init__(self, centroids: np.ndarray, counts: np.ndarray, sums: np.ndarray, inertia: list[float]):
+        self.centroids = centroids
+        self.counts = counts
+        self.sums = sums  # per-cluster float64 sum-vectors of the last assignment
+        self.inertia = inertia
+
+    @property
+    def k(self) -> int:
+        return len(self.centroids)
+
+
+def _assign(emb: np.ndarray, cents: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized nearest-centroid assignment: argmin of the squared L2
+    distance, computed as ||x||^2 - 2 x.C^T + ||c||^2 (one matmul, float64).
+    np.argmin takes the FIRST minimum, i.e. ties go to the lowest cluster
+    index. Returns (assignment int64, squared distance float64 clipped >=0).
+    """
+    d2 = (emb * emb).sum(axis=1, keepdims=True) - 2.0 * (emb @ cents.T) + (cents * cents).sum(axis=1)
+    a = np.argmin(d2, axis=1)
+    return a, np.maximum(d2[np.arange(len(a)), a], 0.0)
+
+
+def _partials(cent_ref, col: str):
+    """Stateless per-batch partial: k rows of (cluster, n, sumvec, sq_err)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import ray
+
+        cents = ray.get(cent_ref) if not isinstance(cent_ref, np.ndarray) else cent_ref
+        emb = _embedding_matrix(batch, col)
+        k, dim = cents.shape
+        if emb.shape[0] == 0:
+            return pa.table(
+                {
+                    "cluster": pa.array([], pa.int32()),
+                    "n": pa.array([], pa.int64()),
+                    "sumvec": pa.array([], pa.list_(pa.float64())),
+                    "sq_err": pa.array([], pa.float64()),
+                }
+            )
+        if emb.shape[1] != dim:
+            raise ValueError(f"embedding dim {emb.shape[1]} != centroid dim {dim}")
+        a, d2 = _assign(emb, cents)
+        counts = np.bincount(a, minlength=k).astype(np.int64)
+        sums = np.zeros((k, dim), dtype=np.float64)
+        np.add.at(sums, a, emb)
+        errs = np.bincount(a, weights=d2, minlength=k)
+        return pa.table(
+            {
+                "cluster": pa.array(np.arange(k, dtype=np.int32)),
+                "n": pa.array(counts),
+                "sumvec": pa.array(list(sums), pa.list_(pa.float64())),
+                "sq_err": pa.array(errs, pa.float64()),
+            }
+        )
+
+    return fn
+
+
+def kmeans(
+    ds,
+    k: int = 8,
+    *,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 10,
+    init: str | np.ndarray = "min-ids",
+    tol: float = 0.0,
+) -> KMeansModel:
+    """Lloyd's k-means over ``ds[col]``. ``init`` is ``"min-ids"`` (the
+    embeddings of the k smallest ``id_col`` values — deterministic and
+    SQL-auditable) or an explicit ``(k, dim)`` array. Stops after ``iters``
+    iterations or when no centroid moves more than ``tol`` (L2). Each
+    iteration is one streaming pass; only k-row partials reach the driver.
+    """
+    import ray
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if isinstance(init, np.ndarray):
+        cents = np.asarray(init, dtype=np.float64)
+        if cents.shape[0] != k:
+            raise ValueError(f"init has {cents.shape[0]} rows, expected k={k}")
+    elif init == "min-ids":
+        # each batch forwards only its own k smallest rows (metadata-sized);
+        # the driver folds n_blocks x k candidates
+        def head(batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            take = np.argsort(ids, kind="stable")[:k]
+            return batch.select([id_col, col]).take(pa.array(take))
+
+        rows = ds.map_batches(head, batch_format="pyarrow", zero_copy_batch=True, **remote_args()).take_all()
+        if len(rows) < k:
+            raise ValueError(f"k={k} but dataset has only {len(rows)} rows")
+        ids = np.array([r[id_col] for r in rows])
+        order = np.argsort(ids, kind="stable")[:k]
+        cents = np.array([np.asarray(rows[i][col], dtype=np.float64) for i in order])
+    else:
+        raise ValueError(f"unknown init {init!r}")
+
+    counts = np.zeros(k, dtype=np.int64)
+    sums = np.zeros_like(cents)
+    inertia: list[float] = []
+    for _ in range(max(iters, 1)):
+        cent_ref = ray.put(cents)
+        parts = ds.map_batches(
+            _partials(cent_ref, col), batch_format="pyarrow", zero_copy_batch=True, **remote_args()
+        ).take_all()
+        counts = np.zeros(k, dtype=np.int64)
+        sums = np.zeros_like(cents)
+        err = 0.0
+        for row in parts:
+            c = int(row["cluster"])
+            counts[c] += int(row["n"])
+            sums[c] += np.asarray(row["sumvec"], dtype=np.float64)
+            err += float(row["sq_err"])
+        inertia.append(err)
+        new = cents.copy()  # empty clusters keep their previous centroid
+        nz = counts > 0
+        new[nz] = sums[nz] / counts[nz, None]
+        shift = float(np.linalg.norm(new - cents, axis=1).max()) if k else 0.0
+        cents = new
+        if shift <= tol:
+            break
+    return KMeansModel(cents, counts, sums, inertia)
+
+
+def assign_clusters(ds, centroids: np.ndarray, *, col: str = "embedding", out_col: str = "cluster"):
+    """Append an int32 ``out_col`` = nearest-centroid index (and a float64
+    ``{out_col}_dist2`` squared distance) to every row — one stateless
+    vectorized pass; the centroid matrix is broadcast once."""
+    import ray
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    cent_ref = ray.put(cents)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        c = _ray.get(cent_ref)
+        emb = _embedding_matrix(batch, col)
+        a, d2 = _assign(emb, c)
+        return batch.append_column(out_col, pa.array(a.astype(np.int32))).append_column(
+            f"{out_col}_dist2", pa.array(d2, pa.float64())
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True, **remote_args())

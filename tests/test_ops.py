@@ -1620,3 +1620,98 @@ def test_zorder_clusters_prune_both_columns(ray_session, tmp_path):
 
 def pc_and(x, y):
     return pa.compute.and_(x, y)
+
+
+# ------------------------------------------------------------- k-means ops
+
+
+def _blob_dataset(seed=0, per=200, dim=8, centers=(0.0, 5.0, 10.0)):
+    import ray.data
+
+    rng2 = np.random.default_rng(seed)
+    blobs = np.concatenate([rng2.normal(c, 0.3, (per, dim)) for c in centers])
+    n = len(blobs)
+    perm = rng2.permutation(n)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n)[perm], pa.int64()),
+            "embedding": pa.array(list(blobs[perm].astype(np.float32)), pa.list_(pa.float32())),
+        }
+    )
+    return ray.data.from_arrow(tbl), blobs.astype(np.float32).astype(np.float64), tbl
+
+
+def test_kmeans_matches_local_lloyd(ray_session):
+    """Distributed partial-sum k-means == a single-process Lloyd loop with
+    the same min-ids init, bit-for-practical-purposes (1e-8): the fold over
+    per-block partials must not change the math."""
+    from orc_format_ray.ops.cluster import _assign, kmeans
+
+    ds, X, _ = _blob_dataset()
+    m = kmeans(ds.repartition(7), 3, iters=20, tol=1e-9)
+    assert all(b <= a + 1e-9 for a, b in zip(m.inertia, m.inertia[1:]))
+
+    C = X[:3].copy()  # vec_ids 0,1,2 hold blobs[0:3]
+    for _ in range(len(m.inertia)):
+        a, _d2 = _assign(X, C)
+        for j in range(3):
+            if (a == j).any():
+                C[j] = X[a == j].mean(0)
+    o, om = np.lexsort(C.T), np.lexsort(m.centroids.T)
+    assert np.allclose(C[o], m.centroids[om], atol=1e-8)
+    assert sorted(np.bincount(a, minlength=3).tolist()) == sorted(m.counts.tolist())
+
+
+def test_kmeans_recovers_separated_blobs_and_assigns(ray_session):
+    from orc_format_ray.ops.cluster import assign_clusters, kmeans
+
+    ds, X, _ = _blob_dataset()
+    m = kmeans(ds.repartition(5), 3, iters=30, init=X[[0, 200, 400]], tol=1e-9)
+    assert sorted(m.counts.tolist()) == [200, 200, 200]
+    out = assign_clusters(ds, m.centroids).take_all()
+    from collections import Counter
+
+    assert sorted(Counter(r["cluster"] for r in out).values()) == [200, 200, 200]
+    assert all(r["cluster_dist2"] >= 0.0 for r in out[:50])
+
+
+def test_kmeans_block_layout_invariant(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.cluster import kmeans
+
+    _, _, tbl = _blob_dataset(seed=3)
+    m1 = kmeans(ray.data.from_arrow(tbl).repartition(1), 4, iters=4)
+    m8 = kmeans(ray.data.from_arrow(tbl).repartition(8), 4, iters=4)
+    assert np.allclose(m1.centroids, m8.centroids, atol=1e-9)
+    assert (m1.counts == m8.counts).all()
+
+
+def test_kmeans_empty_cluster_keeps_seed_and_guards(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.cluster import kmeans
+
+    # two far duplicate groups + k=3 with one seed a guaranteed loser:
+    # init row 2 equals row 0, so cluster 2 gets no members and must keep
+    # its (duplicate) seed centroid without crashing or NaN-ing
+    vecs = np.array([[0.0, 0.0], [10.0, 10.0], [0.0, 0.0], [10.0, 10.0], [0.1, 0.0], [10.1, 10.0]])
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(6), pa.int64()),
+            "embedding": pa.array(list(vecs.astype(np.float32)), pa.list_(pa.float32())),
+        }
+    )
+    m = kmeans(ray.data.from_arrow(tbl), 3, iters=1)
+    assert np.isfinite(m.centroids).all()
+    assert m.counts.sum() == 6 and m.counts[2] == 0  # argmin ties -> lowest index
+    assert np.allclose(m.centroids[2], vecs[2])  # empty cluster kept its seed
+    m3 = kmeans(ray.data.from_arrow(tbl), 3, iters=3)  # later rounds may repopulate it
+    assert np.isfinite(m3.centroids).all() and m3.counts.sum() == 6
+
+    with pytest.raises(ValueError):
+        kmeans(ray.data.from_arrow(tbl), 99)
+    with pytest.raises(ValueError):
+        kmeans(ray.data.from_arrow(tbl), 0)
+    with pytest.raises(ValueError):
+        kmeans(ray.data.from_arrow(tbl), 3, init=np.zeros((2, 2)))
