@@ -59,7 +59,11 @@ def _assign(emb: np.ndarray, cents: np.ndarray) -> tuple[np.ndarray, np.ndarray]
     return a, np.maximum(d2[np.arange(len(a)), a], 0.0)
 
 
-def _partials(cent_ref, col: str):
+def _unit64(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+def _partials(cent_ref, col: str, normalize: bool):
     """Stateless per-batch partial: k rows of (cluster, n, sumvec, sq_err)."""
 
     def fn(batch: pa.Table) -> pa.Table:
@@ -67,6 +71,8 @@ def _partials(cent_ref, col: str):
 
         cents = ray.get(cent_ref) if not isinstance(cent_ref, np.ndarray) else cent_ref
         emb = _embedding_matrix(batch, col)
+        if normalize and emb.shape[0]:
+            emb = _unit64(emb)
         k, dim = cents.shape
         if emb.shape[0] == 0:
             return pa.table(
@@ -105,12 +111,18 @@ def kmeans(
     iters: int = 10,
     init: str | np.ndarray = "min-ids",
     tol: float = 0.0,
+    normalize: bool = False,
 ) -> KMeansModel:
     """Lloyd's k-means over ``ds[col]``. ``init`` is ``"min-ids"`` (the
     embeddings of the k smallest ``id_col`` values — deterministic and
     SQL-auditable) or an explicit ``(k, dim)`` array. Stops after ``iters``
     iterations or when no centroid moves more than ``tol`` (L2). Each
     iteration is one streaming pass; only k-row partials reach the driver.
+
+    ``normalize=True`` runs SPHERICAL k-means (cosine geometry): vectors
+    and seeds are unit-normalized and every updated centroid is
+    re-normalized, so L2-argmin == cosine-argmax each round — the trainer
+    IVF coarse quantizers want (see ``IVFIndex.train_distributed``).
     """
     import ray
 
@@ -136,6 +148,8 @@ def kmeans(
         cents = np.array([np.asarray(rows[i][col], dtype=np.float64) for i in order])
     else:
         raise ValueError(f"unknown init {init!r}")
+    if normalize:
+        cents = _unit64(cents)
 
     counts = np.zeros(k, dtype=np.int64)
     sums = np.zeros_like(cents)
@@ -143,7 +157,7 @@ def kmeans(
     for _ in range(max(iters, 1)):
         cent_ref = ray.put(cents)
         parts = ds.map_batches(
-            _partials(cent_ref, col), batch_format="pyarrow", zero_copy_batch=True, **remote_args()
+            _partials(cent_ref, col, normalize), batch_format="pyarrow", zero_copy_batch=True, **remote_args()
         ).take_all()
         counts = np.zeros(k, dtype=np.int64)
         sums = np.zeros_like(cents)
@@ -157,6 +171,8 @@ def kmeans(
         new = cents.copy()  # empty clusters keep their previous centroid
         nz = counts > 0
         new[nz] = sums[nz] / counts[nz, None]
+        if normalize:
+            new[nz] = _unit64(new[nz])
         shift = float(np.linalg.norm(new - cents, axis=1).max()) if k else 0.0
         cents = new
         if shift <= tol:

@@ -127,6 +127,20 @@ class IVFIndex:
                     cent[c] = v / max(np.linalg.norm(v), 1e-12)
         return IVFIndex(cent)
 
+    @staticmethod
+    def train_distributed(ds, nlist: int = 16, iters: int = 5, id_col: str = "vec_id") -> "IVFIndex":
+        """FULL-corpus spherical k-means (``ops.cluster.kmeans`` with
+        ``normalize=True``): each Lloyd round is one streaming map_batches
+        pass emitting nlist tiny partial rows per block — no sample cap,
+        no driver-side vector collection. Prefer this over ``train`` when
+        the corpus is too large for a 4096-row sample to represent its
+        cluster structure; the deterministic min-ids init also makes
+        rebuilt indexes reproducible."""
+        from .cluster import kmeans
+
+        model = kmeans(ds, nlist, id_col=id_col, iters=iters, normalize=True)
+        return IVFIndex(model.centroids.astype(np.float32))
+
 
 def _make_shard_writer(cent_ref, out_dir: str, cb_ref=None):
     """Shared assign-and-write stage for IVF index builds AND incremental

@@ -1715,3 +1715,39 @@ def test_kmeans_empty_cluster_keeps_seed_and_guards(ray_session):
         kmeans(ray.data.from_arrow(tbl), 0)
     with pytest.raises(ValueError):
         kmeans(ray.data.from_arrow(tbl), 3, init=np.zeros((2, 2)))
+
+
+def test_spherical_kmeans_and_ivf_train_distributed(ray_session):
+    """normalize=True == spherical k-means (unit centroids, local-loop
+    equivalence); train_distributed produces an IVF index whose exhaustive
+    probe equals brute force and whose narrow probe keeps useful recall."""
+    import ray.data
+
+    from orc_format_ray.ops.cluster import _unit64, kmeans
+    from orc_format_ray.ops.similarity import IVFIndex, _embedding_matrix, brute_force_topk, ivf_topk
+
+    ds, X, tbl = _blob_dataset(seed=5)
+    m = kmeans(ds.repartition(6), 3, iters=8, normalize=True)
+    assert np.allclose(np.linalg.norm(m.centroids, axis=1), 1.0)
+
+    Xu = _unit64(X)
+    C = _unit64(X[:3].copy())
+    for _ in range(len(m.inertia)):
+        a = np.argmax(Xu @ C.T, axis=1)
+        for j in range(3):
+            if (a == j).any():
+                C[j] = Xu[a == j].mean(0)
+                C[j] /= np.linalg.norm(C[j])
+    o, om = np.lexsort(C.T), np.lexsort(m.centroids.T)
+    assert np.allclose(C[o], m.centroids[om], atol=1e-8)
+
+    emb = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet", columns=["vec_id", "embedding"])
+    idx = IVFIndex.train_distributed(emb, nlist=8, iters=4)
+    assert idx.centroids.shape == (8, 64) and idx.centroids.dtype == np.float32
+    q = np.ones((1, 64))
+    q[0, 1::2] = -1.0
+    exact = list(brute_force_topk(emb, q, k=10).to_pandas()["vec_id"])
+    full = list(ivf_topk(emb, idx, q, k=10, nprobe=8).to_pandas()["vec_id"])
+    assert full == exact  # probing every bucket == brute force
+    narrow = set(ivf_topk(emb, idx, q, k=10, nprobe=4).to_pandas()["vec_id"])
+    assert len(narrow & set(exact)) >= 5
