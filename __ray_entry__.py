@@ -661,6 +661,50 @@ def _q_ann_topk_embeddings(sf_dir: str):
     return df[["rank", "vec_id"]]
 
 
+def _q_histogram_extendedprice(sf_dir: str):
+    """Distributed fixed-width histogram (one bounds pass + one bincount
+    pass, fixed-size partials): bin indices are floor((x-lo)/w) in float64 —
+    the exact SQL expression — so counts match the oracle bit-for-bit."""
+    import ray.data
+
+    from orc_format_ray.ops.profile import histogram
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"])
+    t = histogram(ds, "l_extendedprice", bins=10)
+    return t.select(["bin", "cnt"]).to_pandas()
+
+
+def _q_numeric_profile_lineitem(sf_dir: str):
+    """One-pass numeric profile (count/nulls/min/max/mean/std from mergeable
+    moment partials); mean/std rounded coarsely — sum order differs between
+    engines at ~1e-15 relative and std amplifies it."""
+    import ray.data
+
+    from orc_format_ray.ops.profile import numeric_profile
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=cols)
+    df = numeric_profile(ds, cols).to_pandas()
+    df["mean"] = np.round(df["mean"], 3)
+    df["std"] = np.round(df["std"], 2)
+    return df.sort_values("col").reset_index(drop=True)
+
+
+def _q_corr_lineitem(sf_dir: str):
+    """Pairwise Pearson correlations from one pass of fixed-size moment
+    partials; the population/sample distinction cancels in the ratio so
+    DuckDB's corr() is the exact oracle (rounded to 5)."""
+    import ray.data
+
+    from orc_format_ray.ops.profile import corr_matrix
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=cols)
+    df = corr_matrix(ds, cols).to_pandas()
+    df["pearson"] = np.round(df["corr"], 5)
+    return df[["col_x", "col_y", "n", "pearson"]].sort_values(["col_x", "col_y"]).reset_index(drop=True)
+
+
 def _q_kmeans_embeddings(sf_dir: str):
     """Distributed k-means certified in plain SQL: deterministic min-ids
     init (seeds = embeddings of the 10 smallest vec_ids), TWO full Lloyd
@@ -2008,7 +2052,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "encode_roundtrip_by_source": _q_encode_roundtrip_by_source,
         "seek_row_range": _q_seek_row_range,
         "clean_summary_by_source": _q_clean_summary_by_source,
-        "window_agg_events": _q_window_agg_events,
+        "histogram_extendedprice": _q_histogram_extendedprice,
         "session_window_events": _q_session_window_events,
         "orc_file_roundtrip": _q_orc_file_roundtrip,
         "orc_pushdown_timestamp": _q_orc_pushdown_timestamp,
@@ -2059,6 +2103,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_familiarity_documents": _q_word_familiarity,
         "duplicate_spans_documents": _q_duplicate_spans,
         "sliding_window_events": _q_sliding_window_events,
+        "window_agg_events": _q_window_agg_events,
+        "numeric_profile_lineitem": _q_numeric_profile_lineitem,
+        "corr_lineitem": _q_corr_lineitem,
         "events_sorted_head": _q_events_sorted_head,
         "semi_anti_join_customers": _q_semi_anti_join_customers,
         "quantile_quantity_lineitem": _q_quantile_quantity_lineitem,
@@ -2352,6 +2399,34 @@ def oracle_sql() -> dict[str, str]:
             f"round(length(text) / CAST(greatest({_TOKCOUNT_SQL}, 1) AS DOUBLE), 6) AS mean_word_len, "
             f"CAST({_TOKCOUNT_SQL} AS BIGINT) AS tok_count "
             "FROM documents"
+        ),
+        "histogram_extendedprice": (
+            "WITH b AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem), "
+            "p AS (SELECT CAST(least(floor((l_extendedprice - b.lo) / ((b.hi - b.lo) / 10)), 9) AS BIGINT) AS bin "
+            "FROM lineitem, b) "
+            "SELECT bin, count(*) AS cnt FROM p GROUP BY bin ORDER BY bin"
+        ),
+        "numeric_profile_lineitem": (
+            " UNION ALL ".join(
+                f"SELECT '{c}' AS col, count({c}) AS cnt, count(*) - count({c}) AS nulls, "
+                f"CAST(min({c}) AS DOUBLE) AS min_v, CAST(max({c}) AS DOUBLE) AS max_v, "
+                f"round(avg({c}), 3) AS mean, round(stddev_pop({c}), 2) AS std FROM lineitem"
+                for c in ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+            )
+            + " ORDER BY col"
+        ),
+        "corr_lineitem": (
+            " UNION ALL ".join(
+                f"SELECT '{x}' AS col_x, '{y}' AS col_y, "
+                f"count(CASE WHEN {x} IS NOT NULL AND {y} IS NOT NULL THEN 1 END) AS n, "
+                f"round(corr({x}, {y}), 5) AS pearson FROM lineitem"
+                for x, y in [
+                    ("l_quantity", "l_extendedprice"),
+                    ("l_quantity", "l_discount"),
+                    ("l_extendedprice", "l_discount"),
+                ]
+            )
+            + " ORDER BY col_x, col_y"
         ),
         # two full Lloyd rounds replayed in SQL: seeds = 10 smallest vec_ids,
         # assignment = row_number over (list_distance, cluster) — the same

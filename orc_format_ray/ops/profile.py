@@ -1,0 +1,203 @@
+"""Corpus profiling: histograms, numeric summaries, correlation matrices.
+
+The "what is in this 100 TB table" pass that precedes every curation
+decision — binning thresholds, quality-score cutoffs, mixture weights.
+Every op here is a single streaming ``map_batches`` pass whose per-batch
+partial is a FIXED-SIZE row (bin counts / moment sums), folded on the
+driver: the corpus never shuffles and driver traffic is n_blocks tiny rows
+regardless of data size.
+
+Exact-parity notes (these make the ops SQL-auditable):
+* histogram bin = ``floor((x - lo) / width)`` computed in float64, last bin
+  right-closed — identical doubles to the SQL expression, so counts match
+  the oracle bit-for-bit;
+* means/stds/correlations are ratios of float64 sums; queries round to 6
+  decimals (sum order differs between engines at ~1e-15 relative).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .._rayutil import remote_args
+
+
+def _numeric(col: pa.ChunkedArray) -> np.ndarray:
+    """Column -> float64 with NaN for nulls."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    arr = col.to_numpy(zero_copy_only=False).astype(np.float64)
+    if col.null_count:
+        arr = arr.copy()
+        arr[~np.asarray(col.is_valid())] = np.nan
+    return arr
+
+
+def column_bounds(ds, cols: list[str]) -> dict[str, tuple[float, float]]:
+    """Global per-column [min, max] over non-null values in ONE pass
+    (per-batch partials; n_blocks tiny rows to the driver)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        row = {}
+        for c in cols:
+            x = _numeric(batch[c])
+            good = x[np.isfinite(x)]
+            row[f"lo_{c}"] = [float(good.min()) if len(good) else np.nan]
+            row[f"hi_{c}"] = [float(good.max()) if len(good) else np.nan]
+        return pa.table(row)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args()).take_all()
+    out = {}
+    for c in cols:
+        los = [p[f"lo_{c}"] for p in parts if p[f"lo_{c}"] == p[f"lo_{c}"]]
+        his = [p[f"hi_{c}"] for p in parts if p[f"hi_{c}"] == p[f"hi_{c}"]]
+        if not los:
+            raise ValueError(f"column {c!r} has no non-null values to bound")
+        out[c] = (min(los), max(his))
+    return out
+
+
+def histogram(ds, col: str, bins: int = 10, lo: float | None = None, hi: float | None = None) -> pa.Table:
+    """Fixed-width histogram of ``ds[col]``: bin i covers
+    ``[lo + i*w, lo + (i+1)*w)`` with the LAST bin right-closed (so ``hi``
+    lands in bin ``bins-1``, exactly like ``least(floor((x-lo)/w), bins-1)``
+    in SQL). Bounds default to the global min/max (one extra metadata pass).
+    Values outside [lo, hi] are clipped into the edge bins; nulls are
+    dropped. Returns (bin, lo, hi, cnt) with exact int64 counts."""
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    if lo is None or hi is None:
+        blo, bhi = column_bounds(ds, [col])[col]
+        lo = blo if lo is None else lo
+        hi = bhi if hi is None else hi
+    lo, hi = float(lo), float(hi)
+    if not hi > lo:
+        # degenerate span: everything in bin 0
+        width = 1.0
+    else:
+        width = (hi - lo) / bins
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = _numeric(batch[col])
+        x = x[np.isfinite(x)]
+        idx = np.floor((x - lo) / width)
+        idx = np.clip(idx, 0, bins - 1).astype(np.int64)
+        return pa.table({"counts": pa.array([np.bincount(idx, minlength=bins)], pa.list_(pa.int64()))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args()).take_all()
+    total = np.zeros(bins, dtype=np.int64)
+    for p in parts:
+        total += np.asarray(p["counts"], dtype=np.int64)
+    edges = lo + width * np.arange(bins + 1, dtype=np.float64)
+    return pa.table(
+        {
+            "bin": pa.array(np.arange(bins, dtype=np.int64)),
+            "lo": pa.array(edges[:-1], pa.float64()),
+            "hi": pa.array(edges[1:], pa.float64()),
+            "cnt": pa.array(total),
+        }
+    )
+
+
+def numeric_profile(ds, cols: list[str]) -> pa.Table:
+    """Per-column summary in ONE pass: non-null count, null count, min,
+    max, float64 sum and sum-of-squares (mean/std derive on the driver).
+    Partials are mergeable across any block layout. Returns one row per
+    column: (col, cnt, nulls, min_v, max_v, mean, std) — std is the
+    POPULATION deviation (ddof=0), matching SQL stddev_pop."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        out = {"col": [], "n": [], "nulls": [], "mn": [], "mx": [], "s1": [], "s2": []}
+        for c in cols:
+            x = _numeric(batch[c])
+            good = x[np.isfinite(x)]
+            out["col"].append(c)
+            out["n"].append(len(good))
+            out["nulls"].append(len(x) - len(good))
+            out["mn"].append(float(good.min()) if len(good) else np.nan)
+            out["mx"].append(float(good.max()) if len(good) else np.nan)
+            out["s1"].append(float(good.sum()))
+            out["s2"].append(float((good * good).sum()))
+        return pa.table(out)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args()).take_all()
+    rows = {c: dict(n=0, nulls=0, mn=np.inf, mx=-np.inf, s1=0.0, s2=0.0) for c in cols}
+    for p in parts:
+        r = rows[p["col"]]
+        r["n"] += int(p["n"])
+        r["nulls"] += int(p["nulls"])
+        if p["mn"] == p["mn"]:
+            r["mn"] = min(r["mn"], p["mn"])
+            r["mx"] = max(r["mx"], p["mx"])
+        r["s1"] += p["s1"]
+        r["s2"] += p["s2"]
+    mean = {c: (r["s1"] / r["n"] if r["n"] else np.nan) for c, r in rows.items()}
+    var = {c: (max(r["s2"] / r["n"] - mean[c] ** 2, 0.0) if r["n"] else np.nan) for c, r in rows.items()}
+    return pa.table(
+        {
+            "col": pa.array(list(cols)),
+            "cnt": pa.array([rows[c]["n"] for c in cols], pa.int64()),
+            "nulls": pa.array([rows[c]["nulls"] for c in cols], pa.int64()),
+            "min_v": pa.array([rows[c]["mn"] for c in cols], pa.float64()),
+            "max_v": pa.array([rows[c]["mx"] for c in cols], pa.float64()),
+            "mean": pa.array([mean[c] for c in cols], pa.float64()),
+            "std": pa.array([float(np.sqrt(var[c])) for c in cols], pa.float64()),
+        }
+    )
+
+
+def corr_matrix(ds, cols: list[str]) -> pa.Table:
+    """Pairwise Pearson correlation over rows where BOTH columns are
+    non-null: per-batch partials carry (n, sx, sy, sxx, syy, sxy) for each
+    of the p*(p-1)/2 pairs — a fixed-size row per batch — folded on the
+    driver. Returns (col_x, col_y, n, corr) for x < y in ``cols`` order."""
+    pairs = [(i, j) for i in range(len(cols)) for j in range(i + 1, len(cols))]
+    if not pairs:
+        raise ValueError("corr_matrix needs >= 2 columns")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        xs = [_numeric(batch[c]) for c in cols]
+        out = {"pair": [], "n": [], "sx": [], "sy": [], "sxx": [], "syy": [], "sxy": []}
+        for pi, (i, j) in enumerate(pairs):
+            x, y = xs[i], xs[j]
+            m = np.isfinite(x) & np.isfinite(y)
+            xg, yg = x[m], y[m]
+            out["pair"].append(pi)
+            out["n"].append(len(xg))
+            out["sx"].append(float(xg.sum()))
+            out["sy"].append(float(yg.sum()))
+            out["sxx"].append(float((xg * xg).sum()))
+            out["syy"].append(float((yg * yg).sum()))
+            out["sxy"].append(float((xg * yg).sum()))
+        return pa.table(out)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args()).take_all()
+    acc = [dict(n=0, sx=0.0, sy=0.0, sxx=0.0, syy=0.0, sxy=0.0) for _ in pairs]
+    for p in parts:
+        a = acc[int(p["pair"])]
+        a["n"] += int(p["n"])
+        for k in ("sx", "sy", "sxx", "syy", "sxy"):
+            a[k] += p[k]
+    rows = {"col_x": [], "col_y": [], "n": [], "corr": []}
+    for (i, j), a in zip(pairs, acc):
+        n = a["n"]
+        if n:
+            cov = a["sxy"] / n - (a["sx"] / n) * (a["sy"] / n)
+            vx = max(a["sxx"] / n - (a["sx"] / n) ** 2, 0.0)
+            vy = max(a["syy"] / n - (a["sy"] / n) ** 2, 0.0)
+            corr = cov / np.sqrt(vx * vy) if vx > 0 and vy > 0 else np.nan
+        else:
+            corr = np.nan
+        rows["col_x"].append(cols[i])
+        rows["col_y"].append(cols[j])
+        rows["n"].append(n)
+        rows["corr"].append(float(corr))
+    return pa.table(
+        {
+            "col_x": pa.array(rows["col_x"]),
+            "col_y": pa.array(rows["col_y"]),
+            "n": pa.array(rows["n"], pa.int64()),
+            "corr": pa.array(rows["corr"], pa.float64()),
+        }
+    )

@@ -1751,3 +1751,89 @@ def test_spherical_kmeans_and_ivf_train_distributed(ray_session):
     assert full == exact  # probing every bucket == brute force
     narrow = set(ivf_topk(emb, idx, q, k=10, nprobe=4).to_pandas()["vec_id"])
     assert len(narrow & set(exact)) >= 5
+
+
+# ------------------------------------------------------------ profiling ops
+
+
+def test_histogram_matches_numpy_and_handles_edges(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.profile import histogram
+
+    rng2 = np.random.default_rng(11)
+    x = rng2.uniform(10.0, 50.0, 5000)
+    x[::97] = 10.0  # exact lo
+    x[1::97] = 50.0  # exact hi -> last bin (right-closed)
+    vals = np.r_[x, np.nan]
+    tbl = pa.table({"v": pa.array(vals, pa.float64())})
+    ds = ray.data.from_arrow(tbl.set_column(0, "v", pa.array([None if np.isnan(v) else v for v in vals], pa.float64())))
+
+    t = histogram(ds.repartition(6), "v", bins=8)
+    lo, hi = x.min(), x.max()
+    w = (hi - lo) / 8
+    idx = np.clip(np.floor((x - lo) / w), 0, 7).astype(int)
+    exp = np.bincount(idx, minlength=8)
+    assert t["cnt"].to_pylist() == exp.tolist()
+    assert t["bin"].to_pylist() == list(range(8))
+    assert t["cnt"].to_pylist()[-1] >= (x == 50.0).sum()  # hi values landed in the last bin
+    assert sum(t["cnt"].to_pylist()) == len(x)  # null dropped
+
+    # explicit bounds clip outliers into edge bins
+    t2 = histogram(ds, "v", bins=4, lo=20.0, hi=40.0)
+    assert sum(t2["cnt"].to_pylist()) == len(x)
+
+    # degenerate span: single bin 0
+    one = ray.data.from_arrow(pa.table({"v": pa.array([3.0, 3.0, 3.0])}))
+    t3 = histogram(one, "v", bins=5)
+    assert t3["cnt"].to_pylist()[0] == 3 and sum(t3["cnt"].to_pylist()) == 3
+
+    with pytest.raises(ValueError):
+        histogram(ds, "v", bins=0)
+    allnull = ray.data.from_arrow(pa.table({"v": pa.array([None, None], pa.float64())}))
+    with pytest.raises(ValueError):
+        histogram(allnull, "v")
+
+
+def test_numeric_profile_exact_with_nulls(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.profile import numeric_profile
+
+    rng2 = np.random.default_rng(4)
+    a = rng2.normal(100.0, 7.0, 3000)
+    b = rng2.uniform(-5.0, 5.0, 3000)
+    bn = [None if i % 13 == 0 else float(v) for i, v in enumerate(b)]
+    tbl = pa.table({"a": pa.array(a, pa.float64()), "b": pa.array(bn, pa.float64())})
+    out = numeric_profile(ray.data.from_arrow(tbl).repartition(5), ["a", "b"]).to_pandas().set_index("col")
+
+    assert out.loc["a", "cnt"] == 3000 and out.loc["a", "nulls"] == 0
+    bg = np.array([v for v in bn if v is not None])
+    assert out.loc["b", "cnt"] == len(bg) and out.loc["b", "nulls"] == 3000 - len(bg)
+    assert out.loc["b", "min_v"] == bg.min() and out.loc["b", "max_v"] == bg.max()
+    assert abs(out.loc["a", "mean"] - a.mean()) < 1e-9
+    assert abs(out.loc["a", "std"] - a.std()) < 1e-8
+    assert abs(out.loc["b", "std"] - bg.std()) < 1e-8
+
+
+def test_corr_matrix_matches_numpy_pairwise(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.profile import corr_matrix
+
+    rng2 = np.random.default_rng(9)
+    x = rng2.normal(0, 1, 2000)
+    y = 0.7 * x + rng2.normal(0, 0.5, 2000)
+    z = [None if i % 7 == 0 else float(v) for i, v in enumerate(rng2.uniform(0, 1, 2000))]
+    tbl = pa.table({"x": pa.array(x), "y": pa.array(y), "z": pa.array(z, pa.float64())})
+    out = corr_matrix(ray.data.from_arrow(tbl).repartition(4), ["x", "y", "z"]).to_pandas()
+    out = out.set_index(["col_x", "col_y"])
+
+    assert abs(out.loc[("x", "y"), "corr"] - np.corrcoef(x, y)[0, 1]) < 1e-9
+    m = np.array([v is not None for v in z])
+    zz = np.array([v for v in z if v is not None])
+    assert out.loc[("x", "z"), "n"] == m.sum()
+    assert abs(out.loc[("x", "z"), "corr"] - np.corrcoef(x[m], zz)[0, 1]) < 1e-9
+
+    with pytest.raises(ValueError):
+        corr_matrix(ray.data.from_arrow(tbl), ["x"])
