@@ -661,6 +661,36 @@ def _q_ann_topk_embeddings(sf_dir: str):
     return df[["rank", "vec_id"]]
 
 
+def _q_pivot_returnflag_linestatus(sf_dir: str):
+    """Distributed long->wide pivot (per-batch partial agg -> one small cell
+    groupby -> per-index widening): empty cells surface as SQL NULL /
+    float NaN — both sides coalesce to 0.0 so the hash also certifies WHICH
+    cells are empty."""
+    import ray.data
+
+    from orc_format_ray.ops.agg import pivot
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_linestatus", "l_quantity"]
+    )
+    wide = pivot(ds, "l_returnflag", "l_linestatus", "l_quantity", agg="sum", round_to=2)
+    df = wide.to_pandas().sort_values("l_returnflag").reset_index(drop=True)
+    return df.fillna(0.0)
+
+
+def _q_grouped_quantiles_quantity(sf_dir: str):
+    """Exact per-group quantile_cont from the (key, value, count)
+    distribution — only metadata shuffles, each group interpolates over its
+    own distinct values in a worker."""
+    import ray.data
+
+    from orc_format_ray.ops.agg import grouped_quantiles
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_quantity"])
+    out = grouped_quantiles(ds, "l_returnflag", "l_quantity", [0.25, 0.5, 0.9])
+    return out.to_pandas().sort_values(["l_returnflag", "q"]).reset_index(drop=True)
+
+
 def _q_histogram_extendedprice(sf_dir: str):
     """Distributed fixed-width histogram (one bounds pass + one bincount
     pass, fixed-size partials): bin indices are floor((x-lo)/w) in float64 —
@@ -2034,10 +2064,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "long_stats_lineitem": _q_long_stats_lineitem,
         "stats_merge_lineitem": _q_stats_merge_lineitem,
         "exact_dedup_documents": _q_exact_dedup_documents,
-        "token_count_by_source": _q_token_count_by_source,
+        "pivot_returnflag_linestatus": _q_pivot_returnflag_linestatus,
         "pack_sequences": _q_pack_sequences,
         "pack_sequences_by_sort": _q_pack_sequences_by_sort,
-        "decontaminate_planted": _q_decontaminate_planted,
+        "grouped_quantiles_quantity": _q_grouped_quantiles_quantity,
         "prepare_training_data": _q_prepare_training_data,
         "packed_shards_summary": _q_packed_shards_summary,
         "vocab_topk_by_source": _q_vocab_topk_by_source,
@@ -2089,6 +2119,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_count_by_source": _q_bpe_token_count,
         "incremental_dedup_planted": _q_incremental_dedup_planted,
         "orc_lineitem_roundtrip": _q_orc_lineitem_roundtrip,
+        "token_count_by_source": _q_token_count_by_source,
+        "decontaminate_planted": _q_decontaminate_planted,
         "string_stats_documents": _q_string_stats_documents,
         "topk_users_by_value": _q_topk_users_by_value,
         "packed_shards_read_back": _q_packed_shards_read_back,
@@ -2399,6 +2431,20 @@ def oracle_sql() -> dict[str, str]:
             f"round(length(text) / CAST(greatest({_TOKCOUNT_SQL}, 1) AS DOUBLE), 6) AS mean_word_len, "
             f"CAST({_TOKCOUNT_SQL} AS BIGINT) AS tok_count "
             "FROM documents"
+        ),
+        "pivot_returnflag_linestatus": (
+            "SELECT l_returnflag, "
+            "COALESCE(round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2), 0.0) AS F, "
+            "COALESCE(round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2), 0.0) AS O "
+            "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+        ),
+        "grouped_quantiles_quantity": (
+            " UNION ALL ".join(
+                f"SELECT l_returnflag, {q} AS q, round(quantile_cont(l_quantity, {q}), 6) AS value "
+                "FROM lineitem GROUP BY l_returnflag"
+                for q in (0.25, 0.5, 0.9)
+            )
+            + " ORDER BY l_returnflag, q"
         ),
         "histogram_extendedprice": (
             "WITH b AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem), "

@@ -7,6 +7,20 @@ Memory is O(|distinct values|) no matter the row count — the right plan for
 measure-like columns (quantities, prices at fixed scale, ordinal scores).
 For genuinely continuous unbounded columns, swap the value key for a fixed
 binning (or a mergeable sketch); the shuffle shape stays identical.
+
+`grouped_quantiles` — the same count-distribution plan PER GROUP: only
+(key, value, count) partials shuffle (never full rows), each group's
+interpolation runs in a worker over its own |distinct values| rows, and the
+result is one row per (key, q). Hot keys cost their distinct-value count,
+not their row count.
+
+`pivot` — long -> wide reshaping with distributive aggregates: per-batch
+partial aggregation over (index, column) shrinks every block to at most
+|index x column| cells BEFORE the one small groupby; the column universe is
+discovered from the aggregated cells (|columns| rows to the driver) and the
+widening `map_groups` emits one row per index key. The pivot contract is
+|columns| small (wide schemas cap out); |index| may be huge — it stays
+distributed end to end.
 """
 
 from __future__ import annotations
@@ -55,3 +69,103 @@ def quantiles_by_counts(ds, col: str, qs: list[float]) -> list[float]:
     values = tbl[col].to_numpy(zero_copy_only=False)
     counts = tbl["cnt"].to_numpy(zero_copy_only=False)
     return quantile_cont_from_counts(values, counts, qs)
+
+
+def grouped_quantiles(ds, key: str, col: str, qs: list[float]):
+    """Exact per-group quantile_cont: per-batch (key, value, count) partials,
+    one groupby(key, value) merge, then per-key interpolation in map_groups.
+    Returns a Dataset of (key, q, value) rounded to 6 decimals (the float
+    interpolation is the same v_lo + (v_hi - v_lo) * frac both here and in
+    SQL quantile_cont; rounding absorbs sub-ulp engine differences)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    qs = list(qs)
+    if not qs or any(not (0.0 <= q <= 1.0) for q in qs):
+        raise ValueError(f"qs must be fractions in [0, 1], got {qs}")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select([key, col]).group_by([key, col]).aggregate([(col, "count")])
+        return g.rename_columns([key, col, "__gq_cnt__"])
+
+    dist = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby([key, col])
+        .aggregate(Sum("__gq_cnt__", alias_name="__gq_cnt__"))
+    )
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        vals = quantile_cont_from_counts(g[col].to_numpy(), g["__gq_cnt__"].to_numpy(), qs)
+        return pd.DataFrame({key: [g[key].iloc[0]] * len(qs), "q": qs, "value": np.round(vals, 6)})
+
+    return dist.groupby(key).map_groups(per_key, **remote_args())
+
+
+_PIVOT_AGGS = ("sum", "count", "min", "max", "mean")
+
+
+def pivot(ds, index: str, column: str, value: str, agg: str = "sum", round_to: int | None = None):
+    """Long -> wide: one output row per ``index`` key, one output column per
+    distinct ``column`` value (named by its string form), cells =
+    ``agg(value)``. Cells with no rows are null. ``agg`` must be
+    distributive (one of %s) so per-batch partials merge exactly; ``mean``
+    folds (sum, count) pairs. ``round_to`` rounds float cells (np.round)
+    for oracle-stable output. Returns a Dataset, one row per index key.""" % (
+        _PIVOT_AGGS,
+    )
+    from ray.data.aggregate import Max, Min, Sum
+
+    if agg not in _PIVOT_AGGS:
+        raise ValueError(f"agg must be one of {_PIVOT_AGGS}, got {agg!r}")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sel = batch.select([index, column, value])
+        if agg == "mean":
+            g = sel.group_by([index, column]).aggregate([(value, "sum"), (value, "count")])
+            return g.rename_columns([index, column, "__pv_s__", "__pv_c__"])
+        g = sel.group_by([index, column]).aggregate([(value, agg)])
+        return g.rename_columns([index, column, "__pv_p__"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    if agg == "mean":
+        cells = parts.groupby([index, column]).aggregate(Sum("__pv_s__", alias_name="__pv_s__"), Sum("__pv_c__", alias_name="__pv_c__"))
+    elif agg == "sum":
+        cells = parts.groupby([index, column]).aggregate(Sum("__pv_p__", alias_name="__pv_p__"))
+    elif agg == "count":
+        cells = parts.groupby([index, column]).aggregate(Sum("__pv_p__", alias_name="__pv_p__"))
+    elif agg == "min":
+        cells = parts.groupby([index, column]).aggregate(Min("__pv_p__", alias_name="__pv_p__"))
+    else:
+        cells = parts.groupby([index, column]).aggregate(Max("__pv_p__", alias_name="__pv_p__"))
+    cells = cells.materialize()  # |index x column| rows; read twice below
+
+    # column universe: |columns| tiny values to the driver, deterministic order
+    universe = sorted(str(v) for v in cells.unique(column))
+    if not universe:
+        raise ValueError("pivot over an empty dataset (no (index, column) cells)")
+
+    import pandas as pd
+
+    # uniform cell dtypes across groups (Ray unifies per-group blocks):
+    # count -> int64 with 0 for missing (SQL count(CASE ...) = 0);
+    # sum/mean/min/max -> float64 with NaN for missing (SQL NULL)
+    def widen(g: pd.DataFrame) -> pd.DataFrame:
+        row = {index: [g[index].iloc[0]]}
+        lookup = {str(c): i for i, c in enumerate(g[column])}
+        for name in universe:
+            if name in lookup:
+                i = lookup[name]
+                if agg == "mean":
+                    cell = float(g["__pv_s__"].iloc[i]) / float(g["__pv_c__"].iloc[i])
+                elif agg == "count":
+                    cell = np.int64(g["__pv_p__"].iloc[i])
+                else:
+                    cell = float(g["__pv_p__"].iloc[i])
+                if round_to is not None and agg != "count":
+                    cell = np.round(float(cell), round_to)
+            else:
+                cell = np.int64(0) if agg == "count" else np.nan
+            row[name] = pd.array([cell], dtype="int64" if agg == "count" else "float64")
+        return pd.DataFrame(row)
+
+    return cells.groupby(index).map_groups(widen, **remote_args())

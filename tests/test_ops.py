@@ -1837,3 +1837,65 @@ def test_corr_matrix_matches_numpy_pairwise(ray_session):
 
     with pytest.raises(ValueError):
         corr_matrix(ray.data.from_arrow(tbl), ["x"])
+
+
+# ----------------------------------------------------------- reshaping aggs
+
+
+def test_pivot_wide_vs_pandas(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from orc_format_ray.ops.agg import pivot
+
+    rng2 = np.random.default_rng(21)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "k": rng2.choice(["a", "b", "c", "d"], n),
+            "c": rng2.choice(["x", "y", "z"], n),
+            "v": rng2.uniform(0, 100, n),
+        }
+    )
+    df = df[~((df.k == "d") & (df.c == "z"))]  # plant an empty cell
+    ds = ray.data.from_pandas(df).repartition(6)
+
+    for agg, ref in [
+        ("sum", df.pivot_table(index="k", columns="c", values="v", aggfunc="sum")),
+        ("count", df.pivot_table(index="k", columns="c", values="v", aggfunc="count")),
+        ("min", df.pivot_table(index="k", columns="c", values="v", aggfunc="min")),
+        ("max", df.pivot_table(index="k", columns="c", values="v", aggfunc="max")),
+        ("mean", df.pivot_table(index="k", columns="c", values="v", aggfunc="mean")),
+    ]:
+        got = pivot(ds, "k", "c", "v", agg=agg).to_pandas().sort_values("k").set_index("k")
+        for col in ["x", "y", "z"]:
+            for k in ["a", "b", "c", "d"]:
+                g = got.loc[k, col]
+                if (k, col) == ("d", "z"):
+                    assert (g == 0) if agg == "count" else np.isnan(g)
+                else:
+                    assert abs(g - ref.loc[k, col]) < 1e-9, (agg, k, col, g, ref.loc[k, col])
+
+    with pytest.raises(ValueError):
+        pivot(ds, "k", "c", "v", agg="median")
+
+
+def test_grouped_quantiles_vs_numpy(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.agg import grouped_quantiles
+
+    rng2 = np.random.default_rng(22)
+    ks = rng2.choice(["p", "q", "r"], 5000)
+    vs = np.round(rng2.uniform(1, 50, 5000), 0)  # bounded cardinality
+    tbl = pa.table({"k": pa.array(ks), "v": pa.array(vs, pa.float64())})
+    out = grouped_quantiles(ray.data.from_arrow(tbl).repartition(5), "k", "v", [0.25, 0.5, 0.9])
+    df = out.to_pandas().set_index(["k", "q"])
+    for k in ["p", "q", "r"]:
+        sub = vs[ks == k]
+        for q in [0.25, 0.5, 0.9]:
+            exp = round(float(np.quantile(sub, q, method="linear")), 6)
+            assert df.loc[(k, q), "value"] == exp, (k, q)
+
+    with pytest.raises(ValueError):
+        grouped_quantiles(ray.data.from_arrow(tbl), "k", "v", [1.5])
