@@ -661,6 +661,63 @@ def _q_ann_topk_embeddings(sf_dir: str):
     return df[["rank", "vec_id"]]
 
 
+def _q_json_extract_events(sf_dir: str):
+    """JSON property extraction via Arrow's C++ NDJSON parser (one buffer
+    per batch, explicit schema for cross-block type stability), then an
+    ordinary typed aggregate. The oracle parses the same field in SQL."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from orc_format_ray.ops.etl import parse_json_column
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "props"])
+    out = parse_json_column(ds, "props", schema=pa.schema([("k", pa.int64())]))
+    agg = out.groupby("event_type").aggregate(Count(alias_name="cnt"), Sum("k", alias_name="sum_k"))
+    df = agg.to_pandas().sort_values("event_type").reset_index(drop=True)
+    df["sum_k"] = df["sum_k"].astype("int64")
+    return df
+
+
+def _q_table_diff_documents(sf_dir: str):
+    """Snapshot diff audit: side B is documents with planted edits (text
+    changed for doc_id%7==0, rows dropped for %11==0, new ids +1000000 for
+    %13==0); table_diff classifies every key from (key, row-hash, side)
+    metadata only. The oracle replants the same edits in SQL and classifies
+    with a FULL OUTER JOIN."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from orc_format_ray.ops.etl import table_diff
+
+    cols = ["doc_id", "text", "source"]
+    a = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
+
+    def mutate(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        keep = pa.array(did % 11 != 0)
+        t = t.filter(keep)
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        changed = pa.array(did % 7 == 0)
+        text = pa.compute.if_else(changed, pa.scalar("CHANGED"), t["text"].combine_chunks())
+        return pa.table({"doc_id": t["doc_id"], "text": text, "source": t["source"]})
+
+    def added(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(did % 13 == 0))
+        new_id = pa.array(t["doc_id"].to_numpy(zero_copy_only=False) + 1_000_000, pa.int64())
+        return pa.table({"doc_id": new_id, "text": t["text"], "source": t["source"]})
+
+    b = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
+    b = b.map_batches(mutate, batch_format="pyarrow", **_ra()).union(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=cols).map_batches(
+            added, batch_format="pyarrow", **_ra()
+        )
+    )
+    diff = table_diff(a, b, "doc_id", ["text", "source"])
+    out = diff.groupby("status").aggregate(Count(alias_name="cnt"))
+    return out.to_pandas().sort_values("status").reset_index(drop=True)
+
+
 def _q_pivot_returnflag_linestatus(sf_dir: str):
     """Distributed long->wide pivot (per-batch partial agg -> one small cell
     groupby -> per-index widening): empty cells surface as SQL NULL /
@@ -2076,12 +2133,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "epoch_shuffle_documents": _q_epoch_shuffle_documents,
         "select_by_budget": _q_select_by_budget,
         "stratified_sample_documents": _q_stratified_sample_documents,
-        "quality_per_doc": _q_quality_per_doc,
+        "json_extract_events": _q_json_extract_events,
         "redact_pii_documents": _q_redact_pii_documents,
         "ann_topk_embeddings": _q_ann_topk_embeddings,
         "encode_roundtrip_by_source": _q_encode_roundtrip_by_source,
         "seek_row_range": _q_seek_row_range,
-        "clean_summary_by_source": _q_clean_summary_by_source,
+        "table_diff_documents": _q_table_diff_documents,
         "histogram_extendedprice": _q_histogram_extendedprice,
         "session_window_events": _q_session_window_events,
         "orc_file_roundtrip": _q_orc_file_roundtrip,
@@ -2121,6 +2178,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orc_lineitem_roundtrip": _q_orc_lineitem_roundtrip,
         "token_count_by_source": _q_token_count_by_source,
         "decontaminate_planted": _q_decontaminate_planted,
+        "quality_per_doc": _q_quality_per_doc,
+        "clean_summary_by_source": _q_clean_summary_by_source,
         "string_stats_documents": _q_string_stats_documents,
         "topk_users_by_value": _q_topk_users_by_value,
         "packed_shards_read_back": _q_packed_shards_read_back,
@@ -2431,6 +2490,25 @@ def oracle_sql() -> dict[str, str]:
             f"round(length(text) / CAST(greatest({_TOKCOUNT_SQL}, 1) AS DOUBLE), 6) AS mean_word_len, "
             f"CAST({_TOKCOUNT_SQL} AS BIGINT) AS tok_count "
             "FROM documents"
+        ),
+        "json_extract_events": (
+            "SELECT event_type, count(*) AS cnt, "
+            "CAST(sum(CAST(regexp_extract(props, '\"k\": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k "
+            "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "table_diff_documents": (
+            "WITH b AS ("
+            "SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN 'CHANGED' ELSE text END AS text, source "
+            "FROM documents WHERE doc_id % 11 <> 0 "
+            "UNION ALL "
+            "SELECT doc_id + 1000000 AS doc_id, text, source FROM documents WHERE doc_id % 13 = 0) "
+            "SELECT status, count(*) AS cnt FROM ("
+            "SELECT CASE WHEN a.doc_id IS NULL THEN 'added' "
+            "WHEN b.doc_id IS NULL THEN 'removed' "
+            "WHEN a.text IS DISTINCT FROM b.text OR a.source IS DISTINCT FROM b.source THEN 'changed' "
+            "ELSE 'unchanged' END AS status "
+            "FROM documents a FULL OUTER JOIN b ON a.doc_id = b.doc_id) "
+            "GROUP BY status ORDER BY status"
         ),
         "pivot_returnflag_linestatus": (
             "SELECT l_returnflag, "

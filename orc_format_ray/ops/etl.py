@@ -1,0 +1,125 @@
+"""Ingest-side ETL ops: semi-structured column extraction and snapshot diff.
+
+* ``parse_json_column`` — promote a JSON-string column (event properties,
+  API payloads) to typed top-level columns. Each batch feeds its rows as one
+  NDJSON buffer to ``pyarrow.json.read_json`` — Arrow's C++ parser, not a
+  Python loop — with an optional explicit schema so every block lands on
+  the same types (schema inference per block can disagree at scale).
+* ``table_diff`` — classify every key across two snapshots of a table as
+  added / removed / changed / unchanged, the incremental-ingest audit.
+  Only (key, 8-byte row hash, side) metadata shuffles — payload columns
+  never move — and the classification is a vectorized decode of ONE
+  groupby's count/sum aggregates (no per-key Python, no join of full rows).
+  Duplicate keys on either side fail loudly (a diff over non-unique keys is
+  meaningless).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .._rayutil import remote_args
+from .text import content_hash
+
+
+def parse_json_column(ds, col: str, *, schema: pa.Schema | None = None, prefix: str = ""):
+    """Parse the JSON objects in ``ds[col]`` and append each top-level field
+    as a typed column (named ``prefix + field``). Null/blank cells parse as
+    ``{}`` (all fields null). Pass ``schema`` (a pyarrow schema of the
+    expected fields) for type stability across blocks; without it each
+    block infers independently. Collides loudly with existing column names;
+    a cell holding anything but one JSON object fails loudly."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import io
+
+        import pyarrow.json as pj
+
+        s = batch[col].combine_chunks().cast(pa.string())
+        vals = s.to_pylist()
+        lines = [(v if v is not None and v.strip() else "{}") for v in vals]
+        data = ("\n".join(lines)).encode()
+        po = pj.ParseOptions(explicit_schema=schema) if schema is not None else pj.ParseOptions()
+        parsed = pj.read_json(io.BytesIO(data), parse_options=po)
+        if parsed.num_rows != len(vals):
+            raise ValueError(
+                f"JSON column {col!r}: parsed {parsed.num_rows} objects from {len(vals)} rows "
+                "(a cell must hold exactly one JSON object)"
+            )
+        for name in parsed.column_names:
+            out = prefix + name
+            if out in batch.column_names:
+                raise ValueError(f"parsed field {out!r} collides with an existing column")
+            batch = batch.append_column(out, parsed[name])
+        return batch
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+
+
+def _row_hash(batch: pa.Table, cols: list[str]) -> np.ndarray:
+    """Deterministic 64-bit hash of the row's compare columns: every column
+    cast to its string form, joined with an unambiguous separator (0x1f,
+    nulls marked), then the vectorized polynomial ``content_hash``. Both
+    diff sides run this exact code, so equality is representation-stable."""
+    parts = [pc.cast(batch[c], pa.string()) for c in cols]
+    parts = [pc.fill_null(p, "\x00NULL\x00") for p in parts]
+    if len(parts) == 1:
+        joined = parts[0].combine_chunks()
+    else:
+        joined = pc.binary_join_element_wise(*parts, "\x1f")
+        if isinstance(joined, pa.ChunkedArray):
+            joined = joined.combine_chunks()
+    return content_hash(joined).view(np.int64)
+
+
+def table_diff(ds_a, ds_b, key: str, cols: list[str]):
+    """Diff two snapshots by unique ``key`` over compare columns ``cols``.
+    Returns a Dataset of (key, status) with status in
+    {'added', 'removed', 'changed', 'unchanged'} — 'added' = only in
+    ``ds_b``, 'removed' = only in ``ds_a``. See module docstring for the
+    shuffle contract."""
+    if not cols:
+        raise ValueError("table_diff needs at least one compare column")
+    from ray.data.aggregate import Count, Sum
+
+    def meta(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            h = _row_hash(batch, cols)
+            k = batch[key].combine_chunks()
+            return pa.table(
+                {
+                    key: k,
+                    "__td_cnt_a__": pa.array(np.full(len(h), 1 - side, dtype=np.int64)),
+                    "__td_cnt_b__": pa.array(np.full(len(h), side, dtype=np.int64)),
+                    "__td_ha__": pa.array(h * (1 - side)),
+                    "__td_hb__": pa.array(h * side),
+                }
+            )
+
+        return fn
+
+    ma = ds_a.map_batches(meta(0), batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    mb = ds_b.map_batches(meta(1), batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    agg = ma.union(mb).groupby(key).aggregate(
+        Sum("__td_cnt_a__", alias_name="na"),
+        Sum("__td_cnt_b__", alias_name="nb"),
+        Sum("__td_ha__", alias_name="ha"),
+        Sum("__td_hb__", alias_name="hb"),
+    )
+
+    def classify(batch: pa.Table) -> pa.Table:
+        na = batch["na"].to_numpy(zero_copy_only=False)
+        nb = batch["nb"].to_numpy(zero_copy_only=False)
+        if (na > 1).any() or (nb > 1).any():
+            bad = batch[key].to_numpy(zero_copy_only=False)[(na > 1) | (nb > 1)][:5]
+            raise ValueError(f"table_diff requires unique keys per side; duplicates e.g. {bad.tolist()}")
+        ha = batch["ha"].to_numpy(zero_copy_only=False)
+        hb = batch["hb"].to_numpy(zero_copy_only=False)
+        status = np.where(
+            na == 0, "added", np.where(nb == 0, "removed", np.where(ha != hb, "changed", "unchanged"))
+        )
+        return pa.table({key: batch[key], "status": pa.array(status.tolist(), pa.string())})
+
+    return agg.map_batches(classify, batch_format="pyarrow", zero_copy_batch=True, **remote_args())

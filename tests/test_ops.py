@@ -1899,3 +1899,72 @@ def test_grouped_quantiles_vs_numpy(ray_session):
 
     with pytest.raises(ValueError):
         grouped_quantiles(ray.data.from_arrow(tbl), "k", "v", [1.5])
+
+
+# ------------------------------------------------------------------ ETL ops
+
+
+def test_parse_json_column_typed_and_guarded(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.etl import parse_json_column
+
+    tbl = pa.table(
+        {
+            "id": pa.array([1, 2, 3, 4], pa.int64()),
+            "js": pa.array(['{"a": 1, "b": "x"}', '{"a": 2}', None, "  "], pa.string()),
+        }
+    )
+    sch = pa.schema([("a", pa.int64()), ("b", pa.string())])
+    out = parse_json_column(ray.data.from_arrow(tbl).repartition(2), "js", schema=sch)
+    rows = sorted(out.take_all(), key=lambda r: r["id"])
+    assert [r["a"] for r in rows] == [1, 2, None, None]
+    assert [r["b"] for r in rows] == ["x", None, None, None]
+
+    # collision with an existing column fails loudly
+    bad = pa.table({"a": [1], "js": ['{"a": 5}']})
+    with pytest.raises(Exception):
+        parse_json_column(ray.data.from_arrow(bad), "js").take_all()
+
+    # a cell with two objects fails loudly (row-count mismatch)
+    two = pa.table({"id": [1], "js": ['{"a":1}\n{"a":2}']})
+    with pytest.raises(Exception):
+        parse_json_column(ray.data.from_arrow(two), "js", schema=sch).take_all()
+
+
+def test_table_diff_classification_and_layouts(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from orc_format_ray.ops.etl import table_diff
+
+    rng2 = np.random.default_rng(31)
+    n = 2000
+    a = pd.DataFrame({"id": np.arange(n), "t": [f"t{i}" for i in range(n)], "s": rng2.choice(["u", "v"], n)})
+    b = a.copy()
+    b = b[b.id % 11 != 0]  # removed
+    b.loc[b.id % 7 == 0, "t"] = "CHANGED"  # changed
+    extra = a[a.id % 13 == 0].copy()
+    extra["id"] += 10_000  # added
+    b = pd.concat([b, extra])
+
+    out = table_diff(
+        ray.data.from_pandas(a).repartition(7), ray.data.from_pandas(b).repartition(3), "id", ["t", "s"]
+    ).take_all()
+    st = {r["id"]: r["status"] for r in out}
+    assert len(st) == len(set(a.id) | set(b.id))
+    for i in range(n):
+        if i % 11 == 0:
+            assert st[i] == "removed"
+        elif i % 7 == 0:
+            assert st[i] == "changed"
+        else:
+            assert st[i] == "unchanged"
+        if i % 13 == 0:
+            assert st[i + 10_000] == "added"
+
+    with pytest.raises(ValueError):
+        table_diff(ray.data.from_pandas(a), ray.data.from_pandas(b), "id", [])
+    dup = pd.DataFrame({"id": [5, 5], "t": ["a", "b"], "s": ["u", "u"]})
+    with pytest.raises(Exception):
+        table_diff(ray.data.from_pandas(dup), ray.data.from_pandas(a), "id", ["t"]).take_all()
