@@ -661,6 +661,49 @@ def _q_ann_topk_embeddings(sf_dir: str):
     return df[["rank", "vec_id"]]
 
 
+def _q_bpe_pair_counts(sf_dir: str):
+    """First BPE merge round certified in SQL: the distributed (word, count)
+    fold feeds frequency-weighted adjacent-character-pair counts (end-of-word
+    sentinel ' ' appended); the oracle recounts the same bigrams with
+    substr over word||' '. Top 20 by (count desc, pair)."""
+    import pandas as pd
+    import ray.data
+
+    from orc_format_ray.ops import bpe
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    wc = bpe.word_counts(ds)
+    pcs = bpe.pair_counts_from_words(wc["word"].to_pylist(), wc["cnt"].to_numpy(zero_copy_only=False))
+    top = sorted(pcs.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    return pd.DataFrame(
+        {
+            "pair": [a + b for (a, b), _ in top],
+            "total": np.array([c for _, c in top], dtype=np.int64),
+        }
+    )
+
+
+def _q_bpe_learned_merges(sf_dir: str):
+    """Rows-only: the full deterministic merge sequence (distributed word
+    counting + driver-side learning over the |word types| table). No SQL can
+    learn BPE; the pytest suite pins learn_bpe against a from-scratch
+    recount reference instead."""
+    import pandas as pd
+    import ray.data
+
+    from orc_format_ray.ops import bpe
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    model = bpe.train_bpe(ds, 200)
+    return pd.DataFrame(
+        {
+            "rank": np.arange(len(model.merges), dtype=np.int64),
+            "left": [a for a, _ in model.merges],
+            "right": [b for _, b in model.merges],
+        }
+    )
+
+
 def _q_json_extract_events(sf_dir: str):
     """JSON property extraction via Arrow's C++ NDJSON parser (one buffer
     per batch, explicit schema for cross-block type stability), then an
@@ -2154,7 +2197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join_events": _q_asof_join_events,
         "range_join_price_bands": _q_range_join_price_bands,
         "orc_native_read_cpp": _q_orc_native_read_cpp,
-        "orc_pushdown_filter": _q_orc_pushdown_filter,
+        "bpe_pair_counts": _q_bpe_pair_counts,
         "orc_pushdown_conjunction": _q_orc_pushdown_conjunction,
         "orc_pushdown_in_list": _q_orc_pushdown_in_list,
         "orc_pushdown_disjunction": _q_orc_pushdown_disjunction,
@@ -2174,6 +2217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_pq_ann_exhaustive": _q_ivf_pq_ann_exhaustive,
         "ivf_ann_incremental": _q_ivf_ann_incremental,
         "bpe_token_count_by_source": _q_bpe_token_count,
+        "orc_pushdown_filter": _q_orc_pushdown_filter,
         "incremental_dedup_planted": _q_incremental_dedup_planted,
         "orc_lineitem_roundtrip": _q_orc_lineitem_roundtrip,
         "token_count_by_source": _q_token_count_by_source,
@@ -2203,6 +2247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "file_stats_ntok": _q_file_stats_ntok,
         "orc_lake_stats": _q_orc_lake_stats,
         # --- rows-only smoke queries ---------------------------------------
+        "bpe_learned_merges": _q_bpe_learned_merges,
         "minhash_candidates": _q_minhash_candidates,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_near_dups": _q_embedding_near_dups,
@@ -2490,6 +2535,15 @@ def oracle_sql() -> dict[str, str]:
             f"round(length(text) / CAST(greatest({_TOKCOUNT_SQL}, 1) AS DOUBLE), 6) AS mean_word_len, "
             f"CAST({_TOKCOUNT_SQL} AS BIGINT) AS tok_count "
             "FROM documents"
+        ),
+        "bpe_pair_counts": (
+            "WITH w AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word "
+            "FROM documents WHERE trim(text) <> ''), "
+            "wc AS (SELECT word || ' ' AS w2, count(*) AS cnt FROM w WHERE word <> '' GROUP BY word), "
+            "pr AS (SELECT substr(w2, CAST(i AS INT), 2) AS pair, cnt FROM "
+            "(SELECT w2, cnt, unnest(range(1, len(w2))) AS i FROM wc)) "
+            "SELECT pair, CAST(sum(cnt) AS BIGINT) AS total FROM pr "
+            "GROUP BY pair ORDER BY total DESC, pair LIMIT 20"
         ),
         "json_extract_events": (
             "SELECT event_type, count(*) AS cnt, "

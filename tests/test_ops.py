@@ -1968,3 +1968,77 @@ def test_table_diff_classification_and_layouts(ray_session):
     dup = pd.DataFrame({"id": [5, 5], "t": ["a", "b"], "s": ["u", "u"]})
     with pytest.raises(Exception):
         table_diff(ray.data.from_pandas(dup), ray.data.from_pandas(a), "id", ["t"]).take_all()
+
+
+# ------------------------------------------------------------------ BPE ops
+
+
+def _naive_bpe(agg, n):
+    """From-scratch recount reference: full pair recount every round."""
+    from collections import Counter
+
+    syms = {w: tuple(w) + (" ",) for w in agg}
+    merges = []
+    for _ in range(n):
+        cnt = Counter()
+        for w, s in syms.items():
+            for p in zip(s[:-1], s[1:]):
+                cnt[p] += agg[w]
+        if not cnt:
+            break
+        best = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if cnt[best] <= 0:
+            break
+        merges.append(best)
+        for w, s in syms.items():
+            out, i = [], 0
+            while i < len(s):
+                if i < len(s) - 1 and (s[i], s[i + 1]) == best:
+                    out.append(s[i] + s[i + 1])
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = tuple(out)
+    return merges
+
+
+def test_learn_bpe_matches_recount_reference():
+    from collections import Counter
+
+    from orc_format_ray.ops import bpe
+
+    rng2 = np.random.default_rng(3)
+    alphabet = list("abcdef")
+    agg = Counter()
+    for _ in range(300):
+        w = "".join(rng2.choice(alphabet, rng2.integers(2, 8)))
+        agg[w] += int(rng2.integers(1, 50))
+    wc = pa.table({"word": list(agg), "cnt": pa.array([agg[w] for w in agg], pa.int64())})
+    assert bpe.learn_bpe(wc, 60).merges == _naive_bpe(dict(agg), 60)
+    # exhaustion: asking for far more merges than exist terminates cleanly
+    tiny = pa.table({"word": ["ab"], "cnt": pa.array([3], pa.int64())})
+    m = bpe.learn_bpe(tiny, 100)
+    assert 1 <= len(m.merges) <= 2
+
+
+def test_bpe_train_encode_roundtrip(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops import bpe
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"])
+    wc = bpe.word_counts(ds)
+    # distributed word counts == duckdb/vocab semantics (spot totals)
+    assert wc.num_rows > 0 and int(pa.compute.sum(wc["cnt"]).as_py()) > 0
+    model = bpe.train_bpe(ds, 80)
+    assert len(model.merges) > 0
+    for r in bpe.bpe_encode(ds, model).take(30):
+        words = r["text"].split()
+        assert "".join(r["pieces"]) == "".join(w + " " for w in words)
+        assert r["pieces_n"] == len(r["pieces"])
+    # encode_word is deterministic and cache-consistent
+    c = {}
+    a1 = model.encode_word("hello", c)
+    a2 = model.encode_word("hello", c)
+    assert a1 == a2 and "".join(a1) == "hello "
