@@ -661,6 +661,33 @@ def _q_ann_topk_embeddings(sf_dir: str):
     return df[["rank", "vec_id"]]
 
 
+def _q_funnel_events(sf_dir: str):
+    """Ordered view->click->purchase funnel: per-user depth from one
+    metadata-only groupby, aggregated to depth counts. Events are thinned
+    to epoch_ms % 7 == 0 so depths spread at every sf (otherwise every user
+    converts). The oracle chains min-timestamp CTEs with the same
+    strict-after rule over the same thinning."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from orc_format_ray.ops.windows import funnel
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"])
+
+    def thin(t: pa.Table) -> pa.Table:
+        ms = pa.compute.divide(t["ts"].cast(pa.timestamp("us")).cast(pa.int64()), pa.scalar(1000, pa.int64()))
+        keep = pa.compute.equal(
+            pa.compute.subtract(ms, pa.compute.multiply(pa.compute.divide(ms, 7), 7)), 0
+        )
+        return t.filter(keep)
+
+    d = funnel(ds.map_batches(thin, batch_format="pyarrow", **_ra()), ["view", "click", "purchase"])
+    out = d.groupby("depth").aggregate(Count(alias_name="cnt"))
+    df = out.to_pandas().sort_values("depth").reset_index(drop=True)
+    df["depth"] = df["depth"].astype("int64")
+    return df
+
+
 def _q_bpe_pair_counts(sf_dir: str):
     """First BPE merge round certified in SQL: the distributed (word, count)
     fold feeds frequency-weighted adjacent-character-pair counts (end-of-word
@@ -2186,7 +2213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_window_events": _q_session_window_events,
         "orc_file_roundtrip": _q_orc_file_roundtrip,
         "orc_pushdown_timestamp": _q_orc_pushdown_timestamp,
-        "orc_compact_roundtrip": _q_orc_compact_roundtrip,
+        "funnel_events": _q_funnel_events,
         "orc_schema_evolution": _q_orc_schema_evolution,
         "orc_partitioned_roundtrip": _q_orc_partitioned_roundtrip,
         "orc_lake_pipeline": _q_orc_lake_pipeline,
@@ -2218,6 +2245,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_ann_incremental": _q_ivf_ann_incremental,
         "bpe_token_count_by_source": _q_bpe_token_count,
         "orc_pushdown_filter": _q_orc_pushdown_filter,
+        "orc_compact_roundtrip": _q_orc_compact_roundtrip,
         "incremental_dedup_planted": _q_incremental_dedup_planted,
         "orc_lineitem_roundtrip": _q_orc_lineitem_roundtrip,
         "token_count_by_source": _q_token_count_by_source,
@@ -2535,6 +2563,21 @@ def oracle_sql() -> dict[str, str]:
             f"round(length(text) / CAST(greatest({_TOKCOUNT_SQL}, 1) AS DOUBLE), 6) AS mean_word_len, "
             f"CAST({_TOKCOUNT_SQL} AS BIGINT) AS tok_count "
             "FROM documents"
+        ),
+        "funnel_events": (
+            "WITH ev AS (SELECT * FROM events WHERE epoch_ms(ts) % 7 = 0), "
+            "s1 AS (SELECT user_id, min(ts) AS t1 FROM ev WHERE event_type = 'view' GROUP BY user_id), "
+            "s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM ev e JOIN s1 ON e.user_id = s1.user_id "
+            "WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id), "
+            "s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM ev e JOIN s2 ON e.user_id = s2.user_id "
+            "WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id), "
+            "d AS (SELECT u.user_id, CASE WHEN s3.user_id IS NOT NULL THEN 3 "
+            "WHEN s2.user_id IS NOT NULL THEN 2 WHEN s1.user_id IS NOT NULL THEN 1 ELSE 0 END AS depth "
+            "FROM (SELECT DISTINCT user_id FROM ev) u "
+            "LEFT JOIN s1 ON u.user_id = s1.user_id "
+            "LEFT JOIN s2 ON u.user_id = s2.user_id "
+            "LEFT JOIN s3 ON u.user_id = s3.user_id) "
+            "SELECT depth, count(*) AS cnt FROM d GROUP BY depth ORDER BY depth"
         ),
         "bpe_pair_counts": (
             "WITH w AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word "

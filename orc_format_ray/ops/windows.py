@@ -149,3 +149,42 @@ def session_window_agg(ds, key: str = "event_type", ts_col: str = "ts", gap_sec:
 
     prepped = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
     return prepped.groupby(key).map_groups(sessions, batch_format="pandas", **remote_args())
+
+
+def funnel(ds, steps: list[str], user_col: str = "user_id", ts_col: str = "ts", type_col: str = "event_type"):
+    """Ordered-step funnel depth per user: step i counts as reached when an
+    event of type ``steps[i]`` occurs STRICTLY after the timestamp at which
+    step i-1 was reached (step 0 = the user's first ``steps[0]`` event).
+    Returns a Dataset of (user_col, depth) covering every user seen.
+
+    Only the (user, micros, type) metadata columns shuffle — one
+    groupby(user).map_groups whose per-group scan is a vectorized
+    masked-min per step, never a Python loop over events. Timestamps keep
+    full microsecond precision so the strict-after comparison matches SQL
+    exactly.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = batch[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table({user_col: batch[user_col], "_ms": us, type_col: batch[type_col]})
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        t = g["_ms"].to_numpy()
+        ty = g[type_col].to_numpy()
+        depth = 0
+        t_prev = -np.inf
+        for s in steps:
+            m = (ty == s) & (t > t_prev)
+            if not m.any():
+                break
+            t_prev = t[m].min()
+            depth += 1
+        return pd.DataFrame({user_col: [g[user_col].iloc[0]], "depth": np.array([depth], dtype=np.int64)})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    return prepped.groupby(user_col).map_groups(per_user, batch_format="pandas", **remote_args())

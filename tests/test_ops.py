@@ -2042,3 +2042,34 @@ def test_bpe_train_encode_roundtrip(ray_session):
     a1 = model.encode_word("hello", c)
     a2 = model.encode_word("hello", c)
     assert a1 == a2 and "".join(a1) == "hello "
+
+
+def test_funnel_depths_and_strictness(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from orc_format_ray.ops.windows import funnel
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+
+    def ev(u, off_s, ty):
+        return {"user_id": u, "ts": t0 + np.timedelta64(off_s, "s"), "event_type": ty}
+
+    rows = [
+        # u1: full funnel in order
+        ev(1, 0, "view"), ev(1, 10, "click"), ev(1, 20, "purchase"),
+        # u2: click BEFORE the first view -> depth 1 only
+        ev(2, 0, "click"), ev(2, 10, "view"), ev(2, 5, "purchase"),
+        # u3: no view at all -> depth 0
+        ev(3, 0, "click"), ev(3, 1, "purchase"),
+        # u4: same-timestamp click as view -> strict 'after' rejects it
+        ev(4, 0, "view"), ev(4, 0, "click"), ev(4, 9, "purchase"),
+        # u5: view then click, purchase before click -> depth 2
+        ev(5, 0, "view"), ev(5, 8, "click"), ev(5, 4, "purchase"),
+    ]
+    ds = ray.data.from_pandas(pd.DataFrame(rows)).repartition(3)
+    out = {r["user_id"]: r["depth"] for r in funnel(ds, ["view", "click", "purchase"]).take_all()}
+    assert out == {1: 3, 2: 1, 3: 0, 4: 1, 5: 2}, out
+
+    with pytest.raises(ValueError):
+        funnel(ds, [])
