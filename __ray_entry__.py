@@ -661,6 +661,27 @@ def _q_ann_topk_embeddings(sf_dir: str):
     return df[["rank", "vec_id"]]
 
 
+def _q_pca_embeddings(sf_dir: str):
+    """Rows-only: distributed covariance PCA over the embeddings table
+    (moment partials fold to one dim x dim covariance; driver eigh). SQL
+    cannot eigendecompose; the pytest suite pins components/explained/
+    projection against numpy exactly instead."""
+    import pandas as pd
+    import ray.data
+
+    from orc_format_ray.ops.cluster import pca
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    m = pca(ds, 8)
+    return pd.DataFrame(
+        {
+            "component": np.arange(8, dtype=np.int64),
+            "explained": np.round(m.explained, 6),
+            "mean_abs_coef": np.round(np.abs(m.components).mean(axis=1), 6),
+        }
+    )
+
+
 def _q_funnel_events(sf_dir: str):
     """Ordered view->click->purchase funnel: per-user depth from one
     metadata-only groupby, aggregated to depth counts. Events are thinned
@@ -2276,6 +2297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orc_lake_stats": _q_orc_lake_stats,
         # --- rows-only smoke queries ---------------------------------------
         "bpe_learned_merges": _q_bpe_learned_merges,
+        "pca_embeddings": _q_pca_embeddings,
         "minhash_candidates": _q_minhash_candidates,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_near_dups": _q_embedding_near_dups,

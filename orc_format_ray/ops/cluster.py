@@ -200,3 +200,85 @@ def assign_clusters(ds, centroids: np.ndarray, *, col: str = "embedding", out_co
         )
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+
+
+class PCAModel:
+    """Principal components of an embedding column: ``mean`` (dim,),
+    ``components`` (n_components, dim) row-orthonormal, ``explained``
+    (n_components,) eigenvalue share of total variance. Component sign is
+    fixed (largest-|coef| coordinate positive) so results are deterministic
+    across runs and block layouts."""
+
+    def __init__(self, mean: np.ndarray, components: np.ndarray, explained: np.ndarray):
+        self.mean = mean
+        self.components = components
+        self.explained = explained
+
+
+def pca(ds, n_components: int, *, col: str = "embedding") -> PCAModel:
+    """Distributed PCA: ONE streaming pass folds per-batch (n, sum, X^T X)
+    moment partials — a fixed (dim x dim) matrix per block, never the rows —
+    then the driver eigendecomposes the (dim x dim) covariance. Exactly the
+    textbook covariance PCA; dim is assumed driver-small (embeddings are
+    64..4096 wide), the ROW count is what scales."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from .similarity import _embedding_matrix
+
+        x = _embedding_matrix(batch, col)
+        if x.shape[0] == 0:
+            return pa.table({"n": pa.array([], pa.int64()), "s": pa.array([], pa.list_(pa.float64())),
+                             "xx": pa.array([], pa.list_(pa.float64()))})
+        return pa.table(
+            {
+                "n": pa.array([x.shape[0]], pa.int64()),
+                "s": pa.array([x.sum(axis=0)], pa.list_(pa.float64())),
+                "xx": pa.array([(x.T @ x).ravel()], pa.list_(pa.float64())),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args()).take_all()
+    if not parts:
+        raise ValueError("pca over an empty dataset")
+    n = sum(int(p["n"]) for p in parts)
+    s = np.zeros(len(parts[0]["s"]), dtype=np.float64)
+    xx = np.zeros(len(parts[0]["xx"]), dtype=np.float64)
+    for p in parts:
+        s += np.asarray(p["s"], dtype=np.float64)
+        xx += np.asarray(p["xx"], dtype=np.float64)
+    dim = len(s)
+    if not 1 <= n_components <= dim:
+        raise ValueError(f"n_components must be in [1, {dim}], got {n_components}")
+    mean = s / n
+    cov = xx.reshape(dim, dim) / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:n_components]
+    comps = evecs[:, order].T.copy()
+    # deterministic sign: make the largest-|coef| coordinate positive
+    for r in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[r])))
+        if comps[r, j] < 0:
+            comps[r] = -comps[r]
+    total = float(np.maximum(evals.sum(), 1e-300))
+    return PCAModel(mean, comps, np.maximum(evals[order], 0.0) / total)
+
+
+def pca_transform(ds, model: PCAModel, *, col: str = "embedding", out: str = "pca"):
+    """Project every row onto the learned components (one matmul per batch;
+    mean/components broadcast once): appends ``out`` = list<float64> of
+    length n_components."""
+    import ray
+
+    ref = ray.put((model.mean, model.components))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        from .similarity import _embedding_matrix
+
+        mean, comps = _ray.get(ref)
+        x = _embedding_matrix(batch, col)
+        z = (x - mean) @ comps.T
+        return batch.append_column(out, pa.array(list(z), pa.list_(pa.float64())))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True, **remote_args())

@@ -2073,3 +2073,53 @@ def test_funnel_depths_and_strictness(ray_session):
 
     with pytest.raises(ValueError):
         funnel(ds, [])
+
+
+def test_pca_matches_numpy_and_transform(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.cluster import pca, pca_transform
+
+    rng2 = np.random.default_rng(17)
+    # anisotropic cloud: variance concentrated along a known direction
+    base = rng2.normal(0, 1, (3000, 6))
+    base[:, 0] *= 10.0
+    base[:, 1] *= 3.0
+    X = base.astype(np.float32).astype(np.float64)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(X)), pa.int64()),
+            "embedding": pa.array(list(X.astype(np.float32)), pa.list_(pa.float32())),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(6)
+    m = pca(ds, 3)
+
+    cov = np.cov(X.T, bias=True)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:3]
+    ref = evecs[:, order].T
+    for r in range(3):
+        j = int(np.argmax(np.abs(ref[r])))
+        if ref[r, j] < 0:
+            ref[r] = -ref[r]
+    assert np.allclose(m.mean, X.mean(axis=0), atol=1e-9)
+    assert np.allclose(m.components, ref, atol=1e-7)
+    assert np.allclose(m.explained, np.maximum(evals[order], 0) / evals.sum(), atol=1e-9)
+    assert m.explained[0] > 0.8  # the x10 axis dominates
+
+    # projection: z == (X - mean) @ comps.T, and it preserves pair distances
+    out = pca_transform(ds, m).take(50)
+    for r in out[:10]:
+        z = np.asarray(r["pca"])
+        x = X[r["vec_id"]]
+        assert np.allclose(z, (x - m.mean) @ m.components.T, atol=1e-8)
+
+    # block-layout invariance
+    m1 = pca(ray.data.from_arrow(tbl).repartition(1), 3)
+    assert np.allclose(m1.components, m.components, atol=1e-9)
+
+    with pytest.raises(ValueError):
+        pca(ds, 0)
+    with pytest.raises(ValueError):
+        pca(ds, 7)
