@@ -661,6 +661,20 @@ def _q_ann_topk_embeddings(sf_dir: str):
     return df[["rank", "vec_id"]]
 
 
+def _q_rollup_lineitem(sf_dir: str):
+    """SQL ROLLUP in one corpus pass: finest cells from per-batch partials,
+    coarser levels re-aggregated over the cells. '(all)' marks rolled-up
+    key positions on both sides."""
+    import ray.data
+
+    from orc_format_ray.ops.agg import rollup
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_linestatus", "l_quantity"]
+    )
+    return rollup(ds, ["l_returnflag", "l_linestatus"], "l_quantity", agg="sum", round_to=2)
+
+
 def _q_pca_embeddings(sf_dir: str):
     """Rows-only: distributed covariance PCA over the embeddings table
     (moment partials fold to one dim x dim covariance; driver eigh). SQL
@@ -2236,7 +2250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orc_pushdown_timestamp": _q_orc_pushdown_timestamp,
         "funnel_events": _q_funnel_events,
         "orc_schema_evolution": _q_orc_schema_evolution,
-        "orc_partitioned_roundtrip": _q_orc_partitioned_roundtrip,
+        "rollup_lineitem": _q_rollup_lineitem,
         "orc_lake_pipeline": _q_orc_lake_pipeline,
         "orc_file_statistics": _q_orc_file_statistics,
         "broadcast_join_orders_customer": _q_broadcast_join_orders_customer,
@@ -2267,6 +2281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_count_by_source": _q_bpe_token_count,
         "orc_pushdown_filter": _q_orc_pushdown_filter,
         "orc_compact_roundtrip": _q_orc_compact_roundtrip,
+        "orc_partitioned_roundtrip": _q_orc_partitioned_roundtrip,
         "incremental_dedup_planted": _q_incremental_dedup_planted,
         "orc_lineitem_roundtrip": _q_orc_lineitem_roundtrip,
         "token_count_by_source": _q_token_count_by_source,
@@ -2585,6 +2600,14 @@ def oracle_sql() -> dict[str, str]:
             f"round(length(text) / CAST(greatest({_TOKCOUNT_SQL}, 1) AS DOUBLE), 6) AS mean_word_len, "
             f"CAST({_TOKCOUNT_SQL} AS BIGINT) AS tok_count "
             "FROM documents"
+        ),
+        "rollup_lineitem": (
+            "SELECT COALESCE(l_returnflag, '(all)') AS l_returnflag, "
+            "COALESCE(l_linestatus, '(all)') AS l_linestatus, "
+            "CAST(CASE WHEN l_returnflag IS NULL THEN 0 WHEN l_linestatus IS NULL THEN 1 ELSE 2 END AS BIGINT) AS level, "
+            "round(sum(l_quantity), 2) AS value "
+            "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) "
+            "ORDER BY level DESC, l_returnflag, l_linestatus"
         ),
         "funnel_events": (
             "WITH ev AS (SELECT * FROM events WHERE epoch_ms(ts) % 7 = 0), "

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .._rayutil import remote_args
 
@@ -169,3 +170,77 @@ def pivot(ds, index: str, column: str, value: str, agg: str = "sum", round_to: i
         return pd.DataFrame(row)
 
     return cells.groupby(index).map_groups(widen, **remote_args())
+
+
+def rollup(ds, keys: list[str], value: str, agg: str = "sum", round_to: int | None = None):
+    """SQL ROLLUP: aggregates at every prefix level of ``keys`` —
+    (k1..kn), (k1..kn-1), ..., () — in ONE corpus pass. The finest-level
+    cells are computed with the same per-batch partial plan as ``pivot``
+    and materialized (|distinct key combos| rows); every coarser level is a
+    cheap re-aggregation OVER THE CELLS, never over the corpus. Rolled-up
+    key positions carry the string '(all)' (COALESCE-matched in SQL), all
+    key columns are emitted as strings, plus ``level`` (number of active
+    keys) and ``value``."""
+    import pandas as pd
+    from ray.data.aggregate import Max, Min, Sum
+
+    if agg not in _PIVOT_AGGS:
+        raise ValueError(f"agg must be one of {_PIVOT_AGGS}, got {agg!r}")
+    if not keys:
+        raise ValueError("rollup needs at least one key")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sel = batch.select([*keys, value])
+        cast = [pc.cast(sel[k], pa.string()) for k in keys]
+        sel = pa.table({**{k: c for k, c in zip(keys, cast)}, value: sel[value]})
+        if agg == "mean":
+            g = sel.group_by(keys).aggregate([(value, "sum"), (value, "count")])
+            return g.rename_columns([*keys, "__ru_s__", "__ru_c__"])
+        g = sel.group_by(keys).aggregate([(value, agg)])
+        return g.rename_columns([*keys, "__ru_p__"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    if agg == "mean":
+        cells = parts.groupby(keys).aggregate(Sum("__ru_s__", alias_name="s"), Sum("__ru_c__", alias_name="c"))
+    elif agg in ("sum", "count"):
+        cells = parts.groupby(keys).aggregate(Sum("__ru_p__", alias_name="p"))
+    elif agg == "min":
+        cells = parts.groupby(keys).aggregate(Min("__ru_p__", alias_name="p"))
+    else:
+        cells = parts.groupby(keys).aggregate(Max("__ru_p__", alias_name="p"))
+    cdf = cells.materialize().to_pandas()  # |key combos| rows — small by contract
+
+    def finish(df: pd.DataFrame, active: list[str]) -> pd.DataFrame:
+        n = len(df)
+        out = pd.DataFrame(index=range(n))
+        for k in keys:
+            out[k] = df[k].astype(str).to_numpy() if k in active else np.full(n, "(all)", dtype=object)
+        out["level"] = np.full(n, len(active), dtype=np.int64)
+        if agg == "mean":
+            v = df["s"].to_numpy(np.float64) / df["c"].to_numpy(np.float64)
+        elif agg == "count":
+            out["value"] = df["p"].to_numpy(np.int64)
+            return out
+        else:
+            v = df["p"].to_numpy(np.float64)
+        out["value"] = np.round(v, round_to) if round_to is not None else v
+        return out
+
+    levels = []
+    for i in range(len(keys), -1, -1):
+        active = keys[:i]
+        if i == len(keys):
+            levels.append(finish(cdf, active))
+            continue
+        grouped = cdf.groupby(active, as_index=False) if active else cdf.assign(__g__=0).groupby("__g__", as_index=False)
+        if agg == "mean":
+            sub = grouped[["s", "c"]].sum()
+        elif agg in ("sum", "count"):
+            sub = grouped[["p"]].sum()
+        elif agg == "min":
+            sub = grouped[["p"]].min()
+        else:
+            sub = grouped[["p"]].max()
+        levels.append(finish(sub, active))
+    out = pd.concat(levels, ignore_index=True)
+    return out.sort_values(["level", *keys], ascending=[False] + [True] * len(keys)).reset_index(drop=True)

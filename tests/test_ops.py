@@ -2123,3 +2123,44 @@ def test_pca_matches_numpy_and_transform(ray_session):
         pca(ds, 0)
     with pytest.raises(ValueError):
         pca(ds, 7)
+
+
+def test_rollup_vs_pandas_all_levels(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from orc_format_ray.ops.agg import rollup
+
+    rng2 = np.random.default_rng(41)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "a": rng2.choice(["p", "q"], n),
+            "b": rng2.choice(["x", "y", "z"], n),
+            "v": rng2.uniform(0, 10, n),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(5)
+    out = rollup(ds, ["a", "b"], "v", agg="sum").set_index(["a", "b"])
+
+    fine = df.groupby(["a", "b"])["v"].sum()
+    mid = df.groupby("a")["v"].sum()
+    assert abs(out.loc[("(all)", "(all)"), "value"] - df["v"].sum()) < 1e-9
+    for a in ["p", "q"]:
+        assert abs(out.loc[(a, "(all)"), "value"] - mid[a]) < 1e-9
+        for b in ["x", "y", "z"]:
+            assert abs(out.loc[(a, b), "value"] - fine[(a, b)]) < 1e-9
+    assert len(out) == 6 + 2 + 1
+    assert set(out["level"]) == {0, 1, 2}
+
+    cnt = rollup(ds, ["a", "b"], "v", agg="count").set_index(["a", "b"])
+    assert cnt.loc[("(all)", "(all)"), "value"] == n
+    mn = rollup(ds, ["a"], "v", agg="min").set_index(["a"])
+    assert abs(mn.loc["(all)", "value"] - df["v"].min()) < 1e-12
+    me = rollup(ds, ["a"], "v", agg="mean").set_index(["a"])
+    assert abs(me.loc["p", "value"] - df[df.a == "p"]["v"].mean()) < 1e-9
+
+    with pytest.raises(ValueError):
+        rollup(ds, [], "v")
+    with pytest.raises(ValueError):
+        rollup(ds, ["a"], "v", agg="median")
