@@ -661,6 +661,50 @@ def _q_ann_topk_embeddings(sf_dir: str):
     return df[["rank", "vec_id"]]
 
 
+def _q_heavy_hitters_words(sf_dir: str):
+    """Provably-exact heavy hitters WITHOUT shuffling the vocabulary: a
+    Misra-Gries pass (k >= n/min_count makes the summary a guaranteed
+    superset of qualifiers) + an exact recount over the broadcast candidate
+    set. min_count derives from n the same way in SQL, so the plain
+    GROUP BY ... HAVING oracle is exact."""
+    import ray.data
+
+    from orc_format_ray.ops.sketch import heavy_hitters_exact
+    from orc_format_ray.ops.text import token_count  # noqa: F401 (same tokenization contract)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pcc
+
+        words = pcc.split_pattern_regex(pcc.utf8_trim_whitespace(batch["text"]), r"\s+")
+        flat = pcc.list_flatten(words)
+        flat = flat.filter(pcc.not_equal(flat, ""))
+        return pa.table({"word": flat})
+
+    wds = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True, **_ra())
+    n = wds.count()
+    min_count = max(50, n // 500)
+    out = heavy_hitters_exact(wds, "word", min_count, n_total=n)
+    df = out.rename_columns(["word", "cnt"]).to_pandas()
+    return df.sort_values(["cnt", "word"], ascending=[False, True]).reset_index(drop=True)
+
+
+def _q_approx_ndistinct_documents(sf_dir: str):
+    """Rows-only: HyperLogLog distinct counts (p=14) for doc_id and text —
+    layout- and cluster-size-invariant register max; accuracy pinned vs
+    exact counts in pytest, no SQL can replay the sketch."""
+    import pandas as pd
+    import ray.data
+
+    from orc_format_ray.ops.sketch import approx_ndistinct
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    e_id, _ = approx_ndistinct(ds, "doc_id", p=14)
+    e_tx, _ = approx_ndistinct(ds, "text", p=14)
+    return pd.DataFrame({"column": ["doc_id", "text"], "approx_ndistinct": np.round([e_id, e_tx], 2)})
+
+
 def _q_rollup_lineitem(sf_dir: str):
     """SQL ROLLUP in one corpus pass: finest cells from per-batch partials,
     coarser levels re-aggregated over the cells. '(all)' marks rolled-up
@@ -2266,7 +2310,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orc_bloom_pushdown": _q_orc_bloom_pushdown,
         "minhash_dedup_planted": _q_minhash_dedup_planted,
         "ngram_jaccard_planted": _q_ngram_jaccard_planted,
-        "near_dup_clusters_planted": _q_near_dup_clusters_planted,
+        "heavy_hitters_words": _q_heavy_hitters_words,
         "near_dedup_planted": _q_near_dedup_planted,
         "simhash_planted": _q_simhash_planted,
         "embedding_near_dups_planted": _q_embedding_near_dups_planted,
@@ -2282,6 +2326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orc_pushdown_filter": _q_orc_pushdown_filter,
         "orc_compact_roundtrip": _q_orc_compact_roundtrip,
         "orc_partitioned_roundtrip": _q_orc_partitioned_roundtrip,
+        "near_dup_clusters_planted": _q_near_dup_clusters_planted,
         "incremental_dedup_planted": _q_incremental_dedup_planted,
         "orc_lineitem_roundtrip": _q_orc_lineitem_roundtrip,
         "token_count_by_source": _q_token_count_by_source,
@@ -2313,6 +2358,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- rows-only smoke queries ---------------------------------------
         "bpe_learned_merges": _q_bpe_learned_merges,
         "pca_embeddings": _q_pca_embeddings,
+        "approx_ndistinct_documents": _q_approx_ndistinct_documents,
         "minhash_candidates": _q_minhash_candidates,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_near_dups": _q_embedding_near_dups,
@@ -2600,6 +2646,14 @@ def oracle_sql() -> dict[str, str]:
             f"round(length(text) / CAST(greatest({_TOKCOUNT_SQL}, 1) AS DOUBLE), 6) AS mean_word_len, "
             f"CAST({_TOKCOUNT_SQL} AS BIGINT) AS tok_count "
             "FROM documents"
+        ),
+        "heavy_hitters_words": (
+            "WITH w AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word "
+            "FROM documents WHERE trim(text) <> ''), "
+            "w2 AS (SELECT word FROM w WHERE word <> ''), "
+            "t AS (SELECT greatest(50, (SELECT count(*) FROM w2) // 500) AS mc) "
+            "SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM w2, t "
+            "GROUP BY word, t.mc HAVING count(*) >= t.mc ORDER BY cnt DESC, word"
         ),
         "rollup_lineitem": (
             "SELECT COALESCE(l_returnflag, '(all)') AS l_returnflag, "

@@ -1,0 +1,216 @@
+"""Mergeable sketches: HyperLogLog cardinality and Misra-Gries heavy hitters.
+
+The unbounded-cardinality answers to "how many distinct?" and "what are the
+hot items?" — the exact groupby plans (`vocab_topk`, `exact_dedup`) shuffle
+|distinct| rows, which is right up to ~10^9 distincts; past that, a sketch
+whose size is FIXED regardless of the data is the only plan that still
+fits. Both sketches here fold as per-batch partials (one fixed-size row per
+block to the driver) and merge exactly:
+
+* **HLL**: registers combine by element-wise max — commutative and
+  associative, so the estimate is IDENTICAL on any block layout or cluster
+  size. 64-bit splitmix-mixed hashes; standard bias + linear-counting
+  corrections; error ~1.04/sqrt(2^p).
+* **Misra-Gries**: each block compresses its exact counts to k counters;
+  summaries merge by count-sum then subtract-the-(k+1)th (the mergeable-
+  summaries construction), preserving the deviation bound
+  ``true - n/(k+1) <= est <= true``.
+* **Exact heavy hitters in two passes** (`heavy_hitters_exact`): the MG
+  bound makes the summary a GUARANTEED superset of every item with
+  frequency >= min_count when k >= n/min_count, so one MG pass + one
+  exact recount restricted to the candidate set (broadcast, tiny) returns
+  provably exact results without ever shuffling the full vocabulary —
+  and is therefore plain-SQL auditable (GROUP BY ... HAVING count >= t).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .._rayutil import remote_args
+from .text import content_hash
+
+def _bit_length64(w: np.ndarray) -> np.ndarray:
+    """Exact vectorized bit length of uint64 lanes (0 for w == 0):
+    six shift-compare rounds, no float conversion (float64 rounds near
+    2^53 boundaries and would off-by-one the HLL rho)."""
+    bl = np.zeros(len(w), dtype=np.int64)
+    x = w.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        big = x >= (np.uint64(1) << np.uint64(s))
+        bl[big] += s
+        x = np.where(big, x >> np.uint64(s), x)
+    bl[w > 0] += 1
+    return bl
+
+
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer: full-avalanche mix of 64-bit lanes (the
+    polynomial content_hash alone has weak low-bit diffusion for HLL)."""
+    h = h.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        h ^= h >> np.uint64(30)
+        h *= np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> np.uint64(27)
+        h *= np.uint64(0x94D049BB133111EB)
+        h ^= h >> np.uint64(31)
+    return h
+
+
+def _column_hashes(col: pa.ChunkedArray) -> np.ndarray:
+    """64-bit mixed hashes of a string or integer column (nulls dropped)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.null_count:
+        col = col.drop_null()
+    t = col.type
+    if pa.types.is_integer(t):
+        h = col.cast(pa.int64()).to_numpy(zero_copy_only=False).view(np.uint64)
+    elif pa.types.is_string(t) or pa.types.is_large_string(t):
+        h = content_hash(col)
+    else:
+        raise TypeError(f"sketches hash string/integer columns, got {t}")
+    return _mix64(h)
+
+
+class HLL:
+    """Dense HyperLogLog with 2^p registers (p in [4, 18])."""
+
+    def __init__(self, p: int = 14, registers: np.ndarray | None = None):
+        if not 4 <= p <= 18:
+            raise ValueError(f"p must be in [4, 18], got {p}")
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8) if registers is None else registers
+
+    def update_hashes(self, h: np.ndarray) -> "HLL":
+        if len(h) == 0:
+            return self
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        w = (h << np.uint64(self.p)).astype(np.uint64)  # remaining bits, top-aligned
+        # rho = (leading zeros of the 64-bit lane) + 1 = 64 - bit_length + 1
+        rho = 64 - _bit_length64(w) + 1  # w == 0 lanes get 65, clipped below
+        rho = np.minimum(rho, 64 - self.p + 1)
+        np.maximum.at(self.registers, idx, rho.astype(np.uint8))
+        return self
+
+    def merge(self, other: "HLL") -> "HLL":
+        if other.p != self.p:
+            raise ValueError(f"cannot merge HLL(p={other.p}) into HLL(p={self.p})")
+        return HLL(self.p, np.maximum(self.registers, other.registers))
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1.0 + 1.079 / m) if self.m >= 128 else {16: 0.673, 32: 0.697, 64: 0.709}[self.m]
+        e = alpha * m * m / np.sum(np.exp2(-self.registers.astype(np.float64)))
+        if e <= 2.5 * m:
+            zeros = int(np.count_nonzero(self.registers == 0))
+            if zeros:
+                return float(m * np.log(m / zeros))
+        return float(e)
+
+
+def approx_ndistinct(ds, col: str, p: int = 14) -> tuple[float, HLL]:
+    """Approximate distinct count of ``ds[col]`` — ONE streaming pass, one
+    2^p-byte register row per block to the driver, max-merged. The result is
+    layout- and cluster-size-invariant (register max is commutative)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = HLL(p).update_hashes(_column_hashes(batch[col]))
+        return pa.table({"regs": pa.array([h.registers], pa.list_(pa.uint8()))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args()).take_all()
+    acc = HLL(p)
+    for row in parts:
+        acc.registers = np.maximum(acc.registers, np.asarray(row["regs"], dtype=np.uint8))
+    return acc.estimate(), acc
+
+
+def _mg_compress(items: np.ndarray, counts: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Keep the top k counters, subtracting the (k+1)-th count from the
+    survivors (the mergeable-summaries rule that preserves the MG bound)."""
+    if len(items) <= k:
+        return items, counts
+    order = np.argsort(-counts, kind="stable")
+    pivot = counts[order[k]]
+    keep = order[:k]
+    kept = counts[keep] - pivot
+    good = kept > 0
+    return items[keep][good], kept[good]
+
+
+def mg_partials(ds, col: str, k: int):
+    """Per-block Misra-Gries summaries: exact in-block counts compressed to
+    k counters — at most k (item, cnt) rows per block ever move."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({col: batch[col]})
+        g = t.drop_null().group_by(col).aggregate([(col, "count")])
+        items = g[col].to_numpy(zero_copy_only=False)
+        counts = g[f"{col}_count"].to_numpy(zero_copy_only=False).astype(np.int64)
+        items, counts = _mg_compress(items, counts, k)
+        return pa.table({"item": pa.array(items), "cnt": pa.array(counts, pa.int64())})
+
+    return ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+
+
+def heavy_hitters(ds, col: str, k: int) -> pa.Table:
+    """Merged Misra-Gries summary of ``ds[col]``: <= k (item, est) rows with
+    ``true - n/(k+1) <= est <= true``, sorted by est desc."""
+    from ray.data.aggregate import Sum
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    merged = mg_partials(ds, col, k).groupby("item").aggregate(Sum("cnt", alias_name="cnt"))
+    tbl = pa.concat_tables(list(merged.iter_batches(batch_size=1 << 20, batch_format="pyarrow")))
+    items = tbl["item"].to_numpy(zero_copy_only=False)
+    counts = tbl["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    items, counts = _mg_compress(items, counts, k)
+    order = np.argsort(-counts, kind="stable")
+    return pa.table({"item": pa.array(items[order]), "est": pa.array(counts[order], pa.int64())})
+
+
+def heavy_hitters_exact(ds, col: str, min_count: int, n_total: int | None = None) -> pa.Table:
+    """EXACT items with frequency >= min_count in two passes, vocabulary
+    never shuffled: (1) a Misra-Gries pass with k >= n/min_count — the MG
+    bound guarantees every qualifying item survives as a candidate; (2) an
+    exact recount restricted to the broadcast candidate set (tiny), then
+    the HAVING filter. Plain-SQL equivalent: GROUP BY col HAVING count(*)
+    >= min_count. Returns (item, cnt) sorted by (cnt desc, item)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    if n_total is None:
+        def sizes(batch: pa.Table) -> pa.Table:
+            return pa.table({"n": pa.array([len(batch[col].drop_null())], pa.int64())})
+
+        n_total = sum(
+            int(r["n"])
+            for r in ds.map_batches(sizes, batch_format="pyarrow", zero_copy_batch=True, **remote_args()).take_all()
+        )
+    k = max(int(np.ceil(n_total / min_count)), 1)
+    summary = heavy_hitters(ds, col, k)
+    cand_ref = ray.put(summary["item"].combine_chunks())
+
+    def recount(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        cands = _ray.get(cand_ref)
+        t = pa.table({col: batch[col]}).drop_null()
+        t = t.filter(pc.is_in(t[col], value_set=cands))
+        g = t.group_by(col).aggregate([(col, "count")])
+        return g.rename_columns(["item", "cnt"])
+
+    merged = (
+        ds.map_batches(recount, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby("item")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    tbl = pa.concat_tables(list(merged.iter_batches(batch_size=1 << 20, batch_format="pyarrow")))
+    keep = pc.greater_equal(tbl["cnt"], pa.scalar(min_count, pa.int64()))
+    out = tbl.filter(keep)
+    return out.sort_by([("cnt", "descending"), ("item", "ascending")])

@@ -2164,3 +2164,82 @@ def test_rollup_vs_pandas_all_levels(ray_session):
         rollup(ds, [], "v")
     with pytest.raises(ValueError):
         rollup(ds, ["a"], "v", agg="median")
+
+
+# --------------------------------------------------------------- sketch ops
+
+
+def test_hll_bit_length_and_accuracy():
+    from orc_format_ray.ops.sketch import HLL, _bit_length64, _column_hashes
+
+    rng2 = np.random.default_rng(0)
+    w = np.concatenate(
+        [
+            rng2.integers(0, 1 << 62, 4000).astype(np.uint64),
+            np.array([0, 1, 2, (1 << 53) - 1, 1 << 53, (1 << 53) + 1, 1 << 63, ~np.uint64(0)], np.uint64),
+        ]
+    )
+    assert all(int(b) == int(x).bit_length() for b, x in zip(_bit_length64(w), w))
+
+    for n in [1000, 50000]:
+        vals = pa.chunked_array([pa.array(np.arange(n, dtype=np.int64) * 7919 + 13)])
+        est = HLL(14).update_hashes(_column_hashes(vals)).estimate()
+        assert abs(est - n) / n < 0.04, (n, est)
+
+    # merge(a, b) register-identical to the whole stream
+    va = _column_hashes(pa.chunked_array([pa.array(np.arange(0, 5000, dtype=np.int64))]))
+    vb = _column_hashes(pa.chunked_array([pa.array(np.arange(3000, 9000, dtype=np.int64))]))
+    whole = HLL(12).update_hashes(np.concatenate([va, vb]))
+    merged = HLL(12).update_hashes(va).merge(HLL(12).update_hashes(vb))
+    assert (merged.registers == whole.registers).all()
+
+    with pytest.raises(ValueError):
+        HLL(3)
+    with pytest.raises(ValueError):
+        HLL(12).merge(HLL(13))
+
+
+def test_approx_ndistinct_layout_invariant(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.sketch import approx_ndistinct
+
+    tbl = pa.table({"doc_id": pa.array(np.arange(30000, dtype=np.int64) % 9173)})
+    e1, _ = approx_ndistinct(ray.data.from_arrow(tbl).repartition(1), "doc_id", p=13)
+    e8, _ = approx_ndistinct(ray.data.from_arrow(tbl).repartition(8), "doc_id", p=13)
+    assert e1 == e8
+    assert abs(e1 - 9173) / 9173 < 0.05
+
+
+def test_misra_gries_guarantee_and_exact_two_pass(ray_session):
+    from collections import Counter
+
+    import ray.data
+
+    from orc_format_ray.ops.sketch import heavy_hitters, heavy_hitters_exact
+
+    rng2 = np.random.default_rng(7)
+    zipf = (rng2.zipf(1.4, 50000) % 500).astype(np.int64)
+    true = Counter(zipf.tolist())
+    dz = ray.data.from_arrow(pa.table({"v": pa.array(zipf)})).repartition(7)
+    n, k = len(zipf), 50
+
+    summ = heavy_hitters(dz, "v", k)
+    assert summ.num_rows <= k
+    est = dict(zip(summ["item"].to_pylist(), summ["est"].to_pylist()))
+    for item, c in true.items():
+        if c > n / (k + 1):
+            assert item in est, (item, c)  # every heavy item survives
+        if item in est:
+            assert c - n / (k + 1) <= est[item] <= c
+
+    mc = 800
+    exact = heavy_hitters_exact(dz, "v", mc)
+    ref = sorted(((c, i) for i, c in true.items() if c >= mc), key=lambda t: (-t[0], t[1]))
+    assert exact["item"].to_pylist() == [i for _, i in ref]
+    assert exact["cnt"].to_pylist() == [c for c, _ in ref]
+
+    with pytest.raises(ValueError):
+        heavy_hitters(dz, "v", 0)
+    with pytest.raises(ValueError):
+        heavy_hitters_exact(dz, "v", 0)
