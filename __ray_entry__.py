@@ -661,6 +661,23 @@ def _q_ann_topk_embeddings(sf_dir: str):
     return df[["rank", "vec_id"]]
 
 
+def _q_cohort_retention_events(sf_dir: str):
+    """Cohort retention: first-event-week cohorts x week offsets, active
+    user counts. Metadata-only dedupe + Min aggregate + the bucketed
+    hash_join — no broadcast of the user set. Oracle: the same two CTEs in
+    SQL."""
+    import ray.data
+
+    from orc_format_ray.ops.windows import cohort_retention
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    out = cohort_retention(ds, num_buckets=16)
+    df = out.to_pandas().sort_values(["cohort_week", "week_offset"]).reset_index(drop=True)
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df
+
+
 def _q_heavy_hitters_words(sf_dir: str):
     """Provably-exact heavy hitters WITHOUT shuffling the vocabulary: a
     Misra-Gries pass (k >= n/min_count makes the summary a guaranteed
@@ -2312,7 +2329,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_planted": _q_ngram_jaccard_planted,
         "heavy_hitters_words": _q_heavy_hitters_words,
         "near_dedup_planted": _q_near_dedup_planted,
-        "simhash_planted": _q_simhash_planted,
+        "cohort_retention_events": _q_cohort_retention_events,
         "embedding_near_dups_planted": _q_embedding_near_dups_planted,
         "langid_documents": _q_langid_documents,
         "fingerprint_documents": _q_fingerprint_documents,
@@ -2327,6 +2344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orc_compact_roundtrip": _q_orc_compact_roundtrip,
         "orc_partitioned_roundtrip": _q_orc_partitioned_roundtrip,
         "near_dup_clusters_planted": _q_near_dup_clusters_planted,
+        "simhash_planted": _q_simhash_planted,
         "incremental_dedup_planted": _q_incremental_dedup_planted,
         "orc_lineitem_roundtrip": _q_orc_lineitem_roundtrip,
         "token_count_by_source": _q_token_count_by_source,
@@ -2646,6 +2664,12 @@ def oracle_sql() -> dict[str, str]:
             f"round(length(text) / CAST(greatest({_TOKCOUNT_SQL}, 1) AS DOUBLE), 6) AS mean_word_len, "
             f"CAST({_TOKCOUNT_SQL} AS BIGINT) AS tok_count "
             "FROM documents"
+        ),
+        "cohort_retention_events": (
+            "WITH a AS (SELECT DISTINCT user_id, CAST(floor(epoch_ms(ts) / 604800000) AS BIGINT) AS wk FROM events), "
+            "c AS (SELECT user_id, min(wk) AS cohort FROM a GROUP BY user_id) "
+            "SELECT c.cohort AS cohort_week, a.wk - c.cohort AS week_offset, CAST(count(*) AS BIGINT) AS n_users "
+            "FROM a JOIN c ON a.user_id = c.user_id GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         "heavy_hitters_words": (
             "WITH w AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word "

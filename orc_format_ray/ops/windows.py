@@ -188,3 +188,57 @@ def funnel(ds, steps: list[str], user_col: str = "user_id", ts_col: str = "ts", 
 
     prepped = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
     return prepped.groupby(user_col).map_groups(per_user, batch_format="pandas", **remote_args())
+
+
+def cohort_retention(ds, user_col: str = "user_id", ts_col: str = "ts",
+                     period_ms: int = 7 * 86_400_000, num_buckets: int = 64):
+    """Cohort retention: users are cohorted by the period of their FIRST
+    event (floor(epoch_ms / period_ms)); each (cohort, period-offset) cell
+    counts the cohort's users active in that period. Returns a Dataset of
+    (cohort_week, week_offset, n_users).
+
+    Scale shape: per-batch (user, period) pairs dedupe locally, ONE groupby
+    dedupes globally (|user x active periods| rows, never raw events), the
+    per-user first period comes from a Min aggregate, and the two metadata
+    tables meet in the bucketed ``hash_join`` — no driver-side user map,
+    no broadcast of an unbounded user set.
+    """
+    import numpy as np
+
+    from ray.data.aggregate import Count, Min
+
+    from .join import hash_join
+
+    if period_ms < 1:
+        raise ValueError(f"period_ms must be >= 1, got {period_ms}")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = batch[ts_col].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        wk = np.floor_divide(np.floor_divide(us, 1000), period_ms)
+        t = pa.table({user_col: batch[user_col], "wk": pa.array(wk, pa.int64())})
+        return t.group_by([user_col, "wk"]).aggregate([])  # local distinct
+
+    act = (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby([user_col, "wk"])
+        .aggregate(Count(alias_name="_c"))
+        .select_columns([user_col, "wk"])
+    )
+    cohorts = act.groupby(user_col).aggregate(Min("wk", alias_name="cohort"))
+    joined = hash_join(act, cohorts, user_col, num_buckets=num_buckets)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        wk = batch["wk"].to_numpy(zero_copy_only=False)
+        co = batch["cohort"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "cohort_week": pa.array(co, pa.int64()),
+                "week_offset": pa.array(wk - co, pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby(["cohort_week", "week_offset"])
+        .aggregate(Count(alias_name="n_users"))
+    )

@@ -2243,3 +2243,38 @@ def test_misra_gries_guarantee_and_exact_two_pass(ray_session):
         heavy_hitters(dz, "v", 0)
     with pytest.raises(ValueError):
         heavy_hitters_exact(dz, "v", 0)
+
+
+def test_cohort_retention_vs_pandas(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from orc_format_ray.ops.windows import cohort_retention
+
+    rng2 = np.random.default_rng(51)
+    n = 4000
+    t0 = np.datetime64("2024-01-01", "us")
+    df = pd.DataFrame(
+        {
+            "user_id": rng2.integers(0, 80, n),
+            "ts": t0 + rng2.integers(0, 56 * 86_400_000_000, n).astype("timedelta64[us]"),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(6)
+    got = cohort_retention(ds).to_pandas().set_index(["cohort_week", "week_offset"])["n_users"]
+
+    wk = (df["ts"].astype("int64") // 1_000 // 604_800_000).astype("int64")
+    a = pd.DataFrame({"u": df["user_id"], "wk": wk}).drop_duplicates()
+    cohort = a.groupby("u")["wk"].min()
+    a = a.assign(cohort=a["u"].map(cohort), off=lambda x: x["wk"] - x["u"].map(cohort))
+    ref = a.groupby(["cohort", "off"]).size()
+    assert len(got) == len(ref)
+    for (c, o), v in ref.items():
+        assert got.loc[(c, o)] == v, (c, o)
+    # offset 0 of each cohort counts the whole cohort
+    sizes = cohort.value_counts()
+    for c, v in sizes.items():
+        assert got.loc[(c, 0)] == v
+
+    with pytest.raises(ValueError):
+        cohort_retention(ds, period_ms=0)
