@@ -661,6 +661,32 @@ def _q_ann_topk_embeddings(sf_dir: str):
     return df[["rank", "vec_id"]]
 
 
+def _q_cap_per_cluster_embeddings(sf_dir: str):
+    """Semantic diversity cap certified in SQL: assignment to the 10
+    fixed seed centroids (SQL list_distance argmin, same tie rule), then at
+    most 10 winners per cluster by the Knuth-hash order. Output counts +
+    sum of kept ids pin exact membership."""
+    import pandas as pd
+    import pyarrow.parquet as pq_
+    import ray.data
+
+    from orc_format_ray.ops.cluster import cap_per_cluster
+
+    seeds_t = pq_.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"], filters=[("vec_id", "<", 10)]
+    ).sort_by("vec_id")
+    seeds = np.array(seeds_t["embedding"].to_pylist(), dtype=np.float32).astype(np.float64)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    kept = cap_per_cluster(ds, seeds, 10)
+    rows = kept.select_columns(["vec_id", "cluster"]).take_all()
+    df = pd.DataFrame(rows)
+    out = df.groupby("cluster", as_index=False).agg(cnt=("vec_id", "size"), sum_ids=("vec_id", "sum"))
+    out["cluster"] = out["cluster"].astype("int64")
+    out["cnt"] = out["cnt"].astype("int64")
+    out["sum_ids"] = out["sum_ids"].astype("int64")
+    return out.sort_values("cluster").reset_index(drop=True)
+
+
 def _q_cohort_retention_events(sf_dir: str):
     """Cohort retention: first-event-week cohorts x week offsets, active
     user counts. Metadata-only dedupe + Min aggregate + the bucketed
@@ -2330,7 +2356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters_words": _q_heavy_hitters_words,
         "near_dedup_planted": _q_near_dedup_planted,
         "cohort_retention_events": _q_cohort_retention_events,
-        "embedding_near_dups_planted": _q_embedding_near_dups_planted,
+        "cap_per_cluster_embeddings": _q_cap_per_cluster_embeddings,
         "langid_documents": _q_langid_documents,
         "fingerprint_documents": _q_fingerprint_documents,
         "ivf_ann_exhaustive": _q_ivf_ann_exhaustive,
@@ -2345,6 +2371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orc_partitioned_roundtrip": _q_orc_partitioned_roundtrip,
         "near_dup_clusters_planted": _q_near_dup_clusters_planted,
         "simhash_planted": _q_simhash_planted,
+        "embedding_near_dups_planted": _q_embedding_near_dups_planted,
         "incremental_dedup_planted": _q_incremental_dedup_planted,
         "orc_lineitem_roundtrip": _q_orc_lineitem_roundtrip,
         "token_count_by_source": _q_token_count_by_source,
@@ -2664,6 +2691,18 @@ def oracle_sql() -> dict[str, str]:
             f"round(length(text) / CAST(greatest({_TOKCOUNT_SQL}, 1) AS DOUBLE), 6) AS mean_word_len, "
             f"CAST({_TOKCOUNT_SQL} AS BIGINT) AS tok_count "
             "FROM documents"
+        ),
+        "cap_per_cluster_embeddings": (
+            "WITH s AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS c, "
+            "CAST(embedding AS DOUBLE[]) AS cent FROM embeddings ORDER BY vec_id LIMIT 10), "
+            "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+            "a1 AS (SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id "
+            "ORDER BY list_distance(v, cent), c) AS rk FROM e CROSS JOIN s), "
+            "w1 AS (SELECT vec_id, c FROM a1 WHERE rk = 1), "
+            "r AS (SELECT c, vec_id, row_number() OVER (PARTITION BY c "
+            "ORDER BY (vec_id * 2654435761) % 4294967296, vec_id) AS rk2 FROM w1) "
+            "SELECT c AS cluster, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(vec_id) AS BIGINT) AS sum_ids "
+            "FROM r WHERE rk2 <= 10 GROUP BY c ORDER BY cluster"
         ),
         "cohort_retention_events": (
             "WITH a AS (SELECT DISTINCT user_id, CAST(floor(epoch_ms(ts) / 604800000) AS BIGINT) AS wk FROM events), "

@@ -282,3 +282,20 @@ def pca_transform(ds, model: PCAModel, *, col: str = "embedding", out: str = "pc
         return batch.append_column(out, pa.array(list(z), pa.list_(pa.float64())))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+
+
+def cap_per_cluster(ds, centroids: np.ndarray, cap: int, *, col: str = "embedding",
+                    id_col: str = "vec_id", salt: int = 0):
+    """Semantic diversity cap: keep at most ``cap`` rows per
+    nearest-centroid cluster — the "no topic dominates the mixture" pass of
+    a curation pipeline. Winners are drawn deterministically by ascending
+    (knuth_hash(id), id) within each cluster (the same SQL-auditable rule
+    as ``stratified_sample``, which does the metadata-only heavy lifting:
+    per-batch top-cap combiners, tiny per-cluster groupby, broadcast
+    semi-join back). The assignment pass runs twice (winner selection +
+    final filter) — one extra matmul per batch, cheaper than materializing
+    the assigned corpus."""
+    from .sample import stratified_sample
+
+    assigned = assign_clusters(ds, centroids, col=col)
+    return stratified_sample(assigned, cap, stratum="cluster", key=id_col, salt=salt)

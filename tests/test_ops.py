@@ -2278,3 +2278,29 @@ def test_cohort_retention_vs_pandas(ray_session):
 
     with pytest.raises(ValueError):
         cohort_retention(ds, period_ms=0)
+
+
+def test_cap_per_cluster_bounds_and_determinism(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.cluster import assign_clusters, cap_per_cluster
+
+    ds, X, tbl = _blob_dataset(seed=8)
+    cents = X[[0, 200, 400]]
+    kept = cap_per_cluster(ray.data.from_arrow(tbl).repartition(6), cents, 25).take_all()
+    from collections import Counter
+
+    by = Counter(r["cluster"] for r in kept)
+    assert set(by) == {0, 1, 2} and all(v == 25 for v in by.values()), by
+
+    # determinism across layouts: identical kept id sets
+    kept1 = cap_per_cluster(ray.data.from_arrow(tbl).repartition(1), cents, 25).take_all()
+    assert sorted(r["vec_id"] for r in kept) == sorted(r["vec_id"] for r in kept1)
+
+    # cap above cluster size keeps everything
+    all_kept = cap_per_cluster(ray.data.from_arrow(tbl), cents, 10_000).take_all()
+    assert len(all_kept) == tbl.num_rows
+
+    # winners really belong to the cluster they were capped under
+    amap = {r["vec_id"]: r["cluster"] for r in assign_clusters(ray.data.from_arrow(tbl), cents).take_all()}
+    assert all(amap[r["vec_id"]] == r["cluster"] for r in kept)
