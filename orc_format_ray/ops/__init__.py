@@ -1,3 +1,8 @@
 """Large-scale training-data operations over Ray Data: text analysis,
 deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding),
-similarity search (brute-force + IVF ANN), and multimodal column plumbing."""
+similarity search (brute-force + IVF/PQ ANN), clustering (k-means, PCA,
+diversity capping), z-order layout, corpus profiling, reshaping aggregates
+(pivot / rollup / grouped quantiles), ingest ETL (JSON extraction, snapshot
+diff), BPE tokenizer training/encoding, event analytics (windows, funnel,
+cohort retention), mergeable sketches (HLL, Misra-Gries), sampling/packing,
+and multimodal column plumbing."""
