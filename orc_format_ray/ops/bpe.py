@@ -172,8 +172,14 @@ class _Encoder:
     def __call__(self, batch: pa.Table) -> pa.Table:
         trimmed = pc.utf8_trim_whitespace(batch[self.col])
         words = pc.split_pattern_regex(trimmed, r"\s+")
-        flat = pc.list_flatten(words).to_pylist()
-        offs = np.asarray(pc.list_value_length(words).to_numpy(zero_copy_only=False), dtype=np.int64)
+        flat = pc.list_flatten(words).to_pylist()  # skips null rows...
+        # ...so null rows must contribute 0 to the offset walk too — a null
+        # list_value_length is null, and int64-casting that NaN would poison
+        # every later row's slice (null text -> empty pieces, loudly aligned)
+        lens = pc.fill_null(pc.list_value_length(words), 0)
+        offs = np.asarray(lens.to_numpy(zero_copy_only=False), dtype=np.int64)
+        if int(offs.sum()) != len(flat):
+            raise AssertionError(f"BPE offset walk desynchronized: {offs.sum()} != {len(flat)}")
         pieces, n_pieces = [], np.zeros(len(offs), dtype=np.int64)
         pos = 0
         enc = self.model.encode_word

@@ -192,6 +192,10 @@ def assign_clusters(ds, centroids: np.ndarray, *, col: str = "embedding", out_co
     def fn(batch: pa.Table) -> pa.Table:
         import ray as _ray
 
+        if batch.num_rows == 0:  # (0, 0) emb would break the matmul
+            return batch.append_column(out_col, pa.array([], pa.int32())).append_column(
+                f"{out_col}_dist2", pa.array([], pa.float64())
+            )
         c = _ray.get(cent_ref)
         emb = _embedding_matrix(batch, col)
         a, d2 = _assign(emb, c)
@@ -276,6 +280,8 @@ def pca_transform(ds, model: PCAModel, *, col: str = "embedding", out: str = "pc
 
         from .similarity import _embedding_matrix
 
+        if batch.num_rows == 0:  # (0, 0) emb would break the broadcast
+            return batch.append_column(out, pa.array([], pa.list_(pa.float64())))
         mean, comps = _ray.get(ref)
         x = _embedding_matrix(batch, col)
         z = (x - mean) @ comps.T

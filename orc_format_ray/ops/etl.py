@@ -59,18 +59,24 @@ def parse_json_column(ds, col: str, *, schema: pa.Schema | None = None, prefix: 
 
 
 def _row_hash(batch: pa.Table, cols: list[str]) -> np.ndarray:
-    """Deterministic 64-bit hash of the row's compare columns: every column
-    cast to its string form, joined with an unambiguous separator (0x1f,
-    nulls marked), then the vectorized polynomial ``content_hash``. Both
-    diff sides run this exact code, so equality is representation-stable."""
-    parts = [pc.cast(batch[c], pa.string()) for c in cols]
-    parts = [pc.fill_null(p, "\x00NULL\x00") for p in parts]
-    if len(parts) == 1:
-        joined = parts[0].combine_chunks()
+    """Deterministic 64-bit hash of the row's compare columns. Every column
+    is framed as ``<N|V><byte-length>:<value>`` before joining, so neither
+    a separator byte INSIDE a value nor a value equal to a null marker can
+    alias a column boundary — the frame is a prefix code. Both diff sides
+    run this exact code, so equality is representation-stable."""
+    framed = []
+    for c in cols:
+        p = pc.cast(batch[c], pa.string())
+        flag = pc.if_else(pc.is_null(p), pa.scalar("N"), pa.scalar("V"))
+        val = pc.fill_null(p, "")
+        ln = pc.cast(pc.binary_length(val), pa.string())
+        framed.append(pc.binary_join_element_wise(flag, ln, ":", val, ""))
+    if len(framed) == 1:
+        joined = framed[0]
     else:
-        joined = pc.binary_join_element_wise(*parts, "\x1f")
-        if isinstance(joined, pa.ChunkedArray):
-            joined = joined.combine_chunks()
+        joined = pc.binary_join_element_wise(*framed, "")
+    if isinstance(joined, pa.ChunkedArray):
+        joined = joined.combine_chunks()
     return content_hash(joined).view(np.int64)
 
 

@@ -34,14 +34,17 @@ def _numeric(col: pa.ChunkedArray) -> np.ndarray:
     return arr
 
 
-def column_bounds(ds, cols: list[str]) -> dict[str, tuple[float, float]]:
+def column_bounds(ds, cols: list[str], as_float=None) -> dict[str, tuple[float, float]]:
     """Global per-column [min, max] over non-null values in ONE pass
-    (per-batch partials; n_blocks tiny rows to the driver)."""
+    (per-batch partials; n_blocks tiny rows to the driver). ``as_float``
+    overrides the column -> float64 conversion (zorder passes its
+    temporal-aware variant); default is the plain numeric cast."""
+    conv = as_float or _numeric
 
     def partial(batch: pa.Table) -> pa.Table:
         row = {}
         for c in cols:
-            x = _numeric(batch[c])
+            x = conv(batch[c])
             good = x[np.isfinite(x)]
             row[f"lo_{c}"] = [float(good.min()) if len(good) else np.nan]
             row[f"hi_{c}"] = [float(good.max()) if len(good) else np.nan]

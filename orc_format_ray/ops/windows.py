@@ -223,6 +223,7 @@ def cohort_retention(ds, user_col: str = "user_id", ts_col: str = "ts",
         .groupby([user_col, "wk"])
         .aggregate(Count(alias_name="_c"))
         .select_columns([user_col, "wk"])
+        .materialize()  # consumed twice (cohorts + join); don't re-shuffle
     )
     cohorts = act.groupby(user_col).aggregate(Min("wk", alias_name="cohort"))
     joined = hash_join(act, cohorts, user_col, num_buckets=num_buckets)

@@ -76,26 +76,13 @@ def morton_key(quantized: list[np.ndarray], bits: int) -> np.ndarray:
 
 
 def _global_bounds(ds, columns: list[str]) -> list[tuple[float, float]]:
-    """Per-column global [min, max] as floats: per-batch partials (one tiny
-    row per block reaches the driver), folded here. NaN-only/empty columns
-    fold to an empty span (all keys 0 for that column)."""
+    """Per-column global [min, max] via the shared profiling bounds pass
+    (``ops.profile.column_bounds`` with the temporal-aware ``_as_float``).
+    An all-null column fails loudly — z-ordering on it is meaningless."""
+    from .profile import column_bounds
 
-    def partial(batch: pa.Table) -> pa.Table:
-        row = {}
-        for c in columns:
-            x = _as_float(batch[c])
-            good = x[np.isfinite(x)]
-            row[f"lo_{c}"] = [float(good.min()) if len(good) else np.nan]
-            row[f"hi_{c}"] = [float(good.max()) if len(good) else np.nan]
-        return pa.table(row)
-
-    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args()).take_all()
-    bounds = []
-    for c in columns:
-        los = [p[f"lo_{c}"] for p in parts if p[f"lo_{c}"] == p[f"lo_{c}"]]  # drop NaN
-        his = [p[f"hi_{c}"] for p in parts if p[f"hi_{c}"] == p[f"hi_{c}"]]
-        bounds.append((min(los), max(his)) if los else (0.0, 0.0))
-    return bounds
+    m = column_bounds(ds, columns, as_float=_as_float)
+    return [m[c] for c in columns]
 
 
 def cluster_by_zorder(ds, columns: list[str], bits_per_col: int | None = None):

@@ -2304,3 +2304,60 @@ def test_cap_per_cluster_bounds_and_determinism(ray_session):
     # winners really belong to the cluster they were capped under
     amap = {r["vec_id"]: r["cluster"] for r in assign_clusters(ray.data.from_arrow(tbl), cents).take_all()}
     assert all(amap[r["vec_id"]] == r["cluster"] for r in kept)
+
+
+def test_bpe_encode_null_text_does_not_desync(ray_session):
+    """r4 review fix: a null text cell must yield empty pieces WITHOUT
+    corrupting the offset walk of every later row in the batch."""
+    import ray.data
+
+    from orc_format_ray.ops import bpe
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(["hello world", None, "foo bar", "  "], pa.string()),
+        }
+    )
+    model = bpe.BPEModel([("h", "e")])
+    rows = sorted(bpe.bpe_encode(ray.data.from_arrow(tbl), model).take_all(), key=lambda r: r["doc_id"])
+    assert "".join(rows[0]["pieces"]) == "hello world "
+    assert rows[1]["pieces"] == [] and rows[1]["pieces_n"] == 0
+    assert "".join(rows[2]["pieces"]) == "foo bar "  # row AFTER the null is intact
+    assert rows[3]["pieces"] == []
+
+
+def test_cluster_stages_survive_empty_blocks(ray_session):
+    """r4 review fix: assign_clusters / cap_per_cluster / pca_transform must
+    pass empty Arrow blocks through instead of crashing the matmul."""
+    import ray.data
+
+    from orc_format_ray.ops.cluster import assign_clusters, cap_per_cluster, pca, pca_transform
+
+    _, X, tbl = _blob_dataset(seed=12, per=50)
+    ds = ray.data.from_arrow(tbl).repartition(8).filter(lambda r: r["vec_id"] < 5)  # mostly empty blocks
+    out = assign_clusters(ds, X[:2]).take_all()
+    assert len(out) == 5
+    kept = cap_per_cluster(ds, X[:2], 3).take_all()
+    assert 0 < len(kept) <= 6
+    full = ray.data.from_arrow(tbl)
+    m = pca(full, 2)
+    z = pca_transform(ds, m).take_all()
+    assert len(z) == 5 and all(len(r["pca"]) == 2 for r in z)
+
+
+def test_table_diff_separator_aliasing_fixed(ray_session):
+    """r4 review fix: separator bytes inside values must not alias column
+    boundaries (length-prefixed frames), and a literal null-marker string
+    must differ from an actual null."""
+    import pandas as pd
+    import ray.data
+
+    from orc_format_ray.ops.etl import table_diff
+
+    a = pd.DataFrame({"id": [1, 2], "t": ["a\x1fb", "\x00NULL\x00"], "s": ["c", "x"]})
+    b = pd.DataFrame({"id": [1, 2], "t": ["a", None], "s": ["b\x1fc", "x"]})
+    st = {r["id"]: r["status"] for r in table_diff(
+        ray.data.from_pandas(a), ray.data.from_pandas(b), "id", ["t", "s"]
+    ).take_all()}
+    assert st == {1: "changed", 2: "changed"}, st
