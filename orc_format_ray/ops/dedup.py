@@ -148,6 +148,7 @@ def exact_dedup_against(new_ds, reference_ds, column: str = "text", max_broadcas
         reference_ds.map_batches(hash_partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
         .groupby("content_hash")
         .aggregate(Count(alias_name="_n"))
+        .materialize()  # count() + iter_batches() below must not re-run the scan
     )
     n_distinct = ref_hashes.count()
     if n_distinct > max_broadcast_hashes:

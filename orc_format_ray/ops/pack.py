@@ -204,12 +204,31 @@ def pack_sequences_by_sort(
         ks = batch["doc_id"].to_numpy(zero_copy_only=False)
         return pa.table({"k": pa.array([min(ks)], pa.string())})
 
-    probes = pa.concat_tables(
-        list(meta.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-             .iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    probe_tabs = list(
+        meta.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+    )
+    probes = (
+        pa.concat_tables(probe_tabs) if probe_tabs else pa.table({"k": pa.array([], pa.string())})
     )["k"].to_numpy(zero_copy_only=False)
     probes = np.sort(probes)
     take = np.linspace(0, len(probes), num_buckets, endpoint=False)[1:].astype(np.int64)
+    if len(probes) == 0:  # empty corpus -> empty (typed) assignment, not a groupby crash
+        import pandas as pd_
+
+        empty = pd_.DataFrame(
+            {
+                "doc_id": pd_.Series([], dtype=object),
+                "rank": pd_.Series([], dtype="int64"),
+                "n_tok": pd_.Series([], dtype="int64"),
+                "start_tok": pd_.Series([], dtype="int64"),
+                "first_pack": pd_.Series([], dtype="int64"),
+                "last_pack": pd_.Series([], dtype="int64"),
+            }
+        )
+        import ray.data as rd
+
+        return rd.from_pandas(empty)
     boundaries = np.unique(probes[take]) if len(probes) else np.array([], dtype=object)
     boundaries_ref = ray.put(boundaries)
 

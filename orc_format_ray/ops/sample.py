@@ -84,6 +84,11 @@ def stratified_sample(ds, k: int, stratum: str = "source", key: str = "doc_id", 
     def partial(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:  # keep the empty-block schema typed
             return pa.table({stratum: batch[stratum], key: batch[key], "_h": pa.array([], pa.uint64())})
+        if batch[stratum].null_count:
+            # a null stratum would silently vanish (factorize gives it -1,
+            # the winner groupby drops it) — refuse loudly instead of
+            # returning a biased sample; fill or filter nulls first
+            raise ValueError(f"stratified_sample: stratum column {stratum!r} contains nulls")
         keys_np = batch[key].to_numpy(zero_copy_only=False)
         strata_np = batch[stratum].to_numpy(zero_copy_only=False)
         h = knuth_hash(keys_np, salt)
@@ -103,9 +108,12 @@ def stratified_sample(ds, k: int, stratum: str = "source", key: str = "doc_id", 
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
     winners = partials.groupby(stratum).map_groups(pick, batch_format="pandas", **remote_args())
-    win_df = pa.concat_tables(
-        list(winners.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
-    ).to_pandas()
+    win_tables = list(winners.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    if not win_tables:  # empty input -> empty sample, not a concat crash
+        return ds.map_batches(
+            lambda t: t.slice(0, 0), batch_format="pyarrow", zero_copy_batch=True, **remote_args()
+        )
+    win_df = pa.concat_tables(win_tables).to_pandas()
     by_stratum = {
         s: np.sort(g[key].to_numpy())
         for s, g in win_df.groupby(stratum, sort=False)

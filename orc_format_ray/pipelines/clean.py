@@ -149,9 +149,12 @@ def prepare_training_data(sf_dir: str, capacity: int = 2048, mixture_rates: dict
             w = batch["n_words"].to_numpy(zero_copy_only=False)
             return pa.table({"doc_id": batch["doc_id"].filter(pa.array(f >= min_mean_familiarity * w))})
 
-        ids = pa.concat_tables(
-            list(fam.map_batches(passing, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-                 .iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+        id_tabs = list(
+            fam.map_batches(passing, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+            .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+        )
+        ids = (
+            pa.concat_tables(id_tabs) if id_tabs else pa.table({"doc_id": pa.array([], pa.int64())})
         )["doc_id"].to_numpy(zero_copy_only=False)
         ref = ray.put(np.sort(ids))
         filtered = filtered.map_batches(

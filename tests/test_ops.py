@@ -2361,3 +2361,35 @@ def test_table_diff_separator_aliasing_fixed(ray_session):
         ray.data.from_pandas(a), ray.data.from_pandas(b), "id", ["t", "s"]
     ).take_all()}
     assert st == {1: "changed", 2: "changed"}, st
+
+
+def test_stratified_sample_null_stratum_and_empty_input(ray_session):
+    """r4 review fixes: a null stratum value fails LOUDLY (it used to be
+    silently dropped from the sample), and an empty input returns an empty
+    Dataset instead of crashing pa.concat_tables."""
+    import ray.data
+
+    from orc_format_ray.ops.sample import stratified_sample
+
+    t = pa.table(
+        {
+            "source": pa.array(["a", "a", None, "b"], pa.string()),
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        }
+    )
+    with pytest.raises(Exception, match="nulls"):
+        stratified_sample(ray.data.from_arrow(t), 2).take_all()
+
+    empty = ray.data.from_arrow(t.slice(0, 0))
+    assert stratified_sample(empty, 2).take_all() == []
+
+
+def test_pack_by_sort_empty_input(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.pack import pack_sequences_by_sort
+
+    empty = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([], pa.string()), "text": pa.array([], pa.string())})
+    )
+    assert pack_sequences_by_sort(empty, capacity=8, key="doc_id").take_all() == []
