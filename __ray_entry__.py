@@ -972,6 +972,18 @@ def _q_numeric_profile_lineitem(sf_dir: str):
     return df.sort_values("col").reset_index(drop=True)
 
 
+def _q_string_profile_documents(sf_dir: str):
+    """One-pass string-column profile (exact integer folds only, so the
+    SQL oracle is exact): byte lengths, null/empty/whitespace-only counts."""
+    import ray.data
+
+    from orc_format_ray.ops.profile import string_profile
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text", "source", "lang"])
+    df = string_profile(ds, ["lang", "source", "text"]).to_pandas()
+    return df.sort_values("col").reset_index(drop=True)
+
+
 def _q_corr_lineitem(sf_dir: str):
     """Pairwise Pearson correlations from one pass of fixed-size moment
     partials; the population/sample distinction cancels in the ratio so
@@ -2364,6 +2376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_documents": _q_fingerprint_documents,
         "ivf_ann_exhaustive": _q_ivf_ann_exhaustive,
         # --- 51+: oracle-backed, window-redundant (pytest-checked) ---------
+        "string_profile_documents": _q_string_profile_documents,
         "pq_ann_planted": _q_pq_ann_planted,
         "mixture_sample_documents": _q_mixture_sample_documents,
         "ivf_pq_ann_exhaustive": _q_ivf_pq_ann_exhaustive,
@@ -2791,6 +2804,19 @@ def oracle_sql() -> dict[str, str]:
             "p AS (SELECT CAST(least(floor((l_extendedprice - b.lo) / ((b.hi - b.lo) / 10)), 9) AS BIGINT) AS bin "
             "FROM lineitem, b) "
             "SELECT bin, count(*) AS cnt FROM p GROUP BY bin ORDER BY bin"
+        ),
+        "string_profile_documents": (
+            " UNION ALL ".join(
+                f"SELECT '{c}' AS col, count({c}) AS cnt, count(*) - count({c}) AS nulls, "
+                f"CAST(min(strlen({c})) AS BIGINT) AS min_len, CAST(max(strlen({c})) AS BIGINT) AS max_len, "
+                f"CAST(sum(strlen({c})) AS BIGINT) AS sum_len, "
+                f"CAST(sum(CASE WHEN strlen({c}) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty, "
+                f"CAST(sum(CASE WHEN trim({c}, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)) = '' "
+                "THEN 1 ELSE 0 END) AS BIGINT) AS n_blank "
+                "FROM documents"
+                for c in ["lang", "source", "text"]
+            )
+            + " ORDER BY col"
         ),
         "numeric_profile_lineitem": (
             " UNION ALL ".join(

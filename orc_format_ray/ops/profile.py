@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .._rayutil import remote_args
 
@@ -202,5 +203,70 @@ def corr_matrix(ds, cols: list[str]) -> pa.Table:
             "col_y": pa.array(rows["col_y"]),
             "n": pa.array(rows["n"], pa.int64()),
             "corr": pa.array(rows["corr"], pa.float64()),
+        }
+    )
+
+
+def string_profile(ds, cols: list[str]) -> pa.Table:
+    """Per-string-column summary in ONE pass: non-null count, null count,
+    min/max byte length, total bytes (avg derives on the driver), empty and
+    whitespace-only counts. Fixed-size per-batch partials (one row per
+    column per block), exact integer folds — every output column is plain
+    SQL, so the oracle is exact. Returns one row per column:
+    (col, cnt, nulls, min_len, max_len, sum_len, n_empty, n_blank)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        out = {"col": [], "n": [], "nulls": [], "mn": [], "mx": [], "s": [], "emp": [], "blank": []}
+        for c in cols:
+            arr = batch[c]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            nulls = arr.null_count
+            good = arr.drop_null()
+            ln = pc.binary_length(good)
+            out["col"].append(c)
+            out["n"].append(len(good))
+            out["nulls"].append(nulls)
+            out["mn"].append(int(pc.min(ln).as_py()) if len(good) else -1)
+            out["mx"].append(int(pc.max(ln).as_py()) if len(good) else -1)
+            out["s"].append(int(pc.sum(ln).as_py()) if len(good) else 0)
+            out["emp"].append(int(pc.sum(pc.equal(ln, 0)).as_py()) if len(good) else 0)
+            trimmed = pc.utf8_trim_whitespace(good)
+            out["blank"].append(int(pc.sum(pc.equal(trimmed, "")).as_py()) if len(good) else 0)
+        return pa.table(
+            {
+                "col": pa.array(out["col"]),
+                "n": pa.array(out["n"], pa.int64()),
+                "nulls": pa.array(out["nulls"], pa.int64()),
+                "mn": pa.array(out["mn"], pa.int64()),
+                "mx": pa.array(out["mx"], pa.int64()),
+                "s": pa.array(out["s"], pa.int64()),
+                "emp": pa.array(out["emp"], pa.int64()),
+                "blank": pa.array(out["blank"], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args()).take_all()
+    acc = {c: dict(n=0, nulls=0, mn=None, mx=None, s=0, emp=0, blank=0) for c in cols}
+    for p in parts:
+        r = acc[p["col"]]
+        r["n"] += int(p["n"])
+        r["nulls"] += int(p["nulls"])
+        if int(p["mn"]) >= 0:
+            r["mn"] = int(p["mn"]) if r["mn"] is None else min(r["mn"], int(p["mn"]))
+            r["mx"] = int(p["mx"]) if r["mx"] is None else max(r["mx"], int(p["mx"]))
+        r["s"] += int(p["s"])
+        r["emp"] += int(p["emp"])
+        r["blank"] += int(p["blank"])
+    return pa.table(
+        {
+            "col": pa.array(list(cols)),
+            "cnt": pa.array([acc[c]["n"] for c in cols], pa.int64()),
+            "nulls": pa.array([acc[c]["nulls"] for c in cols], pa.int64()),
+            "min_len": pa.array([acc[c]["mn"] for c in cols], pa.int64()),
+            "max_len": pa.array([acc[c]["mx"] for c in cols], pa.int64()),
+            "sum_len": pa.array([acc[c]["s"] for c in cols], pa.int64()),
+            "n_empty": pa.array([acc[c]["emp"] for c in cols], pa.int64()),
+            "n_blank": pa.array([acc[c]["blank"] for c in cols], pa.int64()),
         }
     )

@@ -2393,3 +2393,34 @@ def test_pack_by_sort_empty_input(ray_session):
         pa.table({"doc_id": pa.array([], pa.string()), "text": pa.array([], pa.string())})
     )
     assert pack_sequences_by_sort(empty, capacity=8, key="doc_id").take_all() == []
+
+
+def test_string_profile_with_nulls_and_blanks(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.profile import string_profile
+
+    t = pa.table(
+        {
+            "a": pa.array(["hello", "", "  \t ", None, "x"], pa.string()),
+            "b": pa.array([None, None, "yy", "zzz", ""], pa.string()),
+        }
+    )
+    out = string_profile(ray.data.from_arrow(t).repartition(3), ["a", "b"]).to_pandas().set_index("col")
+    assert out.loc["a", "cnt"] == 4 and out.loc["a", "nulls"] == 1
+    assert out.loc["a", "min_len"] == 0 and out.loc["a", "max_len"] == 5
+    assert out.loc["a", "sum_len"] == 5 + 0 + 4 + 1
+    assert out.loc["a", "n_empty"] == 1 and out.loc["a", "n_blank"] == 2  # '' and whitespace-only
+    assert out.loc["b", "cnt"] == 3 and out.loc["b", "nulls"] == 2
+    assert out.loc["b", "min_len"] == 0 and out.loc["b", "max_len"] == 3
+
+    allnull = pa.table({"a": pa.array([None, None], pa.string())})
+    o2 = string_profile(ray.data.from_arrow(allnull), ["a"]).to_pandas().iloc[0]
+    assert o2["cnt"] == 0 and o2["nulls"] == 2
+    assert pd_isnull_or_none(o2["min_len"]) and pd_isnull_or_none(o2["max_len"])
+
+
+def pd_isnull_or_none(v):
+    import pandas as pd
+
+    return v is None or pd.isna(v)
