@@ -810,6 +810,21 @@ def _q_funnel_events(sf_dir: str):
     return df
 
 
+def _q_analytic_events(sf_dir: str):
+    """SQL analytic window functions (row_number / lag / running sum) per
+    user ordered by ts, computed distributed via the pinned-sorted-block +
+    broadcast-base prefix-sum plan of ops/windows.py:analytic_over. The
+    running sum is exact-integer (floor(value*100+0.5) units) so the fold
+    is associative and bit-equal to the SQL window sum."""
+    import ray.data
+
+    from orc_format_ray.ops.windows import analytic_over
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "value"])
+    df = analytic_over(ds).to_pandas().sort_values(["user_id", "ts_us"]).reset_index(drop=True)
+    return df
+
+
 def _q_bpe_pair_counts(sf_dir: str):
     """First BPE merge round certified in SQL: the distributed (word, count)
     fold feeds frequency-weighted adjacent-character-pair counts (end-of-word
@@ -2376,6 +2391,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_documents": _q_fingerprint_documents,
         "ivf_ann_exhaustive": _q_ivf_ann_exhaustive,
         # --- 51+: oracle-backed, window-redundant (pytest-checked) ---------
+        "analytic_events": _q_analytic_events,
         "string_profile_documents": _q_string_profile_documents,
         "pq_ann_planted": _q_pq_ann_planted,
         "mixture_sample_documents": _q_mixture_sample_documents,
@@ -3013,6 +3029,14 @@ def oracle_sql() -> dict[str, str]:
             "WHERE (epoch_ms(ts) // 3600000) * 3600000 - k * 3600000 <= epoch_ms(ts) "
             "AND epoch_ms(ts) < (epoch_ms(ts) // 3600000) * 3600000 - k * 3600000 + 7200000 "
             "GROUP BY event_type, window_start_ms"
+        ),
+        "analytic_events": (
+            "SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_id, "
+            "CAST(row_number() OVER w AS BIGINT) AS rn, "
+            "coalesce(lag(event_id) OVER w, -1) AS prev_event_id, "
+            "CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) OVER w AS BIGINT) AS run_units "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts) "
+            "ORDER BY user_id, ts"
         ),
         "session_window_events": (
             "WITH e AS (SELECT event_type, epoch_ms(ts) AS t, value FROM events), "

@@ -243,3 +243,163 @@ def cohort_retention(ds, user_col: str = "user_id", ts_col: str = "ts",
         .groupby(["cohort_week", "week_offset"])
         .aggregate(Count(alias_name="n_users"))
     )
+
+
+def analytic_over(ds, key: str = "user_id", order_col: str = "ts",
+                  id_col: str = "event_id", value_col: str = "value",
+                  value_scale: int = 100):
+    """SQL analytic window functions over ``PARTITION BY key ORDER BY
+    order_col``: row_number, lag(id_col), and a running sum of the value —
+    the per-entity sequence features (visit index, previous event, running
+    spend) of an event-log pipeline. Returns a Dataset of
+    ``(key, ts_us, id_col, rn, prev_<id_col>, run_units)``.
+
+    The running sum is EXACT-integer: each value quantizes to
+    ``floor(value * value_scale + 0.5)`` units (int64) so the fold is
+    associative and bit-equal to the SQL window
+    ``sum(CAST(floor(value*scale + 0.5) AS BIGINT)) OVER w`` — never a
+    float cumsum, whose grouping order would diverge from SQL's.
+
+    Plan (metadata-only, the select_by_budget shape — full rows never
+    shuffle; join the ids back if you need payloads):
+
+    1. project ``(key, ord_us, id, units)``;
+    2. range-partitioned ``sort([key, ord])`` + ``materialize`` to pin the
+       sorted blocks;
+    3. pass A: one row per (block, key present in block) with the block's
+       lo tuple and the key's in-block (count, unit sum, last id). The
+       driver orders blocks by lo, checks lexicographic disjointness
+       (duplicate (key, ord) defense — a dup would silently shift every
+       later row_number), and folds per-key exclusive bases;
+    4. pass B over the SAME pinned blocks: vectorized segment cumsums +
+       the broadcast per-key base (count, sum, prev id).
+
+    ``(key, order_col)`` must be globally unique; ``value`` non-null.
+    Driver-side state is one (block x distinct-keys-per-block) dict —
+    bounded by the sort's block count, not the row count.
+    """
+    import numpy as np
+    import ray
+
+    def to_meta(batch: pa.Table) -> pa.Table:
+        ous = batch[order_col].cast(pa.timestamp("us")).cast(pa.int64())
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        if batch[value_col].null_count or np.isnan(v).any():
+            raise ValueError(f"{value_col!r} must be non-null for the running sum")
+        units = np.floor(v * value_scale + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "k": batch[key].cast(pa.int64()),
+                "o": ous,
+                "i": batch[id_col].cast(pa.int64()),
+                "v": pa.array(units, pa.int64()),
+            }
+        )
+
+    meta = ds.map_batches(to_meta, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    pinned = meta.sort(["k", "o"]).materialize()
+
+    def block_partials(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows:
+            return pa.table({c: pa.array([], pa.int64()) for c in
+                             ("blo_k", "blo_o", "k", "cnt", "vsum", "last_i")})
+        k = batch["k"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        i = batch["i"].to_numpy(zero_copy_only=False)
+        starts = np.concatenate(([0], np.flatnonzero(k[1:] != k[:-1]) + 1))
+        ends = np.concatenate((starts[1:], [len(k)]))
+        c = np.concatenate(([0], np.cumsum(v)))
+        return pa.table(
+            {
+                "blo_k": pa.array(np.full(len(starts), k[0]), pa.int64()),
+                "blo_o": pa.array(np.full(len(starts), batch["o"][0].as_py()), pa.int64()),
+                "k": pa.array(k[starts], pa.int64()),
+                "cnt": pa.array(ends - starts, pa.int64()),
+                "vsum": pa.array(c[ends] - c[starts], pa.int64()),
+                "last_i": pa.array(i[ends - 1], pa.int64()),
+            }
+        )
+
+    parts = pinned.map_batches(
+        block_partials, batch_size=None, batch_format="pyarrow", zero_copy_batch=True, **remote_args()
+    ).to_pandas()
+    blocks: dict[tuple[int, int], list] = {}
+    for blo_k, blo_o, k, cnt, vsum, last_i in parts.itertuples(index=False):
+        blocks.setdefault((int(blo_k), int(blo_o)), []).append(
+            (int(k), int(cnt), int(vsum), int(last_i))
+        )
+    order = sorted(blocks)
+    # Lexicographic disjointness: each block's last (k, o) must precede the
+    # next block's first. The last key's hi-ord isn't shipped, so check the
+    # sufficient condition (last k, -inf) vs next lo after verifying keys
+    # are non-decreasing across the boundary; equal boundary keys are fine
+    # (a key may span blocks), but an equal (k, o) pair is not detectable
+    # here — enforce key+ord uniqueness upstream.
+    for a, b in zip(order, order[1:]):
+        if blocks[a][-1][0] > b[0]:
+            raise ValueError("sorted metadata blocks overlap — sort produced non-disjoint ranges")
+    acc: dict[int, tuple[int, int, int | None]] = {}
+    bases: dict[tuple[int, int], dict[int, tuple[int, int, int | None]]] = {}
+    for lo in order:
+        snap = {k: acc.get(k, (0, 0, None)) for k, _, _, _ in blocks[lo]}
+        bases[lo] = snap
+        for k, cnt, vsum, last_i in blocks[lo]:
+            pc_, pv, _ = acc.get(k, (0, 0, None))
+            acc[k] = (pc_ + cnt, pv + vsum, last_i)
+    bases_ref = ray.put(bases)
+
+    prev_name = f"prev_{id_col}"
+
+    def finish(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                key: pa.array([], pa.int64()),
+                "ts_us": pa.array([], pa.int64()),
+                id_col: pa.array([], pa.int64()),
+                "rn": pa.array([], pa.int64()),
+                prev_name: pa.array([], pa.int64()),
+                "run_units": pa.array([], pa.int64()),
+            }
+        )
+        if not batch.num_rows:
+            return empty
+        base = ray.get(bases_ref)[(batch["k"][0].as_py(), batch["o"][0].as_py())]
+        k = batch["k"].to_numpy(zero_copy_only=False)
+        o = batch["o"].to_numpy(zero_copy_only=False)
+        i = batch["i"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        n = len(k)
+        starts = np.concatenate(([0], np.flatnonzero(k[1:] != k[:-1]) + 1))
+        lengths = np.diff(np.concatenate((starts, [n])))
+        seg_of = np.repeat(np.arange(len(starts)), lengths)
+        c = np.cumsum(v)
+        seg_base_sum = np.concatenate(([0], c[starts[1:] - 1]))
+        within_sum = c - seg_base_sum[seg_of]
+        rn_local = np.arange(n, dtype=np.int64) - starts[seg_of] + 1
+        kb_cnt = np.array([base[int(kk)][0] for kk in k[starts]], dtype=np.int64)
+        kb_sum = np.array([base[int(kk)][1] for kk in k[starts]], dtype=np.int64)
+        kb_prev = [base[int(kk)][2] for kk in k[starts]]
+        rn = rn_local + kb_cnt[seg_of]
+        run = within_sum + kb_sum[seg_of]
+        prev = np.empty(n, dtype=np.int64)
+        prev[1:] = i[:-1]
+        # -1 sentinel instead of NULL: a nullable int64 round-trips through
+        # pandas as float64+NaN on BOTH compare sides, which is hash-fragile;
+        # SQL mirrors with coalesce(lag(id) OVER w, -1).
+        for s_idx, s in enumerate(starts):
+            p = kb_prev[s_idx]
+            prev[s] = -1 if p is None else p
+        return pa.table(
+            {
+                key: pa.array(k, pa.int64()),
+                "ts_us": pa.array(o, pa.int64()),
+                id_col: pa.array(i, pa.int64()),
+                "rn": pa.array(rn, pa.int64()),
+                prev_name: pa.array(prev, pa.int64()),
+                "run_units": pa.array(run, pa.int64()),
+            }
+        )
+
+    return pinned.map_batches(
+        finish, batch_size=None, batch_format="pyarrow", zero_copy_batch=True, **remote_args()
+    )

@@ -2424,3 +2424,49 @@ def pd_isnull_or_none(v):
     import pandas as pd
 
     return v is None or pd.isna(v)
+
+
+def test_analytic_over_matches_duckdb_window(ray_session):
+    """analytic_over's distributed prefix sum == SQL window functions on a
+    synthetic log engineered so keys SPAN sorted blocks (many rows per key,
+    tiny blocks force cross-block bases and cross-block lag)."""
+    import duckdb
+    import pandas as pd
+    import ray.data
+
+    from orc_format_ray.ops.windows import analytic_over
+
+    rng2 = np.random.default_rng(42)
+    n = 5000
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    df = pd.DataFrame(
+        {
+            "user_id": rng2.integers(0, 7, n),  # 7 hot keys -> every key spans blocks
+            "ts": t0 + np.cumsum(rng2.integers(1, 1000, n)).astype("timedelta64[us]"),
+            "event_id": np.arange(n, dtype=np.int64),
+            "value": np.round(rng2.normal(0, 50, n), 2),  # negatives included
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(16)
+    out = analytic_over(ds).to_pandas().sort_values(["user_id", "ts_us"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("events", df)
+    ora = con.execute(
+        "SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_id, "
+        "CAST(row_number() OVER w AS BIGINT) AS rn, "
+        "coalesce(lag(event_id) OVER w, -1) AS prev_event_id, "
+        "CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) OVER w AS BIGINT) AS run_units "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts) "
+        "ORDER BY user_id, ts"
+    ).df()
+    pd.testing.assert_frame_equal(out, ora, check_dtype=True)
+
+    # null values in the running-sum column are rejected loudly
+    df2 = df.head(10).copy()
+    df2.loc[3, "value"] = np.nan
+    with pytest.raises(Exception):
+        analytic_over(ray.data.from_pandas(df2)).take_all()
+
+    # empty input -> empty typed output
+    empty = analytic_over(ray.data.from_pandas(df.head(0)))
+    assert empty.count() == 0
