@@ -825,6 +825,40 @@ def _q_analytic_events(sf_dir: str):
     return df
 
 
+def _q_apply_changes_documents(sf_dir: str):
+    """CDC upsert/delete merge certified in SQL: a change table planted
+    from the corpus by the Knuth hash (20% updates, 10% deletes, 10%
+    inserts under new ids) applies onto the base snapshot via
+    ops/etl.py:apply_changes — base rows never shuffle; the changed-key
+    set broadcasts once and base streams through an is_in anti-filter."""
+    import numpy as np
+    import ray.data
+
+    from orc_format_ray.ops.etl import apply_changes
+    from orc_format_ray.ops.sample import knuth_hash
+
+    base = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
+    def mk_changes(batch: pa.Table) -> pa.Table:
+        m = (knuth_hash(batch["doc_id"].to_numpy(zero_copy_only=False)) % np.uint64(10)).astype(np.int64)
+        u = batch.filter(pa.array((m == 0) | (m == 1)))
+        u = u.set_column(u.schema.get_field_index("source"), "source", pa.array(["patched"] * u.num_rows, pa.string()))
+        u = u.append_column("op", pa.array(["U"] * u.num_rows, pa.string()))
+        d = batch.filter(pa.array(m == 2))
+        d = d.append_column("op", pa.array(["D"] * d.num_rows, pa.string()))
+        i = batch.filter(pa.array(m == 3))
+        i = i.set_column(
+            i.schema.get_field_index("doc_id"), "doc_id", pa.compute.add(i["doc_id"], pa.scalar(1000000000000, pa.int64()))
+        )
+        i = i.set_column(i.schema.get_field_index("source"), "source", pa.array(["inserted"] * i.num_rows, pa.string()))
+        i = i.append_column("op", pa.array(["U"] * i.num_rows, pa.string()))
+        return pa.concat_tables([u, d, i])
+
+    changes = base.map_batches(mk_changes, batch_format="pyarrow", **_ra())
+    out = apply_changes(base, changes, "doc_id")
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_bpe_pair_counts(sf_dir: str):
     """First BPE merge round certified in SQL: the distributed (word, count)
     fold feeds frequency-weighted adjacent-character-pair counts (end-of-word
@@ -2392,6 +2426,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_ann_exhaustive": _q_ivf_ann_exhaustive,
         # --- 51+: oracle-backed, window-redundant (pytest-checked) ---------
         "analytic_events": _q_analytic_events,
+        "apply_changes_documents": _q_apply_changes_documents,
         "string_profile_documents": _q_string_profile_documents,
         "pq_ann_planted": _q_pq_ann_planted,
         "mixture_sample_documents": _q_mixture_sample_documents,
@@ -3029,6 +3064,18 @@ def oracle_sql() -> dict[str, str]:
             "WHERE (epoch_ms(ts) // 3600000) * 3600000 - k * 3600000 <= epoch_ms(ts) "
             "AND epoch_ms(ts) < (epoch_ms(ts) // 3600000) * 3600000 - k * 3600000 + 7200000 "
             "GROUP BY event_type, window_start_ms"
+        ),
+        "apply_changes_documents": (
+            "WITH h AS (SELECT *, ((doc_id*2654435761) % 4294967296) % 10 AS m FROM documents), "
+            "ch AS ("
+            "SELECT doc_id, text, lang, 'patched' AS source, n_chars, 'U' AS op FROM h WHERE m IN (0,1) "
+            "UNION ALL SELECT doc_id, text, lang, source, n_chars, 'D' AS op FROM h WHERE m = 2 "
+            "UNION ALL SELECT doc_id + 1000000000000 AS doc_id, text, lang, 'inserted' AS source, n_chars, 'U' AS op "
+            "FROM h WHERE m = 3) "
+            "SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars FROM documents d "
+            "WHERE d.doc_id NOT IN (SELECT doc_id FROM ch) "
+            "UNION ALL SELECT doc_id, text, lang, source, n_chars FROM ch WHERE op = 'U' "
+            "ORDER BY doc_id"
         ),
         "analytic_events": (
             "SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_id, "

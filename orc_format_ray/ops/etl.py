@@ -129,3 +129,69 @@ def table_diff(ds_a, ds_b, key: str, cols: list[str]):
         return pa.table({key: batch[key], "status": pa.array(status.tolist(), pa.string())})
 
     return agg.map_batches(classify, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+
+
+def apply_changes(base_ds, changes_ds, key: str, op_col: str = "op",
+                  seq_col: str | None = None, max_broadcast_keys: int = 1 << 26):
+    """CDC merge: apply a change table onto a base snapshot — the
+    incremental-ingest upsert. ``changes_ds`` carries the base's columns
+    plus ``op_col`` in {'U', 'D'} ('U' = insert-or-replace by ``key``,
+    'D' = delete) and optionally ``seq_col`` (a change sequence number;
+    the LATEST change per key wins). Without ``seq_col``, more than one
+    change per key fails loudly. Returns a Dataset with the base schema.
+
+    Scale shape: the BASE — the 100-TB side — never shuffles. Changes
+    (the small side) dedupe to latest in one groupby of tiny groups, the
+    changed-key set broadcasts once via ``ray.put`` (guarded by
+    ``max_broadcast_keys``), and base rows stream through a vectorized
+    ``pc.is_in`` anti-filter; surviving upserts append as a second task
+    branch. Beyond the guard, route keys through the sharded survivor
+    filter of ops/dedup.py instead of raising it."""
+    import pandas as pd
+    import ray
+
+    base_cols = base_ds.schema().names
+    for c in (op_col,) + ((seq_col,) if seq_col else ()):
+        if c in base_cols:
+            raise ValueError(f"{c!r} collides with a base column")
+
+    def latest(g: pd.DataFrame) -> pd.DataFrame:
+        bad = set(g[op_col]) - {"U", "D"}
+        if bad:
+            raise ValueError(f"unknown {op_col!r} values {sorted(bad)} (want 'U'/'D')")
+        if seq_col is None:
+            if len(g) > 1:
+                raise ValueError(
+                    f"{len(g)} changes for key {g[key].iloc[0]!r}; pass seq_col to order them"
+                )
+            return g
+        s = g[seq_col].to_numpy()
+        if len(np.unique(s)) != len(s):
+            raise ValueError(f"duplicate {seq_col!r} for key {g[key].iloc[0]!r} — latest is ambiguous")
+        return g.iloc[[int(np.argmax(s))]]
+
+    picked = changes_ds.groupby(key).map_groups(latest, batch_format="pandas", **remote_args()).materialize()
+
+    n_changed = picked.count()
+    if n_changed > max_broadcast_keys:
+        raise ValueError(
+            f"{n_changed} changed keys exceed max_broadcast_keys={max_broadcast_keys}; "
+            "shard the key set (see ops/dedup.py _ShardedSurvivorFilter) instead of broadcasting"
+        )
+    if n_changed == 0:
+        return base_ds
+    key_tbl = pa.concat_tables(list(picked.select_columns([key]).iter_batches(batch_format="pyarrow")))
+    keys_ref = ray.put(pa.concat_arrays(key_tbl.column(key).chunks))
+
+    def drop_changed(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        return batch.filter(pc.invert(pc.is_in(batch[key], value_set=ks)))
+
+    kept = base_ds.map_batches(drop_changed, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+
+    def upserts(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch[op_col], "U")
+        return batch.filter(m).select(base_cols)
+
+    ups = picked.map_batches(upserts, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    return kept.union(ups)

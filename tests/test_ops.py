@@ -2470,3 +2470,60 @@ def test_analytic_over_matches_duckdb_window(ray_session):
     # empty input -> empty typed output
     empty = analytic_over(ray.data.from_pandas(df.head(0)))
     assert empty.count() == 0
+
+
+def test_apply_changes_semantics(ray_session):
+    """CDC merge: upsert replaces, delete removes, insert appends; seq_col
+    picks the latest change; ambiguous/unknown changes fail loudly."""
+    import pandas as pd
+    import ray.data
+
+    from orc_format_ray.ops.etl import apply_changes
+
+    base = ray.data.from_pandas(
+        pd.DataFrame({"k": [1, 2, 3, 4], "v": ["a", "b", "c", "d"]})
+    ).repartition(2)
+
+    # U replaces k=2, D removes k=3, U inserts k=9
+    ch = ray.data.from_pandas(
+        pd.DataFrame({"k": [2, 3, 9], "v": ["B", "", "Z"], "op": ["U", "D", "U"]})
+    )
+    out = apply_changes(base, ch, "k").to_pandas().sort_values("k").reset_index(drop=True)
+    assert out.to_dict("list") == {"k": [1, 2, 4, 9], "v": ["a", "B", "d", "Z"]}
+    assert list(out.columns) == ["k", "v"]
+
+    # seq_col: the latest change per key wins (U then D -> deleted; D then U -> updated)
+    ch2 = ray.data.from_pandas(
+        pd.DataFrame(
+            {"k": [2, 2, 3, 3], "v": ["B1", "", "", "C2"], "op": ["U", "D", "D", "U"], "seq": [1, 2, 1, 2]}
+        )
+    )
+    out2 = apply_changes(base, ch2, "k", seq_col="seq").to_pandas().sort_values("k").reset_index(drop=True)
+    assert out2.to_dict("list") == {"k": [1, 3, 4], "v": ["a", "C2", "d"]}
+
+    # two changes for one key without seq_col -> loud
+    ch3 = ray.data.from_pandas(pd.DataFrame({"k": [2, 2], "v": ["x", "y"], "op": ["U", "U"]}))
+    with pytest.raises(Exception):
+        apply_changes(base, ch3, "k").take_all()
+
+    # unknown op -> loud
+    ch4 = ray.data.from_pandas(pd.DataFrame({"k": [2], "v": ["x"], "op": ["upsert"]}))
+    with pytest.raises(Exception):
+        apply_changes(base, ch4, "k").take_all()
+
+    # duplicate seq for one key -> ambiguous -> loud
+    ch5 = ray.data.from_pandas(
+        pd.DataFrame({"k": [2, 2], "v": ["x", "y"], "op": ["U", "U"], "seq": [1, 1]})
+    )
+    with pytest.raises(Exception):
+        apply_changes(base, ch5, "k", seq_col="seq").take_all()
+
+    # empty change set -> base unchanged
+    ch6 = ray.data.from_pandas(pd.DataFrame({"k": [], "v": [], "op": []}))
+    out6 = apply_changes(base, ch6, "k").to_pandas().sort_values("k").reset_index(drop=True)
+    assert out6["k"].tolist() == [1, 2, 3, 4]
+
+    # op column name colliding with a base column -> loud
+    base2 = ray.data.from_pandas(pd.DataFrame({"k": [1], "op": ["x"]}))
+    with pytest.raises(ValueError):
+        apply_changes(base2, ch, "k")
