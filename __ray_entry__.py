@@ -825,6 +825,28 @@ def _q_analytic_events(sf_dir: str):
     return df
 
 
+def _q_cube_lineitem(sf_dir: str):
+    """3-key CUBE (8 grouping sets) over lineitem in one corpus pass —
+    finest cells shuffle once, the other 7 sets re-aggregate driver-side
+    over |combos| rows (ops/agg.py:cube). Third key is the derived ship
+    year so the cube is genuinely 3-dimensional."""
+    import ray.data
+
+    from orc_format_ray.ops.agg import cube
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_shipdate", "l_quantity"],
+    )
+
+    def add_year(batch: pa.Table) -> pa.Table:
+        yr = pa.compute.cast(pa.compute.year(batch["l_shipdate"]), pa.string())
+        return batch.append_column("ship_year", yr)
+
+    prepped = ds.map_batches(add_year, batch_format="pyarrow", **_ra())
+    return cube(prepped, ["l_returnflag", "l_linestatus", "ship_year"], "l_quantity", round_to=2)
+
+
 def _q_apply_changes_documents(sf_dir: str):
     """CDC upsert/delete merge certified in SQL: a change table planted
     from the corpus by the Knuth hash (20% updates, 10% deletes, 10%
@@ -2427,6 +2449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- 51+: oracle-backed, window-redundant (pytest-checked) ---------
         "analytic_events": _q_analytic_events,
         "apply_changes_documents": _q_apply_changes_documents,
+        "cube_lineitem": _q_cube_lineitem,
         "string_profile_documents": _q_string_profile_documents,
         "pq_ann_planted": _q_pq_ann_planted,
         "mixture_sample_documents": _q_mixture_sample_documents,
@@ -3064,6 +3087,19 @@ def oracle_sql() -> dict[str, str]:
             "WHERE (epoch_ms(ts) // 3600000) * 3600000 - k * 3600000 <= epoch_ms(ts) "
             "AND epoch_ms(ts) < (epoch_ms(ts) // 3600000) * 3600000 - k * 3600000 + 7200000 "
             "GROUP BY event_type, window_start_ms"
+        ),
+        "cube_lineitem": (
+            "SELECT COALESCE(l_returnflag, '(all)') AS l_returnflag, "
+            "COALESCE(l_linestatus, '(all)') AS l_linestatus, "
+            "COALESCE(ship_year, '(all)') AS ship_year, "
+            "CAST((CASE WHEN GROUPING(l_returnflag) = 0 THEN 1 ELSE 0 END) + "
+            "(CASE WHEN GROUPING(l_linestatus) = 0 THEN 1 ELSE 0 END) + "
+            "(CASE WHEN GROUPING(ship_year) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS level, "
+            "round(sum(l_quantity), 2) AS value "
+            "FROM (SELECT l_returnflag, l_linestatus, CAST(year(l_shipdate) AS VARCHAR) AS ship_year, l_quantity "
+            "FROM lineitem) "
+            "GROUP BY CUBE (l_returnflag, l_linestatus, ship_year) "
+            "ORDER BY level DESC, l_returnflag, l_linestatus, ship_year"
         ),
         "apply_changes_documents": (
             "WITH h AS (SELECT *, ((doc_id*2654435761) % 4294967296) % 10 AS m FROM documents), "

@@ -172,22 +172,12 @@ def pivot(ds, index: str, column: str, value: str, agg: str = "sum", round_to: i
     return cells.groupby(index).map_groups(widen, **remote_args())
 
 
-def rollup(ds, keys: list[str], value: str, agg: str = "sum", round_to: int | None = None):
-    """SQL ROLLUP: aggregates at every prefix level of ``keys`` —
-    (k1..kn), (k1..kn-1), ..., () — in ONE corpus pass. The finest-level
-    cells are computed with the same per-batch partial plan as ``pivot``
-    and materialized (|distinct key combos| rows); every coarser level is a
-    cheap re-aggregation OVER THE CELLS, never over the corpus. Rolled-up
-    key positions carry the string '(all)' (COALESCE-matched in SQL), all
-    key columns are emitted as strings, plus ``level`` (number of active
-    keys) and ``value``."""
-    import pandas as pd
+def _grouping_cells(ds, keys: list[str], value: str, agg: str):
+    """Finest-level (all-keys) aggregate cells as a driver DataFrame —
+    the shared first pass of rollup/cube: per-batch partials, ONE
+    groupby, |distinct key combos| rows (small by contract). Keys are
+    stringified so every grouping level shares one dtype."""
     from ray.data.aggregate import Max, Min, Sum
-
-    if agg not in _PIVOT_AGGS:
-        raise ValueError(f"agg must be one of {_PIVOT_AGGS}, got {agg!r}")
-    if not keys:
-        raise ValueError("rollup needs at least one key")
 
     def partial(batch: pa.Table) -> pa.Table:
         sel = batch.select([*keys, value])
@@ -208,39 +198,98 @@ def rollup(ds, keys: list[str], value: str, agg: str = "sum", round_to: int | No
         cells = parts.groupby(keys).aggregate(Min("__ru_p__", alias_name="p"))
     else:
         cells = parts.groupby(keys).aggregate(Max("__ru_p__", alias_name="p"))
-    cdf = cells.materialize().to_pandas()  # |key combos| rows — small by contract
+    return cells.materialize().to_pandas()
 
-    def finish(df: pd.DataFrame, active: list[str]) -> pd.DataFrame:
-        n = len(df)
-        out = pd.DataFrame(index=range(n))
-        for k in keys:
-            out[k] = df[k].astype(str).to_numpy() if k in active else np.full(n, "(all)", dtype=object)
-        out["level"] = np.full(n, len(active), dtype=np.int64)
-        if agg == "mean":
-            v = df["s"].to_numpy(np.float64) / df["c"].to_numpy(np.float64)
-        elif agg == "count":
-            out["value"] = df["p"].to_numpy(np.int64)
-            return out
-        else:
-            v = df["p"].to_numpy(np.float64)
-        out["value"] = np.round(v, round_to) if round_to is not None else v
+
+def _reaggregate_cells(cdf, active: list[str], agg: str):
+    """Re-aggregate finest cells to the ``active`` key subset — cheap
+    driver-side pandas over |combos| rows, valid because every supported
+    agg is distributive over the finest cells (mean folds (s, c))."""
+    grouped = cdf.groupby(active, as_index=False) if active else cdf.assign(__g__=0).groupby("__g__", as_index=False)
+    if agg == "mean":
+        return grouped[["s", "c"]].sum()
+    if agg in ("sum", "count"):
+        return grouped[["p"]].sum()
+    if agg == "min":
+        return grouped[["p"]].min()
+    return grouped[["p"]].max()
+
+
+def _level_frame(df, keys: list[str], active: list[str], agg: str, round_to: int | None):
+    """One grouping level as the output frame: rolled-up key positions
+    carry '(all)', ``level`` = number of active keys. The frame is built
+    with an explicit index — a scalar assigned to an empty DataFrame
+    silently yields 0 rows (CLAUDE.md round-4 invariant)."""
+    import pandas as pd
+
+    n = len(df)
+    out = pd.DataFrame(index=range(n))
+    for k in keys:
+        out[k] = df[k].astype(str).to_numpy() if k in active else np.full(n, "(all)", dtype=object)
+    out["level"] = np.full(n, len(active), dtype=np.int64)
+    if agg == "mean":
+        v = df["s"].to_numpy(np.float64) / df["c"].to_numpy(np.float64)
+    elif agg == "count":
+        out["value"] = df["p"].to_numpy(np.int64)
         return out
+    else:
+        v = df["p"].to_numpy(np.float64)
+    out["value"] = np.round(v, round_to) if round_to is not None else v
+    return out
 
+
+def rollup(ds, keys: list[str], value: str, agg: str = "sum", round_to: int | None = None):
+    """SQL ROLLUP: aggregates at every prefix level of ``keys`` —
+    (k1..kn), (k1..kn-1), ..., () — in ONE corpus pass. The finest-level
+    cells are computed with the same per-batch partial plan as ``pivot``
+    and materialized (|distinct key combos| rows); every coarser level is a
+    cheap re-aggregation OVER THE CELLS, never over the corpus. Rolled-up
+    key positions carry the string '(all)' (COALESCE-matched in SQL), all
+    key columns are emitted as strings, plus ``level`` (number of active
+    keys) and ``value``."""
+    import pandas as pd
+
+    if agg not in _PIVOT_AGGS:
+        raise ValueError(f"agg must be one of {_PIVOT_AGGS}, got {agg!r}")
+    if not keys:
+        raise ValueError("rollup needs at least one key")
+
+    cdf = _grouping_cells(ds, keys, value, agg)
     levels = []
     for i in range(len(keys), -1, -1):
         active = keys[:i]
         if i == len(keys):
-            levels.append(finish(cdf, active))
-            continue
-        grouped = cdf.groupby(active, as_index=False) if active else cdf.assign(__g__=0).groupby("__g__", as_index=False)
-        if agg == "mean":
-            sub = grouped[["s", "c"]].sum()
-        elif agg in ("sum", "count"):
-            sub = grouped[["p"]].sum()
-        elif agg == "min":
-            sub = grouped[["p"]].min()
+            levels.append(_level_frame(cdf, keys, active, agg, round_to))
         else:
-            sub = grouped[["p"]].max()
-        levels.append(finish(sub, active))
+            levels.append(_level_frame(_reaggregate_cells(cdf, active, agg), keys, active, agg, round_to))
+    out = pd.concat(levels, ignore_index=True)
+    return out.sort_values(["level", *keys], ascending=[False] + [True] * len(keys)).reset_index(drop=True)
+
+
+def cube(ds, keys: list[str], value: str, agg: str = "sum", round_to: int | None = None):
+    """SQL CUBE: aggregates at EVERY subset of ``keys`` (2^k grouping
+    sets) in ONE corpus pass — the finest cells shuffle once, every other
+    grouping set is a driver-side re-aggregation over those |combos|
+    rows. Output schema matches ``rollup``: stringified keys with
+    '(all)' at inactive positions, ``level`` = number of active keys,
+    ``value``. ``len(keys)`` capped at 10 (1024 grouping sets) — beyond
+    that, a cube stops being an explainable report."""
+    import pandas as pd
+
+    if agg not in _PIVOT_AGGS:
+        raise ValueError(f"agg must be one of {_PIVOT_AGGS}, got {agg!r}")
+    if not keys:
+        raise ValueError("cube needs at least one key")
+    if len(keys) > 10:
+        raise ValueError(f"cube over {len(keys)} keys = {2 ** len(keys)} grouping sets; cap is 10 keys")
+
+    cdf = _grouping_cells(ds, keys, value, agg)
+    levels = []
+    for mask in range((1 << len(keys)) - 1, -1, -1):
+        active = [k for i, k in enumerate(keys) if mask & (1 << i)]
+        if len(active) == len(keys):
+            levels.append(_level_frame(cdf, keys, active, agg, round_to))
+        else:
+            levels.append(_level_frame(_reaggregate_cells(cdf, active, agg), keys, active, agg, round_to))
     out = pd.concat(levels, ignore_index=True)
     return out.sort_values(["level", *keys], ascending=[False] + [True] * len(keys)).reset_index(drop=True)

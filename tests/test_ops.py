@@ -2527,3 +2527,50 @@ def test_apply_changes_semantics(ray_session):
     base2 = ray.data.from_pandas(pd.DataFrame({"k": [1], "op": ["x"]}))
     with pytest.raises(ValueError):
         apply_changes(base2, ch, "k")
+
+
+def test_cube_matches_duckdb_and_structure(ray_session):
+    import duckdb
+    import pandas as pd
+    import ray.data
+
+    from orc_format_ray.ops.agg import cube
+
+    rng2 = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {
+            "a": rng2.choice(["x", "y"], 400),
+            "b": rng2.choice(["p", "q", "r"], 400),
+            "v": rng2.integers(0, 100, 400).astype(np.float64),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(5)
+    out = cube(ds, ["a", "b"], "v", agg="sum", round_to=2)
+    con = duckdb.connect()
+    con.register("t", df)
+    ora = con.execute(
+        "SELECT COALESCE(a, '(all)') AS a, COALESCE(b, '(all)') AS b, "
+        "CAST((CASE WHEN GROUPING(a) = 0 THEN 1 ELSE 0 END) + "
+        "(CASE WHEN GROUPING(b) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS level, "
+        "round(sum(v), 2) AS value FROM t GROUP BY CUBE (a, b) "
+        "ORDER BY level DESC, a, b"
+    ).df()
+    pd.testing.assert_frame_equal(out, ora, check_dtype=True)
+
+    # 2 keys -> 4 grouping sets; the two level-1 sets differ from ROLLUP
+    assert sorted(out["level"].unique().tolist()) == [0, 1, 2]
+    assert ((out["a"] == "(all)") & (out["b"] != "(all)")).any()  # the set rollup lacks
+
+    # mean agg folds (s, c) exactly
+    out_m = cube(ds, ["a"], "v", agg="mean", round_to=6)
+    ora_m = con.execute(
+        "SELECT COALESCE(a, '(all)') AS a, "
+        "CAST(CASE WHEN GROUPING(a) = 0 THEN 1 ELSE 0 END AS BIGINT) AS level, "
+        "round(avg(v), 6) AS value FROM t GROUP BY CUBE (a) ORDER BY level DESC, a"
+    ).df()
+    pd.testing.assert_frame_equal(out_m, ora_m, check_dtype=True)
+
+    with pytest.raises(ValueError):
+        cube(ds, [], "v")
+    with pytest.raises(ValueError):
+        cube(ds, ["a"] * 11, "v")
