@@ -825,6 +825,59 @@ def _q_analytic_events(sf_dir: str):
     return df
 
 
+_BM25_TERMS = ["hash", "join", "scan"]
+
+# shared CTE prefix: tokenize (the oracle-aligned split), doc lengths,
+# corpus stats, per-(doc, term) tf, per-term df, per-(term, doc) BM25
+# contribution with the EXACT expression tree ops/search.py evaluates
+_BM25_CTE = (
+    "WITH words AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term "
+    "FROM documents WHERE trim(text) <> ''), "
+    "dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM words GROUP BY doc_id), "
+    "stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_len FROM dl), "
+    "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM words "
+    "WHERE term IN ('hash', 'join', 'scan') GROUP BY doc_id, term), "
+    "df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term), "
+    "contr AS (SELECT t.term, t.doc_id, t.tf, d.dl, "
+    "ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0) * "
+    "((CAST(t.tf AS DOUBLE) * (1.2 + 1.0)) / (CAST(t.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * "
+    "(CAST(d.dl AS DOUBLE) / (CAST(s.total_len AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))))) AS contribution "
+    "FROM tf t JOIN df f ON t.term = f.term JOIN dl d ON t.doc_id = d.doc_id CROSS JOIN stats s) "
+)
+
+
+def _q_bm25_contributions_documents(sf_dir: str):
+    """Inverted-index build + per-(query term, doc) BM25 contribution,
+    bit-exact vs SQL (ops/search.py float-parity contract: math.log idf,
+    mirrored IEEE expression tree). Probes only the query terms' hash
+    buckets."""
+    import ray.data
+
+    from orc_format_ray.ops.search import bm25_contributions, build_inverted_index
+
+    idx = os.path.join(SCRATCH, "bm25_idx_contr")
+    shutil.rmtree(idx, ignore_errors=True)  # oracle run: never trust a stale index
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    build_inverted_index(ds, idx)
+    out = bm25_contributions(idx, _BM25_TERMS).to_pandas()
+    return out.sort_values(["term", "doc_id"]).reset_index(drop=True)
+
+
+def _q_bm25_topk_documents(sf_dir: str):
+    """Full BM25 search: index build -> bucket-probed contributions ->
+    per-doc fixed-order score fold -> distributed top-k. Scores hash
+    bitwise against the SQL plan's left-to-right COALESCE sum."""
+    import ray.data
+
+    from orc_format_ray.ops.search import bm25_topk, build_inverted_index
+
+    idx = os.path.join(SCRATCH, "bm25_idx_topk")
+    shutil.rmtree(idx, ignore_errors=True)
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    build_inverted_index(ds, idx)
+    return bm25_topk(idx, _BM25_TERMS, k=20).to_pandas()
+
+
 def _q_cube_lineitem(sf_dir: str):
     """3-key CUBE (8 grouping sets) over lineitem in one corpus pass —
     finest cells shuffle once, the other 7 sets re-aggregate driver-side
@@ -2450,6 +2503,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "analytic_events": _q_analytic_events,
         "apply_changes_documents": _q_apply_changes_documents,
         "cube_lineitem": _q_cube_lineitem,
+        "bm25_topk_documents": _q_bm25_topk_documents,
+        "bm25_contributions_documents": _q_bm25_contributions_documents,
         "string_profile_documents": _q_string_profile_documents,
         "pq_ann_planted": _q_pq_ann_planted,
         "mixture_sample_documents": _q_mixture_sample_documents,
@@ -3087,6 +3142,20 @@ def oracle_sql() -> dict[str, str]:
             "WHERE (epoch_ms(ts) // 3600000) * 3600000 - k * 3600000 <= epoch_ms(ts) "
             "AND epoch_ms(ts) < (epoch_ms(ts) // 3600000) * 3600000 - k * 3600000 + 7200000 "
             "GROUP BY event_type, window_start_ms"
+        ),
+        "bm25_contributions_documents": (
+            _BM25_CTE
+            + "SELECT term, doc_id, tf, dl, contribution FROM contr ORDER BY term, doc_id"
+        ),
+        "bm25_topk_documents": (
+            _BM25_CTE
+            + ", p AS (SELECT doc_id, "
+            "coalesce(max(CASE WHEN term = 'hash' THEN contribution END), 0.0) "
+            "+ coalesce(max(CASE WHEN term = 'join' THEN contribution END), 0.0) "
+            "+ coalesce(max(CASE WHEN term = 'scan' THEN contribution END), 0.0) AS score, "
+            "CAST(count(*) AS BIGINT) AS n_terms FROM contr GROUP BY doc_id) "
+            "SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank, "
+            "doc_id, score, n_terms FROM p ORDER BY score DESC, doc_id LIMIT 20"
         ),
         "cube_lineitem": (
             "SELECT COALESCE(l_returnflag, '(all)') AS l_returnflag, "
