@@ -825,6 +825,19 @@ def _q_analytic_events(sf_dir: str):
     return df
 
 
+def _q_sessionize_events(sf_dir: str):
+    """Per-event session ids (gaps-and-islands, 30-min gap) via the
+    pinned-sorted-block prefix-sum plan of ops/windows.py:sessionize —
+    all-integer arithmetic, hash-exact vs the SQL lag + windowed-sum."""
+    import ray.data
+
+    from orc_format_ray.ops.windows import sessionize
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"])
+    df = sessionize(ds, gap_us=1_800_000_000).to_pandas()
+    return df.sort_values(["user_id", "ts_us"]).reset_index(drop=True)
+
+
 _BM25_TERMS = ["hash", "join", "scan"]
 
 # shared CTE prefix: tokenize (the oracle-aligned split), doc lengths,
@@ -2505,6 +2518,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube_lineitem": _q_cube_lineitem,
         "bm25_topk_documents": _q_bm25_topk_documents,
         "bm25_contributions_documents": _q_bm25_contributions_documents,
+        "sessionize_events": _q_sessionize_events,
         "string_profile_documents": _q_string_profile_documents,
         "pq_ann_planted": _q_pq_ann_planted,
         "mixture_sample_documents": _q_mixture_sample_documents,
@@ -3142,6 +3156,14 @@ def oracle_sql() -> dict[str, str]:
             "WHERE (epoch_ms(ts) // 3600000) * 3600000 - k * 3600000 <= epoch_ms(ts) "
             "AND epoch_ms(ts) < (epoch_ms(ts) // 3600000) * 3600000 - k * 3600000 + 7200000 "
             "GROUP BY event_type, window_start_ms"
+        ),
+        "sessionize_events": (
+            "WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_id, "
+            "lag(CAST(epoch_us(ts) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us FROM events) "
+            "SELECT user_id, ts_us, event_id, "
+            "CAST(sum(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END) "
+            "OVER (PARTITION BY user_id ORDER BY ts_us) AS BIGINT) AS session_id "
+            "FROM e ORDER BY user_id, ts_us"
         ),
         "bm25_contributions_documents": (
             _BM25_CTE

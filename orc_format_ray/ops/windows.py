@@ -403,3 +403,136 @@ def analytic_over(ds, key: str = "user_id", order_col: str = "ts",
     return pinned.map_batches(
         finish, batch_size=None, batch_format="pyarrow", zero_copy_batch=True, **remote_args()
     )
+
+
+def sessionize(ds, key: str = "user_id", order_col: str = "ts",
+               id_col: str = "event_id", gap_us: int = 1_800_000_000):
+    """Assign every event its per-key session id (gaps-and-islands): a new
+    session starts at the key's first event and whenever the gap to the
+    previous event exceeds ``gap_us`` microseconds. Returns a Dataset of
+    ``(key, ts_us, id_col, session_id)`` with 1-based per-key session ids —
+    the event-level complement of ``session_window_agg`` (which emits one
+    row per session) and exactly SQL's
+    ``SUM(CASE WHEN prev IS NULL OR ts - prev > gap THEN 1 ELSE 0 END)
+    OVER (PARTITION BY key ORDER BY ts)``.
+
+    Same metadata-only pinned-sorted-block plan as ``analytic_over``:
+    pass A ships one row per (block, key) — first/last timestamps and the
+    count of in-block session starts — the driver folds per-key exclusive
+    bases (sessions so far, previous event's ts) in block order, pass B
+    re-reads the SAME pinned blocks and cumsums the start indicators.
+    ``(key, order_col)`` must be globally unique. All arithmetic is
+    integer microseconds — hash-exact against the SQL oracle."""
+    import ray
+
+    if gap_us <= 0:
+        raise ValueError(f"gap_us must be positive, got {gap_us}")
+
+    def to_meta(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": batch[key].cast(pa.int64()),
+                "o": batch[order_col].cast(pa.timestamp("us")).cast(pa.int64()),
+                "i": batch[id_col].cast(pa.int64()),
+            }
+        )
+
+    import numpy as np
+
+    meta = ds.map_batches(to_meta, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    pinned = meta.sort(["k", "o"]).materialize()
+
+    def block_partials(batch: pa.Table) -> pa.Table:
+        cols = ("blo_k", "blo_o", "k", "first_o", "last_o", "internal")
+        if not batch.num_rows:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        k = batch["k"].to_numpy(zero_copy_only=False)
+        o = batch["o"].to_numpy(zero_copy_only=False)
+        starts = np.concatenate(([0], np.flatnonzero(k[1:] != k[:-1]) + 1))
+        ends = np.concatenate((starts[1:], [len(k)]))
+        # in-block session starts EXCLUDING each segment's first row
+        gap = np.zeros(len(k), dtype=np.int64)
+        gap[1:] = (o[1:] - o[:-1] > gap_us).astype(np.int64)
+        gap[starts] = 0
+        c = np.concatenate(([0], np.cumsum(gap)))
+        return pa.table(
+            {
+                "blo_k": pa.array(np.full(len(starts), k[0]), pa.int64()),
+                "blo_o": pa.array(np.full(len(starts), o[0]), pa.int64()),
+                "k": pa.array(k[starts], pa.int64()),
+                "first_o": pa.array(o[starts], pa.int64()),
+                "last_o": pa.array(o[ends - 1], pa.int64()),
+                "internal": pa.array(c[ends] - c[starts], pa.int64()),
+            }
+        )
+
+    parts = pinned.map_batches(
+        block_partials, batch_size=None, batch_format="pyarrow", zero_copy_batch=True, **remote_args()
+    ).to_pandas()
+    blocks: dict[tuple[int, int], list] = {}
+    for blo_k, blo_o, k, first_o, last_o, internal in parts.itertuples(index=False):
+        blocks.setdefault((int(blo_k), int(blo_o)), []).append(
+            (int(k), int(first_o), int(last_o), int(internal))
+        )
+    order = sorted(blocks)
+    for a, b in zip(order, order[1:]):
+        if blocks[a][-1][0] > b[0]:
+            raise ValueError("sorted metadata blocks overlap — sort produced non-disjoint ranges")
+    # per-key fold: (sessions started so far, last ts) — snapshot BEFORE each block
+    acc: dict[int, tuple[int, int]] = {}
+    bases: dict[tuple[int, int], dict[int, tuple[int, int] | None]] = {}
+    for lo in order:
+        snap = {k: acc.get(k) for k, _, _, _ in blocks[lo]}
+        bases[lo] = snap
+        for k, first_o, last_o, internal in blocks[lo]:
+            prev = acc.get(k)
+            boundary = 1 if prev is None or (first_o - prev[1] > gap_us) else 0
+            acc[k] = ((prev[0] if prev else 0) + boundary + internal, last_o)
+    bases_ref = ray.put(bases)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                key: pa.array([], pa.int64()),
+                "ts_us": pa.array([], pa.int64()),
+                id_col: pa.array([], pa.int64()),
+                "session_id": pa.array([], pa.int64()),
+            }
+        )
+        if not batch.num_rows:
+            return empty
+        base = ray.get(bases_ref)[(batch["k"][0].as_py(), batch["o"][0].as_py())]
+        k = batch["k"].to_numpy(zero_copy_only=False)
+        o = batch["o"].to_numpy(zero_copy_only=False)
+        i = batch["i"].to_numpy(zero_copy_only=False)
+        n = len(k)
+        starts = np.concatenate(([0], np.flatnonzero(k[1:] != k[:-1]) + 1))
+        lengths = np.diff(np.concatenate((starts, [n])))
+        seg_of = np.repeat(np.arange(len(starts)), lengths)
+        ind = np.zeros(n, dtype=np.int64)
+        ind[1:] = (o[1:] - o[:-1] > gap_us).astype(np.int64)
+        base_cnt = np.empty(len(starts), dtype=np.int64)
+        for s_idx, s in enumerate(starts):
+            prev = base[int(k[s])]
+            if prev is None:
+                ind[s] = 1
+                base_cnt[s_idx] = 0
+            else:
+                ind[s] = 1 if (o[s] - prev[1] > gap_us) else 0
+                base_cnt[s_idx] = prev[0]
+        c = np.cumsum(ind)
+        seg_base = np.concatenate(([0], c[starts[1:] - 1]))
+        within = c - seg_base[seg_of]
+        session = within + base_cnt[seg_of]
+        return pa.table(
+            {
+                key: pa.array(k, pa.int64()),
+                "ts_us": pa.array(o, pa.int64()),
+                id_col: pa.array(i, pa.int64()),
+                "session_id": pa.array(session, pa.int64()),
+            }
+        )
+
+    return pinned.map_batches(
+        finish, batch_size=None, batch_format="pyarrow", zero_copy_batch=True, **remote_args()
+    )

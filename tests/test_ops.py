@@ -2639,3 +2639,42 @@ def test_inverted_index_and_bm25(ray_session, tmp_path):
 
     with pytest.raises(ValueError):
         bm25_contributions(idx, [])
+
+
+def test_sessionize_matches_duckdb(ray_session):
+    """Per-event session ids: hot keys span pinned blocks; boundary gaps
+    (first event of a block continuing vs starting a session) exercised by
+    large inter-event gaps relative to the 30-min threshold."""
+    import duckdb
+    import pandas as pd
+    import ray.data
+
+    from orc_format_ray.ops.windows import sessionize
+
+    rng2 = np.random.default_rng(3)
+    n = 4000
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    df = pd.DataFrame(
+        {
+            "user_id": rng2.integers(0, 5, n),
+            "ts": t0 + np.cumsum(rng2.integers(1, 3_000_000_000, n)).astype("timedelta64[us]"),
+            "event_id": np.arange(n, dtype=np.int64),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(16)
+    out = sessionize(ds, gap_us=1_800_000_000).to_pandas().sort_values(["user_id", "ts_us"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("ev", df)
+    ora = con.execute(
+        "WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_id, "
+        "lag(CAST(epoch_us(ts) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us FROM ev) "
+        "SELECT user_id, ts_us, event_id, "
+        "CAST(sum(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END) "
+        "OVER (PARTITION BY user_id ORDER BY ts_us) AS BIGINT) AS session_id "
+        "FROM e ORDER BY user_id, ts_us"
+    ).df()
+    pd.testing.assert_frame_equal(out, ora, check_dtype=True)
+    assert out["session_id"].max() > 100  # gaps actually split sessions
+
+    with pytest.raises(ValueError):
+        sessionize(ds, gap_us=0)
