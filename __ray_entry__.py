@@ -825,6 +825,19 @@ def _q_analytic_events(sf_dir: str):
     return df
 
 
+def _q_ndistinct_users_by_type(sf_dir: str):
+    """Exact count(DISTINCT user_id) per event_type at scale: per-batch
+    local distinct, one global pair groupby, then a per-group count over
+    already-distinct rows (ops/agg.py:ndistinct_by_group)."""
+    import ray.data
+
+    from orc_format_ray.ops.agg import ndistinct_by_group
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    df = ndistinct_by_group(ds, "event_type", "user_id").to_pandas()
+    return df.sort_values("event_type").reset_index(drop=True)
+
+
 def _q_sessionize_events(sf_dir: str):
     """Per-event session ids (gaps-and-islands, 30-min gap) via the
     pinned-sorted-block prefix-sum plan of ops/windows.py:sessionize —
@@ -2519,6 +2532,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_documents": _q_bm25_topk_documents,
         "bm25_contributions_documents": _q_bm25_contributions_documents,
         "sessionize_events": _q_sessionize_events,
+        "ndistinct_users_by_type": _q_ndistinct_users_by_type,
         "string_profile_documents": _q_string_profile_documents,
         "pq_ann_planted": _q_pq_ann_planted,
         "mixture_sample_documents": _q_mixture_sample_documents,
@@ -3156,6 +3170,10 @@ def oracle_sql() -> dict[str, str]:
             "WHERE (epoch_ms(ts) // 3600000) * 3600000 - k * 3600000 <= epoch_ms(ts) "
             "AND epoch_ms(ts) < (epoch_ms(ts) // 3600000) * 3600000 - k * 3600000 + 7200000 "
             "GROUP BY event_type, window_start_ms"
+        ),
+        "ndistinct_users_by_type": (
+            "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct "
+            "FROM events GROUP BY event_type ORDER BY event_type"
         ),
         "sessionize_events": (
             "WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_id, "

@@ -293,3 +293,23 @@ def cube(ds, keys: list[str], value: str, agg: str = "sum", round_to: int | None
             levels.append(_level_frame(_reaggregate_cells(cdf, active, agg), keys, active, agg, round_to))
     out = pd.concat(levels, ignore_index=True)
     return out.sort_values(["level", *keys], ascending=[False] + [True] * len(keys)).reset_index(drop=True)
+
+
+def ndistinct_by_group(ds, group: str, col: str):
+    """Exact ``count(DISTINCT col)`` per group at scale. Three-stage
+    dedupe so raw rows never shuffle twice and hot groups never
+    materialize: per-batch local distinct (one Arrow group_by, emits each
+    (group, value) pair once per block), ONE global groupby over the
+    distinct pairs, then a per-group count whose input is already one row
+    per distinct value. Only the two named columns ever move. Exact — no
+    hash sketch, no collision risk (the pair groupby carries the value
+    itself); for approximate-but-smaller state see ops/sketch.py:HLL.
+    Returns a Dataset of (group, n_distinct)."""
+    from ray.data.aggregate import Count
+
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        return batch.select([group, col]).group_by([group, col]).aggregate([])
+
+    pairs = ds.map_batches(local_distinct, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    dist = pairs.groupby([group, col]).aggregate(Count(alias_name="__nd_c__")).select_columns([group, col])
+    return dist.groupby(group).aggregate(Count(alias_name="n_distinct"))

@@ -2678,3 +2678,28 @@ def test_sessionize_matches_duckdb(ray_session):
 
     with pytest.raises(ValueError):
         sessionize(ds, gap_us=0)
+
+
+def test_ndistinct_by_group_exact(ray_session):
+    import duckdb
+    import pandas as pd
+    import ray.data
+
+    from orc_format_ray.ops.agg import ndistinct_by_group
+
+    rng2 = np.random.default_rng(9)
+    df = pd.DataFrame(
+        {
+            # hot group: 90% of rows in one group, many repeated values
+            "g": np.where(rng2.random(5000) < 0.9, "hot", rng2.choice(["a", "b"], 5000)),
+            "v": rng2.integers(0, 300, 5000),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(8)
+    out = ndistinct_by_group(ds, "g", "v").to_pandas().sort_values("g").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", df)
+    ora = con.execute(
+        "SELECT g, CAST(count(DISTINCT v) AS BIGINT) AS n_distinct FROM t GROUP BY g ORDER BY g"
+    ).df()
+    pd.testing.assert_frame_equal(out, ora, check_dtype=True)
