@@ -748,6 +748,22 @@ def _q_approx_ndistinct_documents(sf_dir: str):
     return pd.DataFrame({"column": ["doc_id", "text"], "approx_ndistinct": np.round([e_id, e_tx], 2)})
 
 
+def _q_kll_quantiles_extendedprice(sf_dir: str):
+    """Rows-only: KLL quantile-sketch estimates for l_extendedprice — a
+    fixed-size mergeable summary whose rank error is pinned (< 3%) vs
+    exact quantiles in pytest; the compaction sequence is not SQL-
+    replayable."""
+    import pandas as pd
+    import ray.data
+
+    from orc_format_ray.ops.sketch import kll_quantiles
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"])
+    qs = [0.05, 0.25, 0.5, 0.75, 0.95]
+    est, sk = kll_quantiles(ds, "l_extendedprice", qs, k=200)
+    return pd.DataFrame({"q": qs, "estimate": np.round(est, 2), "n": np.full(len(qs), sk.n, dtype=np.int64)})
+
+
 def _q_rollup_lineitem(sf_dir: str):
     """SQL ROLLUP in one corpus pass: finest cells from per-batch partials,
     coarser levels re-aggregated over the cells. '(all)' marks rolled-up
@@ -2577,6 +2593,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_learned_merges": _q_bpe_learned_merges,
         "pca_embeddings": _q_pca_embeddings,
         "approx_ndistinct_documents": _q_approx_ndistinct_documents,
+        "kll_quantiles_extendedprice": _q_kll_quantiles_extendedprice,
         "minhash_candidates": _q_minhash_candidates,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_near_dups": _q_embedding_near_dups,

@@ -214,3 +214,160 @@ def heavy_hitters_exact(ds, col: str, min_count: int, n_total: int | None = None
     keep = pc.greater_equal(tbl["cnt"], pa.scalar(min_count, pa.int64()))
     out = tbl.filter(keep)
     return out.sort_by([("cnt", "descending"), ("item", "ascending")])
+
+
+class KLLSketch:
+    """KLL quantile sketch: fixed-size mergeable summary for rank/quantile
+    queries over unbounded continuous columns — the companion to the EXACT
+    value-count quantile plans (ops/agg.py), which stop fitting when
+    |distinct values| explodes. Level-i items carry weight 2^i; a full
+    level sorts and keeps alternating items (deterministic alternation via
+    a per-level toggle seeded by ``seed`` — reproducible for the same
+    update/merge sequence). Rank error is O(1/k) with k items of state per
+    level and ~log2(n/k) levels."""
+
+    def __init__(self, k: int = 200, seed: int = 1):
+        if k < 8:
+            raise ValueError(f"k must be >= 8, got {k}")
+        self.k = k
+        self.compactors: list[list[float]] = [[]]
+        self.n = 0
+        self._toggle = int(seed) & 1
+
+    def _capacity(self, level: int) -> int:
+        # top levels get full k, lower levels shrink by (2/3)^depth, min 2
+        depth = len(self.compactors) - level - 1
+        return max(2, int(self.k * (2.0 / 3.0) ** depth))
+
+    def _total_capacity(self) -> int:
+        return sum(self._capacity(h) for h in range(len(self.compactors)))
+
+    def _size(self) -> int:
+        return sum(len(c) for c in self.compactors)
+
+    def _compress(self) -> None:
+        while self._size() > self._total_capacity():
+            for h in range(len(self.compactors)):
+                if len(self.compactors[h]) > self._capacity(h):
+                    if h + 1 == len(self.compactors):
+                        self.compactors.append([])
+                    buf = sorted(self.compactors[h])
+                    self._toggle ^= 1
+                    self.compactors[h + 1].extend(buf[self._toggle :: 2])
+                    self.compactors[h] = []
+                    break
+            else:
+                break
+
+    def update_many(self, values: np.ndarray) -> None:
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if not len(v):
+            return
+        self.n += len(v)
+        self.compactors[0].extend(v.tolist())
+        self._compress()
+
+    def merge(self, other: "KLLSketch") -> None:
+        while len(self.compactors) < len(other.compactors):
+            self.compactors.append([])
+        for h, c in enumerate(other.compactors):
+            self.compactors[h].extend(c)
+        self.n += other.n
+        self._toggle ^= other._toggle
+        self._compress()
+
+    def _weighted(self) -> tuple[np.ndarray, np.ndarray]:
+        vals, wts = [], []
+        for h, c in enumerate(self.compactors):
+            vals.extend(c)
+            wts.extend([1 << h] * len(c))
+        v = np.array(vals, dtype=np.float64)
+        w = np.array(wts, dtype=np.int64)
+        order = np.argsort(v, kind="stable")
+        return v[order], w[order]
+
+    def quantiles(self, qs: list[float]) -> list[float]:
+        if self.n == 0:
+            return [float("nan")] * len(qs)
+        v, w = self._weighted()
+        cum = np.cumsum(w)
+        total = int(cum[-1])
+        out = []
+        for q in qs:
+            if not 0.0 <= q <= 1.0:
+                raise ValueError(f"quantile fractions must be in [0, 1], got {q}")
+            target = q * total
+            i = int(np.searchsorted(cum, target, side="left"))
+            out.append(float(v[min(i, len(v) - 1)]))
+        return out
+
+    def rank(self, x: float) -> float:
+        """Estimated fraction of items <= x."""
+        if self.n == 0:
+            return float("nan")
+        v, w = self._weighted()
+        return float(w[v <= x].sum() / w.sum())
+
+    def to_rows(self) -> pa.Table:
+        return pa.table(
+            {
+                "level": pa.array(range(len(self.compactors)), pa.int64()),
+                "values": pa.array([list(c) for c in self.compactors], pa.list_(pa.float64())),
+                "n": pa.array([self.n] + [0] * (len(self.compactors) - 1), pa.int64()),
+                "k": pa.array([self.k] * len(self.compactors), pa.int64()),
+            }
+        )
+
+    @staticmethod
+    def from_rows(tbl: pa.Table) -> "KLLSketch":
+        s = KLLSketch(k=int(tbl["k"][0].as_py()))
+        levels = tbl["level"].to_pylist()
+        s.compactors = [[] for _ in range(max(levels) + 1)]
+        for lv, vals in zip(levels, tbl["values"].to_pylist()):
+            s.compactors[lv] = list(vals)
+        s.n = int(sum(tbl["n"].to_pylist()))
+        return s
+
+
+def kll_quantiles(ds, col: str, qs: list[float], k: int = 200) -> tuple[list[float], "KLLSketch"]:
+    """Distributed quantile estimation: one KLL partial per block (a few
+    KB each regardless of rows), a deterministic driver fold (partials
+    sorted before merging, so the estimate is reproducible for a given
+    block layout), then the quantile read-off. Returns (estimates, the
+    merged sketch) — keep the sketch to answer more quantiles/ranks
+    without another pass."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = KLLSketch(k=k)
+        s.update_many(batch[col].to_numpy(zero_copy_only=False))
+        return s.to_rows()
+
+    rows = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args()).to_pandas()
+    master = KLLSketch(k=k)
+    # deterministic fold order: group rows back into per-block sketches
+    # keyed by (n at level 0, level-0 payload head)
+    import pandas as pd  # noqa: F401
+
+    parts: list[KLLSketch] = []
+    cur: dict[int, list] = {}
+    # rows arrive block-contiguous (level restarts at 0 per block)
+    block_rows: list[list] = []
+    for lv, vals, n, kk in rows.itertuples(index=False):
+        if int(lv) == 0:
+            block_rows.append([])
+        block_rows[-1].append((int(lv), list(vals), int(n), int(kk)))
+    for br in block_rows:
+        t = pa.table(
+            {
+                "level": pa.array([r[0] for r in br], pa.int64()),
+                "values": pa.array([r[1] for r in br], pa.list_(pa.float64())),
+                "n": pa.array([r[2] for r in br], pa.int64()),
+                "k": pa.array([r[3] for r in br], pa.int64()),
+            }
+        )
+        parts.append(KLLSketch.from_rows(t))
+    parts.sort(key=lambda s: (s.n, s.compactors[0][:4] if s.compactors[0] else []))
+    for p in parts:
+        master.merge(p)
+    return master.quantiles(list(qs)), master

@@ -2703,3 +2703,35 @@ def test_ndistinct_by_group_exact(ray_session):
         "SELECT g, CAST(count(DISTINCT v) AS BIGINT) AS n_distinct FROM t GROUP BY g ORDER BY g"
     ).df()
     pd.testing.assert_frame_equal(out, ora, check_dtype=True)
+
+
+def test_kll_quantiles_distributed(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from orc_format_ray.ops.sketch import KLLSketch, kll_quantiles
+
+    rng2 = np.random.default_rng(11)
+    data = rng2.lognormal(0, 1.5, 100_000)
+    ds = ray.data.from_pandas(pd.DataFrame({"x": data})).repartition(16)
+    qs = [0.05, 0.25, 0.5, 0.75, 0.95]
+    est, sk = kll_quantiles(ds, "x", qs, k=200)
+    sd = np.sort(data)
+    errs = [abs(np.searchsorted(sd, e) / len(sd) - q) for e, q in zip(est, qs)]
+    assert max(errs) < 0.03, errs
+    assert sk.n == len(data)
+    # the returned sketch answers new queries without another pass
+    assert abs(sk.rank(float(np.median(data))) - 0.5) < 0.03
+
+    # fixed-size state regardless of rows (the 100-TB contract)
+    assert sk._size() < 10 * 200
+
+    # nan values are ignored, not counted
+    s = KLLSketch(k=64)
+    s.update_many(np.array([1.0, np.nan, 3.0]))
+    assert s.n == 2
+
+    with pytest.raises(ValueError):
+        KLLSketch(k=4)
+    with pytest.raises(ValueError):
+        s.quantiles([1.5])
