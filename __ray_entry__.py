@@ -841,6 +841,29 @@ def _q_analytic_events(sf_dir: str):
     return df
 
 
+def _q_regex_extract_events(sf_dir: str):
+    """Regex field extraction from the raw props string: pc.extract_regex
+    and DuckDB regexp_extract share the RE2 engine, so the pattern means
+    the same thing on both sides (ops/etl.py:regex_extract)."""
+    import ray.data
+
+    from orc_format_ray.ops.etl import regex_extract
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "props"])
+    out = regex_extract(ds, "props", r'"k":\s*(?P<k_str>\d+)')
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "k": batch["k_str"].cast(pa.int64()),
+            }
+        )
+
+    df = out.map_batches(finish, batch_format="pyarrow", **_ra()).to_pandas()
+    return df.sort_values("event_id").reset_index(drop=True)
+
+
 def _q_ndistinct_users_by_type(sf_dir: str):
     """Exact count(DISTINCT user_id) per event_type at scale: per-batch
     local distinct, one global pair groupby, then a per-group count over
@@ -2549,6 +2572,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_contributions_documents": _q_bm25_contributions_documents,
         "sessionize_events": _q_sessionize_events,
         "ndistinct_users_by_type": _q_ndistinct_users_by_type,
+        "regex_extract_events": _q_regex_extract_events,
         "string_profile_documents": _q_string_profile_documents,
         "pq_ann_planted": _q_pq_ann_planted,
         "mixture_sample_documents": _q_mixture_sample_documents,
@@ -3187,6 +3211,10 @@ def oracle_sql() -> dict[str, str]:
             "WHERE (epoch_ms(ts) // 3600000) * 3600000 - k * 3600000 <= epoch_ms(ts) "
             "AND epoch_ms(ts) < (epoch_ms(ts) // 3600000) * 3600000 - k * 3600000 + 7200000 "
             "GROUP BY event_type, window_start_ms"
+        ),
+        "regex_extract_events": (
+            "SELECT event_id, CAST(NULLIF(regexp_extract(props, '\"k\":\\s*(\\d+)', 1), '') AS BIGINT) AS k "
+            "FROM events ORDER BY event_id"
         ),
         "ndistinct_users_by_type": (
             "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct "

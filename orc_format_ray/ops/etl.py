@@ -195,3 +195,29 @@ def apply_changes(base_ds, changes_ds, key: str, op_col: str = "op",
 
     ups = picked.map_batches(upserts, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
     return kept.union(ups)
+
+
+def regex_extract(ds, col: str, pattern: str):
+    """Extract structured fields from a string column with a compiled
+    regular expression: one new column per NAMED group in ``pattern``
+    (``(?P<name>...)``), null where the pattern does not match — the
+    log-parsing / scrape-cleanup step of an ingest pipeline. Vectorized
+    ``pc.extract_regex`` (RE2) per batch, the SAME regex engine DuckDB's
+    ``regexp_extract`` uses, so oracles match pattern-for-pattern.
+    Collides loudly with existing column names."""
+    import re as _re
+
+    if not _re.findall(r"\(\?P<", pattern):
+        raise ValueError("pattern needs at least one named group (?P<name>...)")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        st = pc.extract_regex(batch[col], pattern)
+        if isinstance(st, pa.ChunkedArray):
+            st = st.combine_chunks()
+        for field in st.type:
+            if field.name in batch.column_names:
+                raise ValueError(f"extracted group {field.name!r} collides with an existing column")
+            batch = batch.append_column(field.name, pc.struct_field(st, field.name))
+        return batch
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True, **remote_args())

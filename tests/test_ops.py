@@ -2735,3 +2735,37 @@ def test_kll_quantiles_distributed(ray_session):
         KLLSketch(k=4)
     with pytest.raises(ValueError):
         s.quantiles([1.5])
+
+
+def test_regex_extract(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from orc_format_ray.ops.etl import regex_extract
+
+    df = pd.DataFrame(
+        {
+            "id": [1, 2, 3, 4],
+            "log": [
+                "GET /a?u=7 200",
+                "POST /b?u=42 404",
+                "HEAD /c 500",       # no u= param -> null group
+                "GET /d?u=x 200",    # non-numeric -> no match -> null
+            ],
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(2)
+    out = (
+        regex_extract(ds, "log", r"(?P<verb>[A-Z]+) \S*\?u=(?P<uid>\d+)")
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert out["verb"].tolist() == ["GET", "POST", None, None]
+    assert out["uid"].tolist() == ["7", "42", None, None]
+    assert list(out.columns) == ["id", "log", "verb", "uid"]
+
+    with pytest.raises(ValueError):
+        regex_extract(ds, "log", r"[A-Z]+")  # no named group
+    with pytest.raises(Exception):
+        regex_extract(ds, "log", r"(?P<id>\d+)").take_all()  # name collision
