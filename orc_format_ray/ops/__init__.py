@@ -5,4 +5,8 @@ diversity capping), z-order layout, corpus profiling, reshaping aggregates
 (pivot / rollup / grouped quantiles), ingest ETL (JSON extraction, snapshot
 diff), BPE tokenizer training/encoding, event analytics (windows, funnel,
 cohort retention), mergeable sketches (HLL, Misra-Gries), sampling/packing,
-and multimodal column plumbing."""
+multimodal column plumbing, SQL analytic window functions + per-event
+sessionization (pinned-block prefix sums), CDC upsert merge, CUBE grouping
+sets, exact per-group COUNT DISTINCT, full-text search (sharded inverted
+index + bit-exact BM25), a KLL quantile sketch, and regex field
+extraction."""
