@@ -841,6 +841,34 @@ def _q_analytic_events(sf_dir: str):
     return df
 
 
+def _q_latest_event_per_user(sf_dir: str):
+    """Log compaction: each user's most recent event (DISTINCT ON) via
+    ops/etl.py:latest_by_key — blocks reduce locally to one row per key
+    before the one bounded groupby; ties fail loudly."""
+    import ray.data
+
+    from orc_format_ray.ops.etl import latest_by_key
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "event_type", "value"]
+    )
+    out = latest_by_key(ds, "user_id", "ts")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "ts_us": batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+                "event_id": batch["event_id"],
+                "event_type": batch["event_type"],
+                "value": batch["value"],
+            }
+        )
+
+    df = out.map_batches(finish, batch_format="pyarrow", **_ra()).to_pandas()
+    return df.sort_values("user_id").reset_index(drop=True)
+
+
 def _q_regex_extract_events(sf_dir: str):
     """Regex field extraction from the raw props string: pc.extract_regex
     and DuckDB regexp_extract share the RE2 engine, so the pattern means
@@ -2573,6 +2601,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": _q_sessionize_events,
         "ndistinct_users_by_type": _q_ndistinct_users_by_type,
         "regex_extract_events": _q_regex_extract_events,
+        "latest_event_per_user": _q_latest_event_per_user,
         "string_profile_documents": _q_string_profile_documents,
         "pq_ann_planted": _q_pq_ann_planted,
         "mixture_sample_documents": _q_mixture_sample_documents,
@@ -3211,6 +3240,11 @@ def oracle_sql() -> dict[str, str]:
             "WHERE (epoch_ms(ts) // 3600000) * 3600000 - k * 3600000 <= epoch_ms(ts) "
             "AND epoch_ms(ts) < (epoch_ms(ts) // 3600000) * 3600000 - k * 3600000 + 7200000 "
             "GROUP BY event_type, window_start_ms"
+        ),
+        "latest_event_per_user": (
+            "SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_id, event_type, value "
+            "FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn FROM events) "
+            "WHERE rn = 1 ORDER BY user_id"
         ),
         "regex_extract_events": (
             "SELECT event_id, CAST(NULLIF(regexp_extract(props, '\"k\":\\s*(\\d+)', 1), '') AS BIGINT) AS k "

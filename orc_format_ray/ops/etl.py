@@ -221,3 +221,46 @@ def regex_extract(ds, col: str, pattern: str):
         return batch
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+
+
+def latest_by_key(ds, key: str, order_col: str):
+    """Log compaction: keep each key's row with the greatest ``order_col``
+    (SQL ``DISTINCT ON (key) ... ORDER BY order_col DESC``) — collapse an
+    append-only change log to its current snapshot, the read-side
+    complement of ``apply_changes``. Ties on (key, order_col) fail loudly
+    (which row survives would be layout-dependent).
+
+    Scale shape: each block first reduces LOCALLY to one row per key (an
+    Arrow sort + head-of-run take, vectorized), so the global groupby
+    shuffles at most |keys-per-block| rows per block, never the log; each
+    group then holds at most |blocks touching that key| rows."""
+    import pandas as pd
+
+    def local_latest(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows:
+            return batch
+        idx = pc.sort_indices(batch, sort_keys=[(key, "ascending"), (order_col, "descending")])
+        s = batch.take(idx)
+        k = s[key].to_numpy(zero_copy_only=False)
+        o = s[order_col].to_numpy(zero_copy_only=False)
+        first = np.concatenate(([True], k[1:] != k[:-1]))
+        # an in-block tie on (key, max order) would be silently collapsed
+        # here, invisible to the global check — catch it before reducing
+        tie = first[:-1] & (k[1:] == k[:-1]) & (o[1:] == o[:-1])
+        if tie.any():
+            bad = k[:-1][tie][:5]
+            raise ValueError(f"latest_by_key: duplicate ({key}, {order_col}) for keys e.g. {bad.tolist()}")
+        return s.filter(pa.array(first))
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[order_col].to_numpy()
+        top = np.max(o)
+        if (o == top).sum() > 1:
+            raise ValueError(
+                f"latest_by_key: duplicate ({key}, {order_col}) = ({g[key].iloc[0]!r}, {top!r}) — "
+                "the surviving row would be arbitrary"
+            )
+        return g.iloc[[int(np.argmax(o))]]
+
+    local = ds.map_batches(local_latest, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    return local.groupby(key).map_groups(pick, batch_format="pandas", **remote_args())

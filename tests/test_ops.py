@@ -2769,3 +2769,36 @@ def test_regex_extract(ray_session):
         regex_extract(ds, "log", r"[A-Z]+")  # no named group
     with pytest.raises(Exception):
         regex_extract(ds, "log", r"(?P<id>\d+)").take_all()  # name collision
+
+
+def test_latest_by_key(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from orc_format_ray.ops.etl import latest_by_key
+
+    rng2 = np.random.default_rng(21)
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "k": rng2.integers(0, 50, n),
+            "seq": rng2.permutation(n).astype(np.int64),  # unique -> no ties
+            "payload": np.arange(n, dtype=np.int64),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(8)
+    out = latest_by_key(ds, "k", "seq").to_pandas().sort_values("k").reset_index(drop=True)
+    exp = df.sort_values("seq").groupby("k", as_index=False).last().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out[["k", "seq", "payload"]], exp[["k", "seq", "payload"]], check_dtype=True)
+
+    # tie in the SAME block -> loud (the local reduce must not eat it)
+    tie_same = pd.DataFrame({"k": [7, 7], "seq": [5, 5], "payload": [1, 2]})
+    with pytest.raises(Exception):
+        latest_by_key(ray.data.from_pandas(tie_same), "k", "seq").take_all()
+
+    # tie ACROSS blocks -> loud (caught by the global pick)
+    tie_cross = ray.data.from_pandas(pd.DataFrame({"k": [7], "seq": [5], "payload": [1]})).union(
+        ray.data.from_pandas(pd.DataFrame({"k": [7], "seq": [5], "payload": [2]}))
+    )
+    with pytest.raises(Exception):
+        latest_by_key(tie_cross, "k", "seq").take_all()
