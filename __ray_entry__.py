@@ -905,6 +905,55 @@ def _q_ndistinct_users_by_type(sf_dir: str):
     return df.sort_values("event_type").reset_index(drop=True)
 
 
+def _q_intersect_keys_customers(sf_dir: str):
+    """SQL INTERSECT at scale: customers that placed at least one
+    high-value order (totalprice > 450k). Only (key, side-flag) metadata
+    shuffles, pre-deduped per block (ops/setops.py:key_set_op)."""
+    import ray.data
+
+    from orc_format_ray.ops.setops import key_set_op
+
+    a = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    b = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).filter(expr="o_totalprice > 450000.0")
+    df = key_set_op(a, b, "c_custkey", "o_custkey", op="intersect").to_pandas()
+    return df.sort_values("c_custkey").reset_index(drop=True)
+
+
+def _q_except_keys_customers(sf_dir: str):
+    """SQL EXCEPT at scale: customers with no high-value order — the
+    complement audit of intersect_keys_customers over the same
+    metadata-only plan."""
+    import pandas as pd
+    import ray.data
+
+    from orc_format_ray.ops.setops import key_set_op
+
+    a = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    b = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).filter(expr="o_totalprice > 450000.0")
+    df = key_set_op(a, b, "c_custkey", "o_custkey", op="except").to_pandas()
+    if df.empty:  # fully-empty Datasets drop columns in to_pandas
+        df = pd.DataFrame({"c_custkey": pd.Series([], dtype="int64")})
+    return df.sort_values("c_custkey").reset_index(drop=True)
+
+
+def _q_mode_user_by_type(sf_dir: str):
+    """Exact per-group mode: the most active user per event type, ties to
+    the smallest user_id (ops/agg.py:mode_by_group — cells shuffle, rows
+    don't)."""
+    import ray.data
+
+    from orc_format_ray.ops.agg import mode_by_group
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    df = mode_by_group(ds, "event_type", "user_id").to_pandas()
+    df["mode_value"] = df["mode_value"].astype("int64")
+    return df.sort_values("event_type").reset_index(drop=True)
+
+
 def _q_sessionize_events(sf_dir: str):
     """Per-event session ids (gaps-and-islands, 30-min gap) via the
     pinned-sorted-block prefix-sum plan of ops/windows.py:sessionize —
@@ -2600,6 +2649,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_contributions_documents": _q_bm25_contributions_documents,
         "sessionize_events": _q_sessionize_events,
         "ndistinct_users_by_type": _q_ndistinct_users_by_type,
+        "intersect_keys_customers": _q_intersect_keys_customers,
+        "except_keys_customers": _q_except_keys_customers,
+        "mode_user_by_type": _q_mode_user_by_type,
         "regex_extract_events": _q_regex_extract_events,
         "latest_event_per_user": _q_latest_event_per_user,
         "string_profile_documents": _q_string_profile_documents,
@@ -3253,6 +3305,23 @@ def oracle_sql() -> dict[str, str]:
         "ndistinct_users_by_type": (
             "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct "
             "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "intersect_keys_customers": (
+            "SELECT c_custkey FROM customer INTERSECT "
+            "SELECT o_custkey FROM orders WHERE o_totalprice > 450000.0 "
+            "ORDER BY c_custkey"
+        ),
+        "except_keys_customers": (
+            "SELECT c_custkey FROM customer EXCEPT "
+            "SELECT o_custkey FROM orders WHERE o_totalprice > 450000.0 "
+            "ORDER BY c_custkey"
+        ),
+        "mode_user_by_type": (
+            "WITH c AS (SELECT event_type, user_id, count(*) AS cnt FROM events "
+            "WHERE user_id IS NOT NULL GROUP BY event_type, user_id), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY cnt DESC, user_id) AS rn FROM c) "
+            "SELECT event_type, user_id AS mode_value, cnt AS mode_count FROM r WHERE rn = 1 "
+            "ORDER BY event_type"
         ),
         "sessionize_events": (
             "WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_id, "

@@ -295,6 +295,41 @@ def cube(ds, keys: list[str], value: str, agg: str = "sum", round_to: int | None
     return out.sort_values(["level", *keys], ascending=[False] + [True] * len(keys)).reset_index(drop=True)
 
 
+def mode_by_group(ds, group: str, col: str):
+    """Exact statistical mode per group: the most frequent non-null value
+    of ``col`` within each ``group``, ties broken toward the SMALLEST value
+    (a deterministic rule DuckDB's ``mode()`` does not guarantee — the SQL
+    mirror is ``row_number() OVER (PARTITION BY g ORDER BY cnt DESC, v)``).
+
+    Shuffle shape: per-batch Arrow ``group_by`` shrinks every block to its
+    local (group, value, count) cells, ONE groupby merges the cells, and a
+    per-group pick runs over |distinct values in group| rows — hot groups
+    cost their value cardinality, never their row count. Null values are
+    excluded (mirror with ``WHERE col IS NOT NULL``).
+
+    Returns a Dataset of ``(group, mode_value, mode_count)``.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([group, col]).filter(pc.is_valid(batch[col]))
+        cells = t.group_by([group, col]).aggregate([([], "count_all")])
+        return cells.rename_columns([group, col, "__mode_c__"])
+
+    cells = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    merged = cells.groupby([group, col]).aggregate(Sum("__mode_c__", alias_name="cnt"))
+
+    def pick(df):
+        df = df.sort_values(["cnt", col], ascending=[False, True], kind="mergesort")
+        top = df.iloc[:1]
+        out = top[[group]].copy()
+        out["mode_value"] = top[col].to_numpy()
+        out["mode_count"] = top["cnt"].astype("int64").to_numpy()
+        return out.reset_index(drop=True)
+
+    return merged.groupby(group).map_groups(pick, batch_format="pandas", **remote_args())
+
+
 def ndistinct_by_group(ds, group: str, col: str):
     """Exact ``count(DISTINCT col)`` per group at scale. Three-stage
     dedupe so raw rows never shuffle twice and hot groups never

@@ -2802,3 +2802,60 @@ def test_latest_by_key(ray_session):
     )
     with pytest.raises(Exception):
         latest_by_key(tie_cross, "k", "seq").take_all()
+
+
+def test_key_set_op_semantics(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.setops import key_set_op
+
+    a_keys = [1, 2, 2, 3, 4, None, 5]
+    b_keys = [3, 4, 4, 6, None]
+    a = ray.data.from_arrow(pa.table({"ka": pa.array(a_keys, pa.int64())})).repartition(3)
+    b = ray.data.from_arrow(pa.table({"kb": pa.array(b_keys, pa.int64())})).repartition(2)
+    sa = {k for k in a_keys if k is not None}
+    sb = {k for k in b_keys if k is not None}
+
+    def run(op):
+        df = key_set_op(a, b, "ka", "kb", op=op).to_pandas()
+        if df.empty:
+            return set()
+        assert df.columns.tolist() == ["ka"]
+        return set(df["ka"].tolist())
+
+    assert run("intersect") == sa & sb
+    assert run("except") == sa - sb
+    assert run("union") == sa | sb
+    with pytest.raises(ValueError):
+        key_set_op(a, b, "ka", "kb", op="minus")
+
+
+def test_key_set_op_strings(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.setops import key_set_op
+
+    a = ray.data.from_arrow(pa.table({"s": ["x", "y", "z", "y"]}))
+    b = ray.data.from_arrow(pa.table({"s": ["y", "w"]}))
+    got = set(key_set_op(a, b, "s", op="intersect").to_pandas()["s"])
+    assert got == {"y"}
+
+
+def test_mode_by_group_tie_and_nulls(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.agg import mode_by_group
+
+    # group g1: 9 appears twice, 3 appears twice -> tie broken to 3.
+    # group g2: nulls must not count; 7 wins with one occurrence vs none.
+    t = pa.table(
+        {
+            "g": ["g1", "g1", "g1", "g1", "g1", "g2", "g2", "g2"],
+            "v": pa.array([9, 3, 9, 3, 1, None, None, 7], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(4)
+    df = mode_by_group(ds, "g", "v").to_pandas().sort_values("g").reset_index(drop=True)
+    assert df["g"].tolist() == ["g1", "g2"]
+    assert df["mode_value"].tolist() == [3, 7]
+    assert df["mode_count"].tolist() == [2, 1]
