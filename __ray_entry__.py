@@ -954,6 +954,34 @@ def _q_mode_user_by_type(sf_dir: str):
     return df.sort_values("event_type").reset_index(drop=True)
 
 
+def _q_rank_events_by_value(sf_dir: str):
+    """rank()/dense_rank() with real tie semantics via rank-by-counting:
+    one (key, units, count) cell groupby + per-key cumsum over distinct
+    units, ranks broadcast back with a vectorized merge
+    (ops/windows.py:rank_over). value_scale=1 makes whole-unit ties."""
+    import ray.data
+
+    from orc_format_ray.ops.windows import rank_over
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    df = rank_over(ds, key="event_type", value_col="value", value_scale=1).to_pandas()
+    return df.sort_values(["event_type", "units"]).reset_index(drop=True)
+
+
+def _q_moving_agg_events(sf_dir: str):
+    """5-row moving sum/min/max/count per user (ROWS BETWEEN 4 PRECEDING AND
+    CURRENT ROW) over exact cent units — the pinned-sorted-block carry-tail
+    plan of ops/windows.py:moving_agg; hash-exact vs the SQL frame."""
+    import ray.data
+
+    from orc_format_ray.ops.windows import moving_agg
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+    df = moving_agg(ds, key="user_id", order_col="ts", value_col="value",
+                    value_scale=100, frame=5).to_pandas()
+    return df.sort_values(["user_id", "ts_us"]).reset_index(drop=True)
+
+
 def _q_sessionize_events(sf_dir: str):
     """Per-event session ids (gaps-and-islands, 30-min gap) via the
     pinned-sorted-block prefix-sum plan of ops/windows.py:sessionize —
@@ -2652,6 +2680,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "intersect_keys_customers": _q_intersect_keys_customers,
         "except_keys_customers": _q_except_keys_customers,
         "mode_user_by_type": _q_mode_user_by_type,
+        "rank_events_by_value": _q_rank_events_by_value,
+        "moving_agg_events": _q_moving_agg_events,
         "regex_extract_events": _q_regex_extract_events,
         "latest_event_per_user": _q_latest_event_per_user,
         "string_profile_documents": _q_string_profile_documents,
@@ -3322,6 +3352,23 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY cnt DESC, user_id) AS rn FROM c) "
             "SELECT event_type, user_id AS mode_value, cnt AS mode_count FROM r WHERE rn = 1 "
             "ORDER BY event_type"
+        ),
+        "rank_events_by_value": (
+            "WITH m AS (SELECT event_type, CAST(floor(value + 0.5) AS BIGINT) AS units FROM events) "
+            "SELECT event_type, units, "
+            "CAST(rank() OVER w AS BIGINT) AS rnk, "
+            "CAST(dense_rank() OVER w AS BIGINT) AS drnk "
+            "FROM m WINDOW w AS (PARTITION BY event_type ORDER BY units) "
+            "ORDER BY event_type, units"
+        ),
+        "moving_agg_events": (
+            "WITH m AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, "
+            "CAST(floor(value*100 + 0.5) AS BIGINT) AS u FROM events) "
+            "SELECT user_id, ts_us, CAST(count(*) OVER w AS BIGINT) AS w_cnt, "
+            "CAST(sum(u) OVER w AS BIGINT) AS w_sum, min(u) OVER w AS w_min, max(u) OVER w AS w_max "
+            "FROM m WINDOW w AS (PARTITION BY user_id ORDER BY ts_us "
+            "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) "
+            "ORDER BY user_id, ts_us"
         ),
         "sessionize_events": (
             "WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_id, "

@@ -536,3 +536,245 @@ def sessionize(ds, key: str = "user_id", order_col: str = "ts",
     return pinned.map_batches(
         finish, batch_size=None, batch_format="pyarrow", zero_copy_batch=True, **remote_args()
     )
+
+
+def rank_over(ds, key: str = "event_type", value_col: str = "value",
+              value_scale: int = 100, max_broadcast_pairs: int = 1 << 24):
+    """SQL ``rank()`` / ``dense_rank() OVER (PARTITION BY key ORDER BY
+    units)`` with REAL tie semantics (equal units share a rank; rank skips,
+    dense_rank doesn't). ``units = floor(value * value_scale + 0.5)`` —
+    the exact-integer quantization shared with ``analytic_over``, so the
+    fold is associative and hash-exact against the SQL window.
+
+    Plan — rank-by-counting, never a per-row window:
+
+    1. one metadata pass projects (key, units) and nothing else;
+    2. ONE groupby merges per-batch Arrow-local (key, units, count) cells —
+       the shuffle carries |distinct (key, units)| rows, not |rows|;
+    3. per-key exclusive cumsum over its distinct units (rank = 1 + rows
+       strictly below, dense_rank = unit index + 1) — hot keys cost their
+       VALUE CARDINALITY, not their row count;
+    4. the pair->rank table broadcasts once (ray.put, guarded by
+       ``max_broadcast_pairs``) and a vectorized pandas merge attaches both
+       ranks back to every row.
+
+    Contract: designed for tie-heavy / bounded-cardinality order values
+    (prices at fixed scale, scores, star ratings). A near-unique float
+    column makes |pairs| ~ |rows| — quantize coarser or use
+    ``analytic_over``'s row_number instead. Null values fail loudly.
+    Returns a Dataset of ``(key, units, rnk, drnk)`` — one row per INPUT
+    row (tied rows repeat).
+    """
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Sum
+
+    def to_meta(batch: pa.Table) -> pa.Table:
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        if batch[value_col].null_count or np.isnan(v).any():
+            raise ValueError(f"{value_col!r} must be non-null for ranking")
+        units = np.floor(v * value_scale + 0.5).astype(np.int64)
+        t = pa.table({"k": batch[key], "u": pa.array(units, pa.int64())})
+        cells = t.group_by(["k", "u"]).aggregate([([], "count_all")])
+        return cells.rename_columns(["k", "u", "c"])
+
+    cells = ds.map_batches(to_meta, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    pairs = cells.groupby(["k", "u"]).aggregate(Sum("c", alias_name="c"))
+
+    def per_key_ranks(df):
+        df = df.sort_values("u", kind="mergesort").reset_index(drop=True)
+        c = df["c"].to_numpy(dtype=np.int64)
+        excl = np.concatenate(([0], np.cumsum(c)[:-1]))
+        df["rnk"] = excl + 1
+        df["drnk"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df
+
+    ranked = pairs.groupby("k").map_groups(per_key_ranks, batch_format="pandas", **remote_args()).materialize()
+    n_pairs = ranked.count()
+    if n_pairs > max_broadcast_pairs:
+        raise ValueError(
+            f"{n_pairs} distinct (key, units) pairs exceed max_broadcast_pairs="
+            f"{max_broadcast_pairs}; quantize coarser or raise the guard"
+        )
+    rank_df = ranked.to_pandas()[["k", "u", "rnk", "drnk"]]
+    rank_ref = ray.put(rank_df)
+
+    def attach(batch: pa.Table):
+        import pandas as pd
+
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        units = np.floor(v * value_scale + 0.5).astype(np.int64)
+        rows = pd.DataFrame({"k": batch[key].to_pandas(), "u": units})
+        out = rows.merge(ray.get(rank_ref), on=["k", "u"], how="left", sort=False)
+        if out["rnk"].isna().any():
+            raise AssertionError("rank table is missing observed (key, units) pairs")
+        return pd.DataFrame(
+            {
+                key: out["k"],
+                "units": out["u"].astype("int64"),
+                "rnk": out["rnk"].astype("int64"),
+                "drnk": out["drnk"].astype("int64"),
+            }
+        )
+
+    return ds.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+
+
+def moving_agg(ds, key: str = "user_id", order_col: str = "ts",
+               value_col: str = "value", value_scale: int = 100, frame: int = 5,
+               max_frame: int = 512):
+    """Moving-frame aggregates per key: SQL ``sum/min/max/count(*) OVER
+    (PARTITION BY key ORDER BY order_col ROWS BETWEEN frame-1 PRECEDING AND
+    CURRENT ROW)`` over exact integer units (``floor(value*scale + 0.5)``).
+    Returns a Dataset of ``(key, ts_us, w_cnt, w_sum, w_min, w_max)``.
+
+    Same metadata-only pinned-sorted-block plan as ``analytic_over``:
+    pass A ships per (block, key) the row count and the key's LAST
+    ``frame-1`` units (everything any later window can reach back for —
+    driver state is blocks x keys x frame ints, bounded by ``max_frame``);
+    the driver folds per-key carry tails in block order; pass B re-reads
+    the SAME pinned blocks, prepends each segment's carry, and computes the
+    rolling sums with one cumsum and the rolling min/max with ONE pandas
+    groupby-rolling call per block (Cython loop, no per-row Python).
+
+    ``(key, order_col)`` must be globally unique (ties make the SQL frame
+    nondeterministic); null values fail loudly.
+    """
+    import numpy as np
+    import ray
+
+    if not (1 <= frame <= max_frame):
+        raise ValueError(f"frame must be in [1, {max_frame}], got {frame}")
+
+    def to_meta(batch: pa.Table) -> pa.Table:
+        ous = batch[order_col].cast(pa.timestamp("us")).cast(pa.int64())
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        if batch[value_col].null_count or np.isnan(v).any():
+            raise ValueError(f"{value_col!r} must be non-null for the moving frame")
+        units = np.floor(v * value_scale + 0.5).astype(np.int64)
+        if np.abs(units).max(initial=0) >= 1 << 53:
+            # rolling min/max go through pandas' float64 kernel; beyond
+            # 2^53 that kernel silently loses integer exactness.
+            raise ValueError("unit magnitudes >= 2^53 break float64-exact rolling min/max")
+        return pa.table(
+            {
+                "k": batch[key].cast(pa.int64()),
+                "o": ous,
+                "v": pa.array(units, pa.int64()),
+            }
+        )
+
+    meta = ds.map_batches(to_meta, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    pinned = meta.sort(["k", "o"]).materialize()
+
+    def block_partials(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows:
+            return pa.table(
+                {
+                    "blo_k": pa.array([], pa.int64()),
+                    "blo_o": pa.array([], pa.int64()),
+                    "k": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                    "tail": pa.array([], pa.list_(pa.int64())),
+                }
+            )
+        k = batch["k"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        starts = np.concatenate(([0], np.flatnonzero(k[1:] != k[:-1]) + 1))
+        ends = np.concatenate((starts[1:], [len(k)]))
+        tails = [v[max(int(s), int(e) - (frame - 1)): int(e)].tolist() for s, e in zip(starts, ends)]
+        return pa.table(
+            {
+                "blo_k": pa.array(np.full(len(starts), k[0]), pa.int64()),
+                "blo_o": pa.array(np.full(len(starts), batch["o"][0].as_py()), pa.int64()),
+                "k": pa.array(k[starts], pa.int64()),
+                "cnt": pa.array(ends - starts, pa.int64()),
+                "tail": pa.array(tails, pa.list_(pa.int64())),
+            }
+        )
+
+    parts = pinned.map_batches(
+        block_partials, batch_size=None, batch_format="pyarrow", zero_copy_batch=True, **remote_args()
+    ).to_pandas()
+    blocks: dict[tuple[int, int], list] = {}
+    for blo_k, blo_o, k, cnt, tail in parts.itertuples(index=False):
+        blocks.setdefault((int(blo_k), int(blo_o)), []).append((int(k), int(cnt), list(tail)))
+    order = sorted(blocks)
+    for a, b in zip(order, order[1:]):
+        if blocks[a][-1][0] > b[0]:
+            raise ValueError("sorted metadata blocks overlap — sort produced non-disjoint ranges")
+    # per-key fold: (rows so far, last frame-1 units) BEFORE each block
+    acc: dict[int, tuple[int, list]] = {}
+    bases: dict[tuple[int, int], dict[int, tuple[int, list]]] = {}
+    for lo in order:
+        snap = {k: acc.get(k, (0, [])) for k, _, _ in blocks[lo]}
+        bases[lo] = snap
+        for k, cnt, tail in blocks[lo]:
+            pc_, pt = acc.get(k, (0, []))
+            acc[k] = (pc_ + cnt, (pt + tail)[-(frame - 1):] if frame > 1 else [])
+    bases_ref = ray.put(bases)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        empty = pa.table(
+            {
+                key: pa.array([], pa.int64()),
+                "ts_us": pa.array([], pa.int64()),
+                "w_cnt": pa.array([], pa.int64()),
+                "w_sum": pa.array([], pa.int64()),
+                "w_min": pa.array([], pa.int64()),
+                "w_max": pa.array([], pa.int64()),
+            }
+        )
+        if not batch.num_rows:
+            return empty
+        base = ray.get(bases_ref)[(batch["k"][0].as_py(), batch["o"][0].as_py())]
+        k = batch["k"].to_numpy(zero_copy_only=False)
+        o = batch["o"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        n = len(k)
+        starts = np.concatenate(([0], np.flatnonzero(k[1:] != k[:-1]) + 1))
+        ends = np.concatenate((starts[1:], [n]))
+        # Build ONE extended array: [carry_0, seg_0, carry_1, seg_1, ...]
+        ext_vals, ext_seg, real_mask, prior_cnt = [], [], [], []
+        for s_idx, (s, e) in enumerate(zip(starts, ends)):
+            pc_, pt = base[int(k[s])]
+            ext_vals.append(np.asarray(pt, dtype=np.int64))
+            ext_vals.append(v[s:e])
+            m = len(pt)
+            ext_seg.append(np.full(m + (e - s), s_idx, dtype=np.int64))
+            real_mask.append(np.concatenate((np.zeros(m, bool), np.ones(e - s, bool))))
+            prior_cnt.append(np.full(e - s, pc_, dtype=np.int64))
+        ext = np.concatenate(ext_vals)
+        seg = np.concatenate(ext_seg)
+        real = np.concatenate(real_mask)
+        g = pd.DataFrame({"g": seg, "x": ext}).groupby("g", sort=False)["x"]
+        roll = g.rolling(frame, min_periods=1)
+        w_min = roll.min().to_numpy()[real].astype(np.int64)
+        w_max = roll.max().to_numpy()[real].astype(np.int64)
+        # exact-integer rolling sum: cumsum diff with the window start
+        # clamped to the segment start (never pandas' float64 kernel)
+        idx = np.arange(len(ext), dtype=np.int64)
+        seg_first = np.concatenate(([0], np.flatnonzero(seg[1:] != seg[:-1]) + 1))
+        seg_of_ext = np.repeat(np.arange(len(seg_first)), np.diff(np.concatenate((seg_first, [len(ext)]))))
+        w_start = np.maximum(seg_first[seg_of_ext], idx - frame + 1)
+        csum = np.concatenate(([0], np.cumsum(ext)))
+        w_sum = (csum[idx + 1] - csum[w_start])[real]
+        rn_local = np.concatenate([np.arange(1, e - s + 1, dtype=np.int64) for s, e in zip(starts, ends)])
+        rn = rn_local + np.concatenate(prior_cnt)
+        w_cnt = np.minimum(rn, frame)
+        return pa.table(
+            {
+                key: pa.array(k, pa.int64()),
+                "ts_us": pa.array(o, pa.int64()),
+                "w_cnt": pa.array(w_cnt, pa.int64()),
+                "w_sum": pa.array(w_sum, pa.int64()),
+                "w_min": pa.array(w_min, pa.int64()),
+                "w_max": pa.array(w_max, pa.int64()),
+            }
+        )
+
+    return pinned.map_batches(
+        finish, batch_size=None, batch_format="pyarrow", zero_copy_batch=True, **remote_args()
+    )

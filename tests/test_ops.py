@@ -2859,3 +2859,78 @@ def test_mode_by_group_tie_and_nulls(ray_session):
     assert df["g"].tolist() == ["g1", "g2"]
     assert df["mode_value"].tolist() == [3, 7]
     assert df["mode_count"].tolist() == [2, 1]
+
+
+def test_rank_over_matches_pandas(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.windows import rank_over
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b", "c"], n),
+            "value": rng.integers(0, 40, n).astype(np.float64),  # heavy ties
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(7)
+    out = (
+        rank_over(ds, key="k", value_col="value", value_scale=1)
+        .to_pandas()
+        .sort_values(["k", "units", "rnk"])
+        .reset_index(drop=True)
+    )
+    exp = df.copy()
+    exp["units"] = np.floor(exp["value"] + 0.5).astype(np.int64)
+    exp["rnk"] = exp.groupby("k")["units"].rank(method="min").astype(np.int64)
+    exp["drnk"] = exp.groupby("k")["units"].rank(method="dense").astype(np.int64)
+    exp = exp[["k", "units", "rnk", "drnk"]].sort_values(["k", "units", "rnk"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, exp, check_dtype=True)
+
+    with pytest.raises(ValueError, match="max_broadcast_pairs"):
+        rank_over(ds, key="k", value_col="value", value_scale=1, max_broadcast_pairs=3).to_pandas()
+
+
+def test_moving_agg_matches_pandas(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.windows import moving_agg
+
+    rng = np.random.default_rng(13)
+    n = 3000
+    ts = pd.to_datetime(rng.choice(np.arange(10_000_000), n, replace=False), unit="us")
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 17, n),
+            "ts": ts,
+            "value": np.round(rng.uniform(0, 100, n), 2),
+        }
+    )
+    for frame in (1, 5, 64):
+        ds = ray.data.from_pandas(df).repartition(9)
+        out = (
+            moving_agg(ds, key="k", order_col="ts", value_col="value", value_scale=100, frame=frame)
+            .to_pandas()
+            .sort_values(["k", "ts_us"])
+            .reset_index(drop=True)
+        )
+        exp = df.copy()
+        exp["u"] = np.floor(exp["value"] * 100 + 0.5).astype(np.int64)
+        exp["ts_us"] = exp["ts"].astype("int64") // 1000  # ns -> us
+        exp = exp.sort_values(["k", "ts_us"]).reset_index(drop=True)
+        g = exp.groupby("k", sort=False)["u"].rolling(frame, min_periods=1)
+        exp_out = pd.DataFrame(
+            {
+                "k": exp["k"].astype("int64"),
+                "ts_us": exp["ts_us"],
+                "w_cnt": g.count().to_numpy().astype(np.int64),
+                "w_sum": g.sum().to_numpy().astype(np.int64),
+                "w_min": g.min().to_numpy().astype(np.int64),
+                "w_max": g.max().to_numpy().astype(np.int64),
+            }
+        )
+        pd.testing.assert_frame_equal(out, exp_out, check_dtype=True)
+
+    with pytest.raises(ValueError, match="frame"):
+        moving_agg(ray.data.from_pandas(df), key="k", frame=0)
