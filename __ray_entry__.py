@@ -982,6 +982,21 @@ def _q_moving_agg_events(sf_dir: str):
     return df.sort_values(["user_id", "ts_us"]).reset_index(drop=True)
 
 
+def _q_resample_ffill_events(sf_dir: str):
+    """Per-user daily resample with forward fill: one row per day inside
+    each user's activity span carrying the last observation — the pinned-
+    sorted-block carry plan of ops/windows.py:resample_ffill, hash-exact
+    vs DuckDB generate_series + ASOF JOIN."""
+    import ray.data
+
+    from orc_format_ray.ops.windows import resample_ffill
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+    df = resample_ffill(ds, key="user_id", order_col="ts", value_col="value",
+                        value_scale=100, step_us=86_400_000_000).to_pandas()
+    return df.sort_values(["user_id", "grid_us"]).reset_index(drop=True)
+
+
 def _q_sessionize_events(sf_dir: str):
     """Per-event session ids (gaps-and-islands, 30-min gap) via the
     pinned-sorted-block prefix-sum plan of ops/windows.py:sessionize —
@@ -2682,6 +2697,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mode_user_by_type": _q_mode_user_by_type,
         "rank_events_by_value": _q_rank_events_by_value,
         "moving_agg_events": _q_moving_agg_events,
+        "resample_ffill_events": _q_resample_ffill_events,
         "regex_extract_events": _q_regex_extract_events,
         "latest_event_per_user": _q_latest_event_per_user,
         "string_profile_documents": _q_string_profile_documents,
@@ -3369,6 +3385,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM m WINDOW w AS (PARTITION BY user_id ORDER BY ts_us "
             "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) "
             "ORDER BY user_id, ts_us"
+        ),
+        "resample_ffill_events": (
+            "WITH m AS (SELECT user_id AS k, CAST(epoch_us(ts) AS BIGINT) AS o, "
+            "CAST(floor(value*100 + 0.5) AS BIGINT) AS u FROM events), "
+            "b AS (SELECT k, min(o) AS mn, max(o) AS mx FROM m GROUP BY k), "
+            "g AS (SELECT k, unnest(generate_series(((mn + 86400000000 - 1)//86400000000)*86400000000, "
+            "(mx//86400000000)*86400000000, 86400000000)) AS t FROM b) "
+            "SELECT g.k AS user_id, g.t AS grid_us, m.u AS units "
+            "FROM g ASOF JOIN m ON g.k = m.k AND g.t >= m.o "
+            "ORDER BY user_id, grid_us"
         ),
         "sessionize_events": (
             "WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_id, "

@@ -778,3 +778,147 @@ def moving_agg(ds, key: str = "user_id", order_col: str = "ts",
     return pinned.map_batches(
         finish, batch_size=None, batch_format="pyarrow", zero_copy_batch=True, **remote_args()
     )
+
+
+def resample_ffill(ds, key: str = "user_id", order_col: str = "ts",
+                   value_col: str = "value", value_scale: int = 100,
+                   step_us: int = 86_400_000_000, max_grid_per_segment: int = 1 << 22):
+    """Per-key time-series resampling with forward fill: emit one row for
+    every multiple of ``step_us`` inside the key's [min ts, max ts] span,
+    carrying the last observation at or before each grid instant — the
+    gap-fill step in front of any fixed-cadence feature pipeline. Exactly
+    SQL's per-key ``generate_series`` + ``ASOF JOIN`` (grid_t >= event_t).
+    Returns a Dataset of ``(key, grid_us, units)`` with
+    ``units = floor(value * value_scale + 0.5)`` (exact integers).
+
+    Same metadata-only pinned-sorted-block plan as ``analytic_over``:
+    pass A ships per (block, key) the first/last event timestamp and the
+    last unit value; the driver folds a per-key (last ts, last unit) carry
+    in block order; pass B re-reads the SAME pinned blocks and emits each
+    block's OWN grid slice — multiples of ``step_us`` in
+    ``(carry ts, block-last ts]`` (or ``[first ts, last ts]`` for the
+    key's first block) — via one ``np.arange`` + ``searchsorted`` per
+    segment. Blocks never emit overlapping grid points, so the union over
+    blocks is exactly the key's full grid.
+
+    ``(key, order_col)`` must be globally unique; nulls fail loudly. A
+    segment expanding to more than ``max_grid_per_segment`` points fails
+    loudly (step too fine for the span).
+    """
+    import numpy as np
+    import ray
+
+    if step_us <= 0:
+        raise ValueError(f"step_us must be positive, got {step_us}")
+
+    def to_meta(batch: pa.Table) -> pa.Table:
+        ous = batch[order_col].cast(pa.timestamp("us")).cast(pa.int64())
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        if batch[value_col].null_count or np.isnan(v).any():
+            raise ValueError(f"{value_col!r} must be non-null for forward fill")
+        units = np.floor(v * value_scale + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "k": batch[key].cast(pa.int64()),
+                "o": ous,
+                "v": pa.array(units, pa.int64()),
+            }
+        )
+
+    meta = ds.map_batches(to_meta, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    pinned = meta.sort(["k", "o"]).materialize()
+
+    def block_partials(batch: pa.Table) -> pa.Table:
+        cols = ("blo_k", "blo_o", "k", "first_o", "last_o", "last_v")
+        if not batch.num_rows:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        k = batch["k"].to_numpy(zero_copy_only=False)
+        o = batch["o"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        starts = np.concatenate(([0], np.flatnonzero(k[1:] != k[:-1]) + 1))
+        ends = np.concatenate((starts[1:], [len(k)]))
+        return pa.table(
+            {
+                "blo_k": pa.array(np.full(len(starts), k[0]), pa.int64()),
+                "blo_o": pa.array(np.full(len(starts), o[0]), pa.int64()),
+                "k": pa.array(k[starts], pa.int64()),
+                "first_o": pa.array(o[starts], pa.int64()),
+                "last_o": pa.array(o[ends - 1], pa.int64()),
+                "last_v": pa.array(v[ends - 1], pa.int64()),
+            }
+        )
+
+    parts = pinned.map_batches(
+        block_partials, batch_size=None, batch_format="pyarrow", zero_copy_batch=True, **remote_args()
+    ).to_pandas()
+    blocks: dict[tuple[int, int], list] = {}
+    for blo_k, blo_o, k, first_o, last_o, last_v in parts.itertuples(index=False):
+        blocks.setdefault((int(blo_k), int(blo_o)), []).append(
+            (int(k), int(first_o), int(last_o), int(last_v))
+        )
+    order = sorted(blocks)
+    for a, b in zip(order, order[1:]):
+        if blocks[a][-1][0] > b[0]:
+            raise ValueError("sorted metadata blocks overlap — sort produced non-disjoint ranges")
+    acc: dict[int, tuple[int, int]] = {}
+    bases: dict[tuple[int, int], dict[int, tuple[int, int] | None]] = {}
+    for lo in order:
+        snap = {k: acc.get(k) for k, _, _, _ in blocks[lo]}
+        bases[lo] = snap
+        for k, _first_o, last_o, last_v in blocks[lo]:
+            acc[k] = (last_o, last_v)
+    bases_ref = ray.put(bases)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                key: pa.array([], pa.int64()),
+                "grid_us": pa.array([], pa.int64()),
+                "units": pa.array([], pa.int64()),
+            }
+        )
+        if not batch.num_rows:
+            return empty
+        base = ray.get(bases_ref)[(batch["k"][0].as_py(), batch["o"][0].as_py())]
+        k = batch["k"].to_numpy(zero_copy_only=False)
+        o = batch["o"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        n = len(k)
+        starts = np.concatenate(([0], np.flatnonzero(k[1:] != k[:-1]) + 1))
+        ends = np.concatenate((starts[1:], [n]))
+        out_k, out_t, out_u = [], [], []
+        for s, e in zip(starts, ends):
+            carry = base[int(k[s])]
+            if carry is None:
+                g0 = -(-o[s] // step_us)  # ceil
+                ev_o, ev_v = o[s:e], v[s:e]
+            else:
+                g0 = -(-(carry[0] + 1) // step_us)  # first multiple > carry ts
+                ev_o = np.concatenate(([carry[0]], o[s:e]))
+                ev_v = np.concatenate(([carry[1]], v[s:e]))
+            g1 = o[e - 1] // step_us
+            if g1 < g0:
+                continue
+            if g1 - g0 + 1 > max_grid_per_segment:
+                raise ValueError(
+                    f"segment expands to {g1 - g0 + 1} grid points > "
+                    f"max_grid_per_segment={max_grid_per_segment}; coarsen step_us"
+                )
+            ts = np.arange(g0, g1 + 1, dtype=np.int64) * step_us
+            idx = np.searchsorted(ev_o, ts, side="right") - 1
+            out_k.append(np.full(len(ts), k[s], dtype=np.int64))
+            out_t.append(ts)
+            out_u.append(ev_v[idx])
+        if not out_k:
+            return empty
+        return pa.table(
+            {
+                key: pa.array(np.concatenate(out_k), pa.int64()),
+                "grid_us": pa.array(np.concatenate(out_t), pa.int64()),
+                "units": pa.array(np.concatenate(out_u), pa.int64()),
+            }
+        )
+
+    return pinned.map_batches(
+        finish, batch_size=None, batch_format="pyarrow", zero_copy_batch=True, **remote_args()
+    )

@@ -2934,3 +2934,49 @@ def test_moving_agg_matches_pandas(ray_session):
 
     with pytest.raises(ValueError, match="frame"):
         moving_agg(ray.data.from_pandas(df), key="k", frame=0)
+
+
+def test_resample_ffill_matches_pandas(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.windows import resample_ffill
+
+    rng = np.random.default_rng(17)
+    n = 2000
+    step = 1000
+    ts = pd.to_datetime(rng.choice(np.arange(1, 300_000), n, replace=False), unit="us")
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 9, n),
+            "ts": ts,
+            "value": np.round(rng.uniform(0, 50, n), 2),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(11)
+    out = (
+        resample_ffill(ds, key="k", order_col="ts", value_col="value", value_scale=100, step_us=step)
+        .to_pandas()
+        .sort_values(["k", "grid_us"])
+        .reset_index(drop=True)
+    )
+    # reference: per key, every multiple of step in [min, max], last obs <= t
+    rows = []
+    ref = df.copy()
+    ref["o"] = ref["ts"].astype("int64") // 1000
+    ref["u"] = np.floor(ref["value"] * 100 + 0.5).astype(np.int64)
+    for k, g in ref.sort_values("o").groupby("k"):
+        o = g["o"].to_numpy()
+        u = g["u"].to_numpy()
+        g0, g1 = -(-o[0] // step), o[-1] // step
+        for t in range(g0, g1 + 1):
+            idx = np.searchsorted(o, t * step, side="right") - 1
+            rows.append((k, t * step, u[idx]))
+    exp = pd.DataFrame(rows, columns=["k", "grid_us", "units"]).astype("int64")
+    exp = exp.sort_values(["k", "grid_us"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, exp, check_dtype=True)
+
+    with pytest.raises(ValueError, match="step_us"):
+        resample_ffill(ds, key="k", step_us=0)
+    with pytest.raises((ValueError, Exception)):
+        resample_ffill(ds, key="k", order_col="ts", value_col="value",
+                       step_us=1, max_grid_per_segment=10).to_pandas()
