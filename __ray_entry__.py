@@ -982,6 +982,31 @@ def _q_moving_agg_events(sf_dir: str):
     return df.sort_values(["user_id", "ts_us"]).reset_index(drop=True)
 
 
+def _q_pagerank_supplier_parts(sf_dir: str):
+    """Exact-integer PageRank (3 power iterations) over the bipartite
+    supplier -> part graph from lineitem (part ids offset by 1e6 into a
+    disjoint id space). Integer floor-div arithmetic makes the distributed
+    fold bit-identical to the chained-CTE SQL (ops/graph.py:pagerank)."""
+    import pyarrow.compute as _pc
+    import ray.data
+
+    from orc_format_ray.ops.graph import pagerank
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_partkey"])
+
+    def edges(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": b["l_suppkey"].cast(pa.int64()),
+                "dst": _pc.add(b["l_partkey"].cast(pa.int64()), pa.scalar(1_000_000, pa.int64())),
+            }
+        )
+
+    e = ds.map_batches(edges, batch_format="pyarrow", zero_copy_batch=True, **_ra())
+    df = pagerank(e, iterations=3)
+    return df.sort_values("node").reset_index(drop=True)
+
+
 def _q_resample_ffill_events(sf_dir: str):
     """Per-user daily resample with forward fill: one row per day inside
     each user's activity span carrying the last observation — the pinned-
@@ -2698,6 +2723,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_events_by_value": _q_rank_events_by_value,
         "moving_agg_events": _q_moving_agg_events,
         "resample_ffill_events": _q_resample_ffill_events,
+        "pagerank_supplier_parts": _q_pagerank_supplier_parts,
         "regex_extract_events": _q_regex_extract_events,
         "latest_event_per_user": _q_latest_event_per_user,
         "string_profile_documents": _q_string_profile_documents,
@@ -3386,6 +3412,7 @@ def oracle_sql() -> dict[str, str]:
             "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) "
             "ORDER BY user_id, ts_us"
         ),
+        "pagerank_supplier_parts": 'WITH e AS (SELECT DISTINCT l_suppkey AS s, l_partkey + 1000000 AS d FROM lineitem), n AS (SELECT s AS id FROM e UNION SELECT d FROM e), c AS (SELECT count(*) AS nn FROM n), dg AS (SELECT s, count(*) AS deg FROM e GROUP BY s), r0 AS (SELECT id, 1000000000000 // nn AS r FROM n, c), s1 AS (SELECT e.d, CAST(sum((850 * r0.r) // (1000 * dg.deg)) AS BIGINT) AS cc FROM e JOIN r0 ON e.s = r0.id JOIN dg ON e.s = dg.s GROUP BY e.d), r1 AS (SELECT n.id, (150 * 1000000000000) // (1000 * c.nn) + coalesce(s1.cc, 0) AS r FROM n CROSS JOIN c LEFT JOIN s1 ON n.id = s1.d), s2 AS (SELECT e.d, CAST(sum((850 * r1.r) // (1000 * dg.deg)) AS BIGINT) AS cc FROM e JOIN r1 ON e.s = r1.id JOIN dg ON e.s = dg.s GROUP BY e.d), r2 AS (SELECT n.id, (150 * 1000000000000) // (1000 * c.nn) + coalesce(s2.cc, 0) AS r FROM n CROSS JOIN c LEFT JOIN s2 ON n.id = s2.d), s3 AS (SELECT e.d, CAST(sum((850 * r2.r) // (1000 * dg.deg)) AS BIGINT) AS cc FROM e JOIN r2 ON e.s = r2.id JOIN dg ON e.s = dg.s GROUP BY e.d), r3 AS (SELECT n.id, (150 * 1000000000000) // (1000 * c.nn) + coalesce(s3.cc, 0) AS r FROM n CROSS JOIN c LEFT JOIN s3 ON n.id = s3.d) SELECT id AS node, CAST(r AS BIGINT) AS rank_units FROM r3 ORDER BY node',
         "resample_ffill_events": (
             "WITH m AS (SELECT user_id AS k, CAST(epoch_us(ts) AS BIGINT) AS o, "
             "CAST(floor(value*100 + 0.5) AS BIGINT) AS u FROM events), "

@@ -2980,3 +2980,45 @@ def test_resample_ffill_matches_pandas(ray_session):
     with pytest.raises((ValueError, Exception)):
         resample_ffill(ds, key="k", order_col="ts", value_col="value",
                        step_us=1, max_grid_per_segment=10).to_pandas()
+
+
+def test_pagerank_matches_numpy_reference(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.graph import pagerank
+
+    rng = np.random.default_rng(23)
+    m = 500
+    edges = pd.DataFrame(
+        {
+            "src": rng.integers(0, 40, m),
+            "dst": rng.integers(0, 40, m),
+        }
+    )
+    ds = ray.data.from_pandas(edges).repartition(6)
+    out = pagerank(ds, iterations=4).set_index("node")["rank_units"]
+
+    # integer reference (same floor-div semantics, plain Python)
+    e = set(zip(edges["src"], edges["dst"]))
+    nodes = sorted({s for s, _ in e} | {d for _, d in e})
+    n = len(nodes)
+    scale = 10**12
+    deg = {}
+    for s, _ in e:
+        deg[s] = deg.get(s, 0) + 1
+    base = (150 * scale) // (1000 * n)
+    r = {v: scale // n for v in nodes}
+    for _ in range(4):
+        nxt = {v: base for v in nodes}
+        for s, d in e:
+            nxt[d] += (850 * r[s]) // (1000 * deg[s])
+        r = nxt
+    assert out.to_dict() == r
+    # mass sanity: total <= scale (dangling mass decays), > damping base floor
+    assert out.sum() <= scale
+
+    with pytest.raises(ValueError, match="max_broadcast_nodes"):
+        pagerank(ds, iterations=1, max_broadcast_nodes=5)
+    empty = ray.data.from_pandas(pd.DataFrame({"src": pd.Series([], dtype="int64"),
+                                               "dst": pd.Series([], dtype="int64")}))
+    assert len(pagerank(empty, iterations=2)) == 0
