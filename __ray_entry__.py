@@ -982,6 +982,30 @@ def _q_moving_agg_events(sf_dir: str):
     return df.sort_values(["user_id", "ts_us"]).reset_index(drop=True)
 
 
+def _q_validate_documents(sf_dir: str):
+    """Data-contract expectations over documents (nulls, key uniqueness,
+    range, accepted domain, format regex) — one streaming fixed-size-
+    partial pass + a metadata-only distinct count per unique rule
+    (ops/profile.py:validate). Two rules fail deliberately (domain and
+    regex) so pass AND fail paths are oracle-checked."""
+    import ray.data
+
+    from orc_format_ray.ops.profile import validate
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars", "lang", "source"]
+    )
+    rules = [
+        {"check": "not_null", "col": "doc_id"},
+        {"check": "unique", "col": "doc_id"},
+        {"check": "not_null", "col": "text"},
+        {"check": "range", "col": "n_chars", "lo": 50, "hi": 500},
+        {"check": "in_set", "col": "lang", "values": ["en", "de", "fr"]},
+        {"check": "regex", "col": "source", "pattern": "src[0-9]"},
+    ]
+    return validate(ds, rules).sort_values("rule").reset_index(drop=True)
+
+
 def _q_pagerank_supplier_parts(sf_dir: str):
     """Exact-integer PageRank (3 power iterations) over the bipartite
     supplier -> part graph from lineitem (part ids offset by 1e6 into a
@@ -2723,7 +2747,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_events_by_value": _q_rank_events_by_value,
         "moving_agg_events": _q_moving_agg_events,
         "resample_ffill_events": _q_resample_ffill_events,
+        "validate_documents": "SELECT 'not_null:doc_id' AS rule, 'doc_id' AS col, CAST(count(*) FILTER (WHERE doc_id IS NULL) AS BIGINT) AS violations, CAST(count(*) AS BIGINT) AS total, (count(*) FILTER (WHERE doc_id IS NULL)) = 0 AS passed FROM documents UNION ALL SELECT 'unique:doc_id' AS rule, 'doc_id' AS col, CAST(count(doc_id) - count(DISTINCT doc_id) AS BIGINT) AS violations, CAST(count(*) AS BIGINT) AS total, (count(doc_id) - count(DISTINCT doc_id)) = 0 AS passed FROM documents UNION ALL SELECT 'not_null:text' AS rule, 'text' AS col, CAST(count(*) FILTER (WHERE text IS NULL) AS BIGINT) AS violations, CAST(count(*) AS BIGINT) AS total, (count(*) FILTER (WHERE text IS NULL)) = 0 AS passed FROM documents UNION ALL SELECT 'range:n_chars' AS rule, 'n_chars' AS col, CAST(count(*) FILTER (WHERE n_chars < 50 OR n_chars > 500) AS BIGINT) AS violations, CAST(count(*) AS BIGINT) AS total, (count(*) FILTER (WHERE n_chars < 50 OR n_chars > 500)) = 0 AS passed FROM documents UNION ALL SELECT 'in_set:lang' AS rule, 'lang' AS col, CAST(count(*) FILTER (WHERE lang IS NOT NULL AND lang NOT IN ('en','de','fr')) AS BIGINT) AS violations, CAST(count(*) AS BIGINT) AS total, (count(*) FILTER (WHERE lang IS NOT NULL AND lang NOT IN ('en','de','fr'))) = 0 AS passed FROM documents UNION ALL SELECT 'regex:source' AS rule, 'source' AS col, CAST(count(*) FILTER (WHERE source IS NOT NULL AND NOT regexp_full_match(source, 'src[0-9]')) AS BIGINT) AS violations, CAST(count(*) AS BIGINT) AS total, (count(*) FILTER (WHERE source IS NOT NULL AND NOT regexp_full_match(source, 'src[0-9]'))) = 0 AS passed FROM documents ORDER BY rule",
         "pagerank_supplier_parts": _q_pagerank_supplier_parts,
+        "validate_documents": _q_validate_documents,
         "regex_extract_events": _q_regex_extract_events,
         "latest_event_per_user": _q_latest_event_per_user,
         "string_profile_documents": _q_string_profile_documents,
@@ -3412,6 +3438,7 @@ def oracle_sql() -> dict[str, str]:
             "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) "
             "ORDER BY user_id, ts_us"
         ),
+        "validate_documents": "SELECT 'not_null:doc_id' AS rule, 'doc_id' AS col, CAST(count(*) FILTER (WHERE doc_id IS NULL) AS BIGINT) AS violations, CAST(count(*) AS BIGINT) AS total, (count(*) FILTER (WHERE doc_id IS NULL)) = 0 AS passed FROM documents UNION ALL SELECT 'unique:doc_id' AS rule, 'doc_id' AS col, CAST(count(doc_id) - count(DISTINCT doc_id) AS BIGINT) AS violations, CAST(count(*) AS BIGINT) AS total, (count(doc_id) - count(DISTINCT doc_id)) = 0 AS passed FROM documents UNION ALL SELECT 'not_null:text' AS rule, 'text' AS col, CAST(count(*) FILTER (WHERE text IS NULL) AS BIGINT) AS violations, CAST(count(*) AS BIGINT) AS total, (count(*) FILTER (WHERE text IS NULL)) = 0 AS passed FROM documents UNION ALL SELECT 'range:n_chars' AS rule, 'n_chars' AS col, CAST(count(*) FILTER (WHERE n_chars < 50 OR n_chars > 500) AS BIGINT) AS violations, CAST(count(*) AS BIGINT) AS total, (count(*) FILTER (WHERE n_chars < 50 OR n_chars > 500)) = 0 AS passed FROM documents UNION ALL SELECT 'in_set:lang' AS rule, 'lang' AS col, CAST(count(*) FILTER (WHERE lang IS NOT NULL AND lang NOT IN ('en','de','fr')) AS BIGINT) AS violations, CAST(count(*) AS BIGINT) AS total, (count(*) FILTER (WHERE lang IS NOT NULL AND lang NOT IN ('en','de','fr'))) = 0 AS passed FROM documents UNION ALL SELECT 'regex:source' AS rule, 'source' AS col, CAST(count(*) FILTER (WHERE source IS NOT NULL AND NOT regexp_full_match(source, 'src[0-9]')) AS BIGINT) AS violations, CAST(count(*) AS BIGINT) AS total, (count(*) FILTER (WHERE source IS NOT NULL AND NOT regexp_full_match(source, 'src[0-9]'))) = 0 AS passed FROM documents ORDER BY rule",
         "pagerank_supplier_parts": 'WITH e AS (SELECT DISTINCT l_suppkey AS s, l_partkey + 1000000 AS d FROM lineitem), n AS (SELECT s AS id FROM e UNION SELECT d FROM e), c AS (SELECT count(*) AS nn FROM n), dg AS (SELECT s, count(*) AS deg FROM e GROUP BY s), r0 AS (SELECT id, 1000000000000 // nn AS r FROM n, c), s1 AS (SELECT e.d, CAST(sum((850 * r0.r) // (1000 * dg.deg)) AS BIGINT) AS cc FROM e JOIN r0 ON e.s = r0.id JOIN dg ON e.s = dg.s GROUP BY e.d), r1 AS (SELECT n.id, (150 * 1000000000000) // (1000 * c.nn) + coalesce(s1.cc, 0) AS r FROM n CROSS JOIN c LEFT JOIN s1 ON n.id = s1.d), s2 AS (SELECT e.d, CAST(sum((850 * r1.r) // (1000 * dg.deg)) AS BIGINT) AS cc FROM e JOIN r1 ON e.s = r1.id JOIN dg ON e.s = dg.s GROUP BY e.d), r2 AS (SELECT n.id, (150 * 1000000000000) // (1000 * c.nn) + coalesce(s2.cc, 0) AS r FROM n CROSS JOIN c LEFT JOIN s2 ON n.id = s2.d), s3 AS (SELECT e.d, CAST(sum((850 * r2.r) // (1000 * dg.deg)) AS BIGINT) AS cc FROM e JOIN r2 ON e.s = r2.id JOIN dg ON e.s = dg.s GROUP BY e.d), r3 AS (SELECT n.id, (150 * 1000000000000) // (1000 * c.nn) + coalesce(s3.cc, 0) AS r FROM n CROSS JOIN c LEFT JOIN s3 ON n.id = s3.d) SELECT id AS node, CAST(r AS BIGINT) AS rank_units FROM r3 ORDER BY node',
         "resample_ffill_events": (
             "WITH m AS (SELECT user_id AS k, CAST(epoch_us(ts) AS BIGINT) AS o, "

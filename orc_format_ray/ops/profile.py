@@ -270,3 +270,92 @@ def string_profile(ds, cols: list[str]) -> pa.Table:
             "n_blank": pa.array([acc[c]["blank"] for c in cols], pa.int64()),
         }
     )
+
+
+_VALID_CHECKS = ("not_null", "range", "in_set", "regex", "unique")
+
+
+def validate(ds, rules: list[dict]) -> "object":
+    """Data-quality expectations over a Dataset — the pre-ingest contract
+    check (nulls, ranges, accepted domains, format regexes, key
+    uniqueness). Each rule is a dict:
+
+    * ``{"check": "not_null", "col": c}`` — violation = NULL cell;
+    * ``{"check": "range", "col": c, "lo": x, "hi": y}`` — violation =
+      non-null value outside ``[lo, hi]`` (nulls belong to not_null);
+    * ``{"check": "in_set", "col": c, "values": [...]}`` — violation =
+      non-null value outside the set;
+    * ``{"check": "regex", "col": c, "pattern": p}`` — violation = non-null
+      string not FULLY matching ``p`` (RE2 via Arrow — same engine family
+      as DuckDB's regexp_full_match, so oracles agree);
+    * ``{"check": "unique", "col": c}`` — violations = non-null rows minus
+      distinct non-null values (each extra copy counts once).
+
+    Counting rules (not_null/range/in_set/regex) fold in ONE streaming
+    ``map_batches`` pass emitting a fixed-size partial row per batch — the
+    table never shuffles. Each unique rule adds one metadata-only distinct
+    count (per-block local distinct + one groupby over distinct values,
+    the ``ndistinct_by_group`` shape). Returns a pandas DataFrame
+    ``(rule, col, violations, total, passed)`` with one row per rule in
+    input order; ``total`` is the table's row count.
+    """
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    if not rules:
+        raise ValueError("validate needs at least one rule")
+    for r in rules:
+        if r.get("check") not in _VALID_CHECKS:
+            raise ValueError(f"unknown check {r.get('check')!r}; pick from {_VALID_CHECKS}")
+
+    counting = [(i, r) for i, r in enumerate(rules) if r["check"] != "unique"]
+    uniques = [(i, r) for i, r in enumerate(rules) if r["check"] == "unique"]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        out = {"__rows__": pa.array([batch.num_rows], pa.int64())}
+        for i, r in counting:
+            col = batch[r["col"]].combine_chunks()
+            kind = r["check"]
+            if kind == "not_null":
+                v = col.null_count
+            elif kind == "range":
+                bad = pc.or_(pc.less(col, r["lo"]), pc.greater(col, r["hi"]))
+                v = pc.sum(bad).as_py() or 0  # nulls drop out of the sum
+            elif kind == "in_set":
+                ok = pc.is_in(col, value_set=pa.array(r["values"], col.type))
+                v = pc.sum(pc.and_(pc.invert(ok), pc.is_valid(col))).as_py() or 0
+            else:  # regex (full match)
+                m = pc.match_substring_regex(col.cast(pa.string()), f"^(?:{r['pattern']})$")
+                v = pc.sum(pc.and_(pc.invert(m), pc.is_valid(col))).as_py() or 0
+            out[f"__v{i}__"] = pa.array([int(v)], pa.int64())
+        for i, r in uniques:
+            col = batch[r["col"]]
+            out[f"__nn{i}__"] = pa.array([batch.num_rows - col.null_count], pa.int64())
+        return pa.table(out)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    sums = partials.sum([c for c in partials.schema().names])
+
+    ndistinct: dict[int, int] = {}
+    for i, r in uniques:
+        col = r["col"]
+
+        def local_distinct(batch: pa.Table, _c=col) -> pa.Table:
+            keys = pc.drop_null(batch[_c].combine_chunks())
+            return pa.table({"k": keys}).group_by("k").aggregate([])
+
+        dist = ds.map_batches(local_distinct, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        cnt = dist.groupby("k").aggregate(Count(alias_name="c")).count()
+        ndistinct[i] = int(cnt)
+
+    total = int(sums["sum(__rows__)"])
+    rows = []
+    for i, r in enumerate(rules):
+        if r["check"] == "unique":
+            v = int(sums[f"sum(__nn{i}__)"]) - ndistinct[i]
+        else:
+            v = int(sums[f"sum(__v{i}__)"])
+        label = r["check"] + ":" + r["col"]
+        rows.append((label, r["col"], v, total, v == 0))
+    return pd.DataFrame(rows, columns=["rule", "col", "violations", "total", "passed"])

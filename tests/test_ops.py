@@ -3022,3 +3022,43 @@ def test_pagerank_matches_numpy_reference(ray_session):
     empty = ray.data.from_pandas(pd.DataFrame({"src": pd.Series([], dtype="int64"),
                                                "dst": pd.Series([], dtype="int64")}))
     assert len(pagerank(empty, iterations=2)) == 0
+
+
+def test_validate_rules(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.profile import validate
+
+    t = pa.table(
+        {
+            "id": pa.array([1, 2, 2, 3, None], pa.int64()),
+            "x": pa.array([5.0, -1.0, 50.0, None, 7.0]),
+            "s": pa.array(["ab", "cd", "zz", None, "a9"]),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(3)
+    df = validate(
+        ds,
+        [
+            {"check": "not_null", "col": "id"},
+            {"check": "unique", "col": "id"},
+            {"check": "range", "col": "x", "lo": 0, "hi": 10},
+            {"check": "in_set", "col": "s", "values": ["ab", "cd", "a9"]},
+            {"check": "regex", "col": "s", "pattern": "[a-z][a-z0-9]"},
+        ],
+    )
+    got = dict(zip(df["rule"], df["violations"]))
+    assert got == {
+        "not_null:id": 1,
+        "unique:id": 1,   # one extra copy of 2 (null not counted)
+        "range:x": 2,     # -1 and 50; null doesn't violate range
+        "in_set:s": 1,    # zz
+        "regex:s": 0,     # all non-null match [a-z][a-z0-9] fully
+    }
+    assert (df["total"] == 5).all()
+    assert df["passed"].tolist() == [v == 0 for v in df["violations"]]
+
+    with pytest.raises(ValueError, match="unknown check"):
+        validate(ds, [{"check": "positive", "col": "x"}])
+    with pytest.raises(ValueError, match="at least one rule"):
+        validate(ds, [])
