@@ -982,6 +982,30 @@ def _q_moving_agg_events(sf_dir: str):
     return df.sort_values(["user_id", "ts_us"]).reset_index(drop=True)
 
 
+def _q_skew_join_lineitem_orders(sf_dir: str):
+    """Skew-hardened join: orderkeys with >= 5 lineitem rows take the
+    broadcast hot path (their rows never shuffle), the rest take the
+    bucketed hash join — same inner-join multiset, no hot-bucket straggler
+    (ops/join.py:skew_join)."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from orc_format_ray.ops.join import skew_join
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"])
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["o_orderkey", "l_quantity"])
+
+    li = li.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True, **_ra())
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"])
+    joined = skew_join(li, orders, key="o_orderkey", num_buckets=16, hot_threshold=5)
+    out = joined.groupby("o_orderpriority").aggregate(Count(alias_name="cnt"), Sum("l_quantity", alias_name="sum_qty"))
+    df = out.to_pandas()
+    df["sum_qty"] = df["sum_qty"].round(2)
+    return df.sort_values("o_orderpriority").reset_index(drop=True)
+
+
 def _q_validate_documents(sf_dir: str):
     """Data-contract expectations over documents (nulls, key uniqueness,
     range, accepted domain, format regex) — one streaming fixed-size-
@@ -2747,9 +2771,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_events_by_value": _q_rank_events_by_value,
         "moving_agg_events": _q_moving_agg_events,
         "resample_ffill_events": _q_resample_ffill_events,
-        "validate_documents": "SELECT 'not_null:doc_id' AS rule, 'doc_id' AS col, CAST(count(*) FILTER (WHERE doc_id IS NULL) AS BIGINT) AS violations, CAST(count(*) AS BIGINT) AS total, (count(*) FILTER (WHERE doc_id IS NULL)) = 0 AS passed FROM documents UNION ALL SELECT 'unique:doc_id' AS rule, 'doc_id' AS col, CAST(count(doc_id) - count(DISTINCT doc_id) AS BIGINT) AS violations, CAST(count(*) AS BIGINT) AS total, (count(doc_id) - count(DISTINCT doc_id)) = 0 AS passed FROM documents UNION ALL SELECT 'not_null:text' AS rule, 'text' AS col, CAST(count(*) FILTER (WHERE text IS NULL) AS BIGINT) AS violations, CAST(count(*) AS BIGINT) AS total, (count(*) FILTER (WHERE text IS NULL)) = 0 AS passed FROM documents UNION ALL SELECT 'range:n_chars' AS rule, 'n_chars' AS col, CAST(count(*) FILTER (WHERE n_chars < 50 OR n_chars > 500) AS BIGINT) AS violations, CAST(count(*) AS BIGINT) AS total, (count(*) FILTER (WHERE n_chars < 50 OR n_chars > 500)) = 0 AS passed FROM documents UNION ALL SELECT 'in_set:lang' AS rule, 'lang' AS col, CAST(count(*) FILTER (WHERE lang IS NOT NULL AND lang NOT IN ('en','de','fr')) AS BIGINT) AS violations, CAST(count(*) AS BIGINT) AS total, (count(*) FILTER (WHERE lang IS NOT NULL AND lang NOT IN ('en','de','fr'))) = 0 AS passed FROM documents UNION ALL SELECT 'regex:source' AS rule, 'source' AS col, CAST(count(*) FILTER (WHERE source IS NOT NULL AND NOT regexp_full_match(source, 'src[0-9]')) AS BIGINT) AS violations, CAST(count(*) AS BIGINT) AS total, (count(*) FILTER (WHERE source IS NOT NULL AND NOT regexp_full_match(source, 'src[0-9]'))) = 0 AS passed FROM documents ORDER BY rule",
         "pagerank_supplier_parts": _q_pagerank_supplier_parts,
         "validate_documents": _q_validate_documents,
+        "skew_join_lineitem_orders": _q_skew_join_lineitem_orders,
         "regex_extract_events": _q_regex_extract_events,
         "latest_event_per_user": _q_latest_event_per_user,
         "string_profile_documents": _q_string_profile_documents,
@@ -3437,6 +3461,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM m WINDOW w AS (PARTITION BY user_id ORDER BY ts_us "
             "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) "
             "ORDER BY user_id, ts_us"
+        ),
+        "skew_join_lineitem_orders": (
+            "SELECT o_orderpriority, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority "
+            "ORDER BY o_orderpriority"
         ),
         "validate_documents": "SELECT 'not_null:doc_id' AS rule, 'doc_id' AS col, CAST(count(*) FILTER (WHERE doc_id IS NULL) AS BIGINT) AS violations, CAST(count(*) AS BIGINT) AS total, (count(*) FILTER (WHERE doc_id IS NULL)) = 0 AS passed FROM documents UNION ALL SELECT 'unique:doc_id' AS rule, 'doc_id' AS col, CAST(count(doc_id) - count(DISTINCT doc_id) AS BIGINT) AS violations, CAST(count(*) AS BIGINT) AS total, (count(doc_id) - count(DISTINCT doc_id)) = 0 AS passed FROM documents UNION ALL SELECT 'not_null:text' AS rule, 'text' AS col, CAST(count(*) FILTER (WHERE text IS NULL) AS BIGINT) AS violations, CAST(count(*) AS BIGINT) AS total, (count(*) FILTER (WHERE text IS NULL)) = 0 AS passed FROM documents UNION ALL SELECT 'range:n_chars' AS rule, 'n_chars' AS col, CAST(count(*) FILTER (WHERE n_chars < 50 OR n_chars > 500) AS BIGINT) AS violations, CAST(count(*) AS BIGINT) AS total, (count(*) FILTER (WHERE n_chars < 50 OR n_chars > 500)) = 0 AS passed FROM documents UNION ALL SELECT 'in_set:lang' AS rule, 'lang' AS col, CAST(count(*) FILTER (WHERE lang IS NOT NULL AND lang NOT IN ('en','de','fr')) AS BIGINT) AS violations, CAST(count(*) AS BIGINT) AS total, (count(*) FILTER (WHERE lang IS NOT NULL AND lang NOT IN ('en','de','fr'))) = 0 AS passed FROM documents UNION ALL SELECT 'regex:source' AS rule, 'source' AS col, CAST(count(*) FILTER (WHERE source IS NOT NULL AND NOT regexp_full_match(source, 'src[0-9]')) AS BIGINT) AS violations, CAST(count(*) AS BIGINT) AS total, (count(*) FILTER (WHERE source IS NOT NULL AND NOT regexp_full_match(source, 'src[0-9]'))) = 0 AS passed FROM documents ORDER BY rule",
         "pagerank_supplier_parts": 'WITH e AS (SELECT DISTINCT l_suppkey AS s, l_partkey + 1000000 AS d FROM lineitem), n AS (SELECT s AS id FROM e UNION SELECT d FROM e), c AS (SELECT count(*) AS nn FROM n), dg AS (SELECT s, count(*) AS deg FROM e GROUP BY s), r0 AS (SELECT id, 1000000000000 // nn AS r FROM n, c), s1 AS (SELECT e.d, CAST(sum((850 * r0.r) // (1000 * dg.deg)) AS BIGINT) AS cc FROM e JOIN r0 ON e.s = r0.id JOIN dg ON e.s = dg.s GROUP BY e.d), r1 AS (SELECT n.id, (150 * 1000000000000) // (1000 * c.nn) + coalesce(s1.cc, 0) AS r FROM n CROSS JOIN c LEFT JOIN s1 ON n.id = s1.d), s2 AS (SELECT e.d, CAST(sum((850 * r1.r) // (1000 * dg.deg)) AS BIGINT) AS cc FROM e JOIN r1 ON e.s = r1.id JOIN dg ON e.s = dg.s GROUP BY e.d), r2 AS (SELECT n.id, (150 * 1000000000000) // (1000 * c.nn) + coalesce(s2.cc, 0) AS r FROM n CROSS JOIN c LEFT JOIN s2 ON n.id = s2.d), s3 AS (SELECT e.d, CAST(sum((850 * r2.r) // (1000 * dg.deg)) AS BIGINT) AS cc FROM e JOIN r2 ON e.s = r2.id JOIN dg ON e.s = dg.s GROUP BY e.d), r3 AS (SELECT n.id, (150 * 1000000000000) // (1000 * c.nn) + coalesce(s3.cc, 0) AS r FROM n CROSS JOIN c LEFT JOIN s3 ON n.id = s3.d) SELECT id AS node, CAST(r AS BIGINT) AS rank_units FROM r3 ORDER BY node',

@@ -332,3 +332,93 @@ def hash_join(left_ds, right_ds, key: str, num_buckets: int = 64):
         return ldf.merge(rdf, on=key, how="inner", suffixes=("", "_r"))
 
     return lt.union(rt).groupby("_bucket").map_groups(join_bucket, batch_format="pandas", **remote_args())
+
+def skew_join(left_ds, right_ds, key: str, num_buckets: int = 64,
+              hot_threshold: int = 100_000, max_hot_keys: int = 1 << 16,
+              max_broadcast_rows: int = 1 << 22):
+    """Skew-hardened large-large inner join. A plain bucketed hash join
+    sends a hot key's EVERY row to one worker — one viral key (a celebrity
+    user, a default product id) stalls the whole stage at 100 TB. This
+    variant routes around the skew:
+
+    1. a metadata-only key-frequency pass over the LEFT (per-batch
+       (key, count) cells, one cell groupby) finds keys with
+       >= ``hot_threshold`` left rows (at most ``max_hot_keys``, guarded);
+    2. the RIGHT side's hot-key rows broadcast once (``ray.put``, guarded
+       by ``max_broadcast_rows``) and the left's hot rows join against
+       them INSIDE ``map_batches`` — the hot rows never shuffle at all;
+    3. everything else takes the normal bucketed hash join.
+
+    Output schema/order matches ``hash_join`` (right collisions suffixed
+    ``_r``); row multiset is identical to ``hash_join`` by construction.
+    Works when hot keys are hot on the LEFT and thin on the RIGHT (the
+    fact-to-dimension shape); a key hot on BOTH sides is a cross-product
+    nobody can shuffle around — the broadcast guard fails loudly there.
+    """
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    def key_cells(batch: pa.Table) -> pa.Table:
+        t = pa.table({"k": batch[key].combine_chunks().cast(pa.int64())})
+        g = t.group_by("k").aggregate([([], "count_all")])
+        return g.rename_columns(["k", "c"])
+
+    counts = (
+        left_ds.map_batches(key_cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby("k")
+        .aggregate(Sum("c", alias_name="c"))
+    )
+    hot_df = counts.filter(expr=f"c >= {int(hot_threshold)}").to_pandas()
+    if len(hot_df) > max_hot_keys:
+        raise ValueError(
+            f"{len(hot_df)} hot keys exceed max_hot_keys={max_hot_keys}; raise hot_threshold"
+        )
+    if hot_df.empty:
+        return hash_join(left_ds, right_ds, key, num_buckets=num_buckets)
+    hot_keys = np.sort(hot_df["k"].to_numpy(dtype=np.int64))
+    hot_ref = ray.put(hot_keys)
+
+    def is_hot(batch: pa.Table) -> np.ndarray:
+        k = batch[key].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hk = ray.get(hot_ref)
+        idx = np.searchsorted(hk, k)
+        idx[idx == len(hk)] = 0
+        return hk[idx] == k if len(hk) else np.zeros(len(k), bool)
+
+    def take_side(hot: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            m = is_hot(batch)
+            return batch.filter(pa.array(m if hot else ~m))
+
+        return fn
+
+    right_hot = right_ds.map_batches(
+        take_side(True), batch_format="pyarrow", zero_copy_batch=True, **remote_args()
+    ).materialize()
+    n_right_hot = right_hot.count()
+    if n_right_hot > max_broadcast_rows:
+        raise ValueError(
+            f"{n_right_hot} hot right rows exceed max_broadcast_rows={max_broadcast_rows}; "
+            "the key is hot on both sides — pre-aggregate one side instead"
+        )
+    right_hot_df = right_hot.to_pandas() if n_right_hot else pd.DataFrame(columns=[key])
+    rdf_ref = ray.put(right_hot_df)
+
+    def hot_probe(batch: pa.Table) -> pd.DataFrame:
+        m = is_hot(batch)
+        ldf = batch.filter(pa.array(m)).to_pandas()
+        rdf = ray.get(rdf_ref)
+        if ldf.empty or rdf.empty:
+            return pd.DataFrame()
+        ldf[key] = ldf[key].astype("int64")
+        return ldf.merge(rdf, on=key, how="inner", suffixes=("", "_r"))
+
+    hot_out = left_ds.map_batches(hot_probe, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    cold_out = hash_join(
+        left_ds.map_batches(take_side(False), batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        right_ds.map_batches(take_side(False), batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        key,
+        num_buckets=num_buckets,
+    )
+    return hot_out.union(cold_out)

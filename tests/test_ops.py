@@ -3062,3 +3062,38 @@ def test_validate_rules(ray_session):
         validate(ds, [{"check": "positive", "col": "x"}])
     with pytest.raises(ValueError, match="at least one rule"):
         validate(ds, [])
+
+
+def test_skew_join_matches_hash_join(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.join import hash_join, skew_join
+
+    rng = np.random.default_rng(29)
+    n = 5000
+    # planted skew: 60% of left rows share key 7
+    keys = np.where(rng.uniform(size=n) < 0.6, 7, rng.integers(0, 200, n)).astype(np.int64)
+    left = pd.DataFrame({"k": keys, "lv": np.arange(n, dtype=np.int64)})
+    right = pd.DataFrame({"k": np.arange(0, 200, dtype=np.int64), "rv": np.arange(1000, 1200, dtype=np.int64)})
+    lds = ray.data.from_pandas(left).repartition(8)
+    rds = ray.data.from_pandas(right).repartition(4)
+
+    a = skew_join(lds, rds, "k", num_buckets=8, hot_threshold=100).to_pandas()
+    b = hash_join(lds, rds, "k", num_buckets=8).to_pandas()
+    key_cols = ["k", "lv", "rv"]
+    a = a[key_cols].sort_values(key_cols).reset_index(drop=True)
+    b = b[key_cols].sort_values(key_cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # the hot key actually joined
+    assert (a["k"] == 7).sum() == (left["k"] == 7).sum()
+
+    # no hot keys -> falls back to plain hash join, same result
+    c = skew_join(lds, rds, "k", num_buckets=8, hot_threshold=10**9).to_pandas()
+    c = c[key_cols].sort_values(key_cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(c, b)
+
+    # hot on both sides -> loud broadcast guard
+    fat_right = pd.DataFrame({"k": np.full(4000, 7, dtype=np.int64), "rv": np.arange(4000, dtype=np.int64)})
+    with pytest.raises(ValueError, match="max_broadcast_rows"):
+        skew_join(lds, ray.data.from_pandas(fat_right), "k", hot_threshold=100,
+                  max_broadcast_rows=100).to_pandas()
