@@ -1006,6 +1006,54 @@ def _q_skew_join_lineitem_orders(sf_dir: str):
     return df.sort_values("o_orderpriority").reset_index(drop=True)
 
 
+def _q_topk_events_by_type(sf_dir: str):
+    """Generic exact top-k per group (k=3 by value units, ties to smallest
+    event_id): per-batch local pruning to k cells per group, one small
+    groupby, per-group final pick (ops/agg.py:topk_by_group)."""
+    import ray.data
+
+    from orc_format_ray.ops.agg import topk_by_group
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "event_id", "value"])
+    df = topk_by_group(ds, group="event_type", order_col="value", id_col="event_id",
+                       k=3, value_scale=100).to_pandas()
+    return df.sort_values(["event_type", "rk"]).reset_index(drop=True)
+
+
+def _q_co_occurrence_event_types(sf_dir: str):
+    """Market-basket support counts: for every unordered event-type pair,
+    how many users did both — local distinct, one basket groupby,
+    vectorized triu pair expansion, one cell groupby
+    (ops/basket.py:co_occurrence)."""
+    import ray.data
+
+    from orc_format_ray.ops.basket import co_occurrence
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+    df = co_occurrence(ds, basket="user_id", item="event_type").to_pandas()
+    return df.sort_values(["item_a", "item_b"]).reset_index(drop=True)
+
+
+def _q_weighted_sample_documents(sf_dir: str):
+    """Deterministic per-row weighted sampling: keep probability ~
+    least(n_chars, 500)/1000 via one integer hash compare — stateless,
+    shuffle-free, bit-reproducible (ops/sample.py:weighted_sample)."""
+    import pyarrow.compute as _pc
+    import ray.data
+
+    from orc_format_ray.ops.sample import weighted_sample
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+
+    def add_w(b: pa.Table) -> pa.Table:
+        w = _pc.divide(_pc.min_element_wise(b["n_chars"].cast(pa.float64()), pa.scalar(500.0)), pa.scalar(1000.0))
+        return b.append_column("w", w)
+
+    ds = ds.map_batches(add_w, batch_format="pyarrow", zero_copy_batch=True, **_ra())
+    df = weighted_sample(ds, key="doc_id", weight_col="w").to_pandas()[["doc_id", "n_chars"]]
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_validate_documents(sf_dir: str):
     """Data-contract expectations over documents (nulls, key uniqueness,
     range, accepted domain, format regex) — one streaming fixed-size-
@@ -2773,6 +2821,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resample_ffill_events": _q_resample_ffill_events,
         "pagerank_supplier_parts": _q_pagerank_supplier_parts,
         "validate_documents": _q_validate_documents,
+        "topk_events_by_type": _q_topk_events_by_type,
+        "co_occurrence_event_types": _q_co_occurrence_event_types,
+        "weighted_sample_documents": _q_weighted_sample_documents,
         "skew_join_lineitem_orders": _q_skew_join_lineitem_orders,
         "regex_extract_events": _q_regex_extract_events,
         "latest_event_per_user": _q_latest_event_per_user,
@@ -3461,6 +3512,24 @@ def oracle_sql() -> dict[str, str]:
             "FROM m WINDOW w AS (PARTITION BY user_id ORDER BY ts_us "
             "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) "
             "ORDER BY user_id, ts_us"
+        ),
+        "topk_events_by_type": (
+            "WITH m AS (SELECT event_type, event_id, CAST(floor(value*100 + 0.5) AS BIGINT) AS units FROM events), "
+            "r AS (SELECT *, CAST(row_number() OVER (PARTITION BY event_type ORDER BY units DESC, event_id) AS BIGINT) AS rk FROM m) "
+            "SELECT event_type, event_id, units, rk FROM r WHERE rk <= 3 ORDER BY event_type, rk"
+        ),
+        "co_occurrence_event_types": (
+            "WITH d AS (SELECT DISTINCT user_id, event_type FROM events "
+            "WHERE user_id IS NOT NULL AND event_type IS NOT NULL) "
+            "SELECT a.event_type AS item_a, b.event_type AS item_b, count(*) AS cnt "
+            "FROM d a JOIN d b ON a.user_id = b.user_id AND a.event_type < b.event_type "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "weighted_sample_documents": (
+            "SELECT doc_id, n_chars FROM documents "
+            "WHERE ((doc_id * 2654435761) % 4294967296) < "
+            "CAST(floor((least(n_chars, 500) / 1000.0) * 4294967296) AS BIGINT) "
+            "ORDER BY doc_id"
         ),
         "skew_join_lineitem_orders": (
             "SELECT o_orderpriority, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty "

@@ -348,3 +348,56 @@ def ndistinct_by_group(ds, group: str, col: str):
     pairs = ds.map_batches(local_distinct, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
     dist = pairs.groupby([group, col]).aggregate(Count(alias_name="__nd_c__")).select_columns([group, col])
     return dist.groupby(group).aggregate(Count(alias_name="n_distinct"))
+
+
+def topk_by_group(ds, group: str, order_col: str, id_col: str, k: int = 10,
+                  value_scale: int = 100):
+    """Generic exact top-k rows per group by a numeric column (descending),
+    ties broken toward the SMALLEST id — SQL
+    ``row_number() OVER (PARTITION BY g ORDER BY units DESC, id)`` kept
+    where ``<= k``. The order value quantizes to exact integer units
+    (``floor(value * value_scale + 0.5)``) so ordering is bit-stable.
+
+    Shuffle shape: every batch prunes locally to its own k best
+    (units, id) cells per group (no batch can contribute more than k
+    winners), so the ONE groupby carries at most k rows per group per
+    block; the per-group final pick runs over <= k * n_blocks rows. Full
+    rows never move — join the ids back for payloads.
+
+    Returns a Dataset of ``(group, id_col, units, rk)``.
+    """
+    import pandas as pd
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def local_prune(batch: pa.Table) -> pd.DataFrame:
+        v = batch[order_col].to_numpy(zero_copy_only=False)
+        if batch[order_col].null_count or np.isnan(v).any():
+            raise ValueError(f"{order_col!r} must be non-null for top-k")
+        units = np.floor(v * value_scale + 0.5).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "g": batch[group].to_pandas(),
+                "i": batch[id_col].cast(pa.int64()).to_pandas(),
+                "u": units,
+            }
+        )
+        df = df.sort_values(["g", "u", "i"], ascending=[True, False, True], kind="mergesort")
+        return df.groupby("g", sort=False).head(k).reset_index(drop=True)
+
+    cells = ds.map_batches(local_prune, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["u", "i"], ascending=[False, True], kind="mergesort").head(k)
+        out = pd.DataFrame(
+            {
+                group: df["g"].to_numpy(),
+                id_col: df["i"].astype("int64").to_numpy(),
+                "units": df["u"].astype("int64").to_numpy(),
+                "rk": np.arange(1, len(df) + 1, dtype=np.int64),
+            }
+        )
+        return out
+
+    return cells.groupby("g").map_groups(pick, batch_format="pandas", **remote_args())

@@ -1,0 +1,73 @@
+"""Co-occurrence (market-basket) mining over an item-event table.
+
+``co_occurrence`` counts, for every unordered item pair, the number of
+baskets containing BOTH items — the support table behind association
+rules, "users who did X also did Y" panels, and feature cross discovery.
+
+Shuffle inventory: per-batch Arrow-local distinct shrinks each block to its
+(basket, item) pairs, ONE groupby co-locates each basket's distinct items,
+the per-basket pair expansion is the vectorized ``np.triu_indices`` idiom
+shared with ops/dedup.py's MinHash bucket expansion (bounded by
+``max_items_per_basket`` — a viral basket would otherwise emit O(m^2)
+pairs), and one final (item_a, item_b) cell groupby sums supports. Payload
+columns never move.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .._rayutil import remote_args
+
+
+def co_occurrence(ds, basket: str, item: str, min_count: int = 1,
+                  max_items_per_basket: int = 4096):
+    """Support counts for unordered item pairs within baskets. Returns a
+    Dataset of ``(item_a, item_b, cnt)`` with ``item_a < item_b``
+    (string order) and ``cnt >= min_count``. Null baskets/items drop.
+    """
+    from ray.data.aggregate import Sum
+
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "b": batch[basket].combine_chunks(),
+                "i": batch[item].combine_chunks().cast(pa.string()),
+            }
+        ).drop_null()
+        return t.group_by(["b", "i"]).aggregate([])
+
+    pairs_in = ds.map_batches(local_distinct, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    from ray.data.aggregate import Count
+
+    distinct = pairs_in.groupby(["b", "i"]).aggregate(Count(alias_name="__co_c__")).select_columns(["b", "i"])
+
+    def expand(g: pd.DataFrame) -> pd.DataFrame:
+        items = np.sort(g["i"].to_numpy().astype(str))
+        m = len(items)
+        if m > max_items_per_basket:
+            raise ValueError(
+                f"basket {g['b'].iloc[0]!r} holds {m} distinct items > "
+                f"max_items_per_basket={max_items_per_basket}"
+            )
+        if m < 2:
+            return pd.DataFrame({"item_a": [], "item_b": []})
+        a, b = np.triu_indices(m, k=1)
+        return pd.DataFrame({"item_a": items[a], "item_b": items[b]})
+
+    expanded = distinct.groupby("b").map_groups(expand, batch_format="pandas", **remote_args())
+
+    def cells(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["item_a", "item_b"]).aggregate([([], "count_all")])
+        return g.rename_columns(["item_a", "item_b", "c"])
+
+    support = (
+        expanded.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby(["item_a", "item_b"])
+        .aggregate(Sum("c", alias_name="cnt"))
+    )
+    if min_count > 1:
+        support = support.filter(expr=f"cnt >= {int(min_count)}")
+    return support

@@ -301,3 +301,24 @@ def mixture_sample(ds, rates: dict[str, int], stratum: str = "source", key: str 
         return batch.filter(pa.array((h % np.uint64(buckets)) < pct))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+
+
+def weighted_sample(ds, key: str = "doc_id", weight_col: str = "w", salt: int = 0):
+    """Deterministic per-row weighted (importance) sampling: keep a row iff
+    ``knuth_hash(key + salt) < floor(weight * 2^32)`` — each row survives
+    independently with probability ~``weight`` (clip weights to [0, 1]),
+    reproducibly on any cluster size, auditable in plain SQL with the SAME
+    integer compare (``((key+salt)*2654435761) % 4294967296 <
+    CAST(floor(weight * 4294967296) AS BIGINT)``). The threshold is ONE
+    float64 multiply + floor — identical doubles on both engines, so parity
+    is exact. A stateless vectorized filter: no shuffle, no state, streams.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        k = batch[key].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        w = batch[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        thr = np.floor(w * 4294967296.0).astype(np.int64)
+        keep = knuth_hash(k, salt).astype(np.int64) < thr
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True, **remote_args())

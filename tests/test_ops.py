@@ -3097,3 +3097,81 @@ def test_skew_join_matches_hash_join(ray_session):
     with pytest.raises(ValueError, match="max_broadcast_rows"):
         skew_join(lds, ray.data.from_pandas(fat_right), "k", hot_threshold=100,
                   max_broadcast_rows=100).to_pandas()
+
+
+def test_topk_by_group_matches_pandas(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.agg import topk_by_group
+
+    rng = np.random.default_rng(31)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["x", "y", "z"], n),
+            "i": np.arange(n, dtype=np.int64),
+            "value": rng.integers(0, 30, n).astype(np.float64),  # heavy ties
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(8)
+    out = (
+        topk_by_group(ds, group="g", order_col="value", id_col="i", k=5, value_scale=1)
+        .to_pandas()
+        .sort_values(["g", "rk"])
+        .reset_index(drop=True)
+    )
+    exp_rows = []
+    for g, sub in df.groupby("g"):
+        sub = sub.copy()
+        sub["u"] = np.floor(sub["value"] + 0.5).astype(np.int64)
+        sub = sub.sort_values(["u", "i"], ascending=[False, True], kind="mergesort").head(5)
+        for rk, (_, r) in enumerate(sub.iterrows(), 1):
+            exp_rows.append((g, int(r["i"]), int(r["u"]), rk))
+    exp = pd.DataFrame(exp_rows, columns=["g", "i", "units", "rk"])
+    exp = exp.sort_values(["g", "rk"]).reset_index(drop=True)
+    exp[["i", "units", "rk"]] = exp[["i", "units", "rk"]].astype("int64")
+    pd.testing.assert_frame_equal(out, exp, check_dtype=True)
+    with pytest.raises(ValueError, match="k must be"):
+        topk_by_group(ds, group="g", order_col="value", id_col="i", k=0)
+
+
+def test_co_occurrence_counts(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.basket import co_occurrence
+
+    df = pd.DataFrame(
+        {
+            "b": [1, 1, 1, 2, 2, 3, 3, 3, 3, 4],
+            "i": ["a", "b", "b", "a", "c", "a", "b", "c", "c", "a"],
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(4)
+    out = co_occurrence(ds, basket="b", item="i").to_pandas()
+    got = {(r.item_a, r.item_b): r.cnt for r in out.itertuples()}
+    # basket1 {a,b}, basket2 {a,c}, basket3 {a,b,c}, basket4 {a}
+    assert got == {("a", "b"): 2, ("a", "c"): 2, ("b", "c"): 1}
+    filtered = co_occurrence(ds, basket="b", item="i", min_count=2).to_pandas()
+    assert set(zip(filtered["item_a"], filtered["item_b"])) == {("a", "b"), ("a", "c")}
+    with pytest.raises(Exception):
+        co_occurrence(ds, basket="b", item="i", max_items_per_basket=2).to_pandas()
+
+
+def test_weighted_sample_deterministic(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.sample import knuth_hash, weighted_sample
+
+    n = 5000
+    df = pd.DataFrame({"k": np.arange(n, dtype=np.int64), "w": np.linspace(0, 1, n)})
+    ds = ray.data.from_pandas(df).repartition(6)
+    out = weighted_sample(ds, key="k", weight_col="w").to_pandas()
+    keep = knuth_hash(df["k"].to_numpy(), 0).astype(np.int64) < np.floor(df["w"].to_numpy() * 2**32).astype(np.int64)
+    assert set(out["k"]) == set(df["k"][keep])
+    # weight 0 never survives, weight 1 nearly always; overall rate ~ mean(w)
+    assert 0 not in set(out["k"])
+    rate = len(out) / n
+    assert abs(rate - 0.5) < 0.05
+    # block layout invariance
+    out2 = weighted_sample(ds.repartition(13), key="k", weight_col="w").to_pandas()
+    assert set(out2["k"]) == set(out["k"])
