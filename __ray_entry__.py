@@ -1054,6 +1054,20 @@ def _q_weighted_sample_documents(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_ntile_events_by_value(sf_dir: str):
+    """Global equi-depth bucketing (ntile(8) over value units with unique
+    event_id tiebreak) via the pinned-sorted-block offset plan — metadata
+    only, SQL front-loaded remainder rule (ops/agg.py:quantile_bucketize)."""
+    import ray.data
+
+    from orc_format_ray.ops.agg import quantile_bucketize
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
+    df = quantile_bucketize(ds, order_col="value", id_col="event_id", n=8,
+                            value_scale=100).to_pandas()
+    return df.sort_values("event_id").reset_index(drop=True)
+
+
 def _q_validate_documents(sf_dir: str):
     """Data-contract expectations over documents (nulls, key uniqueness,
     range, accepted domain, format regex) — one streaming fixed-size-
@@ -2824,6 +2838,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_events_by_type": _q_topk_events_by_type,
         "co_occurrence_event_types": _q_co_occurrence_event_types,
         "weighted_sample_documents": _q_weighted_sample_documents,
+        "ntile_events_by_value": _q_ntile_events_by_value,
         "skew_join_lineitem_orders": _q_skew_join_lineitem_orders,
         "regex_extract_events": _q_regex_extract_events,
         "latest_event_per_user": _q_latest_event_per_user,
@@ -3512,6 +3527,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM m WINDOW w AS (PARTITION BY user_id ORDER BY ts_us "
             "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) "
             "ORDER BY user_id, ts_us"
+        ),
+        "ntile_events_by_value": (
+            "WITH m AS (SELECT event_id, CAST(floor(value*100 + 0.5) AS BIGINT) AS units FROM events) "
+            "SELECT event_id, units, CAST(ntile(8) OVER (ORDER BY units, event_id) AS BIGINT) AS bucket "
+            "FROM m ORDER BY event_id"
         ),
         "topk_events_by_type": (
             "WITH m AS (SELECT event_type, event_id, CAST(floor(value*100 + 0.5) AS BIGINT) AS units FROM events), "

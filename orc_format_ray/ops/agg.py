@@ -401,3 +401,98 @@ def topk_by_group(ds, group: str, order_col: str, id_col: str, k: int = 10,
         return out
 
     return cells.groupby("g").map_groups(pick, batch_format="pandas", **remote_args())
+
+
+def quantile_bucketize(ds, order_col: str, id_col: str, n: int,
+                       value_scale: int = 100):
+    """Global equi-depth bucketing — SQL ``ntile(n) OVER (ORDER BY units,
+    id)`` with SQL's front-loaded remainder rule (the first ``N mod n``
+    buckets get one extra row). The unique ``id`` tiebreak makes the
+    assignment deterministic; values quantize to exact integer units.
+    Returns a Dataset of ``(id_col, units, bucket)`` (1-based buckets).
+
+    Plan (the select_by_budget pinned-block shape): only (units, id)
+    metadata sorts; pass A ships one (block-lo, count) row per block, the
+    driver orders blocks, checks disjointness, and folds exclusive row
+    offsets; pass B turns offset + arange into global row numbers and
+    applies the ntile formula per row — full rows never shuffle.
+    """
+    import ray
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+
+    def to_meta(batch: pa.Table) -> pa.Table:
+        v = batch[order_col].to_numpy(zero_copy_only=False)
+        if batch[order_col].null_count or np.isnan(v).any():
+            raise ValueError(f"{order_col!r} must be non-null for bucketing")
+        units = np.floor(v * value_scale + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "u": pa.array(units, pa.int64()),
+                "i": batch[id_col].cast(pa.int64()),
+            }
+        )
+
+    meta = ds.map_batches(to_meta, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    pinned = meta.sort(["u", "i"]).materialize()
+
+    def block_partials(batch: pa.Table) -> pa.Table:
+        cols = ("blo_u", "blo_i", "bhi_u", "bhi_i", "cnt")
+        if not batch.num_rows:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        return pa.table(
+            {
+                "blo_u": pa.array([batch["u"][0].as_py()], pa.int64()),
+                "blo_i": pa.array([batch["i"][0].as_py()], pa.int64()),
+                "bhi_u": pa.array([batch["u"][-1].as_py()], pa.int64()),
+                "bhi_i": pa.array([batch["i"][-1].as_py()], pa.int64()),
+                "cnt": pa.array([batch.num_rows], pa.int64()),
+            }
+        )
+
+    parts = pinned.map_batches(
+        block_partials, batch_size=None, batch_format="pyarrow", zero_copy_batch=True, **remote_args()
+    ).to_pandas()
+    parts = parts.sort_values(["blo_u", "blo_i"]).reset_index(drop=True)
+    his = list(zip(parts["bhi_u"], parts["bhi_i"]))
+    los = list(zip(parts["blo_u"], parts["blo_i"]))
+    for prev_hi, nxt_lo in zip(his, los[1:]):
+        if not (prev_hi < nxt_lo):
+            raise ValueError(
+                "sorted metadata blocks overlap — duplicate (units, id) pairs or a non-disjoint sort"
+            )
+    offs = np.concatenate(([0], np.cumsum(parts["cnt"].to_numpy(dtype=np.int64))[:-1]))
+    offsets = {(int(u), int(i)): int(o) for (u, i), o in zip(los, offs)}
+    total = int(parts["cnt"].sum())
+    offsets_ref = ray.put(offsets)
+    size, rem = divmod(total, n)
+    cut = rem * (size + 1)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "units": pa.array([], pa.int64()),
+                "bucket": pa.array([], pa.int64()),
+            }
+        )
+        if not batch.num_rows:
+            return empty
+        off = ray.get(offsets_ref)[(batch["u"][0].as_py(), batch["i"][0].as_py())]
+        rn0 = off + np.arange(batch.num_rows, dtype=np.int64)
+        if size == 0:
+            bucket = rn0 + 1
+        else:
+            bucket = np.where(rn0 < cut, rn0 // (size + 1), rem + (rn0 - cut) // size) + 1
+        return pa.table(
+            {
+                id_col: batch["i"],
+                "units": batch["u"],
+                "bucket": pa.array(bucket.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return pinned.map_batches(
+        finish, batch_size=None, batch_format="pyarrow", zero_copy_batch=True, **remote_args()
+    )

@@ -3175,3 +3175,34 @@ def test_weighted_sample_deterministic(ray_session):
     # block layout invariance
     out2 = weighted_sample(ds.repartition(13), key="k", weight_col="w").to_pandas()
     assert set(out2["k"]) == set(out["k"])
+
+
+def test_quantile_bucketize_ntile_semantics(ray_session):
+    import duckdb
+    import ray.data
+
+    from orc_format_ray.ops.agg import quantile_bucketize
+
+    rng = np.random.default_rng(37)
+    for n_rows, n_buckets in ((700, 5), (64, 7), (10, 16)):
+        df = pd.DataFrame(
+            {
+                "i": np.arange(n_rows, dtype=np.int64),
+                "value": rng.integers(0, 50, n_rows).astype(np.float64),
+            }
+        )
+        ds = ray.data.from_pandas(df).repartition(5)
+        out = (
+            quantile_bucketize(ds, order_col="value", id_col="i", n=n_buckets, value_scale=1)
+            .to_pandas()
+            .sort_values("i")
+            .reset_index(drop=True)
+        )
+        ref = duckdb.sql(
+            f"SELECT i, CAST(floor(value + 0.5) AS BIGINT) AS units, "
+            f"CAST(ntile({n_buckets}) OVER (ORDER BY floor(value + 0.5), i) AS BIGINT) AS bucket "
+            f"FROM df ORDER BY i"
+        ).df()
+        pd.testing.assert_frame_equal(out, ref, check_dtype=True)
+    with pytest.raises(ValueError, match="n must be"):
+        quantile_bucketize(ds, order_col="value", id_col="i", n=0)
