@@ -1068,6 +1068,67 @@ def _q_ntile_events_by_value(sf_dir: str):
     return df.sort_values("event_id").reset_index(drop=True)
 
 
+def _q_left_join_customer_orders(sf_dir: str):
+    """LEFT OUTER bucketed hash join: unmatched customers survive with
+    null order columns (stable schema even in right-empty buckets), then a
+    COALESCE-style aggregate keeps the compare hash-stable
+    (ops/join.py:hash_join how='left')."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from orc_format_ray.ops.join import hash_join
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey", "o_totalprice"]
+    ).filter(expr="o_totalprice > 450000.0")
+
+    def rn(b: pa.Table) -> pa.Table:
+        return pa.table({"c_custkey": b["o_custkey"], "o_orderkey": b["o_orderkey"]})
+
+    orders = orders.map_batches(rn, batch_format="pyarrow", zero_copy_batch=True, **_ra())
+    joined = hash_join(cust, orders, key="c_custkey", num_buckets=16, how="left")
+
+    def flags(b: pa.Table) -> pa.Table:
+        m = pa.compute.is_valid(b["o_orderkey"]).cast(pa.int64())
+        return pa.table({"c_mktsegment": b["c_mktsegment"], "m": m})
+
+    out = (
+        joined.map_batches(flags, batch_format="pyarrow", zero_copy_batch=True, **_ra())
+        .groupby("c_mktsegment")
+        .aggregate(Count(alias_name="cnt"), Sum("m", alias_name="matched"))
+    )
+    df = out.to_pandas()
+    df["matched"] = df["matched"].astype("int64")
+    return df.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+def _q_string_agg_sources_by_lang(sf_dir: str):
+    """Order-exact string_agg(DISTINCT source ORDER BY source) per lang —
+    local + global pair dedupe, then a per-group codepoint-ordered join
+    (ops/agg.py:string_agg_by_group)."""
+    import ray.data
+
+    from orc_format_ray.ops.agg import string_agg_by_group
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "source"])
+    df = string_agg_by_group(ds, group="lang", col="source", sep=",", distinct=True).to_pandas()
+    return df.sort_values("lang").reset_index(drop=True)
+
+
+def _q_lead_events_per_user(sf_dir: str):
+    """SQL lead() per user (next event's ts and id, -1 sentinels) — the
+    SCD2 validity-interval builder; reverse-folded pinned-sorted-block plan
+    (ops/windows.py:lead_over)."""
+    import ray.data
+
+    from orc_format_ray.ops.windows import lead_over
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"])
+    df = lead_over(ds, key="user_id", order_col="ts", id_col="event_id").to_pandas()
+    return df.sort_values(["user_id", "ts_us"]).reset_index(drop=True)
+
+
 def _q_validate_documents(sf_dir: str):
     """Data-contract expectations over documents (nulls, key uniqueness,
     range, accepted domain, format regex) — one streaming fixed-size-
@@ -2839,6 +2900,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "co_occurrence_event_types": _q_co_occurrence_event_types,
         "weighted_sample_documents": _q_weighted_sample_documents,
         "ntile_events_by_value": _q_ntile_events_by_value,
+        "left_join_customer_orders": _q_left_join_customer_orders,
+        "string_agg_sources_by_lang": _q_string_agg_sources_by_lang,
+        "lead_events_per_user": _q_lead_events_per_user,
         "skew_join_lineitem_orders": _q_skew_join_lineitem_orders,
         "regex_extract_events": _q_regex_extract_events,
         "latest_event_per_user": _q_latest_event_per_user,
@@ -3527,6 +3591,22 @@ def oracle_sql() -> dict[str, str]:
             "FROM m WINDOW w AS (PARTITION BY user_id ORDER BY ts_us "
             "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) "
             "ORDER BY user_id, ts_us"
+        ),
+        "left_join_customer_orders": (
+            "SELECT c_mktsegment, count(*) AS cnt, CAST(count(o_orderkey) AS BIGINT) AS matched "
+            "FROM customer LEFT JOIN (SELECT o_custkey, o_orderkey FROM orders WHERE o_totalprice > 450000.0) o "
+            "ON c_custkey = o_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment"
+        ),
+        "string_agg_sources_by_lang": (
+            "SELECT lang, string_agg(DISTINCT source, ',' ORDER BY source) AS agg "
+            "FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL "
+            "GROUP BY lang ORDER BY lang"
+        ),
+        "lead_events_per_user": (
+            "WITH m AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_id FROM events) "
+            "SELECT user_id, ts_us, event_id, coalesce(lead(ts_us) OVER w, -1) AS next_ts_us, "
+            "coalesce(lead(event_id) OVER w, -1) AS next_event_id "
+            "FROM m WINDOW w AS (PARTITION BY user_id ORDER BY ts_us) ORDER BY user_id, ts_us"
         ),
         "ntile_events_by_value": (
             "WITH m AS (SELECT event_id, CAST(floor(value*100 + 0.5) AS BIGINT) AS units FROM events) "

@@ -496,3 +496,44 @@ def quantile_bucketize(ds, order_col: str, id_col: str, n: int,
     return pinned.map_batches(
         finish, batch_size=None, batch_format="pyarrow", zero_copy_batch=True, **remote_args()
     )
+
+
+def string_agg_by_group(ds, group: str, col: str, sep: str = ",", distinct: bool = False,
+                        max_group_values: int = 1 << 20):
+    """SQL ``string_agg(col, sep ORDER BY col)`` per group (optionally
+    DISTINCT): the report-friendly "collapse the members into one cell"
+    aggregate. Values order by their STRING form (binary codepoint order —
+    DuckDB's default collation), so parity is exact.
+
+    The (group, value) pairs must shuffle — that's inherent to an
+    order-sensitive string fold — but with ``distinct=True`` each block
+    pre-dedupes locally and ONE pair groupby collapses globally first, so
+    a hot group costs its value cardinality. Groups larger than
+    ``max_group_values`` fail loudly (a group's members must fit a worker
+    to concatenate). Returns a Dataset of ``(group, agg)``.
+    """
+    import pandas as pd
+
+    def prep(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {group: batch[group].combine_chunks(), col: batch[col].combine_chunks().cast(pa.string())}
+        ).drop_null()
+        if distinct:
+            t = t.group_by([group, col]).aggregate([])
+        return t
+
+    pairs = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    if distinct:
+        from ray.data.aggregate import Count
+
+        pairs = pairs.groupby([group, col]).aggregate(Count(alias_name="__sa_c__")).select_columns([group, col])
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) > max_group_values:
+            raise ValueError(
+                f"group {df[group].iloc[0]!r} holds {len(df)} values > max_group_values={max_group_values}"
+            )
+        vals = sorted(df[col].astype(str))
+        return pd.DataFrame({group: [df[group].iloc[0]], "agg": [sep.join(vals)]})
+
+    return pairs.groupby(group).map_groups(fold, batch_format="pandas", **remote_args())

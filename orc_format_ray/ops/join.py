@@ -281,16 +281,29 @@ def asof_join(left_ds, right_ds, on: str, by: str, suffix: str = "_r", right_val
     return lt.union(rt).groupby("_bucket").map_groups(join_group, batch_format="pandas", **remote_args())
 
 
-def hash_join(left_ds, right_ds, key: str, num_buckets: int = 64):
-    """Large-large inner join: each batch splits into per-key-hash-bucket
+def hash_join(left_ds, right_ds, key: str, num_buckets: int = 64, how: str = "inner"):
+    """Large-large join: each batch splits into per-key-hash-bucket
     Arrow-IPC payload rows (a common (_bucket, _side, blob) schema, so the
     two sides union cleanly regardless of their columns); ONE shuffle
     groups buckets, and each bucket joins locally. Both sides' buckets must
     fit a worker — size num_buckets accordingly (or pre-bucket the stored
     layout so repeated joins skip the shuffle). Right-side column
     collisions get an `_r` suffix; the key joins once.
+
+    ``how``: ``"inner"`` or ``"left"``. A left join keeps unmatched left
+    rows with nulls in the right columns (NaN through pandas — aggregate
+    with COALESCE downstream if you need hash-stable ints; nullable int64
+    round-trips as float64+NaN on both compare sides). The right schema is
+    read once driver-side so buckets with no right rows still emit a
+    stable column set.
     """
     import pandas as pd
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    right_cols: list[str] | None = None
+    if how == "left":
+        right_cols = [n for n in right_ds.schema().names if n != key]
 
     def tag(side: int):
         def fn(batch: pa.Table) -> pa.Table:
@@ -325,11 +338,16 @@ def hash_join(left_ds, right_ds, key: str, num_buckets: int = 64):
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lg = [_ipc_table(b) for b in g.loc[g["_side"] == 0, "blob"]]
         rg = [_ipc_table(b) for b in g.loc[g["_side"] == 1, "blob"]]
-        if not lg or not rg:
+        if not lg or (not rg and how == "inner"):
             return pd.DataFrame()
         ldf = pa.concat_tables(lg).to_pandas()
+        if not rg:
+            for c in right_cols:
+                name = c if c not in ldf.columns else f"{c}_r"
+                ldf[name] = np.nan
+            return ldf
         rdf = pa.concat_tables(rg).to_pandas()
-        return ldf.merge(rdf, on=key, how="inner", suffixes=("", "_r"))
+        return ldf.merge(rdf, on=key, how=how, suffixes=("", "_r"))
 
     return lt.union(rt).groupby("_bucket").map_groups(join_bucket, batch_format="pandas", **remote_args())
 

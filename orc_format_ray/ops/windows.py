@@ -922,3 +922,112 @@ def resample_ffill(ds, key: str = "user_id", order_col: str = "ts",
     return pinned.map_batches(
         finish, batch_size=None, batch_format="pyarrow", zero_copy_batch=True, **remote_args()
     )
+
+
+def lead_over(ds, key: str = "user_id", order_col: str = "ts", id_col: str = "event_id"):
+    """SQL ``lead(...) OVER (PARTITION BY key ORDER BY order_col)`` — each
+    event annotated with the NEXT event's timestamp and id, -1 sentinels on
+    the partition's last row (same hash-stable convention as
+    ``analytic_over``'s lag). This is the SCD2 validity-interval builder:
+    ``(ts_us, next_ts_us)`` is the row's [valid_from, valid_to) range.
+
+    Same pinned-sorted-block plan as ``analytic_over``, folded in REVERSE
+    block order: pass A ships each (block, key)'s FIRST (ts, id); the
+    driver hands every block the next block's first pair per key; pass B
+    shifts within segments and patches each segment's last row from the
+    carry. ``(key, order_col)`` must be globally unique.
+    """
+    import numpy as np
+    import ray
+
+    def to_meta(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": batch[key].cast(pa.int64()),
+                "o": batch[order_col].cast(pa.timestamp("us")).cast(pa.int64()),
+                "i": batch[id_col].cast(pa.int64()),
+            }
+        )
+
+    meta = ds.map_batches(to_meta, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    pinned = meta.sort(["k", "o"]).materialize()
+
+    def block_partials(batch: pa.Table) -> pa.Table:
+        cols = ("blo_k", "blo_o", "k", "first_o", "first_i")
+        if not batch.num_rows:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        k = batch["k"].to_numpy(zero_copy_only=False)
+        o = batch["o"].to_numpy(zero_copy_only=False)
+        i = batch["i"].to_numpy(zero_copy_only=False)
+        starts = np.concatenate(([0], np.flatnonzero(k[1:] != k[:-1]) + 1))
+        return pa.table(
+            {
+                "blo_k": pa.array(np.full(len(starts), k[0]), pa.int64()),
+                "blo_o": pa.array(np.full(len(starts), o[0]), pa.int64()),
+                "k": pa.array(k[starts], pa.int64()),
+                "first_o": pa.array(o[starts], pa.int64()),
+                "first_i": pa.array(i[starts], pa.int64()),
+            }
+        )
+
+    parts = pinned.map_batches(
+        block_partials, batch_size=None, batch_format="pyarrow", zero_copy_batch=True, **remote_args()
+    ).to_pandas()
+    blocks: dict[tuple[int, int], list] = {}
+    for blo_k, blo_o, k, first_o, first_i in parts.itertuples(index=False):
+        blocks.setdefault((int(blo_k), int(blo_o)), []).append((int(k), int(first_o), int(first_i)))
+    order = sorted(blocks)
+    for a, b in zip(order, order[1:]):
+        if blocks[a][-1][0] > b[0]:
+            raise ValueError("sorted metadata blocks overlap — sort produced non-disjoint ranges")
+    # reverse fold: for each block, the NEXT (first_o, first_i) per key
+    nxt: dict[int, tuple[int, int]] = {}
+    bases: dict[tuple[int, int], dict[int, tuple[int, int] | None]] = {}
+    for lo in reversed(order):
+        snap = {k: nxt.get(k) for k, _, _ in blocks[lo]}
+        bases[lo] = snap
+        for k, first_o, first_i in blocks[lo]:
+            nxt[k] = (first_o, first_i)
+    bases_ref = ray.put(bases)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                key: pa.array([], pa.int64()),
+                "ts_us": pa.array([], pa.int64()),
+                id_col: pa.array([], pa.int64()),
+                "next_ts_us": pa.array([], pa.int64()),
+                f"next_{id_col}": pa.array([], pa.int64()),
+            }
+        )
+        if not batch.num_rows:
+            return empty
+        base = ray.get(bases_ref)[(batch["k"][0].as_py(), batch["o"][0].as_py())]
+        k = batch["k"].to_numpy(zero_copy_only=False)
+        o = batch["o"].to_numpy(zero_copy_only=False)
+        i = batch["i"].to_numpy(zero_copy_only=False)
+        n = len(k)
+        next_o = np.full(n, -1, dtype=np.int64)
+        next_i = np.full(n, -1, dtype=np.int64)
+        same = k[1:] == k[:-1]
+        next_o[:-1][same] = o[1:][same]
+        next_i[:-1][same] = i[1:][same]
+        starts = np.concatenate(([0], np.flatnonzero(k[1:] != k[:-1]) + 1))
+        ends = np.concatenate((starts[1:], [n])) - 1  # segment last rows
+        for e in ends:
+            carried = base[int(k[e])]
+            if carried is not None:
+                next_o[e], next_i[e] = carried
+        return pa.table(
+            {
+                key: pa.array(k, pa.int64()),
+                "ts_us": pa.array(o, pa.int64()),
+                id_col: pa.array(i, pa.int64()),
+                "next_ts_us": pa.array(next_o, pa.int64()),
+                f"next_{id_col}": pa.array(next_i, pa.int64()),
+            }
+        )
+
+    return pinned.map_batches(
+        finish, batch_size=None, batch_format="pyarrow", zero_copy_batch=True, **remote_args()
+    )

@@ -3206,3 +3206,65 @@ def test_quantile_bucketize_ntile_semantics(ray_session):
         pd.testing.assert_frame_equal(out, ref, check_dtype=True)
     with pytest.raises(ValueError, match="n must be"):
         quantile_bucketize(ds, order_col="value", id_col="i", n=0)
+
+
+def test_hash_join_left_outer(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.join import hash_join
+
+    left = pd.DataFrame({"k": np.arange(20, dtype=np.int64), "lv": np.arange(20, dtype=np.int64)})
+    right = pd.DataFrame({"k": np.array([2, 5, 5, 11], dtype=np.int64), "rv": np.array([10, 20, 21, 30], dtype=np.int64)})
+    lds = ray.data.from_pandas(left).repartition(4)
+    rds = ray.data.from_pandas(right).repartition(2)
+    out = hash_join(lds, rds, "k", num_buckets=4, how="left").to_pandas()
+    exp = left.merge(right, on="k", how="left")
+    out = out.sort_values(["k", "rv"]).reset_index(drop=True)
+    exp = exp.sort_values(["k", "rv"]).reset_index(drop=True)
+    assert len(out) == len(exp) == 21  # 5 matches twice
+    assert (out["k"].to_numpy() == exp["k"].to_numpy()).all()
+    a, b = out["rv"].to_numpy(), exp["rv"].to_numpy()
+    assert ((a == b) | (np.isnan(a) & np.isnan(b))).all()
+    with pytest.raises(ValueError, match="how"):
+        hash_join(lds, rds, "k", how="full")
+
+
+def test_string_agg_by_group(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.agg import string_agg_by_group
+
+    df = pd.DataFrame({"g": ["a", "a", "a", "b", "b"], "v": ["z", "m", "z", "q", None]})
+    ds = ray.data.from_pandas(df).repartition(3)
+    out = string_agg_by_group(ds, "g", "v", sep="|").to_pandas().sort_values("g").reset_index(drop=True)
+    assert out["agg"].tolist() == ["m|z|z", "q"]
+    out2 = string_agg_by_group(ds, "g", "v", sep="|", distinct=True).to_pandas().sort_values("g").reset_index(drop=True)
+    assert out2["agg"].tolist() == ["m|z", "q"]
+    with pytest.raises(Exception):
+        string_agg_by_group(ds, "g", "v", max_group_values=1).to_pandas()
+
+
+def test_lead_over_matches_pandas(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.windows import lead_over
+
+    rng = np.random.default_rng(41)
+    n = 2500
+    ts = pd.to_datetime(rng.choice(np.arange(10_000_000), n, replace=False), unit="us")
+    df = pd.DataFrame({"k": rng.integers(0, 13, n), "ts": ts, "i": np.arange(n, dtype=np.int64)})
+    ds = ray.data.from_pandas(df).repartition(9)
+    out = (
+        lead_over(ds, key="k", order_col="ts", id_col="i")
+        .to_pandas()
+        .sort_values(["k", "ts_us"])
+        .reset_index(drop=True)
+    )
+    exp = df.copy()
+    exp["ts_us"] = exp["ts"].astype("int64") // 1000
+    exp = exp.sort_values(["k", "ts_us"]).reset_index(drop=True)
+    g = exp.groupby("k", sort=False)
+    exp["next_ts_us"] = g["ts_us"].shift(-1).fillna(-1).astype("int64")
+    exp["next_i"] = g["i"].shift(-1).fillna(-1).astype("int64")
+    exp = exp[["k", "ts_us", "i", "next_ts_us", "next_i"]].astype("int64")
+    pd.testing.assert_frame_equal(out, exp, check_dtype=True)
