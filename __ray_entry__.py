@@ -1129,6 +1129,47 @@ def _q_lead_events_per_user(sf_dir: str):
     return df.sort_values(["user_id", "ts_us"]).reset_index(drop=True)
 
 
+def _q_rank_dist_events(sf_dir: str):
+    """percent_rank()/cume_dist() alongside rank/dense_rank — each is ONE
+    float64 division of exact ints (the same IEEE op SQL performs), so the
+    doubles compare bitwise (ops/windows.py:rank_over include_dist)."""
+    import ray.data
+
+    from orc_format_ray.ops.windows import rank_over
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    df = rank_over(ds, key="event_type", value_col="value", value_scale=1,
+                   include_dist=True).to_pandas()
+    return df.sort_values(["event_type", "units"]).reset_index(drop=True)
+
+
+def _q_grouped_histogram_nchars(sf_dir: str):
+    """Per-lang fixed-width histogram over a shared span — (group, bin)
+    cells only, bit-exact float64 bin expression, zero bins densified
+    (ops/profile.py:grouped_histogram)."""
+    import ray.data
+
+    from orc_format_ray.ops.profile import grouped_histogram
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"])
+    df = grouped_histogram(ds, group="lang", col="n_chars", bins=10, lo=0.0, hi=600.0).to_pandas()
+    return df.sort_values(["lang", "bin"]).reset_index(drop=True)
+
+
+def _q_ohlc_daily_by_user(sf_dir: str):
+    """Daily OHLC bars per user in exact cent units — mergeable
+    (first_ts, open, last_ts, close, lo, hi, cnt) cells, one groupby,
+    SQL arg_min/arg_max parity (ops/windows.py:ohlc_bars)."""
+    import ray.data
+
+    from orc_format_ray.ops.windows import ohlc_bars
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+    df = ohlc_bars(ds, key="user_id", ts_col="ts", value_col="value",
+                   window_us=86_400_000_000, value_scale=100).to_pandas()
+    return df.sort_values(["user_id", "window_start_us"]).reset_index(drop=True)
+
+
 def _q_validate_documents(sf_dir: str):
     """Data-contract expectations over documents (nulls, key uniqueness,
     range, accepted domain, format regex) — one streaming fixed-size-
@@ -2903,6 +2944,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "left_join_customer_orders": _q_left_join_customer_orders,
         "string_agg_sources_by_lang": _q_string_agg_sources_by_lang,
         "lead_events_per_user": _q_lead_events_per_user,
+        "rank_dist_events": _q_rank_dist_events,
+        "grouped_histogram_nchars": _q_grouped_histogram_nchars,
+        "ohlc_daily_by_user": _q_ohlc_daily_by_user,
         "skew_join_lineitem_orders": _q_skew_join_lineitem_orders,
         "regex_extract_events": _q_regex_extract_events,
         "latest_event_per_user": _q_latest_event_per_user,
@@ -3591,6 +3635,31 @@ def oracle_sql() -> dict[str, str]:
             "FROM m WINDOW w AS (PARTITION BY user_id ORDER BY ts_us "
             "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) "
             "ORDER BY user_id, ts_us"
+        ),
+        "rank_dist_events": (
+            "WITH m AS (SELECT event_type, CAST(floor(value + 0.5) AS BIGINT) AS units FROM events) "
+            "SELECT event_type, units, CAST(rank() OVER w AS BIGINT) AS rnk, "
+            "CAST(dense_rank() OVER w AS BIGINT) AS drnk, "
+            "percent_rank() OVER w AS pct_rank, cume_dist() OVER w AS cume_dist "
+            "FROM m WINDOW w AS (PARTITION BY event_type ORDER BY units) "
+            "ORDER BY event_type, units"
+        ),
+        "grouped_histogram_nchars": (
+            "WITH l AS (SELECT DISTINCT lang FROM documents), "
+            "r AS (SELECT range AS bin FROM range(10)), "
+            "c AS (SELECT lang, CAST(greatest(least(floor((n_chars - 0.0) / 60.0), 9), 0) AS BIGINT) AS bin, "
+            "count(*) AS cnt FROM documents GROUP BY 1, 2) "
+            "SELECT l.lang, r.bin, CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt "
+            "FROM l CROSS JOIN r LEFT JOIN c ON l.lang = c.lang AND r.bin = c.bin "
+            "ORDER BY l.lang, r.bin"
+        ),
+        "ohlc_daily_by_user": (
+            "WITH m AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us, "
+            "CAST(floor(value*100 + 0.5) AS BIGINT) AS u FROM events) "
+            "SELECT user_id, (us // 86400000000) * 86400000000 AS window_start_us, "
+            "arg_min(u, us) AS open_u, max(u) AS high_u, min(u) AS low_u, "
+            "arg_max(u, us) AS close_u, count(*) AS cnt "
+            "FROM m GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         "left_join_customer_orders": (
             "SELECT c_mktsegment, count(*) AS cnt, CAST(count(o_orderkey) AS BIGINT) AS matched "

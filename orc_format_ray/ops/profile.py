@@ -359,3 +359,46 @@ def validate(ds, rules: list[dict]) -> "object":
         label = r["check"] + ":" + r["col"]
         rows.append((label, r["col"], v, total, v == 0))
     return pd.DataFrame(rows, columns=["rule", "col", "violations", "total", "passed"])
+
+
+def grouped_histogram(ds, group: str, col: str, bins: int, lo: float, hi: float):
+    """Fixed-width histogram PER GROUP over a shared [lo, hi] span — the
+    distribution-drift monitor (one histogram per source/day/model run).
+    Bin semantics are identical to ``histogram`` (floor((x-lo)/w), last bin
+    right-closed, out-of-span values clipped into the edge bins, the exact
+    float64 expression SQL computes — counts match bit-for-bit). Only
+    (group, bin, count) cells shuffle: each batch bincounts locally, ONE
+    groupby sums. Empty (group, bin) cells are emitted as zero so every
+    group carries exactly ``bins`` rows. Returns a Dataset of
+    ``(group, bin, cnt)``.
+    """
+    from ray.data.aggregate import Sum
+
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    lo, hi = float(lo), float(hi)
+    width = (hi - lo) / bins if hi > lo else 1.0
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        x = _numeric(batch[col])
+        ok = np.isfinite(x)
+        g = batch[group].to_pandas()[ok].reset_index(drop=True)
+        idx = np.clip(np.floor((x[ok] - lo) / width), 0, bins - 1).astype(np.int64)
+        df = pd.DataFrame({group: g, "bin": idx})
+        cells = df.groupby([group, "bin"], sort=False).size().reset_index(name="c")
+        return pa.Table.from_pandas(cells, preserve_index=False)
+
+    cells = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    merged = cells.groupby([group, "bin"]).aggregate(Sum("c", alias_name="cnt"))
+
+    def densify(df):
+        import pandas as pd
+
+        full = pd.DataFrame({group: df[group].iloc[0], "bin": np.arange(bins, dtype=np.int64)})
+        out = full.merge(df[[group, "bin", "cnt"]], on=[group, "bin"], how="left")
+        out["cnt"] = out["cnt"].fillna(0).astype("int64")
+        return out
+
+    return merged.groupby(group).map_groups(densify, batch_format="pandas", **remote_args())

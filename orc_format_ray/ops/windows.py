@@ -539,7 +539,8 @@ def sessionize(ds, key: str = "user_id", order_col: str = "ts",
 
 
 def rank_over(ds, key: str = "event_type", value_col: str = "value",
-              value_scale: int = 100, max_broadcast_pairs: int = 1 << 24):
+              value_scale: int = 100, max_broadcast_pairs: int = 1 << 24,
+              include_dist: bool = False):
     """SQL ``rank()`` / ``dense_rank() OVER (PARTITION BY key ORDER BY
     units)`` with REAL tie semantics (equal units share a rank; rank skips,
     dense_rank doesn't). ``units = floor(value * value_scale + 0.5)`` —
@@ -587,6 +588,14 @@ def rank_over(ds, key: str = "event_type", value_col: str = "value",
         excl = np.concatenate(([0], np.cumsum(c)[:-1]))
         df["rnk"] = excl + 1
         df["drnk"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        if include_dist:
+            # both are SINGLE float64 divisions of exact ints — the same
+            # IEEE op SQL percent_rank()/cume_dist() performs, so the
+            # doubles compare bitwise. percent_rank of a 1-row partition
+            # is 0 by SQL definition (never 0/0).
+            n = int(c.sum())
+            df["pct_rank"] = (df["rnk"].to_numpy(np.int64) - 1) / (n - 1) if n > 1 else 0.0
+            df["cume_dist"] = (excl + c) / n
         return df
 
     ranked = pairs.groupby("k").map_groups(per_key_ranks, batch_format="pandas", **remote_args()).materialize()
@@ -596,7 +605,8 @@ def rank_over(ds, key: str = "event_type", value_col: str = "value",
             f"{n_pairs} distinct (key, units) pairs exceed max_broadcast_pairs="
             f"{max_broadcast_pairs}; quantize coarser or raise the guard"
         )
-    rank_df = ranked.to_pandas()[["k", "u", "rnk", "drnk"]]
+    keep = ["k", "u", "rnk", "drnk"] + (["pct_rank", "cume_dist"] if include_dist else [])
+    rank_df = ranked.to_pandas()[keep]
     rank_ref = ray.put(rank_df)
 
     def attach(batch: pa.Table):
@@ -608,14 +618,16 @@ def rank_over(ds, key: str = "event_type", value_col: str = "value",
         out = rows.merge(ray.get(rank_ref), on=["k", "u"], how="left", sort=False)
         if out["rnk"].isna().any():
             raise AssertionError("rank table is missing observed (key, units) pairs")
-        return pd.DataFrame(
-            {
-                key: out["k"],
-                "units": out["u"].astype("int64"),
-                "rnk": out["rnk"].astype("int64"),
-                "drnk": out["drnk"].astype("int64"),
-            }
-        )
+        res = {
+            key: out["k"],
+            "units": out["u"].astype("int64"),
+            "rnk": out["rnk"].astype("int64"),
+            "drnk": out["drnk"].astype("int64"),
+        }
+        if include_dist:
+            res["pct_rank"] = out["pct_rank"].astype("float64")
+            res["cume_dist"] = out["cume_dist"].astype("float64")
+        return pd.DataFrame(res)
 
     return ds.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
 
@@ -1031,3 +1043,63 @@ def lead_over(ds, key: str = "user_id", order_col: str = "ts", id_col: str = "ev
     return pinned.map_batches(
         finish, batch_size=None, batch_format="pyarrow", zero_copy_batch=True, **remote_args()
     )
+
+
+def ohlc_bars(ds, key: str = "user_id", ts_col: str = "ts", value_col: str = "value",
+              window_us: int = 86_400_000_000, value_scale: int = 100):
+    """Time-bucketed OHLC bars per key: for every (key, tumbling window)
+    the OPEN (first value by timestamp), HIGH, LOW, CLOSE (last value) and
+    count — the finance/metrics roll-up, in exact integer units. Exactly
+    SQL ``arg_min(u, ts) / max / min / arg_max(u, ts) GROUP BY key,
+    (ts // window) * window``. Timestamps must be unique per key (arg_min
+    under ties matches no particular engine).
+
+    Mergeable-partial plan: each batch folds its rows to per-(key, window)
+    cells carrying (first_ts, open, last_ts, close, lo, hi, cnt) — ONE
+    vectorized pandas groupby per batch — then one global cell groupby and
+    a per-cell combine. Rows never shuffle; hot keys cost their window
+    count. Returns ``(key, window_start_us, open_u, high_u, low_u,
+    close_u, cnt)``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if window_us <= 0:
+        raise ValueError(f"window_us must be positive, got {window_us}")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = batch[ts_col].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        if batch[value_col].null_count or np.isnan(v).any():
+            raise ValueError(f"{value_col!r} must be non-null for OHLC")
+        u = np.floor(v * value_scale + 0.5).astype(np.int64)
+        w = np.sign(us) * (np.abs(us) // window_us) * window_us  # trunc-to-zero == SQL //
+        df = pd.DataFrame(
+            {"k": batch[key].cast(pa.int64()).to_pandas(), "w": w, "us": us, "u": u}
+        ).sort_values(["k", "w", "us"], kind="mergesort")
+        g = df.groupby(["k", "w"], sort=False)
+        out = g.agg(
+            first_ts=("us", "first"), open_u=("u", "first"),
+            last_ts=("us", "last"), close_u=("u", "last"),
+            low_u=("u", "min"), high_u=("u", "max"), cnt=("u", "size"),
+        ).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    cells = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        fi = int(df["first_ts"].to_numpy().argmin())
+        la = int(df["last_ts"].to_numpy().argmax())
+        return pd.DataFrame(
+            {
+                key: [np.int64(df["k"].iloc[0])],
+                "window_start_us": [np.int64(df["w"].iloc[0])],
+                "open_u": [np.int64(df["open_u"].iloc[fi])],
+                "high_u": [np.int64(df["high_u"].max())],
+                "low_u": [np.int64(df["low_u"].min())],
+                "close_u": [np.int64(df["close_u"].iloc[la])],
+                "cnt": [np.int64(df["cnt"].sum())],
+            }
+        )
+
+    return cells.groupby(["k", "w"]).map_groups(combine, batch_format="pandas", **remote_args())

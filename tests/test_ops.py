@@ -3268,3 +3268,88 @@ def test_lead_over_matches_pandas(ray_session):
     exp["next_i"] = g["i"].shift(-1).fillna(-1).astype("int64")
     exp = exp[["k", "ts_us", "i", "next_ts_us", "next_i"]].astype("int64")
     pd.testing.assert_frame_equal(out, exp, check_dtype=True)
+
+
+def test_rank_over_include_dist_bitwise(ray_session):
+    import duckdb
+    import ray.data
+
+    from orc_format_ray.ops.windows import rank_over
+
+    rng = np.random.default_rng(43)
+    df = pd.DataFrame({"k": rng.choice(["a", "b"], 500), "value": rng.integers(0, 12, 500).astype(np.float64)})
+    ds = ray.data.from_pandas(df).repartition(5)
+    out = (
+        rank_over(ds, key="k", value_col="value", value_scale=1, include_dist=True)
+        .to_pandas()
+        .sort_values(["k", "units", "rnk"])
+        .reset_index(drop=True)
+    )
+    ref = duckdb.sql(
+        "WITH m AS (SELECT k, CAST(floor(value + 0.5) AS BIGINT) AS units FROM df) "
+        "SELECT k, units, CAST(rank() OVER w AS BIGINT) AS rnk, CAST(dense_rank() OVER w AS BIGINT) AS drnk, "
+        "percent_rank() OVER w AS pct_rank, cume_dist() OVER w AS cume_dist "
+        "FROM m WINDOW w AS (PARTITION BY k ORDER BY units) ORDER BY k, units, rnk"
+    ).df().reset_index(drop=True)
+    for c in out.columns:
+        assert (out[c].to_numpy() == ref[c].to_numpy()).all(), c  # bitwise, incl. the floats
+
+    one = ray.data.from_pandas(pd.DataFrame({"k": ["z"], "value": [3.0]}))
+    o1 = rank_over(one, key="k", value_col="value", value_scale=1, include_dist=True).to_pandas()
+    assert o1["pct_rank"].iloc[0] == 0.0 and o1["cume_dist"].iloc[0] == 1.0
+
+
+def test_grouped_histogram_matches_numpy(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.profile import grouped_histogram
+
+    rng = np.random.default_rng(47)
+    df = pd.DataFrame({"g": rng.choice(["p", "q", "r"], 2000), "x": rng.uniform(-5, 105, 2000)})
+    ds = ray.data.from_pandas(df).repartition(6)
+    out = grouped_histogram(ds, group="g", col="x", bins=8, lo=0.0, hi=100.0).to_pandas()
+    assert len(out) == 24  # 3 groups x 8 bins, zeros densified
+    w = 100.0 / 8
+    for g, sub in df.groupby("g"):
+        idx = np.clip(np.floor((sub["x"].to_numpy() - 0.0) / w), 0, 7).astype(np.int64)
+        exp = np.bincount(idx, minlength=8)
+        got = out[out["g"] == g].sort_values("bin")["cnt"].to_numpy()
+        assert (got == exp).all(), g
+
+
+def test_ohlc_bars_matches_pandas(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.windows import ohlc_bars
+
+    rng = np.random.default_rng(53)
+    n = 2000
+    ts = pd.to_datetime(rng.choice(np.arange(1, 5_000_000), n, replace=False), unit="us")
+    df = pd.DataFrame({"k": rng.integers(0, 7, n), "ts": ts, "value": np.round(rng.uniform(0, 90, n), 2)})
+    ds = ray.data.from_pandas(df).repartition(9)
+    W = 250_000
+    out = (
+        ohlc_bars(ds, key="k", ts_col="ts", value_col="value", window_us=W, value_scale=100)
+        .to_pandas()
+        .sort_values(["k", "window_start_us"])
+        .reset_index(drop=True)
+    )
+    ref = df.copy()
+    ref["us"] = ref["ts"].astype("int64") // 1000
+    ref["u"] = np.floor(ref["value"] * 100 + 0.5).astype(np.int64)
+    ref["w"] = (ref["us"] // W) * W
+    ref = ref.sort_values(["k", "w", "us"])
+    g = ref.groupby(["k", "w"], sort=True)
+    exp = pd.DataFrame(
+        {
+            "k": [k for k, _ in g.groups],
+            "window_start_us": [w for _, w in g.groups],
+            "open_u": g["u"].first().to_numpy(),
+            "high_u": g["u"].max().to_numpy(),
+            "low_u": g["u"].min().to_numpy(),
+            "close_u": g["u"].last().to_numpy(),
+            "cnt": g["u"].size().to_numpy().astype(np.int64),
+        }
+    ).reset_index(drop=True)
+    exp[["k", "window_start_us"]] = exp[["k", "window_start_us"]].astype("int64")
+    pd.testing.assert_frame_equal(out, exp, check_dtype=True)
