@@ -1170,6 +1170,60 @@ def _q_ohlc_daily_by_user(sf_dir: str):
     return df.sort_values(["user_id", "window_start_us"]).reset_index(drop=True)
 
 
+def _q_transition_counts_events(sf_dir: str):
+    """First-order Markov transitions (A followed by B per user): pinned-
+    sorted-block pairs with a reverse boundary fold, in-block cells
+    pre-aggregated, one final groupby (ops/windows.py:transition_counts)."""
+    import ray.data
+
+    from orc_format_ray.ops.windows import transition_counts
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"])
+    df = transition_counts(ds, key="user_id", order_col="ts", state_col="event_type").to_pandas()
+    return df.sort_values(["from_state", "to_state"]).reset_index(drop=True)
+
+
+def _q_frequency_histogram_users(sf_dir: str):
+    """Frequency-of-frequencies (users by event count): two metadata-only
+    groupbys (ops/agg.py:frequency_histogram)."""
+    import ray.data
+
+    from orc_format_ray.ops.agg import frequency_histogram
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    df = frequency_histogram(ds, key="user_id").to_pandas()
+    return df.sort_values("freq").reset_index(drop=True)
+
+
+def _q_explode_embeddings(sf_dir: str):
+    """UNNEST WITH ORDINALITY over the embedding list column — Arrow
+    flatten + offset arithmetic, float32 values bit-unchanged
+    (ops/etl.py:explode_list). Capped to vec_id < 40 to keep the compare
+    table small."""
+    import ray.data
+
+    from orc_format_ray.ops.etl import explode_list
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = ds.filter(expr="vec_id < 40")
+    df = explode_list(ds, col="embedding", id_cols=["vec_id"]).to_pandas()
+    return df.sort_values(["vec_id", "pos"]).reset_index(drop=True)
+
+
+def _q_ewma_events(sf_dir: str):
+    """Per-user EWMA (alpha=0.25, adjust=False seeding) via composed
+    linear-map carries (ops/windows.py:ewma_over). No SQL product-scan
+    aggregate exists — rows-only; values rounded to 6 decimals."""
+    import ray.data
+
+    from orc_format_ray.ops.windows import ewma_over
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+    df = ewma_over(ds, key="user_id", order_col="ts", value_col="value", alpha=0.25).to_pandas()
+    df["ewma"] = np.round(df["ewma"], 6)
+    return df.sort_values(["user_id", "ts_us"]).reset_index(drop=True)
+
+
 def _q_validate_documents(sf_dir: str):
     """Data-contract expectations over documents (nulls, key uniqueness,
     range, accepted domain, format regex) — one streaming fixed-size-
@@ -2947,6 +3001,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_dist_events": _q_rank_dist_events,
         "grouped_histogram_nchars": _q_grouped_histogram_nchars,
         "ohlc_daily_by_user": _q_ohlc_daily_by_user,
+        "transition_counts_events": _q_transition_counts_events,
+        "frequency_histogram_users": _q_frequency_histogram_users,
+        "explode_embeddings": _q_explode_embeddings,
         "skew_join_lineitem_orders": _q_skew_join_lineitem_orders,
         "regex_extract_events": _q_regex_extract_events,
         "latest_event_per_user": _q_latest_event_per_user,
@@ -2996,6 +3053,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_ndistinct_documents": _q_approx_ndistinct_documents,
         "kll_quantiles_extendedprice": _q_kll_quantiles_extendedprice,
         "minhash_candidates": _q_minhash_candidates,
+        "ewma_events": _q_ewma_events,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_near_dups": _q_embedding_near_dups,
         "ivf_ann_topk": _q_ivf_ann_topk,
@@ -3635,6 +3693,21 @@ def oracle_sql() -> dict[str, str]:
             "FROM m WINDOW w AS (PARTITION BY user_id ORDER BY ts_us "
             "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) "
             "ORDER BY user_id, ts_us"
+        ),
+        "transition_counts_events": (
+            "WITH m AS (SELECT user_id, ts, event_type, "
+            "lead(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS nxt FROM events) "
+            "SELECT event_type AS from_state, nxt AS to_state, count(*) AS cnt "
+            "FROM m WHERE nxt IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "frequency_histogram_users": (
+            "SELECT freq, CAST(count(*) AS BIGINT) AS n_keys FROM "
+            "(SELECT user_id, CAST(count(*) AS BIGINT) AS freq FROM events "
+            "WHERE user_id IS NOT NULL GROUP BY user_id) GROUP BY freq ORDER BY freq"
+        ),
+        "explode_embeddings": (
+            "SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos, "
+            "unnest(embedding) AS val FROM embeddings WHERE vec_id < 40 ORDER BY vec_id, pos"
         ),
         "rank_dist_events": (
             "WITH m AS (SELECT event_type, CAST(floor(value + 0.5) AS BIGINT) AS units FROM events) "

@@ -537,3 +537,25 @@ def string_agg_by_group(ds, group: str, col: str, sep: str = ",", distinct: bool
         return pd.DataFrame({group: [df[group].iloc[0]], "agg": [sep.join(vals)]})
 
     return pairs.groupby(group).map_groups(fold, batch_format="pandas", **remote_args())
+
+
+def frequency_histogram(ds, key: str):
+    """Frequency-of-frequencies: how many keys occur exactly f times — the
+    activity-distribution / heavy-tail audit (users by event count, tokens
+    by occurrence). Two metadata-only groupbys: per-batch (key, count)
+    cells merge into exact per-key counts, then the counts themselves
+    aggregate. Returns a Dataset of ``(freq, n_keys)``; null keys drop.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    def cells(batch: pa.Table) -> pa.Table:
+        t = pa.table({"k": pc.drop_null(batch[key].combine_chunks())})
+        g = t.group_by("k").aggregate([([], "count_all")])
+        return g.rename_columns(["k", "c"])
+
+    per_key = (
+        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby("k")
+        .aggregate(Sum("c", alias_name="freq"))
+    )
+    return per_key.groupby("freq").aggregate(Count(alias_name="n_keys"))

@@ -264,3 +264,38 @@ def latest_by_key(ds, key: str, order_col: str):
 
     local = ds.map_batches(local_latest, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
     return local.groupby(key).map_groups(pick, batch_format="pandas", **remote_args())
+
+
+def explode_list(ds, col: str, id_cols: list[str], pos_col: str = "pos", val_col: str = "val"):
+    """UNNEST WITH ORDINALITY: one output row per list element, carrying
+    the parent's ``id_cols``, the element's 0-based position, and the
+    element value (type preserved — floats pass through bit-unchanged).
+    Null/empty lists contribute no rows. Pure Arrow-buffer arithmetic per
+    batch: ``flatten`` for the values, offset diffs + ``np.repeat``/
+    ``arange`` for parents and positions — no per-row Python. A stateless
+    streaming stage: no shuffle, composes anywhere.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        arr = batch[col].combine_chunks()
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if not pa.types.is_list(arr.type) and not pa.types.is_large_list(arr.type):
+            raise TypeError(f"{col!r} must be a list column, got {arr.type}")
+        # per-row lengths (null lists count 0): list_value_length is null for
+        # null rows — fill to 0
+        lens = pc.fill_null(pc.list_value_length(arr), 0).to_numpy(zero_copy_only=False).astype(np.int64)
+        parent = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        pos = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(lens)[:-1])), lens
+        )
+        values = pc.list_flatten(arr)  # drops null/empty parents' slots
+        out = {}
+        take = pa.array(parent, pa.int64())
+        for c in id_cols:
+            out[c] = batch[c].combine_chunks().take(take)
+        out[pos_col] = pa.array(pos, pa.int64())
+        out[val_col] = values
+        return pa.table(out)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True, **remote_args())

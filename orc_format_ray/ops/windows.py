@@ -1103,3 +1103,301 @@ def ohlc_bars(ds, key: str = "user_id", ts_col: str = "ts", value_col: str = "va
         )
 
     return cells.groupby(["k", "w"]).map_groups(combine, batch_format="pandas", **remote_args())
+
+
+def transition_counts(ds, key: str = "user_id", order_col: str = "ts",
+                      state_col: str = "event_type"):
+    """First-order Markov transition counts: how often state A is followed
+    by state B within a key's ordered event sequence — SQL
+    ``lead(state) OVER (PARTITION BY key ORDER BY ts)`` + GROUP BY. The
+    behavioral-model / next-event-prediction input table. Returns a
+    Dataset of ``(from_state, to_state, cnt)``.
+
+    Pinned-sorted-block plan over (key, ts, state) metadata; the
+    cross-block boundary pair comes from a reverse fold handing every
+    block its successor's FIRST state per key (the ``lead_over`` shape);
+    in-block pairs pre-aggregate to cells before the ONE final groupby.
+    ``(key, order_col)`` must be globally unique.
+    """
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Sum
+
+    def to_meta(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": batch[key].cast(pa.int64()),
+                "o": batch[order_col].cast(pa.timestamp("us")).cast(pa.int64()),
+                "s": batch[state_col].cast(pa.string()),
+            }
+        )
+
+    meta = ds.map_batches(to_meta, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    pinned = meta.sort(["k", "o"]).materialize()
+
+    def block_partials(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows:
+            return pa.table(
+                {
+                    "blo_k": pa.array([], pa.int64()),
+                    "blo_o": pa.array([], pa.int64()),
+                    "k": pa.array([], pa.int64()),
+                    "first_s": pa.array([], pa.string()),
+                }
+            )
+        k = batch["k"].to_numpy(zero_copy_only=False)
+        o = batch["o"].to_numpy(zero_copy_only=False)
+        s = batch["s"].to_pandas().to_numpy()
+        starts = np.concatenate(([0], np.flatnonzero(k[1:] != k[:-1]) + 1))
+        return pa.table(
+            {
+                "blo_k": pa.array(np.full(len(starts), k[0]), pa.int64()),
+                "blo_o": pa.array(np.full(len(starts), o[0]), pa.int64()),
+                "k": pa.array(k[starts], pa.int64()),
+                "first_s": pa.array([str(x) for x in s[starts]], pa.string()),
+            }
+        )
+
+    parts = pinned.map_batches(
+        block_partials, batch_size=None, batch_format="pyarrow", zero_copy_batch=True, **remote_args()
+    ).to_pandas()
+    blocks: dict[tuple[int, int], list] = {}
+    for blo_k, blo_o, k, first_s in parts.itertuples(index=False):
+        blocks.setdefault((int(blo_k), int(blo_o)), []).append((int(k), str(first_s)))
+    order = sorted(blocks)
+    for a, b in zip(order, order[1:]):
+        if blocks[a][-1][0] > b[0]:
+            raise ValueError("sorted metadata blocks overlap — sort produced non-disjoint ranges")
+    nxt: dict[int, str] = {}
+    bases: dict[tuple[int, int], dict[int, str | None]] = {}
+    for lo in reversed(order):
+        snap = {k: nxt.get(k) for k, _ in blocks[lo]}
+        bases[lo] = snap
+        for k, first_s in blocks[lo]:
+            nxt[k] = first_s
+    bases_ref = ray.put(bases)
+
+    def cells(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        empty = pa.table(
+            {
+                "from_state": pa.array([], pa.string()),
+                "to_state": pa.array([], pa.string()),
+                "c": pa.array([], pa.int64()),
+            }
+        )
+        if not batch.num_rows:
+            return empty
+        base = ray.get(bases_ref)[(batch["k"][0].as_py(), batch["o"][0].as_py())]
+        k = batch["k"].to_numpy(zero_copy_only=False)
+        s = batch["s"].to_pandas().to_numpy()
+        n = len(k)
+        frm, to = [], []
+        same = k[1:] == k[:-1]
+        frm.append(s[:-1][same])
+        to.append(s[1:][same])
+        ends = np.concatenate((np.flatnonzero(k[1:] != k[:-1]), [n - 1]))
+        for e in ends:
+            carried = base[int(k[e])]
+            if carried is not None:
+                frm.append(np.array([s[e]], dtype=object))
+                to.append(np.array([carried], dtype=object))
+        f = np.concatenate(frm) if frm else np.array([], dtype=object)
+        t = np.concatenate(to) if to else np.array([], dtype=object)
+        if not len(f):
+            return empty
+        df = pd.DataFrame({"from_state": f.astype(str), "to_state": t.astype(str)})
+        g = df.groupby(["from_state", "to_state"], sort=False).size().reset_index(name="c")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = pinned.map_batches(
+        cells, batch_size=None, batch_format="pyarrow", zero_copy_batch=True, **remote_args()
+    )
+    return out.groupby(["from_state", "to_state"]).aggregate(Sum("c", alias_name="cnt"))
+
+
+def _ewma_chunk_len(beta: float) -> int:
+    """Largest chunk whose beta^-j stays finite in float64."""
+    import math
+
+    if beta <= 0.0:
+        return 1 << 20
+    return max(8, int(280.0 / max(1e-12, -math.log10(beta))))
+
+
+def _ewma_scan(x: "np.ndarray", seed: float | None, alpha: float) -> "np.ndarray":
+    """Vectorized EWMA recurrence (adjust=False): e_t = a*x_t + (1-a)*e_{t-1},
+    seeded with e_{-1} = seed, or e_0 = x_0 when seed is None. Runs in
+    chunks so the beta^-j scan weights never overflow; O(chunks) Python
+    iterations per call, all math in numpy."""
+    import numpy as np
+
+    beta = 1.0 - alpha
+    n = len(x)
+    e = np.empty(n, dtype=np.float64)
+    start = 0
+    prev = seed
+    if seed is None:
+        e[0] = x[0]
+        prev = float(x[0])
+        start = 1
+    L = _ewma_chunk_len(beta)
+    for s in range(start, n, L):
+        c = x[s:s + L]
+        m = len(c)
+        if beta == 0.0:
+            e[s:s + m] = c
+            prev = float(c[-1])
+            continue
+        q = beta ** np.arange(m, dtype=np.float64)          # beta^t
+        r = beta ** -np.arange(m, dtype=np.float64)         # beta^-j (finite by L)
+        e[s:s + m] = beta * q * prev + alpha * q * np.cumsum(c * r)
+        prev = float(e[s + m - 1])
+    return e
+
+
+def ewma_over(ds, key: str = "user_id", order_col: str = "ts",
+              value_col: str = "value", alpha: float = 0.3):
+    """Exponentially-weighted moving average per key (pandas
+    ``ewm(alpha, adjust=False)`` semantics: ``e_0 = x_0``,
+    ``e_i = alpha*x_i + (1-alpha)*e_{i-1}``) — the smoothed-metric /
+    anomaly-baseline transform. Returns a Dataset of ``(key, ts_us, ewma)``.
+
+    Pinned-sorted-block plan. Each (block, key) partial ships the LINEAR
+    MAP its segment applies to an incoming state — ``e_out = decay*e_in +
+    w`` with ``decay = beta^m`` and ``w`` the zero-seeded fold — plus the
+    segment's first value (seeding ``e_0 = x_0`` is exactly ``e_in = x_0``
+    through that map). The driver composes maps per key in block order so
+    every block knows its entry state; pass B re-runs the recurrence from
+    that seed, vectorized in overflow-safe chunks.
+
+    Floats: the map composition rounds differently from a single
+    sequential pass at the ~1e-15 relative level — results are
+    layout-stable only to that tolerance (pinned by test); round before
+    hashing. No SQL oracle exists (no product-scan aggregate); the query
+    registers rows-only. Nulls fail loudly; ``(key, order_col)`` must be
+    globally unique.
+    """
+    import numpy as np
+    import ray
+
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    beta = 1.0 - alpha
+
+    def to_meta(batch: pa.Table) -> pa.Table:
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        if batch[value_col].null_count or np.isnan(v).any():
+            raise ValueError(f"{value_col!r} must be non-null for EWMA")
+        return pa.table(
+            {
+                "k": batch[key].cast(pa.int64()),
+                "o": batch[order_col].cast(pa.timestamp("us")).cast(pa.int64()),
+                "v": pa.array(v.astype(np.float64), pa.float64()),
+            }
+        )
+
+    meta = ds.map_batches(to_meta, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    pinned = meta.sort(["k", "o"]).materialize()
+
+    def block_partials(batch: pa.Table) -> pa.Table:
+        cols = {
+            "blo_k": pa.array([], pa.int64()),
+            "blo_o": pa.array([], pa.int64()),
+            "k": pa.array([], pa.int64()),
+            "decay": pa.array([], pa.float64()),
+            "w": pa.array([], pa.float64()),
+            "first_v": pa.array([], pa.float64()),
+        }
+        if not batch.num_rows:
+            return pa.table(cols)
+        k = batch["k"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        starts = np.concatenate(([0], np.flatnonzero(k[1:] != k[:-1]) + 1))
+        ends = np.concatenate((starts[1:], [len(k)]))
+        decays, ws = [], []
+        L = _ewma_chunk_len(beta)
+        for s, e in zip(starts, ends):
+            c = v[s:e]
+            m = len(c)
+            decays.append(beta ** m)
+            # zero-seeded fold, vectorized in the same overflow-safe chunks
+            w = 0.0
+            for cs in range(0, m, L):
+                cc = c[cs:cs + L]
+                mm = len(cc)
+                if beta == 0.0:
+                    w = float(cc[-1])
+                    continue
+                q = beta ** np.arange(mm, dtype=np.float64)
+                r = beta ** -np.arange(mm, dtype=np.float64)
+                seg = beta * q * w + alpha * q * np.cumsum(cc * r)
+                w = float(seg[-1])
+            ws.append(w)
+        return pa.table(
+            {
+                "blo_k": pa.array(np.full(len(starts), k[0]), pa.int64()),
+                "blo_o": pa.array(np.full(len(starts), batch["o"][0].as_py()), pa.int64()),
+                "k": pa.array(k[starts], pa.int64()),
+                "decay": pa.array(decays, pa.float64()),
+                "w": pa.array(ws, pa.float64()),
+                "first_v": pa.array(v[starts], pa.float64()),
+            }
+        )
+
+    parts = pinned.map_batches(
+        block_partials, batch_size=None, batch_format="pyarrow", zero_copy_batch=True, **remote_args()
+    ).to_pandas()
+    blocks: dict[tuple[int, int], list] = {}
+    for blo_k, blo_o, k, decay, w, first_v in parts.itertuples(index=False):
+        blocks.setdefault((int(blo_k), int(blo_o)), []).append(
+            (int(k), float(decay), float(w), float(first_v))
+        )
+    order = sorted(blocks)
+    for a, b in zip(order, order[1:]):
+        if blocks[a][-1][0] > b[0]:
+            raise ValueError("sorted metadata blocks overlap — sort produced non-disjoint ranges")
+    acc: dict[int, float] = {}
+    bases: dict[tuple[int, int], dict[int, float | None]] = {}
+    for lo in order:
+        snap = {k: acc.get(k) for k, _, _, _ in blocks[lo]}
+        bases[lo] = snap
+        for k, decay, w, first_v in blocks[lo]:
+            e_in = acc.get(k)
+            if e_in is None:
+                e_in = first_v  # adjust=False seeding == entering with x_0
+            acc[k] = decay * e_in + w
+    bases_ref = ray.put(bases)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                key: pa.array([], pa.int64()),
+                "ts_us": pa.array([], pa.int64()),
+                "ewma": pa.array([], pa.float64()),
+            }
+        )
+        if not batch.num_rows:
+            return empty
+        base = ray.get(bases_ref)[(batch["k"][0].as_py(), batch["o"][0].as_py())]
+        k = batch["k"].to_numpy(zero_copy_only=False)
+        o = batch["o"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        n = len(k)
+        starts = np.concatenate(([0], np.flatnonzero(k[1:] != k[:-1]) + 1))
+        ends = np.concatenate((starts[1:], [n]))
+        e = np.empty(n, dtype=np.float64)
+        for s, en in zip(starts, ends):
+            e[s:en] = _ewma_scan(v[s:en], base[int(k[s])], alpha)
+        return pa.table(
+            {
+                key: pa.array(k, pa.int64()),
+                "ts_us": pa.array(o, pa.int64()),
+                "ewma": pa.array(e, pa.float64()),
+            }
+        )
+
+    return pinned.map_batches(
+        finish, batch_size=None, batch_format="pyarrow", zero_copy_batch=True, **remote_args()
+    )

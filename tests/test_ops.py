@@ -3353,3 +3353,81 @@ def test_ohlc_bars_matches_pandas(ray_session):
     ).reset_index(drop=True)
     exp[["k", "window_start_us"]] = exp[["k", "window_start_us"]].astype("int64")
     pd.testing.assert_frame_equal(out, exp, check_dtype=True)
+
+
+def test_transition_counts_matches_pandas(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.windows import transition_counts
+
+    rng = np.random.default_rng(59)
+    n = 2000
+    ts = pd.to_datetime(rng.choice(np.arange(5_000_000), n, replace=False), unit="us")
+    df = pd.DataFrame({"k": rng.integers(0, 11, n), "ts": ts, "s": rng.choice(["a", "b", "c", "d"], n)})
+    ds = ray.data.from_pandas(df).repartition(8)
+    out = transition_counts(ds, key="k", order_col="ts", state_col="s").to_pandas()
+    got = {(r.from_state, r.to_state): r.cnt for r in out.itertuples()}
+    exp: dict = {}
+    for _, sub in df.sort_values("ts").groupby("k"):
+        sv = sub["s"].tolist()
+        for a, b in zip(sv, sv[1:]):
+            exp[(a, b)] = exp.get((a, b), 0) + 1
+    assert got == exp
+
+
+def test_ewma_over_matches_pandas(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.windows import ewma_over
+
+    rng = np.random.default_rng(61)
+    n = 3000
+    ts = pd.to_datetime(rng.choice(np.arange(9_000_000), n, replace=False), unit="us")
+    df = pd.DataFrame({"k": rng.integers(0, 9, n), "ts": ts, "value": rng.uniform(-5, 5, n)})
+    for alpha in (0.25, 1.0):
+        ds = ray.data.from_pandas(df).repartition(7)
+        out = (
+            ewma_over(ds, key="k", order_col="ts", value_col="value", alpha=alpha)
+            .to_pandas()
+            .sort_values(["k", "ts_us"])
+            .reset_index(drop=True)
+        )
+        exp = df.copy()
+        exp["ts_us"] = exp["ts"].astype("int64") // 1000
+        exp = exp.sort_values(["k", "ts_us"]).reset_index(drop=True)
+        ref = exp.groupby("k", sort=False)["value"].transform(
+            lambda s: s.ewm(alpha=alpha, adjust=False).mean()
+        )
+        assert np.allclose(out["ewma"].to_numpy(), ref.to_numpy(), rtol=1e-9, atol=1e-12)
+        # block-layout near-invariance
+        out2 = (
+            ewma_over(ray.data.from_pandas(df).repartition(23), key="k", order_col="ts",
+                      value_col="value", alpha=alpha)
+            .to_pandas()
+            .sort_values(["k", "ts_us"])
+            .reset_index(drop=True)
+        )
+        assert np.allclose(out["ewma"].to_numpy(), out2["ewma"].to_numpy(), rtol=1e-9, atol=1e-12)
+    with pytest.raises(ValueError, match="alpha"):
+        ewma_over(ray.data.from_pandas(df), key="k", alpha=0.0)
+
+
+def test_explode_list_offsets_and_nulls(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.etl import explode_list
+
+    t = pa.table(
+        {
+            "id": pa.array([1, 2, 3, 4], pa.int64()),
+            "xs": pa.array([[1.5, 2.5], [], None, [7.0]], pa.list_(pa.float32())),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(2)
+    out = explode_list(ds, col="xs", id_cols=["id"]).to_pandas().sort_values(["id", "pos"]).reset_index(drop=True)
+    assert out["id"].tolist() == [1, 1, 4]
+    assert out["pos"].tolist() == [0, 1, 0]
+    assert out["val"].tolist() == [np.float32(1.5), np.float32(2.5), np.float32(7.0)]
+    assert out["val"].dtype == np.float32
+    with pytest.raises(Exception):
+        explode_list(ds, col="id", id_cols=["id"]).to_pandas()
