@@ -1224,6 +1224,83 @@ def _q_ewma_events(sf_dir: str):
     return df.sort_values(["user_id", "ts_us"]).reset_index(drop=True)
 
 
+def _q_robust_stats_extendedprice(sf_dir: str):
+    """Per-flag robust statistics (discrete median/Q1/Q3/IQR/MAD) in exact
+    cent units from ONE (group, units, count) cell pass — the MAD derives
+    from the group's own distribution, no second corpus pass
+    (ops/agg.py:robust_stats_by_group)."""
+    import ray.data
+
+    from orc_format_ray.ops.agg import robust_stats_by_group
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_extendedprice"])
+    df = robust_stats_by_group(ds, group="l_returnflag", col="l_extendedprice", value_scale=100).to_pandas()
+    return df.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def _q_winsorize_extendedprice(sf_dir: str):
+    """Winsorization to the discrete [5%, 95%] quantiles — bounds from one
+    metadata distribution pass, stateless vectorized clip
+    (ops/agg.py:winsorize)."""
+    import ray.data
+
+    from orc_format_ray.ops.agg import winsorize
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber", "l_extendedprice"]
+    )
+    df = winsorize(ds, col="l_extendedprice", id_cols=["l_orderkey", "l_linenumber"],
+                   q_lo=0.05, q_hi=0.95, value_scale=100).to_pandas()
+    df["l_linenumber"] = df["l_linenumber"].astype("int64")
+    return df.sort_values(["l_orderkey", "l_linenumber"]).reset_index(drop=True)
+
+
+def _q_full_join_customer_orders(sf_dir: str):
+    """FULL OUTER bucketed hash join: left-only customers AND right-only
+    high-value orders both survive (left capped at custkey < 700 so the
+    right-only branch is populated); the key column coalesces by
+    construction, mirrored with COALESCE in SQL
+    (ops/join.py:hash_join how='full')."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from orc_format_ray.ops.join import hash_join
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    cust = cust.filter(expr="c_custkey < 700")
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey", "o_totalprice"]
+    ).filter(expr="o_totalprice > 450000.0")
+
+    def rn(b: pa.Table) -> pa.Table:
+        return pa.table({"c_custkey": b["o_custkey"], "o_orderkey": b["o_orderkey"]})
+
+    orders = orders.map_batches(rn, batch_format="pyarrow", zero_copy_batch=True, **_ra())
+    joined = hash_join(cust, orders, key="c_custkey", num_buckets=16, how="full")
+
+    def flags(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = b.to_pandas()
+        bucket = (df["c_custkey"].astype("int64") % 10).to_numpy()
+        return pa.table(
+            {
+                "bucket": pa.array(bucket, pa.int64()),
+                "wl": pa.array(df["c_mktsegment"].notna().to_numpy().astype(np.int64)),
+                "wr": pa.array(df["o_orderkey"].notna().to_numpy().astype(np.int64)),
+            }
+        )
+
+    out = (
+        joined.map_batches(flags, batch_format="pyarrow", zero_copy_batch=True, **_ra())
+        .groupby("bucket")
+        .aggregate(Count(alias_name="cnt"), Sum("wl", alias_name="with_left"), Sum("wr", alias_name="with_right"))
+    )
+    df = out.to_pandas()
+    df[["with_left", "with_right"]] = df[["with_left", "with_right"]].astype("int64")
+    return df.sort_values("bucket").reset_index(drop=True)
+
+
 def _q_validate_documents(sf_dir: str):
     """Data-contract expectations over documents (nulls, key uniqueness,
     range, accepted domain, format regex) — one streaming fixed-size-
@@ -3004,6 +3081,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transition_counts_events": _q_transition_counts_events,
         "frequency_histogram_users": _q_frequency_histogram_users,
         "explode_embeddings": _q_explode_embeddings,
+        "robust_stats_extendedprice": _q_robust_stats_extendedprice,
+        "winsorize_extendedprice": _q_winsorize_extendedprice,
+        "full_join_customer_orders": _q_full_join_customer_orders,
         "skew_join_lineitem_orders": _q_skew_join_lineitem_orders,
         "regex_extract_events": _q_regex_extract_events,
         "latest_event_per_user": _q_latest_event_per_user,
@@ -3693,6 +3773,30 @@ def oracle_sql() -> dict[str, str]:
             "FROM m WINDOW w AS (PARTITION BY user_id ORDER BY ts_us "
             "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) "
             "ORDER BY user_id, ts_us"
+        ),
+        "robust_stats_extendedprice": (
+            "WITH m AS (SELECT l_returnflag, CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS u FROM lineitem), "
+            "med AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, quantile_disc(u, 0.5) AS med, "
+            "quantile_disc(u, 0.25) AS q1, quantile_disc(u, 0.75) AS q3 FROM m GROUP BY l_returnflag), "
+            "mad AS (SELECT m.l_returnflag, quantile_disc(abs(m.u - med.med), 0.5) AS mad "
+            "FROM m JOIN med USING (l_returnflag) GROUP BY m.l_returnflag) "
+            "SELECT med.l_returnflag, n, med, q1, q3, q3 - q1 AS iqr, mad "
+            "FROM med JOIN mad ON med.l_returnflag = mad.l_returnflag ORDER BY 1"
+        ),
+        "winsorize_extendedprice": (
+            "WITH m AS (SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, "
+            "CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS u FROM lineitem), "
+            "b AS (SELECT quantile_disc(u, 0.05) AS lo, quantile_disc(u, 0.95) AS hi FROM m) "
+            "SELECT l_orderkey, l_linenumber, u AS units, greatest(least(u, hi), lo) AS w_units "
+            "FROM m, b ORDER BY 1, 2"
+        ),
+        "full_join_customer_orders": (
+            "WITH j AS (SELECT coalesce(c_custkey, o_custkey) AS k, c_mktsegment, o_orderkey "
+            "FROM (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey < 700) c "
+            "FULL JOIN (SELECT o_custkey, o_orderkey FROM orders WHERE o_totalprice > 450000.0) o "
+            "ON c_custkey = o_custkey) "
+            "SELECT k % 10 AS bucket, count(*) AS cnt, CAST(count(c_mktsegment) AS BIGINT) AS with_left, "
+            "CAST(count(o_orderkey) AS BIGINT) AS with_right FROM j GROUP BY 1 ORDER BY 1"
         ),
         "transition_counts_events": (
             "WITH m AS (SELECT user_id, ts, event_type, "

@@ -559,3 +559,122 @@ def frequency_histogram(ds, key: str):
         .aggregate(Sum("c", alias_name="freq"))
     )
     return per_key.groupby("freq").aggregate(Count(alias_name="n_keys"))
+
+
+def quantile_disc_from_counts(values: np.ndarray, counts: np.ndarray, qs: list[float]) -> list[int]:
+    """DuckDB/Postgres ``quantile_disc``: the element at (1-based) rank
+    ``ceil(q * n)`` of the sorted multiset (clamped to >= 1) — probed and
+    pinned against DuckDB. The rank product runs in float64, the SAME ieee
+    multiply SQL performs, so edge flips (0.1*10 -> 1.0000000000000002)
+    agree on both engines."""
+    order = np.argsort(values)
+    v = values[order]
+    c = counts[order].astype(np.int64)
+    n = int(c.sum())
+    if n == 0:
+        raise ValueError("quantile_disc over an empty distribution")
+    cum = np.cumsum(c)
+    out = []
+    for q in qs:
+        rank = max(1, int(np.ceil(np.float64(q) * n)))
+        out.append(int(v[np.searchsorted(cum, rank, side="left")]))
+    return out
+
+
+def robust_stats_by_group(ds, group: str, col: str, value_scale: int = 100):
+    """Outlier-robust per-group statistics in exact integer units: count,
+    discrete median, Q1/Q3/IQR, and the median absolute deviation — the
+    pre-training distribution health check that means/stds get wrong under
+    heavy tails. All values are ``quantile_disc`` picks over units
+    (``floor(value*scale + 0.5)``), so every output is an int64 and the
+    SQL compare is exact.
+
+    ONE data pass: per-batch (group, units, count) cells -> one groupby.
+    Each group's worker derives the |u - median| distribution from its own
+    (units, count) cells — the MAD costs no second corpus pass. Hot groups
+    cost their distinct-unit count. Returns
+    ``(group, n, med, q1, q3, iqr, mad)``.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def cells(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False)
+        if batch[col].null_count or np.isnan(v).any():
+            raise ValueError(f"{col!r} must be non-null for robust stats")
+        u = np.floor(v * value_scale + 0.5).astype(np.int64)
+        t = pa.table({"g": batch[group].combine_chunks(), "u": pa.array(u, pa.int64())})
+        g = t.group_by(["g", "u"]).aggregate([([], "count_all")])
+        return g.rename_columns(["g", "u", "c"])
+
+    dist = (
+        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby(["g", "u"])
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["u"].to_numpy(dtype=np.int64)
+        c = df["c"].to_numpy(dtype=np.int64)
+        med, q1, q3 = quantile_disc_from_counts(u, c, [0.5, 0.25, 0.75])
+        dev = np.abs(u - med)
+        # collapse duplicate deviations (u below/above median can collide)
+        dd = pd.DataFrame({"d": dev, "c": c}).groupby("d", as_index=False)["c"].sum()
+        (mad,) = quantile_disc_from_counts(dd["d"].to_numpy(), dd["c"].to_numpy(), [0.5])
+        return pd.DataFrame(
+            {
+                group: [df["g"].iloc[0]],
+                "n": [np.int64(c.sum())],
+                "med": [np.int64(med)],
+                "q1": [np.int64(q1)],
+                "q3": [np.int64(q3)],
+                "iqr": [np.int64(q3 - q1)],
+                "mad": [np.int64(mad)],
+            }
+        )
+
+    return dist.groupby("g").map_groups(fold, batch_format="pandas", **remote_args())
+
+
+def winsorize(ds, col: str, id_cols: list[str], q_lo: float = 0.05, q_hi: float = 0.95,
+              value_scale: int = 100):
+    """Clip a column to its discrete [q_lo, q_hi] quantiles — the outlier
+    winsorization step before loss-sensitive training. Bounds come from
+    ONE metadata pass over the (units, count) distribution
+    (``quantile_disc`` semantics, exact integers), broadcast once; the
+    clip itself is a stateless vectorized second pass. Returns a Dataset
+    of ``(*id_cols, units, w_units)``.
+    """
+    from ray.data.aggregate import Sum
+
+    if not (0.0 <= q_lo <= q_hi <= 1.0):
+        raise ValueError(f"need 0 <= q_lo <= q_hi <= 1, got {q_lo}, {q_hi}")
+
+    def cells(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False)
+        if batch[col].null_count or np.isnan(v).any():
+            raise ValueError(f"{col!r} must be non-null for winsorization")
+        u = np.floor(v * value_scale + 0.5).astype(np.int64)
+        t = pa.table({"u": pa.array(u, pa.int64())})
+        return t.group_by("u").aggregate([([], "count_all")]).rename_columns(["u", "c"])
+
+    dist = (
+        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby("u")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    lo, hi = quantile_disc_from_counts(
+        dist["u"].to_numpy(dtype=np.int64), dist["c"].to_numpy(dtype=np.int64), [q_lo, q_hi]
+    )
+
+    def clip(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False)
+        u = np.floor(v * value_scale + 0.5).astype(np.int64)
+        w = np.clip(u, lo, hi)
+        out = {c: batch[c] for c in id_cols}
+        out["units"] = pa.array(u, pa.int64())
+        out["w_units"] = pa.array(w, pa.int64())
+        return pa.table(out)
+
+    return ds.map_batches(clip, batch_format="pyarrow", zero_copy_batch=True, **remote_args())

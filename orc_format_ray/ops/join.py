@@ -299,11 +299,15 @@ def hash_join(left_ds, right_ds, key: str, num_buckets: int = 64, how: str = "in
     """
     import pandas as pd
 
-    if how not in ("inner", "left"):
-        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if how not in ("inner", "left", "full"):
+        raise ValueError(f"how must be 'inner', 'left' or 'full', got {how!r}")
     right_cols: list[str] | None = None
-    if how == "left":
+    left_cols: list[str] | None = None
+    if how in ("left", "full"):
         right_cols = [n for n in right_ds.schema().names if n != key]
+    if how == "full":
+        left_cols = list(left_ds.schema().names)
+        out_order = left_cols + [c if c not in left_cols else f"{c}_r" for c in right_cols]
 
     def tag(side: int):
         def fn(batch: pa.Table) -> pa.Table:
@@ -338,16 +342,29 @@ def hash_join(left_ds, right_ds, key: str, num_buckets: int = 64, how: str = "in
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lg = [_ipc_table(b) for b in g.loc[g["_side"] == 0, "blob"]]
         rg = [_ipc_table(b) for b in g.loc[g["_side"] == 1, "blob"]]
-        if not lg or (not rg and how == "inner"):
+        if how == "inner" and (not lg or not rg):
             return pd.DataFrame()
+        if how == "left" and not lg:
+            return pd.DataFrame()
+        if not lg:  # full, right-only bucket: right rows with null left cols
+            rdf = pa.concat_tables(rg).to_pandas()
+            out = pd.DataFrame(index=rdf.index)
+            for c in left_cols:
+                out[c] = rdf[key] if c == key else np.nan
+            for c in right_cols:
+                name = c if c not in left_cols else f"{c}_r"
+                out[name] = rdf[c]
+            return out[out_order]
         ldf = pa.concat_tables(lg).to_pandas()
         if not rg:
             for c in right_cols:
                 name = c if c not in ldf.columns else f"{c}_r"
                 ldf[name] = np.nan
-            return ldf
+            return ldf[out_order] if how == "full" else ldf
         rdf = pa.concat_tables(rg).to_pandas()
-        return ldf.merge(rdf, on=key, how=how, suffixes=("", "_r"))
+        how_pd = "outer" if how == "full" else how
+        out = ldf.merge(rdf, on=key, how=how_pd, suffixes=("", "_r"))
+        return out[out_order] if how == "full" else out
 
     return lt.union(rt).groupby("_bucket").map_groups(join_bucket, batch_format="pandas", **remote_args())
 

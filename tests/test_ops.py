@@ -3431,3 +3431,79 @@ def test_explode_list_offsets_and_nulls(ray_session):
     assert out["val"].dtype == np.float32
     with pytest.raises(Exception):
         explode_list(ds, col="id", id_cols=["id"]).to_pandas()
+
+
+def test_quantile_disc_matches_duckdb():
+    import duckdb
+
+    from orc_format_ray.ops.agg import quantile_disc_from_counts
+
+    rng = np.random.default_rng(67)
+    for n in (1, 7, 100, 1234):
+        vals = rng.integers(-50, 50, n)
+        uniq, cnt = np.unique(vals, return_counts=True)
+        qs = [0.0, 0.05, 0.1, 0.25, 0.333, 0.5, 0.75, 0.9, 0.95, 1.0]
+        got = quantile_disc_from_counts(uniq, cnt, qs)
+        df = pd.DataFrame({"x": vals})
+        for q, g in zip(qs, got):
+            ref = duckdb.sql(f"SELECT quantile_disc(x, {q}) FROM df").fetchone()[0]
+            assert g == ref, (n, q, g, ref)
+
+
+def test_robust_stats_by_group(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.agg import quantile_disc_from_counts, robust_stats_by_group
+
+    rng = np.random.default_rng(71)
+    df = pd.DataFrame({"g": rng.choice(["a", "b"], 1500), "value": rng.lognormal(3, 1, 1500)})
+    ds = ray.data.from_pandas(df).repartition(6)
+    out = robust_stats_by_group(ds, group="g", col="value", value_scale=100).to_pandas()
+    for _, row in out.iterrows():
+        sub = df[df["g"] == row["g"]]
+        u = np.floor(sub["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        uu, cc = np.unique(u, return_counts=True)
+        med, q1, q3 = quantile_disc_from_counts(uu, cc, [0.5, 0.25, 0.75])
+        du, dc = np.unique(np.abs(u - med), return_counts=True)
+        (mad,) = quantile_disc_from_counts(du, dc, [0.5])
+        assert (row["n"], row["med"], row["q1"], row["q3"], row["iqr"], row["mad"]) == (
+            len(u), med, q1, q3, q3 - q1, mad,
+        )
+
+
+def test_winsorize_bounds(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.agg import winsorize
+
+    rng = np.random.default_rng(73)
+    df = pd.DataFrame({"i": np.arange(800, dtype=np.int64), "value": rng.lognormal(2, 1.5, 800)})
+    ds = ray.data.from_pandas(df).repartition(5)
+    out = winsorize(ds, col="value", id_cols=["i"], q_lo=0.1, q_hi=0.9, value_scale=100).to_pandas()
+    u = np.floor(df["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+    lo, hi = np.sort(u)[max(0, int(np.ceil(0.1 * 800)) - 1)], np.sort(u)[int(np.ceil(0.9 * 800)) - 1]
+    got = out.sort_values("i")["w_units"].to_numpy()
+    assert (got == np.clip(u, lo, hi)).all()
+    assert got.min() == lo and got.max() == hi
+
+
+def test_hash_join_full_outer(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.join import hash_join
+
+    left = pd.DataFrame({"k": np.array([1, 2, 3, 3], dtype=np.int64), "lv": np.array([10, 20, 30, 31], dtype=np.int64)})
+    right = pd.DataFrame({"k": np.array([2, 4, 4], dtype=np.int64), "rv": np.array([200, 400, 401], dtype=np.int64)})
+    out = hash_join(
+        ray.data.from_pandas(left).repartition(2),
+        ray.data.from_pandas(right).repartition(2),
+        "k", num_buckets=3, how="full",
+    ).to_pandas()
+    exp = left.merge(right, on="k", how="outer")
+    assert len(out) == len(exp) == 6  # 1,2,3,3 left + two right-only 4s
+    o = out.sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+    e = exp.sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+    assert (o["k"].to_numpy() == e["k"].to_numpy()).all()
+    for c in ("lv", "rv"):
+        a, b = o[c].to_numpy(dtype=np.float64), e[c].to_numpy(dtype=np.float64)
+        assert ((a == b) | (np.isnan(a) & np.isnan(b))).all(), c
