@@ -1301,6 +1301,66 @@ def _q_full_join_customer_orders(sf_dir: str):
     return df.sort_values("bucket").reset_index(drop=True)
 
 
+def _q_hhi_source_by_lang(sf_dir: str):
+    """Herfindahl concentration of sources within each language — ONE
+    division of exact integer cell counts (sum cnt^2 / total^2), bitwise
+    SQL parity on any plan; only (lang, source, count) cells shuffle
+    (ops/agg.py:hhi_by_group)."""
+    import ray.data
+
+    from orc_format_ray.ops.agg import hhi_by_group
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "source"])
+    df = hhi_by_group(ds, group="lang", key="source").to_pandas()
+    df[["n_keys", "n_rows"]] = df[["n_keys", "n_rows"]].astype("int64")
+    return df.sort_values("lang").reset_index(drop=True)
+
+
+def _q_regression_quantity_price(sf_dir: str):
+    """Per-flag OLS slope/intercept/r^2 of extendedprice on quantity from
+    one exact-int64 partial-sums pass; the float expression tree is
+    mirrored op-for-op by the SQL oracle — the BM25 parity rule
+    (ops/agg.py:regression_by_group)."""
+    import ray.data
+
+    from orc_format_ray.ops.agg import regression_by_group
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_quantity", "l_extendedprice"]
+    )
+    df = regression_by_group(
+        ds, group="l_returnflag", x_col="l_quantity", y_col="l_extendedprice",
+        x_scale=100, y_scale=100,
+    ).to_pandas()
+    df["n"] = df["n"].astype("int64")
+    return df.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def _q_mad_outliers_extendedprice(sf_dir: str):
+    """Per-flag robust outliers: |units - median| > k * MAD in exact cent
+    units — the (median, MAD) table is one row per group, broadcast once;
+    the flagging pass is stateless (ops/agg.py:mad_outliers)."""
+    import ray.data
+
+    from orc_format_ray.ops.agg import mad_outliers
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"],
+    )
+    df = mad_outliers(ds, group="l_returnflag", col="l_extendedprice", k=2,
+                      value_scale=100).to_pandas()
+    if len(df) == 0:  # empty Datasets drop columns in to_pandas — stable schema
+        import pandas as pd
+
+        df = pd.DataFrame({c: pd.Series(dtype="int64")
+                           for c in ("l_orderkey", "l_linenumber", "units", "dev")})
+        return df
+    df = df[["l_orderkey", "l_linenumber", "units", "dev"]].copy()
+    df["l_linenumber"] = df["l_linenumber"].astype("int64")
+    return df.sort_values(["l_orderkey", "l_linenumber"]).reset_index(drop=True)
+
+
 def _q_validate_documents(sf_dir: str):
     """Data-contract expectations over documents (nulls, key uniqueness,
     range, accepted domain, format regex) — one streaming fixed-size-
@@ -3084,6 +3144,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robust_stats_extendedprice": _q_robust_stats_extendedprice,
         "winsorize_extendedprice": _q_winsorize_extendedprice,
         "full_join_customer_orders": _q_full_join_customer_orders,
+        "hhi_source_by_lang": _q_hhi_source_by_lang,
+        "regression_quantity_price": _q_regression_quantity_price,
+        "mad_outliers_extendedprice": _q_mad_outliers_extendedprice,
         "skew_join_lineitem_orders": _q_skew_join_lineitem_orders,
         "regex_extract_events": _q_regex_extract_events,
         "latest_event_per_user": _q_latest_event_per_user,
@@ -3789,6 +3852,43 @@ def oracle_sql() -> dict[str, str]:
             "b AS (SELECT quantile_disc(u, 0.05) AS lo, quantile_disc(u, 0.95) AS hi FROM m) "
             "SELECT l_orderkey, l_linenumber, u AS units, greatest(least(u, hi), lo) AS w_units "
             "FROM m, b ORDER BY 1, 2"
+        ),
+        "hhi_source_by_lang": (
+            "WITH cells AS (SELECT lang, source, count(*) AS c FROM documents GROUP BY 1, 2) "
+            "SELECT lang, CAST(count(*) AS BIGINT) AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows, "
+            "CAST(CAST(sum(c*c) AS BIGINT) AS DOUBLE) / "
+            "CAST(CAST(sum(c) AS BIGINT) * CAST(sum(c) AS BIGINT) AS DOUBLE) AS hhi "
+            "FROM cells GROUP BY 1 ORDER BY 1"
+        ),
+        "regression_quantity_price": (
+            "WITH s AS (SELECT l_returnflag AS g, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT) AS sx, "
+            "CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sy, "
+            "CAST(sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT) * CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT) AS sxx, "
+            "CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) * CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS syy, "
+            "CAST(sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT) * CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sxy "
+            "FROM lineitem GROUP BY 1) "
+            "SELECT g AS l_returnflag, n, "
+            "(CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) "
+            " / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) AS slope, "
+            "(CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) "
+            " / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE)) "
+            " / CAST(n AS DOUBLE) AS icept, "
+            "((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) "
+            " * (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))) "
+            " / ((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) "
+            " * (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) AS r2 "
+            "FROM s ORDER BY 1"
+        ),
+        "mad_outliers_extendedprice": (
+            "WITH u AS (SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, "
+            "l_returnflag, CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS units FROM lineitem), "
+            "st AS (SELECT l_returnflag, quantile_disc(units, 0.5) AS med FROM u GROUP BY 1), "
+            "dev AS (SELECT u.l_orderkey, u.l_linenumber, u.l_returnflag, u.units, "
+            "abs(u.units - st.med) AS d FROM u JOIN st USING (l_returnflag)), "
+            "mad AS (SELECT l_returnflag, quantile_disc(d, 0.5) AS mad FROM dev GROUP BY 1) "
+            "SELECT dev.l_orderkey, dev.l_linenumber, dev.units, dev.d AS dev "
+            "FROM dev JOIN mad USING (l_returnflag) WHERE dev.d > 2 * mad.mad ORDER BY 1, 2"
         ),
         "full_join_customer_orders": (
             "WITH j AS (SELECT coalesce(c_custkey, o_custkey) AS k, c_mktsegment, o_orderkey "

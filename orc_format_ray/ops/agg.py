@@ -678,3 +678,192 @@ def winsorize(ds, col: str, id_cols: list[str], q_lo: float = 0.05, q_hi: float 
         return pa.table(out)
 
     return ds.map_batches(clip, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+
+
+def hhi_by_group(ds, group: str, key: str, max_group_rows: int = 1 << 31):
+    """Herfindahl–Hirschman concentration index of ``key`` within each
+    ``group`` — "is this source dominated by a handful of domains?", the
+    concentration audit run before mixing corpus sources. HHI = sum over
+    keys of (share^2) = (sum cnt^2) / total^2, so the whole statistic is
+    ONE division of two exact integers: bitwise-reproducible on any plan
+    and bitwise-equal to the SQL oracle.
+
+    Plan: per-batch (group, key) count cells -> one cell groupby -> square
+    -> one per-group groupby of (cnt^2, cnt). Only metadata moves; full
+    rows never shuffle. Guarded at ``max_group_rows`` (default 2^31) so
+    total^2 and the sum of squares stay inside int64; beyond that, sample
+    or sub-partition the group first.
+
+    Returns a Dataset of ``(group, n_keys, n_rows, hhi)``.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    def cells(batch: pa.Table) -> pa.Table:
+        t = pa.table({"g": batch[group].combine_chunks(), "k": batch[key].combine_chunks()})
+        if t["g"].null_count or t["k"].null_count:
+            raise ValueError("hhi_by_group: null group/key values")
+        out = t.group_by(["g", "k"]).aggregate([([], "count_all")])
+        return out.rename_columns(["g", "k", "c"])
+
+    counts = (
+        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby(["g", "k"])
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+    def squares(batch: pa.Table) -> pa.Table:
+        c = batch["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if c.max(initial=0) > max_group_rows:
+            raise ValueError(
+                f"hhi_by_group: a (group, key) cell holds {c.max()} rows "
+                f"(> {max_group_rows}); int64 squares would overflow"
+            )
+        return pa.table({"g": batch["g"].combine_chunks(),
+                         "c": batch["c"].combine_chunks(),
+                         "c2": pa.array(c * c, pa.int64())})
+
+    folded = (
+        counts.map_batches(squares, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby("g")
+        .aggregate(Count(alias_name="n_keys"), Sum("c", alias_name="n_rows"),
+                   Sum("c2", alias_name="s2"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n_rows"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s2 = batch["s2"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if n.max(initial=0) > max_group_rows:
+            raise ValueError(f"hhi_by_group: group holds {n.max()} rows (> {max_group_rows})")
+        # ONE float division of exact ints — bitwise SQL parity
+        hhi = s2.astype(np.float64) / (n * n).astype(np.float64)
+        return pa.table({group: batch["g"].combine_chunks(),
+                         "n_keys": batch["n_keys"].combine_chunks(),
+                         "n_rows": batch["n_rows"].combine_chunks(),
+                         "hhi": pa.array(hhi, pa.float64())})
+
+    return folded.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+
+
+def mad_outliers(ds, group: str, col: str, k: int = 5, value_scale: int = 100):
+    """Flag per-group robust outliers: rows with
+    ``|units - median| > k * MAD`` (median absolute deviation), the
+    heavy-tail-safe outlier rule (means/stds are themselves dragged by the
+    outliers they should catch). Composes `robust_stats_by_group` — the
+    (median, MAD) table is tiny (one row per group), collected once and
+    broadcast; the flagging pass is stateless and vectorized. All
+    comparisons are exact int64 (units = floor(value*scale + 0.5), integer
+    k) — bitwise-identical to the SQL oracle on any plan.
+
+    Returns the outlier rows as ``(*original columns, units, dev)``.
+    """
+    import ray
+
+    stats = robust_stats_by_group(ds, group, col, value_scale=value_scale).to_pandas()
+    med_of = dict(zip(stats[group], stats["med"].astype(np.int64)))
+    mad_of = dict(zip(stats[group], stats["mad"].astype(np.int64)))
+    med_ref = ray.put((med_of, mad_of))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        med_of, mad_of = ray.get(med_ref)
+        v = batch[col].to_numpy(zero_copy_only=False)
+        u = np.floor(v * value_scale + 0.5).astype(np.int64)
+        g = batch[group].to_pandas()
+        med = g.map(med_of).to_numpy(dtype=np.int64)
+        mad = g.map(mad_of).to_numpy(dtype=np.int64)
+        dev = np.abs(u - med)
+        keep = dev > k * mad
+        out = batch.append_column("units", pa.array(u, pa.int64()))
+        out = out.append_column("dev", pa.array(dev, pa.int64()))
+        return out.filter(pa.array(keep))
+
+    return ds.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+
+
+def regression_by_group(ds, group: str, x_col: str, y_col: str,
+                        x_scale: int = 100, y_scale: int = 100,
+                        max_abs_sum: int = 1 << 62):
+    """Per-group simple OLS regression (slope / intercept / r^2) from ONE
+    metadata pass. Per batch: exact int64 unit conversions and per-group
+    partial sums (n, Sx, Sy, Sxx, Syy, Sxy); one small groupby merges the
+    partials; the closed-form fold runs per group on the driver-side-free
+    final map_batches.
+
+    Float parity contract (the BM25 rule): every sum is an exact int64
+    (loudly guarded at ``max_abs_sum``), each is cast to float64 ONCE, and
+    the slope/intercept/r2 expression trees below are mirrored op-for-op
+    by the SQL oracle (which must CAST its HUGEINT sums back to BIGINT,
+    then to DOUBLE):
+
+        slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx*Sx)
+        icept = (Sy - slope*Sx) / n
+        r2    = ((n*Sxy - Sx*Sy) * (n*Sxy - Sx*Sy))
+                / ((n*Sxx - Sx*Sx) * (n*Syy - Sy*Sy))
+
+    Returns a Dataset of ``(group, n, slope, icept, r2)``.
+    """
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        x = batch[x_col].to_numpy(zero_copy_only=False)
+        y = batch[y_col].to_numpy(zero_copy_only=False)
+        if batch[x_col].null_count or batch[y_col].null_count:
+            raise ValueError("regression_by_group: null x/y values")
+        ux = np.floor(x * x_scale + 0.5).astype(np.int64)
+        uy = np.floor(y * y_scale + 0.5).astype(np.int64)
+        big = max(np.abs(ux).max(initial=0), np.abs(uy).max(initial=0))
+        if big >= 1 << 31:
+            raise ValueError(
+                f"regression_by_group: |units| {big} >= 2^31; int64 per-row "
+                "products would overflow — reduce the unit scales"
+            )
+        t = pa.table({
+            "g": batch[group].combine_chunks(),
+            "n": pa.array(np.ones(len(ux), np.int64)),
+            "sx": pa.array(ux), "sy": pa.array(uy),
+            "sxx": pa.array(ux * ux), "syy": pa.array(uy * uy),
+            "sxy": pa.array(ux * uy),
+        })
+        out = t.group_by("g").aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+             ("sxx", "sum"), ("syy", "sum"), ("sxy", "sum")]
+        )
+        return out.rename_columns(["g", "n", "sx", "sy", "sxx", "syy", "sxy"])
+
+    folded = (
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby("g")
+        .aggregate(Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+                   Sum("sy", alias_name="sy"), Sum("sxx", alias_name="sxx"),
+                   Sum("syy", alias_name="syy"), Sum("sxy", alias_name="sxy"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cols = {c: batch[c].to_numpy(zero_copy_only=False).astype(np.int64)
+                for c in ("n", "sx", "sy", "sxx", "syy", "sxy")}
+        worst = max(abs(int(v.min(initial=0))) if len(v) else 0 for v in cols.values())
+        worst = max(worst, max(int(v.max(initial=0)) if len(v) else 0 for v in cols.values()))
+        if worst > max_abs_sum:
+            raise ValueError(
+                f"regression_by_group: |sum| {worst} > {max_abs_sum}; int64 partial "
+                "sums can no longer be trusted — reduce the unit scales"
+            )
+        n = cols["n"].astype(np.float64)
+        sx = cols["sx"].astype(np.float64)
+        sy = cols["sy"].astype(np.float64)
+        sxx = cols["sxx"].astype(np.float64)
+        syy = cols["syy"].astype(np.float64)
+        sxy = cols["sxy"].astype(np.float64)
+        # mirrored op-for-op by the SQL oracle — keep both sides in sync
+        cov_n = n * sxy - sx * sy
+        var_n = n * sxx - sx * sx
+        vary_n = n * syy - sy * sy
+        slope = cov_n / var_n
+        icept = (sy - slope * sx) / n
+        r2 = (cov_n * cov_n) / (var_n * vary_n)
+        return pa.table({group: batch["g"].combine_chunks(),
+                         "n": batch["n"].combine_chunks(),
+                         "slope": pa.array(slope, pa.float64()),
+                         "icept": pa.array(icept, pa.float64()),
+                         "r2": pa.array(r2, pa.float64())})
+
+    return folded.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True, **remote_args())

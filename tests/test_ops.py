@@ -3507,3 +3507,90 @@ def test_hash_join_full_outer(ray_session):
     for c in ("lv", "rv"):
         a, b = o[c].to_numpy(dtype=np.float64), e[c].to_numpy(dtype=np.float64)
         assert ((a == b) | (np.isnan(a) & np.isnan(b))).all(), c
+
+
+def test_hhi_by_group(ray_session):
+    import duckdb
+    import ray.data
+
+    from orc_format_ray.ops.agg import hhi_by_group
+
+    rng = np.random.default_rng(79)
+    df = pd.DataFrame({
+        "g": rng.choice(["x", "y", "z"], 2000),
+        "k": rng.choice([f"d{i}" for i in range(40)], 2000, p=np.r_[0.5, np.full(39, 0.5 / 39)]),
+    })
+    ds = ray.data.from_pandas(df).repartition(7)
+    out = hhi_by_group(ds, "g", "k").to_pandas().sort_values("g").reset_index(drop=True)
+    ref = duckdb.sql(
+        "WITH c AS (SELECT g, k, count(*) cnt FROM df GROUP BY 1,2) "
+        "SELECT g, CAST(count(*) AS BIGINT) n_keys, CAST(sum(cnt) AS BIGINT) n_rows, "
+        "CAST(CAST(sum(cnt*cnt) AS BIGINT) AS DOUBLE)/CAST(CAST(sum(cnt) AS BIGINT)*CAST(sum(cnt) AS BIGINT) AS DOUBLE) hhi "
+        "FROM c GROUP BY 1 ORDER BY 1"
+    ).df()
+    assert (out["g"].values == ref["g"].values).all()
+    assert (out["n_keys"].values.astype(np.int64) == ref["n_keys"].values).all()
+    assert (out["n_rows"].values.astype(np.int64) == ref["n_rows"].values).all()
+    assert (out["hhi"].values == ref["hhi"].values).all()
+    # uniform over m keys -> hhi ~ 1/m; single key -> 1.0
+    one = pd.DataFrame({"g": ["s"] * 50, "k": ["only"] * 50})
+    o = hhi_by_group(ray.data.from_pandas(one), "g", "k").to_pandas()
+    assert o["hhi"].iloc[0] == 1.0
+
+
+def test_regression_by_group(ray_session):
+    import duckdb
+    import ray.data
+
+    from orc_format_ray.ops.agg import regression_by_group
+
+    rng = np.random.default_rng(83)
+    n = 3000
+    g = rng.choice(["a", "b"], n)
+    x = rng.uniform(0, 50, n)
+    y = np.where(g == "a", 3.0 * x + 7.0, -2.0 * x + 100.0) + rng.normal(0, 5.0, n)
+    df = pd.DataFrame({"g": g, "x": x, "y": y})
+    ds = ray.data.from_pandas(df).repartition(9)
+    out = regression_by_group(ds, "g", "x", "y", x_scale=100, y_scale=100)
+    out = out.to_pandas().sort_values("g").reset_index(drop=True)
+    # numpy reference over the SAME integer units
+    for _, row in out.iterrows():
+        sub = df[df["g"] == row["g"]]
+        ux = np.floor(sub["x"].to_numpy() * 100 + 0.5).astype(np.int64)
+        uy = np.floor(sub["y"].to_numpy() * 100 + 0.5).astype(np.int64)
+        slope, icept = np.polyfit(ux.astype(float), uy.astype(float), 1)
+        assert abs(row["slope"] - slope) < 1e-9
+        assert abs(row["icept"] - icept) < 1e-6
+        r = np.corrcoef(ux.astype(float), uy.astype(float))[0, 1]
+        assert abs(row["r2"] - r * r) < 1e-9
+    # slopes recover the planted lines (units cancel: same 100x both axes)
+    by = dict(zip(out["g"], out["slope"]))
+    assert abs(by["a"] - 3.0) < 0.1 and abs(by["b"] + 2.0) < 0.1
+    # overflow guard trips loudly on huge units
+    import pytest
+
+    big = pd.DataFrame({"g": ["a"], "x": [1e9], "y": [1.0]})
+    with pytest.raises(Exception, match="overflow|units"):
+        regression_by_group(ray.data.from_pandas(big), "g", "x", "y",
+                            x_scale=100, y_scale=100).to_pandas()
+
+
+def test_mad_outliers(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.agg import mad_outliers
+
+    rng = np.random.default_rng(89)
+    base = rng.normal(100.0, 2.0, 500)
+    df = pd.DataFrame({
+        "i": np.arange(504, dtype=np.int64),
+        "g": ["a"] * 504,
+        "value": np.r_[base, [500.0, 900.0, -300.0, 101.0]],
+    })
+    ds = ray.data.from_pandas(df).repartition(4)
+    out = mad_outliers(ds, "g", "value", k=5, value_scale=100).to_pandas()
+    flagged = set(out["i"].astype(int))
+    assert {500, 501, 502} <= flagged          # planted extremes caught
+    assert 503 not in flagged                  # near-median row untouched
+    assert len(flagged) < 20                   # robust rule doesn't overfire
+    assert (out["dev"] >= 0).all()
