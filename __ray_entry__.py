@@ -1361,6 +1361,52 @@ def _q_mad_outliers_extendedprice(sf_dir: str):
     return df.sort_values(["l_orderkey", "l_linenumber"]).reset_index(drop=True)
 
 
+def _q_dedup_lines_documents(sf_dir: str):
+    """Within-document segment dedup (keep-first, space-separated here;
+    newline-separated in a real boilerplate scrub) — per-batch, no shuffle,
+    one Arrow split + hash keep-first + binary_join
+    (ops/text.py:dedup_lines)."""
+    import ray.data
+
+    from orc_format_ray.ops.text import dedup_lines
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(
+        lambda b: dedup_lines(b, column="text", sep=" "),
+        batch_format="pyarrow", zero_copy_batch=True, **_ra(),
+    ).select_columns(["doc_id", "text_dedup", "text_dedup_dropped"])
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_normalize_text_documents(sf_dir: str):
+    """Text normalization (lowercase, collapse whitespace runs, trim) over a
+    deliberately-messied variant built in-pipeline (upper + doubled spaces +
+    padding, mirrored in SQL) — the output must equal the original text
+    (ops/text.py:normalize_text)."""
+    import ray.data
+
+    from orc_format_ray.ops.text import normalize_text
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def messy(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.binary_join_element_wise(
+            " \t", pc.replace_substring(pc.utf8_upper(b["text"]), " ", "  "), "  ", ""
+        )
+        return pa.table({"doc_id": b["doc_id"], "messy": m})
+
+    out = (
+        ds.map_batches(messy, batch_format="pyarrow", zero_copy_batch=True, **_ra())
+        .map_batches(lambda b: normalize_text(b, column="messy"),
+                     batch_format="pyarrow", zero_copy_batch=True, **_ra())
+        .select_columns(["doc_id", "text_norm"])
+    )
+    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return df
+
+
 def _q_validate_documents(sf_dir: str):
     """Data-contract expectations over documents (nulls, key uniqueness,
     range, accepted domain, format regex) — one streaming fixed-size-
@@ -3147,6 +3193,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hhi_source_by_lang": _q_hhi_source_by_lang,
         "regression_quantity_price": _q_regression_quantity_price,
         "mad_outliers_extendedprice": _q_mad_outliers_extendedprice,
+        "dedup_lines_documents": _q_dedup_lines_documents,
+        "normalize_text_documents": _q_normalize_text_documents,
         "skew_join_lineitem_orders": _q_skew_join_lineitem_orders,
         "regex_extract_events": _q_regex_extract_events,
         "latest_event_per_user": _q_latest_event_per_user,
@@ -3889,6 +3937,20 @@ def oracle_sql() -> dict[str, str]:
             "mad AS (SELECT l_returnflag, quantile_disc(d, 0.5) AS mad FROM dev GROUP BY 1) "
             "SELECT dev.l_orderkey, dev.l_linenumber, dev.units, dev.d AS dev "
             "FROM dev JOIN mad USING (l_returnflag) WHERE dev.d > 2 * mad.mad ORDER BY 1, 2"
+        ),
+        "dedup_lines_documents": (
+            "WITH parts AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents), "
+            "ex AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS pos FROM parts), "
+            "firsts AS (SELECT doc_id, w, min(pos) AS pos FROM ex GROUP BY 1, 2), "
+            "agg AS (SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS text_dedup, "
+            "CAST(count(*) AS BIGINT) AS kept FROM firsts GROUP BY 1) "
+            "SELECT p.doc_id, a.text_dedup, CAST(len(p.ws) AS BIGINT) - a.kept AS text_dedup_dropped "
+            "FROM parts p JOIN agg a USING (doc_id) ORDER BY doc_id"
+        ),
+        "normalize_text_documents": (
+            "SELECT doc_id, lower(trim(regexp_replace("
+            "' ' || chr(9) || replace(upper(text), ' ', '  ') || '  ', '\\s+', ' ', 'g'), ' ')) "
+            "AS text_norm FROM documents ORDER BY doc_id"
         ),
         "full_join_customer_orders": (
             "WITH j AS (SELECT coalesce(c_custkey, o_custkey) AS k, c_mktsegment, o_orderkey "

@@ -472,3 +472,52 @@ def redact_pii(
         total = n if total is None else pc.add(total, n)
         text = pc.replace_substring_regex(text, pat, replacement)
     return batch.append_column(out, text).append_column("n_pii", total.cast(pa.int64()))
+
+
+def dedup_lines(batch: pa.Table, column: str = "text", sep: str = "\n",
+                out: str = "text_dedup") -> pa.Table:
+    """Remove duplicate ``sep``-separated segments WITHIN each document,
+    keeping the first occurrence in order — the C4/RefinedWeb-style
+    boilerplate scrub (repeated nav lines, footers) expressed per-batch and
+    embarrassingly parallel: no shuffle, no cross-document state.
+
+    Vectorized end to end: one Arrow split, one hash-based keep-first mask
+    over (doc, segment) pairs (pandas ``duplicated``), ListArray re-offset,
+    one Arrow ``binary_join``. Appends ``out`` (the deduped text) and
+    ``{out}_dropped`` (segments removed). Splitting semantics match SQL
+    ``str_split`` exactly (consecutive separators yield empty segments,
+    which dedup like any other value).
+    """
+    import pandas as pd
+
+    col = batch[column].combine_chunks()
+    if col.null_count:
+        raise ValueError(f"dedup_lines: {column!r} contains nulls — filter or fill first")
+    parts = pc.split_pattern(col, sep)
+    flat = pc.list_flatten(parts)  # slice-offset-safe (never .values)
+    counts = pc.list_value_length(parts).to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    dup = pd.DataFrame({"d": doc_idx, "s": flat.to_pandas()}).duplicated(["d", "s"]).to_numpy()
+    kept = flat.filter(pa.array(~dup))
+    kept_counts = np.bincount(doc_idx[~dup], minlength=len(counts)).astype(np.int64)
+    offsets = np.zeros(len(counts) + 1, dtype=np.int32)
+    np.cumsum(kept_counts, out=offsets[1:])
+    rebuilt = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), kept)
+    joined = pc.binary_join(rebuilt, sep)
+    dropped = (counts - kept_counts).astype(np.int64)
+    return batch.append_column(out, joined).append_column(
+        f"{out}_dropped", pa.array(dropped, pa.int64())
+    )
+
+
+def normalize_text(batch: pa.Table, column: str = "text", out: str = "text_norm") -> pa.Table:
+    """Canonical text normalization before hashing/dedup: lowercase,
+    collapse every whitespace run to a single space, trim. Three Arrow
+    kernels, zero per-row Python; SQL mirror is
+    ``lower(trim(regexp_replace(col, '\\s+', ' ', 'g')))`` (both engines
+    run RE2, so the ``\\s`` classes agree)."""
+    col = batch[column]
+    t = pc.replace_substring_regex(col, r"\s+", " ")
+    t = pc.utf8_trim(t, " ")
+    t = pc.utf8_lower(t)
+    return batch.append_column(out, t)

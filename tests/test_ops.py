@@ -3594,3 +3594,40 @@ def test_mad_outliers(ray_session):
     assert 503 not in flagged                  # near-median row untouched
     assert len(flagged) < 20                   # robust rule doesn't overfire
     assert (out["dev"] >= 0).all()
+
+
+def test_dedup_lines(ray_session):
+    from orc_format_ray.ops.text import dedup_lines
+
+    b = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": ["nav\nbody one\nnav\nbody two\nnav", "x\n\nx\n", "solo", "\n\n"],
+    })
+    out = dedup_lines(b)
+    assert out["text_dedup"].to_pylist() == ["nav\nbody one\nbody two", "x\n", "solo", ""]
+    assert out["text_dedup_dropped"].to_pylist() == [2, 2, 0, 2]
+    # sliced batch (offset != 0) must still re-offset correctly
+    sl = b.slice(1, 2)
+    out2 = dedup_lines(sl)
+    assert out2["text_dedup"].to_pylist() == ["x\n", "solo"]
+    # custom separator
+    out3 = dedup_lines(pa.table({"text": ["a b a c b"]}), sep=" ")
+    assert out3["text_dedup"].to_pylist() == ["a b c"]
+    import pytest
+
+    with pytest.raises(ValueError, match="nulls"):
+        dedup_lines(pa.table({"text": pa.array([None], pa.string())}))
+
+
+def test_normalize_text(ray_session):
+    import duckdb
+
+    from orc_format_ray.ops.text import normalize_text
+
+    vals = ["  Hello\t\tWORLD \n x  ", "already clean", "", "  ", "MiXeD   CaSe"]
+    out = normalize_text(pa.table({"text": vals}))
+    ref = duckdb.sql(
+        "SELECT lower(trim(regexp_replace(t, '\\s+', ' ', 'g'), ' ')) FROM "
+        "(SELECT unnest(?::VARCHAR[]) t)", params=[vals],
+    ).fetchall()
+    assert out["text_norm"].to_pylist() == [r[0] for r in ref]
