@@ -1361,6 +1361,84 @@ def _q_mad_outliers_extendedprice(sf_dir: str):
     return df.sort_values(["l_orderkey", "l_linenumber"]).reset_index(drop=True)
 
 
+def _q_semi_join_streaming_lineitem(sf_dir: str):
+    """Large-large SEMI join where the big side never shuffles: lineitem
+    streams through sharded key-set filter actors (the broadcast arm is
+    deliberately disabled with max_broadcast_keys=0 so the driver exercises
+    the SCALE path: keys-only sort -> disjoint shard files -> LRU probe)
+    (ops/join.py:semi_join_streaming)."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from orc_format_ray.ops.join import semi_join_streaming
+
+    scratch = "/tmp/orc_format_ray_scratch/semi_join_streaming"
+    shutil.rmtree(scratch, ignore_errors=True)
+
+    left = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_returnflag", "l_quantity"]
+    )
+    right = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+    right = right.filter(expr="o_totalprice > 300000.0")
+
+    def rn(b: pa.Table) -> pa.Table:
+        return pa.table({"l_orderkey": b["o_orderkey"]})
+
+    right = right.map_batches(rn, batch_format="pyarrow", zero_copy_batch=True, **_ra())
+    kept = semi_join_streaming(left, right, key="l_orderkey", how="semi",
+                               max_broadcast_keys=0, shard_dir=scratch)
+
+    def units(b: pa.Table) -> pa.Table:
+        q = b["l_quantity"].to_numpy(zero_copy_only=False)
+        u = np.floor(q * 100 + 0.5).astype(np.int64)
+        return pa.table({"l_returnflag": b["l_returnflag"], "u": pa.array(u, pa.int64())})
+
+    out = (
+        kept.map_batches(units, batch_format="pyarrow", zero_copy_batch=True, **_ra())
+        .groupby("l_returnflag")
+        .aggregate(Count(alias_name="cnt"), Sum("u", alias_name="sum_qty_units"))
+    )
+    df = out.to_pandas()
+    df["sum_qty_units"] = df["sum_qty_units"].astype("int64")
+    return df.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def _q_anti_join_streaming_lineitem(sf_dir: str):
+    """ANTI arm of the streaming key-set join on the broadcast path:
+    lineitem rows whose order is NOT high-value; only the right side's
+    distinct-key column ever moves (ops/join.py:semi_join_streaming)."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from orc_format_ray.ops.join import semi_join_streaming
+
+    left = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_returnflag", "l_quantity"]
+    )
+    right = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+    right = right.filter(expr="o_totalprice > 300000.0")
+
+    def rn(b: pa.Table) -> pa.Table:
+        return pa.table({"l_orderkey": b["o_orderkey"]})
+
+    right = right.map_batches(rn, batch_format="pyarrow", zero_copy_batch=True, **_ra())
+    kept = semi_join_streaming(left, right, key="l_orderkey", how="anti")
+
+    def units(b: pa.Table) -> pa.Table:
+        q = b["l_quantity"].to_numpy(zero_copy_only=False)
+        u = np.floor(q * 100 + 0.5).astype(np.int64)
+        return pa.table({"l_returnflag": b["l_returnflag"], "u": pa.array(u, pa.int64())})
+
+    out = (
+        kept.map_batches(units, batch_format="pyarrow", zero_copy_batch=True, **_ra())
+        .groupby("l_returnflag")
+        .aggregate(Count(alias_name="cnt"), Sum("u", alias_name="sum_qty_units"))
+    )
+    df = out.to_pandas()
+    df["sum_qty_units"] = df["sum_qty_units"].astype("int64")
+    return df.sort_values("l_returnflag").reset_index(drop=True)
+
+
 def _q_dedup_lines_documents(sf_dir: str):
     """Within-document segment dedup (keep-first, space-separated here;
     newline-separated in a real boilerplate scrub) — per-batch, no shuffle,
@@ -3195,6 +3273,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_outliers_extendedprice": _q_mad_outliers_extendedprice,
         "dedup_lines_documents": _q_dedup_lines_documents,
         "normalize_text_documents": _q_normalize_text_documents,
+        "semi_join_streaming_lineitem": _q_semi_join_streaming_lineitem,
+        "anti_join_streaming_lineitem": _q_anti_join_streaming_lineitem,
         "skew_join_lineitem_orders": _q_skew_join_lineitem_orders,
         "regex_extract_events": _q_regex_extract_events,
         "latest_event_per_user": _q_latest_event_per_user,
@@ -3937,6 +4017,20 @@ def oracle_sql() -> dict[str, str]:
             "mad AS (SELECT l_returnflag, quantile_disc(d, 0.5) AS mad FROM dev GROUP BY 1) "
             "SELECT dev.l_orderkey, dev.l_linenumber, dev.units, dev.d AS dev "
             "FROM dev JOIN mad USING (l_returnflag) WHERE dev.d > 2 * mad.mad ORDER BY 1, 2"
+        ),
+        "semi_join_streaming_lineitem": (
+            "SELECT l_returnflag, count(*) AS cnt, "
+            "CAST(sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_units "
+            "FROM lineitem WHERE l_orderkey IN "
+            "(SELECT o_orderkey FROM orders WHERE o_totalprice > 300000.0) "
+            "GROUP BY 1 ORDER BY 1"
+        ),
+        "anti_join_streaming_lineitem": (
+            "SELECT l_returnflag, count(*) AS cnt, "
+            "CAST(sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_units "
+            "FROM lineitem l WHERE NOT EXISTS "
+            "(SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey AND o.o_totalprice > 300000.0) "
+            "GROUP BY 1 ORDER BY 1"
         ),
         "dedup_lines_documents": (
             "WITH parts AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents), "

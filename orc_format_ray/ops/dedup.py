@@ -81,11 +81,13 @@ class _ShardedSurvivorFilter:
 
     LRU = 8
 
-    def __init__(self, manifest: list[dict]):
+    def __init__(self, manifest: list[dict], key: str = "doc_id", invert: bool = False):
         man = sorted(manifest, key=lambda r: r["lo"])
         self.paths = [r["path"] for r in man]
         self.los = np.array([r["lo"] for r in man], dtype=np.int64)
         self.his = np.array([r["hi"] for r in man], dtype=np.int64)
+        self.key = key
+        self.invert = invert  # True -> ANTI semantics: keep NON-members
         from collections import OrderedDict
 
         self.cache: "OrderedDict[int, np.ndarray]" = OrderedDict()
@@ -95,7 +97,7 @@ class _ShardedSurvivorFilter:
 
         arr = self.cache.get(si)
         if arr is None:
-            arr = pq.read_table(self.paths[si], columns=["doc_id"])["doc_id"].to_numpy(zero_copy_only=False)
+            arr = pq.read_table(self.paths[si], columns=[self.key])[self.key].to_numpy(zero_copy_only=False)
             self.cache[si] = arr
             while len(self.cache) > self.LRU:
                 self.cache.popitem(last=False)
@@ -104,7 +106,7 @@ class _ShardedSurvivorFilter:
         return arr
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc = batch["doc_id"].to_numpy(zero_copy_only=False)
+        doc = batch[self.key].to_numpy(zero_copy_only=False)
         keep = np.zeros(len(doc), dtype=bool)
         if len(doc) and len(self.los):
             dmin, dmax = doc.min(), doc.max()
@@ -120,7 +122,7 @@ class _ShardedSurvivorFilter:
                 ids = self._shard(si)
                 pos = np.minimum(np.searchsorted(ids, doc[sel]), len(ids) - 1)
                 keep[sel] = ids[pos] == doc[sel]
-        return batch.filter(pa.array(keep))
+        return batch.filter(pa.array(~keep if self.invert else keep))
 
 
 def exact_dedup_against(new_ds, reference_ds, column: str = "text", max_broadcast_hashes: int = 1 << 26):

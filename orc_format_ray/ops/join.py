@@ -457,3 +457,129 @@ def skew_join(left_ds, right_ds, key: str, num_buckets: int = 64,
         num_buckets=num_buckets,
     )
     return hot_out.union(cold_out)
+
+
+def semi_join_streaming(left_ds, right_ds, key: str,
+                        how: str = "semi",
+                        max_broadcast_keys: int = 1 << 26,
+                        shard_dir: str | None = None):
+    """Large-large SEMI / ANTI join that NEVER shuffles the big (left)
+    side — the decisive scale property: at 100 TB the left payload streams
+    through stateless filters while only the right side's 8 B/distinct-key
+    column moves at all.
+
+    Plan: distinct right keys via per-batch unique + one metadata groupby
+    (full right rows never shuffle either). Up to ``max_broadcast_keys``
+    distinct keys the sorted key array is broadcast once (`ray.put`, a
+    zero-copy plasma view per task) and probed with searchsorted. Past
+    that, the key set never touches the driver: an ids-only distributed
+    sort range-partitions it into disjoint parquet shards and
+    `_ShardedSurvivorFilter` actors stream left batches against only the
+    shards each batch's key range overlaps (LRU-bounded memory) — the same
+    machinery as `exact_dedup`'s sharded path, with `invert=True` giving
+    ANTI semantics.
+
+    Keys must be integer (ids). For string keys, pre-hash both sides —
+    and accept that a 64-bit hash collision can misclassify a row — or use
+    the bucketed `hash_join`.
+    """
+    import functools
+
+    import ray
+    from ray.data.aggregate import Count
+
+    if how not in ("semi", "anti"):
+        raise ValueError(f"how={how!r} (want 'semi' or 'anti')")
+    import re
+
+    s = right_ds.schema()
+    kt = dict(zip(s.names, s.types))[key]
+    # the schema type may be a pyarrow DataType, a numpy dtype, or a pandas
+    # extension dtype (nullable Int64) depending on the block format
+    int_ok = (
+        kt is None  # unknown (pandas extension dtype) — the probe itself will fail loudly
+        or (isinstance(kt, pa.DataType) and pa.types.is_integer(kt))
+        or bool(re.fullmatch(r"u?int\d+", str(kt), re.IGNORECASE))
+    )
+    if not int_ok:
+        raise ValueError(
+            f"semi_join_streaming needs an integer key, got {kt} — pre-hash "
+            "string keys or use hash_join"
+        )
+
+    def key_partial(batch: pa.Table) -> pa.Table:
+        k = batch[key].combine_chunks()
+        if k.null_count:
+            k = k.drop_null()  # SQL semi/anti: NULL right keys never match
+        return pa.table({key: k.cast(pa.int64()).unique()})
+
+    keys = (
+        right_ds.map_batches(key_partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby(key)
+        .aggregate(Count(alias_name="_n"))
+        .materialize()  # count() + consume below must not re-run the right scan
+    )
+    n_keys = keys.count()
+
+    if n_keys <= max_broadcast_keys:
+        parts = list(keys.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+        arr = (pa.concat_tables(parts)[key].to_numpy(zero_copy_only=False).astype(np.int64)
+               if parts else np.zeros(0, np.int64))
+        ref = ray.put(np.sort(arr))
+
+        def probe(batch: pa.Table, keys_ref, invert: bool) -> pa.Table:
+            ks = ray.get(keys_ref)  # zero-copy plasma view
+            v = batch[key].to_numpy(zero_copy_only=False)
+            if len(ks):
+                pos = np.minimum(np.searchsorted(ks, v), len(ks) - 1)
+                member = ks[pos] == v
+            else:
+                member = np.zeros(len(v), dtype=bool)
+            return batch.filter(pa.array(~member if invert else member))
+
+        return left_ds.map_batches(
+            functools.partial(probe, keys_ref=ref, invert=(how == "anti")),
+            batch_format="pyarrow", zero_copy_batch=True, **remote_args(),
+        )
+
+    # sharded path: keys-only sort -> disjoint-range shard files; the driver
+    # holds one (path, lo, hi) row per shard. Multi-node sessions need
+    # shard_dir on shared storage (same rule as exact_dedup).
+    import os
+
+    from .dedup import _ShardedSurvivorFilter, _default_shard_dir
+
+    if shard_dir is None:
+        shard_dir = _default_shard_dir()
+    os.makedirs(shard_dir, exist_ok=True)
+
+    def write_shard(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        import pyarrow.parquet as pq
+
+        ids = np.sort(batch[key].to_numpy(zero_copy_only=False))
+        if len(ids) == 0:
+            return pa.table({"path": pa.array([], pa.string()),
+                             "lo": pa.array([], pa.int64()), "hi": pa.array([], pa.int64())})
+        digest = hashlib.sha256(ids.tobytes()).hexdigest()[:16]
+        path = os.path.join(shard_dir, f"joinkeys-{digest}.parquet")
+        tmp = path + f".tmp.{os.getpid()}"
+        pq.write_table(pa.table({key: pa.array(ids)}), tmp)
+        os.replace(tmp, path)
+        return pa.table({"path": [path], "lo": [int(ids[0])], "hi": [int(ids[-1])]})
+
+    manifest = (
+        keys.select_columns([key])
+        .sort(key)
+        .map_batches(write_shard, batch_format="pyarrow", batch_size=1 << 22, **remote_args())
+        .take_all()
+    )
+    return left_ds.map_batches(
+        _ShardedSurvivorFilter,
+        fn_constructor_kwargs={"manifest": manifest, "key": key, "invert": how == "anti"},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=pool_size(),
+        **remote_args(),
+    )

@@ -3631,3 +3631,34 @@ def test_normalize_text(ray_session):
         "(SELECT unnest(?::VARCHAR[]) t)", params=[vals],
     ).fetchall()
     assert out["text_norm"].to_pylist() == [r[0] for r in ref]
+
+
+def test_semi_join_streaming(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.join import semi_join_streaming
+
+    rng = np.random.default_rng(97)
+    left = pd.DataFrame({"k": rng.integers(0, 1000, 5000), "v": np.arange(5000, dtype=np.int64)})
+    right = pd.DataFrame({"k": np.r_[rng.integers(0, 500, 800), [10_000]]})
+    member = left["k"].isin(set(right["k"]))
+    for how, want in (("semi", member), ("anti", ~member)):
+        for cap in (1 << 26, 0):  # broadcast arm, then forced sharded arm
+            out = semi_join_streaming(
+                ray.data.from_pandas(left).repartition(6),
+                ray.data.from_pandas(right).repartition(3),
+                key="k", how=how, max_broadcast_keys=cap,
+            ).to_pandas()
+            got = set(out["v"]) if len(out) else set()
+            assert got == set(left.loc[want, "v"]), (how, cap)
+    # string keys rejected loudly
+    import pytest
+
+    s = ray.data.from_pandas(pd.DataFrame({"k": ["a"]}))
+    with pytest.raises(ValueError, match="integer key"):
+        semi_join_streaming(s, s, key="k")
+    # null right keys never match (SQL EXISTS semantics)
+    r_null = ray.data.from_pandas(pd.DataFrame({"k": pd.array([None, 3], dtype="Int64")}))
+    l2 = ray.data.from_pandas(pd.DataFrame({"k": np.array([3, 4], dtype=np.int64)}))
+    out = semi_join_streaming(l2, r_null, key="k", how="semi").to_pandas()
+    assert out["k"].tolist() == [3]
