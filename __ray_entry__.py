@@ -1439,6 +1439,39 @@ def _q_anti_join_streaming_lineitem(sf_dir: str):
     return df.sort_values("l_returnflag").reset_index(drop=True)
 
 
+def _q_decontaminate_ngrams_documents(sf_dir: str):
+    """Word-5-gram overlap decontamination against an in-corpus 'benchmark'
+    slice (doc_id % 97 == 0): any doc sharing a 5-gram with the benchmark
+    is dropped. The benchmark's distinct n-grams broadcast once; the corpus
+    streams through exact string-set probes — no hash-collision false
+    positives, so SQL reproduces it exactly
+    (ops/text.py:decontaminate_ngrams)."""
+    import ray.data
+
+    from orc_format_ray.ops.text import decontaminate_ngrams
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "source", "text"]
+    )
+
+    def bench_part(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        keep = pa.array(ids % 97 == 0)
+        return pa.table({"text": b.filter(keep)["text"]})
+
+    bench = [
+        r["text"]
+        for r in docs.map_batches(bench_part, batch_format="pyarrow",
+                                  zero_copy_batch=True, **_ra()).take_all()
+    ]
+    survivors = decontaminate_ngrams(docs, bench, n=5).select_columns(
+        ["doc_id", "lang", "source"]
+    )
+    return survivors.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_dedup_lines_documents(sf_dir: str):
     """Within-document segment dedup (keep-first, space-separated here;
     newline-separated in a real boilerplate scrub) — per-batch, no shuffle,
@@ -3271,6 +3304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hhi_source_by_lang": _q_hhi_source_by_lang,
         "regression_quantity_price": _q_regression_quantity_price,
         "mad_outliers_extendedprice": _q_mad_outliers_extendedprice,
+        "decontaminate_ngrams_documents": _q_decontaminate_ngrams_documents,
         "dedup_lines_documents": _q_dedup_lines_documents,
         "normalize_text_documents": _q_normalize_text_documents,
         "semi_join_streaming_lineitem": _q_semi_join_streaming_lineitem,
@@ -4031,6 +4065,17 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem l WHERE NOT EXISTS "
             "(SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey AND o.o_totalprice > 300000.0) "
             "GROUP BY 1 ORDER BY 1"
+        ),
+        "decontaminate_ngrams_documents": (
+            "WITH bws AS (SELECT str_split(text, ' ') AS ws FROM documents WHERE doc_id % 97 = 0), "
+            "bg AS (SELECT DISTINCT array_to_string(ws[i:i+4], ' ') AS ng FROM "
+            "(SELECT ws, unnest(generate_series(1, greatest(len(ws)-4, 0))) AS i FROM bws)), "
+            "dg AS (SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS ng FROM "
+            "(SELECT doc_id, str_split(text, ' ') AS ws FROM documents) d, "
+            "LATERAL (SELECT unnest(generate_series(1, greatest(len(d.ws)-4, 0))) AS i) g), "
+            "bad AS (SELECT DISTINCT doc_id FROM dg JOIN bg USING (ng)) "
+            "SELECT doc_id, lang, source FROM documents "
+            "WHERE doc_id NOT IN (SELECT doc_id FROM bad) ORDER BY doc_id"
         ),
         "dedup_lines_documents": (
             "WITH parts AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents), "

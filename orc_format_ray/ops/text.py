@@ -521,3 +521,104 @@ def normalize_text(batch: pa.Table, column: str = "text", out: str = "text_norm"
     t = pc.utf8_trim(t, " ")
     t = pc.utf8_lower(t)
     return batch.append_column(out, t)
+
+
+def _word_ngram_strings(arr: pa.Array, n: int) -> tuple[pa.Array, np.ndarray]:
+    """Per-doc word n-gram STRINGS (space-joined n consecutive words; plain
+    single-space split so SQL ``str_split(text, ' ')`` reproduces the
+    tokenization exactly). Vectorized: one split, one gather of n shifted
+    index arrays, one ``binary_join``. Returns (flat n-grams, per-doc
+    n-gram counts). Docs with < n words contribute none."""
+    words = pc.split_pattern(arr, " ")
+    counts = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(words)
+    doc_offs = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=doc_offs[1:])
+    ng_counts = np.maximum(counts - n + 1, 0)
+    total = int(ng_counts.sum())
+    if total == 0:
+        return pa.array([], pa.string()), ng_counts
+    starts = np.repeat(doc_offs[:-1], ng_counts) + (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(np.cumsum(np.r_[0, ng_counts[:-1]]), ng_counts)
+    )
+    idx = (starts[:, None] + np.arange(n, dtype=np.int64)).ravel()
+    gathered = flat.take(pa.array(idx, pa.int64()))
+    offsets = pa.array(np.arange(0, (total + 1) * n, n, dtype=np.int32), pa.int32())
+    lists = pa.ListArray.from_arrays(offsets, gathered)
+    return pc.binary_join(lists, " "), ng_counts
+
+
+class DecontaminateNgrams:
+    """Benchmark decontamination by word n-gram OVERLAP (the industry rule:
+    a doc sharing any 13-gram with an eval set is contaminated) — stricter
+    than phrase substring matching and robust to partial overlaps.
+
+    Actor-pool stage: the benchmark's DISTINCT n-gram strings ship once
+    (`ray.put`; pandas hash-set probe per batch is exact — no hash-collision
+    false positives, so the SQL oracle reproduces it cell-for-cell). Per
+    batch: vectorized n-gram construction (`_word_ngram_strings`), one
+    `isin`, one per-doc any-fold. Docs with < n words are never
+    contaminated. At benchmark sets beyond driver memory (~10^8 n-grams),
+    swap the broadcast set for the sharded key-file probe of
+    `semi_join_streaming` over rolling hashes — documented trade: 64-bit
+    collisions become possible.
+    """
+
+    def __init__(self, ngrams_ref=None, ngrams=None, n: int = 13,
+                 column: str = "text", invert: bool = False):
+        import pandas as pd
+
+        if ngrams_ref is not None:
+            import ray
+
+            ngrams = ray.get(ngrams_ref)
+        self.index = pd.Index(np.asarray(ngrams, dtype=object)).unique()
+        self.n = n
+        self.column = column
+        self.invert = invert
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        col = batch[self.column]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ngrams, ng_counts = _word_ngram_strings(col, self.n)
+        if len(ngrams) == 0 or len(self.index) == 0:
+            contaminated = np.zeros(len(batch), dtype=bool)
+        else:
+            member = pd.Series(ngrams.to_pandas()).isin(self.index).to_numpy()
+            doc_idx = np.repeat(np.arange(len(ng_counts), dtype=np.int64), ng_counts)
+            contaminated = np.bincount(doc_idx[member], minlength=len(ng_counts)).astype(bool)
+        return batch.filter(pa.array(contaminated if self.invert else ~contaminated))
+
+
+def decontaminate_ngrams(ds, bench_texts, n: int = 13, column: str = "text",
+                         invert: bool = False, max_bench_ngrams: int = 1 << 27):
+    """Drop documents sharing any word n-gram with the benchmark texts
+    (``invert=True`` keeps only the contaminated docs, for audits).
+    ``bench_texts`` is a list/array of benchmark strings — eval sets are
+    small relative to the corpus; their distinct n-grams broadcast once.
+    Guarded at ``max_bench_ngrams`` (the broadcast-or-shard boundary)."""
+    import ray
+
+    bench_arr = pa.array(list(bench_texts), pa.string())
+    ngrams, _ = _word_ngram_strings(bench_arr, n)
+    uniq = pc.unique(ngrams)
+    if len(uniq) > max_bench_ngrams:
+        raise ValueError(
+            f"benchmark set has {len(uniq)} distinct {n}-grams (> {max_bench_ngrams}): "
+            "broadcast would not fit — shard the n-gram set (see semi_join_streaming)"
+        )
+    ref = ray.put(uniq.to_numpy(zero_copy_only=False))
+    from .._rayutil import pool_size, remote_args
+
+    return ds.map_batches(
+        DecontaminateNgrams,
+        fn_constructor_kwargs={"ngrams_ref": ref, "n": n, "column": column, "invert": invert},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=pool_size(),
+        **remote_args(),
+    )

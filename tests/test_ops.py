@@ -3662,3 +3662,35 @@ def test_semi_join_streaming(ray_session):
     l2 = ray.data.from_pandas(pd.DataFrame({"k": np.array([3, 4], dtype=np.int64)}))
     out = semi_join_streaming(l2, r_null, key="k", how="semi").to_pandas()
     assert out["k"].tolist() == [3]
+
+
+def test_decontaminate_ngrams(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.text import _word_ngram_strings, decontaminate_ngrams
+
+    # construction parity with the SQL slice expression
+    ng, c = _word_ngram_strings(pa.array(["a b c d", "x", ""]), 2)
+    assert ng.to_pylist() == ["a b", "b c", "c d"]
+    assert c.tolist() == [3, 0, 0]
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": [
+            "the quick brown fox jumps over",   # shares 3-gram with bench
+            "completely novel text here now",
+            "quick brown fox somewhere else",   # shares "quick brown fox"
+            "the quick red fox jumps over",     # no shared 3-gram
+            "one two",                          # < n words: never contaminated
+            "brown fox jumps again and again",  # shares "brown fox jumps"
+        ],
+    })
+    bench = ["lorem the quick brown fox jumps ipsum"]
+    ds = ray.data.from_pandas(docs).repartition(3)
+    kept = decontaminate_ngrams(ds, bench, n=3).to_pandas()
+    assert sorted(kept["doc_id"]) == [1, 3, 4]
+    flagged = decontaminate_ngrams(ds, bench, n=3, invert=True).to_pandas()
+    assert sorted(flagged["doc_id"]) == [0, 2, 5]
+    # empty benchmark: nothing contaminated
+    all_kept = decontaminate_ngrams(ds, [], n=3).to_pandas()
+    assert len(all_kept) == 6
