@@ -1439,6 +1439,51 @@ def _q_anti_join_streaming_lineitem(sf_dir: str):
     return df.sort_values("l_returnflag").reset_index(drop=True)
 
 
+def _q_ngram_topk_documents(sf_dir: str):
+    """Top-20 corpus word bigrams (collocations / boilerplate discovery) —
+    per-batch n-gram partials, one |distinct bigrams| groupby, per-block
+    top-k, tiny driver fold; ties break by bigram asc
+    (ops/text.py:ngram_topk)."""
+    import ray.data
+
+    from orc_format_ray.ops.text import ngram_topk
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return ngram_topk(ds, n=2, k=20).to_pandas()
+
+
+def _q_standardize_value_by_type(sf_dir: str):
+    """Per-event-type z-scores with bitwise SQL parity: the population
+    z-score reduces to (n*u - S) / sqrt(n*Q - S*S) over exact int64 sums —
+    one int->double cast per operand, one sqrt, ONE division, mirrored
+    op-for-op in SQL (ops/agg.py:standardize_by_group)."""
+    import ray.data
+
+    from orc_format_ray.ops.agg import standardize_by_group
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+    df = standardize_by_group(ds, group="event_type", col="value",
+                              id_cols=["event_id"], value_scale=100).to_pandas()
+    return df.sort_values("event_id").reset_index(drop=True)
+
+
+def _q_kll_quantiles_by_type(sf_dir: str):
+    """Per-event-type KLL quantile estimates (mergeable fixed-size sketches;
+    only KB-scale sketch blobs shuffle). Approximate by construction —
+    rows-only driver check; accuracy pinned by rank-error unit tests
+    (ops/sketch.py:kll_by_group)."""
+    import ray.data
+
+    from orc_format_ray.ops.sketch import kll_by_group
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    df = kll_by_group(ds, group="event_type", col="value", qs=[0.1, 0.5, 0.9]).to_pandas()
+    df["est"] = np.round(df["est"].astype(np.float64), 6)
+    return df.sort_values(["event_type", "q"]).reset_index(drop=True)
+
+
 def _q_decontaminate_ngrams_documents(sf_dir: str):
     """Word-5-gram overlap decontamination against an in-corpus 'benchmark'
     slice (doc_id % 97 == 0): any doc sharing a 5-gram with the benchmark
@@ -3304,6 +3349,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hhi_source_by_lang": _q_hhi_source_by_lang,
         "regression_quantity_price": _q_regression_quantity_price,
         "mad_outliers_extendedprice": _q_mad_outliers_extendedprice,
+        "ngram_topk_documents": _q_ngram_topk_documents,
+        "standardize_value_by_type": _q_standardize_value_by_type,
+        "kll_quantiles_by_type": _q_kll_quantiles_by_type,
         "decontaminate_ngrams_documents": _q_decontaminate_ngrams_documents,
         "dedup_lines_documents": _q_dedup_lines_documents,
         "normalize_text_documents": _q_normalize_text_documents,
@@ -4065,6 +4113,24 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem l WHERE NOT EXISTS "
             "(SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey AND o.o_totalprice > 300000.0) "
             "GROUP BY 1 ORDER BY 1"
+        ),
+        "ngram_topk_documents": (
+            "WITH g AS (SELECT array_to_string(ws[i:i+1], ' ') AS ngram FROM "
+            "(SELECT str_split(text, ' ') AS ws FROM documents) d, "
+            "LATERAL (SELECT unnest(generate_series(1, greatest(len(d.ws)-1, 0))) AS i) t) "
+            "SELECT CAST(row_number() OVER (ORDER BY count(*) DESC, ngram) AS BIGINT) AS rank, "
+            "ngram, count(*) AS cnt FROM g GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 20"
+        ),
+        "standardize_value_by_type": (
+            "WITH u AS (SELECT event_id, event_type, "
+            "CAST(floor(value*100 + 0.5) AS BIGINT) AS units FROM events), "
+            "s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(units) AS BIGINT) AS s, CAST(sum(units*units) AS BIGINT) AS q "
+            "FROM u GROUP BY 1) "
+            "SELECT u.event_id, u.event_type, u.units, "
+            "CAST(CAST(s.n * u.units - s.s AS BIGINT) AS DOUBLE) / "
+            "sqrt(CAST(CAST(s.n * s.q - s.s * s.s AS BIGINT) AS DOUBLE)) AS z "
+            "FROM u JOIN s USING (event_type) ORDER BY u.event_id"
         ),
         "decontaminate_ngrams_documents": (
             "WITH bws AS (SELECT str_split(text, ' ') AS ws FROM documents WHERE doc_id % 97 = 0), "

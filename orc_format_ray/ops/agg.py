@@ -867,3 +867,73 @@ def regression_by_group(ds, group: str, x_col: str, y_col: str,
                          "r2": pa.array(r2, pa.float64())})
 
     return folded.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+
+
+def standardize_by_group(ds, group: str, col: str, id_cols: list[str],
+                         value_scale: int = 100):
+    """Per-group z-score standardization with BITWISE SQL parity. The
+    population z-score algebraically reduces to a single division of exact
+    integers:
+
+        z = (u - S/n) / (sqrt(n*Q - S*S) / n) = (n*u - S) / sqrt(n*Q - S*S)
+
+    with u = floor(value*scale + 0.5), n = group count, S = sum(u),
+    Q = sum(u*u), all exact int64 (loudly guarded). One int64->float64
+    cast each side, one correctly-rounded sqrt, ONE division — the same
+    IEEE expression tree the SQL oracle evaluates, so results are
+    bit-identical on any plan.
+
+    Two passes: a metadata-only (group, n, S, Q) fold (broadcast once —
+    one row per group), then a stateless vectorized transform. Returns
+    ``(*id_cols, group, units, z)``; single-row / zero-variance groups
+    yield z = NaN on both sides (0/0).
+    """
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    def cells(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False)
+        if batch[col].null_count or np.isnan(v).any():
+            raise ValueError(f"{col!r} must be non-null for standardization")
+        u = np.floor(v * value_scale + 0.5).astype(np.int64)
+        if np.abs(u).max(initial=0) >= 1 << 31:
+            raise ValueError("standardize_by_group: |units| >= 2^31 — squares overflow")
+        t = pa.table({"g": batch[group].combine_chunks(),
+                      "u": pa.array(u), "q": pa.array(u * u)})
+        out = t.group_by("g").aggregate([("u", "count"), ("u", "sum"), ("q", "sum")])
+        return out.rename_columns(["g", "n", "s", "q"])
+
+    stats = (
+        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby("g")
+        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"), Sum("q", alias_name="q"))
+        .to_pandas()
+    )
+    lookup = {}
+    for _, r in stats.iterrows():
+        n, s, q = int(r["n"]), int(r["s"]), int(r["q"])
+        if abs(n * q) >= 1 << 63 or abs(s * s) >= 1 << 63:
+            raise ValueError("standardize_by_group: n*Q or S*S exceeds int64 — reduce the scale")
+        lookup[r["g"]] = (np.int64(n), np.int64(s), np.int64(n * q - s * s))
+    ref = ray.put(lookup)
+
+    def transform(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        table = ray.get(ref)
+        v = batch[col].to_numpy(zero_copy_only=False)
+        u = np.floor(v * value_scale + 0.5).astype(np.int64)
+        gs = batch[group].to_pandas()
+        n = gs.map({k: t[0] for k, t in table.items()}).to_numpy(dtype=np.int64)
+        s = gs.map({k: t[1] for k, t in table.items()}).to_numpy(dtype=np.int64)
+        var_n = gs.map({k: t[2] for k, t in table.items()}).to_numpy(dtype=np.int64)
+        # mirrored op-for-op by the SQL oracle — keep both sides in sync
+        with np.errstate(invalid="ignore", divide="ignore"):
+            z = (n * u - s).astype(np.float64) / np.sqrt(var_n.astype(np.float64))
+        out = {c: batch[c] for c in id_cols}
+        out[group] = batch[group]
+        out["units"] = pa.array(u, pa.int64())
+        out["z"] = pa.array(z, pa.float64())
+        return pa.table(out)
+
+    return ds.map_batches(transform, batch_format="pyarrow", zero_copy_batch=True, **remote_args())

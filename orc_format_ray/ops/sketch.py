@@ -371,3 +371,50 @@ def kll_quantiles(ds, col: str, qs: list[float], k: int = 200) -> tuple[list[flo
     for p in parts:
         master.merge(p)
     return master.quantiles(list(qs)), master
+
+
+def kll_by_group(ds, group: str, col: str, qs: list[float], k: int = 200):
+    """Per-group KLL quantile estimation — one mergeable fixed-size sketch
+    per (block, group) moves (a few KB each), NEVER the rows: the per-group
+    answer for unbounded continuous columns where `grouped_quantiles`'
+    distinct-value plan stops fitting. Partial sketches serialize to one
+    (group, blob) row each; one groupby ships them; each group's fold
+    merges in sorted-blob order (deterministic for a fixed block layout —
+    estimates are layout-stable, not bit-stable: rows-only oracle).
+    Returns a Dataset of ``(group, q, est)``."""
+    import pickle
+
+    import pandas as pd
+
+    qs = list(qs)
+    if not qs or any(not (0.0 <= q <= 1.0) for q in qs):
+        raise ValueError(f"qs must be fractions in [0, 1], got {qs}")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "g": batch[group].to_pandas(),
+            "v": batch[col].to_numpy(zero_copy_only=False),
+        })
+        gs, blobs = [], []
+        for gval, sub in df.groupby("g", sort=True):
+            s = KLLSketch(k=k)
+            s.update_many(sub["v"].to_numpy())
+            gs.append(gval)
+            blobs.append(pickle.dumps(s))
+        return pa.table({"g": pa.array(gs), "blob": pa.array(blobs, pa.large_binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        blobs = sorted(g["blob"])  # deterministic merge order
+        master: KLLSketch | None = None
+        for b in blobs:
+            s = pickle.loads(b)
+            if master is None:
+                master = s
+            else:
+                master.merge(s)
+        est = master.quantiles(qs)
+        return pd.DataFrame({group: [g["g"].iloc[0]] * len(qs), "q": qs, "est": est})
+
+    return parts.groupby("g").map_groups(fold, batch_format="pandas", **remote_args())

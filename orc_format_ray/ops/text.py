@@ -622,3 +622,45 @@ def decontaminate_ngrams(ds, bench_texts, n: int = 13, column: str = "text",
         concurrency=pool_size(),
         **remote_args(),
     )
+
+
+def ngram_topk(ds, n: int = 2, k: int = 100, column: str = "text") -> pa.Table:
+    """Top-k most frequent word n-grams corpus-wide (ties broken by n-gram
+    asc) — collocation mining / repeated-boilerplate discovery. Same scale
+    plan as `vocab_topk`: per-batch (n-gram, cnt) partials (raw text never
+    shuffles), one groupby over |distinct n-grams| rows, per-block top-k,
+    tiny driver fold. N-gram construction is `_word_ngram_strings` — the
+    plain-space-split semantics SQL reproduces exactly."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from .._rayutil import remote_args
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch[column]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ngrams, _ = _word_ngram_strings(col, n)
+        if len(ngrams) == 0:
+            return pa.table({"ngram": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())})
+        vc = ngrams.value_counts()
+        return pa.table({"ngram": vc.field("values"), "cnt": vc.field("counts").cast(pa.int64())})
+
+    tot = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby("ngram")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(batch, sort_keys=[("cnt", "descending"), ("ngram", "ascending")])
+        return batch.take(idx[:k])
+
+    tops = tot.map_batches(block_topk, batch_format="pyarrow", **remote_args())
+    parts = list(tops.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    if not parts:
+        return pa.table({"rank": pa.array([], pa.int64()), "ngram": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())})
+    df: pd.DataFrame = pa.concat_tables(parts).to_pandas()
+    df = df.sort_values(["cnt", "ngram"], ascending=[False, True]).head(k).reset_index(drop=True)
+    df.insert(0, "rank", np.arange(1, len(df) + 1, dtype=np.int64))
+    return pa.Table.from_pandas(df, preserve_index=False)

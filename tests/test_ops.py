@@ -3694,3 +3694,81 @@ def test_decontaminate_ngrams(ray_session):
     # empty benchmark: nothing contaminated
     all_kept = decontaminate_ngrams(ds, [], n=3).to_pandas()
     assert len(all_kept) == 6
+
+
+def test_ngram_topk(ray_session):
+    import duckdb
+    import ray.data
+
+    from orc_format_ray.ops.text import ngram_topk
+
+    docs = pd.DataFrame({
+        "text": [
+            "a b c a b c a b",
+            "a b x y z",
+            "c a b q",
+        ]
+    })
+    out = ngram_topk(ray.data.from_pandas(docs).repartition(2), n=2, k=4).to_pandas()
+    ref = duckdb.sql(
+        "WITH g AS (SELECT array_to_string(ws[i:i+1], ' ') ng FROM "
+        "(SELECT str_split(text, ' ') ws FROM docs) d, "
+        "LATERAL (SELECT unnest(generate_series(1, greatest(len(d.ws)-1, 0))) i) t) "
+        "SELECT ng, count(*) cnt FROM g GROUP BY 1 ORDER BY cnt DESC, ng LIMIT 4"
+    ).df()
+    assert out["ngram"].tolist() == ref["ng"].tolist()
+    assert out["cnt"].tolist() == ref["cnt"].tolist()
+    assert out["rank"].tolist() == [1, 2, 3, 4]
+
+
+def test_standardize_by_group(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.agg import standardize_by_group
+
+    rng = np.random.default_rng(101)
+    df = pd.DataFrame({
+        "i": np.arange(2000, dtype=np.int64),
+        "g": rng.choice(["a", "b"], 2000),
+        "value": rng.uniform(0, 100, 2000),
+    })
+    ds = ray.data.from_pandas(df).repartition(7)
+    out = standardize_by_group(ds, "g", "value", id_cols=["i"], value_scale=100).to_pandas()
+    out = out.sort_values("i").reset_index(drop=True)
+    u_all = np.floor(df["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+    for gval in ("a", "b"):
+        m = (df["g"] == gval).to_numpy()
+        u = u_all[m]
+        n, s, q = len(u), int(u.sum()), int((u * u).sum())
+        want = (n * u - s).astype(np.float64) / np.sqrt(np.float64(n * q - s * s))
+        got = out.loc[out["g"] == gval, "z"].to_numpy()
+        assert (got == want).all()
+        # z-scores of a group are mean ~0, population std ~1
+        assert abs(got.mean()) < 1e-9 and abs(got.std() - 1.0) < 1e-9
+    # degenerate group: zero variance -> NaN (0/0), not an error
+    one = pd.DataFrame({"i": [0, 1], "g": ["c", "c"], "value": [5.0, 5.0]})
+    o = standardize_by_group(ray.data.from_pandas(one), "g", "value", id_cols=["i"]).to_pandas()
+    assert np.isnan(o["z"]).all()
+
+
+def test_kll_by_group(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.sketch import kll_by_group
+
+    rng = np.random.default_rng(103)
+    df = pd.DataFrame({
+        "g": np.r_[np.full(20000, "u"), np.full(20000, "n")],
+        "v": np.r_[rng.uniform(0, 1, 20000), rng.normal(50, 10, 20000)],
+    })
+    ds = ray.data.from_pandas(df).repartition(8)
+    qs = [0.1, 0.5, 0.9]
+    out = kll_by_group(ds, "g", "v", qs).to_pandas()
+    assert len(out) == 6
+    for gval, sub in df.groupby("g"):
+        v = np.sort(sub["v"].to_numpy())
+        for q in qs:
+            est = out[(out["g"] == gval) & (out["q"] == q)]["est"].iloc[0]
+            # rank error < 3%
+            r = np.searchsorted(v, est) / len(v)
+            assert abs(r - q) < 0.03, (gval, q, r)
