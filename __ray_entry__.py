@@ -1439,6 +1439,60 @@ def _q_anti_join_streaming_lineitem(sf_dir: str):
     return df.sort_values("l_returnflag").reset_index(drop=True)
 
 
+def _q_approx_ndistinct_users_by_type(sf_dir: str):
+    """Per-event-type approximate distinct user counts (HLL registers per
+    (block, group) — values never shuffle; register max is commutative so
+    the estimate is layout-invariant). Approximate: rows-only driver check;
+    accuracy pinned by unit tests (ops/sketch.py:approx_ndistinct_by_group)."""
+    import ray.data
+
+    from orc_format_ray.ops.sketch import approx_ndistinct_by_group
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    df = approx_ndistinct_by_group(ds, group="event_type", col="user_id", p=12).to_pandas()
+    df["est"] = np.round(df["est"].astype(np.float64), 6)
+    return df.sort_values("event_type").reset_index(drop=True)
+
+
+def _q_psi_drift_documents(sf_dir: str):
+    """PSI distribution drift of n_chars between even- and odd-doc_id
+    corpus halves over 12 fixed bins — per-bin (pa - pb) * ln(pa/pb) terms
+    from exact integer counts, libm ln both sides, bitwise SQL parity;
+    empty-on-either-side bins are NULL (ops/profile.py:psi_drift)."""
+    import ray.data
+
+    from orc_format_ray.ops.profile import psi_drift
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+
+    def half(parity: int):
+        def fn(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(ids % 2 == parity))
+
+        return fn
+
+    a = docs.map_batches(half(0), batch_format="pyarrow", zero_copy_batch=True, **_ra())
+    b = docs.map_batches(half(1), batch_format="pyarrow", zero_copy_batch=True, **_ra())
+    tbl = psi_drift(a, b, col="n_chars", bins=12, lo=0.0, hi=600.0)
+    return tbl.to_pandas()
+
+
+def _q_corpus_report_by_source(sf_dir: str):
+    """Per-source dataset-card report: doc/char/short-doc/token totals,
+    distinct langs, mean chars (single exact-int division) — one partial
+    pass plus two metadata groupbys (ops/profile.py:corpus_report)."""
+    import ray.data
+
+    from orc_format_ray.ops.profile import corpus_report
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text", "lang"]
+    )
+    return corpus_report(ds, group="source", text="text", distinct_col="lang",
+                         short_threshold=100)
+
+
 def _q_ngram_topk_documents(sf_dir: str):
     """Top-20 corpus word bigrams (collocations / boilerplate discovery) —
     per-batch n-gram partials, one |distinct bigrams| groupby, per-block
@@ -3349,6 +3403,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hhi_source_by_lang": _q_hhi_source_by_lang,
         "regression_quantity_price": _q_regression_quantity_price,
         "mad_outliers_extendedprice": _q_mad_outliers_extendedprice,
+        "psi_drift_documents": _q_psi_drift_documents,
+        "corpus_report_by_source": _q_corpus_report_by_source,
+        "approx_ndistinct_users_by_type": _q_approx_ndistinct_users_by_type,
         "ngram_topk_documents": _q_ngram_topk_documents,
         "standardize_value_by_type": _q_standardize_value_by_type,
         "kll_quantiles_by_type": _q_kll_quantiles_by_type,
@@ -4113,6 +4170,28 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem l WHERE NOT EXISTS "
             "(SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey AND o.o_totalprice > 300000.0) "
             "GROUP BY 1 ORDER BY 1"
+        ),
+        "psi_drift_documents": (
+            "WITH a AS (SELECT least(floor((n_chars - 0.0) / ((600.0 - 0.0)/12)), 11)::BIGINT AS bin, "
+            "count(*) AS c FROM documents WHERE doc_id % 2 = 0 AND n_chars BETWEEN 0 AND 600 GROUP BY 1), "
+            "b AS (SELECT least(floor((n_chars - 0.0) / ((600.0 - 0.0)/12)), 11)::BIGINT AS bin, "
+            "count(*) AS c FROM documents WHERE doc_id % 2 = 1 AND n_chars BETWEEN 0 AND 600 GROUP BY 1), "
+            "bins AS (SELECT unnest(generate_series(0, 11))::BIGINT AS bin), "
+            "na AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM a), nb AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM b) "
+            "SELECT bins.bin, CAST(coalesce(a.c, 0) AS BIGINT) AS c_a, CAST(coalesce(b.c, 0) AS BIGINT) AS c_b, "
+            "CASE WHEN coalesce(a.c, 0) > 0 AND coalesce(b.c, 0) > 0 THEN "
+            "(CAST(a.c AS DOUBLE)/CAST(na.n AS DOUBLE) - CAST(b.c AS DOUBLE)/CAST(nb.n AS DOUBLE)) "
+            "* ln((CAST(a.c AS DOUBLE)/CAST(na.n AS DOUBLE)) / (CAST(b.c AS DOUBLE)/CAST(nb.n AS DOUBLE))) "
+            "ELSE NULL END AS psi_term "
+            "FROM bins LEFT JOIN a USING (bin) LEFT JOIN b USING (bin), na, nb ORDER BY bins.bin"
+        ),
+        "corpus_report_by_source": (
+            f"SELECT source, count(*) AS n_docs, CAST(sum(len(text)) AS BIGINT) AS sum_chars, "
+            f"CAST(count(*) FILTER (len(text) < 100) AS BIGINT) AS n_short, "
+            f"CAST(sum({_TOKCOUNT_SQL}) AS BIGINT) AS sum_tok, "
+            f"CAST(count(DISTINCT lang) AS BIGINT) AS n_distinct, "
+            f"CAST(CAST(sum(len(text)) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_chars "
+            f"FROM documents GROUP BY 1 ORDER BY 1"
         ),
         "ngram_topk_documents": (
             "WITH g AS (SELECT array_to_string(ws[i:i+1], ' ') AS ngram FROM "

@@ -402,3 +402,120 @@ def grouped_histogram(ds, group: str, col: str, bins: int, lo: float, hi: float)
         return out
 
     return merged.groupby(group).map_groups(densify, batch_format="pandas", **remote_args())
+
+
+def psi_drift(ds_a, ds_b, col: str, bins: int, lo: float, hi: float) -> pa.Table:
+    """Population Stability Index terms between two corpus snapshots — THE
+    distribution-drift audit run before swapping a training mixture. Both
+    sides histogram over the SAME explicit fixed bins (one streaming
+    bincount pass each; only `bins` integers leave a block), then the
+    per-bin term
+
+        term = (pa - pb) * ln(pa / pb),  pa = c_a/n_a, pb = c_b/n_b
+
+    is evaluated with ONE float expression per bin — `math.log` (libm, the
+    same correctly-rounded ln DuckDB calls), single divisions of exact
+    ints — so every term is bitwise-equal to the SQL oracle. Bins where
+    either side is empty yield a NULL term (the SQL CASE rule; standard
+    PSI epsilon-fudging would break exactness). Rows in [lo, hi] only —
+    out-of-range rows are excluded on BOTH sides (the SQL WHERE).
+    Returns (bin, c_a, c_b, psi_term); `sum of terms` is the PSI.
+    """
+    import math
+
+    if bins < 1 or not hi > lo:
+        raise ValueError(f"need bins >= 1 and hi > lo, got bins={bins} [{lo}, {hi}]")
+    width = (float(hi) - float(lo)) / bins
+
+    def counts_of(ds) -> np.ndarray:
+        def partial(batch: pa.Table) -> pa.Table:
+            x = _numeric(batch[col])
+            x = x[np.isfinite(x) & (x >= lo) & (x <= hi)]
+            idx = np.minimum(np.floor((x - lo) / width), bins - 1).astype(np.int64)
+            return pa.table({"counts": pa.array([np.bincount(idx, minlength=bins)], pa.list_(pa.int64()))})
+
+        rows = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args()).take_all()
+        acc = np.zeros(bins, dtype=np.int64)
+        for r in rows:
+            acc += np.asarray(r["counts"], dtype=np.int64)
+        return acc
+
+    ca, cb = counts_of(ds_a), counts_of(ds_b)
+    na, nb = int(ca.sum()), int(cb.sum())
+    terms = []
+    for i in range(bins):
+        if ca[i] > 0 and cb[i] > 0:
+            # mirrored op-for-op by the SQL oracle — keep both sides in sync
+            p = np.float64(ca[i]) / np.float64(na)
+            q = np.float64(cb[i]) / np.float64(nb)
+            terms.append(float((p - q) * np.float64(math.log(p / q))))
+        else:
+            terms.append(None)
+    return pa.table({
+        "bin": pa.array(np.arange(bins, dtype=np.int64)),
+        "c_a": pa.array(ca), "c_b": pa.array(cb),
+        "psi_term": pa.array(terms, pa.float64()),
+    })
+
+
+def corpus_report(ds, group: str = "source", text: str = "text",
+                  distinct_col: str = "lang", short_threshold: int = 100):
+    """One-pass per-group corpus health report — the dataset-card table:
+    doc count, total characters, short-doc count, whitespace-token total,
+    distinct ``distinct_col`` values, and mean chars/doc (ONE division of
+    exact ints — bitwise SQL parity). A single map_batches computes all
+    numeric partials per batch (raw text never shuffles; only |groups|-row
+    cells move) plus (group, distinct) cells for the exact distinct count;
+    two small groupbys merge. Returns a driver DataFrame (|groups| rows).
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        t = batch[text]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        chars = pc.utf8_length(t).cast(pa.int64())
+        trimmed = pc.utf8_trim_whitespace(t)
+        words = pc.split_pattern_regex(trimmed, r"\s+")
+        tok = pc.if_else(pc.equal(trimmed, ""), pa.scalar(0, pa.int32()),
+                         pc.list_value_length(words)).cast(pa.int64())
+        short = pc.cast(pc.less(chars, short_threshold), pa.int64())
+        tbl = pa.table({"g": batch[group].combine_chunks(), "chars": chars,
+                        "tok": tok, "short": short})
+        out = tbl.group_by("g").aggregate(
+            [("chars", "count"), ("chars", "sum"), ("short", "sum"), ("tok", "sum")]
+        )
+        return out.rename_columns(["g", "n_docs", "sum_chars", "n_short", "sum_tok"])
+
+    stats = (
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby("g")
+        .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("sum_chars", alias_name="sum_chars"),
+                   Sum("n_short", alias_name="n_short"), Sum("sum_tok", alias_name="sum_tok"))
+        .to_pandas()
+    )
+
+    def cells(batch: pa.Table) -> pa.Table:
+        t = pa.table({"g": batch[group].combine_chunks(), "d": batch[distinct_col].combine_chunks()})
+        return t.group_by(["g", "d"]).aggregate([]).select(["g", "d"])
+
+    nd = (
+        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby(["g", "d"])
+        .aggregate(Count(alias_name="_n"))
+        .groupby("g")
+        .aggregate(Count(alias_name="n_distinct"))
+        .to_pandas()
+    )
+    df = stats.merge(nd, on="g", how="left")
+    df["n_distinct"] = df["n_distinct"].fillna(0).astype(np.int64)
+    for c in ("n_docs", "sum_chars", "n_short", "sum_tok"):
+        df[c] = df[c].astype(np.int64)
+    # ONE float division of exact ints — bitwise SQL parity
+    df["mean_chars"] = df["sum_chars"].to_numpy(np.int64).astype(np.float64) / df[
+        "n_docs"
+    ].to_numpy(np.int64).astype(np.float64)
+    df = df.rename(columns={"g": group})
+    return df.sort_values(group).reset_index(drop=True)

@@ -418,3 +418,35 @@ def kll_by_group(ds, group: str, col: str, qs: list[float], k: int = 200):
         return pd.DataFrame({group: [g["g"].iloc[0]] * len(qs), "q": qs, "est": est})
 
     return parts.groupby("g").map_groups(fold, batch_format="pandas", **remote_args())
+
+
+def approx_ndistinct_by_group(ds, group: str, col: str, p: int = 12):
+    """Approximate per-group distinct counts — one 2^p-byte HLL register
+    row per (block, group) moves, never the values: the per-group NDV
+    answer when `ndistinct_by_group`'s exact (group, value) cell shuffle
+    stops fitting (e.g. distinct user ids per source at 100 TB). Register
+    max is commutative and idempotent, so the estimate is LAYOUT-INVARIANT
+    (bit-identical on any plan / cluster size) — but approximate, so the
+    driver check is rows-only; accuracy is pinned by unit tests against
+    exact counts. Returns a Dataset of ``(group, est)``."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h_all = _column_hashes(batch[col])
+        gs = batch[group].to_pandas()
+        groups, regs = [], []
+        for gval, idx in gs.groupby(gs, sort=True).groups.items():
+            h = HLL(p).update_hashes(h_all[np.asarray(idx, dtype=np.int64)])
+            groups.append(gval)
+            regs.append(h.registers)
+        return pa.table({"g": pa.array(groups), "regs": pa.array(regs, pa.list_(pa.uint8()))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        acc = HLL(p)
+        for row in g["regs"]:
+            acc.registers = np.maximum(acc.registers, np.asarray(row, dtype=np.uint8))
+        return pd.DataFrame({group: [g["g"].iloc[0]], "est": [acc.estimate()]})
+
+    return parts.groupby("g").map_groups(fold, batch_format="pandas", **remote_args())

@@ -3772,3 +3772,81 @@ def test_kll_by_group(ray_session):
             # rank error < 3%
             r = np.searchsorted(v, est) / len(v)
             assert abs(r - q) < 0.03, (gval, q, r)
+
+
+def test_approx_ndistinct_by_group(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.sketch import approx_ndistinct_by_group
+
+    rng = np.random.default_rng(107)
+    df = pd.DataFrame({
+        "g": np.r_[np.full(30000, "big"), np.full(5000, "small")],
+        "k": np.r_[rng.integers(0, 20000, 30000), rng.integers(0, 50, 5000)],
+    })
+    ds = ray.data.from_pandas(df).repartition(8)
+    out = approx_ndistinct_by_group(ds, "g", "k", p=12).to_pandas()
+    exact = df.groupby("g")["k"].nunique()
+    for _, row in out.iterrows():
+        rel = abs(row["est"] - exact[row["g"]]) / exact[row["g"]]
+        assert rel < 0.05, (row["g"], row["est"], exact[row["g"]])
+    # layout invariance: different partitioning -> bit-identical estimates
+    out2 = approx_ndistinct_by_group(ds.repartition(3), "g", "k", p=12).to_pandas()
+    a = out.sort_values("g")["est"].to_numpy()
+    b = out2.sort_values("g")["est"].to_numpy()
+    assert (a == b).all()
+
+
+def test_psi_drift(ray_session):
+    import math
+
+    import ray.data
+
+    from orc_format_ray.ops.profile import psi_drift
+
+    rng = np.random.default_rng(109)
+    a = pd.DataFrame({"v": rng.normal(50, 10, 20000)})
+    b = pd.DataFrame({"v": rng.normal(55, 12, 20000)})
+    tbl = psi_drift(ray.data.from_pandas(a).repartition(5),
+                    ray.data.from_pandas(b).repartition(4),
+                    col="v", bins=10, lo=0.0, hi=100.0).to_pandas()
+    assert len(tbl) == 10
+    # exact counts per bin
+    for df_, c in ((a, "c_a"), (b, "c_b")):
+        x = df_["v"].to_numpy()
+        x = x[(x >= 0) & (x <= 100)]
+        idx = np.minimum(np.floor(x / 10.0), 9).astype(int)
+        assert (tbl[c].to_numpy() == np.bincount(idx, minlength=10)).all()
+    # terms recompute exactly
+    na, nb = tbl["c_a"].sum(), tbl["c_b"].sum()
+    for _, r in tbl.iterrows():
+        if r["c_a"] > 0 and r["c_b"] > 0:
+            p, q = np.float64(r["c_a"]) / np.float64(na), np.float64(r["c_b"]) / np.float64(nb)
+            assert r["psi_term"] == float((p - q) * np.float64(math.log(p / q)))
+    # identical distributions -> PSI ~ 0
+    z = psi_drift(ray.data.from_pandas(a), ray.data.from_pandas(a.copy()),
+                  col="v", bins=10, lo=0.0, hi=100.0).to_pandas()
+    assert abs(z["psi_term"].dropna().sum()) < 1e-12
+
+
+def test_corpus_report(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.profile import corpus_report
+
+    df = pd.DataFrame({
+        "source": ["s1", "s1", "s2", "s2", "s2"],
+        "lang": ["en", "fr", "en", "en", "en"],
+        "text": ["hello world", "bonjour", "a " * 60, "", "tiny"],
+    })
+    out = corpus_report(ray.data.from_pandas(df).repartition(2),
+                        group="source", text="text", distinct_col="lang",
+                        short_threshold=100)
+    s1 = out[out["source"] == "s1"].iloc[0]
+    assert s1["n_docs"] == 2 and s1["sum_chars"] == len("hello world") + len("bonjour")
+    assert s1["sum_tok"] == 3 and s1["n_distinct"] == 2 and s1["n_short"] == 2
+    s2 = out[out["source"] == "s2"].iloc[0]
+    assert s2["n_docs"] == 3 and s2["n_distinct"] == 1
+    assert s2["sum_tok"] == 60 + 0 + 1
+    assert s2["n_short"] == 2  # the 120-char doc is not short
+    assert s2["mean_chars"] == s2["sum_chars"] / 3
