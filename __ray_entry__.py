@@ -1439,6 +1439,46 @@ def _q_anti_join_streaming_lineitem(sf_dir: str):
     return df.sort_values("l_returnflag").reset_index(drop=True)
 
 
+def _q_interval_join_events(sf_dir: str):
+    """Keyed interval overlap join: per user, click windows [ts, ts+30min]
+    overlapping error windows — grid-cell replication + canonical-cell
+    dedup, never all-pairs; exact int64 micros end to end
+    (ops/join.py:interval_join)."""
+    import ray.data
+
+    from orc_format_ray.ops.join import interval_join
+
+    HALF_HOUR = 30 * 60 * 1_000_000
+
+    def side(ev_type: str):
+        def fn(b: pa.Table) -> pa.Table:
+            keep = pa.compute.equal(b["event_type"], ev_type)
+            sub = b.filter(keep)
+            lo = sub["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").view("i8")
+            return pa.table({
+                "user_id": sub["user_id"], "id": sub["event_id"],
+                "lo": pa.array(lo, pa.int64()),
+                "hi": pa.array(lo + HALF_HOUR, pa.int64()),
+            })
+
+        return fn
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type", "ts"]
+    )
+    clicks = ev.map_batches(side("click"), batch_format="pyarrow", zero_copy_batch=True, **_ra())
+    errors = ev.map_batches(side("error"), batch_format="pyarrow", zero_copy_batch=True, **_ra())
+    out = interval_join(clicks, errors, key="user_id", lo_col="lo", hi_col="hi",
+                        id_col="id", grid=HALF_HOUR)
+    df = out.to_pandas()
+    if len(df) == 0:
+        import pandas as pd
+
+        return pd.DataFrame({c: pd.Series(dtype="int64")
+                             for c in ("user_id", "l_id", "r_id", "overlap")})
+    return df.sort_values(["user_id", "l_id", "r_id"]).reset_index(drop=True)
+
+
 def _q_approx_ndistinct_users_by_type(sf_dir: str):
     """Per-event-type approximate distinct user counts (HLL registers per
     (block, group) — values never shuffle; register max is commutative so
@@ -3403,6 +3443,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hhi_source_by_lang": _q_hhi_source_by_lang,
         "regression_quantity_price": _q_regression_quantity_price,
         "mad_outliers_extendedprice": _q_mad_outliers_extendedprice,
+        "interval_join_events": _q_interval_join_events,
         "psi_drift_documents": _q_psi_drift_documents,
         "corpus_report_by_source": _q_corpus_report_by_source,
         "approx_ndistinct_users_by_type": _q_approx_ndistinct_users_by_type,
@@ -4170,6 +4211,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem l WHERE NOT EXISTS "
             "(SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey AND o.o_totalprice > 300000.0) "
             "GROUP BY 1 ORDER BY 1"
+        ),
+        "interval_join_events": (
+            "WITH l AS (SELECT user_id, event_id, epoch_us(ts) AS lo, "
+            "epoch_us(ts) + 1800000000 AS hi FROM events WHERE event_type = 'click'), "
+            "r AS (SELECT user_id, event_id, epoch_us(ts) AS lo, "
+            "epoch_us(ts) + 1800000000 AS hi FROM events WHERE event_type = 'error') "
+            "SELECT l.user_id, l.event_id AS l_id, r.event_id AS r_id, "
+            "least(l.hi, r.hi) - greatest(l.lo, r.lo) AS overlap "
+            "FROM l JOIN r ON l.user_id = r.user_id AND l.lo <= r.hi AND r.lo <= l.hi "
+            "ORDER BY 1, 2, 3"
         ),
         "psi_drift_documents": (
             "WITH a AS (SELECT least(floor((n_chars - 0.0) / ((600.0 - 0.0)/12)), 11)::BIGINT AS bin, "

@@ -583,3 +583,94 @@ def semi_join_streaming(left_ds, right_ds, key: str,
         concurrency=pool_size(),
         **remote_args(),
     )
+
+
+def interval_join(left_ds, right_ds, key: str, lo_col: str = "lo", hi_col: str = "hi",
+                  id_col: str = "id", grid: int = 3_600_000_000,
+                  max_span_cells: int = 1 << 10, max_cell_pairs: int = 1 << 24,
+                  num_buckets: int = 64):
+    """Keyed interval OVERLAP join: pairs (l, r) with the same ``key`` whose
+    [lo, hi] intervals intersect (``l.lo <= r.hi AND r.lo <= l.hi`` — the
+    SQL predicate verbatim). Bounds and ids are exact int64 (e.g. epoch
+    micros), so output overlap lengths are bitwise-SQL-exact.
+
+    Scale plan — never all-pairs: each interval replicates to the ``grid``
+    cells it spans (loudly guarded at ``max_span_cells``; pick grid ~ the
+    typical interval length), one (key, cell) groupby co-locates candidate
+    sets, and each cell emits a pair ONLY when the overlap's canonical cell
+    (the one containing max(l.lo, r.lo)) is itself — every pair appears
+    exactly once with no global dedup pass. Per-cell matching is a
+    broadcasted numpy mask, guarded at ``max_cell_pairs`` candidate
+    products (skewed cells want a smaller grid).
+
+    Returns a Dataset of ``(key, l_id, r_id, overlap)`` where overlap =
+    min(hi) - max(lo) (>= 0; touching intervals count).
+    """
+    import pandas as pd
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            lo = batch[lo_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            hi = batch[hi_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            if (hi < lo).any():
+                raise ValueError("interval_join: hi < lo")
+            c_lo = np.floor_divide(lo, grid)
+            c_hi = np.floor_divide(hi, grid)
+            span = c_hi - c_lo + 1
+            if span.max(initial=0) > max_span_cells:
+                raise ValueError(
+                    f"interval_join: an interval spans {span.max()} grid cells "
+                    f"(> {max_span_cells}) — raise `grid` or split the interval"
+                )
+            total = int(span.sum())
+            rep = np.repeat(np.arange(len(lo), dtype=np.int64), span)
+            cell = np.repeat(c_lo, span) + (
+                np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(np.r_[0, span[:-1]]), span)
+            )
+            k = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({
+                "_bucket": pa.array(((k[rep] * 2654435761 + cell) % (1 << 31)) % num_buckets),
+                "k": pa.array(k[rep]), "cell": pa.array(cell),
+                "side": pa.array(np.full(total, side, np.int8)),
+                "lo": pa.array(lo[rep]), "hi": pa.array(hi[rep]),
+                "id": pa.array(batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)[rep]),
+            })
+
+        return fn
+
+    lt = left_ds.map_batches(tag(0), batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    rt = right_ds.map_batches(tag(1), batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+
+    def match(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({key: pd.Series(dtype=np.int64), "l_id": pd.Series(dtype=np.int64),
+                              "r_id": pd.Series(dtype=np.int64), "overlap": pd.Series(dtype=np.int64)})
+        out = []
+        for (kv, cell), sub in g.groupby(["k", "cell"], sort=False):
+            l = sub[sub["side"] == 0]
+            r = sub[sub["side"] == 1]
+            if not len(l) or not len(r):
+                continue
+            if len(l) * len(r) > max_cell_pairs:
+                raise ValueError(
+                    f"interval_join: cell (key={kv}, cell={cell}) has "
+                    f"{len(l)}x{len(r)} candidates (> {max_cell_pairs}) — shrink `grid`"
+                )
+            llo = l["lo"].to_numpy()[:, None]; lhi = l["hi"].to_numpy()[:, None]
+            rlo = r["lo"].to_numpy()[None, :]; rhi = r["hi"].to_numpy()[None, :]
+            start = np.maximum(llo, rlo)
+            hit = (llo <= rhi) & (rlo <= lhi) & (np.floor_divide(start, grid) == cell)
+            li, ri = np.nonzero(hit)
+            if len(li):
+                out.append(pd.DataFrame({
+                    key: np.full(len(li), kv, np.int64),
+                    "l_id": l["id"].to_numpy()[li],
+                    "r_id": r["id"].to_numpy()[ri],
+                    "overlap": (np.minimum(lhi, rhi) - start)[hit],
+                }))
+        return pd.concat(out, ignore_index=True) if out else empty
+
+    return (
+        lt.union(rt)
+        .groupby("_bucket")
+        .map_groups(match, batch_format="pandas", **remote_args())
+    )

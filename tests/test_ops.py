@@ -3850,3 +3850,48 @@ def test_corpus_report(ray_session):
     assert s2["sum_tok"] == 60 + 0 + 1
     assert s2["n_short"] == 2  # the 120-char doc is not short
     assert s2["mean_chars"] == s2["sum_chars"] / 3
+
+
+def test_interval_join(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.join import interval_join
+
+    rng = np.random.default_rng(113)
+    nl, nr = 400, 300
+    left = pd.DataFrame({
+        "k": rng.integers(0, 20, nl),
+        "lo": rng.integers(0, 100_000, nl),
+        "id": np.arange(nl, dtype=np.int64),
+    })
+    left["hi"] = left["lo"] + rng.integers(0, 5_000, nl)
+    right = pd.DataFrame({
+        "k": rng.integers(0, 20, nr),
+        "lo": rng.integers(0, 100_000, nr),
+        "id": np.arange(nr, dtype=np.int64),
+    })
+    right["hi"] = right["lo"] + rng.integers(0, 5_000, nr)
+    out = interval_join(
+        ray.data.from_pandas(left).repartition(4),
+        ray.data.from_pandas(right).repartition(3),
+        key="k", lo_col="lo", hi_col="hi", id_col="id", grid=4_096,
+    ).to_pandas().sort_values(["k", "l_id", "r_id"]).reset_index(drop=True)
+    # brute-force reference
+    m = left.merge(right, on="k", suffixes=("_l", "_r"))
+    m = m[(m["lo_l"] <= m["hi_r"]) & (m["lo_r"] <= m["hi_l"])]
+    ref = pd.DataFrame({
+        "k": m["k"].to_numpy(),
+        "l_id": m["id_l"].to_numpy(),
+        "r_id": m["id_r"].to_numpy(),
+        "overlap": np.minimum(m["hi_l"], m["hi_r"]).to_numpy() - np.maximum(m["lo_l"], m["lo_r"]).to_numpy(),
+    }).sort_values(["k", "l_id", "r_id"]).reset_index(drop=True)
+    assert len(out) == len(ref), (len(out), len(ref))
+    for c in ref.columns:
+        assert (out[c].to_numpy() == ref[c].to_numpy()).all(), c
+    # guards
+    import pytest
+
+    wide = pd.DataFrame({"k": [1], "lo": [0], "hi": [10_000_000], "id": [0]})
+    with pytest.raises(Exception, match="spans"):
+        interval_join(ray.data.from_pandas(wide), ray.data.from_pandas(right),
+                      key="k", grid=1_000, max_span_cells=100).to_pandas()
