@@ -1439,6 +1439,55 @@ def _q_anti_join_streaming_lineitem(sf_dir: str):
     return df.sort_values("l_returnflag").reset_index(drop=True)
 
 
+def _q_quantile_transform_extendedprice(sf_dir: str):
+    """Corpus-wide quantile transform: each lineitem's percent_rank over
+    exact cent units — numerator/denominator exact ints, ONE division,
+    bitwise SQL percent_rank parity (ops/agg.py:quantile_transform)."""
+    import ray.data
+
+    from orc_format_ray.ops.agg import quantile_transform
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber", "l_extendedprice"]
+    )
+    df = quantile_transform(ds, "l_extendedprice",
+                            id_cols=["l_orderkey", "l_linenumber"], value_scale=100).to_pandas()
+    df["l_linenumber"] = df["l_linenumber"].astype("int64")
+    return df.sort_values(["l_orderkey", "l_linenumber"]).reset_index(drop=True)
+
+
+def _q_table_checksum_lineitem(sf_dir: str):
+    """Order-independent modular checksum over lineitem's key columns —
+    the migration/compaction audit: any plan, layout, or cluster size
+    produces the same number (ops/profile.py:table_checksum)."""
+    import pandas as pd
+    import ray.data
+
+    from orc_format_ray.ops.profile import table_checksum
+
+    cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=cols)
+    n, cs = table_checksum(ds, cols)
+    return pd.DataFrame({"n_rows": pd.array([n], dtype="int64"),
+                         "checksum": pd.array([cs], dtype="int64")})
+
+
+def _q_exact_dedup_by_documents(sf_dir: str):
+    """Composite-key exact dedup on (text, lang): min-doc_id survivor per
+    distinct tuple via an injective length-prefixed key; same
+    metadata-only-groups + broadcast-survivor machinery as exact_dedup
+    (ops/dedup.py:exact_dedup_by)."""
+    import ray.data
+
+    from orc_format_ray.ops.dedup import exact_dedup_by
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
+    )
+    out = exact_dedup_by(ds, ["text", "lang"]).select_columns(["doc_id", "lang", "source"])
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_interval_join_events(sf_dir: str):
     """Keyed interval overlap join: per user, click windows [ts, ts+30min]
     overlapping error windows — grid-cell replication + canonical-cell
@@ -3443,6 +3492,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hhi_source_by_lang": _q_hhi_source_by_lang,
         "regression_quantity_price": _q_regression_quantity_price,
         "mad_outliers_extendedprice": _q_mad_outliers_extendedprice,
+        "quantile_transform_extendedprice": _q_quantile_transform_extendedprice,
+        "table_checksum_lineitem": _q_table_checksum_lineitem,
+        "exact_dedup_by_documents": _q_exact_dedup_by_documents,
         "interval_join_events": _q_interval_join_events,
         "psi_drift_documents": _q_psi_drift_documents,
         "corpus_report_by_source": _q_corpus_report_by_source,
@@ -4211,6 +4263,20 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem l WHERE NOT EXISTS "
             "(SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey AND o.o_totalprice > 300000.0) "
             "GROUP BY 1 ORDER BY 1"
+        ),
+        "quantile_transform_extendedprice": (
+            "WITH u AS (SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, "
+            "CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS units FROM lineitem) "
+            "SELECT l_orderkey, l_linenumber, units, "
+            "percent_rank() OVER (ORDER BY units) AS pct FROM u ORDER BY 1, 2"
+        ),
+        "table_checksum_lineitem": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(sum(((506952114 * ((CAST(l_orderkey AS BIGINT) % 2147483647 + 2147483647) % 2147483647)) % 2147483647 + (1131927770 * ((CAST(l_partkey AS BIGINT) % 2147483647 + 2147483647) % 2147483647)) % 2147483647 + (1100424715 * ((CAST(l_suppkey AS BIGINT) % 2147483647 + 2147483647) % 2147483647)) % 2147483647 + (300712159 * ((CAST(l_linenumber AS BIGINT) % 2147483647 + 2147483647) % 2147483647)) % 2147483647) % 2147483647) AS BIGINT) AS checksum FROM lineitem"
+        ),
+        "exact_dedup_by_documents": (
+            "SELECT doc_id, lang, source FROM documents WHERE doc_id IN "
+            "(SELECT min(doc_id) FROM documents GROUP BY text, lang) ORDER BY doc_id"
         ),
         "interval_join_events": (
             "WITH l AS (SELECT user_id, event_id, epoch_us(ts) AS lo, "

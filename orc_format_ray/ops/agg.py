@@ -937,3 +937,65 @@ def standardize_by_group(ds, group: str, col: str, id_cols: list[str],
         return pa.table(out)
 
     return ds.map_batches(transform, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+
+
+def quantile_transform(ds, col: str, id_cols: list[str], value_scale: int = 100,
+                       max_distinct: int = 1 << 26):
+    """Corpus-wide quantile (rank) transform: each row gets its SQL
+    ``percent_rank() OVER (ORDER BY units)`` — (count of strictly smaller
+    values) / (n - 1), ties share the min rank — turning any skewed score
+    into a uniform [0, 1] feature. BITWISE SQL parity: the numerator and
+    denominator are exact ints, ONE division.
+
+    Plan: one metadata (units, count) groupby (bounded by |distinct units|,
+    guarded at ``max_distinct``); the sorted distribution broadcasts once;
+    the transform pass is a stateless searchsorted per batch. Returns
+    ``(*id_cols, units, pct)``; a 1-row corpus yields pct = 0.0 (the SQL
+    percent_rank convention, special-cased to dodge 0/0).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    def cells(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False)
+        if batch[col].null_count or np.isnan(v).any():
+            raise ValueError(f"{col!r} must be non-null for quantile transform")
+        u = np.floor(v * value_scale + 0.5).astype(np.int64)
+        t = pa.table({"u": pa.array(u)})
+        return t.group_by("u").aggregate([([], "count_all")]).rename_columns(["u", "c"])
+
+    dist = (
+        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby("u")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    if len(dist) > max_distinct:
+        raise ValueError(
+            f"quantile_transform: {len(dist)} distinct units (> {max_distinct}) — "
+            "coarsen value_scale or switch to a KLL-sketch approximation"
+        )
+    order = np.argsort(dist["u"].to_numpy(dtype=np.int64))
+    su = dist["u"].to_numpy(dtype=np.int64)[order]
+    sc = dist["c"].to_numpy(dtype=np.int64)[order]
+    below = np.zeros(len(sc), dtype=np.int64)
+    np.cumsum(sc[:-1], out=below[1:])
+    n = int(sc.sum())
+    ref = ray.put((su, below))
+
+    def transform(batch: pa.Table) -> pa.Table:
+        su, below = ray.get(ref)  # zero-copy plasma views
+        v = batch[col].to_numpy(zero_copy_only=False)
+        u = np.floor(v * value_scale + 0.5).astype(np.int64)
+        rank_below = below[np.searchsorted(su, u)]
+        if n <= 1:
+            pct = np.zeros(len(u), np.float64)
+        else:
+            # ONE float division of exact ints — bitwise SQL parity
+            pct = rank_below.astype(np.float64) / np.float64(n - 1)
+        out = {c: batch[c] for c in id_cols}
+        out["units"] = pa.array(u, pa.int64())
+        out["pct"] = pa.array(pct, pa.float64())
+        return pa.table(out)
+
+    return ds.map_batches(transform, batch_format="pyarrow", zero_copy_batch=True, **remote_args())

@@ -935,3 +935,35 @@ def embedding_near_dups(ds, threshold: float = 0.95, lsh_planes: int = 12, seed:
         )
 
     return bucketed.groupby("bucket").map_groups(verify, batch_format="pandas", **remote_args())
+
+
+def exact_dedup_by(ds, columns: list[str], max_broadcast_ids: int = 1 << 26,
+                   shard_dir: str | None = None):
+    """Exact dedup on a COMPOSITE key (e.g. (text, lang): same text in two
+    languages is two documents) — min-doc_id survivor per distinct column
+    tuple. The combined key is a length-prefixed concatenation (injective:
+    no separator-collision false merges), hashed per batch exactly like the
+    single-column path; everything downstream (metadata-only groups,
+    broadcast-or-sharded survivor filter) is `exact_dedup` unchanged. The
+    helper column never leaves the pipeline."""
+    if not columns:
+        raise ValueError("exact_dedup_by needs at least one column")
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        parts = []
+        for c in columns:
+            col = batch[c]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            s = col.cast(pa.string())
+            if s.null_count:
+                raise ValueError(f"exact_dedup_by: {c!r} contains nulls")
+            parts.append(pc.cast(pc.utf8_length(s), pa.string()))
+            parts.append(s)
+        combined = pc.binary_join_element_wise(*parts, ":")
+        return batch.append_column("__dedup_key__", combined)
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    out = exact_dedup(keyed, column="__dedup_key__",
+                      max_broadcast_ids=max_broadcast_ids, shard_dir=shard_dir)
+    return out.drop_columns(["__dedup_key__"])

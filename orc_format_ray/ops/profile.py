@@ -519,3 +519,48 @@ def corpus_report(ds, group: str = "source", text: str = "text",
     ].to_numpy(np.int64).astype(np.float64)
     df = df.rename(columns={"g": group})
     return df.sort_values(group).reset_index(drop=True)
+
+
+CHECKSUM_MOD = (1 << 31) - 1  # Mersenne prime: SQL-expressible, square-safe
+
+
+def checksum_weights(n_cols: int) -> list[int]:
+    """Deterministic per-column weights 2654435761^(j+1) mod CHECKSUM_MOD —
+    computed identically here and inlined into the SQL oracle."""
+    w, out = 1, []
+    for _ in range(n_cols):
+        w = (w * 2654435761) % CHECKSUM_MOD
+        out.append(w)
+    return out
+
+
+def table_checksum(ds, cols: list[str], max_rows: int = 1 << 32):
+    """Order-independent content checksum over integer columns — the
+    "did the migration/compaction/re-shard preserve every row?" audit that
+    needs no sort and no shuffle: per row
+    ``sum_j weight_j * ((c_j % M + M) % M) mod M`` (M = 2^31 - 1), then a
+    plain SUM of the row values — commutative, so ANY plan/layout/cluster
+    size produces the same number, and the whole expression is plain
+    modular arithmetic a SQL oracle evaluates verbatim. One streaming
+    pass; only (count, sum) partials leave each block.
+
+    Returns ``(n_rows, checksum)`` as exact ints. The row-value sum is
+    guarded: n_rows * M must stay inside int64 (max_rows default 2^32).
+    """
+    from ray.data.aggregate import Sum
+
+    ws = checksum_weights(len(cols))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        acc = np.zeros(len(batch), dtype=np.int64)
+        for w, c in zip(ws, cols):
+            v = batch[c].to_numpy(zero_copy_only=False).astype(np.int64)
+            acc = (acc + w * ((v % CHECKSUM_MOD) + CHECKSUM_MOD) % CHECKSUM_MOD) % CHECKSUM_MOD
+        return pa.table({"n": pa.array([len(batch)], pa.int64()),
+                         "s": pa.array([int(acc.sum())], pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args()).to_pandas()
+    n = int(parts["n"].sum())
+    if n > max_rows:
+        raise ValueError(f"table_checksum: {n} rows > {max_rows}; int64 row-value sum could overflow")
+    return n, int(parts["s"].sum())

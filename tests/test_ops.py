@@ -3895,3 +3895,72 @@ def test_interval_join(ray_session):
     with pytest.raises(Exception, match="spans"):
         interval_join(ray.data.from_pandas(wide), ray.data.from_pandas(right),
                       key="k", grid=1_000, max_span_cells=100).to_pandas()
+
+
+def test_quantile_transform(ray_session):
+    import duckdb
+    import ray.data
+
+    from orc_format_ray.ops.agg import quantile_transform
+
+    rng = np.random.default_rng(127)
+    df = pd.DataFrame({"i": np.arange(3000, dtype=np.int64),
+                       "value": rng.lognormal(3, 1, 3000)})
+    ds = ray.data.from_pandas(df).repartition(6)
+    out = quantile_transform(ds, "value", id_cols=["i"], value_scale=100).to_pandas()
+    out = out.sort_values("i").reset_index(drop=True)
+    ref = duckdb.sql(
+        "WITH u AS (SELECT i, CAST(floor(value*100 + 0.5) AS BIGINT) units FROM df) "
+        "SELECT i, units, percent_rank() OVER (ORDER BY units) pct FROM u ORDER BY i"
+    ).df()
+    assert (out["units"].values == ref["units"].values).all()
+    assert (out["pct"].values == ref["pct"].values).all()
+    # uniformity: transformed values cover [0, 1]
+    assert out["pct"].min() == 0.0 and out["pct"].max() <= 1.0
+    # single row -> 0.0, not NaN
+    one = quantile_transform(ray.data.from_pandas(df.head(1)), "value", id_cols=["i"]).to_pandas()
+    assert one["pct"].iloc[0] == 0.0
+
+
+def test_table_checksum(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.profile import CHECKSUM_MOD, checksum_weights, table_checksum
+
+    rng = np.random.default_rng(131)
+    df = pd.DataFrame({
+        "a": rng.integers(-(1 << 40), 1 << 40, 4000),
+        "b": rng.integers(0, 1 << 20, 4000),
+    })
+    ds = ray.data.from_pandas(df).repartition(5)
+    n, cs = table_checksum(ds, ["a", "b"])
+    assert n == 4000
+    # layout invariance
+    n2, cs2 = table_checksum(ray.data.from_pandas(df).repartition(11), ["a", "b"])
+    assert (n, cs) == (n2, cs2)
+    # numpy reference
+    w = checksum_weights(2)
+    M = CHECKSUM_MOD
+    row = (w[0] * (df["a"].to_numpy() % M) % M + w[1] * (df["b"].to_numpy() % M) % M) % M
+    assert cs == int(row.sum())
+    # sensitivity: one changed cell changes the checksum
+    df2 = df.copy(); df2.loc[7, "a"] += 1
+    _, cs3 = table_checksum(ray.data.from_pandas(df2), ["a", "b"])
+    assert cs3 != cs
+
+
+def test_exact_dedup_by(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.dedup import exact_dedup_by
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": ["x", "x", "x", "y", "y", "x:1"],
+        "lang": ["en", "en", "fr", "en", "en", "1:x"],
+    })
+    out = exact_dedup_by(ray.data.from_pandas(df).repartition(3), ["text", "lang"]).to_pandas()
+    # survivors: min doc_id per (text, lang) tuple; the length-prefixed key
+    # keeps ("x:1","1:x") distinct from ("x","1:1:x")-style collisions
+    assert sorted(out["doc_id"]) == [0, 2, 3, 5]
+    assert "__dedup_key__" not in out.columns
