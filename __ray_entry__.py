@@ -1439,6 +1439,23 @@ def _q_anti_join_streaming_lineitem(sf_dir: str):
     return df.sort_values("l_returnflag").reset_index(drop=True)
 
 
+def _q_trigram_lm_scores(sf_dir: str):
+    """Char-trigram LM quality scores: model trained on the corpus in one
+    metadata pass (trigram-count cells), broadcast once; per-doc mean
+    log-prob is a pure per-row function — bit-identical on any plan, but
+    not SQL-expressible: rows-only check; separation pinned by unit tests
+    (ops/text.py:train_trigram_lm / trigram_lm_score)."""
+    import ray.data
+
+    from orc_format_ray.ops.text import train_trigram_lm, trigram_lm_score
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    lm = train_trigram_lm(ds, "text")
+    df = trigram_lm_score(ds, lm).select_columns(["doc_id", "lm_score"]).to_pandas()
+    df["lm_score"] = np.round(df["lm_score"].astype(np.float64), 6)
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_quantile_transform_extendedprice(sf_dir: str):
     """Corpus-wide quantile transform: each lineitem's percent_rank over
     exact cent units — numerator/denominator exact ints, ONE division,
@@ -3492,6 +3509,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hhi_source_by_lang": _q_hhi_source_by_lang,
         "regression_quantity_price": _q_regression_quantity_price,
         "mad_outliers_extendedprice": _q_mad_outliers_extendedprice,
+        "trigram_lm_scores": _q_trigram_lm_scores,
         "quantile_transform_extendedprice": _q_quantile_transform_extendedprice,
         "table_checksum_lineitem": _q_table_checksum_lineitem,
         "exact_dedup_by_documents": _q_exact_dedup_by_documents,

@@ -664,3 +664,103 @@ def ngram_topk(ds, n: int = 2, k: int = 100, column: str = "text") -> pa.Table:
     df = df.sort_values(["cnt", "ngram"], ascending=[False, True]).head(k).reset_index(drop=True)
     df.insert(0, "rank", np.arange(1, len(df) + 1, dtype=np.int64))
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def _char_trigram_codes(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc uint32 codes of consecutive UTF-8 byte trigrams
+    (b0<<16 | b1<<8 | b2), never crossing doc boundaries. Returns
+    (flat codes, per-doc trigram counts). Vectorized over the batch's
+    concatenated byte buffer."""
+    data, offs = _utf8_block(arr)
+    lens = np.diff(offs)
+    tri_counts = np.maximum(lens - 2, 0)
+    total = int(tri_counts.sum())
+    if total == 0:
+        return np.zeros(0, np.uint32), tri_counts
+    starts = np.repeat(offs[:-1], tri_counts) + (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(np.cumsum(np.r_[0, tri_counts[:-1]]), tri_counts)
+    )
+    d = data.astype(np.uint32)
+    codes = (d[starts] << np.uint32(16)) | (d[starts + 1] << np.uint32(8)) | d[starts + 2]
+    return codes, tri_counts
+
+
+def train_trigram_lm(ds, column: str = "text", min_count: int = 1):
+    """Corpus byte-trigram frequency model: ONE metadata pass — per-batch
+    (trigram code, count) cells (|distinct| <= alphabet^3, thousands in
+    practice, never row-scale), one groupby — then UNCONDITIONAL log-probs
+    lp(t) = ln(cnt(t) / total) from exact integer counts. (Unconditional,
+    deliberately: an unsmoothed conditional P(c3|c1c2) scores a gibberish
+    trigram whose bigram prefix is unique as probability 1.0 — the
+    opposite of a quality signal.) Returns (codes sorted asc, logprobs,
+    floor_lp) where floor_lp = ln(1 / (total + 1)) scores unseen trigrams."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    from .._rayutil import remote_args
+
+    def cells(batch: pa.Table) -> pa.Table:
+        col = batch[column]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        codes, _ = _char_trigram_codes(col)
+        u, c = np.unique(codes, return_counts=True)
+        return pa.table({"code": pa.array(u.astype(np.int64)), "c": pa.array(c.astype(np.int64))})
+
+    dist = (
+        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby("code")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    codes = dist["code"].to_numpy(dtype=np.int64)
+    cnt = dist["c"].to_numpy(dtype=np.int64)
+    keep = cnt >= min_count
+    codes, cnt = codes[keep], cnt[keep]
+    order = np.argsort(codes)
+    codes, cnt = codes[order], cnt[order]
+    total = float(cnt.sum())
+    lp = np.log(cnt.astype(np.float64) / total)
+    floor_lp = math.log(1.0 / (total + 1.0))
+    return codes, lp, floor_lp
+
+
+def trigram_lm_score(ds, lm, column: str = "text", out: str = "lm_score"):
+    """Per-document mean trigram log-prob under a `train_trigram_lm` model —
+    the cheap model-based quality gate (gibberish, wrong-language, and
+    binary-junk docs score far below corpus-like text). The model
+    broadcasts once (`ray.put`); scoring is stateless and vectorized, and
+    each doc's sum folds its own trigrams in position order — the score is
+    a pure per-row function, bit-identical on any plan. Docs with < 3
+    bytes score the floor. Appends ``out`` (float64)."""
+    import ray
+
+    from .._rayutil import remote_args
+
+    lm_ref = ray.put(lm)
+
+    def score(batch: pa.Table) -> pa.Table:
+        codes_s, lp, floor_lp = ray.get(lm_ref)
+        col = batch[column]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        codes, tri_counts = _char_trigram_codes(col)
+        vals = np.full(len(codes), floor_lp, dtype=np.float64)
+        if len(codes):
+            pos = np.searchsorted(codes_s, codes.astype(np.int64))
+            pos_c = np.minimum(pos, len(codes_s) - 1) if len(codes_s) else pos
+            hit = (codes_s[pos_c] == codes) if len(codes_s) else np.zeros(len(codes), bool)
+            vals[hit] = lp[pos_c[hit]]
+        doc_offs = np.zeros(len(tri_counts) + 1, dtype=np.int64)
+        np.cumsum(tri_counts, out=doc_offs[1:])
+        # clip: a trailing zero-trigram doc's offset == len(vals), which
+        # reduceat rejects; those lanes are overwritten by the where below
+        starts = np.minimum(doc_offs[:-1], max(len(vals) - 1, 0))
+        sums = np.add.reduceat(vals, starts) if len(vals) else np.zeros(len(tri_counts))
+        sums = np.where(tri_counts > 0, sums, floor_lp)
+        mean = np.where(tri_counts > 0, sums / np.maximum(tri_counts, 1), floor_lp)
+        return batch.append_column(out, pa.array(mean, pa.float64()))
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True, **remote_args())

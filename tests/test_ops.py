@@ -3964,3 +3964,32 @@ def test_exact_dedup_by(ray_session):
     # keeps ("x:1","1:x") distinct from ("x","1:1:x")-style collisions
     assert sorted(out["doc_id"]) == [0, 2, 3, 5]
     assert "__dedup_key__" not in out.columns
+
+
+def test_trigram_lm_score(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.text import _char_trigram_codes, train_trigram_lm, trigram_lm_score
+
+    # code construction
+    codes, counts = _char_trigram_codes(pa.array(["abcd", "xy", ""]))
+    assert counts.tolist() == [2, 0, 0]
+    assert codes.tolist() == [(97 << 16) | (98 << 8) | 99, (98 << 16) | (99 << 8) | 100]
+
+    rng = np.random.default_rng(137)
+    words = ["data", "table", "merge", "query", "scan", "join", "stream"]
+    corpus = [" ".join(rng.choice(words, 30)) for _ in range(300)]
+    df = pd.DataFrame({"doc_id": np.arange(304, dtype=np.int64),
+                       "text": corpus + ["qzxv jkwp vvqz zzzz", "data table merge query", "ab", ""]})
+    ds = ray.data.from_pandas(df).repartition(4)
+    lm = train_trigram_lm(ds, "text")
+    scored = trigram_lm_score(ds, lm).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    gibberish = scored["lm_score"].iloc[300]
+    clean = scored["lm_score"].iloc[301]
+    assert clean > gibberish + 1.0  # corpus-like text scores far higher
+    # < 3-byte docs score the floor
+    floor = lm[2]
+    assert scored["lm_score"].iloc[302] == floor and scored["lm_score"].iloc[303] == floor
+    # plan invariance: different layout -> bit-identical scores
+    scored2 = trigram_lm_score(ds.repartition(9), lm).to_pandas().sort_values("doc_id")
+    assert (scored2["lm_score"].to_numpy() == scored["lm_score"].to_numpy()).all()
