@@ -1439,6 +1439,63 @@ def _q_anti_join_streaming_lineitem(sf_dir: str):
     return df.sort_values("l_returnflag").reset_index(drop=True)
 
 
+def _q_first_per_window_events(sf_dir: str):
+    """Ingest event dedup: earliest event per (user, type, hour) — local
+    head-of-run reduce per block, then one cell groupby; survivor rule =
+    SQL row_number() OVER (... ORDER BY ts, event_id) = 1 verbatim
+    (ops/windows.py:first_per_window)."""
+    import ray.data
+
+    from orc_format_ray.ops.windows import first_per_window
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type", "ts"]
+    )
+
+    def drop_null_users(b: pa.Table) -> pa.Table:
+        return b.filter(b["user_id"].combine_chunks().is_valid())
+
+    ds = ds.map_batches(drop_null_users, batch_format="pyarrow", zero_copy_batch=True, **_ra())
+    out = first_per_window(ds, ["user_id", "event_type"], "ts", 3600, "event_id")
+    df = out.select_columns(["event_id", "user_id", "event_type", "window"]).to_pandas()
+    df["user_id"] = df["user_id"].astype("int64")
+    return df.sort_values("event_id").reset_index(drop=True)
+
+
+def _q_collapse_rare_users(sf_dir: str):
+    """Long-tail collapsing: user ids with < 80 events become -1; returns
+    per-collapsed-id event counts. The keep set is one metadata groupby,
+    broadcast once; the rewrite is stateless (ops/etl.py:collapse_rare)."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from orc_format_ray.ops.etl import collapse_rare
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id"])
+
+    def drop_null_users(b: pa.Table) -> pa.Table:
+        return b.filter(b["user_id"].combine_chunks().is_valid())
+
+    ds = ds.map_batches(drop_null_users, batch_format="pyarrow", zero_copy_batch=True, **_ra())
+    out = collapse_rare(ds, "user_id", min_count=80, other=-1)
+    df = out.groupby("user_id_collapsed").aggregate(Count(alias_name="cnt")).to_pandas()
+    df["user_id_collapsed"] = df["user_id_collapsed"].astype("int64")
+    return df.sort_values("user_id_collapsed").reset_index(drop=True)
+
+
+def _q_source_vocab_jaccard(sf_dir: str):
+    """Vocabulary-overlap Jaccard between corpus sources — pairwise
+    intersections via word-basket co-occurrence (each word's source set is
+    tiny), sizes via one metadata groupby, jaccard = ONE exact-int division
+    (ops/basket.py:group_vocab_jaccard)."""
+    import ray.data
+
+    from orc_format_ray.ops.basket import group_vocab_jaccard
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    return group_vocab_jaccard(ds, group="source", column="text")
+
+
 def _q_trigram_lm_scores(sf_dir: str):
     """Char-trigram LM quality scores: model trained on the corpus in one
     metadata pass (trigram-count cells), broadcast once; per-doc mean
@@ -3509,6 +3566,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hhi_source_by_lang": _q_hhi_source_by_lang,
         "regression_quantity_price": _q_regression_quantity_price,
         "mad_outliers_extendedprice": _q_mad_outliers_extendedprice,
+        "first_per_window_events": _q_first_per_window_events,
+        "collapse_rare_users": _q_collapse_rare_users,
+        "source_vocab_jaccard": _q_source_vocab_jaccard,
         "trigram_lm_scores": _q_trigram_lm_scores,
         "quantile_transform_extendedprice": _q_quantile_transform_extendedprice,
         "table_checksum_lineitem": _q_table_checksum_lineitem,
@@ -4281,6 +4341,33 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem l WHERE NOT EXISTS "
             "(SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey AND o.o_totalprice > 300000.0) "
             "GROUP BY 1 ORDER BY 1"
+        ),
+        "first_per_window_events": (
+            "SELECT event_id, user_id, event_type, "
+            "(epoch_us(ts) // 3600000000) * 3600000000 AS window FROM "
+            "(SELECT *, row_number() OVER (PARTITION BY user_id, event_type, "
+            "epoch_us(ts) // 3600000000 ORDER BY ts, event_id) AS rn "
+            "FROM events WHERE user_id IS NOT NULL) WHERE rn = 1 ORDER BY event_id"
+        ),
+        "collapse_rare_users": (
+            "WITH c AS (SELECT user_id, count(*) AS cnt FROM events "
+            "WHERE user_id IS NOT NULL GROUP BY 1), "
+            "m AS (SELECT CASE WHEN c.cnt >= 80 THEN e.user_id ELSE -1 END AS u "
+            "FROM events e JOIN c USING (user_id) WHERE e.user_id IS NOT NULL) "
+            "SELECT u AS user_id_collapsed, count(*) AS cnt FROM m GROUP BY 1 ORDER BY 1"
+        ),
+        "source_vocab_jaccard": (
+            "WITH sw AS (SELECT DISTINCT source, w FROM "
+            "(SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents) "
+            "WHERE w <> ''), "
+            "pairs AS (SELECT a.source AS source_a, b.source AS source_b, "
+            "CAST(count(*) AS BIGINT) AS inter FROM sw a JOIN sw b "
+            "ON a.w = b.w AND a.source < b.source GROUP BY 1, 2), "
+            "sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sw GROUP BY 1) "
+            "SELECT p.source_a, p.source_b, p.inter, x.n AS na, y.n AS nb, "
+            "CAST(p.inter AS DOUBLE) / CAST(x.n + y.n - p.inter AS DOUBLE) AS jaccard "
+            "FROM pairs p JOIN sizes x ON p.source_a = x.source "
+            "JOIN sizes y ON p.source_b = y.source ORDER BY 1, 2"
         ),
         "quantile_transform_extendedprice": (
             "WITH u AS (SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, "

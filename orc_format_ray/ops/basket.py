@@ -71,3 +71,49 @@ def co_occurrence(ds, basket: str, item: str, min_count: int = 1,
     if min_count > 1:
         support = support.filter(expr=f"cnt >= {int(min_count)}")
     return support
+
+
+def group_vocab_jaccard(ds, group: str = "source", column: str = "text"):
+    """Vocabulary-overlap Jaccard matrix between groups — "how similar are
+    these corpus sources, lexically?", the mixture-design audit. Per batch:
+    distinct (group, word) cells (whitespace split, empties dropped — the
+    `word_count_partial` tokenization SQL reproduces); `co_occurrence`
+    with basket=word / item=group turns them into pairwise intersection
+    counts (each word's group set is tiny — bounded by |groups|); per-group
+    distinct-word sizes come from one more metadata groupby. jaccard =
+    inter / (na + nb - inter): ONE division of exact ints, bitwise SQL
+    parity. Returns a driver DataFrame (|groups|^2/2 rows)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    def cells(batch: pa.Table) -> pa.Table:
+        text = batch[column]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        words = pc.split_pattern_regex(pc.utf8_trim_whitespace(text), r"\s+")
+        counts = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(words)
+        g = batch[group].combine_chunks().take(
+            pa.array(np.repeat(np.arange(len(counts)), counts), pa.int64())
+        )
+        t = pa.table({"word": flat, "g": g}).filter(pc.greater(pc.utf8_length(flat), 0))
+        return t.group_by(["word", "g"]).aggregate([])
+
+    cells_ds = ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    distinct = cells_ds.groupby(["word", "g"]).aggregate(Count(alias_name="_n")).materialize()
+
+    inter = co_occurrence(distinct.select_columns(["word", "g"]), basket="word", item="g")
+    inter_df = inter.to_pandas()
+    sizes = (
+        distinct.groupby("g").aggregate(Count(alias_name="n")).to_pandas()
+        .set_index("g")["n"].astype(np.int64)
+    )
+    na = inter_df["item_a"].map(sizes).to_numpy(dtype=np.int64)
+    nb = inter_df["item_b"].map(sizes).to_numpy(dtype=np.int64)
+    cnt = inter_df["cnt"].to_numpy(dtype=np.int64)
+    out = inter_df.rename(columns={"item_a": f"{group}_a", "item_b": f"{group}_b", "cnt": "inter"})
+    out["na"] = na
+    out["nb"] = nb
+    # ONE float division of exact ints — bitwise SQL parity
+    out["jaccard"] = cnt.astype(np.float64) / (na + nb - cnt).astype(np.float64)
+    return out.sort_values([f"{group}_a", f"{group}_b"]).reset_index(drop=True)

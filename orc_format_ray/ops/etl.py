@@ -299,3 +299,62 @@ def explode_list(ds, col: str, id_cols: list[str], pos_col: str = "pos", val_col
         return pa.table(out)
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+
+
+def collapse_rare(ds, col: str, min_count: int, other, out: str | None = None,
+                  max_keep: int = 1 << 24):
+    """Rare-category collapsing: values of ``col`` seen fewer than
+    ``min_count`` times become ``other`` — the long-tail feature-eng step
+    (one-hot/embedding tables can't carry ten million singleton domains).
+    ONE metadata (value, count) groupby finds the KEEP set (the frequent
+    values — small by construction, guarded at ``max_keep``); it
+    broadcasts once and the rewrite pass is stateless and vectorized.
+    Appends ``out`` (default ``{col}_collapsed``). ``other`` must match
+    the column type (e.g. -1 for ints, '(other)' for strings)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    out = out or f"{col}_collapsed"
+
+    def cells(batch: pa.Table) -> pa.Table:
+        c = batch[col].combine_chunks()
+        if c.null_count:
+            raise ValueError(f"collapse_rare: {col!r} contains nulls")
+        t = pa.table({"v": c})
+        return t.group_by("v").aggregate([([], "count_all")]).rename_columns(["v", "c"])
+
+    counts = (
+        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby("v")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    keep = counts.loc[counts["c"] >= min_count, "v"]
+    if len(keep) > max_keep:
+        raise ValueError(
+            f"collapse_rare: {len(keep)} frequent values (> {max_keep}) — "
+            "raise min_count; a keep set this large defeats the collapse"
+        )
+    keep_np = keep.to_numpy()
+    keep_np = np.sort(keep_np.astype(np.int64)) if keep_np.dtype.kind in "iu" else np.sort(keep_np.astype(str))
+    ref = ray.put(keep_np)
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        ks = ray.get(ref)
+        c = batch[col].combine_chunks()
+        v = c.to_numpy(zero_copy_only=False)
+        v = v.astype(np.int64) if ks.dtype.kind in "iu" else v.astype(str)
+        if len(ks):
+            pos = np.minimum(np.searchsorted(ks, v), len(ks) - 1)
+            member = ks[pos] == v
+        else:
+            member = np.zeros(len(v), dtype=bool)
+        if ks.dtype.kind in "iu":
+            res = np.where(member, v, np.int64(other))
+            arr = pa.array(res, pa.int64())
+        else:
+            res = np.where(member, v, str(other))
+            arr = pa.array(res, pa.string())
+        return batch.append_column(out, arr)
+
+    return ds.map_batches(rewrite, batch_format="pyarrow", zero_copy_batch=True, **remote_args())

@@ -1401,3 +1401,73 @@ def ewma_over(ds, key: str = "user_id", order_col: str = "ts",
     return pinned.map_batches(
         finish, batch_size=None, batch_format="pyarrow", zero_copy_batch=True, **remote_args()
     )
+
+
+def first_per_window(ds, key_cols: list[str], ts_col: str, window_sec: int,
+                     tiebreak_col: str):
+    """Ingest-time event dedup: keep the EARLIEST row per (keys, tumbling
+    window) — "one signup event per user per hour", the at-least-once
+    stream compaction rule. Ties on ts break by smallest ``tiebreak_col``
+    (must be unique within a tie set), so the survivor is deterministic on
+    any plan — SQL ``row_number() OVER (PARTITION BY keys, window ORDER BY
+    ts, tiebreak) = 1`` verbatim.
+
+    Scale shape (the `latest_by_key` plan): each block reduces LOCALLY to
+    one row per (keys, window) via one Arrow sort + head-of-run take, so
+    the global groupby ships at most |cells-per-block| rows; each group
+    then picks its min (ts, tiebreak) lexicographically. Appends a
+    ``window`` column (epoch-micros window start, exact ints)."""
+    import numpy as np
+    import pandas as pd
+
+    win_us = int(window_sec) * 1_000_000
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col].to_numpy(zero_copy_only=False).astype("datetime64[us]").view("i8")
+        win = (ts // win_us) * win_us
+        return batch.append_column("window", pa.array(win, pa.int64()))
+
+    keys = list(key_cols) + ["window"]
+
+    def local_first(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows:
+            return batch
+        sort_keys = [(k, "ascending") for k in keys] + [
+            (ts_col, "ascending"), (tiebreak_col, "ascending")]
+        s = batch.take(pc.sort_indices(batch, sort_keys=sort_keys))
+        same = np.ones(len(s), dtype=bool)
+        first = np.zeros(len(s), dtype=bool)
+        first[0] = True
+        for k in keys:
+            v = s[k].to_numpy(zero_copy_only=False)
+            same[1:] &= v[1:] == v[:-1]
+        # a full (keys, ts, tiebreak) duplicate would be collapsed silently
+        # here, invisible to the global tie check — catch it before reducing
+        full = same.copy()
+        for k in (ts_col, tiebreak_col):
+            v = s[k].to_numpy(zero_copy_only=False)
+            full[1:] &= v[1:] == v[:-1]
+        if full[1:].any():
+            raise ValueError(
+                f"first_per_window: duplicate (keys, {ts_col}, {tiebreak_col}) rows "
+                "— the survivor would be arbitrary"
+            )
+        first[1:] = ~same[1:]
+        return s.filter(pa.array(first))
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((g[tiebreak_col].to_numpy(), g[ts_col].to_numpy()))
+        if len(order) > 1:
+            a, b = g.iloc[int(order[0])], g.iloc[int(order[1])]
+            if a[ts_col] == b[ts_col] and a[tiebreak_col] == b[tiebreak_col]:
+                raise ValueError(
+                    f"first_per_window: duplicate ({ts_col}, {tiebreak_col}) = "
+                    f"({a[ts_col]!r}, {a[tiebreak_col]!r}) — the survivor would be arbitrary"
+                )
+        return g.iloc[[int(order[0])]]
+
+    local = (
+        ds.map_batches(add_window, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .map_batches(local_first, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    )
+    return local.groupby(keys).map_groups(pick, batch_format="pandas", **remote_args())

@@ -3993,3 +3993,71 @@ def test_trigram_lm_score(ray_session):
     # plan invariance: different layout -> bit-identical scores
     scored2 = trigram_lm_score(ds.repartition(9), lm).to_pandas().sort_values("doc_id")
     assert (scored2["lm_score"].to_numpy() == scored["lm_score"].to_numpy()).all()
+
+
+def test_first_per_window(ray_session):
+    import duckdb
+    import ray.data
+
+    from orc_format_ray.ops.windows import first_per_window
+
+    rng = np.random.default_rng(139)
+    n = 3000
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 40, n),
+        "event_type": rng.choice(["a", "b"], n),
+        "ts": pd.to_datetime(rng.integers(0, 86_400_000_000, n), unit="us"),
+    })
+    ds = ray.data.from_pandas(df).repartition(6)
+    out = first_per_window(ds, ["user_id", "event_type"], "ts", 3600, "event_id").to_pandas()
+    ref = duckdb.sql(
+        "SELECT event_id FROM (SELECT event_id, row_number() OVER "
+        "(PARTITION BY user_id, event_type, epoch_us(ts) // 3600000000 "
+        "ORDER BY ts, event_id) rn FROM df) WHERE rn = 1"
+    ).df()
+    assert sorted(out["event_id"]) == sorted(ref["event_id"])
+    assert (out["window"].to_numpy() % 3_600_000_000 == 0).all()
+    # duplicate (keys, ts, tiebreak) fails loudly
+    import pytest
+
+    dup = pd.concat([df.head(2), df.head(2)], ignore_index=True)
+    with pytest.raises(Exception, match="arbitrary|duplicate"):
+        first_per_window(ray.data.from_pandas(dup), ["user_id", "event_type"],
+                         "ts", 3600, "event_id").to_pandas()
+
+
+def test_collapse_rare(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.etl import collapse_rare
+
+    rng = np.random.default_rng(149)
+    vals = np.r_[np.repeat(np.arange(5, dtype=np.int64), 100), np.arange(1000, 1060, dtype=np.int64)]
+    df = pd.DataFrame({"i": np.arange(len(vals), dtype=np.int64), "v": vals})
+    ds = ray.data.from_pandas(df).repartition(5)
+    out = collapse_rare(ds, "v", min_count=50, other=-1).to_pandas().sort_values("i")
+    want = np.where(vals < 5, vals, -1)
+    assert (out["v_collapsed"].to_numpy() == want).all()
+    # string columns
+    sdf = pd.DataFrame({"s": ["x"] * 10 + ["y"] * 2})
+    o = collapse_rare(ray.data.from_pandas(sdf), "s", min_count=5, other="(other)").to_pandas()
+    assert set(o["s_collapsed"]) == {"x", "(other)"}
+
+
+def test_group_vocab_jaccard(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.basket import group_vocab_jaccard
+
+    df = pd.DataFrame({
+        "source": ["s1", "s1", "s2", "s3"],
+        "text": ["a b c", "c d", "b c e", "z z z"],
+    })
+    out = group_vocab_jaccard(ray.data.from_pandas(df).repartition(2))
+    out = out.set_index(["source_a", "source_b"])
+    # s1 vocab {a,b,c,d} (4), s2 {b,c,e} (3), s3 {z} (1)
+    r = out.loc[("s1", "s2")]
+    assert (r["inter"], r["na"], r["nb"]) == (2, 4, 3)
+    assert r["jaccard"] == 2 / 5
+    assert ("s1", "s3") not in out.index  # zero intersection -> no pair row
