@@ -1439,6 +1439,19 @@ def _q_anti_join_streaming_lineitem(sf_dir: str):
     return df.sort_values("l_returnflag").reset_index(drop=True)
 
 
+def _q_spelling_variants_documents(sf_dir: str):
+    """Typo mining: vocabulary word pairs at edit distance <= 1 via FastSS
+    deletion-neighborhood blocking (corpus reduces to distinct words first;
+    candidates verified exactly — no all-pairs)
+    (ops/text.py:spelling_variants)."""
+    import ray.data
+
+    from orc_format_ray.ops.text import spelling_variants
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return spelling_variants(ds, column="text", min_len=4)
+
+
 def _q_first_per_window_events(sf_dir: str):
     """Ingest event dedup: earliest event per (user, type, hour) — local
     head-of-run reduce per block, then one cell groupby; survivor rule =
@@ -3566,6 +3579,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hhi_source_by_lang": _q_hhi_source_by_lang,
         "regression_quantity_price": _q_regression_quantity_price,
         "mad_outliers_extendedprice": _q_mad_outliers_extendedprice,
+        "spelling_variants_documents": _q_spelling_variants_documents,
         "first_per_window_events": _q_first_per_window_events,
         "collapse_rare_users": _q_collapse_rare_users,
         "source_vocab_jaccard": _q_source_vocab_jaccard,
@@ -4341,6 +4355,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem l WHERE NOT EXISTS "
             "(SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey AND o.o_totalprice > 300000.0) "
             "GROUP BY 1 ORDER BY 1"
+        ),
+        "spelling_variants_documents": (
+            "WITH v AS (SELECT DISTINCT w FROM "
+            "(SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents) "
+            "WHERE len(w) >= 4) "
+            "SELECT a.w AS w1, b.w AS w2 FROM v a JOIN v b "
+            "ON a.w < b.w AND levenshtein(a.w, b.w) <= 1 ORDER BY 1, 2"
         ),
         "first_per_window_events": (
             "SELECT event_id, user_id, event_type, "

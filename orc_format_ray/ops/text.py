@@ -764,3 +764,112 @@ def trigram_lm_score(ds, lm, column: str = "text", out: str = "lm_score"):
         return batch.append_column(out, pa.array(mean, pa.float64()))
 
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+
+
+def _deletion_variants(words: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """FastSS deletion neighborhood: for each word, itself plus every
+    single-character deletion. Returns (variant strings, word index per
+    variant). Vectorized per (length) class — the Python loop is over
+    distinct LENGTHS and deletion positions, never over words."""
+    out_v: list[np.ndarray] = []
+    out_i: list[np.ndarray] = []
+    lens = np.char.str_len(words.astype(str))
+    words = words.astype(str)
+    idx_all = np.arange(len(words), dtype=np.int64)
+    out_v.append(words)  # the word itself (covers pure insert/delete pairs)
+    out_i.append(idx_all)
+    for L in np.unique(lens):
+        if L < 2:
+            continue
+        sel = idx_all[lens == L]
+        w = words[sel]
+        # (n, L) char matrix
+        m = w.view("U1").reshape(len(w), -1)[:, :L]
+        for i in range(L):
+            var = np.hstack([m[:, :i], m[:, i + 1:]]).view(f"U{L-1}").ravel()
+            out_v.append(var)
+            out_i.append(sel)
+    return np.concatenate(out_v), np.concatenate(out_i)
+
+
+def _editdist1(a: str, b: str) -> bool:
+    """Exact edit-distance <= 1 check (lengths differ by at most 1)."""
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) <= 1
+    if abs(la - lb) != 1:
+        return False
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+def spelling_variants(ds, column: str = "text", min_len: int = 4,
+                      max_vocab: int = 1 << 24):
+    """Typo/spelling-variant pairs in the corpus vocabulary: distinct word
+    pairs at edit distance <= 1 (substitution, insertion, or deletion) —
+    normalization-table mining for noisy web text. Words shorter than
+    ``min_len`` are skipped (short words collide constantly and aren't
+    typos).
+
+    Scale shape: the corpus reduces to its DISTINCT vocabulary first (the
+    `vocab_topk` metadata plan — raw text never shuffles; guarded at
+    ``max_vocab``); the FastSS deletion neighborhood blocks candidates
+    (|word|+1 variants per word, vectorized per length class), one
+    variant-bucket groupby pairs them, and each candidate is verified with
+    the exact edit-distance-1 check — no all-pairs anywhere. Returns a
+    driver DataFrame (w1, w2) with w1 < w2."""
+    import pandas as pd
+    from ray.data.aggregate import Count
+
+    from .._rayutil import remote_args
+
+    def vocab_cells(batch: pa.Table) -> pa.Table:
+        t = batch[column]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        words = pc.split_pattern_regex(pc.utf8_trim_whitespace(t), r"\s+")
+        flat = pc.list_flatten(words)
+        flat = flat.filter(pc.greater_equal(pc.utf8_length(flat), min_len))
+        return pa.table({"w": flat.unique()})
+
+    vocab_ds = (
+        ds.map_batches(vocab_cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby("w")
+        .aggregate(Count(alias_name="_n"))
+    )
+
+    def variants(batch: pa.Table) -> pa.Table:
+        w = batch["w"].to_numpy(zero_copy_only=False).astype(str)
+        if len(w) > max_vocab:
+            raise ValueError(f"spelling_variants: vocab block {len(w)} > {max_vocab}")
+        v, i = _deletion_variants(w)
+        return pa.table({"variant": pa.array(v), "word": pa.array(w[i])})
+
+    var_ds = vocab_ds.map_batches(variants, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+
+    def pair_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ws = np.unique(g["word"].to_numpy().astype(str))
+        if len(ws) > 4096:
+            raise ValueError(
+                f"spelling_variants: variant bucket {g['variant'].iloc[0]!r} holds "
+                f"{len(ws)} words — raise min_len to block the hot collisions"
+            )
+        if len(ws) < 2:
+            return pd.DataFrame({"w1": pd.Series(dtype=str), "w2": pd.Series(dtype=str)})
+        a, b = np.triu_indices(len(ws), k=1)
+        keep = [(ws[x], ws[y]) for x, y in zip(a, b) if _editdist1(ws[x], ws[y])]
+        if not keep:
+            return pd.DataFrame({"w1": pd.Series(dtype=str), "w2": pd.Series(dtype=str)})
+        return pd.DataFrame(keep, columns=["w1", "w2"])
+
+    pairs = var_ds.groupby("variant").map_groups(pair_bucket, batch_format="pandas", **remote_args())
+    df = pairs.to_pandas()
+    if len(df) == 0:
+        return pd.DataFrame({"w1": pd.Series(dtype=str), "w2": pd.Series(dtype=str)})
+    return df.drop_duplicates().sort_values(["w1", "w2"]).reset_index(drop=True)

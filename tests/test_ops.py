@@ -4061,3 +4061,26 @@ def test_group_vocab_jaccard(ray_session):
     assert (r["inter"], r["na"], r["nb"]) == (2, 4, 3)
     assert r["jaccard"] == 2 / 5
     assert ("s1", "s3") not in out.index  # zero intersection -> no pair row
+
+
+def test_spelling_variants(ray_session):
+    import duckdb
+    import ray.data
+
+    from orc_format_ray.ops.text import spelling_variants
+
+    df = pd.DataFrame({
+        "text": [
+            "table tabel merge merga merge",
+            "query quory stream steam",
+            "window window unrelated",
+        ]
+    })
+    out = spelling_variants(ray.data.from_pandas(df).repartition(2), min_len=4)
+    got = set(map(tuple, out[["w1", "w2"]].to_numpy()))
+    ref = duckdb.sql(
+        "WITH v AS (SELECT DISTINCT w FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) w FROM df) WHERE len(w) >= 4) "
+        "SELECT a.w, b.w FROM v a JOIN v b ON a.w < b.w AND levenshtein(a.w, b.w) <= 1"
+    ).fetchall()
+    assert got == set(map(tuple, ref)), (got, set(map(tuple, ref)))
+    assert ("steam", "stream") in got and ("merga", "merge") in got
