@@ -1439,6 +1439,56 @@ def _q_anti_join_streaming_lineitem(sf_dir: str):
     return df.sort_values("l_returnflag").reset_index(drop=True)
 
 
+def _q_bucketed_join_lineitem_orders(sf_dir: str):
+    """Bucketed-layout join: both tables materialize ONCE into Knuth-hash
+    key buckets (the only shuffle), then the join runs one task per bucket
+    with zero exchange — the repeated-join pattern where the stored layout
+    amortizes the shuffle (ops/join.py:write_bucketed / bucketed_join)."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from orc_format_ray.ops.join import bucketed_join, write_bucketed
+
+    scratch = "/tmp/orc_format_ray_scratch/bucketed_join"
+    shutil.rmtree(scratch, ignore_errors=True)
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity", "l_returnflag"]
+    )
+
+    def rn_li(b: pa.Table) -> pa.Table:
+        q = b["l_quantity"].to_numpy(zero_copy_only=False)
+        u = np.floor(q * 100 + 0.5).astype(np.int64)
+        return pa.table({"okey": b["l_orderkey"], "qty_units": pa.array(u, pa.int64()),
+                         "l_returnflag": b["l_returnflag"]})
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+
+    def rn_o(b: pa.Table) -> pa.Table:
+        return pa.table({"okey": b["o_orderkey"], "o_custkey": b["o_custkey"]})
+
+    write_bucketed(li.map_batches(rn_li, batch_format="pyarrow", zero_copy_batch=True, **_ra()),
+                   f"{scratch}/li", "okey", num_buckets=16)
+    write_bucketed(orders.map_batches(rn_o, batch_format="pyarrow", zero_copy_batch=True, **_ra()),
+                   f"{scratch}/o", "okey", num_buckets=16)
+    joined = bucketed_join(f"{scratch}/li", f"{scratch}/o", "okey")
+
+    def cells(b: pa.Table) -> pa.Table:
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"cust_bucket": pa.array(ck % 10, pa.int64()),
+                         "l_returnflag": b["l_returnflag"],
+                         "qty_units": b["qty_units"]})
+
+    out = (
+        joined.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **_ra())
+        .groupby(["cust_bucket", "l_returnflag"])
+        .aggregate(Count(alias_name="cnt"), Sum("qty_units", alias_name="sum_qty_units"))
+    )
+    df = out.to_pandas()
+    df["sum_qty_units"] = df["sum_qty_units"].astype("int64")
+    return df.sort_values(["cust_bucket", "l_returnflag"]).reset_index(drop=True)
+
+
 def _q_spelling_variants_documents(sf_dir: str):
     """Typo mining: vocabulary word pairs at edit distance <= 1 via FastSS
     deletion-neighborhood blocking (corpus reduces to distinct words first;
@@ -3579,6 +3629,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hhi_source_by_lang": _q_hhi_source_by_lang,
         "regression_quantity_price": _q_regression_quantity_price,
         "mad_outliers_extendedprice": _q_mad_outliers_extendedprice,
+        "bucketed_join_lineitem_orders": _q_bucketed_join_lineitem_orders,
         "spelling_variants_documents": _q_spelling_variants_documents,
         "first_per_window_events": _q_first_per_window_events,
         "collapse_rare_users": _q_collapse_rare_users,
@@ -4355,6 +4406,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem l WHERE NOT EXISTS "
             "(SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey AND o.o_totalprice > 300000.0) "
             "GROUP BY 1 ORDER BY 1"
+        ),
+        "bucketed_join_lineitem_orders": (
+            "SELECT o.o_custkey % 10 AS cust_bucket, l.l_returnflag, count(*) AS cnt, "
+            "CAST(sum(CAST(floor(l.l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_units "
+            "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         "spelling_variants_documents": (
             "WITH v AS (SELECT DISTINCT w FROM "

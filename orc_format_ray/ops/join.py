@@ -674,3 +674,108 @@ def interval_join(left_ds, right_ds, key: str, lo_col: str = "lo", hi_col: str =
         .groupby("_bucket")
         .map_groups(match, batch_format="pandas", **remote_args())
     )
+
+
+def write_bucketed(ds, path: str, key: str, num_buckets: int = 64):
+    """Materialize a Dataset as a KEY-BUCKETED parquet layout:
+    ``bucket-{b:05d}/part-*.parquet`` with bucket = Knuth-hash(key) mod B —
+    pay the co-location shuffle ONCE at layout time, then every later
+    `bucketed_join` / semi-filter on the same key runs with ZERO shuffle
+    (the promise in this module's docstring). Integer keys only; nulls are
+    rejected (they have no bucket). Writes an atomic `_buckets.json`
+    manifest (num_buckets, key) so readers can't probe with a mismatched
+    bucket count. Returns the manifest dict.
+    """
+    import json
+    import os
+
+    from ..ops.sample import knuth_hash
+
+    def tag(batch: pa.Table) -> pa.Table:
+        k = batch[key].combine_chunks()
+        if k.null_count:
+            raise ValueError(f"write_bucketed: {key!r} contains nulls")
+        b = (knuth_hash(k.to_numpy(zero_copy_only=False)) % np.uint64(num_buckets)).astype(np.int64)
+        return batch.append_column("__bucket__", pa.array(b))
+
+    os.makedirs(path, exist_ok=True)
+
+    def write_bucket(g) -> "pa.Table":
+        import pyarrow.parquet as pq
+
+        b = int(g["__bucket__"].iloc[0])
+        tbl = pa.Table.from_pandas(g.drop(columns="__bucket__"), preserve_index=False)
+        d = os.path.join(path, f"bucket-{b:05d}")
+        os.makedirs(d, exist_ok=True)
+        f = os.path.join(d, f"part-{os.getpid()}-{b:05d}.parquet")
+        tmp = f + ".tmp"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, f)
+        import pandas as pd
+
+        return pd.DataFrame({"bucket": [b], "rows": [len(g)]})
+
+    written = (
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby("__bucket__")
+        .map_groups(write_bucket, batch_format="pandas", **remote_args())
+        .to_pandas()
+    )
+    manifest = {"num_buckets": num_buckets, "key": key,
+                "rows": int(written["rows"].sum()) if len(written) else 0}
+    tmp = os.path.join(path, "_buckets.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(path, "_buckets.json"))
+    return manifest
+
+
+def bucketed_join(path_a: str, path_b: str, key: str, how: str = "inner",
+                  suffix: str = "_r"):
+    """Join two `write_bucketed` layouts sharing a key WITHOUT ANY SHUFFLE:
+    one task per bucket reads both sides' bucket directories (co-located by
+    construction) and joins locally — the repeated-join pattern where the
+    layout amortizes the exchange. Bucket counts and keys must match
+    (checked against the manifests). Returns a Dataset of joined rows.
+    """
+    import json
+    import os
+
+    import ray.data
+
+    man_a = json.load(open(os.path.join(path_a, "_buckets.json")))
+    man_b = json.load(open(os.path.join(path_b, "_buckets.json")))
+    if man_a["num_buckets"] != man_b["num_buckets"]:
+        raise ValueError(
+            f"bucket count mismatch: {man_a['num_buckets']} vs {man_b['num_buckets']} — "
+            "re-bucket one side; probing across mismatched layouts joins garbage"
+        )
+    if man_a["key"] != key or man_b["key"] != key:
+        raise ValueError(f"layouts were bucketed on {man_a['key']!r}/{man_b['key']!r}, not {key!r}")
+    if how not in ("inner", "left"):
+        raise ValueError(f"how={how!r}")
+    B = man_a["num_buckets"]
+
+    def join_bucket(batch: pa.Table):
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        for b in batch["b"].to_pylist():
+            fa = sorted(_glob.glob(os.path.join(path_a, f"bucket-{b:05d}", "*.parquet")))
+            fb = sorted(_glob.glob(os.path.join(path_b, f"bucket-{b:05d}", "*.parquet")))
+            if not fa or (how == "inner" and not fb):
+                continue
+            da = pa.concat_tables([pq.read_table(f) for f in fa]).to_pandas()
+            if fb:
+                db = pa.concat_tables([pq.read_table(f) for f in fb]).to_pandas()
+                res = da.merge(db, on=key, how=how, suffixes=("", suffix))
+            else:  # left join, right bucket absent
+                res = da
+            if len(res):
+                yield pa.Table.from_pandas(res, preserve_index=False)
+
+    buckets = ray.data.from_arrow(pa.table({"b": pa.array(range(B), pa.int64())}))
+    return buckets.repartition(B).map_batches(
+        join_bucket, batch_format="pyarrow", **remote_args()
+    )

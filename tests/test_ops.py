@@ -4084,3 +4084,35 @@ def test_spelling_variants(ray_session):
     ).fetchall()
     assert got == set(map(tuple, ref)), (got, set(map(tuple, ref)))
     assert ("steam", "stream") in got and ("merga", "merge") in got
+
+
+def test_bucketed_layout_join(ray_session, tmp_path):
+    import ray.data
+
+    from orc_format_ray.ops.join import bucketed_join, write_bucketed
+
+    rng = np.random.default_rng(151)
+    left = pd.DataFrame({"k": rng.integers(0, 300, 2000), "lv": np.arange(2000, dtype=np.int64)})
+    right = pd.DataFrame({"k": np.arange(0, 200, dtype=np.int64), "rv": np.arange(200, dtype=np.int64) * 10})
+    pa_dir, pb_dir = str(tmp_path / "a"), str(tmp_path / "b")
+    ma = write_bucketed(ray.data.from_pandas(left).repartition(4), pa_dir, "k", num_buckets=8)
+    mb = write_bucketed(ray.data.from_pandas(right).repartition(3), pb_dir, "k", num_buckets=8)
+    assert ma["rows"] == 2000 and mb["rows"] == 200
+    out = bucketed_join(pa_dir, pb_dir, "k").to_pandas()
+    ref = left.merge(right, on="k", how="inner")
+    assert len(out) == len(ref)
+    got = out.sort_values(["lv"]).reset_index(drop=True)
+    want = ref.sort_values(["lv"]).reset_index(drop=True)
+    for c in ("k", "lv", "rv"):
+        assert (got[c].to_numpy() == want[c].to_numpy()).all()
+    # left join keeps unmatched left rows with NaN right cols
+    lo = bucketed_join(pa_dir, pb_dir, "k", how="left").to_pandas()
+    assert len(lo) == 2000
+    assert lo["rv"].isna().sum() == (left["k"] >= 200).sum()
+    # mismatched bucket counts refuse loudly
+    import pytest
+
+    pc_dir = str(tmp_path / "c")
+    write_bucketed(ray.data.from_pandas(right), pc_dir, "k", num_buckets=4)
+    with pytest.raises(ValueError, match="mismatch"):
+        bucketed_join(pa_dir, pc_dir, "k")
