@@ -1439,6 +1439,33 @@ def _q_anti_join_streaming_lineitem(sf_dir: str):
     return df.sort_values("l_returnflag").reset_index(drop=True)
 
 
+def _q_time_rollup_events(sf_dir: str):
+    """Hour/day/week rollup hierarchy from ONE corpus pass — coarser grains
+    re-aggregate the materialized finest cells (|hours| rows, never |rows|);
+    exact integer buckets and unit sums (ops/windows.py:time_rollup)."""
+    import ray.data
+
+    from orc_format_ray.ops.windows import time_rollup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+    df = time_rollup(ds, "ts", "value", value_scale=100).to_pandas()
+    df[["cnt", "sum_units"]] = df[["cnt", "sum_units"]].astype("int64")
+    return df.sort_values(["grain", "bucket"]).reset_index(drop=True)
+
+
+def _q_log_odds_words_sources(sf_dir: str):
+    """Differential vocabulary between sources src0 and src1: smoothed
+    log-odds over exact integer word counts — fixed float expression, libm
+    ln, bitwise SQL parity (ops/text.py:log_odds_words)."""
+    import ray.data
+
+    from orc_format_ray.ops.text import log_odds_words
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    df = log_odds_words(ds, group="source", a="src0", b="src1", min_count=10)
+    return df
+
+
 def _q_bucketed_join_lineitem_orders(sf_dir: str):
     """Bucketed-layout join: both tables materialize ONCE into Knuth-hash
     key buckets (the only shuffle), then the join runs one task per bucket
@@ -3629,6 +3656,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hhi_source_by_lang": _q_hhi_source_by_lang,
         "regression_quantity_price": _q_regression_quantity_price,
         "mad_outliers_extendedprice": _q_mad_outliers_extendedprice,
+        "time_rollup_events": _q_time_rollup_events,
+        "log_odds_words_sources": _q_log_odds_words_sources,
         "bucketed_join_lineitem_orders": _q_bucketed_join_lineitem_orders,
         "spelling_variants_documents": _q_spelling_variants_documents,
         "first_per_window_events": _q_first_per_window_events,
@@ -4406,6 +4435,28 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem l WHERE NOT EXISTS "
             "(SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey AND o.o_totalprice > 300000.0) "
             "GROUP BY 1 ORDER BY 1"
+        ),
+        "time_rollup_events": (
+            "WITH u AS (SELECT epoch_us(ts) AS us, "
+            "CAST(floor(value*100 + 0.5) AS BIGINT) AS units FROM events) "
+            "SELECT 'hour' AS grain, (us // 3600000000) * 3600000000 AS bucket, "
+            "count(*) AS cnt, CAST(sum(units) AS BIGINT) AS sum_units FROM u GROUP BY 2 "
+            "UNION ALL SELECT 'day', (us // 86400000000) * 86400000000, count(*), "
+            "CAST(sum(units) AS BIGINT) FROM u GROUP BY 2 "
+            "UNION ALL SELECT 'week', (us // 604800000000) * 604800000000, count(*), "
+            "CAST(sum(units) AS BIGINT) FROM u GROUP BY 2 ORDER BY 1, 2"
+        ),
+        "log_odds_words_sources": (
+            "WITH wc AS (SELECT source, w, count(*) AS c FROM "
+            "(SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents "
+            "WHERE source IN ('src0', 'src1')) WHERE w <> '' GROUP BY 1, 2), "
+            "wide AS (SELECT w, CAST(coalesce(sum(c) FILTER (source = 'src0'), 0) AS BIGINT) AS ca, "
+            "CAST(coalesce(sum(c) FILTER (source = 'src1'), 0) AS BIGINT) AS cb FROM wc GROUP BY 1), "
+            "tot AS (SELECT CAST(sum(ca) AS BIGINT) AS A, CAST(sum(cb) AS BIGINT) AS B FROM wide) "
+            "SELECT w AS word, ca, cb, "
+            "ln((CAST(ca AS DOUBLE) + 0.5) / (CAST(A - ca AS DOUBLE) + 0.5)) - "
+            "ln((CAST(cb AS DOUBLE) + 0.5) / (CAST(B - cb AS DOUBLE) + 0.5)) AS log_odds "
+            "FROM wide, tot WHERE ca + cb >= 10 ORDER BY 1"
         ),
         "bucketed_join_lineitem_orders": (
             "SELECT o.o_custkey % 10 AS cust_bucket, l.l_returnflag, count(*) AS cnt, "

@@ -873,3 +873,63 @@ def spelling_variants(ds, column: str = "text", min_len: int = 4,
     if len(df) == 0:
         return pd.DataFrame({"w1": pd.Series(dtype=str), "w2": pd.Series(dtype=str)})
     return df.drop_duplicates().sort_values(["w1", "w2"]).reset_index(drop=True)
+
+
+def log_odds_words(ds, group: str, a: str, b: str, column: str = "text",
+                   min_count: int = 10):
+    """Differential vocabulary: per-word smoothed log-odds ratio between
+    two corpus slices — "what words distinguish source A from B", the
+    mixture/contamination forensics view. Counts are exact int64 from one
+    metadata (word, group) groupby (raw text never shuffles); the score
+
+        lo = ln((ca + 0.5) / (A - ca + 0.5)) - ln((cb + 0.5) / (B - cb + 0.5))
+
+    is a FIXED float expression over exact ints (libm ln both engines) —
+    bitwise-equal to the SQL oracle. Words with total count < ``min_count``
+    across both slices drop. Returns a driver DataFrame
+    ``(word, ca, cb, log_odds)`` sorted by word."""
+    import math
+
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from .._rayutil import remote_args
+
+    def cells(batch: pa.Table) -> pa.Table:
+        g = batch[group].combine_chunks()
+        keep = pc.is_in(g, value_set=pa.array([a, b]))
+        sub = batch.filter(keep)
+        t = sub[column]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        words = pc.split_pattern_regex(pc.utf8_trim_whitespace(t), r"\s+")
+        counts = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(words)
+        gg = sub[group].combine_chunks().take(
+            pa.array(np.repeat(np.arange(len(counts)), counts), pa.int64())
+        )
+        tbl = pa.table({"w": flat, "g": gg}).filter(pc.greater(pc.utf8_length(flat), 0))
+        out = tbl.group_by(["w", "g"]).aggregate([([], "count_all")])
+        return out.rename_columns(["w", "g", "c"])
+
+    dist = (
+        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby(["w", "g"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    wide = dist.pivot_table(index="w", columns="g", values="c",
+                            aggfunc="sum", fill_value=0)
+    ca = wide[a].to_numpy(dtype=np.int64) if a in wide else np.zeros(len(wide), np.int64)
+    cb = wide[b].to_numpy(dtype=np.int64) if b in wide else np.zeros(len(wide), np.int64)
+    A, B = int(ca.sum()), int(cb.sum())  # totals over the FULL slices, pre-filter
+    keep = (ca + cb) >= min_count
+    words = wide.index.to_numpy().astype(str)[keep]
+    ca, cb = ca[keep], cb[keep]
+    # mirrored op-for-op by the SQL oracle (math.log per word — libm ln)
+    lo = np.array([
+        math.log((int(x) + 0.5) / (A - int(x) + 0.5)) - math.log((int(y) + 0.5) / (B - int(y) + 0.5))
+        for x, y in zip(ca, cb)
+    ], dtype=np.float64) if len(ca) else np.zeros(0, np.float64)
+    out = pd.DataFrame({"word": words, "ca": ca, "cb": cb, "log_odds": lo})
+    return out.sort_values("word").reset_index(drop=True)

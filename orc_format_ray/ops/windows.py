@@ -1471,3 +1471,68 @@ def first_per_window(ds, key_cols: list[str], ts_col: str, window_sec: int,
         .map_batches(local_first, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
     )
     return local.groupby(keys).map_groups(pick, batch_format="pandas", **remote_args())
+
+
+def time_rollup(ds, ts_col: str, value_col: str, value_scale: int = 100,
+                grains: tuple = (("hour", 3_600_000_000),
+                                 ("day", 86_400_000_000),
+                                 ("week", 604_800_000_000))):
+    """Multi-granularity time rollup in ONE corpus pass: per-batch cells at
+    the FINEST grain only, one groupby, then coarser grains re-aggregate
+    from the materialized finest cells (|hours| rows, not |rows|) — the
+    rollup-hierarchy trick (`ops/agg.rollup`) applied to time. All buckets
+    are exact integer epoch-micros floors; sums are exact units. Returns a
+    Dataset of ``(grain, bucket, cnt, sum_units)`` over all grains.
+    """
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    grains = list(grains)
+    if not grains or any(g[1] <= 0 for g in grains):
+        raise ValueError("grains must be (name, positive micros) pairs")
+    grains.sort(key=lambda g: g[1])
+    finest_name, finest_us = grains[0]
+    for name, us in grains[1:]:
+        if us % finest_us:
+            raise ValueError(
+                f"grain {name!r} ({us}) is not a multiple of the finest ({finest_us}) — "
+                "coarser cells could not re-aggregate exactly"
+            )
+
+    def cells(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col].to_numpy(zero_copy_only=False).astype("datetime64[us]").view("i8")
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        u = np.floor(v * value_scale + 0.5).astype(np.int64)
+        b = (ts // finest_us) * finest_us
+        t = pa.table({"bucket": pa.array(b), "n": pa.array(np.ones(len(b), np.int64)),
+                      "s": pa.array(u)})
+        out = t.group_by("bucket").aggregate([("n", "sum"), ("s", "sum")])
+        return out.rename_columns(["bucket", "cnt", "sum_units"])
+
+    finest = (
+        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby("bucket")
+        .aggregate(Sum("cnt", alias_name="cnt"), Sum("sum_units", alias_name="sum_units"))
+        .materialize()  # |finest buckets| rows; re-read per coarser grain
+    )
+
+    def tag(name: str, us: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            b = batch["bucket"].to_numpy(zero_copy_only=False)
+            g = (b // us) * us
+            return pa.table({"grain": pa.array([name] * len(b), pa.string()),
+                             "bucket": pa.array(g, pa.int64()),
+                             "cnt": batch["cnt"], "sum_units": batch["sum_units"]})
+
+        return fn
+
+    outs = []
+    for name, us in grains:
+        lvl = finest.map_batches(tag(name, us), batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        lvl = lvl.groupby(["grain", "bucket"]).aggregate(
+            Sum("cnt", alias_name="cnt"), Sum("sum_units", alias_name="sum_units"))
+        outs.append(lvl)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.union(o)
+    return out

@@ -4116,3 +4116,63 @@ def test_bucketed_layout_join(ray_session, tmp_path):
     write_bucketed(ray.data.from_pandas(right), pc_dir, "k", num_buckets=4)
     with pytest.raises(ValueError, match="mismatch"):
         bucketed_join(pa_dir, pc_dir, "k")
+
+
+def test_time_rollup(ray_session):
+    import duckdb
+    import ray.data
+
+    from orc_format_ray.ops.windows import time_rollup
+
+    rng = np.random.default_rng(157)
+    n = 4000
+    df = pd.DataFrame({
+        "ts": pd.to_datetime(rng.integers(0, 14 * 86_400_000_000, n), unit="us"),
+        "value": rng.uniform(0, 100, n),
+    })
+    ds = ray.data.from_pandas(df).repartition(5)
+    out = time_rollup(ds, "ts", "value").to_pandas()
+    ref = duckdb.sql(
+        "WITH u AS (SELECT epoch_us(ts) us, CAST(floor(value*100 + 0.5) AS BIGINT) units FROM df) "
+        "SELECT 'hour' g, (us // 3600000000) * 3600000000 b, count(*) c, CAST(sum(units) AS BIGINT) s FROM u GROUP BY 2 "
+        "UNION ALL SELECT 'day', (us // 86400000000) * 86400000000, count(*), CAST(sum(units) AS BIGINT) FROM u GROUP BY 2 "
+        "UNION ALL SELECT 'week', (us // 604800000000) * 604800000000, count(*), CAST(sum(units) AS BIGINT) FROM u GROUP BY 2"
+    ).df()
+    got = out.sort_values(["grain", "bucket"]).reset_index(drop=True)
+    want = ref.sort_values(["g", "b"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    assert (got["grain"].values == want["g"].values).all()
+    assert (got["bucket"].values == want["b"].values).all()
+    assert (got["cnt"].values == want["c"].values).all()
+    assert (got["sum_units"].values == want["s"].values).all()
+    # non-multiple grain rejected
+    import pytest
+
+    with pytest.raises(ValueError, match="multiple"):
+        time_rollup(ds, "ts", "value", grains=(("a", 3), ("b", 7))).to_pandas()
+
+
+def test_log_odds_words(ray_session):
+    import math
+
+    import ray.data
+
+    from orc_format_ray.ops.text import log_odds_words
+
+    df = pd.DataFrame({
+        "source": ["s1"] * 3 + ["s2"] * 3 + ["s3"],
+        "text": ["alpha alpha beta", "alpha gamma", "beta beta",
+                 "gamma gamma delta", "delta delta", "gamma",
+                 "ignored words here"],
+    })
+    out = log_odds_words(ray.data.from_pandas(df).repartition(3),
+                         group="source", a="s1", b="s2", min_count=1)
+    t = out.set_index("word")
+    # counts: s1: alpha3 beta3 gamma1 (A=7); s2: gamma3 delta3 (B=6)
+    assert (t.loc["alpha", "ca"], t.loc["alpha", "cb"]) == (3, 0)
+    assert (t.loc["gamma", "ca"], t.loc["gamma", "cb"]) == (1, 3)
+    A, B = 7, 6
+    want = math.log((3 + 0.5) / (A - 3 + 0.5)) - math.log((0 + 0.5) / (B - 0 + 0.5))
+    assert t.loc["alpha", "log_odds"] == want
+    assert t.loc["alpha", "log_odds"] > 0 > t.loc["delta", "log_odds"]
+    assert "ignored" not in t.index  # s3 rows excluded
