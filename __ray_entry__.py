@@ -1439,6 +1439,54 @@ def _q_anti_join_streaming_lineitem(sf_dir: str):
     return df.sort_values("l_returnflag").reset_index(drop=True)
 
 
+def _q_parquet_pushdown_shipdate(sf_dir: str):
+    """Ray-native parquet predicate pushdown: the shipdate range filter and
+    column projection are handed to read_parquet itself, so pruned row
+    groups never leave storage — the parquet-side mirror of the ORC
+    read_orc_filtered path."""
+    import pyarrow.dataset as pads
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    expr = (pads.field("l_shipdate") >= pa.scalar(np.datetime64("1997-01-01", "us"))) & (
+        pads.field("l_shipdate") < pa.scalar(np.datetime64("1998-01-01", "us"))
+    )
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_shipdate"],
+        filter=expr,
+    )
+
+    def units(b: pa.Table) -> pa.Table:
+        q = b["l_quantity"].to_numpy(zero_copy_only=False)
+        u = np.floor(q * 100 + 0.5).astype(np.int64)
+        return pa.table({"l_returnflag": b["l_returnflag"], "u": pa.array(u, pa.int64())})
+
+    out = (
+        ds.map_batches(units, batch_format="pyarrow", zero_copy_batch=True, **_ra())
+        .groupby("l_returnflag")
+        .aggregate(Count(alias_name="cnt"), Sum("u", alias_name="sum_qty_units"))
+    )
+    df = out.to_pandas()
+    df["sum_qty_units"] = df["sum_qty_units"].astype("int64")
+    return df.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def _q_label_centroid_cosine(sf_dir: str):
+    """Pairwise cosine between per-label embedding centroids (partial
+    vector sums per batch — rows never shuffle). Float-sum layout
+    sensitivity -> rows-only check; numpy-pinned unit tests
+    (ops/cluster.py:label_centroid_cosine)."""
+    import ray.data
+
+    from orc_format_ray.ops.cluster import label_centroid_cosine
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
+    df = label_centroid_cosine(ds, "label", "embedding")
+    df["cosine"] = np.round(df["cosine"].astype(np.float64), 6)
+    return df
+
+
 def _q_time_rollup_events(sf_dir: str):
     """Hour/day/week rollup hierarchy from ONE corpus pass — coarser grains
     re-aggregate the materialized finest cells (|hours| rows, never |rows|);
@@ -3656,6 +3704,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hhi_source_by_lang": _q_hhi_source_by_lang,
         "regression_quantity_price": _q_regression_quantity_price,
         "mad_outliers_extendedprice": _q_mad_outliers_extendedprice,
+        "parquet_pushdown_shipdate": _q_parquet_pushdown_shipdate,
+        "label_centroid_cosine": _q_label_centroid_cosine,
         "time_rollup_events": _q_time_rollup_events,
         "log_odds_words_sources": _q_log_odds_words_sources,
         "bucketed_join_lineitem_orders": _q_bucketed_join_lineitem_orders,
@@ -4435,6 +4485,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem l WHERE NOT EXISTS "
             "(SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey AND o.o_totalprice > 300000.0) "
             "GROUP BY 1 ORDER BY 1"
+        ),
+        "parquet_pushdown_shipdate": (
+            "SELECT l_returnflag, count(*) AS cnt, "
+            "CAST(sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_units "
+            "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+            "AND l_shipdate < TIMESTAMP '1998-01-01' GROUP BY 1 ORDER BY 1"
         ),
         "time_rollup_events": (
             "WITH u AS (SELECT epoch_us(ts) AS us, "

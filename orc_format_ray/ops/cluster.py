@@ -305,3 +305,58 @@ def cap_per_cluster(ds, centroids: np.ndarray, cap: int, *, col: str = "embeddin
 
     assigned = assign_clusters(ds, centroids, col=col)
     return stratified_sample(assigned, cap, stratum="cluster", key=id_col, salt=salt)
+
+
+def label_centroid_cosine(ds, label_col: str = "label", vec_col: str = "embedding"):
+    """Pairwise cosine similarity between per-label centroid embeddings —
+    the class-separation audit before using labels for curriculum or
+    eval splits. Per batch: one (label, vector-sum, count) partial per
+    label (float64 accumulation, |labels| x dim values move — never rows);
+    the driver folds partials in sorted-label order and emits the
+    |labels|^2/2 cosine matrix. Float sums are layout-sensitive at the
+    1-ulp level -> rows-only oracle; accuracy pinned by numpy tests.
+    Returns a driver DataFrame (label_a, label_b, cosine)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        emb = batch[vec_col].combine_chunks()
+        flat = pc.list_flatten(emb).to_numpy(zero_copy_only=False).astype(np.float64)
+        counts = pc.list_value_length(emb).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(np.unique(counts[counts >= 0])) > 1:
+            raise ValueError("label_centroid_cosine: ragged embedding lengths")
+        dim = int(counts[0]) if len(counts) else 0
+        labels = batch[label_col].to_numpy(zero_copy_only=False)
+        mat = flat.reshape(-1, dim) if dim else flat.reshape(0, 0)
+        out_l, out_s, out_n = [], [], []
+        for lv in np.unique(labels):
+            m = labels == lv
+            out_l.append(int(lv))
+            out_s.append(mat[m].sum(axis=0))
+            out_n.append(int(m.sum()))
+        return pa.table({
+            "label": pa.array(out_l, pa.int64()),
+            "s": pa.array([x.tolist() for x in out_s], pa.list_(pa.float64())),
+            "n": pa.array(out_n, pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args()).to_pandas()
+    if len(parts) == 0:
+        return pd.DataFrame({"label_a": pd.Series(dtype=np.int64),
+                             "label_b": pd.Series(dtype=np.int64),
+                             "cosine": pd.Series(dtype=np.float64)})
+    sums: dict[int, np.ndarray] = {}
+    ns: dict[int, int] = {}
+    for _, r in parts.sort_values("label").iterrows():
+        v = np.asarray(r["s"], dtype=np.float64)
+        sums[r["label"]] = sums.get(r["label"], 0) + v
+        ns[r["label"]] = ns.get(r["label"], 0) + int(r["n"])
+    labels = sorted(sums)
+    cents = {lv: sums[lv] / ns[lv] for lv in labels}
+    rows = []
+    for i, la in enumerate(labels):
+        for lb in labels[i + 1:]:
+            va, vb = cents[la], cents[lb]
+            denom = float(np.linalg.norm(va) * np.linalg.norm(vb))
+            rows.append((la, lb, float(va @ vb) / denom if denom else float("nan")))
+    return pd.DataFrame(rows, columns=["label_a", "label_b", "cosine"])

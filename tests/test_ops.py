@@ -4176,3 +4176,32 @@ def test_log_odds_words(ray_session):
     assert t.loc["alpha", "log_odds"] == want
     assert t.loc["alpha", "log_odds"] > 0 > t.loc["delta", "log_odds"]
     assert "ignored" not in t.index  # s3 rows excluded
+
+
+def test_label_centroid_cosine(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.cluster import label_centroid_cosine
+
+    rng = np.random.default_rng(163)
+    dim = 16
+    base = {0: rng.normal(0, 1, dim), 1: rng.normal(0, 1, dim), 2: None}
+    base[2] = base[0] * 2.0  # label 2 centroid parallel to label 0
+    rows = []
+    for lv, mu in base.items():
+        for _ in range(200):
+            rows.append((lv, (mu + rng.normal(0, 0.01, dim)).astype(np.float32)))
+    df = pd.DataFrame({"label": [r[0] for r in rows], "embedding": [r[1] for r in rows]})
+    tbl = pa.table({
+        "label": pa.array(df["label"].to_numpy(), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in df["embedding"]], pa.list_(pa.float32())),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(5)
+    out = label_centroid_cosine(ds, "label", "embedding").set_index(["label_a", "label_b"])
+    assert out.loc[(0, 2), "cosine"] > 0.999  # parallel centroids
+    # numpy reference within float tolerance
+    for (la, lb), r in out.iterrows():
+        ca = np.stack(df.loc[df["label"] == la, "embedding"]).astype(np.float64).mean(axis=0)
+        cb = np.stack(df.loc[df["label"] == lb, "embedding"]).astype(np.float64).mean(axis=0)
+        want = float(ca @ cb / (np.linalg.norm(ca) * np.linalg.norm(cb)))
+        assert abs(r["cosine"] - want) < 1e-9
