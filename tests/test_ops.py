@@ -3226,7 +3226,7 @@ def test_hash_join_left_outer(ray_session):
     a, b = out["rv"].to_numpy(), exp["rv"].to_numpy()
     assert ((a == b) | (np.isnan(a) & np.isnan(b))).all()
     with pytest.raises(ValueError, match="how"):
-        hash_join(lds, rds, "k", how="full")
+        hash_join(lds, rds, "k", how="right")
 
 
 def test_string_agg_by_group(ray_session):
