@@ -1439,6 +1439,46 @@ def _q_anti_join_streaming_lineitem(sf_dir: str):
     return df.sort_values("l_returnflag").reset_index(drop=True)
 
 
+def _q_webdataset_roundtrip(sf_dir: str):
+    """WebDataset tar-shard interchange: documents write into deterministic
+    size-budgeted tar shards (metadata-only shard assignment, no payload
+    shuffle) and read back sample-exact; the query returns per-source
+    counts + char sums of the ROUND-TRIPPED text, checked against SQL over
+    the original table (ops/webdataset.py)."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from orc_format_ray.ops.webdataset import read_webdataset, write_webdataset
+
+    scratch = "/tmp/orc_format_ray_scratch/webdataset"
+    shutil.rmtree(scratch, ignore_errors=True)
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text", "source"])
+    write_webdataset(docs, scratch, key_col="doc_id",
+                     columns={"text": "txt", "source": "cls"},
+                     samples_per_shard=128)
+    back = read_webdataset(scratch, {"text": "txt", "source": "cls"})
+
+    def cells(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        text = b["text"].cast(pa.string())
+        return pa.table({
+            "source": b["source"].cast(pa.string()),
+            "n_chars": pc.utf8_length(text).cast(pa.int64()),
+        })
+
+    out = (
+        back.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **_ra())
+        .groupby("source")
+        .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars"))
+    )
+    df = out.to_pandas()
+    df["sum_chars"] = df["sum_chars"].astype("int64")
+    return df.sort_values("source").reset_index(drop=True)
+
+
 def _q_parquet_pushdown_shipdate(sf_dir: str):
     """Ray-native parquet predicate pushdown: the shipdate range filter and
     column projection are handed to read_parquet itself, so pruned row
@@ -3704,6 +3744,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hhi_source_by_lang": _q_hhi_source_by_lang,
         "regression_quantity_price": _q_regression_quantity_price,
         "mad_outliers_extendedprice": _q_mad_outliers_extendedprice,
+        "webdataset_roundtrip": _q_webdataset_roundtrip,
         "parquet_pushdown_shipdate": _q_parquet_pushdown_shipdate,
         "label_centroid_cosine": _q_label_centroid_cosine,
         "time_rollup_events": _q_time_rollup_events,
@@ -4485,6 +4526,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem l WHERE NOT EXISTS "
             "(SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey AND o.o_totalprice > 300000.0) "
             "GROUP BY 1 ORDER BY 1"
+        ),
+        "webdataset_roundtrip": (
+            "SELECT source, count(*) AS n_docs, CAST(sum(len(text)) AS BIGINT) AS sum_chars "
+            "FROM documents GROUP BY 1 ORDER BY 1"
         ),
         "parquet_pushdown_shipdate": (
             "SELECT l_returnflag, count(*) AS cnt, "
