@@ -1439,6 +1439,22 @@ def _q_anti_join_streaming_lineitem(sf_dir: str):
     return df.sort_values("l_returnflag").reset_index(drop=True)
 
 
+def _q_minmax_scale_value_by_type(sf_dir: str):
+    """Per-event-type min-max scaling to [0, 1] — (u - min)/(max - min)
+    over exact int64 units, ONE division, bitwise SQL parity
+    (ops/agg.py:minmax_scale_by_group)."""
+    import ray.data
+
+    from orc_format_ray.ops.agg import minmax_scale_by_group
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+    df = minmax_scale_by_group(ds, group="event_type", col="value",
+                               id_cols=["event_id"], value_scale=100).to_pandas()
+    return df.sort_values("event_id").reset_index(drop=True)
+
+
 def _q_webdataset_roundtrip(sf_dir: str):
     """WebDataset tar-shard interchange: documents write into deterministic
     size-budgeted tar shards (metadata-only shard assignment, no payload
@@ -3756,6 +3772,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_vocab_jaccard": _q_source_vocab_jaccard,
         "trigram_lm_scores": _q_trigram_lm_scores,
         "quantile_transform_extendedprice": _q_quantile_transform_extendedprice,
+        "minmax_scale_value_by_type": _q_minmax_scale_value_by_type,
         "table_checksum_lineitem": _q_table_checksum_lineitem,
         "exact_dedup_by_documents": _q_exact_dedup_by_documents,
         "interval_join_events": _q_interval_join_events,
@@ -4604,6 +4621,14 @@ def oracle_sql() -> dict[str, str]:
             "CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS units FROM lineitem) "
             "SELECT l_orderkey, l_linenumber, units, "
             "percent_rank() OVER (ORDER BY units) AS pct FROM u ORDER BY 1, 2"
+        ),
+        "minmax_scale_value_by_type": (
+            "WITH u AS (SELECT event_id, event_type, "
+            "CAST(floor(value*100 + 0.5) AS BIGINT) AS units FROM events) "
+            "SELECT event_id, event_type, units, "
+            "CAST(units - min(units) OVER w AS DOUBLE) / "
+            "CAST(max(units) OVER w - min(units) OVER w AS DOUBLE) AS scaled "
+            "FROM u WINDOW w AS (PARTITION BY event_type) ORDER BY event_id"
         ),
         "table_checksum_lineitem": (
             "SELECT CAST(count(*) AS BIGINT) AS n_rows, "

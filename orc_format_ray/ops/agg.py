@@ -999,3 +999,50 @@ def quantile_transform(ds, col: str, id_cols: list[str], value_scale: int = 100,
         return pa.table(out)
 
     return ds.map_batches(transform, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+
+
+def minmax_scale_by_group(ds, group: str, col: str, id_cols: list[str],
+                          value_scale: int = 100):
+    """Per-group min-max scaling to [0, 1] with BITWISE SQL parity:
+    ``scaled = (u - min) / (max - min)`` over exact int64 units — one
+    int->double cast per operand, ONE division. The (min, max) table is
+    one metadata groupby (one row per group), broadcast once; the rewrite
+    is stateless. Constant groups (max == min) yield NaN (0/0), matching
+    the SQL expression. Returns ``(*id_cols, group, units, scaled)``."""
+    import ray
+    from ray.data.aggregate import Max, Min
+
+    def cells(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False)
+        if batch[col].null_count or np.isnan(v).any():
+            raise ValueError(f"{col!r} must be non-null for min-max scaling")
+        u = np.floor(v * value_scale + 0.5).astype(np.int64)
+        t = pa.table({"g": batch[group].combine_chunks(), "u": pa.array(u)})
+        out = t.group_by("g").aggregate([("u", "min"), ("u", "max")])
+        return out.rename_columns(["g", "lo", "hi"])
+
+    stats = (
+        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby("g")
+        .aggregate(Min("lo", alias_name="lo"), Max("hi", alias_name="hi"))
+        .to_pandas()
+    )
+    lookup = {r["g"]: (np.int64(r["lo"]), np.int64(r["hi"])) for _, r in stats.iterrows()}
+    ref = ray.put(lookup)
+
+    def transform(batch: pa.Table) -> pa.Table:
+        table = ray.get(ref)
+        v = batch[col].to_numpy(zero_copy_only=False)
+        u = np.floor(v * value_scale + 0.5).astype(np.int64)
+        gs = batch[group].to_pandas()
+        lo = gs.map({k: t[0] for k, t in table.items()}).to_numpy(dtype=np.int64)
+        hi = gs.map({k: t[1] for k, t in table.items()}).to_numpy(dtype=np.int64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            scaled = (u - lo).astype(np.float64) / (hi - lo).astype(np.float64)
+        out = {c: batch[c] for c in id_cols}
+        out[group] = batch[group]
+        out["units"] = pa.array(u, pa.int64())
+        out["scaled"] = pa.array(scaled, pa.float64())
+        return pa.table(out)
+
+    return ds.map_batches(transform, batch_format="pyarrow", zero_copy_batch=True, **remote_args())

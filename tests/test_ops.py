@@ -4257,3 +4257,33 @@ def test_webdataset_roundtrip(ray_session, tmp_path):
     h1 = [hashlib.sha256(open(p, "rb").read()).hexdigest() for p in sorted(glob.glob(out_dir + "/*.tar"))]
     h2 = [hashlib.sha256(open(p, "rb").read()).hexdigest() for p in sorted(glob.glob(out2 + "/*.tar"))]
     assert h1 == h2
+
+
+def test_minmax_scale_by_group(ray_session):
+    import duckdb
+    import ray.data
+
+    from orc_format_ray.ops.agg import minmax_scale_by_group
+
+    rng = np.random.default_rng(173)
+    df = pd.DataFrame({
+        "i": np.arange(1200, dtype=np.int64),
+        "g": rng.choice(["a", "b"], 1200),
+        "value": rng.uniform(-50, 50, 1200),
+    })
+    ds = ray.data.from_pandas(df).repartition(4)
+    out = minmax_scale_by_group(ds, "g", "value", id_cols=["i"]).to_pandas()
+    out = out.sort_values("i").reset_index(drop=True)
+    ref = duckdb.sql(
+        "WITH u AS (SELECT i, g, CAST(floor(value*100 + 0.5) AS BIGINT) units FROM df) "
+        "SELECT i, units, CAST(units - min(units) OVER w AS DOUBLE) / "
+        "CAST(max(units) OVER w - min(units) OVER w AS DOUBLE) scaled "
+        "FROM u WINDOW w AS (PARTITION BY g) ORDER BY i"
+    ).df()
+    assert (out["units"].values == ref["units"].values).all()
+    assert (out["scaled"].values == ref["scaled"].values).all()
+    assert out["scaled"].min() == 0.0 and out["scaled"].max() == 1.0
+    # constant group -> NaN
+    one = pd.DataFrame({"i": [0, 1], "g": ["c", "c"], "value": [3.0, 3.0]})
+    o = minmax_scale_by_group(ray.data.from_pandas(one), "g", "value", id_cols=["i"]).to_pandas()
+    assert np.isnan(o["scaled"]).all()
