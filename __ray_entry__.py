@@ -1455,6 +1455,58 @@ def _q_minmax_scale_value_by_type(sf_dir: str):
     return df.sort_values("event_id").reset_index(drop=True)
 
 
+def _q_entropy_lang_by_source(sf_dir: str):
+    """Per-(source, lang) Shannon-entropy terms — exact counts, one
+    division, libm ln per cell (ops/agg.py:entropy_by_group, the BM25/psi
+    parity rule)."""
+    import ray.data
+
+    from orc_format_ray.ops.agg import entropy_by_group
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "lang"])
+    out = entropy_by_group(ds, "source", "lang", terms=True)
+    return out.sort_values(["source", "lang"]).reset_index(drop=True)
+
+
+def _q_gini_extendedprice(sf_dir: str):
+    """Per-returnflag Gini of l_extendedprice — exact-int rank fold, ONE
+    division (ops/agg.py:gini_by_group)."""
+    import ray.data
+
+    from orc_format_ray.ops.agg import gini_by_group
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_returnflag", "l_extendedprice"])
+    out = gini_by_group(ds, "l_returnflag", "l_extendedprice")
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def _q_chi_square_lang_source(sf_dir: str):
+    """Language x source chi-square contingency terms — exact counts, the
+    (o-e)^2/e expression mirrored op-for-op (ops/agg.py:chi_square)."""
+    import ray.data
+
+    from orc_format_ray.ops.agg import chi_square
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "source"])
+    out = chi_square(ds, "lang", "source")
+    return out.sort_values(["lang", "source"]).reset_index(drop=True)
+
+
+def _q_lag_autocorr_value_by_type(sf_dir: str):
+    """Per-event-type lag-1 autocorrelation of value ordered by ts —
+    exact-int pair sums via the pinned-sorted-block plan, sqrt/div
+    expression mirrored op-for-op (ops/windows.py:lag_autocorr)."""
+    import ray.data
+
+    from orc_format_ray.ops.windows import lag_autocorr
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts", "value"])
+    out = lag_autocorr(ds, key="event_type", order_col="ts", value_col="value")
+    return out.reset_index(drop=True)
+
+
 def _q_webdataset_roundtrip(sf_dir: str):
     """WebDataset tar-shard interchange: documents write into deterministic
     size-budgeted tar shards (metadata-only shard assignment, no payload
@@ -3773,6 +3825,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trigram_lm_scores": _q_trigram_lm_scores,
         "quantile_transform_extendedprice": _q_quantile_transform_extendedprice,
         "minmax_scale_value_by_type": _q_minmax_scale_value_by_type,
+        "entropy_lang_by_source": _q_entropy_lang_by_source,
+        "gini_extendedprice": _q_gini_extendedprice,
+        "chi_square_lang_source": _q_chi_square_lang_source,
+        "lag_autocorr_value_by_type": _q_lag_autocorr_value_by_type,
         "table_checksum_lineitem": _q_table_checksum_lineitem,
         "exact_dedup_by_documents": _q_exact_dedup_by_documents,
         "interval_join_events": _q_interval_join_events,
@@ -4629,6 +4685,46 @@ def oracle_sql() -> dict[str, str]:
             "CAST(units - min(units) OVER w AS DOUBLE) / "
             "CAST(max(units) OVER w - min(units) OVER w AS DOUBLE) AS scaled "
             "FROM u WINDOW w AS (PARTITION BY event_type) ORDER BY event_id"
+        ),
+        "entropy_lang_by_source": (
+            "WITH cells AS (SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2), "
+            "tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM cells GROUP BY 1) "
+            "SELECT source, lang, c, n, -(CAST(c AS DOUBLE)/CAST(n AS DOUBLE)) * "
+            "ln(CAST(c AS DOUBLE)/CAST(n AS DOUBLE)) AS term "
+            "FROM cells JOIN tot USING (source) ORDER BY 1, 2"
+        ),
+        "gini_extendedprice": (
+            "WITH u AS (SELECT l_returnflag, CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS u "
+            "FROM lineitem), "
+            "r AS (SELECT l_returnflag, u, row_number() OVER (PARTITION BY l_returnflag ORDER BY u) AS rk FROM u) "
+            "SELECT l_returnflag, count(*) AS n, CAST(sum(u) AS BIGINT) AS sum_units, "
+            "CAST(2*CAST(sum(rk*u) AS BIGINT) - (count(*)+1)*CAST(sum(u) AS BIGINT) AS DOUBLE) / "
+            "CAST(count(*)*CAST(sum(u) AS BIGINT) AS DOUBLE) AS gini FROM r GROUP BY 1 ORDER BY 1"
+        ),
+        "chi_square_lang_source": (
+            "WITH cells AS (SELECT lang, source, count(*) AS c FROM documents GROUP BY 1, 2), "
+            "ra AS (SELECT lang, CAST(sum(c) AS BIGINT) AS ra FROM cells GROUP BY 1), "
+            "cb AS (SELECT source, CAST(sum(c) AS BIGINT) AS cb FROM cells GROUP BY 1), "
+            "tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells) "
+            "SELECT lang, source, c AS observed, "
+            "CAST(ra*cb AS DOUBLE)/CAST(n AS DOUBLE) AS expected, "
+            "(CAST(c AS DOUBLE) - CAST(ra*cb AS DOUBLE)/CAST(n AS DOUBLE)) * "
+            "(CAST(c AS DOUBLE) - CAST(ra*cb AS DOUBLE)/CAST(n AS DOUBLE)) / "
+            "(CAST(ra*cb AS DOUBLE)/CAST(n AS DOUBLE)) AS term "
+            "FROM cells JOIN ra USING (lang) JOIN cb USING (source), tot ORDER BY 1, 2"
+        ),
+        "lag_autocorr_value_by_type": (
+            "WITH u AS (SELECT event_type, ts, CAST(floor(value*100 + 0.5) AS BIGINT) AS x FROM events), "
+            "p AS (SELECT event_type, x, lead(x) OVER (PARTITION BY event_type ORDER BY ts) AS y FROM u), "
+            "s AS (SELECT event_type, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx, "
+            "CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x*x) AS BIGINT) AS sxx, "
+            "CAST(sum(y*y) AS BIGINT) AS syy, CAST(sum(x*y) AS BIGINT) AS sxy "
+            "FROM p WHERE y IS NOT NULL GROUP BY 1 HAVING count(*) >= 2) "
+            "SELECT event_type, n, "
+            "(CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) / "
+            "(sqrt(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) * "
+            "sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) AS r "
+            "FROM s ORDER BY 1"
         ),
         "table_checksum_lineitem": (
             "SELECT CAST(count(*) AS BIGINT) AS n_rows, "

@@ -1046,3 +1046,166 @@ def minmax_scale_by_group(ds, group: str, col: str, id_cols: list[str],
         return pa.table(out)
 
     return ds.map_batches(transform, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+
+
+def entropy_by_group(ds, group: str, key: str, terms: bool = False):
+    """Shannon entropy of the ``key`` distribution within each ``group`` —
+    the mixture-diversity audit ("is src3 all one language?") run next to
+    [[hhi_by_group]] before weighting corpus sources.
+
+    Parity contract (the BM25/psi rule): each per-key term is ONE float
+    expression over exact int64 counts — ``term = -(c/n) * ln(c/n)`` with
+    single divisions and ``math.log`` (libm, the correctly-rounded ln
+    DuckDB calls) — so with ``terms=True`` every row is bitwise-equal to
+    the SQL oracle. The folded per-group ``entropy`` (``terms=False``)
+    sums those terms ascending by key seeded at 0.0 — deterministic on
+    any plan, but SQL SUM() order is not pinnable, so hash-check the
+    terms form and treat the fold as tolerance-stable (~1e-15).
+
+    Plan: per-batch (group, key) count cells -> one metadata groupby;
+    raw rows never shuffle. Returns a driver DataFrame (|cells| or
+    |groups| rows — small by contract).
+    """
+    import math
+
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def cells(batch: pa.Table) -> pa.Table:
+        t = pa.table({"g": batch[group].combine_chunks(), "k": batch[key].combine_chunks()})
+        if t["g"].null_count or t["k"].null_count:
+            raise ValueError("entropy_by_group: null group/key values")
+        out = t.group_by(["g", "k"]).aggregate([([], "count_all")])
+        return out.rename_columns(["g", "k", "c"])
+
+    counts = (
+        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby(["g", "k"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+        .sort_values(["g", "k"])
+        .reset_index(drop=True)
+    )
+    tot = {g: int(s) for g, s in counts.groupby("g")["c"].sum().items()}
+    n = counts["g"].map(tot).astype(np.int64)
+    # mirrored op-for-op by the SQL oracle — keep both sides in sync
+    p = counts["c"].to_numpy(dtype=np.int64).astype(np.float64) / n.to_numpy().astype(np.float64)
+    term = np.array([(-pi) * np.float64(math.log(pi)) for pi in p], dtype=np.float64)
+    if terms:
+        return pd.DataFrame({group: counts["g"], key: counts["k"],
+                             "c": counts["c"].astype(np.int64), "n": n, "term": term})
+    rows = []
+    for g, grp in pd.DataFrame({"g": counts["g"], "t": term}).groupby("g", sort=True):
+        h = np.float64(0.0)
+        for t in grp["t"]:  # ascending-key 0.0-seeded fold (deterministic on any plan)
+            h = h + np.float64(t)
+        rows.append((g, int((counts["g"] == g).sum()), tot[g], float(h)))
+    return pd.DataFrame(rows, columns=[group, "n_keys", "n_rows", "entropy"])
+
+
+def gini_by_group(ds, group: str, col: str, value_scale: int = 100):
+    """Per-group Gini coefficient of a non-negative measure — the
+    inequality audit ("how skewed is revenue across orders?") beside
+    [[hhi_by_group]]. Exact-integer end to end until ONE division:
+
+        gini = (2*S_ru - (n+1)*S_u) / (n*S_u)
+
+    with ``S_ru = sum(rank_i * u_i)`` over ranks assigned ascending by
+    unit value (ties rank arbitrarily — S_ru is tie-permutation
+    invariant, so SQL row_number() reproduces it exactly). The rank
+    product fold runs per group over the (value -> count) distribution
+    with PYTHON ints (no int64 wrap); the final int64-range guard mirrors
+    the overflow error DuckDB's BIGINT arithmetic would raise.
+
+    Plan: per-batch (group, unit, count) cells -> one metadata groupby
+    over |groups x distinct units| rows -> driver fold. Raw rows never
+    shuffle. Returns a driver DataFrame (group, n, sum_units, gini).
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def cells(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False)
+        if batch[col].null_count or np.isnan(v).any():
+            raise ValueError(f"gini_by_group: {col!r} must be non-null")
+        u = np.floor(v * value_scale + 0.5).astype(np.int64)
+        if u.min(initial=0) < 0:
+            raise ValueError("gini_by_group: negative units — Gini needs a non-negative measure")
+        t = pa.table({"g": batch[group].combine_chunks(), "u": pa.array(u)})
+        out = t.group_by(["g", "u"]).aggregate([([], "count_all")])
+        return out.rename_columns(["g", "u", "c"])
+
+    counts = (
+        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby(["g", "u"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    rows = []
+    for g, grp in counts.sort_values(["g", "u"]).groupby("g", sort=True):
+        n = 0
+        s_u = 0
+        s_ru = 0
+        for u, c in zip(grp["u"], grp["c"]):  # ascending-unit exact-int fold
+            u, c = int(u), int(c)
+            s_ru += u * (c * n + c * (c + 1) // 2)  # ranks n+1 .. n+c
+            n += c
+            s_u += u * c
+        num = 2 * s_ru - (n + 1) * s_u
+        den = n * s_u
+        if max(abs(num), den, 2 * s_ru, (n + 1) * s_u) >= 1 << 63:
+            raise ValueError(f"gini_by_group: group {g!r} sums exceed int64 "
+                             "(DuckDB BIGINT would overflow) — reduce value_scale")
+        # ONE float division of exact ints — bitwise SQL parity
+        gini = float(np.float64(num) / np.float64(den)) if den else float("nan")
+        rows.append((g, n, s_u, gini))
+    return pd.DataFrame(rows, columns=[group, "n", "sum_units", "gini"])
+
+
+def chi_square(ds, col_a: str, col_b: str):
+    """Pearson chi-square contingency terms between two categorical
+    columns — the independence audit ("does language depend on source?")
+    run before stratifying a mixture on either. Per observed cell:
+
+        e = (row_total * col_total) / n ;  d = o - e ;  term = d*d / e
+
+    every operand an exact int64 cast to double ONCE, single divisions —
+    bitwise-equal to the SQL oracle per cell (sum the terms for the
+    statistic; df = (|a|-1)*(|b|-1)). Only ONE metadata groupby over
+    |a x b| cells; raw rows never shuffle. Row/column totals stay Python
+    ints (exact) with an int64-range guard mirroring DuckDB's BIGINT
+    overflow error. Returns a driver DataFrame
+    ``(col_a, col_b, observed, expected, term)`` — observed cells only.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def cells(batch: pa.Table) -> pa.Table:
+        t = pa.table({"a": batch[col_a].combine_chunks(), "b": batch[col_b].combine_chunks()})
+        if t["a"].null_count or t["b"].null_count:
+            raise ValueError("chi_square: null category values")
+        out = t.group_by(["a", "b"]).aggregate([([], "count_all")])
+        return out.rename_columns(["a", "b", "c"])
+
+    counts = (
+        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby(["a", "b"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    ra = {a: int(s) for a, s in counts.groupby("a")["c"].sum().items()}
+    cb = {b: int(s) for b, s in counts.groupby("b")["c"].sum().items()}
+    n = int(counts["c"].sum())
+    prod = counts["a"].map(ra).astype(object) * counts["b"].map(cb).astype(object)
+    if n >= 1 << 63 or (len(prod) and max(int(x) for x in prod) >= 1 << 63):
+        raise ValueError("chi_square: row*col totals exceed int64 (DuckDB BIGINT would overflow)")
+    # mirrored op-for-op by the SQL oracle — keep both sides in sync
+    e = np.array([np.float64(int(x)) for x in prod], dtype=np.float64) / np.float64(n)
+    o = counts["c"].to_numpy(dtype=np.int64).astype(np.float64)
+    d = o - e
+    term = d * d / e
+    return pd.DataFrame({col_a: counts["a"], col_b: counts["b"],
+                         "observed": counts["c"].astype(np.int64),
+                         "expected": e, "term": term})

@@ -1536,3 +1536,122 @@ def time_rollup(ds, ts_col: str, value_col: str, value_scale: int = 100,
     for o in outs[1:]:
         out = out.union(o)
     return out
+
+def lag_autocorr(ds, key: str = "event_type", order_col: str = "ts",
+                 value_col: str = "value", value_scale: int = 100,
+                 max_abs_sum: int = 1 << 62):
+    """Per-key lag-1 autocorrelation of a time-ordered measure — the
+    "is this metric a random walk or noise?" audit over an event log.
+    Pearson r over consecutive pairs (x_t, x_{t+1}) within each key:
+
+        r = (n*Sxy - Sx*Sy) / (sqrt(n*Sxx - Sx*Sx) * sqrt(n*Syy - Sy*Sy))
+
+    Parity contract (the regression_by_group rule): every sum is an exact
+    integer over int64 units (per-row |unit| < 2^31 guard; merged in
+    PYTHON ints, no wrap), each is cast to float64 ONCE, and the
+    expression tree above is mirrored op-for-op by the SQL oracle
+    (np.sqrt and libm sqrt are both IEEE correctly-rounded, so sqrt is
+    parity-safe, unlike log). Keys with < 2 pairs are dropped (the SQL
+    HAVING). Keys may be strings (no int cast — the block fold orders by
+    Python comparison, same collation as the sort).
+
+    Plan: metadata-only (key, order, unit) projection -> global sort ->
+    pinned blocks (batch_size=None = one batch per block); pass A
+    computes per-key IN-BLOCK pair partials plus each block's first/last
+    row; the driver stitches the ONE boundary pair per adjacent same-key
+    block pair and merges per key. Payloads never move;
+    ``(key, order_col)`` must be globally unique (duplicate order values
+    would make lead() nondeterministic on the SQL side). Returns a
+    driver DataFrame ``(key, n, r)``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def to_meta(batch: pa.Table) -> pa.Table:
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        if batch[value_col].null_count or np.isnan(v).any():
+            raise ValueError(f"lag_autocorr: {value_col!r} must be non-null")
+        if batch[key].null_count:
+            raise ValueError("lag_autocorr: null keys")
+        u = np.floor(v * value_scale + 0.5).astype(np.int64)
+        if np.abs(u).max(initial=0) >= 1 << 31:
+            raise ValueError("lag_autocorr: |units| >= 2^31; int64 per-row products would overflow")
+        return pa.table({
+            "k": batch[key].combine_chunks(),
+            "o": batch[order_col].cast(pa.timestamp("us")).cast(pa.int64()),
+            "x": pa.array(u),
+        })
+
+    meta = ds.map_batches(to_meta, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    pinned = meta.sort(["k", "o"]).materialize()
+
+    SUMS = ("n", "sx", "sy", "sxx", "syy", "sxy")
+
+    def block_partials(batch: pa.Table) -> pa.Table:
+        cols = {"kind": pa.string(), "k": pa.string(), "o": pa.int64(), "x": pa.int64(),
+                "k2": pa.string(), "o2": pa.int64(), "x2": pa.int64(),
+                **{s: pa.int64() for s in SUMS}}
+        if not batch.num_rows:
+            return pa.table({c: pa.array([], t) for c, t in cols.items()})
+        k = batch["k"].to_pandas().astype(str).to_numpy()
+        o = batch["o"].to_numpy(zero_copy_only=False)
+        x = batch["x"].to_numpy(zero_copy_only=False)
+        if ((k[1:] == k[:-1]) & (o[1:] == o[:-1])).any():
+            raise ValueError("lag_autocorr: duplicate (key, order) — lead() would be nondeterministic")
+        mask = k[1:] == k[:-1]
+        xt, yt, kk = x[:-1][mask], x[1:][mask], k[:-1][mask]
+        part = pd.DataFrame({
+            "k": kk, "n": np.ones(len(kk), np.int64),
+            "sx": xt, "sy": yt, "sxx": xt * xt, "syy": yt * yt, "sxy": xt * yt,
+        }).groupby("k", sort=True, as_index=False).sum()
+        part.insert(0, "kind", "part")
+        for c in ("o", "x", "o2", "x2"):
+            part[c] = np.int64(0)
+        part["k2"] = ""
+        # ONE edge row per block: (first k/o/x, last k/o/x) stay paired
+        edge = pd.DataFrame({
+            "kind": ["edge"], "k": [k[0]], "o": [o[0]], "x": [x[0]],
+            "k2": [k[-1]], "o2": [o[-1]], "x2": [x[-1]],
+            **{s: [np.int64(0)] for s in SUMS},
+        })
+        out = pd.concat([edge, part], ignore_index=True)
+        return pa.Table.from_pandas(out[list(cols)], preserve_index=False)
+
+    parts = pinned.map_batches(
+        block_partials, batch_size=None, batch_format="pyarrow", zero_copy_batch=True, **remote_args()
+    ).to_pandas()
+
+    acc: dict[str, list[int]] = {}
+
+    def bump(k, n, sx, sy, sxx, syy, sxy):
+        a = acc.setdefault(k, [0, 0, 0, 0, 0, 0])
+        for i, v in enumerate((n, sx, sy, sxx, syy, sxy)):
+            a[i] += v
+
+    for row in parts[parts["kind"] == "part"].itertuples(index=False):
+        bump(row.k, int(row.n), int(row.sx), int(row.sy), int(row.sxx), int(row.syy), int(row.sxy))
+
+    edges = sorted(
+        ((r.k, int(r.o), int(r.x), r.k2, int(r.o2), int(r.x2))
+         for r in parts[parts["kind"] == "edge"].itertuples(index=False)),
+    )
+    for a, b in zip(edges, edges[1:]):
+        if (a[3], a[4]) >= (b[0], b[1]):
+            raise ValueError("lag_autocorr: sorted metadata blocks overlap")
+        if a[3] == b[0]:  # boundary pair (block a's last row, block b's first row)
+            xa, xb = a[5], b[2]
+            bump(a[3], 1, xa, xb, xa * xa, xb * xb, xa * xb)
+
+    rows = []
+    for k in sorted(acc):
+        n, sx, sy, sxx, syy, sxy = acc[k]
+        if n < 2:
+            continue
+        if max(abs(v) for v in (n, sx, sy, sxx, syy, sxy)) > max_abs_sum:
+            raise ValueError(f"lag_autocorr: key {k!r} sums exceed {max_abs_sum} — reduce value_scale")
+        nf, sxf, syf = np.float64(n), np.float64(sx), np.float64(sy)
+        sxxf, syyf, sxyf = np.float64(sxx), np.float64(syy), np.float64(sxy)
+        # mirrored op-for-op by the SQL oracle — keep both sides in sync
+        r = (nf * sxyf - sxf * syf) / (np.sqrt(nf * sxxf - sxf * sxf) * np.sqrt(nf * syyf - syf * syf))
+        rows.append((k, n, float(r)))
+    return pd.DataFrame(rows, columns=[key, "n", "r"])

@@ -4287,3 +4287,139 @@ def test_minmax_scale_by_group(ray_session):
     one = pd.DataFrame({"i": [0, 1], "g": ["c", "c"], "value": [3.0, 3.0]})
     o = minmax_scale_by_group(ray.data.from_pandas(one), "g", "value", id_cols=["i"]).to_pandas()
     assert np.isnan(o["scaled"]).all()
+
+
+def test_entropy_by_group(ray_session):
+    import duckdb
+    import ray.data
+
+    from orc_format_ray.ops.agg import entropy_by_group
+
+    rng = np.random.default_rng(31)
+    df = pd.DataFrame({
+        "g": rng.choice(["s0", "s1", "s2"], 3000, p=[0.5, 0.3, 0.2]),
+        "k": rng.choice(["en", "de", "fr", "ja"], 3000, p=[0.7, 0.15, 0.1, 0.05]),
+    })
+    ds = ray.data.from_pandas(df).repartition(5)
+    out = entropy_by_group(ds, "g", "k", terms=True).sort_values(["g", "k"]).reset_index(drop=True)
+    ref = duckdb.sql(
+        "WITH cells AS (SELECT g, k, count(*) AS c FROM df GROUP BY 1, 2), "
+        "tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM cells GROUP BY 1) "
+        "SELECT g, k, c, n, -(CAST(c AS DOUBLE)/CAST(n AS DOUBLE)) * "
+        "ln(CAST(c AS DOUBLE)/CAST(n AS DOUBLE)) AS term "
+        "FROM cells JOIN tot USING (g) ORDER BY 1, 2"
+    ).df()
+    assert (out["c"].values == ref["c"].values).all()
+    assert (out["term"].values == ref["term"].values).all()  # bitwise
+    folded = entropy_by_group(ds, "g", "k")
+    # fold == ascending-term sum; single-key group entropy is -0.0
+    for _, r in folded.iterrows():
+        t = out[out["g"] == r["g"]]["term"].to_numpy()
+        acc = np.float64(0.0)
+        for x in t:
+            acc = acc + np.float64(x)
+        assert r["entropy"] == acc
+    one = pd.DataFrame({"g": ["a"] * 4, "k": ["x"] * 4})
+    f1 = entropy_by_group(ray.data.from_pandas(one), "g", "k")
+    assert f1["entropy"].iloc[0] == 0.0
+
+
+def test_gini_by_group(ray_session):
+    import duckdb
+    import ray.data
+
+    from orc_format_ray.ops.agg import gini_by_group
+
+    rng = np.random.default_rng(57)
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b"], 2500),
+        "v": np.round(rng.lognormal(3.0, 1.0, 2500), 2),
+    })
+    ds = ray.data.from_pandas(df).repartition(6)
+    out = gini_by_group(ds, "g", "v").sort_values("g").reset_index(drop=True)
+    ref = duckdb.sql(
+        "WITH u AS (SELECT g, CAST(floor(v*100 + 0.5) AS BIGINT) AS u FROM df), "
+        "r AS (SELECT g, u, row_number() OVER (PARTITION BY g ORDER BY u) AS rk FROM u) "
+        "SELECT g, count(*) AS n, CAST(sum(u) AS BIGINT) AS sum_units, "
+        "CAST(2*CAST(sum(rk*u) AS BIGINT) - (count(*)+1)*CAST(sum(u) AS BIGINT) AS DOUBLE) / "
+        "CAST(count(*)*CAST(sum(u) AS BIGINT) AS DOUBLE) AS gini FROM r GROUP BY 1 ORDER BY 1"
+    ).df()
+    assert (out["n"].values == ref["n"].values).all()
+    assert (out["sum_units"].values == ref["sum_units"].values).all()
+    assert (out["gini"].values == ref["gini"].values).all()  # bitwise
+    assert ((out["gini"] >= 0) & (out["gini"] < 1)).all()
+    # all-equal values -> gini 0; negative values rejected
+    eq = pd.DataFrame({"g": ["x"] * 9, "v": [7.0] * 9})
+    assert gini_by_group(ray.data.from_pandas(eq), "g", "v")["gini"].iloc[0] == 0.0
+    with pytest.raises(Exception):
+        gini_by_group(ray.data.from_pandas(pd.DataFrame({"g": ["x"], "v": [-1.0]})), "g", "v")
+
+
+def test_chi_square(ray_session):
+    import duckdb
+    import ray.data
+
+    from orc_format_ray.ops.agg import chi_square
+
+    rng = np.random.default_rng(91)
+    lang = rng.choice(["en", "de", "fr"], 4000, p=[0.6, 0.25, 0.15])
+    # dependence: src skewed by lang
+    src = np.where(lang == "en", rng.choice(["s0", "s1"], 4000, p=[0.8, 0.2]),
+                   rng.choice(["s0", "s1"], 4000, p=[0.3, 0.7]))
+    df = pd.DataFrame({"lang": lang, "src": src})
+    ds = ray.data.from_pandas(df).repartition(4)
+    out = chi_square(ds, "lang", "src").sort_values(["lang", "src"]).reset_index(drop=True)
+    ref = duckdb.sql(
+        "WITH cells AS (SELECT lang a, src b, count(*) AS c FROM df GROUP BY 1, 2), "
+        "ra AS (SELECT a, CAST(sum(c) AS BIGINT) AS ra FROM cells GROUP BY 1), "
+        "cb AS (SELECT b, CAST(sum(c) AS BIGINT) AS cb FROM cells GROUP BY 1), "
+        "tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells) "
+        "SELECT a AS lang, b AS src, c AS observed, "
+        "CAST(ra*cb AS DOUBLE)/CAST(n AS DOUBLE) AS expected, "
+        "(CAST(c AS DOUBLE) - CAST(ra*cb AS DOUBLE)/CAST(n AS DOUBLE)) * "
+        "(CAST(c AS DOUBLE) - CAST(ra*cb AS DOUBLE)/CAST(n AS DOUBLE)) / "
+        "(CAST(ra*cb AS DOUBLE)/CAST(n AS DOUBLE)) AS term "
+        "FROM cells JOIN ra USING (a) JOIN cb USING (b), tot ORDER BY 1, 2"
+    ).df()
+    assert (out["observed"].values == ref["observed"].values).all()
+    assert (out["expected"].values == ref["expected"].values).all()  # bitwise
+    assert (out["term"].values == ref["term"].values).all()  # bitwise
+    # statistic is clearly nonzero under planted dependence
+    assert out["term"].sum() > 100
+
+
+def test_lag_autocorr(ray_session):
+    import duckdb
+    import ray.data
+
+    from orc_format_ray.ops.windows import lag_autocorr
+
+    rng = np.random.default_rng(123)
+    n = 3000
+    # trending series per key -> strong positive autocorr; plus one noise key
+    ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(np.arange(n), unit="m")
+    key = rng.choice(["up", "noise"], n)
+    v = np.where(key == "up", np.cumsum(rng.uniform(0, 0.1, n)), rng.uniform(0, 100, n))
+    df = pd.DataFrame({"k": key, "ts": ts, "value": np.round(v, 2)})
+    ds = ray.data.from_pandas(df).repartition(7)
+    out = lag_autocorr(ds, key="k", order_col="ts", value_col="value").reset_index(drop=True)
+    ref = duckdb.sql(
+        "WITH u AS (SELECT k, ts, CAST(floor(value*100 + 0.5) AS BIGINT) AS x FROM df), "
+        "p AS (SELECT k, x, lead(x) OVER (PARTITION BY k ORDER BY ts) AS y FROM u), "
+        "s AS (SELECT k, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, "
+        "CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy, "
+        "CAST(sum(x*y) AS BIGINT) AS sxy FROM p WHERE y IS NOT NULL GROUP BY 1 HAVING count(*) >= 2) "
+        "SELECT k, n, (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) / "
+        "(sqrt(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) * "
+        "sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) AS r "
+        "FROM s ORDER BY 1"
+    ).df()
+    assert (out["k"].values == ref["k"].values).all()
+    assert (out["n"].values == ref["n"].values).all()
+    assert (out["r"].values == ref["r"].values).all()  # bitwise
+    assert out.set_index("k")["r"]["up"] > 0.9
+    assert abs(out.set_index("k")["r"]["noise"]) < 0.1
+    # duplicate (key, order) fails loudly
+    dup = pd.DataFrame({"k": ["a", "a"], "ts": [ts[0], ts[0]], "value": [1.0, 2.0]})
+    with pytest.raises(Exception):
+        lag_autocorr(ray.data.from_pandas(dup), key="k", order_col="ts", value_col="value")
