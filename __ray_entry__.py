@@ -1547,6 +1547,44 @@ def _q_webdataset_roundtrip(sf_dir: str):
     return df.sort_values("source").reset_index(drop=True)
 
 
+def _q_jsonl_roundtrip(sf_dir: str):
+    """JSONL corpus interchange: documents write into deterministic
+    size-budgeted .jsonl shards (offsets from block metadata — zero
+    execution, no payload shuffle) and read back row-exact; the query
+    returns per-source counts + char sums of the ROUND-TRIPPED text,
+    checked against SQL over the original table (ops/jsonl.py)."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from orc_format_ray.ops.jsonl import read_jsonl, write_jsonl
+
+    scratch = "/tmp/orc_format_ray_scratch/jsonl"
+    shutil.rmtree(scratch, ignore_errors=True)
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text", "source"])
+    write_jsonl(docs, scratch, key_col="doc_id",
+                columns=["doc_id", "text", "source"], rows_per_shard=1024)
+    back = read_jsonl(scratch, {"doc_id": "int64", "text": "string", "source": "string"})
+
+    def cells(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "source": b["source"],
+            "n_chars": pc.utf8_length(b["text"]).cast(pa.int64()),
+        })
+
+    out = (
+        back.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **_ra())
+        .groupby("source")
+        .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars"))
+    )
+    df = out.to_pandas()
+    df["sum_chars"] = df["sum_chars"].astype("int64")
+    return df.sort_values("source").reset_index(drop=True)
+
+
 def _q_parquet_pushdown_shipdate(sf_dir: str):
     """Ray-native parquet predicate pushdown: the shipdate range filter and
     column projection are handed to read_parquet itself, so pruned row
@@ -3813,6 +3851,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regression_quantity_price": _q_regression_quantity_price,
         "mad_outliers_extendedprice": _q_mad_outliers_extendedprice,
         "webdataset_roundtrip": _q_webdataset_roundtrip,
+        "jsonl_roundtrip": _q_jsonl_roundtrip,
         "parquet_pushdown_shipdate": _q_parquet_pushdown_shipdate,
         "label_centroid_cosine": _q_label_centroid_cosine,
         "time_rollup_events": _q_time_rollup_events,
@@ -4601,6 +4640,10 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY 1 ORDER BY 1"
         ),
         "webdataset_roundtrip": (
+            "SELECT source, count(*) AS n_docs, CAST(sum(len(text)) AS BIGINT) AS sum_chars "
+            "FROM documents GROUP BY 1 ORDER BY 1"
+        ),
+        "jsonl_roundtrip": (
             "SELECT source, count(*) AS n_docs, CAST(sum(len(text)) AS BIGINT) AS sum_chars "
             "FROM documents GROUP BY 1 ORDER BY 1"
         ),

@@ -7,9 +7,11 @@ size-budgeted tar shards (one write task per block — no payload shuffle:
 shards are cut along the pinned block order) and reads them back as a
 streaming Dataset (one read task per shard).
 
-Scale shape: shard assignment is metadata-only — a per-block count pass
-plus broadcast prefix offsets (the `pack.py` two-phase plan without the
-payload shuffle). Writes are atomic (tmp + rename) and deterministically
+Scale shape: shard assignment is metadata-only — global row offsets come
+straight from the materialized dataset's block metadata (zero execution;
+see `_shardwrite.py` for why it must NOT be a pair of map_batches passes:
+Ray Data output order is completion order). Writes are atomic (tmp +
+rename) and deterministically
 named (shard-S.part-G.tar where G is the global first-sample index), so
 re-runs are idempotent and readers recover global order from filenames
 alone. Tar members are stored uncompressed (the WebDataset norm; compress
@@ -32,69 +34,50 @@ def write_webdataset(ds, path: str, key_col: str, columns: dict[str, str],
     ``columns`` maps column name -> member extension (e.g. ``{"text":
     "txt", "meta": "json"}``); string/binary columns only. ``key_col``
     values become member basenames — they must be unique across the
-    dataset (duplicate keys would silently merge samples at load time; a
-    duplicate FIRST key between blocks or within a block is rejected
-    loudly, which catches the common all-duplicates mistakes). Returns the
-    shard-part manifest (path, n_samples) as a pandas DataFrame.
+    dataset (duplicate keys would silently merge samples at load time; an
+    in-block duplicate is rejected loudly, which catches the common
+    all-duplicates mistakes). Returns the shard-part manifest
+    (path, n_samples) as a pandas DataFrame.
 
-    Plan: materialize pins the block layout; a metadata-only count pass
-    builds global row offsets; each block writes its own rows into the
-    shard files its offset range covers (a shard spanning blocks becomes
-    multiple part files, merged by filename order at read time). Rows
-    never move between blocks.
+    Plan: materialize pins the block layout; global row offsets come from
+    BLOCK METADATA (zero execution — see `_shardwrite.block_offsets` for
+    why two map_batches passes cannot be order-aligned); one explicit Ray
+    task per block writes that block's rows into the shard files its
+    offset range covers (a shard spanning blocks becomes multiple part
+    files, merged by filename order at read time). Rows never move
+    between blocks; payloads stay in the object store.
     """
     import os
 
     import ray
 
+    from ._shardwrite import block_offsets, shard_spans
+
     if not columns:
         raise ValueError("write_webdataset: need at least one column -> extension mapping")
     os.makedirs(path, exist_ok=True)
 
-    mat = ds.materialize()  # pin: count pass and write pass must see one layout
-    sizes = mat.map_batches(
-        lambda b: pa.table({"n": pa.array([b.num_rows], pa.int64())}),
-        batch_format="pyarrow", batch_size=None, **remote_args(),
-    ).to_pandas()["n"].to_numpy(dtype=np.int64)
-    offsets = np.zeros(len(sizes) + 1, dtype=np.int64)
-    np.cumsum(sizes, out=offsets[1:])
+    mat = ds.materialize()  # pin the block layout the offsets describe
+    refs, counts, offsets = block_offsets(mat)
 
-    first_keys = mat.map_batches(
-        lambda b: pa.table({"first": pa.array(
-            [str(b[key_col][0].as_py()) if b.num_rows else None])}),
-        batch_size=None, batch_format="pyarrow", **remote_args(),
-    ).to_pandas()["first"].tolist()
-    first_to_off: dict[str, int] = {}
-    for i, fk in enumerate(first_keys):
-        if fk is None:
-            continue
-        if fk in first_to_off:
-            raise ValueError("write_webdataset: two blocks share a first key — keys must be unique")
-        first_to_off[fk] = int(offsets[i])
-    f2o_ref = ray.put(first_to_off)
-
-    def write_block(batch: pa.Table) -> pa.Table:
+    @ray.remote(**remote_args())
+    def write_block(block, start: int):
         import io
         import tarfile
 
-        if batch.num_rows == 0:
-            return pa.table({"path": pa.array([], pa.string()),
-                             "n_samples": pa.array([], pa.int64())})
-        start = ray.get(f2o_ref)[str(batch[key_col][0].as_py())]
+        from ray.data.block import BlockAccessor
+
+        batch = BlockAccessor.for_block(block).to_arrow()
         keys = [str(k) for k in batch[key_col].to_pylist()]
         if len(set(keys)) != len(keys):
             raise ValueError("write_webdataset: duplicate keys within a block")
         cols = {c: batch[c].to_pylist() for c in columns}
-        rows_done = 0
-        out_paths, out_counts = [], []
-        while rows_done < batch.num_rows:
-            g = start + rows_done
-            shard = g // samples_per_shard
-            take = min(batch.num_rows - rows_done, (shard + 1) * samples_per_shard - g)
+        out = []
+        for g, lo, hi, shard in shard_spans(start, batch.num_rows, samples_per_shard):
             fname = os.path.join(path, f"shard-{shard:08d}.part-{g:012d}.tar")
             tmp = fname + f".tmp.{os.getpid()}"
             with tarfile.open(tmp, "w") as tf:
-                for r in range(rows_done, rows_done + take):
+                for r in range(lo, hi):
                     for c, ext in columns.items():
                         v = cols[c][r]
                         data = v.encode() if isinstance(v, str) else bytes(v)
@@ -103,15 +86,18 @@ def write_webdataset(ds, path: str, key_col: str, columns: dict[str, str],
                         info.mtime = 0  # byte-deterministic shards
                         tf.addfile(info, io.BytesIO(data))
             os.replace(tmp, fname)
-            out_paths.append(fname)
-            out_counts.append(take)
-            rows_done += take
-        return pa.table({"path": pa.array(out_paths, pa.string()),
-                         "n_samples": pa.array(out_counts, pa.int64())})
+            out.append((fname, hi - lo))
+        return out
 
-    manifest = mat.map_batches(
-        write_block, batch_size=None, batch_format="pyarrow", **remote_args()
-    ).to_pandas()
+    import pandas as pd
+
+    parts = ray.get([
+        write_block.remote(ref, int(offsets[i]))
+        for i, ref in enumerate(refs) if counts[i]
+    ])
+    manifest = pd.DataFrame(
+        [(p, n) for chunk in parts for p, n in chunk], columns=["path", "n_samples"]
+    )
     return manifest.sort_values("path").reset_index(drop=True)
 
 
