@@ -1547,6 +1547,25 @@ def _q_webdataset_roundtrip(sf_dir: str):
     return df.sort_values("source").reset_index(drop=True)
 
 
+def _q_split_leakage_partkey(sf_dir: str):
+    """Entity-leakage audit: parts whose lineitems straddle an 80/20
+    hash_split on l_orderkey — the eval-inflation check run before any
+    order-keyed train/test cut (ops/sample.py:split_leakage_report, same
+    Knuth hash as hash_split)."""
+    import ray.data
+
+    from orc_format_ray.ops.sample import split_leakage_report
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_partkey"])
+    out = split_leakage_report(ds, 80, key="l_orderkey", attr="l_partkey").to_pandas()
+    if out.empty:
+        return pd.DataFrame({"l_partkey": pd.Series([], dtype=np.int64),
+                             "n_train": pd.Series([], dtype=np.int64),
+                             "n_test": pd.Series([], dtype=np.int64)})
+    return out.sort_values("l_partkey").reset_index(drop=True)
+
+
 def _q_jsonl_roundtrip(sf_dir: str):
     """JSONL corpus interchange: documents write into deterministic
     size-budgeted .jsonl shards (offsets from block metadata — zero
@@ -3852,6 +3871,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_outliers_extendedprice": _q_mad_outliers_extendedprice,
         "webdataset_roundtrip": _q_webdataset_roundtrip,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
+        "split_leakage_partkey": _q_split_leakage_partkey,
         "parquet_pushdown_shipdate": _q_parquet_pushdown_shipdate,
         "label_centroid_cosine": _q_label_centroid_cosine,
         "time_rollup_events": _q_time_rollup_events,
@@ -4646,6 +4666,14 @@ def oracle_sql() -> dict[str, str]:
         "jsonl_roundtrip": (
             "SELECT source, count(*) AS n_docs, CAST(sum(len(text)) AS BIGINT) AS sum_chars "
             "FROM documents GROUP BY 1 ORDER BY 1"
+        ),
+        "split_leakage_partkey": (
+            "WITH s AS (SELECT l_partkey, CASE WHEN ((l_orderkey * 2654435761) % 4294967296) "
+            "% 100 < 80 THEN 1 ELSE 0 END AS tr FROM lineitem), "
+            "g AS (SELECT l_partkey, CAST(sum(tr) AS BIGINT) AS n_train, "
+            "CAST(count(*) - sum(tr) AS BIGINT) AS n_test FROM s GROUP BY 1) "
+            "SELECT l_partkey, n_train, n_test FROM g "
+            "WHERE n_train > 0 AND n_test > 0 ORDER BY 1"
         ),
         "parquet_pushdown_shipdate": (
             "SELECT l_returnflag, count(*) AS cnt, "

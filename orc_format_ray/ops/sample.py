@@ -322,3 +322,48 @@ def weighted_sample(ds, key: str = "doc_id", weight_col: str = "w", salt: int = 
         return batch.filter(pa.array(keep))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+
+
+def split_leakage_report(ds, rate_pct: int, key: str = "doc_id", attr: str = "text",
+                         buckets: int = 100, salt: int = 0):
+    """Train/test contamination audit for a [[hash_split]] partition: the
+    ``attr`` values that land on BOTH sides of the split. With attr=text
+    this catches duplicate documents leaking eval text into training; with
+    an entity column (user id, part key) it catches ENTITY leakage — the
+    classic eval-inflation bug where the same entity's rows straddle the
+    split. Returns a Dataset of ``(attr, n_train, n_test)`` — leaked
+    values only.
+
+    Same Knuth multiplicative hash as hash_split (exact SQL parity; never
+    salted hash() or RNG). Plan: per-batch (attr, in_split) count cells
+    pre-aggregate duplicates BEFORE the one groupby (distinct attr values
+    move once, at most once per batch); the both-sides filter is a
+    stateless map. Counts are exact ints.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    if not 0 <= rate_pct <= buckets:
+        raise ValueError(f"rate_pct must be in [0, {buckets}], got {rate_pct}")
+
+    def cells(batch: pa.Table) -> pa.Table:
+        if batch[attr].null_count or batch[key].null_count:
+            raise ValueError("split_leakage_report: null attr/key values")
+        h = knuth_hash(batch[key].to_numpy(zero_copy_only=False), salt)
+        tr = ((h % np.uint64(buckets)) < np.uint64(rate_pct)).astype(np.int64)
+        t = pa.table({attr: batch[attr].combine_chunks(),
+                      "n_train": pa.array(tr), "n_test": pa.array(1 - tr)})
+        out = t.group_by(attr).aggregate([("n_train", "sum"), ("n_test", "sum")])
+        return out.rename_columns([attr, "n_train", "n_test"])
+
+    folded = (
+        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby(attr)
+        .aggregate(Sum("n_train", alias_name="n_train"), Sum("n_test", alias_name="n_test"))
+    )
+
+    def leaked(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater(batch["n_train"], 0), pc.greater(batch["n_test"], 0))
+        return batch.filter(keep)
+
+    return folded.map_batches(leaked, batch_format="pyarrow", zero_copy_batch=True, **remote_args())

@@ -4484,3 +4484,33 @@ def test_jsonl_roundtrip(ray_session, tmp_path):
     # missing field -> nulls (reader is schema authority)
     ms = read_jsonl(out_dir, {"doc_id": "int64", "absent": "string"}).to_pandas()
     assert ms["absent"].isna().all()
+
+
+def test_split_leakage_report(ray_session):
+    import duckdb
+    import ray.data
+
+    from orc_format_ray.ops.sample import split_leakage_report
+
+    rng = np.random.default_rng(77)
+    n = 3000
+    df = pd.DataFrame({
+        "k": np.arange(n, dtype=np.int64),
+        "ent": rng.integers(0, 400, n),   # entities span many keys -> leakage
+    })
+    ds = ray.data.from_pandas(df).repartition(5)
+    out = split_leakage_report(ds, 80, key="k", attr="ent").to_pandas()
+    out = out.sort_values("ent").reset_index(drop=True)
+    ref = duckdb.sql(
+        "WITH s AS (SELECT ent, CASE WHEN ((k * 2654435761) % 4294967296) % 100 < 80 "
+        "THEN 1 ELSE 0 END AS tr FROM df), "
+        "g AS (SELECT ent, CAST(sum(tr) AS BIGINT) AS n_train, "
+        "CAST(count(*) - sum(tr) AS BIGINT) AS n_test FROM s GROUP BY 1) "
+        "SELECT ent, n_train, n_test FROM g WHERE n_train > 0 AND n_test > 0 ORDER BY 1"
+    ).df()
+    assert len(out) == len(ref) and len(out) > 100
+    for c in ("ent", "n_train", "n_test"):
+        assert (out[c].to_numpy() == ref[c].to_numpy()).all()
+    # disjoint attrs (attr == key) -> nothing leaks
+    clean = split_leakage_report(ds, 80, key="k", attr="k").to_pandas()
+    assert len(clean) == 0
