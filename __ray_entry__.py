@@ -1547,6 +1547,19 @@ def _q_webdataset_roundtrip(sf_dir: str):
     return df.sort_values("source").reset_index(drop=True)
 
 
+def _q_welch_ttest_click_error(sf_dir: str):
+    """Welch's t-test of event value between 'click' and 'error' events —
+    exact-int partials, mirrored float expression tree
+    (ops/agg.py:welch_ttest)."""
+    import ray.data
+
+    from orc_format_ray.ops.agg import welch_ttest
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+    return welch_ttest(ds, "event_type", "value", "click", "error")
+
+
 def _q_split_leakage_partkey(sf_dir: str):
     """Entity-leakage audit: parts whose lineitems straddle an 80/20
     hash_split on l_orderkey — the eval-inflation check run before any
@@ -3707,6 +3720,42 @@ def _q_multimodal_features(sf_dir: str):
     return df[["media_id", "mean_r"]]
 
 
+def _q_phash_near_dups_planted(sf_dir: str):
+    """Visual near-dedup: DCT perceptual hashes (actor-pool, real BMP/PPM
+    decode) -> exact 4x16-bit-band hamming blocking -> planted noisy
+    copies recovered. Rows-only check (SQL cannot decode image bytes);
+    the banding==brute-force guarantee is pinned in pytest."""
+    import ray.data
+
+    from orc_format_ray.ops import multimodal as mm
+
+    base = mm.synthetic_media_table(48, seed=41)
+    rng = np.random.default_rng(7)
+    ids, payloads, types, ws, hs = [], [], [], [], []
+    for src_idx, new_id in ((0, 1000), (2, 1001), (4, 1002)):
+        px = mm.decode_bmp(base["payload"][src_idx].as_py()).astype(np.int64)
+        px2 = np.clip(px + rng.integers(-1, 2, px.shape), 0, 255).astype(np.uint8)
+        ids.append(new_id)
+        payloads.append(mm.encode_bmp(px2))
+        types.append("image/bmp")
+        hs.append(px2.shape[0])
+        ws.append(px2.shape[1])
+    tbl = pa.concat_tables([base, pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "payload": pa.array(payloads, pa.binary()),
+        "media_type": pa.array(types),
+        "width": pa.array(np.asarray(ws, np.int32)),
+        "height": pa.array(np.asarray(hs, np.int32)),
+    })])
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    out = mm.phash_near_dups(ds, max_distance=3).to_pandas()
+    if out.empty:
+        return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                             "id_b": pd.Series([], dtype=np.int64),
+                             "distance": pd.Series([], dtype=np.int64)})
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def _q_audio_features(sf_dir: str):
     """Audio pipeline end-to-end with REAL decoding: genuine PCM16 WAV
     payloads -> library-free RIFF parser -> per-clip DSP features (duration,
@@ -3872,6 +3921,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "webdataset_roundtrip": _q_webdataset_roundtrip,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "split_leakage_partkey": _q_split_leakage_partkey,
+        "welch_ttest_click_error": _q_welch_ttest_click_error,
         "parquet_pushdown_shipdate": _q_parquet_pushdown_shipdate,
         "label_centroid_cosine": _q_label_centroid_cosine,
         "time_rollup_events": _q_time_rollup_events,
@@ -3958,6 +4008,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_pairs": _q_minhash_dedup_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "multimodal_features": _q_multimodal_features,
+        "phash_near_dups_planted": _q_phash_near_dups_planted,
         "audio_features": _q_audio_features,
         "video_frame_stats": _q_video_frame_stats,
         "codec_selection": _q_codec_selection,
@@ -4666,6 +4717,24 @@ def oracle_sql() -> dict[str, str]:
         "jsonl_roundtrip": (
             "SELECT source, count(*) AS n_docs, CAST(sum(len(text)) AS BIGINT) AS sum_chars "
             "FROM documents GROUP BY 1 ORDER BY 1"
+        ),
+        "welch_ttest_click_error": (
+            "WITH u AS (SELECT event_type AS g, CAST(floor(value*100 + 0.5) AS BIGINT) AS u "
+            "FROM events WHERE event_type IN ('click','error')), "
+            "s AS (SELECT g, count(*) AS n, CAST(sum(u) AS BIGINT) AS sx, "
+            "CAST(sum(u*u) AS BIGINT) AS sxx FROM u GROUP BY 1), "
+            "m AS (SELECT g, n, CAST(sx AS DOUBLE)/CAST(n AS DOUBLE) AS m, "
+            "((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/CAST(n AS DOUBLE)) "
+            "/ (CAST(n AS DOUBLE) - 1.0)) / CAST(n AS DOUBLE) AS s2 FROM s), "
+            "w AS (SELECT "
+            "(SELECT n FROM m WHERE g='click') AS n_a, (SELECT n FROM m WHERE g='error') AS n_b, "
+            "(SELECT m FROM m WHERE g='click') AS mean_a, (SELECT m FROM m WHERE g='error') AS mean_b, "
+            "(SELECT s2 FROM m WHERE g='click') AS s2a, (SELECT s2 FROM m WHERE g='error') AS s2b) "
+            "SELECT n_a, n_b, mean_a, mean_b, "
+            "(mean_a - mean_b) / sqrt(s2a + s2b) AS t, "
+            "((s2a + s2b) * (s2a + s2b)) / "
+            "(s2a * s2a / (CAST(n_a AS DOUBLE) - 1.0) + s2b * s2b / (CAST(n_b AS DOUBLE) - 1.0)) AS df "
+            "FROM w"
         ),
         "split_leakage_partkey": (
             "WITH s AS (SELECT l_partkey, CASE WHEN ((l_orderkey * 2654435761) % 4294967296) "

@@ -1209,3 +1209,80 @@ def chi_square(ds, col_a: str, col_b: str):
     return pd.DataFrame({col_a: counts["a"], col_b: counts["b"],
                          "observed": counts["c"].astype(np.int64),
                          "expected": e, "term": term})
+
+
+def welch_ttest(ds, group: str, col: str, group_a, group_b, value_scale: int = 100,
+                max_abs_sum: int = 1 << 62):
+    """Welch's unequal-variance t-test between two named groups — the A/B
+    experiment readout ("did the new pipeline change mean quality?").
+    Returns a one-row driver DataFrame
+    ``(n_a, n_b, mean_a, mean_b, t, df)`` over exact int64 units.
+
+    Parity contract (the regression_by_group rule): n/Sx/Sxx per side are
+    exact integers (per-row |unit| < 2^31 guard, loud final-sum guard),
+    each cast to float64 ONCE; then the whole statistic is this mirrored
+    expression tree (keep the SQL oracle in sync op-for-op):
+
+        m  = sx/n                 v  = (sxx - sx*sx/n) / (n-1)
+        s2 = v/n  (per side)      t  = (m_a - m_b) / sqrt(s2_a + s2_b)
+        df = (s2_a + s2_b)^2 / (s2_a^2/(n_a-1) + s2_b^2/(n_b-1))
+
+    (squares written as x*x, never pow — DuckDB ^ is libm pow and not
+    parity-safe; np.sqrt == libm sqrt, both correctly rounded).
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch[group], value_set=pa.array([group_a, group_b]))
+        t = batch.filter(keep)
+        if not t.num_rows:
+            return pa.table({"g": pa.array([], batch[group].type),
+                             "n": pa.array([], pa.int64()),
+                             "sx": pa.array([], pa.int64()),
+                             "sxx": pa.array([], pa.int64())})
+        v = t[col].to_numpy(zero_copy_only=False)
+        if t[col].null_count or np.isnan(v).any():
+            raise ValueError(f"welch_ttest: {col!r} must be non-null")
+        u = np.floor(v * value_scale + 0.5).astype(np.int64)
+        if np.abs(u).max(initial=0) >= 1 << 31:
+            raise ValueError("welch_ttest: |units| >= 2^31; int64 squares would overflow")
+        cells = pa.table({"g": t[group].combine_chunks(),
+                          "n": pa.array(np.ones(len(u), np.int64)),
+                          "sx": pa.array(u), "sxx": pa.array(u * u)})
+        out = cells.group_by("g").aggregate([("n", "sum"), ("sx", "sum"), ("sxx", "sum")])
+        return out.rename_columns(["g", "n", "sx", "sxx"])
+
+    stats = (
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby("g")
+        .aggregate(Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+                   Sum("sxx", alias_name="sxx"))
+        .to_pandas()
+        .set_index("g")
+    )
+    for g in (group_a, group_b):
+        if g not in stats.index:
+            raise ValueError(f"welch_ttest: group {g!r} absent")
+        if int(stats.loc[g, "n"]) < 2:
+            raise ValueError(f"welch_ttest: group {g!r} has < 2 rows")
+        if max(abs(int(stats.loc[g, c])) for c in ("n", "sx", "sxx")) > max_abs_sum:
+            raise ValueError(f"welch_ttest: group {g!r} sums exceed {max_abs_sum}")
+
+    def side(g):
+        n = np.float64(int(stats.loc[g, "n"]))
+        sx = np.float64(int(stats.loc[g, "sx"]))
+        sxx = np.float64(int(stats.loc[g, "sxx"]))
+        m = sx / n
+        v = (sxx - sx * sx / n) / (n - np.float64(1.0))
+        return n, m, v / n
+
+    # mirrored op-for-op by the SQL oracle — keep both sides in sync
+    na, ma, s2a = side(group_a)
+    nb, mb, s2b = side(group_b)
+    t_stat = (ma - mb) / np.sqrt(s2a + s2b)
+    dof = ((s2a + s2b) * (s2a + s2b)) / (
+        s2a * s2a / (na - np.float64(1.0)) + s2b * s2b / (nb - np.float64(1.0)))
+    return pd.DataFrame({"n_a": [int(na)], "n_b": [int(nb)],
+                         "mean_a": [float(ma)], "mean_b": [float(mb)],
+                         "t": [float(t_stat)], "df": [float(dof)]})

@@ -446,3 +446,153 @@ def synthetic_audio_table(n: int = 16, seed: int = 12) -> pa.Table:
     return pa.Table.from_pylist(rows).cast(
         pa.schema([("media_id", pa.int64()), ("payload", pa.binary()), ("media_type", pa.string())])
     )
+
+
+class PerceptualHash:
+    """payload -> 64-bit pHash (classic DCT perceptual hash): decode (real
+    BMP/PPM parsers), integer luma, deterministic 32x32 box resample,
+    DCT-II via two matmuls against a matrix precomputed ONCE per actor,
+    top-left 8x8 low-frequency block thresholded at its median (DC
+    excluded). Near-duplicate images (re-encodes, small edits, minor
+    noise) land within a few bits; unrelated images differ by ~32.
+
+    Actor-pool stage: pass the CLASS to map_batches(concurrency=...);
+    the DCT basis and decoder live in __init__.
+    """
+
+    _N = 32  # resample + DCT size
+
+    def __init__(self, strict: bool = True):
+        self._decode = DecodeImage(strict=strict)
+        n = self._N
+        k = np.arange(n, dtype=np.float64)
+        self._dct = np.sqrt(2.0 / n) * np.cos(np.pi * (2.0 * k[None, :] + 1.0) * k[:, None] / (2.0 * n))
+        self._dct[0] *= np.sqrt(0.5)
+
+    def _hash_one(self, data: bytes, h: int, w: int) -> int:
+        px = self._decode._decode_one(data, h, w).reshape(h, w, 3).astype(np.int64)
+        # integer luma (exact): (299 R + 587 G + 114 B) // 1000
+        luma = (299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]) // 1000
+        n = self._N
+        # deterministic box resample: block means over floor-split ranges;
+        # images smaller than 32px re-read rows/cols (nearest upsample)
+        ri = (np.arange(n + 1, dtype=np.int64) * h) // n
+        ci = (np.arange(n + 1, dtype=np.int64) * w) // n
+        csum = np.zeros((h + 1, w + 1), dtype=np.int64)
+        csum[1:, 1:] = luma.cumsum(0).cumsum(1)
+        lo_r = np.minimum(ri[:-1], h - 1)
+        hi_r = np.minimum(np.maximum(ri[1:], lo_r + 1), h)
+        lo_c = np.minimum(ci[:-1], w - 1)
+        hi_c = np.minimum(np.maximum(ci[1:], lo_c + 1), w)
+        area = ((hi_r - lo_r)[:, None] * (hi_c - lo_c)[None, :]).astype(np.float64)
+        block = (csum[hi_r][:, hi_c] - csum[hi_r][:, lo_c]
+                 - csum[lo_r][:, hi_c] + csum[lo_r][:, lo_c]).astype(np.float64)
+        g = block / area
+        coef = self._dct @ g @ self._dct.T
+        low = coef[:8, :8].copy().reshape(-1)
+        med = np.median(low[1:])  # exclude DC
+        bits = (low > med).astype(np.uint64)
+        return int(np.bitwise_or.reduce(bits << np.arange(64, dtype=np.uint64)))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        heights = batch["height"].to_numpy(zero_copy_only=False).astype(np.int64)
+        widths = batch["width"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hashes = [
+            self._hash_one(blob.as_py(), int(h), int(w))
+            for blob, h, w in zip(batch["payload"], heights, widths)
+        ]
+        return pa.table({
+            "media_id": batch["media_id"],
+            "phash": pa.array(np.array(hashes, dtype=np.uint64).view(np.int64), pa.int64()),
+        })
+
+
+def phash_near_dups(ds, max_distance: int = 3, max_bucket: int = 10_000):
+    """Near-duplicate image pairs by pHash hamming distance — the visual
+    dedup pass. EXACT for ``max_distance <= 3``: the 64-bit hash splits
+    into 4 x 16-bit bands, and by pigeonhole any pair within hamming 3
+    agrees on at least one full band, so banding is a lossless blocking
+    key (same guarantee shape as minhash LSH, but exact). Pairs emit
+    exactly once: only from their LOWEST agreeing band (the interval_join
+    canonical-cell rule). Buckets above ``max_bucket`` fail loudly (a
+    constant-image corpus would otherwise go quadratic).
+
+    Plan: one actor-pool hash pass (payloads never shuffle); per-band
+    (band_key, media_id, phash) metadata groupbys; vectorized in-bucket
+    pair expansion + popcount verify. Returns a Dataset of
+    ``(id_a, id_b, distance)`` with id_a < id_b.
+    """
+    import pandas as pd
+    import ray.data  # noqa: F401
+
+    from .._rayutil import pool_size, remote_args
+
+    if not 0 <= max_distance <= 3:
+        raise ValueError("banded pHash blocking is exact only for max_distance in [0, 3]")
+
+    hashed = ds.map_batches(PerceptualHash, concurrency=pool_size(),
+                            batch_format="pyarrow", **remote_args())
+    # actor-pool -> groupby deadlocks on small clusters (the union rule):
+    # the hash table is tiny metadata — materialize it first.
+    hashed = hashed.materialize()
+
+    def bands(batch: pa.Table) -> pa.Table:
+        h = batch["phash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        ids = batch["media_id"].to_numpy(zero_copy_only=False)
+        out_band, out_key, out_id, out_hash = [], [], [], []
+        for b in range(4):
+            out_band.append(np.full(len(h), b, dtype=np.int64))
+            out_key.append(((h >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64))
+            out_id.append(ids)
+            out_hash.append(h.view(np.int64))
+        return pa.table({
+            "band": pa.array(np.concatenate(out_band)),
+            "key": pa.array(np.concatenate(out_key)),
+            "media_id": pa.array(np.concatenate(out_id)),
+            "phash": pa.array(np.concatenate(out_hash)),
+        })
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        n = len(group)
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                              "id_b": pd.Series([], dtype=np.int64),
+                              "distance": pd.Series([], dtype=np.int64)})
+        if n < 2:
+            return empty
+        if n > max_bucket:
+            raise ValueError(f"phash band bucket holds {n} items (> {max_bucket})")
+        band = int(group["band"].iloc[0])
+        ids = group["media_id"].to_numpy()
+        h = group["phash"].to_numpy().view(np.uint64)
+        ia, ib = np.triu_indices(n, k=1)
+        x = h[ia] ^ h[ib]
+        dist = np.zeros(len(x), dtype=np.int64)
+        v = x.copy()
+        for _ in range(64):  # popcount via shift-accumulate (vectorized)
+            dist += (v & np.uint64(1)).astype(np.int64)
+            v >>= np.uint64(1)
+            if not v.any():
+                break
+        keep = dist <= max_distance
+        if not keep.any():
+            return empty
+        ia, ib, dist, x = ia[keep], ib[keep], dist[keep], x[keep]
+        # canonical band: emit only if this is the LOWEST band the pair agrees on
+        first_band = np.zeros(len(x), dtype=np.int64)
+        agree_seen = np.zeros(len(x), dtype=bool)
+        for b in range(4):
+            agrees = ((x >> np.uint64(16 * b)) & np.uint64(0xFFFF)) == 0
+            newly = agrees & ~agree_seen
+            first_band[newly] = b
+            agree_seen |= agrees
+        keep2 = first_band == band
+        a = np.minimum(ids[ia[keep2]], ids[ib[keep2]])
+        b_ = np.maximum(ids[ia[keep2]], ids[ib[keep2]])
+        return pd.DataFrame({"id_a": a.astype(np.int64), "id_b": b_.astype(np.int64),
+                             "distance": dist[keep2]})
+
+    return (
+        hashed.map_batches(bands, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby(["band", "key"])
+        .map_groups(pairs, batch_format="pandas", **remote_args())
+    )

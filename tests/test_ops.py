@@ -4514,3 +4514,93 @@ def test_split_leakage_report(ray_session):
     # disjoint attrs (attr == key) -> nothing leaks
     clean = split_leakage_report(ds, 80, key="k", attr="k").to_pandas()
     assert len(clean) == 0
+
+
+def test_welch_ttest(ray_session):
+    import duckdb
+    import ray.data
+
+    from orc_format_ray.ops.agg import welch_ttest
+
+    rng = np.random.default_rng(13)
+    n = 4000
+    g = rng.choice(["a", "b", "other"], n)
+    v = np.where(g == "a", rng.normal(50, 10, n), rng.normal(52, 14, n))
+    df = pd.DataFrame({"g": g, "v": np.round(v, 2)})
+    ds = ray.data.from_pandas(df).repartition(6)
+    out = welch_ttest(ds, "g", "v", "a", "b")
+    ref = duckdb.sql(
+        "WITH u AS (SELECT g, CAST(floor(v*100 + 0.5) AS BIGINT) AS u FROM df WHERE g IN ('a','b')), "
+        "s AS (SELECT g, count(*) AS n, CAST(sum(u) AS BIGINT) AS sx, CAST(sum(u*u) AS BIGINT) AS sxx "
+        "FROM u GROUP BY 1), "
+        "m AS (SELECT g, n, CAST(sx AS DOUBLE)/CAST(n AS DOUBLE) AS m, "
+        "((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/CAST(n AS DOUBLE)) "
+        "/ (CAST(n AS DOUBLE) - 1.0)) / CAST(n AS DOUBLE) AS s2 FROM s), "
+        "w AS (SELECT "
+        "(SELECT n FROM m WHERE g='a') AS n_a, (SELECT n FROM m WHERE g='b') AS n_b, "
+        "(SELECT m FROM m WHERE g='a') AS mean_a, (SELECT m FROM m WHERE g='b') AS mean_b, "
+        "(SELECT s2 FROM m WHERE g='a') AS s2a, (SELECT s2 FROM m WHERE g='b') AS s2b) "
+        "SELECT n_a, n_b, mean_a, mean_b, "
+        "(mean_a - mean_b) / sqrt(s2a + s2b) AS t, "
+        "((s2a + s2b) * (s2a + s2b)) / "
+        "(s2a * s2a / (CAST(n_a AS DOUBLE) - 1.0) + s2b * s2b / (CAST(n_b AS DOUBLE) - 1.0)) AS df "
+        "FROM w"
+    ).df()
+    for c in ("n_a", "n_b", "mean_a", "mean_b", "t", "df"):
+        assert out[c].iloc[0] == ref[c].iloc[0], (c, out[c].iloc[0], ref[c].iloc[0])
+    # sanity: means differ -> |t| large-ish, df between min(n)-1 and n_a+n_b-2
+    assert abs(out["t"].iloc[0]) > 2
+    assert out["df"].iloc[0] < n
+    with pytest.raises(Exception):
+        welch_ttest(ds, "g", "v", "a", "missing")
+
+
+def test_phash_near_dups(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.multimodal import (
+        PerceptualHash, decode_bmp, encode_bmp, phash_near_dups, synthetic_media_table)
+
+    base = synthetic_media_table(n=24, seed=41)
+    # plant near-dups: re-encode two BMP images with tiny pixel noise
+    rng = np.random.default_rng(7)
+    extra_ids, extra_payloads, extra_w, extra_h, extra_t = [], [], [], [], []
+    for src_idx, new_id in ((0, 100), (2, 101)):
+        px = decode_bmp(base["payload"][src_idx].as_py()).astype(np.int64)
+        noise = rng.integers(-1, 2, px.shape)
+        px2 = np.clip(px + noise, 0, 255).astype(np.uint8)
+        extra_ids.append(new_id)
+        extra_payloads.append(encode_bmp(px2))
+        extra_h.append(px2.shape[0]); extra_w.append(px2.shape[1])
+        extra_t.append("image/bmp")
+    tbl = pa.concat_tables([base, pa.table({
+        "media_id": pa.array(extra_ids, pa.int64()),
+        "payload": pa.array(extra_payloads, pa.binary()),
+        "media_type": pa.array(extra_t),
+        "width": pa.array(np.asarray(extra_w, np.int32)),
+        "height": pa.array(np.asarray(extra_h, np.int32)),
+    })])
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    out = phash_near_dups(ds, max_distance=3).to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    got = set(zip(out["id_a"], out["id_b"]))
+    assert (0, 100) in got and (2, 101) in got, got
+    # exact copies are distance 0; hash is deterministic across actors
+    ph = PerceptualHash()
+    b0 = base["payload"][0].as_py()
+    h0 = ph._hash_one(b0, int(base["height"][0].as_py()), int(base["width"][0].as_py()))
+    assert h0 == ph._hash_one(b0, int(base["height"][0].as_py()), int(base["width"][0].as_py()))
+    # unrelated random images stay far apart: no pair among base-only ids
+    base_pairs = [p for p in got if p[0] < 100 and p[1] < 100]
+    assert len(base_pairs) == 0, base_pairs
+    # brute-force cross-check: banding found EXACTLY the hamming<=3 pairs
+    hs = {}
+    for i in range(tbl.num_rows):
+        hs[int(tbl["media_id"][i].as_py())] = ph._hash_one(
+            tbl["payload"][i].as_py(), int(tbl["height"][i].as_py()), int(tbl["width"][i].as_py()))
+    ids = sorted(hs)
+    brute = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if bin(hs[ids[i]] ^ hs[ids[j]]).count("1") <= 3:
+                brute.add((ids[i], ids[j]))
+    assert got == brute
