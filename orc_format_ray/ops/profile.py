@@ -564,3 +564,34 @@ def table_checksum(ds, cols: list[str], max_rows: int = 1 << 32):
     if n > max_rows:
         raise ValueError(f"table_checksum: {n} rows > {max_rows}; int64 row-value sum could overflow")
     return n, int(parts["s"].sum())
+
+
+def block_profile(ds):
+    """Physical layout audit of a Dataset: one row per materialized block
+    with (block, num_rows, size_bytes) plus rows/byte skew — what you read
+    BEFORE picking batch_size / concurrency / repartition counts (a 10x
+    rows skew across blocks means one task runs 10x longer than the pool).
+    Zero execution beyond the materialize: counts and byte sizes come from
+    block METADATA (the `_shardwrite.block_offsets` rule — never a
+    map_batches pass whose output order is completion order).
+
+    Returns a driver DataFrame sorted by block index, with a final
+    ``__total__`` row carrying sums.
+    """
+    import pandas as pd
+
+    mat = ds.materialize()
+    rows, sizes = [], []
+    for bundle in mat.iter_internal_ref_bundles():
+        for meta in bundle.metadata:
+            rows.append(int(meta.num_rows) if meta.num_rows is not None else -1)
+            sizes.append(int(meta.size_bytes) if meta.size_bytes is not None else -1)
+    df = pd.DataFrame({
+        "block": np.arange(len(rows), dtype=np.int64),
+        "num_rows": np.asarray(rows, dtype=np.int64),
+        "size_bytes": np.asarray(sizes, dtype=np.int64),
+    })
+    total = pd.DataFrame({"block": [np.int64(-1)],
+                          "num_rows": [df["num_rows"].clip(lower=0).sum()],
+                          "size_bytes": [df["size_bytes"].clip(lower=0).sum()]})
+    return pd.concat([df, total], ignore_index=True)

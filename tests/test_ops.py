@@ -4604,3 +4604,17 @@ def test_phash_near_dups(ray_session):
             if bin(hs[ids[i]] ^ hs[ids[j]]).count("1") <= 3:
                 brute.add((ids[i], ids[j]))
     assert got == brute
+
+
+def test_block_profile(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.profile import block_profile
+
+    ds = ray.data.range(5000).repartition(9)
+    df = block_profile(ds)
+    assert df["block"].iloc[-1] == -1  # total row
+    body = df[df["block"] >= 0]
+    assert len(body) == 9
+    assert body["num_rows"].sum() == 5000 == df["num_rows"].iloc[-1]
+    assert (body["size_bytes"] > 0).all()
