@@ -3823,6 +3823,99 @@ def _q_codec_selection(sf_dir: str):
     return pa.Table.from_pylist(rows)
 
 
+def _q_pmi_collocations(sf_dir: str):
+    """Document-level PMI collocations (ops/colloc.py): broadcast-vocab
+    pair expansion, exact int64 count products, libm-ln scoring (the BM25
+    math.log rule)."""
+    import ray.data
+
+    from orc_format_ray.ops.colloc import pmi_collocations
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return pmi_collocations(ds, min_word_docs=4, min_pair_docs=4)
+
+
+def _q_gopher_rules_documents(sf_dir: str):
+    """Gopher quality-rule bundle (ops/quality.py): word/line stats via
+    reduceat over the flat word buffer; each fraction ONE exact-int
+    division; keep-flag boolean algebra over bit-identical doubles."""
+    import ray.data
+
+    from orc_format_ray._rayutil import remote_args
+    from orc_format_ray.ops.quality import gopher_rules
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(gopher_rules, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+
+
+def _q_compression_signal_documents(sf_dir: str):
+    """Per-doc deflate ratio (ops/quality.py) — no SQL deflate exists, so
+    rows-only at the driver; tests/test_ops_wave8.py pins the exact zlib
+    byte counts."""
+    import ray.data
+
+    from orc_format_ray._rayutil import remote_args
+    from orc_format_ray.ops.quality import compression_signal
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(compression_signal, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+
+
+def _q_top_user_paths(sf_dir: str):
+    """First-3-event journey paths (ops/paths.py): per-batch partial top-k
+    then hash-bucketed vectorized fold — candidate metadata only shuffles."""
+    import ray.data
+
+    from orc_format_ray.ops.paths import top_user_paths
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "event_type"]
+    )
+    out = top_user_paths(ds, k=3).to_pandas()
+    if len(out) == 0:  # empty to_pandas drops columns (CLAUDE.md guard)
+        import pandas as pd
+
+        return pd.DataFrame({"path": pd.Series([], dtype=object), "n_users": pd.Series([], dtype=np.int64)})
+    out["n_users"] = out["n_users"].astype(np.int64)
+    return out
+
+
+def _q_pareto_customer_revenue(sf_dir: str):
+    """Customer revenue concentration curve (ops/pareto.py): exact-cents
+    groupby then ranked exact-int cumsum; cum_share is ONE int/int division."""
+    import ray.data
+
+    from orc_format_ray.ops.pareto import concentration_curve
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    return concentration_curve(ds, key="o_custkey", value_col="o_totalprice", value_scale=100)
+
+
+def _q_linear_score_embeddings(sf_dir: str):
+    """Quantized linear-head inference (ops/infer.py): actor-pool model
+    scoring with exact int64 dot products — bitwise SQL-checkable, unlike
+    any float dot product (CLAUDE.md round-4 notes)."""
+    import ray.data
+
+    from orc_format_ray.ops.infer import linear_score
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    first = ds.take(1)
+    dim = len(first[0]["embedding"]) if first else 0
+    if dim == 0:
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "vec_id": pd.Series([], dtype=np.int64),
+                "score_units": pd.Series([], dtype=np.int64),
+                "score": pd.Series([], dtype=np.float64),
+                "label_pred": pd.Series([], dtype=np.int64),
+            }
+        )
+    return linear_score(ds, dim=dim)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
     # (VERDICT r3 "What's wrong" #2), so the window below is curated for
@@ -3995,6 +4088,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_quantity_lineitem": _q_quantile_quantity_lineitem,
         "file_stats_ntok": _q_file_stats_ntok,
         "orc_lake_stats": _q_orc_lake_stats,
+        "pmi_collocations_documents": _q_pmi_collocations,
+        "gopher_rules_documents": _q_gopher_rules_documents,
+        "top_user_paths_events": _q_top_user_paths,
+        "pareto_customer_revenue": _q_pareto_customer_revenue,
+        "linear_score_embeddings": _q_linear_score_embeddings,
         # --- rows-only smoke queries ---------------------------------------
         "bpe_learned_merges": _q_bpe_learned_merges,
         "pca_embeddings": _q_pca_embeddings,
@@ -4012,6 +4110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_features": _q_audio_features,
         "video_frame_stats": _q_video_frame_stats,
         "codec_selection": _q_codec_selection,
+        "compression_signal_documents": _q_compression_signal_documents,
     }
 
 
@@ -5200,5 +5299,78 @@ def oracle_sql() -> dict[str, str]:
         "orc_bloom_pushdown": (
             "SELECT doc_id, source FROM documents "
             "WHERE text = (SELECT text FROM documents WHERE doc_id = 123) ORDER BY doc_id"
+        ),
+        # PMI: exact-int count products cast to double once, libm ln
+        "pmi_collocations_documents": (
+            "WITH w AS (SELECT DISTINCT d.doc_id, t.w "
+            "FROM documents d, unnest(string_split_regex(trim(d.text), '\\s+')) AS t(w) "
+            "WHERE trim(d.text) <> ''), "
+            "n AS (SELECT count(*) AS n_docs FROM documents), "
+            "df AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY w), "
+            "elig AS (SELECT w, c FROM df WHERE c >= 4), "
+            "pairs AS (SELECT a.w AS item_a, b.w AS item_b, CAST(count(*) AS BIGINT) AS pair_docs "
+            "FROM w a JOIN w b ON a.doc_id = b.doc_id AND a.w < b.w "
+            "JOIN elig ea ON ea.w = a.w JOIN elig eb ON eb.w = b.w "
+            "GROUP BY a.w, b.w HAVING count(*) >= 4) "
+            "SELECT p.item_a, p.item_b, p.pair_docs, "
+            "ln(CAST(p.pair_docs * n.n_docs AS DOUBLE) / CAST(ea.c * eb.c AS DOUBLE)) AS pmi "
+            "FROM pairs p CROSS JOIN n "
+            "JOIN elig ea ON ea.w = p.item_a JOIN elig eb ON eb.w = p.item_b"
+        ),
+        # Gopher rules: every fraction ONE exact-int division (HUGEINT sums
+        # CAST to BIGINT before DOUBLE — the CLAUDE.md rule)
+        "gopher_rules_documents": (
+            "WITH base AS (SELECT doc_id, trim(text) AS t FROM documents WHERE trim(text) <> ''), "
+            "words AS (SELECT doc_id, w FROM base, unnest(string_split_regex(t, '\\s+')) AS u(w)), "
+            "ws AS (SELECT doc_id, CAST(count(*) AS BIGINT) nw, CAST(sum(length(w)) AS BIGINT) sl, "
+            "CAST(sum(CASE WHEN regexp_matches(w, '[A-Za-z]') THEN 1 ELSE 0 END) AS BIGINT) aw, "
+            "CAST(sum(CASE WHEN w IN ('the','be','to','of','and','that','have','with') THEN 1 ELSE 0 END) AS BIGINT) sh "
+            "FROM words GROUP BY doc_id), "
+            "ls AS (SELECT doc_id, CAST(count(*) AS BIGINT) nl, "
+            "CAST(sum(CASE WHEN ltrim(l, ' ') LIKE '-%' OR ltrim(l, ' ') LIKE '*%' OR ltrim(l, ' ') LIKE '•%' THEN 1 ELSE 0 END) AS BIGINT) bl "
+            "FROM (SELECT doc_id, l FROM base, unnest(string_split(t, chr(10))) AS u(l)) GROUP BY doc_id) "
+            "SELECT ws.doc_id, nw AS n_words, "
+            "CAST(sl AS DOUBLE)/CAST(nw AS DOUBLE) AS mean_word_len, "
+            "CAST(aw AS DOUBLE)/CAST(nw AS DOUBLE) AS frac_alpha_words, "
+            "sh AS stop_hits, "
+            "CAST(bl AS DOUBLE)/CAST(nl AS DOUBLE) AS frac_bullet_lines, "
+            "(nw >= 5 AND nw <= 100000 "
+            "AND CAST(sl AS DOUBLE)/CAST(nw AS DOUBLE) >= 3.0 AND CAST(sl AS DOUBLE)/CAST(nw AS DOUBLE) <= 10.0 "
+            "AND CAST(aw AS DOUBLE)/CAST(nw AS DOUBLE) >= 0.8 AND sh >= 2) AS keep "
+            "FROM ws JOIN ls ON ws.doc_id = ls.doc_id"
+        ),
+        # journey paths: (ts, event_id) orders each user uniquely
+        "top_user_paths_events": (
+            "WITH ranked AS (SELECT user_id, event_type, "
+            "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) rn "
+            "FROM events WHERE user_id IS NOT NULL), "
+            "paths AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path "
+            "FROM ranked WHERE rn <= 3 GROUP BY user_id) "
+            "SELECT path, CAST(count(*) AS BIGINT) AS n_users FROM paths GROUP BY path"
+        ),
+        # Pareto curve: exact-cents cumsum, ONE int/int division per row
+        "pareto_customer_revenue": (
+            "WITH agg AS (SELECT o_custkey, "
+            "CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) units "
+            "FROM orders WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL GROUP BY o_custkey), "
+            "r AS (SELECT o_custkey, units, "
+            "row_number() OVER (ORDER BY units DESC, o_custkey) AS rank, "
+            "CAST(sum(units) OVER (ORDER BY units DESC, o_custkey ROWS UNBOUNDED PRECEDING) AS BIGINT) cum "
+            "FROM agg), "
+            "t AS (SELECT CAST(sum(units) AS BIGINT) total FROM agg) "
+            "SELECT o_custkey, units, rank, CAST(cum AS DOUBLE)/CAST(total AS DOUBLE) AS cum_share "
+            "FROM r CROSS JOIN t"
+        ),
+        # quantized linear head: exact int64 dot product, Knuth-hash weights
+        # computable in SQL (no weights table shipped)
+        "linear_score_embeddings": (
+            "WITH q AS (SELECT vec_id, j, "
+            "CAST(floor(CAST(embedding[j] AS DOUBLE)*4096 + 0.5) AS BIGINT) AS qx, "
+            "CAST(((j * 2654435761) % 4294967296) % 8193 AS BIGINT) - 4096 AS qw "
+            "FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(j)) "
+            "SELECT vec_id, CAST(sum(qx*qw) AS BIGINT) AS score_units, "
+            "CAST(CAST(sum(qx*qw) AS BIGINT) AS DOUBLE)/4096.0 AS score, "
+            "CASE WHEN CAST(sum(qx*qw) AS BIGINT) >= 0 THEN 1 ELSE 0 END AS label_pred "
+            "FROM q GROUP BY vec_id"
         ),
     }

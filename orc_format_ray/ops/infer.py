@@ -1,0 +1,104 @@
+"""Batched model inference over an embedding column — the actor-pool
+"load model once, score batches forever" pattern every production scorer
+(quality classifiers, reward models, toxicity heads) follows.
+
+The model here is a QUANTIZED linear head: weights and activations are
+converted to integer units (``floor(x*scale + 0.5)``) and the dot product
+runs in exact int64 — the int8-quantized-inference idiom, chosen so the
+score is *bitwise reproducible* and SQL-checkable (float dot products are
+not: DuckDB's ``list_dot_product`` matches no deterministic fold order —
+measured 1e-7 drift; see CLAUDE.md round-4 notes).
+
+Overflow math: |activation| and |weight| are clamped-guarded to 2^19
+units, so each product < 2^38 and a 4096-dim sum < 2^50 — exact in int64
+AND as a double. The deterministic weight vector is a Knuth-hash formula
+of the dimension index, reproducible in ANSI SQL without shipping a
+weights table: ``qw(j) = ((j*2654435761) % 2^32) % 8193 - 4096``.
+
+Scale: stateless per-batch compute after a once-per-actor weight
+materialization in ``__init__`` — no shuffle, streams at any scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .._rayutil import pool_size, remote_args
+
+_KNUTH = 2654435761
+_ACT_LIMIT = np.int64(1) << 19
+
+
+def knuth_weights(dim: int, modulus: int = 8193) -> np.ndarray:
+    """Deterministic int64 weight vector: ((j*K) % 2^32) % modulus - modulus//2
+    for j = 1..dim (1-based to match SQL's WITH ORDINALITY)."""
+    j = np.arange(1, dim + 1, dtype=np.uint64)
+    h = (j * np.uint64(_KNUTH)) % np.uint64(1 << 32)
+    return (h % np.uint64(modulus)).astype(np.int64) - np.int64(modulus // 2)
+
+
+class LinearScorer:
+    """Actor-pool stage: quantized linear head over ``vec_col``.
+
+    ``__init__`` materializes the weight vector ONCE per actor (the stand-in
+    for a real model load); ``__call__`` scores a batch with one exact
+    integer matmul. Emits (id, score_units, score, label)."""
+
+    def __init__(self, dim: int, act_scale: int = 4096, bias_units: int = 0,
+                 vec_col: str = "embedding", id_col: str = "vec_id"):
+        self.qw = knuth_weights(dim)
+        self.dim = dim
+        self.act_scale = int(act_scale)
+        self.bias_units = int(bias_units)
+        self.vec_col = vec_col
+        self.id_col = id_col
+        # score = units / (act_scale * 1) — weights are already integer units
+        self.denom = np.float64(act_scale)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch[self.vec_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        n = len(batch)
+        if len(flat) != n * self.dim:
+            raise ValueError(
+                f"expected fixed {self.dim}-dim vectors, got {len(flat)} values for {n} rows"
+            )
+        x = flat.reshape(n, self.dim)
+        qx = np.floor(x * self.act_scale + 0.5).astype(np.int64)
+        if n and np.abs(qx).max() >= _ACT_LIMIT:
+            raise ValueError("quantized activation exceeds 2^19 units — lower act_scale")
+        units = qx @ self.qw + np.int64(self.bias_units)
+        score = units.astype(np.float64) / self.denom
+        ids = batch[self.id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table(
+            {
+                self.id_col: ids.cast(pa.int64()),
+                "score_units": pa.array(units),
+                "score": pa.array(score, pa.float64()),
+                "label_pred": pa.array((units >= 0).astype(np.int64)),
+            }
+        )
+
+
+def linear_score(ds, dim: int, act_scale: int = 4096, bias_units: int = 0,
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 batch_size: int = 1024):
+    """Score every row with the quantized linear head (actor pool sized by
+    ``pool_size()`` — never the whole cluster; see CLAUDE.md)."""
+    return ds.map_batches(
+        LinearScorer,
+        fn_constructor_kwargs=dict(
+            dim=dim, act_scale=act_scale, bias_units=bias_units,
+            vec_col=vec_col, id_col=id_col,
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=pool_size(),
+        **remote_args(),
+    )

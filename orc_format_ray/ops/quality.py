@@ -1,0 +1,154 @@
+"""Document quality gates: the Gopher-style rule bundle and the
+deflate-compression-ratio signal (CCNet / Gopher "repetitive or
+low-entropy text compresses too well" heuristic).
+
+Both are single-pass, embarrassingly parallel map_batches stages — no
+shuffle at any scale; per-doc outputs stream straight to the next stage.
+
+``gopher_rules`` mirrors the published Gopher quality filters (Rae et al.
+2021, Table A1 subset) that are exactly reproducible in ANSI SQL: word
+count bounds, mean word length bounds, alphabetic-word fraction, stopword
+hits, and bullet-line fraction. Parity rules (CLAUDE.md): tokenization is
+the shared trim + ``\\s+`` split; every fraction is ONE division of exact
+int64 counts cast to double (bitwise == the SQL oracle); the ``keep`` flag
+is boolean algebra over those bit-identical doubles.
+
+``compression_signal`` has no SQL equivalent (DuckDB has no per-row
+deflate) — it registers as a rows-only driver query; the pytest oracle
+recomputes the exact zlib byte counts row by row.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .text import split_nonempty_docs
+
+STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def _per_doc_sums(flags: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Sum int64 ``flags`` per document given doc start offsets."""
+    if len(flags) == 0:
+        return np.zeros(len(offsets), np.int64)
+    return np.add.reduceat(flags.astype(np.int64), offsets)
+
+
+def gopher_rules(
+    batch: pa.Table,
+    column: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 5,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> pa.Table:
+    """Per-doc Gopher quality features + composite ``keep`` flag.
+
+    Docs empty after trim are dropped (no words to measure — the SQL
+    oracle filters ``trim(text) <> ''``). Returns
+    (doc_id, n_words, mean_word_len, frac_alpha_words, stop_hits,
+    frac_bullet_lines, keep).
+    """
+    ids, words = split_nonempty_docs(batch, column, id_col)
+    n_docs = len(ids)
+    if n_docs == 0:
+        return pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "n_words": pa.array([], pa.int64()),
+                "mean_word_len": pa.array([], pa.float64()),
+                "frac_alpha_words": pa.array([], pa.float64()),
+                "stop_hits": pa.array([], pa.int64()),
+                "frac_bullet_lines": pa.array([], pa.float64()),
+                "keep": pa.array([], pa.bool_()),
+            }
+        )
+    counts = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = np.r_[0, np.cumsum(counts)[:-1]]
+    flat = words.flatten()
+
+    wlen = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+    alpha = pc.match_substring_regex(flat, "[A-Za-z]").to_numpy(zero_copy_only=False)
+    stop = pc.is_in(flat, value_set=pa.array(STOPWORDS)).to_numpy(zero_copy_only=False)
+
+    sum_len = _per_doc_sums(wlen, offsets)
+    alpha_words = _per_doc_sums(alpha, offsets)
+    stop_hits = _per_doc_sums(stop, offsets)
+
+    # line stats over the SAME trimmed text the word split saw
+    text = batch[column]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    trimmed = pc.utf8_trim_whitespace(text)
+    nonempty = pc.not_equal(trimmed, "")
+    lines = pc.split_pattern(trimmed.filter(nonempty), "\n")
+    n_lines = pc.list_value_length(lines).to_numpy(zero_copy_only=False).astype(np.int64)
+    loff = np.r_[0, np.cumsum(n_lines)[:-1]]
+    lflat = pc.utf8_ltrim(lines.flatten(), characters=" ")
+    bullet = pc.or_(
+        pc.or_(pc.starts_with(lflat, pattern="-"), pc.starts_with(lflat, pattern="*")),
+        pc.starts_with(lflat, pattern="•"),
+    ).to_numpy(zero_copy_only=False)
+    bullet_lines = _per_doc_sums(bullet, loff)
+
+    # each fraction: ONE division of exact int64 counts as doubles
+    mean_word_len = sum_len.astype(np.float64) / counts.astype(np.float64)
+    frac_alpha = alpha_words.astype(np.float64) / counts.astype(np.float64)
+    frac_bullet = bullet_lines.astype(np.float64) / n_lines.astype(np.float64)
+
+    keep = (
+        (counts >= min_words)
+        & (counts <= max_words)
+        & (mean_word_len >= min_mean_word_len)
+        & (mean_word_len <= max_mean_word_len)
+        & (frac_alpha >= min_alpha_frac)
+        & (stop_hits >= min_stop_hits)
+    )
+    return pa.table(
+        {
+            id_col: ids.cast(pa.int64()),
+            "n_words": pa.array(counts),
+            "mean_word_len": pa.array(mean_word_len),
+            "frac_alpha_words": pa.array(frac_alpha),
+            "stop_hits": pa.array(stop_hits),
+            "frac_bullet_lines": pa.array(frac_bullet),
+            "keep": pa.array(keep),
+        }
+    )
+
+
+def compression_signal(
+    batch: pa.Table, column: str = "text", id_col: str = "doc_id", level: int = 6
+) -> pa.Table:
+    """Per-doc deflate ratio ``comp_bytes / raw_bytes`` (UTF-8 bytes,
+    zlib level fixed for determinism). Low ratios flag repetitive /
+    templated text; high ratios flag noise. The per-row loop is C-bound
+    in zlib (the actual compression dominates, like any real pipeline's
+    per-record codec call). Empty texts get ratio over max(raw, 1)."""
+    text = batch[column]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    raw = pc.binary_length(text.cast(pa.binary())).to_numpy(zero_copy_only=False).astype(np.int64)
+    comp = np.empty(len(raw), np.int64)
+    for i, s in enumerate(text):
+        v = s.as_py()
+        comp[i] = len(zlib.compress(v.encode("utf-8"), level)) if v is not None else 0
+    ratio = comp.astype(np.float64) / np.maximum(raw, 1).astype(np.float64)
+    ids = batch[id_col]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    return pa.table(
+        {
+            id_col: ids.cast(pa.int64()),
+            "raw_bytes": pa.array(raw),
+            "comp_bytes": pa.array(comp),
+            "compress_ratio": pa.array(ratio, pa.float64()),
+        }
+    )

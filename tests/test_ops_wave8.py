@@ -1,0 +1,291 @@
+"""Session-8 operator wave: PMI collocations, Gopher quality rules,
+compression-ratio signal, top user paths, concentration curve, quantized
+linear inference. Each test pins the op against an independent local
+recompute (DuckDB SQL or direct Python) at sf0.001."""
+
+import zlib
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _con():
+    con = duckdb.connect()
+    for t in ["documents", "orders", "events", "embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con
+
+
+def _sorted(df: pd.DataFrame) -> pd.DataFrame:
+    cols = sorted(df.columns)
+    return df[cols].sort_values(cols, kind="stable").reset_index(drop=True)
+
+
+def _assert_frames_equal(a: pd.DataFrame, b: pd.DataFrame):
+    a, b = _sorted(a), _sorted(b)
+    assert list(a.columns) == list(b.columns)
+    assert len(a) == len(b)
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if av.dtype.kind == "f" or bv.dtype.kind == "f":
+            assert np.array_equal(av.astype(np.float64), bv.astype(np.float64)), c
+        elif av.dtype == object or bv.dtype == object:
+            assert (a[c].astype(str) == b[c].astype(str)).all(), c
+        else:
+            assert np.array_equal(av, bv), c
+
+
+def test_pmi_collocations_matches_sql(ray_session):
+    import ray
+
+    from orc_format_ray.ops.colloc import pmi_collocations
+
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet")
+    got = pmi_collocations(docs, min_word_docs=4, min_pair_docs=4).to_pandas()
+    want = _con().execute(
+        r"""
+WITH w AS (
+  SELECT DISTINCT d.doc_id, t.w
+  FROM documents d, unnest(string_split_regex(trim(d.text), '\s+')) AS t(w)
+  WHERE trim(d.text) <> ''
+), n AS (SELECT count(*) AS n_docs FROM documents),
+df AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY w),
+elig AS (SELECT w, c FROM df WHERE c >= 4),
+pairs AS (
+  SELECT a.w AS item_a, b.w AS item_b, CAST(count(*) AS BIGINT) AS pair_docs
+  FROM w a JOIN w b ON a.doc_id = b.doc_id AND a.w < b.w
+  JOIN elig ea ON ea.w = a.w JOIN elig eb ON eb.w = b.w
+  GROUP BY a.w, b.w HAVING count(*) >= 4
+)
+SELECT p.item_a, p.item_b, p.pair_docs,
+  ln(CAST(p.pair_docs * n.n_docs AS DOUBLE) / CAST(ea.c * eb.c AS DOUBLE)) AS pmi
+FROM pairs p CROSS JOIN n
+JOIN elig ea ON ea.w = p.item_a JOIN elig eb ON eb.w = p.item_b
+"""
+    ).fetchdf()
+    assert len(got) > 0
+    _assert_frames_equal(got, want)
+
+
+def test_pmi_symmetric_pair_invariants(ray_session):
+    import ray
+
+    from orc_format_ray.ops.colloc import pmi_collocations
+
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet")
+    df = pmi_collocations(docs, min_word_docs=4, min_pair_docs=4).to_pandas()
+    # pairs are canonical (a < b) and unique
+    assert (df["item_a"] < df["item_b"]).all()
+    assert not df.duplicated(subset=["item_a", "item_b"]).any()
+
+
+def test_gopher_rules_matches_sql(ray_session):
+    import ray
+
+    from orc_format_ray._rayutil import remote_args
+    from orc_format_ray.ops.quality import gopher_rules
+
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet")
+    got = docs.map_batches(
+        gopher_rules, batch_format="pyarrow", zero_copy_batch=True, **remote_args()
+    ).to_pandas()
+    want = _con().execute(
+        r"""
+WITH base AS (SELECT doc_id, trim(text) AS t FROM documents WHERE trim(text) <> ''),
+words AS (SELECT doc_id, w FROM base, unnest(string_split_regex(t, '\s+')) AS u(w)),
+ws AS (SELECT doc_id, CAST(count(*) AS BIGINT) nw, CAST(sum(length(w)) AS BIGINT) sl,
+       CAST(sum(CASE WHEN regexp_matches(w, '[A-Za-z]') THEN 1 ELSE 0 END) AS BIGINT) aw,
+       CAST(sum(CASE WHEN w IN ('the','be','to','of','and','that','have','with') THEN 1 ELSE 0 END) AS BIGINT) sh
+   FROM words GROUP BY doc_id),
+ls AS (SELECT doc_id, CAST(count(*) AS BIGINT) nl,
+       CAST(sum(CASE WHEN ltrim(l, ' ') LIKE '-%' OR ltrim(l, ' ') LIKE '*%' OR ltrim(l, ' ') LIKE '•%' THEN 1 ELSE 0 END) AS BIGINT) bl
+   FROM (SELECT doc_id, l FROM base, unnest(string_split(t, chr(10))) AS u(l)) GROUP BY doc_id)
+SELECT ws.doc_id, nw AS n_words,
+   CAST(sl AS DOUBLE)/CAST(nw AS DOUBLE) AS mean_word_len,
+   CAST(aw AS DOUBLE)/CAST(nw AS DOUBLE) AS frac_alpha_words,
+   sh AS stop_hits,
+   CAST(bl AS DOUBLE)/CAST(nl AS DOUBLE) AS frac_bullet_lines,
+   (nw >= 5 AND nw <= 100000
+    AND CAST(sl AS DOUBLE)/CAST(nw AS DOUBLE) >= 3.0 AND CAST(sl AS DOUBLE)/CAST(nw AS DOUBLE) <= 10.0
+    AND CAST(aw AS DOUBLE)/CAST(nw AS DOUBLE) >= 0.8 AND sh >= 2) AS keep
+FROM ws JOIN ls ON ws.doc_id = ls.doc_id
+"""
+    ).fetchdf()
+    assert len(got) > 0
+    _assert_frames_equal(got, want)
+
+
+def test_gopher_rules_synthetic_edges(ray_session):
+    """Bullet lines, short docs, and symbol-heavy docs hit the intended rules."""
+    import ray
+
+    from orc_format_ray._rayutil import remote_args
+    from orc_format_ray.ops.quality import gopher_rules
+
+    rows = {
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "- one\n- two\n- three",  # all bullet lines, 6 words
+            "the and to of be that have with more words here now",  # stopword-rich
+            "xx",  # 1 short word -> fails min_words
+            "   ",  # empty after trim -> dropped
+        ],
+    }
+    ds = ray.data.from_arrow(pa.table(rows))
+    df = (
+        ds.map_batches(gopher_rules, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert 4 not in df.index
+    assert df.loc[1, "frac_bullet_lines"] == 1.0
+    assert df.loc[2, "stop_hits"] == 8
+    assert df.loc[3, "n_words"] == 1 and not df.loc[3, "keep"]
+
+
+def test_compression_signal_exact(ray_session):
+    import ray
+
+    from orc_format_ray._rayutil import remote_args
+    from orc_format_ray.ops.quality import compression_signal
+
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet")
+    got = (
+        docs.map_batches(
+            compression_signal, batch_format="pyarrow", zero_copy_batch=True, **remote_args()
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pdf = _con().execute("SELECT doc_id, text FROM documents ORDER BY doc_id").fetchdf()
+    raw = pdf["text"].str.encode("utf-8").str.len().to_numpy(np.int64)
+    comp = np.fromiter(
+        (len(zlib.compress(t.encode("utf-8"), 6)) for t in pdf["text"]),
+        count=len(pdf),
+        dtype=np.int64,
+    )
+    assert np.array_equal(got["doc_id"].to_numpy(np.int64), pdf["doc_id"].to_numpy(np.int64))
+    assert np.array_equal(got["raw_bytes"].to_numpy(np.int64), raw)
+    assert np.array_equal(got["comp_bytes"].to_numpy(np.int64), comp)
+    expect_ratio = comp.astype(np.float64) / np.maximum(raw, 1).astype(np.float64)
+    assert np.array_equal(got["compress_ratio"].to_numpy(np.float64), expect_ratio)
+    # repetitive text compresses much better than typical prose
+    rep = len(zlib.compress(b"spam " * 200, 6)) / 1000.0
+    assert rep < got["compress_ratio"].median()
+
+
+def test_top_user_paths_matches_sql(ray_session):
+    import ray
+
+    from orc_format_ray.ops.paths import top_user_paths
+
+    ev = ray.data.read_parquet(f"{SF}/events.parquet")
+    got = top_user_paths(ev, k=3).to_pandas()
+    want = _con().execute(
+        """
+WITH ranked AS (
+  SELECT user_id, event_type, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) rn
+  FROM events WHERE user_id IS NOT NULL),
+paths AS (
+  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM ranked WHERE rn <= 3 GROUP BY user_id)
+SELECT path, CAST(count(*) AS BIGINT) AS n_users FROM paths GROUP BY path
+"""
+    ).fetchdf()
+    assert len(got) > 0
+    _assert_frames_equal(got, want)
+
+
+def test_top_user_paths_partial_fold_boundary(ray_session):
+    """A user whose first-k events straddle blocks must still fold to ONE
+    path: repartition to many tiny blocks and require identical output."""
+    import ray
+
+    from orc_format_ray.ops.paths import top_user_paths
+
+    ev = ray.data.read_parquet(f"{SF}/events.parquet")
+    base = top_user_paths(ev, k=3).to_pandas()
+    shredded = top_user_paths(ev.repartition(37), k=3).to_pandas()
+    _assert_frames_equal(base, shredded)
+
+
+def test_concentration_curve_matches_sql(ray_session):
+    import ray
+
+    from orc_format_ray.ops.pareto import concentration_curve
+
+    orders = ray.data.read_parquet(f"{SF}/orders.parquet")
+    got = concentration_curve(orders, key="o_custkey", value_col="o_totalprice")
+    want = _con().execute(
+        """
+WITH agg AS (
+  SELECT o_custkey, CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) units
+  FROM orders WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL GROUP BY o_custkey),
+r AS (SELECT o_custkey, units,
+      row_number() OVER (ORDER BY units DESC, o_custkey) AS rank,
+      CAST(sum(units) OVER (ORDER BY units DESC, o_custkey ROWS UNBOUNDED PRECEDING) AS BIGINT) cum
+      FROM agg),
+t AS (SELECT CAST(sum(units) AS BIGINT) total FROM agg)
+SELECT o_custkey, units, rank, CAST(cum AS DOUBLE)/CAST(total AS DOUBLE) AS cum_share
+FROM r CROSS JOIN t
+"""
+    ).fetchdf()
+    assert len(got) > 0
+    _assert_frames_equal(got, want)
+    # curve invariants: rank 1..n, monotone nondecreasing share ending at 1.0
+    assert got["rank"].tolist() == list(range(1, len(got) + 1))
+    cs = got["cum_share"].to_numpy()
+    assert (np.diff(cs) >= 0).all() and cs[-1] == 1.0
+
+
+def test_linear_score_matches_sql(ray_session):
+    import ray
+
+    from orc_format_ray.ops.infer import linear_score
+
+    emb = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    dim = len(_con().execute("SELECT embedding FROM embeddings LIMIT 1").fetchone()[0])
+    got = linear_score(emb, dim=dim).to_pandas()
+    want = _con().execute(
+        """
+WITH q AS (
+  SELECT vec_id, j,
+    CAST(floor(CAST(embedding[j] AS DOUBLE)*4096 + 0.5) AS BIGINT) AS qx,
+    CAST(((j * 2654435761) % 4294967296) % 8193 AS BIGINT) - 4096 AS qw
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(j))
+SELECT vec_id, CAST(sum(qx*qw) AS BIGINT) AS score_units,
+  CAST(CAST(sum(qx*qw) AS BIGINT) AS DOUBLE)/4096.0 AS score,
+  CASE WHEN CAST(sum(qx*qw) AS BIGINT) >= 0 THEN 1 ELSE 0 END AS label_pred
+FROM q GROUP BY vec_id
+"""
+    ).fetchdf()
+    assert len(got) == 500
+    _assert_frames_equal(got, want)
+
+
+def test_linear_score_rejects_ragged_vectors(ray_session):
+    import ray
+
+    from orc_format_ray.ops.infer import linear_score
+
+    t = pa.table(
+        {"vec_id": [0, 1], "embedding": [[0.1, 0.2], [0.3, 0.4, 0.5]]}
+    )
+    ds = ray.data.from_arrow(t)
+    with pytest.raises(Exception, match="fixed"):
+        linear_score(ds, dim=2).to_pandas()
+
+
+def test_knuth_weights_formula():
+    from orc_format_ray.ops.infer import knuth_weights
+
+    w = knuth_weights(8)
+    expect = [((j * 2654435761) % (1 << 32)) % 8193 - 4096 for j in range(1, 9)]
+    assert w.tolist() == expect
+    assert w.dtype == np.int64
