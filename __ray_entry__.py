@@ -3916,6 +3916,23 @@ def _q_linear_score_embeddings(sf_dir: str):
     return linear_score(ds, dim=dim)
 
 
+def _q_tpch_q3(sf_dir: str):
+    """TPC-H Q3 shape (pipelines/tpch.py): partial pre-agg by the join key
+    before ONE bucketed hash_join, broadcast segment-customer set, exact-
+    integer revenue units, deterministic top-10."""
+    from orc_format_ray.pipelines.tpch import q3_shipping_priority
+
+    return q3_shipping_priority(sf_dir)
+
+
+def _q_tpch_q5(sf_dir: str):
+    """TPC-H Q5 shape (pipelines/tpch.py): broadcast ASIA supplier/customer
+    nation maps, (orderkey, nation) pre-agg, one hash_join, exact units."""
+    from orc_format_ray.pipelines.tpch import q5_local_supplier_volume
+
+    return q5_local_supplier_volume(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
     # (VERDICT r3 "What's wrong" #2), so the window below is curated for
@@ -4093,6 +4110,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_user_paths_events": _q_top_user_paths,
         "pareto_customer_revenue": _q_pareto_customer_revenue,
         "linear_score_embeddings": _q_linear_score_embeddings,
+        "tpch_q3_building": _q_tpch_q3,
+        "tpch_q5_asia": _q_tpch_q5,
         # --- rows-only smoke queries ---------------------------------------
         "bpe_learned_merges": _q_bpe_learned_merges,
         "pca_embeddings": _q_pca_embeddings,
@@ -5360,6 +5379,36 @@ def oracle_sql() -> dict[str, str]:
             "t AS (SELECT CAST(sum(units) AS BIGINT) total FROM agg) "
             "SELECT o_custkey, units, rank, CAST(cum AS DOUBLE)/CAST(total AS DOUBLE) AS cum_share "
             "FROM r CROSS JOIN t"
+        ),
+        # TPC-H Q3 shape: exact-int revenue units; o_orderpriority stands in
+        # for o_shippriority (synthetic orders has no shippriority column)
+        "tpch_q3_building": (
+            "WITH li AS (SELECT l_orderkey, "
+            "CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount*100 + 0.5) AS BIGINT)) AS u "
+            "FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-01-01'), "
+            "agg AS (SELECT l_orderkey, CAST(sum(u) AS BIGINT) AS revenue_units FROM li GROUP BY l_orderkey) "
+            "SELECT o.o_orderkey, a.revenue_units, "
+            "CAST(a.revenue_units AS DOUBLE)/10000.0 AS revenue, "
+            "epoch_ms(o.o_orderdate) AS o_orderdate_ms, o.o_orderpriority "
+            "FROM agg a JOIN orders o ON a.l_orderkey = o.o_orderkey "
+            "JOIN customer c ON c.c_custkey = o.o_custkey "
+            "WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < TIMESTAMP '1998-01-01' "
+            "ORDER BY a.revenue_units DESC, o_orderdate_ms, o.o_orderkey LIMIT 10"
+        ),
+        # TPC-H Q5 shape: local-supplier revenue by nation, exact-int units
+        "tpch_q5_asia": (
+            "WITH li AS (SELECT l_orderkey, l_suppkey, "
+            "CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount*100 + 0.5) AS BIGINT)) AS u "
+            "FROM lineitem) "
+            "SELECT n.n_name, CAST(sum(li.u) AS BIGINT) AS revenue_units, "
+            "CAST(CAST(sum(li.u) AS BIGINT) AS DOUBLE)/10000.0 AS revenue "
+            "FROM li JOIN orders o ON li.l_orderkey = o.o_orderkey "
+            "JOIN supplier s ON li.l_suppkey = s.s_suppkey "
+            "JOIN customer c ON o.o_custkey = c.c_custkey AND c.c_nationkey = s.s_nationkey "
+            "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+            "JOIN region r ON n.n_regionkey = r.r_regionkey "
+            "WHERE r.r_name = 'ASIA' AND o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1997-01-01' "
+            "GROUP BY n.n_name ORDER BY revenue_units DESC, n.n_name"
         ),
         # quantized linear head: exact int64 dot product, Knuth-hash weights
         # computable in SQL (no weights table shipped)

@@ -1,0 +1,298 @@
+"""Composed multi-join analytics: TPC-H Q3 and Q5 shapes over the
+synthetic star schema — the proof that the engine's join/agg primitives
+compose into classic warehouse pipelines, with exact-integer revenue so
+the driver can hash-compare against DuckDB running the literal SQL.
+
+Revenue parity rule: ``rev_units = floor(l_extendedprice*100 + 0.5) *
+(100 - floor(l_discount*100 + 0.5))`` — exact int64 per row (price cents
+x discount-complement percent, guarded < 2^40), summed in int64 (guarded
+< 2^53), divided ONCE by 10^4 for the dollar figure. Date cuts compare
+exact integer microseconds (never float seconds — CLAUDE.md).
+
+Scale shape (both queries):
+- lineitem — the 100-TB table — is filtered and PARTIALLY PRE-AGGREGATED
+  by its join key inside each batch before anything shuffles; only
+  (orderkey, units[, nation]) metadata reaches the ONE bucketed
+  ``hash_join`` against the date-filtered orders slice.
+- true dimensions (customer segment slice, ASIA suppliers/customers,
+  nation x region) broadcast once via ``ray.put`` with loud size guards
+  (``max_broadcast_keys``) — at a scale where a "dimension" outgrows the
+  guard, swap the broadcast for ops/join.semi_join_streaming /
+  hash_join; the guard names that switch.
+- the Q3 top-10 folds per-batch partial top-k, so the driver sees k rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .._rayutil import remote_args
+from ..ops.join import hash_join
+
+_UNIT_LIMIT = np.int64(1) << 40
+_SUM_LIMIT = np.int64(1) << 53
+
+
+def _ts_us(date_str: str) -> int:
+    """Exact integer microseconds for a YYYY-MM-DD cut (never float)."""
+    return int(pd.Timestamp(date_str).value // 1000)
+
+
+def _rev_units(price: np.ndarray, disc: np.ndarray) -> np.ndarray:
+    cents = np.floor(price * 100 + 0.5).astype(np.int64)
+    dpct = np.floor(disc * 100 + 0.5).astype(np.int64)
+    units = cents * (100 - dpct)
+    if len(units) and np.abs(units).max() >= _UNIT_LIMIT:
+        raise ValueError("per-row revenue unit exceeds 2^40 — price out of modeled range")
+    return units
+
+
+def _guard_sum(units: np.ndarray) -> None:
+    if len(units) and np.abs(units).max() >= _SUM_LIMIT:
+        raise ValueError("revenue sum exceeds exact-double range (2^53)")
+
+
+def q3_shipping_priority(
+    sf_dir: str,
+    segment: str = "BUILDING",
+    cut_date: str = "1998-01-01",
+    k: int = 10,
+    max_broadcast_keys: int = 1 << 26,
+):
+    """Top-k orders by pre-discount-adjusted revenue for one customer
+    segment: lineitem shipped AFTER the cut, orders placed BEFORE it.
+    Returns a driver DataFrame (o_orderkey, revenue_units, revenue,
+    o_orderdate_ms, o_orderpriority) ordered by (units DESC, date, key).
+
+    o_orderpriority stands in for TPC-H's o_shippriority (the synthetic
+    orders table carries no shippriority column)."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    cut = _ts_us(cut_date)
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).filter(lambda r: r["c_mktsegment"] == segment, **remote_args())
+    cust_pdf = cust.to_pandas()
+    # fully-empty Datasets drop columns in to_pandas (CLAUDE.md guard)
+    cust_keys = (
+        np.sort(cust_pdf["c_custkey"].to_numpy(np.int64))
+        if len(cust_pdf)
+        else np.zeros(0, np.int64)
+    )
+    if len(cust_keys) > max_broadcast_keys:
+        raise ValueError(
+            f"{len(cust_keys)} segment customers exceed max_broadcast_keys; "
+            "switch the customer side to semi_join_streaming"
+        )
+    cust_ref = ray.put(cust_keys)
+
+    def orders_sel(batch: pa.Table) -> pa.Table:
+        keys = ray.get(cust_ref)
+        od = batch["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(keys, ck)
+        np.clip(pos, 0, max(len(keys) - 1, 0), out=pos)
+        hit = (keys[pos] == ck) if len(keys) else np.zeros(len(ck), bool)
+        keep = (od < cut) & hit
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"].filter(pa.array(keep)),
+                "o_orderdate_ms": pa.array((od[keep] // 1000).astype(np.int64)),
+                "o_orderpriority": batch["o_orderpriority"].filter(pa.array(keep)),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(orders_sel, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        sd = batch["l_shipdate"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = sd > cut
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False).astype(np.float64)[keep]
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False).astype(np.float64)[keep]
+        units = _rev_units(price, disc)
+        uk, inv = np.unique(ok, return_inverse=True)
+        partial = np.zeros(len(uk), np.int64)
+        np.add.at(partial, inv, units)
+        return pa.table({"o_orderkey": pa.array(uk), "units_p": pa.array(partial)})
+
+    li = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        )
+        .map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby("o_orderkey")
+        .aggregate(Sum("units_p", alias_name="revenue_units"))
+    )
+
+    joined = hash_join(li, orders, key="o_orderkey")
+
+    def topk_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        _guard_sum(batch["revenue_units"].to_numpy(np.int64))
+        return batch.sort_values(
+            ["revenue_units", "o_orderdate_ms", "o_orderkey"],
+            ascending=[False, True, True],
+            kind="stable",
+        ).head(k)
+
+    cand = joined.map_batches(topk_partial, batch_format="pandas", **remote_args()).to_pandas()
+    if len(cand) == 0:  # empty to_pandas drops columns (CLAUDE.md guard)
+        return pd.DataFrame(
+            {
+                "o_orderkey": pd.Series([], dtype=np.int64),
+                "revenue_units": pd.Series([], dtype=np.int64),
+                "revenue": pd.Series([], dtype=np.float64),
+                "o_orderdate_ms": pd.Series([], dtype=np.int64),
+                "o_orderpriority": pd.Series([], dtype=object),
+            }
+        )
+    out = (
+        cand.sort_values(
+            ["revenue_units", "o_orderdate_ms", "o_orderkey"],
+            ascending=[False, True, True],
+            kind="stable",
+        )
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["revenue_units"] = out["revenue_units"].astype(np.int64)
+    out["revenue"] = out["revenue_units"].to_numpy(np.int64).astype(np.float64) / np.float64(10000.0)
+    return out[["o_orderkey", "revenue_units", "revenue", "o_orderdate_ms", "o_orderpriority"]]
+
+
+def q5_local_supplier_volume(
+    sf_dir: str,
+    region: str = "ASIA",
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01",
+    max_broadcast_keys: int = 1 << 26,
+):
+    """Revenue by nation where supplier and customer share the nation,
+    within one region and order-date year. Returns a driver DataFrame
+    (n_name, revenue_units, revenue)."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    lo, hi = _ts_us(date_lo), _ts_us(date_hi)
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    reg = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    rkeys = reg.loc[reg["r_name"] == region, "r_regionkey"]
+    asia = nat[nat["n_regionkey"].isin(rkeys)]
+    nation_name = dict(zip(asia["n_nationkey"].astype(np.int64), asia["n_name"]))
+    nation_keys = np.sort(asia["n_nationkey"].to_numpy(np.int64))
+
+    def _key_map(path: str, key: str, nk: str):
+        t = pq.read_table(path, columns=[key, nk]).to_pandas()
+        t = t[t[nk].isin(nation_keys)]
+        if len(t) > max_broadcast_keys:
+            raise ValueError(
+                f"{len(t)} {key} rows exceed max_broadcast_keys; "
+                "switch this dimension to hash_join"
+            )
+        keys = t[key].to_numpy(np.int64)
+        order = np.argsort(keys, kind="stable")
+        return keys[order], t[nk].to_numpy(np.int64)[order]
+
+    supp_keys, supp_nat = _key_map(f"{sf_dir}/supplier.parquet", "s_suppkey", "s_nationkey")
+    cust_keys, cust_nat = _key_map(f"{sf_dir}/customer.parquet", "c_custkey", "c_nationkey")
+    import ray as _ray
+
+    supp_ref = _ray.put((supp_keys, supp_nat))
+    cust_ref = _ray.put((cust_keys, cust_nat))
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        skeys, snat = ray.get(supp_ref)
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(skeys, sk)
+        np.clip(pos, 0, max(len(skeys) - 1, 0), out=pos)
+        hit = (skeys[pos] == sk) if len(skeys) else np.zeros(len(sk), bool)
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)[hit]
+        nation = snat[pos[hit]]
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False).astype(np.float64)[hit]
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False).astype(np.float64)[hit]
+        units = _rev_units(price, disc)
+        # partial pre-agg by (orderkey, nation) shrinks the join shuffle
+        grp = np.stack([ok, nation], axis=1)
+        uk, inv = np.unique(grp, axis=0, return_inverse=True) if len(ok) else (
+            np.zeros((0, 2), np.int64), np.zeros(0, np.int64))
+        partial = np.zeros(len(uk), np.int64)
+        np.add.at(partial, inv, units)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(uk[:, 0]),
+                "s_nation": pa.array(uk[:, 1]),
+                "units_p": pa.array(partial),
+            }
+        )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+
+    def orders_sel(batch: pa.Table) -> pa.Table:
+        od = batch["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = (od >= lo) & (od < hi)
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"].filter(pa.array(keep)),
+                "o_custkey": batch["o_custkey"].filter(pa.array(keep)),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(orders_sel, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+
+    joined = hash_join(li, orders, key="o_orderkey")
+
+    def local_only(batch: pa.Table) -> pa.Table:
+        ckeys, cnat = ray.get(cust_ref)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(ckeys, ck)
+        np.clip(pos, 0, max(len(ckeys) - 1, 0), out=pos)
+        hit = (ckeys[pos] == ck) if len(ckeys) else np.zeros(len(ck), bool)
+        snat = batch["s_nation"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = hit & (cnat[pos] == snat) if len(ckeys) else np.zeros(len(ck), bool)
+        return pa.table(
+            {
+                "nation": pa.array(snat[keep]),
+                "units_p": batch["units_p"].filter(pa.array(keep)),
+            }
+        )
+
+    per_nation = (
+        joined.map_batches(local_only, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby("nation")
+        .aggregate(Sum("units_p", alias_name="revenue_units"))
+        .to_pandas()
+    )
+    if len(per_nation) == 0:
+        return pd.DataFrame(
+            {
+                "n_name": pd.Series([], dtype=object),
+                "revenue_units": pd.Series([], dtype=np.int64),
+                "revenue": pd.Series([], dtype=np.float64),
+            }
+        )
+    per_nation["revenue_units"] = per_nation["revenue_units"].astype(np.int64)
+    _guard_sum(per_nation["revenue_units"].to_numpy(np.int64))
+    per_nation["n_name"] = per_nation["nation"].map(nation_name)
+    per_nation["revenue"] = per_nation["revenue_units"].to_numpy(np.int64).astype(np.float64) / np.float64(10000.0)
+    per_nation = per_nation.sort_values(
+        ["revenue_units", "n_name"], ascending=[False, True], kind="stable"
+    ).reset_index(drop=True)
+    return per_nation[["n_name", "revenue_units", "revenue"]]

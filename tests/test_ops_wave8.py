@@ -16,7 +16,10 @@ SF = "/root/testdata/sf0.001"
 
 def _con():
     con = duckdb.connect()
-    for t in ["documents", "orders", "events", "embeddings"]:
+    for t in [
+        "documents", "orders", "events", "embeddings",
+        "customer", "lineitem", "supplier", "nation", "region",
+    ]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
     return con
 
@@ -289,3 +292,78 @@ def test_knuth_weights_formula():
     expect = [((j * 2654435761) % (1 << 32)) % 8193 - 4096 for j in range(1, 9)]
     assert w.tolist() == expect
     assert w.dtype == np.int64
+
+
+def test_tpch_q3_matches_sql(ray_session):
+    from orc_format_ray.pipelines.tpch import q3_shipping_priority
+
+    got = q3_shipping_priority(SF)
+    want = _con().execute(
+        """
+WITH li AS (
+  SELECT l_orderkey,
+    CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount*100 + 0.5) AS BIGINT)) AS u
+  FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-01-01'),
+agg AS (SELECT l_orderkey, CAST(sum(u) AS BIGINT) AS revenue_units FROM li GROUP BY l_orderkey)
+SELECT o.o_orderkey, a.revenue_units,
+  CAST(a.revenue_units AS DOUBLE)/10000.0 AS revenue,
+  epoch_ms(o.o_orderdate) AS o_orderdate_ms, o.o_orderpriority
+FROM agg a JOIN orders o ON a.l_orderkey = o.o_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < TIMESTAMP '1998-01-01'
+ORDER BY a.revenue_units DESC, o_orderdate_ms, o.o_orderkey LIMIT 10
+"""
+    ).fetchdf()
+    assert len(got) == 10
+    # ordered comparison: top-k output order is part of the contract
+    for c in got.columns:
+        av, bv = got[c].to_numpy(), want[c].to_numpy()
+        if av.dtype == object:
+            assert (got[c].astype(str) == want[c].astype(str)).all(), c
+        else:
+            assert np.array_equal(av, bv), c
+
+
+def test_tpch_q5_matches_sql(ray_session):
+    from orc_format_ray.pipelines.tpch import q5_local_supplier_volume
+
+    got = q5_local_supplier_volume(SF)
+    want = _con().execute(
+        """
+WITH li AS (
+  SELECT l_orderkey, l_suppkey,
+    CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount*100 + 0.5) AS BIGINT)) AS u
+  FROM lineitem)
+SELECT n.n_name, CAST(sum(li.u) AS BIGINT) AS revenue_units,
+  CAST(CAST(sum(li.u) AS BIGINT) AS DOUBLE)/10000.0 AS revenue
+FROM li JOIN orders o ON li.l_orderkey = o.o_orderkey
+JOIN supplier s ON li.l_suppkey = s.s_suppkey
+JOIN customer c ON o.o_custkey = c.c_custkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA' AND o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name ORDER BY revenue_units DESC, n.n_name
+"""
+    ).fetchdf()
+    assert len(got) == len(want) and len(got) >= 1
+    for c in got.columns:
+        av, bv = got[c].to_numpy(), want[c].to_numpy()
+        if av.dtype == object:
+            assert (got[c].astype(str) == want[c].astype(str)).all(), c
+        else:
+            assert np.array_equal(av, bv), c
+
+
+def test_tpch_empty_selections_keep_columns(ray_session):
+    """Empty segment/region/date selections must return typed empty frames
+    (fully-empty Datasets drop columns in to_pandas — CLAUDE.md guard)."""
+    from orc_format_ray.pipelines.tpch import q3_shipping_priority, q5_local_supplier_volume
+
+    e1 = q3_shipping_priority(SF, segment="NO_SUCH_SEGMENT")
+    assert len(e1) == 0
+    assert list(e1.columns) == ["o_orderkey", "revenue_units", "revenue", "o_orderdate_ms", "o_orderpriority"]
+    e2 = q5_local_supplier_volume(SF, region="ATLANTIS")
+    assert len(e2) == 0
+    assert list(e2.columns) == ["n_name", "revenue_units", "revenue"]
+    e3 = q3_shipping_priority(SF, cut_date="1990-01-01")
+    assert len(e3) == 0
