@@ -3933,6 +3933,66 @@ def _q_tpch_q5(sf_dir: str):
     return q5_local_supplier_volume(sf_dir)
 
 
+def _q_select_by_budget_grouped(sf_dir: str):
+    """Per-source token budgets (ops/sample.py): group index in the
+    composite's top bits, one global sort, per-group-run exclusive offsets,
+    value-keyed (order-safe) pass-B cumsum."""
+    import ray.data
+
+    from orc_format_ray.ops import sample, text as tx
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"])
+    meta = ds.map_batches(tx.quality_score, batch_format="pyarrow", zero_copy_batch=True, **_ra())
+
+    def to_cols(batch):
+        return pa.table(
+            {
+                "source": batch["source"],
+                "doc_id": batch["doc_id"],
+                "score": batch["tok_count"],
+                "n_tok": batch["tok_count"],
+            }
+        )
+
+    meta = meta.map_batches(to_cols, batch_format="pyarrow", zero_copy_batch=True, **_ra())
+    budgets = {"src0": 800, "src1": 500, "src2": 300, "src3": 1000}
+    out = sample.select_by_budget_grouped(meta, budgets).to_pandas()
+    if len(out) == 0:
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "source": pd.Series([], dtype=object),
+                "doc_id": pd.Series([], dtype=np.int64),
+                "score": pd.Series([], dtype=np.int64),
+                "n_tok": pd.Series([], dtype=np.int64),
+            }
+        )
+    return out.sort_values(["source", "doc_id"]).reset_index(drop=True)
+
+
+def _q_curation_report(sf_dir: str):
+    """Per-source curation dashboard (ops/quality.py): gopher keep counts,
+    distinct-content survivors, token totals — three metadata passes."""
+    import ray.data
+
+    from orc_format_ray.ops.quality import curation_report
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"])
+    return curation_report(ds)
+
+
+def _q_entity_counts(sf_dir: str):
+    """Per-source regex entity counts (ops/quality.py): Arrow RE2 kernels,
+    exact count parity with DuckDB's regexp_extract_all (both RE2)."""
+    import ray.data
+
+    from orc_format_ray.ops.quality import entity_counts
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text", "source"])
+    return entity_counts(ds)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
     # (VERDICT r3 "What's wrong" #2), so the window below is curated for
@@ -4112,6 +4172,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linear_score_embeddings": _q_linear_score_embeddings,
         "tpch_q3_building": _q_tpch_q3,
         "tpch_q5_asia": _q_tpch_q5,
+        "select_by_budget_grouped": _q_select_by_budget_grouped,
+        "curation_report_by_source": _q_curation_report,
+        "entity_counts_by_source": _q_entity_counts,
         # --- rows-only smoke queries ---------------------------------------
         "bpe_learned_merges": _q_bpe_learned_merges,
         "pca_embeddings": _q_pca_embeddings,
@@ -5409,6 +5472,42 @@ def oracle_sql() -> dict[str, str]:
             "JOIN region r ON n.n_regionkey = r.r_regionkey "
             "WHERE r.r_name = 'ASIA' AND o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1997-01-01' "
             "GROUP BY n.n_name ORDER BY revenue_units DESC, n.n_name"
+        ),
+        # per-group budgets: window cumsum partitioned by source
+        "select_by_budget_grouped": (
+            "WITH b(source, budget) AS (VALUES ('src0', 800), ('src1', 500), ('src2', 300), ('src3', 1000)), "
+            f"m AS (SELECT source, doc_id, CAST({_TOKCOUNT_SQL} AS BIGINT) AS n_tok FROM documents), "
+            "c AS (SELECT source, doc_id, n_tok AS score, n_tok, "
+            "SUM(n_tok) OVER (PARTITION BY source ORDER BY n_tok DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM m) "
+            "SELECT c.source, c.doc_id, c.score, c.n_tok FROM c JOIN b ON c.source = b.source "
+            "WHERE c.cum <= b.budget"
+        ),
+        # curation dashboard: gopher keep + distinct-content + token totals
+        "curation_report_by_source": (
+            "WITH base AS (SELECT source, doc_id, trim(text) AS t, "
+            f"CAST({_TOKCOUNT_SQL} AS BIGINT) AS ntok, text FROM documents), "
+            "words AS (SELECT doc_id, w FROM base, unnest(string_split_regex(t, '\\s+')) AS u(w) WHERE t <> ''), "
+            "ws AS (SELECT doc_id, CAST(count(*) AS BIGINT) nw, CAST(sum(length(w)) AS BIGINT) sl, "
+            "CAST(sum(CASE WHEN regexp_matches(w, '[A-Za-z]') THEN 1 ELSE 0 END) AS BIGINT) aw, "
+            "CAST(sum(CASE WHEN w IN ('the','be','to','of','and','that','have','with') THEN 1 ELSE 0 END) AS BIGINT) sh "
+            "FROM words GROUP BY doc_id), "
+            "k AS (SELECT b.source, b.doc_id, b.ntok, b.text, "
+            "CASE WHEN ws.nw >= 5 AND ws.nw <= 100000 "
+            "AND CAST(ws.sl AS DOUBLE)/CAST(ws.nw AS DOUBLE) >= 3.0 AND CAST(ws.sl AS DOUBLE)/CAST(ws.nw AS DOUBLE) <= 10.0 "
+            "AND CAST(ws.aw AS DOUBLE)/CAST(ws.nw AS DOUBLE) >= 0.8 AND ws.sh >= 2 THEN 1 ELSE 0 END AS keep_i "
+            "FROM base b JOIN ws ON b.doc_id = ws.doc_id WHERE b.t <> '') "
+            "SELECT source, CAST(count(*) AS BIGINT) n_docs, CAST(sum(keep_i) AS BIGINT) n_keep, "
+            "CAST(count(DISTINCT text) AS BIGINT) n_unique, CAST(sum(ntok) AS BIGINT) sum_tok "
+            "FROM k GROUP BY source"
+        ),
+        # regex entity panel: Arrow RE2 == DuckDB RE2, exact counts
+        "entity_counts_by_source": (
+            "SELECT source, CAST(count(*) AS BIGINT) n_docs, "
+            "CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))) AS BIGINT) n_email, "
+            "CAST(sum(len(regexp_extract_all(text, 'https?://[^ \\t\\n]+'))) AS BIGINT) n_url, "
+            "CAST(sum(len(regexp_extract_all(text, '\\d{4}-\\d{2}-\\d{2}'))) AS BIGINT) n_iso_date, "
+            "CAST(sum(len(regexp_extract_all(text, '\\b\\d+\\b'))) AS BIGINT) n_number "
+            "FROM documents GROUP BY source"
         ),
         # quantized linear head: exact int64 dot product, Knuth-hash weights
         # computable in SQL (no weights table shipped)

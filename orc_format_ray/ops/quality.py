@@ -26,6 +26,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .._rayutil import remote_args
 from .text import split_nonempty_docs
 
 STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
@@ -48,28 +49,31 @@ def gopher_rules(
     max_mean_word_len: float = 10.0,
     min_alpha_frac: float = 0.8,
     min_stop_hits: int = 2,
+    keep_cols: tuple = (),
 ) -> pa.Table:
     """Per-doc Gopher quality features + composite ``keep`` flag.
 
     Docs empty after trim are dropped (no words to measure — the SQL
     oracle filters ``trim(text) <> ''``). Returns
     (doc_id, n_words, mean_word_len, frac_alpha_words, stop_hits,
-    frac_bullet_lines, keep).
+    frac_bullet_lines, keep) plus any ``keep_cols`` passed through
+    (filtered to the surviving docs) for downstream grouping.
     """
     ids, words = split_nonempty_docs(batch, column, id_col)
     n_docs = len(ids)
     if n_docs == 0:
-        return pa.table(
-            {
-                id_col: pa.array([], pa.int64()),
-                "n_words": pa.array([], pa.int64()),
-                "mean_word_len": pa.array([], pa.float64()),
-                "frac_alpha_words": pa.array([], pa.float64()),
-                "stop_hits": pa.array([], pa.int64()),
-                "frac_bullet_lines": pa.array([], pa.float64()),
-                "keep": pa.array([], pa.bool_()),
-            }
-        )
+        cols = {
+            id_col: pa.array([], pa.int64()),
+            "n_words": pa.array([], pa.int64()),
+            "mean_word_len": pa.array([], pa.float64()),
+            "frac_alpha_words": pa.array([], pa.float64()),
+            "stop_hits": pa.array([], pa.int64()),
+            "frac_bullet_lines": pa.array([], pa.float64()),
+            "keep": pa.array([], pa.bool_()),
+        }
+        for c in keep_cols:
+            cols[c] = batch[c].combine_chunks().slice(0, 0)
+        return pa.table(cols)
     counts = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
     offsets = np.r_[0, np.cumsum(counts)[:-1]]
     flat = words.flatten()
@@ -111,17 +115,21 @@ def gopher_rules(
         & (frac_alpha >= min_alpha_frac)
         & (stop_hits >= min_stop_hits)
     )
-    return pa.table(
-        {
-            id_col: ids.cast(pa.int64()),
-            "n_words": pa.array(counts),
-            "mean_word_len": pa.array(mean_word_len),
-            "frac_alpha_words": pa.array(frac_alpha),
-            "stop_hits": pa.array(stop_hits),
-            "frac_bullet_lines": pa.array(frac_bullet),
-            "keep": pa.array(keep),
-        }
-    )
+    cols = {
+        id_col: ids.cast(pa.int64()),
+        "n_words": pa.array(counts),
+        "mean_word_len": pa.array(mean_word_len),
+        "frac_alpha_words": pa.array(frac_alpha),
+        "stop_hits": pa.array(stop_hits),
+        "frac_bullet_lines": pa.array(frac_bullet),
+        "keep": pa.array(keep),
+    }
+    for c in keep_cols:
+        extra = batch[c]
+        if isinstance(extra, pa.ChunkedArray):
+            extra = extra.combine_chunks()
+        cols[c] = extra.filter(nonempty)
+    return pa.table(cols)
 
 
 def compression_signal(
@@ -151,4 +159,108 @@ def compression_signal(
             "comp_bytes": pa.array(comp),
             "compress_ratio": pa.array(ratio, pa.float64()),
         }
+    )
+
+
+def curation_report(ds, group: str = "source", column: str = "text", id_col: str = "doc_id"):
+    """Per-group curation dashboard: docs, Gopher-keep docs, distinct
+    content hashes (exact-dedup survivors), and token totals — the one
+    table a curator reads before fixing mixture weights.
+
+    Composition of three metadata-only passes over one scan family:
+    (1) per-batch gopher_rules + content-hash + token-count partials,
+    (2) a (group, hash) groupby for the distinct-content count,
+    (3) a (group) groupby folding counts/sums. Driver sees |groups| rows.
+    All counts exact ints (the SQL oracle mirrors each aggregate).
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from .text import content_hash, token_count
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = gopher_rules(batch, column=column, id_col=id_col, keep_cols=(group,))
+        tk = token_count(batch, column, "_cr_ntok")
+        # token counts align to the ORIGINAL batch; re-filter to survivors
+        text = batch[column]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        trimmed = pc.utf8_trim_whitespace(text)
+        nonempty = pc.not_equal(trimmed, "")
+        ntok = tk["_cr_ntok"].combine_chunks().filter(nonempty)
+        h = content_hash(text.filter(nonempty))
+        return pa.table(
+            {
+                group: g[group],
+                "keep_i": pc.cast(g["keep"], pa.int64()),
+                "ntok": ntok.cast(pa.int64()),
+                "chash": pa.array(h.view(np.int64)),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    per_group = parts.groupby(group).aggregate(
+        Count(alias_name="n_docs"),
+        Sum("keep_i", alias_name="n_keep"),
+        Sum("ntok", alias_name="sum_tok"),
+    )
+    uniq = (
+        parts.select_columns([group, "chash"])
+        .groupby([group, "chash"])
+        .aggregate(Count(alias_name="_c"))
+        .groupby(group)
+        .aggregate(Count(alias_name="n_unique"))
+    )
+    a = per_group.to_pandas()
+    b = uniq.to_pandas()
+    if len(a) == 0:
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                group: pd.Series([], dtype=object),
+                "n_docs": pd.Series([], dtype=np.int64),
+                "n_keep": pd.Series([], dtype=np.int64),
+                "n_unique": pd.Series([], dtype=np.int64),
+                "sum_tok": pd.Series([], dtype=np.int64),
+            }
+        )
+    out = a.merge(b, on=group, how="left")
+    for c in ("n_docs", "n_keep", "n_unique", "sum_tok"):
+        out[c] = out[c].fillna(0).astype(np.int64)
+    return out[[group, "n_docs", "n_keep", "n_unique", "sum_tok"]].sort_values(group).reset_index(drop=True)
+
+
+ENTITY_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("url", r"https?://[^ \t\n]+"),
+    ("iso_date", r"\d{4}-\d{2}-\d{2}"),
+    ("number", r"\b\d+\b"),
+)
+
+
+def entity_counts(ds, group: str = "source", column: str = "text"):
+    """Per-group occurrence counts of regex entity classes (emails, URLs,
+    ISO dates, bare numbers) — the corpus-profiling panel behind PII risk
+    and markup-noise triage. One stateless pass (Arrow RE2 kernels, the
+    same engine DuckDB's regexp_extract_all uses — exact count parity),
+    one tiny groupby. Returns a Dataset of (group, n_email, n_url,
+    n_iso_date, n_number)."""
+    from ray.data.aggregate import Count, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = batch[column]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        cols = {group: batch[group]}
+        for name, pat in ENTITY_PATTERNS:
+            cols[f"n_{name}"] = pc.count_substring_regex(text, pat).cast(pa.int64())
+        return pa.table(cols)
+
+    aggs = [Count(alias_name="n_docs")] + [
+        Sum(f"n_{name}", alias_name=f"n_{name}") for name, _ in ENTITY_PATTERNS
+    ]
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby(group)
+        .aggregate(*aggs)
     )

@@ -367,3 +367,180 @@ def split_leakage_report(ds, rate_pct: int, key: str = "doc_id", attr: str = "te
         return batch.filter(keep)
 
     return folded.map_batches(leaked, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+
+
+def select_by_budget_grouped(
+    ds,
+    budgets: dict,
+    group: str = "source",
+    score: str = "score",
+    key: str = "doc_id",
+    ntok: str = "n_tok",
+    key_bits: int = 36,
+    max_score: int | None = None,
+):
+    """Per-group budgeted selection: within EACH group, take whole docs in
+    ``(score DESC, key ASC)`` order while that group's running token total
+    stays ``<= budgets[group]`` — the mixture-construction step ("spend 2B
+    tokens on web, 500M on code, ...") of corpus curation. SQL-equivalent:
+    ``SUM(n_tok) OVER (PARTITION BY group ORDER BY score DESC, key) <=
+    budget``.
+
+    Same pinned-sorted-block plan as ``select_by_budget`` (metadata only;
+    value-keyed offsets, order-safe under completion-order execution) with
+    the group index in the composite's TOP bits, so one global sort yields
+    per-group contiguous runs; pass A emits one (run_lo, tok_sum) row per
+    group-run per block, the driver folds per-group exclusive offsets
+    keyed by the run's first composite (unique — composites are), pass B
+    cumsums each run locally. Rows whose group is not in ``budgets`` drop.
+
+    Bit budget: ``len(budgets) * (max_score+1) << key_bits`` must stay
+    below 2^63 — with the default 36 key bits there is room for ~1e6
+    quantized score levels x ~100 groups. Returns a Dataset of
+    ``(group, key, score, n_tok)``."""
+    import ray
+    import ray.data
+
+    if not budgets:
+        raise ValueError("budgets must name at least one group")
+    for g, b in budgets.items():
+        if b < 0:
+            raise ValueError(f"budget for group {g!r} is negative")
+    groups = sorted(budgets)
+    gidx_of = {g: i for i, g in enumerate(groups)}
+    budget_by_idx = np.array([int(budgets[g]) for g in groups], np.int64)
+
+    if max_score is None:
+        max_score = ds.max(score)
+        if max_score is None:
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        group: pa.array([], pa.string()),
+                        key: pa.array([], pa.int64()),
+                        score: pa.array([], pa.int64()),
+                        ntok: pa.array([], pa.int64()),
+                    }
+                )
+            )
+    max_score = int(max_score)
+    span = (max_score + 1) << key_bits
+    if len(groups) * span >= 1 << 63:
+        raise ValueError(
+            f"{len(groups)} groups x (max_score+1)<<{key_bits} overflows int64 — "
+            "lower key_bits or quantize scores coarser"
+        )
+    maps_ref = ray.put((gidx_of, np.asarray(groups, dtype=object), budget_by_idx))
+
+    def to_meta(batch: pa.Table) -> pa.Table:
+        gmap, _, _ = ray.get(maps_ref)
+        gcol = batch[group].to_pylist()
+        gi = np.array([gmap.get(g, -1) for g in gcol], np.int64)
+        keep = gi >= 0
+        keys = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        sc = batch[score].to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        toks = batch[ntok].to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        gi = gi[keep]
+        if len(keys):
+            if keys.min() < 0 or keys.max() >= 1 << key_bits:
+                raise ValueError(f"{key!r} must be in [0, 2**{key_bits})")
+            if sc.min() < 0 or sc.max() > max_score:
+                raise ValueError(f"{score!r} must be in [0, {max_score}]")
+            if toks.min() < 0:
+                raise ValueError(f"negative {ntok!r} values corrupt the prefix sum")
+        comp = gi * np.int64(span) + (
+            ((np.int64(max_score) - sc) << np.int64(key_bits)) | keys
+        )
+        return pa.table(
+            {"composite": pa.array(comp, pa.int64()), ntok: pa.array(toks, pa.int64())}
+        )
+
+    meta = ds.map_batches(to_meta, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    pinned = meta.sort("composite").materialize()
+
+    def run_bounds(comp: np.ndarray) -> np.ndarray:
+        g = comp // np.int64(span)
+        return np.flatnonzero(np.r_[True, g[1:] != g[:-1], True])
+
+    def block_runs(batch: pa.Table) -> pa.Table:
+        comp = batch["composite"].to_numpy(zero_copy_only=False)
+        cols = ("run_lo", "run_hi", "tok_sum")
+        if not len(comp):
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        toks = batch[ntok].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = run_bounds(comp)
+        rows = {c: [] for c in cols}
+        for s, e in zip(b[:-1], b[1:]):
+            rows["run_lo"].append(int(comp[s]))
+            rows["run_hi"].append(int(comp[e - 1]))
+            rows["tok_sum"].append(int(toks[s:e].sum()))
+        return pa.table({c: pa.array(rows[c], pa.int64()) for c in cols})
+
+    runs = pinned.map_batches(
+        block_runs, batch_size=None, batch_format="pyarrow", zero_copy_batch=True, **remote_args()
+    ).to_pandas()
+    if len(runs) == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    group: pa.array([], pa.string()),
+                    key: pa.array([], pa.int64()),
+                    score: pa.array([], pa.int64()),
+                    ntok: pa.array([], pa.int64()),
+                }
+            )
+        )
+    runs = runs.sort_values("run_lo").reset_index(drop=True)
+    lo = runs["run_lo"].to_numpy(np.int64)
+    hi = runs["run_hi"].to_numpy(np.int64)
+    if np.any(lo > hi) or np.any(hi[:-1] >= lo[1:]):
+        raise ValueError("sorted metadata runs overlap — duplicate (group, score, key) rows")
+    g_of_run = lo // span
+    tok = runs["tok_sum"].to_numpy(np.int64)
+    bases = np.zeros(len(runs), np.int64)
+    for gi in np.unique(g_of_run):
+        m = g_of_run == gi
+        t = tok[m]
+        bases[m] = np.concatenate(([0], np.cumsum(t)[:-1]))
+    bases_ref = ray.put({int(l): int(b) for l, b in zip(lo, bases)})
+
+    def pick(batch: pa.Table) -> pa.Table:
+        _, gnames, gbud = ray.get(maps_ref)
+        empty = pa.table(
+            {
+                group: pa.array([], pa.string()),
+                key: pa.array([], pa.int64()),
+                score: pa.array([], pa.int64()),
+                ntok: pa.array([], pa.int64()),
+            }
+        )
+        if not batch.num_rows:
+            return empty
+        comp = batch["composite"].to_numpy(zero_copy_only=False)
+        if np.any(comp[1:] <= comp[:-1]):
+            raise ValueError("block not sorted by composite — pinned block drifted")
+        toks = batch[ntok].to_numpy(zero_copy_only=False).astype(np.int64)
+        base_map = ray.get(bases_ref)
+        b = run_bounds(comp)
+        sel = np.zeros(len(comp), bool)
+        for s, e in zip(b[:-1], b[1:]):
+            gi = int(comp[s] // span)
+            cum = base_map[int(comp[s])] + np.cumsum(toks[s:e])
+            sel[s:e] = cum <= gbud[gi]
+        if not sel.any():
+            return empty
+        comp_s = comp[sel]
+        gi_s = comp_s // np.int64(span)
+        rem = comp_s - gi_s * np.int64(span)
+        return pa.table(
+            {
+                group: pa.array(gnames[gi_s].astype(object), pa.string()),
+                key: pa.array(rem & ((np.int64(1) << np.int64(key_bits)) - 1), pa.int64()),
+                score: pa.array(np.int64(max_score) - (rem >> np.int64(key_bits)), pa.int64()),
+                ntok: pa.array(toks[sel], pa.int64()),
+            }
+        )
+
+    return pinned.map_batches(
+        pick, batch_size=None, batch_format="pyarrow", zero_copy_batch=True, **remote_args()
+    )

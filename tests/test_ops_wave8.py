@@ -367,3 +367,166 @@ def test_tpch_empty_selections_keep_columns(ray_session):
     assert list(e2.columns) == ["n_name", "revenue_units", "revenue"]
     e3 = q3_shipping_priority(SF, cut_date="1990-01-01")
     assert len(e3) == 0
+
+
+def test_select_by_budget_grouped_matches_sql(ray_session):
+    import ray
+
+    from orc_format_ray._rayutil import remote_args
+    from orc_format_ray.ops import sample, text as tx
+
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text", "source"])
+    meta = ds.map_batches(tx.quality_score, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+
+    def to_cols(batch):
+        return pa.table(
+            {
+                "source": batch["source"],
+                "doc_id": batch["doc_id"],
+                "score": batch["tok_count"],
+                "n_tok": batch["tok_count"],
+            }
+        )
+
+    meta = meta.map_batches(to_cols, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    budgets = {"src0": 800, "src1": 500, "src2": 300, "src3": 1000}
+    got = sample.select_by_budget_grouped(meta, budgets).to_pandas()
+    tok = r"CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END"
+    want = _con().execute(
+        f"""
+WITH b(source, budget) AS (VALUES ('src0', 800), ('src1', 500), ('src2', 300), ('src3', 1000)),
+m AS (SELECT source, doc_id, CAST({tok} AS BIGINT) AS n_tok FROM documents),
+c AS (SELECT source, doc_id, n_tok AS score, n_tok,
+      SUM(n_tok) OVER (PARTITION BY source ORDER BY n_tok DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM m)
+SELECT c.source, c.doc_id, c.score, c.n_tok FROM c JOIN b ON c.source = b.source WHERE c.cum <= b.budget
+"""
+    ).fetchdf()
+    assert len(got) > 0
+    _assert_frames_equal(got, want)
+    # every selected group stays within its budget
+    tot = got.groupby("source")["n_tok"].sum()
+    for g, t in tot.items():
+        assert t <= budgets[g], (g, t)
+
+
+def test_select_by_budget_grouped_block_invariance(ray_session):
+    """Many tiny blocks (group runs straddling blocks) must not change the
+    selection — the per-run offsets are value-keyed, not positional."""
+    import ray
+
+    from orc_format_ray._rayutil import remote_args
+    from orc_format_ray.ops import sample, text as tx
+
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text", "source"])
+    meta = ds.map_batches(tx.quality_score, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+
+    def to_cols(batch):
+        return pa.table(
+            {
+                "source": batch["source"],
+                "doc_id": batch["doc_id"],
+                "score": batch["tok_count"],
+                "n_tok": batch["tok_count"],
+            }
+        )
+
+    meta = meta.map_batches(to_cols, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    budgets = {"src0": 800, "src5": 650}
+    base = sample.select_by_budget_grouped(meta, budgets).to_pandas()
+    shredded = sample.select_by_budget_grouped(meta.repartition(41), budgets).to_pandas()
+    _assert_frames_equal(base, shredded)
+
+
+def test_curation_report_matches_sql(ray_session):
+    import ray
+
+    from orc_format_ray.ops.quality import curation_report
+
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text", "source"])
+    got = curation_report(ds)
+    tok = r"CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END"
+    want = _con().execute(
+        f"""
+WITH base AS (SELECT source, doc_id, trim(text) AS t, CAST({tok} AS BIGINT) AS ntok, text FROM documents),
+words AS (SELECT doc_id, w FROM base, unnest(string_split_regex(t, '\\s+')) AS u(w) WHERE t <> ''),
+ws AS (SELECT doc_id, CAST(count(*) AS BIGINT) nw, CAST(sum(length(w)) AS BIGINT) sl,
+   CAST(sum(CASE WHEN regexp_matches(w, '[A-Za-z]') THEN 1 ELSE 0 END) AS BIGINT) aw,
+   CAST(sum(CASE WHEN w IN ('the','be','to','of','and','that','have','with') THEN 1 ELSE 0 END) AS BIGINT) sh
+   FROM words GROUP BY doc_id),
+k AS (SELECT b.source, b.doc_id, b.ntok, b.text,
+   CASE WHEN ws.nw >= 5 AND ws.nw <= 100000
+    AND CAST(ws.sl AS DOUBLE)/CAST(ws.nw AS DOUBLE) >= 3.0 AND CAST(ws.sl AS DOUBLE)/CAST(ws.nw AS DOUBLE) <= 10.0
+    AND CAST(ws.aw AS DOUBLE)/CAST(ws.nw AS DOUBLE) >= 0.8 AND ws.sh >= 2 THEN 1 ELSE 0 END AS keep_i
+   FROM base b JOIN ws ON b.doc_id = ws.doc_id WHERE b.t <> '')
+SELECT source, CAST(count(*) AS BIGINT) n_docs, CAST(sum(keep_i) AS BIGINT) n_keep,
+   CAST(count(DISTINCT text) AS BIGINT) n_unique, CAST(sum(ntok) AS BIGINT) sum_tok
+FROM k GROUP BY source
+"""
+    ).fetchdf()
+    assert len(got) > 0
+    _assert_frames_equal(got, want)
+
+
+def test_entity_counts_matches_sql(ray_session):
+    import ray
+
+    from orc_format_ray.ops.quality import entity_counts
+
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["text", "source"])
+    got = entity_counts(ds).to_pandas()
+    want = _con().execute(
+        r"""
+SELECT source, CAST(count(*) AS BIGINT) n_docs,
+ CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT) n_email,
+ CAST(sum(len(regexp_extract_all(text, 'https?://[^ \t\n]+'))) AS BIGINT) n_url,
+ CAST(sum(len(regexp_extract_all(text, '\d{4}-\d{2}-\d{2}'))) AS BIGINT) n_iso_date,
+ CAST(sum(len(regexp_extract_all(text, '\b\d+\b'))) AS BIGINT) n_number
+FROM documents GROUP BY source
+"""
+    ).fetchdf()
+    assert len(got) > 0
+    _assert_frames_equal(got, want)
+
+
+def test_entity_counts_planted(ray_session):
+    """Planted entities count exactly once each."""
+    import ray
+
+    from orc_format_ray.ops.quality import entity_counts
+
+    t = pa.table(
+        {
+            "source": ["a", "a", "b"],
+            "text": [
+                "mail bob@example.com and visit https://x.io/page",
+                "due 2024-01-31, pay 42 dollars",
+                "no entities here",
+            ],
+        }
+    )
+    df = entity_counts(ray.data.from_arrow(t)).to_pandas().set_index("source")
+    assert df.loc["a", "n_email"] == 1
+    assert df.loc["a", "n_url"] == 1
+    assert df.loc["a", "n_iso_date"] == 1
+    # "42" plus the date components 2024/01/31 are bare numbers
+    assert df.loc["a", "n_number"] == 4
+    assert df.loc["b"].drop("n_docs").sum() == 0
+
+
+def test_gopher_rules_keep_cols_passthrough(ray_session):
+    import ray
+
+    from orc_format_ray._rayutil import remote_args
+    from orc_format_ray.ops.quality import gopher_rules
+
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text", "source"])
+    df = docs.map_batches(
+        lambda b: gopher_rules(b, keep_cols=("source",)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        **remote_args(),
+    ).to_pandas()
+    ref = _con().execute("SELECT doc_id, source FROM documents WHERE trim(text) <> ''").fetchdf()
+    m = df[["doc_id", "source"]].sort_values("doc_id").reset_index(drop=True)
+    r = ref.sort_values("doc_id").reset_index(drop=True)
+    assert m.equals(r)
