@@ -3993,6 +3993,29 @@ def _q_entity_counts(sf_dir: str):
     return entity_counts(ds)
 
 
+def _q_boilerplate_lines(sf_dir: str):
+    """C4-rule cross-doc boilerplate scrub (ops/text.py): a footer line is
+    planted into every doc (the redact_pii planting idiom) and must drop;
+    pass-1 pre-aggregated exact-string line counts, broadcast probes."""
+    import ray.data
+
+    from orc_format_ray.ops.text import remove_boilerplate_lines
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def plant(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = b["text"].combine_chunks()
+        planted = pc.binary_join_element_wise(
+            t, pa.array(["COMMON FOOTER LINE"] * len(t)), "\n"
+        )
+        return pa.table({"doc_id": b["doc_id"].combine_chunks(), "text": planted})
+
+    planted = ds.map_batches(plant, batch_format="pyarrow", zero_copy_batch=True, **_ra())
+    return remove_boilerplate_lines(planted, min_occurrences=3)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
     # (VERDICT r3 "What's wrong" #2), so the window below is curated for
@@ -4175,6 +4198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "select_by_budget_grouped": _q_select_by_budget_grouped,
         "curation_report_by_source": _q_curation_report,
         "entity_counts_by_source": _q_entity_counts,
+        "boilerplate_lines_planted": _q_boilerplate_lines,
         # --- rows-only smoke queries ---------------------------------------
         "bpe_learned_merges": _q_bpe_learned_merges,
         "pca_embeddings": _q_pca_embeddings,
@@ -5508,6 +5532,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(len(regexp_extract_all(text, '\\d{4}-\\d{2}-\\d{2}'))) AS BIGINT) n_iso_date, "
             "CAST(sum(len(regexp_extract_all(text, '\\b\\d+\\b'))) AS BIGINT) n_number "
             "FROM documents GROUP BY source"
+        ),
+        # C4 boilerplate rule: exact-string line frequency, planted footer
+        "boilerplate_lines_planted": (
+            "WITH planted AS (SELECT doc_id, text || chr(10) || 'COMMON FOOTER LINE' AS t FROM documents), "
+            "ls AS (SELECT doc_id, string_split(t, chr(10)) AS l FROM planted), "
+            "lines AS (SELECT doc_id, i, l[i] AS line FROM ls, unnest(generate_series(1, len(l))) AS u(i)), "
+            "freq AS (SELECT line, CAST(count(*) AS BIGINT) c FROM lines GROUP BY line) "
+            "SELECT li.doc_id, "
+            "COALESCE(string_agg(CASE WHEN f.c < 3 THEN li.line END, chr(10) ORDER BY li.i), '') AS text_clean, "
+            "CAST(sum(CASE WHEN f.c >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped "
+            "FROM lines li JOIN freq f ON li.line = f.line GROUP BY li.doc_id"
         ),
         # quantized linear head: exact int64 dot product, Knuth-hash weights
         # computable in SQL (no weights table shipped)

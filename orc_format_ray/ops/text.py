@@ -933,3 +933,92 @@ def log_odds_words(ds, group: str, a: str, b: str, column: str = "text",
     ], dtype=np.float64) if len(ca) else np.zeros(0, np.float64)
     out = pd.DataFrame({"word": words, "ca": ca, "cb": cb, "log_odds": lo})
     return out.sort_values("word").reset_index(drop=True)
+
+
+def remove_boilerplate_lines(
+    ds,
+    min_occurrences: int = 3,
+    column: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    max_broadcast_lines: int = 1 << 22,
+):
+    """CROSS-document boilerplate scrub (the C4 rule): drop every line
+    whose exact text appears in >= ``min_occurrences`` line slots across
+    the whole corpus — repeated navs, footers, cookie banners. Complements
+    ``dedup_lines`` (within-doc keep-first).
+
+    Scale plan: pass 1 pre-aggregates each batch to its DISTINCT
+    (line, count) rows before ONE groupby(line) — the vocab_topk idiom, so
+    repeated boilerplate collapses before it ships; only lines crossing the
+    threshold broadcast back (guarded by ``max_broadcast_lines`` — if a
+    corpus exceeds it, raise ``min_occurrences``). Pass 2 re-splits each
+    batch and drops members with a vectorized exact-string ``Index.isin``
+    probe (the decontaminate rule: probe exact STRINGS, never hashes —
+    hash collisions would silently diverge from the SQL oracle).
+
+    Returns a Dataset of ``(id_col, text_clean, n_dropped)``; a doc whose
+    every line is boilerplate comes back as ''. Counting includes empty
+    lines (consecutive separators), exactly like SQL string_split.
+    """
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .._rayutil import remote_args
+
+    if min_occurrences < 2:
+        raise ValueError(f"min_occurrences must be >= 2, got {min_occurrences}")
+
+    def line_counts(batch: pa.Table) -> pa.Table:
+        col = batch[column].combine_chunks()
+        if col.null_count:
+            raise ValueError(f"remove_boilerplate_lines: {column!r} contains nulls")
+        flat = pc.list_flatten(pc.split_pattern(col, sep))
+        t = pa.table({"line": flat})
+        return t.group_by("line").aggregate([([], "count_all")]).rename_columns(["line", "c_p"])
+
+    freq = (
+        ds.map_batches(line_counts, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby("line")
+        .aggregate(Sum("c_p", alias_name="c"))
+        .filter(lambda r: r["c"] >= min_occurrences, **remote_args())
+    )
+    fpd = freq.to_pandas()
+    if len(fpd) > max_broadcast_lines:
+        raise ValueError(
+            f"{len(fpd)} boilerplate lines exceed max_broadcast_lines="
+            f"{max_broadcast_lines}; raise min_occurrences"
+        )
+    boiler = fpd["line"].to_numpy(dtype=object) if len(fpd) else np.zeros(0, object)
+    boiler_ref = ray.put(pd.Index(boiler.astype(str)) if len(boiler) else pd.Index([], dtype=object))
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        bindex = ray.get(boiler_ref)
+        col = batch[column].combine_chunks()
+        parts = pc.split_pattern(col, sep)
+        flat = pc.list_flatten(parts)
+        counts = pc.list_value_length(parts).to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        drop = (
+            pd.Index(flat.to_pandas().astype(str)).isin(bindex)
+            if len(bindex) and len(doc_idx)
+            else np.zeros(len(doc_idx), bool)
+        )
+        kept = flat.filter(pa.array(~drop))
+        kept_counts = np.bincount(doc_idx[~drop], minlength=len(counts)).astype(np.int64)
+        offsets = np.zeros(len(counts) + 1, dtype=np.int32)
+        np.cumsum(kept_counts, out=offsets[1:])
+        rebuilt = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), kept)
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table(
+            {
+                id_col: ids.cast(pa.int64()),
+                "text_clean": pc.binary_join(rebuilt, sep),
+                "n_dropped": pa.array((counts - kept_counts).astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(scrub, batch_format="pyarrow", zero_copy_batch=True, **remote_args())

@@ -530,3 +530,60 @@ def test_gopher_rules_keep_cols_passthrough(ray_session):
     m = df[["doc_id", "source"]].sort_values("doc_id").reset_index(drop=True)
     r = ref.sort_values("doc_id").reset_index(drop=True)
     assert m.equals(r)
+
+
+def test_remove_boilerplate_lines_matches_sql(ray_session):
+    """Planted universal footer must drop from every doc; exact-string
+    parity with the SQL line-frequency oracle."""
+    import ray
+
+    from orc_format_ray._rayutil import remote_args
+    from orc_format_ray.ops.text import remove_boilerplate_lines
+
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+
+    def plant(b):
+        import pyarrow.compute as pc
+
+        t = b["text"].combine_chunks()
+        planted = pc.binary_join_element_wise(t, pa.array(["COMMON FOOTER LINE"] * len(t)), "\n")
+        return pa.table({"doc_id": b["doc_id"].combine_chunks(), "text": planted})
+
+    planted = docs.map_batches(plant, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    got = remove_boilerplate_lines(planted, min_occurrences=3).to_pandas()
+    want = _con().execute(
+        """
+WITH planted AS (SELECT doc_id, text || chr(10) || 'COMMON FOOTER LINE' AS t FROM documents),
+ls AS (SELECT doc_id, string_split(t, chr(10)) AS l FROM planted),
+lines AS (SELECT doc_id, i, l[i] AS line FROM ls, unnest(generate_series(1, len(l))) AS u(i)),
+freq AS (SELECT line, CAST(count(*) AS BIGINT) c FROM lines GROUP BY line)
+SELECT li.doc_id,
+  COALESCE(string_agg(CASE WHEN f.c < 3 THEN li.line END, chr(10) ORDER BY li.i), '') AS text_clean,
+  CAST(sum(CASE WHEN f.c >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM lines li JOIN freq f ON li.line = f.line GROUP BY li.doc_id
+"""
+    ).fetchdf()
+    assert len(got) == len(want) and (got["n_dropped"] >= 1).all()
+    _assert_frames_equal(got, want)
+
+
+def test_remove_boilerplate_all_lines_dropped(ray_session):
+    """A doc made ENTIRELY of boilerplate comes back as empty string."""
+    import ray
+
+    from orc_format_ray.ops.text import remove_boilerplate_lines
+
+    t = pa.table(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["spam", "spam", "spam", "keep me\nspam"],
+        }
+    )
+    df = (
+        remove_boilerplate_lines(ray.data.from_arrow(t), min_occurrences=3)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert df.loc[1, "text_clean"] == "" and df.loc[1, "n_dropped"] == 1
+    assert df.loc[4, "text_clean"] == "keep me" and df.loc[4, "n_dropped"] == 1
