@@ -4016,6 +4016,50 @@ def _q_boilerplate_lines(sf_dir: str):
     return remove_boilerplate_lines(planted, min_occurrences=3)
 
 
+def _q_sliding_chunks(sf_dir: str):
+    """Overlapping retrieval chunks (ops/chunk.py): window 20, stride 12;
+    vectorized take()-gather, no per-row Python."""
+    import ray.data
+
+    from orc_format_ray.ops.chunk import sliding_chunks
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return sliding_chunks(ds, window=20, stride=12)
+
+
+def _q_knn_label_predict(sf_dir: str):
+    """Leave-one-out kNN label vote (ops/knn.py): exact quantized int64
+    dots (< 2^53, so DuckDB's float list_dot_product over integer-valued
+    doubles reproduces them bitwise); deterministic (dot DESC, id) top-k,
+    (votes DESC, label) winner."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from orc_format_ray.ops.knn import knn_label_predict
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]).to_pandas()
+    qmask = t["vec_id"] < 8
+    Q = np.stack(t.loc[qmask, "embedding"].to_numpy())
+    qids = t.loc[qmask, "vec_id"].to_numpy(np.int64)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return knn_label_predict(ds, Q, qids, k=5)
+
+
+def _q_langid_confusion(sf_dir: str):
+    """Language-ID confusion matrix (composition): stopword-vote predictions
+    cross-tabulated against the labeled lang column."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from orc_format_ray.ops import text as tx
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    pred = ds.map_batches(
+        tx.LangId, batch_format="pyarrow", zero_copy_batch=True, concurrency=2, **_ra()
+    ).select_columns(["lang", "lang_pred"])
+    return pred.groupby(["lang", "lang_pred"]).aggregate(Count(alias_name="n_docs"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
     # (VERDICT r3 "What's wrong" #2), so the window below is curated for
@@ -4199,6 +4243,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_report_by_source": _q_curation_report,
         "entity_counts_by_source": _q_entity_counts,
         "boilerplate_lines_planted": _q_boilerplate_lines,
+        "sliding_chunks_documents": _q_sliding_chunks,
+        "knn_label_predict_embeddings": _q_knn_label_predict,
+        "langid_confusion_documents": _q_langid_confusion,
         # --- rows-only smoke queries ---------------------------------------
         "bpe_learned_merges": _q_bpe_learned_merges,
         "pca_embeddings": _q_pca_embeddings,
@@ -5532,6 +5579,35 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(len(regexp_extract_all(text, '\\d{4}-\\d{2}-\\d{2}'))) AS BIGINT) n_iso_date, "
             "CAST(sum(len(regexp_extract_all(text, '\\b\\d+\\b'))) AS BIGINT) n_number "
             "FROM documents GROUP BY source"
+        ),
+        # overlapping retrieval chunks: 1-based INCLUSIVE list slice
+        "sliding_chunks_documents": (
+            "WITH base AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents WHERE trim(text) <> ''), "
+            "n AS (SELECT doc_id, ws, len(ws) AS cnt FROM base), "
+            "c AS (SELECT doc_id, ws, cnt, i AS chunk_id, i*12 AS start "
+            "FROM n, unnest(generate_series(0, CAST(ceil(greatest(cnt - 20, 0) / 12.0) AS BIGINT))) AS u(i)) "
+            "SELECT doc_id, chunk_id, "
+            "least(start + 20, cnt) - start AS n_words, "
+            "array_to_string(ws[start+1 : least(start + 20, cnt)], ' ') AS passage FROM c"
+        ),
+        # kNN vote: integer-valued-double dot products are EXACT < 2^53
+        "knn_label_predict_embeddings": (
+            "WITH q AS (SELECT vec_id AS qid, list_transform(embedding, x -> floor(CAST(x AS DOUBLE)*4096 + 0.5)) AS qv "
+            "FROM embeddings WHERE vec_id < 8), "
+            "c AS (SELECT vec_id, label, list_transform(embedding, x -> floor(CAST(x AS DOUBLE)*4096 + 0.5)) AS cv "
+            "FROM embeddings), "
+            "d AS (SELECT q.qid, c.vec_id, c.label, list_dot_product(q.qv, c.cv) AS dot "
+            "FROM q JOIN c ON c.vec_id <> q.qid), "
+            "r AS (SELECT qid, vec_id, label, dot, row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id) rn FROM d), "
+            "k AS (SELECT qid, CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) votes FROM r WHERE rn <= 5 GROUP BY qid, label), "
+            "w AS (SELECT qid, label, votes, row_number() OVER (PARTITION BY qid ORDER BY votes DESC, label) rn FROM k) "
+            "SELECT qid, label AS label_pred, votes FROM w WHERE rn = 1"
+        ),
+        # confusion matrix over the stopword-vote language ID
+        "langid_confusion_documents": (
+            "WITH p AS (" + _LANGID_SQL + ") "
+            "SELECT d.lang, p.lang_pred, CAST(count(*) AS BIGINT) AS n_docs "
+            "FROM documents d JOIN p ON d.doc_id = p.doc_id GROUP BY d.lang, p.lang_pred"
         ),
         # C4 boilerplate rule: exact-string line frequency, planted footer
         "boilerplate_lines_planted": (

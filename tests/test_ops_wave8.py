@@ -587,3 +587,108 @@ def test_remove_boilerplate_all_lines_dropped(ray_session):
     )
     assert df.loc[1, "text_clean"] == "" and df.loc[1, "n_dropped"] == 1
     assert df.loc[4, "text_clean"] == "keep me" and df.loc[4, "n_dropped"] == 1
+
+
+def test_sliding_chunks_matches_sql(ray_session):
+    import ray
+
+    from orc_format_ray.ops.chunk import sliding_chunks
+
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    got = sliding_chunks(ds, window=20, stride=12).to_pandas()
+    want = _con().execute(
+        r"""
+WITH base AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents WHERE trim(text) <> ''),
+n AS (SELECT doc_id, ws, len(ws) AS cnt FROM base),
+c AS (SELECT doc_id, ws, cnt, i AS chunk_id, i*12 AS start
+      FROM n, unnest(generate_series(0, CAST(ceil(greatest(cnt - 20, 0) / 12.0) AS BIGINT))) AS u(i))
+SELECT doc_id, chunk_id,
+  least(start + 20, cnt) - start AS n_words,
+  array_to_string(ws[start+1 : least(start + 20, cnt)], ' ') AS passage
+FROM c
+"""
+    ).fetchdf()
+    assert len(got) > 500
+    _assert_frames_equal(got, want)
+
+
+def test_sliding_chunks_overlap_semantics(ray_session):
+    """Adjacent chunks overlap by window - stride words; full coverage."""
+    import ray
+
+    from orc_format_ray.ops.chunk import sliding_chunks
+
+    t = pa.table({"doc_id": [7], "text": ["w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"]})
+    df = (
+        sliding_chunks(ray.data.from_arrow(t), window=4, stride=2)
+        .to_pandas()
+        .sort_values("chunk_id")
+        .reset_index(drop=True)
+    )
+    assert df["passage"].tolist() == [
+        "w0 w1 w2 w3",
+        "w2 w3 w4 w5",
+        "w4 w5 w6 w7",
+        "w6 w7 w8 w9",
+    ]
+    assert df["n_words"].tolist() == [4, 4, 4, 4]
+    with pytest.raises(ValueError, match="stride"):
+        sliding_chunks(ray.data.from_arrow(t), window=4, stride=5).to_pandas()
+
+
+def test_knn_label_predict_matches_sql(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray
+
+    from orc_format_ray.ops.knn import knn_label_predict
+
+    t = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    qmask = t["vec_id"] < 8
+    Q = np.stack(t.loc[qmask, "embedding"].to_numpy())
+    qids = t.loc[qmask, "vec_id"].to_numpy(np.int64)
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    got = knn_label_predict(ds, Q, qids, k=5)
+    want = _con().execute(
+        r"""
+WITH q AS (SELECT vec_id AS qid, list_transform(embedding, x -> floor(CAST(x AS DOUBLE)*4096 + 0.5)) AS qv
+           FROM embeddings WHERE vec_id < 8),
+c AS (SELECT vec_id, label, list_transform(embedding, x -> floor(CAST(x AS DOUBLE)*4096 + 0.5)) AS cv
+      FROM embeddings),
+d AS (SELECT q.qid, c.vec_id, c.label, list_dot_product(q.qv, c.cv) AS dot
+      FROM q JOIN c ON c.vec_id <> q.qid),
+r AS (SELECT qid, vec_id, label, dot, row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id) rn FROM d),
+k AS (SELECT qid, CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) votes FROM r WHERE rn <= 5 GROUP BY qid, label),
+w AS (SELECT qid, label, votes, row_number() OVER (PARTITION BY qid ORDER BY votes DESC, label) rn FROM k)
+SELECT qid, label AS label_pred, votes FROM w WHERE rn = 1
+"""
+    ).fetchdf()
+    assert len(got) == 8
+    _assert_frames_equal(got, want)
+    # plan invariance: shredded blocks fold to the same winners
+    got2 = knn_label_predict(ds.repartition(23), Q, qids, k=5)
+    assert got.equals(got2)
+
+
+def test_knn_self_match_excluded(ray_session):
+    """With exclude_self, a query can never vote for itself even though its
+    self-dot is maximal; without it, the self row dominates."""
+    import numpy as np
+    import ray
+
+    from orc_format_ray.ops.knn import knn_label_predict
+
+    t = pa.table(
+        {
+            "vec_id": [0, 1, 2, 3],
+            "embedding": [[1.0, 0.0], [1.0, 0.01], [0.0, 1.0], [0.0, 0.9]],
+            "label": [10, 11, 12, 13],
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    Q = np.array([[1.0, 0.0]])
+    qids = np.array([0], np.int64)
+    loo = knn_label_predict(ds, Q, qids, k=1)
+    assert loo.loc[0, "label_pred"] == 11  # nearest OTHER row
+    selfin = knn_label_predict(ds, Q, qids, k=1, exclude_self=False)
+    assert selfin.loc[0, "label_pred"] == 10
