@@ -4060,6 +4060,50 @@ def _q_langid_confusion(sf_dir: str):
     return pred.groupby(["lang", "lang_pred"]).aggregate(Count(alias_name="n_docs"))
 
 
+def _q_csv_roundtrip(sf_dir: str):
+    """CSV shard interchange (ops/csvshard.py): orders write into
+    deterministic size-budgeted .csv shards and read back typed; the query
+    aggregates the ROUND-TRIPPED rows (counts + exact-cents price sums per
+    priority), checked against SQL over the original table. Floats survive
+    via repr (shortest round-trip) -> exact cents both sides."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from orc_format_ray.ops.csvshard import read_csv_shards, write_csv_shards
+
+    scratch = "/tmp/orc_format_ray_scratch/csvshards"
+    shutil.rmtree(scratch, ignore_errors=True)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"],
+    )
+    write_csv_shards(
+        orders, scratch, key_col="o_orderkey",
+        columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"],
+        rows_per_shard=4096,
+    )
+    back = read_csv_shards(
+        scratch,
+        {"o_orderkey": "int64", "o_custkey": "int64",
+         "o_totalprice": "float64", "o_orderpriority": "string"},
+    )
+
+    def cells(b: pa.Table) -> pa.Table:
+        v = b["o_totalprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cents = np.floor(v * 100 + 0.5).astype(np.int64)
+        return pa.table({"o_orderpriority": b["o_orderpriority"], "cents": pa.array(cents)})
+
+    out = (
+        back.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **_ra())
+        .groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_orders"), Sum("cents", alias_name="sum_cents"))
+    )
+    df = out.to_pandas()
+    df["sum_cents"] = df["sum_cents"].astype("int64")
+    return df.sort_values("o_orderpriority").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
     # (VERDICT r3 "What's wrong" #2), so the window below is curated for
@@ -4246,6 +4290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_chunks_documents": _q_sliding_chunks,
         "knn_label_predict_embeddings": _q_knn_label_predict,
         "langid_confusion_documents": _q_langid_confusion,
+        "csv_roundtrip": _q_csv_roundtrip,
         # --- rows-only smoke queries ---------------------------------------
         "bpe_learned_merges": _q_bpe_learned_merges,
         "pca_embeddings": _q_pca_embeddings,
@@ -5579,6 +5624,12 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(len(regexp_extract_all(text, '\\d{4}-\\d{2}-\\d{2}'))) AS BIGINT) n_iso_date, "
             "CAST(sum(len(regexp_extract_all(text, '\\b\\d+\\b'))) AS BIGINT) n_number "
             "FROM documents GROUP BY source"
+        ),
+        # CSV interchange: aggregate the round-tripped rows vs the source
+        "csv_roundtrip": (
+            "SELECT o_orderpriority, count(*) AS n_orders, "
+            "CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents "
+            "FROM orders GROUP BY 1"
         ),
         # overlapping retrieval chunks: 1-based INCLUSIVE list slice
         "sliding_chunks_documents": (

@@ -692,3 +692,86 @@ def test_knn_self_match_excluded(ray_session):
     assert loo.loc[0, "label_pred"] == 11  # nearest OTHER row
     selfin = knn_label_predict(ds, Q, qids, k=1, exclude_self=False)
     assert selfin.loc[0, "label_pred"] == 10
+
+
+def test_csv_shards_roundtrip(ray_session, tmp_path):
+    import ray
+
+    from orc_format_ray.ops.csvshard import read_csv_shards, write_csv_shards
+
+    out = str(tmp_path / "csv")
+    ds = ray.data.read_parquet(
+        f"{SF}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"],
+    )
+    man = write_csv_shards(
+        ds, out, key_col="o_orderkey",
+        columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"],
+        rows_per_shard=500,
+    )
+    assert man["n_rows"].sum() == ds.count()
+    back = read_csv_shards(
+        out,
+        {"o_orderkey": "int64", "o_custkey": "int64",
+         "o_totalprice": "float64", "o_orderpriority": "string"},
+    ).to_pandas()
+    src = ds.to_pandas()
+    a = back.sort_values("o_orderkey").reset_index(drop=True)
+    b = src.sort_values("o_orderkey").reset_index(drop=True)[a.columns]
+    assert len(a) == len(b)
+    for c in a.columns:
+        av = a[c].to_numpy()
+        if av.dtype == object:
+            assert (a[c].astype(str) == b[c].astype(str)).all(), c
+        else:
+            assert np.array_equal(av, b[c].to_numpy()), c  # repr floats: exact
+
+
+def test_csv_shards_null_empty_quoting(ray_session, tmp_path):
+    """Unquoted empty field decodes null; '\"\"' decodes ''; commas and
+    quotes survive RFC-4180 doubling; embedded newlines reject loudly."""
+    import ray
+
+    from orc_format_ray.ops.csvshard import read_csv_shards, write_csv_shards
+
+    out = str(tmp_path / "csvq")
+    t = pa.table({"k": [1, 2, 3], "s": ["", None, 'he said "hi", ok']})
+    write_csv_shards(ray.data.from_arrow(t), out, key_col="k", columns=["k", "s"])
+    back = read_csv_shards(out, {"k": "int64", "s": "string"}).to_pandas().sort_values("k").reset_index(drop=True)
+    assert back.loc[0, "s"] == ""
+    assert pd.isna(back.loc[1, "s"])
+    assert back.loc[2, "s"] == 'he said "hi", ok'
+    bad = pa.table({"k": [1], "s": ["two\nlines"]})
+    with pytest.raises(Exception, match="newline"):
+        write_csv_shards(ray.data.from_arrow(bad), str(tmp_path / "csvbad"), key_col="k", columns=["k", "s"])
+
+
+def test_csv_shards_deterministic_rewrite(ray_session, tmp_path):
+    import hashlib
+    import glob
+    import shutil
+
+    import ray
+
+    from orc_format_ray.ops.csvshard import write_csv_shards
+
+    out = str(tmp_path / "csvdet")
+    ds = ray.data.read_parquet(f"{SF}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+    write_csv_shards(ds, out, key_col="o_orderkey", columns=["o_orderkey", "o_totalprice"], rows_per_shard=500)
+    h1 = {p.split("/")[-1]: hashlib.sha256(open(p, "rb").read()).hexdigest() for p in glob.glob(out + "/*.csv")}
+    shutil.rmtree(out)
+    write_csv_shards(ds, out, key_col="o_orderkey", columns=["o_orderkey", "o_totalprice"], rows_per_shard=500)
+    h2 = {p.split("/")[-1]: hashlib.sha256(open(p, "rb").read()).hexdigest() for p in glob.glob(out + "/*.csv")}
+    assert h1 == h2
+
+
+def test_csv_shards_missing_column_null_fills(ray_session, tmp_path):
+    import ray
+
+    from orc_format_ray.ops.csvshard import read_csv_shards, write_csv_shards
+
+    out = str(tmp_path / "csvmiss")
+    t = pa.table({"k": [1, 2], "v": [10, 20]})
+    write_csv_shards(ray.data.from_arrow(t), out, key_col="k", columns=["k", "v"])
+    back = read_csv_shards(out, {"k": "int64", "absent": "string"}).to_pandas()
+    assert back["absent"].isna().all() and len(back) == 2
