@@ -295,6 +295,52 @@ def cube(ds, keys: list[str], value: str, agg: str = "sum", round_to: int | None
     return out.sort_values(["level", *keys], ascending=[False] + [True] * len(keys)).reset_index(drop=True)
 
 
+def grouping_sets(ds, keys: list[str], sets: list[list[str]], value: str,
+                  agg: str = "sum", round_to: int | None = None):
+    """SQL GROUPING SETS: aggregate at exactly the requested key subsets in
+    ONE corpus pass — the generalization rollup/cube specialize. The
+    finest-level (all-keys) cells shuffle once (`_grouping_cells`); every
+    requested set is a driver-side re-aggregation over those |combos| rows,
+    valid because each supported agg is distributive over the cells.
+
+    ``sets`` must be distinct subsets of ``keys`` (order within a set is
+    ignored — key columns always emit in ``keys`` order, matching SQL's
+    column-position semantics). Output schema matches rollup/cube:
+    stringified keys with '(all)' at inactive positions, ``level`` = number
+    of active keys, ``value``. SQL mirror: ``GROUP BY GROUPING SETS (...)``
+    with ``COALESCE(k, '(all)')`` per key and
+    ``level = n - (GROUPING(k1) + ... + GROUPING(kn))``.
+    """
+    import pandas as pd
+
+    if agg not in _PIVOT_AGGS:
+        raise ValueError(f"agg must be one of {_PIVOT_AGGS}, got {agg!r}")
+    if not keys:
+        raise ValueError("grouping_sets needs at least one key")
+    norm, seen = [], set()
+    for s in sets:
+        extra = set(s) - set(keys)
+        if extra:
+            raise ValueError(f"grouping set {s!r} references unknown keys {sorted(extra)}")
+        canon = tuple(k for k in keys if k in set(s))
+        if canon in seen:
+            raise ValueError(f"duplicate grouping set {list(canon)!r}")
+        seen.add(canon)
+        norm.append(list(canon))
+    if not norm:
+        raise ValueError("grouping_sets needs at least one set")
+
+    cdf = _grouping_cells(ds, keys, value, agg)
+    levels = []
+    for active in norm:
+        if len(active) == len(keys):
+            levels.append(_level_frame(cdf, keys, active, agg, round_to))
+        else:
+            levels.append(_level_frame(_reaggregate_cells(cdf, active, agg), keys, active, agg, round_to))
+    out = pd.concat(levels, ignore_index=True)
+    return out.sort_values(["level", *keys], ascending=[False] + [True] * len(keys)).reset_index(drop=True)
+
+
 def mode_by_group(ds, group: str, col: str):
     """Exact statistical mode per group: the most frequent non-null value
     of ``col`` within each ``group``, ties broken toward the SMALLEST value

@@ -488,35 +488,72 @@ def _verify_candidate_pairs(ds, cands, threshold: float, shingle_k: int):
     # deadlocks with the pool holding every slot the shuffle needs
     pair_halves = cands.map_batches(to_pair_halves, batch_format="pyarrow", **remote_args()).materialize()
 
+    return _verify_pairs_tail([(ds, False)], pair_halves, threshold, shingle_k)
+
+
+# namespacing bit for two-corpus near-dedup: reference doc ids get bit 62
+# set so both sides share one int64 keyspace in the verification shuffles.
+# Both corpora must therefore keep doc ids in [0, 2^62) — guarded loudly.
+REF_TAG = np.int64(1) << np.int64(62)
+
+
+def _tag_ids(doc: np.ndarray, tag: bool) -> np.ndarray:
+    if (doc < 0).any() or (doc & REF_TAG).any():
+        raise ValueError("doc ids must be unique non-negative int64 < 2^62 (bit 62 namespaces the two corpora)")
+    return doc | REF_TAG if tag else doc
+
+
+def _verify_pairs_tail(sources, pair_halves, threshold: float, shingle_k: int):
+    """Shared verification tail over MATERIALIZED pair-half rows: broadcast
+    the candidate id set, fetch candidate texts from each ``(dataset,
+    tag_ref)`` source (reference ids namespaced via ``REF_TAG``), attach
+    texts to halves with one candidate-sized groupby, verify exact n-gram
+    Jaccard per (doc_a, doc_b). Returns a pyarrow Table
+    (doc_a, doc_b, jaccard) — doc_a still carries its namespace tag."""
+    import pandas as pd
+    import pyarrow as pa_
+    import ray
+
+    def _empty():
+        return pa_.table({"doc_a": pa_.array([], pa_.int64()), "doc_b": pa_.array([], pa_.int64()), "jaccard": pa_.array([], pa_.float64())})
+
     # candidate id set (ids only — not texts) for the broadcast semi-join
     id_batches = [
-        np.unique(np.concatenate([np.asarray(ids, dtype=np.int64) for ids in b["doc_ids"].to_pylist()] or [np.zeros(0, np.int64)]))
-        for b in cands.iter_batches(batch_size=1 << 16, batch_format="pyarrow")
+        np.unique(b["doc_id"].to_numpy(zero_copy_only=False))
+        for b in pair_halves.iter_batches(batch_size=1 << 16, batch_format="pyarrow")
     ]
     cand_ids = np.unique(np.concatenate(id_batches)) if id_batches else np.zeros(0, np.int64)
     if len(cand_ids) == 0:
-        return pa_.table({"doc_a": pa_.array([], pa_.int64()), "doc_b": pa_.array([], pa_.int64()), "jaccard": pa_.array([], pa_.float64())})
+        return _empty()
     ref = ray.put(cand_ids)
 
-    def fetch(batch: pa.Table) -> pa.Table:
-        want = ray.get(ref)
-        doc = batch["doc_id"].to_numpy(zero_copy_only=False)
-        pos = np.minimum(np.searchsorted(want, doc), len(want) - 1)
-        got = batch.filter(pa.array(want[pos] == doc))
-        n = got.num_rows
-        return pa.table(
-            {
-                "doc_id": got["doc_id"].cast(pa.int64()),
-                "doc_a": pa.array(np.full(n, -1, np.int64)),
-                "doc_b": pa.array(np.full(n, -1, np.int64)),
-                "slot": pa.array(np.full(n, -1, np.int64)),
-                "text": got["text"].cast(pa.string()),
-            }
-        )
+    def make_fetch(tag: bool):
+        def fetch(batch: pa.Table) -> pa.Table:
+            want = ray.get(ref)
+            doc = batch["doc_id"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+            doc = _tag_ids(doc, tag)
+            pos = np.minimum(np.searchsorted(want, doc), len(want) - 1)
+            mask = want[pos] == doc
+            got = batch.filter(pa.array(mask))
+            n = got.num_rows
+            return pa.table(
+                {
+                    "doc_id": pa.array(doc[mask], pa.int64()),
+                    "doc_a": pa.array(np.full(n, -1, np.int64)),
+                    "doc_b": pa.array(np.full(n, -1, np.int64)),
+                    "slot": pa.array(np.full(n, -1, np.int64)),
+                    "text": got["text"].cast(pa.string()),
+                }
+            )
+
+        return fetch
 
     # candidate texts are sparse relative to the corpus: materializing them
     # bounds the union input and frees the read stage before the shuffles
-    texts_ds = ds.map_batches(fetch, batch_format="pyarrow", zero_copy_batch=True, **remote_args()).materialize()
+    texts_ds = None
+    for src, tag in sources:
+        t = src.map_batches(make_fetch(tag), batch_format="pyarrow", zero_copy_batch=True, **remote_args()).materialize()
+        texts_ds = t if texts_ds is None else texts_ds.union(t)
 
     def attach_text(g: pd.DataFrame) -> pd.DataFrame:
         t = g.loc[g["slot"] == -1, "text"]
@@ -549,6 +586,137 @@ def _verify_candidate_pairs(ds, cands, threshold: float, shingle_k: int):
     if tbl.num_rows == 0:
         return pa_.table({"doc_a": pa_.array([], pa_.int64()), "doc_b": pa_.array([], pa_.int64()), "jaccard": pa_.array([], pa_.float64())})
     return tbl.cast(pa.schema({"doc_a": pa.int64(), "doc_b": pa.int64(), "jaccard": pa.float64()}))
+
+
+def minhash_dedup_against(
+    new_ds,
+    reference_ds,
+    threshold: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+):
+    """Incremental-ingest NEAR-dedup (the MinHash sibling of
+    ``exact_dedup_against``): drop rows of ``new_ds`` whose word-shingle
+    Jaccard vs ANY ``reference_ds`` doc is >= ``threshold`` — the daily-shard
+    shape where yesterday's corpus never re-ingests, only its LSH band rows
+    (3 ints per doc x band) move.
+
+    Scale plan: MinHash band rows are computed per side (actor pools,
+    permutations in ``__init__``) and MATERIALIZED before the union feeding
+    the bucket groupby (the CLAUDE actor-pool->groupby deadlock rule); only
+    buckets containing BOTH sides survive, and only cross-side (ref, new)
+    pairs expand (vectorized offsets math, MAX_BUCKET truncation per side).
+    Verification reuses the shared broadcast-id text fetch + exact-Jaccard
+    tail; reference ids are namespaced with bit 62 (``REF_TAG``) so both
+    corpora share one int64 keyspace — ids on both sides must be unique,
+    non-negative and < 2^62 (guarded).
+
+    Only new-vs-reference pairs are considered: compose with
+    ``minhash_dedup`` / ``near_dedup`` for within-shard near-dups. Returns
+    ``(kept_new_ds, pairs)`` where ``pairs`` is a pyarrow Table
+    (ref_doc, new_doc, jaccard) and ``kept_new_ds`` filters dropped new ids
+    via one broadcast anti-join (the dropped set is candidate-sized).
+    """
+    import pandas as pd
+    import pyarrow as pa_
+    import ray
+
+    mk = {"num_perm": num_perm, "bands": bands, "shingle_k": shingle_k}
+
+    def band_side(ds, tag: bool):
+        rows = ds.select_columns(["doc_id", "text"]).map_batches(
+            MinHasher,
+            fn_constructor_kwargs=mk,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=pool_size(),
+            **remote_args(),
+        )
+
+        def tag_fn(b: pa.Table) -> pa.Table:
+            d = b["doc_id"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+            d = _tag_ids(d, tag)
+            return b.set_column(b.schema.get_field_index("doc_id"), "doc_id", pa.array(d, pa.int64()))
+
+        # actor-pool branch feeding a union -> groupby: materialize first
+        return rows.map_batches(tag_fn, batch_format="pyarrow", **remote_args()).materialize()
+
+    band_union = band_side(reference_ds, True).union(band_side(new_ds, False))
+
+    def cross_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].to_numpy(np.int64))
+        refs = ids[(ids & REF_TAG) != 0][:MAX_BUCKET]
+        news = ids[(ids & REF_TAG) == 0][:MAX_BUCKET]
+        if len(refs) == 0 or len(news) == 0:
+            return pd.DataFrame({"ref_ids": pd.Series(dtype=object), "new_ids": pd.Series(dtype=object)})
+        return pd.DataFrame({"ref_ids": [refs.tolist()], "new_ids": [news.tolist()]})
+
+    buckets = band_union.groupby(["band_id", "band_hash"]).map_groups(
+        cross_bucket, batch_format="pandas", **remote_args()
+    )
+
+    def to_cross_halves(batch: pa.Table) -> pa.Table:
+        ra = batch["ref_ids"].combine_chunks() if isinstance(batch["ref_ids"], pa.ChunkedArray) else batch["ref_ids"]
+        na = batch["new_ids"].combine_chunks() if isinstance(batch["new_ids"], pa.ChunkedArray) else batch["new_ids"]
+        la = pc.list_value_length(ra).to_numpy(zero_copy_only=False).astype(np.int64)
+        lb = pc.list_value_length(na).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat_a = ra.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        flat_b = na.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        offs_a = np.zeros(len(la) + 1, np.int64)
+        np.cumsum(la, out=offs_a[1:])
+        offs_b = np.zeros(len(lb) + 1, np.int64)
+        np.cumsum(lb, out=offs_b[1:])
+        n_pairs = la * lb
+        total = int(n_pairs.sum())
+        empty_cols = {
+            "doc_id": pa.array([], pa.int64()),
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "slot": pa.array([], pa.int64()),
+            "text": pa.array([], pa.string()),
+        }
+        if total == 0:
+            return pa.table(empty_cols)
+        bi = np.repeat(np.arange(len(la), dtype=np.int64), n_pairs)
+        base = np.repeat(np.cumsum(np.r_[np.int64(0), n_pairs[:-1]]), n_pairs)
+        p = np.arange(total, dtype=np.int64) - base
+        a_half = flat_a[offs_a[bi] + p // lb[bi]]
+        b_half = flat_b[offs_b[bi] + p % lb[bi]]
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate([a_half, b_half])),
+                "doc_a": pa.array(np.concatenate([a_half, a_half])),
+                "doc_b": pa.array(np.concatenate([b_half, b_half])),
+                "slot": pa.array(
+                    np.concatenate([np.zeros(total, np.int64), np.ones(total, np.int64)])
+                ),
+                "text": pa.array([None] * (2 * total), type=pa.string()),
+            }
+        )
+
+    pair_halves = buckets.map_batches(to_cross_halves, batch_format="pyarrow", **remote_args()).materialize()
+    pairs = _verify_pairs_tail(
+        [(reference_ds, True), (new_ds, False)], pair_halves, threshold, shingle_k
+    )
+    ref_doc = pc.bit_wise_and(pairs["doc_a"], pa_.scalar(int(REF_TAG) - 1, pa_.int64()))
+    out_pairs = pa_.table(
+        {"ref_doc": ref_doc, "new_doc": pairs["doc_b"], "jaccard": pairs["jaccard"]}
+    )
+
+    dropped = np.unique(out_pairs["new_doc"].to_numpy(zero_copy_only=False))
+    if len(dropped) == 0:
+        return new_ds, out_pairs
+    drop_ref = ray.put(dropped)  # sorted (np.unique); zero-copy view per task
+
+    def drop_fn(batch: pa.Table) -> pa.Table:
+        ids = ray.get(drop_ref)
+        doc = batch["doc_id"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(ids, doc), len(ids) - 1)
+        return batch.filter(pa.array(ids[pos] != doc))
+
+    kept = new_ds.map_batches(drop_fn, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    return kept, out_pairs
 
 
 def jaccard_ngrams(a: str, b: str, k: int = 3) -> float:

@@ -74,3 +74,121 @@ def top_user_paths(
         fold, batch_format="pandas", **remote_args()
     )
     return per_user.groupby("path").aggregate(Count(alias_name="n_users"))
+
+
+def attribution(
+    ds,
+    conversion_type: str = "purchase",
+    model: str = "last",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    num_buckets: int = 64,
+):
+    """Marketing-style conversion attribution over an event log: each
+    ``conversion_type`` event is credited to ONE prior touch channel of the
+    same user — the latest touch at-or-before the conversion (``model=
+    'last'``, ASOF semantics) or the user's earliest touch if it is
+    at-or-before (``model='first'``). Conversions with no qualifying touch
+    credit the literal channel ``'(none)'``.
+
+    Scale plan: only ``(bucket, user, ts_us, is_conv, channel, units)``
+    metadata shuffles (never props/payloads); users are hash-bucketed into
+    ``num_buckets`` groups, each folded with ONE vectorized
+    ``pd.merge_asof`` (last) or keep-first dedup (first) — per-group Python
+    is O(buckets). Each bucket emits per-channel partials; a tiny final
+    groupby folds them. Value parity is the tpch-revenue rule: per-row
+    exact-int units ``floor(value*100 + 0.5)``, int64 sums, ONE ``/100.0``
+    division per output row.
+
+    Determinism guard: duplicate ``(user, ts)`` among touch events is
+    tie-ambiguous (which touch is "the" last?) and raises loudly — the
+    bucket fold sees every row of a user, so the in-bucket check is global.
+
+    Returns a Dataset of ``(channel, conversions, value_total)``.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    if model not in ("last", "first"):
+        raise ValueError(f"model must be 'last' or 'first', got {model!r}")
+
+    def to_meta(batch: pa.Table) -> pa.Table:
+        et = batch[type_col].combine_chunks()
+        u = batch[user_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ts = (
+            batch[ts_col].combine_chunks().cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        v = batch[value_col].combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)
+        is_conv = pc.equal(et, conversion_type).to_numpy(zero_copy_only=False)
+        units = np.where(is_conv, np.floor(v * 100.0 + 0.5).astype(np.int64), 0)
+        bucket = ((u.view(np.uint64) * _KNUTH) % np.uint64(num_buckets)).astype(np.int64)
+        return pa.table(
+            {
+                "b": pa.array(bucket, pa.int64()),
+                "u": pa.array(u, pa.int64()),
+                "t": pa.array(ts, pa.int64()),
+                "conv": pa.array(is_conv),
+                "ch": et.cast(pa.string()),
+                "units": pa.array(units, pa.int64()),
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "ch": pd.Series(dtype=object),
+                "n": pd.Series(dtype="int64"),
+                "units": pd.Series(dtype="int64"),
+            }
+        )
+        conv = g.loc[g["conv"], ["u", "t", "units"]]
+        if conv.empty:
+            return empty
+        tch = g.loc[~g["conv"], ["u", "t", "ch"]]
+        if not tch.empty and tch.duplicated(["u", "t"]).any():
+            raise ValueError(
+                "attribution: duplicate (user, ts) among touch events — tie-ambiguous; "
+                "dedup or add a tiebreaker column first"
+            )
+        if tch.empty:
+            channel = np.full(len(conv), "(none)", dtype=object)
+        elif model == "last":
+            conv = conv.sort_values("t", kind="stable")
+            tch = tch.sort_values("t", kind="stable")
+            m = pd.merge_asof(conv, tch, on="t", by="u", direction="backward", allow_exact_matches=True)
+            channel = m["ch"].fillna("(none)").to_numpy(dtype=object)
+            conv = m  # units column rides along in conv order
+        else:
+            first = tch.sort_values("t", kind="stable").drop_duplicates("u", keep="first")
+            m = conv.merge(first.rename(columns={"t": "ft"}), on="u", how="left")
+            ok = m["ft"].notna() & (m["ft"] <= m["t"])
+            channel = np.where(ok, m["ch"].to_numpy(dtype=object), "(none)")
+            conv = m
+        out = pd.DataFrame(
+            {"ch": channel, "n": np.ones(len(conv), dtype=np.int64), "units": conv["units"].to_numpy(np.int64)}
+        )
+        r = out.groupby("ch", as_index=False).agg(n=("n", "sum"), units=("units", "sum"))
+        return r if not r.empty else empty
+
+    meta = ds.select_columns([user_col, ts_col, type_col, value_col]).map_batches(
+        to_meta, batch_format="pyarrow", zero_copy_batch=True, **remote_args()
+    )
+    partials = meta.groupby("b").map_groups(fold, batch_format="pandas", **remote_args())
+    folded = partials.groupby("ch").aggregate(
+        Sum("n", alias_name="conversions"), Sum("units", alias_name="units")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        units = batch["units"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "channel": batch["ch"].cast(pa.string()),
+                "conversions": batch["conversions"].combine_chunks().cast(pa.int64()),
+                "value_total": pa.array(units / 100.0, pa.float64()),
+            }
+        )
+
+    return folded.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True, **remote_args())

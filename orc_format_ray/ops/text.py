@@ -523,6 +523,40 @@ def normalize_text(batch: pa.Table, column: str = "text", out: str = "text_norm"
     return batch.append_column(out, t)
 
 
+# entity decode order matters: '&amp;' must decode LAST so '&amp;lt;' yields
+# the literal '&lt;' rather than double-decoding to '<' (HTML spec order).
+MARKUP_ENTITIES: list[tuple[str, str]] = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
+
+
+def strip_markup(batch: pa.Table, column: str = "text", out: str = "text_plain") -> pa.Table:
+    """C4-style markup scrub for web-scraped corpora: drop HTML/XML tags
+    (``<[^>]*>`` → space), decode the six common entities (``&amp;`` last —
+    see ``MARKUP_ENTITIES``), collapse whitespace runs, trim. Pure Arrow
+    RE2 kernels per batch — a stateless ``map_batches`` stage, no shuffle.
+
+    Appends ``out`` (plain text) and ``n_tags`` (tags stripped per row).
+    SQL mirror (both engines run RE2, so the classes agree):
+    ``trim(regexp_replace(replace(... regexp_replace(text, '<[^>]*>', ' ',
+    'g') ...), '\\s+', ' ', 'g'))`` with the replaces nested in
+    ``MARKUP_ENTITIES`` order, and
+    ``len(regexp_extract_all(text, '<[^>]*>'))`` for the tag count."""
+    text = batch[column]
+    n_tags = pc.count_substring_regex(text, r"<[^>]*>")
+    t = pc.replace_substring_regex(text, r"<[^>]*>", " ")
+    for ent, rep in MARKUP_ENTITIES:
+        t = pc.replace_substring(t, ent, rep)
+    t = pc.replace_substring_regex(t, r"\s+", " ")
+    t = pc.utf8_trim(t, " ")
+    return batch.append_column(out, t).append_column("n_tags", n_tags.cast(pa.int64()))
+
+
 def _word_ngram_strings(arr: pa.Array, n: int) -> tuple[pa.Array, np.ndarray]:
     """Per-doc word n-gram STRINGS (space-joined n consecutive words; plain
     single-space split so SQL ``str_split(text, ' ')`` reproduces the

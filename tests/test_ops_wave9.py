@@ -1,0 +1,298 @@
+"""Session-9 operator wave: GROUPING SETS, markup stripping, conversion
+attribution, incremental MinHash near-dedup. Each test pins the op against
+an independent local recompute (DuckDB SQL or construction) at sf0.001."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _con():
+    con = duckdb.connect()
+    for t in ["documents", "events", "lineitem", "orders"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con
+
+
+def _sorted(df: pd.DataFrame) -> pd.DataFrame:
+    cols = sorted(df.columns)
+    return df[cols].sort_values(cols, kind="stable").reset_index(drop=True)
+
+
+def _assert_frames_equal(a: pd.DataFrame, b: pd.DataFrame):
+    a, b = _sorted(a), _sorted(b)
+    assert list(a.columns) == list(b.columns)
+    assert len(a) == len(b)
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if av.dtype.kind == "f" or bv.dtype.kind == "f":
+            assert np.array_equal(av.astype(np.float64), bv.astype(np.float64)), c
+        else:
+            assert (av == bv).all(), c
+
+
+# ------------------------------------------------------------ grouping sets
+
+
+def test_grouping_sets_matches_sql(ray_session):
+    import ray
+
+    from orc_format_ray.ops.agg import grouping_sets
+
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["lang", "source", "n_chars"])
+    got = grouping_sets(ds, ["lang", "source"], [["lang", "source"], ["source"], []], "n_chars", agg="sum")
+    want = _con().execute(
+        """
+SELECT COALESCE(lang, '(all)') AS lang, COALESCE(source, '(all)') AS source,
+       CAST(2 - GROUPING(lang) - GROUPING(source) AS BIGINT) AS level,
+       CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE) AS value
+FROM documents GROUP BY GROUPING SETS ((lang, source), (source), ())
+ORDER BY level DESC, lang, source
+"""
+    ).fetchdf()
+    assert (got["level"].to_numpy()[:1] == 2).all() and len(got) > 3
+    _assert_frames_equal(got, want)
+
+
+def test_grouping_sets_set_order_ignored(ray_session):
+    import ray
+
+    from orc_format_ray.ops.agg import grouping_sets
+
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["lang", "source", "n_chars"])
+    a = grouping_sets(ds, ["lang", "source"], [["source", "lang"]], "n_chars", agg="mean", round_to=4)
+    b = grouping_sets(ds, ["lang", "source"], [["lang", "source"]], "n_chars", agg="mean", round_to=4)
+    _assert_frames_equal(a, b)
+
+
+def test_grouping_sets_rejects_bad_sets(ray_session):
+    import ray
+
+    from orc_format_ray.ops.agg import grouping_sets
+
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["lang", "source", "n_chars"])
+    with pytest.raises(ValueError, match="unknown keys"):
+        grouping_sets(ds, ["lang"], [["nope"]], "n_chars")
+    with pytest.raises(ValueError, match="duplicate grouping set"):
+        grouping_sets(ds, ["lang", "source"], [["lang"], ["lang"]], "n_chars")
+    with pytest.raises(ValueError, match="at least one set"):
+        grouping_sets(ds, ["lang"], [], "n_chars")
+
+
+# ------------------------------------------------------------- strip markup
+
+
+def test_strip_markup_matches_sql(ray_session):
+    import ray
+
+    from orc_format_ray.ops import text as tx
+
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+
+    def plant_and_strip(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        planted = pc.binary_join_element_wise(
+            pa.scalar('<p class="x">'),
+            batch["text"],
+            pa.scalar("</p> &amp;lt; &gt;&nbsp;tail<br/>"),
+            "",
+        )
+        out = tx.strip_markup(pa.table({"doc_id": batch["doc_id"], "text": planted}))
+        return out.select(["doc_id", "text_plain", "n_tags"])
+
+    got = (
+        ds.map_batches(plant_and_strip, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    got["n_tags"] = got["n_tags"].astype("int64")
+    want = _con().execute(
+        r"""
+WITH planted AS (
+  SELECT doc_id, '<p class="x">' || text || '</p> &amp;lt; &gt;&nbsp;tail<br/>' AS t
+  FROM documents
+)
+SELECT doc_id,
+  trim(regexp_replace(
+    replace(replace(replace(replace(replace(replace(
+      regexp_replace(t, '<[^>]*>', ' ', 'g'),
+      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+    '\s+', ' ', 'g'), ' ') AS text_plain,
+  CAST(len(regexp_extract_all(t, '<[^>]*>')) AS BIGINT) AS n_tags
+FROM planted
+"""
+    ).fetchdf()
+    _assert_frames_equal(got, want)
+
+
+def test_strip_markup_entity_order_and_edges():
+    from orc_format_ray.ops.text import strip_markup
+
+    t = pa.table({"text": pa.array([
+        "&amp;lt; stays escaped",          # &amp; decodes LAST -> literal '&lt;'
+        "<a href='x'>link</a>  text",
+        "",
+        "no markup at all",
+    ])})
+    out = strip_markup(t)
+    plain = out["text_plain"].to_pylist()
+    assert plain[0] == "&lt; stays escaped"
+    assert plain[1] == "link text"
+    assert plain[2] == ""
+    assert plain[3] == "no markup at all"
+    assert out["n_tags"].to_pylist() == [0, 2, 0, 0]
+
+
+# -------------------------------------------------------------- attribution
+
+_ATT_SQL = """
+WITH conv AS (
+  SELECT user_id, ts, CAST(floor(value * 100 + 0.5) AS BIGINT) AS u
+  FROM events WHERE event_type = 'purchase'
+), tch AS (
+  SELECT user_id, ts, event_type FROM events WHERE event_type <> 'purchase'
+), att AS ({attr})
+SELECT channel, CAST(count(*) AS BIGINT) AS conversions,
+       CAST(CAST(sum(u) AS BIGINT) AS DOUBLE) / 100.0 AS value_total
+FROM att GROUP BY channel ORDER BY channel
+"""
+
+_ATT_LAST = """
+  SELECT c.u, COALESCE(t.event_type, '(none)') AS channel
+  FROM conv c LEFT JOIN LATERAL (
+    SELECT event_type FROM tch t
+    WHERE t.user_id = c.user_id AND t.ts <= c.ts
+    ORDER BY t.ts DESC LIMIT 1
+  ) t ON true
+"""
+
+_ATT_FIRST = """
+  SELECT c.u,
+    CASE WHEN f.ft IS NOT NULL AND f.ft <= c.ts THEN f.ch ELSE '(none)' END AS channel
+  FROM conv c LEFT JOIN (
+    SELECT user_id, arg_min(event_type, ts) AS ch, min(ts) AS ft FROM tch GROUP BY user_id
+  ) f ON f.user_id = c.user_id
+"""
+
+
+@pytest.mark.parametrize("model,attr", [("last", _ATT_LAST), ("first", _ATT_FIRST)])
+def test_attribution_matches_sql(ray_session, model, attr):
+    import ray
+
+    from orc_format_ray.ops.paths import attribution
+
+    ev = ray.data.read_parquet(f"{SF}/events.parquet")
+    got = attribution(ev, "purchase", model=model).to_pandas()
+    got["conversions"] = got["conversions"].astype("int64")
+    want = _con().execute(_ATT_SQL.format(attr=attr)).fetchdf()
+    assert len(got) > 1 and got["conversions"].sum() == 202
+    _assert_frames_equal(got, want)
+
+
+def test_attribution_duplicate_touch_raises(ray_session):
+    import ray
+
+    from orc_format_ray.ops.paths import attribution
+
+    ts = pa.array([1_000_000, 1_000_000, 2_000_000], pa.timestamp("us"))
+    t = pa.table(
+        {
+            "user_id": pa.array([7, 7, 7], pa.int64()),
+            "ts": ts,
+            "event_type": pa.array(["click", "view", "purchase"]),
+            "value": pa.array([1.0, 2.0, 10.0], pa.float64()),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    with pytest.raises(Exception, match="tie-ambiguous"):
+        attribution(ds, "purchase").to_pandas()
+
+
+def test_attribution_no_touch_credits_none(ray_session):
+    import ray
+
+    from orc_format_ray.ops.paths import attribution
+
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 2, 2], pa.int64()),
+            "ts": pa.array([5_000_000, 1_000_000, 9_000_000], pa.timestamp("us")),
+            "event_type": pa.array(["purchase", "purchase", "click"]),
+            "value": pa.array([3.5, 2.25, 0.0], pa.float64()),
+        }
+    )
+    for model in ("last", "first"):
+        df = attribution(ray.data.from_arrow(t), "purchase", model=model).to_pandas()
+        # user 1 has no touches; user 2's only touch is AFTER the purchase
+        assert df["channel"].tolist() == ["(none)"]
+        assert int(df["conversions"].iloc[0]) == 2
+        assert float(df["value_total"].iloc[0]) == 5.75
+
+
+# ---------------------------------------------- incremental MinHash dedup
+
+
+def _fresh_docs(n: int = 5) -> pa.Table:
+    texts = [
+        " ".join(f"zzfresh{i}w{j}" for j in range(12)) for i in range(n)
+    ]
+    return pa.table(
+        {
+            "doc_id": pa.array([2_000_000 + i for i in range(n)], pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+
+
+def _planted_new_shard(con) -> tuple[pa.Table, list[int]]:
+    chosen = con.execute(
+        "WITH uniq AS (SELECT text FROM documents GROUP BY text HAVING count(*) = 1) "
+        "SELECT d.doc_id, d.text FROM documents d JOIN uniq u ON d.text = u.text "
+        "ORDER BY d.doc_id LIMIT 5"
+    ).fetchdf()
+    copies = pa.table(
+        {
+            "doc_id": pa.array((chosen["doc_id"] + 1_000_000).to_numpy(np.int64), pa.int64()),
+            "text": pa.array(chosen["text"].tolist()),
+        }
+    )
+    new = pa.concat_tables([copies, _fresh_docs()])
+    return new, chosen["doc_id"].astype(np.int64).tolist()
+
+
+def test_minhash_dedup_against_planted(ray_session):
+    import ray
+
+    from orc_format_ray.ops.dedup import minhash_dedup_against
+
+    new_tbl, orig_ids = _planted_new_shard(_con())
+    reference = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    kept, pairs = minhash_dedup_against(ray.data.from_arrow(new_tbl), reference, threshold=0.99)
+    pdf = pairs.to_pandas()
+    planted = pdf[pdf["new_doc"] < 2_000_000].drop_duplicates(["ref_doc", "new_doc"])
+    assert sorted(planted["ref_doc"].tolist()) == sorted(orig_ids)
+    assert sorted(planted["new_doc"].tolist()) == sorted(i + 1_000_000 for i in orig_ids)
+    assert (planted.groupby("new_doc")["jaccard"].max() == 1.0).all()
+    kept_ids = sorted(kept.to_pandas()["doc_id"].tolist())
+    assert kept_ids == [2_000_000 + i for i in range(5)]
+
+
+def test_minhash_dedup_against_id_guard(ray_session):
+    import ray
+
+    from orc_format_ray.ops.dedup import REF_TAG, minhash_dedup_against
+
+    bad = pa.table(
+        {
+            "doc_id": pa.array([int(REF_TAG) + 1], pa.int64()),
+            "text": pa.array(["some words here for shingles to chew on"]),
+        }
+    )
+    ok = pa.table({"doc_id": pa.array([1], pa.int64()), "text": pa.array(["other words entirely different tokens"])})
+    with pytest.raises(Exception, match="bit 62"):
+        kept, _ = minhash_dedup_against(ray.data.from_arrow(bad), ray.data.from_arrow(ok))
+        kept.to_pandas()
