@@ -4104,6 +4104,140 @@ def _q_csv_roundtrip(sf_dir: str):
     return df.sort_values("o_orderpriority").reset_index(drop=True)
 
 
+def _q_grouping_sets_documents(sf_dir: str):
+    """SQL GROUPING SETS in ONE corpus pass (ops/agg.py:grouping_sets): the
+    finest (lang, source) cells shuffle once; every requested set is a
+    driver-side re-aggregation over |combos| rows. '(all)' marks inactive
+    key positions on both sides; value is an exact int sum emitted as
+    float64 (< 2^53)."""
+    import ray.data
+
+    from orc_format_ray.ops.agg import grouping_sets
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "source", "n_chars"])
+    return grouping_sets(
+        ds, ["lang", "source"], [["lang", "source"], ["lang"], ["source"], []], "n_chars", agg="sum"
+    )
+
+
+def _q_strip_markup_planted(sf_dir: str):
+    """C4-style markup scrub with EXACT SQL parity: both engines run RE2, so
+    the same tag regex + entity replaces in MARKUP_ENTITIES order produce
+    identical strings. Deterministic markup is planted per doc (corpus text
+    carries none), stripped, and pinned byte-for-byte via per-source
+    plain-length + tag-count sums (the redact_pii idiom)."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from orc_format_ray.ops import text as tx
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"])
+
+    def plant_and_strip(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = batch["doc_id"].cast(pa.int64())
+        planted = pc.binary_join_element_wise(
+            pa.scalar('<div id="'),
+            ids.cast(pa.string()),
+            pa.scalar('">'),
+            batch["text"],
+            pa.scalar("</div>&amp; &lt;b&gt;&nbsp;x<br/>"),
+            "",
+        )
+        out = tx.strip_markup(pa.table({"source": batch["source"], "text": planted}))
+        return pa.table(
+            {
+                "source": out["source"],
+                "n_tags": out["n_tags"],
+                "plain_len": pc.utf8_length(out["text_plain"]).cast(pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(plant_and_strip, batch_format="pyarrow", zero_copy_batch=True, **_ra()).groupby(
+        "source"
+    ).aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_tags", alias_name="sum_tags"),
+        Sum("plain_len", alias_name="sum_len"),
+    )
+    df = out.to_pandas()
+    df["sum_tags"] = df["sum_tags"].astype("int64")
+    df["sum_len"] = df["sum_len"].astype("int64")
+    return df.sort_values("source").reset_index(drop=True)
+
+
+def _q_attribution(sf_dir: str, model: str):
+    import ray.data
+
+    from orc_format_ray.ops.paths import attribution
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type", "value"])
+    df = attribution(ev, "purchase", model=model).to_pandas()
+    df["conversions"] = df["conversions"].astype("int64")
+    return df.sort_values("channel").reset_index(drop=True)
+
+
+def _q_attribution_last_events(sf_dir: str):
+    """Last-touch conversion attribution (ops/paths.py:attribution): each
+    purchase credits the user's latest touch at-or-before it (vectorized
+    merge_asof per hash bucket; only 4 metadata columns shuffle). Value
+    parity = the tpch-revenue exact-int-units rule."""
+    return _q_attribution(sf_dir, "last")
+
+
+def _q_attribution_first_events(sf_dir: str):
+    """First-touch attribution: the user's EARLIEST touch gets the credit if
+    it precedes the purchase (keep-first dedup per bucket; '(none)' when the
+    first touch is after, or the user never touched)."""
+    return _q_attribution(sf_dir, "first")
+
+
+def _q_minhash_against_planted(sf_dir: str):
+    """Incremental MinHash near-dedup with a DETERMINISTIC answer
+    (ops/dedup.py:minhash_dedup_against): the 'new shard' = exact copies of
+    the 5 lowest unique-text docs (+1M, identical text => every LSH band
+    matches => verified jaccard 1.0 => dropped) + 5 synthetic fresh docs
+    (+2M, disjoint vocabulary => kept). Cross-side pairs mirror the
+    _planted_doc_copies SQL construction; the kept set is pinned in pytest."""
+    import pandas as pd
+    import ray.data
+
+    from orc_format_ray.ops.dedup import minhash_dedup_against
+
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    counts = docs.group_by("text").aggregate([("doc_id", "count"), ("doc_id", "min")])
+    chosen = counts.filter(_pc.equal(counts["doc_id_count"], 1)).sort_by("doc_id_min").slice(0, 5)
+    copies = pa.table(
+        {
+            "doc_id": pa.array([v + 1_000_000 for v in chosen["doc_id_min"].to_pylist()], pa.int64()),
+            "text": chosen["text"],
+        }
+    )
+    fresh = pa.table(
+        {
+            "doc_id": pa.array([2_000_000 + i for i in range(5)], pa.int64()),
+            "text": pa.array([" ".join(f"zzfresh{i}w{j}" for j in range(12)) for i in range(5)]),
+        }
+    )
+    new_ds = ray.data.from_arrow(pa.concat_tables([copies, fresh]))
+    reference = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    kept, pairs = minhash_dedup_against(new_ds, reference, threshold=0.99)
+    pdf = pairs.to_pandas()
+    if len(pdf) == 0:
+        return pd.DataFrame({"ref_doc": pd.Series(dtype="int64"), "new_doc": pd.Series(dtype="int64")})
+    pdf = pdf[pdf["new_doc"] < 2_000_000]
+    return (
+        pdf[["ref_doc", "new_doc"]]
+        .drop_duplicates()
+        .sort_values(["ref_doc", "new_doc"])
+        .reset_index(drop=True)
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
     # (VERDICT r3 "What's wrong" #2), so the window below is curated for
@@ -4291,6 +4425,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_label_predict_embeddings": _q_knn_label_predict,
         "langid_confusion_documents": _q_langid_confusion,
         "csv_roundtrip": _q_csv_roundtrip,
+        "grouping_sets_documents": _q_grouping_sets_documents,
+        "strip_markup_planted": _q_strip_markup_planted,
+        "attribution_last_events": _q_attribution_last_events,
+        "attribution_first_events": _q_attribution_first_events,
+        "minhash_against_planted": _q_minhash_against_planted,
         # --- rows-only smoke queries ---------------------------------------
         "bpe_learned_merges": _q_bpe_learned_merges,
         "pca_embeddings": _q_pca_embeddings,
@@ -5630,6 +5769,60 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderpriority, count(*) AS n_orders, "
             "CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents "
             "FROM orders GROUP BY 1"
+        ),
+        # GROUPING SETS: level = n_keys - sum(GROUPING(k)); '(all)' = inactive
+        "grouping_sets_documents": (
+            "SELECT COALESCE(lang, '(all)') AS lang, COALESCE(source, '(all)') AS source, "
+            "CAST(2 - GROUPING(lang) - GROUPING(source) AS BIGINT) AS level, "
+            "CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE) AS value "
+            "FROM documents GROUP BY GROUPING SETS ((lang, source), (lang), (source), ()) "
+            "ORDER BY level DESC, lang, source"
+        ),
+        # markup scrub: same RE2 tag regex + MARKUP_ENTITIES replace order
+        "strip_markup_planted": (
+            "WITH planted AS (SELECT source, '<div id=\"' || CAST(doc_id AS VARCHAR) || '\">' || text "
+            "|| '</div>&amp; &lt;b&gt;&nbsp;x<br/>' AS t FROM documents), "
+            "s AS (SELECT source, "
+            "trim(regexp_replace(replace(replace(replace(replace(replace(replace("
+            "regexp_replace(t, '<[^>]*>', ' ', 'g'), "
+            "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'), "
+            "'\\s+', ' ', 'g'), ' ') AS p, "
+            "CAST(len(regexp_extract_all(t, '<[^>]*>')) AS BIGINT) AS n_tags FROM planted) "
+            "SELECT source, count(*) AS n_docs, CAST(sum(n_tags) AS BIGINT) AS sum_tags, "
+            "CAST(sum(length(p)) AS BIGINT) AS sum_len FROM s GROUP BY source ORDER BY source"
+        ),
+        # last-touch attribution: ASOF (<=) lateral; tpch exact-cent units
+        "attribution_last_events": (
+            "WITH conv AS (SELECT user_id, ts, CAST(floor(value * 100 + 0.5) AS BIGINT) AS u "
+            "FROM events WHERE event_type = 'purchase'), "
+            "tch AS (SELECT user_id, ts, event_type FROM events WHERE event_type <> 'purchase'), "
+            "att AS (SELECT c.u, COALESCE(t.event_type, '(none)') AS channel "
+            "FROM conv c LEFT JOIN LATERAL ("
+            "SELECT event_type FROM tch t WHERE t.user_id = c.user_id AND t.ts <= c.ts "
+            "ORDER BY t.ts DESC LIMIT 1) t ON true) "
+            "SELECT channel, CAST(count(*) AS BIGINT) AS conversions, "
+            "CAST(CAST(sum(u) AS BIGINT) AS DOUBLE) / 100.0 AS value_total "
+            "FROM att GROUP BY channel ORDER BY channel"
+        ),
+        # first-touch attribution: earliest touch wins iff at-or-before
+        "attribution_first_events": (
+            "WITH conv AS (SELECT user_id, ts, CAST(floor(value * 100 + 0.5) AS BIGINT) AS u "
+            "FROM events WHERE event_type = 'purchase'), "
+            "tch AS (SELECT user_id, ts, event_type FROM events WHERE event_type <> 'purchase'), "
+            "att AS (SELECT c.u, CASE WHEN f.ft IS NOT NULL AND f.ft <= c.ts THEN f.ch ELSE '(none)' END AS channel "
+            "FROM conv c LEFT JOIN ("
+            "SELECT user_id, arg_min(event_type, ts) AS ch, min(ts) AS ft FROM tch GROUP BY user_id"
+            ") f ON f.user_id = c.user_id) "
+            "SELECT channel, CAST(count(*) AS BIGINT) AS conversions, "
+            "CAST(CAST(sum(u) AS BIGINT) AS DOUBLE) / 100.0 AS value_total "
+            "FROM att GROUP BY channel ORDER BY channel"
+        ),
+        # incremental near-dedup: planted copies MUST pair with their source
+        "minhash_against_planted": (
+            "WITH uniq AS (SELECT text FROM documents GROUP BY text HAVING count(*) = 1), "
+            "chosen AS (SELECT d.doc_id, d.text FROM documents d JOIN uniq u ON d.text = u.text "
+            "ORDER BY d.doc_id LIMIT 5) "
+            "SELECT doc_id AS ref_doc, doc_id + 1000000 AS new_doc FROM chosen ORDER BY ref_doc"
         ),
         # overlapping retrieval chunks: 1-based INCLUSIVE list slice
         "sliding_chunks_documents": (
