@@ -4238,6 +4238,42 @@ def _q_minhash_against_planted(sf_dir: str):
     )
 
 
+def _q_dedup_report_documents(sf_dir: str):
+    """Exact-duplicate savings dashboard (ops/dedup.py:dedup_report): per
+    cluster-size — clusters, docs, and chars an exact dedup would drop.
+    One metadata groupby over (content_hash, cnt, chars) cells; text never
+    shuffles. All-int64 outputs; SQL mirrors via GROUP BY text."""
+    from orc_format_ray.ops.dedup import dedup_report
+
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    df = dedup_report(ds).to_pandas()
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df.sort_values("cluster_size").reset_index(drop=True)
+
+
+def _q_ann_recall_embeddings(sf_dir: str):
+    """Rows-only: recall@k acceptance gate of the IVF index vs brute-force
+    cosine over 3 fixed queries (ops/similarity.py:ann_recall_report). SQL
+    cannot build/probe the index; the pytest suite pins full-probe recall
+    == 1.0 and nprobe-monotonicity instead."""
+    import shutil
+
+    import ray.data
+
+    from orc_format_ray.ops.similarity import ann_recall_report
+
+    scratch = "/tmp/orc_format_ray_scratch/ann_recall_idx"
+    shutil.rmtree(scratch, ignore_errors=True)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q = np.ones((3, 64), dtype=np.float64)
+    q[0, 1::2] = -1.0
+    q[1, ::3] = -1.0
+    return ann_recall_report(ds, q, k=10, nlist=8, nprobe=4, index_dir=scratch)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
     # (VERDICT r3 "What's wrong" #2), so the window below is curated for
@@ -4430,7 +4466,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "attribution_last_events": _q_attribution_last_events,
         "attribution_first_events": _q_attribution_first_events,
         "minhash_against_planted": _q_minhash_against_planted,
+        "dedup_report_documents": _q_dedup_report_documents,
         # --- rows-only smoke queries ---------------------------------------
+        "ann_recall_embeddings": _q_ann_recall_embeddings,
         "bpe_learned_merges": _q_bpe_learned_merges,
         "pca_embeddings": _q_pca_embeddings,
         "approx_ndistinct_documents": _q_approx_ndistinct_documents,
@@ -5816,6 +5854,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT channel, CAST(count(*) AS BIGINT) AS conversions, "
             "CAST(CAST(sum(u) AS BIGINT) AS DOUBLE) / 100.0 AS value_total "
             "FROM att GROUP BY channel ORDER BY channel"
+        ),
+        # exact-dup savings: GROUP BY text reproduces the hash clusters
+        "dedup_report_documents": (
+            "WITH c AS (SELECT count(*) AS sz, length(text) AS ln FROM documents GROUP BY text) "
+            "SELECT CAST(sz AS BIGINT) AS cluster_size, count(*) AS n_clusters, "
+            "CAST(sz * count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum((sz - 1) * ln) AS BIGINT) AS dup_chars "
+            "FROM c GROUP BY sz ORDER BY sz"
         ),
         # incremental near-dedup: planted copies MUST pair with their source
         "minhash_against_planted": (

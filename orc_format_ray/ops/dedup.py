@@ -719,6 +719,66 @@ def minhash_dedup_against(
     return kept, out_pairs
 
 
+def dedup_report(ds, column: str = "text"):
+    """Exact-duplicate profile in ONE metadata pass — the "how much would
+    dedup save" dashboard: per cluster-size, how many content clusters,
+    how many docs, and how many chars an exact dedup (keep one per cluster)
+    would drop. Per-batch Arrow partials shrink each block to its local
+    (content_hash, cnt, chars) cells; ONE groupby merges the cells; a tiny
+    second groupby folds |distinct sizes| rows. Raw text never shuffles.
+    Exactness rides on 64-bit content-hash injectivity (the exact_dedup
+    contract). All outputs are exact int64; dup_chars = (size-1) * chars
+    per cluster (every member of an exact cluster has identical length).
+
+    Returns a Dataset of (cluster_size, n_clusters, n_docs, dup_chars).
+    """
+    from ray.data.aggregate import Count, Max, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = add_content_hash(batch.select([column]), column)
+        t = pa.table(
+            {"h": b["content_hash"], "ln": pc.utf8_length(b[column]).cast(pa.int64())}
+        )
+        g = t.group_by("h").aggregate([("ln", "count"), ("ln", "max")])
+        return g.rename_columns(["h", "cnt", "ln"])
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby("h")
+        .aggregate(Sum("cnt", alias_name="sz"), Max("ln", alias_name="ln"))
+    )
+
+    def sizes(batch: pa.Table) -> pa.Table:
+        sz = batch["sz"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ln = batch["ln"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "cluster_size": pa.array(sz, pa.int64()),
+                "dup_chars_part": pa.array((sz - 1) * ln, pa.int64()),
+            }
+        )
+
+    folded = (
+        cells.map_batches(sizes, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby("cluster_size")
+        .aggregate(Count(alias_name="n_clusters"), Sum("dup_chars_part", alias_name="dup_chars"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        sz = batch["cluster_size"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        nc = batch["n_clusters"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "cluster_size": pa.array(sz, pa.int64()),
+                "n_clusters": pa.array(nc, pa.int64()),
+                "n_docs": pa.array(sz * nc, pa.int64()),
+                "dup_chars": batch["dup_chars"].combine_chunks().cast(pa.int64()),
+            }
+        )
+
+    return folded.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+
+
 def jaccard_ngrams(a: str, b: str, k: int = 3) -> float:
     """n-gram (word k-shingle) Jaccard similarity — candidate verification."""
     aw = a.lower().split()

@@ -652,3 +652,61 @@ def ivf_pq_topk(index_dir: str, queries: np.ndarray, k: int = 10, nprobe: int = 
     codes_ds = ray.data.read_parquet(paths, columns=["vec_id", "code"])
     out = pq_topk(codes_ds, codebook, queries, k=k, exact_rerank_ds=exact_rerank_ds, rerank_depth=rerank_depth)
     return out, bytes_read
+
+
+def ann_recall_report(
+    ds,
+    queries: np.ndarray,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    index_dir: str | None = None,
+):
+    """Retrieval-quality audit: recall@k of the IVF index path vs the exact
+    brute-force cosine top-k over the SAME queries — the standard acceptance
+    gate before pointing a retrieval pipeline at an approximate index.
+
+    Both sides are the existing distributed paths (BruteForceScorer actor
+    pool; bucket-pruned `ivf_topk_indexed` reads only nprobe buckets); the
+    comparison itself runs driver-side over the two k x nq result tables
+    (tiny by construction). Recall counts ID-set overlap |exact ∩ ivf| /
+    |exact| per query — sets, not ranks, because score ties at the k
+    boundary can legitimately order differently on the two sides.
+    ``nprobe >= nlist`` probes every bucket, so recall must be exactly 1.0
+    (pinned in pytest).
+
+    Returns a pandas DataFrame (query_id, n_exact, n_hit, recall) with a
+    final macro row ``query_id = -1`` (summed counts, mean recall). When
+    ``index_dir`` is None a scratch index is built and removed.
+    """
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    own_dir = index_dir is None
+    if own_dir:
+        index_dir = tempfile.mkdtemp(prefix="ivf_recall_")
+    try:
+        index = IVFIndex.train(ds, nlist=nlist)
+        build_ivf_index(ds, index, index_dir)
+        exact = brute_force_topk(ds, queries, k).to_pandas()
+        approx_tbl, _ = ivf_topk_indexed(index_dir, queries, k=k, nprobe=nprobe)
+        adf = approx_tbl.to_pandas()
+    finally:
+        if own_dir:
+            shutil.rmtree(index_dir, ignore_errors=True)
+
+    rows = []
+    for qi in range(np.asarray(queries).shape[0]):
+        es = set(exact.loc[exact["query_id"] == qi, "vec_id"].tolist())
+        av = set(adf.loc[adf["query_id"] == qi, "vec_id"].tolist())
+        hit = len(es & av)
+        rows.append((qi, len(es), hit, round(hit / max(1, len(es)), 6)))
+    df = pd.DataFrame(rows, columns=["query_id", "n_exact", "n_hit", "recall"])
+    macro = round(float(df["recall"].mean()), 6) if len(df) else 0.0
+    df.loc[len(df)] = (-1, int(df["n_exact"].sum()), int(df["n_hit"].sum()), macro)
+    for c in ("query_id", "n_exact", "n_hit"):
+        df[c] = df[c].astype("int64")
+    df["recall"] = df["recall"].astype("float64")
+    return df

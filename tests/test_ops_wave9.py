@@ -296,3 +296,65 @@ def test_minhash_dedup_against_id_guard(ray_session):
     with pytest.raises(Exception, match="bit 62"):
         kept, _ = minhash_dedup_against(ray.data.from_arrow(bad), ray.data.from_arrow(ok))
         kept.to_pandas()
+
+
+# -------------------------------------------------------------- dedup report
+
+
+def test_dedup_report_matches_sql(ray_session):
+    import ray
+
+    from orc_format_ray.ops.dedup import dedup_report
+
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+    got = dedup_report(ds).to_pandas()
+    for c in got.columns:
+        if c != "cluster_size":
+            got[c] = got[c].astype("int64")
+    want = _con().execute(
+        """
+WITH c AS (SELECT count(*) AS sz, length(text) AS ln FROM documents GROUP BY text)
+SELECT CAST(sz AS BIGINT) AS cluster_size, count(*) AS n_clusters,
+       CAST(sz * count(*) AS BIGINT) AS n_docs,
+       CAST(sum((sz - 1) * ln) AS BIGINT) AS dup_chars
+FROM c GROUP BY sz ORDER BY sz
+"""
+    ).fetchdf()
+    assert got["n_docs"].sum() == 500
+    _assert_frames_equal(got, want)
+
+
+def test_dedup_report_synthetic(ray_session):
+    import ray
+
+    from orc_format_ray.ops.dedup import dedup_report
+
+    t = pa.table({"text": pa.array(["aaaa", "aaaa", "aaaa", "bb", "c"])})
+    df = dedup_report(ray.data.from_arrow(t)).to_pandas().sort_values("cluster_size").reset_index(drop=True)
+    assert df["cluster_size"].tolist() == [1, 3]
+    assert df["n_clusters"].tolist() == [2, 1]
+    assert df["n_docs"].tolist() == [2, 3]
+    assert df["dup_chars"].tolist() == [0, 8]  # (3-1) * len("aaaa")
+
+
+# --------------------------------------------------------------- ANN recall
+
+
+def test_ann_recall_report(ray_session):
+    import ray
+
+    from orc_format_ray.ops.similarity import ann_recall_report
+
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q = np.ones((3, 64), dtype=np.float64)
+    q[0, 1::2] = -1.0
+    q[1, ::3] = -1.0
+    # full probe: every bucket read -> recall must be exactly 1.0
+    full = ann_recall_report(ds, q, k=10, nlist=8, nprobe=8)
+    assert len(full) == 4  # 3 queries + macro row
+    assert (full["recall"] == 1.0).all()
+    assert full.loc[full["query_id"] == -1, "n_hit"].iloc[0] == 30
+    # partial probe: recall is monotone in nprobe (candidate supersets)
+    lo = ann_recall_report(ds, q, k=10, nlist=8, nprobe=1)
+    hi = ann_recall_report(ds, q, k=10, nlist=8, nprobe=4)
+    assert (hi.set_index("query_id")["recall"] >= lo.set_index("query_id")["recall"] - 1e-12).all()
