@@ -4274,6 +4274,37 @@ def _q_ann_recall_embeddings(sf_dir: str):
     return ann_recall_report(ds, q, k=10, nlist=8, nprobe=4, index_dir=scratch)
 
 
+def _q_bin_shard_roundtrip(sf_dir: str):
+    """Trainer-facing .bin/.idx token shards (ops/binshard.py): tokenize ->
+    deterministic block-metadata shard write -> read back -> per-source doc
+    + token totals. Hash parity rides on the SQL-checkable whitespace n_tok
+    rule; bit-identical token payloads are pinned in pytest."""
+    import shutil
+
+    from ray.data.aggregate import Count, Sum
+
+    from orc_format_ray.ops.binshard import read_bin_shards, write_bin_shards
+    from orc_format_ray.pipelines.tokens import tokenize_documents
+
+    scratch = "/tmp/orc_format_ray_scratch/bin_shards"
+    shutil.rmtree(scratch, ignore_errors=True)
+    write_bin_shards(tokenize_documents(sf_dir), scratch, rows_per_shard=4096)
+    back = read_bin_shards(scratch)
+
+    def cells(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        src = pc.replace_substring_regex(b["doc_id"], r"/[0-9]+$", "")
+        return pa.table({"source": src, "t": b["n_tok"].cast(pa.int64())})
+
+    out = back.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **_ra()).groupby(
+        "source"
+    ).aggregate(Count(alias_name="n_docs"), Sum("t", alias_name="sum_ntok"))
+    df = out.to_pandas()
+    df["sum_ntok"] = df["sum_ntok"].astype("int64")
+    return df.sort_values("source").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
     # (VERDICT r3 "What's wrong" #2), so the window below is curated for
@@ -4467,6 +4498,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "attribution_first_events": _q_attribution_first_events,
         "minhash_against_planted": _q_minhash_against_planted,
         "dedup_report_documents": _q_dedup_report_documents,
+        "bin_shard_roundtrip": _q_bin_shard_roundtrip,
         # --- rows-only smoke queries ---------------------------------------
         "ann_recall_embeddings": _q_ann_recall_embeddings,
         "bpe_learned_merges": _q_bpe_learned_merges,
@@ -5854,6 +5886,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT channel, CAST(count(*) AS BIGINT) AS conversions, "
             "CAST(CAST(sum(u) AS BIGINT) AS DOUBLE) / 100.0 AS value_total "
             "FROM att GROUP BY channel ORDER BY channel"
+        ),
+        # .bin/.idx shard roundtrip: the whitespace-token-count rule survives
+        "bin_shard_roundtrip": (
+            "SELECT source, count(*) AS n_docs, "
+            "CAST(sum(CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "len(string_split_regex(trim(text), '\\s+')) END) AS BIGINT) AS sum_ntok "
+            "FROM documents GROUP BY source ORDER BY source"
         ),
         # exact-dup savings: GROUP BY text reproduces the hash clusters
         "dedup_report_documents": (

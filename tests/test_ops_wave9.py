@@ -358,3 +358,62 @@ def test_ann_recall_report(ray_session):
     lo = ann_recall_report(ds, q, k=10, nlist=8, nprobe=1)
     hi = ann_recall_report(ds, q, k=10, nlist=8, nprobe=4)
     assert (hi.set_index("query_id")["recall"] >= lo.set_index("query_id")["recall"] - 1e-12).all()
+
+
+# ------------------------------------------------------------ bin/idx shards
+
+
+def test_bin_shard_roundtrip_bit_identical(ray_session, tmp_path):
+    import ray
+
+    from orc_format_ray.ops.binshard import read_bin_shards, write_bin_shards
+    from orc_format_ray.pipelines.tokens import tokenize_documents
+
+    ds = tokenize_documents(SF)
+    manifest = write_bin_shards(ds, str(tmp_path), rows_per_shard=128)
+    assert manifest["n_docs"].sum() == 500
+    assert len(manifest) >= 4  # multiple parts at 128 rows/shard
+    back = read_bin_shards(str(tmp_path)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    orig = ds.to_pandas()[["doc_id", "tokens", "n_tok"]].sort_values("doc_id").reset_index(drop=True)
+    assert back["doc_id"].tolist() == orig["doc_id"].tolist()
+    assert back["n_tok"].tolist() == orig["n_tok"].tolist()
+    for a, b in zip(back["tokens"], orig["tokens"]):
+        assert np.array_equal(np.asarray(a, np.int32), np.asarray(b, np.int32))
+    assert int(manifest["n_tokens"].sum()) == int(orig["n_tok"].astype("int64").sum())
+
+
+def test_bin_shard_rewrite_is_byte_identical(ray_session, tmp_path):
+    import hashlib
+
+    from orc_format_ray.ops.binshard import write_bin_shards
+    from orc_format_ray.pipelines.tokens import tokenize_documents
+
+    def digest(d):
+        h = hashlib.sha256()
+        for p in sorted(d.iterdir()):
+            h.update(p.name.encode())
+            h.update(p.read_bytes())
+        return h.hexdigest()
+
+    a, b = tmp_path / "a", tmp_path / "b"
+    write_bin_shards(tokenize_documents(SF), str(a), rows_per_shard=200)
+    write_bin_shards(tokenize_documents(SF), str(b), rows_per_shard=200)
+    assert digest(a) == digest(b)
+
+
+def test_bin_shard_corruption_guard(ray_session, tmp_path):
+    import ray
+
+    from orc_format_ray.ops.binshard import read_bin_shards, write_bin_shards
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(["a", "b"], pa.string()),
+            "tokens": pa.array([[1, 2, 3], [4]], pa.list_(pa.int32())),
+        }
+    )
+    write_bin_shards(ray.data.from_arrow(t), str(tmp_path), rows_per_shard=10)
+    bins = sorted(tmp_path.glob("*.bin"))
+    bins[0].write_bytes(bins[0].read_bytes()[:-4])  # truncate one token
+    with pytest.raises(Exception, match="index implies"):
+        read_bin_shards(str(tmp_path)).to_pandas()
