@@ -4305,6 +4305,15 @@ def _q_bin_shard_roundtrip(sf_dir: str):
     return df.sort_values("source").reset_index(drop=True)
 
 
+def _q_tpch_q1(sf_dir: str):
+    """TPC-H Q1 pricing summary (pipelines/tpch.py:q1_pricing_summary):
+    one partial-fold pass, exact cents/basis-point int64 units, one float
+    division per output cell — bitwise SQL parity."""
+    from orc_format_ray.pipelines.tpch import q1_pricing_summary
+
+    return q1_pricing_summary(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
     # (VERDICT r3 "What's wrong" #2), so the window below is curated for
@@ -4499,6 +4508,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_against_planted": _q_minhash_against_planted,
         "dedup_report_documents": _q_dedup_report_documents,
         "bin_shard_roundtrip": _q_bin_shard_roundtrip,
+        "tpch_q1_pricing": _q_tpch_q1,
         # --- rows-only smoke queries ---------------------------------------
         "ann_recall_embeddings": _q_ann_recall_embeddings,
         "bpe_learned_merges": _q_bpe_learned_merges,
@@ -5886,6 +5896,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT channel, CAST(count(*) AS BIGINT) AS conversions, "
             "CAST(CAST(sum(u) AS BIGINT) AS DOUBLE) / 100.0 AS value_total "
             "FROM att GROUP BY channel ORDER BY channel"
+        ),
+        # TPC-H Q1: cents/bp units, int64 sums, one division per cell
+        "tpch_q1_pricing": (
+            "WITH u AS (SELECT l_returnflag, l_linestatus, "
+            "CAST(floor(l_quantity*100 + 0.5) AS BIGINT) AS qc, "
+            "CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS pc, "
+            "CAST(floor(l_discount*100 + 0.5) AS BIGINT) AS db, "
+            "CAST(floor(l_tax*100 + 0.5) AS BIGINT) AS tb "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00') "
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(sum(qc) AS BIGINT)/100.0 AS sum_qty, "
+            "CAST(sum(pc) AS BIGINT)/100.0 AS sum_base_price, "
+            "CAST(sum(pc*(100-db)) AS BIGINT)/10000.0 AS sum_disc_price, "
+            "CAST(sum(pc*(100-db)*(100+tb)) AS BIGINT)/1000000.0 AS sum_charge, "
+            "CAST(sum(qc) AS BIGINT)/(count(*)*100.0) AS avg_qty, "
+            "CAST(sum(pc) AS BIGINT)/(count(*)*100.0) AS avg_price, "
+            "CAST(sum(db) AS BIGINT)/(count(*)*100.0) AS avg_disc, "
+            "count(*) AS count_order "
+            "FROM u GROUP BY l_returnflag, l_linestatus "
+            "ORDER BY l_returnflag, l_linestatus"
         ),
         # .bin/.idx shard roundtrip: the whitespace-token-count rule survives
         "bin_shard_roundtrip": (

@@ -296,3 +296,100 @@ def q5_local_supplier_volume(
         ["revenue_units", "n_name"], ascending=[False, True], kind="stable"
     ).reset_index(drop=True)
     return per_nation[["n_name", "revenue_units", "revenue"]]
+
+
+def q1_pricing_summary(sf_dir: str, cut_date: str = "1998-09-02"):
+    """TPC-H Q1 pricing summary: per (l_returnflag, l_linestatus) over rows
+    shipped at-or-before the cut. Exact-int parity (the tpch revenue rule):
+    every measure is cents / basis-point units ``floor(x*100 + 0.5)``
+    summed in int64, with ONE float division per output cell —
+    disc_price units = cents*(100-d), charge units = cents*(100-d)*(100+t),
+    averages divide by ``count * 100.0``. Per-row unit guards back the
+    int64 sums (numpy products wrap silently). Returns a driver DataFrame
+    of |flags x statuses| rows ordered by (l_returnflag, l_linestatus).
+    """
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    cut = _ts_us(cut_date)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sd = batch["l_shipdate"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = sd <= cut
+        tbl = batch.filter(pa.array(keep))
+        q = tbl["l_quantity"].to_numpy(zero_copy_only=False).astype(np.float64)
+        p = tbl["l_extendedprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+        d = tbl["l_discount"].to_numpy(zero_copy_only=False).astype(np.float64)
+        t = tbl["l_tax"].to_numpy(zero_copy_only=False).astype(np.float64)
+        qc = np.floor(q * 100 + 0.5).astype(np.int64)
+        cents = np.floor(p * 100 + 0.5).astype(np.int64)
+        db = np.floor(d * 100 + 0.5).astype(np.int64)
+        tb = np.floor(t * 100 + 0.5).astype(np.int64)
+        disc_u = cents * (100 - db)
+        charge_u = disc_u * (100 + tb)
+        if len(charge_u) and np.abs(charge_u).max() >= (np.int64(1) << 50):
+            raise ValueError("per-row charge unit exceeds 2^50 — price out of modeled range")
+        return pa.table(
+            {
+                "l_returnflag": tbl["l_returnflag"],
+                "l_linestatus": tbl["l_linestatus"],
+                "qc": pa.array(qc),
+                "pc": pa.array(cents),
+                "db": pa.array(db),
+                "du": pa.array(disc_u),
+                "cu": pa.array(charge_u),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag", "l_linestatus", "l_shipdate",
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        ],
+    )
+    out = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args()).groupby(
+        ["l_returnflag", "l_linestatus"]
+    ).aggregate(
+        Sum("qc", alias_name="sum_qc"),
+        Sum("pc", alias_name="sum_pc"),
+        Sum("db", alias_name="sum_db"),
+        Sum("du", alias_name="sum_du"),
+        Sum("cu", alias_name="sum_cu"),
+        Count(alias_name="count_order"),
+    )
+    df = out.to_pandas()
+    if len(df) == 0:
+        return pd.DataFrame(
+            {
+                "l_returnflag": pd.Series(dtype=object),
+                "l_linestatus": pd.Series(dtype=object),
+                "sum_qty": pd.Series(dtype="float64"),
+                "sum_base_price": pd.Series(dtype="float64"),
+                "sum_disc_price": pd.Series(dtype="float64"),
+                "sum_charge": pd.Series(dtype="float64"),
+                "avg_qty": pd.Series(dtype="float64"),
+                "avg_price": pd.Series(dtype="float64"),
+                "avg_disc": pd.Series(dtype="float64"),
+                "count_order": pd.Series(dtype="int64"),
+            }
+        )
+    for c in ("sum_qc", "sum_pc", "sum_db", "sum_du", "sum_cu", "count_order"):
+        df[c] = df[c].astype("int64")
+        _guard_sum(df[c].to_numpy(np.int64))
+    n100 = df["count_order"].to_numpy(np.int64) * np.float64(100.0)
+    res = pd.DataFrame(
+        {
+            "l_returnflag": df["l_returnflag"],
+            "l_linestatus": df["l_linestatus"],
+            "sum_qty": df["sum_qc"].to_numpy(np.int64) / np.float64(100.0),
+            "sum_base_price": df["sum_pc"].to_numpy(np.int64) / np.float64(100.0),
+            "sum_disc_price": df["sum_du"].to_numpy(np.int64) / np.float64(10000.0),
+            "sum_charge": df["sum_cu"].to_numpy(np.int64) / np.float64(1000000.0),
+            "avg_qty": df["sum_qc"].to_numpy(np.int64) / n100,
+            "avg_price": df["sum_pc"].to_numpy(np.int64) / n100,
+            "avg_disc": df["sum_db"].to_numpy(np.int64) / n100,
+            "count_order": df["count_order"],
+        }
+    )
+    return res.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)

@@ -417,3 +417,43 @@ def test_bin_shard_corruption_guard(ray_session, tmp_path):
     bins[0].write_bytes(bins[0].read_bytes()[:-4])  # truncate one token
     with pytest.raises(Exception, match="index implies"):
         read_bin_shards(str(tmp_path)).to_pandas()
+
+
+# ------------------------------------------------------------------ TPC-H Q1
+
+_Q1_SQL = """
+WITH u AS (SELECT l_returnflag, l_linestatus,
+  CAST(floor(l_quantity*100 + 0.5) AS BIGINT) AS qc,
+  CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS pc,
+  CAST(floor(l_discount*100 + 0.5) AS BIGINT) AS db,
+  CAST(floor(l_tax*100 + 0.5) AS BIGINT) AS tb
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00')
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(qc) AS BIGINT)/100.0 AS sum_qty,
+  CAST(sum(pc) AS BIGINT)/100.0 AS sum_base_price,
+  CAST(sum(pc*(100-db)) AS BIGINT)/10000.0 AS sum_disc_price,
+  CAST(sum(pc*(100-db)*(100+tb)) AS BIGINT)/1000000.0 AS sum_charge,
+  CAST(sum(qc) AS BIGINT)/(count(*)*100.0) AS avg_qty,
+  CAST(sum(pc) AS BIGINT)/(count(*)*100.0) AS avg_price,
+  CAST(sum(db) AS BIGINT)/(count(*)*100.0) AS avg_disc,
+  count(*) AS count_order
+FROM u GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def test_tpch_q1_matches_sql(ray_session):
+    from orc_format_ray.pipelines.tpch import q1_pricing_summary
+
+    got = q1_pricing_summary(SF)
+    want = _con().execute(_Q1_SQL).fetchdf()
+    assert len(got) > 1 and got["count_order"].sum() > 0
+    _assert_frames_equal(got, want)
+
+
+def test_tpch_q1_empty_cut(ray_session):
+    from orc_format_ray.pipelines.tpch import q1_pricing_summary
+
+    got = q1_pricing_summary(SF, cut_date="1900-01-01")
+    assert len(got) == 0
+    assert list(got.columns)[:2] == ["l_returnflag", "l_linestatus"]
