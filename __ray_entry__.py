@@ -4314,6 +4314,56 @@ def _q_tpch_q1(sf_dir: str):
     return q1_pricing_summary(sf_dir)
 
 
+def _q_compact_parquet_lake(sf_dir: str):
+    """Parquet small-file compaction (ops/parquetlake.py): split orders into
+    16 small shards, compact into few target-sized parts (deterministic
+    name-order bins, atomic + resumable), read the compacted lake back with
+    Ray and aggregate — values must equal SQL over the original table.
+    Exact-cent sums (the tpch unit rule)."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from orc_format_ray.ops.parquetlake import compact_parquet_dataset
+
+    scratch = "/tmp/orc_format_ray_scratch/pq_compact"
+    shutil.rmtree(scratch, ignore_errors=True)
+    src_dir, out_dir = os.path.join(scratch, "in"), os.path.join(scratch, "out")
+    os.makedirs(src_dir)
+    src = pq.read_table(f"{sf_dir}/orders.parquet")
+    n_files = 16
+    per = max(1, src.num_rows // n_files)
+    for i in range(n_files):
+        lo = i * per
+        hi = src.num_rows if i == n_files - 1 else min((i + 1) * per, src.num_rows)
+        if hi > lo:
+            pq.write_table(src.slice(lo, hi - lo), os.path.join(src_dir, f"shard-{i:04d}.parquet"))
+    total = sum(os.path.getsize(os.path.join(src_dir, f)) for f in os.listdir(src_dir))
+    manifest = compact_parquet_dataset(src_dir, out_dir, target_bytes=max(1, total // 4))
+    if manifest["n_rows"].sum() != src.num_rows:  # loud, never silent
+        raise ValueError("compaction lost rows")
+
+    def cells(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        v = b["o_totalprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cents = np.floor(v * 100 + 0.5).astype(np.int64)
+        return pa.table({"o_orderpriority": b["o_orderpriority"], "cents": pa.array(cents)})
+
+    out = (
+        ray.data.read_parquet(out_dir, columns=["o_orderpriority", "o_totalprice"])
+        .map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **_ra())
+        .groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_orders"), Sum("cents", alias_name="sum_cents"))
+    )
+    df = out.to_pandas()
+    df["sum_cents"] = df["sum_cents"].astype("int64")
+    return df.sort_values("o_orderpriority").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
     # (VERDICT r3 "What's wrong" #2), so the window below is curated for
@@ -4509,6 +4559,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_report_documents": _q_dedup_report_documents,
         "bin_shard_roundtrip": _q_bin_shard_roundtrip,
         "tpch_q1_pricing": _q_tpch_q1,
+        "compact_parquet_lake": _q_compact_parquet_lake,
         # --- rows-only smoke queries ---------------------------------------
         "ann_recall_embeddings": _q_ann_recall_embeddings,
         "bpe_learned_merges": _q_bpe_learned_merges,
@@ -5896,6 +5947,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT channel, CAST(count(*) AS BIGINT) AS conversions, "
             "CAST(CAST(sum(u) AS BIGINT) AS DOUBLE) / 100.0 AS value_total "
             "FROM att GROUP BY channel ORDER BY channel"
+        ),
+        # parquet compaction roundtrip: aggregate survives split+compact
+        "compact_parquet_lake": (
+            "SELECT o_orderpriority, count(*) AS n_orders, "
+            "CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents "
+            "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"
         ),
         # TPC-H Q1: cents/bp units, int64 sums, one division per cell
         "tpch_q1_pricing": (

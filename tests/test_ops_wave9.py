@@ -457,3 +457,69 @@ def test_tpch_q1_empty_cut(ray_session):
     got = q1_pricing_summary(SF, cut_date="1900-01-01")
     assert len(got) == 0
     assert list(got.columns)[:2] == ["l_returnflag", "l_linestatus"]
+
+
+# -------------------------------------------------------- parquet compaction
+
+
+def _small_files(tmp_path, n_files=12):
+    import pyarrow.parquet as pq
+
+    src = pq.read_table(f"{SF}/orders.parquet")
+    per = src.num_rows // n_files
+    d = tmp_path / "in"
+    d.mkdir()
+    for i in range(n_files):
+        lo = i * per
+        hi = src.num_rows if i == n_files - 1 else (i + 1) * per
+        pq.write_table(src.slice(lo, hi - lo), d / f"shard-{i:04d}.parquet")
+    return d, src
+
+
+def test_compact_parquet_roundtrip_and_resume(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from orc_format_ray.ops.parquetlake import compact_parquet_dataset
+
+    d, src = _small_files(tmp_path)
+    out = tmp_path / "out"
+    total = sum(f.stat().st_size for f in d.iterdir())
+    m1 = compact_parquet_dataset(str(d), str(out), target_bytes=total // 3)
+    assert 2 <= len(m1) <= 6
+    assert not m1["skipped"].any()
+    assert m1["n_rows"].sum() == src.num_rows
+    back = pq.read_table(str(out)).sort_by("o_orderkey")
+    assert back.equals(src.sort_by("o_orderkey"))
+    # resume: identical plan, every part skipped, bytes untouched
+    sig = {p.name: (p.stat().st_mtime_ns, p.stat().st_size) for p in out.iterdir()}
+    m2 = compact_parquet_dataset(str(d), str(out), target_bytes=total // 3)
+    assert m2["skipped"].all()
+    assert {p.name: (p.stat().st_mtime_ns, p.stat().st_size) for p in out.iterdir()} == sig
+
+
+def test_compact_parquet_rejects_foreign_part(ray_session, tmp_path):
+    from orc_format_ray.ops.parquetlake import compact_parquet_dataset
+
+    d, _ = _small_files(tmp_path, n_files=4)
+    out = tmp_path / "out"
+    compact_parquet_dataset(str(d), str(out), target_bytes=1 << 40)  # one part
+    # corrupt the plan: append a new input file -> row counts shift
+    import pyarrow.parquet as pq
+
+    extra = pq.read_table(f"{SF}/orders.parquet").slice(0, 7)
+    pq.write_table(extra, d / "zz-extra.parquet")
+    with pytest.raises(Exception, match="remove it to recompact"):
+        compact_parquet_dataset(str(d), str(out), target_bytes=1 << 40)
+
+
+def test_compact_parquet_rejects_schema_mismatch(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from orc_format_ray.ops.parquetlake import compact_parquet_dataset
+
+    d = tmp_path / "in"
+    d.mkdir()
+    pq.write_table(pa.table({"a": pa.array([1, 2], pa.int64())}), d / "a.parquet")
+    pq.write_table(pa.table({"a": pa.array([1.5], pa.float64())}), d / "b.parquet")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        compact_parquet_dataset(str(d), str(tmp_path / "out"), target_bytes=1 << 40)
