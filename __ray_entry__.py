@@ -4364,6 +4364,60 @@ def _q_compact_parquet_lake(sf_dir: str):
     return df.sort_values("o_orderpriority").reset_index(drop=True)
 
 
+def _q_near_dedup_keep_best_planted(sf_dir: str):
+    """Keep-best near-dedup with a DETERMINISTIC answer: the planted copies
+    (+1M) of the 5 lowest unique-text docs carry a HIGHER score
+    (score = doc_id), so with prefer='max' every cluster's survivor must be
+    the COPY and the original must drop — the inverse of the min-id rule
+    near_dedup_planted pins. Output: (orig_id, orig_kept=0, copy_kept=1)."""
+    import pandas as pd
+    import ray
+
+    from orc_format_ray.ops.dedup import near_dedup_keep_best
+
+    corpus = _planted_doc_copies(sf_dir)
+
+    def add_score(b: pa.Table) -> pa.Table:
+        return b.append_column("score", b["doc_id"].cast(pa.int64()).cast(pa.float64()))
+
+    scored = corpus.map_batches(add_score, batch_format="pyarrow", zero_copy_batch=True, **_ra())
+    kept = near_dedup_keep_best(scored, "score", method="jaccard", threshold=0.99)
+
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    counts = docs.group_by("text").aggregate([("doc_id", "count"), ("doc_id", "min")])
+    chosen = sorted(
+        counts.filter(_pc.equal(counts["doc_id_count"], 1)).sort_by("doc_id_min")["doc_id_min"]
+        .to_pylist()[:5]
+    )
+    want = np.sort(
+        np.concatenate([np.asarray(chosen, np.int64), np.asarray(chosen, np.int64) + 1_000_000])
+    )
+    ref = ray.put(want)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        ids = ray.get(ref)
+        doc = batch["doc_id"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(ids, doc), len(ids) - 1)
+        got = doc[ids[pos] == doc]
+        return pa.table({"doc_id": pa.array(got, pa.int64())})
+
+    kept_ids = set(
+        kept.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True, **_ra())
+        .to_pandas()["doc_id"]
+        .tolist()
+    )
+    return pd.DataFrame(
+        {
+            "orig_id": pd.Series(chosen, dtype="int64"),
+            "orig_kept": pd.Series([int(c in kept_ids) for c in chosen], dtype="int64"),
+            "copy_kept": pd.Series([int(c + 1_000_000 in kept_ids) for c in chosen], dtype="int64"),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
     # (VERDICT r3 "What's wrong" #2), so the window below is curated for
@@ -4560,6 +4614,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bin_shard_roundtrip": _q_bin_shard_roundtrip,
         "tpch_q1_pricing": _q_tpch_q1,
         "compact_parquet_lake": _q_compact_parquet_lake,
+        "near_dedup_keep_best_planted": _q_near_dedup_keep_best_planted,
         # --- rows-only smoke queries ---------------------------------------
         "ann_recall_embeddings": _q_ann_recall_embeddings,
         "bpe_learned_merges": _q_bpe_learned_merges,
@@ -5947,6 +6002,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT channel, CAST(count(*) AS BIGINT) AS conversions, "
             "CAST(CAST(sum(u) AS BIGINT) AS DOUBLE) / 100.0 AS value_total "
             "FROM att GROUP BY channel ORDER BY channel"
+        ),
+        # keep-best survivor: higher-scoring copy wins, original drops
+        "near_dedup_keep_best_planted": (
+            "WITH uniq AS (SELECT text FROM documents GROUP BY text HAVING count(*) = 1), "
+            "chosen AS (SELECT d.doc_id FROM documents d JOIN uniq u ON d.text = u.text "
+            "ORDER BY d.doc_id LIMIT 5) "
+            "SELECT doc_id AS orig_id, CAST(0 AS BIGINT) AS orig_kept, "
+            "CAST(1 AS BIGINT) AS copy_kept FROM chosen ORDER BY orig_id"
         ),
         # parquet compaction roundtrip: aggregate survives split+compact
         "compact_parquet_lake": (

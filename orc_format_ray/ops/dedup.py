@@ -1017,6 +1017,88 @@ def near_dedup(ds, method: str = "minhash", threshold: float = 0.5, shingle_k: i
     return cluster_survivors(ds, assignment)
 
 
+def cluster_survivors_by_score(ds, assignment: pa.Table, score_col: str,
+                               prefer: str = "max", id_col: str = "doc_id"):
+    """Quality-aware survivor selection: keep the BEST-scoring doc per
+    near-dup cluster instead of the min doc_id — the curation rule real
+    pipelines want (of three near-identical pages, keep the cleanest).
+
+    Winner rule (deterministic): highest (``prefer='max'``) or lowest
+    (``'min'``) ``score_col`` within the cluster; score ties break toward
+    the SMALLEST doc_id. Scores for the clustered ids (candidate-sized,
+    never corpus-sized) are fetched by a broadcast-id-set semi-join —
+    raw text never shuffles — and the winner pick runs driver-side over
+    |clustered docs| rows. Missing or duplicate ids among the clustered
+    set raise loudly (a duplicated id makes "its" score ambiguous).
+    """
+    import ray
+
+    if prefer not in ("max", "min"):
+        raise ValueError(f"prefer must be 'max' or 'min', got {prefer!r}")
+    member = assignment["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    roots = assignment["root"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(member) == 0:
+        return ds
+    clustered = np.unique(member)
+    ref = ray.put(clustered)
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        want = ray.get(ref)
+        doc = batch[id_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(want, doc), len(want) - 1)
+        got = batch.filter(pa.array(want[pos] == doc))
+        return pa.table(
+            {
+                "doc_id": got[id_col].cast(pa.int64()),
+                "score": got[score_col].cast(pa.float64()),
+            }
+        )
+
+    import pandas as pd
+
+    sdf = ds.map_batches(fetch, batch_format="pyarrow", zero_copy_batch=True, **remote_args()).to_pandas()
+    if len(sdf) == 0:
+        raise ValueError("cluster_survivors_by_score: no clustered ids found in the corpus")
+    if sdf["doc_id"].duplicated().any():
+        raise ValueError("cluster_survivors_by_score: duplicate doc_id in the corpus — scores ambiguous")
+    adf = pd.DataFrame({"doc_id": member, "root": roots}).merge(sdf, on="doc_id", how="left")
+    if adf["score"].isna().any():
+        missing = adf.loc[adf["score"].isna(), "doc_id"].tolist()[:5]
+        raise ValueError(f"cluster_survivors_by_score: clustered ids missing from corpus: {missing}...")
+    adf = adf.sort_values(
+        ["root", "score", "doc_id"], ascending=[True, prefer == "min", True], kind="stable"
+    )
+    winners = adf.drop_duplicates("root")["doc_id"].to_numpy(np.int64)
+    drop = np.sort(np.setdiff1d(clustered, winners))
+    drop_ref = ray.put(drop)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = ray.get(drop_ref)
+        doc = batch[id_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return batch
+        pos = np.minimum(np.searchsorted(ids, doc), len(ids) - 1)
+        return batch.filter(pa.array(ids[pos] != doc))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+
+
+def near_dedup_keep_best(ds, score_col: str, method: str = "minhash",
+                         threshold: float = 0.5, shingle_k: int = 3,
+                         prefer: str = "max", **kw):
+    """One-call near-dedup keeping the BEST-scoring doc per cluster: the
+    `near_dedup` composition with `cluster_survivors_by_score` as the final
+    filter (same pair generation + connected components)."""
+    if method == "minhash":
+        pairs = minhash_dedup(ds, threshold=threshold, shingle_k=shingle_k, **kw)
+    elif method == "jaccard":
+        pairs = ngram_jaccard_dedup(ds, threshold=threshold, shingle_k=shingle_k, **kw)
+    else:
+        raise ValueError(f"unknown near-dedup method {method!r} (minhash|jaccard)")
+    assignment = connected_components(pairs.select(["doc_a", "doc_b"]))
+    return cluster_survivors_by_score(ds, assignment, score_col, prefer=prefer)
+
+
 # ------------------------------------------------------------------ simhash
 
 

@@ -523,3 +523,57 @@ def test_compact_parquet_rejects_schema_mismatch(ray_session, tmp_path):
     pq.write_table(pa.table({"a": pa.array([1.5], pa.float64())}), d / "b.parquet")
     with pytest.raises(ValueError, match="schema mismatch"):
         compact_parquet_dataset(str(d), str(tmp_path / "out"), target_bytes=1 << 40)
+
+
+# ----------------------------------------------------- keep-best near dedup
+
+
+def _scored_corpus():
+    ta = "alpha beta gamma delta epsilon zeta"
+    tb = "one two three four five six seven"
+    tc = "totally unrelated words in this document here"
+    return pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 10, 11, 20], pa.int64()),
+            "text": pa.array([ta, ta, ta, tb, tb, tc]),
+            "score": pa.array([5.0, 9.0, 9.0, 1.0, 0.0, 7.0], pa.float64()),
+        }
+    )
+
+
+def test_near_dedup_keep_best_max_and_min(ray_session):
+    import ray
+
+    from orc_format_ray.ops.dedup import near_dedup_keep_best
+
+    ds = ray.data.from_arrow(_scored_corpus())
+    # max: cluster {1,2,3} -> score tie 9.0 breaks to min id 2; {10,11} -> 10
+    kept = near_dedup_keep_best(ds, "score", method="jaccard", threshold=0.99).to_pandas()
+    assert sorted(kept["doc_id"].tolist()) == [2, 10, 20]
+    # min: {1,2,3} -> score 5.0 is doc 1; {10,11} -> 11
+    kept = near_dedup_keep_best(ds, "score", method="jaccard", threshold=0.99, prefer="min").to_pandas()
+    assert sorted(kept["doc_id"].tolist()) == [1, 11, 20]
+
+
+def test_cluster_survivors_by_score_guards(ray_session):
+    import ray
+
+    from orc_format_ray.ops.dedup import cluster_survivors_by_score
+
+    assignment = pa.table({"doc_id": pa.array([1, 2], pa.int64()), "root": pa.array([1, 1], pa.int64())})
+    dup = pa.table(
+        {
+            "doc_id": pa.array([1, 1, 2], pa.int64()),
+            "text": pa.array(["x", "y", "z"]),
+            "score": pa.array([1.0, 2.0, 3.0], pa.float64()),
+        }
+    )
+    with pytest.raises(Exception, match="duplicate doc_id"):
+        cluster_survivors_by_score(ray.data.from_arrow(dup), assignment, "score").to_pandas()
+    missing = pa.table(
+        {"doc_id": pa.array([1], pa.int64()), "text": pa.array(["x"]), "score": pa.array([1.0])}
+    )
+    with pytest.raises(Exception, match="missing from corpus"):
+        cluster_survivors_by_score(ray.data.from_arrow(missing), assignment, "score").to_pandas()
+    with pytest.raises(ValueError, match="prefer must be"):
+        cluster_survivors_by_score(ray.data.from_arrow(missing), assignment, "score", prefer="best")
