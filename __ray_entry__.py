@@ -4418,6 +4418,36 @@ def _q_near_dedup_keep_best_planted(sf_dir: str):
     )
 
 
+def _q_countmin_words(sf_dir: str):
+    """Rows-only: Count-Min word-frequency estimates for the exact top-10
+    vocabulary words (ops/sketch.py:CountMin). The sketch folds with
+    commutative int64 adds — layout/cluster-size invariant — and point
+    estimates can never undercount; both properties are pinned in pytest.
+    SQL cannot reproduce the hashed counter matrix (rows-only)."""
+    import pandas as pd
+    import ray.data
+
+    from orc_format_ray.ops.sketch import countmin_counts, countmin_estimate
+    from orc_format_ray.ops.text import split_nonempty_docs, vocab_topk
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def words(batch: pa.Table) -> pa.Table:
+        _ids, w = split_nonempty_docs(batch, "text", "doc_id")
+        return pa.table({"w": w.flatten()})
+
+    sk = countmin_counts(docs.map_batches(words, batch_format="pyarrow", zero_copy_batch=True, **_ra()), "w", w=8192)
+    top = vocab_topk(docs, k=10).to_pandas()
+    est = countmin_estimate(sk, pa.array(top["word"].tolist(), pa.string()))
+    return pd.DataFrame(
+        {
+            "word": top["word"],
+            "exact": top["cnt"].astype("int64"),
+            "est": pd.Series(est, dtype="int64"),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
     # (VERDICT r3 "What's wrong" #2), so the window below is curated for
@@ -4634,6 +4664,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frame_stats": _q_video_frame_stats,
         "codec_selection": _q_codec_selection,
         "compression_signal_documents": _q_compression_signal_documents,
+        "countmin_words": _q_countmin_words,
     }
 
 

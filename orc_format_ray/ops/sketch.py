@@ -450,3 +450,77 @@ def approx_ndistinct_by_group(ds, group: str, col: str, p: int = 12):
         return pd.DataFrame({group: [g["g"].iloc[0]], "est": [acc.estimate()]})
 
     return parts.groupby("g").map_groups(fold, batch_format="pandas", **remote_args())
+
+
+# --------------------------------------------------------------- Count-Min
+
+
+class CountMin:
+    """Count-Min sketch: a ``d x w`` int64 counter matrix, mergeable by
+    elementwise ADDITION (fully commutative — layout- and cluster-size-
+    invariant results). Point estimates NEVER undercount; the overcount is
+    <= eps*N with probability 1-delta at w = ceil(e/eps), d = ceil(ln 1/delta).
+    Row hashes are splitmix64 over (item_hash XOR per-row odd seed)."""
+
+    def __init__(self, w: int = 2048, d: int = 5, seed: int = 11):
+        if w < 2 or d < 1:
+            raise ValueError(f"CountMin needs w >= 2, d >= 1 (got w={w}, d={d})")
+        self.w, self.d = int(w), int(d)
+        rng = np.random.default_rng(seed)
+        self.row_seeds = rng.integers(1, np.iinfo(np.int64).max, self.d, dtype=np.uint64) | np.uint64(1)
+        self.m = np.zeros((self.d, self.w), dtype=np.int64)
+        self.n = 0
+
+    def _slots(self, h: np.ndarray) -> np.ndarray:
+        return np.stack([(_mix64(h ^ s) % np.uint64(self.w)).astype(np.int64) for s in self.row_seeds])
+
+    def add_hashes(self, h: np.ndarray) -> "CountMin":
+        if len(h):
+            slots = self._slots(h)
+            for i in range(self.d):
+                np.add.at(self.m[i], slots[i], 1)
+            self.n += int(len(h))
+        return self
+
+    def merge(self, other: "CountMin") -> "CountMin":
+        if (self.w, self.d) != (other.w, other.d) or not np.array_equal(self.row_seeds, other.row_seeds):
+            raise ValueError("CountMin merge: incompatible shapes/seeds")
+        self.m += other.m
+        self.n += other.n
+        return self
+
+    def estimate_hashes(self, h: np.ndarray) -> np.ndarray:
+        if not len(h):
+            return np.zeros(0, np.int64)
+        slots = self._slots(h)
+        return np.min(np.stack([self.m[i][slots[i]] for i in range(self.d)]), axis=0)
+
+
+def countmin_counts(ds, col: str, w: int = 2048, d: int = 5, seed: int = 11) -> CountMin:
+    """ONE streaming pass: per-block CountMin partials (d*w*8 bytes each)
+    added on the driver. Addition is commutative, so the merged sketch is
+    bit-identical on any plan / cluster size."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sk = CountMin(w, d, seed).add_hashes(_column_hashes(batch[col]))
+        return pa.table(
+            {
+                "m": pa.array([sk.m.reshape(-1)], pa.list_(pa.int64())),
+                "n": pa.array([sk.n], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args()).take_all()
+    acc = CountMin(w, d, seed)
+    for row in parts:
+        acc.m += np.asarray(row["m"], dtype=np.int64).reshape(d, w)
+        acc.n += int(row["n"])
+    return acc
+
+
+def countmin_estimate(sk: CountMin, items: pa.Array) -> np.ndarray:
+    """Point estimates for ``items`` (string or integer array) — never
+    below the true count."""
+    if isinstance(items, pa.ChunkedArray):
+        items = items.combine_chunks()
+    return sk.estimate_hashes(_column_hashes(pa.chunked_array([items])))

@@ -577,3 +577,43 @@ def test_cluster_survivors_by_score_guards(ray_session):
         cluster_survivors_by_score(ray.data.from_arrow(missing), assignment, "score").to_pandas()
     with pytest.raises(ValueError, match="prefer must be"):
         cluster_survivors_by_score(ray.data.from_arrow(missing), assignment, "score", prefer="best")
+
+
+# ---------------------------------------------------------------- Count-Min
+
+
+def test_countmin_never_undercounts_and_is_layout_invariant(ray_session):
+    import ray
+
+    from orc_format_ray.ops.sketch import countmin_counts, countmin_estimate
+
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["source"])
+    sk_a = countmin_counts(ds.repartition(3), "source")
+    sk_b = countmin_counts(ds.repartition(17), "source")
+    assert np.array_equal(sk_a.m, sk_b.m) and sk_a.n == sk_b.n  # commutative adds
+    truth = _con().execute("SELECT source, count(*) c FROM documents GROUP BY source").fetchdf()
+    est = countmin_estimate(sk_a, pa.array(truth["source"].tolist()))
+    true = truth["c"].to_numpy(np.int64)
+    assert (est >= true).all()
+    assert sk_a.n == 500
+    # wide sketch vs tiny vocab: estimates should be exact here
+    assert (est == true).all()
+
+
+def test_countmin_merge_and_guards():
+    from orc_format_ray.ops.sketch import CountMin
+
+    a = CountMin(w=64, d=3, seed=5)
+    b = CountMin(w=64, d=3, seed=5)
+    h1 = np.array([1, 2, 3, 1], dtype=np.uint64)
+    h2 = np.array([1, 9], dtype=np.uint64)
+    a.add_hashes(h1)
+    b.add_hashes(h2)
+    both = CountMin(w=64, d=3, seed=5).add_hashes(h1).add_hashes(h2)
+    a.merge(b)
+    assert np.array_equal(a.m, both.m) and a.n == both.n == 6
+    assert a.estimate_hashes(np.array([1], np.uint64))[0] >= 3
+    with pytest.raises(ValueError, match="incompatible"):
+        a.merge(CountMin(w=32, d=3, seed=5))
+    with pytest.raises(ValueError, match="w >= 2"):
+        CountMin(w=1)
