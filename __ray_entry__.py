@@ -4467,7 +4467,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_quantiles_quantity": _q_grouped_quantiles_quantity,
         "prepare_training_data": _q_prepare_training_data,
         "packed_shards_summary": _q_packed_shards_summary,
-        "vocab_topk_by_source": _q_vocab_topk_by_source,
+        "tpch_q1_pricing": _q_tpch_q1,
         "pq_ann_exhaustive": _q_pq_ann_exhaustive,
         "kmeans_embeddings": _q_kmeans_embeddings,
         "epoch_shuffle_documents": _q_epoch_shuffle_documents,
@@ -4479,7 +4479,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "encode_roundtrip_by_source": _q_encode_roundtrip_by_source,
         "seek_row_range": _q_seek_row_range,
         "table_diff_documents": _q_table_diff_documents,
-        "histogram_extendedprice": _q_histogram_extendedprice,
+        "bin_shard_roundtrip": _q_bin_shard_roundtrip,
         "session_window_events": _q_session_window_events,
         "orc_file_roundtrip": _q_orc_file_roundtrip,
         "orc_pushdown_timestamp": _q_orc_pushdown_timestamp,
@@ -4500,13 +4500,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orc_pushdown_disjunction": _q_orc_pushdown_disjunction,
         "orc_bloom_pushdown": _q_orc_bloom_pushdown,
         "minhash_dedup_planted": _q_minhash_dedup_planted,
-        "ngram_jaccard_planted": _q_ngram_jaccard_planted,
+        "minhash_against_planted": _q_minhash_against_planted,
         "heavy_hitters_words": _q_heavy_hitters_words,
         "near_dedup_planted": _q_near_dedup_planted,
         "cohort_retention_events": _q_cohort_retention_events,
-        "cap_per_cluster_embeddings": _q_cap_per_cluster_embeddings,
+        "compact_parquet_lake": _q_compact_parquet_lake,
         "langid_documents": _q_langid_documents,
-        "fingerprint_documents": _q_fingerprint_documents,
+        "attribution_last_events": _q_attribution_last_events,
         "ivf_ann_exhaustive": _q_ivf_ann_exhaustive,
         # --- 51+: oracle-backed, window-redundant (pytest-checked) ---------
         "analytic_events": _q_analytic_events,
@@ -4637,13 +4637,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "csv_roundtrip": _q_csv_roundtrip,
         "grouping_sets_documents": _q_grouping_sets_documents,
         "strip_markup_planted": _q_strip_markup_planted,
-        "attribution_last_events": _q_attribution_last_events,
+        "fingerprint_documents": _q_fingerprint_documents,
         "attribution_first_events": _q_attribution_first_events,
-        "minhash_against_planted": _q_minhash_against_planted,
+        "ngram_jaccard_planted": _q_ngram_jaccard_planted,
         "dedup_report_documents": _q_dedup_report_documents,
-        "bin_shard_roundtrip": _q_bin_shard_roundtrip,
-        "tpch_q1_pricing": _q_tpch_q1,
-        "compact_parquet_lake": _q_compact_parquet_lake,
+        "histogram_extendedprice": _q_histogram_extendedprice,
+        "vocab_topk_by_source": _q_vocab_topk_by_source,
+        "cap_per_cluster_embeddings": _q_cap_per_cluster_embeddings,
         "near_dedup_keep_best_planted": _q_near_dedup_keep_best_planted,
         # --- rows-only smoke queries ---------------------------------------
         "ann_recall_embeddings": _q_ann_recall_embeddings,
