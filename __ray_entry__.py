@@ -4448,6 +4448,29 @@ def _q_countmin_words(sf_dir: str):
     )
 
 
+def _q_cross_doc_spans_documents(sf_dir: str):
+    """Cross-document duplicate n-gram audit (the substring-dedup signal):
+    per-doc distinct word 5-grams, how many appear in >= 1 other doc, and
+    the shared fraction as ONE exact-int division. Exact gram STRINGS
+    (plain single-space split — SQL str_split + 1-based-inclusive slices
+    replay every cell); only unique (gram, doc) pairs shuffle. Docs with
+    < 5 words zero-fill driver-side (the per-doc result is corpus-sized
+    metadata; at scale keep it a Dataset and hash_join the id list)."""
+    import pandas as pd
+    import ray.data
+
+    from orc_format_ray.ops.spans import cross_doc_shared_fraction
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    got = cross_doc_shared_fraction(ds, n=5).to_pandas()
+    ids = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).to_pandas()
+    out = ids.merge(got, on="doc_id", how="left")
+    out["n_ngrams"] = out["n_ngrams"].fillna(0).astype("int64")
+    out["n_shared"] = out["n_shared"].fillna(0).astype("int64")
+    out["shared_frac"] = out["shared_frac"].fillna(0.0).astype("float64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
     # (VERDICT r3 "What's wrong" #2), so the window below is curated for
@@ -4665,6 +4688,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "codec_selection": _q_codec_selection,
         "compression_signal_documents": _q_compression_signal_documents,
         "countmin_words": _q_countmin_words,
+        "cross_doc_spans_documents": _q_cross_doc_spans_documents,
     }
 
 
@@ -6141,5 +6165,21 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CAST(sum(qx*qw) AS BIGINT) AS DOUBLE)/4096.0 AS score, "
             "CASE WHEN CAST(sum(qx*qw) AS BIGINT) >= 0 THEN 1 ELSE 0 END AS label_pred "
             "FROM q GROUP BY vec_id"
+        ),
+        # cross-doc duplicate 5-grams: DISTINCT (doc, gram) pairs, shared =
+        # gram seen in >= 2 docs; frac is ONE exact-int division
+        "cross_doc_spans_documents": (
+            "WITH parts AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents), "
+            "dg AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+4], ' ') AS ng FROM parts d, "
+            "LATERAL (SELECT unnest(generate_series(1, greatest(len(d.ws)-4, 0))) AS i) g), "
+            "cnt AS (SELECT ng, CAST(count(*) AS BIGINT) AS nd FROM dg GROUP BY ng), "
+            "per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams, "
+            "CAST(sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared "
+            "FROM dg JOIN cnt c USING (ng) GROUP BY doc_id) "
+            "SELECT d.doc_id, COALESCE(p.n_ngrams, 0) AS n_ngrams, "
+            "COALESCE(p.n_shared, 0) AS n_shared, "
+            "CASE WHEN p.n_ngrams IS NULL THEN 0.0 "
+            "ELSE CAST(p.n_shared AS DOUBLE) / p.n_ngrams END AS shared_frac "
+            "FROM documents d LEFT JOIN per p USING (doc_id) ORDER BY d.doc_id"
         ),
     }
