@@ -4471,6 +4471,22 @@ def _q_cross_doc_spans_documents(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_temperature_sample_documents(sf_dir: str):
+    """Temperature-0.5 mixture sampling: per-source quotas proportional to
+    sqrt(source size) (integer-exact derivation — floor(sqrt * 2^20)
+    weights, integer ceil-div; see temperature_quotas), selection by the
+    Knuth-hash draw. ONE metadata count groupby + the stratified top-k
+    plan; full rows never shuffle."""
+    import ray.data
+
+    from orc_format_ray.ops.sample import temperature_sample
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "source"])
+    out = temperature_sample(ds, budget=120).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
     # (VERDICT r3 "What's wrong" #2), so the window below is curated for
@@ -4689,6 +4705,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compression_signal_documents": _q_compression_signal_documents,
         "countmin_words": _q_countmin_words,
         "cross_doc_spans_documents": _q_cross_doc_spans_documents,
+        "temperature_sample_documents": _q_temperature_sample_documents,
     }
 
 
@@ -6181,5 +6198,18 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN p.n_ngrams IS NULL THEN 0.0 "
             "ELSE CAST(p.n_shared AS DOUBLE) / p.n_ngrams END AS shared_frac "
             "FROM documents d LEFT JOIN per p USING (doc_id) ORDER BY d.doc_id"
+        ),
+        # temperature-0.5 mixture: integer-exact sqrt quotas (floor(sqrt*2^20)
+        # weights, integer ceil-div — no float summation order), Knuth draw
+        "temperature_sample_documents": (
+            "WITH n AS (SELECT source, CAST(count(*) AS BIGINT) AS ns FROM documents GROUP BY source), "
+            "w AS (SELECT source, ns, CAST(floor(sqrt(CAST(ns AS DOUBLE)) * 1048576.0) AS BIGINT) AS ws FROM n), "
+            "t AS (SELECT CAST(sum(ws) AS BIGINT) AS tw FROM w), "
+            "k AS (SELECT source, least(ns, (120 * ws + tw - 1) // tw) AS ks FROM w, t), "
+            "r AS (SELECT doc_id, lang, source, "
+            "row_number() OVER (PARTITION BY source "
+            "ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn FROM documents) "
+            "SELECT r.doc_id, r.lang, r.source FROM r JOIN k USING (source) "
+            "WHERE r.rn <= k.ks ORDER BY r.doc_id"
         ),
     }

@@ -49,9 +49,11 @@ def hash_split(ds, rate_pct: int, key: str = "doc_id", buckets: int = 100, salt:
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
 
 
-def _topk_per_stratum(strata: np.ndarray, keys: np.ndarray, hashes: np.ndarray, k: int) -> np.ndarray:
+def _topk_per_stratum(strata: np.ndarray, keys: np.ndarray, hashes: np.ndarray, k) -> np.ndarray:
     """Row indices of the ``k`` smallest ``(hash, key)`` pairs per stratum
-    (vectorized: one lexsort + group-boundary ranks, no Python loop)."""
+    (vectorized: one lexsort + group-boundary ranks, no Python loop).
+    ``k`` is a scalar, or an int array indexed by stratum CODE for
+    per-stratum quotas (temperature_sample)."""
     order = np.lexsort((keys, hashes, strata))
     s = strata[order]
     group_start = np.zeros(len(s), dtype=np.int64)
@@ -60,7 +62,8 @@ def _topk_per_stratum(strata: np.ndarray, keys: np.ndarray, hashes: np.ndarray, 
         group_start[boundaries] = boundaries
         np.maximum.accumulate(group_start, out=group_start)
     rank = np.arange(len(s)) - group_start
-    return order[rank < k]
+    cut = k if np.isscalar(k) else np.asarray(k, dtype=np.int64)[s]
+    return order[rank < cut]
 
 
 def stratified_sample(ds, k: int, stratum: str = "source", key: str = "doc_id", salt: int = 0):
@@ -75,10 +78,19 @@ def stratified_sample(ds, k: int, stratum: str = "source", key: str = "doc_id", 
     ``n_strata x k`` ints, small by the semantics of the op — broadcast once
     via ``ray.put`` and filter the full rows as a vectorized semi-join.
     Keys must be unique within a stratum (duplicate keys would make "the k-th
-    smallest" ambiguous and the filter would return every tied row)."""
+    smallest" ambiguous and the filter would return every tied row).
+
+    ``k`` may also be a ``{stratum_value: quota}`` dict for per-stratum
+    quotas (strata missing from the dict contribute nothing) — the
+    mechanism behind `temperature_sample`."""
     import ray
 
-    if k <= 0:
+    k_by_name = None
+    if isinstance(k, dict):
+        if any(v < 0 for v in k.values()):
+            raise ValueError("per-stratum quotas must be >= 0")
+        k_by_name = k
+    elif k <= 0:
         raise ValueError(f"k must be positive, got {k}")
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -92,8 +104,11 @@ def stratified_sample(ds, k: int, stratum: str = "source", key: str = "doc_id", 
         keys_np = batch[key].to_numpy(zero_copy_only=False)
         strata_np = batch[stratum].to_numpy(zero_copy_only=False)
         h = knuth_hash(keys_np, salt)
-        codes, _ = pd.factorize(strata_np)
-        idx = _topk_per_stratum(codes, keys_np, h, k)
+        codes, uniques = pd.factorize(strata_np)
+        kk = k if k_by_name is None else np.array(
+            [k_by_name.get(u, 0) for u in uniques], dtype=np.int64
+        )
+        idx = _topk_per_stratum(codes, keys_np, h, kk)
         return pa.table(
             {
                 stratum: pa.array(strata_np[idx]),
@@ -104,7 +119,8 @@ def stratified_sample(ds, k: int, stratum: str = "source", key: str = "doc_id", 
 
     def pick(group: pd.DataFrame) -> pd.DataFrame:
         order = np.lexsort((group[key].to_numpy(), group["_h"].to_numpy()))
-        return group.iloc[order[:k]][[stratum, key]]
+        kk = k if k_by_name is None else k_by_name.get(group[stratum].iloc[0], 0)
+        return group.iloc[order[:kk]][[stratum, key]]
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
     winners = partials.groupby(stratum).map_groups(pick, batch_format="pandas", **remote_args())
@@ -135,6 +151,53 @@ def stratified_sample(ds, k: int, stratum: str = "source", key: str = "doc_id", 
         return batch.filter(pa.array(mask))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+
+
+_W_SCALE = 1 << 20  # sqrt weights quantized to 2^-20 — exact in float64
+
+
+def temperature_quotas(counts: dict, budget: int) -> dict:
+    """Per-stratum quotas for temperature-0.5 mixture sampling: quota_s =
+    min(n_s, ceil(budget * w_s / W)) with INTEGER weights w_s =
+    floor(sqrt(n_s) * 2^20). Every step is exact and engine-reproducible:
+    sqrt is IEEE-correctly-rounded in numpy AND DuckDB, multiply by 2^20 is
+    exact, floor exact, and the sum/ceil-div are integer arithmetic (no
+    float summation order to disagree on) — so plain SQL derives the same
+    quotas from the same counts. Up-weights rare strata relative to
+    proportional sampling (the multilingual data-mixing rule)."""
+    import math
+
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    ws = {s: int(math.floor(math.sqrt(float(n)) * _W_SCALE)) for s, n in counts.items()}
+    total_w = sum(ws.values())
+    if total_w == 0:
+        return {s: 0 for s in counts}
+    if budget * max(ws.values()) >= 1 << 62:
+        raise ValueError("temperature_quotas: budget * weight would overflow int64")
+    return {
+        s: min(int(counts[s]), (budget * ws[s] + total_w - 1) // total_w)
+        for s in counts
+    }
+
+
+def temperature_sample(ds, budget: int, stratum: str = "source", key: str = "doc_id", salt: int = 0):
+    """Temperature-scaled mixture sampling (alpha = 0.5): draw ~budget rows
+    total with per-stratum quotas proportional to sqrt(stratum size) —
+    rare sources keep more of their data than proportional sampling would
+    give them, hot sources are capped (the standard multilingual-corpus
+    mixing rule). Selection within a stratum is the deterministic
+    ``(knuth_hash(key), key)`` draw of `stratified_sample`; quotas come
+    from `temperature_quotas` (integer-exact, SQL-replayable — see its
+    docstring).
+
+    Plan: ONE metadata-only count groupby (|strata| rows to the driver),
+    then the stratified top-k plan with a per-stratum quota dict — full
+    rows never shuffle. Returns the sampled Dataset."""
+    counts_df = ds.groupby(stratum).count().to_pandas()
+    counts = dict(zip(counts_df[stratum], counts_df["count()"].astype(int)))
+    quotas = temperature_quotas(counts, budget)
+    return stratified_sample(ds, quotas, stratum=stratum, key=key, salt=salt)
 
 
 def deterministic_shuffle(ds, key: str = "doc_id", salt: int = 0):

@@ -95,3 +95,50 @@ def test_cross_doc_shared_fraction_vs_sql(ray_session):
     for c in ("doc_id", "n_ngrams", "n_shared"):
         want[c] = want[c].astype("int64")
     _assert_frames_equal(got, want)
+
+
+# -------------------------------------------------- temperature sampling
+
+
+def test_temperature_quotas_exact_math():
+    from orc_format_ray.ops.sample import temperature_quotas
+
+    counts = {"a": 100, "b": 400, "c": 1}
+    q = temperature_quotas(counts, budget=50)
+    # ws: floor(sqrt)*2^20 -> a: 10*2^20, b: 20*2^20, c: 1*2^20; tw = 31*2^20
+    # quotas: ceil(50*10/31)=17, ceil(50*20/31)=33, min(1, ceil(50/31)=2)=1
+    assert q == {"a": 17, "b": 33, "c": 1}
+    assert temperature_quotas({"x": 0}, 10) == {"x": 0}
+    with pytest.raises(ValueError):
+        temperature_quotas(counts, 0)
+
+
+def test_temperature_sample_vs_sql(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.sample import temperature_sample
+
+    B = 120
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "lang", "source"])
+    got = temperature_sample(ds, budget=B).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    want = _con().execute(
+        f"""
+        WITH n AS (SELECT source, CAST(count(*) AS BIGINT) AS ns FROM documents GROUP BY source),
+        w AS (SELECT source, ns, CAST(floor(sqrt(CAST(ns AS DOUBLE)) * 1048576.0) AS BIGINT) AS ws FROM n),
+        t AS (SELECT CAST(sum(ws) AS BIGINT) AS tw FROM w),
+        k AS (SELECT source, least(ns, ({B} * ws + tw - 1) // tw) AS ks FROM w, t),
+        r AS (SELECT doc_id, lang, source,
+              row_number() OVER (PARTITION BY source
+                ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
+              FROM documents)
+        SELECT r.doc_id, r.lang, r.source FROM r JOIN k USING (source)
+        WHERE r.rn <= k.ks ORDER BY r.doc_id
+        """
+    ).fetchdf()
+    want["doc_id"] = want["doc_id"].astype("int64")
+    _assert_frames_equal(got, want)
+    # per-stratum quota dict path: a quota of 0 excludes the stratum
+    from orc_format_ray.ops.sample import stratified_sample
+
+    only = stratified_sample(ds, {"src0": 3}, stratum="source").to_pandas()
+    assert set(only["source"]) == {"src0"} and len(only) == 3
