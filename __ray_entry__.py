@@ -4487,6 +4487,20 @@ def _q_temperature_sample_documents(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_padding_waste_documents(sf_dir: str):
+    """Length-sorted batch-assembly padding report: docs sorted by
+    (n_chars DESC, doc_id), batches of 32, per-batch exact-int
+    (n_rows, max_len, sum_len, waste). The select_by_budget pinned-block
+    plan — metadata-only, value-keyed row offsets."""
+    import ray.data
+
+    from orc_format_ray.ops.pack import padding_waste
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    out = padding_waste(ds, batch_rows=32, length="n_chars").to_pandas()
+    return out.sort_values("batch_id").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
     # (VERDICT r3 "What's wrong" #2), so the window below is curated for
@@ -4706,6 +4720,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "countmin_words": _q_countmin_words,
         "cross_doc_spans_documents": _q_cross_doc_spans_documents,
         "temperature_sample_documents": _q_temperature_sample_documents,
+        "padding_waste_documents": _q_padding_waste_documents,
     }
 
 
@@ -6211,5 +6226,14 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn FROM documents) "
             "SELECT r.doc_id, r.lang, r.source FROM r JOIN k USING (source) "
             "WHERE r.rn <= k.ks ORDER BY r.doc_id"
+        ),
+        # length-sorted batch padding waste: exact ints end to end
+        "padding_waste_documents": (
+            "WITH r AS (SELECT n_chars, "
+            "row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rn FROM documents) "
+            "SELECT (rn - 1) // 32 AS batch_id, CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(max(n_chars) AS BIGINT) AS max_len, CAST(sum(n_chars) AS BIGINT) AS sum_len, "
+            "CAST(count(*) * max(n_chars) - sum(n_chars) AS BIGINT) AS waste "
+            "FROM r GROUP BY 1 ORDER BY 1"
         ),
     }

@@ -461,3 +461,115 @@ def read_packed_shard(out_dir: str, shard: int, capacity: int, packs_per_shard: 
         streams.append(chunk)
     flat = np.concatenate(streams) if streams else np.zeros(0, np.int32)
     return [flat[i : i + capacity] for i in range(0, len(flat), capacity)]
+
+
+def padding_waste(ds, batch_rows: int, length: str = "n_tok", key: str = "doc_id",
+                  key_bits: int = 40, max_length: int | None = None):
+    """Per-batch padding-waste report for length-sorted batch assembly: sort
+    docs by ``(length DESC, key ASC)``, cut consecutive batches of
+    ``batch_rows``, and for each batch report ``(n_rows, max_len, sum_len,
+    waste = n_rows * max_len - sum_len)`` — the exact token padding cost of
+    padding every sequence in a batch to the batch max (the
+    length-bucketing question of training-batch assembly). All exact ints;
+    SQL-equivalent: ``GROUP BY (row_number() OVER (ORDER BY length DESC,
+    key) - 1) // batch_rows``.
+
+    Plan (metadata-only, the `select_by_budget` pinned-block contract):
+    project ``composite = (max_length - length) << key_bits | key`` whose
+    ascending order IS the batch order; ONE range-partitioned sort +
+    materialize pins the blocks; pass A emits one ``(lo, hi, n)`` row per
+    block and the driver broadcasts exclusive ROW offsets keyed by each
+    block's lo composite (value-keyed — completion order of the two passes
+    cannot misalign them); pass B turns local row indices + offset into
+    global batch ids and pre-aggregates per (block, batch); a tiny
+    ``groupby(batch_id)`` merges straddling blocks. Requires unique
+    ``(length, key)`` composites (keys unique suffices) and non-negative
+    lengths/keys."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Max, Sum
+
+    if batch_rows <= 0:
+        raise ValueError(f"batch_rows must be positive, got {batch_rows}")
+    if max_length is None:
+        max_length = ds.max(length)
+        if max_length is None:
+            return ray.data.from_arrow(pa.table({
+                "batch_id": pa.array([], pa.int64()), "n_rows": pa.array([], pa.int64()),
+                "max_len": pa.array([], pa.int64()), "sum_len": pa.array([], pa.int64()),
+                "waste": pa.array([], pa.int64()),
+            }))
+    max_length = int(max_length)
+    if (max_length + 1) << key_bits >= 1 << 63:
+        raise ValueError(f"(max_length+1) << key_bits overflows int64: {max_length} << {key_bits}")
+
+    def to_meta(batch: pa.Table) -> pa.Table:
+        keys = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        ln = batch[length].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(keys):
+            if keys.min() < 0 or keys.max() >= 1 << key_bits:
+                raise ValueError(f"{key!r} must be in [0, 2**{key_bits})")
+            if ln.min() < 0 or ln.max() > max_length:
+                raise ValueError(f"{length!r} must be in [0, {max_length}]")
+        comp = ((np.int64(max_length) - ln) << np.int64(key_bits)) | keys
+        return pa.table({"composite": pa.array(comp, pa.int64())})
+
+    meta = ds.map_batches(to_meta, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    pinned = meta.sort("composite").materialize()
+
+    def block_range(batch: pa.Table) -> pa.Table:
+        comp = batch["composite"].to_numpy(zero_copy_only=False)
+        if not len(comp):
+            return pa.table({c: pa.array([], pa.int64()) for c in ("lo", "hi", "n")})
+        return pa.table({
+            "lo": pa.array([int(comp[0])], pa.int64()),
+            "hi": pa.array([int(comp[-1])], pa.int64()),
+            "n": pa.array([batch.num_rows], pa.int64()),
+        })
+
+    ranges = pinned.map_batches(
+        block_range, batch_size=None, batch_format="pyarrow", zero_copy_batch=True, **remote_args()
+    ).to_pandas().sort_values("lo").reset_index(drop=True)
+    lo = ranges["lo"].to_numpy()
+    hi = ranges["hi"].to_numpy()
+    if len(lo) and (np.any(lo > hi) or np.any(hi[:-1] >= lo[1:])):
+        raise ValueError("sorted metadata blocks overlap — duplicate (length, key) pairs break the row order")
+    n_rows = ranges["n"].to_numpy().astype(np.int64)
+    bases = {int(l): int(b) for l, b in zip(lo, np.concatenate(([0], np.cumsum(n_rows)[:-1])))}
+    bases_ref = ray.put(bases)
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        comp = batch["composite"].to_numpy(zero_copy_only=False)
+        out_empty = pa.table({c: pa.array([], pa.int64())
+                              for c in ("batch_id", "n_rows", "sum_len", "max_len")})
+        if not len(comp):
+            return out_empty
+        base = ray.get(bases_ref)[int(comp[0])]
+        rn = base + np.arange(len(comp), dtype=np.int64)
+        ln = np.int64(max_length) - (comp >> np.int64(key_bits))
+        df = pd.DataFrame({"batch_id": rn // batch_rows, "ln": ln})
+        g = df.groupby("batch_id", as_index=False).agg(
+            n_rows=("ln", "size"), sum_len=("ln", "sum"), max_len=("ln", "max"))
+        return pa.table({
+            "batch_id": pa.array(g["batch_id"].to_numpy(), pa.int64()),
+            "n_rows": pa.array(g["n_rows"].to_numpy().astype(np.int64), pa.int64()),
+            "sum_len": pa.array(g["sum_len"].to_numpy().astype(np.int64), pa.int64()),
+            "max_len": pa.array(g["max_len"].to_numpy().astype(np.int64), pa.int64()),
+        })
+
+    partials = pinned.map_batches(
+        per_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True, **remote_args()
+    )
+    merged = partials.groupby("batch_id").aggregate(
+        Sum("n_rows", alias_name="n_rows"),
+        Max("max_len", alias_name="max_len"),
+        Sum("sum_len", alias_name="sum_len"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n_rows"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mx = batch["max_len"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sm = batch["sum_len"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column("waste", pa.array(n * mx - sm, pa.int64()))
+
+    return merged.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True, **remote_args())

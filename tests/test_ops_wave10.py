@@ -142,3 +142,52 @@ def test_temperature_sample_vs_sql(ray_session):
 
     only = stratified_sample(ds, {"src0": 3}, stratum="source").to_pandas()
     assert set(only["source"]) == {"src0"} and len(only) == 3
+
+
+# ----------------------------------------------------- padding-waste report
+
+
+def test_padding_waste_vs_sql(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.pack import padding_waste
+
+    B = 32
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "n_chars"])
+    got = (
+        padding_waste(ds.repartition(7), batch_rows=B, length="n_chars")
+        .to_pandas().sort_values("batch_id").reset_index(drop=True)
+    )
+    want = _con().execute(
+        f"""
+        WITH r AS (SELECT n_chars,
+          row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rn FROM documents)
+        SELECT (rn - 1) // {B} AS batch_id, CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(max(n_chars) AS BIGINT) AS max_len, CAST(sum(n_chars) AS BIGINT) AS sum_len,
+          CAST(count(*) * max(n_chars) - sum(n_chars) AS BIGINT) AS waste
+        FROM r GROUP BY 1 ORDER BY 1
+        """
+    ).fetchdf()
+    want["batch_id"] = want["batch_id"].astype("int64")
+    _assert_frames_equal(got, want)
+    # waste of a batch of identical lengths is 0; total rows preserved
+    assert got["n_rows"].sum() == 500
+    with pytest.raises(ValueError):
+        padding_waste(ds, batch_rows=0, length="n_chars")
+
+
+def test_padding_waste_small_semantics(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.pack import padding_waste
+
+    df = pd.DataFrame({"doc_id": [0, 1, 2, 3, 4], "n_tok": [10, 7, 7, 3, 1]})
+    out = (
+        padding_waste(ray.data.from_pandas(df), batch_rows=2)
+        .to_pandas().sort_values("batch_id").reset_index(drop=True)
+    )
+    # order: 10,7,7,3,1 -> batches [10,7] [7,3] [1]
+    assert out["batch_id"].tolist() == [0, 1, 2]
+    assert out["n_rows"].tolist() == [2, 2, 1]
+    assert out["max_len"].tolist() == [10, 7, 1]
+    assert out["waste"].tolist() == [2 * 10 - 17, 2 * 7 - 10, 0]
