@@ -4501,6 +4501,53 @@ def _q_padding_waste_documents(sf_dir: str):
     return out.sort_values("batch_id").reset_index(drop=True)
 
 
+def _q_ipc_roundtrip(sf_dir: str):
+    """Arrow IPC shard interchange: events (timestamps + doubles — types
+    JSONL/CSV can't carry losslessly) write into deterministic .arrow
+    stream shards (block-metadata offsets, no payload shuffle) and read
+    back; the query aggregates the ROUND-TRIPPED rows per event_type
+    (exact-cent value sums, min/max epoch micros) against SQL over the
+    original table (ops/ipcshard.py)."""
+    import ray.data
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from orc_format_ray.ops.ipcshard import read_ipc_shards, write_ipc_shards
+
+    scratch = "/tmp/orc_format_ray_scratch/ipc"
+    shutil.rmtree(scratch, ignore_errors=True)
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "event_type", "value"])
+    write_ipc_shards(ev, scratch, key_col="event_id", rows_per_shard=1024)
+    back = read_ipc_shards(scratch)
+
+    def cells(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(b["value"], 100.0), 0.5)), pa.int64())
+        us = b["ts"].cast(pa.int64())
+        return pa.table({
+            "event_type": b["event_type"],
+            "cents": cents,
+            "us": us,
+        })
+
+    out = (
+        back.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **_ra())
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("cents", alias_name="sum_cents"),
+            Min("us", alias_name="min_us"),
+            Max("us", alias_name="max_us"),
+        )
+        .to_pandas()
+    )
+    for c in ("n", "sum_cents", "min_us", "max_us"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
     # (VERDICT r3 "What's wrong" #2), so the window below is curated for
@@ -4721,6 +4768,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_doc_spans_documents": _q_cross_doc_spans_documents,
         "temperature_sample_documents": _q_temperature_sample_documents,
         "padding_waste_documents": _q_padding_waste_documents,
+        "ipc_roundtrip": _q_ipc_roundtrip,
     }
 
 
@@ -6235,5 +6283,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(max(n_chars) AS BIGINT) AS max_len, CAST(sum(n_chars) AS BIGINT) AS sum_len, "
             "CAST(count(*) * max(n_chars) - sum(n_chars) AS BIGINT) AS waste "
             "FROM r GROUP BY 1 ORDER BY 1"
+        ),
+        # IPC shard roundtrip: aggregate equals SQL over the source table
+        "ipc_roundtrip": (
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents, "
+            "CAST(min(epoch_us(ts)) AS BIGINT) AS min_us, "
+            "CAST(max(epoch_us(ts)) AS BIGINT) AS max_us "
+            "FROM events GROUP BY 1 ORDER BY 1"
         ),
     }

@@ -191,3 +191,49 @@ def test_padding_waste_small_semantics(ray_session):
     assert out["n_rows"].tolist() == [2, 2, 1]
     assert out["max_len"].tolist() == [10, 7, 1]
     assert out["waste"].tolist() == [2 * 10 - 17, 2 * 7 - 10, 0]
+
+
+# ------------------------------------------------------- Arrow IPC shards
+
+
+def test_ipc_shards_full_fidelity_roundtrip(ray_session):
+    import glob
+    import shutil
+
+    import ray.data
+
+    from orc_format_ray.ops.ipcshard import read_ipc_shards, write_ipc_shards
+
+    scratch = "/tmp/orc_test_ipc"
+    shutil.rmtree(scratch, ignore_errors=True)
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    man = write_ipc_shards(ds.repartition(5), scratch, key_col="vec_id", rows_per_shard=128)
+    assert man["n_rows"].sum() == 500
+    back = read_ipc_shards(scratch).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    orig = ds.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    assert back["label"].tolist() == orig["label"].tolist()
+    assert all(np.array_equal(a, b) for a, b in zip(back["embedding"], orig["embedding"]))
+    # nested list<float> survives EXACTLY (no JSON float round-trip), and
+    # int32 label keeps its width (file is the schema authority)
+    sch = read_ipc_shards(scratch).schema()
+    assert str(dict(zip(sch.names, sch.types))["label"]) == "int32"
+
+    # byte-identical re-run over the same pinned layout
+    files = sorted(glob.glob(f"{scratch}/*.arrow"))
+    before = {f: open(f, "rb").read() for f in files}
+    mat = ds.repartition(5)
+    write_ipc_shards(mat, scratch, key_col="vec_id", rows_per_shard=128)
+    for f in files:
+        assert open(f, "rb").read() == before[f], f
+
+    # compressed variant round-trips too
+    shutil.rmtree(scratch)
+    write_ipc_shards(ds.repartition(3), scratch, key_col="vec_id",
+                     rows_per_shard=200, compress=True)
+    back_z = read_ipc_shards(scratch, columns=["vec_id"]).to_pandas()
+    assert sorted(back_z["vec_id"]) == sorted(orig["vec_id"])
+
+    # duplicate keys rejected loudly
+    dup = ray.data.from_pandas(pd.DataFrame({"vec_id": [1, 1], "x": [2, 3]}))
+    with pytest.raises(Exception):
+        write_ipc_shards(dup, scratch + "_dup", key_col="vec_id")
