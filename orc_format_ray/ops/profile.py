@@ -595,3 +595,33 @@ def block_profile(ds):
                           "num_rows": [df["num_rows"].clip(lower=0).sum()],
                           "size_bytes": [df["size_bytes"].clip(lower=0).sum()]})
     return pd.concat([df, total], ignore_index=True)
+
+
+def skew_report(ds, key: str, k: int = 10):
+    """Hot-key profile for join/shuffle planning: the top ``k`` keys by
+    frequency with each key's ``share = cnt / n`` and ``skew = cnt * nd /
+    n`` (how many times hotter than the uniform per-key average — the
+    number that decides between `hash_join` and `skew_join`). Exact ints
+    until ONE double division per output cell (SQL-bitwise).
+
+    Plan: one metadata-only ``groupby(key).count()`` (only (key, cnt)
+    pairs shuffle), the tiny totals fold, then a sort+limit over the count
+    table. At vocabularies past ~1e9 distinct keys swap the exact count
+    for `sketch.heavy_hitters` (the Misra-Gries superset rule) — the
+    report fields are the same."""
+    import pandas as pd
+    from ray.data.aggregate import Count, Sum
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    counts = ds.groupby(key).aggregate(Count(alias_name="cnt"))
+    tot = counts.aggregate(Sum("cnt", alias_name="n"), Count(alias_name="nd"))
+    n, nd = int(tot["n"]), int(tot["nd"])
+    top = counts.sort(["cnt", key], descending=[True, False]).limit(k).to_pandas()
+    cnt = top["cnt"].to_numpy().astype(np.int64)
+    if n and (cnt.astype(object) * nd > (1 << 53)).any():
+        raise ValueError("skew_report: cnt * ndistinct exceeds 2^53 — the double cast would round")
+    top["cnt"] = cnt
+    top["share"] = cnt.astype(np.float64) / np.float64(n)
+    top["skew"] = (cnt * np.int64(nd)).astype(np.float64) / np.float64(n)
+    return top.reset_index(drop=True)

@@ -237,3 +237,28 @@ def test_ipc_shards_full_fidelity_roundtrip(ray_session):
     dup = ray.data.from_pandas(pd.DataFrame({"vec_id": [1, 1], "x": [2, 3]}))
     with pytest.raises(Exception):
         write_ipc_shards(dup, scratch + "_dup", key_col="vec_id")
+
+
+# ------------------------------------------------------------- skew report
+
+
+def test_skew_report_vs_sql(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.profile import skew_report
+
+    ds = ray.data.read_parquet(f"{SF}/events.parquet", columns=["user_id"])
+    got = skew_report(ds.repartition(5), "user_id", k=10)
+    want = _con().execute(
+        """
+        WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1),
+        t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS nd FROM c)
+        SELECT user_id, cnt, CAST(cnt AS DOUBLE)/n AS share, CAST(cnt*nd AS DOUBLE)/n AS skew
+        FROM c, t ORDER BY cnt DESC, user_id LIMIT 10
+        """
+    ).fetchdf()
+    for c in ("user_id", "cnt"):
+        want[c] = want[c].astype("int64")
+    _assert_frames_equal(got, want)
+    with pytest.raises(ValueError):
+        skew_report(ds, "user_id", k=0)
