@@ -4563,6 +4563,37 @@ def _q_skew_report_events(sf_dir: str):
     return out
 
 
+def _q_incremental_agg_events(sf_dir: str):
+    """Incremental aggregate maintenance: per-type states computed on a
+    base slice and a delta slice SEPARATELY, merged (add/min-max fold —
+    commutative, bit-identical to a full rescan), finalized with one
+    exact-int division per mean. Oracle: plain groupby over the full
+    table — the merge-equals-rescan property IS the check."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from orc_format_ray.ops.incr import agg_state, finalize_state, merge_agg_states
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "event_type", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = pc.cast(pc.floor(pc.add(pc.multiply(b["value"], 100.0), 0.5)), pa.int64())
+        return pa.table({"event_id": b["event_id"], "event_type": b["event_type"], "cents": c})
+
+    u = ev.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True, **_ra())
+    base = u.filter(lambda r: r["event_id"] % 10 != 0)
+    delta = u.filter(lambda r: r["event_id"] % 10 == 0)
+    merged = merge_agg_states(
+        [agg_state(base, "event_type", ["cents"]), agg_state(delta, "event_type", ["cents"])],
+        "event_type", ["cents"],
+    )
+    out = finalize_state(merged, ["cents"]).to_pandas()
+    for c in ("n", "cents_sum", "cents_min", "cents_max"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
     # (VERDICT r3 "What's wrong" #2), so the window below is curated for
@@ -4785,6 +4816,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "padding_waste_documents": _q_padding_waste_documents,
         "ipc_roundtrip": _q_ipc_roundtrip,
         "skew_report_events": _q_skew_report_events,
+        "incremental_agg_events": _q_incremental_agg_events,
     }
 
 
@@ -6315,5 +6347,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, cnt, CAST(cnt AS DOUBLE)/n AS share, "
             "CAST(cnt*nd AS DOUBLE)/n AS skew "
             "FROM c, t ORDER BY cnt DESC, user_id LIMIT 10"
+        ),
+        # incremental base+delta state merge == full groupby (exact units)
+        "incremental_agg_events": (
+            "WITH u AS (SELECT event_type, CAST(floor(value*100 + 0.5) AS BIGINT) AS c FROM events) "
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS cents_sum, "
+            "CAST(min(c) AS BIGINT) AS cents_min, CAST(max(c) AS BIGINT) AS cents_max, "
+            "CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) / count(*) AS cents_mean "
+            "FROM u GROUP BY 1 ORDER BY 1"
         ),
     }

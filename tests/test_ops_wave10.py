@@ -262,3 +262,46 @@ def test_skew_report_vs_sql(ray_session):
     _assert_frames_equal(got, want)
     with pytest.raises(ValueError):
         skew_report(ds, "user_id", k=0)
+
+
+# ------------------------------------------- incremental aggregate states
+
+
+def test_incremental_agg_equals_full_recompute(ray_session):
+    import pyarrow.compute as pc
+    import ray.data
+
+    from orc_format_ray.ops.incr import agg_state, finalize_state, merge_agg_states
+
+    ev = ray.data.read_parquet(f"{SF}/events.parquet", columns=["event_id", "event_type", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = pc.cast(pc.floor(pc.add(pc.multiply(b["value"], 100.0), 0.5)), pa.int64())
+        return pa.table({"event_id": b["event_id"], "event_type": b["event_type"], "cents": c})
+
+    u = ev.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    base = u.filter(lambda r: r["event_id"] % 10 != 0)
+    delta = u.filter(lambda r: r["event_id"] % 10 == 0)
+    merged = merge_agg_states(
+        [agg_state(base, "event_type", ["cents"]), agg_state(delta, "event_type", ["cents"])],
+        "event_type", ["cents"],
+    )
+    got = finalize_state(merged, ["cents"]).to_pandas().sort_values("event_type").reset_index(drop=True)
+    full = finalize_state(agg_state(u, "event_type", ["cents"]), ["cents"]).to_pandas() \
+        .sort_values("event_type").reset_index(drop=True)
+    _assert_frames_equal(got, full)  # incremental == full recompute, bitwise
+    want = _con().execute(
+        """
+        WITH u AS (SELECT event_type, CAST(floor(value*100 + 0.5) AS BIGINT) AS c FROM events)
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS cents_sum,
+          CAST(min(c) AS BIGINT) AS cents_min, CAST(max(c) AS BIGINT) AS cents_max,
+          CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) / count(*) AS cents_mean
+        FROM u GROUP BY 1
+        """
+    ).fetchdf()
+    for c in ("n", "cents_sum", "cents_min", "cents_max"):
+        want[c] = want[c].astype("int64")
+    _assert_frames_equal(got, want)
+    # float columns rejected loudly (quantize first)
+    with pytest.raises(Exception):
+        agg_state(ev, "event_type", ["value"]).to_pandas()
