@@ -4594,6 +4594,31 @@ def _q_incremental_agg_events(sf_dir: str):
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def _q_triangle_count_lineitem(sf_dir: str):
+    """Distributed triangle counting over a derived sparse graph (node =
+    key mod 499, edges from every 5th lineitem): orientation bounds wedge
+    fan-out by forward degree; each triangle counts once at its smallest
+    vertex. Oracle: the classic three-way self-join."""
+    import ray.data
+
+    from orc_format_ray.ops.graph import triangle_count
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        o = b["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = b["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (o + p) % 5 == 0
+        return pa.table({"src": pa.array(o[keep] % 499, pa.int64()),
+                         "dst": pa.array(p[keep] % 499, pa.int64())})
+
+    ed = li.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True, **_ra())
+    out = triangle_count(ed).to_pandas()
+    out["node"] = out["node"].astype("int64")
+    out["n_triangles"] = out["n_triangles"].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
     # (VERDICT r3 "What's wrong" #2), so the window below is curated for
@@ -4817,6 +4842,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ipc_roundtrip": _q_ipc_roundtrip,
         "skew_report_events": _q_skew_report_events,
         "incremental_agg_events": _q_incremental_agg_events,
+        "triangle_count_lineitem": _q_triangle_count_lineitem,
     }
 
 
@@ -6355,5 +6381,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(min(c) AS BIGINT) AS cents_min, CAST(max(c) AS BIGINT) AS cents_max, "
             "CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) / count(*) AS cents_mean "
             "FROM u GROUP BY 1 ORDER BY 1"
+        ),
+        # triangles counted once at the smallest vertex (a < b < c)
+        "triangle_count_lineitem": (
+            "WITH raw AS (SELECT l_orderkey % 499 AS x, l_partkey % 499 AS y FROM lineitem "
+            "WHERE (l_orderkey + l_partkey) % 5 = 0), "
+            "e AS (SELECT DISTINCT least(x,y) AS a, greatest(x,y) AS b FROM raw WHERE x <> y) "
+            "SELECT e1.a AS node, CAST(count(*) AS BIGINT) AS n_triangles "
+            "FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b "
+            "JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b "
+            "GROUP BY e1.a ORDER BY node"
         ),
     }

@@ -125,3 +125,108 @@ def pagerank(edges_ds, src: str = "src", dst: str = "dst", iterations: int = 3,
     import pandas as pd
 
     return pd.DataFrame({"node": node_ids, "rank_units": ranks})
+
+
+def triangle_count(edges_ds, src: str = "src", dst: str = "dst",
+                   max_forward_degree: int = 1 << 14, num_buckets: int = 256):
+    """Distributed triangle counting (the clustering-coefficient numerator
+    and spam/community signal). Each triangle ``a < b < c`` is counted
+    exactly once, at its SMALLEST vertex; returns a Dataset of
+    ``(node, n_triangles)`` for nodes that close >= 1 triangle — sum the
+    column for the global count. SQL mirror: the classic three-way
+    self-join over canonical edges.
+
+    Plan (the standard node-iterator-with-orientation scheme):
+
+    1. canonicalize ``(min, max)``, drop self-loops, ONE (a, b) cell
+       groupby dedupes — after orientation every node keeps only its
+       FORWARD (larger-id) neighbors, which bounds wedge fan-out by the
+       forward degree, not the raw degree;
+    2. ``groupby(a).map_groups`` emits the wedges ``(b, c, apex=a)`` for
+       each forward-neighbor pair ``b < c`` — guarded at
+       ``max_forward_degree`` (fan-out is d*(d-1)/2; orient-by-degree
+       before raising the guard);
+    3. wedges UNION the edge rows (both tagged, same task-pool lineage)
+       and ONE ``groupby(bucket)`` (bucket = packed pair mod 256) closes
+       each bucket VECTORIZED (np.isin of wedge pairs against edge pairs —
+       no per-pair Python); a tiny ``groupby(node)`` sum finishes.
+
+    Node ids must be in [0, 2^31) (pairs pack into one int64). Only
+    (int64 pair) metadata ever shuffles; wedge volume (sum of
+    forward-degree^2 / 2) is the inherent cost of exact triangle
+    enumeration."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        if len(s) and (s.min() < 0 or d.min() < 0 or max(s.max(), d.max()) >= 1 << 31):
+            raise ValueError("triangle_count: node ids must be in [0, 2^31) — pairs pack into int64")
+        a = np.minimum(s, d)
+        b = np.maximum(s, d)
+        u = np.unique(np.stack([a, b], axis=1), axis=0)
+        return pa.table({"a": pa.array(u[:, 0], pa.int64()), "b": pa.array(u[:, 1], pa.int64())})
+
+    edges = (
+        edges_ds.map_batches(canon, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby("a").map_groups(
+            lambda g: g.drop_duplicates(), batch_format="pandas", **remote_args()
+        )
+    )
+    # pin the deduped edge table: wedge generation AND closure both read it
+    edges = edges.materialize()
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        nb = np.unique(g["b"].to_numpy())
+        d = len(nb)
+        if d > max_forward_degree:
+            raise ValueError(
+                f"triangle_count: forward degree {d} exceeds max_forward_degree={max_forward_degree}"
+            )
+        if d < 2:
+            return pd.DataFrame({"x": pd.Series(dtype="int64"), "y": pd.Series(dtype="int64"),
+                                 "apex": pd.Series(dtype="int64")})
+        i, j = np.triu_indices(d, k=1)
+        pair = (nb[i].astype(np.int64) << np.int64(32)) | nb[j].astype(np.int64)
+        return pd.DataFrame({
+            "bucket": pair % np.int64(num_buckets),
+            "pair": pair,
+            "apex": np.full(len(i), int(g["a"].iloc[0]), dtype=np.int64),
+        })
+
+    wedge_ds = edges.groupby("a").map_groups(wedges, batch_format="pandas", **remote_args())
+    # normalize to Arrow blocks: union() refuses mixed pandas/arrow lineages
+    wedge_ds = wedge_ds.map_batches(
+        lambda t: t, batch_format="pyarrow", zero_copy_batch=True, **remote_args()
+    )
+
+    def tag_edge(batch: pa.Table) -> pa.Table:
+        pair = (batch["a"].to_numpy(zero_copy_only=False).astype(np.int64) << np.int64(32)) \
+            | batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(pair % np.int64(num_buckets), pa.int64()),
+            "pair": pa.array(pair, pa.int64()),
+            "apex": pa.array(np.full(batch.num_rows, -1, dtype=np.int64), pa.int64()),
+        })
+
+    tagged_edges = edges.map_batches(tag_edge, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+
+    def bucket_close(g: pd.DataFrame) -> pd.DataFrame:
+        pair = g["pair"].to_numpy()
+        apex = g["apex"].to_numpy()
+        is_edge = apex == -1
+        hits = apex[~is_edge][np.isin(pair[~is_edge], pair[is_edge])]
+        if not len(hits):
+            return pd.DataFrame({"node": pd.Series(dtype="int64"), "n": pd.Series(dtype="int64")})
+        u, c = np.unique(hits, return_counts=True)
+        return pd.DataFrame({"node": u.astype(np.int64), "n": c.astype(np.int64)})
+
+    closed = (
+        wedge_ds.union(tagged_edges)
+        .groupby("bucket")
+        .map_groups(bucket_close, batch_format="pandas", **remote_args())
+    )
+    return closed.groupby("node").aggregate(Sum("n", alias_name="n_triangles"))

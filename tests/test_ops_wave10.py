@@ -305,3 +305,53 @@ def test_incremental_agg_equals_full_recompute(ray_session):
     # float columns rejected loudly (quantize first)
     with pytest.raises(Exception):
         agg_state(ev, "event_type", ["value"]).to_pandas()
+
+
+# --------------------------------------------------------- triangle count
+
+
+def test_triangle_count_small(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.graph import triangle_count
+
+    # K4 on {0,1,2,3} has 4 triangles; extra pendant edge adds none;
+    # duplicates/self-loops/reversed edges collapse
+    edges = pd.DataFrame({
+        "src": [0, 0, 0, 1, 1, 2, 2, 3, 4, 5, 5],
+        "dst": [1, 2, 3, 2, 3, 3, 1, 0, 5, 4, 5],
+    })
+    out = triangle_count(ray.data.from_pandas(edges)).to_pandas().sort_values("node")
+    assert dict(zip(out["node"], out["n_triangles"])) == {0: 3, 1: 1}
+    assert out["n_triangles"].sum() == 4
+
+
+def test_triangle_count_vs_sql(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.graph import triangle_count
+
+    li = ray.data.read_parquet(f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        o = b["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = b["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (o + p) % 5 == 0
+        return pa.table({"src": pa.array(o[keep] % 499, pa.int64()),
+                         "dst": pa.array(p[keep] % 499, pa.int64())})
+
+    ed = li.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+    got = triangle_count(ed).to_pandas().sort_values("node").reset_index(drop=True)
+    want = _con().execute(
+        """
+        WITH raw AS (SELECT l_orderkey % 499 AS x, l_partkey % 499 AS y FROM lineitem
+                     WHERE (l_orderkey + l_partkey) % 5 = 0),
+        e AS (SELECT DISTINCT least(x,y) AS a, greatest(x,y) AS b FROM raw WHERE x <> y)
+        SELECT e1.a AS node, CAST(count(*) AS BIGINT) AS n_triangles
+        FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+        JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+        GROUP BY e1.a ORDER BY node
+        """
+    ).fetchdf()
+    want["node"] = want["node"].astype("int64")
+    _assert_frames_equal(got, want)
