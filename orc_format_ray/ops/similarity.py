@@ -561,8 +561,15 @@ def pq_topk(codes_ds, codebook: PQCodebook, queries: np.ndarray, k: int = 10, ex
     adc = _fold_topk(partials, depth)
     if exact_rerank_ds is None:
         return adc  # depth == k here, already k sorted rows per query
-    # exact re-rank: fetch ONLY the candidate vectors (broadcast id set),
-    # score with float64 cosine, keep top-k per query
+    return _exact_rerank(adc, queries, exact_rerank_ds, k)
+
+
+def _exact_rerank(adc: pa.Table, queries: np.ndarray, exact_rerank_ds, k: int) -> pa.Table:
+    """Shared exact re-rank tail (PQ / SQ8): fetch ONLY the approximate
+    top candidates (broadcast id set), score with float64 cosine, keep
+    top-k per query — the standard compress-then-rerank pattern."""
+    import ray
+
     cand_ids = set(adc["vec_id"].to_pylist())
     ids_ref = ray.put(np.array(sorted(cand_ids), dtype=np.int64))
 
@@ -710,3 +717,124 @@ def ann_recall_report(
         df[c] = df[c].astype("int64")
     df["recall"] = df["recall"].astype("float64")
     return df
+
+
+# ------------------------------------------------------------------- SQ8
+
+
+class SQ8Params:
+    """Per-dimension uint8 scalar quantization of UNIT-normalized
+    embeddings: 4x smaller than float32 (before zstd) with a far simpler
+    codec than PQ — the first rung of the embedding-compression ladder
+    (SQ8 -> PQ -> IVF+PQ). ``lo``/``hi`` are exact per-dimension bounds;
+    codes are ``round((x - lo) / span * 255)``.
+
+    Train is ONE streaming pass of per-block min/max partials folded by
+    elementwise min/max on the driver — commutative, so the params are
+    layout- and cluster-size-invariant."""
+
+    def __init__(self, lo: np.ndarray, hi: np.ndarray):
+        self.lo = np.asarray(lo, dtype=np.float32)
+        hi = np.asarray(hi, dtype=np.float32)
+        if self.lo.shape != hi.shape or self.lo.ndim != 1:
+            raise ValueError("SQ8Params: lo/hi must be matching 1-D arrays")
+        span = hi - self.lo
+        span[span == 0] = 1.0  # constant dims decode exactly to lo
+        self.span = span
+        self.dim = len(self.lo)
+
+    @staticmethod
+    def train(ds, col: str = "embedding") -> "SQ8Params":
+        def bounds(batch: pa.Table) -> pa.Table:
+            x = _unit(_embedding_matrix(batch, col))
+            return pa.table({
+                "lo": pa.array([x.min(axis=0)], pa.list_(pa.float32())),
+                "hi": pa.array([x.max(axis=0)], pa.list_(pa.float32())),
+            })
+
+        rows = ds.map_batches(bounds, batch_format="pyarrow", zero_copy_batch=True, **remote_args()).take_all()
+        if not rows:
+            raise ValueError("SQ8Params.train: empty dataset")
+        lo = np.min([np.asarray(r["lo"], np.float32) for r in rows], axis=0)
+        hi = np.max([np.asarray(r["hi"], np.float32) for r in rows], axis=0)
+        return SQ8Params(lo, hi)
+
+    def encode(self, x: np.ndarray) -> np.ndarray:
+        x = _unit(np.asarray(x, dtype=np.float32))
+        q = np.rint((x - self.lo[None, :]) / self.span[None, :] * 255.0)
+        return np.clip(q, 0, 255).astype(np.uint8)
+
+    def decode(self, codes: np.ndarray) -> np.ndarray:
+        return self.lo[None, :] + codes.astype(np.float32) * (self.span[None, :] / np.float32(255.0))
+
+
+def sq8_encode(ds, params: SQ8Params):
+    """Compress an embedding Dataset to (vec_id, code: binary(dim)) —
+    1 byte/dimension. Exact duplicates quantize to IDENTICAL codes."""
+    import ray
+
+    p_ref = ray.put(params)
+
+    class Encoder:
+        def __init__(self):
+            self.p = ray.get(p_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            codes = self.p.encode(_embedding_matrix(batch))
+            buf = codes.tobytes()
+            d = self.p.dim
+            return pa.table({
+                "vec_id": batch["vec_id"],
+                "code": pa.array([buf[i * d : (i + 1) * d] for i in range(len(codes))], pa.binary()),
+            })
+
+    return ds.map_batches(
+        Encoder, batch_format="pyarrow", zero_copy_batch=True, concurrency=pool_size(), **remote_args()
+    )
+
+
+def sq8_topk(codes_ds, params: SQ8Params, queries: np.ndarray, k: int = 10,
+             exact_rerank_ds=None, rerank_depth: int = 32):
+    """Asymmetric top-k over SQ8 codes: queries stay exact float, database
+    vectors decode per batch (one broadcast multiply-add) and score by
+    matmul; per-block partials k-merge through `_fold_topk`. With
+    ``exact_rerank_ds``, the approximate top ``rerank_depth`` re-score with
+    exact float64 cosine (`_exact_rerank` — the PQ pattern). Returns the
+    same (query_id, vec_id, score) table as ``brute_force_topk``."""
+    import ray
+
+    q = _unit(np.asarray(queries, dtype=np.float32))
+    p_ref = ray.put(params)
+    q_ref = ray.put(q)
+    depth = max(k, rerank_depth) if exact_rerank_ds is not None else k
+
+    class SQScorer:
+        def __init__(self):
+            self.p = ray.get(p_ref)
+            self.q = ray.get(q_ref)
+            self.nq = len(self.q)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            d = self.p.dim
+            raw = np.frombuffer(b"".join(batch["code"].to_pylist()), dtype=np.uint8).reshape(-1, d)
+            ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            recon = self.p.decode(raw)
+            scores = (self.q @ recon.T).astype(np.float32)  # (nq, n)
+            kk = min(depth, len(raw))
+            top = np.argpartition(-scores, kk - 1, axis=1)[:, :kk] if kk < len(raw) \
+                else np.tile(np.arange(len(raw)), (self.nq, 1))
+            rows_q = np.repeat(np.arange(self.nq, dtype=np.int32), top.shape[1])
+            cand = top.ravel()
+            return pa.table({
+                "query_id": pa.array(rows_q, pa.int32()),
+                "vec_id": pa.array(ids[cand], pa.int64()),
+                "score": pa.array(scores[rows_q, cand].astype(np.float64), pa.float64()),
+            })
+
+    partials = codes_ds.map_batches(
+        SQScorer, batch_format="pyarrow", zero_copy_batch=True, concurrency=pool_size(), **remote_args()
+    )
+    approx = _fold_topk(partials, depth)
+    if exact_rerank_ds is None:
+        return approx
+    return _exact_rerank(approx, queries, exact_rerank_ds, k)

@@ -355,3 +355,69 @@ def test_triangle_count_vs_sql(ray_session):
     ).fetchdf()
     want["node"] = want["node"].astype("int64")
     _assert_frames_equal(got, want)
+
+
+# ----------------------------------------------------------------- SQ8 ANN
+
+
+def test_sq8_roundtrip_error_bound_and_recall(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops import similarity as sim
+
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    p = sim.SQ8Params.train(ds)
+    # params are layout-invariant (min/max fold is commutative)
+    p2 = sim.SQ8Params.train(ds.repartition(7))
+    assert np.array_equal(p.lo, p2.lo) and np.array_equal(p.span, p2.span)
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    x = np.array(tbl["embedding"].to_pylist(), dtype=np.float32)
+    xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    codes = p.encode(x)
+    recon = p.decode(codes)
+    # per-dim quantization error <= half a step
+    assert np.max(np.abs(recon - xn)) <= (p.span.max() / 255.0) / 2 + 1e-6
+
+    # SQ8 approximate top-1 (excluding self) matches brute force on >= 90%
+    # of probes — embedding-quality gate, pinned loosely
+    q = xn[:20]
+    codes_ds = sim.sq8_encode(ds, p).materialize()
+    approx = sim.sq8_topk(codes_ds, p, q, k=2).to_pandas()
+    exact = sim.brute_force_topk(ds, q, k=2).to_pandas()
+
+    def top_nonself(df, qi):
+        sub = df[df["query_id"] == qi].sort_values(["score", "vec_id"], ascending=[False, True])
+        sub = sub[sub["vec_id"] != tbl["vec_id"][qi].as_py()]
+        return int(sub.iloc[0]["vec_id"]) if len(sub) else -1
+
+    agree = sum(top_nonself(approx, i) == top_nonself(exact, i) for i in range(20))
+    assert agree >= 18, agree
+
+
+def test_sq8_planted_duplicates_exact_after_rerank(ray_session):
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from orc_format_ray.ops import similarity as sim
+
+    head = pq.read_table(
+        f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"], filters=[("vec_id", "<", 5)]
+    ).sort_by("vec_id")
+    copies = pa.table({
+        "vec_id": pa.array([v + 100_000 for v in head["vec_id"].to_pylist()], pa.int64()),
+        "embedding": head["embedding"],
+    })
+    aug = ray.data.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"]).union(
+        ray.data.from_arrow(copies)
+    ).materialize()
+    p = sim.SQ8Params.train(aug)
+    codes = sim.sq8_encode(aug, p).materialize()
+    q = np.array(head["embedding"].to_pylist(), dtype=np.float64)
+    top = sim.sq8_topk(codes, p, q, k=10, exact_rerank_ds=aug, rerank_depth=64).to_pandas()
+    for qi, orig in enumerate(head["vec_id"].to_pylist()):
+        cand = top[(top["query_id"] == qi) & (top["vec_id"] >= 100_000)]
+        assert int(cand.iloc[0]["vec_id"]) == orig + 100_000
+        assert cand.iloc[0]["score"] == 1.0
