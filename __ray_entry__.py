@@ -4650,6 +4650,19 @@ def _q_sq8_ann_planted(sf_dir: str):
     return pd.DataFrame(rows).sort_values("vec_a").reset_index(drop=True)
 
 
+def _q_trailing_window_events(sf_dir: str):
+    """Time-RANGE trailing-window aggregates (1 hour) per user — SQL RANGE
+    BETWEEN INTERVAL frames over exact-cent units; the pinned-sorted-block
+    plan with a time-bounded (ts, unit) carry. Requires unique (user, ts)."""
+    import ray.data
+
+    from orc_format_ray.ops.windows import trailing_window_agg
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+    out = trailing_window_agg(ds, window_us=3_600_000_000).to_pandas()
+    return out.sort_values(["user_id", "ts_us"]).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
     # (VERDICT r3 "What's wrong" #2), so the window below is curated for
@@ -4875,6 +4888,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_agg_events": _q_incremental_agg_events,
         "triangle_count_lineitem": _q_triangle_count_lineitem,
         "sq8_ann_planted": _q_sq8_ann_planted,
+        "trailing_window_events": _q_trailing_window_events,
     }
 
 
@@ -6428,5 +6442,15 @@ def oracle_sql() -> dict[str, str]:
         "sq8_ann_planted": (
             "SELECT vec_id AS vec_a, vec_id + 100000 AS vec_b FROM embeddings "
             "WHERE vec_id < 5 ORDER BY vec_a"
+        ),
+        # event-time RANGE frame over exact cents (HUGEINT sum cast back)
+        "trailing_window_events": (
+            "WITH u AS (SELECT user_id, ts, CAST(floor(value*100 + 0.5) AS BIGINT) AS c FROM events) "
+            "SELECT user_id, epoch_us(ts) AS ts_us, "
+            "CAST(count(*) OVER w AS BIGINT) AS w_cnt, "
+            "CAST(sum(c) OVER w AS BIGINT) AS w_sum "
+            "FROM u WINDOW w AS (PARTITION BY user_id ORDER BY ts "
+            "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) "
+            "ORDER BY user_id, ts_us"
         ),
     }

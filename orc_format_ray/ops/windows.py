@@ -1655,3 +1655,168 @@ def lag_autocorr(ds, key: str = "event_type", order_col: str = "ts",
         r = (nf * sxyf - sxf * syf) / (np.sqrt(nf * sxxf - sxf * sxf) * np.sqrt(nf * syyf - syf * syf))
         rows.append((k, n, float(r)))
     return pd.DataFrame(rows, columns=[key, "n", "r"])
+
+
+def trailing_window_agg(ds, key: str = "user_id", order_col: str = "ts",
+                        value_col: str = "value", value_scale: int = 100,
+                        window_us: int = 3_600_000_000, max_window_rows: int = 4096):
+    """Time-RANGE trailing-window aggregates per key: SQL ``count/sum OVER
+    (PARTITION BY key ORDER BY order_col RANGE BETWEEN INTERVAL window
+    PRECEDING AND CURRENT ROW)`` over exact integer units — the event-time
+    companion to ``moving_agg``'s ROWS frames (a row's frame is every
+    same-key row with ``ts in [ts_i - window_us, ts_i]``, however many
+    that is). Returns a Dataset of ``(key, ts_us, w_cnt, w_sum)``.
+
+    Same metadata-only pinned-sorted-block plan as ``moving_agg``, with a
+    time-bounded carry: pass A ships per (block, key) the row count the
+    block adds and the key's trailing ``(ts, unit)`` pairs newer than
+    ``last_ts - window_us`` (everything any LATER row can reach back for —
+    later rows have ts >= last_ts, so their window starts >= last_ts -
+    window_us); the driver folds per-key carries in block order (pruning
+    by the same rule, size guarded at ``max_window_rows``); pass B
+    re-reads the SAME pinned blocks, prepends each segment's carry, and
+    answers every row with one cumsum + searchsorted (window start is
+    INCLUSIVE, matching SQL RANGE ... PRECEDING).
+
+    ``(key, order_col)`` must be globally unique (with RANGE frames a tie
+    would also make two rows peers — the loud guard protects both rules);
+    null values fail loudly.
+    """
+    import numpy as np
+    import ray
+
+    if window_us < 0:
+        raise ValueError(f"window_us must be non-negative, got {window_us}")
+
+    def to_meta(batch: pa.Table) -> pa.Table:
+        ous = batch[order_col].cast(pa.timestamp("us")).cast(pa.int64())
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        if batch[value_col].null_count or np.isnan(v).any():
+            raise ValueError(f"{value_col!r} must be non-null for the trailing window")
+        units = np.floor(v * value_scale + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "k": batch[key].cast(pa.int64()),
+                "o": ous,
+                "v": pa.array(units, pa.int64()),
+            }
+        )
+
+    meta = ds.map_batches(to_meta, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    pinned = meta.sort(["k", "o"]).materialize()
+
+    def block_partials(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "blo_k": pa.array([], pa.int64()),
+                "blo_o": pa.array([], pa.int64()),
+                "k": pa.array([], pa.int64()),
+                "cnt": pa.array([], pa.int64()),
+                "tail_t": pa.array([], pa.list_(pa.int64())),
+                "tail_v": pa.array([], pa.list_(pa.int64())),
+            }
+        )
+        if not batch.num_rows:
+            return empty
+        k = batch["k"].to_numpy(zero_copy_only=False)
+        o = batch["o"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        starts = np.concatenate(([0], np.flatnonzero(k[1:] != k[:-1]) + 1))
+        ends = np.concatenate((starts[1:], [len(k)]))
+        tt, tv = [], []
+        for s, e in zip(starts, ends):
+            seg_t = o[s:e]
+            if len(seg_t) > 1 and (np.diff(seg_t) <= 0).any():
+                raise ValueError("trailing_window_agg: duplicate (key, order_col) — RANGE peers are ambiguous")
+            keep = seg_t >= seg_t[-1] - window_us
+            tt.append(seg_t[keep].tolist())
+            tv.append(v[s:e][keep].tolist())
+        return pa.table(
+            {
+                "blo_k": pa.array(np.full(len(starts), k[0]), pa.int64()),
+                "blo_o": pa.array(np.full(len(starts), o[0]), pa.int64()),
+                "k": pa.array(k[starts], pa.int64()),
+                "cnt": pa.array(ends - starts, pa.int64()),
+                "tail_t": pa.array(tt, pa.list_(pa.int64())),
+                "tail_v": pa.array(tv, pa.list_(pa.int64())),
+            }
+        )
+
+    parts = pinned.map_batches(
+        block_partials, batch_size=None, batch_format="pyarrow", zero_copy_batch=True, **remote_args()
+    ).to_pandas()
+    blocks: dict[tuple[int, int], list] = {}
+    for blo_k, blo_o, k, cnt, tail_t, tail_v in parts.itertuples(index=False):
+        blocks.setdefault((int(blo_k), int(blo_o)), []).append(
+            (int(k), int(cnt), list(tail_t), list(tail_v))
+        )
+    order = sorted(blocks)
+    for a, b in zip(order, order[1:]):
+        if blocks[a][-1][0] > b[0]:
+            raise ValueError("sorted metadata blocks overlap — sort produced non-disjoint ranges")
+    # per-key carry: (ts, unit) pairs any later block might still reach
+    acc: dict[int, tuple[list, list]] = {}
+    bases: dict[tuple[int, int], dict[int, tuple[list, list]]] = {}
+    for lo in order:
+        snap = {k: acc.get(k, ([], [])) for k, _, _, _ in blocks[lo]}
+        bases[lo] = snap
+        for k, _cnt, tail_t, tail_v in blocks[lo]:
+            pt, pv = acc.get(k, ([], []))
+            if pt and tail_t and pt[-1] >= tail_t[0]:
+                raise ValueError("trailing_window_agg: block carries out of order — duplicate (key, ts)?")
+            nt, nv = pt + tail_t, pv + tail_v
+            if tail_t:
+                cut = tail_t[-1] - window_us
+                first = 0
+                while first < len(nt) and nt[first] < cut:
+                    first += 1
+                nt, nv = nt[first:], nv[first:]
+            if len(nt) > max_window_rows:
+                raise ValueError(
+                    f"trailing_window_agg: {len(nt)} rows inside one window exceed "
+                    f"max_window_rows={max_window_rows} — widen the guard or narrow the window"
+                )
+            acc[k] = (nt, nv)
+    bases_ref = ray.put(bases)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                key: pa.array([], pa.int64()),
+                "ts_us": pa.array([], pa.int64()),
+                "w_cnt": pa.array([], pa.int64()),
+                "w_sum": pa.array([], pa.int64()),
+            }
+        )
+        if not batch.num_rows:
+            return empty
+        base = ray.get(bases_ref)[(batch["k"][0].as_py(), batch["o"][0].as_py())]
+        k = batch["k"].to_numpy(zero_copy_only=False)
+        o = batch["o"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        starts = np.concatenate(([0], np.flatnonzero(k[1:] != k[:-1]) + 1))
+        ends = np.concatenate((starts[1:], [len(k)]))
+        out_cnt = np.empty(len(k), dtype=np.int64)
+        out_sum = np.empty(len(k), dtype=np.int64)
+        for s, e in zip(starts, ends):
+            ct, cv = base[int(k[s])]
+            ext_t = np.concatenate((np.asarray(ct, np.int64), o[s:e]))
+            ext_v = np.concatenate((np.asarray(cv, np.int64), v[s:e]))
+            m = len(ct)
+            csum = np.concatenate(([0], np.cumsum(ext_v)))
+            idx = m + np.arange(e - s, dtype=np.int64)
+            w_start = np.searchsorted(ext_t, o[s:e] - window_us, side="left")
+            out_cnt[s:e] = idx + 1 - w_start
+            out_sum[s:e] = csum[idx + 1] - csum[w_start]
+        return pa.table(
+            {
+                key: pa.array(k, pa.int64()),
+                "ts_us": pa.array(o, pa.int64()),
+                "w_cnt": pa.array(out_cnt, pa.int64()),
+                "w_sum": pa.array(out_sum, pa.int64()),
+            }
+        )
+
+    return pinned.map_batches(
+        finish, batch_size=None, batch_format="pyarrow", zero_copy_batch=True, **remote_args()
+    )

@@ -421,3 +421,60 @@ def test_sq8_planted_duplicates_exact_after_rerank(ray_session):
         cand = top[(top["query_id"] == qi) & (top["vec_id"] >= 100_000)]
         assert int(cand.iloc[0]["vec_id"]) == orig + 100_000
         assert cand.iloc[0]["score"] == 1.0
+
+
+# ------------------------------------------------ trailing RANGE window
+
+
+def test_trailing_window_agg_vs_sql(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.windows import trailing_window_agg
+
+    ds = ray.data.read_parquet(f"{SF}/events.parquet", columns=["user_id", "ts", "value"])
+    got = (
+        trailing_window_agg(ds.repartition(9), window_us=3_600_000_000)
+        .to_pandas().sort_values(["user_id", "ts_us"]).reset_index(drop=True)
+    )
+    want = _con().execute(
+        """
+        WITH u AS (SELECT user_id, ts, CAST(floor(value*100 + 0.5) AS BIGINT) AS c FROM events)
+        SELECT user_id, epoch_us(ts) AS ts_us,
+          CAST(count(*) OVER w AS BIGINT) AS w_cnt,
+          CAST(sum(c) OVER w AS BIGINT) AS w_sum
+        FROM u WINDOW w AS (PARTITION BY user_id ORDER BY ts
+          RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, ts_us
+        """
+    ).fetchdf()
+    for c in want.columns:
+        want[c] = want[c].astype("int64")
+    _assert_frames_equal(got, want)
+
+
+def test_trailing_window_agg_carry_across_blocks(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.windows import trailing_window_agg
+
+    # one key, many tiny blocks: every window straddles block boundaries
+    n = 200
+    df = pd.DataFrame({
+        "user_id": np.zeros(n, dtype=np.int64),
+        "ts": pd.to_datetime(np.arange(n) * 1_000_000, unit="us"),
+        "value": np.arange(n, dtype=np.float64) / 100.0,  # units = row index
+    })
+    ds = ray.data.from_pandas(df).repartition(23)
+    out = trailing_window_agg(ds, window_us=5_000_000).to_pandas().sort_values("ts_us")
+    # window = trailing 5 seconds + current = up to 6 rows at 1s cadence
+    expect_cnt = np.minimum(np.arange(n) + 1, 6)
+    assert out["w_cnt"].tolist() == expect_cnt.tolist()
+    i = np.arange(n)
+    lo = np.maximum(i - 5, 0)
+    expect_sum = (i * (i + 1)) // 2 - (lo * (lo - 1)) // 2 - lo * 0  # sum lo..i
+    expect_sum = np.array([np.arange(l, j + 1).sum() for l, j in zip(lo, i)])
+    assert out["w_sum"].tolist() == expect_sum.tolist()
+    # duplicate (key, ts) rejected loudly
+    dup = pd.concat([df.iloc[:3], df.iloc[2:3]], ignore_index=True)
+    with pytest.raises(Exception):
+        trailing_window_agg(ray.data.from_pandas(dup), window_us=5_000_000).to_pandas()
