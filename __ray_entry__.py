@@ -4663,6 +4663,19 @@ def _q_trailing_window_events(sf_dir: str):
     return out.sort_values(["user_id", "ts_us"]).reset_index(drop=True)
 
 
+def _q_tfidf_terms_sources(sf_dir: str):
+    """Per-source TF-IDF signature terms (top 5): exact-int tf/df, score =
+    CAST(tf AS DOUBLE) * ln(ns/df) with libm ln per distinct df (the BM25
+    rule) — bitwise vs SQL. Bucketed word fold; raw text never shuffles."""
+    import ray.data
+
+    from orc_format_ray.ops.text import tfidf_top_terms
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    out = tfidf_top_terms(ds, k=5).to_pandas()
+    return out.reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
     # (VERDICT r3 "What's wrong" #2), so the window below is curated for
@@ -4889,6 +4902,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_count_lineitem": _q_triangle_count_lineitem,
         "sq8_ann_planted": _q_sq8_ann_planted,
         "trailing_window_events": _q_trailing_window_events,
+        "tfidf_terms_sources": _q_tfidf_terms_sources,
     }
 
 
@@ -6452,5 +6466,20 @@ def oracle_sql() -> dict[str, str]:
             "FROM u WINDOW w AS (PARTITION BY user_id ORDER BY ts "
             "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) "
             "ORDER BY user_id, ts_us"
+        ),
+        # TF-IDF: exact-int tf/df, ln via libm on the mirrored expression
+        "tfidf_terms_sources": (
+            "WITH w AS (SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS word "
+            "FROM documents WHERE trim(text) <> ''), "
+            "c AS (SELECT source, word, CAST(count(*) AS BIGINT) AS tf FROM w GROUP BY 1, 2), "
+            "d AS (SELECT word, CAST(count(*) AS BIGINT) AS df "
+            "FROM (SELECT DISTINCT source, word FROM w) GROUP BY 1), "
+            "n AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS ns FROM documents), "
+            "s AS (SELECT c.source, c.word, c.tf, d.df, "
+            "CAST(c.tf AS DOUBLE) * ln(CAST(ns AS DOUBLE) / d.df) AS score "
+            "FROM c JOIN d USING (word), n), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY score DESC, word) rn FROM s) "
+            "SELECT source, word, tf, df, score FROM r WHERE rn <= 5 "
+            "ORDER BY source, score DESC, word"
         ),
     }

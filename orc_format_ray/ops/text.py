@@ -432,6 +432,90 @@ def vocab_topk_by_group(ds, k: int = 5, group: str = "source", column: str = "te
     return pa.Table.from_pandas(df[[group, "rank", "word", "cnt"]], preserve_index=False)
 
 
+def tfidf_top_terms(ds, k: int = 5, group: str = "source", column: str = "text",
+                    num_buckets: int = 128) -> pa.Table:
+    """Per-group TF-IDF signature terms: score(word, g) = tf(word, g) *
+    ln(n_groups / df(word)) — the classic "what words characterize this
+    source" report (df counts GROUPS containing the word, so corpus-wide
+    boilerplate scores 0). Returns a pyarrow Table (group, word, tf, df,
+    score) with the top ``k`` terms per group by (score DESC, word ASC).
+
+    Bitwise SQL parity: tf/df/n_groups are exact ints; the score is the
+    mirrored expression CAST(tf AS DOUBLE) * ln(CAST(n AS DOUBLE) / df)
+    with ln via ``math.log`` per distinct df (the BM25 libm rule — never
+    np.log's SIMD path).
+
+    Plan: per-batch (group, word, cnt) Arrow partials (the
+    `vocab_topk_by_group` combiner — raw text never shuffles); ONE
+    ``groupby(bucket)`` (bucket = content_hash(word) mod num_buckets)
+    folds each bucket VECTORIZED in pandas — cross-batch tf re-agg, df =
+    per-word distinct-group count (every occurrence of a word lands in
+    one bucket), score; then per-block per-group top-k partials and a
+    tiny driver fold."""
+    import math
+
+    import pandas as pd
+
+    from .._rayutil import remote_args
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    n_groups = ds.groupby(group).count().count()
+    if n_groups == 0:
+        return pa.table({group: pa.array([], pa.string()), "word": pa.array([], pa.string()),
+                         "tf": pa.array([], pa.int64()), "df": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        grp, words = split_nonempty_docs(batch, column, id_col=group)
+        counts = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table(
+            {
+                group: grp.take(pa.array(np.repeat(np.arange(len(counts)), counts), pa.int64())),
+                "word": words.flatten(),
+            }
+        )
+        agg = t.group_by([group, "word"]).aggregate([("word", "count")])
+        bucket = (content_hash(agg["word"].combine_chunks()) % np.uint64(num_buckets)).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(bucket, pa.int64()),
+            group: agg[group],
+            "word": agg["word"],
+            "cnt": agg["word_count"].cast(pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+
+    def bucket_fold(g: pd.DataFrame) -> pd.DataFrame:
+        tf = g.groupby(["word", group], as_index=False)["cnt"].sum().rename(columns={"cnt": "tf"})
+        df_ = tf.groupby("word")[group].transform("count").to_numpy().astype(np.int64)
+        idf = {int(d): math.log(float(n_groups) / float(d)) for d in np.unique(df_)}
+        tf["df"] = df_
+        tf["tf"] = tf["tf"].astype("int64")
+        tf["score"] = tf["tf"].to_numpy().astype(np.float64) * np.array([idf[int(d)] for d in df_])
+        return tf[[group, "word", "tf", "df", "score"]]
+
+    scored = parts.groupby("bucket").map_groups(bucket_fold, batch_format="pandas", **remote_args())
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        df = batch.to_pandas()
+        df = df.sort_values(["score", "word"], ascending=[False, True]).groupby(group, sort=False).head(k)
+        return pa.Table.from_pandas(df, schema=batch.schema, preserve_index=False)
+
+    tops = scored.map_batches(block_topk, batch_format="pyarrow", **remote_args())
+    blocks = list(tops.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    if not blocks:
+        return pa.table({group: pa.array([], pa.string()), "word": pa.array([], pa.string()),
+                         "tf": pa.array([], pa.int64()), "df": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
+    out: pd.DataFrame = pa.concat_tables(blocks).to_pandas()
+    out = out.sort_values(["score", "word"], ascending=[False, True]).groupby(group, sort=False).head(k)
+    out = out.sort_values([group, "score", "word"], ascending=[True, False, True]).reset_index(drop=True)
+    return pa.Table.from_pandas(out[[group, "word", "tf", "df", "score"]], preserve_index=False)
+
+
 # ------------------------------------------------------------- PII redaction
 
 # RE2 syntax, shared verbatim by pyarrow.compute (RE2) and DuckDB (also

@@ -478,3 +478,36 @@ def test_trailing_window_agg_carry_across_blocks(ray_session):
     dup = pd.concat([df.iloc[:3], df.iloc[2:3]], ignore_index=True)
     with pytest.raises(Exception):
         trailing_window_agg(ray.data.from_pandas(dup), window_us=5_000_000).to_pandas()
+
+
+# ------------------------------------------------------------------ TF-IDF
+
+
+def test_tfidf_top_terms_vs_sql(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.text import tfidf_top_terms
+
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["source", "text"])
+    got = tfidf_top_terms(ds.repartition(7), k=5).to_pandas()
+    want = _con().execute(
+        r"""
+        WITH w AS (SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS word
+          FROM documents WHERE trim(text) <> ''),
+        c AS (SELECT source, word, CAST(count(*) AS BIGINT) AS tf FROM w GROUP BY 1, 2),
+        d AS (SELECT word, CAST(count(*) AS BIGINT) AS df
+          FROM (SELECT DISTINCT source, word FROM w) GROUP BY 1),
+        n AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS ns FROM documents),
+        s AS (SELECT c.source, c.word, c.tf, d.df,
+          CAST(c.tf AS DOUBLE) * ln(CAST(ns AS DOUBLE) / d.df) AS score
+          FROM c JOIN d USING (word), n),
+        r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY score DESC, word) rn FROM s)
+        SELECT source, word, tf, df, score FROM r WHERE rn <= 5
+        ORDER BY source, score DESC, word
+        """
+    ).fetchdf()
+    for c in ("tf", "df"):
+        want[c] = want[c].astype("int64")
+    _assert_frames_equal(got, want)
+    # corpus-wide words (df == n_groups) score exactly 0
+    assert (got.loc[got["df"] == got["df"].max(), "score"] >= 0).all()
