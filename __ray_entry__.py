@@ -4676,6 +4676,23 @@ def _q_tfidf_terms_sources(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def _q_hll_overlap_events(sf_dir: str):
+    """Rows-only: pairwise distinct-user overlap between event types by
+    HLL sketch algebra (union = register max, intersection by inclusion-
+    exclusion) — |groups| x 2^p bytes total state, values never shuffle.
+    Accuracy and layout-invariance pinned in pytest; no SQL replays the
+    registers."""
+    import ray.data
+
+    from orc_format_ray.ops.sketch import hll_overlap_matrix
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    out = hll_overlap_matrix(ds, "event_type", "user_id")
+    for c in ("est_a", "est_b", "est_union", "est_intersection", "jaccard_est"):
+        out[c] = np.round(out[c].astype("float64"), 4)
+    return out.sort_values(["group_a", "group_b"]).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
     # (VERDICT r3 "What's wrong" #2), so the window below is curated for
@@ -4903,6 +4920,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sq8_ann_planted": _q_sq8_ann_planted,
         "trailing_window_events": _q_trailing_window_events,
         "tfidf_terms_sources": _q_tfidf_terms_sources,
+        "hll_overlap_events": _q_hll_overlap_events,
     }
 
 

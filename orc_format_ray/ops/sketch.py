@@ -524,3 +524,60 @@ def countmin_estimate(sk: CountMin, items: pa.Array) -> np.ndarray:
     if isinstance(items, pa.ChunkedArray):
         items = items.combine_chunks()
     return sk.estimate_hashes(_column_hashes(pa.chunked_array([items])))
+
+
+def hll_by_group(ds, group: str, col: str, p: int = 14) -> dict:
+    """Per-group HLL register sets (the reusable state behind
+    `approx_ndistinct_by_group` and `hll_overlap_matrix`): one 2^p-byte
+    register row per (block, group) moves, never the values; the driver
+    max-folds per group. Returns {group_value: HLL} — layout- and
+    cluster-size-invariant (register max is commutative/idempotent)."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h_all = _column_hashes(batch[col])
+        gs = batch[group].to_pandas()
+        groups, regs = [], []
+        for gval, idx in gs.groupby(gs, sort=True).groups.items():
+            h = HLL(p).update_hashes(h_all[np.asarray(idx, dtype=np.int64)])
+            groups.append(gval)
+            regs.append(h.registers)
+        return pa.table({"g": pa.array(groups), "regs": pa.array(regs, pa.list_(pa.uint8()))})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args()).take_all()
+    out: dict = {}
+    for row in rows:
+        h = out.setdefault(row["g"], HLL(p))
+        h.registers = np.maximum(h.registers, np.asarray(row["regs"], dtype=np.uint8))
+    return out
+
+
+def hll_overlap_matrix(ds, group: str, col: str, p: int = 14):
+    """Pairwise distinct-value overlap between groups WITHOUT shuffling the
+    values: per-group HLLs fold once (fixed-size state), then every pair
+    answers by sketch algebra — est(A ∪ B) from the register max,
+    est(A ∩ B) by inclusion-exclusion, Jaccard from the two. The exact
+    plan (`key_set_op` / distinct-pair groupby) ships every (group, value)
+    cell; this ships |groups| * 2^p bytes TOTAL, the only plan that still
+    fits when values are unbounded (e.g. user overlap across 10^5 shards).
+    Estimates are approximate (rows-only oracle; accuracy pinned in
+    pytest) but layout-invariant. Returns a pandas DataFrame
+    (group_a, group_b, est_a, est_b, est_union, est_intersection,
+    jaccard_est) for group_a < group_b."""
+    import pandas as pd
+
+    sketches = hll_by_group(ds, group, col, p=p)
+    names = sorted(sketches)
+    rows = []
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            ea, eb = sketches[a].estimate(), sketches[b].estimate()
+            eu = sketches[a].merge(sketches[b]).estimate()
+            inter = max(ea + eb - eu, 0.0)
+            rows.append({
+                "group_a": a, "group_b": b,
+                "est_a": ea, "est_b": eb, "est_union": eu,
+                "est_intersection": inter,
+                "jaccard_est": inter / eu if eu > 0 else 0.0,
+            })
+    return pd.DataFrame(rows)

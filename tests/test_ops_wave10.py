@@ -511,3 +511,34 @@ def test_tfidf_top_terms_vs_sql(ray_session):
     _assert_frames_equal(got, want)
     # corpus-wide words (df == n_groups) score exactly 0
     assert (got.loc[got["df"] == got["df"].max(), "score"] >= 0).all()
+
+
+# ------------------------------------------------------ HLL overlap matrix
+
+
+def test_hll_overlap_matrix_accuracy_and_invariance(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.sketch import hll_overlap_matrix
+
+    ds = ray.data.read_parquet(f"{SF}/events.parquet", columns=["event_type", "user_id"])
+    m1 = hll_overlap_matrix(ds.repartition(3), "event_type", "user_id")
+    m2 = hll_overlap_matrix(ds.repartition(17), "event_type", "user_id")
+    # layout-invariant: register max is commutative/idempotent
+    pd.testing.assert_frame_equal(m1, m2)
+
+    exact = _con().execute(
+        """
+        WITH p AS (SELECT DISTINCT event_type, user_id FROM events)
+        SELECT a.event_type AS ga, b.event_type AS gb,
+          CAST(count(*) AS BIGINT) AS inter
+        FROM p a JOIN p b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+        """
+    ).fetchdf()
+    ex = {(r.ga, r.gb): int(r.inter) for r in exact.itertuples()}
+    for r in m1.itertuples():
+        true = ex.get((r.group_a, r.group_b), 0)
+        # tiny cardinalities ride linear counting: estimates land within 5%+2
+        assert abs(r.est_intersection - true) <= 0.05 * max(true, 1) + 2, (r, true)
+        assert 0.0 <= r.jaccard_est <= 1.0
