@@ -4693,6 +4693,34 @@ def _q_hll_overlap_events(sf_dir: str):
     return out.sort_values(["group_a", "group_b"]).reset_index(drop=True)
 
 
+def _q_kcore_lineitem(sf_dir: str):
+    """Rows-only: 4-core of the derived lineitem graph (iterative peeling
+    is not SQL-expressible; pinned in pytest against an exact local peel).
+    One degree groupby + one broadcast filter per round; state repartitions
+    every round (the iterative-Dataset invariant)."""
+    import ray.data
+
+    from orc_format_ray.ops.graph import kcore
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        o = b["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = b["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (o + p) % 5 == 0
+        return pa.table({"src": pa.array(o[keep] % 499, pa.int64()),
+                         "dst": pa.array(p[keep] % 499, pa.int64())})
+
+    ed = li.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True, **_ra())
+    out = kcore(ed, k=4).to_pandas()
+    if out.empty:
+        import pandas as pd
+
+        return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                             "degree": pd.Series([], dtype="int64")})
+    return out.sort_values("node").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
     # (VERDICT r3 "What's wrong" #2), so the window below is curated for
@@ -4921,6 +4949,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trailing_window_events": _q_trailing_window_events,
         "tfidf_terms_sources": _q_tfidf_terms_sources,
         "hll_overlap_events": _q_hll_overlap_events,
+        "kcore_lineitem": _q_kcore_lineitem,
     }
 
 

@@ -230,3 +230,75 @@ def triangle_count(edges_ds, src: str = "src", dst: str = "dst",
         .map_groups(bucket_close, batch_format="pandas", **remote_args())
     )
     return closed.groupby("node").aggregate(Sum("n", alias_name="n_triangles"))
+
+
+def kcore(edges_ds, k: int, src: str = "src", dst: str = "dst",
+          max_iters: int = 200, max_broadcast_nodes: int = 1 << 24):
+    """k-core decomposition: iteratively peel nodes of degree < k until the
+    survivor graph is stable — the standard community/spam-core filter.
+    Returns a Dataset of ``(node, degree)`` for the k-core members
+    (degree measured INSIDE the core). Iterative peeling is not
+    SQL-expressible; pin with an exact local recompute.
+
+    Plan: symmetric (node, nbr) rows dedupe once and materialize; each
+    round is ONE metadata groupby (degrees) + one broadcast filter (the
+    peeled-node set ships via ray.put, guarded by ``max_broadcast_nodes``
+    — beyond that swap in the sharded survivor filter of ops/dedup.py).
+    The state table REPARTITIONS every round before materialize (the
+    iterative-Dataset invariant: groupby outputs compound block counts
+    ~4x/round otherwise). Converges in <= max_iters rounds or fails
+    loudly."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Count
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def sym(batch: pa.Table) -> pa.Table:
+        s = batch[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        a = np.minimum(s, d)
+        b = np.maximum(s, d)
+        u = np.unique(np.stack([a, b], axis=1), axis=0)
+        both = np.concatenate([u, u[:, ::-1]], axis=0)
+        return pa.table({"node": pa.array(both[:, 0], pa.int64()),
+                         "nbr": pa.array(both[:, 1], pa.int64())})
+
+    state = (
+        edges_ds.map_batches(sym, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby("node").map_groups(lambda g: g.drop_duplicates(), batch_format="pandas", **remote_args())
+        .map_batches(lambda t: t, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .materialize()
+    )
+    n_blocks = max(state.num_blocks(), 1)
+    empty = pa.table({"node": pa.array([], pa.int64()), "degree": pa.array([], pa.int64())})
+    for _ in range(max_iters):
+        if state.count() == 0:
+            return ray.data.from_arrow(empty)
+        deg = state.groupby("node").aggregate(Count(alias_name="deg")).to_pandas()
+        weak = deg.loc[deg["deg"] < k, "node"].to_numpy(np.int64)
+        if len(weak) == 0:
+            out = deg.rename(columns={"deg": "degree"})
+            out["node"] = out["node"].astype("int64")
+            out["degree"] = out["degree"].astype("int64")
+            return ray.data.from_pandas(out)
+        if len(weak) > max_broadcast_nodes:
+            raise ValueError(f"kcore: {len(weak)} peeled nodes exceed max_broadcast_nodes")
+        weak_ref = ray.put(np.sort(weak))
+
+        def peel(batch: pa.Table) -> pa.Table:
+            w = ray.get(weak_ref)
+            nodes = batch["node"].to_numpy(zero_copy_only=False)
+            nbrs = batch["nbr"].to_numpy(zero_copy_only=False)
+            keep = ~(np.isin(nodes, w) | np.isin(nbrs, w))
+            return batch.filter(pa.array(keep))
+
+        state = (
+            state.map_batches(peel, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+            .repartition(n_blocks)
+            .materialize()
+        )
+    raise ValueError(f"kcore: did not converge in {max_iters} rounds")

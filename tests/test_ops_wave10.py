@@ -542,3 +542,60 @@ def test_hll_overlap_matrix_accuracy_and_invariance(ray_session):
         # tiny cardinalities ride linear counting: estimates land within 5%+2
         assert abs(r.est_intersection - true) <= 0.05 * max(true, 1) + 2, (r, true)
         assert 0.0 <= r.jaccard_est <= 1.0
+
+
+# -------------------------------------------------------------------- k-core
+
+
+def _peel_exact(pairs: set, k: int) -> dict:
+    """Reference k-core by naive peeling over a canonical edge set."""
+    adj: dict = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for m in adj.pop(n):
+                    adj[m].discard(n)
+                changed = True
+    return {n: len(s) for n, s in adj.items()}
+
+
+def test_kcore_vs_exact_peel(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.graph import kcore
+
+    # K4 (nodes 0-3) + a tail 3-4-5: 3-core is exactly the K4
+    edges = pd.DataFrame({
+        "src": [0, 0, 0, 1, 1, 2, 3, 4],
+        "dst": [1, 2, 3, 2, 3, 3, 4, 5],
+    })
+    out = kcore(ray.data.from_pandas(edges), k=3).to_pandas().sort_values("node")
+    assert out["node"].tolist() == [0, 1, 2, 3]
+    assert out["degree"].tolist() == [3, 3, 3, 3]
+
+    li = ray.data.read_parquet(f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        o = b["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = b["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (o + p) % 5 == 0
+        return pa.table({"src": pa.array(o[keep] % 499, pa.int64()),
+                         "dst": pa.array(p[keep] % 499, pa.int64())})
+
+    ed = li.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+    got = kcore(ed, k=4).to_pandas().sort_values("node").reset_index(drop=True)
+    raw = _con().execute(
+        """SELECT DISTINCT least(l_orderkey % 499, l_partkey % 499) a,
+           greatest(l_orderkey % 499, l_partkey % 499) b FROM lineitem
+           WHERE (l_orderkey + l_partkey) % 5 = 0 AND l_orderkey % 499 <> l_partkey % 499"""
+    ).fetchall()
+    want = _peel_exact({(int(a), int(b)) for a, b in raw}, k=4)
+    assert dict(zip(got["node"], got["degree"])) == want
+    # empty core comes back typed
+    none = kcore(ray.data.from_pandas(edges), k=10).to_pandas()
+    assert len(none) == 0
