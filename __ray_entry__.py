@@ -4694,7 +4694,7 @@ def _q_hll_overlap_events(sf_dir: str):
 
 
 def _q_kcore_lineitem(sf_dir: str):
-    """Rows-only: 4-core of the derived lineitem graph (iterative peeling
+    """Rows-only: 30-core of the derived lineitem graph (iterative peeling
     is not SQL-expressible; pinned in pytest against an exact local peel).
     One degree groupby + one broadcast filter per round; state repartitions
     every round (the iterative-Dataset invariant)."""
@@ -4712,7 +4712,7 @@ def _q_kcore_lineitem(sf_dir: str):
                          "dst": pa.array(p[keep] % 499, pa.int64())})
 
     ed = li.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True, **_ra())
-    out = kcore(ed, k=4).to_pandas()
+    out = kcore(ed, k=30).to_pandas()
     if out.empty:
         import pandas as pd
 
