@@ -4721,6 +4721,21 @@ def _q_kcore_lineitem(sf_dir: str):
     return out.sort_values("node").reset_index(drop=True)
 
 
+def _q_interval_coverage_events(sf_dir: str):
+    """Union-of-intervals coverage per user (30-min event intervals,
+    gaps-and-islands): exact int64 (n_islands, covered_us, span_us).
+    Per-batch vectorized island merge, one per-key fold."""
+    import ray.data
+
+    from orc_format_ray.ops.windows import interval_coverage
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    out = interval_coverage(ds, dur_us=1_800_000_000).to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
     # (VERDICT r3 "What's wrong" #2), so the window below is curated for
@@ -4950,6 +4965,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_terms_sources": _q_tfidf_terms_sources,
         "hll_overlap_events": _q_hll_overlap_events,
         "kcore_lineitem": _q_kcore_lineitem,
+        "interval_coverage_events": _q_interval_coverage_events,
     }
 
 
@@ -6528,5 +6544,18 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY score DESC, word) rn FROM s) "
             "SELECT source, word, tf, df, score FROM r WHERE rn <= 5 "
             "ORDER BY source, score DESC, word"
+        ),
+        # gaps-and-islands: running-max island construction, exact int64
+        "interval_coverage_events": (
+            "WITH iv AS (SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 1800000000 AS e FROM events), "
+            "o AS (SELECT user_id, s, e, max(e) OVER (PARTITION BY user_id ORDER BY s, e "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM iv), "
+            "g AS (SELECT *, sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END) "
+            "OVER (PARTITION BY user_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS isl FROM o), "
+            "m AS (SELECT user_id, isl, min(s) AS s0, max(e) AS e1 FROM g GROUP BY 1, 2) "
+            "SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands, "
+            "CAST(sum(e1 - s0) AS BIGINT) AS covered_us, "
+            "CAST(max(e1) - min(s0) AS BIGINT) AS span_us "
+            "FROM m GROUP BY 1 ORDER BY 1"
         ),
     }

@@ -1820,3 +1820,64 @@ def trailing_window_agg(ds, key: str = "user_id", order_col: str = "ts",
     return pinned.map_batches(
         finish, batch_size=None, batch_format="pyarrow", zero_copy_batch=True, **remote_args()
     )
+
+
+def interval_coverage(ds, key: str = "user_id", order_col: str = "ts",
+                      dur_us: int = 1_800_000_000):
+    """Union-of-intervals coverage per key (gaps-and-islands): each event
+    opens the interval ``[ts, ts + dur_us)``; overlapping or touching
+    intervals merge into islands. Returns a Dataset of ``(key, n_islands,
+    covered_us, span_us)`` — exact int64 end to end (SQL mirror: the
+    classic running-max island construction).
+
+    Plan: per batch, ONE pandas groupby-cummax finds in-batch islands
+    vectorized and emits merged ``(key, s, e)`` island rows (a big batch
+    of back-to-back events collapses to a handful of islands before
+    anything shuffles); one ``groupby(key).map_groups`` merges the
+    per-batch islands (numpy running max — islands per key are bounded by
+    that key's event count, the same bound `sessionize` lives with) and
+    emits the coverage row."""
+    import pandas as pd
+    import numpy as np
+
+    if dur_us <= 0:
+        raise ValueError(f"dur_us must be positive, got {dur_us}")
+
+    def local_islands(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows:
+            return pa.table({key: pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64()),
+                             "e": pa.array([], pa.int64())})
+        s = batch[order_col].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        k = batch[key].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"k": k, "s": s, "e": s + np.int64(dur_us)}).sort_values(["k", "s", "e"])
+        prev_max = df.groupby("k", sort=False)["e"].cummax().shift(1)
+        first = df["k"].ne(df["k"].shift(1))
+        new_isl = (first | (df["s"] > prev_max)).to_numpy()
+        isl = np.cumsum(new_isl)
+        g = df.assign(isl=isl).groupby(["k", "isl"], as_index=False).agg(s=("s", "min"), e=("e", "max"))
+        return pa.table({key: pa.array(g["k"].to_numpy(), pa.int64()),
+                         "s": pa.array(g["s"].to_numpy(), pa.int64()),
+                         "e": pa.array(g["e"].to_numpy(), pa.int64())})
+
+    parts = ds.map_batches(local_islands, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["s", "e"])
+        s = g["s"].to_numpy(np.int64)
+        e = g["e"].to_numpy(np.int64)
+        run_max = np.maximum.accumulate(e)
+        new_isl = np.concatenate(([True], s[1:] > run_max[:-1]))
+        isl = np.cumsum(new_isl) - 1
+        n_isl = int(isl[-1]) + 1
+        s0 = s[np.flatnonzero(new_isl)]  # s sorted: island start = first s
+        e1 = np.zeros(n_isl, dtype=np.int64)
+        np.maximum.at(e1, isl, e)
+        return pd.DataFrame({
+            key: [int(g[key].iloc[0])],
+            "n_islands": [n_isl],
+            "covered_us": [int((e1 - s0).sum())],
+            "span_us": [int(run_max[-1]) - int(s[0])],
+        })
+
+    return parts.groupby(key).map_groups(fold, batch_format="pandas", **remote_args())

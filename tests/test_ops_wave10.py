@@ -599,3 +599,45 @@ def test_kcore_vs_exact_peel(ray_session):
     # empty core comes back typed
     none = kcore(ray.data.from_pandas(edges), k=10).to_pandas()
     assert len(none) == 0
+
+
+# ------------------------------------------------------- interval coverage
+
+
+def test_interval_coverage_vs_sql(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.windows import interval_coverage
+
+    D = 1_800_000_000
+    ds = ray.data.read_parquet(f"{SF}/events.parquet", columns=["user_id", "ts"])
+    got = (
+        interval_coverage(ds.repartition(9), dur_us=D)
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    )
+    want = _con().execute(
+        f"""
+        WITH iv AS (SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + {D} AS e FROM events),
+        o AS (SELECT user_id, s, e, max(e) OVER (PARTITION BY user_id ORDER BY s, e
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM iv),
+        g AS (SELECT *, sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS isl FROM o),
+        m AS (SELECT user_id, isl, min(s) AS s0, max(e) AS e1 FROM g GROUP BY 1, 2)
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+          CAST(sum(e1 - s0) AS BIGINT) AS covered_us,
+          CAST(max(e1) - min(s0) AS BIGINT) AS span_us
+        FROM m GROUP BY 1 ORDER BY 1
+        """
+    ).fetchdf()
+    for c in want.columns:
+        want[c] = want[c].astype("int64")
+    _assert_frames_equal(got, want)
+
+    # hand-checked: [0,10) [5,15) merge; [20,30) separate; touching [15,25) merges
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 2],
+        "ts": pd.to_datetime([0, 5, 20, 15], unit="us"),
+    })
+    out = interval_coverage(ray.data.from_pandas(df), dur_us=10).to_pandas().sort_values("user_id")
+    assert out[out.user_id == 1].iloc[0].tolist() == [1, 2, 25, 30]
+    assert out[out.user_id == 2].iloc[0].tolist() == [2, 1, 10, 10]
