@@ -4736,6 +4736,21 @@ def _q_interval_coverage_events(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def _q_bipartite_projection_suppliers(sf_dir: str):
+    """Supplier co-supply graph: project the (supplier, part) bipartite
+    table onto suppliers — weight = shared parts. Distinct cells dedupe
+    once; hot-right-node guarded pair fan-out; packed-pair bucket sum."""
+    import ray.data
+
+    from orc_format_ray.ops.graph import bipartite_projection
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_partkey"])
+    out = bipartite_projection(li, left="l_suppkey", right="l_partkey").to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
     # (VERDICT r3 "What's wrong" #2), so the window below is curated for
@@ -4966,6 +4981,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_overlap_events": _q_hll_overlap_events,
         "kcore_lineitem": _q_kcore_lineitem,
         "interval_coverage_events": _q_interval_coverage_events,
+        "bipartite_projection_suppliers": _q_bipartite_projection_suppliers,
     }
 
 
@@ -6557,5 +6573,12 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(e1 - s0) AS BIGINT) AS covered_us, "
             "CAST(max(e1) - min(s0) AS BIGINT) AS span_us "
             "FROM m GROUP BY 1 ORDER BY 1"
+        ),
+        # bipartite projection: distinct-cell self-join, a < b
+        "bipartite_projection_suppliers": (
+            "WITH c AS (SELECT DISTINCT l_partkey AS r, l_suppkey AS l FROM lineitem), "
+            "p AS (SELECT a.l AS a, b.l AS b, CAST(count(*) AS BIGINT) AS weight "
+            "FROM c a JOIN c b ON a.r = b.r AND a.l < b.l GROUP BY 1, 2) "
+            "SELECT a, b, weight FROM p ORDER BY a, b"
         ),
     }

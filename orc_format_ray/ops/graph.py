@@ -302,3 +302,58 @@ def kcore(edges_ds, k: int, src: str = "src", dst: str = "dst",
             .materialize()
         )
     raise ValueError(f"kcore: did not converge in {max_iters} rounds")
+
+
+def bipartite_projection(edges_ds, left: str = "src", right: str = "dst",
+                         max_right_degree: int = 1 << 12, num_buckets: int = 256):
+    """Project a bipartite edge table onto its LEFT node set: emit one
+    ``(a, b, weight)`` row per left pair ``a < b`` sharing >= 1 right
+    neighbor, weight = number of shared rights (the co-purchase /
+    co-occurrence graph builder — feeds `triangle_count` / `kcore` /
+    `pagerank`). Left and right ids live in separate id spaces.
+
+    Plan: distinct ``(right, left)`` cells dedupe once; ``groupby(right)``
+    emits each right node's left-pair fan-out (d*(d-1)/2, guarded at
+    ``max_right_degree`` — a hot right node is the classic projection
+    blow-up, drop or sample it first); ONE packed-pair bucket groupby sums
+    weights VECTORIZED. Left ids must be in [0, 2^31) (pair packing)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def canon(batch: pa.Table) -> pa.Table:
+        l = batch[left].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = batch[right].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(l) and (l.min() < 0 or l.max() >= 1 << 31):
+            raise ValueError("bipartite_projection: left ids must be in [0, 2^31)")
+        u = np.unique(np.stack([r, l], axis=1), axis=0)
+        return pa.table({"r": pa.array(u[:, 0], pa.int64()), "l": pa.array(u[:, 1], pa.int64())})
+
+    cells = edges_ds.map_batches(canon, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ls = np.unique(g["l"].to_numpy(np.int64))
+        d = len(ls)
+        if d > max_right_degree:
+            raise ValueError(
+                f"bipartite_projection: right-node degree {d} exceeds max_right_degree={max_right_degree}"
+            )
+        if d < 2:
+            return pd.DataFrame({"bucket": pd.Series(dtype="int64"),
+                                 "pair": pd.Series(dtype="int64"),
+                                 "w": pd.Series(dtype="int64")})
+        i, j = np.triu_indices(d, k=1)
+        pair = (ls[i] << np.int64(32)) | ls[j]
+        return pd.DataFrame({"bucket": pair % np.int64(num_buckets), "pair": pair,
+                             "w": np.ones(len(pair), dtype=np.int64)})
+
+    pair_ds = cells.groupby("r").map_groups(pairs, batch_format="pandas", **remote_args())
+
+    def bucket_sum(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("pair", as_index=False)["w"].sum()
+        return pd.DataFrame({
+            "a": (s["pair"].to_numpy(np.int64) >> 32).astype(np.int64),
+            "b": (s["pair"].to_numpy(np.int64) & ((1 << 32) - 1)).astype(np.int64),
+            "weight": s["w"].to_numpy(np.int64),
+        })
+
+    return pair_ds.groupby("bucket").map_groups(bucket_sum, batch_format="pandas", **remote_args())

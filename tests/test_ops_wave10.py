@@ -641,3 +641,34 @@ def test_interval_coverage_vs_sql(ray_session):
     out = interval_coverage(ray.data.from_pandas(df), dur_us=10).to_pandas().sort_values("user_id")
     assert out[out.user_id == 1].iloc[0].tolist() == [1, 2, 25, 30]
     assert out[out.user_id == 2].iloc[0].tolist() == [2, 1, 10, 10]
+
+
+# ----------------------------------------------------- bipartite projection
+
+
+def test_bipartite_projection_vs_sql(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.graph import bipartite_projection
+
+    li = ray.data.read_parquet(f"{SF}/lineitem.parquet", columns=["l_suppkey", "l_partkey"])
+    got = (
+        bipartite_projection(li.repartition(7), left="l_suppkey", right="l_partkey")
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    want = _con().execute(
+        """
+        WITH c AS (SELECT DISTINCT l_partkey AS r, l_suppkey AS l FROM lineitem),
+        p AS (SELECT a.l AS a, b.l AS b, CAST(count(*) AS BIGINT) AS weight
+              FROM c a JOIN c b ON a.r = b.r AND a.l < b.l GROUP BY 1, 2)
+        SELECT a, b, weight FROM p ORDER BY a, b
+        """
+    ).fetchdf()
+    for c in want.columns:
+        want[c] = want[c].astype("int64")
+    _assert_frames_equal(got, want)
+    # hot-right-node guard fires
+    hot = pd.DataFrame({"src": np.arange(100, dtype=np.int64),
+                        "dst": np.zeros(100, dtype=np.int64)})
+    with pytest.raises(Exception):
+        bipartite_projection(ray.data.from_pandas(hot), max_right_degree=10).to_pandas()
