@@ -4751,6 +4751,28 @@ def _q_bipartite_projection_suppliers(sf_dir: str):
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def _q_referential_audit(sf_dir: str):
+    """FK integrity audit over both TPC-H relations: orphan key/row counts
+    via one metadata groupby per side + a broadcast key probe — neither
+    table's rows shuffle. Exact-int anti-join counts."""
+    import pandas as pd
+    import ray.data
+
+    from orc_format_ray.ops.join import referential_audit
+
+    rows = []
+    for rel, (cf, cp, fk, pk) in {
+        "lineitem_orders": ("lineitem", "orders", "l_orderkey", "o_orderkey"),
+        "orders_customer": ("orders", "customer", "o_custkey", "c_custkey"),
+    }.items():
+        child = ray.data.read_parquet(f"{sf_dir}/{cf}.parquet", columns=[fk])
+        parent = ray.data.read_parquet(f"{sf_dir}/{cp}.parquet", columns=[pk])
+        r = referential_audit(child, parent, fk=fk, pk=pk)
+        r.insert(0, "relation", rel)
+        rows.append(r)
+    return pd.concat(rows, ignore_index=True).sort_values("relation").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
     # (VERDICT r3 "What's wrong" #2), so the window below is curated for
@@ -4982,6 +5004,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore_lineitem": _q_kcore_lineitem,
         "interval_coverage_events": _q_interval_coverage_events,
         "bipartite_projection_suppliers": _q_bipartite_projection_suppliers,
+        "referential_audit_tpch": _q_referential_audit,
     }
 
 
@@ -6580,5 +6603,22 @@ def oracle_sql() -> dict[str, str]:
             "p AS (SELECT a.l AS a, b.l AS b, CAST(count(*) AS BIGINT) AS weight "
             "FROM c a JOIN c b ON a.r = b.r AND a.l < b.l GROUP BY 1, 2) "
             "SELECT a, b, weight FROM p ORDER BY a, b"
+        ),
+        # FK orphan audit: anti-join counts at key and row granularity
+        "referential_audit_tpch": (
+            "SELECT 'lineitem_orders' AS relation, CAST(count(*) AS BIGINT) AS n_child_rows, "
+            "CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_child_keys, "
+            "CAST(count(DISTINCT CASE WHEN o_orderkey IS NULL THEN l_orderkey END) AS BIGINT) AS n_orphan_keys, "
+            "CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_rows "
+            "FROM (SELECT l.l_orderkey, o.o_orderkey FROM lineitem l "
+            "LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey) "
+            "UNION ALL "
+            "SELECT 'orders_customer', CAST(count(*) AS BIGINT), "
+            "CAST(count(DISTINCT o_custkey) AS BIGINT), "
+            "CAST(count(DISTINCT CASE WHEN c_custkey IS NULL THEN o_custkey END) AS BIGINT), "
+            "CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+            "FROM (SELECT o.o_custkey, c.c_custkey FROM orders o "
+            "LEFT JOIN customer c ON o.o_custkey = c.c_custkey) "
+            "ORDER BY relation"
         ),
     }

@@ -779,3 +779,55 @@ def bucketed_join(path_a: str, path_b: str, key: str, how: str = "inner",
     return buckets.repartition(B).map_batches(
         join_bucket, batch_format="pyarrow", **remote_args()
     )
+
+
+def referential_audit(child_ds, parent_ds, fk: str, pk: str,
+                      max_broadcast_keys: int = 1 << 26):
+    """Foreign-key integrity audit: how many child rows / distinct keys
+    point at a parent key that does not exist — the join-planning sanity
+    gate before any FK join ships data. Returns a one-row pandas DataFrame
+    ``(n_child_rows, n_child_keys, n_orphan_keys, n_orphan_rows)``; all
+    exact ints (SQL: the classic anti-join counts).
+
+    Plan: ONE metadata groupby collapses the child to (fk, cnt) cells and
+    one to the parent's distinct keys; the parent key VECTOR broadcasts
+    once (``ray.put``, guarded by ``max_broadcast_keys`` — beyond that use
+    `semi_join_streaming(invert=True)`'s sharded key files) and the child
+    cells probe it with np.isin. Neither table's rows ever shuffle."""
+    import numpy as np
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Count
+
+    child_cells = child_ds.groupby(fk).aggregate(Count(alias_name="__ra_cnt"))
+    parent_keys_ds = parent_ds.groupby(pk).aggregate(Count(alias_name="__ra_p")).select_columns([pk])
+    n_parent = parent_keys_ds.count()
+    if n_parent > max_broadcast_keys:
+        raise ValueError(
+            f"referential_audit: {n_parent} parent keys exceed max_broadcast_keys — "
+            "use semi_join_streaming(invert=True) with sharded key files instead"
+        )
+    pk_tbl = pa.concat_tables(list(parent_keys_ds.iter_batches(batch_size=1 << 20, batch_format="pyarrow")))
+    pkeys = np.sort(pk_tbl[pk].to_numpy(zero_copy_only=False).astype(np.int64)) if pk_tbl.num_rows \
+        else np.zeros(0, np.int64)
+    pk_ref = ray.put(pkeys)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        keys = batch[fk].to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = batch["__ra_cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        known = ray.get(pk_ref)
+        orphan = ~np.isin(keys, known)
+        return pa.table({
+            "ck": pa.array([len(keys)], pa.int64()),
+            "cr": pa.array([int(cnt.sum())], pa.int64()),
+            "ok": pa.array([int(orphan.sum())], pa.int64()),
+            "orr": pa.array([int(cnt[orphan].sum())], pa.int64()),
+        })
+
+    parts = child_cells.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True, **remote_args()).take_all()
+    return pd.DataFrame({
+        "n_child_rows": [sum(int(r["cr"]) for r in parts)],
+        "n_child_keys": [sum(int(r["ck"]) for r in parts)],
+        "n_orphan_keys": [sum(int(r["ok"]) for r in parts)],
+        "n_orphan_rows": [sum(int(r["orr"]) for r in parts)],
+    })

@@ -672,3 +672,35 @@ def test_bipartite_projection_vs_sql(ray_session):
                         "dst": np.zeros(100, dtype=np.int64)})
     with pytest.raises(Exception):
         bipartite_projection(ray.data.from_pandas(hot), max_right_degree=10).to_pandas()
+
+
+# ------------------------------------------------------- referential audit
+
+
+def test_referential_audit(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.join import referential_audit
+
+    li = ray.data.read_parquet(f"{SF}/lineitem.parquet", columns=["l_orderkey"])
+    od = ray.data.read_parquet(f"{SF}/orders.parquet", columns=["o_orderkey"])
+    out = referential_audit(li, od, fk="l_orderkey", pk="o_orderkey")
+    want = _con().execute(
+        """
+        SELECT CAST(count(*) AS BIGINT) AS n_child_rows,
+          CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_child_keys,
+          CAST(count(DISTINCT CASE WHEN o IS NULL THEN l_orderkey END) AS BIGINT) AS n_orphan_keys,
+          CAST(sum(CASE WHEN o IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_rows
+        FROM (SELECT l.l_orderkey, o.o_orderkey AS o FROM lineitem l
+              LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        """
+    ).fetchdf()
+    for c in want.columns:
+        want[c] = want[c].astype("int64")
+    _assert_frames_equal(out, want)
+
+    # planted orphans are counted at both key and row granularity
+    child = ray.data.from_pandas(pd.DataFrame({"fk": [1, 1, 2, 3, 3, 3]}))
+    parent = ray.data.from_pandas(pd.DataFrame({"pk": [1, 2]}))
+    got = referential_audit(child, parent, fk="fk", pk="pk")
+    assert got.iloc[0].tolist() == [6, 3, 1, 3]
