@@ -4773,6 +4773,20 @@ def _q_referential_audit(sf_dir: str):
     return pd.concat(rows, ignore_index=True).sort_values("relation").reset_index(drop=True)
 
 
+def _q_decayed_contributions_events(sf_dir: str):
+    """Recency-weighted per-event contribution TERMS: units * exp(-age_h /
+    24) with integer age hours and libm exp per distinct age — hash-exact
+    per row (the entropy terms-form rule; fold downstream with
+    tolerance)."""
+    import ray.data
+
+    from orc_format_ray.ops.windows import decayed_contributions
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+    out = decayed_contributions(ds, tau_hours=24.0).to_pandas()
+    return out.sort_values(["user_id", "ts_us"]).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
     # (VERDICT r3 "What's wrong" #2), so the window below is curated for
@@ -5005,6 +5019,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_coverage_events": _q_interval_coverage_events,
         "bipartite_projection_suppliers": _q_bipartite_projection_suppliers,
         "referential_audit_tpch": _q_referential_audit,
+        "decayed_contributions_events": _q_decayed_contributions_events,
     }
 
 
@@ -6620,5 +6635,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT o.o_custkey, c.c_custkey FROM orders o "
             "LEFT JOIN customer c ON o.o_custkey = c.c_custkey) "
             "ORDER BY relation"
+        ),
+        # decay terms: integer age hours, libm exp, mirrored expression
+        "decayed_contributions_events": (
+            "WITH t AS (SELECT max(epoch_us(ts)) AS tr FROM events), "
+            "u AS (SELECT user_id, epoch_us(ts) AS ts_us, "
+            "CAST(floor(value*100 + 0.5) AS BIGINT) AS units, "
+            "(t.tr - epoch_us(ts)) // 3600000000 AS age_h FROM events, t) "
+            "SELECT user_id, ts_us, units, "
+            "CAST(units AS DOUBLE) * exp(-(CAST(age_h AS DOUBLE) / 24.0)) AS term "
+            "FROM u ORDER BY user_id, ts_us"
         ),
     }

@@ -1881,3 +1881,58 @@ def interval_coverage(ds, key: str = "user_id", order_col: str = "ts",
         })
 
     return parts.groupby(key).map_groups(fold, batch_format="pandas", **remote_args())
+
+
+def decayed_contributions(ds, key: str = "user_id", order_col: str = "ts",
+                          value_col: str = "value", value_scale: int = 100,
+                          tau_hours: float = 24.0, t_ref_us: int | None = None):
+    """Exponentially time-decayed per-event contribution TERMS — the
+    recency-weighted activity feature: ``term = units * exp(-age_hours /
+    tau_hours)`` with ``age_hours = (t_ref - ts) // 3600e6`` (INTEGER
+    hours, so the decay argument is exact and ``exp`` runs once per
+    distinct age via ``math.exp`` — the libm rule; np.exp's SIMD path
+    drifts an ulp). Per-row terms are hash-exact against the mirrored SQL
+    expression; fold them per key downstream with an explicit tolerance
+    (float summation order is plan-dependent — the entropy_by_group
+    terms-vs-fold rule).
+
+    Returns a Dataset of ``(key, ts_us, units, term)``. ``t_ref_us``
+    defaults to the corpus max timestamp (one metadata aggregate)."""
+    import math
+
+    import numpy as np
+
+    if tau_hours <= 0:
+        raise ValueError(f"tau_hours must be positive, got {tau_hours}")
+    if t_ref_us is None:
+        mx = ds.max(order_col)
+        # exact integer micros — float .timestamp() loses precision (the
+        # timestamp-literal invariant: never go through seconds-as-float)
+        import datetime as _dt
+
+        if hasattr(mx, "value"):  # pandas Timestamp: ns ticks
+            t_ref_us = int(mx.value) // 1000
+        elif isinstance(mx, _dt.datetime):
+            epoch = _dt.datetime(1970, 1, 1, tzinfo=mx.tzinfo)
+            t_ref_us = (mx - epoch) // _dt.timedelta(microseconds=1)
+        else:
+            t_ref_us = int(mx)
+
+    def terms(batch: pa.Table) -> pa.Table:
+        us = batch[order_col].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        units = np.floor(v * value_scale + 0.5).astype(np.int64)
+        age_h = (np.int64(t_ref_us) - us) // np.int64(3_600_000_000)
+        if len(age_h) and age_h.min() < 0:
+            raise ValueError("decayed_contributions: events newer than t_ref_us")
+        uniq = np.unique(age_h)
+        decay_map = {int(a): math.exp(-(float(a) / float(tau_hours))) for a in uniq}
+        decay = np.array([decay_map[int(a)] for a in age_h], dtype=np.float64)
+        return pa.table({
+            key: batch[key].cast(pa.int64()),
+            "ts_us": pa.array(us, pa.int64()),
+            "units": pa.array(units, pa.int64()),
+            "term": pa.array(units.astype(np.float64) * decay, pa.float64()),
+        })
+
+    return ds.map_batches(terms, batch_format="pyarrow", zero_copy_batch=True, **remote_args())

@@ -704,3 +704,32 @@ def test_referential_audit(ray_session):
     parent = ray.data.from_pandas(pd.DataFrame({"pk": [1, 2]}))
     got = referential_audit(child, parent, fk="fk", pk="pk")
     assert got.iloc[0].tolist() == [6, 3, 1, 3]
+
+
+# --------------------------------------------------- decayed contributions
+
+
+def test_decayed_contributions_vs_sql(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.windows import decayed_contributions
+
+    ds = ray.data.read_parquet(f"{SF}/events.parquet", columns=["user_id", "ts", "value"])
+    got = (
+        decayed_contributions(ds.repartition(5), tau_hours=24.0)
+        .to_pandas().sort_values(["user_id", "ts_us"]).reset_index(drop=True)
+    )
+    want = _con().execute(
+        """
+        WITH t AS (SELECT max(epoch_us(ts)) AS tr FROM events),
+        u AS (SELECT user_id, epoch_us(ts) AS ts_us,
+              CAST(floor(value*100 + 0.5) AS BIGINT) AS units,
+              (t.tr - epoch_us(ts)) // 3600000000 AS age_h FROM events, t)
+        SELECT user_id, ts_us, units,
+          CAST(units AS DOUBLE) * exp(-(CAST(age_h AS DOUBLE) / 24.0)) AS term
+        FROM u ORDER BY user_id, ts_us
+        """
+    ).fetchdf()
+    for c in ("user_id", "ts_us", "units"):
+        want[c] = want[c].astype("int64")
+    _assert_frames_equal(got, want)  # bitwise: libm exp on exact int hours
