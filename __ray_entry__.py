@@ -4787,6 +4787,23 @@ def _q_decayed_contributions_events(sf_dir: str):
     return out.sort_values(["user_id", "ts_us"]).reset_index(drop=True)
 
 
+def _q_heavy_hitters_by_type(sf_dir: str):
+    """Rows-only: per-event-type Misra-Gries heavy hitters (k=8) — fixed
+    per-(block, group) state for unbounded per-group vocabularies; the MG
+    deviation bound is pinned per group in pytest. Estimates are not SQL-
+    replayable (compression order); rows-only check."""
+    import ray.data
+
+    from orc_format_ray.ops.sketch import heavy_hitters_by_group
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    out = heavy_hitters_by_group(ds, "event_type", "user_id", k=8).to_pandas()
+    out["item"] = out["item"].astype("int64")
+    out["est"] = out["est"].astype("int64")
+    return out.sort_values(["event_type", "est", "item"],
+                           ascending=[True, False, True]).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
     # (VERDICT r3 "What's wrong" #2), so the window below is curated for
@@ -5020,6 +5037,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bipartite_projection_suppliers": _q_bipartite_projection_suppliers,
         "referential_audit_tpch": _q_referential_audit,
         "decayed_contributions_events": _q_decayed_contributions_events,
+        "heavy_hitters_by_type": _q_heavy_hitters_by_type,
     }
 
 

@@ -581,3 +581,46 @@ def hll_overlap_matrix(ds, group: str, col: str, p: int = 14):
                 "jaccard_est": inter / eu if eu > 0 else 0.0,
             })
     return pd.DataFrame(rows)
+
+
+def heavy_hitters_by_group(ds, group: str, col: str, k: int):
+    """Per-group Misra-Gries heavy hitters — the per-stratum variant of
+    `heavy_hitters` for vocabularies that don't fit an exact per-group
+    groupby (e.g. top URLs per source at 100 TB). Each (block, group)
+    contributes at most ``k`` (item, cnt) counters; one groupby ships
+    them; each group's fold sums then re-compresses with the mergeable-
+    summaries rule, preserving ``true - n_g/(k+1) <= est <= true`` within
+    the group. Returns a Dataset of ``(group, item, est)``, at most k rows
+    per group, sorted within the fold by (est desc, item)."""
+    import pandas as pd
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({group: batch[group], col: batch[col]})
+        t = t.drop_null()
+        g = t.group_by([group, col]).aggregate([(col, "count")])
+        df = pd.DataFrame({
+            "g": g[group].to_numpy(zero_copy_only=False),
+            "item": g[col].to_numpy(zero_copy_only=False),
+            "cnt": g[f"{col}_count"].to_numpy(zero_copy_only=False).astype(np.int64),
+        })
+        outs = []
+        for gv, sub in df.groupby("g", sort=True):
+            items, counts = _mg_compress(sub["item"].to_numpy(), sub["cnt"].to_numpy(), k)
+            outs.append(pd.DataFrame({"g": gv, "item": items, "cnt": counts}))
+        out = pd.concat(outs, ignore_index=True) if outs else df.iloc[:0]
+        return pa.table({"g": pa.array(out["g"]), "item": pa.array(out["item"]),
+                         "cnt": pa.array(out["cnt"].to_numpy(), pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("item", as_index=False)["cnt"].sum()
+        items, counts = _mg_compress(s["item"].to_numpy(), s["cnt"].to_numpy().astype(np.int64), k)
+        order = np.lexsort((items, -counts))
+        return pd.DataFrame({group: g["g"].iloc[0], "item": items[order],
+                             "est": counts[order].astype(np.int64)})
+
+    return parts.groupby("g").map_groups(fold, batch_format="pandas", **remote_args())

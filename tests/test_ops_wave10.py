@@ -733,3 +733,27 @@ def test_decayed_contributions_vs_sql(ray_session):
     for c in ("user_id", "ts_us", "units"):
         want[c] = want[c].astype("int64")
     _assert_frames_equal(got, want)  # bitwise: libm exp on exact int hours
+
+
+# ---------------------------------------------- per-group heavy hitters
+
+
+def test_heavy_hitters_by_group_mg_bound(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.sketch import heavy_hitters_by_group
+
+    ds = ray.data.read_parquet(f"{SF}/events.parquet", columns=["event_type", "user_id"])
+    k = 8
+    out = heavy_hitters_by_group(ds.repartition(7), "event_type", "user_id", k=k).to_pandas()
+    truth = _con().execute(
+        "SELECT event_type, user_id, CAST(count(*) AS BIGINT) c FROM events GROUP BY 1,2"
+    ).fetchdf()
+    n_per_g = truth.groupby("event_type")["c"].sum().to_dict()
+    t = {(r.event_type, r.user_id): int(r.c) for r in truth.itertuples()}
+    assert (out.groupby("event_type").size() <= k).all()
+    for r in out.itertuples():
+        true = t.get((r.event_type, r.item), 0)
+        # MG bound within the group: true - n_g/(k+1) <= est <= true
+        assert r.est <= true, (r, true)
+        assert r.est >= true - n_per_g[r.event_type] // (k + 1) - 1, (r, true)
