@@ -4804,6 +4804,31 @@ def _q_heavy_hitters_by_type(sf_dir: str):
                            ascending=[True, False, True]).reset_index(drop=True)
 
 
+def _q_bfs_hops_suppliers(sf_dir: str):
+    """Multi-source BFS over the undirected bipartite supplier<->part graph
+    from lineitem (parts offset by 1e6), seeds = suppliers {1,2,3}, 3 hops.
+    Hash-exact vs a DuckDB WITH RECURSIVE walk enumeration with min(hops):
+    the shortest walk IS the shortest path (ops/graph.py:bfs_hops)."""
+    import pyarrow.compute as _pc
+    import ray.data
+
+    from orc_format_ray.ops.graph import bfs_hops
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_partkey"])
+
+    def edges(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": b["l_suppkey"].cast(pa.int64()),
+                "dst": _pc.add(b["l_partkey"].cast(pa.int64()), pa.scalar(1_000_000, pa.int64())),
+            }
+        )
+
+    e = ds.map_batches(edges, batch_format="pyarrow", zero_copy_batch=True, **_ra())
+    df = bfs_hops(e, seeds=[1, 2, 3], max_hops=3, directed=False)
+    return df.sort_values("node").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
     # (VERDICT r3 "What's wrong" #2), so the window below is curated for
@@ -5038,6 +5063,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "referential_audit_tpch": _q_referential_audit,
         "decayed_contributions_events": _q_decayed_contributions_events,
         "heavy_hitters_by_type": _q_heavy_hitters_by_type,
+        "bfs_hops_suppliers": _q_bfs_hops_suppliers,
     }
 
 
@@ -6663,5 +6689,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, ts_us, units, "
             "CAST(units AS DOUBLE) * exp(-(CAST(age_h AS DOUBLE) / 24.0)) AS term "
             "FROM u ORDER BY user_id, ts_us"
+        ),
+        # bounded recursive walk enumeration; min over walk lengths == BFS
+        "bfs_hops_suppliers": (
+            "WITH RECURSIVE base AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s, "
+            "CAST(l_partkey + 1000000 AS BIGINT) AS d FROM lineitem), "
+            "e AS (SELECT s, d FROM base UNION SELECT d AS s, s AS d FROM base), "
+            "r AS (SELECT CAST(node AS BIGINT) AS node, CAST(hops AS BIGINT) AS hops "
+            "FROM (VALUES (1, 0), (2, 0), (3, 0)) AS t(node, hops) "
+            "UNION SELECT e.d, r.hops + 1 FROM r JOIN e ON e.s = r.node WHERE r.hops < 3) "
+            "SELECT node, CAST(min(hops) AS BIGINT) AS hops FROM r GROUP BY node ORDER BY node"
         ),
     }
