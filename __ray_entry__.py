@@ -4829,6 +4829,34 @@ def _q_bfs_hops_suppliers(sf_dir: str):
     return df.sort_values("node").reset_index(drop=True)
 
 
+def _q_scd2_events(sf_dir: str):
+    """SCD2 validity intervals of each user's event_type stream: change
+    rows only, [valid_from_us, valid_to_us) with -1 on the open run —
+    the pinned-sorted-block change/lead plan (ops/windows.py:
+    scd2_intervals), hash-exact vs lag/lead SQL."""
+    import ray.data
+
+    from orc_format_ray.ops.windows import scd2_intervals
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"])
+    out = scd2_intervals(ds, key="user_id", order_col="ts", attr_col="event_type").to_pandas()
+    return out.sort_values(["user_id", "valid_from_us"]).reset_index(drop=True)
+
+
+def _q_debounce_events(sf_dir: str):
+    """Lag-based debouncing: keep events arriving > 6h after the user's
+    previous event (or the user's first). SQL-replayable QUALIFY filter
+    (ops/windows.py:debounce)."""
+    import ray.data
+
+    from orc_format_ray.ops.windows import debounce
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"])
+    out = debounce(ds, key="user_id", order_col="ts", id_col="event_id",
+                   min_gap_us=21_600_000_000).to_pandas()
+    return out.sort_values(["user_id", "ts_us"]).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
     # (VERDICT r3 "What's wrong" #2), so the window below is curated for
@@ -5064,6 +5092,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decayed_contributions_events": _q_decayed_contributions_events,
         "heavy_hitters_by_type": _q_heavy_hitters_by_type,
         "bfs_hops_suppliers": _q_bfs_hops_suppliers,
+        "scd2_events": _q_scd2_events,
+        "debounce_events": _q_debounce_events,
     }
 
 
@@ -6699,5 +6729,20 @@ def oracle_sql() -> dict[str, str]:
             "FROM (VALUES (1, 0), (2, 0), (3, 0)) AS t(node, hops) "
             "UNION SELECT e.d, r.hops + 1 FROM r JOIN e ON e.s = r.node WHERE r.hops < 3) "
             "SELECT node, CAST(min(hops) AS BIGINT) AS hops FROM r GROUP BY node ORDER BY node"
+        ),
+        # change rows via lag, validity end via lead; -1 open-run sentinel
+        "scd2_events": (
+            "WITH x AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS o, event_type AS a, "
+            "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS pa FROM events), "
+            "ch AS (SELECT user_id, o, a FROM x WHERE pa IS NULL OR a <> pa) "
+            "SELECT user_id, a AS event_type, o AS valid_from_us, "
+            "coalesce(lead(o) OVER (PARTITION BY user_id ORDER BY o), CAST(-1 AS BIGINT)) AS valid_to_us "
+            "FROM ch ORDER BY user_id, valid_from_us"
+        ),
+        "debounce_events": (
+            "WITH x AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_id, "
+            "lag(CAST(epoch_us(ts) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us FROM events) "
+            "SELECT user_id, ts_us, event_id FROM x "
+            "WHERE prev_us IS NULL OR ts_us - prev_us > 21600000000 ORDER BY user_id, ts_us"
         ),
     }

@@ -1936,3 +1936,279 @@ def decayed_contributions(ds, key: str = "user_id", order_col: str = "ts",
         })
 
     return ds.map_batches(terms, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+
+
+def scd2_intervals(ds, key: str = "user_id", order_col: str = "ts",
+                   attr_col: str = "event_type"):
+    """Slowly-changing-dimension type-2 history: collapse each key's
+    ordered attribute stream to its CHANGE rows and attach validity
+    intervals. Returns a Dataset of ``(key, attr_col, valid_from_us,
+    valid_to_us)`` — one row per (key, run of equal attr values), where
+    ``valid_from_us`` is the run's first timestamp and ``valid_to_us`` is
+    the NEXT run's first timestamp (-1 sentinel on the key's current run;
+    nullable int64 is hash-fragile, see analytic_over).
+
+    SQL mirror::
+
+        WITH x AS (SELECT key, o, a, lag(a) OVER w AS pa FROM t),
+        ch AS (SELECT key, o, a FROM x WHERE pa IS NULL OR a <> pa)
+        SELECT key, a, o AS valid_from_us,
+               coalesce(lead(o) OVER w2, -1) AS valid_to_us FROM ch
+
+    Same metadata-only pinned-sorted-block plan as ``analytic_over``:
+    pass A ships one row per (block, key) — first/last attr, first ts, and
+    the block's first INTERNAL change ts; the driver folds prev-attr
+    forward (to decide each block's boundary change) and next-change-ts
+    backward; pass B re-reads the SAME pinned blocks and emits change rows
+    vectorized. ``(key, order_col)`` must be globally unique (in-block
+    strictly-increasing guard is loud; cross-block dups are excluded by
+    the sort's disjointness check). ``attr_col`` must be non-null.
+    """
+    import numpy as np
+    import ray
+
+    def to_meta(batch: pa.Table) -> pa.Table:
+        a = batch[attr_col]
+        if a.null_count:
+            raise ValueError(f"scd2_intervals: {attr_col!r} must be non-null")
+        return pa.table(
+            {
+                "k": batch[key].cast(pa.int64()),
+                "o": batch[order_col].cast(pa.timestamp("us")).cast(pa.int64()),
+                "a": a.cast(pa.string()),
+            }
+        )
+
+    meta = ds.map_batches(to_meta, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    pinned = meta.sort(["k", "o"]).materialize()
+
+    def block_partials(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows:
+            return pa.table({
+                "blo_k": pa.array([], pa.int64()), "blo_o": pa.array([], pa.int64()),
+                "k": pa.array([], pa.int64()), "first_o": pa.array([], pa.int64()),
+                "first_a": pa.array([], pa.string()), "last_a": pa.array([], pa.string()),
+                "ichg_o": pa.array([], pa.int64()),
+            })
+        k = batch["k"].to_numpy(zero_copy_only=False)
+        o = batch["o"].to_numpy(zero_copy_only=False)
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        starts = np.concatenate(([0], np.flatnonzero(k[1:] != k[:-1]) + 1))
+        ends = np.concatenate((starts[1:], [len(k)]))
+        chg = np.zeros(len(k), dtype=bool)
+        chg[1:] = a[1:] != a[:-1]
+        chg[starts] = False  # internal changes only
+        ichg = np.full(len(starts), -1, dtype=np.int64)
+        for si in range(len(starts)):
+            idx = np.flatnonzero(chg[starts[si]:ends[si]])
+            if idx.size:
+                ichg[si] = o[starts[si] + idx[0]]
+        return pa.table(
+            {
+                "blo_k": pa.array(np.full(len(starts), k[0]), pa.int64()),
+                "blo_o": pa.array(np.full(len(starts), o[0]), pa.int64()),
+                "k": pa.array(k[starts], pa.int64()),
+                "first_o": pa.array(o[starts], pa.int64()),
+                "first_a": pa.array(a[starts], pa.string()),
+                "last_a": pa.array(a[ends - 1], pa.string()),
+                "ichg_o": pa.array(ichg, pa.int64()),
+            }
+        )
+
+    parts = pinned.map_batches(
+        block_partials, batch_size=None, batch_format="pyarrow", zero_copy_batch=True, **remote_args()
+    ).to_pandas()
+    blocks: dict[tuple[int, int], list] = {}
+    for blo_k, blo_o, k, first_o, first_a, last_a, ichg_o in parts.itertuples(index=False):
+        blocks.setdefault((int(blo_k), int(blo_o)), []).append(
+            (int(k), int(first_o), first_a, last_a, int(ichg_o))
+        )
+    order = sorted(blocks)
+    for x, y in zip(order, order[1:]):
+        if blocks[x][-1][0] > y[0]:
+            raise ValueError("sorted metadata blocks overlap — sort produced non-disjoint ranges")
+
+    # forward fold: prev attr per key entering each block -> per-(block,key)
+    # boundary-change flag and the block's first change ts (or None)
+    prev_a: dict[int, str] = {}
+    first_change: dict[tuple[int, int], dict[int, int | None]] = {}
+    bound_chg: dict[tuple[int, int], dict[int, bool]] = {}
+    for lo in order:
+        fc: dict[int, int | None] = {}
+        bc: dict[int, bool] = {}
+        for k, first_o, fa, la, ichg_o in blocks[lo]:
+            b = prev_a.get(k) is None or prev_a[k] != fa
+            bc[k] = b
+            fc[k] = first_o if b else (ichg_o if ichg_o >= 0 else None)
+            prev_a[k] = la
+        first_change[lo] = fc
+        bound_chg[lo] = bc
+    # reverse fold: next change ts per key AFTER each block
+    nxt: dict[int, int] = {}
+    nxt_after: dict[tuple[int, int], dict[int, int]] = {}
+    for lo in reversed(order):
+        snap = {k: nxt.get(k, -1) for k, *_ in blocks[lo]}
+        nxt_after[lo] = snap
+        for k, *_ in blocks[lo]:
+            fc = first_change[lo][k]
+            if fc is not None:
+                nxt[k] = fc
+    carry_ref = ray.put((bound_chg, nxt_after))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                key: pa.array([], pa.int64()),
+                attr_col: pa.array([], pa.string()),
+                "valid_from_us": pa.array([], pa.int64()),
+                "valid_to_us": pa.array([], pa.int64()),
+            }
+        )
+        if not batch.num_rows:
+            return empty
+        bound_chg_m, nxt_after_m = ray.get(carry_ref)
+        lo = (batch["k"][0].as_py(), batch["o"][0].as_py())
+        bc = bound_chg_m[lo]
+        na = nxt_after_m[lo]
+        k = batch["k"].to_numpy(zero_copy_only=False)
+        o = batch["o"].to_numpy(zero_copy_only=False)
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        n = len(k)
+        starts = np.concatenate(([0], np.flatnonzero(k[1:] != k[:-1]) + 1))
+        seg_of = np.repeat(np.arange(len(starts)), np.diff(np.concatenate((starts, [n]))))
+        same_seg = np.zeros(n, dtype=bool)
+        same_seg[1:] = k[1:] == k[:-1]
+        if (o[1:][same_seg[1:]] <= o[:-1][same_seg[1:]]).any():
+            raise ValueError("scd2_intervals: duplicate or unordered (key, order) rows")
+        chg = np.zeros(n, dtype=bool)
+        chg[1:] = a[1:] != a[:-1]
+        chg[starts] = np.array([bc[int(k[s])] for s in starts], dtype=bool)
+        idx = np.flatnonzero(chg)
+        if not idx.size:
+            return empty
+        vfrom = o[idx]
+        vto = np.full(len(idx), -1, dtype=np.int64)
+        same_key_next = np.zeros(len(idx), dtype=bool)
+        same_key_next[:-1] = k[idx[:-1]] == k[idx[1:]]
+        vto[:-1][same_key_next[:-1]] = o[idx[1:]][same_key_next[:-1]]
+        last_of_key = ~same_key_next
+        for j in np.flatnonzero(last_of_key):
+            vto[j] = na[int(k[idx[j]])]
+        return pa.table(
+            {
+                key: pa.array(k[idx], pa.int64()),
+                attr_col: pa.array(a[idx], pa.string()),
+                "valid_from_us": pa.array(vfrom, pa.int64()),
+                "valid_to_us": pa.array(vto, pa.int64()),
+            }
+        )
+
+    return pinned.map_batches(
+        finish, batch_size=None, batch_format="pyarrow", zero_copy_batch=True, **remote_args()
+    )
+
+
+def debounce(ds, key: str = "user_id", order_col: str = "ts",
+             id_col: str = "event_id", min_gap_us: int = 60_000_000):
+    """Lag-based event debouncing: keep a row iff it is its key's first or
+    arrived MORE than ``min_gap_us`` microseconds after the PREVIOUS row
+    (kept or not — the SQL-replayable convention; a greedy keep-relative
+    throttle needs recursion and has no window mirror). Returns a Dataset
+    of ``(key, ts_us, id_col)`` — exactly SQL's
+    ``QUALIFY prev IS NULL OR ts - prev > gap``.
+
+    Same pinned-sorted-block plan as ``sessionize``: pass A ships each
+    (block, key)'s last timestamp, the driver folds the previous-row carry
+    per block boundary, pass B filters vectorized. ``(key, order_col)``
+    must be globally unique."""
+    import numpy as np
+    import ray
+
+    if min_gap_us <= 0:
+        raise ValueError(f"min_gap_us must be positive, got {min_gap_us}")
+
+    def to_meta(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": batch[key].cast(pa.int64()),
+                "o": batch[order_col].cast(pa.timestamp("us")).cast(pa.int64()),
+                "i": batch[id_col].cast(pa.int64()),
+            }
+        )
+
+    meta = ds.map_batches(to_meta, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    pinned = meta.sort(["k", "o"]).materialize()
+
+    def block_partials(batch: pa.Table) -> pa.Table:
+        cols = ("blo_k", "blo_o", "k", "last_o")
+        if not batch.num_rows:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        k = batch["k"].to_numpy(zero_copy_only=False)
+        o = batch["o"].to_numpy(zero_copy_only=False)
+        starts = np.concatenate(([0], np.flatnonzero(k[1:] != k[:-1]) + 1))
+        ends = np.concatenate((starts[1:], [len(k)]))
+        return pa.table(
+            {
+                "blo_k": pa.array(np.full(len(starts), k[0]), pa.int64()),
+                "blo_o": pa.array(np.full(len(starts), o[0]), pa.int64()),
+                "k": pa.array(k[starts], pa.int64()),
+                "last_o": pa.array(o[ends - 1], pa.int64()),
+            }
+        )
+
+    parts = pinned.map_batches(
+        block_partials, batch_size=None, batch_format="pyarrow", zero_copy_batch=True, **remote_args()
+    ).to_pandas()
+    blocks: dict[tuple[int, int], list] = {}
+    for blo_k, blo_o, k, last_o in parts.itertuples(index=False):
+        blocks.setdefault((int(blo_k), int(blo_o)), []).append((int(k), int(last_o)))
+    order = sorted(blocks)
+    for x, y in zip(order, order[1:]):
+        if blocks[x][-1][0] > y[0]:
+            raise ValueError("sorted metadata blocks overlap — sort produced non-disjoint ranges")
+    prev: dict[int, int] = {}
+    bases: dict[tuple[int, int], dict[int, int]] = {}
+    for lo in order:
+        snap = {k: prev.get(k, -1) for k, _ in blocks[lo]}
+        bases[lo] = snap
+        for k, last_o in blocks[lo]:
+            prev[k] = last_o
+    bases_ref = ray.put(bases)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                key: pa.array([], pa.int64()),
+                "ts_us": pa.array([], pa.int64()),
+                id_col: pa.array([], pa.int64()),
+            }
+        )
+        if not batch.num_rows:
+            return empty
+        base = ray.get(bases_ref)[(batch["k"][0].as_py(), batch["o"][0].as_py())]
+        k = batch["k"].to_numpy(zero_copy_only=False)
+        o = batch["o"].to_numpy(zero_copy_only=False)
+        i = batch["i"].to_numpy(zero_copy_only=False)
+        n = len(k)
+        starts = np.concatenate(([0], np.flatnonzero(k[1:] != k[:-1]) + 1))
+        prev_o = np.empty(n, dtype=np.int64)
+        prev_o[1:] = o[:-1]
+        for s in starts:
+            prev_o[s] = base[int(k[s])]
+        same_seg = np.ones(n, dtype=bool)
+        same_seg[starts] = np.array([base[int(k[s])] >= 0 for s in starts], dtype=bool)
+        if (o[np.flatnonzero(same_seg)] <= prev_o[np.flatnonzero(same_seg)]).any():
+            raise ValueError("debounce: duplicate or unordered (key, order) rows")
+        keep = ~same_seg | (o - prev_o > min_gap_us)
+        idx = np.flatnonzero(keep)
+        return pa.table(
+            {
+                key: pa.array(k[idx], pa.int64()),
+                "ts_us": pa.array(o[idx], pa.int64()),
+                id_col: pa.array(i[idx], pa.int64()),
+            }
+        )
+
+    return pinned.map_batches(
+        finish, batch_size=None, batch_format="pyarrow", zero_copy_batch=True, **remote_args()
+    )

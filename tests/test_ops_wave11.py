@@ -87,3 +87,109 @@ def test_bfs_hops_isolated_seed_and_empty(ray_session):
     assert list(out["node"]) == [99] and list(out["hops"]) == [0]
     out = bfs_hops(ds, seeds=[], max_hops=2)
     assert out.empty and list(out.columns) == ["node", "hops"]
+
+# ------------------------------------------- SCD2 intervals + debounce
+
+
+def test_scd2_intervals_semantics(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.windows import scd2_intervals
+
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 1, 2, 2, 3],
+            "ts": pd.to_datetime([10, 20, 30, 40, 5, 15, 7], unit="s"),
+            "event_type": ["a", "a", "b", "a", "x", "x", "q"],
+        }
+    )
+    ds = ray.data.from_pandas(df)
+    out = (
+        scd2_intervals(ds).to_pandas().sort_values(["user_id", "valid_from_us"]).reset_index(drop=True)
+    )
+    want = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2, 3],
+            "event_type": ["a", "b", "a", "x", "q"],
+            "valid_from_us": [10_000_000, 30_000_000, 40_000_000, 5_000_000, 7_000_000],
+            "valid_to_us": [30_000_000, 40_000_000, -1, -1, -1],
+        }
+    )
+    _assert_frames_equal(out, want)
+
+
+def test_scd2_intervals_vs_duckdb_events(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.windows import scd2_intervals
+
+    ds = ray.data.read_parquet(f"{SF}/events.parquet", columns=["user_id", "ts", "event_type"])
+    out = scd2_intervals(ds).to_pandas()
+    want = _con().execute(
+        "WITH x AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS o, event_type AS a, "
+        "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS pa FROM events), "
+        "ch AS (SELECT user_id, o, a FROM x WHERE pa IS NULL OR a <> pa) "
+        "SELECT user_id, a AS event_type, o AS valid_from_us, "
+        "coalesce(lead(o) OVER (PARTITION BY user_id ORDER BY o), CAST(-1 AS BIGINT)) AS valid_to_us FROM ch"
+    ).fetchdf()
+    _assert_frames_equal(out, want)
+
+
+def test_scd2_intervals_guards(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.windows import scd2_intervals
+
+    dup = pd.DataFrame(
+        {
+            "user_id": [1, 1],
+            "ts": pd.to_datetime([10, 10], unit="s"),
+            "event_type": ["a", "b"],
+        }
+    )
+    with pytest.raises(Exception, match="duplicate or unordered"):
+        scd2_intervals(ray.data.from_pandas(dup)).to_pandas()
+    nul = pd.DataFrame(
+        {
+            "user_id": [1],
+            "ts": pd.to_datetime([10], unit="s"),
+            "event_type": pd.array([None], dtype="string"),
+        }
+    )
+    with pytest.raises(Exception, match="non-null"):
+        scd2_intervals(ray.data.from_pandas(nul)).to_pandas()
+
+
+def test_debounce_vs_duckdb_events(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.windows import debounce
+
+    ds = ray.data.read_parquet(f"{SF}/events.parquet", columns=["user_id", "ts", "event_id"])
+    out = debounce(ds, min_gap_us=21_600_000_000).to_pandas()
+    want = _con().execute(
+        "WITH x AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_id, "
+        "lag(CAST(epoch_us(ts) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us FROM events) "
+        "SELECT user_id, ts_us, event_id FROM x WHERE prev_us IS NULL OR ts_us - prev_us > 21600000000"
+    ).fetchdf()
+    _assert_frames_equal(out, want)
+
+
+def test_debounce_semantics_and_guard(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.windows import debounce
+
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2],
+            "ts": pd.to_datetime([0, 50, 111, 3], unit="s"),
+            "event_id": [10, 11, 12, 20],
+        }
+    )
+    out = debounce(ray.data.from_pandas(df), min_gap_us=60_000_000).to_pandas()
+    assert sorted(out["event_id"]) == [10, 12, 20]
+    dup = df.copy()
+    dup.loc[1, "ts"] = dup.loc[0, "ts"]
+    with pytest.raises(Exception, match="duplicate or unordered"):
+        debounce(ray.data.from_pandas(dup), min_gap_us=60_000_000).to_pandas()
