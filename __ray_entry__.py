@@ -4857,6 +4857,50 @@ def _q_debounce_events(sf_dir: str):
     return out.sort_values(["user_id", "ts_us"]).reset_index(drop=True)
 
 
+def _bloom_join_inputs(sf_dir: str):
+    import pyarrow.compute as _pc
+    import ray.data
+
+    left = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+    )
+    def thin(t: pa.Table) -> pa.Table:
+        # semi_join_streaming keys by ONE shared name: project + rename
+        m = t.filter(_pc.greater(t["o_totalprice"], pa.scalar(200_000.0)))
+        return pa.table({"l_orderkey": m["o_orderkey"]})
+
+    right = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    ).map_batches(thin, batch_format="pyarrow", zero_copy_batch=True, **_ra())
+    return left, right
+
+
+def _q_bloom_semi_join_lineitem(sf_dir: str):
+    """Exact semi join behind a broadcast bloom prefilter: lineitems of
+    orders with o_totalprice > 200k. The bloom only prunes — output equals
+    plain IN-subquery SQL (ops/join.py:bloom_semi_join); left rows never
+    shuffle."""
+    from orc_format_ray.ops.join import bloom_semi_join
+
+    left, right = _bloom_join_inputs(sf_dir)
+    out = bloom_semi_join(left, right, key="l_orderkey", how="semi",
+                          num_bits=1 << 16).to_pandas()
+    return out.sort_values(["l_orderkey", "l_linenumber", "l_partkey"]).reset_index(drop=True)
+
+
+def _q_bloom_anti_join_lineitem(sf_dir: str):
+    """Exact ANTI join with bloom-negative fast path: bloom-negative left
+    rows keep with zero exact work; only bloom-positives pay the exact
+    probe. Equals NOT IN SQL on non-null keys."""
+    from orc_format_ray.ops.join import bloom_semi_join
+
+    left, right = _bloom_join_inputs(sf_dir)
+    out = bloom_semi_join(left, right, key="l_orderkey", how="anti",
+                          num_bits=1 << 16).to_pandas()
+    return out.sort_values(["l_orderkey", "l_linenumber", "l_partkey"]).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
     # (VERDICT r3 "What's wrong" #2), so the window below is curated for
@@ -5094,6 +5138,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_hops_suppliers": _q_bfs_hops_suppliers,
         "scd2_events": _q_scd2_events,
         "debounce_events": _q_debounce_events,
+        "bloom_semi_join_lineitem": _q_bloom_semi_join_lineitem,
+        "bloom_anti_join_lineitem": _q_bloom_anti_join_lineitem,
     }
 
 
@@ -6744,5 +6790,16 @@ def oracle_sql() -> dict[str, str]:
             "lag(CAST(epoch_us(ts) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us FROM events) "
             "SELECT user_id, ts_us, event_id FROM x "
             "WHERE prev_us IS NULL OR ts_us - prev_us > 21600000000 ORDER BY user_id, ts_us"
+        ),
+        # bloom prunes, exact probe decides — plain (NOT) IN on non-null keys
+        "bloom_semi_join_lineitem": (
+            "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber FROM lineitem "
+            "WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 200000) "
+            "ORDER BY l_orderkey, l_linenumber, l_partkey"
+        ),
+        "bloom_anti_join_lineitem": (
+            "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber FROM lineitem "
+            "WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 200000) "
+            "ORDER BY l_orderkey, l_linenumber, l_partkey"
         ),
     }

@@ -831,3 +831,104 @@ def referential_audit(child_ds, parent_ds, fk: str, pk: str,
         "n_orphan_keys": [sum(int(r["ok"]) for r in parts)],
         "n_orphan_rows": [sum(int(r["orr"]) for r in parts)],
     })
+
+
+def _bloom_positions_vec(keys: np.ndarray, num_hashes: int, num_bits: int) -> np.ndarray:
+    """Vectorized double-hashing bloom positions for int64 keys: the wang
+    addLong hash split into (h1, h2), probe i = (h1 + i*h2) mod num_bits.
+    Returns shape (num_hashes, len(keys)). num_bits must be a power of 2."""
+    from ..bloom import wang_long_hashes
+
+    h = wang_long_hashes(keys.astype(np.int64))
+    h1 = (h & np.uint64(0xFFFFFFFF)).astype(np.uint64)
+    h2 = (h >> np.uint64(32)).astype(np.uint64)
+    mask = np.uint64(num_bits - 1)
+    out = np.empty((num_hashes, len(keys)), dtype=np.int64)
+    for i in range(1, num_hashes + 1):
+        out[i - 1] = ((h1 + np.uint64(i) * h2) & mask).astype(np.int64)
+    return out
+
+
+def bloom_semi_join(left_ds, right_ds, key: str, how: str = "semi",
+                    num_bits: int = 1 << 23, num_hashes: int = 3,
+                    max_broadcast_keys: int = 1 << 26,
+                    shard_dir: str | None = None):
+    """SEMI / ANTI join with a broadcast BLOOM prefilter in front of the
+    exact probe — same exact output as ``semi_join_streaming`` (the bloom
+    only prunes, never decides a match), but the big left side is first
+    filtered by ``num_bits/8`` bytes of bloom instead of the full distinct
+    right-key array, the decisive win when the right key set is large and
+    the match rate is low.
+
+    Build: each right batch emits its keys' SET BIT POSITIONS (unique'd —
+    at most num_hashes x batch keys int64s, never the dense bitmap); the
+    driver ORs them into one bitset and broadcasts it once (`ray.put`).
+
+    * ``semi``: bloom-positive left rows go through the exact
+      ``semi_join_streaming`` probe; bloom-negatives are DEFINITELY
+      unmatched and drop immediately.
+    * ``anti``: bloom-negatives are definitely unmatched — kept with no
+      exact work at all; only bloom-positives pay the exact anti probe,
+      and the two task-pool branches union (safe: both stateless; if the
+      key set exceeds ``max_broadcast_keys`` the exact branch's sharded
+      ACTOR path engages — materialize before feeding a groupby, per the
+      actor-pool deadlock rule).
+
+    Left keys must be non-null integers (the exact-probe contract plus a
+    bloom-hash rule for NULL would be arbitrary); right NULL keys are
+    dropped as in SQL semi/anti.
+    """
+    import ray
+
+    if how not in ("semi", "anti"):
+        raise ValueError(f"how={how!r} (want 'semi' or 'anti')")
+    if num_bits < 8 or (num_bits & (num_bits - 1)):
+        raise ValueError(f"num_bits must be a power of two >= 8, got {num_bits}")
+    if not (1 <= num_hashes <= 16):
+        raise ValueError(f"num_hashes must be in [1, 16], got {num_hashes}")
+
+    def bit_positions(batch: pa.Table) -> pa.Table:
+        k = batch[key].combine_chunks()
+        if k.null_count:
+            k = k.drop_null()
+        u = k.cast(pa.int64()).unique().to_numpy(zero_copy_only=False)
+        if not len(u):
+            return pa.table({"p": pa.array([], pa.int64())})
+        pos = np.unique(_bloom_positions_vec(u, num_hashes, num_bits).ravel())
+        return pa.table({"p": pa.array(pos, pa.int64())})
+
+    pos_df = (
+        right_ds.map_batches(bit_positions, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .to_pandas()
+    )
+    bits = np.zeros(num_bits >> 3, dtype=np.uint8)
+    if len(pos_df):
+        p = pos_df["p"].to_numpy(dtype=np.int64)
+        np.bitwise_or.at(bits, p >> 3, (np.uint8(1) << (p & 7).astype(np.uint8)))
+    bits_ref = ray.put(bits)
+
+    def probe(batch: pa.Table, keep_positive: bool) -> pa.Table:
+        if not batch.num_rows:
+            return batch
+        kcol = batch[key]
+        if kcol.null_count:
+            raise ValueError("bloom_semi_join: left keys must be non-null")
+        k = kcol.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        b = ray.get(bits_ref)
+        pos = _bloom_positions_vec(k, num_hashes, num_bits)
+        hit = np.ones(len(k), dtype=bool)
+        for i in range(num_hashes):
+            hit &= (b[pos[i] >> 3] & (np.uint8(1) << (pos[i] & 7).astype(np.uint8))) != 0
+        return batch.filter(pa.array(hit if keep_positive else ~hit))
+
+    positives = left_ds.map_batches(
+        lambda t: probe(t, True), batch_format="pyarrow", zero_copy_batch=True, **remote_args()
+    )
+    exact = semi_join_streaming(positives, right_ds, key, how=how,
+                                max_broadcast_keys=max_broadcast_keys, shard_dir=shard_dir)
+    if how == "semi":
+        return exact
+    negatives = left_ds.map_batches(
+        lambda t: probe(t, False), batch_format="pyarrow", zero_copy_batch=True, **remote_args()
+    )
+    return negatives.union(exact)

@@ -193,3 +193,42 @@ def test_debounce_semantics_and_guard(ray_session):
     dup.loc[1, "ts"] = dup.loc[0, "ts"]
     with pytest.raises(Exception, match="duplicate or unordered"):
         debounce(ray.data.from_pandas(dup), min_gap_us=60_000_000).to_pandas()
+
+# ------------------------------------------------ bloom-prefiltered joins
+
+
+def test_bloom_semi_join_exact_even_with_tiny_bloom(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.join import bloom_semi_join
+
+    rng = np.random.default_rng(3)
+    left = pd.DataFrame({"k": rng.integers(0, 1000, 5000), "v": np.arange(5000)})
+    right = pd.DataFrame({"k": rng.integers(500, 700, 300)})
+    lds, rds = ray.data.from_pandas(left), ray.data.from_pandas(right)
+    rset = set(right["k"])
+    for nb in (8, 1 << 12):  # 8 bits: every probe positive -> pure exact path
+        semi = bloom_semi_join(lds, rds, "k", how="semi", num_bits=nb).to_pandas()
+        anti = bloom_semi_join(lds, rds, "k", how="anti", num_bits=nb).to_pandas()
+        assert sorted(semi["v"]) == sorted(left[left["k"].isin(rset)]["v"]), nb
+        assert sorted(anti["v"]) == sorted(left[~left["k"].isin(rset)]["v"]), nb
+
+
+def test_bloom_semi_join_guards(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.join import bloom_semi_join
+
+    lds = ray.data.from_arrow(pa.table({"k": pa.array([1, None], pa.int64())}))
+    rds = ray.data.from_arrow(pa.table({"k": pa.array([1], pa.int64())}))
+    with pytest.raises(Exception, match="non-null"):
+        bloom_semi_join(lds, rds, "k").to_pandas()
+    ok = ray.data.from_arrow(pa.table({"k": pa.array([1], pa.int64())}))
+    with pytest.raises(ValueError, match="power of two"):
+        bloom_semi_join(ok, rds, "k", num_bits=1000)
+    with pytest.raises(ValueError, match="num_hashes"):
+        bloom_semi_join(ok, rds, "k", num_hashes=0)
+    # right NULL keys drop like SQL semi/anti
+    rnull = ray.data.from_arrow(pa.table({"k": pa.array([None], pa.int64())}))
+    out = bloom_semi_join(ok, rnull, "k", how="semi").to_pandas()
+    assert len(out) == 0
