@@ -4901,6 +4901,32 @@ def _q_bloom_anti_join_lineitem(sf_dir: str):
     return out.sort_values(["l_orderkey", "l_linenumber", "l_partkey"]).reset_index(drop=True)
 
 
+def _q_group_split_documents(sf_dir: str):
+    """Group-aware ~40% holdout: every doc of a source lands on one side,
+    decided by knuth_hash(per-source min doc_id) — leakage-safe splitting
+    with a plain-SQL join mirror (ops/sample.py:group_split)."""
+    import ray.data
+
+    from orc_format_ray.ops.sample import group_split
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    out = group_split(ds, rate_pct=40).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_systematic_sample_events(sf_dir: str):
+    """Every 7th row of the global (value, event_id) order — systematic
+    sampling via the value-keyed pinned-block rank plan
+    (ops/sample.py:systematic_sample), hash-exact vs row_number SQL."""
+    import ray.data
+
+    from orc_format_ray.ops.sample import systematic_sample
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
+    out = systematic_sample(ds, every=7).to_pandas()
+    return out.sort_values("rn").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
     # (VERDICT r3 "What's wrong" #2), so the window below is curated for
@@ -5140,6 +5166,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "debounce_events": _q_debounce_events,
         "bloom_semi_join_lineitem": _q_bloom_semi_join_lineitem,
         "bloom_anti_join_lineitem": _q_bloom_anti_join_lineitem,
+        "group_split_documents": _q_group_split_documents,
+        "systematic_sample_events": _q_systematic_sample_events,
     }
 
 
@@ -6801,5 +6829,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber FROM lineitem "
             "WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 200000) "
             "ORDER BY l_orderkey, l_linenumber, l_partkey"
+        ),
+        # group rep = per-group min key; knuth hash is plain integer SQL
+        "group_split_documents": (
+            "WITH r AS (SELECT source, CAST(min(doc_id) AS BIGINT) AS rep FROM documents GROUP BY source) "
+            "SELECT d.doc_id, d.source FROM documents d JOIN r ON d.source = r.source "
+            "WHERE ((r.rep * 2654435761) % 4294967296) % 100 < 40 ORDER BY d.doc_id"
+        ),
+        "systematic_sample_events": (
+            "WITH x AS (SELECT event_id, value, "
+            "CAST(row_number() OVER (ORDER BY value, event_id) AS BIGINT) AS rn FROM events) "
+            "SELECT event_id, value, rn FROM x WHERE (rn - 1) % 7 = 0 ORDER BY rn"
         ),
     }

@@ -607,3 +607,137 @@ def select_by_budget_grouped(
     return pinned.map_batches(
         pick, batch_size=None, batch_format="pyarrow", zero_copy_batch=True, **remote_args()
     )
+
+
+def group_split(ds, rate_pct: int, group: str = "source", key: str = "doc_id",
+                buckets: int = 100, salt: int = 0,
+                max_broadcast_groups: int = 1 << 22):
+    """Group-aware deterministic holdout split: EVERY row of a group lands
+    on the same side (the leakage-safe alternative to ``hash_split`` when
+    rows within a group are correlated — all pages of a domain, all docs
+    of a crawl source). A group is kept iff
+    ``knuth_hash(min(key) of the group) % buckets < rate_pct`` — the
+    representative is data-derived (smallest key), so STRING group names
+    need no string-hash rule and the SQL mirror is a plain join on the
+    per-group min.
+
+    Plan: one (group, min key) metadata groupby (|groups| rows — never the
+    payload), kept-group set broadcast once (`ray.put`, guarded by
+    ``max_broadcast_groups``), then a stateless streaming filter. At
+    larger-than-broadcast group cardinality, shard the group set and reuse
+    the sharded-survivor filter of ops/dedup.py.
+    """
+    import ray
+    from ray.data.aggregate import Min
+
+    if not 0 <= rate_pct <= buckets:
+        raise ValueError(f"rate_pct must be in [0, {buckets}], got {rate_pct}")
+
+    def local_min(batch: pa.Table) -> pa.Table:
+        t = pa.table({group: batch[group], "k": batch[key].cast(pa.int64())})
+        if t[group].null_count or t["k"].null_count:
+            raise ValueError("group_split: group and key must be non-null")
+        return t.group_by(group).aggregate([("k", "min")]).rename_columns([group, "k"])
+
+    reps = (
+        ds.map_batches(local_min, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby(group)
+        .aggregate(Min("k", alias_name="rep"))
+        .to_pandas()
+    )
+    if len(reps) > max_broadcast_groups:
+        raise ValueError(
+            f"{len(reps)} groups exceed max_broadcast_groups={max_broadcast_groups}; "
+            "shard the group set (see docstring) or raise the guard"
+        )
+    h = knuth_hash(reps["rep"].to_numpy(dtype=np.int64), salt)
+    kept = set(reps[group][(h % np.uint64(buckets)) < np.uint64(rate_pct)])
+    kept_ref = ray.put(kept)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ks = ray.get(kept_ref)
+        import pyarrow.compute as pc_
+
+        return batch.filter(pc_.is_in(batch[group], value_set=pa.array(sorted(ks), pa.string())))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+
+
+def systematic_sample(ds, every: int, value_col: str = "value", id_col: str = "event_id"):
+    """Every ``every``-th row of the GLOBAL ``(value_col, id_col)`` order
+    (systematic sampling — even coverage of the value distribution, unlike
+    a hash sample's uniform-random coverage). Returns a Dataset of
+    ``(id_col, value_col, rn)`` where rn is the 1-based global rank and
+    ``(rn - 1) % every == 0`` — exactly SQL's row_number QUALIFY.
+
+    Same pinned-sorted-block plan as ``select_by_budget``: metadata
+    ``(v, i)`` sorts once; pass A ships per-block (first composite, row
+    count) and the driver folds exclusive row offsets keyed by the block's
+    FIRST COMPOSITE (value-keyed — completion-order-safe); pass B re-reads
+    the same pinned blocks and filters by global rank. ``id_col`` must be
+    globally unique and both columns non-null (NaN would break the sort's
+    total order — loud guard)."""
+    import ray
+
+    if every < 1:
+        raise ValueError(f"every must be >= 1, got {every}")
+
+    def to_meta(batch: pa.Table) -> pa.Table:
+        v = batch[value_col].cast(pa.float64())
+        i = batch[id_col].cast(pa.int64())
+        vn = v.to_numpy(zero_copy_only=False)
+        if v.null_count or i.null_count or np.isnan(vn).any():
+            raise ValueError("systematic_sample: value/id must be non-null, non-NaN")
+        return pa.table({"v": v, "i": i})
+
+    meta = ds.map_batches(to_meta, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    pinned = meta.sort(["v", "i"]).materialize()
+
+    def block_counts(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows:
+            return pa.table({"lo_v": pa.array([], pa.float64()),
+                             "lo_i": pa.array([], pa.int64()),
+                             "hi_v": pa.array([], pa.float64()),
+                             "hi_i": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        return pa.table({
+            "lo_v": pa.array([batch["v"][0].as_py()], pa.float64()),
+            "lo_i": pa.array([batch["i"][0].as_py()], pa.int64()),
+            "hi_v": pa.array([batch["v"][-1].as_py()], pa.float64()),
+            "hi_i": pa.array([batch["i"][-1].as_py()], pa.int64()),
+            "cnt": pa.array([batch.num_rows], pa.int64()),
+        })
+
+    parts = pinned.map_batches(
+        block_counts, batch_size=None, batch_format="pyarrow", zero_copy_batch=True, **remote_args()
+    ).to_pandas()
+    rows = sorted(parts.itertuples(index=False), key=lambda r: (r.lo_v, r.lo_i))
+    for a, b in zip(rows, rows[1:]):
+        if (a.hi_v, a.hi_i) >= (b.lo_v, b.lo_i):
+            raise ValueError("systematic_sample: sorted blocks overlap — duplicate (value, id)?")
+    offsets: dict[tuple[float, int], int] = {}
+    acc = 0
+    for r in rows:
+        offsets[(float(r.lo_v), int(r.lo_i))] = acc
+        acc += int(r.cnt)
+    off_ref = ray.put(offsets)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          value_col: pa.array([], pa.float64()),
+                          "rn": pa.array([], pa.int64())})
+        if not batch.num_rows:
+            return empty
+        base = ray.get(off_ref)[(batch["v"][0].as_py(), batch["i"][0].as_py())]
+        rn = np.arange(base + 1, base + 1 + batch.num_rows, dtype=np.int64)
+        keep = (rn - 1) % every == 0
+        idx = np.flatnonzero(keep)
+        return pa.table({
+            id_col: pa.array(batch["i"].to_numpy(zero_copy_only=False)[idx], pa.int64()),
+            value_col: pa.array(batch["v"].to_numpy(zero_copy_only=False)[idx], pa.float64()),
+            "rn": pa.array(rn[idx], pa.int64()),
+        })
+
+    return pinned.map_batches(
+        pick, batch_size=None, batch_format="pyarrow", zero_copy_batch=True, **remote_args()
+    )

@@ -232,3 +232,50 @@ def test_bloom_semi_join_guards(ray_session):
     rnull = ray.data.from_arrow(pa.table({"k": pa.array([None], pa.int64())}))
     out = bloom_semi_join(ok, rnull, "k", how="semi").to_pandas()
     assert len(out) == 0
+
+# ------------------------------------------- group split + systematic sample
+
+
+def test_group_split_keeps_groups_atomic(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.sample import group_split, knuth_hash
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(2000),
+            "source": [f"s{g}" for g in rng.integers(0, 37, 2000)],
+        }
+    )
+    out = group_split(ray.data.from_pandas(df), rate_pct=40).to_pandas()
+    reps = df.groupby("source")["doc_id"].min()
+    kept = set(reps.index[(knuth_hash(reps.to_numpy()) % np.uint64(100)) < np.uint64(40)])
+    assert set(out["source"].unique()) == {s for s in kept if (df["source"] == s).any()}
+    # every kept group arrives whole
+    want = df[df["source"].isin(kept)]
+    assert sorted(out["doc_id"]) == sorted(want["doc_id"])
+    # rate bounds
+    with pytest.raises(ValueError, match="rate_pct"):
+        group_split(ray.data.from_pandas(df), rate_pct=101)
+
+
+def test_systematic_sample_global_rank(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.sample import systematic_sample
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({"event_id": np.arange(1000), "value": rng.normal(size=1000)})
+    out = systematic_sample(ray.data.from_pandas(df), every=9).to_pandas().sort_values("rn")
+    srt = df.sort_values(["value", "event_id"]).reset_index(drop=True)
+    want = srt.iloc[::9]
+    assert list(out["event_id"]) == list(want["event_id"])
+    assert list(out["rn"]) == list(range(1, 1001, 9))
+    # NaN value -> loud
+    bad = df.copy()
+    bad.loc[3, "value"] = np.nan
+    with pytest.raises(Exception, match="non-NaN"):
+        systematic_sample(ray.data.from_pandas(bad), every=9).to_pandas()
+    with pytest.raises(ValueError, match="every"):
+        systematic_sample(ray.data.from_pandas(df), every=0)
