@@ -4927,6 +4927,32 @@ def _q_systematic_sample_events(sf_dir: str):
     return out.sort_values("rn").reset_index(drop=True)
 
 
+def _q_target_encode_orderpriority(sf_dir: str):
+    """Smoothed mean-target encoding of o_orderpriority against
+    o_totalprice cents: exact-int sums lifted to ONE double division
+    (ops/agg.py:target_encode), bitwise vs the mirrored SQL expression."""
+    import ray.data
+
+    from orc_format_ray.ops.agg import target_encode
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_totalprice"])
+    out = target_encode(ds, category="o_orderpriority", target="o_totalprice", prior_weight=20)
+    return out.rename(columns={"category": "o_orderpriority"})
+
+
+def _q_longest_streak_users(sf_dir: str):
+    """Per-user longest consecutive-active-day streak (gaps-and-islands
+    over the distinct-day calendar, ops/windows.py:longest_streak) —
+    hash-exact vs SQL's day - row_number() island trick."""
+    import ray.data
+
+    from orc_format_ray.ops.windows import longest_streak
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    out = longest_streak(ds).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
     # (VERDICT r3 "What's wrong" #2), so the window below is curated for
@@ -5168,6 +5194,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_anti_join_lineitem": _q_bloom_anti_join_lineitem,
         "group_split_documents": _q_group_split_documents,
         "systematic_sample_events": _q_systematic_sample_events,
+        "target_encode_orderpriority": _q_target_encode_orderpriority,
+        "longest_streak_users": _q_longest_streak_users,
     }
 
 
@@ -6840,5 +6868,22 @@ def oracle_sql() -> dict[str, str]:
             "WITH x AS (SELECT event_id, value, "
             "CAST(row_number() OVER (ORDER BY value, event_id) AS BIGINT) AS rn FROM events) "
             "SELECT event_id, value, rn FROM x WHERE (rn - 1) % 7 = 0 ORDER BY rn"
+        ),
+        # exact-int sums lifted to ONE double division (session-5d rule)
+        "target_encode_orderpriority": (
+            "WITH u AS (SELECT o_orderpriority AS cat, CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS units FROM orders), "
+            "g AS (SELECT CAST(count(*) AS BIGINT) AS nn, CAST(sum(units) AS BIGINT) AS ss FROM u), "
+            "c AS (SELECT cat, CAST(count(*) AS BIGINT) AS n, CAST(sum(units) AS BIGINT) AS su FROM u GROUP BY cat) "
+            "SELECT c.cat AS o_orderpriority, c.n, c.su AS sum_units, "
+            "CAST(c.su * g.nn + 20 * g.ss AS DOUBLE) / CAST(g.nn * (c.n + 20) AS DOUBLE) AS enc "
+            "FROM c, g ORDER BY o_orderpriority"
+        ),
+        # gaps-and-islands: day - row_number() is constant within a streak
+        "longest_streak_users": (
+            "WITH d AS (SELECT DISTINCT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day FROM events), "
+            "x AS (SELECT user_id, day, day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp FROM d), "
+            "s AS (SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len FROM x GROUP BY user_id, grp) "
+            "SELECT user_id, CAST(sum(len) AS BIGINT) AS n_days, CAST(max(len) AS BIGINT) AS longest_streak "
+            "FROM s GROUP BY user_id ORDER BY user_id"
         ),
     }

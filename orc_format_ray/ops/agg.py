@@ -1332,3 +1332,63 @@ def welch_ttest(ds, group: str, col: str, group_a, group_b, value_scale: int = 1
     return pd.DataFrame({"n_a": [int(na)], "n_b": [int(nb)],
                          "mean_a": [float(ma)], "mean_b": [float(mb)],
                          "t": [float(t_stat)], "df": [float(dof)]})
+
+
+def target_encode(ds, category: str, target: str, prior_weight: int = 20,
+                  value_scale: int = 100):
+    """Smoothed mean-target encoding of a categorical column:
+    ``enc(cat) = (sum_cat + w * global_mean) / (n_cat + w)`` — the
+    leakage-lite categorical featurizer. All sums are EXACT int64 units
+    (``floor(target*scale + 0.5)``) and the blend is lifted to ONE double
+    division, ``(su*N + w*S) / (N*(n + w))`` — mathematically identical to
+    the classic nested-float form but bitwise-reproducible and mirrored
+    op-for-op in SQL (the session-5d single-division rule). Returns a
+    pandas DataFrame ``(category, n, sum_units, enc)`` — |categories| rows,
+    driver-resident by design.
+
+    Scale shape: per-batch Arrow group_by partials, ONE (category) cell
+    groupby; the target payload never shuffles. int64 products are guarded
+    (< 2^62) because numpy wraps silently."""
+    import pandas as pd
+    from ray.data.aggregate import Count, Sum
+
+    if prior_weight < 0:
+        raise ValueError(f"prior_weight must be >= 0, got {prior_weight}")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch[target].to_numpy(zero_copy_only=False)
+        if batch[target].null_count or np.isnan(v).any():
+            raise ValueError(f"target_encode: {target!r} must be non-null, non-NaN")
+        units = np.floor(v * value_scale + 0.5).astype(np.int64)
+        if len(units) and np.abs(units).max() >= 1 << 31:
+            raise ValueError("target_encode: |unit| >= 2^31 — raise value granularity guard")
+        t = pa.table({"cat": batch[category].cast(pa.string()), "u": pa.array(units, pa.int64()),
+                      "one": pa.array(np.ones(len(units), dtype=np.int64), pa.int64())})
+        g = t.group_by("cat").aggregate([("u", "sum"), ("one", "sum")])
+        return g.rename_columns(["cat", "su", "n"])
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby("cat")
+        .aggregate(Sum("su", alias_name="su"), Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    if cells.empty:
+        return pd.DataFrame({"category": pd.Series(dtype="object"),
+                             "n": pd.Series(dtype="int64"),
+                             "sum_units": pd.Series(dtype="int64"),
+                             "enc": pd.Series(dtype="float64")})
+    su = cells["su"].to_numpy(dtype=np.int64)
+    n = cells["n"].to_numpy(dtype=np.int64)
+    S = int(su.sum())
+    N = int(n.sum())
+    w = int(prior_weight)
+    for name, val in (("su*N", int(np.abs(su).max()) * N), ("w*S", abs(w * S)),
+                      ("N*(n+w)", N * (int(n.max()) + w))):
+        if val >= 1 << 62:
+            raise ValueError(f"target_encode: {name} would overflow int64 — reduce value_scale")
+    num = su * np.int64(N) + np.int64(w) * np.int64(S)
+    den = np.int64(N) * (n + np.int64(w))
+    enc = num.astype(np.float64) / den.astype(np.float64)
+    out = pd.DataFrame({"category": cells["cat"], "n": n, "sum_units": su, "enc": enc})
+    return out.sort_values("category").reset_index(drop=True)

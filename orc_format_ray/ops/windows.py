@@ -2212,3 +2212,52 @@ def debounce(ds, key: str = "user_id", order_col: str = "ts",
     return pinned.map_batches(
         finish, batch_size=None, batch_format="pyarrow", zero_copy_batch=True, **remote_args()
     )
+
+
+def longest_streak(ds, key: str = "user_id", ts_col: str = "ts"):
+    """Longest run of CONSECUTIVE active days per key (gaps-and-islands
+    over the distinct-day calendar): returns a Dataset of
+    ``(key, n_days, longest_streak)`` — n_days = distinct active days,
+    longest_streak = max consecutive-day run, both int64 and hash-exact
+    vs SQL's ``day - row_number()`` island trick.
+
+    Scale shape: per-batch (key, epoch-day) pairs dedupe locally, ONE cell
+    groupby dedupes globally (|key x active days| rows, never raw events),
+    then a per-key ``map_groups`` fold over day lists — bounded by the
+    calendar span, not the event count."""
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Count
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = batch[ts_col].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = np.floor_divide(us, np.int64(86_400_000_000))
+        t = pa.table({"k": batch[key].cast(pa.int64()), "day": pa.array(day, pa.int64())})
+        return t.group_by(["k", "day"]).aggregate([])
+
+    cells = (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby(["k", "day"])
+        .aggregate(Count(alias_name="_c"))
+        .select_columns(["k", "day"])
+    )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        days = np.sort(g["day"].to_numpy(np.int64))
+        breaks = np.flatnonzero(np.diff(days) != 1)
+        run_ends = np.concatenate((breaks, [len(days) - 1]))
+        run_starts = np.concatenate(([0], breaks + 1))
+        longest = int((run_ends - run_starts + 1).max())
+        return pd.DataFrame({key: [int(g["k"].iloc[0])],
+                             "n_days": [len(days)],
+                             "longest_streak": [longest]})
+
+    out = cells.groupby("k").map_groups(fold, batch_format="pandas", **remote_args())
+    # normalize lineage to arrow so downstream union()/groupby compose
+    return out.map_batches(
+        lambda t: pa.table({key: t[key].cast(pa.int64()),
+                            "n_days": t["n_days"].cast(pa.int64()),
+                            "longest_streak": t["longest_streak"].cast(pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True, **remote_args(),
+    )

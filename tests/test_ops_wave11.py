@@ -279,3 +279,56 @@ def test_systematic_sample_global_rank(ray_session):
         systematic_sample(ray.data.from_pandas(bad), every=9).to_pandas()
     with pytest.raises(ValueError, match="every"):
         systematic_sample(ray.data.from_pandas(df), every=0)
+
+# ---------------------------------------- target encoding + longest streak
+
+
+def test_target_encode_matches_classic_formula(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.agg import target_encode
+
+    rng = np.random.default_rng(2)
+    df = pd.DataFrame(
+        {
+            "cat": [f"c{g}" for g in rng.integers(0, 6, 800)],
+            "y": np.round(rng.uniform(0, 1000, 800), 2),
+        }
+    )
+    out = target_encode(ray.data.from_pandas(df), "cat", "y", prior_weight=10)
+    units = np.floor(df["y"].to_numpy() * 100 + 0.5).astype(np.int64)
+    S, N = units.sum(), len(df)
+    for _, r in out.iterrows():
+        m = df["cat"] == r["category"]
+        su, n = units[m.to_numpy()].sum(), int(m.sum())
+        assert r["n"] == n and r["sum_units"] == su
+        # mathematically the classic smoothed mean
+        classic = (su + 10 * (S / N)) / (n + 10)
+        assert abs(r["enc"] - classic) < 1e-6
+        # bitwise the lifted single division
+        assert r["enc"] == np.float64(su * N + 10 * S) / np.float64(N * (n + 10))
+    # NaN target -> loud
+    bad = df.copy()
+    bad.loc[0, "y"] = np.nan
+    with pytest.raises(Exception, match="non-NaN"):
+        target_encode(ray.data.from_pandas(bad), "cat", "y")
+
+
+def test_longest_streak_semantics(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.windows import longest_streak
+
+    day = 86_400
+    ts = {
+        1: [0, 1 * day, 2 * day, 2 * day + 5, 5 * day],       # streak 3, 4 days
+        2: [10 * day, 12 * day, 14 * day],                    # streak 1, 3 days
+        3: [7 * day, 8 * day, 9 * day, 10 * day, 11 * day],   # streak 5
+    }
+    rows = [(u, t) for u, l in ts.items() for t in l]
+    df = pd.DataFrame({"user_id": [r[0] for r in rows],
+                       "ts": pd.to_datetime([r[1] for r in rows], unit="s")})
+    out = longest_streak(ray.data.from_pandas(df)).to_pandas().set_index("user_id")
+    assert out.loc[1, "longest_streak"] == 3 and out.loc[1, "n_days"] == 4
+    assert out.loc[2, "longest_streak"] == 1 and out.loc[2, "n_days"] == 3
+    assert out.loc[3, "longest_streak"] == 5 and out.loc[3, "n_days"] == 5
