@@ -4953,6 +4953,31 @@ def _q_longest_streak_users(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def _q_rolling_active_users(sf_dir: str):
+    """Rolling 7-day distinct-user counts per day (cell expansion +
+    distinct groupby, ops/windows.py:rolling_active_users) — hash-exact
+    vs the SQL window expansion."""
+    import ray.data
+
+    from orc_format_ray.ops.windows import rolling_active_users
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    out = rolling_active_users(ds, window_days=7).to_pandas()
+    return out.sort_values("wday").reset_index(drop=True)
+
+
+def _q_rfm_segments_users(sf_dir: str):
+    """RFM segmentation of users: recency/frequency/monetary metrics,
+    each ntile(4)-bucketed via the pinned-block equi-depth plan
+    (ops/agg.py:rfm_segments) — hash-exact vs three SQL ntile windows."""
+    import ray.data
+
+    from orc_format_ray.ops.agg import rfm_segments
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+    return rfm_segments(ds, n=4)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
     # (VERDICT r3 "What's wrong" #2), so the window below is curated for
@@ -5196,6 +5221,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "systematic_sample_events": _q_systematic_sample_events,
         "target_encode_orderpriority": _q_target_encode_orderpriority,
         "longest_streak_users": _q_longest_streak_users,
+        "rolling_active_users": _q_rolling_active_users,
+        "rfm_segments_users": _q_rfm_segments_users,
     }
 
 
@@ -6885,5 +6912,23 @@ def oracle_sql() -> dict[str, str]:
             "s AS (SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len FROM x GROUP BY user_id, grp) "
             "SELECT user_id, CAST(sum(len) AS BIGINT) AS n_days, CAST(max(len) AS BIGINT) AS longest_streak "
             "FROM s GROUP BY user_id ORDER BY user_id"
+        ),
+        "rolling_active_users": (
+            "WITH d AS (SELECT DISTINCT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day FROM events), "
+            "w AS (SELECT DISTINCT user_id, day + g AS wday FROM d CROSS JOIN range(0, 7) t(g)) "
+            "SELECT wday, CAST(count(*) AS BIGINT) AS n_users FROM w GROUP BY wday ORDER BY wday"
+        ),
+        # three ntile windows over exact-int metrics; unique-id tiebreak
+        "rfm_segments_users": (
+            "WITH m AS (SELECT user_id, CAST(max(epoch_us(ts)) AS BIGINT) AS last_us, "
+            "CAST(count(*) AS BIGINT) AS f_cnt, "
+            "CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS m_units FROM events GROUP BY user_id), "
+            "g AS (SELECT max(last_us) AS tmax FROM m), "
+            "x AS (SELECT user_id, (g.tmax - last_us) // 86400000000 AS r_days, f_cnt, m_units FROM m, g) "
+            "SELECT user_id, r_days, f_cnt, m_units, "
+            "CAST(ntile(4) OVER (ORDER BY r_days, user_id) AS BIGINT) AS r_bucket, "
+            "CAST(ntile(4) OVER (ORDER BY f_cnt, user_id) AS BIGINT) AS f_bucket, "
+            "CAST(ntile(4) OVER (ORDER BY m_units, user_id) AS BIGINT) AS m_bucket "
+            "FROM x ORDER BY user_id"
         ),
     }

@@ -1392,3 +1392,68 @@ def target_encode(ds, category: str, target: str, prior_weight: int = 20,
     enc = num.astype(np.float64) / den.astype(np.float64)
     out = pd.DataFrame({"category": cells["cat"], "n": n, "sum_units": su, "enc": enc})
     return out.sort_values("category").reset_index(drop=True)
+
+
+def rfm_segments(ds, user_col: str = "user_id", ts_col: str = "ts",
+                 value_col: str = "value", n: int = 4, value_scale: int = 100):
+    """RFM segmentation: per-key Recency (whole days since the key's last
+    event, vs the corpus max), Frequency (event count) and Monetary
+    (exact-int value units), each equi-depth-bucketed 1..n by
+    ``quantile_bucketize`` (SQL ntile's front-loaded remainder, unique-id
+    tiebreak). Returns a pandas DataFrame ``(user_col, r_days, f_cnt,
+    m_units, r_bucket, f_bucket, m_bucket)`` — |keys| rows, driver-merged
+    by design (shard the merge through hash_join when |keys| outgrows the
+    driver).
+
+    Scale shape: per-batch (key, max-ts/count/sum) partials, ONE key
+    groupby; the three bucketize passes ride the pinned-block ntile plan
+    over |keys|-sized metadata — raw events never shuffle."""
+    import pandas as pd
+    from ray.data.aggregate import Max, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = batch[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        if batch[value_col].null_count or np.isnan(v).any():
+            raise ValueError(f"rfm_segments: {value_col!r} must be non-null, non-NaN")
+        units = np.floor(v * value_scale + 0.5).astype(np.int64)
+        t = pa.table({"k": batch[user_col].cast(pa.int64()), "us": us,
+                      "u": pa.array(units, pa.int64()),
+                      "one": pa.array(np.ones(len(units), dtype=np.int64), pa.int64())})
+        g = t.group_by("k").aggregate([("us", "max"), ("u", "sum"), ("one", "sum")])
+        return g.rename_columns(["k", "last_us", "su", "cnt"])
+
+    metrics = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby("k")
+        .aggregate(Max("last_us", alias_name="last_us"),
+                   Sum("su", alias_name="m_units"),
+                   Sum("cnt", alias_name="f_cnt"))
+        .materialize()
+    )
+    tmax = metrics.max("last_us")
+
+    def add_recency(batch: pa.Table) -> pa.Table:
+        last = batch["last_us"].to_numpy(zero_copy_only=False)
+        r = (np.int64(tmax) - last) // np.int64(86_400_000_000)
+        return pa.table({
+            user_col: batch["k"].cast(pa.int64()),
+            "r_days": pa.array(r, pa.int64()),
+            "f_cnt": batch["f_cnt"].cast(pa.int64()),
+            "m_units": batch["m_units"].cast(pa.int64()),
+        })
+
+    met = metrics.map_batches(add_recency, batch_format="pyarrow", zero_copy_batch=True,
+                              **remote_args()).materialize()
+
+    def bucket_frame(col: str, out_name: str) -> pd.DataFrame:
+        b = quantile_bucketize(met, col, user_col, n, value_scale=1).to_pandas()
+        return b[[user_col, "bucket"]].rename(columns={"bucket": out_name})
+
+    base = met.to_pandas()
+    out = (
+        base.merge(bucket_frame("r_days", "r_bucket"), on=user_col)
+        .merge(bucket_frame("f_cnt", "f_bucket"), on=user_col)
+        .merge(bucket_frame("m_units", "m_bucket"), on=user_col)
+    )
+    return out.sort_values(user_col).reset_index(drop=True)

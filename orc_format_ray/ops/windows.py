@@ -2261,3 +2261,53 @@ def longest_streak(ds, key: str = "user_id", ts_col: str = "ts"):
                             "longest_streak": t["longest_streak"].cast(pa.int64())}),
         batch_format="pyarrow", zero_copy_batch=True, **remote_args(),
     )
+
+
+def rolling_active_users(ds, key: str = "user_id", ts_col: str = "ts",
+                         window_days: int = 7):
+    """Trailing-window distinct-actor count: for every epoch day ``D``,
+    how many distinct keys were active in ``[D - window_days + 1, D]`` —
+    the rolling-DAU/WAU metric. Returns a Dataset of ``(wday, n_users)``
+    over every day inside some key's trailing window (including the
+    run-out days after the last event, exactly like the SQL expansion).
+
+    Scale shape: per-batch (key, day) pairs dedupe locally, expand to
+    ``window_days`` (key, window-day) cells, and ONE global cell groupby
+    dedupes them; a per-batch partial count + ONE tiny (day) groupby sums.
+    Raw events never shuffle; cell volume is bounded by
+    ``window_days x |key x active-day|``."""
+    import numpy as np
+
+    from ray.data.aggregate import Count, Sum
+
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = batch[ts_col].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = np.floor_divide(us, np.int64(86_400_000_000))
+        k = batch[key].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        t = pa.table({"k": pa.array(k, pa.int64()), "day": pa.array(day, pa.int64())})
+        d = t.group_by(["k", "day"]).aggregate([])
+        kk = np.repeat(d["k"].to_numpy(zero_copy_only=False), window_days)
+        dd = np.repeat(d["day"].to_numpy(zero_copy_only=False), window_days)
+        off = np.tile(np.arange(window_days, dtype=np.int64), d.num_rows)
+        w = pa.table({"k": pa.array(kk, pa.int64()), "wday": pa.array(dd + off, pa.int64())})
+        return w.group_by(["k", "wday"]).aggregate([])
+
+    cells = (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby(["k", "wday"])
+        .aggregate(Count(alias_name="_c"))
+        .select_columns(["wday"])
+    )
+
+    def partial_count(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("wday").aggregate([("wday", "count")])
+        return g.rename_columns(["wday", "c"])
+
+    return (
+        cells.map_batches(partial_count, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby("wday")
+        .aggregate(Sum("c", alias_name="n_users"))
+    )

@@ -332,3 +332,44 @@ def test_longest_streak_semantics(ray_session):
     assert out.loc[1, "longest_streak"] == 3 and out.loc[1, "n_days"] == 4
     assert out.loc[2, "longest_streak"] == 1 and out.loc[2, "n_days"] == 3
     assert out.loc[3, "longest_streak"] == 5 and out.loc[3, "n_days"] == 5
+
+# ------------------------------------------ rolling DAU + RFM segmentation
+
+
+def test_rolling_active_users_semantics(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.windows import rolling_active_users
+
+    day = 86_400
+    rows = [(1, 0), (1, 0), (2, 0), (1, 2 * day), (3, 9 * day)]
+    df = pd.DataFrame({"user_id": [r[0] for r in rows],
+                       "ts": pd.to_datetime([r[1] for r in rows], unit="s")})
+    out = rolling_active_users(ray.data.from_pandas(df), window_days=3).to_pandas()
+    got = dict(zip(out["wday"], out["n_users"]))
+    # day0: users {1,2}; day2 adds user 1 again (still distinct);
+    # windows: wday0 {1,2}=2, wday1 {1,2}=2, wday2 {1,2}+{1}=2, wday3 {1}=1, wday4 {1}=1
+    assert got == {0: 2, 1: 2, 2: 2, 3: 1, 4: 1, 9: 1, 10: 1, 11: 1}
+    with pytest.raises(ValueError, match="window_days"):
+        rolling_active_users(ray.data.from_pandas(df), window_days=0)
+
+
+def test_rfm_segments_vs_duckdb(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.agg import rfm_segments
+
+    ds = ray.data.read_parquet(f"{SF}/events.parquet", columns=["user_id", "ts", "value"])
+    out = rfm_segments(ds, n=5)
+    want = _con().execute(
+        "WITH m AS (SELECT user_id, CAST(max(epoch_us(ts)) AS BIGINT) AS last_us, "
+        "CAST(count(*) AS BIGINT) AS f_cnt, "
+        "CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS m_units FROM events GROUP BY user_id), "
+        "g AS (SELECT max(last_us) AS tmax FROM m), "
+        "x AS (SELECT user_id, (g.tmax - last_us) // 86400000000 AS r_days, f_cnt, m_units FROM m, g) "
+        "SELECT user_id, r_days, f_cnt, m_units, "
+        "CAST(ntile(5) OVER (ORDER BY r_days, user_id) AS BIGINT) AS r_bucket, "
+        "CAST(ntile(5) OVER (ORDER BY f_cnt, user_id) AS BIGINT) AS f_bucket, "
+        "CAST(ntile(5) OVER (ORDER BY m_units, user_id) AS BIGINT) AS m_bucket FROM x"
+    ).fetchdf()
+    _assert_frames_equal(out, want)
