@@ -4978,6 +4978,33 @@ def _q_rfm_segments_users(sf_dir: str):
     return rfm_segments(ds, n=4)
 
 
+def _q_orc_delete_rows(sf_dir: str):
+    """GDPR-forget over a Hive-partitioned ORC lake: write documents
+    partitioned by lang, tombstone doc_id % 7 == 3, rewrite ONLY the files
+    whose footer stats overlap (orcmerge.py:delete_rows), then a native
+    partition-aware read-back — hash-exact vs SQL NOT-IN."""
+    import shutil
+
+    import pyarrow.parquet as _pq
+    import ray.data
+
+    from orc_format_ray.orcfile import read_orc_dataset, write_orc_dataset
+    from orc_format_ray.orcmerge import delete_rows
+
+    scratch = _scratch(sf_dir, "orcdelete")
+    shutil.rmtree(scratch, ignore_errors=True)
+    lake = os.path.join(scratch, "lake")
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "lang", "n_chars"]
+    )
+    write_orc_dataset(ds, lake, partition_by=["lang"]).materialize()
+    all_ids = _pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])["doc_id"].to_numpy()
+    delete_rows(lake, "doc_id", [int(i) for i in all_ids if i % 7 == 3])
+    out = _table(read_orc_dataset(lake, native=True)).to_pandas()
+    out = out[["doc_id", "source", "lang", "n_chars"]]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
     # (VERDICT r3 "What's wrong" #2), so the window below is curated for
@@ -5223,6 +5250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "longest_streak_users": _q_longest_streak_users,
         "rolling_active_users": _q_rolling_active_users,
         "rfm_segments_users": _q_rfm_segments_users,
+        "orc_delete_rows": _q_orc_delete_rows,
     }
 
 
@@ -6930,5 +6958,9 @@ def oracle_sql() -> dict[str, str]:
             "CAST(ntile(4) OVER (ORDER BY f_cnt, user_id) AS BIGINT) AS f_bucket, "
             "CAST(ntile(4) OVER (ORDER BY m_units, user_id) AS BIGINT) AS m_bucket "
             "FROM x ORDER BY user_id"
+        ),
+        "orc_delete_rows": (
+            "SELECT doc_id, source, lang, n_chars FROM documents "
+            "WHERE doc_id % 7 <> 3 ORDER BY doc_id"
         ),
     }

@@ -628,3 +628,117 @@ def compact_orc_dataset(
 
     ds = ray.data.from_items(items)
     return ds.map_batches(_merge_group, batch_format="pyarrow", batch_size=1, **remote_args())
+
+
+def delete_rows(lake_dir: str, key: str, ids, compression: str = "zstd",
+                level: int = 3, stripe_rows: int = 250_000,
+                row_index_stride: int = 10_000,
+                max_broadcast_ids: int = 1 << 26) -> dict:
+    """Targeted row deletion across an ORC lake (the GDPR-forget / tombstone
+    rewrite): remove every row whose ``key`` is in ``ids``, rewriting ONLY
+    the files whose footer ``key`` statistics overlap the tombstone set —
+    untouched files keep their bytes and paths (resume- and cache-friendly).
+    Works on Hive-partitioned lakes (partition dirs and the schema sidecar
+    are preserved; data files don't carry partition columns).
+
+    Plan: one Ray task per file preads the TAIL ONLY and range-checks the
+    sorted tombstone array against the footer min/max (``searchsorted`` —
+    a file with no overlapping id is provably clean); overlapping files
+    re-read natively, filter, and rewrite under a new content-hashed name
+    before the old file unlinks (a crashed run leaves both — idempotent
+    re-run converges). The tombstone set broadcasts once via ``ray.put``
+    (guarded by ``max_broadcast_ids``; shard it beyond that).
+
+    Returns ``{"n_files", "n_rewritten", "n_deleted_rows", "files"}`` where
+    ``files`` lists (path, action) — action in {"kept", "rewritten",
+    "removed"} ("removed" = every row matched, no replacement written).
+    """
+    import glob
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from ._rayutil import remote_args
+    from .orcfile import _content_hash_name, write_orc
+    from .orcread import read_orc_native
+
+    id_arr = np.unique(np.asarray(list(ids), dtype=np.int64))
+    if id_arr.size > max_broadcast_ids:
+        raise ValueError(
+            f"{id_arr.size} tombstones exceed max_broadcast_ids={max_broadcast_ids}; "
+            "shard the tombstone set (range-partition ids and run per shard)"
+        )
+    paths = sorted(glob.glob(os.path.join(lake_dir, "**", "*.orc"), recursive=True))
+    summary = {"n_files": len(paths), "n_rewritten": 0, "n_deleted_rows": 0, "files": []}
+    if not paths or not id_arr.size:
+        summary["files"] = [(p, "kept") for p in paths]
+        return summary
+    ids_ref = ray.put(id_arr)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        tomb = ray.get(ids_ref)
+        out = []
+        for p in batch["path"].to_pylist():
+            st = read_orc_statistics(p).get(key)
+            if st is None or st.min is None or st.max is None:
+                touch = True  # stats missing: cannot prove clean — rewrite path decides
+            else:
+                lo = int(np.searchsorted(tomb, int(st.min), side="left"))
+                hi = int(np.searchsorted(tomb, int(st.max), side="right"))
+                touch = hi > lo
+            out.append({"path": p, "touch": touch})
+        return pa.Table.from_pylist(out)
+
+    plan = (
+        ray.data.from_items([{"path": p} for p in paths])
+        .map_batches(probe, batch_format="pyarrow", **remote_args())
+        .to_pandas()
+    )
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc_
+
+        tomb = ray.get(ids_ref)
+        rows = []
+        for p in batch["path"].to_pylist():
+            tbl = read_orc_native(p)
+            k = tbl[key].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(tomb, k)
+            pos[pos == len(tomb)] = 0
+            hit = tomb[pos] == k
+            n_del = int(hit.sum())
+            if n_del == 0:
+                rows.append({"path": p, "action": "kept", "n_deleted": 0})
+                continue
+            keep = tbl.filter(pa.array(~hit))
+            if keep.num_rows:
+                newp = os.path.join(os.path.dirname(p), _content_hash_name(keep))
+                if os.path.abspath(newp) != os.path.abspath(p):
+                    write_orc(keep, newp, compression, level, stripe_rows=stripe_rows,
+                              row_index_stride=row_index_stride)
+                    os.remove(p)
+                rows.append({"path": newp, "action": "rewritten", "n_deleted": n_del})
+            else:
+                os.remove(p)
+                rows.append({"path": p, "action": "removed", "n_deleted": n_del})
+        return pa.Table.from_pylist(rows)
+
+    touched = plan[plan["touch"]]["path"].tolist()
+    for p in plan[~plan["touch"]]["path"]:
+        summary["files"].append((p, "kept"))
+    if touched:
+        res = (
+            ray.data.from_items([{"path": p} for p in touched])
+            .map_batches(rewrite, batch_format="pyarrow", **remote_args())
+            .to_pandas()
+        )
+        for path, action, n_del in res[["path", "action", "n_deleted"]].itertuples(index=False):
+            summary["files"].append((path, action))
+            summary["n_deleted_rows"] += int(n_del)
+            if action in ("rewritten", "removed"):
+                summary["n_rewritten"] += 1
+    summary["files"].sort()
+    return summary

@@ -373,3 +373,58 @@ def test_rfm_segments_vs_duckdb(ray_session):
         "CAST(ntile(5) OVER (ORDER BY m_units, user_id) AS BIGINT) AS m_bucket FROM x"
     ).fetchdf()
     _assert_frames_equal(out, want)
+
+# ------------------------------------------------------- ORC lake delete
+
+
+def test_delete_rows_prunes_and_rewrites(ray_session, tmp_path):
+    import os
+
+    import ray.data
+
+    from orc_format_ray.orcfile import read_orc_dataset, write_orc_dataset
+    from orc_format_ray.orcmerge import delete_rows
+
+    lake = str(tmp_path / "lake")
+    # two disjoint id ranges -> two files via repartition
+    df = pd.DataFrame({"doc_id": np.arange(200), "v": np.arange(200) * 3})
+    ds = ray.data.from_pandas(df).repartition(2)
+    write_orc_dataset(ds, lake).materialize()
+    files0 = {
+        p: os.path.getmtime(os.path.join(lake, p))
+        for p in os.listdir(lake) if p.endswith(".orc")
+    }
+    assert len(files0) == 2
+    # tombstones hit only the low range [0, 100)
+    res = delete_rows(lake, "doc_id", [5, 7, 9999])
+    assert res["n_rewritten"] == 1 and res["n_deleted_rows"] == 2
+    kept = [p for p, a in res["files"] if a == "kept"]
+    assert len(kept) == 1  # high-range file provably clean from stats alone
+    assert os.path.basename(kept[0]) in files0
+    assert os.path.getmtime(kept[0]) == files0[os.path.basename(kept[0])]
+    back = (
+        pa.concat_tables(read_orc_dataset(lake, native=True).to_pandas().pipe(lambda d: [pa.Table.from_pandas(d)]))
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert list(back["doc_id"]) == [i for i in range(200) if i not in (5, 7)]
+    # idempotent re-run: nothing left to delete
+    res2 = delete_rows(lake, "doc_id", [5, 7])
+    assert res2["n_deleted_rows"] == 0 and res2["n_rewritten"] == 0
+
+
+def test_delete_rows_removes_fully_matched_file(ray_session, tmp_path):
+    import os
+
+    import ray.data
+
+    from orc_format_ray.orcfile import write_orc_dataset
+    from orc_format_ray.orcmerge import delete_rows
+
+    lake = str(tmp_path / "lake2")
+    ds = ray.data.from_pandas(pd.DataFrame({"doc_id": np.arange(50), "v": np.arange(50)}))
+    write_orc_dataset(ds, lake).materialize()
+    res = delete_rows(lake, "doc_id", list(range(50)))
+    assert res["n_deleted_rows"] == 50
+    assert [a for _, a in res["files"]] == ["removed"]
+    assert not [p for p in os.listdir(lake) if p.endswith(".orc")]
