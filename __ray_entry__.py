@@ -5005,6 +5005,36 @@ def _q_orc_delete_rows(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_substring_containment_planted(sf_dir: str):
+    """Word-aligned substring containment with planted excerpts (words
+    4..11 of docs 0..4 re-inserted as new docs): complete first-gram
+    blocking + exact padded-containment verify
+    (ops/spans.py:substring_containment), hash-exact vs position() SQL."""
+    import ray.data
+
+    from orc_format_ray.ops.spans import substring_containment
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        ids = batch["doc_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        words = _pc.split_pattern(batch["text"].cast(pa.string()), " ")
+        nw = _pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        m = (ids < 5) & (nw >= 11)
+        sub = batch.filter(pa.array(m))
+        ws = _pc.split_pattern(sub["text"].cast(pa.string()), " ")
+        sl = _pc.list_slice(ws, 3, 11)
+        ptext = _pc.binary_join(sl, " ")
+        planted = pa.table({"doc_id": pa.array(ids[m] + 1_000_000, pa.int64()), "text": ptext})
+        base = pa.table({"doc_id": batch["doc_id"].cast(pa.int64()), "text": batch["text"].cast(pa.string())})
+        return pa.concat_tables([base, planted])
+
+    ds2 = ds.map_batches(plant, batch_format="pyarrow", zero_copy_batch=True, **_ra())
+    return substring_containment(ds2, gram_words=8)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
     # (VERDICT r3 "What's wrong" #2), so the window below is curated for
@@ -5251,6 +5281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_active_users": _q_rolling_active_users,
         "rfm_segments_users": _q_rfm_segments_users,
         "orc_delete_rows": _q_orc_delete_rows,
+        "substring_containment_planted": _q_substring_containment_planted,
     }
 
 
@@ -6962,5 +6993,18 @@ def oracle_sql() -> dict[str, str]:
         "orc_delete_rows": (
             "SELECT doc_id, source, lang, n_chars FROM documents "
             "WHERE doc_id % 7 <> 3 ORDER BY doc_id"
+        ),
+        # space-padded char containment == word-aligned on single-space text;
+        # DuckDB list slice [4:11] is 1-based inclusive == python words[3:11]
+        "substring_containment_planted": (
+            "WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents), "
+            "p AS (SELECT doc_id + 1000000 AS doc_id, array_to_string(ws[4:11], ' ') AS text "
+            "FROM w WHERE doc_id < 5 AND len(ws) >= 11), "
+            "c AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM p), "
+            "e AS (SELECT doc_id, text FROM c WHERE len(string_split(text, ' ')) >= 8) "
+            "SELECT a.doc_id AS contained_id, b.doc_id AS container_id FROM e a JOIN c b "
+            "ON a.doc_id <> b.doc_id "
+            "WHERE position((' ' || a.text || ' ') IN (' ' || b.text || ' ')) > 0 "
+            "ORDER BY contained_id, container_id"
         ),
     }

@@ -187,3 +187,121 @@ def cross_doc_shared_fraction(ds, n: int = 5, column: str = "text",
         return batch.append_column("shared_frac", pa.array(frac, pa.float64()))
 
     return sums.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+
+
+def substring_containment(ds, column: str = "text", id_col: str = "doc_id",
+                          gram_words: int = 8, max_bucket_pairs: int = 1 << 16,
+                          max_candidates: int = 1 << 20):
+    """WORD-ALIGNED substring containment between documents: every pair
+    ``(contained_id, container_id)`` where the contained doc's full word
+    sequence appears as a contiguous word run inside the container (the
+    quote / mirror / excerpt detector that exact-hash dedup misses).
+    Word-aligned is the deliberate semantics — it equals space-padded
+    character containment ``' '+a+' ' IN ' '+b+' '`` on single-space
+    tokenized text, which is exactly the SQL mirror.
+
+    Plan (complete blocking, then exact verify):
+
+    1. containee anchor = the doc's FIRST ``gram_words``-gram; container
+       side = ALL its ``gram_words``-grams (`_word_ngram_strings`, deduped
+       per doc). If A is word-contained in B, A's first gram IS one of
+       B's grams — the block never misses a true pair.
+    2. one (gram) groupby expands anchor x container candidates (capped at
+       ``max_bucket_pairs`` per bucket — a boilerplate gram that anchors
+       thousands of docs is the blow-up; raise the gram size instead).
+       A doc has ONE anchor, so no pair duplicates across buckets.
+    3. exact verify: candidate texts fetch by broadcast id set (bounded by
+       ``max_candidates``) and each pair checks the padded containment.
+
+    Docs with < ``gram_words`` words don't participate (they can't anchor;
+    they also can't contain a longer doc). Returns a pandas DataFrame
+    ``(contained_id, container_id)`` — typed-empty when nothing matches.
+    """
+    import pandas as pd
+    import ray
+
+    from .text import _word_ngram_strings
+
+    if gram_words < 1:
+        raise ValueError(f"gram_words must be >= 1, got {gram_words}")
+
+    def _empty():
+        return pd.DataFrame({"contained_id": pd.Series(dtype="int64"),
+                             "container_id": pd.Series(dtype="int64")})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        col = batch[column].cast(pa.string()).combine_chunks()
+        grams, ng_counts = _word_ngram_strings(col, gram_words)
+        rep_ids = np.repeat(ids, ng_counts)
+        cont = pa.table({
+            "gram": grams,
+            "id": pa.array(rep_ids, pa.int64()),
+        }).group_by(["gram", "id"]).aggregate([])
+        has = ng_counts > 0
+        first_idx = np.concatenate(([0], np.cumsum(ng_counts)[:-1]))[has]
+        anch = pa.table({
+            "gram": grams.take(pa.array(first_idx, pa.int64())),
+            "id": pa.array(ids[has], pa.int64()),
+        })
+        side = pa.array(np.concatenate([np.zeros(anch.num_rows, np.int64),
+                                        np.ones(cont.num_rows, np.int64)]), pa.int64())
+        both = pa.table({
+            "gram": pa.concat_arrays([anch["gram"].combine_chunks(), cont["gram"].combine_chunks()]),
+            "id": pa.concat_arrays([anch["id"].combine_chunks(), cont["id"].combine_chunks()]),
+            "side": side,
+        })
+        return both
+
+    cells = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+
+    def expand(g: pd.DataFrame) -> pd.DataFrame:
+        a = np.unique(g.loc[g["side"] == 0, "id"].to_numpy(np.int64))
+        b = np.unique(g.loc[g["side"] == 1, "id"].to_numpy(np.int64))
+        if not len(a) or not len(b):
+            return pd.DataFrame({"ca": pd.Series(dtype="int64"), "cb": pd.Series(dtype="int64")})
+        if len(a) * len(b) > max_bucket_pairs:
+            raise ValueError(
+                f"substring_containment: gram bucket {g['gram'].iloc[0]!r} expands to "
+                f"{len(a) * len(b)} pairs > max_bucket_pairs={max_bucket_pairs}"
+            )
+        ai = np.repeat(a, len(b))
+        bi = np.tile(b, len(a))
+        keep = ai != bi
+        return pd.DataFrame({"ca": ai[keep], "cb": bi[keep]})
+
+    pairs = (
+        cells.groupby("gram").map_groups(expand, batch_format="pandas", **remote_args())
+        .materialize()
+    )
+    pdf = pairs.to_pandas()
+    if pdf.empty:
+        return _empty()
+    pdf = pdf.drop_duplicates()
+    cand = np.unique(np.concatenate([pdf["ca"].to_numpy(np.int64), pdf["cb"].to_numpy(np.int64)]))
+    if len(cand) > max_candidates:
+        raise ValueError(f"{len(cand)} candidate docs exceed max_candidates={max_candidates}")
+    cand_ref = ray.put(cand)
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        want = ray.get(cand_ref)
+        ids = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(want, ids), len(want) - 1)
+        m = want[pos] == ids
+        got = batch.filter(pa.array(m))
+        return pa.table({"id": pa.array(ids[m], pa.int64()),
+                         "text": got[column].cast(pa.string())})
+
+    texts = (
+        ds.map_batches(fetch, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .to_pandas()
+    )
+    tmap = dict(zip(texts["id"].astype("int64"), texts["text"]))
+    out_a, out_b = [], []
+    for ca, cb in pdf[["ca", "cb"]].itertuples(index=False):
+        if (" " + tmap[int(ca)] + " ") in (" " + tmap[int(cb)] + " "):
+            out_a.append(int(ca))
+            out_b.append(int(cb))
+    out = pd.DataFrame({"contained_id": pd.Series(out_a, dtype="int64"),
+                        "container_id": pd.Series(out_b, dtype="int64")})
+    return out.sort_values(["contained_id", "container_id"]).reset_index(drop=True)

@@ -428,3 +428,48 @@ def test_delete_rows_removes_fully_matched_file(ray_session, tmp_path):
     assert res["n_deleted_rows"] == 50
     assert [a for _, a in res["files"]] == ["removed"]
     assert not [p for p in os.listdir(lake) if p.endswith(".orc")]
+
+# ------------------------------------------------ substring containment
+
+
+def test_substring_containment_word_aligned(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.spans import substring_containment
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "a b c d e f g h i j",      # container
+                "c d e f g h i j",          # contained in 1 (words 3..10)
+                "x b c d e f g h i",        # shares gram "b c d..." but not contained
+                "za b c d e f g h i j",     # char-contains doc1's text mid-word — NOT word-aligned
+            ],
+        }
+    )
+    out = substring_containment(ray.data.from_pandas(docs), gram_words=4)
+    got = set(zip(out["contained_id"], out["container_id"]))
+    assert (2, 1) in got
+    assert (1, 4) not in got        # mid-word char match must not count
+    assert all(a != b for a, b in got)
+    # short docs (< gram_words) never participate
+    short = pd.DataFrame({"doc_id": [9], "text": ["tiny text"]})
+    both = pd.concat([docs, short], ignore_index=True)
+    out2 = substring_containment(ray.data.from_pandas(both), gram_words=4)
+    assert 9 not in set(out2["contained_id"]) | set(out2["container_id"])
+
+
+def test_substring_containment_empty_and_guard(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.spans import substring_containment
+
+    docs = pd.DataFrame({"doc_id": [1, 2], "text": ["p q r s t", "u v w x y"]})
+    out = substring_containment(ray.data.from_pandas(docs), gram_words=4)
+    assert out.empty and list(out.columns) == ["contained_id", "container_id"]
+    assert out["contained_id"].dtype == np.int64
+    # a boilerplate anchor gram blowing the bucket cap is loud
+    many = pd.DataFrame({"doc_id": np.arange(40), "text": ["same gram here now"] * 40})
+    with pytest.raises(Exception, match="max_bucket_pairs"):
+        substring_containment(ray.data.from_pandas(many), gram_words=4, max_bucket_pairs=100)
