@@ -5035,6 +5035,31 @@ def _q_substring_containment_planted(sf_dir: str):
     return substring_containment(ds2, gram_words=8)
 
 
+def _q_conversion_lag_events(sf_dir: str):
+    """First view -> first at-or-after purchase latency per user (two
+    metadata min-folds + one guarded broadcast,
+    ops/paths.py:conversion_lag) — integer microseconds, hash-exact."""
+    import ray.data
+
+    from orc_format_ray.ops.paths import conversion_lag
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"])
+    return conversion_lag(ds, "view", "purchase")
+
+
+def _q_negative_samples_embeddings(sf_dir: str):
+    """5 deterministic different-label negatives per anchor, ranked by the
+    HUGEINT-lifted knuth pair hash (ops/knn.py:negative_samples) —
+    hash-exact vs the SQL window over the cross join."""
+    import ray.data
+
+    from orc_format_ray.ops.knn import negative_samples
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"])
+    out = negative_samples(ds, k=5).to_pandas()
+    return out.sort_values(["anchor_id", "rank"]).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
     # (VERDICT r3 "What's wrong" #2), so the window below is curated for
@@ -5282,6 +5307,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rfm_segments_users": _q_rfm_segments_users,
         "orc_delete_rows": _q_orc_delete_rows,
         "substring_containment_planted": _q_substring_containment_planted,
+        "conversion_lag_events": _q_conversion_lag_events,
+        "negative_samples_embeddings": _q_negative_samples_embeddings,
     }
 
 
@@ -7006,5 +7033,24 @@ def oracle_sql() -> dict[str, str]:
             "ON a.doc_id <> b.doc_id "
             "WHERE position((' ' || a.text || ' ') IN (' ' || b.text || ' ')) > 0 "
             "ORDER BY contained_id, container_id"
+        ),
+        "conversion_lag_events": (
+            "WITH a AS (SELECT user_id, CAST(min(epoch_us(ts)) AS BIGINT) AS ta FROM events "
+            "WHERE event_type = 'view' GROUP BY user_id), "
+            "b AS (SELECT e.user_id, CAST(min(epoch_us(e.ts)) AS BIGINT) AS tb FROM events e "
+            "JOIN a ON e.user_id = a.user_id WHERE e.event_type = 'purchase' "
+            "AND epoch_us(e.ts) >= a.ta GROUP BY e.user_id) "
+            "SELECT a.user_id, a.ta AS ta_us, b.tb AS tb_us, b.tb - a.ta AS lag_us "
+            "FROM a JOIN b ON a.user_id = b.user_id ORDER BY a.user_id"
+        ),
+        # pair hash lifted to HUGEINT (the 2^32 * knuth product tops 2^63)
+        "negative_samples_embeddings": (
+            "WITH p AS (SELECT CAST(vec_id AS BIGINT) AS vid, label FROM embeddings), "
+            "pr AS (SELECT a.vid AS anchor_id, n.vid AS neg_id, "
+            "CAST((CAST((a.vid * 1000003 + n.vid) % 4294967296 AS HUGEINT) * 2654435761) "
+            "% 4294967296 AS BIGINT) AS h FROM p a JOIN p n ON n.label <> a.label), "
+            "r AS (SELECT anchor_id, neg_id, CAST(row_number() OVER "
+            "(PARTITION BY anchor_id ORDER BY h, neg_id) AS BIGINT) AS rank FROM pr) "
+            "SELECT anchor_id, neg_id, rank FROM r WHERE rank <= 5 ORDER BY anchor_id, rank"
         ),
     }

@@ -142,3 +142,83 @@ def knn_label_predict(
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return out.sort_values("qid").reset_index(drop=True)
+
+
+NEG_MIX = np.uint64(1000003)
+NEG_KNUTH = np.uint64(2654435761)
+_NEG_M32 = np.uint64(1) << np.uint64(32)
+
+
+def negative_samples(ds, k: int = 5, id_col: str = "vec_id", label_col: str = "label",
+                     max_broadcast_pool: int = 1 << 24):
+    """Deterministic contrastive negative sampling: for every anchor row,
+    the ``k`` candidates with a DIFFERENT label ranked by the integer hash
+    ``((anchor*1000003 + cand) % 2^32) * 2654435761 % 2^32`` (ties by
+    candidate id) — reproducible across any shuffle plan and mirrored
+    verbatim in SQL (HUGEINT-lifted there; the product tops 2^63). Returns
+    a Dataset of ``(anchor_id, neg_id, rank)``, rank 1..k.
+
+    Plan: the (id, label) candidate pool is metadata — ONE cell groupby
+    dedupes it, then it broadcasts once (`ray.put`, guarded by
+    ``max_broadcast_pool``); each anchor batch ranks against the pool
+    vectorized (m x P hash matrix in uint64, argpartition per row). Ids
+    must be in [0, 2^31) so the (hash << 31 | id) tie key fits uint64."""
+    import ray
+    from ray.data.aggregate import Count
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def cells(batch: pa.Table) -> pa.Table:
+        t = pa.table({"i": batch[id_col].cast(pa.int64()), "l": batch[label_col].cast(pa.int64())})
+        if t["i"].null_count or t["l"].null_count:
+            raise ValueError("negative_samples: id/label must be non-null")
+        return t.group_by(["i", "l"]).aggregate([])
+
+    pool = (
+        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby(["i", "l"])
+        .aggregate(Count(alias_name="_c"))
+        .select_columns(["i", "l"])
+        .to_pandas()
+    )
+    if len(pool) > max_broadcast_pool:
+        raise ValueError(f"{len(pool)} pool rows exceed max_broadcast_pool={max_broadcast_pool}")
+    pids = pool["i"].to_numpy(np.int64)
+    if len(pids) and (pids.min() < 0 or pids.max() >= 1 << 31):
+        raise ValueError("negative_samples: ids must be in [0, 2^31)")
+    order = np.argsort(pids)
+    pool_ref = ray.put((pids[order].astype(np.uint64), pool["l"].to_numpy(np.int64)[order]))
+
+    def pick(batch: pa.Table) -> pa.Table:
+        cand, clab = ray.get(pool_ref)
+        a = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        al = batch[label_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        empty = pa.table({"anchor_id": pa.array([], pa.int64()),
+                          "neg_id": pa.array([], pa.int64()),
+                          "rank": pa.array([], pa.int64())})
+        if not len(a) or not len(cand):
+            return empty
+        if a.min() < 0 or a.max() >= 1 << 31:
+            raise ValueError("negative_samples: ids must be in [0, 2^31)")
+        au = a.astype(np.uint64)
+        h = ((au[:, None] * NEG_MIX + cand[None, :]) % _NEG_M32 * NEG_KNUTH) % _NEG_M32
+        key = (h << np.uint64(31)) | cand[None, :]
+        same = clab[None, :] == al[:, None]
+        key = np.where(same, np.uint64(0xFFFFFFFFFFFFFFFF), key)
+        kk = min(k, key.shape[1])
+        part = np.argpartition(key, kk - 1, axis=1)[:, :kk]
+        rows = np.arange(len(a))[:, None]
+        sel_keys = key[rows, part]
+        srt = np.argsort(sel_keys, axis=1)
+        top = part[rows, srt]
+        top_keys = sel_keys[rows, srt]
+        valid = top_keys != np.uint64(0xFFFFFFFFFFFFFFFF)
+        anchor = np.repeat(a, kk)[valid.ravel()]
+        neg = cand[top].astype(np.int64).ravel()[valid.ravel()]
+        rank = np.tile(np.arange(1, kk + 1, dtype=np.int64), len(a))[valid.ravel()]
+        return pa.table({"anchor_id": pa.array(anchor, pa.int64()),
+                         "neg_id": pa.array(neg, pa.int64()),
+                         "rank": pa.array(rank, pa.int64())})
+
+    return ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True, **remote_args())

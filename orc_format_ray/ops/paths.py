@@ -22,6 +22,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .._rayutil import remote_args
 
@@ -192,3 +193,78 @@ def attribution(
         )
 
     return folded.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+
+
+def conversion_lag(ds, step_a: str, step_b: str, user_col: str = "user_id",
+                   ts_col: str = "ts", type_col: str = "event_type",
+                   max_broadcast_users: int = 1 << 24):
+    """Time from each user's FIRST ``step_a`` event to their first
+    ``step_b`` event at-or-after it — the conversion-latency metric behind
+    funnel timing dashboards. Returns a Dataset of
+    ``(user_col, ta_us, tb_us, lag_us)`` for converting users only; all
+    integer microseconds, hash-exact vs the two-phase min SQL.
+
+    Plan: pass 1 folds per-user min(ts of step_a) from per-batch partials
+    (ONE metadata groupby); the (user, ta) map broadcasts (`ray.put`,
+    guarded by ``max_broadcast_users`` — switch to a bucketed hash_join
+    beyond it); pass 2 re-streams only step_b rows, filters ts >= ta
+    vectorized, and folds the same way. Raw events never shuffle."""
+    import ray
+    from ray.data.aggregate import Min
+
+    def partial_a(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch[type_col], pa.scalar(step_a))
+        sub = batch.filter(m)
+        t = pa.table({
+            "u": sub[user_col].cast(pa.int64()),
+            "us": sub[ts_col].cast(pa.timestamp("us")).cast(pa.int64()),
+        })
+        return t.group_by("u").aggregate([("us", "min")]).rename_columns(["u", "ta"])
+
+    ta_df = (
+        ds.map_batches(partial_a, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby("u")
+        .aggregate(Min("ta", alias_name="ta"))
+        .to_pandas()
+    )
+    if len(ta_df) > max_broadcast_users:
+        raise ValueError(
+            f"{len(ta_df)} users exceed max_broadcast_users={max_broadcast_users}; "
+            "switch pass 2 to a bucketed hash_join"
+        )
+    users = np.sort(ta_df["u"].to_numpy(np.int64))
+    ta_by_user = ta_df.set_index("u")["ta"].to_dict()
+    ta_sorted = np.array([ta_by_user[int(u)] for u in users], dtype=np.int64)
+    bcast = ray.put((users, ta_sorted))
+
+    def partial_b(batch: pa.Table) -> pa.Table:
+        us_arr, ta_arr = ray.get(bcast)
+        m = pc.equal(batch[type_col], pa.scalar(step_b))
+        sub = batch.filter(m)
+        u = sub[user_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ts = sub[ts_col].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(us_arr, u), max(len(us_arr) - 1, 0))
+        ok = len(us_arr) > 0
+        good = (us_arr[pos] == u) & (ts >= ta_arr[pos]) if ok else np.zeros(len(u), bool)
+        t = pa.table({"u": pa.array(u[good], pa.int64()), "tb": pa.array(ts[good], pa.int64())})
+        return t.group_by("u").aggregate([("tb", "min")]).rename_columns(["u", "tb"])
+
+    tb_df = (
+        ds.map_batches(partial_b, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby("u")
+        .aggregate(Min("tb", alias_name="tb"))
+        .to_pandas()
+    )
+    import pandas as pd
+
+    if tb_df.empty:
+        return pd.DataFrame({user_col: pd.Series(dtype="int64"),
+                             "ta_us": pd.Series(dtype="int64"),
+                             "tb_us": pd.Series(dtype="int64"),
+                             "lag_us": pd.Series(dtype="int64")})
+    out = tb_df.merge(ta_df, on="u")
+    out = pd.DataFrame({user_col: out["u"].astype("int64"),
+                        "ta_us": out["ta"].astype("int64"),
+                        "tb_us": out["tb"].astype("int64"),
+                        "lag_us": (out["tb"] - out["ta"]).astype("int64")})
+    return out.sort_values(user_col).reset_index(drop=True)

@@ -473,3 +473,52 @@ def test_substring_containment_empty_and_guard(ray_session):
     many = pd.DataFrame({"doc_id": np.arange(40), "text": ["same gram here now"] * 40})
     with pytest.raises(Exception, match="max_bucket_pairs"):
         substring_containment(ray.data.from_pandas(many), gram_words=4, max_bucket_pairs=100)
+
+# --------------------------------------- conversion lag + negative samples
+
+
+def test_conversion_lag_semantics(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.paths import conversion_lag
+
+    rows = [
+        (1, 10, "view"), (1, 5, "purchase"), (1, 20, "purchase"),   # buy-before-view ignored
+        (2, 30, "view"),                                            # never converts
+        (3, 40, "purchase"),                                        # no view at all
+        (4, 50, "view"), (4, 50, "purchase"),                       # same instant counts (>=)
+    ]
+    df = pd.DataFrame({"user_id": [r[0] for r in rows],
+                       "ts": pd.to_datetime([r[1] for r in rows], unit="s"),
+                       "event_type": [r[2] for r in rows]})
+    out = conversion_lag(ray.data.from_pandas(df), "view", "purchase")
+    got = {int(r.user_id): (int(r.ta_us), int(r.tb_us), int(r.lag_us)) for r in out.itertuples()}
+    assert got == {1: (10_000_000, 20_000_000, 10_000_000), 4: (50_000_000, 50_000_000, 0)}
+    # no converting users -> typed empty
+    out2 = conversion_lag(ray.data.from_pandas(df), "view", "signup")
+    assert out2.empty and list(out2.columns) == ["user_id", "ta_us", "tb_us", "lag_us"]
+
+
+def test_negative_samples_exact_ranking(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.knn import negative_samples
+
+    rng = np.random.default_rng(4)
+    df = pd.DataFrame({"vec_id": np.arange(60), "label": rng.integers(0, 3, 60)})
+    out = negative_samples(ray.data.from_pandas(df), k=4).to_pandas()
+    M32, K = 1 << 32, 2654435761
+    for a in range(60):
+        al = int(df.loc[a, "label"])
+        cands = [(((a * 1000003 + n) % M32 * K) % M32, n) for n in range(60)
+                 if int(df.loc[n, "label"]) != al]
+        want = [n for _, n in sorted(cands)[:4]]
+        got = out[out["anchor_id"] == a].sort_values("rank")["neg_id"].tolist()
+        assert got == want, a
+    # anchors never pick their own label
+    lab = df.set_index("vec_id")["label"]
+    assert (out.apply(lambda r: lab[r["anchor_id"]] != lab[r["neg_id"]], axis=1)).all()
+    # fewer negatives than k: ranks truncate, no same-label fill
+    tiny = pd.DataFrame({"vec_id": [0, 1, 2], "label": [0, 0, 1]})
+    t = negative_samples(ray.data.from_pandas(tiny), k=5).to_pandas()
+    assert t[t["anchor_id"] == 2].shape[0] == 2 and t[t["anchor_id"] == 0].shape[0] == 1
