@@ -5060,6 +5060,30 @@ def _q_negative_samples_embeddings(sf_dir: str):
     return out.sort_values(["anchor_id", "rank"]).reset_index(drop=True)
 
 
+def _q_float_codec_roundtrip_events(sf_dir: str):
+    """Per-block float codec auto-selection (raw vs byte-stream-split,
+    post-zstd argmin — codecs/byte_split.py) with an in-task encode->decode
+    round-trip: the decoded column is BIT-exact, so the output hashes
+    against plain SQL regardless of which codec each block picked."""
+    import ray.data
+
+    from orc_format_ray.codecs import selector
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
+
+    def roundtrip(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        codec = selector.select_float_codec(v)
+        dec = selector.decode_floats(selector.encode_floats(v, codec), codec)
+        if not np.array_equal(v.view(np.uint8), dec.view(np.uint8)):
+            raise ValueError("float codec roundtrip mismatch")
+        return pa.table({"event_id": batch["event_id"].cast(pa.int64()),
+                         "value": pa.array(dec, pa.float64())})
+
+    out = ds.map_batches(roundtrip, batch_format="pyarrow", zero_copy_batch=True, **_ra()).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
     # (VERDICT r3 "What's wrong" #2), so the window below is curated for
@@ -5309,6 +5333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_containment_planted": _q_substring_containment_planted,
         "conversion_lag_events": _q_conversion_lag_events,
         "negative_samples_embeddings": _q_negative_samples_embeddings,
+        "float_codec_roundtrip_events": _q_float_codec_roundtrip_events,
     }
 
 
@@ -7052,5 +7077,8 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT anchor_id, neg_id, CAST(row_number() OVER "
             "(PARTITION BY anchor_id ORDER BY h, neg_id) AS BIGINT) AS rank FROM pr) "
             "SELECT anchor_id, neg_id, rank FROM r WHERE rank <= 5 ORDER BY anchor_id, rank"
+        ),
+        "float_codec_roundtrip_events": (
+            "SELECT event_id, value FROM events ORDER BY event_id"
         ),
     }

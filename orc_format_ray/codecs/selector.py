@@ -218,3 +218,74 @@ def encode_strings(concat: np.ndarray, offs: np.ndarray, codec: str) -> bytes:
 
 def decode_strings(b: bytes, codec: str) -> tuple[np.ndarray, np.ndarray]:
     return STRING_CODECS[codec][1](b)
+
+
+# -------------------------------------------------------------- float codecs
+# Float codecs work on little-endian fixed-width numeric arrays. Like the
+# int/string menus the decision metric is POST-compression size (byte-stream
+# split is size-neutral raw; all its win appears under zstd).
+
+from . import byte_split as _byte_split
+
+
+def _raw_float_encode(v: np.ndarray) -> bytes:
+    a = np.ascontiguousarray(v)
+    code = _byte_split._DTYPE_CODES.get(a.dtype.newbyteorder("<"))
+    if code is None:
+        raise ValueError(f"raw float codec: unsupported dtype {a.dtype}")
+    head, _ = varint_encode_unsigned(np.array([len(a)], dtype=np.uint64))
+    return bytes(head) + bytes([code]) + a.tobytes()
+
+
+def _raw_float_decode(b: bytes) -> np.ndarray:
+    buf = np.frombuffer(b, dtype=np.uint8)
+    n = 0
+    p = 0
+    shift = 0
+    while True:
+        byte = int(buf[p])
+        p += 1
+        n |= (byte & 0x7F) << shift
+        if byte < 0x80:
+            break
+        shift += 7
+    dtype = _byte_split._CODE_DTYPES[int(buf[p])]
+    p += 1
+    return np.frombuffer(b, dtype=dtype, count=n, offset=p)
+
+
+FLOAT_CODECS = {
+    "raw": (_raw_float_encode, _raw_float_decode),
+    "byte_split": (_byte_split.encode, _byte_split.decode),
+}
+
+
+def register_float_codec(name: str, encode_fn, decode_fn) -> None:
+    FLOAT_CODECS[name] = (encode_fn, decode_fn)
+
+
+def select_float_codec(v: np.ndarray, menu: list[str] | None = None) -> str:
+    """Pick the float codec minimizing estimated post-compression bytes on
+    the head/stride/tail sample (same rule as the int/string menus)."""
+    menu = menu or list(FLOAT_CODECS)
+    if len(v) == 0:
+        return "raw"
+    s = _sample_ints(np.asarray(v))  # the sampler is dtype-agnostic
+    best_name, best_size = None, None
+    for name in menu:
+        enc, _ = FLOAT_CODECS[name]
+        try:
+            size = _post_compression_size(enc(s))
+        except Exception:
+            continue
+        if best_size is None or size < best_size:
+            best_name, best_size = name, size
+    return best_name or "raw"
+
+
+def encode_floats(v: np.ndarray, codec: str) -> bytes:
+    return FLOAT_CODECS[codec][0](np.asarray(v))
+
+
+def decode_floats(b: bytes, codec: str) -> np.ndarray:
+    return FLOAT_CODECS[codec][1](b)

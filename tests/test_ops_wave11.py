@@ -522,3 +522,34 @@ def test_negative_samples_exact_ranking(ray_session):
     tiny = pd.DataFrame({"vec_id": [0, 1, 2], "label": [0, 0, 1]})
     t = negative_samples(ray.data.from_pandas(tiny), k=5).to_pandas()
     assert t[t["anchor_id"] == 2].shape[0] == 2 and t[t["anchor_id"] == 0].shape[0] == 1
+
+# ---------------------------------------------------- byte-stream-split codec
+
+
+def test_byte_split_bit_exact_and_wins_on_smooth(ray_session):
+    from orc_format_ray.codecs import byte_split, selector
+
+    rng = np.random.default_rng(8)
+    cases = [
+        rng.normal(1000, 1, 50_000),                      # smooth doubles
+        np.array([np.nan, -0.0, 0.0, np.inf, -np.inf]),   # special bit patterns
+        np.array([], dtype=np.float64),
+        rng.normal(size=999).astype(np.float32),
+        rng.integers(-5, 5, 777).astype(np.int64),
+    ]
+    for arr in cases:
+        dec = byte_split.decode(byte_split.encode(arr))
+        assert dec.dtype == arr.dtype
+        assert np.array_equal(arr.view(np.uint8), dec.view(np.uint8))
+    smooth = rng.normal(1000, 1, 100_000)
+    assert selector.select_float_codec(smooth) == "byte_split"
+    import pyarrow as pa_
+    z = pa_.Codec("zstd", compression_level=3)
+    assert len(z.compress(byte_split.encode(smooth))) < len(z.compress(smooth.tobytes()))
+    # truncated body is loud
+    with pytest.raises(ValueError, match="body holds"):
+        byte_split.decode(byte_split.encode(smooth)[:-3])
+    # selector menu roundtrip for both entries
+    for name in ("raw", "byte_split"):
+        rt = selector.decode_floats(selector.encode_floats(smooth, name), name)
+        assert np.array_equal(rt, smooth)
