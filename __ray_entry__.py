@@ -5084,6 +5084,47 @@ def _q_float_codec_roundtrip_events(sf_dir: str):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def _q_label_centroid_sums(sf_dir: str):
+    """Mergeable per-label centroid: exact-int (label, dim) unit sums +
+    counts (ops/agg.py:label_centroid_sums) — hash-exact vs the SQL
+    unnest/generate_subscripts fold; the float division stays downstream."""
+    import ray.data
+
+    from orc_format_ray.ops.agg import label_centroid_sums
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
+    out = label_centroid_sums(ds).to_pandas()
+    return out.sort_values(["label", "pos"]).reset_index(drop=True)
+
+
+def _q_melt_lineitem(sf_dir: str):
+    """UNPIVOT of lineitem's numeric measures to long form (stateless
+    streaming reshape, ops/etl.py:melt) — hash-exact vs UNION-ALL SQL."""
+    import ray.data
+
+    from orc_format_ray.ops.etl import melt
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax"],
+    )
+    out = melt(ds, ["l_orderkey", "l_linenumber"], ["l_quantity", "l_discount", "l_tax"]).to_pandas()
+    return out.sort_values(["l_orderkey", "l_linenumber", "variable"]).reset_index(drop=True)
+
+
+def _q_period_over_period_events(sf_dir: str):
+    """Daily value totals per event type with previous-existing-day lag and
+    delta, exact integer units (ops/etl.py:period_over_period) — hash-exact
+    vs SQL lag over the aggregated frame."""
+    import ray.data
+
+    from orc_format_ray.ops.etl import period_over_period
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+    out = period_over_period(ds).to_pandas()
+    return out.sort_values(["event_type", "period"]).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
     # (VERDICT r3 "What's wrong" #2), so the window below is curated for
@@ -5334,6 +5375,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conversion_lag_events": _q_conversion_lag_events,
         "negative_samples_embeddings": _q_negative_samples_embeddings,
         "float_codec_roundtrip_events": _q_float_codec_roundtrip_events,
+        "label_centroid_sums": _q_label_centroid_sums,
+        "melt_lineitem": _q_melt_lineitem,
+        "period_over_period_events": _q_period_over_period_events,
     }
 
 
@@ -7080,5 +7124,30 @@ def oracle_sql() -> dict[str, str]:
         ),
         "float_codec_roundtrip_events": (
             "SELECT event_id, value FROM events ORDER BY event_id"
+        ),
+        # float32 -> DOUBLE cast BEFORE the quantize expression (both sides)
+        "label_centroid_sums": (
+            "WITH e AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS pos, "
+            "unnest(embedding) AS val FROM embeddings) "
+            "SELECT CAST(label AS BIGINT) AS label, CAST(pos AS BIGINT) AS pos, "
+            "CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(CAST(floor(CAST(val AS DOUBLE) * 1048576 + 0.5) AS BIGINT)) AS BIGINT) AS sum_units "
+            "FROM e GROUP BY label, pos ORDER BY label, pos"
+        ),
+        "melt_lineitem": (
+            "SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable, CAST(l_quantity AS DOUBLE) AS value FROM lineitem "
+            "UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', CAST(l_discount AS DOUBLE) FROM lineitem "
+            "UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', CAST(l_tax AS DOUBLE) FROM lineitem "
+            "ORDER BY l_orderkey, l_linenumber, variable"
+        ),
+        # lag over the AGGREGATED frame (previous existing period, not calendar)
+        "period_over_period_events": (
+            "WITH c AS (SELECT event_type, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS period, "
+            "CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS units "
+            "FROM events GROUP BY event_type, period) "
+            "SELECT event_type, period, units, "
+            "CAST(coalesce(lag(units) OVER (PARTITION BY event_type ORDER BY period), 0) AS BIGINT) AS prev_units, "
+            "CAST(units - coalesce(lag(units) OVER (PARTITION BY event_type ORDER BY period), 0) AS BIGINT) AS delta_units "
+            "FROM c ORDER BY event_type, period"
         ),
     }

@@ -1457,3 +1457,55 @@ def rfm_segments(ds, user_col: str = "user_id", ts_col: str = "ts",
         .merge(bucket_frame("m_units", "m_bucket"), on=user_col)
     )
     return out.sort_values(user_col).reset_index(drop=True)
+
+
+def label_centroid_sums(ds, label_col: str = "label", vec_col: str = "embedding",
+                        scale: int = 1 << 20):
+    """Per-label embedding centroid in EXACT integer arithmetic: for every
+    (label, dimension), the count and the sum of ``floor(x * scale + 0.5)``
+    units (int64) — the mergeable form of a centroid (divide sum/n/scale
+    downstream for the float centroid; the division is the only inexact
+    step, so it stays out of the distributed fold). float32 components cast
+    to float64 BEFORE the quantize expression — bit-identical to SQL's
+    ``floor(CAST(val AS DOUBLE) * scale + 0.5)``.
+
+    Returns a Dataset of ``(label, pos, n, sum_units)``. Scale shape:
+    per-batch vectorized quantize + local (label) fold flattened to
+    (label, pos) cells; ONE |labels x dims| cell groupby — embeddings
+    never shuffle. Per-row |units| guarded < 2^31 (unit-norm embeddings
+    at 2^20 scale are ~2^20; the guard catches mis-scaled inputs)."""
+    from ray.data.aggregate import Sum
+
+    def cells(batch: pa.Table) -> pa.Table:
+        col = batch[vec_col].combine_chunks()
+        if col.null_count:
+            raise ValueError("label_centroid_sums: embeddings must be non-null")
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        widths = np.diff(offs)
+        if len(widths) and (widths != widths[0]).any():
+            raise ValueError("label_centroid_sums: ragged embedding lengths")
+        d = int(widths[0]) if len(widths) else 0
+        units = np.floor(flat * scale + 0.5)
+        if len(units) and np.abs(units).max() >= 1 << 31:
+            raise ValueError("label_centroid_sums: |unit| >= 2^31 — lower the scale")
+        u = units.astype(np.int64).reshape(-1, d) if d else units.astype(np.int64).reshape(0, 0)
+        labels = batch[label_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), d), dtype=np.int64)
+        np.add.at(sums, inv, u)
+        cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        lab = np.repeat(uniq, d)
+        pos = np.tile(np.arange(d, dtype=np.int64), len(uniq))
+        return pa.table({
+            "label": pa.array(lab, pa.int64()),
+            "pos": pa.array(pos, pa.int64()),
+            "n": pa.array(np.repeat(cnt, d), pa.int64()),
+            "sum_units": pa.array(sums.ravel(), pa.int64()),
+        })
+
+    return (
+        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby(["label", "pos"])
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_units", alias_name="sum_units"))
+    )

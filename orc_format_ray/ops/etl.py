@@ -358,3 +358,88 @@ def collapse_rare(ds, col: str, min_count: int, other, out: str | None = None,
         return batch.append_column(out, arr)
 
     return ds.map_batches(rewrite, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+
+
+def melt(ds, id_cols: list[str], value_cols: list[str],
+         var_name: str = "variable", value_name: str = "value"):
+    """UNPIVOT / pandas-melt: widen-to-long reshaping — one output row per
+    (input row x value column), ``(id_cols..., variable, value)``. The
+    stateless inverse of ``pivot``; value columns cast to float64 (the one
+    common arithmetic type — mirror the SQL UNION-ALL with DOUBLE casts).
+
+    Pure per-batch transform: no shuffle, no state; at 100 TB this is a
+    streaming map with output = |value_cols| x input rows."""
+    if not value_cols:
+        raise ValueError("melt: need at least one value column")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        parts = []
+        for vc in value_cols:
+            cols = {c: batch[c] for c in id_cols}
+            cols[var_name] = pa.array([vc] * n, pa.string())
+            cols[value_name] = batch[vc].cast(pa.float64())
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+
+
+def period_over_period(ds, key: str = "event_type", ts_col: str = "ts",
+                       value_col: str = "value", period_us: int = 86_400_000_000,
+                       value_scale: int = 100):
+    """Period-over-period deltas: per (key, period) exact-int value-unit
+    totals plus the previous period's total and the delta — the WoW/DoD
+    dashboard primitive. Periods with no rows contribute nothing and the
+    lag looks at the PREVIOUS EXISTING period (SQL lag over the aggregated
+    frame — mirror exactly; a calendar-dense variant is resample_ffill's
+    job). Returns ``(key, period, units, prev_units, delta_units)`` with
+    -1001 sentinel never used — prev of the first period is 0 by the SQL
+    ``coalesce(lag(units) OVER w, 0)`` convention.
+
+    Scale shape: per-batch (key, period) partial sums, ONE cell groupby,
+    then a per-key ordered fold in ``map_groups`` over the (key, period)
+    cells — bounded by the calendar, not the row count."""
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    if period_us < 1:
+        raise ValueError(f"period_us must be >= 1, got {period_us}")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = batch[ts_col].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        if batch[value_col].null_count or np.isnan(v).any():
+            raise ValueError(f"period_over_period: {value_col!r} must be non-null")
+        units = np.floor(v * value_scale + 0.5).astype(np.int64)
+        per = np.floor_divide(us, np.int64(period_us))
+        t = pa.table({"k": batch[key], "period": pa.array(per, pa.int64()),
+                      "u": pa.array(units, pa.int64())})
+        return t.group_by(["k", "period"]).aggregate([("u", "sum")]).rename_columns(
+            ["k", "period", "u"])
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby(["k", "period"])
+        .aggregate(Sum("u", alias_name="units"))
+    )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("period")
+        u = g["units"].to_numpy(np.int64)
+        prev = np.concatenate(([0], u[:-1]))
+        return pd.DataFrame({key: g["k"].to_numpy(),
+                             "period": g["period"].to_numpy(np.int64),
+                             "units": u, "prev_units": prev,
+                             "delta_units": u - prev})
+
+    out = cells.groupby("k").map_groups(fold, batch_format="pandas", **remote_args())
+    return out.map_batches(
+        lambda t: pa.table({key: t[key], "period": t["period"].cast(pa.int64()),
+                            "units": t["units"].cast(pa.int64()),
+                            "prev_units": t["prev_units"].cast(pa.int64()),
+                            "delta_units": t["delta_units"].cast(pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True, **remote_args(),
+    )

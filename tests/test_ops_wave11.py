@@ -553,3 +553,72 @@ def test_byte_split_bit_exact_and_wins_on_smooth(ray_session):
     for name in ("raw", "byte_split"):
         rt = selector.decode_floats(selector.encode_floats(smooth, name), name)
         assert np.array_equal(rt, smooth)
+
+# --------------------------------------------------- label centroid sums
+
+
+def test_label_centroid_sums_exact(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.agg import label_centroid_sums
+
+    rng = np.random.default_rng(6)
+    n, d = 300, 8
+    emb = rng.normal(size=(n, d)).astype(np.float32)
+    lab = rng.integers(0, 4, n)
+    tbl = pa.table({
+        "label": pa.array(lab, pa.int32()),
+        "embedding": pa.FixedSizeListArray.from_arrays(pa.array(emb.ravel(), pa.float32()), d).cast(pa.list_(pa.float32())),
+    })
+    out = label_centroid_sums(ray.data.from_arrow(tbl)).to_pandas()
+    units = np.floor(emb.astype(np.float64) * (1 << 20) + 0.5).astype(np.int64)
+    for l in np.unique(lab):
+        m = lab == l
+        for p in range(d):
+            row = out[(out["label"] == l) & (out["pos"] == p)].iloc[0]
+            assert row["n"] == m.sum()
+            assert row["sum_units"] == units[m, p].sum()
+    # ragged lengths are loud
+    bad = pa.table({
+        "label": pa.array([0, 1], pa.int64()),
+        "embedding": pa.array([[0.1, 0.2], [0.3]], pa.list_(pa.float32())),
+    })
+    with pytest.raises(Exception, match="ragged"):
+        label_centroid_sums(ray.data.from_arrow(bad)).to_pandas()
+
+# ------------------------------------------------ melt + period-over-period
+
+
+def test_melt_roundtrip_shape(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.etl import melt
+
+    df = pd.DataFrame({"id": [1, 2], "a": [1.5, 2.5], "b": [10.0, 20.0]})
+    out = melt(ray.data.from_pandas(df), ["id"], ["a", "b"]).to_pandas()
+    assert len(out) == 4
+    got = {(r.id, r.variable): r.value for r in out.itertuples()}
+    assert got == {(1, "a"): 1.5, (2, "a"): 2.5, (1, "b"): 10.0, (2, "b"): 20.0}
+    with pytest.raises(ValueError, match="value column"):
+        melt(ray.data.from_pandas(df), ["id"], [])
+
+
+def test_period_over_period_lags_existing_periods(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.etl import period_over_period
+
+    day = 86_400
+    rows = [("a", 0, 1.0), ("a", day // 2, 2.0), ("a", 3 * day, 5.0), ("b", day, 7.0)]
+    df = pd.DataFrame({"event_type": [r[0] for r in rows],
+                       "ts": pd.to_datetime([r[1] for r in rows], unit="s"),
+                       "value": [r[2] for r in rows]})
+    out = period_over_period(ray.data.from_pandas(df)).to_pandas()
+    a = out[out["event_type"] == "a"].sort_values("period")
+    # day0 total 300 units; day3 total 500, prev = 300 (previous EXISTING period)
+    assert list(a["period"]) == [0, 3]
+    assert list(a["units"]) == [300, 500]
+    assert list(a["prev_units"]) == [0, 300]
+    assert list(a["delta_units"]) == [300, 200]
+    b = out[out["event_type"] == "b"]
+    assert list(b["prev_units"]) == [0]
