@@ -5125,6 +5125,22 @@ def _q_period_over_period_events(sf_dir: str):
     return out.sort_values(["event_type", "period"]).reset_index(drop=True)
 
 
+def _q_cumulative_distinct_events(sf_dir: str):
+    """Running COUNT(DISTINCT event_type) per user (two pinned metadata
+    sorts: (k,v,o) first-occurrence flags, then the (k,o) running sum —
+    ops/windows.py:cumulative_distinct), hash-exact vs the SQL
+    first-flag + window-sum rewrite."""
+    import ray.data
+
+    from orc_format_ray.ops.windows import cumulative_distinct
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type", "event_id"]
+    )
+    out = cumulative_distinct(ds).to_pandas()
+    return out.sort_values(["user_id", "ts_us"]).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
     # (VERDICT r3 "What's wrong" #2), so the window below is curated for
@@ -5140,7 +5156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_documents": _q_exact_dedup_documents,
         "pivot_returnflag_linestatus": _q_pivot_returnflag_linestatus,
         "pack_sequences": _q_pack_sequences,
-        "pack_sequences_by_sort": _q_pack_sequences_by_sort,
+        "bfs_hops_suppliers": _q_bfs_hops_suppliers,
         "grouped_quantiles_quantity": _q_grouped_quantiles_quantity,
         "prepare_training_data": _q_prepare_training_data,
         "packed_shards_summary": _q_packed_shards_summary,
@@ -5177,7 +5193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orc_pushdown_disjunction": _q_orc_pushdown_disjunction,
         "orc_bloom_pushdown": _q_orc_bloom_pushdown,
         "minhash_dedup_planted": _q_minhash_dedup_planted,
-        "minhash_against_planted": _q_minhash_against_planted,
+        "orc_delete_rows": _q_orc_delete_rows,
         "heavy_hitters_words": _q_heavy_hitters_words,
         "near_dedup_planted": _q_near_dedup_planted,
         "cohort_retention_events": _q_cohort_retention_events,
@@ -5186,6 +5202,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "attribution_last_events": _q_attribution_last_events,
         "ivf_ann_exhaustive": _q_ivf_ann_exhaustive,
         # --- 51+: oracle-backed, window-redundant (pytest-checked) ---------
+        "pack_sequences_by_sort": _q_pack_sequences_by_sort,
+        "minhash_against_planted": _q_minhash_against_planted,
         "analytic_events": _q_analytic_events,
         "apply_changes_documents": _q_apply_changes_documents,
         "cube_lineitem": _q_cube_lineitem,
@@ -5378,6 +5396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroid_sums": _q_label_centroid_sums,
         "melt_lineitem": _q_melt_lineitem,
         "period_over_period_events": _q_period_over_period_events,
+        "cumulative_distinct_events": _q_cumulative_distinct_events,
     }
 
 
@@ -7149,5 +7168,14 @@ def oracle_sql() -> dict[str, str]:
             "CAST(coalesce(lag(units) OVER (PARTITION BY event_type ORDER BY period), 0) AS BIGINT) AS prev_units, "
             "CAST(units - coalesce(lag(units) OVER (PARTITION BY event_type ORDER BY period), 0) AS BIGINT) AS delta_units "
             "FROM c ORDER BY event_type, period"
+        ),
+        # DuckDB has no COUNT(DISTINCT) window: first-occurrence flag + sum
+        "cumulative_distinct_events": (
+            "WITH x AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS o, event_id, "
+            "row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts) AS rn FROM events) "
+            "SELECT user_id, o AS ts_us, event_id, "
+            "CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) "
+            "OVER (PARTITION BY user_id ORDER BY o) AS BIGINT) AS n_distinct "
+            "FROM x ORDER BY user_id, ts_us"
         ),
     }

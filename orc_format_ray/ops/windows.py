@@ -2311,3 +2311,158 @@ def rolling_active_users(ds, key: str = "user_id", ts_col: str = "ts",
         .groupby("wday")
         .aggregate(Sum("c", alias_name="n_users"))
     )
+
+
+def cumulative_distinct(ds, key: str = "user_id", order_col: str = "ts",
+                        val_col: str = "event_type", id_col: str = "event_id"):
+    """Running ``COUNT(DISTINCT val) OVER (PARTITION BY key ORDER BY
+    order_col)`` — per event, how many distinct values the key has seen so
+    far (breadth-of-engagement curves, vocabulary growth). Returns a
+    Dataset of ``(key, ts_us, id_col, n_distinct)``, hash-exact vs the SQL
+    first-occurrence-flag + running-sum rewrite (DuckDB has no
+    COUNT(DISTINCT) window).
+
+    Two metadata-only pinned-block passes:
+
+    1. sort ``(k, v, o)`` — the FIRST row of each (k, v) run is the
+       value's introduction; the driver folds a per-(block-edge) carry of
+       whether the boundary (k, v) continues from the previous block
+       (same shape as debounce's prev-carry).
+    2. re-sort the flagged rows by ``(k, o)`` and running-sum the flags
+       (exclusive per-key bases folded driver-side, the sessionize plan).
+
+    ``(key, order_col)`` must be globally unique; ``val_col`` non-null.
+    """
+    import numpy as np
+    import ray
+
+    def to_meta(batch: pa.Table) -> pa.Table:
+        v = batch[val_col]
+        if v.null_count:
+            raise ValueError(f"cumulative_distinct: {val_col!r} must be non-null")
+        return pa.table(
+            {
+                "k": batch[key].cast(pa.int64()),
+                "v": v.cast(pa.string()),
+                "o": batch[order_col].cast(pa.timestamp("us")).cast(pa.int64()),
+                "i": batch[id_col].cast(pa.int64()),
+            }
+        )
+
+    meta = ds.map_batches(to_meta, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    p1 = meta.sort(["k", "v", "o"]).materialize()
+
+    def kv_edges(batch: pa.Table) -> pa.Table:
+        cols = {"blo_k": pa.int64(), "blo_v": pa.string(), "blo_o": pa.int64(),
+                "lk": pa.int64(), "lv": pa.string()}
+        if not batch.num_rows:
+            return pa.table({c: pa.array([], t) for c, t in cols.items()})
+        k = batch["k"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "blo_k": pa.array([int(k[0])], pa.int64()),
+                "blo_v": pa.array([str(v[0])], pa.string()),
+                "blo_o": pa.array([batch["o"][0].as_py()], pa.int64()),
+                "lk": pa.array([int(k[-1])], pa.int64()),
+                "lv": pa.array([str(v[-1])], pa.string()),
+            }
+        )
+
+    edges = p1.map_batches(
+        kv_edges, batch_size=None, batch_format="pyarrow", zero_copy_batch=True, **remote_args()
+    ).to_pandas()
+    rows = sorted(edges.itertuples(index=False), key=lambda r: (r.blo_k, r.blo_v, r.blo_o))
+    # carry: does each block's FIRST (k, v) continue the previous block's last?
+    cont: dict[tuple[int, str, int], bool] = {}
+    prev_kv: tuple[int, str] | None = None
+    for r in rows:
+        cont[(int(r.blo_k), str(r.blo_v), int(r.blo_o))] = prev_kv == (int(r.blo_k), str(r.blo_v))
+        prev_kv = (int(r.lk), str(r.lv))
+    cont_ref = ray.put(cont)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"k": pa.array([], pa.int64()), "o": pa.array([], pa.int64()),
+                          "i": pa.array([], pa.int64()), "f": pa.array([], pa.int64())})
+        if not batch.num_rows:
+            return empty
+        k = batch["k"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        first = np.ones(len(k), dtype=bool)
+        first[1:] = (k[1:] != k[:-1]) | (v[1:] != v[:-1])
+        if ray.get(cont_ref)[(int(k[0]), str(v[0]), batch["o"][0].as_py())]:
+            first[0] = False
+        return pa.table({"k": batch["k"], "o": batch["o"], "i": batch["i"],
+                         "f": pa.array(first.astype(np.int64), pa.int64())})
+
+    flagged = p1.map_batches(
+        flag, batch_size=None, batch_format="pyarrow", zero_copy_batch=True, **remote_args()
+    )
+    p2 = flagged.sort(["k", "o"]).materialize()
+
+    def block_partials(batch: pa.Table) -> pa.Table:
+        cols = ("blo_k", "blo_o", "k", "fsum")
+        if not batch.num_rows:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        k = batch["k"].to_numpy(zero_copy_only=False)
+        f = batch["f"].to_numpy(zero_copy_only=False)
+        starts = np.concatenate(([0], np.flatnonzero(k[1:] != k[:-1]) + 1))
+        ends = np.concatenate((starts[1:], [len(k)]))
+        c = np.concatenate(([0], np.cumsum(f)))
+        return pa.table(
+            {
+                "blo_k": pa.array(np.full(len(starts), k[0]), pa.int64()),
+                "blo_o": pa.array(np.full(len(starts), batch["o"][0].as_py()), pa.int64()),
+                "k": pa.array(k[starts], pa.int64()),
+                "fsum": pa.array(c[ends] - c[starts], pa.int64()),
+            }
+        )
+
+    parts = p2.map_batches(
+        block_partials, batch_size=None, batch_format="pyarrow", zero_copy_batch=True, **remote_args()
+    ).to_pandas()
+    blocks: dict[tuple[int, int], list] = {}
+    for blo_k, blo_o, k, fsum in parts.itertuples(index=False):
+        blocks.setdefault((int(blo_k), int(blo_o)), []).append((int(k), int(fsum)))
+    order = sorted(blocks)
+    for a, b in zip(order, order[1:]):
+        if blocks[a][-1][0] > b[0]:
+            raise ValueError("sorted metadata blocks overlap — sort produced non-disjoint ranges")
+    acc: dict[int, int] = {}
+    bases: dict[tuple[int, int], dict[int, int]] = {}
+    for lo in order:
+        snap = {k: acc.get(k, 0) for k, _ in blocks[lo]}
+        bases[lo] = snap
+        for k, fsum in blocks[lo]:
+            acc[k] = acc.get(k, 0) + fsum
+    bases_ref = ray.put(bases)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        empty = pa.table({key: pa.array([], pa.int64()), "ts_us": pa.array([], pa.int64()),
+                          id_col: pa.array([], pa.int64()), "n_distinct": pa.array([], pa.int64())})
+        if not batch.num_rows:
+            return empty
+        base = ray.get(bases_ref)[(batch["k"][0].as_py(), batch["o"][0].as_py())]
+        k = batch["k"].to_numpy(zero_copy_only=False)
+        o = batch["o"].to_numpy(zero_copy_only=False)
+        i = batch["i"].to_numpy(zero_copy_only=False)
+        f = batch["f"].to_numpy(zero_copy_only=False)
+        n = len(k)
+        starts = np.concatenate(([0], np.flatnonzero(k[1:] != k[:-1]) + 1))
+        seg_of = np.repeat(np.arange(len(starts)), np.diff(np.concatenate((starts, [n]))))
+        c = np.cumsum(f)
+        seg_base = np.concatenate(([0], c[starts[1:] - 1]))
+        within = c - seg_base[seg_of]
+        kb = np.array([base[int(kk)] for kk in k[starts]], dtype=np.int64)
+        return pa.table(
+            {
+                key: pa.array(k, pa.int64()),
+                "ts_us": pa.array(o, pa.int64()),
+                id_col: pa.array(i, pa.int64()),
+                "n_distinct": pa.array(within + kb[seg_of], pa.int64()),
+            }
+        )
+
+    return p2.map_batches(
+        finish, batch_size=None, batch_format="pyarrow", zero_copy_batch=True, **remote_args()
+    )

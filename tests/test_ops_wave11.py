@@ -622,3 +622,40 @@ def test_period_over_period_lags_existing_periods(ray_session):
     assert list(a["delta_units"]) == [300, 200]
     b = out[out["event_type"] == "b"]
     assert list(b["prev_units"]) == [0]
+
+# ------------------------------------------------- cumulative distinct
+
+
+def test_cumulative_distinct_vs_duckdb(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.windows import cumulative_distinct
+
+    ds = ray.data.read_parquet(f"{SF}/events.parquet",
+                               columns=["user_id", "ts", "event_type", "event_id"])
+    out = cumulative_distinct(ds).to_pandas()
+    want = _con().execute(
+        "WITH x AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS o, event_id, "
+        "row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts) AS rn FROM events) "
+        "SELECT user_id, o AS ts_us, event_id, "
+        "CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY o) AS BIGINT) "
+        "AS n_distinct FROM x"
+    ).fetchdf()
+    _assert_frames_equal(out, want)
+
+
+def test_cumulative_distinct_semantics(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.windows import cumulative_distinct
+
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 1, 2],
+            "ts": pd.to_datetime([1, 2, 3, 4, 9], unit="s"),
+            "event_type": ["a", "a", "b", "a", "z"],
+            "event_id": [10, 11, 12, 13, 20],
+        }
+    )
+    out = cumulative_distinct(ray.data.from_pandas(df)).to_pandas().sort_values("event_id")
+    assert list(out["n_distinct"]) == [1, 1, 2, 2, 1]
