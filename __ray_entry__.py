@@ -5141,6 +5141,23 @@ def _q_cumulative_distinct_events(sf_dir: str):
     return out.sort_values(["user_id", "ts_us"]).reset_index(drop=True)
 
 
+def _q_winsorize_by_group_price(sf_dir: str):
+    """Per-returnflag winsorization of l_extendedprice cents at the
+    discrete [5%, 95%] group quantiles (ops/agg.py:winsorize_by_group) —
+    exact-int bounds, hash-exact vs SQL quantile_disc."""
+    import ray.data
+
+    from orc_format_ray.ops.agg import winsorize_by_group
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"],
+    )
+    out = winsorize_by_group(ds, "l_returnflag", "l_extendedprice",
+                             ["l_orderkey", "l_linenumber"]).to_pandas()
+    return out.sort_values(["l_orderkey", "l_linenumber", "units"]).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
     # (VERDICT r3 "What's wrong" #2), so the window below is curated for
@@ -5397,6 +5414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "melt_lineitem": _q_melt_lineitem,
         "period_over_period_events": _q_period_over_period_events,
         "cumulative_distinct_events": _q_cumulative_distinct_events,
+        "winsorize_by_group_price": _q_winsorize_by_group_price,
     }
 
 
@@ -7177,5 +7195,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) "
             "OVER (PARTITION BY user_id ORDER BY o) AS BIGINT) AS n_distinct "
             "FROM x ORDER BY user_id, ts_us"
+        ),
+        "winsorize_by_group_price": (
+            "WITH u AS (SELECT l_returnflag, l_orderkey, l_linenumber, "
+            "CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS units FROM lineitem), "
+            "b AS (SELECT l_returnflag, quantile_disc(units, 0.05) AS lo, "
+            "quantile_disc(units, 0.95) AS hi FROM u GROUP BY l_returnflag) "
+            "SELECT u.l_orderkey, u.l_linenumber, u.l_returnflag, u.units, "
+            "CAST(least(greatest(u.units, b.lo), b.hi) AS BIGINT) AS w_units "
+            "FROM u JOIN b ON u.l_returnflag = b.l_returnflag "
+            "ORDER BY u.l_orderkey, u.l_linenumber, u.units"
         ),
     }

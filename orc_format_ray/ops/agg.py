@@ -1509,3 +1509,69 @@ def label_centroid_sums(ds, label_col: str = "label", vec_col: str = "embedding"
         .groupby(["label", "pos"])
         .aggregate(Sum("n", alias_name="n"), Sum("sum_units", alias_name="sum_units"))
     )
+
+
+def winsorize_by_group(ds, group: str, col: str, id_cols: list[str],
+                       q_lo: float = 0.05, q_hi: float = 0.95,
+                       value_scale: int = 100, max_broadcast_groups: int = 1 << 22):
+    """Per-GROUP winsorization: clip each row's units to ITS group's
+    discrete [q_lo, q_hi] quantiles (``quantile_disc`` semantics over
+    exact integer units — the robust_stats_by_group rank rule, so the
+    bounds are bitwise-equal to SQL's). The global ``winsorize`` clips
+    every source with one corpus-wide band; the grouped form preserves
+    per-source scale. Returns ``(*id_cols, group, units, w_units)``.
+
+    Plan: per-batch (group, units) count cells -> ONE cell groupby ->
+    per-group bounds fold (|groups| rows, broadcast once, guarded by
+    ``max_broadcast_groups``); the clip is a stateless second pass —
+    full rows never shuffle."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    if not (0.0 <= q_lo <= q_hi <= 1.0):
+        raise ValueError(f"need 0 <= q_lo <= q_hi <= 1, got {q_lo}, {q_hi}")
+
+    def cells(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False)
+        if batch[col].null_count or np.isnan(v).any():
+            raise ValueError(f"{col!r} must be non-null for winsorization")
+        u = np.floor(v * value_scale + 0.5).astype(np.int64)
+        t = pa.table({"g": batch[group].combine_chunks(), "u": pa.array(u, pa.int64())})
+        return t.group_by(["g", "u"]).aggregate([([], "count_all")]).rename_columns(["g", "u", "c"])
+
+    import pandas as pd
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        lo, hi = quantile_disc_from_counts(
+            df["u"].to_numpy(dtype=np.int64), df["c"].to_numpy(dtype=np.int64), [q_lo, q_hi]
+        )
+        return pd.DataFrame({group: [df["g"].iloc[0]], "lo": [np.int64(lo)], "hi": [np.int64(hi)]})
+
+    bounds = (
+        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby(["g", "u"])
+        .aggregate(Sum("c", alias_name="c"))
+        .groupby("g")
+        .map_groups(fold, batch_format="pandas", **remote_args())
+        .to_pandas()
+    )
+    if len(bounds) > max_broadcast_groups:
+        raise ValueError(f"{len(bounds)} groups exceed max_broadcast_groups={max_broadcast_groups}")
+    bmap = {r[0]: (int(r[1]), int(r[2])) for r in bounds.itertuples(index=False)}
+    bref = ray.put(bmap)
+
+    def clip(batch: pa.Table) -> pa.Table:
+        bm = ray.get(bref)
+        v = batch[col].to_numpy(zero_copy_only=False)
+        u = np.floor(v * value_scale + 0.5).astype(np.int64)
+        gvals = batch[group].to_pylist()
+        lo = np.array([bm[g][0] for g in gvals], dtype=np.int64)
+        hi = np.array([bm[g][1] for g in gvals], dtype=np.int64)
+        w = np.minimum(np.maximum(u, lo), hi)
+        out = {c: batch[c] for c in id_cols}
+        out[group] = batch[group]
+        out["units"] = pa.array(u, pa.int64())
+        out["w_units"] = pa.array(w, pa.int64())
+        return pa.table(out)
+
+    return ds.map_batches(clip, batch_format="pyarrow", zero_copy_batch=True, **remote_args())

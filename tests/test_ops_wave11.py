@@ -659,3 +659,31 @@ def test_cumulative_distinct_semantics(ray_session):
     )
     out = cumulative_distinct(ray.data.from_pandas(df)).to_pandas().sort_values("event_id")
     assert list(out["n_distinct"]) == [1, 1, 2, 2, 1]
+
+# ------------------------------------------------- grouped winsorize
+
+
+def test_winsorize_by_group_vs_duckdb(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.agg import winsorize_by_group
+
+    ds = ray.data.read_parquet(
+        f"{SF}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"],
+    )
+    out = winsorize_by_group(ds, "l_returnflag", "l_extendedprice",
+                             ["l_orderkey", "l_linenumber"], q_lo=0.1, q_hi=0.9).to_pandas()
+    want = _con().execute(
+        "WITH u AS (SELECT l_returnflag, l_orderkey, l_linenumber, "
+        "CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS units FROM lineitem), "
+        "b AS (SELECT l_returnflag, quantile_disc(units, 0.1) AS lo, quantile_disc(units, 0.9) AS hi "
+        "FROM u GROUP BY l_returnflag) "
+        "SELECT u.l_orderkey, u.l_linenumber, u.l_returnflag, u.units, "
+        "CAST(least(greatest(u.units, b.lo), b.hi) AS BIGINT) AS w_units "
+        "FROM u JOIN b ON u.l_returnflag = b.l_returnflag"
+    ).fetchdf()
+    _assert_frames_equal(out, want)
+    # clipping is idempotent and bounded within the group's band
+    g = out.groupby("l_returnflag")["w_units"]
+    assert (out["w_units"] >= g.transform("min")).all()
