@@ -5158,6 +5158,37 @@ def _q_winsorize_by_group_price(sf_dir: str):
     return out.sort_values(["l_orderkey", "l_linenumber", "units"]).reset_index(drop=True)
 
 
+def _q_churned_users_weekly(sf_dir: str):
+    """Weekly active/churned user counts (active in week p, absent in
+    p+1; last week counts churned like the SQL anti-join —
+    ops/windows.py:churned_users)."""
+    import ray.data
+
+    from orc_format_ray.ops.windows import churned_users
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    out = churned_users(ds).to_pandas()
+    return out.sort_values("period").reset_index(drop=True)
+
+
+def _q_bitmap_crosstab_documents(sf_dir: str):
+    """Bitmap secondary index over (lang, source): build one bitset per
+    (column, value, row-group), then the full lang x source crosstab by
+    bitmap AND + popcount — no data-column rescan
+    (ops/bitmapindex.py). Hash-exact vs SQL GROUP BY."""
+    import shutil
+
+    from orc_format_ray.ops.bitmapindex import bitmap_crosstab, build_bitmap_index
+
+    scratch = _scratch(sf_dir, "bitmapidx")
+    shutil.rmtree(scratch, ignore_errors=True)
+    idx = os.path.join(scratch, "idx")
+    build_bitmap_index(f"{sf_dir}/documents.parquet", idx, ["lang", "source"])
+    out = bitmap_crosstab(idx, "lang", "source").to_pandas()
+    out = out.rename(columns={"a": "lang", "b": "source"})
+    return out.sort_values(["lang", "source"]).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
     # (VERDICT r3 "What's wrong" #2), so the window below is curated for
@@ -5415,6 +5446,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "period_over_period_events": _q_period_over_period_events,
         "cumulative_distinct_events": _q_cumulative_distinct_events,
         "winsorize_by_group_price": _q_winsorize_by_group_price,
+        "churned_users_weekly": _q_churned_users_weekly,
+        "bitmap_crosstab_documents": _q_bitmap_crosstab_documents,
     }
 
 
@@ -7205,5 +7238,16 @@ def oracle_sql() -> dict[str, str]:
             "CAST(least(greatest(u.units, b.lo), b.hi) AS BIGINT) AS w_units "
             "FROM u JOIN b ON u.l_returnflag = b.l_returnflag "
             "ORDER BY u.l_orderkey, u.l_linenumber, u.units"
+        ),
+        "churned_users_weekly": (
+            "WITH d AS (SELECT DISTINCT user_id, CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS period FROM events) "
+            "SELECT d.period, CAST(count(*) AS BIGINT) AS n_active, "
+            "CAST(sum(CASE WHEN n.user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_churned "
+            "FROM d LEFT JOIN d n ON n.user_id = d.user_id AND n.period = d.period + 1 "
+            "GROUP BY d.period ORDER BY d.period"
+        ),
+        "bitmap_crosstab_documents": (
+            "SELECT lang, source, CAST(count(*) AS BIGINT) AS cnt FROM documents "
+            "GROUP BY lang, source ORDER BY lang, source"
         ),
     }

@@ -2466,3 +2466,57 @@ def cumulative_distinct(ds, key: str = "user_id", order_col: str = "ts",
     return p2.map_batches(
         finish, batch_size=None, batch_format="pyarrow", zero_copy_batch=True, **remote_args()
     )
+
+
+def churned_users(ds, key: str = "user_id", ts_col: str = "ts",
+                  period_us: int = 7 * 86_400_000_000):
+    """Per-period churn: how many keys were active in period ``p`` but NOT
+    in ``p + 1`` (the complement of cohort retention's diagonal). Returns
+    a Dataset of ``(period, n_active, n_churned)`` — for the corpus' last
+    active period every key counts as churned, exactly like the SQL
+    anti-join mirror (filter the last period downstream if you prefer the
+    censored convention).
+
+    Scale shape: per-batch (key, period) pairs dedupe locally, ONE cell
+    groupby dedupes globally, then a per-key ``map_groups`` fold over the
+    key's period list (calendar-bounded) emits (period, churn) flags and
+    ONE tiny (period) groupby sums."""
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Count, Sum
+
+    if period_us < 1:
+        raise ValueError(f"period_us must be >= 1, got {period_us}")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = batch[ts_col].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        per = np.floor_divide(us, np.int64(period_us))
+        t = pa.table({"k": batch[key].cast(pa.int64()), "p": pa.array(per, pa.int64())})
+        return t.group_by(["k", "p"]).aggregate([])
+
+    cells = (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby(["k", "p"])
+        .aggregate(Count(alias_name="_c"))
+        .select_columns(["k", "p"])
+    )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        p = np.sort(g["p"].to_numpy(np.int64))
+        nxt = np.zeros(len(p), dtype=bool)
+        nxt[:-1] = p[1:] == p[:-1] + 1
+        return pd.DataFrame({"p": p, "act": np.ones(len(p), dtype=np.int64),
+                             "churn": (~nxt).astype(np.int64)})
+
+    flags = cells.groupby("k").map_groups(fold, batch_format="pandas", **remote_args())
+    out = (
+        flags.map_batches(
+            lambda t: pa.table({"period": t["p"].cast(pa.int64()),
+                                "act": t["act"].cast(pa.int64()),
+                                "churn": t["churn"].cast(pa.int64())}),
+            batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby("period")
+        .aggregate(Sum("act", alias_name="n_active"), Sum("churn", alias_name="n_churned"))
+    )
+    return out

@@ -687,3 +687,50 @@ def test_winsorize_by_group_vs_duckdb(ray_session):
     # clipping is idempotent and bounded within the group's band
     g = out.groupby("l_returnflag")["w_units"]
     assert (out["w_units"] >= g.transform("min")).all()
+
+# ---------------------------------------------- churn + bitmap index
+
+
+def test_churned_users_semantics(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.windows import churned_users
+
+    week = 7 * 86_400
+    rows = [(1, 0), (1, week), (2, 0), (3, week)]  # u1 retained w0->w1; u2 churns w0; all churn at last week
+    df = pd.DataFrame({"user_id": [r[0] for r in rows],
+                       "ts": pd.to_datetime([r[1] for r in rows], unit="s")})
+    out = churned_users(ray.data.from_pandas(df)).to_pandas().set_index("period")
+    assert out.loc[0, "n_active"] == 2 and out.loc[0, "n_churned"] == 1
+    assert out.loc[1, "n_active"] == 2 and out.loc[1, "n_churned"] == 2
+
+
+def test_bitmap_index_build_query_resume(ray_session, tmp_path):
+    import duckdb
+
+    from orc_format_ray.ops.bitmapindex import (bitmap_count, bitmap_crosstab,
+                                                build_bitmap_index)
+
+    idx = str(tmp_path / "idx")
+    src = f"{SF}/documents.parquet"
+    r1 = build_bitmap_index(src, idx, ["lang", "source"])
+    assert r1["parts_written"] >= 1 and r1["parts_skipped"] == 0
+    # resume: everything skips
+    r2 = build_bitmap_index(src, idx, ["lang", "source"])
+    assert r2["parts_written"] == 0 and r2["parts_skipped"] == r1["num_row_groups"]
+    ct = bitmap_crosstab(idx, "lang", "source").to_pandas()
+    want = duckdb.sql(f"SELECT lang, source, count(*) c FROM '{src}' GROUP BY 1,2").fetchdf()
+    wmap = {(r.lang, r.source): r.c for r in want.itertuples()}
+    gmap = {(r.a, r.b): r.cnt for r in ct.itertuples()}
+    assert gmap == wmap
+    # AND count matches SQL
+    lang, srcname = next(iter(wmap))[0], next(iter(wmap))[1]
+    n = bitmap_count(idx, {"lang": lang, "source": srcname})
+    assert n == wmap[(lang, srcname)]
+    # absent value counts zero; unknown column is loud
+    assert bitmap_count(idx, {"lang": "zz-not-there"}) == 0
+    with pytest.raises(ValueError, match="not in index"):
+        bitmap_count(idx, {"n_chars": "5"})
+    # numeric columns refuse to index
+    with pytest.raises(ValueError, match="only string"):
+        build_bitmap_index(src, str(tmp_path / "idx2"), ["n_chars"])
