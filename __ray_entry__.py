@@ -5189,6 +5189,46 @@ def _q_bitmap_crosstab_documents(sf_dir: str):
     return out.sort_values(["lang", "source"]).reset_index(drop=True)
 
 
+def _q_global_dict_encode_source(sf_dir: str):
+    """Corpus-wide dictionary encoding of documents.source (0-based
+    lexicographic ids, ops/etl.py:global_dict_encode) — hash-exact vs
+    SQL dense_rank."""
+    import ray.data
+
+    from orc_format_ray.ops.etl import global_dict_encode
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    enc, mapping = global_dict_encode(ds, "source")
+    out = enc.to_pandas()
+    out["source_id"] = out["source_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_orc_to_parquet_lake(sf_dir: str):
+    """Lake migration: documents -> Hive-partitioned ORC lake -> native
+    partition-aware read -> partitioned parquet lake -> read-back. The
+    transcode is a pure streaming compose of read_orc_dataset and
+    Dataset.write_parquet; values survive bit-exact."""
+    import shutil
+
+    import ray.data
+
+    from orc_format_ray.orcfile import read_orc_dataset, write_orc_dataset
+
+    scratch = _scratch(sf_dir, "orc2pq")
+    shutil.rmtree(scratch, ignore_errors=True)
+    orc_lake = os.path.join(scratch, "orc")
+    pq_lake = os.path.join(scratch, "pq")
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "lang", "n_chars"]
+    )
+    write_orc_dataset(ds, orc_lake, partition_by=["lang"]).materialize()
+    read_orc_dataset(orc_lake, native=True).write_parquet(pq_lake)
+    out = ray.data.read_parquet(pq_lake).to_pandas()
+    out = out[["doc_id", "source", "lang", "n_chars"]]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
     # (VERDICT r3 "What's wrong" #2), so the window below is curated for
@@ -5448,6 +5488,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorize_by_group_price": _q_winsorize_by_group_price,
         "churned_users_weekly": _q_churned_users_weekly,
         "bitmap_crosstab_documents": _q_bitmap_crosstab_documents,
+        "global_dict_encode_source": _q_global_dict_encode_source,
+        "orc_to_parquet_lake": _q_orc_to_parquet_lake,
     }
 
 
@@ -7249,5 +7291,12 @@ def oracle_sql() -> dict[str, str]:
         "bitmap_crosstab_documents": (
             "SELECT lang, source, CAST(count(*) AS BIGINT) AS cnt FROM documents "
             "GROUP BY lang, source ORDER BY lang, source"
+        ),
+        "global_dict_encode_source": (
+            "SELECT doc_id, CAST(dense_rank() OVER (ORDER BY source) - 1 AS BIGINT) AS source_id "
+            "FROM documents ORDER BY doc_id"
+        ),
+        "orc_to_parquet_lake": (
+            "SELECT doc_id, source, lang, n_chars FROM documents ORDER BY doc_id"
         ),
     }

@@ -443,3 +443,62 @@ def period_over_period(ds, key: str = "event_type", ts_col: str = "ts",
                             "delta_units": t["delta_units"].cast(pa.int64())}),
         batch_format="pyarrow", zero_copy_batch=True, **remote_args(),
     )
+
+
+def global_dict_encode(ds, column: str, max_broadcast_values: int = 1 << 24):
+    """GLOBAL dictionary encoding of a string column: every distinct value
+    gets one corpus-wide id (0-based rank in lexicographic order — SQL's
+    ``dense_rank() OVER (ORDER BY value) - 1``), and the column is replaced
+    by ``<column>_id`` int32. Unlike the per-stripe dictionaries the codec
+    layer builds, a global dictionary survives joins/shuffles and shrinks
+    downstream exchanges to 4 B/value.
+
+    Plan: per-batch distinct cells -> ONE metadata groupby -> the sorted
+    value array broadcasts once (`ray.put`, guarded by
+    ``max_broadcast_values``) -> stateless vectorized ``searchsorted``
+    encode. Returns ``(encoded_ds, mapping)`` where mapping is a pandas
+    DataFrame ``(value, id)``. Null values are rejected (a null id would
+    need a sentinel convention — filter or fill upstream)."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Count
+
+    def cells(batch: pa.Table) -> pa.Table:
+        col = batch[column]
+        if col.null_count:
+            raise ValueError(f"global_dict_encode: {column!r} must be non-null")
+        return pa.table({"v": col.cast(pa.string()).combine_chunks().unique()})
+
+    vals = (
+        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby("v")
+        .aggregate(Count(alias_name="_c"))
+        .select_columns(["v"])
+        .to_pandas()
+    )
+    if len(vals) > max_broadcast_values:
+        raise ValueError(
+            f"{len(vals)} distinct values exceed max_broadcast_values={max_broadcast_values}; "
+            "a dictionary that large should stay sharded (hash_join the mapping instead)"
+        )
+    sorted_vals = np.sort(vals["v"].to_numpy(dtype=object))
+    vref = ray.put(sorted_vals)
+    id_name = f"{column}_id"
+
+    def encode(batch: pa.Table) -> pa.Table:
+        sv = ray.get(vref)
+        v = batch[column].cast(pa.string()).to_numpy(zero_copy_only=False)
+        ids = np.searchsorted(sv, v)
+        # a value unseen at build time means the two passes saw different data
+        if len(ids):
+            ids_c = np.minimum(ids, len(sv) - 1)
+            if (sv[ids_c] != v).any():
+                raise ValueError("global_dict_encode: value absent from the dictionary")
+        out = {c: batch[c] for c in batch.schema.names if c != column}
+        out[id_name] = pa.array(ids.astype(np.int32), pa.int32())
+        return pa.table(out)
+
+    mapping = pd.DataFrame({"value": sorted_vals,
+                            "id": np.arange(len(sorted_vals), dtype=np.int64)})
+    enc = ds.map_batches(encode, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    return enc, mapping

@@ -734,3 +734,38 @@ def test_bitmap_index_build_query_resume(ray_session, tmp_path):
     # numeric columns refuse to index
     with pytest.raises(ValueError, match="only string"):
         build_bitmap_index(src, str(tmp_path / "idx2"), ["n_chars"])
+
+# ------------------------------------- global dictionary + lake transcode
+
+
+def test_global_dict_encode_semantics(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.etl import global_dict_encode
+
+    df = pd.DataFrame({"id": [1, 2, 3, 4], "s": ["b", "a", "b", "c"]})
+    enc, mapping = global_dict_encode(ray.data.from_pandas(df), "s")
+    out = enc.to_pandas().sort_values("id")
+    assert list(out["s_id"]) == [1, 0, 1, 2]
+    assert list(mapping["value"]) == ["a", "b", "c"] and list(mapping["id"]) == [0, 1, 2]
+    assert "s" not in out.columns
+    nul = pa.table({"id": pa.array([1], pa.int64()), "s": pa.array([None], pa.string())})
+    with pytest.raises(Exception, match="non-null"):
+        global_dict_encode(ray.data.from_arrow(nul), "s")
+
+
+def test_orc_to_parquet_transcode_bit_exact(ray_session, tmp_path):
+    import ray.data
+
+    from orc_format_ray.orcfile import read_orc_dataset, write_orc_dataset
+
+    df = pd.DataFrame({"doc_id": np.arange(100), "v": np.random.default_rng(1).normal(size=100),
+                       "lang": ["en", "fr"] * 50})
+    orc_lake = str(tmp_path / "orc")
+    pq_lake = str(tmp_path / "pq")
+    write_orc_dataset(ray.data.from_pandas(df), orc_lake, partition_by=["lang"]).materialize()
+    read_orc_dataset(orc_lake, native=True).write_parquet(pq_lake)
+    back = ray.data.read_parquet(pq_lake).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    want = df.sort_values("doc_id").reset_index(drop=True)
+    assert np.array_equal(back["v"].to_numpy().view(np.uint8), want["v"].to_numpy().view(np.uint8))
+    assert list(back["lang"]) == list(want["lang"])
