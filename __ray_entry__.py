@@ -5229,6 +5229,23 @@ def _q_orc_to_parquet_lake(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_weighted_quantiles_price(sf_dir: str):
+    """Quantity-weighted discrete p50/p90 of l_extendedprice cents per
+    returnflag (weights AS counts through the pinned quantile_disc rank
+    rule — ops/agg.py:weighted_quantile_by_group), bitwise vs SQL's
+    running-weight window pick."""
+    import ray.data
+
+    from orc_format_ray.ops.agg import weighted_quantile_by_group
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_extendedprice", "l_quantity"]
+    )
+    out = weighted_quantile_by_group(ds, "l_returnflag", "l_extendedprice",
+                                     "l_quantity", qs=[0.5, 0.9]).to_pandas()
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
     # (VERDICT r3 "What's wrong" #2), so the window below is curated for
@@ -5490,6 +5507,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bitmap_crosstab_documents": _q_bitmap_crosstab_documents,
         "global_dict_encode_source": _q_global_dict_encode_source,
         "orc_to_parquet_lake": _q_orc_to_parquet_lake,
+        "weighted_quantiles_price": _q_weighted_quantiles_price,
     }
 
 
@@ -7298,5 +7316,19 @@ def oracle_sql() -> dict[str, str]:
         ),
         "orc_to_parquet_lake": (
             "SELECT doc_id, source, lang, n_chars FROM documents ORDER BY doc_id"
+        ),
+        # rank = ceil(q * total_weight) in float64 — the quantile_disc rule
+        # with weights as counts; zero-weight rows hold no rank mass
+        "weighted_quantiles_price": (
+            "WITH u AS (SELECT l_returnflag AS g, CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS u, "
+            "CAST(floor(l_quantity + 0.5) AS BIGINT) AS w FROM lineitem), "
+            "c AS (SELECT g, u, CAST(sum(w) AS BIGINT) AS w FROM u GROUP BY g, u), "
+            "t AS (SELECT g, CAST(sum(w) AS BIGINT) AS tw FROM c GROUP BY g), "
+            "s AS (SELECT c.g, c.u, sum(c.w) OVER (PARTITION BY c.g ORDER BY c.u) AS cw, t.tw "
+            "FROM c JOIN t ON c.g = t.g WHERE c.w > 0) "
+            "SELECT g AS l_returnflag, CAST(max(tw) AS BIGINT) AS total_w, "
+            "CAST(min(CASE WHEN cw >= greatest(1, CAST(ceil(0.5 * tw) AS BIGINT)) THEN u END) AS BIGINT) AS q_0_5, "
+            "CAST(min(CASE WHEN cw >= greatest(1, CAST(ceil(0.9 * tw) AS BIGINT)) THEN u END) AS BIGINT) AS q_0_9 "
+            "FROM s GROUP BY g ORDER BY g"
         ),
     }

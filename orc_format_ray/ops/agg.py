@@ -1575,3 +1575,53 @@ def winsorize_by_group(ds, group: str, col: str, id_cols: list[str],
         return pa.table(out)
 
     return ds.map_batches(clip, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+
+
+def weighted_quantile_by_group(ds, group: str, col: str, weight_col: str,
+                               qs: list[float] | None = None, value_scale: int = 100):
+    """WEIGHT-weighted discrete quantiles per group — "the token-weighted
+    median document length", where heavy rows should pull the quantile by
+    their weight, not their row count. Weights quantize to exact integers
+    (``floor(w + 0.5)``, must be >= 0) and the pick reuses
+    ``quantile_disc_from_counts`` with weights AS counts — the rank
+    product stays the float64 multiply DuckDB's ceil(q * total) performs,
+    so every output is bitwise SQL-equal. Returns a pandas DataFrame
+    ``(group, total_w, q_<q>...)``.
+
+    Plan: per-batch (group, units) weight-sum cells -> ONE cell groupby ->
+    per-group fold. Only metadata moves."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    qs = qs if qs is not None else [0.5, 0.9]
+
+    def cells(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False)
+        w = batch[weight_col].to_numpy(zero_copy_only=False)
+        if batch[col].null_count or batch[weight_col].null_count or np.isnan(v).any() or np.isnan(w).any():
+            raise ValueError("weighted_quantile_by_group: value/weight must be non-null")
+        wu = np.floor(w + 0.5).astype(np.int64)
+        if len(wu) and wu.min() < 0:
+            raise ValueError("weighted_quantile_by_group: weights must be >= 0")
+        u = np.floor(v * value_scale + 0.5).astype(np.int64)
+        t = pa.table({"g": batch[group].combine_chunks(), "u": pa.array(u, pa.int64()),
+                      "w": pa.array(wu, pa.int64())})
+        return t.group_by(["g", "u"]).aggregate([("w", "sum")]).rename_columns(["g", "u", "w"])
+
+    dist = (
+        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby(["g", "u"])
+        .aggregate(Sum("w", alias_name="w"))
+    )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["u"].to_numpy(dtype=np.int64)
+        w = df["w"].to_numpy(dtype=np.int64)
+        keep = w > 0  # zero-weight rows never hold rank mass
+        picks = quantile_disc_from_counts(u[keep], w[keep], qs)
+        out = {group: [df["g"].iloc[0]], "total_w": [np.int64(w.sum())]}
+        for q, p in zip(qs, picks):
+            out[f"q_{str(q).replace('.', '_')}"] = [np.int64(p)]
+        return pd.DataFrame(out)
+
+    return dist.groupby("g").map_groups(fold, batch_format="pandas", **remote_args())

@@ -769,3 +769,26 @@ def test_orc_to_parquet_transcode_bit_exact(ray_session, tmp_path):
     want = df.sort_values("doc_id").reset_index(drop=True)
     assert np.array_equal(back["v"].to_numpy().view(np.uint8), want["v"].to_numpy().view(np.uint8))
     assert list(back["lang"]) == list(want["lang"])
+
+# --------------------------------------------- weighted grouped quantiles
+
+
+def test_weighted_quantile_by_group_semantics(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.agg import weighted_quantile_by_group
+
+    # one heavy row dominates the median despite being a single row
+    df = pd.DataFrame({"g": ["x"] * 4, "v": [1.0, 2.0, 3.0, 100.0], "w": [1, 1, 1, 97]})
+    out = weighted_quantile_by_group(ray.data.from_pandas(df), "g", "v", "w",
+                                     qs=[0.5]).to_pandas()
+    assert out.loc[0, "q_0_5"] == 10000  # 100.00 in cents — weight pulls the median
+    assert out.loc[0, "total_w"] == 100
+    # zero weights hold no rank mass
+    df2 = pd.DataFrame({"g": ["y"] * 3, "v": [5.0, 6.0, 7.0], "w": [0, 1, 0]})
+    out2 = weighted_quantile_by_group(ray.data.from_pandas(df2), "g", "v", "w", qs=[0.5]).to_pandas()
+    assert out2.loc[0, "q_0_5"] == 600
+    # negative weight is loud
+    df3 = pd.DataFrame({"g": ["z"], "v": [1.0], "w": [-1]})
+    with pytest.raises(Exception, match=">= 0"):
+        weighted_quantile_by_group(ray.data.from_pandas(df3), "g", "v", "w").to_pandas()
