@@ -877,6 +877,22 @@ def _q_clamped_balance_events(sf_dir: str):
     return out.to_pandas().sort_values(["user_id", "ts_us"]).reset_index(drop=True)
 
 
+def _q_benford_price(sf_dir: str):
+    """Benford first-digit audit of l_extendedprice per returnflag
+    (ops/quality.py:benford_digits): exact-cents quantization, integer-only
+    first-digit extraction (no float log10), frac = one exact-int double
+    division — hash-exact vs the substr(CAST AS VARCHAR) SQL oracle."""
+    import ray.data
+
+    from orc_format_ray.ops.quality import benford_digits
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_extendedprice"]
+    )
+    out = benford_digits(ds, "l_returnflag", "l_extendedprice", scale=100)
+    return out.to_pandas().sort_values(["l_returnflag", "digit"]).reset_index(drop=True)
+
+
 def _q_latest_event_per_user(sf_dir: str):
     """Log compaction: each user's most recent event (DISTINCT ON) via
     ops/etl.py:latest_by_key — blocks reduce locally to one row per key
@@ -5545,6 +5561,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orc_to_parquet_lake": _q_orc_to_parquet_lake,
         "weighted_quantiles_price": _q_weighted_quantiles_price,
         "clamped_balance_events": _q_clamped_balance_events,
+        "benford_price_lineitem": _q_benford_price,
     }
 
 
@@ -7378,5 +7395,17 @@ def oracle_sql() -> dict[str, str]:
             "m AS (SELECT *, least(0, min(sg) OVER (PARTITION BY user_id ORDER BY ts_us)) AS mg FROM s) "
             "SELECT user_id, ts_us, event_id, CAST(sg - mg AS BIGINT) AS balance_units "
             "FROM m ORDER BY user_id, ts_us"
+        ),
+        # first digit via substr of the INTEGER string (exact decimal repr;
+        # never float log10); frac = one exact-int double division
+        "benford_price_lineitem": (
+            "WITH u AS (SELECT l_returnflag AS g, CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS u "
+            "FROM lineitem WHERE floor(l_extendedprice*100 + 0.5) > 0), "
+            "c AS (SELECT g, CAST(substr(CAST(u AS VARCHAR), 1, 1) AS BIGINT) AS digit, "
+            "count(*) AS cnt FROM u GROUP BY g, digit), "
+            "t AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n FROM c GROUP BY g) "
+            "SELECT c.g AS l_returnflag, c.digit, CAST(c.cnt AS BIGINT) AS cnt, "
+            "CAST(c.cnt AS DOUBLE) / CAST(t.n AS DOUBLE) AS frac "
+            "FROM c JOIN t ON c.g = t.g ORDER BY l_returnflag, digit"
         ),
     }

@@ -264,3 +264,54 @@ def entity_counts(ds, group: str = "source", column: str = "text"):
         .groupby(group)
         .aggregate(*aggs)
     )
+
+
+def benford_digits(ds, group: str, value_col: str, scale: int = 100):
+    """Benford's-law first-digit audit per group: quantize ``value_col`` to
+    exact integer units (``floor(v*scale + 0.5)``, the established cents
+    rule), keep units > 0, and count rows by the first decimal digit of the
+    unit value. Returns a Dataset of ``(group, digit, cnt, frac)`` — at most
+    9 rows per group; ``frac`` is ONE exact-int division ``cnt / n_group``
+    (bitwise reproducible). Fabricated/synthetic numeric columns show up as
+    a flat digit histogram instead of Benford's log curve.
+
+    Scale shape: per-batch (group, digit) partial counts pre-aggregate
+    before ONE tiny groupby; the frac division runs inside a per-group
+    ``map_groups`` over <= 9-row groups. The first digit is integer-only
+    arithmetic (repeated //10, <= 19 vectorized passes) — no float log10,
+    whose SIMD drift would break oracle parity."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        u = np.floor(v * scale + 0.5).astype(np.int64)
+        keep = u > 0
+        u = u[keep]
+        d = u.copy()
+        m = d >= 10
+        while m.any():
+            d[m] //= 10
+            m = d >= 10
+        g = batch[group].combine_chunks().filter(pa.array(keep))
+        t = pa.table({group: g, "digit": pa.array(d, pa.int64())})
+        out = t.group_by([group, "digit"]).aggregate([([], "count_all")])
+        return out.rename_columns([group, "digit", "cnt"])
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby([group, "digit"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def frac(gdf: pd.DataFrame) -> pd.DataFrame:
+        n = int(gdf["cnt"].sum())
+        out = gdf.sort_values("digit").reset_index(drop=True)
+        out["cnt"] = out["cnt"].astype("int64")
+        out["frac"] = out["cnt"].to_numpy(np.float64) / np.float64(n)
+        return out
+
+    return counts.groupby(group).map_groups(frac, batch_format="pandas", **remote_args())

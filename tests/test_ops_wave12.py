@@ -85,3 +85,45 @@ def test_clamped_balance_unit_guard(ray_session):
     )
     with pytest.raises(Exception, match="2\\^31"):
         clamped_running_balance(ray.data.from_pandas(df)).to_pandas()
+
+# -------------------------------------------------- Benford digit audit
+
+
+def test_benford_digits_matches_brute(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.quality import benford_digits
+
+    rng = np.random.default_rng(3)
+    # log-uniform magnitudes => non-trivial digit spread; include sub-cent
+    # values (quantize to 0, excluded) and negatives (excluded)
+    v = np.concatenate(
+        [
+            10.0 ** rng.uniform(-1, 5, 4000),
+            np.full(50, 0.004),
+            -10.0 ** rng.uniform(0, 3, 100),
+        ]
+    )
+    g = rng.choice(["a", "b", "c"], len(v))
+    df = pd.DataFrame({"grp": g, "val": v})
+    got = (
+        benford_digits(ray.data.from_pandas(df).repartition(5), "grp", "val")
+        .to_pandas()
+        .sort_values(["grp", "digit"])
+        .reset_index(drop=True)
+    )
+    u = np.floor(v * 100 + 0.5).astype(np.int64)
+    keep = u > 0
+    digit = np.array([int(str(x)[0]) for x in u[keep]])
+    exp = (
+        pd.DataFrame({"grp": g[keep], "digit": digit})
+        .groupby(["grp", "digit"])
+        .size()
+        .rename("cnt")
+        .reset_index()
+    )
+    tot = exp.groupby("grp")["cnt"].transform("sum")
+    exp["frac"] = exp["cnt"].to_numpy(np.float64) / tot.to_numpy(np.float64)
+    exp = exp.sort_values(["grp", "digit"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert np.allclose(got.groupby("grp")["frac"].sum(), 1.0)
