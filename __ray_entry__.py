@@ -893,6 +893,41 @@ def _q_benford_price(sf_dir: str):
     return out.to_pandas().sort_values(["l_returnflag", "digit"]).reset_index(drop=True)
 
 
+def _q_k_anonymity_customer(sf_dir: str):
+    """k-anonymity audit of customers under the quasi-identifier
+    (nationkey, mktsegment, $1000 acctbal band): equivalence classes with
+    < 5 members (ops/quality.py:k_anonymity). The band is exact-cents
+    trunc-div (sign trick) because DuckDB's // truncates toward zero."""
+    import numpy as np
+    import ray.data
+
+    from orc_format_ray.ops.quality import k_anonymity
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_nationkey", "c_mktsegment", "c_acctbal"]
+    )
+
+    def band(batch: pa.Table) -> pa.Table:
+        cents = np.floor(batch["c_acctbal"].to_numpy(zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        b = np.sign(cents) * (np.abs(cents) // 100000)
+        return pa.table(
+            {
+                "c_nationkey": batch["c_nationkey"],
+                "c_mktsegment": batch["c_mktsegment"],
+                "acct_band": pa.array(b, pa.int64()),
+            }
+        )
+
+    out = k_anonymity(
+        ds.map_batches(band, batch_format="pyarrow", **_ra()),
+        ["c_nationkey", "c_mktsegment", "acct_band"],
+        k=5,
+    )
+    return out.to_pandas().sort_values(
+        ["c_nationkey", "c_mktsegment", "acct_band"]
+    ).reset_index(drop=True)
+
+
 def _q_latest_event_per_user(sf_dir: str):
     """Log compaction: each user's most recent event (DISTINCT ON) via
     ops/etl.py:latest_by_key — blocks reduce locally to one row per key
@@ -5562,6 +5597,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_quantiles_price": _q_weighted_quantiles_price,
         "clamped_balance_events": _q_clamped_balance_events,
         "benford_price_lineitem": _q_benford_price,
+        "k_anonymity_customer": _q_k_anonymity_customer,
     }
 
 
@@ -7407,5 +7443,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c.g AS l_returnflag, c.digit, CAST(c.cnt AS BIGINT) AS cnt, "
             "CAST(c.cnt AS DOUBLE) / CAST(t.n AS DOUBLE) AS frac "
             "FROM c JOIN t ON c.g = t.g ORDER BY l_returnflag, digit"
+        ),
+        # DuckDB // truncates toward zero — the Ray side mirrors with the
+        # sign trick, never numpy's floor //
+        "k_anonymity_customer": (
+            "SELECT c_nationkey, c_mktsegment, "
+            "CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) // 100000 AS acct_band, "
+            "count(*) AS grp_n FROM customer "
+            "GROUP BY c_nationkey, c_mktsegment, acct_band HAVING count(*) < 5 "
+            "ORDER BY c_nationkey, c_mktsegment, acct_band"
         ),
     }

@@ -315,3 +315,39 @@ def benford_digits(ds, group: str, value_col: str, scale: int = 100):
         return out
 
     return counts.groupby(group).map_groups(frac, batch_format="pandas", **remote_args())
+
+
+def k_anonymity(ds, qi_cols: list[str], k: int):
+    """Privacy k-anonymity audit: every combination of the quasi-identifier
+    columns whose equivalence class holds FEWER than ``k`` rows (those rows
+    are re-identifiable). Returns a Dataset of ``(*qi_cols, grp_n)``.
+
+    Band / quantize continuous quasi-identifiers UPSTREAM (a raw float is
+    its own singleton class and the audit degenerates); when mirroring a
+    DuckDB ``//`` band remember it truncates toward zero, not floor.
+
+    Scale shape: per-batch (qi...) partial counts pre-aggregate before ONE
+    groupby over |distinct QI combos| (<< rows when the audit is
+    meaningful); the ``< k`` filter is a stateless map_batches."""
+    from ray.data.aggregate import Sum
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if not qi_cols:
+        raise ValueError("qi_cols must be non-empty")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(qi_cols)
+        out = t.group_by(qi_cols).aggregate([([], "count_all")])
+        return out.rename_columns(list(qi_cols) + ["cnt"])
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby(list(qi_cols))
+        .aggregate(Sum("cnt", alias_name="grp_n"))
+    )
+
+    def violating(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less(batch["grp_n"], pa.scalar(k, pa.int64())))
+
+    return counts.map_batches(violating, batch_format="pyarrow", zero_copy_batch=True, **remote_args())

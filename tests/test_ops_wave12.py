@@ -127,3 +127,40 @@ def test_benford_digits_matches_brute(ray_session):
     exp = exp.sort_values(["grp", "digit"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     assert np.allclose(got.groupby("grp")["frac"].sum(), 1.0)
+
+# ---------------------------------------------------- k-anonymity audit
+
+
+def test_k_anonymity_matches_brute(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.quality import k_anonymity
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "zip": rng.integers(0, 30, 2000),
+            "seg": rng.choice(["x", "y"], 2000),
+        }
+    )
+    got = (
+        k_anonymity(ray.data.from_pandas(df).repartition(6), ["zip", "seg"], k=30)
+        .to_pandas()
+        .sort_values(["zip", "seg"])
+        .reset_index(drop=True)
+    )
+    exp = df.groupby(["zip", "seg"]).size().rename("grp_n").reset_index()
+    exp = exp[exp["grp_n"] < 30].sort_values(["zip", "seg"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_k_anonymity_guards(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.quality import k_anonymity
+
+    ds = ray.data.from_pandas(pd.DataFrame({"a": [1]}))
+    with pytest.raises(ValueError, match="k must be"):
+        k_anonymity(ds, ["a"], k=1)
+    with pytest.raises(ValueError, match="non-empty"):
+        k_anonymity(ds, [], k=5)
