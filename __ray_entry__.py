@@ -928,6 +928,33 @@ def _q_k_anonymity_customer(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def _q_apportion_nations(sf_dir: str):
+    """Hamilton largest-remainder apportionment of 997 seats across nations
+    by clamped exact-cents account balance (ops/agg.py:
+    apportion_largest_remainder) — floor shares + remainder-ranked top-ups,
+    ties by ascending nation key; all integer, sum(seats) == 997 exactly."""
+    import numpy as np
+    import ray.data
+
+    from orc_format_ray.ops.agg import apportion_largest_remainder
+
+    ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_nationkey", "c_acctbal"])
+
+    def units(batch: pa.Table) -> pa.Table:
+        cents = np.floor(batch["c_acctbal"].to_numpy(zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "c_nationkey": batch["c_nationkey"],
+                "units": pa.array(np.maximum(cents, 0), pa.int64()),
+            }
+        )
+
+    out = apportion_largest_remainder(
+        ds.map_batches(units, batch_format="pyarrow", **_ra()), "c_nationkey", "units", seats=997
+    )
+    return out.sort_values("c_nationkey").reset_index(drop=True)
+
+
 def _q_latest_event_per_user(sf_dir: str):
     """Log compaction: each user's most recent event (DISTINCT ON) via
     ops/etl.py:latest_by_key — blocks reduce locally to one row per key
@@ -5598,6 +5625,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clamped_balance_events": _q_clamped_balance_events,
         "benford_price_lineitem": _q_benford_price,
         "k_anonymity_customer": _q_k_anonymity_customer,
+        "apportion_nations": _q_apportion_nations,
     }
 
 
@@ -7452,5 +7480,19 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS grp_n FROM customer "
             "GROUP BY c_nationkey, c_mktsegment, acct_band HAVING count(*) < 5 "
             "ORDER BY c_nationkey, c_mktsegment, acct_band"
+        ),
+        # positive ints: // truncation == floor on both sides; HUGEINT sums
+        # CAST back to BIGINT before the products (all guarded < 2^62)
+        "apportion_nations": (
+            "WITH w AS (SELECT c_nationkey AS g, "
+            "CAST(sum(greatest(CAST(floor(c_acctbal*100 + 0.5) AS BIGINT), 0)) AS BIGINT) AS w "
+            "FROM customer GROUP BY g), "
+            "t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM w), "
+            "r AS (SELECT g, w, (w * 997) // tw AS base, (w * 997) % tw AS rem FROM w, t), "
+            "e AS (SELECT CAST(997 - sum(base) AS BIGINT) AS extra FROM r), "
+            "k AS (SELECT *, row_number() OVER (ORDER BY rem DESC, g) AS rk FROM r) "
+            "SELECT g AS c_nationkey, w, "
+            "CAST(base + CASE WHEN rk <= (SELECT extra FROM e) THEN 1 ELSE 0 END AS BIGINT) AS seats "
+            "FROM k ORDER BY g"
         ),
     }

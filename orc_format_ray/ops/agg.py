@@ -1625,3 +1625,62 @@ def weighted_quantile_by_group(ds, group: str, col: str, weight_col: str,
         return pd.DataFrame(out)
 
     return dist.groupby("g").map_groups(fold, batch_format="pandas", **remote_args())
+
+
+def apportion_largest_remainder(ds, group: str, units_col: str, seats: int):
+    """Hamilton / largest-remainder apportionment: split ``seats`` integer
+    seats across groups proportional to exact-int64 weights. Every group
+    gets ``floor(seats * w / W)``; the leftover seats go to the largest
+    remainders ``(seats * w) mod W`` (ties broken by ascending group key —
+    deterministic). Returns a driver DataFrame of ``(group, w, seats)``
+    ordered by group; sum(seats) == ``seats`` exactly.
+
+    All arithmetic is exact integer: products are guarded < 2^62 so the
+    same BIGINT expressions evaluate identically in SQL (DuckDB errors
+    loudly on BIGINT overflow rather than wrapping). Weights must be
+    non-negative (clamp upstream).
+
+    Scale shape: per-batch partial unit sums pre-aggregate before ONE
+    groupby over |groups|; the allocation itself is a driver-side numpy
+    pass over |groups| rows (bounded by the group-key cardinality, not the
+    row count)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    if seats < 1:
+        raise ValueError(f"seats must be >= 1, got {seats}")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        u = batch[units_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if len(u) and u.min() < 0:
+            raise ValueError("weights must be non-negative — clamp upstream")
+        t = pa.table({"g": batch[group], "u": pa.array(u, pa.int64())})
+        out = t.group_by("g").aggregate([("u", "sum")])
+        return out.rename_columns(["g", "u"])
+
+    totals = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby("g")
+        .aggregate(Sum("u", alias_name="w"))
+        .to_pandas()
+        .sort_values("g", kind="stable")
+        .reset_index(drop=True)
+    )
+    w = totals["w"].to_numpy(np.int64)
+    W = int(w.sum())
+    if W <= 0:
+        raise ValueError("total weight must be positive")
+    if seats * int(w.max()) >= 1 << 62:
+        raise ValueError("seats * max(weight) must stay < 2^62 (exact-int guard)")
+    prod = w * np.int64(seats)
+    base = prod // W
+    rem = prod % W
+    extra = seats - int(base.sum())
+    # rank remainders DESC, group key ASC == np.lexsort on (g asc, -rem)...
+    # lexsort keys: last key is primary
+    order = np.lexsort((np.arange(len(w)), -rem))
+    alloc = base.copy()
+    alloc[order[:extra]] += 1
+    out = pd.DataFrame({group: totals["g"], "w": w, "seats": alloc.astype(np.int64)})
+    assert int(out["seats"].sum()) == seats
+    return out

@@ -164,3 +164,40 @@ def test_k_anonymity_guards(ray_session):
         k_anonymity(ds, ["a"], k=1)
     with pytest.raises(ValueError, match="non-empty"):
         k_anonymity(ds, [], k=5)
+
+# ------------------------------------- largest-remainder apportionment
+
+
+def test_apportionment_exact_and_ties(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.agg import apportion_largest_remainder
+
+    # weights engineered for remainder ties: equal weights split a seat
+    df = pd.DataFrame({"g": list("abcde"), "units": [10, 10, 10, 10, 7]})
+    out = apportion_largest_remainder(
+        ray.data.from_pandas(df).repartition(3), "g", "units", seats=10
+    )
+    assert int(out["seats"].sum()) == 10
+    # W=47, base = floor(10*w/47): a..d floor(100/47)=2, e floor(70/47)=1
+    # rem: a..d 100-94=6, e 70-47=23 -> e gets the 1 extra seat (rem 23 > 6)
+    got = dict(zip(out["g"], out["seats"]))
+    assert got == {"a": 2, "b": 2, "c": 2, "d": 2, "e": 2}
+
+    # pure tie: 3 equal groups, 4 seats -> base 1 each, extra 1 -> 'a' wins
+    df2 = pd.DataFrame({"g": list("abc"), "units": [5, 5, 5]})
+    out2 = apportion_largest_remainder(ray.data.from_pandas(df2), "g", "units", seats=4)
+    assert dict(zip(out2["g"], out2["seats"])) == {"a": 2, "b": 1, "c": 1}
+
+
+def test_apportionment_guards(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.agg import apportion_largest_remainder
+
+    ds = ray.data.from_pandas(pd.DataFrame({"g": ["a"], "units": [-1]}))
+    with pytest.raises(Exception, match="non-negative"):
+        apportion_largest_remainder(ds, "g", "units", seats=5)
+    ds0 = ray.data.from_pandas(pd.DataFrame({"g": ["a"], "units": [0]}))
+    with pytest.raises(ValueError, match="positive"):
+        apportion_largest_remainder(ds0, "g", "units", seats=5)
