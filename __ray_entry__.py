@@ -955,6 +955,37 @@ def _q_apportion_nations(sf_dir: str):
     return out.sort_values("c_nationkey").reset_index(drop=True)
 
 
+_FD_COLS = ["o_orderstatus", "o_orderpriority", "o_orderdate"]
+
+
+def _q_fd_audit_orders(sf_dir: str):
+    """Functional-dependency discovery over orders column pairs
+    (ops/profile.py:fd_audit): per (det -> dep) pair, distinct determinant
+    count and how many determinants map to >1 dependent value. One read
+    feeds all pairs; shuffle volume is distinct (det, dep) pairs."""
+    import ray.data
+
+    from orc_format_ray.ops.profile import fd_audit
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=_FD_COLS)
+    out = fd_audit(ds, _FD_COLS)
+    return out.to_pandas().sort_values(["det_col", "dep_col"]).reset_index(drop=True)
+
+
+def _fd_audit_sql() -> str:
+    pairs = [(a, b) for a in _FD_COLS for b in _FD_COLS if a != b]
+    parts = [
+        (
+            f"SELECT '{a}' AS det_col, '{b}' AS dep_col, count(*) AS n_det, "
+            f"CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating "
+            f"FROM (SELECT {a}, count(DISTINCT {b}) AS nd FROM orders "
+            f"WHERE {a} IS NOT NULL AND {b} IS NOT NULL GROUP BY {a})"
+        )
+        for a, b in pairs
+    ]
+    return "SELECT * FROM (" + " UNION ALL ".join(parts) + ") ORDER BY det_col, dep_col"
+
+
 def _q_latest_event_per_user(sf_dir: str):
     """Log compaction: each user's most recent event (DISTINCT ON) via
     ops/etl.py:latest_by_key — blocks reduce locally to one row per key
@@ -5626,6 +5657,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benford_price_lineitem": _q_benford_price,
         "k_anonymity_customer": _q_k_anonymity_customer,
         "apportion_nations": _q_apportion_nations,
+        "fd_audit_orders": _q_fd_audit_orders,
     }
 
 
@@ -7495,4 +7527,5 @@ def oracle_sql() -> dict[str, str]:
             "CAST(base + CASE WHEN rk <= (SELECT extra FROM e) THEN 1 ELSE 0 END AS BIGINT) AS seats "
             "FROM k ORDER BY g"
         ),
+        "fd_audit_orders": _fd_audit_sql(),
     }

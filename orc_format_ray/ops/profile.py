@@ -625,3 +625,79 @@ def skew_report(ds, key: str, k: int = 10):
     top["share"] = cnt.astype(np.float64) / np.float64(n)
     top["skew"] = (cnt * np.int64(nd)).astype(np.float64) / np.float64(n)
     return top.reset_index(drop=True)
+
+
+def fd_audit(ds, cols: list[str]):
+    """Functional-dependency discovery across every ordered column pair
+    (det → dep): for each pair, how many distinct determinant values map to
+    MORE than one dependent value (violations). A pair with 0 violations is
+    an exact FD — the schema-profiling signal for normalization, dedup keys
+    and dictionary-encoding candidates. Returns a Dataset of
+    ``(det_col, dep_col, n_det, n_violating)``; ``holds`` is
+    ``n_violating == 0`` downstream.
+
+    Null handling: rows where either side IS NULL are excluded (mirrors
+    SQL ``count(DISTINCT dep) GROUP BY det`` semantics). Values compare by
+    their Arrow string cast — injective for ints/strings/timestamps/
+    doubles (shortest repr), so distinctness is preserved.
+
+    Scale shape: ONE read feeds all m(m-1) pairs; per-batch (det, dep)
+    pairs dedupe locally, then one groupby over distinct
+    (pair, det, dep) triples, one over (pair, det), one tiny per-pair
+    reduce — shuffle volume is the distinct-pair count, never rows x m^2."""
+    import pandas as pd
+    from ray.data.aggregate import Count, Sum
+
+    if len(cols) < 2:
+        raise ValueError("fd_audit needs at least two columns")
+
+    pairs = [(a, b) for a in cols for b in cols if a != b]
+
+    def expand(batch: pa.Table) -> pa.Table:
+        outs = []
+        for det, dep in pairs:
+            t = pa.table(
+                {
+                    "det": batch[det].cast(pa.string()),
+                    "dep": batch[dep].cast(pa.string()),
+                }
+            )
+            t = t.filter(pc.and_(pc.is_valid(t["det"]), pc.is_valid(t["dep"])))
+            d = t.group_by(["det", "dep"]).aggregate([])
+            outs.append(
+                d.append_column("pair", pa.array([f"{det}\x00{dep}"] * d.num_rows, pa.string()))
+            )
+        return pa.concat_tables(outs)
+
+    triples = (
+        ds.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby(["pair", "det", "dep"])
+        .aggregate(Count(alias_name="_c"))
+        .select_columns(["pair", "det"])
+    )
+    per_det = triples.groupby(["pair", "det"]).aggregate(Count(alias_name="n_dep"))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        viol = pc.cast(pc.greater(batch["n_dep"], pa.scalar(1, pa.int64())), pa.int64())
+        return pa.table({"pair": batch["pair"], "one": pa.array([1] * batch.num_rows, pa.int64()), "viol": viol})
+
+    per_pair = (
+        per_det.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby("pair")
+        .aggregate(Sum("one", alias_name="n_det"), Sum("viol", alias_name="n_violating"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(batch["pair"], "\x00")
+        det_col = pc.list_element(parts, 0)
+        dep_col = pc.list_element(parts, 1)
+        return pa.table(
+            {
+                "det_col": det_col,
+                "dep_col": dep_col,
+                "n_det": batch["n_det"].cast(pa.int64()),
+                "n_violating": batch["n_violating"].cast(pa.int64()),
+            }
+        )
+
+    return per_pair.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True, **remote_args())

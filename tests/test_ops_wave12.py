@@ -201,3 +201,47 @@ def test_apportionment_guards(ray_session):
     ds0 = ray.data.from_pandas(pd.DataFrame({"g": ["a"], "units": [0]}))
     with pytest.raises(ValueError, match="positive"):
         apportion_largest_remainder(ds0, "g", "units", seats=5)
+
+# ------------------------------------------ functional-dependency audit
+
+
+def test_fd_audit_detects_exact_fd(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.profile import fd_audit
+
+    rng = np.random.default_rng(5)
+    code = rng.integers(0, 20, 1500)
+    df = pd.DataFrame(
+        {
+            "code": code,
+            "name": np.array([f"n{c}" for c in code]),  # code -> name exact FD
+            "noise": rng.integers(0, 4, 1500),
+        }
+    )
+    got = (
+        fd_audit(ray.data.from_pandas(df).repartition(5), ["code", "name", "noise"])
+        .to_pandas()
+        .set_index(["det_col", "dep_col"])
+    )
+    assert got.loc[("code", "name"), "n_violating"] == 0  # the planted FD
+    assert got.loc[("name", "code"), "n_violating"] == 0  # bijection -> both hold
+    assert got.loc[("noise", "code"), "n_violating"] == 4  # every noise value violates
+    assert got.loc[("code", "noise"), "n_det"] == 20
+    # brute-force cross-check of every cell
+    for (a, b), row in got.iterrows():
+        nd = df.groupby(a)[b].nunique()
+        assert row["n_det"] == len(nd)
+        assert row["n_violating"] == int((nd > 1).sum())
+
+
+def test_fd_audit_null_excluded(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.profile import fd_audit
+
+    df = pd.DataFrame({"a": ["x", "x", None], "b": ["1", None, "2"]})
+    got = fd_audit(ray.data.from_pandas(df), ["a", "b"]).to_pandas().set_index(["det_col", "dep_col"])
+    # only the ("x","1") row survives null filtering on both sides
+    assert got.loc[("a", "b"), "n_det"] == 1
+    assert got.loc[("a", "b"), "n_violating"] == 0
