@@ -5150,6 +5150,55 @@ def _q_orc_delete_rows(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_orc_upsert_rows(sf_dir: str):
+    """MERGE INTO over a Hive-partitioned ORC lake (orcmerge.py:
+    upsert_rows): updates bump n_chars by 1000 for doc_id % 5 == 2, inserts
+    add doc_id + 10M clones for doc_id % 97 == 0 — stats-pruned delete of
+    the incoming keys + idempotent content-hashed append, then a native
+    partition-aware read-back. Hash-exact vs the UNION ALL SQL."""
+    import shutil
+
+    import ray.data
+
+    from orc_format_ray.orcfile import read_orc_dataset, write_orc_dataset
+    from orc_format_ray.orcmerge import upsert_rows
+
+    scratch = _scratch(sf_dir, "orcupsert")
+    shutil.rmtree(scratch, ignore_errors=True)
+    lake = os.path.join(scratch, "lake")
+    cols = ["doc_id", "source", "lang", "n_chars"]
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
+    write_orc_dataset(ds, lake, partition_by=["lang"]).materialize()
+
+    def batch_rows(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as _pc
+
+        ids = batch["doc_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        upd = batch.filter(pa.array(ids % 5 == 2))
+        upd = upd.set_column(
+            upd.schema.get_field_index("n_chars"), "n_chars",
+            _pc.add(upd["n_chars"].cast(pa.int64()), 1000),
+        )
+        ins = batch.filter(pa.array(ids % 97 == 0))
+        ins = ins.set_column(
+            ins.schema.get_field_index("doc_id"), "doc_id",
+            _pc.add(ins["doc_id"].cast(pa.int64()), 10_000_000),
+        )
+        ins = ins.set_column(
+            ins.schema.get_field_index("n_chars"), "n_chars",
+            _pc.add(ins["n_chars"].cast(pa.int64()), 7),
+        )
+        return pa.concat_tables([upd, ins])
+
+    batch = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=cols).map_batches(
+        batch_rows, batch_format="pyarrow", **_ra()
+    )
+    upsert_rows(lake, "doc_id", batch, partition_by=["lang"])
+    out = _table(read_orc_dataset(lake, native=True)).to_pandas()
+    return out[cols].sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_substring_containment_planted(sf_dir: str):
     """Word-aligned substring containment with planted excerpts (words
     4..11 of docs 0..4 re-inserted as new docs): complete first-gram
@@ -5658,6 +5707,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_anonymity_customer": _q_k_anonymity_customer,
         "apportion_nations": _q_apportion_nations,
         "fd_audit_orders": _q_fd_audit_orders,
+        "orc_upsert_rows": _q_orc_upsert_rows,
     }
 
 
@@ -7528,4 +7578,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM k ORDER BY g"
         ),
         "fd_audit_orders": _fd_audit_sql(),
+        "orc_upsert_rows": (
+            "WITH base AS (SELECT doc_id, source, lang, n_chars FROM documents), "
+            "upd AS (SELECT doc_id, source, lang, n_chars + 1000 AS n_chars FROM base WHERE doc_id % 5 = 2), "
+            "ins AS (SELECT doc_id + 10000000 AS doc_id, source, lang, n_chars + 7 AS n_chars "
+            "FROM base WHERE doc_id % 97 = 0) "
+            "SELECT * FROM (SELECT * FROM base WHERE doc_id % 5 <> 2 "
+            "UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM ins) ORDER BY doc_id"
+        ),
     }

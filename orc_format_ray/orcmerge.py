@@ -742,3 +742,63 @@ def delete_rows(lake_dir: str, key: str, ids, compression: str = "zstd",
                 summary["n_rewritten"] += 1
     summary["files"].sort()
     return summary
+
+
+def upsert_rows(lake_dir: str, key: str, ds_new, partition_by: list[str] | None = None,
+                compression: str = "zstd", level: int = 3, stripe_rows: int = 250_000,
+                row_index_stride: int = 10_000,
+                max_broadcast_ids: int = 1 << 26) -> dict:
+    """MERGE INTO for an ORC lake: rows of ``ds_new`` REPLACE existing lake
+    rows with the same ``key`` (update) and append otherwise (insert) —
+    composed as stats-pruned ``delete_rows`` of the incoming key set
+    followed by an idempotent ``write_orc_dataset`` append (content-hashed
+    names; the partition sidecar is reused). The upsert batch is the SMALL
+    side by design (a CDC tick, not a re-load): its keys broadcast once,
+    guarded by ``max_broadcast_ids`` — shard the batch beyond that.
+
+    ``ds_new`` is a ``ray.data.Dataset`` or a ``pyarrow.Table``; its schema
+    must match the lake's write schema (same columns incl. ``partition_by``)
+    — reader-side evolution handles additive drift, but a silently narrower
+    upsert file would null-fill on read. Keys must be unique WITHIN the
+    batch (two updates for one key in a single merge are ambiguous —
+    rejected loudly, the apply_changes rule). Crash between the delete and
+    the append loses no base data (deletes are key-targeted rewrites) but
+    can drop the in-flight upsert rows — re-run the same batch; both legs
+    are idempotent.
+
+    Returns ``{"n_deleted_rows", "n_rewritten", "n_files_before",
+    "n_appended_rows", "n_new_files"}``."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from .orcfile import write_orc_dataset
+
+    if isinstance(ds_new, pa.Table):
+        ds_new = ray.data.from_arrow(ds_new)
+    key_df = ds_new.select_columns([key]).to_pandas()
+    keys = key_df[key].to_numpy()
+    if len(keys) > max_broadcast_ids:
+        raise ValueError(
+            f"upsert batch has {len(keys)} keys > max_broadcast_ids={max_broadcast_ids}; "
+            "shard the batch (range-partition keys and merge per shard)"
+        )
+    uniq = np.unique(keys.astype(np.int64))
+    if uniq.size != len(keys):
+        raise ValueError("upsert keys must be unique within the batch — two updates for one key are ambiguous")
+    dsum = delete_rows(
+        lake_dir, key, uniq, compression=compression, level=level,
+        stripe_rows=stripe_rows, row_index_stride=row_index_stride,
+        max_broadcast_ids=max_broadcast_ids,
+    )
+    lineage = write_orc_dataset(
+        ds_new, lake_dir, compression=compression, level=level, stripe_rows=stripe_rows,
+        row_index_stride=row_index_stride, partition_by=partition_by,
+    ).to_pandas()
+    return {
+        "n_deleted_rows": dsum["n_deleted_rows"],
+        "n_rewritten": dsum["n_rewritten"],
+        "n_files_before": dsum["n_files"],
+        "n_appended_rows": int(lineage["num_rows"].sum()),
+        "n_new_files": len(lineage),
+    }

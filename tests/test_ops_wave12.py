@@ -245,3 +245,53 @@ def test_fd_audit_null_excluded(ray_session):
     # only the ("x","1") row survives null filtering on both sides
     assert got.loc[("a", "b"), "n_det"] == 1
     assert got.loc[("a", "b"), "n_violating"] == 0
+
+# -------------------------------------------------------- ORC lake upsert
+
+
+def test_upsert_rows_update_insert_and_idempotent(ray_session, tmp_path):
+    import ray.data
+
+    from orc_format_ray.orcfile import read_orc_dataset
+    from orc_format_ray.orcfile import write_orc_dataset
+    from orc_format_ray.orcmerge import upsert_rows
+
+    lake = str(tmp_path / "lake")
+    base = pd.DataFrame({"k": np.arange(100, dtype=np.int64), "v": np.arange(100, dtype=np.int64) * 10})
+    write_orc_dataset(ray.data.from_pandas(base).repartition(4), lake).materialize()
+
+    up = pd.DataFrame({"k": [3, 50, 99, 200, 201], "v": [-1, -2, -3, -4, -5]})
+    s1 = upsert_rows(lake, "k", ray.data.from_pandas(up))
+    assert s1["n_deleted_rows"] == 3 and s1["n_appended_rows"] == 5
+
+    def read_lake():
+        return (
+            read_orc_dataset(lake, native=True)
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+
+    exp = base[~base["k"].isin([3, 50, 99])]
+    exp = pd.concat([exp, up]).sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(read_lake(), exp, check_dtype=False)
+
+    # re-running the same merge converges to the same state
+    s2 = upsert_rows(lake, "k", ray.data.from_pandas(up))
+    assert s2["n_deleted_rows"] == 5  # previous upsert's rows delete then re-append
+    pd.testing.assert_frame_equal(read_lake(), exp, check_dtype=False)
+
+
+def test_upsert_rows_duplicate_keys_rejected(ray_session, tmp_path):
+    import ray.data
+
+    from orc_format_ray.orcfile import write_orc_dataset
+    from orc_format_ray.orcmerge import upsert_rows
+
+    lake = str(tmp_path / "lake")
+    write_orc_dataset(
+        ray.data.from_pandas(pd.DataFrame({"k": [1, 2], "v": [1, 2]})), lake
+    ).materialize()
+    dup = pd.DataFrame({"k": [5, 5], "v": [1, 2]})
+    with pytest.raises(ValueError, match="unique within the batch"):
+        upsert_rows(lake, "k", ray.data.from_pandas(dup))
