@@ -986,6 +986,20 @@ def _fd_audit_sql() -> str:
     return "SELECT * FROM (" + " UNION ALL ".join(parts) + ") ORDER BY det_col, dep_col"
 
 
+def _q_readability_documents(sf_dir: str):
+    """Flesch-style readability per document from exact integer counts
+    (ops/text.py:readability) — word/sentence/vowel-run counting on RE2
+    semantics both sides; the score's constant expression tree mirrors the
+    SQL op-for-op so the doubles are bit-equal."""
+    import ray.data
+
+    from orc_format_ray.ops.text import readability
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = readability(ds)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_latest_event_per_user(sf_dir: str):
     """Log compaction: each user's most recent event (DISTINCT ON) via
     ops/etl.py:latest_by_key — blocks reduce locally to one row per key
@@ -5708,6 +5722,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "apportion_nations": _q_apportion_nations,
         "fd_audit_orders": _q_fd_audit_orders,
         "orc_upsert_rows": _q_orc_upsert_rows,
+        "readability_documents": _q_readability_documents,
     }
 
 
@@ -7585,5 +7600,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM base WHERE doc_id % 97 = 0) "
             "SELECT * FROM (SELECT * FROM base WHERE doc_id % 5 <> 2 "
             "UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM ins) ORDER BY doc_id"
+        ),
+        # word/sentence/vowel-run counts are exact ints; the score keeps the
+        # Ray side's exact constant expression tree (per-row divisions only)
+        "readability_documents": (
+            "WITH c AS (SELECT doc_id, "
+            f"CAST({_TOKCOUNT_SQL} AS BIGINT) AS n_words, "
+            "greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences, "
+            "CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables "
+            "FROM documents) "
+            "SELECT doc_id, n_words, CAST(n_sentences AS BIGINT) AS n_sentences, n_syllables, "
+            "206.835 - 1.015*(CAST(n_words AS DOUBLE)/CAST(n_sentences AS DOUBLE)) "
+            "- 84.6*(CAST(n_syllables AS DOUBLE)/CAST(greatest(n_words, 1) AS DOUBLE)) AS score "
+            "FROM c ORDER BY doc_id"
         ),
     }

@@ -1140,3 +1140,55 @@ def remove_boilerplate_lines(
         )
 
     return ds.map_batches(scrub, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+
+
+def readability(ds, id_col: str = "doc_id", column: str = "text"):
+    """Flesch-style readability score per document from three exact integer
+    counts — words (nonempty ``\\s+`` split tokens), sentence marks
+    (``[.!?]+`` runs, floored at 1), and syllable proxies (``[aeiouy]+``
+    vowel runs in the lowercased text). Returns a Dataset of
+    ``(id, n_words, n_sentences, n_syllables, score)`` where
+
+        score = 206.835 - 1.015*(words/sentences) - 84.6*(syllables/max(words,1))
+
+    Every division is a single exact-int double division and the constant
+    expression tree mirrors the SQL oracle op-for-op (bitwise reproducible;
+    the per-row-division rule). Counting regexes run on RE2 semantics both
+    sides. Stateless vectorized map_batches — no shuffle."""
+    from .._rayutil import remote_args
+
+    def score(batch: pa.Table) -> pa.Table:
+        text = batch[column]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        trimmed = pc.utf8_trim_whitespace(text)
+        toks = pc.split_pattern_regex(trimmed, r"\s+")
+        w = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        # an all-whitespace doc splits to [''] (1 token) — zero it like SQL's
+        # CASE WHEN trim = '' THEN 0
+        empty = pc.equal(trimmed, "").to_numpy(zero_copy_only=False)
+        w[empty] = 0
+        s = pc.count_substring_regex(text, r"[.!?]+").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = np.maximum(s, 1)
+        sy = (
+            pc.count_substring_regex(pc.utf8_lower(text), r"[aeiouy]+")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        wmax = np.maximum(w, 1)
+        sc = (
+            np.float64(206.835)
+            - np.float64(1.015) * (w.astype(np.float64) / s.astype(np.float64))
+            - np.float64(84.6) * (sy.astype(np.float64) / wmax.astype(np.float64))
+        )
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_words": pa.array(w, pa.int64()),
+                "n_sentences": pa.array(s, pa.int64()),
+                "n_syllables": pa.array(sy, pa.int64()),
+                "score": pa.array(sc, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True, **remote_args())

@@ -295,3 +295,36 @@ def test_upsert_rows_duplicate_keys_rejected(ray_session, tmp_path):
     dup = pd.DataFrame({"k": [5, 5], "v": [1, 2]})
     with pytest.raises(ValueError, match="unique within the batch"):
         upsert_rows(lake, "k", ray.data.from_pandas(dup))
+
+# ------------------------------------------------------------ readability
+
+
+def test_readability_counts_and_edges(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.text import readability
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "The cat sat. The dog ran!",  # 6 words, 2 sentences
+                "",  # empty: 0 words, sentences floored to 1
+                "   ",  # whitespace-only
+                "Yyy aeiou xyz?!?",  # vowel-run edge: y counts
+            ],
+        }
+    )
+    got = (
+        readability(ray.data.from_pandas(df))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["n_words"].tolist() == [6, 0, 0, 3]
+    assert got["n_sentences"].tolist() == [2, 1, 1, 1]
+    # doc 0: vowel runs e,a,a,e,o,a -> 6; doc 3: 'yyy','aeiou','y' -> 3
+    assert got["n_syllables"].tolist() == [6, 0, 0, 3]
+    exp0 = 206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6)
+    assert got.loc[0, "score"] == exp0
+    assert got.loc[1, "score"] == 206.835  # 0/1 and 0/1 terms
