@@ -5213,6 +5213,42 @@ def _q_orc_upsert_rows(sf_dir: str):
     return out[cols].sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_orc_time_travel(sf_dir: str):
+    """Lake time travel via zero-copy hard-link snapshots (orcmerge.py:
+    snapshot_lake): snapshot the documents lake, GDPR-delete a third of it
+    live, then read the SNAPSHOT back — the pre-delete table, byte-level
+    intact because content-hashed lake files are write-once. Hash-exact vs
+    plain SELECT of the full table; the live lake is asserted smaller."""
+    import shutil
+
+    import ray.data
+
+    from orc_format_ray.orcfile import read_orc_dataset, write_orc_dataset
+    from orc_format_ray.orcmerge import delete_rows, list_snapshots, snapshot_lake
+
+    scratch = _scratch(sf_dir, "orctimetravel")
+    shutil.rmtree(scratch, ignore_errors=True)
+    lake = os.path.join(scratch, "lake")
+    snaps = os.path.join(scratch, "snaps")
+    cols = ["doc_id", "source", "lang", "n_chars"]
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
+    write_orc_dataset(ds, lake, partition_by=["lang"]).materialize()
+
+    snap = snapshot_lake(lake, snaps)
+    all_ids = _table(ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]))
+    ids = [int(i) for i in all_ids["doc_id"].to_pylist() if i % 3 == 1]
+    delete_rows(lake, "doc_id", ids)
+
+    live = _table(read_orc_dataset(lake, native=True))
+    if live.num_rows != all_ids.num_rows - len(ids):
+        raise AssertionError("live lake should have lost exactly the tombstoned rows")
+    names = [m["name"] for m in list_snapshots(snaps)]
+    if names != [snap["name"]]:
+        raise AssertionError(f"snapshot manifest mismatch: {names}")
+    out = _table(read_orc_dataset(snap["dir"], native=True)).to_pandas()
+    return out[cols].sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_substring_containment_planted(sf_dir: str):
     """Word-aligned substring containment with planted excerpts (words
     4..11 of docs 0..4 re-inserted as new docs): complete first-gram
@@ -5723,6 +5759,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fd_audit_orders": _q_fd_audit_orders,
         "orc_upsert_rows": _q_orc_upsert_rows,
         "readability_documents": _q_readability_documents,
+        "orc_time_travel": _q_orc_time_travel,
     }
 
 
@@ -7613,5 +7650,8 @@ def oracle_sql() -> dict[str, str]:
             "206.835 - 1.015*(CAST(n_words AS DOUBLE)/CAST(n_sentences AS DOUBLE)) "
             "- 84.6*(CAST(n_syllables AS DOUBLE)/CAST(greatest(n_words, 1) AS DOUBLE)) AS score "
             "FROM c ORDER BY doc_id"
+        ),
+        "orc_time_travel": (
+            "SELECT doc_id, source, lang, n_chars FROM documents ORDER BY doc_id"
         ),
     }

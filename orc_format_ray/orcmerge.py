@@ -802,3 +802,86 @@ def upsert_rows(lake_dir: str, key: str, ds_new, partition_by: list[str] | None 
         "n_appended_rows": int(lineage["num_rows"].sum()),
         "n_new_files": len(lineage),
     }
+
+
+def snapshot_lake(lake_dir: str, snap_root: str, name: str | None = None) -> dict:
+    """Zero-copy snapshot of an ORC lake for time travel: hard-link every
+    file (data + partition sidecar) into ``snap_root/<name>``, preserving
+    the directory layout, plus a manifest JSON. The snapshot is itself a
+    fully readable lake (``read_orc_dataset`` works on it directly).
+
+    Why hard links are CORRECT here, not just cheap: lake files are
+    write-once under content-hashed names — ``delete_rows`` / ``upsert_rows``
+    / compaction always write a NEW name and unlink the old, never mutate
+    in place — so a linked inode can never change under the snapshot, and
+    the live lake's rewrites don't free the snapshot's bytes until vacuum.
+    Requires ``snap_root`` on the same filesystem (hard links don't cross
+    devices; the loud EXDEV surfaces otherwise).
+
+    Returns ``{"name", "dir", "n_files", "total_bytes"}``.
+    ``drop_snapshot(snap_root, name)`` vacuums one snapshot."""
+    import glob
+    import json
+    import os
+
+    if name is None:
+        existing = sorted(
+            d for d in (os.listdir(snap_root) if os.path.isdir(snap_root) else [])
+            if d.startswith("v")
+        )
+        name = f"v{len(existing) + 1:05d}"
+    snap_dir = os.path.join(snap_root, name)
+    if os.path.exists(snap_dir):
+        raise ValueError(f"snapshot {name!r} already exists")
+    files = sorted(
+        p for p in glob.glob(os.path.join(lake_dir, "**", "*"), recursive=True)
+        if os.path.isfile(p)
+    )
+    total = 0
+    tmp_dir = snap_dir + f".tmp{os.getpid()}"
+    for p in files:
+        rel = os.path.relpath(p, lake_dir)
+        dst = os.path.join(tmp_dir, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.link(p, dst)
+        total += os.path.getsize(p)
+    os.makedirs(tmp_dir, exist_ok=True)  # empty lake still snapshots
+    manifest = {
+        "name": name,
+        "lake_dir": os.path.abspath(lake_dir),
+        "files": [os.path.relpath(p, lake_dir) for p in files],
+        "total_bytes": total,
+    }
+    with open(os.path.join(tmp_dir, "_snapshot.json"), "w") as f:
+        json.dump(manifest, f)
+    os.rename(tmp_dir, snap_dir)  # commit marker: snapshots appear atomically
+    return {"name": name, "dir": snap_dir, "n_files": len(files), "total_bytes": total}
+
+
+def list_snapshots(snap_root: str) -> list[dict]:
+    """Manifests of every committed snapshot under ``snap_root``, oldest
+    first (in-flight ``.tmp`` dirs are invisible)."""
+    import json
+    import os
+
+    out = []
+    if not os.path.isdir(snap_root):
+        return out
+    for d in sorted(os.listdir(snap_root)):
+        mf = os.path.join(snap_root, d, "_snapshot.json")
+        if os.path.isfile(mf):
+            with open(mf) as f:
+                out.append(json.load(f))
+    return out
+
+
+def drop_snapshot(snap_root: str, name: str) -> None:
+    """Vacuum one snapshot: unlink its hard links (bytes free once no other
+    snapshot or the live lake still references the inode)."""
+    import os
+    import shutil
+
+    d = os.path.join(snap_root, name)
+    if not os.path.isfile(os.path.join(d, "_snapshot.json")):
+        raise ValueError(f"{name!r} is not a committed snapshot under {snap_root}")
+    shutil.rmtree(d)

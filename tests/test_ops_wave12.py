@@ -328,3 +328,45 @@ def test_readability_counts_and_edges(ray_session):
     exp0 = 206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6)
     assert got.loc[0, "score"] == exp0
     assert got.loc[1, "score"] == 206.835  # 0/1 and 0/1 terms
+
+# ----------------------------------------------------- lake time travel
+
+
+def test_snapshot_survives_upsert_and_vacuum(ray_session, tmp_path):
+    import os
+
+    import ray.data
+
+    from orc_format_ray.orcfile import read_orc_dataset, write_orc_dataset
+    from orc_format_ray.orcmerge import (drop_snapshot, list_snapshots,
+                                         snapshot_lake, upsert_rows)
+
+    lake = str(tmp_path / "lake")
+    snaps = str(tmp_path / "snaps")
+    base = pd.DataFrame({"k": np.arange(50, dtype=np.int64), "v": np.arange(50, dtype=np.int64)})
+    write_orc_dataset(ray.data.from_pandas(base).repartition(3), lake).materialize()
+
+    s1 = snapshot_lake(lake, snaps)
+    assert s1["name"] == "v00001" and s1["n_files"] >= 3
+
+    up = pd.DataFrame({"k": [0, 1, 100], "v": [-1, -2, -3]})
+    upsert_rows(lake, "k", ray.data.from_pandas(up))
+    s2 = snapshot_lake(lake, snaps)
+    assert [m["name"] for m in list_snapshots(snaps)] == ["v00001", "v00002"]
+
+    def rd(d):
+        return read_orc_dataset(d, native=True).to_pandas().sort_values("k").reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(rd(s1["dir"]), base, check_dtype=False)  # pre-upsert
+    live = rd(lake)
+    assert live.loc[live["k"] == 0, "v"].iloc[0] == -1 and len(live) == 51
+    pd.testing.assert_frame_equal(rd(s2["dir"]), live, check_dtype=False)
+
+    drop_snapshot(snaps, "v00001")
+    assert [m["name"] for m in list_snapshots(snaps)] == ["v00002"]
+    pd.testing.assert_frame_equal(rd(s2["dir"]), live, check_dtype=False)  # bytes still alive
+    with pytest.raises(ValueError, match="not a committed snapshot"):
+        drop_snapshot(snaps, "v00001")
+    with pytest.raises(ValueError, match="already exists"):
+        snapshot_lake(lake, snaps, name="v00002")
+    assert not any(d.endswith(".tmp" + str(os.getpid())) for d in os.listdir(snaps))
