@@ -5490,6 +5490,200 @@ def _q_weighted_quantiles_price(sf_dir: str):
     return out.sort_values("l_returnflag").reset_index(drop=True)
 
 
+def _q_uniqueness_audit_lineitem(sf_dir: str):
+    """Primary-key audit: (l_orderkey, l_linenumber) combos on more than one
+    row (ops/profile.py:uniqueness_audit) — CLAUDE.md pins that this pair is
+    NOT unique in the testdata, so the result is non-empty. l_linenumber is
+    cast to int64 on BOTH sides (the table_checksum int32 rule)."""
+    import pyarrow as pa
+    import ray.data
+
+    from orc_format_ray.ops.profile import uniqueness_audit
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "l_orderkey": b["l_orderkey"].cast(pa.int64()),
+                "l_linenumber": b["l_linenumber"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = uniqueness_audit(ds, ["l_orderkey", "l_linenumber"]).to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {
+                "l_orderkey": pd.Series([], dtype="int64"),
+                "l_linenumber": pd.Series([], dtype="int64"),
+                "n_rows": pd.Series([], dtype="int64"),
+            }
+        )
+    return out.sort_values(["l_orderkey", "l_linenumber"]).reset_index(drop=True)
+
+
+def _q_sequence_gaps_orders(sf_dir: str):
+    """Missing-id ranges in the 'F'-status order-key sequence
+    (ops/profile.py:sequence_gaps) — the gaps-and-islands complement; exact
+    int64 ranges, value-keyed block plan."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from orc_format_ray.ops.profile import sequence_gaps
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderstatus"]
+    ).map_batches(
+        lambda b: b.filter(pc.equal(b["o_orderstatus"], "F")).select(["o_orderkey"]),
+        batch_format="pyarrow",
+    )
+    out = sequence_gaps(ds, "o_orderkey").to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {
+                "gap_start": pd.Series([], dtype="int64"),
+                "gap_end": pd.Series([], dtype="int64"),
+            }
+        )
+    return out.sort_values("gap_start").reset_index(drop=True)
+
+
+def _q_prop_ztest_events(sf_dir: str):
+    """Two-proportion z-test per event type vs the rest of the corpus on the
+    value>50 indicator (ops/agg.py:prop_ztest_by_group) — exact int counts
+    cast to double once, then the mirrored p1/p2/pooled expression tree
+    (np.sqrt == libm sqrt; the welch_ttest rule)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from orc_format_ray.ops.agg import prop_ztest_by_group
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "event_type": b["event_type"],
+                "hit": pc.cast(pc.greater(b["value"], pa.scalar(50.0)), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = prop_ztest_by_group(ds, "event_type", "hit")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def _q_lorenz_customer_revenue(sf_dir: str):
+    """Revenue concentration: deciles of per-customer order revenue with
+    exact-cent unit sums and single-division shares (ops/agg.py:
+    lorenz_curve over quantile_bucketize's front-loaded ntile) — "the top
+    decile holds X% of revenue"."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from orc_format_ray.ops.agg import lorenz_curve
+
+    def cents(b: pa.Table) -> pa.Table:
+        v = b["o_totalprice"].to_numpy(zero_copy_only=False)
+        u = np.floor(v * 100 + 0.5).astype(np.int64)
+        return pa.table({"o_custkey": b["o_custkey"].cast(pa.int64()), "u": pa.array(u, pa.int64())})
+
+    rev = (
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+        .map_batches(cents, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("u", alias_name="units"))
+    )
+    out = lorenz_curve(rev, "o_custkey", "units", n_buckets=10)
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
+def _q_out_of_order_events(sf_dir: str):
+    """Watermark disorder audit under a deterministically scrambled arrival
+    order — arrival = Knuth hash of event_id (a bijection mod 2^32, so
+    uniqueness survives; the plant idiom) — flagging events that arrive
+    BEHIND their user's running max timestamp
+    (ops/windows.py:out_of_order_events)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from orc_format_ray.ops.windows import out_of_order_events
+
+    def scramble(b: pa.Table) -> pa.Table:
+        e = b["event_id"].to_numpy(zero_copy_only=False)
+        if len(e) and (e < 0).any() or len(e) and e.max() >= 1 << 31:
+            raise ValueError("event_id must be in [0, 2^31) for the Knuth arrival scramble")
+        arrival = (e * np.int64(2654435761)) % np.int64(1 << 32)
+        return pa.table(
+            {
+                "user_id": b["user_id"].cast(pa.int64()),
+                "arrival": pa.array(arrival.astype(np.int64), pa.int64()),
+                "ts": b["ts"],
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    ).map_batches(scramble, batch_format="pyarrow")
+    out = out_of_order_events(ds, key="user_id", seq_col="arrival", ts_col="ts").to_pandas()
+    return out.sort_values(["user_id", "arrival"]).reset_index(drop=True)
+
+
+def _q_lift_table_embeddings(sf_dir: str):
+    """Model-eval lift table: decile the quantized linear-head scores
+    (integer score_units — the linear_score parity rule), hash-join labels
+    back, report per-decile positive rate and lift over base
+    (ops/infer.py:lift_table). rate/lift are single IEEE divisions of
+    exact int64 counts, mirrored op-for-op by the SQL."""
+    import ray.data
+
+    from orc_format_ray.ops.infer import lift_table, linear_score
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    scores = linear_score(emb, dim=64).select_columns(["vec_id", "score_units"])
+    labels = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"])
+    out = lift_table(scores, labels, pos_label=1, n_buckets=10)
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
+def _q_lake_schema_drift(sf_dir: str):
+    """Schema-drift audit over a planted three-generation ORC lake (bucket
+    doc_id%3: gen0 full schema, gen1 missing lang, gen2 missing lang +
+    n_chars) — lake_schema_report reads TAILS only and reports each file's
+    missing columns vs the union plus its row count
+    (orc_format_ray/orcmerge.py:lake_schema_report)."""
+    import shutil
+
+    import pyarrow.compute as pc
+    import ray.data
+
+    from orc_format_ray.orcfile import write_orc
+    from orc_format_ray.orcmerge import lake_schema_report
+
+    scratch = _scratch(sf_dir, "schemadrift")
+    shutil.rmtree(scratch, ignore_errors=True)
+    os.makedirs(scratch, exist_ok=True)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "source", "n_chars"]
+    )
+    tbl = _table(ds).sort_by("doc_id")
+    bucket = tbl["doc_id"].to_numpy(zero_copy_only=False) % 3
+    plans = [
+        ("f0.orc", 0, ["doc_id", "lang", "source", "n_chars"]),
+        ("f1.orc", 1, ["doc_id", "source", "n_chars"]),
+        ("f2.orc", 2, ["doc_id", "source"]),
+    ]
+    for name, b, cols in plans:
+        part = tbl.filter(pa.array(bucket == b)).select(cols)
+        write_orc(part, os.path.join(scratch, name))
+    return lake_schema_report(scratch).sort_values("path").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
     # (VERDICT r3 "What's wrong" #2), so the window below is curated for
@@ -5760,6 +5954,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orc_upsert_rows": _q_orc_upsert_rows,
         "readability_documents": _q_readability_documents,
         "orc_time_travel": _q_orc_time_travel,
+        "uniqueness_audit_lineitem": _q_uniqueness_audit_lineitem,
+        "sequence_gaps_orders": _q_sequence_gaps_orders,
+        "prop_ztest_events": _q_prop_ztest_events,
+        "lorenz_customer_revenue": _q_lorenz_customer_revenue,
+        "out_of_order_events": _q_out_of_order_events,
+        "lift_table_embeddings": _q_lift_table_embeddings,
+        "lake_schema_drift": _q_lake_schema_drift,
     }
 
 
@@ -7653,5 +7854,90 @@ def oracle_sql() -> dict[str, str]:
         ),
         "orc_time_travel": (
             "SELECT doc_id, source, lang, n_chars FROM documents ORDER BY doc_id"
+        ),
+        # duplicate-key audit; l_linenumber CAST to BIGINT on both sides
+        # (the table_checksum int32 rule)
+        "uniqueness_audit_lineitem": (
+            "SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey, "
+            "CAST(l_linenumber AS BIGINT) AS l_linenumber, "
+            "CAST(count(*) AS BIGINT) AS n_rows FROM lineitem "
+            "GROUP BY 1, 2 HAVING count(*) > 1 ORDER BY 1, 2"
+        ),
+        # gaps in the filtered key sequence: exact int64 lag arithmetic
+        "sequence_gaps_orders": (
+            "SELECT CAST(prev + 1 AS BIGINT) AS gap_start, CAST(k - 1 AS BIGINT) AS gap_end "
+            "FROM (SELECT o_orderkey AS k, lag(o_orderkey) OVER (ORDER BY o_orderkey) AS prev "
+            "FROM orders WHERE o_orderstatus = 'F') "
+            "WHERE prev IS NOT NULL AND k > prev + 1 ORDER BY gap_start"
+        ),
+        # two-proportion z vs rest: exact counts, each cast to DOUBLE once,
+        # expression tree mirrored op-for-op (the welch_ttest rule)
+        "prop_ztest_events": (
+            "WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS x "
+            "FROM events GROUP BY event_type), "
+            "t AS (SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(x) AS BIGINT) AS xx FROM c) "
+            "SELECT event_type, n, x, nn - n AS n_rest, xx - x AS x_rest, "
+            "CASE WHEN nn - n = 0 OR n = 0 OR xx = 0 OR xx = nn THEN 0.0 ELSE "
+            "(CAST(x AS DOUBLE)/CAST(n AS DOUBLE) - CAST(xx - x AS DOUBLE)/CAST(nn - n AS DOUBLE)) "
+            "/ sqrt((CAST(xx AS DOUBLE)/CAST(nn AS DOUBLE)) * (1.0 - CAST(xx AS DOUBLE)/CAST(nn AS DOUBLE)) "
+            "* (1.0/CAST(n AS DOUBLE) + 1.0/CAST(nn - n AS DOUBLE))) END AS z "
+            "FROM c, t ORDER BY event_type"
+        ),
+        # Lorenz deciles: tpch exact-cent units, ntile front-loaded rule,
+        # shares are single divisions of exact int64 sums
+        "lorenz_customer_revenue": (
+            "WITH rev AS (SELECT o_custkey, "
+            "CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS rc "
+            "FROM orders GROUP BY o_custkey), "
+            "b AS (SELECT o_custkey, rc, ntile(10) OVER (ORDER BY rc, o_custkey) AS bucket FROM rev), "
+            "d AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n, CAST(sum(rc) AS BIGINT) AS units "
+            "FROM b GROUP BY bucket), "
+            "t AS (SELECT CAST(sum(units) AS BIGINT) AS total FROM d), "
+            "c AS (SELECT bucket, n, units, CAST(sum(units) OVER (ORDER BY bucket) AS BIGINT) AS cum FROM d) "
+            "SELECT CAST(bucket AS BIGINT) AS bucket, n, units, "
+            "CAST(units AS DOUBLE)/CAST(total AS DOUBLE) AS share, "
+            "CAST(cum AS DOUBLE)/CAST(total AS DOUBLE) AS cum_share "
+            "FROM c, t ORDER BY bucket"
+        ),
+        # watermark disorder under the Knuth arrival scramble (bijective mod
+        # 2^32 — uniqueness survives); late = behind the running max
+        "out_of_order_events": (
+            "WITH a AS (SELECT user_id, "
+            "CAST((event_id * 2654435761) % 4294967296 AS BIGINT) AS arrival, ts FROM events), "
+            "m AS (SELECT user_id, arrival, ts, max(ts) OVER (PARTITION BY user_id "
+            "ORDER BY arrival ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM a) "
+            "SELECT user_id, arrival, CAST(epoch_us(ts) AS BIGINT) AS ts_us, "
+            "CAST(CASE WHEN pm IS NOT NULL AND ts < pm THEN 1 ELSE 0 END AS BIGINT) AS late "
+            "FROM m ORDER BY user_id, arrival"
+        ),
+        # lift table over the quantized linear head: ntile by (score, id),
+        # rate/lift are single divisions of exact counts (mirrored)
+        "lift_table_embeddings": (
+            "WITH q AS (SELECT vec_id, j, "
+            "CAST(floor(CAST(embedding[j] AS DOUBLE)*4096 + 0.5) AS BIGINT) AS qx, "
+            "CAST(((j * 2654435761) % 4294967296) % 8193 AS BIGINT) - 4096 AS qw "
+            "FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(j)), "
+            "s AS (SELECT vec_id, CAST(sum(qx*qw) AS BIGINT) AS su FROM q GROUP BY vec_id), "
+            "b AS (SELECT vec_id, ntile(10) OVER (ORDER BY su, vec_id) AS bucket FROM s), "
+            "j2 AS (SELECT b.bucket, CASE WHEN e.label = 1 THEN 1 ELSE 0 END AS pos "
+            "FROM b JOIN embeddings e USING (vec_id)), "
+            "d AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS n_pos "
+            "FROM j2 GROUP BY bucket), "
+            "t AS (SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(n_pos) AS BIGINT) AS xx FROM d) "
+            "SELECT CAST(bucket AS BIGINT) AS bucket, n, n_pos, "
+            "CAST(n_pos AS DOUBLE)/CAST(n AS DOUBLE) AS rate, "
+            "(CAST(n_pos AS DOUBLE)/CAST(n AS DOUBLE)) / (CAST(xx AS DOUBLE)/CAST(nn AS DOUBLE)) AS lift "
+            "FROM d, t ORDER BY bucket"
+        ),
+        # planted three-generation lake: the audit's expected rows derive
+        # from the doc_id%3 split (the plant idiom); num_rows ties to data
+        "lake_schema_drift": (
+            "WITH c AS (SELECT doc_id % 3 AS b, CAST(count(*) AS BIGINT) AS n "
+            "FROM documents GROUP BY 1) "
+            "SELECT CASE b WHEN 0 THEN 'f0.orc' WHEN 1 THEN 'f1.orc' ELSE 'f2.orc' END AS path, "
+            "CAST(CASE b WHEN 0 THEN 4 WHEN 1 THEN 3 ELSE 2 END AS BIGINT) AS n_cols, "
+            "CASE b WHEN 0 THEN '' WHEN 1 THEN 'lang' ELSE 'lang,n_chars' END AS missing, "
+            "n AS num_rows FROM c ORDER BY path"
         ),
     }

@@ -1684,3 +1684,119 @@ def apportion_largest_remainder(ds, group: str, units_col: str, seats: int):
     out = pd.DataFrame({group: totals["g"], "w": w, "seats": alloc.astype(np.int64)})
     assert int(out["seats"].sum()) == seats
     return out
+
+
+def prop_ztest_by_group(ds, group: str, cond_col: str):
+    """Per-group two-proportion z-test against the REST of the corpus — the
+    categorical A/B readout ("does this event type convert more than
+    everything else?"). ``cond_col`` must be a precomputed 0/1 int column
+    (build the indicator upstream so the cut is explicit). Returns a driver
+    DataFrame ``(group, n, x, n_rest, x_rest, z)`` sorted by group.
+
+    Parity contract (the welch_ttest rule): n/x per group and the corpus
+    totals are exact int64 counts, each cast to float64 ONCE; then
+
+        p1 = x/n    p2 = x_rest/n_rest    pp = X/N
+        z  = (p1 - p2) / sqrt(pp*(1-pp)*(1/n + 1/n_rest))
+
+    mirrored op-for-op by the SQL oracle (np.sqrt == libm sqrt, both
+    correctly rounded; every division a single IEEE op). Groups where the
+    pooled rate is degenerate (pp == 0 or pp == 1) or one side is empty get
+    z = 0.0 (mirror the SQL CASE). Only (group, n, x) cells shuffle.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        x = batch[cond_col].cast(pa.int64())
+        xn = x.to_numpy(zero_copy_only=False)
+        if batch[cond_col].null_count or ((xn != 0) & (xn != 1)).any():
+            raise ValueError(f"prop_ztest_by_group: {cond_col!r} must be 0/1 non-null")
+        cells = pa.table(
+            {
+                "g": batch[group].combine_chunks()
+                if isinstance(batch[group], pa.ChunkedArray)
+                else batch[group],
+                "n": pa.array(np.ones(batch.num_rows, np.int64)),
+                "x": x,
+            }
+        )
+        out = cells.group_by("g").aggregate([("n", "sum"), ("x", "sum")])
+        return out.rename_columns(["g", "n", "x"])
+
+    stats = (
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby("g")
+        .aggregate(Sum("n", alias_name="n"), Sum("x", alias_name="x"))
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    N = int(stats["n"].sum())
+    X = int(stats["x"].sum())
+    rows = []
+    for g, n, x in stats.itertuples(index=False):
+        n, x = int(n), int(x)
+        n_rest, x_rest = N - n, X - x
+        # mirrored op-for-op by the SQL oracle — keep both sides in sync
+        if n_rest == 0 or n == 0 or X == 0 or X == N:
+            z = 0.0
+        else:
+            p1 = np.float64(x) / np.float64(n)
+            p2 = np.float64(x_rest) / np.float64(n_rest)
+            pp = np.float64(X) / np.float64(N)
+            z = float(
+                (p1 - p2)
+                / np.sqrt(
+                    pp
+                    * (np.float64(1.0) - pp)
+                    * (np.float64(1.0) / np.float64(n) + np.float64(1.0) / np.float64(n_rest))
+                )
+            )
+        rows.append((g, n, x, n_rest, x_rest, z))
+    return pd.DataFrame(rows, columns=[group, "n", "x", "n_rest", "x_rest", "z"])
+
+
+def lorenz_curve(ds, id_col: str, units_col: str, n_buckets: int = 10):
+    """Concentration (Lorenz) curve over exact integer units: bucket the
+    population into ``n_buckets`` equi-depth tiles ordered by ``(units,
+    id)`` (SQL ntile's front-loaded rule via quantile_bucketize), then per
+    tile report the member count, the exact unit sum, its share of the
+    total, and the cumulative share — "the top decile holds X% of revenue".
+    Returns a driver DataFrame of ``n_buckets`` rows (tiny by construction).
+
+    ``units_col`` must already be exact int64 (quantize upstream — the
+    tpch cents rule); shares are single divisions of exact int64 sums
+    (cumulative sums fold in Python ints), so the doubles are bitwise
+    reproducible against the SQL mirror. Only (units, id) metadata sorts.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Count, Sum
+
+    buck = quantile_bucketize(ds, order_col=units_col, id_col=id_col, n=n_buckets, value_scale=1)
+    per = (
+        buck.groupby("bucket")
+        .aggregate(Count(alias_name="n"), Sum("units", alias_name="units"))
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    total = int(per["units"].sum())
+    if total <= 0:
+        raise ValueError("lorenz_curve: total units must be positive")
+    cum = 0
+    share, cum_share = [], []
+    for u in per["units"]:
+        u = int(u)
+        cum += u
+        share.append(float(np.float64(u) / np.float64(total)))
+        cum_share.append(float(np.float64(cum) / np.float64(total)))
+    return pd.DataFrame(
+        {
+            "bucket": per["bucket"].astype("int64"),
+            "n": per["n"].astype("int64"),
+            "units": per["units"].astype("int64"),
+            "share": share,
+            "cum_share": cum_share,
+        }
+    )

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .._rayutil import pool_size, remote_args
 
@@ -101,4 +102,70 @@ def linear_score(ds, dim: int, act_scale: int = 4096, bias_units: int = 0,
         batch_size=batch_size,
         concurrency=pool_size(),
         **remote_args(),
+    )
+
+
+def lift_table(scores_ds, labels_ds, pos_label: int, n_buckets: int = 10,
+               score_col: str = "score_units", id_col: str = "vec_id",
+               label_col: str = "label", num_join_buckets: int = 64):
+    """Model-eval lift/gains table: tile the scored population into
+    ``n_buckets`` equi-depth score buckets (ntile's front-loaded rule via
+    quantile_bucketize, ``(score, id)`` order), join the labels back by id
+    (hash join — both sides stream), and per tile report the positive-class
+    rate and its lift over the base rate. Returns a driver DataFrame of
+    ``(bucket, n, n_pos, rate, lift)`` — ``n_buckets`` rows.
+
+    ``score_col`` must be exact int64 (linear_score's integer-quantized
+    score_units). rate/base/lift are divisions of exact int64 counts —
+    ``rate = x/n``, ``lift = (x/n) / (X/N)`` — every step one IEEE op,
+    mirrored op-for-op by the SQL oracle (bitwise reproducible).
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from .agg import quantile_bucketize
+    from .join import hash_join
+
+    buck = quantile_bucketize(
+        scores_ds, order_col=score_col, id_col=id_col, n=n_buckets, value_scale=1
+    )
+    joined = hash_join(buck, labels_ds, key=id_col, num_buckets=num_join_buckets)
+
+    def cells(batch: pa.Table) -> pa.Table:
+        pos = pc.cast(
+            pc.equal(batch[label_col].cast(pa.int64()), pa.scalar(pos_label, pa.int64())),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "bucket": batch["bucket"].cast(pa.int64()),
+                "one": pa.array(np.ones(batch.num_rows, np.int64)),
+                "pos": pos,
+            }
+        )
+
+    per = (
+        joined.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby("bucket")
+        .aggregate(Sum("one", alias_name="n"), Sum("pos", alias_name="n_pos"))
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    N = int(per["n"].sum())
+    X = int(per["n_pos"].sum())
+    if N == 0 or X == 0:
+        raise ValueError("lift_table: needs a non-empty population with positives")
+    base = np.float64(X) / np.float64(N)
+    rate = per["n_pos"].astype(np.int64).to_numpy().astype(np.float64) / per["n"].astype(
+        np.int64
+    ).to_numpy().astype(np.float64)
+    return pd.DataFrame(
+        {
+            "bucket": per["bucket"].astype("int64"),
+            "n": per["n"].astype("int64"),
+            "n_pos": per["n_pos"].astype("int64"),
+            "rate": rate,
+            "lift": rate / base,
+        }
     )

@@ -701,3 +701,105 @@ def fd_audit(ds, cols: list[str]):
         )
 
     return per_pair.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+
+
+def uniqueness_audit(ds, key_cols: list[str]):
+    """Key-uniqueness audit: every ``key_cols`` combination that appears on
+    more than one row, with its duplicate count — the "is this really a
+    primary key?" check (lineitem's (l_orderkey, l_linenumber) famously is
+    NOT unique in this testdata; CLAUDE.md pins that). Returns a Dataset of
+    ``(*key_cols, n_rows)`` with ``n_rows >= 2``.
+
+    Plan: per-batch groupby-count partials shrink each block to its distinct
+    key combos BEFORE the one metadata groupby — only (keys, count) cells
+    shuffle, never payload columns. Output is at most |duplicate keys| rows.
+    """
+    from ray.data.aggregate import Sum
+
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(key_cols).group_by(key_cols).aggregate([([], "count_all")])
+        return g.rename_columns(list(key_cols) + ["__ua_cnt__"])
+
+    cells = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    merged = cells.groupby(key_cols).aggregate(Sum("__ua_cnt__", alias_name="n_rows"))
+
+    def keep_dups(batch: pa.Table) -> pa.Table:
+        n = batch["n_rows"].cast(pa.int64())
+        out = batch.set_column(batch.schema.get_field_index("n_rows"), "n_rows", n)
+        return out.filter(pc.greater(n, pa.scalar(1, pa.int64())))
+
+    return merged.map_batches(keep_dups, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+
+
+def sequence_gaps(ds, col: str):
+    """Missing-range detection over a globally unique integer key: every
+    maximal run of absent values between two present ones, as
+    ``(gap_start, gap_end)`` inclusive — the "which ids never arrived?"
+    audit (gaps-and-islands' complement). Duplicate keys are rejected
+    loudly (a gap scan over a non-key is meaningless).
+
+    Plan (the pinned-sorted-block shape, value-keyed): only the int64 key
+    column sorts; pass A ships one (first, last, count) row per block; the
+    driver orders blocks, checks disjointness/duplicates, and broadcasts
+    each block's NEXT block head; pass B emits in-block gaps from a
+    vectorized diff plus the one boundary gap toward the next block. Full
+    rows never shuffle and the driver never sees data rows.
+    """
+    import ray
+
+    def to_meta(batch: pa.Table) -> pa.Table:
+        return pa.table({"k": batch[col].cast(pa.int64())})
+
+    meta = ds.map_batches(to_meta, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    pinned = meta.sort("k").materialize()
+
+    def block_partials(batch: pa.Table) -> pa.Table:
+        cols = ("lo", "hi", "cnt")
+        if not batch.num_rows:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        k = batch["k"].to_numpy(zero_copy_only=False)
+        if len(k) > 1 and (k[1:] == k[:-1]).any():
+            raise ValueError(f"sequence_gaps: duplicate {col!r} values — not a key")
+        return pa.table(
+            {
+                "lo": pa.array([int(k[0])], pa.int64()),
+                "hi": pa.array([int(k[-1])], pa.int64()),
+                "cnt": pa.array([len(k)], pa.int64()),
+            }
+        )
+
+    parts = pinned.map_batches(
+        block_partials, batch_size=None, batch_format="pyarrow", zero_copy_batch=True, **remote_args()
+    ).to_pandas()
+    parts = parts.sort_values("lo").reset_index(drop=True)
+    for prev_hi, nxt_lo in zip(parts["hi"], parts["lo"][1:]):
+        if not (int(prev_hi) < int(nxt_lo)):
+            raise ValueError(f"sequence_gaps: duplicate {col!r} values across blocks — not a key")
+    # each block's successor head, keyed by the block's own first value
+    nxt = {int(lo): int(nlo) for lo, nlo in zip(parts["lo"], parts["lo"][1:])}
+    nxt_ref = ray.put(nxt)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"gap_start": pa.array([], pa.int64()), "gap_end": pa.array([], pa.int64())})
+        if not batch.num_rows:
+            return empty
+        k = batch["k"].to_numpy(zero_copy_only=False)
+        starts = k[:-1][np.diff(k) > 1] + 1
+        ends = k[1:][np.diff(k) > 1] - 1
+        nlo = ray.get(nxt_ref).get(int(k[0]))
+        if nlo is not None and nlo > int(k[-1]) + 1:
+            starts = np.concatenate((starts, [int(k[-1]) + 1]))
+            ends = np.concatenate((ends, [nlo - 1]))
+        return pa.table(
+            {
+                "gap_start": pa.array(starts.astype(np.int64), pa.int64()),
+                "gap_end": pa.array(ends.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return pinned.map_batches(
+        finish, batch_size=None, batch_format="pyarrow", zero_copy_batch=True, **remote_args()
+    )

@@ -2650,3 +2650,119 @@ def clamped_running_balance(ds, key: str = "user_id", order_col: str = "ts",
     return pinned.map_batches(
         finish, batch_size=None, batch_format="pyarrow", zero_copy_batch=True, **remote_args()
     )
+
+
+def out_of_order_events(ds, key: str = "user_id", seq_col: str = "event_id",
+                        ts_col: str = "ts", lateness_us: int = 0):
+    """Watermark-style disorder detection: replaying each key's stream in
+    ``seq_col`` (arrival) order, flag every event whose timestamp sits more
+    than ``lateness_us`` BEHIND the running max of the timestamps that
+    arrived before it — the events a streaming window with that allowed
+    lateness would drop. Returns a Dataset of
+    ``(key, seq_col, ts_us, late)`` with ``late`` an int64 0/1 flag.
+
+    Plan (the clamped_running_balance shape): only (key, seq, ts) int64
+    metadata sorts by (key, seq); pass A ships one row per (block,
+    key-segment) with the segment's max ts; the driver folds per-key
+    exclusive running maxima (INT64_MIN seed — a key's first-ever event is
+    never late); pass B re-reads the SAME pinned blocks and compares each
+    ts against max(base, exclusive in-segment prefix max). ``(key,
+    seq_col)`` must be globally unique (loud guards at both stages).
+    """
+    import numpy as np
+    import ray
+
+    def to_meta(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": batch[key].cast(pa.int64()),
+                "o": batch[seq_col].cast(pa.int64()),
+                "t": batch[ts_col].cast(pa.timestamp("us")).cast(pa.int64()),
+            }
+        )
+
+    meta = ds.map_batches(to_meta, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    pinned = meta.sort(["k", "o"]).materialize()
+    lo_seed = np.iinfo(np.int64).min
+
+    def block_partials(batch: pa.Table) -> pa.Table:
+        cols = ("blo_k", "blo_o", "k", "tmax")
+        if not batch.num_rows:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        k = batch["k"].to_numpy(zero_copy_only=False)
+        o = batch["o"].to_numpy(zero_copy_only=False)
+        t = batch["t"].to_numpy(zero_copy_only=False)
+        if len(k) > 1 and ((k[1:] == k[:-1]) & (o[1:] == o[:-1])).any():
+            raise ValueError(f"out_of_order_events: duplicate ({key!r}, {seq_col!r}) pairs")
+        starts = np.concatenate(([0], np.flatnonzero(k[1:] != k[:-1]) + 1))
+        return pa.table(
+            {
+                "blo_k": pa.array(np.full(len(starts), k[0]), pa.int64()),
+                "blo_o": pa.array(np.full(len(starts), o[0]), pa.int64()),
+                "k": pa.array(k[starts], pa.int64()),
+                "tmax": pa.array(np.maximum.reduceat(t, starts), pa.int64()),
+            }
+        )
+
+    parts = pinned.map_batches(
+        block_partials, batch_size=None, batch_format="pyarrow", zero_copy_batch=True, **remote_args()
+    ).to_pandas()
+    blocks: dict[tuple[int, int], list] = {}
+    for blo_k, blo_o, k, tmax in parts.itertuples(index=False):
+        blocks.setdefault((int(blo_k), int(blo_o)), []).append((int(k), int(tmax)))
+    order = sorted(blocks)
+    for a, b in zip(order, order[1:]):
+        if blocks[a][-1][0] > b[0]:
+            raise ValueError("sorted metadata blocks overlap — sort produced non-disjoint ranges")
+    acc: dict[int, int] = {}
+    bases: dict[tuple[int, int], dict[int, int]] = {}
+    for lo in order:
+        bases[lo] = {k: acc.get(k, lo_seed) for k, _ in blocks[lo]}
+        for k, tmax in blocks[lo]:
+            acc[k] = max(acc.get(k, lo_seed), tmax)
+    bases_ref = ray.put(bases)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                key: pa.array([], pa.int64()),
+                seq_col: pa.array([], pa.int64()),
+                "ts_us": pa.array([], pa.int64()),
+                "late": pa.array([], pa.int64()),
+            }
+        )
+        if not batch.num_rows:
+            return empty
+        base = ray.get(bases_ref)[(batch["k"][0].as_py(), batch["o"][0].as_py())]
+        k = batch["k"].to_numpy(zero_copy_only=False)
+        o = batch["o"].to_numpy(zero_copy_only=False)
+        t = batch["t"].to_numpy(zero_copy_only=False)
+        n = len(k)
+        starts = np.concatenate(([0], np.flatnonzero(k[1:] != k[:-1]) + 1))
+        ends = np.concatenate((starts[1:], [n]))
+        run = np.empty(n, dtype=np.int64)
+        for s, e in zip(starts, ends):  # per-segment inclusive running max (bounded by keys-per-block)
+            np.maximum.accumulate(t[s:e], out=run[s:e])
+        excl = np.empty(n, dtype=np.int64)
+        b = np.array([base[int(kk)] for kk in k[starts]], dtype=np.int64)
+        for j, (s, e) in enumerate(zip(starts, ends)):
+            excl[s] = b[j]
+            if e - s > 1:
+                excl[s + 1:e] = np.maximum(run[s:e - 1], b[j])
+        # lateness in exact int64 us; the INT64_MIN seed can never flag (and
+        # the subtraction only runs on seeded rows — no int64 wrap)
+        late = np.zeros(n, dtype=np.int64)
+        m = excl != lo_seed
+        late[m] = (t[m] < excl[m] - np.int64(lateness_us)).astype(np.int64)
+        return pa.table(
+            {
+                key: pa.array(k, pa.int64()),
+                seq_col: pa.array(o, pa.int64()),
+                "ts_us": pa.array(t, pa.int64()),
+                "late": pa.array(late, pa.int64()),
+            }
+        )
+
+    return pinned.map_batches(
+        finish, batch_size=None, batch_format="pyarrow", zero_copy_batch=True, **remote_args()
+    )

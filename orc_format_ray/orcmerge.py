@@ -885,3 +885,64 @@ def drop_snapshot(snap_root: str, name: str) -> None:
     if not os.path.isfile(os.path.join(d, "_snapshot.json")):
         raise ValueError(f"{name!r} is not a committed snapshot under {snap_root}")
     shutil.rmtree(d)
+
+
+def lake_schema_report(in_dir: str):
+    """Schema-drift audit of an ORC lake from file TAILS only: unify every
+    file's footer schema (evolve.unify_schemas — the reader-side evolution
+    contract), then report one row per file: its relative path, its column
+    count, and the comma-joined sorted names it is MISSING relative to the
+    lake-wide union (empty string when current). The "which files predate
+    the column add?" check that decides whether a lake needs evolve-on-read
+    or a rewrite. Each Ray task preads a few KiB of tail per file — no
+    stripe data moves; the driver sees only (path, schema-names) metadata.
+    """
+    import glob
+
+    import pyarrow as pa
+    import ray.data
+
+    from ._rayutil import remote_args
+    from .evolve import orc_file_schema, unify_schemas
+
+    paths = sorted(glob.glob(os.path.join(in_dir, "**", "*.orc"), recursive=True))
+    if not paths:
+        raise ValueError(f"no .orc files under {in_dir!r}")
+
+    def _names(batch: pa.Table) -> pa.Table:
+        rows = []
+        for p in batch["path"].to_pylist():
+            names = list(orc_file_schema(p).names)
+            with _Source(p) as src:
+                n_rows = _tail_raw(src)["num_rows"]
+            rows.append(
+                {
+                    "path": os.path.relpath(p, in_dir),
+                    "names": "\x00".join(names),
+                    "num_rows": int(n_rows),
+                }
+            )
+        return pa.Table.from_pylist(rows)
+
+    per_file = (
+        ray.data.from_items([{"path": p} for p in paths])
+        .map_batches(_names, batch_format="pyarrow", **remote_args())
+        .to_pandas()
+    )
+    union: set[str] = set()
+    for s in per_file["names"]:
+        union.update(s.split("\x00"))
+    rows = []
+    for _, r in per_file.sort_values("path").iterrows():
+        have = set(r["names"].split("\x00"))
+        rows.append(
+            {
+                "path": r["path"],
+                "n_cols": len(have),
+                "missing": ",".join(sorted(union - have)),
+                "num_rows": int(r["num_rows"]),
+            }
+        )
+    import pandas as pd
+
+    return pd.DataFrame(rows, columns=["path", "n_cols", "missing", "num_rows"])

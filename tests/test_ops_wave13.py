@@ -1,0 +1,329 @@
+"""Session-13 operator wave: uniqueness audit, sequence-gap detection,
+two-proportion z-test, Lorenz concentration curve, out-of-order (late)
+event detection, model-eval lift table, ORC lake schema-drift report. Each
+test pins the op against an independent local recompute at tiny scale."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+# --------------------------------------------------------- uniqueness_audit
+
+
+def test_uniqueness_audit_finds_duplicate_keys(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.profile import uniqueness_audit
+
+    df = pd.DataFrame(
+        {
+            "a": [1, 1, 1, 2, 2, 3, 4, 4],
+            "b": ["x", "x", "y", "z", "z", "z", "w", "w"],
+            "payload": np.arange(8),
+        }
+    )
+    got = (
+        uniqueness_audit(ray.data.from_pandas(df).repartition(3), ["a", "b"])
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    want = (
+        df.groupby(["a", "b"], as_index=False)
+        .size()
+        .rename(columns={"size": "n_rows"})
+        .query("n_rows > 1")
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    want["n_rows"] = want["n_rows"].astype("int64")
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_uniqueness_audit_clean_key_returns_empty(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.profile import uniqueness_audit
+
+    df = pd.DataFrame({"k": np.arange(100, dtype=np.int64), "v": np.arange(100)})
+    got = uniqueness_audit(ray.data.from_pandas(df).repartition(4), ["k"]).to_pandas()
+    assert len(got) == 0
+
+
+# ----------------------------------------------------------- sequence_gaps
+
+
+def _brute_gaps(keys):
+    ks = sorted(keys)
+    out = []
+    for a, b in zip(ks, ks[1:]):
+        if b > a + 1:
+            out.append((a + 1, b - 1))
+    return pd.DataFrame(out, columns=["gap_start", "gap_end"]).astype("int64")
+
+
+def test_sequence_gaps_matches_brute(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.profile import sequence_gaps
+
+    rng = np.random.default_rng(13)
+    keys = np.unique(rng.integers(0, 5000, 900)).astype(np.int64)
+    df = pd.DataFrame({"k": rng.permutation(keys)})
+    got = (
+        sequence_gaps(ray.data.from_pandas(df).repartition(6), "k")
+        .to_pandas()
+        .sort_values("gap_start")
+        .reset_index(drop=True)
+    )
+    want = _brute_gaps(keys.tolist())
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_sequence_gaps_rejects_duplicates(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.profile import sequence_gaps
+
+    df = pd.DataFrame({"k": [1, 2, 2, 5]})
+    with pytest.raises(Exception, match="not a key"):
+        sequence_gaps(ray.data.from_pandas(df), "k").to_pandas()
+
+
+def test_sequence_gaps_dense_sequence_is_gapless(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.profile import sequence_gaps
+
+    df = pd.DataFrame({"k": np.arange(500, dtype=np.int64)})
+    got = sequence_gaps(ray.data.from_pandas(df).repartition(5), "k").to_pandas()
+    assert len(got) == 0
+
+
+# ------------------------------------------------------ prop_ztest_by_group
+
+
+def test_prop_ztest_matches_scalar_recompute(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.agg import prop_ztest_by_group
+
+    rng = np.random.default_rng(5)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], n, p=[0.5, 0.3, 0.2]),
+            "hit": (rng.random(n) < 0.3).astype(np.int64),
+        }
+    )
+    got = prop_ztest_by_group(ray.data.from_pandas(df).repartition(5), "g", "hit")
+    N = len(df)
+    X = int(df["hit"].sum())
+    for _, r in got.iterrows():
+        sub = df[df["g"] == r["g"]]
+        n1, x1 = len(sub), int(sub["hit"].sum())
+        n2, x2 = N - n1, X - x1
+        assert (r["n"], r["x"], r["n_rest"], r["x_rest"]) == (n1, x1, n2, x2)
+        p1, p2, pp = x1 / n1, x2 / n2, X / N
+        z = (p1 - p2) / np.sqrt(pp * (1 - pp) * (1 / n1 + 1 / n2))
+        assert r["z"] == pytest.approx(z, rel=1e-12)
+
+
+def test_prop_ztest_degenerate_pool_yields_zero(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.agg import prop_ztest_by_group
+
+    df = pd.DataFrame({"g": ["a", "a", "b"], "hit": [0, 0, 0]})
+    got = prop_ztest_by_group(ray.data.from_pandas(df), "g", "hit")
+    assert (got["z"] == 0.0).all()
+
+
+# --------------------------------------------------------------- lorenz_curve
+
+
+def test_lorenz_curve_matches_brute(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.agg import lorenz_curve
+
+    rng = np.random.default_rng(3)
+    n = 1000
+    df = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "units": rng.integers(1, 10_000, n).astype(np.int64),
+        }
+    )
+    got = lorenz_curve(ray.data.from_pandas(df).repartition(4), "id", "units", n_buckets=10)
+    # brute: sort by (units, id), front-loaded ntile, cumulative exact share
+    s = df.sort_values(["units", "id"]).reset_index(drop=True)
+    size, rem = divmod(n, 10)
+    bucket = np.repeat(np.arange(1, 11), [size + 1 if i < rem else size for i in range(10)])
+    s["bucket"] = bucket
+    per = s.groupby("bucket")["units"].agg(["count", "sum"])
+    total = int(df["units"].sum())
+    assert got["n"].tolist() == per["count"].tolist()
+    assert got["units"].tolist() == [int(v) for v in per["sum"]]
+    cums = np.cumsum([int(v) for v in per["sum"]])
+    for i in range(10):
+        assert got["share"][i] == np.float64(int(per["sum"].iloc[i])) / np.float64(total)
+        assert got["cum_share"][i] == np.float64(int(cums[i])) / np.float64(total)
+    assert got["cum_share"].iloc[-1] == 1.0
+    # concentration: the top decile holds more than 10% of units
+    assert got["share"].iloc[-1] > 0.1
+
+
+# -------------------------------------------------------- out_of_order_events
+
+
+def _brute_late(df, lateness_us=0):
+    rows = []
+    for k, g in df.sort_values(["k", "o"]).groupby("k"):
+        seen = None
+        for _, r in g.iterrows():
+            t = int(r["t"].value) // 1000
+            late = int(seen is not None and t < seen - lateness_us)
+            rows.append((int(k), int(r["o"]), t, late))
+            seen = t if seen is None else max(seen, t)
+    return pd.DataFrame(rows, columns=["k", "o", "ts_us", "late"]).astype(
+        {"k": "int64", "o": "int64", "ts_us": "int64", "late": "int64"}
+    )
+
+
+def test_out_of_order_matches_sequential_replay(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.windows import out_of_order_events
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 25, n).astype(np.int64),
+            "o": np.arange(n, dtype=np.int64),
+            "t": pd.to_datetime(rng.permutation(n) * 997, unit="us"),
+        }
+    )
+    got = (
+        out_of_order_events(
+            ray.data.from_pandas(df).repartition(7), key="k", seq_col="o", ts_col="t"
+        )
+        .to_pandas()
+        .sort_values(["k", "o"])
+        .reset_index(drop=True)
+    )
+    want = _brute_late(df)
+    pd.testing.assert_frame_equal(got, want)
+    assert got["late"].sum() > 0  # the permutation genuinely scrambles
+
+
+def test_out_of_order_lateness_tolerance(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.windows import out_of_order_events
+
+    df = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 1],
+            "o": [1, 2, 3, 4],
+            "t": pd.to_datetime([100, 50, 95, 10], unit="us"),
+        }
+    )
+    got = (
+        out_of_order_events(
+            ray.data.from_pandas(df), key="k", seq_col="o", ts_col="t", lateness_us=10
+        )
+        .to_pandas()
+        .sort_values("o")
+        .reset_index(drop=True)
+    )
+    # 50 < 100-10 late; 95 >= 100-10 on-time; 10 < 100-10 late
+    assert got["late"].tolist() == [0, 1, 0, 1]
+
+
+def test_out_of_order_rejects_duplicate_seq(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.windows import out_of_order_events
+
+    df = pd.DataFrame(
+        {"k": [1, 1], "o": [7, 7], "t": pd.to_datetime([1, 2], unit="us")}
+    )
+    with pytest.raises(Exception, match="duplicate"):
+        out_of_order_events(ray.data.from_pandas(df), key="k", seq_col="o", ts_col="t").to_pandas()
+
+
+# ----------------------------------------------------------------- lift_table
+
+
+def test_lift_table_matches_brute(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.infer import lift_table
+
+    rng = np.random.default_rng(17)
+    n = 2000
+    scores = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            # correlated: positives score higher on average
+            "score_units": rng.integers(0, 1000, n).astype(np.int64),
+        }
+    )
+    labels = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "label": (rng.random(n) < (scores["score_units"] / 1500)).astype(np.int32),
+        }
+    )
+    got = lift_table(
+        ray.data.from_pandas(scores).repartition(4),
+        ray.data.from_pandas(labels).repartition(3),
+        pos_label=1,
+        n_buckets=10,
+    )
+    s = scores.merge(labels, on="vec_id").sort_values(["score_units", "vec_id"]).reset_index(drop=True)
+    size, rem = divmod(n, 10)
+    s["bucket"] = np.repeat(np.arange(1, 11), [size + 1 if i < rem else size for i in range(10)])
+    per = s.groupby("bucket").agg(n=("label", "size"), n_pos=("label", "sum"))
+    assert got["n"].tolist() == per["n"].tolist()
+    assert got["n_pos"].tolist() == [int(v) for v in per["n_pos"]]
+    X, N = int(labels["label"].sum()), n
+    base = np.float64(X) / np.float64(N)
+    for i in range(10):
+        r = np.float64(int(per["n_pos"].iloc[i])) / np.float64(int(per["n"].iloc[i]))
+        assert got["rate"][i] == r
+        assert got["lift"][i] == r / base
+    # monotone-ish: top decile lift above bottom decile
+    assert got["lift"].iloc[-1] > got["lift"].iloc[0]
+
+
+# --------------------------------------------------------- lake_schema_report
+
+
+def test_lake_schema_report_flags_missing_columns(ray_session, tmp_path):
+    import pyarrow as pa
+
+    from orc_format_ray.orcfile import write_orc
+    from orc_format_ray.orcmerge import lake_schema_report
+
+    full = pa.table(
+        {"a": pa.array([1, 2], pa.int64()), "b": pa.array(["x", "y"]), "c": pa.array([1.5, 2.5])}
+    )
+    old = full.select(["a", "b"])
+    older = full.select(["a"])
+    write_orc(full, str(tmp_path / "f_full.orc"))
+    write_orc(old, str(tmp_path / "f_old.orc"))
+    sub = tmp_path / "part=1"
+    sub.mkdir()
+    write_orc(older, str(sub / "f_older.orc"))
+
+    got = lake_schema_report(str(tmp_path)).sort_values("path").reset_index(drop=True)
+    by_path = {r["path"]: r for _, r in got.iterrows()}
+    assert by_path["f_full.orc"]["missing"] == ""
+    assert by_path["f_full.orc"]["n_cols"] == 3
+    assert by_path["f_old.orc"]["missing"] == "c"
+    assert by_path["part=1/f_older.orc"]["missing"] == "b,c"
+    assert by_path["part=1/f_older.orc"]["n_cols"] == 1
+    assert got["num_rows"].tolist() == [2, 2, 2]
