@@ -5684,6 +5684,87 @@ def _q_lake_schema_drift(sf_dir: str):
     return lake_schema_report(scratch).sort_values("path").reset_index(drop=True)
 
 
+def _q_auc_linear_scores(sf_dir: str):
+    """Exact ROC-AUC of the quantized linear head against label==1
+    (ops/infer.py:auc_exact) — average-rank tie handling in exact Python
+    ints, ONE double division, mirrored by the SQL window fold."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from orc_format_ray.ops.infer import auc_exact, linear_score
+    from orc_format_ray.ops.join import hash_join
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    scores = linear_score(emb, dim=64).select_columns(["vec_id", "score_units"])
+    labels = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"])
+    joined = hash_join(scores, labels, key="vec_id").map_batches(
+        lambda b: pa.table(
+            {
+                "score_units": b["score_units"].cast(pa.int64()),
+                "pos": pc.cast(pc.equal(b["label"].cast(pa.int64()), pa.scalar(1, pa.int64())), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return auc_exact(joined)
+
+
+def _q_quantile_cont_price_by_status(sf_dir: str):
+    """Per-linestatus quantile_cont at five short-decimal q's with BITWISE
+    SQL parity — DuckDB's exact (CRN-RN)*lo + (RN-FRN)*hi rule
+    (ops/agg.py:grouped_quantiles_cont; CLAUDE.md session-13 pin)."""
+    import ray.data
+
+    from orc_format_ray.ops.agg import grouped_quantiles_cont
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_linestatus", "l_extendedprice"]
+    )
+    out = grouped_quantiles_cont(
+        ds, "l_linestatus", "l_extendedprice", [0.1, 0.25, 0.5, 0.75, 0.9]
+    ).to_pandas()
+    return out.sort_values(["l_linestatus", "q"]).reset_index(drop=True)
+
+
+def _q_dow_profile_events(sf_dir: str):
+    """Day-of-week seasonality per event type (ops/etl.py:dow_profile) —
+    isodow 1=Mon..7=Sun (Arrow day_of_week + 1 == SQL isodow), frac is ONE
+    exact-int division per row."""
+    import ray.data
+
+    from orc_format_ray.ops.etl import dow_profile
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+    out = dow_profile(ds, "event_type").to_pandas()
+    return out.sort_values(["event_type", "isodow"]).reset_index(drop=True)
+
+
+def _q_lake_fsck(sf_dir: str):
+    """Integrity fsck over a planted two-file ORC lake (doc_id%2 split,
+    100-row stripes) — deep mode checks stripe extents, row-count sums and
+    per-stripe stream-length sums from metadata preads only
+    (orc_format_ray/orcmerge.py:lake_fsck). num_rows/n_stripes tie the
+    oracle to the data."""
+    import shutil
+
+    import pyarrow as pa
+    import ray.data
+
+    from orc_format_ray.orcfile import write_orc
+    from orc_format_ray.orcmerge import lake_fsck
+
+    scratch = _scratch(sf_dir, "lakefsck")
+    shutil.rmtree(scratch, ignore_errors=True)
+    os.makedirs(scratch, exist_ok=True)
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    tbl = _table(ds).sort_by("doc_id")
+    bucket = tbl["doc_id"].to_numpy(zero_copy_only=False) % 2
+    write_orc(tbl.filter(pa.array(bucket == 0)), os.path.join(scratch, "even.orc"), stripe_rows=100)
+    write_orc(tbl.filter(pa.array(bucket == 1)), os.path.join(scratch, "odd.orc"), stripe_rows=100)
+    return lake_fsck(scratch, deep=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
     # (VERDICT r3 "What's wrong" #2), so the window below is curated for
@@ -5961,6 +6042,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "out_of_order_events": _q_out_of_order_events,
         "lift_table_embeddings": _q_lift_table_embeddings,
         "lake_schema_drift": _q_lake_schema_drift,
+        "auc_linear_scores": _q_auc_linear_scores,
+        "quantile_cont_price_by_status": _q_quantile_cont_price_by_status,
+        "dow_profile_events": _q_dow_profile_events,
+        "lake_fsck": _q_lake_fsck,
     }
 
 
@@ -7939,5 +8024,52 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE b WHEN 0 THEN 4 WHEN 1 THEN 3 ELSE 2 END AS BIGINT) AS n_cols, "
             "CASE b WHEN 0 THEN '' WHEN 1 THEN 'lang' ELSE 'lang,n_chars' END AS missing, "
             "n AS num_rows FROM c ORDER BY path"
+        ),
+        # exact ROC-AUC: average-rank fold over the (score, count, pos)
+        # distribution; ONE double division (mirrored op-for-op)
+        "auc_linear_scores": (
+            "WITH q AS (SELECT vec_id, j, "
+            "CAST(floor(CAST(embedding[j] AS DOUBLE)*4096 + 0.5) AS BIGINT) AS qx, "
+            "CAST(((j * 2654435761) % 4294967296) % 8193 AS BIGINT) - 4096 AS qw "
+            "FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(j)), "
+            "s AS (SELECT vec_id, CAST(sum(qx*qw) AS BIGINT) AS su FROM q GROUP BY vec_id), "
+            "t AS (SELECT su, CASE WHEN e.label = 1 THEN 1 ELSE 0 END AS pos "
+            "FROM s JOIN embeddings e USING (vec_id)), "
+            "c AS (SELECT su, CAST(count(*) AS BIGINT) AS cg, CAST(sum(pos) AS BIGINT) AS pg "
+            "FROM t GROUP BY su), "
+            "o AS (SELECT su, cg, pg, CAST(coalesce(sum(cg) OVER (ORDER BY su "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum FROM c), "
+            "agg AS (SELECT CAST(sum(pg*(2*cum+cg+1)) AS BIGINT) AS tsr, "
+            "CAST(sum(pg) AS BIGINT) AS npos, CAST(sum(cg) AS BIGINT) AS ntot FROM o) "
+            "SELECT ntot AS n, npos, ntot - npos AS nneg, "
+            "CAST(tsr - npos*(npos+1) AS DOUBLE)/CAST(2*npos*(ntot-npos) AS DOUBLE) AS auc FROM agg"
+        ),
+        # BITWISE quantile_cont (the session-13 exact interpolation rule);
+        # short-decimal q literals parse to the same doubles
+        "quantile_cont_price_by_status": (
+            "SELECT * FROM ("
+            + " UNION ALL ".join(
+                f"SELECT l_linestatus, CAST({q} AS DOUBLE) AS q, "
+                f"quantile_cont(l_extendedprice, {q}) AS value FROM lineitem GROUP BY l_linestatus"
+                for q in (0.1, 0.25, 0.5, 0.75, 0.9)
+            )
+            + ") ORDER BY l_linestatus, q"
+        ),
+        # isodow profile; frac = ONE exact-int division
+        "dow_profile_events": (
+            "WITH c AS (SELECT event_type, CAST(isodow(ts) AS BIGINT) AS isodow, "
+            "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), "
+            "t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1) "
+            "SELECT c.event_type, c.isodow, c.n, CAST(c.n AS DOUBLE)/CAST(t.tot AS DOUBLE) AS frac "
+            "FROM c JOIN t USING (event_type) ORDER BY event_type, isodow"
+        ),
+        # planted two-file lake: clean fsck; num_rows/n_stripes are
+        # data-dependent (100-row stripes -> ceil-div)
+        "lake_fsck": (
+            "WITH c AS (SELECT doc_id % 2 AS b, CAST(count(*) AS BIGINT) AS n "
+            "FROM documents GROUP BY 1) "
+            "SELECT CASE b WHEN 0 THEN 'even.orc' ELSE 'odd.orc' END AS path, "
+            "n AS num_rows, CAST((n + 99) // 100 AS BIGINT) AS n_stripes, "
+            "CAST(1 AS BIGINT) AS ok, '' AS err FROM c ORDER BY path"
         ),
     }

@@ -1800,3 +1800,70 @@ def lorenz_curve(ds, id_col: str, units_col: str, n_buckets: int = 10):
             "cum_share": cum_share,
         }
     )
+
+
+def quantile_cont_exact_from_counts(values: np.ndarray, counts: np.ndarray,
+                                    qs: list[float]) -> list[float]:
+    """quantile_cont with DuckDB's EXACT interpolation rule (pinned by
+    bound-param fuzz, CLAUDE.md session-13):
+
+        RN  = q * (n-1)            (float64 multiply)
+        v   = (CRN-RN)*v[floor(RN)] + (RN-FRN)*v[ceil(RN)]
+
+    — NOT the lerp ``lo + d*(hi-lo)`` (differs by 1 ulp on ~25% of inputs).
+    Bitwise-equal to SQL quantile_cont when the q literal parses to the
+    same double (use short decimals; 17-digit literals parse via DECIMAL
+    and round differently)."""
+    order = np.argsort(values, kind="stable")
+    v = values[order].astype(np.float64)
+    c = counts[order].astype(np.int64)
+    n = int(c.sum())
+    if n == 0:
+        return [float("nan")] * len(qs)
+    cum = np.cumsum(c)  # cumulative ENDING count of each value run
+    out = []
+    for q in qs:
+        rn = np.float64(q) * np.float64(n - 1)
+        frn = np.floor(rn)
+        crn = np.ceil(rn)
+        v_lo = v[np.searchsorted(cum, int(frn), side="right")]
+        if crn == frn:
+            out.append(float(v_lo))
+        else:
+            v_hi = v[np.searchsorted(cum, int(crn), side="right")]
+            out.append(float((crn - rn) * v_lo + (rn - frn) * v_hi))
+    return out
+
+
+def grouped_quantiles_cont(ds, key: str, col: str, qs: list[float]):
+    """Per-group quantile_cont with BITWISE SQL parity (no rounding —
+    contrast grouped_quantiles' round-6): the count-distribution plan of
+    grouped_quantiles with quantile_cont_exact_from_counts as the
+    interpolator. Only (key, value, count) cells shuffle; each group's
+    interpolation runs over its own |distinct values| rows. ``qs`` must be
+    short-decimal literals (the DECIMAL-parse rule in the module docstring
+    of quantile_cont_exact_from_counts)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    qs = list(qs)
+    if not qs or any(not (0.0 <= q <= 1.0) for q in qs):
+        raise ValueError(f"qs must be fractions in [0, 1], got {qs}")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select([key, col]).group_by([key, col]).aggregate([(col, "count")])
+        return g.rename_columns([key, col, "__qc_cnt__"])
+
+    dist = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby([key, col])
+        .aggregate(Sum("__qc_cnt__", alias_name="__qc_cnt__"))
+    )
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        vals = quantile_cont_exact_from_counts(
+            g[col].to_numpy(), g["__qc_cnt__"].to_numpy(), qs
+        )
+        return pd.DataFrame({key: [g[key].iloc[0]] * len(qs), "q": qs, "value": vals})
+
+    return dist.groupby(key).map_groups(per_key, **remote_args())

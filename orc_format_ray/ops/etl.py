@@ -502,3 +502,35 @@ def global_dict_encode(ds, column: str, max_broadcast_values: int = 1 << 24):
                             "id": np.arange(len(sorted_vals), dtype=np.int64)})
     enc = ds.map_batches(encode, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
     return enc, mapping
+
+
+def dow_profile(ds, key: str, ts_col: str = "ts"):
+    """Day-of-week seasonality profile per key: ``(key, isodow, n, frac)``
+    with isodow 1=Monday..7=Sunday (SQL isodow; Arrow day_of_week + 1) and
+    ``frac`` the day's share of the key's rows — ONE exact-int division per
+    row (bitwise reproducible). Per-batch (key, isodow) count partials
+    shrink every block to <= |keys|*7 cells before the one metadata
+    groupby; the per-key totals fold inside the same small result."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def cells(batch: pa.Table) -> pa.Table:
+        dow = pc.add(pc.day_of_week(batch[ts_col]), 1).cast(pa.int64())
+        t = pa.table({"k": batch[key], "isodow": dow})
+        g = t.group_by(["k", "isodow"]).aggregate([([], "count_all")])
+        return g.rename_columns(["k", "isodow", "n"])
+
+    merged = (
+        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby(["k", "isodow"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        tot = int(df["n"].sum())
+        out = df.sort_values("isodow").reset_index(drop=True)
+        out["n"] = out["n"].astype("int64")
+        out["frac"] = out["n"].to_numpy(np.int64).astype(np.float64) / np.float64(tot)
+        return out.rename(columns={"k": key})
+
+    return merged.groupby("k").map_groups(finish, **remote_args())

@@ -169,3 +169,64 @@ def lift_table(scores_ds, labels_ds, pos_label: int, n_buckets: int = 10,
             "lift": rate / base,
         }
     )
+
+
+def auc_exact(ds, score_col: str = "score_units", pos_col: str = "pos"):
+    """Exact ROC-AUC from integer scores and a 0/1 label column — the
+    rank-statistic identity with proper tie handling (average ranks):
+
+        2U  = 2*sum(ranks of positives) - npos*(npos+1)
+        AUC = 2U / (2 * npos * nneg)
+
+    computed entirely in exact Python ints from the (score, count,
+    pos_count) value distribution — ONE double division at the end
+    (bitwise reproducible vs the SQL window mirror). Returns a one-row
+    driver DataFrame ``(n, npos, nneg, auc)``.
+
+    Plan: per-batch (score, n, pos) partials, one groupby over |distinct
+    scores| rows, ascending driver fold. Memory is O(|distinct scores|) —
+    the quantiles_by_counts contract (integer-quantized scores bound it).
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        p = batch[pos_col].cast(pa.int64())
+        pn = p.to_numpy(zero_copy_only=False)
+        if batch[pos_col].null_count or ((pn != 0) & (pn != 1)).any():
+            raise ValueError(f"auc_exact: {pos_col!r} must be 0/1 non-null")
+        t = pa.table(
+            {
+                "s": batch[score_col].cast(pa.int64()),
+                "one": pa.array(np.ones(batch.num_rows, np.int64)),
+                "p": p,
+            }
+        )
+        g = t.group_by("s").aggregate([("one", "sum"), ("p", "sum")])
+        return g.rename_columns(["s", "n", "pos"])
+
+    dist = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby("s")
+        .aggregate(Sum("n", alias_name="n"), Sum("pos", alias_name="pos"))
+        .to_pandas()
+        .sort_values("s")
+        .reset_index(drop=True)
+    )
+    cum = 0  # rows strictly below the current score value
+    two_sumranks = 0  # 2 * sum of average 1-based ranks of positives
+    npos = 0
+    ntot = 0
+    for _, cg, pg in dist[["s", "n", "pos"]].itertuples(index=False):
+        cg, pg = int(cg), int(pg)
+        two_sumranks += pg * (2 * cum + cg + 1)
+        cum += cg
+        npos += pg
+        ntot += cg
+    nneg = ntot - npos
+    if npos == 0 or nneg == 0:
+        raise ValueError("auc_exact: needs both positive and negative rows")
+    if two_sumranks >= 1 << 62 or 2 * npos * nneg >= 1 << 62:
+        raise ValueError("auc_exact: rank sums exceed the exact-int guard")
+    auc = float(np.float64(two_sumranks - npos * (npos + 1)) / np.float64(2 * npos * nneg))
+    return pd.DataFrame({"n": [ntot], "npos": [npos], "nneg": [nneg], "auc": [auc]})

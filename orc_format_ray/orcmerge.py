@@ -946,3 +946,87 @@ def lake_schema_report(in_dir: str):
     import pandas as pd
 
     return pd.DataFrame(rows, columns=["path", "n_cols", "missing", "num_rows"])
+
+
+def lake_fsck(in_dir: str, deep: bool = False):
+    """Integrity scan ("fsck") of an ORC lake from structural metadata: per
+    file, parse the tail, then check that (a) stripe extents are ordered,
+    non-overlapping and inside the file, (b) stripe row counts sum to the
+    footer's total, and — with ``deep=True`` — (c) each stripe footer
+    deframes and its stream lengths sum exactly to the stripe's index+data
+    extent. Returns a driver DataFrame ``(path, num_rows, n_stripes, ok,
+    err)`` sorted by path. Corruption never raises — it lands in ``err``
+    (truncated tails, overlapping extents, short stripes). Shallow mode
+    preads only tails; deep mode adds one stripe-footer pread per stripe
+    (never stream payloads) — both stay metadata-bounded at lake scale.
+    """
+    import glob
+
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from ._rayutil import remote_args
+
+    paths = sorted(glob.glob(os.path.join(in_dir, "**", "*.orc"), recursive=True))
+    if not paths:
+        raise ValueError(f"no .orc files under {in_dir!r}")
+
+    def _check(batch: pa.Table) -> pa.Table:
+        rows = []
+        for p in batch["path"].to_pylist():
+            rel = os.path.relpath(p, in_dir)
+            num_rows = 0
+            n_stripes = 0
+            err = ""
+            try:
+                size = os.path.getsize(p)
+                with _Source(p) as src:
+                    t = _tail_raw(src)
+                    num_rows = int(t["num_rows"])
+                    stripes = t["stripes"]
+                    n_stripes = len(stripes)
+                    prev_end = 3  # content starts after the "ORC" magic
+                    got_rows = 0
+                    for off, ilen, dlen, flen, srows in stripes:
+                        if off < prev_end:
+                            raise ValueError(f"stripe at {off} overlaps previous extent")
+                        end = off + ilen + dlen + flen
+                        if end > size:
+                            raise ValueError(f"stripe extent {off}..{end} beyond file size {size}")
+                        prev_end = end
+                        got_rows += int(srows)
+                        if deep:
+                            raw = src.read(off + ilen + dlen, flen)
+                            sf = _fields(_deframe(raw, t["compression"]))
+                            stream_sum = 0
+                            for s in sf.get(1, []):
+                                stream_sum += _fields(s).get(3, [0])[0]
+                            if stream_sum != ilen + dlen:
+                                raise ValueError(
+                                    f"stripe at {off}: stream lengths {stream_sum} != extent {ilen + dlen}"
+                                )
+                    if got_rows != num_rows:
+                        raise ValueError(f"stripe rows {got_rows} != footer num_rows {num_rows}")
+            except Exception as ex:  # corruption is a RESULT, not a crash
+                err = f"{type(ex).__name__}: {ex}"
+            rows.append(
+                {
+                    "path": rel,
+                    "num_rows": num_rows,
+                    "n_stripes": n_stripes,
+                    "ok": 0 if err else 1,
+                    "err": err,
+                }
+            )
+        return pa.Table.from_pylist(rows)
+
+    out = (
+        ray.data.from_items([{"path": p} for p in paths])
+        .map_batches(_check, batch_format="pyarrow", **remote_args())
+        .to_pandas()
+    )
+    out["num_rows"] = out["num_rows"].astype("int64")
+    out["n_stripes"] = out["n_stripes"].astype("int64")
+    out["ok"] = out["ok"].astype("int64")
+    return out.sort_values("path").reset_index(drop=True)

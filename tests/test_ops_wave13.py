@@ -327,3 +327,150 @@ def test_lake_schema_report_flags_missing_columns(ray_session, tmp_path):
     assert by_path["part=1/f_older.orc"]["missing"] == "b,c"
     assert by_path["part=1/f_older.orc"]["n_cols"] == 1
     assert got["num_rows"].tolist() == [2, 2, 2]
+
+
+# ------------------------------------------------------------------ auc_exact
+
+
+def _brute_auc(scores, labels):
+    pos = [s for s, l in zip(scores, labels) if l == 1]
+    neg = [s for s, l in zip(scores, labels) if l == 0]
+    wins = sum((p > n) + 0.5 * (p == n) for p in pos for n in neg)
+    return wins / (len(pos) * len(neg))
+
+
+def test_auc_exact_matches_pairwise_brute(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.infer import auc_exact
+
+    rng = np.random.default_rng(23)
+    n = 1500
+    df = pd.DataFrame(
+        {
+            "score_units": rng.integers(0, 40, n).astype(np.int64),  # heavy ties
+            "pos": (rng.random(n) < 0.4).astype(np.int64),
+        }
+    )
+    got = auc_exact(ray.data.from_pandas(df).repartition(5))
+    assert got["n"][0] == n
+    assert got["npos"][0] == int(df["pos"].sum())
+    assert got["auc"][0] == pytest.approx(_brute_auc(df["score_units"], df["pos"]), abs=1e-12)
+
+
+def test_auc_exact_perfect_and_inverted(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.infer import auc_exact
+
+    df = pd.DataFrame({"score_units": [1, 2, 3, 10, 11, 12], "pos": [0, 0, 0, 1, 1, 1]})
+    assert auc_exact(ray.data.from_pandas(df))["auc"][0] == 1.0
+    df["pos"] = 1 - df["pos"]
+    assert auc_exact(ray.data.from_pandas(df))["auc"][0] == 0.0
+
+
+def test_auc_exact_rejects_single_class(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.infer import auc_exact
+
+    df = pd.DataFrame({"score_units": [1, 2], "pos": [1, 1]})
+    with pytest.raises(Exception, match="positive and negative"):
+        auc_exact(ray.data.from_pandas(df))
+
+
+# -------------------------------------------------------- quantile_cont exact
+
+
+def test_quantile_cont_exact_matches_duckdb_bitwise(ray_session):
+    import duckdb
+    import ray.data
+
+    from orc_format_ray.ops.agg import grouped_quantiles_cont
+
+    rng = np.random.default_rng(31)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], n),
+            "v": np.round(rng.random(n) * 1000, 2),  # cents-like doubles
+        }
+    )
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9]
+    got = (
+        grouped_quantiles_cont(ray.data.from_pandas(df).repartition(6), "g", "v", qs)
+        .to_pandas()
+        .sort_values(["g", "q"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute(
+        " UNION ALL ".join(
+            f"SELECT g, CAST({q} AS DOUBLE) AS q, quantile_cont(v, {q}) AS value FROM t GROUP BY g"
+            for q in qs
+        )
+        + " ORDER BY g, q"
+    ).fetchdf()
+    assert got["value"].tolist() == want["value"].tolist()  # BITWISE, no rounding
+
+
+# -------------------------------------------------------------------- lake_fsck
+
+
+def test_lake_fsck_clean_and_corrupt(ray_session, tmp_path):
+    import pyarrow as pa
+
+    from orc_format_ray.orcfile import write_orc
+    from orc_format_ray.orcmerge import lake_fsck
+
+    tbl = pa.table({"a": pa.array(range(250), type=pa.int64())})
+    write_orc(tbl, str(tmp_path / "good.orc"), stripe_rows=100)
+    write_orc(tbl, str(tmp_path / "trunc.orc"), stripe_rows=100)
+    raw = (tmp_path / "trunc.orc").read_bytes()
+    (tmp_path / "trunc.orc").write_bytes(raw[: len(raw) // 2])
+    (tmp_path / "junk.orc").write_bytes(b"ORC not really an orc file")
+
+    got = lake_fsck(str(tmp_path), deep=True)
+    by = {r["path"]: r for _, r in got.iterrows()}
+    assert by["good.orc"]["ok"] == 1 and by["good.orc"]["err"] == ""
+    assert by["good.orc"]["num_rows"] == 250 and by["good.orc"]["n_stripes"] == 3
+    assert by["trunc.orc"]["ok"] == 0 and by["trunc.orc"]["err"] != ""
+    assert by["junk.orc"]["ok"] == 0
+
+
+# ------------------------------------------------------------------ dow_profile
+
+
+def test_dow_profile_matches_brute(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.etl import dow_profile
+
+    rng = np.random.default_rng(41)
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "event_type": rng.choice(["x", "y"], n),
+            "ts": pd.to_datetime(rng.integers(0, 90 * 86400, n), unit="s"),
+        }
+    )
+    got = (
+        dow_profile(ray.data.from_pandas(df).repartition(4), "event_type")
+        .to_pandas()
+        .sort_values(["event_type", "isodow"])
+        .reset_index(drop=True)
+    )
+    df["isodow"] = df["ts"].dt.dayofweek + 1  # pandas 0=Mon -> iso 1=Mon
+    want = (
+        df.groupby(["event_type", "isodow"], as_index=False)
+        .size()
+        .rename(columns={"size": "n"})
+        .sort_values(["event_type", "isodow"])
+        .reset_index(drop=True)
+    )
+    tot = want.groupby("event_type")["n"].transform("sum")
+    assert got["n"].tolist() == want["n"].tolist()
+    assert got["isodow"].tolist() == [int(v) for v in want["isodow"]]
+    fr = want["n"].to_numpy(np.int64).astype(np.float64) / tot.to_numpy(np.int64).astype(np.float64)
+    assert got["frac"].tolist() == fr.tolist()
