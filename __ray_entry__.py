@@ -5765,6 +5765,101 @@ def _q_lake_fsck(sf_dir: str):
     return lake_fsck(scratch, deep=True)
 
 
+def _q_asof_nearest_events(sf_dir: str):
+    """Nearest-direction as-of join (clicks to their closest purchase per
+    user, tie -> backward; ops/join.py:asof_join direction='nearest') —
+    the SQL mirror composes backward+forward ASOF joins with the same
+    strict-less CASE. Unmatched rows coalesce to -1 (the nullable-int64
+    hash-fragility rule)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from orc_format_ray.ops.join import asof_join
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "event_type"]
+    )
+    left = ev.map_batches(
+        lambda b: b.filter(pc.equal(b["event_type"], "click")).select(
+            ["user_id", "event_id", "ts"]
+        ),
+        batch_format="pyarrow",
+    )
+    right = ev.map_batches(
+        lambda b: pa.table(
+            {
+                "user_id": b.filter(pc.equal(b["event_type"], "purchase"))["user_id"],
+                "ts": b.filter(pc.equal(b["event_type"], "purchase"))["ts"],
+                "event_id_r": b.filter(pc.equal(b["event_type"], "purchase"))["event_id"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = asof_join(
+        left, right, on="ts", by="user_id",
+        right_value_cols=["ts", "event_id_r"], direction="nearest",
+    ).to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series([], dtype="int64"),
+                "event_id": pd.Series([], dtype="int64"),
+                "ts_us": pd.Series([], dtype="int64"),
+                "event_id_r": pd.Series([], dtype="int64"),
+            }
+        )
+    out["ts_us"] = out["ts"].astype("datetime64[us]").astype("int64")
+    out["event_id_r"] = out["event_id_r"].fillna(-1).astype("int64")
+    return (
+        out[["user_id", "event_id", "ts_us", "event_id_r"]]
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+
+
+def _q_ks_test_click_error(sf_dir: str):
+    """Two-sample KS D between click and error value distributions
+    (ops/agg.py:ks_test) — exact cumulative counts, per-value terms of
+    three IEEE ops, order-invariant max (bitwise)."""
+    import ray.data
+
+    from orc_format_ray.ops.agg import ks_test
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    return ks_test(ds, "event_type", "value", "click", "error")
+
+
+def _q_mutual_info_lang_source(sf_dir: str):
+    """Mutual-information TERMS between documents.lang and source
+    (ops/agg.py:mutual_info) — exact count products < 2^62 cast to double
+    once, math.log (the BM25 libm rule), one multiply; sum downstream."""
+    import ray.data
+
+    from orc_format_ray.ops.agg import mutual_info
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "source"])
+    return mutual_info(ds, "lang", "source")
+
+
+def _q_tpch_q6_revenue(sf_dir: str):
+    """TPC-H Q6 forecast revenue (pipelines/tpch.py:q6_forecast_revenue) —
+    raw-double filters (SQL BETWEEN semantics), cents*bp exact units,
+    Python-int fold, ONE /10000.0 division."""
+    from orc_format_ray.pipelines.tpch import q6_forecast_revenue
+
+    return q6_forecast_revenue(sf_dir)
+
+
+def _q_tpch_q10_returns(sf_dir: str):
+    """TPC-H Q10 returned-item top-20 customers
+    (pipelines/tpch.py:q10_returned_items) — quarter orders broadcast,
+    exact-cent revenue units, (units DESC, custkey) tie rule."""
+    from orc_format_ray.pipelines.tpch import q10_returned_items
+
+    return q10_returned_items(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
     # (VERDICT r3 "What's wrong" #2), so the window below is curated for
@@ -6046,6 +6141,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_cont_price_by_status": _q_quantile_cont_price_by_status,
         "dow_profile_events": _q_dow_profile_events,
         "lake_fsck": _q_lake_fsck,
+        "asof_nearest_events": _q_asof_nearest_events,
+        "ks_test_click_error": _q_ks_test_click_error,
+        "mutual_info_lang_source": _q_mutual_info_lang_source,
+        "tpch_q6_revenue": _q_tpch_q6_revenue,
+        "tpch_q10_returns": _q_tpch_q10_returns,
     }
 
 
@@ -8071,5 +8171,65 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CASE b WHEN 0 THEN 'even.orc' ELSE 'odd.orc' END AS path, "
             "n AS num_rows, CAST((n + 99) // 100 AS BIGINT) AS n_stripes, "
             "CAST(1 AS BIGINT) AS ok, '' AS err FROM c ORDER BY path"
+        ),
+        # nearest as-of composes backward+forward ASOF joins; the strict
+        # f_dist < b_dist CASE matches the op's tie->backward rule;
+        # unmatched -> -1 (nullable-int64 rule)
+        "asof_nearest_events": (
+            "WITH L AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'), "
+            "R AS (SELECT user_id, event_id AS eid_r, ts AS ts_r FROM events WHERE event_type = 'purchase'), "
+            "bk AS (SELECT L.user_id, L.event_id, L.ts, r.eid_r AS b_id, r.ts_r AS b_ts "
+            "FROM L ASOF LEFT JOIN R r ON L.user_id = r.user_id AND L.ts >= r.ts_r), "
+            "fw AS (SELECT L.event_id, r.eid_r AS f_id, r.ts_r AS f_ts "
+            "FROM L ASOF LEFT JOIN R r ON L.user_id = r.user_id AND L.ts <= r.ts_r) "
+            "SELECT bk.user_id, bk.event_id, CAST(epoch_us(bk.ts) AS BIGINT) AS ts_us, "
+            "coalesce(CASE WHEN b_id IS NULL THEN f_id WHEN f_id IS NULL THEN b_id "
+            "WHEN (f_ts - bk.ts) < (bk.ts - b_ts) THEN f_id ELSE b_id END, -1) AS event_id_r "
+            "FROM bk JOIN fw ON bk.event_id = fw.event_id ORDER BY bk.user_id, bk.event_id"
+        ),
+        # KS D: exact cumulative counts, per-value 3-op terms, max is
+        # order-invariant over doubles
+        "ks_test_click_error": (
+            "WITH t AS (SELECT event_type, CAST(floor(value*100 + 0.5) AS BIGINT) AS u "
+            "FROM events WHERE event_type IN ('click', 'error')), "
+            "c AS (SELECT u, CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS a, "
+            "CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS b FROM t GROUP BY u), "
+            "o AS (SELECT u, CAST(sum(a) OVER (ORDER BY u) AS BIGINT) AS cuma, "
+            "CAST(sum(b) OVER (ORDER BY u) AS BIGINT) AS cumb FROM c), "
+            "s AS (SELECT CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb FROM c) "
+            "SELECT s.na AS n_a, s.nb AS n_b, "
+            "max(abs(CAST(cuma AS DOUBLE)/CAST(s.na AS DOUBLE) - CAST(cumb AS DOUBLE)/CAST(s.nb AS DOUBLE))) AS d "
+            "FROM o, s GROUP BY s.na, s.nb"
+        ),
+        # MI terms: exact count products cast once, ln = libm (BM25 rule)
+        "mutual_info_lang_source": (
+            "WITH j AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_xy FROM documents GROUP BY 1, 2), "
+            "x AS (SELECT lang, CAST(sum(n_xy) AS BIGINT) AS cx FROM j GROUP BY 1), "
+            "y AS (SELECT source, CAST(sum(n_xy) AS BIGINT) AS cy FROM j GROUP BY 1), "
+            "t AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n FROM j) "
+            "SELECT j.lang, j.source, j.n_xy, "
+            "(CAST(j.n_xy AS DOUBLE)/CAST(t.n AS DOUBLE)) * ln(CAST(j.n_xy * t.n AS DOUBLE)/CAST(x.cx * y.cy AS DOUBLE)) AS term "
+            "FROM j JOIN x USING (lang) JOIN y USING (source) CROSS JOIN t ORDER BY lang, source"
+        ),
+        # tpch q6: raw-double filters, cents*bp exact units, one division
+        "tpch_q6_revenue": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) * CAST(floor(l_discount*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_units, "
+            "CAST(CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) * CAST(floor(l_discount*100 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE)/10000.0 AS revenue "
+            "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' "
+            "AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"
+        ),
+        # tpch q10: quarter window, exact-cent units, (units DESC, custkey)
+        "tpch_q10_returns": (
+            "WITH r AS (SELECT o_custkey, "
+            "CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount*100 + 0.5) AS BIGINT))) AS BIGINT) AS units "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE l_returnflag = 'R' AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01' "
+            "GROUP BY o_custkey), "
+            "t AS (SELECT * FROM r ORDER BY units DESC, o_custkey LIMIT 20) "
+            "SELECT c_custkey, c_name, n_name, t.units AS revenue_units, "
+            "CAST(t.units AS DOUBLE)/10000.0 AS revenue "
+            "FROM t JOIN customer ON c_custkey = t.o_custkey JOIN nation ON n_nationkey = c_nationkey "
+            "ORDER BY revenue_units DESC, c_custkey"
         ),
     }

@@ -1867,3 +1867,108 @@ def grouped_quantiles_cont(ds, key: str, col: str, qs: list[float]):
         return pd.DataFrame({key: [g[key].iloc[0]] * len(qs), "q": qs, "value": vals})
 
     return dist.groupby(key).map_groups(per_key, **remote_args())
+
+
+def ks_test(ds, group: str, col: str, group_a, group_b, value_scale: int = 100):
+    """Two-sample Kolmogorov–Smirnov D statistic between two named groups
+    over exact integer units: D = max over distinct values of
+    |cumA/nA - cumB/nB|. Returns a one-row driver DataFrame
+    ``(n_a, n_b, d)``.
+
+    Parity contract: counts and cumulative counts are exact ints; each
+    per-value term is (cumA cast DOUBLE)/(nA cast DOUBLE) minus the same on
+    the B side, abs'd — three IEEE ops — and the max over doubles is
+    order-invariant, so the statistic is bitwise reproducible against the
+    SQL window mirror. Memory is O(|distinct units|) (the
+    quantiles_by_counts contract)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch[group], value_set=pa.array([group_a, group_b]))
+        t = batch.filter(keep)
+        if not t.num_rows:
+            return pa.table({"u": pa.array([], pa.int64()),
+                             "a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        v = t[col].to_numpy(zero_copy_only=False)
+        if t[col].null_count or np.isnan(v).any():
+            raise ValueError(f"ks_test: {col!r} must be non-null")
+        u = np.floor(v * value_scale + 0.5).astype(np.int64)
+        is_a = pc.equal(t[group], group_a).to_numpy(zero_copy_only=False)
+        cells = pa.table({"u": pa.array(u),
+                          "a": pa.array(is_a.astype(np.int64)),
+                          "b": pa.array((~is_a).astype(np.int64))})
+        g = cells.group_by("u").aggregate([("a", "sum"), ("b", "sum")])
+        return g.rename_columns(["u", "a", "b"])
+
+    dist = (
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby("u")
+        .aggregate(Sum("a", alias_name="a"), Sum("b", alias_name="b"))
+        .to_pandas()
+        .sort_values("u")
+        .reset_index(drop=True)
+    )
+    na = int(dist["a"].sum())
+    nb = int(dist["b"].sum())
+    if na == 0 or nb == 0:
+        raise ValueError("ks_test: both groups need rows")
+    cum_a = 0
+    cum_b = 0
+    d = np.float64(0.0)
+    for _, a, b in dist[["u", "a", "b"]].itertuples(index=False):
+        cum_a += int(a)
+        cum_b += int(b)
+        term = abs(np.float64(cum_a) / np.float64(na) - np.float64(cum_b) / np.float64(nb))
+        if term > d:
+            d = term
+    return pd.DataFrame({"n_a": [na], "n_b": [nb], "d": [float(d)]})
+
+
+def mutual_info(ds, col_a: str, col_b: str):
+    """Mutual information between two categorical columns, emitted as
+    per-cell TERMS (the entropy_by_group rule — the fold is a sum of
+    floats, so the hash-checkable form is the terms):
+
+        term(x, y) = (c_xy / N) * ln( (c_xy * N) / (c_x * c_y) )
+
+    with c_xy/c_x/c_y/N exact int64 counts, the products guarded < 2^62,
+    each cast to double ONCE, one division per factor and math.log (libm —
+    the BM25 rule). Returns a Dataset-backed driver DataFrame of
+    ``(col_a, col_b, n_xy, term)`` sorted by (col_a, col_b); sum(term) is
+    the MI in nats (fold downstream, tolerance-only)."""
+    import math
+
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def cells(batch: pa.Table) -> pa.Table:
+        t = batch.select([col_a, col_b]).group_by([col_a, col_b]).aggregate([([], "count_all")])
+        return t.rename_columns([col_a, col_b, "n_xy"])
+
+    joint = (
+        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby([col_a, col_b])
+        .aggregate(Sum("n_xy", alias_name="n_xy"))
+        .to_pandas()
+    )
+    n_total = int(joint["n_xy"].sum())
+    ca = joint.groupby(col_a)["n_xy"].sum().astype("int64")
+    cb = joint.groupby(col_b)["n_xy"].sum().astype("int64")
+    terms = []
+    for _, r in joint.iterrows():
+        cxy = int(r["n_xy"])
+        cx = int(ca[r[col_a]])
+        cy = int(cb[r[col_b]])
+        if cxy * n_total >= 1 << 62 or cx * cy >= 1 << 62:
+            raise ValueError("mutual_info: count products exceed the exact-int guard")
+        # mirrored op-for-op by the SQL oracle (math.log == libm ln)
+        term = (np.float64(cxy) / np.float64(n_total)) * np.float64(
+            math.log(np.float64(cxy * n_total) / np.float64(cx * cy))
+        )
+        terms.append(float(term))
+    out = joint.copy()
+    out["n_xy"] = out["n_xy"].astype("int64")
+    out["term"] = terms
+    return out.sort_values([col_a, col_b]).reset_index(drop=True)

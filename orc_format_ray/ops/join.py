@@ -229,11 +229,19 @@ def _split_ipc_rows(batch: pa.Table, bucket: np.ndarray, side: int) -> pa.Table:
     )
 
 
-def asof_join(left_ds, right_ds, on: str, by: str, suffix: str = "_r", right_value_cols: list[str] | None = None):
-    """Backward as-of join: for each left row, attach the right row with the
-    LARGEST ``on`` value <= the left row's, within the same ``by`` group
-    (DuckDB `ASOF LEFT JOIN ... ON l.by = r.by AND l.on >= r.on` semantics).
-    Left rows with no prior right row keep nulls.
+def asof_join(left_ds, right_ds, on: str, by: str, suffix: str = "_r",
+              right_value_cols: list[str] | None = None,
+              direction: str = "backward"):
+    """As-of join in three directions, per ``by`` group:
+
+    - ``backward`` (default): the right row with the LARGEST ``on`` <= the
+      left row's (DuckDB ``ASOF LEFT JOIN ... AND l.on >= r.on``).
+    - ``forward``: the SMALLEST ``on`` >= the left row's (DuckDB ``ASOF
+      LEFT JOIN ... AND l.on <= r.on``).
+    - ``nearest``: whichever of the two is closer by |on diff|; exact ties
+      take the BACKWARD row (keep the SQL mirror's CASE in sync).
+
+    Left rows with no candidate keep nulls.
 
     Ray Data has no as-of join; this composes one from the bucketed-IPC
     shuffle (group by the ``by`` key) + per-group sort + searchsorted. The
@@ -243,6 +251,9 @@ def asof_join(left_ds, right_ds, on: str, by: str, suffix: str = "_r", right_val
     (by, time-range) when a key outgrows that.
     """
     import pandas as pd
+
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward/forward/nearest, got {direction!r}")
 
     def tag(side: int):
         def fn(batch: pa.Table) -> pa.Table:
@@ -263,8 +274,27 @@ def asof_join(left_ds, right_ds, on: str, by: str, suffix: str = "_r", right_val
         if rg:
             rdf = pa.concat_tables(rg).to_pandas().sort_values(on, kind="stable").reset_index(drop=True)
             r_on = rdf[on].to_numpy()
-            idx = np.searchsorted(r_on, ldf[on].to_numpy(), side="right") - 1
-            matched = idx >= 0
+            l_on = ldf[on].to_numpy()
+            bidx = np.searchsorted(r_on, l_on, side="right") - 1
+            fidx = np.searchsorted(r_on, l_on, side="left")
+            if direction == "backward":
+                idx, matched = bidx, bidx >= 0
+            elif direction == "forward":
+                matched = fidx < len(r_on)
+                idx = np.minimum(fidx, len(r_on) - 1)
+            else:  # nearest: closer |diff| wins, exact tie -> backward
+                has_b = bidx >= 0
+                has_f = fidx < len(r_on)
+                bc = np.maximum(bidx, 0)
+                fc = np.minimum(fidx, len(r_on) - 1)
+                # diffs are only meaningful where the side exists; the
+                # boolean gates below never read the garbage lanes (and no
+                # sentinel keeps datetime64 columns working)
+                diff_b = l_on - r_on[bc]
+                diff_f = r_on[fc] - l_on
+                take_f = (~has_b & has_f) | (has_b & has_f & (diff_f < diff_b))
+                idx = np.where(take_f, fc, bc)
+                matched = has_b | has_f
             r_cols = [c for c in rdf.columns if c != by]
             for c in r_cols:
                 name = c if c not in ldf.columns else f"{c}{suffix}"

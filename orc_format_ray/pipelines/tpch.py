@@ -393,3 +393,165 @@ def q1_pricing_summary(sf_dir: str, cut_date: str = "1998-09-02"):
         }
     )
     return res.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def q6_forecast_revenue(
+    sf_dir: str,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01",
+    disc_lo: float = 0.05,
+    disc_hi: float = 0.07,
+    qty_cut: float = 24.0,
+):
+    """TPC-H Q6 forecasting revenue change: one global sum over lineitem
+    rows in a ship-date year with discount in a band and small quantity.
+    Returns a one-row driver DataFrame (n_rows, revenue_units, revenue).
+
+    Parity: the discount/quantity filters compare the RAW stored doubles
+    (exactly what SQL BETWEEN does — never the quantized units); revenue
+    units = cents(price) * bp(discount) in exact int64, folded in Python
+    ints on the driver, ONE /10000.0 division. Stateless single pass —
+    each block reduces to one partial row; no shuffle at all."""
+    import ray.data
+
+    lo, hi = _ts_us(date_lo), _ts_us(date_hi)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sd = batch["l_shipdate"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        d = batch["l_discount"].to_numpy(zero_copy_only=False).astype(np.float64)
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = (sd >= lo) & (sd < hi) & (d >= disc_lo) & (d <= disc_hi) & (q < qty_cut)
+        p = batch["l_extendedprice"].to_numpy(zero_copy_only=False).astype(np.float64)[keep]
+        db = np.floor(d[keep] * 100 + 0.5).astype(np.int64)
+        cents = np.floor(p * 100 + 0.5).astype(np.int64)
+        units = cents * db
+        if len(units) and np.abs(units).max() >= _UNIT_LIMIT:
+            raise ValueError("per-row discount-revenue unit exceeds 2^40")
+        return pa.table(
+            {
+                "n": pa.array([int(keep.sum())], pa.int64()),
+                "u": pa.array([int(units.sum())], pa.int64()),
+            }
+        )
+
+    parts = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+        )
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .to_pandas()
+    )
+    n = int(parts["n"].sum())
+    units = sum(int(v) for v in parts["u"])  # exact Python-int fold
+    return pd.DataFrame(
+        {
+            "n_rows": [n],
+            "revenue_units": [units],
+            "revenue": [float(np.float64(units) / np.float64(10000.0))],
+        }
+    )
+
+
+def q10_returned_items(
+    sf_dir: str,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1996-04-01",
+    k: int = 20,
+    max_broadcast_keys: int = 1 << 26,
+):
+    """TPC-H Q10 returned-item reporting: top-k customers by revenue lost to
+    'R'-flag returns for orders placed in one quarter. Returns a driver
+    DataFrame (c_custkey, c_name, n_name, revenue_units, revenue) ordered
+    by (units DESC, custkey) — the deterministic tie rule both sides.
+
+    Plan (the q3 shape): the quarter's orders broadcast as sorted
+    (o_orderkey -> o_custkey) arrays (guarded); lineitem filters 'R' rows,
+    maps order->customer inside each task and pre-aggregates per batch;
+    ONE small groupby(custkey); per-block top-k prune feeds the driver
+    pick; names/nations attach driver-side for the k winners only."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    lo, hi = _ts_us(date_lo), _ts_us(date_hi)
+
+    opdf = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).to_pandas()
+    od = opdf["o_orderdate"].astype("datetime64[us]").astype("int64").to_numpy()
+    win = opdf[(od >= lo) & (od < hi)]
+    if len(win) > max_broadcast_keys:
+        raise ValueError(
+            f"{len(win)} quarter orders exceed max_broadcast_keys; "
+            "switch the orders side to hash_join"
+        )
+    okeys = win["o_orderkey"].to_numpy(np.int64)
+    order = np.argsort(okeys, kind="stable")
+    okeys = okeys[order]
+    ocust = win["o_custkey"].to_numpy(np.int64)[order]
+    omap_ref = ray.put((okeys, ocust))
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        keys, cust = ray.get(omap_ref)
+        flag = pc.equal(batch["l_returnflag"], "R").to_numpy(zero_copy_only=False)
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(keys, ok)
+        np.clip(pos, 0, max(len(keys) - 1, 0), out=pos)
+        hit = (keys[pos] == ok) if len(keys) else np.zeros(len(ok), bool)
+        keep = flag & hit
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False).astype(np.float64)[keep]
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False).astype(np.float64)[keep]
+        units = _rev_units(price, disc)
+        ck = cust[pos[keep]]
+        uk, inv = np.unique(ck, return_inverse=True)
+        partial = np.zeros(len(uk), np.int64)
+        np.add.at(partial, inv, units)
+        return pa.table({"c_custkey": pa.array(uk), "units_p": pa.array(partial)})
+
+    rev = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby("c_custkey")
+        .aggregate(Sum("units_p", alias_name="revenue_units"))
+    )
+
+    def topk_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        _guard_sum(batch["revenue_units"].to_numpy(np.int64))
+        return batch.sort_values(
+            ["revenue_units", "c_custkey"], ascending=[False, True], kind="stable"
+        ).head(k)
+
+    cand = rev.map_batches(topk_partial, batch_format="pandas", **remote_args()).to_pandas()
+    empty = pd.DataFrame(
+        {
+            "c_custkey": pd.Series([], dtype=np.int64),
+            "c_name": pd.Series([], dtype=object),
+            "n_name": pd.Series([], dtype=object),
+            "revenue_units": pd.Series([], dtype=np.int64),
+            "revenue": pd.Series([], dtype=np.float64),
+        }
+    )
+    if len(cand) == 0:  # empty to_pandas drops columns (CLAUDE.md guard)
+        return empty
+    top = (
+        cand.sort_values(["revenue_units", "c_custkey"], ascending=[False, True], kind="stable")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    cpdf = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_nationkey"]
+    ).to_pandas()
+    cpdf = cpdf[cpdf["c_custkey"].isin(top["c_custkey"])]
+    npdf = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]).to_pandas()
+    out = top.merge(cpdf, on="c_custkey").merge(
+        npdf, left_on="c_nationkey", right_on="n_nationkey"
+    )
+    out = out.sort_values(["revenue_units", "c_custkey"], ascending=[False, True], kind="stable")
+    out["revenue_units"] = out["revenue_units"].astype(np.int64)
+    out["revenue"] = out["revenue_units"].to_numpy(np.int64).astype(np.float64) / np.float64(10000.0)
+    return out[["c_custkey", "c_name", "n_name", "revenue_units", "revenue"]].reset_index(drop=True)

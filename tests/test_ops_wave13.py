@@ -474,3 +474,180 @@ def test_dow_profile_matches_brute(ray_session):
     assert got["isodow"].tolist() == [int(v) for v in want["isodow"]]
     fr = want["n"].to_numpy(np.int64).astype(np.float64) / tot.to_numpy(np.int64).astype(np.float64)
     assert got["frac"].tolist() == fr.tolist()
+
+
+# ------------------------------------------------------- asof directions
+
+
+def test_asof_join_forward_and_nearest(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.join import asof_join
+
+    rng = np.random.default_rng(53)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, 400).astype(np.int64),
+            "t": rng.integers(0, 1000, 400).astype(np.int64),
+            "lv": np.arange(400, dtype=np.int64),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, 120).astype(np.int64),
+            "t": rng.choice(np.arange(0, 1000, 7), 120, replace=False).astype(np.int64),
+            "rv": np.arange(120, dtype=np.int64),
+        }
+    )
+    right = right.drop_duplicates(["k", "t"]).reset_index(drop=True)
+    for direction in ("backward", "forward", "nearest"):
+        got = (
+            asof_join(
+                ray.data.from_pandas(left).repartition(4),
+                ray.data.from_pandas(right).repartition(3),
+                on="t",
+                by="k",
+                right_value_cols=["t", "rv"],
+                direction=direction,
+            )
+            .to_pandas()
+            .sort_values(["k", "t", "lv"])
+            .reset_index(drop=True)
+        )
+        want = []
+        for _, r in left.sort_values(["k", "t", "lv"]).iterrows():
+            sub = right[right["k"] == r["k"]]
+            back = sub[sub["t"] <= r["t"]].sort_values("t").tail(1)
+            fwd = sub[sub["t"] >= r["t"]].sort_values("t").head(1)
+            if direction == "backward":
+                pick = back
+            elif direction == "forward":
+                pick = fwd
+            else:
+                if len(back) and len(fwd):
+                    db = r["t"] - back["t"].iloc[0]
+                    df_ = fwd["t"].iloc[0] - r["t"]
+                    pick = fwd if df_ < db else back
+                else:
+                    pick = back if len(back) else fwd
+            want.append(int(pick["rv"].iloc[0]) if len(pick) else None)
+        got_rv = [None if pd.isna(v) else int(v) for v in got["rv"]]
+        assert got_rv == want, direction
+
+
+# ----------------------------------------------------------------- ks_test
+
+
+def test_ks_test_matches_brute(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.agg import ks_test
+
+    rng = np.random.default_rng(61)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], n),
+            "v": np.round(np.where(rng.random(n) < 0.5, rng.random(n) * 50, rng.random(n) * 80), 2),
+        }
+    )
+    # shift group b so D is clearly nonzero
+    df.loc[df["g"] == "b", "v"] += 5.0
+    got = ks_test(ray.data.from_pandas(df).repartition(5), "g", "v", "a", "b")
+    a = np.sort(np.floor(df.loc[df["g"] == "a", "v"].to_numpy() * 100 + 0.5).astype(np.int64))
+    b = np.sort(np.floor(df.loc[df["g"] == "b", "v"].to_numpy() * 100 + 0.5).astype(np.int64))
+    xs = np.unique(np.concatenate([a, b]))
+    ca = np.searchsorted(a, xs, side="right") / len(a)
+    cb = np.searchsorted(b, xs, side="right") / len(b)
+    assert got["n_a"][0] == len(a) and got["n_b"][0] == len(b)
+    assert got["d"][0] == pytest.approx(np.abs(ca - cb).max(), abs=1e-12)
+    assert got["d"][0] > 0.1
+
+
+# -------------------------------------------------------------- mutual_info
+
+
+def test_mutual_info_terms_sum_to_mi(ray_session):
+    import math
+
+    import ray.data
+
+    from orc_format_ray.ops.agg import mutual_info
+
+    rng = np.random.default_rng(71)
+    n = 2000
+    x = rng.choice(["p", "q"], n)
+    # y correlates with x -> MI > 0
+    y = np.where(rng.random(n) < 0.8, x, rng.choice(["p", "q"], n))
+    df = pd.DataFrame({"a": x, "b": y})
+    got = mutual_info(ray.data.from_pandas(df).repartition(4), "a", "b")
+    joint = df.groupby(["a", "b"]).size()
+    mi = 0.0
+    for (xa, yb), cxy in joint.items():
+        cx = (df["a"] == xa).sum()
+        cy = (df["b"] == yb).sum()
+        mi += (cxy / n) * math.log(cxy * n / (cx * cy))
+    assert got["term"].sum() == pytest.approx(mi, abs=1e-12)
+    assert got["term"].sum() > 0.05
+    assert got["n_xy"].sum() == n
+
+
+# ------------------------------------------------------------- tpch q6 / q10
+
+
+def test_tpch_q6_matches_brute(ray_session):
+    import pyarrow.parquet as pq
+
+    from orc_format_ray.pipelines.tpch import q6_forecast_revenue
+
+    sf = "/root/testdata/sf0.001"
+    got = q6_forecast_revenue(sf)
+    li = pq.read_table(sf + "/lineitem.parquet").to_pandas()
+    sd = li["l_shipdate"].astype("datetime64[us]")
+    keep = (
+        (sd >= pd.Timestamp("1996-01-01"))
+        & (sd < pd.Timestamp("1997-01-01"))
+        & (li["l_discount"] >= 0.05)
+        & (li["l_discount"] <= 0.07)
+        & (li["l_quantity"] < 24)
+    )
+    sub = li[keep]
+    units = int(
+        (
+            np.floor(sub["l_extendedprice"].to_numpy() * 100 + 0.5).astype(np.int64)
+            * np.floor(sub["l_discount"].to_numpy() * 100 + 0.5).astype(np.int64)
+        ).sum()
+    )
+    assert got["n_rows"][0] == int(keep.sum())
+    assert got["revenue_units"][0] == units
+    assert got["revenue"][0] == units / 10000.0
+
+
+def test_tpch_q10_matches_brute(ray_session):
+    import pyarrow.parquet as pq
+
+    from orc_format_ray.pipelines.tpch import q10_returned_items
+
+    sf = "/root/testdata/sf0.001"
+    got = q10_returned_items(sf, k=10)
+    li = pq.read_table(sf + "/lineitem.parquet").to_pandas()
+    od = pq.read_table(sf + "/orders.parquet").to_pandas()
+    cu = pq.read_table(sf + "/customer.parquet").to_pandas()
+    na = pq.read_table(sf + "/nation.parquet").to_pandas()
+    j = li[li["l_returnflag"] == "R"].merge(od, left_on="l_orderkey", right_on="o_orderkey")
+    ts = j["o_orderdate"].astype("datetime64[us]")
+    j = j[(ts >= pd.Timestamp("1996-01-01")) & (ts < pd.Timestamp("1996-04-01"))]
+    units = np.floor(j["l_extendedprice"].to_numpy() * 100 + 0.5).astype(np.int64) * (
+        100 - np.floor(j["l_discount"].to_numpy() * 100 + 0.5).astype(np.int64)
+    )
+    j = j.assign(u=units)
+    per = j.groupby("o_custkey", as_index=False)["u"].sum()
+    per = per.sort_values(["u", "o_custkey"], ascending=[False, True]).head(10)
+    want = per.merge(cu, left_on="o_custkey", right_on="c_custkey").merge(
+        na, left_on="c_nationkey", right_on="n_nationkey"
+    )
+    want = want.sort_values(["u", "c_custkey"], ascending=[False, True]).reset_index(drop=True)
+    assert got["c_custkey"].tolist() == want["c_custkey"].tolist()
+    assert got["revenue_units"].tolist() == [int(v) for v in want["u"]]
+    assert got["c_name"].tolist() == want["c_name"].tolist()
+    assert got["n_name"].tolist() == want["n_name"].tolist()
