@@ -5860,6 +5860,62 @@ def _q_tpch_q10_returns(sf_dir: str):
     return q10_returned_items(sf_dir)
 
 
+def _q_boolean_search_documents(sf_dir: str):
+    """Conjunctive boolean retrieval over the inverted index (ops/search.py:
+    boolean_and_search) — reads only the probed term buckets; a doc matches
+    iff its posting count equals |terms| (postings unique per (term, doc)).
+    The SQL mirror uses the shared trim + \\s+ split tokenization."""
+    import ray.data
+
+    from orc_format_ray.ops.search import boolean_and_search, build_inverted_index
+
+    idx = os.path.join(SCRATCH, "bool_idx")
+    shutil.rmtree(idx, ignore_errors=True)
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    build_inverted_index(ds, idx)
+    out = boolean_and_search(idx, ["hash", "join"]).to_pandas()
+    if out.empty:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_assoc_rules_events(sf_dir: str):
+    """Association rules over (user, event_type) baskets
+    (ops/basket.py:assoc_rules) — DISTINCT-basket exact counts, support/
+    confidence/lift as single divisions of guarded int products; pair
+    order rides the numpy '<U' == binary-collation rule."""
+    import ray.data
+
+    from orc_format_ray.ops.basket import assoc_rules
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+    return assoc_rules(ds, "user_id", "event_type", min_count=2)
+
+
+def _q_lake_agg_stats_only(sf_dir: str):
+    """Stats-only aggregation pushdown: min/max/sum/count of n_chars over a
+    planted three-file ORC lake answered ENTIRELY from footer statistics
+    (orc_format_ray/orcmerge.py:lake_agg_from_stats) — no data stream is
+    ever read; the oracle recomputes the same aggregates by scanning."""
+    import shutil
+
+    import pyarrow as pa
+    import ray.data
+
+    from orc_format_ray.orcfile import write_orc
+    from orc_format_ray.orcmerge import lake_agg_from_stats
+
+    scratch = _scratch(sf_dir, "statsagg")
+    shutil.rmtree(scratch, ignore_errors=True)
+    os.makedirs(scratch, exist_ok=True)
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    tbl = _table(ds).sort_by("doc_id")
+    bucket = tbl["doc_id"].to_numpy(zero_copy_only=False) % 3
+    for b in range(3):
+        write_orc(tbl.filter(pa.array(bucket == b)), os.path.join(scratch, f"p{b}.orc"), stripe_rows=200)
+    return lake_agg_from_stats(scratch, "n_chars")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
     # (VERDICT r3 "What's wrong" #2), so the window below is curated for
@@ -6146,6 +6202,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mutual_info_lang_source": _q_mutual_info_lang_source,
         "tpch_q6_revenue": _q_tpch_q6_revenue,
         "tpch_q10_returns": _q_tpch_q10_returns,
+        "boolean_search_documents": _q_boolean_search_documents,
+        "assoc_rules_events": _q_assoc_rules_events,
+        "lake_agg_stats_only": _q_lake_agg_stats_only,
     }
 
 
@@ -8231,5 +8290,37 @@ def oracle_sql() -> dict[str, str]:
             "CAST(t.units AS DOUBLE)/10000.0 AS revenue "
             "FROM t JOIN customer ON c_custkey = t.o_custkey JOIN nation ON n_nationkey = c_nationkey "
             "ORDER BY revenue_units DESC, c_custkey"
+        ),
+        # conjunctive retrieval: the shared trim + \s+ split tokenization
+        "boolean_search_documents": (
+            "SELECT doc_id FROM documents WHERE trim(text) <> '' "
+            "AND list_contains(string_split_regex(trim(text), '\\s+'), 'hash') "
+            "AND list_contains(string_split_regex(trim(text), '\\s+'), 'join') "
+            "ORDER BY doc_id"
+        ),
+        # association rules: DISTINCT-basket counts, single divisions,
+        # lift from exact int products cast once
+        "assoc_rules_events": (
+            "WITH d AS (SELECT DISTINCT user_id AS b, event_type AS i FROM events), "
+            "nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n FROM d), "
+            "ci AS (SELECT i, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY i), "
+            "pr AS (SELECT a.i AS ia, b2.i AS ib, CAST(count(*) AS BIGINT) AS c_ab "
+            "FROM d a JOIN d b2 ON a.b = b2.b AND a.i < b2.i GROUP BY 1, 2 HAVING count(*) >= 2), "
+            "r AS (SELECT ia AS antecedent, ib AS consequent, c_ab FROM pr "
+            "UNION ALL SELECT ib, ia, c_ab FROM pr) "
+            "SELECT r.antecedent, r.consequent, r.c_ab AS c_pair, ca.c AS c_ant, cc.c AS c_con, "
+            "CAST(r.c_ab AS DOUBLE)/CAST(nb.n AS DOUBLE) AS support, "
+            "CAST(r.c_ab AS DOUBLE)/CAST(ca.c AS DOUBLE) AS confidence, "
+            "CAST(r.c_ab * nb.n AS DOUBLE)/CAST(ca.c * cc.c AS DOUBLE) AS lift "
+            "FROM r JOIN ci ca ON ca.i = r.antecedent JOIN ci cc ON cc.i = r.consequent "
+            "CROSS JOIN nb ORDER BY antecedent, consequent"
+        ),
+        # stats-only pushdown: the oracle recomputes by scanning what the
+        # Ray side answered from footer stats alone
+        "lake_agg_stats_only": (
+            "SELECT CAST(3 AS BIGINT) AS n_files, CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(count(n_chars) AS BIGINT) AS n_values, "
+            "CAST(min(n_chars) AS BIGINT) AS min, CAST(max(n_chars) AS BIGINT) AS max, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum FROM documents"
         ),
     }

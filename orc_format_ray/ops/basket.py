@@ -117,3 +117,69 @@ def group_vocab_jaccard(ds, group: str = "source", column: str = "text"):
     # ONE float division of exact ints — bitwise SQL parity
     out["jaccard"] = cnt.astype(np.float64) / (na + nb - cnt).astype(np.float64)
     return out.sort_values([f"{group}_a", f"{group}_b"]).reset_index(drop=True)
+
+
+def assoc_rules(ds, basket: str, item: str, min_count: int = 1,
+                max_items_per_basket: int = 4096, max_rules: int = 1 << 22):
+    """Association rules over basket co-occurrence: for every ordered pair
+    (antecedent -> consequent) whose unordered pair support passes
+    ``min_count``,
+
+        support    = c_ab / n_baskets
+        confidence = c_ab / c_a
+        lift       = (c_ab * n_baskets) / (c_a * c_b)
+
+    with c_ab/c_a/c_b/n_baskets exact int64 DISTINCT-basket counts, the
+    lift product guarded < 2^62, each factor cast to double ONCE and every
+    metric a single IEEE division (bitwise vs the SQL mirror). Pair counts
+    ride co_occurrence's bounded-bucket plan; item counts and n_baskets
+    are metadata groupbys; the final join runs driver-side over the rule
+    table (guarded by ``max_rules`` — rules are |item-vocab|^2-bounded,
+    not row-bounded). Returns a driver DataFrame sorted by
+    (antecedent, consequent)."""
+    from ray.data.aggregate import Count
+
+    pairs = co_occurrence(ds, basket, item, min_count=min_count,
+                          max_items_per_basket=max_items_per_basket).to_pandas()
+    if len(pairs) > max_rules:
+        raise ValueError(f"{len(pairs)} pairs exceed max_rules={max_rules}")
+
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "b": batch[basket].combine_chunks(),
+                "i": batch[item].combine_chunks().cast(pa.string()),
+            }
+        ).drop_null()
+        return t.group_by(["b", "i"]).aggregate([])
+
+    bi = ds.map_batches(local_distinct, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    distinct = bi.groupby(["b", "i"]).aggregate(Count(alias_name="__ar_c__"))
+    item_counts = (
+        distinct.select_columns(["b", "i"]).groupby("i").aggregate(Count(alias_name="c_item")).to_pandas()
+    )
+    n_baskets = int(
+        distinct.select_columns(["b"]).groupby("b").aggregate(Count(alias_name="__ar_b__")).count()
+    )
+    ci = dict(zip(item_counts["i"].astype(str), item_counts["c_item"].astype(int)))
+    rows = []
+    for _, r in pairs.iterrows():
+        a, b, c_ab = str(r["item_a"]), str(r["item_b"]), int(r["cnt"])
+        for ant, con in ((a, b), (b, a)):
+            c_a, c_b = ci[ant], ci[con]
+            if c_ab * n_baskets >= 1 << 62 or c_a * c_b >= 1 << 62:
+                raise ValueError("assoc_rules: count products exceed the exact-int guard")
+            rows.append(
+                (
+                    ant, con, c_ab, c_a, c_b,
+                    float(np.float64(c_ab) / np.float64(n_baskets)),
+                    float(np.float64(c_ab) / np.float64(c_a)),
+                    float(np.float64(c_ab * n_baskets) / np.float64(c_a * c_b)),
+                )
+            )
+    out = pd.DataFrame(
+        rows,
+        columns=["antecedent", "consequent", "c_pair", "c_ant", "c_con",
+                 "support", "confidence", "lift"],
+    )
+    return out.sort_values(["antecedent", "consequent"]).reset_index(drop=True)

@@ -266,3 +266,44 @@ def bm25_topk(index_dir: str, terms: list[str], k: int = 10, k1: float = 1.2, b:
     dfp = dfp.sort_values(["score", id_col], ascending=[False, True]).head(k).reset_index(drop=True)
     dfp.insert(0, "rank", np.arange(1, len(dfp) + 1, dtype=np.int64))
     return pa.Table.from_pandas(dfp, preserve_index=False)
+
+
+def boolean_and_search(index_dir: str, terms: list[str]):
+    """Conjunctive (AND) boolean retrieval over the inverted index: doc ids
+    whose word set contains EVERY query term. Reads only the probed term
+    buckets (the bm25 pushdown path); postings are unique per (term, doc)
+    by construction, so a doc matches iff its filtered posting count equals
+    |distinct terms|. Returns a Dataset of ``(id_col,)`` — filter/sort
+    downstream. Exact-count semantics, no floats anywhere."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Count
+
+    meta = _load_meta(index_dir)
+    terms = sorted(set(terms))
+    if not terms:
+        raise ValueError("boolean_and_search needs at least one query term")
+    id_col = meta["id_col"]
+    empty = pa.table({id_col: pa.array([], pa.int64())})
+    want = np.unique(_term_bucket(pa.array(terms, pa.string()), meta["num_buckets"]))
+    paths = sorted(p for bnum in want for p in meta["files"].get(str(int(bnum)), []))
+    if not paths:
+        return ray.data.from_arrow(empty)
+    tset = pa.array(terms, pa.string())
+    need = len(terms)
+
+    matched = (
+        ray.data.read_parquet(paths)
+        .map_batches(
+            lambda t: t.filter(pc.is_in(t["term"], value_set=tset)).select([id_col]),
+            batch_format="pyarrow", zero_copy_batch=True, **remote_args(),
+        )
+        .groupby(id_col)
+        .aggregate(Count(alias_name="__ba_hits__"))
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch["__ba_hits__"].cast(pa.int64()), pa.scalar(need, pa.int64()))
+        return batch.filter(m).select([id_col])
+
+    return matched.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True, **remote_args())

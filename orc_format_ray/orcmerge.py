@@ -1030,3 +1030,64 @@ def lake_fsck(in_dir: str, deep: bool = False):
     out["n_stripes"] = out["n_stripes"].astype("int64")
     out["ok"] = out["ok"].astype("int64")
     return out.sort_values("path").reset_index(drop=True)
+
+
+def lake_agg_from_stats(in_dir: str, column: str):
+    """Aggregate a numeric column over an entire ORC lake WITHOUT reading
+    any data stream: min/max/sum/count come from each file's footer
+    statistics (TAIL preads only — the stats-only aggregation pushdown a
+    columnar engine owes its users). Returns a one-row driver DataFrame
+    ``(n_files, n_rows, n_values, min, max, sum)`` where n_values counts
+    non-null values (SQL ``count(col)``) and n_rows is the footer total
+    (``count(*)``). Raises loudly when any file's stats are missing or its
+    long-sum overflowed (sticky None) — a partial answer would be a lie,
+    the orcmerge omission-over-invention rule."""
+    import glob
+
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from ._rayutil import remote_args
+
+    paths = sorted(glob.glob(os.path.join(in_dir, "**", "*.orc"), recursive=True))
+    if not paths:
+        raise ValueError(f"no .orc files under {in_dir!r}")
+
+    def _stat(batch: pa.Table) -> pa.Table:
+        rows = []
+        for p in batch["path"].to_pylist():
+            st = read_orc_statistics(p).get(column)
+            with _Source(p) as src:
+                n_rows = int(_tail_raw(src)["num_rows"])
+            if st is None or (st.num_present and (st.min is None or st.max is None)):
+                raise ValueError(f"{p}: no usable footer stats for {column!r}")
+            if st.num_present and (st.sum is None or getattr(st, "sum_overflowed", False)):
+                raise ValueError(f"{p}: {column!r} sum missing/overflowed — stats-only agg would lie")
+            rows.append(
+                {
+                    "n_rows": n_rows,
+                    "n_values": int(st.num_present),
+                    "vmin": int(st.min) if st.num_present else None,
+                    "vmax": int(st.max) if st.num_present else None,
+                    "vsum": int(st.sum) if st.num_present else 0,
+                }
+            )
+        return pa.Table.from_pylist(rows)
+
+    parts = (
+        ray.data.from_items([{"path": p} for p in paths])
+        .map_batches(_stat, batch_format="pyarrow", **remote_args())
+        .to_pandas()
+    )
+    nonempty = parts[parts["n_values"] > 0]
+    return pd.DataFrame(
+        {
+            "n_files": [len(paths)],
+            "n_rows": [int(parts["n_rows"].sum())],
+            "n_values": [int(parts["n_values"].sum())],
+            "min": [int(nonempty["vmin"].min()) if len(nonempty) else None],
+            "max": [int(nonempty["vmax"].max()) if len(nonempty) else None],
+            "sum": [sum(int(v) for v in parts["vsum"])],
+        }
+    )

@@ -651,3 +651,121 @@ def test_tpch_q10_matches_brute(ray_session):
     assert got["revenue_units"].tolist() == [int(v) for v in want["u"]]
     assert got["c_name"].tolist() == want["c_name"].tolist()
     assert got["n_name"].tolist() == want["n_name"].tolist()
+
+
+# ---------------------------------------------------------- boolean search
+
+
+def test_boolean_and_search_matches_brute(ray_session, tmp_path):
+    import ray.data
+
+    from orc_format_ray.ops.search import boolean_and_search, build_inverted_index
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype=np.int64),
+            "text": [
+                "the quick brown fox",
+                "the lazy dog",
+                "quick dog runs",
+                "  the   quick dog  ",
+                "",
+                "fox dog quick the",
+            ],
+        }
+    )
+    idx = str(tmp_path / "bidx")
+    build_inverted_index(ray.data.from_pandas(docs).repartition(3), idx, num_buckets=4)
+    got = sorted(
+        boolean_and_search(idx, ["quick", "dog"]).to_pandas()["doc_id"].tolist()
+    )
+    want = sorted(
+        int(r["doc_id"])
+        for _, r in docs.iterrows()
+        if {"quick", "dog"} <= set(r["text"].split())
+    )
+    assert got == want == [2, 3, 5]
+    # single term + no-hit term
+    assert sorted(boolean_and_search(idx, ["fox"]).to_pandas()["doc_id"].tolist()) == [0, 5]
+    assert boolean_and_search(idx, ["quick", "zebra"]).to_pandas().empty
+
+
+# -------------------------------------------------------------- assoc_rules
+
+
+def test_assoc_rules_matches_brute(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.basket import assoc_rules
+
+    rng = np.random.default_rng(83)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "b": rng.integers(0, 200, n).astype(np.int64),
+            "i": rng.choice(["x", "y", "z", "w"], n, p=[0.4, 0.3, 0.2, 0.1]),
+        }
+    )
+    got = assoc_rules(ray.data.from_pandas(df).repartition(5), "b", "i", min_count=2)
+    d = df.drop_duplicates(["b", "i"])
+    nb = d["b"].nunique()
+    ci = d.groupby("i")["b"].nunique()
+    pair_counts = {}
+    for _, g in d.groupby("b"):
+        items = sorted(g["i"])
+        for x in range(len(items)):
+            for y in range(x + 1, len(items)):
+                pair_counts[(items[x], items[y])] = pair_counts.get((items[x], items[y]), 0) + 1
+    for _, r in got.iterrows():
+        key = tuple(sorted((r["antecedent"], r["consequent"])))
+        c_ab = pair_counts[key]
+        assert r["c_pair"] == c_ab
+        assert r["c_ant"] == ci[r["antecedent"]]
+        assert r["confidence"] == c_ab / ci[r["antecedent"]]
+        assert r["lift"] == pytest.approx(
+            c_ab * nb / (ci[r["antecedent"]] * ci[r["consequent"]]), rel=1e-15
+        )
+        assert r["support"] == c_ab / nb
+    # every qualifying unordered pair appears in BOTH directions
+    want_pairs = {k for k, v in pair_counts.items() if v >= 2}
+    got_pairs = {tuple(sorted((a, c))) for a, c in zip(got["antecedent"], got["consequent"])}
+    assert got_pairs == want_pairs
+    assert len(got) == 2 * len(want_pairs)
+
+
+# ------------------------------------------------------- lake_agg_from_stats
+
+
+def test_lake_agg_from_stats_matches_scan(ray_session, tmp_path):
+    import pyarrow as pa
+
+    from orc_format_ray.orcfile import write_orc
+    from orc_format_ray.orcmerge import lake_agg_from_stats
+
+    rng = np.random.default_rng(91)
+    vals = rng.integers(-500, 2000, 700).astype(np.int64)
+    for i in range(3):
+        part = vals[i * 250 : (i + 1) * 250]
+        write_orc(
+            pa.table({"v": pa.array(part, pa.int64())}),
+            str(tmp_path / f"p{i}.orc"),
+            stripe_rows=100,
+        )
+    got = lake_agg_from_stats(str(tmp_path), "v")
+    assert got["n_files"][0] == 3
+    assert got["n_rows"][0] == 700
+    assert got["n_values"][0] == 700
+    assert got["min"][0] == int(vals[:700].min())
+    assert got["max"][0] == int(vals[:700].max())
+    assert got["sum"][0] == int(vals[:700].sum())
+
+
+def test_lake_agg_from_stats_rejects_missing_column(ray_session, tmp_path):
+    import pyarrow as pa
+
+    from orc_format_ray.orcfile import write_orc
+    from orc_format_ray.orcmerge import lake_agg_from_stats
+
+    write_orc(pa.table({"v": pa.array([1, 2], pa.int64())}), str(tmp_path / "a.orc"))
+    with pytest.raises(Exception, match="no usable footer stats"):
+        lake_agg_from_stats(str(tmp_path), "missing_col")
