@@ -5495,6 +5495,7 @@ def _q_uniqueness_audit_lineitem(sf_dir: str):
     row (ops/profile.py:uniqueness_audit) — CLAUDE.md pins that this pair is
     NOT unique in the testdata, so the result is non-empty. l_linenumber is
     cast to int64 on BOTH sides (the table_checksum int32 rule)."""
+    import pandas as pd
     import pyarrow as pa
     import ray.data
 
@@ -5527,6 +5528,7 @@ def _q_sequence_gaps_orders(sf_dir: str):
     """Missing-id ranges in the 'F'-status order-key sequence
     (ops/profile.py:sequence_gaps) — the gaps-and-islands complement; exact
     int64 ranges, value-keyed block plan."""
+    import pandas as pd
     import pyarrow.compute as pc
     import ray.data
 
@@ -5771,6 +5773,7 @@ def _q_asof_nearest_events(sf_dir: str):
     the SQL mirror composes backward+forward ASOF joins with the same
     strict-less CASE. Unmatched rows coalesce to -1 (the nullable-int64
     hash-fragility rule)."""
+    import pandas as pd
     import pyarrow as pa
     import pyarrow.compute as pc
     import ray.data
@@ -5914,6 +5917,95 @@ def _q_lake_agg_stats_only(sf_dir: str):
     for b in range(3):
         write_orc(tbl.filter(pa.array(bucket == b)), os.path.join(scratch, f"p{b}.orc"), stripe_rows=200)
     return lake_agg_from_stats(scratch, "n_chars")
+
+
+def _q_pushdown_explain_documents(sf_dir: str):
+    """Pruning observability: plant a doc_id-sorted ORC file (stride 100,
+    500-row stripes — stripe cuts are stride multiples so group boundaries
+    are pure floor arithmetic), range-scan [120, 260] via
+    read_orc_filtered, and report the planner counters next to the exact
+    aggregates — groups_read is DATA the oracle recomputes from count(*)."""
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from orc_format_ray.orcfile import write_orc
+    from orc_format_ray.orcread import read_orc_filtered
+
+    scratch = _scratch(sf_dir, "pdexplain")
+    shutil.rmtree(scratch, ignore_errors=True)
+    os.makedirs(scratch, exist_ok=True)
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    tbl = _table(ds).sort_by("doc_id")
+    path = os.path.join(scratch, "d.orc")
+    write_orc(tbl, path, stripe_rows=500, row_index_stride=100)
+    out, counters = read_orc_filtered(path, [("doc_id", ">=", 120), ("doc_id", "<=", 260)])
+    ids = out["doc_id"].to_numpy(zero_copy_only=False)
+    nch = out["n_chars"].to_numpy(zero_copy_only=False)
+    return pd.DataFrame(
+        {
+            "groups_total": [int(counters["groups_total"])],
+            "groups_read": [int(counters["groups_read"])],
+            "n_match": [int(len(ids))],
+            "sum_nchars": [int(np.asarray(nch, dtype=np.int64).sum())],
+        }
+    )
+
+
+def _q_cheapest_path_suppliers(sf_dir: str):
+    """Weighted cheapest path over the undirected supplier<->part graph
+    (edge weight = min exact-cent extendedprice per pair), seeds {1, 2},
+    <= 2 hops — Bellman-Ford relaxation rounds
+    (ops/graph.py:cheapest_path); hash-exact vs a bounded WITH RECURSIVE
+    walk enumeration with min(cost)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from orc_format_ray.ops.graph import cheapest_path
+
+    def edges(b: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        p = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": b["l_suppkey"].cast(pa.int64()),
+                "dst": pa.array(
+                    b["l_partkey"].to_numpy(zero_copy_only=False).astype(_np.int64) + 1_000_000,
+                    pa.int64(),
+                ),
+                "w": pa.array(_np.floor(p * 100 + 0.5).astype(_np.int64), pa.int64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_partkey", "l_extendedprice"]
+    ).map_batches(edges, batch_format="pyarrow")
+    return cheapest_path(ds, [1, 2], max_hops=2)
+
+
+def _q_lake_zone_map_documents(sf_dir: str):
+    """Zone-map export from the Metadata StripeStatistics (TAIL preads
+    only): per-stripe doc_id min/max over a planted sorted 200-row-stripe
+    file — layout arithmetic the oracle recomputes from count(*)
+    (orc_format_ray/orcmerge.py:lake_zone_map)."""
+    import shutil
+
+    import ray.data
+
+    from orc_format_ray.orcfile import write_orc
+    from orc_format_ray.orcmerge import lake_zone_map
+
+    scratch = _scratch(sf_dir, "zonemap")
+    shutil.rmtree(scratch, ignore_errors=True)
+    os.makedirs(scratch, exist_ok=True)
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    tbl = _table(ds).sort_by("doc_id")
+    write_orc(tbl, os.path.join(scratch, "z.orc"), stripe_rows=200)
+    return lake_zone_map(scratch, "doc_id")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -6205,6 +6297,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boolean_search_documents": _q_boolean_search_documents,
         "assoc_rules_events": _q_assoc_rules_events,
         "lake_agg_stats_only": _q_lake_agg_stats_only,
+        "pushdown_explain_documents": _q_pushdown_explain_documents,
+        "cheapest_path_suppliers": _q_cheapest_path_suppliers,
+        "lake_zone_map_documents": _q_lake_zone_map_documents,
     }
 
 
@@ -8322,5 +8417,37 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(n_chars) AS BIGINT) AS n_values, "
             "CAST(min(n_chars) AS BIGINT) AS min, CAST(max(n_chars) AS BIGINT) AS max, "
             "CAST(sum(n_chars) AS BIGINT) AS sum FROM documents"
+        ),
+        # planner counters recomputed as floor arithmetic over count(*)
+        # (stride 100, 500-row stripes: cuts are stride multiples)
+        "pushdown_explain_documents": (
+            "WITH n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM documents), "
+            "a AS (SELECT CAST(count(*) AS BIGINT) AS n_match, CAST(sum(n_chars) AS BIGINT) AS sum_nchars "
+            "FROM documents WHERE doc_id >= 120 AND doc_id <= 260) "
+            "SELECT CAST((n.c + 99) // 100 AS BIGINT) AS groups_total, "
+            "CAST((least(260, n.c - 1) // 100) - (120 // 100) + 1 AS BIGINT) AS groups_read, "
+            "a.n_match, a.sum_nchars FROM n, a"
+        ),
+        # bounded recursive walk enumeration with min(cost) == Bellman-Ford
+        # relaxation with <= 2 edges (the bfs_hops parity argument)
+        "cheapest_path_suppliers": (
+            "WITH RECURSIVE base AS (SELECT CAST(l_suppkey AS BIGINT) AS s, "
+            "CAST(l_partkey + 1000000 AS BIGINT) AS d, "
+            "CAST(min(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS w "
+            "FROM lineitem GROUP BY 1, 2), "
+            "e AS (SELECT s, d, w FROM base UNION ALL SELECT d AS s, s AS d, w FROM base), "
+            "r AS (SELECT CAST(node AS BIGINT) AS node, CAST(0 AS BIGINT) AS cost, 0 AS hops "
+            "FROM (VALUES (1), (2)) AS t(node) "
+            "UNION SELECT e.d, r.cost + e.w, r.hops + 1 FROM r JOIN e ON e.s = r.node WHERE r.hops < 2) "
+            "SELECT node, CAST(min(cost) AS BIGINT) AS min_cost FROM r GROUP BY node ORDER BY node"
+        ),
+        # per-stripe zones are pure layout arithmetic on the sorted plant
+        "lake_zone_map_documents": (
+            "WITH n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM documents), "
+            "s AS (SELECT CAST(unnest(generate_series(0, CAST((c + 199) // 200 AS BIGINT) - 1)) AS BIGINT) AS g, c FROM n) "
+            "SELECT 'z.orc' AS path, g AS stripe, "
+            "CAST(least(200*(g+1), c) - 200*g AS BIGINT) AS n_rows, "
+            "CAST(200*g AS BIGINT) AS min, CAST(least(200*(g+1), c) - 1 AS BIGINT) AS max "
+            "FROM s ORDER BY stripe"
         ),
     }

@@ -448,3 +448,103 @@ def bfs_hops(edges_ds, seeds, src: str = "src", dst: str = "dst",
     nodes = np.array(sorted(visited), dtype=np.int64)
     return pd.DataFrame({"node": nodes,
                          "hops": np.array([visited[int(n)] for n in nodes], dtype=np.int64)})
+
+
+def cheapest_path(edges_ds, seeds, src: str = "src", dst: str = "dst",
+                  weight: str = "w", max_hops: int = 4, directed: bool = False,
+                  max_broadcast_nodes: int = 1 << 24):
+    """Multi-source cheapest path with non-negative integer edge weights,
+    bounded at ``max_hops`` edges — Bellman-Ford relaxation rounds (the
+    bfs_hops plan with costs). Returns a pandas DataFrame
+    ``(node, min_cost)`` — int64, seeds at 0.
+
+    Plan: distinct edges reduce to per-(s, d) MIN weight once and stay put
+    (materialized); each round is ONE map_batches probing the broadcast
+    frontier costs (sorted searchsorted) emitting per-block best
+    candidates, then ONE (node) min-groupby; the driver keeps the dist map
+    (bounded by ``max_broadcast_nodes``) and the next frontier is only the
+    nodes that improved. Exact int64 arithmetic end to end.
+
+    SQL parity: equal to a WITH RECURSIVE walk enumeration bounded at
+    ``max_hops`` with ``min(cost)`` per node — relaxation with <= k edges
+    computes exactly the min walk cost over <= k edges."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Min
+
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    seed_arr = np.unique(np.asarray(list(seeds), dtype=np.int64))
+    if seed_arr.size == 0:
+        return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                             "min_cost": pd.Series([], dtype="int64")})
+
+    def local_min(batch: pa.Table) -> pa.Table:
+        s = batch[src].cast(pa.int64())
+        d = batch[dst].cast(pa.int64())
+        w = batch[weight].cast(pa.int64())
+        wn = w.to_numpy(zero_copy_only=False)
+        if s.null_count or d.null_count or w.null_count:
+            raise ValueError("cheapest_path: edge fields must be non-null")
+        if len(wn) and wn.min() < 0:
+            raise ValueError("cheapest_path: weights must be non-negative")
+        if len(wn) and wn.max() >= np.int64(1) << 40:
+            raise ValueError("cheapest_path: per-edge weight >= 2^40 (cost-sum guard)")
+        t = pa.table({"s": s, "d": d, "w": w})
+        if not directed:
+            t = pa.concat_tables([t, pa.table({"s": d, "d": s, "w": w})])
+        g = t.group_by(["s", "d"]).aggregate([("w", "min")])
+        return g.rename_columns(["s", "d", "w"])
+
+    edges = (
+        edges_ds.map_batches(local_min, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby(["s", "d"]).aggregate(Min("w", alias_name="w"))
+        .materialize()
+    )
+
+    dist: dict[int, int] = {int(n): 0 for n in seed_arr}
+    frontier = {int(n): 0 for n in seed_arr}
+    for _ in range(max_hops):
+        if not frontier:
+            break
+        fk = np.array(sorted(frontier), dtype=np.int64)
+        fc = np.array([frontier[int(k)] for k in fk], dtype=np.int64)
+        f_ref = ray.put((fk, fc))
+
+        def relax(batch: pa.Table) -> pa.Table:
+            keys, costs = ray.get(f_ref)
+            s = batch["s"].to_numpy(zero_copy_only=False)
+            d = batch["d"].to_numpy(zero_copy_only=False)
+            w = batch["w"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(keys, s)
+            pos[pos == len(keys)] = 0
+            hit = (keys[pos] == s) if len(keys) else np.zeros(len(s), bool)
+            cand = costs[pos[hit]] + w[hit]
+            dd = d[hit]
+            uk, inv = np.unique(dd, return_inverse=True)
+            best = np.full(len(uk), np.iinfo(np.int64).max, np.int64)
+            np.minimum.at(best, inv, cand)
+            return pa.table({"n": pa.array(uk, pa.int64()), "c": pa.array(best, pa.int64())})
+
+        cand = (
+            edges.map_batches(relax, batch_size=None, batch_format="pyarrow",
+                              zero_copy_batch=True, **remote_args())
+            .groupby("n").aggregate(Min("c", alias_name="c"))
+            .to_pandas()
+        )
+        nxt: dict[int, int] = {}
+        for n, c in cand.itertuples(index=False):
+            n, c = int(n), int(c)
+            if c < dist.get(n, 1 << 62):
+                dist[n] = c
+                nxt[n] = c
+        if len(dist) > max_broadcast_nodes:
+            raise ValueError(
+                f"cheapest_path: dist map would exceed max_broadcast_nodes={max_broadcast_nodes}; "
+                "shard the frontier by node-id range (the bfs_hops rule)"
+            )
+        frontier = nxt
+
+    nodes = np.array(sorted(dist), dtype=np.int64)
+    return pd.DataFrame({"node": nodes,
+                         "min_cost": np.array([dist[int(n)] for n in nodes], dtype=np.int64)})

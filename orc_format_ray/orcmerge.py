@@ -1091,3 +1091,66 @@ def lake_agg_from_stats(in_dir: str, column: str):
             "sum": [sum(int(v) for v in parts["vsum"])],
         }
     )
+
+
+def lake_zone_map(in_dir: str, column: str):
+    """Zone-map export: one row per (file, stripe) with the stripe's row
+    count and the column's per-stripe min/max, parsed from the Metadata
+    section's StripeStatistics at the protobuf-wire level — TAIL preads
+    only, no stripe data moves. The table external planners (or
+    bucketed-join pre-pruning) consume to skip stripes. Returns a driver
+    DataFrame ``(path, stripe, n_rows, min, max)`` sorted by (path,
+    stripe). Raises loudly when a file lacks usable per-stripe stats for
+    the column (omission over invention)."""
+    import glob
+
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from ._rayutil import remote_args
+    from .orcread import _parse_tail
+
+    paths = sorted(glob.glob(os.path.join(in_dir, "**", "*.orc"), recursive=True))
+    if not paths:
+        raise ValueError(f"no .orc files under {in_dir!r}")
+
+    def _zones(batch: pa.Table) -> pa.Table:
+        rows = []
+        for p in batch["path"].to_pylist():
+            with _Source(p) as src:
+                tail = _parse_tail(src)
+                raw = _tail_raw(src)
+            root = tail["types"][0]
+            spans = list(root.subtypes) + [len(tail["types"])]
+            try:
+                col_id = spans[list(root.field_names).index(column)]
+            except ValueError:
+                raise ValueError(f"{p}: no column {column!r}")
+            t = tail["types"][col_id]
+            for si, (ss_raw, st) in enumerate(zip(raw["stripe_stats_raw"], raw["stripes"])):
+                cols = _fields(ss_raw).get(1, [])
+                if col_id >= len(cols):
+                    raise ValueError(f"{p}: stripe {si} lacks stats for {column!r}")
+                parsed = _stats_parse(cols[col_id], t.kind, t.scale if t.kind == "DECIMAL" else None)
+                if parsed is None or (parsed.num_present and parsed.min is None):
+                    raise ValueError(f"{p}: stripe {si} stats for {column!r} unusable")
+                rows.append(
+                    {
+                        "path": os.path.relpath(p, in_dir),
+                        "stripe": si,
+                        "n_rows": int(st[4]),
+                        "min": int(parsed.min) if parsed.num_present else None,
+                        "max": int(parsed.max) if parsed.num_present else None,
+                    }
+                )
+        return pa.Table.from_pylist(rows)
+
+    out = (
+        ray.data.from_items([{"path": p} for p in paths])
+        .map_batches(_zones, batch_format="pyarrow", **remote_args())
+        .to_pandas()
+    )
+    for c in ("stripe", "n_rows", "min", "max"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["path", "stripe"]).reset_index(drop=True)

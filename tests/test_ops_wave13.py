@@ -769,3 +769,80 @@ def test_lake_agg_from_stats_rejects_missing_column(ray_session, tmp_path):
     write_orc(pa.table({"v": pa.array([1, 2], pa.int64())}), str(tmp_path / "a.orc"))
     with pytest.raises(Exception, match="no usable footer stats"):
         lake_agg_from_stats(str(tmp_path), "missing_col")
+
+
+# ------------------------------------------------------------- cheapest_path
+
+
+def test_cheapest_path_matches_brute(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.graph import cheapest_path
+
+    rng = np.random.default_rng(97)
+    n_edges = 600
+    df = pd.DataFrame(
+        {
+            "src": rng.integers(0, 60, n_edges).astype(np.int64),
+            "dst": rng.integers(0, 60, n_edges).astype(np.int64),
+            "w": rng.integers(1, 100, n_edges).astype(np.int64),
+        }
+    )
+    seeds = [0, 7]
+    max_hops = 3
+    got = cheapest_path(ray.data.from_pandas(df).repartition(4), seeds, max_hops=max_hops)
+    # brute Bellman-Ford over the symmetrized min-weight edge set
+    emin = {}
+    for s, d, w in df.itertuples(index=False):
+        for a, b in ((int(s), int(d)), (int(d), int(s))):
+            emin[(a, b)] = min(emin.get((a, b), 1 << 62), int(w))
+    dist = {s: 0 for s in seeds}
+    for _ in range(max_hops):
+        nd = dict(dist)
+        for (a, b), w in emin.items():
+            if a in dist and dist[a] + w < nd.get(b, 1 << 62):
+                nd[b] = dist[a] + w
+        dist = nd
+    want = pd.DataFrame(
+        {"node": sorted(dist), "min_cost": [dist[k] for k in sorted(dist)]}
+    ).astype("int64")
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_cheapest_path_rejects_negative_weight(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.graph import cheapest_path
+
+    df = pd.DataFrame({"src": [1], "dst": [2], "w": [-5]})
+    with pytest.raises(Exception, match="non-negative"):
+        cheapest_path(ray.data.from_pandas(df), [1])
+
+
+# -------------------------------------------------------------- lake_zone_map
+
+
+def test_lake_zone_map_matches_layout(ray_session, tmp_path):
+    import pyarrow as pa
+
+    from orc_format_ray.orcfile import write_orc
+    from orc_format_ray.orcmerge import lake_zone_map
+
+    ids = np.arange(730, dtype=np.int64)
+    write_orc(pa.table({"k": pa.array(ids)}), str(tmp_path / "z.orc"), stripe_rows=200)
+    got = lake_zone_map(str(tmp_path), "k")
+    assert got["stripe"].tolist() == [0, 1, 2, 3]
+    assert got["n_rows"].tolist() == [200, 200, 200, 130]
+    assert got["min"].tolist() == [0, 200, 400, 600]
+    assert got["max"].tolist() == [199, 399, 599, 729]
+
+
+def test_lake_zone_map_missing_column_raises(ray_session, tmp_path):
+    import pyarrow as pa
+
+    from orc_format_ray.orcfile import write_orc
+    from orc_format_ray.orcmerge import lake_zone_map
+
+    write_orc(pa.table({"k": pa.array([1, 2], pa.int64())}), str(tmp_path / "a.orc"))
+    with pytest.raises(Exception, match="no column"):
+        lake_zone_map(str(tmp_path), "nope")
