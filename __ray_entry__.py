@@ -6008,6 +6008,111 @@ def _q_lake_zone_map_documents(sf_dir: str):
     return lake_zone_map(scratch, "doc_id")
 
 
+
+def _q_wilson_ctr_events(sf_dir: str):
+    """Wilson score lower bound of the value>50 rate per event type
+    (ops/agg.py:wilson_lower_bound_by_group) — exact int n/k cast to double
+    once, z parsed from the '1.96' DECIMAL STRING on both sides, then the
+    mirrored lb expression (np.sqrt == libm sqrt; the welch_ttest rule)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from orc_format_ray.ops.agg import wilson_lower_bound_by_group
+
+    def ind(b: pa.Table) -> pa.Table:
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
+        return _pa.table(
+            {
+                "event_type": b["event_type"],
+                "hit": _pc.cast(_pc.greater(b["value"], 50.0), _pa.int64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    ).map_batches(ind, batch_format="pyarrow")
+    return wilson_lower_bound_by_group(ds, "event_type", "hit")
+
+
+def _q_cvar_extendedprice(sf_dir: str):
+    """Tail severity per return flag: discrete 95th-percentile cents and the
+    mean of the tail at-or-above it (ops/agg.py:cvar_by_group) — the
+    quantile_disc rank product stays the pinned float64 multiply; tail sums
+    are exact int64; cvar is the mirrored double division chain."""
+    import ray.data
+
+    from orc_format_ray.ops.agg import cvar_by_group
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_extendedprice"]
+    )
+    return cvar_by_group(ds, "l_returnflag", "l_extendedprice", q=0.95).to_pandas()
+
+
+def _q_twap_events(sf_dir: str):
+    """Time-weighted average value per user (ops/windows.py:
+    time_weighted_avg) — hold-until-next-event weighting over exact cent
+    units and microsecond epochs; sums bounded by max(u)*span (guarded
+    < 2^62) so SQL HUGEINT->BIGINT casts are safe; twap is the mirrored
+    num/dt/scale division chain. Requires unique (user, ts) — guarded."""
+    import ray.data
+
+    from orc_format_ray.ops.windows import time_weighted_avg
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+    return time_weighted_avg(ds, "user_id", "ts", "value").to_pandas()
+
+
+def _q_encoding_audit_planted(sf_dir: str):
+    """Mojibake audit per source over text with planted double-encoding
+    damage on doc_id % 97 == 0 (ops/quality.py:encoding_audit) — exact
+    substring probes (match_substring == SQL contains); frac_bad is ONE
+    double division of exact counts."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from orc_format_ray.ops.quality import encoding_audit
+
+    def plant(b: pa.Table) -> pa.Table:
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        bad = _pa.array(ids % 97 == 0)
+        t = _pc.if_else(
+            bad, _pc.binary_join_element_wise(b["text"], "\u00c3\u00a9clair", " "), b["text"]
+        )
+        return _pa.table({"source": b["source"], "text": t})
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    ).map_batches(plant, batch_format="pyarrow")
+    return encoding_audit(ds, "source", "text")
+
+
+def _q_temporal_split_events(sf_dir: str):
+    """Purged temporal split at the 7/10 point with a 1h embargo
+    (ops/sample.py:temporal_split) — the boundary is exact integer
+    microsecond arithmetic (lo + (hi-lo)*7//10), so the per-(split, type)
+    counts are bit-reproducible vs SQL."""
+    import ray.data
+
+    from orc_format_ray.ops.sample import temporal_split
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "event_type"]
+    )
+    out = temporal_split(ds, "ts").to_pandas()
+    g = out.groupby(["split", "event_type"], as_index=False).agg(n=("event_id", "size"))
+    g["n"] = g["n"].astype("int64")
+    return g
+
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
     # (VERDICT r3 "What's wrong" #2), so the window below is curated for
@@ -6300,6 +6405,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pushdown_explain_documents": _q_pushdown_explain_documents,
         "cheapest_path_suppliers": _q_cheapest_path_suppliers,
         "lake_zone_map_documents": _q_lake_zone_map_documents,
+        "wilson_ctr_events": _q_wilson_ctr_events,
+        "cvar_extendedprice": _q_cvar_extendedprice,
+        "twap_events": _q_twap_events,
+        "encoding_audit_planted": _q_encoding_audit_planted,
+        "temporal_split_events": _q_temporal_split_events,
     }
 
 
@@ -8449,5 +8559,58 @@ def oracle_sql() -> dict[str, str]:
             "CAST(least(200*(g+1), c) - 200*g AS BIGINT) AS n_rows, "
             "CAST(200*g AS BIGINT) AS min, CAST(least(200*(g+1), c) - 1 AS BIGINT) AS max "
             "FROM s ORDER BY stripe"
+        ),
+        # each op below follows the mirrored-expression rules pinned in
+        # CLAUDE.md (exact ints cast to double once; libm sqrt; short-decimal
+        # literals; left-assoc division chains)
+        "wilson_ctr_events": (
+            "WITH s AS (SELECT event_type, count(*) AS n, "
+            "CAST(sum(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS k "
+            "FROM events GROUP BY event_type), "
+            "c AS (SELECT *, CAST('1.96' AS DOUBLE) AS z, "
+            "CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p, CAST(n AS DOUBLE) AS nd FROM s) "
+            "SELECT event_type, n, k, "
+            "(p + (z*z)/(2.0*nd) - z*sqrt((p*(1.0-p) + (z*z)/(4.0*nd))/nd)) / (1.0 + (z*z)/nd) "
+            "AS wilson_lb FROM c"
+        ),
+        "cvar_extendedprice": (
+            "WITH u AS (SELECT l_returnflag AS g, "
+            "CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS u FROM lineitem), "
+            "q AS (SELECT g, CAST(quantile_disc(u, 0.95) AS BIGINT) AS var_u FROM u GROUP BY g) "
+            "SELECT u.g AS l_returnflag, count(*) AS n, any_value(q.var_u) AS var_u, "
+            "CAST(sum(CASE WHEN u.u >= q.var_u THEN 1 ELSE 0 END) AS BIGINT) AS tail_n, "
+            "CAST(sum(CASE WHEN u.u >= q.var_u THEN u.u ELSE 0 END) AS BIGINT) AS tail_sum, "
+            "CAST(CAST(sum(CASE WHEN u.u >= q.var_u THEN u.u ELSE 0 END) AS BIGINT) AS DOUBLE) "
+            "/ CAST(CAST(sum(CASE WHEN u.u >= q.var_u THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) "
+            "/ CAST(100 AS DOUBLE) AS cvar "
+            "FROM u JOIN q ON u.g = q.g GROUP BY u.g"
+        ),
+        "twap_events": (
+            "WITH x AS (SELECT user_id, epoch_us(ts) AS t, "
+            "CAST(floor(value*100 + 0.5) AS BIGINT) AS u, "
+            "lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS nxt FROM events) "
+            "SELECT user_id, count(*) AS n_seg, CAST(sum(nxt - t) AS BIGINT) AS dt_us, "
+            "CAST(sum(u * (nxt - t)) AS BIGINT) AS num_units, "
+            "CAST(CAST(sum(u * (nxt - t)) AS BIGINT) AS DOUBLE) "
+            "/ CAST(CAST(sum(nxt - t) AS BIGINT) AS DOUBLE) / CAST(100 AS DOUBLE) AS twap "
+            "FROM x WHERE nxt IS NOT NULL GROUP BY user_id"
+        ),
+        "encoding_audit_planted": (
+            "WITH d AS (SELECT source, CASE WHEN doc_id % 97 = 0 "
+            "THEN text || ' ' || 'Ã©clair' ELSE text END AS text FROM documents) "
+            "SELECT source, count(*) AS n, "
+            "CAST(sum(CASE WHEN contains(text, 'Ã') OR contains(text, 'â€') OR contains(text, chr(65533)) THEN 1 ELSE 0 END) AS BIGINT) AS n_bad, "
+            "CAST(CAST(sum(CASE WHEN contains(text, 'Ã') OR contains(text, 'â€') OR contains(text, chr(65533)) THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) "
+            "/ CAST(count(*) AS DOUBLE) AS frac_bad FROM d GROUP BY source"
+        ),
+        "temporal_split_events": (
+            "WITH mm AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events), "
+            "b AS (SELECT lo + (hi - lo) * 7 // 10 AS boundary FROM mm), "
+            "lab AS (SELECT event_type, CASE "
+            "WHEN epoch_us(ts) < (SELECT boundary FROM b) THEN 'train' "
+            "WHEN epoch_us(ts) >= (SELECT boundary FROM b) + 3600000000 THEN 'test' "
+            "ELSE NULL END AS split FROM events) "
+            "SELECT split, event_type, count(*) AS n FROM lab "
+            "WHERE split IS NOT NULL GROUP BY split, event_type"
         ),
     }

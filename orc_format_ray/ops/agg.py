@@ -1972,3 +1972,126 @@ def mutual_info(ds, col_a: str, col_b: str):
     out["n_xy"] = out["n_xy"].astype("int64")
     out["term"] = terms
     return out.sort_values([col_a, col_b]).reset_index(drop=True)
+
+
+def wilson_lower_bound_by_group(ds, group: str, cond_col: str, z: str = "1.96"):
+    """Wilson score lower bound of the per-group success rate — the ranking
+    statistic that beats raw CTR for low-volume groups (a 1/1 group must not
+    outrank a 480/500 group). ``cond_col`` must be a precomputed 0/1 int
+    column. Returns a driver DataFrame ``(group, n, k, wilson_lb)`` sorted
+    by group.
+
+    Parity contract (the welch_ttest mirrored-expression rule): n/k are
+    exact int64 counts, each cast to float64 ONCE; ``z`` is a DECIMAL
+    STRING parsed with np.float64(z) == SQL ``CAST('z' AS DOUBLE)`` (both
+    correctly-rounded decimal parses); then with p = k/n, nd = n:
+
+        lb = (p + (z*z)/(2.0*nd) - z*sqrt((p*(1.0-p) + (z*z)/(4.0*nd))/nd))
+             / (1.0 + (z*z)/nd)
+
+    every op a single IEEE-correctly-rounded step (np.sqrt == libm sqrt),
+    mirrored op-for-op by the SQL oracle. Only (group, n, k) cells shuffle.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        x = batch[cond_col].cast(pa.int64())
+        xn = x.to_numpy(zero_copy_only=False)
+        if batch[cond_col].null_count or ((xn != 0) & (xn != 1)).any():
+            raise ValueError(f"wilson_lower_bound_by_group: {cond_col!r} must be 0/1 non-null")
+        cells = pa.table(
+            {
+                "g": batch[group].combine_chunks()
+                if isinstance(batch[group], pa.ChunkedArray)
+                else batch[group],
+                "n": pa.array(np.ones(batch.num_rows, np.int64)),
+                "k": x,
+            }
+        )
+        out = cells.group_by("g").aggregate([("n", "sum"), ("k", "sum")])
+        return out.rename_columns(["g", "n", "k"])
+
+    stats = (
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby("g")
+        .aggregate(Sum("n", alias_name="n"), Sum("k", alias_name="k"))
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    zf = np.float64(z)
+    one, two, four = np.float64(1.0), np.float64(2.0), np.float64(4.0)
+    rows = []
+    for g, n, k in stats.itertuples(index=False):
+        n, k = int(n), int(k)
+        nd = np.float64(n)
+        p = np.float64(k) / nd
+        # mirrored op-for-op by the SQL oracle — keep both sides in sync
+        lb = (
+            p + (zf * zf) / (two * nd) - zf * np.sqrt((p * (one - p) + (zf * zf) / (four * nd)) / nd)
+        ) / (one + (zf * zf) / nd)
+        rows.append((g, n, k, float(lb)))
+    return pd.DataFrame(rows, columns=[group, "n", "k", "wilson_lb"])
+
+
+def cvar_by_group(ds, group: str, col: str, q: float = 0.95, value_scale: int = 100):
+    """Conditional value-at-risk per group: the discrete q-quantile of the
+    column (in exact integer units) and the mean of everything AT OR ABOVE
+    it — the tail-severity readout ("when this group's cost is bad, how bad
+    on average?"). Same (group, units, count) cell plan as
+    robust_stats_by_group: only the distinct-unit distribution shuffles,
+    never rows; hot groups cost their distinct-unit count.
+
+    Parity contract: ``var_u`` follows quantile_disc_from_counts's pinned
+    DuckDB rank rule (``ceil(float64(q)*n)`` — keep q a short decimal);
+    ``tail_sum``/``tail_n`` are exact int64 (products guarded < 2^62);
+    ``cvar`` is CAST(tail_sum AS DOUBLE)/CAST(tail_n AS DOUBLE)/scale,
+    mirrored op-for-op by the SQL oracle. Returns a Dataset of
+    ``(group, n, var_u, tail_n, tail_sum, cvar)``.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def cells(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False)
+        if batch[col].null_count or np.isnan(v).any():
+            raise ValueError(f"{col!r} must be non-null for cvar")
+        u = np.floor(v * value_scale + 0.5).astype(np.int64)
+        t = pa.table({"g": batch[group].combine_chunks(), "u": pa.array(u, pa.int64())})
+        g = t.group_by(["g", "u"]).aggregate([([], "count_all")])
+        return g.rename_columns(["g", "u", "c"])
+
+    dist = (
+        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby(["g", "u"])
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+    scale_d = np.float64(value_scale)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["u"].to_numpy(dtype=np.int64)
+        c = df["c"].to_numpy(dtype=np.int64)
+        (var_u,) = quantile_disc_from_counts(u, c, [q])
+        mask = u >= var_u
+        tail_n = int(c[mask].sum())
+        tail_sum = 0
+        for uu, cc in zip(u[mask].tolist(), c[mask].tolist()):
+            tail_sum += uu * cc
+        if abs(tail_sum) >= 1 << 62:
+            raise ValueError("cvar_by_group: tail_sum exceeds the exact-int guard")
+        # mirrored op-for-op by the SQL oracle (left-assoc double divisions)
+        cvar = float(np.float64(tail_sum) / np.float64(tail_n) / scale_d)
+        return pd.DataFrame(
+            {
+                group: [df["g"].iloc[0]],
+                "n": [np.int64(c.sum())],
+                "var_u": [np.int64(var_u)],
+                "tail_n": [np.int64(tail_n)],
+                "tail_sum": [np.int64(tail_sum)],
+                "cvar": [cvar],
+            }
+        )
+
+    return dist.groupby("g").map_groups(fold, batch_format="pandas", **remote_args())

@@ -351,3 +351,61 @@ def k_anonymity(ds, qi_cols: list[str], k: int):
         return batch.filter(pc.less(batch["grp_n"], pa.scalar(k, pa.int64())))
 
     return counts.map_batches(violating, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+
+
+MOJIBAKE_PATTERNS = ("\u00c3", "\u00e2\u20ac", "\ufffd")
+"""Default double-encoding tells: '\\u00c3' (UTF-8 bytes re-decoded as
+latin-1), '\\u00e2\\u20ac' (the cp1252 smart-quote family mangled the same way),
+and the U+FFFD replacement char a lossy decode leaves behind."""
+
+
+def encoding_audit(ds, group: str = "source", text_col: str = "text",
+                   patterns: tuple[str, ...] = MOJIBAKE_PATTERNS):
+    """Mojibake / double-encoding audit per group: how many documents carry
+    any of the classic encoding-damage substrings — the corpus-health check
+    that catches a bad extraction job before training sees it. A doc is
+    "bad" if ANY pattern occurs (vectorized ``pc.match_substring`` OR-fold;
+    exact substring semantics so SQL ``contains()`` reproduces it).
+
+    Only (group, n, n_bad) cells shuffle. ``frac_bad`` is ONE double
+    division of exact int64 counts (mirror ``CAST(n_bad AS
+    DOUBLE)/CAST(n AS DOUBLE)`` in the oracle). Returns a driver DataFrame
+    ``(group, n, n_bad, frac_bad)`` sorted by group.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    if not patterns:
+        raise ValueError("encoding_audit: need at least one pattern")
+
+    def partials(batch: pa.Table) -> pa.Table:
+        txt = batch[text_col]
+        bad = pc.match_substring(txt, patterns[0])
+        for p in patterns[1:]:
+            bad = pc.or_(bad, pc.match_substring(txt, p))
+        cells = pa.table(
+            {
+                "g": batch[group].combine_chunks()
+                if isinstance(batch[group], pa.ChunkedArray)
+                else batch[group],
+                "n": pa.array(np.ones(batch.num_rows, np.int64)),
+                "n_bad": bad.cast(pa.int64()),
+            }
+        )
+        out = cells.group_by("g").aggregate([("n", "sum"), ("n_bad", "sum")])
+        return out.rename_columns(["g", "n", "n_bad"])
+
+    stats = (
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby("g")
+        .aggregate(Sum("n", alias_name="n"), Sum("n_bad", alias_name="n_bad"))
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    n = stats["n"].astype("int64")
+    nb = stats["n_bad"].astype("int64")
+    frac = np.array(
+        [float(np.float64(int(b)) / np.float64(int(t))) for b, t in zip(nb, n)], dtype=np.float64
+    )
+    return pd.DataFrame({group: stats["g"], "n": n, "n_bad": nb, "frac_bad": frac})

@@ -741,3 +741,56 @@ def systematic_sample(ds, every: int, value_col: str = "value", id_col: str = "e
     return pinned.map_batches(
         pick, batch_size=None, batch_format="pyarrow", zero_copy_batch=True, **remote_args()
     )
+
+
+def temporal_split(ds, ts_col: str = "ts", train_num: int = 7, train_den: int = 10,
+                   embargo_us: int = 3_600_000_000):
+    """Purged temporal train/test split: one boundary at the train_num/
+    train_den point of the observed time range, with an EMBARGO window
+    after it — rows inside [boundary, boundary + embargo_us) are dropped so
+    leakage from near-boundary correlation (label lookahead, session
+    spillover) can't cross the split. The time-series answer to random
+    splits.
+
+    Pass 1 is metadata-only (global min/max of ``ts``); the boundary is
+    EXACT integer arithmetic on microsecond epochs —
+    ``lo + (hi - lo) * train_num // train_den`` — so SQL reproduces it
+    bit-for-bit (no float fractions). Pass 2 is a stateless vectorized
+    filter+label; rows never shuffle. Returns the input Dataset plus a
+    ``split`` column ('train' | 'test'), embargo rows removed.
+    """
+    import numpy as np
+    from ray.data.aggregate import Max, Min
+
+    if not (0 < train_num < train_den):
+        raise ValueError(f"need 0 < train_num < train_den, got {train_num}/{train_den}")
+    if embargo_us < 0:
+        raise ValueError(f"embargo_us must be >= 0, got {embargo_us}")
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        t = batch[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table({"t": t})
+
+    mm = (
+        ds.map_batches(to_us, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .aggregate(Min("t", alias_name="lo"), Max("t", alias_name="hi"))
+    )
+    lo, hi = int(mm["lo"]), int(mm["hi"])
+    boundary = lo + (hi - lo) * train_num // train_den
+    test_from = boundary + embargo_us
+
+    def label(batch: pa.Table) -> pa.Table:
+        t = (
+            batch[ts_col]
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        train = t < boundary
+        test = t >= test_from
+        keep = train | test
+        out = batch.filter(pa.array(keep))
+        split = np.where(train[keep], "train", "test")
+        return out.append_column("split", pa.array(split.tolist(), pa.string()))
+
+    return ds.map_batches(label, batch_format="pyarrow", zero_copy_batch=True, **remote_args())

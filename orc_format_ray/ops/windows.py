@@ -2766,3 +2766,80 @@ def out_of_order_events(ds, key: str = "user_id", seq_col: str = "event_id",
     return pinned.map_batches(
         finish, batch_size=None, batch_format="pyarrow", zero_copy_batch=True, **remote_args()
     )
+
+
+def time_weighted_avg(ds, key: str = "user_id", ts_col: str = "ts",
+                      value_col: str = "value", value_scale: int = 100):
+    """Time-weighted average per key (TWAP): each value holds until the
+    key's NEXT event, so the average weights every value by its duration —
+    the metric that raw AVG gets wrong on irregular sampling. Exactly SQL
+    ``sum(u * (lead(t) - t)) / sum(lead(t) - t)`` per key over exact
+    integer units ``u = floor(value*scale + 0.5)`` and microsecond epochs.
+
+    Plan: only ``(key, ts_us, u)`` meta cells shuffle (rows never move);
+    each key folds in its own worker over its sorted events — a key costs
+    its event count, not the corpus. Timestamps must be unique per key
+    (loud guard). Exact-int contract: sum(u*dt) <= max(u) * span(key), so
+    ONE guard max_u * total_dt < 2^62 covers every partial; the two sums
+    stay int64 and ``twap = CAST(num AS DOUBLE)/CAST(dt AS DOUBLE)/scale``
+    is mirrored op-for-op by the SQL oracle. Keys with a single event emit
+    no row (SQL's ``WHERE lead IS NOT NULL`` drops them). Returns a Dataset
+    of ``(key, n_seg, dt_us, num_units, twap)``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def to_meta(batch: pa.Table) -> pa.Table:
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        if batch[value_col].null_count or np.isnan(v).any():
+            raise ValueError(f"{value_col!r} must be non-null for time_weighted_avg")
+        u = np.floor(v * value_scale + 0.5).astype(np.int64)
+        t = batch[ts_col].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "k": batch[key].cast(pa.int64()),
+                "t": pa.array(t, pa.int64()),
+                "u": pa.array(u, pa.int64()),
+            }
+        )
+
+    meta = ds.map_batches(to_meta, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    scale_d = np.float64(value_scale)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("t", kind="mergesort")
+        t = df["t"].to_numpy(dtype=np.int64)
+        u = df["u"].to_numpy(dtype=np.int64)
+        if len(t) > 1 and (np.diff(t) == 0).any():
+            raise ValueError(
+                f"time_weighted_avg: duplicate {ts_col!r} within key {df['k'].iloc[0]!r}"
+            )
+        if len(t) < 2:
+            return pd.DataFrame(
+                {
+                    key: pd.Series([], dtype="int64"),
+                    "n_seg": pd.Series([], dtype="int64"),
+                    "dt_us": pd.Series([], dtype="int64"),
+                    "num_units": pd.Series([], dtype="int64"),
+                    "twap": pd.Series([], dtype="float64"),
+                }
+            )
+        dt = t[1:] - t[:-1]
+        total_dt = int(t[-1] - t[0])
+        max_u = int(np.abs(u).max())
+        if max_u * total_dt >= 1 << 62:
+            raise ValueError("time_weighted_avg: max(u) * span exceeds the exact-int guard")
+        num = int((u[:-1] * dt).sum())  # bounded by max_u * total_dt — no wrap
+        # mirrored op-for-op by the SQL oracle (left-assoc double divisions)
+        twap = float(np.float64(num) / np.float64(total_dt) / scale_d)
+        return pd.DataFrame(
+            {
+                key: [np.int64(df["k"].iloc[0])],
+                "n_seg": [np.int64(len(t) - 1)],
+                "dt_us": [np.int64(total_dt)],
+                "num_units": [np.int64(num)],
+                "twap": [twap],
+            }
+        )
+
+    return meta.groupby("k").map_groups(fold, batch_format="pandas", **remote_args())
