@@ -6113,6 +6113,59 @@ def _q_temporal_split_events(sf_dir: str):
 
 
 
+
+def _q_orc_deletion_vectors(sf_dir: str):
+    """Merge-on-read logical deletes (orc_format_ray/dv.py): plant a 4-file
+    documents lake, run two sidecar deletes (one stats-pruned to a single
+    file), aggregate through read_lake_dv, then vacuum and assert the
+    physical rewrite reads back identically — the full DV lifecycle in one
+    query; the oracle is the equivalent anti-filter."""
+    import shutil
+
+    import pandas as pd
+    import ray.data
+
+    from orc_format_ray.dv import delete_where_dv, read_lake_dv, vacuum_dv
+    from orc_format_ray.orcfile import read_orc_dataset, write_orc
+
+    scratch = _scratch(sf_dir, "dvlake")
+    shutil.rmtree(scratch, ignore_errors=True)
+    os.makedirs(scratch, exist_ok=True)
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    tbl = _table(ds).sort_by("doc_id")
+    n = tbl.num_rows
+    step = (n + 3) // 4
+    for i in range(4):
+        part = tbl.slice(i * step, step)
+        if part.num_rows:
+            write_orc(part, os.path.join(scratch, f"part-{i}.orc"), stripe_rows=500)
+
+    delete_where_dv(scratch, ("n_chars", ">", 400))
+    # range predicate on the sort key: provably prunes to the first file
+    res2 = delete_where_dv(scratch, [("doc_id", "<", 50), ("lang", "==", "en")])
+    if res2["n_scanned"] != 1:
+        raise AssertionError(f"stats pruning failed: scanned {res2['n_scanned']} files")
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("source", as_index=False).agg(
+            n=("doc_id", "size"), sum_nchars=("n_chars", "sum")
+        )
+        g["n"] = g["n"].astype("int64")
+        g["sum_nchars"] = g["sum_nchars"].astype("int64")
+        return g.sort_values("source").reset_index(drop=True)
+
+    logical = agg(
+        read_lake_dv(scratch, columns=["doc_id", "source", "n_chars"]).to_pandas()
+    )
+    vacuum_dv(scratch)
+    physical = agg(
+        read_orc_dataset(scratch, native=True, columns=["doc_id", "source", "n_chars"]).to_pandas()
+    )
+    pd.testing.assert_frame_equal(logical, physical)  # fold must be lossless
+    return logical
+
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
     # (VERDICT r3 "What's wrong" #2), so the window below is curated for
@@ -6410,6 +6463,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "twap_events": _q_twap_events,
         "encoding_audit_planted": _q_encoding_audit_planted,
         "temporal_split_events": _q_temporal_split_events,
+        "orc_deletion_vectors": _q_orc_deletion_vectors,
     }
 
 
@@ -8612,5 +8666,10 @@ def oracle_sql() -> dict[str, str]:
             "ELSE NULL END AS split FROM events) "
             "SELECT split, event_type, count(*) AS n FROM lab "
             "WHERE split IS NOT NULL GROUP BY split, event_type"
+        ),
+        "orc_deletion_vectors": (
+            "SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_nchars "
+            "FROM documents WHERE NOT (n_chars > 400) "
+            "AND NOT (doc_id < 50 AND lang = 'en') GROUP BY source"
         ),
     }
