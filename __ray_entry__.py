@@ -6166,6 +6166,43 @@ def _q_orc_deletion_vectors(sf_dir: str):
 
 
 
+
+def _q_expr_pipeline_lineitem(sf_dir: str):
+    """Config-driven pipeline via the expression compiler (ops/expr.py):
+    ONE filter string + ONE projection string, parsed driver-side and run
+    as pure Arrow kernel plans — the oracle runs the IDENTICAL text, so
+    the exact-cent aggregate is bit-reproducible (the compiled tree
+    mirrors DuckDB's op-for-op; '/' is double division, ints checked)."""
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from orc_format_ray.ops.expr import filter_expr, project_expr
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_linestatus", "l_quantity", "l_returnflag", "l_discount", "l_extendedprice"],
+    )
+    ds = filter_expr(ds, "l_quantity < 24 AND (l_returnflag = 'R' OR l_discount >= 0.05)")
+    ds = project_expr(
+        ds, {"cents": "floor(l_extendedprice * 100 + 0.5)"}, keep=["l_linestatus"]
+    ).map_batches(
+        lambda b: b.set_column(1, "cents", b["cents"].cast(pa.int64())),
+        batch_format="pyarrow",
+    )
+    out = (
+        ds.groupby("l_linestatus")
+        .aggregate(Count(alias_name="n"), Sum("cents", alias_name="sum_cents"))
+        .to_pandas()
+        .sort_values("l_linestatus")
+        .reset_index(drop=True)
+    )
+    out["n"] = out["n"].astype("int64")
+    out["sum_cents"] = out["sum_cents"].astype("int64")
+    return out
+
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
     # (VERDICT r3 "What's wrong" #2), so the window below is curated for
@@ -6464,6 +6501,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "encoding_audit_planted": _q_encoding_audit_planted,
         "temporal_split_events": _q_temporal_split_events,
         "orc_deletion_vectors": _q_orc_deletion_vectors,
+        "expr_pipeline_lineitem": _q_expr_pipeline_lineitem,
     }
 
 
@@ -8671,5 +8709,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_nchars "
             "FROM documents WHERE NOT (n_chars > 400) "
             "AND NOT (doc_id < 50 AND lang = 'en') GROUP BY source"
+        ),
+        # the WHERE/cents text is the SAME string the Ray pipeline compiles
+        "expr_pipeline_lineitem": (
+            "SELECT l_linestatus, count(*) AS n, "
+            "CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents "
+            "FROM lineitem "
+            "WHERE l_quantity < 24 AND (l_returnflag = 'R' OR l_discount >= 0.05) "
+            "GROUP BY l_linestatus"
         ),
     }
