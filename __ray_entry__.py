@@ -6203,6 +6203,113 @@ def _q_expr_pipeline_lineitem(sf_dir: str):
 
 
 
+
+def _q_lake_ndv_documents(sf_dir: str):
+    """Tail-only NDV statistics: plant a 4-file lake whose footers carry
+    bounded distinct-value dictionaries (footer UserMetadataItem — spec
+    field 5; orcmerge.py:ndv_meta/lake_ndv), then merge them WITHOUT
+    touching data bytes. lang/source stay under the cap, so the merged
+    counts equal true count(DISTINCT)."""
+    import shutil
+
+    import ray.data
+
+    from orc_format_ray.orcfile import write_orc
+    from orc_format_ray.orcmerge import lake_ndv, ndv_meta
+
+    scratch = _scratch(sf_dir, "ndvlake")
+    shutil.rmtree(scratch, ignore_errors=True)
+    os.makedirs(scratch, exist_ok=True)
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "source"])
+    tbl = _table(ds).sort_by("doc_id")
+    n = tbl.num_rows
+    step = (n + 3) // 4
+    for i in range(4):
+        part = tbl.slice(i * step, step)
+        if part.num_rows:
+            write_orc(
+                part,
+                os.path.join(scratch, f"p{i}.orc"),
+                user_metadata=ndv_meta(part, ["lang", "source"]),
+            )
+    out = lake_ndv(scratch, ["lang", "source"])
+    out["n_files"] = out["n_files"].astype("int64")
+    out["exact"] = out["exact"].astype("int64")
+    out["ndv"] = out["ndv"].astype("int64")
+    return out.sort_values("col").reset_index(drop=True)
+
+
+def _q_asof_tolerance_events(sf_dir: str):
+    """Backward as-of join with a 6-hour tolerance (ops/join.py:asof_join
+    tolerance=...): a click only matches its preceding purchase when the
+    gap is <= 6h — the SQL mirror post-filters the ASOF backward join with
+    the identical epoch_us distance CASE. Unmatched -> -1 (the
+    nullable-int64 rule)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from orc_format_ray.ops.join import asof_join
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "event_type"]
+    )
+    left = ev.map_batches(
+        lambda b: b.filter(pc.equal(b["event_type"], "click")).select(
+            ["user_id", "event_id", "ts"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    def purchases(b: pa.Table) -> pa.Table:
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
+        f = b.filter(_pc.equal(b["event_type"], "purchase"))
+        return _pa.table(
+            {"user_id": f["user_id"], "ts": f["ts"], "event_id_r": f["event_id"]}
+        )
+
+    right = ev.map_batches(purchases, batch_format="pyarrow")
+    out = asof_join(
+        left, right, on="ts", by="user_id",
+        right_value_cols=["ts", "event_id_r"], direction="backward",
+        tolerance=np.timedelta64(21_600_000_000, "us"),
+    ).to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series([], dtype="int64"),
+                "event_id": pd.Series([], dtype="int64"),
+                "ts_us": pd.Series([], dtype="int64"),
+                "event_id_r": pd.Series([], dtype="int64"),
+            }
+        )
+    out["ts_us"] = out["ts"].astype("datetime64[us]").astype("int64")
+    out["event_id_r"] = out["event_id_r"].fillna(-1).astype("int64")
+    return (
+        out[["user_id", "event_id", "ts_us", "event_id_r"]]
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+
+
+def _q_rebase_index_events(sf_dir: str):
+    """Per-user value series indexed to its first observation = 100
+    (ops/windows.py:rebase_to_first) — exact cent units, the (u / first)
+    * 100.0 expression mirrored op-for-op; unique (user, ts) guarded."""
+    import ray.data
+
+    from orc_format_ray.ops.windows import rebase_to_first
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+    out = rebase_to_first(ds, "user_id", "ts", "value").to_pandas()
+    return out.sort_values(["user_id", "ts_us"]).reset_index(drop=True)
+
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
     # (VERDICT r3 "What's wrong" #2), so the window below is curated for
@@ -6502,6 +6609,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temporal_split_events": _q_temporal_split_events,
         "orc_deletion_vectors": _q_orc_deletion_vectors,
         "expr_pipeline_lineitem": _q_expr_pipeline_lineitem,
+        "lake_ndv_documents": _q_lake_ndv_documents,
+        "asof_tolerance_events": _q_asof_tolerance_events,
+        "rebase_index_events": _q_rebase_index_events,
     }
 
 
@@ -8717,5 +8827,30 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem "
             "WHERE l_quantity < 24 AND (l_returnflag = 'R' OR l_discount >= 0.05) "
             "GROUP BY l_linestatus"
+        ),
+        # lake planted 4 files; footer dictionaries stay exact under cap
+        "lake_ndv_documents": (
+            "SELECT 'lang' AS col, CAST(4 AS BIGINT) AS n_files, CAST(1 AS BIGINT) AS exact, "
+            "count(DISTINCT lang) AS ndv FROM documents "
+            "UNION ALL SELECT 'source', CAST(4 AS BIGINT), CAST(1 AS BIGINT), "
+            "count(DISTINCT source) FROM documents ORDER BY col"
+        ),
+        "asof_tolerance_events": (
+            "WITH L AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'), "
+            "R AS (SELECT user_id, event_id AS eid_r, ts AS ts_r FROM events WHERE event_type = 'purchase'), "
+            "bk AS (SELECT L.user_id, L.event_id, L.ts, r.eid_r AS b_id, r.ts_r AS b_ts "
+            "FROM L ASOF LEFT JOIN R r ON L.user_id = r.user_id AND L.ts >= r.ts_r) "
+            "SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, "
+            "coalesce(CASE WHEN b_id IS NOT NULL "
+            "AND (epoch_us(ts) - epoch_us(b_ts)) <= 21600000000 THEN b_id ELSE NULL END, -1) "
+            "AS event_id_r FROM bk ORDER BY user_id, event_id"
+        ),
+        "rebase_index_events": (
+            "SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, "
+            "CAST(floor(value*100 + 0.5) AS BIGINT) AS u, "
+            "CAST(floor(value*100 + 0.5) AS DOUBLE) / CAST(first_value("
+            "CAST(floor(value*100 + 0.5) AS BIGINT)) OVER "
+            "(PARTITION BY user_id ORDER BY ts) AS DOUBLE) * 100.0 AS idx "
+            "FROM events ORDER BY user_id, ts_us"
         ),
     }

@@ -231,7 +231,7 @@ def _split_ipc_rows(batch: pa.Table, bucket: np.ndarray, side: int) -> pa.Table:
 
 def asof_join(left_ds, right_ds, on: str, by: str, suffix: str = "_r",
               right_value_cols: list[str] | None = None,
-              direction: str = "backward"):
+              direction: str = "backward", tolerance=None):
     """As-of join in three directions, per ``by`` group:
 
     - ``backward`` (default): the right row with the LARGEST ``on`` <= the
@@ -241,7 +241,12 @@ def asof_join(left_ds, right_ds, on: str, by: str, suffix: str = "_r",
     - ``nearest``: whichever of the two is closer by |on diff|; exact ties
       take the BACKWARD row (keep the SQL mirror's CASE in sync).
 
-    Left rows with no candidate keep nulls.
+    Left rows with no candidate keep nulls. ``tolerance`` (optional)
+    additionally requires the matched row's |on diff| <= tolerance — pass
+    a value comparable with the diff of two ``on`` values (an int for
+    integer/epoch columns, ``np.timedelta64`` for datetimes); too-far
+    matches revert to nulls, mirroring pandas ``merge_asof(tolerance=...)``
+    and the SQL ``CASE WHEN dist <= tol`` post-filter.
 
     Ray Data has no as-of join; this composes one from the bucketed-IPC
     shuffle (group by the ``by`` key) + per-group sort + searchsorted. The
@@ -279,9 +284,15 @@ def asof_join(left_ds, right_ds, on: str, by: str, suffix: str = "_r",
             fidx = np.searchsorted(r_on, l_on, side="left")
             if direction == "backward":
                 idx, matched = bidx, bidx >= 0
+                if tolerance is not None:
+                    dist = l_on - r_on[np.maximum(bidx, 0)]
+                    matched = matched & (dist <= tolerance)
             elif direction == "forward":
                 matched = fidx < len(r_on)
                 idx = np.minimum(fidx, len(r_on) - 1)
+                if tolerance is not None:
+                    dist = r_on[idx] - l_on
+                    matched = matched & (dist <= tolerance)
             else:  # nearest: closer |diff| wins, exact tie -> backward
                 has_b = bidx >= 0
                 has_f = fidx < len(r_on)
@@ -295,6 +306,9 @@ def asof_join(left_ds, right_ds, on: str, by: str, suffix: str = "_r",
                 take_f = (~has_b & has_f) | (has_b & has_f & (diff_f < diff_b))
                 idx = np.where(take_f, fc, bc)
                 matched = has_b | has_f
+                if tolerance is not None:
+                    dist = np.where(take_f, diff_f, diff_b)
+                    matched = matched & (dist <= tolerance)
             r_cols = [c for c in rdf.columns if c != by]
             for c in r_cols:
                 name = c if c not in ldf.columns else f"{c}{suffix}"

@@ -2843,3 +2843,56 @@ def time_weighted_avg(ds, key: str = "user_id", ts_col: str = "ts",
         )
 
     return meta.groupby("k").map_groups(fold, batch_format="pandas", **remote_args())
+
+
+def rebase_to_first(ds, key: str = "user_id", ts_col: str = "ts",
+                    value_col: str = "value", value_scale: int = 100):
+    """Index a per-key series to its FIRST value (first = 100.0) — the
+    comparable-growth normalization for cohorts/tickers whose absolute
+    levels differ. Exactly SQL ``CAST(u AS DOUBLE) /
+    CAST(first_value(u) OVER (PARTITION BY key ORDER BY ts) AS DOUBLE)
+    * 100.0`` over exact integer units.
+
+    Same meta plan as time_weighted_avg: only ``(key, ts_us, u)`` cells
+    shuffle, each key folds sorted in its own worker. Timestamps must be
+    unique per key and the first unit non-zero (both loud). Returns a
+    Dataset of ``(key, ts_us, u, idx)``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def to_meta(batch: pa.Table) -> pa.Table:
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        if batch[value_col].null_count or np.isnan(v).any():
+            raise ValueError(f"{value_col!r} must be non-null for rebase_to_first")
+        u = np.floor(v * value_scale + 0.5).astype(np.int64)
+        t = batch[ts_col].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "k": batch[key].cast(pa.int64()),
+                "ts_us": pa.array(t, pa.int64()),
+                "u": pa.array(u, pa.int64()),
+            }
+        )
+
+    meta = ds.map_batches(to_meta, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    hundred = np.float64(100.0)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("ts_us", kind="mergesort").reset_index(drop=True)
+        t = df["ts_us"].to_numpy(dtype=np.int64)
+        u = df["u"].to_numpy(dtype=np.int64)
+        if len(t) > 1 and (np.diff(t) == 0).any():
+            raise ValueError(
+                f"rebase_to_first: duplicate {ts_col!r} within key {df['k'].iloc[0]!r}"
+            )
+        base = int(u[0])
+        if base == 0:
+            raise ValueError(f"rebase_to_first: first unit is 0 for key {df['k'].iloc[0]!r}")
+        # mirrored op-for-op by the SQL oracle: (u / first) * 100.0
+        idx = (u.astype(np.float64) / np.float64(base)) * hundred
+        return pd.DataFrame(
+            {key: df["k"].astype("int64"), "ts_us": t, "u": u, "idx": idx}
+        )
+
+    return meta.groupby("k").map_groups(fold, batch_format="pandas", **remote_args())

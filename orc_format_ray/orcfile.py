@@ -612,11 +612,21 @@ class OrcWriter:
         dictionary_ratio: float = 0.5,
         bloom_columns: list[str] | None = None,
         bloom_fpp: float = 0.05,
+        user_metadata: dict[str, bytes | str] | None = None,
     ):
         import os
 
         if compression not in _KIND_IDS:
             raise ValueError(f"unsupported ORC compression {compression!r}")
+        self.user_metadata: dict[str, bytes] = {}
+        for k, v in (user_metadata or {}).items():
+            if not isinstance(k, str):
+                raise ValueError(f"user_metadata names must be str, got {k!r}")
+            if isinstance(v, str):
+                v = v.encode("utf-8")
+            if not isinstance(v, (bytes, bytearray)):
+                raise ValueError(f"user_metadata values must be bytes/str, got {type(v)}")
+            self.user_metadata[k] = bytes(v)
         _flat_types(schema)  # validates every column type is ORC-mappable
         for name in bloom_columns or ():
             if name not in schema.names:
@@ -847,6 +857,9 @@ class OrcWriter:
             footer.msg(3, Msg().varint(1, offset).varint(2, ilen).varint(3, dlen).varint(4, flen).varint(5, rows))
         for tmsg in _flat_types(self.schema):
             footer.msg(4, tmsg)
+        # UserMetadataItem (spec Footer field 5) — writer-attached key/values
+        for name, value in self.user_metadata.items():
+            footer.msg(5, Msg().string(1, name).bytes_(2, value))
         footer.varint(6, self._num_rows)
         merged = (
             [stats_mod.merge_all([si[5][i] for si in stripe_infos]) for i in range(len(stripe_infos[0][5]))]
@@ -884,6 +897,7 @@ def write_orc(
     row_index_stride: int = 10_000,
     dictionary_ratio: float = 0.5,
     bloom_columns: list[str] | None = None,
+    user_metadata: dict[str, bytes | str] | None = None,
 ) -> dict:
     """Write a Table as a genuine ORC file (readable by pyarrow.orc / ORC
     C++/Java). ``stripe_rows`` forces a stripe cut every that many rows;
@@ -891,7 +905,7 @@ def write_orc(
     Returns {"num_rows", "file_bytes", "stripes"}."""
     n = tbl.num_rows
     stripe_rows = stripe_rows or max(n, 1)
-    w = OrcWriter(path, tbl.schema, compression, level, row_index_stride=row_index_stride, dictionary_ratio=dictionary_ratio, bloom_columns=bloom_columns)
+    w = OrcWriter(path, tbl.schema, compression, level, row_index_stride=row_index_stride, dictionary_ratio=dictionary_ratio, bloom_columns=bloom_columns, user_metadata=user_metadata)
     try:
         for lo in range(0, n, stripe_rows):  # 0-row table -> 0 stripes (reference stripe.rs:83)
             w.write_batch(tbl.slice(lo, min(stripe_rows, n - lo)))

@@ -1154,3 +1154,101 @@ def lake_zone_map(in_dir: str, column: str):
     for c in ("stripe", "n_rows", "min", "max"):
         out[c] = out[c].astype("int64")
     return out.sort_values(["path", "stripe"]).reset_index(drop=True)
+
+
+NDV_META_PREFIX = "ndv:"
+NDV_DEFAULT_CAP = 1024
+
+
+def ndv_meta(tbl, columns: list[str], cap: int = NDV_DEFAULT_CAP) -> dict[str, bytes]:
+    """Bounded distinct-value dictionaries for footer user metadata: for
+    each column, the sorted distinct values (JSON) while they fit ``cap``,
+    else an overflow marker. Attach at write time
+    (``write_orc(..., user_metadata=ndv_meta(tbl, [...]))``) and read
+    merged NDV statistics back from TAILS ONLY via ``lake_ndv`` — the
+    optimizer-grade cardinality stat ORC's own footer lacks. Low-
+    cardinality columns (languages, sources, categories) stay EXACT under
+    set-union across any number of files; high-cardinality columns degrade
+    loudly to a lower bound instead of a silent wrong answer.
+
+    Supported: string and integer columns (the dictionary must serialize
+    canonically; floats have no canonical JSON round-trip)."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    out: dict[str, bytes] = {}
+    for col in columns:
+        c = tbl[col]
+        t = c.type
+        if pa.types.is_integer(t):
+            vals = sorted(int(v) for v in pc.unique(c).to_pylist() if v is not None)
+        elif pa.types.is_string(t) or pa.types.is_large_string(t):
+            vals = sorted(v for v in pc.unique(c).to_pylist() if v is not None)
+        else:
+            raise ValueError(f"ndv_meta supports string/integer columns, {col!r} is {t}")
+        if len(vals) <= cap:
+            payload = {"exact": True, "values": vals}
+        else:
+            payload = {"exact": False, "n_seen": len(vals)}
+        out[NDV_META_PREFIX + col] = json.dumps(payload, separators=(",", ":")).encode()
+    return out
+
+
+def lake_ndv(in_dir: str, columns: list[str]):
+    """Merged distinct-value statistics for an ORC lake from TAILS ONLY:
+    one Ray task per file preads the footer user metadata (a few KiB),
+    ships the bounded dictionaries, and the driver set-unions them.
+    Returns a DataFrame ``(col, n_files, exact, ndv)`` — ``exact=1`` only
+    when EVERY file carries an exact dictionary for the column (``ndv`` is
+    then the true count(DISTINCT)); otherwise ``exact=0`` and ``ndv`` is
+    the lower bound from the dictionaries that exist."""
+    import glob
+    import json
+
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from ._rayutil import remote_args
+    from .orcread import read_orc_user_metadata
+
+    paths = sorted(glob.glob(os.path.join(in_dir, "**", "*.orc"), recursive=True))
+    if not paths:
+        raise FileNotFoundError(f"no .orc files under {in_dir}")
+
+    def tails(batch: pa.Table) -> pa.Table:
+        rows = []
+        for p in batch["path"].to_pylist():
+            um = read_orc_user_metadata(p)
+            for col in columns:
+                raw = um.get(NDV_META_PREFIX + col)
+                rows.append(
+                    {"path": p, "col": col, "payload": "" if raw is None else raw.decode()}
+                )
+        return pa.Table.from_pylist(rows)
+
+    cells = (
+        ray.data.from_items([{"path": p} for p in paths])
+        .map_batches(tails, batch_format="pyarrow", **remote_args())
+        .to_pandas()
+    )
+    rows = []
+    for col in columns:
+        sub = cells[cells["col"] == col]
+        exact = len(sub) == len(paths)
+        seen: set = set()
+        floor = 0  # best single-file lower bound when dictionaries overflowed
+        for payload in sub["payload"]:
+            if not payload:
+                exact = False
+                continue
+            d = json.loads(payload)
+            if d.get("exact"):
+                seen.update(d["values"])
+            else:
+                exact = False
+                floor = max(floor, int(d.get("n_seen", 0)))
+        rows.append((col, len(paths), int(exact), max(len(seen), floor)))
+    return pd.DataFrame(rows, columns=["col", "n_files", "exact", "ndv"])

@@ -395,6 +395,11 @@ def _parse_tail(src: _Source):
                 tf.get(6, [0])[0],
             )
         )
+    user_meta = {}
+    for item in f.get(5, []):  # repeated UserMetadataItem {name=1, value=2}
+        mf = _fields(item)
+        if 1 in mf:
+            user_meta[mf[1][0].decode()] = mf.get(2, [b""])[0]
     return {
         "compression": comp,
         "stripes": stripes,
@@ -402,7 +407,16 @@ def _parse_tail(src: _Source):
         "num_rows": f.get(6, [0])[0],
         "meta_len": meta_len,
         "row_index_stride": f.get(8, [0])[0],
+        "user_metadata": user_meta,
     }
+
+
+def read_orc_user_metadata(path_or_bytes) -> dict[str, bytes]:
+    """Footer UserMetadataItem pairs (name -> bytes) from the TAIL only —
+    the inspect-without-reading API for writer-attached annotations
+    (NDV dictionaries, provenance tags). Empty dict when none."""
+    with _Source(path_or_bytes) as src:
+        return _parse_tail(src)["user_metadata"]
 
 
 # ------------------------------------------------------------- stream decode

@@ -1,0 +1,192 @@
+"""Session-14 wave B: ORC footer user metadata (spec Footer field 5),
+tail-only NDV dictionaries, as-of join tolerance, rebase-to-first index."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from orc_format_ray.orcfile import write_orc
+
+# ------------------------------------------------------------- user metadata
+
+
+def test_user_metadata_roundtrip_both_readers(tmp_path):
+    from orc_format_ray.orcread import read_orc_native, read_orc_user_metadata
+
+    t = pa.table({"a": pa.array([1, 2, 3], pa.int64())})
+    p = str(tmp_path / "um.orc")
+    write_orc(t, p, user_metadata={"engine": "x", "blob": b"\x00\xff", "s": "café"})
+    um = read_orc_user_metadata(p)
+    assert um == {"engine": b"x", "blob": b"\x00\xff", "s": "café".encode()}
+    assert read_orc_native(p).equals(t)
+    # ORC C++ (pyarrow) sees the same keys — conformance
+    import pyarrow.orc as po
+
+    f = po.ORCFile(p)
+    assert f.metadata[b"engine"] == b"x"
+    assert f.read().equals(t)
+
+
+def test_user_metadata_absent_is_empty_and_validated(tmp_path):
+    from orc_format_ray.orcread import read_orc_user_metadata
+
+    t = pa.table({"a": pa.array([1], pa.int64())})
+    p = str(tmp_path / "plain.orc")
+    write_orc(t, p)
+    assert read_orc_user_metadata(p) == {}
+    with pytest.raises(ValueError, match="user_metadata"):
+        write_orc(t, str(tmp_path / "bad.orc"), user_metadata={"k": 3})
+
+
+# ---------------------------------------------------------------- ndv / lake
+
+
+def test_ndv_meta_exact_and_overflow(tmp_path):
+    from orc_format_ray.orcmerge import ndv_meta
+
+    import json
+
+    t = pa.table(
+        {
+            "g": pa.array(["a", "b", "a", None]),
+            "k": pa.array([7, 7, 8, 9], pa.int64()),
+        }
+    )
+    m = ndv_meta(t, ["g", "k"], cap=10)
+    assert json.loads(m["ndv:g"]) == {"exact": True, "values": ["a", "b"]}  # nulls excluded
+    assert json.loads(m["ndv:k"]) == {"exact": True, "values": [7, 8, 9]}
+    big = pa.table({"k": pa.array(np.arange(50), pa.int64())})
+    assert json.loads(ndv_meta(big, ["k"], cap=10)["ndv:k"]) == {"exact": False, "n_seen": 50}
+    with pytest.raises(ValueError, match="string/integer"):
+        ndv_meta(pa.table({"f": pa.array([1.5])}), ["f"])
+
+
+def test_lake_ndv_merges_and_degrades_loudly(tmp_path, ray_session):
+    from orc_format_ray.orcmerge import lake_ndv, ndv_meta
+
+    lake = str(tmp_path / "lake")
+    os.makedirs(lake)
+    t1 = pa.table({"g": pa.array(["a", "b"]), "i": pa.array([1, 2], pa.int64())})
+    t2 = pa.table({"g": pa.array(["b", "c"]), "i": pa.array([2, 3], pa.int64())})
+    write_orc(t1, f"{lake}/1.orc", user_metadata=ndv_meta(t1, ["g"]))
+    write_orc(t2, f"{lake}/2.orc", user_metadata=ndv_meta(t2, ["g"]))
+    out = lake_ndv(lake, ["g", "i"]).set_index("col")
+    assert out.loc["g", "exact"] == 1 and out.loc["g", "ndv"] == 3
+    # no dictionaries written for i -> inexact, bound 0
+    assert out.loc["i", "exact"] == 0
+
+
+def test_lake_ndv_overflow_keeps_best_lower_bound(tmp_path, ray_session):
+    from orc_format_ray.orcmerge import lake_ndv, ndv_meta
+
+    lake = str(tmp_path / "lake")
+    os.makedirs(lake)
+    big = pa.table({"k": pa.array(np.arange(100), pa.int64())})
+    small = pa.table({"k": pa.array([1, 2], pa.int64())})
+    write_orc(big, f"{lake}/big.orc", user_metadata=ndv_meta(big, ["k"], cap=10))
+    write_orc(small, f"{lake}/small.orc", user_metadata=ndv_meta(small, ["k"], cap=10))
+    out = lake_ndv(lake, ["k"]).set_index("col")
+    assert out.loc["k", "exact"] == 0
+    assert out.loc["k", "ndv"] == 100  # the overflowed file's n_seen floor wins
+
+
+# ------------------------------------------------------------ asof tolerance
+
+
+def test_asof_tolerance_matches_pandas_merge_asof(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.join import asof_join
+
+    rng = np.random.default_rng(9)
+    left = pd.DataFrame(
+        {
+            "by": rng.integers(0, 4, 80),
+            "on": np.sort(rng.choice(10_000, 80, replace=False)).astype(np.int64),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "by": rng.integers(0, 4, 40),
+            "on": np.sort(rng.choice(10_000, 40, replace=False)).astype(np.int64),
+            "val": np.arange(40, dtype=np.int64),
+        }
+    )
+    for direction in ["backward", "forward", "nearest"]:
+        got = (
+            asof_join(
+                ray.data.from_pandas(left).repartition(3),
+                ray.data.from_pandas(right).repartition(2),
+                on="on", by="by", right_value_cols=["on", "val"],
+                direction=direction, tolerance=500,
+            )
+            .to_pandas()
+            .sort_values(["by", "on"])
+            .reset_index(drop=True)
+        )
+        want = pd.merge_asof(
+            left.sort_values("on"), right.sort_values("on"),
+            on="on", by="by", direction=direction, tolerance=500,
+            suffixes=("", "_r"),
+        ).sort_values(["by", "on"]).reset_index(drop=True)
+        assert got["val"].fillna(-1).tolist() == want["val"].fillna(-1).tolist(), direction
+
+
+def test_asof_without_tolerance_unchanged(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.join import asof_join
+
+    left = pd.DataFrame({"by": [1, 1], "on": np.array([100, 200], dtype=np.int64)})
+    right = pd.DataFrame(
+        {"by": [1], "on": np.array([5], dtype=np.int64), "val": np.array([7], dtype=np.int64)}
+    )
+    got = asof_join(
+        ray.data.from_pandas(left), ray.data.from_pandas(right),
+        on="on", by="by", right_value_cols=["on", "val"],
+    ).to_pandas()
+    assert got["val"].tolist() == [7, 7]  # far matches stay without tolerance
+
+
+# ------------------------------------------------------------ rebase_to_first
+
+
+def test_rebase_to_first_hand_computation(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.windows import rebase_to_first
+
+    df = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 2, 2],
+            "ts": pd.to_datetime([3, 1, 2, 10, 11], unit="us"),
+            "v": [3.0, 2.0, 4.0, 5.0, 2.5],
+        }
+    )
+    got = (
+        rebase_to_first(ray.data.from_pandas(df).repartition(2), "k", "ts", "v")
+        .to_pandas()
+        .sort_values(["k", "ts_us"])
+        .reset_index(drop=True)
+    )
+    # key 1 first (by ts) is v=2.0 -> 100, 200, 150; key 2: 100, 50
+    assert got["idx"].tolist() == [100.0, 200.0, 150.0, 100.0, 50.0]
+    assert got["u"].tolist() == [200, 400, 300, 500, 250]
+
+
+def test_rebase_to_first_guards(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.windows import rebase_to_first
+
+    dup = pd.DataFrame(
+        {"k": [1, 1], "ts": pd.to_datetime([5, 5], unit="us"), "v": [1.0, 2.0]}
+    )
+    with pytest.raises(Exception, match="duplicate"):
+        rebase_to_first(ray.data.from_pandas(dup), "k", "ts", "v").to_pandas()
+    zero = pd.DataFrame({"k": [1], "ts": pd.to_datetime([5], unit="us"), "v": [0.0]})
+    with pytest.raises(Exception, match="first unit is 0"):
+        rebase_to_first(ray.data.from_pandas(zero), "k", "ts", "v").to_pandas()
