@@ -6310,6 +6310,53 @@ def _q_rebase_index_events(sf_dir: str):
 
 
 
+
+def _q_orc_struct_projection(sf_dir: str):
+    """Nested projection pushdown (orcread.py:_read_orc_src): plant an ORC
+    file whose documents row is a struct<lang, source, n_chars> next to a
+    heavy text column, then read ONLY doc_id + s.lang + s.n_chars — the
+    text stream never leaves disk and the pruned struct type is asserted
+    loudly; the aggregate matches plain SQL over documents."""
+    import shutil
+
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from orc_format_ray.orcfile import write_orc
+    from orc_format_ray.orcread import read_orc_native
+
+    scratch = _scratch(sf_dir, "structproj")
+    shutil.rmtree(scratch, ignore_errors=True)
+    os.makedirs(scratch, exist_ok=True)
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    tbl = _table(ds).sort_by("doc_id")
+    st = pa.StructArray.from_arrays(
+        [tbl["lang"].combine_chunks(), tbl["source"].combine_chunks(),
+         tbl["n_chars"].combine_chunks()],
+        names=["lang", "source", "n_chars"],
+    )
+    planted = pa.table({"doc_id": tbl["doc_id"], "s": st, "text": tbl["text"]})
+    path = os.path.join(scratch, "d.orc")
+    write_orc(planted, path, stripe_rows=2000)
+
+    got = read_orc_native(path, columns=["doc_id", "s.lang", "s.n_chars"])
+    if got["s"].type != pa.struct([("lang", pa.string()), ("n_chars", pa.int64())]):
+        raise AssertionError(f"struct not pruned: {got['s'].type}")
+    sc = got["s"].combine_chunks()
+    df = pd.DataFrame(
+        {
+            "lang": sc.field("lang").to_pylist(),
+            "n_chars": sc.field("n_chars").to_numpy(zero_copy_only=False),
+        }
+    )
+    out = df.groupby("lang", as_index=False).agg(n=("n_chars", "size"), sum_nchars=("n_chars", "sum"))
+    out["n"] = out["n"].astype("int64")
+    out["sum_nchars"] = out["sum_nchars"].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
     # (VERDICT r3 "What's wrong" #2), so the window below is curated for
@@ -6612,6 +6659,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lake_ndv_documents": _q_lake_ndv_documents,
         "asof_tolerance_events": _q_asof_tolerance_events,
         "rebase_index_events": _q_rebase_index_events,
+        "orc_struct_projection": _q_orc_struct_projection,
     }
 
 
@@ -8852,5 +8900,9 @@ def oracle_sql() -> dict[str, str]:
             "CAST(floor(value*100 + 0.5) AS BIGINT)) OVER "
             "(PARTITION BY user_id ORDER BY ts) AS DOUBLE) * 100.0 AS idx "
             "FROM events ORDER BY user_id, ts_us"
+        ),
+        "orc_struct_projection": (
+            "SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_nchars "
+            "FROM documents GROUP BY lang ORDER BY lang"
         ),
     }

@@ -599,6 +599,13 @@ def _parse_stripe_footer(src: _Source, si: dict, comp: str):
 def read_orc_native(path_or_bytes, columns: list[str] | None = None, row_groups: list[int] | None = None) -> pa.Table:
     """Read a real ORC file with this repo's own parser + codec kernels.
 
+    ``columns`` prunes at the BYTE level: only projected columns' streams
+    are pread + decompressed. A ``"parent.child"`` entry projects INSIDE a
+    top-level struct (one level): the returned struct carries only the
+    selected children, and the unselected children's streams never leave
+    disk. ``"parent"`` alongside wins (full struct); unknown children are
+    loud.
+
     ``row_groups`` selects file-global row groups (``rowIndexStride`` rows
     each, per the footer) and decodes ONLY those: stripes without a selected
     group are skipped entirely, and within a stripe each stream is sliced at
@@ -619,8 +626,27 @@ def _read_orc_src(src: _Source, columns: list[str] | None, row_groups: list[int]
     # subtree span per top-level field (pre-order ids): [sub_i, next_sub)
     spans = list(root.subtypes) + [len(types)]
     wanted = list(range(len(root.field_names)))
+    nested: dict[str, set[str]] = {}  # top-level struct name -> child names
     if columns is not None:
-        wanted = [i for i, nm in enumerate(root.field_names) if nm in columns]
+        flat_cols = set()
+        for c in columns:
+            if "." in c:
+                top, child = c.split(".", 1)
+                if "." in child:
+                    raise NotImplementedError(
+                        f"struct projection supports one level ('a.b'), got {c!r}"
+                    )
+                nested.setdefault(top, set()).add(child)
+            else:
+                flat_cols.add(c)
+        for t_ in list(nested):  # a full 'a' selection wins over 'a.b'
+            if t_ in flat_cols:
+                nested.pop(t_)
+        wanted = [
+            i for i, nm in enumerate(root.field_names) if nm in flat_cols or nm in nested
+        ]
+        if nested and row_groups is not None:
+            raise NotImplementedError("struct projection with row_groups is not supported")
         if not wanted:
             # none of the projected columns exist in THIS file (schema
             # evolution): the row count must survive so evolve_table can
@@ -636,6 +662,38 @@ def _read_orc_src(src: _Source, columns: list[str] | None, row_groups: list[int]
     if row_groups is not None:
         return _read_row_groups(src, tail, wanted, spans, row_groups)
 
+    # needed col-id set (projection pushdown): only these columns' streams
+    # are ever pread + deframed. A nested 'a.b' selection prunes the struct
+    # to its PRESENT stream + the selected children's subtrees, expressed
+    # as a pruned _Type copy — the decoder itself stays projection-blind.
+    dec_types = types
+    want_ids: set[int] = set()
+    for i in wanted:
+        sel = nested.get(root.field_names[i])
+        st = types[spans[i]]
+        if sel is None or st.kind != "STRUCT":
+            if sel is not None:
+                raise ValueError(
+                    f"column {root.field_names[i]!r} is {st.kind}, not STRUCT — "
+                    "dotted projection needs a struct"
+                )
+            want_ids.update(range(spans[i], spans[i + 1]))
+            continue
+        missing = sel - set(st.field_names)
+        if missing:
+            raise KeyError(f"struct {root.field_names[i]!r} has no children {sorted(missing)}")
+        child_spans = list(st.subtypes) + [spans[i + 1]]
+        keep_ids, keep_names = [], []
+        for j, nm in enumerate(st.field_names):
+            if nm in sel:
+                keep_ids.append(st.subtypes[j])
+                keep_names.append(nm)
+                want_ids.update(range(child_spans[j], child_spans[j + 1]))
+        want_ids.add(spans[i])  # the struct's own PRESENT stream
+        if dec_types is types:
+            dec_types = list(types)
+        dec_types[spans[i]] = _Type("STRUCT", keep_ids, keep_names, 0, 0)
+
     stripes = tail["stripes"] if stripe_idxs is None else [tail["stripes"][i] for i in stripe_idxs]
     per_stripe_arrays: list[list[pa.Array]] = []
     for si in stripes:
@@ -647,11 +705,12 @@ def _read_orc_src(src: _Source, columns: list[str] | None, row_groups: list[int]
             # (4 DICTIONARY_COUNT / 6 ROW_INDEX / 7 BLOOM_FILTER / 8+ are
             # skipped — deframing them would be wasted work, and a kind-7
             # stream must never alias into the dict keyed by kind.)
-            if kind in (0, 1, 2, 3, 5):
+            # Only projected columns' streams are fetched at all.
+            if kind in (0, 1, 2, 3, 5) and col in want_ids:
                 streams.setdefault(col, {})[kind] = _deframe(src.read(pos, ln), comp)
         arrays = []
         for i in wanted:
-            arr, _ = _decode_column(spans[i], types, streams, encodings, si["num_rows"])
+            arr, _ = _decode_column(spans[i], dec_types, streams, encodings, si["num_rows"])
             arrays.append(arr)
         per_stripe_arrays.append(arrays)
 
@@ -660,7 +719,7 @@ def _read_orc_src(src: _Source, columns: list[str] | None, row_groups: list[int]
         # 0-stripe file: build empty arrays of the schema's types
         empties = []
         for i in wanted:
-            arr, _ = _decode_column(spans[i], types, {}, [(0, 0)] * len(types), 0)
+            arr, _ = _decode_column(spans[i], dec_types, {}, [(0, 0)] * len(types), 0)
             empties.append(arr)
         return pa.table(empties, names=names)
     cols = [

@@ -671,3 +671,84 @@ def test_corrupt_file_rejection(tmp_path):
     del noms[j : j + len(tag)]
     noms[-1] = data[-1] - len(tag)
     expect_raise(bytes(noms), "no_magic_anywhere")
+
+
+# ------------------------------------------------- struct / stream projection
+
+
+def test_projection_prunes_stream_bytes_and_struct_children(tmp_path):
+    """Projection pushdown is BYTE-level: unprojected columns' streams are
+    never pread; a dotted 'parent.child' selection prunes inside a struct
+    (pruned output type, untouched sibling streams)."""
+    import numpy as np
+
+    from orc_format_ray import orcread
+    from orc_format_ray.orcfile import write_orc
+    from orc_format_ray.orcread import read_orc_native
+
+    rng = np.random.default_rng(2)
+    n = 3000
+    payload = ["".join(chr(97 + c) for c in rng.integers(0, 26, 120)) for _ in range(n)]
+    t = pa.table(
+        {
+            "id": pa.array(np.arange(n), pa.int64()),
+            "s": pa.StructArray.from_arrays(
+                [
+                    pa.array(rng.integers(0, 9, n), pa.int64()),
+                    pa.array(rng.normal(size=n)),
+                ],
+                names=["x", "score"],
+            ),
+            "payload": pa.array(payload),
+        }
+    )
+    p = str(tmp_path / "sp.orc")
+    write_orc(t, p, stripe_rows=1500)
+
+    reads = {"n": 0}
+    orig = orcread._Source.read
+
+    def spy(self, off, ln):
+        reads["n"] += ln
+        return orig(self, off, ln)
+
+    orcread._Source.read = spy
+    try:
+        reads["n"] = 0
+        got = read_orc_native(p, columns=["id", "s.x"])
+        b_proj = reads["n"]
+        reads["n"] = 0
+        full = read_orc_native(p)
+        b_full = reads["n"]
+    finally:
+        orcread._Source.read = orig
+
+    assert full.equals(t)
+    assert got.column_names == ["id", "s"]
+    assert got["s"].type == pa.struct([("x", pa.int64())])
+    assert got["s"].combine_chunks().field("x").to_pylist() == t["s"].combine_chunks().field("x").to_pylist()
+    tail = 64 * 1024 + 3  # fixed tail pread + header magic
+    assert (b_proj - tail) < (b_full - tail) / 5
+
+
+def test_struct_projection_error_paths(tmp_path):
+    from orc_format_ray.orcfile import write_orc
+    from orc_format_ray.orcread import read_orc_native
+
+    t = pa.table(
+        {
+            "id": pa.array([1, 2], pa.int64()),
+            "s": pa.StructArray.from_arrays([pa.array([1, 2], pa.int64())], names=["x"]),
+        }
+    )
+    p = str(tmp_path / "err.orc")
+    write_orc(t, p)
+    with pytest.raises(KeyError, match="no children"):
+        read_orc_native(p, columns=["s.nope"])
+    with pytest.raises(ValueError, match="not STRUCT"):
+        read_orc_native(p, columns=["id.x"])
+    with pytest.raises(NotImplementedError, match="one level"):
+        read_orc_native(p, columns=["s.a.b"])
+    # full selection wins over nested; nulls in the struct survive pruning
+    both = read_orc_native(p, columns=["s", "s.x"])
+    assert both["s"].type == t["s"].type
