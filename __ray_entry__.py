@@ -6357,6 +6357,53 @@ def _q_orc_struct_projection(sf_dir: str):
 
 
 
+
+def _q_merge_join_lakes(sf_dir: str):
+    """Shuffle-free stats-planned join (ops/mergejoin.py): plant orders (4
+    files) and lineitem (6 files) as key-clustered ORC lakes, co-partition
+    the orderkey space from footer TAILS only, join per range, and
+    aggregate exact cents per priority. The plan's clustering quality is
+    asserted loudly (clustered lakes must stay O(1) files per range)."""
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from orc_format_ray.orcfile import write_orc
+    from orc_format_ray.ops.mergejoin import sorted_merge_join
+
+    for name, key, nf in [("orders", "o_orderkey", 4), ("lineitem", "l_orderkey", 6)]:
+        d = _scratch(sf_dir, f"mj_{name}")
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+        ds = ray.data.read_parquet(f"{sf_dir}/{name}.parquet")
+        tbl = _table(ds).sort_by(key)
+        step = (tbl.num_rows + nf - 1) // nf
+        for i in range(nf):
+            part = tbl.slice(i * step, step)
+            if part.num_rows:
+                write_orc(part, os.path.join(d, f"p{i}.orc"), stripe_rows=2000)
+
+    la, lb = _scratch(sf_dir, "mj_orders"), _scratch(sf_dir, "mj_lineitem")
+    plan = sorted_merge_join(la, lb, "o_orderkey", "l_orderkey", plan_only=True)
+    if plan["avg_files_per_range"] > 6:
+        raise AssertionError(f"clustered plan degraded: {plan['avg_files_per_range']}")
+    out = sorted_merge_join(
+        la, lb, "o_orderkey", "l_orderkey",
+        columns_a=["o_orderpriority"], columns_b=["l_extendedprice"],
+    ).to_pandas()
+    cents = np.floor(out["l_extendedprice"].to_numpy() * 100 + 0.5).astype(np.int64)
+    out = out.assign(cents=cents)
+    g = out.groupby("o_orderpriority", as_index=False).agg(
+        n=("o_orderkey", "size"), sum_cents=("cents", "sum")
+    )
+    g["n"] = g["n"].astype("int64")
+    g["sum_cents"] = g["sum_cents"].astype("int64")
+    return g.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
     # (VERDICT r3 "What's wrong" #2), so the window below is curated for
@@ -6660,6 +6707,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_tolerance_events": _q_asof_tolerance_events,
         "rebase_index_events": _q_rebase_index_events,
         "orc_struct_projection": _q_orc_struct_projection,
+        "merge_join_lakes": _q_merge_join_lakes,
     }
 
 
@@ -8904,5 +8952,11 @@ def oracle_sql() -> dict[str, str]:
         "orc_struct_projection": (
             "SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_nchars "
             "FROM documents GROUP BY lang ORDER BY lang"
+        ),
+        "merge_join_lakes": (
+            "SELECT o_orderpriority, count(*) AS n, "
+            "CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents "
+            "FROM orders JOIN lineitem ON l_orderkey = o_orderkey "
+            "GROUP BY o_orderpriority ORDER BY o_orderpriority"
         ),
     }
