@@ -6404,6 +6404,34 @@ def _q_merge_join_lakes(sf_dir: str):
 
 
 
+
+def _q_personalized_pagerank_suppliers(sf_dir: str):
+    """Seeded-restart PageRank (2 iterations, seeds = suppliers {1, 2})
+    over the supplier -> part bipartite graph
+    (ops/graph.py:personalized_pagerank) — restart mass lands only on the
+    seeds; integer floor-div end to end, mirrored by the unrolled CTE
+    chain (the pagerank rule)."""
+    import pyarrow.compute as _pc
+    import ray.data
+
+    from orc_format_ray.ops.graph import personalized_pagerank
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_partkey"])
+
+    def edges(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": b["l_suppkey"].cast(pa.int64()),
+                "dst": _pc.add(b["l_partkey"].cast(pa.int64()), pa.scalar(1_000_000, pa.int64())),
+            }
+        )
+
+    e = ds.map_batches(edges, batch_format="pyarrow", zero_copy_batch=True, **_ra())
+    df = personalized_pagerank(e, seeds=[1, 2], iterations=2)
+    return df.sort_values("node").reset_index(drop=True)
+
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
     # (VERDICT r3 "What's wrong" #2), so the window below is curated for
@@ -6708,6 +6736,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rebase_index_events": _q_rebase_index_events,
         "orc_struct_projection": _q_orc_struct_projection,
         "merge_join_lakes": _q_merge_join_lakes,
+        "personalized_pagerank_suppliers": _q_personalized_pagerank_suppliers,
     }
 
 
@@ -8958,5 +8987,23 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents "
             "FROM orders JOIN lineitem ON l_orderkey = o_orderkey "
             "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+        ),
+        # integer floor-div mirror of personalized_pagerank, 2 unrolled
+        # iterations, restart mass only on seeds (1, 2)
+        "personalized_pagerank_suppliers": (
+            "WITH e AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s, "
+            "CAST(l_partkey + 1000000 AS BIGINT) AS d FROM lineitem), "
+            "n AS (SELECT s AS id FROM e UNION SELECT d FROM e), "
+            "dg AS (SELECT s, count(*) AS deg FROM e GROUP BY s), "
+            "r0 AS (SELECT id, CASE WHEN id IN (1, 2) THEN 1000000000000 // 2 ELSE 0 END AS r FROM n), "
+            "s1 AS (SELECT e.d, CAST(sum((850 * r0.r) // (1000 * dg.deg)) AS BIGINT) AS cc "
+            "FROM e JOIN r0 ON e.s = r0.id JOIN dg ON e.s = dg.s GROUP BY e.d), "
+            "r1 AS (SELECT n.id, CASE WHEN n.id IN (1, 2) THEN (150 * 1000000000000) // (1000 * 2) ELSE 0 END "
+            "+ coalesce(s1.cc, 0) AS r FROM n LEFT JOIN s1 ON n.id = s1.d), "
+            "s2 AS (SELECT e.d, CAST(sum((850 * r1.r) // (1000 * dg.deg)) AS BIGINT) AS cc "
+            "FROM e JOIN r1 ON e.s = r1.id JOIN dg ON e.s = dg.s GROUP BY e.d), "
+            "r2 AS (SELECT n.id, CASE WHEN n.id IN (1, 2) THEN (150 * 1000000000000) // (1000 * 2) ELSE 0 END "
+            "+ coalesce(s2.cc, 0) AS r FROM n LEFT JOIN s2 ON n.id = s2.d) "
+            "SELECT id AS node, CAST(r AS BIGINT) AS rank_units FROM r2 ORDER BY node"
         ),
     }

@@ -548,3 +548,103 @@ def cheapest_path(edges_ds, seeds, src: str = "src", dst: str = "dst",
     nodes = np.array(sorted(dist), dtype=np.int64)
     return pd.DataFrame({"node": nodes,
                          "min_cost": np.array([dist[int(n)] for n in nodes], dtype=np.int64)})
+
+
+def personalized_pagerank(edges_ds, seeds, src: str = "src", dst: str = "dst",
+                          iterations: int = 2, scale: int = 10**12,
+                          damping_num: int = 850, damping_den: int = 1000,
+                          max_broadcast_nodes: int = 1 << 24):
+    """Personalized (seeded-restart) PageRank: the random walk TELEPORTS
+    back to the seed set instead of the whole graph — the
+    similar-items / local-importance variant recommendation systems run.
+    Same exact-integer contract as ``pagerank`` (every step is int64
+    multiply + floor-div, mirrored by an unrolled SQL CTE chain): the
+    initial mass ``scale // len(seeds)`` and the per-iteration restart
+    ``((den-num)*scale) // (den*len(seeds))`` land ONLY on seeds.
+
+    Seeds must exist in the edge-derived node universe (loud — a typo'd
+    seed would silently drain its mass). Rank vector is driver-resident
+    (the pagerank rule); contributions flow through one metadata groupby
+    per iteration. Returns ``(node, rank_units)`` sorted by node.
+    """
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    if iterations < 0:
+        raise ValueError(f"iterations must be >= 0, got {iterations}")
+    seed_ids = np.unique(np.asarray(list(seeds), dtype=np.int64))
+    if seed_ids.size == 0:
+        raise ValueError("personalized_pagerank needs at least one seed")
+
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"s": batch[src].cast(pa.int64()), "d": batch[dst].cast(pa.int64())}
+        )
+        if t["s"].null_count or t["d"].null_count:
+            raise ValueError("edge endpoints must be non-null")
+        return t.group_by(["s", "d"]).aggregate([])
+
+    cells = edges_ds.map_batches(
+        local_distinct, batch_format="pyarrow", zero_copy_batch=True, **remote_args()
+    )
+    edges = (
+        cells.groupby(["s", "d"]).aggregate(Count(alias_name="__pr_c__")).select_columns(["s", "d"])
+    ).materialize()
+
+    ends = edges.map_batches(
+        lambda b: pa.table({"id": pa.concat_arrays([b["s"].combine_chunks(), b["d"].combine_chunks()]).unique()}),
+        batch_format="pyarrow", zero_copy_batch=True, **remote_args(),
+    )
+    node_df = ends.groupby("id").aggregate(Count(alias_name="__pr_n__")).select_columns(["id"]).to_pandas()
+    import pandas as pd
+
+    if node_df.empty:
+        return pd.DataFrame({"node": pd.Series([], dtype="int64"), "rank_units": pd.Series([], dtype="int64")})
+    node_ids = np.sort(node_df["id"].to_numpy(dtype=np.int64))
+    n = len(node_ids)
+    if n > max_broadcast_nodes:
+        raise ValueError(f"{n} nodes exceed max_broadcast_nodes={max_broadcast_nodes}")
+    pos = np.searchsorted(node_ids, seed_ids)
+    if (pos >= n).any() or (node_ids[np.minimum(pos, n - 1)] != seed_ids).any():
+        missing = [int(x) for x in seed_ids if x not in set(node_ids.tolist())]
+        raise ValueError(f"seeds not in the graph: {missing}")
+
+    deg_df = edges.groupby("s").aggregate(Count(alias_name="deg")).to_pandas()
+    deg = np.zeros(n, dtype=np.int64)
+    deg[np.searchsorted(node_ids, deg_df["s"].to_numpy(dtype=np.int64))] = deg_df["deg"].to_numpy(dtype=np.int64)
+
+    k = int(seed_ids.size)
+    seed_base = ((damping_den - damping_num) * scale) // (damping_den * k)
+    ranks = np.zeros(n, dtype=np.int64)
+    ranks[pos] = scale // k
+    nodes_ref = ray.put(node_ids)
+    deg_ref = ray.put(deg)
+
+    for _ in range(iterations):
+        ranks_ref = ray.put(ranks)
+
+        def contribs(batch: pa.Table) -> pa.Table:
+            ids = ray.get(nodes_ref)
+            r = ray.get(ranks_ref)
+            dg = ray.get(deg_ref)
+            s = batch["s"].to_numpy(zero_copy_only=False)
+            d = batch["d"].to_numpy(zero_copy_only=False)
+            si = np.searchsorted(ids, s)
+            c = (damping_num * r[si]) // (damping_den * dg[si])
+            t = pa.table({"d": pa.array(d, pa.int64()), "c": pa.array(c, pa.int64())})
+            return t.group_by("d").aggregate([("c", "sum")]).rename_columns(["d", "c"])
+
+        sums = (
+            edges.map_batches(contribs, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+            .groupby("d")
+            .aggregate(Sum("c", alias_name="c"))
+            .to_pandas()
+        )
+        nxt = np.zeros(n, dtype=np.int64)
+        nxt[pos] = seed_base
+        if len(sums):
+            di = np.searchsorted(node_ids, sums["d"].to_numpy(dtype=np.int64))
+            nxt[di] += sums["c"].to_numpy(dtype=np.int64)
+        ranks = nxt
+
+    return pd.DataFrame({"node": node_ids, "rank_units": ranks})

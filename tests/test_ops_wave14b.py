@@ -190,3 +190,50 @@ def test_rebase_to_first_guards(ray_session):
     zero = pd.DataFrame({"k": [1], "ts": pd.to_datetime([5], unit="us"), "v": [0.0]})
     with pytest.raises(Exception, match="first unit is 0"):
         rebase_to_first(ray.data.from_pandas(zero), "k", "ts", "v").to_pandas()
+
+
+# ------------------------------------------------------ personalized pagerank
+
+
+def test_personalized_pagerank_hand_graph(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.graph import personalized_pagerank
+
+    T = 10**12
+    edges = pd.DataFrame({"src": [1, 2], "dst": [2, 3]})
+    got = personalized_pagerank(
+        ray.data.from_pandas(edges), seeds=[1], iterations=1
+    ).set_index("node")["rank_units"]
+    # init: all mass T on seed 1; one step: 1 -> 2 contributes (850*T)//1000
+    assert got[1] == (150 * T) // 1000
+    assert got[2] == (850 * T) // 1000
+    assert got[3] == 0
+
+
+def test_personalized_pagerank_rejects_unknown_seed(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.graph import personalized_pagerank
+
+    edges = pd.DataFrame({"src": [1], "dst": [2]})
+    with pytest.raises(ValueError, match="seeds not in the graph"):
+        personalized_pagerank(ray.data.from_pandas(edges), seeds=[99])
+
+
+def test_personalized_pagerank_mass_concentrates_near_seeds(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.graph import personalized_pagerank
+
+    rng = np.random.default_rng(8)
+    # two disconnected cliques; seeding one leaves the other at zero
+    a = [(i, j) for i in range(5) for j in range(5) if i != j]
+    b = [(i, j) for i in range(10, 15) for j in range(10, 15) if i != j]
+    edges = pd.DataFrame(a + b, columns=["src", "dst"])
+    got = personalized_pagerank(
+        ray.data.from_pandas(edges), seeds=[0, 1], iterations=3
+    )
+    other = got[got["node"] >= 10]["rank_units"]
+    assert (other == 0).all()
+    assert got[got["node"] < 5]["rank_units"].sum() > 0
