@@ -6432,6 +6432,25 @@ def _q_personalized_pagerank_suppliers(sf_dir: str):
 
 
 
+
+def _q_attribution_position_events(sf_dir: str):
+    """U-shaped multi-touch attribution (ops/paths.py:attribution_position):
+    each purchase splits 10,000 bp over its user's prior touches — 40/20/40
+    with the integer floor-div remainder folded into the FIRST touch; the
+    SQL mirror is the identical CASE over row_number/count windows. Exact
+    bp*cent products; one /1e6 division per channel."""
+    import ray.data
+
+    from orc_format_ray.ops.paths import attribution_position
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type", "value"]
+    )
+    out = attribution_position(ds).to_pandas()
+    return out.sort_values("channel").reset_index(drop=True)
+
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
     # (VERDICT r3 "What's wrong" #2), so the window below is curated for
@@ -6737,6 +6756,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orc_struct_projection": _q_orc_struct_projection,
         "merge_join_lakes": _q_merge_join_lakes,
         "personalized_pagerank_suppliers": _q_personalized_pagerank_suppliers,
+        "attribution_position_events": _q_attribution_position_events,
     }
 
 
@@ -9005,5 +9025,27 @@ def oracle_sql() -> dict[str, str]:
             "r2 AS (SELECT n.id, CASE WHEN n.id IN (1, 2) THEN (150 * 1000000000000) // (1000 * 2) ELSE 0 END "
             "+ coalesce(s2.cc, 0) AS r FROM n LEFT JOIN s2 ON n.id = s2.d) "
             "SELECT id AS node, CAST(r AS BIGINT) AS rank_units FROM r2 ORDER BY node"
+        ),
+        # the U-shape CASE mirrors attribution_position's integer rule
+        "attribution_position_events": (
+            "WITH t AS (SELECT user_id AS u, epoch_us(ts) AS tt, event_type AS ch "
+            "FROM events WHERE event_type <> 'purchase'), "
+            "c AS (SELECT user_id AS u, epoch_us(ts) AS ct, "
+            "CAST(floor(value*100 + 0.5) AS BIGINT) AS units, event_id AS cid "
+            "FROM events WHERE event_type = 'purchase'), "
+            "p AS (SELECT c.cid, c.units, t.ch, "
+            "row_number() OVER (PARTITION BY c.cid ORDER BY t.tt) AS rn, "
+            "count(*) OVER (PARTITION BY c.cid) AS k "
+            "FROM c JOIN t ON t.u = c.u AND t.tt <= c.ct), "
+            "cr AS (SELECT cid, units, ch, CASE "
+            "WHEN k = 1 THEN 10000 "
+            "WHEN k = 2 THEN 5000 "
+            "WHEN rn = 1 THEN 4000 + (2000 - (k-2) * (2000 // (k-2))) "
+            "WHEN rn = k THEN 4000 "
+            "ELSE 2000 // (k-2) END AS bp FROM p) "
+            "SELECT ch AS channel, count(*) AS n_credits, "
+            "CAST(sum(bp * units) AS BIGINT) AS units_bp, "
+            "CAST(CAST(sum(bp * units) AS BIGINT) AS DOUBLE) / 1000000.0 AS value_credit "
+            "FROM cr GROUP BY ch ORDER BY ch"
         ),
     }

@@ -268,3 +268,137 @@ def conversion_lag(ds, step_a: str, step_b: str, user_col: str = "user_id",
                         "tb_us": out["tb"].astype("int64"),
                         "lag_us": (out["tb"] - out["ta"]).astype("int64")})
     return out.sort_values(user_col).reset_index(drop=True)
+
+
+def attribution_position(
+    ds,
+    conversion_type: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    num_buckets: int = 64,
+):
+    """Position-based (U-shaped) attribution: every conversion splits
+    10,000 basis points across ALL of the user's touches at-or-before it —
+    first touch 40%, last touch 40%, middles share 20% — the
+    multi-touch model between the first/last extremes of ``attribution``.
+
+    Deterministic integer rule (mirrored by the SQL CASE — keep in sync):
+    k = 1 -> 10000; k = 2 -> 5000/5000; k >= 3 -> last 4000, middles
+    ``2000 // (k-2)`` each, first ``4000 + the floor-div remainder``.
+    Credits are exact ints; per-credit products ``bp * units`` stay
+    < 2^62 (bp <= 10^4, cent units guarded); value_credit is ONE double
+    division ``sum(bp*units) / 1000000.0`` per channel. Conversions with
+    no prior touch credit nothing (the SQL inner join drops them).
+
+    Same metadata/bucket plan and duplicate-(user, ts) touch guard as
+    ``attribution``. Returns a Dataset of ``(channel, n_credits,
+    units_bp, value_credit)``.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def to_meta(batch: pa.Table) -> pa.Table:
+        et = batch[type_col].combine_chunks()
+        u = batch[user_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ts = (
+            batch[ts_col].combine_chunks().cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        v = batch[value_col].combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)
+        is_conv = pc.equal(et, conversion_type).to_numpy(zero_copy_only=False)
+        units = np.where(is_conv, np.floor(v * 100.0 + 0.5).astype(np.int64), 0)
+        if np.abs(units).max(initial=0) >= 1 << 40:
+            raise ValueError("attribution_position: cent units exceed the bp-product guard")
+        bucket = ((u.view(np.uint64) * _KNUTH) % np.uint64(num_buckets)).astype(np.int64)
+        return pa.table(
+            {
+                "b": pa.array(bucket, pa.int64()),
+                "u": pa.array(u, pa.int64()),
+                "t": pa.array(ts, pa.int64()),
+                "conv": pa.array(is_conv),
+                "ch": et.cast(pa.string()),
+                "units": pa.array(units, pa.int64()),
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "ch": pd.Series(dtype=object),
+                "n": pd.Series(dtype="int64"),
+                "units_bp": pd.Series(dtype="int64"),
+            }
+        )
+        conv = g.loc[g["conv"], ["u", "t", "units"]].sort_values(["u", "t"], kind="stable")
+        tch = g.loc[~g["conv"], ["u", "t", "ch"]].sort_values(["u", "t"], kind="stable")
+        if conv.empty or tch.empty:
+            return empty
+        if tch.duplicated(["u", "t"]).any():
+            raise ValueError(
+                "attribution_position: duplicate (user, ts) among touch events — "
+                "tie-ambiguous; dedup or add a tiebreaker column first"
+            )
+        tu = tch["u"].to_numpy(np.int64)
+        tt = tch["t"].to_numpy(np.int64)
+        tc = tch["ch"].to_numpy(object)
+        cu = conv["u"].to_numpy(np.int64)
+        ct = conv["t"].to_numpy(np.int64)
+        cunits = conv["units"].to_numpy(np.int64)
+        starts = np.searchsorted(tu, cu, side="left")
+        ends = np.searchsorted(tu, cu, side="right")
+        idx_parts, bp_parts, unit_parts = [], [], []
+        for i in range(len(cu)):
+            s, e = int(starts[i]), int(ends[i])
+            k = s + int(np.searchsorted(tt[s:e], ct[i], side="right"))
+            k -= s
+            if k == 0:
+                continue
+            # the deterministic U-shape split — keep the SQL CASE in sync
+            if k == 1:
+                bps = np.array([10000], dtype=np.int64)
+            elif k == 2:
+                bps = np.array([5000, 5000], dtype=np.int64)
+            else:
+                mid = 2000 // (k - 2)
+                rem = 2000 - (k - 2) * mid
+                bps = np.full(k, mid, dtype=np.int64)
+                bps[0] = 4000 + rem
+                bps[-1] = 4000
+            idx_parts.append(np.arange(s, s + k))
+            bp_parts.append(bps)
+            unit_parts.append(np.full(k, cunits[i], dtype=np.int64))
+        if not idx_parts:
+            return empty
+        idx = np.concatenate(idx_parts)
+        bp = np.concatenate(bp_parts)
+        un = np.concatenate(unit_parts)
+        out = pd.DataFrame({"ch": tc[idx], "n": 1, "units_bp": bp * un})
+        r = out.groupby("ch", as_index=False).agg(n=("n", "sum"), units_bp=("units_bp", "sum"))
+        r["n"] = r["n"].astype("int64")
+        r["units_bp"] = r["units_bp"].astype("int64")
+        return r
+
+    meta = ds.select_columns([user_col, ts_col, type_col, value_col]).map_batches(
+        to_meta, batch_format="pyarrow", zero_copy_batch=True, **remote_args()
+    )
+    partials = meta.groupby("b").map_groups(fold, batch_format="pandas", **remote_args())
+    folded = partials.groupby("ch").aggregate(
+        Sum("n", alias_name="n_credits"), Sum("units_bp", alias_name="units_bp")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ub = batch["units_bp"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # ONE double division per channel (mirror sum(bp*units) / 1000000.0)
+        val = ub.astype(np.float64) / np.float64(1_000_000.0)
+        return pa.table(
+            {
+                "channel": batch["ch"].cast(pa.string()),
+                "n_credits": batch["n_credits"].combine_chunks().cast(pa.int64()),
+                "units_bp": pa.array(ub, pa.int64()),
+                "value_credit": pa.array(val, pa.float64()),
+            }
+        )
+
+    return folded.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True, **remote_args())

@@ -237,3 +237,69 @@ def test_personalized_pagerank_mass_concentrates_near_seeds(ray_session):
     other = got[got["node"] >= 10]["rank_units"]
     assert (other == 0).all()
     assert got[got["node"] < 5]["rank_units"].sum() > 0
+
+
+# -------------------------------------------------------- U-shaped attribution
+
+
+def test_attribution_position_hand_splits(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.paths import attribution_position
+
+    rows = []
+    # user 1: 5 touches a,b,c,d,e then one conversion of 2.00
+    for i, ch in enumerate(["a", "b", "c", "d", "e"]):
+        rows.append((1, i, ch, 0.0))
+    rows.append((1, 9, "purchase", 2.0))
+    # user 2: single touch f then conversion of 1.00 -> f gets all 10000
+    rows.append((2, 0, "f", 0.0))
+    rows.append((2, 5, "purchase", 1.0))
+    # user 3: conversion with NO prior touch -> dropped
+    rows.append((3, 0, "purchase", 9.0))
+    df = pd.DataFrame(rows, columns=["user_id", "ts_i", "event_type", "value"])
+    df["ts"] = pd.to_datetime(df["ts_i"], unit="us")
+    got = (
+        attribution_position(ray.data.from_pandas(df.drop(columns=["ts_i"])).repartition(3))
+        .to_pandas()
+        .set_index("channel")
+    )
+    # k=5: mid = 2000//3 = 666, rem = 2; first 4002, last 4000
+    assert got.loc["a", "units_bp"] == 4002 * 200
+    assert got.loc["b", "units_bp"] == 666 * 200
+    assert got.loc["c", "units_bp"] == 666 * 200
+    assert got.loc["d", "units_bp"] == 666 * 200
+    assert got.loc["e", "units_bp"] == 4000 * 200
+    assert got.loc["f", "units_bp"] == 10000 * 100
+    assert "purchase" not in got.index
+    assert got.loc["f", "value_credit"] == 1.0
+    # total credited bp*units conserves per conversion (k>=1 only)
+    assert got["units_bp"].sum() == 10000 * 200 + 10000 * 100
+
+
+def test_attribution_position_two_touch_split_and_guard(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.paths import attribution_position
+
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1],
+            "ts": pd.to_datetime([0, 1, 2], unit="us"),
+            "event_type": ["x", "y", "purchase"],
+            "value": [0.0, 0.0, 3.0],
+        }
+    )
+    got = attribution_position(ray.data.from_pandas(df)).to_pandas().set_index("channel")
+    assert got.loc["x", "units_bp"] == 5000 * 300
+    assert got.loc["y", "units_bp"] == 5000 * 300
+    dup = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1],
+            "ts": pd.to_datetime([0, 0, 2], unit="us"),
+            "event_type": ["x", "y", "purchase"],
+            "value": [0.0, 0.0, 3.0],
+        }
+    )
+    with pytest.raises(Exception, match="duplicate"):
+        attribution_position(ray.data.from_pandas(dup)).to_pandas()
