@@ -2896,3 +2896,73 @@ def rebase_to_first(ds, key: str = "user_id", ts_col: str = "ts",
         )
 
     return meta.groupby("k").map_groups(fold, batch_format="pandas", **remote_args())
+
+
+def pct_change_over(ds, key: str = "user_id", ts_col: str = "ts",
+                    value_col: str = "value", value_scale: int = 100):
+    """Per-key percent change between consecutive observations — exactly
+    SQL ``(CAST(u AS DOUBLE) / CAST(lag(u) OVER w AS DOUBLE) - 1.0) *
+    100.0`` over exact integer units; each key's FIRST row emits no output
+    (lag is null). Same (key, ts_us, u) meta-cell plan and unique-(key,
+    ts) guard as rebase_to_first; zero previous units raise loudly (the
+    SQL division would be inf/NaN — hash-fragile). Returns a Dataset of
+    ``(key, ts_us, u, prev_u, pct)``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def to_meta(batch: pa.Table) -> pa.Table:
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        if batch[value_col].null_count or np.isnan(v).any():
+            raise ValueError(f"{value_col!r} must be non-null for pct_change_over")
+        u = np.floor(v * value_scale + 0.5).astype(np.int64)
+        t = batch[ts_col].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "k": batch[key].cast(pa.int64()),
+                "ts_us": pa.array(t, pa.int64()),
+                "u": pa.array(u, pa.int64()),
+            }
+        )
+
+    meta = ds.map_batches(to_meta, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    hundred = np.float64(100.0)
+    one = np.float64(1.0)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("ts_us", kind="mergesort").reset_index(drop=True)
+        t = df["ts_us"].to_numpy(dtype=np.int64)
+        u = df["u"].to_numpy(dtype=np.int64)
+        if len(t) > 1 and (np.diff(t) == 0).any():
+            raise ValueError(
+                f"pct_change_over: duplicate {ts_col!r} within key {df['k'].iloc[0]!r}"
+            )
+        if len(t) < 2:
+            return pd.DataFrame(
+                {
+                    key: pd.Series([], dtype="int64"),
+                    "ts_us": pd.Series([], dtype="int64"),
+                    "u": pd.Series([], dtype="int64"),
+                    "prev_u": pd.Series([], dtype="int64"),
+                    "pct": pd.Series([], dtype="float64"),
+                }
+            )
+        prev = u[:-1]
+        cur = u[1:]
+        if (prev == 0).any():
+            raise ValueError(
+                f"pct_change_over: zero previous unit within key {df['k'].iloc[0]!r}"
+            )
+        # mirrored op-for-op by the SQL oracle
+        pct = (cur.astype(np.float64) / prev.astype(np.float64) - one) * hundred
+        return pd.DataFrame(
+            {
+                key: df["k"].iloc[1:].astype("int64").to_numpy(),
+                "ts_us": t[1:],
+                "u": cur,
+                "prev_u": prev,
+                "pct": pct,
+            }
+        )
+
+    return meta.groupby("k").map_groups(fold, batch_format="pandas", **remote_args())

@@ -1252,3 +1252,99 @@ def lake_ndv(in_dir: str, columns: list[str]):
                 floor = max(floor, int(d.get("n_seen", 0)))
         rows.append((col, len(paths), int(exact), max(len(seen), floor)))
     return pd.DataFrame(rows, columns=["col", "n_files", "exact", "ndv"])
+
+
+HIST_META_PREFIX = "hist:"
+
+
+def hist_meta(tbl, columns: list[str], value_scale: int = 100,
+              cap: int = 4096) -> dict[str, bytes]:
+    """Bounded (units, count) histograms for footer user metadata: exact
+    integer-unit value counts (``floor(v*scale + 0.5)``) while the distinct
+    count fits ``cap``, else an overflow marker. The quantile companion of
+    ``ndv_meta`` — attach at write time and answer EXACT discrete
+    quantiles for bounded-cardinality measures (quantities, prices at
+    fixed scale, ordinal scores) from TAILS ONLY via
+    ``lake_quantile_disc``. Numeric columns only."""
+    import json
+
+    import pyarrow as pa
+
+    out: dict[str, bytes] = {}
+    for col in columns:
+        import numpy as np
+
+        c = tbl[col]
+        if not (pa.types.is_integer(c.type) or pa.types.is_floating(c.type)):
+            raise ValueError(f"hist_meta needs a numeric column, {col!r} is {c.type}")
+        v = c.to_numpy(zero_copy_only=False).astype(np.float64)
+        if np.isnan(v).any():
+            raise ValueError(f"hist_meta: {col!r} must be non-null/non-NaN")
+        u = np.floor(v * value_scale + 0.5).astype(np.int64)
+        vals, counts = np.unique(u, return_counts=True)
+        if len(vals) <= cap:
+            payload = {"exact": True, "scale": value_scale,
+                       "values": vals.tolist(), "counts": counts.tolist()}
+        else:
+            payload = {"exact": False, "scale": value_scale, "n_seen": int(len(vals))}
+        out[HIST_META_PREFIX + col] = json.dumps(payload, separators=(",", ":")).encode()
+    return out
+
+
+def lake_quantile_disc(in_dir: str, column: str, qs: list[float]):
+    """EXACT discrete quantiles for an ORC lake from TAILS ONLY: one Ray
+    task per file preads the footer histogram, the driver merges counts
+    and applies ``quantile_disc_from_counts`` (the pinned DuckDB rank
+    rule — keep qs short decimals). Loud when ANY file lacks an exact
+    histogram or scales disagree — a silent approximate answer would
+    masquerade as exact. Returns a DataFrame ``(q, units)``."""
+    import glob
+    import json
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from ._rayutil import remote_args
+    from .ops.agg import quantile_disc_from_counts
+    from .orcread import read_orc_user_metadata
+
+    paths = sorted(glob.glob(os.path.join(in_dir, "**", "*.orc"), recursive=True))
+    if not paths:
+        raise FileNotFoundError(f"no .orc files under {in_dir}")
+
+    def tails(batch: pa.Table) -> pa.Table:
+        rows = []
+        for p in batch["path"].to_pylist():
+            raw = read_orc_user_metadata(p).get(HIST_META_PREFIX + column)
+            rows.append({"path": p, "payload": "" if raw is None else raw.decode()})
+        return pa.Table.from_pylist(rows)
+
+    cells = (
+        ray.data.from_items([{"path": p} for p in paths])
+        .map_batches(tails, batch_format="pyarrow", **remote_args())
+        .to_pandas()
+    )
+    merged: dict[int, int] = {}
+    scale = None
+    for p, payload in cells.itertuples(index=False):
+        if not payload:
+            raise ValueError(f"lake_quantile_disc: {p} has no histogram for {column!r}")
+        d = json.loads(payload)
+        if not d.get("exact"):
+            raise ValueError(
+                f"lake_quantile_disc: {p}'s histogram overflowed "
+                f"({d.get('n_seen')} distinct units) — rebuild with a larger cap"
+            )
+        if scale is None:
+            scale = d["scale"]
+        elif scale != d["scale"]:
+            raise ValueError(f"lake_quantile_disc: mixed scales {scale} vs {d['scale']}")
+        for v, c in zip(d["values"], d["counts"]):
+            merged[v] = merged.get(v, 0) + c
+    vals = np.array(sorted(merged), dtype=np.int64)
+    counts = np.array([merged[v] for v in vals.tolist()], dtype=np.int64)
+    picks = quantile_disc_from_counts(vals, counts, qs)
+    return pd.DataFrame({"q": np.array(qs, dtype=np.float64),
+                         "units": np.array(picks, dtype=np.int64)})

@@ -303,3 +303,86 @@ def test_attribution_position_two_touch_split_and_guard(ray_session):
     )
     with pytest.raises(Exception, match="duplicate"):
         attribution_position(ray.data.from_pandas(dup)).to_pandas()
+
+
+# --------------------------------------------------- tail-only lake quantiles
+
+
+def test_lake_quantile_disc_exact_and_loud(tmp_path, ray_session):
+    from orc_format_ray.orcmerge import hist_meta, lake_quantile_disc
+
+    rng = np.random.default_rng(12)
+    lake = str(tmp_path / "lake")
+    os.makedirs(lake)
+    vals = rng.integers(1, 40, size=500).astype(np.float64)
+    for i in range(4):
+        part = pa.table({"v": pa.array(vals[i * 125 : (i + 1) * 125])})
+        write_orc(part, f"{lake}/p{i}.orc", user_metadata=hist_meta(part, ["v"]))
+    got = lake_quantile_disc(lake, "v", [0.5, 0.9])
+    u = np.sort(np.floor(vals * 100 + 0.5).astype(np.int64))
+    for q, units in got.itertuples(index=False):
+        rank = int(np.ceil(np.float64(q) * len(u)))  # the pinned rank rule
+        assert units == u[rank - 1]
+    # a file without a histogram is loud
+    write_orc(pa.table({"v": pa.array([1.0])}), f"{lake}/naked.orc")
+    with pytest.raises(ValueError, match="no histogram"):
+        lake_quantile_disc(lake, "v", [0.5])
+
+
+def test_lake_quantile_disc_overflow_is_loud(tmp_path, ray_session):
+    from orc_format_ray.orcmerge import hist_meta, lake_quantile_disc
+
+    lake = str(tmp_path / "lake")
+    os.makedirs(lake)
+    part = pa.table({"v": pa.array(np.arange(100, dtype=np.float64))})
+    write_orc(part, f"{lake}/p0.orc", user_metadata=hist_meta(part, ["v"], cap=10))
+    with pytest.raises(ValueError, match="overflowed"):
+        lake_quantile_disc(lake, "v", [0.5])
+
+
+def test_hist_meta_rejects_non_numeric_and_nan():
+    from orc_format_ray.orcmerge import hist_meta
+
+    with pytest.raises(ValueError, match="numeric"):
+        hist_meta(pa.table({"s": pa.array(["a"])}), ["s"])
+    with pytest.raises(ValueError, match="non-null"):
+        hist_meta(pa.table({"v": pa.array([1.0, float("nan")])}), ["v"])
+
+
+# ----------------------------------------------------------------- pct_change
+
+
+def test_pct_change_hand_computation(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.windows import pct_change_over
+
+    df = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 2],
+            "ts": pd.to_datetime([0, 1, 2, 0], unit="us"),
+            "v": [2.0, 3.0, 1.5, 9.0],
+        }
+    )
+    got = (
+        pct_change_over(ray.data.from_pandas(df).repartition(2), "k", "ts", "v")
+        .to_pandas()
+        .sort_values(["k", "ts_us"])
+        .reset_index(drop=True)
+    )
+    # key 1: 200 -> 300 (+50%), 300 -> 150 (-50%); key 2 single row drops
+    assert got["pct"].tolist() == [50.0, -50.0]
+    assert got["prev_u"].tolist() == [200, 300]
+    assert 2 not in got["k"].tolist()
+
+
+def test_pct_change_zero_prev_is_loud(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.windows import pct_change_over
+
+    df = pd.DataFrame(
+        {"k": [1, 1], "ts": pd.to_datetime([0, 1], unit="us"), "v": [0.0, 1.0]}
+    )
+    with pytest.raises(Exception, match="zero previous"):
+        pct_change_over(ray.data.from_pandas(df), "k", "ts", "v").to_pandas()
