@@ -6497,6 +6497,87 @@ def _q_pct_change_events(sf_dir: str):
 
 
 
+
+def _q_funnel_windowed_events(sf_dir: str):
+    """Session-bounded funnel: view -> click -> purchase where each later
+    step must land within 12h of the previous step's reach time
+    (ops/windows.py:funnel within_us) — greedy earliest-match chain, the
+    SQL mirror adds the same epoch_us window to each nested min(ts)."""
+    import pandas as pd
+    import ray.data
+
+    from orc_format_ray.ops.windows import funnel
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    out = funnel(
+        ds, ["view", "click", "purchase"], within_us=43_200_000_000
+    ).to_pandas()
+    g = out.groupby("depth", as_index=False).agg(cnt=("user_id", "size"))
+    g["depth"] = g["depth"].astype("int64")
+    g["cnt"] = g["cnt"].astype("int64")
+    return g.sort_values("depth").reset_index(drop=True)
+
+
+def _q_term_scan_documents(sf_dir: str):
+    """Literal term scan over the corpus (ops/text.py:term_scan):
+    first-occurrence position (1-based == SQL position()) and occurrence
+    count per matching doc — vectorized find/count_substring; ASCII
+    guarded so byte == character offsets."""
+    import ray.data
+
+    from orc_format_ray.ops.text import term_scan
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = term_scan(ds, "vector").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_clustered_lake_pipeline(sf_dir: str):
+    """The ingest-once-skip-shuffles-forever loop: write_clustered_lake
+    (global sort -> clustered ORC files) with ndv+hist footer dictionaries
+    attached per file (write_orc_dataset user_metadata_fn), then answer
+    NDV and exact quantiles from TAILS ONLY and assert the clustering
+    quality a sorted_merge_join would rely on."""
+    import shutil
+
+    import pandas as pd
+    import ray.data
+
+    from orc_format_ray.ops.mergejoin import plan_merge_join
+    from orc_format_ray.orcfile import write_clustered_lake
+    from orc_format_ray.orcmerge import hist_meta, lake_ndv, lake_quantile_disc, ndv_meta
+
+    scratch = _scratch(sf_dir, "clusteredlake")
+    shutil.rmtree(scratch, ignore_errors=True)
+    os.makedirs(scratch, exist_ok=True)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_quantity"],
+    ).repartition(6)
+
+    def meta_fn(t):
+        from orc_format_ray.orcmerge import hist_meta as _h
+        from orc_format_ray.orcmerge import ndv_meta as _n
+
+        return {**_n(t, ["l_returnflag"]), **_h(t, ["l_quantity"])}
+
+    write_clustered_lake(ds, "l_orderkey", scratch, user_metadata_fn=meta_fn).materialize()
+    plan = plan_merge_join(scratch, scratch, "l_orderkey", "l_orderkey")
+    if plan["avg_files_per_range"] > 4:
+        raise AssertionError(f"clustered write not clustered: {plan['avg_files_per_range']}")
+    ndv = lake_ndv(scratch, ["l_returnflag"])
+    q = lake_quantile_disc(scratch, "l_quantity", [0.25, 0.5, 0.75])
+    rows = [("ndv_returnflag", int(ndv["ndv"].iloc[0]))]
+    for qq, units in q.itertuples(index=False):
+        rows.append((f"q{int(round(qq * 100)):02d}_units", int(units)))
+    out = pd.DataFrame(rows, columns=["stat", "value"])
+    out["value"] = out["value"].astype("int64")
+    return out.sort_values("stat").reset_index(drop=True)
+
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
     # (VERDICT r3 "What's wrong" #2), so the window below is curated for
@@ -6805,6 +6886,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "attribution_position_events": _q_attribution_position_events,
         "lake_quantiles_from_tails": _q_lake_quantiles_from_tails,
         "pct_change_events": _q_pct_change_events,
+        "funnel_windowed_events": _q_funnel_windowed_events,
+        "term_scan_documents": _q_term_scan_documents,
+        "clustered_lake_pipeline": _q_clustered_lake_pipeline,
     }
 
 
@@ -9111,5 +9195,33 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, ts_us, u, prev_u, "
             "(CAST(u AS DOUBLE) / CAST(prev_u AS DOUBLE) - 1.0) * 100.0 AS pct "
             "FROM l WHERE prev_u IS NOT NULL ORDER BY user_id, ts_us"
+        ),
+        "funnel_windowed_events": (
+            "WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id), "
+            "s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 ON e.user_id = s1.user_id "
+            "WHERE e.event_type = 'click' AND e.ts > s1.t1 "
+            "AND epoch_us(e.ts) <= epoch_us(s1.t1) + 43200000000 GROUP BY e.user_id), "
+            "s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 ON e.user_id = s2.user_id "
+            "WHERE e.event_type = 'purchase' AND e.ts > s2.t2 "
+            "AND epoch_us(e.ts) <= epoch_us(s2.t2) + 43200000000 GROUP BY e.user_id), "
+            "d AS (SELECT u.user_id, CASE WHEN s3.user_id IS NOT NULL THEN 3 "
+            "WHEN s2.user_id IS NOT NULL THEN 2 WHEN s1.user_id IS NOT NULL THEN 1 ELSE 0 END AS depth "
+            "FROM (SELECT DISTINCT user_id FROM events) u "
+            "LEFT JOIN s1 ON u.user_id = s1.user_id "
+            "LEFT JOIN s2 ON u.user_id = s2.user_id "
+            "LEFT JOIN s3 ON u.user_id = s3.user_id) "
+            "SELECT depth, count(*) AS cnt FROM d GROUP BY depth ORDER BY depth"
+        ),
+        "term_scan_documents": (
+            "SELECT doc_id, CAST(position('vector' IN text) AS BIGINT) AS first_pos, "
+            "CAST((length(text) - length(replace(text, 'vector', ''))) // 6 AS BIGINT) AS n_occurrences "
+            "FROM documents WHERE position('vector' IN text) > 0 ORDER BY doc_id"
+        ),
+        "clustered_lake_pipeline": (
+            "WITH u AS (SELECT CAST(floor(l_quantity*100 + 0.5) AS BIGINT) AS u FROM lineitem) "
+            "SELECT 'ndv_returnflag' AS stat, CAST(count(DISTINCT l_returnflag) AS BIGINT) AS value FROM lineitem "
+            "UNION ALL SELECT 'q25_units', CAST(quantile_disc(u, 0.25) AS BIGINT) FROM u "
+            "UNION ALL SELECT 'q50_units', CAST(quantile_disc(u, 0.5) AS BIGINT) FROM u "
+            "UNION ALL SELECT 'q75_units', CAST(quantile_disc(u, 0.75) AS BIGINT) FROM u ORDER BY stat"
         ),
     }

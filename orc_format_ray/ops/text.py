@@ -1192,3 +1192,42 @@ def readability(ds, id_col: str = "doc_id", column: str = "text"):
         )
 
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+
+
+def term_scan(ds, term: str, text_col: str = "text", id_col: str = "doc_id",
+              group: str | None = None):
+    """Corpus-wide literal term scan: for every document containing
+    ``term``, its FIRST occurrence position (1-based, SQL ``position()``
+    semantics) and total occurrence count — the grep-with-statistics pass
+    a curation run uses to locate contamination or boilerplate before
+    deciding on a removal rule. Fully vectorized (``pc.find_substring`` +
+    ``pc.count_substring``); rows never shuffle.
+
+    Positions are byte offsets, equal to SQL's CHARACTER positions only on
+    ASCII text — non-ASCII documents raise loudly rather than silently
+    drifting (scan those with a char-aware pass). Empty terms rejected.
+    ``group`` optionally carries a group column through. Returns a Dataset
+    of ``(id_col[, group], first_pos, n_occurrences)`` for matching docs.
+    """
+    if not term:
+        raise ValueError("term_scan needs a non-empty term")
+
+    def scan(batch: pa.Table) -> pa.Table:
+        txt = batch[text_col]
+        if not pc.all(pc.string_is_ascii(txt)).as_py():
+            raise ValueError(
+                "term_scan: non-ASCII document — byte positions would diverge "
+                "from SQL character positions"
+            )
+        pos0 = pc.find_substring(txt, term)  # -1 when absent
+        hit = pc.greater_equal(pos0, 0)
+        out = {id_col: batch[id_col].filter(hit)}
+        if group is not None:
+            out[group] = batch[group].filter(hit)
+        out["first_pos"] = pc.add(pos0.filter(hit).cast(pa.int64()), 1)  # 1-based
+        out["n_occurrences"] = pc.count_substring(txt, term).filter(hit).cast(pa.int64())
+        return pa.table(out)
+
+    from .._rayutil import remote_args
+
+    return ds.map_batches(scan, batch_format="pyarrow", zero_copy_batch=True, **remote_args())

@@ -151,10 +151,16 @@ def session_window_agg(ds, key: str = "event_type", ts_col: str = "ts", gap_sec:
     return prepped.groupby(key).map_groups(sessions, batch_format="pandas", **remote_args())
 
 
-def funnel(ds, steps: list[str], user_col: str = "user_id", ts_col: str = "ts", type_col: str = "event_type"):
+def funnel(ds, steps: list[str], user_col: str = "user_id", ts_col: str = "ts",
+           type_col: str = "event_type", within_us: int | None = None):
     """Ordered-step funnel depth per user: step i counts as reached when an
     event of type ``steps[i]`` occurs STRICTLY after the timestamp at which
     step i-1 was reached (step 0 = the user's first ``steps[0]`` event).
+    ``within_us`` additionally requires each later step to land WITHIN that
+    many microseconds of the previous step's reach time (the
+    session-bounded funnel) — semantics stay GREEDY earliest-match per
+    step (the SQL mirror's nested min(ts) chain reproduces exactly this,
+    not a max-depth search over alternative paths).
     Returns a Dataset of (user_col, depth) covering every user seen.
 
     Only the (user, micros, type) metadata columns shuffle — one
@@ -168,6 +174,8 @@ def funnel(ds, steps: list[str], user_col: str = "user_id", ts_col: str = "ts", 
 
     if not steps:
         raise ValueError("funnel needs at least one step")
+    if within_us is not None and within_us <= 0:
+        raise ValueError(f"within_us must be positive, got {within_us}")
 
     def prep(batch: pa.Table) -> pa.Table:
         us = batch[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
@@ -178,8 +186,10 @@ def funnel(ds, steps: list[str], user_col: str = "user_id", ts_col: str = "ts", 
         ty = g[type_col].to_numpy()
         depth = 0
         t_prev = -np.inf
-        for s in steps:
+        for i, s in enumerate(steps):
             m = (ty == s) & (t > t_prev)
+            if within_us is not None and i > 0:
+                m &= t <= t_prev + within_us
             if not m.any():
                 break
             t_prev = t[m].min()

@@ -980,8 +980,15 @@ def write_orc_dataset(
     dictionary_ratio: float = 0.5,
     bloom_columns: list[str] | None = None,
     partition_by: list[str] | None = None,
+    user_metadata_fn=None,
 ):
     """Ray Data sink: one real ORC file per Dataset block (task pool).
+
+    ``user_metadata_fn`` (optional ``Table -> dict[str, bytes|str]``) runs
+    per output file on the data that file carries and lands in its footer
+    UserMetadataItems — the hook that attaches ``orcmerge.ndv_meta`` /
+    ``hist_meta`` dictionaries at write time so tail-only statistics
+    (``lake_ndv``, ``lake_quantile_disc``) work on the whole lake.
 
     ``partition_by`` writes Hive-style ``col=value`` directories (values
     URL-quoted, nulls as Hive's default-partition sentinel): each block
@@ -1027,6 +1034,7 @@ def write_orc_dataset(
             batch, path, compression, level, stripe_rows=stripe_rows,
             row_index_stride=row_index_stride, dictionary_ratio=dictionary_ratio,
             bloom_columns=bloom_columns,
+            user_metadata=None if user_metadata_fn is None else user_metadata_fn(batch),
         )
         return {"path": path, "num_rows": info["num_rows"], "file_bytes": info["file_bytes"]}
 
@@ -1056,6 +1064,19 @@ def write_orc_dataset(
         zero_copy_batch=True,
         **remote_args(),
     )
+
+
+def write_clustered_lake(ds, key: str, out_dir: str, **write_kwargs):
+    """Write a lake KEY-CLUSTERED: one global range-partitioning sort on
+    ``key`` (Ray Data's sample-based shuffle — the one-time investment),
+    then one ORC file per sorted block. The output's footer min/max ranges
+    are near-disjoint, which is exactly what ``sorted_merge_join``'s
+    tails-only planner, zone maps, and range-predicate file pruning want:
+    pay the shuffle once at ingest, skip it on every later join/scan.
+    Accepts every ``write_orc_dataset`` keyword (including
+    ``user_metadata_fn`` for tail statistics). Returns the lineage Dataset
+    — consume it (e.g. ``.materialize()``) to execute the write."""
+    return write_orc_dataset(ds.sort(key), out_dir, **write_kwargs)
 
 
 def _typed_partition_value(raw: str | None, t: pa.DataType):

@@ -386,3 +386,101 @@ def test_pct_change_zero_prev_is_loud(ray_session):
     )
     with pytest.raises(Exception, match="zero previous"):
         pct_change_over(ray.data.from_pandas(df), "k", "ts", "v").to_pandas()
+
+
+# ------------------------------------------------------------ windowed funnel
+
+
+def test_funnel_within_window_gates_later_steps(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.windows import funnel
+
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2, 2, 2],
+            "ts": pd.to_datetime([0, 5, 8, 0, 100, 105], unit="us"),
+            "event_type": ["view", "click", "purchase"] * 2,
+        }
+    )
+    # window 10us: user 1 completes (gaps 5, 3); user 2's click is 100us late
+    got = (
+        funnel(ray.data.from_pandas(df), ["view", "click", "purchase"], within_us=10)
+        .to_pandas()
+        .set_index("user_id")["depth"]
+    )
+    assert got[1] == 3 and got[2] == 1
+    # without the window both complete (regression: default unchanged)
+    got2 = (
+        funnel(ray.data.from_pandas(df), ["view", "click", "purchase"])
+        .to_pandas()
+        .set_index("user_id")["depth"]
+    )
+    assert got2[1] == 3 and got2[2] == 3
+    with pytest.raises(ValueError, match="within_us"):
+        funnel(ray.data.from_pandas(df), ["view"], within_us=0)
+
+
+# ------------------------------------------------------------------ term_scan
+
+
+def test_term_scan_positions_and_counts(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.text import term_scan
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["abc needle xx needle", "no match here", "needle at start"],
+        }
+    )
+    got = (
+        term_scan(ray.data.from_pandas(df).repartition(2), "needle")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["doc_id"].tolist() == [1, 3]
+    assert got["first_pos"].tolist() == [5, 1]  # 1-based, SQL position()
+    assert got["n_occurrences"].tolist() == [2, 1]
+
+
+def test_term_scan_non_ascii_is_loud(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.text import term_scan
+
+    df = pd.DataFrame({"doc_id": [1], "text": ["café needle"]})
+    with pytest.raises(Exception, match="non-ASCII"):
+        term_scan(ray.data.from_pandas(df), "needle").to_pandas()
+
+
+# --------------------------------------------------------- clustered lake write
+
+
+def test_write_clustered_lake_produces_mergeable_ranges(tmp_path, ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.mergejoin import plan_merge_join
+    from orc_format_ray.orcfile import read_orc_dataset, write_clustered_lake
+    from orc_format_ray.orcmerge import lake_ndv, ndv_meta
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame(
+        {
+            "k": rng.permutation(600).astype(np.int64),
+            "g": rng.choice(["a", "b"], 600),
+        }
+    )
+    lake = str(tmp_path / "cl")
+    write_clustered_lake(
+        ray.data.from_pandas(df).repartition(6), "k", lake,
+        user_metadata_fn=lambda t: ndv_meta(t, ["g"]),
+    ).materialize()
+    plan = plan_merge_join(lake, lake, "k", "k")
+    assert plan["avg_files_per_range"] <= 4
+    ndv = lake_ndv(lake, ["g"]).set_index("col")
+    assert ndv.loc["g", "exact"] == 1 and ndv.loc["g", "ndv"] == 2
+    back = read_orc_dataset(lake, native=True).to_pandas()
+    assert sorted(back["k"]) == sorted(df["k"])
