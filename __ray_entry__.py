@@ -6578,6 +6578,67 @@ def _q_clustered_lake_pipeline(sf_dir: str):
 
 
 
+
+def _q_jsonl_quarantine_ingest(sf_dir: str):
+    """Fail-soft JSONL ingest (ops/jsonl.py:read_jsonl quarantine_dir):
+    write documents as shards, corrupt every shard with 3 planted garbage
+    lines, read back with a quarantine side-output — good rows stream on
+    and are SQL-exact; the quarantined-line count is asserted in-query
+    (3 per shard, the engine half of the check)."""
+    import glob
+    import shutil
+
+    import ray.data
+
+    from orc_format_ray.ops.jsonl import read_jsonl, write_jsonl
+
+    scratch = _scratch(sf_dir, "jsonlq")
+    qdir = _scratch(sf_dir, "jsonlq_bad")
+    shutil.rmtree(scratch, ignore_errors=True)
+    shutil.rmtree(qdir, ignore_errors=True)
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    )
+    write_jsonl(docs, scratch, key_col="doc_id",
+                columns=["doc_id", "source", "n_chars"], rows_per_shard=1024)
+    shards = sorted(glob.glob(os.path.join(scratch, "*.jsonl")))
+    garbage = [b"{truncated", b"[1, 2, 3]\n", b"not json at all\n"]
+    for p in shards:
+        with open(p, "ab") as f:
+            for g in garbage:
+                f.write(g if g.endswith(b"\n") else g + b"\n")
+
+    back = read_jsonl(
+        scratch, {"doc_id": "int64", "source": "string", "n_chars": "int64"},
+        quarantine_dir=qdir,
+    )
+
+    def cells(b: pa.Table) -> pa.Table:
+        return b.group_by("source").aggregate(
+            [("doc_id", "count"), ("n_chars", "sum")]
+        ).rename_columns(["source", "n", "sum_nchars"])
+
+    import pandas as pd
+
+    out = (
+        back.map_batches(cells, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("source", as_index=False)[["n", "sum_nchars"]]
+        .sum()
+    )
+    out["n"] = out["n"].astype("int64")
+    out["sum_nchars"] = out["sum_nchars"].astype("int64")
+    bad_lines = 0
+    for bp in glob.glob(os.path.join(qdir, "*.bad")):
+        with open(bp, "rb") as f:
+            bad_lines += sum(1 for _ in f)
+    if bad_lines != 3 * len(shards):
+        raise AssertionError(f"quarantined {bad_lines}, expected {3 * len(shards)}")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
     # (VERDICT r3 "What's wrong" #2), so the window below is curated for
@@ -6889,6 +6950,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_windowed_events": _q_funnel_windowed_events,
         "term_scan_documents": _q_term_scan_documents,
         "clustered_lake_pipeline": _q_clustered_lake_pipeline,
+        "jsonl_quarantine_ingest": _q_jsonl_quarantine_ingest,
     }
 
 
@@ -9223,5 +9285,9 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 'q25_units', CAST(quantile_disc(u, 0.25) AS BIGINT) FROM u "
             "UNION ALL SELECT 'q50_units', CAST(quantile_disc(u, 0.5) AS BIGINT) FROM u "
             "UNION ALL SELECT 'q75_units', CAST(quantile_disc(u, 0.75) AS BIGINT) FROM u ORDER BY stat"
+        ),
+        "jsonl_quarantine_ingest": (
+            "SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_nchars "
+            "FROM documents GROUP BY source ORDER BY source"
         ),
     }

@@ -104,13 +104,22 @@ def write_jsonl(ds, path: str, key_col: str, columns: list[str],
     return manifest.sort_values("path").reset_index(drop=True)
 
 
-def read_jsonl(path: str, schema: dict[str, str]):
+def read_jsonl(path: str, schema: dict[str, str], quarantine_dir: str | None = None):
     """Read JSONL shards back as a streaming Dataset: one task per part
     file (filename order == global row order), each yielding an Arrow
     batch with the columns of ``schema`` (column -> one of "string",
     "int64", "float64", "bool"). Missing fields become nulls; unknown
     fields are ignored — the reader is the schema authority, matching
-    the evolve_table null-fill convention."""
+    the evolve_table null-fill convention.
+
+    ``quarantine_dir`` flips the malformed-line contract from fail-loud to
+    SIDE-OUTPUT: lines that don't parse as a JSON object are written to
+    ``quarantine_dir/<shard-name>.bad`` (atomic tmp+rename per shard task;
+    re-runs overwrite, never double-append) and the good rows stream on —
+    the ingest posture for web-scale feeds where one mangled record must
+    not kill a 100-TB job. Without it, a bad line raises (pipeline bug =
+    loud). The .bad files ARE the report: count/inspect them after the
+    read materializes."""
     import glob
     import os
 
@@ -123,6 +132,8 @@ def read_jsonl(path: str, schema: dict[str, str]):
                    + glob.glob(os.path.join(path, "*.jsonl.gz")))
     if not files:
         raise FileNotFoundError(f"no .jsonl[.gz] shards under {path}")
+    if quarantine_dir is not None:
+        os.makedirs(quarantine_dir, exist_ok=True)
 
     def load(batch: pa.Table):
         import gzip
@@ -130,8 +141,27 @@ def read_jsonl(path: str, schema: dict[str, str]):
 
         for p in batch["p"].to_pylist():
             opener = gzip.open if p.endswith(".gz") else open
+            objs = []
+            rejects = []
             with opener(p, "rb") as f:
-                objs = [json.loads(line) for line in f if line.strip()]
+                for line in f:
+                    if not line.strip():
+                        continue
+                    try:
+                        o = json.loads(line)
+                        if not isinstance(o, dict):
+                            raise ValueError("not a JSON object")
+                        objs.append(o)
+                    except Exception:
+                        if quarantine_dir is None:
+                            raise
+                        rejects.append(line)
+            if rejects:
+                qp = os.path.join(quarantine_dir, os.path.basename(p) + ".bad")
+                tmp = qp + f".tmp{os.getpid()}"
+                with open(tmp, "wb") as qf:
+                    qf.writelines(rejects)
+                os.replace(tmp, qp)
             yield pa.table({
                 c: pa.array([o.get(c) for o in objs], _DTYPES[t])
                 for c, t in schema.items()

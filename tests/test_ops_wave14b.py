@@ -484,3 +484,44 @@ def test_write_clustered_lake_produces_mergeable_ranges(tmp_path, ray_session):
     assert ndv.loc["g", "exact"] == 1 and ndv.loc["g", "ndv"] == 2
     back = read_orc_dataset(lake, native=True).to_pandas()
     assert sorted(back["k"]) == sorted(df["k"])
+
+
+# ----------------------------------------------------------- jsonl quarantine
+
+
+def test_read_jsonl_quarantine_side_output(tmp_path, ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.jsonl import read_jsonl, write_jsonl
+
+    df = pd.DataFrame({"k": np.arange(20, dtype=np.int64), "v": [f"s{i}" for i in range(20)]})
+    d = str(tmp_path / "shards")
+    write_jsonl(ray.data.from_pandas(df), d, key_col="k", columns=["k", "v"],
+                rows_per_shard=10)
+    import glob
+
+    shards = sorted(glob.glob(d + "/*.jsonl"))
+    with open(shards[0], "ab") as f:
+        f.write(b"{broken\n[]\n")
+    q = str(tmp_path / "bad")
+    back = read_jsonl(d, {"k": "int64", "v": "string"}, quarantine_dir=q).to_pandas()
+    assert sorted(back["k"]) == list(range(20))
+    bads = glob.glob(q + "/*.bad")
+    assert len(bads) == 1
+    assert open(bads[0], "rb").read() == b"{broken\n[]\n"
+
+
+def test_read_jsonl_without_quarantine_stays_loud(tmp_path, ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.jsonl import read_jsonl, write_jsonl
+
+    df = pd.DataFrame({"k": np.arange(5, dtype=np.int64)})
+    d = str(tmp_path / "shards")
+    write_jsonl(ray.data.from_pandas(df), d, key_col="k", columns=["k"])
+    import glob
+
+    with open(sorted(glob.glob(d + "/*.jsonl"))[0], "ab") as f:
+        f.write(b"oops\n")
+    with pytest.raises(Exception):
+        read_jsonl(d, {"k": "int64"}).to_pandas()
