@@ -6639,6 +6639,51 @@ def _q_jsonl_quarantine_ingest(sf_dir: str):
 
 
 
+
+def _q_lake_index_scan(sf_dir: str):
+    """Consolidated-index pruned scan (lakeindex.py): plant a 6-file
+    doc_id-clustered lake, collect every footer's min/max ONCE into
+    _lake_index.json, then plan a range+equality scan from that ONE
+    sidecar (zero per-file planning I/O) — >= 4 of 6 files provably pruned
+    (asserted), survivors ROW_INDEX-filtered; the aggregate is SQL-exact."""
+    import shutil
+
+    import pandas as pd
+    import ray.data
+
+    from orc_format_ray.lakeindex import build_lake_index, read_lake_indexed
+    from orc_format_ray.orcfile import write_orc
+
+    scratch = _scratch(sf_dir, "idxlake")
+    shutil.rmtree(scratch, ignore_errors=True)
+    os.makedirs(scratch, exist_ok=True)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "source", "n_chars"]
+    )
+    tbl = _table(ds).sort_by("doc_id")
+    n = tbl.num_rows
+    step = (n + 5) // 6
+    for i in range(6):
+        part = tbl.slice(i * step, step)
+        if part.num_rows:
+            write_orc(part, os.path.join(scratch, f"p{i}.orc"), stripe_rows=500)
+    build_lake_index(scratch, ["doc_id", "lang"])
+    lo, hi = n // 5, n // 5 + n // 6  # one-file-ish range on the sort key
+    out_ds, plan = read_lake_indexed(
+        scratch, [("doc_id", ">=", lo), ("doc_id", "<", hi), ("lang", "==", "en")],
+        columns=["doc_id", "source", "n_chars"],
+    )
+    if plan["n_pruned"] < 4 or plan["n_stale"] != 0:
+        raise AssertionError(f"index pruning degraded: {plan}")
+    df = out_ds.to_pandas()
+    g = df.groupby("source", as_index=False).agg(n=("doc_id", "size"), sum_nchars=("n_chars", "sum"))
+    g["n"] = g["n"].astype("int64")
+    g["sum_nchars"] = g["sum_nchars"].astype("int64")
+    # the oracle needs the same lo/hi: recompute them in SQL from count(*)
+    return g.sort_values("source").reset_index(drop=True)
+
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
     # (VERDICT r3 "What's wrong" #2), so the window below is curated for
@@ -6951,6 +6996,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_scan_documents": _q_term_scan_documents,
         "clustered_lake_pipeline": _q_clustered_lake_pipeline,
         "jsonl_quarantine_ingest": _q_jsonl_quarantine_ingest,
+        "lake_index_scan": _q_lake_index_scan,
     }
 
 
@@ -9289,5 +9335,13 @@ def oracle_sql() -> dict[str, str]:
         "jsonl_quarantine_ingest": (
             "SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_nchars "
             "FROM documents GROUP BY source ORDER BY source"
+        ),
+        # lo/hi recomputed from count(*) — doc_ids are 0..n-1 in testdata,
+        # matching the query's sort-key arithmetic
+        "lake_index_scan": (
+            "WITH n AS (SELECT count(*) AS c FROM documents) "
+            "SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_nchars "
+            "FROM documents, n WHERE doc_id >= c // 5 AND doc_id < c // 5 + c // 6 "
+            "AND lang = 'en' GROUP BY source ORDER BY source"
         ),
     }
