@@ -6684,6 +6684,25 @@ def _q_lake_index_scan(sf_dir: str):
 
 
 
+
+def _q_global_row_ids_documents(sf_dir: str):
+    """Dense global row ids in doc_id order (ops/etl.py:
+    with_global_row_ids) — the pinned-block two-pass plan under packing /
+    budget selection, standalone; exactly row_number() OVER (ORDER BY
+    doc_id) - 1."""
+    import ray.data
+
+    from orc_format_ray.ops.etl import with_global_row_ids
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    ).repartition(8)
+    out = with_global_row_ids(ds, "doc_id").to_pandas()
+    out["rid"] = out["rid"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
     # (VERDICT r3 "What's wrong" #2), so the window below is curated for
@@ -6997,6 +7016,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustered_lake_pipeline": _q_clustered_lake_pipeline,
         "jsonl_quarantine_ingest": _q_jsonl_quarantine_ingest,
         "lake_index_scan": _q_lake_index_scan,
+        "global_row_ids_documents": _q_global_row_ids_documents,
     }
 
 
@@ -9343,5 +9363,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_nchars "
             "FROM documents, n WHERE doc_id >= c // 5 AND doc_id < c // 5 + c // 6 "
             "AND lang = 'en' GROUP BY source ORDER BY source"
+        ),
+        "global_row_ids_documents": (
+            "SELECT doc_id, n_chars, "
+            "CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS rid "
+            "FROM documents ORDER BY doc_id"
         ),
     }

@@ -534,3 +534,82 @@ def dow_profile(ds, key: str, ts_col: str = "ts"):
         return out.rename(columns={"k": key})
 
     return merged.groupby("k").map_groups(finish, **remote_args())
+
+
+def with_global_row_ids(ds, order_col: str, out: str = "rid"):
+    """Attach a dense global row id 0..n-1 in ``order_col`` order — exactly
+    SQL ``row_number() OVER (ORDER BY order_col) - 1``. The primitive
+    under sequence packing / budget selection, exposed standalone: shard
+    numbering, stable pagination, reproducible epoch ordering.
+
+    Plan (the select_by_budget pinned-block contract): ONE range-
+    partitioning sort pins value-keyed blocks; pass A reads only block
+    (min, max, count) metadata; the driver orders blocks by min value,
+    PROVES them strictly disjoint (max_i < min_{i+1} — overlapping or
+    duplicate-spanning blocks raise), and broadcasts {min -> start
+    offset}; pass B attaches ``start + arange`` per block. Rows never
+    shuffle twice; ``order_col`` values must be globally unique (loud —
+    SQL row_number under ties matches no particular engine).
+
+    Both passes MUST run over the same materialized Dataset (stale
+    offsets otherwise — the select_by_budget rule). Returns the sorted
+    Dataset plus the ``out`` int64 column.
+    """
+    import numpy as np
+    import ray
+
+    from .._rayutil import remote_args
+
+    pinned = ds.sort(order_col).materialize()
+
+    def block_meta(batch: pa.Table) -> pa.Table:
+        v = batch[order_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if len(v) > 1 and (np.diff(v) == 0).any():
+            raise ValueError(f"with_global_row_ids: duplicate {order_col!r} values")
+        return pa.table(
+            {
+                "lo": pa.array([int(v[0])] if len(v) else [], pa.int64()),
+                "hi": pa.array([int(v[-1])] if len(v) else [], pa.int64()),
+                "n": pa.array([len(v)] if len(v) else [], pa.int64()),
+            }
+        )
+
+    meta = (
+        pinned.map_batches(
+            block_meta, batch_size=None, batch_format="pyarrow",
+            zero_copy_batch=True, **remote_args()
+        )
+        .to_pandas()
+        .sort_values("lo")
+        .reset_index(drop=True)
+    )
+    los = meta["lo"].to_numpy(dtype=np.int64)
+    his = meta["hi"].to_numpy(dtype=np.int64)
+    ns = meta["n"].to_numpy(dtype=np.int64)
+    if (his[:-1] >= los[1:]).any():
+        raise ValueError(
+            f"with_global_row_ids: blocks overlap on {order_col!r} — duplicate "
+            "values span a block boundary"
+        )
+    starts = np.zeros(len(ns), dtype=np.int64)
+    np.cumsum(ns[:-1], out=starts[1:])
+    table_ref = ray.put({int(lo): (int(st), int(n)) for lo, st, n in zip(los, starts, ns)})
+
+    def attach(batch: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        import ray as _ray
+
+        if batch.num_rows == 0:
+            return batch.append_column(out, pa.array([], pa.int64()))
+        v = batch[order_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        start, n = _ray.get(table_ref)[int(v[0])]
+        if n != batch.num_rows:
+            raise ValueError("with_global_row_ids: block layout changed between passes")
+        return batch.append_column(
+            out, pa.array(start + _np.arange(batch.num_rows, dtype=_np.int64), pa.int64())
+        )
+
+    return pinned.map_batches(
+        attach, batch_size=None, batch_format="pyarrow", zero_copy_batch=True, **remote_args()
+    )

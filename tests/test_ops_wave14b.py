@@ -525,3 +525,34 @@ def test_read_jsonl_without_quarantine_stays_loud(tmp_path, ray_session):
         f.write(b"oops\n")
     with pytest.raises(Exception):
         read_jsonl(d, {"k": "int64"}).to_pandas()
+
+
+# ----------------------------------------------------------- global row ids
+
+
+def test_with_global_row_ids_dense_and_ordered(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.etl import with_global_row_ids
+
+    rng = np.random.default_rng(21)
+    keys = rng.permutation(300).astype(np.int64)
+    df = pd.DataFrame({"k": keys, "payload": keys * 2})
+    out = (
+        with_global_row_ids(ray.data.from_pandas(df).repartition(7), "k")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert out["rid"].tolist() == list(range(300))  # rid == rank of k
+    assert (out["payload"] == out["k"] * 2).all()
+
+
+def test_with_global_row_ids_duplicate_keys_loud(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.etl import with_global_row_ids
+
+    df = pd.DataFrame({"k": np.array([1, 2, 2, 3], dtype=np.int64)})
+    with pytest.raises(Exception, match="duplicate|overlap"):
+        with_global_row_ids(ray.data.from_pandas(df).repartition(2), "k").to_pandas()
