@@ -6703,6 +6703,23 @@ def _q_global_row_ids_documents(sf_dir: str):
 
 
 
+
+def _q_nearest_neighbor_exact_embeddings(sf_dir: str):
+    """Exact all-vectors nearest neighbor by integer-quantized dot product
+    (ops/similarity.py:nearest_neighbor_exact) — the SQL-checkable
+    similarity op: int64 matmul == DuckDB list_dot_product over BIGINT
+    lists (double-exact < 2^53); ties break to the smallest id."""
+    import ray.data
+
+    from orc_format_ray.ops.similarity import nearest_neighbor_exact
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = nearest_neighbor_exact(ds).to_pandas()
+    out["dot"] = out["dot"].astype("int64")
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
     # (VERDICT r3 "What's wrong" #2), so the window below is curated for
@@ -7017,6 +7034,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_quarantine_ingest": _q_jsonl_quarantine_ingest,
         "lake_index_scan": _q_lake_index_scan,
         "global_row_ids_documents": _q_global_row_ids_documents,
+        "nearest_neighbor_exact_embeddings": _q_nearest_neighbor_exact_embeddings,
     }
 
 
@@ -9368,5 +9386,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, n_chars, "
             "CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS rid "
             "FROM documents ORDER BY doc_id"
+        ),
+        # BIGINT-list dot products evaluate exactly in doubles (< 2^53)
+        "nearest_neighbor_exact_embeddings": (
+            "WITH q AS (SELECT vec_id, list_transform(embedding, "
+            "x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)) AS qe FROM embeddings), "
+            "d AS (SELECT a.vec_id AS va, b.vec_id AS vb, list_dot_product(a.qe, b.qe) AS dot "
+            "FROM q a JOIN q b ON a.vec_id <> b.vec_id), "
+            "r AS (SELECT va, vb, dot, row_number() OVER "
+            "(PARTITION BY va ORDER BY dot DESC, vb) AS rn FROM d) "
+            "SELECT va AS vec_id, vb AS nn_id, CAST(dot AS BIGINT) AS dot "
+            "FROM r WHERE rn = 1 ORDER BY vec_id"
         ),
     }

@@ -838,3 +838,86 @@ def sq8_topk(codes_ds, params: SQ8Params, queries: np.ndarray, k: int = 10,
     if exact_rerank_ds is None:
         return approx
     return _exact_rerank(approx, queries, exact_rerank_ds, k)
+
+
+def nearest_neighbor_exact(ds, id_col: str = "vec_id", vec_col: str = "embedding",
+                           scale: int = 1 << 20, max_broadcast_vectors: int = 1 << 18):
+    """EXACT nearest neighbor for EVERY vector by integer-quantized dot
+    product — the SQL-checkable member of the similarity family (the
+    float ANN ops are planted/rows-only because no float dot-product fold
+    matches any deterministic SQL evaluation; measured ~1e-7 drift).
+
+    Quantization ``q = floor(float64(x) * scale + 0.5)`` makes the dot an
+    exact int64 (|q| and dims guarded so |dot| < 2^53 — DuckDB's
+    list_dot_product over BIGINT lists evaluates in doubles, exact below
+    that). Ties break to the SMALLEST neighbor id (rows pre-sorted by id;
+    np.argmax takes the first maximum == row_number ORDER BY dot DESC,
+    id). Self-matches excluded.
+
+    Plan: the quantized matrix broadcasts ONCE via ray.put (guarded by
+    ``max_broadcast_vectors`` — beyond that, route through the IVF bucket
+    path and verify candidates exactly); each batch computes one int64
+    matmul block against it. Returns a Dataset of
+    ``(id_col, nn_id, dot)``.
+    """
+    import numpy as np
+    import ray
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        m = np.stack(batch[vec_col].to_pylist()).astype(np.float64)
+        q = np.floor(m * np.float64(scale) + np.float64(0.5)).astype(np.int64)
+        return pa.table(
+            {
+                "id": pa.array(ids, pa.int64()),
+                "q": pa.array(list(q), pa.list_(pa.int64())),
+            }
+        )
+
+    qdf = (
+        ds.map_batches(quantize, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    n = len(qdf)
+    if n > max_broadcast_vectors:
+        raise ValueError(
+            f"{n} vectors exceed max_broadcast_vectors={max_broadcast_vectors}; "
+            "use the IVF bucket path with exact candidate verification"
+        )
+    if n < 2:
+        raise ValueError("nearest_neighbor_exact needs at least 2 vectors")
+    ids = qdf["id"].to_numpy(dtype=np.int64)
+    if (np.diff(ids) == 0).any():
+        raise ValueError(f"duplicate {id_col!r} values")
+    Q = np.stack(qdf["q"].to_numpy())
+    dims = Q.shape[1]
+    if int(np.abs(Q).max()) ** 2 * dims >= 1 << 53:
+        raise ValueError("quantized dot product may exceed 2^53 — lower `scale`")
+    mat_ref = ray.put((ids, Q))
+
+    def best(batch: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        import ray as _ray
+
+        all_ids, M = _ray.get(mat_ref)
+        bids = batch["id"].to_numpy(zero_copy_only=False)
+        B = _np.stack(batch["q"].to_pylist()).astype(_np.int64)
+        dots = M @ B.T  # (n, batch) exact int64
+        self_pos = _np.searchsorted(all_ids, bids)
+        dots[self_pos, _np.arange(len(bids))] = _np.iinfo(_np.int64).min
+        arg = _np.argmax(dots, axis=0)  # first max == smallest id on ties
+        return pa.table(
+            {
+                id_col: pa.array(bids, pa.int64()),
+                "nn_id": pa.array(all_ids[arg], pa.int64()),
+                "dot": pa.array(dots[arg, _np.arange(len(bids))], pa.int64()),
+            }
+        )
+
+    import ray.data
+
+    qds = ray.data.from_pandas(qdf)
+    return qds.map_batches(best, batch_format="pyarrow", **remote_args())

@@ -556,3 +556,49 @@ def test_with_global_row_ids_duplicate_keys_loud(ray_session):
     df = pd.DataFrame({"k": np.array([1, 2, 2, 3], dtype=np.int64)})
     with pytest.raises(Exception, match="duplicate|overlap"):
         with_global_row_ids(ray.data.from_pandas(df).repartition(2), "k").to_pandas()
+
+
+# --------------------------------------------------- exact nearest neighbor
+
+
+def test_nearest_neighbor_exact_matches_brute_force(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.similarity import nearest_neighbor_exact
+
+    rng = np.random.default_rng(17)
+    n, d = 60, 8
+    m = rng.normal(scale=0.3, size=(n, d)).astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64), "embedding": list(m)})
+    got = (
+        nearest_neighbor_exact(ray.data.from_pandas(df).repartition(4))
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    q = np.floor(m.astype(np.float64) * (1 << 20) + 0.5).astype(np.int64)
+    dots = q @ q.T
+    np.fill_diagonal(dots, np.iinfo(np.int64).min)
+    want_nn = dots.argmax(axis=1)  # first max == smallest id on ties
+    assert got["nn_id"].tolist() == want_nn.tolist()
+    assert got["dot"].tolist() == dots[np.arange(n), want_nn].tolist()
+
+
+def test_nearest_neighbor_exact_guards(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.similarity import nearest_neighbor_exact
+
+    one = pd.DataFrame({"vec_id": [1], "embedding": [np.zeros(4, np.float32)]})
+    with pytest.raises(ValueError, match="at least 2"):
+        nearest_neighbor_exact(ray.data.from_pandas(one))
+    dup = pd.DataFrame(
+        {"vec_id": [1, 1], "embedding": [np.zeros(4, np.float32)] * 2}
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        nearest_neighbor_exact(ray.data.from_pandas(dup))
+    big = pd.DataFrame(
+        {"vec_id": [1, 2], "embedding": [np.full(4, 4000.0, np.float32)] * 2}
+    )
+    with pytest.raises(ValueError, match="2\\^53"):
+        nearest_neighbor_exact(ray.data.from_pandas(big))
