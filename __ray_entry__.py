@@ -6720,6 +6720,43 @@ def _q_nearest_neighbor_exact_embeddings(sf_dir: str):
 
 
 
+
+def _q_lake_psi_quantity(sf_dir: str):
+    """Tails-only distribution drift between two lakes
+    (orcmerge.py:lake_psi): lineitem splits by l_orderkey parity into two
+    histogram-carrying lakes; the PSI terms come from footer metadata
+    alone (zero data-stream reads), mirrored by the psi_drift expression
+    rules (exact-int divisions, libm ln, NULL where a side is empty)."""
+    import shutil
+
+    import pyarrow.compute as _pc
+    import ray.data
+
+    from orc_format_ray.orcfile import write_orc
+    from orc_format_ray.orcmerge import hist_meta, lake_psi
+
+    dirs = {}
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"])
+    tbl = _table(ds)
+    import numpy as np
+
+    parity = tbl["l_orderkey"].to_numpy(zero_copy_only=False) % 2
+    for side in (0, 1):
+        d = _scratch(sf_dir, f"psilake{side}")
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+        part = tbl.filter(pa.array(parity == side)).select(["l_quantity"])
+        step = (part.num_rows + 2) // 3
+        for i in range(3):
+            sl = part.slice(i * step, step)
+            if sl.num_rows:
+                write_orc(sl, os.path.join(d, f"p{i}.orc"),
+                          user_metadata=hist_meta(sl, ["l_quantity"]))
+        dirs[side] = d
+    return lake_psi(dirs[0], dirs[1], "l_quantity")
+
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
     # (VERDICT r3 "What's wrong" #2), so the window below is curated for
@@ -7035,6 +7072,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lake_index_scan": _q_lake_index_scan,
         "global_row_ids_documents": _q_global_row_ids_documents,
         "nearest_neighbor_exact_embeddings": _q_nearest_neighbor_exact_embeddings,
+        "lake_psi_quantity": _q_lake_psi_quantity,
     }
 
 
@@ -9397,5 +9435,16 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY va ORDER BY dot DESC, vb) AS rn FROM d) "
             "SELECT va AS vec_id, vb AS nn_id, CAST(dot AS BIGINT) AS dot "
             "FROM r WHERE rn = 1 ORDER BY vec_id"
+        ),
+        "lake_psi_quantity": (
+            "WITH u AS (SELECT l_orderkey % 2 AS side, "
+            "CAST(floor(l_quantity*100 + 0.5) AS BIGINT) AS u FROM lineitem), "
+            "c AS (SELECT u.u, CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_a, "
+            "CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_b FROM u GROUP BY u.u), "
+            "t AS (SELECT CAST(sum(c_a) AS BIGINT) AS na, CAST(sum(c_b) AS BIGINT) AS nb FROM c) "
+            "SELECT u AS units, c_a, c_b, CASE WHEN c_a > 0 AND c_b > 0 THEN "
+            "(CAST(c_a AS DOUBLE)/CAST(na AS DOUBLE) - CAST(c_b AS DOUBLE)/CAST(nb AS DOUBLE)) "
+            "* ln((CAST(c_a AS DOUBLE)/CAST(na AS DOUBLE)) / (CAST(c_b AS DOUBLE)/CAST(nb AS DOUBLE))) "
+            "ELSE NULL END AS psi_term FROM c, t ORDER BY units"
         ),
     }

@@ -1291,23 +1291,19 @@ def hist_meta(tbl, columns: list[str], value_scale: int = 100,
     return out
 
 
-def lake_quantile_disc(in_dir: str, column: str, qs: list[float]):
-    """EXACT discrete quantiles for an ORC lake from TAILS ONLY: one Ray
-    task per file preads the footer histogram, the driver merges counts
-    and applies ``quantile_disc_from_counts`` (the pinned DuckDB rank
-    rule — keep qs short decimals). Loud when ANY file lacks an exact
+def _merged_lake_hist(in_dir: str, column: str, op_name: str):
+    """Union the exact (units, count) footer histograms of a lake from
+    TAILS ONLY (one Ray task per file). Loud when ANY file lacks an exact
     histogram or scales disagree — a silent approximate answer would
-    masquerade as exact. Returns a DataFrame ``(q, units)``."""
+    masquerade as exact. Returns (vals int64[], counts int64[], scale)."""
     import glob
     import json
 
     import numpy as np
-    import pandas as pd
     import pyarrow as pa
     import ray.data
 
     from ._rayutil import remote_args
-    from .ops.agg import quantile_disc_from_counts
     from .orcread import read_orc_user_metadata
 
     paths = sorted(glob.glob(os.path.join(in_dir, "**", "*.orc"), recursive=True))
@@ -1330,21 +1326,77 @@ def lake_quantile_disc(in_dir: str, column: str, qs: list[float]):
     scale = None
     for p, payload in cells.itertuples(index=False):
         if not payload:
-            raise ValueError(f"lake_quantile_disc: {p} has no histogram for {column!r}")
+            raise ValueError(f"{op_name}: {p} has no histogram for {column!r}")
         d = json.loads(payload)
         if not d.get("exact"):
             raise ValueError(
-                f"lake_quantile_disc: {p}'s histogram overflowed "
+                f"{op_name}: {p}'s histogram overflowed "
                 f"({d.get('n_seen')} distinct units) — rebuild with a larger cap"
             )
         if scale is None:
             scale = d["scale"]
         elif scale != d["scale"]:
-            raise ValueError(f"lake_quantile_disc: mixed scales {scale} vs {d['scale']}")
+            raise ValueError(f"{op_name}: mixed scales {scale} vs {d['scale']}")
         for v, c in zip(d["values"], d["counts"]):
             merged[v] = merged.get(v, 0) + c
     vals = np.array(sorted(merged), dtype=np.int64)
     counts = np.array([merged[v] for v in vals.tolist()], dtype=np.int64)
+    return vals, counts, scale
+
+
+def lake_quantile_disc(in_dir: str, column: str, qs: list[float]):
+    """EXACT discrete quantiles for an ORC lake from TAILS ONLY: merge the
+    footer histograms and apply ``quantile_disc_from_counts`` (the pinned
+    DuckDB rank rule — keep qs short decimals). Returns a DataFrame
+    ``(q, units)``."""
+    import numpy as np
+    import pandas as pd
+
+    from .ops.agg import quantile_disc_from_counts
+
+    vals, counts, _scale = _merged_lake_hist(in_dir, column, "lake_quantile_disc")
     picks = quantile_disc_from_counts(vals, counts, qs)
     return pd.DataFrame({"q": np.array(qs, dtype=np.float64),
                          "units": np.array(picks, dtype=np.int64)})
+
+
+def lake_psi(dir_a: str, dir_b: str, column: str):
+    """Population Stability Index between TWO LAKES from TAILS ONLY — the
+    distribution-drift monitor that never touches data bytes: both sides'
+    exact footer histograms merge driver-side, then per-unit
+
+        term = (pa - pb) * ln(pa / pb),  pa = c_a/n_a, pb = c_b/n_b
+
+    with psi_drift's exact parity rules (single divisions of exact ints,
+    math.log == libm ln, units where either side is empty yield a NULL
+    term — never epsilon-fudged). Scales must agree across BOTH lakes.
+    Returns a DataFrame ``(units, c_a, c_b, psi_term)`` over the union of
+    units; sum(psi_term) is the PSI."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    va, ca, sa = _merged_lake_hist(dir_a, column, "lake_psi")
+    vb, cb, sb = _merged_lake_hist(dir_b, column, "lake_psi")
+    if sa != sb:
+        raise ValueError(f"lake_psi: scales disagree across lakes ({sa} vs {sb})")
+    na, nb = int(ca.sum()), int(cb.sum())
+    da = dict(zip(va.tolist(), ca.tolist()))
+    db = dict(zip(vb.tolist(), cb.tolist()))
+    rows = []
+    for u in sorted(set(da) | set(db)):
+        a, b = da.get(u, 0), db.get(u, 0)
+        if a > 0 and b > 0:
+            # mirrored op-for-op by the SQL oracle (the psi_drift rule)
+            p = np.float64(a) / np.float64(na)
+            q = np.float64(b) / np.float64(nb)
+            term = float((p - q) * np.float64(math.log(p / q)))
+        else:
+            term = None
+        rows.append((u, a, b, term))
+    out = pd.DataFrame(rows, columns=["units", "c_a", "c_b", "psi_term"])
+    out["units"] = out["units"].astype("int64")
+    out["c_a"] = out["c_a"].astype("int64")
+    out["c_b"] = out["c_b"].astype("int64")
+    return out

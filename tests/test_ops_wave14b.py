@@ -602,3 +602,48 @@ def test_nearest_neighbor_exact_guards(ray_session):
     )
     with pytest.raises(ValueError, match="2\\^53"):
         nearest_neighbor_exact(ray.data.from_pandas(big))
+
+
+# -------------------------------------------------------------- lake PSI
+
+
+def test_lake_psi_matches_direct_computation(tmp_path, ray_session):
+    import math
+
+    from orc_format_ray.orcmerge import hist_meta, lake_psi
+
+    rng = np.random.default_rng(23)
+    a = rng.integers(1, 10, 300).astype(np.float64)
+    b = rng.integers(3, 14, 200).astype(np.float64)  # shifted: some one-sided units
+    for name, vals in [("a", a), ("b", b)]:
+        d = str(tmp_path / name)
+        os.makedirs(d)
+        for i in range(2):
+            part = pa.table({"v": pa.array(vals[i::2])})
+            write_orc(part, f"{d}/p{i}.orc", user_metadata=hist_meta(part, ["v"]))
+    got = lake_psi(str(tmp_path / "a"), str(tmp_path / "b"), "v").set_index("units")
+    ua, ca = np.unique(np.floor(a * 100 + 0.5).astype(np.int64), return_counts=True)
+    ub, cb = np.unique(np.floor(b * 100 + 0.5).astype(np.int64), return_counts=True)
+    da, db = dict(zip(ua.tolist(), ca.tolist())), dict(zip(ub.tolist(), cb.tolist()))
+    na, nb = len(a), len(b)
+    for u in sorted(set(da) | set(db)):
+        row = got.loc[u]
+        assert row["c_a"] == da.get(u, 0) and row["c_b"] == db.get(u, 0)
+        if da.get(u, 0) and db.get(u, 0):
+            p, q = np.float64(da[u]) / na, np.float64(db[u]) / nb
+            assert row["psi_term"] == float((p - q) * np.float64(math.log(p / q)))
+        else:
+            assert pd.isna(row["psi_term"])  # one-sided units: NULL, not fudged
+
+
+def test_lake_psi_scale_mismatch_is_loud(tmp_path, ray_session):
+    from orc_format_ray.orcmerge import hist_meta, lake_psi
+
+    for name, scale in [("a", 100), ("b", 10)]:
+        d = str(tmp_path / name)
+        os.makedirs(d)
+        part = pa.table({"v": pa.array([1.0, 2.0])})
+        write_orc(part, f"{d}/p.orc",
+                  user_metadata=hist_meta(part, ["v"], value_scale=scale))
+    with pytest.raises(ValueError, match="scales disagree"):
+        lake_psi(str(tmp_path / "a"), str(tmp_path / "b"), "v")
