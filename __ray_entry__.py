@@ -6757,6 +6757,26 @@ def _q_lake_psi_quantity(sf_dir: str):
 
 
 
+
+def _q_tpch_q14_promo(sf_dir: str):
+    """TPC-H Q14 promotion effect (pipelines/tpch.py:q14_promo_revenue) —
+    PROMO partkeys broadcast once, exact cents*(100-bp) units, the
+    mirrored 100.0*p/t expression."""
+    from orc_format_ray.pipelines.tpch import q14_promo_revenue
+
+    return q14_promo_revenue(sf_dir)
+
+
+def _q_tpch_q18_large(sf_dir: str):
+    """TPC-H Q18 large-volume customers (pipelines/tpch.py:
+    q18_large_orders) — per-order exact quantity units, broadcast
+    qualifying keys, deterministic (price DESC, date, orderkey) top-100."""
+    from orc_format_ray.pipelines.tpch import q18_large_orders
+
+    return q18_large_orders(sf_dir)
+
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
     # (VERDICT r3 "What's wrong" #2), so the window below is curated for
@@ -7073,6 +7093,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_row_ids_documents": _q_global_row_ids_documents,
         "nearest_neighbor_exact_embeddings": _q_nearest_neighbor_exact_embeddings,
         "lake_psi_quantity": _q_lake_psi_quantity,
+        "tpch_q14_promo": _q_tpch_q14_promo,
+        "tpch_q18_large": _q_tpch_q18_large,
     }
 
 
@@ -9446,5 +9468,28 @@ def oracle_sql() -> dict[str, str]:
             "(CAST(c_a AS DOUBLE)/CAST(na AS DOUBLE) - CAST(c_b AS DOUBLE)/CAST(nb AS DOUBLE)) "
             "* ln((CAST(c_a AS DOUBLE)/CAST(na AS DOUBLE)) / (CAST(c_b AS DOUBLE)/CAST(nb AS DOUBLE))) "
             "ELSE NULL END AS psi_term FROM c, t ORDER BY units"
+        ),
+        "tpch_q14_promo": (
+            "WITH l AS (SELECT l_partkey, "
+            "CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) "
+            "* (100 - CAST(floor(l_discount*100 + 0.5) AS BIGINT)) AS u "
+            "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-09-01' "
+            "AND l_shipdate < TIMESTAMP '1995-10-01') "
+            "SELECT CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN u ELSE 0 END) AS BIGINT) AS promo_units, "
+            "CAST(sum(u) AS BIGINT) AS total_units, "
+            "100.0 * CAST(CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN u ELSE 0 END) AS BIGINT) AS DOUBLE) "
+            "/ CAST(CAST(sum(u) AS BIGINT) AS DOUBLE) AS promo_pct "
+            "FROM l JOIN part ON l_partkey = p_partkey"
+        ),
+        "tpch_q18_large": (
+            "WITH q AS (SELECT l_orderkey, "
+            "CAST(sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT) AS su "
+            "FROM lineitem GROUP BY l_orderkey HAVING su > 30000) "
+            "SELECT c_name, o_custkey, o_orderkey, "
+            "CAST(epoch_us(o_orderdate) AS BIGINT) AS o_orderdate_us, o_totalprice, "
+            "q.su AS sum_qty_units "
+            "FROM q JOIN orders ON o_orderkey = q.l_orderkey "
+            "LEFT JOIN customer ON c_custkey = o_custkey "
+            "ORDER BY o_totalprice DESC, o_orderdate_us, o_orderkey LIMIT 100"
         ),
     }

@@ -555,3 +555,131 @@ def q10_returned_items(
     out["revenue_units"] = out["revenue_units"].astype(np.int64)
     out["revenue"] = out["revenue_units"].to_numpy(np.int64).astype(np.float64) / np.float64(10000.0)
     return out[["c_custkey", "c_name", "n_name", "revenue_units", "revenue"]].reset_index(drop=True)
+
+
+def q14_promo_revenue(sf_dir: str, date_lo: str = "1995-09-01", date_hi: str = "1995-10-01"):
+    """TPC-H Q14 promotion effect: the share of one ship-month's revenue
+    on PROMO parts. Returns a one-row DataFrame
+    (promo_units, total_units, promo_pct).
+
+    Scale shape: part is the SMALL side — the PROMO partkey set broadcasts
+    once via ray.put and every lineitem batch probes it vectorized
+    (np.isin); no shuffle at all. Parity: revenue units are the exact
+    tpch cents*(100-bp) ints (per-row < 2^40 guarded, Python-int fold);
+    promo_pct is the mirrored ``100.0 * CAST(p AS DOUBLE) / CAST(t AS
+    DOUBLE)`` expression."""
+    import ray
+    import ray.data
+
+    lo, hi = _ts_us(date_lo), _ts_us(date_hi)
+
+    promo = (
+        ray.data.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+        .map_batches(
+            lambda b: b.filter(
+                __import__("pyarrow").compute.starts_with(b["p_type"], "PROMO")
+            ).select(["p_partkey"]),
+            batch_format="pyarrow", zero_copy_batch=True, **remote_args(),
+        )
+        .to_pandas()
+    )
+    promo_ref = ray.put(np.sort(promo["p_partkey"].to_numpy(dtype=np.int64)))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        keys = _ray.get(promo_ref)
+        sd = batch["l_shipdate"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = (sd >= lo) & (sd < hi)
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False)[keep]
+        p = batch["l_extendedprice"].to_numpy(zero_copy_only=False).astype(np.float64)[keep]
+        d = batch["l_discount"].to_numpy(zero_copy_only=False).astype(np.float64)[keep]
+        units = _rev_units(p, d)
+        _guard_sum(units)
+        is_promo = np.isin(pk, keys)
+        return pa.table(
+            {
+                "pu": pa.array([int(units[is_promo].sum())], pa.int64()),
+                "tu": pa.array([int(units.sum())], pa.int64()),
+            }
+        )
+
+    parts = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_shipdate", "l_partkey", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .to_pandas()
+    )
+    pu = sum(int(v) for v in parts["pu"])
+    tu = sum(int(v) for v in parts["tu"])
+    if tu == 0:
+        raise ValueError("q14: no rows in the ship-date window")
+    # mirrored op-for-op by the SQL oracle (left-assoc: (100.0 * p) / t)
+    pct = float(np.float64(100.0) * np.float64(pu) / np.float64(tu))
+    return pd.DataFrame({"promo_units": [pu], "total_units": [tu], "promo_pct": [pct]})
+
+
+def q18_large_orders(sf_dir: str, qty_units_threshold: int = 30_000, k: int = 100):
+    """TPC-H Q18 large-volume customers: orders whose line quantities sum
+    past the threshold (exact cent-units — 300.0 == 30_000 units), top-k
+    by (o_totalprice DESC, o_orderdate, o_orderkey — the extra key makes
+    the cut deterministic where the spec leaves ties open; keep the SQL
+    mirror's ORDER BY in sync). Returns (c_name, o_custkey, o_orderkey,
+    o_orderdate_us, o_totalprice, sum_qty_units).
+
+    Scale shape: per-order quantity partials pre-aggregate inside every
+    batch, ONE metadata groupby folds them, the qualifying key set (tiny
+    by construction) broadcasts, and orders/customer stream filtered —
+    lineitem payloads never shuffle."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.float64)
+        u = np.floor(q * 100 + 0.5).astype(np.int64)
+        t = pa.table({"k": batch["l_orderkey"], "u": pa.array(u, pa.int64())})
+        return t.group_by("k").aggregate([("u", "sum")]).rename_columns(["k", "u"])
+
+    per_order = (
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"])
+        .map_batches(qty_partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby("k")
+        .aggregate(Sum("u", alias_name="u"))
+        .to_pandas()
+    )
+    big = per_order[per_order["u"] > qty_units_threshold]
+    qty_map = dict(zip(big["k"].astype("int64"), big["u"].astype("int64")))
+    keys_ref = ray.put(np.sort(big["k"].to_numpy(dtype=np.int64)))
+
+    def orders_sel(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        keys = _ray.get(keys_ref)
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        keep = np.isin(ok, keys)
+        return batch.filter(pa.array(keep)).select(
+            ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+        )
+
+    orders = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+        )
+        .map_batches(orders_sel, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .to_pandas()
+    )
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    out = orders.merge(cust, left_on="o_custkey", right_on="c_custkey", how="left")
+    out["o_orderdate_us"] = out["o_orderdate"].astype("datetime64[us]").astype("int64")
+    out["sum_qty_units"] = out["o_orderkey"].map(qty_map).astype("int64")
+    out = out.sort_values(
+        ["o_totalprice", "o_orderdate_us", "o_orderkey"],
+        ascending=[False, True, True], kind="mergesort",
+    ).head(k)
+    return out[
+        ["c_name", "o_custkey", "o_orderkey", "o_orderdate_us", "o_totalprice", "sum_qty_units"]
+    ].reset_index(drop=True)
