@@ -6777,6 +6777,46 @@ def _q_tpch_q18_large(sf_dir: str):
 
 
 
+
+def _q_orc_rename_migration(sf_dir: str):
+    """Zero-decode schema migration (orcmerge.py:rename_lake_columns):
+    stripes copy verbatim, only file TAILS rewrite — the renamed lake
+    reads back (native + stats + pushdown) under the new names and the
+    re-run is a proven no-op (idempotence asserted in-query)."""
+    import shutil
+
+    import pandas as pd
+    import ray.data
+
+    from orc_format_ray.orcfile import read_orc_dataset, write_orc
+    from orc_format_ray.orcmerge import rename_lake_columns
+
+    scratch = _scratch(sf_dir, "renlake")
+    shutil.rmtree(scratch, ignore_errors=True)
+    os.makedirs(scratch, exist_ok=True)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    )
+    tbl = _table(ds).sort_by("doc_id")
+    step = (tbl.num_rows + 3) // 4
+    for i in range(4):
+        part = tbl.slice(i * step, step)
+        if part.num_rows:
+            write_orc(part, os.path.join(scratch, f"p{i}.orc"), stripe_rows=1000)
+    r1 = rename_lake_columns(scratch, {"n_chars": "char_count"})
+    r2 = rename_lake_columns(scratch, {"n_chars": "char_count"})
+    if r1["n_renamed"] != r1["n_files"] or r2["n_renamed"] != 0:
+        raise AssertionError(f"rename not idempotent: {r1} then {r2}")
+    back = read_orc_dataset(scratch, native=True, columns=["source", "char_count"]).to_pandas()
+    g = back.groupby("source", as_index=False).agg(
+        n=("char_count", "size"), sum_chars=("char_count", "sum")
+    )
+    g["n"] = g["n"].astype("int64")
+    g["sum_chars"] = g["sum_chars"].astype("int64")
+    return g.sort_values("source").reset_index(drop=True)
+
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
     # (VERDICT r3 "What's wrong" #2), so the window below is curated for
@@ -7095,6 +7135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lake_psi_quantity": _q_lake_psi_quantity,
         "tpch_q14_promo": _q_tpch_q14_promo,
         "tpch_q18_large": _q_tpch_q18_large,
+        "orc_rename_migration": _q_orc_rename_migration,
     }
 
 
@@ -9491,5 +9532,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM q JOIN orders ON o_orderkey = q.l_orderkey "
             "LEFT JOIN customer ON c_custkey = o_custkey "
             "ORDER BY o_totalprice DESC, o_orderdate_us, o_orderkey LIMIT 100"
+        ),
+        "orc_rename_migration": (
+            "SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars "
+            "FROM documents GROUP BY source ORDER BY source"
         ),
     }

@@ -1400,3 +1400,109 @@ def lake_psi(dir_a: str, dir_b: str, column: str):
     out["c_a"] = out["c_a"].astype("int64")
     out["c_b"] = out["c_b"].astype("int64")
     return out
+
+
+def rename_orc_columns(path: str, out_path: str, renames: dict[str, str],
+                       level: int = 3) -> dict:
+    """Rename TOP-LEVEL columns of an ORC file WITHOUT touching data bytes:
+    stripes copy verbatim (the merge machinery), only the root STRUCT's
+    fieldNames in the rebuilt tail change — a schema migration that costs
+    tail-rewrite I/O, not a decode/re-encode of the lake. Column ids (and
+    with them statistics, bloom filters, ROW_INDEX) are positional, so
+    every index keeps working under the new names.
+
+    Idempotence contract: if NO rename key is present but every TARGET
+    name already is, the file is already migrated and copies through
+    unchanged (re-runs converge). Missing-and-not-applied names, target
+    collisions, and nested paths are loud. Returns merge_orc_files'
+    summary dict."""
+    from .orcread import _packed_uvs
+
+    with _Source(path) as src:
+        t = _tail_raw(src)
+    root = _fields(t["types_raw"][0])
+    kind_code = root.get(1, [0])[0]
+    subs = _packed_uvs(root.get(2, []))
+    names = [v.decode() for v in root.get(3, [])]
+    for old, new in renames.items():
+        if "." in old or "." in new:
+            raise ValueError("rename_orc_columns renames top-level columns only")
+    applied = {o for o in renames if o in names}
+    if not applied:
+        if all(n in names for n in renames.values()):
+            pass  # already migrated — idempotent re-run
+        else:
+            raise ValueError(f"rename_orc_columns: none of {sorted(renames)} present in {names}")
+    new_names = [renames.get(n, n) for n in names]
+    if len(set(new_names)) != len(new_names):
+        raise ValueError(f"rename_orc_columns: target names collide: {new_names}")
+    m = Msg()
+    m.varint(1, kind_code)
+    m.packed(2, subs)
+    for n in new_names:
+        m.string(3, n)
+    patched = list(t["types_raw"])
+    patched[0] = m.tobytes()
+
+    if t["compression"] not in _KIND_IDS:
+        raise NotImplementedError(f"cannot re-frame tail with read-only codec {t['compression']!r}")
+    tail_block = min(_ORC_BLOCK, t["block_size"]) if t["block_size"] else _ORC_BLOCK
+    tmp = out_path + ".tmp"
+    stripe_infos: list[tuple[int, int, int, int, int]] = []
+    stripe_stats: list[bytes] = []
+    stats_ok = len(t["stripe_stats_raw"]) == len(t["stripes"])
+    try:
+        _write_merged(tmp, [path], [t], t, patched, t["compression"], level, tail_block,
+                      t["writer_version"], stripe_infos, stripe_stats, stats_ok)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+        raise
+    os.replace(tmp, out_path)
+    return {
+        "num_rows": sum(si[4] for si in stripe_infos),
+        "file_bytes": os.path.getsize(out_path),
+        "stripes": len(stripe_infos),
+        "renamed": sorted(applied),
+    }
+
+
+def rename_lake_columns(lake_dir: str, renames: dict[str, str], level: int = 3) -> dict:
+    """Lake-wide zero-decode column rename: one Ray task per file rewrites
+    its TAIL in place (atomic tmp + os.replace under the SAME filename —
+    re-runs converge via rename_orc_columns' idempotence). Partitioned
+    lakes: renaming a PARTITION column is rejected (those names live in
+    directory paths and the sidecar, not file tails). Returns
+    ``{"n_files", "n_renamed"}``."""
+    import glob
+
+    import pyarrow as pa
+    import ray.data
+
+    from ._rayutil import remote_args
+    from .orcfile import PARTITION_SCHEMA_FILE
+
+    sc = os.path.join(lake_dir, PARTITION_SCHEMA_FILE)
+    if os.path.exists(sc):
+        with open(sc, "rb") as f:
+            pschema = pa.ipc.read_schema(pa.py_buffer(f.read()))
+        hit = set(renames) & set(pschema.names)
+        if hit:
+            raise ValueError(f"rename_lake_columns: {sorted(hit)} are partition columns")
+    paths = sorted(glob.glob(os.path.join(lake_dir, "**", "*.orc"), recursive=True))
+    if not paths:
+        raise FileNotFoundError(f"no .orc files under {lake_dir}")
+
+    def work(batch: pa.Table) -> pa.Table:
+        rows = []
+        for p in batch["path"].to_pylist():
+            res = rename_orc_columns(p, p, renames, level=level)
+            rows.append({"path": p, "n_renamed": len(res["renamed"])})
+        return pa.Table.from_pylist(rows)
+
+    res = (
+        ray.data.from_items([{"path": p} for p in paths])
+        .map_batches(work, batch_format="pyarrow", **remote_args())
+        .to_pandas()
+    )
+    return {"n_files": len(paths), "n_renamed": int((res["n_renamed"] > 0).sum())}

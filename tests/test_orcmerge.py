@@ -438,3 +438,73 @@ def test_sink_bloom_columns_survive_compaction(ray_session, tmp_path):
     tbl, info = read_orc_filtered(part, ("k", "==", "key-definitely-absent"))
     assert tbl.num_rows == 0
     assert info["groups_read"] == 0  # every group bloom-pruned
+
+
+# ------------------------------------------------------------- column rename
+
+
+def test_rename_orc_columns_zero_decode(tmp_path, ray_session):
+    import numpy as np
+
+    from orc_format_ray.orcfile import write_orc
+    from orc_format_ray.orcmerge import read_orc_statistics, rename_orc_columns
+    from orc_format_ray.orcread import read_orc_filtered, read_orc_native
+
+    t = pa.table(
+        {
+            "a": pa.array(np.arange(100), pa.int64()),
+            "b": pa.array([f"s{i}" for i in range(100)]),
+        }
+    )
+    p = str(tmp_path / "f.orc")
+    write_orc(t, p, stripe_rows=40, row_index_stride=20)
+    res = rename_orc_columns(p, p, {"a": "key"})
+    assert res["renamed"] == ["a"] and res["num_rows"] == 100
+    back = read_orc_native(p)
+    assert back.column_names == ["key", "b"]
+    assert back["key"].to_pylist() == list(range(100))
+    # positional stats + ROW_INDEX still work under the new name
+    st = read_orc_statistics(p)
+    assert st["key"].min == 0 and st["key"].max == 99
+    out, counters = read_orc_filtered(p, ("key", ">=", 90))
+    assert out.num_rows == 10 and counters["groups_read"] < counters["groups_total"]
+    # pyarrow C++ conformance
+    import pyarrow.orc as po
+
+    f = po.ORCFile(p)
+    assert f.schema.names == ["key", "b"] and f.read().num_rows == 100
+
+
+def test_rename_orc_columns_guards(tmp_path, ray_session):
+    from orc_format_ray.orcfile import write_orc
+    from orc_format_ray.orcmerge import rename_orc_columns
+
+    t = pa.table({"a": pa.array([1], pa.int64()), "b": pa.array([2], pa.int64())})
+    p = str(tmp_path / "f.orc")
+    write_orc(t, p)
+    with pytest.raises(ValueError, match="collide"):
+        rename_orc_columns(p, p, {"a": "b"})
+    with pytest.raises(ValueError, match="none of"):
+        rename_orc_columns(p, p, {"zzz": "y"})
+    with pytest.raises(ValueError, match="top-level"):
+        rename_orc_columns(p, p, {"a.x": "y"})
+    # idempotent: applying {a -> c} twice converges
+    rename_orc_columns(p, p, {"a": "c"})
+    res = rename_orc_columns(p, p, {"a": "c"})
+    assert res["renamed"] == []
+
+
+def test_rename_lake_columns_rejects_partition_cols(tmp_path, ray_session):
+    import pandas as pd
+    import ray.data
+
+    from orc_format_ray.orcfile import write_orc_dataset
+    from orc_format_ray.orcmerge import rename_lake_columns
+
+    df = pd.DataFrame({"k": [1, 2, 3, 4], "g": ["a", "a", "b", "b"]})
+    lake = str(tmp_path / "plake")
+    write_orc_dataset(ray.data.from_pandas(df), lake, partition_by=["g"]).materialize()
+    with pytest.raises(ValueError, match="partition columns"):
+        rename_lake_columns(lake, {"g": "grp"})
+    out = rename_lake_columns(lake, {"k": "key"})
+    assert out["n_renamed"] == out["n_files"]
