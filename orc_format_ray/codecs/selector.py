@@ -226,6 +226,7 @@ def decode_strings(b: bytes, codec: str) -> tuple[np.ndarray, np.ndarray]:
 # split is size-neutral raw; all its win appears under zstd).
 
 from . import byte_split as _byte_split
+from . import xor_split as _xor_split
 
 
 def _raw_float_encode(v: np.ndarray) -> bytes:
@@ -257,6 +258,7 @@ def _raw_float_decode(b: bytes) -> np.ndarray:
 FLOAT_CODECS = {
     "raw": (_raw_float_encode, _raw_float_decode),
     "byte_split": (_byte_split.encode, _byte_split.decode),
+    "xor_split": (_xor_split.encode, _xor_split.decode),
 }
 
 
@@ -264,13 +266,28 @@ def register_float_codec(name: str, encode_fn, decode_fn) -> None:
     FLOAT_CODECS[name] = (encode_fn, decode_fn)
 
 
+def _sample_runs(v: np.ndarray, k: int = SAMPLE_VALUES) -> np.ndarray:
+    """Three CONTIGUOUS runs (head/middle/tail) instead of the int menu's
+    strided sample: delta-family codecs (xor_split) win on value ADJACENCY,
+    which a stride destroys — a strided sample would never pick them even
+    on a perfectly smooth series. Contiguous runs keep both signals: the
+    run interiors show adjacency, the three distinct regions show drift."""
+    n = len(v)
+    if n <= k:
+        return v
+    r = k // 3
+    mid = (n - r) // 2
+    return np.concatenate([v[:r], v[mid : mid + r], v[n - r :]])
+
+
 def select_float_codec(v: np.ndarray, menu: list[str] | None = None) -> str:
     """Pick the float codec minimizing estimated post-compression bytes on
-    the head/stride/tail sample (same rule as the int/string menus)."""
+    a contiguous head/middle/tail run sample (adjacency-preserving — see
+    :func:`_sample_runs`; decision metric is post-zstd like every menu)."""
     menu = menu or list(FLOAT_CODECS)
     if len(v) == 0:
         return "raw"
-    s = _sample_ints(np.asarray(v))  # the sampler is dtype-agnostic
+    s = _sample_runs(np.asarray(v))
     best_name, best_size = None, None
     for name in menu:
         enc, _ = FLOAT_CODECS[name]
