@@ -6816,6 +6816,31 @@ def _q_orc_rename_migration(sf_dir: str):
     return g.sort_values("source").reset_index(drop=True)
 
 
+def _q_count_anomaly_events(sf_dir: str):
+    """Per-event-type daily-count anomaly flags at z = 2
+    (ops/profile.py:count_anomaly_by_key) — the float z-test is algebraically
+    equivalent to the pure int64 comparison zd2*(n*c-S)^2 > zn2*(n*Q-S^2),
+    so the SQL oracle reproduces the flags with NO float expression at all.
+    Legally empty (typed-empty guard)."""
+    import pandas as pd
+    import ray.data
+
+    from orc_format_ray.ops.profile import count_anomaly_by_key
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+    out = count_anomaly_by_key(ds, key="event_type", ts_col="ts", z_num=2, z_den=1).to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {
+                "event_type": pd.Series([], dtype="object"),
+                "day": pd.Series([], dtype="int64"),
+                "cnt": pd.Series([], dtype="int64"),
+                "n_days": pd.Series([], dtype="int64"),
+                "sum_cnt": pd.Series([], dtype="int64"),
+            }
+        )
+    return out.sort_values(["event_type", "day"]).reset_index(drop=True)
+
 
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
@@ -7136,6 +7161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q14_promo": _q_tpch_q14_promo,
         "tpch_q18_large": _q_tpch_q18_large,
         "orc_rename_migration": _q_orc_rename_migration,
+        "count_anomaly_events": _q_count_anomaly_events,
     }
 
 
@@ -9536,5 +9562,20 @@ def oracle_sql() -> dict[str, str]:
         "orc_rename_migration": (
             "SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars "
             "FROM documents GROUP BY source ORDER BY source"
+        ),
+        # pure-integer z-test: zd2*(n*c-S)^2 > zn2*(n*Q-S^2) — no float
+        # expression on either side (z = 2/1 → zn2=4, zd2=1)
+        "count_anomaly_events": (
+            "WITH d AS (SELECT event_type, "
+            "CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, "
+            "CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY event_type, day), "
+            "s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days, "
+            "CAST(sum(cnt) AS BIGINT) AS sum_cnt, "
+            "CAST(sum(cnt*cnt) AS BIGINT) AS q FROM d GROUP BY event_type) "
+            "SELECT d.event_type, d.day, d.cnt, s.n_days, s.sum_cnt "
+            "FROM d JOIN s USING (event_type) "
+            "WHERE 1*(s.n_days*d.cnt - s.sum_cnt)*(s.n_days*d.cnt - s.sum_cnt) "
+            "> 4*(s.n_days*s.q - s.sum_cnt*s.sum_cnt) "
+            "ORDER BY event_type, day"
         ),
     }

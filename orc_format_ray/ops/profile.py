@@ -803,3 +803,82 @@ def sequence_gaps(ds, col: str):
     return pinned.map_batches(
         finish, batch_size=None, batch_format="pyarrow", zero_copy_batch=True, **remote_args()
     )
+
+
+def count_anomaly_by_key(ds, key: str = "event_type", ts_col: str = "ts",
+                         z_num: int = 2, z_den: int = 1,
+                         day_us: int = 86_400_000_000):
+    """Per-key event-rate anomaly detection in EXACT int64 arithmetic:
+    bucket events into days (``epoch_us // day_us``), and flag a day ``d``
+    of key ``k`` whose count ``c`` deviates from the key's own mean by more
+    than ``z = z_num/z_den`` standard deviations. With ``n`` days,
+    ``S = sum(c)``, ``Q = sum(c^2)``, the float test
+    ``|c - S/n| > z * sqrt((n*Q - S^2)) / n`` is EQUIVALENT to the pure
+    integer comparison (the ``n`` cancels after squaring)::
+
+        z_den^2 * (n*c - S)^2  >  z_num^2 * (n*Q - S^2)
+
+    so the flags are bitwise-reproducible by the SQL oracle with no float
+    expression at all (the strongest form of the repo's exact-parity rule).
+    Zero-variance keys (all days equal) never flag: both sides are 0 and
+    the comparison is strict.
+
+    Scale shape: one streaming pass emits per-batch ``(key, day, cnt)``
+    partials (fixed-size metadata — the corpus never shuffles), one
+    metadata groupby per key folds the partials, and the anomaly test runs
+    per key over its tiny day vector IN PYTHON INTS (numpy int64 products
+    wrap silently; day counts per key are bounded by the calendar, not the
+    data). Guards: ``n * max(c) < 2^31`` bounds every square below 2^62.
+
+    Returns a Dataset of ``(key, day, cnt, n_days, sum_cnt)`` for the
+    anomalous cells only — legally empty, so downstream consumers must
+    apply the typed-empty guard.
+    """
+    import pandas as pd
+
+    if z_num <= 0 or z_den <= 0 or z_num > 1000 or z_den > 1000:
+        raise ValueError(f"count_anomaly_by_key: bad z = {z_num}/{z_den}")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch[key].to_pandas()
+        d = batch[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False) // day_us
+        g = pd.DataFrame({"k": k, "d": d}).groupby(["k", "d"], sort=False).size()
+        idx = g.index.to_frame(index=False)
+        return pa.table({
+            key: pa.array(idx["k"]),
+            "day": pa.array(idx["d"].to_numpy().astype(np.int64), pa.int64()),
+            "cnt": pa.array(g.to_numpy().astype(np.int64), pa.int64()),
+        })
+
+    meta = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
+                          **remote_args())
+
+    zn2, zd2 = z_num * z_num, z_den * z_den
+
+    def flag(g: pd.DataFrame) -> pd.DataFrame:
+        by_day = g.groupby("day", sort=True)["cnt"].sum()
+        days = [int(x) for x in by_day.index]
+        cnts = [int(x) for x in by_day.to_numpy()]
+        n, s = len(cnts), sum(cnts)
+        # (n*c - s)^2 and (n*q - s^2) are both bounded by (n*max)^2; requiring
+        # max(zn2, zd2) * (n*max)^2 < 2^62 keeps EVERY term in BIGINT range so
+        # the SQL oracle evaluates the identical integer comparison.
+        nm = n * max(cnts)
+        if max(zn2, zd2) * nm * nm >= (1 << 62):
+            raise ValueError(
+                "count_anomaly_by_key: z^2 * (n_days * max(cnt))^2 >= 2^62 — rescale day_us"
+            )
+        q = sum(c * c for c in cnts)
+        rhs = zn2 * (n * q - s * s)
+        keep = [(d, c) for d, c in zip(days, cnts) if zd2 * (n * c - s) * (n * c - s) > rhs]
+        return pd.DataFrame({
+            key: pd.Series([g[key].iloc[0]] * len(keep), dtype=g[key].dtype),
+            "day": pd.Series([d for d, _ in keep], dtype="int64"),
+            "cnt": pd.Series([c for _, c in keep], dtype="int64"),
+            "n_days": pd.Series([n] * len(keep), dtype="int64"),
+            "sum_cnt": pd.Series([s] * len(keep), dtype="int64"),
+        })
+
+    out = meta.groupby(key).map_groups(flag, **remote_args())
+    # normalize lineage so downstream union()/groupby compose (session-10 rule)
+    return out.map_batches(lambda b: b, batch_format="pyarrow", **remote_args())

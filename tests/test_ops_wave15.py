@@ -42,3 +42,79 @@ def test_xor_split_bit_exact_and_wins_on_walks(ray_session):
     for name in ("raw", "byte_split", "xor_split"):
         rt = selector.decode_floats(selector.encode_floats(walk, name), name)
         assert np.array_equal(rt, walk)
+
+
+# ------------------------------------------------- count_anomaly_by_key
+
+
+def _anomaly_brute(df: pd.DataFrame, z_num=2, z_den=1, day_us=86_400_000_000):
+    rows = []
+    d = df.assign(day=df["ts"] // day_us)
+    for k, g in d.groupby("k", sort=True):
+        by = g.groupby("day", sort=True).size()
+        cnts = [int(x) for x in by.to_numpy()]
+        days = [int(x) for x in by.index]
+        n, s = len(cnts), sum(cnts)
+        q = sum(c * c for c in cnts)
+        rhs = z_num * z_num * (n * q - s * s)
+        for day, c in zip(days, cnts):
+            if z_den * z_den * (n * c - s) * (n * c - s) > rhs:
+                rows.append((k, day, c, n, s))
+    return pd.DataFrame(rows, columns=["k", "day", "cnt", "n_days", "sum_cnt"])
+
+
+def test_count_anomaly_matches_brute(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.profile import count_anomaly_by_key
+
+    rng = np.random.default_rng(7)
+    day = 86_400_000_000
+    ks, tss = [], []
+    for k in ["a", "b", "c", "d"]:
+        for d in range(20):
+            n = int(rng.integers(1, 6))
+            if k == "b" and d == 7:
+                n = 200  # planted spike
+            ks += [k] * n
+            tss += [d * day + int(rng.integers(0, day))] * 1 * n
+    df = pd.DataFrame({"k": ks, "ts": np.array(tss, dtype=np.int64)})
+    ds = ray.data.from_pandas(df.sample(frac=1.0, random_state=3).reset_index(drop=True)).repartition(7)
+    got = (
+        count_anomaly_by_key(ds, key="k", ts_col="ts")
+        .to_pandas()
+        .sort_values(["k", "day"])
+        .reset_index(drop=True)
+    )
+    want = _anomaly_brute(df).sort_values(["k", "day"]).reset_index(drop=True)
+    got = got.rename(columns={"k": "k"})
+    pd.testing.assert_frame_equal(
+        got.astype({"day": "int64", "cnt": "int64", "n_days": "int64", "sum_cnt": "int64"}),
+        want,
+    )
+    # the planted spike is flagged
+    assert ("b", 7) in set(zip(got["k"], got["day"]))
+
+
+def test_count_anomaly_zero_variance_never_flags(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.profile import count_anomaly_by_key
+
+    day = 86_400_000_000
+    df = pd.DataFrame(
+        {"k": ["x"] * 30, "ts": np.repeat(np.arange(10, dtype=np.int64) * day, 3)}
+    )
+    got = count_anomaly_by_key(ray.data.from_pandas(df).repartition(4), key="k", ts_col="ts").to_pandas()
+    assert len(got) == 0
+
+
+def test_count_anomaly_guards(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.profile import count_anomaly_by_key
+
+    with pytest.raises(ValueError, match="bad z"):
+        count_anomaly_by_key(None, z_num=0)
+    with pytest.raises(ValueError, match="bad z"):
+        count_anomaly_by_key(None, z_num=2, z_den=1001)
