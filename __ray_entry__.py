@@ -6816,6 +6816,32 @@ def _q_orc_rename_migration(sf_dir: str):
     return g.sort_values("source").reset_index(drop=True)
 
 
+def _q_link_predict_lineitem(sf_dir: str):
+    """Neighborhood-Jaccard link prediction over a derived sparse graph
+    (node = key mod 997, edges from every 7th lineitem) — 2-hop non-edge
+    pairs with >= 2 common neighbors (ops/graph.py:link_predict_jaccard).
+    jaccard is ONE division of exact int64 counts; oracle = the classic
+    adjacency self-join."""
+    import ray.data
+
+    from orc_format_ray.ops.graph import link_predict_jaccard
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        o = b["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = b["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (o + p) % 7 == 0
+        return pa.table({"src": pa.array(o[keep] % 997, pa.int64()),
+                         "dst": pa.array(p[keep] % 997, pa.int64())})
+
+    ed = li.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True, **_ra())
+    out = link_predict_jaccard(ed, min_common=2).to_pandas()
+    for c in ("x", "y", "cn", "deg_a", "deg_b"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["x", "y"]).reset_index(drop=True)
+
+
 def _q_count_anomaly_events(sf_dir: str):
     """Per-event-type daily-count anomaly flags at z = 2
     (ops/profile.py:count_anomaly_by_key) — the float z-test is algebraically
@@ -7162,6 +7188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q18_large": _q_tpch_q18_large,
         "orc_rename_migration": _q_orc_rename_migration,
         "count_anomaly_events": _q_count_anomaly_events,
+        "link_predict_lineitem": _q_link_predict_lineitem,
     }
 
 
@@ -9577,5 +9604,22 @@ def oracle_sql() -> dict[str, str]:
             "WHERE 1*(s.n_days*d.cnt - s.sum_cnt)*(s.n_days*d.cnt - s.sum_cnt) "
             "> 4*(s.n_days*s.q - s.sum_cnt*s.sum_cnt) "
             "ORDER BY event_type, day"
+        ),
+        # common-neighbor link prediction: adjacency self-join; jaccard is
+        # ONE division of exact BIGINT counts (bitwise parity)
+        "link_predict_lineitem": (
+            "WITH g AS (SELECT l_orderkey % 997 AS s, l_partkey % 997 AS d "
+            "FROM lineitem WHERE (l_orderkey + l_partkey) % 7 = 0), "
+            "e AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b FROM g WHERE s <> d), "
+            "adj AS (SELECT a AS node, b AS nb FROM e UNION ALL SELECT b, a FROM e), "
+            "deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY node), "
+            "w AS (SELECT a1.nb AS x, a2.nb AS y, CAST(count(*) AS BIGINT) AS cn "
+            "FROM adj a1 JOIN adj a2 ON a1.node = a2.node AND a1.nb < a2.nb GROUP BY 1, 2), "
+            "c AS (SELECT x, y, cn FROM w WHERE cn >= 2 "
+            "AND NOT EXISTS (SELECT 1 FROM e WHERE e.a = w.x AND e.b = w.y)) "
+            "SELECT c.x, c.y, c.cn, d1.deg AS deg_a, d2.deg AS deg_b, "
+            "CAST(c.cn AS DOUBLE) / CAST(d1.deg + d2.deg - c.cn AS DOUBLE) AS jaccard "
+            "FROM c JOIN deg d1 ON d1.node = c.x JOIN deg d2 ON d2.node = c.y "
+            "ORDER BY x, y"
         ),
     }

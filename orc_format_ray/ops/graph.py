@@ -648,3 +648,158 @@ def personalized_pagerank(edges_ds, seeds, src: str = "src", dst: str = "dst",
         ranks = nxt
 
     return pd.DataFrame({"node": node_ids, "rank_units": ranks})
+
+
+def link_predict_jaccard(edges_ds, src: str = "src", dst: str = "dst",
+                         min_common: int = 1, max_degree: int = 1 << 13,
+                         num_buckets: int = 256):
+    """Neighborhood-Jaccard link prediction: for every NON-edge pair
+    ``(x, y)`` with at least ``min_common`` common neighbors, score
+    ``jaccard = |N(x) ∩ N(y)| / |N(x) ∪ N(y)|`` — the classic
+    common-neighbors baseline for "which links are missing" (recommender /
+    knowledge-graph completion). Returns a Dataset of
+    ``(x, y, cn, deg_a, deg_b, jaccard)``, x < y; the score is ONE IEEE
+    division of exact int64 counts (``cn / (deg_a + deg_b - cn)``), so the
+    SQL self-join oracle reproduces it bitwise.
+
+    Plan (all metadata-only — int64 pairs and counts; payloads never move):
+
+    1. canonicalize + dedupe undirected edges (ids < 2^31, pairs pack into
+       one int64), pin the edge table (wedges, exclusion, and degrees all
+       read it);
+    2. every center ``c`` emits each neighbor pair once, so a
+       ``groupby(bucket)`` sum of wedge multiplicity IS the common-neighbor
+       count — fan-out is the FULL degree choose 2 (common-neighbor
+       counting cannot orient the way triangle counting does: the center
+       must pair ALL its neighbors), guarded at ``max_degree``;
+    3. the same bucket groupby drops pairs that are already edges
+       (vectorized np.isin — the triangle_count closure idiom);
+    4. two hash_joins attach deg(x) / deg(y) (large-large safe; degree
+       tables scale with the node count, never broadcast).
+
+    Zero-variance note: a pair sharing ALL neighbors of both endpoints
+    (deg_a == deg_b == cn) scores exactly 1.0.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Count
+
+    from .join import hash_join
+
+    if min_common < 1:
+        raise ValueError(f"link_predict_jaccard: min_common must be >= 1, got {min_common}")
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        if len(s) and (s.min() < 0 or d.min() < 0 or max(s.max(), d.max()) >= 1 << 31):
+            raise ValueError("link_predict_jaccard: node ids must be in [0, 2^31)")
+        a = np.minimum(s, d)
+        b = np.maximum(s, d)
+        u = np.unique(np.stack([a, b], axis=1), axis=0)
+        return pa.table({"a": pa.array(u[:, 0], pa.int64()), "b": pa.array(u[:, 1], pa.int64())})
+
+    edges = (
+        edges_ds.map_batches(canon, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby("a").map_groups(
+            lambda g: g.drop_duplicates(), batch_format="pandas", **remote_args()
+        )
+        .map_batches(lambda t: t, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    ).materialize()
+
+    def sym(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "node": pa.array(np.concatenate([a, b]), pa.int64()),
+            "nb": pa.array(np.concatenate([b, a]), pa.int64()),
+        })
+
+    adj = edges.map_batches(sym, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    deg = adj.groupby("node").aggregate(Count(alias_name="deg"))
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        nb = np.unique(g["nb"].to_numpy())
+        d = len(nb)
+        if d > max_degree:
+            raise ValueError(
+                f"link_predict_jaccard: degree {d} exceeds max_degree={max_degree}"
+            )
+        if d < 2:
+            return pd.DataFrame({"bucket": pd.Series(dtype="int64"),
+                                 "pair": pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64")})
+        i, j = np.triu_indices(d, k=1)
+        pair = (nb[i].astype(np.int64) << np.int64(32)) | nb[j].astype(np.int64)
+        return pd.DataFrame({"bucket": pair % np.int64(num_buckets),
+                             "pair": pair,
+                             "n": np.ones(len(i), dtype=np.int64)})
+
+    wedge_ds = (
+        adj.groupby("node").map_groups(wedges, batch_format="pandas", **remote_args())
+        .map_batches(lambda t: t, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    )
+
+    def tag_edge(batch: pa.Table) -> pa.Table:
+        pair = (batch["a"].to_numpy(zero_copy_only=False).astype(np.int64) << np.int64(32)) \
+            | batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(pair % np.int64(num_buckets), pa.int64()),
+            "pair": pa.array(pair, pa.int64()),
+            "n": pa.array(np.full(batch.num_rows, -1, dtype=np.int64), pa.int64()),
+        })
+
+    tagged = edges.map_batches(tag_edge, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+
+    def bucket_close(g: pd.DataFrame) -> pd.DataFrame:
+        pair = g["pair"].to_numpy()
+        n = g["n"].to_numpy()
+        is_edge = n == -1
+        wp, wn = pair[~is_edge], n[~is_edge]
+        keep = ~np.isin(wp, pair[is_edge])
+        wp, wn = wp[keep], wn[keep]
+        if not len(wp):
+            return pd.DataFrame({"x": pd.Series(dtype="int64"), "y": pd.Series(dtype="int64"),
+                                 "cn": pd.Series(dtype="int64")})
+        s = pd.Series(wn).groupby(wp).sum()
+        p = s.index.to_numpy().astype(np.int64)
+        cn = s.to_numpy().astype(np.int64)
+        m = cn >= min_common
+        p, cn = p[m], cn[m]
+        return pd.DataFrame({"x": (p >> np.int64(32)).astype(np.int64),
+                             "y": (p & np.int64(0xFFFFFFFF)).astype(np.int64),
+                             "cn": cn})
+
+    cand = (
+        wedge_ds.union(tagged)
+        .groupby("bucket")
+        .map_groups(bucket_close, batch_format="pandas", **remote_args())
+        .map_batches(lambda t: t, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    )
+
+    degx = deg.map_batches(
+        lambda t: t.rename_columns(["x", "deg_a"]),
+        batch_format="pyarrow", zero_copy_batch=True, **remote_args(),
+    )
+    degy = deg.map_batches(
+        lambda t: t.rename_columns(["y", "deg_b"]),
+        batch_format="pyarrow", zero_copy_batch=True, **remote_args(),
+    )
+    joined = hash_join(hash_join(cand, degx, key="x"), degy, key="y")
+
+    def score(batch: pa.Table) -> pa.Table:
+        cn = batch["cn"].to_numpy(zero_copy_only=False).astype(np.int64)
+        da = batch["deg_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        db = batch["deg_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "x": batch["x"].cast(pa.int64()),
+            "y": batch["y"].cast(pa.int64()),
+            "cn": pa.array(cn, pa.int64()),
+            "deg_a": pa.array(da, pa.int64()),
+            "deg_b": pa.array(db, pa.int64()),
+            "jaccard": pa.array(cn.astype(np.float64) / (da + db - cn).astype(np.float64),
+                                pa.float64()),
+        })
+
+    return joined.map_batches(score, batch_format="pyarrow", zero_copy_batch=True, **remote_args())

@@ -118,3 +118,75 @@ def test_count_anomaly_guards(ray_session):
         count_anomaly_by_key(None, z_num=0)
     with pytest.raises(ValueError, match="bad z"):
         count_anomaly_by_key(None, z_num=2, z_den=1001)
+
+
+# ------------------------------------------------ link_predict_jaccard
+
+
+def _ljp_brute(edges):
+    # edges: list of (s, d); undirected simple graph
+    from collections import defaultdict
+
+    nb = defaultdict(set)
+    eset = set()
+    for s, d in edges:
+        if s == d:
+            continue
+        a, b = min(s, d), max(s, d)
+        eset.add((a, b))
+        nb[a].add(b)
+        nb[b].add(a)
+    rows = []
+    nodes = sorted(nb)
+    for i, x in enumerate(nodes):
+        for y in nodes[i + 1:]:
+            if (x, y) in eset:
+                continue
+            cn = len(nb[x] & nb[y])
+            if cn >= 1:
+                rows.append((x, y, cn, len(nb[x]), len(nb[y]),
+                             cn / (len(nb[x]) + len(nb[y]) - cn)))
+    return pd.DataFrame(rows, columns=["x", "y", "cn", "deg_a", "deg_b", "jaccard"])
+
+
+def test_link_predict_jaccard_matches_brute(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.graph import link_predict_jaccard
+
+    rng = np.random.default_rng(42)
+    edges = [(int(rng.integers(0, 40)), int(rng.integers(0, 40))) for _ in range(150)]
+    # include duplicates and both orientations on purpose
+    edges += [(d, s) for s, d in edges[:30]]
+    df = pd.DataFrame(edges, columns=["src", "dst"]).astype("int64")
+    ds = ray.data.from_pandas(df).repartition(6)
+    got = (
+        link_predict_jaccard(ds)
+        .to_pandas()
+        .sort_values(["x", "y"])
+        .reset_index(drop=True)
+    )
+    want = _ljp_brute(edges).sort_values(["x", "y"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({c: "int64" for c in ["x", "y", "cn", "deg_a", "deg_b"]}), want
+    )
+
+
+def test_link_predict_jaccard_planted_and_guards(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.graph import link_predict_jaccard
+
+    # star: center 0 with leaves 1..5 — every leaf pair shares exactly {0},
+    # jaccard = 1/(1+1-1) = 1.0; the center pairs with nobody (its only
+    # 2-hop partners ARE its neighbors... none: leaves only reach leaves)
+    df = pd.DataFrame({"src": [0] * 5, "dst": [1, 2, 3, 4, 5]}).astype("int64")
+    got = link_predict_jaccard(ray.data.from_pandas(df)).to_pandas()
+    assert len(got) == 10  # C(5,2) leaf pairs
+    assert (got["cn"] == 1).all() and (got["jaccard"] == 1.0).all()
+
+    with pytest.raises(ValueError, match="min_common"):
+        link_predict_jaccard(None, min_common=0)
+    big = pd.DataFrame({"src": [0] * 20, "dst": np.arange(1, 21, dtype=np.int64)})
+    with pytest.raises(Exception, match="max_degree"):
+        link_predict_jaccard(ray.data.from_pandas(big), max_degree=10).to_pandas()
