@@ -1506,3 +1506,92 @@ def rename_lake_columns(lake_dir: str, renames: dict[str, str], level: int = 3) 
         .to_pandas()
     )
     return {"n_files": len(paths), "n_renamed": int((res["n_renamed"] > 0).sum())}
+
+
+def cluster_advisor(in_dir: str, columns: list[str]):
+    """Clustering advisor for an ORC lake, from file TAILS only: for each
+    candidate integer column, parse every file's footer min/max and score
+    how well the lake is clustered on that column with two EXACT-INT
+    interval metrics —
+
+    - ``max_depth``: the maximum stacking depth of the per-file [min, max]
+      ranges (how many files a worst-case point lookup must open). Depth
+      is maximized at some interval's own lower endpoint, so it equals
+      ``max over files a of |{g : g.min <= a.min <= g.max}|`` — the form a
+      SQL self-join reproduces verbatim;
+    - ``pair_overlaps``: the number of file PAIRS whose ranges intersect
+      (``a.min <= b.max AND b.min <= a.max``, a < b by file order) — 0 for
+      a perfectly clustered lake, C(n,2) for a fully unsorted one.
+
+    The recommended cluster key (``best = 1``) is the candidate with the
+    lowest ``(pair_overlaps, max_depth, column-name)`` — i.e. the column
+    the lake is ALREADY best sorted by; a high-overlap report for every
+    candidate is the signal to rewrite via ``write_clustered_lake`` +
+    ``sorted_merge_join``'s O(1)-files contract. Tails are parsed in a Ray
+    task pool (a few KiB pread per file — nothing else moves); the metric
+    fold runs driver-side over ``n_files × n_columns`` metadata cells.
+    Files lacking usable int min/max for a candidate raise loudly
+    (omission over invention — a silent skip would misreport depth).
+
+    Returns a driver DataFrame ``(column, n_files, max_depth,
+    pair_overlaps, best)`` sorted by column name.
+    """
+    import glob
+
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from ._rayutil import remote_args
+
+    if not columns:
+        raise ValueError("cluster_advisor: need at least one candidate column")
+    paths = sorted(glob.glob(os.path.join(in_dir, "**", "*.orc"), recursive=True))
+    if not paths:
+        raise ValueError(f"no .orc files under {in_dir!r}")
+    cols = list(columns)
+
+    def _minmax(batch: pa.Table) -> pa.Table:
+        rows = []
+        for p in batch["path"].to_pylist():
+            st = read_orc_statistics(p)
+            row: dict = {"path": os.path.relpath(p, in_dir)}
+            for c in cols:
+                s = st.get(c)
+                if s is None or s.min is None or s.max is None:
+                    raise ValueError(f"{p}: no usable min/max footer stats for {c!r}")
+                row[f"min:{c}"] = int(s.min)
+                row[f"max:{c}"] = int(s.max)
+            rows.append(row)
+        return pa.Table.from_pylist(rows)
+
+    meta = (
+        ray.data.from_items([{"path": p} for p in paths])
+        .map_batches(_minmax, batch_format="pyarrow", **remote_args())
+        .to_pandas()
+    )
+    import numpy as np
+
+    out_rows = []
+    for c in sorted(cols):
+        lo = meta[f"min:{c}"].to_numpy().astype(np.int64)
+        hi = meta[f"max:{c}"].to_numpy().astype(np.int64)
+        n = len(lo)
+        lo_s = np.sort(lo)
+        hi_s = np.sort(hi)
+        # depth at point p = |{g: lo_g <= p}| - |{g: hi_g < p}|; the max over
+        # all p is attained at some interval's own lo — O(n log n), exact
+        depth = np.searchsorted(lo_s, lo, side="right") - np.searchsorted(hi_s, lo, side="left")
+        max_depth = int(depth.max())
+        # overlapping pairs = C(n,2) - disjoint pairs; a pair is disjoint
+        # iff one's hi < the other's lo (intervals are valid: lo <= hi)
+        disjoint = int(np.searchsorted(hi_s, lo, side="left").sum())
+        pair_overlaps = n * (n - 1) // 2 - disjoint
+        out_rows.append((c, n, max_depth, pair_overlaps))
+    out = pd.DataFrame(out_rows, columns=["column", "n_files", "max_depth", "pair_overlaps"])
+    rank = out.sort_values(["pair_overlaps", "max_depth", "column"]).index[0]
+    out["best"] = 0
+    out.loc[rank, "best"] = 1
+    for c in ("n_files", "max_depth", "pair_overlaps", "best"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("column").reset_index(drop=True)

@@ -190,3 +190,77 @@ def test_link_predict_jaccard_planted_and_guards(ray_session):
     big = pd.DataFrame({"src": [0] * 20, "dst": np.arange(1, 21, dtype=np.int64)})
     with pytest.raises(Exception, match="max_degree"):
         link_predict_jaccard(ray.data.from_pandas(big), max_degree=10).to_pandas()
+
+
+# ---------------------------------------------------- cluster_advisor
+
+
+def test_cluster_advisor_depth_and_overlaps(ray_session, tmp_path):
+    import pyarrow as pa
+
+    from orc_format_ray.orcfile import write_orc
+    from orc_format_ray.orcmerge import cluster_advisor
+
+    # 4 files: 'a' contiguous (clustered), 'b' all-overlapping (unsorted)
+    ranges_a = [(0, 9), (10, 19), (20, 29), (30, 39)]
+    ranges_b = [(0, 100), (5, 90), (50, 200), (7, 60)]
+    for i, ((alo, ahi), (blo, bhi)) in enumerate(zip(ranges_a, ranges_b)):
+        t = pa.table({"a": pa.array([alo, ahi], pa.int64()),
+                      "b": pa.array([blo, bhi], pa.int64())})
+        write_orc(t, str(tmp_path / f"f{i}.orc"))
+    out = cluster_advisor(str(tmp_path), ["a", "b"]).set_index("column")
+    assert out.loc["a", "max_depth"] == 1 and out.loc["a", "pair_overlaps"] == 0
+    assert out.loc["a", "best"] == 1 and out.loc["b", "best"] == 0
+    # brute-force the 'b' metrics
+    n = len(ranges_b)
+    brute_ov = sum(
+        1 for i in range(n) for j in range(i + 1, n)
+        if ranges_b[i][0] <= ranges_b[j][1] and ranges_b[j][0] <= ranges_b[i][1]
+    )
+    brute_depth = max(
+        sum(1 for lo, hi in ranges_b if lo <= p <= hi) for p, _ in ranges_b
+    )
+    assert out.loc["b", "pair_overlaps"] == brute_ov == 6
+    assert out.loc["b", "max_depth"] == brute_depth == 4
+    assert (out["n_files"] == 4).all()
+
+
+def test_cluster_advisor_matches_brute_random(ray_session, tmp_path):
+    import pyarrow as pa
+
+    from orc_format_ray.orcfile import write_orc
+    from orc_format_ray.orcmerge import cluster_advisor
+
+    rng = np.random.default_rng(9)
+    ivals = []
+    for i in range(12):
+        lo = int(rng.integers(0, 100))
+        hi = lo + int(rng.integers(0, 40))
+        ivals.append((lo, hi))
+        write_orc(pa.table({"x": pa.array([lo, hi], pa.int64())}),
+                  str(tmp_path / f"r{i:02d}.orc"))
+    out = cluster_advisor(str(tmp_path), ["x"])
+    n = len(ivals)
+    brute_ov = sum(
+        1 for i in range(n) for j in range(i + 1, n)
+        if ivals[i][0] <= ivals[j][1] and ivals[j][0] <= ivals[i][1]
+    )
+    # depth is maximized at some interval's lo
+    brute_depth = max(sum(1 for lo, hi in ivals if lo <= p <= hi) for p, _ in ivals)
+    assert int(out.loc[0, "pair_overlaps"]) == brute_ov
+    assert int(out.loc[0, "max_depth"]) == brute_depth
+
+
+def test_cluster_advisor_guards(ray_session, tmp_path):
+    import pyarrow as pa
+
+    from orc_format_ray.orcfile import write_orc
+    from orc_format_ray.orcmerge import cluster_advisor
+
+    with pytest.raises(ValueError, match="at least one"):
+        cluster_advisor(str(tmp_path), [])
+    with pytest.raises(ValueError, match="no .orc files"):
+        cluster_advisor(str(tmp_path / "empty"), ["x"])
+    write_orc(pa.table({"x": pa.array([1, 2], pa.int64())}), str(tmp_path / "f.orc"))
+    with pytest.raises(Exception, match="no usable min/max"):
+        cluster_advisor(str(tmp_path), ["missing_col"])
