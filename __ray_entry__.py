@@ -6868,6 +6868,52 @@ def _q_count_anomaly_events(sf_dir: str):
     return out.sort_values(["event_type", "day"]).reset_index(drop=True)
 
 
+def _q_cluster_advisor_lake(sf_dir: str):
+    """Clustering advisor over a planted 8-file ORC lake
+    (orcmerge.py:cluster_advisor) — files are cut by the exact-int rule
+    g = o_orderkey*8 // (max+1) (clustered on o_orderkey, unsorted on
+    o_custkey); the advisor reads TAILS only and reports exact interval
+    metrics (max stacking depth + overlapping file pairs) the oracle
+    recomputes with a per-bucket min/max self-join."""
+    import shutil
+
+    import ray.data
+
+    from orc_format_ray.orcfile import write_orc
+    from orc_format_ray.orcmerge import cluster_advisor
+
+    scratch = _scratch(sf_dir, "clusteradvisor")
+    shutil.rmtree(scratch, ignore_errors=True)
+    os.makedirs(scratch, exist_ok=True)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    den = int(ds.max("o_orderkey")) + 1
+
+    def bucket(b: pa.Table) -> pa.Table:
+        import numpy as _np
+        import pyarrow as _pa
+
+        k = b["o_orderkey"].to_numpy(zero_copy_only=False).astype(_np.int64)
+        return b.append_column("g", _pa.array(k * 8 // den, _pa.int64()))
+
+    def write_group(g: pa.Table) -> pa.Table:
+        import pyarrow as _pa
+
+        gi = int(g["g"][0].as_py())
+        write_orc(g.select(["o_orderkey", "o_custkey"]),
+                  os.path.join(scratch, f"g{gi}.orc"))
+        return _pa.table({"g": _pa.array([gi], _pa.int64())})
+
+    (
+        ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True, **_ra())
+        .groupby("g")
+        .map_groups(write_group, batch_format="pyarrow", **_ra())
+        .materialize()
+    )
+    return cluster_advisor(scratch, ["o_custkey", "o_orderkey"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
     # (VERDICT r3 "What's wrong" #2), so the window below is curated for
@@ -7189,6 +7235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orc_rename_migration": _q_orc_rename_migration,
         "count_anomaly_events": _q_count_anomaly_events,
         "link_predict_lineitem": _q_link_predict_lineitem,
+        "cluster_advisor_lake": _q_cluster_advisor_lake,
     }
 
 
@@ -9621,5 +9668,25 @@ def oracle_sql() -> dict[str, str]:
             "CAST(c.cn AS DOUBLE) / CAST(d1.deg + d2.deg - c.cn AS DOUBLE) AS jaccard "
             "FROM c JOIN deg d1 ON d1.node = c.x JOIN deg d2 ON d2.node = c.y "
             "ORDER BY x, y"
+        ),
+        "cluster_advisor_lake": (
+            "WITH f AS (SELECT (o_orderkey * 8) // ((SELECT max(o_orderkey) FROM orders) + 1) AS g, "
+            "min(o_orderkey) AS min_k, max(o_orderkey) AS max_k, "
+            "min(o_custkey) AS min_c, max(o_custkey) AS max_c FROM orders GROUP BY 1), "
+            "per AS (SELECT 'o_orderkey' AS col, (SELECT count(*) FROM f) AS n_files, "
+            "(SELECT max(d) FROM (SELECT count(*) AS d FROM f a JOIN f b "
+            "ON b.min_k <= a.min_k AND a.min_k <= b.max_k GROUP BY a.g)) AS max_depth, "
+            "(SELECT count(*) FROM f a JOIN f b ON a.g < b.g AND a.min_k <= b.max_k "
+            "AND b.min_k <= a.max_k) AS pair_overlaps "
+            "UNION ALL SELECT 'o_custkey', (SELECT count(*) FROM f), "
+            "(SELECT max(d) FROM (SELECT count(*) AS d FROM f a JOIN f b "
+            "ON b.min_c <= a.min_c AND a.min_c <= b.max_c GROUP BY a.g)), "
+            "(SELECT count(*) FROM f a JOIN f b ON a.g < b.g AND a.min_c <= b.max_c "
+            "AND b.min_c <= a.max_c)) "
+            "SELECT col AS \"column\", CAST(n_files AS BIGINT) AS n_files, "
+            "CAST(max_depth AS BIGINT) AS max_depth, "
+            "CAST(pair_overlaps AS BIGINT) AS pair_overlaps, "
+            "CAST(CASE WHEN row_number() OVER (ORDER BY pair_overlaps, max_depth, col) = 1 "
+            "THEN 1 ELSE 0 END AS BIGINT) AS best FROM per ORDER BY \"column\""
         ),
     }
