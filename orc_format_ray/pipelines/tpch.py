@@ -683,3 +683,146 @@ def q18_large_orders(sf_dir: str, qty_units_threshold: int = 30_000, k: int = 10
     return out[
         ["c_name", "o_custkey", "o_orderkey", "o_orderdate_us", "o_totalprice", "sum_qty_units"]
     ].reset_index(drop=True)
+
+
+def _sorted_lookup(keys: np.ndarray, probe: np.ndarray) -> np.ndarray:
+    """Membership mask of `probe` in the sorted key array `keys`."""
+    if len(keys) == 0:
+        return np.zeros(len(probe), bool)
+    pos = np.searchsorted(keys, probe)
+    np.clip(pos, 0, len(keys) - 1, out=pos)
+    return keys[pos] == probe
+
+
+def _sorted_map(keys: np.ndarray, vals: np.ndarray, probe: np.ndarray):
+    """(hit mask, mapped values at hits' positions) for sorted keys→vals."""
+    if len(keys) == 0:
+        return np.zeros(len(probe), bool), np.zeros(0, vals.dtype)
+    pos = np.searchsorted(keys, probe)
+    np.clip(pos, 0, len(keys) - 1, out=pos)
+    hit = keys[pos] == probe
+    return hit, vals[pos[hit]]
+
+
+def q7_nation_volume(
+    sf_dir: str,
+    nation_a: str = "NATION_10",
+    nation_b: str = "NATION_12",
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1998-01-01",
+    max_broadcast_keys: int = 1 << 26,
+):
+    """TPC-H Q7 shape: shipping volume between two nations by ship-year —
+    supplier nation on the lineitem side, customer nation on the orders
+    side, keep only the two cross pairs. Revenue follows the exact-cents
+    unit rule (cents * (100-d), int64 sums, ONE /10000 division).
+    Returns (supp_nation, cust_nation, l_year, revenue_units, revenue)
+    sorted by the three keys. Scale: dimensions broadcast once (guarded);
+    lineitem partially pre-aggregates by (orderkey, nation, year) before
+    the single bucketed hash_join against the projected orders slice."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    lo, hi = _ts_us(date_lo), _ts_us(date_hi)
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    ids = {n: k for k, n in zip(nat["n_nationkey"].astype(np.int64), nat["n_name"])}
+    if nation_a not in ids or nation_b not in ids:
+        raise ValueError(f"unknown nation(s): {nation_a!r}, {nation_b!r}")
+    na, nb = ids[nation_a], ids[nation_b]
+    names = {na: nation_a, nb: nation_b}
+
+    def _dim(path: str, key: str, nk: str):
+        t = pq.read_table(path, columns=[key, nk]).to_pandas()
+        t = t[t[nk].isin([na, nb])]
+        if len(t) > max_broadcast_keys:
+            raise ValueError(f"{len(t)} {key} rows exceed max_broadcast_keys")
+        keys = t[key].to_numpy(np.int64)
+        order = np.argsort(keys, kind="stable")
+        return keys[order], t[nk].to_numpy(np.int64)[order]
+
+    supp_ref = ray.put(_dim(f"{sf_dir}/supplier.parquet", "s_suppkey", "s_nationkey"))
+    cust_ref = ray.put(_dim(f"{sf_dir}/customer.parquet", "c_custkey", "c_nationkey"))
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        skeys, snat = ray.get(supp_ref)
+        sd = batch["l_shipdate"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = (sd >= lo) & (sd < hi)
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hit = _sorted_lookup(skeys, sk) & keep
+        nation = _sorted_map(skeys, snat, sk[hit])[1]
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)[hit]
+        year = pc.year(batch["l_shipdate"]).to_numpy(zero_copy_only=False).astype(np.int64)[hit]
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False).astype(np.float64)[hit]
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False).astype(np.float64)[hit]
+        units = _rev_units(price, disc)
+        grp = np.stack([ok, nation, year], axis=1) if len(ok) else np.zeros((0, 3), np.int64)
+        uk, inv = (np.unique(grp, axis=0, return_inverse=True) if len(ok)
+                   else (np.zeros((0, 3), np.int64), np.zeros(0, np.int64)))
+        partial = np.zeros(len(uk), np.int64)
+        np.add.at(partial, inv, units)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(uk[:, 0]),
+                "s_nation": pa.array(uk[:, 1]),
+                "l_year": pa.array(uk[:, 2]),
+                "units_p": pa.array(partial),
+            }
+        )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    joined = hash_join(li, orders, key="o_orderkey")
+
+    def cross_pairs(batch: pa.Table) -> pa.Table:
+        ckeys, cnat = ray.get(cust_ref)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ckeys):
+            pos = np.searchsorted(ckeys, ck)
+            np.clip(pos, 0, len(ckeys) - 1, out=pos)
+            hit = ckeys[pos] == ck
+            cn = np.where(hit, cnat[pos], np.int64(-1))
+        else:
+            cn = np.full(len(ck), -1, np.int64)
+        sn = batch["s_nation"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ((sn == na) & (cn == nb)) | ((sn == nb) & (cn == na))
+        return pa.table(
+            {
+                "s_nation": pa.array(sn[keep]),
+                "c_nation": pa.array(cn[keep]),
+                "l_year": batch["l_year"].filter(pa.array(keep)),
+                "units_p": batch["units_p"].filter(pa.array(keep)),
+            }
+        )
+
+    per = (
+        joined.map_batches(cross_pairs, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby(["s_nation", "c_nation", "l_year"])
+        .aggregate(Sum("units_p", alias_name="revenue_units"))
+        .to_pandas()
+    )
+    if len(per) == 0:
+        return pd.DataFrame(
+            {
+                "supp_nation": pd.Series([], dtype=object),
+                "cust_nation": pd.Series([], dtype=object),
+                "l_year": pd.Series([], dtype=np.int64),
+                "revenue_units": pd.Series([], dtype=np.int64),
+                "revenue": pd.Series([], dtype=np.float64),
+            }
+        )
+    per["revenue_units"] = per["revenue_units"].astype(np.int64)
+    _guard_sum(per["revenue_units"].to_numpy(np.int64))
+    per["supp_nation"] = per["s_nation"].map(names)
+    per["cust_nation"] = per["c_nation"].map(names)
+    per["l_year"] = per["l_year"].astype(np.int64)
+    per["revenue"] = per["revenue_units"].to_numpy(np.int64).astype(np.float64) / np.float64(10000.0)
+    per = per.sort_values(["supp_nation", "cust_nation", "l_year"], kind="stable").reset_index(drop=True)
+    return per[["supp_nation", "cust_nation", "l_year", "revenue_units", "revenue"]]
