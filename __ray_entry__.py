@@ -6924,6 +6924,62 @@ def _q_tpch_q7_volume(sf_dir: str):
     return q7_nation_volume(sf_dir)
 
 
+def _q_tpch_q8_share(sf_dir: str):
+    """TPC-H Q8 national market share (pipelines/tpch.py:q8_market_share) —
+    three broadcast dims, lineitem pre-aggregates by (orderkey, is-target)
+    before ONE hash_join; mkt_share = one division of exact-int unit sums."""
+    from orc_format_ray.pipelines.tpch import q8_market_share
+
+    return q8_market_share(sf_dir)
+
+
+def _q_tpch_q13_custdist(sf_dir: str):
+    """TPC-H Q13 order-count distribution (pipelines/tpch.py:
+    q13_customer_distribution) — two metadata-only groupbys (per-customer
+    counts, then counts-of-counts) plus the broadcast-keyed zero bucket."""
+    from orc_format_ray.pipelines.tpch import q13_customer_distribution
+
+    return q13_customer_distribution(sf_dir)
+
+
+def _q_tpch_q15_top_supplier(sf_dir: str):
+    """TPC-H Q15 top supplier with ALL max ties (pipelines/tpch.py:
+    q15_top_supplier) — exact-int quarter revenue per supplier, Dataset-side
+    max + winners filter, names from a guarded broadcast dim."""
+    from orc_format_ray.pipelines.tpch import q15_top_supplier
+
+    return q15_top_supplier(sf_dir)
+
+
+def _q_tpch_q17_small_qty(sf_dir: str):
+    """TPC-H Q17 small-quantity revenue (pipelines/tpch.py:
+    q17_small_quantity_revenue) — the 0.2*avg cut as the exact integer
+    inequality 5*qty*cnt < sum_qty (mirrored in the SQL oracle); two
+    lineitem passes, zero shuffles."""
+    from orc_format_ray.pipelines.tpch import q17_small_quantity_revenue
+
+    return q17_small_quantity_revenue(sf_dir)
+
+
+def _q_tpch_q19_dnf(sf_dir: str):
+    """TPC-H Q19 DNF revenue (pipelines/tpch.py:q19_dnf_revenue) — three
+    (brand, size, qty) branches evaluated vectorized against a broadcast
+    brand-part table; one partial sum per batch, zero shuffles."""
+    from orc_format_ray.pipelines.tpch import q19_dnf_revenue
+
+    return q19_dnf_revenue(sf_dir)
+
+
+def _q_tpch_q22_idle(sf_dir: str):
+    """TPC-H Q22 idle high-balance customers (pipelines/tpch.py:
+    q22_idle_customers) — exact-int `cents*n > sum_cents` balance cut,
+    anti-join via semi_join_streaming (customers never shuffle), per-nation
+    integer sums with ONE /100.0 division."""
+    from orc_format_ray.pipelines.tpch import q22_idle_customers
+
+    return q22_idle_customers(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
     # (VERDICT r3 "What's wrong" #2), so the window below is curated for
@@ -7247,6 +7303,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_predict_lineitem": _q_link_predict_lineitem,
         "cluster_advisor_lake": _q_cluster_advisor_lake,
         "tpch_q7_volume": _q_tpch_q7_volume,
+        "tpch_q8_share": _q_tpch_q8_share,
+        "tpch_q13_custdist": _q_tpch_q13_custdist,
+        "tpch_q15_top_supplier": _q_tpch_q15_top_supplier,
+        "tpch_q17_small_qty": _q_tpch_q17_small_qty,
+        "tpch_q19_dnf": _q_tpch_q19_dnf,
+        "tpch_q22_idle": _q_tpch_q22_idle,
     }
 
 
@@ -9722,5 +9784,105 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(u) AS BIGINT) AS revenue_units, "
             "CAST(CAST(sum(u) AS BIGINT) AS DOUBLE) / 10000.0 AS revenue "
             "FROM j GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
+        ),
+        # Q8: mkt_share is ONE double division of two exact-int unit sums
+        "tpch_q8_share": (
+            "WITH v AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, "
+            "CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) "
+            "* (100 - CAST(floor(l_discount*100 + 0.5) AS BIGINT)) AS u, "
+            "CASE WHEN ns.n_name = 'NATION_12' THEN 1 ELSE 0 END AS tgt "
+            "FROM lineitem JOIN part ON p_partkey = l_partkey "
+            "JOIN supplier ON s_suppkey = l_suppkey "
+            "JOIN nation ns ON ns.n_nationkey = s_nationkey "
+            "JOIN orders ON o_orderkey = l_orderkey "
+            "JOIN customer ON c_custkey = o_custkey "
+            "JOIN nation nc ON nc.n_nationkey = c_nationkey "
+            "JOIN region ON r_regionkey = nc.n_regionkey "
+            "WHERE r_name = 'ASIA' AND p_type = 'PROMO' "
+            "AND o_orderdate >= TIMESTAMP '1995-01-01' "
+            "AND o_orderdate < TIMESTAMP '1997-01-01') "
+            "SELECT o_year, CAST(sum(u*tgt) AS BIGINT) AS units_nation, "
+            "CAST(sum(u) AS BIGINT) AS units_total, "
+            "CAST(CAST(sum(u*tgt) AS BIGINT) AS DOUBLE) "
+            "/ CAST(CAST(sum(u) AS BIGINT) AS DOUBLE) AS mkt_share "
+            "FROM v GROUP BY 1 ORDER BY 1"
+        ),
+        # Q13: all-integer counts; custdist DESC, c_count DESC is deterministic
+        # (c_count unique per distribution row)
+        "tpch_q13_custdist": (
+            "WITH pc AS (SELECT c_custkey, "
+            "CAST(count(o_orderkey) AS BIGINT) AS c_count "
+            "FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+            "GROUP BY c_custkey) "
+            "SELECT c_count, CAST(count(*) AS BIGINT) AS custdist "
+            "FROM pc GROUP BY c_count ORDER BY custdist DESC, c_count DESC"
+        ),
+        # Q15: exact-int revenue makes the max tie-set exact; ONE /10000.0
+        "tpch_q15_top_supplier": (
+            "WITH r AS (SELECT l_suppkey AS s_suppkey, "
+            "CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) "
+            "* (100 - CAST(floor(l_discount*100 + 0.5) AS BIGINT))) AS BIGINT) "
+            "AS total_units FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY 1) "
+            "SELECT r.s_suppkey, s.s_name, r.total_units, "
+            "CAST(r.total_units AS DOUBLE) / 10000.0 AS total_revenue "
+            "FROM r JOIN supplier s ON s.s_suppkey = r.s_suppkey "
+            "WHERE r.total_units = (SELECT max(total_units) FROM r) "
+            "ORDER BY r.s_suppkey"
+        ),
+        # Q17: the 0.2*avg cut as the EXACT integer inequality 5*qty*cnt < sum
+        # (quantities integral — engine guards); ONE /700.0 division
+        "tpch_q17_small_qty": (
+            "WITH pp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'), "
+            "agg AS (SELECT l_partkey, "
+            "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq, "
+            "CAST(count(*) AS BIGINT) AS cnt "
+            "FROM lineitem JOIN pp ON p_partkey = l_partkey GROUP BY 1), "
+            "sel AS (SELECT l_extendedprice FROM lineitem "
+            "JOIN agg ON agg.l_partkey = lineitem.l_partkey "
+            "WHERE 5 * CAST(l_quantity AS BIGINT) * agg.cnt < agg.sq) "
+            "SELECT COALESCE(CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) "
+            "AS BIGINT)) AS BIGINT), 0) AS price_cents, "
+            "CAST(COALESCE(CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) "
+            "AS BIGINT)) AS BIGINT), 0) AS DOUBLE) / 700.0 AS avg_yearly "
+            "FROM sel"
+        ),
+        # Q19: DNF of (brand, size, qty) branches; qty bounds compare RAW
+        # doubles (integral data); exact-cent units, ONE /10000.0
+        "tpch_q19_dnf": (
+            "WITH sel AS (SELECT l_extendedprice, l_discount "
+            "FROM lineitem JOIN part ON p_partkey = l_partkey WHERE "
+            "(p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 "
+            "AND l_quantity BETWEEN 1 AND 21) "
+            "OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 "
+            "AND l_quantity BETWEEN 10 AND 30) "
+            "OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 "
+            "AND l_quantity BETWEEN 20 AND 40)) "
+            "SELECT COALESCE(CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) "
+            "AS BIGINT) * (100 - CAST(floor(l_discount*100 + 0.5) AS BIGINT))) "
+            "AS BIGINT), 0) AS revenue_units, "
+            "CAST(COALESCE(CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) "
+            "AS BIGINT) * (100 - CAST(floor(l_discount*100 + 0.5) AS BIGINT))) "
+            "AS BIGINT), 0) AS DOUBLE) / 10000.0 AS revenue "
+            "FROM sel"
+        ),
+        # Q22: balance cut as exact ints (cents*n > sum_cents over positive
+        # balances); anti = no orders since the cutoff; ONE /100.0 division
+        "tpch_q22_idle": (
+            "WITH pos AS (SELECT CAST(sum(CAST(floor(c_acctbal*100 + 0.5) "
+            "AS BIGINT)) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n "
+            "FROM customer WHERE c_acctbal > 0.0), "
+            "sel AS (SELECT c_nationkey, "
+            "CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) AS cents "
+            "FROM customer, pos "
+            "WHERE CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) * pos.n > pos.s "
+            "AND c_custkey NOT IN (SELECT o_custkey FROM orders "
+            "WHERE o_orderdate >= TIMESTAMP '1999-01-01')) "
+            "SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, "
+            "CAST(count(*) AS BIGINT) AS numcust, "
+            "CAST(sum(cents) AS BIGINT) AS acctbal_cents, "
+            "CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / 100.0 AS totacctbal "
+            "FROM sel GROUP BY 1 ORDER BY 1"
         ),
     }

@@ -826,3 +826,581 @@ def q7_nation_volume(
     per["revenue"] = per["revenue_units"].to_numpy(np.int64).astype(np.float64) / np.float64(10000.0)
     per = per.sort_values(["supp_nation", "cust_nation", "l_year"], kind="stable").reset_index(drop=True)
     return per[["supp_nation", "cust_nation", "l_year", "revenue_units", "revenue"]]
+
+
+def q8_market_share(
+    sf_dir: str,
+    nation: str = "NATION_12",
+    region: str = "ASIA",
+    p_type: str = "PROMO",
+    date_lo: str = "1995-01-01",
+    date_hi: str = "1997-01-01",
+    max_broadcast_keys: int = 1 << 26,
+):
+    """TPC-H Q8 shape: a supplier nation's market share of a part-type's
+    revenue sold into one region, by order year. Share is ONE double
+    division of two exact-int64 unit sums (the cents*(100-d) rule) so the
+    driver hash-compares bitwise against DuckDB.
+
+    Scale shape: three dims broadcast once with loud guards (the type's
+    partkeys, supplier->nation, the region's custkeys); lineitem partially
+    pre-aggregates by (orderkey, is-target-nation) inside each batch so
+    only that metadata reaches the ONE bucketed hash_join against the
+    date-filtered orders slice. Returns (o_year, units_nation,
+    units_total, mkt_share) sorted by year."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    lo, hi = _ts_us(date_lo), _ts_us(date_hi)
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    reg = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    if nation not in set(nat["n_name"]):
+        raise ValueError(f"unknown nation {nation!r}")
+    if region not in set(reg["r_name"]):
+        raise ValueError(f"unknown region {region!r}")
+    target = int(nat.loc[nat["n_name"] == nation, "n_nationkey"].iloc[0])
+    rkey = int(reg.loc[reg["r_name"] == region, "r_regionkey"].iloc[0])
+    region_nations = set(
+        nat.loc[nat["n_regionkey"] == rkey, "n_nationkey"].astype(int)
+    )
+
+    def _bcast_sorted(path: str, key: str, mask_col: str | None, keep) -> "np.ndarray":
+        cols = [key] + ([mask_col] if mask_col else [])
+        t = pq.read_table(path, columns=cols).to_pandas()
+        if mask_col is not None:
+            t = t[t[mask_col].map(keep)]
+        k = np.sort(t[key].to_numpy(np.int64))
+        if len(k) > max_broadcast_keys:
+            raise ValueError(f"{len(k)} {key} keys exceed max_broadcast_keys")
+        return k
+
+    parts_ref = ray.put(
+        _bcast_sorted(f"{sf_dir}/part.parquet", "p_partkey", "p_type", lambda v: v == p_type)
+    )
+    cust_ref = ray.put(
+        _bcast_sorted(
+            f"{sf_dir}/customer.parquet", "c_custkey", "c_nationkey",
+            lambda v: int(v) in region_nations,
+        )
+    )
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    sk = sup["s_suppkey"].to_numpy(np.int64)
+    order = np.argsort(sk, kind="stable")
+    supp_ref = ray.put((sk[order], sup["s_nationkey"].to_numpy(np.int64)[order]))
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        pkeys = ray.get(parts_ref)
+        skeys, snat = ray.get(supp_ref)
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = _sorted_lookup(pkeys, pk)
+        sup_k = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hit, snk = _sorted_map(skeys, snat, sup_k)
+        keep &= hit
+        nk = np.zeros(len(pk), np.int64)
+        nk[hit] = snk
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        tgt = (nk[keep] == target).astype(np.int64)
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False).astype(np.float64)[keep]
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False).astype(np.float64)[keep]
+        units = _rev_units(price, disc)
+        grp = np.stack([ok, tgt], axis=1) if len(ok) else np.zeros((0, 2), np.int64)
+        uk, inv = (np.unique(grp, axis=0, return_inverse=True) if len(ok)
+                   else (np.zeros((0, 2), np.int64), np.zeros(0, np.int64)))
+        partial = np.zeros(len(uk), np.int64)
+        np.add.at(partial, inv, units)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(uk[:, 0]),
+                "tgt": pa.array(uk[:, 1]),
+                "units_p": pa.array(partial),
+            }
+        )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+
+    def orders_sel(batch: pa.Table) -> pa.Table:
+        od = batch["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = (od >= lo) & (od < hi)
+        year = pc.year(batch["o_orderdate"]).to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"].filter(pa.array(keep)),
+                "o_custkey": batch["o_custkey"].filter(pa.array(keep)),
+                "o_year": pa.array(year),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(orders_sel, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    joined = hash_join(li, orders, key="o_orderkey")
+
+    def region_filter(batch: pa.Table) -> pa.Table:
+        ckeys = ray.get(cust_ref)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = _sorted_lookup(ckeys, ck)
+        u = batch["units_p"].to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        tgt = batch["tgt"].to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        return pa.table(
+            {
+                "o_year": batch["o_year"].filter(pa.array(keep)),
+                "units_nat_p": pa.array(u * tgt),
+                "units_tot_p": pa.array(u),
+            }
+        )
+
+    per = (
+        joined.map_batches(region_filter, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby("o_year")
+        .aggregate(
+            Sum("units_nat_p", alias_name="units_nation"),
+            Sum("units_tot_p", alias_name="units_total"),
+        )
+        .to_pandas()
+    )
+    if len(per) == 0:
+        return pd.DataFrame(
+            {
+                "o_year": pd.Series([], dtype=np.int64),
+                "units_nation": pd.Series([], dtype=np.int64),
+                "units_total": pd.Series([], dtype=np.int64),
+                "mkt_share": pd.Series([], dtype=np.float64),
+            }
+        )
+    per["units_nation"] = per["units_nation"].astype(np.int64)
+    per["units_total"] = per["units_total"].astype(np.int64)
+    _guard_sum(per["units_total"].to_numpy(np.int64))
+    per["o_year"] = per["o_year"].astype(np.int64)
+    per["mkt_share"] = (
+        per["units_nation"].to_numpy(np.int64).astype(np.float64)
+        / per["units_total"].to_numpy(np.int64).astype(np.float64)
+    )
+    per = per.sort_values("o_year", kind="stable").reset_index(drop=True)
+    return per[["o_year", "units_nation", "units_total", "mkt_share"]]
+
+
+def q13_customer_distribution(sf_dir: str, max_broadcast_keys: int = 1 << 26):
+    """TPC-H Q13 shape: distribution of per-customer order counts,
+    including the zero bucket (customers with no orders). All-integer
+    counts — hash-exact against the SQL LEFT JOIN + two GROUP BYs.
+
+    Scale shape: orders pre-count by custkey inside each batch, ONE
+    metadata groupby folds per-customer counts, a SECOND per-batch
+    partial counts-of-counts feeds the (tiny) distribution groupby;
+    order payloads never shuffle. The customer keyset broadcasts once
+    (guarded) to mirror the join's FK semantics and to size the zero
+    bucket. Returns (c_count, custdist) sorted custdist DESC, c_count
+    DESC (deterministic: c_count is unique per row)."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ckeys = np.sort(
+        pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey"])["c_custkey"]
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    n_customers = len(ckeys)
+    if n_customers > max_broadcast_keys:
+        raise ValueError(f"{n_customers} customer keys exceed max_broadcast_keys")
+    cust_ref = ray.put(ckeys)
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        keys = ray.get(cust_ref)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ck = ck[_sorted_lookup(keys, ck)]
+        uk, cnt = np.unique(ck, return_counts=True)
+        return pa.table({"c_custkey": pa.array(uk), "n_p": pa.array(cnt.astype(np.int64))})
+
+    per_cust = (
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+        .map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby("c_custkey")
+        .aggregate(Sum("n_p", alias_name="c_count"))
+        .materialize()
+    )
+    n_with_orders = per_cust.count()
+
+    def dist_partial(batch: pa.Table) -> pa.Table:
+        c = batch["c_count"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uk, cnt = np.unique(c, return_counts=True)
+        return pa.table({"c_count": pa.array(uk), "d_p": pa.array(cnt.astype(np.int64))})
+
+    dist = (
+        per_cust.map_batches(dist_partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby("c_count")
+        .aggregate(Sum("d_p", alias_name="custdist"))
+        .to_pandas()
+    )
+    dist["c_count"] = dist["c_count"].astype(np.int64)
+    dist["custdist"] = dist["custdist"].astype(np.int64)
+    zero = n_customers - n_with_orders
+    if zero > 0:
+        dist = pd.concat(
+            [dist, pd.DataFrame({"c_count": [np.int64(0)], "custdist": [np.int64(zero)]})],
+            ignore_index=True,
+        )
+    dist = dist.sort_values(
+        ["custdist", "c_count"], ascending=[False, False], kind="mergesort"
+    ).reset_index(drop=True)
+    return dist[["c_count", "custdist"]]
+
+
+def q15_top_supplier(
+    sf_dir: str,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1996-04-01",
+    max_broadcast_keys: int = 1 << 26,
+):
+    """TPC-H Q15 shape: supplier(s) with the maximum quarter revenue —
+    ALL ties kept, exactly like the spec's `= (select max(...))`. The
+    exact-int unit rule makes the max comparison exact (no float ties).
+
+    Scale shape: lineitem pre-aggregates revenue units by suppkey per
+    batch; ONE metadata groupby folds them; the folded table stays a
+    Dataset (rows = suppliers with sales) — the global max folds via a
+    per-batch partial max and only the winners' rows reach the driver.
+    Supplier names come from a broadcast dim lookup (guarded). Returns
+    (s_suppkey, s_name, total_units, total_revenue) sorted by suppkey."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+    from ray.data.aggregate import Max, Sum
+
+    lo, hi = _ts_us(date_lo), _ts_us(date_hi)
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        sd = batch["l_shipdate"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = (sd >= lo) & (sd < hi)
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False).astype(np.float64)[keep]
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False).astype(np.float64)[keep]
+        units = _rev_units(price, disc)
+        uk, inv = np.unique(sk, return_inverse=True)
+        partial = np.zeros(len(uk), np.int64)
+        np.add.at(partial, inv, units)
+        return pa.table({"s_suppkey": pa.array(uk), "u_p": pa.array(partial)})
+
+    per_supp = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        )
+        .map_batches(rev_partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby("s_suppkey")
+        .aggregate(Sum("u_p", alias_name="total_units"))
+        .materialize()
+    )
+    if per_supp.count() == 0:
+        return pd.DataFrame(
+            {
+                "s_suppkey": pd.Series([], dtype=np.int64),
+                "s_name": pd.Series([], dtype=object),
+                "total_units": pd.Series([], dtype=np.int64),
+                "total_revenue": pd.Series([], dtype=np.float64),
+            }
+        )
+    mx = int(per_supp.aggregate(Max("total_units"))["max(total_units)"])
+
+    def winners_only(batch: pa.Table) -> pa.Table:
+        u = batch["total_units"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.filter(pa.array(u == mx))
+
+    win = (
+        per_supp.map_batches(winners_only, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .to_pandas()
+    )
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]).to_pandas()
+    if len(sup) > max_broadcast_keys:
+        raise ValueError(f"{len(sup)} supplier rows exceed max_broadcast_keys")
+    out = win.merge(sup, on="s_suppkey", how="left")
+    out["s_suppkey"] = out["s_suppkey"].astype(np.int64)
+    out["total_units"] = out["total_units"].astype(np.int64)
+    _guard_sum(out["total_units"].to_numpy(np.int64))
+    out["total_revenue"] = out["total_units"].to_numpy(np.int64).astype(np.float64) / np.float64(10000.0)
+    out = out.sort_values("s_suppkey", kind="mergesort").reset_index(drop=True)
+    return out[["s_suppkey", "s_name", "total_units", "total_revenue"]]
+
+
+def q17_small_quantity_revenue(
+    sf_dir: str,
+    brand: str = "Brand#23",
+    max_broadcast_keys: int = 1 << 26,
+):
+    """TPC-H Q17 shape: yearly revenue lost if small-quantity orders for
+    one brand's parts were dropped. The spec's `l_quantity < 0.2 *
+    avg(l_quantity)` becomes the EXACT integer inequality `5 * qty * cnt
+    < sum_qty` (quantities are integral — guarded loudly) so the cut is
+    bit-identical on both sides; the SQL oracle uses the same integer
+    form. Returns ONE row (price_cents, avg_yearly) where avg_yearly =
+    CAST(cents AS DOUBLE) / 700.0 (the one division).
+
+    Scale shape: the brand's partkeys broadcast once; pass A folds
+    per-part (sum_qty, cnt) via per-batch partials + ONE metadata
+    groupby (rows = parts of one brand — tiny, guarded); pass B streams
+    lineitem again filtering each row against the broadcast per-part
+    stats. Lineitem never shuffles."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    pt = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]).to_pandas()
+    pkeys = np.sort(pt.loc[pt["p_brand"] == brand, "p_partkey"].to_numpy(np.int64))
+    if len(pkeys) > max_broadcast_keys:
+        raise ValueError(f"{len(pkeys)} brand partkeys exceed max_broadcast_keys")
+    parts_ref = ray.put(pkeys)
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        keys = ray.get(parts_ref)
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = _sorted_lookup(keys, pk)
+        pk = pk[keep]
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.float64)[keep]
+        if len(q) and not np.all(q == np.floor(q)):
+            raise ValueError("q17 exact-integer cut needs integral quantities")
+        qi = q.astype(np.int64)
+        uk, inv = np.unique(pk, return_inverse=True)
+        sq = np.zeros(len(uk), np.int64)
+        np.add.at(sq, inv, qi)
+        cnt = np.bincount(inv, minlength=len(uk)).astype(np.int64)
+        return pa.table(
+            {"l_partkey": pa.array(uk), "sq_p": pa.array(sq), "cnt_p": pa.array(cnt)}
+        )
+
+    li_cols = ["l_partkey", "l_quantity", "l_extendedprice"]
+    stats = (
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=li_cols[:2])
+        .map_batches(qty_partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby("l_partkey")
+        .aggregate(Sum("sq_p", alias_name="sq"), Sum("cnt_p", alias_name="cnt"))
+        .to_pandas()
+    )
+    if len(stats) == 0:  # empty Dataset to_pandas drops columns (CLAUDE.md)
+        stats = pd.DataFrame(
+            {
+                "l_partkey": pd.Series([], dtype=np.int64),
+                "sq": pd.Series([], dtype=np.int64),
+                "cnt": pd.Series([], dtype=np.int64),
+            }
+        )
+    skeys = stats["l_partkey"].to_numpy(np.int64)
+    order = np.argsort(skeys, kind="stable")
+    stats_ref = ray.put(
+        (skeys[order], stats["sq"].to_numpy(np.int64)[order], stats["cnt"].to_numpy(np.int64)[order])
+    )
+
+    def pick_partial(batch: pa.Table) -> pa.Table:
+        keys, sq, cnt = ray.get(stats_ref)
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(keys) == 0:
+            return pa.table({"cents_p": pa.array(np.zeros(0, np.int64))})
+        pos = np.searchsorted(keys, pk)
+        np.clip(pos, 0, len(keys) - 1, out=pos)
+        hit = keys[pos] == pk
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.float64)
+        if len(q) and not np.all(q[hit] == np.floor(q[hit])):
+            raise ValueError("q17 exact-integer cut needs integral quantities")
+        qi = q.astype(np.int64)
+        small = hit & (5 * qi * cnt[pos] < sq[pos])
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False).astype(np.float64)[small]
+        cents = np.floor(price * 100 + 0.5).astype(np.int64)
+        return pa.table({"cents_p": pa.array(np.array([cents.sum()], np.int64))})
+
+    parts_sum = (
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=li_cols)
+        .map_batches(pick_partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .to_pandas()
+    )
+    total = np.int64(parts_sum["cents_p"].to_numpy(np.int64).sum()) if len(parts_sum) else np.int64(0)
+    _guard_sum(np.array([total], np.int64))
+    return pd.DataFrame(
+        {
+            "price_cents": pd.Series([total], dtype=np.int64),
+            "avg_yearly": pd.Series(
+                [np.float64(total) / np.float64(700.0)], dtype=np.float64
+            ),
+        }
+    )
+
+
+def q19_dnf_revenue(
+    sf_dir: str,
+    branches: tuple = (
+        ("Brand#12", 1, 15, 1, 21),
+        ("Brand#23", 1, 25, 10, 30),
+        ("Brand#34", 1, 35, 20, 40),
+    ),
+    max_broadcast_keys: int = 1 << 26,
+):
+    """TPC-H Q19 shape: revenue from a DNF of (brand, size range,
+    quantity range) branches — the classic multi-predicate OR that
+    pushdown engines special-case. Each branch is (brand, size_lo,
+    size_hi, qty_lo, qty_hi), all bounds inclusive. Exact-cent unit
+    rule; returns ONE row (revenue_units, revenue).
+
+    Scale shape: only the named brands' (partkey -> branch-id, size)
+    rows broadcast (guarded); lineitem streams once, evaluates the DNF
+    vectorized per batch, and emits ONE partial sum per batch — nothing
+    shuffles."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    brands = [b[0] for b in branches]
+    if len(set(brands)) != len(brands):
+        raise ValueError("q19 branches must name distinct brands")
+    pt = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+    ).to_pandas()
+    pt = pt[pt["p_brand"].isin(brands)]
+    if len(pt) > max_broadcast_keys:
+        raise ValueError(f"{len(pt)} brand part rows exceed max_broadcast_keys")
+    bid = {b: i for i, b in enumerate(brands)}
+    keys = pt["p_partkey"].to_numpy(np.int64)
+    order = np.argsort(keys, kind="stable")
+    parts_ref = ray.put(
+        (
+            keys[order],
+            pt["p_brand"].map(bid).to_numpy(np.int64)[order],
+            pt["p_size"].to_numpy(np.int64)[order],
+        )
+    )
+    bounds = np.array([b[1:] for b in branches], np.int64)  # (n, 4): slo shi qlo qhi
+
+    def branch_partial(batch: pa.Table) -> pa.Table:
+        keys, bids, sizes = ray.get(parts_ref)
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(keys) == 0:
+            return pa.table({"units_p": pa.array(np.zeros(0, np.int64))})
+        pos = np.searchsorted(keys, pk)
+        np.clip(pos, 0, len(keys) - 1, out=pos)
+        hit = keys[pos] == pk
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.float64)
+        b = bids[pos]
+        s = sizes[pos]
+        keep = (
+            hit
+            & (s >= bounds[b, 0]) & (s <= bounds[b, 1])
+            & (q >= bounds[b, 2]) & (q <= bounds[b, 3])
+        )
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False).astype(np.float64)[keep]
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False).astype(np.float64)[keep]
+        units = _rev_units(price, disc)
+        return pa.table({"units_p": pa.array(np.array([units.sum()], np.int64))})
+
+    parts_sum = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(branch_partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .to_pandas()
+    )
+    total = np.int64(parts_sum["units_p"].to_numpy(np.int64).sum()) if len(parts_sum) else np.int64(0)
+    _guard_sum(np.array([total], np.int64))
+    return pd.DataFrame(
+        {
+            "revenue_units": pd.Series([total], dtype=np.int64),
+            "revenue": pd.Series([np.float64(total) / np.float64(10000.0)], dtype=np.float64),
+        }
+    )
+
+
+def q22_idle_customers(sf_dir: str, idle_since: str = "1999-01-01"):
+    """TPC-H Q22 shape adapted to this schema (no phone country codes):
+    high-balance customers with NO orders since a cutoff, grouped by
+    nation. "High balance" is the spec's `> avg positive balance`,
+    evaluated as the EXACT integer inequality `cents * n > sum_cents`
+    (balances are 2-decimal — the floor(x*100+0.5) cents rule); the SQL
+    oracle uses the same form. Returns (c_nationkey, numcust,
+    acctbal_cents, totacctbal) sorted by nation; totacctbal is the ONE
+    /100.0 division.
+
+    Scale shape: pass A folds (sum_cents, n) over positive balances via
+    per-batch partials; the two ints broadcast by closure. The anti-join
+    against recent orders reuses semi_join_streaming (left side — the
+    selected customers — NEVER shuffles; only distinct order custkeys
+    move, broadcast-or-sharded). The final per-nation groupby moves
+    (nationkey, cents) metadata only."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from ..ops.join import semi_join_streaming
+
+    cutoff = _ts_us(idle_since)
+
+    def cents_partial(batch: pa.Table) -> pa.Table:
+        bal = batch["c_acctbal"].to_numpy(zero_copy_only=False).astype(np.float64)
+        pos = bal > 0.0
+        cents = np.floor(bal[pos] * 100 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "s_p": pa.array(np.array([cents.sum()], np.int64)),
+                "n_p": pa.array(np.array([int(pos.sum())], np.int64)),
+            }
+        )
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey", "c_acctbal"]
+    )
+    pos_stats = (
+        cust.map_batches(cents_partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .to_pandas()
+    )
+    s_cents = int(pos_stats["s_p"].sum())
+    n_pos = int(pos_stats["n_p"].sum())
+    if n_pos and abs(s_cents) >= (1 << 40):
+        raise ValueError("q22 balance sum exceeds modeled range (2^40 cents)")
+
+    def rich_only(batch: pa.Table) -> pa.Table:
+        bal = batch["c_acctbal"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cents = np.floor(bal * 100 + 0.5).astype(np.int64)
+        keep = (cents * n_pos) > s_cents if n_pos else np.zeros(len(cents), bool)
+        return pa.table(
+            {
+                "c_custkey": batch["c_custkey"].filter(pa.array(keep)),
+                "c_nationkey": batch["c_nationkey"].filter(pa.array(keep)).cast(pa.int64()),
+                "cents": pa.array(cents[keep]),
+            }
+        )
+
+    rich = cust.map_batches(rich_only, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+
+    def recent_orders(batch: pa.Table) -> pa.Table:
+        od = batch["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = od >= cutoff
+        return pa.table({"c_custkey": batch["o_custkey"].filter(pa.array(keep))})
+
+    recent = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    ).map_batches(recent_orders, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+
+    idle = semi_join_streaming(rich, recent, key="c_custkey", how="anti")
+    per = (
+        idle.groupby("c_nationkey")
+        .aggregate(Count(alias_name="numcust"), Sum("cents", alias_name="acctbal_cents"))
+        .to_pandas()
+    )
+    if len(per) == 0:
+        return pd.DataFrame(
+            {
+                "c_nationkey": pd.Series([], dtype=np.int64),
+                "numcust": pd.Series([], dtype=np.int64),
+                "acctbal_cents": pd.Series([], dtype=np.int64),
+                "totacctbal": pd.Series([], dtype=np.float64),
+            }
+        )
+    per["c_nationkey"] = per["c_nationkey"].astype(np.int64)
+    per["numcust"] = per["numcust"].astype(np.int64)
+    per["acctbal_cents"] = per["acctbal_cents"].astype(np.int64)
+    per["totacctbal"] = per["acctbal_cents"].to_numpy(np.int64).astype(np.float64) / np.float64(100.0)
+    per = per.sort_values("c_nationkey", kind="mergesort").reset_index(drop=True)
+    return per[["c_nationkey", "numcust", "acctbal_cents", "totacctbal"]]

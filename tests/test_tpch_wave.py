@@ -1,0 +1,190 @@
+"""Session-15 TPC-H completion wave: Q8 market share, Q13 customer
+distribution, Q15 top supplier (all ties), Q17 small-quantity revenue
+(exact-integer 0.2*avg cut), Q19 DNF revenue, Q22 idle high-balance
+customers. Each test pins the Ray pipeline against an independent pandas
+recompute at sf0.001; guards get their own probes."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _load(name, cols=None):
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{SF}/{name}.parquet", columns=cols).to_pandas()
+
+
+def _units(price: pd.Series, disc: pd.Series) -> np.ndarray:
+    return np.floor(price.to_numpy() * 100 + 0.5).astype(np.int64) * (
+        100 - np.floor(disc.to_numpy() * 100 + 0.5).astype(np.int64)
+    )
+
+
+def test_q8_market_share_matches_brute(ray_session):
+    from orc_format_ray.pipelines.tpch import q8_market_share
+
+    got = q8_market_share(SF)
+    li, od = _load("lineitem"), _load("orders")
+    pt, su, cu, na, re = _load("part"), _load("supplier"), _load("customer"), _load("nation"), _load("region")
+    rk = int(re.loc[re["r_name"] == "ASIA", "r_regionkey"].iloc[0])
+    region_nat = set(na.loc[na["n_regionkey"] == rk, "n_nationkey"].astype(int))
+    target = int(na.loc[na["n_name"] == "NATION_12", "n_nationkey"].iloc[0])
+    j = (
+        li.merge(pt[pt["p_type"] == "PROMO"][["p_partkey"]], left_on="l_partkey", right_on="p_partkey")
+        .merge(su[["s_suppkey", "s_nationkey"]], left_on="l_suppkey", right_on="s_suppkey")
+        .merge(od[["o_orderkey", "o_custkey", "o_orderdate"]], left_on="l_orderkey", right_on="o_orderkey")
+        .merge(cu[["c_custkey", "c_nationkey"]], left_on="o_custkey", right_on="c_custkey")
+    )
+    ts = j["o_orderdate"].astype("datetime64[us]")
+    j = j[(ts >= pd.Timestamp("1995-01-01")) & (ts < pd.Timestamp("1997-01-01"))]
+    j = j[j["c_nationkey"].astype(int).isin(region_nat)]
+    u = _units(j["l_extendedprice"], j["l_discount"])
+    j = j.assign(u=u, tgt=(j["s_nationkey"].astype(int) == target).astype(np.int64))
+    j["year"] = j["o_orderdate"].dt.year.astype(np.int64)
+    per = j.groupby("year").apply(
+        lambda g: pd.Series({"nat": int((g["u"] * g["tgt"]).sum()), "tot": int(g["u"].sum())}),
+        include_groups=False,
+    ).reset_index()
+    per = per.sort_values("year").reset_index(drop=True)
+    assert got["o_year"].tolist() == per["year"].tolist()
+    assert got["units_nation"].tolist() == per["nat"].tolist()
+    assert got["units_total"].tolist() == per["tot"].tolist()
+    assert got["mkt_share"].tolist() == [
+        float(np.float64(n) / np.float64(t)) for n, t in zip(per["nat"], per["tot"])
+    ]
+
+
+def test_q8_unknown_nation_and_region_loud(ray_session):
+    from orc_format_ray.pipelines.tpch import q8_market_share
+
+    with pytest.raises(ValueError, match="unknown nation"):
+        q8_market_share(SF, nation="ATLANTIS")
+    with pytest.raises(ValueError, match="unknown region"):
+        q8_market_share(SF, region="PACIFICA")
+
+
+def test_q13_distribution_matches_brute(ray_session):
+    from orc_format_ray.pipelines.tpch import q13_customer_distribution
+
+    got = q13_customer_distribution(SF)
+    cu, od = _load("customer", ["c_custkey"]), _load("orders", ["o_custkey"])
+    counts = od.groupby("o_custkey").size()
+    per = cu["c_custkey"].map(counts).fillna(0).astype(np.int64)
+    dist = per.value_counts().rename_axis("c_count").reset_index(name="custdist")
+    dist = dist.sort_values(["custdist", "c_count"], ascending=[False, False]).reset_index(drop=True)
+    assert got["c_count"].tolist() == dist["c_count"].tolist()
+    assert got["custdist"].tolist() == dist["custdist"].tolist()
+    # the distribution accounts for EVERY customer exactly once
+    assert int(got["custdist"].sum()) == len(cu)
+
+
+def test_q15_top_supplier_keeps_all_ties(ray_session):
+    from orc_format_ray.pipelines.tpch import q15_top_supplier
+
+    got = q15_top_supplier(SF)
+    li, su = _load("lineitem"), _load("supplier")
+    sd = li["l_shipdate"].astype("datetime64[us]")
+    sub = li[(sd >= pd.Timestamp("1996-01-01")) & (sd < pd.Timestamp("1996-04-01"))]
+    per = sub.assign(u=_units(sub["l_extendedprice"], sub["l_discount"])).groupby("l_suppkey")["u"].sum()
+    mx = int(per.max())
+    winners = sorted(int(k) for k, v in per.items() if int(v) == mx)
+    assert got["s_suppkey"].tolist() == winners
+    assert set(got["total_units"]) == {mx}
+    names = su.set_index("s_suppkey")["s_name"]
+    assert got["s_name"].tolist() == [names[k] for k in winners]
+    assert got["total_revenue"].tolist() == [mx / 10000.0] * len(winners)
+
+
+def test_q15_empty_quarter_typed_empty(ray_session):
+    from orc_format_ray.pipelines.tpch import q15_top_supplier
+
+    got = q15_top_supplier(SF, date_lo="1990-01-01", date_hi="1990-04-01")
+    assert len(got) == 0
+    assert list(got.columns) == ["s_suppkey", "s_name", "total_units", "total_revenue"]
+    assert got["total_units"].dtype == np.int64 and got["total_revenue"].dtype == np.float64
+
+
+def test_q17_small_quantity_matches_brute(ray_session):
+    from orc_format_ray.pipelines.tpch import q17_small_quantity_revenue
+
+    got = q17_small_quantity_revenue(SF, brand="Brand#23")
+    li, pt = _load("lineitem"), _load("part")
+    pk = set(pt.loc[pt["p_brand"] == "Brand#23", "p_partkey"].astype(int))
+    sub = li[li["l_partkey"].isin(pk)]
+    agg = sub.groupby("l_partkey")["l_quantity"].agg(["sum", "count"])
+    sq = agg["sum"].astype(np.int64)
+    cnt = agg["count"].astype(np.int64)
+    qi = sub["l_quantity"].astype(np.int64)
+    small = 5 * qi.to_numpy() * cnt[sub["l_partkey"]].to_numpy() < sq[sub["l_partkey"]].to_numpy()
+    cents = int(np.floor(sub["l_extendedprice"].to_numpy()[small] * 100 + 0.5).astype(np.int64).sum())
+    assert int(got["price_cents"][0]) == cents and cents > 0
+    assert float(got["avg_yearly"][0]) == float(np.float64(cents) / np.float64(700.0))
+
+
+def test_q17_unknown_brand_zero_row(ray_session):
+    from orc_format_ray.pipelines.tpch import q17_small_quantity_revenue
+
+    got = q17_small_quantity_revenue(SF, brand="Brand#999")
+    assert int(got["price_cents"][0]) == 0 and float(got["avg_yearly"][0]) == 0.0
+
+
+def test_q19_dnf_matches_brute_and_rejects_dup_brands(ray_session):
+    from orc_format_ray.pipelines.tpch import q19_dnf_revenue
+
+    branches = (
+        ("Brand#12", 1, 15, 1, 21),
+        ("Brand#23", 1, 25, 10, 30),
+        ("Brand#34", 1, 35, 20, 40),
+    )
+    got = q19_dnf_revenue(SF, branches=branches)
+    li = _load("lineitem").merge(_load("part"), left_on="l_partkey", right_on="p_partkey")
+    keep = np.zeros(len(li), bool)
+    for b, slo, shi, qlo, qhi in branches:
+        keep |= (
+            (li["p_brand"] == b)
+            & (li["p_size"] >= slo) & (li["p_size"] <= shi)
+            & (li["l_quantity"] >= qlo) & (li["l_quantity"] <= qhi)
+        ).to_numpy()
+    sub = li[keep]
+    units = int(_units(sub["l_extendedprice"], sub["l_discount"]).sum())
+    assert int(got["revenue_units"][0]) == units and units > 0
+    assert float(got["revenue"][0]) == float(np.float64(units) / np.float64(10000.0))
+    with pytest.raises(ValueError, match="distinct brands"):
+        q19_dnf_revenue(SF, branches=(("Brand#12", 1, 5, 1, 11), ("Brand#12", 1, 10, 10, 20)))
+
+
+def test_q22_idle_customers_matches_brute(ray_session):
+    from orc_format_ray.pipelines.tpch import q22_idle_customers
+
+    got = q22_idle_customers(SF, idle_since="1999-01-01")
+    cu, od = _load("customer"), _load("orders")
+    cents = np.floor(cu["c_acctbal"].to_numpy() * 100 + 0.5).astype(np.int64)
+    pos = cu["c_acctbal"].to_numpy() > 0.0
+    s, n = int(cents[pos].sum()), int(pos.sum())
+    ts = od["o_orderdate"].astype("datetime64[us]")
+    recent = set(od.loc[ts >= pd.Timestamp("1999-01-01"), "o_custkey"].astype(int))
+    keep = (cents * n > s) & ~cu["c_custkey"].astype(int).isin(recent).to_numpy()
+    sub = cu[keep].assign(cents=cents[keep])
+    per = sub.groupby(sub["c_nationkey"].astype(np.int64)).agg(
+        numcust=("c_custkey", "size"), acctbal_cents=("cents", "sum")
+    ).reset_index().sort_values("c_nationkey").reset_index(drop=True)
+    assert len(got) > 0
+    assert got["c_nationkey"].tolist() == per["c_nationkey"].tolist()
+    assert got["numcust"].tolist() == per["numcust"].tolist()
+    assert got["acctbal_cents"].tolist() == per["acctbal_cents"].tolist()
+    assert got["totacctbal"].tolist() == [
+        float(np.float64(v) / np.float64(100.0)) for v in per["acctbal_cents"]
+    ]
+
+
+def test_q22_no_idle_window_typed_empty(ray_session):
+    from orc_format_ray.pipelines.tpch import q22_idle_customers
+
+    # cutoff before all data: every customer has a "recent" order -> empty
+    got = q22_idle_customers(SF, idle_since="1990-01-01")
+    assert len(got) == 0
+    assert list(got.columns) == ["c_nationkey", "numcust", "acctbal_cents", "totacctbal"]
+    assert got["numcust"].dtype == np.int64 and got["totacctbal"].dtype == np.float64
