@@ -188,3 +188,93 @@ def test_q22_no_idle_window_typed_empty(ray_session):
     assert len(got) == 0
     assert list(got.columns) == ["c_nationkey", "numcust", "acctbal_cents", "totacctbal"]
     assert got["numcust"].dtype == np.int64 and got["totacctbal"].dtype == np.float64
+
+
+# ---------------------------------------------------------- param fuzz vs SQL
+
+
+def _duck(sf):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders", "lineitem"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    return con
+
+
+def _assert_bitwise(got: pd.DataFrame, want: pd.DataFrame):
+    got = got[sorted(got.columns)].sort_values(sorted(got.columns), kind="mergesort").reset_index(drop=True)
+    want = want[sorted(want.columns)].sort_values(sorted(want.columns), kind="mergesort").reset_index(drop=True)
+    assert list(got.columns) == list(want.columns) and len(got) == len(want)
+    for c in got.columns:
+        a, b = got[c].to_numpy(), want[c].to_numpy()
+        if a.dtype.kind == "f":
+            assert np.array_equal(a.view(np.uint64), b.astype(np.float64).view(np.uint64)), c
+        else:
+            assert list(map(str, a)) == list(map(str, b)), c
+
+
+def test_q19_random_branches_fuzz_vs_sql(ray_session):
+    from orc_format_ray.pipelines.tpch import q19_dnf_revenue
+
+    con = _duck(SF)
+    rng = np.random.default_rng(19)
+    for _ in range(5):
+        nb = int(rng.integers(1, 4))
+        brands = rng.choice(np.arange(1, 26), size=nb, replace=False)
+        branches, conds = [], []
+        for b in brands:
+            slo, shi = sorted(map(int, rng.integers(1, 51, 2)))
+            qlo, qhi = sorted(map(int, rng.integers(1, 51, 2)))
+            branches.append((f"Brand#{b}", slo, shi, qlo, qhi))
+            conds.append(
+                f"(p_brand = 'Brand#{b}' AND p_size BETWEEN {slo} AND {shi} "
+                f"AND l_quantity BETWEEN {qlo} AND {qhi})"
+            )
+        got = q19_dnf_revenue(SF, branches=tuple(branches))
+        want = con.execute(
+            "WITH sel AS (SELECT l_extendedprice, l_discount FROM lineitem "
+            "JOIN part ON p_partkey = l_partkey WHERE " + " OR ".join(conds) + ") "
+            "SELECT COALESCE(CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) "
+            "* (100 - CAST(floor(l_discount*100 + 0.5) AS BIGINT))) AS BIGINT), 0) AS revenue_units, "
+            "CAST(COALESCE(CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) "
+            "* (100 - CAST(floor(l_discount*100 + 0.5) AS BIGINT))) AS BIGINT), 0) AS DOUBLE) "
+            "/ 10000.0 AS revenue FROM sel"
+        ).fetchdf()
+        _assert_bitwise(got, want)
+
+
+def test_q8_random_params_fuzz_vs_sql(ray_session):
+    from orc_format_ray.pipelines.tpch import q8_market_share
+
+    con = _duck(SF)
+    regions = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+    types = ["MEDIUM", "STANDARD", "LARGE", "PROMO", "SMALL"]
+    rng = np.random.default_rng(8)
+    for _ in range(4):
+        nation = f"NATION_{int(rng.integers(0, 25))}"
+        region = regions[int(rng.integers(0, 5))]
+        ptype = types[int(rng.integers(0, 5))]
+        got = q8_market_share(SF, nation=nation, region=region, p_type=ptype)
+        want = con.execute(
+            "WITH v AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, "
+            "CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) "
+            "* (100 - CAST(floor(l_discount*100 + 0.5) AS BIGINT)) AS u, "
+            f"CASE WHEN ns.n_name = '{nation}' THEN 1 ELSE 0 END AS tgt "
+            "FROM lineitem JOIN part ON p_partkey = l_partkey "
+            "JOIN supplier ON s_suppkey = l_suppkey "
+            "JOIN nation ns ON ns.n_nationkey = s_nationkey "
+            "JOIN orders ON o_orderkey = l_orderkey "
+            "JOIN customer ON c_custkey = o_custkey "
+            "JOIN nation nc ON nc.n_nationkey = c_nationkey "
+            "JOIN region ON r_regionkey = nc.n_regionkey "
+            f"WHERE r_name = '{region}' AND p_type = '{ptype}' "
+            "AND o_orderdate >= TIMESTAMP '1995-01-01' "
+            "AND o_orderdate < TIMESTAMP '1997-01-01') "
+            "SELECT o_year, CAST(sum(u*tgt) AS BIGINT) AS units_nation, "
+            "CAST(sum(u) AS BIGINT) AS units_total, "
+            "CAST(CAST(sum(u*tgt) AS BIGINT) AS DOUBLE) "
+            "/ CAST(CAST(sum(u) AS BIGINT) AS DOUBLE) AS mkt_share "
+            "FROM v GROUP BY 1 ORDER BY 1"
+        ).fetchdf()
+        _assert_bitwise(got, want)
