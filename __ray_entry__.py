@@ -6980,6 +6980,41 @@ def _q_tpch_q22_idle(sf_dir: str):
     return q22_idle_customers(sf_dir)
 
 
+def _q_tpch_q1_orc_lake(sf_dir: str):
+    """Storage-independence composition: write lineitem into THIS ENGINE's
+    ORC lake, read it back with the NATIVE reader (7-column byte-level
+    projection, row-group-split tasks), and run the same exact-int TPC-H Q1
+    fold — the result must hash-match the SQL oracle running on the original
+    PARQUET, proving the engine's own format round-trips the warehouse path.
+    Engine-side invariants asserted in-query (the non-SQL half): the lake has
+    >1 file, and the projected Dataset schema is EXACTLY the 7 Q1 columns
+    (unprojected payloads never decode — orcread want_ids pruning)."""
+    import shutil
+
+    import ray.data
+
+    from orc_format_ray.orcfile import read_orc_dataset, write_orc_dataset
+    from orc_format_ray.pipelines.tpch import q1_pricing_summary
+
+    scratch = "/tmp/orc_q1_lake"
+    shutil.rmtree(scratch, ignore_errors=True)  # oracle run: never trust stale parts
+    src = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet")
+    write_orc_dataset(src, scratch, compression="zstd", stripe_rows=20_000).materialize()
+
+    q1_cols = [
+        "l_returnflag", "l_linestatus", "l_shipdate",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+    ]
+    lake = read_orc_dataset(scratch, columns=q1_cols, native=True, split_row_groups=True)
+    got_cols = set(lake.schema().names)
+    assert got_cols == set(q1_cols), f"projection leaked columns: {got_cols}"
+    import glob
+
+    n_files = len(glob.glob(f"{scratch}/**/*.orc", recursive=True))
+    assert n_files > 1, f"expected a multi-file lake, got {n_files}"
+    return q1_pricing_summary(sf_dir, source_ds=lake)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
     # (VERDICT r3 "What's wrong" #2), so the window below is curated for
@@ -7309,6 +7344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q17_small_qty": _q_tpch_q17_small_qty,
         "tpch_q19_dnf": _q_tpch_q19_dnf,
         "tpch_q22_idle": _q_tpch_q22_idle,
+        "tpch_q1_orc_lake": _q_tpch_q1_orc_lake,
     }
 
 
@@ -9884,5 +9920,26 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(cents) AS BIGINT) AS acctbal_cents, "
             "CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / 100.0 AS totacctbal "
             "FROM sel GROUP BY 1 ORDER BY 1"
+        ),
+        # Q1 re-run off the engine's own ORC lake: the SQL runs on the ORIGINAL
+        # parquet — storage independence means the answers must hash-match
+        "tpch_q1_orc_lake": (
+            "WITH u AS (SELECT l_returnflag, l_linestatus, "
+            "CAST(floor(l_quantity*100 + 0.5) AS BIGINT) AS qc, "
+            "CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS pc, "
+            "CAST(floor(l_discount*100 + 0.5) AS BIGINT) AS db, "
+            "CAST(floor(l_tax*100 + 0.5) AS BIGINT) AS tb "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00') "
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(sum(qc) AS BIGINT)/100.0 AS sum_qty, "
+            "CAST(sum(pc) AS BIGINT)/100.0 AS sum_base_price, "
+            "CAST(sum(pc*(100-db)) AS BIGINT)/10000.0 AS sum_disc_price, "
+            "CAST(sum(pc*(100-db)*(100+tb)) AS BIGINT)/1000000.0 AS sum_charge, "
+            "CAST(sum(qc) AS BIGINT)/(count(*)*100.0) AS avg_qty, "
+            "CAST(sum(pc) AS BIGINT)/(count(*)*100.0) AS avg_price, "
+            "CAST(sum(db) AS BIGINT)/(count(*)*100.0) AS avg_disc, "
+            "count(*) AS count_order "
+            "FROM u GROUP BY l_returnflag, l_linestatus "
+            "ORDER BY l_returnflag, l_linestatus"
         ),
     }

@@ -298,7 +298,7 @@ def q5_local_supplier_volume(
     return per_nation[["n_name", "revenue_units", "revenue"]]
 
 
-def q1_pricing_summary(sf_dir: str, cut_date: str = "1998-09-02"):
+def q1_pricing_summary(sf_dir: str, cut_date: str = "1998-09-02", source_ds=None):
     """TPC-H Q1 pricing summary: per (l_returnflag, l_linestatus) over rows
     shipped at-or-before the cut. Exact-int parity (the tpch revenue rule):
     every measure is cents / basis-point units ``floor(x*100 + 0.5)``
@@ -307,6 +307,10 @@ def q1_pricing_summary(sf_dir: str, cut_date: str = "1998-09-02"):
     averages divide by ``count * 100.0``. Per-row unit guards back the
     int64 sums (numpy products wrap silently). Returns a driver DataFrame
     of |flags x statuses| rows ordered by (l_returnflag, l_linestatus).
+
+    ``source_ds`` swaps the parquet scan for any Dataset carrying the seven
+    Q1 columns (e.g. a projected native-ORC lake read) — storage-agnostic:
+    the result must be identical whatever the source format.
     """
     import ray.data
     from ray.data.aggregate import Count, Sum
@@ -341,7 +345,7 @@ def q1_pricing_summary(sf_dir: str, cut_date: str = "1998-09-02"):
             }
         )
 
-    ds = ray.data.read_parquet(
+    ds = source_ds if source_ds is not None else ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=[
             "l_returnflag", "l_linestatus", "l_shipdate",
