@@ -647,14 +647,22 @@ def q18_large_orders(sf_dir: str, qty_units_threshold: int = 30_000, k: int = 10
         t = pa.table({"k": batch["l_orderkey"], "u": pa.array(u, pa.int64())})
         return t.group_by("k").aggregate([("u", "sum")]).rename_columns(["k", "u"])
 
-    per_order = (
+    def over_threshold(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.filter(pa.array(u > qty_units_threshold))
+
+    # threshold Dataset-side: only the qualifying orders (tiny by
+    # construction) reach the driver, never the full per-order table
+    big = (
         ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"])
         .map_batches(qty_partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
         .groupby("k")
         .aggregate(Sum("u", alias_name="u"))
+        .map_batches(over_threshold, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
         .to_pandas()
     )
-    big = per_order[per_order["u"] > qty_units_threshold]
+    if len(big) == 0:  # empty to_pandas drops columns (CLAUDE.md)
+        big = pd.DataFrame({"k": pd.Series([], dtype=np.int64), "u": pd.Series([], dtype=np.int64)})
     qty_map = dict(zip(big["k"].astype("int64"), big["u"].astype("int64")))
     keys_ref = ray.put(np.sort(big["k"].to_numpy(dtype=np.int64)))
 
@@ -676,6 +684,17 @@ def q18_large_orders(sf_dir: str, qty_units_threshold: int = 30_000, k: int = 10
         .map_batches(orders_sel, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
         .to_pandas()
     )
+    if len(orders) == 0:  # zero qualifying orders: typed empty (to_pandas drops columns)
+        return pd.DataFrame(
+            {
+                "c_name": pd.Series([], dtype=object),
+                "o_custkey": pd.Series([], dtype=np.int64),
+                "o_orderkey": pd.Series([], dtype=np.int64),
+                "o_orderdate_us": pd.Series([], dtype=np.int64),
+                "o_totalprice": pd.Series([], dtype=np.float64),
+                "sum_qty_units": pd.Series([], dtype=np.int64),
+            }
+        )
     cust = pd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
     out = orders.merge(cust, left_on="o_custkey", right_on="c_custkey", how="left")
     out["o_orderdate_us"] = out["o_orderdate"].astype("datetime64[us]").astype("int64")

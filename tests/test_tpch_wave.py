@@ -278,3 +278,26 @@ def test_q8_random_params_fuzz_vs_sql(ray_session):
             "FROM v GROUP BY 1 ORDER BY 1"
         ).fetchdf()
         _assert_bitwise(got, want)
+
+
+def test_q18_threshold_dataset_side_and_empty_typed(ray_session):
+    """q18 thresholds Dataset-side (only qualifying orders reach the driver)
+    and returns a typed empty frame when nothing qualifies (the empty
+    to_pandas drops-columns rule)."""
+    from orc_format_ray.pipelines.tpch import q18_large_orders
+
+    got = q18_large_orders(SF, qty_units_threshold=10**9)
+    assert len(got) == 0
+    assert list(got.columns) == [
+        "c_name", "o_custkey", "o_orderkey", "o_orderdate_us", "o_totalprice", "sum_qty_units"
+    ]
+    assert got["sum_qty_units"].dtype == np.int64
+
+    # default threshold still matches the brute recompute
+    li, od = _load("lineitem"), _load("orders")
+    per = li.assign(u=np.floor(li["l_quantity"].to_numpy() * 100 + 0.5).astype(np.int64)).groupby(
+        "l_orderkey"
+    )["u"].sum()
+    big = set(per[per > 30_000].index.astype(int))
+    got2 = q18_large_orders(SF)
+    assert set(got2["o_orderkey"].astype(int)) <= big and len(got2) == min(len(big), 100)
