@@ -301,3 +301,21 @@ def test_q18_threshold_dataset_side_and_empty_typed(ray_session):
     big = set(per[per > 30_000].index.astype(int))
     got2 = q18_large_orders(SF)
     assert set(got2["o_orderkey"].astype(int)) <= big and len(got2) == min(len(big), 100)
+
+
+def test_q1_orc_lake_matches_parquet_source(ray_session):
+    """Storage independence: Q1 off the engine's own ORC lake (native
+    projected read) must equal Q1 off parquet, bitwise."""
+    import __ray_entry__ as entry_mod
+
+    got = entry_mod.queries()["tpch_q1_orc_lake"](SF)
+    from orc_format_ray.pipelines.tpch import q1_pricing_summary
+
+    want = q1_pricing_summary(SF)
+    assert list(got.columns) == list(want.columns) and len(got) == len(want)
+    for c in got.columns:
+        a, b = got[c].to_numpy(), want[c].to_numpy()
+        if a.dtype.kind == "f":
+            assert np.array_equal(a.view(np.uint64), b.view(np.uint64)), c
+        else:
+            assert list(map(str, a)) == list(map(str, b)), c
