@@ -7015,6 +7015,20 @@ def _q_tpch_q1_orc_lake(sf_dir: str):
     return q1_pricing_summary(sf_dir, source_ds=lake)
 
 
+def _q_join_size_estimate(sf_dir: str):
+    """Planner observability (ops/profile.py:join_size_estimate): the NDV
+    join-cardinality estimate n_l*n_r // max(ndv) next to the EXACT join
+    size (Σ cnt_l·cnt_r over matched keys) for lineitem ⋈ orders — exact
+    ints + ONE double division; count tables are the only shuffle."""
+    import ray.data
+
+    from orc_format_ray.ops.profile import join_size_estimate
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
+    od = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+    return join_size_estimate(li, od, key_left="l_orderkey", key_right="o_orderkey")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
     # (VERDICT r3 "What's wrong" #2), so the window below is curated for
@@ -7345,6 +7359,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q19_dnf": _q_tpch_q19_dnf,
         "tpch_q22_idle": _q_tpch_q22_idle,
         "tpch_q1_orc_lake": _q_tpch_q1_orc_lake,
+        "join_size_estimate_li_orders": _q_join_size_estimate,
     }
 
 
@@ -9941,5 +9956,22 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS count_order "
             "FROM u GROUP BY l_returnflag, l_linestatus "
             "ORDER BY l_returnflag, l_linestatus"
+        ),
+        # NDV estimate = integer floor division; est_over_true = ONE division
+        # (count(col) mirrors the engine's null-key drop)
+        "join_size_estimate_li_orders": (
+            "WITH l AS (SELECT CAST(count(l_orderkey) AS BIGINT) AS n, "
+            "CAST(count(DISTINCT l_orderkey) AS BIGINT) AS d FROM lineitem), "
+            "o AS (SELECT CAST(count(o_orderkey) AS BIGINT) AS n, "
+            "CAST(count(DISTINCT o_orderkey) AS BIGINT) AS d FROM orders), "
+            "t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey) "
+            "SELECT l.n AS n_left, o.n AS n_right, l.d AS ndv_left, "
+            "o.d AS ndv_right, l.n * o.n // greatest(l.d, o.d) AS est_rows, "
+            "t.n AS true_rows, "
+            "CASE WHEN t.n = 0 THEN 0.0 ELSE "
+            "CAST(l.n * o.n // greatest(l.d, o.d) AS DOUBLE) "
+            "/ CAST(t.n AS DOUBLE) END AS est_over_true "
+            "FROM l, o, t"
         ),
     }

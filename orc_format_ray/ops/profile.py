@@ -882,3 +882,94 @@ def count_anomaly_by_key(ds, key: str = "event_type", ts_col: str = "ts",
     out = meta.groupby(key).map_groups(flag, **remote_args())
     # normalize lineage so downstream union()/groupby compose (session-10 rule)
     return out.map_batches(lambda b: b, batch_format="pyarrow", **remote_args())
+
+
+def join_size_estimate(left_ds, right_ds, key_left: str, key_right: str | None = None):
+    """Optimizer-style join cardinality check: the classic NDV estimate
+    ``|A ⋈ B| ≈ n_a * n_b / max(ndv_a, ndv_b)`` next to the EXACT join
+    size — the number every distributed planner wants BEFORE committing to
+    a shuffle strategy (broadcast vs bucketed vs sorted-merge).
+
+    Exact-parity rules: counts and NDVs are exact ints; ``est_rows`` is the
+    integer floor division ``n_l * n_r // max(ndv)`` (SQL ``//``, guarded
+    < 2^62); ``true_rows`` = Σ cnt_l(k)·cnt_r(k) over matched keys (exact
+    products, guarded); ``est_over_true`` is the ONE double division (0.0
+    when the true size is 0 — mirror the SQL CASE).
+
+    Scale shape: each side pre-counts by key per batch, ONE metadata
+    groupby folds (key, cnt) per side — payloads never shuffle; the two
+    count tables join via the bucketed ``hash_join`` and the products fold
+    as per-batch partial sums. Driver traffic is O(1).
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from .join import hash_join
+
+    key_right = key_right or key_left
+
+    def counts(ds, key, out_key):
+        def partial(batch: pa.Table) -> pa.Table:
+            k = batch[key].combine_chunks()
+            if k.null_count:
+                k = k.drop_null()  # SQL inner join: null keys never match
+            vc = k.value_counts()
+            return pa.table(
+                {
+                    out_key: vc.field("values"),
+                    "cnt": vc.field("counts").cast(pa.int64()),
+                }
+            )
+
+        return (
+            ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+            .groupby(out_key)
+            .aggregate(Sum("cnt", alias_name="cnt"))
+            .materialize()  # counted below AND joined — must not re-run the scan
+        )
+
+    lc = counts(left_ds, key_left, "k")
+    rc = counts(right_ds, key_right, "k")
+    ndv_l, ndv_r = lc.count(), rc.count()
+
+    def side_n(cds):
+        t = cds.map_batches(
+            lambda b: pa.table({"n_p": pa.array([int(pc.sum(b["cnt"]).as_py() or 0)], pa.int64())}),
+            batch_format="pyarrow", zero_copy_batch=True, **remote_args(),
+        ).to_pandas()
+        return int(t["n_p"].sum()) if len(t) else 0
+
+    n_l, n_r = side_n(lc), side_n(rc)
+    if n_l * n_r >= (1 << 62):
+        raise ValueError("join_size_estimate: n_l * n_r >= 2^62 — rescale before estimating")
+    est = (n_l * n_r) // max(ndv_l, ndv_r) if max(ndv_l, ndv_r) else 0
+
+    rc2 = rc.map_batches(
+        lambda b: pa.table({"k": b["k"], "cnt_r": b["cnt"]}),
+        batch_format="pyarrow", zero_copy_batch=True, **remote_args(),
+    )
+    joined = hash_join(lc, rc2, key="k")
+
+    def prod_partial(batch: pa.Table) -> pa.Table:
+        a = batch["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["cnt_r"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(a) and int(a.max()) * int(b.max()) * len(a) >= (1 << 62):
+            raise ValueError("join_size_estimate: product sum may exceed 2^62 — hot key")
+        return pa.table({"t_p": pa.array([int((a * b).sum())], pa.int64())})
+
+    tp = joined.map_batches(
+        prod_partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args()
+    ).to_pandas()
+    true_rows = int(tp["t_p"].sum()) if len(tp) else 0
+    ratio = float(np.float64(est) / np.float64(true_rows)) if true_rows else 0.0
+    return pd.DataFrame(
+        {
+            "n_left": pd.Series([n_l], dtype="int64"),
+            "n_right": pd.Series([n_r], dtype="int64"),
+            "ndv_left": pd.Series([ndv_l], dtype="int64"),
+            "ndv_right": pd.Series([ndv_r], dtype="int64"),
+            "est_rows": pd.Series([est], dtype="int64"),
+            "true_rows": pd.Series([true_rows], dtype="int64"),
+            "est_over_true": pd.Series([ratio], dtype="float64"),
+        }
+    )

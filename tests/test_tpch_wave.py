@@ -319,3 +319,40 @@ def test_q1_orc_lake_matches_parquet_source(ray_session):
             assert np.array_equal(a.view(np.uint64), b.view(np.uint64)), c
         else:
             assert list(map(str, a)) == list(map(str, b)), c
+
+
+def test_join_size_estimate_skewed_and_nulls(ray_session):
+    """NDV estimate vs exact size on a skewed many-to-many join with null
+    keys: nulls never match (SQL inner join), true = sum of count products,
+    est = n_l*n_r // max(ndv)."""
+    import ray.data
+
+    from orc_format_ray.ops.profile import join_size_estimate
+
+    left = pd.DataFrame({"k": [1, 1, 1, 1, 2, 3, None, None]}).astype({"k": "Int64"})
+    right = pd.DataFrame({"k": [1, 1, 2, 4, None]}).astype({"k": "Int64"})
+    got = join_size_estimate(
+        ray.data.from_pandas(left).repartition(3),
+        ray.data.from_pandas(right).repartition(2),
+        key_left="k",
+    )
+    # non-null: left n=6 ndv=3, right n=4 ndv=3; true = 4*2 (k=1) + 1*1 (k=2) = 9
+    assert got.iloc[0].to_dict() == {
+        "n_left": 6, "n_right": 4, "ndv_left": 3, "ndv_right": 3,
+        "est_rows": 8, "true_rows": 9,
+        "est_over_true": float(np.float64(8) / np.float64(9)),
+    }
+
+
+def test_join_size_estimate_disjoint_zero_true(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.profile import join_size_estimate
+
+    got = join_size_estimate(
+        ray.data.from_pandas(pd.DataFrame({"k": [1, 2, 3]})),
+        ray.data.from_pandas(pd.DataFrame({"k": [7, 8]})),
+        key_left="k",
+    )
+    row = got.iloc[0]
+    assert row["true_rows"] == 0 and row["est_over_true"] == 0.0 and row["est_rows"] == 2
