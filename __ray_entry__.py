@@ -7029,6 +7029,16 @@ def _q_join_size_estimate(sf_dir: str):
     return join_size_estimate(li, od, key_left="l_orderkey", key_right="o_orderkey")
 
 
+def _q_shared_scan_q1_q6(sf_dir: str):
+    """Multi-query shared scan (pipelines/tpch.py:shared_scan_q1_q6): Q1 AND
+    Q6 from ONE lineitem pass — per-batch tagged partials (Q1 pre-aggregated
+    in-batch by flag/status), ONE tiny groupby, long-form exact-division
+    metrics. The scan-amortization pattern co-running 100-TB queries need."""
+    from orc_format_ray.pipelines.tpch import shared_scan_q1_q6
+
+    return shared_scan_q1_q6(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
     # (VERDICT r3 "What's wrong" #2), so the window below is curated for
@@ -7360,6 +7370,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q22_idle": _q_tpch_q22_idle,
         "tpch_q1_orc_lake": _q_tpch_q1_orc_lake,
         "join_size_estimate_li_orders": _q_join_size_estimate,
+        "shared_scan_q1_q6": _q_shared_scan_q1_q6,
     }
 
 
@@ -9973,5 +9984,44 @@ def oracle_sql() -> dict[str, str]:
             "CAST(l.n * o.n // greatest(l.d, o.d) AS DOUBLE) "
             "/ CAST(t.n AS DOUBLE) END AS est_over_true "
             "FROM l, o, t"
+        ),
+        # shared scan: the two standalone exact-unit queries UNION ALL'd
+        # long-form; every value is the standalone query's one division
+        "shared_scan_q1_q6": (
+            "WITH u AS (SELECT l_returnflag, l_linestatus, "
+            "CAST(floor(l_quantity*100 + 0.5) AS BIGINT) AS qc, "
+            "CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS pc, "
+            "CAST(floor(l_discount*100 + 0.5) AS BIGINT) AS db, "
+            "CAST(floor(l_tax*100 + 0.5) AS BIGINT) AS tb "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'), "
+            "q1 AS (SELECT l_returnflag, l_linestatus, "
+            "CAST(sum(qc) AS BIGINT)/100.0 AS sum_qty, "
+            "CAST(sum(pc) AS BIGINT)/100.0 AS sum_base_price, "
+            "CAST(sum(pc*(100-db)) AS BIGINT)/10000.0 AS sum_disc_price, "
+            "CAST(sum(pc*(100-db)*(100+tb)) AS BIGINT)/1000000.0 AS sum_charge, "
+            "CAST(sum(qc) AS BIGINT)/(count(*)*100.0) AS avg_qty, "
+            "CAST(sum(pc) AS BIGINT)/(count(*)*100.0) AS avg_price, "
+            "CAST(sum(db) AS BIGINT)/(count(*)*100.0) AS avg_disc, "
+            "CAST(count(*) AS DOUBLE) AS count_order "
+            "FROM u GROUP BY l_returnflag, l_linestatus), "
+            "q6 AS (SELECT CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) "
+            "* CAST(floor(l_discount*100 + 0.5) AS BIGINT)) AS BIGINT)/10000.0 AS revenue, "
+            "CAST(count(*) AS DOUBLE) AS n_rows FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1997-01-01' "
+            "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24), "
+            "lf AS ("
+            "SELECT 'q1' AS query, l_returnflag, l_linestatus, 'sum_qty' AS metric, sum_qty AS value FROM q1 "
+            "UNION ALL SELECT 'q1', l_returnflag, l_linestatus, 'sum_base_price', sum_base_price FROM q1 "
+            "UNION ALL SELECT 'q1', l_returnflag, l_linestatus, 'sum_disc_price', sum_disc_price FROM q1 "
+            "UNION ALL SELECT 'q1', l_returnflag, l_linestatus, 'sum_charge', sum_charge FROM q1 "
+            "UNION ALL SELECT 'q1', l_returnflag, l_linestatus, 'avg_qty', avg_qty FROM q1 "
+            "UNION ALL SELECT 'q1', l_returnflag, l_linestatus, 'avg_price', avg_price FROM q1 "
+            "UNION ALL SELECT 'q1', l_returnflag, l_linestatus, 'avg_disc', avg_disc FROM q1 "
+            "UNION ALL SELECT 'q1', l_returnflag, l_linestatus, 'count_order', count_order FROM q1 "
+            "UNION ALL SELECT 'q6', '', '', 'revenue', revenue FROM q6 "
+            "UNION ALL SELECT 'q6', '', '', 'n_rows', n_rows FROM q6) "
+            "SELECT query, l_returnflag, l_linestatus, metric, value FROM lf "
+            "ORDER BY query, l_returnflag, l_linestatus, metric"
         ),
     }

@@ -1427,3 +1427,126 @@ def q22_idle_customers(sf_dir: str, idle_since: str = "1999-01-01"):
     per["totacctbal"] = per["acctbal_cents"].to_numpy(np.int64).astype(np.float64) / np.float64(100.0)
     per = per.sort_values("c_nationkey", kind="mergesort").reset_index(drop=True)
     return per[["c_nationkey", "numcust", "acctbal_cents", "totacctbal"]]
+
+
+def shared_scan_q1_q6(
+    sf_dir: str,
+    q1_cut: str = "1998-09-02",
+    q6_lo: str = "1996-01-01",
+    q6_hi: str = "1997-01-01",
+    q6_disc_lo: float = 0.05,
+    q6_disc_hi: float = 0.07,
+    q6_qty_cut: float = 24.0,
+):
+    """Multi-query shared scan: TPC-H Q1 AND Q6 answered from ONE pass over
+    lineitem — at 100 TB the scan dominates, so co-running queries that
+    share a table must share its read. Each batch emits Q1 unit partials
+    PRE-AGGREGATED by (returnflag, linestatus) plus one Q6 partial row,
+    tagged by query; ONE tiny groupby folds both. Results are returned
+    long-form ``(query, l_returnflag, l_linestatus, metric, value)`` —
+    every value derives from exact-int sums via the SAME one-division
+    expressions as the standalone q1_pricing_summary / q6_forecast_revenue
+    (bitwise parity with a UNION ALL SQL oracle). Q6 rows carry '' for the
+    group columns."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    cut = _ts_us(q1_cut)
+    lo, hi = _ts_us(q6_lo), _ts_us(q6_hi)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sd = batch["l_shipdate"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.float64)
+        p = batch["l_extendedprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+        d = batch["l_discount"].to_numpy(zero_copy_only=False).astype(np.float64)
+        t = batch["l_tax"].to_numpy(zero_copy_only=False).astype(np.float64)
+        qc_all = np.floor(q * 100 + 0.5).astype(np.int64)
+        pc_all = np.floor(p * 100 + 0.5).astype(np.int64)
+        db_all = np.floor(d * 100 + 0.5).astype(np.int64)
+        tb_all = np.floor(t * 100 + 0.5).astype(np.int64)
+
+        # --- Q1 slice: shipped at-or-before the cut, grouped in-batch
+        k1 = sd <= cut
+        du = pc_all[k1] * (100 - db_all[k1])
+        cu = du * (100 + tb_all[k1])
+        if len(cu) and np.abs(cu).max() >= (np.int64(1) << 50):
+            raise ValueError("per-row charge unit exceeds 2^50 — price out of modeled range")
+        flags = batch["l_returnflag"].to_numpy(zero_copy_only=False)[k1]
+        stats = batch["l_linestatus"].to_numpy(zero_copy_only=False)[k1]
+        combo = np.char.add(np.char.add(flags.astype("U8"), "\x1f"), stats.astype("U8"))
+        uk, inv = np.unique(combo, return_inverse=True)
+        cols = {}
+        for name, vals in (
+            ("qc", qc_all[k1]), ("pc", pc_all[k1]), ("db", db_all[k1]),
+            ("du", du), ("cu", cu), ("n", np.ones(int(k1.sum()), np.int64)),
+        ):
+            acc = np.zeros(len(uk), np.int64)
+            np.add.at(acc, inv, vals)
+            cols[name] = acc
+        qk = [u.split("\x1f") for u in uk]
+
+        # --- Q6 slice: raw-double band filters (SQL BETWEEN semantics)
+        k6 = (sd >= lo) & (sd < hi) & (d >= q6_disc_lo) & (d <= q6_disc_hi) & (q < q6_qty_cut)
+        u6 = pc_all[k6] * db_all[k6]
+        if len(u6) and np.abs(u6).max() >= _UNIT_LIMIT:
+            raise ValueError("per-row discount-revenue unit exceeds 2^40")
+
+        return pa.table(
+            {
+                "q": pa.array(["q1"] * len(uk) + ["q6"]),
+                "l_returnflag": pa.array([x[0] for x in qk] + [""]),
+                "l_linestatus": pa.array([x[1] for x in qk] + [""]),
+                "qc": pa.array(np.append(cols["qc"], 0)),
+                "pc": pa.array(np.append(cols["pc"], 0)),
+                "db": pa.array(np.append(cols["db"], 0)),
+                "du": pa.array(np.append(cols["du"], int(u6.sum()))),
+                "cu": pa.array(np.append(cols["cu"], 0)),
+                "n": pa.array(np.append(cols["n"], int(k6.sum()))),
+            }
+        )
+
+    folded = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=[
+                "l_returnflag", "l_linestatus", "l_shipdate",
+                "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+            ],
+        )
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby(["q", "l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qc", alias_name="qc"), Sum("pc", alias_name="pc"),
+            Sum("db", alias_name="db"), Sum("du", alias_name="du"),
+            Sum("cu", alias_name="cu"), Sum("n", alias_name="n"),
+        )
+        .to_pandas()
+    )
+    rows = []
+    for _, r in folded.iterrows():
+        for c in ("qc", "pc", "db", "du", "cu", "n"):
+            _guard_sum(np.array([np.int64(r[c])], np.int64))
+        if r["q"] == "q1":
+            n100 = np.int64(r["n"]) * np.float64(100.0)
+            metrics = {
+                "sum_qty": np.int64(r["qc"]) / np.float64(100.0),
+                "sum_base_price": np.int64(r["pc"]) / np.float64(100.0),
+                "sum_disc_price": np.int64(r["du"]) / np.float64(10000.0),
+                "sum_charge": np.int64(r["cu"]) / np.float64(1000000.0),
+                "avg_qty": np.int64(r["qc"]) / n100,
+                "avg_price": np.int64(r["pc"]) / n100,
+                "avg_disc": np.int64(r["db"]) / n100,
+                "count_order": np.float64(np.int64(r["n"])),
+            }
+        else:
+            metrics = {
+                "revenue": np.int64(r["du"]) / np.float64(10000.0),
+                "n_rows": np.float64(np.int64(r["n"])),
+            }
+        for m, v in metrics.items():
+            rows.append((r["q"], r["l_returnflag"], r["l_linestatus"], m, np.float64(v)))
+    out = pd.DataFrame(rows, columns=["query", "l_returnflag", "l_linestatus", "metric", "value"])
+    out["value"] = out["value"].astype(np.float64)
+    return out.sort_values(
+        ["query", "l_returnflag", "l_linestatus", "metric"], kind="mergesort"
+    ).reset_index(drop=True)

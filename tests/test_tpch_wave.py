@@ -356,3 +356,28 @@ def test_join_size_estimate_disjoint_zero_true(ray_session):
     )
     row = got.iloc[0]
     assert row["true_rows"] == 0 and row["est_over_true"] == 0.0 and row["est_rows"] == 2
+
+
+def test_shared_scan_equals_standalone_q1_q6(ray_session):
+    """The one-pass shared scan reproduces BOTH standalone queries bitwise."""
+    from orc_format_ray.pipelines.tpch import (
+        q1_pricing_summary, q6_forecast_revenue, shared_scan_q1_q6,
+    )
+
+    long = shared_scan_q1_q6(SF)
+    q1 = q1_pricing_summary(SF)
+    q6 = q6_forecast_revenue(SF)
+    for _, r in q1.iterrows():
+        sub = long[
+            (long["query"] == "q1")
+            & (long["l_returnflag"] == r["l_returnflag"])
+            & (long["l_linestatus"] == r["l_linestatus"])
+        ].set_index("metric")["value"]
+        for m in ("sum_qty", "sum_base_price", "sum_disc_price", "sum_charge",
+                  "avg_qty", "avg_price", "avg_disc"):
+            assert np.float64(sub[m]).view(np.uint64) == np.float64(r[m]).view(np.uint64), m
+        assert sub["count_order"] == float(r["count_order"])
+    s6 = long[long["query"] == "q6"].set_index("metric")["value"]
+    assert np.float64(s6["revenue"]).view(np.uint64) == np.float64(q6["revenue"][0]).view(np.uint64)
+    assert s6["n_rows"] == float(q6["n_rows"][0])
+    assert len(long) == 8 * len(q1) + 2
