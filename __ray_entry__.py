@@ -7039,6 +7039,44 @@ def _q_shared_scan_q1_q6(sf_dir: str):
     return shared_scan_q1_q6(sf_dir)
 
 
+def _q_multi_agg_scan(sf_dir: str):
+    """Generalized shared scan (ops/agg.py:multi_agg_scan): three filtered
+    aggregates — different predicates, different group keys — from ONE
+    lineitem pass; expr-compiled predicates, quantize-then-sum exact units,
+    long-form (query, grp, agg, value) fold."""
+    import ray.data
+
+    from orc_format_ray.ops.agg import multi_agg_scan
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+    return multi_agg_scan(
+        ds,
+        [
+            {
+                "name": "disc_rev",
+                "where": "l_discount >= 0.05",
+                "keys": ["l_returnflag"],
+                "aggs": {"rev_cents": ("l_extendedprice", 100), "n": ("count",)},
+            },
+            {
+                "name": "big_qty",
+                "where": "l_quantity >= 30",
+                "keys": ["l_linestatus"],
+                "aggs": {"qty_units": ("l_quantity", 100), "n": ("count",)},
+            },
+            {
+                "name": "all_tax",
+                "where": None,
+                "keys": [],
+                "aggs": {"tax_bp": ("l_tax", 100), "n": ("count",)},
+            },
+        ],
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
     # (VERDICT r3 "What's wrong" #2), so the window below is curated for
@@ -7371,6 +7409,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q1_orc_lake": _q_tpch_q1_orc_lake,
         "join_size_estimate_li_orders": _q_join_size_estimate,
         "shared_scan_q1_q6": _q_shared_scan_q1_q6,
+        "multi_agg_scan_lineitem": _q_multi_agg_scan,
     }
 
 
@@ -10023,5 +10062,27 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 'q6', '', '', 'n_rows', n_rows FROM q6) "
             "SELECT query, l_returnflag, l_linestatus, metric, value FROM lf "
             "ORDER BY query, l_returnflag, l_linestatus, metric"
+        ),
+        # generalized shared scan: IDENTICAL predicate/expression text per
+        # spec; quantize-then-sum units; keyless grp = '(all)' (COALESCE 0)
+        "multi_agg_scan_lineitem": (
+            "WITH lf AS ("
+            "SELECT 'disc_rev' AS query, CAST(l_returnflag AS VARCHAR) AS grp, "
+            "'rev_cents' AS agg, CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) "
+            "AS BIGINT)) AS BIGINT) AS value "
+            "FROM lineitem WHERE l_discount >= 0.05 GROUP BY 2 "
+            "UNION ALL SELECT 'disc_rev', CAST(l_returnflag AS VARCHAR), 'n', "
+            "CAST(count(*) AS BIGINT) FROM lineitem WHERE l_discount >= 0.05 GROUP BY 2 "
+            "UNION ALL SELECT 'big_qty', CAST(l_linestatus AS VARCHAR), 'qty_units', "
+            "CAST(sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT) "
+            "FROM lineitem WHERE l_quantity >= 30 GROUP BY 2 "
+            "UNION ALL SELECT 'big_qty', CAST(l_linestatus AS VARCHAR), 'n', "
+            "CAST(count(*) AS BIGINT) FROM lineitem WHERE l_quantity >= 30 GROUP BY 2 "
+            "UNION ALL SELECT 'all_tax', '(all)', 'tax_bp', "
+            "COALESCE(CAST(sum(CAST(floor(l_tax*100 + 0.5) AS BIGINT)) AS BIGINT), 0) "
+            "FROM lineitem "
+            "UNION ALL SELECT 'all_tax', '(all)', 'n', CAST(count(*) AS BIGINT) "
+            "FROM lineitem) "
+            "SELECT query, grp, agg, value FROM lf ORDER BY query, grp, agg"
         ),
     }

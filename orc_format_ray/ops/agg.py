@@ -2095,3 +2095,121 @@ def cvar_by_group(ds, group: str, col: str, q: float = 0.95, value_scale: int = 
         )
 
     return dist.groupby("g").map_groups(fold, batch_format="pandas", **remote_args())
+
+
+def multi_agg_scan(ds, specs: list[dict]):
+    """N filtered aggregates from ONE pass over the table — the generalized
+    shared scan (the 100-TB rule: co-running queries that share a table
+    must share its read). Each spec is::
+
+        {"name": str,                  # query tag (unique)
+         "where": str | None,          # ops.expr predicate (SQL-WHERE nulls)
+         "keys": [str, ...],           # group columns (ints/strings only)
+         "aggs": {out: ("count",) | (expr_src, scale | None), ...}}
+
+    An agg is either a row count, or a SUM of ``floor(expr * scale + 0.5)``
+    int64 units (``scale`` None means the expression must already evaluate
+    to integers) — the repo's quantize-then-sum rule, so every output value
+    is an exact int64 and the SQL oracle can run the IDENTICAL expression
+    text (the ops/expr contract). Returns a long-form driver DataFrame
+    ``(query, grp, agg, value)`` where ``grp`` joins the stringified key
+    values with '|' ('(all)' for keyless specs — mirror with concat_ws).
+
+    Scale shape: one read; each batch evaluates every spec's mask + units
+    and emits |groups x aggs| partial cells; ONE tiny groupby folds them.
+    Float group keys are rejected (NaN breaks equality on both sides).
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from .expr import compile_expr
+
+    names = [s["name"] for s in specs]
+    if len(set(names)) != len(names):
+        raise ValueError("multi_agg_scan: spec names must be unique")
+    compiled = []
+    for s in specs:
+        where = compile_expr(s["where"]) if s.get("where") else None
+        aggs = {}
+        for out, a in s["aggs"].items():
+            if a[0] == "count":
+                aggs[out] = ("count", None, None)
+            else:
+                aggs[out] = ("sum", compile_expr(a[0]), a[1])
+        compiled.append((s["name"], where, list(s.get("keys", ())), aggs))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q_out, g_out, a_out, v_out = [], [], [], []
+        for name, where, keys, aggs in compiled:
+            if where is not None:
+                mask = where.evaluate(batch)
+                sub = batch.filter(pc.fill_null(mask, False))
+            else:
+                sub = batch
+            if len(keys):
+                parts = []
+                for k in keys:
+                    col = sub[k]
+                    if pa.types.is_floating(col.type):
+                        raise ValueError(f"multi_agg_scan: float group key {k!r} rejected")
+                    parts.append(col.cast(pa.string()).to_numpy(zero_copy_only=False).astype("U64"))
+                combo = parts[0]
+                for p in parts[1:]:
+                    combo = np.char.add(np.char.add(combo, "|"), p)
+                uk, inv = np.unique(combo, return_inverse=True)
+            else:
+                uk = np.array(["(all)"], "U64")
+                inv = np.zeros(sub.num_rows, np.int64)
+            for out, (kind, e, scale) in aggs.items():
+                if kind == "count":
+                    units = np.ones(sub.num_rows, np.int64)
+                else:
+                    arr = e.evaluate(sub)
+                    if not isinstance(arr, (pa.Array, pa.ChunkedArray)):
+                        arr = pa.array([arr] * sub.num_rows)
+                    v = arr.to_numpy(zero_copy_only=False)
+                    if scale is None:
+                        if v.dtype.kind not in "iu":
+                            raise ValueError(
+                                f"multi_agg_scan: agg {out!r} yields {v.dtype} — pass a "
+                                "quantize scale or make the expression integer"
+                            )
+                        units = v.astype(np.int64)
+                    else:
+                        units = np.floor(v.astype(np.float64) * scale + 0.5).astype(np.int64)
+                    if len(units) and np.abs(units).max() >= (np.int64(1) << 50):
+                        raise ValueError(f"multi_agg_scan: {out!r} unit exceeds 2^50")
+                acc = np.zeros(len(uk), np.int64)
+                np.add.at(acc, inv, units)
+                q_out += [name] * len(uk)
+                g_out += list(uk)
+                a_out += [out] * len(uk)
+                v_out += list(acc)
+        return pa.table(
+            {
+                "query": pa.array(q_out, pa.string()),
+                "grp": pa.array(g_out, pa.string()),
+                "agg": pa.array(a_out, pa.string()),
+                "v_p": pa.array(np.array(v_out, np.int64)),
+            }
+        )
+
+    folded = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby(["query", "grp", "agg"])
+        .aggregate(Sum("v_p", alias_name="value"))
+        .to_pandas()
+    )
+    if len(folded) == 0:
+        return pd.DataFrame(
+            {
+                "query": pd.Series([], dtype=object),
+                "grp": pd.Series([], dtype=object),
+                "agg": pd.Series([], dtype=object),
+                "value": pd.Series([], dtype=np.int64),
+            }
+        )
+    folded["value"] = folded["value"].astype(np.int64)
+    if np.abs(folded["value"].to_numpy(np.int64)).max() >= (np.int64(1) << 53):
+        raise ValueError("multi_agg_scan: folded sum exceeds exact-double range")
+    return folded.sort_values(["query", "grp", "agg"], kind="mergesort").reset_index(drop=True)

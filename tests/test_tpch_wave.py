@@ -381,3 +381,72 @@ def test_shared_scan_equals_standalone_q1_q6(ray_session):
     assert np.float64(s6["revenue"]).view(np.uint64) == np.float64(q6["revenue"][0]).view(np.uint64)
     assert s6["n_rows"] == float(q6["n_rows"][0])
     assert len(long) == 8 * len(q1) + 2
+
+
+def test_multi_agg_scan_matches_brute_with_nulls(ray_session):
+    """One pass, two specs; null predicate values drop rows (SQL WHERE);
+    quantize-then-sum units; keyless spec gets the '(all)' group."""
+    import ray.data
+
+    from orc_format_ray.ops.agg import multi_agg_scan
+
+    df = pd.DataFrame(
+        {
+            "k": ["a", "b", "a", "c", "b", "a"],
+            "x": [1.25, None, 3.5, 0.75, 2.0, None],
+            "m": [10, 20, 30, 40, 50, 60],
+        }
+    )
+    got = multi_agg_scan(
+        ray.data.from_pandas(df).repartition(3),
+        [
+            {"name": "pos", "where": "x > 1.0", "keys": ["k"],
+             "aggs": {"xc": ("x", 100), "n": ("count",)}},
+            {"name": "tot", "where": None, "keys": [],
+             "aggs": {"m_sum": ("m", None), "n": ("count",)}},
+        ],
+    )
+    sub = df[df["x"] > 1.0]  # pandas > drops NaN like SQL WHERE
+    want = {
+        ("pos", g, "xc"): int(np.floor(s["x"].to_numpy() * 100 + 0.5).sum())
+        for g, s in sub.groupby("k")
+    } | {("pos", g, "n"): len(s) for g, s in sub.groupby("k")} | {
+        ("tot", "(all)", "m_sum"): int(df["m"].sum()),
+        ("tot", "(all)", "n"): len(df),
+    }
+    gotmap = {(r["query"], r["grp"], r["agg"]): int(r["value"]) for _, r in got.iterrows()}
+    assert gotmap == want
+
+
+def test_multi_agg_scan_guards(ray_session):
+    import ray.data
+
+    from orc_format_ray.ops.agg import multi_agg_scan
+
+    ds = ray.data.from_pandas(pd.DataFrame({"k": [1.5], "x": [1.0]}))
+    with pytest.raises(ValueError, match="unique"):
+        multi_agg_scan(ds, [{"name": "a", "keys": [], "aggs": {"n": ("count",)}},
+                            {"name": "a", "keys": [], "aggs": {"n": ("count",)}}])
+    with pytest.raises(Exception, match="float group key"):
+        multi_agg_scan(ds, [{"name": "a", "keys": ["k"], "aggs": {"n": ("count",)}}])
+    with pytest.raises(Exception, match="quantize scale"):
+        multi_agg_scan(ds, [{"name": "a", "keys": [], "aggs": {"s": ("x", None)}}])
+
+
+def test_multi_agg_scan_empty_filter_semantics(ray_session):
+    """A keyed spec whose filter matches nothing emits NO rows (SQL GROUP
+    BY); a keyless spec still emits its '(all)' zero rows."""
+    import ray.data
+
+    from orc_format_ray.ops.agg import multi_agg_scan
+
+    ds = ray.data.from_pandas(pd.DataFrame({"k": ["a"], "x": [1]}))
+    got = multi_agg_scan(
+        ds,
+        [
+            {"name": "none", "where": "x > 99", "keys": ["k"], "aggs": {"n": ("count",)}},
+            {"name": "none_all", "where": "x > 99", "keys": [], "aggs": {"n": ("count",), "s": ("x", None)}},
+        ],
+    )
+    gotmap = {(r["query"], r["grp"], r["agg"]): int(r["value"]) for _, r in got.iterrows()}
+    assert gotmap == {("none_all", "(all)", "n"): 0, ("none_all", "(all)", "s"): 0}
