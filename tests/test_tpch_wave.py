@@ -450,3 +450,55 @@ def test_multi_agg_scan_empty_filter_semantics(ray_session):
     )
     gotmap = {(r["query"], r["grp"], r["agg"]): int(r["value"]) for _, r in got.iterrows()}
     assert gotmap == {("none_all", "(all)", "n"): 0, ("none_all", "(all)", "s"): 0}
+
+
+def test_multi_agg_scan_random_specs_fuzz_vs_sql(ray_session):
+    """Random (predicate, keys, quantized-agg) specs over lineitem vs
+    mechanically generated SQL — pins the expr-compiler + shared-scan
+    composition. Literals stay short decimals (the session-13 DECIMAL
+    parse rule)."""
+    import duckdb
+    import ray.data
+
+    from orc_format_ray.ops.agg import multi_agg_scan
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{SF}/lineitem.parquet')")
+    rng = np.random.default_rng(42)
+    num_cols = ["l_quantity", "l_discount", "l_tax", "l_extendedprice"]
+    lits = {"l_quantity": ["10", "25", "40"], "l_discount": ["0.02", "0.05", "0.08"],
+            "l_tax": ["0.03", "0.06"], "l_extendedprice": ["20000", "50000"]}
+    key_pool = ["l_returnflag", "l_linestatus"]
+    for trial in range(5):
+        specs, branches = [], []
+        for si in range(int(rng.integers(1, 4))):
+            col = num_cols[int(rng.integers(0, len(num_cols)))]
+            op = [">=", "<", ">", "<="][int(rng.integers(0, 4))]
+            lit = lits[col][int(rng.integers(0, len(lits[col])))]
+            pred = f"{col} {op} {lit}"
+            nk = int(rng.integers(0, 3))
+            keys = list(rng.choice(key_pool, size=nk, replace=False))
+            scol = num_cols[int(rng.integers(0, len(num_cols)))]
+            name = f"s{si}"
+            specs.append({"name": name, "where": pred, "keys": keys,
+                          "aggs": {"u": (scol, 100), "n": ("count",)}})
+            grp = (" || '|' || ".join(f"CAST({k} AS VARCHAR)" for k in keys)
+                   if keys else "'(all)'")
+            gb = f" GROUP BY {', '.join(keys)}" if keys else ""
+            u_expr = f"CAST(floor({scol}*100 + 0.5) AS BIGINT)"
+            co = "COALESCE(CAST(sum(%s) AS BIGINT), 0)" % u_expr if not keys else f"CAST(sum({u_expr}) AS BIGINT)"
+            branches.append(
+                f"SELECT '{name}' AS query, {grp} AS grp, 'u' AS agg, {co} AS value "
+                f"FROM lineitem WHERE {pred}{gb}"
+            )
+            branches.append(
+                f"SELECT '{name}', {grp}, 'n', CAST(count(*) AS BIGINT) "
+                f"FROM lineitem WHERE {pred}{gb}"
+            )
+        ds = ray.data.read_parquet(f"{SF}/lineitem.parquet")
+        got = multi_agg_scan(ds, specs)
+        want = con.execute(
+            "WITH lf AS (" + " UNION ALL ".join(branches) + ") "
+            "SELECT query, grp, agg, value FROM lf ORDER BY query, grp, agg"
+        ).fetchdf()
+        _assert_bitwise(got, want)
