@@ -2152,13 +2152,17 @@ def multi_agg_scan(ds, specs: list[dict]):
                     col = sub[k]
                     if pa.types.is_floating(col.type):
                         raise ValueError(f"multi_agg_scan: float group key {k!r} rejected")
-                    parts.append(col.cast(pa.string()).to_numpy(zero_copy_only=False).astype("U64"))
+                    # dtype="U" auto-sizes to the longest value — an explicit
+                    # U<n> cap would TRUNCATE long keys silently
+                    parts.append(
+                        np.asarray(col.cast(pa.string()).to_numpy(zero_copy_only=False), dtype="U")
+                    )
                 combo = parts[0]
                 for p in parts[1:]:
                     combo = np.char.add(np.char.add(combo, "|"), p)
                 uk, inv = np.unique(combo, return_inverse=True)
             else:
-                uk = np.array(["(all)"], "U64")
+                uk = np.array(["(all)"])
                 inv = np.zeros(sub.num_rows, np.int64)
             for out, (kind, e, scale) in aggs.items():
                 if kind == "count":

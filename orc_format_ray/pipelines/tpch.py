@@ -1473,7 +1473,10 @@ def shared_scan_q1_q6(
             raise ValueError("per-row charge unit exceeds 2^50 — price out of modeled range")
         flags = batch["l_returnflag"].to_numpy(zero_copy_only=False)[k1]
         stats = batch["l_linestatus"].to_numpy(zero_copy_only=False)[k1]
-        combo = np.char.add(np.char.add(flags.astype("U8"), "\x1f"), stats.astype("U8"))
+        # dtype="U" auto-sizes (an explicit U<n> cap would truncate silently)
+        combo = np.char.add(
+            np.char.add(np.asarray(flags, dtype="U"), "\x1f"), np.asarray(stats, dtype="U")
+        )
         uk, inv = np.unique(combo, return_inverse=True)
         cols = {}
         for name, vals in (
