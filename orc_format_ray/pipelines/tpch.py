@@ -1052,29 +1052,31 @@ def q13_customer_distribution(sf_dir: str, max_broadcast_keys: int = 1 << 26):
         uk, cnt = np.unique(ck, return_counts=True)
         return pa.table({"c_custkey": pa.array(uk), "n_p": pa.array(cnt.astype(np.int64))})
 
-    per_cust = (
-        ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
-        .map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby("c_custkey")
-        .aggregate(Sum("n_p", alias_name="c_count"))
-        .materialize()
-    )
-    n_with_orders = per_cust.count()
-
     def dist_partial(batch: pa.Table) -> pa.Table:
         c = batch["c_count"].to_numpy(zero_copy_only=False).astype(np.int64)
         uk, cnt = np.unique(c, return_counts=True)
         return pa.table({"c_count": pa.array(uk), "d_p": pa.array(cnt.astype(np.int64))})
 
+    # ONE chained execution: orders -> per-customer counts -> counts-of-counts.
+    # No materialize/count() round-trips — customers-with-orders is just the
+    # distribution's total (every positive c_count row counts one customer).
     dist = (
-        per_cust.map_batches(dist_partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+        .map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby("c_custkey")
+        .aggregate(Sum("n_p", alias_name="c_count"))
+        .map_batches(dist_partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
         .groupby("c_count")
         .aggregate(Sum("d_p", alias_name="custdist"))
         .to_pandas()
     )
+    if len(dist) == 0:  # no orders at all: typed empty (to_pandas drops columns)
+        dist = pd.DataFrame(
+            {"c_count": pd.Series([], dtype=np.int64), "custdist": pd.Series([], dtype=np.int64)}
+        )
     dist["c_count"] = dist["c_count"].astype(np.int64)
     dist["custdist"] = dist["custdist"].astype(np.int64)
-    zero = n_customers - n_with_orders
+    zero = n_customers - int(dist["custdist"].sum())
     if zero > 0:
         dist = pd.concat(
             [dist, pd.DataFrame({"c_count": [np.int64(0)], "custdist": [np.int64(zero)]})],
