@@ -144,3 +144,99 @@ def test_project_expr_adds_columns_with_keep(ray_session):
     assert list(out.columns) == ["id", "rev", "cents"]
     assert out["rev"].tolist() == [1.25 * (1 - 0.1), 2.5 * (1 - 0.2)]
     assert out["cents"].tolist() == [125.0, 250.0]
+
+
+# ------------------------------------------------ random-grammar SQL parity
+
+
+def test_random_expression_trees_match_duckdb():
+    """Random expression trees (ints, short decimals, + - * /, abs/floor,
+    comparisons, Kleene and/or/not, IN lists) evaluated by the compiler vs
+    DuckDB on the same table — bitwise for doubles, exact for ints/bools.
+    Division denominators are (abs(e) + 1) so neither side divides by zero;
+    literals stay short decimals (the session-13 DECIMAL parse rule)."""
+    import duckdb
+    import pyarrow.compute as pc
+
+    from orc_format_ray.ops.expr import compile_expr
+
+    rng = np.random.default_rng(7)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "a": rng.integers(-100, 101, n),
+            "b": pd.array(
+                [None if i % 7 == 0 else int(v) for i, v in enumerate(rng.integers(-50, 51, n))],
+                dtype="Int64",
+            ),
+            "x": np.round(rng.uniform(-20, 20, n), 2),
+            "s": rng.choice(["red", "green", "blue", "x"], n),
+        }
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+
+    # NOTE: no bare decimal literals inside arithmetic — DuckDB keeps them
+    # in exact DECIMAL arithmetic while the compiler computes in double
+    # (the session-13 literal rule); decimals appear only as direct
+    # comparison operands, where both sides cast them identically.
+    def num(depth):
+        r = rng.integers(0, 7 if depth > 0 else 2)
+        if r == 0:
+            return ["a", "b", "x"][rng.integers(0, 3)]
+        if r == 1:
+            return str(int(rng.integers(-50, 51)))
+        if r == 2:
+            return f"({num(depth-1)} + {num(depth-1)})"
+        if r == 3:
+            return f"({num(depth-1)} - {num(depth-1)})"
+        if r == 4:
+            return f"({num(depth-1)} * {num(depth-1)})"
+        if r == 5:
+            return f"({num(depth-1)} / (abs({num(depth-1)}) + 1))"
+        return f"floor({num(depth-1)})"
+
+    def pred(depth):
+        r = rng.integers(0, 6 if depth > 0 else 3)
+        if r == 0:
+            op = [">", "<", ">=", "<=", "=", "!="][rng.integers(0, 6)]
+            if rng.integers(0, 3) == 0:
+                return f"x {op} {rng.integers(-99, 100) / 10:.1f}"
+            return f"{num(1)} {op} {num(1)}"
+        if r == 1:
+            return f"s = '{['red', 'green', 'blue'][rng.integers(0, 3)]}'"
+        if r == 2:
+            return "a in (1, 2, 3, 5, 8, 13, 21)"
+        if r == 3:
+            return f"({pred(depth-1)} and {pred(depth-1)})"
+        if r == 4:
+            return f"({pred(depth-1)} or {pred(depth-1)})"
+        return f"(not {pred(depth-1)})"
+
+    tbl = pa.Table.from_pandas(df)
+    for _ in range(25):
+        src = pred(2)
+        e = compile_expr(src)
+        mask = e.evaluate(tbl)
+        if not isinstance(mask, (pa.Array, pa.ChunkedArray)):  # constant predicate
+            mask = pa.array([mask.as_py()] * len(df), pa.bool_())
+        got = df["id"].to_numpy()[pc.fill_null(mask, False).to_numpy(zero_copy_only=False)]
+        want = con.execute(f"SELECT id FROM t WHERE {src} ORDER BY id").fetchdf()["id"].to_numpy()
+        assert np.array_equal(np.sort(got), want), src
+    for _ in range(15):
+        src = num(2)
+        e = compile_expr(src)
+        arr = e.evaluate(tbl)
+        if not isinstance(arr, (pa.Array, pa.ChunkedArray)):
+            arr = pa.array([arr] * len(df))
+        got = arr.cast(pa.float64()).to_numpy(zero_copy_only=False)
+        want = con.execute(
+            f"SELECT CAST({src} AS DOUBLE) AS v FROM t ORDER BY id"
+        ).fetchdf()["v"].to_numpy()
+        gn, wn = np.isnan(got), np.isnan(want)
+        assert np.array_equal(gn, wn), src
+        assert np.array_equal(
+            got[~gn].astype(np.float64).view(np.uint64),
+            want[~wn].astype(np.float64).view(np.uint64),
+        ), src
