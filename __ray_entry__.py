@@ -7039,6 +7039,65 @@ def _q_shared_scan_q1_q6(sf_dir: str):
     return shared_scan_q1_q6(sf_dir)
 
 
+def _q_token_frequency_encoded(sf_dir: str):
+    """Aggregate pushdown INTO the codec (stripe.column_value_counts +
+    pipelines/encode.value_counts_dataset): the vocabulary histogram of an
+    ENCODED stripe lake, folded at RLEv1 run level where the codec allows —
+    the token payload never re-expands. The in-query gate (non-SQL half):
+    stream-level counts must EXACTLY equal counts recomputed from the
+    pre-encode parquet source. Returns the top-20 (token, cnt), ties broken
+    by token id. Rows-only registration: token ids are a byte-level rolling
+    hash no SQL mirror can reproduce."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from orc_format_ray.pipelines import encode as enc
+    from orc_format_ray.pipelines import tokens as tok
+
+    scratch = _scratch(sf_dir, "roundtrip")  # same idempotent lake as encode_roundtrip
+    tok_path = os.path.join(scratch, "tokens.parquet")
+    if not os.path.exists(tok_path):
+        tbl = _table(tok.tokenize_documents(sf_dir)).sort_by("doc_id")
+        pq.write_table(tbl, tok_path, row_group_size=2048)
+    out_dir = os.path.join(scratch, "stripes")
+    enc.encode_dataset([tok_path], out_dir, budget_bytes=8 * 1024 * 1024)
+
+    got = enc.value_counts_dataset(out_dir, "tokens").to_pandas()
+    got = got.sort_values("value", kind="mergesort").reset_index(drop=True)
+
+    def src_partial(batch):
+        import numpy as _np
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
+        flat = _pc.list_flatten(batch["tokens"])
+        v, c = _np.unique(flat.to_numpy(zero_copy_only=False).astype(_np.int64), return_counts=True)
+        return _pa.table({"value": _pa.array(v), "cnt_p": _pa.array(c.astype(_np.int64))})
+
+    from ray.data.aggregate import Sum as _Sum
+
+    want = (
+        ray.data.read_parquet(tok_path, columns=["tokens"])
+        .map_batches(src_partial, batch_format="pyarrow", zero_copy_batch=True, **_ra())
+        .groupby("value")
+        .aggregate(_Sum("cnt_p", alias_name="cnt"))
+        .to_pandas()
+        .sort_values("value", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    assert got["value"].astype("int64").tolist() == want["value"].astype("int64").tolist(), (
+        "stream-level histogram keys diverge from the parquet source"
+    )
+    assert got["cnt"].astype("int64").tolist() == want["cnt"].astype("int64").tolist(), (
+        "stream-level histogram counts diverge from the parquet source"
+    )
+    top = got.sort_values(["cnt", "value"], ascending=[False, True], kind="mergesort").head(20)
+    top = top.reset_index(drop=True)
+    top["value"] = top["value"].astype("int64")
+    top["cnt"] = top["cnt"].astype("int64")
+    return top[["value", "cnt"]]
+
+
 def _q_multi_agg_scan(sf_dir: str):
     """Generalized shared scan (ops/agg.py:multi_agg_scan): three filtered
     aggregates — different predicates, different group keys — from ONE
@@ -7410,6 +7469,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_size_estimate_li_orders": _q_join_size_estimate,
         "shared_scan_q1_q6": _q_shared_scan_q1_q6,
         "multi_agg_scan_lineitem": _q_multi_agg_scan,
+        "token_frequency_encoded": _q_token_frequency_encoded,
     }
 
 

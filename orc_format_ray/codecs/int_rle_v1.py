@@ -355,3 +355,99 @@ def decode(buf: bytes, signed: bool = True) -> np.ndarray:
         ramp = (np.arange(total_run, dtype=np.int64) - excl[rep]).view(np.uint64)
         out[~out_is_lit] = np.repeat(base_vals, run_cnt) + ramp * deltas[rep]
     return out.view(np.int64) if signed else out
+
+
+def decode_runs(buf: bytes, signed: bool = True) -> tuple[np.ndarray, np.ndarray]:
+    """Run-level decode: ``(values, counts)`` with ``sum(counts) == n`` and
+    the stream's value multiset preserved — WITHOUT expanding constant runs
+    (aggregate pushdown INTO the codec: a histogram over a Zipf-heavy token
+    stream touches one entry per run, not one per token).
+
+    Groups map as: constant runs (delta 0) -> one ``(base, cnt)`` pair;
+    delta runs -> expanded (their values are all distinct anyway); literal
+    groups -> their values with count 1 each. Pairs are NOT merged across
+    groups — fold with ``np.unique``/groupby downstream. The expansion
+    ``np.repeat(values, counts)`` equals ``decode(buf)`` up to ordering of
+    equal values (pinned by tests/test_codecs_roundtrip.py)."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    nbytes = len(b)
+    empty_t = np.int64 if signed else np.uint64
+    if nbytes == 0:
+        return np.zeros(0, empty_t), np.zeros(0, np.int64)
+    data = bytes(buf) if not isinstance(buf, bytes) else buf
+    term_mask = b < 0x80
+    term_pos = np.flatnonzero(term_mask)
+    tcount = np.cumsum(term_mask, dtype=np.int64)
+
+    g_lit: list[bool] = []
+    g_cnt: list[int] = []
+    g_delta: list[int] = []
+    reg_a: list[int] = []
+    reg_b: list[int] = []
+    p = 0
+    while p < nbytes:
+        h = data[p]
+        if h < 0x80:
+            delta = data[p + 1]
+            vstart = p + 2
+            vend = int(term_pos[tcount[vstart - 1]]) + 1
+            g_lit.append(False)
+            g_cnt.append(h + 3)
+            g_delta.append(delta - 256 if delta >= 128 else delta)
+            reg_a.append(vstart)
+            reg_b.append(vend)
+            p = vend
+        else:
+            k = 256 - h
+            vstart = p + 1
+            vend = int(term_pos[tcount[vstart - 1] + k - 1]) + 1
+            g_lit.append(True)
+            g_cnt.append(k)
+            g_delta.append(0)
+            reg_a.append(vstart)
+            reg_b.append(vend)
+            p = vend
+
+    ra = np.array(reg_a, dtype=np.int64)
+    rb = np.array(reg_b, dtype=np.int64)
+    marks = np.zeros(nbytes + 1, dtype=np.int32)
+    marks[ra] += 1
+    marks[rb] -= 1
+    inside = np.cumsum(marks[:-1], dtype=np.int32) > 0
+    allvals = varint_decode_all(b[inside])
+    vals = zigzag_decode(allvals).view(np.uint64) if signed else allvals
+
+    is_lit = np.array(g_lit)
+    cnt = np.array(g_cnt, dtype=np.int64)
+    deltas = np.array(g_delta, dtype=np.int64)
+    nvals_per_group = np.where(is_lit, cnt, 1)
+    val_is_lit = np.repeat(is_lit, nvals_per_group)
+    lit_vals = vals[val_is_lit]
+    base_vals = vals[~val_is_lit]
+    run_cnt = cnt[~is_lit]
+    run_delta = deltas[~is_lit]
+
+    out_v: list[np.ndarray] = []
+    out_c: list[np.ndarray] = []
+    if len(lit_vals):
+        out_v.append(lit_vals)
+        out_c.append(np.ones(len(lit_vals), np.int64))
+    const = run_delta == 0
+    if const.any():
+        out_v.append(base_vals[const])
+        out_c.append(run_cnt[const])
+    if (~const).any():  # delta runs: values distinct — expand, count 1 each
+        rc = run_cnt[~const]
+        rb_ = base_vals[~const]
+        rd = run_delta[~const].view(np.uint64)
+        total = int(rc.sum())
+        excl = np.zeros(len(rc), dtype=np.int64)
+        np.cumsum(rc[:-1], out=excl[1:])
+        rep = np.repeat(np.arange(len(rc)), rc)
+        ramp = (np.arange(total, dtype=np.int64) - excl[rep]).view(np.uint64)
+        out_v.append(np.repeat(rb_, rc) + ramp * rd[rep])
+        out_c.append(np.ones(total, np.int64))
+    if not out_v:
+        return np.zeros(0, empty_t), np.zeros(0, np.int64)
+    v = np.concatenate(out_v)
+    return (v.view(np.int64) if signed else v), np.concatenate(out_c)

@@ -374,3 +374,39 @@ def encode_blocks(ds, out_dir: str, compression: str = "zstd", level: int = 3, t
         zero_copy_batch=True,
         **remote_args(),
     )
+
+
+def value_counts_dataset(out_dir: str, column: str):
+    """Distributed value histogram of one integer (or list-of-integer)
+    column over an encoded stripe lake, WITHOUT materializing the column:
+    each task folds one stripe through ``stripe.column_value_counts``
+    (run-level RLEv1 pushdown where the codec allows) and ships only its
+    (value, count) pairs; ONE groupby folds them. Returns a Ray Dataset of
+    ``(value:int64, cnt:int64)`` — at 10^12 tokens the payload never
+    re-expands and the shuffle carries |vocab| cells per stripe."""
+    import functools
+
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from .._rayutil import remote_args
+    from ..stripe import column_value_counts
+
+    paths = sorted(glob.glob(os.path.join(out_dir, "*.stripe")))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vs, cs = [], []
+        for p in batch["path"]:
+            v, c = column_value_counts(open(p.as_py(), "rb").read(), column)
+            vs.append(v)
+            cs.append(c)
+        v = np.concatenate(vs) if vs else np.zeros(0, np.int64)
+        c = np.concatenate(cs) if cs else np.zeros(0, np.int64)
+        return pa.table({"value": pa.array(v), "cnt_p": pa.array(c)})
+
+    return (
+        ray.data.from_items([{"path": p} for p in paths])
+        .map_batches(partial, batch_format="pyarrow", batch_size=1, **remote_args())
+        .groupby("value")
+        .aggregate(Sum("cnt_p", alias_name="cnt"))
+    )

@@ -707,3 +707,86 @@ def decode_stripe(
         arrays.append(decode_root(root))
         names.append(root["name"])
     return pa.table(arrays, names=names)
+
+
+def column_value_counts(blob: bytes, column: str) -> tuple[np.ndarray, np.ndarray]:
+    """Value histogram ``(values, counts)`` of one integer column — or a
+    list column's ELEMENTS — from a stripe, pushing the aggregate INTO the
+    codec where possible: chunks whose DATA stream is RLEv1 with no nulls
+    fold at RUN level (``int_rle_v1.decode_runs`` — constant runs never
+    expand), everything else falls back to a full ``decode_column``. The
+    two paths are multiset-identical (pinned in tests); counts are exact.
+
+    The scale story: a 10^12-token lake's vocabulary histogram reads only
+    the tokens column's streams and ships |distinct values| pairs per
+    stripe — the token payload never re-materializes.
+    """
+    from .codecs import int_rle_v1
+
+    header, p = read_header(blob)
+    comp_cfg = header["compression"]
+    root = next((r for r in header["columns"] if r["name"] == column), None)
+    if root is None:
+        raise KeyError(f"column {column!r} not in stripe (have "
+                       f"{[r['name'] for r in header['columns']]})")
+
+    def load(node: dict, streams: dict):
+        my = {}
+        for kind, m in node["streams_meta"].items():
+            raw = blob[p + m["off"] : p + m["off"] + m["len"]]
+            if m["comp"] != "none":
+                raw = BlockCompressor(m["comp"], comp_cfg.get("level", 3)).decompress(raw)
+            my[kind] = raw
+        streams[id(node)] = my
+        for c in node["children"]:
+            load(c, streams)
+
+    vs: list[np.ndarray] = []
+    cs: list[np.ndarray] = []
+    for node in (root["chunks"] if "chunks" in root else [root]):
+        tgt = node
+        while tgt["type"]["t"] in ("list", "large_list"):
+            tgt = tgt["children"][0]
+        if tgt["type"]["t"] not in ("int8", "int16", "int32", "int64",
+                                    "uint8", "uint16", "uint32"):
+            raise ValueError(f"column_value_counts needs an integer leaf, got {tgt['type']}")
+        run_ok = (
+            tgt["encoding"].get("DATA") == "rle_v1"
+            and tgt["num_present"] == tgt["num_values"]
+            and tgt is node  # leaf == chunk: no list lengths to honor... see below
+        )
+        # for list columns the child IS a separate node; element counts never
+        # depend on the LENGTHS stream, so run-level works there too
+        if not run_ok and tgt is not node:
+            run_ok = (
+                tgt["encoding"].get("DATA") == "rle_v1"
+                and tgt["num_present"] == tgt["num_values"]
+                and node["num_present"] == node["num_values"]  # no null lists
+            )
+        if run_ok:
+            streams: dict = {}
+            load(tgt, streams)
+            v, c = int_rle_v1.decode_runs(streams[id(tgt)]["DATA"], signed=True)
+            vs.append(v.astype(np.int64))
+            cs.append(c)
+        else:
+            streams = {}
+            load(node, streams)
+            arr = decode_column(node, streams)
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            while pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
+                arr = arr.flatten()  # null lists contribute no elements
+            arr = arr.drop_null()
+            v = arr.to_numpy(zero_copy_only=False).astype(np.int64)
+            uv, uc = np.unique(v, return_counts=True)
+            vs.append(uv)
+            cs.append(uc.astype(np.int64))
+    if not vs:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    allv = np.concatenate(vs)
+    allc = np.concatenate(cs)
+    uv, inv = np.unique(allv, return_inverse=True)
+    uc = np.zeros(len(uv), np.int64)
+    np.add.at(uc, inv, allc)
+    return uv, uc

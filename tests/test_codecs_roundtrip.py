@@ -144,3 +144,92 @@ def test_int32_fast_path_bit_identical():
         n = int(rng.integers(0, 600))
         a = rng.integers(-6, 6, n).astype(np.int32).cumsum(dtype=np.int32)
         assert int_rle_v1.encode(a) == int_rle_v1.encode(a.astype(np.int64)), trial
+
+
+# ------------------------------------------------ run-level decode pushdown
+
+
+def test_decode_runs_multiset_equals_decode():
+    """decode_runs (values, counts) is multiset-identical to full decode on
+    boundary lengths, extremes, constant/delta runs, and zipf streams."""
+    import numpy as np
+
+    from orc_format_ray.codecs import int_rle_v1
+
+    rng = np.random.default_rng(7)
+    cases = [
+        np.zeros(0, np.int64),
+        np.array([5], np.int64),
+        np.full(1000, -3, np.int64),
+        np.arange(-500, 500, dtype=np.int64),
+        (rng.zipf(1.3, 30000) % 50257).astype(np.int64),
+        np.concatenate(
+            [np.full(130, 7), np.arange(127, 131), rng.integers(-(2**62), 2**62, 50)]
+        ).astype(np.int64),
+        rng.integers(0, 3, 10000).astype(np.int64),
+    ]
+    for signed in (True, False):
+        for i, c in enumerate(cases):
+            if not signed:
+                c = np.abs(c)
+            enc = int_rle_v1.encode(c, signed=signed)
+            full = int_rle_v1.decode(enc, signed=signed)
+            v, n = int_rle_v1.decode_runs(enc, signed=signed)
+            assert int(n.sum()) == len(full), (signed, i)
+            fv, fc = np.unique(full, return_counts=True)
+            uv, inv = np.unique(v, return_inverse=True)
+            uc = np.zeros(len(uv), np.int64)
+            np.add.at(uc, inv, n)
+            assert np.array_equal(fv, uv) and np.array_equal(fc, uc), (signed, i)
+
+
+def test_decode_runs_collapses_constant_runs():
+    import numpy as np
+
+    from orc_format_ray.codecs import int_rle_v1
+
+    c = np.full(10000, 42, np.int64)
+    v, n = int_rle_v1.decode_runs(int_rle_v1.encode(c, signed=True), signed=True)
+    # 10000 values in <=100 run pairs (130-value max groups): never expanded
+    assert len(v) <= 100 and int(n.sum()) == 10000 and set(v.tolist()) == {42}
+
+
+def test_column_value_counts_stripe_paths():
+    """Stripe-level histogram: run-level path (rle_v1, list child) and
+    full-decode fallback (nulls / other codecs) both equal brute force,
+    chunked and unchunked."""
+    import numpy as np
+    import pyarrow as pa
+
+    from orc_format_ray.stripe import column_value_counts, encode_table
+
+    rng = np.random.default_rng(3)
+    toks = []
+    for _ in range(300):
+        toks.append(
+            np.concatenate(
+                [rng.zipf(1.3, 40) % 50257, np.full(rng.integers(1, 50), int(rng.integers(0, 90)))]
+            ).astype(np.int32)
+        )
+    nulls = [None if i % 17 == 0 else int(v) for i, v in enumerate(rng.integers(0, 9, 300))]
+    tbl = pa.table(
+        {
+            "tokens": pa.array([t.tolist() for t in toks], pa.list_(pa.int32())),
+            "v": pa.array(nulls, pa.int64()),
+        }
+    )
+    brute_t = np.concatenate(toks).astype(np.int64)
+    brute_v = np.array([x for x in nulls if x is not None], np.int64)
+    for stride in (None, 100):
+        blob, _ = encode_table(tbl, row_index_stride=stride)
+        for col, brute in (("tokens", brute_t), ("v", brute_v)):
+            v, c = column_value_counts(blob, col)
+            bv, bc = np.unique(brute, return_counts=True)
+            assert np.array_equal(v, bv) and np.array_equal(c, bc), (stride, col)
+    import pytest
+
+    with pytest.raises(KeyError):
+        column_value_counts(blob, "missing")
+    blob2, _ = encode_table(pa.table({"s": pa.array(["a", "b"])}))
+    with pytest.raises(ValueError, match="integer leaf"):
+        column_value_counts(blob2, "s")
