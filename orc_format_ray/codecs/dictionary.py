@@ -107,3 +107,24 @@ def decode_ints(buf: bytes) -> np.ndarray:
     ln, p = _read_varint(b, p)
     idx = rle_v2.decode(b[p : p + ln].tobytes(), signed=False)[:n_vals].astype(np.int64)
     return dictionary[idx]
+
+
+def value_counts_ints(buf: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Histogram ``(values, counts)`` straight from a dict_int stream: the
+    dictionary IS the distinct-value set and counts are a bincount of the
+    index stream — the values never gather (aggregate pushdown; pairs are
+    already unique). Multiset-identical to ``decode_ints`` (pinned)."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    p = 0
+    n_dict, p = _read_varint(b, p)
+    n_vals, p = _read_varint(b, p)
+    ln, p = _read_varint(b, p)
+    dictionary = rle_v2.decode(b[p : p + ln].tobytes(), signed=True)[:n_dict]
+    p += ln
+    ln, p = _read_varint(b, p)
+    idx = rle_v2.decode(b[p : p + ln].tobytes(), signed=False)[:n_vals].astype(np.int64)
+    counts = np.bincount(idx, minlength=len(dictionary)).astype(np.int64)
+    keep = counts > 0  # pyarrow dictionary_encode emits only used values, but stay safe
+    v, c = dictionary[keep].astype(np.int64), counts[keep]
+    order = np.argsort(v, kind="stable")  # dict is first-occurrence order; sort the contract
+    return v[order], c[order]

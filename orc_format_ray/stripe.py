@@ -721,7 +721,7 @@ def column_value_counts(blob: bytes, column: str) -> tuple[np.ndarray, np.ndarra
     the tokens column's streams and ships |distinct values| pairs per
     stripe — the token payload never re-materializes.
     """
-    from .codecs import int_rle_v1
+    from .codecs import dictionary, int_rle_v1
 
     header, p = read_header(blob)
     comp_cfg = header["compression"]
@@ -750,23 +750,18 @@ def column_value_counts(blob: bytes, column: str) -> tuple[np.ndarray, np.ndarra
         if tgt["type"]["t"] not in ("int8", "int16", "int32", "int64",
                                     "uint8", "uint16", "uint32"):
             raise ValueError(f"column_value_counts needs an integer leaf, got {tgt['type']}")
-        run_ok = (
-            tgt["encoding"].get("DATA") == "rle_v1"
-            and tgt["num_present"] == tgt["num_values"]
-            and tgt is node  # leaf == chunk: no list lengths to honor... see below
-        )
-        # for list columns the child IS a separate node; element counts never
-        # depend on the LENGTHS stream, so run-level works there too
-        if not run_ok and tgt is not node:
-            run_ok = (
-                tgt["encoding"].get("DATA") == "rle_v1"
-                and tgt["num_present"] == tgt["num_values"]
-                and node["num_present"] == node["num_values"]  # no null lists
-            )
-        if run_ok:
+        codec = tgt["encoding"].get("DATA")
+        # element counts never depend on the list LENGTHS stream, and null
+        # lists contribute no child elements (the encoder flattens only
+        # present rows) — so the pushdown path needs only a null-free LEAF
+        push_ok = codec in ("rle_v1", "dict_int") and tgt["num_present"] == tgt["num_values"]
+        if push_ok:
             streams: dict = {}
             load(tgt, streams)
-            v, c = int_rle_v1.decode_runs(streams[id(tgt)]["DATA"], signed=True)
+            if codec == "rle_v1":
+                v, c = int_rle_v1.decode_runs(streams[id(tgt)]["DATA"], signed=True)
+            else:
+                v, c = dictionary.value_counts_ints(streams[id(tgt)]["DATA"])
             vs.append(v.astype(np.int64))
             cs.append(c)
         else:

@@ -233,3 +233,42 @@ def test_column_value_counts_stripe_paths():
     blob2, _ = encode_table(pa.table({"s": pa.array(["a", "b"])}))
     with pytest.raises(ValueError, match="integer leaf"):
         column_value_counts(blob2, "s")
+
+
+def test_dict_int_value_counts_matches_decode():
+    import numpy as np
+
+    from orc_format_ray.codecs import dictionary
+
+    rng = np.random.default_rng(5)
+    for case in (
+        rng.integers(0, 8, 5000),
+        np.full(300, -7),
+        (rng.zipf(1.5, 4000) % 100),
+        np.array([3], np.int64),
+    ):
+        v = np.asarray(case, np.int64)
+        enc = dictionary.encode_ints(v)
+        dv, dc = dictionary.value_counts_ints(enc)
+        bv, bc = np.unique(dictionary.decode_ints(enc), return_counts=True)
+        assert np.array_equal(dv, bv) and np.array_equal(dc, bc)
+
+
+def test_column_value_counts_dict_int_path(monkeypatch):
+    """Force the selector to dict_int so the stripe-level dict pushdown
+    branch (dictionary + index bincount, values never gather) is exercised."""
+    import numpy as np
+    import pyarrow as pa
+
+    from orc_format_ray.codecs import selector
+    from orc_format_ray.stripe import column_value_counts, encode_table, read_header
+
+    monkeypatch.setattr(selector, "select_int_codec", lambda v, menu=None: "dict_int")
+    rng = np.random.default_rng(11)
+    low = rng.integers(-3, 5, 20000).astype(np.int64)
+    blob, _ = encode_table(pa.table({"lab": pa.array(low)}), row_index_stride=4096)
+    h, _ = read_header(blob)
+    assert h["columns"][0]["encoding"]["DATA"] == "dict_int"
+    v, c = column_value_counts(blob, "lab")
+    bv, bc = np.unique(low, return_counts=True)
+    assert np.array_equal(v, bv) and np.array_equal(c, bc)
