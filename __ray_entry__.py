@@ -7124,7 +7124,12 @@ def _q_multi_agg_scan(sf_dir: str):
                 "name": "big_qty",
                 "where": "l_quantity >= 30",
                 "keys": ["l_linestatus"],
-                "aggs": {"qty_units": ("l_quantity", 100), "n": ("count",)},
+                "aggs": {
+                    "qty_units": ("l_quantity", 100),
+                    "n": ("count",),
+                    "p_min": ("l_extendedprice", 100, "min"),
+                    "p_max": ("l_extendedprice", 100, "max"),
+                },
             },
             {
                 "name": "all_tax",
@@ -10138,6 +10143,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem WHERE l_quantity >= 30 GROUP BY 2 "
             "UNION ALL SELECT 'big_qty', CAST(l_linestatus AS VARCHAR), 'n', "
             "CAST(count(*) AS BIGINT) FROM lineitem WHERE l_quantity >= 30 GROUP BY 2 "
+            "UNION ALL SELECT 'big_qty', CAST(l_linestatus AS VARCHAR), 'p_min', "
+            "CAST(min(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) "
+            "FROM lineitem WHERE l_quantity >= 30 GROUP BY 2 "
+            "UNION ALL SELECT 'big_qty', CAST(l_linestatus AS VARCHAR), 'p_max', "
+            "CAST(max(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) "
+            "FROM lineitem WHERE l_quantity >= 30 GROUP BY 2 "
             "UNION ALL SELECT 'all_tax', '(all)', 'tax_bp', "
             "COALESCE(CAST(sum(CAST(floor(l_tax*100 + 0.5) AS BIGINT)) AS BIGINT), 0) "
             "FROM lineitem "

@@ -2105,22 +2105,28 @@ def multi_agg_scan(ds, specs: list[dict]):
         {"name": str,                  # query tag (unique)
          "where": str | None,          # ops.expr predicate (SQL-WHERE nulls)
          "keys": [str, ...],           # group columns (ints/strings only)
-         "aggs": {out: ("count",) | (expr_src, scale | None), ...}}
+         "aggs": {out: ("count",) | (expr_src, scale | None)            # sum
+                       | (expr_src, scale | None, "sum"|"min"|"max"), ...}}
 
-    An agg is either a row count, or a SUM of ``floor(expr * scale + 0.5)``
-    int64 units (``scale`` None means the expression must already evaluate
-    to integers) — the repo's quantize-then-sum rule, so every output value
-    is an exact int64 and the SQL oracle can run the IDENTICAL expression
-    text (the ops/expr contract). Returns a long-form driver DataFrame
-    ``(query, grp, agg, value)`` where ``grp`` joins the stringified key
-    values with '|' ('(all)' for keyless specs — mirror with concat_ws).
+    An agg is a row count, or a SUM / MIN / MAX of ``floor(expr * scale +
+    0.5)`` int64 units (``scale`` None means the expression must already
+    evaluate to integers) — the repo's quantize-then-sum rule, so every
+    output value is an exact int64 and the SQL oracle can run the
+    IDENTICAL expression text (the ops/expr contract). Returns a long-form
+    driver DataFrame ``(query, grp, agg, value)`` where ``grp`` joins the
+    stringified key values with '|' ('(all)' for keyless specs — mirror
+    with concat_ws). A keyless sum/count over an empty selection emits its
+    0 row (SQL keyless aggregates return one row — COALESCE the oracle);
+    a keyless MIN/MAX over an empty selection emits NO row (SQL would
+    yield NULL — add ``HAVING count(*) > 0`` to the oracle branch, or
+    pair with a count agg).
 
     Scale shape: one read; each batch evaluates every spec's mask + units
     and emits |groups x aggs| partial cells; ONE tiny groupby folds them.
     Float group keys are rejected (NaN breaks equality on both sides).
     """
     import pandas as pd
-    from ray.data.aggregate import Sum
+    from ray.data.aggregate import Max, Min, Sum
 
     from .expr import compile_expr
 
@@ -2128,6 +2134,7 @@ def multi_agg_scan(ds, specs: list[dict]):
     if len(set(names)) != len(names):
         raise ValueError("multi_agg_scan: spec names must be unique")
     compiled = []
+    kind_of: dict[tuple[str, str], str] = {}
     for s in specs:
         where = compile_expr(s["where"]) if s.get("where") else None
         aggs = {}
@@ -2135,7 +2142,11 @@ def multi_agg_scan(ds, specs: list[dict]):
             if a[0] == "count":
                 aggs[out] = ("count", None, None)
             else:
-                aggs[out] = ("sum", compile_expr(a[0]), a[1])
+                kind = a[2] if len(a) > 2 else "sum"
+                if kind not in ("sum", "min", "max"):
+                    raise ValueError(f"multi_agg_scan: unknown agg kind {kind!r}")
+                aggs[out] = (kind, compile_expr(a[0]), a[1])
+            kind_of[(s["name"], out)] = aggs[out][0]
         compiled.append((s["name"], where, list(s.get("keys", ())), aggs))
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -2183,25 +2194,44 @@ def multi_agg_scan(ds, specs: list[dict]):
                         units = np.floor(v.astype(np.float64) * scale + 0.5).astype(np.int64)
                     if len(units) and np.abs(units).max() >= (np.int64(1) << 50):
                         raise ValueError(f"multi_agg_scan: {out!r} unit exceeds 2^50")
-                acc = np.zeros(len(uk), np.int64)
-                np.add.at(acc, inv, units)
+                if kind in ("min", "max"):
+                    if len(units) == 0:
+                        continue  # empty selection: min/max emits no row
+                    if kind == "min":
+                        acc = np.full(len(uk), np.iinfo(np.int64).max, np.int64)
+                        np.minimum.at(acc, inv, units)
+                    else:
+                        acc = np.full(len(uk), np.iinfo(np.int64).min, np.int64)
+                        np.maximum.at(acc, inv, units)
+                else:
+                    acc = np.zeros(len(uk), np.int64)
+                    np.add.at(acc, inv, units)
                 q_out += [name] * len(uk)
                 g_out += list(uk)
                 a_out += [out] * len(uk)
                 v_out += list(acc)
+        v = np.array(v_out, np.int64)
+        # each (query, grp, agg) key has exactly ONE kind — the other two
+        # fold columns are never read for it, so all three carry the partial
         return pa.table(
             {
                 "query": pa.array(q_out, pa.string()),
                 "grp": pa.array(g_out, pa.string()),
                 "agg": pa.array(a_out, pa.string()),
-                "v_p": pa.array(np.array(v_out, np.int64)),
+                "v_s": pa.array(v),
+                "v_m": pa.array(v),
+                "v_x": pa.array(v),
             }
         )
 
     folded = (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
         .groupby(["query", "grp", "agg"])
-        .aggregate(Sum("v_p", alias_name="value"))
+        .aggregate(
+            Sum("v_s", alias_name="value_sum"),
+            Min("v_m", alias_name="value_min"),
+            Max("v_x", alias_name="value_max"),
+        )
         .to_pandas()
     )
     if len(folded) == 0:
@@ -2213,7 +2243,15 @@ def multi_agg_scan(ds, specs: list[dict]):
                 "value": pd.Series([], dtype=np.int64),
             }
         )
-    folded["value"] = folded["value"].astype(np.int64)
+    picked = [
+        int(r["value_min"]) if kind_of[(r["query"], r["agg"])] == "min"
+        else int(r["value_max"]) if kind_of[(r["query"], r["agg"])] == "max"
+        else int(r["value_sum"])
+        for _, r in folded.iterrows()
+    ]
+    folded = folded.assign(value=pd.Series(picked, dtype=np.int64))[
+        ["query", "grp", "agg", "value"]
+    ]
     if np.abs(folded["value"].to_numpy(np.int64)).max() >= (np.int64(1) << 53):
-        raise ValueError("multi_agg_scan: folded sum exceeds exact-double range")
+        raise ValueError("multi_agg_scan: folded value exceeds exact-double range")
     return folded.sort_values(["query", "grp", "agg"], kind="mergesort").reset_index(drop=True)

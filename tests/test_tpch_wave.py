@@ -502,3 +502,30 @@ def test_multi_agg_scan_random_specs_fuzz_vs_sql(ray_session):
             "SELECT query, grp, agg, value FROM lf ORDER BY query, grp, agg"
         ).fetchdf()
         _assert_bitwise(got, want)
+
+
+def test_multi_agg_scan_min_max_kinds(ray_session):
+    """min/max aggs fold exactly; keyless min/max over an EMPTY selection
+    emits no row (SQL would yield NULL) while sum/count still emit 0."""
+    import ray.data
+
+    from orc_format_ray.ops.agg import multi_agg_scan
+
+    df = pd.DataFrame({"k": ["a", "a", "b", "b", "b"], "x": [3.25, -1.5, 7.0, 2.0, 9.75]})
+    got = multi_agg_scan(
+        ray.data.from_pandas(df).repartition(3),
+        [
+            {"name": "mm", "where": None, "keys": ["k"],
+             "aggs": {"lo": ("x", 100, "min"), "hi": ("x", 100, "max"), "s": ("x", 100, "sum")}},
+            {"name": "none", "where": "x > 99", "keys": [],
+             "aggs": {"lo": ("x", 100, "min"), "n": ("count",)}},
+        ],
+    )
+    m = {(r["query"], r["grp"], r["agg"]): int(r["value"]) for _, r in got.iterrows()}
+    assert m == {
+        ("mm", "a", "lo"): -150, ("mm", "a", "hi"): 325, ("mm", "a", "s"): 175,
+        ("mm", "b", "lo"): 200, ("mm", "b", "hi"): 975, ("mm", "b", "s"): 1875,
+        ("none", "(all)", "n"): 0,  # no ('none','(all)','lo') row
+    }
+    with pytest.raises(ValueError, match="unknown agg kind"):
+        multi_agg_scan(ray.data.from_pandas(df), [{"name": "z", "keys": [], "aggs": {"v": ("x", 100, "avg")}}])
