@@ -479,17 +479,26 @@ def test_multi_agg_scan_random_specs_fuzz_vs_sql(ray_session):
             nk = int(rng.integers(0, 3))
             keys = list(rng.choice(key_pool, size=nk, replace=False))
             scol = num_cols[int(rng.integers(0, len(num_cols)))]
+            kind = ["sum", "min", "max"][int(rng.integers(0, 3))]
             name = f"s{si}"
             specs.append({"name": name, "where": pred, "keys": keys,
-                          "aggs": {"u": (scol, 100), "n": ("count",)}})
+                          "aggs": {"u": (scol, 100, kind), "n": ("count",)}})
             grp = (" || '|' || ".join(f"CAST({k} AS VARCHAR)" for k in keys)
                    if keys else "'(all)'")
             gb = f" GROUP BY {', '.join(keys)}" if keys else ""
             u_expr = f"CAST(floor({scol}*100 + 0.5) AS BIGINT)"
-            co = "COALESCE(CAST(sum(%s) AS BIGINT), 0)" % u_expr if not keys else f"CAST(sum({u_expr}) AS BIGINT)"
+            if kind == "sum":
+                co = (f"COALESCE(CAST(sum({u_expr}) AS BIGINT), 0)" if not keys
+                      else f"CAST(sum({u_expr}) AS BIGINT)")
+                having = ""
+            else:
+                co = f"CAST({kind}({u_expr}) AS BIGINT)"
+                # keyless min/max over an empty selection: the engine emits
+                # no row; HAVING mirrors that (keyed GROUP BY already does)
+                having = " HAVING count(*) > 0" if not keys else ""
             branches.append(
                 f"SELECT '{name}' AS query, {grp} AS grp, 'u' AS agg, {co} AS value "
-                f"FROM lineitem WHERE {pred}{gb}"
+                f"FROM lineitem WHERE {pred}{gb}{having}"
             )
             branches.append(
                 f"SELECT '{name}', {grp}, 'n', CAST(count(*) AS BIGINT) "
