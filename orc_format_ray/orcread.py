@@ -1252,3 +1252,72 @@ def read_orc_filtered(path_or_bytes, predicate, columns: list[str] | None = None
         # (schema evolution) stays absent for the caller to null-fill
         tbl = tbl.select([c for c in columns if c in tbl.column_names])
     return tbl, {"groups_total": total, "groups_read": scanned}
+
+
+def orc_string_value_counts(path_or_bytes, column: str):
+    """Non-null value histogram of one top-level STRING/CHAR/VARCHAR column
+    of a real ORC file — aggregate pushdown into the reader: a
+    DICTIONARY(_V2)-encoded stripe answers from a bincount of its index
+    stream plus the (tiny) dictionary, so per-row strings never
+    materialize; DIRECT stripes fall back to a full column decode. NULLs
+    are not counted (SQL mirror: ``WHERE col IS NOT NULL``).
+
+    Returns ``(counts, stats)``: counts is a value-sorted list of
+    ``(value: str, cnt: int)``; stats reports ``dict_stripes`` /
+    ``direct_stripes`` so callers can assert the pushdown engaged.
+    """
+    from collections import Counter
+
+    with _Source(path_or_bytes) as src:
+        tail = _parse_tail(src)
+        comp = tail["compression"]
+        types = tail["types"]
+        root = types[0]
+        if root.kind != "STRUCT":
+            raise ValueError("ORC root must be a struct")
+        spans = list(root.subtypes) + [len(types)]
+        try:
+            fi = root.field_names.index(column)
+        except ValueError:
+            raise KeyError(f"column {column!r} not in {root.field_names}")
+        cid = spans[fi]
+        t = types[cid]
+        if t.kind not in ("STRING", "VARCHAR", "CHAR"):
+            raise ValueError(f"orc_string_value_counts needs a string column, got {t.kind}")
+
+        agg: Counter = Counter()
+        n_dict = n_direct = 0
+        for si in tail["stripes"]:
+            stream_list, encodings, raw_spans = _parse_stripe_footer(src, si, comp)
+            my: dict[int, bytes] = {}
+            for (kind, col, ln), (pos, _l) in zip(stream_list, raw_spans):
+                if col == cid and kind in (_PRESENT, _DATA, _LENGTH, _DICT_DATA):
+                    my[kind] = _deframe(src.read(pos, ln), comp)
+            enc_kind, dict_size = encodings[cid]
+            n = si["num_rows"]
+            valid = boolean_rle.decode(my[_PRESENT], n) if _PRESENT in my else None
+            n_present = int(valid.sum()) if valid is not None else n
+            if enc_kind in (1, 3):  # DICTIONARY(_V2): index bincount, no gather
+                n_dict += 1
+                variant = 2 if enc_kind == 3 else 0
+                idx = _read_uints(my.get(_DATA, b""), variant, n_present).astype(np.int64)
+                dlens = _read_uints(my.get(_LENGTH, b""), variant, dict_size).astype(np.int64)
+                doffs = np.zeros(dict_size + 1, dtype=np.int64)
+                np.cumsum(dlens, out=doffs[1:])
+                dconcat = bytes(my.get(_DICT_DATA, b""))
+                counts = np.bincount(idx, minlength=dict_size)
+                for j in range(dict_size):
+                    c = int(counts[j])
+                    if c:
+                        agg[dconcat[doffs[j]:doffs[j + 1]].decode("utf-8")] += c
+            else:  # DIRECT: decode the stripe's strings, then count
+                n_direct += 1
+                lens = _read_uints(my.get(_LENGTH, b""), enc_kind, n_present).astype(np.int64)
+                offs = np.zeros(n_present + 1, dtype=np.int64)
+                np.cumsum(lens, out=offs[1:])
+                concat = np.frombuffer(my.get(_DATA, b""), dtype=np.uint8)[: offs[-1]]
+                arr = _assemble_varlen(concat, offs, None, n_present, pa.string())
+                vc = arr.value_counts()
+                for v, c in zip(vc.field("values").to_pylist(), vc.field("counts").to_pylist()):
+                    agg[v] += int(c)
+        return sorted(agg.items()), {"dict_stripes": n_dict, "direct_stripes": n_direct}

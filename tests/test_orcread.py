@@ -752,3 +752,47 @@ def test_struct_projection_error_paths(tmp_path):
     # full selection wins over nested; nulls in the struct survive pruning
     both = read_orc_native(p, columns=["s", "s.x"])
     assert both["s"].type == t["s"].type
+
+
+# ----------------------------------------------- reader-side dict pushdown
+
+
+def test_orc_string_value_counts_both_paths(tmp_path):
+    """Dictionary stripes answer from index bincounts (no per-row strings);
+    direct stripes fall back to a full decode; nulls are never counted —
+    both paths multiset-equal a pandas recompute on a mixed file."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+
+    from orc_format_ray.orcfile import write_orc
+    from orc_format_ray.orcread import orc_string_value_counts
+
+    rng = np.random.default_rng(9)
+    src = rng.choice(["web", "books", "code", "wiki"], 50000).tolist()
+    for i in range(0, 50000, 97):
+        src[i] = None
+    # first half low-cardinality (dict wins), second half unique (direct wins)
+    mixed = [f"u{i}" for i in range(30000)] + rng.choice(["a", "b"], 20000).tolist()
+    t = pa.table({"source": pa.array(src, pa.string()), "mixed": pa.array(mixed, pa.string())})
+    path = str(tmp_path / "vc.orc")
+    write_orc(t, path, stripe_rows=8000)
+
+    counts, stats = orc_string_value_counts(path, "source")
+    want = pd.Series([s for s in src if s is not None]).value_counts().sort_index()
+    assert counts == list(zip(want.index, want.values))
+    assert stats["dict_stripes"] > 0  # low-cardinality: dict path engaged
+
+    c2, s2 = orc_string_value_counts(path, "mixed")
+    want2 = pd.Series(mixed).value_counts().sort_index()
+    assert c2 == list(zip(want2.index, want2.values))
+    assert s2["direct_stripes"] > 0  # unique stripes: fallback engaged
+
+    with pytest.raises(KeyError):
+        orc_string_value_counts(path, "nope")
+    t2 = pa.table({"n": pa.array([1, 2, 3], pa.int64())})
+    p2 = str(tmp_path / "int.orc")
+    write_orc(t2, p2)
+    with pytest.raises(ValueError, match="string column"):
+        orc_string_value_counts(p2, "n")
