@@ -7243,7 +7243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_price_bands": _q_range_join_price_bands,
         "orc_native_read_cpp": _q_orc_native_read_cpp,
         "bpe_pair_counts": _q_bpe_pair_counts,
-        "corr_lineitem": _q_corr_lineitem,
+        "tpch_q1_orc_lake": _q_tpch_q1_orc_lake,
         "orc_pushdown_in_list": _q_orc_pushdown_in_list,
         "orc_pushdown_disjunction": _q_orc_pushdown_disjunction,
         "orc_bloom_pushdown": _q_orc_bloom_pushdown,
@@ -7525,7 +7525,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q17_small_qty": _q_tpch_q17_small_qty,
         "tpch_q19_dnf": _q_tpch_q19_dnf,
         "tpch_q22_idle": _q_tpch_q22_idle,
-        "tpch_q1_orc_lake": _q_tpch_q1_orc_lake,
+        "corr_lineitem": _q_corr_lineitem,
         "join_size_estimate_li_orders": _q_join_size_estimate,
         "shared_scan_q1_q6": _q_shared_scan_q1_q6,
         "multi_agg_scan_lineitem": _q_multi_agg_scan,
