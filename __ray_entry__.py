@@ -7041,57 +7041,24 @@ def _q_shared_scan_q1_q6(sf_dir: str):
 
 def _q_orc_value_counts_pushdown(sf_dir: str):
     """Reader-side aggregate pushdown on REAL ORC
-    (orcread.orc_string_value_counts): per-file histograms of a
+    (orcread.orc_lake_string_value_counts): per-file histograms of a
     DICTIONARY_V2 string column answer from index-stream bincounts — the
-    strings never materialize per row. Engine-side assert: the dict path
-    engaged on at least one stripe (the non-SQL half). The fold is one
-    tiny groupby over (value, cnt) cells."""
+    strings never materialize per row; only (value, cnt) cells shuffle.
+    Engine-side assert: the dict path engaged (the non-SQL half)."""
     import shutil
 
     import ray.data
-    from ray.data.aggregate import Sum
 
     from orc_format_ray.orcfile import write_orc_dataset
-    from orc_format_ray.orcread import orc_string_value_counts
+    from orc_format_ray.orcread import orc_lake_string_value_counts
 
     scratch = "/tmp/orc_vc_lake"
     shutil.rmtree(scratch, ignore_errors=True)  # oracle run: never trust stale parts
     src = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_returnflag"])
     write_orc_dataset(src, scratch, compression="zstd", stripe_rows=5_000).materialize()
-
-    import glob
-
-    paths = sorted(glob.glob(f"{scratch}/**/*.orc", recursive=True))
-
-    def per_file(batch):
-        import pyarrow as _pa
-
-        vs, cs, dicts = [], [], 0
-        for p in batch["path"]:
-            counts, stats = orc_string_value_counts(p.as_py(), "l_returnflag")
-            dicts += stats["dict_stripes"]
-            for v, c in counts:
-                vs.append(v)
-                cs.append(c)
-        return _pa.table(
-            {
-                "value": _pa.array(vs, _pa.string()),
-                "cnt_p": _pa.array(cs, _pa.int64()),
-                "dict_p": _pa.array([dicts] * len(vs), _pa.int64()),
-            }
-        )
-
-    folded = (
-        ray.data.from_items([{"path": p} for p in paths])
-        .map_batches(per_file, batch_format="pyarrow", batch_size=1, **_ra())
-        .groupby("value")
-        .aggregate(Sum("cnt_p", alias_name="cnt"), Sum("dict_p", alias_name="dicts"))
-        .to_pandas()
-    )
-    assert folded["dicts"].sum() > 0, "dictionary pushdown never engaged — low-cardinality column expected DICTIONARY_V2"
-    out = folded[["value", "cnt"]].copy()
-    out["cnt"] = out["cnt"].astype("int64")
-    return out.sort_values("value", kind="mergesort").reset_index(drop=True)
+    out, stats = orc_lake_string_value_counts(scratch, "l_returnflag")
+    assert stats["dict_stripes"] > 0, "dictionary pushdown never engaged"
+    return out
 
 
 def _q_token_frequency_encoded(sf_dir: str):

@@ -1321,3 +1321,67 @@ def orc_string_value_counts(path_or_bytes, column: str):
                 for v, c in zip(vc.field("values").to_pylist(), vc.field("counts").to_pylist()):
                     agg[v] += int(c)
         return sorted(agg.items()), {"dict_stripes": n_dict, "direct_stripes": n_direct}
+
+
+def orc_lake_string_value_counts(lake_dir: str, column: str):
+    """Distributed non-null string histogram over an ORC lake via the
+    dict-pushdown reader: one Ray task per file folds
+    ``orc_string_value_counts`` and ships only (value, count) cells; ONE
+    tiny groupby merges. Returns ``(df, stats)`` — df is (value, cnt)
+    sorted by value, stats sums dict/direct stripe engagement across the
+    lake (callers can assert the pushdown did the work)."""
+    import glob as _glob
+    import os as _os
+
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ._rayutil import remote_args
+
+    paths = sorted(_glob.glob(_os.path.join(lake_dir, "**", "*.orc"), recursive=True))
+    if not paths:
+        raise FileNotFoundError(f"no .orc files under {lake_dir}")
+
+    def per_file(batch: pa.Table) -> pa.Table:
+        vs, cs, nd, nr = [], [], 0, 0
+        for p in batch["path"]:
+            counts, stats = orc_string_value_counts(p.as_py(), column)
+            nd += stats["dict_stripes"]
+            nr += stats["direct_stripes"]
+            for v, c in counts:
+                vs.append(v)
+                cs.append(c)
+        return pa.table(
+            {
+                "value": pa.array(vs, pa.string()),
+                "cnt_p": pa.array(cs, pa.int64()),
+                "dict_p": pa.array([nd] * len(vs), pa.int64()),
+                "direct_p": pa.array([nr] * len(vs), pa.int64()),
+            }
+        )
+
+    folded = (
+        ray.data.from_items([{"path": p} for p in paths])
+        .map_batches(per_file, batch_format="pyarrow", batch_size=1, **remote_args())
+        .groupby("value")
+        .aggregate(
+            Sum("cnt_p", alias_name="cnt"),
+            Sum("dict_p", alias_name="dicts"),
+            Sum("direct_p", alias_name="directs"),
+        )
+        .to_pandas()
+    )
+    import pandas as pd
+
+    if len(folded) == 0:
+        return (
+            pd.DataFrame({"value": pd.Series([], dtype=object), "cnt": pd.Series([], dtype="int64")}),
+            {"dict_stripes": 0, "direct_stripes": 0},
+        )
+    stats = {
+        "dict_stripes": int(folded["dicts"].sum()),
+        "direct_stripes": int(folded["directs"].sum()),
+    }
+    out = folded[["value", "cnt"]].copy()
+    out["cnt"] = out["cnt"].astype("int64")
+    return out.sort_values("value", kind="mergesort").reset_index(drop=True), stats
