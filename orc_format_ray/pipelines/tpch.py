@@ -1566,3 +1566,407 @@ def shared_scan_q1_q6(
     return out.sort_values(
         ["query", "l_returnflag", "l_linestatus", "metric"], kind="mergesort"
     ).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Session-16 wave: the remaining TPC-H shapes (Q2/Q4/Q9/Q11/Q12/Q16/Q20/Q21),
+# adapted to the synthetic star schema (no partsupp table; no commit/receipt
+# dates or shipmodes on lineitem — see each docstring for the stand-in).
+# Every money figure follows the exact-cent-units rule; every threshold is an
+# exact integer inequality mirrored verbatim in the SQL oracle.
+# ---------------------------------------------------------------------------
+
+_PAIR_ID_LIMIT = np.int64(1) << 31
+
+
+def _pack_pair(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Pack two non-negative int64 id arrays into one int64 key
+    (the triangle_count rule: both ids must be < 2^31 — loud)."""
+    if len(a) and (a.max() >= _PAIR_ID_LIMIT or b.max() >= _PAIR_ID_LIMIT or a.min() < 0 or b.min() < 0):
+        raise ValueError("pair ids must be in [0, 2^31) to pack into one int64")
+    return (a << np.int64(32)) | b
+
+
+def q2_min_cost_supplier(
+    sf_dir: str,
+    size_max: int = 25,
+    ptype: str = "STANDARD",
+    region: str = "EUROPE",
+    max_offer_rows: int = 1 << 26,
+):
+    """TPC-H Q2 shape: for each part of one size-range+type, the region supplier(s)
+    offering it at minimum cost. The schema has no partsupp, so the "supply
+    offer" is derived from lineitem: offer_cents(part, supp) = min over that
+    pair's lineitems of floor(l_extendedprice*100 + 0.5) — an exact-int
+    quantity both sides compute identically. ALL min-achieving (part,
+    supplier) pairs are kept (exact ints make the tie set exact). Returns
+    (s_acctbal_cents, s_acctbal, s_name, n_name, p_partkey, p_name,
+    s_suppkey, cost_cents, cost) ordered by (acctbal_cents DESC, n_name,
+    s_name, p_partkey) — deterministic because (p_partkey, s_suppkey) is
+    unique per row.
+
+    Scale shape: lineitem pre-aggregates per-batch min per packed
+    (partkey<<32|suppkey) pair, then ONE metadata groupby at partsupp
+    cardinality (pairs, not rows). The part/supplier dimension filters
+    broadcast once; only eligible offers (a dimension-sized slice, guarded
+    by max_offer_rows) reach the driver for the per-part min fold."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+    from ray.data.aggregate import Min
+
+    ppdf = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name", "p_size", "p_type"]
+    ).to_pandas()
+    ppdf = ppdf[(ppdf["p_size"] <= size_max) & (ppdf["p_type"] == ptype)]
+    pkeys = np.sort(ppdf["p_partkey"].to_numpy(np.int64))
+
+    spdf = pq.read_table(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    ).to_pandas()
+    npdf = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    rpdf = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    rkey = rpdf.loc[rpdf["r_name"] == region, "r_regionkey"]
+    nat = npdf[npdf["n_regionkey"].isin(rkey)]
+    spdf = spdf.merge(nat, left_on="s_nationkey", right_on="n_nationkey")
+    skeys = np.sort(spdf["s_suppkey"].to_numpy(np.int64))
+    pkeys_ref = ray.put(pkeys)
+    skeys_ref = ray.put(skeys)
+
+    def offer_partial(batch: pa.Table) -> pa.Table:
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = _sorted_lookup(ray.get(pkeys_ref), pk) & _sorted_lookup(ray.get(skeys_ref), sk)
+        pk, sk = pk[keep], sk[keep]
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False).astype(np.float64)[keep]
+        cents = np.floor(price * 100 + 0.5).astype(np.int64)
+        pair = _pack_pair(pk, sk)
+        uk, inv = np.unique(pair, return_inverse=True)
+        mn = np.full(len(uk), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(mn, inv, cents)
+        return pa.table({"pair": pa.array(uk), "cents_p": pa.array(mn)})
+
+    offers = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+        )
+        .map_batches(offer_partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby("pair")
+        .aggregate(Min("cents_p", alias_name="cost_cents"))
+        .to_pandas()
+    )
+    out_cols = {
+        "s_acctbal_cents": np.int64, "s_acctbal": np.float64, "s_name": object,
+        "n_name": object, "p_partkey": np.int64, "p_name": object,
+        "s_suppkey": np.int64, "cost_cents": np.int64, "cost": np.float64,
+    }
+    empty = pd.DataFrame({c: pd.Series([], dtype=t) for c, t in out_cols.items()})
+    if len(offers) == 0:  # empty to_pandas drops columns (CLAUDE.md guard)
+        return empty
+    if len(offers) > max_offer_rows:
+        raise ValueError(
+            f"{len(offers)} eligible offers exceed max_offer_rows; "
+            "fold the per-part min with a second Dataset groupby instead"
+        )
+    pair = offers["pair"].to_numpy(np.int64)
+    odf = pd.DataFrame(
+        {
+            "p_partkey": pair >> np.int64(32),
+            "s_suppkey": pair & np.int64((1 << 32) - 1),
+            "cost_cents": offers["cost_cents"].to_numpy(np.int64),
+        }
+    )
+    mn = odf.groupby("p_partkey")["cost_cents"].transform("min")
+    odf = odf[odf["cost_cents"] == mn]
+    out = odf.merge(ppdf[["p_partkey", "p_name"]], on="p_partkey").merge(
+        spdf[["s_suppkey", "s_name", "s_acctbal", "n_name"]], on="s_suppkey"
+    )
+    bal = out["s_acctbal"].to_numpy(np.float64)
+    out["s_acctbal_cents"] = np.floor(bal * 100 + 0.5).astype(np.int64)
+    out["s_acctbal"] = out["s_acctbal_cents"].to_numpy(np.int64).astype(np.float64) / np.float64(100.0)
+    out["cost"] = out["cost_cents"].to_numpy(np.int64).astype(np.float64) / np.float64(100.0)
+    out = out.sort_values(
+        ["s_acctbal_cents", "n_name", "s_name", "p_partkey"],
+        ascending=[False, True, True, True],
+        kind="mergesort",
+    ).reset_index(drop=True)
+    for c, t in out_cols.items():
+        out[c] = out[c].astype(t)
+    return out[list(out_cols)]
+
+
+def q4_priority_check(
+    sf_dir: str,
+    date_lo: str = "1997-01-01",
+    date_hi: str = "1997-04-01",
+    late_days: int = 30,
+    max_broadcast_keys: int = 1 << 26,
+):
+    """TPC-H Q4 shape: per-priority count of one quarter's orders that had at
+    least one problem lineitem. The schema has no commit/receipt dates, so
+    the EXISTS predicate is adapted to "some lineitem shipped >= late_days
+    after the order date" — an exact integer-microsecond cut both sides
+    share. Returns (o_orderpriority, order_count) ordered by priority.
+
+    Scale shape: the quarter's (orderkey -> orderdate) map broadcasts once
+    (guarded — swap to hash_join beyond it); lineitem emits per-batch
+    DISTINCT late orderkeys; ONE metadata groupby dedups them (<= quarter
+    orders); the per-priority count folds driver-side over the tiny
+    distinct-orderkey frame."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+    from ray.data.aggregate import Count
+
+    lo, hi = _ts_us(date_lo), _ts_us(date_hi)
+    late_us = np.int64(late_days) * np.int64(86_400_000_000)
+
+    opdf = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).to_pandas()
+    od = opdf["o_orderdate"].astype("datetime64[us]").astype("int64").to_numpy()
+    win = opdf[(od >= lo) & (od < hi)].reset_index(drop=True)
+    if len(win) > max_broadcast_keys:
+        raise ValueError(
+            f"{len(win)} quarter orders exceed max_broadcast_keys; "
+            "switch the orders side to hash_join"
+        )
+    okeys = win["o_orderkey"].to_numpy(np.int64)
+    order = np.argsort(okeys, kind="stable")
+    okeys = okeys[order]
+    odates = win["o_orderdate"].astype("datetime64[us]").astype("int64").to_numpy()[order]
+    omap_ref = ray.put((okeys, odates))
+
+    def late_partial(batch: pa.Table) -> pa.Table:
+        keys, dates = ray.get(omap_ref)
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sd = batch["l_shipdate"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if len(keys) == 0:
+            return pa.table({"o_orderkey": pa.array(np.zeros(0, np.int64))})
+        pos = np.searchsorted(keys, ok)
+        np.clip(pos, 0, len(keys) - 1, out=pos)
+        hit = keys[pos] == ok
+        late = hit & (sd >= dates[pos] + late_us)
+        return pa.table({"o_orderkey": pa.array(np.unique(ok[late]))})
+
+    hits = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+        )
+        .map_batches(late_partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby("o_orderkey")
+        .aggregate(Count(alias_name="n_batches"))
+        .to_pandas()
+    )
+    late_keys = (
+        hits["o_orderkey"].to_numpy(np.int64) if len(hits) else np.zeros(0, np.int64)
+    )
+    win_late = win[win["o_orderkey"].isin(late_keys)]
+    counts = win_late.groupby("o_orderpriority").size()
+    out = pd.DataFrame(
+        {
+            "o_orderpriority": counts.index.to_numpy(object),
+            "order_count": counts.to_numpy(np.int64),
+        }
+    )
+    out = out.sort_values("o_orderpriority", kind="mergesort").reset_index(drop=True)
+    out["order_count"] = out["order_count"].astype(np.int64)
+    return out
+
+
+def q9_product_profit(
+    sf_dir: str,
+    name_substr: str = "widget",
+    max_broadcast_keys: int = 1 << 26,
+):
+    """TPC-H Q9 shape: profit by supplier nation and order year for parts
+    whose name contains one word. The schema has no partsupp, so the unit
+    cost is the part's retail price: amount_units = cents*(100-dpct)
+    - retail_cents*100*qty (both terms at the 10^-4-dollar scale, exact
+    int64 per row, guarded). Returns (n_name, o_year, amount_units, amount)
+    ordered by (n_name, o_year DESC) with ONE /10000.0 division.
+
+    Scale shape (the q8 plan): part match-set (partkey -> retail_cents) and
+    supplier -> nationkey broadcast once (guarded); lineitem pre-aggregates
+    per (orderkey, nationkey) inside each batch; ONE bucketed hash_join
+    attaches the order year; ONE small groupby folds (nation, year)."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ppdf = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name", "p_retailprice"]
+    ).to_pandas()
+    ppdf = ppdf[ppdf["p_name"].str.contains(name_substr, regex=False)]
+    if len(ppdf) > max_broadcast_keys:
+        raise ValueError(f"{len(ppdf)} matched parts exceed max_broadcast_keys")
+    pk = ppdf["p_partkey"].to_numpy(np.int64)
+    order = np.argsort(pk, kind="stable")
+    retail_cents = np.floor(
+        ppdf["p_retailprice"].to_numpy(np.float64) * 100 + 0.5
+    ).astype(np.int64)
+    parts_ref = ray.put((pk[order], retail_cents[order]))
+
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    sk = sup["s_suppkey"].to_numpy(np.int64)
+    sorder = np.argsort(sk, kind="stable")
+    supp_ref = ray.put((sk[sorder], sup["s_nationkey"].to_numpy(np.int64)[sorder]))
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        pkeys, rcents = ray.get(parts_ref)
+        skeys, snat = ray.get(supp_ref)
+        lpk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lsk = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        phit, pcost = _sorted_map(pkeys, rcents, lpk)
+        shit, snk = _sorted_map(skeys, snat, lsk)
+        keep = phit & shit
+        cost_at = np.zeros(len(lpk), np.int64)
+        cost_at[phit] = pcost
+        nk_at = np.zeros(len(lsk), np.int64)
+        nk_at[shit] = snk
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False).astype(np.float64)[keep]
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False).astype(np.float64)[keep]
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.float64)[keep]
+        if len(qty) and not np.all(qty == np.floor(qty)):
+            raise ValueError("q9 exact cost units need integral quantities")
+        rev = _rev_units(price, disc)
+        cost = cost_at[keep] * np.int64(100) * qty.astype(np.int64)
+        amount = rev - cost
+        if len(amount) and np.abs(amount).max() >= _UNIT_LIMIT:
+            raise ValueError("q9 per-row amount exceeds 2^40 — price out of modeled range")
+        grp = np.stack([ok, nk_at[keep]], axis=1) if len(ok) else np.zeros((0, 2), np.int64)
+        uk, inv = (np.unique(grp, axis=0, return_inverse=True) if len(ok)
+                   else (np.zeros((0, 2), np.int64), np.zeros(0, np.int64)))
+        partial = np.zeros(len(uk), np.int64)
+        np.add.at(partial, inv, amount)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(uk[:, 0]),
+                "n_nationkey": pa.array(uk[:, 1]),
+                "amount_p": pa.array(partial),
+            }
+        )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    ).map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+
+    def orders_year(batch: pa.Table) -> pa.Table:
+        year = pc.year(batch["o_orderdate"]).cast(pa.int64())
+        return pa.table({"o_orderkey": batch["o_orderkey"], "o_year": year})
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    ).map_batches(orders_year, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    joined = hash_join(li, orders, key="o_orderkey")
+
+    per = (
+        joined.groupby(["n_nationkey", "o_year"])
+        .aggregate(Sum("amount_p", alias_name="amount_units"))
+        .to_pandas()
+    )
+    out_cols = {"n_name": object, "o_year": np.int64,
+                "amount_units": np.int64, "amount": np.float64}
+    if len(per) == 0:  # empty to_pandas drops columns (CLAUDE.md guard)
+        return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in out_cols.items()})
+    _guard_sum(per["amount_units"].to_numpy(np.int64))
+    npdf = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]).to_pandas()
+    out = per.merge(npdf, on="n_nationkey")
+    out["o_year"] = out["o_year"].astype(np.int64)
+    out["amount_units"] = out["amount_units"].astype(np.int64)
+    out["amount"] = out["amount_units"].to_numpy(np.int64).astype(np.float64) / np.float64(10000.0)
+    out = out.sort_values(
+        ["n_name", "o_year"], ascending=[True, False], kind="mergesort"
+    ).reset_index(drop=True)
+    return out[list(out_cols)]
+
+
+def q11_important_parts(
+    sf_dir: str,
+    region: str = "EUROPE",
+    mult_num: int = 3,
+    mult_den: int = 2,
+    max_broadcast_keys: int = 1 << 26,
+):
+    """TPC-H Q11 shape: parts representing a significant fraction of one
+    region's supplied value. No partsupp, so a part's value for the region
+    is the exact-cent sum of its lineitems shipped by the region's
+    suppliers. The spec scales its HAVING fraction by 1/SF so the output
+    stays a stable share of parts at every scale; we mirror that by cutting
+    relative to the observed part count: keep parts where `value_cents *
+    nparts * mult_den > total_cents * mult_num` (share > (mult_num/
+    mult_den)/nparts) — an exact integer inequality on both sides (the
+    driver fold runs it in Python ints; no float fraction anywhere).
+    Returns (p_partkey, value_cents, value) ordered by (value_cents DESC,
+    p_partkey) with ONE /100.0 division.
+
+    Scale shape: region suppkeys broadcast once; lineitem pre-aggregates
+    cents per partkey in-batch; ONE metadata groupby at part cardinality;
+    the global total folds over the group sums (exact ints, guarded)."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    npdf = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    rpdf = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    rkey = rpdf.loc[rpdf["r_name"] == region, "r_regionkey"]
+    nkeys = set(npdf.loc[npdf["n_regionkey"].isin(rkey), "n_nationkey"].astype(int))
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    skeys = np.sort(
+        sup.loc[sup["s_nationkey"].astype(int).isin(nkeys), "s_suppkey"].to_numpy(np.int64)
+    )
+    if len(skeys) > max_broadcast_keys:
+        raise ValueError(f"{len(skeys)} region suppliers exceed max_broadcast_keys")
+    skeys_ref = ray.put(skeys)
+
+    def value_partial(batch: pa.Table) -> pa.Table:
+        keys = ray.get(skeys_ref)
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = _sorted_lookup(keys, sk)
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False).astype(np.float64)[keep]
+        cents = np.floor(price * 100 + 0.5).astype(np.int64)
+        uk, inv = np.unique(pk, return_inverse=True)
+        partial = np.zeros(len(uk), np.int64)
+        np.add.at(partial, inv, cents)
+        return pa.table({"p_partkey": pa.array(uk), "cents_p": pa.array(partial)})
+
+    per = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+        )
+        .map_batches(value_partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby("p_partkey")
+        .aggregate(Sum("cents_p", alias_name="value_cents"))
+        .to_pandas()
+    )
+    out_cols = {"p_partkey": np.int64, "value_cents": np.int64, "value": np.float64}
+    if len(per) == 0:  # empty to_pandas drops columns (CLAUDE.md guard)
+        return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in out_cols.items()})
+    vals = per["value_cents"].to_numpy(np.int64)
+    _guard_sum(vals)
+    total = int(vals.sum())
+    nparts = len(vals)
+    keep = (
+        vals.astype(object) * (nparts * int(mult_den)) > total * int(mult_num)
+    )  # Python-int products — no 2^63 wrap at any scale
+    out = per[np.asarray(keep, bool)].copy()
+    out["p_partkey"] = out["p_partkey"].astype(np.int64)
+    out["value_cents"] = out["value_cents"].astype(np.int64)
+    out["value"] = out["value_cents"].to_numpy(np.int64).astype(np.float64) / np.float64(100.0)
+    out = out.sort_values(
+        ["value_cents", "p_partkey"], ascending=[False, True], kind="mergesort"
+    ).reset_index(drop=True)
+    return out[list(out_cols)]
