@@ -1970,3 +1970,409 @@ def q11_important_parts(
         ["value_cents", "p_partkey"], ascending=[False, True], kind="mergesort"
     ).reset_index(drop=True)
     return out[list(out_cols)]
+
+
+def q12_priority_lines(
+    sf_dir: str,
+    date_lo: str = "1997-01-01",
+    date_hi: str = "1998-01-01",
+    slow_days: int = 60,
+    high_priorities: tuple = ("1-URGENT", "2-HIGH"),
+):
+    """TPC-H Q12 shape: per-group counts of high- vs low-priority orders
+    among one year's problem lineitems. The schema has no
+    shipmode/commit/receipt dates, so the group key is l_returnflag and
+    "problem" is adapted to "shipped >= slow_days after the order date"
+    (exact integer-microsecond cut). Returns (l_returnflag,
+    high_line_count, low_line_count) ordered by flag.
+
+    Scale shape: the year's lineitem slice ships (orderkey, flag, shipdate)
+    into ONE bucketed hash_join against orders (the per-row slow cut needs
+    each line's own order date — no broadcast of a fact table); counts
+    pre-aggregate per batch after the join; ONE tiny groupby folds them."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    lo, hi = _ts_us(date_lo), _ts_us(date_hi)
+    slow_us = np.int64(slow_days) * np.int64(86_400_000_000)
+    high_set = set(high_priorities)
+
+    def li_sel(batch: pa.Table) -> pa.Table:
+        sd = batch["l_shipdate"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = (sd >= lo) & (sd < hi)
+        return pa.table(
+            {
+                "o_orderkey": batch["l_orderkey"].filter(pa.array(keep)),
+                "l_returnflag": batch["l_returnflag"].filter(pa.array(keep)),
+                "sd_us": pa.array(sd[keep]),
+            }
+        )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_shipdate"],
+    ).map_batches(li_sel, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+
+    def orders_sel(batch: pa.Table) -> pa.Table:
+        od = batch["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "od_us": od,
+                "o_orderpriority": batch["o_orderpriority"],
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(orders_sel, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    joined = hash_join(li, orders, key="o_orderkey")
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        sd = batch["sd_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        od = batch["od_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        slow = sd >= od + slow_us
+        flag = batch["l_returnflag"].to_numpy(zero_copy_only=False)[slow]
+        prio = batch["o_orderpriority"].to_numpy(zero_copy_only=False)[slow]
+        high = np.array([p in high_set for p in prio], dtype=np.int64)
+        uf, inv = np.unique(flag, return_inverse=True)
+        h = np.zeros(len(uf), np.int64)
+        l = np.zeros(len(uf), np.int64)
+        np.add.at(h, inv, high)
+        np.add.at(l, inv, 1 - high)
+        return pa.table(
+            {"l_returnflag": pa.array(uf), "high_p": pa.array(h), "low_p": pa.array(l)}
+        )
+
+    per = (
+        joined.map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("high_p", alias_name="high_line_count"),
+            Sum("low_p", alias_name="low_line_count"),
+        )
+        .to_pandas()
+    )
+    out_cols = {"l_returnflag": object, "high_line_count": np.int64,
+                "low_line_count": np.int64}
+    if len(per) == 0:  # empty to_pandas drops columns (CLAUDE.md guard)
+        return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in out_cols.items()})
+    per["high_line_count"] = per["high_line_count"].astype(np.int64)
+    per["low_line_count"] = per["low_line_count"].astype(np.int64)
+    return (
+        per.sort_values("l_returnflag", kind="mergesort")
+        .reset_index(drop=True)[list(out_cols)]
+    )
+
+
+def q16_supplier_counts(
+    sf_dir: str,
+    excl_brand: str = "Brand#5",
+    excl_type: str = "PROMO",
+    sizes: tuple = (1, 4, 9, 14, 19, 23, 36, 45),
+    max_broadcast_keys: int = 1 << 26,
+):
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, type, size) for
+    qualifying parts, excluding flagged suppliers. No partsupp, so the
+    part-supplier relation is the set of DISTINCT lineitem pairs; the
+    spec's complaint filter becomes s_acctbal < 0 (deterministic stand-in).
+    Returns (p_brand, p_type, p_size, supplier_cnt) ordered by
+    (supplier_cnt DESC, brand, type, size).
+
+    Scale shape: qualifying parts map to a dense attr id broadcast once
+    (guarded); excluded suppkeys broadcast once; lineitem emits per-batch
+    DISTINCT packed (attr_id << 32 | suppkey) keys; ONE metadata groupby
+    dedups pairs globally; the per-attr distinct count is a bincount over
+    the deduped pairs (attr space is the small dimension product)."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+    from ray.data.aggregate import Count
+
+    ppdf = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_type", "p_size"]
+    ).to_pandas()
+    size_set = set(int(s) for s in sizes)
+    ppdf = ppdf[
+        (ppdf["p_brand"] != excl_brand)
+        & (ppdf["p_type"] != excl_type)
+        & (ppdf["p_size"].astype(int).isin(size_set))
+    ].reset_index(drop=True)
+    if len(ppdf) > max_broadcast_keys:
+        raise ValueError(f"{len(ppdf)} qualifying parts exceed max_broadcast_keys")
+    attrs = (
+        ppdf[["p_brand", "p_type", "p_size"]]
+        .drop_duplicates()
+        .sort_values(["p_brand", "p_type", "p_size"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    attr_of = {
+        (b, t, int(s)): i
+        for i, (b, t, s) in enumerate(
+            zip(attrs["p_brand"], attrs["p_type"], attrs["p_size"])
+        )
+    }
+    pk = ppdf["p_partkey"].to_numpy(np.int64)
+    order = np.argsort(pk, kind="stable")
+    aid = np.array(
+        [attr_of[(b, t, int(s))] for b, t, s in
+         zip(ppdf["p_brand"], ppdf["p_type"], ppdf["p_size"])],
+        np.int64,
+    )
+    parts_ref = ray.put((pk[order], aid[order]))
+
+    spdf = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_acctbal"]
+    ).to_pandas()
+    bad = np.sort(
+        spdf.loc[spdf["s_acctbal"].to_numpy(np.float64) < 0.0, "s_suppkey"].to_numpy(np.int64)
+    )
+    bad_ref = ray.put(bad)
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        pkeys, aids = ray.get(parts_ref)
+        badk = ray.get(bad_ref)
+        lpk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lsk = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hit, a = _sorted_map(pkeys, aids, lpk)
+        keep = hit & ~_sorted_lookup(badk, lsk)
+        a_at = np.zeros(len(lpk), np.int64)
+        a_at[hit] = a
+        packed = _pack_pair(a_at[keep], lsk[keep])
+        return pa.table({"pair": pa.array(np.unique(packed))})
+
+    pairs = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+        )
+        .map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby("pair")
+        .aggregate(Count(alias_name="n_batches"))
+        .to_pandas()
+    )
+    out_cols = {"p_brand": object, "p_type": object, "p_size": np.int64,
+                "supplier_cnt": np.int64}
+    if len(pairs) == 0:  # empty to_pandas drops columns (CLAUDE.md guard)
+        return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in out_cols.items()})
+    a_ids = (pairs["pair"].to_numpy(np.int64) >> np.int64(32)).astype(np.int64)
+    cnt = np.bincount(a_ids, minlength=len(attrs)).astype(np.int64)
+    out = attrs.copy()
+    out["supplier_cnt"] = cnt
+    out = out[out["supplier_cnt"] > 0].copy()
+    out["p_size"] = out["p_size"].astype(np.int64)
+    out = out.sort_values(
+        ["supplier_cnt", "p_brand", "p_type", "p_size"],
+        ascending=[False, True, True, True],
+        kind="mergesort",
+    ).reset_index(drop=True)
+    return out[list(out_cols)]
+
+
+def q20_excess_suppliers(
+    sf_dir: str,
+    name_substr: str = "bolt",
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01",
+    region: str = "EUROPE",
+    max_broadcast_keys: int = 1 << 26,
+):
+    """TPC-H Q20 shape: region suppliers who dominated some matched part's
+    shipped volume in one year. No partsupp availqty, so "excess" is
+    adapted to `2 * supplier_qty > part_total_qty` over the window — an
+    exact integer inequality (quantities integral, guarded). Returns
+    (s_suppkey, s_name) ordered by (s_name, s_suppkey).
+
+    Scale shape: matched partkeys broadcast once; lineitem pre-aggregates
+    qty per packed (partkey, suppkey) pair in-batch; ONE metadata groupby
+    folds pairs; per-part totals fold from the pair table (matched-part
+    dimension, guarded broadcast back); survivors intersect the region's
+    supplier dimension driver-side."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    lo, hi = _ts_us(date_lo), _ts_us(date_hi)
+    ppdf = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]).to_pandas()
+    pkeys = np.sort(
+        ppdf.loc[ppdf["p_name"].str.contains(name_substr, regex=False), "p_partkey"].to_numpy(np.int64)
+    )
+    if len(pkeys) > max_broadcast_keys:
+        raise ValueError(f"{len(pkeys)} matched parts exceed max_broadcast_keys")
+    pkeys_ref = ray.put(pkeys)
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        keys = ray.get(pkeys_ref)
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sd = batch["l_shipdate"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = _sorted_lookup(keys, pk) & (sd >= lo) & (sd < hi)
+        pk = pk[keep]
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.float64)[keep]
+        if len(q) and not np.all(q == np.floor(q)):
+            raise ValueError("q20 exact-integer cut needs integral quantities")
+        packed = _pack_pair(pk, sk)
+        uk, inv = np.unique(packed, return_inverse=True)
+        sq = np.zeros(len(uk), np.int64)
+        np.add.at(sq, inv, q.astype(np.int64))
+        return pa.table({"pair": pa.array(uk), "sq_p": pa.array(sq)})
+
+    pairs = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+        )
+        .map_batches(qty_partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby("pair")
+        .aggregate(Sum("sq_p", alias_name="sq"))
+        .to_pandas()
+    )
+    out_cols = {"s_suppkey": np.int64, "s_name": object}
+    if len(pairs) == 0:  # empty to_pandas drops columns (CLAUDE.md guard)
+        return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in out_cols.items()})
+    pair = pairs["pair"].to_numpy(np.int64)
+    pk = pair >> np.int64(32)
+    sk = pair & np.int64((1 << 32) - 1)
+    sq = pairs["sq"].to_numpy(np.int64)
+    _guard_sum(sq)
+    tot = pd.Series(sq).groupby(pk).transform("sum").to_numpy(np.int64)
+    good_sk = np.unique(sk[2 * sq > tot])
+
+    spdf = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name", "s_nationkey"]
+    ).to_pandas()
+    npdf = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    rpdf = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    rkey = rpdf.loc[rpdf["r_name"] == region, "r_regionkey"]
+    nkeys = npdf.loc[npdf["n_regionkey"].isin(rkey), "n_nationkey"]
+    spdf = spdf[spdf["s_nationkey"].isin(nkeys) & spdf["s_suppkey"].isin(good_sk)]
+    out = spdf[["s_suppkey", "s_name"]].sort_values(
+        ["s_name", "s_suppkey"], kind="mergesort"
+    ).reset_index(drop=True)
+    out["s_suppkey"] = out["s_suppkey"].astype(np.int64)
+    return out[list(out_cols)]
+
+
+def q21_waiting_suppliers(
+    sf_dir: str,
+    region: str = "EUROPE",
+    max_broadcast_keys: int = 1 << 26,
+):
+    """TPC-H Q21 shape: region suppliers who were the UNIQUE latest shipper
+    on multi-supplier finalized orders. No commit/receipt dates, so "kept
+    the order waiting" is adapted to: on an o_orderstatus='F' order with
+    >= 2 distinct suppliers, the supplier whose per-order max shipdate is
+    strictly later than every other supplier's. Returns (s_suppkey,
+    s_name, numwait) ordered by (numwait DESC, s_name, s_suppkey).
+
+    Scale shape: lineitem pre-aggregates max shipdate per packed (orderkey,
+    suppkey) pair in-batch; ONE metadata groupby folds pairs; ONE bucketed
+    hash_join gates on 'F' orders; the per-order blame fold is pure
+    vectorized aggregation (Max/Count per order, join back, then a
+    Count+Min fold over the at-max candidates — no per-order Python, the
+    triangle_count rule); region suppliers attach driver-side."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+    from ray.data.aggregate import Max
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sd = batch["l_shipdate"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        packed = _pack_pair(ok, sk)
+        uk, inv = np.unique(packed, return_inverse=True)
+        ms = np.full(len(uk), np.iinfo(np.int64).min, np.int64)
+        np.maximum.at(ms, inv, sd)
+        return pa.table({"pair": pa.array(uk), "ms_p": pa.array(ms)})
+
+    pairs = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+        )
+        .map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby("pair")
+        .aggregate(Max("ms_p", alias_name="ms"))
+    )
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        pair = batch["pair"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(pair >> np.int64(32)),
+                "s_suppkey": pa.array(pair & np.int64((1 << 32) - 1)),
+                "ms": batch["ms"],
+            }
+        )
+
+    pairs = pairs.map_batches(unpack, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+
+    def orders_f(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch["o_orderstatus"], "F")
+        return pa.table({"o_orderkey": batch["o_orderkey"].filter(keep)})
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderstatus"]
+    ).map_batches(orders_f, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    fpairs = hash_join(pairs, orders, key="o_orderkey")
+
+    from ray.data.aggregate import Count, Min, Sum
+
+    stats = fpairs.groupby("o_orderkey").aggregate(
+        Max("ms", alias_name="om"), Count(alias_name="nsupp")
+    )
+    j = hash_join(fpairs, stats, key="o_orderkey")
+
+    def at_max_sel(batch: pa.Table) -> pa.Table:
+        ms = batch["ms"].to_numpy(zero_copy_only=False).astype(np.int64)
+        om = batch["om"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ns = batch["nsupp"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (ms == om) & (ns >= 2)
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"].filter(pa.array(keep)),
+                "s_suppkey": batch["s_suppkey"].filter(pa.array(keep)),
+            }
+        )
+
+    cand = j.map_batches(at_max_sel, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    # a blamed supplier is the SOLE at-max candidate of its order:
+    # Count==1 makes Min(s_suppkey) that candidate
+    per_order = cand.groupby("o_orderkey").aggregate(
+        Count(alias_name="natmax"), Min("s_suppkey", alias_name="sk0")
+    )
+
+    def blame_count(batch: pa.Table) -> pa.Table:
+        nat = batch["natmax"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = batch["sk0"].to_numpy(zero_copy_only=False).astype(np.int64)[nat == 1]
+        uk, cnt = np.unique(sk, return_counts=True)
+        return pa.table({"s_suppkey": pa.array(uk), "n_p": pa.array(cnt.astype(np.int64))})
+
+    per = (
+        per_order.map_batches(blame_count, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby("s_suppkey")
+        .aggregate(Sum("n_p", alias_name="numwait"))
+        .to_pandas()
+    )
+    out_cols = {"s_suppkey": np.int64, "s_name": object, "numwait": np.int64}
+    if len(per) == 0:  # empty to_pandas drops columns (CLAUDE.md guard)
+        return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in out_cols.items()})
+    spdf = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name", "s_nationkey"]
+    ).to_pandas()
+    npdf = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    rpdf = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    rkey = rpdf.loc[rpdf["r_name"] == region, "r_regionkey"]
+    nkeys = npdf.loc[npdf["n_regionkey"].isin(rkey), "n_nationkey"]
+    spdf = spdf[spdf["s_nationkey"].isin(nkeys)]
+    out = per.merge(spdf[["s_suppkey", "s_name"]], on="s_suppkey")
+    if len(out) == 0:
+        return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in out_cols.items()})
+    out["s_suppkey"] = out["s_suppkey"].astype(np.int64)
+    out["numwait"] = out["numwait"].astype(np.int64)
+    out = out.sort_values(
+        ["numwait", "s_name", "s_suppkey"], ascending=[False, True, True], kind="mergesort"
+    ).reset_index(drop=True)
+    return out[list(out_cols)]
