@@ -7236,6 +7236,36 @@ def _q_tpch_q21_waiting(sf_dir: str):
     return q21_waiting_suppliers(sf_dir)
 
 
+def _q_orc_int_agg_pushdown(sf_dir: str):
+    """Codec-level aggregation over the engine's own ORC lake: count/sum/
+    min/max of four integer lineitem columns answered from RLEv1 RUN pairs
+    (orcread.orc_int_column_aggregates — constant runs contribute
+    value*count without expanding; decoded values never materialize). The
+    lake is written fresh, aggregated via one Ray task per file, and the
+    result must hash-match DuckDB aggregating the ORIGINAL parquet.
+    Engine-side invariants asserted in-query (the non-SQL half): every
+    stripe folded at run level, zero full decodes."""
+    import shutil
+
+    import ray.data
+
+    from orc_format_ray.orcfile import write_orc_dataset
+    from orc_format_ray.orcread import orc_lake_int_aggregates
+
+    cols = ["l_linenumber", "l_orderkey", "l_partkey", "l_suppkey"]
+    scratch = "/tmp/orc_intagg_lake"
+    shutil.rmtree(scratch, ignore_errors=True)  # oracle run: never trust stale parts
+    src = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=cols)
+    write_orc_dataset(src, scratch, compression="zstd", stripe_rows=20_000).materialize()
+
+    df, stats = orc_lake_int_aggregates(scratch, cols)
+    assert stats["runlevel_stripes"] > 0 and stats["decoded_stripes"] == 0, stats
+    df = df.rename(columns={"column": "col"})
+    for c in ("cnt", "total", "vmin", "vmax"):
+        df[c] = df[c].astype("int64")
+    return df
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
     # (VERDICT r3 "What's wrong" #2), so the window below is curated for
@@ -7579,6 +7609,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q16_suppcnt": _q_tpch_q16_suppcnt,
         "tpch_q20_excess": _q_tpch_q20_excess,
         "tpch_q21_waiting": _q_tpch_q21_waiting,
+        "orc_int_agg_pushdown": _q_orc_int_agg_pushdown,
     }
 
 
@@ -10392,5 +10423,25 @@ def oracle_sql() -> dict[str, str]:
             "JOIN nation ON n_nationkey = s_nationkey "
             "JOIN region ON r_regionkey=n_regionkey AND r_name='EUROPE' "
             "GROUP BY 1,2 ORDER BY numwait DESC, s_name, s_suppkey"
+        ),
+        # run-level RLE aggregate pushdown: non-null count/sum/min/max per
+        # int column (int32 l_linenumber CASTs to BIGINT before sum — the
+        # table_checksum rule)
+        "orc_int_agg_pushdown": (
+            "WITH u AS ("
+            "SELECT 'l_linenumber' AS col, CAST(count(l_linenumber) AS BIGINT) AS cnt, "
+            "CAST(sum(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS total, "
+            "CAST(min(l_linenumber) AS BIGINT) AS vmin, CAST(max(l_linenumber) AS BIGINT) AS vmax "
+            "FROM lineitem UNION ALL "
+            "SELECT 'l_orderkey', CAST(count(l_orderkey) AS BIGINT), "
+            "CAST(sum(l_orderkey) AS BIGINT), min(l_orderkey), max(l_orderkey) "
+            "FROM lineitem UNION ALL "
+            "SELECT 'l_partkey', CAST(count(l_partkey) AS BIGINT), "
+            "CAST(sum(l_partkey) AS BIGINT), min(l_partkey), max(l_partkey) "
+            "FROM lineitem UNION ALL "
+            "SELECT 'l_suppkey', CAST(count(l_suppkey) AS BIGINT), "
+            "CAST(sum(l_suppkey) AS BIGINT), min(l_suppkey), max(l_suppkey) "
+            "FROM lineitem) "
+            "SELECT col, cnt, total, vmin, vmax FROM u ORDER BY col"
         ),
     }

@@ -1385,3 +1385,158 @@ def orc_lake_string_value_counts(lake_dir: str, column: str):
     out = folded[["value", "cnt"]].copy()
     out["cnt"] = out["cnt"].astype("int64")
     return out.sort_values("value", kind="mergesort").reset_index(drop=True), stats
+
+
+def _exact_int_fold(v: np.ndarray, c: np.ndarray) -> int:
+    """Exact sum(v*c) over run pairs. Fast path: int64 products (guarded by
+    the conservative per-element and total float bounds), falling back to
+    Python-int folding when magnitudes could wrap."""
+    if len(v) == 0:
+        return 0
+    va = np.abs(v.astype(np.float64))
+    ca = c.astype(np.float64)
+    if float(va.max()) < 2**31 and float(ca.max()) < 2**31 and float((va * ca).sum()) < 2**61:
+        return int(np.sum(v * c))
+    return int(sum(int(a) * int(b) for a, b in zip(v.tolist(), c.tolist())))
+
+
+def orc_int_column_aggregates(path_or_bytes, column: str):
+    """``{n, sum, min, max}`` of one top-level SHORT/INT/LONG column's
+    non-null values — aggregate pushdown INTO the RLE codec: stripes whose
+    DATA stream is RLEv1 (encoding DIRECT — this engine's int format) fold
+    at RUN level via ``int_rle_v1.decode_runs`` (a constant run contributes
+    ``value*count`` without expanding); DIRECT_V2 stripes (foreign writers)
+    fall back to a full decode. NULL rows never enter the DATA stream, so
+    DATA-stream aggregates ARE the non-null aggregates (SQL mirror:
+    ``count/sum/min/max(col)``). Sums fold exactly (int64 fast path with a
+    loud-safe bound check, Python ints beyond). ``min``/``max`` are None
+    when the column has no non-null values.
+
+    Returns ``(agg, stats)`` — stats reports ``runlevel_stripes`` /
+    ``decoded_stripes`` so callers can assert the pushdown engaged.
+    """
+    from .codecs import int_rle_v1 as _rle1
+
+    with _Source(path_or_bytes) as src:
+        tail = _parse_tail(src)
+        comp = tail["compression"]
+        types = tail["types"]
+        root = types[0]
+        if root.kind != "STRUCT":
+            raise ValueError("ORC root must be a struct")
+        spans = list(root.subtypes) + [len(types)]
+        try:
+            fi = root.field_names.index(column)
+        except ValueError:
+            raise KeyError(f"column {column!r} not in {root.field_names}")
+        cid = spans[fi]
+        t = types[cid]
+        if t.kind not in ("SHORT", "INT", "LONG"):
+            raise ValueError(f"orc_int_column_aggregates needs an integer column, got {t.kind}")
+
+        total_n = 0
+        total_sum = 0
+        vmin = None
+        vmax = None
+        n_run = n_dec = 0
+        for si in tail["stripes"]:
+            stream_list, encodings, raw_spans = _parse_stripe_footer(src, si, comp)
+            my: dict[int, bytes] = {}
+            for (kind, col, ln), (pos, _l) in zip(stream_list, raw_spans):
+                if col == cid and kind in (_PRESENT, _DATA):
+                    my[kind] = _deframe(src.read(pos, ln), comp)
+            enc_kind, _ds = encodings[cid]
+            data = my.get(_DATA, b"")
+            if enc_kind in (0, 1):  # RLEv1: run-level fold, no expansion
+                n_run += 1
+                v, c = _rle1.decode_runs(data, signed=True)
+                v = v.astype(np.int64)
+            else:  # DIRECT_V2 (foreign): full decode
+                n_dec += 1
+                n = si["num_rows"]
+                valid = boolean_rle.decode(my[_PRESENT], n) if _PRESENT in my else None
+                n_present = int(valid.sum()) if valid is not None else n
+                v = np.asarray(_read_ints(data, enc_kind, n_present), dtype=np.int64)
+                c = np.ones(len(v), np.int64)
+            if len(v):
+                total_n += int(c.sum())
+                total_sum += _exact_int_fold(v, c)
+                mn, mx = int(v.min()), int(v.max())
+                vmin = mn if vmin is None else min(vmin, mn)
+                vmax = mx if vmax is None else max(vmax, mx)
+        agg = {"n": total_n, "sum": total_sum, "min": vmin, "max": vmax}
+        return agg, {"runlevel_stripes": n_run, "decoded_stripes": n_dec}
+
+
+def orc_lake_int_aggregates(lake_dir: str, columns: list[str]):
+    """Distributed non-null count/sum/min/max per integer column over an ORC
+    lake via the run-level pushdown: one Ray task per file ships ONE row of
+    (column, n, sum, min, max) cells per requested column — token payloads
+    never materialize; the driver folds file rows in exact Python ints.
+
+    Returns ``(df, stats)``: df has one row per column (column, cnt, total,
+    vmin, vmax) sorted by column name; stats sums run-level vs decoded
+    stripe engagement. Columns with zero non-null values keep None min/max
+    (callers decide their SQL mirror)."""
+    import glob as _glob
+    import os as _os
+
+    import pandas as pd
+    import ray.data
+
+    from ._rayutil import remote_args
+
+    paths = sorted(_glob.glob(_os.path.join(lake_dir, "**", "*.orc"), recursive=True))
+    if not paths:
+        raise FileNotFoundError(f"no .orc files under {lake_dir}")
+    cols = list(columns)
+
+    def per_file(batch: pa.Table) -> pa.Table:
+        rows = {"column": [], "n_p": [], "sum_p": [], "min_p": [], "max_p": [],
+                "run_p": [], "dec_p": []}
+        for p in batch["path"]:
+            for c in cols:
+                agg, st = orc_int_column_aggregates(p.as_py(), c)
+                if abs(agg["sum"]) >= 1 << 62:
+                    raise ValueError(f"per-file sum of {c} exceeds 2^62 — fold driver-side")
+                rows["column"].append(c)
+                rows["n_p"].append(agg["n"])
+                rows["sum_p"].append(agg["sum"])
+                rows["min_p"].append(agg["min"] if agg["min"] is not None else np.iinfo(np.int64).max)
+                rows["max_p"].append(agg["max"] if agg["max"] is not None else np.iinfo(np.int64).min)
+                rows["run_p"].append(st["runlevel_stripes"])
+                rows["dec_p"].append(st["decoded_stripes"])
+        return pa.table(
+            {
+                "column": pa.array(rows["column"], pa.string()),
+                "n_p": pa.array(rows["n_p"], pa.int64()),
+                "sum_p": pa.array(rows["sum_p"], pa.int64()),
+                "min_p": pa.array(rows["min_p"], pa.int64()),
+                "max_p": pa.array(rows["max_p"], pa.int64()),
+                "run_p": pa.array(rows["run_p"], pa.int64()),
+                "dec_p": pa.array(rows["dec_p"], pa.int64()),
+            }
+        )
+
+    per = (
+        ray.data.from_items([{"path": p} for p in paths])
+        .map_batches(per_file, batch_format="pyarrow", batch_size=1, **remote_args())
+        .to_pandas()
+    )
+    out_rows = []
+    n_run = n_dec = 0
+    for c in cols:
+        sl = per[per["column"] == c] if len(per) else per
+        if len(sl) == 0:
+            out_rows.append((c, 0, 0, None, None))
+            continue
+        n = int(sl["n_p"].sum())
+        s = sum(int(x) for x in sl["sum_p"])  # Python ints — exact at any scale
+        mn = int(sl["min_p"].min())
+        mx = int(sl["max_p"].max())
+        n_run += int(sl["run_p"].sum())
+        n_dec += int(sl["dec_p"].sum())
+        out_rows.append((c, n, s, mn if n else None, mx if n else None))
+    df = pd.DataFrame(out_rows, columns=["column", "cnt", "total", "vmin", "vmax"])
+    df = df.sort_values("column", kind="mergesort").reset_index(drop=True)
+    return df, {"runlevel_stripes": n_run, "decoded_stripes": n_dec}

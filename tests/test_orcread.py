@@ -796,3 +796,105 @@ def test_orc_string_value_counts_both_paths(tmp_path):
     write_orc(t2, p2)
     with pytest.raises(ValueError, match="string column"):
         orc_string_value_counts(p2, "n")
+
+
+def test_orc_int_aggregates_runlevel_matches_decode(tmp_path):
+    """Run-level RLEv1 aggregate pushdown == pyarrow aggregates on the same
+    data, nulls excluded, across multi-stripe multi-row-group layouts."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from orc_format_ray.orcfile import write_orc
+    from orc_format_ray.orcread import orc_int_column_aggregates
+
+    rng = np.random.default_rng(11)
+    vals = np.concatenate(
+        [np.full(25_000, -7), rng.integers(-10**6, 10**6, 9_000), np.arange(6_000)]
+    ).astype(np.int64)
+    mask = rng.random(len(vals)) < 0.07
+    arr = pa.array([None if m else int(v) for v, m in zip(vals, mask)], pa.int64())
+    t = pa.table({"x": arr, "y": pa.array(np.arange(len(vals), dtype=np.int32))})
+    path = str(tmp_path / "agg.orc")
+    write_orc(t, path, stripe_rows=15_000)  # >1 stripe, row groups restart RLE
+
+    agg, stats = orc_int_column_aggregates(path, "x")
+    assert stats["runlevel_stripes"] > 0 and stats["decoded_stripes"] == 0
+    assert agg == {
+        "n": len(arr) - arr.null_count,
+        "sum": pc.sum(arr).as_py(),
+        "min": pc.min(arr).as_py(),
+        "max": pc.max(arr).as_py(),
+    }
+    agg2, _ = orc_int_column_aggregates(path, "y")
+    assert agg2["n"] == len(vals)
+    assert agg2["sum"] == int(np.arange(len(vals), dtype=np.int64).sum())
+
+
+def test_orc_int_aggregates_foreign_file_falls_back(tmp_path):
+    import numpy as np
+    import pyarrow.orc as po
+
+    from orc_format_ray.orcread import orc_int_column_aggregates
+
+    t = pa.table({"x": pa.array([5, None, -3, 5, 5], pa.int64())})
+    path = str(tmp_path / "foreign.orc")
+    po.write_table(t, path)
+    agg, stats = orc_int_column_aggregates(path, "x")
+    assert stats["decoded_stripes"] > 0  # pyarrow writes DIRECT_V2
+    assert agg == {"n": 4, "sum": 12, "min": -3, "max": 5}
+
+
+def test_orc_int_aggregates_all_null_and_type_guard(tmp_path):
+    from orc_format_ray.orcfile import write_orc
+    from orc_format_ray.orcread import orc_int_column_aggregates
+
+    t = pa.table(
+        {"z": pa.array([None, None], pa.int64()), "s": pa.array(["a", "b"])}
+    )
+    path = str(tmp_path / "nulls.orc")
+    write_orc(t, path)
+    agg, _ = orc_int_column_aggregates(path, "z")
+    assert agg == {"n": 0, "sum": 0, "min": None, "max": None}
+    with pytest.raises(ValueError, match="integer column"):
+        orc_int_column_aggregates(path, "s")
+    with pytest.raises(KeyError):
+        orc_int_column_aggregates(path, "nope")
+
+
+def test_exact_int_fold_beyond_int64_safe_bounds():
+    """The slow path folds in Python ints — products past 2^62 never wrap."""
+    import numpy as np
+
+    from orc_format_ray.orcread import _exact_int_fold
+
+    v = np.array([2**40, -(2**40), 3], np.int64)
+    c = np.array([2**25, 2**24, 1], np.int64)
+    assert _exact_int_fold(v, c) == (2**40) * (2**25) - (2**40) * (2**24) + 3
+    assert _exact_int_fold(np.zeros(0, np.int64), np.zeros(0, np.int64)) == 0
+
+
+def test_orc_lake_int_aggregates_folds_files(ray_session, tmp_path):
+    import numpy as np
+    import ray.data
+
+    from orc_format_ray.orcfile import write_orc_dataset
+    from orc_format_ray.orcread import orc_lake_int_aggregates
+
+    n = 30_000
+    tbl = pa.table(
+        {
+            "a": pa.array(np.arange(n, dtype=np.int64)),
+            "b": pa.array(np.full(n, 9, dtype=np.int32)),
+        }
+    )
+    lake = str(tmp_path / "lake")
+    write_orc_dataset(
+        ray.data.from_arrow(tbl).repartition(4), lake, stripe_rows=10_000
+    ).materialize()
+    df, stats = orc_lake_int_aggregates(lake, ["a", "b"])
+    assert stats["runlevel_stripes"] > 0 and stats["decoded_stripes"] == 0
+    row_a = df[df["column"] == "a"].iloc[0]
+    assert (row_a["cnt"], row_a["total"], row_a["vmin"], row_a["vmax"]) == (
+        n, int(np.arange(n, dtype=np.int64).sum()), 0, n - 1)
+    row_b = df[df["column"] == "b"].iloc[0]
+    assert (row_b["cnt"], row_b["total"], row_b["vmin"], row_b["vmax"]) == (n, 9 * n, 9, 9)
