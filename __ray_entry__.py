@@ -7266,6 +7266,80 @@ def _q_orc_int_agg_pushdown(sf_dir: str):
     return df
 
 
+def _q_avro_roundtrip_events(sf_dir: str):
+    """Avro object-container interchange round-trip (ops/avro.py): events
+    writes to deflate Avro shards (one per materialized block, metadata-
+    keyed part names), reads back as a Dataset, and aggregates per
+    event_type — hash-matched against DuckDB on the ORIGINAL parquet.
+    Engine-side invariants asserted in-query (the non-SQL half): the
+    name-ordered shard concat is BIT-IDENTICAL to the source table
+    (double payloads included), and the manifest row count matches."""
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Max, Min, Sum
+
+    from orc_format_ray._rayutil import remote_args
+    from orc_format_ray.ops.avro import read_avro, read_avro_dataset, write_avro_shards
+
+    scratch = "/tmp/avro_events"
+    shutil.rmtree(scratch, ignore_errors=True)  # oracle run: never trust stale parts
+    src = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    _mat, man = write_avro_shards(src, scratch, codec="deflate")
+
+    import pyarrow.parquet as pq
+
+    src_tbl = pq.read_table(f"{sf_dir}/events.parquet")
+    assert int(man["rows"].sum()) == len(src_tbl), "manifest row count drift"
+    import os
+
+    parts = [os.path.join(scratch, p) for p in man["part"]]
+    back = pa.concat_tables([read_avro(p) for p in parts])
+    assert back.equals(src_tbl.cast(back.schema)), "avro round-trip not bit-identical"
+
+    ds = read_avro_dataset(scratch)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow as pa
+
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(et, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uk)).astype(np.int64)
+        s = np.zeros(len(uk), np.int64)
+        np.add.at(s, inv, eid)
+        mn = np.full(len(uk), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(mn, inv, ts)
+        mx = np.full(len(uk), np.iinfo(np.int64).min, np.int64)
+        np.maximum.at(mx, inv, ts)
+        return pa.table(
+            {
+                "event_type": pa.array(uk),
+                "n_p": pa.array(n), "sid_p": pa.array(s),
+                "mn_p": pa.array(mn), "mx_p": pa.array(mx),
+            }
+        )
+
+    per = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby("event_type")
+        .aggregate(
+            Sum("n_p", alias_name="n"), Sum("sid_p", alias_name="sum_id"),
+            Min("mn_p", alias_name="min_ts_us"), Max("mx_p", alias_name="max_ts_us"),
+        )
+        .to_pandas()
+    )
+    for c in ("n", "sum_id", "min_ts_us", "max_ts_us"):
+        per[c] = per[c].astype("int64")
+    return per.sort_values("event_type", kind="mergesort").reset_index(drop=True)[
+        ["event_type", "n", "sum_id", "min_ts_us", "max_ts_us"]
+    ]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
     # (VERDICT r3 "What's wrong" #2), so the window below is curated for
@@ -7610,6 +7684,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q20_excess": _q_tpch_q20_excess,
         "tpch_q21_waiting": _q_tpch_q21_waiting,
         "orc_int_agg_pushdown": _q_orc_int_agg_pushdown,
+        "avro_roundtrip_events": _q_avro_roundtrip_events,
     }
 
 
@@ -10443,5 +10518,14 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(l_suppkey) AS BIGINT), min(l_suppkey), max(l_suppkey) "
             "FROM lineitem) "
             "SELECT col, cnt, total, vmin, vmax FROM u ORDER BY col"
+        ),
+        # Avro round-trip: aggregates run over the read-back shards; the SQL
+        # runs on the ORIGINAL parquet — container fidelity means hash-match
+        "avro_roundtrip_events": (
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(event_id) AS BIGINT) AS sum_id, "
+            "CAST(min(epoch_us(ts)) AS BIGINT) AS min_ts_us, "
+            "CAST(max(epoch_us(ts)) AS BIGINT) AS max_ts_us "
+            "FROM events GROUP BY 1 ORDER BY 1"
         ),
     }
