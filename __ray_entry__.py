@@ -7340,6 +7340,25 @@ def _q_avro_roundtrip_events(sf_dir: str):
     ]
 
 
+def _q_ntok_agg_from_runs(sf_dir: str):
+    """Codec-level aggregation over the NATIVE encoded lake
+    (stripe.column_int_aggregates + pipelines/encode.column_agg_dataset):
+    count/sum/min/max of n_tok folded from RLE RUN pairs per stripe —
+    recomputed from the encoded streams themselves, NOT the footer stats
+    (a strictly stronger check than file_stats_ntok, which trusts stats
+    written at encode time). Hash-matched against the tokenizer-parity SQL
+    aggregates over documents."""
+    from orc_format_ray.pipelines import encode as enc
+
+    _q_encode_roundtrip_by_source(sf_dir)  # ensure the shared scratch stripes exist
+    scratch = _scratch(sf_dir, "roundtrip")
+    agg = enc.column_agg_dataset(os.path.join(scratch, "stripes"), "n_tok")
+    assert agg["n"] > 0, "scratch lake unexpectedly empty"
+    return pa.Table.from_pylist(
+        [{"cnt": agg["n"], "total": agg["sum"], "vmin": agg["min"], "vmax": agg["max"]}]
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
     # (VERDICT r3 "What's wrong" #2), so the window below is curated for
@@ -7685,6 +7704,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q21_waiting": _q_tpch_q21_waiting,
         "orc_int_agg_pushdown": _q_orc_int_agg_pushdown,
         "avro_roundtrip_events": _q_avro_roundtrip_events,
+        "ntok_agg_from_runs": _q_ntok_agg_from_runs,
     }
 
 
@@ -10527,5 +10547,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(min(epoch_us(ts)) AS BIGINT) AS min_ts_us, "
             "CAST(max(epoch_us(ts)) AS BIGINT) AS max_ts_us "
             "FROM events GROUP BY 1 ORDER BY 1"
+        ),
+        # run-level native-lake aggregation: recomputed from encoded streams,
+        # not footer stats; tokenizer-parity token counts
+        "ntok_agg_from_runs": (
+            f"SELECT CAST(count(*) AS BIGINT) AS cnt, "
+            f"CAST(sum({_TOKCOUNT_SQL}) AS BIGINT) AS total, "
+            f"CAST(min({_TOKCOUNT_SQL}) AS BIGINT) AS vmin, "
+            f"CAST(max({_TOKCOUNT_SQL}) AS BIGINT) AS vmax FROM documents"
         ),
     }

@@ -387,3 +387,104 @@ def _read_varint(b: np.ndarray, p: int) -> tuple[int, int]:
         if byte < 0x80:
             return z, p
         shift += 7
+
+
+def decode_runs(buf: bytes, signed: bool = True) -> tuple[np.ndarray, np.ndarray]:
+    """Run-level decode: ``(values, counts)`` preserving the stream's value
+    multiset without expanding constant runs (the aggregate-pushdown
+    contract of ``int_rle_v1.decode_runs``): SHORT_REPEAT chunks and
+    constant-delta-0 DELTA chunks collapse to ONE ``(value, n)`` pair;
+    every other chunk's values expand with count 1 (their values carry no
+    repetition the header can prove). Pairs are NOT merged across chunks —
+    fold with ``np.unique``/groupby downstream. ``np.repeat(values,
+    counts)`` equals ``decode(buf)`` up to ordering of equal values
+    (pinned by tests)."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    nb = len(b)
+    vs: list[np.ndarray] = []
+    cs: list[np.ndarray] = []
+
+    def _push_run(val: int, n: int) -> None:
+        vs.append(np.array([val], np.int64))
+        cs.append(np.array([n], np.int64))
+
+    def _push_all(a: np.ndarray) -> None:
+        vs.append(a.view(np.int64) if a.dtype != np.int64 else a)
+        cs.append(np.ones(len(a), np.int64))
+
+    p = 0
+    while p < nb:
+        h = int(b[p])
+        mode = h >> 6
+        if mode == 0:  # SHORT_REPEAT -> one pair
+            w = ((h >> 3) & 0x7) + 1
+            n = (h & 0x7) + 3
+            z = int.from_bytes(b[p + 1 : p + 1 + w].tobytes(), "big")
+            _push_run(_unzigzag_int(z) if signed else z, n)
+            p += 1 + w
+        elif mode == 1:  # DIRECT -> expand
+            code = (h >> 1) & 0x1F
+            n = (((h & 1) << 8) | int(b[p + 1])) + 1
+            w = WIDTH_TABLE[code]
+            p += 2
+            nbytes = bitpack.packed_size(n, w)
+            zz = bitpack.unpack(b[p : p + nbytes], w, n)
+            p += nbytes
+            _push_all(_unzigzag(zz) if signed else zz.view(np.int64))
+        elif mode == 3:  # DELTA
+            code = (h >> 1) & 0x1F
+            n = (((h & 1) << 8) | int(b[p + 1])) + 1
+            p += 2
+            z, p = _read_varint(b, p)
+            first = _unzigzag_int(z) if signed else z
+            z, p = _read_varint(b, p)
+            d0 = _unzigzag_int(z)
+            if code == 0:
+                if d0 == 0:  # constant run -> one pair
+                    _push_run(first, n)
+                else:  # arithmetic sequence: all distinct, expand
+                    seq = _U64(first & _MASK) + np.arange(n, dtype=np.uint64) * _U64(d0 & _MASK)
+                    _push_all(seq.view(np.int64))
+            else:
+                w = WIDTH_TABLE[code]
+                nbytes = bitpack.packed_size(n - 2, w)
+                mags = bitpack.unpack(b[p : p + nbytes], w, n - 2)
+                p += nbytes
+                sign = 1 if d0 >= 0 else -1
+                deltas = np.concatenate(
+                    ([np.uint64(d0 & _MASK)], (mags.view(np.int64) * sign).astype(np.int64).view(np.uint64))
+                )
+                vals = np.concatenate(([np.uint64(first & _MASK)], deltas)).cumsum(dtype=np.uint64)
+                _push_all(vals.view(np.int64))
+        else:  # PATCHED_BASE -> expand (reuse the full decoder's parse)
+            code = (h >> 1) & 0x1F
+            n = (((h & 1) << 8) | int(b[p + 1])) + 1
+            w = WIDTH_TABLE[code]
+            b2, b3 = int(b[p + 2]), int(b[p + 3])
+            bw = (b2 >> 5) + 1
+            pw = WIDTH_TABLE[b2 & 0x1F]
+            pgw = (b3 >> 5) + 1
+            pll = b3 & 0x1F
+            p += 4
+            raw = bytearray(b[p : p + bw].tobytes())
+            neg = raw[0] & 0x80
+            raw[0] &= 0x7F
+            mn = int.from_bytes(bytes(raw), "big")
+            if neg:
+                mn = -mn
+            p += bw
+            nbytes = bitpack.packed_size(n, w)
+            low = bitpack.unpack(b[p : p + nbytes], w, n)
+            p += nbytes
+            ew = _round_width(pgw + pw)
+            ebytes = bitpack.packed_size(pll, ew)
+            entries = bitpack.unpack(b[p : p + ebytes], ew, pll)
+            p += ebytes
+            gaps = (entries >> _U64(pw)).astype(np.int64)
+            pvals = entries & ((_U64(1) << _U64(pw)) - _U64(1))
+            idx = np.cumsum(gaps)
+            low[idx] |= pvals << _U64(w)
+            _push_all((low + _U64(mn & _MASK)).view(np.int64))
+    if not vs:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    return np.concatenate(vs), np.concatenate(cs)

@@ -1387,17 +1387,7 @@ def orc_lake_string_value_counts(lake_dir: str, column: str):
     return out.sort_values("value", kind="mergesort").reset_index(drop=True), stats
 
 
-def _exact_int_fold(v: np.ndarray, c: np.ndarray) -> int:
-    """Exact sum(v*c) over run pairs. Fast path: int64 products (guarded by
-    the conservative per-element and total float bounds), falling back to
-    Python-int folding when magnitudes could wrap."""
-    if len(v) == 0:
-        return 0
-    va = np.abs(v.astype(np.float64))
-    ca = c.astype(np.float64)
-    if float(va.max()) < 2**31 and float(ca.max()) < 2**31 and float((va * ca).sum()) < 2**61:
-        return int(np.sum(v * c))
-    return int(sum(int(a) * int(b) for a, b in zip(v.tolist(), c.tolist())))
+from .stripe import exact_pair_sum as _exact_int_fold  # one impl, both containers
 
 
 def orc_int_column_aggregates(path_or_bytes, column: str):

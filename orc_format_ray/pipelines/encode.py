@@ -410,3 +410,45 @@ def value_counts_dataset(out_dir: str, column: str):
         .groupby("value")
         .aggregate(Sum("cnt_p", alias_name="cnt"))
     )
+
+
+def column_agg_dataset(out_dir: str, column: str) -> dict:
+    """Distributed non-null count/sum/min/max of one integer (or
+    list-of-integer) column over an encoded stripe lake WITHOUT
+    materializing it: each task folds one stripe through
+    ``stripe.column_int_aggregates`` (run-level pushdown for
+    RLEv1/RLEv2/dict streams) and ships ONE metadata row; the driver folds
+    file rows in exact Python ints. Returns {n, sum, min, max}."""
+    import ray.data
+
+    from .._rayutil import remote_args
+    from ..stripe import column_int_aggregates
+
+    paths = sorted(glob.glob(os.path.join(out_dir, "*.stripe")))
+    if not paths:
+        raise FileNotFoundError(f"no .stripe files under {out_dir}")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rows = {"n_p": [], "sum_p": [], "min_p": [], "max_p": []}
+        for p in batch["path"]:
+            agg = column_int_aggregates(open(p.as_py(), "rb").read(), column)
+            if abs(agg["sum"]) >= 1 << 62:
+                raise ValueError(f"per-stripe sum of {column} exceeds 2^62 — fold driver-side")
+            rows["n_p"].append(agg["n"])
+            rows["sum_p"].append(agg["sum"])
+            rows["min_p"].append(agg["min"] if agg["min"] is not None else np.iinfo(np.int64).max)
+            rows["max_p"].append(agg["max"] if agg["max"] is not None else np.iinfo(np.int64).min)
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in rows.items()})
+
+    per = (
+        ray.data.from_items([{"path": p} for p in paths])
+        .map_batches(partial, batch_format="pyarrow", batch_size=1, **remote_args())
+        .to_pandas()
+    )
+    n = int(per["n_p"].sum())
+    return {
+        "n": n,
+        "sum": sum(int(x) for x in per["sum_p"]),  # Python ints — exact
+        "min": int(per["min_p"].min()) if n else None,
+        "max": int(per["max_p"].max()) if n else None,
+    }

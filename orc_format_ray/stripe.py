@@ -721,7 +721,7 @@ def column_value_counts(blob: bytes, column: str) -> tuple[np.ndarray, np.ndarra
     the tokens column's streams and ships |distinct values| pairs per
     stripe — the token payload never re-materializes.
     """
-    from .codecs import dictionary, int_rle_v1
+    from .codecs import dictionary, int_rle_v1, rle_v2
 
     header, p = read_header(blob)
     comp_cfg = header["compression"]
@@ -754,12 +754,14 @@ def column_value_counts(blob: bytes, column: str) -> tuple[np.ndarray, np.ndarra
         # element counts never depend on the list LENGTHS stream, and null
         # lists contribute no child elements (the encoder flattens only
         # present rows) — so the pushdown path needs only a null-free LEAF
-        push_ok = codec in ("rle_v1", "dict_int") and tgt["num_present"] == tgt["num_values"]
+        push_ok = codec in ("rle_v1", "rle_v2", "dict_int") and tgt["num_present"] == tgt["num_values"]
         if push_ok:
             streams: dict = {}
             load(tgt, streams)
             if codec == "rle_v1":
                 v, c = int_rle_v1.decode_runs(streams[id(tgt)]["DATA"], signed=True)
+            elif codec == "rle_v2":
+                v, c = rle_v2.decode_runs(streams[id(tgt)]["DATA"], signed=True)
             else:
                 v, c = dictionary.value_counts_ints(streams[id(tgt)]["DATA"])
             vs.append(v.astype(np.int64))
@@ -785,3 +787,32 @@ def column_value_counts(blob: bytes, column: str) -> tuple[np.ndarray, np.ndarra
     uc = np.zeros(len(uv), np.int64)
     np.add.at(uc, inv, allc)
     return uv, uc
+
+
+def exact_pair_sum(v: "np.ndarray", c: "np.ndarray") -> int:
+    """Exact sum(v*c) over run pairs: int64 fast path behind conservative
+    float bounds, Python-int fold beyond (never wraps at any magnitude)."""
+    if len(v) == 0:
+        return 0
+    va = np.abs(v.astype(np.float64))
+    ca = c.astype(np.float64)
+    if float(va.max()) < 2**31 and float(ca.max()) < 2**31 and float((va * ca).sum()) < 2**61:
+        return int(np.sum(v * c))
+    return int(sum(int(a) * int(b) for a, b in zip(v.tolist(), c.tolist())))
+
+
+def column_int_aggregates(blob: bytes, column: str) -> dict:
+    """``{n, sum, min, max}`` of one integer column (or a list column's
+    elements) from a stripe, folded over ``column_value_counts``' run
+    pairs — RLEv1/RLEv2/dict streams never expand their constant runs, and
+    the sum is exact (``exact_pair_sum``). ``min``/``max`` are None when
+    the column holds no values."""
+    v, c = column_value_counts(blob, column)
+    if len(v) == 0:
+        return {"n": 0, "sum": 0, "min": None, "max": None}
+    return {
+        "n": int(c.sum()),
+        "sum": exact_pair_sum(v, c),
+        "min": int(v.min()),
+        "max": int(v.max()),
+    }

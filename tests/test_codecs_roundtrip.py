@@ -272,3 +272,74 @@ def test_column_value_counts_dict_int_path(monkeypatch):
     v, c = column_value_counts(blob, "lab")
     bv, bc = np.unique(low, return_counts=True)
     assert np.array_equal(v, bv) and np.array_equal(c, bc)
+
+
+def test_rle_v2_decode_runs_multiset_equals_decode():
+    """rle_v2.decode_runs preserves the value multiset across every chunk
+    mode (short-repeat, direct, patched, constant/arith/general delta)."""
+    from orc_format_ray.codecs import rle_v2
+
+    rng = np.random.default_rng(5)
+    cases = [
+        np.zeros(0, np.int64),
+        np.full(1000, 7, np.int64),
+        np.arange(2000, dtype=np.int64) * 3 + 11,
+        rng.integers(-(10**9), 10**9, 1500),
+        np.concatenate(
+            [np.full(600, -5), np.arange(100), rng.zipf(1.3, 3000) % 50000]
+        ).astype(np.int64),
+        np.concatenate([rng.integers(0, 100, 500), np.array([10**14])]).astype(np.int64),
+    ]
+    for v in cases:
+        for signed in (True, False):
+            vv = np.abs(v) if not signed else v
+            enc = rle_v2.encode(vv, signed=signed)
+            rv, rc = rle_v2.decode_runs(enc, signed=signed)
+            assert int(rc.sum()) == len(vv)
+            got = np.sort(np.repeat(rv, rc).view(np.int64))
+            exp = np.sort(np.asarray(rle_v2.decode(enc, signed=signed)).view(np.int64))
+            assert np.array_equal(got, exp)
+
+
+def test_rle_v2_decode_runs_collapses_constant_runs():
+    from orc_format_ray.codecs import rle_v2
+
+    c = np.full(5000, 42, np.int64)
+    v, n = rle_v2.decode_runs(rle_v2.encode(c, signed=True), signed=True)
+    assert len(v) < 50  # 512-value chunks -> ~10 pairs, never 5000
+    assert int(n.sum()) == 5000 and (v == 42).all()
+
+
+def test_stripe_column_int_aggregates_matches_pairs():
+    """column_int_aggregates == folds over column_value_counts, across
+    rle_v1 / rle_v2 / dict / fallback codecs and list-element columns."""
+    import pyarrow as pa
+
+    from orc_format_ray.stripe import (
+        column_int_aggregates,
+        column_value_counts,
+        encode_table,
+    )
+
+    rng = np.random.default_rng(9)
+    toks = [rng.integers(0, 500, rng.integers(1, 40)).astype(np.int64).tolist()
+            for _ in range(400)]
+    tbl = pa.table(
+        {
+            "n_tok": pa.array([len(t) for t in toks], pa.int64()),
+            "tokens": pa.array(toks, pa.list_(pa.int64())),
+            "const": pa.array(np.full(400, -3, np.int64)),
+        }
+    )
+    blob, _ = encode_table(tbl)
+    for col in ("n_tok", "tokens", "const"):
+        agg = column_int_aggregates(blob, col)
+        v, c = column_value_counts(blob, col)
+        exp_vals = np.repeat(v, c)
+        assert agg["n"] == len(exp_vals)
+        assert agg["sum"] == int(exp_vals.sum())
+        assert agg["min"] == int(exp_vals.min()) and agg["max"] == int(exp_vals.max())
+    flat = np.concatenate([np.asarray(t) for t in toks])
+    assert column_int_aggregates(blob, "tokens")["sum"] == int(flat.sum())
+    assert column_int_aggregates(blob, "const") == {
+        "n": 400, "sum": -1200, "min": -3, "max": -3}
