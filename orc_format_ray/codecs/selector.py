@@ -226,6 +226,7 @@ def decode_strings(b: bytes, codec: str) -> tuple[np.ndarray, np.ndarray]:
 # split is size-neutral raw; all its win appears under zstd).
 
 from . import byte_split as _byte_split
+from . import dec_scale as _dec_scale
 from . import xor_split as _xor_split
 
 
@@ -259,6 +260,7 @@ FLOAT_CODECS = {
     "raw": (_raw_float_encode, _raw_float_decode),
     "byte_split": (_byte_split.encode, _byte_split.decode),
     "xor_split": (_xor_split.encode, _xor_split.decode),
+    "dec_scale": (_dec_scale.encode, _dec_scale.decode),
 }
 
 

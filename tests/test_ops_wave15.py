@@ -264,3 +264,45 @@ def test_cluster_advisor_guards(ray_session, tmp_path):
     write_orc(pa.table({"x": pa.array([1, 2], pa.int64())}), str(tmp_path / "f.orc"))
     with pytest.raises(Exception, match="no usable min/max"):
         cluster_advisor(str(tmp_path), ["missing_col"])
+
+
+def test_dec_scale_bit_exact_and_selector_pick():
+    """Decimal-scaling float codec: bit-exact across specials, wins the
+    menu on decimal-scaled data, loses it on true reals."""
+    import zlib
+
+    from orc_format_ray.codecs import dec_scale, selector
+
+    rng = np.random.default_rng(7)
+    cases = [
+        np.round(rng.uniform(1, 100000, 5000), 2),          # price-like
+        rng.integers(1, 51, 4000).astype(np.float64),       # integral doubles
+        rng.normal(size=2000),                              # true reals
+        np.array([np.nan, np.inf, -np.inf, -0.0, 0.0, 2.25e300, 5e-324, 1.5]),
+        np.zeros(0),
+        np.round(rng.uniform(1, 100, 3000), 2).astype(np.float32),
+    ]
+    for v in cases:
+        dec = dec_scale.decode(dec_scale.encode(v))
+        assert dec.dtype == v.dtype and len(dec) == len(v)
+        assert np.array_equal(dec.view(np.uint8), v.view(np.uint8))
+    price = np.round(rng.uniform(1, 100000, 30000), 2)
+    assert selector.select_float_codec(price) == "dec_scale"
+    assert selector.select_float_codec(rng.normal(size=30000)) != "dec_scale"
+    # the win is real post-compression, not just post-selection
+    assert len(zlib.compress(dec_scale.encode(price), 6)) < 0.9 * len(
+        zlib.compress(price.tobytes(), 6)
+    )
+
+
+def test_dec_scale_mixed_column_uses_exceptions():
+    """A mostly-decimal column with a few true reals stays bit-exact via
+    the exception list, and the chosen scale still serves the majority."""
+    from orc_format_ray.codecs import dec_scale
+
+    rng = np.random.default_rng(11)
+    v = np.round(rng.uniform(1, 1000, 10_000), 2)
+    idx = rng.choice(len(v), 50, replace=False)
+    v[idx] = rng.normal(size=50)  # contaminate
+    dec = dec_scale.decode(dec_scale.encode(v))
+    assert np.array_equal(dec.view(np.uint64), v.view(np.uint64))
