@@ -409,3 +409,58 @@ def encoding_audit(ds, group: str = "source", text_col: str = "text",
         [float(np.float64(int(b)) / np.float64(int(t))) for b, t in zip(nb, n)], dtype=np.float64
     )
     return pd.DataFrame({group: stats["g"], "n": n, "n_bad": nb, "frac_bad": frac})
+
+
+def pseudonymize_keys(ds, cols: list[str], key: str, length: int = 16):
+    """Keyed pseudonymization of identifier columns: each value maps to
+    ``sha256(key || ':' || col || ':' || str(value))[:length]`` (hex) — a
+    deterministic, stateless per-value function, so equal ids map to equal
+    tokens EVERYWHERE (joins and group-bys survive pseudonymization) with
+    no shuffle, no shared state, and no reversible mapping stored anywhere.
+    The per-column domain separator keeps tokens from colliding across
+    columns that share raw values.
+
+    SQL mirror (DuckDB): ``substr(sha256(key || ':' || col || ':' ||
+    CAST(v AS VARCHAR)), 1, length)`` — the oracle runs the identical
+    expression, so pseudonymized outputs hash-compare exactly.
+
+    Hashing is per-distinct-value Python (crypto hashes have no numpy
+    kernel): each batch dedups first, hashes only its unique values, and
+    gathers back — on id-like columns (many repeats per batch) the hash
+    cost amortizes; the op stays a single map_batches pass."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from .._rayutil import remote_args
+
+    cols = list(cols)
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        out = batch
+        for col in cols:
+            arr = batch[col]
+            if pa.types.is_floating(arr.type):
+                raise ValueError(
+                    f"pseudonymize_keys({col!r}): float keys are not identifier-"
+                    "stable (CAST formatting differs); cast or quantize first"
+                )
+            vals = arr.cast(pa.string()).to_numpy(zero_copy_only=False)
+            null_mask = np.array([v is None for v in vals], bool)
+            uniq, inv = np.unique(vals[~null_mask].astype(str), return_inverse=True)
+            tokens = np.array(
+                [
+                    hashlib.sha256(f"{key}:{col}:{u}".encode()).hexdigest()[:length]
+                    for u in uniq
+                ],
+                dtype=object,
+            )
+            mapped = np.empty(len(vals), dtype=object)
+            mapped[~null_mask] = tokens[inv] if len(uniq) else []
+            mapped[null_mask] = None  # null ids stay null, never a token
+            idx = out.schema.get_field_index(col)
+            out = out.set_column(idx, col, pa.array(mapped, pa.string()))
+        return out
+
+    return ds.map_batches(scrub, batch_format="pyarrow", zero_copy_batch=True, **remote_args())

@@ -417,6 +417,7 @@ def q6_forecast_revenue(
     disc_lo: float = 0.05,
     disc_hi: float = 0.07,
     qty_cut: float = 24.0,
+    source_ds=None,
 ):
     """TPC-H Q6 forecasting revenue change: one global sum over lineitem
     rows in a ship-date year with discount in a band and small quantity.
@@ -426,7 +427,9 @@ def q6_forecast_revenue(
     (exactly what SQL BETWEEN does — never the quantized units); revenue
     units = cents(price) * bp(discount) in exact int64, folded in Python
     ints on the driver, ONE /10000.0 division. Stateless single pass —
-    each block reduces to one partial row; no shuffle at all."""
+    each block reduces to one partial row; no shuffle at all.
+    ``source_ds`` substitutes any Dataset carrying the four columns (the
+    storage-independence hook, like q1_pricing_summary's)."""
     import ray.data
 
     lo, hi = _ts_us(date_lo), _ts_us(date_hi)
@@ -449,11 +452,12 @@ def q6_forecast_revenue(
             }
         )
 
+    src_ds = source_ds if source_ds is not None else ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
     parts = (
-        ray.data.read_parquet(
-            f"{sf_dir}/lineitem.parquet",
-            columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
-        )
+        src_ds
         .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
         .to_pandas()
     )
