@@ -7457,6 +7457,27 @@ def _q_pseudonymize_events(sf_dir: str):
     return top[["pseudo", "n_events", "min_event_id", "max_event_id"]]
 
 
+def _q_source_counts_encoded(sf_dir: str):
+    """String-histogram pushdown over the NATIVE encoded lake
+    (codecs/dictionary.value_counts_strings + stripe.
+    column_string_value_counts): per-source document counts folded from
+    dict index-stream runs (or a codec-level decode where the selector
+    chose direct/fsst — both paths exact). Hash-matched against SQL
+    GROUP BY source on the original documents parquet."""
+    from orc_format_ray.pipelines import encode as enc
+
+    _q_encode_roundtrip_by_source(sf_dir)  # ensure the shared scratch stripes exist
+    scratch = _scratch(sf_dir, "roundtrip")
+    got = enc.string_value_counts_dataset(
+        os.path.join(scratch, "stripes"), "source"
+    ).to_pandas()
+    assert len(got) > 0 and (got["dict_seen"].max() + got["direct_seen"].max()) > 0
+    out = got[["value", "cnt"]].copy()
+    out.columns = ["source", "n_docs"]
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out.sort_values("source", kind="mergesort").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
     # (VERDICT r3 "What's wrong" #2), so the window below is curated for
@@ -7805,6 +7826,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ntok_agg_from_runs": _q_ntok_agg_from_runs,
         "tpch_q6_storage_triple": _q_tpch_q6_storage_triple,
         "pseudonymize_events": _q_pseudonymize_events,
+        "source_counts_encoded": _q_source_counts_encoded,
     }
 
 
@@ -10681,5 +10703,10 @@ def oracle_sql() -> dict[str, str]:
             "CAST(max(event_id) AS BIGINT) AS max_event_id FROM p GROUP BY 1) "
             "SELECT pseudo, n_events, min_event_id, max_event_id FROM g "
             "ORDER BY n_events DESC, pseudo LIMIT 20"
+        ),
+        # native-lake string histogram pushdown; one row per document source
+        "source_counts_encoded": (
+            "SELECT source, CAST(count(*) AS BIGINT) AS n_docs "
+            "FROM documents GROUP BY source ORDER BY source"
         ),
     }

@@ -128,3 +128,32 @@ def value_counts_ints(buf: bytes) -> tuple[np.ndarray, np.ndarray]:
     v, c = dictionary[keep].astype(np.int64), counts[keep]
     order = np.argsort(v, kind="stable")  # dict is first-occurrence order; sort the contract
     return v[order], c[order]
+
+
+def value_counts_strings(buf: bytes) -> tuple[list[bytes], np.ndarray]:
+    """Value histogram of a dict-encoded string stream WITHOUT gathering
+    per-row strings (the ORC-side orc_string_value_counts rule, applied to
+    the native container): the index stream folds at RUN level
+    (``rle_v2.decode_runs``) into a bincount over dictionary slots; only
+    the (tiny) dictionary materializes. Returns (dict entry bytes, counts)
+    for slots with count > 0, in first-occurrence dictionary order."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    p = 0
+    n_dict, p = _read_varint(b, p)
+    n_vals, p = _read_varint(b, p)
+    ln, p = _read_varint(b, p)
+    lens = rle_v2.decode(b[p : p + ln].tobytes(), signed=False)[:n_dict].astype(np.int64)
+    p += ln
+    ln, p = _read_varint(b, p)
+    blob = b[p : p + ln].tobytes()
+    p += ln
+    ln, p = _read_varint(b, p)
+    iv, ic = rle_v2.decode_runs(b[p : p + ln].tobytes(), signed=False)
+    counts = np.zeros(n_dict, np.int64)
+    np.add.at(counts, iv.astype(np.int64), ic)
+    assert int(counts.sum()) == n_vals, "index stream length drift"
+    offs = np.zeros(n_dict + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    entries = [blob[offs[i] : offs[i + 1]] for i in range(n_dict)]
+    keep = counts > 0
+    return [e for e, k in zip(entries, keep) if k], counts[keep]

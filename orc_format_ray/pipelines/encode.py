@@ -452,3 +452,50 @@ def column_agg_dataset(out_dir: str, column: str) -> dict:
         "min": int(per["min_p"].min()) if n else None,
         "max": int(per["max_p"].max()) if n else None,
     }
+
+
+def string_value_counts_dataset(out_dir: str, column: str):
+    """Distributed non-null string histogram over an encoded stripe lake
+    via the dict-index pushdown (stripe.column_string_value_counts): each
+    task folds one stripe and ships only (value, count) cells plus its
+    chunk-engagement stats; ONE tiny groupby merges. Returns a Dataset of
+    ``(value, cnt, dict_p, direct_p)`` — sum dict_p/direct_p driver-side
+    for engagement reporting (inflated by #values per stripe; treat as
+    engagement>0 signals, not exact chunk counts)."""
+    import ray.data
+    from ray.data.aggregate import Max, Sum
+
+    from .._rayutil import remote_args
+    from ..stripe import column_string_value_counts_stats
+
+    paths = sorted(glob.glob(os.path.join(out_dir, "*.stripe")))
+    if not paths:
+        raise FileNotFoundError(f"no .stripe files under {out_dir}")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vs, cs, dp, rp = [], [], [], []
+        for p in batch["path"]:
+            v, c, st = column_string_value_counts_stats(open(p.as_py(), "rb").read(), column)
+            vs.extend(v)
+            cs.extend(c.tolist())
+            dp.extend([st["dict_chunks"]] * len(v))
+            rp.extend([st["direct_chunks"]] * len(v))
+        return pa.table(
+            {
+                "value": pa.array(vs, pa.string()),
+                "cnt_p": pa.array(cs, pa.int64()),
+                "dict_p": pa.array(dp, pa.int64()),
+                "direct_p": pa.array(rp, pa.int64()),
+            }
+        )
+
+    return (
+        ray.data.from_items([{"path": p} for p in paths])
+        .map_batches(partial, batch_format="pyarrow", batch_size=1, **remote_args())
+        .groupby("value")
+        .aggregate(
+            Sum("cnt_p", alias_name="cnt"),
+            Max("dict_p", alias_name="dict_seen"),
+            Max("direct_p", alias_name="direct_seen"),
+        )
+    )

@@ -816,3 +816,74 @@ def column_int_aggregates(blob: bytes, column: str) -> dict:
         "min": int(v.min()),
         "max": int(v.max()),
     }
+
+
+def column_string_value_counts(blob: bytes, column: str) -> tuple[list[str], np.ndarray]:
+    """Non-null value histogram ``(values, counts)`` of one STRING column —
+    or a list column's string elements — from a stripe, pushing the
+    aggregate into the dictionary codec where the selector chose it
+    (index-stream run fold + bincount; per-row strings never gather) and
+    falling back to a codec-level DATA decode otherwise. The DATA stream
+    holds only PRESENT values, so NULLs are never counted on either path
+    (SQL mirror: ``WHERE col IS NOT NULL``). Returns values sorted
+    lexicographically with exact counts, plus nothing else — callers that
+    need engagement stats use ``column_string_value_counts_stats``."""
+    values, counts, _stats = column_string_value_counts_stats(blob, column)
+    return values, counts
+
+
+def column_string_value_counts_stats(blob: bytes, column: str):
+    from collections import Counter
+
+    from .codecs import dictionary, selector
+
+    header, p = read_header(blob)
+    comp_cfg = header["compression"]
+    root = next((r for r in header["columns"] if r["name"] == column), None)
+    if root is None:
+        raise KeyError(f"column {column!r} not in stripe (have "
+                       f"{[r['name'] for r in header['columns']]})")
+
+    def load(node: dict) -> dict:
+        my = {}
+        for kind, m in node["streams_meta"].items():
+            raw = blob[p + m["off"] : p + m["off"] + m["len"]]
+            if m["comp"] != "none":
+                raw = BlockCompressor(m["comp"], comp_cfg.get("level", 3)).decompress(raw)
+            my[kind] = raw
+        return my
+
+    agg: Counter = Counter()
+    n_dict = n_direct = 0
+    for node in (root["chunks"] if "chunks" in root else [root]):
+        tgt = node
+        while tgt["type"]["t"] in ("list", "large_list"):
+            tgt = tgt["children"][0]
+        if tgt["type"]["t"] not in ("string", "large_string"):
+            raise ValueError(
+                f"column_string_value_counts needs a string leaf, got {tgt['type']}"
+            )
+        codec = tgt["encoding"].get("DATA")
+        my = load(tgt)
+        if codec == "dict":  # pushdown: run-fold the index stream
+            n_dict += 1
+            ents, cnts = dictionary.value_counts_strings(my["DATA"])
+            for e, c in zip(ents, cnts):
+                agg[e.decode("utf-8")] += int(c)
+        else:  # direct / fsst: codec-level decode of present values only
+            n_direct += 1
+            concat, offs = selector.decode_strings(my["DATA"], codec)
+            arr = pa.Array.from_buffers(
+                pa.large_binary(), len(offs) - 1,
+                [None, pa.py_buffer(np.ascontiguousarray(offs, np.int64).tobytes()),
+                 pa.py_buffer(np.ascontiguousarray(concat, np.uint8).tobytes())],
+            ).cast(pa.string())
+            vc = arr.value_counts()
+            for v, c in zip(vc.field("values").to_pylist(), vc.field("counts").to_pylist()):
+                agg[v] += int(c)
+    items = sorted(agg.items())
+    return (
+        [k for k, _ in items],
+        np.array([c for _, c in items], np.int64),
+        {"dict_chunks": n_dict, "direct_chunks": n_direct},
+    )

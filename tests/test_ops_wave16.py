@@ -74,3 +74,55 @@ def test_q6_source_ds_hook_matches_default(ray_session):
         SF, source_ds=ray.data.read_parquet(f"{SF}/lineitem.parquet", columns=cols)
     )
     assert base.values.tolist() == via_ds.values.tolist()
+
+
+def test_string_value_counts_pushdown_both_paths(monkeypatch):
+    """Dict index-run pushdown == direct decode fallback, nulls never
+    counted, list-of-string elements flatten; each codec path pinned by
+    forcing the selector's choice."""
+    import collections
+
+    from orc_format_ray.codecs import selector
+    from orc_format_ray.stripe import column_string_value_counts_stats, encode_table
+
+    rng = np.random.default_rng(4)
+    vals = rng.choice(["alpha", "beta", "gamma", "delta"], 5000, p=[0.5, 0.3, 0.15, 0.05]).tolist()
+    nulls = [None if i % 13 == 0 else v for i, v in enumerate(vals)]
+    exp = collections.Counter(v for v in nulls if v is not None)
+    tbl = pa.table(
+        {
+            "s": pa.array(nulls, pa.string()),
+            "ls": pa.array([[v, v] if v else [] for v in nulls], pa.list_(pa.string())),
+        }
+    )
+    for forced in (None, "direct", "dict", "fsst"):
+        if forced is not None:
+            monkeypatch.setattr(selector, "select_string_codec",
+                                lambda c, o, menu=None, _f=forced: _f)
+        blob, _ = encode_table(tbl)
+        v, c, st = column_string_value_counts_stats(blob, "s")
+        assert dict(zip(v, c.tolist())) == dict(exp), (forced, st)
+        if forced == "dict":
+            assert st["dict_chunks"] > 0 and st["direct_chunks"] == 0
+        if forced in ("direct", "fsst"):
+            assert st["direct_chunks"] > 0 and st["dict_chunks"] == 0
+        v2, c2, _ = column_string_value_counts_stats(blob, "ls")
+        assert dict(zip(v2, c2.tolist())) == {k: 2 * n for k, n in exp.items()}
+    monkeypatch.undo()
+    with pytest.raises(ValueError, match="string leaf"):
+        column_string_value_counts_stats(
+            encode_table(pa.table({"i": pa.array([1], pa.int64())}))[0], "i"
+        )
+
+
+def test_dictionary_value_counts_strings_matches_decode():
+    from orc_format_ray.codecs import dictionary
+
+    rng = np.random.default_rng(8)
+    vals = rng.choice(["x", "yy", "zzz", ""], 8000).tolist()
+    enc = dictionary.encode_strings(pa.array(vals, pa.string()))
+    ents, counts = dictionary.value_counts_strings(enc)
+    import collections
+
+    exp = collections.Counter(vals)
+    assert {e.decode(): int(c) for e, c in zip(ents, counts)} == dict(exp)
