@@ -370,6 +370,7 @@ def _column_streams(
     dict_ratio: float = 0.5,
     comp: tuple[str, int] = ("none", 3),
     frame_cache: dict | None = None,
+    int_rle: str = "v1",
 ) -> int:
     """Encode one column subtree into ORC streams, chunked at row-group
     boundaries.
@@ -425,10 +426,16 @@ def _column_streams(
         out.append((_STREAM["DATA"], col_id, [byte_rle.encode(v[lo:hi]) for lo, hi in pp], _EX_RLE))
     elif kind in ("SHORT", "INT", "LONG"):
         v = valid.cast(pa.int64()).to_numpy(zero_copy_only=False)
-        out.append((_STREAM["DATA"], col_id, [int_rle_v1.encode(v[lo:hi], signed=True) for lo, hi in pp], _EX_RLE))
+        ienc = int_rle_v1.encode if int_rle == "v1" else rle_v2.encode
+        out.append((_STREAM["DATA"], col_id, [ienc(v[lo:hi], signed=True) for lo, hi in pp], _EX_RLE))
+        if int_rle == "v2":
+            enc_out[enc_idx] = (2, 0)  # DIRECT_V2 — readers pick v2 by kind
     elif kind == "DATE":
         v = valid.view(pa.int32()).cast(pa.int64()).to_numpy(zero_copy_only=False)
-        out.append((_STREAM["DATA"], col_id, [int_rle_v1.encode(v[lo:hi], signed=True) for lo, hi in pp], _EX_RLE))
+        ienc = int_rle_v1.encode if int_rle == "v1" else rle_v2.encode
+        out.append((_STREAM["DATA"], col_id, [ienc(v[lo:hi], signed=True) for lo, hi in pp], _EX_RLE))
+        if int_rle == "v2":
+            enc_out[enc_idx] = (2, 0)
     elif kind in ("FLOAT", "DOUBLE"):
         raw = valid.to_numpy(zero_copy_only=False)
         out.append((_STREAM["DATA"], col_id, [raw[lo:hi].tobytes() for lo, hi in pp], _EX_RAW))
@@ -492,19 +499,19 @@ def _column_streams(
         out.append((_STREAM["LENGTH"], col_id, [int_rle_v1.encode(lens[lo:hi], signed=False) for lo, hi in pp], _EX_RLE))
         child = valid.combine_chunks().flatten() if isinstance(valid, pa.ChunkedArray) else valid.flatten()
         child_bounds = np.concatenate(([0], np.cumsum(lens.astype(np.int64))))[pb]
-        next_id = _column_streams(child, next_id, out, enc_out, stats_out, child_bounds, index_stats, dict_ratio=dict_ratio, comp=comp, frame_cache=frame_cache)
+        next_id = _column_streams(child, next_id, out, enc_out, stats_out, child_bounds, index_stats, dict_ratio=dict_ratio, comp=comp, frame_cache=frame_cache, int_rle=int_rle)
     elif kind == "MAP":
         from .stripe import map_entries
 
         lv, keys, items = map_entries(arr)
         out.append((_STREAM["LENGTH"], col_id, [int_rle_v1.encode(lv[lo:hi].astype(np.uint64), signed=False) for lo, hi in pp], _EX_RLE))
         child_bounds = np.concatenate(([0], np.cumsum(lv.astype(np.int64))))[pb]
-        next_id = _column_streams(keys, next_id, out, enc_out, stats_out, child_bounds, index_stats, dict_ratio=dict_ratio, comp=comp, frame_cache=frame_cache)
-        next_id = _column_streams(items, next_id, out, enc_out, stats_out, child_bounds, index_stats, dict_ratio=dict_ratio, comp=comp, frame_cache=frame_cache)
+        next_id = _column_streams(keys, next_id, out, enc_out, stats_out, child_bounds, index_stats, dict_ratio=dict_ratio, comp=comp, frame_cache=frame_cache, int_rle=int_rle)
+        next_id = _column_streams(items, next_id, out, enc_out, stats_out, child_bounds, index_stats, dict_ratio=dict_ratio, comp=comp, frame_cache=frame_cache, int_rle=int_rle)
     elif kind == "STRUCT":
         for i, f in enumerate(t):
             child = valid.field(i) if hasattr(valid, "field") else pc.struct_field(valid, i)
-            next_id = _column_streams(child, next_id, out, enc_out, stats_out, pb, index_stats, field=f, dict_ratio=dict_ratio, comp=comp, frame_cache=frame_cache)
+            next_id = _column_streams(child, next_id, out, enc_out, stats_out, pb, index_stats, field=f, dict_ratio=dict_ratio, comp=comp, frame_cache=frame_cache, int_rle=int_rle)
     elif kind == "UNION":
         # dense union: DATA = child-index tags via ByteRLE (reference
         # union.rs:117-126); each child carries its values in order of
@@ -521,7 +528,7 @@ def _column_streams(
             sel = tags == ci
             childvals = arr.field(ci).take(pa.array(offsets[sel], type=pa.int32()))
             child_bounds = np.concatenate(([0], np.cumsum(sel.astype(np.int64))))[pb]
-            next_id = _column_streams(childvals, next_id, out, enc_out, stats_out, child_bounds, index_stats, field=f, dict_ratio=dict_ratio, comp=comp, frame_cache=frame_cache)
+            next_id = _column_streams(childvals, next_id, out, enc_out, stats_out, child_bounds, index_stats, field=f, dict_ratio=dict_ratio, comp=comp, frame_cache=frame_cache, int_rle=int_rle)
     else:  # pragma: no cover
         raise NotImplementedError(kind)
     return next_id
@@ -613,11 +620,15 @@ class OrcWriter:
         bloom_columns: list[str] | None = None,
         bloom_fpp: float = 0.05,
         user_metadata: dict[str, bytes | str] | None = None,
+        int_rle: str = "v1",
     ):
         import os
 
         if compression not in _KIND_IDS:
             raise ValueError(f"unsupported ORC compression {compression!r}")
+        if int_rle not in ("v1", "v2"):
+            raise ValueError(f"int_rle must be 'v1' or 'v2', got {int_rle!r}")
+        self.int_rle = int_rle
         self.user_metadata: dict[str, bytes] = {}
         for k, v in (user_metadata or {}).items():
             if not isinstance(k, str):
@@ -732,6 +743,7 @@ class OrcWriter:
                 dict_ratio=self.dictionary_ratio,
                 comp=(self.compression, self.level),
                 frame_cache=frame_cache,
+                int_rle=self.int_rle,
             )
 
         # frame each row-group chunk independently: compression blocks align
@@ -898,14 +910,18 @@ def write_orc(
     dictionary_ratio: float = 0.5,
     bloom_columns: list[str] | None = None,
     user_metadata: dict[str, bytes | str] | None = None,
+    int_rle: str = "v1",
 ) -> dict:
     """Write a Table as a genuine ORC file (readable by pyarrow.orc / ORC
     C++/Java). ``stripe_rows`` forces a stripe cut every that many rows;
     incremental producers should use OrcWriter directly (push + auto-flush).
+    ``int_rle="v2"`` writes integer/date DATA streams as DIRECT_V2 (RLEv2 —
+    the same encoder DICTIONARY_V2 index streams already C++-validate);
+    the default stays "v1" so existing outputs are byte-identical.
     Returns {"num_rows", "file_bytes", "stripes"}."""
     n = tbl.num_rows
     stripe_rows = stripe_rows or max(n, 1)
-    w = OrcWriter(path, tbl.schema, compression, level, row_index_stride=row_index_stride, dictionary_ratio=dictionary_ratio, bloom_columns=bloom_columns, user_metadata=user_metadata)
+    w = OrcWriter(path, tbl.schema, compression, level, row_index_stride=row_index_stride, dictionary_ratio=dictionary_ratio, bloom_columns=bloom_columns, user_metadata=user_metadata, int_rle=int_rle)
     try:
         for lo in range(0, n, stripe_rows):  # 0-row table -> 0 stripes (reference stripe.rs:83)
             w.write_batch(tbl.slice(lo, min(stripe_rows, n - lo)))

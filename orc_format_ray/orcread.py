@@ -1441,7 +1441,17 @@ def orc_int_column_aggregates(path_or_bytes, column: str):
                 n_run += 1
                 v, c = _rle1.decode_runs(data, signed=True)
                 v = v.astype(np.int64)
-            else:  # DIRECT_V2 (foreign): full decode
+            elif enc_kind in (2, 3) and _PRESENT not in my:
+                # DIRECT_V2 without nulls: RLEv2 run-level fold (short-repeat
+                # and constant-delta chunks never expand). With PRESENT the
+                # stream still holds only present values, but foreign writers
+                # may pad the final chunk — decode exactly n_present instead.
+                n_run += 1
+                from .codecs import rle_v2 as _rle2
+
+                v, c = _rle2.decode_runs(data, signed=True)
+                v = v.astype(np.int64)
+            else:  # DIRECT_V2 with PRESENT: full decode
                 n_dec += 1
                 n = si["num_rows"]
                 valid = boolean_rle.decode(my[_PRESENT], n) if _PRESENT in my else None

@@ -678,3 +678,69 @@ def test_orc_int_bloom_pushdown(tmp_path):
     orcfile.write_orc(u, upath, stripe_rows=500, bloom_columns=["u"])
     out3, meta3 = orcread.read_orc_filtered(upath, ("u", "==", 500_000_001))
     assert out3.num_rows == 0 and meta3["groups_read"] == 0
+
+
+def test_int_rle_v2_output_cpp_and_native_conformance(tmp_path):
+    """int_rle='v2' writes DIRECT_V2 integer/date DATA streams that BOTH
+    pyarrow's C++ ORC reader and the native reader decode exactly; the
+    default 'v1' output stays byte-identical (gold contract untouched)."""
+    import numpy as np
+    import pyarrow.orc as po
+
+    from orc_format_ray.orcfile import write_orc
+    from orc_format_ray.orcread import read_orc_native
+
+    rng = np.random.default_rng(7)
+    vals = np.concatenate(
+        [np.full(5000, 42), rng.integers(-1000, 1000, 3000), np.arange(2000)]
+    ).astype(np.int64)
+    mask = rng.random(len(vals)) < 0.1
+    arr = pa.array([None if m else int(v) for v, m in zip(vals, mask)], pa.int64())
+    t = pa.table(
+        {
+            "x": arr,
+            "d": pa.array((np.arange(len(vals)) % 3000).astype(np.int32)).cast(pa.date32()),
+            "s": pa.array([f"v{i % 7}" for i in range(len(vals))]),
+        }
+    )
+    p1, p2, p3 = (str(tmp_path / f"{n}.orc") for n in ("v1", "v2", "v1b"))
+    write_orc(t, p1, stripe_rows=4000, int_rle="v1")
+    write_orc(t, p2, stripe_rows=4000, int_rle="v2")
+    write_orc(t, p3, stripe_rows=4000)  # default == v1, byte-identical
+    assert open(p1, "rb").read() == open(p3, "rb").read()
+    for reader in (lambda p: po.ORCFile(p).read(), read_orc_native):
+        back = reader(p2)
+        assert back["x"].to_pylist() == t["x"].to_pylist()
+        assert back["d"].to_pylist() == t["d"].to_pylist()
+        assert back["s"].to_pylist() == t["s"].to_pylist()
+    with pytest.raises(ValueError, match="int_rle"):
+        write_orc(t, str(tmp_path / "bad.orc"), int_rle="v3")
+
+
+def test_int_rle_v2_runlevel_pushdown(tmp_path):
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from orc_format_ray.orcfile import write_orc
+    from orc_format_ray.orcread import orc_int_column_aggregates
+
+    n = 30_000
+    t = pa.table(
+        {
+            "a": pa.array(np.arange(n, dtype=np.int64)),
+            "b": pa.array(np.full(n, 9, np.int64)),
+        }
+    )
+    p = str(tmp_path / "v2.orc")
+    write_orc(t, p, stripe_rows=10_000, int_rle="v2")
+    for col, exp in (("a", int(np.arange(n, dtype=np.int64).sum())), ("b", 9 * n)):
+        agg, st = orc_int_column_aggregates(p, col)
+        assert agg["sum"] == exp
+        assert st["runlevel_stripes"] == 3 and st["decoded_stripes"] == 0
+    # nulls force the exact decoded path (foreign writers may pad chunks)
+    mask = np.arange(n) % 11 == 0
+    arr = pa.array([None if m else int(v) for v, m in zip(np.arange(n), mask)], pa.int64())
+    p2 = str(tmp_path / "v2n.orc")
+    write_orc(pa.table({"x": arr}), p2, stripe_rows=10_000, int_rle="v2")
+    agg, st = orc_int_column_aggregates(p2, "x")
+    assert agg["sum"] == pc.sum(arr).as_py() and st["decoded_stripes"] == 3
