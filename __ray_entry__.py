@@ -7526,7 +7526,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orc_native_read_cpp": _q_orc_native_read_cpp,
         "bpe_pair_counts": _q_bpe_pair_counts,
         "tpch_q1_orc_lake": _q_tpch_q1_orc_lake,
-        "orc_pushdown_in_list": _q_orc_pushdown_in_list,
+        "tpch_q6_storage_triple": _q_tpch_q6_storage_triple,
         "orc_pushdown_disjunction": _q_orc_pushdown_disjunction,
         "orc_bloom_pushdown": _q_orc_bloom_pushdown,
         "minhash_dedup_planted": _q_minhash_dedup_planted,
@@ -7824,7 +7824,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orc_int_agg_pushdown": _q_orc_int_agg_pushdown,
         "avro_roundtrip_events": _q_avro_roundtrip_events,
         "ntok_agg_from_runs": _q_ntok_agg_from_runs,
-        "tpch_q6_storage_triple": _q_tpch_q6_storage_triple,
+        "orc_pushdown_in_list": _q_orc_pushdown_in_list,
         "pseudonymize_events": _q_pseudonymize_events,
         "source_counts_encoded": _q_source_counts_encoded,
     }
