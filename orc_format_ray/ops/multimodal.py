@@ -184,10 +184,11 @@ RECOMMENDED_BATCH_SIZE = 64  # large binary rows: keep batches small
 class DecodeImage:
     """binary payload -> (height, width, 3) uint8 pixels (flattened column).
 
-    Dispatch on magic bytes: BMP and PPM decode natively (real parsers
-    above, no library); other formats use PIL when importable; otherwise a
-    deterministic fake seeded by the payload hash (STUB — not a decoder;
-    ``strict=True`` raises instead of faking).
+    Dispatch on magic bytes: BMP, PPM and PNG decode natively (real
+    parsers above, no library — PNG covers 8-bit gray/RGB/RGBA/palette and
+    all five scanline filters); other formats use PIL when importable;
+    otherwise a deterministic fake seeded by the payload hash (STUB — not
+    a decoder; ``strict=True`` raises instead of faking).
     """
 
     def __init__(self, strict: bool = False):
@@ -204,6 +205,15 @@ class DecodeImage:
             return decode_bmp(data).reshape(-1)
         if data[:2] == b"P6":
             return decode_ppm(data).reshape(-1)
+        if data[:8] == _PNG_MAGIC:
+            px = decode_png(data)
+            if px.ndim == 2:  # gray -> RGB
+                px = np.repeat(px[:, :, None], 3, axis=2)
+            elif px.shape[2] == 2:  # gray+alpha -> RGB (alpha dropped)
+                px = np.repeat(px[:, :, :1], 3, axis=2)
+            elif px.shape[2] == 4:  # RGBA -> RGB (alpha dropped)
+                px = px[:, :, :3]
+            return np.ascontiguousarray(px).reshape(-1)
         if self._pil is not None:
             import io
 
@@ -387,20 +397,23 @@ def _synthetic_pixels(rng: np.random.Generator, h: int, w: int) -> np.ndarray:
 
 def synthetic_media_table(n: int = 32, seed: int = 11) -> pa.Table:
     """Deterministic REAL media rows matching IMAGE_SCHEMA: alternating
-    genuine BMP / PPM payloads (library-free formats the decoder parses for
-    real)."""
+    genuine BMP / PPM / PNG payloads (library-free formats the decoder
+    parses for real)."""
     rng = np.random.default_rng(seed)
     ids, payloads, mtypes, ws, hs = [], [], [], [], []
     for i in range(n):
         h = int(rng.integers(8, 64))
         w = int(rng.integers(8, 64))
         px = _synthetic_pixels(rng, h, w)
-        if i % 2 == 0:
+        if i % 3 == 0:
             payloads.append(encode_bmp(px))
             mtypes.append("image/bmp")
-        else:
+        elif i % 3 == 1:
             payloads.append(encode_ppm(px))
             mtypes.append("image/x-portable-pixmap")
+        else:
+            payloads.append(encode_png(px))
+            mtypes.append("image/png")
         ids.append(i)
         ws.append(w)
         hs.append(h)
@@ -596,3 +609,134 @@ def phash_near_dups(ds, max_distance: int = 3, max_bucket: int = 10_000):
         .groupby(["band", "key"])
         .map_groups(pairs, batch_format="pandas", **remote_args())
     )
+
+
+# ------------------------------------------------------------------- PNG
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> samples/px
+
+
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    import struct as _s
+    import zlib as _z
+
+    return (_s.pack(">I", len(payload)) + tag + payload
+            + _s.pack(">I", _z.crc32(tag + payload) & 0xFFFFFFFF))
+
+
+def encode_png(px: np.ndarray) -> bytes:
+    """uint8 pixels -> PNG. (h, w) -> grayscale; (h, w, 3) -> RGB;
+    (h, w, 4) -> RGBA. Scanlines use filter 0 (None) — a fully valid,
+    fully vectorized encoding; zlib does the compression."""
+    import struct as _s
+    import zlib as _z
+
+    a = np.ascontiguousarray(px, dtype=np.uint8)
+    if a.ndim == 2:
+        ctype, ch = 0, 1
+        a = a[:, :, None]
+    elif a.ndim == 3 and a.shape[2] == 3:
+        ctype, ch = 2, 3
+    elif a.ndim == 3 and a.shape[2] == 4:
+        ctype, ch = 6, 4
+    else:
+        raise ValueError(f"encode_png wants (h,w[,3|4]) uint8, got {px.shape}")
+    h, w = a.shape[:2]
+    raw = np.zeros((h, 1 + w * ch), np.uint8)  # per-row filter byte 0
+    raw[:, 1:] = a.reshape(h, w * ch)
+    idat = _z.compress(raw.tobytes(), 6)
+    ihdr = _s.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (_PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", idat) + _png_chunk(b"IEND", b""))
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo PNG scanline filters. Filters 0/1/2 vectorize (1 = per-channel
+    prefix sum mod 256); 3/4 (Average/Paeth) carry a left-pixel dependency
+    and walk pixels within their rows — correct for foreign files; this
+    engine's own encoder emits filter 0 only, so its decode path is fully
+    vectorized."""
+    rows = raw.reshape(h, 1 + stride)
+    ftypes = rows[:, 0]
+    out = np.zeros((h, stride), np.int64)
+    for y in range(h):
+        f = int(ftypes[y])
+        cur = rows[y, 1:].astype(np.int64)
+        prior = out[y - 1] if y else np.zeros(stride, np.int64)
+        if f == 0:
+            out[y] = cur
+        elif f == 1:  # Sub: prefix sum along each channel lane
+            lane = cur.reshape(-1, bpp)
+            out[y] = np.cumsum(lane, axis=0).reshape(-1) % 256
+        elif f == 2:  # Up
+            out[y] = (cur + prior) % 256
+        elif f == 3:  # Average (left dependency -> per-pixel walk)
+            o = out[y]
+            for x in range(stride):
+                left = o[x - bpp] if x >= bpp else 0
+                o[x] = (cur[x] + (left + prior[x]) // 2) % 256
+        elif f == 4:  # Paeth
+            o = out[y]
+            for x in range(stride):
+                a = o[x - bpp] if x >= bpp else 0
+                b = prior[x]
+                c = prior[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb_ and pa_ <= pc_) else (b if pb_ <= pc_ else c)
+                o[x] = (cur[x] + pred) % 256
+        else:
+            raise NotImplementedError(f"PNG filter type {f}")
+    return out.astype(np.uint8)
+
+
+def decode_png(b: bytes) -> np.ndarray:
+    """PNG -> uint8 pixels ((h, w) gray, (h, w, 2) gray+alpha, (h, w, 3)
+    RGB/palette, or (h, w, 4) RGBA). 8-bit depths, no interlace; palettes
+    resolve through PLTE. CRCs are verified per chunk (corrupt is loud)."""
+    import struct as _s
+    import zlib as _z
+
+    if not b.startswith(_PNG_MAGIC):
+        raise ValueError("not a PNG payload")
+    p = len(_PNG_MAGIC)
+    ihdr = None
+    idat = []
+    plte = None
+    while p < len(b):
+        (ln,) = _s.unpack(">I", b[p : p + 4])
+        tag = b[p + 4 : p + 8]
+        payload = b[p + 8 : p + 8 + ln]
+        (crc,) = _s.unpack(">I", b[p + 8 + ln : p + 12 + ln])
+        if _z.crc32(tag + payload) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch (corrupt file)")
+        if tag == b"IHDR":
+            ihdr = _s.unpack(">IIBBBBB", payload)
+        elif tag == b"IDAT":
+            idat.append(payload)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(payload, np.uint8).reshape(-1, 3)
+        elif tag == b"IEND":
+            break
+        p += 12 + ln
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0:
+        raise NotImplementedError(f"PNG depth={depth} compression={comp}: 8-bit only")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG")
+    if ctype not in _PNG_CHANNELS:
+        raise NotImplementedError(f"PNG color type {ctype}")
+    ch = _PNG_CHANNELS[ctype]
+    raw = np.frombuffer(_z.decompress(b"".join(idat)), np.uint8)
+    stride = w * ch
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG pixel payload size mismatch (corrupt file)")
+    out = _png_unfilter(raw, h, stride, ch)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        return plte[out.reshape(h, w)]
+    return out.reshape(h, w) if ch == 1 else out.reshape(h, w, ch)

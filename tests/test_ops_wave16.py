@@ -126,3 +126,105 @@ def test_dictionary_value_counts_strings_matches_decode():
 
     exp = collections.Counter(vals)
     assert {e.decode(): int(c) for e, c in zip(ents, counts)} == dict(exp)
+
+
+def test_png_roundtrip_all_color_types_and_filters():
+    """Real PNG codec: round-trips gray/RGB/RGBA, decodes a hand-filtered
+    file through every scanline filter, resolves palettes, and is loud on
+    CRC corruption and interlace."""
+    import struct
+    import zlib
+
+    from orc_format_ray.ops.multimodal import (
+        _PNG_MAGIC,
+        _png_chunk,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(2)
+    for shape in [(7, 5), (16, 9, 3), (4, 4, 4)]:
+        px = rng.integers(0, 256, shape).astype(np.uint8)
+        assert np.array_equal(decode_png(encode_png(px)), px)
+    # every filter type, against an independent per-pixel reference
+    w, h, ch = 4, 5, 3
+    px = rng.integers(0, 256, (h, w, ch)).astype(np.uint8)
+    stride = w * ch
+    rows, prior = [], np.zeros(stride, np.int64)
+    ref = px.reshape(h, stride).astype(np.int64)
+    for y, f in enumerate([0, 1, 2, 3, 4]):
+        cur, filt = ref[y], np.zeros(stride, np.int64)
+        for x in range(stride):
+            a = cur[x - ch] if x >= ch else 0
+            b = prior[x]
+            c = prior[x - ch] if x >= ch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb_ and pa_ <= pc_) else (b if pb_ <= pc_ else c)
+            filt[x] = (cur[x] - pred) % 256
+        rows.append(bytes([f]) + bytes(filt.astype(np.uint8)))
+        prior = cur
+    blob = (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(rows), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(blob), px)
+    # palette
+    plte = rng.integers(0, 256, (4, 3)).astype(np.uint8)
+    idx = rng.integers(0, 4, (3, 6)).astype(np.uint8)
+    raw = np.zeros((3, 7), np.uint8)
+    raw[:, 1:] = idx
+    blob = (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 6, 3, 8, 3, 0, 0, 0))
+        + _png_chunk(b"PLTE", plte.tobytes())
+        + _png_chunk(b"IDAT", zlib.compress(raw.tobytes()))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(blob), plte[idx])
+    bad = bytearray(encode_png(px))
+    bad[20] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
+    inter = (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="Adam7"):
+        decode_png(inter)
+
+
+def test_decode_image_dispatches_png(ray_session):
+    from orc_format_ray.ops import multimodal
+
+    tbl = multimodal.synthetic_media_table(18)
+    assert "image/png" in set(tbl["media_type"].to_pylist())
+    import ray.data
+
+    out = (
+        ray.data.from_arrow(tbl)
+        .map_batches(
+            multimodal.DecodeImage(strict=True),
+            batch_size=8,
+            batch_format="pyarrow",
+            concurrency=2,
+        )
+        .to_pandas()
+    )
+    assert len(out) == 18
+    # strict=True proves every payload (incl. PNG) decoded natively;
+    # pixel byte count matches h*w*3 per row
+    for r in out.itertuples():
+        assert len(r.pixels) == r.width * r.height * 3
