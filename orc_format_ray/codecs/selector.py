@@ -59,11 +59,22 @@ INT_CODECS = {
 }
 
 
-def register_int_codec(name: str, encode_fn, decode_fn) -> None:
+_NON_DEFAULT_INT = set()  # decodable always, selected only by explicit menu
+
+
+def register_int_codec(name: str, encode_fn, decode_fn, selectable: bool = True) -> None:
     """Extension surface (parity with the reference's pluggable
     CompressionTrait, reference src/writer/compression/common.rs:6-14):
-    registered codecs join the auto-selection menu and stripe decode."""
+    registered codecs join the auto-selection menu and stripe decode.
+    ``selectable=False`` registers decode/encode WITHOUT joining the
+    default menu (archival-tier codecs like rANS: best-in-class sizes but
+    the wrong decode-speed trade for the hot path — callers opt in via
+    ``menu=ARCHIVE_INT_MENU``)."""
     INT_CODECS[name] = (encode_fn, decode_fn)
+    if not selectable:
+        _NON_DEFAULT_INT.add(name)
+    else:
+        _NON_DEFAULT_INT.discard(name)
 
 
 def register_string_codec(name: str, encode_fn, decode_fn) -> None:
@@ -96,7 +107,7 @@ def _post_compression_size(b: bytes) -> int:
 
 def select_int_codec(v: np.ndarray, menu: list[str] | None = None) -> str:
     """Pick the int codec minimizing estimated post-compression bytes on a sample."""
-    menu = menu or list(INT_CODECS)
+    menu = menu or [n for n in INT_CODECS if n not in _NON_DEFAULT_INT]
     if len(v) == 0:
         return "rle_v2"
     s = _sample_ints(np.asarray(v))  # keep native width for the fast paths
@@ -254,6 +265,43 @@ def _raw_float_decode(b: bytes) -> np.ndarray:
     dtype = _byte_split._CODE_DTYPES[int(buf[p])]
     p += 1
     return np.frombuffer(b, dtype=dtype, count=n, offset=p)
+
+
+from . import rans as _rans
+
+register_int_codec(
+    "rans",
+    lambda v: _rans.encode(v, signed=True),
+    lambda b: _rans.decode(b, signed=True),
+    selectable=False,
+)
+
+def archive_int_menu() -> list[str]:
+    """The cold-tier menu: every default codec plus rANS entropy coding
+    (rANS wins high-entropy token streams by ~10-35% post-zstd, at
+    ~5 M values/s decode; see codecs/rans.py)."""
+    return list(INT_CODECS)
+
+
+def select_archive_int_codec(v: np.ndarray) -> str:
+    """Cold-tier codec pick: post-zstd argmin over the FULL column (no
+    sampling). Table-bearing codecs (rANS) amortize their symbol table
+    over the whole column, so a small sample systematically undercounts
+    them — and archival writes can afford one full trial encode per menu
+    entry."""
+    v = np.asarray(v)
+    if len(v) == 0:
+        return "rle_v2"
+    best_name, best_size = None, None
+    for name in archive_int_menu():
+        enc, _ = INT_CODECS[name]
+        try:
+            size = _post_compression_size(enc(v))
+        except Exception:
+            continue
+        if best_size is None or size < best_size:
+            best_name, best_size = name, size
+    return best_name or "rle_v2"
 
 
 FLOAT_CODECS = {

@@ -343,3 +343,49 @@ def test_stripe_column_int_aggregates_matches_pairs():
     assert column_int_aggregates(blob, "tokens")["sum"] == int(flat.sum())
     assert column_int_aggregates(blob, "const") == {
         "n": 400, "sum": -1200, "min": -3, "max": -3}
+
+
+def test_rans_roundtrip_and_archive_selection():
+    """Interleaved static-rANS: exact round-trips across shapes and signs,
+    loud on over-capacity alphabets; the archive menu picks it on token
+    streams (post-zstd argmin over the FULL column) while the DEFAULT menu
+    never does (hot-path decode speed contract)."""
+    import zlib
+
+    from orc_format_ray.codecs import int_rle_v1, rans, selector
+
+    rng = np.random.default_rng(5)
+    cases = [
+        np.zeros(0, np.int64),
+        np.array([7], np.int64),
+        np.array([np.iinfo(np.int64).min, np.iinfo(np.int64).max], np.int64),
+        (rng.zipf(1.3, 100_000) % 50257).astype(np.int64),
+        rng.integers(-1000, 1000, 50_000),
+        np.full(10_000, -3, np.int64),
+        rng.integers(0, 2, 30_000),
+    ]
+    for v in cases:
+        assert np.array_equal(rans.decode(rans.encode(v)), v)
+    toks = cases[3]
+    # the entropy win is real post-compression
+    assert len(zlib.compress(rans.encode(toks), 6)) < 0.95 * len(
+        zlib.compress(int_rle_v1.encode(toks, signed=True), 6)
+    )
+    assert selector.select_int_codec(toks) != "rans"  # default menu: never
+    assert selector.select_archive_int_codec(toks) == "rans"
+    # registered for decode regardless of menu membership
+    assert np.array_equal(
+        selector.decode_ints(selector.encode_ints(toks, "rans"), "rans"), toks
+    )
+    with pytest.raises(ValueError, match="alphabet capacity"):
+        rans.encode(np.arange(1 << 15, dtype=np.int64))  # 32768 distinct > M/4
+
+
+def test_rans_lane_interleave_edge_counts():
+    """Lane coverage: lengths around the K=256 lane count and non-multiples."""
+    from orc_format_ray.codecs import rans
+
+    rng = np.random.default_rng(9)
+    for n in (1, 2, 255, 256, 257, 511, 513, 1000):
+        v = rng.integers(-50, 50, n)
+        assert np.array_equal(rans.decode(rans.encode(v)), v), n
