@@ -46,11 +46,12 @@ class EncodePartition:
     columns skip re-sampling on subsequent partitions handled by this actor.
     """
 
-    def __init__(self, out_dir: str, compression: str = "zstd", level: int = 3, row_index_stride: int | None = 10_000):
+    def __init__(self, out_dir: str, compression: str = "zstd", level: int = 3, row_index_stride: int | None = 10_000, archive: bool = False):
         self.out_dir = out_dir
         self.compression = compression
         self.level = level
         self.row_index_stride = row_index_stride
+        self.archive = archive
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = batch.to_pylist()
@@ -60,7 +61,7 @@ class EncodePartition:
             t0 = time.perf_counter()
             tbl = read_partition(spec)
             t_read = time.perf_counter() - t0
-            blob, meta = encode_table(tbl, self.compression, self.level, row_index_stride=self.row_index_stride)
+            blob, meta = encode_table(tbl, self.compression, self.level, row_index_stride=self.row_index_stride, archive=self.archive)
             t_enc = time.perf_counter() - t0 - t_read
             sp = mf.stripe_path(self.out_dir, spec.pid)
             mf.write_blob_atomic(sp, blob)
@@ -94,9 +95,9 @@ class EncodePartition:
         return pa.Table.from_pylist(out)
 
 
-def _encode_spec_batch(batch: pa.Table, out_dir: str, compression: str, level: int) -> pa.Table:
+def _encode_spec_batch(batch: pa.Table, out_dir: str, compression: str, level: int, archive: bool = False) -> pa.Table:
     """Stateless task body: delegates to the same per-spec encode logic."""
-    return EncodePartition(out_dir, compression, level)(batch)
+    return EncodePartition(out_dir, compression, level, archive=archive)(batch)
 
 
 def encode_dataset(
@@ -110,8 +111,14 @@ def encode_dataset(
     exact_ntok: bool = True,
     use_actors: bool = False,
     verify_crc: bool = False,
+    archive: bool = False,
 ) -> dict:
-    """Encode a tokens-table parquet corpus into stripes. Returns a summary."""
+    """Encode a tokens-table parquet corpus into stripes. Returns a summary.
+
+    ``archive=True`` selects integer codecs from the cold-tier menu
+    (full-column post-zstd argmin INCLUDING rANS entropy coding — smaller
+    lakes, ~order-slower token decode; see codecs/rans.py). Default False
+    keeps the hot-path menu and existing lakes bit-identical."""
     import ray.data
 
     if isinstance(input_paths, str):
@@ -155,7 +162,7 @@ def encode_dataset(
                 concurrency = max(1, min(len(todo), int(ray.available_resources().get("CPU", 8))))
             lineage = ds.map_batches(
                 EncodePartition,
-                fn_constructor_kwargs={"out_dir": out_dir, "compression": compression, "level": level},
+                fn_constructor_kwargs={"out_dir": out_dir, "compression": compression, "level": level, "archive": archive},
                 batch_format="pyarrow",
                 batch_size=1,
                 concurrency=concurrency,
@@ -166,7 +173,7 @@ def encode_dataset(
             # ActorPool operator on this workload (per-stripe state resets
             # anyway, mirroring the reference's per-stripe reset at
             # src/writer/stripe.rs:109), and elastic with the cluster.
-            fn = functools.partial(_encode_spec_batch, out_dir=out_dir, compression=compression, level=level)
+            fn = functools.partial(_encode_spec_batch, out_dir=out_dir, compression=compression, level=level, archive=archive)
             lineage = ds.map_batches(fn, batch_format="pyarrow", batch_size=1, **remote_args())
         results.extend(lineage.take_all())  # tiny: one row per partition
 

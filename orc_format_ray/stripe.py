@@ -195,11 +195,15 @@ def encode_decimal_stream(valid: pa.Array) -> bytes:
     return varint_encode_bigint(slow)
 
 
-def encode_column(arr: pa.Array, name: str, force: dict | None = None) -> dict:
+def encode_column(arr: pa.Array, name: str, force: dict | None = None,
+                  archive: bool = False) -> dict:
     """Encode one column (recursively) -> node dict with raw stream bytes.
 
     ``force`` optionally pins codec choices ({"DATA": name}) so row-group
     chunks of one column share the selection made on the first chunk.
+    ``archive`` switches integer DATA selection to the cold-tier menu
+    (``selector.select_archive_int_codec``: full-column post-zstd argmin
+    including rANS — best sizes, slower decode; hot lakes keep False).
     """
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
@@ -224,7 +228,9 @@ def encode_column(arr: pa.Array, name: str, force: dict | None = None) -> dict:
         # keep the native width: int32 token streams take the 32-bit-wide
         # encoder fast path (half the memory traffic, identical bytes)
         v = valid.to_numpy(zero_copy_only=False)
-        codec = (force or {}).get("DATA") or selector.select_int_codec(v)
+        codec = (force or {}).get("DATA") or (
+            selector.select_archive_int_codec(v) if archive else selector.select_int_codec(v)
+        )
         node["encoding"]["DATA"] = codec
         node["streams"]["DATA"] = selector.encode_ints(v, codec)
     elif pa.types.is_boolean(t):
@@ -284,18 +290,18 @@ def encode_column(arr: pa.Array, name: str, force: dict | None = None) -> dict:
         lcodec = (force or {}).get("LENGTH") or selector.select_int_codec(lv)
         node["streams"]["LENGTH"] = selector.encode_ints(lv, lcodec)
         node["encoding"]["LENGTH"] = lcodec
-        node["children"].append(encode_column(valid.combine_chunks().flatten() if isinstance(valid, pa.ChunkedArray) else valid.flatten(), "item", _child_force(force, 0)))
+        node["children"].append(encode_column(valid.combine_chunks().flatten() if isinstance(valid, pa.ChunkedArray) else valid.flatten(), "item", _child_force(force, 0), archive=archive))
     elif pa.types.is_struct(t):
         for i, f in enumerate(t):
             child = valid.field(i) if hasattr(valid, "field") else pc.struct_field(valid, i)
-            node["children"].append(encode_column(child, f.name, _child_force(force, i)))
+            node["children"].append(encode_column(child, f.name, _child_force(force, i), archive=archive))
     elif pa.types.is_map(t):
         lv, keys, items = map_entries(arr)
         lcodec = (force or {}).get("LENGTH") or selector.select_int_codec(lv)
         node["streams"]["LENGTH"] = selector.encode_ints(lv, lcodec)
         node["encoding"]["LENGTH"] = lcodec
-        node["children"].append(encode_column(keys, "key", _child_force(force, 0)))
-        node["children"].append(encode_column(items, "value", _child_force(force, 1)))
+        node["children"].append(encode_column(keys, "key", _child_force(force, 0), archive=archive))
+        node["children"].append(encode_column(items, "value", _child_force(force, 1), archive=archive))
     elif pa.types.is_union(t):
         # dense union: ByteRLE over child-index tags (reference union.rs:117-126)
         type_codes = np.frombuffer(arr.buffers()[1], dtype=np.int8)[arr.offset : arr.offset + len(arr)]
@@ -304,7 +310,7 @@ def encode_column(arr: pa.Array, name: str, force: dict | None = None) -> dict:
         node["streams"]["TAGS"] = byte_rle.encode(tags)
         node["encoding"]["TAGS"] = "byte_rle"
         for i, f in enumerate(t):
-            node["children"].append(encode_column(arr.field(i), f.name, _child_force(force, i)))
+            node["children"].append(encode_column(arr.field(i), f.name, _child_force(force, i), archive=archive))
     else:
         raise NotImplementedError(f"column type {t} not supported")
     return node
@@ -522,6 +528,7 @@ def encode_table(
     level: int = 3,
     row_index_stride: int | None = None,
     config: EncoderConfig | None = None,
+    archive: bool = False,
 ) -> tuple[bytes, dict]:
     """Encode a Table into a stripe blob. Returns (bytes, meta summary).
 
@@ -546,7 +553,7 @@ def encode_table(
             chunks = []
             force = None
             for lo in range(0, n_rows, row_index_stride):
-                sub = encode_column(col.slice(lo, min(row_index_stride, n_rows - lo)), name, force)
+                sub = encode_column(col.slice(lo, min(row_index_stride, n_rows - lo)), name, force, archive=archive)
                 if force is None:
                     force = _extract_force(sub)
                 chunks.append(sub)
@@ -562,7 +569,7 @@ def encode_table(
             }
             roots.append(root)
         else:
-            roots.append(encode_column(col, name))
+            roots.append(encode_column(col, name, archive=archive))
 
     all_nodes: list[dict] = []
     for r in roots:

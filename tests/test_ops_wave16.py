@@ -228,3 +228,53 @@ def test_decode_image_dispatches_png(ray_session):
     # pixel byte count matches h*w*3 per row
     for r in out.itertuples():
         assert len(r.pixels) == r.width * r.height * 3
+
+
+def test_archive_encode_roundtrip_and_smaller(ray_session, tmp_path):
+    """encode_dataset(archive=True): cold-tier codec selection (rANS in
+    the menu, full-column argmin) round-trips bit-exact through the
+    standard decode path and lands a smaller lake on zipf token data."""
+    import pyarrow.parquet as pq
+
+    from orc_format_ray.pipelines import encode as enc
+
+    rng = np.random.default_rng(6)
+    toks = [
+        (rng.zipf(1.3, int(rng.integers(30, 120))) % 50257).astype(np.int32)
+        for _ in range(1500)
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([f"d{i:05d}" for i in range(len(toks))]),
+            "tokens": pa.array([t.tolist() for t in toks], pa.list_(pa.int32())),
+            "n_tok": pa.array([len(t) for t in toks], pa.int32()),
+            "source": pa.array(["s" + str(i % 3) for i in range(len(toks))]),
+        }
+    )
+    src = str(tmp_path / "tokens.parquet")
+    pq.write_table(tbl, src, row_group_size=256)
+
+    out_hot = str(tmp_path / "hot")
+    out_cold = str(tmp_path / "cold")
+    enc.encode_dataset([src], out_hot, budget_bytes=1 << 20)
+    enc.encode_dataset([src], out_cold, budget_bytes=1 << 20, archive=True)
+
+    import glob as g
+
+    hot_bytes = sum(len(open(p, "rb").read()) for p in g.glob(out_hot + "/*.stripe"))
+    cold_bytes = sum(len(open(p, "rb").read()) for p in g.glob(out_cold + "/*.stripe"))
+    assert cold_bytes <= hot_bytes  # rANS wins or ties on zipf tokens
+
+    back = (
+        enc.decode_dataset(out_cold)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(back) == len(tbl)
+    want = tbl.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert back["n_tok"].tolist() == want["n_tok"].tolist()
+    assert all(
+        np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(back["tokens"], want["tokens"])
+    )
