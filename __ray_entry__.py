@@ -7478,6 +7478,58 @@ def _q_source_counts_encoded(sf_dir: str):
     return out.sort_values("source", kind="mergesort").reset_index(drop=True)
 
 
+def _q_native_pushdown_docid(sf_dir: str):
+    """Native-lake predicate pushdown (pipelines/encode.
+    decode_dataset_filtered): header-only stats prune whole stripes, chunk
+    stats prune row groups, an exact Arrow filter decides rows. The scratch
+    lake is doc_id-sorted, so a string-range predicate must prune files —
+    asserted in-query (the non-SQL half). Output: count + token sum of the
+    surviving docs, hash-matched against the tokenizer-parity SQL."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from orc_format_ray._rayutil import remote_args
+    from orc_format_ray.pipelines import encode as enc
+
+    import pyarrow.parquet as pq
+
+    from orc_format_ray.pipelines import tokens as tok
+
+    # own multi-stripe scratch: fine row groups + a small budget guarantee
+    # several doc_id-ordered stripes at every sf (idempotent: write-if-missing
+    # + encode resume)
+    scratch = _scratch(sf_dir, "pushdown")
+    tok_path = os.path.join(scratch, "tokens.parquet")
+    if not os.path.exists(tok_path):
+        os.makedirs(scratch, exist_ok=True)
+        tbl = _table(tok.tokenize_documents(sf_dir)).sort_by("doc_id")
+        pq.write_table(tbl, tok_path, row_group_size=64)
+    out_dir = os.path.join(scratch, "stripes")
+    enc.encode_dataset([tok_path], out_dir, budget_bytes=24 * 1024)
+
+    ds, plan = enc.decode_dataset_filtered(
+        out_dir, ("doc_id", ">=", "src15"), columns=["doc_id", "n_tok"]
+    )
+    assert plan["files_total"] > 1 and plan["files_read"] < plan["files_total"], plan
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow as pa
+
+        nt = batch["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"n_p": pa.array([len(nt)], pa.int64()), "s_p": pa.array([int(nt.sum())], pa.int64())}
+        )
+
+    per = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args()).to_pandas()
+    n = int(per["n_p"].sum()) if len(per) else 0
+    s = int(per["s_p"].sum()) if len(per) else 0
+    return pd.DataFrame({"n_docs": pd.Series([n], dtype="int64"),
+                         "sum_n_tok": pd.Series([s], dtype="int64")})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
     # (VERDICT r3 "What's wrong" #2), so the window below is curated for
@@ -7827,6 +7879,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orc_pushdown_in_list": _q_orc_pushdown_in_list,
         "pseudonymize_events": _q_pseudonymize_events,
         "source_counts_encoded": _q_source_counts_encoded,
+        "native_pushdown_docid": _q_native_pushdown_docid,
     }
 
 
@@ -10708,5 +10761,12 @@ def oracle_sql() -> dict[str, str]:
         "source_counts_encoded": (
             "SELECT source, CAST(count(*) AS BIGINT) AS n_docs "
             "FROM documents GROUP BY source ORDER BY source"
+        ),
+        # native-lake predicate pushdown: doc_id = source || '/' || id (the
+        # seek_row_range composite); ASCII-safe code-point compare
+        "native_pushdown_docid": (
+            f"SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+            f"CAST(COALESCE(sum({_TOKCOUNT_SQL}), 0) AS BIGINT) AS sum_n_tok "
+            "FROM documents WHERE source || '/' || CAST(doc_id AS VARCHAR) >= 'src15'"
         ),
     }

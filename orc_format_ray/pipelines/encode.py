@@ -506,3 +506,206 @@ def string_value_counts_dataset(out_dir: str, column: str):
             Max("direct_p", alias_name="direct_seen"),
         )
     )
+
+
+# ------------------------------------------------- predicate pushdown reads
+
+_PRED_OPS = ("==", "<", "<=", ">", ">=", "in")
+
+
+def _pred_dnf(predicate):
+    """Normalize the house predicate grammar (one triple / list-of-triples
+    AND / list-of-lists DNF — the read_orc_filtered rules) to DNF."""
+    if isinstance(predicate, tuple):
+        return [[predicate]]
+    if isinstance(predicate, list) and predicate and isinstance(predicate[0], tuple):
+        return [list(predicate)]
+    if isinstance(predicate, list) and predicate and isinstance(predicate[0], list):
+        return [list(c) for c in predicate]
+    raise ValueError("predicate must be a triple, a list of triples, or a DNF list of lists")
+
+
+def _stats_may_match(op, value, st: dict) -> bool:
+    """Conservative range check against a stripe/chunk stats dict. Unknown
+    kinds (timestamp millis-floor, generic) never prune — correctness
+    first; the exact post-filter decides."""
+    kind = st.get("kind")
+    mn, mx = st.get("min"), st.get("max")
+    if kind not in ("long", "double", "string") or mn is None or mx is None:
+        return True
+    vals = value if op == "in" else [value]
+    member = "==" if op == "in" else op
+    for v in vals:
+        try:
+            if member == "==" and mn <= v <= mx:
+                return True
+            if member == "<" and mn < v:
+                return True
+            if member == "<=" and mn <= v:
+                return True
+            if member == ">" and mx > v:
+                return True
+            if member == ">=" and mx >= v:
+                return True
+        except TypeError:  # cross-type compare: never prune
+            return True
+    return False
+
+
+def _read_stripe_header(path: str):
+    """Header-only read: the native blob leads with magic + varint(len) +
+    header JSON, so pruning needs no payload bytes."""
+    from ..stripe import read_header
+
+    size = os.path.getsize(path)
+    want = min(size, 1 << 16)
+    with open(path, "rb") as f:
+        buf = f.read(want)
+        while True:
+            try:
+                return read_header(buf)[0]
+            except (ValueError, KeyError, Exception):
+                if len(buf) >= size:
+                    raise
+                buf += f.read(min(size - len(buf), max(len(buf), 1 << 16)))
+
+
+def decode_dataset_filtered(
+    out_dir: str,
+    predicate,
+    columns: list[str] | None = None,
+):
+    """Predicate-pushdown streaming read of a stripe lake: files prune from
+    HEADER-ONLY reads (stripe stats; payload bytes untouched), surviving
+    stripes prune at CHUNK (row-group) level inside the task and decode
+    only covering ranges, and an exact Arrow filter decides every row (the
+    read_orc_filtered contract: stats only PRUNE, never admit). Returns
+    ``(Dataset, plan)`` where plan reports files_total/files_read and the
+    per-file decision, so callers can assert pruning engaged.
+
+    Grammar: one ``(col, op, value)`` triple; a list of triples ANDs; a
+    list of LISTS is DNF (OR of ANDs). Ops: == < <= > >= in. Timestamp
+    columns never prune (their stats are floor-millis — conservative),
+    but still filter exactly."""
+    import functools
+
+    import pyarrow.compute as pc
+    import ray.data
+
+    from .._rayutil import remote_args
+    from ..stripe import decode_stripe, read_header
+
+    dnf = _pred_dnf(predicate)
+    for conj in dnf:
+        for col, op, _v in conj:
+            if op not in _PRED_OPS:
+                raise ValueError(f"unsupported predicate op {op!r}")
+
+    pred_cols = sorted({c for conj in dnf for c, _o, _v in conj})
+    paths = sorted(glob.glob(os.path.join(out_dir, "*.stripe")))
+    keep_paths = []
+    for p in paths:
+        header = _read_stripe_header(p)
+        by_name = {r["name"]: r for r in header["columns"]}
+        ok = any(
+            all(
+                _stats_may_match(op, v, by_name[col]["stats"]) if col in by_name else True
+                for col, op, v in conj
+            )
+            for conj in dnf
+        )
+        if ok:
+            keep_paths.append(p)
+    plan = {"files_total": len(paths), "files_read": len(keep_paths)}
+
+    read_cols = None
+    if columns is not None:
+        read_cols = sorted(set(columns) | set(pred_cols))
+
+    def task(batch: pa.Table) -> pa.Table:
+        outs = []
+        for pth in batch["path"]:
+            blob = open(pth.as_py(), "rb").read()
+            header, _ = read_header(blob)
+            by_name = {r["name"]: r for r in header["columns"]}
+            n = header["num_rows"]
+            # chunk-level prune where every referenced column is chunked
+            # at one shared stride
+            ranges = [(0, n)]
+            chunked = [by_name[c] for c in pred_cols if c in by_name and "chunks" in by_name[c]]
+            if chunked and all("chunks" in by_name.get(c, {}) for c in pred_cols if c in by_name):
+                strides = {r["stride"] for r in chunked}
+                counts = {len(r["chunks"]) for r in chunked}
+                if len(strides) == 1 and len(counts) == 1:
+                    stride = strides.pop()
+                    n_chunks = counts.pop()
+                    keep = []
+                    for k in range(n_chunks):
+                        ok = any(
+                            all(
+                                _stats_may_match(
+                                    op, v, by_name[col]["chunks"][k]["stats"]
+                                ) if col in by_name else True
+                                for col, op, v in conj
+                            )
+                            for conj in dnf
+                        )
+                        keep.append(ok)
+                    ranges = []
+                    k = 0
+                    while k < n_chunks:
+                        if keep[k]:
+                            j = k
+                            while j + 1 < n_chunks and keep[j + 1]:
+                                j += 1
+                            ranges.append((k * stride, min((j + 1) * stride, n)))
+                            k = j + 1
+                        else:
+                            k += 1
+            for lo, hi in ranges:
+                tbl = decode_stripe(blob, columns=read_cols, row_range=(lo, hi))
+                mask = None
+                for conj in dnf:
+                    cmask = None
+                    for col, op, v in conj:
+                        if col not in tbl.column_names:
+                            continue  # evolved-away column: no constraint
+                        if op == "in":
+                            m = pc.is_in(tbl[col], value_set=pa.array(v))
+                        else:
+                            ops = {"==": pc.equal, "<": pc.less, "<=": pc.less_equal,
+                                   ">": pc.greater, ">=": pc.greater_equal}
+                            m = ops[op](tbl[col], pa.scalar(v, tbl[col].type))
+                        cmask = m if cmask is None else pc.and_kleene(cmask, m)
+                    if cmask is None:
+                        cmask = pa.array(np.ones(len(tbl), bool))
+                    mask = cmask if mask is None else pc.or_kleene(mask, cmask)
+                tbl = tbl.filter(pc.fill_null(mask, False))
+                if columns is not None:
+                    tbl = tbl.select([c for c in columns if c in tbl.column_names])
+                outs.append(tbl)
+        if not outs:
+            # typed-empty: decode 0 rows of the first path's schema
+            blob = open(batch["path"][0].as_py(), "rb").read()
+            t0 = decode_stripe(blob, columns=read_cols, row_range=(0, 0))
+            if columns is not None:
+                t0 = t0.select([c for c in columns if c in t0.column_names])
+            return t0
+        return pa.concat_tables(outs, promote_options="default")
+
+    if not keep_paths:
+        # all files pruned: empty Dataset with the right schema from any header
+        src = paths[0] if paths else None
+        if src is None:
+            raise FileNotFoundError(f"no .stripe files under {out_dir}")
+        blob = open(src, "rb").read()
+        t0 = decode_stripe(blob, columns=read_cols, row_range=(0, 0))
+        if columns is not None:
+            t0 = t0.select([c for c in columns if c in t0.column_names])
+        return ray.data.from_arrow(t0), plan
+
+    ds = ray.data.from_items([{"path": p} for p in keep_paths])
+    return (
+        ds.map_batches(task, batch_format="pyarrow", batch_size=1, **remote_args()),
+        plan,
+    )

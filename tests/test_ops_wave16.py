@@ -278,3 +278,54 @@ def test_archive_encode_roundtrip_and_smaller(ray_session, tmp_path):
         np.array_equal(np.asarray(a), np.asarray(b))
         for a, b in zip(back["tokens"], want["tokens"])
     )
+
+
+def test_decode_dataset_filtered_prunes_and_filters(ray_session, tmp_path):
+    """Native-lake predicate pushdown: header-only file pruning + chunk
+    pruning + exact post-filter; DNF grammar; typed-empty all-pruned."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from orc_format_ray.pipelines import encode as enc
+
+    rng = np.random.default_rng(3)
+    rows = 40_000
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(rows, dtype=np.int64)),
+            "tokens": pa.array(
+                [[int(x)] * 3 for x in rng.integers(0, 100, rows)], pa.list_(pa.int64())
+            ),
+            "n_tok": pa.array(np.full(rows, 3, np.int64)),
+            "source": pa.array([f"s{i % 4}" for i in range(rows)]),
+        }
+    )
+    src = str(tmp_path / "t.parquet")
+    pq.write_table(tbl, src, row_group_size=2048)
+    out = str(tmp_path / "stripes")
+    enc.encode_dataset([src], out, budget_bytes=60_000)
+    assert len(glob.glob(out + "/*.stripe")) > 3
+
+    ds, plan = enc.decode_dataset_filtered(
+        out, ("doc_id", ">=", 39_000), columns=["doc_id", "source"]
+    )
+    df = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert df["doc_id"].tolist() == list(range(39_000, rows))
+    assert list(df.columns) == ["doc_id", "source"]
+    assert plan["files_read"] < plan["files_total"]  # sorted lake: stats prune
+
+    ds2, _ = enc.decode_dataset_filtered(
+        out, [[("doc_id", "<", 10), ("source", "==", "s1")], [("doc_id", "in", [39999, 5])]]
+    )
+    got = sorted(ds2.to_pandas()["doc_id"].tolist())
+    assert got == sorted({1, 5, 9, 39999})
+
+    ds3, plan3 = enc.decode_dataset_filtered(out, ("doc_id", ">", 10**9), columns=["doc_id"])
+    assert ds3.schema().names == ["doc_id"] and ds3.count() == 0
+    assert plan3["files_read"] == 0
+
+    with pytest.raises(ValueError, match="predicate"):
+        enc.decode_dataset_filtered(out, "doc_id > 5")
+    with pytest.raises(ValueError, match="op"):
+        enc.decode_dataset_filtered(out, ("doc_id", "!=", 5))
