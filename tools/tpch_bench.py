@@ -36,7 +36,13 @@ def main() -> None:
     import __ray_entry__ as entry
 
     qs, osql = entry.queries(), entry.oracle_sql()
-    names = [n for n in qs if n.startswith(("tpch_", "shared_scan", "multi_agg_scan"))]
+    names = [
+        n for n in qs
+        if n.startswith(("tpch_", "shared_scan", "multi_agg_scan"))
+        and not n.endswith("_storage_triple")  # writes two lakes per rep —
+        # a storage-independence check, not a comparable query timing
+        and n != "tpch_q1_orc_lake"  # likewise: lake write dominates
+    ]
 
     con = duckdb.connect()
     con.execute(f"SET threads = {args.cpus}")
