@@ -3890,8 +3890,10 @@ def _q_phash_near_dups_planted(sf_dir: str):
 
     base = mm.synthetic_media_table(48, seed=41)
     rng = np.random.default_rng(7)
+    # pick BMP rows by media_type (the synthetic table rotates BMP/PPM/PNG)
+    bmp_rows = [i for i, t in enumerate(base["media_type"].to_pylist()) if t == "image/bmp"]
     ids, payloads, types, ws, hs = [], [], [], [], []
-    for src_idx, new_id in ((0, 1000), (2, 1001), (4, 1002)):
+    for src_idx, new_id in ((bmp_rows[0], 1000), (bmp_rows[1], 1001), (bmp_rows[2], 1002)):
         px = mm.decode_bmp(base["payload"][src_idx].as_py()).astype(np.int64)
         px2 = np.clip(px + rng.integers(-1, 2, px.shape), 0, 255).astype(np.uint8)
         ids.append(new_id)

@@ -4563,9 +4563,11 @@ def test_phash_near_dups(ray_session):
 
     base = synthetic_media_table(n=24, seed=41)
     # plant near-dups: re-encode two BMP images with tiny pixel noise
+    # (pick BMP rows by media_type — the table rotates BMP/PPM/PNG)
+    bmp_rows = [i for i, ty in enumerate(base["media_type"].to_pylist()) if ty == "image/bmp"]
     rng = np.random.default_rng(7)
     extra_ids, extra_payloads, extra_w, extra_h, extra_t = [], [], [], [], []
-    for src_idx, new_id in ((0, 100), (2, 101)):
+    for src_idx, new_id in ((bmp_rows[0], 100), (bmp_rows[1], 101)):
         px = decode_bmp(base["payload"][src_idx].as_py()).astype(np.int64)
         noise = rng.integers(-1, 2, px.shape)
         px2 = np.clip(px + noise, 0, 255).astype(np.uint8)
@@ -4583,7 +4585,7 @@ def test_phash_near_dups(ray_session):
     ds = ray.data.from_arrow(tbl).repartition(4)
     out = phash_near_dups(ds, max_distance=3).to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
     got = set(zip(out["id_a"], out["id_b"]))
-    assert (0, 100) in got and (2, 101) in got, got
+    assert (bmp_rows[0], 100) in got and (bmp_rows[1], 101) in got, got
     # exact copies are distance 0; hash is deterministic across actors
     ph = PerceptualHash()
     b0 = base["payload"][0].as_py()
