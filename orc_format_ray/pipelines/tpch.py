@@ -2320,7 +2320,11 @@ def q21_waiting_suppliers(
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderstatus"]
     ).map_batches(orders_f, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-    fpairs = hash_join(pairs, orders, key="o_orderkey")
+    # fpairs feeds BOTH the per-order stats groupby and the join-back below;
+    # without materialize Ray re-executes the lineitem scan + bucket join
+    # once per consumer (shared sub-DAGs are not cached). The table is
+    # metadata-scale: (orderkey, suppkey, max_ship) per 'F'-order pair.
+    fpairs = hash_join(pairs, orders, key="o_orderkey").materialize()
 
     from ray.data.aggregate import Count, Min, Sum
 
