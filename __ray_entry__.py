@@ -7532,6 +7532,96 @@ def _q_native_pushdown_docid(sf_dir: str):
                          "sum_n_tok": pd.Series([s], dtype="int64")})
 
 
+def _q_calibration_bins_scores(sf_dir: str):
+    """Score-calibration report: quantized linear-head scores (ops/infer.
+    linear_score — exact int64 units) bucket into 10 global equi-depth
+    bins (ops/agg.quantile_bucketize — the pinned SQL-ntile front-loaded
+    rule, (units, vec_id) order) and each bin reports its size, positive
+    count and positive rate (ONE exact-int division) plus its exact unit
+    range — the standard reliability-diagram table. The SQL oracle
+    composes the identical score CTE with ntile(10) OVER (ORDER BY su,
+    vec_id)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Max, Min, Sum
+
+    from orc_format_ray._rayutil import remote_args
+    from orc_format_ray.ops.agg import quantile_bucketize
+    from orc_format_ray.ops.infer import linear_score
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    first = ds.take(1)
+    dim = len(first[0]["embedding"]) if first else 0
+    empty = pd.DataFrame({
+        "bucket": pd.Series([], dtype="int64"), "n": pd.Series([], dtype="int64"),
+        "n_pos": pd.Series([], dtype="int64"), "pos_rate": pd.Series([], dtype="float64"),
+        "min_units": pd.Series([], dtype="int64"), "max_units": pd.Series([], dtype="int64"),
+    })
+    if dim == 0:
+        return empty
+    scored = linear_score(ds, dim=dim)
+
+    def slim(batch: pa.Table) -> pa.Table:
+        return pa.table({"vec_id": batch["vec_id"], "score_units": batch["score_units"]})
+
+    slim_ds = scored.map_batches(slim, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    buckets = quantile_bucketize(slim_ds, "score_units", "vec_id", 10, value_scale=1)
+
+    import pyarrow.parquet as pq
+
+    lbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]).to_pandas()
+    if len(lbl) > (1 << 26):
+        raise ValueError("label map exceeds broadcast guard; route through a hash_join")
+    import ray
+
+    keys = lbl["vec_id"].to_numpy(np.int64)
+    order = np.argsort(keys, kind="stable")
+    lbl_ref = ray.put((keys[order], (lbl["label"].to_numpy(np.int64) == 1).astype(np.int64)[order]))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow as pa
+        import ray as _ray
+
+        keys, pos = _ray.get(lbl_ref)
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = batch["units"].to_numpy(zero_copy_only=False).astype(np.int64)
+        posb = np.searchsorted(keys, vid)
+        np.clip(posb, 0, max(len(keys) - 1, 0), out=posb)
+        hit = (keys[posb] == vid) if len(keys) else np.zeros(len(vid), bool)
+        if not hit.all():
+            raise ValueError("scored vec_id missing from the label map")
+        p = pos[posb]
+        ub, inv = np.unique(b, return_inverse=True)
+        n = np.bincount(inv, minlength=len(ub)).astype(np.int64)
+        np_pos = np.zeros(len(ub), np.int64)
+        np.add.at(np_pos, inv, p)
+        mn = np.full(len(ub), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(mn, inv, u)
+        mx = np.full(len(ub), np.iinfo(np.int64).min, np.int64)
+        np.maximum.at(mx, inv, u)
+        return pa.table({"bucket": pa.array(ub), "n_p": pa.array(n), "p_p": pa.array(np_pos),
+                         "mn_p": pa.array(mn), "mx_p": pa.array(mx)})
+
+    per = (
+        buckets.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        .groupby("bucket")
+        .aggregate(Sum("n_p", alias_name="n"), Sum("p_p", alias_name="n_pos"),
+                   Min("mn_p", alias_name="min_units"), Max("mx_p", alias_name="max_units"))
+        .to_pandas()
+    )
+    if len(per) == 0:
+        return empty
+    for c in ("bucket", "n", "n_pos", "min_units", "max_units"):
+        per[c] = per[c].astype("int64")
+    per["pos_rate"] = per["n_pos"].to_numpy(np.int64).astype(np.float64) / per["n"].to_numpy(np.int64).astype(np.float64)
+    per = per.sort_values("bucket", kind="mergesort").reset_index(drop=True)
+    return per[["bucket", "n", "n_pos", "pos_rate", "min_units", "max_units"]]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver hash-checks only the FIRST 50 entries
     # (VERDICT r3 "What's wrong" #2), so the window below is curated for
@@ -7882,6 +7972,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pseudonymize_events": _q_pseudonymize_events,
         "source_counts_encoded": _q_source_counts_encoded,
         "native_pushdown_docid": _q_native_pushdown_docid,
+        "calibration_bins_scores": _q_calibration_bins_scores,
     }
 
 
@@ -10770,5 +10861,23 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT CAST(count(*) AS BIGINT) AS n_docs, "
             f"CAST(COALESCE(sum({_TOKCOUNT_SQL}), 0) AS BIGINT) AS sum_n_tok "
             "FROM documents WHERE source || '/' || CAST(doc_id AS VARCHAR) >= 'src15'"
+        ),
+        # calibration bins: the linear_score CTE composed with SQL ntile
+        # (the quantile_bucketize front-loaded rule); ONE division per bin
+        "calibration_bins_scores": (
+            "WITH q AS (SELECT vec_id, j, "
+            "CAST(floor(CAST(embedding[j] AS DOUBLE)*4096 + 0.5) AS BIGINT) AS qx, "
+            "CAST(((j * 2654435761) % 4294967296) % 8193 AS BIGINT) - 4096 AS qw "
+            "FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(j)), "
+            "s AS (SELECT vec_id, CAST(sum(qx*qw) AS BIGINT) AS su FROM q GROUP BY vec_id), "
+            "b AS (SELECT s.vec_id, s.su, "
+            "CAST(ntile(10) OVER (ORDER BY s.su, s.vec_id) AS BIGINT) AS bucket, "
+            "CASE WHEN e.label = 1 THEN 1 ELSE 0 END AS pos "
+            "FROM s JOIN embeddings e USING (vec_id)) "
+            "SELECT bucket, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(pos) AS BIGINT) AS n_pos, "
+            "CAST(CAST(sum(pos) AS BIGINT) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS pos_rate, "
+            "CAST(min(su) AS BIGINT) AS min_units, CAST(max(su) AS BIGINT) AS max_units "
+            "FROM b GROUP BY bucket ORDER BY bucket"
         ),
     }
