@@ -329,3 +329,24 @@ def test_decode_dataset_filtered_prunes_and_filters(ray_session, tmp_path):
         enc.decode_dataset_filtered(out, "doc_id > 5")
     with pytest.raises(ValueError, match="op"):
         enc.decode_dataset_filtered(out, ("doc_id", "!=", 5))
+
+
+def test_value_counts_falls_back_exactly_on_rans_columns():
+    """A column the archive selector hands to rANS is outside the run-pair
+    pushdown list — column_value_counts / column_int_aggregates must fold
+    it through the registry's exact decode fallback."""
+    from orc_format_ray.stripe import (
+        column_int_aggregates,
+        column_value_counts,
+        encode_table,
+    )
+
+    rng = np.random.default_rng(13)
+    v = (rng.zipf(1.4, 30_000) % 5000).astype(np.int64)
+    tbl = pa.table({"x": pa.array(v)})
+    blob, _ = encode_table(tbl, archive=True)
+    vals, cnts = column_value_counts(blob, "x")
+    ev, ec = np.unique(v, return_counts=True)
+    assert np.array_equal(vals, ev) and np.array_equal(cnts, ec)
+    agg = column_int_aggregates(blob, "x")
+    assert agg == {"n": len(v), "sum": int(v.sum()), "min": int(v.min()), "max": int(v.max())}
