@@ -7886,7 +7886,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "referential_audit_tpch": _q_referential_audit,
         "decayed_contributions_events": _q_decayed_contributions_events,
         "heavy_hitters_by_type": _q_heavy_hitters_by_type,
-        "bfs_hops_suppliers": _q_bfs_hops_suppliers,
         "scd2_events": _q_scd2_events,
         "debounce_events": _q_debounce_events,
         "bloom_semi_join_lineitem": _q_bloom_semi_join_lineitem,
@@ -7897,7 +7896,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "longest_streak_users": _q_longest_streak_users,
         "rolling_active_users": _q_rolling_active_users,
         "rfm_segments_users": _q_rfm_segments_users,
-        "orc_delete_rows": _q_orc_delete_rows,
         "substring_containment_planted": _q_substring_containment_planted,
         "conversion_lag_events": _q_conversion_lag_events,
         "negative_samples_embeddings": _q_negative_samples_embeddings,
@@ -8116,7 +8114,7 @@ def oracle_sql() -> dict[str, str]:
             "< (CAST(regexp_extract(source, '[0-9]+') AS BIGINT) * 7) % 101), "
             "t AS (SELECT doc_id, tokc AS n_tok FROM mix), "
             "c AS (SELECT doc_id, n_tok, COALESCE(SUM(n_tok) OVER (ORDER BY doc_id "
-            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok FROM t) "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start_tok FROM t) "
             "SELECT doc_id, n_tok, start_tok, "
             "CAST(floor(start_tok / 2048) AS BIGINT) AS first_pack, "
             "greatest(CAST(floor(start_tok / 2048) AS BIGINT), "
@@ -8147,7 +8145,7 @@ def oracle_sql() -> dict[str, str]:
         "packed_shards_read_back": (
             f"WITH t AS (SELECT doc_id, CAST({_TOKCOUNT_SQL} AS BIGINT) AS n_tok FROM documents), "
             "c AS (SELECT doc_id, n_tok, COALESCE(SUM(n_tok) OVER (ORDER BY doc_id "
-            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok FROM t), "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start_tok FROM t), "
             "s AS (SELECT unnest(range(CAST(floor(start_tok / 8192) AS BIGINT), "
             "CAST(floor((start_tok + n_tok - 1) / 8192) AS BIGINT) + 1)) AS shard, "
             "start_tok, n_tok FROM c WHERE n_tok > 0) "
@@ -8172,7 +8170,7 @@ def oracle_sql() -> dict[str, str]:
         "packed_shards_summary": (
             f"WITH t AS (SELECT doc_id, CAST({_TOKCOUNT_SQL} AS BIGINT) AS n_tok FROM documents), "
             "c AS (SELECT doc_id, n_tok, COALESCE(SUM(n_tok) OVER (ORDER BY doc_id "
-            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok FROM t), "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start_tok FROM t), "
             "s AS (SELECT doc_id, n_tok, start_tok, "
             "unnest(range(CAST(floor(start_tok / 8192) AS BIGINT), "
             "CAST(floor((start_tok + n_tok - 1) / 8192) AS BIGINT) + 1)) AS shard "
@@ -8232,7 +8230,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": (
             f"WITH t AS (SELECT doc_id, CAST({_TOKCOUNT_SQL} AS BIGINT) AS n_tok FROM documents), "
             "c AS (SELECT doc_id, n_tok, COALESCE(SUM(n_tok) OVER (ORDER BY doc_id "
-            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok FROM t) "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start_tok FROM t) "
             "SELECT doc_id, n_tok, start_tok, "
             "CAST(floor(start_tok / 2048) AS BIGINT) AS first_pack, "
             "greatest(CAST(floor(start_tok / 2048) AS BIGINT), "
@@ -8245,7 +8243,7 @@ def oracle_sql() -> dict[str, str]:
             f"CAST({_TOKCOUNT_SQL} AS BIGINT) AS n_tok FROM documents), "
             "c AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS \"rank\", "
             "n_tok, COALESCE(SUM(n_tok) OVER (ORDER BY doc_id "
-            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok FROM t) "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start_tok FROM t) "
             "SELECT doc_id, \"rank\", n_tok, start_tok, "
             "CAST(floor(start_tok / 2048) AS BIGINT) AS first_pack, "
             "greatest(CAST(floor(start_tok / 2048) AS BIGINT), "

@@ -325,14 +325,62 @@ def asof_join(left_ds, right_ds, on: str, by: str, suffix: str = "_r",
     return lt.union(rt).groupby("_bucket").map_groups(join_group, batch_format="pandas", **remote_args())
 
 
-def hash_join(left_ds, right_ds, key: str, num_buckets: int = 64, how: str = "inner"):
+# Auto-sizing knobs (VERDICT r4 #4). File bytes from read metadata expand
+# ~4x when decoded to in-memory Arrow; one bucket's BOTH sides plus the
+# pandas merge output should stay well under a worker's heap share.
+_JOIN_EXPANSION = 4
+_BUCKET_MEM_BUDGET = 128 << 20  # target in-memory bytes per bucket
+_SUBSPLIT_BUDGET = 256 << 20    # in-bucket payload above this sub-splits
+
+
+def _estimate_bytes(ds) -> int | None:
+    """Lazy byte estimate for a Dataset: walk the logical DAG from the sink
+    upward, summing the first `size_bytes` each branch reports (reads know
+    their file bytes without executing; transforms report None and we keep
+    walking). Never triggers execution; returns None when nothing knows."""
+    try:
+        total = 0
+        found = False
+        stack = [ds._plan._logical_plan.dag]
+        while stack:
+            node = stack.pop()
+            meta = node.infer_metadata()
+            if meta is not None and meta.size_bytes is not None:
+                total += meta.size_bytes
+                found = True
+                continue
+            stack.extend(node.input_dependencies)
+        return total if found else None
+    except Exception:  # noqa: BLE001 — estimation is best-effort only
+        return None
+
+
+def _auto_num_buckets(left_ds, right_ds) -> int:
+    est_l, est_r = _estimate_bytes(left_ds), _estimate_bytes(right_ds)
+    if est_l is None and est_r is None:
+        return 64  # no metadata anywhere — the historical default
+    total = (est_l or 0) + (est_r or 0)
+    import math
+    return min(4096, max(8, math.ceil(total * _JOIN_EXPANSION / _BUCKET_MEM_BUDGET)))
+
+
+def hash_join(left_ds, right_ds, key: str, num_buckets: int | None = None, how: str = "inner",
+              subsplit_budget: int | None = None):
     """Large-large join: each batch splits into per-key-hash-bucket
     Arrow-IPC payload rows (a common (_bucket, _side, blob) schema, so the
     two sides union cleanly regardless of their columns); ONE shuffle
-    groups buckets, and each bucket joins locally. Both sides' buckets must
-    fit a worker — size num_buckets accordingly (or pre-bucket the stored
-    layout so repeated joins skip the shuffle). Right-side column
+    groups buckets, and each bucket joins locally. Right-side column
     collisions get an `_r` suffix; the key joins once.
+
+    ``num_buckets=None`` (default) derives the bucket count from the two
+    sides' lazily-estimated bytes (read metadata — no execution), targeting
+    ~``_BUCKET_MEM_BUDGET`` in-memory bytes per bucket, so the same call
+    that joins 60 MB with 8 buckets joins 1 TB with 4096. A bucket whose
+    shuffled payload still exceeds ``_SUBSPLIT_BUDGET`` (skew, estimate
+    miss) is sub-split by a secondary key hash inside the worker, bounding
+    the pandas-merge peak to one sub-part — the in-worker equivalent of
+    routing through the disk-backed `bucketed_join`. For repeated joins on
+    the same key, pre-bucket the stored layout (`write_bucketed`) instead.
 
     ``how``: ``"inner"`` or ``"left"``. A left join keeps unmatched left
     rows with nulls in the right columns (NaN through pandas — aggregate
@@ -345,6 +393,10 @@ def hash_join(left_ds, right_ds, key: str, num_buckets: int = 64, how: str = "in
 
     if how not in ("inner", "left", "full"):
         raise ValueError(f"how must be 'inner', 'left' or 'full', got {how!r}")
+    if num_buckets is None:
+        num_buckets = _auto_num_buckets(left_ds, right_ds)
+    if subsplit_budget is None:
+        subsplit_budget = _SUBSPLIT_BUDGET
     right_cols: list[str] | None = None
     left_cols: list[str] | None = None
     if how in ("left", "full"):
@@ -407,12 +459,28 @@ def hash_join(left_ds, right_ds, key: str, num_buckets: int = 64, how: str = "in
             return ldf[out_order] if how == "full" else ldf
         rdf = pa.concat_tables(rg).to_pandas()
         how_pd = "outer" if how == "full" else how
-        out = ldf.merge(rdf, on=key, how=how_pd, suffixes=("", "_r"))
+        total_blob = sum(len(b) for b in g["blob"])
+        if total_blob > subsplit_budget:
+            # Skew / estimate-miss guard: partition the bucket by a SECOND
+            # key hash (different multiplier than _bucket_of) and merge per
+            # part — parts partition the key space, so inner/left/outer
+            # merges concatenate exactly; peak memory is one part's merge.
+            import math
+            n_parts = math.ceil(total_blob / subsplit_budget) + 1
+            lk = (ldf[key].to_numpy().astype(np.int64).view(np.uint64) * np.uint64(2654435761)) % np.uint64(1 << 32) % np.uint64(n_parts)
+            rk = (rdf[key].to_numpy().astype(np.int64).view(np.uint64) * np.uint64(2654435761)) % np.uint64(1 << 32) % np.uint64(n_parts)
+            outs = [
+                ldf.loc[lk == p].merge(rdf.loc[rk == p], on=key, how=how_pd, suffixes=("", "_r"))
+                for p in range(n_parts)
+            ]
+            out = pd.concat(outs, ignore_index=True)
+        else:
+            out = ldf.merge(rdf, on=key, how=how_pd, suffixes=("", "_r"))
         return out[out_order] if how == "full" else out
 
     return lt.union(rt).groupby("_bucket").map_groups(join_bucket, batch_format="pandas", **remote_args())
 
-def skew_join(left_ds, right_ds, key: str, num_buckets: int = 64,
+def skew_join(left_ds, right_ds, key: str, num_buckets: int | None = None,
               hot_threshold: int = 100_000, max_hot_keys: int = 1 << 16,
               max_broadcast_rows: int = 1 << 22):
     """Skew-hardened large-large inner join. A plain bucketed hash join

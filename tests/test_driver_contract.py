@@ -34,6 +34,33 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
+def _kind(dtype) -> str:
+    """Hash-equivalence classes for the driver's dtype-sensitive value hash."""
+    k = np.dtype(dtype).kind if not isinstance(dtype, pd.api.types.CategoricalDtype) else "O"
+    return {"i": "i", "u": "i", "f": "f", "b": "b", "M": "M", "m": "m"}.get(k, "O")
+
+
+def _dtype_problems(ours: pd.DataFrame, theirs_tbl: pa.Table) -> list[str]:
+    """VERDICT r4 #2: the driver's value hash is dtype-sensitive, but the
+    `.df()` + sorted-value compare here was blind to it (the two persistent
+    reds were oracle-side HUGEINT -> float64, cell-exact after coercion).
+    Flag (a) any HUGEINT/decimal column in the oracle's Arrow output and
+    (b) any int-vs-float (kind-level) drift between the two frames."""
+    probs = []
+    for field in theirs_tbl.schema:
+        if pa.types.is_decimal(field.type):
+            probs.append(
+                f"oracle col {field.name!r} is {field.type} (DuckDB HUGEINT/decimal"
+                " — CAST the SQL expression to BIGINT/DOUBLE)"
+            )
+    theirs = theirs_tbl.to_pandas()
+    for c in sorted(set(ours.columns) & set(theirs.columns)):
+        ka, kb = _kind(ours[c].dtype), _kind(theirs[c].dtype)
+        if ka != kb:
+            probs.append(f"col {c!r}: engine kind {ka} ({ours[c].dtype}) vs oracle kind {kb} ({theirs[c].dtype})")
+    return probs
+
+
 @pytest.fixture(scope="module")
 def con():
     c = duckdb.connect()
@@ -53,8 +80,12 @@ ORACLE_KEYS = sorted(entrymod.oracle_sql().keys())
 @pytest.mark.parametrize("name", ORACLE_KEYS)
 def test_query_matches_oracle(name, con, _ray):
     q = entrymod.queries()[name]
-    ours = _normalize(_to_df(q(SF)))
-    theirs = _normalize(con.execute(entrymod.oracle_sql()[name]).df())
+    ours_raw = _to_df(q(SF))
+    theirs_tbl = con.execute(entrymod.oracle_sql()[name]).fetch_arrow_table()
+    dtype_probs = _dtype_problems(ours_raw, theirs_tbl)
+    assert not dtype_probs, f"{name}: {dtype_probs}"
+    ours = _normalize(ours_raw)
+    theirs = _normalize(theirs_tbl.to_pandas())
     assert list(ours.columns) == list(theirs.columns), f"{name}: columns {list(ours.columns)} vs {list(theirs.columns)}"
     assert len(ours) == len(theirs), f"{name}: rows {len(ours)} vs {len(theirs)}"
     for c in ours.columns:

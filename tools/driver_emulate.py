@@ -49,6 +49,28 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
+def _kind(dtype) -> str:
+    k = np.dtype(dtype).kind if not isinstance(dtype, pd.api.types.CategoricalDtype) else "O"
+    return {"i": "i", "u": "i", "f": "f", "b": "b", "M": "M", "m": "m"}.get(k, "O")
+
+
+def dtype_problems(ours: pd.DataFrame, theirs_tbl: pa.Table) -> list[str]:
+    """Dtype-faithful (hash-equivalent) layer (VERDICT r4 #2): the driver's
+    value hash is dtype-sensitive; cell-wise compare after pandas coercion
+    could never reproduce an oracle-side HUGEINT red. Flag decimal/HUGEINT
+    oracle columns and any kind-level drift between the frames."""
+    probs = []
+    for field in theirs_tbl.schema:
+        if pa.types.is_decimal(field.type):
+            probs.append(f"oracle col {field.name!r} is {field.type} (HUGEINT/decimal — CAST in the SQL)")
+    theirs = theirs_tbl.to_pandas()
+    for c in sorted(set(ours.columns) & set(theirs.columns)):
+        ka, kb = _kind(ours[c].dtype), _kind(theirs[c].dtype)
+        if ka != kb:
+            probs.append(f"dtype col {c!r}: engine kind {ka} ({ours[c].dtype}) vs oracle kind {kb} ({theirs[c].dtype})")
+    return probs
+
+
 def compare(name: str, ours: pd.DataFrame, theirs: pd.DataFrame) -> list[str]:
     problems = []
     if list(ours.columns) != list(theirs.columns):
@@ -87,9 +109,12 @@ def repeat_tail(sf_dir: str, names: list[str], reps: int, loop_i: int) -> int:
     n_bad = 0
     for r in range(reps):
         for name in names:
-            ours = _normalize(_to_df(qs[name](sf_dir)))
-            theirs = _normalize(con.execute(oracles[name]).df())
-            problems = compare(name, ours, theirs)
+            ours_raw = _to_df(qs[name](sf_dir))
+            theirs_tbl = con.execute(oracles[name]).fetch_arrow_table()
+            ours = _normalize(ours_raw)
+            theirs = _normalize(theirs_tbl.to_pandas())
+            problems = dtype_problems(ours_raw, theirs_tbl)
+            problems += compare(name, ours, theirs)
             if problems:
                 n_bad += 1
                 os.makedirs(DUMP_DIR, exist_ok=True)
@@ -124,8 +149,10 @@ def run_once(sf_dir: str, only: set[str] | None, loop_i: int) -> int:
         if name not in oracles:
             print(f"[{loop_i}] {pos:3d} {name}: rows-only {len(ours_raw)} rows ({dt:.1f}s)", flush=True)
             continue
-        theirs_raw = con.execute(oracles[name]).df()
-        problems = compare(name, _normalize(ours_raw), _normalize(theirs_raw))
+        theirs_tbl = con.execute(oracles[name]).fetch_arrow_table()
+        theirs_raw = theirs_tbl.to_pandas()
+        problems = dtype_problems(ours_raw, theirs_tbl)
+        problems += compare(name, _normalize(ours_raw), _normalize(theirs_raw))
         if problems:
             n_bad += 1
             os.makedirs(DUMP_DIR, exist_ok=True)
