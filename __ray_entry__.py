@@ -8363,7 +8363,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "grouped_quantiles_quantity": (
             " UNION ALL ".join(
-                f"SELECT l_returnflag, {q} AS q, round(quantile_cont(l_quantity, {q}), 6) AS value "
+                f"SELECT l_returnflag, CAST({q} AS DOUBLE) AS q, round(quantile_cont(l_quantity, {q}), 6) AS value "
                 "FROM lineitem GROUP BY l_returnflag"
                 for q in (0.25, 0.5, 0.9)
             )
@@ -10293,10 +10293,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lake_quantiles_from_tails": (
             "WITH u AS (SELECT CAST(floor(l_quantity*100 + 0.5) AS BIGINT) AS u FROM lineitem) "
-            "SELECT 0.25 AS q, CAST(quantile_disc(u, 0.25) AS BIGINT) AS units FROM u "
-            "UNION ALL SELECT 0.5, CAST(quantile_disc(u, 0.5) AS BIGINT) FROM u "
-            "UNION ALL SELECT 0.75, CAST(quantile_disc(u, 0.75) AS BIGINT) FROM u "
-            "UNION ALL SELECT 0.95, CAST(quantile_disc(u, 0.95) AS BIGINT) FROM u ORDER BY q"
+            "SELECT CAST(0.25 AS DOUBLE) AS q, CAST(quantile_disc(u, 0.25) AS BIGINT) AS units FROM u "
+            "UNION ALL SELECT CAST(0.5 AS DOUBLE), CAST(quantile_disc(u, 0.5) AS BIGINT) FROM u "
+            "UNION ALL SELECT CAST(0.75 AS DOUBLE), CAST(quantile_disc(u, 0.75) AS BIGINT) FROM u "
+            "UNION ALL SELECT CAST(0.95 AS DOUBLE), CAST(quantile_disc(u, 0.95) AS BIGINT) FROM u ORDER BY q"
         ),
         "pct_change_events": (
             "WITH m AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, "

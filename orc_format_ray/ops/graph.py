@@ -22,10 +22,14 @@ put, materialized; each iteration is one map_batches over the edge blocks
 (per-batch local group-by on dst) + ONE (dst, partial-sum) cell groupby.
 The rank vector itself rides the driver <-> object store each iteration
 (``ray.put`` broadcast, |nodes| bounded by ``max_broadcast_nodes``) — the
-right trade while ranks fit in one machine's memory (16M nodes ~ 256 MB);
-beyond that, shard the rank vector by node-id range and turn the contrib
-fold into a bucketed join (same recipe as ops/dedup.py's sharded survivor
-filter).
+right trade while ranks fit in one machine's memory (16M nodes ~ 256 MB).
+Above the guard, ``pagerank`` and ``bfs_hops`` switch to the SHARDED plan
+(VERDICT r4 #5): the rank vector / visited set becomes a hash-bucketed
+Dataset ``state`` joined per round via ``hash_join`` — no |nodes|-sized
+driver or broadcast object anywhere; the integer arithmetic is identical
+term-for-term, so both plans are bit-equal (pinned by pytest). State
+repartitions EVERY round (the iterative-Dataset rule — groupby/union
+outputs compound block counts otherwise).
 """
 
 from __future__ import annotations
@@ -38,10 +42,17 @@ from .._rayutil import remote_args
 
 def pagerank(edges_ds, src: str = "src", dst: str = "dst", iterations: int = 3,
              scale: int = 10**12, damping_num: int = 850, damping_den: int = 1000,
-             max_broadcast_nodes: int = 1 << 24):
+             max_broadcast_nodes: int = 1 << 24, mode: str = "auto"):
     """Exact-integer PageRank over a directed edge Dataset. Returns a
     pandas DataFrame ``(node, rank_units)`` — int64, one row per distinct
-    node (the rank vector is driver-resident by design, see module doc).
+    node.
+
+    ``mode``: ``"broadcast"`` keeps the rank vector driver-resident
+    (fastest while |nodes| fits — see module doc); ``"sharded"`` keeps it
+    as a hash-bucketed Dataset joined per round (no |nodes|-sized object
+    anywhere — the 10^9-node plan); ``"auto"`` (default) picks broadcast
+    up to ``max_broadcast_nodes`` and sharded beyond. The two plans are
+    bit-identical (integer floor-div arithmetic is shuffle-invariant).
     """
     import ray
     from ray.data.aggregate import Sum
@@ -50,6 +61,8 @@ def pagerank(edges_ds, src: str = "src", dst: str = "dst", iterations: int = 3,
         raise ValueError(f"iterations must be >= 0, got {iterations}")
     if not (0 < damping_num < damping_den):
         raise ValueError("need 0 < damping_num < damping_den")
+    if mode not in ("auto", "broadcast", "sharded"):
+        raise ValueError(f"mode must be auto|broadcast|sharded, got {mode!r}")
 
     def local_distinct(batch: pa.Table) -> pa.Table:
         t = pa.table(
@@ -74,18 +87,22 @@ def pagerank(edges_ds, src: str = "src", dst: str = "dst", iterations: int = 3,
         lambda b: pa.table({"id": pa.concat_arrays([b["s"].combine_chunks(), b["d"].combine_chunks()]).unique()}),
         batch_format="pyarrow", zero_copy_batch=True, **remote_args(),
     )
-    node_df = ends.groupby("id").aggregate(Count(alias_name="__pr_n__")).select_columns(["id"]).to_pandas()
-    if node_df.empty:  # fully-empty Datasets drop columns in to_pandas
+    nodes_ds = ends.groupby("id").aggregate(Count(alias_name="__pr_n__")).select_columns(["id"]).materialize()
+    n = nodes_ds.count()
+    if n == 0:  # fully-empty Datasets drop columns in to_pandas
         import pandas as pd
 
         return pd.DataFrame({"node": pd.Series([], dtype="int64"), "rank_units": pd.Series([], dtype="int64")})
-    node_ids = np.sort(node_df["id"].to_numpy(dtype=np.int64))
-    n = len(node_ids)
+    if mode == "auto":
+        mode = "broadcast" if n <= max_broadcast_nodes else "sharded"
+    if mode == "sharded":
+        return _pagerank_sharded(edges, nodes_ds, n, iterations, scale, damping_num, damping_den)
     if n > max_broadcast_nodes:
         raise ValueError(
             f"{n} nodes exceed max_broadcast_nodes={max_broadcast_nodes}; "
-            "shard the rank vector (see module doc) or raise the guard"
+            "use mode='sharded' (or 'auto') or raise the guard"
         )
+    node_ids = np.sort(nodes_ds.to_pandas()["id"].to_numpy(dtype=np.int64))
     deg_df = edges.groupby("s").aggregate(Count(alias_name="deg")).to_pandas()
     deg = np.zeros(n, dtype=np.int64)
     deg_idx = np.searchsorted(node_ids, deg_df["s"].to_numpy(dtype=np.int64))
@@ -125,6 +142,111 @@ def pagerank(edges_ds, src: str = "src", dst: str = "dst", iterations: int = 3,
     import pandas as pd
 
     return pd.DataFrame({"node": node_ids, "rank_units": ranks})
+
+
+def _pagerank_sharded(edges, nodes_ds, n: int, iterations: int,
+                      scale: int, damping_num: int, damping_den: int):
+    """Sharded-state power iteration (module doc, VERDICT r4 #5): state
+    ``(node, deg, rank_units)`` is a hash-bucketed Dataset; each round is
+    TWO bucketed joins (contribs: edges ⋈ state on src; refresh: state ⟕
+    contrib-sums on node) plus one (dst) groupby — no |nodes|-sized driver
+    or broadcast object anywhere. Exact-int parity with the broadcast plan:
+    the floor-div terms are identical and every value stays < 2^53
+    (guarded) so the left join's NaN-float round-trip is lossless. State
+    repartitions every round (the iterative-Dataset rule)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Count, Sum
+
+    from .._rayutil import pool_size
+    from .join import hash_join
+
+    if scale >= 1 << 50:
+        raise ValueError(
+            f"sharded pagerank needs scale < 2^50 (exact NaN round-trip bound), got {scale}"
+        )
+    base = ((damping_den - damping_num) * scale) // (damping_den * n)
+    init = scale // n
+    nblocks = max(8, pool_size())
+
+    def _ren(col_from: str, col_to: str):
+        def fn(b: pa.Table) -> pa.Table:
+            return b.rename_columns([col_to if c == col_from else c for c in b.column_names])
+
+        return fn
+
+    nodes_n = nodes_ds.map_batches(_ren("id", "node"), batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    deg_n = (
+        edges.groupby("s").aggregate(Count(alias_name="deg"))
+        .map_batches(_ren("s", "node"), batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    )
+
+    _empty_state = pa.table({
+        "node": pa.array([], pa.int64()), "deg": pa.array([], pa.int64()),
+        "rank_units": pa.array([], pa.int64()),
+    })
+
+    def seed(b: pa.Table) -> pa.Table:
+        if "node" not in b.column_names:  # empty bucket -> column-less block
+            return _empty_state
+        deg = np.nan_to_num(b["deg"].to_numpy(zero_copy_only=False).astype(np.float64), nan=0.0).astype(np.int64)
+        node = b["node"].combine_chunks().cast(pa.int64())
+        return pa.table({
+            "node": node,
+            "deg": pa.array(deg, pa.int64()),
+            "rank_units": pa.array(np.full(len(node), init, dtype=np.int64)),
+        })
+
+    state = (
+        hash_join(nodes_n, deg_n, key="node", how="left")
+        .map_batches(seed, batch_format="pyarrow", **remote_args())
+        .repartition(nblocks)
+        .materialize()
+    )
+
+    for _ in range(iterations):
+        state_s = state.map_batches(_ren("node", "s"), batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+
+        def contrib(b: pa.Table) -> pa.Table:
+            if "d" not in b.column_names:  # empty inner-join bucket
+                return pa.table({"node": pa.array([], pa.int64()), "c": pa.array([], pa.int64())})
+            r = b["rank_units"].to_numpy(zero_copy_only=False).astype(np.int64)
+            dg = b["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+            d = b["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+            c = (damping_num * r) // (damping_den * dg)  # dg >= 1: rows joined via out-edges
+            t = pa.table({"node": pa.array(d), "c": pa.array(c)})
+            g = t.group_by("node").aggregate([("c", "sum")])
+            return g.rename_columns(["node", "c"])
+
+        sums = (
+            hash_join(edges, state_s, key="s")
+            .map_batches(contrib, batch_format="pyarrow", **remote_args())
+            .groupby("node")
+            .aggregate(Sum("c", alias_name="c"))
+        )
+
+        def refresh(b: pa.Table) -> pa.Table:
+            if "node" not in b.column_names:
+                return _empty_state
+            c = np.nan_to_num(b["c"].to_numpy(zero_copy_only=False).astype(np.float64), nan=0.0)
+            if np.any(np.abs(c) >= float(1 << 53)):
+                raise ValueError("pagerank sharded: contribution sum exceeds exact-float bound")
+            return pa.table({
+                "node": b["node"].combine_chunks().cast(pa.int64()),
+                "deg": b["deg"].combine_chunks().cast(pa.int64()),
+                "rank_units": pa.array(base + c.astype(np.int64), pa.int64()),
+            })
+
+        state = (
+            hash_join(state.select_columns(["node", "deg"]), sums, key="node", how="left")
+            .map_batches(refresh, batch_format="pyarrow", **remote_args())
+            .repartition(nblocks)
+            .materialize()
+        )
+
+    out = state.select_columns(["node", "rank_units"]).to_pandas()
+    out = out.sort_values("node").reset_index(drop=True)
+    return pd.DataFrame({"node": out["node"].astype("int64"), "rank_units": out["rank_units"].astype("int64")})
 
 
 def triangle_count(edges_ds, src: str = "src", dst: str = "dst",
@@ -361,7 +483,7 @@ def bipartite_projection(edges_ds, left: str = "src", right: str = "dst",
 
 def bfs_hops(edges_ds, seeds, src: str = "src", dst: str = "dst",
              max_hops: int = 4, directed: bool = False,
-             max_broadcast_nodes: int = 1 << 24):
+             max_broadcast_nodes: int = 1 << 24, mode: str = "auto"):
     """Multi-source breadth-first search: minimum hop distance from any
     seed to every reachable node, bounded at ``max_hops``. Returns a pandas
     DataFrame ``(node, hops)`` — int64, seeds included at 0 even when
@@ -373,10 +495,13 @@ def bfs_hops(edges_ds, seeds, src: str = "src", dst: str = "dst",
     broadcast frontier with a sorted ``np.searchsorted`` membership test,
     then ONE (node) cell groupby of the newly-reached candidates. The
     visited map is driver-resident like ``pagerank``'s rank vector
-    (bounded by ``max_broadcast_nodes``); beyond that, shard it by node-id
-    range into the bucketed-join recipe (see module doc). Rounds are
-    bounded by ``max_hops``, and a round with an empty frontier exits
-    early — dense graphs saturate in 2-3 rounds.
+    (bounded by ``max_broadcast_nodes``). ``mode="sharded"`` keeps
+    visited/frontier as hash-bucketed Datasets joined per round instead
+    (no |nodes|-sized driver object — the 10^9-node plan); ``"auto"``
+    starts broadcast and restarts sharded from scratch if the guard would
+    trip (correctness identical; the restart costs one partial pass at the
+    boundary). Rounds are bounded by ``max_hops``, and a round with an
+    empty frontier exits early — dense graphs saturate in 2-3 rounds.
 
     SQL parity: equal to a WITH RECURSIVE walk enumeration with
     ``hops < max_hops`` and ``min(hops)`` per node — the shortest walk IS
@@ -389,6 +514,8 @@ def bfs_hops(edges_ds, seeds, src: str = "src", dst: str = "dst",
 
     if max_hops < 0:
         raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    if mode not in ("auto", "broadcast", "sharded"):
+        raise ValueError(f"mode must be auto|broadcast|sharded, got {mode!r}")
     seed_arr = np.unique(np.asarray(list(seeds), dtype=np.int64))
     if seed_arr.size == 0:
         return pd.DataFrame({"node": pd.Series([], dtype="int64"),
@@ -410,6 +537,9 @@ def bfs_hops(edges_ds, seeds, src: str = "src", dst: str = "dst",
         .select_columns(["s", "d"])
         .materialize()
     )
+
+    if mode == "sharded":
+        return _bfs_sharded(edges, seed_arr, max_hops)
 
     visited: dict[int, int] = {int(n): 0 for n in seed_arr}
     frontier = seed_arr
@@ -437,9 +567,12 @@ def bfs_hops(edges_ds, seeds, src: str = "src", dst: str = "dst",
         cand = reached["n"].to_numpy(dtype=np.int64)
         new = np.array([n for n in cand if int(n) not in visited], dtype=np.int64)
         if len(visited) + new.size > max_broadcast_nodes:
+            if mode == "auto":
+                # restart with Dataset-resident state; correctness identical
+                return _bfs_sharded(edges, seed_arr, max_hops)
             raise ValueError(
                 f"bfs_hops: visited set would exceed max_broadcast_nodes={max_broadcast_nodes}; "
-                "shard the frontier by node-id range (see module doc) or raise the guard"
+                "use mode='sharded' (or 'auto') or raise the guard"
             )
         for n in new:
             visited[int(n)] = hop
@@ -448,6 +581,90 @@ def bfs_hops(edges_ds, seeds, src: str = "src", dst: str = "dst",
     nodes = np.array(sorted(visited), dtype=np.int64)
     return pd.DataFrame({"node": nodes,
                          "hops": np.array([visited[int(n)] for n in nodes], dtype=np.int64)})
+
+
+def _bfs_sharded(edges, seed_arr: np.ndarray, max_hops: int):
+    """Sharded-state BFS (VERDICT r4 #5): visited ``(node, hops)`` and the
+    frontier are hash-bucketed Datasets; each round is one bucketed join
+    (edges ⋈ frontier on src), one distinct-dst groupby, and one anti-join
+    against visited (left join, keep hops-null) — no |nodes|-sized driver
+    or broadcast object. BFS order guarantees the first time a node is
+    reached IS its min hop count, so no min-fold is needed. State
+    repartitions every round (the iterative-Dataset rule); union operands
+    are normalized to arrow blocks first (mixed-lineage union rule)."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from .._rayutil import pool_size
+    from .join import hash_join
+
+    nblocks = max(8, pool_size())
+
+    def _ren(col_from: str, col_to: str):
+        def fn(b: pa.Table) -> pa.Table:
+            return b.rename_columns([col_to if c == col_from else c for c in b.column_names])
+
+        return fn
+
+    _arrow_pass = dict(batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    state = (
+        rd.from_arrow(pa.table({
+            "node": pa.array(seed_arr, pa.int64()),
+            "hops": pa.array(np.zeros(seed_arr.size, dtype=np.int64)),
+        }))
+        .repartition(nblocks)
+        .materialize()
+    )
+    frontier = state.select_columns(["node"])
+
+    for hop in range(1, max_hops + 1):
+        f_s = frontier.map_batches(_ren("node", "s"), **_arrow_pass)
+
+        def local_d(b: pa.Table) -> pa.Table:
+            if "d" not in b.column_names:  # empty inner-join bucket
+                return pa.table({"node": pa.array([], pa.int64())})
+            return pa.table({"node": b["d"].combine_chunks().unique().cast(pa.int64())})
+
+        cand = (
+            hash_join(edges, f_s, key="s")
+            .map_batches(local_d, batch_format="pyarrow", **remote_args())
+            .groupby("node")
+            .aggregate(Count(alias_name="__bfs_c__"))
+            .select_columns(["node"])
+        )
+
+        def keep_new(b: "pd.DataFrame") -> "pd.DataFrame":
+            if "node" not in b.columns:  # empty bucket -> column-less block
+                return pd.DataFrame({"node": pd.Series([], dtype="int64")})
+            out = b.loc[b["hops"].isna(), ["node"]].copy()
+            out["node"] = out["node"].astype("int64")
+            return out
+
+        new = (
+            hash_join(cand, state, key="node", how="left")
+            .map_batches(keep_new, batch_format="pandas", **remote_args())
+            .map_batches(lambda b: b, batch_format="pyarrow", **remote_args())
+            .repartition(nblocks)
+            .materialize()
+        )
+        if new.count() == 0:
+            break
+
+        def with_hop(b: pa.Table, h=hop) -> pa.Table:
+            node = b["node"].combine_chunks().cast(pa.int64())
+            return pa.table({"node": node, "hops": pa.array(np.full(len(node), h, dtype=np.int64))})
+
+        new_rows = new.map_batches(with_hop, **_arrow_pass).materialize()
+        state = state.union(new_rows).repartition(nblocks).materialize()
+        frontier = new
+
+    out = state.to_pandas()
+    if out.empty:
+        return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                             "hops": pd.Series([], dtype="int64")})
+    out = out.sort_values("node").reset_index(drop=True)
+    return pd.DataFrame({"node": out["node"].astype("int64"), "hops": out["hops"].astype("int64")})
 
 
 def cheapest_path(edges_ds, seeds, src: str = "src", dst: str = "dst",
