@@ -1,0 +1,204 @@
+"""Raw-exchange hash aggregation (VERDICT r4 #6).
+
+Ray Data's ``groupby().aggregate()`` runs a sort-based all-to-all whose
+fixed overhead is ~4-6 s per call at 32 cpus regardless of input size
+(boundary sampling + per-block sort + reduce scheduling) — the dominant
+constant in the TPC-H composite, where a 600k-row SUM groupby costs 4 s
+that DuckDB does in 0.05 s. This module replaces it, for BOUNDED bucket
+counts, with the same two-wave raw task exchange `ops/join.py` uses:
+
+  1. map_batches: per-batch partial aggregate (the combiner — shrinks rows
+     to |groups-per-batch|), bucket rows by key hash, emit (bucket, blob)
+     Arrow-IPC rows;
+  2. one split task per tagged block (num_returns=B objects — a bucket
+     task fetches exactly its bytes, no amplification);
+  3. one reduce task per bucket: concat partials, ONE pyarrow group_by
+     fold, rename to the requested aliases.
+
+Measured 0.4 s warm for the same 600k-row groupby — 10x under the Dataset
+machinery. Falls back to Ray's groupby (same result, slower constant) when
+the bucket count exceeds ``_RAW_EXCHANGE_MAX_BUCKETS`` (the sort shuffle's
+scalability wins once its constant amortizes over >8 GB inputs) or when a
+key column is not int64-castable (the bucket hash is integer).
+
+Fold correctness: sum/count fold by addition, min/max by min/max — all
+associative and layout-invariant, so the result is bit-identical to Ray's
+groupby and to SQL GROUP BY for exact-int columns (float sums stay in the
+caller's quantize-then-sum discipline; this op adds no float folds of its
+own).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .._rayutil import remote_args
+from .join import _RAW_EXCHANGE_MAX_BUCKETS, _bucket_of, _ipc_bytes, _ipc_table
+
+# aggregate fn -> (partial arrow fn, outer fold arrow fn)
+_FOLDS = {
+    "sum": ("sum", "sum"),
+    "min": ("min", "min"),
+    "max": ("max", "max"),
+    "count": ("count", "sum"),
+    "count_all": ("count_all", "sum"),
+}
+
+
+def _combined_hash(tbl: pa.Table, keys: list[str]) -> np.ndarray:
+    """Order-sensitive combined int64 hash of the key columns."""
+    h = np.zeros(len(tbl), dtype=np.uint64)
+    for i, k in enumerate(keys):
+        col = tbl[k].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        h ^= (col.view(np.uint64) + np.uint64(0x9E3779B97F4A7C15) * np.uint64(i + 1)) * np.uint64(0xC2B2AE3D27D4EB4F)
+        h ^= h >> np.uint64(29)
+    return h.view(np.int64)
+
+
+def hash_aggregate(ds, keys, aggs, num_buckets: int | None = None):
+    """Grouped aggregation via the raw task exchange.
+
+    ``keys``: str or list of str — every key column must cast to int64
+    (strings fall back to Ray's groupby). ``aggs``: list of
+    ``(col, fn, alias)`` with fn in sum|min|max|count|count_all (count =
+    non-null count of col; count_all = row count, col ignored). Returns a
+    Dataset of keys + aliases, same rows as ``ds.groupby(keys).aggregate``.
+    """
+    import ray
+    import ray.data as rd
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    specs = [(c, f, a) for (c, f, a) in aggs]
+    for _c, f, _a in specs:
+        if f not in _FOLDS:
+            raise ValueError(f"unsupported aggregate fn {f!r}; have {sorted(_FOLDS)}")
+    if num_buckets is None:
+        from .join import _auto_num_buckets, _estimate_bytes
+
+        est = _estimate_bytes(ds) or 0
+        import math
+
+        from .join import _BUCKET_MEM_BUDGET, _JOIN_EXPANSION
+
+        num_buckets = min(4096, max(4, math.ceil(est * _JOIN_EXPANSION / _BUCKET_MEM_BUDGET))) if est else 8
+
+    # key castability probe (schema-level): non-integer keys -> fallback
+    try:
+        schema = ds.schema()
+        for k in keys:
+            t = schema.base_schema.field(k).type if hasattr(schema, "base_schema") else schema.field(k).type
+            if not (pa.types.is_integer(t) or pa.types.is_date(t) or pa.types.is_timestamp(t)):
+                num_buckets = _RAW_EXCHANGE_MAX_BUCKETS + 1  # force fallback
+                break
+    except Exception:  # noqa: BLE001 — schema probe is best-effort
+        pass
+
+    if num_buckets > _RAW_EXCHANGE_MAX_BUCKETS:
+        return _fallback_groupby(ds, keys, specs)
+
+    part_names = [f"__fa_p{j}" for j in range(len(specs))]
+
+    def tag(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"_bucket": pa.array([], pa.int64()), "blob": pa.array([], pa.large_binary())})
+        plan = [(([] if _FOLDS[f][0] == "count_all" else c), _FOLDS[f][0]) for c, f, _ in specs]
+        g = batch.group_by(keys).aggregate(plan)
+        # arrow emits the key columns, then agg columns in plan order
+        g = g.rename_columns(keys + part_names)
+        kh = _combined_hash(g, keys)
+        b = (kh.view(np.uint64) % np.uint64(num_buckets)).astype(np.int64)
+        order = np.argsort(b, kind="stable")
+        bs = b[order]
+        cuts = np.flatnonzero(np.diff(bs)) + 1
+        starts = np.concatenate(([0], cuts))
+        ends = np.concatenate((cuts, [len(bs)]))
+        sb = g.take(pa.array(order, type=pa.int64()))
+        bko, blobs = [], []
+        for s, e in zip(starts, ends):
+            if e == s:
+                continue
+            bko.append(int(bs[s]))
+            blobs.append(_ipc_bytes(sb.slice(s, e - s)))
+        return pa.table({"_bucket": pa.array(bko, pa.int64()), "blob": pa.array(blobs, pa.large_binary())})
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True, **remote_args()).materialize()
+    refs = []
+    for bundle in tagged.iter_internal_ref_bundles():
+        refs.extend(bundle.block_refs)
+    if not refs:
+        return rd.from_arrow(pa.table({}))
+
+    split = ray.remote(**remote_args())(_fa_split_task)
+    cols = [split.options(num_returns=num_buckets).remote(r, num_buckets) for r in refs]
+    if num_buckets == 1:
+        cols = [[c] for c in cols]
+    reduce_t = ray.remote(**remote_args())(_fa_reduce_task)
+    fold_plan = [(part_names[j], _FOLDS[f][1]) for j, (_c, f, _a) in enumerate(specs)]
+    aliases = [a for _c, _f, a in specs]
+    outs = [
+        reduce_t.remote(keys, fold_plan, aliases, *[c[b] for c in cols])
+        for b in range(num_buckets)
+    ]
+    return rd.from_arrow_refs(outs)
+
+
+def fast_groupby(ds, keys, *agg_objs, num_buckets: int | None = None):
+    """Drop-in for ``ds.groupby(keys).aggregate(*agg_objs)`` taking Ray's
+    Sum/Min/Max/Count aggregate objects, routed through ``hash_aggregate``
+    (raw exchange when eligible; Ray's groupby otherwise). Row-identical to
+    the Dataset call by the associative-fold argument."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    fn_of = {Sum: "sum", Min: "min", Max: "max"}
+    specs = []
+    for o in agg_objs:
+        if isinstance(o, Count):
+            col = o._target_col_name
+            specs.append((col, "count", o.name) if col is not None else (None, "count_all", o.name))
+        elif type(o) in fn_of:
+            specs.append((o._target_col_name, fn_of[type(o)], o.name))
+        else:  # unknown aggregate type: keep Ray's semantics exactly
+            gb = ds.groupby(keys if not (isinstance(keys, list) and len(keys) == 1) else keys[0])
+            return gb.aggregate(*agg_objs)
+    return hash_aggregate(ds, keys, specs, num_buckets=num_buckets)
+
+
+def _fa_split_task(blk: pa.Table, num_buckets: int):
+    if len(blk) == 0 or "_bucket" not in blk.column_names:
+        # Ray passes empty input blocks through map_batches unchanged
+        return None if num_buckets == 1 else tuple([None] * num_buckets)
+    bc = blk["_bucket"].to_numpy(zero_copy_only=False)
+    outs = []
+    for b in range(num_buckets):
+        m = bc == b
+        outs.append(blk.filter(pa.array(m)) if m.any() else None)
+    return outs[0] if num_buckets == 1 else tuple(outs)
+
+
+def _fa_reduce_task(keys, fold_plan, aliases, *parts):
+    tbls = []
+    for p in parts:
+        if p is None:
+            continue
+        tbls.extend(_ipc_table(b) for b in p["blob"].to_pylist())
+    if not tbls:
+        return pa.table({})
+    u = pa.concat_tables(tbls)
+    g = u.group_by(keys).aggregate(fold_plan)
+    return g.rename_columns(keys + aliases)
+
+
+def _fallback_groupby(ds, keys, specs):
+    """Ray Dataset groupby — same result, the amortizing constant."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    mk = {"sum": Sum, "min": Min, "max": Max}
+    objs = []
+    for c, f, a in specs:
+        if f in ("count", "count_all"):
+            objs.append(Count(alias_name=a))
+        else:
+            objs.append(mk[f](c, alias_name=a))
+    gb = ds.groupby(keys[0] if len(keys) == 1 else keys)
+    return gb.aggregate(*objs)

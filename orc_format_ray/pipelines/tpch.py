@@ -30,6 +30,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .._rayutil import remote_args
+from ..ops.fastagg import fast_groupby
 from ..ops.join import hash_join
 
 _UNIT_LIMIT = np.int64(1) << 40
@@ -125,14 +126,15 @@ def q3_shipping_priority(
         np.add.at(partial, inv, units)
         return pa.table({"o_orderkey": pa.array(uk), "units_p": pa.array(partial)})
 
-    li = (
+    li = (fast_groupby(
         ray.data.read_parquet(
             f"{sf_dir}/lineitem.parquet",
             columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
         )
-        .map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby("o_orderkey")
-        .aggregate(Sum("units_p", alias_name="revenue_units"))
+        .map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        "o_orderkey",
+        Sum("units_p", alias_name="revenue_units"),
+    )
     )
 
     joined = hash_join(li, orders, key="o_orderkey")
@@ -274,10 +276,11 @@ def q5_local_supplier_volume(
             }
         )
 
-    per_nation = (
-        joined.map_batches(local_only, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby("nation")
-        .aggregate(Sum("units_p", alias_name="revenue_units"))
+    per_nation = (fast_groupby(
+        joined.map_batches(local_only, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        "nation",
+        Sum("units_p", alias_name="revenue_units"),
+    )
         .to_pandas()
     )
     if len(per_nation) == 0:
@@ -363,9 +366,9 @@ def q1_pricing_summary(sf_dir: str, cut_date: str = "1998-09-02", source_ds=None
             "l_quantity", "l_extendedprice", "l_discount", "l_tax",
         ],
     )
-    out = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args()).groupby(
-        ["l_returnflag", "l_linestatus"]
-    ).aggregate(
+    out =fast_groupby(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        ["l_returnflag", "l_linestatus"],
         Sum("qc", alias_name="sum_qc"),
         Sum("pc", alias_name="sum_pc"),
         Sum("db", alias_name="sum_db"),
@@ -529,14 +532,15 @@ def q10_returned_items(
         np.add.at(partial, inv, units)
         return pa.table({"c_custkey": pa.array(uk), "units_p": pa.array(partial)})
 
-    rev = (
+    rev = (fast_groupby(
         ray.data.read_parquet(
             f"{sf_dir}/lineitem.parquet",
             columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
         )
-        .map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby("c_custkey")
-        .aggregate(Sum("units_p", alias_name="revenue_units"))
+        .map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        "c_custkey",
+        Sum("units_p", alias_name="revenue_units"),
+    )
     )
 
     def topk_partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -668,11 +672,12 @@ def q18_large_orders(sf_dir: str, qty_units_threshold: int = 30_000, k: int = 10
 
     # threshold Dataset-side: only the qualifying orders (tiny by
     # construction) reach the driver, never the full per-order table
-    big = (
+    big = (fast_groupby(
         ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"])
-        .map_batches(qty_partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby("k")
-        .aggregate(Sum("u", alias_name="u"))
+        .map_batches(qty_partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        "k",
+        Sum("u", alias_name="u"),
+    )
         .map_batches(over_threshold, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
         .to_pandas()
     )
@@ -840,10 +845,11 @@ def q7_nation_volume(
             }
         )
 
-    per = (
-        joined.map_batches(cross_pairs, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby(["s_nation", "c_nation", "l_year"])
-        .aggregate(Sum("units_p", alias_name="revenue_units"))
+    per = (fast_groupby(
+        joined.map_batches(cross_pairs, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        ["s_nation", "c_nation", "l_year"],
+        Sum("units_p", alias_name="revenue_units"),
+    )
         .to_pandas()
     )
     if len(per) == 0:
@@ -992,13 +998,12 @@ def q8_market_share(
             }
         )
 
-    per = (
-        joined.map_batches(region_filter, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby("o_year")
-        .aggregate(
-            Sum("units_nat_p", alias_name="units_nation"),
+    per = (fast_groupby(
+        joined.map_batches(region_filter, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        "o_year",
+        Sum("units_nat_p", alias_name="units_nation"),
             Sum("units_tot_p", alias_name="units_total"),
-        )
+    )
         .to_pandas()
     )
     if len(per) == 0:
@@ -1064,14 +1069,17 @@ def q13_customer_distribution(sf_dir: str, max_broadcast_keys: int = 1 << 26):
     # ONE chained execution: orders -> per-customer counts -> counts-of-counts.
     # No materialize/count() round-trips — customers-with-orders is just the
     # distribution's total (every positive c_count row counts one customer).
-    dist = (
+    dist = (fast_groupby(
+        fast_groupby(
         ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
-        .map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby("c_custkey")
-        .aggregate(Sum("n_p", alias_name="c_count"))
-        .map_batches(dist_partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby("c_count")
-        .aggregate(Sum("d_p", alias_name="custdist"))
+        .map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        "c_custkey",
+        Sum("n_p", alias_name="c_count"),
+    )
+        .map_batches(dist_partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        "c_count",
+        Sum("d_p", alias_name="custdist"),
+    )
         .to_pandas()
     )
     if len(dist) == 0:  # no orders at all: typed empty (to_pandas drops columns)
@@ -1127,14 +1135,15 @@ def q15_top_supplier(
         np.add.at(partial, inv, units)
         return pa.table({"s_suppkey": pa.array(uk), "u_p": pa.array(partial)})
 
-    per_supp = (
+    per_supp = (fast_groupby(
         ray.data.read_parquet(
             f"{sf_dir}/lineitem.parquet",
             columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
         )
-        .map_batches(rev_partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby("s_suppkey")
-        .aggregate(Sum("u_p", alias_name="total_units"))
+        .map_batches(rev_partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        "s_suppkey",
+        Sum("u_p", alias_name="total_units"),
+    )
         .materialize()
     )
     if per_supp.count() == 0:
@@ -1215,11 +1224,12 @@ def q17_small_quantity_revenue(
         )
 
     li_cols = ["l_partkey", "l_quantity", "l_extendedprice"]
-    stats = (
+    stats = (fast_groupby(
         ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=li_cols[:2])
-        .map_batches(qty_partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby("l_partkey")
-        .aggregate(Sum("sq_p", alias_name="sq"), Sum("cnt_p", alias_name="cnt"))
+        .map_batches(qty_partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        "l_partkey",
+        Sum("sq_p", alias_name="sq"), Sum("cnt_p", alias_name="cnt"),
+    )
         .to_pandas()
     )
     if len(stats) == 0:  # empty Dataset to_pandas drops columns (CLAUDE.md)
@@ -1424,9 +1434,11 @@ def q22_idle_customers(sf_dir: str, idle_since: str = "1999-01-01"):
     ).map_batches(recent_orders, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
 
     idle = semi_join_streaming(rich, recent, key="c_custkey", how="anti")
-    per = (
-        idle.groupby("c_nationkey")
-        .aggregate(Count(alias_name="numcust"), Sum("cents", alias_name="acctbal_cents"))
+    per = (fast_groupby(
+        idle,
+        "c_nationkey",
+        Count(alias_name="numcust"), Sum("cents", alias_name="acctbal_cents"),
+    )
         .to_pandas()
     )
     if len(per) == 0:
@@ -1525,7 +1537,7 @@ def shared_scan_q1_q6(
             }
         )
 
-    folded = (
+    folded = (fast_groupby(
         ray.data.read_parquet(
             f"{sf_dir}/lineitem.parquet",
             columns=[
@@ -1533,13 +1545,12 @@ def shared_scan_q1_q6(
                 "l_quantity", "l_extendedprice", "l_discount", "l_tax",
             ],
         )
-        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby(["q", "l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("qc", alias_name="qc"), Sum("pc", alias_name="pc"),
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        ["q", "l_returnflag", "l_linestatus"],
+        Sum("qc", alias_name="qc"), Sum("pc", alias_name="pc"),
             Sum("db", alias_name="db"), Sum("du", alias_name="du"),
             Sum("cu", alias_name="cu"), Sum("n", alias_name="n"),
-        )
+    )
         .to_pandas()
     )
     rows = []
@@ -1651,14 +1662,15 @@ def q2_min_cost_supplier(
         np.minimum.at(mn, inv, cents)
         return pa.table({"pair": pa.array(uk), "cents_p": pa.array(mn)})
 
-    offers = (
+    offers = (fast_groupby(
         ray.data.read_parquet(
             f"{sf_dir}/lineitem.parquet",
             columns=["l_partkey", "l_suppkey", "l_extendedprice"],
         )
-        .map_batches(offer_partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby("pair")
-        .aggregate(Min("cents_p", alias_name="cost_cents"))
+        .map_batches(offer_partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        "pair",
+        Min("cents_p", alias_name="cost_cents"),
+    )
         .to_pandas()
     )
     out_cols = {
@@ -1755,13 +1767,14 @@ def q4_priority_check(
         late = hit & (sd >= dates[pos] + late_us)
         return pa.table({"o_orderkey": pa.array(np.unique(ok[late]))})
 
-    hits = (
+    hits = (fast_groupby(
         ray.data.read_parquet(
             f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
         )
-        .map_batches(late_partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby("o_orderkey")
-        .aggregate(Count(alias_name="n_batches"))
+        .map_batches(late_partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        "o_orderkey",
+        Count(alias_name="n_batches"),
+    )
         .to_pandas()
     )
     late_keys = (
@@ -1872,9 +1885,11 @@ def q9_product_profit(
     ).map_batches(orders_year, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
     joined = hash_join(li, orders, key="o_orderkey")
 
-    per = (
-        joined.groupby(["n_nationkey", "o_year"])
-        .aggregate(Sum("amount_p", alias_name="amount_units"))
+    per = (fast_groupby(
+        joined,
+        ["n_nationkey", "o_year"],
+        Sum("amount_p", alias_name="amount_units"),
+    )
         .to_pandas()
     )
     out_cols = {"n_name": object, "o_year": np.int64,
@@ -1946,14 +1961,15 @@ def q11_important_parts(
         np.add.at(partial, inv, cents)
         return pa.table({"p_partkey": pa.array(uk), "cents_p": pa.array(partial)})
 
-    per = (
+    per = (fast_groupby(
         ray.data.read_parquet(
             f"{sf_dir}/lineitem.parquet",
             columns=["l_partkey", "l_suppkey", "l_extendedprice"],
         )
-        .map_batches(value_partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby("p_partkey")
-        .aggregate(Sum("cents_p", alias_name="value_cents"))
+        .map_batches(value_partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        "p_partkey",
+        Sum("cents_p", alias_name="value_cents"),
+    )
         .to_pandas()
     )
     out_cols = {"p_partkey": np.int64, "value_cents": np.int64, "value": np.float64}
@@ -2049,13 +2065,12 @@ def q12_priority_lines(
             {"l_returnflag": pa.array(uf), "high_p": pa.array(h), "low_p": pa.array(l)}
         )
 
-    per = (
-        joined.map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby("l_returnflag")
-        .aggregate(
-            Sum("high_p", alias_name="high_line_count"),
+    per = (fast_groupby(
+        joined.map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        "l_returnflag",
+        Sum("high_p", alias_name="high_line_count"),
             Sum("low_p", alias_name="low_line_count"),
-        )
+    )
         .to_pandas()
     )
     out_cols = {"l_returnflag": object, "high_line_count": np.int64,
@@ -2146,13 +2161,14 @@ def q16_supplier_counts(
         packed = _pack_pair(a_at[keep], lsk[keep])
         return pa.table({"pair": pa.array(np.unique(packed))})
 
-    pairs = (
+    pairs = (fast_groupby(
         ray.data.read_parquet(
             f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
         )
-        .map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby("pair")
-        .aggregate(Count(alias_name="n_batches"))
+        .map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        "pair",
+        Count(alias_name="n_batches"),
+    )
         .to_pandas()
     )
     out_cols = {"p_brand": object, "p_type": object, "p_size": np.int64,
@@ -2222,14 +2238,15 @@ def q20_excess_suppliers(
         np.add.at(sq, inv, q.astype(np.int64))
         return pa.table({"pair": pa.array(uk), "sq_p": pa.array(sq)})
 
-    pairs = (
+    pairs = (fast_groupby(
         ray.data.read_parquet(
             f"{sf_dir}/lineitem.parquet",
             columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
         )
-        .map_batches(qty_partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby("pair")
-        .aggregate(Sum("sq_p", alias_name="sq"))
+        .map_batches(qty_partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        "pair",
+        Sum("sq_p", alias_name="sq"),
+    )
         .to_pandas()
     )
     out_cols = {"s_suppkey": np.int64, "s_name": object}
@@ -2291,14 +2308,15 @@ def q21_waiting_suppliers(
         np.maximum.at(ms, inv, sd)
         return pa.table({"pair": pa.array(uk), "ms_p": pa.array(ms)})
 
-    pairs = (
+    pairs = (fast_groupby(
         ray.data.read_parquet(
             f"{sf_dir}/lineitem.parquet",
             columns=["l_orderkey", "l_suppkey", "l_shipdate"],
         )
-        .map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby("pair")
-        .aggregate(Max("ms_p", alias_name="ms"))
+        .map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        "pair",
+        Max("ms_p", alias_name="ms"),
+    )
     )
 
     def unpack(batch: pa.Table) -> pa.Table:
@@ -2328,8 +2346,10 @@ def q21_waiting_suppliers(
 
     from ray.data.aggregate import Count, Min, Sum
 
-    stats = fpairs.groupby("o_orderkey").aggregate(
-        Max("ms", alias_name="om"), Count(alias_name="nsupp")
+    stats =fast_groupby(
+        fpairs,
+        "o_orderkey",
+        Max("ms", alias_name="om"), Count(alias_name="nsupp"),
     )
     j = hash_join(fpairs, stats, key="o_orderkey")
 
@@ -2348,8 +2368,10 @@ def q21_waiting_suppliers(
     cand = j.map_batches(at_max_sel, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
     # a blamed supplier is the SOLE at-max candidate of its order:
     # Count==1 makes Min(s_suppkey) that candidate
-    per_order = cand.groupby("o_orderkey").aggregate(
-        Count(alias_name="natmax"), Min("s_suppkey", alias_name="sk0")
+    per_order =fast_groupby(
+        cand,
+        "o_orderkey",
+        Count(alias_name="natmax"), Min("s_suppkey", alias_name="sk0"),
     )
 
     def blame_count(batch: pa.Table) -> pa.Table:
@@ -2358,10 +2380,11 @@ def q21_waiting_suppliers(
         uk, cnt = np.unique(sk, return_counts=True)
         return pa.table({"s_suppkey": pa.array(uk), "n_p": pa.array(cnt.astype(np.int64))})
 
-    per = (
-        per_order.map_batches(blame_count, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby("s_suppkey")
-        .aggregate(Sum("n_p", alias_name="numwait"))
+    per = (fast_groupby(
+        per_order.map_batches(blame_count, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        "s_suppkey",
+        Sum("n_p", alias_name="numwait"),
+    )
         .to_pandas()
     )
     out_cols = {"s_suppkey": np.int64, "s_name": object, "numwait": np.int64}

@@ -1,0 +1,86 @@
+"""hash_aggregate (VERDICT r4 #6): raw-exchange grouped aggregation must be
+row-identical to Ray's groupby().aggregate() — the folds (sum/min/max by
+themselves, count by addition) are associative so any exchange layout gives
+the same bits. Also pins the fallback (string keys, oversized bucket
+counts) routes through Ray's groupby."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from orc_format_ray.ops.fastagg import hash_aggregate
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _data(n=50_000, nk=700, seed=3):
+    rng = np.random.default_rng(seed)
+    return pa.table({
+        "k": pa.array(rng.integers(0, nk, n), type=pa.int64()),
+        "k2": pa.array(rng.integers(0, 5, n), type=pa.int64()),
+        "v": pa.array(rng.integers(-1000, 1000, n), type=pa.int64()),
+        "w": pa.array(rng.integers(0, 10**12, n), type=pa.int64()),
+    })
+
+
+def test_single_key_all_folds_match_ray_groupby(ray_session):
+    t = _data()
+    ds = ray.data.from_arrow(t).repartition(16)
+    fast = hash_aggregate(
+        ray.data.from_arrow(t).repartition(16), "k",
+        [("v", "sum", "sv"), ("v", "min", "mn"), ("v", "max", "mx"), ("w", "count", "c"), ("w", "count_all", "ca")],
+        num_buckets=8,
+    ).to_pandas()
+    slow = ds.groupby("k").aggregate(
+        Sum("v", alias_name="sv"), Min("v", alias_name="mn"), Max("v", alias_name="mx"),
+        Count(alias_name="c"), Count(alias_name="ca"),
+    ).to_pandas()
+    pd.testing.assert_frame_equal(_norm(fast), _norm(slow), check_dtype=False)
+
+
+def test_multi_key_matches_ray_groupby(ray_session):
+    t = _data()
+    fast = hash_aggregate(
+        ray.data.from_arrow(t).repartition(16), ["k", "k2"],
+        [("w", "sum", "sw")], num_buckets=4,
+    ).to_pandas()
+    slow = ray.data.from_arrow(t).repartition(16).groupby(["k", "k2"]).aggregate(
+        Sum("w", alias_name="sw")
+    ).to_pandas()
+    pd.testing.assert_frame_equal(_norm(fast), _norm(slow), check_dtype=False)
+
+
+def test_string_key_falls_back_and_matches(ray_session):
+    t = pa.table({"k": pa.array(["a", "b", "a", "c"]), "v": pa.array([1, 2, 3, 4], type=pa.int64())})
+    out = hash_aggregate(ray.data.from_arrow(t), "k", [("v", "sum", "s")]).to_pandas()
+    expect = pd.DataFrame({"k": ["a", "b", "c"], "s": [4, 2, 4]})
+    pd.testing.assert_frame_equal(_norm(out), _norm(expect), check_dtype=False)
+
+
+def test_timestamp_key_fast_path(ray_session):
+    ts = pa.array([0, 0, 86_400_000_000, 86_400_000_000], type=pa.timestamp("us"))
+    t = pa.table({"d": ts, "v": pa.array([1, 2, 3, 4], type=pa.int64())})
+    out = hash_aggregate(ray.data.from_arrow(t), "d", [("v", "sum", "s")], num_buckets=2).to_pandas()
+    assert sorted(out["s"].tolist()) == [3, 7]
+
+
+def test_empty_dataset(ray_session):
+    t = pa.table({"k": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})
+    out = hash_aggregate(ray.data.from_arrow(t), "k", [("v", "sum", "s")], num_buckets=4).to_pandas()
+    assert len(out) == 0
+
+
+@pytest.mark.parametrize("nb", [1, 3, 8, 64])
+def test_bucket_count_invariance(ray_session, nb):
+    t = _data(n=5000, nk=97)
+    outs = hash_aggregate(ray.data.from_arrow(t).repartition(7), "k",
+                          [("v", "sum", "s"), ("w", "max", "m")], num_buckets=nb).to_pandas()
+    slow = ray.data.from_arrow(t).groupby("k").aggregate(
+        Sum("v", alias_name="s"), Max("w", alias_name="m")).to_pandas()
+    pd.testing.assert_frame_equal(_norm(outs), _norm(slow), check_dtype=False)
