@@ -2304,6 +2304,32 @@ def _q_pagerank_supplier_parts(sf_dir: str):
     return df.sort_values("node").reset_index(drop=True)
 
 
+def _q_pagerank_sharded_parity(sf_dir: str):
+    """The SAME PageRank run through the SHARDED-state plan (rank vector as
+    a hash-bucketed Dataset joined per round, no |nodes|-sized driver or
+    broadcast object — the >max_broadcast_nodes path, VERDICT r4 #5).
+    Exact-integer floor-div arithmetic makes it bit-equal to the broadcast
+    plan and to the chained-CTE oracle (ops/graph.py:_pagerank_sharded)."""
+    import pyarrow.compute as _pc
+    import ray.data
+
+    from orc_format_ray.ops.graph import pagerank
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_partkey"])
+
+    def edges(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": b["l_suppkey"].cast(pa.int64()),
+                "dst": _pc.add(b["l_partkey"].cast(pa.int64()), pa.scalar(1_000_000, pa.int64())),
+            }
+        )
+
+    e = ds.map_batches(edges, batch_format="pyarrow", zero_copy_batch=True, **_ra())
+    df = pagerank(e, iterations=3, mode="sharded")
+    return df.sort_values("node").reset_index(drop=True)
+
+
 def _q_resample_ffill_events(sf_dir: str):
     """Per-user daily resample with forward fill: one row per day inside
     each user's activity span carrying the last observation — the pinned-
@@ -4987,6 +5013,32 @@ def _q_bfs_hops_suppliers(sf_dir: str):
 
     e = ds.map_batches(edges, batch_format="pyarrow", zero_copy_batch=True, **_ra())
     df = bfs_hops(e, seeds=[1, 2, 3], max_hops=3, directed=False)
+    return df.sort_values("node").reset_index(drop=True)
+
+
+def _q_bfs_hops_sharded_parity(sf_dir: str):
+    """The SAME multi-source BFS through the SHARDED-state plan (visited/
+    frontier as hash-bucketed Datasets with a per-round anti-join — the
+    >max_broadcast_nodes path, VERDICT r4 #5). BFS order makes first-reach
+    the min hop, so it is row-identical to the broadcast plan and the
+    recursive-CTE oracle (ops/graph.py:_bfs_sharded)."""
+    import pyarrow.compute as _pc
+    import ray.data
+
+    from orc_format_ray.ops.graph import bfs_hops
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_partkey"])
+
+    def edges(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": b["l_suppkey"].cast(pa.int64()),
+                "dst": _pc.add(b["l_partkey"].cast(pa.int64()), pa.scalar(1_000_000, pa.int64())),
+            }
+        )
+
+    e = ds.map_batches(edges, batch_format="pyarrow", zero_copy_batch=True, **_ra())
+    df = bfs_hops(e, seeds=[1, 2, 3], max_hops=3, directed=False, mode="sharded")
     return df.sort_values("node").reset_index(drop=True)
 
 
@@ -7727,6 +7779,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "moving_agg_events": _q_moving_agg_events,
         "resample_ffill_events": _q_resample_ffill_events,
         "pagerank_supplier_parts": _q_pagerank_supplier_parts,
+        "pagerank_sharded_parity": _q_pagerank_sharded_parity,
+        "bfs_hops_sharded_parity": _q_bfs_hops_sharded_parity,
         "validate_documents": _q_validate_documents,
         "topk_events_by_type": _q_topk_events_by_type,
         "co_occurrence_event_types": _q_co_occurrence_event_types,
@@ -8037,7 +8091,7 @@ _ANN_VEC_SQL = "[" + ", ".join(("1.0" if i % 2 == 0 else "-1.0") for i in range(
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    d = {
         "long_stats_lineitem": (
             "SELECT l_returnflag, count(*) AS cnt, min(l_linenumber) AS min_ln, "
             "max(l_linenumber) AS max_ln, CAST(sum(l_linenumber) AS BIGINT) AS sum_ln "
@@ -10916,3 +10970,8 @@ def oracle_sql() -> dict[str, str]:
             f"CAST(max({_TOKCOUNT_SQL}) AS BIGINT) AS vmax FROM documents"
         ),
     }
+    # sharded-graph parity queries are bit-equal to their broadcast twins
+    # (exact-int folds), so they share ONE oracle string per pair
+    d["pagerank_sharded_parity"] = d["pagerank_supplier_parts"]
+    d["bfs_hops_sharded_parity"] = d["bfs_hops_suppliers"]
+    return d

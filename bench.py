@@ -114,7 +114,25 @@ def _headline() -> dict:
     }
 
 
+def _load_probe() -> dict:
+    """Ambient-load annotation (VERDICT r4 #7): this box shows +/-40%
+    run-to-run variance under concurrent load (BASELINE.md). Recording
+    1/5/15-min load averages and cpu count alongside the numbers lets the
+    reader judge whether a slow sample was ambient or a regression."""
+    try:
+        la1, la5, la15 = os.getloadavg()
+        return {
+            "loadavg_1m": round(la1, 2),
+            "loadavg_5m": round(la5, 2),
+            "loadavg_15m": round(la15, 2),
+            "host_cpus": os.cpu_count(),
+        }
+    except OSError:
+        return {}
+
+
 def main() -> None:
+    probe_before = _load_probe()
     r = _headline()
     t = r["timings"]
     headline = t["encode"]
@@ -135,6 +153,8 @@ def main() -> None:
         "total_tokens": r["total_tokens"],
         "tokens_per_sec": round(r["total_tokens"] / headline),
         "compression_ratio": round(r["encoded_bytes"] / max(1, r["raw_token_bytes"]), 4),
+        "load_before": probe_before,
+        "load_after": _load_probe(),
     }
     print(json.dumps(out))
 
@@ -181,6 +201,7 @@ def scaling() -> None:
                 "cpus": [lo, hi],
                 "pair_efficiencies": [round(e, 3) for e, _l, _h in sorted(results, key=lambda t: t[0])],
                 "scaling_efficiency": round(eff_med, 3),
+                "load": _load_probe(),
             }
         )
     )
