@@ -46,12 +46,44 @@ _FOLDS = {
 }
 
 
+def _key_hash_col(col) -> np.ndarray:
+    """Deterministic uint64 hash of one key column. Strings hash their
+    DICTIONARY (blake2b per unique value — the per-row cost is a gather);
+    ints/dates/timestamps hash their int64 value; nulls map to a fixed
+    sentinel (both arrow group_by and Ray groupby keep null groups)."""
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    t = col.type
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        import hashlib
+
+        d = col.dictionary_encode()
+        uniq = d.dictionary.to_pylist()
+        uh = np.array(
+            [int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little") for s in uniq],
+            dtype=np.uint64,
+        ) if uniq else np.zeros(0, dtype=np.uint64)
+        idx = pc.fill_null(d.indices, -1).to_numpy(zero_copy_only=False).astype(np.int64)
+        out = np.full(len(idx), np.uint64(0x9E3779B97F4A7C15), dtype=np.uint64)
+        m = idx >= 0
+        out[m] = uh[idx[m]]
+        return out
+    try:
+        v = col.cast(pa.int64())
+    except pa.ArrowInvalid:  # date32 needs the two-step cast
+        v = col.cast(pa.int32()).cast(pa.int64())
+    v = pc.fill_null(v, np.iinfo(np.int64).min + 7)
+    return v.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+
+
 def _combined_hash(tbl: pa.Table, keys: list[str]) -> np.ndarray:
     """Order-sensitive combined int64 hash of the key columns."""
     h = np.zeros(len(tbl), dtype=np.uint64)
     for i, k in enumerate(keys):
-        col = tbl[k].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
-        h ^= (col.view(np.uint64) + np.uint64(0x9E3779B97F4A7C15) * np.uint64(i + 1)) * np.uint64(0xC2B2AE3D27D4EB4F)
+        col = _key_hash_col(tbl[k])
+        h ^= (col + np.uint64(0x9E3779B97F4A7C15) * np.uint64(i + 1)) * np.uint64(0xC2B2AE3D27D4EB4F)
         h ^= h >> np.uint64(29)
     return h.view(np.int64)
 
@@ -59,8 +91,9 @@ def _combined_hash(tbl: pa.Table, keys: list[str]) -> np.ndarray:
 def hash_aggregate(ds, keys, aggs, num_buckets: int | None = None):
     """Grouped aggregation via the raw task exchange.
 
-    ``keys``: str or list of str — every key column must cast to int64
-    (strings fall back to Ray's groupby). ``aggs``: list of
+    ``keys``: str or list of str — int/date/timestamp/string keys take the
+    fast path (strings hash their dictionary); float or nested keys fall
+    back to Ray's groupby. ``aggs``: list of
     ``(col, fn, alias)`` with fn in sum|min|max|count|count_all (count =
     non-null count of col; count_all = row count, col ignored). Returns a
     Dataset of keys + aliases, same rows as ``ds.groupby(keys).aggregate``.
@@ -83,12 +116,15 @@ def hash_aggregate(ds, keys, aggs, num_buckets: int | None = None):
 
         num_buckets = min(4096, max(4, math.ceil(est * _JOIN_EXPANSION / _BUCKET_MEM_BUDGET))) if est else 8
 
-    # key castability probe (schema-level): non-integer keys -> fallback
+    # key-type probe (schema-level): ints/dates/timestamps/strings take the
+    # fast path (see _key_hash_col); anything else (float keys, nested)
+    # falls back to Ray's groupby
     try:
         schema = ds.schema()
         for k in keys:
             t = schema.base_schema.field(k).type if hasattr(schema, "base_schema") else schema.field(k).type
-            if not (pa.types.is_integer(t) or pa.types.is_date(t) or pa.types.is_timestamp(t)):
+            if not (pa.types.is_integer(t) or pa.types.is_date(t) or pa.types.is_timestamp(t)
+                    or pa.types.is_string(t) or pa.types.is_large_string(t)):
                 num_buckets = _RAW_EXCHANGE_MAX_BUCKETS + 1  # force fallback
                 break
     except Exception:  # noqa: BLE001 — schema probe is best-effort

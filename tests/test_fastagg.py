@@ -56,11 +56,46 @@ def test_multi_key_matches_ray_groupby(ray_session):
     pd.testing.assert_frame_equal(_norm(fast), _norm(slow), check_dtype=False)
 
 
-def test_string_key_falls_back_and_matches(ray_session):
+def test_string_key_fast_path_matches(ray_session):
     t = pa.table({"k": pa.array(["a", "b", "a", "c"]), "v": pa.array([1, 2, 3, 4], type=pa.int64())})
-    out = hash_aggregate(ray.data.from_arrow(t), "k", [("v", "sum", "s")]).to_pandas()
+    out = hash_aggregate(ray.data.from_arrow(t), "k", [("v", "sum", "s")], num_buckets=4).to_pandas()
     expect = pd.DataFrame({"k": ["a", "b", "c"], "s": [4, 2, 4]})
     pd.testing.assert_frame_equal(_norm(out), _norm(expect), check_dtype=False)
+
+
+def test_string_key_at_scale_matches_ray_groupby(ray_session):
+    rng = np.random.default_rng(5)
+    words = np.array([f"w{j:04d}" for j in range(300)])
+    t = pa.table({
+        "k": pa.array(words[rng.integers(0, 300, 30_000)]),
+        "v": pa.array(rng.integers(0, 10**9, 30_000), type=pa.int64()),
+    })
+    fast = hash_aggregate(ray.data.from_arrow(t).repartition(9), "k",
+                          [("v", "sum", "s"), ("v", "min", "m")], num_buckets=8).to_pandas()
+    slow = ray.data.from_arrow(t).groupby("k").aggregate(
+        Sum("v", alias_name="s"), Min("v", alias_name="m")).to_pandas()
+    pd.testing.assert_frame_equal(_norm(fast), _norm(slow), check_dtype=False)
+
+
+def test_mixed_string_int_keys_and_null_keys(ray_session):
+    t = pa.table({
+        "k": pa.array(["a", "a", None, "b", None, "a"]),
+        "k2": pa.array([1, 1, 2, 2, 2, None], type=pa.int64()),
+        "v": pa.array([1, 2, 4, 8, 16, 32], type=pa.int64()),
+    })
+    fast = hash_aggregate(ray.data.from_arrow(t), ["k", "k2"], [("v", "sum", "s")], num_buckets=3).to_pandas()
+    slow = ray.data.from_arrow(t).groupby(["k", "k2"]).aggregate(Sum("v", alias_name="s")).to_pandas()
+    # normalize nulls for the sorted compare
+    for df in (fast, slow):
+        df["k"] = df["k"].fillna("\0null")
+        df["k2"] = df["k2"].fillna(-1).astype("int64")
+    pd.testing.assert_frame_equal(_norm(fast), _norm(slow), check_dtype=False)
+
+
+def test_float_key_falls_back(ray_session):
+    t = pa.table({"k": pa.array([1.5, 1.5, 2.5]), "v": pa.array([1, 2, 4], type=pa.int64())})
+    out = hash_aggregate(ray.data.from_arrow(t), "k", [("v", "sum", "s")], num_buckets=2).to_pandas()
+    assert sorted(out["s"].tolist()) == [3, 4]
 
 
 def test_timestamp_key_fast_path(ray_session):
