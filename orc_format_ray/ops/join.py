@@ -662,14 +662,18 @@ def skew_join(left_ds, right_ds, key: str, num_buckets: int | None = None,
     right_hot_df = right_hot.to_pandas() if n_right_hot else pd.DataFrame(columns=[key])
     rdf_ref = ray.put(right_hot_df)
 
-    def hot_probe(batch: pa.Table) -> pd.DataFrame:
+    def hot_probe(batch: pa.Table) -> pa.Table:
+        # arrow out: the cold branch (hash_join) emits arrow blocks and
+        # union() refuses mixed pandas/arrow lineages
         m = is_hot(batch)
         ldf = batch.filter(pa.array(m)).to_pandas()
         rdf = ray.get(rdf_ref)
         if ldf.empty or rdf.empty:
-            return pd.DataFrame()
+            return pa.table({})
         ldf[key] = ldf[key].astype("int64")
-        return ldf.merge(rdf, on=key, how="inner", suffixes=("", "_r"))
+        return pa.Table.from_pandas(
+            ldf.merge(rdf, on=key, how="inner", suffixes=("", "_r")), preserve_index=False
+        )
 
     hot_out = left_ds.map_batches(hot_probe, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
     cold_out = hash_join(

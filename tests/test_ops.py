@@ -3017,8 +3017,10 @@ def test_pagerank_matches_numpy_reference(ray_session):
     # mass sanity: total <= scale (dangling mass decays), > damping base floor
     assert out.sum() <= scale
 
+    # auto mode switches to the sharded plan above the guard (r5); only an
+    # explicit broadcast request still raises
     with pytest.raises(ValueError, match="max_broadcast_nodes"):
-        pagerank(ds, iterations=1, max_broadcast_nodes=5)
+        pagerank(ds, iterations=1, max_broadcast_nodes=5, mode="broadcast")
     empty = ray.data.from_pandas(pd.DataFrame({"src": pd.Series([], dtype="int64"),
                                                "dst": pd.Series([], dtype="int64")}))
     assert len(pagerank(empty, iterations=2)) == 0
