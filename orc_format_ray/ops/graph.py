@@ -669,7 +669,7 @@ def _bfs_sharded(edges, seed_arr: np.ndarray, max_hops: int):
 
 def cheapest_path(edges_ds, seeds, src: str = "src", dst: str = "dst",
                   weight: str = "w", max_hops: int = 4, directed: bool = False,
-                  max_broadcast_nodes: int = 1 << 24):
+                  max_broadcast_nodes: int = 1 << 24, mode: str = "auto"):
     """Multi-source cheapest path with non-negative integer edge weights,
     bounded at ``max_hops`` edges — Bellman-Ford relaxation rounds (the
     bfs_hops plan with costs). Returns a pandas DataFrame
@@ -691,6 +691,8 @@ def cheapest_path(edges_ds, seeds, src: str = "src", dst: str = "dst",
 
     if max_hops < 0:
         raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    if mode not in ("auto", "broadcast", "sharded"):
+        raise ValueError(f"mode must be auto|broadcast|sharded, got {mode!r}")
     seed_arr = np.unique(np.asarray(list(seeds), dtype=np.int64))
     if seed_arr.size == 0:
         return pd.DataFrame({"node": pd.Series([], dtype="int64"),
@@ -718,6 +720,9 @@ def cheapest_path(edges_ds, seeds, src: str = "src", dst: str = "dst",
         .groupby(["s", "d"]).aggregate(Min("w", alias_name="w"))
         .materialize()
     )
+
+    if mode == "sharded":
+        return _cheapest_sharded(edges, seed_arr, max_hops)
 
     dist: dict[int, int] = {int(n): 0 for n in seed_arr}
     frontier = {int(n): 0 for n in seed_arr}
@@ -756,15 +761,122 @@ def cheapest_path(edges_ds, seeds, src: str = "src", dst: str = "dst",
                 dist[n] = c
                 nxt[n] = c
         if len(dist) > max_broadcast_nodes:
+            if mode == "auto":
+                # restart with Dataset-resident state (the bfs_hops rule)
+                return _cheapest_sharded(edges, seed_arr, max_hops)
             raise ValueError(
                 f"cheapest_path: dist map would exceed max_broadcast_nodes={max_broadcast_nodes}; "
-                "shard the frontier by node-id range (the bfs_hops rule)"
+                "use mode='sharded' (or 'auto') or raise the guard"
             )
         frontier = nxt
 
     nodes = np.array(sorted(dist), dtype=np.int64)
     return pd.DataFrame({"node": nodes,
                          "min_cost": np.array([dist[int(n)] for n in nodes], dtype=np.int64)})
+
+
+def _cheapest_sharded(edges, seed_arr: np.ndarray, max_hops: int):
+    """Sharded-state Bellman-Ford (the bfs_hops recipe with a Min fold):
+    dist ``(node, min_cost)`` and the frontier are hash-bucketed Datasets;
+    each round is one bucketed join (edges ⋈ frontier on src), one
+    (node, min) groupby of candidates, and one left join against dist
+    keeping only improvements. Costs stay < max_hops·2^40 < 2^53 (the
+    per-edge weight guard), so NaN-float round-trips are lossless. State
+    repartitions every round (the iterative-Dataset rule)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from .._rayutil import pool_size
+    from .fastagg import hash_aggregate
+    from .join import hash_join
+
+    nblocks = max(8, pool_size())
+
+    def _ren(col_from: str, col_to: str):
+        def fn(b: pa.Table) -> pa.Table:
+            return b.rename_columns([col_to if c == col_from else c for c in b.column_names])
+
+        return fn
+
+    _arrow_pass = dict(batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    state = (
+        rd.from_arrow(pa.table({
+            "node": pa.array(seed_arr, pa.int64()),
+            "min_cost": pa.array(np.zeros(seed_arr.size, dtype=np.int64)),
+        }))
+        .repartition(nblocks)
+        .materialize()
+    )
+    frontier = state  # (node, min_cost) — seeds at 0
+
+    for _ in range(max_hops):
+        f_s = frontier.map_batches(_ren("node", "s"), **_arrow_pass)
+
+        def local_relax(b: pa.Table) -> pa.Table:
+            if "d" not in b.column_names:  # empty inner-join bucket
+                return pa.table({"node": pa.array([], pa.int64()), "c": pa.array([], pa.int64())})
+            d = b["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+            c = (b["min_cost"].to_numpy(zero_copy_only=False).astype(np.int64)
+                 + b["w"].to_numpy(zero_copy_only=False).astype(np.int64))
+            uk, inv = np.unique(d, return_inverse=True)
+            best = np.full(len(uk), np.iinfo(np.int64).max, np.int64)
+            np.minimum.at(best, inv, c)
+            return pa.table({"node": pa.array(uk, pa.int64()), "c": pa.array(best, pa.int64())})
+
+        cand = hash_aggregate(
+            hash_join(edges, f_s, key="s").map_batches(local_relax, batch_format="pyarrow", **remote_args()),
+            "node", [("c", "min", "c")], num_buckets=nblocks if nblocks <= 64 else None,
+        )
+
+        def keep_improved(b: "pd.DataFrame") -> "pd.DataFrame":
+            if "node" not in b.columns:  # empty bucket -> column-less block
+                return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                                     "min_cost": pd.Series([], dtype="int64")})
+            c = b["c"].to_numpy(np.float64)
+            if np.any(np.abs(c) >= float(1 << 53)):
+                raise ValueError("cheapest_path sharded: cost exceeds exact-float bound")
+            old = b["min_cost"].to_numpy(np.float64)  # NaN for unseen nodes
+            take = np.isnan(old) | (c < old)
+            out = pd.DataFrame({"node": b["node"].to_numpy(np.int64)[take],
+                                "min_cost": c[take].astype(np.int64)})
+            return out
+
+        improved = (
+            hash_join(cand, state, key="node", how="left")
+            .map_batches(keep_improved, batch_format="pandas", **remote_args())
+            .map_batches(lambda b: b, batch_format="pyarrow", **remote_args())
+            .repartition(nblocks)
+            .materialize()
+        )
+        if improved.count() == 0:
+            break
+
+        def merge_dist(b: "pd.DataFrame") -> "pd.DataFrame":
+            if "node" not in b.columns:
+                return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                                     "min_cost": pd.Series([], dtype="int64")})
+            old = b["min_cost"].to_numpy(np.float64)
+            new = b["min_cost_r"].to_numpy(np.float64)
+            best = np.where(np.isnan(new), old, np.where(np.isnan(old), new, np.minimum(old, new)))
+            return pd.DataFrame({"node": b["node"].to_numpy(np.int64),
+                                 "min_cost": best.astype(np.int64)})
+
+        state = (
+            hash_join(state, improved, key="node", how="full")
+            .map_batches(merge_dist, batch_format="pandas", **remote_args())
+            .map_batches(lambda b: b, batch_format="pyarrow", **remote_args())
+            .repartition(nblocks)
+            .materialize()
+        )
+        frontier = improved
+
+    out = state.to_pandas()
+    if out.empty:
+        return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                             "min_cost": pd.Series([], dtype="int64")})
+    out = out.sort_values("node").reset_index(drop=True)
+    return pd.DataFrame({"node": out["node"].astype("int64"),
+                         "min_cost": out["min_cost"].astype("int64")})
 
 
 def personalized_pagerank(edges_ds, seeds, src: str = "src", dst: str = "dst",

@@ -537,8 +537,18 @@ def hash_join(left_ds, right_ds, key: str, num_buckets: int | None = None, how: 
         left_cols = list(left_ds.schema().names)
         out_order = left_cols + [c if c not in left_cols else f"{c}_r" for c in right_cols]
 
+    _empty_tagged = pa.table({
+        "_bucket": pa.array([], pa.int64()),
+        "_side": pa.array([], pa.int8()),
+        "blob": pa.array([], pa.large_binary()),
+    })
+
     def tag(side: int):
         def fn(batch: pa.Table) -> pa.Table:
+            if len(batch) == 0 or key not in batch.column_names:
+                # column-less empty blocks (e.g. a prior exchange's empty
+                # buckets) tag to nothing
+                return _empty_tagged
             k = batch[key].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
             b = _bucket_of(k, num_buckets)
             order = np.argsort(b, kind="stable")

@@ -57,6 +57,31 @@ def test_bfs_auto_restarts_sharded_when_guard_trips(ray_session):
     pd.testing.assert_frame_equal(bc, auto)
 
 
+def _wedges(n_nodes: int, n_edges: int, seed: int):
+    rng = np.random.default_rng(seed)
+    import pyarrow as pa
+    return ray.data.from_arrow(pa.table({
+        "src": pa.array(rng.integers(0, n_nodes, n_edges), type=pa.int64()),
+        "dst": pa.array(rng.integers(0, n_nodes, n_edges), type=pa.int64()),
+        "w": pa.array(rng.integers(0, 100, n_edges), type=pa.int64()),
+    }))
+
+
+@pytest.mark.parametrize("directed", [True, False])
+def test_cheapest_sharded_bit_equals_broadcast(ray_session, directed):
+    seeds = [0, 5]
+    bc = G.cheapest_path(_wedges(200, 800, 21), seeds, max_hops=4, directed=directed, mode="broadcast")
+    sh = G.cheapest_path(_wedges(200, 800, 21), seeds, max_hops=4, directed=directed, mode="sharded")
+    pd.testing.assert_frame_equal(bc, sh)
+
+
+def test_cheapest_auto_restarts_sharded_when_guard_trips(ray_session):
+    bc = G.cheapest_path(_wedges(150, 700, 23), [1], max_hops=3, mode="broadcast")
+    auto = G.cheapest_path(_wedges(150, 700, 23), [1], max_hops=3,
+                           max_broadcast_nodes=5, mode="auto")
+    pd.testing.assert_frame_equal(bc, auto)
+
+
 def test_bfs_sharded_isolated_seeds_kept_at_zero(ray_session):
     # seeds with no out-edges still appear at hop 0 (mirror the VALUES list)
     out = G.bfs_hops(_edges(50, 100, 17), [999_999], max_hops=3, mode="sharded")
