@@ -882,7 +882,7 @@ def _cheapest_sharded(edges, seed_arr: np.ndarray, max_hops: int):
 def personalized_pagerank(edges_ds, seeds, src: str = "src", dst: str = "dst",
                           iterations: int = 2, scale: int = 10**12,
                           damping_num: int = 850, damping_den: int = 1000,
-                          max_broadcast_nodes: int = 1 << 24):
+                          max_broadcast_nodes: int = 1 << 24, mode: str = "auto"):
     """Personalized (seeded-restart) PageRank: the random walk TELEPORTS
     back to the seed set instead of the whole graph — the
     similar-items / local-importance variant recommendation systems run.
@@ -901,6 +901,8 @@ def personalized_pagerank(edges_ds, seeds, src: str = "src", dst: str = "dst",
 
     if iterations < 0:
         raise ValueError(f"iterations must be >= 0, got {iterations}")
+    if mode not in ("auto", "broadcast", "sharded"):
+        raise ValueError(f"mode must be auto|broadcast|sharded, got {mode!r}")
     seed_ids = np.unique(np.asarray(list(seeds), dtype=np.int64))
     if seed_ids.size == 0:
         raise ValueError("personalized_pagerank needs at least one seed")
@@ -924,15 +926,22 @@ def personalized_pagerank(edges_ds, seeds, src: str = "src", dst: str = "dst",
         lambda b: pa.table({"id": pa.concat_arrays([b["s"].combine_chunks(), b["d"].combine_chunks()]).unique()}),
         batch_format="pyarrow", zero_copy_batch=True, **remote_args(),
     )
-    node_df = ends.groupby("id").aggregate(Count(alias_name="__pr_n__")).select_columns(["id"]).to_pandas()
+    nodes_ds = ends.groupby("id").aggregate(Count(alias_name="__pr_n__")).select_columns(["id"]).materialize()
     import pandas as pd
 
-    if node_df.empty:
+    n = nodes_ds.count()
+    if n == 0:
         return pd.DataFrame({"node": pd.Series([], dtype="int64"), "rank_units": pd.Series([], dtype="int64")})
-    node_ids = np.sort(node_df["id"].to_numpy(dtype=np.int64))
-    n = len(node_ids)
+    if mode == "auto":
+        mode = "broadcast" if n <= max_broadcast_nodes else "sharded"
+    if mode == "sharded":
+        return _ppr_sharded(edges, nodes_ds, seed_ids, n, iterations, scale, damping_num, damping_den)
     if n > max_broadcast_nodes:
-        raise ValueError(f"{n} nodes exceed max_broadcast_nodes={max_broadcast_nodes}")
+        raise ValueError(
+            f"{n} nodes exceed max_broadcast_nodes={max_broadcast_nodes}; "
+            "use mode='sharded' (or 'auto') or raise the guard"
+        )
+    node_ids = np.sort(nodes_ds.to_pandas()["id"].to_numpy(dtype=np.int64))
     pos = np.searchsorted(node_ids, seed_ids)
     if (pos >= n).any() or (node_ids[np.minimum(pos, n - 1)] != seed_ids).any():
         missing = [int(x) for x in seed_ids if x not in set(node_ids.tolist())]
@@ -977,6 +986,126 @@ def personalized_pagerank(edges_ds, seeds, src: str = "src", dst: str = "dst",
         ranks = nxt
 
     return pd.DataFrame({"node": node_ids, "rank_units": ranks})
+
+
+def _ppr_sharded(edges, nodes_ds, seed_ids: np.ndarray, n: int, iterations: int,
+                 scale: int, damping_num: int, damping_den: int):
+    """Sharded-state personalized PageRank (_pagerank_sharded with the
+    restart mass landing ONLY on seeds): state ``(node, deg, is_seed,
+    rank_units)`` is a hash-bucketed Dataset; seeds ship via ray.put (they
+    are caller-provided and driver-resident by definition). Exact-int
+    parity with the broadcast plan term-for-term."""
+    import pandas as pd
+    import ray
+
+    from .._rayutil import pool_size
+    from .fastagg import hash_aggregate
+    from .join import hash_join
+
+    if scale >= 1 << 50:
+        raise ValueError(
+            f"sharded personalized_pagerank needs scale < 2^50, got {scale}"
+        )
+    k = int(seed_ids.size)
+    seed_base = ((damping_den - damping_num) * scale) // (damping_den * k)
+    init = scale // k
+    nblocks = max(8, pool_size())
+    seeds_ref = ray.put(np.sort(seed_ids))
+
+    def _ren(col_from: str, col_to: str):
+        def fn(b: pa.Table) -> pa.Table:
+            return b.rename_columns([col_to if c == col_from else c for c in b.column_names])
+
+        return fn
+
+    nodes_n = nodes_ds.map_batches(_ren("id", "node"), batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+    deg_n = hash_aggregate(edges, "s", [("d", "count_all", "deg")]).map_batches(
+        _ren("s", "node"), batch_format="pyarrow", zero_copy_batch=True, **remote_args()
+    )
+
+    _empty_state = pa.table({
+        "node": pa.array([], pa.int64()), "deg": pa.array([], pa.int64()),
+        "is_seed": pa.array([], pa.int8()), "rank_units": pa.array([], pa.int64()),
+    })
+
+    def _seed_mask(node: np.ndarray) -> np.ndarray:
+        sk = ray.get(seeds_ref)
+        p = np.searchsorted(sk, node)
+        p[p == len(sk)] = 0
+        return (sk[p] == node) if len(sk) else np.zeros(len(node), bool)
+
+    def seed(b: pa.Table) -> pa.Table:
+        if "node" not in b.column_names:
+            return _empty_state
+        deg = np.nan_to_num(b["deg"].to_numpy(zero_copy_only=False).astype(np.float64), nan=0.0).astype(np.int64)
+        node = b["node"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        m = _seed_mask(node)
+        return pa.table({
+            "node": pa.array(node),
+            "deg": pa.array(deg, pa.int64()),
+            "is_seed": pa.array(m.astype(np.int8)),
+            "rank_units": pa.array(np.where(m, np.int64(init), np.int64(0))),
+        })
+
+    state = (
+        hash_join(nodes_n, deg_n, key="node", how="left")
+        .map_batches(seed, batch_format="pyarrow", **remote_args())
+        .repartition(nblocks)
+        .materialize()
+    )
+    # seeds must exist in the node universe (loud — a typo'd seed silently
+    # drains its mass); count the seeded rows distributedly
+    n_seeded = sum(
+        int(b["is_seed"].to_numpy(zero_copy_only=False).astype(np.int64).sum())
+        for b in state.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+        if "is_seed" in b.column_names
+    )
+    if n_seeded != k:
+        raise ValueError(f"seeds not in the graph: {k - n_seeded} of {k} missing")
+
+    for _ in range(iterations):
+        state_s = state.map_batches(_ren("node", "s"), batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+
+        def contrib(b: pa.Table) -> pa.Table:
+            if "d" not in b.column_names:
+                return pa.table({"node": pa.array([], pa.int64()), "c": pa.array([], pa.int64())})
+            r = b["rank_units"].to_numpy(zero_copy_only=False).astype(np.int64)
+            dg = b["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+            d = b["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+            c = (damping_num * r) // (damping_den * dg)
+            t = pa.table({"node": pa.array(d), "c": pa.array(c)})
+            return t.group_by("node").aggregate([("c", "sum")]).rename_columns(["node", "c"])
+
+        sums = hash_aggregate(
+            hash_join(edges, state_s, key="s").map_batches(contrib, batch_format="pyarrow", **remote_args()),
+            "node", [("c", "sum", "c")], num_buckets=nblocks if nblocks <= 64 else None,
+        )
+
+        def refresh(b: pa.Table) -> pa.Table:
+            if "node" not in b.column_names:
+                return _empty_state
+            c = np.nan_to_num(b["c"].to_numpy(zero_copy_only=False).astype(np.float64), nan=0.0)
+            if np.any(np.abs(c) >= float(1 << 53)):
+                raise ValueError("personalized_pagerank sharded: contribution sum exceeds exact-float bound")
+            m = b["is_seed"].to_numpy(zero_copy_only=False).astype(np.int8).astype(bool)
+            rank = np.where(m, np.int64(seed_base), np.int64(0)) + c.astype(np.int64)
+            return pa.table({
+                "node": b["node"].combine_chunks().cast(pa.int64()),
+                "deg": b["deg"].combine_chunks().cast(pa.int64()),
+                "is_seed": pa.array(m.astype(np.int8)),
+                "rank_units": pa.array(rank, pa.int64()),
+            })
+
+        state = (
+            hash_join(state.select_columns(["node", "deg", "is_seed"]), sums, key="node", how="left")
+            .map_batches(refresh, batch_format="pyarrow", **remote_args())
+            .repartition(nblocks)
+            .materialize()
+        )
+
+    out = state.select_columns(["node", "rank_units"]).to_pandas()
+    out = out.sort_values("node").reset_index(drop=True)
+    return pd.DataFrame({"node": out["node"].astype("int64"), "rank_units": out["rank_units"].astype("int64")})
 
 
 def link_predict_jaccard(edges_ds, src: str = "src", dst: str = "dst",

@@ -82,6 +82,19 @@ def test_cheapest_auto_restarts_sharded_when_guard_trips(ray_session):
     pd.testing.assert_frame_equal(bc, auto)
 
 
+@pytest.mark.parametrize("iterations", [0, 2])
+def test_ppr_sharded_bit_equals_broadcast(ray_session, iterations):
+    seeds = [1, 4, 9]
+    bc = G.personalized_pagerank(_edges(180, 800, 31), seeds, iterations=iterations, mode="broadcast")
+    sh = G.personalized_pagerank(_edges(180, 800, 31), seeds, iterations=iterations, mode="sharded")
+    pd.testing.assert_frame_equal(bc, sh)
+
+
+def test_ppr_sharded_rejects_missing_seed(ray_session):
+    with pytest.raises(ValueError, match="seeds not in the graph"):
+        G.personalized_pagerank(_edges(50, 200, 33), [999_999], iterations=1, mode="sharded")
+
+
 def test_bfs_sharded_isolated_seeds_kept_at_zero(ray_session):
     # seeds with no out-edges still appear at hop 0 (mirror the VALUES list)
     out = G.bfs_hops(_edges(50, 100, 17), [999_999], max_hops=3, mode="sharded")
