@@ -355,7 +355,8 @@ def triangle_count(edges_ds, src: str = "src", dst: str = "dst",
 
 
 def kcore(edges_ds, k: int, src: str = "src", dst: str = "dst",
-          max_iters: int = 200, max_broadcast_nodes: int = 1 << 24):
+          max_iters: int = 200, max_broadcast_nodes: int = 1 << 24,
+          mode: str = "auto"):
     """k-core decomposition: iteratively peel nodes of degree < k until the
     survivor graph is stable — the standard community/spam-core filter.
     Returns a Dataset of ``(node, degree)`` for the k-core members
@@ -376,6 +377,8 @@ def kcore(edges_ds, k: int, src: str = "src", dst: str = "dst",
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if mode not in ("auto", "broadcast", "sharded"):
+        raise ValueError(f"mode must be auto|broadcast|sharded, got {mode!r}")
 
     def sym(batch: pa.Table) -> pa.Table:
         s = batch[src].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -396,6 +399,8 @@ def kcore(edges_ds, k: int, src: str = "src", dst: str = "dst",
         .materialize()
     )
     n_blocks = max(state.num_blocks(), 1)
+    if mode == "sharded":
+        return _kcore_sharded(state, k, max_iters, n_blocks)
     empty = pa.table({"node": pa.array([], pa.int64()), "degree": pa.array([], pa.int64())})
     for _ in range(max_iters):
         if state.count() == 0:
@@ -408,7 +413,14 @@ def kcore(edges_ds, k: int, src: str = "src", dst: str = "dst",
             out["degree"] = out["degree"].astype("int64")
             return ray.data.from_pandas(out)
         if len(weak) > max_broadcast_nodes:
-            raise ValueError(f"kcore: {len(weak)} peeled nodes exceed max_broadcast_nodes")
+            if mode == "auto":
+                # continue peeling with Dataset-resident weak sets (peeling
+                # is monotone — resuming from the current state is exact)
+                return _kcore_sharded(state, k, max_iters, n_blocks)
+            raise ValueError(
+                f"kcore: {len(weak)} peeled nodes exceed max_broadcast_nodes; "
+                "use mode='sharded' (or 'auto') or raise the guard"
+            )
         weak_ref = ray.put(np.sort(weak))
 
         def peel(batch: pa.Table) -> pa.Table:
@@ -420,6 +432,71 @@ def kcore(edges_ds, k: int, src: str = "src", dst: str = "dst",
 
         state = (
             state.map_batches(peel, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+            .repartition(n_blocks)
+            .materialize()
+        )
+    raise ValueError(f"kcore: did not converge in {max_iters} rounds")
+
+
+def _kcore_sharded(state, k: int, max_iters: int, n_blocks: int):
+    """Sharded-state k-core peeling (VERDICT r4 #5 family): the per-round
+    weak set stays a Dataset; peeling = TWO bucketed anti-joins (drop rows
+    whose node OR nbr is weak) instead of a ray.put broadcast — no
+    |peeled|-sized driver object. Monotone peeling makes resuming from any
+    partially-peeled state exact. State repartitions every round."""
+    import pandas as pd
+    import ray.data
+
+    from .fastagg import hash_aggregate
+    from .join import hash_join
+
+    empty = pa.table({"node": pa.array([], pa.int64()), "degree": pa.array([], pa.int64())})
+
+    def _ren(mapping: dict):
+        def fn(b: pa.Table) -> pa.Table:
+            return b.rename_columns([mapping.get(c, c) for c in b.column_names])
+
+        return fn
+
+    def _anti(ds, weak, col: str):
+        """Rows of ds whose ``col`` does NOT appear in weak's node set."""
+        left = ds if col == "node" else ds.map_batches(
+            _ren({"node": "__kc_n", "nbr": "node"}), batch_format="pyarrow",
+            zero_copy_batch=True, **remote_args())
+
+        def keep_unmatched(b: "pd.DataFrame") -> "pd.DataFrame":
+            if "node" not in b.columns:
+                return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                                     "nbr": pd.Series([], dtype="int64")})
+            out = b.loc[b["deg"].isna()]
+            if col == "node":
+                out = out[["node", "nbr"]].copy()
+            else:
+                out = out[["__kc_n", "node"]].copy()
+                out.columns = ["node", "nbr"]
+            return out.astype({"node": "int64", "nbr": "int64"})
+
+        return (
+            hash_join(left, weak, key="node", how="left")
+            .map_batches(keep_unmatched, batch_format="pandas", **remote_args())
+            .map_batches(lambda b: b, batch_format="pyarrow", **remote_args())
+        )
+
+    for _ in range(max_iters):
+        if state.count() == 0:
+            return ray.data.from_arrow(empty)
+        deg = hash_aggregate(state, "node", [("nbr", "count_all", "deg")]).materialize()
+        weak = deg.filter(expr=f"deg < {k}").materialize()
+        if weak.count() == 0:
+            def fin(b: pa.Table) -> pa.Table:
+                if "node" not in b.column_names:
+                    return empty
+                return pa.table({"node": b["node"].combine_chunks().cast(pa.int64()),
+                                 "degree": b["deg"].combine_chunks().cast(pa.int64())})
+
+            return deg.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
+        state = (
+            _anti(_anti(state, weak, "node"), weak, "nbr")
             .repartition(n_blocks)
             .materialize()
         )

@@ -95,6 +95,22 @@ def test_ppr_sharded_rejects_missing_seed(ray_session):
         G.personalized_pagerank(_edges(50, 200, 33), [999_999], iterations=1, mode="sharded")
 
 
+@pytest.mark.parametrize("k", [2, 4])
+def test_kcore_sharded_equals_broadcast(ray_session, k):
+    bc = G.kcore(_edges(120, 500, 41), k, mode="broadcast").to_pandas()
+    sh = G.kcore(_edges(120, 500, 41), k, mode="sharded").to_pandas()
+    def nrm(df):
+        if df.empty:
+            return pd.DataFrame({"node": pd.Series([], dtype="int64"), "degree": pd.Series([], dtype="int64")})
+        return df.sort_values("node").reset_index(drop=True).astype({"node": "int64", "degree": "int64"})
+    pd.testing.assert_frame_equal(nrm(bc), nrm(sh))
+
+
+def test_kcore_sharded_fully_peeled_returns_typed_empty(ray_session):
+    out = G.kcore(_edges(60, 80, 43), 40, mode="sharded").to_pandas()
+    assert len(out) == 0
+
+
 def test_bfs_sharded_isolated_seeds_kept_at_zero(ray_session):
     # seeds with no out-edges still appear at hop 0 (mirror the VALUES list)
     out = G.bfs_hops(_edges(50, 100, 17), [999_999], max_hops=3, mode="sharded")
