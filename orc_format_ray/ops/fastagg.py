@@ -164,6 +164,12 @@ def hash_aggregate(ds, keys, aggs, num_buckets: int | None = None):
         refs.extend(bundle.block_refs)
     if not refs:
         return rd.from_arrow(pa.table({}))
+    from .join import _RAW_EXCHANGE_MAX_REFS
+
+    if len(refs) * num_buckets > _RAW_EXCHANGE_MAX_REFS:
+        # ref fan-out exceeds the driver bound — the sort-shuffle's
+        # constant amortizes at this scale anyway
+        return _fallback_groupby(ds, keys, specs)
 
     split = ray.remote(**remote_args())(_fa_split_task)
     cols = [split.options(num_returns=num_buckets).remote(r, num_buckets) for r in refs]

@@ -431,6 +431,9 @@ def _raw_join_task(key, how, left_cols, right_cols, out_order, subsplit_budget, 
 
 def _raw_exchange_join(lt, rt, num_buckets, key, how, left_cols, right_cols,
                        out_order, subsplit_budget):
+    """Returns the joined Dataset, or None when the (blocks x buckets) ref
+    fan-out would exceed the driver bound — caller falls back to the
+    Dataset sort-shuffle path."""
     import ray
     import ray.data as rd
 
@@ -440,6 +443,8 @@ def _raw_exchange_join(lt, rt, num_buckets, key, how, left_cols, right_cols,
             refs.extend(bundle.block_refs)
     if not refs:
         return rd.from_arrow(pa.table({}))
+    if len(refs) * num_buckets > _RAW_EXCHANGE_MAX_REFS:
+        return None
     split = ray.remote(**remote_args())(_raw_split_task)
     cols = [split.options(num_returns=num_buckets).remote(r, num_buckets) for r in refs]
     if num_buckets == 1:
@@ -581,8 +586,10 @@ def hash_join(left_ds, right_ds, key: str, num_buckets: int | None = None, how: 
         out_format == "pyarrow"
         and num_buckets <= _RAW_EXCHANGE_MAX_BUCKETS
     ):
-        return _raw_exchange_join(lt, rt, num_buckets, key, how, left_cols,
-                                  right_cols, out_order, subsplit_budget)
+        out = _raw_exchange_join(lt, rt, num_buckets, key, how, left_cols,
+                                 right_cols, out_order, subsplit_budget)
+        if out is not None:  # None: ref fan-out exceeded the driver bound
+            return out
 
     def _fin(df):
         if out_format == "pandas":
