@@ -756,12 +756,12 @@ def semi_join_streaming(left_ds, right_ds, key: str,
             k = k.drop_null()  # SQL semi/anti: NULL right keys never match
         return pa.table({key: k.cast(pa.int64()).unique()})
 
-    keys = (
-        right_ds.map_batches(key_partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby(key)
-        .aggregate(Count(alias_name="_n"))
-        .materialize()  # count() + consume below must not re-run the right scan
-    )
+    from .fastagg import hash_aggregate
+
+    keys = hash_aggregate(
+        right_ds.map_batches(key_partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        key, [(key, "count_all", "_n")],
+    ).materialize()  # count() + consume below must not re-run the right scan
     n_keys = keys.count()
 
     if n_keys <= max_broadcast_keys:
