@@ -38,11 +38,13 @@ def exact_dedup_groups(ds, column: str = "text"):
         g = t.group_by("content_hash").aggregate([("doc_id", "min"), ("doc_id", "count")])
         return g.rename_columns(["content_hash", "doc_id_min", "cnt"])
 
+    from .fastagg import fast_groupby
+
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-    out = partials.groupby("content_hash").aggregate(
-        Min("doc_id_min", alias_name="doc_id"), Sum("cnt", alias_name="n_dups")
+    return fast_groupby(
+        partials, "content_hash",
+        Min("doc_id_min", alias_name="doc_id"), Sum("cnt", alias_name="n_dups"),
     )
-    return out
 
 
 def _keep_survivors(batch: pa.Table, survivors_ref) -> pa.Table:
@@ -398,7 +400,9 @@ def _bucketize(band_rows):
             }
         )
 
-    return band_rows.groupby(["band_id", "band_hash"]).map_groups(bucket, batch_format="pandas", **remote_args())
+    from .fastagg import fast_map_groups
+
+    return fast_map_groups(band_rows, ["band_id", "band_hash"], bucket)
 
 
 _PAIR_SCHEMA = {"doc_id": "int64", "doc_a": "int64", "doc_b": "int64", "slot": "int64", "text": "object"}
@@ -565,7 +569,9 @@ def _verify_pairs_tail(sources, pair_halves, threshold: float, shingle_k: int):
         halves["text"] = t.iloc[0]
         return halves
 
-    joined = pair_halves.union(texts_ds).groupby("doc_id").map_groups(attach_text, batch_format="pandas", **remote_args())
+    from .fastagg import fast_map_groups
+
+    joined = fast_map_groups(pair_halves.union(texts_ds), "doc_id", attach_text)
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         t0 = g.loc[g["slot"] == 0, "text"]
@@ -577,7 +583,7 @@ def _verify_pairs_tail(sources, pair_halves, threshold: float, shingle_k: int):
             return pd.DataFrame({"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64"), "jaccard": pd.Series(dtype="float64")})
         return pd.DataFrame({"doc_a": [int(g["doc_a"].iloc[0])], "doc_b": [int(g["doc_b"].iloc[0])], "jaccard": [round(jac, 6)]})
 
-    out = joined.groupby(["doc_a", "doc_b"]).map_groups(verify, batch_format="pandas", **remote_args())
+    out = fast_map_groups(joined, ["doc_a", "doc_b"], verify)
     batches = list(out.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
     # every candidate pair can fail verification: zero batches, not one empty
     if not batches:
@@ -887,6 +893,7 @@ def connected_components(pairs, max_rounds: int = 64, num_buckets: int = 64):
     import ray.data
     from ray.data.aggregate import Max, Min
 
+    from .fastagg import fast_groupby
     from .join import hash_join
 
     if isinstance(pairs, pa.Table):
@@ -942,7 +949,7 @@ def connected_components(pairs, max_rounds: int = 64, num_buckets: int = 64):
 
         cand = msgs.map_batches(to_cand, batch_format="pyarrow", **remote_args())
         own = labels.map_batches(own_cand, batch_format="pyarrow", **remote_args())
-        folded = cand.union(own).groupby("node").aggregate(Min("cand"), Max("old"))
+        folded = fast_groupby(cand.union(own), "node", Min("cand"), Max("old"))
 
         def finish(batch: pa.Table) -> pa.Table:
             new = batch["min(cand)"].to_numpy(zero_copy_only=False)

@@ -206,6 +206,106 @@ def fast_groupby(ds, keys, *agg_objs, num_buckets: int | None = None):
     return hash_aggregate(ds, keys, specs, num_buckets=num_buckets)
 
 
+def fast_map_groups(ds, keys, fn, num_buckets: int | None = None):
+    """Raw-exchange ``ds.groupby(keys).map_groups(fn, batch_format="pandas")``:
+    rows bucket by key hash into IPC blobs (NO combiner — groups need whole
+    rows), one split task per block, one reduce task per bucket running the
+    per-group pandas fn over its complete groups. Hash partitioning
+    guarantees group completeness; within-group row order is unspecified on
+    BOTH paths (Ray Data doctrine), so any fn legal under Ray's map_groups
+    is legal here. fn may return a DataFrame or an Arrow table; outputs
+    become Arrow blocks. Falls back to Ray's map_groups for float/nested
+    keys or when the ref fan-out exceeds the driver bound."""
+    import ray
+    import ray.data as rd
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    if num_buckets is None:
+        from .join import _BUCKET_MEM_BUDGET, _JOIN_EXPANSION, _estimate_bytes
+        import math
+
+        est = _estimate_bytes(ds) or 0
+        num_buckets = min(4096, max(4, math.ceil(est * _JOIN_EXPANSION / _BUCKET_MEM_BUDGET))) if est else 8
+
+    def _fallback():
+        gb = ds.groupby(keys[0] if len(keys) == 1 else keys)
+        out = gb.map_groups(fn, batch_format="pandas", **remote_args())
+        # normalize to arrow blocks (mixed-lineage union rule downstream)
+        return out.map_batches(lambda b: b, batch_format="pyarrow", **remote_args())
+
+    try:
+        schema = ds.schema()
+        for k in keys:
+            t = schema.base_schema.field(k).type if hasattr(schema, "base_schema") else schema.field(k).type
+            if not (pa.types.is_integer(t) or pa.types.is_date(t) or pa.types.is_timestamp(t)
+                    or pa.types.is_string(t) or pa.types.is_large_string(t)):
+                return _fallback()
+    except Exception:  # noqa: BLE001
+        pass
+    if num_buckets > _RAW_EXCHANGE_MAX_BUCKETS:
+        return _fallback()
+
+    def tag(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0 or any(k not in batch.column_names for k in keys):
+            return pa.table({"_bucket": pa.array([], pa.int64()), "blob": pa.array([], pa.large_binary())})
+        kh = _combined_hash(batch, keys)
+        b = (kh.view(np.uint64) % np.uint64(num_buckets)).astype(np.int64)
+        order = np.argsort(b, kind="stable")
+        bs = b[order]
+        cuts = np.flatnonzero(np.diff(bs)) + 1
+        starts = np.concatenate(([0], cuts))
+        ends = np.concatenate((cuts, [len(bs)]))
+        sb = batch.take(pa.array(order, type=pa.int64()))
+        bko, blobs = [], []
+        for s, e in zip(starts, ends):
+            if e == s:
+                continue
+            bko.append(int(bs[s]))
+            blobs.append(_ipc_bytes(sb.slice(s, e - s)))
+        return pa.table({"_bucket": pa.array(bko, pa.int64()), "blob": pa.array(blobs, pa.large_binary())})
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True, **remote_args()).materialize()
+    refs = []
+    for bundle in tagged.iter_internal_ref_bundles():
+        refs.extend(bundle.block_refs)
+    if not refs:
+        return rd.from_arrow(pa.table({}))
+    from .join import _RAW_EXCHANGE_MAX_REFS
+
+    if len(refs) * num_buckets > _RAW_EXCHANGE_MAX_REFS:
+        return _fallback()
+
+    split = ray.remote(**remote_args())(_fa_split_task)
+    cols = [split.options(num_returns=num_buckets).remote(r, num_buckets) for r in refs]
+    if num_buckets == 1:
+        cols = [[c] for c in cols]
+    reduce_t = ray.remote(**remote_args())(_fmg_reduce_task)
+    outs = [reduce_t.remote(keys, fn, *[c[b] for c in cols]) for b in range(num_buckets)]
+    return rd.from_arrow_refs(outs)
+
+
+def _fmg_reduce_task(keys, fn, *parts):
+    import pandas as pd
+
+    tbls = []
+    for p in parts:
+        if p is None:
+            continue
+        tbls.extend(_ipc_table(b) for b in p["blob"].to_pylist())
+    if not tbls:
+        return pa.table({})
+    df = pa.concat_tables(tbls).to_pandas()
+    outs = []
+    for _, g in df.groupby(keys if len(keys) > 1 else keys[0], sort=True, dropna=False):
+        r = fn(g.reset_index(drop=True))
+        if r is None or len(r) == 0:
+            continue
+        outs.append(r.to_pandas() if isinstance(r, pa.Table) else r)
+    if not outs:
+        return pa.table({})
+    return pa.Table.from_pandas(pd.concat(outs, ignore_index=True), preserve_index=False)
+
+
 def _fa_split_task(blk: pa.Table, num_buckets: int):
     if len(blk) == 0 or "_bucket" not in blk.column_names:
         # Ray passes empty input blocks through map_batches unchanged

@@ -111,6 +111,54 @@ def test_empty_dataset(ray_session):
     assert len(out) == 0
 
 
+def test_fast_map_groups_matches_ray_map_groups(ray_session):
+    from orc_format_ray.ops.fastagg import fast_map_groups
+
+    t = _data(n=20_000, nk=233, seed=9)
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "k": [int(g["k"].iloc[0])],
+            "n": [len(g)],
+            "sv": [int(g["v"].sum())],
+            "top": [int(g.sort_values(["w", "v"]).iloc[-1]["w"])],
+        })
+
+    fast = fast_map_groups(ray.data.from_arrow(t).repartition(11), "k", per_group, num_buckets=8).to_pandas()
+    slow = ray.data.from_arrow(t).groupby("k").map_groups(per_group, batch_format="pandas").to_pandas()
+    pd.testing.assert_frame_equal(_norm(fast), _norm(slow), check_dtype=False)
+
+
+def test_fast_map_groups_multi_key_and_empty_groups(ray_session):
+    from orc_format_ray.ops.fastagg import fast_map_groups
+
+    t = _data(n=5_000, nk=50, seed=13)
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        if int(g["v"].sum()) % 2:  # drop half the groups: empty-result path
+            return pd.DataFrame({"k": pd.Series([], dtype="int64"), "k2": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"k": [int(g["k"].iloc[0])], "k2": [int(g["k2"].iloc[0])], "n": [len(g)]})
+
+    fast = fast_map_groups(ray.data.from_arrow(t).repartition(5), ["k", "k2"], per_group, num_buckets=4).to_pandas()
+    slow = ray.data.from_arrow(t).groupby(["k", "k2"]).map_groups(per_group, batch_format="pandas").to_pandas()
+    pd.testing.assert_frame_equal(_norm(fast), _norm(slow), check_dtype=False)
+
+
+def test_fast_map_groups_string_key(ray_session):
+    from orc_format_ray.ops.fastagg import fast_map_groups
+
+    t = pa.table({"k": pa.array(["x", "y", "x", "z", "y", "x"]),
+                  "v": pa.array([1, 2, 3, 4, 5, 6], type=pa.int64())})
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"k": [g["k"].iloc[0]], "sv": [int(g["v"].sum())]})
+
+    out = fast_map_groups(ray.data.from_arrow(t), "k", per_group, num_buckets=3).to_pandas()
+    expect = pd.DataFrame({"k": ["x", "y", "z"], "sv": [10, 7, 4]})
+    pd.testing.assert_frame_equal(_norm(out), _norm(expect), check_dtype=False)
+
+
 @pytest.mark.parametrize("nb", [1, 3, 8, 64])
 def test_bucket_count_invariance(ray_session, nb):
     t = _data(n=5000, nk=97)
