@@ -38,6 +38,7 @@ import numpy as np
 import pyarrow as pa
 
 from .._rayutil import remote_args
+from .fastagg import fast_groupby
 
 
 def pagerank(edges_ds, src: str = "src", dst: str = "dst", iterations: int = 3,
@@ -78,16 +79,14 @@ def pagerank(edges_ds, src: str = "src", dst: str = "dst", iterations: int = 3,
     cells = edges_ds.map_batches(local_distinct, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
     from ray.data.aggregate import Count
 
-    edges = (
-        cells.groupby(["s", "d"]).aggregate(Count(alias_name="__pr_c__")).select_columns(["s", "d"])
-    ).materialize()
+    edges = fast_groupby(cells, ["s", "d"], Count(alias_name="__pr_c__")).select_columns(["s", "d"]).materialize()
 
     # node universe + out-degrees (both |nodes|-sized — driver-resident)
     ends = edges.map_batches(
         lambda b: pa.table({"id": pa.concat_arrays([b["s"].combine_chunks(), b["d"].combine_chunks()]).unique()}),
         batch_format="pyarrow", zero_copy_batch=True, **remote_args(),
     )
-    nodes_ds = ends.groupby("id").aggregate(Count(alias_name="__pr_n__")).select_columns(["id"]).materialize()
+    nodes_ds = fast_groupby(ends, "id", Count(alias_name="__pr_n__")).select_columns(["id"]).materialize()
     n = nodes_ds.count()
     if n == 0:  # fully-empty Datasets drop columns in to_pandas
         import pandas as pd
@@ -103,7 +102,7 @@ def pagerank(edges_ds, src: str = "src", dst: str = "dst", iterations: int = 3,
             "use mode='sharded' (or 'auto') or raise the guard"
         )
     node_ids = np.sort(nodes_ds.to_pandas()["id"].to_numpy(dtype=np.int64))
-    deg_df = edges.groupby("s").aggregate(Count(alias_name="deg")).to_pandas()
+    deg_df = fast_groupby(edges, "s", Count(alias_name="deg")).to_pandas()
     deg = np.zeros(n, dtype=np.int64)
     deg_idx = np.searchsorted(node_ids, deg_df["s"].to_numpy(dtype=np.int64))
     deg[deg_idx] = deg_df["deg"].to_numpy(dtype=np.int64)
@@ -128,12 +127,10 @@ def pagerank(edges_ds, src: str = "src", dst: str = "dst", iterations: int = 3,
             g = t.group_by("d").aggregate([("c", "sum")])
             return g.rename_columns(["d", "c"])
 
-        sums = (
-            edges.map_batches(contribs, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-            .groupby("d")
-            .aggregate(Sum("c", alias_name="c"))
-            .to_pandas()
-        )
+        sums = fast_groupby(
+            edges.map_batches(contribs, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+            "d", Sum("c", alias_name="c"),
+        ).to_pandas()
         nxt = np.full(n, base, dtype=np.int64)
         di = np.searchsorted(node_ids, sums["d"].to_numpy(dtype=np.int64))
         nxt[di] += sums["c"].to_numpy(dtype=np.int64)
@@ -177,7 +174,7 @@ def _pagerank_sharded(edges, nodes_ds, n: int, iterations: int,
 
     nodes_n = nodes_ds.map_batches(_ren("id", "node"), batch_format="pyarrow", zero_copy_batch=True, **remote_args())
     deg_n = (
-        edges.groupby("s").aggregate(Count(alias_name="deg"))
+        fast_groupby(edges, "s", Count(alias_name="deg"))
         .map_batches(_ren("s", "node"), batch_format="pyarrow", zero_copy_batch=True, **remote_args())
     )
 
@@ -351,7 +348,7 @@ def triangle_count(edges_ds, src: str = "src", dst: str = "dst",
         .groupby("bucket")
         .map_groups(bucket_close, batch_format="pandas", **remote_args())
     )
-    return closed.groupby("node").aggregate(Sum("n", alias_name="n_triangles"))
+    return fast_groupby(closed, "node", Sum("n", alias_name="n_triangles"))
 
 
 def kcore(edges_ds, k: int, src: str = "src", dst: str = "dst",
@@ -405,7 +402,7 @@ def kcore(edges_ds, k: int, src: str = "src", dst: str = "dst",
     for _ in range(max_iters):
         if state.count() == 0:
             return ray.data.from_arrow(empty)
-        deg = state.groupby("node").aggregate(Count(alias_name="deg")).to_pandas()
+        deg = fast_groupby(state, "node", Count(alias_name="deg")).to_pandas()
         weak = deg.loc[deg["deg"] < k, "node"].to_numpy(np.int64)
         if len(weak) == 0:
             out = deg.rename(columns={"deg": "degree"})
@@ -609,8 +606,10 @@ def bfs_hops(edges_ds, seeds, src: str = "src", dst: str = "dst",
         return t.group_by(["s", "d"]).aggregate([])
 
     edges = (
-        edges_ds.map_batches(local_distinct, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby(["s", "d"]).aggregate(Count(alias_name="__bfs_c__"))
+        fast_groupby(
+            edges_ds.map_batches(local_distinct, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+            ["s", "d"], Count(alias_name="__bfs_c__"),
+        )
         .select_columns(["s", "d"])
         .materialize()
     )
@@ -634,11 +633,10 @@ def bfs_hops(edges_ds, seeds, src: str = "src", dst: str = "dst",
             hit = f[pos] == s
             return pa.table({"n": pa.array(np.unique(d[hit]), pa.int64())})
 
-        reached = (
-            edges.map_batches(reach, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-            .groupby("n").aggregate(Count(alias_name="__bfs_c__"))
-            .select_columns(["n"]).to_pandas()
-        )
+        reached = fast_groupby(
+            edges.map_batches(reach, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+            "n", Count(alias_name="__bfs_c__"),
+        ).select_columns(["n"]).to_pandas()
         if reached.empty:
             break
         cand = reached["n"].to_numpy(dtype=np.int64)
@@ -792,11 +790,10 @@ def cheapest_path(edges_ds, seeds, src: str = "src", dst: str = "dst",
         g = t.group_by(["s", "d"]).aggregate([("w", "min")])
         return g.rename_columns(["s", "d", "w"])
 
-    edges = (
-        edges_ds.map_batches(local_min, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby(["s", "d"]).aggregate(Min("w", alias_name="w"))
-        .materialize()
-    )
+    edges = fast_groupby(
+        edges_ds.map_batches(local_min, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        ["s", "d"], Min("w", alias_name="w"),
+    ).materialize()
 
     if mode == "sharded":
         return _cheapest_sharded(edges, seed_arr, max_hops)
@@ -825,12 +822,11 @@ def cheapest_path(edges_ds, seeds, src: str = "src", dst: str = "dst",
             np.minimum.at(best, inv, cand)
             return pa.table({"n": pa.array(uk, pa.int64()), "c": pa.array(best, pa.int64())})
 
-        cand = (
+        cand = fast_groupby(
             edges.map_batches(relax, batch_size=None, batch_format="pyarrow",
-                              zero_copy_batch=True, **remote_args())
-            .groupby("n").aggregate(Min("c", alias_name="c"))
-            .to_pandas()
-        )
+                              zero_copy_batch=True, **remote_args()),
+            "n", Min("c", alias_name="c"),
+        ).to_pandas()
         nxt: dict[int, int] = {}
         for n, c in cand.itertuples(index=False):
             n, c = int(n), int(c)
@@ -995,15 +991,13 @@ def personalized_pagerank(edges_ds, seeds, src: str = "src", dst: str = "dst",
     cells = edges_ds.map_batches(
         local_distinct, batch_format="pyarrow", zero_copy_batch=True, **remote_args()
     )
-    edges = (
-        cells.groupby(["s", "d"]).aggregate(Count(alias_name="__pr_c__")).select_columns(["s", "d"])
-    ).materialize()
+    edges = fast_groupby(cells, ["s", "d"], Count(alias_name="__pr_c__")).select_columns(["s", "d"]).materialize()
 
     ends = edges.map_batches(
         lambda b: pa.table({"id": pa.concat_arrays([b["s"].combine_chunks(), b["d"].combine_chunks()]).unique()}),
         batch_format="pyarrow", zero_copy_batch=True, **remote_args(),
     )
-    nodes_ds = ends.groupby("id").aggregate(Count(alias_name="__pr_n__")).select_columns(["id"]).materialize()
+    nodes_ds = fast_groupby(ends, "id", Count(alias_name="__pr_n__")).select_columns(["id"]).materialize()
     import pandas as pd
 
     n = nodes_ds.count()
@@ -1024,7 +1018,7 @@ def personalized_pagerank(edges_ds, seeds, src: str = "src", dst: str = "dst",
         missing = [int(x) for x in seed_ids if x not in set(node_ids.tolist())]
         raise ValueError(f"seeds not in the graph: {missing}")
 
-    deg_df = edges.groupby("s").aggregate(Count(alias_name="deg")).to_pandas()
+    deg_df = fast_groupby(edges, "s", Count(alias_name="deg")).to_pandas()
     deg = np.zeros(n, dtype=np.int64)
     deg[np.searchsorted(node_ids, deg_df["s"].to_numpy(dtype=np.int64))] = deg_df["deg"].to_numpy(dtype=np.int64)
 
@@ -1049,12 +1043,10 @@ def personalized_pagerank(edges_ds, seeds, src: str = "src", dst: str = "dst",
             t = pa.table({"d": pa.array(d, pa.int64()), "c": pa.array(c, pa.int64())})
             return t.group_by("d").aggregate([("c", "sum")]).rename_columns(["d", "c"])
 
-        sums = (
-            edges.map_batches(contribs, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-            .groupby("d")
-            .aggregate(Sum("c", alias_name="c"))
-            .to_pandas()
-        )
+        sums = fast_groupby(
+            edges.map_batches(contribs, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+            "d", Sum("c", alias_name="c"),
+        ).to_pandas()
         nxt = np.zeros(n, dtype=np.int64)
         nxt[pos] = seed_base
         if len(sums):
