@@ -31,6 +31,8 @@ import pyarrow.compute as pc
 
 from .._rayutil import remote_args
 
+from .fastagg import fast_groupby
+
 
 def quantile_cont_from_counts(values: np.ndarray, counts: np.ndarray, qs: list[float]) -> list[float]:
     """Exact quantile_cont (linear interpolation) from a sorted value/count
@@ -65,7 +67,11 @@ def quantiles_by_counts(ds, col: str, qs: list[float]) -> list[float]:
         return g.rename_columns([col, "cnt"])
 
     parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-    dist = parts.groupby(col).aggregate(Sum("cnt", alias_name="cnt"))
+    dist = fast_groupby(
+        parts,
+        col,
+        Sum("cnt", alias_name="cnt"),
+    )
     tbl = pa.concat_tables(list(dist.iter_batches(batch_size=1 << 20, batch_format="pyarrow")))
     values = tbl[col].to_numpy(zero_copy_only=False)
     counts = tbl["cnt"].to_numpy(zero_copy_only=False)
@@ -89,10 +95,11 @@ def grouped_quantiles(ds, key: str, col: str, qs: list[float]):
         g = batch.select([key, col]).group_by([key, col]).aggregate([(col, "count")])
         return g.rename_columns([key, col, "__gq_cnt__"])
 
-    dist = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby([key, col])
-        .aggregate(Sum("__gq_cnt__", alias_name="__gq_cnt__"))
+    dist = (fast_groupby(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        [key, col],
+        Sum("__gq_cnt__", alias_name="__gq_cnt__"),
+    )
     )
 
     def per_key(g: pd.DataFrame) -> pd.DataFrame:
@@ -129,15 +136,35 @@ def pivot(ds, index: str, column: str, value: str, agg: str = "sum", round_to: i
 
     parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
     if agg == "mean":
-        cells = parts.groupby([index, column]).aggregate(Sum("__pv_s__", alias_name="__pv_s__"), Sum("__pv_c__", alias_name="__pv_c__"))
+        cells = fast_groupby(
+        parts,
+        [index, column],
+        Sum("__pv_s__", alias_name="__pv_s__"), Sum("__pv_c__", alias_name="__pv_c__"),
+    )
     elif agg == "sum":
-        cells = parts.groupby([index, column]).aggregate(Sum("__pv_p__", alias_name="__pv_p__"))
+        cells = fast_groupby(
+        parts,
+        [index, column],
+        Sum("__pv_p__", alias_name="__pv_p__"),
+    )
     elif agg == "count":
-        cells = parts.groupby([index, column]).aggregate(Sum("__pv_p__", alias_name="__pv_p__"))
+        cells = fast_groupby(
+        parts,
+        [index, column],
+        Sum("__pv_p__", alias_name="__pv_p__"),
+    )
     elif agg == "min":
-        cells = parts.groupby([index, column]).aggregate(Min("__pv_p__", alias_name="__pv_p__"))
+        cells = fast_groupby(
+        parts,
+        [index, column],
+        Min("__pv_p__", alias_name="__pv_p__"),
+    )
     else:
-        cells = parts.groupby([index, column]).aggregate(Max("__pv_p__", alias_name="__pv_p__"))
+        cells = fast_groupby(
+        parts,
+        [index, column],
+        Max("__pv_p__", alias_name="__pv_p__"),
+    )
     cells = cells.materialize()  # |index x column| rows; read twice below
 
     # column universe: |columns| tiny values to the driver, deterministic order
@@ -191,13 +218,29 @@ def _grouping_cells(ds, keys: list[str], value: str, agg: str):
 
     parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
     if agg == "mean":
-        cells = parts.groupby(keys).aggregate(Sum("__ru_s__", alias_name="s"), Sum("__ru_c__", alias_name="c"))
+        cells = fast_groupby(
+        parts,
+        keys,
+        Sum("__ru_s__", alias_name="s"), Sum("__ru_c__", alias_name="c"),
+    )
     elif agg in ("sum", "count"):
-        cells = parts.groupby(keys).aggregate(Sum("__ru_p__", alias_name="p"))
+        cells = fast_groupby(
+        parts,
+        keys,
+        Sum("__ru_p__", alias_name="p"),
+    )
     elif agg == "min":
-        cells = parts.groupby(keys).aggregate(Min("__ru_p__", alias_name="p"))
+        cells = fast_groupby(
+        parts,
+        keys,
+        Min("__ru_p__", alias_name="p"),
+    )
     else:
-        cells = parts.groupby(keys).aggregate(Max("__ru_p__", alias_name="p"))
+        cells = fast_groupby(
+        parts,
+        keys,
+        Max("__ru_p__", alias_name="p"),
+    )
     return cells.materialize().to_pandas()
 
 
@@ -363,7 +406,11 @@ def mode_by_group(ds, group: str, col: str):
         return cells.rename_columns([group, col, "__mode_c__"])
 
     cells = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-    merged = cells.groupby([group, col]).aggregate(Sum("__mode_c__", alias_name="cnt"))
+    merged = fast_groupby(
+        cells,
+        [group, col],
+        Sum("__mode_c__", alias_name="cnt"),
+    )
 
     def pick(df):
         df = df.sort_values(["cnt", col], ascending=[False, True], kind="mergesort")
@@ -392,8 +439,16 @@ def ndistinct_by_group(ds, group: str, col: str):
         return batch.select([group, col]).group_by([group, col]).aggregate([])
 
     pairs = ds.map_batches(local_distinct, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-    dist = pairs.groupby([group, col]).aggregate(Count(alias_name="__nd_c__")).select_columns([group, col])
-    return dist.groupby(group).aggregate(Count(alias_name="n_distinct"))
+    dist = fast_groupby(
+        pairs,
+        [group, col],
+        Count(alias_name="__nd_c__"),
+    ).select_columns([group, col])
+    return fast_groupby(
+        dist,
+        group,
+        Count(alias_name="n_distinct"),
+    )
 
 
 def topk_by_group(ds, group: str, order_col: str, id_col: str, k: int = 10,
@@ -572,7 +627,11 @@ def string_agg_by_group(ds, group: str, col: str, sep: str = ",", distinct: bool
     if distinct:
         from ray.data.aggregate import Count
 
-        pairs = pairs.groupby([group, col]).aggregate(Count(alias_name="__sa_c__")).select_columns([group, col])
+        pairs = fast_groupby(
+        pairs,
+        [group, col],
+        Count(alias_name="__sa_c__"),
+    ).select_columns([group, col])
 
     def fold(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) > max_group_values:
@@ -599,12 +658,17 @@ def frequency_histogram(ds, key: str):
         g = t.group_by("k").aggregate([([], "count_all")])
         return g.rename_columns(["k", "c"])
 
-    per_key = (
-        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby("k")
-        .aggregate(Sum("c", alias_name="freq"))
+    per_key = (fast_groupby(
+        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        "k",
+        Sum("c", alias_name="freq"),
     )
-    return per_key.groupby("freq").aggregate(Count(alias_name="n_keys"))
+    )
+    return fast_groupby(
+        per_key,
+        "freq",
+        Count(alias_name="n_keys"),
+    )
 
 
 def quantile_disc_from_counts(values: np.ndarray, counts: np.ndarray, qs: list[float]) -> list[int]:
@@ -653,10 +717,11 @@ def robust_stats_by_group(ds, group: str, col: str, value_scale: int = 100):
         g = t.group_by(["g", "u"]).aggregate([([], "count_all")])
         return g.rename_columns(["g", "u", "c"])
 
-    dist = (
-        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby(["g", "u"])
-        .aggregate(Sum("c", alias_name="c"))
+    dist = (fast_groupby(
+        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        ["g", "u"],
+        Sum("c", alias_name="c"),
+    )
     )
 
     def fold(df: pd.DataFrame) -> pd.DataFrame:
@@ -704,10 +769,11 @@ def winsorize(ds, col: str, id_cols: list[str], q_lo: float = 0.05, q_hi: float 
         t = pa.table({"u": pa.array(u, pa.int64())})
         return t.group_by("u").aggregate([([], "count_all")]).rename_columns(["u", "c"])
 
-    dist = (
-        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby("u")
-        .aggregate(Sum("c", alias_name="c"))
+    dist = (fast_groupby(
+        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        "u",
+        Sum("c", alias_name="c"),
+    )
         .to_pandas()
     )
     lo, hi = quantile_disc_from_counts(
@@ -751,10 +817,11 @@ def hhi_by_group(ds, group: str, key: str, max_group_rows: int = 1 << 31):
         out = t.group_by(["g", "k"]).aggregate([([], "count_all")])
         return out.rename_columns(["g", "k", "c"])
 
-    counts = (
-        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby(["g", "k"])
-        .aggregate(Sum("c", alias_name="c"))
+    counts = (fast_groupby(
+        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        ["g", "k"],
+        Sum("c", alias_name="c"),
+    )
     )
 
     def squares(batch: pa.Table) -> pa.Table:
@@ -768,11 +835,12 @@ def hhi_by_group(ds, group: str, key: str, max_group_rows: int = 1 << 31):
                          "c": batch["c"].combine_chunks(),
                          "c2": pa.array(c * c, pa.int64())})
 
-    folded = (
-        counts.map_batches(squares, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby("g")
-        .aggregate(Count(alias_name="n_keys"), Sum("c", alias_name="n_rows"),
-                   Sum("c2", alias_name="s2"))
+    folded = (fast_groupby(
+        counts.map_batches(squares, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        "g",
+        Count(alias_name="n_keys"), Sum("c", alias_name="n_rows"),
+                   Sum("c2", alias_name="s2"),
+    )
     )
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -875,12 +943,13 @@ def regression_by_group(ds, group: str, x_col: str, y_col: str,
         )
         return out.rename_columns(["g", "n", "sx", "sy", "sxx", "syy", "sxy"])
 
-    folded = (
-        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby("g")
-        .aggregate(Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+    folded = (fast_groupby(
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        "g",
+        Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
                    Sum("sy", alias_name="sy"), Sum("sxx", alias_name="sxx"),
-                   Sum("syy", alias_name="syy"), Sum("sxy", alias_name="sxy"))
+                   Sum("syy", alias_name="syy"), Sum("sxy", alias_name="sxy"),
+    )
     )
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -949,10 +1018,11 @@ def standardize_by_group(ds, group: str, col: str, id_cols: list[str],
         out = t.group_by("g").aggregate([("u", "count"), ("u", "sum"), ("q", "sum")])
         return out.rename_columns(["g", "n", "s", "q"])
 
-    stats = (
-        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby("g")
-        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"), Sum("q", alias_name="q"))
+    stats = (fast_groupby(
+        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        "g",
+        Sum("n", alias_name="n"), Sum("s", alias_name="s"), Sum("q", alias_name="q"),
+    )
         .to_pandas()
     )
     lookup = {}
@@ -1010,10 +1080,11 @@ def quantile_transform(ds, col: str, id_cols: list[str], value_scale: int = 100,
         t = pa.table({"u": pa.array(u)})
         return t.group_by("u").aggregate([([], "count_all")]).rename_columns(["u", "c"])
 
-    dist = (
-        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby("u")
-        .aggregate(Sum("c", alias_name="c"))
+    dist = (fast_groupby(
+        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        "u",
+        Sum("c", alias_name="c"),
+    )
         .to_pandas()
     )
     if len(dist) > max_distinct:
@@ -1067,10 +1138,11 @@ def minmax_scale_by_group(ds, group: str, col: str, id_cols: list[str],
         out = t.group_by("g").aggregate([("u", "min"), ("u", "max")])
         return out.rename_columns(["g", "lo", "hi"])
 
-    stats = (
-        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby("g")
-        .aggregate(Min("lo", alias_name="lo"), Max("hi", alias_name="hi"))
+    stats = (fast_groupby(
+        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        "g",
+        Min("lo", alias_name="lo"), Max("hi", alias_name="hi"),
+    )
         .to_pandas()
     )
     lookup = {r["g"]: (np.int64(r["lo"]), np.int64(r["hi"])) for _, r in stats.iterrows()}
@@ -1124,10 +1196,11 @@ def entropy_by_group(ds, group: str, key: str, terms: bool = False):
         out = t.group_by(["g", "k"]).aggregate([([], "count_all")])
         return out.rename_columns(["g", "k", "c"])
 
-    counts = (
-        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby(["g", "k"])
-        .aggregate(Sum("c", alias_name="c"))
+    counts = (fast_groupby(
+        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        ["g", "k"],
+        Sum("c", alias_name="c"),
+    )
         .to_pandas()
         .sort_values(["g", "k"])
         .reset_index(drop=True)
@@ -1181,10 +1254,11 @@ def gini_by_group(ds, group: str, col: str, value_scale: int = 100):
         out = t.group_by(["g", "u"]).aggregate([([], "count_all")])
         return out.rename_columns(["g", "u", "c"])
 
-    counts = (
-        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby(["g", "u"])
-        .aggregate(Sum("c", alias_name="c"))
+    counts = (fast_groupby(
+        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        ["g", "u"],
+        Sum("c", alias_name="c"),
+    )
         .to_pandas()
     )
     rows = []
@@ -1233,10 +1307,11 @@ def chi_square(ds, col_a: str, col_b: str):
         out = t.group_by(["a", "b"]).aggregate([([], "count_all")])
         return out.rename_columns(["a", "b", "c"])
 
-    counts = (
-        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby(["a", "b"])
-        .aggregate(Sum("c", alias_name="c"))
+    counts = (fast_groupby(
+        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        ["a", "b"],
+        Sum("c", alias_name="c"),
+    )
         .to_pandas()
         .sort_values(["a", "b"])
         .reset_index(drop=True)
@@ -1299,11 +1374,12 @@ def welch_ttest(ds, group: str, col: str, group_a, group_b, value_scale: int = 1
         out = cells.group_by("g").aggregate([("n", "sum"), ("sx", "sum"), ("sxx", "sum")])
         return out.rename_columns(["g", "n", "sx", "sxx"])
 
-    stats = (
-        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby("g")
-        .aggregate(Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
-                   Sum("sxx", alias_name="sxx"))
+    stats = (fast_groupby(
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        "g",
+        Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+                   Sum("sxx", alias_name="sxx"),
+    )
         .to_pandas()
         .set_index("g")
     )
@@ -1367,10 +1443,11 @@ def target_encode(ds, category: str, target: str, prior_weight: int = 20,
         g = t.group_by("cat").aggregate([("u", "sum"), ("one", "sum")])
         return g.rename_columns(["cat", "su", "n"])
 
-    cells = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby("cat")
-        .aggregate(Sum("su", alias_name="su"), Sum("n", alias_name="n"))
+    cells = (fast_groupby(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        "cat",
+        Sum("su", alias_name="su"), Sum("n", alias_name="n"),
+    )
         .to_pandas()
     )
     if cells.empty:
@@ -1423,12 +1500,13 @@ def rfm_segments(ds, user_col: str = "user_id", ts_col: str = "ts",
         g = t.group_by("k").aggregate([("us", "max"), ("u", "sum"), ("one", "sum")])
         return g.rename_columns(["k", "last_us", "su", "cnt"])
 
-    metrics = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby("k")
-        .aggregate(Max("last_us", alias_name="last_us"),
+    metrics = (fast_groupby(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        "k",
+        Max("last_us", alias_name="last_us"),
                    Sum("su", alias_name="m_units"),
-                   Sum("cnt", alias_name="f_cnt"))
+                   Sum("cnt", alias_name="f_cnt"),
+    )
         .materialize()
     )
     tmax = metrics.max("last_us")
@@ -1504,10 +1582,11 @@ def label_centroid_sums(ds, label_col: str = "label", vec_col: str = "embedding"
             "sum_units": pa.array(sums.ravel(), pa.int64()),
         })
 
-    return (
-        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby(["label", "pos"])
-        .aggregate(Sum("n", alias_name="n"), Sum("sum_units", alias_name="sum_units"))
+    return (fast_groupby(
+        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        ["label", "pos"],
+        Sum("n", alias_name="n"), Sum("sum_units", alias_name="sum_units"),
+    )
     )
 
 
@@ -1547,10 +1626,11 @@ def winsorize_by_group(ds, group: str, col: str, id_cols: list[str],
         )
         return pd.DataFrame({group: [df["g"].iloc[0]], "lo": [np.int64(lo)], "hi": [np.int64(hi)]})
 
-    bounds = (
-        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby(["g", "u"])
-        .aggregate(Sum("c", alias_name="c"))
+    bounds = (fast_groupby(
+        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        ["g", "u"],
+        Sum("c", alias_name="c"),
+    )
         .groupby("g")
         .map_groups(fold, batch_format="pandas", **remote_args())
         .to_pandas()
@@ -1608,10 +1688,11 @@ def weighted_quantile_by_group(ds, group: str, col: str, weight_col: str,
                       "w": pa.array(wu, pa.int64())})
         return t.group_by(["g", "u"]).aggregate([("w", "sum")]).rename_columns(["g", "u", "w"])
 
-    dist = (
-        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby(["g", "u"])
-        .aggregate(Sum("w", alias_name="w"))
+    dist = (fast_groupby(
+        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        ["g", "u"],
+        Sum("w", alias_name="w"),
+    )
     )
 
     def fold(df: pd.DataFrame) -> pd.DataFrame:
@@ -1658,10 +1739,11 @@ def apportion_largest_remainder(ds, group: str, units_col: str, seats: int):
         out = t.group_by("g").aggregate([("u", "sum")])
         return out.rename_columns(["g", "u"])
 
-    totals = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby("g")
-        .aggregate(Sum("u", alias_name="w"))
+    totals = (fast_groupby(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        "g",
+        Sum("u", alias_name="w"),
+    )
         .to_pandas()
         .sort_values("g", kind="stable")
         .reset_index(drop=True)
@@ -1724,10 +1806,11 @@ def prop_ztest_by_group(ds, group: str, cond_col: str):
         out = cells.group_by("g").aggregate([("n", "sum"), ("x", "sum")])
         return out.rename_columns(["g", "n", "x"])
 
-    stats = (
-        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby("g")
-        .aggregate(Sum("n", alias_name="n"), Sum("x", alias_name="x"))
+    stats = (fast_groupby(
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        "g",
+        Sum("n", alias_name="n"), Sum("x", alias_name="x"),
+    )
         .to_pandas()
         .sort_values("g")
         .reset_index(drop=True)
@@ -1774,9 +1857,11 @@ def lorenz_curve(ds, id_col: str, units_col: str, n_buckets: int = 10):
     from ray.data.aggregate import Count, Sum
 
     buck = quantile_bucketize(ds, order_col=units_col, id_col=id_col, n=n_buckets, value_scale=1)
-    per = (
-        buck.groupby("bucket")
-        .aggregate(Count(alias_name="n"), Sum("units", alias_name="units"))
+    per = (fast_groupby(
+        buck,
+        "bucket",
+        Count(alias_name="n"), Sum("units", alias_name="units"),
+    )
         .to_pandas()
         .sort_values("bucket")
         .reset_index(drop=True)
@@ -1854,10 +1939,11 @@ def grouped_quantiles_cont(ds, key: str, col: str, qs: list[float]):
         g = batch.select([key, col]).group_by([key, col]).aggregate([(col, "count")])
         return g.rename_columns([key, col, "__qc_cnt__"])
 
-    dist = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby([key, col])
-        .aggregate(Sum("__qc_cnt__", alias_name="__qc_cnt__"))
+    dist = (fast_groupby(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        [key, col],
+        Sum("__qc_cnt__", alias_name="__qc_cnt__"),
+    )
     )
 
     def per_key(g: pd.DataFrame) -> pd.DataFrame:
@@ -1902,10 +1988,11 @@ def ks_test(ds, group: str, col: str, group_a, group_b, value_scale: int = 100):
         g = cells.group_by("u").aggregate([("a", "sum"), ("b", "sum")])
         return g.rename_columns(["u", "a", "b"])
 
-    dist = (
-        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby("u")
-        .aggregate(Sum("a", alias_name="a"), Sum("b", alias_name="b"))
+    dist = (fast_groupby(
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        "u",
+        Sum("a", alias_name="a"), Sum("b", alias_name="b"),
+    )
         .to_pandas()
         .sort_values("u")
         .reset_index(drop=True)
@@ -1947,10 +2034,11 @@ def mutual_info(ds, col_a: str, col_b: str):
         t = batch.select([col_a, col_b]).group_by([col_a, col_b]).aggregate([([], "count_all")])
         return t.rename_columns([col_a, col_b, "n_xy"])
 
-    joint = (
-        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby([col_a, col_b])
-        .aggregate(Sum("n_xy", alias_name="n_xy"))
+    joint = (fast_groupby(
+        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        [col_a, col_b],
+        Sum("n_xy", alias_name="n_xy"),
+    )
         .to_pandas()
     )
     n_total = int(joint["n_xy"].sum())
@@ -2012,10 +2100,11 @@ def wilson_lower_bound_by_group(ds, group: str, cond_col: str, z: str = "1.96"):
         out = cells.group_by("g").aggregate([("n", "sum"), ("k", "sum")])
         return out.rename_columns(["g", "n", "k"])
 
-    stats = (
-        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby("g")
-        .aggregate(Sum("n", alias_name="n"), Sum("k", alias_name="k"))
+    stats = (fast_groupby(
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        "g",
+        Sum("n", alias_name="n"), Sum("k", alias_name="k"),
+    )
         .to_pandas()
         .sort_values("g")
         .reset_index(drop=True)
@@ -2062,10 +2151,11 @@ def cvar_by_group(ds, group: str, col: str, q: float = 0.95, value_scale: int = 
         g = t.group_by(["g", "u"]).aggregate([([], "count_all")])
         return g.rename_columns(["g", "u", "c"])
 
-    dist = (
-        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby(["g", "u"])
-        .aggregate(Sum("c", alias_name="c"))
+    dist = (fast_groupby(
+        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        ["g", "u"],
+        Sum("c", alias_name="c"),
+    )
     )
 
     scale_d = np.float64(value_scale)
@@ -2224,14 +2314,13 @@ def multi_agg_scan(ds, specs: list[dict]):
             }
         )
 
-    folded = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby(["query", "grp", "agg"])
-        .aggregate(
-            Sum("v_s", alias_name="value_sum"),
+    folded = (fast_groupby(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        ["query", "grp", "agg"],
+        Sum("v_s", alias_name="value_sum"),
             Min("v_m", alias_name="value_min"),
             Max("v_x", alias_name="value_max"),
-        )
+    )
         .to_pandas()
     )
     if len(folded) == 0:

@@ -21,6 +21,8 @@ import pyarrow as pa
 
 from .._rayutil import remote_args
 
+from .fastagg import fast_groupby
+
 
 def co_occurrence(ds, basket: str, item: str, min_count: int = 1,
                   max_items_per_basket: int = 4096):
@@ -42,7 +44,11 @@ def co_occurrence(ds, basket: str, item: str, min_count: int = 1,
     pairs_in = ds.map_batches(local_distinct, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
     from ray.data.aggregate import Count
 
-    distinct = pairs_in.groupby(["b", "i"]).aggregate(Count(alias_name="__co_c__")).select_columns(["b", "i"])
+    distinct = fast_groupby(
+        pairs_in,
+        ["b", "i"],
+        Count(alias_name="__co_c__"),
+    ).select_columns(["b", "i"])
 
     def expand(g: pd.DataFrame) -> pd.DataFrame:
         items = np.sort(g["i"].to_numpy().astype(str))
@@ -63,10 +69,11 @@ def co_occurrence(ds, basket: str, item: str, min_count: int = 1,
         g = batch.group_by(["item_a", "item_b"]).aggregate([([], "count_all")])
         return g.rename_columns(["item_a", "item_b", "c"])
 
-    support = (
-        expanded.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby(["item_a", "item_b"])
-        .aggregate(Sum("c", alias_name="cnt"))
+    support = (fast_groupby(
+        expanded.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        ["item_a", "item_b"],
+        Sum("c", alias_name="cnt"),
+    )
     )
     if min_count > 1:
         support = support.filter(expr=f"cnt >= {int(min_count)}")
@@ -100,12 +107,19 @@ def group_vocab_jaccard(ds, group: str = "source", column: str = "text"):
         return t.group_by(["word", "g"]).aggregate([])
 
     cells_ds = ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-    distinct = cells_ds.groupby(["word", "g"]).aggregate(Count(alias_name="_n")).materialize()
+    distinct = fast_groupby(
+        cells_ds,
+        ["word", "g"],
+        Count(alias_name="_n"),
+    ).materialize()
 
     inter = co_occurrence(distinct.select_columns(["word", "g"]), basket="word", item="g")
     inter_df = inter.to_pandas()
-    sizes = (
-        distinct.groupby("g").aggregate(Count(alias_name="n")).to_pandas()
+    sizes = (fast_groupby(
+        distinct,
+        "g",
+        Count(alias_name="n"),
+    ).to_pandas()
         .set_index("g")["n"].astype(np.int64)
     )
     na = inter_df["item_a"].map(sizes).to_numpy(dtype=np.int64)
@@ -154,12 +168,22 @@ def assoc_rules(ds, basket: str, item: str, min_count: int = 1,
         return t.group_by(["b", "i"]).aggregate([])
 
     bi = ds.map_batches(local_distinct, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-    distinct = bi.groupby(["b", "i"]).aggregate(Count(alias_name="__ar_c__"))
-    item_counts = (
-        distinct.select_columns(["b", "i"]).groupby("i").aggregate(Count(alias_name="c_item")).to_pandas()
+    distinct = fast_groupby(
+        bi,
+        ["b", "i"],
+        Count(alias_name="__ar_c__"),
     )
-    n_baskets = int(
-        distinct.select_columns(["b"]).groupby("b").aggregate(Count(alias_name="__ar_b__")).count()
+    item_counts = (fast_groupby(
+        distinct.select_columns(["b", "i"]),
+        "i",
+        Count(alias_name="c_item"),
+    ).to_pandas()
+    )
+    n_baskets = int(fast_groupby(
+        distinct.select_columns(["b"]),
+        "b",
+        Count(alias_name="__ar_b__"),
+    ).count()
     )
     ci = dict(zip(item_counts["i"].astype(str), item_counts["c_item"].astype(int)))
     rows = []

@@ -34,6 +34,8 @@ import pyarrow.parquet as pq
 
 from .._rayutil import remote_args
 
+from .fastagg import fast_groupby
+
 META_FILE = "_bitmap_meta.json"
 
 _POP = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1).astype(np.int64)
@@ -155,11 +157,12 @@ def bitmap_crosstab(index_dir: str, col_a: str, col_b: str):
         return pa.Table.from_pylist(rows, schema=pa.schema([
             ("a", pa.string()), ("b", pa.string()), ("cnt", pa.int64())]))
 
-    return (
+    return (fast_groupby(
         ray.data.from_items([{"rg": i} for i in range(n_rg)])
-        .map_batches(one_part, batch_format="pyarrow", **remote_args())
-        .groupby(["a", "b"])
-        .aggregate(Sum("cnt", alias_name="cnt"))
+        .map_batches(one_part, batch_format="pyarrow", **remote_args()),
+        ["a", "b"],
+        Sum("cnt", alias_name="cnt"),
+    )
     )
 
 

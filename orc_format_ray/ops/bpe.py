@@ -29,6 +29,8 @@ import pyarrow.compute as pc
 
 from .._rayutil import pool_size, remote_args
 
+from .fastagg import fast_groupby
+
 _END = " "  # end-of-word sentinel (words are whitespace-split, so no word contains it)
 
 
@@ -47,7 +49,11 @@ def word_counts(ds, col: str = "text") -> pa.Table:
         return g.rename_columns(["word", "cnt"])
 
     parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-    agg = parts.groupby("word").aggregate(Sum("cnt", alias_name="cnt"))
+    agg = fast_groupby(
+        parts,
+        "word",
+        Sum("cnt", alias_name="cnt"),
+    )
     return pa.concat_tables(list(agg.iter_batches(batch_size=1 << 20, batch_format="pyarrow")))
 
 

@@ -38,6 +38,8 @@ import pyarrow.compute as pc
 from .._rayutil import remote_args
 from .text import split_nonempty_docs
 
+from .fastagg import fast_groupby
+
 _MAX_EXACT = float(1 << 53)
 
 
@@ -71,10 +73,11 @@ def doc_frequency(ds, column: str = "text", id_col: str = "doc_id"):
         uniq, cnt = np.unique(w.astype(str), return_counts=True)
         return pa.table({"w": pa.array(uniq), "df_p": pa.array(cnt.astype(np.int64))})
 
-    agg = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby("w")
-        .aggregate(Sum("df_p", alias_name="df"))
+    agg = (fast_groupby(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        "w",
+        Sum("df_p", alias_name="df"),
+    )
     )
     return agg
 
@@ -161,10 +164,11 @@ def pmi_collocations(
             }
         )
 
-    pairs = (
-        ds.map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby(["item_a", "item_b"])
-        .aggregate(Sum("cnt", alias_name="pair_docs"))
+    pairs = (fast_groupby(
+        ds.map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        ["item_a", "item_b"],
+        Sum("cnt", alias_name="pair_docs"),
+    )
         .filter(lambda r: r["pair_docs"] >= int(min_pair_docs), **remote_args())
     )
 

@@ -23,6 +23,8 @@ import pyarrow.compute as pc
 from .._rayutil import remote_args
 from .text import content_hash
 
+from .fastagg import fast_groupby
+
 
 def parse_json_column(ds, col: str, *, schema: pa.Schema | None = None, prefix: str = ""):
     """Parse the JSON objects in ``ds[col]`` and append each top-level field
@@ -108,7 +110,9 @@ def table_diff(ds_a, ds_b, key: str, cols: list[str]):
 
     ma = ds_a.map_batches(meta(0), batch_format="pyarrow", zero_copy_batch=True, **remote_args())
     mb = ds_b.map_batches(meta(1), batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-    agg = ma.union(mb).groupby(key).aggregate(
+    agg = fast_groupby(
+        ma.union(mb),
+        key,
         Sum("__td_cnt_a__", alias_name="na"),
         Sum("__td_cnt_b__", alias_name="nb"),
         Sum("__td_ha__", alias_name="ha"),
@@ -323,10 +327,11 @@ def collapse_rare(ds, col: str, min_count: int, other, out: str | None = None,
         t = pa.table({"v": c})
         return t.group_by("v").aggregate([([], "count_all")]).rename_columns(["v", "c"])
 
-    counts = (
-        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby("v")
-        .aggregate(Sum("c", alias_name="c"))
+    counts = (fast_groupby(
+        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        "v",
+        Sum("c", alias_name="c"),
+    )
         .to_pandas()
     )
     keep = counts.loc[counts["c"] >= min_count, "v"]
@@ -420,10 +425,11 @@ def period_over_period(ds, key: str = "event_type", ts_col: str = "ts",
         return t.group_by(["k", "period"]).aggregate([("u", "sum")]).rename_columns(
             ["k", "period", "u"])
 
-    cells = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby(["k", "period"])
-        .aggregate(Sum("u", alias_name="units"))
+    cells = (fast_groupby(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        ["k", "period"],
+        Sum("u", alias_name="units"),
+    )
     )
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
@@ -469,10 +475,11 @@ def global_dict_encode(ds, column: str, max_broadcast_values: int = 1 << 24):
             raise ValueError(f"global_dict_encode: {column!r} must be non-null")
         return pa.table({"v": col.cast(pa.string()).combine_chunks().unique()})
 
-    vals = (
-        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby("v")
-        .aggregate(Count(alias_name="_c"))
+    vals = (fast_groupby(
+        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        "v",
+        Count(alias_name="_c"),
+    )
         .select_columns(["v"])
         .to_pandas()
     )
@@ -520,10 +527,11 @@ def dow_profile(ds, key: str, ts_col: str = "ts"):
         g = t.group_by(["k", "isodow"]).aggregate([([], "count_all")])
         return g.rename_columns(["k", "isodow", "n"])
 
-    merged = (
-        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby(["k", "isodow"])
-        .aggregate(Sum("n", alias_name="n"))
+    merged = (fast_groupby(
+        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        ["k", "isodow"],
+        Sum("n", alias_name="n"),
+    )
     )
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:

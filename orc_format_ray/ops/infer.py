@@ -27,6 +27,8 @@ import pyarrow.compute as pc
 
 from .._rayutil import pool_size, remote_args
 
+from .fastagg import fast_groupby
+
 _KNUTH = 2654435761
 _ACT_LIMIT = np.int64(1) << 19
 
@@ -144,10 +146,11 @@ def lift_table(scores_ds, labels_ds, pos_label: int, n_buckets: int = 10,
             }
         )
 
-    per = (
-        joined.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby("bucket")
-        .aggregate(Sum("one", alias_name="n"), Sum("pos", alias_name="n_pos"))
+    per = (fast_groupby(
+        joined.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        "bucket",
+        Sum("one", alias_name="n"), Sum("pos", alias_name="n_pos"),
+    )
         .to_pandas()
         .sort_values("bucket")
         .reset_index(drop=True)
@@ -205,10 +208,11 @@ def auc_exact(ds, score_col: str = "score_units", pos_col: str = "pos"):
         g = t.group_by("s").aggregate([("one", "sum"), ("p", "sum")])
         return g.rename_columns(["s", "n", "pos"])
 
-    dist = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby("s")
-        .aggregate(Sum("n", alias_name="n"), Sum("pos", alias_name="pos"))
+    dist = (fast_groupby(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        "s",
+        Sum("n", alias_name="n"), Sum("pos", alias_name="pos"),
+    )
         .to_pandas()
         .sort_values("s")
         .reset_index(drop=True)

@@ -25,6 +25,8 @@ import pyarrow as pa
 
 from .._rayutil import remote_args
 
+from .fastagg import fast_groupby
+
 _ACT_LIMIT = np.int64(1) << 19
 
 
@@ -175,10 +177,11 @@ def negative_samples(ds, k: int = 5, id_col: str = "vec_id", label_col: str = "l
             raise ValueError("negative_samples: id/label must be non-null")
         return t.group_by(["i", "l"]).aggregate([])
 
-    pool = (
-        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby(["i", "l"])
-        .aggregate(Count(alias_name="_c"))
+    pool = (fast_groupby(
+        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        ["i", "l"],
+        Count(alias_name="_c"),
+    )
         .select_columns(["i", "l"])
         .to_pandas()
     )

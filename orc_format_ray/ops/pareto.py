@@ -26,6 +26,8 @@ import pyarrow as pa
 
 from .._rayutil import remote_args
 
+from .fastagg import fast_groupby
+
 _UNIT_LIMIT = np.int64(1) << 31
 _SUM_LIMIT = float(1 << 53)
 
@@ -46,10 +48,11 @@ def concentration_curve(ds, key: str, value_col: str, value_scale: int = 100) ->
             raise ValueError("per-row unit exceeds 2^31 — raise value_scale granularity guard")
         return pa.table({key: t[key], "units": pa.array(units)})
 
-    agg = (
-        ds.map_batches(to_units, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby(key)
-        .aggregate(Sum("units", alias_name="units"))
+    agg = (fast_groupby(
+        ds.map_batches(to_units, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        key,
+        Sum("units", alias_name="units"),
+    )
     )
     df = agg.to_pandas()
     if len(df) == 0:

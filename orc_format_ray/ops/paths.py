@@ -26,6 +26,8 @@ import pyarrow.compute as pc
 
 from .._rayutil import remote_args
 
+from .fastagg import fast_groupby
+
 _KNUTH = np.uint64(2654435761)
 
 
@@ -178,8 +180,10 @@ def attribution(
         to_meta, batch_format="pyarrow", zero_copy_batch=True, **remote_args()
     )
     partials = meta.groupby("b").map_groups(fold, batch_format="pandas", **remote_args())
-    folded = partials.groupby("ch").aggregate(
-        Sum("n", alias_name="conversions"), Sum("units", alias_name="units")
+    folded = fast_groupby(
+        partials,
+        "ch",
+        Sum("n", alias_name="conversions"), Sum("units", alias_name="units"),
     )
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -221,10 +225,11 @@ def conversion_lag(ds, step_a: str, step_b: str, user_col: str = "user_id",
         })
         return t.group_by("u").aggregate([("us", "min")]).rename_columns(["u", "ta"])
 
-    ta_df = (
-        ds.map_batches(partial_a, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby("u")
-        .aggregate(Min("ta", alias_name="ta"))
+    ta_df = (fast_groupby(
+        ds.map_batches(partial_a, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        "u",
+        Min("ta", alias_name="ta"),
+    )
         .to_pandas()
     )
     if len(ta_df) > max_broadcast_users:
@@ -249,10 +254,11 @@ def conversion_lag(ds, step_a: str, step_b: str, user_col: str = "user_id",
         t = pa.table({"u": pa.array(u[good], pa.int64()), "tb": pa.array(ts[good], pa.int64())})
         return t.group_by("u").aggregate([("tb", "min")]).rename_columns(["u", "tb"])
 
-    tb_df = (
-        ds.map_batches(partial_b, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby("u")
-        .aggregate(Min("tb", alias_name="tb"))
+    tb_df = (fast_groupby(
+        ds.map_batches(partial_b, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        "u",
+        Min("tb", alias_name="tb"),
+    )
         .to_pandas()
     )
     import pandas as pd
@@ -384,8 +390,10 @@ def attribution_position(
         to_meta, batch_format="pyarrow", zero_copy_batch=True, **remote_args()
     )
     partials = meta.groupby("b").map_groups(fold, batch_format="pandas", **remote_args())
-    folded = partials.groupby("ch").aggregate(
-        Sum("n", alias_name="n_credits"), Sum("units_bp", alias_name="units_bp")
+    folded = fast_groupby(
+        partials,
+        "ch",
+        Sum("n", alias_name="n_credits"), Sum("units_bp", alias_name="units_bp"),
     )
 
     def finish(batch: pa.Table) -> pa.Table:

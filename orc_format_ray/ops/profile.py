@@ -23,6 +23,8 @@ import pyarrow.compute as pc
 
 from .._rayutil import remote_args
 
+from .fastagg import fast_groupby
+
 
 def _numeric(col: pa.ChunkedArray) -> np.ndarray:
     """Column -> float64 with NaN for nulls."""
@@ -346,7 +348,11 @@ def validate(ds, rules: list[dict]) -> "object":
             return pa.table({"k": keys}).group_by("k").aggregate([])
 
         dist = ds.map_batches(local_distinct, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        cnt = dist.groupby("k").aggregate(Count(alias_name="c")).count()
+        cnt = fast_groupby(
+        dist,
+        "k",
+        Count(alias_name="c"),
+    ).count()
         ndistinct[i] = int(cnt)
 
     total = int(sums["sum(__rows__)"])
@@ -391,7 +397,11 @@ def grouped_histogram(ds, group: str, col: str, bins: int, lo: float, hi: float)
         return pa.Table.from_pandas(cells, preserve_index=False)
 
     cells = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-    merged = cells.groupby([group, "bin"]).aggregate(Sum("c", alias_name="cnt"))
+    merged = fast_groupby(
+        cells,
+        [group, "bin"],
+        Sum("c", alias_name="cnt"),
+    )
 
     def densify(df):
         import pandas as pd
@@ -489,11 +499,12 @@ def corpus_report(ds, group: str = "source", text: str = "text",
         )
         return out.rename_columns(["g", "n_docs", "sum_chars", "n_short", "sum_tok"])
 
-    stats = (
-        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby("g")
-        .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("sum_chars", alias_name="sum_chars"),
-                   Sum("n_short", alias_name="n_short"), Sum("sum_tok", alias_name="sum_tok"))
+    stats = (fast_groupby(
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        "g",
+        Sum("n_docs", alias_name="n_docs"), Sum("sum_chars", alias_name="sum_chars"),
+                   Sum("n_short", alias_name="n_short"), Sum("sum_tok", alias_name="sum_tok"),
+    )
         .to_pandas()
     )
 
@@ -501,12 +512,15 @@ def corpus_report(ds, group: str = "source", text: str = "text",
         t = pa.table({"g": batch[group].combine_chunks(), "d": batch[distinct_col].combine_chunks()})
         return t.group_by(["g", "d"]).aggregate([]).select(["g", "d"])
 
-    nd = (
-        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby(["g", "d"])
-        .aggregate(Count(alias_name="_n"))
-        .groupby("g")
-        .aggregate(Count(alias_name="n_distinct"))
+    nd = (fast_groupby(
+        fast_groupby(
+        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        ["g", "d"],
+        Count(alias_name="_n"),
+    ),
+        "g",
+        Count(alias_name="n_distinct"),
+    )
         .to_pandas()
     )
     df = stats.merge(nd, on="g", how="left")
@@ -614,7 +628,11 @@ def skew_report(ds, key: str, k: int = 10):
 
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
-    counts = ds.groupby(key).aggregate(Count(alias_name="cnt"))
+    counts = fast_groupby(
+        ds,
+        key,
+        Count(alias_name="cnt"),
+    )
     tot = counts.aggregate(Sum("cnt", alias_name="n"), Count(alias_name="nd"))
     n, nd = int(tot["n"]), int(tot["nd"])
     top = counts.sort(["cnt", key], descending=[True, False]).limit(k).to_pandas()
@@ -669,22 +687,28 @@ def fd_audit(ds, cols: list[str]):
             )
         return pa.concat_tables(outs)
 
-    triples = (
-        ds.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby(["pair", "det", "dep"])
-        .aggregate(Count(alias_name="_c"))
+    triples = (fast_groupby(
+        ds.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        ["pair", "det", "dep"],
+        Count(alias_name="_c"),
+    )
         .select_columns(["pair", "det"])
     )
-    per_det = triples.groupby(["pair", "det"]).aggregate(Count(alias_name="n_dep"))
+    per_det = fast_groupby(
+        triples,
+        ["pair", "det"],
+        Count(alias_name="n_dep"),
+    )
 
     def flag(batch: pa.Table) -> pa.Table:
         viol = pc.cast(pc.greater(batch["n_dep"], pa.scalar(1, pa.int64())), pa.int64())
         return pa.table({"pair": batch["pair"], "one": pa.array([1] * batch.num_rows, pa.int64()), "viol": viol})
 
-    per_pair = (
-        per_det.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby("pair")
-        .aggregate(Sum("one", alias_name="n_det"), Sum("viol", alias_name="n_violating"))
+    per_pair = (fast_groupby(
+        per_det.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        "pair",
+        Sum("one", alias_name="n_det"), Sum("viol", alias_name="n_violating"),
+    )
     )
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -724,7 +748,11 @@ def uniqueness_audit(ds, key_cols: list[str]):
         return g.rename_columns(list(key_cols) + ["__ua_cnt__"])
 
     cells = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-    merged = cells.groupby(key_cols).aggregate(Sum("__ua_cnt__", alias_name="n_rows"))
+    merged = fast_groupby(
+        cells,
+        key_cols,
+        Sum("__ua_cnt__", alias_name="n_rows"),
+    )
 
     def keep_dups(batch: pa.Table) -> pa.Table:
         n = batch["n_rows"].cast(pa.int64())
@@ -921,10 +949,11 @@ def join_size_estimate(left_ds, right_ds, key_left: str, key_right: str | None =
                 }
             )
 
-        return (
-            ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-            .groupby(out_key)
-            .aggregate(Sum("cnt", alias_name="cnt"))
+        return (fast_groupby(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        out_key,
+        Sum("cnt", alias_name="cnt"),
+    )
             .materialize()  # counted below AND joined — must not re-run the scan
         )
 

@@ -29,6 +29,8 @@ import pyarrow.compute as pc
 from .._rayutil import remote_args
 from .text import split_nonempty_docs
 
+from .fastagg import fast_groupby
+
 STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
@@ -198,17 +200,22 @@ def curation_report(ds, group: str = "source", column: str = "text", id_col: str
         )
 
     parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-    per_group = parts.groupby(group).aggregate(
+    per_group = fast_groupby(
+        parts,
+        group,
         Count(alias_name="n_docs"),
         Sum("keep_i", alias_name="n_keep"),
         Sum("ntok", alias_name="sum_tok"),
     )
-    uniq = (
-        parts.select_columns([group, "chash"])
-        .groupby([group, "chash"])
-        .aggregate(Count(alias_name="_c"))
-        .groupby(group)
-        .aggregate(Count(alias_name="n_unique"))
+    uniq = (fast_groupby(
+        fast_groupby(
+        parts.select_columns([group, "chash"]),
+        [group, "chash"],
+        Count(alias_name="_c"),
+    ),
+        group,
+        Count(alias_name="n_unique"),
+    )
     )
     a = per_group.to_pandas()
     b = uniq.to_pandas()
@@ -301,10 +308,11 @@ def benford_digits(ds, group: str, value_col: str, scale: int = 100):
         out = t.group_by([group, "digit"]).aggregate([([], "count_all")])
         return out.rename_columns([group, "digit", "cnt"])
 
-    counts = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby([group, "digit"])
-        .aggregate(Sum("cnt", alias_name="cnt"))
+    counts = (fast_groupby(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        [group, "digit"],
+        Sum("cnt", alias_name="cnt"),
+    )
     )
 
     def frac(gdf: pd.DataFrame) -> pd.DataFrame:
@@ -341,10 +349,11 @@ def k_anonymity(ds, qi_cols: list[str], k: int):
         out = t.group_by(qi_cols).aggregate([([], "count_all")])
         return out.rename_columns(list(qi_cols) + ["cnt"])
 
-    counts = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby(list(qi_cols))
-        .aggregate(Sum("cnt", alias_name="grp_n"))
+    counts = (fast_groupby(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        list(qi_cols),
+        Sum("cnt", alias_name="grp_n"),
+    )
     )
 
     def violating(batch: pa.Table) -> pa.Table:
@@ -395,10 +404,11 @@ def encoding_audit(ds, group: str = "source", text_col: str = "text",
         out = cells.group_by("g").aggregate([("n", "sum"), ("n_bad", "sum")])
         return out.rename_columns(["g", "n", "n_bad"])
 
-    stats = (
-        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby("g")
-        .aggregate(Sum("n", alias_name="n"), Sum("n_bad", alias_name="n_bad"))
+    stats = (fast_groupby(
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        "g",
+        Sum("n", alias_name="n"), Sum("n_bad", alias_name="n_bad"),
+    )
         .to_pandas()
         .sort_values("g")
         .reset_index(drop=True)

@@ -25,6 +25,8 @@ import pyarrow as pa
 
 from .._rayutil import remote_args
 
+from .fastagg import fast_groupby
+
 KNUTH = np.uint64(2654435761)
 _M32 = np.uint64(1) << np.uint64(32)
 
@@ -419,10 +421,11 @@ def split_leakage_report(ds, rate_pct: int, key: str = "doc_id", attr: str = "te
         out = t.group_by(attr).aggregate([("n_train", "sum"), ("n_test", "sum")])
         return out.rename_columns([attr, "n_train", "n_test"])
 
-    folded = (
-        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby(attr)
-        .aggregate(Sum("n_train", alias_name="n_train"), Sum("n_test", alias_name="n_test"))
+    folded = (fast_groupby(
+        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        attr,
+        Sum("n_train", alias_name="n_train"), Sum("n_test", alias_name="n_test"),
+    )
     )
 
     def leaked(batch: pa.Table) -> pa.Table:
@@ -639,10 +642,11 @@ def group_split(ds, rate_pct: int, group: str = "source", key: str = "doc_id",
             raise ValueError("group_split: group and key must be non-null")
         return t.group_by(group).aggregate([("k", "min")]).rename_columns([group, "k"])
 
-    reps = (
-        ds.map_batches(local_min, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby(group)
-        .aggregate(Min("k", alias_name="rep"))
+    reps = (fast_groupby(
+        ds.map_batches(local_min, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        group,
+        Min("k", alias_name="rep"),
+    )
         .to_pandas()
     )
     if len(reps) > max_broadcast_groups:

@@ -37,6 +37,8 @@ import pyarrow.compute as pc
 from .._rayutil import remote_args
 from .text import content_hash, split_nonempty_docs
 
+from .fastagg import fast_groupby
+
 _META = "_meta.json"
 
 
@@ -187,7 +189,11 @@ def bm25_contributions(index_dir: str, terms: list[str], k1: float = 1.2, b: flo
     )
     from ray.data.aggregate import Count
 
-    df_rows = probed.groupby("term").aggregate(Count(alias_name="df")).take_all()
+    df_rows = fast_groupby(
+        probed,
+        "term",
+        Count(alias_name="df"),
+    ).take_all()
     df = {r["term"]: int(r["df"]) for r in df_rows}
     n = meta["n_docs"]
     avgdl = meta["total_len"] / n  # int/int -> double, == CAST(total)/CAST(n)
@@ -292,14 +298,15 @@ def boolean_and_search(index_dir: str, terms: list[str]):
     tset = pa.array(terms, pa.string())
     need = len(terms)
 
-    matched = (
+    matched = (fast_groupby(
         ray.data.read_parquet(paths)
         .map_batches(
             lambda t: t.filter(pc.is_in(t["term"], value_set=tset)).select([id_col]),
             batch_format="pyarrow", zero_copy_batch=True, **remote_args(),
-        )
-        .groupby(id_col)
-        .aggregate(Count(alias_name="__ba_hits__"))
+        ),
+        id_col,
+        Count(alias_name="__ba_hits__"),
+    )
     )
 
     def keep(batch: pa.Table) -> pa.Table:

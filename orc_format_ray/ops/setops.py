@@ -21,6 +21,8 @@ import pyarrow.compute as pc
 
 from .._rayutil import remote_args
 
+from .fastagg import fast_groupby
+
 _OPS = ("intersect", "except", "union")
 
 
@@ -59,8 +61,10 @@ def key_set_op(ds_a, ds_b, key_a: str, key_b: str | None = None, op: str = "inte
 
     ma = ds_a.map_batches(meta(key_a, 0), batch_format="pyarrow", zero_copy_batch=True, **remote_args())
     mb = ds_b.map_batches(meta(key_b, 1), batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-    agg = ma.union(mb).groupby("k").aggregate(
-        Sum("__in_a__", alias_name="na"), Sum("__in_b__", alias_name="nb")
+    agg = fast_groupby(
+        ma.union(mb),
+        "k",
+        Sum("__in_a__", alias_name="na"), Sum("__in_b__", alias_name="nb"),
     )
 
     def pick(batch: pa.Table) -> pa.Table:

@@ -32,6 +32,8 @@ import pyarrow.compute as pc
 from .._rayutil import remote_args
 from .text import content_hash
 
+from .fastagg import fast_groupby
+
 def _bit_length64(w: np.ndarray) -> np.ndarray:
     """Exact vectorized bit length of uint64 lanes (0 for w == 0):
     six shift-compare rounds, no float conversion (float64 rounds near
@@ -163,7 +165,11 @@ def heavy_hitters(ds, col: str, k: int) -> pa.Table:
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    merged = mg_partials(ds, col, k).groupby("item").aggregate(Sum("cnt", alias_name="cnt"))
+    merged = fast_groupby(
+        mg_partials(ds, col, k),
+        "item",
+        Sum("cnt", alias_name="cnt"),
+    )
     tbl = pa.concat_tables(list(merged.iter_batches(batch_size=1 << 20, batch_format="pyarrow")))
     items = tbl["item"].to_numpy(zero_copy_only=False)
     counts = tbl["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -205,10 +211,11 @@ def heavy_hitters_exact(ds, col: str, min_count: int, n_total: int | None = None
         g = t.group_by(col).aggregate([(col, "count")])
         return g.rename_columns(["item", "cnt"])
 
-    merged = (
-        ds.map_batches(recount, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby("item")
-        .aggregate(Sum("cnt", alias_name="cnt"))
+    merged = (fast_groupby(
+        ds.map_batches(recount, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        "item",
+        Sum("cnt", alias_name="cnt"),
+    )
     )
     tbl = pa.concat_tables(list(merged.iter_batches(batch_size=1 << 20, batch_format="pyarrow")))
     keep = pc.greater_equal(tbl["cnt"], pa.scalar(min_count, pa.int64()))

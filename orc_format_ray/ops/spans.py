@@ -33,6 +33,8 @@ import pyarrow.compute as pc
 from .._rayutil import remote_args
 from .text import FNV_PRIME, content_hash, split_nonempty_docs
 
+from .fastagg import fast_groupby
+
 
 def gram_hashes(words: pa.ListArray, k: int) -> tuple[np.ndarray, np.ndarray]:
     """(gram_hash uint64, doc_index int64) for every k-word window that
@@ -176,8 +178,10 @@ def cross_doc_shared_fraction(ds, n: int = 5, column: str = "text",
         return per
 
     folded = parts.groupby("bucket").map_groups(bucket_fold, batch_format="pandas", **remote_args())
-    sums = folded.groupby("doc_id").aggregate(
-        Sum("n_ngrams", alias_name="n_ngrams"), Sum("n_shared", alias_name="n_shared")
+    sums = fast_groupby(
+        folded,
+        "doc_id",
+        Sum("n_ngrams", alias_name="n_ngrams"), Sum("n_shared", alias_name="n_shared"),
     )
 
     def finish(batch: pa.Table) -> pa.Table:

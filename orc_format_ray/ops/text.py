@@ -9,6 +9,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .fastagg import fast_groupby
+
 FNV_PRIME = np.uint64(1099511628211)
 FNV_BASIS = np.uint64(14695981039346656037)
 
@@ -181,7 +183,11 @@ def vocab_topk(ds, k: int = 100, column: str = "text") -> pa.Table:
     parts = ds.map_batches(
         lambda b: word_count_partial(b, column), batch_format="pyarrow", zero_copy_batch=True, **remote_args()
     )
-    tot = parts.groupby("word").aggregate(Sum("cnt", alias_name="cnt"))
+    tot = fast_groupby(
+        parts,
+        "word",
+        Sum("cnt", alias_name="cnt"),
+    )
 
     def block_topk(batch: pa.Table) -> pa.Table:
         idx = pc.sort_indices(batch, sort_keys=[("cnt", "descending"), ("word", "ascending")])
@@ -366,8 +372,10 @@ def word_familiarity(ds, column: str = "text", id_col: str = "doc_id", num_bucke
         return docs.groupby("doc_id", as_index=False).agg(n_words=("cnt", "sum"), familiarity=("fam", "sum"))
 
     merged = doc_side.groupby("bucket").map_groups(merge_bucket, batch_format="pandas", **remote_args())
-    tot = merged.groupby("doc_id").aggregate(
-        Sum("n_words", alias_name="n_words"), Sum("familiarity", alias_name="familiarity")
+    tot = fast_groupby(
+        merged,
+        "doc_id",
+        Sum("n_words", alias_name="n_words"), Sum("familiarity", alias_name="familiarity"),
     )
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -411,7 +419,11 @@ def vocab_topk_by_group(ds, k: int = 5, group: str = "source", column: str = "te
         return pa.table({group: agg[group], "word": agg["word"], "cnt": agg["word_count"].cast(pa.int64())})
 
     parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-    tot = parts.groupby([group, "word"]).aggregate(Sum("cnt", alias_name="cnt"))
+    tot = fast_groupby(
+        parts,
+        [group, "word"],
+        Sum("cnt", alias_name="cnt"),
+    )
 
     def block_topk(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:  # empty shuffle block: keep the schema intact
@@ -764,10 +776,11 @@ def ngram_topk(ds, n: int = 2, k: int = 100, column: str = "text") -> pa.Table:
         vc = ngrams.value_counts()
         return pa.table({"ngram": vc.field("values"), "cnt": vc.field("counts").cast(pa.int64())})
 
-    tot = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby("ngram")
-        .aggregate(Sum("cnt", alias_name="cnt"))
+    tot = (fast_groupby(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        "ngram",
+        Sum("cnt", alias_name="cnt"),
+    )
     )
 
     def block_topk(batch: pa.Table) -> pa.Table:
@@ -827,10 +840,11 @@ def train_trigram_lm(ds, column: str = "text", min_count: int = 1):
         u, c = np.unique(codes, return_counts=True)
         return pa.table({"code": pa.array(u.astype(np.int64)), "c": pa.array(c.astype(np.int64))})
 
-    dist = (
-        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby("code")
-        .aggregate(Sum("c", alias_name="c"))
+    dist = (fast_groupby(
+        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        "code",
+        Sum("c", alias_name="c"),
+    )
         .to_pandas()
     )
     codes = dist["code"].to_numpy(dtype=np.int64)
@@ -956,10 +970,11 @@ def spelling_variants(ds, column: str = "text", min_len: int = 4,
         flat = flat.filter(pc.greater_equal(pc.utf8_length(flat), min_len))
         return pa.table({"w": flat.unique()})
 
-    vocab_ds = (
-        ds.map_batches(vocab_cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby("w")
-        .aggregate(Count(alias_name="_n"))
+    vocab_ds = (fast_groupby(
+        ds.map_batches(vocab_cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        "w",
+        Count(alias_name="_n"),
+    )
     )
 
     def variants(batch: pa.Table) -> pa.Table:
@@ -1030,10 +1045,11 @@ def log_odds_words(ds, group: str, a: str, b: str, column: str = "text",
         out = tbl.group_by(["w", "g"]).aggregate([([], "count_all")])
         return out.rename_columns(["w", "g", "c"])
 
-    dist = (
-        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby(["w", "g"])
-        .aggregate(Sum("c", alias_name="c"))
+    dist = (fast_groupby(
+        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        ["w", "g"],
+        Sum("c", alias_name="c"),
+    )
         .to_pandas()
     )
     wide = dist.pivot_table(index="w", columns="g", values="c",
@@ -1096,10 +1112,11 @@ def remove_boilerplate_lines(
         t = pa.table({"line": flat})
         return t.group_by("line").aggregate([([], "count_all")]).rename_columns(["line", "c_p"])
 
-    freq = (
-        ds.map_batches(line_counts, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby("line")
-        .aggregate(Sum("c_p", alias_name="c"))
+    freq = (fast_groupby(
+        ds.map_batches(line_counts, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        "line",
+        Sum("c_p", alias_name="c"),
+    )
         .filter(lambda r: r["c"] >= min_occurrences, **remote_args())
     )
     fpd = freq.to_pandas()

@@ -17,6 +17,8 @@ import pyarrow.compute as pc
 
 from .._rayutil import remote_args
 
+from .fastagg import fast_groupby
+
 
 def assign_tumbling_window(batch: pa.Table, ts_col: str = "ts", window_sec: int = 3600, out: str = "window_start_ms") -> pa.Table:
     """Add the window start (epoch millis) for each event, vectorized.
@@ -56,8 +58,10 @@ def tumbling_window_agg(ds, key: str = "event_type", ts_col: str = "ts", window_
         return g.rename_columns([key, "window_start_ms", "sum_value", "cnt"])
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-    out = partials.groupby([key, "window_start_ms"]).aggregate(
-        Sum("sum_value", alias_name="sum_value"), Sum("cnt", alias_name="cnt")
+    out = fast_groupby(
+        partials,
+        [key, "window_start_ms"],
+        Sum("sum_value", alias_name="sum_value"), Sum("cnt", alias_name="cnt"),
     )
     # round in a final map_batches (absorbs fp summation order) so the op
     # returns a composable Dataset, not a driver DataFrame
@@ -102,8 +106,10 @@ def sliding_window_agg(ds, key: str = "event_type", ts_col: str = "ts", window_s
         return pa.concat_tables(outs)
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-    out = partials.groupby([key, "window_start_ms"]).aggregate(
-        Sum("sum_value", alias_name="sum_value"), Sum("cnt", alias_name="cnt")
+    out = fast_groupby(
+        partials,
+        [key, "window_start_ms"],
+        Sum("sum_value", alias_name="sum_value"), Sum("cnt", alias_name="cnt"),
     )
     return out.map_batches(_round_sum_value, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
 
@@ -228,14 +234,19 @@ def cohort_retention(ds, user_col: str = "user_id", ts_col: str = "ts",
         t = pa.table({user_col: batch[user_col], "wk": pa.array(wk, pa.int64())})
         return t.group_by([user_col, "wk"]).aggregate([])  # local distinct
 
-    act = (
-        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby([user_col, "wk"])
-        .aggregate(Count(alias_name="_c"))
+    act = (fast_groupby(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        [user_col, "wk"],
+        Count(alias_name="_c"),
+    )
         .select_columns([user_col, "wk"])
         .materialize()  # consumed twice (cohorts + join); don't re-shuffle
     )
-    cohorts = act.groupby(user_col).aggregate(Min("wk", alias_name="cohort"))
+    cohorts = fast_groupby(
+        act,
+        user_col,
+        Min("wk", alias_name="cohort"),
+    )
     joined = hash_join(act, cohorts, user_col, num_buckets=num_buckets)
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -248,10 +259,11 @@ def cohort_retention(ds, user_col: str = "user_id", ts_col: str = "ts",
             }
         )
 
-    return (
-        joined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby(["cohort_week", "week_offset"])
-        .aggregate(Count(alias_name="n_users"))
+    return (fast_groupby(
+        joined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        ["cohort_week", "week_offset"],
+        Count(alias_name="n_users"),
+    )
     )
 
 
@@ -590,7 +602,11 @@ def rank_over(ds, key: str = "event_type", value_col: str = "value",
         return cells.rename_columns(["k", "u", "c"])
 
     cells = ds.map_batches(to_meta, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-    pairs = cells.groupby(["k", "u"]).aggregate(Sum("c", alias_name="c"))
+    pairs = fast_groupby(
+        cells,
+        ["k", "u"],
+        Sum("c", alias_name="c"),
+    )
 
     def per_key_ranks(df):
         df = df.sort_values("u", kind="mergesort").reset_index(drop=True)
@@ -1224,7 +1240,11 @@ def transition_counts(ds, key: str = "user_id", order_col: str = "ts",
     out = pinned.map_batches(
         cells, batch_size=None, batch_format="pyarrow", zero_copy_batch=True, **remote_args()
     )
-    return out.groupby(["from_state", "to_state"]).aggregate(Sum("c", alias_name="cnt"))
+    return fast_groupby(
+        out,
+        ["from_state", "to_state"],
+        Sum("c", alias_name="cnt"),
+    )
 
 
 def _ewma_chunk_len(beta: float) -> int:
@@ -1519,10 +1539,11 @@ def time_rollup(ds, ts_col: str, value_col: str, value_scale: int = 100,
         out = t.group_by("bucket").aggregate([("n", "sum"), ("s", "sum")])
         return out.rename_columns(["bucket", "cnt", "sum_units"])
 
-    finest = (
-        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby("bucket")
-        .aggregate(Sum("cnt", alias_name="cnt"), Sum("sum_units", alias_name="sum_units"))
+    finest = (fast_groupby(
+        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        "bucket",
+        Sum("cnt", alias_name="cnt"), Sum("sum_units", alias_name="sum_units"),
+    )
         .materialize()  # |finest buckets| rows; re-read per coarser grain
     )
 
@@ -1539,8 +1560,11 @@ def time_rollup(ds, ts_col: str, value_col: str, value_scale: int = 100,
     outs = []
     for name, us in grains:
         lvl = finest.map_batches(tag(name, us), batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        lvl = lvl.groupby(["grain", "bucket"]).aggregate(
-            Sum("cnt", alias_name="cnt"), Sum("sum_units", alias_name="sum_units"))
+        lvl = fast_groupby(
+        lvl,
+        ["grain", "bucket"],
+        Sum("cnt", alias_name="cnt"), Sum("sum_units", alias_name="sum_units"),
+    )
         outs.append(lvl)
     out = outs[0]
     for o in outs[1:]:
@@ -2246,10 +2270,11 @@ def longest_streak(ds, key: str = "user_id", ts_col: str = "ts"):
         t = pa.table({"k": batch[key].cast(pa.int64()), "day": pa.array(day, pa.int64())})
         return t.group_by(["k", "day"]).aggregate([])
 
-    cells = (
-        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby(["k", "day"])
-        .aggregate(Count(alias_name="_c"))
+    cells = (fast_groupby(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        ["k", "day"],
+        Count(alias_name="_c"),
+    )
         .select_columns(["k", "day"])
     )
 
@@ -2305,10 +2330,11 @@ def rolling_active_users(ds, key: str = "user_id", ts_col: str = "ts",
         w = pa.table({"k": pa.array(kk, pa.int64()), "wday": pa.array(dd + off, pa.int64())})
         return w.group_by(["k", "wday"]).aggregate([])
 
-    cells = (
-        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby(["k", "wday"])
-        .aggregate(Count(alias_name="_c"))
+    cells = (fast_groupby(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        ["k", "wday"],
+        Count(alias_name="_c"),
+    )
         .select_columns(["wday"])
     )
 
@@ -2316,10 +2342,11 @@ def rolling_active_users(ds, key: str = "user_id", ts_col: str = "ts",
         g = batch.group_by("wday").aggregate([("wday", "count")])
         return g.rename_columns(["wday", "c"])
 
-    return (
-        cells.map_batches(partial_count, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby("wday")
-        .aggregate(Sum("c", alias_name="n_users"))
+    return (fast_groupby(
+        cells.map_batches(partial_count, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        "wday",
+        Sum("c", alias_name="n_users"),
+    )
     )
 
 
@@ -2505,10 +2532,11 @@ def churned_users(ds, key: str = "user_id", ts_col: str = "ts",
         t = pa.table({"k": batch[key].cast(pa.int64()), "p": pa.array(per, pa.int64())})
         return t.group_by(["k", "p"]).aggregate([])
 
-    cells = (
-        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby(["k", "p"])
-        .aggregate(Count(alias_name="_c"))
+    cells = (fast_groupby(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        ["k", "p"],
+        Count(alias_name="_c"),
+    )
         .select_columns(["k", "p"])
     )
 
@@ -2520,14 +2548,15 @@ def churned_users(ds, key: str = "user_id", ts_col: str = "ts",
                              "churn": (~nxt).astype(np.int64)})
 
     flags = cells.groupby("k").map_groups(fold, batch_format="pandas", **remote_args())
-    out = (
+    out = (fast_groupby(
         flags.map_batches(
             lambda t: pa.table({"period": t["p"].cast(pa.int64()),
                                 "act": t["act"].cast(pa.int64()),
                                 "churn": t["churn"].cast(pa.int64())}),
-            batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby("period")
-        .aggregate(Sum("act", alias_name="n_active"), Sum("churn", alias_name="n_churned"))
+            batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        "period",
+        Sum("act", alias_name="n_active"), Sum("churn", alias_name="n_churned"),
+    )
     )
     return out
 

@@ -366,7 +366,7 @@ def q1_pricing_summary(sf_dir: str, cut_date: str = "1998-09-02", source_ds=None
             "l_quantity", "l_extendedprice", "l_discount", "l_tax",
         ],
     )
-    out =fast_groupby(
+    out = fast_groupby(
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
         ["l_returnflag", "l_linestatus"],
         Sum("qc", alias_name="sum_qc"),
@@ -2346,7 +2346,7 @@ def q21_waiting_suppliers(
 
     from ray.data.aggregate import Count, Min, Sum
 
-    stats =fast_groupby(
+    stats = fast_groupby(
         fpairs,
         "o_orderkey",
         Max("ms", alias_name="om"), Count(alias_name="nsupp"),
@@ -2368,7 +2368,7 @@ def q21_waiting_suppliers(
     cand = j.map_batches(at_max_sel, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
     # a blamed supplier is the SOLE at-max candidate of its order:
     # Count==1 makes Min(s_suppkey) that candidate
-    per_order =fast_groupby(
+    per_order = fast_groupby(
         cand,
         "o_orderkey",
         Count(alias_name="natmax"), Min("s_suppkey", alias_name="sk0"),
