@@ -26,6 +26,8 @@ import pyarrow as pa
 
 from orc_format_ray._rayutil import remote_args as _ra
 
+from orc_format_ray.ops.fastagg import fast_groupby
+
 SCRATCH = "/tmp/orc_format_ray_scratch"
 
 
@@ -71,7 +73,9 @@ def _q_long_stats_lineitem(sf_dir: str):
     from ray.data.aggregate import Count, Max, Min, Sum
 
     ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_linenumber"])
-    return ds.groupby("l_returnflag").aggregate(
+    return fast_groupby(
+        ds,
+        "l_returnflag",
         Count(alias_name="cnt"),
         Min("l_linenumber", alias_name="min_ln"),
         Max("l_linenumber", alias_name="max_ln"),
@@ -84,7 +88,9 @@ def _q_double_stats_lineitem(sf_dir: str):
     from ray.data.aggregate import Max, Min, Sum
 
     ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_linestatus", "l_extendedprice"])
-    out = ds.groupby("l_linestatus").aggregate(
+    out =fast_groupby(
+        ds,
+        "l_linestatus",
         Min("l_extendedprice", alias_name="min_price"),
         Max("l_extendedprice", alias_name="max_price"),
         Sum("l_extendedprice", alias_name="sum_price"),
@@ -106,7 +112,9 @@ def _q_string_stats_documents(sf_dir: str):
         return batch.append_column("text_len", pc.utf8_length(batch["text"]).cast(pa.int64()))
 
     ds = ds.map_batches(lengths, batch_format="pyarrow", zero_copy_batch=True, **_ra())
-    return ds.groupby("source").aggregate(
+    return fast_groupby(
+        ds,
+        "source",
         Count(alias_name="cnt"),
         Min("text", alias_name="min_text"),
         Max("text", alias_name="max_text"),
@@ -126,7 +134,11 @@ def _q_boolean_stats_documents(sf_dir: str):
         return batch.append_column("is_long", pc.greater(batch["n_chars"], 500).cast(pa.int64()))
 
     ds = ds.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True, **_ra())
-    out = ds.groupby("lang").aggregate(Count(alias_name="cnt"), Sum("is_long", alias_name="num_true"))
+    out =fast_groupby(
+        ds,
+        "lang",
+        Count(alias_name="cnt"), Sum("is_long", alias_name="num_true"),
+    )
     df = out.to_pandas()
     df["num_false"] = df["cnt"] - df["num_true"]
     return df
@@ -145,7 +157,9 @@ def _q_timestamp_stats_events(sf_dir: str):
         return batch.append_column("ts_ms", pc.divide(ms, pa.scalar(1000, pa.int64())))
 
     ds = ds.map_batches(to_ms, batch_format="pyarrow", zero_copy_batch=True, **_ra())
-    return ds.groupby("event_type").aggregate(
+    return fast_groupby(
+        ds,
+        "event_type",
         Count(alias_name="cnt"),
         Min("ts_ms", alias_name="min_ms"),
         Max("ts_ms", alias_name="max_ms"),
@@ -157,7 +171,11 @@ def _q_generic_counts_orders(sf_dir: str):
     from ray.data.aggregate import Count
 
     ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderpriority"])
-    return ds.groupby("o_orderpriority").aggregate(Count(alias_name="num_values"))
+    return fast_groupby(
+        ds,
+        "o_orderpriority",
+        Count(alias_name="num_values"),
+    )
 
 
 def _q_stats_merge_lineitem(sf_dir: str):
@@ -207,7 +225,11 @@ def _q_token_count_by_source(sf_dir: str):
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
     ds = ds.map_batches(tx.token_count, batch_format="pyarrow", zero_copy_batch=True, **_ra())
-    return ds.groupby("source").aggregate(Count(alias_name="n_docs"), Sum("n_tok", alias_name="sum_tok"))
+    return fast_groupby(
+        ds,
+        "source",
+        Count(alias_name="n_docs"), Sum("n_tok", alias_name="sum_tok"),
+    )
 
 
 def _q_vocab_topk(sf_dir: str):
@@ -238,7 +260,11 @@ def _q_decontaminate_planted(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"])
     # stateless path: actor-pool -> groupby deadlocks on tiny clusters (CLAUDE.md)
     clean = tx.decontaminate(ds, phrases, use_actors=False)
-    out = clean.groupby("source").aggregate(Count(alias_name="n_clean")).to_pandas()
+    out =fast_groupby(
+        clean,
+        "source",
+        Count(alias_name="n_clean"),
+    ).to_pandas()
     return out.sort_values("source").reset_index(drop=True)
 
 
@@ -339,8 +365,10 @@ def _q_packed_shards_read_back(sf_dir: str):
     shutil.rmtree(out_dir, ignore_errors=True)
     pack.write_packed_shards(ds, capacity=2048, out_dir=out_dir, packs_per_shard=4, materialize_input=True)
     packs = pack.read_packed_shards_dataset(out_dir, capacity=2048, packs_per_shard=4)
-    out = packs.groupby("shard").aggregate(
-        Count(alias_name="n_packs"), Sum("n_tokens", alias_name="n_tokens")
+    out =fast_groupby(
+        packs,
+        "shard",
+        Count(alias_name="n_packs"), Sum("n_tokens", alias_name="n_tokens"),
     )
     return out.to_pandas().sort_values("shard").reset_index(drop=True)
 
@@ -533,8 +561,10 @@ def _q_orc_pushdown_timestamp(sf_dir: str):
     hi = dt.datetime(2024, 1, 12)
     got, _stats = read_orc_filtered(path, [("ts", ">=", lo), ("ts", "<", hi)])
     ds = ray.data.from_arrow(got.drop_columns(["ts"]))
-    return ds.groupby("event_type").aggregate(
-        Count(alias_name="cnt"), Sum("user_id", alias_name="sum_uid")
+    return fast_groupby(
+        ds,
+        "event_type",
+        Count(alias_name="cnt"), Sum("user_id", alias_name="sum_uid"),
     )
 
 
@@ -585,8 +615,10 @@ def _q_bpe_token_count(sf_dir: str):
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
     counted = ds.map_batches(tx.bpe_token_count, batch_format="pyarrow", zero_copy_batch=True, **_ra())
-    return counted.groupby("source").aggregate(
-        Count(alias_name="n_docs"), Sum("n_bpe_tok", alias_name="sum_bpe_tok")
+    return fast_groupby(
+        counted,
+        "source",
+        Count(alias_name="n_docs"), Sum("n_bpe_tok", alias_name="sum_bpe_tok"),
     )
 
 
@@ -631,7 +663,9 @@ def _q_redact_pii_documents(sf_dir: str):
             }
         )
 
-    out = ds.map_batches(plant_and_redact, batch_format="pyarrow", zero_copy_batch=True, **_ra()).groupby("source").aggregate(
+    out =fast_groupby(
+        ds.map_batches(plant_and_redact, batch_format="pyarrow", zero_copy_batch=True, **_ra()),
+        "source",
         Count(alias_name="n_docs"),
         Sum("n_pii", alias_name="sum_pii"),
         Sum("red_len", alias_name="sum_len"),
@@ -820,7 +854,11 @@ def _q_funnel_events(sf_dir: str):
         return t.filter(keep)
 
     d = funnel(ds.map_batches(thin, batch_format="pyarrow", **_ra()), ["view", "click", "purchase"])
-    out = d.groupby("depth").aggregate(Count(alias_name="cnt"))
+    out =fast_groupby(
+        d,
+        "depth",
+        Count(alias_name="cnt"),
+    )
     df = out.to_pandas().sort_values("depth").reset_index(drop=True)
     df["depth"] = df["depth"].astype("int64")
     return df
@@ -1159,7 +1197,11 @@ def _q_skew_join_lineitem_orders(sf_dir: str):
     li = li.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True, **_ra())
     orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"])
     joined = skew_join(li, orders, key="o_orderkey", num_buckets=16, hot_threshold=5)
-    out = joined.groupby("o_orderpriority").aggregate(Count(alias_name="cnt"), Sum("l_quantity", alias_name="sum_qty"))
+    out =fast_groupby(
+        joined,
+        "o_orderpriority",
+        Count(alias_name="cnt"), Sum("l_quantity", alias_name="sum_qty"),
+    )
     df = out.to_pandas()
     df["sum_qty"] = df["sum_qty"].round(2)
     return df.sort_values("o_orderpriority").reset_index(drop=True)
@@ -1252,10 +1294,11 @@ def _q_left_join_customer_orders(sf_dir: str):
         m = pa.compute.is_valid(b["o_orderkey"]).cast(pa.int64())
         return pa.table({"c_mktsegment": b["c_mktsegment"], "m": m})
 
-    out = (
-        joined.map_batches(flags, batch_format="pyarrow", zero_copy_batch=True, **_ra())
-        .groupby("c_mktsegment")
-        .aggregate(Count(alias_name="cnt"), Sum("m", alias_name="matched"))
+    out = (fast_groupby(
+        joined.map_batches(flags, batch_format="pyarrow", zero_copy_batch=True, **_ra()),
+        "c_mktsegment",
+        Count(alias_name="cnt"), Sum("m", alias_name="matched"),
+    )
     )
     df = out.to_pandas()
     df["matched"] = df["matched"].astype("int64")
@@ -1450,10 +1493,11 @@ def _q_full_join_customer_orders(sf_dir: str):
             }
         )
 
-    out = (
-        joined.map_batches(flags, batch_format="pyarrow", zero_copy_batch=True, **_ra())
-        .groupby("bucket")
-        .aggregate(Count(alias_name="cnt"), Sum("wl", alias_name="with_left"), Sum("wr", alias_name="with_right"))
+    out = (fast_groupby(
+        joined.map_batches(flags, batch_format="pyarrow", zero_copy_batch=True, **_ra()),
+        "bucket",
+        Count(alias_name="cnt"), Sum("wl", alias_name="with_left"), Sum("wr", alias_name="with_right"),
+    )
     )
     df = out.to_pandas()
     df[["with_left", "with_right"]] = df[["with_left", "with_right"]].astype("int64")
@@ -1552,10 +1596,11 @@ def _q_semi_join_streaming_lineitem(sf_dir: str):
         u = np.floor(q * 100 + 0.5).astype(np.int64)
         return pa.table({"l_returnflag": b["l_returnflag"], "u": pa.array(u, pa.int64())})
 
-    out = (
-        kept.map_batches(units, batch_format="pyarrow", zero_copy_batch=True, **_ra())
-        .groupby("l_returnflag")
-        .aggregate(Count(alias_name="cnt"), Sum("u", alias_name="sum_qty_units"))
+    out = (fast_groupby(
+        kept.map_batches(units, batch_format="pyarrow", zero_copy_batch=True, **_ra()),
+        "l_returnflag",
+        Count(alias_name="cnt"), Sum("u", alias_name="sum_qty_units"),
+    )
     )
     df = out.to_pandas()
     df["sum_qty_units"] = df["sum_qty_units"].astype("int64")
@@ -1588,10 +1633,11 @@ def _q_anti_join_streaming_lineitem(sf_dir: str):
         u = np.floor(q * 100 + 0.5).astype(np.int64)
         return pa.table({"l_returnflag": b["l_returnflag"], "u": pa.array(u, pa.int64())})
 
-    out = (
-        kept.map_batches(units, batch_format="pyarrow", zero_copy_batch=True, **_ra())
-        .groupby("l_returnflag")
-        .aggregate(Count(alias_name="cnt"), Sum("u", alias_name="sum_qty_units"))
+    out = (fast_groupby(
+        kept.map_batches(units, batch_format="pyarrow", zero_copy_batch=True, **_ra()),
+        "l_returnflag",
+        Count(alias_name="cnt"), Sum("u", alias_name="sum_qty_units"),
+    )
     )
     df = out.to_pandas()
     df["sum_qty_units"] = df["sum_qty_units"].astype("int64")
@@ -1696,10 +1742,11 @@ def _q_webdataset_roundtrip(sf_dir: str):
             "n_chars": pc.utf8_length(text).cast(pa.int64()),
         })
 
-    out = (
-        back.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **_ra())
-        .groupby("source")
-        .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars"))
+    out = (fast_groupby(
+        back.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **_ra()),
+        "source",
+        Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars"),
+    )
     )
     df = out.to_pandas()
     df["sum_chars"] = df["sum_chars"].astype("int64")
@@ -1766,10 +1813,11 @@ def _q_jsonl_roundtrip(sf_dir: str):
             "n_chars": pc.utf8_length(b["text"]).cast(pa.int64()),
         })
 
-    out = (
-        back.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **_ra())
-        .groupby("source")
-        .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars"))
+    out = (fast_groupby(
+        back.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **_ra()),
+        "source",
+        Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars"),
+    )
     )
     df = out.to_pandas()
     df["sum_chars"] = df["sum_chars"].astype("int64")
@@ -1799,10 +1847,11 @@ def _q_parquet_pushdown_shipdate(sf_dir: str):
         u = np.floor(q * 100 + 0.5).astype(np.int64)
         return pa.table({"l_returnflag": b["l_returnflag"], "u": pa.array(u, pa.int64())})
 
-    out = (
-        ds.map_batches(units, batch_format="pyarrow", zero_copy_batch=True, **_ra())
-        .groupby("l_returnflag")
-        .aggregate(Count(alias_name="cnt"), Sum("u", alias_name="sum_qty_units"))
+    out = (fast_groupby(
+        ds.map_batches(units, batch_format="pyarrow", zero_copy_batch=True, **_ra()),
+        "l_returnflag",
+        Count(alias_name="cnt"), Sum("u", alias_name="sum_qty_units"),
+    )
     )
     df = out.to_pandas()
     df["sum_qty_units"] = df["sum_qty_units"].astype("int64")
@@ -1891,10 +1940,11 @@ def _q_bucketed_join_lineitem_orders(sf_dir: str):
                          "l_returnflag": b["l_returnflag"],
                          "qty_units": b["qty_units"]})
 
-    out = (
-        joined.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **_ra())
-        .groupby(["cust_bucket", "l_returnflag"])
-        .aggregate(Count(alias_name="cnt"), Sum("qty_units", alias_name="sum_qty_units"))
+    out = (fast_groupby(
+        joined.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **_ra()),
+        ["cust_bucket", "l_returnflag"],
+        Count(alias_name="cnt"), Sum("qty_units", alias_name="sum_qty_units"),
+    )
     )
     df = out.to_pandas()
     df["sum_qty_units"] = df["sum_qty_units"].astype("int64")
@@ -1953,7 +2003,11 @@ def _q_collapse_rare_users(sf_dir: str):
 
     ds = ds.map_batches(drop_null_users, batch_format="pyarrow", zero_copy_batch=True, **_ra())
     out = collapse_rare(ds, "user_id", min_count=80, other=-1)
-    df = out.groupby("user_id_collapsed").aggregate(Count(alias_name="cnt")).to_pandas()
+    df =fast_groupby(
+        out,
+        "user_id_collapsed",
+        Count(alias_name="cnt"),
+    ).to_pandas()
     df["user_id_collapsed"] = df["user_id_collapsed"].astype("int64")
     return df.sort_values("user_id_collapsed").reset_index(drop=True)
 
@@ -2521,7 +2575,11 @@ def _q_json_extract_events(sf_dir: str):
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "props"])
     out = parse_json_column(ds, "props", schema=pa.schema([("k", pa.int64())]))
-    agg = out.groupby("event_type").aggregate(Count(alias_name="cnt"), Sum("k", alias_name="sum_k"))
+    agg =fast_groupby(
+        out,
+        "event_type",
+        Count(alias_name="cnt"), Sum("k", alias_name="sum_k"),
+    )
     df = agg.to_pandas().sort_values("event_type").reset_index(drop=True)
     df["sum_k"] = df["sum_k"].astype("int64")
     return df
@@ -2563,7 +2621,11 @@ def _q_table_diff_documents(sf_dir: str):
         )
     )
     diff = table_diff(a, b, "doc_id", ["text", "source"])
-    out = diff.groupby("status").aggregate(Count(alias_name="cnt"))
+    out =fast_groupby(
+        diff,
+        "status",
+        Count(alias_name="cnt"),
+    )
     return out.to_pandas().sort_values("status").reset_index(drop=True)
 
 
@@ -2867,8 +2929,16 @@ def _q_fingerprint_documents(sf_dir: str):
         return g.rename_columns(["source", "fingerprint", "cnt"])
 
     pairs = fp.map_batches(partial, batch_format="pyarrow", **_ra())
-    per_fp = pairs.groupby(["source", "fingerprint"]).aggregate(Sum("cnt", alias_name="n_docs"))
-    out = per_fp.groupby("source").aggregate(Count(alias_name="n_distinct"), Sum("n_docs", alias_name="n_docs"))
+    per_fp =fast_groupby(
+        pairs,
+        ["source", "fingerprint"],
+        Sum("cnt", alias_name="n_docs"),
+    )
+    out =fast_groupby(
+        per_fp,
+        "source",
+        Count(alias_name="n_distinct"), Sum("n_docs", alias_name="n_docs"),
+    )
     return out.to_pandas()[["source", "n_distinct", "n_docs"]]
 
 
@@ -2893,7 +2963,11 @@ def _q_encode_roundtrip_by_source(sf_dir: str):
     out_dir = os.path.join(scratch, "stripes")
     enc.encode_dataset([tok_path], out_dir, budget_bytes=8 * 1024 * 1024)
     decoded = enc.decode_dataset(out_dir)
-    return decoded.groupby("source").aggregate(Count(alias_name="n_docs"), Sum("n_tok", alias_name="sum_n_tok"))
+    return fast_groupby(
+        decoded,
+        "source",
+        Count(alias_name="n_docs"), Sum("n_tok", alias_name="sum_n_tok"),
+    )
 
 
 def _q_file_stats_ntok(sf_dir: str):
@@ -2956,7 +3030,11 @@ def _q_orc_file_roundtrip(sf_dir: str):
         return pa.table({"source": batch["source"], "n_tok": batch["n_tok"].cast(pa.int64())})
 
     back = back.map_batches(fix, batch_format="pyarrow", zero_copy_batch=True, **_ra())
-    return back.groupby("source").aggregate(Count(alias_name="n_docs"), Sum("n_tok", alias_name="sum_n_tok"))
+    return fast_groupby(
+        back,
+        "source",
+        Count(alias_name="n_docs"), Sum("n_tok", alias_name="sum_n_tok"),
+    )
 
 
 def _q_orc_lineitem_roundtrip(sf_dir: str):
@@ -2991,7 +3069,9 @@ def _q_orc_lineitem_roundtrip(sf_dir: str):
         )
 
     back = back.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True, **_ra())
-    out = back.groupby("l_returnflag").aggregate(
+    out =fast_groupby(
+        back,
+        "l_returnflag",
         Count(alias_name="cnt"),
         Sum("l_linenumber", alias_name="sum_ln"),
         Sum("l_extendedprice", alias_name="sum_price"),
@@ -3037,7 +3117,9 @@ def _q_orc_compact_roundtrip(sf_dir: str):
         )
 
     back = back.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True, **_ra())
-    out = back.groupby("o_orderpriority").aggregate(
+    out =fast_groupby(
+        back,
+        "o_orderpriority",
         Count(alias_name="cnt"),
         Sum("o_totalprice", alias_name="sum_price"),
         Max("o_custkey", alias_name="max_cust"),
@@ -3079,7 +3161,9 @@ def _q_orc_partitioned_roundtrip(sf_dir: str):
             }
         )
 
-    out = back.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True, **_ra()).groupby("o_orderpriority").aggregate(
+    out =fast_groupby(
+        back.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True, **_ra()),
+        "o_orderpriority",
         Count(alias_name="cnt"),
         Sum("o_totalprice", alias_name="sum_price"),
     )
@@ -3120,7 +3204,11 @@ def _q_orc_lake_pipeline(sf_dir: str):
         return pa.table({"source": batch["source"], "n_tok": batch["n_tok"].cast(pa.int64())})
 
     back = back.map_batches(fix, batch_format="pyarrow", zero_copy_batch=True, **_ra())
-    return back.groupby("source").aggregate(Count(alias_name="n_docs"), Sum("n_tok", alias_name="sum_n_tok"))
+    return fast_groupby(
+        back,
+        "source",
+        Count(alias_name="n_docs"), Sum("n_tok", alias_name="sum_n_tok"),
+    )
 
 
 def _q_orc_file_statistics(sf_dir: str):
@@ -3186,8 +3274,10 @@ def _q_orc_lake_stats(sf_dir: str):
             }
         )
 
-    out = stats.map_batches(prep, batch_format="pyarrow", **_ra()).groupby("o_orderpriority").aggregate(
-        Sum("num_rows", alias_name="n_rows")
+    out =fast_groupby(
+        stats.map_batches(prep, batch_format="pyarrow", **_ra()),
+        "o_orderpriority",
+        Sum("num_rows", alias_name="n_rows"),
     )
     df = out.to_pandas()
     df["n_rows"] = df["n_rows"].astype("int64")
@@ -3229,7 +3319,9 @@ def _q_orc_schema_evolution(sf_dir: str):
         flag = pc.coalesce(batch["l_returnflag"], pa.scalar("MISSING", pa.string()))
         return pa.table({"flag": flag, "l_quantity": batch["l_quantity"], "l_orderkey": batch["l_orderkey"]})
 
-    out = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True, **_ra()).groupby("flag").aggregate(
+    out =fast_groupby(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True, **_ra()),
+        "flag",
         Count(alias_name="cnt"),
         Sum("l_quantity", alias_name="sum_qty"),
         Sum("l_orderkey", alias_name="sum_key"),
@@ -3252,7 +3344,11 @@ def _q_broadcast_join_orders_customer(sf_dir: str):
     orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
     customer = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
     joined = j.broadcast_join(orders, customer, key="o_custkey", small_key="c_custkey", how="inner")
-    out = joined.groupby("c_mktsegment").aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="sum_price"))
+    out =fast_groupby(
+        joined,
+        "c_mktsegment",
+        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="sum_price"),
+    )
     df = out.to_pandas()
     df["sum_price"] = df["sum_price"].round(2)
     return df
@@ -3274,7 +3370,11 @@ def _q_hash_join_lineitem_orders(sf_dir: str):
     li = li.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True, **_ra())
     orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"])
     joined = j.hash_join(li, orders, key="o_orderkey", num_buckets=16)
-    out = joined.groupby("o_orderpriority").aggregate(Count(alias_name="cnt"), Sum("l_quantity", alias_name="sum_qty"))
+    out =fast_groupby(
+        joined,
+        "o_orderpriority",
+        Count(alias_name="cnt"), Sum("l_quantity", alias_name="sum_qty"),
+    )
     df = out.to_pandas()
     df["sum_qty"] = df["sum_qty"].round(2)
     return df
@@ -3311,7 +3411,11 @@ def _q_topk_users_by_value(sf_dir: str):
         return g.rename_columns(["user_id", "sum_value", "cnt"])
 
     parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **_ra())
-    tot = parts.groupby("user_id").aggregate(Sum("sum_value", alias_name="sum_value"), Sum("cnt", alias_name="n_events"))
+    tot =fast_groupby(
+        parts,
+        "user_id",
+        Sum("sum_value", alias_name="sum_value"), Sum("cnt", alias_name="n_events"),
+    )
     df = tot.to_pandas()
     df["sum_value"] = df["sum_value"].round(2)
     df = df.sort_values(["sum_value", "user_id"], ascending=[False, True]).head(10).reset_index(drop=True)
@@ -3359,7 +3463,11 @@ def _q_asof_join_events(sf_dir: str):
 
     left = ds.map_batches(prep("view"), batch_format="pyarrow", zero_copy_batch=True, **_ra())
     right_raw = ds.map_batches(prep("purchase"), batch_format="pyarrow", zero_copy_batch=True, **_ra())
-    right = right_raw.groupby(["user_id", "ts_ms"]).aggregate(Sum("value", alias_name="ref_value"))
+    right =fast_groupby(
+        right_raw,
+        ["user_id", "ts_ms"],
+        Sum("value", alias_name="ref_value"),
+    )
     joined = j.asof_join(left, right, on="ts_ms", by="user_id", right_value_cols=["ts_ms", "ref_value"])
     df = joined.to_pandas()
     df = df[df["ref_value"].notna()].copy()
@@ -3385,7 +3493,11 @@ def _q_range_join_price_bands(sf_dir: str):
     )
     ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"])
     joined = j.range_join_broadcast(ds, bands, value_col="l_extendedprice")
-    out = joined.groupby("band").aggregate(Count(alias_name="cnt"), Sum("l_extendedprice", alias_name="sum_price"))
+    out =fast_groupby(
+        joined,
+        "band",
+        Count(alias_name="cnt"), Sum("l_extendedprice", alias_name="sum_price"),
+    )
     df = out.to_pandas()
     df["sum_price"] = df["sum_price"].round(2)
     return df
@@ -3421,8 +3533,16 @@ def _q_semi_anti_join_customers(sf_dir: str):
     hi = orders.filter(_pc.greater_equal(orders["o_totalprice"], 150_000.0))
     semi = j.broadcast_join(cust, hi, key="c_custkey", small_key="o_custkey", how="semi")
     anti = j.broadcast_join(cust, hi, key="c_custkey", small_key="o_custkey", how="anti")
-    a = semi.groupby("c_mktsegment").aggregate(Count(alias_name="with_orders")).to_pandas()
-    totals = cust.groupby("c_mktsegment").aggregate(Count(alias_name="total")).to_pandas()
+    a =fast_groupby(
+        semi,
+        "c_mktsegment",
+        Count(alias_name="with_orders"),
+    ).to_pandas()
+    totals =fast_groupby(
+        cust,
+        "c_mktsegment",
+        Count(alias_name="total"),
+    ).to_pandas()
     out = totals.merge(a, on="c_mktsegment", how="left").fillna(0)
     out["with_orders"] = out["with_orders"].astype("int64")
     out["without_orders"] = (out["total"] - out["with_orders"]).astype("int64")
@@ -3475,7 +3595,9 @@ def _q_orc_pushdown_filter(sf_dir: str):
         orcfile.write_orc(tbl, path, compression="zstd", row_index_stride=1000)
     got, _stats = read_orc_filtered(path, ("l_quantity", ">=", 45.0))
     ds = ray.data.from_arrow(got)
-    out = ds.groupby("l_returnflag").aggregate(
+    out =fast_groupby(
+        ds,
+        "l_returnflag",
         Count(alias_name="cnt"),
         Min("l_linenumber", alias_name="min_ln"),
         Max("l_linenumber", alias_name="max_ln"),
@@ -3505,7 +3627,9 @@ def _q_orc_pushdown_conjunction(sf_dir: str):
         path, [("l_orderkey", ">=", 300), ("l_orderkey", "<", 900), ("l_returnflag", "==", "A")]
     )
     ds = ray.data.from_arrow(got)
-    out = ds.groupby("l_returnflag").aggregate(
+    out =fast_groupby(
+        ds,
+        "l_returnflag",
         Count(alias_name="cnt"),
         Sum("l_quantity", alias_name="sum_qty"),
     )
@@ -3539,7 +3663,9 @@ def _q_orc_pushdown_disjunction(sf_dir: str):
         ],
     )
     ds = ray.data.from_arrow(got)
-    out = ds.groupby("l_returnflag").aggregate(
+    out =fast_groupby(
+        ds,
+        "l_returnflag",
         Count(alias_name="cnt"),
         Sum("l_quantity", alias_name="sum_qty"),
     )
@@ -3607,7 +3733,9 @@ def _q_orc_pushdown_in_list(sf_dir: str):
         )
 
     ds = ray.data.from_arrow(prep(got))
-    out = ds.groupby("o_orderpriority").aggregate(
+    out =fast_groupby(
+        ds,
+        "o_orderpriority",
         Count(alias_name="cnt"),
         Sum("o_totalprice", alias_name="sum_price"),
     )
@@ -3644,7 +3772,9 @@ def _q_orc_native_read_cpp(sf_dir: str):
     ds = ds.map_batches(to_ms, batch_format="pyarrow", **_ra())
     from ray.data.aggregate import Sum
 
-    return ds.groupby("event_type").aggregate(
+    return fast_groupby(
+        ds,
+        "event_type",
         Count(alias_name="cnt"),
         Min("ts_ms", alias_name="min_ms"),
         Max("ts_ms", alias_name="max_ms"),
@@ -3990,7 +4120,11 @@ def _q_video_frame_stats(sf_dir: str):
     stats = frames.map_batches(luma, batch_format="pyarrow", **_ra())
     from ray.data.aggregate import Count, Mean
 
-    out = stats.groupby("media_id").aggregate(Count(alias_name="n_frames"), Mean("mean_luma", alias_name="avg_luma")).to_pandas()
+    out =fast_groupby(
+        stats,
+        "media_id",
+        Count(alias_name="n_frames"), Mean("mean_luma", alias_name="avg_luma"),
+    ).to_pandas()
     out["avg_luma"] = out["avg_luma"].round(4)
     return out.sort_values("media_id").reset_index(drop=True)
 
@@ -4244,7 +4378,11 @@ def _q_langid_confusion(sf_dir: str):
     pred = ds.map_batches(
         tx.LangId, batch_format="pyarrow", zero_copy_batch=True, concurrency=2, **_ra()
     ).select_columns(["lang", "lang_pred"])
-    return pred.groupby(["lang", "lang_pred"]).aggregate(Count(alias_name="n_docs"))
+    return fast_groupby(
+        pred,
+        ["lang", "lang_pred"],
+        Count(alias_name="n_docs"),
+    )
 
 
 def _q_csv_roundtrip(sf_dir: str):
@@ -4281,10 +4419,11 @@ def _q_csv_roundtrip(sf_dir: str):
         cents = np.floor(v * 100 + 0.5).astype(np.int64)
         return pa.table({"o_orderpriority": b["o_orderpriority"], "cents": pa.array(cents)})
 
-    out = (
-        back.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **_ra())
-        .groupby("o_orderpriority")
-        .aggregate(Count(alias_name="n_orders"), Sum("cents", alias_name="sum_cents"))
+    out = (fast_groupby(
+        back.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **_ra()),
+        "o_orderpriority",
+        Count(alias_name="n_orders"), Sum("cents", alias_name="sum_cents"),
+    )
     )
     df = out.to_pandas()
     df["sum_cents"] = df["sum_cents"].astype("int64")
@@ -4341,9 +4480,9 @@ def _q_strip_markup_planted(sf_dir: str):
             }
         )
 
-    out = ds.map_batches(plant_and_strip, batch_format="pyarrow", zero_copy_batch=True, **_ra()).groupby(
-        "source"
-    ).aggregate(
+    out =fast_groupby(
+        ds.map_batches(plant_and_strip, batch_format="pyarrow", zero_copy_batch=True, **_ra()),
+        "source",
         Count(alias_name="n_docs"),
         Sum("n_tags", alias_name="sum_tags"),
         Sum("plain_len", alias_name="sum_len"),
@@ -4484,9 +4623,11 @@ def _q_bin_shard_roundtrip(sf_dir: str):
         src = pc.replace_substring_regex(b["doc_id"], r"/[0-9]+$", "")
         return pa.table({"source": src, "t": b["n_tok"].cast(pa.int64())})
 
-    out = back.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **_ra()).groupby(
-        "source"
-    ).aggregate(Count(alias_name="n_docs"), Sum("t", alias_name="sum_ntok"))
+    out =fast_groupby(
+        back.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **_ra()),
+        "source",
+        Count(alias_name="n_docs"), Sum("t", alias_name="sum_ntok"),
+    )
     df = out.to_pandas()
     df["sum_ntok"] = df["sum_ntok"].astype("int64")
     return df.sort_values("source").reset_index(drop=True)
@@ -4540,11 +4681,12 @@ def _q_compact_parquet_lake(sf_dir: str):
         cents = np.floor(v * 100 + 0.5).astype(np.int64)
         return pa.table({"o_orderpriority": b["o_orderpriority"], "cents": pa.array(cents)})
 
-    out = (
+    out = (fast_groupby(
         ray.data.read_parquet(out_dir, columns=["o_orderpriority", "o_totalprice"])
-        .map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **_ra())
-        .groupby("o_orderpriority")
-        .aggregate(Count(alias_name="n_orders"), Sum("cents", alias_name="sum_cents"))
+        .map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **_ra()),
+        "o_orderpriority",
+        Count(alias_name="n_orders"), Sum("cents", alias_name="sum_cents"),
+    )
     )
     df = out.to_pandas()
     df["sum_cents"] = df["sum_cents"].astype("int64")
@@ -4719,15 +4861,14 @@ def _q_ipc_roundtrip(sf_dir: str):
             "us": us,
         })
 
-    out = (
-        back.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **_ra())
-        .groupby("event_type")
-        .aggregate(
-            Count(alias_name="n"),
+    out = (fast_groupby(
+        back.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True, **_ra()),
+        "event_type",
+        Count(alias_name="n"),
             Sum("cents", alias_name="sum_cents"),
             Min("us", alias_name="min_us"),
             Max("us", alias_name="max_us"),
-        )
+    )
         .to_pandas()
     )
     for c in ("n", "sum_cents", "min_us", "max_us"):
@@ -5648,11 +5789,12 @@ def _q_lorenz_customer_revenue(sf_dir: str):
         u = np.floor(v * 100 + 0.5).astype(np.int64)
         return pa.table({"o_custkey": b["o_custkey"].cast(pa.int64()), "u": pa.array(u, pa.int64())})
 
-    rev = (
+    rev = (fast_groupby(
         ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
-        .map_batches(cents, batch_format="pyarrow")
-        .groupby("o_custkey")
-        .aggregate(Sum("u", alias_name="units"))
+        .map_batches(cents, batch_format="pyarrow"),
+        "o_custkey",
+        Sum("u", alias_name="units"),
+    )
     )
     out = lorenz_curve(rev, "o_custkey", "units", n_buckets=10)
     return out.sort_values("bucket").reset_index(drop=True)
@@ -6244,9 +6386,11 @@ def _q_expr_pipeline_lineitem(sf_dir: str):
         lambda b: b.set_column(1, "cents", b["cents"].cast(pa.int64())),
         batch_format="pyarrow",
     )
-    out = (
-        ds.groupby("l_linestatus")
-        .aggregate(Count(alias_name="n"), Sum("cents", alias_name="sum_cents"))
+    out = (fast_groupby(
+        ds,
+        "l_linestatus",
+        Count(alias_name="n"), Sum("cents", alias_name="sum_cents"),
+    )
         .to_pandas()
         .sort_values("l_linestatus")
         .reset_index(drop=True)
@@ -7378,13 +7522,12 @@ def _q_avro_roundtrip_events(sf_dir: str):
             }
         )
 
-    per = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby("event_type")
-        .aggregate(
-            Sum("n_p", alias_name="n"), Sum("sid_p", alias_name="sum_id"),
+    per = (fast_groupby(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        "event_type",
+        Sum("n_p", alias_name="n"), Sum("sid_p", alias_name="sum_id"),
             Min("mn_p", alias_name="min_ts_us"), Max("mx_p", alias_name="max_ts_us"),
-        )
+    )
         .to_pandas()
     )
     for c in ("n", "sum_id", "min_ts_us", "max_ts_us"):
@@ -7495,12 +7638,13 @@ def _q_pseudonymize_events(sf_dir: str):
              "mn_p": pa.array(mn), "mx_p": pa.array(mx)}
         )
 
-    per = (
-        pseudo.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby("pseudo")
-        .aggregate(Sum("n_p", alias_name="n_events"),
+    per = (fast_groupby(
+        pseudo.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        "pseudo",
+        Sum("n_p", alias_name="n_events"),
                    Min("mn_p", alias_name="min_event_id"),
-                   Max("mx_p", alias_name="max_event_id"))
+                   Max("mx_p", alias_name="max_event_id"),
+    )
         .to_pandas()
     )
     for c in ("n_events", "min_event_id", "max_event_id"):
@@ -7658,11 +7802,12 @@ def _q_calibration_bins_scores(sf_dir: str):
         return pa.table({"bucket": pa.array(ub), "n_p": pa.array(n), "p_p": pa.array(np_pos),
                          "mn_p": pa.array(mn), "mx_p": pa.array(mx)})
 
-    per = (
-        buckets.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args())
-        .groupby("bucket")
-        .aggregate(Sum("n_p", alias_name="n"), Sum("p_p", alias_name="n_pos"),
-                   Min("mn_p", alias_name="min_units"), Max("mx_p", alias_name="max_units"))
+    per = (fast_groupby(
+        buckets.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, **remote_args()),
+        "bucket",
+        Sum("n_p", alias_name="n"), Sum("p_p", alias_name="n_pos"),
+                   Min("mn_p", alias_name="min_units"), Max("mx_p", alias_name="max_units"),
+    )
         .to_pandas()
     )
     if len(per) == 0:
