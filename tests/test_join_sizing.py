@@ -67,6 +67,18 @@ def test_subsplit_matches_plain_merge(ray_session, how):
     pd.testing.assert_frame_equal(_norm(out), _norm(expect), check_dtype=False)
 
 
+@pytest.mark.parametrize("how", ["inner", "left", "full"])
+def test_raw_and_sortshuffle_paths_row_identical(ray_session, how):
+    # >_RAW_EXCHANGE_MAX_BUCKETS forces the Dataset sort-shuffle path; the
+    # two implementations share _bucket_join_tables and must agree exactly
+    left, right = _mk(2000, 1500, seed=17)
+    raw = j.hash_join(ray.data.from_arrow(left), ray.data.from_arrow(right), "k",
+                      num_buckets=8, how=how).to_pandas()
+    slow = j.hash_join(ray.data.from_arrow(left), ray.data.from_arrow(right), "k",
+                       num_buckets=j._RAW_EXCHANGE_MAX_BUCKETS + 1, how=how).to_pandas()
+    pd.testing.assert_frame_equal(_norm(raw), _norm(slow), check_dtype=False)
+
+
 def test_default_auto_join_matches_pandas(ray_session):
     left, right = _mk(500, 400, seed=11)
     expect = left.to_pandas().merge(right.to_pandas(), on="k", how="inner", suffixes=("", "_r"))
