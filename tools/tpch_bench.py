@@ -77,10 +77,15 @@ def main() -> None:
         print(json.dumps(rec), flush=True)
     tot_e = sum(r["engine_sec"] for r in rows)
     tot_d = sum(r["duckdb_sec"] for r in rows if r["duckdb_sec"])
+    try:
+        la = os.getloadavg()
+        load = {"loadavg_1m": round(la[0], 2), "loadavg_5m": round(la[1], 2)}
+    except OSError:
+        load = {}
     print(json.dumps({"metric": "tpch_composite", "n_queries": len(rows),
                       "engine_total_sec": round(tot_e, 2),
                       "duckdb_total_sec": round(tot_d, 2),
-                      "sf": args.sf, "num_cpus": args.cpus}))
+                      "sf": args.sf, "num_cpus": args.cpus, "load": load}))
     ray.shutdown()
 
 
