@@ -18,8 +18,9 @@ counts, with the same two-wave raw task exchange `ops/join.py` uses:
 Measured 0.4 s warm for the same 600k-row groupby — 10x under the Dataset
 machinery. Falls back to Ray's groupby (same result, slower constant) when
 the bucket count exceeds ``_RAW_EXCHANGE_MAX_BUCKETS`` (the sort shuffle's
-scalability wins once its constant amortizes over >8 GB inputs) or when a
-key column is not int64-castable (the bucket hash is integer).
+scalability wins once its constant amortizes over >8 GB inputs), when the
+driver-side (blocks x buckets) ref fan-out exceeds its bound, or when a
+key column is neither int64-castable nor string (float/nested keys).
 
 Fold correctness: sum/count fold by addition, min/max by min/max — all
 associative and layout-invariant, so the result is bit-identical to Ray's
@@ -107,13 +108,11 @@ def hash_aggregate(ds, keys, aggs, num_buckets: int | None = None):
         if f not in _FOLDS:
             raise ValueError(f"unsupported aggregate fn {f!r}; have {sorted(_FOLDS)}")
     if num_buckets is None:
-        from .join import _auto_num_buckets, _estimate_bytes
-
-        est = _estimate_bytes(ds) or 0
         import math
 
-        from .join import _BUCKET_MEM_BUDGET, _JOIN_EXPANSION
+        from .join import _BUCKET_MEM_BUDGET, _JOIN_EXPANSION, _estimate_bytes
 
+        est = _estimate_bytes(ds) or 0
         num_buckets = min(4096, max(4, math.ceil(est * _JOIN_EXPANSION / _BUCKET_MEM_BUDGET))) if est else 8
 
     # key-type probe (schema-level): ints/dates/timestamps/strings take the
