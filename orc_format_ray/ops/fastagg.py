@@ -84,7 +84,10 @@ def _combined_hash(tbl: pa.Table, keys: list[str]) -> np.ndarray:
     h = np.zeros(len(tbl), dtype=np.uint64)
     for i, k in enumerate(keys):
         col = _key_hash_col(tbl[k])
-        h ^= (col + np.uint64(0x9E3779B97F4A7C15) * np.uint64(i + 1)) * np.uint64(0xC2B2AE3D27D4EB4F)
+        # wrap the per-key salt in Python ints (numpy warns on intended
+        # uint64 scalar wraparound; array ops wrap silently)
+        salt = np.uint64((0x9E3779B97F4A7C15 * (i + 1)) % (1 << 64))
+        h ^= (col + salt) * np.uint64(0xC2B2AE3D27D4EB4F)
         h ^= h >> np.uint64(29)
     return h.view(np.int64)
 
