@@ -658,9 +658,9 @@ def minhash_dedup_against(
             return pd.DataFrame({"ref_ids": pd.Series(dtype=object), "new_ids": pd.Series(dtype=object)})
         return pd.DataFrame({"ref_ids": [refs.tolist()], "new_ids": [news.tolist()]})
 
-    buckets = band_union.groupby(["band_id", "band_hash"]).map_groups(
-        cross_bucket, batch_format="pandas", **remote_args()
-    )
+    from .fastagg import fast_map_groups
+
+    buckets = fast_map_groups(band_union, ["band_id", "band_hash"], cross_bucket)
 
     def to_cross_halves(batch: pa.Table) -> pa.Table:
         ra = batch["ref_ids"].combine_chunks() if isinstance(batch["ref_ids"], pa.ChunkedArray) else batch["ref_ids"]
@@ -1173,7 +1173,9 @@ def simhash_candidates(ds, blocks: int = 4):
                 ham.append(d)
         return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "hamming": ham})
 
-    return exploded.groupby(["block_id", "block_val"]).map_groups(bucket, batch_format="pandas", **remote_args())
+    from .fastagg import fast_map_groups
+
+    return fast_map_groups(exploded, ["block_id", "block_val"], bucket)
 
 
 # ------------------------------------------------------- embedding near-dup
@@ -1251,7 +1253,9 @@ def embedding_near_dups(ds, threshold: float = 0.95, lsh_planes: int = 12, seed:
             }
         )
 
-    return bucketed.groupby("bucket").map_groups(verify, batch_format="pandas", **remote_args())
+    from .fastagg import fast_map_groups
+
+    return fast_map_groups(bucketed, "bucket", verify)
 
 
 def exact_dedup_by(ds, columns: list[str], max_broadcast_ids: int = 1 << 26,

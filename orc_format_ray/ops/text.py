@@ -371,7 +371,9 @@ def word_familiarity(ds, column: str = "text", id_col: str = "doc_id", num_bucke
         docs["fam"] = docs["cnt"].to_numpy(np.int64) * freq
         return docs.groupby("doc_id", as_index=False).agg(n_words=("cnt", "sum"), familiarity=("fam", "sum"))
 
-    merged = doc_side.groupby("bucket").map_groups(merge_bucket, batch_format="pandas", **remote_args())
+    from .fastagg import fast_map_groups
+
+    merged = fast_map_groups(doc_side, "bucket", merge_bucket)
     tot = fast_groupby(
         merged,
         "doc_id",
